@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Long→wide tensor pivot for ML batches (SURVEY.md §2.8 T1; reference
+  * recipe `docs/DATA_LAKE_GUIDE.md:73-109`): one row per play with a dense
+  * `(frames × entities × features)` float tensor, frames padded to
+  * `maxFrames`, entities padded to `maxEntities`, features defaulting to
+  * `[x, y, s, a, o, dir]`.
+  *
+  * Entity ordering: home 1-11, away 1-11, ball last — realized as a sort by
+  * `(sideRank, nflId)` inside each frame. The reference leaves the ordering
+  * rule as "..." (`docs/DATA_LAKE_GUIDE.md:103-107`); we define it as
+  * side-then-nflId so it is total and stable. Missing physics values
+  * become 0.0 (the reference pads with zeros).
+  *
+  * Implementation is pure expression algebra (collect_list + sort_array +
+  * higher-order functions) — no UDFs, no windows: two hash aggregations,
+  * both with map-side partial aggregation, so at 100 TB the wide rows are
+  * built next to the data and only (plays × tensor) bytes ever shuffle.
+  */
+object Tensor {
+
+  val defaultFeatures: Seq[String] = Seq("x", "y", "s", "a", "o", "dir")
+
+  private def zeroEntity(nFeatures: Int): Column =
+    array_repeat(lit(0.0f), nFeatures)
+
+  /** Max frame count over the input — the padding target when the caller
+    * does not fix one (runs as its own tiny job).
+    */
+  def maxFrameCount(pool: DataFrame): Int =
+    pool.agg(max("frameId")).head().getInt(0)
+
+  def toTensor(
+      pool: DataFrame,
+      features: Seq[String] = defaultFeatures,
+      maxFrames: Int = 0,
+      maxEntities: Int = 23): DataFrame = {
+    require(maxFrames > 0, "maxFrames must be fixed (see maxFrameCount)")
+    val nF = features.size
+    val featArr = array(features.map(f => coalesce(col(f).cast("float"),
+      lit(0.0f))): _*)
+    val sideRank = when(PlayOps.isBall, 2)
+      .when(PlayOps.side === "home", 0).otherwise(1)
+
+    // 1. per (play, frame): entity-ordered feature rows, padded/truncated
+    //    to maxEntities
+    val perFrame = pool
+      .groupBy("gameId", "playId", "frameId")
+      .agg(sort_array(collect_list(struct(
+        sideRank.as("sideRank"),
+        coalesce(col("nflId"), lit(Int.MaxValue)).as("nflId"),
+        featArr.as("feats")))).as("ents"))
+      .select(col("gameId"), col("playId"), col("frameId"),
+        slice(concat(
+          transform(col("ents"), e => e.getField("feats")),
+          array_repeat(zeroEntity(nF), maxEntities)),
+          1, maxEntities).as("frame"))
+
+    // 2. per play: frame-ordered, padded/truncated to maxFrames
+    val zeroFrame = array_repeat(zeroEntity(nF), maxEntities)
+    perFrame
+      .groupBy("gameId", "playId")
+      .agg(sort_array(collect_list(struct(col("frameId"), col("frame"))))
+        .as("framesRaw"))
+      .select(col("gameId"), col("playId"),
+        size(col("framesRaw")).as("n_frames"),
+        slice(concat(
+          transform(col("framesRaw"), f => f.getField("frame")),
+          array_repeat(zeroFrame, maxFrames)),
+          1, maxFrames).as("tensor"))
+  }
+
+  /** Per-entity trajectory tensor (T2 in wide form): one row per
+    * (play, entity) with a frame-ordered `(frames × features)` matrix.
+    */
+  def entityTensor(
+      pool: DataFrame,
+      features: Seq[String] = defaultFeatures): DataFrame = {
+    val featArr = array(features.map(f => coalesce(col(f).cast("float"),
+      lit(0.0f))): _*)
+    pool.groupBy("gameId", "playId", "nflId")
+      .agg(sort_array(collect_list(struct(col("frameId"),
+        featArr.as("feats")))).as("tRaw"))
+      .select(col("gameId"), col("playId"), col("nflId"),
+        size(col("tRaw")).as("n_frames"),
+        transform(col("tRaw"), f => f.getField("feats")).as("tensor"))
+  }
+}
