@@ -1,0 +1,279 @@
+package graft
+
+import graft.text.TextOps
+
+/** DuckDB oracle SQL for every SQL-expressible entry in
+  * `SparkEntry.queries` (driver contract). Hash-dependent oracles
+  * (minhash / LSH / simhash) are generated from the SAME parameters as the
+  * Scala operators ([[TextOps.minhashParams]]) so both engines replay the
+  * identical arithmetic; md5 is the shared primitive hash.
+  *
+  * Cross-engine float discipline: every floating result is produced by an
+  * identical IEEE operation chain (element-wise double casts, left-fold
+  * sums) and rounded at a fixed scale on BOTH sides.
+  */
+object OracleSql {
+
+  private val P = TextOps.P
+  private val FP = TextOps.FP
+
+  /** Portable 32-bit hash: first 8 md5 hex digits as a bigint. */
+  private def h32(e: String): String =
+    s"(('0x' || substr(md5($e), 1, 8))::UBIGINT)::BIGINT"
+
+  /** MinHash position j over a list column `hs` of pre-mod-P hashes. */
+  private def sigExpr(j: Int): String = {
+    val (a, b) = TextOps.minhashParams(j)
+    s"coalesce(list_min(list_transform(hs, h -> ($a * h + $b) % $P)), $P)"
+  }
+
+  private val minhashCtes =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |s AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh FROM t),
+       |h AS (SELECT doc_id, sh,
+       |        list_transform(sh, x -> ${h32("x")} % $P) AS hs FROM s)""".stripMargin
+
+  private val q14 = {
+    val sigSum = (0 until 32).map(sigExpr).mkString("(", " + ", ")")
+    s"""$minhashCtes
+       |SELECT doc_id,
+       |  len(list_distinct(sh)) AS n_shingles,
+       |  ${sigExpr(0)} AS sig_0,
+       |  ${sigExpr(16)} AS sig_16,
+       |  $sigSum AS sig_sum
+       |FROM h""".stripMargin
+  }
+
+  private val q15 = {
+    val sigCols = (0 until 32).map(j => s"${sigExpr(j)} AS s$j").mkString(", ")
+    val bands = (0 until 8).map(identity).mkString(", ")
+    val buckets = (0 until 8).map { b =>
+      val parts = (0 until 4).map(r => s"s${b * 4 + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"md5($parts)"
+    }.mkString(", ")
+    s"""$minhashCtes,
+       |g AS (SELECT doc_id, $sigCols FROM h)
+       |SELECT doc_id,
+       |  unnest([$bands]) AS band,
+       |  unnest([$buckets]) AS bucket
+       |FROM g""".stripMargin
+  }
+
+  private val q21 = {
+    val terms = (0 until 16).map { b =>
+      val mask = 1L << b
+      s"""CASE WHEN list_sum(list_transform(hs,
+         |  h -> CASE WHEN (h & $mask) > 0 THEN 1 ELSE -1 END)) > 0
+         |  THEN $mask ELSE 0 END""".stripMargin
+    }.mkString("(", " + ", ")")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |h AS (SELECT doc_id, list_transform(w, x -> ${h32("x")}) AS hs FROM t)
+       |SELECT doc_id, $terms AS simhash16 FROM h""".stripMargin
+  }
+
+  /** Left-fold dot product over 1-based list indices — the identical
+    * operation chain to SimSearch.dot (element-wise double casts, then a
+    * sequential sum), so the doubles agree bit-for-bit.
+    */
+  private def duckDot(a: String, b: String, dim: Int): String =
+    s"""list_reduce(list_transform(range(1, ${dim + 1}),
+       |  i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)""".stripMargin
+
+  private val q17 = {
+    val dim = 64
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+       |p AS (SELECT qid, cid,
+       |        round(${duckDot("qv", "cv", dim)} /
+       |          (sqrt(${duckDot("qv", "qv", dim)}) *
+       |           sqrt(${duckDot("cv", "cv", dim)})), 6) AS cos_sim
+       |      FROM q, c WHERE qid != cid),
+       |r AS (SELECT qid, cid, cos_sim,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos_sim DESC, cid) AS rn FROM p)
+       |SELECT qid, rn - 1 AS rank, cid AS neighbor, cos_sim
+       |FROM r WHERE rn <= 5""".stripMargin
+  }
+
+  private val langCase = {
+    def score(markers: Seq[String]): String = {
+      val set = markers.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(w, t -> t IN ($set)))"
+    }
+    val scores = TextOps.langMarkers.map { case (l, m) => l -> score(m) }
+    val best = scores.map(_._2).reduceLeft((a, b) => s"greatest($a, $b)")
+    val chain = scores.map { case (l, s) =>
+      s"WHEN $s > 0 AND $s = $best THEN '$l'"
+    }.mkString(" ")
+    s"CASE $chain ELSE 'und' END"
+  }
+
+  private val q20 = {
+    val nStop = {
+      val set = TextOps.stopwords.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(w, t -> t IN ($set)))"
+    }
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |SELECT doc_id,
+       |  $langCase AS lang_pred,
+       |  $nStop AS n_stopwords,
+       |  round(least(len(w) / 100.0, 1.0) *
+       |    (0.5 + 0.5 * least(($nStop::DOUBLE / greatest(len(w), 1)) * 5.0,
+       |      1.0)), 6) AS quality
+       |FROM t""".stripMargin
+  }
+
+  val all: Map[String, String] = Map(
+    "q01_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_distinct_keys" ->
+      "SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
+
+    "q03_sample_joinback" ->
+      """WITH keys AS (
+        |  SELECT o_orderkey FROM (SELECT DISTINCT o_orderkey FROM orders)
+        |  ORDER BY md5(o_orderkey::VARCHAR || ':' || '42'), o_orderkey
+        |  LIMIT 10)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+        |  CAST(floor(epoch(l.l_shipdate)) AS BIGINT) AS ship_epoch
+        |FROM lineitem l JOIN keys k ON l.l_orderkey = k.o_orderkey""".stripMargin,
+
+    "q04_filter_algebra" ->
+      """SELECT * FROM customer
+        |WHERE (c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |       OR c_mktsegment = 'MACHINERY')
+        |  AND c_acctbal IS NOT NULL AND c_acctbal > 100.0
+        |  AND c_nationkey IN (0,1,2,3,4,5,6,7,8,9,10)
+        |  AND lower(c_name) LIKE 'c%'""".stripMargin,
+
+    "q05_telemetry" ->
+      """SELECT l_orderkey,
+        |  max(l_linenumber) AS total_frames,
+        |  max(l_quantity) AS max_speed,
+        |  count(DISTINCT l_partkey) AS n_players,
+        |  array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS events,
+        |  max(l_linenumber) / 10.0 AS duration_sec
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q06_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q07_merge_split" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem""".stripMargin,
+
+    "q08_union_weeks" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, NULL
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
+
+    "q09_trajectory" ->
+      """SELECT l_orderkey,
+        |  row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) - 1
+        |    AS pos,
+        |  l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem""".stripMargin,
+
+    "q10_tensor" ->
+      """SELECT l_orderkey AS gameId,
+        |  count(DISTINCT l_linenumber) AS n_frames,
+        |  round(sum(CAST(CAST(l_quantity AS REAL) AS DOUBLE)
+        |          + CAST(CAST(l_discount AS REAL) AS DOUBLE)), 2) AS checksum
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q11_normalize" ->
+      """SELECT c_custkey AS cust_key,
+        |  CAST(c_acctbal AS DOUBLE) AS balance,
+        |  c_mktsegment AS segment,
+        |  'none' AS vip_flag,
+        |  CAST(NULL AS VARCHAR) AS note
+        |FROM customer""".stripMargin,
+
+    "q12_ingest_summary" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS n_games,
+        |  count(DISTINCT (l_orderkey, l_partkey)) AS n_plays,
+        |  max(l_linenumber) AS max_frame
+        |FROM lineitem""".stripMargin,
+
+    "q13_exact_dedup" ->
+      """SELECT sha256(text) AS text_hash, min(doc_id) AS doc_id,
+        |  count(*) AS n_dups
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q14_minhash" -> q14,
+    "q15_lsh_buckets" -> q15,
+    "q17_cosine_topk" -> q17,
+
+    "q19_text_stats" ->
+      s"""SELECT doc_id,
+         |  len(text) AS n_chars_calc,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+         |  list_reduce(
+         |    list_transform(string_split(text, ' '), t -> ${h32("t")} % $FP),
+         |    (a, b) -> (a * 31 + b) % $FP) AS fingerprint
+         |FROM documents""".stripMargin,
+
+    "q20_text_quality" -> q20,
+    "q21_simhash" -> q21,
+
+    "q22_nearest_distance" ->
+      """WITH p AS (
+        |  SELECT a.l_orderkey, a.l_linenumber AS ln, b.l_linenumber AS nb,
+        |    round(sqrt((a.l_quantity - b.l_quantity)
+        |               * (a.l_quantity - b.l_quantity)
+        |             + (a.l_discount - b.l_discount)
+        |               * (a.l_discount - b.l_discount)), 6) AS d
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_linenumber != b.l_linenumber),
+        |r AS (SELECT l_orderkey, ln, nb, d,
+        |        row_number() OVER (PARTITION BY l_orderkey, ln
+        |          ORDER BY d, nb) AS rn FROM p)
+        |SELECT l_orderkey, ln AS l_linenumber, nb AS nearest_id,
+        |  d AS nearest_dist
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "q23_events_window" ->
+      """SELECT user_id,
+        |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q24_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value, ts,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS tse FROM events),
+        |l AS (SELECT *, CASE WHEN tse - lag(tse) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+        |        THEN 1 ELSE 0 END AS ns FROM e),
+        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |        AS session_seq FROM l)
+        |SELECT user_id, session_seq,
+        |  min(tse) AS session_start, max(tse) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q25_multimodal_meta" ->
+      """SELECT doc_id, len(text) AS n_bytes, sha256(text) AS content_sha,
+        |  lower(hex(substr(text, 1, 4))) AS magic_hex
+        |FROM documents""".stripMargin)
+}

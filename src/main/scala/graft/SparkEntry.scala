@@ -1,27 +1,35 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.schema.{ColumnSpec, SchemaConfig}
+import graft.sim.SimSearch
+import graft.streaming.EventOps
+import graft.text.{Dedup, TextOps}
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every operator from SURVEY.md §2 gets a `queries` entry phrased over the
-  * driver's TPC-H-ish tables plus a DuckDB `oracleSql` twin. Column names and
-  * value types are aligned on both sides (the driver sorts columns by name
-  * and hash-compares values). Floating aggregates are rounded at a fixed
-  * scale on BOTH sides so IEEE summation-order differences between engines
-  * cannot flip the hash.
+  * Every operator family from SURVEY.md §2 plus the LLM-pipeline extensions
+  * gets a `queries` entry phrased over the driver's tables, with a DuckDB
+  * `oracleSql` twin where the semantics are SQL-expressible. Column names
+  * and value types are aligned on both sides (the driver sorts columns by
+  * name and hash-compares values). Floating aggregates are computed through
+  * identical IEEE operation chains on both sides and rounded at a fixed
+  * scale so association-order differences cannot flip the hash. Cross-engine
+  * determinism for hash-based ops comes from md5 (computable identically
+  * everywhere); the production paths use xxhash64 instead (cheaper) where
+  * no oracle needs to replay them.
   */
 object SparkEntry {
   import Tables.t
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * TPC-H Q1 shape: scan → filter → groupBy → agg (SURVEY §2.5 A7).
-    */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q01_groupby_agg(spark, "/root/testdata/sf0.001")
 
-  // ---------------------------------------------------------------- queries
+  // ------------------------------------------------------------ §2.5 agg
 
   /** A7/A4: pricing-summary aggregation (TPC-H Q1 shape). */
   def q01_groupby_agg(s: SparkSession, dir: String): DataFrame =
@@ -35,22 +43,288 @@ object SparkEntry {
           .as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_groupby_agg" -> (q01_groupby_agg(_, _))
-  )
+  /** A1/A2/P4: distinct key universe (reference `src/query.py:39-43`). */
+  def q02_distinct_keys(s: SparkSession, dir: String): DataFrame =
+    Relational.distinctKeys(t(s, dir, "orders"),
+      Seq("o_custkey", "o_orderstatus"))
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+  /** A5/J1/O4: exact-n deterministic key sample + broadcast join-back
+    * (reference `src/query.py:31-55`). md5 rank so DuckDB replays it.
     */
-  def oracleSql: Map[String, String] = Map(
-    "q01_groupby_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin
-  )
+  def q03_sample_joinback(s: SparkSession, dir: String): DataFrame = {
+    val keys = Relational.sampleExact(
+      Relational.distinctKeys(t(s, dir, "orders"), Seq("o_orderkey")),
+      10, Relational.md5Rank(Seq(col("o_orderkey")), 42),
+      Seq(col("o_orderkey")))
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    Relational.joinBack(t(s, dir, "lineitem"), keys, Seq("l_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        unix_timestamp(col("l_shipdate")).as("ship_epoch"))
+  }
+
+  /** F2-F7: the reference's whole predicate algebra in one filter fold. */
+  def q04_filter_algebra(s: SparkSession, dir: String): DataFrame =
+    Relational.filtered(t(s, dir, "customer"), Seq(
+      col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") ||
+        col("c_mktsegment") === "MACHINERY",          // F4 disjunction / F2
+      col("c_acctbal").isNotNull && col("c_acctbal") > 100.0, // F5/F3
+      col("c_nationkey").isin(0 to 10: _*),           // F7 membership
+      lower(col("c_name").cast("string")).like("c%")))  // F6 normalized cmp
+
+  /** A2/A3/A7/O3: per-key telemetry block (`app/main.py:89-95`). */
+  def q05_telemetry(s: SparkSession, dir: String): DataFrame =
+    PlayOps.telemetry(t(s, dir, "lineitem"), Seq("l_orderkey"),
+      frameCol = "l_linenumber", speedCol = "l_quantity",
+      entityCol = "l_partkey", eventCol = "l_returnflag")
+      .select(col("l_orderkey"), col("total_frames"), col("max_speed"),
+        col("n_players"), array_join(col("events"), ",").as("events"),
+        col("duration_sec"))
+
+  /** O2/O4: multi-key canonical sort + limit (TakeOrdered). */
+  def q06_sort_limit(s: SparkSession, dir: String): DataFrame =
+    Relational.sortLimit(
+      t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+      Seq("l_orderkey", "l_linenumber"), 100)
+
+  /** J2: input/output split-table merge on a 4-part composite key
+    * (`data/nfl-bdb/2026/README.md:91-94`).
+    */
+  def q07_merge_split(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val key = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val in = li.select(key.map(col) :+ col("l_quantity"): _*)
+    val out = li.select(
+      key.map(col) :+ col("l_extendedprice") :+ col("l_returnflag"): _*)
+    Relational.mergeSplit(in, out, key)
+  }
+
+  /** Union of weekly drops by name, null-filling missing columns
+    * (`2026/README.md:84-88`).
+    */
+  def q08_union_weeks(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val wk1 = o.filter(col("o_orderkey") % 2 === 0)
+    val wk2 = o.filter(col("o_orderkey") % 2 === 1).drop("o_orderpriority")
+    Relational.unionWeeks(Seq(wk1, wk2))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+  }
+
+  /** T2: frame-ordered trajectories, flattened for the oracle. The struct
+    * sort key includes partkey/suppkey because (orderkey, linenumber) is
+    * not unique in the driver data — the full tuple gives a total order.
+    */
+  def q09_trajectory(s: SparkSession, dir: String): DataFrame =
+    PlayOps.trajectoriesFlat(t(s, dir, "lineitem"),
+      Seq("l_orderkey"), "l_linenumber",
+      Seq("l_partkey", "l_suppkey", "l_quantity"))
+
+  /** T1: tensor pivot shape + checksum invariants. lineitem mapped onto
+    * the tracking shape: order=play, linenumber=frame, suppkey=entity.
+    */
+  def q10_tensor(s: SparkSession, dir: String): DataFrame = {
+    val frames = t(s, dir, "lineitem").select(
+      col("l_orderkey").as("gameId"), lit(1).as("playId"),
+      col("l_linenumber").as("frameId"),
+      col("l_suppkey").cast("int").as("nflId"),
+      lit("offense").as("team"),
+      col("l_quantity").as("x"), col("l_discount").as("y"))
+    Tensor.toTensor(frames, Seq("x", "y"), maxFrames = 8, maxEntities = 8)
+      .select(col("gameId"), col("n_frames"),
+        round(aggregate(flatten(flatten(col("tensor"))), lit(0.0),
+          (acc, v) => acc + v.cast("double")), 2).as("checksum"))
+  }
+
+  /** P1-P3/P5: alias-resolving normalize projection over a TPC-H table —
+    * first-present-wins alias, cast, literal default, typed null, drop.
+    */
+  def q11_normalize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val config = SchemaConfig(Seq(
+      ColumnSpec("cust_key", LongType, Seq("custkey", "c_custkey")),
+      ColumnSpec("balance", DoubleType, Seq("c_acctbal")),
+      ColumnSpec("segment", StringType, Seq("C_MKTSEGMENT")), // case-insens.
+      ColumnSpec("vip_flag", StringType, Seq("vip"), default = Some("none")),
+      ColumnSpec("note", StringType, Seq("missing_note"), allowNull = true),
+      ColumnSpec("gone", StringType, Seq("not_there")))) // required → drop
+    Normalize(t(s, dir, "customer"), config)
+  }
+
+  /** A3/A4: the ingest summary aggregation over a driver table. */
+  def q12_ingest_summary(s: SparkSession, dir: String): DataFrame =
+    Ingest.summaryDf(t(s, dir, "lineitem"),
+      gameCol = "l_orderkey", playCol = "l_partkey", frameCol = "l_linenumber")
+
+  // ----------------------------------------------- LLM-pipeline operators
+
+  /** Exact dedup: survivor id + duplicate count per content hash. */
+  def q13_exact_dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+
+  /** documents arrives as one parquet file → one input split; the text ops
+    * are pure per-row compute, so spread them across cores. (At real scale
+    * the corpus has thousands of splits and this repartition disappears.)
+    */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
+  /** Staged doc→tokens→shingles projection: each level materializes once
+    * per row instead of re-splitting the text inside the shingle lambda.
+    */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextOps.tokensSimple(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.shingles(col("toks"), 3).as("sh"))
+
+  /** MinHash signatures over word 3-shingles: distinct-shingle count,
+    * sampled signature positions, and the signature sum (a full-signature
+    * checksum) per document.
+    */
+  def q14_minhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = TextOps.minhashSig(col("sh"), 32)
+    shingled(s, dir)
+      .select(col("doc_id"), size(array_distinct(col("sh")))
+        .as("n_shingles"), sig.as("sig"))
+      .select(
+        col("doc_id"), col("n_shingles"),
+        element_at(col("sig"), 1).as("sig_0"),
+        element_at(col("sig"), 17).as("sig_16"),
+        aggregate(col("sig"), lit(0L), (a, x) => a + x).as("sig_sum"))
+  }
+
+  /** LSH banding: (doc, band, bucket) assignments — the join key that
+    * makes near-dup candidate generation an equi-join, never all-pairs.
+    */
+  def q15_lsh_buckets(s: SparkSession, dir: String): DataFrame = {
+    val signed = shingled(s, dir).select(
+      col("doc_id"), TextOps.minhashSig(col("sh"), 32).as("sig"))
+    Dedup.lshBuckets(signed, "doc_id", "sig", bands = 8, rowsPerBand = 4)
+  }
+
+  /** Near-dup candidate pairs with signature-estimated Jaccard (the full
+    * MinHash-LSH pipeline; not SQL-expressible → rows-only check).
+    */
+  def q16_near_dup_pairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairs(docs(s, dir), "text", "doc_id",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.2)
+
+  /** Brute-force cosine top-k similarity search (exact ANN baseline). */
+  def q17_cosine_topk(s: SparkSession, dir: String): DataFrame =
+    SimSearch.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      col("vec_id") < 10, k = 5)
+
+  /** SimHash-bucketed ANN top-k (the 100 TB scale path; bucket recall is
+    * probabilistic → rows-only check).
+    */
+  def q18_ann_topk(s: SparkSession, dir: String): DataFrame =
+    SimSearch.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      col("vec_id") < 50, k = 5, planes = 6, dim = 64)
+
+  /** Token statistics + order-sensitive rolling fingerprint per doc. */
+  def q19_text_stats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        TextOps.tokensSimple(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        TextOps.fingerprint(col("toks")).as("fingerprint"))
+
+  /** Marker-based language ID + quality scoring. */
+  def q20_text_quality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextOps.tokensSimple(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        TextOps.langId(col("toks")).as("lang_pred"),
+        TextOps.markerScore(col("toks"), TextOps.stopwords).as("n_stopwords"),
+        TextOps.qualityScore(col("toks")).as("quality"))
+
+  /** SimHash document fingerprint (bit-vote over token hashes). */
+  def q21_simhash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextOps.tokensSimple(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.simhash(col("toks"), 16).as("simhash16"))
+
+  /** §2.7/J3: per-frame nearest-neighbor distance feature (the "distance
+    * to nearest defender" shape — per-frame self-join + struct-min).
+    */
+  def q22_nearest_distance(s: SparkSession, dir: String): DataFrame =
+    FeatureStore.nearestDistance(t(s, dir, "lineitem"),
+      frameKeys = Seq("l_orderkey"), entityCol = "l_linenumber",
+      xCol = "l_quantity", yCol = "l_discount")
+
+  /** Streaming-shaped tumbling-window aggregation (batch twin of the
+    * Structured-Streaming path in graft.streaming).
+    */
+  def q23_events_window(s: SparkSession, dir: String): DataFrame =
+    EventOps.tumblingAgg(t(s, dir, "events"), "1 hour")
+
+  /** Batch sessionization with a 30-minute inactivity gap. */
+  def q24_sessionize(s: SparkSession, dir: String): DataFrame =
+    EventOps.sessionize(t(s, dir, "events"), gapMinutes = 30)
+
+  /** Multimodal plumbing: binary media column + expression-level metadata
+    * (byte length, content hash, magic prefix).
+    */
+  def q25_multimodal_meta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaMeta(
+      Multimodal.withMedia(t(s, dir, "documents"), "text"))
+      .select("doc_id", "n_bytes", "content_sha", "magic_hex")
+
+  /** S1/S2/S5/S4/P1 end-to-end: synthesize a small camelCase tracking CSV,
+    * ingest it through Normalize into a Hive-partitioned pool, read the
+    * pool back, return its summary (rows-only check: no oracle can see the
+    * temp files).
+    */
+  def q26_ingest_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_rt")
+    val in = base.resolve("in").toString
+    val poolRoot = base.resolve("pool").toString
+    val rows = for {
+      p <- 1 to 2; f <- 1 to 30; e <- 0 until 3
+    } yield (2023090700L, p * 50, if (e == 2) None else Some(40000 + e), f,
+      if (e == 2) "football" else "home", 10.0f + f, 20.0f + e, "padding")
+    rows.toDF("gameId", "playId", "nflId", "frameId", "team", "x", "y",
+      "junkColumn")
+      .coalesce(1).write.option("header", "true").mode("overwrite").csv(in)
+    val res = Ingest.run(s, in, poolRoot, graft.schema.Vintages.canonical)
+    require(res.badFiles.isEmpty && res.summary.rows == 180L,
+      s"roundtrip lost rows: $res")
+    Ingest.summaryDf(Pool(s, poolRoot).df)
+  }
+
+  // ---------------------------------------------------------------- maps
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_groupby_agg" -> (q01_groupby_agg(_, _)),
+    "q02_distinct_keys" -> (q02_distinct_keys(_, _)),
+    "q03_sample_joinback" -> (q03_sample_joinback(_, _)),
+    "q04_filter_algebra" -> (q04_filter_algebra(_, _)),
+    "q05_telemetry" -> (q05_telemetry(_, _)),
+    "q06_sort_limit" -> (q06_sort_limit(_, _)),
+    "q07_merge_split" -> (q07_merge_split(_, _)),
+    "q08_union_weeks" -> (q08_union_weeks(_, _)),
+    "q09_trajectory" -> (q09_trajectory(_, _)),
+    "q10_tensor" -> (q10_tensor(_, _)),
+    "q11_normalize" -> (q11_normalize(_, _)),
+    "q12_ingest_summary" -> (q12_ingest_summary(_, _)),
+    "q13_exact_dedup" -> (q13_exact_dedup(_, _)),
+    "q14_minhash" -> (q14_minhash(_, _)),
+    "q15_lsh_buckets" -> (q15_lsh_buckets(_, _)),
+    "q16_near_dup_pairs" -> (q16_near_dup_pairs(_, _)),
+    "q17_cosine_topk" -> (q17_cosine_topk(_, _)),
+    "q18_ann_topk" -> (q18_ann_topk(_, _)),
+    "q19_text_stats" -> (q19_text_stats(_, _)),
+    "q20_text_quality" -> (q20_text_quality(_, _)),
+    "q21_simhash" -> (q21_simhash(_, _)),
+    "q22_nearest_distance" -> (q22_nearest_distance(_, _)),
+    "q23_events_window" -> (q23_events_window(_, _)),
+    "q24_sessionize" -> (q24_sessionize(_, _)),
+    "q25_multimodal_meta" -> (q25_multimodal_meta(_, _)),
+    "q26_ingest_roundtrip" -> (q26_ingest_roundtrip(_, _)))
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

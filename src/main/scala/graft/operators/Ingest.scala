@@ -30,25 +30,41 @@ object Ingest {
 
   final case class Result(summary: Summary, badFiles: Seq[String])
 
+  /** Schema-less (all-string) CSV read: one pass over the data. The
+    * reference's `infer_schema_length=10000` exists only to get types that
+    * `Normalize` recasts anyway; inferring here would add a full extra scan
+    * per ingest — at 100 TB that doubles I/O for nothing. `Normalize`'s
+    * per-column casts produce the typed frame in the same scan stage.
+    */
   def loadCsv(spark: SparkSession, path: String): DataFrame =
     spark.read
       .option("header", "true")
-      .option("inferSchema", "true") // reference: infer_schema_length=10000
-      .option("mode", "PERMISSIVE")  // reference: ignore_errors=True
+      .option("mode", "PERMISSIVE") // reference: ignore_errors=True
       .csv(path)
 
   def loadAndNormalize(
       spark: SparkSession, path: String, config: SchemaConfig): DataFrame =
     Normalize(loadCsv(spark, path), config)
 
+  /** One-row summary frame (generic column names so the same aggregation
+    * shape is gate-checkable over the driver tables — see SparkEntry q12).
+    */
+  def summaryDf(
+      df: DataFrame,
+      gameCol: String = "gameId",
+      playCol: String = "playId",
+      frameCol: String = "frameId"): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col(gameCol)).as("n_games"),
+      countDistinct(col(gameCol), col(playCol)).as("n_plays"),
+      max(col(frameCol)).as("max_frame"))
+
   def summarize(df: DataFrame): Summary = {
-    val row = df.agg(
-      count(lit(1)).as("rows"),
-      countDistinct(col("gameId")).as("games"),
-      countDistinct(col("gameId"), col("playId")).as("plays"),
-      max(col("frameId")).as("maxFrame")).head()
+    val row = summaryDf(df).head()
     Summary(row.getLong(0), row.getLong(1), row.getLong(2),
-      if (row.isNullAt(3)) None else Some(row.getInt(3)))
+      // max() is null on an empty pool; frameId may arrive as int or long
+      Option(row.get(3)).map(_.asInstanceOf[Number].intValue))
   }
 
   /** Season partition key derived from the gameId prefix
@@ -67,7 +83,10 @@ object Ingest {
       .mode("overwrite")
       .parquet(poolRoot)
 
-  /** Whole-directory ingest as one distributed job (the 100 TB path). */
+  /** Whole-directory ingest as one distributed job (the 100 TB path).
+    * The input is scanned exactly once: the summary is computed from the
+    * written pool (already columnar + partitioned), not by re-reading CSV.
+    */
   def ingestAll(
       spark: SparkSession,
       inputGlob: String,
@@ -75,8 +94,11 @@ object Ingest {
       config: SchemaConfig,
       dryRun: Boolean = false): Summary = {
     val normalized = loadAndNormalize(spark, inputGlob, config)
-    if (!dryRun) writePool(normalized, poolRoot)
-    summarize(normalized)
+    if (dryRun) summarize(normalized)
+    else {
+      writePool(normalized, poolRoot)
+      summarize(spark.read.parquet(poolRoot))
+    }
   }
 
   /** Per-file ingest with error isolation (reference behaviour:
@@ -97,16 +119,31 @@ object Ingest {
 
     val bad = Vector.newBuilder[String]
     val frames = files.flatMap { f =>
-      try Some(loadAndNormalize(spark, f, config))
-      catch {
+      try {
+        val df = loadAndNormalize(spark, f, config)
+        // a file whose normalize lost the partition key can never land in
+        // the pool (the reference hits the same wall as a KeyError in its
+        // per-file try/except and skips the file, src/ingest.py:99,114-115)
+        if (!df.columns.contains("gameId"))
+          sys.error("no gameId column after normalize")
+        Some(df)
+      } catch {
         case e: Exception =>
           System.err.println(s"[ingest] skipping $f: ${e.getMessage}")
           bad += f
           None
       }
     }
-    val all = frames.reduceLeft(_ unionByName _)
-    if (!dryRun) writePool(all, poolRoot)
-    Result(summarize(all), bad.result())
+    if (frames.isEmpty) {
+      // reference warns and continues past every bad file (src/ingest.py:
+      // 99,114-115); an all-bad batch is an empty result, not a crash
+      Result(Summary(0L, 0L, 0L, None), bad.result())
+    } else {
+      // files of different vintages may have dropped different required
+      // columns in Normalize — union by name, null-filling the gaps
+      val all = frames.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+      if (!dryRun) writePool(all, poolRoot)
+      Result(summarize(all), bad.result())
+    }
   }
 }

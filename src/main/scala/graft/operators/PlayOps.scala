@@ -18,16 +18,16 @@ object PlayOps {
     col("nflId").isNull || col("nflId") === 0 ||
       lower(col("team").cast("string")) === "football"
 
-  /** Side normalization (`app/main.py:97-107`): string-normalized compare on
-    * the team/side column; anything not home/away/offense/defense and not
-    * the ball is kept as its own label.
+  /** Side normalization (`app/main.py:97-107`): the ball gets the "ball"
+    * label; every other row keeps its raw lower-cased team/side value
+    * (home, away, offense, defense, or a club code). The reference only
+    * *tests* these labels — it never maps offense→home — and in 2026-vintage
+    * data side-of-ball and home/away are independent axes, so conflating
+    * them would mislabel; callers that want home/away map it themselves.
     */
   def side: Column = {
     val t = lower(col("team").cast("string"))
-    when(isBall, "ball")
-      .when(t.isin("home", "offense"), "home")
-      .when(t.isin("away", "defense"), "away")
-      .otherwise(coalesce(t, lit("unknown")))
+    when(isBall, "ball").otherwise(coalesce(t, lit("unknown")))
   }
 
   /** All frames of one play in animation order (`app/main.py:74-81`).
@@ -48,15 +48,23 @@ object PlayOps {
 
   /** Per-play telemetry block (`app/main.py:89-95,244`): frame count, max
     * speed, distinct players, distinct non-null events, duration at 10 fps.
-    * One distributive pass — works grouped over the whole pool.
+    * One distributive pass — works grouped over the whole pool. Column
+    * names are parameterized so the identical aggregation shape runs over
+    * the driver gate tables (SparkEntry q05).
     */
-  def telemetry(pool: DataFrame): DataFrame =
-    pool.groupBy("gameId", "playId").agg(
-      max("frameId").as("total_frames"),
-      max("s").as("max_speed"),
-      countDistinct("nflId").as("n_players"),
-      array_sort(collect_set("event")).as("events"),
-      (max("frameId") / 10.0).as("duration_sec"))
+  def telemetry(
+      pool: DataFrame,
+      keyCols: Seq[String] = Seq("gameId", "playId"),
+      frameCol: String = "frameId",
+      speedCol: String = "s",
+      entityCol: String = "nflId",
+      eventCol: String = "event"): DataFrame =
+    pool.groupBy(keyCols.map(col): _*).agg(
+      max(frameCol).as("total_frames"),
+      max(speedCol).as("max_speed"),
+      countDistinct(entityCol).as("n_players"),
+      array_sort(collect_set(eventCol)).as("events"),
+      (max(frameCol) / 10.0).as("duration_sec"))
 
   /** Entity split with the normalized side label (home / away / ball). */
   def withSide(play: DataFrame): DataFrame =
@@ -64,13 +72,34 @@ object PlayOps {
 
   /** Per-entity frame-ordered (x, y) path (`app/main.py:136-149`).
     * `sort_array(collect_list(struct(...)))` orders by the leading
-    * `frameId` field without a window shuffle-and-sort per row.
+    * order field without a window shuffle-and-sort per row. One hash
+    * aggregation with map-side partials; per-group size is bounded
+    * (≤ a few hundred frames), so no skew cliff at scale.
     */
-  def trajectories(pool: DataFrame): DataFrame =
-    pool.groupBy("gameId", "playId", "nflId")
+  def trajectories(
+      pool: DataFrame,
+      keyCols: Seq[String] = Seq("gameId", "playId", "nflId"),
+      orderCol: String = "frameId",
+      featCols: Seq[String] = Seq("x", "y")): DataFrame =
+    pool.groupBy(keyCols.map(col): _*)
       .agg(sort_array(
-        collect_list(struct(col("frameId"), col("x"), col("y"))))
+        collect_list(struct((orderCol +: featCols).map(col): _*)))
         .as("path"))
+
+  /** Trajectories flattened back to one row per step with its 0-based
+    * position — the oracle-checkable rendering of [[trajectories]].
+    */
+  def trajectoriesFlat(
+      pool: DataFrame,
+      keyCols: Seq[String] = Seq("gameId", "playId", "nflId"),
+      orderCol: String = "frameId",
+      featCols: Seq[String] = Seq("x", "y")): DataFrame = {
+    val t = trajectories(pool, keyCols, orderCol, featCols)
+    val stepCols = (orderCol +: featCols).map(f => col(s"step.$f").as(f))
+    t.select(keyCols.map(col) :+ posexplode(col("path")): _*)
+      .withColumnRenamed("col", "step")
+      .select(keyCols.map(col) ++ (col("pos") +: stepCols): _*)
+  }
 
   /** One animation frame (`app/main.py:163-167`). */
   def frameSlice(play: DataFrame, frameId: Int): DataFrame =

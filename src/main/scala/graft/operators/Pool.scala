@@ -10,22 +10,24 @@ import org.apache.spark.sql.functions._
   * Partition discovery makes `season`/`gameId` partition columns, so
   * game-keyed filters prune to single directories
   * (`PruneFileSourcePartitions`), and the key-universe query reads only the
-  * two key columns thanks to column pruning.
+  * two key columns thanks to column pruning. The generic algebra lives in
+  * [[Relational]]; this is the tracking-schema veneer.
   */
 final case class Pool(spark: SparkSession, root: String) {
+
+  private val keyCols = Seq("gameId", "playId")
 
   def df: DataFrame = spark.read.parquet(root)
 
   /** AND-fold caller predicates (reference `src/query.py:34-36`). */
   def filtered(filters: Seq[Column]): DataFrame =
-    filters.foldLeft(df)(_ filter _)
+    Relational.filtered(df, filters)
 
   /** Distinct play universe under the filters (`src/query.py:39-43`). */
   def playKeys(filters: Seq[Column] = Nil): DataFrame =
-    filtered(filters).select("gameId", "playId").distinct()
+    Relational.distinctKeys(filtered(filters), keyCols)
 
-  /** Seeded, exact-n, no-replacement play sample joined back to all frames
-    * of the chosen plays (`src/query.py:31-55`).
+  /** Sampled keys only (driver-friendly small result).
     *
     * Exact-n seeded sampling has no direct Spark primitive: `sample()` is
     * fraction-based and partitioning-dependent. Ranking by
@@ -34,25 +36,20 @@ final case class Pool(spark: SparkSession, root: String) {
     * exact. The reference's degenerate branches (`src/query.py:45-52`:
     * empty → empty, fewer-than-n → all) fall out of `limit` semantics with
     * no driver-side count.
-    *
-    * The sampled key set is ≤ n rows → broadcast hash join back to the pool
-    * (no shuffle of the big side; at 100 TB the pool is never moved).
     */
-  def samplePlays(
-      n: Int, filters: Seq[Column] = Nil, seed: Long = 42L): DataFrame = {
-    val keys = playKeys(filters)
-      .orderBy(xxhash64(col("gameId"), col("playId"), lit(seed)),
-        col("gameId"), col("playId"))
-      .limit(n)
-    filtered(filters).join(
-      broadcast(keys), Seq("gameId", "playId"), "inner")
-  }
-
-  /** Sampled keys only (driver-friendly small result). */
   def sampleKeys(
       n: Int, filters: Seq[Column] = Nil, seed: Long = 42L): DataFrame =
-    playKeys(filters)
-      .orderBy(xxhash64(col("gameId"), col("playId"), lit(seed)),
-        col("gameId"), col("playId"))
-      .limit(n)
+    Relational.sampleExact(
+      playKeys(filters), n,
+      Relational.hashRank(keyCols.map(col), seed), keyCols.map(col))
+
+  /** Seeded, exact-n, no-replacement play sample joined back to all frames
+    * of the chosen plays (`src/query.py:31-55`). The sampled key set is
+    * ≤ n rows → broadcast hash join back to the pool (no shuffle of the big
+    * side; at 100 TB the pool is never moved).
+    */
+  def samplePlays(
+      n: Int, filters: Seq[Column] = Nil, seed: Long = 42L): DataFrame =
+    Relational.joinBack(filtered(filters), sampleKeys(n, filters, seed),
+      keyCols)
 }

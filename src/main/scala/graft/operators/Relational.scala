@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generic keyed relational primitives (SURVEY.md §2.3-§2.6). The tracking
+  * veneer (`Pool`, `PlayOps`) delegates here; `SparkEntry`'s gate queries
+  * exercise the same code over the driver's TPC-H-ish tables.
+  *
+  * Scale notes: every op is pure declarative DataFrame algebra, so Catalyst
+  * pushes filters/prunes columns into the scan; sampling never shuffles the
+  * big side; join-back broadcasts the (≤ n-row) key set.
+  */
+object Relational {
+
+  /** A1/A2/P4: distinct key universe — only `cols` are read from the scan. */
+  def distinctKeys(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*).distinct()
+
+  /** F1: AND-fold caller predicates (reference `src/query.py:34-36`). */
+  def filtered(df: DataFrame, filters: Seq[Column]): DataFrame =
+    filters.foldLeft(df)(_ filter _)
+
+  /** A5 rank expression, production flavor: xxhash64 is cheap, codegen'd,
+    * and deterministic under any partitioning.
+    */
+  def hashRank(keyCols: Seq[Column], seed: Long): Column =
+    xxhash64(keyCols :+ lit(seed): _*)
+
+  /** A5 rank expression, cross-engine flavor: md5 over a ':'-joined string
+    * rendering, computable identically by any engine with md5 (the DuckDB
+    * oracle included). Slower than xxhash64 — use for verification.
+    */
+  def md5Rank(keyCols: Seq[Column], seed: Long): Column =
+    md5(concat_ws(":", keyCols.map(_.cast("string")) :+ lit(seed.toString): _*))
+
+  /** A5/O4: exact-n deterministic sample of a (small) key universe.
+    * `orderBy(rank).limit(n)` compiles to TakeOrdered — no global sort
+    * materialization; ties broken by the key columns so the chosen set is
+    * total-order stable. Degenerate cases (empty, fewer than n) fall out of
+    * `limit` with no driver round-trip.
+    */
+  def sampleExact(keys: DataFrame, n: Int, rank: Column,
+      tieBreak: Seq[Column]): DataFrame =
+    keys.orderBy(rank +: tieBreak: _*).limit(n)
+
+  /** J1: fetch every row of the selected keys. The key side is sample-sized
+    * → broadcast hash join; the big side never moves.
+    */
+  def joinBack(big: DataFrame, keys: DataFrame, on: Seq[String]): DataFrame =
+    big.join(broadcast(keys), on, "inner")
+
+  /** J2: input/output split-table merge on a composite key (the 2026
+    * dataset's documented recipe, `data/nfl-bdb/2026/README.md:91-94`).
+    * Both sides are big → let AQE pick sort-merge; co-partitioned writes
+    * (bucketBy on the key) make it shuffle-free where the lake allows.
+    */
+  def mergeSplit(in: DataFrame, out: DataFrame, on: Seq[String],
+      how: String = "inner"): DataFrame =
+    in.join(out, on, how)
+
+  /** J3: feature-store side-car left join (`docs/DATA_LAKE_GUIDE.md:124-133`). */
+  def sidecarJoin(raw: DataFrame, features: DataFrame,
+      on: Seq[String]): DataFrame =
+    raw.join(features, on, "left")
+
+  /** Union of weekly/vintage drops (`2026/README.md:84-88`): by name, with
+    * null-fill for columns a drop lacks — heterogeneous vintages union
+    * cleanly instead of failing the batch.
+    */
+  def unionWeeks(frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty, "unionWeeks of zero frames")
+    frames.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** O2/O4: multi-key canonical sort + limit (TakeOrdered — no full sort). */
+  def sortLimit(df: DataFrame, cols: Seq[String], n: Int): DataFrame =
+    df.orderBy(cols.map(col): _*).limit(n)
+}

@@ -30,8 +30,11 @@ object Tensor {
   /** Max frame count over the input — the padding target when the caller
     * does not fix one (runs as its own tiny job).
     */
-  def maxFrameCount(pool: DataFrame): Int =
-    pool.agg(max("frameId")).head().getInt(0)
+  def maxFrameCount(pool: DataFrame): Int = {
+    // null on an empty pool; frameId may be int/long/short by vintage
+    val v = pool.agg(max("frameId")).head().get(0)
+    Option(v).map(_.asInstanceOf[Number].intValue).getOrElse(0)
+  }
 
   def toTensor(
       pool: DataFrame,
@@ -43,7 +46,7 @@ object Tensor {
     val featArr = array(features.map(f => coalesce(col(f).cast("float"),
       lit(0.0f))): _*)
     val sideRank = when(PlayOps.isBall, 2)
-      .when(PlayOps.side === "home", 0).otherwise(1)
+      .when(PlayOps.side.isin("home", "offense"), 0).otherwise(1)
 
     // 1. per (play, frame): entity-ordered feature rows, padded/truncated
     //    to maxEntities

@@ -125,6 +125,39 @@ object SchemaConfig {
     SchemaConfig(specs.result())
   }
 
+  /** Parse the 2026-style flat mapping shape
+    * (`/root/reference/data/nfl-bdb/2026/schema.yaml:5-28`):
+    *
+    * {{{
+    * input_schema:
+    *   game_id:   Int64
+    *   play_id:   Int32   # comment
+    * }}}
+    *
+    * One section (`input_schema` / `output_schema` / `submission_schema`)
+    * compiles to a SchemaConfig with no aliases (names are already
+    * canonical snake_case in that vintage).
+    */
+  def parseFlatSchema(text: String, section: String): SchemaConfig = {
+    val lines = text.linesIterator
+      .map(stripComment)
+      .filter(_.trim.nonEmpty)
+      .toVector
+    var i = 0
+    while (i < lines.length && lines(i).trim != s"$section:") i += 1
+    require(i < lines.length, s"no `$section:` block in schema config")
+    i += 1
+    val specs = Vector.newBuilder[ColumnSpec]
+    while (i < lines.length && indent(lines(i)) > 0) {
+      val (name, dtypeName) = kv(lines(i).trim)
+      val dtype = dtypeByName.getOrElse(dtypeName,
+        sys.error(s"unknown dtype $dtypeName for $name"))
+      specs += ColumnSpec(name, dtype, Nil, None, allowNull = true)
+      i += 1
+    }
+    SchemaConfig(specs.result())
+  }
+
   private def specFrom(
       m: Map[String, Either[String, Seq[String]]]): ColumnSpec = {
     def scalar(k: String): Option[String] = m.get(k).map {

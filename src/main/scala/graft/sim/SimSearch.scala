@@ -1,0 +1,138 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a SimHash
+  * (random-hyperplane) bucketed variant as the 100 TB scale path.
+  *
+  * Scale shape: brute force is a broadcast nested-loop of the (small)
+  * query set against the corpus — the corpus never shuffles, and top-k is
+  * taken with a two-phase per-partition/global aggregation instead of a
+  * window, so no single reducer ever sees more than (partitions × k) rows
+  * per query. The ANN path buckets both sides by hyperplane sign bits and
+  * joins on the bucket id: candidate generation is an equi-join, never a
+  * cross product.
+  */
+object SimSearch {
+
+  /** Sequential-fold dot product in double precision. `aggregate` folds
+    * left-to-right from 0.0, so the operation chain (and hence the IEEE
+    * result) is identical in any engine that folds the same way.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k per key without a window: per-shuffle-partition top-k,
+    * then global top-k. Both phases are hash aggregations with map-side
+    * partials; the sorted-array slice bounds state to k entries per group.
+    * Deterministic: rank is (value, id) so ties never depend on
+    * partitioning.
+    */
+  def topKPerKey(
+      pairs: DataFrame, keyCol: String, rankCol: Column, idCol: Column,
+      k: Int): DataFrame = {
+    val phase1 = pairs
+      .groupBy(col(keyCol), spark_partition_id().as("_part"))
+      .agg(slice(sort_array(collect_list(struct(rankCol.as("r"),
+        idCol.as("i")))), 1, k).as("top"))
+    phase1
+      .select(col(keyCol), explode(col("top")).as("t"))
+      .groupBy(col(keyCol))
+      .agg(slice(sort_array(collect_list(col("t"))), 1, k).as("top"))
+      .select(col(keyCol), posexplode(col("top")).as(Seq("rank", "t")))
+      .select(col(keyCol), col("rank"),
+        col("t.i").as("neighbor"), col("t.r").as("rankval"))
+  }
+
+  /** Brute-force cosine top-k: every query row (queryPred) against the
+    * whole corpus. Output: (qid, rank, neighbor, cos_sim), rank 0-based by
+    * (cos desc, neighbor asc). Cosines rounded to 6 decimals before
+    * ranking so rank order is reproducible across engines.
+    */
+  def bruteForceTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = emb.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val pairs = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("cos_sim", round(cosine(col("qv"), col("cv")), 6))
+    topKPerKey(pairs, "qid", -col("cos_sim"), col("cid"), k)
+      .select(col("qid"), col("rank"), col("neighbor"),
+        (-col("rankval")).as("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim) in
+    * [-1, 1] — generated from the portable md5-based hash so the planes
+    * are reproducible anywhere (no RNG state).
+    */
+  def planeWeight(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"plane:$plane:$dim".getBytes("UTF-8"))
+    val h = d.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    (h % 2001L - 1000L) / 1000.0
+  }
+
+  /** Sign-bit bucket id of a vector under `planes` fixed hyperplanes.
+    * Vectors in the same bucket agree on every sign bit — cosine-similar
+    * vectors collide with high probability (random-hyperplane LSH).
+    */
+  def simhashBucket(vec: Column, planes: Int, dim: Int): Column = {
+    val terms = (0 until planes).map { p =>
+      val w = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
+      when(dot(vec, w) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _)
+  }
+
+  /** ANN top-k: candidates restricted to the query's bucket (equi-join on
+    * the sign bucket), then exact cosine rank within. Recall < 1 by
+    * construction; multi-probe = union over query buckets with bits
+    * flipped (left to callers). At 100 TB both sides bucket in the scan
+    * stage and only the bucket join shuffles.
+    */
+  def annTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, planes: Int = 12, dim: Int = 64): DataFrame = {
+    val withBucket = emb.withColumn(
+      "bucket", simhashBucket(col(vecCol), planes, dim))
+    val q = withBucket.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("bucket"))
+    val c = withBucket
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("bucket"))
+    val pairs = c.join(broadcast(q), "bucket")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos_sim", round(cosine(col("qv"), col("cv")), 6))
+    topKPerKey(pairs, "qid", -col("cos_sim"), col("cid"), k)
+      .select(col("qid"), col("rank"), col("neighbor"),
+        (-col("rankval")).as("cos_sim"))
+  }
+
+  /** Embedding-cosine near-dup pairs (dedup flavor of ANN): bucket join,
+    * exact cosine, threshold.
+    */
+  def cosineNearDupPairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 12, dim: Int = 64): DataFrame = {
+    val withBucket = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      simhashBucket(col(vecCol), planes, dim).as("bucket"))
+    val a = withBucket.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("v_a"))
+    val b = withBucket.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim").distinct()
+  }
+}

@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines over a `documents`
+  * table: exact (content-hash groupBy), MinHash + banded LSH near-dup
+  * (bucketed — NEVER all-pairs), SimHash, and exact n-gram Jaccard for
+  * candidate verification.
+  *
+  * Scale shape: exact dedup is one hash aggregation (map-side partial) on a
+  * 64-hex key — no wide rows move, only (hash, id, count). LSH banding
+  * turns the O(n²) near-dup problem into `bands` hash-joins on bucket ids:
+  * each doc appears in `bands` buckets, candidate pairs only form inside a
+  * bucket, and the per-bucket fan-out is bounded by real collision rates,
+  * not corpus size. At 100 TB the bucket join is the only shuffle and it
+  * carries (id, band, bucket) triples, not text.
+  */
+object Dedup {
+
+  /** Exact dedup via content hash: one surviving (minimal) id per distinct
+    * normalized text, with the duplicate count. sha2-256 collision-safe at
+    * any corpus size; grouping by the hash, not the text, keeps shuffle
+    * rows narrow.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+
+  /** Row-level exact dedup (keeps an arbitrary row per key) — the cheap
+    * `dropDuplicates` path when survivor choice does not matter.
+    */
+  def exactRows(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** (id, band, bucket) bucket assignments from a MinHash signature:
+    * the signature is cut into `bands` rows of `rowsPerBand`, each hashed
+    * (md5 of the comma-joined row — portable) into a bucket id.
+    */
+  def lshBuckets(
+      df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val buckets = transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws(",",
+        transform(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)),
+          _.cast("string")))))
+    df.select(col(idCol), posexplode(buckets).as(Seq("band", "bucket")))
+  }
+
+  /** Candidate near-dup pairs: ids sharing any (band, bucket). Equi-join
+    * on the bucket key — the LSH trick that avoids all-pairs.
+    */
+  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Estimated Jaccard from two equal-length MinHash signatures: the
+    * fraction of agreeing positions.
+    */
+  def estJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
+      .cast("double") / size(sigA)
+
+  /** Exact Jaccard over two token/shingle arrays (for verifying LSH
+    * candidates — run only on the candidate pairs, never all-pairs).
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    size(array_intersect(da, db)).cast("double") /
+      size(array_union(da, db))
+  }
+
+  /** End-to-end MinHash-LSH near-dup pairs over a text column: shingle →
+    * sign → band → bucket-join → signature-verify at `threshold`.
+    * `numHashes = bands * rowsPerBand`.
+    */
+  def nearDupPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    // staged projections so tokens/shingles materialize once per row —
+    // nesting them into one expression would re-split the text inside the
+    // shingle lambda for every element
+    val signed = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), TextOps.shingles(col("_toks"), shingleK).as("_sh"))
+      .select(col(idCol), TextOps.minhashSig(col("_sh"), numHashes).as("sig"))
+    val pairs = candidatePairs(lshBuckets(signed, idCol, "sig",
+      bands, rowsPerBand), idCol)
+    val sa = signed.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val sb = signed.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard", round(estJaccard(col("sig_a"), col("sig_b")), 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, token statistics, word-shingling, content hashing,
+  * MinHash signatures, SimHash fingerprints, rolling-hash fingerprints,
+  * marker-based language ID and quality scoring.
+  *
+  * Everything is pure `Column` algebra (codegen'd, no UDFs) and — where a
+  * gate query needs a DuckDB oracle — built only from operations both
+  * engines compute bit-identically (md5, integer arithmetic, left-fold
+  * sums). At 100 TB each op is embarrassingly parallel per document: no
+  * shuffles, no state, runs inside the scan stage.
+  */
+object TextOps {
+
+  /** Modulus for 32-bit-ish hashing: 2^31 - 1 (Mersenne prime). */
+  val P: Long = 2147483647L
+  /** Modulus for rolling fingerprints: 1e9+7 (fits acc*31+h in a long). */
+  val FP: Long = 1000000007L
+
+  /** Whitespace tokenization, production flavor (any whitespace runs). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Single-space tokenization — the cross-engine-exact flavor used by the
+    * gate queries (`string_split(text, ' ')` in DuckDB).
+    */
+  def tokensSimple(text: Column): Column = split(text, " ")
+
+  /** First 8 hex digits of md5 as a long in [0, 2^32) — a portable 32-bit
+    * content hash every engine computes identically (`md5` is universal;
+    * xxhash64 is Spark-only). Use xxhash64 where cross-engine equality is
+    * not needed — it is ~5× cheaper.
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Word k-shingles: overlapping k-grams joined by a single space.
+    * Shorter-than-k docs yield an empty array.
+    */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+
+  /** Deterministic universal-hash parameters for MinHash permutation j
+    * (odd multiplier, fixed LCG-style mixing — reproducible anywhere).
+    */
+  def minhashParams(j: Int): (Long, Long) = {
+    val a = (2L * j + 1L) * 2654435761L % P // odd, Knuth multiplicative
+    val b = (j * 40503L + 2531011L) % P
+    (if (a == 0) 1L else a, b)
+  }
+
+  /** MinHash signature: array of `numHashes` minima of
+    * `(a_j * (hash32(s) % P) + b_j) % P` over the shingle set. Empty
+    * shingle sets map to the all-P signature (never collides with real
+    * content).
+    *
+    * Implemented as ONE `aggregate` fold over the shingle hashes with an
+    * array accumulator — each shingle is hashed exactly once and all
+    * `numHashes` lanes update in the same pass (a per-position formulation
+    * would re-evaluate the md5 chain numHashes times per shingle).
+    */
+  def minhashSig(shingleCol: Column, numHashes: Int): Column = {
+    val params = (0 until numHashes).map(minhashParams)
+    val aArr = array(params.map(p => lit(p._1)): _*)
+    val bArr = array(params.map(p => lit(p._2)): _*)
+    val hs = transform(shingleCol, s => hash32(s) % P)
+    aggregate(hs, array_repeat(lit(P), numHashes),
+      (acc, h) => zip_with(
+        acc,
+        zip_with(aArr, bArr, (a, b) => (a * h + b) % P),
+        (cur, cand) => least(cur, cand)))
+  }
+
+  /** SimHash fingerprint over the token multiset: bit b of the result is
+    * set iff the sum over tokens of ±1 (sign of bit b of the token hash)
+    * is positive. `bits` ≤ 32. Single fold with an array-of-votes
+    * accumulator — each token hashed once for all bit lanes.
+    */
+  def simhash(toks: Column, bits: Int = 16): Column = {
+    val masks = array((0 until bits).map(b => lit(1L << b)): _*)
+    val hs = transform(toks, t => hash32(t))
+    val votes = aggregate(hs, array_repeat(lit(0), bits),
+      (acc, h) => zip_with(acc, masks,
+        (v, m) => v + when(h.bitwiseAND(m) > 0, 1).otherwise(-1)))
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, t) => acc + t)
+  }
+
+  /** Rolling polynomial fingerprint of the token sequence:
+    * fold (acc*31 + hash32(t) % FP) % FP. Order-sensitive — reordered
+    * documents fingerprint differently (unlike MinHash/SimHash).
+    */
+  def fingerprint(toks: Column): Column =
+    aggregate(
+      transform(toks, t => hash32(t) % FP),
+      lit(0L), (acc, h) => (acc * 31L + h) % FP)
+
+  /** Marker-word profiles for the n-gram-heuristic language ID. Flat,
+    * deterministic, tiny — the point is the *operator shape* (per-doc
+    * marker counting + argmax), which at scale would load real n-gram
+    * profiles the same way.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "un"),
+    "zh" -> Seq("de", "shi", "bu", "wo", "zhe"))
+
+  def markerScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Predicted language: the first profile (in [[langMarkers]] order) with
+    * the maximal marker count; "und" (undetermined) when all are zero.
+    */
+  def langId(toks: Column): Column = {
+    val scores = langMarkers.map { case (l, m) => l -> markerScore(toks, m) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
+      when(s > 0 && s === best, l).otherwise(els)
+    }
+  }
+
+  /** Quality heuristics: token count, mean token length, stopword ratio,
+    * and a composite score in [0,1]. Single-division rational arithmetic —
+    * deterministic across engines.
+    */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "is", "to", "in", "it", "that", "for")
+
+  def qualityScore(toks: Column): Column = {
+    val n = size(toks)
+    val lenScore = least(n.cast("double") / 100.0, lit(1.0))
+    val stopRatio =
+      markerScore(toks, stopwords).cast("double") / greatest(n, lit(1))
+    round(lenScore * (lit(0.5) + lit(0.5) * least(stopRatio * 5.0, lit(1.0))), 6)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.FeatureStore
+import graft.streaming.EventOps
+
+/** Event-stream transforms and feature-store distance ops on constructed
+  * inputs with hand-computed answers.
+  */
+class EventFeatureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val events = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0, """{"k": 1}"""),
+    (2L, ts("2024-01-01 10:10:00"), 7L, "click", 2.0, """{"k": 2}"""),
+    (3L, ts("2024-01-01 11:10:00"), 7L, "view", 4.0, """{"k": 3}"""),
+    (4L, ts("2024-01-01 10:05:00"), 8L, "view", 8.0, """{"k": 4}"""))
+    .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    .cache()
+
+  test("tumbling window groups per (user, hour)") {
+    val w = EventOps.tumblingAgg(events, "1 hour").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("window_start")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    val h10 = ts("2024-01-01 10:00:00").getTime / 1000
+    val h11 = ts("2024-01-01 11:00:00").getTime / 1000
+    assert(w((7L, h10)) == (2L, 3.0))
+    assert(w((7L, h11)) == (1L, 4.0))
+    assert(w((8L, h10)) == (1L, 8.0))
+  }
+
+  test("sessionize splits on the inactivity gap") {
+    // user 7: 10:00, 10:10 (same session), 11:10 (gap 60min > 30 → new)
+    val s = EventOps.sessionize(events, gapMinutes = 30).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq")) ->
+        r.getAs[Long]("n_events")).toMap
+    assert(s((7L, 0L)) == 2L)
+    assert(s((7L, 1L)) == 1L)
+    assert(s((8L, 0L)) == 1L)
+  }
+
+  test("json prop extraction without UDFs") {
+    val p = EventOps.propInt(events, "k", "k").select("event_id", "k")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(p == Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4))
+  }
+
+  test("nearest distance: per-frame self-join with struct-min tie-break") {
+    // one frame, three entities on a line at x = 0, 3, 10
+    val frame = Seq(
+      (1L, 1, 0.0, 0.0), (1L, 2, 3.0, 0.0), (1L, 3, 10.0, 0.0))
+      .toDF("frameKey", "entity", "px", "py")
+    val nd = FeatureStore.nearestDistance(frame, Seq("frameKey"), "entity",
+      "px", "py").collect()
+      .map(r => r.getAs[Int]("entity") ->
+        (r.getAs[Int]("nearest_id"), r.getAs[Double]("nearest_dist"))).toMap
+    assert(nd(1) == (2, 3.0))
+    assert(nd(2) == (1, 3.0)) // tie-free here; id 1 is genuinely nearest
+    assert(nd(3) == (2, 7.0))
+  }
+
+  test("distanceTo reference entity (ball-distance shape)") {
+    val frame = Seq(
+      (1L, 1, 0.0, 0.0, false), (1L, 2, 3.0, 4.0, false),
+      (1L, 99, 0.0, 0.0, true))
+      .toDF("frameKey", "entity", "px", "py", "isRef")
+    val d = FeatureStore.distanceTo(frame, Seq("frameKey"),
+      col("isRef") === true, "px", "py")
+      .filter(!col("isRef"))
+      .collect().map(r => r.getAs[Int]("entity") ->
+        r.getAs[Double]("dist_to_ref")).toMap
+    assert(d == Map(1 -> 0.0, 2 -> 5.0))
+  }
+}

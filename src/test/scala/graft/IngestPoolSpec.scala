@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Diagnose, Ingest, Pool}
+import graft.schema.Vintages
+
+/** E2E ingest → pool → sample (SURVEY §5): both vintage CSVs through the
+  * real ingest, partition layout, summary stats, per-file error isolation,
+  * and exact-n seeded-sample determinism (A5).
+  */
+class IngestPoolSpec extends SparkSpec {
+
+  test("2018-vintage CSV ingests to a partitioned pool with exact summary") {
+    val in = tmpDir("in2018")
+    val poolRoot = tmpDir("pool2018")
+    SyntheticTracking.writeCsv2018(spark, in, games = 1, plays = 2,
+      frames = 10)
+    val res = Ingest.run(spark, in, poolRoot, Vintages.bdb2018)
+    assert(res.badFiles.isEmpty)
+    // 1 game × 2 plays × 10 frames × 23 entities
+    assert(res.summary == Ingest.Summary(460L, 1L, 2L, Some(10)))
+    // Hive layout: season derived from gameId prefix
+    val part = new java.io.File(s"$poolRoot/season=2023")
+    assert(part.isDirectory)
+    assert(part.listFiles().exists(_.getName.startsWith("gameId=")))
+    val rep = Diagnose(spark, poolRoot)
+    assert(rep.healthy && rep.parquetFiles > 0)
+  }
+
+  test("2026 snake_case vintage resolves through aliases") {
+    val in = tmpDir("in2026")
+    val poolRoot = tmpDir("pool2026")
+    SyntheticTracking.writeCsv2026(spark, in, games = 1, plays = 2,
+      frames = 10)
+    val res = Ingest.run(spark, in, poolRoot, Vintages.bdb2026)
+    assert(res.badFiles.isEmpty && res.summary.rows == 460L)
+    val pool = Pool(spark, poolRoot).df
+    // canonical camelCase names after normalize, partition cols recovered
+    assert(Seq("playId", "nflId", "frameId", "team", "x", "y")
+      .forall(pool.columns.contains))
+    assert(pool.columns.contains("gameId"))
+  }
+
+  test("all-bad input warns and returns empty, not a crash") {
+    val in = tmpDir("inbad")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(in, "broken.csv"), "")
+    // empty CSV → load throws → isolated; batch yields empty summary
+    val res = Ingest.run(spark, in, tmpDir("poolbad"), Vintages.bdb2018)
+    assert(res.summary.rows == 0L)
+  }
+
+  test("re-ingesting a game upserts (dynamic partition overwrite)") {
+    val in = tmpDir("inup")
+    val poolRoot = tmpDir("poolup")
+    SyntheticTracking.writeCsv2018(spark, in, 1, 2, 10)
+    Ingest.run(spark, in, poolRoot, Vintages.bdb2018)
+    val before = Pool(spark, poolRoot).df.count()
+    Ingest.run(spark, in, poolRoot, Vintages.bdb2018) // same game again
+    assert(Pool(spark, poolRoot).df.count() == before) // replaced, not doubled
+  }
+
+  test("samplePlays: exact n, deterministic under seed, all frames join back") {
+    val in = tmpDir("insamp")
+    val poolRoot = tmpDir("poolsamp")
+    // frames = 30 so the fixture's frame-25 "pass_forward" event exists
+    SyntheticTracking.writeCsv2018(spark, in, games = 2, plays = 5,
+      frames = 30)
+    Ingest.run(spark, in, poolRoot, Vintages.bdb2018)
+    val pool = Pool(spark, poolRoot)
+
+    // partition-column type inference may narrow gameId (2023090000 fits
+    // an int) — read numerically, not by static type
+    def keysOf(seed: Long) = pool.sampleKeys(3, Nil, seed)
+      .collect().map(r => (r.get(0).asInstanceOf[Number].longValue,
+        r.get(1).asInstanceOf[Number].intValue)).toSet
+
+    val k1 = keysOf(42L)
+    assert(k1.size == 3)
+    assert(keysOf(42L) == k1)       // repeatable
+    assert(keysOf(7L) != k1 || keysOf(7L) == k1) // other seed runs fine
+    // join-back brings every frame of each sampled play
+    val sampled = pool.samplePlays(3, Nil, 42L)
+    assert(sampled.count() == 3L * 30 * 23)
+    // degenerate: n larger than universe → all 10 plays
+    assert(pool.sampleKeys(99, Nil, 42L).count() == 10L)
+    // filters flow through (F1)
+    val filtered = pool.samplePlays(99,
+      Seq(col("event") === "pass_forward"), 42L)
+    assert(filtered.select("frameId").distinct().count() == 1L)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.SimSearch
+
+/** Similarity search over constructed vectors with known geometry. */
+class SimSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2-d toy vectors: 0 = east, 1 = near-east, 2 = north, 3 = west
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f)),
+    (2L, Array(0.0f, 1.0f)),
+    (3L, Array(-1.0f, 0.0f)))
+    .toDF("vec_id", "embedding").cache()
+
+  test("cosine geometry: parallel 1, orthogonal 0, opposite -1") {
+    def cos(a: Long, b: Long): Double =
+      vecs.as("x").join(vecs.as("y"),
+        col("x.vec_id") === a && col("y.vec_id") === b)
+        .select(SimSearch.cosine(col("x.embedding"), col("y.embedding")))
+        .head().getDouble(0)
+    assert(math.abs(cos(0L, 0L) - 1.0) < 1e-12)
+    assert(math.abs(cos(0L, 2L)) < 1e-12)
+    assert(math.abs(cos(0L, 3L) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks by cosine desc with id tie-break") {
+    val top = SimSearch.bruteForceTopK(vecs, "vec_id", "embedding",
+      col("vec_id") === 0L, k = 3).collect()
+    assert(top.map(_.getAs[Long]("neighbor")).toSeq == Seq(1L, 2L, 3L))
+    assert(top.map(_.getAs[Int]("rank")).toSeq == Seq(0, 1, 2))
+    val cs = top.map(_.getAs[Double]("cos_sim"))
+    assert(cs.sameElements(cs.sorted.reverse))
+  }
+
+  test("two-phase topK matches a single-partition reference") {
+    val many = spark.range(200).select(
+      col("id"),
+      lit("k").as("key"),
+      (col("id") % 17).cast("double").as("score"))
+    val got = SimSearch.topKPerKey(many, "key", -col("score"), col("id"), 5)
+      .collect().map(r => r.getAs[Long]("neighbor"))
+    // highest score 16 at ids 16, 33, 50, ... → ties by id ascending
+    assert(got.toSeq == Seq(16L, 33L, 50L, 67L, 84L))
+  }
+
+  test("ANN: same-direction vectors share a bucket; recall on the obvious pair") {
+    val top = SimSearch.annTopK(vecs, "vec_id", "embedding",
+      col("vec_id") === 0L, k = 2, planes = 4, dim = 2).collect()
+    // vector 1 (near-east) must land in vector 0's bucket and rank first
+    assert(top.nonEmpty && top.head.getAs[Long]("neighbor") == 1L)
+  }
+
+  test("cosine near-dup pairs finds the near-parallel pair only") {
+    val pairs = SimSearch.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.95, planes = 4, dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

@@ -39,7 +39,7 @@ object SyntheticTracking {
       val x = 10.0f + f * 0.5f + e * 0.1f
       val y = 20.0f + e * 1.0f
       Row(gameId, Int.box(playId), nflId, Int.box(f),
-        s"2023-09-07T20:00:${f % 60}%02d.000Z".replace("%02d", ""),
+        f"2023-09-07T20:00:${f % 60}%02d.000Z",
         "left", event, team, x, y, 5.5f, 2.1f, 0.1f,
         if (isBall) null else 90.0f, if (isBall) null else 90.0f,
         if (isBall) null else "WR", if (isBall || e >= 11) null else "GO")

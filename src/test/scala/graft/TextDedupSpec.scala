@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, TextOps}
+
+/** Text-analysis + dedup operators over constructed corpora with known
+  * answers.
+  */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 0
+    (2L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (3L, "completely different content about spark engines"),
+    (4L, "der schnelle braune fuchs und der faule hund"))
+    .toDF("doc_id", "text").cache()
+
+  test("shingles: count and content") {
+    val sh = docs.select(TextOps.shingles(
+      TextOps.tokensSimple(col("text")), 3).as("sh"))
+      .filter(col("sh").isNotNull).head()
+      .getAs[scala.collection.Seq[String]]("sh")
+    assert(sh.length == 7) // 9 tokens → 7 3-shingles
+    assert(sh.head == "the quick brown")
+    // shorter than k → empty
+    val short = Seq((9L, "one two")).toDF("doc_id", "text")
+      .select(TextOps.shingles(TextOps.tokensSimple(col("text")), 3).as("sh"))
+      .head().getAs[scala.collection.Seq[String]]("sh")
+    assert(short.isEmpty)
+  }
+
+  test("exact dedup: survivor is min id, duplicate counted") {
+    val d = Dedup.exact(docs, "text", "doc_id")
+    assert(d.count() == 4) // 5 docs, one exact pair
+    val dupRow = d.filter(col("n_dups") === 2).head()
+    assert(dupRow.getAs[Long]("doc_id") == 0L) // min survivor
+  }
+
+  test("minhash: identical docs → identical signatures; est jaccard sane") {
+    val sig = docs.select(col("doc_id"), TextOps.minhashSig(
+      TextOps.shingles(TextOps.tokensSimple(col("text")), 3), 32).as("sig"))
+    val m = sig.collect().map(r =>
+      r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("sig").toSeq).toMap
+    assert(m(0L) == m(1L))                 // exact dup → same signature
+    assert(m(0L) != m(3L))                 // different docs differ
+    assert(m(0L).forall(v => v >= 0 && v <= TextOps.P))
+    val est = sig.as("a").join(sig.as("b"),
+      col("a.doc_id") === 0L && col("b.doc_id") === 2L)
+      .select(Dedup.estJaccard(col("a.sig"), col("b.sig")).as("j"))
+      .head().getDouble(0)
+    assert(est > 0.2 && est <= 1.0)        // near dup shares many positions
+  }
+
+  test("LSH pipeline finds the exact and near dup, not the unrelated doc") {
+    val pairs = Dedup.nearDupPairs(docs, "text", "doc_id",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("exact jaccard over token sets") {
+    val j = docs.as("a").join(docs.as("b"),
+      col("a.doc_id") === 0L && col("b.doc_id") === 2L)
+      .select(Dedup.jaccard(
+        TextOps.tokensSimple(col("a.text")),
+        TextOps.tokensSimple(col("b.text"))).as("j"))
+      .head().getDouble(0)
+    assert(j == 7.0 / 9.0) // 8-word sets sharing 7 words
+  }
+
+  test("fingerprint is order-sensitive; simhash is not (for permutations)") {
+    val f = Seq((0L, "a b c"), (1L, "c b a"), (2L, "a b c"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextOps.fingerprint(TextOps.tokensSimple(col("text"))).as("fp"),
+        TextOps.simhash(TextOps.tokensSimple(col("text")), 16).as("sh"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(f(0L)._1 == f(2L)._1 && f(0L)._1 != f(1L)._1) // rolling hash
+    assert(f(0L)._2 == f(1L)._2)                          // bag-of-words
+  }
+
+  test("langId picks marker-dominant language; quality in [0,1]") {
+    val out = docs.select(col("doc_id"),
+      TextOps.langId(TextOps.tokensSimple(col("text"))).as("lang"),
+      TextOps.qualityScore(TextOps.tokensSimple(col("text"))).as("q"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    assert(out(0L)._1 == "en")
+    assert(out(4L)._1 == "de")
+    assert(out.values.forall { case (_, q) => q >= 0.0 && q <= 1.0 })
+  }
+}
