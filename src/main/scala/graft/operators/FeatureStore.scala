@@ -16,33 +16,50 @@ import org.apache.spark.sql.functions._
   */
 object FeatureStore {
 
+  /** Euclidean distance via explicit multiplies (bit-identical to the
+    * oracle's `(dx)*(dx)` chain; `pow(x, 2)` would go through Math.pow).
+    */
   def dist(x1: Column, y1: Column, x2: Column, y2: Column): Column =
-    sqrt(pow(x1 - x2, 2) + pow(y1 - y2, 2))
+    sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2))
 
   /** Per-entity distance to its nearest *other* entity in the same frame.
     * Output: frameKeys..., entity, nearest_id, nearest_dist (rounded for
     * cross-engine rank stability; ties broken by neighbor id via the
     * struct-min, so the result is deterministic).
+    *
+    * A frame is small and bounded (≤ 23 entities in tracking data), so
+    * instead of a frame-key self-join (two shuffles + a sort-merge over
+    * k² rows) the frame is collected into ONE array per group — a single
+    * shuffle with map-side partials — and the k² pairwise distances are
+    * computed by array expressions inside the row. Entities with no
+    * neighbor (singleton frames) are excluded, matching join semantics.
     */
   def nearestDistance(
       df: DataFrame,
       frameKeys: Seq[String],
       entityCol: String,
       xCol: String, yCol: String): DataFrame = {
-    val a = df.select(
-      frameKeys.map(col) ++ Seq(col(entityCol).as("_ea"),
-        col(xCol).as("_xa"), col(yCol).as("_ya")): _*)
-    val b = df.select(
-      frameKeys.map(col) ++ Seq(col(entityCol).as("_eb"),
-        col(xCol).as("_xb"), col(yCol).as("_yb")): _*)
-    a.join(b, frameKeys)
-      .filter(col("_ea") =!= col("_eb"))
-      .groupBy(frameKeys.map(col) :+ col("_ea").as(entityCol): _*)
-      .agg(min(struct(
-        round(dist(col("_xa"), col("_ya"), col("_xb"), col("_yb")), 6)
-          .as("d"),
-        col("_eb").as("i"))).as("nearest"))
-      .select(frameKeys.map(col) ++ Seq(col(entityCol),
+    val grouped = df.groupBy(frameKeys.map(col): _*)
+      .agg(collect_list(struct(col(entityCol).as("e"),
+        col(xCol).as("x"), col(yCol).as("y"))).as("ents"))
+    val perEntity = transform(col("ents"), a =>
+      struct(
+        a.getField("e").as("entity"),
+        array_min(transform(
+          filter(col("ents"), b => b.getField("e") =!= a.getField("e")),
+          b => struct(
+            round(dist(a.getField("x"), a.getField("y"),
+              b.getField("x"), b.getField("y")), 6).as("d"),
+            b.getField("e").as("i")))).as("nearest")))
+    grouped
+      .select(frameKeys.map(col) :+ explode(perEntity).as("r"): _*)
+      .filter(col("r.nearest").isNotNull)
+      // duplicate entity ids within a frame collapse to their minimal
+      // (dist, neighbor) — same semantics as the join+groupBy formulation
+      .groupBy(frameKeys.map(col) :+ col("r.entity").as(entityCol): _*)
+      .agg(min(col("r.nearest")).as("nearest"))
+      .select(frameKeys.map(col) ++ Seq(
+        col(entityCol),
         col("nearest.i").as("nearest_id"),
         col("nearest.d").as("nearest_dist")): _*)
   }

@@ -40,7 +40,7 @@ object Normalize {
     config.columns.foreach { spec =>
       resolve(spec, exact, byLower) match {
         case Some(src) =>
-          cols += col(s"`$src`").cast(spec.dtype).as(spec.name)
+          cols += tolerantCast(src, spec.dtype).as(spec.name)
         case None =>
           spec.default match {
             case Some(d) => cols += lit(d).cast(spec.dtype).as(spec.name)
@@ -62,6 +62,25 @@ object Normalize {
           plan.dropped.mkString(", "))
     }
     plan(df)
+  }
+
+  /** Reference-equivalent tolerant cast (`ignore_errors=True`,
+    * src/ingest.py:23): malformed values become null instead of failing
+    * the ANSI cast. Integral targets additionally accept float-formatted
+    * text ("4365.0" — a pandas export artifact in real BDB drops) via a
+    * double hop; the direct try_cast is preferred so 64-bit values larger
+    * than a double's 53-bit mantissa never lose precision.
+    */
+  private def tolerantCast(src: String, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    val q = s"`$src`"
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        expr(s"coalesce(try_cast($q AS ${dt.sql}), " +
+          s"try_cast(try_cast($q AS DOUBLE) AS ${dt.sql}))")
+      case _ =>
+        expr(s"try_cast($q AS ${dt.sql})")
+    }
   }
 
   private def resolve(
