@@ -296,6 +296,13 @@ object SparkEntry {
     Ingest.summaryDf(Pool(s, poolRoot).df)
   }
 
+  /** IVF-style ANN: label-cell coarse quantization + nprobe search
+    * (probabilistic recall → rows-only check).
+    */
+  def q27_ivf_topk(s: SparkSession, dir: String): DataFrame =
+    SimSearch.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      cellCol = "label", queryPred = col("vec_id") < 20, k = 5, nprobe = 2)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -324,7 +331,8 @@ object SparkEntry {
     "q23_events_window" -> (q23_events_window(_, _)),
     "q24_sessionize" -> (q24_sessionize(_, _)),
     "q25_multimodal_meta" -> (q25_multimodal_meta(_, _)),
-    "q26_ingest_roundtrip" -> (q26_ingest_roundtrip(_, _)))
+    "q26_ingest_roundtrip" -> (q26_ingest_roundtrip(_, _)),
+    "q27_ivf_topk" -> (q27_ivf_topk(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -117,6 +117,49 @@ object SimSearch {
         (-col("rankval")).as("cos_sim"))
   }
 
+  /** IVF-style ANN: coarse-quantize the corpus into `cells` (here: the
+    * per-label mean vectors — in production, k-means centroids computed
+    * the same way), then search only the query's `nprobe` nearest cells.
+    *
+    * Scale shape: centroids are a tiny aggregation (map-side partials,
+    * one row per cell) and broadcast everywhere; the corpus is scanned
+    * once with its cell id (computed at write time in a real lake —
+    * partition column → cell-pruned scans); candidate generation is an
+    * equi-join on cell id, so cost is corpus/cells × nprobe per query.
+    */
+  def ivfTopK(
+      emb: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      queryPred: Column, k: Int, nprobe: Int = 2): DataFrame = {
+    val dim = 64
+    // per-cell mean vector: fold vectors into a sum array + count
+    val centroids = emb.groupBy(col(cellCol).as("cell"))
+      .agg(
+        aggregate(
+          collect_list(col(vecCol)),
+          array_repeat(lit(0.0), dim),
+          (acc, v) => zip_with(acc, v, (a, x) => a + x.cast("double")))
+          .as("vsum"),
+        count(lit(1)).as("n"))
+      .select(col("cell"),
+        transform(col("vsum"), s => s / col("n")).as("centroid"))
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    // nprobe nearest cells per query (centroid table is tiny → broadcast)
+    val probed = topKPerKey(
+      q.crossJoin(broadcast(centroids)),
+      "qid", -cosine(col("qv"), col("centroid")), col("cell"), nprobe)
+      .select(col("qid"), col("neighbor").as("cell"))
+    val cands = emb
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        col(cellCol).as("cell"))
+      .join(broadcast(probed.join(q, "qid")), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos_sim", round(cosine(col("qv"), col("cv")), 6))
+    topKPerKey(cands, "qid", -col("cos_sim"), col("cid"), k)
+      .select(col("qid"), col("rank"), col("neighbor"),
+        (-col("rankval")).as("cos_sim"))
+  }
+
   /** Embedding-cosine near-dup pairs (dedup flavor of ANN): bucket join,
     * exact cosine, threshold.
     */
