@@ -38,7 +38,7 @@ object OracleSql {
     val sigSum = (0 until 32).map(sigExpr).mkString("(", " + ", ")")
     s"""$minhashCtes
        |SELECT doc_id,
-       |  len(list_distinct(sh)) AS n_shingles,
+       |  len(list_distinct(sh))::INTEGER AS n_shingles,
        |  ${sigExpr(0)} AS sig_0,
        |  ${sigExpr(16)} AS sig_16,
        |  $sigSum AS sig_sum
@@ -70,7 +70,7 @@ object OracleSql {
     }.mkString("(", " + ", ")")
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |h AS (SELECT doc_id, list_transform(w, x -> ${h32("x")}) AS hs FROM t)
-       |SELECT doc_id, $terms AS simhash16 FROM h""".stripMargin
+       |SELECT doc_id, ($terms)::BIGINT AS simhash16 FROM h""".stripMargin
   }
 
   /** Left-fold dot product over 1-based list indices — the identical
@@ -94,7 +94,7 @@ object OracleSql {
        |r AS (SELECT qid, cid, cos_sim,
        |        row_number() OVER (PARTITION BY qid
        |          ORDER BY cos_sim DESC, cid) AS rn FROM p)
-       |SELECT qid, rn - 1 AS rank, cid AS neighbor, cos_sim
+       |SELECT qid, (rn - 1)::INTEGER AS rank, cid AS neighbor, cos_sim
        |FROM r WHERE rn <= 5""".stripMargin
   }
 
@@ -119,7 +119,7 @@ object OracleSql {
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
        |SELECT doc_id,
        |  $langCase AS lang_pred,
-       |  $nStop AS n_stopwords,
+       |  ($nStop)::INTEGER AS n_stopwords,
        |  round(least(len(w) / 100.0, 1.0) *
        |    (0.5 + 0.5 * least(($nStop::DOUBLE / greatest(len(w), 1)) * 5.0,
        |      1.0)), 6) AS quality
@@ -184,15 +184,15 @@ object OracleSql {
 
     "q09_trajectory" ->
       """SELECT l_orderkey,
-        |  row_number() OVER (PARTITION BY l_orderkey
-        |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) - 1
+        |  (row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) - 1)::INTEGER
         |    AS pos,
         |  l_linenumber, l_partkey, l_suppkey, l_quantity
         |FROM lineitem""".stripMargin,
 
     "q10_tensor" ->
       """SELECT l_orderkey AS gameId,
-        |  count(DISTINCT l_linenumber) AS n_frames,
+        |  count(DISTINCT l_linenumber)::INTEGER AS n_frames,
         |  round(sum(CAST(CAST(l_quantity AS REAL) AS DOUBLE)
         |          + CAST(CAST(l_discount AS REAL) AS DOUBLE)), 2) AS checksum
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
@@ -223,9 +223,9 @@ object OracleSql {
 
     "q19_text_stats" ->
       s"""SELECT doc_id,
-         |  len(text) AS n_chars_calc,
-         |  len(string_split(text, ' ')) AS n_tokens,
-         |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+         |  len(text)::INTEGER AS n_chars_calc,
+         |  len(string_split(text, ' '))::INTEGER AS n_tokens,
+         |  len(list_distinct(string_split(text, ' ')))::INTEGER AS n_distinct_tokens,
          |  list_reduce(
          |    list_transform(string_split(text, ' '), t -> ${h32("t")} % $FP),
          |    (a, b) -> (a * 31 + b) % $FP) AS fingerprint
@@ -267,13 +267,13 @@ object OracleSql {
         |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
         |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
         |        AS session_seq FROM l)
-        |SELECT user_id, session_seq,
+        |SELECT user_id, session_seq::BIGINT AS session_seq,
         |  min(tse) AS session_start, max(tse) AS session_end,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q25_multimodal_meta" ->
-      """SELECT doc_id, len(text) AS n_bytes, sha256(text) AS content_sha,
+      """SELECT doc_id, len(text)::INTEGER AS n_bytes, sha256(text) AS content_sha,
         |  lower(hex(substr(text, 1, 4))) AS magic_hex
         |FROM documents""".stripMargin)
 }

@@ -62,7 +62,10 @@ object PlayOps {
     pool.groupBy(keyCols.map(col): _*).agg(
       max(frameCol).as("total_frames"),
       max(speedCol).as("max_speed"),
-      countDistinct(entityCol).as("n_players"),
+      // distinct entities per play are bounded (≤ 23) → a collect_set is
+      // cheaper than countDistinct's extra aggregation phase; cast keeps
+      // the countDistinct-compatible long schema
+      size(collect_set(entityCol)).cast("long").as("n_players"),
       array_sort(collect_set(eventCol)).as("events"),
       (max(frameCol) / 10.0).as("duration_sec"))
 

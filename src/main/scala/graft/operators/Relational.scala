@@ -76,4 +76,20 @@ object Relational {
   /** O2/O4: multi-key canonical sort + limit (TakeOrdered — no full sort). */
   def sortLimit(df: DataFrame, cols: Seq[String], n: Int): DataFrame =
     df.orderBy(cols.map(col): _*).limit(n)
+
+  /** Write a table bucketed + sorted on its join key. Two tables bucketed
+    * the same way merge with NO exchange and no sort (the physical plan
+    * reads bucket n of both sides into the same task) — this is how the
+    * J2 input/output merge and the feature-store side-car join become
+    * shuffle-free at 100 TB: pay one bucketed write at ingest, join free
+    * forever after.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit =
+    df.write
+      .format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite")
+      .saveAsTable(table)
 }
