@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.MinHashSigXX
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * SQL functions so plain `spark.sql` users get them too.
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * SELECT graft_minhash(shingles, 32, 42) FROM docs
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSigXX].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "usage: graft_minhash(shingles, numHashes, seed)")
+        MinHashSigXX(
+          children.head,
+          children(1).eval().asInstanceOf[Number].intValue,
+          children(2).eval().asInstanceOf[Number].longValue)
+      }))
+  }
+}

@@ -78,6 +78,19 @@ object TextOps {
         (cur, cand) => least(cur, cand)))
   }
 
+  /** Production-path MinHash: the native Catalyst kernel
+    * ([[graft.functions.MinHashSigXX]] — xxhash64, single fused pass,
+    * stays in whole-stage codegen). Use when cross-engine (DuckDB)
+    * replayability is not needed; signatures differ from [[minhashSig]]
+    * (different hash family) but have the same LSH properties.
+    */
+  def minhashSigFast(
+      shingleCol: Column, numHashes: Int, seed: Long = 42L): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MinHashSigXX(
+        org.apache.spark.sql.graft.ColumnBridge.expression(shingleCol),
+        numHashes, seed))
+
   /** SimHash fingerprint over the token multiset: bit b of the result is
     * set iff the sum over tokens of ±1 (sign of bit b of the token hash)
     * is positive. `bits` ≤ 32. Single fold with an array-of-votes
