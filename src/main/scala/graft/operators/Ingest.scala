@@ -60,6 +60,23 @@ object Ingest {
       countDistinct(col(gameCol), col(playCol)).as("n_plays"),
       max(col(frameCol)).as("max_frame"))
 
+  /** 100 TB-tier summary: sketch-based distincts (HyperLogLog++,
+    * `relativeSD` default 5%) — one pass, no Expand plan, constant state
+    * per partition. Use when the exact counts of [[summaryDf]] are not
+    * worth its extra aggregation phases.
+    */
+  def summaryApproxDf(
+      df: DataFrame,
+      gameCol: String = "gameId",
+      playCol: String = "playId",
+      frameCol: String = "frameId"): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      approx_count_distinct(col(gameCol)).as("n_games"),
+      approx_count_distinct(concat_ws(":", col(gameCol), col(playCol)))
+        .as("n_plays"),
+      max(col(frameCol)).as("max_frame"))
+
   def summarize(df: DataFrame): Summary = {
     val row = summaryDf(df).head()
     Summary(row.getLong(0), row.getLong(1), row.getLong(2),

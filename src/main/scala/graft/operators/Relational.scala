@@ -77,6 +77,27 @@ object Relational {
   def sortLimit(df: DataFrame, cols: Seq[String], n: Int): DataFrame =
     df.orderBy(cols.map(col): _*).limit(n)
 
+  /** Skew-safe equi-join for a big, key-skewed fact side against a small
+    * dimension side: the big side gets a uniform salt (partition-id mod
+    * `saltFactor` — any spread works, determinism not required for a
+    * join), the small side is exploded `saltFactor`× so every salted key
+    * still matches. Whale keys now spread over `saltFactor` reducers
+    * instead of melting one. Result is row-identical to the plain join.
+    *
+    * (Spark's AQE skew-join handles sort-merge skew automatically; this
+    * is for deliberate pre-salting when AQE's post-hoc splitting is not
+    * enough — e.g. a single pathological key at 100 TB.)
+    */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame, on: Seq[String],
+      saltFactor: Int = 16): DataFrame = {
+    val salted = big.withColumn("_salt",
+      pmod(spark_partition_id(), lit(saltFactor)))
+    val exploded = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(exploded, on :+ "_salt").drop("_salt")
+  }
+
   /** Write a table bucketed + sorted on its join key. Two tables bucketed
     * the same way merge with NO exchange and no sort (the physical plan
     * reads bucket n of both sides into the same task) — this is how the

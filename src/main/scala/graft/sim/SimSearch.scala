@@ -96,23 +96,36 @@ object SimSearch {
 
   /** ANN top-k: candidates restricted to the query's bucket (equi-join on
     * the sign bucket), then exact cosine rank within. Recall < 1 by
-    * construction; multi-probe = union over query buckets with bits
-    * flipped (left to callers). At 100 TB both sides bucket in the scan
-    * stage and only the bucket join shuffles.
+    * construction; `probeBits > 0` enables multi-probe — the query also
+    * searches every bucket within Hamming distance 1 on the first
+    * `probeBits` sign bits (near-boundary vectors land one bit-flip
+    * away), trading probeBits× more candidate lookups for recall. At
+    * 100 TB both sides bucket in the scan stage and only the bucket join
+    * shuffles; candidates stay an equi-join at any probe count.
     */
   def annTopK(
       emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, planes: Int = 12, dim: Int = 64): DataFrame = {
+      queryPred: Column, k: Int, planes: Int = 12, dim: Int = 64,
+      probeBits: Int = 0): DataFrame = {
     val withBucket = emb.withColumn(
       "bucket", simhashBucket(col(vecCol), planes, dim))
+    val probes = array((col("bucket") +:
+      (0 until probeBits).map(b =>
+        col("bucket").bitwiseXOR(lit(1L << b)))): _*)
     val q = withBucket.filter(queryPred)
-      .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("bucket"))
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        explode(probes).as("bucket"))
     val c = withBucket
       .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("bucket"))
     val pairs = c.join(broadcast(q), "bucket")
       .filter(col("qid") =!= col("cid"))
       .withColumn("cos_sim", round(cosine(col("qv"), col("cv")), 6))
-    topKPerKey(pairs, "qid", -col("cos_sim"), col("cid"), k)
+    // a candidate can surface from several probes → dedup before ranking
+    val uniq =
+      if (probeBits > 0)
+        pairs.select("qid", "cid", "cos_sim").dropDuplicates("qid", "cid")
+      else pairs
+    topKPerKey(uniq, "qid", -col("cos_sim"), col("cid"), k)
       .select(col("qid"), col("rank"), col("neighbor"),
         (-col("rankval")).as("cos_sim"))
   }
