@@ -272,6 +272,11 @@ object OracleSql {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
 
+    "q28_salted_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+        |  l.l_quantity, o.o_orderstatus, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
+
     "q25_multimodal_meta" ->
       """SELECT doc_id, len(text)::INTEGER AS n_bytes, sha256(text) AS content_sha,
         |  lower(hex(substr(text, 1, 4))) AS magic_hex

@@ -296,6 +296,21 @@ object SparkEntry {
     Ingest.summaryDf(Pool(s, poolRoot).df)
   }
 
+  /** Skew-safe salted join: must be row-identical to the plain join, so
+    * the plain join IS its oracle. Joins the (skewed-by-construction)
+    * lineitem fact against the orders dimension.
+    */
+  def q28_salted_join(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "orders").select(
+      col("o_orderkey").as("l_orderkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    Relational.saltedJoin(
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity"),
+      dim, Seq("l_orderkey"), saltFactor = 8)
+  }
+
   /** IVF-style ANN: label-cell coarse quantization + nprobe search
     * (probabilistic recall → rows-only check).
     */
@@ -332,7 +347,8 @@ object SparkEntry {
     "q24_sessionize" -> (q24_sessionize(_, _)),
     "q25_multimodal_meta" -> (q25_multimodal_meta(_, _)),
     "q26_ingest_roundtrip" -> (q26_ingest_roundtrip(_, _)),
-    "q27_ivf_topk" -> (q27_ivf_topk(_, _)))
+    "q27_ivf_topk" -> (q27_ivf_topk(_, _)),
+    "q28_salted_join" -> (q28_salted_join(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
