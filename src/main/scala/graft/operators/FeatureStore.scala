@@ -87,4 +87,20 @@ object FeatureStore {
   def withFeatures(
       raw: DataFrame, features: DataFrame, on: Seq[String]): DataFrame =
     Relational.sidecarJoin(raw, features, on)
+
+  /** The reference's documented feature-store layout
+    * (`docs/DATA_LAKE_GUIDE.md:124-133`, `README.md:21-23`): derived
+    * features live in `root/feature=<name>/` directories parallel to the
+    * raw pool and join back on the frame key at query time. Computing a
+    * feature is a one-time batch job; every later query pays only the
+    * (broadcast- or bucket-friendly) key join.
+    */
+  def writeFeature(
+      df: DataFrame, featureRoot: String, name: String): Unit =
+    df.write.mode("overwrite").parquet(s"$featureRoot/feature=$name")
+
+  def readFeature(
+      spark: org.apache.spark.sql.SparkSession,
+      featureRoot: String, name: String): DataFrame =
+    spark.read.parquet(s"$featureRoot/feature=$name")
 }

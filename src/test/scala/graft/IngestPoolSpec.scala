@@ -41,6 +41,50 @@ class IngestPoolSpec extends SparkSpec {
     assert(pool.columns.contains("gameId"))
   }
 
+  test("mixed 2018+2026 vintages union in one batch (null-filled gaps)") {
+    val in = tmpDir("inmixed")
+    val poolRoot = tmpDir("poolmixed")
+    // two drops of different vintages land in the same input dir
+    SyntheticTracking.writeCsv2018(spark, s"$in/a", games = 1, plays = 2,
+      frames = 10)
+    SyntheticTracking.writeCsv2026(spark, s"$in/b", games = 1, plays = 2,
+      frames = 10)
+    for (d <- Seq("a", "b")) {
+      val dir = new java.io.File(s"$in/$d")
+      dir.listFiles().filter(_.getName.endsWith(".csv")).zipWithIndex
+        .foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Paths.get(s"$in/$d-$i.csv"))
+        }
+    }
+    val res = Ingest.run(spark, in, poolRoot, Vintages.bdb2026)
+    assert(res.badFiles.isEmpty)
+    assert(res.summary.rows == 920L) // both files landed
+    val pool = Pool(spark, poolRoot).df
+    // 2026-only columns exist, null-filled for the 2018-vintage rows
+    assert(pool.columns.contains("playerRole"))
+  }
+
+  test("feature-store side-car: write feature=<name>, join back on key") {
+    val in = tmpDir("infeat")
+    val poolRoot = tmpDir("poolfeat")
+    val featRoot = tmpDir("features")
+    SyntheticTracking.writeCsv2018(spark, in, games = 1, plays = 2,
+      frames = 10)
+    Ingest.run(spark, in, poolRoot, Vintages.bdb2018)
+    val pool = Pool(spark, poolRoot).df
+    val key = Seq("gameId", "playId", "frameId")
+    val feature = graft.operators.FeatureStore.nearestDistance(
+      pool, key, "nflId", "x", "y")
+    graft.operators.FeatureStore.writeFeature(feature, featRoot, "nearest")
+    val back = graft.operators.FeatureStore.readFeature(spark, featRoot,
+      "nearest")
+    val joined = graft.operators.FeatureStore.withFeatures(
+      pool, back, key :+ "nflId")
+    assert(joined.filter(col("nearest_dist").isNotNull).count() > 0)
+    assert(joined.count() == pool.count()) // left join preserves the pool
+  }
+
   test("all-bad input warns and returns empty, not a crash") {
     val in = tmpDir("inbad")
     java.nio.file.Files.writeString(

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Property-style checks for the exact-n seeded sample — the invariants
+  * the reference's `sample(n, seed)` contract implies (SURVEY §5):
+  * subset-of-universe, exact size min(n, |U|), seed determinism, and —
+  * the Spark-specific one — independence from physical partitioning.
+  */
+class SamplingPropertySpec extends SparkSpec {
+
+  private def universe(n: Int, parts: Int) =
+    spark.range(0, n).repartition(parts)
+      .select((col("id") * 13 % 1000).as("g"), (col("id") % 37).as("p"))
+      .distinct()
+
+  private def sample(nKeys: Int, parts: Int, n: Int, seed: Long) = {
+    val keys = universe(nKeys, parts)
+    Relational.sampleExact(keys, n,
+      Relational.hashRank(Seq(col("g"), col("p")), seed),
+      Seq(col("g"), col("p")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("sample is a subset of the universe with exact size min(n, |U|)") {
+    for (seed <- Seq(1L, 42L, 999L); n <- Seq(0, 3, 17)) {
+      val u = universe(500, 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val s = sample(500, 4, n, seed)
+      assert(s.subsetOf(u))
+      assert(s.size == math.min(n, u.size))
+    }
+    // degenerate: n beyond the universe returns everything
+    val all = sample(50, 4, 10000, 42L)
+    assert(all == universe(50, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("sample is invariant under physical partitioning") {
+    for (seed <- Seq(7L, 42L)) {
+      val p1 = sample(500, 1, 11, seed)
+      val p7 = sample(500, 7, 11, seed)
+      val p32 = sample(500, 32, 11, seed)
+      assert(p1 == p7 && p7 == p32)
+    }
+  }
+
+  test("different seeds give different samples (overwhelmingly)") {
+    val a = sample(500, 4, 10, 1L)
+    val b = sample(500, 4, 10, 2L)
+    assert(a != b)
+  }
+}
