@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.MinHashSigXX
+import graft.functions.{CosineSimXX, MinHashSigXX}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * SQL functions so plain `spark.sql` users get them too.
@@ -26,6 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children.head,
           children(1).eval().asInstanceOf[Number].intValue,
           children(2).eval().asInstanceOf[Number].longValue)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimXX].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "usage: graft_cosine(a, b)")
+        CosineSimXX(children.head, children(1))
       }))
   }
 }

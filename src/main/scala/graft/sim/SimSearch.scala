@@ -31,6 +31,17 @@ object SimSearch {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native fused kernel ([[graft.functions.CosineSimXX]]): one pass over
+    * the arrays for dot + both norms instead of three HOF folds.
+    * Bit-identical to [[cosine]] for `array<float>` inputs (same IEEE
+    * accumulation order), so it is safe on oracle-gated paths.
+    */
+  def cosineFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.CosineSimXX(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Exact top-k per key without a window: per-shuffle-partition top-k,
     * then global top-k. Both phases are hash aggregations with map-side
     * partials; the sorted-array slice bounds state to k entries per group.
@@ -65,7 +76,7 @@ object SimSearch {
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val c = emb.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val pairs = c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("cos_sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos_sim", round(cosineFast(col("qv"), col("cv")), 6))
     topKPerKey(pairs, "qid", -col("cos_sim"), col("cid"), k)
       .select(col("qid"), col("rank"), col("neighbor"),
         (-col("rankval")).as("cos_sim"))
@@ -119,7 +130,7 @@ object SimSearch {
       .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("bucket"))
     val pairs = c.join(broadcast(q), "bucket")
       .filter(col("qid") =!= col("cid"))
-      .withColumn("cos_sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos_sim", round(cosineFast(col("qv"), col("cv")), 6))
     // a candidate can surface from several probes → dedup before ranking
     val uniq =
       if (probeBits > 0)
@@ -167,7 +178,7 @@ object SimSearch {
         col(cellCol).as("cell"))
       .join(broadcast(probed.join(q, "qid")), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("cos_sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos_sim", round(cosineFast(col("qv"), col("cv")), 6))
     topKPerKey(cands, "qid", -col("cos_sim"), col("cid"), k)
       .select(col("qid"), col("rank"), col("neighbor"),
         (-col("rankval")).as("cos_sim"))
@@ -187,7 +198,7 @@ object SimSearch {
       col("v").as("v_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(cosine(col("v_a"), col("v_b")), 6))
+      .withColumn("cos_sim", round(cosineFast(col("v_a"), col("v_b")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim").distinct()
   }

@@ -26,6 +26,21 @@ class SimSearchSpec extends SparkSpec {
     assert(math.abs(cos(0L, 3L) + 1.0) < 1e-12)
   }
 
+  test("fused native kernel is bit-identical to the HOF cosine") {
+    val pairs = vecs.as("x").crossJoin(vecs.as("y"))
+      .select(
+        SimSearch.cosine(col("x.embedding"), col("y.embedding")).as("hof"),
+        SimSearch.cosineFast(col("x.embedding"), col("y.embedding"))
+          .as("fused"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      // exact equality: identical IEEE accumulation order by construction
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("brute-force top-k ranks by cosine desc with id tie-break") {
     val top = SimSearch.bruteForceTopK(vecs, "vec_id", "embedding",
       col("vec_id") === 0L, k = 3).collect()
