@@ -76,6 +76,28 @@ object Tensor {
           1, maxFrames).as("tensor"))
   }
 
+  /** Typed tensor row (the ML-batch handoff record). */
+  final case class PlayTensor(
+      gameId: Long, playId: Int, n_frames: Int,
+      tensor: Seq[Seq[Seq[Float]]])
+
+  /** Typed surface over [[toTensor]]: `Dataset[PlayTensor]` for callers
+    * that want compile-time row shape (e.g. an ML batch writer); the
+    * DataFrame plan is identical — the Encoder only types the boundary.
+    */
+  def toTensorDS(
+      pool: DataFrame,
+      features: Seq[String] = defaultFeatures,
+      maxFrames: Int = 0,
+      maxEntities: Int = 23): org.apache.spark.sql.Dataset[PlayTensor] = {
+    val sp = pool.sparkSession
+    import sp.implicits._
+    toTensor(pool, features, maxFrames, maxEntities)
+      .select(col("gameId").cast("long"), col("playId").cast("int"),
+        col("n_frames"), col("tensor"))
+      .as[PlayTensor]
+  }
+
   /** Per-entity trajectory tensor (T2 in wide form): one row per
     * (play, entity) with a frame-ordered `(frames × features)` matrix.
     */

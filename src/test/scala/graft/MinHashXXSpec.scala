@@ -59,17 +59,26 @@ class MinHashXXSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
-  test("SQL registration via SparkSessionExtensions wiring") {
-    // the injector registers cleanly; exercise the builder path on a
-    // cloned session
-    val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftExtensions().apply(ext)
-    // direct expression use through SQL on the shared session
-    val fromSql = docs
+  test("SQL registration via SparkSessionExtensions") {
+    // the shared test session is built with
+    // spark.sql.extensions=graft.GraftExtensions → the functions resolve
+    // through the SQL parser
+    val sig = spark.sql(
+      "SELECT graft_minhash(array('a b', 'b c', 'c d'), 4, 7) AS sig")
+      .head().getAs[scala.collection.Seq[Long]]("sig")
+    assert(sig.length == 4 && sig.forall(_ != Long.MaxValue))
+    val cos = spark.sql(
+      """SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                    array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))
+        |       AS c""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    // DataFrame-API path through the Column bridge
+    val fromApi = docs
       .select(col("doc_id"), TextOps.tokensSimple(col("text")).as("toks"))
       .select(col("doc_id"), TextOps.shingles(col("toks"), 3).as("sh"))
       .select(TextOps.minhashSigFast(col("sh"), 4, 7L).as("sig"))
       .head().getAs[scala.collection.Seq[Long]]("sig")
-    assert(fromSql.length == 4)
+    assert(fromApi.length == 4)
   }
 }

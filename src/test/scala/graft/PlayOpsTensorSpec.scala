@@ -81,6 +81,15 @@ class PlayOpsTensorSpec extends SparkSpec {
     assert(frame0.last(0) != 0f || frame0.last(1) != 0f) // ball present
   }
 
+  test("typed Dataset[PlayTensor] surface round-trips the tensor") {
+    val ds = Tensor.toTensorDS(pool, Seq("x", "y"), maxFrames = 60,
+      maxEntities = 23)
+    val pt = ds.head()
+    assert(pt.n_frames == 50)
+    assert(pt.tensor.length == 60 && pt.tensor.head.length == 23)
+    assert(ds.count() == 10)
+  }
+
   test("entityTensor: one (play, entity) row with frames × features") {
     val et = Tensor.entityTensor(pool, Seq("x", "y"))
     assert(et.count() == 10L * 23)
