@@ -73,6 +73,48 @@ object OracleSql {
        |SELECT doc_id, ($terms)::BIGINT AS simhash16 FROM h""".stripMargin
   }
 
+  /** Near-dup clustering oracle: the whole LSH pipeline in SQL —
+    * signatures → bucket self-join candidates → signature-agreement
+    * est-Jaccard (k/32 is a dyadic rational, so the ≥ threshold
+    * comparison is exact on both engines) → symmetric edges →
+    * recursive-CTE transitive closure → min reachable id per doc.
+    */
+  private val q29 = {
+    val sigCols = (0 until 32).map(j => s"${sigExpr(j)} AS s$j").mkString(", ")
+    val bands = (0 until 8).mkString(", ")
+    val buckets = (0 until 8).map { b =>
+      val parts = (0 until 4).map(r => s"s${b * 4 + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"md5($parts)"
+    }.mkString(", ")
+    val agree = (0 until 32)
+      .map(j => s"CASE WHEN ga.s$j = gb.s$j THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"""WITH RECURSIVE
+       |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |s AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh FROM t),
+       |h AS (SELECT doc_id,
+       |        list_transform(sh, x -> ${h32("x")} % $P) AS hs FROM s),
+       |g AS (SELECT doc_id, $sigCols FROM h),
+       |bk AS (SELECT doc_id,
+       |         unnest([$bands]) AS band,
+       |         unnest([$buckets]) AS bucket FROM g),
+       |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |         FROM bk a JOIN bk b
+       |           ON a.band = b.band AND a.bucket = b.bucket
+       |          AND a.doc_id < b.doc_id),
+       |p AS (SELECT ia, ib FROM cand
+       |      JOIN g ga ON ga.doc_id = ia
+       |      JOIN g gb ON gb.doc_id = ib
+       |      WHERE $agree / 32.0 >= 0.5),
+       |e AS (SELECT ia AS s, ib AS t FROM p
+       |      UNION SELECT ib, ia FROM p),
+       |r AS (SELECT doc_id AS s, doc_id AS t FROM documents
+       |      UNION SELECT r.s, e.t FROM r JOIN e ON r.t = e.s)
+       |SELECT s AS doc_id, min(t) AS cluster FROM r GROUP BY s""".stripMargin
+  }
+
   /** Left-fold dot product over 1-based list indices — the identical
     * operation chain to SimSearch.dot (element-wise double casts, then a
     * sequential sum), so the doubles agree bit-for-bit.
@@ -220,6 +262,7 @@ object OracleSql {
     "q14_minhash" -> q14,
     "q15_lsh_buckets" -> q15,
     "q17_cosine_topk" -> q17,
+    "q29_dedup_clusters" -> q29,
 
     "q19_text_stats" ->
       s"""SELECT doc_id,

@@ -318,6 +318,20 @@ object SparkEntry {
     SimSearch.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       cellCol = "label", queryPred = col("vec_id") < 20, k = 5, nprobe = 2)
 
+  /** Near-dup clustering: LSH candidate pairs at est-Jaccard ≥ 0.5 →
+    * connected components → (doc_id, cluster). The oracle replays the
+    * full pipeline in SQL: signature CTEs, bucket self-join, per-pair
+    * signature agreement, then a recursive-CTE transitive closure.
+    */
+  def q29_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDupPairs(docs(s, dir), "text", "doc_id",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b")
+    val ids = t(s, dir, "documents").select(col("doc_id").as("id"))
+    Dedup.clusterLabels(ids, pairs)
+      .select(col("id").as("doc_id"), col("cluster"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -348,7 +362,8 @@ object SparkEntry {
     "q25_multimodal_meta" -> (q25_multimodal_meta(_, _)),
     "q26_ingest_roundtrip" -> (q26_ingest_roundtrip(_, _)),
     "q27_ivf_topk" -> (q27_ivf_topk(_, _)),
-    "q28_salted_join" -> (q28_salted_join(_, _)))
+    "q28_salted_join" -> (q28_salted_join(_, _)),
+    "q29_dedup_clusters" -> (q29_dedup_clusters(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -86,7 +86,7 @@ object EventOps {
 
   /** Per-type daily counts — the monitoring rollup. */
   def dailyTypeCounts(events: DataFrame): DataFrame =
-    events
+    normalizeTs(events)
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
 }

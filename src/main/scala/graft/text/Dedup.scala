@@ -76,6 +76,53 @@ object Dedup {
       size(array_union(da, db))
   }
 
+  /** Near-dup CLUSTERS from pairwise matches: connected components via
+    * iterative min-label propagation. Each round every node adopts the
+    * minimum label among itself and its neighbors; convergence takes at
+    * most graph-diameter rounds (checked per round, capped at `maxIter`).
+    *
+    * Scale shape: each round is one equi-join + one min-aggregation —
+    * both shuffle on ids only; `localCheckpoint` truncates lineage so
+    * round N's plan does not replay rounds 1..N-1. Near-dup graphs have
+    * tiny diameters (dup clusters are near-cliques), so rounds ≈ 2-4 in
+    * practice. The driver loop carries only a convergence counter.
+    *
+    * Output: (id, cluster) for every id in `ids` — singletons keep their
+    * own id as the cluster label; the label is the minimal member id.
+    */
+  def clusterLabels(
+      ids: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("s"), col("id_b").as("t"))
+      .union(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
+      .distinct()
+    var labels = ids
+      .select(col(ids.columns.head).as("id"),
+        col(ids.columns.head).as("cluster"))
+      .localCheckpoint()
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("t"), col("cluster").as("nc")), "t")
+        .groupBy(col("s").as("id"))
+        .agg(min("nc").as("nmin"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("cluster", "prev"), "id")
+        .filter(col("cluster") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** End-to-end MinHash-LSH near-dup pairs over a text column: shingle →
     * sign → band → bucket-join → signature-verify at `threshold`.
     * `numHashes = bands * rowsPerBand`.

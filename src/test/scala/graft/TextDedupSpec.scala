@@ -61,6 +61,22 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("clusterLabels: transitive closure with min labels, singletons kept") {
+    val ids = (1L to 9L).toDF("id")
+    // chain 1-2-3, pair 5-6, isolated 4/7/8/9
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterLabels(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(5L) == 5L && labels(6L) == 5L)
+    assert(Seq(4L, 7L, 8L, 9L).forall(i => labels(i) == i))
+    // a longer chain still converges (diameter > 2)
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val l2 = Dedup.clusterLabels(ids, chain)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(l2 == Set(1L))
+  }
+
   test("exact jaccard over token sets") {
     val j = docs.as("a").join(docs.as("b"),
       col("a.doc_id") === 0L && col("b.doc_id") === 2L)
