@@ -92,10 +92,14 @@ object Dedup {
     */
   def clusterLabels(
       ids: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once — every propagation round joins it,
+    // and without the checkpoint each round would replay the (expensive)
+    // pair-generation pipeline feeding `pairs`
     val edges = pairs
       .select(col("id_a").as("s"), col("id_b").as("t"))
       .union(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
       .distinct()
+      .localCheckpoint()
     var labels = ids
       .select(col(ids.columns.head).as("id"),
         col(ids.columns.head).as("cluster"))
