@@ -98,6 +98,16 @@ class TextDedupSpec extends SparkSpec {
     assert(f(0L)._2 == f(1L)._2)                          // bag-of-words
   }
 
+  test("BPE-ish tokenizer splits letter/digit runs and punctuation") {
+    val toks = Seq((0L, "don't stop, v2!")).toDF("doc_id", "text")
+      .select(TextOps.tokensBpeish(col("text")).as("t"),
+        TextOps.tokenEstimate(col("text")).as("n"))
+      .head()
+    assert(toks.getAs[scala.collection.Seq[String]]("t").toSeq ==
+      Seq("don", "'", "t", "stop", ",", "v", "2", "!"))
+    assert(toks.getAs[Int]("n") == 8)
+  }
+
   test("langId picks marker-dominant language; quality in [0,1]") {
     val out = docs.select(col("doc_id"),
       TextOps.langId(TextOps.tokensSimple(col("text"))).as("lang"),
