@@ -79,6 +79,74 @@ object EventOps {
         round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** Typed rows for the stateful streaming sessionizer. */
+  final case class SessionEvent(
+      user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class OpenSession(
+      start: Long, end: Long, n: Long, sum: Double)
+  final case class SessionOut(
+      user_id: Long, session_start: Long, session_end: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Streaming sessionization with custom state
+    * (`flatMapGroupsWithState`, event-time timeout): per user, events
+    * extend the open session while gaps stay under `gapMinutes`; a larger
+    * gap (or the watermark passing the session's timeout) closes it and
+    * emits one [[SessionOut]] row. The stateful twin of [[sessionize]] —
+    * state per key is ONE OpenSession record, so memory is bounded by
+    * the live-user count, and the event-time timeout guarantees every
+    * session eventually closes even if its user goes silent.
+    */
+  def sessionizeStream(
+      events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapMinutes: Int = 30,
+      watermark: String = "1 hour"):
+      org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapSec = gapMinutes * 60L
+    implicit val stateEnc = org.apache.spark.sql.Encoders.product[OpenSession]
+    implicit val outEnc = org.apache.spark.sql.Encoders.product[SessionOut]
+    implicit val longEnc = org.apache.spark.sql.Encoders.scalaLong
+
+    def fn(userId: Long, rows: Iterator[SessionEvent],
+        state: GroupState[OpenSession]): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      def close(s: OpenSession): Unit =
+        out += SessionOut(userId, s.start, s.end, s.n, s.sum)
+
+      if (state.hasTimedOut) {
+        state.getOption.foreach(close)
+        state.remove()
+      } else {
+        var cur = state.getOption
+        rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val t = e.ts.getTime / 1000
+          cur match {
+            case Some(s) if t - s.end <= gapSec =>
+              cur = Some(OpenSession(s.start, math.max(s.end, t),
+                s.n + 1, s.sum + e.value))
+            case Some(s) =>
+              close(s)
+              cur = Some(OpenSession(t, t, 1, e.value))
+            case None =>
+              cur = Some(OpenSession(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp((s.end + gapSec) * 1000)
+        }
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /** JSON props access (`get_json_object` — no parsing UDF). */
   def propInt(events: DataFrame, key: String, as: String): DataFrame =
     events.withColumn(as,

@@ -85,6 +85,47 @@ class IngestPoolSpec extends SparkSpec {
     assert(joined.count() == pool.count()) // left join preserves the pool
   }
 
+  test("partial-bad batch: the broken file is skipped, good files land") {
+    val in = tmpDir("inpartial")
+    val poolRoot = tmpDir("poolpartial")
+    SyntheticTracking.writeCsv2018(spark, s"$in/good", games = 1, plays = 2,
+      frames = 10)
+    new java.io.File(s"$in/good").listFiles()
+      .filter(_.getName.endsWith(".csv")).zipWithIndex.foreach {
+        case (f, i) => java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$in/good-$i.csv"))
+      }
+    // a csv whose header has none of the schema's columns → normalize
+    // drops the partition key → file isolated as bad
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(in, "junk.csv"),
+      "foo,bar\n1,2\n3,4\n")
+    val res = Ingest.run(spark, in, poolRoot, Vintages.bdb2018)
+    assert(res.badFiles.map(f => f.substring(f.lastIndexOf('/') + 1)) ==
+      Seq("junk.csv"))
+    assert(res.summary.rows == 460L) // the good file fully landed
+  }
+
+  test("malformed rows inside a good CSV are tolerated (PERMISSIVE)") {
+    val in = tmpDir("inperm")
+    val poolRoot = tmpDir("poolperm")
+    // hand-written CSV: one clean row, one row with a garbage gameId and
+    // a short row — tolerant casts null the garbage, the file still lands
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(in, "drop.csv"),
+      """gameId,playId,nflId,frameId,team,x,y
+        |2023090001,50,40000,1,home,10.0,20.0
+        |NOT_A_NUMBER,50,40001,2,home,10.5,20.5
+        |2023090001,50,40002,3,home,11.0
+        |""".stripMargin)
+    val res = Ingest.run(spark, in, poolRoot, Vintages.canonical)
+    assert(res.badFiles.isEmpty)
+    // all three rows survive; the garbage gameId row is dropped only at
+    // the partitioned write (null partition key), not at read
+    assert(res.summary.rows == 3L)
+    assert(Pool(spark, poolRoot).df.count() == 2L) // null-key row skipped
+  }
+
   test("all-bad input warns and returns empty, not a crash") {
     val in = tmpDir("inbad")
     java.nio.file.Files.writeString(

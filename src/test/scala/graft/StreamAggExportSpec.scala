@@ -41,6 +41,39 @@ class StreamAggExportSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful streaming sessionization closes sessions on gap and timeout") {
+    implicit val sq = spark.sqlContext
+    import EventOps.SessionEvent
+    val mem = MemoryStream[SessionEvent]
+    val query = EventOps.sessionizeStream(mem.toDS(), gapMinutes = 30,
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // two events 10 min apart (same session), then a 2-hour jump: the
+      // jump event both closes the first session via the gap rule and
+      // advances the watermark
+      mem.addData(
+        SessionEvent(7L, ts("2024-01-01 10:00:00"), 1.0),
+        SessionEvent(7L, ts("2024-01-01 10:10:00"), 2.0))
+      query.processAllAvailable()
+      mem.addData(SessionEvent(7L, ts("2024-01-01 12:30:00"), 4.0))
+      query.processAllAvailable()
+      mem.addData(SessionEvent(8L, ts("2024-01-01 16:00:00"), 8.0))
+      query.processAllAvailable()
+
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"))
+          -> (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+      val s1 = ts("2024-01-01 10:00:00").getTime / 1000
+      assert(rows((7L, s1)) == (2L, 3.0)) // closed by the gap
+      // the 12:30 session closed by event-time timeout once the
+      // watermark (16:00 - 10min) passed its end + gap
+      val s2 = ts("2024-01-01 12:30:00").getTime / 1000
+      assert(rows((7L, s2)) == (1L, 4.0))
+    } finally query.stop()
+  }
+
   test("CSV export round-trip: canonical sort, single header file") {
     val out = tmpDir("export")
     val df = SyntheticTracking.df(spark, games = 1, plays = 1, frames = 5)
