@@ -315,6 +315,27 @@ object OracleSql {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
 
+    "q30_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id AS purchase_id,
+        |        value AS purchase_value FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+        |  p.purchase_id, p.purchase_value
+        |FROM c ASOF JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "q31_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "q28_salted_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
         |  l.l_quantity, o.o_orderstatus, o.o_totalprice

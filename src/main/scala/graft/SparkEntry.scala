@@ -332,6 +332,30 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("cluster"))
   }
 
+  /** As-of join: every click gets its user's latest preceding (or
+    * simultaneous) purchase. DuckDB's native ASOF JOIN is the oracle.
+    */
+  def q30_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = EventOps.normalizeTs(t(s, dir, "events"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    Relational.asofJoin(clicks, purchases, Seq("user_id"), "ts",
+      Map("p_event_id" -> "purchase_id", "p_value" -> "purchase_value"))
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("click_epoch"),
+        col("purchase_id"), col("purchase_value"))
+  }
+
+  /** Long→wide pivot: per-user event-type counts with a fixed category
+    * list (single-pass, no discovery job).
+    */
+  def q31_pivot(s: SparkSession, dir: String): DataFrame =
+    Relational.pivotCounts(t(s, dir, "events"), "user_id", "event_type",
+      Seq("click", "error", "purchase", "signup", "view"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -363,7 +387,9 @@ object SparkEntry {
     "q26_ingest_roundtrip" -> (q26_ingest_roundtrip(_, _)),
     "q27_ivf_topk" -> (q27_ivf_topk(_, _)),
     "q28_salted_join" -> (q28_salted_join(_, _)),
-    "q29_dedup_clusters" -> (q29_dedup_clusters(_, _)))
+    "q29_dedup_clusters" -> (q29_dedup_clusters(_, _)),
+    "q30_asof_join" -> (q30_asof_join(_, _)),
+    "q31_pivot" -> (q31_pivot(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -77,6 +77,61 @@ object Relational {
   def sortLimit(df: DataFrame, cols: Seq[String], n: Int): DataFrame =
     df.orderBy(cols.map(col): _*).limit(n)
 
+  /** As-of join: for every left row, the single latest right row with
+    * `right.ts <= left.ts` within the same key (the time-series join
+    * Spark lacks as a primitive). Implemented union-then-window: both
+    * sides interleave into one partition-by-key, order-by-(ts, side,
+    * tieBreak) stream and `last(payload, ignoreNulls)` carries the most
+    * recent right payload forward onto each left row. ONE shuffle + sort
+    * regardless of side sizes — no join explosion, no per-row probing;
+    * right rows sort before left rows at equal timestamps so an exact-ts
+    * match is visible. Inner semantics: left rows with no prior right row
+    * are dropped.
+    *
+    * @param payloadCols right-side columns to carry (renamed as given)
+    * @param tieBreak    deterministic order among equal-ts right rows
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+      payloadCols: Map[String, String], tieBreak: Seq[String] = Nil)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val payload = payloadCols.toSeq.sortBy(_._1)
+    val l = left
+      .withColumn("_src", lit(1))
+    val r = right.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(0).as("_src")) ++
+        payload.map { case (from, to) => col(from).as(s"_p_$to") } ++
+        tieBreak.map(c => col(c).as(s"_tb_$c")): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc +: col("_src").asc +:
+        tieBreak.map(c => col(s"_tb_$c").asc): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = payload.foldLeft(unioned) { case (df, (_, to)) =>
+      df.withColumn(to, last(col(s"_p_$to"), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("_src") === 1 &&
+        payload.headOption.map(p => col(p._2).isNotNull).getOrElse(lit(true)))
+      .drop("_src")
+      .drop(payload.map(p => s"_p_${p._2}") ++
+        tieBreak.map(c => s"_tb_$c"): _*)
+  }
+
+  /** Long→wide pivot: one row per key, one column per (known) pivot
+    * value, cells aggregated by count. Fixed value list keeps the plan
+    * single-pass (no values-discovery job) — the right call at scale
+    * where the category set is known.
+    */
+  def pivotCounts(
+      df: DataFrame, keyCol: String, pivotCol: String,
+      values: Seq[String]): DataFrame =
+    df.groupBy(col(keyCol))
+      .pivot(pivotCol, values)
+      .agg(count(lit(1)))
+      .na.fill(0, values)
+
   /** Skew-safe equi-join for a big, key-skewed fact side against a small
     * dimension side: the big side gets a uniform salt (partition-id mod
     * `saltFactor` — any spread works, determinism not required for a

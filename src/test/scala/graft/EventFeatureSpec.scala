@@ -42,6 +42,36 @@ class EventFeatureSpec extends SparkSpec {
     assert(s((8L, 0L)) == 1L)
   }
 
+  test("asofJoin picks the latest right row at or before each left ts") {
+    val clicks = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 12:00:00")),
+      (3L, 7L, ts("2024-01-01 09:00:00")), // before any purchase → dropped
+      (4L, 8L, ts("2024-01-01 10:30:00")))
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (7L, ts("2024-01-01 09:30:00"), 100.0),
+      (7L, ts("2024-01-01 11:00:00"), 200.0),
+      (8L, ts("2024-01-01 10:30:00"), 300.0)) // exact-ts match counts
+      .toDF("user_id", "ts", "amount")
+    val joined = graft.operators.Relational.asofJoin(
+      clicks, purchases, Seq("user_id"), "ts",
+      Map("amount" -> "purchase_amount"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Double]("purchase_amount")).toMap
+    assert(joined == Map(1L -> 100.0, 2L -> 200.0, 4L -> 300.0))
+  }
+
+  test("pivotCounts: fixed-category wide counts with zero fill") {
+    val wide = graft.operators.Relational.pivotCounts(
+      events, "user_id", "event_type", Seq("click", "view", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("click"), r.getAs[Long]("view"),
+          r.getAs[Long]("purchase"))).toMap
+    assert(wide(7L) == (2L, 1L, 0L)) // no purchases → 0, not null
+    assert(wide(8L) == (0L, 1L, 0L))
+  }
+
   test("json prop extraction without UDFs") {
     val p = EventOps.propInt(events, "k", "k").select("event_id", "k")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
