@@ -20,12 +20,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSigXX].getName, "graft_minhash"),
       (children: Seq[Expression]) => {
-        require(children.size == 3,
-          "usage: graft_minhash(shingles, numHashes, seed)")
+        val usage = "usage: graft_minhash(shingles, numHashes, seed) — " +
+          "numHashes and seed must be integral literals"
+        require(children.size == 3, usage)
+        def intArg(e: Expression, name: String): Long = {
+          require(e.foldable, s"$name is not a constant; $usage")
+          e.eval() match {
+            case n: java.lang.Number => n.longValue
+            case other =>
+              throw new IllegalArgumentException(
+                s"$name must be integral, got $other; $usage")
+          }
+        }
         MinHashSigXX(
           children.head,
-          children(1).eval().asInstanceOf[Number].intValue,
-          children(2).eval().asInstanceOf[Number].longValue)
+          intArg(children(1), "numHashes").toInt,
+          intArg(children(2), "seed"))
       }))
 
     ext.injectFunction((

@@ -324,8 +324,9 @@ object OracleSql {
         |SELECT c.event_id, c.user_id,
         |  CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
         |  p.purchase_id, p.purchase_value
-        |FROM c ASOF JOIN p
-        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+        |FROM c JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+        |QUALIFY row_number() OVER (PARTITION BY c.event_id
+        |  ORDER BY p.ts DESC, p.purchase_id DESC) = 1""".stripMargin,
 
     "q31_pivot" ->
       """SELECT user_id,

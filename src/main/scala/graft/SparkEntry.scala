@@ -343,7 +343,8 @@ object SparkEntry {
       .select(col("user_id"), col("ts"),
         col("event_id").as("p_event_id"), col("value").as("p_value"))
     Relational.asofJoin(clicks, purchases, Seq("user_id"), "ts",
-      Map("p_event_id" -> "purchase_id", "p_value" -> "purchase_value"))
+      Map("p_event_id" -> "purchase_id", "p_value" -> "purchase_value"),
+      tieBreak = Seq("p_event_id"))
       .select(col("event_id"), col("user_id"),
         unix_timestamp(col("ts")).as("click_epoch"),
         col("purchase_id"), col("purchase_value"))

@@ -88,6 +88,12 @@ object Relational {
     * match is visible. Inner semantics: left rows with no prior right row
     * are dropped.
     *
+    * The whole payload travels as ONE struct carried by a single
+    * `last(ignoreNulls)`, so every output row's payload fields come from
+    * the same right row even when individual fields are null, and the
+    * struct's own non-nullness (never null for a right row, even one with
+    * all-null fields) is the match marker for the inner filter.
+    *
     * @param payloadCols right-side columns to carry (renamed as given)
     * @param tieBreak    deterministic order among equal-ts right rows
     */
@@ -100,23 +106,21 @@ object Relational {
     val l = left
       .withColumn("_src", lit(1))
     val r = right.select(
-      keys.map(col) ++ Seq(col(tsCol), lit(0).as("_src")) ++
-        payload.map { case (from, to) => col(from).as(s"_p_$to") } ++
+      keys.map(col) ++ Seq(col(tsCol), lit(0).as("_src"),
+        struct(payload.map { case (from, to) => col(from).as(to) }: _*)
+          .as("_pay")) ++
         tieBreak.map(c => col(c).as(s"_tb_$c")): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc +: col("_src").asc +:
         tieBreak.map(c => col(s"_tb_$c").asc): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = payload.foldLeft(unioned) { case (df, (_, to)) =>
-      df.withColumn(to, last(col(s"_p_$to"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned
+      .withColumn("_pc", last(col("_pay"), ignoreNulls = true).over(w))
     carried
-      .filter(col("_src") === 1 &&
-        payload.headOption.map(p => col(p._2).isNotNull).getOrElse(lit(true)))
-      .drop("_src")
-      .drop(payload.map(p => s"_p_${p._2}") ++
-        tieBreak.map(c => s"_tb_$c"): _*)
+      .filter(col("_src") === 1 && col("_pc").isNotNull)
+      .select(left.columns.map(col) ++
+        payload.map { case (_, to) => col("_pc").getField(to).as(to) }: _*)
   }
 
   /** Long→wide pivot: one row per key, one column per (known) pivot
