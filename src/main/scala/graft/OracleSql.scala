@@ -73,6 +73,38 @@ object OracleSql {
        |SELECT doc_id, ($terms)::BIGINT AS simhash16 FROM h""".stripMargin
   }
 
+  /** Near-dup candidate pairs oracle: signatures → bucket self-join →
+    * signature-agreement est-Jaccard at threshold 0.2 (the q29 pipeline
+    * stopped at the pair stage).
+    */
+  private val q16 = {
+    val sigCols = (0 until 32).map(j => s"${sigExpr(j)} AS s$j").mkString(", ")
+    val bands = (0 until 8).mkString(", ")
+    val buckets = (0 until 8).map { b =>
+      val parts = (0 until 4).map(r => s"s${b * 4 + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"md5($parts)"
+    }.mkString(", ")
+    val agree = (0 until 32)
+      .map(j => s"CASE WHEN ga.s$j = gb.s$j THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"""$minhashCtes,
+       |g AS (SELECT doc_id, $sigCols FROM h),
+       |bk AS (SELECT doc_id,
+       |         unnest([$bands]) AS band,
+       |         unnest([$buckets]) AS bucket FROM g),
+       |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |         FROM bk a JOIN bk b
+       |           ON a.band = b.band AND a.bucket = b.bucket
+       |          AND a.doc_id < b.doc_id)
+       |SELECT ia AS id_a, ib AS id_b,
+       |  round($agree / 32.0, 6) AS est_jaccard
+       |FROM cand
+       |JOIN g ga ON ga.doc_id = ia
+       |JOIN g gb ON gb.doc_id = ib
+       |WHERE $agree / 32.0 >= 0.2""".stripMargin
+  }
+
   /** Near-dup clustering oracle: the whole LSH pipeline in SQL —
     * signatures → bucket self-join candidates → signature-agreement
     * est-Jaccard (k/32 is a dyadic rational, so the ≥ threshold
@@ -136,6 +168,94 @@ object OracleSql {
        |r AS (SELECT qid, cid, cos_sim,
        |        row_number() OVER (PARTITION BY qid
        |          ORDER BY cos_sim DESC, cid) AS rn FROM p)
+       |SELECT qid, (rn - 1)::INTEGER AS rank, cid AS neighbor, cos_sim
+       |FROM r WHERE rn <= 5""".stripMargin
+  }
+
+  /** Literal weight list for hyperplane `p` — the identical md5-derived
+    * doubles [[graft.sim.SimSearch.planeWeight]] uses, embedded as SQL
+    * literals (k/1000 values round-trip exactly through toString).
+    */
+  private def planeList(p: Int, dim: Int): String =
+    (0 until dim).map(d => graft.sim.SimSearch.planeWeight(p, d))
+      .mkString("[", ", ", "]")
+
+  /** Sign-bit bucket of vector column `v` under the fixed hyperplanes —
+    * replays [[graft.sim.SimSearch.simhashBucket]]: per plane, the same
+    * left-fold dot product, sign test, bit weight.
+    */
+  private def bucketExpr(v: String, planes: Int, dim: Int): String =
+    (0 until planes).map { p =>
+      s"""CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}),
+         |    i -> $v[i]::DOUBLE * (${planeList(p, dim)})[i]),
+         |    (x, y) -> x + y) >= 0
+         |  THEN ${1L << p} ELSE 0 END""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  /** ANN oracle: bucket both sides with the replayed hyperplanes, join on
+    * bucket, exact cosine rank within — deterministic because every float
+    * op (plane dots, cosine folds) is the same IEEE chain on both engines.
+    */
+  private val q18 = {
+    val dim = 64
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |             ${bucketExpr("embedding", 6, dim)} AS bucket
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM e
+       |      WHERE vec_id < 50),
+       |c AS (SELECT vec_id AS cid, embedding AS cv, bucket FROM e),
+       |p AS (SELECT qid, cid,
+       |        round(${duckDot("qv", "cv", dim)} /
+       |          (sqrt(${duckDot("qv", "qv", dim)}) *
+       |           sqrt(${duckDot("cv", "cv", dim)})), 6) AS cos_sim
+       |      FROM q JOIN c USING (bucket) WHERE qid != cid),
+       |r AS (SELECT qid, cid, cos_sim,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos_sim DESC, cid) AS rn FROM p)
+       |SELECT qid, (rn - 1)::INTEGER AS rank, cid AS neighbor, cos_sim
+       |FROM r WHERE rn <= 5""".stripMargin
+  }
+
+  /** IVF oracle: id-ordered centroid fold (bit-identical to the Spark
+    * side's sort_array fold), nprobe=2 nearest cells by unrounded cosine,
+    * then exact cosine top-5 within the probed cells.
+    */
+  private val q27 = {
+    val dim = 64
+    val centroidCos =
+      s"""(${duckDot("qv", "centroid", dim)} /
+         |  (sqrt(${duckDot("qv", "qv", dim)}) *
+         |   sqrt(${duckDot("centroid", "centroid", dim)})))""".stripMargin
+    s"""WITH b AS (SELECT vec_id, embedding, label AS cell FROM embeddings),
+       |cs AS (SELECT cell, count(*) AS n,
+       |         list(embedding ORDER BY vec_id) AS vs
+       |       FROM b GROUP BY cell),
+       |cen AS (SELECT cell, n,
+       |          list_transform(
+       |            list_reduce(
+       |              list_transform(vs,
+       |                v -> list_transform(v, x -> x::DOUBLE)),
+       |              (a, c) -> list_transform(range(1, ${dim + 1}),
+       |                          i -> a[i] + c[i])),
+       |            s -> s / n) AS centroid
+       |        FROM cs),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM b
+       |      WHERE vec_id < 20),
+       |pc AS (SELECT qid, cell,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY $centroidCos DESC, cell) AS rn
+       |       FROM q CROSS JOIN cen),
+       |pr AS (SELECT qid, cell FROM pc WHERE rn <= 2),
+       |cd AS (SELECT p.qid, c.vec_id AS cid,
+       |         round(${duckDot("q.qv", "c.embedding", dim)} /
+       |           (sqrt(${duckDot("q.qv", "q.qv", dim)}) *
+       |            sqrt(${duckDot("c.embedding", "c.embedding", dim)})), 6)
+       |           AS cos_sim
+       |       FROM pr p JOIN q ON q.qid = p.qid
+       |       JOIN b c ON c.cell = p.cell AND c.vec_id != p.qid),
+       |r AS (SELECT qid, cid, cos_sim,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos_sim DESC, cid) AS rn FROM cd)
        |SELECT qid, (rn - 1)::INTEGER AS rank, cid AS neighbor, cos_sim
        |FROM r WHERE rn <= 5""".stripMargin
   }
@@ -261,7 +381,10 @@ object OracleSql {
 
     "q14_minhash" -> q14,
     "q15_lsh_buckets" -> q15,
+    "q16_near_dup_pairs" -> q16,
     "q17_cosine_topk" -> q17,
+    "q18_ann_topk" -> q18,
+    "q27_ivf_topk" -> q27,
     "q29_dedup_clusters" -> q29,
 
     "q19_text_stats" ->

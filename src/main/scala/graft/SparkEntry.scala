@@ -200,20 +200,24 @@ object SparkEntry {
     Dedup.lshBuckets(signed, "doc_id", "sig", bands = 8, rowsPerBand = 4)
   }
 
-  /** Near-dup candidate pairs with signature-estimated Jaccard (the full
-    * MinHash-LSH pipeline; not SQL-expressible → rows-only check).
+  /** Near-dup candidate pairs with signature-estimated Jaccard — the full
+    * MinHash-LSH pipeline, replayed end-to-end by the DuckDB oracle
+    * (signatures → bucket self-join → agreement fraction; est-Jaccard is
+    * k/32, a dyadic rational, so the threshold compare is exact).
     */
   def q16_near_dup_pairs(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupPairs(docs(s, dir), "text", "doc_id",
-      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.2)
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.2,
+      tokenizer = TextOps.tokensSimple)
 
   /** Brute-force cosine top-k similarity search (exact ANN baseline). */
   def q17_cosine_topk(s: SparkSession, dir: String): DataFrame =
     SimSearch.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       col("vec_id") < 10, k = 5)
 
-  /** SimHash-bucketed ANN top-k (the 100 TB scale path; bucket recall is
-    * probabilistic → rows-only check).
+  /** SimHash-bucketed ANN top-k (the 100 TB scale path). The hyperplanes
+    * are md5-derived ([[graft.sim.SimSearch.planeWeight]]) so the oracle
+    * replays the exact bucketing and ranking in SQL.
     */
   def q18_ann_topk(s: SparkSession, dir: String): DataFrame =
     SimSearch.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -311,8 +315,9 @@ object SparkEntry {
       dim, Seq("l_orderkey"), saltFactor = 8)
   }
 
-  /** IVF-style ANN: label-cell coarse quantization + nprobe search
-    * (probabilistic recall → rows-only check).
+  /** IVF-style ANN: label-cell coarse quantization + nprobe search. The
+    * id-ordered centroid fold makes the whole pipeline deterministic, so
+    * the oracle replays it (centroids, probe choice, final rank) in SQL.
     */
   def q27_ivf_topk(s: SparkSession, dir: String): DataFrame =
     SimSearch.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",

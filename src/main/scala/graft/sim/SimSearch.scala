@@ -155,11 +155,17 @@ object SimSearch {
       emb: DataFrame, idCol: String, vecCol: String, cellCol: String,
       queryPred: Column, k: Int, nprobe: Int = 2): DataFrame = {
     val dim = 64
-    // per-cell mean vector: fold vectors into a sum array + count
+    // per-cell mean vector: fold vectors into a sum array + count. The
+    // fold runs in id order (sort_array over (id, vec) structs), so the
+    // float accumulation chain — and hence the centroid bits — is
+    // deterministic under any partitioning and replayable by the oracle.
     val centroids = emb.groupBy(col(cellCol).as("cell"))
       .agg(
         aggregate(
-          collect_list(col(vecCol)),
+          transform(
+            sort_array(collect_list(struct(col(idCol).as("i"),
+              col(vecCol).as("v")))),
+            _.getField("v")),
           array_repeat(lit(0.0), dim),
           (acc, v) => zip_with(acc, v, (a, x) => a + x.cast("double")))
           .as("vsum"),

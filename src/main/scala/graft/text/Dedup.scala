@@ -129,18 +129,21 @@ object Dedup {
 
   /** End-to-end MinHash-LSH near-dup pairs over a text column: shingle →
     * sign → band → bucket-join → signature-verify at `threshold`.
-    * `numHashes = bands * rowsPerBand`.
+    * `numHashes = bands * rowsPerBand`. `tokenizer` defaults to the
+    * production whitespace split; gate queries pass
+    * [[TextOps.tokensSimple]] so a SQL oracle can replay the split.
     */
   def nearDupPairs(
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      tokenizer: Column => Column = TextOps.tokens): DataFrame = {
     val numHashes = bands * rowsPerBand
     // staged projections so tokens/shingles materialize once per row —
     // nesting them into one expression would re-split the text inside the
     // shingle lambda for every element
     val signed = df
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), tokenizer(col(textCol)).as("_toks"))
       .select(col(idCol), TextOps.shingles(col("_toks"), shingleK).as("_sh"))
       .select(col(idCol), TextOps.minhashSig(col("_sh"), numHashes).as("sig"))
     val pairs = candidatePairs(lshBuckets(signed, idCol, "sig",
