@@ -260,6 +260,70 @@ object OracleSql {
        |FROM r WHERE rn <= 5""".stripMargin
   }
 
+  /** Exact-Jaccard oracle: q16's candidate CTEs, then distinct-set
+    * intersection / union sizes over the shingle arrays (the same
+    * distinct semantics as Spark's array_intersect/array_union, with the
+    * same greatest(…,1) guard for the empty∪empty pair).
+    */
+  private val q33 = {
+    val sigCols = (0 until 32).map(j => s"${sigExpr(j)} AS s$j").mkString(", ")
+    val bands = (0 until 8).mkString(", ")
+    val buckets = (0 until 8).map { b =>
+      val parts = (0 until 4).map(r => s"s${b * 4 + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"md5($parts)"
+    }.mkString(", ")
+    s"""$minhashCtes,
+       |g AS (SELECT doc_id, $sigCols FROM h),
+       |bk AS (SELECT doc_id,
+       |         unnest([$bands]) AS band,
+       |         unnest([$buckets]) AS bucket FROM g),
+       |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |         FROM bk a JOIN bk b
+       |           ON a.band = b.band AND a.bucket = b.bucket
+       |          AND a.doc_id < b.doc_id)
+       |SELECT ia AS id_a, ib AS id_b,
+       |  round(
+       |    len(list_filter(list_distinct(sa.sh),
+       |      x -> list_contains(sb.sh, x)))::DOUBLE /
+       |    greatest(len(list_distinct(sa.sh || sb.sh)), 1), 6) AS jaccard
+       |FROM cand
+       |JOIN s sa ON sa.doc_id = ia
+       |JOIN s sb ON sb.doc_id = ib""".stripMargin
+  }
+
+  /** Embedding-cosine near-dup oracle: single-bucket hyperplane join
+    * (bucketExpr replays the planes), rounded cosine, threshold 0.4.
+    */
+  private val q34 = {
+    val dim = 64
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |             ${bucketExpr("embedding", 6, dim)} AS bucket
+       |           FROM embeddings)
+       |, p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(${duckDot("a.embedding", "b.embedding", dim)} /
+       |      (sqrt(${duckDot("a.embedding", "a.embedding", dim)}) *
+       |       sqrt(${duckDot("b.embedding", "b.embedding", dim)})), 6)
+       |      AS cos_sim
+       |  FROM e a JOIN e b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT DISTINCT id_a, id_b, cos_sim FROM p
+       |WHERE cos_sim >= 0.4""".stripMargin
+  }
+
+  /** BPE-ish token-estimate oracle: the same regex mark-then-split, with
+    * chr(1) as the marker (Spark uses U+0000; either works — the corpus
+    * contains neither control char, so the token sets are identical).
+    */
+  private val q35 =
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' '))::INTEGER AS n_tokens_ws,
+       |  len(list_filter(string_split_regex(
+       |    regexp_replace(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])',
+       |      '\\1' || chr(1), 'g'),
+       |    chr(1) || '|\\s+'), t -> len(t) > 0))::INTEGER AS n_tokens_bpe
+       |FROM documents""".stripMargin
+
   private val langCase = {
     def score(markers: Seq[String]): String = {
       val set = markers.map(m => s"'$m'").mkString(", ")
@@ -386,6 +450,13 @@ object OracleSql {
     "q18_ann_topk" -> q18,
     "q27_ivf_topk" -> q27,
     "q29_dedup_clusters" -> q29,
+    "q33_exact_jaccard" -> q33,
+    "q34_cosine_near_dup" -> q34,
+    "q35_token_estimate" -> q35,
+
+    "q32_frame_slice" ->
+      """SELECT l_orderkey, l_linenumber AS frameId, l_partkey, l_quantity
+        |FROM lineitem WHERE l_linenumber = 3""".stripMargin,
 
     "q19_text_stats" ->
       s"""SELECT doc_id,

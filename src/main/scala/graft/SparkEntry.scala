@@ -362,6 +362,51 @@ object SparkEntry {
     Relational.pivotCounts(t(s, dir, "events"), "user_id", "event_type",
       Seq("click", "error", "purchase", "signup", "view"))
 
+  /** T3 frame slice: one "animation frame" of every play — the reference's
+    * per-frame fetch (`app/main.py:163-167`) phrased over lineitem with
+    * l_linenumber standing in for frameId.
+    */
+  def q32_frame_slice(s: SparkSession, dir: String): DataFrame =
+    PlayOps.frameSlice(
+      t(s, dir, "lineitem")
+        .withColumnRenamed("l_linenumber", "frameId")
+        .select("l_orderkey", "frameId", "l_partkey", "l_quantity"),
+      frameId = 3)
+
+  /** Exact n-gram Jaccard verification of the LSH candidate pairs — the
+    * verify stage a production near-dup pipeline runs after candidate
+    * generation (never all-pairs; only bucket-collision pairs score).
+    */
+  def q33_exact_jaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val signed = sh.select(col("doc_id"),
+      TextOps.minhashSig(col("sh"), 32).as("sig"))
+    val pairs = Dedup.candidatePairs(
+      Dedup.lshBuckets(signed, "doc_id", "sig", bands = 8, rowsPerBand = 4),
+      "doc_id")
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup pairs: hyperplane-bucketed candidate join,
+    * exact cosine at threshold 0.4 (dedup flavor of ANN).
+    */
+  def q34_cosine_near_dup(s: SparkSession, dir: String): DataFrame =
+    SimSearch.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+      "embedding", threshold = 0.4, planes = 6, dim = 64)
+
+  /** BPE-ish LLM token-budget estimate vs whitespace token count per doc
+    * (the regex sub-token splitter behind `TextOps.tokenEstimate`).
+    */
+  def q35_token_estimate(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(TextOps.tokensSimple(col("text"))).as("n_tokens_ws"),
+      TextOps.tokenEstimate(col("text")).as("n_tokens_bpe"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -395,7 +440,11 @@ object SparkEntry {
     "q28_salted_join" -> (q28_salted_join(_, _)),
     "q29_dedup_clusters" -> (q29_dedup_clusters(_, _)),
     "q30_asof_join" -> (q30_asof_join(_, _)),
-    "q31_pivot" -> (q31_pivot(_, _)))
+    "q31_pivot" -> (q31_pivot(_, _)),
+    "q32_frame_slice" -> (q32_frame_slice(_, _)),
+    "q33_exact_jaccard" -> (q33_exact_jaccard(_, _)),
+    "q34_cosine_near_dup" -> (q34_cosine_near_dup(_, _)),
+    "q35_token_estimate" -> (q35_token_estimate(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

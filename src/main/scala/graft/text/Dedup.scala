@@ -68,12 +68,15 @@ object Dedup {
 
   /** Exact Jaccard over two token/shingle arrays (for verifying LSH
     * candidates — run only on the candidate pairs, never all-pairs).
+    * Two empty sets score 0.0 (total function — no divide-by-zero under
+    * ANSI mode; empty docs collide in every LSH band, so the pair DOES
+    * occur in practice).
     */
   def jaccard(a: Column, b: Column): Column = {
     val da = array_distinct(a)
     val db = array_distinct(b)
     size(array_intersect(da, db)).cast("double") /
-      size(array_union(da, db))
+      greatest(size(array_union(da, db)), lit(1))
   }
 
   /** Near-dup CLUSTERS from pairwise matches: connected components via
