@@ -62,6 +62,40 @@ class EventFeatureSpec extends SparkSpec {
     assert(joined == Map(1L -> 100.0, 2L -> 200.0, 4L -> 300.0))
   }
 
+  test("asofJoin: whole payload comes from ONE right row even with nulls") {
+    val clicks = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    // latest purchase has a NULL amount: the output must carry (null, "Y")
+    // as a unit — not stitch the older row's amount under the newer code —
+    // and the left row must NOT be dropped for the null in one field
+    val purchases = Seq(
+      (7L, ts("2024-01-01 09:00:00"), Some(50.0), "X"),
+      (7L, ts("2024-01-01 09:30:00"), None, "Y"))
+      .toDF("user_id", "ts", "amount", "code")
+    val out = graft.operators.Relational.asofJoin(
+      clicks, purchases, Seq("user_id"), "ts",
+      Map("amount" -> "purchase_amount", "code" -> "purchase_code"))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).isNullAt(out(0).fieldIndex("purchase_amount")))
+    assert(out(0).getAs[String]("purchase_code") == "Y")
+  }
+
+  test("asofJoin: tieBreak resolves equal-ts right rows deterministically") {
+    val clicks = Seq((1L, 7L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (7L, ts("2024-01-01 09:30:00"), 11L, 100.0),
+      (7L, ts("2024-01-01 09:30:00"), 12L, 200.0))
+      .toDF("user_id", "ts", "p_event_id", "amount")
+    val out = graft.operators.Relational.asofJoin(
+      clicks, purchases, Seq("user_id"), "ts",
+      Map("p_event_id" -> "purchase_id", "amount" -> "purchase_amount"),
+      tieBreak = Seq("p_event_id")).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("purchase_id") == 12L) // max tieBreak wins
+  }
+
   test("pivotCounts: fixed-category wide counts with zero fill") {
     val wide = graft.operators.Relational.pivotCounts(
       events, "user_id", "event_type", Seq("click", "view", "purchase"))

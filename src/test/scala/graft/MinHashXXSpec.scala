@@ -81,4 +81,16 @@ class MinHashXXSpec extends SparkSpec {
       .head().getAs[scala.collection.Seq[Long]]("sig")
     assert(fromApi.length == 4)
   }
+
+  test("graft_minhash rejects non-literal numHashes with a usage error") {
+    val err = intercept[Exception] {
+      spark.sql(
+        """SELECT graft_minhash(array('a'), CAST(col AS INT), 7)
+          |FROM (SELECT 4 AS col)""".stripMargin).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("usage: graft_minhash")))
+  }
 }

@@ -87,6 +87,16 @@ class TextDedupSpec extends SparkSpec {
     assert(j == 7.0 / 9.0) // 8-word sets sharing 7 words
   }
 
+  test("exact jaccard of two empty sets is 0.0, not a division error") {
+    val j = Seq(("", ""))
+      .toDF("a", "b")
+      .select(Dedup.jaccard(
+        TextOps.shingles(TextOps.tokensSimple(col("a")), 3),
+        TextOps.shingles(TextOps.tokensSimple(col("b")), 3)).as("j"))
+      .head().getDouble(0)
+    assert(j == 0.0)
+  }
+
   test("fingerprint is order-sensitive; simhash is not (for permutations)") {
     val f = Seq((0L, "a b c"), (1L, "c b a"), (2L, "a b c"))
       .toDF("doc_id", "text")
