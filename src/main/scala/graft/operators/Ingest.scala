@@ -48,17 +48,27 @@ object Ingest {
 
   /** One-row summary frame (generic column names so the same aggregation
     * shape is gate-checkable over the driver tables — see SparkEntry q12).
+    *
+    * Implemented as a hierarchical rollup — group to the (game, play)
+    * grain first, then aggregate the (small) group set — instead of
+    * multiple `countDistinct`s in one Aggregate, which Catalyst plans as
+    * an Expand that multiplies every input row per distinct aggregate
+    * (3× the scan through the shuffle at 100 TB). Null-key rows count
+    * toward n_rows but not n_plays/n_games, matching countDistinct.
     */
   def summaryDf(
       df: DataFrame,
       gameCol: String = "gameId",
       playCol: String = "playId",
       frameCol: String = "frameId"): DataFrame =
-    df.agg(
-      count(lit(1)).as("n_rows"),
-      countDistinct(col(gameCol)).as("n_games"),
-      countDistinct(col(gameCol), col(playCol)).as("n_plays"),
-      max(col(frameCol)).as("max_frame"))
+    df.groupBy(col(gameCol), col(playCol))
+      .agg(count(lit(1)).as("_n"), max(col(frameCol)).as("_mf"))
+      .agg(
+        sum(col("_n")).as("n_rows"),
+        countDistinct(col(gameCol)).as("n_games"),
+        count(when(col(gameCol).isNotNull && col(playCol).isNotNull, 1))
+          .as("n_plays"),
+        max(col("_mf")).as("max_frame"))
 
   /** 100 TB-tier summary: sketch-based distincts (HyperLogLog++,
     * `relativeSD` default 5%) — one pass, no Expand plan, constant state
