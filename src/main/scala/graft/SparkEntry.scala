@@ -73,7 +73,7 @@ object SparkEntry {
 
   /** A2/A3/A7/O3: per-key telemetry block (`app/main.py:89-95`). */
   def q05_telemetry(s: SparkSession, dir: String): DataFrame =
-    PlayOps.telemetry(t(s, dir, "lineitem"), Seq("l_orderkey"),
+    PlayOps.telemetry(spread(t(s, dir, "lineitem"), s), Seq("l_orderkey"),
       frameCol = "l_linenumber", speedCol = "l_quantity",
       entityCol = "l_partkey", eventCol = "l_returnflag")
       .select(col("l_orderkey"), col("total_frames"), col("max_speed"),
@@ -114,7 +114,7 @@ object SparkEntry {
     * not unique in the driver data — the full tuple gives a total order.
     */
   def q09_trajectory(s: SparkSession, dir: String): DataFrame =
-    PlayOps.trajectoriesFlat(t(s, dir, "lineitem"),
+    PlayOps.trajectoriesFlat(spread(t(s, dir, "lineitem"), s),
       Seq("l_orderkey"), "l_linenumber",
       Seq("l_partkey", "l_suppkey", "l_quantity"))
 
@@ -122,7 +122,7 @@ object SparkEntry {
     * the tracking shape: order=play, linenumber=frame, suppkey=entity.
     */
   def q10_tensor(s: SparkSession, dir: String): DataFrame = {
-    val frames = t(s, dir, "lineitem").select(
+    val frames = spread(t(s, dir, "lineitem"), s).select(
       col("l_orderkey").as("gameId"), lit(1).as("playId"),
       col("l_linenumber").as("frameId"),
       col("l_suppkey").cast("int").as("nflId"),
@@ -165,7 +165,19 @@ object SparkEntry {
     * the corpus has thousands of splits and this repartition disappears.)
     */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+    spread(t(s, dir, "documents"), s)
+
+  /** Spread a single-split scan across cores. Only worth it when the
+    * dominant cost is per-row struct/array building ABOVE the scan
+    * (collect_list aggregations, text/vector kernels): there the one
+    * cheap shuffle of the small file unlocks 32-way partial aggregation
+    * (measured: tensor packing 2.6s -> 1.8s at sf0.1). For cheap-per-row
+    * relational queries the shuffle costs more than it saves — those
+    * keep the bare scan. At real scale inputs have thousands of splits
+    * and this is a no-op decision.
+    */
+  private def spread(df: DataFrame, s: SparkSession): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
 
   /** Staged doc→tokens→shingles projection: each level materializes once
     * per row instead of re-splitting the text inside the shingle lambda.
@@ -255,7 +267,7 @@ object SparkEntry {
     * to nearest defender" shape — per-frame self-join + struct-min).
     */
   def q22_nearest_distance(s: SparkSession, dir: String): DataFrame =
-    FeatureStore.nearestDistance(t(s, dir, "lineitem"),
+    FeatureStore.nearestDistance(spread(t(s, dir, "lineitem"), s),
       frameKeys = Seq("l_orderkey"), entityCol = "l_linenumber",
       xCol = "l_quantity", yCol = "l_discount")
 
