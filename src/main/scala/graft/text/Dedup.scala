@@ -114,17 +114,19 @@ object Dedup {
         .join(labels.select(col("id").as("t"), col("cluster").as("nc")), "t")
         .groupBy(col("s").as("id"))
         .agg(min("nc").as("nmin"))
+      // the changed flag rides along in the SAME propagation pass, so
+      // convergence detection is a limit-1 probe of the checkpointed
+      // round, not a second join+count job over it
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-            .as("cluster"))
+            .as("cluster"),
+          (col("nmin").isNotNull && col("nmin") < col("cluster"))
+            .as("_chg"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("cluster", "prev"), "id")
-        .filter(col("cluster") =!= col("prev")).count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("_chg")).isEmpty
+      labels = next.drop("_chg")
       i += 1
     }
     labels
