@@ -458,6 +458,24 @@ object OracleSql {
       """SELECT l_orderkey, l_linenumber AS frameId, l_partkey, l_quantity
         |FROM lineitem WHERE l_linenumber = 3""".stripMargin,
 
+    "q36_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q37_range_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS lo,
+        |        ts + INTERVAL 1 HOUR AS hi FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+        |  p.purchase_id
+        |FROM c JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.lo AND c.ts <= p.hi""".stripMargin,
+
     "q19_text_stats" ->
       s"""SELECT doc_id,
          |  len(text)::INTEGER AS n_chars_calc,

@@ -419,6 +419,34 @@ object SparkEntry {
       size(TextOps.tokensSimple(col("text"))).as("n_tokens_ws"),
       TextOps.tokenEstimate(col("text")).as("n_tokens_bpe"))
 
+  /** Exact per-group percentiles (telemetry "p50/p95 speed per play"
+    * shape). Both engines implement the continuous-quantile definition;
+    * lineitem quantities are small integers so the interpolation is
+    * float-exact on both sides.
+    */
+  def q36_percentiles(s: SparkSession, dir: String): DataFrame =
+    Relational.groupPercentiles(t(s, dir, "lineitem"),
+      Seq("l_returnflag"), "l_quantity",
+      Seq("p50" -> 0.5, "p95" -> 0.95))
+
+  /** Range join: clicks matched to every purchase window
+    * [purchase_ts, purchase_ts + 1h] of the same user — candidate
+    * generation is a bin-bucketed equi-join, never a theta nested loop.
+    */
+  def q37_range_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = EventOps.normalizeTs(t(s, dir, "events"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val wins = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("hi"))
+    Relational.rangeJoin(clicks, wins, Seq("user_id"), "ts", "lo", "hi",
+      binWidth = 3600)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("click_epoch"), col("purchase_id"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -456,7 +484,9 @@ object SparkEntry {
     "q32_frame_slice" -> (q32_frame_slice(_, _)),
     "q33_exact_jaccard" -> (q33_exact_jaccard(_, _)),
     "q34_cosine_near_dup" -> (q34_cosine_near_dup(_, _)),
-    "q35_token_estimate" -> (q35_token_estimate(_, _)))
+    "q35_token_estimate" -> (q35_token_estimate(_, _)),
+    "q36_percentiles" -> (q36_percentiles(_, _)),
+    "q37_range_join" -> (q37_range_join(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -136,6 +136,61 @@ object Relational {
       .agg(count(lit(1)))
       .na.fill(0, values)
 
+  /** Exact per-group percentiles (continuous/interpolated — the
+    * `quantile_cont` definition both Spark and DuckDB implement): one
+    * aggregation pass, state bounded by distinct values per group. For
+    * 100 TB-tier cardinalities where exact buffers are too big, use
+    * [[groupPercentilesApprox]] (t-digest-style sketch, constant state).
+    *
+    * @param ps (output column name, percentage in [0,1]) pairs
+    */
+  def groupPercentiles(
+      df: DataFrame, keys: Seq[String], valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val aggs = ps.map { case (n, p) =>
+      round(percentile(col(valueCol), lit(p)), 6).as(n)
+    }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Sketch flavor: `approx_percentile`, constant memory per group. */
+  def groupPercentilesApprox(
+      df: DataFrame, keys: Seq[String], valueCol: String,
+      ps: Seq[(String, Double)], accuracy: Int = 10000): DataFrame = {
+    val aggs = ps.map { case (n, p) =>
+      approx_percentile(col(valueCol), lit(p), lit(accuracy)).as(n)
+    }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Range join: left point rows to right interval rows sharing `keys` —
+    * the time-window join Spark lacks as a primitive. A naive theta-join
+    * (`ts BETWEEN lo AND hi`) plans as a per-key nested loop; instead
+    * both sides bucket into coarse bins of `binWidth` (the right side
+    * explodes to every bin its interval overlaps), candidates form via
+    * EQUI-join on (keys, bin), and the exact interval test filters. Each
+    * left row lives in exactly one bin so no dedup is needed. Cost:
+    * right-side fan-out = interval span / binWidth (pick binWidth near
+    * the typical span); the only shuffle is the bucketed equi-join.
+    *
+    * `tsCol`/`loCol`/`hiCol` may be timestamps (bucketed on epoch
+    * seconds) or any numeric.
+    */
+  def rangeJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val lb = left.withColumn("_bin",
+      floor(col(tsCol).cast("long") / binWidth))
+    val rb = right.withColumn("_bin", explode(sequence(
+      floor(col(loCol).cast("long") / binWidth),
+      floor(col(hiCol).cast("long") / binWidth))))
+    lb.join(rb, keys :+ "_bin")
+      .filter(col(tsCol) >= col(loCol) && col(tsCol) <= col(hiCol))
+      .drop("_bin")
+  }
+
   /** Skew-safe equi-join for a big, key-skewed fact side against a small
     * dimension side: the big side gets a uniform salt (partition-id mod
     * `saltFactor` — any spread works, determinism not required for a

@@ -106,6 +106,30 @@ class EventFeatureSpec extends SparkSpec {
     assert(wide(8L) == (0L, 1L, 0L))
   }
 
+  test("rangeJoin: bin-bucketed interval join matches boundary-inclusive") {
+    val pts = Seq((7L, 5L, "a"), (7L, 10L, "b"), (7L, 25L, "c"),
+      (8L, 5L, "d"))
+      .toDF("user_id", "ts", "tag")
+    // [4,11] spans two bins at binWidth=10; boundaries are inclusive
+    val ivs = Seq((7L, 4L, 11L, "w1"), (7L, 20L, 30L, "w2"),
+      (8L, 6L, 7L, "w3"))
+      .toDF("user_id", "lo", "hi", "win")
+    val out = graft.operators.Relational.rangeJoin(
+      pts, ivs, Seq("user_id"), "ts", "lo", "hi", binWidth = 10)
+      .select("tag", "win").collect().map(r => (r.getString(0),
+        r.getString(1))).toSet
+    assert(out == Set(("a", "w1"), ("b", "w1"), ("c", "w2")))
+  }
+
+  test("groupPercentiles: continuous interpolation on a known set") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0))
+      .toDF("k", "v")
+    val r = graft.operators.Relational.groupPercentiles(
+      df, Seq("k"), "v", Seq("p50" -> 0.5, "p95" -> 0.95)).head()
+    assert(r.getAs[Double]("p50") == 2.5)
+    assert(math.abs(r.getAs[Double]("p95") - 3.85) < 1e-9)
+  }
+
   test("json prop extraction without UDFs") {
     val p = EventOps.propInt(events, "k", "k").select("event_id", "k")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
