@@ -31,10 +31,60 @@ object FeatureStore {
     * instead of a frame-key self-join (two shuffles + a sort-merge over
     * k² rows) the frame is collected into ONE array per group — a single
     * shuffle with map-side partials — and the k² pairwise distances are
-    * computed by array expressions inside the row. Entities with no
-    * neighbor (singleton frames) are excluded, matching join semantics.
+    * computed inside the row. Entities with no neighbor (singleton
+    * frames) are excluded, matching join semantics.
+    *
+    * Integral entity ids take the native kernel
+    * ([[graft.functions.NearestXX]] — compiled double loop, bit-identical
+    * rounding/tie-break, stays in codegen); other id types fall back to
+    * the pure-expression formulation (interpreted HOF lambdas, same
+    * result).
     */
   def nearestDistance(
+      df: DataFrame,
+      frameKeys: Seq[String],
+      entityCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    df.schema(entityCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        nearestDistanceNative(df, frameKeys, entityCol, xCol, yCol)
+      case _ =>
+        nearestDistanceExpr(df, frameKeys, entityCol, xCol, yCol)
+    }
+  }
+
+  private def nearestDistanceNative(
+      df: DataFrame,
+      frameKeys: Seq[String],
+      entityCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val eType = df.schema(entityCol).dataType
+    val grouped = df.groupBy(frameKeys.map(col): _*)
+      .agg(collect_list(struct(
+        col(entityCol).cast("long").as("e"),
+        col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))).as("ents"))
+    val pairs = ColumnBridge.column(graft.functions.NearestPairsXX(
+      ColumnBridge.expression(col("ents"))))
+    grouped
+      .select(frameKeys.map(col) :+ explode(pairs).as("r"): _*)
+      // duplicate entity ids within a frame collapse to their minimal
+      // (dist, neighbor) — same semantics as the join+groupBy formulation
+      .groupBy(frameKeys.map(col) :+
+        col("r.entity").cast(eType).as(entityCol): _*)
+      .agg(min(struct(col("r.d").as("d"), col("r.i").as("i"))).as("nearest"))
+      .select(frameKeys.map(col) ++ Seq(
+        col(entityCol),
+        col("nearest.i").cast(eType).as("nearest_id"),
+        col("nearest.d").as("nearest_dist")): _*)
+  }
+
+  /** Expression fallback for non-integral entity ids (club-code strings
+    * etc.) — identical semantics, interpreted HOF evaluation.
+    */
+  private def nearestDistanceExpr(
       df: DataFrame,
       frameKeys: Seq[String],
       entityCol: String,
@@ -54,8 +104,6 @@ object FeatureStore {
     grouped
       .select(frameKeys.map(col) :+ explode(perEntity).as("r"): _*)
       .filter(col("r.nearest").isNotNull)
-      // duplicate entity ids within a frame collapse to their minimal
-      // (dist, neighbor) — same semantics as the join+groupBy formulation
       .groupBy(frameKeys.map(col) :+ col("r.entity").as(entityCol): _*)
       .agg(min(col("r.nearest")).as("nearest"))
       .select(frameKeys.map(col) ++ Seq(

@@ -150,6 +150,28 @@ class EventFeatureSpec extends SparkSpec {
     assert(nd(3) == (2, 7.0))
   }
 
+  test("nearest distance: string-id fallback path agrees with the kernel") {
+    // same geometry twice: int ids take the native kernel, string ids the
+    // expression fallback — results must agree (incl. equidistant
+    // tie-break to the smaller neighbor id)
+    val geo = Seq((1L, 1, 0.0, 0.0), (1L, 2, 4.0, 0.0), (1L, 3, 8.0, 0.0))
+    val intIds = geo.toDF("frameKey", "entity", "px", "py")
+    val strIds = geo.map { case (f, e, x, y) => (f, s"e$e", x, y) }
+      .toDF("frameKey", "entity", "px", "py")
+    val fromKernel = FeatureStore.nearestDistance(
+      intIds, Seq("frameKey"), "entity", "px", "py").collect()
+      .map(r => s"e${r.getAs[Int]("entity")}" ->
+        (s"e${r.getAs[Int]("nearest_id")}",
+          r.getAs[Double]("nearest_dist"))).toMap
+    val fromExpr = FeatureStore.nearestDistance(
+      strIds, Seq("frameKey"), "entity", "px", "py").collect()
+      .map(r => r.getAs[String]("entity") ->
+        (r.getAs[String]("nearest_id"),
+          r.getAs[Double]("nearest_dist"))).toMap
+    assert(fromKernel == fromExpr)
+    assert(fromKernel("e2") == (("e1", 4.0))) // equidistant → smaller id
+  }
+
   test("distanceTo reference entity (ball-distance shape)") {
     val frame = Seq(
       (1L, 1, 0.0, 0.0, false), (1L, 2, 3.0, 4.0, false),
