@@ -15,12 +15,22 @@ import org.apache.spark.sql.functions._
   * side-then-nflId so it is total and stable. Missing physics values
   * become 0.0 (the reference pads with zeros).
   *
-  * Implementation is pure expression algebra (collect_list + sort_array +
-  * higher-order functions) — no UDFs, no windows: two hash aggregations,
-  * both with map-side partial aggregation, so at 100 TB the wide rows are
-  * built next to the data and only (plays × tensor) bytes ever shuffle.
+  * Implementation: two hash aggregations (both with map-side partial
+  * aggregation — at 100 TB the wide rows are built next to the data and
+  * only (plays × tensor) bytes ever shuffle), with the per-row
+  * sort→strip→pad step fused into the native
+  * [[graft.functions.PadPackXX]] kernel (one compiled call instead of a
+  * four-expression interpreted chain; ordering semantics identical to
+  * `sort_array`).
   */
 object Tensor {
+
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** sort_array + strip-payload + pad/truncate in one native call. */
+  private def padPack(ents: Column, pad: Column, maxN: Int): Column =
+    ColumnBridge.column(graft.functions.PadPackXX(
+      ColumnBridge.expression(ents), ColumnBridge.expression(pad), maxN))
 
   val defaultFeatures: Seq[String] = Seq("x", "y", "s", "a", "o", "dir")
 
@@ -52,28 +62,22 @@ object Tensor {
     //    to maxEntities
     val perFrame = pool
       .groupBy("gameId", "playId", "frameId")
-      .agg(sort_array(collect_list(struct(
+      .agg(collect_list(struct(
         sideRank.as("sideRank"),
         coalesce(col("nflId"), lit(Int.MaxValue)).as("nflId"),
-        featArr.as("feats")))).as("ents"))
+        featArr.as("feats"))).as("ents"))
       .select(col("gameId"), col("playId"), col("frameId"),
-        slice(concat(
-          transform(col("ents"), e => e.getField("feats")),
-          array_repeat(zeroEntity(nF), maxEntities)),
-          1, maxEntities).as("frame"))
+        padPack(col("ents"), zeroEntity(nF), maxEntities).as("frame"))
 
     // 2. per play: frame-ordered, padded/truncated to maxFrames
     val zeroFrame = array_repeat(zeroEntity(nF), maxEntities)
     perFrame
       .groupBy("gameId", "playId")
-      .agg(sort_array(collect_list(struct(col("frameId"), col("frame"))))
+      .agg(collect_list(struct(col("frameId"), col("frame")))
         .as("framesRaw"))
       .select(col("gameId"), col("playId"),
         size(col("framesRaw")).as("n_frames"),
-        slice(concat(
-          transform(col("framesRaw"), f => f.getField("frame")),
-          array_repeat(zeroFrame, maxFrames)),
-          1, maxFrames).as("tensor"))
+        padPack(col("framesRaw"), zeroFrame, maxFrames).as("tensor"))
   }
 
   /** Typed tensor row (the ML-batch handoff record). */
@@ -107,10 +111,11 @@ object Tensor {
     val featArr = array(features.map(f => coalesce(col(f).cast("float"),
       lit(0.0f))): _*)
     pool.groupBy("gameId", "playId", "nflId")
-      .agg(sort_array(collect_list(struct(col("frameId"),
-        featArr.as("feats")))).as("tRaw"))
+      .agg(collect_list(struct(col("frameId"),
+        featArr.as("feats"))).as("tRaw"))
       .select(col("gameId"), col("playId"), col("nflId"),
         size(col("tRaw")).as("n_frames"),
-        transform(col("tRaw"), f => f.getField("feats")).as("tensor"))
+        // maxN=0: sort+strip only, no padding (pad arg is a dummy)
+        padPack(col("tRaw"), zeroEntity(features.size), 0).as("tensor"))
   }
 }
