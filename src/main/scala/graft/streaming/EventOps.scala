@@ -54,6 +54,29 @@ object EventOps {
         unix_timestamp(col("w.start")).as("window_start"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: every left event joins right events of
+    * the same user whose timestamp falls in
+    * `[left.ts - lookback, left.ts]` — the streaming twin of
+    * [[graft.operators.Relational.rangeJoin]]. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark derives a state-eviction horizon on BOTH sides: state is
+    * bounded by (watermark + lookback) of traffic per user, regardless
+    * of stream length. Right-side columns arrive prefixed `r_`.
+    */
+  def intervalJoinStream(
+      left: DataFrame, right: DataFrame,
+      lookback: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.select(right.columns.map(c => col(c).as(s"r_$c")): _*)
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $lookback") &&
+        col("r_ts") <= col("ts"))
+      .drop("r_user_id")
+  }
+
   /** Batch sessionization: a session breaks after `gapMinutes` of
     * inactivity per user. Window functions shuffle once on user_id and
     * sort within; per-user event counts are bounded in practice (and a

@@ -74,6 +74,30 @@ class StreamAggExportSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join bounds state via watermark + range") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = graft.streaming.EventOps.intervalJoinStream(
+      clicks.toDF().toDF("user_id", "ts", "tag"),
+      purchases.toDF().toDF("user_id", "ts", "amount"),
+      lookback = "1 hour", watermark = "2 hours")
+    val query = joined.select("tag", "r_amount")
+      .writeStream.format("memory").queryName("ivjoin")
+      .outputMode("append").start()
+    try {
+      purchases.addData(
+        (7L, ts("2024-01-01 09:30:00"), 100.0), // in lookback of c1
+        (7L, ts("2024-01-01 07:00:00"), 50.0),  // too old for c1
+        (8L, ts("2024-01-01 09:45:00"), 75.0))  // other user
+      clicks.addData((7L, ts("2024-01-01 10:00:00"), "c1"))
+      query.processAllAvailable()
+      val rows = spark.table("ivjoin").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toSet
+      assert(rows == Set("c1" -> 100.0))
+    } finally query.stop()
+  }
+
   test("CSV export round-trip: canonical sort, single header file") {
     val out = tmpDir("export")
     val df = SyntheticTracking.df(spark, games = 1, plays = 1, frames = 5)
