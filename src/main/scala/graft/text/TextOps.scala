@@ -74,14 +74,23 @@ object TextOps {
   /** MinHash signature: array of `numHashes` minima of
     * `(a_j * (hash32(s) % P) + b_j) % P` over the shingle set. Empty
     * shingle sets map to the all-P signature (never collides with real
-    * content).
-    *
-    * Implemented as ONE `aggregate` fold over the shingle hashes with an
-    * array accumulator — each shingle is hashed exactly once and all
-    * `numHashes` lanes update in the same pass (a per-position formulation
-    * would re-evaluate the md5 chain numHashes times per shingle).
+    * content). This is the oracle-replayable flavor (md5 arithmetic a
+    * SQL engine can reproduce); it runs on the native
+    * [[graft.functions.MinHashSigMd5XX]] kernel — bit-identical to the
+    * fold formulation below, one compiled pass per array.
     */
-  def minhashSig(shingleCol: Column, numHashes: Int): Column = {
+  def minhashSig(shingleCol: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MinHashSigMd5XX(
+        org.apache.spark.sql.graft.ColumnBridge.expression(shingleCol),
+        numHashes))
+
+  /** Pure-expression formulation of [[minhashSig]] (ONE `aggregate` fold
+    * over the shingle hashes with an array accumulator — each shingle
+    * hashed once, all lanes updated per pass). Kept as the executable
+    * specification the kernel is tested against.
+    */
+  def minhashSigExpr(shingleCol: Column, numHashes: Int): Column = {
     val params = (0 until numHashes).map(minhashParams)
     val aArr = array(params.map(p => lit(p._1)): _*)
     val bArr = array(params.map(p => lit(p._2)): _*)

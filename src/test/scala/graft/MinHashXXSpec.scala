@@ -82,6 +82,29 @@ class MinHashXXSpec extends SparkSpec {
     assert(fromApi.length == 4)
   }
 
+  test("md5 kernel is bit-identical to the fold formulation") {
+    val staged = docs
+      .select(col("doc_id"), TextOps.tokensSimple(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.shingles(col("toks"), 3).as("sh"))
+    val both = staged.select(
+      TextOps.minhashSig(col("sh"), 32).as("kernel"),
+      TextOps.minhashSigExpr(col("sh"), 32).as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("kernel") ==
+        r.getAs[scala.collection.Seq[Long]]("fold"))
+    }
+    // empty shingle set → all-P sentinel on both paths
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("sh")
+      .select(TextOps.minhashSig(col("sh"), 4).as("k"),
+        TextOps.minhashSigExpr(col("sh"), 4).as("f")).head()
+    assert(empty.getAs[scala.collection.Seq[Long]]("k")
+      .forall(_ == TextOps.P))
+    assert(empty.getAs[scala.collection.Seq[Long]]("k") ==
+      empty.getAs[scala.collection.Seq[Long]]("f"))
+  }
+
   test("graft_minhash rejects non-literal numHashes with a usage error") {
     val err = intercept[Exception] {
       spark.sql(
