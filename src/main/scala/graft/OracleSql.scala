@@ -458,6 +458,44 @@ object OracleSql {
       """SELECT l_orderkey, l_linenumber AS frameId, l_partkey, l_quantity
         |FROM lineitem WHERE l_linenumber = 3""".stripMargin,
 
+    "q38_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |n AS (SELECT doc_id, w, len(w) AS nt,
+        |        CASE WHEN len(w) <= 40 THEN 0
+        |             ELSE (len(w) - 40 + 29) // 30 END AS extra FROM t),
+        |u AS (SELECT doc_id,
+        |        unnest(list_transform(range(0, extra + 1),
+        |          i -> {'chunk_id': i,
+        |                'chunk_text': array_to_string(
+        |                  list_slice(w, i * 30 + 1, i * 30 + 40), ' ')}))
+        |          AS c
+        |      FROM n)
+        |SELECT doc_id, (c.chunk_id)::INTEGER AS chunk_id,
+        |  c.chunk_text AS chunk_text
+        |FROM u""".stripMargin,
+
+    "q39_stratified_sample" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |        md5(doc_id::VARCHAR || ':' || '42') AS h FROM documents),
+        |w AS (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+        |          AS rn FROM r)
+        |SELECT lang, (rn - 1)::INTEGER AS pos, doc_id
+        |FROM w WHERE rn <= 20""".stripMargin,
+
+    "q40_token_shards" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |        len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |          ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cum FROM t)
+        |SELECT lang, doc_id, n_tokens::INTEGER AS n_tokens,
+        |  (cum // 1000)::INTEGER AS shard
+        |FROM c""".stripMargin,
+
     "q36_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,

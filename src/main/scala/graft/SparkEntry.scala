@@ -447,6 +447,34 @@ object SparkEntry {
         unix_timestamp(col("ts")).as("click_epoch"), col("purchase_id"))
   }
 
+  /** Token-window chunking: 40-token chunks, 10-token overlap — the
+    * context-window prep step of an LLM data pipeline.
+    */
+  def q38_chunking(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        TextOps.chunkTokens(TextOps.tokensSimple(col("text")),
+          size = 40, overlap = 10).as("chunks"))
+      .select(col("doc_id"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("c.chunk_text").as("chunk_text"))
+
+  /** Stratified sample: 20 deterministic docs per language (md5 rank,
+    * windowless two-phase top-n per class).
+    */
+  def q39_stratified_sample(s: SparkSession, dir: String): DataFrame =
+    Relational.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+      n = 20, seed = 42)
+
+  /** Token-budget sharding: ~1000-token shards per language in doc-id
+    * order (sequence-packing approximation).
+    */
+  def q40_token_shards(s: SparkSession, dir: String): DataFrame =
+    Relational.tokenShards(
+      docs(s, dir).select(col("lang"), col("doc_id"),
+        size(TextOps.tokensSimple(col("text"))).as("n_tokens")),
+      "lang", "doc_id", "n_tokens", budget = 1000L)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -486,7 +514,10 @@ object SparkEntry {
     "q34_cosine_near_dup" -> (q34_cosine_near_dup(_, _)),
     "q35_token_estimate" -> (q35_token_estimate(_, _)),
     "q36_percentiles" -> (q36_percentiles(_, _)),
-    "q37_range_join" -> (q37_range_join(_, _)))
+    "q37_range_join" -> (q37_range_join(_, _)),
+    "q38_chunking" -> (q38_chunking(_, _)),
+    "q39_stratified_sample" -> (q39_stratified_sample(_, _)),
+    "q40_token_shards" -> (q40_token_shards(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

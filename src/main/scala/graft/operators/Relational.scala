@@ -136,6 +136,48 @@ object Relational {
       .agg(count(lit(1)))
       .na.fill(0, values)
 
+  /** Stratified exact-n sample: `n` deterministic rows per class, chosen
+    * by the cross-engine md5 rank (seeded). Selection runs on the
+    * windowless two-phase top-k ([[graft.sim.SimSearch.topKPerKey]]) —
+    * per-partition top-n then global top-n per class — so no reducer
+    * ever sorts a whole class (the window formulation would). The
+    * balancing step of a training-data pipeline: same n per language /
+    * source / label regardless of class skew.
+    *
+    * Output: (classCol, pos, idCol) with pos 0-based inside the class.
+    */
+  def stratifiedSample(
+      df: DataFrame, classCol: String, idCol: String,
+      n: Int, seed: Long): DataFrame =
+    graft.sim.SimSearch.topKPerKey(
+      df.select(col(classCol), col(idCol),
+        md5Rank(Seq(col(idCol)), seed).as("_r")),
+      classCol, col("_r"), col(idCol), n)
+      .select(col(classCol), col("rank").as("pos"), col("neighbor").as(idCol))
+
+  /** Token-budget sharding (sequence-packing approximation): within each
+    * class, docs in id order fill shards of ~`budget` tokens —
+    * `shard = exclusive-prefix-tokens div budget`, so a shard holds the
+    * docs that start inside one budget window. Deterministic and exactly
+    * SQL-replayable (a true greedy packer is a stateful sequential scan;
+    * the div rule is the distributable fixed-offset variant). The window
+    * is per class; at 100 TB pre-split classes by a hash so no single
+    * sequential partition forms.
+    */
+  def tokenShards(
+      df: DataFrame, classCol: String, idCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(classCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(classCol), col(idCol), col(tokensCol))
+      .withColumn("_cum",
+        coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("shard", expr(s"_cum div ${budget}L").cast("int"))
+      .drop("_cum")
+  }
+
   /** Exact per-group percentiles (continuous/interpolated — the
     * `quantile_cont` definition both Spark and DuckDB implement): one
     * aggregation pass, state bounded by distinct values per group. For

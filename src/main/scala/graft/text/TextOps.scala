@@ -140,6 +140,29 @@ object TextOps {
       transform(toks, t => hash32(t) % FP),
       lit(0L), (acc, h) => (acc * 31L + h) % FP)
 
+  /** Token-window chunking for LLM context windows: overlapping chunks of
+    * `size` tokens advancing by `size - overlap`. A doc of ≤ `size`
+    * tokens yields one chunk; the final chunk may be short. Returns an
+    * array of (chunk_id, chunk_text) structs — `posexplode`-ready. Pure
+    * per-row expression algebra: chunking is embarrassingly parallel and
+    * runs in the scan stage at any corpus size.
+    */
+  def chunkTokens(toks: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need size > 0 and 0 <= overlap < size")
+    val stride = size - overlap
+    val n = org.apache.spark.sql.functions.size(toks)
+    // extra chunks beyond the first: ceil((n - size) / stride) when
+    // n > size, else 0 (integer arithmetic — replayed exactly in SQL)
+    val extra = when(n <= size, 0)
+      .otherwise(floor((n - size + (stride - 1)) / lit(stride)))
+    transform(sequence(lit(0), extra.cast("int")),
+      i => struct(
+        i.cast("int").as("chunk_id"),
+        array_join(slice(toks, i * stride + 1, lit(size)), " ")
+          .as("chunk_text")))
+  }
+
   /** Marker-word profiles for the n-gram-heuristic language ID. Flat,
     * deterministic, tiny — the point is the *operator shape* (per-doc
     * marker counting + argmax), which at scale would load real n-gram

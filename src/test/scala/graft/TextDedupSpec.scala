@@ -97,6 +97,44 @@ class TextDedupSpec extends SparkSpec {
     assert(j == 0.0)
   }
 
+  test("chunkTokens: overlap windows, short-doc single chunk, short tail") {
+    val chunks = Seq((1L, "a b c d e f g h i j"), (2L, "x y"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), explode(TextOps.chunkTokens(
+        TextOps.tokensSimple(col("text")), size = 4, overlap = 1)).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.chunk_text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // stride 3: [a b c d] [d e f g] [g h i j]
+    assert(chunks((1L, 0)) == "a b c d")
+    assert(chunks((1L, 1)) == "d e f g")
+    assert(chunks((1L, 2)) == "g h i j")
+    assert(chunks((2L, 0)) == "x y") // short doc → one short chunk
+    assert(chunks.size == 4)
+  }
+
+  test("stratifiedSample: exact n per class, deterministic across runs") {
+    val df = (0L until 100L).map(i => (s"c${i % 3}", i)).toDF("cls", "id")
+    def run() = graft.operators.Relational
+      .stratifiedSample(df.repartition(7), "cls", "id", n = 5, seed = 1)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val s1 = run()
+    assert(s1.size == 15) // 5 per class, 3 classes
+    assert(s1.groupBy(_._1).forall(_._2.size == 5))
+    assert(run() == s1) // partitioning-independent
+  }
+
+  test("tokenShards: budget boundaries split on exclusive prefix sums") {
+    val df = Seq(("en", 1L, 60), ("en", 2L, 60), ("en", 3L, 60),
+      ("de", 4L, 250))
+      .toDF("lang", "doc_id", "n_tokens")
+    val shards = graft.operators.Relational
+      .tokenShards(df, "lang", "doc_id", "n_tokens", budget = 100L)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    // en prefix sums (exclusive): 0, 60, 120 → shards 0, 0, 1
+    assert(shards == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 0))
+  }
+
   test("fingerprint is order-sensitive; simhash is not (for permutations)") {
     val f = Seq((0L, "a b c"), (1L, "c b a"), (2L, "a b c"))
       .toDF("doc_id", "text")
