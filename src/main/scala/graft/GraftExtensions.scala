@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimXX, MinHashSigXX}
+import graft.functions.{CosineSimXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, PadPackXX}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * SQL functions so plain `spark.sql` users get them too.
@@ -44,6 +44,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "usage: graft_cosine(a, b)")
         CosineSimXX(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_md5"),
+      new ExpressionInfo(classOf[MinHashSigMd5XX].getName,
+        "graft_minhash_md5"),
+      (children: Seq[Expression]) => {
+        val usage = "usage: graft_minhash_md5(shingles, numHashes) — " +
+          "numHashes must be an integral literal"
+        require(children.size == 2, usage)
+        require(children(1).foldable, usage)
+        children(1).eval() match {
+          case n: java.lang.Number =>
+            MinHashSigMd5XX(children.head, n.intValue)
+          case other => throw new IllegalArgumentException(
+            s"numHashes must be integral, got $other; $usage")
+        }
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nearest"),
+      new ExpressionInfo(classOf[NearestPairsXX].getName, "graft_nearest"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "usage: graft_nearest(array<struct<bigint,double,double>>)")
+        NearestPairsXX(children.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_padpack"),
+      new ExpressionInfo(classOf[PadPackXX].getName, "graft_padpack"),
+      (children: Seq[Expression]) => {
+        val usage = "usage: graft_padpack(ents, pad, maxN) — maxN must " +
+          "be an integral literal (<= 0: sort+strip only)"
+        require(children.size == 3, usage)
+        require(children(2).foldable, usage)
+        children(2).eval() match {
+          case n: java.lang.Number =>
+            PadPackXX(children.head, children(1), n.intValue)
+          case other => throw new IllegalArgumentException(
+            s"maxN must be integral, got $other; $usage")
+        }
       }))
   }
 }

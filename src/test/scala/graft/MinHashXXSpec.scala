@@ -105,6 +105,26 @@ class MinHashXXSpec extends SparkSpec {
       empty.getAs[scala.collection.Seq[Long]]("f"))
   }
 
+  test("new kernels resolve through the SQL parser") {
+    val sig = spark.sql(
+      "SELECT graft_minhash_md5(array('a b c'), 4) AS sig")
+      .head().getAs[scala.collection.Seq[Long]]("sig")
+    assert(sig.length == 4 && sig.forall(_ != TextOps.P))
+    val nearest = spark.sql(
+      """SELECT graft_nearest(array(
+        |  named_struct('e', 1L, 'x', 0.0D, 'y', 0.0D),
+        |  named_struct('e', 2L, 'x', 3.0D, 'y', 4.0D))) AS r""".stripMargin)
+      .head().getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("r")
+    assert(nearest.map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap == Map(1L -> ((5.0, 2L)), 2L -> ((5.0, 1L))))
+    val packed = spark.sql(
+      """SELECT graft_padpack(array(
+        |  named_struct('k', 2, 'v', 'b'),
+        |  named_struct('k', 1, 'v', 'a')), 'z', 3) AS p""".stripMargin)
+      .head().getAs[scala.collection.Seq[String]]("p")
+    assert(packed == Seq("a", "b", "z"))
+  }
+
   test("graft_minhash rejects non-literal numHashes with a usage error") {
     val err = intercept[Exception] {
       spark.sql(
