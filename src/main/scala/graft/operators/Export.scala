@@ -24,4 +24,16 @@ object Export {
   /** Large result → parallel CSV shards. */
   def csvSharded(df: DataFrame, path: String): Unit =
     df.write.option("header", "true").mode("overwrite").csv(path)
+
+  /** JSON-Lines export — the interchange format LLM training pipelines
+    * consume (one JSON object per line). Sharded by default: each task
+    * writes its partition, so a 100 TB result streams out in parallel;
+    * pass `shards` to bound the file count for small batches (a
+    * repartition, not a coalesce — coalesce(k) would also collapse the
+    * UPSTREAM computation to k tasks).
+    */
+  def jsonl(df: DataFrame, path: String, shards: Int = 0): Unit = {
+    val out = if (shards > 0) df.repartition(shards) else df
+    out.write.mode("overwrite").json(path)
+  }
 }

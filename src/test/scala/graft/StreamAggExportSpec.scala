@@ -98,6 +98,20 @@ class StreamAggExportSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("JSONL export round-trip preserves rows and types") {
+    val out = tmpDir("jsonl")
+    val df = Seq((1L, "a b c", 0), (2L, "d e", 1))
+      .toDF("doc_id", "chunk_text", "chunk_id")
+    Export.jsonl(df, out, shards = 1)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".json"))
+    assert(files.length == 1)
+    val back = spark.read.json(out)
+    assert(back.count() == 2)
+    val row = back.filter(col("doc_id") === 1L).head()
+    assert(row.getAs[String]("chunk_text") == "a b c")
+  }
+
   test("CSV export round-trip: canonical sort, single header file") {
     val out = tmpDir("export")
     val df = SyntheticTracking.df(spark, games = 1, plays = 1, frames = 5)

@@ -113,6 +113,27 @@ class TextDedupSpec extends SparkSpec {
     assert(chunks.size == 4)
   }
 
+  test("chunkTokens property: every token covered, chunk size bounded") {
+    for (n <- Seq(1, 5, 9, 40); overlap <- Seq(0, 3)) {
+      val size = 4
+      val words = (1 to n).map(i => s"w$i")
+      val chunks = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+        .select(explode(TextOps.chunkTokens(
+          TextOps.tokensSimple(col("text")), size, overlap)).as("c"))
+        .select(col("c.chunk_id"), col("c.chunk_text"))
+        .collect().sortBy(_.getInt(0)).map(_.getString(1).split(" ").toSeq)
+      val covered = chunks.flatten.toSet
+      assert(words.toSet == covered, s"n=$n overlap=$overlap coverage")
+      assert(chunks.forall(_.size <= size))
+      // consecutive full chunks share exactly `overlap` tokens
+      chunks.toSeq.sliding(2).foreach {
+        case Seq(a, b) if a.size == size =>
+          assert(a.takeRight(overlap) == b.take(overlap))
+        case _ =>
+      }
+    }
+  }
+
   test("stratifiedSample: exact n per class, deterministic across runs") {
     val df = (0L until 100L).map(i => (s"c${i % 3}", i)).toDF("cls", "id")
     def run() = graft.operators.Relational
