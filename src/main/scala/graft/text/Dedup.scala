@@ -103,10 +103,11 @@ object Dedup {
       .union(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
       .distinct()
       .localCheckpoint()
+    // identity labels need no checkpoint: their lineage is one scan, and
+    // round 1's own checkpoint truncates it — one fewer job up front
     var labels = ids
       .select(col(ids.columns.head).as("id"),
         col(ids.columns.head).as("cluster"))
-      .localCheckpoint()
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
