@@ -496,6 +496,22 @@ object OracleSql {
         |  (cum // 1000)::INTEGER AS shard
         |FROM c""".stripMargin,
 
+    "q41_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |s AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh FROM t)
+        |SELECT doc_id,
+        |  len(sh)::INTEGER AS n_grams,
+        |  len(list_distinct(sh))::INTEGER AS n_distinct,
+        |  round((len(sh) - len(list_distinct(sh)))::DOUBLE /
+        |    greatest(len(sh), 1), 6) AS dup_ratio,
+        |  CASE WHEN len(sh) = 0 THEN 0
+        |       ELSE list_max(list_transform(list_distinct(sh),
+        |              g -> len(list_filter(sh, x -> x = g)))) END::INTEGER
+        |    AS max_count
+        |FROM s""".stripMargin,
+
     "q36_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,

@@ -475,6 +475,15 @@ object SparkEntry {
         size(TextOps.tokensSimple(col("text"))).as("n_tokens")),
       "lang", "doc_id", "n_tokens", budget = 1000L)
 
+  /** Repetition quality filter: duplicate 3-gram fraction and top n-gram
+    * frequency per doc (the Gopher-style corpus-curation signal).
+    */
+  def q41_repetition(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir)
+      .select(col("doc_id"), TextOps.repetition(col("sh")).as("r"))
+      .select(col("doc_id"), col("r.n_grams"), col("r.n_distinct"),
+        col("r.dup_ratio"), col("r.max_count"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -517,7 +526,8 @@ object SparkEntry {
     "q37_range_join" -> (q37_range_join(_, _)),
     "q38_chunking" -> (q38_chunking(_, _)),
     "q39_stratified_sample" -> (q39_stratified_sample(_, _)),
-    "q40_token_shards" -> (q40_token_shards(_, _)))
+    "q40_token_shards" -> (q40_token_shards(_, _)),
+    "q41_repetition" -> (q41_repetition(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

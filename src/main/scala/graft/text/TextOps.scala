@@ -163,6 +163,30 @@ object TextOps {
           .as("chunk_text")))
   }
 
+  /** Repetition metrics per document (the Gopher/C4-style quality
+    * filter): of a doc's word n-grams, what fraction are duplicates of
+    * an earlier occurrence, and how often does the most frequent n-gram
+    * appear. Pure per-row array algebra — the n-gram counting happens
+    * inside the row (docs are bounded), so the op stays in the scan
+    * stage with no shuffle, unlike a naive explode→groupBy formulation
+    * that would shuffle every n-gram of the corpus.
+    *
+    * Returns a struct column {n_grams, n_distinct, dup_ratio, max_count}.
+    */
+  def repetition(shingleCol: Column): Column = {
+    val n = size(shingleCol)
+    val distinctN = size(array_distinct(shingleCol))
+    val maxCount = when(n === 0, 0).otherwise(
+      array_max(transform(array_distinct(shingleCol),
+        g => size(filter(shingleCol, x => x === g)))))
+    struct(
+      n.as("n_grams"),
+      distinctN.as("n_distinct"),
+      round((n - distinctN).cast("double") / greatest(n, lit(1)), 6)
+        .as("dup_ratio"),
+      maxCount.as("max_count"))
+  }
+
   /** Marker-word profiles for the n-gram-heuristic language ID. Flat,
     * deterministic, tiny — the point is the *operator shape* (per-doc
     * marker counting + argmax), which at scale would load real n-gram

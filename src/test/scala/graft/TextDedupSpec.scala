@@ -156,6 +156,21 @@ class TextDedupSpec extends SparkSpec {
     assert(shards == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 0))
   }
 
+  test("repetition: dup-ratio and max-count on known n-gram multisets") {
+    val r = Seq(
+      (1L, "a b c a b c a b c"), // 3-grams: 7 total, 3 distinct
+      (2L, "x y"))               // shorter than k → zero 3-grams
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.repetition(TextOps.shingles(
+        TextOps.tokensSimple(col("text")), 3)).as("r"))
+      .select(col("doc_id"), col("r.n_grams"), col("r.n_distinct"),
+        col("r.dup_ratio"), col("r.max_count"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getInt(2), x.getDouble(3), x.getInt(4))).toMap
+    assert(r(1L) == ((7, 3, 0.571429, 3))) // "a b c" repeats 3×
+    assert(r(2L) == ((0, 0, 0.0, 0)))
+  }
+
   test("fingerprint is order-sensitive; simhash is not (for permutations)") {
     val f = Seq((0L, "a b c"), (1L, "c b a"), (2L, "a b c"))
       .toDF("doc_id", "text")
