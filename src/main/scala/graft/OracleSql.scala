@@ -512,6 +512,18 @@ object OracleSql {
         |    AS max_count
         |FROM s""".stripMargin,
 
+    "q42_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |             w[i+3] || ' ' || w[i+4])) AS gram FROM t),
+        |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |c AS (SELECT DISTINCT g.doc_id FROM g JOIN e USING (gram)
+        |      WHERE g.doc_id % 50 != 0)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id % 50 != 0 AND doc_id NOT IN (SELECT doc_id FROM c)""".stripMargin,
+
     "q36_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,

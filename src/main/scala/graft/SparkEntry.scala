@@ -484,6 +484,19 @@ object SparkEntry {
       .select(col("doc_id"), col("r.n_grams"), col("r.n_distinct"),
         col("r.dup_ratio"), col("r.max_count"))
 
+  /** Benchmark decontamination: training docs sharing any word 5-gram
+    * with the simulated eval split (doc_id % 50 == 0) are dropped; the
+    * eval gram set and the contaminated-id set both broadcast.
+    */
+  def q42_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    val train = all.filter(col("doc_id") % 50 =!= 0)
+    val eval = all.filter(col("doc_id") % 50 === 0)
+    Dedup.decontaminate(train, eval, "text", "doc_id", k = 5,
+      tokenizer = TextOps.tokensSimple)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -527,7 +540,8 @@ object SparkEntry {
     "q38_chunking" -> (q38_chunking(_, _)),
     "q39_stratified_sample" -> (q39_stratified_sample(_, _)),
     "q40_token_shards" -> (q40_token_shards(_, _)),
-    "q41_repetition" -> (q41_repetition(_, _)))
+    "q41_repetition" -> (q41_repetition(_, _)),
+    "q42_decontaminate" -> (q42_decontaminate(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -79,6 +79,30 @@ object Dedup {
       greatest(size(array_union(da, db)), lit(1))
   }
 
+  /** Benchmark decontamination (the GPT-3-style filter): drop every
+    * training doc that shares ANY word k-gram with the evaluation
+    * corpus. Returns the kept training rows unchanged.
+    *
+    * Scale shape: benchmarks are tiny next to training corpora, so the
+    * distinct eval k-gram set BROADCASTS — contamination detection is a
+    * map-side hash probe of exploded training grams, and the follow-up
+    * anti-join broadcasts the (small) contaminated-id set. The training
+    * corpus never shuffles.
+    */
+  def decontaminate(
+      train: DataFrame, evalSet: DataFrame, textCol: String, idCol: String,
+      k: Int = 13,
+      tokenizer: Column => Column = TextOps.tokens): DataFrame = {
+    def grams(df: DataFrame, keep: Seq[Column]): DataFrame = df
+      .select(keep :+ tokenizer(col(textCol)).as("_t"): _*)
+      .select(keep :+ explode(TextOps.shingles(col("_t"), k)).as("gram"): _*)
+    val evalGrams = grams(evalSet, Nil).distinct()
+    val contaminated = grams(train, Seq(col(idCol)))
+      .join(broadcast(evalGrams), "gram")
+      .select(idCol).distinct()
+    train.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   /** Near-dup CLUSTERS from pairwise matches: connected components via
     * iterative min-label propagation. Each round every node adopts the
     * minimum label among itself and its neighbors; convergence takes at

@@ -156,6 +156,19 @@ class TextDedupSpec extends SparkSpec {
     assert(shards == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 0))
   }
 
+  test("decontaminate drops only docs sharing a k-gram with the eval set") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),   // shares "quick brown fox"
+      (2L, "a wholly different sentence"), // clean
+      (3L, "short"))                       // < k tokens → no grams → kept
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "so quick brown fox indeed")).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(train, eval, "text", "doc_id", k = 3,
+      tokenizer = TextOps.tokensSimple)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("repetition: dup-ratio and max-count on known n-gram multisets") {
     val r = Seq(
       (1L, "a b c a b c a b c"), // 3-grams: 7 total, 3 distinct
