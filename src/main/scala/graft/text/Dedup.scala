@@ -79,6 +79,35 @@ object Dedup {
       greatest(size(array_union(da, db)), lit(1))
   }
 
+  /** One-call exact dedup: keep the minimal-id row per distinct text.
+    * The survivor set (hash → min id) is an aggregation on narrow rows;
+    * the keep-join is a broadcast semi-join when the survivor set fits,
+    * a shuffled semi-join otherwise (left to AQE).
+    */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.join(
+      exact(df, textCol, idCol).select(idCol),
+      Seq(idCol), "left_semi")
+
+  /** One-call near-dedup: MinHash-LSH pairs → connected components →
+    * keep one (minimal-id) survivor per cluster. Returns the surviving
+    * rows of `df` unchanged. Composes [[nearDupPairs]] +
+    * [[clusterLabels]]; see those for the scale shapes.
+    */
+  def dedupNear(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      tokenizer: Column => Column = TextOps.tokens): DataFrame = {
+    val pairs = nearDupPairs(df, textCol, idCol, shingleK, bands,
+      rowsPerBand, threshold, tokenizer)
+    val clusters = clusterLabels(df.select(col(idCol)), pairs)
+    df.join(
+      clusters.filter(col("id") === col("cluster"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** Benchmark decontamination (the GPT-3-style filter): drop every
     * training doc that shares ANY word k-gram with the evaluation
     * corpus. Returns the kept training rows unchanged.

@@ -156,6 +156,23 @@ class TextDedupSpec extends SparkSpec {
     assert(shards == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 0))
   }
 
+  test("dedupExact and dedupNear keep one survivor per duplicate group") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, base),                          // cluster {1, 2, 3}: 2 is an
+      (2L, base),                          //   exact dup, 3 a near dup
+      (3L, base + " lambda"),
+      (4L, "completely different words entirely here now today ok fine"))
+      .toDF("doc_id", "text")
+    val exactKept = Dedup.dedupExact(corpus, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactKept == Set(1L, 3L, 4L)) // only the exact dup dropped
+    val nearKept = Dedup.dedupNear(corpus, "text", "doc_id",
+      threshold = 0.5, tokenizer = TextOps.tokensSimple)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nearKept == Set(1L, 4L)) // whole near-cluster collapses to 1
+  }
+
   test("decontaminate drops only docs sharing a k-gram with the eval set") {
     val train = Seq(
       (1L, "the quick brown fox jumps"),   // shares "quick brown fox"
