@@ -66,6 +66,34 @@ object Multimodal {
     }(Encoders.product[Decoded])
   }
 
+  /** Resized decode output (the post-resize record an image pipeline
+    * hands to feature extraction / embedding).
+    */
+  final case class Resized(
+      id: Long, width: Int, height: Int, pixels: Array[Float])
+
+  /** Batch resize over decoded rows.
+    *
+    * STUB: a real implementation samples the decoded pixel grid down to
+    * `(targetW, targetH)` inside the same per-partition codec context as
+    * [[decodeStub]]; without codec libraries the pixel grid is derived
+    * deterministically from the feature vector (stable fake). Schema,
+    * `mapPartitions` batching, and the fixed output shape
+    * (targetW × targetH floats) are the real contract.
+    */
+  def resizeStub(decoded: Dataset[Decoded], targetW: Int = 4,
+      targetH: Int = 4): Dataset[Resized] = {
+    decoded.mapPartitions { it =>
+      // real resizer: reuse the partition-local codec/scaler context HERE
+      it.map { d =>
+        val n = targetW * targetH
+        val src = if (d.feature.isEmpty) Array(0f) else d.feature
+        Resized(d.id, targetW, targetH,
+          Array.tabulate(n)(i => src(i % src.length)))
+      }
+    }(Encoders.product[Resized])
+  }
+
   /** Frame sampling plumbing: cut the byte stream into fixed-size chunks
     * ("frames") and keep every `stride`-th — the shape of video
     * frame-sampling, expressed as pure array expressions.

@@ -81,6 +81,20 @@ class PlayOpsTensorSpec extends SparkSpec {
     assert(frame0.last(0) != 0f || frame0.last(1) != 0f) // ball present
   }
 
+  test("tensor: truncation when data exceeds maxFrames/maxEntities") {
+    val t = Tensor.toTensor(pool, Seq("x", "y"), maxFrames = 5,
+      maxEntities = 3)
+    val r = t.head()
+    type CSeq[T] = scala.collection.Seq[T]
+    val tensor = r.getAs[CSeq[CSeq[CSeq[Float]]]]("tensor")
+    assert(r.getAs[Int]("n_frames") == 50)  // real frame count reported
+    assert(tensor.length == 5)              // frames truncated
+    assert(tensor.forall(_.length == 3))    // entities truncated
+    // truncation keeps the FIRST frames/entities in canonical order —
+    // nothing is zero-padded when real data fills the shape
+    assert(tensor.head.head.exists(_ != 0f))
+  }
+
   test("typed Dataset[PlayTensor] surface round-trips the tensor") {
     val ds = Tensor.toTensorDS(pool, Seq("x", "y"), maxFrames = 60,
       maxEntities = 23)

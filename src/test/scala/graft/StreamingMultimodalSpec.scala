@@ -52,6 +52,19 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(again(1L) == dec(1L).feature.toSeq)
   }
 
+  test("resize stub: fixed output shape chained after decode") {
+    val df = Seq((1L, "some media bytes"), (2L, "x"))
+      .toDF("doc_id", "text")
+    val resized = Multimodal.resizeStub(
+      Multimodal.decodeStub(Multimodal.withMedia(df, "text")),
+      targetW = 4, targetH = 2)
+      .collect().map(r => r.id -> r).toMap
+    assert(resized.size == 2)
+    assert(resized(1L).pixels.length == 8) // always targetW × targetH
+    assert(resized(2L).pixels.length == 8)
+    assert(resized(1L).width == 4 && resized(1L).height == 2)
+  }
+
   test("frame sampling cuts byte stream into strided chunks") {
     val df = Seq((1L, "a" * 100)).toDF("doc_id", "text")
     val frames = Multimodal.frameSample(
