@@ -73,11 +73,11 @@ object OracleSql {
        |SELECT doc_id, ($terms)::BIGINT AS simhash16 FROM h""".stripMargin
   }
 
-  /** Near-dup candidate pairs oracle: signatures → bucket self-join →
-    * signature-agreement est-Jaccard at threshold 0.2 (the q29 pipeline
-    * stopped at the pair stage).
+  /** Shared LSH candidate CTEs (32 sigs, 8 bands x 4 rows): signatures
+    * -> per-band md5 buckets -> bucket self-join candidate pairs. Used
+    * verbatim by q16/q29/q33 so banding changes happen in ONE place.
     */
-  private val q16 = {
+  private val lshCandCtes: String = {
     val sigCols = (0 until 32).map(j => s"${sigExpr(j)} AS s$j").mkString(", ")
     val bands = (0 until 8).mkString(", ")
     val buckets = (0 until 8).map { b =>
@@ -85,9 +85,6 @@ object OracleSql {
         .mkString(" || ',' || ")
       s"md5($parts)"
     }.mkString(", ")
-    val agree = (0 until 32)
-      .map(j => s"CASE WHEN ga.s$j = gb.s$j THEN 1 ELSE 0 END")
-      .mkString("(", " + ", ")")
     s"""$minhashCtes,
        |g AS (SELECT doc_id, $sigCols FROM h),
        |bk AS (SELECT doc_id,
@@ -96,56 +93,44 @@ object OracleSql {
        |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
        |         FROM bk a JOIN bk b
        |           ON a.band = b.band AND a.bucket = b.bucket
-       |          AND a.doc_id < b.doc_id)
+       |          AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Signature-agreement count between candidate sides ga/gb. */
+  private val agreeExpr: String = (0 until 32)
+    .map(j => s"CASE WHEN ga.s$j = gb.s$j THEN 1 ELSE 0 END")
+    .mkString("(", " + ", ")")
+
+  /** Near-dup candidate pairs oracle: signatures → bucket self-join →
+    * signature-agreement est-Jaccard at threshold 0.2 (the q29 pipeline
+    * stopped at the pair stage).
+    */
+  private val q16 =
+    s"""$lshCandCtes
        |SELECT ia AS id_a, ib AS id_b,
-       |  round($agree / 32.0, 6) AS est_jaccard
+       |  round($agreeExpr / 32.0, 6) AS est_jaccard
        |FROM cand
        |JOIN g ga ON ga.doc_id = ia
        |JOIN g gb ON gb.doc_id = ib
-       |WHERE $agree / 32.0 >= 0.2""".stripMargin
-  }
+       |WHERE $agreeExpr / 32.0 >= 0.2""".stripMargin
 
   /** Near-dup clustering oracle: the whole LSH pipeline in SQL —
-    * signatures → bucket self-join candidates → signature-agreement
-    * est-Jaccard (k/32 is a dyadic rational, so the ≥ threshold
-    * comparison is exact on both engines) → symmetric edges →
-    * recursive-CTE transitive closure → min reachable id per doc.
+    * shared candidate CTEs → signature-agreement est-Jaccard (k/32 is a
+    * dyadic rational, so the ≥ threshold comparison is exact on both
+    * engines) → symmetric edges → recursive-CTE transitive closure →
+    * min reachable id per doc.
     */
-  private val q29 = {
-    val sigCols = (0 until 32).map(j => s"${sigExpr(j)} AS s$j").mkString(", ")
-    val bands = (0 until 8).mkString(", ")
-    val buckets = (0 until 8).map { b =>
-      val parts = (0 until 4).map(r => s"s${b * 4 + r}::VARCHAR")
-        .mkString(" || ',' || ")
-      s"md5($parts)"
-    }.mkString(", ")
-    val agree = (0 until 32)
-      .map(j => s"CASE WHEN ga.s$j = gb.s$j THEN 1 ELSE 0 END")
-      .mkString("(", " + ", ")")
-    s"""WITH RECURSIVE
-       |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |s AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
-       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh FROM t),
-       |h AS (SELECT doc_id,
-       |        list_transform(sh, x -> ${h32("x")} % $P) AS hs FROM s),
-       |g AS (SELECT doc_id, $sigCols FROM h),
-       |bk AS (SELECT doc_id,
-       |         unnest([$bands]) AS band,
-       |         unnest([$buckets]) AS bucket FROM g),
-       |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-       |         FROM bk a JOIN bk b
-       |           ON a.band = b.band AND a.bucket = b.bucket
-       |          AND a.doc_id < b.doc_id),
+  private val q29 =
+    s"""${lshCandCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |p AS (SELECT ia, ib FROM cand
        |      JOIN g ga ON ga.doc_id = ia
        |      JOIN g gb ON gb.doc_id = ib
-       |      WHERE $agree / 32.0 >= 0.5),
+       |      WHERE $agreeExpr / 32.0 >= 0.5),
        |e AS (SELECT ia AS s, ib AS t FROM p
        |      UNION SELECT ib, ia FROM p),
        |r AS (SELECT doc_id AS s, doc_id AS t FROM documents
        |      UNION SELECT r.s, e.t FROM r JOIN e ON r.t = e.s)
        |SELECT s AS doc_id, min(t) AS cluster FROM r GROUP BY s""".stripMargin
-  }
 
   /** Left-fold dot product over 1-based list indices — the identical
     * operation chain to SimSearch.dot (element-wise double casts, then a
@@ -260,28 +245,13 @@ object OracleSql {
        |FROM r WHERE rn <= 5""".stripMargin
   }
 
-  /** Exact-Jaccard oracle: q16's candidate CTEs, then distinct-set
+  /** Exact-Jaccard oracle: the shared candidate CTEs, then distinct-set
     * intersection / union sizes over the shingle arrays (the same
     * distinct semantics as Spark's array_intersect/array_union, with the
     * same greatest(…,1) guard for the empty∪empty pair).
     */
-  private val q33 = {
-    val sigCols = (0 until 32).map(j => s"${sigExpr(j)} AS s$j").mkString(", ")
-    val bands = (0 until 8).mkString(", ")
-    val buckets = (0 until 8).map { b =>
-      val parts = (0 until 4).map(r => s"s${b * 4 + r}::VARCHAR")
-        .mkString(" || ',' || ")
-      s"md5($parts)"
-    }.mkString(", ")
-    s"""$minhashCtes,
-       |g AS (SELECT doc_id, $sigCols FROM h),
-       |bk AS (SELECT doc_id,
-       |         unnest([$bands]) AS band,
-       |         unnest([$buckets]) AS bucket FROM g),
-       |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-       |         FROM bk a JOIN bk b
-       |           ON a.band = b.band AND a.bucket = b.bucket
-       |          AND a.doc_id < b.doc_id)
+  private val q33 =
+    s"""$lshCandCtes
        |SELECT ia AS id_a, ib AS id_b,
        |  round(
        |    len(list_filter(list_distinct(sa.sh),
@@ -290,7 +260,6 @@ object OracleSql {
        |FROM cand
        |JOIN s sa ON sa.doc_id = ia
        |JOIN s sb ON sb.doc_id = ib""".stripMargin
-  }
 
   /** Embedding-cosine near-dup oracle: single-bucket hyperplane join
     * (bucketExpr replays the planes), rounded cosine, threshold 0.4.

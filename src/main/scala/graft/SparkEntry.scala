@@ -342,7 +342,8 @@ object SparkEntry {
     */
   def q29_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.nearDupPairs(docs(s, dir), "text", "doc_id",
-      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.5,
+      tokenizer = TextOps.tokensSimple) // oracle replays string_split ' '
       .select("id_a", "id_b")
     val ids = t(s, dir, "documents").select(col("doc_id").as("id"))
     Dedup.clusterLabels(ids, pairs)

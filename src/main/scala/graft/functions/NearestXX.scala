@@ -29,8 +29,12 @@ import org.apache.spark.sql.types._
 object NearestXX {
 
   private def round6(v: Double): Double =
-    java.math.BigDecimal.valueOf(v)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // non-finite passes through, matching Spark's round() on NaN/Infinity
+    // (BigDecimal.valueOf would throw NumberFormatException)
+    if (java.lang.Double.isFinite(v))
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    else v
 
   def compute(ents: ArrayData): ArrayData = {
     val n = ents.numElements()

@@ -36,6 +36,18 @@ case class PadPackXX(ents: Expression, pad: Expression, maxN: Int)
   @transient private lazy val ordering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(structType)
 
+  // null struct elements sort first, matching sort_array asc; hoisted so
+  // the hot path allocates nothing per row
+  @transient private lazy val nullFirstCmp: java.util.Comparator[AnyRef] =
+    new java.util.Comparator[AnyRef] {
+      private val ord = ordering.asInstanceOf[java.util.Comparator[AnyRef]]
+      override def compare(a: AnyRef, b: AnyRef): Int =
+        if (a == null && b == null) 0
+        else if (a == null) -1
+        else if (b == null) 1
+        else ord.compare(a, b)
+    }
+
   override def checkInputDataTypes(): TypeCheckResult = ents.dataType match {
     case ArrayType(st: StructType, _) if st.size >= 2 =>
       if (DataType.equalsStructurally(pad.dataType,
@@ -62,16 +74,7 @@ case class PadPackXX(ents: Expression, pad: Expression, maxN: Int)
       rows(i) = if (arr.isNullAt(i)) null else arr.getStruct(i, nFields)
       i += 1
     }
-    // null struct elements sort first, matching sort_array asc
-    val cmp = new java.util.Comparator[AnyRef] {
-      private val ord = ordering.asInstanceOf[java.util.Comparator[AnyRef]]
-      override def compare(a: AnyRef, b: AnyRef): Int =
-        if (a == null && b == null) 0
-        else if (a == null) -1
-        else if (b == null) 1
-        else ord.compare(a, b)
-    }
-    java.util.Arrays.sort(rows, cmp)
+    java.util.Arrays.sort(rows, nullFirstCmp)
     val outN = if (maxN > 0) maxN else n
     val keep = math.min(n, outN)
     val out = new Array[Any](outN)

@@ -82,14 +82,20 @@ object FeatureStore {
   }
 
   /** Expression fallback for non-integral entity ids (club-code strings
-    * etc.) — identical semantics, interpreted HOF evaluation.
+    * etc.) — identical semantics, interpreted HOF evaluation. Rows with
+    * a null id or null coordinates are excluded up front, matching the
+    * kernel (a null-distance struct would otherwise sort FIRST in
+    * array_min and beat every real neighbor).
     */
   private def nearestDistanceExpr(
       df: DataFrame,
       frameKeys: Seq[String],
       entityCol: String,
       xCol: String, yCol: String): DataFrame = {
-    val grouped = df.groupBy(frameKeys.map(col): _*)
+    val grouped = df
+      .filter(col(entityCol).isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(frameKeys.map(col): _*)
       .agg(collect_list(struct(col(entityCol).as("e"),
         col(xCol).as("x"), col(yCol).as("y"))).as("ents"))
     val perEntity = transform(col("ents"), a =>

@@ -64,7 +64,9 @@ object Ingest {
     df.groupBy(col(gameCol), col(playCol))
       .agg(count(lit(1)).as("_n"), max(col(frameCol)).as("_mf"))
       .agg(
-        sum(col("_n")).as("n_rows"),
+        // coalesce: sum over zero groups is null; empty input reports 0
+        // rows like the old count(*) formulation did
+        coalesce(sum(col("_n")), lit(0L)).as("n_rows"),
         countDistinct(col(gameCol)).as("n_games"),
         count(when(col(gameCol).isNotNull && col(playCol).isNotNull, 1))
           .as("n_plays"),

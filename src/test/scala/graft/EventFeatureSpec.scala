@@ -172,6 +172,27 @@ class EventFeatureSpec extends SparkSpec {
     assert(fromKernel("e2") == (("e1", 4.0))) // equidistant → smaller id
   }
 
+  test("nearest distance: null coordinates skipped identically by both paths") {
+    // entity 3 has a null x: both paths must drop it as source AND
+    // neighbor (not let a null distance win the min)
+    val geoInt = Seq((1L, Some(1), Some(0.0), Some(0.0)),
+      (1L, Some(2), Some(5.0), Some(0.0)), (1L, Some(3), None, Some(1.0)))
+      .toDF("frameKey", "entity", "px", "py")
+    val geoStr = Seq((1L, "e1", Some(0.0), Some(0.0)),
+      (1L, "e2", Some(5.0), Some(0.0)), (1L, "e3", None, Some(1.0)))
+      .toDF("frameKey", "entity", "px", "py")
+    val k = FeatureStore.nearestDistance(geoInt, Seq("frameKey"), "entity",
+      "px", "py").collect().map(r => s"e${r.getAs[Int]("entity")}" ->
+        (s"e${r.getAs[Int]("nearest_id")}", r.getAs[Double]("nearest_dist")))
+      .toMap
+    val e = FeatureStore.nearestDistance(geoStr, Seq("frameKey"), "entity",
+      "px", "py").collect().map(r => r.getAs[String]("entity") ->
+        (r.getAs[String]("nearest_id"), r.getAs[Double]("nearest_dist")))
+      .toMap
+    assert(k == e)
+    assert(k == Map("e1" -> (("e2", 5.0)), "e2" -> (("e1", 5.0))))
+  }
+
   test("distanceTo reference entity (ball-distance shape)") {
     val frame = Seq(
       (1L, 1, 0.0, 0.0, false), (1L, 2, 3.0, 4.0, false),
