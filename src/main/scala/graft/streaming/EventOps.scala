@@ -77,6 +77,19 @@ object EventOps {
       .drop("r_user_id")
   }
 
+  /** Streaming exact dedup: drop events whose key was already seen
+    * within the watermark horizon (`dropDuplicatesWithinWatermark` —
+    * state evicts once the watermark passes an entry, so memory is
+    * bounded by one horizon of distinct keys, not the whole stream).
+    * The streaming twin of [[graft.text.Dedup.exactRows]]: exactly-once
+    * delivery for at-least-once upstream sources.
+    */
+  def dedupStream(
+      events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Batch sessionization: a session breaks after `gapMinutes` of
     * inactivity per user. Window functions shuffle once on user_id and
     * sort within; per-user event counts are bounded in practice (and a

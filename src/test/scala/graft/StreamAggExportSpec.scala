@@ -98,6 +98,27 @@ class StreamAggExportSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops repeats within the watermark horizon") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = graft.streaming.EventOps.dedupStream(
+      mem.toDF().toDF("event_id", "ts", "payload"), Seq("event_id"))
+    val query = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), "first"),
+        (1L, ts("2024-01-01 10:05:00"), "retry"), // duplicate delivery
+        (2L, ts("2024-01-01 10:10:00"), "other"))
+      query.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 10:20:00"), "late retry"))
+      query.processAllAvailable()
+      val rows = spark.table("dedup").collect()
+        .map(r => r.getAs[Long]("event_id")).toSeq.sorted
+      assert(rows == Seq(1L, 2L)) // each key delivered exactly once
+    } finally query.stop()
+  }
+
   test("JSONL export round-trip preserves rows and types") {
     val out = tmpDir("jsonl")
     val df = Seq((1L, "a b c", 0), (2L, "d e", 1))
