@@ -283,14 +283,18 @@ object OracleSql {
   /** BPE-ish token-estimate oracle: the same regex mark-then-split, with
     * chr(1) as the marker (Spark uses U+0000; either works — the corpus
     * contains neither control char, so the token sets are identical).
+    * Whitespace is the explicit `[ \t\n\f\r]` class on BOTH engines
+    * (Java `\s` and RE2 `\s` disagree on U+000B vertical tab).
     */
   private val q35 =
     s"""SELECT doc_id,
        |  len(string_split(text, ' '))::INTEGER AS n_tokens_ws,
        |  len(list_filter(string_split_regex(
-       |    regexp_replace(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])',
+       |    regexp_replace(text,
+       |      '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r])',
        |      '\\1' || chr(1), 'g'),
-       |    chr(1) || '|\\s+'), t -> len(t) > 0))::INTEGER AS n_tokens_bpe
+       |    chr(1) || '|[ \\t\\n\\f\\r]+'), t -> len(t) > 0))::INTEGER
+       |    AS n_tokens_bpe
        |FROM documents""".stripMargin
 
   private val langCase = {

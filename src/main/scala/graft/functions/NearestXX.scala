@@ -69,7 +69,12 @@ object NearestXX {
           val dx = xs(i) - xs(j)
           val dy = ys(i) - ys(j)
           val d = round6(math.sqrt(dx * dx + dy * dy))
-          if (!found || d < bestD || (d == bestD && es(j) < bestI)) {
+          // Double.compare orders NaN after every real value, matching
+          // the struct-min/ORDER BY semantics of the expression path —
+          // a NaN first candidate must not stick against later real
+          // distances (plain `<` is always false vs NaN)
+          val cmp = if (found) java.lang.Double.compare(d, bestD) else -1
+          if (cmp < 0 || (cmp == 0 && es(j) < bestI)) {
             bestD = d
             bestI = es(j)
             found = true

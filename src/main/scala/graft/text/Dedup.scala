@@ -98,10 +98,11 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5,
-      tokenizer: Column => Column = TextOps.tokens): DataFrame = {
+      tokenizer: Column => Column = TextOps.tokens,
+      maxIter: Int = 20): DataFrame = {
     val pairs = nearDupPairs(df, textCol, idCol, shingleK, bands,
       rowsPerBand, threshold, tokenizer)
-    val clusters = clusterLabels(df.select(col(idCol)), pairs)
+    val clusters = clusterLabels(df.select(col(idCol)), pairs, maxIter)
     df.join(
       clusters.filter(col("id") === col("cluster"))
         .select(col("id").as(idCol)),
@@ -168,21 +169,33 @@ object Dedup {
         .join(labels.select(col("id").as("t"), col("cluster").as("nc")), "t")
         .groupBy(col("s").as("id"))
         .agg(min("nc").as("nmin"))
-      // the changed flag rides along in the SAME propagation pass, so
-      // convergence detection is a limit-1 probe of the checkpointed
-      // round, not a second join+count job over it
-      val next = labels
+      val stepped = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("_prev"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-            .as("cluster"),
-          (col("nmin").isNotNull && col("nmin") < col("cluster"))
+            .as("_c1"))
+      // pointer jump: also adopt the label OF our label (labels are node
+      // ids, and cluster(x) <= x is invariant) — path lengths halve each
+      // round, so convergence is O(log diameter), not O(diameter), and
+      // maxIter=20 covers diameters up to ~2^20
+      val next = stepped
+        .join(labels.select(col("id").as("_c1"), col("cluster").as("_jc")),
+          Seq("_c1"), "left")
+        .select(col("id"),
+          least(col("_c1"), coalesce(col("_jc"), col("_c1"))).as("cluster"),
+          // the changed flag rides along in the SAME pass, so convergence
+          // detection is a limit-1 probe of the checkpointed round
+          (least(col("_c1"), coalesce(col("_jc"), col("_c1"))) < col("_prev"))
             .as("_chg"))
         .localCheckpoint()
       converged = next.filter(col("_chg")).isEmpty
       labels = next.drop("_chg")
       i += 1
     }
+    // silent non-convergence would return multiple labels per component
+    // (dedup would keep extra "survivors") — fail loudly instead
+    require(converged,
+      s"clusterLabels did not converge within $maxIter rounds")
     labels
   }
 

@@ -35,11 +35,17 @@ object TextOps {
     * real BPE vocabulary when estimating LLM token budgets. "don't stop,
     * v2!" → [don, ', t, stop, ',', v, 2, !] (8 tokens). Pure regex
     * expression, runs in the scan stage.
+    *
+    * Whitespace is the explicit class `[ \t\n\f\r]` rather than `\s`:
+    * Java's `\s` includes U+000B (vertical tab) while RE2 engines'
+    * (DuckDB's, replaying the q35 oracle) does not — with the explicit
+    * class, a vertical tab is punctuation (one token) on both engines.
     */
   def tokensBpeish(text: Column): Column =
     filter(
-      split(regexp_replace(text, "([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])",
-        "$1\u0000"), "\u0000|\\s+"),
+      split(regexp_replace(text,
+        "([A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r])",
+        "$1\u0000"), "\u0000|[ \\t\\n\\f\\r]+"),
       t => length(t) > 0)
 
   /** Estimated LLM token count via the BPE-ish split. */

@@ -172,6 +172,19 @@ class EventFeatureSpec extends SparkSpec {
     assert(fromKernel("e2") == (("e1", 4.0))) // equidistant → smaller id
   }
 
+  test("nearest distance: NaN distances lose to real ones in the kernel") {
+    // entity 1 sits at NaN → d(2,1) is NaN; entity 2's nearest must be
+    // the REAL distance to 3, not a sticky NaN first candidate
+    val frame = Seq((1L, 1, Double.NaN, 0.0), (1L, 2, 0.0, 0.0),
+      (1L, 3, 3.0, 4.0)).toDF("frameKey", "entity", "px", "py")
+    val nd = FeatureStore.nearestDistance(frame, Seq("frameKey"), "entity",
+      "px", "py").collect()
+      .map(r => r.getAs[Int]("entity") ->
+        (r.getAs[Int]("nearest_id"), r.getAs[Double]("nearest_dist"))).toMap
+    assert(nd(2) == ((3, 5.0)))
+    assert(nd(3) == ((2, 5.0)))
+  }
+
   test("nearest distance: null coordinates skipped identically by both paths") {
     // entity 3 has a null x: both paths must drop it as source AND
     // neighbor (not let a null distance win the min)

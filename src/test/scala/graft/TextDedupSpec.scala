@@ -156,6 +156,16 @@ class TextDedupSpec extends SparkSpec {
     assert(shards == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 0))
   }
 
+  test("clusterLabels converges on a long chain within default maxIter") {
+    // diameter-59 path graph: naive min-label propagation needs 59
+    // rounds; pointer jumping must close it inside the default 20
+    val ids = (0L until 60L).map(Tuple1(_)).toDF("id")
+    val pairs = (0L until 59L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterLabels(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet == Set(0L)) // one component, min label 0
+  }
+
   test("dedupExact and dedupNear keep one survivor per duplicate group") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val corpus = Seq(
