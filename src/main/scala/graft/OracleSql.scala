@@ -369,10 +369,18 @@ object OracleSql {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
 
+    // phrased as the SAME self-join as the Spark side (not a plain scan):
+    // a duplicated 4-part key must multiply identically on both engines
+    // (sf0.001 has one such dup pair — 4 joined rows, not 2)
     "q07_merge_split" ->
-      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |  l_quantity, l_extendedprice, l_returnflag
-        |FROM lineitem""".stripMargin,
+      """WITH i AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |             l_quantity FROM lineitem),
+        |o AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |        l_extendedprice, l_returnflag FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  i.l_quantity, o.l_extendedprice, o.l_returnflag
+        |FROM i JOIN o
+        |  USING (l_orderkey, l_linenumber, l_partkey, l_suppkey)""".stripMargin,
 
     "q08_union_weeks" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
