@@ -134,21 +134,29 @@ object Dedup {
   }
 
   /** Near-dup CLUSTERS from pairwise matches: connected components via
-    * iterative min-label propagation. Each round every node adopts the
-    * minimum label among itself and its neighbors; convergence takes at
-    * most graph-diameter rounds (checked per round, capped at `maxIter`).
+    * min-label propagation WITH pointer jumping. Each round every node
+    * adopts the minimum of (its label, its neighbors' labels), then
+    * additionally the label OF that label — path lengths halve per
+    * round, so convergence is O(log diameter) and `maxIter` rounds
+    * (including the final confirming quiet round) cover diameters to
+    * ~2^(maxIter-1). Non-convergence within `maxIter` fails loudly —
+    * silently returning split clusters would make dedup keep extra
+    * "survivors".
     *
-    * Scale shape: each round is one equi-join + one min-aggregation —
-    * both shuffle on ids only; `localCheckpoint` truncates lineage so
-    * round N's plan does not replay rounds 1..N-1. Near-dup graphs have
-    * tiny diameters (dup clusters are near-cliques), so rounds ≈ 2-4 in
-    * practice. The driver loop carries only a convergence counter.
+    * Scale shape: each round is one edge equi-join + one
+    * min-aggregation + one (id-keyed, label-sized) jump join — all
+    * shuffling ids only; `localCheckpoint` truncates lineage so round
+    * N's plan does not replay rounds 1..N-1. Near-dup graphs are
+    * near-cliques (diameter 2-4), where the jump join buys little — it
+    * is insurance against pathological long chains, which would
+    * otherwise need diameter rounds and then fail the convergence check.
     *
     * Output: (id, cluster) for every id in `ids` — singletons keep their
     * own id as the cluster label; the label is the minimal member id.
     */
   def clusterLabels(
       ids: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    require(maxIter > 0, "maxIter must be positive")
     // materialize the edge list once — every propagation round joins it,
     // and without the checkpoint each round would replay the (expensive)
     // pair-generation pipeline feeding `pairs`
@@ -174,19 +182,18 @@ object Dedup {
         .select(col("id"), col("cluster").as("_prev"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("_c1"))
-      // pointer jump: also adopt the label OF our label (labels are node
-      // ids, and cluster(x) <= x is invariant) — path lengths halve each
-      // round, so convergence is O(log diameter), not O(diameter), and
-      // maxIter=20 covers diameters up to ~2^20
+      // pointer jump: also adopt the label OF our label. Every _c1 is a
+      // node id present in labels and cluster(x) <= x is invariant, so
+      // _jc resolves and is <= _c1; the coalesce is belt-and-braces for
+      // the (impossible) miss. The changed flag rides along in the SAME
+      // pass, so convergence detection is a limit-1 probe of the
+      // checkpointed round.
       val next = stepped
         .join(labels.select(col("id").as("_c1"), col("cluster").as("_jc")),
           Seq("_c1"), "left")
-        .select(col("id"),
-          least(col("_c1"), coalesce(col("_jc"), col("_c1"))).as("cluster"),
-          // the changed flag rides along in the SAME pass, so convergence
-          // detection is a limit-1 probe of the checkpointed round
-          (least(col("_c1"), coalesce(col("_jc"), col("_c1"))) < col("_prev"))
-            .as("_chg"))
+        .withColumn("_next", coalesce(col("_jc"), col("_c1")))
+        .select(col("id"), col("_next").as("cluster"),
+          (col("_next") < col("_prev")).as("_chg"))
         .localCheckpoint()
       converged = next.filter(col("_chg")).isEmpty
       labels = next.drop("_chg")

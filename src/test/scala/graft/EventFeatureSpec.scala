@@ -183,6 +183,16 @@ class EventFeatureSpec extends SparkSpec {
         (r.getAs[Int]("nearest_id"), r.getAs[Double]("nearest_dist"))).toMap
     assert(nd(2) == ((3, 5.0)))
     assert(nd(3) == ((2, 5.0)))
+    // the expression fallback (string ids) must agree: struct-min also
+    // orders NaN after real distances
+    val ndE = FeatureStore.nearestDistance(
+      frame.withColumn("entity", concat(lit("e"), col("entity"))),
+      Seq("frameKey"), "entity", "px", "py").collect()
+      .map(r => r.getAs[String]("entity") ->
+        (r.getAs[String]("nearest_id"), r.getAs[Double]("nearest_dist")))
+      .toMap
+    assert(ndE("e2") == (("e3", 5.0)))
+    assert(ndE("e3") == (("e2", 5.0)))
   }
 
   test("nearest distance: null coordinates skipped identically by both paths") {
