@@ -11,9 +11,13 @@ import graft.schema.Vintages
   * graft.cli.Main ingest  <inputDir> <poolRoot> [vintage] [--dry-run]
   * graft.cli.Main dump    <poolRoot> <outDir> [n] [seed]
   * graft.cli.Main diagnose <poolRoot>
+  * graft.cli.Main dedup   <corpus> <outDir> [--near] [--jsonl]
+  * graft.cli.Main chunk   <corpus> <outDir> [size] [overlap] [--jsonl]
   * }}}
   *
-  * vintage ∈ {canonical, bdb2018, bdb2026} (Vintages.byName).
+  * vintage ∈ {canonical, bdb2018, bdb2026} (Vintages.byName). The
+  * LLM-pipeline commands read a corpus with (doc_id, text) columns —
+  * parquet by default, JSONL with `--jsonl` — and write JSONL.
   */
 object Main {
 
@@ -65,10 +69,45 @@ object Main {
       spark.stop()
       if (!rep.healthy) sys.exit(1)
 
+    case "dedup" :: corpus :: outDir :: rest =>
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      val kept =
+        if (rest.contains("--near"))
+          graft.text.Dedup.dedupNear(docs, "text", "doc_id")
+        else graft.text.Dedup.dedupExact(docs, "text", "doc_id")
+      Export.jsonl(kept, outDir)
+      println(s"[dedup] ${docs.count()} docs -> ${kept.count()} kept " +
+        s"-> $outDir")
+      spark.stop()
+
+    case "chunk" :: corpus :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val size = rest.find(!_.startsWith("--")).map(_.toInt).getOrElse(512)
+      val overlap = rest.filter(!_.startsWith("--"))
+        .drop(1).headOption.map(_.toInt).getOrElse(64)
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      val chunks = docs
+        .select(col("doc_id"), explode(graft.text.TextOps.chunkTokens(
+          graft.text.TextOps.tokens(col("text")), size, overlap)).as("c"))
+        .select(col("doc_id"), col("c.chunk_id"), col("c.chunk_text"))
+      Export.jsonl(chunks, outDir)
+      println(s"[chunk] size=$size overlap=$overlap " +
+        s"-> ${chunks.count()} chunks -> $outDir")
+      spark.stop()
+
     case _ =>
       System.err.println(
         "usage: ingest <in> <pool> [vintage] [--dry-run] | " +
-          "dump <pool> <out> [n] [seed] | diagnose <pool>")
+          "dump <pool> <out> [n] [seed] | diagnose <pool> | " +
+          "dedup <corpus> <out> [--near] [--jsonl] | " +
+          "chunk <corpus> <out> [size] [overlap] [--jsonl]")
       sys.exit(2)
   }
+
+  private def loadCorpus(spark: SparkSession, path: String,
+      flags: List[String]) =
+    if (flags.contains("--jsonl")) Ingest.loadJsonl(spark, path)
+    else spark.read.parquet(path)
 }

@@ -46,6 +46,16 @@ object Ingest {
       spark: SparkSession, path: String, config: SchemaConfig): DataFrame =
     Normalize(loadCsv(spark, path), config)
 
+  /** JSON-Lines source (one object per line — the format `Export.jsonl`
+    * writes and LLM corpora ship in). PERMISSIVE like the CSV path:
+    * malformed lines land in a corrupt-record column instead of failing
+    * the batch. Splittable, so a 100 TB corpus scans in parallel.
+    */
+  def loadJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .json(path)
+
   /** One-row summary frame (generic column names so the same aggregation
     * shape is gate-checkable over the driver tables — see SparkEntry q12).
     *

@@ -133,6 +133,17 @@ class StreamAggExportSpec extends SparkSpec {
     assert(row.getAs[String]("chunk_text") == "a b c")
   }
 
+  test("JSONL ingest round-trips what jsonl export wrote") {
+    val out = tmpDir("jsonl_rt")
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    Export.jsonl(docs, out)
+    val back = graft.operators.Ingest.loadJsonl(spark, out)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text")).toMap
+    assert(back == Map(1L -> "alpha beta", 2L -> "gamma delta"))
+  }
+
   test("CSV export round-trip: canonical sort, single header file") {
     val out = tmpDir("export")
     val df = SyntheticTracking.df(spark, games = 1, plays = 1, frames = 5)
