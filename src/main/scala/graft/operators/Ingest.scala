@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.schema.SchemaConfig
 
@@ -45,6 +45,49 @@ object Ingest {
   def loadAndNormalize(
       spark: SparkSession, path: String, config: SchemaConfig): DataFrame =
     Normalize(loadCsv(spark, path), config)
+
+  /** Pool compaction (the lake's OPTIMIZE): continuous per-game upserts
+    * and streaming micro-batches leave many small files per partition,
+    * and at 100 TB file-open overhead starts to dominate scans. Rewrites
+    * the partitions selected by `pred` into `filesPerPartition` files
+    * each — row content unchanged, only the file layout compacts, and
+    * dynamic overwrite leaves unselected partitions untouched.
+    *
+    * The selected rows are materialized (`localCheckpoint`) before the
+    * overwrite — Spark refuses to write over a path its plan still
+    * reads. That bounds one compaction run to what the cluster can hold,
+    * which is also the operational shape at scale: compact a few
+    * partitions per run (`pred`), not the whole lake in one transaction.
+    */
+  def compactPool(
+      spark: SparkSession, root: String,
+      pred: Column = lit(true),
+      partitionCols: Seq[String] = Seq("season", "gameId"),
+      filesPerPartition: Int = 1): Unit =
+    spark.read.parquet(root)
+      .filter(pred)
+      .repartition(filesPerPartition, partitionCols.map(col): _*)
+      .localCheckpoint()
+      .write
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(root)
+
+  /** Per-partition statistics (the manifest a table format would keep):
+    * row count and frame range per (season, gameId) directory — the
+    * input to compaction decisions and partition-pruning sanity checks.
+    * One distributive aggregation over partition + frame columns only.
+    */
+  def partitionStats(
+      spark: SparkSession, root: String,
+      partitionCols: Seq[String] = Seq("season", "gameId"),
+      frameCol: String = "frameId"): DataFrame =
+    spark.read.parquet(root)
+      .groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(frameCol)).as("min_frame"),
+        max(col(frameCol)).as("max_frame"))
 
   /** JSON-Lines source (one object per line — the format `Export.jsonl`
     * writes and LLM corpora ship in). PERMISSIVE like the CSV path:

@@ -27,6 +27,35 @@ class IngestPoolSpec extends SparkSpec {
     assert(rep.healthy && rep.parquetFiles > 0)
   }
 
+  test("compactPool merges small files per partition, rows unchanged") {
+    val poolRoot = tmpDir("poolcompact")
+    val df = SyntheticTracking.df(spark, games = 2, plays = 2, frames = 5)
+      .withColumn("season", lit(2023))
+    // fragment: 8 files per partition directory
+    df.repartition(8)
+      .write.partitionBy("season", "gameId").mode("overwrite")
+      .parquet(poolRoot)
+    def files() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(poolRoot))
+        .filter(_.getName.endsWith(".parquet"))
+    }
+    val before = files().size
+    assert(before > 2) // genuinely fragmented
+    val rowsBefore = spark.read.parquet(poolRoot).count()
+    val statsBefore = Ingest.partitionStats(spark, poolRoot)
+      .collect().map(r => r.getAs[Long]("gameId") ->
+        r.getAs[Long]("n_rows")).toMap
+    Ingest.compactPool(spark, poolRoot)
+    assert(files().size == 2) // one file per gameId partition
+    assert(spark.read.parquet(poolRoot).count() == rowsBefore)
+    val statsAfter = Ingest.partitionStats(spark, poolRoot)
+      .collect().map(r => r.getAs[Long]("gameId") ->
+        r.getAs[Long]("n_rows")).toMap
+    assert(statsAfter == statsBefore)
+  }
+
   test("2026 snake_case vintage resolves through aliases") {
     val in = tmpDir("in2026")
     val poolRoot = tmpDir("pool2026")
