@@ -119,7 +119,7 @@ object Relational {
       .withColumn("_pc", last(col("_pay"), ignoreNulls = true).over(w))
     carried
       .filter(col("_src") === 1 && col("_pc").isNotNull)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         payload.map { case (_, to) => col("_pc").getField(to).as(to) }: _*)
   }
 

@@ -68,7 +68,8 @@ object EventOps {
       lookback: String = "1 hour",
       watermark: String = "2 hours"): DataFrame = {
     val l = left.withWatermark("ts", watermark)
-    val r = right.select(right.columns.map(c => col(c).as(s"r_$c")): _*)
+    val r = right.select(
+      right.columns.toIndexedSeq.map(c => col(c).as(s"r_$c")): _*)
       .withWatermark("r_ts", watermark)
     l.join(r,
       col("user_id") === col("r_user_id") &&
