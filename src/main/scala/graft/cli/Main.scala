@@ -69,6 +69,20 @@ object Main {
       spark.stop()
       if (!rep.healthy) sys.exit(1)
 
+    case "stats" :: poolRoot :: Nil =>
+      val spark = session()
+      val rows = Ingest.partitionStats(spark, poolRoot)
+        .orderBy("season", "gameId").collect()
+      rows.foreach(r => println(s"[stats] ${r.mkString(" ")}"))
+      println(s"[stats] ${rows.length} partitions")
+      spark.stop()
+
+    case "compact" :: poolRoot :: Nil =>
+      val spark = session()
+      Ingest.compactPool(spark, poolRoot)
+      println(s"[compact] $poolRoot rewritten")
+      spark.stop()
+
     case "dedup" :: corpus :: outDir :: rest =>
       val spark = session()
       val docs = loadCorpus(spark, corpus, rest)
@@ -101,6 +115,7 @@ object Main {
       System.err.println(
         "usage: ingest <in> <pool> [vintage] [--dry-run] | " +
           "dump <pool> <out> [n] [seed] | diagnose <pool> | " +
+          "stats <pool> | compact <pool> | " +
           "dedup <corpus> <out> [--near] [--jsonl] | " +
           "chunk <corpus> <out> [size] [overlap] [--jsonl]")
       sys.exit(2)

@@ -119,6 +119,49 @@ class StreamAggExportSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream interval join agrees with the batch range join twin") {
+    implicit val sq = spark.sqlContext
+    // same data both ways: points 0..29 at 5-min spacing, windows
+    // [purchase, purchase+1h] expressed as the stream lookback
+    val clicks = (0 until 30).map(i =>
+      (i.toLong, 7L + i % 2, ts("2024-01-01 08:00:00").getTime +
+        i * 300000L))
+    val purchases = (0 until 6).map(i =>
+      (100L + i, 7L + i % 2, ts("2024-01-01 08:10:00").getTime +
+        i * 1800000L))
+    def t(ms: Long) = new Timestamp(ms)
+    val cDf = clicks.map { case (e, u, m) => (e, u, t(m)) }
+      .toDF("event_id", "user_id", "ts")
+    val pDf = purchases.map { case (e, u, m) => (e, u, t(m)) }
+      .toDF("p_id", "user_id", "ts")
+    // batch: clicks in [p_ts, p_ts + 1h] — same as stream lookback 1h
+    // seen from the click side
+    val batch = graft.operators.Relational.rangeJoin(
+      cDf, pDf.select(col("user_id"), col("p_id"), col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("hi")),
+      Seq("user_id"), "ts", "lo", "hi", binWidth = 3600)
+      .select("event_id", "p_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cs = MemoryStream[(Long, Long, Timestamp)]
+    val ps = MemoryStream[(Long, Long, Timestamp)]
+    val joined = graft.streaming.EventOps.intervalJoinStream(
+      cs.toDF().toDF("event_id", "user_id", "ts"),
+      ps.toDF().toDF("p_id", "user_id", "ts"),
+      lookback = "1 hour", watermark = "4 hours")
+    val query = joined.select("event_id", "r_p_id")
+      .writeStream.format("memory").queryName("ivj_agree")
+      .outputMode("append").start()
+    try {
+      ps.addData(purchases.map { case (e, u, m) => (e, u, t(m)) }: _*)
+      cs.addData(clicks.map { case (e, u, m) => (e, u, t(m)) }: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("ivj_agree").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally query.stop()
+  }
+
   test("JSONL export round-trip preserves rows and types") {
     val out = tmpDir("jsonl")
     val df = Seq((1L, "a b c", 0), (2L, "d e", 1))
