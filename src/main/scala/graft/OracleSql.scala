@@ -505,6 +505,12 @@ object OracleSql {
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id % 50 != 0 AND doc_id NOT IN (SELECT doc_id FROM c)""".stripMargin,
 
+    "q43_vocab" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
     "q36_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,

@@ -498,6 +498,15 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Corpus vocabulary: top-100 tokens by frequency (stopword/vocab
+    * derivation — the aggregation feeding quality filters).
+    */
+  def q43_vocab(s: SparkSession, dir: String): DataFrame =
+    Relational.topFrequent(
+      docs(s, dir).select(
+        explode(TextOps.tokensSimple(col("text"))).as("token")),
+      "token", k = 100)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -542,7 +551,8 @@ object SparkEntry {
     "q39_stratified_sample" -> (q39_stratified_sample(_, _)),
     "q40_token_shards" -> (q40_token_shards(_, _)),
     "q41_repetition" -> (q41_repetition(_, _)),
-    "q42_decontaminate" -> (q42_decontaminate(_, _)))
+    "q42_decontaminate" -> (q42_decontaminate(_, _)),
+    "q43_vocab" -> (q43_vocab(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -178,6 +178,18 @@ object Relational {
       .drop("_cum")
   }
 
+  /** Global top-k most frequent values of an exploded column (corpus
+    * vocabulary / stopword derivation). One hash aggregation with
+    * map-side partials, then TakeOrdered for the global top-k (no full
+    * sort materializes); ties break on the value so the cut is
+    * deterministic.
+    */
+  def topFrequent(df: DataFrame, valueCol: String, k: Int): DataFrame =
+    df.groupBy(col(valueCol))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(valueCol))
+      .limit(k)
+
   /** Exact per-group percentiles (continuous/interpolated — the
     * `quantile_cont` definition both Spark and DuckDB implement): one
     * aggregation pass, state bounded by distinct values per group. For
