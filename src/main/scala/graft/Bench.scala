@@ -41,7 +41,9 @@ object Bench {
     val results = names.map { n =>
       val a = once(n)
       val b = once(n)
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      // either run failing marks the query failed — reporting the other
+      // run's time would record an intermittent failure as a clean pass
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
 
     val qs = results

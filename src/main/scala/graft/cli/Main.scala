@@ -77,9 +77,20 @@ object Main {
       println(s"[stats] ${rows.length} partitions")
       spark.stop()
 
-    case "compact" :: poolRoot :: Nil =>
+    case "compact" :: poolRoot :: rest =>
+      import org.apache.spark.sql.functions.{col, lit}
+      // optional season scope: compact one partition subtree per run —
+      // the operational shape at scale (whole-lake runs stay safe via
+      // compactPool's staged swap, but scoping bounds the rewrite)
+      val pred = rest.headOption match {
+        case Some(season) => col("season") === season.toInt
+        case None =>
+          println("[compact] no season scope given — rewriting the " +
+            "whole pool (staged, partition-atomic)")
+          lit(true)
+      }
       val spark = session()
-      Ingest.compactPool(spark, poolRoot)
+      Ingest.compactPool(spark, poolRoot, pred)
       println(s"[compact] $poolRoot rewritten")
       spark.stop()
 
@@ -115,7 +126,7 @@ object Main {
       System.err.println(
         "usage: ingest <in> <pool> [vintage] [--dry-run] | " +
           "dump <pool> <out> [n] [seed] | diagnose <pool> | " +
-          "stats <pool> | compact <pool> | " +
+          "stats <pool> | compact <pool> [season] | " +
           "dedup <corpus> <out> [--near] [--jsonl] | " +
           "chunk <corpus> <out> [size] [overlap] [--jsonl]")
       sys.exit(2)

@@ -50,29 +50,79 @@ object Ingest {
     * and streaming micro-batches leave many small files per partition,
     * and at 100 TB file-open overhead starts to dominate scans. Rewrites
     * the partitions selected by `pred` into `filesPerPartition` files
-    * each — row content unchanged, only the file layout compacts, and
-    * dynamic overwrite leaves unselected partitions untouched.
+    * each — row content unchanged, only the file layout compacts;
+    * unselected partitions are untouched.
     *
-    * The selected rows are materialized (`localCheckpoint`) before the
-    * overwrite — Spark refuses to write over a path its plan still
-    * reads. That bounds one compaction run to what the cluster can hold,
-    * which is also the operational shape at scale: compact a few
-    * partitions per run (`pred`), not the whole lake in one transaction.
+    * Crash-safe staging: the compacted layout is first written to a
+    * sibling staging directory (a full distributed job reading the live
+    * pool — nothing is held in executor memory), then each staged
+    * partition directory is swapped into the pool with a delete+rename.
+    * A failure during the write leaves the pool byte-identical; a
+    * failure mid-swap leaves every partition either fully old or fully
+    * new (the swap unit is one partition directory), and re-running the
+    * same compaction converges.
+    *
+    * `filesPerPartition` is the file count for the LARGEST selected
+    * partition; smaller partitions get proportionally fewer (never
+    * zero). Implemented with `maxRecordsPerFile` on a one-task-per-
+    * directory distribution — repartitioning on (partitionCols, salt)
+    * cannot guarantee a count (hash can collide salt values into one
+    * task; range bounds are sample-dependent), while a per-task record
+    * cap rolls files deterministically.
     */
   def compactPool(
       spark: SparkSession, root: String,
       pred: Column = lit(true),
       partitionCols: Seq[String] = Seq("season", "gameId"),
-      filesPerPartition: Int = 1): Unit =
-    spark.read.parquet(root)
-      .filter(pred)
-      .repartition(filesPerPartition, partitionCols.map(col): _*)
-      .localCheckpoint()
-      .write
-      .partitionBy(partitionCols: _*)
+      filesPerPartition: Int = 1): Unit = {
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    val src = spark.read.parquet(root)
+    val selected = src.filter(pred)
+    val distributed =
+      selected.repartition(partitionCols.map(col).toIndexedSeq: _*)
+    // cap rows per file so the largest partition rolls into exactly
+    // `filesPerPartition` files; one extra tiny aggregation job, and
+    // compaction is an offline maintenance op where that is cheap
+    val maxRecordsPerFile: Long =
+      if (filesPerPartition == 1) 0L // unlimited: one file per task
+      else {
+        val maxRows = selected
+          .groupBy(partitionCols.map(col).toIndexedSeq: _*)
+          .count().agg(max("count")).head().get(0) match {
+            case null => 0L
+            case n: Number => n.longValue
+          }
+        if (maxRows == 0L) 0L
+        else (maxRows + filesPerPartition - 1) / filesPerPartition
+      }
+
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+    val rootPath = fs.makeQualified(new org.apache.hadoop.fs.Path(root))
+    val staging = new org.apache.hadoop.fs.Path(
+      rootPath.getParent, "." + rootPath.getName + "_compact_staging")
+    fs.delete(staging, true)
+    distributed.write
+      .partitionBy(partitionCols.toIndexedSeq: _*)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(root)
+      .parquet(staging.toString)
+
+    def leafDirs(p: org.apache.hadoop.fs.Path,
+        depth: Int): Seq[org.apache.hadoop.fs.Path] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).toIndexedSeq.filter(_.isDirectory)
+        .flatMap(s => leafDirs(s.getPath, depth - 1))
+    leafDirs(staging, partitionCols.size).foreach { staged =>
+      val rel = staging.toUri.relativize(staged.toUri).getPath
+      val dest = new org.apache.hadoop.fs.Path(rootPath, rel)
+      fs.mkdirs(dest.getParent)
+      fs.delete(dest, true)
+      if (!fs.rename(staged, dest))
+        sys.error(s"compactPool: failed to move $staged -> $dest")
+    }
+    fs.delete(staging, true)
+  }
 
   /** Per-partition statistics (the manifest a table format would keep):
     * row count and frame range per (season, gameId) directory — the

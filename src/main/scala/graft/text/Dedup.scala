@@ -114,10 +114,12 @@ object Dedup {
     * corpus. Returns the kept training rows unchanged.
     *
     * Scale shape: benchmarks are tiny next to training corpora, so the
-    * distinct eval k-gram set BROADCASTS — contamination detection is a
-    * map-side hash probe of exploded training grams, and the follow-up
-    * anti-join broadcasts the (small) contaminated-id set. The training
-    * corpus never shuffles.
+    * distinct eval k-gram set usually broadcasts and contamination
+    * detection is a map-side hash probe of exploded training grams. The
+    * joins carry no hints: AQE picks broadcast when the eval-gram /
+    * contaminated-id sets fit and degrades to a shuffled join when a
+    * large eval corpus would otherwise blow the broadcast limit —
+    * a hard-coded hint would turn that case into a job failure.
     */
   def decontaminate(
       train: DataFrame, evalSet: DataFrame, textCol: String, idCol: String,
@@ -128,9 +130,9 @@ object Dedup {
       .select(keep :+ explode(TextOps.shingles(col("_t"), k)).as("gram"): _*)
     val evalGrams = grams(evalSet, Nil).distinct()
     val contaminated = grams(train, Seq(col(idCol)))
-      .join(broadcast(evalGrams), "gram")
+      .join(evalGrams, "gram")
       .select(idCol).distinct()
-    train.join(broadcast(contaminated), Seq(idCol), "left_anti")
+    train.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** Near-dup CLUSTERS from pairwise matches: connected components via

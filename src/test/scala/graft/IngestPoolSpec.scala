@@ -54,6 +54,40 @@ class IngestPoolSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("gameId") ->
         r.getAs[Long]("n_rows")).toMap
     assert(statsAfter == statsBefore)
+    // no staging leftovers next to the pool
+    val parent = new java.io.File(poolRoot).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains("_compact_staging")))
+  }
+
+  test("compactPool: pred scopes the rewrite; filesPerPartition > 1 splits") {
+    val poolRoot = tmpDir("poolcompactscope")
+    val df = SyntheticTracking.df(spark, games = 2, plays = 2, frames = 5)
+      .withColumn("season", lit(2023))
+    df.repartition(8)
+      .write.partitionBy("season", "gameId").mode("overwrite")
+      .parquet(poolRoot)
+    def partFiles(): Map[String, Set[String]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(poolRoot))
+        .filter(_.getName.endsWith(".parquet"))
+        .groupBy(_.getParentFile.getName)
+        .map { case (d, fs) => d -> fs.map(_.getName).toSet }
+    }
+    val games = partFiles().keys.toSeq.sorted
+    assert(games.size == 2)
+    val (target, untouched) = (games.head, games.last)
+    val targetId = target.stripPrefix("gameId=").toLong
+    val before = partFiles()
+    val rowsBefore = spark.read.parquet(poolRoot).count()
+    Ingest.compactPool(spark, poolRoot,
+      pred = col("gameId") === targetId, filesPerPartition = 2)
+    val after = partFiles()
+    // scoped partition rewritten into exactly 2 files (salt split works)
+    assert(after(target).size == 2)
+    // out-of-scope partition byte-layout untouched (same file names)
+    assert(after(untouched) == before(untouched))
+    assert(spark.read.parquet(poolRoot).count() == rowsBefore)
   }
 
   test("2026 snake_case vintage resolves through aliases") {
