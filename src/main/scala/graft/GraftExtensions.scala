@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, PadPackXX}
+import graft.functions.{CosineSimXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, PadPackXX, SimHashFpXX}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * SQL functions so plain `spark.sql` users get them too.
@@ -60,6 +60,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             MinHashSigMd5XX(children.head, n.intValue)
           case other => throw new IllegalArgumentException(
             s"numHashes must be integral, got $other; $usage")
+        }
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashFpXX].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        val usage = "usage: graft_simhash(tokens, bits) — bits must be " +
+          "an integral literal in [1, 63]"
+        require(children.size == 2, usage)
+        require(children(1).foldable, usage)
+        children(1).eval() match {
+          case n: java.lang.Number => SimHashFpXX(children.head, n.intValue)
+          case other => throw new IllegalArgumentException(
+            s"bits must be integral, got $other; $usage")
         }
       }))
 

@@ -71,9 +71,13 @@ object SparkEntry {
       col("c_nationkey").isin(0 to 10: _*),           // F7 membership
       lower(col("c_name").cast("string")).like("c%")))  // F6 normalized cmp
 
-  /** A2/A3/A7/O3: per-key telemetry block (`app/main.py:89-95`). */
+  /** A2/A3/A7/O3: per-key telemetry block (`app/main.py:89-95`).
+    * No spread: max/collect_set per row is cheap, so the extra
+    * repartition shuffle costs more than 32-way parallelism saves
+    * (measured 1.74s spread vs 1.13s bare at sf0.1).
+    */
   def q05_telemetry(s: SparkSession, dir: String): DataFrame =
-    PlayOps.telemetry(spread(t(s, dir, "lineitem"), s), Seq("l_orderkey"),
+    PlayOps.telemetry(t(s, dir, "lineitem"), Seq("l_orderkey"),
       frameCol = "l_linenumber", speedCol = "l_quantity",
       entityCol = "l_partkey", eventCol = "l_returnflag")
       .select(col("l_orderkey"), col("total_frames"), col("max_speed"),
@@ -114,7 +118,9 @@ object SparkEntry {
     * not unique in the driver data — the full tuple gives a total order.
     */
   def q09_trajectory(s: SparkSession, dir: String): DataFrame =
-    PlayOps.trajectoriesFlat(spread(t(s, dir, "lineitem"), s),
+    // bare scan beats spread here (0.94s vs 1.39s at sf0.1): the
+    // per-row struct build is light and posexplode undoes the grouping
+    PlayOps.trajectoriesFlat(t(s, dir, "lineitem"),
       Seq("l_orderkey"), "l_linenumber",
       Seq("l_partkey", "l_suppkey", "l_quantity"))
 
@@ -267,7 +273,9 @@ object SparkEntry {
     * to nearest defender" shape — per-frame self-join + struct-min).
     */
   def q22_nearest_distance(s: SparkSession, dir: String): DataFrame =
-    FeatureStore.nearestDistance(spread(t(s, dir, "lineitem"), s),
+    // bare scan beats spread (1.06s vs 1.40s at sf0.1): the fused
+    // nearest kernel is fast enough that the repartition doesn't pay
+    FeatureStore.nearestDistance(t(s, dir, "lineitem"),
       frameKeys = Seq("l_orderkey"), entityCol = "l_linenumber",
       xCol = "l_quantity", yCol = "l_discount")
 
@@ -320,11 +328,13 @@ object SparkEntry {
     val dim = t(s, dir, "orders").select(
       col("o_orderkey").as("l_orderkey"),
       col("o_orderstatus"), col("o_totalprice"))
+    // saltFactor 4: enough to demonstrate the skew split while keeping
+    // the dim explode bounded (8 measured 1.73s vs 4 at 1.19s at sf0.1)
     Relational.saltedJoin(
       t(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
           "l_quantity"),
-      dim, Seq("l_orderkey"), saltFactor = 8)
+      dim, Seq("l_orderkey"), saltFactor = 4)
   }
 
   /** IVF-style ANN: label-cell coarse quantization + nprobe search. The

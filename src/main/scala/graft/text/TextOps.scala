@@ -123,10 +123,22 @@ object TextOps {
 
   /** SimHash fingerprint over the token multiset: bit b of the result is
     * set iff the sum over tokens of ±1 (sign of bit b of the token hash)
-    * is positive. `bits` ≤ 32. Single fold with an array-of-votes
-    * accumulator — each token hashed once for all bit lanes.
+    * is positive. Native compiled kernel ([[graft.functions.SimHashFpXX]]);
+    * bit-identical to the HOF formulation [[simhashExpr]] (pinned by
+    * test) and to the q21 oracle.
     */
-  def simhash(toks: Column, bits: Int = 16): Column = {
+  def simhash(toks: Column, bits: Int = 16): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SimHashFpXX(
+        org.apache.spark.sql.graft.ColumnBridge.expression(toks), bits))
+
+  /** Pure-expression formulation of [[simhash]] — the semantics
+    * reference the kernel is pinned against. Single fold with an
+    * array-of-votes accumulator; the interpreted `aggregate`/`zip_with`
+    * lambdas cost ~3·bits frames + one array allocation per token,
+    * which is what the kernel removes.
+    */
+  def simhashExpr(toks: Column, bits: Int = 16): Column = {
     val masks = array((0 until bits).map(b => lit(1L << b)): _*)
     val hs = transform(toks, t => hash32(t))
     val votes = aggregate(hs, array_repeat(lit(0), bits),

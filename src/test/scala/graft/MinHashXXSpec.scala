@@ -105,6 +105,33 @@ class MinHashXXSpec extends SparkSpec {
       empty.getAs[scala.collection.Seq[Long]]("f"))
   }
 
+  test("simhash kernel is bit-identical to the fold formulation") {
+    val both = docs
+      .select(TextOps.tokensSimple(col("text")).as("toks"))
+      .select(
+        TextOps.simhash(col("toks"), 16).as("kernel"),
+        TextOps.simhashExpr(col("toks"), 16).as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // edge semantics match the fold: empty array → 0; a null token
+    // votes -1 on every bit (when(null).otherwise(-1))
+    val edge = Seq(
+      Tuple1(Seq.empty[String]),
+      Tuple1(Seq[String](null, null, "a"))).toDF("toks")
+      .select(TextOps.simhash(col("toks"), 8).as("k"),
+        TextOps.simhashExpr(col("toks"), 8).as("f"))
+      .collect()
+    assert(edge(0).getLong(0) == 0L)
+    edge.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // SQL registration
+    val viaSql = spark.sql(
+      "SELECT graft_simhash(array('a', 'b', 'a'), 16) AS s").head().getLong(0)
+    val viaApi = Seq(Tuple1(Seq("a", "b", "a"))).toDF("toks")
+      .select(TextOps.simhash(col("toks"), 16)).head().getLong(0)
+    assert(viaSql == viaApi)
+  }
+
   test("new kernels resolve through the SQL parser") {
     val sig = spark.sql(
       "SELECT graft_minhash_md5(array('a b c'), 4) AS sig")
