@@ -610,5 +610,53 @@ object OracleSql {
     "q25_multimodal_meta" ->
       """SELECT doc_id, len(text)::INTEGER AS n_bytes, sha256(text) AS content_sha,
         |  lower(hex(substr(text, 1, 4))) AS magic_hex
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    "q44_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |  round((tf.tf * (n.n_docs + 1.0)) / (dfreq.df + 1.0), 6) AS tfidf
+        |FROM tf JOIN dfreq USING (term) CROSS JOIN n""".stripMargin,
+
+    "q45_weighted_sample" ->
+      s"""WITH h AS (SELECT doc_id, n_chars,
+         |        ${h32("doc_id::VARCHAR || ':7'")} AS hv FROM documents)
+         |SELECT doc_id, n_chars,
+         |  round(n_chars / ((hv + 1) / 4294967296.0), 6) AS priority
+         |FROM h ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q46_redact" -> {
+      val url = "https?://[^ ]+"
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+      s"""WITH r AS (SELECT doc_id,
+         |        CASE WHEN doc_id % 7 = 0 THEN text ||
+         |          ' contact admin@example.com or https://data.example.com/dl?id='
+         |          || doc_id::VARCHAR
+         |        ELSE text END AS raw FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(raw, '$url'))::INTEGER AS n_urls,
+         |  len(regexp_extract_all(raw, '$email'))::INTEGER AS n_emails,
+         |  regexp_replace(regexp_replace(raw, '$url', '<URL>', 'g'),
+         |    '$email', '<EMAIL>', 'g') AS clean_text
+         |FROM r""".stripMargin
+    },
+
+    "q47_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |        list_max(list_transform(embedding,
+        |          x -> abs(CAST(x AS DOUBLE)))) AS mx FROM embeddings),
+        |q AS (SELECT vec_id, mx,
+        |        list_transform(embedding, x -> CASE WHEN mx = 0
+        |          THEN CAST(0 AS BIGINT)
+        |          ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5)
+        |            AS BIGINT) END) AS qv FROM m)
+        |SELECT vec_id, round(mx, 6) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max
+        |FROM q""".stripMargin)
 }

@@ -517,6 +517,56 @@ object SparkEntry {
         explode(TextOps.tokensSimple(col("text"))).as("token")),
       "token", k = 100)
 
+  /** TF-IDF term scoring (ratio flavor — log-free so the float chain is
+    * engine-exact) per distinct (doc, term).
+    */
+  def q44_tfidf(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfidf(docs(s, dir), "text", "doc_id", TextOps.tokensSimple)
+
+  /** Quality-weighted exact-n corpus sample (priority sampling): 50 docs
+    * weighted by length, md5-derived uniforms — fully deterministic.
+    */
+  def q45_weighted_sample(s: SparkSession, dir: String): DataFrame =
+    Relational.prioritySample(
+      t(s, dir, "documents").select("doc_id", "n_chars"),
+      "doc_id", col("n_chars"), n = 50, seed = 7)
+
+  /** PII scrubbing: URL/email counts + redacted text. Synthetic
+    * contamination is injected for doc_id % 7 == 0 (the driver corpus
+    * contains no PII) so the operator actually fires; the oracle
+    * injects the identical suffix.
+    */
+  def q46_redact(s: SparkSession, dir: String): DataFrame = {
+    val injected = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"),
+          lit(" contact admin@example.com or https://data.example.com/dl?id="),
+          col("doc_id").cast("string")))
+        .otherwise(col("text")).as("raw"))
+    injected.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("raw"), lit(TextOps.urlPattern), lit(0)))
+        .as("n_urls"),
+      size(regexp_extract_all(col("raw"), lit(TextOps.emailPattern), lit(0)))
+        .as("n_emails"),
+      TextOps.redactPii(col("raw")).as("clean_text"))
+  }
+
+  /** Symmetric int8 embedding quantization: per-vector scale +
+    * quantized-component checksums (sum/min/max — exact integers).
+    */
+  def q47_quantize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        SimSearch.maxAbs(col("embedding")).as("mx"))
+      .select(col("vec_id"), col("mx"),
+        SimSearch.quantizeInt8(col("embedding"), col("mx")).as("q"))
+      .select(col("vec_id"),
+        round(col("mx"), 6).as("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -562,7 +612,11 @@ object SparkEntry {
     "q40_token_shards" -> (q40_token_shards(_, _)),
     "q41_repetition" -> (q41_repetition(_, _)),
     "q42_decontaminate" -> (q42_decontaminate(_, _)),
-    "q43_vocab" -> (q43_vocab(_, _)))
+    "q43_vocab" -> (q43_vocab(_, _)),
+    "q44_tfidf" -> (q44_tfidf(_, _)),
+    "q45_weighted_sample" -> (q45_weighted_sample(_, _)),
+    "q46_redact" -> (q46_redact(_, _)),
+    "q47_quantize" -> (q47_quantize(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

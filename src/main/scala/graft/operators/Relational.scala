@@ -155,6 +155,31 @@ object Relational {
       classCol, col("_r"), col(idCol), n)
       .select(col(classCol), col("rank").as("pos"), col("neighbor").as(idCol))
 
+  /** Weighted exact-n sample without replacement — priority sampling
+    * (Duffield, Lund & Thorup): each row gets priority `w / u` with `u`
+    * uniform in (0, 1], the sample is the top-n priorities. Inclusion
+    * probability is ~proportional to weight; the quality-weighted
+    * corpus-mixing step of a training-data pipeline (weight = quality
+    * score / token count / source boost).
+    *
+    * Deterministic and oracle-replayable: `u = (h + 1) / 2^32` from the
+    * seeded md5 rank — an exact dyadic rational — so the priority is one
+    * IEEE division both engines compute bit-identically. Top-n via
+    * `orderBy(...).limit(n)` compiles to TakeOrdered (per-partition
+    * heaps + driver merge, no global sort); ties on the rounded
+    * priority break by id.
+    */
+  def prioritySample(
+      df: DataFrame, idCol: String, weightCol: Column,
+      n: Int, seed: Long): DataFrame = {
+    val h = conv(substring(md5Rank(Seq(col(idCol)), seed), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
+    df.withColumn("priority", round(weightCol.cast("double") / u, 6))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(n)
+  }
+
   /** Token-budget sharding (sequence-packing approximation): within each
     * class, docs in id order fill shards of ~`budget` tokens —
     * `shard = exclusive-prefix-tokens div budget`, so a shard holds the

@@ -190,6 +190,26 @@ object SimSearch {
         (-col("rankval")).as("cos_sim"))
   }
 
+  /** Largest absolute component of a vector (the symmetric-quantization
+    * scale). `abs`/`max` are IEEE-exact, so the scale is bit-identical
+    * in any engine.
+    */
+  def maxAbs(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
+  /** Symmetric int8 quantization: `q_i = floor(v_i·127/scale + 0.5)`
+    * (round-half-up via floor — exact and engine-independent, unlike
+    * banker's-rounding `round` variants). A zero scale (all-zero
+    * vector) quantizes to zeros. Pass `scale` = [[maxAbs]] staged in a
+    * prior projection so it is computed once per vector, not once per
+    * element. 4× memory/bandwidth reduction for ANN candidate scans —
+    * the compressed-storage tier of a 100 TB embedding corpus.
+    */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec, x =>
+      when(scale === 0.0, lit(0L))
+        .otherwise(floor(x.cast("double") * lit(127.0) / scale + lit(0.5))))
+
   /** Embedding-cosine near-dup pairs (dedup flavor of ANN): bucket join,
     * exact cosine, threshold.
     */

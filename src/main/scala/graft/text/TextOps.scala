@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -245,4 +245,51 @@ object TextOps {
       markerScore(toks, stopwords).cast("double") / greatest(n, lit(1))
     round(lenScore * (lit(0.5) + lit(0.5) * least(stopRatio * 5.0, lit(1.0))), 6)
   }
+
+  /** TF-IDF term scoring, ratio flavor: `tf · (N+1)/(df+1)` — the
+    * log-free formulation, so the score is a single IEEE
+    * multiply-divide chain both engines compute bit-identically (`ln`
+    * is not IEEE-pinned and may differ in the last ulp across libm
+    * implementations; monotonicity — all a ranking consumer needs — is
+    * unchanged). Returns (id, term, tf, df, tfidf) per distinct
+    * (doc, term).
+    *
+    * Scale shape: one explode + two hash aggregations; the doc-frequency
+    * join is an equi-join on term (vocabulary-sized — AQE broadcasts it
+    * when small); the corpus-size scalar is a 1-row broadcast. No
+    * window, no all-pairs.
+    */
+  def tfidf(
+      df: DataFrame, textCol: String, idCol: String,
+      tokenizer: Column => Column = tokens): DataFrame = {
+    val terms = df.select(col(idCol),
+      explode(tokenizer(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        round(col("tf") * (col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)),
+          6).as("tfidf"))
+  }
+
+  /** PII scrubbing patterns, written RE2-compatible (no `\s`, no
+    * lookaround, explicit classes) so the DuckDB oracle replays them
+    * byte-for-byte.
+    */
+  val emailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val urlPattern: String = "https?://[^ ]+"
+
+  /** Redact URLs then emails (in that order — a URL can contain an
+    * email-shaped userinfo part; the replacement tokens contain neither
+    * pattern, so the composition is confluent). Pure per-row regex —
+    * runs in the scan stage at any corpus size.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, urlPattern, "<URL>"),
+      emailPattern, "<EMAIL>")
 }

@@ -74,4 +74,24 @@ class SimSearchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("int8 quantization: known vector and all-zero vector") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        SimSearch.maxAbs(col("embedding")).as("mx"))
+      .select(col("vec_id"), col("mx"),
+        SimSearch.quantizeInt8(col("embedding"), col("mx")).as("q"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getAs[scala.collection.Seq[Long]]("q").toSeq))
+      .toMap
+    // scale 1.0: 0.5→floor(63.5+0.5)=64, -1→floor(-126.5)=-127,
+    // 0.25→floor(32.25)=32
+    assert(df(1L) == ((1.0, Seq(64L, -127L, 32L))))
+    assert(df(2L) == ((0.0, Seq(0L, 0L, 0L)))) // zero scale → zeros
+  }
 }

@@ -242,4 +242,57 @@ class TextDedupSpec extends SparkSpec {
     assert(out(4L)._1 == "de")
     assert(out.values.forall { case (_, q) => q >= 0.0 && q <= 1.0 })
   }
+
+  test("tfidf: known corpus arithmetic (tf · (N+1)/(df+1))") {
+    val corpus = Seq(
+      (1L, "a a b"), (2L, "a c"), (3L, "b b b")).toDF("doc_id", "text")
+    val out = TextOps.tfidf(corpus, "text", "doc_id",
+      TextOps.tokensSimple)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // N = 3; df: a→2, b→2, c→1
+    assert(out((1L, "a")) == ((2L, 2L, 2.666667))) // 2·4/3
+    assert(out((1L, "b")) == ((1L, 2L, 1.333333)))
+    assert(out((2L, "c")) == ((1L, 1L, 2.0))) // 1·4/2
+    assert(out((3L, "b")) == ((3L, 2L, 4.0))) // 3·4/3
+    assert(out.size == 5) // (1,a),(1,b),(2,a),(2,c),(3,b)
+  }
+
+  test("prioritySample: deterministic, exact n, degenerate n > rows") {
+    val df = Seq((1L, 10.0), (2L, 1.0), (3L, 1000.0), (4L, 5.0))
+      .toDF("id", "w")
+    def run() = graft.operators.Relational
+      .prioritySample(df, "id", col("w"), n = 2, seed = 42)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val a = run()
+    assert(a == run() && a.size == 2) // deterministic under re-run
+    // heaviest weight dominates any u in (0,1]: w=1000 vs max 10 means
+    // priority(3) >= 1000 > 10/u_min is not guaranteed... but with
+    // u in (0,1], priority(3) >= 1000 and priority(1) <= 10/u_1; the
+    // md5-derived u are all > 2e-3 here, so id 3 must be selected
+    assert(a.contains(3L))
+    val all = graft.operators.Relational
+      .prioritySample(df, "id", col("w"), n = 10, seed = 42)
+    assert(all.count() == 4) // degenerate: fewer rows than n
+  }
+
+  test("redactPii: urls then emails, counts match occurrences") {
+    val out = Seq(
+      (1L, "mail bob@corp.io or see https://x.io/a?b=1 and http://y.z/c"),
+      (2L, "clean text with no pii at all"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(TextOps.urlPattern),
+          lit(0))).as("n_urls"),
+        size(regexp_extract_all(col("text"), lit(TextOps.emailPattern),
+          lit(0))).as("n_emails"),
+        TextOps.redactPii(col("text")).as("clean"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((2, 1,
+      "mail <EMAIL> or see <URL> and <URL>")))
+    assert(out(2L) == ((0, 0, "clean text with no pii at all")))
+  }
 }
