@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, PadPackXX, SimHashFpXX}
+import graft.functions.{CosineSimXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, PadPackXX, SimHashFpXX, TensorPackXX}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * SQL functions so plain `spark.sql` users get them too.
@@ -85,6 +85,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1,
           "usage: graft_nearest(array<struct<bigint,double,double>>)")
         NearestPairsXX(children.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_tensorpack"),
+      new ExpressionInfo(classOf[TensorPackXX].getName, "graft_tensorpack"),
+      (children: Seq[Expression]) => {
+        val usage = "usage: graft_tensorpack(ents, pad, maxEntities, " +
+          "maxFrames) — maxEntities/maxFrames must be integral literals"
+        require(children.size == 4, usage)
+        def intArg(e: Expression): Int = {
+          require(e.foldable, usage)
+          e.eval() match {
+            case n: java.lang.Number => n.intValue
+            case other => throw new IllegalArgumentException(
+              s"expected integral literal, got $other; $usage")
+          }
+        }
+        TensorPackXX(children.head, children(1),
+          intArg(children(2)), intArg(children(3)))
       }))
 
     ext.injectFunction((

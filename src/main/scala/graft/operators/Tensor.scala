@@ -15,13 +15,15 @@ import org.apache.spark.sql.functions._
   * side-then-nflId so it is total and stable. Missing physics values
   * become 0.0 (the reference pads with zeros).
   *
-  * Implementation: two hash aggregations (both with map-side partial
-  * aggregation — at 100 TB the wide rows are built next to the data and
-  * only (plays × tensor) bytes ever shuffle), with the per-row
-  * sort→strip→pad step fused into the native
-  * [[graft.functions.PadPackXX]] kernel (one compiled call instead of a
-  * four-expression interpreted chain; ordering semantics identical to
-  * `sort_array`).
+  * Implementation: ONE hash aggregation (map-side partial) collecting
+  * raw entity structs per play, with the whole group→sort→pad pivot
+  * fused into the native [[graft.functions.TensorPackXX]] kernel. The
+  * staged two-aggregation formulation ([[toTensorStaged]]) shuffles the
+  * full tracking volume twice (once frame-keyed, once play-keyed); the
+  * fused path shuffles it once — at 100 TB the removed exchange is the
+  * dominant cost of tensor creation. Output is bit-identical (pinned by
+  * test): the kernel's global struct sort equals "frames by id,
+  * entities by (side, id, feats) within a frame".
   */
 object Tensor {
 
@@ -31,6 +33,13 @@ object Tensor {
   private def padPack(ents: Column, pad: Column, maxN: Int): Column =
     ColumnBridge.column(graft.functions.PadPackXX(
       ColumnBridge.expression(ents), ColumnBridge.expression(pad), maxN))
+
+  /** Whole-tensor pivot in one native call (see [[graft.functions.TensorPackXX]]). */
+  private def tensorPack(
+      ents: Column, pad: Column, maxEntities: Int, maxFrames: Int): Column =
+    ColumnBridge.column(graft.functions.TensorPackXX(
+      ColumnBridge.expression(ents), ColumnBridge.expression(pad),
+      maxEntities, maxFrames))
 
   val defaultFeatures: Seq[String] = Seq("x", "y", "s", "a", "o", "dir")
 
@@ -46,26 +55,53 @@ object Tensor {
     Option(v).map(_.asInstanceOf[Number].intValue).getOrElse(0)
   }
 
+  private def entityStruct(features: Seq[String]): Column = {
+    val featArr = array(features.map(f => coalesce(col(f).cast("float"),
+      lit(0.0f))): _*)
+    val sideRank = when(PlayOps.isBall, 2)
+      .when(PlayOps.side.isin("home", "offense"), 0).otherwise(1)
+    struct(col("frameId").as("frameId"), sideRank.as("sideRank"),
+      coalesce(col("nflId"), lit(Int.MaxValue)).as("nflId"),
+      featArr.as("feats"))
+  }
+
   def toTensor(
       pool: DataFrame,
       features: Seq[String] = defaultFeatures,
       maxFrames: Int = 0,
       maxEntities: Int = 23): DataFrame = {
     require(maxFrames > 0, "maxFrames must be fixed (see maxFrameCount)")
+    pool.groupBy("gameId", "playId")
+      .agg(collect_list(entityStruct(features)).as("entsRaw"))
+      .select(col("gameId"), col("playId"),
+        tensorPack(col("entsRaw"), zeroEntity(features.size),
+          maxEntities, maxFrames).as("_p"))
+      .select(col("gameId"), col("playId"),
+        col("_p.n_frames").as("n_frames"), col("_p.tensor").as("tensor"))
+  }
+
+  /** The two-aggregation formulation [[toTensor]] replaced: per-frame
+    * entity pack, then per-play frame pack — two shuffles of the full
+    * tracking volume. Kept as the semantics reference the fused kernel
+    * is pinned against (bit-identity test), and as the fallback shape
+    * if a caller needs the intermediate per-frame table.
+    */
+  def toTensorStaged(
+      pool: DataFrame,
+      features: Seq[String] = defaultFeatures,
+      maxFrames: Int = 0,
+      maxEntities: Int = 23): DataFrame = {
+    require(maxFrames > 0, "maxFrames must be fixed (see maxFrameCount)")
     val nF = features.size
-    val featArr = array(features.map(f => coalesce(col(f).cast("float"),
-      lit(0.0f))): _*)
-    val sideRank = when(PlayOps.isBall, 2)
-      .when(PlayOps.side.isin("home", "offense"), 0).otherwise(1)
+    val ent = entityStruct(features)
+    val entNoFrame = struct(ent.getField("sideRank").as("sideRank"),
+      ent.getField("nflId").as("nflId"), ent.getField("feats").as("feats"))
 
     // 1. per (play, frame): entity-ordered feature rows, padded/truncated
     //    to maxEntities
     val perFrame = pool
       .groupBy("gameId", "playId", "frameId")
-      .agg(collect_list(struct(
-        sideRank.as("sideRank"),
-        coalesce(col("nflId"), lit(Int.MaxValue)).as("nflId"),
-        featArr.as("feats"))).as("ents"))
+      .agg(collect_list(entNoFrame).as("ents"))
       .select(col("gameId"), col("playId"), col("frameId"),
         padPack(col("ents"), zeroEntity(nF), maxEntities).as("frame"))
 

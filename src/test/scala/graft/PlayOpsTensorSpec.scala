@@ -95,6 +95,21 @@ class PlayOpsTensorSpec extends SparkSpec {
     assert(tensor.head.head.exists(_ != 0f))
   }
 
+  test("fused single-aggregation tensor is identical to the staged path") {
+    type CSeq[T] = scala.collection.Seq[T]
+    def collect(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("gameId"), r.getAs[Int]("playId")) ->
+        (r.getAs[Int]("n_frames"),
+          r.getAs[CSeq[CSeq[CSeq[Float]]]]("tensor").map(_.map(_.toSeq).toSeq).toSeq))
+      .toMap
+    // both the padding shape and the truncation shape must agree
+    for ((mf, me) <- Seq((60, 23), (5, 3))) {
+      val fused = collect(Tensor.toTensor(pool, Seq("x", "y"), mf, me))
+      val staged = collect(Tensor.toTensorStaged(pool, Seq("x", "y"), mf, me))
+      assert(fused == staged, s"mismatch at maxFrames=$mf maxEntities=$me")
+    }
+  }
+
   test("typed Dataset[PlayTensor] surface round-trips the tensor") {
     val ds = Tensor.toTensorDS(pool, Seq("x", "y"), maxFrames = 60,
       maxEntities = 23)
