@@ -645,6 +645,63 @@ object OracleSql {
          |FROM r""".stripMargin
     },
 
+    "q48_kmeans" -> {
+      val dim = 64
+      val k = 4
+      val iters = 2
+      // squared distance between a raw float vector column and a double
+      // centroid list — the same (dx)*(dx) left-fold chain as Spark
+      def d2(v: String, c: String) =
+        s"""list_reduce(list_transform(range(1, ${dim + 1}),
+           |  i -> ($v[i]::DOUBLE - $c[i]) * ($v[i]::DOUBLE - $c[i])),
+           |  (x, y) -> x + y)""".stripMargin
+      def assignCte(name: String, cen: String) =
+        s"""$name AS (SELECT vid, cid, d2 FROM (
+           |  SELECT vid, cid, d2, row_number() OVER
+           |    (PARTITION BY vid ORDER BY d2, cid) AS rn
+           |  FROM (SELECT e.vec_id AS vid, c.cid AS cid,
+           |          ${d2("e.embedding", "c.cv")} AS d2
+           |        FROM embeddings e CROSS JOIN $cen c))
+           |  WHERE rn = 1)""".stripMargin
+      // id-ordered fold mean per cluster; empty clusters keep the old
+      // centroid via the LEFT JOIN + coalesce
+      def updateCte(s: String, u: String, cenNew: String,
+          a: String, cenOld: String) =
+        s"""$s AS (SELECT a.cid, count(*) AS n,
+           |        list(e.embedding ORDER BY e.vec_id) AS vs
+           |      FROM $a a JOIN embeddings e ON e.vec_id = a.vid
+           |      GROUP BY a.cid),
+           |$u AS (SELECT cid, list_transform(
+           |        list_reduce(
+           |          list_transform(vs, v -> list_transform(v, x -> x::DOUBLE)),
+           |          (acc, c) -> list_transform(range(1, ${dim + 1}),
+           |                        i -> acc[i] + c[i])),
+           |        sm -> sm / n) AS cv FROM $s),
+           |$cenNew AS (SELECT c.cid, coalesce(u.cv, c.cv) AS cv
+           |        FROM $cenOld c LEFT JOIN $u u USING (cid))""".stripMargin
+      val rounds = (0 until iters).map { r =>
+        assignCte(s"a$r", s"cen$r") + ",\n" +
+          updateCte(s"s$r", s"u$r", s"cen${r + 1}", s"a$r", s"cen$r")
+      }.mkString(",\n")
+      s"""WITH cen0 AS (SELECT vec_id AS cid,
+         |        list_transform(embedding, x -> x::DOUBLE) AS cv
+         |      FROM embeddings ORDER BY vec_id LIMIT $k),
+         |$rounds,
+         |${assignCte("afinal", s"cen$iters")}
+         |SELECT vid AS vec_id, cid AS cluster, round(d2, 6) AS d2
+         |FROM afinal""".stripMargin
+    },
+
+    "q49_random_projection" -> {
+      val dim = 64
+      val cols = (0 until 8).map { p =>
+        s"round(${duckDot("embedding", s"(${planeList(p, dim)})", dim)}, 6) AS p$p"
+      }.mkString(",\n  ")
+      s"""SELECT vec_id,
+         |  $cols
+         |FROM embeddings""".stripMargin
+    },
+
     "q47_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,
         |        list_max(list_transform(embedding,

@@ -567,6 +567,21 @@ object SparkEntry {
         array_min(col("q")).as("q_min"),
         array_max(col("q")).as("q_max"))
 
+  /** Deterministic Lloyd k-means (the IVF centroid trainer): 4 clusters,
+    * 2 update rounds, id-seeded, id-ordered fold means — the oracle
+    * unrolls both rounds in SQL.
+    */
+  def q48_kmeans(s: SparkSession, dir: String): DataFrame =
+    SimSearch.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 4, iters = 2)
+
+  /** Random-projection dimensionality reduction 64→8 (md5-derived fixed
+    * hyperplanes, one fold dot product per output component).
+    */
+  def q49_random_projection(s: SparkSession, dir: String): DataFrame =
+    SimSearch.randomProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+      outDim = 8)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -616,7 +631,9 @@ object SparkEntry {
     "q44_tfidf" -> (q44_tfidf(_, _)),
     "q45_weighted_sample" -> (q45_weighted_sample(_, _)),
     "q46_redact" -> (q46_redact(_, _)),
-    "q47_quantize" -> (q47_quantize(_, _)))
+    "q47_quantize" -> (q47_quantize(_, _)),
+    "q48_kmeans" -> (q48_kmeans(_, _)),
+    "q49_random_projection" -> (q49_random_projection(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

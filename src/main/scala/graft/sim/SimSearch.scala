@@ -190,6 +190,87 @@ object SimSearch {
         (-col("rankval")).as("cos_sim"))
   }
 
+  /** Squared Euclidean distance as a left-fold of `(dx)·(dx)` terms —
+    * the IEEE chain both engines replay exactly (`pow` is not pinned;
+    * the explicit product is).
+    */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Deterministic Lloyd k-means assignment — the centroid builder a
+    * real IVF index trains with, everything replayable: seeds are the
+    * `k` smallest-id vectors (cluster label = seed id), assignment is
+    * argmin squared distance with ties to the lowest centroid label,
+    * updates are id-ordered fold means (the [[ivfTopK]] determinism
+    * trick), and an empty cluster keeps its previous centroid. Returns
+    * (idCol, cluster, d2) under the final centroids after `iters`
+    * update rounds.
+    *
+    * Scale shape per round: assignment is a broadcast of k centroids
+    * against the corpus (no shuffle of vectors) + the windowless
+    * argmin; the update shuffles only (cluster, vector) pairs into k
+    * groups. `iters` is small and fixed — the plan grows linearly, and
+    * each round's centroid table is k rows.
+    */
+  def kmeansAssign(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, dim: Int = 64): DataFrame = {
+    require(k > 0 && iters >= 0, "need k > 0 and iters >= 0")
+    val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    var centroids = vecs.orderBy(col("vid")).limit(k)
+      .select(col("vid").as("cid"),
+        transform(col("v"), _.cast("double")).as("cv"))
+    def assign(cen: DataFrame): DataFrame = topKPerKey(
+      vecs.crossJoin(broadcast(cen))
+        .withColumn("d2", dist2(col("v"), col("cv"))),
+      "vid", col("d2"), col("cid"), 1)
+      .select(col("vid"), col("neighbor").as("cid"),
+        col("rankval").as("d2"))
+    var i = 0
+    while (i < iters) {
+      val sums = assign(centroids).join(vecs, "vid")
+        .groupBy(col("cid"))
+        .agg(
+          aggregate(
+            transform(
+              sort_array(collect_list(struct(col("vid").as("i"),
+                col("v").as("v")))),
+              _.getField("v")),
+            array_repeat(lit(0.0), dim),
+            (acc, v) => zip_with(acc, v, (a, x) => a + x.cast("double")))
+            .as("vsum"),
+          count(lit(1)).as("n"))
+        .select(col("cid"),
+          transform(col("vsum"), s => s / col("n")).as("cv2"))
+      centroids = centroids.join(sums, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cv2"), col("cv")).as("cv"))
+      i += 1
+    }
+    assign(centroids)
+      .select(col("vid").as(idCol), col("cid").as("cluster"),
+        round(col("d2"), 6).as("d2"))
+  }
+
+  /** Random-projection dimensionality reduction: `outDim` fixed
+    * md5-derived hyperplanes ([[planeWeight]] — no RNG state), each
+    * output component one left-fold dot product. The 64→8 compression
+    * tier for coarse filtering before exact reranking; projections are
+    * emitted as columns `p0..p{outDim-1}`.
+    */
+  def randomProject(
+      emb: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, dim: Int = 64): DataFrame = {
+    val cols = (0 until outDim).map { p =>
+      val w = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
+      round(dot(col(vecCol), w), 6).as(s"p$p")
+    }
+    emb.select(col(idCol) +: cols: _*)
+  }
+
   /** Largest absolute component of a vector (the symmetric-quantization
     * scale). `abs`/`max` are IEEE-exact, so the scale is bit-identical
     * in any engine.

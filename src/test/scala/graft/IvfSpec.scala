@@ -29,4 +29,53 @@ class IvfSpec extends SparkSpec {
     val cs = top.map(_.getAs[Double]("cos_sim"))
     assert(cs.forall(c => c > 0.9 && c <= 1.0))
   }
+
+  test("kmeans: separated groups converge to their own clusters") {
+    // group A hugs dimension 0, group B dimension 1; seeds (ids 0, 1)
+    // land one per group, so Lloyd must keep the split and every vector
+    // must sit closer to its own centroid than the zero-iteration seed
+    def vec(hot: Int, v: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(hot) = v
+      a
+    }
+    val emb = Seq(
+      (0L, vec(0, 10f)), (1L, vec(1, 10f)), (2L, vec(0, 9f)),
+      (3L, vec(1, 9f)), (4L, vec(0, 11f)), (5L, vec(1, 11f)))
+      .toDF("vec_id", "embedding")
+    val out = SimSearch.kmeansAssign(emb, "vec_id", "embedding",
+      k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(Seq(0L, 2L, 4L).forall(out(_)._1 == 0L)) // dim-0 group
+    assert(Seq(1L, 3L, 5L).forall(out(_)._1 == 1L)) // dim-1 group
+    // converged centroid = group mean (10) → d2 for the 9/11 members is 1
+    assert(out(2L)._2 == 1.0 && out(4L)._2 == 1.0)
+    assert(out(0L)._2 == 0.0)
+    // deterministic under re-run
+    val again = SimSearch.kmeansAssign(emb, "vec_id", "embedding",
+      k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(again == out)
+  }
+
+  test("randomProject: fold dot against the md5-derived planes") {
+    val v = Array.fill(64)(0.0f)
+    v(0) = 2.0f
+    v(5) = -1.0f
+    val out = Seq((7L, v)).toDF("vec_id", "embedding")
+    val row = SimSearch.randomProject(out, "vec_id", "embedding", outDim = 3)
+      .head()
+    // only dims 0 and 5 are non-zero → projection is a 2-term sum
+    (0 until 3).foreach { p =>
+      val expect = BigDecimal(
+        2.0 * SimSearch.planeWeight(p, 0) +
+          (-1.0) * SimSearch.planeWeight(p, 5))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(row.getDouble(1 + p) - expect) < 1e-9,
+        s"p$p mismatch")
+    }
+  }
 }
