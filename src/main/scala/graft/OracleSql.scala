@@ -645,6 +645,22 @@ object OracleSql {
          |FROM r""".stripMargin
     },
 
+    "q50_zorder" -> {
+      val terms = (0 until 10).map { b =>
+        s"((x >> $b) & 1) * ${1L << (2 * b)} + " +
+          s"((y >> $b) & 1) * ${1L << (2 * b + 1)}"
+      }.mkString("(", " + ", ")")
+      s"""WITH d AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |        (l_partkey % 1024)::INTEGER AS x,
+         |        (l_suppkey % 1024)::INTEGER AS y
+         |      FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  ($terms)::BIGINT AS zval
+         |FROM d
+         |ORDER BY zval, l_orderkey, l_linenumber, l_partkey, l_suppkey
+         |LIMIT 100""".stripMargin
+    },
+
     "q48_kmeans" -> {
       val dim = 64
       val k = 4

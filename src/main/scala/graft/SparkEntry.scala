@@ -582,6 +582,22 @@ object SparkEntry {
     SimSearch.randomProject(t(s, dir, "embeddings"), "vec_id", "embedding",
       outDim = 8)
 
+  /** Z-order clustering value over (partkey, suppkey) + the 100 rows a
+    * Z-sorted layout would place first — the OPTIMIZE ZORDER BY step of
+    * lake maintenance, exact integer bit-interleave on both engines.
+    */
+  def q50_zorder(s: SparkSession, dir: String): DataFrame =
+    Relational.sortLimit(
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        Relational.zorderValue(
+          pmod(col("l_partkey"), lit(1024)).cast("int"),
+          pmod(col("l_suppkey"), lit(1024)).cast("int"),
+          bits = 10).as("zval")),
+      Seq("zval", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      100)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -633,7 +649,8 @@ object SparkEntry {
     "q46_redact" -> (q46_redact(_, _)),
     "q47_quantize" -> (q47_quantize(_, _)),
     "q48_kmeans" -> (q48_kmeans(_, _)),
-    "q49_random_projection" -> (q49_random_projection(_, _)))
+    "q49_random_projection" -> (q49_random_projection(_, _)),
+    "q50_zorder" -> (q50_zorder(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

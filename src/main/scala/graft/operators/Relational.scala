@@ -209,6 +209,25 @@ object Relational {
     * sort materializes); ties break on the value so the cut is
     * deterministic.
     */
+  /** Z-order (Morton) value of two non-negative integer dimensions:
+    * bit-interleave the low `bits` of each (x gets the even output
+    * bits, y the odd). Sorting or range-partitioning a table by this
+    * value co-locates rows close in BOTH dimensions, so parquet
+    * row-group min/max stats prune 2-D range predicates — the
+    * data-clustering step table formats run as OPTIMIZE ZORDER BY. At
+    * 100 TB: write with `repartitionByRange(zorderValue(...))` +
+    * `sortWithinPartitions`; scans with predicates on either dimension
+    * then skip most row groups. Pure integer bit arithmetic — exact in
+    * any engine.
+    */
+  def zorderValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { b =>
+      shiftright(x, b).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * b)) +
+        shiftright(y, b).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * b + 1))
+    }.reduce(_ + _)
+  }
+
   def topFrequent(df: DataFrame, valueCol: String, k: Int): DataFrame =
     df.groupBy(col(valueCol))
       .agg(count(lit(1)).as("n"))

@@ -228,4 +228,15 @@ class EventFeatureSpec extends SparkSpec {
         r.getAs[Double]("dist_to_ref")).toMap
     assert(d == Map(1 -> 0.0, 2 -> 5.0))
   }
+
+  test("zorderValue interleaves bits (x even, y odd) and orders locality") {
+    val z = Seq((3, 5), (0, 0), (1023, 1023))
+      .toDF("x", "y")
+      .select(graft.operators.Relational
+        .zorderValue(col("x"), col("y"), bits = 10).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // x=3 (bits 1,1), y=5 (bits 1,0,1):
+    // z = 1·1 + 1·2 + 1·4 + 0·8 + 0·16 + 1·32 = 39
+    assert(z == Seq(39L, 0L, (1L << 20) - 1))
+  }
 }
