@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, PadPackXX, SimHashFpXX, TensorPackXX}
+import graft.functions.{CosineSimXX, Dist2XX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, PadPackXX, SimHashFpXX, TensorPackXX}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * SQL functions so plain `spark.sql` users get them too.
@@ -44,6 +44,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "usage: graft_cosine(a, b)")
         CosineSimXX(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dist2"),
+      new ExpressionInfo(classOf[Dist2XX].getName, "graft_dist2"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "usage: graft_dist2(a, b)")
+        Dist2XX(children.head, children(1))
       }))
 
     ext.injectFunction((

@@ -192,7 +192,8 @@ object SimSearch {
 
   /** Squared Euclidean distance as a left-fold of `(dx)·(dx)` terms —
     * the IEEE chain both engines replay exactly (`pow` is not pinned;
-    * the explicit product is).
+    * the explicit product is). HOF formulation — the semantics
+    * reference for [[dist2Fast]].
     */
   def dist2(a: Column, b: Column): Column =
     aggregate(
@@ -200,6 +201,16 @@ object SimSearch {
         (x.cast("double") - y.cast("double")) *
           (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Native fused kernel ([[graft.functions.Dist2XX]]): the same
+    * accumulation chain in one compiled pass — bit-identical to
+    * [[dist2]] (pinned by test), so it is safe on oracle-gated paths.
+    */
+  def dist2Fast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.Dist2XX(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** Deterministic Lloyd k-means assignment — the centroid builder a
     * real IVF index trains with, everything replayable: seeds are the
@@ -226,7 +237,7 @@ object SimSearch {
         transform(col("v"), _.cast("double")).as("cv"))
     def assign(cen: DataFrame): DataFrame = topKPerKey(
       vecs.crossJoin(broadcast(cen))
-        .withColumn("d2", dist2(col("v"), col("cv"))),
+        .withColumn("d2", dist2Fast(col("v"), col("cv"))),
       "vid", col("d2"), col("cid"), 1)
       .select(col("vid"), col("neighbor").as("cid"),
         col("rankval").as("d2"))

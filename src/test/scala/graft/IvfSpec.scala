@@ -61,6 +61,27 @@ class IvfSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("dist2 kernel is bit-identical to the HOF fold (float and double)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 20 - 10),
+        Array.fill(64)(rnd.nextDouble() * 20 - 10))
+    }
+    val df = rows.toDF("id", "fv", "dv")
+    val both = df.select(
+      SimSearch.dist2(col("fv"), col("dv")).as("hof"),
+      SimSearch.dist2Fast(col("fv"), col("dv")).as("kernel"),
+      SimSearch.dist2(col("dv"), col("fv")).as("hof_rev"),
+      SimSearch.dist2Fast(col("dv"), col("fv")).as("kernel_rev"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
   test("randomProject: fold dot against the md5-derived planes") {
     val v = Array.fill(64)(0.0f)
     v(0) = 2.0f
