@@ -79,8 +79,11 @@ object ScratchTime {
       f().queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
-    cases.foreach { case (_, f) => time(f) } // warmup
-    cases.foreach { case (n, f) =>
+    val named = args.drop(1).map(n =>
+      n -> (() => SparkEntry.queries(n)(spark, sfDir)))
+    val allCases = if (named.nonEmpty) named.toSeq else cases
+    allCases.foreach { case (_, f) => time(f) } // warmup
+    allCases.foreach { case (n, f) =>
       val ts = (1 to 3).map(_ => time(f))
       println(f"SCRATCH $n min=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }

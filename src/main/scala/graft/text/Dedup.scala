@@ -33,20 +33,24 @@ object Dedup {
   def exactRows(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
-  /** (id, band, bucket) bucket assignments from a MinHash signature:
-    * the signature is cut into `bands` rows of `rowsPerBand`, each hashed
-    * (md5 of the comma-joined row — portable) into a bucket id.
+  /** Per-band bucket ids from a MinHash signature: the signature is cut
+    * into `bands` rows of `rowsPerBand`, each hashed (md5 of the
+    * comma-joined row — portable) into a bucket id.
     */
-  def lshBuckets(
-      df: DataFrame, idCol: String, sigCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
-    val buckets = transform(
+  def bucketArray(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
       sequence(lit(0), lit(bands - 1)),
       b => md5(concat_ws(",",
-        transform(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)),
+        transform(slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand)),
           _.cast("string")))))
-    df.select(col(idCol), posexplode(buckets).as(Seq("band", "bucket")))
-  }
+
+  /** (id, band, bucket) bucket assignments from a MinHash signature. */
+  def lshBuckets(
+      df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol),
+      posexplode(bucketArray(col(sigCol), bands, rowsPerBand))
+        .as(Seq("band", "bucket")))
 
   /** Candidate near-dup pairs: ids sharing any (band, bucket). Equi-join
     * on the bucket key — the LSH trick that avoids all-pairs.
@@ -227,11 +231,22 @@ object Dedup {
       .select(col(idCol), tokenizer(col(textCol)).as("_toks"))
       .select(col(idCol), TextOps.shingles(col("_toks"), shingleK).as("_sh"))
       .select(col(idCol), TextOps.minhashSig(col("_sh"), numHashes).as("sig"))
-    val pairs = candidatePairs(lshBuckets(signed, idCol, "sig",
-      bands, rowsPerBand), idCol)
-    val sa = signed.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val sb = signed.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
-    pairs.join(sa, "id_a").join(sb, "id_b")
+    // carry the signature through the bucket self-join: the signature
+    // pipeline computes ONCE (joining signatures back onto the candidate
+    // pairs would re-run shingle+minhash twice more); the sig rides the
+    // bucket shuffle at `bands` copies per doc — a few hundred bytes
+    // against two whole extra corpus-scan subtrees
+    val bucketed = signed.select(col(idCol), col("sig"),
+      posexplode(bucketArray(col("sig"), bands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+    val a = bucketed.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = bucketed.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct() // collapse multi-band collisions (sigs are id-determined)
       .withColumn("est_jaccard", round(estJaccard(col("sig_a"), col("sig_b")), 6))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
