@@ -113,6 +113,53 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** Streaming near-dedup of incoming documents AGAINST A STATIC
+    * reference corpus (the incremental-corpus-extension shape: new
+    * crawl drops arrive as a stream, the existing lake is the index).
+    * The reference compacts to one row per doc — signature + its
+    * `bands` bucket ids, prefixed band-wise so cross-band collisions
+    * cannot match — and broadcasts; each micro-batch signs its docs
+    * and LEFT-ANTI joins on "any shared bucket AND est-Jaccard ≥
+    * threshold". Stream-left anti joins against a static right are
+    * fully supported and STATELESS — no state store, no watermark.
+    * Returns the kept stream rows unchanged.
+    *
+    * Scale shape: the match is a broadcast nested-loop per micro-batch
+    * (the bucket-overlap condition is non-equi), so the reference index
+    * must fit in a broadcast — signatures + buckets are ~300 bytes/doc,
+    * millions of reference docs per executor-GB. For lake-scale
+    * references run the batch [[dedupNear]]-style equi-join inside
+    * `foreachBatch` instead (a micro-batch is a batch); stream-vs-
+    * stream duplicates are likewise a `foreachBatch` problem.
+    */
+  def dedupNearAgainstStream(
+      stream: DataFrame, reference: DataFrame,
+      textCol: String, idCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      tokenizer: Column => Column = TextOps.tokens): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def bandedBuckets(sigCol: Column): Column =
+      zip_with(
+        sequence(lit(0), lit(bands - 1)),
+        bucketArray(sigCol, bands, rowsPerBand),
+        (b, h) => concat_ws(":", b, h))
+    def sign(df: DataFrame): DataFrame = df
+      .withColumn("_toks", tokenizer(col(textCol)))
+      .withColumn("_sh", TextOps.shingles(col("_toks"), shingleK))
+      .withColumn("_sig", TextOps.minhashSig(col("_sh"), numHashes))
+      .withColumn("_buckets", bandedBuckets(col("_sig")))
+      .drop("_toks", "_sh")
+    val refDocs = sign(reference).select(
+      col("_sig").as("_ref_sig"), col("_buckets").as("_ref_buckets"))
+    val cond =
+      arrays_overlap(col("_buckets"), col("_ref_buckets")) &&
+        estJaccard(col("_sig"), col("_ref_sig")) >= threshold
+    sign(stream)
+      .join(broadcast(refDocs), cond, "left_anti")
+      .drop("_sig", "_buckets")
+  }
+
   /** Benchmark decontamination (the GPT-3-style filter): drop every
     * training doc that shares ANY word k-gram with the evaluation
     * corpus. Returns the kept training rows unchanged.

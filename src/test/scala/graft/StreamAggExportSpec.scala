@@ -119,6 +119,33 @@ class StreamAggExportSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming near-dedup drops docs matching the static reference") {
+    implicit val sq = spark.sqlContext
+    val reference = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "an entirely unrelated reference document about engines"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val kept = graft.text.Dedup.dedupNearAgainstStream(
+      mem.toDF().toDF("doc_id", "text"), reference, "text", "doc_id",
+      tokenizer = graft.text.TextOps.tokensSimple)
+    val query = kept.writeStream.format("memory").queryName("neardedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog today"), // dup of 100
+        (2L, "completely novel streaming content with fresh words"))
+      query.processAllAvailable()
+      mem.addData(
+        (3L, "the quick brown fox jumps over the lazy dog tonight")) // near dup
+      query.processAllAvailable()
+      val rows = spark.table("neardedup").collect()
+        .map(_.getAs[Long]("doc_id")).toSeq.sorted
+      // 1 exact-dups 100; 3 near-dups it (shares most 3-shingles); 2 kept
+      assert(rows == Seq(2L))
+    } finally query.stop()
+  }
+
   test("stream interval join agrees with the batch range join twin") {
     implicit val sq = spark.sqlContext
     // same data both ways: points 0..29 at 5-min spacing, windows
