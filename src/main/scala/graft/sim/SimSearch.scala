@@ -232,9 +232,14 @@ object SimSearch {
       k: Int, iters: Int, dim: Int = 64): DataFrame = {
     require(k > 0 && iters >= 0, "need k > 0 and iters >= 0")
     val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    // each round's centroid table is localCheckpoint'ed (k rows — a
+    // trivial materialization) so round N's plan does NOT embed rounds
+    // 1..N-1: without the truncation every assignment re-derives all
+    // prior rounds and the corpus is re-scanned O(iters²) times
     var centroids = vecs.orderBy(col("vid")).limit(k)
       .select(col("vid").as("cid"),
         transform(col("v"), _.cast("double")).as("cv"))
+      .localCheckpoint()
     def assign(cen: DataFrame): DataFrame = topKPerKey(
       vecs.crossJoin(broadcast(cen))
         .withColumn("d2", dist2Fast(col("v"), col("cv"))),
@@ -259,6 +264,7 @@ object SimSearch {
           transform(col("vsum"), s => s / col("n")).as("cv2"))
       centroids = centroids.join(sums, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("cv2"), col("cv")).as("cv"))
+        .localCheckpoint()
       i += 1
     }
     assign(centroids)
