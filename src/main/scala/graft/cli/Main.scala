@@ -13,6 +13,8 @@ import graft.schema.Vintages
   * graft.cli.Main diagnose <poolRoot>
   * graft.cli.Main dedup   <corpus> <outDir> [--near] [--jsonl]
   * graft.cli.Main chunk   <corpus> <outDir> [size] [overlap] [--jsonl]
+  * graft.cli.Main tfidf   <corpus> <outDir> [--jsonl]
+  * graft.cli.Main sample  <corpus> <outDir> [n] [seed] [--jsonl]
   * }}}
   *
   * vintage ∈ {canonical, bdb2018, bdb2026} (Vintages.byName). The
@@ -106,6 +108,28 @@ object Main {
         s"-> $outDir")
       spark.stop()
 
+    case "tfidf" :: corpus :: outDir :: rest =>
+      val spark = session()
+      val scored = graft.text.TextOps.tfidf(
+        loadCorpus(spark, corpus, rest), "text", "doc_id")
+      Export.jsonl(scored, outDir)
+      println(s"[tfidf] ${scored.count()} (doc, term) scores -> $outDir")
+      spark.stop()
+
+    case "sample" :: corpus :: outDir :: rest =>
+      import org.apache.spark.sql.functions.{col, length}
+      val n = rest.find(!_.startsWith("--")).map(_.toInt).getOrElse(1000)
+      val seed = rest.filter(!_.startsWith("--"))
+        .drop(1).headOption.map(_.toLong).getOrElse(42L)
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      // quality-weighted (priority) sample: longer docs more likely
+      val kept = graft.operators.Relational.prioritySample(
+        docs, "doc_id", length(col("text")).cast("double"), n, seed)
+      Export.jsonl(kept, outDir)
+      println(s"[sample] $n docs (seed $seed, length-weighted) -> $outDir")
+      spark.stop()
+
     case "chunk" :: corpus :: outDir :: rest =>
       import org.apache.spark.sql.functions._
       val size = rest.find(!_.startsWith("--")).map(_.toInt).getOrElse(512)
@@ -128,7 +152,9 @@ object Main {
           "dump <pool> <out> [n] [seed] | diagnose <pool> | " +
           "stats <pool> | compact <pool> [season] | " +
           "dedup <corpus> <out> [--near] [--jsonl] | " +
-          "chunk <corpus> <out> [size] [overlap] [--jsonl]")
+          "chunk <corpus> <out> [size] [overlap] [--jsonl] | " +
+          "tfidf <corpus> <out> [--jsonl] | " +
+          "sample <corpus> <out> [n] [seed] [--jsonl]")
       sys.exit(2)
   }
 

@@ -73,4 +73,21 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(frames.length == 2) // chunks 0 and 4 of ceil(100/16)=7
     assert(frames.head.length == 16)
   }
+
+  test("multimodal retrieval E2E: decoded features feed similarity search") {
+    // media → decode (stub codec, real plumbing) → feature vectors →
+    // ANN: the full multimodal retrieval pipeline across modules.
+    // Identical media bytes must land as each other's top neighbor.
+    val docs = Seq(
+      (0L, "alpha bravo charlie"), (1L, "alpha bravo charlie"),
+      (2L, "zulu yankee xray whiskey victor uniform"))
+      .toDF("doc_id", "text")
+    val feats = Multimodal.decodeStub(Multimodal.withMedia(docs, "text"))
+      .toDF().select(col("id").as("vec_id"), col("feature").as("embedding"))
+    val top = graft.sim.SimSearch.bruteForceTopK(
+      feats, "vec_id", "embedding", col("vec_id") === 0L, k = 1)
+      .head()
+    assert(top.getAs[Long]("neighbor") == 1L)
+    assert(top.getAs[Double]("cos_sim") == 1.0) // identical bytes
+  }
 }
