@@ -13,6 +13,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * element-wise double widening, sequential left-to-right sums — so the
   * result is bit-identical to `SimSearch.cosine` and to the DuckDB
   * oracle's `list_reduce` rendering; swapping kernels cannot flip a hash.
+  *
+  * Domain: equal-length vectors with non-null elements (embeddings).
+  * Ragged or null-element inputs are NOT given the HOF's null result —
+  * use [[graft.sim.SimSearch.cosine]] if those can occur.
   */
 object CosineXX {
   def compute(a: ArrayData, b: ArrayData): Double = {

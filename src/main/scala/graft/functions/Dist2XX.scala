@@ -40,12 +40,19 @@ case class Dist2XX(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_dist2"
 
-  /** Public for generated code. */
-  def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Public for generated code. Boxed so the HOF's null semantics are
+    * preserved exactly: `zip_with` pads a length mismatch with nulls
+    * and any null term nulls the whole fold — so unequal lengths or a
+    * null element yield NULL, never a silently-truncated number.
+    */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na != nb) return null
     var acc = 0.0
     var i = 0
-    while (i < n) {
+    while (i < na) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (leftDouble) a.getDouble(i) else a.getFloat(i).toDouble
       val y = if (rightDouble) b.getDouble(i) else b.getFloat(i).toDouble
       val d = x - y
@@ -55,13 +62,19 @@ case class Dist2XX(left: Expression, right: Expression)
     acc
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any =
     compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("dist2", this)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    val res = ctx.freshName("d2res")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""java.lang.Double $res = $ref.compute($a, $b);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res.doubleValue(); }""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(

@@ -55,12 +55,17 @@ object Ingest {
     *
     * Crash-safe staging: the compacted layout is first written to a
     * sibling staging directory (a full distributed job reading the live
-    * pool — nothing is held in executor memory), then each staged
-    * partition directory is swapped into the pool with a delete+rename.
-    * A failure during the write leaves the pool byte-identical; a
-    * failure mid-swap leaves every partition either fully old or fully
-    * new (the swap unit is one partition directory), and re-running the
-    * same compaction converges.
+    * pool — nothing is held in executor memory), a `_SWAP_READY` marker
+    * commits it, then each staged partition directory is swapped into
+    * the pool with a delete+rename. A failure during the write leaves
+    * the pool byte-identical (unmarked staging is discarded); a failure
+    * mid-swap leaves every partition either fully old or fully staged,
+    * and the NEXT run first finishes the marked swap — the staged copy
+    * is never deleted while it is the only copy of a partition.
+    *
+    * `pred` may reference ONLY partition columns (enforced): a
+    * row-level predicate would rewrite each touched partition with just
+    * its matching rows, silently deleting the rest.
     *
     * `filesPerPartition` is the file count for the LARGEST selected
     * partition; smaller partitions get proportionally fewer (never
@@ -76,8 +81,50 @@ object Ingest {
       partitionCols: Seq[String] = Seq("season", "gameId"),
       filesPerPartition: Int = 1): Unit = {
     require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+    val rootPath = fs.makeQualified(new org.apache.hadoop.fs.Path(root))
+    val staging = new org.apache.hadoop.fs.Path(
+      rootPath.getParent, "." + rootPath.getName + "_compact_staging")
+    val marker = new org.apache.hadoop.fs.Path(staging, "_SWAP_READY")
+
+    def leafDirs(p: org.apache.hadoop.fs.Path,
+        depth: Int): Seq[org.apache.hadoop.fs.Path] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).toIndexedSeq.filter(_.isDirectory)
+        .flatMap(s => leafDirs(s.getPath, depth - 1))
+    def swapStagedIn(): Unit = {
+      leafDirs(staging, partitionCols.size).foreach { staged =>
+        val rel = staging.toUri.relativize(staged.toUri).getPath
+        val dest = new org.apache.hadoop.fs.Path(rootPath, rel)
+        fs.mkdirs(dest.getParent)
+        fs.delete(dest, true)
+        if (!fs.rename(staged, dest))
+          sys.error(s"compactPool: failed to move $staged -> $dest")
+      }
+      fs.delete(staging, true)
+    }
+
+    // crash recovery BEFORE reading the pool: a marked staging dir is a
+    // fully-written compaction whose swap was interrupted — some
+    // partitions may exist ONLY there, so finish that swap first.
+    // Unmarked staging is an incomplete write; the pool is still
+    // complete, discard it.
+    if (fs.exists(marker)) swapStagedIn()
+    else fs.delete(staging, true)
+
     val src = spark.read.parquet(root)
     val selected = src.filter(pred)
+    // the unresolved Column is opaque (Spark 4 ColumnNodeExpression) —
+    // read the references off the ANALYZED filter instead
+    val predRefs = selected.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.map(_.name).toSeq
+    }.flatten.toSet
+    require(predRefs.subsetOf(partitionCols.toSet),
+      s"compactPool pred may reference only partition columns " +
+        s"$partitionCols (a row-level predicate would delete the " +
+        s"non-matching rows of every touched partition); got $predRefs")
     val distributed =
       selected.repartition(partitionCols.map(col).toIndexedSeq: _*)
     // cap rows per file so the largest partition rolls into exactly
@@ -96,32 +143,13 @@ object Ingest {
         else (maxRows + filesPerPartition - 1) / filesPerPartition
       }
 
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
-    val rootPath = fs.makeQualified(new org.apache.hadoop.fs.Path(root))
-    val staging = new org.apache.hadoop.fs.Path(
-      rootPath.getParent, "." + rootPath.getName + "_compact_staging")
-    fs.delete(staging, true)
     distributed.write
       .partitionBy(partitionCols.toIndexedSeq: _*)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
       .parquet(staging.toString)
-
-    def leafDirs(p: org.apache.hadoop.fs.Path,
-        depth: Int): Seq[org.apache.hadoop.fs.Path] =
-      if (depth == 0) Seq(p)
-      else fs.listStatus(p).toIndexedSeq.filter(_.isDirectory)
-        .flatMap(s => leafDirs(s.getPath, depth - 1))
-    leafDirs(staging, partitionCols.size).foreach { staged =>
-      val rel = staging.toUri.relativize(staged.toUri).getPath
-      val dest = new org.apache.hadoop.fs.Path(rootPath, rel)
-      fs.mkdirs(dest.getParent)
-      fs.delete(dest, true)
-      if (!fs.rename(staged, dest))
-        sys.error(s"compactPool: failed to move $staged -> $dest")
-    }
-    fs.delete(staging, true)
+    fs.create(marker, true).close() // commit point: staged data complete
+    swapStagedIn()
   }
 
   /** Per-partition statistics (the manifest a table format would keep):

@@ -203,12 +203,6 @@ object Relational {
       .drop("_cum")
   }
 
-  /** Global top-k most frequent values of an exploded column (corpus
-    * vocabulary / stopword derivation). One hash aggregation with
-    * map-side partials, then TakeOrdered for the global top-k (no full
-    * sort materializes); ties break on the value so the cut is
-    * deterministic.
-    */
   /** Z-order (Morton) value of two non-negative integer dimensions:
     * bit-interleave the low `bits` of each (x gets the even output
     * bits, y the odd). Sorting or range-partitioning a table by this
@@ -228,6 +222,12 @@ object Relational {
     }.reduce(_ + _)
   }
 
+  /** Global top-k most frequent values of an exploded column (corpus
+    * vocabulary / stopword derivation). One hash aggregation with
+    * map-side partials, then TakeOrdered for the global top-k (no full
+    * sort materializes); ties break on the value so the cut is
+    * deterministic.
+    */
   def topFrequent(df: DataFrame, valueCol: String, k: Int): DataFrame =
     df.groupBy(col(valueCol))
       .agg(count(lit(1)).as("n"))

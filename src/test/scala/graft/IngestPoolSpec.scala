@@ -90,6 +90,43 @@ class IngestPoolSpec extends SparkSpec {
     assert(spark.read.parquet(poolRoot).count() == rowsBefore)
   }
 
+  test("compactPool: crash recovery and row-level pred rejection") {
+    val poolRoot = tmpDir("poolcompactrec")
+    val df = SyntheticTracking.df(spark, games = 2, plays = 2, frames = 5)
+      .withColumn("season", lit(2023))
+    df.repartition(4)
+      .write.partitionBy("season", "gameId").mode("overwrite")
+      .parquet(poolRoot)
+    val rowsBefore = spark.read.parquet(poolRoot).count()
+    // a row-level predicate would silently delete rows — must be refused
+    val err = intercept[IllegalArgumentException] {
+      Ingest.compactPool(spark, poolRoot, pred = col("frameId") > 2)
+    }
+    assert(err.getMessage.contains("partition columns"))
+    // simulate a crash mid-swap: a fully-written, marked staging dir
+    // whose partitions were already deleted from the pool
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val rootPath = fs.makeQualified(new org.apache.hadoop.fs.Path(poolRoot))
+    val staging = new org.apache.hadoop.fs.Path(
+      rootPath.getParent, "." + rootPath.getName + "_compact_staging")
+    spark.read.parquet(poolRoot)
+      .repartition(col("season"), col("gameId"))
+      .write.partitionBy("season", "gameId").mode("overwrite")
+      .parquet(staging.toString)
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_SWAP_READY"), true)
+      .close()
+    val aGame = fs.listStatus(
+      new org.apache.hadoop.fs.Path(rootPath, "season=2023"))
+      .filter(_.isDirectory).head.getPath
+    fs.delete(aGame, true) // the crash deleted dest before renaming
+    assert(spark.read.parquet(poolRoot).count() < rowsBefore)
+    // next run must first finish the marked swap — no rows lost
+    Ingest.compactPool(spark, poolRoot)
+    assert(spark.read.parquet(poolRoot).count() == rowsBefore)
+    assert(!fs.exists(staging))
+  }
+
   test("2026 snake_case vintage resolves through aliases") {
     val in = tmpDir("in2026")
     val poolRoot = tmpDir("pool2026")

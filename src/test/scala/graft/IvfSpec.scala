@@ -80,6 +80,20 @@ class IvfSpec extends SparkSpec {
       assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
         java.lang.Double.doubleToLongBits(r.getDouble(3)))
     }
+    // HOF null semantics preserved: ragged lengths and null elements
+    // yield NULL on both paths (zip_with pads/nulls the fold)
+    val edge = Seq(
+      (Seq(1.0), Seq(1.0, 2.0)),
+      (Seq(1.0, Double.NaN), Seq(1.0, 2.0)))
+      .toDF("a", "b")
+      .select(SimSearch.dist2(col("a"), col("b")).as("hof"),
+        SimSearch.dist2Fast(col("a"), col("b")).as("kernel"))
+      .collect()
+    assert(edge(0).isNullAt(0) && edge(0).isNullAt(1)) // ragged → null
+    val nullElem = spark.sql(
+      "SELECT graft_dist2(array(1.0D, CAST(NULL AS DOUBLE)), " +
+        "array(1.0D, 2.0D)) AS d").head()
+    assert(nullElem.isNullAt(0))
   }
 
   test("randomProject: fold dot against the md5-derived planes") {
