@@ -222,6 +222,23 @@ object Relational {
     }.reduce(_ + _)
   }
 
+  /** Z-order-clustered parquet write: range-partition on the Morton
+    * value of (xCol, yCol), sort within each file, write. Row groups
+    * then hold 2-D-local rows, so min/max stats prune range predicates
+    * on EITHER dimension — the full OPTIMIZE ZORDER BY. `files` sizes
+    * the output (one range slice per file).
+    */
+  def writeZordered(
+      df: DataFrame, path: String, xCol: String, yCol: String,
+      files: Int, bits: Int = 16): Unit = {
+    val z = zorderValue(col(xCol), col(yCol), bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Global top-k most frequent values of an exploded column (corpus
     * vocabulary / stopword derivation). One hash aggregation with
     * map-side partials, then TakeOrdered for the global top-k (no full

@@ -229,6 +229,31 @@ class EventFeatureSpec extends SparkSpec {
     assert(d == Map(1 -> 0.0, 2 -> 5.0))
   }
 
+  test("writeZordered: disjoint z-ranges per file, rows round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("zw").toString
+    val df = (for { x <- 0 until 32; y <- 0 until 32 }
+      yield (x, y)).toDF("x", "y")
+    graft.operators.Relational.writeZordered(df, dir, "x", "y",
+      files = 4, bits = 5)
+    assert(spark.read.parquet(dir).count() == 1024)
+    val filesZ = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val z = spark.read.parquet(f.getPath)
+          .select(graft.operators.Relational
+            .zorderValue(col("x"), col("y"), bits = 5).as("z"))
+          .agg(min("z"), max("z")).head()
+        (z.getLong(0), z.getLong(1))
+      }.sortBy(_._1)
+    assert(filesZ.length == 4)
+    // range partitioning on z → per-file z intervals do not overlap,
+    // which is exactly what makes row-group min/max stats prune 2-D
+    // range predicates
+    filesZ.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2)
+      case _ =>
+    }
+  }
+
   test("zorderValue interleaves bits (x even, y odd) and orders locality") {
     val z = Seq((3, 5), (0, 0), (1023, 1023))
       .toDF("x", "y")
