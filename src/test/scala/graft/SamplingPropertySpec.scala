@@ -51,4 +51,19 @@ class SamplingPropertySpec extends SparkSpec {
     val b = sample(500, 4, 10, 2L)
     assert(a != b)
   }
+
+  test("priority sample: partitioning-invariant, weight-monotone") {
+    def docs(parts: Int) = spark.range(0, 400).repartition(parts)
+      .select(col("id"), ((col("id") % 20) + 1).cast("double").as("w"))
+    def run(parts: Int, seed: Long) = Relational
+      .prioritySample(docs(parts), "id", col("w"), n = 40, seed = seed)
+      .collect().map(_.getLong(0)).toSet
+    // same sample regardless of physical layout (rank is a pure
+    // function of id+weight — retries/replans on a cluster agree)
+    assert(run(1, 42L) == run(7, 42L) && run(7, 42L) == run(32, 42L))
+    // weight-monotone in aggregate: heavy ids (w > 10) should dominate
+    // the sample far beyond their 50% population share
+    val heavy = run(4, 42L).count(id => id % 20 >= 10)
+    assert(heavy >= 25, s"expected heavy-weight majority, got $heavy/40")
+  }
 }
