@@ -14,18 +14,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * result is bit-identical to `SimSearch.cosine` and to the DuckDB
   * oracle's `list_reduce` rendering; swapping kernels cannot flip a hash.
   *
-  * Domain: equal-length vectors with non-null elements (embeddings).
-  * Ragged or null-element inputs are NOT given the HOF's null result —
-  * use [[graft.sim.SimSearch.cosine]] if those can occur.
+  * Ragged or null-element inputs yield NULL, matching the HOF's
+  * `zip_with` padding semantics — a malformed vector surfaces instead
+  * of silently ranking on a truncated prefix. The one deliberate
+  * divergence: a zero-norm vector scores 0.0 (the HOF's 0/0 is NaN) so
+  * thresholds and ranks stay total.
   */
 object CosineXX {
-  def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val na0 = a.numElements()
+    val nb0 = b.numElements()
+    if (na0 != nb0) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
-    while (i < n) {
+    while (i < na0) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y
@@ -56,13 +61,19 @@ case class CosineSimXX(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_cosine"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any =
     CosineXX.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(
-      ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.CosineXX.compute($a, $b)")
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = ctx.freshName("cosres")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""java.lang.Double $res = graft.functions.CosineXX.compute($a, $b);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res.doubleValue(); }""".stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimXX =

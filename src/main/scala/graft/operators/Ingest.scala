@@ -93,8 +93,12 @@ object Ingest {
       if (depth == 0) Seq(p)
       else fs.listStatus(p).toIndexedSeq.filter(_.isDirectory)
         .flatMap(s => leafDirs(s.getPath, depth - 1))
-    def swapStagedIn(): Unit = {
-      leafDirs(staging, partitionCols.size).foreach { staged =>
+    // the swap depth comes from the marker (the run that WROTE the
+    // staging dir), never from this call's partitionCols: recovering a
+    // 2-level staging at depth 1 would delete+replace whole season
+    // directories that were never staged
+    def swapStagedIn(depth: Int): Unit = {
+      leafDirs(staging, depth).foreach { staged =>
         val rel = staging.toUri.relativize(staged.toUri).getPath
         val dest = new org.apache.hadoop.fs.Path(rootPath, rel)
         fs.mkdirs(dest.getParent)
@@ -107,24 +111,37 @@ object Ingest {
 
     // crash recovery BEFORE reading the pool: a marked staging dir is a
     // fully-written compaction whose swap was interrupted — some
-    // partitions may exist ONLY there, so finish that swap first.
-    // Unmarked staging is an incomplete write; the pool is still
-    // complete, discard it.
-    if (fs.exists(marker)) swapStagedIn()
-    else fs.delete(staging, true)
+    // partitions may exist ONLY there, so finish that swap first (at
+    // the depth recorded in the marker). Unmarked staging is an
+    // incomplete write; the pool is still complete, discard it.
+    if (fs.exists(marker)) {
+      val recorded = {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }
+      swapStagedIn(math.max(1, recorded.split(",").count(_.nonEmpty)))
+    } else fs.delete(staging, true)
 
     val src = spark.read.parquet(root)
     val selected = src.filter(pred)
     // the unresolved Column is opaque (Spark 4 ColumnNodeExpression) —
     // read the references off the ANALYZED filter instead
-    val predRefs = selected.queryExecution.analyzed.collect {
+    selected.queryExecution.analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        f.condition.references.map(_.name).toSeq
-    }.flatten.toSet
-    require(predRefs.subsetOf(partitionCols.toSet),
-      s"compactPool pred may reference only partition columns " +
-        s"$partitionCols (a row-level predicate would delete the " +
-        s"non-matching rows of every touched partition); got $predRefs")
+        val refs = f.condition.references.map(_.name).toSet
+        require(refs.subsetOf(partitionCols.toSet),
+          s"compactPool pred may reference only partition columns " +
+            s"$partitionCols (a row-level predicate would delete the " +
+            s"non-matching rows of every touched partition); got $refs")
+        // a reference-free predicate must be a constant: rand()-style
+        // non-deterministic or per-file predicates select rows, not
+        // partitions, and would silently delete the rest
+        require(f.condition.deterministic &&
+          (refs.nonEmpty || f.condition.foldable),
+          "compactPool pred must be a deterministic partition-column " +
+            s"predicate; got ${f.condition.sql}")
+    }
     val distributed =
       selected.repartition(partitionCols.map(col).toIndexedSeq: _*)
     // cap rows per file so the largest partition rolls into exactly
@@ -148,8 +165,10 @@ object Ingest {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
       .parquet(staging.toString)
-    fs.create(marker, true).close() // commit point: staged data complete
-    swapStagedIn()
+    val out = fs.create(marker, true) // commit point: staged data complete
+    try out.write(partitionCols.mkString(",").getBytes("UTF-8"))
+    finally out.close()
+    swapStagedIn(partitionCols.size)
   }
 
   /** Per-partition statistics (the manifest a table format would keep):

@@ -231,11 +231,13 @@ object Relational {
   def writeZordered(
       df: DataFrame, path: String, xCol: String, yCol: String,
       files: Int, bits: Int = 16): Unit = {
-    val z = zorderValue(col(xCol), col(yCol), bits)
-    df.withColumn("_z", z)
-      .repartitionByRange(files, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
+    // collision-proof temp name: never clobber a user column
+    val tmp = Iterator.iterate("_z")(_ + "_")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(tmp, zorderValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(files, col(tmp))
+      .sortWithinPartitions(tmp)
+      .drop(tmp)
       .write.mode("overwrite").parquet(path)
   }
 

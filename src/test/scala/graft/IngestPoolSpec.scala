@@ -103,6 +103,11 @@ class IngestPoolSpec extends SparkSpec {
       Ingest.compactPool(spark, poolRoot, pred = col("frameId") > 2)
     }
     assert(err.getMessage.contains("partition columns"))
+    // reference-free non-deterministic predicates select rows too
+    val err2 = intercept[IllegalArgumentException] {
+      Ingest.compactPool(spark, poolRoot, pred = rand() < 0.5)
+    }
+    assert(err2.getMessage.contains("deterministic"))
     // simulate a crash mid-swap: a fully-written, marked staging dir
     // whose partitions were already deleted from the pool
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -114,8 +119,10 @@ class IngestPoolSpec extends SparkSpec {
       .repartition(col("season"), col("gameId"))
       .write.partitionBy("season", "gameId").mode("overwrite")
       .parquet(staging.toString)
-    fs.create(new org.apache.hadoop.fs.Path(staging, "_SWAP_READY"), true)
-      .close()
+    val mOut = fs.create(
+      new org.apache.hadoop.fs.Path(staging, "_SWAP_READY"), true)
+    mOut.write("season,gameId".getBytes("UTF-8")) // writer records depth
+    mOut.close()
     val aGame = fs.listStatus(
       new org.apache.hadoop.fs.Path(rootPath, "season=2023"))
       .filter(_.isDirectory).head.getPath
