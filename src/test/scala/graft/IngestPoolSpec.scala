@@ -134,6 +134,30 @@ class IngestPoolSpec extends SparkSpec {
     assert(!fs.exists(staging))
   }
 
+  test("game-keyed pool query prunes to one partition (plan-level)") {
+    val poolRoot = tmpDir("poolprune")
+    val df = SyntheticTracking.df(spark, games = 3, plays = 2, frames = 5)
+    graft.operators.Ingest.writePool(df, poolRoot)
+    // partition discovery may recover gameId as int — go through Number
+    val games = spark.read.parquet(poolRoot)
+      .select("gameId").distinct().collect()
+      .map(_.getAs[Number](0).longValue).sorted
+    val one = spark.read.parquet(poolRoot)
+      .filter(col("gameId") === games.head)
+    // partition pruning must reach the scan: only the one gameId
+    // directory's files are read (the reference's O(one file) fetch)
+    val scans = one.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.nonEmpty)
+    one.collect() // populate scan metrics
+    val allFiles = spark.read.parquet(poolRoot).inputFiles.length
+    val readFiles = scans.head.metrics("numFiles").value
+    assert(readFiles < allFiles,
+      s"pruned scan read $readFiles of $allFiles files")
+  }
+
   test("2026 snake_case vintage resolves through aliases") {
     val in = tmpDir("in2026")
     val poolRoot = tmpDir("pool2026")
