@@ -645,6 +645,24 @@ object OracleSql {
          |FROM r""".stripMargin
     },
 
+    "q51_hard_negatives" -> {
+      val dim = 64
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, embedding AS cv, label AS clabel
+         |      FROM embeddings),
+         |p AS (SELECT qid, cid,
+         |        round(${duckDot("qv", "cv", dim)} /
+         |          (sqrt(${duckDot("qv", "qv", dim)}) *
+         |           sqrt(${duckDot("cv", "cv", dim)})), 6) AS cos_sim
+         |      FROM q, c WHERE qid != cid AND qlabel != clabel),
+         |r AS (SELECT qid, cid, cos_sim,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY cos_sim DESC, cid) AS rn FROM p)
+         |SELECT qid, (rn - 1)::INTEGER AS rank, cid AS neighbor, cos_sim
+         |FROM r WHERE rn <= 5""".stripMargin
+    },
+
     "q50_zorder" -> {
       val terms = (0 until 10).map { b =>
         s"((x >> $b) & 1) * ${1L << (2 * b)} + " +

@@ -598,6 +598,13 @@ object SparkEntry {
       Seq("zval", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
       100)
 
+  /** Hard-negative mining: per query vector, the 5 most similar
+    * embeddings with a DIFFERENT label (contrastive-training prep).
+    */
+  def q51_hard_negatives(s: SparkSession, dir: String): DataFrame =
+    SimSearch.hardNegatives(t(s, dir, "embeddings"), "vec_id", "embedding",
+      "label", col("vec_id") < 10, k = 5)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -650,7 +657,8 @@ object SparkEntry {
     "q47_quantize" -> (q47_quantize(_, _)),
     "q48_kmeans" -> (q48_kmeans(_, _)),
     "q49_random_projection" -> (q49_random_projection(_, _)),
-    "q50_zorder" -> (q50_zorder(_, _)))
+    "q50_zorder" -> (q50_zorder(_, _)),
+    "q51_hard_negatives" -> (q51_hard_negatives(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

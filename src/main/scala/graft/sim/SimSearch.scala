@@ -288,6 +288,29 @@ object SimSearch {
     emb.select(col(idCol) +: cols: _*)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k
+    * MOST similar corpus vectors with a DIFFERENT label — the negatives
+    * that sit closest to the decision boundary. Same scale shape as
+    * [[bruteForceTopK]] (query set broadcasts, corpus never shuffles,
+    * windowless two-phase top-k); restrict the corpus side by an ANN
+    * bucket first at 100 TB.
+    */
+  def hardNegatives(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        col(labelCol).as("qlabel"))
+    val c = emb.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      col(labelCol).as("clabel"))
+    val pairs = c.join(broadcast(q),
+      col("qid") =!= col("cid") && col("qlabel") =!= col("clabel"))
+      .withColumn("cos_sim", round(cosineFast(col("qv"), col("cv")), 6))
+    topKPerKey(pairs, "qid", -col("cos_sim"), col("cid"), k)
+      .select(col("qid"), col("rank"), col("neighbor"),
+        (-col("rankval")).as("cos_sim"))
+  }
+
   /** Largest absolute component of a vector (the symmetric-quantization
     * scale). `abs`/`max` are IEEE-exact, so the scale is bit-identical
     * in any engine.

@@ -75,6 +75,21 @@ class SimSearchSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("hard negatives exclude the query's own label") {
+    import spark.implicits._
+    // east-ish vectors labeled 0 except id 1 (labeled 1): for query 0
+    // the most similar DIFFERENT-label vector is 1, and same-label
+    // near-duplicates are excluded no matter how similar
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.99f, 0.1f), 1),
+      (2L, Seq(0.98f, 0.2f), 0), (3L, Seq(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val negs = SimSearch.hardNegatives(emb, "vec_id", "embedding", "label",
+      col("vec_id") === 0L, k = 2).collect()
+    assert(negs.map(_.getAs[Long]("neighbor")).toSeq == Seq(1L, 3L))
+    assert(negs.head.getAs[Double]("cos_sim") > 0.9) // 1 is the HARD one
+  }
+
   test("int8 quantization: known vector and all-zero vector") {
     import spark.implicits._
     val df = Seq(
