@@ -278,6 +278,24 @@ class TextDedupSpec extends SparkSpec {
     assert(all.count() == 4) // degenerate: fewer rows than n
   }
 
+  test("new text ops tolerate empty corpora and null text") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.tfidf(empty, "text", "doc_id").count() == 0)
+    assert(graft.operators.Relational
+      .prioritySample(empty, "doc_id", lit(1.0), n = 5, seed = 1L)
+      .count() == 0)
+    // null text: tokenizers yield null arrays; explode drops the row,
+    // redact passes the null through
+    val withNull = Seq((1L, null: String), (2L, "a b")).toDF("doc_id", "text")
+    val t = TextOps.tfidf(withNull, "text", "doc_id", TextOps.tokensSimple)
+      .collect()
+    assert(t.forall(_.getLong(0) == 2L)) // null-text doc contributes no terms
+    val red = withNull.select(col("doc_id"),
+      TextOps.redactPii(col("text")).as("clean")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == null && red(2L) == "a b")
+  }
+
   test("redactPii: urls then emails, counts match occurrences") {
     val out = Seq(
       (1L, "mail bob@corp.io or see https://x.io/a?b=1 and http://y.z/c"),
