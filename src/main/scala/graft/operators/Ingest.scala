@@ -120,7 +120,14 @@ object Ingest {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
       }
-      swapStagedIn(math.max(1, recorded.split(",").count(_.nonEmpty)))
+      val depth = recorded.split(",").count(_.nonEmpty)
+      // never guess: recovering at the wrong depth deletes directories
+      // that were never staged. The marker is renamed into place after
+      // its content is written, so an empty one means manual tampering.
+      require(depth > 0,
+        s"compactPool: unreadable _SWAP_READY marker at $marker — " +
+          "refusing to guess the swap depth; inspect the staging dir")
+      swapStagedIn(depth)
     } else fs.delete(staging, true)
 
     val src = spark.read.parquet(root)
@@ -165,9 +172,15 @@ object Ingest {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
       .parquet(staging.toString)
-    val out = fs.create(marker, true) // commit point: staged data complete
+    // commit point: write the marker CONTENT first, then rename into the
+    // marker path — the marker is never visible empty or half-written
+    val markerTmp = new org.apache.hadoop.fs.Path(
+      staging, "._SWAP_READY.tmp")
+    val out = fs.create(markerTmp, true)
     try out.write(partitionCols.mkString(",").getBytes("UTF-8"))
     finally out.close()
+    if (!fs.rename(markerTmp, marker))
+      sys.error(s"compactPool: failed to commit marker $marker")
     swapStagedIn(partitionCols.size)
   }
 

@@ -231,9 +231,10 @@ object Relational {
   def writeZordered(
       df: DataFrame, path: String, xCol: String, yCol: String,
       files: Int, bits: Int = 16): Unit = {
-    // collision-proof temp name: never clobber a user column
+    // collision-proof temp name: never clobber a user column — compare
+    // case-insensitively because withColumn resolves that way
     val tmp = Iterator.iterate("_z")(_ + "_")
-      .find(n => !df.columns.contains(n)).get
+      .find(n => !df.columns.exists(_.equalsIgnoreCase(n))).get
     df.withColumn(tmp, zorderValue(col(xCol), col(yCol), bits))
       .repartitionByRange(files, col(tmp))
       .sortWithinPartitions(tmp)

@@ -64,6 +64,25 @@ object SimSearch {
         col("t.i").as("neighbor"), col("t.r").as("rankval"))
   }
 
+  /** Shared candidate-scoring step: exact cosine at 6 decimals over
+    * (qv, cv) pair rows.
+    */
+  private def scorePairs(pairs: DataFrame): DataFrame =
+    pairs.withColumn("cos_sim", round(cosineFast(col("qv"), col("cv")), 6))
+
+  /** Shared ranking tail for every similarity searcher: malformed
+    * candidates (NULL cosine from ragged/null-element vectors) are
+    * dropped BEFORE ranking — `sort_array` orders a null rank field
+    * FIRST, so one bad vector would displace every real neighbor, while
+    * the oracle's `row_number` ranks nulls last — then windowless
+    * top-k, 0-based by (cos desc, id asc).
+    */
+  private def rankScored(scored: DataFrame, k: Int): DataFrame =
+    topKPerKey(scored.filter(col("cos_sim").isNotNull),
+      "qid", -col("cos_sim"), col("cid"), k)
+      .select(col("qid"), col("rank"), col("neighbor"),
+        (-col("rankval")).as("cos_sim"))
+
   /** Brute-force cosine top-k: every query row (queryPred) against the
     * whole corpus. Output: (qid, rank, neighbor, cos_sim), rank 0-based by
     * (cos desc, neighbor asc). Cosines rounded to 6 decimals before
@@ -75,11 +94,7 @@ object SimSearch {
     val q = emb.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val c = emb.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val pairs = c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("cos_sim", round(cosineFast(col("qv"), col("cv")), 6))
-    topKPerKey(pairs, "qid", -col("cos_sim"), col("cid"), k)
-      .select(col("qid"), col("rank"), col("neighbor"),
-        (-col("rankval")).as("cos_sim"))
+    rankScored(scorePairs(c.join(broadcast(q), col("qid") =!= col("cid"))), k)
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim) in
@@ -128,17 +143,14 @@ object SimSearch {
         explode(probes).as("bucket"))
     val c = withBucket
       .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("bucket"))
-    val pairs = c.join(broadcast(q), "bucket")
-      .filter(col("qid") =!= col("cid"))
-      .withColumn("cos_sim", round(cosineFast(col("qv"), col("cv")), 6))
+    val pairs = scorePairs(c.join(broadcast(q), "bucket")
+      .filter(col("qid") =!= col("cid")))
     // a candidate can surface from several probes → dedup before ranking
     val uniq =
       if (probeBits > 0)
         pairs.select("qid", "cid", "cos_sim").dropDuplicates("qid", "cid")
       else pairs
-    topKPerKey(uniq, "qid", -col("cos_sim"), col("cid"), k)
-      .select(col("qid"), col("rank"), col("neighbor"),
-        (-col("rankval")).as("cos_sim"))
+    rankScored(uniq, k)
   }
 
   /** IVF-style ANN: coarse-quantize the corpus into `cells` (here: the
@@ -184,10 +196,7 @@ object SimSearch {
         col(cellCol).as("cell"))
       .join(broadcast(probed.join(q, "qid")), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("cos_sim", round(cosineFast(col("qv"), col("cv")), 6))
-    topKPerKey(cands, "qid", -col("cos_sim"), col("cid"), k)
-      .select(col("qid"), col("rank"), col("neighbor"),
-        (-col("rankval")).as("cos_sim"))
+    rankScored(scorePairs(cands), k)
   }
 
   /** Squared Euclidean distance as a left-fold of `(dx)·(dx)` terms —
@@ -303,12 +312,8 @@ object SimSearch {
         col(labelCol).as("qlabel"))
     val c = emb.select(col(idCol).as("cid"), col(vecCol).as("cv"),
       col(labelCol).as("clabel"))
-    val pairs = c.join(broadcast(q),
-      col("qid") =!= col("cid") && col("qlabel") =!= col("clabel"))
-      .withColumn("cos_sim", round(cosineFast(col("qv"), col("cv")), 6))
-    topKPerKey(pairs, "qid", -col("cos_sim"), col("cid"), k)
-      .select(col("qid"), col("rank"), col("neighbor"),
-        (-col("rankval")).as("cos_sim"))
+    rankScored(scorePairs(c.join(broadcast(q),
+      col("qid") =!= col("cid") && col("qlabel") =!= col("clabel"))), k)
   }
 
   /** Largest absolute component of a vector (the symmetric-quantization

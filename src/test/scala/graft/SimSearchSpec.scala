@@ -75,6 +75,19 @@ class SimSearchSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("a malformed (ragged) vector never displaces real neighbors") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.5f)), // ragged → NULL cosine → dropped before ranking
+      (3L, Seq(0.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val top = SimSearch.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") === 0L, k = 2).collect()
+    assert(top.map(_.getAs[Long]("neighbor")).toSeq == Seq(1L, 3L))
+    assert(top.forall(!_.isNullAt(3)))
+  }
+
   test("hard negatives exclude the query's own label") {
     import spark.implicits._
     // east-ish vectors labeled 0 except id 1 (labeled 1): for query 0

@@ -289,7 +289,9 @@ class TextDedupSpec extends SparkSpec {
     val withNull = Seq((1L, null: String), (2L, "a b")).toDF("doc_id", "text")
     val t = TextOps.tfidf(withNull, "text", "doc_id", TextOps.tokensSimple)
       .collect()
-    assert(t.forall(_.getLong(0) == 2L)) // null-text doc contributes no terms
+    // doc 2's two terms survive; the null-text doc contributes none
+    assert(t.length == 2)
+    assert(t.forall(_.getLong(0) == 2L))
     val red = withNull.select(col("doc_id"),
       TextOps.redactPii(col("text")).as("clean")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
