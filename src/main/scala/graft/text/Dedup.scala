@@ -127,7 +127,11 @@ object Dedup {
     * Scale shape: the match is a broadcast nested-loop per micro-batch
     * (the bucket-overlap condition is non-equi), so the reference index
     * must fit in a broadcast — signatures + buckets are ~300 bytes/doc,
-    * millions of reference docs per executor-GB. For lake-scale
+    * millions of reference docs per executor-GB. Stream-static joins
+    * re-execute the static side EVERY micro-batch: persist the
+    * reference (cache it, or better, write the signed index to parquet
+    * once and pass that) so each batch pays a read, not a full
+    * re-shingle+re-sign of the reference corpus. For lake-scale
     * references run the batch [[dedupNear]]-style equi-join inside
     * `foreachBatch` instead (a micro-batch is a batch); stream-vs-
     * stream duplicates are likewise a `foreachBatch` problem.
