@@ -645,6 +645,18 @@ object OracleSql {
          |FROM r""".stripMargin
     },
 
+    "q52_stratified_priority" ->
+      s"""WITH h AS (SELECT lang, doc_id, n_chars,
+         |        ${h32("doc_id::VARCHAR || ':11'")} AS hv FROM documents),
+         |p AS (SELECT lang, doc_id,
+         |        round(n_chars / ((hv + 1) / 4294967296.0), 6) AS priority
+         |      FROM h),
+         |r AS (SELECT lang, doc_id, priority,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY priority DESC, doc_id) AS rn FROM p)
+         |SELECT lang, (rn - 1)::INTEGER AS pos, doc_id, priority
+         |FROM r WHERE rn <= 15""".stripMargin,
+
     "q51_hard_negatives" -> {
       val dim = 64
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel

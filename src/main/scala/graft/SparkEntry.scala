@@ -605,6 +605,15 @@ object SparkEntry {
     SimSearch.hardNegatives(t(s, dir, "embeddings"), "vec_id", "embedding",
       "label", col("vec_id") < 10, k = 5)
 
+  /** Per-language weighted quotas: 15 docs per lang, selection
+    * ~proportional to length inside the class (stratified priority
+    * sampling — the corpus-mixing step with per-source quotas).
+    */
+  def q52_stratified_priority(s: SparkSession, dir: String): DataFrame =
+    Relational.stratifiedPrioritySample(
+      t(s, dir, "documents").select("lang", "doc_id", "n_chars"),
+      "lang", "doc_id", col("n_chars"), n = 15, seed = 11)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -658,7 +667,8 @@ object SparkEntry {
     "q48_kmeans" -> (q48_kmeans(_, _)),
     "q49_random_projection" -> (q49_random_projection(_, _)),
     "q50_zorder" -> (q50_zorder(_, _)),
-    "q51_hard_negatives" -> (q51_hard_negatives(_, _)))
+    "q51_hard_negatives" -> (q51_hard_negatives(_, _)),
+    "q52_stratified_priority" -> (q52_stratified_priority(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

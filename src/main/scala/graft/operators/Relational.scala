@@ -180,6 +180,30 @@ object Relational {
       .limit(n)
   }
 
+  /** Per-class weighted quotas: exact-n priority sample WITHIN each
+    * class — the corpus-mixing step that takes the same number of docs
+    * per source/language but picks them ~proportional to a quality
+    * weight inside the class. Same determinism story as
+    * [[prioritySample]]; selection runs on the windowless two-phase
+    * top-k, so no reducer sorts a whole class.
+    *
+    * Output: (classCol, pos, idCol, priority), pos 0-based by
+    * (priority desc, id) inside the class.
+    */
+  def stratifiedPrioritySample(
+      df: DataFrame, classCol: String, idCol: String, weightCol: Column,
+      n: Int, seed: Long): DataFrame = {
+    val h = conv(substring(md5Rank(Seq(col(idCol)), seed), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
+    graft.sim.SimSearch.topKPerKey(
+      df.select(col(classCol), col(idCol),
+        round(weightCol.cast("double") / u, 6).as("_p")),
+      classCol, -col("_p"), col(idCol), n)
+      .select(col(classCol), col("rank").as("pos"),
+        col("neighbor").as(idCol), (-col("rankval")).as("priority"))
+  }
+
   /** Token-budget sharding (sequence-packing approximation): within each
     * class, docs in id order fill shards of ~`budget` tokens —
     * `shard = exclusive-prefix-tokens div budget`, so a shard holds the

@@ -278,6 +278,19 @@ class TextDedupSpec extends SparkSpec {
     assert(all.count() == 4) // degenerate: fewer rows than n
   }
 
+  test("stratified priority sample: per-class n, deterministic") {
+    val df = (for { c <- Seq("a", "b"); i <- 0 until 30 }
+      yield (c, c.hashCode.toLong * 100 + i, (i % 10 + 1).toDouble))
+      .toDF("cls", "id", "w")
+    def run() = graft.operators.Relational
+      .stratifiedPrioritySample(df, "cls", "id", col("w"), n = 5, seed = 3L)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val a = run()
+    assert(a.toSeq == run().toSeq) // deterministic
+    assert(a.count(_._1 == "a") == 5 && a.count(_._1 == "b") == 5)
+    assert(a.filter(_._1 == "a").map(_._2).sorted.toSeq == (0 until 5))
+  }
+
   test("new text ops tolerate empty corpora and null text") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextOps.tfidf(empty, "text", "doc_id").count() == 0)
