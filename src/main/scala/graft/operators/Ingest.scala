@@ -136,8 +136,11 @@ object Ingest {
     // read the references off the ANALYZED filter instead
     selected.queryExecution.analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        // case-insensitive: Spark resolves columns case-insensitively by
+        // default, so col("GAMEID") === 1 is a valid partition predicate
+        val partLower = partitionCols.map(_.toLowerCase).toSet
         val refs = f.condition.references.map(_.name).toSet
-        require(refs.subsetOf(partitionCols.toSet),
+        require(refs.forall(r => partLower.contains(r.toLowerCase)),
           s"compactPool pred may reference only partition columns " +
             s"$partitionCols (a row-level predicate would delete the " +
             s"non-matching rows of every touched partition); got $refs")

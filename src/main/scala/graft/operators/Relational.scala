@@ -198,7 +198,11 @@ object Relational {
     val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
     graft.sim.SimSearch.topKPerKey(
       df.select(col(classCol), col(idCol),
-        round(weightCol.cast("double") / u, 6).as("_p")),
+          round(weightCol.cast("double") / u, 6).as("_p"))
+        // null weight → null priority → null rank, which sort_array
+        // orders FIRST (displacing a real selection) while the oracle's
+        // row_number ranks it last — drop them, mirroring rankScored
+        .filter(col("_p").isNotNull),
       classCol, -col("_p"), col(idCol), n)
       .select(col(classCol), col("rank").as("pos"),
         col("neighbor").as(idCol), (-col("rankval")).as("priority"))

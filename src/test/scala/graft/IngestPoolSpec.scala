@@ -80,8 +80,10 @@ class IngestPoolSpec extends SparkSpec {
     val targetId = target.stripPrefix("gameId=").toLong
     val before = partFiles()
     val rowsBefore = spark.read.parquet(poolRoot).count()
+    // upper-case reference: Spark resolves columns case-insensitively,
+    // so the partition-predicate guard must too
     Ingest.compactPool(spark, poolRoot,
-      pred = col("gameId") === targetId, filesPerPartition = 2)
+      pred = col("GAMEID") === targetId, filesPerPartition = 2)
     val after = partFiles()
     // scoped partition rewritten into exactly 2 files (salt split works)
     assert(after(target).size == 2)

@@ -289,6 +289,17 @@ class TextDedupSpec extends SparkSpec {
     assert(a.toSeq == run().toSeq) // deterministic
     assert(a.count(_._1 == "a") == 5 && a.count(_._1 == "b") == 5)
     assert(a.filter(_._1 == "a").map(_._2).sorted.toSeq == (0 until 5))
+    // a null weight must never displace a real selection: null priority
+    // would sort FIRST in the rank fold (while the oracle's row_number
+    // ranks nulls last) — such rows are dropped before ranking
+    val withNull = df.union(spark.range(1)
+      .select(lit("a").as("cls"), lit(999999L).as("id"),
+        lit(null).cast("double").as("w")))
+    val b = graft.operators.Relational
+      .stratifiedPrioritySample(withNull, "cls", "id", col("w"),
+        n = 5, seed = 3L)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(b.toSeq == a.toSeq)
   }
 
   test("new text ops tolerate empty corpora and null text") {
