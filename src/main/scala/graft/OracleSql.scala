@@ -201,28 +201,34 @@ object OracleSql {
        |FROM r WHERE rn <= 5""".stripMargin
   }
 
-  /** IVF oracle: id-ordered centroid fold (bit-identical to the Spark
-    * side's sort_array fold), nprobe=2 nearest cells by unrounded cosine,
-    * then exact cosine top-5 within the probed cells.
+  /** IVF oracle: bounded two-level id-ordered centroid fold (bit-identical
+    * to the Spark side's [[graft.sim.SimSearch.meanVectors]] — level 1
+    * folds each `vec_id // W` bucket in id order, level 2 folds bucket
+    * partials in bucket order), nprobe=2 nearest cells by unrounded
+    * cosine, then exact cosine top-5 within the probed cells.
     */
   private val q27 = {
     val dim = 64
+    val w = 128 // = the gate query's bucketWidth
     val centroidCos =
       s"""(${duckDot("qv", "centroid", dim)} /
          |  (sqrt(${duckDot("qv", "qv", dim)}) *
          |   sqrt(${duckDot("centroid", "centroid", dim)})))""".stripMargin
     s"""WITH b AS (SELECT vec_id, embedding, label AS cell FROM embeddings),
-       |cs AS (SELECT cell, count(*) AS n,
-       |         list(embedding ORDER BY vec_id) AS vs
-       |       FROM b GROUP BY cell),
+       |p1 AS (SELECT cell, vec_id // $w AS bk, count(*) AS n,
+       |         list_reduce(
+       |           list_transform(list(embedding ORDER BY vec_id),
+       |             v -> list_transform(v, x -> x::DOUBLE)),
+       |           (a, c) -> list_transform(range(1, ${dim + 1}),
+       |                       i -> a[i] + c[i])) AS psum
+       |       FROM b GROUP BY cell, vec_id // $w),
+       |cs AS (SELECT cell, sum(n) AS n,
+       |         list_reduce(list(psum ORDER BY bk),
+       |           (a, c) -> list_transform(range(1, ${dim + 1}),
+       |                       i -> a[i] + c[i])) AS vsum
+       |       FROM p1 GROUP BY cell),
        |cen AS (SELECT cell, n,
-       |          list_transform(
-       |            list_reduce(
-       |              list_transform(vs,
-       |                v -> list_transform(v, x -> x::DOUBLE)),
-       |              (a, c) -> list_transform(range(1, ${dim + 1}),
-       |                          i -> a[i] + c[i])),
-       |            s -> s / n) AS centroid
+       |          list_transform(vsum, s -> s / n) AS centroid
        |        FROM cs),
        |q AS (SELECT vec_id AS qid, embedding AS qv FROM b
        |      WHERE vec_id < 20),
@@ -709,20 +715,28 @@ object OracleSql {
            |          ${d2("e.embedding", "c.cv")} AS d2
            |        FROM embeddings e CROSS JOIN $cen c))
            |  WHERE rn = 1)""".stripMargin
-      // id-ordered fold mean per cluster; empty clusters keep the old
+      // bounded two-level id-ordered fold mean per cluster (replays
+      // SimSearch.meanVectors: vec_id // W bucket partials in id order,
+      // then partials in bucket order); empty clusters keep the old
       // centroid via the LEFT JOIN + coalesce
+      val w = 128 // = the gate query's bucketWidth
       def updateCte(s: String, u: String, cenNew: String,
           a: String, cenOld: String) =
-        s"""$s AS (SELECT a.cid, count(*) AS n,
-           |        list(e.embedding ORDER BY e.vec_id) AS vs
-           |      FROM $a a JOIN embeddings e ON e.vec_id = a.vid
-           |      GROUP BY a.cid),
-           |$u AS (SELECT cid, list_transform(
+        s"""$s AS (SELECT a.cid, e.vec_id // $w AS bk, count(*) AS n,
            |        list_reduce(
-           |          list_transform(vs, v -> list_transform(v, x -> x::DOUBLE)),
+           |          list_transform(list(e.embedding ORDER BY e.vec_id),
+           |            v -> list_transform(v, x -> x::DOUBLE)),
            |          (acc, c) -> list_transform(range(1, ${dim + 1}),
-           |                        i -> acc[i] + c[i])),
-           |        sm -> sm / n) AS cv FROM $s),
+           |                        i -> acc[i] + c[i])) AS psum
+           |      FROM $a a JOIN embeddings e ON e.vec_id = a.vid
+           |      GROUP BY a.cid, e.vec_id // $w),
+           |${s}t AS (SELECT cid, sum(n) AS n,
+           |        list_reduce(list(psum ORDER BY bk),
+           |          (acc, c) -> list_transform(range(1, ${dim + 1}),
+           |                        i -> acc[i] + c[i])) AS vsum
+           |      FROM $s GROUP BY cid),
+           |$u AS (SELECT cid, list_transform(vsum, sm -> sm / n) AS cv
+           |       FROM ${s}t),
            |$cenNew AS (SELECT c.cid, coalesce(u.cv, c.cv) AS cv
            |        FROM $cenOld c LEFT JOIN $u u USING (cid))""".stripMargin
       val rounds = (0 until iters).map { r =>

@@ -338,12 +338,15 @@ object SparkEntry {
   }
 
   /** IVF-style ANN: label-cell coarse quantization + nprobe search. The
-    * id-ordered centroid fold makes the whole pipeline deterministic, so
-    * the oracle replays it (centroids, probe choice, final rank) in SQL.
+    * two-level id-ordered centroid fold makes the whole pipeline
+    * deterministic, so the oracle replays it (bucket partials,
+    * centroids, probe choice, final rank) in SQL. bucketWidth 128 < the
+    * sf0.01 id range so the gate exercises BOTH fold levels.
     */
   def q27_ivf_topk(s: SparkSession, dir: String): DataFrame =
     SimSearch.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-      cellCol = "label", queryPred = col("vec_id") < 20, k = 5, nprobe = 2)
+      cellCol = "label", queryPred = col("vec_id") < 20, k = 5, nprobe = 2,
+      bucketWidth = 128L)
 
   /** Near-dup clustering: LSH candidate pairs at est-Jaccard ≥ 0.5 →
     * connected components → (doc_id, cluster). The oracle replays the
@@ -568,12 +571,14 @@ object SparkEntry {
         array_max(col("q")).as("q_max"))
 
   /** Deterministic Lloyd k-means (the IVF centroid trainer): 4 clusters,
-    * 2 update rounds, id-seeded, id-ordered fold means — the oracle
-    * unrolls both rounds in SQL.
+    * 2 update rounds, id-seeded, bounded two-level id-ordered fold means
+    * — the oracle unrolls both rounds (and both fold levels) in SQL.
+    * bucketWidth 128 < the sf0.01 id range so the gate exercises the
+    * bucketed path, not the degenerate one-bucket case.
     */
   def q48_kmeans(s: SparkSession, dir: String): DataFrame =
     SimSearch.kmeansAssign(t(s, dir, "embeddings"), "vec_id", "embedding",
-      k = 4, iters = 2)
+      k = 4, iters = 2, bucketWidth = 128L)
 
   /** Random-projection dimensionality reduction 64→8 (md5-derived fixed
     * hyperplanes, one fold dot product per output component).

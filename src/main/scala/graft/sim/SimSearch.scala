@@ -153,37 +153,83 @@ object SimSearch {
     rankScored(uniq, k)
   }
 
-  /** IVF-style ANN: coarse-quantize the corpus into `cells` (here: the
-    * per-label mean vectors — in production, k-means centroids computed
-    * the same way), then search only the query's `nprobe` nearest cells.
+  /** Deterministic per-key mean of vectors with BOUNDED aggregation
+    * state: a two-level id-bucketed fold. Level 1 groups by
+    * `(key, id >>> log2(bucketWidth))` and folds that bucket's vectors
+    * in id order from a zero array — an aggregation buffer never holds
+    * more than `bucketWidth` vectors, so a key owning a quarter of a
+    * 100 TB corpus still aggregates in `bucketWidth`-sized pieces.
+    * Level 2 folds the (64-float-sums-sized) bucket partials in bucket
+    * order. The accumulation chain is fixed by the ids alone —
+    * partitioning-independent, and a SQL oracle unrolls the identical
+    * two levels (`id // W` grouping + ordered folds).
     *
-    * Scale shape: centroids are a tiny aggregation (map-side partials,
-    * one row per cell) and broadcast everywhere; the corpus is scanned
-    * once with its cell id (computed at write time in a real lake —
-    * partition column → cell-pruned scans); candidate generation is an
-    * equi-join on cell id, so cost is corpus/cells × nprobe per query.
+    * The single-level `collect_list(all vectors)` formulation this
+    * replaces put every member vector of a key into ONE buffer — fine
+    * at test SF, an executor-OOM cliff when one cell/cluster dominates.
+    *
+    * `bucketWidth` must be a power of two (the bucket id is a shift, so
+    * it is exact over the full long range, where a float-floor division
+    * would drift above 2^53); ids must be non-negative.
+    * Output: (keyCol, mean array<double>, n).
     */
-  def ivfTopK(
-      emb: DataFrame, idCol: String, vecCol: String, cellCol: String,
-      queryPred: Column, k: Int, nprobe: Int = 2): DataFrame = {
-    val dim = 64
-    // per-cell mean vector: fold vectors into a sum array + count. The
-    // fold runs in id order (sort_array over (id, vec) structs), so the
-    // float accumulation chain — and hence the centroid bits — is
-    // deterministic under any partitioning and replayable by the oracle.
-    val centroids = emb.groupBy(col(cellCol).as("cell"))
+  def meanVectors(
+      df: DataFrame, keyCol: String, idCol: String, vecCol: String,
+      dim: Int, bucketWidth: Long = 4096L): DataFrame = {
+    require(bucketWidth > 0 && (bucketWidth & (bucketWidth - 1)) == 0,
+      s"bucketWidth must be a positive power of two, got $bucketWidth")
+    val shift = java.lang.Long.numberOfTrailingZeros(bucketWidth)
+    val zeros = array_repeat(lit(0.0), dim)
+    val partials = df
+      .groupBy(col(keyCol),
+        shiftrightunsigned(col(idCol).cast("long"), shift).as("_bk"))
       .agg(
         aggregate(
           transform(
             sort_array(collect_list(struct(col(idCol).as("i"),
               col(vecCol).as("v")))),
             _.getField("v")),
-          array_repeat(lit(0.0), dim),
+          zeros,
           (acc, v) => zip_with(acc, v, (a, x) => a + x.cast("double")))
-          .as("vsum"),
-        count(lit(1)).as("n"))
-      .select(col("cell"),
-        transform(col("vsum"), s => s / col("n")).as("centroid"))
+          .as("_psum"),
+        count(lit(1)).as("_n"))
+    partials
+      .groupBy(col(keyCol))
+      .agg(
+        aggregate(
+          transform(
+            sort_array(collect_list(struct(col("_bk").as("b"),
+              col("_psum").as("s")))),
+            _.getField("s")),
+          zeros,
+          (acc, s) => zip_with(acc, s, (a, x) => a + x)).as("_vsum"),
+        sum(col("_n")).as("n"))
+      .select(col(keyCol),
+        transform(col("_vsum"), s => s / col("n")).as("mean"), col("n"))
+  }
+
+  /** IVF-style ANN: coarse-quantize the corpus into `cells` (here: the
+    * per-label mean vectors — in production, k-means centroids computed
+    * the same way), then search only the query's `nprobe` nearest cells.
+    *
+    * Scale shape: centroids are a tiny aggregation (map-side partials,
+    * one row per cell, [[meanVectors]]-bounded buffers) and broadcast
+    * everywhere; the corpus is scanned once with its cell id (computed
+    * at write time in a real lake — partition column → cell-pruned
+    * scans); candidate generation is an equi-join on cell id, so cost
+    * is corpus/cells × nprobe per query.
+    */
+  def ivfTopK(
+      emb: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      queryPred: Column, k: Int, nprobe: Int = 2,
+      bucketWidth: Long = 4096L): DataFrame = {
+    val dim = 64
+    // per-cell mean vector via the bounded two-level id-ordered fold —
+    // deterministic under any partitioning and replayable by the oracle
+    val centroids = meanVectors(
+      emb.select(col(cellCol).as("cell"), col(idCol), col(vecCol)),
+      "cell", idCol, vecCol, dim, bucketWidth)
+      .select(col("cell"), col("mean").as("centroid"))
     val q = emb.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
     // nprobe nearest cells per query (centroid table is tiny → broadcast)
@@ -225,20 +271,23 @@ object SimSearch {
     * real IVF index trains with, everything replayable: seeds are the
     * `k` smallest-id vectors (cluster label = seed id), assignment is
     * argmin squared distance with ties to the lowest centroid label,
-    * updates are id-ordered fold means (the [[ivfTopK]] determinism
-    * trick), and an empty cluster keeps its previous centroid. Returns
-    * (idCol, cluster, d2) under the final centroids after `iters`
-    * update rounds.
+    * updates are id-ordered fold means ([[meanVectors]] — the bounded
+    * two-level determinism trick), and an empty cluster keeps its
+    * previous centroid. Returns (idCol, cluster, d2) under the final
+    * centroids after `iters` update rounds.
     *
     * Scale shape per round: assignment is a broadcast of k centroids
     * against the corpus (no shuffle of vectors) + the windowless
-    * argmin; the update shuffles only (cluster, vector) pairs into k
-    * groups. `iters` is small and fixed — the plan grows linearly, and
-    * each round's centroid table is k rows.
+    * argmin; the update shuffles only (cluster, vector) pairs into
+    * `bucketWidth`-bounded (cluster, id-bucket) groups — with k=4 and
+    * one dominant cluster, no aggregation buffer ever holds more than
+    * `bucketWidth` vectors. `iters` is small and fixed — the plan grows
+    * linearly, and each round's centroid table is k rows.
     */
   def kmeansAssign(
       emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, dim: Int = 64): DataFrame = {
+      k: Int, iters: Int, dim: Int = 64,
+      bucketWidth: Long = 4096L): DataFrame = {
     require(k > 0 && iters >= 0, "need k > 0 and iters >= 0")
     val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
     // each round's centroid table is localCheckpoint'ed (k rows — a
@@ -257,20 +306,10 @@ object SimSearch {
         col("rankval").as("d2"))
     var i = 0
     while (i < iters) {
-      val sums = assign(centroids).join(vecs, "vid")
-        .groupBy(col("cid"))
-        .agg(
-          aggregate(
-            transform(
-              sort_array(collect_list(struct(col("vid").as("i"),
-                col("v").as("v")))),
-              _.getField("v")),
-            array_repeat(lit(0.0), dim),
-            (acc, v) => zip_with(acc, v, (a, x) => a + x.cast("double")))
-            .as("vsum"),
-          count(lit(1)).as("n"))
-        .select(col("cid"),
-          transform(col("vsum"), s => s / col("n")).as("cv2"))
+      val sums = meanVectors(
+        assign(centroids).join(vecs, "vid").select("cid", "vid", "v"),
+        "cid", "vid", "v", dim, bucketWidth)
+        .select(col("cid"), col("mean").as("cv2"))
       centroids = centroids.join(sums, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("cv2"), col("cv")).as("cv"))
         .localCheckpoint()

@@ -61,6 +61,74 @@ class IvfSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("meanVectors: bounded two-level fold pins to the single-level " +
+    "reference and is partitioning-independent") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 4 - 2), i % 3)
+    }
+    val df = rows.toDF("id", "v", "cell")
+    def bits(d: org.apache.spark.sql.DataFrame): Map[Int, Seq[Long]] =
+      d.collect().map(r => r.getInt(0) ->
+        r.getSeq[Double](1).map(java.lang.Double.doubleToLongBits).toSeq)
+        .toMap
+    // the single-level id-ordered fold meanVectors replaced — kept here
+    // as the executable semantics reference
+    val ref = df.groupBy(col("cell"))
+      .agg(
+        aggregate(
+          transform(sort_array(collect_list(struct(col("id").as("i"),
+            col("v").as("v")))), _.getField("v")),
+          array_repeat(lit(0.0), 8),
+          (acc, v) => zip_with(acc, v, (a, x) => a + x.cast("double")))
+          .as("vsum"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), transform(col("vsum"), s => s / col("n"))
+        .as("mean"))
+    // bucketWidth > id range degenerates to one bucket → BIT-identical
+    val degenerate = SimSearch.meanVectors(df, "cell", "id", "v", 8,
+      bucketWidth = 512).select("cell", "mean")
+    assert(bits(degenerate) == bits(ref))
+    // multi-bucket chain: bit-stable under any partitioning, and equal
+    // to the single-level mean within float-reassociation tolerance
+    val multi = SimSearch.meanVectors(df, "cell", "id", "v", 8,
+      bucketWidth = 64).select("cell", "mean")
+    val multi7 = SimSearch.meanVectors(df.repartition(7), "cell", "id",
+      "v", 8, bucketWidth = 64).select("cell", "mean")
+    assert(bits(multi) == bits(multi7))
+    val refVals = ref.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    multi.collect().foreach { r =>
+      val exp = refVals(r.getInt(0))
+      r.getSeq[Double](1).zip(exp).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9)
+      }
+    }
+    // width must be a positive power of two
+    intercept[IllegalArgumentException] {
+      SimSearch.meanVectors(df, "cell", "id", "v", 8, bucketWidth = 100)
+    }
+  }
+
+  test("meanVectors: one dominant cell aggregates in bounded buckets") {
+    // 95% of ids land in cell 0 — the 100 TB skew shape. With W=32 the
+    // dominant cell folds through ~10 bounded buckets, and the result
+    // is still the exact deterministic mean.
+    val rows = (0 until 320).map { i =>
+      val cell = if (i % 20 == 19) 1 else 0
+      (i.toLong, Array.fill(4)(i.toFloat), cell)
+    }
+    val df = rows.toDF("id", "v", "cell").repartition(5)
+    val out = SimSearch.meanVectors(df, "cell", "id", "v", 4,
+      bucketWidth = 32)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getSeq[Double](1), r.getLong(2)))).toMap
+    val hot = rows.filter(_._3 == 0).map(_._1.toDouble)
+    assert(out(0)._2 == hot.size && out(0)._2 == 304L)
+    assert(math.abs(out(0)._1.head - hot.sum / hot.size) < 1e-9)
+    assert(out(1)._2 == 16L)
+  }
+
   test("dist2 kernel is bit-identical to the HOF fold (float and double)") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 50).map { i =>
