@@ -481,13 +481,16 @@ object SparkEntry {
       n = 20, seed = 42)
 
   /** Token-budget sharding: ~1000-token shards per language in doc-id
-    * order (sequence-packing approximation).
+    * order (sequence-packing approximation). bucketWidth 128 < the
+    * sf0.01 id range, so the gate exercises the two-level prefix sum
+    * (sub-window locals + offset merge); the shard values are
+    * bucketWidth-independent, so the oracle keeps the single-window SQL.
     */
   def q40_token_shards(s: SparkSession, dir: String): DataFrame =
     Relational.tokenShards(
       docs(s, dir).select(col("lang"), col("doc_id"),
         size(TextOps.tokensSimple(col("text"))).as("n_tokens")),
-      "lang", "doc_id", "n_tokens", budget = 1000L)
+      "lang", "doc_id", "n_tokens", budget = 1000L, bucketWidth = 128L)
 
   /** Repetition quality filter: duplicate 3-gram fraction and top n-gram
     * frequency per doc (the Gopher-style corpus-curation signal).

@@ -213,22 +213,46 @@ object Relational {
     * `shard = exclusive-prefix-tokens div budget`, so a shard holds the
     * docs that start inside one budget window. Deterministic and exactly
     * SQL-replayable (a true greedy packer is a stateful sequential scan;
-    * the div rule is the distributable fixed-offset variant). The window
-    * is per class; at 100 TB pre-split classes by a hash so no single
-    * sequential partition forms.
+    * the div rule is the distributable fixed-offset variant).
+    *
+    * Scale shape: the prefix sum is two-level, so NO reducer ever holds
+    * a whole class (a single `partitionBy(class)` window would funnel a
+    * 100 TB dominant language through one task). Level 1 computes
+    * exclusive prefix sums inside `(class, id >>> log2(bucketWidth))`
+    * sub-windows — at most `bucketWidth` rows per window partition.
+    * Level 2 prefix-sums the per-bucket TOTALS (one tiny row per bucket
+    * — corpus/bucketWidth rows through the per-class window) into
+    * bucket offsets, and `offset + local` reassembles the exact global
+    * prefix sum. The result is value-identical for any `bucketWidth`,
+    * which therefore needs no oracle coordination.
     */
   def tokenShards(
       df: DataFrame, classCol: String, idCol: String,
-      tokensCol: String, budget: Long): DataFrame = {
+      tokensCol: String, budget: Long,
+      bucketWidth: Long = 4096L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0, "budget must be positive")
-    val w = Window.partitionBy(col(classCol)).orderBy(col(idCol))
+    require(bucketWidth > 0 && (bucketWidth & (bucketWidth - 1)) == 0,
+      s"bucketWidth must be a positive power of two, got $bucketWidth")
+    val shift = java.lang.Long.numberOfTrailingZeros(bucketWidth)
+    val base = df.select(col(classCol), col(idCol), col(tokensCol))
+      .withColumn("_sg",
+        shiftrightunsigned(col(idCol).cast("long"), shift))
+    val wLocal = Window.partitionBy(col(classCol), col("_sg"))
+      .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(classCol), col(idCol), col(tokensCol))
-      .withColumn("_cum",
-        coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+    val local = base.withColumn("_lcum",
+      coalesce(sum(col(tokensCol)).over(wLocal), lit(0L)))
+    val wOff = Window.partitionBy(col(classCol)).orderBy(col("_sg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col(classCol), col("_sg"))
+      .agg(sum(col(tokensCol)).as("_stot"))
+      .withColumn("_off", coalesce(sum(col("_stot")).over(wOff), lit(0L)))
+      .select(col(classCol), col("_sg"), col("_off"))
+    local.join(offsets, Seq(classCol, "_sg"))
+      .withColumn("_cum", col("_off") + col("_lcum"))
       .withColumn("shard", expr(s"_cum div ${budget}L").cast("int"))
-      .drop("_cum")
+      .drop("_sg", "_lcum", "_off", "_cum")
   }
 
   /** Z-order (Morton) value of two non-negative integer dimensions:

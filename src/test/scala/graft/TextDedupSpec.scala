@@ -156,6 +156,32 @@ class TextDedupSpec extends SparkSpec {
     assert(shards == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 0))
   }
 
+  test("tokenShards: two-level prefix sum matches the single-window " +
+    "formulation on a 90%-skew class") {
+    import org.apache.spark.sql.expressions.Window
+    // 90% of docs in one class, sparse non-contiguous ids, varying sizes
+    val rows = (0 until 400).map { i =>
+      val cls = if (i % 10 == 9) "rare" else "hot"
+      (cls, i.toLong * 3 + 1, 10 + i % 37)
+    }
+    val df = rows.toDF("lang", "doc_id", "n_tokens").repartition(7)
+    // the single-window reference formulation tokenShards replaced
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = df
+      .withColumn("_cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard", expr("_cum div 100L").cast("int"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("shard"))
+      .toMap
+    // bucketWidth 64 → the hot class spans ~19 sub-windows
+    val got = graft.operators.Relational
+      .tokenShards(df, "lang", "doc_id", "n_tokens", budget = 100L,
+        bucketWidth = 64L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("shard"))
+      .toMap
+    assert(got == ref)
+  }
+
   test("clusterLabels converges on a long chain within default maxIter") {
     // diameter-59 path graph: naive min-label propagation needs 59
     // rounds; pointer jumping must close it inside the default 20
