@@ -70,6 +70,61 @@ object Dedup {
     size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
       .cast("double") / size(sigA)
 
+  /** Band-prefixed bucket ids ("<band>:<md5>") — one join/overlap key per
+    * band; the prefix makes cross-band collisions unequal by construction.
+    */
+  def bandedBuckets(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    zip_with(
+      sequence(lit(0), lit(bands - 1)),
+      bucketArray(sigCol, bands, rowsPerBand),
+      (b, h) => concat_ws(":", b, h))
+
+  /** Append `_sig` + `_buckets` to `df` (original columns untouched).
+    * Staged withColumns so tokens/shingles materialize once per row.
+    */
+  private def withSignature(
+      df: DataFrame, textCol: String, shingleK: Int, bands: Int,
+      rowsPerBand: Int, tokenizer: Column => Column): DataFrame = df
+    .withColumn("_toks", tokenizer(col(textCol)))
+    .withColumn("_sh", TextOps.shingles(col("_toks"), shingleK))
+    .withColumn("_sig", TextOps.minhashSig(col("_sh"), bands * rowsPerBand))
+    .withColumn("_buckets", bandedBuckets(col("_sig"), bands, rowsPerBand))
+    .drop("_toks", "_sh")
+
+  /** Sign a corpus into the persistable near-dup index shape: ONE row per
+    * doc — (idCol, sig array<bigint>, buckets array<string>, band-
+    * prefixed). This is the write-once artifact every near-dup consumer
+    * joins against; the lake design is write-once-query-many (reference
+    * `src/ingest.py:59-87`), and the signature index deserves the same
+    * treatment — signing is the expensive step (tokenize + shingle +
+    * minhash over the full text), so pay it at ingest, not per query or
+    * per micro-batch. LSH parameters must match between writer and every
+    * reader.
+    */
+  def signIndex(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      tokenizer: Column => Column = TextOps.tokens): DataFrame =
+    withSignature(df.select(col(idCol), col(textCol)), textCol,
+      shingleK, bands, rowsPerBand, tokenizer)
+      .select(col(idCol), col("_sig").as("sig"), col("_buckets").as("buckets"))
+
+  /** Persist the signed index as parquet (the write-once step). */
+  def writeSignedIndex(
+      df: DataFrame, path: String, textCol: String, idCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      tokenizer: Column => Column = TextOps.tokens): Unit =
+    signIndex(df, textCol, idCol, shingleK, bands, rowsPerBand, tokenizer)
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a persisted signed index — (id, sig, buckets) rows ready for
+    * [[nearDupPairsFromIndex]], [[dedupNearFromIndex]],
+    * [[dedupNearAgainstIndex]] and [[dedupNearAgainstIndexBatch]].
+    */
+  def readSignedIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Exact Jaccard over two token/shingle arrays (for verifying LSH
     * candidates — run only on the candidate pairs, never all-pairs).
     * Two empty sets score 0.0 (total function — no divide-by-zero under
@@ -113,55 +168,82 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
-  /** Streaming near-dedup of incoming documents AGAINST A STATIC
-    * reference corpus (the incremental-corpus-extension shape: new
-    * crawl drops arrive as a stream, the existing lake is the index).
-    * The reference compacts to one row per doc — signature + its
-    * `bands` bucket ids, prefixed band-wise so cross-band collisions
-    * cannot match — and broadcasts; each micro-batch signs its docs
-    * and LEFT-ANTI joins on "any shared bucket AND est-Jaccard ≥
+  /** Streaming near-dedup of incoming documents AGAINST A SIGNED INDEX
+    * (the incremental-corpus-extension shape: new crawl drops arrive as
+    * a stream, the existing lake's [[writeSignedIndex]] artifact is the
+    * reference). Each micro-batch signs ITS OWN docs only and LEFT-ANTI
+    * joins the broadcast index on "any shared bucket AND est-Jaccard ≥
     * threshold". Stream-left anti joins against a static right are
     * fully supported and STATELESS — no state store, no watermark.
     * Returns the kept stream rows unchanged.
     *
     * Scale shape: the match is a broadcast nested-loop per micro-batch
-    * (the bucket-overlap condition is non-equi), so the reference index
-    * must fit in a broadcast — signatures + buckets are ~300 bytes/doc,
-    * millions of reference docs per executor-GB. Stream-static joins
-    * re-execute the static side EVERY micro-batch: persist the
-    * reference (cache it, or better, write the signed index to parquet
-    * once and pass that) so each batch pays a read, not a full
-    * re-shingle+re-sign of the reference corpus. For lake-scale
-    * references run the batch [[dedupNear]]-style equi-join inside
-    * `foreachBatch` instead (a micro-batch is a batch); stream-vs-
-    * stream duplicates are likewise a `foreachBatch` problem.
+    * (the bucket-overlap condition is non-equi), so the index must fit
+    * in a broadcast — signatures + buckets are ~300 bytes/doc, millions
+    * of reference docs per executor-GB. Stream-static joins re-execute
+    * the static side every micro-batch, but a [[readSignedIndex]] side
+    * is just a parquet scan of (id, sig, buckets) — no re-shingle, no
+    * re-sign. For an index too large to broadcast, run
+    * [[dedupNearAgainstIndexBatch]] (pure equi-join) inside
+    * `foreachBatch` instead; stream-vs-stream duplicates are likewise a
+    * `foreachBatch` problem.
+    */
+  def dedupNearAgainstIndex(
+      stream: DataFrame, index: DataFrame,
+      textCol: String, idCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      tokenizer: Column => Column = TextOps.tokens): DataFrame = {
+    val refDocs = index.select(
+      col("sig").as("_ref_sig"), col("buckets").as("_ref_buckets"))
+    val cond =
+      arrays_overlap(col("_buckets"), col("_ref_buckets")) &&
+        estJaccard(col("_sig"), col("_ref_sig")) >= threshold
+    withSignature(stream, textCol, shingleK, bands, rowsPerBand, tokenizer)
+      .join(broadcast(refDocs), cond, "left_anti")
+      .drop("_sig", "_buckets")
+  }
+
+  /** [[dedupNearAgainstIndex]] with the reference signed inline — the
+    * convenience path when no persisted index exists yet. Every
+    * micro-batch re-signs the whole reference corpus; for anything
+    * bigger than a toy reference, [[writeSignedIndex]] once and pass
+    * [[readSignedIndex]] to [[dedupNearAgainstIndex]] instead.
     */
   def dedupNearAgainstStream(
       stream: DataFrame, reference: DataFrame,
       textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5,
+      tokenizer: Column => Column = TextOps.tokens): DataFrame =
+    dedupNearAgainstIndex(stream,
+      signIndex(reference, textCol, idCol, shingleK, bands, rowsPerBand,
+        tokenizer),
+      textCol, idCol, shingleK, bands, rowsPerBand, threshold, tokenizer)
+
+  /** Lake-scale batch near-dedup against a signed index: candidates form
+    * via an EQUI-join on the exploded bucket id — never a broadcast,
+    * never a nested loop — then the signature estimate verifies. Works
+    * on any index size (both sides shuffle only (id, sig, bucket)
+    * triples); this is the `foreachBatch` body for streams whose
+    * reference index outgrows [[dedupNearAgainstIndex]]'s broadcast.
+    * Returns the kept batch rows unchanged.
+    */
+  def dedupNearAgainstIndexBatch(
+      batch: DataFrame, index: DataFrame,
+      textCol: String, idCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
       tokenizer: Column => Column = TextOps.tokens): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    def bandedBuckets(sigCol: Column): Column =
-      zip_with(
-        sequence(lit(0), lit(bands - 1)),
-        bucketArray(sigCol, bands, rowsPerBand),
-        (b, h) => concat_ws(":", b, h))
-    def sign(df: DataFrame): DataFrame = df
-      .withColumn("_toks", tokenizer(col(textCol)))
-      .withColumn("_sh", TextOps.shingles(col("_toks"), shingleK))
-      .withColumn("_sig", TextOps.minhashSig(col("_sh"), numHashes))
-      .withColumn("_buckets", bandedBuckets(col("_sig")))
-      .drop("_toks", "_sh")
-    val refDocs = sign(reference).select(
-      col("_sig").as("_ref_sig"), col("_buckets").as("_ref_buckets"))
-    val cond =
-      arrays_overlap(col("_buckets"), col("_ref_buckets")) &&
-        estJaccard(col("_sig"), col("_ref_sig")) >= threshold
-    sign(stream)
-      .join(broadcast(refDocs), cond, "left_anti")
-      .drop("_sig", "_buckets")
+    val bx = signIndex(batch, textCol, idCol, shingleK, bands,
+      rowsPerBand, tokenizer)
+      .select(col(idCol), col("sig"), explode(col("buckets")).as("_bkt"))
+    val ix = index.select(
+      col("sig").as("_ref_sig"), explode(col("buckets")).as("_bkt"))
+    val dupIds = bx.join(ix, Seq("_bkt"))
+      .filter(estJaccard(col("sig"), col("_ref_sig")) >= threshold)
+      .select(col(idCol)).distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
   }
 
   /** Benchmark decontamination (the GPT-3-style filter): drop every
@@ -273,33 +355,51 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5,
-      tokenizer: Column => Column = TextOps.tokens): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    // staged projections so tokens/shingles materialize once per row —
-    // nesting them into one expression would re-split the text inside the
-    // shingle lambda for every element
-    val signed = df
-      .select(col(idCol), tokenizer(col(textCol)).as("_toks"))
-      .select(col(idCol), TextOps.shingles(col("_toks"), shingleK).as("_sh"))
-      .select(col(idCol), TextOps.minhashSig(col("_sh"), numHashes).as("sig"))
-    // carry the signature through the bucket self-join: the signature
-    // pipeline computes ONCE (joining signatures back onto the candidate
-    // pairs would re-run shingle+minhash twice more); the sig rides the
-    // bucket shuffle at `bands` copies per doc — a few hundred bytes
-    // against two whole extra corpus-scan subtrees
-    val bucketed = signed.select(col(idCol), col("sig"),
-      posexplode(bucketArray(col("sig"), bands, rowsPerBand))
-        .as(Seq("band", "bucket")))
-    val a = bucketed.select(col("band"), col("bucket"),
+      tokenizer: Column => Column = TextOps.tokens): DataFrame =
+    nearDupPairsFromIndex(
+      signIndex(df, textCol, idCol, shingleK, bands, rowsPerBand, tokenizer),
+      idCol, threshold)
+
+  /** Near-dup pairs from a (persisted) signed index — [[nearDupPairs]]
+    * minus the signing cost: exploding (id, sig, buckets) rows into the
+    * bucket self-join is all that remains. The band-prefixed bucket
+    * string is the single join key (prefix = the band equality).
+    *
+    * The signature rides the bucket shuffle (`bands` copies per doc — a
+    * few hundred bytes) instead of joining back after the candidate
+    * join, which would re-scan the index twice more.
+    */
+  def nearDupPairsFromIndex(
+      index: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val bucketed = index.select(col(idCol), col("sig"),
+      explode(col("buckets")).as("_bkt"))
+    val a = bucketed.select(col("_bkt"),
       col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val b = bucketed.select(col("band"), col("bucket"),
+    val b = bucketed.select(col("_bkt"),
       col(idCol).as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+    a.join(b, Seq("_bkt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .distinct() // collapse multi-band collisions (sigs are id-determined)
       .withColumn("est_jaccard", round(estJaccard(col("sig_a"), col("sig_b")), 6))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** [[dedupNear]] from a (persisted) signed index: pairs → connected
+    * components → keep the minimal-id survivor per cluster. Signing —
+    * the expensive full-text pass — happened once at
+    * [[writeSignedIndex]] time; this run shuffles ids and signatures
+    * only.
+    */
+  def dedupNearFromIndex(
+      df: DataFrame, index: DataFrame, idCol: String,
+      threshold: Double = 0.5, maxIter: Int = 20): DataFrame = {
+    val pairs = nearDupPairsFromIndex(index, idCol, threshold)
+    val clusters = clusterLabels(df.select(col(idCol)), pairs, maxIter)
+    df.join(
+      clusters.filter(col("id") === col("cluster"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
   }
 }

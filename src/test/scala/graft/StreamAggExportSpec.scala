@@ -146,6 +146,82 @@ class StreamAggExportSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming near-dedup reads a persisted signed index (no " +
+    "re-shingling) across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val reference = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "an entirely unrelated reference document about engines"))
+      .toDF("doc_id", "text")
+    val path = tmpDir("streamidx") + "/idx"
+    graft.text.Dedup.writeSignedIndex(reference, path, "text", "doc_id",
+      tokenizer = graft.text.TextOps.tokensSimple)
+    val idx = graft.text.Dedup.readSignedIndex(spark, path)
+    // the static side is (id, sig, buckets) parquet — no text column
+    // exists for a micro-batch to re-shingle; each batch pays a scan of
+    // the signed rows, not a re-sign of the reference corpus
+    assert(!idx.columns.contains("text"))
+    val mem = MemoryStream[(Long, String)]
+    val kept = graft.text.Dedup.dedupNearAgainstIndex(
+      mem.toDF().toDF("doc_id", "text"), idx, "text", "doc_id",
+      tokenizer = graft.text.TextOps.tokensSimple)
+    val query = kept.writeStream.format("memory").queryName("idxdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog today"), // dup
+        (2L, "completely novel streaming content with fresh words"))
+      query.processAllAvailable()
+      mem.addData( // second micro-batch re-reads the index, not the text
+        (3L, "the quick brown fox jumps over the lazy dog tonight"))
+      query.processAllAvailable()
+      val rows = spark.table("idxdedup").collect()
+        .map(_.getAs[Long]("doc_id")).toSeq.sorted
+      assert(rows == Seq(2L))
+    } finally query.stop()
+  }
+
+  test("foreachBatch near-dedup equi-joins a lake-scale index (no " +
+    "broadcast required)") {
+    implicit val sq = spark.sqlContext
+    val reference = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "an entirely unrelated reference document about engines"))
+      .toDF("doc_id", "text")
+    val path = tmpDir("batchidx") + "/idx"
+    graft.text.Dedup.writeSignedIndex(reference, path, "text", "doc_id",
+      tokenizer = graft.text.TextOps.tokensSimple)
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    // broadcast disabled: the dedup must survive as a shuffled equi-join
+    // — the shape that works when the index outgrows executor memory
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val query = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val idx = graft.text.Dedup.readSignedIndex(batch.sparkSession, path)
+        got ++= graft.text.Dedup.dedupNearAgainstIndexBatch(
+          batch, idx, "text", "doc_id",
+          tokenizer = graft.text.TextOps.tokensSimple)
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog today"), // dup
+        (2L, "completely novel streaming content with fresh words"))
+      query.processAllAvailable()
+      mem.addData(
+        (3L, "the quick brown fox jumps over the lazy dog tonight"))
+      query.processAllAvailable()
+      assert(got.sorted.toSeq == Seq(2L))
+    } finally {
+      query.stop()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("stream interval join agrees with the batch range join twin") {
     implicit val sq = spark.sqlContext
     // same data both ways: points 0..29 at 5-min spacing, windows

@@ -209,6 +209,49 @@ class TextDedupSpec extends SparkSpec {
     assert(nearKept == Set(1L, 4L)) // whole near-cluster collapses to 1
   }
 
+  test("signed index: persisted roundtrip feeds pairs/dedup without " +
+    "re-signing, batch equi-join flavor matches broadcast flavor") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, base), (2L, base), (3L, base + " lambda"),
+      (4L, "completely different words entirely here now today ok fine"))
+      .toDF("doc_id", "text")
+    val path = tmpDir("signedidx") + "/idx"
+    Dedup.writeSignedIndex(corpus, path, "text", "doc_id",
+      tokenizer = TextOps.tokensSimple)
+    val idx = Dedup.readSignedIndex(spark, path)
+    // the index holds (id, sig, buckets) ONLY — a consumer cannot
+    // re-shingle even by accident, the text never leaves the writer
+    assert(idx.columns.toSeq == Seq("doc_id", "sig", "buckets"))
+    def pairSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromIndex = pairSet(
+      Dedup.nearDupPairsFromIndex(idx, "doc_id", threshold = 0.5))
+    val direct = pairSet(Dedup.nearDupPairs(corpus, "text", "doc_id",
+      threshold = 0.5, tokenizer = TextOps.tokensSimple))
+    assert(fromIndex == direct && fromIndex.nonEmpty)
+    val keptIdx = Dedup.dedupNearFromIndex(corpus, idx, "doc_id",
+      threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIdx == Set(1L, 4L)) // same as dedupNear's survivor set
+    // batch flavor: pure equi-join on the exploded bucket id — verify it
+    // keeps the same rows as the broadcast flavor with broadcast OFF
+    val newDocs = Seq(
+      (10L, base + " mu"), // near-dups the indexed cluster
+      (11L, "fresh unrelated streaming payload with novel vocabulary"))
+      .toDF("doc_id", "text")
+    val bcastKept = Dedup.dedupNearAgainstIndex(newDocs, idx,
+      "text", "doc_id", threshold = 0.5, tokenizer = TextOps.tokensSimple)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val eqKept = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Dedup.dedupNearAgainstIndexBatch(newDocs, idx, "text", "doc_id",
+        threshold = 0.5, tokenizer = TextOps.tokensSimple)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(bcastKept == Set(11L) && eqKept == Set(11L))
+  }
+
   test("decontaminate drops only docs sharing a k-gram with the eval set") {
     val train = Seq(
       (1L, "the quick brown fox jumps"),   // shares "quick brown fox"
