@@ -51,6 +51,50 @@ object TextOps {
   /** Estimated LLM token count via the BPE-ish split. */
   def tokenEstimate(text: Column): Column = size(tokensBpeish(text))
 
+  /** Load a ranked BPE merge table from a (rank, left, right) DataFrame —
+    * the loadable-vocabulary upgrade over the [[tokensBpeish]] regex
+    * stand-in. Merge tables are MODEL METADATA (tens of thousands of
+    * rows, public formats), not data: collecting them to the driver and
+    * baking them into the plan is the correct scale shape — the corpus
+    * side then tokenizes in the scan stage with no lookup join.
+    */
+  def loadBpeMerges(
+      df: DataFrame, rankCol: String = "rank", leftCol: String = "left",
+      rightCol: String = "right"): Seq[(String, String)] =
+    df.select(col(rankCol).cast("long"), col(leftCol), col(rightCol))
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Parse the public `merges.txt` shape — one "left right" pair per
+    * line, rank = line order; '#'-prefixed header/comment lines skipped.
+    */
+  def parseBpeMerges(lines: Seq[String]): Seq[(String, String)] =
+    lines.iterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.indexOf(' ')
+        require(sp > 0 && l.indexOf(' ', sp + 1) < 0,
+          s"merge line must be exactly 'left right': '$l'")
+        (l.substring(0, sp), l.substring(sp + 1))
+      }
+      .toSeq
+
+  /** Real merge-table BPE tokenization over a loaded vocabulary
+    * ([[graft.functions.BpeTokensXX]] — per whitespace word: code-point
+    * split, then greedy ranked merges, GPT-2 style). Scan-stage,
+    * codegen'd, no shuffle; the merge table travels with the plan.
+    */
+  def tokensVocab(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BpeTokensXX(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), merges))
+
+  /** Token count under a loaded BPE merge table. */
+  def tokenEstimateVocab(
+      text: Column, merges: Seq[(String, String)]): Column =
+    size(tokensVocab(text, merges))
+
   /** First 8 hex digits of md5 as a long in [0, 2^32) — a portable 32-bit
     * content hash every engine computes identically (`md5` is universal;
     * xxhash64 is Spark-only). Use xxhash64 where cross-engine equality is
@@ -228,6 +272,58 @@ object TextOps {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
       when(s > 0 && s === best, l).otherwise(els)
+    }
+  }
+
+  /** Overlapping character n-grams of a text column (lowercase upstream
+    * if case-folding is wanted — Cavnar-Trenkle profiles do). Shorter
+    * texts yield an empty array. Pure per-row expression algebra.
+    */
+  def charGrams(text: Column, n: Int): Column = {
+    require(n > 0, "n must be positive")
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+  }
+
+  /** Load per-language character-n-gram profiles from a
+    * (lang, gram, weight) DataFrame — the loadable upgrade over the
+    * [[langMarkers]] toy (same operator shape: per-doc scoring +
+    * argmax). Profiles are MODEL METADATA (a few hundred grams per
+    * language, the Cavnar-Trenkle shape built from public corpora) —
+    * collected to the driver and baked into the plan as map literals,
+    * so scoring runs in the scan stage with no lookup join.
+    */
+  def loadLangProfiles(
+      df: DataFrame, langCol: String = "lang", gramCol: String = "gram",
+      weightCol: String = "weight"): Map[String, Map[String, Double]] =
+    df.select(col(langCol), col(gramCol), col(weightCol).cast("double"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        l -> rows.map(r => r.getString(1) -> r.getDouble(2)).toMap
+      }
+
+  /** Profile-based language ID: per language, sum the profile weights of
+    * the doc's character n-grams (`gramsCol` — stage it once with
+    * [[charGrams]]); predict the first language (alphabetical) with the
+    * maximal positive score, "und" when every score is zero. Each
+    * profile is a `typedLit` map literal — per-gram scoring is one map
+    * probe, the whole operator is per-row scan-stage algebra.
+    */
+  def langIdProfile(
+      gramsCol: Column,
+      profiles: Map[String, Map[String, Double]]): Column = {
+    require(profiles.nonEmpty, "need at least one language profile")
+    val scores = profiles.toSeq.sortBy(_._1).map { case (l, p) =>
+      val m = typedLit(p)
+      l -> aggregate(gramsCol, lit(0.0),
+        (acc, g) => acc + coalesce(element_at(m, g), lit(0.0)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
+      when(s > 0.0 && s === best, l).otherwise(els)
     }
   }
 

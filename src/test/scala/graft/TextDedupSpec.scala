@@ -391,6 +391,59 @@ class TextDedupSpec extends SparkSpec {
     assert(red(1L) == null && red(2L) == "a b")
   }
 
+  test("tokensVocab applies a loaded BPE merge table (GPT-2 greedy ranks)") {
+    // committed fixture: ranked merge table, deliberately shuffled rows —
+    // the loader must order by rank, not row order
+    val mergeDf = Seq((2L, "e", "r"), (0L, "l", "o"), (1L, "lo", "w"))
+      .toDF("rank", "left", "right")
+    val merges = TextOps.loadBpeMerges(mergeDf)
+    assert(merges == Seq("l" -> "o", "lo" -> "w", "e" -> "r"))
+    val out = Seq((1L, "lower low"), (2L, "xyz"), (3L, null: String))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextOps.tokensVocab(col("text"), merges).as("toks"),
+        TextOps.tokenEstimateVocab(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1).toList)).toMap
+    // "lower": l o w e r → lo → low → er; no (low, er) merge listed
+    assert(out(1L) == List("low", "er", "low"))
+    assert(out(2L) == List("x", "y", "z")) // no applicable merges
+    assert(out(3L) == null) // null text → null, like every tokenizer here
+    // merges.txt-format parser: line order is the rank, comments skipped
+    assert(TextOps.parseBpeMerges(Seq("# header", "l o", "lo w", "", "e r"))
+      == merges)
+  }
+
+  test("langIdProfile classifies by loaded char-n-gram profiles") {
+    // committed fixture: tiny Cavnar-Trenkle-shaped (lang, gram, weight)
+    // table — the loadable upgrade over the marker-word toy
+    val profDf = Seq(
+      ("en", "the", 1.0), ("en", "ing", 0.7), ("en", "er ", 0.3),
+      ("de", "der", 1.0), ("de", "sch", 0.9), ("de", "ein", 0.6),
+      ("fr", "les", 1.0), ("fr", "ait", 0.7))
+      .toDF("lang", "gram", "weight")
+    val profiles = TextOps.loadLangProfiles(profDf)
+    assert(profiles.keySet == Set("en", "de", "fr"))
+    assert(profiles("de")("sch") == 0.9)
+    val docs = Seq(
+      (1L, "the weather is changing"),       // the + ing → en
+      (2L, "schneller der einfache wagen"),  // sch + der + ein → de
+      (3L, "les traits quil avait"),         // les + ait → fr
+      (4L, "zzzz qqqq"))                     // no profile gram → und
+      .toDF("doc_id", "text")
+    val got = docs
+      .select(col("doc_id"),
+        TextOps.charGrams(lower(col("text")), 3).as("grams"))
+      .select(col("doc_id"),
+        TextOps.langIdProfile(col("grams"), profiles).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und"))
+    // charGrams edge: shorter than n → empty array, not null
+    val short = Seq(Tuple1("ab")).toDF("t")
+      .select(TextOps.charGrams(col("t"), 3).as("g")).head()
+    assert(short.getSeq[String](0).isEmpty)
+  }
+
   test("redactPii: urls then emails, counts match occurrences") {
     val out = Seq(
       (1L, "mail bob@corp.io or see https://x.io/a?b=1 and http://y.z/c"),
