@@ -636,8 +636,9 @@ object OracleSql {
          |FROM h ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin,
 
     "q46_redact" -> {
-      val url = "https?://[^ ]+"
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+      // the shared RE2-safe patterns — single definition on both engines
+      val url = TextOps.urlPattern
+      val email = TextOps.emailPattern
       s"""WITH r AS (SELECT doc_id,
          |        CASE WHEN doc_id % 7 = 0 THEN text ||
          |          ' contact admin@example.com or https://data.example.com/dl?id='

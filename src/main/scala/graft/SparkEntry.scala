@@ -300,24 +300,65 @@ object SparkEntry {
   /** S1/S2/S5/S4/P1 end-to-end: synthesize a small camelCase tracking CSV,
     * ingest it through Normalize into a Hive-partitioned pool, read the
     * pool back, return its summary (rows-only check: no oracle can see the
-    * temp files).
+    * temp files — so the query itself require()s rows, schema, and the
+    * partition LAYOUT, then materializes the summary and deletes its
+    * temp tree).
     */
   def q26_ingest_roundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import scala.jdk.CollectionConverters._
     val base = java.nio.file.Files.createTempDirectory("graft_rt")
-    val in = base.resolve("in").toString
-    val poolRoot = base.resolve("pool").toString
-    val rows = for {
-      p <- 1 to 2; f <- 1 to 30; e <- 0 until 3
-    } yield (2023090700L, p * 50, if (e == 2) None else Some(40000 + e), f,
-      if (e == 2) "football" else "home", 10.0f + f, 20.0f + e, "padding")
-    rows.toDF("gameId", "playId", "nflId", "frameId", "team", "x", "y",
-      "junkColumn")
-      .coalesce(1).write.option("header", "true").mode("overwrite").csv(in)
-    val res = Ingest.run(s, in, poolRoot, graft.schema.Vintages.canonical)
-    require(res.badFiles.isEmpty && res.summary.rows == 180L,
-      s"roundtrip lost rows: $res")
-    Ingest.summaryDf(Pool(s, poolRoot).df)
+    try {
+      val in = base.resolve("in").toString
+      val poolRoot = base.resolve("pool").toString
+      val rows = for {
+        p <- 1 to 2; f <- 1 to 30; e <- 0 until 3
+      } yield (2023090700L, p * 50, if (e == 2) None else Some(40000 + e), f,
+        if (e == 2) "football" else "home", 10.0f + f, 20.0f + e, "padding")
+      rows.toDF("gameId", "playId", "nflId", "frameId", "team", "x", "y",
+        "junkColumn")
+        .coalesce(1).write.option("header", "true").mode("overwrite").csv(in)
+      val res = Ingest.run(s, in, poolRoot, graft.schema.Vintages.canonical)
+      require(res.badFiles.isEmpty && res.summary.rows == 180L,
+        s"roundtrip lost rows: $res")
+      // partition layout: one season=.../gameId=... Hive leaf holding
+      // parquet (the per-game pruning contract every pool query rests on)
+      val leaf = base.resolve("pool").resolve("season=2023")
+        .resolve("gameId=2023090700")
+      require(java.nio.file.Files.isDirectory(leaf),
+        s"pool missing Hive partition layout at $leaf")
+      val leafFiles = java.nio.file.Files.list(leaf)
+      val hasParquet =
+        try leafFiles.anyMatch(p => p.toString.endsWith(".parquet"))
+        finally leafFiles.close()
+      require(hasParquet, s"no parquet data files under $leaf")
+      val pool = Pool(s, poolRoot).df
+      // schema: canonical columns survive, junk is gone, dtypes normalized
+      val fields = pool.schema.fields.map(f => f.name -> f.dataType).toMap
+      require(!fields.contains("junkColumn"),
+        "undeclared source column leaked into the pool")
+      import org.apache.spark.sql.types.{FloatType, IntegerType}
+      Seq("playId" -> IntegerType, "frameId" -> IntegerType,
+        "x" -> FloatType, "y" -> FloatType).foreach { case (n, dt) =>
+        require(fields.get(n).contains(dt),
+          s"pool column $n should be $dt, got ${fields.get(n)}")
+      }
+      Seq("gameId", "season", "nflId", "team").foreach { n =>
+        require(fields.contains(n), s"pool lost column $n")
+      }
+      // materialize the 1-row summary BEFORE the finally deletes the
+      // files it reads from; return a driver-local frame
+      val summary = Ingest.summaryDf(pool)
+      val collected = summary.collect().toIndexedSeq
+      s.createDataFrame(
+        new java.util.ArrayList(collected.asJava), summary.schema)
+    } finally {
+      // the temp tree must not outlive the query (a leaked ~100 KB per
+      // gate run adds up across driver rounds)
+      java.nio.file.Files.walk(base).sorted(
+        java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
   }
 
   /** Skew-safe salted join: must be row-identical to the plain join, so

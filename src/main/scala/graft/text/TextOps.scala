@@ -377,7 +377,13 @@ object TextOps {
     */
   val emailPattern: String =
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
-  val urlPattern: String = "https?://[^ ]+"
+
+  /** URL match that does NOT swallow trailing sentence punctuation: the
+    * last character must be outside `[.,;:)\]]`, so "see https://x.org/p."
+    * redacts the URL but keeps the full stop. (A greedy `[^ ]+` would
+    * take it — and `<URL>.` vs `<URL>` changes every downstream diff.)
+    */
+  val urlPattern: String = "https?://[^ ]*[^ .,;:)\\]]"
 
   /** Redact URLs then emails (in that order — a URL can contain an
     * email-shaped userinfo part; the replacement tokens contain neither

@@ -461,4 +461,17 @@ class TextDedupSpec extends SparkSpec {
       "mail <EMAIL> or see <URL> and <URL>")))
     assert(out(2L) == ((0, 0, "clean text with no pii at all")))
   }
+
+  test("redactPii: trailing sentence punctuation stays outside the URL") {
+    val out = Seq(
+      (1L, "see https://x.io/a?b=1. then go"),
+      (2L, "(docs at https://y.z/c), or [https://q.r/d];"),
+      (3L, "mid https://a.b/p.q/r works"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.redactPii(col("text")).as("clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "see <URL>. then go")
+    assert(out(2L) == "(docs at <URL>), or [<URL>];")
+    assert(out(3L) == "mid <URL> works") // interior dots still swallowed
+  }
 }
