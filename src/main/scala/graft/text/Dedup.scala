@@ -235,9 +235,10 @@ object Dedup {
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5,
       tokenizer: Column => Column = TextOps.tokens): DataFrame = {
-    val bx = signIndex(batch, textCol, idCol, shingleK, bands,
+    // batch side signs inline → explode-over-expression (explodedSigned
+    // scaladoc); index side is persisted → attribute explode is cheap
+    val bx = explodedSigned(batch, textCol, idCol, shingleK, bands,
       rowsPerBand, tokenizer)
-      .select(col(idCol), col("sig"), explode(col("buckets")).as("_bkt"))
     val ix = index.select(
       col("sig").as("_ref_sig"), explode(col("buckets")).as("_bkt"))
     val dupIds = bx.join(ix, Seq("_bkt"))
@@ -356,23 +357,46 @@ object Dedup {
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5,
       tokenizer: Column => Column = TextOps.tokens): DataFrame =
-    nearDupPairsFromIndex(
-      signIndex(df, textCol, idCol, shingleK, bands, rowsPerBand, tokenizer),
+    pairsFromBucketed(
+      explodedSigned(df, textCol, idCol, shingleK, bands, rowsPerBand,
+        tokenizer),
       idCol, threshold)
 
-  /** Near-dup pairs from a (persisted) signed index — [[nearDupPairs]]
-    * minus the signing cost: exploding (id, sig, buckets) rows into the
-    * bucket self-join is all that remains. The band-prefixed bucket
-    * string is the single join key (prefix = the band equality).
-    *
-    * The signature rides the bucket shuffle (`bands` copies per doc — a
-    * few hundred bytes) instead of joining back after the candidate
-    * join, which would re-scan the index twice more.
+  /** Sign inline and explode to (id, sig, _bkt) bucket rows. The explode
+    * child MUST stay an expression, not a projected attribute: Catalyst
+    * infers `size(child) > 0` from explode-over-attribute and predicate
+    * pushdown then substitutes the WHOLE signing pipeline into a
+    * scan-side Filter — the corpus gets fully re-signed a second time,
+    * single-threaded before any spread repartition (measured 20× on
+    * q16). Explode-over-expression is exempt from that inference.
     */
-  def nearDupPairsFromIndex(
-      index: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    val bucketed = index.select(col(idCol), col("sig"),
-      explode(col("buckets")).as("_bkt"))
+  private def explodedSigned(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int, bands: Int, rowsPerBand: Int,
+      tokenizer: Column => Column): DataFrame = {
+    // staged projections so tokens/shingles materialize once per row —
+    // nesting them into one expression would re-split the text inside
+    // the shingle lambda for every element
+    val signed = df
+      .select(col(idCol), tokenizer(col(textCol)).as("_toks"))
+      .select(col(idCol), TextOps.shingles(col("_toks"), shingleK).as("_sh"))
+      .select(col(idCol),
+        TextOps.minhashSig(col("_sh"), bands * rowsPerBand).as("sig"))
+    // carry the signature through the bucket self-join: the signature
+    // pipeline computes ONCE (joining signatures back onto the candidate
+    // pairs would re-run shingle+minhash twice more); the sig rides the
+    // bucket shuffle at `bands` copies per doc — a few hundred bytes
+    // against two whole extra corpus-scan subtrees
+    signed.select(col(idCol), col("sig"),
+      explode(bandedBuckets(col("sig"), bands, rowsPerBand)).as("_bkt"))
+  }
+
+  /** Bucket self-join tail shared by the inline and persisted-index pair
+    * generators: candidates form inside a bucket, then the signature
+    * estimate verifies.
+    */
+  private def pairsFromBucketed(
+      bucketed: DataFrame, idCol: String, threshold: Double): DataFrame = {
     val a = bucketed.select(col("_bkt"),
       col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = bucketed.select(col("_bkt"),
@@ -385,6 +409,20 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
+
+  /** Near-dup pairs from a PERSISTED signed index — [[nearDupPairs]]
+    * minus the signing cost: exploding (id, sig, buckets) parquet rows
+    * into the bucket self-join is all that remains. The band-prefixed
+    * bucket string is the single join key (prefix = the band equality);
+    * here `buckets` is a scan attribute, so the explode-inferred
+    * `size(buckets) > 0` filter is a cheap array-length probe at the
+    * scan — beneficial, unlike the inline case (see [[explodedSigned]]).
+    */
+  def nearDupPairsFromIndex(
+      index: DataFrame, idCol: String, threshold: Double): DataFrame =
+    pairsFromBucketed(
+      index.select(col(idCol), col("sig"), explode(col("buckets")).as("_bkt")),
+      idCol, threshold)
 
   /** [[dedupNear]] from a (persisted) signed index: pairs → connected
     * components → keep the minimal-id survivor per cluster. Signing —
