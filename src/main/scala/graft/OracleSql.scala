@@ -753,6 +753,37 @@ object OracleSql {
          |FROM afinal""".stripMargin
     },
 
+    "q53_langid_profile" -> {
+      // replay SparkEntry.gateLangProfiles: per-language CASE-mapped gram
+      // weights (integer-valued doubles — sums exact in any order), argmax
+      // with the alphabetical-first positive-max rule, score_en exposed
+      val profs = graft.SparkEntry.gateLangProfiles.toSeq.sortBy(_._1)
+      def scoreExpr(p: Map[String, Double]): String = {
+        val cases = p.toSeq.sorted
+          .map { case (g, w) => s"WHEN '$g' THEN $w" }.mkString(" ")
+        s"""coalesce(list_sum(list_transform(grams,
+           |  g -> CAST(CASE g $cases ELSE 0.0 END AS DOUBLE))), 0.0)"""
+          .stripMargin
+      }
+      val scoreCols = profs
+        .map { case (l, p) => s"${scoreExpr(p)} AS s_$l" }.mkString(",\n  ")
+      val best = profs.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val chain = profs
+        .map { case (l, _) => s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'" }
+        .mkString(" ")
+      s"""WITH g AS (SELECT doc_id,
+         |        list_transform(range(1, len(lower(text)) - 1),
+         |          i -> substr(lower(text), i, 3)) AS grams
+         |      FROM documents),
+         |s AS (SELECT doc_id,
+         |  $scoreCols
+         |FROM g)
+         |SELECT doc_id,
+         |  CASE $chain ELSE 'und' END AS lang_pred,
+         |  round(s_en, 6) AS score_en
+         |FROM s""".stripMargin
+    },
+
     "q49_random_projection" -> {
       val dim = 64
       val cols = (0 until 8).map { p =>

@@ -663,6 +663,36 @@ object SparkEntry {
       t(s, dir, "documents").select("lang", "doc_id", "n_chars"),
       "lang", "doc_id", col("n_chars"), n = 15, seed = 11)
 
+  /** Gate fixture for the loadable langId: a tiny Cavnar-Trenkle-shaped
+    * char-trigram profile table. Weights are INTEGER-valued doubles so
+    * score sums are exact in any association order — the oracle's
+    * list_sum needs no IEEE-chain coordination.
+    */
+  val gateLangProfiles: Map[String, Map[String, Double]] = Map(
+    "de" -> Map("der" -> 3.0, "die" -> 3.0, "und" -> 3.0, "sch" -> 2.0,
+      "ein" -> 2.0),
+    "en" -> Map("the" -> 3.0, "ing" -> 2.0, "and" -> 2.0, "he " -> 1.0),
+    "es" -> Map("que" -> 3.0, "de " -> 2.0, "la " -> 2.0, "os " -> 2.0),
+    "fr" -> Map("les" -> 3.0, "le " -> 2.0, "ent" -> 2.0, "ait" -> 2.0))
+
+  /** Profile-based language ID over char trigrams (the loadable upgrade
+    * of q20's marker flavor): per-language weight sums from typedLit map
+    * probes, argmax with the alphabetical-first tie rule, plus one
+    * exposed score so the oracle also pins the arithmetic.
+    */
+  def q53_langid_profile(s: SparkSession, dir: String): DataFrame = {
+    val enScore = aggregate(col("grams"), lit(0.0),
+      (acc, g) => acc +
+        coalesce(element_at(typedLit(gateLangProfiles("en")), g), lit(0.0)))
+    docs(s, dir)
+      .select(col("doc_id"),
+        TextOps.charGrams(lower(col("text")), 3).as("grams"))
+      .select(col("doc_id"),
+        TextOps.langIdProfile(col("grams"), gateLangProfiles)
+          .as("lang_pred"),
+        round(enScore, 6).as("score_en"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -717,7 +747,8 @@ object SparkEntry {
     "q49_random_projection" -> (q49_random_projection(_, _)),
     "q50_zorder" -> (q50_zorder(_, _)),
     "q51_hard_negatives" -> (q51_hard_negatives(_, _)),
-    "q52_stratified_priority" -> (q52_stratified_priority(_, _)))
+    "q52_stratified_priority" -> (q52_stratified_priority(_, _)),
+    "q53_langid_profile" -> (q53_langid_profile(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -245,7 +245,10 @@ object Relational {
       coalesce(sum(col(tokensCol)).over(wLocal), lit(0L)))
     val wOff = Window.partitionBy(col(classCol)).orderBy(col("_sg"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(col(classCol), col("_sg"))
+    // totals aggregate over `local`, not `base`: the groupBy keys equal
+    // the window's partition keys, so the aggregation reuses the window
+    // exchange instead of re-shuffling the input a second time
+    val offsets = local.groupBy(col(classCol), col("_sg"))
       .agg(sum(col(tokensCol)).as("_stot"))
       .withColumn("_off", coalesce(sum(col("_stot")).over(wOff), lit(0L)))
       .select(col(classCol), col("_sg"), col("_off"))
