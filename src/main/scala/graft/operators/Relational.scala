@@ -251,11 +251,15 @@ object Relational {
     val offsets = local.groupBy(col(classCol), col("_sg"))
       .agg(sum(col(tokensCol)).as("_stot"))
       .withColumn("_off", coalesce(sum(col("_stot")).over(wOff), lit(0L)))
-      .select(col(classCol), col("_sg"), col("_off"))
-    local.join(offsets, Seq(classCol, "_sg"))
+      .select(col(classCol).as("_ocls"), col("_sg").as("_osg"), col("_off"))
+    // NULL-SAFE join keys: a null class (or null id → null _sg) is a
+    // valid window partition in the single-window formulation — an
+    // equi-join would silently DROP those rows from the output
+    local.join(offsets,
+        col(classCol) <=> col("_ocls") && col("_sg") <=> col("_osg"))
       .withColumn("_cum", col("_off") + col("_lcum"))
       .withColumn("shard", expr(s"_cum div ${budget}L").cast("int"))
-      .drop("_sg", "_lcum", "_off", "_cum")
+      .drop("_ocls", "_osg", "_sg", "_lcum", "_off", "_cum")
   }
 
   /** Z-order (Morton) value of two non-negative integer dimensions:

@@ -182,6 +182,23 @@ class TextDedupSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("tokenShards: null class is a partition, not a dropped row") {
+    // a null class (unknown language) is a valid window partition in the
+    // single-window semantics — the two-level join must not lose it
+    val df = Seq(
+      (Some("en"), 1L, 60), (Some("en"), 2L, 60),
+      (None, 3L, 70), (None, 4L, 70))
+      .map { case (c, i, n) => (c.orNull, i, n) }
+      .toDF("lang", "doc_id", "n_tokens")
+    val out = graft.operators.Relational
+      .tokenShards(df, "lang", "doc_id", "n_tokens", budget = 100L,
+        bucketWidth = 64L)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    // null class: exclusive prefixes 0, 70 → shards 0, 0
+    assert(out == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0))
+    assert(out.size == 4) // nothing dropped
+  }
+
   test("clusterLabels converges on a long chain within default maxIter") {
     // diameter-59 path graph: naive min-label propagation needs 59
     // rounds; pointer jumping must close it inside the default 20
