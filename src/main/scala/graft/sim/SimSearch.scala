@@ -226,10 +226,46 @@ object SimSearch {
     val dim = 64
     // per-cell mean vector via the bounded two-level id-ordered fold —
     // deterministic under any partitioning and replayable by the oracle
-    val centroids = meanVectors(
+    val centroids = ivfCentroids(emb, idCol, vecCol, cellCol, dim,
+      bucketWidth)
+    ivfTopKWithCentroids(emb, centroids, idCol, vecCol, cellCol,
+      queryPred, k, nprobe)
+  }
+
+  /** The (cell, centroid) table [[ivfTopK]] trains inline — computing it
+    * is a FULL CORPUS PASS, so at lake scale persist it once
+    * ([[writeIvfCentroids]]) and search with
+    * [[ivfTopKWithCentroids]] — the write-once-query-many treatment the
+    * signed text index gets.
+    */
+  def ivfCentroids(
+      emb: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      dim: Int = 64, bucketWidth: Long = 4096L): DataFrame =
+    meanVectors(
       emb.select(col(cellCol).as("cell"), col(idCol), col(vecCol)),
       "cell", idCol, vecCol, dim, bucketWidth)
       .select(col("cell"), col("mean").as("centroid"))
+
+  /** Persist the IVF centroid table as parquet (one row per cell). */
+  def writeIvfCentroids(
+      emb: DataFrame, path: String, idCol: String, vecCol: String,
+      cellCol: String, dim: Int = 64, bucketWidth: Long = 4096L): Unit =
+    ivfCentroids(emb, idCol, vecCol, cellCol, dim, bucketWidth)
+      .write.mode("overwrite").parquet(path)
+
+  def readIvfCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** IVF search against a PRE-TRAINED (cell, centroid) table — no corpus
+    * pass to rebuild centroids; the query set probes the broadcast
+    * centroids and candidates form via the cell equi-join exactly as in
+    * [[ivfTopK]].
+    */
+  def ivfTopKWithCentroids(
+      emb: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, queryPred: Column, k: Int,
+      nprobe: Int = 2): DataFrame = {
     val q = emb.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
     // nprobe nearest cells per query (centroid table is tiny → broadcast)
@@ -287,6 +323,20 @@ object SimSearch {
   def kmeansAssign(
       emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, dim: Int = 64,
+      bucketWidth: Long = 4096L): DataFrame =
+    assignToCentroids(emb,
+      kmeansFit(emb, idCol, vecCol, k, iters, dim, bucketWidth),
+      idCol, vecCol)
+
+  /** Train the k-means model and return its (cid, cv) centroid table —
+    * the TRAINED MODEL, reusable across jobs: persist it (k rows of
+    * doubles) and score any corpus with [[assignToCentroids]] without
+    * re-running the Lloyd rounds. Training is the expensive part
+    * (iters × corpus passes); scoring is one broadcast + argmin pass.
+    */
+  def kmeansFit(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, dim: Int = 64,
       bucketWidth: Long = 4096L): DataFrame = {
     require(k > 0 && iters >= 0, "need k > 0 and iters >= 0")
     val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
@@ -298,16 +348,11 @@ object SimSearch {
       .select(col("vid").as("cid"),
         transform(col("v"), _.cast("double")).as("cv"))
       .localCheckpoint()
-    def assign(cen: DataFrame): DataFrame = topKPerKey(
-      vecs.crossJoin(broadcast(cen))
-        .withColumn("d2", dist2Fast(col("v"), col("cv"))),
-      "vid", col("d2"), col("cid"), 1)
-      .select(col("vid"), col("neighbor").as("cid"),
-        col("rankval").as("d2"))
     var i = 0
     while (i < iters) {
+      val assigned = assignRaw(vecs, centroids)
       val sums = meanVectors(
-        assign(centroids).join(vecs, "vid").select("cid", "vid", "v"),
+        assigned.join(vecs, "vid").select("cid", "vid", "v"),
         "cid", "vid", "v", dim, bucketWidth)
         .select(col("cid"), col("mean").as("cv2"))
       centroids = centroids.join(sums, Seq("cid"), "left")
@@ -315,10 +360,30 @@ object SimSearch {
         .localCheckpoint()
       i += 1
     }
-    assign(centroids)
+    centroids
+  }
+
+  /** One assignment pass: broadcast k centroids, windowless argmin. */
+  private def assignRaw(vecs: DataFrame, cen: DataFrame): DataFrame =
+    topKPerKey(
+      vecs.crossJoin(broadcast(cen))
+        .withColumn("d2", dist2Fast(col("v"), col("cv"))),
+      "vid", col("d2"), col("cid"), 1)
+      .select(col("vid"), col("neighbor").as("cid"),
+        col("rankval").as("d2"))
+
+  /** Score a corpus against a trained (cid, cv) centroid table: each row
+    * gets its nearest cluster + rounded squared distance. The corpus
+    * never shuffles — k centroids broadcast, the argmin is the
+    * windowless two-phase top-1.
+    */
+  def assignToCentroids(
+      emb: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    assignRaw(emb.select(col(idCol).as("vid"), col(vecCol).as("v")),
+      centroids)
       .select(col("vid").as(idCol), col("cid").as("cluster"),
         round(col("d2"), 6).as("d2"))
-  }
 
   /** Random-projection dimensionality reduction: `outDim` fixed
     * md5-derived hyperplanes ([[planeWeight]] — no RNG state), each

@@ -61,6 +61,38 @@ class IvfSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("persisted IVF centroids and k-means model reproduce the inline " +
+    "results (train once, score many)") {
+    val rnd = new scala.util.Random(23)
+    val emb = (0 until 60).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // IVF: write the centroid table, read it back, search — identical to
+    // the inline-trained path
+    val cpath = tmpDir("ivfcen") + "/cen"
+    SimSearch.writeIvfCentroids(emb, cpath, "vec_id", "embedding", "label")
+    val fromDisk = SimSearch.ivfTopKWithCentroids(emb,
+      SimSearch.readIvfCentroids(spark, cpath),
+      "vec_id", "embedding", "label", col("vec_id") < 5, k = 3)
+    val inline = SimSearch.ivfTopK(emb, "vec_id", "embedding", "label",
+      col("vec_id") < 5, k = 3)
+    assert(rows(fromDisk) == rows(inline) && rows(inline).nonEmpty)
+    // k-means: fit the model, persist, score — identical to kmeansAssign
+    val mpath = tmpDir("kmmodel") + "/model"
+    SimSearch.kmeansFit(emb, "vec_id", "embedding", k = 3, iters = 2)
+      .write.parquet(mpath)
+    def arows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val scored = SimSearch.assignToCentroids(emb,
+      spark.read.parquet(mpath), "vec_id", "embedding")
+    val direct = SimSearch.kmeansAssign(emb, "vec_id", "embedding",
+      k = 3, iters = 2)
+    assert(arows(scored) == arows(direct) && arows(direct).size == 60)
+  }
+
   test("meanVectors: bounded two-level fold pins to the single-level " +
     "reference and is partitioning-independent") {
     val rnd = new scala.util.Random(11)
