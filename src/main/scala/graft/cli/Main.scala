@@ -11,7 +11,8 @@ import graft.schema.Vintages
   * graft.cli.Main ingest  <inputDir> <poolRoot> [vintage] [--dry-run]
   * graft.cli.Main dump    <poolRoot> <outDir> [n] [seed]
   * graft.cli.Main diagnose <poolRoot>
-  * graft.cli.Main dedup   <corpus> <outDir> [--near] [--jsonl]
+  * graft.cli.Main dedup   <corpus> <outDir> [--near | --index <idx>] [--jsonl]
+  * graft.cli.Main sign-index <corpus> <outDir> [--jsonl]
   * graft.cli.Main chunk   <corpus> <outDir> [size] [overlap] [--jsonl]
   * graft.cli.Main tfidf   <corpus> <outDir> [--jsonl]
   * graft.cli.Main sample  <corpus> <outDir> [n] [seed] [--jsonl]
@@ -99,13 +100,26 @@ object Main {
     case "dedup" :: corpus :: outDir :: rest =>
       val spark = session()
       val docs = loadCorpus(spark, corpus, rest)
+      // --index <path>: near-dedup joins a persisted signature index
+      // (sign-index command) instead of re-signing the corpus per run
+      val idxPath = rest.dropWhile(_ != "--index").drop(1).headOption
       val kept =
-        if (rest.contains("--near"))
+        if (idxPath.isDefined)
+          graft.text.Dedup.dedupNearFromIndex(docs,
+            graft.text.Dedup.readSignedIndex(spark, idxPath.get), "doc_id")
+        else if (rest.contains("--near"))
           graft.text.Dedup.dedupNear(docs, "text", "doc_id")
         else graft.text.Dedup.dedupExact(docs, "text", "doc_id")
       Export.jsonl(kept, outDir)
       println(s"[dedup] ${docs.count()} docs -> ${kept.count()} kept " +
         s"-> $outDir")
+      spark.stop()
+
+    case "sign-index" :: corpus :: outDir :: rest =>
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      graft.text.Dedup.writeSignedIndex(docs, outDir, "text", "doc_id")
+      println(s"[sign-index] ${docs.count()} docs signed -> $outDir")
       spark.stop()
 
     case "tfidf" :: corpus :: outDir :: rest =>
@@ -151,7 +165,8 @@ object Main {
         "usage: ingest <in> <pool> [vintage] [--dry-run] | " +
           "dump <pool> <out> [n] [seed] | diagnose <pool> | " +
           "stats <pool> | compact <pool> [season] | " +
-          "dedup <corpus> <out> [--near] [--jsonl] | " +
+          "dedup <corpus> <out> [--near | --index <idx>] [--jsonl] | " +
+          "sign-index <corpus> <out> [--jsonl] | " +
           "chunk <corpus> <out> [size] [overlap] [--jsonl] | " +
           "tfidf <corpus> <out> [--jsonl] | " +
           "sample <corpus> <out> [n] [seed] [--jsonl]")
