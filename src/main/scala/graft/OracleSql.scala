@@ -753,6 +753,28 @@ object OracleSql {
          |FROM afinal""".stripMargin
     },
 
+    "q54_bpe_vocab" -> {
+      // replay SparkEntry.gateBpeMerges: mark every char with chr(1),
+      // apply merges in rank order as global replaces ("a␁b␁" → "ab␁" —
+      // equal to the priority loop for valid bottom-up tables), drop
+      // whitespace pieces (the explicit [ \t\n\f\r] class both engines
+      // tokenize on), then markers become the piece separators
+      val marked = """regexp_replace(text, '(.)', '\1' || chr(1), 'g')"""
+      val merged = graft.SparkEntry.gateBpeMerges.foldLeft(marked) {
+        case (e, (a, b)) =>
+          s"replace($e,\n    '$a' || chr(1) || '$b' || chr(1), '$a$b' || chr(1))"
+      }
+      val ws = Seq("' '", "chr(9)", "chr(10)", "chr(12)", "chr(13)")
+        .foldLeft(merged)((e, c) => s"replace($e, $c || chr(1), '')")
+      s"""WITH m AS (SELECT doc_id, $ws AS s FROM documents)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN len(s) = 0 THEN 0
+         |       ELSE len(string_split(rtrim(s, chr(1)), chr(1))) END
+         |    AS INTEGER) AS n_tokens_vocab,
+         |  replace(rtrim(s, chr(1)), chr(1), ' ') AS pieces
+         |FROM m""".stripMargin
+    },
+
     "q53_langid_profile" -> {
       // replay SparkEntry.gateLangProfiles: per-language CASE-mapped gram
       // weights (integer-valued doubles — sums exact in any order), argmax

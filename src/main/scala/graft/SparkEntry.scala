@@ -675,6 +675,28 @@ object SparkEntry {
     "es" -> Map("que" -> 3.0, "de " -> 2.0, "la " -> 2.0, "os " -> 2.0),
     "fr" -> Map("les" -> 3.0, "le " -> 2.0, "ent" -> 2.0, "ait" -> 2.0))
 
+  /** Gate fixture for the loadable BPE: a valid bottom-up merge table
+    * (each pair's constituent pieces are produced only by strictly
+    * lower ranks), which is the class of table real BPE training
+    * emits — and the property that makes rank-sequential global
+    * replacement equal to the priority loop, so a SQL oracle can replay
+    * the merges as a chain of string replaces over a char-marker
+    * rendering.
+    */
+  val gateBpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "e" -> "r")
+
+  /** Merge-table BPE over the corpus (the loadable upgrade of q35's
+    * regex stand-in): token count + the space-joined piece sequence, so
+    * the oracle pins the exact segmentation, not just the count.
+    */
+  def q54_bpe_vocab(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextOps.tokenEstimateVocab(col("text"), gateBpeMerges)
+        .as("n_tokens_vocab"),
+      array_join(TextOps.tokensVocab(col("text"), gateBpeMerges), " ")
+        .as("pieces"))
+
   /** Profile-based language ID over char trigrams (the loadable upgrade
     * of q20's marker flavor): per-language weight sums from typedLit map
     * probes, argmax with the alphabetical-first tie rule, plus one
@@ -748,7 +770,8 @@ object SparkEntry {
     "q50_zorder" -> (q50_zorder(_, _)),
     "q51_hard_negatives" -> (q51_hard_negatives(_, _)),
     "q52_stratified_priority" -> (q52_stratified_priority(_, _)),
-    "q53_langid_profile" -> (q53_langid_profile(_, _)))
+    "q53_langid_profile" -> (q53_langid_profile(_, _)),
+    "q54_bpe_vocab" -> (q54_bpe_vocab(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

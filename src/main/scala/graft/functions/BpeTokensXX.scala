@@ -61,7 +61,11 @@ object BpeTokensXX {
       text: UTF8String,
       rank: java.util.HashMap[String, Integer]): ArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
-    text.toString.split("\\s+").foreach { w =>
+    // explicit whitespace class, not \s: Java \s includes U+000B
+    // (vertical tab) while RE2 engines' does not — with the explicit
+    // class a vertical tab is a content char (one piece) on both the
+    // Spark side and the DuckDB oracle (same decision as tokensBpeish)
+    text.toString.split("[ \t\n\f\r]+").foreach { w =>
       if (w.nonEmpty)
         word2pieces(w, rank).foreach(p => out += UTF8String.fromString(p))
     }
