@@ -93,8 +93,10 @@ object EventOps {
 
   /** Batch sessionization: a session breaks after `gapMinutes` of
     * inactivity per user. Window functions shuffle once on user_id and
-    * sort within; per-user event counts are bounded in practice (and a
-    * salted two-level variant exists for whale users — not needed here).
+    * sort within; per-user event counts are bounded in practice — when
+    * they are not (bot/whale accounts at 100 TB), [[sessionizeScalable]]
+    * computes the identical sessions without any single reducer holding
+    * a whole user.
     */
   def sessionize(eventsRaw: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -112,6 +114,67 @@ object EventOps {
       .agg(
         min(col("ts").cast("long")).as("session_start"),
         max(col("ts").cast("long")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** Whale-user-safe sessionization, value-identical to [[sessionize]].
+    *
+    * The session index is an inclusive prefix sum of new-session flags
+    * (gap > threshold) in per-user time order — so the tokenShards
+    * two-level trick applies, bucketing by TIME: level 1 windows over
+    * `(user, ts div bucketSec)` compute in-bucket lags, flags and local
+    * prefix sums (a window partition holds one bucket's events, not a
+    * whole user); level 2 runs per user over ONE ROW PER BUCKET —
+    * (first_ts, last_ts, flag_sum) — deriving each bucket's boundary
+    * flag (first event vs. previous bucket's last ts) and session-index
+    * offset. `offset + boundary + local` reassembles the exact global
+    * index; a year of a whale user at the default 1-day buckets is 365
+    * level-2 rows. Bucket boundaries respect ts order, so every
+    * non-first event's lag predecessor is in-bucket and the flags match
+    * the single-window formulation exactly (pinned by test).
+    */
+  def sessionizeScalable(
+      eventsRaw: DataFrame, gapMinutes: Int = 30,
+      bucketMinutes: Int = 60 * 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketMinutes > 0, "bucketMinutes must be positive")
+    val events = normalizeTs(eventsRaw)
+    val gapSec = gapMinutes * 60L
+    val bucketSec = bucketMinutes * 60L
+    val tsl = col("ts").cast("long")
+    val base = events.withColumn("_tb",
+      expr(s"CAST(ts AS BIGINT) div ${bucketSec}L"))
+    val wLocal = Window.partitionBy(col("user_id"), col("_tb"))
+      .orderBy(col("ts"), col("event_id"))
+    val local = base
+      .withColumn("_lflag",
+        when(tsl - lag(tsl, 1).over(wLocal) > gapSec, 1L).otherwise(0L))
+      .withColumn("_lcum", sum(col("_lflag"))
+        .over(wLocal.rowsBetween(Window.unboundedPreceding, 0)))
+    // one row per (user, bucket); aggregates over `local` so the groupBy
+    // reuses the level-1 window exchange
+    val wUser = Window.partitionBy("user_id").orderBy(col("_tb"))
+    val offsets = local.groupBy(col("user_id"), col("_tb"))
+      .agg(min(tsl).as("_first"), max(tsl).as("_last"),
+        sum(col("_lflag")).as("_fsum"))
+      .withColumn("_bflag",
+        when(col("_first") - lag(col("_last"), 1).over(wUser) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("_off",
+        coalesce(sum(col("_fsum") + col("_bflag"))
+          .over(wUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("user_id").as("_ou"), col("_tb").as("_ob"),
+        (col("_off") + col("_bflag")).as("_sbase"))
+    // null-safe keys: a null user (or null ts → null bucket) is a valid
+    // window partition and must not be dropped by the join
+    local.join(offsets,
+        col("user_id") <=> col("_ou") && col("_tb") <=> col("_ob"))
+      .withColumn("session_seq", col("_sbase") + col("_lcum"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(tsl).as("session_start"),
+        max(tsl).as("session_end"),
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
   }

@@ -42,6 +42,34 @@ class EventFeatureSpec extends SparkSpec {
     assert(s((8L, 0L)) == 1L)
   }
 
+  test("sessionizeScalable matches sessionize on a whale user with " +
+    "sessions crossing bucket boundaries") {
+    // whale user 7: 300 events at irregular spacing — some gaps beyond
+    // the 30-min threshold, sessions straddling the 2-hour buckets —
+    // plus a small user 8. The two-level variant must reproduce the
+    // single-window sessions exactly.
+    val rnd = new scala.util.Random(31)
+    var t = ts("2024-01-01 00:00:00").getTime
+    val rows = (1 to 300).map { i =>
+      // 0-70 min steps: ~1/4 of steps break a session; bucket = 120 min
+      t += rnd.nextInt(70) * 60000L
+      (i.toLong, new Timestamp(t), 7L, "click", 1.0, "{}")
+    } ++ Seq((1000L, ts("2024-01-01 05:00:00"), 8L, "view", 2.0, "{}"))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props").repartition(5)
+    def sessions(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),
+        r.getAs[Long]("session_start"), r.getAs[Long]("session_end"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    val ref = sessions(EventOps.sessionize(df, gapMinutes = 30))
+    val scalable = sessions(EventOps.sessionizeScalable(df,
+      gapMinutes = 30, bucketMinutes = 120))
+    assert(scalable == ref)
+    // every event lands in a session (Seq, not Set — sums, not dedup)
+    assert(ref.toSeq.map(_._5).sum == 301L)
+    assert(ref.count(_._1 == 7L) > 30) // the gaps really split sessions
+  }
+
   test("asofJoin picks the latest right row at or before each left ts") {
     val clicks = Seq(
       (1L, 7L, ts("2024-01-01 10:00:00")),
