@@ -420,6 +420,40 @@ object SimSearch {
       col("qid") =!= col("cid") && col("qlabel") =!= col("clabel"))), k)
   }
 
+  /** The 100 TB flavor of [[hardNegatives]]: candidates restricted to
+    * the query's hyperplane sign bucket (the [[annTopK]] trick) before
+    * the different-label filter and exact cosine rank — candidate
+    * generation is an EQUI-join on the bucket id, so the corpus never
+    * meets the query set in a nested loop. Recall < 1 by construction;
+    * `probeBits` Hamming-1 multi-probe is the recall knob. With every
+    * label distinct this degenerates to exactly [[annTopK]] (pinned by
+    * test).
+    */
+  def hardNegativesAnn(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queryPred: Column, k: Int, planes: Int = 12, dim: Int = 64,
+      probeBits: Int = 0): DataFrame = {
+    val withBucket = emb.withColumn(
+      "bucket", simhashBucket(col(vecCol), planes, dim))
+    val probes = array((col("bucket") +:
+      (0 until probeBits).map(b =>
+        col("bucket").bitwiseXOR(lit(1L << b)))): _*)
+    val q = withBucket.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        col(labelCol).as("qlabel"), explode(probes).as("bucket"))
+    val c = withBucket
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        col(labelCol).as("clabel"), col("bucket"))
+    val pairs = scorePairs(c.join(broadcast(q), "bucket")
+      .filter(col("qid") =!= col("cid") && col("qlabel") =!= col("clabel")))
+    // a candidate can surface from several probes → dedup before ranking
+    val uniq =
+      if (probeBits > 0)
+        pairs.select("qid", "cid", "cos_sim").dropDuplicates("qid", "cid")
+      else pairs
+    rankScored(uniq, k)
+  }
+
   /** Largest absolute component of a vector (the symmetric-quantization
     * scale). `abs`/`max` are IEEE-exact, so the scale is bit-identical
     * in any engine.

@@ -103,6 +103,40 @@ class SimSearchSpec extends SparkSpec {
     assert(negs.head.getAs[Double]("cos_sim") > 0.9) // 1 is the HARD one
   }
 
+  test("hardNegativesAnn: bucket-restricted flavor degenerates to " +
+    "annTopK under distinct labels and never emits same-label rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val emb = (0 until 80).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1), i)
+    }.toDF("vec_id", "embedding", "label")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // every label distinct → the label filter equals the self-pair
+    // filter, so the ANN hard-negative search IS annTopK
+    val ann = SimSearch.annTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 10, k = 3, planes = 4, probeBits = 2)
+    val hn = SimSearch.hardNegativesAnn(emb, "vec_id", "embedding",
+      "label", col("vec_id") < 10, k = 3, planes = 4, probeBits = 2)
+    assert(rows(hn) == rows(ann) && rows(ann).nonEmpty)
+    // clustered labels: no same-label neighbor may survive, and every
+    // emitted cosine must agree with the exact brute-force pair score
+    val clustered = emb.withColumn("label", pmod(col("vec_id"), lit(4)))
+    val hn2 = SimSearch.hardNegativesAnn(clustered, "vec_id", "embedding",
+      "label", col("vec_id") < 10, k = 3, planes = 4, probeBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val brute = SimSearch.hardNegatives(clustered, "vec_id", "embedding",
+      "label", col("vec_id") < 10, k = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(hn2.nonEmpty)
+    hn2.foreach { case (qid, cid, cs) =>
+      assert(qid % 4 != cid % 4) // different label, always
+      assert(brute((qid, cid)) == cs) // exact cosine, not an estimate
+    }
+  }
+
   test("int8 quantization: known vector and all-zero vector") {
     import spark.implicits._
     val df = Seq(
