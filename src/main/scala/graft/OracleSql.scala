@@ -120,7 +120,7 @@ object OracleSql {
     * engines) → symmetric edges → recursive-CTE transitive closure →
     * min reachable id per doc.
     */
-  private val q29 =
+  private val clusterCtes =
     s"""${lshCandCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |p AS (SELECT ia, ib FROM cand
        |      JOIN g ga ON ga.doc_id = ia
@@ -129,8 +129,12 @@ object OracleSql {
        |e AS (SELECT ia AS s, ib AS t FROM p
        |      UNION SELECT ib, ia FROM p),
        |r AS (SELECT doc_id AS s, doc_id AS t FROM documents
-       |      UNION SELECT r.s, e.t FROM r JOIN e ON r.t = e.s)
-       |SELECT s AS doc_id, min(t) AS cluster FROM r GROUP BY s""".stripMargin
+       |      UNION SELECT r.s, e.t FROM r JOIN e ON r.t = e.s),
+       |cl AS (SELECT s AS doc_id, min(t) AS cluster FROM r GROUP BY s)""".stripMargin
+
+  private val q29 =
+    s"""$clusterCtes
+       |SELECT doc_id, cluster FROM cl""".stripMargin
 
   /** Left-fold dot product over 1-based list indices — the identical
     * operation chain to SimSearch.dot (element-wise double casts, then a
@@ -316,20 +320,40 @@ object OracleSql {
     s"CASE $chain ELSE 'und' END"
   }
 
-  private val q20 = {
-    val nStop = {
-      val set = TextOps.stopwords.map(m => s"'$m'").mkString(", ")
-      s"len(list_filter(w, t -> t IN ($set)))"
-    }
+  /** Stopword count over a token-list column `w` — shared by q20/q56. */
+  private val nStopExpr = {
+    val set = TextOps.stopwords.map(m => s"'$m'").mkString(", ")
+    s"len(list_filter(w, t -> t IN ($set)))"
+  }
+
+  /** The composite quality score over a token-list column `w` (replays
+    * [[TextOps.qualityScore]]'s exact arithmetic) — shared by q20/q56.
+    */
+  private val qualityExpr =
+    s"""round(least(len(w) / 100.0, 1.0) *
+       |    (0.5 + 0.5 * least(($nStopExpr::DOUBLE / greatest(len(w), 1)) * 5.0,
+       |      1.0)), 6)""".stripMargin
+
+  private val q20 =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
        |SELECT doc_id,
        |  $langCase AS lang_pred,
-       |  ($nStop)::INTEGER AS n_stopwords,
-       |  round(least(len(w) / 100.0, 1.0) *
-       |    (0.5 + 0.5 * least(($nStop::DOUBLE / greatest(len(w), 1)) * 5.0,
-       |      1.0)), 6) AS quality
+       |  ($nStopExpr)::INTEGER AS n_stopwords,
+       |  $qualityExpr AS quality
        |FROM t""".stripMargin
-  }
+
+  /** Canonical-doc selection oracle: q29's cluster CTEs + q20's quality
+    * arithmetic + the (quality desc, id asc) per-cluster argmax. The
+    * minhash chain's `t` CTE already carries the token list `w`.
+    */
+  private val q56 =
+    s"""$clusterCtes,
+       |q AS (SELECT doc_id, $qualityExpr AS quality FROM t),
+       |j AS (SELECT cl.doc_id, cl.cluster, q.quality,
+       |        row_number() OVER (PARTITION BY cl.cluster
+       |          ORDER BY q.quality DESC, cl.doc_id) AS rn
+       |      FROM cl JOIN q USING (doc_id))
+       |SELECT doc_id, cluster, quality FROM j WHERE rn = 1""".stripMargin
 
   val all: Map[String, String] = Map(
     "q01_groupby_agg" ->
@@ -547,6 +571,22 @@ object OracleSql {
 
     "q20_text_quality" -> q20,
     "q21_simhash" -> q21,
+    "q56_keep_best" -> q56,
+
+    // the Bloom prefilter has no false negatives and the exact join
+    // kills false positives, so the EXACT decontamination SQL is the
+    // oracle for the bloom-prefiltered Spark path (k=4 grams, %25 split)
+    "q55_decontaminate_bloom" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |             w[i+3])) AS gram FROM t),
+        |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 25 = 0),
+        |c AS (SELECT DISTINCT g.doc_id FROM g JOIN e USING (gram)
+        |      WHERE g.doc_id % 25 != 0)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id % 25 != 0 AND doc_id NOT IN (SELECT doc_id FROM c)""".stripMargin,
 
     "q22_nearest_distance" ->
       """WITH p AS (

@@ -715,6 +715,41 @@ object SparkEntry {
         round(enScore, 6).as("score_en"))
   }
 
+  /** Bloom-prefiltered decontamination (the 100 TB flavor of q42): eval
+    * grams build a broadcast Bloom filter, the corpus grams probe it in
+    * the scan stage, and only might-contaminated grams reach the exact
+    * verify join — row-identical to the exact path (no false
+    * negatives), so the exact SQL is the oracle.
+    */
+  def q55_decontaminate_bloom(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    val train = all.filter(col("doc_id") % 25 =!= 0)
+    val eval = all.filter(col("doc_id") % 25 === 0)
+    Dedup.decontaminateBloom(train, eval, "text", "doc_id", k = 4,
+      fpp = 0.01, tokenizer = TextOps.tokensSimple)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  /** Canonical-document selection: near-dup clusters (q29's pipeline)
+    * keep their highest-QUALITY member instead of the minimal id — the
+    * production survivor rule. The oracle replays clusters (recursive
+    * CTE), quality (q20's arithmetic), and the (quality desc, id)
+    * argmax.
+    */
+  def q56_keep_best(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.nearDupPairs(d, "text", "doc_id",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.5,
+      tokenizer = TextOps.tokensSimple).select("id_a", "id_b")
+    val ids = t(s, dir, "documents").select(col("doc_id").as("id"))
+    val clusters = Dedup.clusterLabels(ids, pairs)
+    val scored = d.select(col("doc_id"),
+      TextOps.qualityScore(TextOps.tokensSimple(col("text"))).as("quality"))
+    Dedup.keepBestInCluster(scored, clusters, "doc_id", col("quality"))
+      .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster"), col("quality"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -771,7 +806,9 @@ object SparkEntry {
     "q51_hard_negatives" -> (q51_hard_negatives(_, _)),
     "q52_stratified_priority" -> (q52_stratified_priority(_, _)),
     "q53_langid_profile" -> (q53_langid_profile(_, _)),
-    "q54_bpe_vocab" -> (q54_bpe_vocab(_, _)))
+    "q54_bpe_vocab" -> (q54_bpe_vocab(_, _)),
+    "q55_decontaminate_bloom" -> (q55_decontaminate_bloom(_, _)),
+    "q56_keep_best" -> (q56_keep_best(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

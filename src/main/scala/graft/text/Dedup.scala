@@ -263,11 +263,46 @@ object Dedup {
       train: DataFrame, evalSet: DataFrame, textCol: String, idCol: String,
       k: Int = 13,
       tokenizer: Column => Column = TextOps.tokens): DataFrame = {
-    def grams(df: DataFrame, keep: Seq[Column]): DataFrame = df
-      .select(keep :+ tokenizer(col(textCol)).as("_t"): _*)
-      .select(keep :+ explode(TextOps.shingles(col("_t"), k)).as("gram"): _*)
-    val evalGrams = grams(evalSet, Nil).distinct()
-    val contaminated = grams(train, Seq(col(idCol)))
+    val evalGrams = kgrams(evalSet, Nil, textCol, k, tokenizer).distinct()
+    val contaminated = kgrams(train, Seq(col(idCol)), textCol, k, tokenizer)
+      .join(evalGrams, "gram")
+      .select(idCol).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Exploded word k-grams of `textCol` as a `gram` column, keeping
+    * `keep`. Staged projections — tokens materialize once per row.
+    */
+  private def kgrams(
+      df: DataFrame, keep: Seq[Column], textCol: String, k: Int,
+      tokenizer: Column => Column): DataFrame = df
+    .select(keep :+ tokenizer(col(textCol)).as("_t"): _*)
+    .select(keep :+ explode(TextOps.shingles(col("_t"), k)).as("gram"): _*)
+
+  /** [[decontaminate]] with a broadcast Bloom prefilter — the 100 TB
+    * shape: the exact path shuffles every distinct training gram into
+    * the contamination join, which at corpus scale means shuffling
+    * ~the whole corpus tokenized. Here the eval grams build a Bloom
+    * filter once (a distributed fold on the SMALL side), the filter
+    * rides into a scan-stage probe expression, and only grams that
+    * MIGHT be contaminated — true hits plus an `fpp` sliver — reach
+    * the exact verification join. Bloom filters have no false
+    * negatives and the exact join kills the false positives, so the
+    * result is row-identical to [[decontaminate]] at any fpp; fpp only
+    * trades filter size (~10 bits/gram at 1%) against surviving-gram
+    * volume.
+    */
+  def decontaminateBloom(
+      train: DataFrame, evalSet: DataFrame, textCol: String, idCol: String,
+      k: Int = 13, fpp: Double = 0.01,
+      tokenizer: Column => Column = TextOps.tokens): DataFrame = {
+    // checkpoint: the eval gram set feeds three consumers (count, bloom
+    // build, verify join) — without it each would re-tokenize the eval set
+    val evalGrams = kgrams(evalSet, Nil, textCol, k, tokenizer)
+      .distinct().localCheckpoint()
+    val bloomBytes = graft.functions.BloomXX.build(evalGrams, "gram", fpp)
+    val contaminated = kgrams(train, Seq(col(idCol)), textCol, k, tokenizer)
+      .filter(graft.functions.BloomXX.mightContain(col("gram"), bloomBytes))
       .join(evalGrams, "gram")
       .select(idCol).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
@@ -439,5 +474,50 @@ object Dedup {
       clusters.filter(col("id") === col("cluster"))
         .select(col("id").as(idCol)),
       Seq(idCol), "left_semi")
+  }
+
+  /** Keep the best-scoring row of each near-dup cluster (canonical-
+    * document selection): given (id, cluster) labels from
+    * [[clusterLabels]] and a per-row `score`, the survivor of a cluster
+    * is its maximal (score, then minimal id on ties) member. Returns
+    * the surviving rows of `df` unchanged.
+    *
+    * Scale shape: the argmax is ONE hash aggregation over narrow
+    * (cluster, score, id) rows — map-side partials bound the shuffle by
+    * cluster count, and no window funnels a big cluster through one
+    * task. Survivor ids flow back via a semi-join (broadcast when they
+    * fit). `score` must be deterministic (round floats at a fixed
+    * scale) or ties can flip between runs.
+    */
+  def keepBestInCluster(
+      df: DataFrame, clusters: DataFrame, idCol: String,
+      score: Column): DataFrame = {
+    val scored = df
+      .select(col(idCol), score.as("_score"))
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol))
+    // lexicographic struct max: highest score first, then highest
+    // negated id = LOWEST id — the deterministic tie rule
+    val best = scored
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("_score"), (-col(idCol)).as("_nid"))).as("_b"))
+      .select((-col("_b._nid")).as(idCol))
+    df.join(best, Seq(idCol), "left_semi")
+  }
+
+  /** [[dedupNear]] that keeps the BEST row per cluster instead of the
+    * minimal-id one — the production survivor rule (keep the highest-
+    * quality copy, not an arbitrary one). `score(df)` builds the
+    * per-row quality column.
+    */
+  def dedupNearKeepBest(
+      df: DataFrame, textCol: String, idCol: String, score: Column,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      tokenizer: Column => Column = TextOps.tokens,
+      maxIter: Int = 20): DataFrame = {
+    val pairs = nearDupPairs(df, textCol, idCol, shingleK, bands,
+      rowsPerBand, threshold, tokenizer)
+    val clusters = clusterLabels(df.select(col(idCol)), pairs, maxIter)
+    keepBestInCluster(df, clusters, idCol, score)
   }
 }

@@ -31,6 +31,63 @@ class TextDedupSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("bloom prefilter: membership complete, fp-rate bounded, " +
+    "decontaminateBloom row-identical to exact at any fpp") {
+    import graft.functions.BloomXX
+    val members = (0 until 2000).map(i => s"member_$i")
+    val bytes = BloomXX.build(members.toDF("g"), "g", fpp = 0.03)
+    val probes = (members.map((_, true)) ++
+      (0 until 2000).map(i => (s"absent_$i", false))).toDF("g", "member")
+    val got = probes
+      .select(col("member"), BloomXX.mightContain(col("g"), bytes).as("hit"))
+      .collect()
+    // no false negatives, ever
+    assert(got.filter(_.getBoolean(0)).forall(_.getBoolean(1)))
+    // false positives exist as a possibility but stay near fpp
+    val fp = got.filterNot(_.getBoolean(0)).count(_.getBoolean(1))
+    assert(fp <= 2000 * 0.03 * 5, s"implausible fp count $fp")
+
+    // bloom-prefiltered decontamination == exact, even at an absurd fpp
+    // (false positives must be killed by the verify join)
+    val train = docs.filter(col("doc_id") =!= 4L)
+    val eval = docs.filter(col("doc_id") === 4L)
+    val exact = Dedup.decontaminate(train, eval, "text", "doc_id", k = 3,
+      tokenizer = TextOps.tokensSimple)
+      .select("doc_id").as[Long].collect().toSet
+    for (fpp <- Seq(0.5, 0.01)) {
+      val bloom = Dedup.decontaminateBloom(train, eval, "text", "doc_id",
+        k = 3, fpp = fpp, tokenizer = TextOps.tokensSimple)
+        .select("doc_id").as[Long].collect().toSet
+      assert(bloom == exact, s"fpp=$fpp diverged from exact path")
+    }
+  }
+
+  test("keepBestInCluster keeps the max-quality member, min id on ties") {
+    // cluster {0,1,2}: quality 0.2 / 0.9 / 0.9 → id 1 wins the tie;
+    // singleton 3 survives trivially
+    val rows = Seq((0L, 0.2), (1L, 0.9), (2L, 0.9), (3L, 0.5))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    val clusters = Dedup.clusterLabels(
+      rows.select(col("doc_id").as("id")), pairs)
+    val kept = Dedup.keepBestInCluster(rows, clusters, "doc_id",
+      col("quality"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("dedupNearKeepBest keeps best copy per near-dup cluster") {
+    // docs 0/1 are exact dups; a min-id rule would keep 0, but an
+    // id-ascending score flips the survivor to 1 — proving the score
+    // drives selection
+    val kept = Dedup.dedupNearKeepBest(docs, "text", "doc_id",
+      score = col("doc_id"), threshold = 0.9,
+      tokenizer = TextOps.tokensSimple)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(4L) && kept.contains(3L)) // non-dups survive
+    assert(kept.contains(1L) && !kept.contains(0L)) // highest score = 1
+  }
+
   test("exact dedup: survivor is min id, duplicate counted") {
     val d = Dedup.exact(docs, "text", "doc_id")
     assert(d.count() == 4) // 5 docs, one exact pair
