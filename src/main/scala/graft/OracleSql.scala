@@ -27,12 +27,17 @@ object OracleSql {
     s"coalesce(list_min(list_transform(hs, h -> ($a * h + $b) % $P)), $P)"
   }
 
-  private val minhashCtes =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** The tokenize→shingle→hash CTE chain over base relation `rel`
+    * (no leading WITH, so callers can prepend their own CTEs).
+    */
+  private def minhashBody(rel: String): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM $rel),
        |s AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh FROM t),
        |h AS (SELECT doc_id, sh,
        |        list_transform(sh, x -> ${h32("x")} % $P) AS hs FROM s)""".stripMargin
+
+  private val minhashCtes = "WITH " + minhashBody("documents")
 
   private val q14 = {
     val sigSum = (0 until 32).map(sigExpr).mkString("(", " + ", ")")
@@ -77,7 +82,7 @@ object OracleSql {
     * -> per-band md5 buckets -> bucket self-join candidate pairs. Used
     * verbatim by q16/q29/q33 so banding changes happen in ONE place.
     */
-  private val lshCandCtes: String = {
+  private def lshCandBody(rel: String): String = {
     val sigCols = (0 until 32).map(j => s"${sigExpr(j)} AS s$j").mkString(", ")
     val bands = (0 until 8).mkString(", ")
     val buckets = (0 until 8).map { b =>
@@ -85,7 +90,7 @@ object OracleSql {
         .mkString(" || ',' || ")
       s"md5($parts)"
     }.mkString(", ")
-    s"""$minhashCtes,
+    s"""${minhashBody(rel)},
        |g AS (SELECT doc_id, $sigCols FROM h),
        |bk AS (SELECT doc_id,
        |         unnest([$bands]) AS band,
@@ -95,6 +100,8 @@ object OracleSql {
        |           ON a.band = b.band AND a.bucket = b.bucket
        |          AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private val lshCandCtes: String = "WITH " + lshCandBody("documents")
 
   /** Signature-agreement count between candidate sides ga/gb. */
   private val agreeExpr: String = (0 until 32)
@@ -355,7 +362,54 @@ object OracleSql {
        |      FROM cl JOIN q USING (doc_id))
        |SELECT doc_id, cluster, quality FROM j WHERE rn = 1""".stripMargin
 
+  /** Clean-corpus cascade oracle: quality + dup-ratio filters → exact
+    * dedup (min id per text) → the near-dup pipeline REBASED onto the
+    * surviving rows (`lshCandBody("kept1")`) → recursive-CTE clusters →
+    * min-id reps → 5-gram decontamination of the reps. Mirrors
+    * [[graft.text.Pipeline.cleanCorpus]] stage for stage.
+    */
+  private val q57 = {
+    val gram5 =
+      """unnest(list_transform(range(1, len(w) - 3),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |             w[i+3] || ' ' || w[i+4])) AS gram""".stripMargin
+    s"""WITH RECURSIVE bw AS (
+       |  SELECT d.*, string_split(text, ' ') AS w FROM documents d
+       |  WHERE doc_id % 50 != 0),
+       |bs AS (
+       |  SELECT bw.*, list_transform(range(1, len(w) - 1),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh0 FROM bw),
+       |kept0 AS (
+       |  SELECT * FROM bs
+       |  WHERE $qualityExpr >= 0.3
+       |    AND round((len(sh0) - len(list_distinct(sh0)))::DOUBLE /
+       |          greatest(len(sh0), 1), 6) <= 0.01),
+       |ex AS (SELECT min(doc_id) AS doc_id FROM kept0 GROUP BY text),
+       |kept1 AS (SELECT k.* FROM kept0 k JOIN ex USING (doc_id)),
+       |${lshCandBody("kept1")},
+       |p AS (SELECT ia, ib FROM cand
+       |      JOIN g ga ON ga.doc_id = ia
+       |      JOIN g gb ON gb.doc_id = ib
+       |      WHERE $agreeExpr / 32.0 >= 0.5),
+       |e AS (SELECT ia AS s, ib AS t FROM p
+       |      UNION SELECT ib, ia FROM p),
+       |r AS (SELECT doc_id AS s, doc_id AS t FROM kept1
+       |      UNION SELECT r.s, e.t FROM r JOIN e ON r.t = e.s),
+       |cl AS (SELECT s AS doc_id, min(t) AS cluster FROM r GROUP BY s),
+       |reps AS (SELECT doc_id FROM cl WHERE doc_id = cluster),
+       |tg AS (SELECT t.doc_id, $gram5
+       |       FROM t JOIN reps USING (doc_id)),
+       |ew AS (SELECT string_split(text, ' ') AS w FROM documents
+       |       WHERE doc_id % 50 = 0),
+       |eg AS (SELECT DISTINCT $gram5 FROM ew),
+       |cont AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gram))
+       |SELECT doc_id, lang, source, n_chars FROM kept1
+       |WHERE doc_id IN (SELECT doc_id FROM reps)
+       |  AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "q57_clean_corpus" -> q57,
     "q01_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -750,6 +750,23 @@ object SparkEntry {
       .select(col("doc_id"), col("cluster"), col("quality"))
   }
 
+  /** The full corpus-cleaning cascade as ONE operator (quality +
+    * repetition filters → exact dedup → near dedup → decontamination);
+    * the oracle replays every stage, including the near-dup recursive
+    * closure rebased onto the filtered survivors.
+    */
+  def q57_clean_corpus(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    val train = all.filter(col("doc_id") % 50 =!= 0)
+    val eval = all.filter(col("doc_id") % 50 === 0)
+    graft.text.Pipeline.cleanCorpus(train, eval, "text", "doc_id",
+      minQuality = 0.3, maxDupRatio = 0.01,
+      shingleK = 3, bands = 8, rowsPerBand = 4,
+      nearThreshold = 0.5, decontamK = 5,
+      tokenizer = TextOps.tokensSimple)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -808,7 +825,8 @@ object SparkEntry {
     "q53_langid_profile" -> (q53_langid_profile(_, _)),
     "q54_bpe_vocab" -> (q54_bpe_vocab(_, _)),
     "q55_decontaminate_bloom" -> (q55_decontaminate_bloom(_, _)),
-    "q56_keep_best" -> (q56_keep_best(_, _)))
+    "q56_keep_best" -> (q56_keep_best(_, _)),
+    "q57_clean_corpus" -> (q57_clean_corpus(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

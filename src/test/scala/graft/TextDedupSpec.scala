@@ -88,6 +88,28 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.contains(1L) && !kept.contains(0L)) // highest score = 1
   }
 
+  test("cleanCorpus cascade: filters, dedups, and decontaminates in order") {
+    import graft.text.Pipeline
+    val corpus = Seq(
+      // quality casualty: no stopwords, 3 tokens → quality < 0.1
+      (0L, "alpha beta gamma"),
+      // near-dup pair: survivors collapse to min id 1
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away"),
+      // clean survivor
+      (3L, "it is a truth of spark that partitions shape the cost of it all"),
+      // contaminated: shares a 3-gram with the eval doc
+      (4L, "the secret eval answer is hidden in this training document for sure"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "the secret eval answer leaked"))
+      .toDF("doc_id", "text")
+    val kept = Pipeline.cleanCorpus(corpus, eval, "text", "doc_id",
+      minQuality = 0.05, maxDupRatio = 0.5, decontamK = 3,
+      tokenizer = TextOps.tokensSimple)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("exact dedup: survivor is min id, duplicate counted") {
     val d = Dedup.exact(docs, "text", "doc_id")
     assert(d.count() == 4) // 5 docs, one exact pair
