@@ -408,6 +408,59 @@ object OracleSql {
        |  AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin
   }
 
+  /** Deterministic-Lloyd k-means CTE chain (no leading WITH): id-seeded
+    * cen0 → `iters` assign/update rounds with the bounded two-level
+    * id-ordered fold mean (replays [[graft.sim.SimSearch.meanVectors]]:
+    * `vec_id // w` bucket partials in id order, then partials in bucket
+    * order; empty clusters keep the old centroid) → a final `afinal`
+    * (vid, cid, d2) assignment. Shared by q48 (assignments) and q58
+    * (SemDedup blocking cells).
+    */
+  private def kmeansBody(k: Int, iters: Int, w: Long, dim: Int): String = {
+    // squared distance between a raw float vector column and a double
+    // centroid list — the same (dx)*(dx) left-fold chain as Spark
+    def d2(v: String, c: String) =
+      s"""list_reduce(list_transform(range(1, ${dim + 1}),
+         |  i -> ($v[i]::DOUBLE - $c[i]) * ($v[i]::DOUBLE - $c[i])),
+         |  (x, y) -> x + y)""".stripMargin
+    def assignCte(name: String, cen: String) =
+      s"""$name AS (SELECT vid, cid, d2 FROM (
+         |  SELECT vid, cid, d2, row_number() OVER
+         |    (PARTITION BY vid ORDER BY d2, cid) AS rn
+         |  FROM (SELECT e.vec_id AS vid, c.cid AS cid,
+         |          ${d2("e.embedding", "c.cv")} AS d2
+         |        FROM embeddings e CROSS JOIN $cen c))
+         |  WHERE rn = 1)""".stripMargin
+    def updateCte(s: String, u: String, cenNew: String,
+        a: String, cenOld: String) =
+      s"""$s AS (SELECT a.cid, e.vec_id // $w AS bk, count(*) AS n,
+         |        list_reduce(
+         |          list_transform(list(e.embedding ORDER BY e.vec_id),
+         |            v -> list_transform(v, x -> x::DOUBLE)),
+         |          (acc, c) -> list_transform(range(1, ${dim + 1}),
+         |                        i -> acc[i] + c[i])) AS psum
+         |      FROM $a a JOIN embeddings e ON e.vec_id = a.vid
+         |      GROUP BY a.cid, e.vec_id // $w),
+         |${s}t AS (SELECT cid, sum(n) AS n,
+         |        list_reduce(list(psum ORDER BY bk),
+         |          (acc, c) -> list_transform(range(1, ${dim + 1}),
+         |                        i -> acc[i] + c[i])) AS vsum
+         |      FROM $s GROUP BY cid),
+         |$u AS (SELECT cid, list_transform(vsum, sm -> sm / n) AS cv
+         |       FROM ${s}t),
+         |$cenNew AS (SELECT c.cid, coalesce(u.cv, c.cv) AS cv
+         |        FROM $cenOld c LEFT JOIN $u u USING (cid))""".stripMargin
+    val rounds = (0 until iters).map { r =>
+      assignCte(s"a$r", s"cen$r") + ",\n" +
+        updateCte(s"s$r", s"u$r", s"cen${r + 1}", s"a$r", s"cen$r")
+    }.mkString(",\n")
+    s"""cen0 AS (SELECT vec_id AS cid,
+       |        list_transform(embedding, x -> x::DOUBLE) AS cv
+       |      FROM embeddings ORDER BY vec_id LIMIT $k),
+       |$rounds,
+       |${assignCte("afinal", s"cen$iters")}""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q57_clean_corpus" -> q57,
     "q01_groupby_agg" ->
@@ -792,59 +845,35 @@ object OracleSql {
          |LIMIT 100""".stripMargin
     },
 
-    "q48_kmeans" -> {
-      val dim = 64
-      val k = 4
-      val iters = 2
-      // squared distance between a raw float vector column and a double
-      // centroid list — the same (dx)*(dx) left-fold chain as Spark
-      def d2(v: String, c: String) =
-        s"""list_reduce(list_transform(range(1, ${dim + 1}),
-           |  i -> ($v[i]::DOUBLE - $c[i]) * ($v[i]::DOUBLE - $c[i])),
-           |  (x, y) -> x + y)""".stripMargin
-      def assignCte(name: String, cen: String) =
-        s"""$name AS (SELECT vid, cid, d2 FROM (
-           |  SELECT vid, cid, d2, row_number() OVER
-           |    (PARTITION BY vid ORDER BY d2, cid) AS rn
-           |  FROM (SELECT e.vec_id AS vid, c.cid AS cid,
-           |          ${d2("e.embedding", "c.cv")} AS d2
-           |        FROM embeddings e CROSS JOIN $cen c))
-           |  WHERE rn = 1)""".stripMargin
-      // bounded two-level id-ordered fold mean per cluster (replays
-      // SimSearch.meanVectors: vec_id // W bucket partials in id order,
-      // then partials in bucket order); empty clusters keep the old
-      // centroid via the LEFT JOIN + coalesce
-      val w = 128 // = the gate query's bucketWidth
-      def updateCte(s: String, u: String, cenNew: String,
-          a: String, cenOld: String) =
-        s"""$s AS (SELECT a.cid, e.vec_id // $w AS bk, count(*) AS n,
-           |        list_reduce(
-           |          list_transform(list(e.embedding ORDER BY e.vec_id),
-           |            v -> list_transform(v, x -> x::DOUBLE)),
-           |          (acc, c) -> list_transform(range(1, ${dim + 1}),
-           |                        i -> acc[i] + c[i])) AS psum
-           |      FROM $a a JOIN embeddings e ON e.vec_id = a.vid
-           |      GROUP BY a.cid, e.vec_id // $w),
-           |${s}t AS (SELECT cid, sum(n) AS n,
-           |        list_reduce(list(psum ORDER BY bk),
-           |          (acc, c) -> list_transform(range(1, ${dim + 1}),
-           |                        i -> acc[i] + c[i])) AS vsum
-           |      FROM $s GROUP BY cid),
-           |$u AS (SELECT cid, list_transform(vsum, sm -> sm / n) AS cv
-           |       FROM ${s}t),
-           |$cenNew AS (SELECT c.cid, coalesce(u.cv, c.cv) AS cv
-           |        FROM $cenOld c LEFT JOIN $u u USING (cid))""".stripMargin
-      val rounds = (0 until iters).map { r =>
-        assignCte(s"a$r", s"cen$r") + ",\n" +
-          updateCte(s"s$r", s"u$r", s"cen${r + 1}", s"a$r", s"cen$r")
-      }.mkString(",\n")
-      s"""WITH cen0 AS (SELECT vec_id AS cid,
-         |        list_transform(embedding, x -> x::DOUBLE) AS cv
-         |      FROM embeddings ORDER BY vec_id LIMIT $k),
-         |$rounds,
-         |${assignCte("afinal", s"cen$iters")}
+    "q48_kmeans" ->
+      s"""WITH ${kmeansBody(4, 2, 128, 64)}
          |SELECT vid AS vec_id, cid AS cluster, round(d2, 6) AS d2
-         |FROM afinal""".stripMargin
+         |FROM afinal""".stripMargin,
+
+    // SemDedup: kmeans cells (replayed via the shared CTEs) block the
+    // pairwise cosine; threshold 0.2; recursive closure; min-id survivor
+    "q58_semdedup" -> {
+      val dim = 64
+      def cos(a: String, b: String) =
+        s"""round(${duckDot(a, b, dim)} /
+           |  (sqrt(${duckDot(a, a, dim)}) *
+           |   sqrt(${duckDot(b, b, dim)})), 6)""".stripMargin
+      s"""WITH RECURSIVE ${kmeansBody(4, 2, 128, 64)},
+         |vv AS (SELECT vec_id, embedding FROM embeddings),
+         |pp AS (SELECT a.vid AS ia, b.vid AS ib,
+         |         ${cos("va.embedding", "vb.embedding")} AS cos_sim
+         |       FROM afinal a JOIN afinal b
+         |         ON a.cid = b.cid AND a.vid < b.vid
+         |       JOIN vv va ON va.vec_id = a.vid
+         |       JOIN vv vb ON vb.vec_id = b.vid),
+         |pr AS (SELECT ia, ib FROM pp WHERE cos_sim >= 0.2),
+         |ee AS (SELECT ia AS s, ib AS t FROM pr
+         |       UNION SELECT ib, ia FROM pr),
+         |rr AS (SELECT vec_id AS s, vec_id AS t FROM embeddings
+         |       UNION SELECT rr.s, ee.t FROM rr JOIN ee ON rr.t = ee.s),
+         |cc AS (SELECT s AS vec_id, min(t) AS cluster FROM rr GROUP BY s)
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |JOIN cc USING (vec_id) WHERE cc.cluster = e.vec_id""".stripMargin
     },
 
     "q54_bpe_vocab" -> {

@@ -767,6 +767,16 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** SemDedup: k-means cells (q48's deterministic trainer) block the
+    * pairwise cosine at threshold 0.2, connected components collapse
+    * groups, min-id member survives — embedding-space near-dedup with
+    * candidate pairs formed ONLY inside a cell.
+    */
+  def q58_semdedup(s: SparkSession, dir: String): DataFrame =
+    SimSearch.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 4, iters = 2, threshold = 0.2, bucketWidth = 128L)
+      .select("vec_id", "label")
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -826,7 +836,8 @@ object SparkEntry {
     "q54_bpe_vocab" -> (q54_bpe_vocab(_, _)),
     "q55_decontaminate_bloom" -> (q55_decontaminate_bloom(_, _)),
     "q56_keep_best" -> (q56_keep_best(_, _)),
-    "q57_clean_corpus" -> (q57_clean_corpus(_, _)))
+    "q57_clean_corpus" -> (q57_clean_corpus(_, _)),
+    "q58_semdedup" -> (q58_semdedup(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -492,4 +492,45 @@ object SimSearch {
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim").distinct()
   }
+
+  /** SemDedup (semantic dedup over embeddings): k-means cells act as
+    * the blocking buckets, exact cosine scores pairs WITHIN a cell at
+    * `threshold`, connected components collapse transitive groups, and
+    * the minimal-id member of each group survives. Returns the
+    * surviving rows of `emb` unchanged.
+    *
+    * Scale shape: candidate pairs form only inside a cell (equi-join on
+    * the cluster id — never all-pairs), so pair volume is bounded by
+    * cell sizes, and k is the knob: real deployments size k ∝ n /
+    * (target cell size) so cells stay in the low thousands and the
+    * within-cell join is a bounded quadratic. Training is [[kmeansFit]]
+    * (the expensive part, persistable); scoring + pairing shuffle
+    * (id, vector) rows keyed by cell — one shuffle each side.
+    */
+  def semDedup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double,
+      dim: Int = 64, bucketWidth: Long = 4096L,
+      maxIter: Int = 20): DataFrame = {
+    val cells = assignToCentroids(emb,
+      kmeansFit(emb, idCol, vecCol, k, iters, dim, bucketWidth),
+      idCol, vecCol)
+      .select(col(idCol), col("cluster").as("_cell"))
+    val sides = emb.select(col(idCol), col(vecCol).as("_v"))
+      .join(cells, Seq(idCol))
+    val a = sides.select(col("_cell"), col(idCol).as("id_a"),
+      col("_v").as("_va"))
+    val b = sides.select(col("_cell"), col(idCol).as("id_b"),
+      col("_v").as("_vb"))
+    val pairs = a.join(b, Seq("_cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosineFast(col("_va"), col("_vb")), 6) >= threshold)
+      .select("id_a", "id_b")
+    val clusters = graft.text.Dedup.clusterLabels(
+      emb.select(col(idCol)), pairs, maxIter)
+    emb.join(
+      clusters.filter(col("id") === col("cluster"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+  }
 }

@@ -137,6 +137,31 @@ class SimSearchSpec extends SparkSpec {
     }
   }
 
+  test("semDedup collapses within-cell near-parallel groups to min id") {
+    import spark.implicits._
+    // two tight directions far apart: {0,1,2} near-parallel (cos ~1),
+    // {10,11} near-parallel on an orthogonal axis, 20 alone
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.01f)),
+      (1L, Seq(0.99f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.01f, 0.0f)),
+      (10L, Seq(0.0f, 1.0f, 0.0f)),
+      (11L, Seq(0.01f, 0.99f, 0.0f)),
+      (20L, Seq(0.0f, 0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val kept = SimSearch.semDedup(rows, "vec_id", "embedding",
+      k = 3, iters = 2, threshold = 0.9, dim = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 10L, 20L))
+    // a LOW threshold still never pairs across cells: survivors are
+    // one per connected component, and components respect cell blocks
+    val keptLow = SimSearch.semDedup(rows, "vec_id", "embedding",
+      k = 3, iters = 2, threshold = -1.0, dim = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptLow.size >= 1 && keptLow.size <= 3)
+    assert(keptLow.forall(Set(0L, 1L, 2L, 10L, 11L, 20L)))
+  }
+
   test("int8 quantization: known vector and all-zero vector") {
     import spark.implicits._
     val df = Seq(
