@@ -13,6 +13,9 @@ import graft.schema.Vintages
   * graft.cli.Main diagnose <poolRoot>
   * graft.cli.Main dedup   <corpus> <outDir> [--near | --index <idx>] [--jsonl]
   * graft.cli.Main sign-index <corpus> <outDir> [--jsonl]
+  * graft.cli.Main decontaminate <corpus> <evalSet> <outDir> [k] [--bloom] [--jsonl]
+  * graft.cli.Main clean   <corpus> <evalSet> <outDir> [minQuality] [maxDupRatio] [--jsonl]
+  * graft.cli.Main semdedup <embeddings> <outDir> [k] [threshold] [dim]
   * graft.cli.Main chunk   <corpus> <outDir> [size] [overlap] [--jsonl]
   * graft.cli.Main tfidf   <corpus> <outDir> [--jsonl]
   * graft.cli.Main sample  <corpus> <outDir> [n] [seed] [--jsonl]
@@ -122,6 +125,50 @@ object Main {
       println(s"[sign-index] ${docs.count()} docs signed -> $outDir")
       spark.stop()
 
+    case "decontaminate" :: corpus :: evalPath :: outDir :: rest =>
+      val k = rest.find(!_.startsWith("--")).map(_.toInt).getOrElse(13)
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      val eval = loadCorpus(spark, evalPath, rest)
+      // --bloom: broadcast-sketch prefilter (the 100 TB shape) — same
+      // rows as the exact path, less shuffle
+      val kept =
+        if (rest.contains("--bloom"))
+          graft.text.Dedup.decontaminateBloom(docs, eval, "text", "doc_id", k)
+        else graft.text.Dedup.decontaminate(docs, eval, "text", "doc_id", k)
+      Export.jsonl(kept, outDir)
+      println(s"[decontaminate] ${docs.count()} docs -> ${kept.count()} " +
+        s"kept (k=$k, bloom=${rest.contains("--bloom")}) -> $outDir")
+      spark.stop()
+
+    case "clean" :: corpus :: evalPath :: outDir :: rest =>
+      val nums = rest.filter(!_.startsWith("--"))
+      val minQ = nums.headOption.map(_.toDouble).getOrElse(0.0)
+      val maxDup = nums.drop(1).headOption.map(_.toDouble).getOrElse(1.0)
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      val eval = loadCorpus(spark, evalPath, rest)
+      val kept = graft.text.Pipeline.cleanCorpus(docs, eval,
+        "text", "doc_id", minQuality = minQ, maxDupRatio = maxDup)
+      Export.jsonl(kept, outDir)
+      println(s"[clean] ${docs.count()} docs -> ${kept.count()} kept " +
+        s"(minQuality=$minQ maxDupRatio=$maxDup) -> $outDir")
+      spark.stop()
+
+    case "semdedup" :: corpus :: outDir :: rest =>
+      val nums = rest.filter(!_.startsWith("--"))
+      val k = nums.headOption.map(_.toInt).getOrElse(256)
+      val threshold = nums.drop(1).headOption.map(_.toDouble).getOrElse(0.95)
+      val dim = nums.drop(2).headOption.map(_.toInt).getOrElse(64)
+      val spark = session()
+      val emb = spark.read.parquet(corpus) // (vec_id, embedding) columns
+      val kept = graft.sim.SimSearch.semDedup(emb, "vec_id", "embedding",
+        k = k, iters = 2, threshold = threshold, dim = dim)
+      kept.write.mode("overwrite").parquet(outDir)
+      println(s"[semdedup] ${emb.count()} vectors -> ${kept.count()} " +
+        s"kept (k=$k threshold=$threshold) -> $outDir")
+      spark.stop()
+
     case "tfidf" :: corpus :: outDir :: rest =>
       val spark = session()
       val scored = graft.text.TextOps.tfidf(
@@ -167,6 +214,9 @@ object Main {
           "stats <pool> | compact <pool> [season] | " +
           "dedup <corpus> <out> [--near | --index <idx>] [--jsonl] | " +
           "sign-index <corpus> <out> [--jsonl] | " +
+          "decontaminate <corpus> <eval> <out> [k] [--bloom] [--jsonl] | " +
+          "clean <corpus> <eval> <out> [minQuality] [maxDupRatio] [--jsonl] | " +
+          "semdedup <embeddings> <out> [k] [threshold] [dim] | " +
           "chunk <corpus> <out> [size] [overlap] [--jsonl] | " +
           "tfidf <corpus> <out> [--jsonl] | " +
           "sample <corpus> <out> [n] [seed] [--jsonl]")
