@@ -614,6 +614,23 @@ object OracleSql {
         |  (cum // 1000)::INTEGER AS shard
         |FROM c""".stripMargin,
 
+    // q40's shard rule + group-concat in doc-id order — the packed
+    // sequence assembly (state bounded by the shard budget)
+    "q59_pack_sequences" ->
+      """WITH t AS (SELECT lang, doc_id, text,
+        |        len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (SELECT lang, doc_id, text, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |          ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cum FROM t),
+        |s AS (SELECT lang, doc_id, text, n_tokens,
+        |        (cum // 1000)::INTEGER AS shard FROM c)
+        |SELECT lang, shard, count(*)::INTEGER AS n_docs,
+        |  sum(n_tokens)::BIGINT AS shard_tokens,
+        |  array_to_string(list(text ORDER BY doc_id), ' ') AS packed_text
+        |FROM s GROUP BY lang, shard""".stripMargin,
+
     "q41_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),

@@ -777,6 +777,20 @@ object SparkEntry {
       k = 4, iters = 2, threshold = 0.2, bucketWidth = 128L)
       .select("vec_id", "label")
 
+  /** Sequence packing: q40's token shards assembled into one packed
+    * training example per (lang, shard) — texts joined in doc-id order,
+    * doc/token counts alongside. Aggregation state is bounded by the
+    * shard budget, never by class size.
+    */
+  def q59_pack_sequences(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val shards = Relational.tokenShards(
+      d.select(col("lang"), col("doc_id"),
+        size(TextOps.tokensSimple(col("text"))).as("n_tokens")),
+      "lang", "doc_id", "n_tokens", budget = 1000L, bucketWidth = 128L)
+    Relational.packShards(shards, d, "lang", "doc_id", "text")
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -837,7 +851,8 @@ object SparkEntry {
     "q55_decontaminate_bloom" -> (q55_decontaminate_bloom(_, _)),
     "q56_keep_best" -> (q56_keep_best(_, _)),
     "q57_clean_corpus" -> (q57_clean_corpus(_, _)),
-    "q58_semdedup" -> (q58_semdedup(_, _)))
+    "q58_semdedup" -> (q58_semdedup(_, _)),
+    "q59_pack_sequences" -> (q59_pack_sequences(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

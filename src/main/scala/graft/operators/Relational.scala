@@ -262,6 +262,33 @@ object Relational {
       .drop("_ocls", "_osg", "_sg", "_lcum", "_off", "_cum")
   }
 
+  /** Materialize [[tokenShards]] output into packed training SEQUENCES:
+    * each (class, shard) becomes one row with its documents' texts
+    * joined in id order plus doc/token counts — the final assembly step
+    * of sequence packing (shard → one pretraining example).
+    *
+    * Scale shape: one equi-join (shards are (id, shard) pairs — narrow)
+    * + one hash aggregation. Aggregation state per group is bounded by
+    * the shard BUDGET — a shard holds ~budget tokens by construction —
+    * so unlike packing by class, no group ever buffers a whole
+    * language. The in-group id order comes from sorting the collected
+    * (id, text) structs, not from a window.
+    */
+  def packShards(
+      shards: DataFrame, docs: DataFrame, classCol: String, idCol: String,
+      textCol: String, sep: String = " "): DataFrame =
+    shards.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .groupBy(col(classCol), col("shard"))
+      .agg(
+        count(lit(1)).cast("int").as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol).as("id"),
+              col(textCol).as("t")))),
+            s => s.getField("t")),
+          sep).as("packed_text"))
+
   /** Z-order (Morton) value of two non-negative integer dimensions:
     * bit-interleave the low `bits` of each (x gets the even output
     * bits, y the odd). Sorting or range-partitioning a table by this

@@ -37,6 +37,13 @@ class PlanGateSpec extends SparkSpec {
       s"q03 join-back no longer broadcasts:\n$p")
   }
 
+  test("q55: the bloom probe survives in the plan (dropping it would be " +
+    "row-invisible — only the oracle-blind scale behavior regresses)") {
+    val p = planOf("q55_decontaminate_bloom")
+    assert(p.contains("graft_bloom_might_contain"),
+      s"q55 lost its scan-stage bloom prefilter:\n$p")
+  }
+
   test("no gate query plans a CartesianProduct; BroadcastNestedLoopJoin " +
     "only where the operator is a deliberate tiny-side broadcast") {
     // queries whose SEMANTICS are a non-equi match against a broadcast

@@ -110,6 +110,28 @@ class TextDedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("packShards assembles shard texts in doc-id order with counts") {
+    import graft.operators.Relational
+    // budget 5: class a fills shard 0 with ids 1,2 (2+3 tokens), id 3
+    // starts at cum=5 → shard 1
+    val d = Seq(
+      ("a", 1L, "one two"),
+      ("a", 2L, "three four five"),
+      ("a", 3L, "six seven"),
+      ("b", 9L, "lone doc"))
+      .toDF("lang", "doc_id", "text")
+    val shards = Relational.tokenShards(
+      d.select(col("lang"), col("doc_id"),
+        size(TextOps.tokensSimple(col("text"))).as("n_tokens")),
+      "lang", "doc_id", "n_tokens", budget = 5L)
+    val packed = Relational.packShards(shards, d, "lang", "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getInt(2), r.getLong(3), r.getString(4))).toMap
+    assert(packed(("a", 0)) == ((2, 5L, "one two three four five")))
+    assert(packed(("a", 1)) == ((1, 2L, "six seven")))
+    assert(packed(("b", 0)) == ((1, 2L, "lone doc")))
+  }
+
   test("exact dedup: survivor is min id, duplicate counted") {
     val d = Dedup.exact(docs, "text", "doc_id")
     assert(d.count() == 4) // 5 docs, one exact pair
