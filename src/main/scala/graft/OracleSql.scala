@@ -631,6 +631,27 @@ object OracleSql {
         |  array_to_string(list(text ORDER BY doc_id), ' ') AS packed_text
         |FROM s GROUP BY lang, shard""".stripMargin,
 
+    // q42's observability twin: per-eval-doc shared-doc/shared-gram
+    // counts over the same 5-gram split, zeros kept via the left join
+    "q60_contamination_report" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |             w[i+3] || ' ' || w[i+4])) AS gram FROM t),
+        |eg AS (SELECT DISTINCT doc_id AS eid, gram FROM g
+        |       WHERE doc_id % 50 = 0),
+        |tg AS (SELECT DISTINCT doc_id AS tid, gram FROM g
+        |       WHERE doc_id % 50 != 0),
+        |a AS (SELECT eid, count(DISTINCT tid) AS n_train_docs,
+        |        count(DISTINCT gram) AS n_shared_grams
+        |      FROM eg JOIN tg USING (gram) GROUP BY eid)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_train_docs, 0) AS n_train_docs,
+        |  coalesce(a.n_shared_grams, 0) AS n_shared_grams
+        |FROM documents d LEFT JOIN a ON a.eid = d.doc_id
+        |WHERE d.doc_id % 50 = 0""".stripMargin,
+
     "q41_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),

@@ -791,6 +791,18 @@ object SparkEntry {
     Relational.packShards(shards, d, "lang", "doc_id", "text")
   }
 
+  /** Contamination report (q42's observability twin): per eval doc, the
+    * distinct training docs and distinct 5-grams it shares — clean eval
+    * docs report 0/0.
+    */
+  def q60_contamination_report(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    val train = all.filter(col("doc_id") % 50 =!= 0)
+    val eval = all.filter(col("doc_id") % 50 === 0)
+    Dedup.contaminationReport(train, eval, "text", "doc_id", k = 5,
+      tokenizer = TextOps.tokensSimple)
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -852,7 +864,8 @@ object SparkEntry {
     "q56_keep_best" -> (q56_keep_best(_, _)),
     "q57_clean_corpus" -> (q57_clean_corpus(_, _)),
     "q58_semdedup" -> (q58_semdedup(_, _)),
-    "q59_pack_sequences" -> (q59_pack_sequences(_, _)))
+    "q59_pack_sequences" -> (q59_pack_sequences(_, _)),
+    "q60_contamination_report" -> (q60_contamination_report(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

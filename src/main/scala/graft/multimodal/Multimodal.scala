@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * stages.
   *
   * The Spark-side plumbing is real — schema, partition-parallel batch
-  * shape, metadata extraction as codegen'd expressions; the *decode*
-  * kernel is a clearly-marked deterministic STUB because no image/audio
-  * codec library is available in this environment. Swapping the stub for a
-  * real decoder (JNI/FFI per partition) changes zero lines outside
-  * `decodeStub`.
+  * shape, metadata extraction as codegen'd expressions; the generic
+  * *decode* kernel is a clearly-marked deterministic STUB because no
+  * image/audio codec library is available in this environment. Swapping
+  * the stub for a real decoder (JNI/FFI per partition) changes zero lines
+  * outside `decodeStub` — and [[decodePpm]] PROVES that contract with a
+  * real, codec-free decoder (binary P6 PPM is ASCII header + raw RGB
+  * bytes, pure byte arithmetic).
   *
   * Scale shape: metadata ops run inside the scan stage (no shuffle);
   * decode runs as `mapPartitions` so the per-partition codec context is
@@ -92,6 +94,75 @@ object Multimodal {
           Array.tabulate(n)(i => src(i % src.length)))
       }
     }(Encoders.product[Resized])
+  }
+
+  /** One decoded PPM image's metadata + channel statistics. `ok=false`
+    * rows carry zeroed fields for malformed inputs (per-item isolation —
+    * one corrupt file must not fail a 100 TB decode job).
+    */
+  final case class PpmMeta(
+      id: Long, ok: Boolean, width: Int, height: Int, maxVal: Int,
+      meanR: Double, meanG: Double, meanB: Double)
+
+  /** REAL decoder for binary P6 PPM images — the codec-free proof that
+    * the [[decodeStub]] contract carries actual decoders: P6 is an
+    * ASCII header (`P6 <w> <h> <maxval>`, `#` comments allowed) followed
+    * by raw RGB bytes, so pure byte arithmetic decodes it with no
+    * library. Emits dimensions + per-channel means in one pass over the
+    * pixel bytes. Same `mapPartitions` batch shape as the stub; a JPEG/
+    * PNG codec binds at the same marked line.
+    */
+  def decodePpm(df: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media"): Dataset[PpmMeta] = {
+    val rows = df.select(col(idCol).cast("long"), col(mediaCol))
+    rows.mapPartitions { it =>
+      // real codecs: init decoder context HERE, once per partition
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        decodeOnePpm(id, bytes)
+      }
+    }(Encoders.product[PpmMeta])
+  }
+
+  /** Parse one P6 buffer; total function (malformed → ok=false). */
+  private[multimodal] def decodeOnePpm(id: Long, bytes: Array[Byte]): PpmMeta = {
+    val bad = PpmMeta(id, ok = false, 0, 0, 0, 0.0, 0.0, 0.0)
+    if (bytes == null || bytes.length < 2 ||
+      bytes(0) != 'P' || bytes(1) != '6') return bad
+    var i = 2
+    def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+    // one whitespace/comment-skipping integer token; -1 on malformed
+    def nextInt(): Int = {
+      while (i < bytes.length && (isWs(bytes(i)) || bytes(i) == '#')) {
+        if (bytes(i) == '#') { // comment runs to end of line
+          while (i < bytes.length && bytes(i) != '\n') i += 1
+        } else i += 1
+      }
+      var v = -1L
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = (if (v < 0) 0L else v) * 10 + (bytes(i) - '0')
+        if (v > Int.MaxValue) return -1
+        i += 1
+      }
+      v.toInt // -1 when no digits were consumed
+    }
+    val w = nextInt(); val h = nextInt(); val maxVal = nextInt()
+    if (w <= 0 || h <= 0 || maxVal <= 0 || maxVal > 255) return bad
+    i += 1 // exactly ONE whitespace byte separates maxval from raster
+    val need = w.toLong * h * 3
+    if (i + need > bytes.length) return bad
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var p = i
+    val end = i + need.toInt
+    while (p < end) {
+      sr += bytes(p) & 0xff
+      sg += bytes(p + 1) & 0xff
+      sb += bytes(p + 2) & 0xff
+      p += 3
+    }
+    val n = (w.toLong * h).toDouble
+    PpmMeta(id, ok = true, w, h, maxVal, sr / n, sg / n, sb / n)
   }
 
   /** Frame sampling plumbing: cut the byte stream into fixed-size chunks

@@ -308,6 +308,38 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Per-eval-doc contamination REPORT — the observability twin of
+    * [[decontaminate]]: for every eval doc, how many distinct training
+    * docs share at least one word k-gram with it and how many of its
+    * distinct k-grams are shared. Zero rows are kept (a clean benchmark
+    * item reports 0/0) so the output always has one row per eval doc.
+    *
+    * Scale shape: one equi-join on the gram (training grams deduped per
+    * doc first — narrow (id, gram) rows), one count-distinct
+    * aggregation keyed by the eval doc (benchmark-sized), and a left
+    * join back onto the (small) eval side. The training corpus never
+    * shuffles text.
+    */
+  def contaminationReport(
+      train: DataFrame, evalSet: DataFrame, textCol: String, idCol: String,
+      k: Int = 13,
+      tokenizer: Column => Column = TextOps.tokens): DataFrame = {
+    val eg = kgrams(evalSet.select(col(idCol).as("_eval_id"), col(textCol)),
+      Seq(col("_eval_id")), textCol, k, tokenizer).distinct()
+    val tg = kgrams(train.select(col(idCol).as("_train_id"), col(textCol)),
+      Seq(col("_train_id")), textCol, k, tokenizer).distinct()
+    val hits = eg.join(tg, "gram")
+      .groupBy(col("_eval_id"))
+      .agg(
+        countDistinct(col("_train_id")).as("n_train_docs"),
+        countDistinct(col("gram")).as("n_shared_grams"))
+    evalSet.select(col(idCol))
+      .join(hits.withColumnRenamed("_eval_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+  }
+
   /** Near-dup CLUSTERS from pairwise matches: connected components via
     * min-label propagation WITH pointer jumping. Each round every node
     * adopts the minimum of (its label, its neighbors' labels), then

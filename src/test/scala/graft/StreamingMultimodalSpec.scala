@@ -52,6 +52,32 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(again(1L) == dec(1L).feature.toSeq)
   }
 
+  test("decodePpm: real P6 decode — dims, maxval, channel means; " +
+    "malformed inputs isolate as ok=false") {
+    import graft.multimodal.Multimodal
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 2×2 P6 with a comment header: pixels R=(10,20,30,40) G=(0,100,200,100)
+    // B=(255,255,255,255) → means (25.0, 100.0, 255.0)
+    val header = "P6\n# synthetic fixture\n2 2\n255\n".getBytes("US-ASCII")
+    val px = Array(
+      10, 0, 255, 20, 100, 255,
+      30, 200, 255, 40, 100, 255).map(_.toByte)
+    val good = header ++ px
+    val truncated = good.dropRight(3)      // raster 1 pixel short
+    val badMagic = "P5\n2 2\n255\n".getBytes("US-ASCII") ++ px
+    val df = Seq(
+      (1L, good), (2L, truncated), (3L, badMagic), (4L, null))
+      .toDF("doc_id", "media")
+    val got = Multimodal.decodePpm(df).collect()
+      .map(m => m.id -> m).toMap
+    assert(got(1L).ok && got(1L).width == 2 && got(1L).height == 2 &&
+      got(1L).maxVal == 255)
+    assert(got(1L).meanR == 25.0 && got(1L).meanG == 100.0 &&
+      got(1L).meanB == 255.0)
+    assert(!got(2L).ok && !got(3L).ok && !got(4L).ok)
+  }
+
   test("resize stub: fixed output shape chained after decode") {
     val df = Seq((1L, "some media bytes"), (2L, "x"))
       .toDF("doc_id", "text")

@@ -132,6 +132,24 @@ class TextDedupSpec extends SparkSpec {
     assert(packed(("b", 0)) == ((1, 2L, "lone doc")))
   }
 
+  test("contaminationReport counts shared docs/grams; clean evals get 0/0") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),   // shares "alpha beta gamma" + tail
+      (2L, "alpha beta gamma epsilon"), // shares "alpha beta gamma"
+      (3L, "totally unrelated content here"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "alpha beta gamma delta zeta"), // hit by docs 1 and 2
+      (101L, "nothing matches this sentence fragment"))
+      .toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(train, eval, "text", "doc_id",
+      k = 3, tokenizer = TextOps.tokensSimple)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // eval 100 grams: {abg, bgd, gdz}; doc 1 shares abg+bgd, doc 2 abg
+    assert(rep(100L) == ((2L, 2L)))
+    assert(rep(101L) == ((0L, 0L)))
+  }
+
   test("exact dedup: survivor is min id, duplicate counted") {
     val d = Dedup.exact(docs, "text", "doc_id")
     assert(d.count() == 4) // 5 docs, one exact pair
