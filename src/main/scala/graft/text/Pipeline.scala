@@ -48,17 +48,21 @@ object Pipeline {
       maxIter: Int = 20): DataFrame = {
     def stage(ids: DataFrame): DataFrame =
       corpus.join(ids.localCheckpoint(), Seq(idCol), "left_semi")
-    // one staged token pass feeds both scores; the filter stays in the
-    // scan stage (pure per-row algebra, no shuffle before it)
-    val ids0 = corpus
-      .select(col(idCol), tokenizer(col(textCol)).as("_toks"))
-      .select(col(idCol), TextOps.qualityScore(col("_toks")).as("_q"),
+    // filter + exact dedup FUSE into one scan + one hash aggregation:
+    // the quality/repetition predicate is per-row (scan-stage), so the
+    // content-hash groupBy can consume it directly — one stage barrier
+    // and one corpus pass instead of two. One staged token pass feeds
+    // both scores.
+    val ids1 = corpus
+      .select(col(idCol), col(textCol), tokenizer(col(textCol)).as("_toks"))
+      .select(col(idCol), col(textCol),
+        TextOps.qualityScore(col("_toks")).as("_q"),
         TextOps.repetition(TextOps.shingles(col("_toks"), shingleK))
           .getField("dup_ratio").as("_dup"))
       .filter(col("_q") >= minQuality && col("_dup") <= maxDupRatio)
+      .groupBy(sha2(col(textCol), 256))
+      .agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    val filtered = stage(ids0)
-    val ids1 = Dedup.exact(filtered, textCol, idCol).select(idCol)
     val deduped = stage(ids1)
     // sign ONCE into the (id, sig, buckets) index shape — the inline
     // near-dedup signs each self-join side separately; the index is
