@@ -652,6 +652,19 @@ object OracleSql {
         |FROM documents d LEFT JOIN a ON a.eid = d.doc_id
         |WHERE d.doc_id % 50 = 0""".stripMargin,
 
+    // loadable-vocab OOV coverage: NOT IN over the same fixture list
+    "q61_oov_rate" -> {
+      val set = graft.SparkEntry.gateVocab.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+         |           FROM documents)
+         |SELECT doc_id,
+         |  len(w)::INTEGER AS n_tokens,
+         |  len(list_filter(w, x -> x NOT IN ($set)))::INTEGER AS n_oov,
+         |  round(len(list_filter(w, x -> x NOT IN ($set)))::DOUBLE /
+         |    greatest(len(w), 1), 6) AS oov_rate
+         |FROM t""".stripMargin
+    },
+
     "q41_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),

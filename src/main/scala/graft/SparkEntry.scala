@@ -803,6 +803,25 @@ object SparkEntry {
       tokenizer = TextOps.tokensSimple)
   }
 
+  /** Gate fixture for the loadable-vocabulary OOV scorer: a small
+    * common-token vocabulary (what a tokenizer's vocab induces).
+    */
+  val gateVocab: Seq[String] = Seq(
+    "the", "a", "of", "and", "is", "to", "in", "it", "that", "for",
+    "data", "spark", "model", "training", "with", "on", "as", "are",
+    "this", "be")
+
+  /** Vocabulary coverage per doc against the loaded gate vocab: token
+    * count, OOV count, OOV rate — the tokenizer-coverage corpus filter.
+    */
+  def q61_oov_rate(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        TextOps.oovStats(TextOps.tokensSimple(col("text")), gateVocab)
+          .as("o"))
+      .select(col("doc_id"), col("o.n_tokens"), col("o.n_oov"),
+        col("o.oov_rate"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -865,7 +884,8 @@ object SparkEntry {
     "q57_clean_corpus" -> (q57_clean_corpus(_, _)),
     "q58_semdedup" -> (q58_semdedup(_, _)),
     "q59_pack_sequences" -> (q59_pack_sequences(_, _)),
-    "q60_contamination_report" -> (q60_contamination_report(_, _)))
+    "q60_contamination_report" -> (q60_contamination_report(_, _)),
+    "q61_oov_rate" -> (q61_oov_rate(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -38,7 +38,10 @@ object BloomXX {
     */
   def build(df: DataFrame, column: String, fpp: Double): Array[Byte] = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
-    val n = math.max(df.count(), 1L)
+    // floor the sizing: a tiny reference set would otherwise get a
+    // sub-100-bit filter whose REAL fp rate dwarfs the nominal fpp —
+    // 4096 items is a few KB, effectively zero fp for small sets
+    val n = math.max(df.count(), 4096L)
     val zero = BloomFilter.create(n, fpp)
     val bf = df.select(col(column)).na.drop().rdd
       .treeAggregate(zero)(

@@ -308,6 +308,29 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** STREAMING decontamination — stateless and join-free: the eval
+    * grams build a Bloom filter once at plan time, and each incoming
+    * doc is kept iff NONE of its k-grams probe positive. Pure per-row
+    * projection + filter, so it runs on an unbounded stream with no
+    * state store, no watermark, and no join — the shape that survives
+    * any micro-batch rate.
+    *
+    * Semantics are CONSERVATIVE: Bloom false positives can drop a
+    * clean doc (rate ≤ `fpp` per gram) but a contaminated doc is NEVER
+    * kept — the safe direction for training data. For exact batch
+    * semantics use [[decontaminate]]/[[decontaminateBloom]].
+    */
+  def decontaminateStreamBloom(
+      stream: DataFrame, evalSet: DataFrame, textCol: String, idCol: String,
+      k: Int = 13, fpp: Double = 0.001,
+      tokenizer: Column => Column = TextOps.tokens): DataFrame = {
+    val evalGrams = kgrams(evalSet, Nil, textCol, k, tokenizer).distinct()
+    val bloomBytes = graft.functions.BloomXX.build(evalGrams, "gram", fpp)
+    stream.filter(!exists(
+      TextOps.shingles(tokenizer(col(textCol)), k),
+      g => graft.functions.BloomXX.mightContain(g, bloomBytes)))
+  }
+
   /** Per-eval-doc contamination REPORT — the observability twin of
     * [[decontaminate]]: for every eval doc, how many distinct training
     * docs share at least one word k-gram with it and how many of its

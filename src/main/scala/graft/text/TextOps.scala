@@ -58,6 +58,28 @@ object TextOps {
     * baking them into the plan is the correct scale shape — the corpus
     * side then tokenizes in the scan stage with no lookup join.
     */
+  /** Vocabulary coverage: token count, out-of-vocabulary count, and the
+    * OOV rate against a LOADED vocabulary — the corpus-filter signal a
+    * tokenizer's vocab induces (high-OOV docs are noise/wrong-language).
+    * The vocab is model metadata: it bakes into the plan as a hash-set
+    * membership probe (`isInCollection`), so the corpus side stays a
+    * scan-stage map with no lookup join. Returns a struct
+    * {n_tokens, n_oov, oov_rate}.
+    */
+  def oovStats(toks: Column, vocab: Seq[String]): Column = {
+    val n = size(toks)
+    val nOov = size(filter(toks, t => !t.isInCollection(vocab)))
+    struct(n.as("n_tokens"), nOov.as("n_oov"),
+      round(nOov.cast("double") / greatest(n, lit(1)), 6).as("oov_rate"))
+  }
+
+  /** Load a one-token-per-row vocabulary column into the driver-side
+    * list [[oovStats]] consumes (vocabularies are model metadata —
+    * tens of thousands of rows).
+    */
+  def loadVocab(df: DataFrame, tokenCol: String = "token"): Seq[String] =
+    df.select(col(tokenCol)).na.drop().collect().map(_.getString(0)).toSeq
+
   def loadBpeMerges(
       df: DataFrame, rankCol: String = "rank", leftCol: String = "left",
       rightCol: String = "right"): Seq[(String, String)] =

@@ -146,6 +146,30 @@ class StreamAggExportSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming bloom decontamination: stateless join-free filter " +
+    "drops gram-sharing docs, keeps clean ones") {
+    implicit val sq = spark.sqlContext
+    val eval = Seq(
+      (900L, "the secret benchmark answer is forty two exactly"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val kept = graft.text.Dedup.decontaminateStreamBloom(
+      mem.toDF().toDF("doc_id", "text"), eval, "text", "doc_id",
+      k = 3, fpp = 0.001, tokenizer = graft.text.TextOps.tokensSimple)
+    val query = kept.writeStream.format("memory").queryName("bloomdecon")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "a training doc leaking the secret benchmark answer here"),
+        (2L, "a perfectly clean document about unrelated topics"),
+        (3L, "short doc")) // fewer tokens than k → no grams → kept
+      query.processAllAvailable()
+      val rows = spark.table("bloomdecon").collect()
+        .map(_.getAs[Long]("doc_id")).toSeq.sorted
+      assert(rows == Seq(2L, 3L))
+    } finally query.stop()
+  }
+
   test("streaming near-dedup reads a persisted signed index (no " +
     "re-shingling) across micro-batches") {
     implicit val sq = spark.sqlContext

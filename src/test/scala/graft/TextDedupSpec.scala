@@ -150,6 +150,23 @@ class TextDedupSpec extends SparkSpec {
     assert(rep(101L) == ((0L, 0L)))
   }
 
+  test("oovStats: counts and rate against a loaded vocab") {
+    val vocab = Seq("the", "quick", "fox")
+    val got = Seq((1L, "the quick brown fox runs"), (2L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.oovStats(
+        TextOps.tokensSimple(col("text")), vocab).as("o"))
+      .select(col("doc_id"), col("o.n_tokens"), col("o.n_oov"),
+        col("o.oov_rate"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((5, 2, 0.4)))   // brown, runs are OOV
+    assert(got(2L) == ((1, 1, 1.0)))   // split("") → [""], which is OOV
+    // loadVocab roundtrip
+    val loaded = TextOps.loadVocab(vocab.toDF("token"))
+    assert(loaded.toSet == vocab.toSet)
+  }
+
   test("exact dedup: survivor is min id, duplicate counted") {
     val d = Dedup.exact(docs, "text", "doc_id")
     assert(d.count() == 4) // 5 docs, one exact pair
