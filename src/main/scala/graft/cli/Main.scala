@@ -16,6 +16,7 @@ import graft.schema.Vintages
   * graft.cli.Main decontaminate <corpus> <evalSet> <outDir> [k] [--bloom] [--jsonl]
   * graft.cli.Main clean   <corpus> <evalSet> <outDir> [minQuality] [maxDupRatio] [--jsonl]
   * graft.cli.Main semdedup <embeddings> <outDir> [k] [threshold] [dim]
+  * graft.cli.Main pack    <corpus> <outDir> [budget] [--jsonl]
   * graft.cli.Main chunk   <corpus> <outDir> [size] [overlap] [--jsonl]
   * graft.cli.Main tfidf   <corpus> <outDir> [--jsonl]
   * graft.cli.Main sample  <corpus> <outDir> [n] [seed] [--jsonl]
@@ -169,6 +170,27 @@ object Main {
         s"kept (k=$k threshold=$threshold) -> $outDir")
       spark.stop()
 
+    case "pack" :: corpus :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val budget = rest.find(!_.startsWith("--")).map(_.toLong)
+        .getOrElse(4096L)
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      // class column: lang when present, else one global class
+      val cls = if (docs.columns.contains("lang")) col("lang")
+        else lit("all")
+      val base = docs.select(cls.as("lang"), col("doc_id"), col("text"),
+        size(graft.text.TextOps.tokens(col("text"))).as("n_tokens"))
+      val shards = graft.operators.Relational.tokenShards(
+        base.select("lang", "doc_id", "n_tokens"),
+        "lang", "doc_id", "n_tokens", budget)
+      val packed = graft.operators.Relational.packShards(
+        shards, base.select("doc_id", "text"), "lang", "doc_id", "text")
+      Export.jsonl(packed, outDir)
+      println(s"[pack] ${docs.count()} docs -> ${packed.count()} " +
+        s"sequences (budget=$budget) -> $outDir")
+      spark.stop()
+
     case "tfidf" :: corpus :: outDir :: rest =>
       val spark = session()
       val scored = graft.text.TextOps.tfidf(
@@ -217,6 +239,7 @@ object Main {
           "decontaminate <corpus> <eval> <out> [k] [--bloom] [--jsonl] | " +
           "clean <corpus> <eval> <out> [minQuality] [maxDupRatio] [--jsonl] | " +
           "semdedup <embeddings> <out> [k] [threshold] [dim] | " +
+          "pack <corpus> <out> [budget] [--jsonl] | " +
           "chunk <corpus> <out> [size] [overlap] [--jsonl] | " +
           "tfidf <corpus> <out> [--jsonl] | " +
           "sample <corpus> <out> [n] [seed] [--jsonl]")

@@ -511,10 +511,20 @@ object SimSearch {
       emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, threshold: Double,
       dim: Int = 64, bucketWidth: Long = 4096L,
-      maxIter: Int = 20): DataFrame = {
-    val cells = assignToCentroids(emb,
+      maxIter: Int = 20): DataFrame =
+    semDedupWithCentroids(emb,
       kmeansFit(emb, idCol, vecCol, k, iters, dim, bucketWidth),
-      idCol, vecCol)
+      idCol, vecCol, threshold, maxIter)
+
+  /** [[semDedup]] against an already-TRAINED (cid, cv) centroid table
+    * ([[kmeansFit]]'s output, persistable as k rows of parquet) —
+    * train once, dedup any corpus drop against the same cells without
+    * re-running Lloyd.
+    */
+  def semDedupWithCentroids(
+      emb: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxIter: Int = 20): DataFrame = {
+    val cells = assignToCentroids(emb, centroids, idCol, vecCol)
       .select(col(idCol), col("cluster").as("_cell"))
     val sides = emb.select(col(idCol), col(vecCol).as("_v"))
       .join(cells, Seq(idCol))

@@ -160,6 +160,15 @@ class SimSearchSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(keptLow.size >= 1 && keptLow.size <= 3)
     assert(keptLow.forall(Set(0L, 1L, 2L, 10L, 11L, 20L)))
+    // persisted-model flavor: parquet-roundtripped kmeansFit centroids
+    // give the identical survivor set
+    val path = tmpDir("semcen") + "/cen"
+    SimSearch.kmeansFit(rows, "vec_id", "embedding", k = 3, iters = 2,
+      dim = 3).write.mode("overwrite").parquet(path)
+    val keptPersisted = SimSearch.semDedupWithCentroids(rows,
+      spark.read.parquet(path), "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptPersisted == kept)
   }
 
   test("int8 quantization: known vector and all-zero vector") {
