@@ -665,6 +665,23 @@ object OracleSql {
          |FROM t""".stripMargin
     },
 
+    // deterministic hash split: the same md5 uniform as q45, CASE over
+    // the IDENTICAL IEEE cumulative bounds (generated from splitBounds —
+    // 0.8 + 0.1 is 0.9000000000000001, embedding "0.9" would diverge)
+    "q62_hash_split" -> {
+      val bounds = graft.operators.Relational
+        .splitBounds(graft.SparkEntry.gateSplits)
+      val chain = bounds.init
+        .map { case (name, b) => s"WHEN u <= $b THEN '$name'" }
+        .mkString(" ")
+      s"""WITH h AS (SELECT doc_id, lang, n_chars,
+         |        (${h32("doc_id::VARCHAR || ':13'")} + 1) / 4294967296.0
+         |          AS u FROM documents)
+         |SELECT doc_id, lang, n_chars,
+         |  CASE $chain ELSE '${bounds.last._1}' END AS split
+         |FROM h""".stripMargin
+    },
+
     "q41_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),

@@ -822,6 +822,19 @@ object SparkEntry {
       .select(col("doc_id"), col("o.n_tokens"), col("o.n_oov"),
         col("o.oov_rate"))
 
+  /** Gate fixture: the canonical 80/10/10 split weights. */
+  val gateSplits: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Deterministic hash split (reproducible train/val/test protocol):
+    * per-doc seeded md5-uniform against cumulative weight bounds; the
+    * oracle embeds the identical IEEE partial sums.
+    */
+  def q62_hash_split(s: SparkSession, dir: String): DataFrame =
+    Relational.hashSplit(
+      t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+      "doc_id", gateSplits, seed = 13L)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -885,7 +898,8 @@ object SparkEntry {
     "q58_semdedup" -> (q58_semdedup(_, _)),
     "q59_pack_sequences" -> (q59_pack_sequences(_, _)),
     "q60_contamination_report" -> (q60_contamination_report(_, _)),
-    "q61_oov_rate" -> (q61_oov_rate(_, _)))
+    "q61_oov_rate" -> (q61_oov_rate(_, _)),
+    "q62_hash_split" -> (q62_hash_split(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -289,6 +289,42 @@ object Relational {
             s => s.getField("t")),
           sep).as("packed_text"))
 
+  /** Cumulative upper bounds for [[hashSplit]] labels — public so an
+    * oracle generator can embed the IDENTICAL IEEE partial sums
+    * (0.8 + 0.1 is 0.9000000000000001, not 0.9).
+    */
+  def splitBounds(splits: Seq[(String, Double)]): Seq[(String, Double)] = {
+    val total = splits.map(_._2).sum
+    splits.zip(
+      splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail)
+      .map { case ((name, _), b) => name -> b }
+  }
+
+  /** Deterministic train/val/test split: each row's seeded md5-uniform
+    * `u = (h32 + 1) / 2^32` (an exact dyadic rational) picks the first
+    * label whose cumulative weight bound is ≥ u. Pure scan-stage
+    * arithmetic — no shuffle, no RNG state; stable across runs,
+    * partitionings, and engines, and adding rows never moves an
+    * existing row between splits (the property a reproducible
+    * train/eval protocol needs).
+    */
+  def hashSplit(
+      df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+      seed: Long): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive weights")
+    val h = conv(substring(md5Rank(Seq(col(idCol)), seed), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
+    val bounds = splitBounds(splits)
+    // first-bound-wins when chain; the last label is the default so
+    // coverage is total regardless of float edge cases at u = 1.0
+    val label = bounds.init.foldRight(lit(bounds.last._1): Column) {
+      case ((name, b), rest) => when(u <= b, name).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Z-order (Morton) value of two non-negative integer dimensions:
     * bit-interleave the low `bits` of each (x gets the even output
     * bits, y the odd). Sorting or range-partitioning a table by this

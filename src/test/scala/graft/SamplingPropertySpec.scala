@@ -66,4 +66,27 @@ class SamplingPropertySpec extends SparkSpec {
     val heavy = run(4, 42L).count(id => id % 20 >= 10)
     assert(heavy >= 25, s"expected heavy-weight majority, got $heavy/40")
   }
+
+  test("hashSplit: total cover, ~proportional, deterministic, and " +
+    "stable under row addition") {
+    def split(n: Int, seed: Long): Map[Long, String] =
+      Relational.hashSplit(
+        spark.range(0, n).select(col("id")), "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s1 = split(2000, 13L)
+    assert(s1.size == 2000 &&
+      s1.values.forall(Set("train", "val", "test")))
+    val byLabel = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLabel("train") > 1500 && byLabel("train") < 1700,
+      s"train share off: $byLabel")
+    assert(byLabel("val") > 130 && byLabel("val") < 270, s"val: $byLabel")
+    // same seed → identical; different seed → (almost surely) different
+    assert(split(2000, 13L) == s1)
+    assert(split(2000, 14L) != s1)
+    // adding rows never reassigns existing ones (the reproducibility
+    // property a growing corpus needs)
+    val s2 = split(3000, 13L)
+    assert(s1.forall { case (id, l) => s2(id) == l })
+  }
 }

@@ -167,6 +167,27 @@ class TextDedupSpec extends SparkSpec {
     assert(loaded.toSet == vocab.toSet)
   }
 
+  test("packShards property: concatenating shards in shard order " +
+    "reproduces the class's full id-ordered text") {
+    import graft.operators.Relational
+    val d = (0 until 60).map(i =>
+      (s"c${i % 3}", i.toLong, s"tok${i}a tok${i}b tok${i}c"))
+      .toDF("lang", "doc_id", "text")
+    val shards = Relational.tokenShards(
+      d.select(col("lang"), col("doc_id"),
+        size(TextOps.tokensSimple(col("text"))).as("n_tokens")),
+      "lang", "doc_id", "n_tokens", budget = 7L)
+    val packed = Relational.packShards(shards, d, "lang", "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(4)))
+    val reassembled = packed.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3).mkString(" ")).toMap
+    val expected = d.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(_._2).map(_._3).mkString(" ")).toMap
+    assert(reassembled == expected)
+  }
+
   test("exact dedup: survivor is min id, duplicate counted") {
     val d = Dedup.exact(docs, "text", "doc_id")
     assert(d.count() == 4) // 5 docs, one exact pair
