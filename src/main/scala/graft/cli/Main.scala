@@ -17,6 +17,7 @@ import graft.schema.Vintages
   * graft.cli.Main clean   <corpus> <evalSet> <outDir> [minQuality] [maxDupRatio] [--jsonl]
   * graft.cli.Main semdedup <embeddings> <outDir> [k] [threshold] [dim]
   * graft.cli.Main pack    <corpus> <outDir> [budget] [--jsonl]
+  * graft.cli.Main split   <corpus> <outDir> [seed] [--jsonl]
   * graft.cli.Main chunk   <corpus> <outDir> [size] [overlap] [--jsonl]
   * graft.cli.Main tfidf   <corpus> <outDir> [--jsonl]
   * graft.cli.Main sample  <corpus> <outDir> [n] [seed] [--jsonl]
@@ -170,6 +171,17 @@ object Main {
         s"kept (k=$k threshold=$threshold) -> $outDir")
       spark.stop()
 
+    case "split" :: corpus :: outDir :: rest =>
+      val seed = rest.find(!_.startsWith("--")).map(_.toLong).getOrElse(13L)
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      val labeled = graft.operators.Relational.hashSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed)
+      labeled.write.mode("overwrite").partitionBy("split").parquet(outDir)
+      println(s"[split] ${docs.count()} docs -> 80/10/10 by split= " +
+        s"(seed $seed) -> $outDir")
+      spark.stop()
+
     case "pack" :: corpus :: outDir :: rest =>
       import org.apache.spark.sql.functions._
       val budget = rest.find(!_.startsWith("--")).map(_.toLong)
@@ -240,6 +252,7 @@ object Main {
           "clean <corpus> <eval> <out> [minQuality] [maxDupRatio] [--jsonl] | " +
           "semdedup <embeddings> <out> [k] [threshold] [dim] | " +
           "pack <corpus> <out> [budget] [--jsonl] | " +
+          "split <corpus> <out> [seed] [--jsonl] | " +
           "chunk <corpus> <out> [size] [overlap] [--jsonl] | " +
           "tfidf <corpus> <out> [--jsonl] | " +
           "sample <corpus> <out> [n] [seed] [--jsonl]")
