@@ -17,7 +17,7 @@ import graft.schema.Vintages
   * graft.cli.Main clean   <corpus> <evalSet> <outDir> [minQuality] [maxDupRatio] [--jsonl]
   * graft.cli.Main semdedup <embeddings> <outDir> [k] [threshold] [dim]
   * graft.cli.Main pack    <corpus> <outDir> [budget] [--jsonl]
-  * graft.cli.Main split   <corpus> <outDir> [seed] [--jsonl]
+  * graft.cli.Main split   <corpus> <outDir> [seed] [--jsonl]   // writes PARQUET partitioned by split= (the exception: splits are storage layout, not a doc stream)
   * graft.cli.Main chunk   <corpus> <outDir> [size] [overlap] [--jsonl]
   * graft.cli.Main tfidf   <corpus> <outDir> [--jsonl]
   * graft.cli.Main sample  <corpus> <outDir> [n] [seed] [--jsonl]
@@ -252,7 +252,7 @@ object Main {
           "clean <corpus> <eval> <out> [minQuality] [maxDupRatio] [--jsonl] | " +
           "semdedup <embeddings> <out> [k] [threshold] [dim] | " +
           "pack <corpus> <out> [budget] [--jsonl] | " +
-          "split <corpus> <out> [seed] [--jsonl] | " +
+          "split <corpus> <out> [seed] [--jsonl] (parquet, split= partitions) | " +
           "chunk <corpus> <out> [size] [overlap] [--jsonl] | " +
           "tfidf <corpus> <out> [--jsonl] | " +
           "sample <corpus> <out> [n] [seed] [--jsonl]")

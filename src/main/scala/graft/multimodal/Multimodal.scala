@@ -118,9 +118,12 @@ object Multimodal {
     rows.mapPartitions { it =>
       // real codecs: init decoder context HERE, once per partition
       it.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        decodeOnePpm(id, bytes)
+        // null id isolates like null media — a corrupt row must not
+        // fail the job (id -1 marks the unidentifiable row)
+        val id = if (r.isNullAt(0)) -1L else r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (r.isNullAt(0)) PpmMeta(id, ok = false, 0, 0, 0, 0.0, 0.0, 0.0)
+        else decodeOnePpm(id, bytes)
       }
     }(Encoders.product[PpmMeta])
   }
@@ -149,7 +152,14 @@ object Multimodal {
     }
     val w = nextInt(); val h = nextInt(); val maxVal = nextInt()
     if (w <= 0 || h <= 0 || maxVal <= 0 || maxVal > 255) return bad
-    i += 1 // exactly ONE whitespace byte separates maxval from raster
+    // exactly ONE whitespace byte separates maxval from the raster; a
+    // non-whitespace byte here is malformed (blindly skipping it would
+    // return ok=true with channel-shifted statistics). CRLF-writing
+    // tools emit "\r\n" — treat that pair as the single separator.
+    if (i >= bytes.length || !isWs(bytes(i))) return bad
+    if (bytes(i) == '\r' && i + 1 < bytes.length && bytes(i + 1) == '\n')
+      i += 1
+    i += 1
     val need = w.toLong * h * 3
     if (i + need > bytes.length) return bad
     var (sr, sg, sb) = (0L, 0L, 0L)

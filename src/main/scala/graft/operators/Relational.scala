@@ -276,12 +276,13 @@ object Relational {
     */
   def packShards(
       shards: DataFrame, docs: DataFrame, classCol: String, idCol: String,
-      textCol: String, sep: String = " "): DataFrame =
+      textCol: String, sep: String = " ",
+      tokensCol: String = "n_tokens"): DataFrame =
     shards.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
       .groupBy(col(classCol), col("shard"))
       .agg(
         count(lit(1)).cast("int").as("n_docs"),
-        sum(col("n_tokens")).as("shard_tokens"),
+        sum(col(tokensCol)).as("shard_tokens"),
         array_join(
           transform(
             array_sort(collect_list(struct(col(idCol).as("id"),

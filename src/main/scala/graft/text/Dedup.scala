@@ -324,11 +324,18 @@ object Dedup {
       stream: DataFrame, evalSet: DataFrame, textCol: String, idCol: String,
       k: Int = 13, fpp: Double = 0.001,
       tokenizer: Column => Column = TextOps.tokens): DataFrame = {
-    val evalGrams = kgrams(evalSet, Nil, textCol, k, tokenizer).distinct()
+    // checkpoint: BloomXX.build runs two jobs (count + fold) over the
+    // eval grams — same multi-consumer cut as decontaminateBloom
+    val evalGrams = kgrams(evalSet, Nil, textCol, k, tokenizer)
+      .distinct().localCheckpoint()
     val bloomBytes = graft.functions.BloomXX.build(evalGrams, "gram", fpp)
-    stream.filter(!exists(
-      TextOps.shingles(tokenizer(col(textCol)), k),
-      g => graft.functions.BloomXX.mightContain(g, bloomBytes)))
+    // null text → null grams → null exists; coalesce keeps the doc,
+    // matching the batch paths (a doc with no grams cannot match)
+    stream.filter(coalesce(
+      !exists(
+        TextOps.shingles(tokenizer(col(textCol)), k),
+        g => graft.functions.BloomXX.mightContain(g, bloomBytes)),
+      lit(true)))
   }
 
   /** Per-eval-doc contamination REPORT — the observability twin of
@@ -542,11 +549,19 @@ object Dedup {
     * cluster count, and no window funnels a big cluster through one
     * task. Survivor ids flow back via a semi-join (broadcast when they
     * fit). `score` must be deterministic (round floats at a fixed
-    * scale) or ties can flip between runs.
+    * scale) or ties can flip between runs; `idCol` must be numeric (the
+    * tie rule negates it).
     */
   def keepBestInCluster(
       df: DataFrame, clusters: DataFrame, idCol: String,
       score: Column): DataFrame = {
+    // the tie rule negates the id; a string id would silently cast to
+    // null under non-ANSI semantics and the semi-join would return
+    // ZERO rows — fail loudly instead
+    require(df.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"keepBestInCluster needs a numeric $idCol " +
+        s"(got ${df.schema(idCol).dataType.simpleString})")
     val scored = df
       .select(col(idCol), score.as("_score"))
       .join(clusters.withColumnRenamed("id", idCol), Seq(idCol))

@@ -162,11 +162,12 @@ class StreamAggExportSpec extends SparkSpec {
       mem.addData(
         (1L, "a training doc leaking the secret benchmark answer here"),
         (2L, "a perfectly clean document about unrelated topics"),
-        (3L, "short doc")) // fewer tokens than k → no grams → kept
+        (3L, "short doc"), // fewer tokens than k → no grams → kept
+        (4L, null))        // null text → no grams → kept (batch parity)
       query.processAllAvailable()
       val rows = spark.table("bloomdecon").collect()
         .map(_.getAs[Long]("doc_id")).toSeq.sorted
-      assert(rows == Seq(2L, 3L))
+      assert(rows == Seq(2L, 3L, 4L))
     } finally query.stop()
   }
 

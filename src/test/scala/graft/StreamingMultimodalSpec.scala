@@ -66,8 +66,14 @@ class StreamingMultimodalSpec extends SparkSpec {
     val good = header ++ px
     val truncated = good.dropRight(3)      // raster 1 pixel short
     val badMagic = "P5\n2 2\n255\n".getBytes("US-ASCII") ++ px
+    // CRLF-writing tool: "\r\n" is ONE separator — same stats as good
+    val crlf = "P6\n2 2\n255\r\n".getBytes("US-ASCII") ++ px
+    // garbage byte between maxval and raster must NOT silently shift
+    // the channels — malformed, not ok=true-with-wrong-stats
+    val junkSep = "P6\n2 2\n255X".getBytes("US-ASCII") ++ px
     val df = Seq(
-      (1L, good), (2L, truncated), (3L, badMagic), (4L, null))
+      (1L, good), (2L, truncated), (3L, badMagic), (4L, null),
+      (5L, crlf), (6L, junkSep))
       .toDF("doc_id", "media")
     val got = Multimodal.decodePpm(df).collect()
       .map(m => m.id -> m).toMap
@@ -76,6 +82,13 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(got(1L).meanR == 25.0 && got(1L).meanG == 100.0 &&
       got(1L).meanB == 255.0)
     assert(!got(2L).ok && !got(3L).ok && !got(4L).ok)
+    assert(got(5L).ok && got(5L).meanR == 25.0 && got(5L).meanB == 255.0)
+    assert(!got(6L).ok)
+    // null id isolates as an id=-1 bad row instead of failing the job
+    val nullId = spark.sql(
+      "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST('P6' AS BINARY) AS media")
+    assert(Multimodal.decodePpm(nullId).collect()
+      .forall(m => m.id == -1L && !m.ok))
   }
 
   test("resize stub: fixed output shape chained after decode") {

@@ -74,6 +74,14 @@ class TextDedupSpec extends SparkSpec {
       col("quality"))
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L))
+    // string ids would silently null out under the negated tie rule —
+    // must fail loudly instead
+    val err = intercept[IllegalArgumentException] {
+      Dedup.keepBestInCluster(
+        rows.select(col("doc_id").cast("string"), col("quality")),
+        clusters, "doc_id", col("quality"))
+    }
+    assert(err.getMessage.contains("numeric"))
   }
 
   test("dedupNearKeepBest keeps best copy per near-dup cluster") {
