@@ -129,7 +129,7 @@ object Multimodal {
   }
 
   /** Parse one P6 buffer; total function (malformed → ok=false). */
-  private[multimodal] def decodeOnePpm(id: Long, bytes: Array[Byte]): PpmMeta = {
+  private[graft] def decodeOnePpm(id: Long, bytes: Array[Byte]): PpmMeta = {
     val bad = PpmMeta(id, ok = false, 0, 0, 0, 0.0, 0.0, 0.0)
     if (bytes == null || bytes.length < 2 ||
       bytes(0) != 'P' || bytes(1) != '6') return bad

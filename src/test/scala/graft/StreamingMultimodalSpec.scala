@@ -91,6 +91,20 @@ class StreamingMultimodalSpec extends SparkSpec {
       .forall(m => m.id == -1L && !m.ok))
   }
 
+  test("decodeOnePpm is total on arbitrary bytes (fuzz, seeded)") {
+    import graft.multimodal.Multimodal
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 500) {
+      val n = rnd.nextInt(64)
+      val bytes = Array.fill(n)(rnd.nextInt(256).toByte)
+      // bias half the trials toward header-ish prefixes to reach the
+      // parser's deeper branches
+      if (trial % 2 == 0 && n >= 2) { bytes(0) = 'P'; bytes(1) = '6' }
+      val m = Multimodal.decodeOnePpm(trial.toLong, bytes) // must not throw
+      assert(m.ok || (m.width == 0 && m.height == 0))
+    }
+  }
+
   test("resize stub: fixed output shape chained after decode") {
     val df = Seq((1L, "some media bytes"), (2L, "x"))
       .toDF("doc_id", "text")
