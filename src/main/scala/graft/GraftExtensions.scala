@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimXX, Dist2XX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, PadPackXX, SimHashFpXX, TensorPackXX}
+import graft.functions.{CosineSimXX, Dist2XX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, PadPackXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * SQL functions so plain `spark.sql` users get them too.
@@ -52,6 +52,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "usage: graft_dist2(a, b)")
         Dist2XX(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sig_agree"),
+      new ExpressionInfo(classOf[SigAgreeXX].getName, "graft_sig_agree"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "usage: graft_sig_agree(sigA, sigB)")
+        SigAgreeXX(children.head, children(1))
       }))
 
     ext.injectFunction((

@@ -64,9 +64,23 @@ object Dedup {
   }
 
   /** Estimated Jaccard from two equal-length MinHash signatures: the
-    * fraction of agreeing positions.
+    * fraction of agreeing positions. The agreement count is the fused
+    * [[graft.functions.SigAgreeXX]] kernel (one compiled loop per pair
+    * instead of a zip_with + filter allocation) — bit-identical to the
+    * HOF formulation, which [[estJaccardHof]] preserves for the
+    * equivalence test.
     */
-  def estJaccard(sigA: Column, sigB: Column): Column =
+  def estJaccard(sigA: Column, sigB: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.SigAgreeXX(
+      ColumnBridge.expression(sigA), ColumnBridge.expression(sigB)))
+      .cast("double") / size(sigA)
+  }
+
+  /** HOF formulation of [[estJaccard]] — the reference semantics the
+    * kernel is pinned against.
+    */
+  private[graft] def estJaccardHof(sigA: Column, sigB: Column): Column =
     size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
       .cast("double") / size(sigA)
 

@@ -196,6 +196,30 @@ class TextDedupSpec extends SparkSpec {
     assert(reassembled == expected)
   }
 
+  test("estJaccard kernel is value-identical to the HOF formulation " +
+    "(incl. ragged and null-lane signatures)") {
+    val rnd = new scala.util.Random(7)
+    // lengths ≥ 1: both formulations divide by size(sigA), and real
+    // signatures are never empty (minhashSig coalesces empties to P)
+    val cases: Seq[(Seq[java.lang.Long], Seq[java.lang.Long])] =
+      (0 until 200).map { _ =>
+        def sig(n: Int) = Seq.tabulate[java.lang.Long](n)(i =>
+          if (rnd.nextInt(10) == 0) null
+          else java.lang.Long.valueOf(rnd.nextInt(4).toLong))
+        (sig(1 + rnd.nextInt(5)), sig(1 + rnd.nextInt(5)))
+      }
+    val df = cases.toDF("a", "b")
+    val diff = df.select(
+      Dedup.estJaccard(col("a"), col("b")).as("k"),
+      Dedup.estJaccardHof(col("a"), col("b")).as("h"))
+      .filter(!(col("k") <=> col("h")))
+    assert(diff.isEmpty, diff.collect().mkString(", "))
+    // SQL registration
+    assert(spark.sql(
+      "SELECT graft_sig_agree(array(1L, 2L, 3L), array(1L, 9L, 3L))")
+      .head().getInt(0) == 2)
+  }
+
   test("exact dedup: survivor is min id, duplicate counted") {
     val d = Dedup.exact(docs, "text", "doc_id")
     assert(d.count() == 4) // 5 docs, one exact pair
