@@ -146,6 +146,15 @@ object Dedup {
     * occur in practice).
     */
   def jaccard(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.JaccardXX(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** HOF formulation of [[jaccard]] (four array allocations per pair) —
+    * the reference semantics the fused kernel is pinned against.
+    */
+  private[graft] def jaccardHof(a: Column, b: Column): Column = {
     val da = array_distinct(a)
     val db = array_distinct(b)
     size(array_intersect(da, db)).cast("double") /

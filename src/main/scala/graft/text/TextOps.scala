@@ -257,7 +257,18 @@ object TextOps {
     *
     * Returns a struct column {n_grams, n_distinct, dup_ratio, max_count}.
     */
-  def repetition(shingleCol: Column): Column = {
+  def repetition(shingleCol: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.RepStatsXX(
+        org.apache.spark.sql.graft.ColumnBridge.expression(shingleCol)))
+
+  /** HOF formulation of [[repetition]] — the reference semantics the
+    * fused kernel is pinned against. The max-count step is
+    * O(distinct × n) per document (a nested filter per distinct
+    * shingle), which is why the kernel exists: long repetitive docs —
+    * the ones this signal flags — are exactly where that blows up.
+    */
+  private[graft] def repetitionHof(shingleCol: Column): Column = {
     val n = size(shingleCol)
     val distinctN = size(array_distinct(shingleCol))
     val maxCount = when(n === 0, 0).otherwise(

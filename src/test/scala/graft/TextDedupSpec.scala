@@ -220,6 +220,32 @@ class TextDedupSpec extends SparkSpec {
       .head().getInt(0) == 2)
   }
 
+  test("repetition and jaccard kernels are value-identical to the HOF " +
+    "formulations (random shingle multisets incl. nulls and empties)") {
+    val rnd = new scala.util.Random(11)
+    def arr() = Seq.tabulate[String](rnd.nextInt(12))(_ =>
+      if (rnd.nextInt(12) == 0) null else s"g${rnd.nextInt(5)}")
+    val cases = (0 until 300).map(_ => (arr(), arr())) :+
+      ((Seq.empty[String], Seq.empty[String]))
+    val df = cases.toDF("a", "b")
+    val repDiff = df.select(
+      TextOps.repetition(col("a")).as("k"),
+      TextOps.repetitionHof(col("a")).as("h"))
+      .filter(!(col("k") <=> col("h")))
+    assert(repDiff.isEmpty, repDiff.collect().mkString(", "))
+    val jacDiff = df.select(
+      Dedup.jaccard(col("a"), col("b")).as("k"),
+      Dedup.jaccardHof(col("a"), col("b")).as("h"))
+      .filter(!(col("k") <=> col("h")))
+    assert(jacDiff.isEmpty, jacDiff.collect().mkString(", "))
+    // SQL registrations
+    assert(spark.sql("SELECT graft_rep_stats(array('x','x','y')).max_count")
+      .head().getInt(0) == 2)
+    assert(spark.sql(
+      "SELECT graft_jaccard(array('x','y'), array('y','z'))")
+      .head().getDouble(0) == 1.0 / 3.0)
+  }
+
   test("exact dedup: survivor is min id, duplicate counted") {
     val d = Dedup.exact(docs, "text", "doc_id")
     assert(d.count() == 4) // 5 docs, one exact pair
