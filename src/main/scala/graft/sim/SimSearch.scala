@@ -153,6 +153,53 @@ object SimSearch {
     rankScored(uniq, k)
   }
 
+  /** Persist the ANN corpus as a BUCKET-PARTITIONED parquet index:
+    * one `bucket=<id>/` Hive partition per sign bucket, vectors stored
+    * with their ids. The write-once artifact that turns ANN serving
+    * into a partition-pruned scan: a query batch touching B buckets
+    * reads only those B directories (`PruneFileSourcePartitions`),
+    * ~B/2^planes of the corpus, instead of re-bucketing everything per
+    * lookup. LSH parameters must match between writer and reader.
+    */
+  def writeAnnIndex(
+      emb: DataFrame, path: String, idCol: String, vecCol: String,
+      planes: Int = 12, dim: Int = 64): Unit =
+    emb.select(col(idCol), col(vecCol),
+      simhashBucket(col(vecCol), planes, dim).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  def readAnnIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** [[annTopK]] against a persisted [[writeAnnIndex]] artifact: the
+    * query side buckets in the scan stage, the index side is READ
+    * pre-bucketed — the bucket equi-join's index scan prunes to the
+    * probed partitions. Same ranking semantics (exact cosine within
+    * bucket, multi-probe optional) as the inline flavor.
+    */
+  def annTopKFromIndex(
+      index: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, planes: Int = 12, dim: Int = 64,
+      probeBits: Int = 0): DataFrame = {
+    val qb = queries.withColumn(
+      "bucket", simhashBucket(col(vecCol), planes, dim))
+    val probes = array((col("bucket") +:
+      (0 until probeBits).map(b =>
+        col("bucket").bitwiseXOR(lit(1L << b)))): _*)
+    val q = qb.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      explode(probes).as("bucket"))
+    val c = index.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      col("bucket"))
+    val pairs = scorePairs(c.join(broadcast(q), "bucket")
+      .filter(col("qid") =!= col("cid")))
+    val uniq =
+      if (probeBits > 0)
+        pairs.select("qid", "cid", "cos_sim").dropDuplicates("qid", "cid")
+      else pairs
+    rankScored(uniq, k)
+  }
+
   /** Deterministic per-key mean of vectors with BOUNDED aggregation
     * state: a two-level id-bucketed fold. Level 1 groups by
     * `(key, id >>> log2(bucketWidth))` and folds that bucket's vectors

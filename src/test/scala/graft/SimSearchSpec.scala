@@ -171,6 +171,39 @@ class SimSearchSpec extends SparkSpec {
     assert(keptPersisted == kept)
   }
 
+  test("persisted ANN index: bucket-partitioned layout, results match " +
+    "the inline flavor, scan prunes to probed buckets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val emb = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val path = tmpDir("annidx") + "/idx"
+    SimSearch.writeAnnIndex(emb, path, "vec_id", "embedding",
+      planes = 4, dim = 8)
+    // Hive layout: one bucket=<id> partition directory per sign bucket
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("bucket=")))
+    val idx = SimSearch.readAnnIndex(spark, path)
+    val queries = emb.filter(col("vec_id") < 5)
+    val fromIndex = SimSearch.annTopKFromIndex(idx, queries,
+      "vec_id", "embedding", k = 3, planes = 4, dim = 8, probeBits = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val inline = SimSearch.annTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 5, k = 3, planes = 4, dim = 8, probeBits = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fromIndex == inline)
+    // the index scan must be partition-prunable on the bucket join key
+    // (dynamic partition pruning against the broadcast query buckets)
+    val plan = SimSearch.annTopKFromIndex(idx, queries,
+      "vec_id", "embedding", k = 3, planes = 4, dim = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") ||
+      plan.toLowerCase.contains("partitionfilters: [isnotnull(bucket"),
+      s"bucket join lost partition pruning:\n$plan")
+  }
+
   test("int8 quantization: known vector and all-zero vector") {
     import spark.implicits._
     val df = Seq(
