@@ -16,6 +16,8 @@ import graft.schema.Vintages
   * graft.cli.Main decontaminate <corpus> <evalSet> <outDir> [k] [--bloom] [--jsonl]
   * graft.cli.Main clean   <corpus> <evalSet> <outDir> [minQuality] [maxDupRatio] [--jsonl]
   * graft.cli.Main semdedup <embeddings> <outDir> [k] [threshold] [dim]
+  * graft.cli.Main ann-index <embeddings> <outDir> [planes] [dim]
+  * graft.cli.Main ann-query <idxDir> <queries> <outDir> [k] [planes] [dim]
   * graft.cli.Main pack    <corpus> <outDir> [budget] [--jsonl]
   * graft.cli.Main split   <corpus> <outDir> [seed] [--jsonl]   // writes PARQUET partitioned by split= (the exception: splits are storage layout, not a doc stream)
   * graft.cli.Main chunk   <corpus> <outDir> [size] [overlap] [--jsonl]
@@ -157,6 +159,33 @@ object Main {
         s"(minQuality=$minQ maxDupRatio=$maxDup) -> $outDir")
       spark.stop()
 
+    case "ann-index" :: corpus :: outDir :: rest =>
+      val nums = rest.filter(!_.startsWith("--"))
+      val planes = nums.headOption.map(_.toInt).getOrElse(12)
+      val dim = nums.drop(1).headOption.map(_.toInt).getOrElse(64)
+      val spark = session()
+      val emb = spark.read.parquet(corpus)
+      graft.sim.SimSearch.writeAnnIndex(emb, outDir, "vec_id", "embedding",
+        planes, dim)
+      println(s"[ann-index] ${emb.count()} vectors bucketed " +
+        s"(planes=$planes) -> $outDir")
+      spark.stop()
+
+    case "ann-query" :: idxPath :: queries :: outDir :: rest =>
+      val nums = rest.filter(!_.startsWith("--"))
+      val k = nums.headOption.map(_.toInt).getOrElse(10)
+      val planes = nums.drop(1).headOption.map(_.toInt).getOrElse(12)
+      val dim = nums.drop(2).headOption.map(_.toInt).getOrElse(64)
+      val spark = session()
+      val idx = graft.sim.SimSearch.readAnnIndex(spark, idxPath)
+      val q = spark.read.parquet(queries)
+      val hits = graft.sim.SimSearch.annTopKFromIndex(idx, q,
+        "vec_id", "embedding", k, planes, dim, probeBits = 1)
+      hits.write.mode("overwrite").parquet(outDir)
+      println(s"[ann-query] ${q.count()} queries x top-$k " +
+        s"-> ${hits.count()} hits -> $outDir")
+      spark.stop()
+
     case "semdedup" :: corpus :: outDir :: rest =>
       val nums = rest.filter(!_.startsWith("--"))
       val k = nums.headOption.map(_.toInt).getOrElse(256)
@@ -251,6 +280,8 @@ object Main {
           "decontaminate <corpus> <eval> <out> [k] [--bloom] [--jsonl] | " +
           "clean <corpus> <eval> <out> [minQuality] [maxDupRatio] [--jsonl] | " +
           "semdedup <embeddings> <out> [k] [threshold] [dim] | " +
+          "ann-index <embeddings> <out> [planes] [dim] | " +
+          "ann-query <idx> <queries> <out> [k] [planes] [dim] | " +
           "pack <corpus> <out> [budget] [--jsonl] | " +
           "split <corpus> <out> [seed] [--jsonl] (parquet, split= partitions) | " +
           "chunk <corpus> <out> [size] [overlap] [--jsonl] | " +
