@@ -682,6 +682,21 @@ object OracleSql {
          |FROM h""".stripMargin
     },
 
+    // token-quota mixture sampler: single-window SQL twin of the
+    // two-level Spark formulation (value-identical by construction)
+    "q63_token_quota" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |        len(string_split(text, ' ')) AS n_tokens,
+        |        md5(doc_id::VARCHAR || ':' || '17') AS h FROM documents),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |          ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cum_before FROM t)
+        |SELECT lang, doc_id, n_tokens::INTEGER AS n_tokens,
+        |  cum_before::BIGINT AS cum_before
+        |FROM c WHERE cum_before < 800""".stripMargin,
+
     "q41_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),

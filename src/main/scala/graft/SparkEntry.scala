@@ -835,6 +835,16 @@ object SparkEntry {
       t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
       "doc_id", gateSplits, seed = 13L)
 
+  /** Token-quota mixture sampling: each language contributes ~800
+    * tokens chosen in seeded-random order (the corpus-mixing executor;
+    * per-class budgets = mixture weights at scale).
+    */
+  def q63_token_quota(s: SparkSession, dir: String): DataFrame =
+    Relational.tokenQuotaSample(
+      docs(s, dir).select(col("lang"), col("doc_id"),
+        size(TextOps.tokensSimple(col("text"))).as("n_tokens")),
+      "lang", "doc_id", "n_tokens", budget = 800L, seed = 17L)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -899,7 +909,8 @@ object SparkEntry {
     "q59_pack_sequences" -> (q59_pack_sequences(_, _)),
     "q60_contamination_report" -> (q60_contamination_report(_, _)),
     "q61_oov_rate" -> (q61_oov_rate(_, _)),
-    "q62_hash_split" -> (q62_hash_split(_, _)))
+    "q62_hash_split" -> (q62_hash_split(_, _)),
+    "q63_token_quota" -> (q63_token_quota(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

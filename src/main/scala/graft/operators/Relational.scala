@@ -262,6 +262,50 @@ object Relational {
       .drop("_ocls", "_osg", "_sg", "_lcum", "_off", "_cum")
   }
 
+  /** Token-quota mixture sampling (the corpus-mixing executor): fill
+    * each class's TOKEN budget in seeded-random order — keep a doc iff
+    * the tokens of the docs ranked before it (by seeded md5 hash, then
+    * id) total less than `budget`, so every class contributes ~budget
+    * tokens and the boundary doc is included (the same first-crossing
+    * rule as [[tokenShards]]). Deterministic and SQL-replayable; the
+    * selection is a uniform random sample of the class weighted only by
+    * order, so it composes with upstream quality filters for
+    * DoReMi-style mixture weights (budget per class = the weight).
+    *
+    * Scale shape: the same two-level prefix sum as [[tokenShards]], but
+    * bucketed by the HASH PREFIX (first byte of the rank hash), which
+    * is monotonically aligned with the (hash, id) order — so no reducer
+    * holds a whole class and the result is value-identical to the
+    * single-window formulation at any bucket count.
+    */
+  def tokenQuotaSample(
+      df: DataFrame, classCol: String, idCol: String,
+      tokensCol: String, budget: Long, seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "budget must be positive")
+    val base = df.select(col(classCol), col(idCol), col(tokensCol))
+      .withColumn("_h", md5Rank(Seq(col(idCol)), seed))
+      // first hex byte: 256 sub-windows, lexicographically aligned
+      // with the _h order (hex prefix of the sort key)
+      .withColumn("_hb", substring(col("_h"), 1, 2))
+    val wLocal = Window.partitionBy(col(classCol), col("_hb"))
+      .orderBy(col("_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = base.withColumn("_lcum",
+      coalesce(sum(col(tokensCol)).over(wLocal), lit(0L)))
+    val wOff = Window.partitionBy(col(classCol)).orderBy(col("_hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col(classCol), col("_hb"))
+      .agg(sum(col(tokensCol)).as("_stot"))
+      .withColumn("_off", coalesce(sum(col("_stot")).over(wOff), lit(0L)))
+      .select(col(classCol).as("_ocls"), col("_hb").as("_ohb"), col("_off"))
+    local.join(offsets,
+        col(classCol) <=> col("_ocls") && col("_hb") <=> col("_ohb"))
+      .withColumn("cum_before", col("_off") + col("_lcum"))
+      .filter(col("cum_before") < budget)
+      .drop("_ocls", "_ohb", "_h", "_hb", "_lcum", "_off")
+  }
+
   /** Materialize [[tokenShards]] output into packed training SEQUENCES:
     * each (class, shard) becomes one row with its documents' texts
     * joined in id order plus doc/token counts — the final assembly step

@@ -246,6 +246,38 @@ class TextDedupSpec extends SparkSpec {
       .head().getDouble(0) == 1.0 / 3.0)
   }
 
+  test("tokenQuotaSample: ~budget tokens per class in seeded-random " +
+    "order; two-level prefix sum matches a single-window reference " +
+    "on a 90%-skew class") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.expressions.Window
+    // 90% of docs in class "big" — the whale shape
+    val d = (0 until 200).map(i =>
+      (if (i % 10 == 0) "small" else "big", i.toLong, 5 + i % 7))
+      .toDF("lang", "doc_id", "n_tokens")
+    val got = Relational.tokenQuotaSample(d, "lang", "doc_id", "n_tokens",
+      budget = 100L, seed = 17L)
+    // single-window reference formulation
+    val h = Relational.md5Rank(Seq(col("doc_id")), 17L)
+    val w = Window.partitionBy(col("lang")).orderBy(col("_h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = d.withColumn("_h", h)
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < 100L)
+      .select("lang", "doc_id", "n_tokens", "cum_before")
+    assert(got.collect().toSet.map((r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3))) ==
+      ref.collect().toSet.map((r: org.apache.spark.sql.Row) =>
+        (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3))))
+    // each class lands near its budget: ≥ budget-ish and bounded by
+    // budget + one max doc
+    val byClass = got.groupBy("lang").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byClass.values.forall(t => t >= 100L && t <= 100L + 11L),
+      s"per-class token totals off: $byClass")
+  }
+
   test("exact dedup: survivor is min id, duplicate counted") {
     val d = Dedup.exact(docs, "text", "doc_id")
     assert(d.count() == 4) // 5 docs, one exact pair
