@@ -19,6 +19,7 @@ import graft.schema.Vintages
   * graft.cli.Main ann-index <embeddings> <outDir> [planes] [dim]
   * graft.cli.Main ann-query <idxDir> <queries> <outDir> [k] [planes] [dim]
   * graft.cli.Main pack    <corpus> <outDir> [budget] [--jsonl]
+  * graft.cli.Main mix     <corpus> <outDir> [budget] [seed] [--jsonl]
   * graft.cli.Main split   <corpus> <outDir> [seed] [--jsonl]   // writes PARQUET partitioned by split= (the exception: splits are storage layout, not a doc stream)
   * graft.cli.Main chunk   <corpus> <outDir> [size] [overlap] [--jsonl]
   * graft.cli.Main tfidf   <corpus> <outDir> [--jsonl]
@@ -211,6 +212,27 @@ object Main {
         s"(seed $seed) -> $outDir")
       spark.stop()
 
+    case "mix" :: corpus :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val nums = rest.filter(!_.startsWith("--"))
+      val budget = nums.headOption.map(_.toLong).getOrElse(1000000L)
+      val seed = nums.drop(1).headOption.map(_.toLong).getOrElse(17L)
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      val cls = if (docs.columns.contains("lang")) col("lang")
+        else lit("all")
+      val base = docs.select(cls.as("lang"), col("doc_id"), col("text"),
+        size(graft.text.TextOps.tokens(col("text"))).as("n_tokens"))
+      val quota = graft.operators.Relational.tokenQuotaSample(
+        base.select("lang", "doc_id", "n_tokens"),
+        "lang", "doc_id", "n_tokens", budget, seed)
+      val kept = docs.join(quota.select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      Export.jsonl(kept, outDir)
+      println(s"[mix] ${docs.count()} docs -> ${kept.count()} kept " +
+        s"(~$budget tokens/class, seed $seed) -> $outDir")
+      spark.stop()
+
     case "pack" :: corpus :: outDir :: rest =>
       import org.apache.spark.sql.functions._
       val budget = rest.find(!_.startsWith("--")).map(_.toLong)
@@ -283,6 +305,7 @@ object Main {
           "ann-index <embeddings> <out> [planes] [dim] | " +
           "ann-query <idx> <queries> <out> [k] [planes] [dim] | " +
           "pack <corpus> <out> [budget] [--jsonl] | " +
+          "mix <corpus> <out> [budget] [seed] [--jsonl] | " +
           "split <corpus> <out> [seed] [--jsonl] (parquet, split= partitions) | " +
           "chunk <corpus> <out> [size] [overlap] [--jsonl] | " +
           "tfidf <corpus> <out> [--jsonl] | " +
