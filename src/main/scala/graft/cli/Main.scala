@@ -183,8 +183,11 @@ object Main {
       val hits = graft.sim.SimSearch.annTopKFromIndex(idx, q,
         "vec_id", "embedding", k, planes, dim, probeBits = 1)
       hits.write.mode("overwrite").parquet(outDir)
+      // count the WRITTEN output — recounting `hits` would re-execute
+      // the whole bucket join + top-k a second time
+      val n = spark.read.parquet(outDir).count()
       println(s"[ann-query] ${q.count()} queries x top-$k " +
-        s"-> ${hits.count()} hits -> $outDir")
+        s"-> $n hits -> $outDir")
       spark.stop()
 
     case "semdedup" :: corpus :: outDir :: rest =>
@@ -221,11 +224,10 @@ object Main {
       val docs = loadCorpus(spark, corpus, rest)
       val cls = if (docs.columns.contains("lang")) col("lang")
         else lit("all")
-      val base = docs.select(cls.as("lang"), col("doc_id"), col("text"),
+      val base = docs.select(cls.as("lang"), col("doc_id"),
         size(graft.text.TextOps.tokens(col("text"))).as("n_tokens"))
       val quota = graft.operators.Relational.tokenQuotaSample(
-        base.select("lang", "doc_id", "n_tokens"),
-        "lang", "doc_id", "n_tokens", budget, seed)
+        base, "lang", "doc_id", "n_tokens", budget, seed)
       val kept = docs.join(quota.select("doc_id"), Seq("doc_id"),
         "left_semi")
       Export.jsonl(kept, outDir)

@@ -15,6 +15,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * four arrays per candidate pair. Arithmetic is replayed exactly
   * (HALF_UP scale-6 rounding via BigDecimal — the same chain Spark's
   * `round` runs), so the q41/q33 oracle hash gates pin the swaps.
+  *
+  * NULL-ARRAY edge (deliberate divergence): the kernels are null-safe
+  * expressions, so a literal null ARRAY yields NULL — the HOF flavors
+  * instead surface legacy `size(null)` artifacts (-1-derived values).
+  * No pipeline path produces a null array (tokenizers coalesce), and
+  * NULL is the saner contract for external callers.
   */
 object TextStatXX {
 

@@ -135,16 +135,31 @@ object SimSearch {
       probeBits: Int = 0): DataFrame = {
     val withBucket = emb.withColumn(
       "bucket", simhashBucket(col(vecCol), planes, dim))
+    probeJoinTopK(
+      withBucket.filter(queryPred)
+        .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("bucket")),
+      withBucket
+        .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("bucket")),
+      k, probeBits, col("qid") =!= col("cid"))
+  }
+
+  /** Shared probe-join tail of every bucketed ANN flavor: explode the
+    * query side's probe buckets (the bucket itself plus the
+    * `probeBits` single-bit-flip neighbors), broadcast-join candidates
+    * on the bucket, apply `pairFilter`, dedup multi-probe candidate
+    * repeats, exact-cosine rank top-k. `q` carries (qid, qv, bucket
+    * [+ extras]); `c` carries (cid, cv, bucket [+ extras]) — extras
+    * are visible to `pairFilter`.
+    */
+  private def probeJoinTopK(
+      q: DataFrame, c: DataFrame, k: Int, probeBits: Int,
+      pairFilter: Column): DataFrame = {
     val probes = array((col("bucket") +:
       (0 until probeBits).map(b =>
         col("bucket").bitwiseXOR(lit(1L << b)))): _*)
-    val q = withBucket.filter(queryPred)
-      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
-        explode(probes).as("bucket"))
-    val c = withBucket
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("bucket"))
-    val pairs = scorePairs(c.join(broadcast(q), "bucket")
-      .filter(col("qid") =!= col("cid")))
+    val qx = q.withColumn("bucket", explode(probes))
+    val pairs = scorePairs(c.join(broadcast(qx), "bucket")
+      .filter(pairFilter))
     // a candidate can surface from several probes → dedup before ranking
     val uniq =
       if (probeBits > 0)
@@ -169,8 +184,22 @@ object SimSearch {
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   def readAnnIndex(
-      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    // partition-type inference reads the directory names back as INT
+    // (or STRING when inference is off) — restore the written LongType
+    // via schema-on-read. A post-read cast would also fix the dtype but
+    // WRAPS the partition column, and a wrapped partition attribute is
+    // not dynamic-partition-prunable (the SimSearchSpec plan assertion
+    // catches exactly that); with the declared schema the column stays
+    // a bare prunable attribute.
+    import org.apache.spark.sql.types.LongType
+    val inferred = spark.read.parquet(path).schema
+    val fixed = org.apache.spark.sql.types.StructType(inferred.map {
+      case f if f.name == "bucket" => f.copy(dataType = LongType)
+      case f => f
+    })
+    spark.read.schema(fixed).parquet(path)
+  }
 
   /** [[annTopK]] against a persisted [[writeAnnIndex]] artifact: the
     * query side buckets in the scan stage, the index side is READ
@@ -181,24 +210,14 @@ object SimSearch {
   def annTopKFromIndex(
       index: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, planes: Int = 12, dim: Int = 64,
-      probeBits: Int = 0): DataFrame = {
-    val qb = queries.withColumn(
-      "bucket", simhashBucket(col(vecCol), planes, dim))
-    val probes = array((col("bucket") +:
-      (0 until probeBits).map(b =>
-        col("bucket").bitwiseXOR(lit(1L << b)))): _*)
-    val q = qb.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      explode(probes).as("bucket"))
-    val c = index.select(col(idCol).as("cid"), col(vecCol).as("cv"),
-      col("bucket"))
-    val pairs = scorePairs(c.join(broadcast(q), "bucket")
-      .filter(col("qid") =!= col("cid")))
-    val uniq =
-      if (probeBits > 0)
-        pairs.select("qid", "cid", "cos_sim").dropDuplicates("qid", "cid")
-      else pairs
-    rankScored(uniq, k)
-  }
+      probeBits: Int = 0): DataFrame =
+    probeJoinTopK(
+      queries
+        .withColumn("bucket", simhashBucket(col(vecCol), planes, dim))
+        .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("bucket")),
+      index.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        col("bucket")),
+      k, probeBits, col("qid") =!= col("cid"))
 
   /** Deterministic per-key mean of vectors with BOUNDED aggregation
     * state: a two-level id-bucketed fold. Level 1 groups by
@@ -482,23 +501,15 @@ object SimSearch {
       probeBits: Int = 0): DataFrame = {
     val withBucket = emb.withColumn(
       "bucket", simhashBucket(col(vecCol), planes, dim))
-    val probes = array((col("bucket") +:
-      (0 until probeBits).map(b =>
-        col("bucket").bitwiseXOR(lit(1L << b)))): _*)
-    val q = withBucket.filter(queryPred)
-      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
-        col(labelCol).as("qlabel"), explode(probes).as("bucket"))
-    val c = withBucket
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
-        col(labelCol).as("clabel"), col("bucket"))
-    val pairs = scorePairs(c.join(broadcast(q), "bucket")
-      .filter(col("qid") =!= col("cid") && col("qlabel") =!= col("clabel")))
-    // a candidate can surface from several probes → dedup before ranking
-    val uniq =
-      if (probeBits > 0)
-        pairs.select("qid", "cid", "cos_sim").dropDuplicates("qid", "cid")
-      else pairs
-    rankScored(uniq, k)
+    probeJoinTopK(
+      withBucket.filter(queryPred)
+        .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+          col(labelCol).as("qlabel"), col("bucket")),
+      withBucket
+        .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+          col(labelCol).as("clabel"), col("bucket")),
+      k, probeBits,
+      col("qid") =!= col("cid") && col("qlabel") =!= col("clabel"))
   }
 
   /** Largest absolute component of a vector (the symmetric-quantization

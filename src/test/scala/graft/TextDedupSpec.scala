@@ -244,6 +244,14 @@ class TextDedupSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT graft_jaccard(array('x','y'), array('y','z'))")
       .head().getDouble(0) == 1.0 / 3.0)
+    // null ARRAY input: kernels yield NULL (the documented deliberate
+    // divergence from the HOF flavors' legacy size(null) artifacts)
+    val nullArr = Seq((Option.empty[Seq[String]], Some(Seq("x"))))
+      .toDF("a", "b")
+    val nulls = nullArr.select(
+      TextOps.repetition(col("a")).as("r"),
+      Dedup.jaccard(col("a"), col("b")).as("j")).head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
   test("tokenQuotaSample: ~budget tokens per class in seeded-random " +
