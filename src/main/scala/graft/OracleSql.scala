@@ -697,6 +697,15 @@ object OracleSql {
         |  cum_before::BIGINT AS cum_before
         |FROM c WHERE cum_before < 800""".stripMargin,
 
+    // per-class composition report — integer-exact aggregates only
+    "q64_corpus_stats" ->
+      """SELECT lang,
+        |  count(*) AS n_docs,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+        |  sum(len(text))::BIGINT AS n_chars,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang""".stripMargin,
+
     "q41_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),

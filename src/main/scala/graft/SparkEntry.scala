@@ -845,6 +845,13 @@ object SparkEntry {
         size(TextOps.tokensSimple(col("text"))).as("n_tokens")),
       "lang", "doc_id", "n_tokens", budget = 800L, seed = 17L)
 
+  /** Corpus composition report per language: docs, token/char totals,
+    * distinct sources (integer-exact aggregates).
+    */
+  def q64_corpus_stats(s: SparkSession, dir: String): DataFrame =
+    TextOps.corpusStats(t(s, dir, "documents"), "lang", "text", "source",
+      tokenizer = TextOps.tokensSimple)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -910,7 +917,8 @@ object SparkEntry {
     "q60_contamination_report" -> (q60_contamination_report(_, _)),
     "q61_oov_rate" -> (q61_oov_rate(_, _)),
     "q62_hash_split" -> (q62_hash_split(_, _)),
-    "q63_token_quota" -> (q63_token_quota(_, _)))
+    "q63_token_quota" -> (q63_token_quota(_, _)),
+    "q64_corpus_stats" -> (q64_corpus_stats(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

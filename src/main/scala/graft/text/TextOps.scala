@@ -80,6 +80,22 @@ object TextOps {
   def loadVocab(df: DataFrame, tokenCol: String = "token"): Seq[String] =
     df.select(col(tokenCol)).na.drop().collect().map(_.getString(0)).toSeq
 
+  /** Per-class corpus composition report — the sanity check before
+    * fixing a mixture: doc count, token and char totals, distinct
+    * sources per class. One hash aggregation with map-side partials;
+    * INTEGER-exact aggregates only (a float mean would depend on
+    * accumulation order and could not be engine-replayed).
+    */
+  def corpusStats(
+      df: DataFrame, classCol: String, textCol: String, sourceCol: String,
+      tokenizer: Column => Column = tokens): DataFrame =
+    df.groupBy(col(classCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokenizer(col(textCol))).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        countDistinct(col(sourceCol)).as("n_sources"))
+
   def loadBpeMerges(
       df: DataFrame, rankCol: String = "rank", leftCol: String = "left",
       rightCol: String = "right"): Seq[(String, String)] =
