@@ -36,22 +36,28 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(once) // warmup: session init, codegen, file listing
-    // min of two timed runs: the container shares cores with other jobs,
-    // and a single sample regularly absorbs 2x scheduling noise
+    // min of THREE timed runs: the container shares cores with other
+    // jobs, and min-of-two still recorded 2.5-7x contamination on a
+    // loaded box (round 6); three samples make a quiet one far likelier
     val results = names.map { n =>
-      val a = once(n)
-      val b = once(n)
-      // either run failing marks the query failed — reporting the other
+      val runs = Seq(once(n), once(n), once(n))
+      // any run failing marks the query failed — reporting another
       // run's time would record an intermittent failure as a clean pass
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      n -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }
+
+    // 1-minute system load average, recorded so a contaminated run is
+    // readable from the file itself instead of needing a judge re-run
+    // (-1.0 when the platform does not expose it)
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
 
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$loadAvg%.2f,"cpus":$cpus}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()

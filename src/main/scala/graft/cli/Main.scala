@@ -18,8 +18,9 @@ import graft.schema.Vintages
   * graft.cli.Main semdedup <embeddings> <outDir> [k] [threshold] [dim]
   * graft.cli.Main ann-index <embeddings> <outDir> [planes] [dim]
   * graft.cli.Main ann-query <idxDir> <queries> <outDir> [k] [planes] [dim]
-  * graft.cli.Main pack    <corpus> <outDir> [budget] [--jsonl]
-  * graft.cli.Main mix     <corpus> <outDir> [budget] [seed] [--jsonl]
+  * graft.cli.Main ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod]
+  * graft.cli.Main pack    <corpus> <outDir> [budget] [--jsonl] [--simple-tokens]
+  * graft.cli.Main mix     <corpus> <outDir> [budget] [seed] [--jsonl] [--simple-tokens]
   * graft.cli.Main split   <corpus> <outDir> [seed] [--jsonl]   // writes PARQUET partitioned by split= (the exception: splits are storage layout, not a doc stream)
   * graft.cli.Main chunk   <corpus> <outDir> [size] [overlap] [--jsonl]
   * graft.cli.Main tfidf   <corpus> <outDir> [--jsonl]
@@ -29,6 +30,12 @@ import graft.schema.Vintages
   * vintage ∈ {canonical, bdb2018, bdb2026} (Vintages.byName). The
   * LLM-pipeline commands read a corpus with (doc_id, text) columns —
   * parquet by default, JSONL with `--jsonl` — and write JSONL.
+  *
+  * Token budgets (`mix`, `pack`) are measured with the PRODUCTION
+  * tokenizer `TextOps.tokens`; the q59/q63 gate fixtures measure with
+  * `TextOps.tokensSimple` (the SQL-replayable split), so CLI token
+  * counts differ slightly from gate/oracle output for the same corpus.
+  * Pass `--simple-tokens` to reproduce the gate's budgets exactly.
   */
 object Main {
 
@@ -190,6 +197,29 @@ object Main {
         s"-> $n hits -> $outDir")
       spark.stop()
 
+    case "ann-eval" :: corpus :: rest =>
+      import org.apache.spark.sql.functions.col
+      val nums = rest.filter(!_.startsWith("--"))
+      val k = nums.headOption.map(_.toInt).getOrElse(10)
+      val planes = nums.drop(1).headOption.map(_.toInt).getOrElse(12)
+      val probeBits = nums.drop(2).headOption.map(_.toInt).getOrElse(1)
+      val dim = nums.drop(3).headOption.map(_.toInt).getOrElse(64)
+      val sampleMod = nums.drop(4).headOption.map(_.toLong).getOrElse(50L)
+      val spark = session()
+      val emb = spark.read.parquet(corpus)
+      // sampled query set: every sampleMod-th id — deterministic, and
+      // the brute-force baseline cost stays (n/sampleMod) × corpus
+      val pred = col("vec_id") % sampleMod === 0
+      val exact = graft.sim.SimSearch.bruteForceTopK(emb, "vec_id",
+        "embedding", pred, k).localCheckpoint()
+      val approx = graft.sim.SimSearch.annTopK(emb, "vec_id", "embedding",
+        pred, k, planes, dim, probeBits)
+      val row = graft.sim.SimSearch.recallSummary(approx, exact, k)
+        .collect()(0)
+      println(s"[ann-eval] recall@$k over ${row.getLong(0)} sampled " +
+        s"queries (planes=$planes probeBits=$probeBits): " +
+        s"mean=${row.getDouble(1)} min=${row.getDouble(2)}")
+
     case "semdedup" :: corpus :: outDir :: rest =>
       val nums = rest.filter(!_.startsWith("--"))
       val k = nums.headOption.map(_.toInt).getOrElse(256)
@@ -225,7 +255,7 @@ object Main {
       val cls = if (docs.columns.contains("lang")) col("lang")
         else lit("all")
       val base = docs.select(cls.as("lang"), col("doc_id"),
-        size(graft.text.TextOps.tokens(col("text"))).as("n_tokens"))
+        size(tokenizerFor(rest)(col("text"))).as("n_tokens"))
       val quota = graft.operators.Relational.tokenQuotaSample(
         base, "lang", "doc_id", "n_tokens", budget, seed)
       val kept = docs.join(quota.select("doc_id"), Seq("doc_id"),
@@ -245,7 +275,7 @@ object Main {
       val cls = if (docs.columns.contains("lang")) col("lang")
         else lit("all")
       val base = docs.select(cls.as("lang"), col("doc_id"), col("text"),
-        size(graft.text.TextOps.tokens(col("text"))).as("n_tokens"))
+        size(tokenizerFor(rest)(col("text"))).as("n_tokens"))
       val shards = graft.operators.Relational.tokenShards(
         base.select("lang", "doc_id", "n_tokens"),
         "lang", "doc_id", "n_tokens", budget)
@@ -306,8 +336,9 @@ object Main {
           "semdedup <embeddings> <out> [k] [threshold] [dim] | " +
           "ann-index <embeddings> <out> [planes] [dim] | " +
           "ann-query <idx> <queries> <out> [k] [planes] [dim] | " +
-          "pack <corpus> <out> [budget] [--jsonl] | " +
-          "mix <corpus> <out> [budget] [seed] [--jsonl] | " +
+          "ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod] | " +
+          "pack <corpus> <out> [budget] [--jsonl] [--simple-tokens] | " +
+          "mix <corpus> <out> [budget] [seed] [--jsonl] [--simple-tokens] | " +
           "split <corpus> <out> [seed] [--jsonl] (parquet, split= partitions) | " +
           "chunk <corpus> <out> [size] [overlap] [--jsonl] | " +
           "tfidf <corpus> <out> [--jsonl] | " +
@@ -319,4 +350,12 @@ object Main {
       flags: List[String]) =
     if (flags.contains("--jsonl")) Ingest.loadJsonl(spark, path)
     else spark.read.parquet(path)
+
+  /** Budget tokenizer for mix/pack: production `tokens` by default,
+    * `tokensSimple` with `--simple-tokens` (matches gate/oracle counts).
+    */
+  private def tokenizerFor(flags: List[String])
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    if (flags.contains("--simple-tokens")) graft.text.TextOps.tokensSimple
+    else graft.text.TextOps.tokens
 }

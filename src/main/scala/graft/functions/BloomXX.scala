@@ -38,12 +38,15 @@ object BloomXX {
     */
   def build(df: DataFrame, column: String, fpp: Double): Array[Byte] = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // size from the null-dropped projection — the rows actually
+    // inserted (counting df itself would let null rows inflate n)
+    val cleaned = df.select(col(column)).na.drop()
     // floor the sizing: a tiny reference set would otherwise get a
     // sub-100-bit filter whose REAL fp rate dwarfs the nominal fpp —
     // 4096 items is a few KB, effectively zero fp for small sets
-    val n = math.max(df.count(), 4096L)
+    val n = math.max(cleaned.count(), 4096L)
     val zero = BloomFilter.create(n, fpp)
-    val bf = df.select(col(column)).na.drop().rdd
+    val bf = cleaned.rdd
       .treeAggregate(zero)(
         (acc, row) => { acc.putBinary(row.getString(0).getBytes("UTF-8")); acc },
         (a, b) => { a.mergeInPlace(b); a })
@@ -58,19 +61,25 @@ object BloomXX {
     */
   def mightContain(c: Column, bloomBytes: Array[Byte]): Column =
     ColumnBridge.column(
-      BloomMightContainXX(ColumnBridge.expression(c), bloomBytes))
+      BloomMightContainXX(ColumnBridge.expression(c),
+        bloomBytes.toIndexedSeq))
 }
 
 /** Catalyst expression probing a serialized Bloom filter with a string
   * child (UTF-8 bytes — the byte-level twin of [[BloomXX.build]]'s
   * `putBinary`). The filter deserializes once per executor via the
   * transient lazy and is referenced directly from generated code.
+  * The filter bytes are held as an IndexedSeq, NOT an Array: array
+  * equality is reference-based, which would make two semantically
+  * identical probes never compare equal and defeat Catalyst expression
+  * dedup / subexpression elimination.
   */
-case class BloomMightContainXX(child: Expression, bloomBytes: Array[Byte])
+case class BloomMightContainXX(child: Expression,
+    bloomBytes: IndexedSeq[Byte])
     extends UnaryExpression {
 
   @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes.toArray))
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {

@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * *decode* kernel is a clearly-marked deterministic STUB because no
   * image/audio codec library is available in this environment. Swapping
   * the stub for a real decoder (JNI/FFI per partition) changes zero lines
-  * outside `decodeStub` — and [[decodePpm]] PROVES that contract with a
-  * real, codec-free decoder (binary P6 PPM is ASCII header + raw RGB
-  * bytes, pure byte arithmetic).
+  * outside `decodeStub` — and two REAL, dependency-free decoders prove
+  * that contract: [[decodePpm]] (binary P6 PPM — ASCII header + raw RGB
+  * bytes, pure byte arithmetic) and [[decodePng]] (8-bit non-interlaced
+  * PNG — `java.util.zip.Inflater` + the five scanline filters, pure
+  * JDK). Only formats needing an external codec (JPEG, audio, video)
+  * remain stubbed.
   *
   * Scale shape: metadata ops run inside the scan stage (no shuffle);
   * decode runs as `mapPartitions` so the per-partition codec context is
@@ -173,6 +176,189 @@ object Multimodal {
     }
     val n = (w.toLong * h).toDouble
     PpmMeta(id, ok = true, w, h, maxVal, sr / n, sg / n, sb / n)
+  }
+
+  /** One decoded PNG image's metadata + channel statistics (`ok=false`
+    * rows carry zeroed fields — per-item isolation, as [[PpmMeta]]).
+    * Gray images report their mean in all three channels; alpha is
+    * ignored for the means.
+    */
+  final case class PngMeta(
+      id: Long, ok: Boolean, width: Int, height: Int, bitDepth: Int,
+      colorType: Int, meanR: Double, meanG: Double, meanB: Double)
+
+  /** REAL decoder for (non-interlaced, 8-bit) PNG images — pure JDK:
+    * `java.util.zip.Inflater` decompresses the IDAT stream and the five
+    * per-scanline filters (None/Sub/Up/Average/Paeth) un-apply with
+    * byte arithmetic, so no codec library is needed. Supports color
+    * types 0 (gray), 2 (RGB), 4 (gray+alpha) and 6 (RGBA) at bit depth
+    * 8 — the overwhelming majority of real-world PNGs; everything else
+    * (16-bit, palette, Adam7 interlace) returns `ok=false` rather than
+    * approximate statistics. Chunk CRCs are NOT verified (corruption
+    * surfaces as inflate failure or length mismatch → `ok=false`);
+    * malformed headers claiming huge rasters are rejected by a
+    * deflate-ratio bound before any allocation, so one hostile file
+    * cannot OOM an executor. Same `mapPartitions` batch shape as
+    * [[decodePpm]].
+    */
+  def decodePng(df: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media",
+      maxRasterBytes: Long = 256L * 1024 * 1024): Dataset[PngMeta] = {
+    val rows = df.select(col(idCol).cast("long"), col(mediaCol))
+    rows.mapPartitions { it =>
+      // real codecs: init decoder context HERE, once per partition
+      it.map { r =>
+        val id = if (r.isNullAt(0)) -1L else r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (r.isNullAt(0)) PngMeta(id, ok = false, 0, 0, 0, 0, 0.0, 0.0, 0.0)
+        else decodeOnePng(id, bytes, maxRasterBytes)
+      }
+    }(Encoders.product[PngMeta])
+  }
+
+  private val PngSignature: Array[Int] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Parse one PNG buffer; total function (malformed → ok=false). */
+  private[graft] def decodeOnePng(id: Long, bytes: Array[Byte],
+      maxRasterBytes: Long = 256L * 1024 * 1024): PngMeta = {
+    val bad = PngMeta(id, ok = false, 0, 0, 0, 0, 0.0, 0.0, 0.0)
+    if (bytes == null || bytes.length < 8 + 25 + 12) return bad
+    var i = 0
+    while (i < 8) {
+      if ((bytes(i) & 0xff) != PngSignature(i)) return bad
+      i += 1
+    }
+    def be32(p: Int): Long =
+      ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+        ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+    // walk chunks: IHDR must come first; IDAT segments concatenate
+    var pos = 8
+    var w = 0L; var h = 0L; var bitDepth = -1; var colorType = -1
+    var interlace = -1
+    var sawIhdr = false
+    var idatLen = 0L
+    val idatParts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var done = false
+    while (!done) {
+      if (pos + 8 > bytes.length) return bad
+      val len = be32(pos)
+      if (len > Int.MaxValue - 12 || pos + 12 + len > bytes.length) return bad
+      val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
+      val dataAt = pos + 8
+      ctype match {
+        case "IHDR" =>
+          if (sawIhdr || len != 13) return bad
+          sawIhdr = true
+          w = be32(dataAt); h = be32(dataAt + 4)
+          bitDepth = bytes(dataAt + 8) & 0xff
+          colorType = bytes(dataAt + 9) & 0xff
+          interlace = bytes(dataAt + 12) & 0xff
+        case "IDAT" =>
+          if (!sawIhdr) return bad
+          idatParts += ((dataAt, len.toInt))
+          idatLen += len
+        case "IEND" => done = true
+        case _ => // ancillary chunk — skip
+      }
+      pos += (12 + len).toInt // bounded: pos + 12 + len <= bytes.length
+    }
+    if (!sawIhdr || idatParts.isEmpty) return bad
+    if (bitDepth != 8 || interlace != 0) return bad
+    val channels = colorType match {
+      case 0 => 1 // gray
+      case 2 => 3 // rgb
+      case 4 => 2 // gray + alpha
+      case 6 => 4 // rgba
+      case _ => return bad // palette (3) and invalid types unsupported
+    }
+    if (w <= 0 || h <= 0) return bad
+    val stride = w * channels
+    val expected = h * (1 + stride) // one filter byte per scanline
+    // deflate expands at most ~1032:1 — a header claiming a raster the
+    // IDAT stream cannot possibly hold is malformed; reject BEFORE
+    // allocating, so a 100-byte hostile file cannot claim a 4 GB raster
+    if (expected > maxRasterBytes || expected > idatLen * 1100L + 4096L)
+      return bad
+    val raw = new Array[Byte](expected.toInt)
+    val inflater = new java.util.zip.Inflater()
+    try {
+      var out = 0
+      var part = 0
+      while (out < raw.length && part <= idatParts.length) {
+        if (inflater.needsInput()) {
+          if (part >= idatParts.length) return bad // stream truncated
+          val (off, len) = idatParts(part)
+          inflater.setInput(bytes, off, len)
+          part += 1
+        }
+        val n = inflater.inflate(raw, out, raw.length - out)
+        out += n
+        if (n == 0 && inflater.finished()) {
+          if (out < raw.length) return bad
+        } else if (n == 0 && !inflater.needsInput() &&
+          !inflater.needsDictionary()) return bad
+        if (inflater.needsDictionary()) return bad // not legal in PNG
+      }
+      if (out < raw.length) return bad
+    } catch {
+      case _: java.util.zip.DataFormatException => return bad
+    } finally inflater.end()
+    // un-filter scanlines and accumulate channel sums in the same pass
+    val st = stride.toInt
+    val bpp = channels
+    var prior = new Array[Int](st)
+    var recon = new Array[Int](st)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = 0
+    var row = 0L
+    while (row < h) {
+      val ft = raw(p) & 0xff
+      if (ft > 4) return bad
+      p += 1
+      var x = 0
+      while (x < st) {
+        val rv = raw(p + x) & 0xff
+        val a = if (x >= bpp) recon(x - bpp) else 0
+        val b = prior(x)
+        val c = if (x >= bpp) prior(x - bpp) else 0
+        val v = ft match {
+          case 0 => rv
+          case 1 => rv + a
+          case 2 => rv + b
+          case 3 => rv + ((a + b) >> 1)
+          case 4 =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a)
+            val pb = math.abs(pp - b)
+            val pc = math.abs(pp - c)
+            rv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        recon(x) = v & 0xff
+        x += 1
+      }
+      var px = 0
+      while (px < st) {
+        colorType match {
+          case 0 => sr += recon(px); px += 1
+          case 2 =>
+            sr += recon(px); sg += recon(px + 1); sb += recon(px + 2)
+            px += 3
+          case 4 => sr += recon(px); px += 2 // alpha ignored
+          case 6 =>
+            sr += recon(px); sg += recon(px + 1); sb += recon(px + 2)
+            px += 4
+        }
+      }
+      val tmp = prior; prior = recon; recon = tmp
+      p += st
+      row += 1
+    }
+    val n = (w * h).toDouble
+    val (mr, mg, mb) =
+      if (colorType == 0 || colorType == 4) (sr / n, sr / n, sr / n)
+      else (sr / n, sg / n, sb / n)
+    PngMeta(id, ok = true, w.toInt, h.toInt, bitDepth, colorType, mr, mg, mb)
   }
 
   /** Frame sampling plumbing: cut the byte stream into fixed-size chunks

@@ -224,7 +224,9 @@ object Relational {
     * — corpus/bucketWidth rows through the per-class window) into
     * bucket offsets, and `offset + local` reassembles the exact global
     * prefix sum. The result is value-identical for any `bucketWidth`,
-    * which therefore needs no oracle coordination.
+    * which therefore needs no oracle coordination. Token counts must be
+    * non-negative (they are counts): the bucket total is read off the
+    * window output as max(inclusive prefix), which needs monotonicity.
     */
   def tokenShards(
       df: DataFrame, classCol: String, idCol: String,
@@ -245,11 +247,19 @@ object Relational {
       coalesce(sum(col(tokensCol)).over(wLocal), lit(0L)))
     val wOff = Window.partitionBy(col(classCol)).orderBy(col("_sg"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // totals aggregate over `local`, not `base`: the groupBy keys equal
-    // the window's partition keys, so the aggregation reuses the window
-    // exchange instead of re-shuffling the input a second time
+    // bucket totals come from the WINDOW OUTPUT, not from re-aggregating
+    // the input: the inclusive prefix `_lcum + tokens` is non-decreasing
+    // inside a bucket (tokens ≥ 0), so its max IS the bucket sum — and
+    // because the expression references `_lcum`, Catalyst cannot prune
+    // the window out of this subtree and re-derive it from the scan
+    // (`sum(tokens)` planned exactly that: a SECOND full corpus scan +
+    // tokenize + shuffle for the totals branch — the 100 TB killer this
+    // formulation exists to avoid). The agg keys equal the window
+    // partition keys, so no new shuffle: one scan, one exchange, both
+    // consumers. Null tokens behave identically to sum(tokens) — rows
+    // with null contribute null to the max, which ignores them.
     val offsets = local.groupBy(col(classCol), col("_sg"))
-      .agg(sum(col(tokensCol)).as("_stot"))
+      .agg(max(col("_lcum") + col(tokensCol)).as("_stot"))
       .withColumn("_off", coalesce(sum(col("_stot")).over(wOff), lit(0L)))
       .select(col(classCol).as("_ocls"), col("_sg").as("_osg"), col("_off"))
     // NULL-SAFE join keys: a null class (or null id → null _sg) is a
@@ -273,21 +283,31 @@ object Relational {
     * DoReMi-style mixture weights (budget per class = the weight).
     *
     * Scale shape: the same two-level prefix sum as [[tokenShards]], but
-    * bucketed by the HASH PREFIX (first byte of the rank hash), which
-    * is monotonically aligned with the (hash, id) order — so no reducer
-    * holds a whole class and the result is value-identical to the
-    * single-window formulation at any bucket count.
+    * bucketed by the HASH PREFIX (first `hashPrefixLen` hex chars of the
+    * rank hash), which is monotonically aligned with the (hash, id)
+    * order — so no reducer holds a whole class and the result is
+    * value-identical to the single-window formulation at any bucket
+    * count. `hashPrefixLen` sizes the level-1 fan-out: 16^len buckets,
+    * so a level-1 window partition holds ~class_size/16^len rows — the
+    * default 4 (65,536 buckets) keeps a 100 TB dominant-language class
+    * in sub-window pieces a single task can hold, where 2 (256 buckets)
+    * would funnel class_size/256 rows through each window task. The
+    * hash is uniform, so bucket sizes do not skew; selection is
+    * prefix-length-invariant, so the knob needs no oracle coordination.
     */
   def tokenQuotaSample(
       df: DataFrame, classCol: String, idCol: String,
-      tokensCol: String, budget: Long, seed: Long): DataFrame = {
+      tokensCol: String, budget: Long, seed: Long,
+      hashPrefixLen: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0, "budget must be positive")
+    require(hashPrefixLen > 0 && hashPrefixLen <= 32,
+      s"hashPrefixLen must be in [1, 32], got $hashPrefixLen")
     val base = df.select(col(classCol), col(idCol), col(tokensCol))
       .withColumn("_h", md5Rank(Seq(col(idCol)), seed))
-      // first hex byte: 256 sub-windows, lexicographically aligned
-      // with the _h order (hex prefix of the sort key)
-      .withColumn("_hb", substring(col("_h"), 1, 2))
+      // hex prefix of the sort key: 16^len sub-windows, lexicographically
+      // aligned with the _h order
+      .withColumn("_hb", substring(col("_h"), 1, hashPrefixLen))
     val wLocal = Window.partitionBy(col(classCol), col("_hb"))
       .orderBy(col("_h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -295,8 +315,11 @@ object Relational {
       coalesce(sum(col(tokensCol)).over(wLocal), lit(0L)))
     val wOff = Window.partitionBy(col(classCol)).orderBy(col("_hb"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // max(inclusive prefix) = bucket total, computed from the window
+    // output so the totals branch shares the window subtree instead of
+    // re-scanning the corpus — see tokenShards for the full rationale
     val offsets = local.groupBy(col(classCol), col("_hb"))
-      .agg(sum(col(tokensCol)).as("_stot"))
+      .agg(max(col("_lcum") + col(tokensCol)).as("_stot"))
       .withColumn("_off", coalesce(sum(col("_stot")).over(wOff), lit(0L)))
       .select(col(classCol).as("_ocls"), col("_hb").as("_ohb"), col("_off"))
     local.join(offsets,

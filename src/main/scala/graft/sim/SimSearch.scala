@@ -219,6 +219,51 @@ object SimSearch {
         col("bucket")),
       k, probeBits, col("qid") =!= col("cid"))
 
+  /** Recall@k of an approximate top-k result against the exact baseline
+    * — THE acceptance metric for every index build: run
+    * [[bruteForceTopK]] on a SAMPLED query set, run the candidate index
+    * ([[annTopK]], [[annTopKFromIndex]], [[ivfTopK]], ...) on the same
+    * queries, and read the recall before trusting the index. Both
+    * inputs are (qid, rank, neighbor, ...) frames as every searcher
+    * here emits; rows ranked ≥ k are ignored, so differing result
+    * depths compare fairly. Per-query recall = |approx ∩ exact| /
+    * |exact top-k| (a query with fewer than k true neighbors is scored
+    * against what exists). Queries the approx side missed entirely
+    * score 0 — silent misses are exactly what the harness must surface.
+    *
+    * Scale shape: two narrow (qid, neighbor) projections, one semi-join,
+    * two qid-keyed aggregations — everything is id pairs, bounded by
+    * (sampled queries × k), never by corpus size.
+    *
+    * Output: (qid, n_exact, n_hit, recall), recall rounded to 6.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val ex = exact.filter(col("rank") < k)
+      .select(col("qid"), col("neighbor"))
+    val ap = approx.filter(col("rank") < k)
+      .select(col("qid"), col("neighbor"))
+    val hits = ex.join(ap, Seq("qid", "neighbor"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    ex.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact"), 6).as("recall"))
+  }
+
+  /** One-row summary of [[recallAtK]]: query count, mean and minimum
+    * per-query recall — the line an index build prints as its
+    * acceptance check.
+    */
+  def recallSummary(
+      approx: DataFrame, exact: DataFrame, k: Int): DataFrame =
+    recallAtK(approx, exact, k).agg(
+      count(lit(1)).as("n_queries"),
+      round(avg(col("recall")), 6).as("mean_recall"),
+      min(col("recall")).as("min_recall"))
+
   /** Deterministic per-key mean of vectors with BOUNDED aggregation
     * state: a two-level id-bucketed fold. Level 1 groups by
     * `(key, id >>> log2(bucketWidth))` and folds that bucket's vectors
@@ -559,38 +604,76 @@ object SimSearch {
     *
     * Scale shape: candidate pairs form only inside a cell (equi-join on
     * the cluster id — never all-pairs), so pair volume is bounded by
-    * cell sizes, and k is the knob: real deployments size k ∝ n /
+    * cell sizes, and k is the first knob: real deployments size k ∝ n /
     * (target cell size) so cells stay in the low thousands and the
-    * within-cell join is a bounded quadratic. Training is [[kmeansFit]]
-    * (the expensive part, persistable); scoring + pairing shuffle
-    * (id, vector) rows keyed by cell — one shuffle each side.
+    * within-cell join is a bounded quadratic. k alone cannot bound a
+    * HOT cell, though — k-means cells skew, and one popular embedding
+    * region can hold an unbounded corpus fraction regardless of k — so
+    * any cell past `cellCap` rows is additionally SUB-BUCKETED by
+    * hyperplane sign bits (the [[cosineNearDupPairs]] blocking trick)
+    * before pairing; see [[semDedupWithCentroids]]. Training is
+    * [[kmeansFit]] (the expensive part, persistable); scoring + pairing
+    * shuffle (id, vector) rows keyed by cell — one shuffle each side.
     */
   def semDedup(
       emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, threshold: Double,
       dim: Int = 64, bucketWidth: Long = 4096L,
-      maxIter: Int = 20): DataFrame =
+      maxIter: Int = 20, cellCap: Long = 1L << 20,
+      subPlanes: Int = 16): DataFrame =
     semDedupWithCentroids(emb,
       kmeansFit(emb, idCol, vecCol, k, iters, dim, bucketWidth),
-      idCol, vecCol, threshold, maxIter)
+      idCol, vecCol, threshold, maxIter, cellCap, subPlanes, dim)
 
   /** [[semDedup]] against an already-TRAINED (cid, cv) centroid table
     * ([[kmeansFit]]'s output, persistable as k rows of parquet) —
     * train once, dedup any corpus drop against the same cells without
     * re-running Lloyd.
+    *
+    * Hot-cell bound: the within-cell pairing is quadratic in cell size,
+    * so any cell holding more than `cellCap` rows is split into
+    * hyperplane sign-bit sub-buckets before the pair join — a cell of
+    * size s gets ceil(log2(s / cellCap)) sign bits (capped at
+    * `subPlanes`), so per-bucket pair fan-out stays ~cellCap² no matter
+    * how skewed the k-means cells are. The split trades recall the same
+    * way [[cosineNearDupPairs]]'s blocking does: a near-dup pair whose
+    * members land in different sub-buckets is missed — sign-bit
+    * agreement is exactly what cosine-similar vectors have with high
+    * probability, so the loss concentrates on pairs near the threshold.
+    * The default cap (2^20 rows) never triggers below a million-row
+    * cell, so small-corpus results are bit-identical to the unbounded
+    * formulation. Cell sizes come from one narrow count aggregation
+    * (one row per cell — broadcast back).
     */
   def semDedupWithCentroids(
       emb: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, maxIter: Int = 20): DataFrame = {
+      threshold: Double, maxIter: Int = 20, cellCap: Long = 1L << 20,
+      subPlanes: Int = 16, dim: Int = 64): DataFrame = {
+    require(cellCap > 0, "cellCap must be positive")
+    require(subPlanes >= 0 && subPlanes <= 62,
+      s"subPlanes must be in [0, 62], got $subPlanes")
     val cells = assignToCentroids(emb, centroids, idCol, vecCol)
       .select(col(idCol), col("cluster").as("_cell"))
+    val cellSizes = cells.groupBy(col("_cell")).agg(count(lit(1)).as("_cn"))
+    // bits per cell: 0 when under the cap, else enough sign bits that
+    // the expected sub-bucket size falls back under it
+    val bits = when(col("_cn") <= cellCap, lit(0))
+      .otherwise(least(
+        ceil(log(2.0, col("_cn").cast("double") / cellCap)).cast("int"),
+        lit(subPlanes)))
     val sides = emb.select(col(idCol), col(vecCol).as("_v"))
       .join(cells, Seq(idCol))
-    val a = sides.select(col("_cell"), col(idCol).as("id_a"),
+      .join(broadcast(cellSizes.select(col("_cell"), bits.as("_bits"))),
+        Seq("_cell"))
+      .withColumn("_sub",
+        when(col("_bits") === 0, lit(0L)).otherwise(
+          simhashBucket(col("_v"), subPlanes, dim)
+            .bitwiseAND(expr("shiftleft(1L, _bits) - 1L"))))
+    val a = sides.select(col("_cell"), col("_sub"), col(idCol).as("id_a"),
       col("_v").as("_va"))
-    val b = sides.select(col("_cell"), col(idCol).as("id_b"),
+    val b = sides.select(col("_cell"), col("_sub"), col(idCol).as("id_b"),
       col("_v").as("_vb"))
-    val pairs = a.join(b, Seq("_cell"))
+    val pairs = a.join(b, Seq("_cell", "_sub"))
       .filter(col("id_a") < col("id_b"))
       .filter(round(cosineFast(col("_va"), col("_vb")), 6) >= threshold)
       .select("id_a", "id_b")

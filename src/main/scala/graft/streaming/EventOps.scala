@@ -145,8 +145,16 @@ object EventOps {
     val tsl = col("ts").cast("long")
     val base = events.withColumn("_tb",
       expr(s"CAST(ts AS BIGINT) div ${bucketSec}L"))
+    // `value` trails the sort key as a semantically-inert tiebreak
+    // (event_id is already a total order). Load-bearing for SCALE, not
+    // semantics: the level-1 shuffle feeds two consumers — the session
+    // assembly (which reads `value`) and the per-bucket offsets branch
+    // (which does not). Without this, column pruning drops `value` from
+    // the offsets branch's copy of the shuffle, the two exchanges stop
+    // canonicalizing equal, AQE cannot reuse the stage, and the events
+    // source is scanned AND shuffled twice (PlanGateSpec pins the reuse).
     val wLocal = Window.partitionBy(col("user_id"), col("_tb"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts"), col("event_id"), col("value"))
     val local = base
       .withColumn("_lflag",
         when(tsl - lag(tsl, 1).over(wLocal) > gapSec, 1L).otherwise(0L))

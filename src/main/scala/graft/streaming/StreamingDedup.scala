@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.text.{Dedup, TextOps}
+
+/** Streaming near-dedup against a GROWING signed index — the packaged
+  * incremental-corpus-extension pipeline: new document drops arrive as a
+  * stream, each micro-batch is near-deduped against everything already
+  * accepted (the persisted [[Dedup.writeSignedIndex]] artifact), and the
+  * batch's own survivors' signatures are APPENDED to that index so the
+  * NEXT batch also dedups against them. This is the `foreachBatch`
+  * wiring [[Dedup.dedupNearAgainstIndexBatch]] documents itself as —
+  * stream-vs-stream duplicates (doc arrives twice in different batches)
+  * are caught because batch N's survivors are in the index before batch
+  * N+1 runs.
+  *
+  * Per micro-batch:
+  *   1. optional WITHIN-batch near-dedup ([[Dedup.dedupNear]]) — two
+  *      copies arriving in the same batch keep one;
+  *   2. anti-join against the signed index (pure equi-join on the
+  *      band:bucket key — works at any index size, never a broadcast);
+  *   3. append survivors to `outPath` (parquet);
+  *   4. sign survivors and append to `indexPath`.
+  *
+  * A missing/empty `indexPath` bootstraps cleanly: the first batch skips
+  * step 2 and its survivors found the index. LSH parameters must match
+  * the index's writer for every reader — they are baked into both the
+  * signatures and the bucket keys.
+  *
+  * Delivery semantics: `foreachBatch` is at-least-once; survivors are
+  * written to `outPath` BEFORE their signatures reach the index, so a
+  * crash between the two writes can duplicate rows in `outPath` on
+  * replay (the replayed batch anti-joins an index that does not yet
+  * know it) — never silently LOSE documents, which the reverse order
+  * would (signatures land, crash, replay drops every survivor as a
+  * "duplicate" of itself). Exactly-once needs a transactional sink.
+  *
+  * Scale shape: everything per batch is the audited batch machinery —
+  * the index side shuffles only (sig, bucket) pairs, the stream side
+  * signs its own docs once, and index growth is append-only parquet
+  * (compact it offline like any lake table).
+  */
+object StreamingDedup {
+
+  def start(
+      stream: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, textCol: String, idCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      tokenizer: Column => Column = TextOps.tokens,
+      dedupWithinBatch: Boolean = true,
+      maxIter: Int = 20,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, indexPath, outPath, textCol, idCol, shingleK,
+          bands, rowsPerBand, threshold, tokenizer, dedupWithinBatch,
+          maxIter)
+      }
+      .start()
+
+  /** One micro-batch of [[start]] — public so batch jobs (and tests)
+    * can drive the same incremental pipeline without a stream.
+    */
+  def processBatch(
+      batch: DataFrame, indexPath: String, outPath: String,
+      textCol: String, idCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      tokenizer: Column => Column = TextOps.tokens,
+      dedupWithinBatch: Boolean = true,
+      maxIter: Int = 20): Unit = {
+    val spark = batch.sparkSession
+    val withinDeduped =
+      if (dedupWithinBatch)
+        Dedup.dedupNear(batch, textCol, idCol, shingleK, bands,
+          rowsPerBand, threshold, tokenizer, maxIter)
+      else batch
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val kept =
+      if (fs.exists(hPath))
+        Dedup.dedupNearAgainstIndexBatch(withinDeduped,
+          Dedup.readSignedIndex(spark, indexPath),
+          textCol, idCol, shingleK, bands, rowsPerBand, threshold,
+          tokenizer)
+      else withinDeduped
+    // materialize once: the survivor set feeds BOTH writes, and without
+    // the cut the index append would replay the whole anti-join
+    val keptC = kept.localCheckpoint()
+    keptC.write.mode("append").parquet(outPath)
+    Dedup.signIndex(keptC, textCol, idCol, shingleK, bands, rowsPerBand,
+      tokenizer)
+      .write.mode("append").parquet(indexPath)
+  }
+}

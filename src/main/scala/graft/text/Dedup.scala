@@ -68,7 +68,14 @@ object Dedup {
     * [[graft.functions.SigAgreeXX]] kernel (one compiled loop per pair
     * instead of a zip_with + filter allocation) — bit-identical to the
     * HOF formulation, which [[estJaccardHof]] preserves for the
-    * equivalence test.
+    * equivalence test, on every NON-NULL input. A literal NULL
+    * signature array yields NULL from the kernel (null-safe — no
+    * signature, no estimate) and, under this engine's ANSI defaults
+    * (`size(null) = null`), NULL from the HOF too; only under the
+    * legacy `spark.sql.legacy.sizeOfNull` flag would the HOF diverge
+    * to 1.0 (`-1 / -1`). The kernel's NULL is the contract either way;
+    * no pipeline here produces null signatures ([[TextOps.minhashSig]]
+    * is total over non-null text).
     */
   def estJaccard(sigA: Column, sigB: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
@@ -573,7 +580,13 @@ object Dedup {
     * task. Survivor ids flow back via a semi-join (broadcast when they
     * fit). `score` must be deterministic (round floats at a fixed
     * scale) or ties can flip between runs; `idCol` must be numeric (the
-    * tie rule negates it).
+    * tie rule negates it — in decimal(38,18), whose 20 integral digits
+    * make negation exact over the FULL long range; a raw long negation
+    * would silently no-op on `Long.MinValue` and break
+    * lowest-id-wins). Rows of `df`
+    * ABSENT from `clusters` are DROPPED by the inner membership join —
+    * pass [[clusterLabels]] output, which covers every id (singletons
+    * included), and coverage is total.
     */
   def keepBestInCluster(
       df: DataFrame, clusters: DataFrame, idCol: String,
@@ -589,11 +602,14 @@ object Dedup {
       .select(col(idCol), score.as("_score"))
       .join(clusters.withColumnRenamed("id", idCol), Seq(idCol))
     // lexicographic struct max: highest score first, then highest
-    // negated id = LOWEST id — the deterministic tie rule
+    // negated id = LOWEST id — the deterministic tie rule. Negation in
+    // decimal(20,0): exact for every long, including Long.MinValue
+    val idType = df.schema(idCol).dataType
     val best = scored
       .groupBy(col("cluster"))
-      .agg(max(struct(col("_score"), (-col(idCol)).as("_nid"))).as("_b"))
-      .select((-col("_b._nid")).as(idCol))
+      .agg(max(struct(col("_score"),
+        (-col(idCol).cast("decimal(38,18)")).as("_nid"))).as("_b"))
+      .select((-col("_b._nid")).cast(idType).as(idCol))
     df.join(best, Seq(idCol), "left_semi")
   }
 

@@ -27,6 +27,17 @@ object Pipeline {
     * @param maxDupRatio  keep docs with duplicate-shingle ratio ≤ this
     * @param nearThreshold MinHash est-Jaccard for the near-dup stage
     * @param decontamK    word k-gram width for eval-overlap removal
+    * @param useBloom     decontaminate through the Bloom prefilter
+    *                     ([[Dedup.decontaminateBloom]]) — the default and
+    *                     the 100 TB shape: only grams that MIGHT overlap
+    *                     the eval set reach the exact verification join,
+    *                     instead of shuffling every distinct training
+    *                     gram. Row-identical to the exact flavor at any
+    *                     `fpp` (no false negatives + exact verify), so
+    *                     flipping the flag never changes the output —
+    *                     `false` only skips the filter build, which can
+    *                     win at toy scale.
+    * @param fpp          Bloom false-positive rate (size/volume trade)
     */
   /** Stage boundaries are materialized as NARROW kept-id sets
     * (`localCheckpoint`) and each stage's input is rebuilt as a
@@ -45,7 +56,8 @@ object Pipeline {
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       nearThreshold: Double = 0.5, decontamK: Int = 13,
       tokenizer: Column => Column = TextOps.tokens,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, useBloom: Boolean = true,
+      fpp: Double = 0.01): DataFrame = {
     def stage(ids: DataFrame): DataFrame =
       corpus.join(ids.localCheckpoint(), Seq(idCol), "left_semi")
     // filter + exact dedup FUSE into one scan + one hash aggregation:
@@ -71,7 +83,12 @@ object Pipeline {
       rowsPerBand, tokenizer).localCheckpoint()
     val near = Dedup.dedupNearFromIndex(deduped, idx, idCol,
       nearThreshold, maxIter)
-    Dedup.decontaminate(stage(near.select(col(idCol))), evalSet,
-      textCol, idCol, decontamK, tokenizer)
+    val survivors = stage(near.select(col(idCol)))
+    if (useBloom)
+      Dedup.decontaminateBloom(survivors, evalSet, textCol, idCol,
+        decontamK, fpp, tokenizer)
+    else
+      Dedup.decontaminate(survivors, evalSet, textCol, idCol, decontamK,
+        tokenizer)
   }
 }

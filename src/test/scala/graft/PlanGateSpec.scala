@@ -44,6 +44,44 @@ class PlanGateSpec extends SparkSpec {
       s"q55 lost its scan-stage bloom prefilter:\n$p")
   }
 
+  test("two-level prefix sums (q40/q63): the totals branch REUSES the " +
+    "level-1 window shuffle — one corpus scan, not two") {
+    // the sum(tokens)-over-input formulation silently planned a SECOND
+    // full scan + tokenize + shuffle for the per-bucket totals (Catalyst
+    // prunes an unreferenced Window and re-derives from the scan); the
+    // max(inclusive-prefix) formulation forces the totals to consume the
+    // window output, and AQE then reuses the shuffle stage. Reuse is a
+    // RUNTIME decision, so assert on the final adaptive plan.
+    for (name <- Seq("q40_token_shards", "q63_token_quota")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.queryExecution.toRdd.count() // drive AQE to the final plan
+      val full = df.queryExecution.executedPlan.toString
+      val finalPlan = full.split("== Initial Plan ==").head
+      assert(finalPlan.contains("ReusedExchange"),
+        s"$name: totals branch no longer reuses the window exchange:\n" +
+          finalPlan)
+      val scans = "FileScan parquet".r.findAllIn(finalPlan).length
+      assert(scans == 1,
+        s"$name: $scans corpus scans in the final plan (want 1):\n" +
+          finalPlan)
+    }
+    // the whale-safe sessionizer has the same two-level shape; its
+    // offsets branch aggregates window outputs (_lflag), so the shared
+    // shuffle must be reused the same way
+    import spark.implicits._
+    val ev = (0 until 64).map(i => (i.toLong,
+      new java.sql.Timestamp(1700000000000L + i * 60000L),
+      (i % 4).toLong, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "kind", "value", "payload")
+    val sess = graft.streaming.EventOps.sessionizeScalable(ev,
+      gapMinutes = 30, bucketMinutes = 120)
+    sess.queryExecution.toRdd.count()
+    val sessPlan = sess.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(sessPlan.contains("ReusedExchange"),
+      s"sessionizeScalable lost its level-1 exchange reuse:\n$sessPlan")
+  }
+
   test("no gate query plans a CartesianProduct; BroadcastNestedLoopJoin " +
     "only where the operator is a deliberate tiny-side broadcast") {
     // queries whose SEMANTICS are a non-equi match against a broadcast

@@ -171,6 +171,74 @@ class SimSearchSpec extends SparkSpec {
     assert(keptPersisted == kept)
   }
 
+  test("semDedup hot-cell bound: a dominant cell sub-buckets by sign " +
+    "bits; identical-vector dedup is unchanged") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // ONE k-means cell (k=1) holding everything — the skew shape the cap
+    // exists for: 50 identical pairs (ids 2t/2t+1 share a vector) + 200
+    // scattered singles
+    val rows = (0 until 50).flatMap { t =>
+      val v = Seq.fill(8)(rnd.nextFloat() * 2 - 1)
+      Seq((2L * t, v), (2L * t + 1, v))
+    } ++ (0 until 200).map(i =>
+      (1000L + i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val emb = rows.toDF("vec_id", "embedding")
+    // threshold ≈ 1: only the identical pairs match, and identical
+    // vectors share EVERY sign bit, so sub-bucketing cannot split them
+    def kept(cap: Long) = SimSearch.semDedup(emb, "vec_id", "embedding",
+      k = 1, iters = 1, threshold = 0.9999, dim = 8, cellCap = cap,
+      subPlanes = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val unbounded = kept(Long.MaxValue >> 1)
+    val capped = kept(32L)
+    val expected = (0 until 50).map(t => 2L * t).toSet ++
+      (0 until 200).map(i => 1000L + i).toSet
+    assert(unbounded == expected)
+    assert(capped == expected, "hot-cell sub-bucketing changed survivors")
+    // the blocking geometry really splits the 300-row cell: at cap=32
+    // the cell gets ceil(log2(300/32)) = 4 sign bits → 16 sub-buckets;
+    // random dim-8 directions spread across them, bounding the
+    // per-bucket quadratic
+    val groups = emb.select(
+      SimSearch.simhashBucket(col("embedding"), 8, 8)
+        .bitwiseAND(lit(15L)).as("s"))
+      .groupBy("s").count().collect().map(_.getLong(1))
+    assert(groups.length > 4, s"only ${groups.length} sub-buckets formed")
+    assert(groups.max < 150,
+      s"largest sub-bucket ${groups.max} of 300 — blocking did not split")
+  }
+
+  test("recallAtK: baseline against itself is 1.0; multi-probe raises " +
+    "ANN recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val emb = Seq.tabulate(400)(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val pred = col("vec_id") < 20
+    val exact = SimSearch.bruteForceTopK(emb, "vec_id", "embedding",
+      pred, 10).localCheckpoint()
+    val self = SimSearch.recallAtK(exact, exact, 10).collect()
+    assert(self.length == 20)
+    assert(self.forall(_.getAs[Double]("recall") == 1.0))
+    assert(self.forall(_.getAs[Long]("n_exact") == 10L))
+    def mean(probeBits: Int): Double = SimSearch.recallSummary(
+      SimSearch.annTopK(emb, "vec_id", "embedding", pred, 10,
+        planes = 8, dim = 16, probeBits = probeBits),
+      exact, 10).head().getDouble(1)
+    val r0 = mean(0)
+    val r3 = mean(3)
+    // 8 planes over 400 vectors: single-bucket probing misses true
+    // neighbors across bucket boundaries; Hamming-1 probes recover some
+    assert(r0 < 1.0, s"single-probe recall $r0 suspiciously perfect")
+    assert(r3 > r0, s"multi-probe did not raise recall: $r0 -> $r3")
+    // an empty approx side scores 0, never divides by zero
+    val none = SimSearch.recallSummary(
+      exact.filter(lit(false)), exact, 10).head()
+    assert(none.getDouble(1) == 0.0)
+  }
+
   test("persisted ANN index: bucket-partitioned layout, results match " +
     "the inline flavor, scan prunes to probed buckets") {
     import spark.implicits._

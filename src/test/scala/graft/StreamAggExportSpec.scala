@@ -247,6 +247,43 @@ class StreamAggExportSpec extends SparkSpec {
     }
   }
 
+  test("StreamingDedup: second micro-batch drops a near-dup of a " +
+    "FIRST-batch doc (survivor signatures grow the index)") {
+    implicit val sq = spark.sqlContext
+    val base = tmpDir("sdedup")
+    val idxPath = s"$base/idx"
+    val outPath = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    val mem = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingDedup.start(
+      mem.toDF().toDF("doc_id", "text"), idxPath, outPath, ckpt,
+      "text", "doc_id", tokenizer = graft.text.TextOps.tokensSimple,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      // batch 1 bootstraps the index (no prior index exists) and also
+      // near-dedups WITHIN the batch: 11 duplicates 10 → one survivor
+      mem.addData(
+        (10L, "the quick brown fox jumps over the lazy dog today"),
+        (11L, "the quick brown fox jumps over the lazy dog today"),
+        (12L, "an entirely unrelated document about spark engines"))
+      query.processAllAvailable()
+      // batch 2: 20 near-dups a FIRST-batch doc (cross-batch — only the
+      // index append makes this visible); 21 is novel
+      mem.addData(
+        (20L, "the quick brown fox jumps over the lazy dog tonight"),
+        (21L, "completely novel second-batch content with fresh words"))
+      query.processAllAvailable()
+      val out = spark.read.parquet(outPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(out == Set(10L, 12L, 21L), s"survivors: $out")
+      // the index holds exactly the survivors' signatures
+      val idx = graft.text.Dedup.readSignedIndex(spark, idxPath)
+      assert(idx.select("doc_id").collect().map(_.getLong(0)).toSet ==
+        Set(10L, 12L, 21L))
+      assert(idx.columns.toSet == Set("doc_id", "sig", "buckets"))
+    } finally query.stop()
+  }
+
   test("stream interval join agrees with the batch range join twin") {
     implicit val sq = spark.sqlContext
     // same data both ways: points 0..29 at 5-min spacing, windows

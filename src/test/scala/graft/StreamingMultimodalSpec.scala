@@ -105,6 +105,175 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- PNG
+
+  /** Deflate helper for synthesizing PNG fixtures. */
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1024)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** One PNG chunk with a REAL CRC (fixtures stay valid for any tool). */
+  private def pngChunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(12 + data.length)
+    out.putInt(data.length)
+    out.put(ctype.getBytes("US-ASCII"))
+    out.put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(ctype.getBytes("US-ASCII"))
+    crc.update(data)
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  private val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a,
+    0x0a).map(_.toByte)
+
+  private def ihdr(w: Int, h: Int, bitDepth: Int, colorType: Int,
+      interlace: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(13)
+    b.putInt(w); b.putInt(h)
+    b.put(bitDepth.toByte); b.put(colorType.toByte)
+    b.put(0.toByte); b.put(0.toByte); b.put(interlace.toByte)
+    b.array()
+  }
+
+  /** Encode an 8-bit PNG, applying the given filter type per row (cycled)
+    * — the encoder-side inverse of the decoder's unfilter, so every
+    * filter path gets exercised by round-trip.
+    */
+  private def encodePng(w: Int, h: Int, colorType: Int,
+      pixels: Array[Int], filters: Seq[Int],
+      idatSplit: Boolean = false): Array[Byte] = {
+    val channels = Map(0 -> 1, 2 -> 3, 4 -> 2, 6 -> 4)(colorType)
+    val stride = w * channels
+    val raw = new java.io.ByteArrayOutputStream()
+    var prior = new Array[Int](stride)
+    for (row <- 0 until h) {
+      val ft = filters(row % filters.length)
+      raw.write(ft)
+      val cur = Array.tabulate(stride)(i => pixels(row * stride + i) & 0xff)
+      for (i <- 0 until stride) {
+        val a = if (i >= channels) cur(i - channels) else 0
+        val b = prior(i)
+        val c = if (i >= channels) prior(i - channels) else 0
+        val v = ft match {
+          case 0 => cur(i)
+          case 1 => cur(i) - a
+          case 2 => cur(i) - b
+          case 3 => cur(i) - ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            cur(i) - (if (pa <= pb && pa <= pc) a
+              else if (pb <= pc) b else c)
+        }
+        raw.write(v & 0xff)
+      }
+      prior = cur
+    }
+    val z = deflate(raw.toByteArray)
+    val idat =
+      if (idatSplit && z.length > 2) // stream legally spans two chunks
+        pngChunk("IDAT", z.take(z.length / 2)) ++
+          pngChunk("IDAT", z.drop(z.length / 2))
+      else pngChunk("IDAT", z)
+    pngSig ++ pngChunk("IHDR", ihdr(w, h, 8, colorType, 0)) ++
+      idat ++ pngChunk("IEND", Array.empty)
+  }
+
+  private def channelMeans(w: Int, h: Int, colorType: Int,
+      pixels: Array[Int]): (Double, Double, Double) = {
+    val channels = Map(0 -> 1, 2 -> 3, 4 -> 2, 6 -> 4)(colorType)
+    val n = (w * h).toDouble
+    def mean(c: Int): Double =
+      (0 until w * h).map(p => pixels(p * channels + c)).sum / n
+    colorType match {
+      case 0 | 4 => (mean(0), mean(0), mean(0))
+      case _ => (mean(0), mean(1), mean(2))
+    }
+  }
+
+  test("decodePng: inflate + all five scanline filters round-trip exact " +
+    "channel means across color types; malformed isolates as ok=false") {
+    val rnd = new scala.util.Random(19)
+    // 4×5 so every filter type 0..4 gets one row; random pixels exercise
+    // the byte arithmetic, means are computed independently here
+    val cases = Seq(2 -> 3, 0 -> 1, 6 -> 4, 4 -> 2).zipWithIndex.map {
+      case ((colorType, channels), idx) =>
+        val px = Array.fill(4 * 5 * channels)(rnd.nextInt(256))
+        (100L + idx, colorType, px,
+          encodePng(4, 5, colorType, px, Seq(0, 1, 2, 3, 4)))
+    }
+    // multi-IDAT flavor of the RGB case
+    val (mid, mct, mpx, _) = cases.head
+    val multiIdat = (900L, mct, mpx,
+      encodePng(4, 5, mct, mpx, Seq(4, 3, 2, 1, 0), idatSplit = true))
+    val all = cases :+ multiIdat
+    val df = all.map { case (id, _, _, bytes) => (id, bytes) }
+      .toDF("doc_id", "media")
+    val got = Multimodal.decodePng(df).collect().map(m => m.id -> m).toMap
+    all.foreach { case (id, colorType, px, _) =>
+      val m = got(id)
+      assert(m.ok, s"id=$id colorType=$colorType failed to decode")
+      assert(m.width == 4 && m.height == 5 && m.bitDepth == 8 &&
+        m.colorType == colorType)
+      val (er, eg, eb) = channelMeans(4, 5, colorType, px)
+      assert(m.meanR == er && m.meanG == eg && m.meanB == eb,
+        s"id=$id means (${m.meanR},${m.meanG},${m.meanB}) != ($er,$eg,$eb)")
+    }
+    // malformed family — every one isolates, none throws
+    val goodRgb = cases.head._4
+    val bad = Seq(
+      1L -> goodRgb.dropRight(20),                       // truncated IDAT
+      2L -> ("NOPE".getBytes("US-ASCII") ++ goodRgb.drop(4)), // bad magic
+      3L -> (pngSig ++ pngChunk("IHDR", ihdr(4, 5, 16, 2, 0)) ++
+        goodRgb.drop(8 + 25)),                           // 16-bit depth
+      4L -> (pngSig ++ pngChunk("IHDR", ihdr(4, 5, 8, 2, 1)) ++
+        goodRgb.drop(8 + 25)),                           // Adam7 interlace
+      5L -> (pngSig ++ pngChunk("IHDR", ihdr(4, 5, 8, 3, 0)) ++
+        goodRgb.drop(8 + 25)),                           // palette type
+      // hostile: header claims a 100000² raster over a 30-byte IDAT —
+      // must reject via the deflate-ratio bound BEFORE allocating
+      6L -> (pngSig ++ pngChunk("IHDR", ihdr(100000, 100000, 8, 2, 0)) ++
+        pngChunk("IDAT", Array.fill(30)(0.toByte)) ++
+        pngChunk("IEND", Array.empty)),
+      7L -> null)
+    val badGot = Multimodal.decodePng(bad.toDF("doc_id", "media"))
+      .collect().map(m => m.id -> m).toMap
+    bad.foreach { case (id, _) =>
+      assert(!badGot(id).ok, s"malformed id=$id decoded as ok")
+    }
+    // null id isolates as id=-1, same as decodePpm
+    val nullId = spark.sql("SELECT CAST(NULL AS BIGINT) AS doc_id, " +
+      "CAST('x' AS BINARY) AS media")
+    assert(Multimodal.decodePng(nullId).collect()
+      .forall(m => m.id == -1L && !m.ok))
+  }
+
+  test("decodeOnePng is total on arbitrary bytes (fuzz, seeded)") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 0 until 500) {
+      val n = rnd.nextInt(200)
+      val bytes = Array.fill(n)(rnd.nextInt(256).toByte)
+      // bias half the trials toward a real signature (and a third of
+      // those toward a plausible IHDR) to reach deeper parser branches
+      if (trial % 2 == 0 && n >= 8) pngSig.copyToArray(bytes)
+      if (trial % 6 == 0 && n >= 33)
+        (java.nio.ByteBuffer.allocate(8).putInt(13)
+          .put("IHDR".getBytes("US-ASCII")).array())
+          .copyToArray(bytes, 8)
+      val m = Multimodal.decodeOnePng(trial.toLong, bytes) // must not throw
+      assert(m.ok || (m.width == 0 && m.height == 0))
+    }
+  }
+
   test("resize stub: fixed output shape chained after decode") {
     val df = Seq((1L, "some media bytes"), (2L, "x"))
       .toDF("doc_id", "text")

@@ -82,6 +82,17 @@ class TextDedupSpec extends SparkSpec {
         clusters, "doc_id", col("quality"))
     }
     assert(err.getMessage.contains("numeric"))
+    // Long.MinValue edge: raw long negation is a no-op there, which
+    // would flip lowest-id-wins; the decimal tie rule stays exact
+    val edgeRows = Seq((Long.MinValue, 0.9), (5L, 0.9), (7L, 0.1))
+      .toDF("doc_id", "quality")
+    val edgePairs = Seq((Long.MinValue, 5L), (5L, 7L)).toDF("id_a", "id_b")
+    val edgeClusters = Dedup.clusterLabels(
+      edgeRows.select(col("doc_id").as("id")), edgePairs)
+    val edgeKept = Dedup.keepBestInCluster(edgeRows, edgeClusters,
+      "doc_id", col("quality")).select("doc_id").as[Long].collect().toSet
+    assert(edgeKept == Set(Long.MinValue),
+      s"Long.MinValue must win the 0.9 tie as the lowest id: $edgeKept")
   }
 
   test("dedupNearKeepBest keeps best copy per near-dup cluster") {
@@ -116,6 +127,14 @@ class TextDedupSpec extends SparkSpec {
       tokenizer = TextOps.tokensSimple)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L))
+    // the exact-decontam flavor is row-identical (Bloom has no false
+    // negatives; the exact verify join kills false positives) — pinned
+    // here so the default flavor can stay the scale one
+    val keptExact = Pipeline.cleanCorpus(corpus, eval, "text", "doc_id",
+      minQuality = 0.05, maxDupRatio = 0.5, decontamK = 3,
+      tokenizer = TextOps.tokensSimple, useBloom = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptExact == kept, "bloom and exact cascade flavors diverged")
   }
 
   test("packShards assembles shard texts in doc-id order with counts") {
@@ -218,6 +237,15 @@ class TextDedupSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT graft_sig_agree(array(1L, 2L, 3L), array(1L, 9L, 3L))")
       .head().getInt(0) == 2)
+    // literal NULL signature ARRAY: kernel yields NULL (no signature,
+    // no estimate); under ANSI size(null)=null the HOF agrees — the
+    // legacy-sizeOfNull 1.0 divergence documented on estJaccard is not
+    // live in this engine's defaults
+    val nullSig = Seq((Option.empty[Seq[Long]], Some(Seq(1L, 2L))))
+      .toDF("a", "b")
+      .select(Dedup.estJaccard(col("a"), col("b")).as("k"),
+        Dedup.estJaccardHof(col("a"), col("b")).as("h")).head()
+    assert(nullSig.isNullAt(0) && nullSig.isNullAt(1))
   }
 
   test("repetition and jaccard kernels are value-identical to the HOF " +
@@ -274,10 +302,21 @@ class TextDedupSpec extends SparkSpec {
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .filter(col("cum_before") < 100L)
       .select("lang", "doc_id", "n_tokens", "cum_before")
+    val refSet = ref.collect().toSet.map((r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
     assert(got.collect().toSet.map((r: org.apache.spark.sql.Row) =>
-      (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3))) ==
-      ref.collect().toSet.map((r: org.apache.spark.sql.Row) =>
-        (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3))))
+      (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3))) == refSet)
+    // selection is hash-prefix-length-INVARIANT: the level-1 bucket key
+    // is a prefix of the sort key, so any length (1 hex char = 16
+    // buckets ... 6 = 16M) reassembles the same global prefix sums —
+    // the skew knob needs no oracle coordination
+    for (len <- Seq(1, 2, 6)) {
+      val v = Relational.tokenQuotaSample(d, "lang", "doc_id", "n_tokens",
+        budget = 100L, seed = 17L, hashPrefixLen = len)
+        .collect().toSet.map((r: org.apache.spark.sql.Row) =>
+          (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      assert(v == refSet, s"hashPrefixLen=$len changed the selection")
+    }
     // each class lands near its budget: ≥ budget-ish and bounded by
     // budget + one max doc
     val byClass = got.groupBy("lang").agg(sum("n_tokens").as("t"))
