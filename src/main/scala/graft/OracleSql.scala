@@ -212,6 +212,46 @@ object OracleSql {
        |FROM r WHERE rn <= 5""".stripMargin
   }
 
+  /** Recall@k oracle: replay the q18 ANN ranking AND the brute-force
+    * baseline on the same query set (vec_id < 50, k = 5), then score
+    * each query by the intersection of its two top-5 neighbor sets.
+    * Both rankings reuse the proven-identical IEEE cosine chains, so
+    * the intersection — and hence the recall — is integer-exact.
+    */
+  private val q65 = {
+    val dim = 64
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |             ${bucketExpr("embedding", 6, dim)} AS bucket
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM e
+       |      WHERE vec_id < 50),
+       |c AS (SELECT vec_id AS cid, embedding AS cv, bucket FROM e),
+       |pa AS (SELECT qid, cid,
+       |         round(${duckDot("qv", "cv", dim)} /
+       |           (sqrt(${duckDot("qv", "qv", dim)}) *
+       |            sqrt(${duckDot("cv", "cv", dim)})), 6) AS cos_sim
+       |       FROM q JOIN c USING (bucket) WHERE qid != cid),
+       |ra AS (SELECT qid, cid,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY cos_sim DESC, cid) AS rn FROM pa),
+       |ann AS (SELECT qid, cid FROM ra WHERE rn <= 5),
+       |pb AS (SELECT qid, cid,
+       |         round(${duckDot("qv", "cv", dim)} /
+       |           (sqrt(${duckDot("qv", "qv", dim)}) *
+       |            sqrt(${duckDot("cv", "cv", dim)})), 6) AS cos_sim
+       |       FROM q, c WHERE qid != cid),
+       |rb AS (SELECT qid, cid,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY cos_sim DESC, cid) AS rn FROM pb),
+       |ex AS (SELECT qid, cid FROM rb WHERE rn <= 5),
+       |hits AS (SELECT qid, count(*) AS n_hit
+       |         FROM ex JOIN ann USING (qid, cid) GROUP BY qid),
+       |nx AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid)
+       |SELECT nx.qid, nx.n_exact, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       |  round(coalesce(h.n_hit, 0)::DOUBLE / nx.n_exact, 6) AS recall
+       |FROM nx LEFT JOIN hits h USING (qid)""".stripMargin
+  }
+
   /** IVF oracle: bounded two-level id-ordered centroid fold (bit-identical
     * to the Spark side's [[graft.sim.SimSearch.meanVectors]] — level 1
     * folds each `vec_id // W` bucket in id order, level 2 folds bucket
@@ -566,6 +606,7 @@ object OracleSql {
     "q16_near_dup_pairs" -> q16,
     "q17_cosine_topk" -> q17,
     "q18_ann_topk" -> q18,
+    "q65_ann_recall" -> q65,
     "q27_ivf_topk" -> q27,
     "q29_dedup_clusters" -> q29,
     "q33_exact_jaccard" -> q33,

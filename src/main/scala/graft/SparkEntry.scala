@@ -852,6 +852,22 @@ object SparkEntry {
     TextOps.corpusStats(t(s, dir, "documents"), "lang", "text", "source",
       tokenizer = TextOps.tokensSimple)
 
+  /** Recall@k acceptance harness as a gate query: q18's ANN ranking
+    * scored against the exact brute-force baseline on the same query
+    * set — per query, how many of the true top-5 the index recovered.
+    * The number a user reads before trusting an index build; the oracle
+    * replays BOTH searchers and the intersection count.
+    */
+  def q65_ann_recall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val pred = col("vec_id") < 50
+    val exact = SimSearch.bruteForceTopK(emb, "vec_id", "embedding",
+      pred, k = 5)
+    val approx = SimSearch.annTopK(emb, "vec_id", "embedding", pred,
+      k = 5, planes = 6, dim = 64)
+    SimSearch.recallAtK(approx, exact, k = 5)
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -918,7 +934,8 @@ object SparkEntry {
     "q61_oov_rate" -> (q61_oov_rate(_, _)),
     "q62_hash_split" -> (q62_hash_split(_, _)),
     "q63_token_quota" -> (q63_token_quota(_, _)),
-    "q64_corpus_stats" -> (q64_corpus_stats(_, _)))
+    "q64_corpus_stats" -> (q64_corpus_stats(_, _)),
+    "q65_ann_recall" -> (q65_ann_recall(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
