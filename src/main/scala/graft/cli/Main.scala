@@ -15,7 +15,8 @@ import graft.schema.Vintages
   * graft.cli.Main sign-index <corpus> <outDir> [--jsonl]
   * graft.cli.Main decontaminate <corpus> <evalSet> <outDir> [k] [--bloom] [--jsonl]
   * graft.cli.Main clean   <corpus> <evalSet> <outDir> [minQuality] [maxDupRatio] [--jsonl]
-  * graft.cli.Main semdedup <embeddings> <outDir> [k] [threshold] [dim]
+  * graft.cli.Main semdedup <embeddings> <outDir> [k] [threshold] [dim] [cellCap]
+  * graft.cli.Main dedup-stream <inDir> <idxDir> <outDir> <checkpoint>   // JSONL drops
   * graft.cli.Main ann-index <embeddings> <outDir> [planes] [dim]
   * graft.cli.Main ann-query <idxDir> <queries> <outDir> [k] [planes] [dim]
   * graft.cli.Main ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod]
@@ -225,13 +226,32 @@ object Main {
       val k = nums.headOption.map(_.toInt).getOrElse(256)
       val threshold = nums.drop(1).headOption.map(_.toDouble).getOrElse(0.95)
       val dim = nums.drop(2).headOption.map(_.toInt).getOrElse(64)
+      val cellCap = nums.drop(3).headOption.map(_.toLong)
+        .getOrElse(1L << 20)
       val spark = session()
       val emb = spark.read.parquet(corpus) // (vec_id, embedding) columns
       val kept = graft.sim.SimSearch.semDedup(emb, "vec_id", "embedding",
-        k = k, iters = 2, threshold = threshold, dim = dim)
+        k = k, iters = 2, threshold = threshold, dim = dim,
+        cellCap = cellCap)
       kept.write.mode("overwrite").parquet(outDir)
       println(s"[semdedup] ${emb.count()} vectors -> ${kept.count()} " +
-        s"kept (k=$k threshold=$threshold) -> $outDir")
+        s"kept (k=$k threshold=$threshold cellCap=$cellCap) -> $outDir")
+      spark.stop()
+
+    // streaming near-dedup of JSONL drops against a growing signed
+    // index: new files under <inDir> process as micro-batches, each
+    // deduped within itself and against everything already accepted
+    case "dedup-stream" :: inDir :: idxPath :: outDir :: ckpt :: rest =>
+      val spark = session()
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .json(inDir)
+      val q = graft.streaming.StreamingDedup.start(stream, idxPath,
+        outDir, ckpt, "text", "doc_id")
+      q.awaitTermination() // AvailableNow: drains current files, stops
+      val n = spark.read.parquet(outDir).count()
+      println(s"[dedup-stream] $inDir -> $n total survivors in $outDir " +
+        s"(index: $idxPath)")
       spark.stop()
 
     case "split" :: corpus :: outDir :: rest =>
@@ -333,7 +353,8 @@ object Main {
           "sign-index <corpus> <out> [--jsonl] | " +
           "decontaminate <corpus> <eval> <out> [k] [--bloom] [--jsonl] | " +
           "clean <corpus> <eval> <out> [minQuality] [maxDupRatio] [--jsonl] | " +
-          "semdedup <embeddings> <out> [k] [threshold] [dim] | " +
+          "semdedup <embeddings> <out> [k] [threshold] [dim] [cellCap] | " +
+          "dedup-stream <in> <idx> <out> <ckpt> | " +
           "ann-index <embeddings> <out> [planes] [dim] | " +
           "ann-query <idx> <queries> <out> [k] [planes] [dim] | " +
           "ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod] | " +
