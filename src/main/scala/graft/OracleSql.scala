@@ -608,6 +608,33 @@ object OracleSql {
     "q18_ann_topk" -> q18,
     "q65_ann_recall" -> q65,
     "q27_ivf_topk" -> q27,
+
+    // line dedup: spans between literal " a " delimiters, hot = in > 2
+    // distinct docs (length >= 3 only), every occurrence dropped,
+    // survivors rejoined in order; all-dropped docs keep '' (vs NULL
+    // for a null text)
+    "q66_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' a ') AS ls
+        |           FROM documents),
+        |l AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(ls) + 1),
+        |          i -> {'pos': i, 'ln': ls[i]})) AS e FROM t),
+        |x AS (SELECT doc_id, (e.pos) AS pos, (e.ln) AS ln FROM l),
+        |hot AS (SELECT ln
+        |        FROM (SELECT DISTINCT doc_id, ln FROM x
+        |              WHERE length(ln) >= 3)
+        |        GROUP BY ln HAVING count(*) > 2),
+        |m AS (SELECT doc_id, pos, ln,
+        |        ln IN (SELECT ln FROM hot) AS h FROM x),
+        |g AS (SELECT doc_id, count(*) AS n_lines,
+        |        count(*) FILTER (WHERE NOT h) AS n_kept,
+        |        coalesce(array_to_string(
+        |          list(ln ORDER BY pos) FILTER (WHERE NOT h), ' a '), '')
+        |          AS clean_text
+        |      FROM m GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(g.n_lines, 0) AS n_lines,
+        |  coalesce(g.n_kept, 0) AS n_kept, g.clean_text
+        |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
     "q29_dedup_clusters" -> q29,
     "q33_exact_jaccard" -> q33,
     "q34_cosine_near_dup" -> q34,

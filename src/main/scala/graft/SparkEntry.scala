@@ -868,6 +868,17 @@ object SparkEntry {
     SimSearch.recallAtK(approx, exact, k = 5)
   }
 
+  /** Corpus-level line dedup (the C4/MassiveText boilerplate filter):
+    * spans occurring in more than 2 documents drop from every document,
+    * survivors reassemble in order. The fixture corpus has no newlines,
+    * so the gate splits on the literal " a " — with the tiny synthetic
+    * vocabulary those spans repeat heavily across docs, exercising the
+    * hot-set join, the exemption rule and the reassembly for real.
+    */
+  def q66_line_dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupLines(docs(s, dir), "text", "doc_id",
+      delimiter = " a ", maxDocs = 2, minChars = 3)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -935,7 +946,8 @@ object SparkEntry {
     "q62_hash_split" -> (q62_hash_split(_, _)),
     "q63_token_quota" -> (q63_token_quota(_, _)),
     "q64_corpus_stats" -> (q64_corpus_stats(_, _)),
-    "q65_ann_recall" -> (q65_ann_recall(_, _)))
+    "q65_ann_recall" -> (q65_ann_recall(_, _)),
+    "q66_line_dedup" -> (q66_line_dedup(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

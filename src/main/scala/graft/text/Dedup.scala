@@ -277,6 +277,67 @@ object Dedup {
     batch.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Corpus-level LINE dedup — the C4/MassiveText boilerplate filter:
+    * a line (delimiter-separated span) occurring in more than `maxDocs`
+    * DISTINCT documents is boilerplate (headers, footers, nav chrome,
+    * cookie banners) and EVERY occurrence is dropped; each document's
+    * surviving lines reassemble in original order. Lines shorter than
+    * `minChars` are exempt — never counted, never dropped — so tiny
+    * connective spans (empty lines, "Home") cannot nuke the corpus.
+    * `delimiter` is a LITERAL (regex-quoted for the split, re-used
+    * verbatim for the reassembly join): "\n" for line dedup, "\n\n"
+    * for paragraph dedup.
+    *
+    * Output: one row per input doc — (idCol, n_lines, n_kept,
+    * clean_text). A null text stays null (0/0); a doc whose every line
+    * was boilerplate keeps an EMPTY clean_text (distinguishable from
+    * null). split/join round-trip exactly, so a doc with nothing
+    * dropped reproduces its text byte-for-byte.
+    *
+    * Scale shape: the boilerplate-line detection shuffles (id, 64-hex
+    * line hash) pairs only — deduped per doc first, then one count per
+    * hash; the surviving hot set (distinct boilerplate lines — tiny
+    * next to the corpus) joins back WITHOUT a hint so AQE broadcasts
+    * it while it fits. Reassembly is one groupBy(id) whose collect
+    * state is bounded by a single document's lines. The corpus text
+    * shuffles exactly once (keyed by id, for the rebuild).
+    */
+  def dedupLines(
+      df: DataFrame, textCol: String, idCol: String,
+      delimiter: String = "\n", maxDocs: Long = 1,
+      minChars: Int = 1): DataFrame = {
+    require(maxDocs >= 1, "maxDocs must be >= 1")
+    require(delimiter.nonEmpty, "delimiter must be non-empty")
+    val pat = java.util.regex.Pattern.quote(delimiter)
+    val lines = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), pat)).as(Seq("_pos", "_ln")))
+      .withColumn("_h", sha2(col("_ln"), 256))
+    val hot = lines.filter(length(col("_ln")) >= minChars)
+      .select(col(idCol), col("_h")).distinct()
+      .groupBy(col("_h")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") > maxDocs)
+      .select(col("_h"), lit(true).as("_hot"))
+    val rebuilt = lines.join(hot, Seq("_h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("_hot").isNull, lit(1))).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_hot").isNull,
+              struct(col("_pos").as("p"), col("_ln").as("l"))))),
+            s => s.getField("l")),
+          delimiter).as("clean_text"))
+    // docs whose text is null explode to zero line rows — restore them
+    // (0 lines, null text) instead of dropping the document
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("clean_text"))
+  }
+
   /** Benchmark decontamination (the GPT-3-style filter): drop every
     * training doc that shares ANY word k-gram with the evaluation
     * corpus. Returns the kept training rows unchanged.

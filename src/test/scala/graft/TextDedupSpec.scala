@@ -325,6 +325,35 @@ class TextDedupSpec extends SparkSpec {
       s"per-class token totals off: $byClass")
   }
 
+  test("dedupLines: boilerplate spans drop everywhere, short spans are " +
+    "exempt, order-preserving reassembly, null/all-hot docs survive") {
+    // "FOOTER TEXT" appears in 3 docs (> maxDocs=2) → dropped from all;
+    // "unique line N" stays; the 2-char "ab" line repeats everywhere
+    // but is below minChars=3 → exempt
+    val d = Seq(
+      (1L, "unique line one\nFOOTER TEXT\nab"),
+      (2L, "unique line two\nFOOTER TEXT\nab"),
+      (3L, "FOOTER TEXT\nunique line three\nab"),
+      (4L, "FOOTER TEXT"), // all lines hot → empty, not null
+      (5L, null.asInstanceOf[String])) // null text survives as 0/0/null
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupLines(d, "text", "doc_id",
+      delimiter = "\n", maxDocs = 2, minChars = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert(got(1L) == ((3L, 2L, "unique line one\nab")))
+    assert(got(2L) == ((3L, 2L, "unique line two\nab")))
+    assert(got(3L) == ((3L, 2L, "unique line three\nab"))) // order kept
+    assert(got(4L) == ((1L, 0L, "")))
+    assert(got(5L) == ((0L, 0L, null)))
+    // nothing hot → byte-identical round-trip (split/join lossless)
+    val clean = Seq((9L, "alpha beta\n\ngamma")).toDF("doc_id", "text")
+    val back = Dedup.dedupLines(clean, "text", "doc_id").head()
+    assert(back.getString(3) == "alpha beta\n\ngamma")
+    assert(back.getLong(1) == 3L) // the empty middle line counts
+  }
+
   test("exact dedup: survivor is min id, duplicate counted") {
     val d = Dedup.exact(docs, "text", "doc_id")
     assert(d.count() == 4) // 5 docs, one exact pair
