@@ -239,8 +239,11 @@ object SimSearch {
     */
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    // the exact side feeds TWO consumers (the hit semi-join and the
+    // per-query totals) — checkpoint the (queries × k)-row projection
+    // so the expensive brute-force baseline runs once, not twice
     val ex = exact.filter(col("rank") < k)
-      .select(col("qid"), col("neighbor"))
+      .select(col("qid"), col("neighbor")).localCheckpoint()
     val ap = approx.filter(col("rank") < k)
       .select(col("qid"), col("neighbor"))
     val hits = ex.join(ap, Seq("qid", "neighbor"), "left_semi")
@@ -652,8 +655,14 @@ object SimSearch {
     require(cellCap > 0, "cellCap must be positive")
     require(subPlanes >= 0 && subPlanes <= 62,
       s"subPlanes must be in [0, 62], got $subPlanes")
+    // checkpoint: the assignment pass (broadcast argmin over the whole
+    // corpus) feeds TWO consumers — the pairing sides and the cell-size
+    // count; the cut materializes narrow (id, cell) pairs once instead
+    // of running the assignment twice. Same doctrine as the cascade's
+    // id-set cuts: ids are cheap to hold, corpus passes are not.
     val cells = assignToCentroids(emb, centroids, idCol, vecCol)
       .select(col(idCol), col("cluster").as("_cell"))
+      .localCheckpoint()
     val cellSizes = cells.groupBy(col("_cell")).agg(count(lit(1)).as("_cn"))
     // bits per cell: 0 when under the cap, else enough sign bits that
     // the expected sub-bucket size falls back under it

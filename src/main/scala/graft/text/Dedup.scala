@@ -305,20 +305,60 @@ object Dedup {
   def dedupLines(
       df: DataFrame, textCol: String, idCol: String,
       delimiter: String = "\n", maxDocs: Long = 1,
+      minChars: Int = 1): DataFrame =
+    dedupLinesAgainst(df,
+      hotLines(df, textCol, idCol, delimiter, maxDocs, minChars),
+      textCol, idCol, delimiter)
+
+  /** The boilerplate-line table [[dedupLines]] counts inline: one row
+    * per hot line — (line_hash, n_docs). Computing it is a full corpus
+    * pass (the counting half of the two passes exact line dedup
+    * inherently needs), so at lake scale persist it once and rewrite
+    * any number of drops with [[dedupLinesAgainst]] — the same
+    * write-once-query-many treatment as the signed near-dup index. The
+    * table is tiny (distinct boilerplate lines), and keyed by hash so
+    * no boilerplate TEXT needs storing.
+    */
+  def hotLines(
+      df: DataFrame, textCol: String, idCol: String,
+      delimiter: String = "\n", maxDocs: Long = 1,
       minChars: Int = 1): DataFrame = {
     require(maxDocs >= 1, "maxDocs must be >= 1")
+    explodedLines(df, textCol, idCol, delimiter)
+      .filter(length(col("_ln")) >= minChars)
+      .select(col(idCol), col("_h")).distinct()
+      .groupBy(col("_h").as("line_hash")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+  }
+
+  /** (id, pos, line, hash) rows of a corpus split on the LITERAL
+    * delimiter (regex-quoted).
+    */
+  private def explodedLines(
+      df: DataFrame, textCol: String, idCol: String,
+      delimiter: String): DataFrame = {
     require(delimiter.nonEmpty, "delimiter must be non-empty")
     val pat = java.util.regex.Pattern.quote(delimiter)
-    val lines = df
-      .select(col(idCol),
+    df.select(col(idCol),
         posexplode(split(col(textCol), pat)).as(Seq("_pos", "_ln")))
       .withColumn("_h", sha2(col("_ln"), 256))
-    val hot = lines.filter(length(col("_ln")) >= minChars)
-      .select(col(idCol), col("_h")).distinct()
-      .groupBy(col("_h")).agg(count(lit(1)).as("_nd"))
-      .filter(col("_nd") > maxDocs)
-      .select(col("_h"), lit(true).as("_hot"))
-    val rebuilt = lines.join(hot, Seq("_h"), "left")
+  }
+
+  /** Rewrite a corpus against an existing hot-line table
+    * ([[hotLines]]'s output, possibly persisted) — drop every line
+    * whose hash is hot, reassemble in order. The apply half of line
+    * dedup: new drops rewrite against the corpus-wide counts without
+    * recounting. `minChars` does not reappear here — exemption was
+    * applied when the hot set was BUILT (a short line's hash is never
+    * in the table).
+    */
+  def dedupLinesAgainst(
+      df: DataFrame, hot: DataFrame, textCol: String, idCol: String,
+      delimiter: String = "\n"): DataFrame = {
+    val lines = explodedLines(df, textCol, idCol, delimiter)
+    val hotKeys = hot.select(col("line_hash").as("_h"),
+      lit(true).as("_hot"))
+    val rebuilt = lines.join(hotKeys, Seq("_h"), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_lines"),

@@ -352,6 +352,17 @@ class TextDedupSpec extends SparkSpec {
     val back = Dedup.dedupLines(clean, "text", "doc_id").head()
     assert(back.getString(3) == "alpha beta\n\ngamma")
     assert(back.getLong(1) == 3L) // the empty middle line counts
+    // fit/apply split: a parquet-roundtripped hot table rewrites a NEW
+    // drop the inline path never saw (counts came from the old corpus)
+    val hotPath = tmpDir("hotlines") + "/hot"
+    Dedup.hotLines(d, "text", "doc_id", "\n", maxDocs = 2, minChars = 3)
+      .write.mode("overwrite").parquet(hotPath)
+    val drop = Seq((100L, "fresh content\nFOOTER TEXT\nmore fresh"))
+      .toDF("doc_id", "text")
+    val applied = Dedup.dedupLinesAgainst(drop,
+      spark.read.parquet(hotPath), "text", "doc_id").head()
+    assert(applied.getString(3) == "fresh content\nmore fresh")
+    assert(applied.getLong(1) == 3L && applied.getLong(2) == 2L)
   }
 
   test("exact dedup: survivor is min id, duplicate counted") {
