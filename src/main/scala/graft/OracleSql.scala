@@ -609,6 +609,26 @@ object OracleSql {
     "q65_ann_recall" -> q65,
     "q27_ivf_topk" -> q27,
 
+    // temperature mixing at alpha = 0.5: quota_c = floor(200·√n_c/Σ√n),
+    // Σ as the class-ordered fold (0.0 + w1 + w2 + ... — adding 0.0 to
+    // a positive double is exact, so the chain matches Spark's
+    // aggregate-from-zero), docs in seeded-md5 order
+    "q67_temperature_mix" ->
+      """WITH s AS (SELECT lang, count(*) AS n FROM documents
+        |           GROUP BY lang),
+        |w AS (SELECT lang, sqrt(n::DOUBLE) AS wt FROM s),
+        |z AS (SELECT list_reduce(list(wt ORDER BY lang), (a, b) -> a + b)
+        |        AS z FROM w),
+        |q AS (SELECT lang, floor(200.0 * wt / z)::BIGINT AS quota
+        |      FROM w, z),
+        |r AS (SELECT lang, doc_id,
+        |        md5(doc_id::VARCHAR || ':' || '23') AS h FROM documents),
+        |p AS (SELECT lang, doc_id,
+        |        (row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+        |          - 1)::BIGINT AS pos FROM r)
+        |SELECT p.lang, p.doc_id, p.pos
+        |FROM p JOIN q USING (lang) WHERE pos < quota""".stripMargin,
+
     // line dedup: spans between literal " a " delimiters, hot = in > 2
     // distinct docs (length >= 3 only), every occurrence dropped,
     // survivors rejoined in order; all-dropped docs keep '' (vs NULL

@@ -879,6 +879,16 @@ object SparkEntry {
     Dedup.dedupLines(docs(s, dir), "text", "doc_id",
       delimiter = " a ", maxDocs = 2, minChars = 3)
 
+  /** Temperature-weighted mixture sampling at alpha = 0.5 (the only
+    * alpha whose weight function — sqrt — is IEEE-pinned, so the whole
+    * quota chain replays exactly in SQL): each language keeps
+    * floor(200·√n_c / Σ√n) docs in seeded-hash order.
+    */
+  def q67_temperature_mix(s: SparkSession, dir: String): DataFrame =
+    Relational.temperatureSample(
+      t(s, dir, "documents").select("lang", "doc_id"),
+      "lang", "doc_id", alpha = 0.5, budgetDocs = 200L, seed = 23L)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -947,7 +957,8 @@ object SparkEntry {
     "q63_token_quota" -> (q63_token_quota(_, _)),
     "q64_corpus_stats" -> (q64_corpus_stats(_, _)),
     "q65_ann_recall" -> (q65_ann_recall(_, _)),
-    "q66_line_dedup" -> (q66_line_dedup(_, _)))
+    "q66_line_dedup" -> (q66_line_dedup(_, _)),
+    "q67_temperature_mix" -> (q67_temperature_mix(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

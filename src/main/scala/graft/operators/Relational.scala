@@ -329,6 +329,76 @@ object Relational {
       .drop("_ocls", "_ohb", "_h", "_hb", "_lcum", "_off")
   }
 
+  /** Temperature-weighted mixture sampling — the mC4/XLM corpus-mixing
+    * rule: class c keeps `quota_c = floor(budgetDocs · w_c / Σw)` docs
+    * with `w_c = n_c^alpha`; alpha < 1 flattens the class distribution
+    * (upsamples tail languages, downsamples the head), alpha = 1 is
+    * proportional. Docs are chosen in seeded-hash order — a uniform
+    * random sample of each class. Output: (classCol, idCol, pos).
+    *
+    * Determinism: `alpha = 0.5` uses `sqrt` (IEEE correctly rounded —
+    * exactly replayable in any engine) and Σw is an ORDER-FIXED fold
+    * over the class-sorted weights — a plain float sum's accumulation
+    * order is partitioning-dependent, and a last-ulp difference could
+    * flip a `floor()` quota boundary. Other alphas use `pow`, which
+    * IEEE does not pin to correct rounding — fine in one engine,
+    * documented as not hash-gateable across engines.
+    *
+    * Scale shape: class sizes are one narrow aggregation; quotas are a
+    * class-count-sized broadcast; the per-class rank is the same
+    * two-level hash-prefix prefix sum as [[tokenQuotaSample]] (tokens
+    * ≡ 1), so no reducer ever holds a whole class.
+    */
+  def temperatureSample(
+      df: DataFrame, classCol: String, idCol: String,
+      alpha: Double, budgetDocs: Long, seed: Long,
+      hashPrefixLen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(budgetDocs > 0, "budgetDocs must be positive")
+    require(hashPrefixLen > 0 && hashPrefixLen <= 32,
+      s"hashPrefixLen must be in [1, 32], got $hashPrefixLen")
+    val sizes = df.groupBy(col(classCol)).agg(count(lit(1)).as("_n"))
+    val wExpr =
+      if (alpha == 0.5) sqrt(col("_n").cast("double"))
+      else if (alpha == 1.0) col("_n").cast("double")
+      else pow(col("_n").cast("double"), lit(alpha))
+    val weighted = sizes.select(col(classCol), wExpr.as("_w"))
+    val z = weighted.agg(
+      aggregate(
+        array_sort(collect_list(struct(col(classCol).as("c"),
+          col("_w").as("w")))),
+        lit(0.0), (acc, s) => acc + s.getField("w")).as("_z"))
+    val quotas = weighted.crossJoin(broadcast(z))
+      .select(col(classCol).as("_qcls"),
+        floor(lit(budgetDocs.toDouble) * col("_w") / col("_z"))
+          .cast("long").as("_quota"))
+    // two-level seeded-hash rank (the tokenQuotaSample machinery with
+    // tokens ≡ 1, so the exclusive prefix count IS the 0-based rank)
+    val base = df.select(col(classCol), col(idCol))
+      .withColumn("_h", md5Rank(Seq(col(idCol)), seed))
+      .withColumn("_hb", substring(col("_h"), 1, hashPrefixLen))
+    val wLocal = Window.partitionBy(col(classCol), col("_hb"))
+      .orderBy(col("_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = base.withColumn("_lcum",
+      coalesce(sum(lit(1L)).over(wLocal), lit(0L)))
+    val wOff = Window.partitionBy(col(classCol)).orderBy(col("_hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // bucket counts read off the window output (max inclusive rank) so
+    // the totals branch shares the window shuffle — see tokenShards
+    val offsets = local.groupBy(col(classCol), col("_hb"))
+      .agg(max(col("_lcum") + lit(1L)).as("_stot"))
+      .withColumn("_off", coalesce(sum(col("_stot")).over(wOff), lit(0L)))
+      .select(col(classCol).as("_ocls"), col("_hb").as("_ohb"), col("_off"))
+    local.join(offsets,
+        col(classCol) <=> col("_ocls") && col("_hb") <=> col("_ohb"))
+      .withColumn("pos", col("_off") + col("_lcum"))
+      .join(quotas, col(classCol) <=> col("_qcls"))
+      .filter(col("pos") < col("_quota"))
+      .select(col(classCol), col(idCol), col("pos"))
+  }
+
   /** Materialize [[tokenShards]] output into packed training SEQUENCES:
     * each (class, shard) becomes one row with its documents' texts
     * joined in id order plus doc/token counts — the final assembly step

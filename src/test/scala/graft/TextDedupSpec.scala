@@ -365,6 +365,49 @@ class TextDedupSpec extends SparkSpec {
     assert(applied.getLong(1) == 3L && applied.getLong(2) == 2L)
   }
 
+  test("temperatureSample: alpha flattens the mixture, selection is " +
+    "prefix-length-invariant and matches a single-window reference") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.expressions.Window
+    // head class 160 docs, tail 40 — alpha=0.5 gives the tail MORE
+    // than its 20% proportional share
+    val d = (0 until 200).map(i =>
+      (if (i < 160) "head" else "tail", i.toLong)).toDF("lang", "doc_id")
+    val got = Relational.temperatureSample(d, "lang", "doc_id",
+      alpha = 0.5, budgetDocs = 100L, seed = 23L)
+    val byClass = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // √160 : √40 = 2 : 1 → quotas 66 / 33
+    assert(byClass == Map("head" -> 66L, "tail" -> 33L), s"$byClass")
+    // single-window reference (same quota arithmetic, plain row_number)
+    val wRef = Window.partitionBy(col("lang"))
+      .orderBy(col("_h"), col("doc_id"))
+    val ref = d.withColumn("_h",
+        Relational.md5Rank(Seq(col("doc_id")), 23L))
+      .withColumn("pos", row_number().over(wRef).cast("long") - 1L)
+      .filter((col("lang") === "head" && col("pos") < 66) ||
+        (col("lang") === "tail" && col("pos") < 33))
+      .select("lang", "doc_id", "pos")
+    val refSet = ref.collect().toSet
+      .map((r: org.apache.spark.sql.Row) =>
+        (r.getString(0), r.getLong(1), r.getLong(2)))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect().toSet
+      .map((r: org.apache.spark.sql.Row) =>
+        (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(asSet(got) == refSet)
+    for (len <- Seq(1, 6))
+      assert(asSet(Relational.temperatureSample(d, "lang", "doc_id",
+        alpha = 0.5, budgetDocs = 100L, seed = 23L,
+        hashPrefixLen = len)) == refSet,
+        s"hashPrefixLen=$len changed the selection")
+    // alpha = 1 is proportional (80/20 of the budget)
+    val prop = Relational.temperatureSample(d, "lang", "doc_id",
+      alpha = 1.0, budgetDocs = 100L, seed = 23L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prop == Map("head" -> 80L, "tail" -> 20L), s"$prop")
+  }
+
   test("exact dedup: survivor is min id, duplicate counted") {
     val d = Dedup.exact(docs, "text", "doc_id")
     assert(d.count() == 4) // 5 docs, one exact pair
