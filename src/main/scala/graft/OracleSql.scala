@@ -629,6 +629,31 @@ object OracleSql {
         |SELECT p.lang, p.doc_id, p.pos
         |FROM p JOIN q USING (lang) WHERE pos < quota""".stripMargin,
 
+    // temperature mixing in TOKENS: quota_c = floor(10000·√T_c/Σ√T)
+    // (T_c integer-exact), first-crossing fill in seeded-md5 order —
+    // the q63 window with a per-class quota from the q67 fold
+    "q68_temperature_tokens" ->
+      """WITH tt AS (SELECT lang, doc_id,
+        |              len(string_split(text, ' ')) AS n_tokens
+        |            FROM documents),
+        |s AS (SELECT lang, sum(n_tokens)::DOUBLE AS tn FROM tt
+        |      GROUP BY lang),
+        |w AS (SELECT lang, sqrt(tn) AS wt FROM s),
+        |z AS (SELECT list_reduce(list(wt ORDER BY lang), (a, b) -> a + b)
+        |        AS z FROM w),
+        |q AS (SELECT lang, floor(10000.0 * wt / z)::BIGINT AS quota
+        |      FROM w, z),
+        |r AS (SELECT lang, doc_id, n_tokens,
+        |        md5(doc_id::VARCHAR || ':' || '29') AS h FROM tt),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |          ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cum_before FROM r)
+        |SELECT c.lang, c.doc_id, c.n_tokens::INTEGER AS n_tokens,
+        |  c.cum_before::BIGINT AS cum_before
+        |FROM c JOIN q USING (lang) WHERE cum_before < quota""".stripMargin,
+
     // line dedup: spans between literal " a " delimiters, hot = in > 2
     // distinct docs (length >= 3 only), every occurrence dropped,
     // survivors rejoined in order; all-dropped docs keep '' (vs NULL

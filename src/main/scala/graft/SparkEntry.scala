@@ -889,6 +889,17 @@ object SparkEntry {
       t(s, dir, "documents").select("lang", "doc_id"),
       "lang", "doc_id", alpha = 0.5, budgetDocs = 200L, seed = 23L)
 
+  /** Temperature mixing budgeted in TOKENS (the realistic unit): each
+    * language contributes floor(10000·√T_c / Σ√T) tokens of docs in
+    * seeded-hash order, boundary doc included.
+    */
+  def q68_temperature_tokens(s: SparkSession, dir: String): DataFrame =
+    Relational.temperatureTokenSample(
+      docs(s, dir).select(col("lang"), col("doc_id"),
+        size(TextOps.tokensSimple(col("text"))).as("n_tokens")),
+      "lang", "doc_id", "n_tokens", alpha = 0.5,
+      budgetTokens = 10000L, seed = 29L)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -958,7 +969,8 @@ object SparkEntry {
     "q64_corpus_stats" -> (q64_corpus_stats(_, _)),
     "q65_ann_recall" -> (q65_ann_recall(_, _)),
     "q66_line_dedup" -> (q66_line_dedup(_, _)),
-    "q67_temperature_mix" -> (q67_temperature_mix(_, _)))
+    "q67_temperature_mix" -> (q67_temperature_mix(_, _)),
+    "q68_temperature_tokens" -> (q68_temperature_tokens(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -299,34 +299,82 @@ object Relational {
       df: DataFrame, classCol: String, idCol: String,
       tokensCol: String, budget: Long, seed: Long,
       hashPrefixLen: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(budget > 0, "budget must be positive")
+    hashRankedCum(df.select(col(classCol), col(idCol), col(tokensCol)),
+      classCol, idCol, col(tokensCol), seed, hashPrefixLen)
+      .filter(col("cum_before") < budget)
+      .drop("_h", "_hb")
+  }
+
+  /** Shared two-level seeded-hash prefix-sum core of the quota
+    * samplers: append `cum_before` — the exact exclusive prefix sum of
+    * `tokens` in per-class (seeded md5 hash, id) order — to `df`
+    * (which must carry `classCol` + `idCol`; `tokens` may reference its
+    * columns). Level 1 windows over the `hashPrefixLen`-hex-char hash
+    * prefix (16^len sub-windows, lexicographically aligned with the
+    * sort key); level 2 prefix-sums per-bucket totals read off the
+    * window OUTPUT (max of the inclusive prefix — forcing the window
+    * into the totals subtree so the shuffle stage is shared, see
+    * [[tokenShards]]); offsets rejoin null-safely. Value-identical to
+    * the single-window formulation at any prefix length; no reducer
+    * ever holds a whole class. Helper columns `_h`/`_hb` remain for
+    * the caller to drop.
+    */
+  private def hashRankedCum(
+      df: DataFrame, classCol: String, idCol: String, tokens: Column,
+      seed: Long, hashPrefixLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(hashPrefixLen > 0 && hashPrefixLen <= 32,
       s"hashPrefixLen must be in [1, 32], got $hashPrefixLen")
-    val base = df.select(col(classCol), col(idCol), col(tokensCol))
+    val base = df
       .withColumn("_h", md5Rank(Seq(col(idCol)), seed))
-      // hex prefix of the sort key: 16^len sub-windows, lexicographically
-      // aligned with the _h order
       .withColumn("_hb", substring(col("_h"), 1, hashPrefixLen))
+      .withColumn("_tok", tokens)
     val wLocal = Window.partitionBy(col(classCol), col("_hb"))
       .orderBy(col("_h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = base.withColumn("_lcum",
-      coalesce(sum(col(tokensCol)).over(wLocal), lit(0L)))
+      coalesce(sum(col("_tok")).over(wLocal), lit(0L)))
     val wOff = Window.partitionBy(col(classCol)).orderBy(col("_hb"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // max(inclusive prefix) = bucket total, computed from the window
-    // output so the totals branch shares the window subtree instead of
-    // re-scanning the corpus — see tokenShards for the full rationale
     val offsets = local.groupBy(col(classCol), col("_hb"))
-      .agg(max(col("_lcum") + col(tokensCol)).as("_stot"))
+      .agg(max(col("_lcum") + col("_tok")).as("_stot"))
       .withColumn("_off", coalesce(sum(col("_stot")).over(wOff), lit(0L)))
       .select(col(classCol).as("_ocls"), col("_hb").as("_ohb"), col("_off"))
     local.join(offsets,
         col(classCol) <=> col("_ocls") && col("_hb") <=> col("_ohb"))
       .withColumn("cum_before", col("_off") + col("_lcum"))
-      .filter(col("cum_before") < budget)
-      .drop("_ocls", "_ohb", "_h", "_hb", "_lcum", "_off")
+      .drop("_ocls", "_ohb", "_lcum", "_off", "_tok")
+  }
+
+  /** The per-class `quota_c = floor(budget · w_c / Σw)` table of the
+    * temperature samplers, `w_c = weight^alpha` over a (class, _n)
+    * input. Σw is an ORDER-FIXED fold over the class-sorted weights —
+    * a plain float sum's accumulation order is partitioning-dependent,
+    * and a last-ulp difference could flip a floor() boundary against
+    * an oracle replay. alpha = 0.5 uses `sqrt` (the one power IEEE
+    * pins to correct rounding — the hash-gateable choice); other
+    * alphas use `pow` (deterministic within one engine only).
+    */
+  private def temperatureQuotas(
+      perClass: DataFrame, classCol: String, alpha: Double,
+      budget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(budget > 0, "budget must be positive")
+    val wExpr =
+      if (alpha == 0.5) sqrt(col("_n").cast("double"))
+      else if (alpha == 1.0) col("_n").cast("double")
+      else pow(col("_n").cast("double"), lit(alpha))
+    val weighted = perClass.select(col(classCol), wExpr.as("_w"))
+    val z = weighted.agg(
+      aggregate(
+        array_sort(collect_list(struct(col(classCol).as("c"),
+          col("_w").as("w")))),
+        lit(0.0), (acc, s) => acc + s.getField("w")).as("_z"))
+    weighted.crossJoin(broadcast(z))
+      .select(col(classCol).as("_qcls"),
+        floor(lit(budget.toDouble) * col("_w") / col("_z"))
+          .cast("long").as("_quota"))
   }
 
   /** Temperature-weighted mixture sampling — the mC4/XLM corpus-mixing
@@ -353,50 +401,42 @@ object Relational {
       df: DataFrame, classCol: String, idCol: String,
       alpha: Double, budgetDocs: Long, seed: Long,
       hashPrefixLen: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    require(budgetDocs > 0, "budgetDocs must be positive")
-    require(hashPrefixLen > 0 && hashPrefixLen <= 32,
-      s"hashPrefixLen must be in [1, 32], got $hashPrefixLen")
-    val sizes = df.groupBy(col(classCol)).agg(count(lit(1)).as("_n"))
-    val wExpr =
-      if (alpha == 0.5) sqrt(col("_n").cast("double"))
-      else if (alpha == 1.0) col("_n").cast("double")
-      else pow(col("_n").cast("double"), lit(alpha))
-    val weighted = sizes.select(col(classCol), wExpr.as("_w"))
-    val z = weighted.agg(
-      aggregate(
-        array_sort(collect_list(struct(col(classCol).as("c"),
-          col("_w").as("w")))),
-        lit(0.0), (acc, s) => acc + s.getField("w")).as("_z"))
-    val quotas = weighted.crossJoin(broadcast(z))
-      .select(col(classCol).as("_qcls"),
-        floor(lit(budgetDocs.toDouble) * col("_w") / col("_z"))
-          .cast("long").as("_quota"))
-    // two-level seeded-hash rank (the tokenQuotaSample machinery with
-    // tokens ≡ 1, so the exclusive prefix count IS the 0-based rank)
-    val base = df.select(col(classCol), col(idCol))
-      .withColumn("_h", md5Rank(Seq(col(idCol)), seed))
-      .withColumn("_hb", substring(col("_h"), 1, hashPrefixLen))
-    val wLocal = Window.partitionBy(col(classCol), col("_hb"))
-      .orderBy(col("_h"), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val local = base.withColumn("_lcum",
-      coalesce(sum(lit(1L)).over(wLocal), lit(0L)))
-    val wOff = Window.partitionBy(col(classCol)).orderBy(col("_hb"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // bucket counts read off the window output (max inclusive rank) so
-    // the totals branch shares the window shuffle — see tokenShards
-    val offsets = local.groupBy(col(classCol), col("_hb"))
-      .agg(max(col("_lcum") + lit(1L)).as("_stot"))
-      .withColumn("_off", coalesce(sum(col("_stot")).over(wOff), lit(0L)))
-      .select(col(classCol).as("_ocls"), col("_hb").as("_ohb"), col("_off"))
-    local.join(offsets,
-        col(classCol) <=> col("_ocls") && col("_hb") <=> col("_ohb"))
-      .withColumn("pos", col("_off") + col("_lcum"))
+    val quotas = temperatureQuotas(
+      df.groupBy(col(classCol)).agg(count(lit(1)).as("_n")),
+      classCol, alpha, budgetDocs)
+    // tokens ≡ 1 ⇒ the exclusive prefix count IS the 0-based rank
+    hashRankedCum(df.select(col(classCol), col(idCol)), classCol, idCol,
+      lit(1L), seed, hashPrefixLen)
+      .withColumnRenamed("cum_before", "pos")
       .join(quotas, col(classCol) <=> col("_qcls"))
       .filter(col("pos") < col("_quota"))
       .select(col(classCol), col(idCol), col("pos"))
+  }
+
+  /** [[temperatureSample]] with the budget in TOKENS — the realistic
+    * mixing unit: class c contributes `floor(budgetTokens · T_c^alpha /
+    * Σ)` tokens (T_c = the class's token total), filled in seeded-hash
+    * order with the boundary doc included (the [[tokenQuotaSample]]
+    * first-crossing rule). alpha < 1 flattens token mass toward tail
+    * classes. Output: (classCol, idCol, tokensCol, cum_before).
+    *
+    * Determinism and scale shape follow the doc-count flavor: exact
+    * integer class totals → IEEE-pinned sqrt at alpha = 0.5 →
+    * order-fixed Σ fold → broadcast quota join onto the two-level
+    * hash-prefix prefix sum.
+    */
+  def temperatureTokenSample(
+      df: DataFrame, classCol: String, idCol: String, tokensCol: String,
+      alpha: Double, budgetTokens: Long, seed: Long,
+      hashPrefixLen: Int = 4): DataFrame = {
+    val quotas = temperatureQuotas(
+      df.groupBy(col(classCol)).agg(sum(col(tokensCol)).as("_n")),
+      classCol, alpha, budgetTokens)
+    hashRankedCum(df.select(col(classCol), col(idCol), col(tokensCol)),
+      classCol, idCol, col(tokensCol), seed, hashPrefixLen)
+      .join(quotas, col(classCol) <=> col("_qcls"))
+      .filter(col("cum_before") < col("_quota"))
+      .select(col(classCol), col(idCol), col(tokensCol), col("cum_before"))
   }
 
   /** Materialize [[tokenShards]] output into packed training SEQUENCES:

