@@ -629,6 +629,21 @@ object OracleSql {
         |SELECT p.lang, p.doc_id, p.pos
         |FROM p JOIN q USING (lang) WHERE pos < quota""".stripMargin,
 
+    // normalized exact dedup over the case-mangled union: the dedup key
+    // is the CCNet-style canonical form (lower, punct→space, whitespace
+    // collapse) — identical RE2/Java semantics for these classes
+    "q69_normalized_dedup" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 100000, upper(text) FROM documents),
+        |n AS (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text),
+        |          '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS k
+        |      FROM u)
+        |SELECT sha256(k) AS text_hash, min(doc_id) AS doc_id,
+        |  count(*) AS n_dups
+        |FROM n GROUP BY k""".stripMargin,
+
     // temperature mixing in TOKENS: quota_c = floor(10000·√T_c/Σ√T)
     // (T_c integer-exact), first-crossing fill in seeded-md5 order —
     // the q63 window with a per-class quota from the q67 fold

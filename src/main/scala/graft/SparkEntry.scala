@@ -900,6 +900,19 @@ object SparkEntry {
       "lang", "doc_id", "n_tokens", alpha = 0.5,
       budgetTokens = 10000L, seed = 29L)
 
+  /** Normalized exact dedup (the CCNet-style first pass): the corpus is
+    * unioned with UPPERCASED twins (ids offset) so the gate proves the
+    * normalized key collapses trivially-mutated copies raw hashing
+    * would keep — every group must show n_dups = 2 with the original
+    * (lower) id surviving.
+    */
+  def q69_normalized_dedup(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val mangled = base.select((col("doc_id") + 100000L).as("doc_id"),
+      upper(col("text")).as("text"))
+    Dedup.exactNormalized(base.union(mangled), "text", "doc_id")
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -970,7 +983,8 @@ object SparkEntry {
     "q65_ann_recall" -> (q65_ann_recall(_, _)),
     "q66_line_dedup" -> (q66_line_dedup(_, _)),
     "q67_temperature_mix" -> (q67_temperature_mix(_, _)),
-    "q68_temperature_tokens" -> (q68_temperature_tokens(_, _)))
+    "q68_temperature_tokens" -> (q68_temperature_tokens(_, _)),
+    "q69_normalized_dedup" -> (q69_normalized_dedup(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -21,7 +21,7 @@ import graft.schema.Vintages
   * graft.cli.Main ann-query <idxDir> <queries> <outDir> [k] [planes] [dim]
   * graft.cli.Main ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod]
   * graft.cli.Main pack    <corpus> <outDir> [budget] [--jsonl] [--simple-tokens]
-  * graft.cli.Main mix     <corpus> <outDir> [budget] [seed] [--jsonl] [--simple-tokens]
+  * graft.cli.Main mix     <corpus> <outDir> [budget] [seed] [--jsonl] [--simple-tokens] [--alpha A]
   * graft.cli.Main split   <corpus> <outDir> [seed] [--jsonl]   // writes PARQUET partitioned by split= (the exception: splits are storage layout, not a doc stream)
   * graft.cli.Main chunk   <corpus> <outDir> [size] [overlap] [--jsonl]
   * graft.cli.Main tfidf   <corpus> <outDir> [--jsonl]
@@ -276,13 +276,25 @@ object Main {
         else lit("all")
       val base = docs.select(cls.as("lang"), col("doc_id"),
         size(tokenizerFor(rest)(col("text"))).as("n_tokens"))
-      val quota = graft.operators.Relational.tokenQuotaSample(
-        base, "lang", "doc_id", "n_tokens", budget, seed)
+      // --alpha A: temperature mixing — budget is the TOTAL token
+      // budget split across classes ∝ T_c^alpha; without it, budget is
+      // a flat per-class token quota
+      val alphaOpt = rest.dropWhile(_ != "--alpha").drop(1).headOption
+        .map(_.toDouble)
+      val quota = alphaOpt match {
+        case Some(a) => graft.operators.Relational.temperatureTokenSample(
+          base, "lang", "doc_id", "n_tokens", a, budget, seed)
+        case None => graft.operators.Relational.tokenQuotaSample(
+          base, "lang", "doc_id", "n_tokens", budget, seed)
+      }
       val kept = docs.join(quota.select("doc_id"), Seq("doc_id"),
         "left_semi")
       Export.jsonl(kept, outDir)
+      val budgetDesc = alphaOpt
+        .map(a => s"~$budget tokens total, alpha=$a")
+        .getOrElse(s"~$budget tokens/class")
       println(s"[mix] ${docs.count()} docs -> ${kept.count()} kept " +
-        s"(~$budget tokens/class, seed $seed) -> $outDir")
+        s"($budgetDesc, seed $seed) -> $outDir")
       spark.stop()
 
     case "pack" :: corpus :: outDir :: rest =>
@@ -359,7 +371,7 @@ object Main {
           "ann-query <idx> <queries> <out> [k] [planes] [dim] | " +
           "ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod] | " +
           "pack <corpus> <out> [budget] [--jsonl] [--simple-tokens] | " +
-          "mix <corpus> <out> [budget] [seed] [--jsonl] [--simple-tokens] | " +
+           "mix <corpus> <out> [budget] [seed] [--jsonl] [--simple-tokens] [--alpha A] | " +
           "split <corpus> <out> [seed] [--jsonl] (parquet, split= partitions) | " +
           "chunk <corpus> <out> [size] [overlap] [--jsonl] | " +
           "tfidf <corpus> <out> [--jsonl] | " +

@@ -168,6 +168,30 @@ object Dedup {
       greatest(size(array_union(da, db)), lit(1))
   }
 
+  /** Exact dedup on the NORMALIZED text — [[exact]] keyed by
+    * [[TextOps.normalizeText]] (lowercase, punctuation → space,
+    * whitespace collapse) so trivially-mutated copies of the same
+    * content collapse to one survivor: the CCNet-style first dedup
+    * pass a crawl corpus runs before the MinHash machinery. Same scale
+    * shape as [[exact]] — the shuffle carries (64-hex key, id, count),
+    * normalization happens in the scan stage.
+    */
+  def exactNormalized(
+      df: DataFrame, textCol: String, idCol: String,
+      normalizer: Column => Column = TextOps.normalizeText): DataFrame =
+    df.groupBy(sha2(normalizer(col(textCol)), 256).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+
+  /** One-call normalized dedup: keep the minimal-id ROW per distinct
+    * normalized text (the apply flavor of [[exactNormalized]]).
+    */
+  def dedupExactNormalized(
+      df: DataFrame, textCol: String, idCol: String,
+      normalizer: Column => Column = TextOps.normalizeText): DataFrame =
+    df.join(
+      exactNormalized(df, textCol, idCol, normalizer).select(idCol),
+      Seq(idCol), "left_semi")
+
   /** One-call exact dedup: keep the minimal-id row per distinct text.
     * The survivor set (hash → min id) is an aggregation on narrow rows;
     * the keep-join is a broadcast semi-join when the survivor set fits,

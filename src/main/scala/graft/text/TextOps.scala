@@ -30,6 +30,19 @@ object TextOps {
     */
   def tokensSimple(text: Column): Column = split(text, " ")
 
+  /** Canonical dedup key — the CCNet-style normalization applied before
+    * exact-hash dedup so trivially-mutated copies (case, punctuation,
+    * whitespace runs) collapse: lowercase, non-alphanumerics → space,
+    * whitespace runs → one space, trimmed. Character classes are the
+    * Unicode `\p{L}\p{N}` so the rule is language-agnostic; every step
+    * is a scan-stage regex expression replayable in any RE2/Java-regex
+    * engine (identical semantics for these classes).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", " "),
+      "\\s+", " "))
+
   /** BPE-ish sub-token split: letter runs, digit runs, and individual
     * punctuation marks each count as one token — the cheap stand-in for a
     * real BPE vocabulary when estimating LLM token budgets. "don't stop,

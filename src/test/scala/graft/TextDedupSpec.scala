@@ -424,6 +424,29 @@ class TextDedupSpec extends SparkSpec {
     assert(total >= 400 - 22 && total <= 400 + 22, s"total=$total")
   }
 
+  test("normalized dedup collapses case/punct/whitespace mutations " +
+    "raw exact dedup keeps apart") {
+    val d = Seq(
+      (1L, "The quick brown fox!"),
+      (2L, "the  quick   brown fox"),  // ws runs + case
+      (3L, "THE QUICK, BROWN... FOX"), // punct + case
+      (4L, "a different document"))
+      .toDF("doc_id", "text")
+    assert(Dedup.exact(d, "text", "doc_id").count() == 4) // raw: no dups
+    val norm = Dedup.exactNormalized(d, "text", "doc_id")
+    assert(norm.count() == 2)
+    val grp = norm.filter(col("n_dups") === 3).head()
+    assert(grp.getAs[Long]("doc_id") == 1L) // min-id survivor
+    val kept = Dedup.dedupExactNormalized(d, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+    // the key itself: canonical form of all three mutations is equal
+    val keys = d.filter(col("doc_id") =!= 4L)
+      .select(TextOps.normalizeText(col("text"))).distinct().collect()
+    assert(keys.length == 1 &&
+      keys.head.getString(0) == "the quick brown fox")
+  }
+
   test("exact dedup: survivor is min id, duplicate counted") {
     val d = Dedup.exact(docs, "text", "doc_id")
     assert(d.count() == 4) // 5 docs, one exact pair
