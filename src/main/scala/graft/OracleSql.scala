@@ -629,6 +629,19 @@ object OracleSql {
         |SELECT p.lang, p.doc_id, p.pos
         |FROM p JOIN q USING (lang) WHERE pos < quota""".stripMargin,
 
+    // within-doc span dedup: keep index i iff the FIRST occurrence of
+    // ls[i] is at i (both sides 1-based first-position semantics)
+    "q70_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' a ') AS ls
+        |           FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(
+        |    list_transform(
+        |      list_filter(range(1, len(ls) + 1),
+        |        i -> list_position(ls, ls[i]) = i),
+        |      i -> ls[i]), ' a ') AS clean_text
+        |FROM t""".stripMargin,
+
     // normalized exact dedup over the case-mangled union: the dedup key
     // is the CCNet-style canonical form (lower, punct→space, whitespace
     // collapse) — identical RE2/Java semantics for these classes

@@ -913,6 +913,15 @@ object SparkEntry {
     Dedup.exactNormalized(base.union(mangled), "text", "doc_id")
   }
 
+  /** Within-document span dedup (intra-doc repetition cleanup): every
+    * repeated " a "-delimited span keeps its first occurrence only —
+    * pure scan-stage array algebra, the word-soup fixture repeats
+    * spans within docs heavily.
+    */
+  def q70_span_dedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextOps.dedupSpansInDoc(col("text"), " a ").as("clean_text"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -984,7 +993,8 @@ object SparkEntry {
     "q66_line_dedup" -> (q66_line_dedup(_, _)),
     "q67_temperature_mix" -> (q67_temperature_mix(_, _)),
     "q68_temperature_tokens" -> (q68_temperature_tokens(_, _)),
-    "q69_normalized_dedup" -> (q69_normalized_dedup(_, _)))
+    "q69_normalized_dedup" -> (q69_normalized_dedup(_, _)),
+    "q70_span_dedup" -> (q70_span_dedup(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

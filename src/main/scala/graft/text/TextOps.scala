@@ -30,6 +30,25 @@ object TextOps {
     */
   def tokensSimple(text: Column): Column = split(text, " ")
 
+  /** WITHIN-document span dedup — the RefinedWeb-style intra-doc
+    * repetition cleanup: split on the LITERAL delimiter, keep only the
+    * FIRST occurrence of each span, rejoin. A crawl page repeating its
+    * nav block or a generated doc stuck in a loop loses the repeats
+    * while cross-document frequency is untouched (that is
+    * [[graft.text.Dedup.dedupLines]]'s job). Pure scan-stage array
+    * expression — no shuffle, no state; O(spans²) per doc via
+    * `array_position`, fine for document-sized span counts. Null text
+    * stays null.
+    */
+  def dedupSpansInDoc(text: Column, delimiter: String): Column = {
+    val pat = java.util.regex.Pattern.quote(delimiter)
+    val arr = split(text, pat)
+    array_join(
+      filter(arr, (ln, i) =>
+        array_position(arr, ln) === (i + 1).cast("long")),
+      delimiter)
+  }
+
   /** Canonical dedup key — the CCNet-style normalization applied before
     * exact-hash dedup so trivially-mutated copies (case, punctuation,
     * whitespace runs) collapse: lowercase, non-alphanumerics → space,

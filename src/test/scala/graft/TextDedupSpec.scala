@@ -424,6 +424,22 @@ class TextDedupSpec extends SparkSpec {
     assert(total >= 400 - 22 && total <= 400 + 22, s"total=$total")
   }
 
+  test("dedupSpansInDoc keeps first occurrences in order; cross-doc " +
+    "repeats untouched; null text stays null") {
+    val d = Seq(
+      (1L, "nav block\ncontent one\nnav block\ncontent two\nnav block"),
+      (2L, "nav block\nother content"), // cross-doc repeat NOT removed
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+      TextOps.dedupSpansInDoc(col("text"), "\n").as("t"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == "nav block\ncontent one\ncontent two")
+    assert(got(2L) == "nav block\nother content")
+    assert(got(3L) == null)
+  }
+
   test("normalized dedup collapses case/punct/whitespace mutations " +
     "raw exact dedup keeps apart") {
     val d = Seq(
