@@ -365,7 +365,12 @@ object Relational {
       if (alpha == 0.5) sqrt(col("_n").cast("double"))
       else if (alpha == 1.0) col("_n").cast("double")
       else pow(col("_n").cast("double"), lit(alpha))
+    // checkpoint: the (class, weight) table is one row per class but
+    // its lineage is a corpus aggregation, and it feeds TWO consumers
+    // (the Σ fold and the quota projection) — without the cut the
+    // corpus is scanned twice more just to rebuild this tiny table
     val weighted = perClass.select(col(classCol), wExpr.as("_w"))
+      .localCheckpoint()
     val z = weighted.agg(
       aggregate(
         array_sort(collect_list(struct(col(classCol).as("c"),
