@@ -82,7 +82,9 @@ object OracleSql {
     * -> per-band md5 buckets -> bucket self-join candidate pairs. Used
     * verbatim by q16/q29/q33 so banding changes happen in ONE place.
     */
-  private def lshCandBody(rel: String): String = {
+  private def lshCandBody(
+      rel: String,
+      pairCond: String = "a.doc_id < b.doc_id"): String = {
     val sigCols = (0 until 32).map(j => s"${sigExpr(j)} AS s$j").mkString(", ")
     val bands = (0 until 8).mkString(", ")
     val buckets = (0 until 8).map { b =>
@@ -98,7 +100,7 @@ object OracleSql {
        |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
        |         FROM bk a JOIN bk b
        |           ON a.band = b.band AND a.bucket = b.bucket
-       |          AND a.doc_id < b.doc_id)""".stripMargin
+       |          AND $pairCond)""".stripMargin
   }
 
   private val lshCandCtes: String = "WITH " + lshCandBody("documents")
@@ -120,6 +122,24 @@ object OracleSql {
        |JOIN g ga ON ga.doc_id = ia
        |JOIN g gb ON gb.doc_id = ib
        |WHERE $agreeExpr / 32.0 >= 0.2""".stripMargin
+
+  /** Cross-corpus fuzzy-join oracle: the q16 machinery with the
+    * candidate condition flipped from within-corpus ordering to the
+    * parity split (left = even ids, right = odd) — signatures are
+    * corpus-independent, so signing once over `documents` and pairing
+    * across the split replays the two-input operator exactly.
+    */
+  private val q71 = {
+    val ctes = "WITH " + lshCandBody("documents",
+      "a.doc_id % 2 = 0 AND b.doc_id % 2 = 1")
+    s"""$ctes
+       |SELECT ia AS id_a, ib AS id_b,
+       |  round($agreeExpr / 32.0, 6) AS est_jaccard
+       |FROM cand
+       |JOIN g ga ON ga.doc_id = ia
+       |JOIN g gb ON gb.doc_id = ib
+       |WHERE $agreeExpr / 32.0 >= 0.2""".stripMargin
+  }
 
   /** Near-dup clustering oracle: the whole LSH pipeline in SQL —
     * shared candidate CTEs → signature-agreement est-Jaccard (k/32 is a
@@ -604,6 +624,7 @@ object OracleSql {
     "q14_minhash" -> q14,
     "q15_lsh_buckets" -> q15,
     "q16_near_dup_pairs" -> q16,
+    "q71_fuzzy_join" -> q71,
     "q17_cosine_topk" -> q17,
     "q18_ann_topk" -> q18,
     "q65_ann_recall" -> q65,

@@ -922,6 +922,19 @@ object SparkEntry {
     docs(s, dir).select(col("doc_id"),
       TextOps.dedupSpansInDoc(col("text"), " a ").as("clean_text"))
 
+  /** Cross-corpus near-dup pairs (fuzzy text join): the corpus split by
+    * doc-id parity into a "left" and "right" source; pairs form only
+    * ACROSS the split — the new-drop-vs-reference alignment shape.
+    */
+  def q71_fuzzy_join(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    Dedup.nearDupPairsBetween(
+      all.filter(col("doc_id") % 2 === 0),
+      all.filter(col("doc_id") % 2 =!= 0),
+      "text", "doc_id", shingleK = 3, bands = 8, rowsPerBand = 4,
+      threshold = 0.2, tokenizer = TextOps.tokensSimple)
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -994,7 +1007,8 @@ object SparkEntry {
     "q67_temperature_mix" -> (q67_temperature_mix(_, _)),
     "q68_temperature_tokens" -> (q68_temperature_tokens(_, _)),
     "q69_normalized_dedup" -> (q69_normalized_dedup(_, _)),
-    "q70_span_dedup" -> (q70_span_dedup(_, _)))
+    "q70_span_dedup" -> (q70_span_dedup(_, _)),
+    "q71_fuzzy_join" -> (q71_fuzzy_join(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

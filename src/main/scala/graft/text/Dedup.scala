@@ -643,6 +643,37 @@ object Dedup {
       explode(bandedBuckets(col("sig"), bands, rowsPerBand)).as("_bkt"))
   }
 
+  /** Near-dup pairs BETWEEN two corpora — the fuzzy TEXT JOIN: a left
+    * and a right doc pair up when they share any LSH bucket and the
+    * signature estimate clears `threshold`. The cross-corpus twin of
+    * [[nearDupPairs]], for aligning a new drop against a reference
+    * corpus or matching noisy records across sources. Both sides sign
+    * inline with the SAME LSH parameters (bucket keys must agree);
+    * output is (id_a ∈ dfA, id_b ∈ dfB, est_jaccard) — ids may repeat
+    * across inputs and no id ordering is applied. Scale shape is the
+    * self-join's: candidates form via the band:bucket equi-join, only
+    * ids + signatures shuffle.
+    */
+  def nearDupPairsBetween(
+      dfA: DataFrame, dfB: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      tokenizer: Column => Column = TextOps.tokens): DataFrame = {
+    val ax = explodedSigned(dfA, textCol, idCol, shingleK, bands,
+      rowsPerBand, tokenizer)
+      .select(col("_bkt"), col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val bx = explodedSigned(dfB, textCol, idCol, shingleK, bands,
+      rowsPerBand, tokenizer)
+      .select(col("_bkt"), col(idCol).as("id_b"), col("sig").as("sig_b"))
+    ax.join(bx, Seq("_bkt"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .distinct() // collapse multi-band collisions (sigs id-determined)
+      .withColumn("est_jaccard",
+        round(estJaccard(col("sig_a"), col("sig_b")), 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
   /** Bucket self-join tail shared by the inline and persisted-index pair
     * generators: candidates form inside a bucket, then the signature
     * estimate verifies.

@@ -424,6 +424,26 @@ class TextDedupSpec extends SparkSpec {
     assert(total >= 400 - 22 && total <= 400 + 22, s"total=$total")
   }
 
+  test("nearDupPairsBetween pairs only ACROSS the two corpora; ids may " +
+    "repeat across inputs") {
+    val left = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away"),
+      (2L, "an unrelated left document about spark internals today"),
+      // within-LEFT near-dups of each other — must NOT pair
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val right = Seq(
+      // near-dup of left 1 — and the SAME id as a left doc (allowed)
+      (2L, "the quick brown fox jumps over the lazy dog and runs home"),
+      (9L, "completely different right-side content with fresh words"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairsBetween(left, right, "text", "doc_id",
+      threshold = 0.5, tokenizer = TextOps.tokensSimple)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"pairs: $pairs")
+  }
+
   test("dedupSpansInDoc keeps first occurrences in order; cross-doc " +
     "repeats untouched; null text stays null") {
     val d = Seq(
