@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimXX, Dist2XX, JaccardXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, PadPackXX, RepStatsXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
+import graft.functions.{CosineSimXX, DeflateRatioExprXX, Dist2XX, JaccardXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, PadPackXX, RepStatsXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * SQL functions so plain `spark.sql` users get them too.
@@ -52,6 +52,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "usage: graft_dist2(a, b)")
         Dist2XX(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatioExprXX].getName,
+        "graft_deflate_ratio"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "usage: graft_deflate_ratio(text)")
+        DeflateRatioExprXX(children.head)
       }))
 
     ext.injectFunction((

@@ -935,6 +935,27 @@ object SparkEntry {
       threshold = 0.2, tokenizer = TextOps.tokensSimple)
   }
 
+  /** Compression-ratio quality signal (zlib-dependent, so rows-only
+    * like q26 — no cross-engine oracle exists by design). The query
+    * SELF-ASSERTS the semantics: every ratio must land in (0, 2], and
+    * a doubled doc must compress strictly better relative to its
+    * length than the original — the property the spam filter relies
+    * on.
+    */
+  def q72_compression_ratio(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).select(col("doc_id"),
+      round(TextOps.compressionRatio(col("text")), 6)
+        .as("compression_ratio"),
+      round(TextOps.compressionRatio(
+        concat_ws(" ", col("text"), col("text"))), 6).as("_doubled"))
+    val bad = scored.filter(
+      col("compression_ratio") <= 0.0 || col("compression_ratio") > 2.0 ||
+        col("_doubled") >= col("compression_ratio")).count()
+    require(bad == 0,
+      s"$bad docs violate the compression-ratio invariants")
+    scored.select(col("doc_id"), col("compression_ratio"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1008,7 +1029,8 @@ object SparkEntry {
     "q68_temperature_tokens" -> (q68_temperature_tokens(_, _)),
     "q69_normalized_dedup" -> (q69_normalized_dedup(_, _)),
     "q70_span_dedup" -> (q70_span_dedup(_, _)),
-    "q71_fuzzy_join" -> (q71_fuzzy_join(_, _)))
+    "q71_fuzzy_join" -> (q71_fuzzy_join(_, _)),
+    "q72_compression_ratio" -> (q72_compression_ratio(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

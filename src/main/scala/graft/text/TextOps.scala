@@ -30,6 +30,20 @@ object TextOps {
     */
   def tokensSimple(text: Column): Column = split(text, " ")
 
+  /** Compression-ratio quality signal (the Gopher-family
+    * compressibility filter): deflated-bytes / raw-bytes of the UTF-8
+    * text via the fused [[graft.functions.DeflateRatioXX]] kernel
+    * (thread-local zlib state, scan-stage, codegen'd). Repetitive spam
+    * lands far below the natural-prose band, near-random noise above
+    * it. Single-engine heuristic — see the kernel doc for why it is
+    * deliberately not oracle-gated.
+    */
+  def compressionRatio(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.DeflateRatioExprXX(
+      ColumnBridge.expression(text)))
+  }
+
   /** WITHIN-document span dedup — the RefinedWeb-style intra-doc
     * repetition cleanup: split on the LITERAL delimiter, keep only the
     * FIRST occurrence of each span, rejoin. A crawl page repeating its

@@ -424,6 +424,33 @@ class TextDedupSpec extends SparkSpec {
     assert(total >= 400 - 22 && total <= 400 + 22, s"total=$total")
   }
 
+  test("compressionRatio: repetitive text compresses far below varied " +
+    "text; empty is 0; null propagates; SQL-registered") {
+    val rows = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over a lazy dog while autumn " +
+        "leaves drift across the quiet river valley"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+      TextOps.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    assert(got(1L) > 0.0 && got(2L) > 0.0 && got(2L) <= 2.0)
+    assert(got(1L) < got(2L) - 0.2,
+      s"repetitive ${got(1L)} not clearly below varied ${got(2L)}")
+    assert(got(3L) == 0.0)
+    assert(got(4L).isNaN) // null text → null ratio
+    // deterministic within the engine (thread-local deflater reuse)
+    val again = rows.filter(col("doc_id") === 1L)
+      .select(TextOps.compressionRatio(col("text"))).head().getDouble(0)
+    assert(again == got(1L))
+    // SQL registration
+    assert(spark.sql("SELECT graft_deflate_ratio('aaaaaaaaaaaaaaaaaaaa')")
+      .head().getDouble(0) > 0.0)
+  }
+
   test("nearDupPairsBetween pairs only ACROSS the two corpora; ids may " +
     "repeat across inputs") {
     val left = Seq(
