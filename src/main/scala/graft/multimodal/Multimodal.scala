@@ -84,7 +84,9 @@ object Multimodal {
     * [[decodeStub]]; without codec libraries the pixel grid is derived
     * deterministically from the feature vector (stable fake). Schema,
     * `mapPartitions` batching, and the fixed output shape
-    * (targetW × targetH floats) are the real contract.
+    * (targetW × targetH floats) are the real contract — and
+    * [[decodePngThumb]] IS that operation for real, for PNG inputs
+    * (streaming box-average during the unfilter pass).
     */
   def resizeStub(decoded: Dataset[Decoded], targetW: Int = 4,
       targetH: Int = 4): Dataset[Resized] = {
@@ -219,14 +221,51 @@ object Multimodal {
   private val PngSignature: Array[Int] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
 
+  /** Header facts handed to [[walkPng]] scanline visitors. */
+  private final case class PngHeader(
+      w: Int, h: Int, bitDepth: Int, colorType: Int, channels: Int)
+
   /** Parse one PNG buffer; total function (malformed → ok=false). */
   private[graft] def decodeOnePng(id: Long, bytes: Array[Byte],
       maxRasterBytes: Long = 256L * 1024 * 1024): PngMeta = {
     val bad = PngMeta(id, ok = false, 0, 0, 0, 0, 0.0, 0.0, 0.0)
-    if (bytes == null || bytes.length < 8 + 25 + 12) return bad
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val hdr = walkPng(bytes, maxRasterBytes) { (_, recon, hd) =>
+      var px = 0
+      val st = hd.w * hd.channels
+      while (px < st) {
+        hd.colorType match {
+          case 0 => sr += recon(px); px += 1
+          case 2 =>
+            sr += recon(px); sg += recon(px + 1); sb += recon(px + 2)
+            px += 3
+          case 4 => sr += recon(px); px += 2 // alpha ignored
+          case 6 =>
+            sr += recon(px); sg += recon(px + 1); sb += recon(px + 2)
+            px += 4
+        }
+      }
+    }
+    if (hdr == null) return bad
+    val n = hdr.w.toDouble * hdr.h
+    val (mr, mg, mb) =
+      if (hdr.colorType == 0 || hdr.colorType == 4) (sr / n, sr / n, sr / n)
+      else (sr / n, sg / n, sb / n)
+    PngMeta(id, ok = true, hdr.w, hdr.h, hdr.bitDepth, hdr.colorType,
+      mr, mg, mb)
+  }
+
+  /** Parse + inflate + unfilter a PNG, calling `visit(y, recon, header)`
+    * once per scanline with the RECONSTRUCTED row (`recon` is a reused
+    * buffer of `w·channels` ints — consume it inside the call). Returns
+    * the header on success, null on any malformation; never throws.
+    */
+  private def walkPng(bytes: Array[Byte], maxRasterBytes: Long)(
+      visit: (Int, Array[Int], PngHeader) => Unit): PngHeader = {
+    if (bytes == null || bytes.length < 8 + 25 + 12) return null
     var i = 0
     while (i < 8) {
-      if ((bytes(i) & 0xff) != PngSignature(i)) return bad
+      if ((bytes(i) & 0xff) != PngSignature(i)) return null
       i += 1
     }
     def be32(p: Int): Long =
@@ -241,21 +280,22 @@ object Multimodal {
     val idatParts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var done = false
     while (!done) {
-      if (pos + 8 > bytes.length) return bad
+      if (pos + 8 > bytes.length) return null
       val len = be32(pos)
-      if (len > Int.MaxValue - 12 || pos + 12 + len > bytes.length) return bad
+      if (len > Int.MaxValue - 12 || pos + 12 + len > bytes.length)
+        return null
       val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
       val dataAt = pos + 8
       ctype match {
         case "IHDR" =>
-          if (sawIhdr || len != 13) return bad
+          if (sawIhdr || len != 13) return null
           sawIhdr = true
           w = be32(dataAt); h = be32(dataAt + 4)
           bitDepth = bytes(dataAt + 8) & 0xff
           colorType = bytes(dataAt + 9) & 0xff
           interlace = bytes(dataAt + 12) & 0xff
         case "IDAT" =>
-          if (!sawIhdr) return bad
+          if (!sawIhdr) return null
           idatParts += ((dataAt, len.toInt))
           idatLen += len
         case "IEND" => done = true
@@ -263,23 +303,23 @@ object Multimodal {
       }
       pos += (12 + len).toInt // bounded: pos + 12 + len <= bytes.length
     }
-    if (!sawIhdr || idatParts.isEmpty) return bad
-    if (bitDepth != 8 || interlace != 0) return bad
+    if (!sawIhdr || idatParts.isEmpty) return null
+    if (bitDepth != 8 || interlace != 0) return null
     val channels = colorType match {
       case 0 => 1 // gray
       case 2 => 3 // rgb
       case 4 => 2 // gray + alpha
       case 6 => 4 // rgba
-      case _ => return bad // palette (3) and invalid types unsupported
+      case _ => return null // palette (3) and invalid types unsupported
     }
-    if (w <= 0 || h <= 0) return bad
+    if (w <= 0 || h <= 0) return null
     val stride = w * channels
     val expected = h * (1 + stride) // one filter byte per scanline
     // deflate expands at most ~1032:1 — a header claiming a raster the
     // IDAT stream cannot possibly hold is malformed; reject BEFORE
     // allocating, so a 100-byte hostile file cannot claim a 4 GB raster
     if (expected > maxRasterBytes || expected > idatLen * 1100L + 4096L)
-      return bad
+      return null
     val raw = new Array[Byte](expected.toInt)
     val inflater = new java.util.zip.Inflater()
     try {
@@ -287,7 +327,7 @@ object Multimodal {
       var part = 0
       while (out < raw.length && part <= idatParts.length) {
         if (inflater.needsInput()) {
-          if (part >= idatParts.length) return bad // stream truncated
+          if (part >= idatParts.length) return null // stream truncated
           val (off, len) = idatParts(part)
           inflater.setInput(bytes, off, len)
           part += 1
@@ -295,26 +335,26 @@ object Multimodal {
         val n = inflater.inflate(raw, out, raw.length - out)
         out += n
         if (n == 0 && inflater.finished()) {
-          if (out < raw.length) return bad
+          if (out < raw.length) return null
         } else if (n == 0 && !inflater.needsInput() &&
-          !inflater.needsDictionary()) return bad
-        if (inflater.needsDictionary()) return bad // not legal in PNG
+          !inflater.needsDictionary()) return null
+        if (inflater.needsDictionary()) return null // not legal in PNG
       }
-      if (out < raw.length) return bad
+      if (out < raw.length) return null
     } catch {
-      case _: java.util.zip.DataFormatException => return bad
+      case _: java.util.zip.DataFormatException => return null
     } finally inflater.end()
-    // un-filter scanlines and accumulate channel sums in the same pass
+    // un-filter scanlines, handing each reconstructed row to the visitor
+    val hdr = PngHeader(w.toInt, h.toInt, bitDepth, colorType, channels)
     val st = stride.toInt
     val bpp = channels
     var prior = new Array[Int](st)
     var recon = new Array[Int](st)
-    var sr = 0L; var sg = 0L; var sb = 0L
     var p = 0
-    var row = 0L
-    while (row < h) {
+    var row = 0
+    while (row < hdr.h) {
       val ft = raw(p) & 0xff
-      if (ft > 4) return bad
+      if (ft > 4) return null
       p += 1
       var x = 0
       while (x < st) {
@@ -337,28 +377,88 @@ object Multimodal {
         recon(x) = v & 0xff
         x += 1
       }
-      var px = 0
-      while (px < st) {
-        colorType match {
-          case 0 => sr += recon(px); px += 1
-          case 2 =>
-            sr += recon(px); sg += recon(px + 1); sb += recon(px + 2)
-            px += 3
-          case 4 => sr += recon(px); px += 2 // alpha ignored
-          case 6 =>
-            sr += recon(px); sg += recon(px + 1); sb += recon(px + 2)
-            px += 4
-        }
-      }
+      visit(row, recon, hdr)
       val tmp = prior; prior = recon; recon = tmp
       p += st
       row += 1
     }
-    val n = (w * h).toDouble
-    val (mr, mg, mb) =
-      if (colorType == 0 || colorType == 4) (sr / n, sr / n, sr / n)
-      else (sr / n, sg / n, sb / n)
-    PngMeta(id, ok = true, w.toInt, h.toInt, bitDepth, colorType, mr, mg, mb)
+    hdr
+  }
+
+  /** One decoded-and-downscaled PNG: `pixels` is the thumbW×thumbH
+    * box-average grid in row-major interleaved RGB (gray replicates;
+    * alpha ignored), values in [0, 255]. `ok=false` (empty pixels) for
+    * malformed input OR an image smaller than the target grid —
+    * thumbnails are a DOWNSCALE; a 2×2 icon has no 8×8 thumbnail.
+    */
+  final case class PngThumb(
+      id: Long, ok: Boolean, width: Int, height: Int,
+      thumbW: Int, thumbH: Int, pixels: Array[Float])
+
+  /** REAL decode→resize in one streaming pass — the operation
+    * [[resizeStub]] stubs, actual for PNG inputs: every reconstructed
+    * scanline folds into its box-average thumbnail cells as it is
+    * unfiltered, so peak extra memory is one thumbW×thumbH×3 grid (the
+    * full raster is never retained beyond the inflate buffer). The
+    * thumbnail doubles as a raw image embedding for the similarity
+    * stack (`pixels` feeds [[graft.sim.SimSearch]] directly). Same
+    * `mapPartitions` batch shape and per-item isolation as
+    * [[decodePng]].
+    */
+  def decodePngThumb(df: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media", thumbW: Int = 4, thumbH: Int = 4,
+      maxRasterBytes: Long = 256L * 1024 * 1024): Dataset[PngThumb] = {
+    require(thumbW > 0 && thumbH > 0, "thumb dims must be positive")
+    val rows = df.select(col(idCol).cast("long"), col(mediaCol))
+    rows.mapPartitions { it =>
+      // real codecs: init decoder context HERE, once per partition
+      it.map { r =>
+        val id = if (r.isNullAt(0)) -1L else r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (r.isNullAt(0))
+          PngThumb(id, ok = false, 0, 0, thumbW, thumbH, Array.empty)
+        else decodeOnePngThumb(id, bytes, thumbW, thumbH, maxRasterBytes)
+      }
+    }(Encoders.product[PngThumb])
+  }
+
+  /** Decode + box-average one PNG; total function. */
+  private[graft] def decodeOnePngThumb(id: Long, bytes: Array[Byte],
+      thumbW: Int, thumbH: Int,
+      maxRasterBytes: Long = 256L * 1024 * 1024): PngThumb = {
+    val bad = PngThumb(id, ok = false, 0, 0, thumbW, thumbH, Array.empty)
+    val sums = new Array[Double](thumbW * thumbH * 3)
+    val counts = new Array[Long](thumbW * thumbH)
+    var tooSmall = false
+    val hdr = walkPng(bytes, maxRasterBytes) { (y, recon, hd) =>
+      if (hd.w < thumbW || hd.h < thumbH) tooSmall = true
+      else {
+        val ty = math.min((y.toLong * thumbH / hd.h).toInt, thumbH - 1)
+        var x = 0
+        var px = 0
+        while (x < hd.w) {
+          val (r, g, b) = hd.colorType match {
+            case 0 => (recon(px), recon(px), recon(px))
+            case 2 => (recon(px), recon(px + 1), recon(px + 2))
+            case 4 => (recon(px), recon(px), recon(px)) // alpha ignored
+            case 6 => (recon(px), recon(px + 1), recon(px + 2))
+          }
+          val tx = math.min((x.toLong * thumbW / hd.w).toInt, thumbW - 1)
+          val cell = ty * thumbW + tx
+          sums(cell * 3) += r
+          sums(cell * 3 + 1) += g
+          sums(cell * 3 + 2) += b
+          counts(cell) += 1
+          px += hd.channels
+          x += 1
+        }
+      }
+    }
+    if (hdr == null || tooSmall) return bad
+    // downscale guarantees every cell received at least one pixel
+    val pixels = Array.tabulate(thumbW * thumbH * 3)(i =>
+      (sums(i) / counts(i / 3)).toFloat)
+    PngThumb(id, ok = true, hdr.w, hdr.h, thumbW, thumbH, pixels)
   }
 
   /** Frame sampling plumbing: cut the byte stream into fixed-size chunks

@@ -257,6 +257,46 @@ class StreamingMultimodalSpec extends SparkSpec {
       .forall(m => m.id == -1L && !m.ok))
   }
 
+  test("decodePngThumb: real decode→resize — box averages exact on a " +
+    "half-red/half-blue image; feeds similarity search end-to-end") {
+    // 4×4 RGB: left 2 columns pure red, right 2 pure blue → 2×2 thumb
+    // cells are exactly (255,0,0) / (0,0,255)
+    val px = Array.tabulate(4 * 4 * 3) { i =>
+      val x = (i / 3) % 4
+      val c = i % 3
+      if (x < 2) { if (c == 0) 255 else 0 } else { if (c == 2) 255 else 0 }
+    }
+    val png = encodePng(4, 4, 2, px, Seq(0, 1, 2, 3))
+    val df = Seq((1L, png)).toDF("doc_id", "media")
+    val t = Multimodal.decodePngThumb(df, thumbW = 2, thumbH = 2)
+      .collect().head
+    assert(t.ok && t.width == 4 && t.height == 4)
+    assert(t.pixels.toSeq == Seq(
+      255f, 0f, 0f, 0f, 0f, 255f,
+      255f, 0f, 0f, 0f, 0f, 255f))
+    // image smaller than the grid is a refused upscale, not garbage
+    val tiny = Multimodal.decodeOnePngThumb(2L,
+      encodePng(2, 2, 2, Array.fill(2 * 2 * 3)(7), Seq(0)), 4, 4)
+    assert(!tiny.ok && tiny.pixels.isEmpty)
+    assert(!Multimodal.decodeOnePngThumb(3L, "junk".getBytes, 2, 2).ok)
+    // E2E: thumbnails are raw embeddings — two red-ish images rank
+    // each other above the blue one
+    val redA = encodePng(4, 4, 2,
+      Array.tabulate(48)(i => if (i % 3 == 0) 250 else 10), Seq(0))
+    val redB = encodePng(4, 4, 2,
+      Array.tabulate(48)(i => if (i % 3 == 0) 240 else 20), Seq(1))
+    val blue = encodePng(4, 4, 2,
+      Array.tabulate(48)(i => if (i % 3 == 2) 250 else 10), Seq(2))
+    val emb = Multimodal.decodePngThumb(
+      Seq((0L, redA), (1L, redB), (2L, blue)).toDF("doc_id", "media"),
+      thumbW = 2, thumbH = 2)
+      .toDF().select(col("id").as("vec_id"), col("pixels").as("embedding"))
+    val top = graft.sim.SimSearch.bruteForceTopK(emb, "vec_id",
+      "embedding", col("vec_id") === 0L, k = 2).collect()
+    assert(top.head.getAs[Long]("neighbor") == 1L,
+      s"red image's nearest neighbor should be the other red one")
+  }
+
   test("decodeOnePng is total on arbitrary bytes (fuzz, seeded)") {
     val rnd = new scala.util.Random(77)
     for (trial <- 0 until 500) {
