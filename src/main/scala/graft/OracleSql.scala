@@ -793,6 +793,30 @@ object OracleSql {
         |  array_to_string(list(text ORDER BY doc_id), ' ') AS packed_text
         |FROM s GROUP BY lang, shard""".stripMargin,
 
+    // q59 + loader metadata: member ids and exclusive per-doc token
+    // offsets (integer-exact prefix sums, O(n²) slice-sum formulation —
+    // values identical to Spark's array fold), arrays as CSV strings
+    "q73_pack_offsets" ->
+      """WITH t AS (SELECT lang, doc_id, text,
+        |        len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (SELECT lang, doc_id, text, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |          ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cum FROM t),
+        |s AS (SELECT lang, doc_id, text, n_tokens,
+        |        (cum // 1000)::INTEGER AS shard FROM c)
+        |SELECT lang, shard, count(*)::INTEGER AS n_docs,
+        |  sum(n_tokens)::BIGINT AS shard_tokens,
+        |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids_csv,
+        |  array_to_string(
+        |    list_transform(range(1, count(*) + 1),
+        |      i -> coalesce(list_sum(list_slice(
+        |             list(n_tokens ORDER BY doc_id), 1, i - 1)), 0)),
+        |    ',') AS doc_offsets_csv,
+        |  array_to_string(list(text ORDER BY doc_id), ' ') AS packed_text
+        |FROM s GROUP BY lang, shard""".stripMargin,
+
     // q42's observability twin: per-eval-doc shared-doc/shared-gram
     // counts over the same 5-gram split, zeros kept via the left join
     "q60_contamination_report" ->

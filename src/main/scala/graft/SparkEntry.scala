@@ -935,6 +935,25 @@ object SparkEntry {
       threshold = 0.2, tokenizer = TextOps.tokensSimple)
   }
 
+  /** Packed sequences WITH loader metadata: q59's shards assembled with
+    * member ids + exclusive per-doc token offsets (the attention/loss
+    * masking boundaries). Arrays project to CSV strings for the gate
+    * compare; the operator itself emits typed arrays.
+    */
+  def q73_pack_offsets(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val shards = Relational.tokenShards(
+      d.select(col("lang"), col("doc_id"),
+        size(TextOps.tokensSimple(col("text"))).as("n_tokens")),
+      "lang", "doc_id", "n_tokens", budget = 1000L, bucketWidth = 128L)
+    Relational.packShardsWithOffsets(shards, d, "lang", "doc_id", "text")
+      .select(col("lang"), col("shard"), col("n_docs"),
+        col("shard_tokens"),
+        array_join(col("doc_ids"), ",").as("doc_ids_csv"),
+        array_join(col("doc_offsets"), ",").as("doc_offsets_csv"),
+        col("packed_text"))
+  }
+
   /** Compression-ratio quality signal (zlib-dependent, so rows-only
     * like q26 — no cross-engine oracle exists by design). The query
     * SELF-ASSERTS the semantics: every ratio must land in (0, 2], and
@@ -1030,7 +1049,8 @@ object SparkEntry {
     "q69_normalized_dedup" -> (q69_normalized_dedup(_, _)),
     "q70_span_dedup" -> (q70_span_dedup(_, _)),
     "q71_fuzzy_join" -> (q71_fuzzy_join(_, _)),
-    "q72_compression_ratio" -> (q72_compression_ratio(_, _)))
+    "q72_compression_ratio" -> (q72_compression_ratio(_, _)),
+    "q73_pack_offsets" -> (q73_pack_offsets(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

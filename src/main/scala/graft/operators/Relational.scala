@@ -472,6 +472,40 @@ object Relational {
             s => s.getField("t")),
           sep).as("packed_text"))
 
+  /** [[packShards]] plus the TRAINING-LOADER metadata: per packed
+    * example, the member doc ids in pack order and each doc's
+    * EXCLUSIVE token offset within the example — what attention/loss
+    * masking needs to reconstruct document boundaries inside a packed
+    * sequence. Offsets are in `tokensCol` units (separators count
+    * zero); `element_at(offsets, i) .. offsets(i+1)` is doc i's token
+    * span. Same single-aggregation scale shape as [[packShards]] —
+    * the offset fold runs over the already-collected, shard-budget-
+    * bounded member array.
+    */
+  def packShardsWithOffsets(
+      shards: DataFrame, docs: DataFrame, classCol: String, idCol: String,
+      textCol: String, sep: String = " ",
+      tokensCol: String = "n_tokens"): DataFrame =
+    shards.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .groupBy(col(classCol), col("shard"))
+      .agg(
+        count(lit(1)).cast("int").as("n_docs"),
+        sum(col(tokensCol)).as("shard_tokens"),
+        array_sort(collect_list(struct(col(idCol).as("id"),
+          col(textCol).as("t"), col(tokensCol).cast("long").as("n"))))
+          .as("_m"))
+      .select(col(classCol), col("shard"), col("n_docs"),
+        col("shard_tokens"),
+        transform(col("_m"), s => s.getField("id")).as("doc_ids"),
+        // exclusive prefix sums: fold [0] ++ running totals, drop last
+        slice(
+          aggregate(col("_m"), array(lit(0L)), (acc, s) =>
+            concat(acc, array(element_at(acc, -1) + s.getField("n")))),
+          lit(1), size(col("_m"))).as("doc_offsets"),
+        array_join(transform(col("_m"), s => s.getField("t")), sep)
+          .as("packed_text"))
+      .drop("_m")
+
   /** Cumulative upper bounds for [[hashSplit]] labels — public so an
     * oracle generator can embed the IDENTICAL IEEE partial sums
     * (0.8 + 0.1 is 0.9000000000000001, not 0.9).

@@ -194,6 +194,31 @@ class TextDedupSpec extends SparkSpec {
     assert(loaded.toSet == vocab.toSet)
   }
 
+  test("packShardsWithOffsets: ids in pack order, exclusive token " +
+    "offsets, packed text matches packShards") {
+    import graft.operators.Relational
+    val d = Seq(
+      ("a", 1L, "one two"),        // 2 tokens → offset 0
+      ("a", 2L, "three four five"), // 3 tokens → offset 2
+      ("a", 3L, "six seven"),       // budget 5 → shard 1, offset 0
+      ("b", 9L, "lone doc"))
+      .toDF("lang", "doc_id", "text")
+      .withColumn("n_tokens", size(TextOps.tokensSimple(col("text"))))
+    val shards = Relational.tokenShards(
+      d.select("lang", "doc_id", "n_tokens"),
+      "lang", "doc_id", "n_tokens", budget = 5L)
+    val got = Relational.packShardsWithOffsets(shards, d, "lang",
+      "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getAs[scala.collection.Seq[Long]]("doc_ids").toSeq,
+          r.getAs[scala.collection.Seq[Long]]("doc_offsets").toSeq,
+          r.getAs[String]("packed_text"))).toMap
+    assert(got(("a", 0)) ==
+      ((Seq(1L, 2L), Seq(0L, 2L), "one two three four five")))
+    assert(got(("a", 1)) == ((Seq(3L), Seq(0L), "six seven")))
+    assert(got(("b", 0)) == ((Seq(9L), Seq(0L), "lone doc")))
+  }
+
   test("packShards property: concatenating shards in shard order " +
     "reproduces the class's full id-ordered text") {
     import graft.operators.Relational
