@@ -311,6 +311,12 @@ class StreamingMultimodalSpec extends SparkSpec {
           .copyToArray(bytes, 8)
       val m = Multimodal.decodeOnePng(trial.toLong, bytes) // must not throw
       assert(m.ok || (m.width == 0 && m.height == 0))
+      // the thumbnail path shares walkPng but has its own accumulation
+      // — fuzz it on the same bytes
+      val t = Multimodal.decodeOnePngThumb(trial.toLong, bytes, 2, 2)
+      assert(t.ok == m.ok || !t.ok) // thumb can refuse small images
+      if (t.ok) assert(t.pixels.length == 2 * 2 * 3 &&
+        t.pixels.forall(p => p >= 0f && p <= 255f))
     }
   }
 
