@@ -506,6 +506,22 @@ object Relational {
           .as("packed_text"))
       .drop("_m")
 
+  /** Inverse of [[packShardsWithOffsets]]: explode packed examples back
+    * to one row per member doc — (classCol, shard, idCol, tok_offset).
+    * Pure scan-stage zip + explode (no shuffle); the round-trip
+    * property `unpack(pack(x)) = x`'s id/offset projection is pinned by
+    * test. The debugging/auditing door back out of packed training
+    * data.
+    */
+  def unpackShards(
+      packed: DataFrame, classCol: String, idCol: String): DataFrame =
+    packed
+      .select(col(classCol), col("shard"),
+        explode(arrays_zip(col("doc_ids"), col("doc_offsets"))).as("_z"))
+      .select(col(classCol), col("shard"),
+        col("_z.doc_ids").as(idCol),
+        col("_z.doc_offsets").as("tok_offset"))
+
   /** Cumulative upper bounds for [[hashSplit]] labels — public so an
     * oracle generator can embed the IDENTICAL IEEE partial sums
     * (0.8 + 0.1 is 0.9000000000000001, not 0.9).

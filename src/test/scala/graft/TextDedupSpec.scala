@@ -217,6 +217,16 @@ class TextDedupSpec extends SparkSpec {
       ((Seq(1L, 2L), Seq(0L, 2L), "one two three four five")))
     assert(got(("a", 1)) == ((Seq(3L), Seq(0L), "six seven")))
     assert(got(("b", 0)) == ((Seq(9L), Seq(0L), "lone doc")))
+    // round trip: unpack(pack(x)) restores every (class, shard, id) and
+    // the in-example offsets match the shard-local prefix sums
+    val unpacked = Relational.unpackShards(
+      Relational.packShardsWithOffsets(shards, d, "lang", "doc_id",
+        "text"), "lang", "doc_id")
+      .collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(unpacked == Set(
+      ("a", 0, 1L, 0L), ("a", 0, 2L, 2L),
+      ("a", 1, 3L, 0L), ("b", 0, 9L, 0L)))
   }
 
   test("packShards property: concatenating shards in shard order " +
