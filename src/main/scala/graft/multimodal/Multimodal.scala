@@ -388,8 +388,9 @@ object Multimodal {
   /** One decoded-and-downscaled PNG: `pixels` is the thumbW×thumbH
     * box-average grid in row-major interleaved RGB (gray replicates;
     * alpha ignored), values in [0, 255]. `ok=false` (empty pixels) for
-    * malformed input OR an image smaller than the target grid —
-    * thumbnails are a DOWNSCALE; a 2×2 icon has no 8×8 thumbnail.
+    * malformed input (reported as 0×0) OR an image smaller than the
+    * target grid (reported with its REAL dims — thumbnails are a
+    * DOWNSCALE; a 2×2 icon has no 8×8 thumbnail, but it decoded fine).
     */
   final case class PngThumb(
       id: Long, ok: Boolean, width: Int, height: Int,
@@ -454,7 +455,12 @@ object Multimodal {
         }
       }
     }
-    if (hdr == null || tooSmall) return bad
+    if (hdr == null) return bad
+    // a refused DOWNSCALE keeps its real dims (distinguishable from a
+    // malformed file, which reports 0×0)
+    if (tooSmall)
+      return PngThumb(id, ok = false, hdr.w, hdr.h, thumbW, thumbH,
+        Array.empty)
     // downscale guarantees every cell received at least one pixel
     val pixels = Array.tabulate(thumbW * thumbH * 3)(i =>
       (sums(i) / counts(i / 3)).toFloat)

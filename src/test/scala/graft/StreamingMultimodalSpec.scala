@@ -274,10 +274,12 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(t.pixels.toSeq == Seq(
       255f, 0f, 0f, 0f, 0f, 255f,
       255f, 0f, 0f, 0f, 0f, 255f))
-    // image smaller than the grid is a refused upscale, not garbage
+    // image smaller than the grid is a refused downscale, not garbage —
+    // it keeps its REAL dims (0×0 is reserved for malformed)
     val tiny = Multimodal.decodeOnePngThumb(2L,
       encodePng(2, 2, 2, Array.fill(2 * 2 * 3)(7), Seq(0)), 4, 4)
     assert(!tiny.ok && tiny.pixels.isEmpty)
+    assert(tiny.width == 2 && tiny.height == 2)
     assert(!Multimodal.decodeOnePngThumb(3L, "junk".getBytes, 2, 2).ok)
     // E2E: thumbnails are raw embeddings — two red-ish images rank
     // each other above the blue one
