@@ -163,6 +163,16 @@ object OracleSql {
     s"""$clusterCtes
        |SELECT doc_id, cluster FROM cl""".stripMargin
 
+  /** Dedup report oracle: q29's recursive closure rolled up into the
+    * cluster-size histogram.
+    */
+  private val q74 =
+    s"""$clusterCtes,
+       |cs AS (SELECT cluster, count(*) AS cluster_size FROM cl
+       |       GROUP BY cluster)
+       |SELECT cluster_size, count(*) AS n_clusters
+       |FROM cs GROUP BY cluster_size""".stripMargin
+
   /** Left-fold dot product over 1-based list indices — the identical
     * operation chain to SimSearch.dot (element-wise double casts, then a
     * sequential sum), so the doubles agree bit-for-bit.
@@ -730,6 +740,7 @@ object OracleSql {
         |  coalesce(g.n_kept, 0) AS n_kept, g.clean_text
         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
     "q29_dedup_clusters" -> q29,
+    "q74_dedup_report" -> q74,
     "q33_exact_jaccard" -> q33,
     "q34_cosine_near_dup" -> q34,
     "q35_token_estimate" -> q35,

@@ -935,6 +935,19 @@ object SparkEntry {
       threshold = 0.2, tokenizer = TextOps.tokensSimple)
   }
 
+  /** Dedup observability report: the cluster-size histogram of q29's
+    * near-dup clusters — how much duplication mass a dedup run would
+    * remove, by cluster size.
+    */
+  def q74_dedup_report(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDupPairs(docs(s, dir), "text", "doc_id",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.5,
+      tokenizer = TextOps.tokensSimple)
+      .select("id_a", "id_b")
+    val ids = t(s, dir, "documents").select(col("doc_id").as("id"))
+    Dedup.clusterSizeHistogram(Dedup.clusterLabels(ids, pairs))
+  }
+
   /** Packed sequences WITH loader metadata: q59's shards assembled with
     * member ids + exclusive per-doc token offsets (the attention/loss
     * masking boundaries). Arrays project to CSV strings for the gate
@@ -1050,7 +1063,8 @@ object SparkEntry {
     "q70_span_dedup" -> (q70_span_dedup(_, _)),
     "q71_fuzzy_join" -> (q71_fuzzy_join(_, _)),
     "q72_compression_ratio" -> (q72_compression_ratio(_, _)),
-    "q73_pack_offsets" -> (q73_pack_offsets(_, _)))
+    "q73_pack_offsets" -> (q73_pack_offsets(_, _)),
+    "q74_dedup_report" -> (q74_dedup_report(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -724,6 +724,18 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** Cluster-size histogram over [[clusterLabels]] output — the dedup
+    * observability report: for each cluster size s, how many clusters
+    * have exactly s members (size 1 = unique docs; the size-weighted
+    * tail is the duplication mass a dedup run will remove). Two narrow
+    * hash aggregations over (id, cluster) pairs — nothing else moves.
+    */
+  def clusterSizeHistogram(clusters: DataFrame): DataFrame =
+    clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** Keep the best-scoring row of each near-dup cluster (canonical-
     * document selection): given (id, cluster) labels from
     * [[clusterLabels]] and a per-row `score`, the survivor of a cluster

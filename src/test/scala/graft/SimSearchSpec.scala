@@ -237,6 +237,13 @@ class SimSearchSpec extends SparkSpec {
     val none = SimSearch.recallSummary(
       exact.filter(lit(false)), exact, 10).head()
     assert(none.getDouble(1) == 0.0)
+    // the harness is searcher-agnostic: IVF results score the same way
+    // (nprobe = all cells ⇒ exhaustive ⇒ recall 1.0 exactly)
+    val labeled = emb.withColumn("label", col("vec_id") % 4)
+    val ivfAll = SimSearch.ivfTopK(labeled, "vec_id", "embedding",
+      "label", pred, k = 10, nprobe = 4)
+    assert(SimSearch.recallSummary(ivfAll, exact, 10)
+      .head().getDouble(1) == 1.0)
   }
 
   test("persisted ANN index: bucket-partitioned layout, results match " +

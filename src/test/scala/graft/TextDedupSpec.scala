@@ -575,6 +575,15 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("clusterSizeHistogram rolls clusters into (size, count) rows") {
+    val ids = (1L to 7L).toDF("id")
+    // {1,2,3} one cluster, {4,5} one, 6 and 7 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val hist = Dedup.clusterSizeHistogram(Dedup.clusterLabels(ids, pairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(3L -> 1L, 2L -> 1L, 1L -> 2L))
+  }
+
   test("clusterLabels: transitive closure with min labels, singletons kept") {
     val ids = (1L to 9L).toDF("id")
     // chain 1-2-3, pair 5-6, isolated 4/7/8/9
