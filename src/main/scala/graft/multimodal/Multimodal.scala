@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * that contract: [[decodePpm]] (binary P6 PPM — ASCII header + raw RGB
   * bytes, pure byte arithmetic) and [[decodePng]] (8-bit non-interlaced
   * PNG — `java.util.zip.Inflater` + the five scanline filters, pure
-  * JDK). Only formats needing an external codec (JPEG, audio, video)
-  * remain stubbed.
+  * JDK). [[decodeImage]] goes further: the JDK's own `javax.imageio`
+  * codecs (part of `java.desktop`, headless-safe) decode JPEG, PNG,
+  * GIF, BMP and WBMP with zero external dependencies, so only audio
+  * and video formats remain stubbed.
   *
   * Scale shape: metadata ops run inside the scan stage (no shuffle);
   * decode runs as `mapPartitions` so the per-partition codec context is
@@ -465,6 +467,164 @@ object Multimodal {
     val pixels = Array.tabulate(thumbW * thumbH * 3)(i =>
       (sums(i) / counts(i / 3)).toFloat)
     PngThumb(id, ok = true, hdr.w, hdr.h, thumbW, thumbH, pixels)
+  }
+
+  /** One ImageIO-decoded image's metadata + channel statistics.
+    * `ok=false` rows carry the recognized dims when the header parsed
+    * but the raster was refused (bound) or failed to decode; 0×0 means
+    * no installed reader recognized the bytes at all.
+    */
+  final case class ImgMeta(
+      id: Long, ok: Boolean, format: String, width: Int, height: Int,
+      meanR: Double, meanG: Double, meanB: Double)
+
+  /** REAL multi-format decoder via the JDK's own `javax.imageio`
+    * codecs — JPEG, PNG, GIF, BMP and WBMP readers all ship in
+    * `java.desktop`, so no external library is needed even for JPEG
+    * (the format earlier rounds assumed environment-blocked). Header
+    * dims are probed from the reader BEFORE any raster allocation and
+    * images past `maxRasterBytes` are refused, so a hostile file
+    * claiming a huge canvas cannot OOM an executor. Channel means are
+    * folded row-by-row from `getRGB` strips (one `width`-int buffer,
+    * never a second full-raster copy). Same `mapPartitions` batch
+    * shape and per-item isolation as [[decodePpm]]/[[decodePng]]; only
+    * audio/video now remain stubbed.
+    */
+  def decodeImage(df: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media",
+      maxRasterBytes: Long = 256L * 1024 * 1024): Dataset[ImgMeta] = {
+    val rows = df.select(col(idCol).cast("long"), col(mediaCol))
+    rows.mapPartitions { it =>
+      // ImageIO scans for codec plugins on first use — once per
+      // partition here, the decoder-context line the stubs mark
+      java.util.Locale.setDefault(java.util.Locale.ROOT)
+      it.map { r =>
+        val id = if (r.isNullAt(0)) -1L else r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (r.isNullAt(0)) ImgMeta(id, ok = false, "", 0, 0, 0.0, 0.0, 0.0)
+        else decodeOneImage(id, bytes, maxRasterBytes)
+      }
+    }(Encoders.product[ImgMeta])
+  }
+
+  /** Decode one image buffer with ImageIO; total function (malformed /
+    * unrecognized / oversized → ok=false, never a throw).
+    */
+  private[graft] def decodeOneImage(id: Long, bytes: Array[Byte],
+      maxRasterBytes: Long = 256L * 1024 * 1024): ImgMeta = {
+    val bad = ImgMeta(id, ok = false, "", 0, 0, 0.0, 0.0, 0.0)
+    if (bytes == null || bytes.length == 0) return bad
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    withImageReader(bytes) { (reader, fmt, w, h) =>
+      // 4 bytes/px is the int-ARGB raster ImageIO hands back
+      if (w.toLong * h * 4 > maxRasterBytes || w <= 0 || h <= 0)
+        ImgMeta(id, ok = false, fmt, w, h, 0.0, 0.0, 0.0)
+      else {
+        val img = reader.read(0)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val p = row(x)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h
+        ImgMeta(id, ok = true, fmt, w, h, sr / n, sg / n, sb / n)
+      }
+    }.getOrElse(bad)
+  }
+
+  /** ImageIO-decoded box-average thumbnail (the [[PngThumb]] shape for
+    * every JDK-readable format, JPEG included). A refused downscale
+    * (source smaller than the thumb grid) keeps its real dims with
+    * `ok=false`, matching [[decodePngThumb]]'s convention.
+    */
+  def decodeImageThumb(df: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media", thumbW: Int = 4, thumbH: Int = 4,
+      maxRasterBytes: Long = 256L * 1024 * 1024): Dataset[PngThumb] = {
+    require(thumbW > 0 && thumbH > 0, "thumb dims must be positive")
+    val rows = df.select(col(idCol).cast("long"), col(mediaCol))
+    rows.mapPartitions { it =>
+      // per-partition decoder context (ImageIO plugin scan)
+      java.util.Locale.setDefault(java.util.Locale.ROOT)
+      it.map { r =>
+        val id = if (r.isNullAt(0)) -1L else r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (r.isNullAt(0))
+          PngThumb(id, ok = false, 0, 0, thumbW, thumbH, Array.empty)
+        else decodeOneImageThumb(id, bytes, thumbW, thumbH, maxRasterBytes)
+      }
+    }(Encoders.product[PngThumb])
+  }
+
+  /** Decode + box-average one image via ImageIO; total function. */
+  private[graft] def decodeOneImageThumb(id: Long, bytes: Array[Byte],
+      thumbW: Int, thumbH: Int,
+      maxRasterBytes: Long = 256L * 1024 * 1024): PngThumb = {
+    val bad = PngThumb(id, ok = false, 0, 0, thumbW, thumbH, Array.empty)
+    if (bytes == null || bytes.length == 0) return bad
+    withImageReader(bytes) { (reader, _, w, h) =>
+      if (w.toLong * h * 4 > maxRasterBytes || w <= 0 || h <= 0) bad
+      else if (w < thumbW || h < thumbH)
+        PngThumb(id, ok = false, w, h, thumbW, thumbH, Array.empty)
+      else {
+        val img = reader.read(0)
+        val sums = new Array[Double](thumbW * thumbH * 3)
+        val counts = new Array[Long](thumbW * thumbH)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          val ty = math.min((y.toLong * thumbH / h).toInt, thumbH - 1)
+          var x = 0
+          while (x < w) {
+            val p = row(x)
+            val tx = math.min((x.toLong * thumbW / w).toInt, thumbW - 1)
+            val cell = ty * thumbW + tx
+            sums(cell * 3) += (p >> 16) & 0xff
+            sums(cell * 3 + 1) += (p >> 8) & 0xff
+            sums(cell * 3 + 2) += p & 0xff
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val pixels = Array.tabulate(thumbW * thumbH * 3)(i =>
+          (sums(i) / counts(i / 3)).toFloat)
+        PngThumb(id, ok = true, w, h, thumbW, thumbH, pixels)
+      }
+    }.getOrElse(bad)
+  }
+
+  /** Open an ImageIO reader on `bytes`, probe format + header dims
+    * (no raster allocated yet), run `f`, and dispose/close regardless.
+    * None when no installed reader recognizes the bytes or anything in
+    * the decode path throws (per-item isolation).
+    */
+  private def withImageReader[A](bytes: Array[Byte])(
+      f: (javax.imageio.ImageReader, String, Int, Int) => A): Option[A] = {
+    import javax.imageio.ImageIO
+    try {
+      val iis = ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            Some(f(reader, reader.getFormatName.toLowerCase,
+              reader.getWidth(0), reader.getHeight(0)))
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Frame sampling plumbing: cut the byte stream into fixed-size chunks
