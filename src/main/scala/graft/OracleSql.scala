@@ -739,6 +739,65 @@ object OracleSql {
         |SELECT d.doc_id, coalesce(g.n_lines, 0) AS n_lines,
         |  coalesce(g.n_kept, 0) AS n_kept, g.clean_text
         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+    // Gopher rules: integer counting + single rounded divisions — the
+    // exact chains gopherRules builds (the '...'-run count uses float
+    // '/' on both sides; multiples of 3 divide exactly)
+    "q75_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+        |        string_split(text, ' ') AS w,
+        |        string_split(text, chr(10)) AS l FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(w) AS n_words,
+        |  round(list_sum(list_transform(w, x -> len(x)))::DOUBLE /
+        |    greatest(len(w), 1), 6) AS mean_word_len,
+        |  round(((len(text) - len(replace(text, '#', ''))) +
+        |    (len(text) - len(replace(text, '...', ''))) / 3)::DOUBLE /
+        |    greatest(len(w), 1), 6) AS symbol_ratio,
+        |  round(len(list_filter(l, x -> ltrim(x) LIKE '-%' OR
+        |    ltrim(x) LIKE '*%' OR ltrim(x) LIKE '•%'))::DOUBLE /
+        |    greatest(len(l), 1), 6) AS bullet_line_ratio,
+        |  round(len(list_filter(l, x -> x LIKE '%...'))::DOUBLE /
+        |    greatest(len(l), 1), 6) AS ellipsis_line_ratio,
+        |  round(len(list_filter(w, x ->
+        |    regexp_matches(x, '[A-Za-z]')))::DOUBLE /
+        |    greatest(len(w), 1), 6) AS alpha_word_ratio,
+        |  len(list_filter(w, x -> lower(x) IN ('the', 'a', 'of', 'and',
+        |    'is', 'to', 'in', 'it', 'that', 'for'))) AS n_stopwords
+        |FROM t)
+        |SELECT doc_id, n_words::INTEGER AS n_words, mean_word_len,
+        |  symbol_ratio, bullet_line_ratio, ellipsis_line_ratio,
+        |  alpha_word_ratio, n_stopwords::INTEGER AS n_stopwords,
+        |  (n_words >= 10 AND n_words <= 100000 AND
+        |   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+        |   symbol_ratio <= 0.1 AND bullet_line_ratio <= 0.9 AND
+        |   ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8 AND
+        |   n_stopwords >= 2) AS pass
+        |FROM s""".stripMargin,
+
+    // DSIR: the per-bucket log-ratio snaps to integer micro-nats ONCE
+    // (ln only needs half-micro accuracy to agree with the JVM), then
+    // every per-doc aggregate is exact BIGINT arithmetic
+    "q76_dsir" ->
+      s"""WITH tok AS (SELECT doc_id, lang,
+         |        unnest(string_split(text, ' ')) AS tok FROM documents),
+         |bk AS (SELECT doc_id, lang, (${h32("tok")} % 64) AS bkt
+         |       FROM tok),
+         |dc AS (SELECT doc_id, bkt, count(*) AS c FROM bk
+         |       GROUP BY doc_id, bkt),
+         |rc AS (SELECT bkt, sum(c)::BIGINT AS rcnt FROM dc GROUP BY bkt),
+         |tc AS (SELECT bkt, count(*) AS tcnt FROM bk WHERE lang = 'en'
+         |       GROUP BY bkt),
+         |tot AS (SELECT (SELECT sum(rcnt) FROM rc)::BIGINT AS rtot,
+         |        (SELECT coalesce(sum(tcnt), 0) FROM tc)::BIGINT AS ttot),
+         |lr AS (SELECT bkt,
+         |        round((ln(((coalesce(tcnt, 0) + 1) * (rtot + 64))::DOUBLE)
+         |          - ln(((rcnt + 1) * (ttot + 64))::DOUBLE))
+         |          * 1000000.0)::BIGINT AS lr_micro
+         |       FROM rc LEFT JOIN tc USING (bkt), tot)
+         |SELECT doc_id, sum(c * lr_micro)::BIGINT AS weight_micro,
+         |  sum(c * lr_micro) > 0 AS selected
+         |FROM dc JOIN lr USING (bkt) GROUP BY doc_id""".stripMargin,
+
     "q29_dedup_clusters" -> q29,
     "q74_dedup_report" -> q74,
     "q33_exact_jaccard" -> q33,

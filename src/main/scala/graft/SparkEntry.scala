@@ -988,6 +988,31 @@ object SparkEntry {
     scored.select(col("doc_id"), col("compression_ratio"))
   }
 
+  /** The Gopher corpus-curation rules as a per-doc quality report: word
+    * count / mean word length bands, symbol + bullet + ellipsis ratios,
+    * alphabetic-word fraction, stopword presence, and the composite
+    * `pass`. minWords is lowered to 10 so the word-soup fixture
+    * exercises both outcomes.
+    */
+  def q75_gopher_rules(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextOps.gopherRules(col("text"), minWords = 10).as("g"))
+      .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
+        col("g.symbol_ratio"), col("g.bullet_line_ratio"),
+        col("g.ellipsis_line_ratio"), col("g.alpha_word_ratio"),
+        col("g.n_stopwords"), col("g.pass"))
+
+  /** DSIR importance weights: every doc scored by how much its hashed
+    * token mix resembles the English subset (the target) vs the whole
+    * corpus (raw) — integer micro-nat weights, threshold selection.
+    */
+  def q76_dsir(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    graft.text.Dsir.importanceWeights(
+      all, all.filter(col("lang") === "en"), "text", "doc_id",
+      buckets = 64)
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1064,7 +1089,9 @@ object SparkEntry {
     "q71_fuzzy_join" -> (q71_fuzzy_join(_, _)),
     "q72_compression_ratio" -> (q72_compression_ratio(_, _)),
     "q73_pack_offsets" -> (q73_pack_offsets(_, _)),
-    "q74_dedup_report" -> (q74_dedup_report(_, _)))
+    "q74_dedup_report" -> (q74_dedup_report(_, _)),
+    "q75_gopher_rules" -> (q75_gopher_rules(_, _)),
+    "q76_dsir" -> (q76_dsir(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -437,6 +437,62 @@ object TextOps {
     round(lenScore * (lit(0.5) + lit(0.5) * least(stopRatio * 5.0, lit(1.0))), 6)
   }
 
+  /** The Gopher corpus-curation rules (Rae et al. 2021, app. A1.1) as
+    * one scan-stage struct: word count bounds, mean word length band,
+    * symbol-to-word ratio (`#` chars + `...` runs), bullet-start and
+    * ellipsis-end line fractions, fraction of words with an alphabetic
+    * character, and stopword presence — plus the composite `pass` the
+    * filter keys on. Every field is integer counting or a single
+    * rounded division, so a SQL engine replays it cell-exact; no
+    * shuffle, no UDF — pure array/string algebra over the row.
+    */
+  def gopherRules(text: Column,
+      tokenizer: Column => Column = tokensSimple,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
+      minStopwords: Int = 2): Column = {
+    val toks = tokenizer(text)
+    val n = size(toks)
+    val nD = greatest(n, lit(1)).cast("double")
+    val lines = split(text, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val meanLen = round(
+      aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double")
+        / nD, 6)
+    // '#' chars + non-overlapping '...' runs, counted by replace-shrink
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipses =
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = round((hashes + ellipses).cast("double") / nD, 6)
+    val bulletRatio = round(
+      size(filter(lines, l => ltrim(l).startsWith("-") ||
+        ltrim(l).startsWith("*") || ltrim(l).startsWith("•")))
+        .cast("double") / nLines, 6)
+    val ellipsisRatio = round(
+      size(filter(lines, l => l.endsWith("...")))
+        .cast("double") / nLines, 6)
+    val alphaRatio = round(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nD, 6)
+    val nStop = markerScore(transform(toks, t => lower(t)), stopwords)
+    struct(
+      n.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      bulletRatio.as("bullet_line_ratio"),
+      ellipsisRatio.as("ellipsis_line_ratio"),
+      alphaRatio.as("alpha_word_ratio"),
+      nStop.as("n_stopwords"),
+      (n >= minWords && n <= maxWords &&
+        meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+        symbolRatio <= maxSymbolRatio &&
+        bulletRatio <= maxBulletRatio &&
+        ellipsisRatio <= maxEllipsisRatio &&
+        alphaRatio >= minAlphaRatio &&
+        nStop >= minStopwords).as("pass"))
+  }
+
   /** TF-IDF term scoring, ratio flavor: `tf · (N+1)/(df+1)` — the
     * log-free formulation, so the score is a single IEEE
     * multiply-divide chain both engines compute bit-identically (`ln`

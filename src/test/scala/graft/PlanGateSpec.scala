@@ -97,7 +97,8 @@ class PlanGateSpec extends SparkSpec {
       "q51_hard_negatives",  // corpus × broadcast query rows (label !=)
       "q65_ann_recall",      // its brute-force baseline side is q17
       "q67_temperature_mix", // class weights × broadcast 1-row Σw
-      "q68_temperature_tokens") // same 1-row Σw broadcast
+      "q68_temperature_tokens", // same 1-row Σw broadcast
+      "q76_dsir")            // B-row buckets × broadcast 1-row totals
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — so it is audited by its own
     // gate entry instead
