@@ -798,6 +798,37 @@ object OracleSql {
          |  sum(c * lr_micro) > 0 AS selected
          |FROM dc JOIN lr USING (bkt) GROUP BY doc_id""".stripMargin,
 
+    // bigram-LM NLL: per-pair log-prob snapped to micro-nats once,
+    // per-doc totals exact BIGINT, avg as one fixed IEEE chain
+    "q77_lm_score" ->
+      s"""WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+         |             FROM documents),
+         |bg AS (SELECT doc_id, lang,
+         |        unnest(list_transform(range(1, len(w)), i ->
+         |          {'b1': ${h32("w[i]")} % 64,
+         |           'b2': ${h32("w[i+1]")} % 64})) AS p FROM tok),
+         |e AS (SELECT doc_id, lang, (p.b1) AS b1, (p.b2) AS b2 FROM bg),
+         |c12 AS (SELECT b1, b2, count(*) AS c12 FROM e WHERE lang = 'en'
+         |        GROUP BY b1, b2),
+         |c1 AS (SELECT b1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY b1),
+         |dp AS (SELECT doc_id, b1, b2, count(*) AS c FROM e
+         |       GROUP BY doc_id, b1, b2),
+         |lp AS (SELECT b1, b2,
+         |        round(ln((coalesce(c12, 0) + 1)::DOUBLE /
+         |          (coalesce(c1, 0) + 64)) * 1000000.0)::BIGINT AS lpm
+         |       FROM (SELECT DISTINCT b1, b2 FROM dp) d
+         |       LEFT JOIN c12 USING (b1, b2) LEFT JOIN c1 USING (b1)),
+         |sc AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+         |        (-sum(c * lpm))::BIGINT AS nll_micro
+         |       FROM dp JOIN lp USING (b1, b2) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(sc.nll_micro, 0) AS nll_micro,
+         |  CASE WHEN coalesce(sc.n_bigrams, 0) = 0 THEN NULL
+         |       ELSE round((sc.nll_micro::DOUBLE / sc.n_bigrams)
+         |         / 1000000.0, 6) END AS avg_nll
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN sc USING (doc_id)""".stripMargin,
+
     "q29_dedup_clusters" -> q29,
     "q74_dedup_report" -> q74,
     "q33_exact_jaccard" -> q33,

@@ -1013,6 +1013,17 @@ object SparkEntry {
       buckets = 64)
   }
 
+  /** CCNet-style LM quality scoring: every doc's bigram NLL under a
+    * hashed bigram model fit on the English subset — low avg_nll =
+    * target-like (the perplexity-filtering signal).
+    */
+  def q77_lm_score(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    graft.text.NgramLm.bigramNll(
+      all, all.filter(col("lang") === "en"), "text", "doc_id",
+      buckets = 64)
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1091,7 +1102,8 @@ object SparkEntry {
     "q73_pack_offsets" -> (q73_pack_offsets(_, _)),
     "q74_dedup_report" -> (q74_dedup_report(_, _)),
     "q75_gopher_rules" -> (q75_gopher_rules(_, _)),
-    "q76_dsir" -> (q76_dsir(_, _)))
+    "q76_dsir" -> (q76_dsir(_, _)),
+    "q77_lm_score" -> (q77_lm_score(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -24,6 +24,10 @@ import graft.schema.Vintages
   * graft.cli.Main mix     <corpus> <outDir> [budget] [seed] [--jsonl] [--simple-tokens] [--alpha A]
   * graft.cli.Main split   <corpus> <outDir> [seed] [--jsonl]   // writes PARQUET partitioned by split= (the exception: splits are storage layout, not a doc stream)
   * graft.cli.Main chunk   <corpus> <outDir> [size] [overlap] [--jsonl]
+  * graft.cli.Main gopher  <corpus> <outDir> [minWords] [--report] [--jsonl]
+  * graft.cli.Main dsir    <corpus> <target> <outDir> [buckets] [--report] [--jsonl]
+  * graft.cli.Main ppl     <corpus> <target> <outDir> [buckets] [--jsonl]
+  * graft.cli.Main decode-image <parquet> <outDir>   // (doc_id, media) binary column
   * graft.cli.Main tfidf   <corpus> <outDir> [--jsonl]
   * graft.cli.Main sample  <corpus> <outDir> [n] [seed] [--jsonl]
   * }}}
@@ -340,6 +344,74 @@ object Main {
       println(s"[sample] $n docs (seed $seed, length-weighted) -> $outDir")
       spark.stop()
 
+    // Gopher-rules quality filter: keep docs passing all rules, or
+    // dump the full per-doc report with --report
+    case "gopher" :: corpus :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val minWords = rest.find(!_.startsWith("--"))
+        .map(_.toInt).getOrElse(50)
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      val scored = docs.withColumn("g", graft.text.TextOps.gopherRules(
+        col("text"), tokenizer = tokenizerFor(rest), minWords = minWords))
+      val out =
+        if (rest.contains("--report")) scored.select(col("doc_id"),
+          col("g.*"))
+        else scored.filter(col("g.pass")).drop("g")
+      Export.jsonl(out, outDir)
+      println(s"[gopher] ${docs.count()} docs -> ${out.count()} " +
+        s"${if (rest.contains("--report")) "reports" else "kept"} " +
+        s"(minWords=$minWords) -> $outDir")
+      spark.stop()
+
+    // DSIR selection: weight the corpus toward a target set, keep docs
+    // with positive importance (or dump weights with --report)
+    case "dsir" :: corpus :: targetPath :: outDir :: rest =>
+      val buckets = rest.find(!_.startsWith("--"))
+        .map(_.toInt).getOrElse(4096)
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      val target = loadCorpus(spark, targetPath, rest)
+      val w = graft.text.Dsir.importanceWeights(docs, target,
+        "text", "doc_id", buckets, tokenizerFor(rest))
+      val out =
+        if (rest.contains("--report")) w
+        else docs.join(w.filter(org.apache.spark.sql.functions
+          .col("selected")).select("doc_id"), "doc_id")
+      Export.jsonl(out, outDir)
+      println(s"[dsir] ${docs.count()} docs -> ${out.count()} " +
+        s"${if (rest.contains("--report")) "weights" else "kept"} " +
+        s"(buckets=$buckets) -> $outDir")
+      spark.stop()
+
+    // CCNet-style perplexity scores: bigram NLL of every doc under a
+    // hashed LM fit on the target corpus (low avg_nll = target-like)
+    case "ppl" :: corpus :: targetPath :: outDir :: rest =>
+      val buckets = rest.find(!_.startsWith("--"))
+        .map(_.toInt).getOrElse(4096)
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      val target = loadCorpus(spark, targetPath, rest)
+      val scored = graft.text.NgramLm.bigramNll(docs, target,
+        "text", "doc_id", buckets, tokenizerFor(rest))
+      Export.jsonl(scored, outDir)
+      println(s"[ppl] ${docs.count()} docs scored " +
+        s"(buckets=$buckets) -> $outDir")
+      spark.stop()
+
+    // decode a (doc_id, media binary) parquet with the JDK ImageIO
+    // codecs (JPEG/PNG/GIF/BMP); emits metadata + channel means
+    case "decode-image" :: corpus :: outDir :: rest =>
+      val spark = session()
+      val df = spark.read.parquet(corpus)
+      val dec = graft.multimodal.Multimodal.decodeImage(df)
+      dec.write.mode("overwrite").parquet(outDir)
+      val ok = spark.read.parquet(outDir)
+        .filter(org.apache.spark.sql.functions.col("ok")).count()
+      val total = spark.read.parquet(outDir).count()
+      println(s"[decode-image] $total items, $ok decoded -> $outDir")
+      spark.stop()
+
     case "chunk" :: corpus :: outDir :: rest =>
       import org.apache.spark.sql.functions._
       val size = rest.find(!_.startsWith("--")).map(_.toInt).getOrElse(512)
@@ -374,6 +446,10 @@ object Main {
            "mix <corpus> <out> [budget] [seed] [--jsonl] [--simple-tokens] [--alpha A] | " +
           "split <corpus> <out> [seed] [--jsonl] (parquet, split= partitions) | " +
           "chunk <corpus> <out> [size] [overlap] [--jsonl] | " +
+          "gopher <corpus> <out> [minWords] [--report] [--jsonl] | " +
+          "dsir <corpus> <target> <out> [buckets] [--report] [--jsonl] | " +
+          "ppl <corpus> <target> <out> [buckets] [--jsonl] | " +
+          "decode-image <parquet> <out> | " +
           "tfidf <corpus> <out> [--jsonl] | " +
           "sample <corpus> <out> [n] [seed] [--jsonl]")
       sys.exit(2)

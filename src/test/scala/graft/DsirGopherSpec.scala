@@ -1,9 +1,11 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.text.{Dsir, TextOps}
+import graft.text.{Dsir, NgramLm, TextOps}
 
-/** Gopher-rule quality filtering and DSIR importance selection. */
+/** Gopher-rule quality filtering, DSIR importance selection, and
+  * bigram-LM perplexity scoring.
+  */
 class DsirGopherSpec extends SparkSpec {
   import spark.implicits._
 
@@ -81,6 +83,25 @@ class DsirGopherSpec extends SparkSpec {
     val again = Dsir.importanceWeights(raw, target, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == w.map { case (k, v) => k -> v._1 })
+  }
+
+  test("ngram lm: target-like docs score lower avg_nll than off-vocab " +
+    "docs; short docs get null scores") {
+    val inDist = Seq.fill(50)("the cat sat on the mat").mkString(" ")
+    val outDist = Seq.fill(50)("zork quux fnord blarg wibble").mkString(" ")
+    val raw = Seq(
+      (1L, inDist), (2L, outDist), (3L, "single"), (4L, inDist))
+      .toDF("doc_id", "text")
+    val target = Seq((10L, inDist)).toDF("doc_id", "text")
+    val s = NgramLm.bigramNll(raw, target, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(s.size == 4)
+    val nll = (id: Long) => s(id).getAs[Double]("avg_nll")
+    assert(nll(1L) < nll(2L), s"in-dist ${nll(1L)} !< off ${nll(2L)}")
+    assert(nll(1L) == nll(4L)) // identical docs, identical exact score
+    assert(s(3L).getAs[Long]("n_bigrams") == 0L && s(3L).isNullAt(
+      s(3L).fieldIndex("avg_nll")))
+    assert(s(1L).getAs[Long]("nll_micro") > 0L)
   }
 
   test("dsir: bucket count changes resolution but pure-target docs " +
