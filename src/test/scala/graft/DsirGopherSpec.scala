@@ -104,6 +104,30 @@ class DsirGopherSpec extends SparkSpec {
     assert(s(1L).getAs[Long]("nll_micro") > 0L)
   }
 
+  test("gopherRules filters a STREAM: scan-stage quality rules apply " +
+    "per micro-batch with no state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val query = docs
+      .withColumn("g", TextOps.gopherRules(col("text"), minWords = 3))
+      .filter(col("g.pass")).drop("g")
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        1L -> "the quick brown fox jumps over a lazy dog and it is fine",
+        2L -> "too few")
+      query.processAllAvailable()
+      mem.addData(3L -> "1 2 3 4 5 6 7 8 9 10")
+      query.processAllAvailable()
+      val kept = spark.table("gopher_stream").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == Set(1L))
+    } finally query.stop()
+  }
+
   test("dsir: bucket count changes resolution but pure-target docs " +
     "stay selected") {
     val a = Seq.fill(100)("alpha beta gamma").mkString(" ")
