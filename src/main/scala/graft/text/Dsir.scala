@@ -54,13 +54,18 @@ object Dsir {
     }
 
     // (doc, bucket) occurrence counts — the only corpus-sized shuffle;
-    // the raw bucket marginals fold from it rather than re-exploding
+    // the raw bucket marginals fold from it rather than re-exploding.
+    // The B-row marginal tables cut lineage (localCheckpoint): without
+    // the cut, the totals fold and the ratio table would each REBUILD
+    // the corpus explode+aggregate — plan audit showed 4 full corpus
+    // passes where the algorithm needs 2 (one to fit, one to score)
     val docCounts = bucketed(raw, withId = true)
       .groupBy(col(idCol), col("_bkt")).agg(count(lit(1)).as("_c"))
     val rawBucket = docCounts.groupBy(col("_bkt"))
-      .agg(sum(col("_c")).as("_rcnt"))
+      .agg(sum(col("_c")).as("_rcnt")).localCheckpoint()
     val tgtBucket = bucketed(target, withId = false)
       .groupBy(col("_bkt")).agg(count(lit(1)).as("_tcnt"))
+      .localCheckpoint()
 
     val totals = rawBucket.agg(sum(col("_rcnt")).as("_rtot"))
       .crossJoin(tgtBucket.agg(sum(col("_tcnt")).as("_ttot")))

@@ -55,9 +55,12 @@ object NgramLm {
       base.select(cols: _*)
     }
 
-    // the LM: bigram counts + the context marginal folded from them
+    // the LM: bigram counts + the context marginal folded from them.
+    // ≤ B² rows — checkpointed so the marginal and the join don't each
+    // re-explode the target corpus
     val c12 = bigrams(target, withId = false)
       .groupBy(col("_b1"), col("_b2")).agg(count(lit(1)).as("_c12"))
+      .localCheckpoint()
     val c1 = c12.groupBy(col("_b1")).agg(sum(col("_c12")).as("_c1"))
 
     // (doc, pair) counts — the only corpus-sized shuffle
@@ -65,9 +68,12 @@ object NgramLm {
       .groupBy(col(idCol), col("_b1"), col("_b2"))
       .agg(count(lit(1)).as("_c"))
 
-    // micro-nat log-prob per DISTINCT pair the raw corpus contains;
-    // unseen bigrams/contexts smooth through coalesce(0)
+    // micro-nat log-prob per DISTINCT pair the raw corpus contains
+    // (≤ B² rows — checkpointed so the scoring join's lp side doesn't
+    // re-run the corpus explode); unseen bigrams/contexts smooth
+    // through coalesce(0)
     val lp = docPairs.select(col("_b1"), col("_b2")).distinct()
+      .localCheckpoint()
       .join(c12, Seq("_b1", "_b2"), "left")
       .join(c1, Seq("_b1"), "left")
       .na.fill(0L, Seq("_c12", "_c1"))
