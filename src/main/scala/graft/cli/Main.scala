@@ -28,6 +28,7 @@ import graft.schema.Vintages
   * graft.cli.Main dsir    <corpus> <target> <outDir> [buckets] [--report] [--jsonl]
   * graft.cli.Main ppl     <corpus> <target> <outDir> [buckets] [--jsonl]
   * graft.cli.Main decode-image <parquet> <outDir>   // (doc_id, media) binary column
+  * graft.cli.Main decode-audio <parquet> <outDir>   // WAV/AIFF/AU metadata + RMS
   * graft.cli.Main tfidf   <corpus> <outDir> [--jsonl]
   * graft.cli.Main sample  <corpus> <outDir> [n] [seed] [--jsonl]
   * }}}
@@ -399,6 +400,18 @@ object Main {
         s"(buckets=$buckets) -> $outDir")
       spark.stop()
 
+    // decode a (doc_id, media binary) parquet of WAV/AIFF/AU audio
+    // with the JDK's javax.sound.sampled; emits PCM metadata + RMS
+    case "decode-audio" :: corpus :: outDir :: rest =>
+      val spark = session()
+      val dec = graft.multimodal.Multimodal.decodeAudio(
+        spark.read.parquet(corpus))
+      dec.write.mode("overwrite").parquet(outDir)
+      val all = spark.read.parquet(outDir)
+      val ok = all.filter(org.apache.spark.sql.functions.col("ok")).count()
+      println(s"[decode-audio] ${all.count()} items, $ok decoded -> $outDir")
+      spark.stop()
+
     // decode a (doc_id, media binary) parquet with the JDK ImageIO
     // codecs (JPEG/PNG/GIF/BMP); emits metadata + channel means
     case "decode-image" :: corpus :: outDir :: rest =>
@@ -449,7 +462,7 @@ object Main {
           "gopher <corpus> <out> [minWords] [--report] [--jsonl] | " +
           "dsir <corpus> <target> <out> [buckets] [--report] [--jsonl] | " +
           "ppl <corpus> <target> <out> [buckets] [--jsonl] | " +
-          "decode-image <parquet> <out> | " +
+          "decode-image <parquet> <out> | decode-audio <parquet> <out> | " +
           "tfidf <corpus> <out> [--jsonl] | " +
           "sample <corpus> <out> [n] [seed] [--jsonl]")
       sys.exit(2)

@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * PNG — `java.util.zip.Inflater` + the five scanline filters, pure
   * JDK). [[decodeImage]] goes further: the JDK's own `javax.imageio`
   * codecs (part of `java.desktop`, headless-safe) decode JPEG, PNG,
-  * GIF, BMP and WBMP with zero external dependencies, so only audio
-  * and video formats remain stubbed.
+  * GIF, BMP and WBMP with zero external dependencies, and
+  * [[decodeAudio]] does the same for WAV/AIFF/AU/SND via
+  * `javax.sound.sampled` — only compressed audio (MP3/AAC) and video
+  * still need an external codec.
   *
   * Scale shape: metadata ops run inside the scan stage (no shuffle);
   * decode runs as `mapPartitions` so the per-partition codec context is
@@ -625,6 +627,102 @@ object Multimodal {
         }
       } finally if (iis != null) iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** One decoded audio item's metadata + signal statistics. `ok=false`
+    * carries zeroed fields for unrecognized/malformed/oversized input.
+    */
+  final case class AudioMeta(
+      id: Long, ok: Boolean, format: String, sampleRate: Double,
+      channels: Int, bits: Int, nFrames: Long, durationSec: Double,
+      rms: Double)
+
+  /** REAL audio decoder via the JDK's own `javax.sound.sampled` —
+    * WAV, AIFF, AU and SND parse headless with zero external
+    * dependencies (the same `java.desktop` module that gives
+    * [[decodeImage]] its JPEG codec). Emits container format, PCM
+    * parameters, frame count, duration, and the RMS amplitude
+    * normalized to [-1, 1] (the standard loudness/silence screen for
+    * audio corpus curation). Frame counts are bounded BEFORE reading
+    * samples (`maxPcmBytes`), decoding streams in fixed chunks (never
+    * a whole-file sample buffer), and malformed input isolates as
+    * ok=false — the [[decodePpm]] contract. Only compressed audio
+    * (MP3/AAC) and video now need an external codec.
+    */
+  def decodeAudio(df: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media",
+      maxPcmBytes: Long = 1L * 1024 * 1024 * 1024): Dataset[AudioMeta] = {
+    val rows = df.select(col(idCol).cast("long"), col(mediaCol))
+    rows.mapPartitions { it =>
+      // per-partition decoder context (SPI provider scan)
+      it.map { r =>
+        val id = if (r.isNullAt(0)) -1L else r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (r.isNullAt(0))
+          AudioMeta(id, ok = false, "", 0.0, 0, 0, 0L, 0.0, 0.0)
+        else decodeOneAudio(id, bytes, maxPcmBytes)
+      }
+    }(Encoders.product[AudioMeta])
+  }
+
+  /** Decode one audio buffer; total function (malformed → ok=false). */
+  private[graft] def decodeOneAudio(id: Long, bytes: Array[Byte],
+      maxPcmBytes: Long = 1L * 1024 * 1024 * 1024): AudioMeta = {
+    import javax.sound.sampled.AudioSystem
+    val bad = AudioMeta(id, ok = false, "", 0.0, 0, 0, 0L, 0.0, 0.0)
+    if (bytes == null || bytes.length == 0) return bad
+    try {
+      val fileFmt = AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val container = fileFmt.getType.toString
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val bits = f.getSampleSizeInBits
+        val frames = ais.getFrameLength
+        val frameSize = math.max(f.getFrameSize, 1)
+        // only integer PCM is folded for RMS (the JDK parses more —
+        // float/ulaw containers report metadata with rms refused)
+        val pcm = f.getEncoding.toString.startsWith("PCM_") &&
+          (bits == 8 || bits == 16)
+        if (frames < 0 || frames * frameSize > maxPcmBytes || !pcm)
+          return AudioMeta(id, ok = false, container,
+            f.getSampleRate.toDouble, f.getChannels, bits,
+            math.max(frames, 0L),
+            if (frames > 0) frames / f.getSampleRate.toDouble else 0.0,
+            0.0)
+        val big = f.isBigEndian
+        val signed = f.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        var sumSq = 0.0; var n = 0L
+        val buf = new Array[Byte](frameSize * 4096)
+        var read = ais.read(buf)
+        while (read > 0) {
+          var i = 0
+          val step = bits / 8
+          while (i + step <= read) {
+            val raw =
+              if (bits == 8) {
+                val v = if (signed) buf(i).toInt else (buf(i) & 0xff) - 128
+                v / 128.0
+              } else {
+                val (lo, hi) = if (big) (buf(i + 1), buf(i)) else (buf(i), buf(i + 1))
+                val v0 = ((hi.toInt << 8) | (lo & 0xff)).toShort.toInt
+                val v = if (signed) v0 else ((((hi & 0xff) << 8) | (lo & 0xff)) - 32768)
+                v / 32768.0
+              }
+            sumSq += raw * raw; n += 1
+            i += step
+          }
+          read = ais.read(buf)
+        }
+        val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+        AudioMeta(id, ok = true, container, f.getSampleRate.toDouble,
+          f.getChannels, bits, frames, frames / f.getSampleRate.toDouble,
+          rms)
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => bad }
   }
 
   /** Frame sampling plumbing: cut the byte stream into fixed-size chunks

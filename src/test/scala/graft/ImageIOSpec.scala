@@ -122,6 +122,37 @@ class ImageIOSpec extends SparkSpec {
     assert(!small.ok && small.width == 2 && small.height == 2)
   }
 
+  test("image near-dedup E2E: JPEG re-encodes of the same picture pair " +
+    "up via thumbnail embeddings; a different picture stays out") {
+    // the multimodal dedup pipeline: bytes → ImageIO decode → box
+    // thumbnail (= raw embedding) → bucketed cosine pairing. A JPEG
+    // saved twice (second generation re-encode) is a near-dup; an
+    // unrelated image is not.
+    // structured images (noise would box-average to flat gray and make
+    // EVERYTHING a near-dup): red|blue split vs the swapped layout —
+    // their thumbnails are orthogonal, so cosine separates them hard
+    def split(leftRgb: Int, rightRgb: Int): BufferedImage = {
+      val im = new BufferedImage(32, 24, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32)
+        im.setRGB(x, y, if (x < 16) leftRgb else rightRgb)
+      im
+    }
+    val gen1 = encode(split(0xFF0000, 0x0000FF), "jpeg")
+    val gen2 = encode(ImageIO.read(
+      new java.io.ByteArrayInputStream(gen1)), "jpeg")
+    val other = encode(split(0x0000FF, 0xFF0000), "jpeg")
+    val media = Seq((1L, gen1), (2L, gen2), (3L, other))
+      .toDF("doc_id", "media")
+    val emb = Multimodal.decodeImageThumb(media, thumbW = 4, thumbH = 4)
+      .toDF().filter(col("ok"))
+      .select(col("id"), transform(col("pixels"),
+        p => (p / lit(255.0f)).cast("float")).as("vec"))
+    val pairs = graft.sim.SimSearch.cosineNearDupPairs(
+      emb, "id", "vec", threshold = 0.99, planes = 4, dim = 48)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)), s"pairs=${pairs.toSeq}")
+  }
+
   test("decodeImage: Dataset-level mixed-format batch with per-item " +
     "isolation for null media") {
     val rows = Seq(
