@@ -82,6 +82,20 @@ class PlanGateSpec extends SparkSpec {
       s"sessionizeScalable lost its level-1 exchange reuse:\n$sessPlan")
   }
 
+  test("q76/q77: the fit tables are lineage-cut — scoring scans the " +
+    "corpus at the algorithm's minimum, not once per derived table") {
+    // without the localCheckpoint cuts the B-row marginal/LM tables
+    // drag the corpus explode+aggregate into every consumer (audited:
+    // 10 scans each); the cut pins DSIR at 2 and the LM scorer at ≤ 4
+    // (fit join + score join + ids pass)
+    def scans(name: String): Int =
+      "Scan parquet".r.findAllIn(planOf(name)).size
+    val dsir = scans("q76_dsir")
+    assert(dsir <= 2, s"q76 re-derives its fit tables: $dsir scans")
+    val lm = scans("q77_lm_score")
+    assert(lm <= 4, s"q77 re-derives its LM tables: $lm scans")
+  }
+
   test("no gate query plans a CartesianProduct; BroadcastNestedLoopJoin " +
     "only where the operator is a deliberate tiny-side broadcast") {
     // queries whose SEMANTICS are a non-equi match against a broadcast
