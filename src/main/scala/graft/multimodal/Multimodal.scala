@@ -725,6 +725,82 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => bad }
   }
 
+  /** One sampled + decoded video frame (MJPEG). */
+  final case class VideoFrame(
+      id: Long, frameIdx: Int, ok: Boolean, width: Int, height: Int,
+      meanR: Double, meanG: Double, meanB: Double)
+
+  /** REAL video frame-sampling for Motion-JPEG streams — the format is
+    * a plain concatenation of JPEG images, so frame boundaries fall out
+    * of the JPEG marker structure (`FF D8` SOI … `FF D9` EOI; inside
+    * entropy-coded data every `FF` is `00`-stuffed, so the EOI scan
+    * cannot false-positive there) and each kept frame decodes through
+    * the same pure-JDK [[decodeImage]] codec. Keeps every `stride`-th
+    * frame up to `maxFrames` — the sample-don't-decode-everything
+    * shape of video curation; skipped frames are never decoded, only
+    * marker-scanned. Caveat (documented, not hit by MJPEG writers):
+    * a frame carrying an embedded EXIF thumbnail contains a nested
+    * EOI and would split early — such frames isolate as ok=false
+    * rather than failing the job. Same `mapPartitions` batch shape and
+    * per-item isolation as the rest of the decode family.
+    */
+  def sampleMjpegFrames(df: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media", stride: Int = 4, maxFrames: Int = 64,
+      maxRasterBytes: Long = 256L * 1024 * 1024): Dataset[VideoFrame] = {
+    require(stride > 0 && maxFrames > 0, "stride/maxFrames must be positive")
+    val rows = df.select(col(idCol).cast("long"), col(mediaCol))
+    rows.mapPartitions { it =>
+      // per-partition decoder context (ImageIO plugin scan)
+      it.flatMap { r =>
+        val id = if (r.isNullAt(0)) -1L else r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (r.isNullAt(0) || bytes == null || bytes.length < 4)
+          Seq(VideoFrame(id, -1, ok = false, 0, 0, 0.0, 0.0, 0.0))
+        else {
+          val frames = splitMjpeg(bytes)
+          if (frames.isEmpty)
+            Seq(VideoFrame(id, -1, ok = false, 0, 0, 0.0, 0.0, 0.0))
+          else frames.zipWithIndex
+            .filter { case (_, i) => i % stride == 0 }
+            .take(maxFrames)
+            .map { case ((from, until), i) =>
+              val m = decodeOneImage(id,
+                java.util.Arrays.copyOfRange(bytes, from, until),
+                maxRasterBytes)
+              VideoFrame(id, i, m.ok, m.width, m.height,
+                m.meanR, m.meanG, m.meanB)
+            }
+        }
+      }
+    }(Encoders.product[VideoFrame])
+  }
+
+  /** [from, until) byte ranges of the JPEG frames in an MJPEG stream:
+    * SOI (`FF D8`) to the byte after the matching EOI (`FF D9`).
+    * Truncated trailing frames are dropped; inter-frame padding is
+    * skipped. Total function — garbage yields an empty list.
+    */
+  private[graft] def splitMjpeg(bytes: Array[Byte]): List[(Int, Int)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+    var i = 0
+    val n = bytes.length
+    while (i + 1 < n) {
+      if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xd8) {
+        val start = i
+        var j = i + 2
+        var end = -1
+        while (j + 1 < n && end < 0) {
+          if ((bytes(j) & 0xff) == 0xff && (bytes(j + 1) & 0xff) == 0xd9)
+            end = j + 2
+          j += 1
+        }
+        if (end < 0) i = n // truncated final frame: drop, stop
+        else { out += ((start, end)); i = end }
+      } else i += 1
+    }
+    out.toList
+  }
+
   /** Frame sampling plumbing: cut the byte stream into fixed-size chunks
     * ("frames") and keep every `stride`-th — the shape of video
     * frame-sampling, expressed as pure array expressions.

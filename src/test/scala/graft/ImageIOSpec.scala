@@ -153,6 +153,38 @@ class ImageIOSpec extends SparkSpec {
     assert(pairs.toSet == Set((1L, 2L)), s"pairs=${pairs.toSeq}")
   }
 
+  test("sampleMjpegFrames: strided frame sampling over a concatenated " +
+    "JPEG stream decodes only the kept frames") {
+    // 5-frame MJPEG "video": frame i is uniform gray level 40*i
+    val stream = (0 until 5).flatMap(i =>
+      encode(uniform(8, 6, (40 * i) * 0x010101), "jpeg")).toArray
+    val df = Seq((1L, stream)).toDF("doc_id", "media")
+    val frames = Multimodal.sampleMjpegFrames(df, stride = 2)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 2, 4))
+    assert(frames.forall(f => f.ok && f.width == 8 && f.height == 6))
+    // frame brightness tracks the source pattern (JPEG-lossy tolerance)
+    for ((f, i) <- frames.zip(Seq(0, 2, 4)))
+      assert(math.abs(f.meanR - 40 * i) <= 3.0, s"frame $i: ${f.meanR}")
+    // maxFrames caps the decode work
+    val capped = Multimodal.sampleMjpegFrames(df, stride = 1, maxFrames = 2)
+      .collect()
+    assert(capped.length == 2)
+  }
+
+  test("splitMjpeg: truncated final frame dropped; garbage and null " +
+    "isolate as a single ok=false row") {
+    val one = encode(uniform(8, 6, 0x808080), "jpeg")
+    val cut = one ++ one.take(one.length / 2)
+    assert(Multimodal.splitMjpeg(cut).size == 1)
+    assert(Multimodal.splitMjpeg("not a video".getBytes).isEmpty)
+    val df = Seq(
+      (1L, "garbage".getBytes), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "media")
+    val out = Multimodal.sampleMjpegFrames(df).collect()
+    assert(out.length == 2 && out.forall(f => !f.ok && f.frameIdx == -1))
+  }
+
   test("decodeImage: Dataset-level mixed-format batch with per-item " +
     "isolation for null media") {
     val rows = Seq(
