@@ -66,6 +66,35 @@ object OracleSql {
        |FROM g""".stripMargin
   }
 
+  /** Source-overlap matrix: per-doc sigs (the q14 chain with `source`
+    * carried instead of doc_id), folded per source with element-wise
+    * min — the minhash of each source's shingle-set UNION — then
+    * pairwise lane agreement.
+    */
+  private val q81 = {
+    val sigCols = (0 until 32).map(j => s"${sigExpr(j)} AS s$j")
+      .mkString(", ")
+    val minCols = (0 until 32).map(j => s"min(s$j) AS s$j")
+      .mkString(", ")
+    val agree = (0 until 32)
+      .map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"""WITH t AS (SELECT source, string_split(text, ' ') AS w
+       |           FROM documents),
+       |s AS (SELECT source, list_transform(range(1, len(w) - 1),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh
+       |      FROM t),
+       |h AS (SELECT source,
+       |        list_transform(sh, x -> ${h32("x")} % $P) AS hs FROM s),
+       |g AS (SELECT source, $sigCols FROM h),
+       |m AS (SELECT source, $minCols FROM g GROUP BY source),
+       |p AS (SELECT a.source AS src_a, b.source AS src_b,
+       |        $agree::BIGINT AS n_agree
+       |      FROM m a JOIN m b ON a.source < b.source)
+       |SELECT src_a, src_b, n_agree,
+       |  round(n_agree::DOUBLE / 32.0, 6) AS est_jaccard FROM p""".stripMargin
+  }
+
   private val q21 = {
     val terms = (0 until 16).map { b =>
       val mask = 1L << b
@@ -828,6 +857,113 @@ object OracleSql {
          |         / 1000000.0, 6) END AS avg_nll
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    // BM25: idf snapped to micro-nats per TERM, length-normalized tf
+    // snapped per POSTING (one interpolated IEEE chain — the constants
+    // are Scala-computed doubles round-tripped through toString), then
+    // pure-BIGINT scoring; rank window replays exactly on BIGINT ties
+    "q78_bm25" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+         |           FROM documents),
+         |ix AS (SELECT doc_id, greatest(len(w), 0) AS dl,
+         |        unnest(w) AS term FROM d),
+         |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+         |       FROM ix GROUP BY doc_id, term),
+         |st AS (SELECT count(*)::BIGINT AS n,
+         |        (sum(dl)::DOUBLE / count(*)::DOUBLE) AS avgdl
+         |       FROM (SELECT doc_id, min(dl) AS dl FROM tf
+         |             GROUP BY doc_id)),
+         |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+         |idf AS (SELECT term,
+         |        round(ln(((n - dfc)::DOUBLE + 0.5) /
+         |          (dfc::DOUBLE + 0.5) + 1.0) * 1000000.0)::BIGINT
+         |          AS idf_micro
+         |       FROM dfq, st),
+         |q AS (SELECT * FROM (VALUES
+         |        (1::BIGINT, 'spark'), (1, 'join'), (1, 'window'),
+         |        (2, 'slow'), (2, 'query'), (2, 'filter'),
+         |        (3, 'customer'), (3, 'order'), (3, 'the'))
+         |        AS v(query_id, term)),
+         |qi AS (SELECT q.query_id, q.term, idf.idf_micro
+         |       FROM q JOIN idf USING (term)),
+         |sc AS (SELECT qi.query_id, tf.doc_id,
+         |        (qi.idf_micro *
+         |         round(((tf.tf::DOUBLE * ${1.2 + 1.0}) /
+         |           (tf.tf::DOUBLE + ${1.2} * (${1.0 - 0.75} +
+         |            ${0.75} * (tf.dl::DOUBLE / st.avgdl))))
+         |           * 1000000.0)::BIGINT) AS s
+         |       FROM tf JOIN qi USING (term), st),
+         |ag AS (SELECT query_id, doc_id, sum(s)::BIGINT AS score_pico
+         |       FROM sc GROUP BY query_id, doc_id),
+         |r AS (SELECT query_id, doc_id, score_pico,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY score_pico DESC, doc_id ASC) AS rn FROM ag)
+         |SELECT query_id, doc_id, rn::INTEGER AS rank, score_pico
+         |FROM r WHERE rn <= 10""".stripMargin,
+
+    // per-source boilerplate: q66's chain with the hot set keyed
+    // (source, line) and membership resolved by LEFT JOIN on the pair
+    "q79_line_dedup_by_source" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             string_split(text, ' a ') AS ls FROM documents),
+        |l AS (SELECT doc_id, source,
+        |        unnest(list_transform(range(1, len(ls) + 1),
+        |          i -> {'pos': i, 'ln': ls[i]})) AS e FROM t),
+        |x AS (SELECT doc_id, source, (e.pos) AS pos, (e.ln) AS ln
+        |      FROM l),
+        |hot AS (SELECT source, ln
+        |        FROM (SELECT DISTINCT source, doc_id, ln FROM x
+        |              WHERE length(ln) >= 3)
+        |        GROUP BY source, ln HAVING count(*) > 1),
+        |m AS (SELECT x.doc_id, x.pos, x.ln,
+        |        hot.ln IS NOT NULL AS h
+        |      FROM x LEFT JOIN hot
+        |        ON x.source = hot.source AND x.ln = hot.ln),
+        |g AS (SELECT doc_id, count(*) AS n_lines,
+        |        count(*) FILTER (WHERE NOT h) AS n_kept,
+        |        coalesce(array_to_string(
+        |          list(ln ORDER BY pos) FILTER (WHERE NOT h), ' a '), '')
+        |          AS clean_text
+        |      FROM m GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(g.n_lines, 0) AS n_lines,
+        |  coalesce(g.n_kept, 0) AS n_kept, g.clean_text
+        |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+
+    // key-skew profile: counts + 1-row total, one rounded division,
+    // deterministic top-20 (count desc, key asc)
+    "q80_key_skew" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem
+        |           GROUP BY l_suppkey),
+        |t AS (SELECT sum(n_rows)::BIGINT AS total_rows FROM c)
+        |SELECT c.l_suppkey, c.n_rows,
+        |  round(c.n_rows::DOUBLE / t.total_rows::DOUBLE, 6) AS share,
+        |  t.total_rows
+        |FROM c, t ORDER BY n_rows DESC, l_suppkey ASC LIMIT 20""".stripMargin,
+
+    "q81_source_similarity" -> q81,
+
+    // FIM split: md5-seeded cut points mod (n+1), pure list slicing;
+    // empty slices coalesce to '' (DuckDB array_to_string([]) is NULL,
+    // Spark array_join([]) is '')
+    "q82_fim_split" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+         |           FROM documents),
+         |n AS (SELECT doc_id, w, len(w) AS n,
+         |        ${h32("doc_id::VARCHAR || ':17:a'")} % (len(w) + 1)
+         |          AS c1,
+         |        ${h32("doc_id::VARCHAR || ':17:b'")} % (len(w) + 1)
+         |          AS c2 FROM t),
+         |c AS (SELECT doc_id, w, n, least(c1, c2) AS lo,
+         |        greatest(c1, c2) AS hi FROM n)
+         |SELECT doc_id, n::INTEGER AS n_tokens, lo::INTEGER AS n_prefix,
+         |  (hi - lo)::INTEGER AS n_middle,
+         |  coalesce(array_to_string(list_slice(w, 1, lo), ' '), '')
+         |    AS prefix,
+         |  coalesce(array_to_string(list_slice(w, lo + 1, hi), ' '), '')
+         |    AS middle,
+         |  coalesce(array_to_string(list_slice(w, hi + 1, n), ' '), '')
+         |    AS suffix
+         |FROM c""".stripMargin,
 
     "q29_dedup_clusters" -> q29,
     "q74_dedup_report" -> q74,

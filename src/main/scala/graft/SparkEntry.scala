@@ -1024,6 +1024,52 @@ object SparkEntry {
       buckets = 64)
   }
 
+  /** BM25 ranked retrieval: three bag-of-terms queries over the corpus,
+    * top-10 each — inverted index + micro-snapped idf/tf-norm, exact
+    * BIGINT scores (graft.text.Bm25; the retrieval step beyond q44's
+    * tf-idf weights).
+    */
+  def q78_bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      (1L, "spark"), (1L, "join"), (1L, "window"),
+      (2L, "slow"), (2L, "query"), (2L, "filter"),
+      (3L, "customer"), (3L, "order"), (3L, "the"))
+      .toDF("query_id", "term")
+    graft.text.Bm25.search(docs(s, dir), "text", "doc_id",
+      queries, "query_id", k = 10)
+  }
+
+  /** Domain-scoped boilerplate removal (the CCNet flavor of q66): a
+    * span is boilerplate only when it repeats across >1 docs of the
+    * SAME source — hot-set keyed (source, line_hash).
+    */
+  def q79_line_dedup_by_source(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupLinesPerGroup(docs(s, dir), "text", "doc_id", "source",
+      delimiter = " a ", maxDocs = 1, minChars = 3)
+
+  /** Key-skew profile of lineitem's supplier key: the top-20 heavy
+    * hitters with counts and corpus share — the pre-join diagnostic
+    * behind the salting/broadcast/AQE-skew decision.
+    */
+  def q80_key_skew(s: SparkSession, dir: String): DataFrame =
+    Diagnose.keySkew(t(s, dir, "lineitem").select("l_suppkey"),
+      "l_suppkey", topK = 20)
+
+  /** Source-overlap matrix: pairwise estimated Jaccard between the 20
+    * sources' shingle-set UNIONS via per-source folded MinHash — the
+    * which-crawls-mirror-each-other observability report.
+    */
+  def q81_source_similarity(s: SparkSession, dir: String): DataFrame =
+    Dedup.groupSimilarity(docs(s, dir), "text", "source",
+      numHashes = 32, shingleK = 3)
+
+  /** Fill-in-the-middle example construction: deterministic seeded
+    * two-point split of every doc into (prefix, middle, suffix).
+    */
+  def q82_fim_split(s: SparkSession, dir: String): DataFrame =
+    TextOps.fimSplit(docs(s, dir), "text", "doc_id", seed = 17L)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1103,7 +1149,12 @@ object SparkEntry {
     "q74_dedup_report" -> (q74_dedup_report(_, _)),
     "q75_gopher_rules" -> (q75_gopher_rules(_, _)),
     "q76_dsir" -> (q76_dsir(_, _)),
-    "q77_lm_score" -> (q77_lm_score(_, _)))
+    "q77_lm_score" -> (q77_lm_score(_, _)),
+    "q78_bm25" -> (q78_bm25(_, _)),
+    "q79_line_dedup_by_source" -> (q79_line_dedup_by_source(_, _)),
+    "q80_key_skew" -> (q80_key_skew(_, _)),
+    "q81_source_similarity" -> (q81_source_similarity(_, _)),
+    "q82_fim_split" -> (q82_fim_split(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import scala.util.Try
 
 /** Pool health probes (SURVEY.md §2.1 S7; reference
@@ -35,5 +36,31 @@ object Diagnose {
     val fields = df.map(_.schema.fieldNames.toSeq).getOrElse(Nil)
     val oneRow = df.map(_.limit(1).count() == 1).getOrElse(false)
     Report(exists, nParquet, fields, oneRow)
+  }
+
+  /** Key-skew profile of a prospective shuffle/join key: the `topK`
+    * heaviest key values with absolute row counts and corpus share —
+    * the number to look at BEFORE choosing between a plain shuffle
+    * join, [[Relational.saltedJoin]], or AQE skew splitting (a key
+    * holding >1-2% of a 100 TB table funnels TBs through one reducer).
+    * Returns `(keyCol, n_rows, share, total_rows)` in descending count
+    * order, ties broken by ascending key.
+    *
+    * Scale shape: one hash aggregation with map-side partials (output
+    * bounded by key cardinality), a 1-row total broadcast back, and a
+    * TakeOrderedAndProject for the top-k — per-partition heaps merged
+    * on the driver, NO global sort and no single-partition window.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("total_rows"))
+    counts.crossJoin(broadcast(total))
+      .select(col(keyCol), col("n_rows"),
+        round(col("n_rows").cast("double") /
+          col("total_rows").cast("double"), 6).as("share"),
+        col("total_rows"))
+      .orderBy(col("n_rows").desc, col(keyCol).asc)
+      .limit(topK)
   }
 }

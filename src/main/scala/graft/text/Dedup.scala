@@ -360,12 +360,81 @@ object Dedup {
     */
   private def explodedLines(
       df: DataFrame, textCol: String, idCol: String,
-      delimiter: String): DataFrame = {
+      delimiter: String, carry: Seq[String] = Nil): DataFrame = {
     require(delimiter.nonEmpty, "delimiter must be non-empty")
     val pat = java.util.regex.Pattern.quote(delimiter)
-    df.select(col(idCol),
-        posexplode(split(col(textCol), pat)).as(Seq("_pos", "_ln")))
+    df.select(col(idCol) +: carry.map(col) :+
+        posexplode(split(col(textCol), pat)).as(Seq("_pos", "_ln")): _*)
       .withColumn("_h", sha2(col("_ln"), 256))
+  }
+
+  /** Domain-scoped boilerplate removal (the CCNet refinement of
+    * [[dedupLines]]): a line is boilerplate only WITHIN its own group —
+    * hot = occurring in more than `maxDocs` distinct documents of the
+    * SAME `groupCol` value (site, domain, source). Corpus-global line
+    * dedup over-fires on cross-site convention ("About us", license
+    * headers legitimately quoted once elsewhere) and under-fires on
+    * per-site chrome too rare globally; scoping the count to the
+    * document's own origin is how production web-corpus cleaners
+    * (CCNet's per-shard paragraph hashing) define boilerplate. Output
+    * shape matches [[dedupLines]] (id, n_lines, n_kept, clean_text).
+    *
+    * Scale shape: identical to [[dedupLines]] — one explode, one
+    * distinct + count keyed by (group, line_hash) instead of line_hash,
+    * one equi-join back on the composite key. Grouping tightens the
+    * hot-set key, so the hot table only grows more selective; lines
+    * never leave their group's partitions.
+    */
+  def dedupLinesPerGroup(
+      df: DataFrame, textCol: String, idCol: String, groupCol: String,
+      delimiter: String = "\n", maxDocs: Long = 1,
+      minChars: Int = 1): DataFrame =
+    dedupLinesAgainstPerGroup(df,
+      hotLinesPerGroup(df, textCol, idCol, groupCol, delimiter, maxDocs,
+        minChars),
+      textCol, idCol, groupCol, delimiter)
+
+  /** The per-group boilerplate table: one row per (group, hot line) —
+    * `(groupCol, line_hash, n_docs)`. Persistable, like [[hotLines]].
+    */
+  def hotLinesPerGroup(
+      df: DataFrame, textCol: String, idCol: String, groupCol: String,
+      delimiter: String = "\n", maxDocs: Long = 1,
+      minChars: Int = 1): DataFrame = {
+    require(maxDocs >= 1, "maxDocs must be >= 1")
+    explodedLines(df, textCol, idCol, delimiter, Seq(groupCol))
+      .filter(length(col("_ln")) >= minChars)
+      .select(col(groupCol), col(idCol), col("_h")).distinct()
+      .groupBy(col(groupCol), col("_h").as("line_hash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+  }
+
+  /** Apply half of [[dedupLinesPerGroup]]: rewrite against a persisted
+    * per-group hot-line table, joining on (group, line hash).
+    */
+  def dedupLinesAgainstPerGroup(
+      df: DataFrame, hot: DataFrame, textCol: String, idCol: String,
+      groupCol: String, delimiter: String = "\n"): DataFrame = {
+    val lines = explodedLines(df, textCol, idCol, delimiter, Seq(groupCol))
+    val hotKeys = hot.select(col(groupCol), col("line_hash").as("_h"),
+      lit(true).as("_hot"))
+    val rebuilt = lines.join(hotKeys, Seq(groupCol, "_h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("_hot").isNull, lit(1))).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_hot").isNull,
+              struct(col("_pos").as("p"), col("_ln").as("l"))))),
+            s => s.getField("l")),
+          delimiter).as("clean_text"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("clean_text"))
   }
 
   /** Rewrite a corpus against an existing hot-line table
@@ -735,6 +804,50 @@ object Dedup {
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
+
+  /** Corpus-composition observability: the pairwise estimated Jaccard
+    * similarity BETWEEN GROUPS (sources, crawls, snapshots) of a
+    * corpus. One MinHash signature per group — the element-wise MIN
+    * over member documents' signatures, which by the min-of-mins
+    * identity IS the signature of the union of their shingle sets — so
+    * lane-agreement between two group signatures estimates
+    * `J(∪shingles_a, ∪shingles_b)` exactly as doc-level MinHash does.
+    * The overlap-matrix answer to "how much does crawl B re-crawl A /
+    * which sources are mirrors" BEFORE paying for cross-corpus pair
+    * generation ([[nearDupPairsBetween]]).
+    *
+    * Scale shape: per-doc signing is the [[nearDupPairs]] scan; the
+    * group fold is a (group, lane) hash aggregation with map-side
+    * partials — G·numHashes rows out of a 100 TB corpus. The pairwise
+    * join is G² over GROUP signatures (G = sources, never documents).
+    * Documents with fewer than `shingleK` tokens sign as all-P lanes —
+    * the min identity's neutral element, so they never distort a
+    * group's signature.
+    */
+  def groupSimilarity(
+      df: DataFrame, textCol: String, groupCol: String,
+      numHashes: Int = 32, shingleK: Int = 3,
+      tokenizer: Column => Column = TextOps.tokensSimple): DataFrame = {
+    require(numHashes > 0, "numHashes must be positive")
+    val lanes = df
+      .select(col(groupCol), TextOps.shingles(
+        tokenizer(col(textCol)), shingleK).as("_sh"))
+      .select(col(groupCol),
+        posexplode(TextOps.minhashSig(col("_sh"), numHashes))
+          .as(Seq("_j", "_v")))
+      .groupBy(col(groupCol), col("_j")).agg(min(col("_v")).as("_v"))
+    val a = lanes.select(col(groupCol).as("src_a"), col("_j"),
+      col("_v").as("_va"))
+    val b = lanes.select(col(groupCol).as("src_b"), col("_j").as("_jb"),
+      col("_v").as("_vb"))
+    a.join(b, col("_j") === col("_jb") && col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(when(col("_va") === col("_vb"), lit(1L)).otherwise(lit(0L)))
+        .as("n_agree"))
+      .select(col("src_a"), col("src_b"), col("n_agree"),
+        round(col("n_agree").cast("double") / lit(numHashes.toDouble), 6)
+          .as("est_jaccard"))
+  }
 
   /** Keep the best-scoring row of each near-dup cluster (canonical-
     * document selection): given (id, cluster) labels from

@@ -309,6 +309,45 @@ object TextOps {
           .as("chunk_text")))
   }
 
+  /** Fill-in-the-middle training transform (the FIM objective of
+    * Bavarian et al. 2022, "Efficient Training of Language Models to
+    * Fill in the Middle"): split each document's token sequence at two
+    * DETERMINISTIC pseudo-random cut points into (prefix, middle,
+    * suffix) so the same corpus always yields the same examples
+    * (resumable builds, reproducible ablations). Cuts derive from the
+    * portable md5 [[hash32]] of `(id, seed, salt)` mod (n+1) — any
+    * engine replays them — giving 0 ≤ lo ≤ hi ≤ n with every split
+    * point equally likely, including empty prefix/middle/suffix (the
+    * paper keeps degenerate splits; downstream formatting decides
+    * PSM/SPM token order). Returns
+    * `(idCol, n_tokens, n_prefix, n_middle, prefix, middle, suffix)`.
+    *
+    * Scale shape: pure per-row expression algebra in the scan stage —
+    * no shuffle, no state; compose with
+    * [[graft.operators.Relational.hashSplit]] to FIM only a fraction
+    * of the corpus (the paper's 50/90% FIM-rate recipe).
+    */
+  def fimSplit(df: DataFrame, textCol: String, idCol: String,
+      seed: Long,
+      tokenizer: Column => Column = tokensSimple): DataFrame = {
+    def cut(salt: String): Column =
+      pmod(hash32(concat_ws(":", col(idCol), lit(seed), lit(salt))),
+        (col("_n") + 1).cast("long"))
+    df.select(col(idCol), tokenizer(col(textCol)).as("_w"))
+      .withColumn("_n", size(col("_w")))
+      .withColumn("_lo", least(cut("a"), cut("b")))
+      .withColumn("_hi", greatest(cut("a"), cut("b")))
+      .select(col(idCol), col("_n").as("n_tokens"),
+        col("_lo").cast("int").as("n_prefix"),
+        (col("_hi") - col("_lo")).cast("int").as("n_middle"),
+        array_join(slice(col("_w"), lit(1), col("_lo").cast("int")), " ")
+          .as("prefix"),
+        array_join(slice(col("_w"), (col("_lo") + 1).cast("int"),
+          (col("_hi") - col("_lo")).cast("int")), " ").as("middle"),
+        array_join(slice(col("_w"), (col("_hi") + 1).cast("int"),
+          (col("_n") - col("_hi")).cast("int")), " ").as("suffix"))
+  }
+
   /** Repetition metrics per document (the Gopher/C4-style quality
     * filter): of a doc's word n-grams, what fraction are duplicates of
     * an earlier occurrence, and how often does the most frequent n-gram

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Diagnose
+import graft.text.{Bm25, Dedup, TextOps}
+
+/** BM25 retrieval, FIM splitting, group-similarity, key-skew and
+  * per-group boilerplate — the round-7 retrieval/observability family.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the rust memory safety borrow checker"),
+    (2L, "the spark shuffle join optimizer spark spark"),
+    (3L, "the spark streaming watermark"),
+    (4L, "the the the the the the the the the the spark"),
+    (5L, "the cooking pasta with garlic and oil")).toDF("doc_id", "text")
+
+  test("bm25: tf raises, rarity raises, and length normalizes scores") {
+    val queries = Seq((1L, "spark")).toDF("query_id", "term")
+    val hits = Bm25.search(corpus, "text", "doc_id", queries, "query_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("rank"), r.getAs[Long]("score_pico"))).toMap
+    // docs 2,3,4 match; 2 has tf=3 in 6 tokens -> top; 4 has tf=1 in
+    // 11 tokens -> the length penalty puts it below 3 (tf=1, 3 tokens)
+    assert(hits.keySet == Set(2L, 3L, 4L))
+    assert(hits(2L)._1 == 1 && hits(3L)._1 == 2 && hits(4L)._1 == 3)
+    assert(hits(2L)._2 > hits(3L)._2 && hits(3L)._2 > hits(4L)._2)
+  }
+
+  test("bm25: rare terms outscore stopword-common terms; absent query " +
+    "terms are ignored; k caps the result") {
+    val queries = Seq(
+      (1L, "borrow"), (1L, "the"),   // rare + common
+      (2L, "zzz_absent")).toDF("query_id", "term")
+    val out = Bm25.search(corpus, "text", "doc_id", queries, "query_id")
+    val byQ = out.collect().groupBy(_.getAs[Long]("query_id"))
+    // q2's only term misses the vocabulary entirely -> no rows
+    assert(!byQ.contains(2L))
+    // rare 'borrow' (doc 1) must outrank the 'the'-matching docs
+    val q1 = byQ(1L).sortBy(_.getAs[Int]("rank"))
+    assert(q1.head.getAs[Long]("doc_id") == 1L)
+    val capped = Bm25.search(corpus, "text", "doc_id",
+      Seq((9L, "spark")).toDF("query_id", "term"), "query_id", k = 2)
+    assert(capped.count() == 2)
+  }
+
+  test("bm25: a persisted index serves identically to one-shot search") {
+    val dir = tmpDir("bm25-ix")
+    Bm25.buildIndex(corpus, "text", "doc_id").write
+      .mode("overwrite").parquet(dir)
+    val queries = Seq((1L, "spark"), (1L, "pasta"))
+      .toDF("query_id", "term")
+    val fromIndex = Bm25.topK(spark.read.parquet(dir), queries,
+      "query_id", "doc_id").collect().toSet
+    val oneShot = Bm25.search(corpus, "text", "doc_id", queries,
+      "query_id").collect().toSet
+    assert(fromIndex == oneShot && fromIndex.nonEmpty)
+  }
+
+  test("fimSplit: prefix+middle+suffix reassemble every doc; cuts are " +
+    "deterministic per seed and move with it") {
+    val out = TextOps.fimSplit(corpus, "text", "doc_id", seed = 17L)
+    // empty prefix/middle/suffix parts add stray separators, so
+    // compare empty-filtered token arrays rather than raw strings
+    val bad = out.join(corpus, Seq("doc_id"))
+      .filter(filter(split(concat_ws(" ", col("prefix"), col("middle"),
+          col("suffix")), " "), t => t =!= "") =!=
+        split(col("text"), " "))
+      .count()
+    assert(bad == 0)
+    val again = TextOps.fimSplit(corpus, "text", "doc_id", seed = 17L)
+    assert(out.collect().toSet == again.collect().toSet)
+    val other = TextOps.fimSplit(corpus, "text", "doc_id", seed = 18L)
+    assert(out.select("doc_id", "n_prefix", "n_middle").collect().toSet !=
+      other.select("doc_id", "n_prefix", "n_middle").collect().toSet)
+    // bounds: 0 <= n_prefix, n_prefix + n_middle <= n_tokens
+    assert(out.filter(col("n_prefix") < 0 ||
+      col("n_prefix") + col("n_middle") > col("n_tokens")).count() == 0)
+  }
+
+  test("groupSimilarity: identical groups read 1.0, disjoint ~0") {
+    val g = Seq(
+      ("a", "one two three four five six seven"),
+      ("a", "alpha beta gamma delta epsilon zeta"),
+      ("b", "one two three four five six seven"),
+      ("b", "alpha beta gamma delta epsilon zeta"),
+      ("c", "red orange yellow green blue indigo violet"))
+      .toDF("src", "text")
+    val sim = Dedup.groupSimilarity(g, "text", "src")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    assert(sim(("a", "b")) == 1.0)
+    assert(sim(("a", "c")) < 0.2 && sim(("b", "c")) < 0.2)
+  }
+
+  test("keySkew: ordered heavy hitters with exact shares, ties by key") {
+    val df = (Seq.fill(6)("w") ++ Seq.fill(2)("x") ++ Seq.fill(2)("m") ++
+      Seq("z")).toDF("k")
+    val rows = Diagnose.keySkew(df, "k", topK = 3).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("w", "m", "x"))
+    assert(rows.map(_.getAs[Long]("n_rows")).toSeq == Seq(6L, 2L, 2L))
+    assert(math.abs(rows.head.getAs[Double]("share") - 0.545455) < 1e-9)
+    assert(rows.forall(_.getAs[Long]("total_rows") == 11L))
+  }
+
+  test("dedupLinesPerGroup: a line hot in one source survives in " +
+    "another where it is rare") {
+    val df = Seq(
+      (1L, "s1", "promo | body one"),
+      (2L, "s1", "promo | body two"),
+      (3L, "s2", "promo | body three"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.dedupLinesPerGroup(df, "text", "doc_id", "source",
+      delimiter = " | ", maxDocs = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("clean_text")).toMap
+    // 'promo' repeats across docs 1,2 (same source) -> dropped there;
+    // source s2 saw it once -> doc 3 keeps it
+    assert(out(1L) == "body one" && out(2L) == "body two")
+    assert(out(3L) == "promo | body three")
+    // corpus-global dedup would have dropped it everywhere
+    val global = Dedup.dedupLines(df, "text", "doc_id",
+      delimiter = " | ", maxDocs = 2)
+    assert(global.filter(col("doc_id") === 3L)
+      .head().getAs[String]("clean_text") == "body three")
+  }
+}
