@@ -96,6 +96,21 @@ class PlanGateSpec extends SparkSpec {
     assert(lm <= 4, s"q77 re-derives its LM tables: $lm scans")
   }
 
+  test("q78/q80: retrieval probes the index via a broadcast hash join; " +
+    "the skew top-k never plans a global sort") {
+    // BM25 serving: the query-term idf slice must BROADCAST into the
+    // posting join — a shuffled join there would repartition the whole
+    // inverted index per query batch
+    val p78 = planOf("q78_bm25")
+    assert(p78.contains("BroadcastHashJoin"),
+      s"q78 no longer broadcasts the query-term slice:\n$p78")
+    // heavy-hitter report: top-k via per-partition heaps
+    // (TakeOrderedAndProject), not Sort+Limit over all keys
+    val p80 = planOf("q80_key_skew")
+    assert(p80.contains("TakeOrderedAndProject"),
+      s"q80 lost its heap-based top-k:\n$p80")
+  }
+
   test("no gate query plans a CartesianProduct; BroadcastNestedLoopJoin " +
     "only where the operator is a deliberate tiny-side broadcast") {
     // queries whose SEMANTICS are a non-equi match against a broadcast
@@ -112,7 +127,9 @@ class PlanGateSpec extends SparkSpec {
       "q65_ann_recall",      // its brute-force baseline side is q17
       "q67_temperature_mix", // class weights × broadcast 1-row Σw
       "q68_temperature_tokens", // same 1-row Σw broadcast
-      "q76_dsir")            // B-row buckets × broadcast 1-row totals
+      "q76_dsir",            // B-row buckets × broadcast 1-row totals
+      "q78_bm25",            // postings × broadcast 1-row corpus stats
+      "q80_key_skew")        // key counts × broadcast 1-row total
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — so it is audited by its own
     // gate entry instead
