@@ -425,6 +425,62 @@ object Main {
       println(s"[decode-image] $total items, $ok decoded -> $outDir")
       spark.stop()
 
+    // BM25 retrieval: space-separated query terms against the corpus
+    case "bm25" :: corpus :: outDir :: query :: rest =>
+      import org.apache.spark.sql.functions.col
+      val k = rest.find(!_.startsWith("--")).map(_.toInt).getOrElse(10)
+      val spark = session()
+      import spark.implicits._
+      val docs = loadCorpus(spark, corpus, rest)
+      val terms = query.trim.split("\\s+").toSeq.distinct
+        .map(t => (1L, t)).toDF("query_id", "term")
+      val hits = graft.text.Bm25.search(docs, "text", "doc_id",
+        terms, "query_id", k = k)
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .orderBy(col("rank"))
+      Export.jsonl(hits, outDir)
+      println(s"[bm25] '$query' top-$k -> ${hits.count()} hits -> $outDir")
+      spark.stop()
+
+    // key-skew report: heavy hitters of any parquet column (the
+    // pre-join salting/broadcast diagnostic); prints to stdout
+    case "skew" :: path :: keyCol :: rest =>
+      val topK = rest.find(!_.startsWith("--")).map(_.toInt).getOrElse(20)
+      val spark = session()
+      val rows = graft.operators.Diagnose.keySkew(
+        spark.read.parquet(path).select(keyCol), keyCol, topK).collect()
+      println(s"[skew] $path.$keyCol top-$topK of " +
+        s"${rows.headOption.map(_.getAs[Long]("total_rows")).getOrElse(0L)} rows")
+      rows.foreach { r =>
+        println(f"  ${r.get(0)}%-24s ${r.getAs[Long]("n_rows")}%10d  " +
+          f"${r.getAs[Double]("share") * 100}%6.2f%%")
+      }
+      spark.stop()
+
+    // pairwise source-overlap matrix (minhash of each group's shingle
+    // union) — which crawls/sources mirror each other
+    case "overlap" :: corpus :: outDir :: rest =>
+      val groupCol = rest.find(!_.startsWith("--")).getOrElse("source")
+      val spark = session()
+      val sim = graft.text.Dedup.groupSimilarity(
+        loadCorpus(spark, corpus, rest), "text", groupCol)
+      Export.jsonl(sim, outDir)
+      println(s"[overlap] ${sim.count()} $groupCol pairs -> $outDir")
+      spark.stop()
+
+    // fill-in-the-middle splits: deterministic seeded (prefix, middle,
+    // suffix) per doc
+    case "fim" :: corpus :: outDir :: rest =>
+      val seed = rest.find(!_.startsWith("--"))
+        .map(_.toLong).getOrElse(42L)
+      val spark = session()
+      val out = graft.text.TextOps.fimSplit(
+        loadCorpus(spark, corpus, rest), "text", "doc_id", seed,
+        tokenizerFor(rest))
+      Export.jsonl(out, outDir)
+      println(s"[fim] ${out.count()} splits (seed $seed) -> $outDir")
+      spark.stop()
+
     case "chunk" :: corpus :: outDir :: rest =>
       import org.apache.spark.sql.functions._
       val size = rest.find(!_.startsWith("--")).map(_.toInt).getOrElse(512)
@@ -464,6 +520,10 @@ object Main {
           "ppl <corpus> <target> <out> [buckets] [--jsonl] | " +
           "decode-image <parquet> <out> | decode-audio <parquet> <out> | " +
           "tfidf <corpus> <out> [--jsonl] | " +
+          "bm25 <corpus> <out> \"<terms>\" [k] [--jsonl] | " +
+          "skew <parquet> <keyCol> [topK] | " +
+          "overlap <corpus> <out> [groupCol] [--jsonl] | " +
+          "fim <corpus> <out> [seed] [--jsonl] | " +
           "sample <corpus> <out> [n] [seed] [--jsonl]")
       sys.exit(2)
   }
