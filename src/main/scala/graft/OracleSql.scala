@@ -965,6 +965,16 @@ object OracleSql {
          |    AS suffix
          |FROM c""".stripMargin,
 
+    // JSONL roundtrip: the oracle aggregates the parquet DIRECTLY —
+    // equality holds iff the export+readback changed nothing, making
+    // the sink/source pair itself the thing under test
+    "q83_jsonl_roundtrip" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  sum(n_chars)::BIGINT AS sum_chars,
+         |  sum(${h32("text")})::BIGINT AS text_hash_sum,
+         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |FROM documents GROUP BY lang""".stripMargin,
+
     "q29_dedup_clusters" -> q29,
     "q74_dedup_report" -> q74,
     "q33_exact_jaccard" -> q33,

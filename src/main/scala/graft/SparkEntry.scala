@@ -1070,6 +1070,44 @@ object SparkEntry {
   def q82_fim_split(s: SparkSession, dir: String): DataFrame =
     TextOps.fimSplit(docs(s, dir), "text", "doc_id", seed = 17L)
 
+  /** JSONL ingest roundtrip: documents exported to JSON-Lines
+    * ([[graft.operators.Export.jsonl]]) and read back schema-enforced
+    * with corrupt-line quarantine ([[graft.sources.Jsonl]]). The
+    * readback's per-lang aggregate must hash-match the oracle's
+    * DIRECT-parquet aggregate — the roundtrip is identity on this
+    * long/string schema, so unlike q26 this sink+source pair gets a
+    * full value gate, including an md5 content checksum over every
+    * text field that would catch any escaping loss.
+    */
+  def q83_jsonl_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    try {
+      val out = base.resolve("docs").toString
+      val d = t(s, dir, "documents")
+      Export.jsonl(d, out, shards = 8)
+      val back = graft.sources.Jsonl.read(s, out, d.schema)
+      val health = graft.sources.Jsonl.health(back).collect()(0)
+      require(health.getLong(1) == 0L,
+        s"clean corpus roundtrip quarantined lines: $health")
+      val agg = graft.sources.Jsonl.clean(back)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum(TextOps.hash32(col("text"))).as("text_hash_sum"),
+          min("doc_id").as("min_doc_id"),
+          max("doc_id").as("max_doc_id"))
+      // materialize before the finally deletes the files it reads from
+      val collected = agg.collect().toIndexedSeq
+      s.createDataFrame(
+        new java.util.ArrayList(collected.asJava), agg.schema)
+    } finally {
+      java.nio.file.Files.walk(base).sorted(
+        java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1154,7 +1192,8 @@ object SparkEntry {
     "q79_line_dedup_by_source" -> (q79_line_dedup_by_source(_, _)),
     "q80_key_skew" -> (q80_key_skew(_, _)),
     "q81_source_similarity" -> (q81_source_similarity(_, _)),
-    "q82_fim_split" -> (q82_fim_split(_, _)))
+    "q82_fim_split" -> (q82_fim_split(_, _)),
+    "q83_jsonl_roundtrip" -> (q83_jsonl_roundtrip(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

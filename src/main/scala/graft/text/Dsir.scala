@@ -88,4 +88,65 @@ object Dsir {
       .select(col(idCol), col("weight_micro"),
         (col("weight_micro") > 0L).as("selected"))
   }
+
+  /** Per-group corpus-drift report: KL(group ‖ corpus) over hashed
+    * token buckets, add-one smoothed — "which source's token mix has
+    * wandered furthest from the blend" (the distribution-shift number
+    * a mixture owner watches per crawl snapshot; same hashed-feature
+    * family as [[importanceWeights]], aimed at groups instead of
+    * documents).
+    *
+    * Cross-engine exactness, same micro-nat design as DSIR: each
+    * (group, bucket) log-ratio is an integer-product division snapped
+    * to micro-nats once, the KL numerator `Σ_b (c_gb+1)·lr_micro` is
+    * then pure BIGINT, and the final `kl` divides through one fixed
+    * IEEE chain. Smoothed p and q are true distributions, so kl ≥ 0
+    * up to micro-rounding.
+    *
+    * Scale shape (100 TB corpus, G groups, B buckets): ONE corpus
+    * explode into a (group, bucket) hash aggregation with map-side
+    * partials — the only data-sized stage; the G×B count frame
+    * localCheckpoints (plan-audit lesson from [[importanceWeights]]:
+    * without the cut every downstream fold re-runs the explode) and
+    * everything after operates on G×B ≤ thousands of rows with
+    * broadcast joins. No window, no all-pairs, no skew exposure — a
+    * hot group only concentrates its PARTIAL aggregation, which
+    * map-side combine absorbs.
+    */
+  def groupDivergence(df: DataFrame, textCol: String, groupCol: String,
+      buckets: Int = 64,
+      tokenizer: Column => Column = TextOps.tokensSimple): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val b = lit(buckets.toLong)
+    val gc = df
+      .select(col(groupCol).as("_g"),
+        explode(tokenizer(col(textCol))).as("_tok"))
+      .select(col("_g"), pmod(TextOps.hash32(col("_tok")), b).as("_bkt"))
+      .groupBy(col("_g"), col("_bkt")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    val gn = gc.groupBy(col("_g")).agg(sum(col("_c")).as("_ng"))
+    val cb = gc.groupBy(col("_bkt")).agg(sum(col("_c")).as("_cb"))
+    val tot = cb.agg(sum(col("_cb")).as("_n"))
+
+    // dense G×B grid: smoothing gives every bucket weight (c+1) > 0,
+    // so absent buckets still contribute to the sum
+    val grid = gn.crossJoin(broadcast(
+      df.sparkSession.range(buckets).select(col("id").as("_bkt"))))
+    val full = grid
+      .join(gc, Seq("_g", "_bkt"), "left").na.fill(0L, Seq("_c"))
+      .join(broadcast(cb), Seq("_bkt"), "left").na.fill(0L, Seq("_cb"))
+      .crossJoin(broadcast(tot))
+    val num = ((col("_c") + 1L) * (col("_n") + b)).cast("double")
+    val den = ((col("_cb") + 1L) * (col("_ng") + b)).cast("double")
+    full
+      .select(col("_g"), col("_ng"),
+        ((col("_c") + 1L) *
+          round((log(num) - log(den)) * 1000000.0).cast("long")).as("_t"))
+      .groupBy(col("_g"), col("_ng"))
+      .agg(sum(col("_t")).as("kl_num_micro"))
+      .select(col("_g").as(groupCol), col("_ng").as("n_tokens"),
+        col("kl_num_micro"),
+        round(col("kl_num_micro").cast("double") /
+          (col("_ng") + b).cast("double") / 1000000.0, 6).as("kl"))
+  }
 }
