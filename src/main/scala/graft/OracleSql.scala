@@ -975,6 +975,35 @@ object OracleSql {
          |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
          |FROM documents GROUP BY lang""".stripMargin,
 
+    // per-source KL vs the corpus blend: per-(source,bucket) log-ratio
+    // snapped to micro-nats once over a DENSE source×bucket grid
+    // (smoothing gives absent buckets weight 1), numerator exact
+    // BIGINT, final kl one fixed IEEE chain
+    "q84_source_divergence" ->
+      s"""WITH tok AS (SELECT source,
+         |        unnest(string_split(text, ' ')) AS tok FROM documents),
+         |gc AS (SELECT source, (${h32("tok")} % 64) AS bkt,
+         |        count(*) AS c FROM tok GROUP BY source, bkt),
+         |gn AS (SELECT source, sum(c)::BIGINT AS ng FROM gc
+         |       GROUP BY source),
+         |cb AS (SELECT bkt, sum(c)::BIGINT AS cb FROM gc GROUP BY bkt),
+         |tot AS (SELECT sum(cb)::BIGINT AS n FROM cb),
+         |grid AS (SELECT source, ng, r.range AS bkt
+         |         FROM gn, range(64) r),
+         |f AS (SELECT g.source, g.ng, g.bkt,
+         |        coalesce(gc.c, 0) AS c, coalesce(cb.cb, 0) AS cb, tot.n
+         |      FROM grid g
+         |      LEFT JOIN gc ON g.source = gc.source AND g.bkt = gc.bkt
+         |      LEFT JOIN cb ON g.bkt = cb.bkt, tot),
+         |term AS (SELECT source, ng, (c + 1) *
+         |        round((ln(((c + 1) * (n + 64))::DOUBLE)
+         |          - ln(((cb + 1) * (ng + 64))::DOUBLE))
+         |          * 1000000.0)::BIGINT AS t FROM f)
+         |SELECT source, ng AS n_tokens, sum(t)::BIGINT AS kl_num_micro,
+         |  round((sum(t)::DOUBLE / (ng + 64)::DOUBLE) / 1000000.0, 6)
+         |    AS kl
+         |FROM term GROUP BY source, ng""".stripMargin,
+
     "q29_dedup_clusters" -> q29,
     "q74_dedup_report" -> q74,
     "q33_exact_jaccard" -> q33,

@@ -1108,6 +1108,15 @@ object SparkEntry {
     }
   }
 
+  /** Per-source corpus drift: KL(source ‖ corpus) over hashed token
+    * buckets — which crawl's token mix has wandered furthest from the
+    * blend (the distribution-shift observability twin of q81's overlap
+    * matrix; micro-nat-exact against the SQL oracle).
+    */
+  def q84_source_divergence(s: SparkSession, dir: String): DataFrame =
+    graft.text.Dsir.groupDivergence(docs(s, dir), "text", "source",
+      buckets = 64)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1193,7 +1202,8 @@ object SparkEntry {
     "q80_key_skew" -> (q80_key_skew(_, _)),
     "q81_source_similarity" -> (q81_source_similarity(_, _)),
     "q82_fim_split" -> (q82_fim_split(_, _)),
-    "q83_jsonl_roundtrip" -> (q83_jsonl_roundtrip(_, _)))
+    "q83_jsonl_roundtrip" -> (q83_jsonl_roundtrip(_, _)),
+    "q84_source_divergence" -> (q84_source_divergence(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

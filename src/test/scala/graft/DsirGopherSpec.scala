@@ -141,4 +141,23 @@ class DsirGopherSpec extends SparkSpec {
       assert(w(1L) && w(2L) && !w(3L), s"buckets=$b: $w")
     }
   }
+
+  test("groupDivergence: the drifted source scores highest, a " +
+    "blend-like source lowest, kl >= 0 up to micro-rounding") {
+    val common = Seq.fill(50)("the cat sat on the mat").mkString(" ")
+    val drift = Seq.fill(50)("zork quux fnord blarg xyzzy grue").mkString(" ")
+    val df = Seq(
+      (1L, common, "srcA"), (2L, common, "srcA"),
+      (3L, common, "srcB"), (4L, drift, "srcB"),
+      (5L, drift, "srcC"), (6L, drift, "srcC")).toDF(
+      "doc_id", "text", "source")
+    val kl = Dsir.groupDivergence(df, "text", "source", buckets = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("kl"))).toMap
+    assert(kl.keySet == Set("srcA", "srcB", "srcC"))
+    assert(kl("srcA")._1 == 2 * 6 * 50)
+    // srcB IS half-common-half-drift = closest to the corpus blend
+    assert(kl("srcB")._2 < kl("srcA")._2 && kl("srcB")._2 < kl("srcC")._2)
+    kl.values.foreach { case (_, k) => assert(k >= -1e-6, s"kl < 0: $kl") }
+  }
 }
