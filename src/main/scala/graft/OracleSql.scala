@@ -1004,6 +1004,21 @@ object OracleSql {
          |    AS kl
          |FROM term GROUP BY source, ng""".stripMargin,
 
+    // upsert: oracle states the OUTCOME (corrections replace originals
+    // because their version is strictly newer) — an independent
+    // formulation of the union+argmax the engine runs
+    "q85_upsert_merge" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 5 = 0 THEN ts + INTERVAL 1 HOUR
+        |       ELSE ts END AS ts,
+        |  user_id,
+        |  CASE WHEN event_id % 5 = 0 THEN 'corrected'
+        |       ELSE event_type END AS event_type,
+        |  CASE WHEN event_id % 5 = 0 THEN value + 1.0
+        |       ELSE value END AS value,
+        |  props
+        |FROM events""".stripMargin,
+
     "q29_dedup_clusters" -> q29,
     "q74_dedup_report" -> q74,
     "q33_exact_jaccard" -> q33,

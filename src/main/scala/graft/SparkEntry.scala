@@ -1117,6 +1117,25 @@ object SparkEntry {
     graft.text.Dsir.groupDivergence(docs(s, dir), "text", "source",
       buckets = 64)
 
+  /** Latest-record-wins upsert: a CDC-style corrections batch (every
+    * 5th event, 1h newer, value bumped, type rewritten) merged into the
+    * events base — one union + argmax-by-struct aggregation, no window.
+    * The oracle states the EXPECTED OUTCOME (updated rows replace
+    * originals) rather than replaying the merge, so it independently
+    * checks the semantics.
+    */
+  def q85_upsert_merge(s: SparkSession, dir: String): DataFrame = {
+    // TIMESTAMP(NANOS) parquet reads as a nanos long (see EventOps);
+    // surface it as a real timestamp so the version is time-typed
+    val base = t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val updates = base.filter(col("event_id") % 5 === 0)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+      .withColumn("event_type", lit("corrected"))
+      .withColumn("value", col("value") + lit(1.0))
+    Ingest.upsert(base, updates, Seq("event_id"), "ts")
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1203,7 +1222,8 @@ object SparkEntry {
     "q81_source_similarity" -> (q81_source_similarity(_, _)),
     "q82_fim_split" -> (q82_fim_split(_, _)),
     "q83_jsonl_roundtrip" -> (q83_jsonl_roundtrip(_, _)),
-    "q84_source_divergence" -> (q84_source_divergence(_, _)))
+    "q84_source_divergence" -> (q84_source_divergence(_, _)),
+    "q85_upsert_merge" -> (q85_upsert_merge(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

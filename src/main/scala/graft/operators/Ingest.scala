@@ -202,6 +202,84 @@ object Ingest {
         min(col(frameCol)).as("min_frame"),
         max(col(frameCol)).as("max_frame"))
 
+  /** Latest-record-wins upsert: merge `updates` into `base` keeping,
+    * per key, the row with the highest `versionCol` — on a version tie
+    * the UPDATES side wins (the MERGE semantic every mutable-key lake
+    * needs: CDC replay, re-crawled documents, corrected labels).
+    *
+    * Implemented as union → one hash aggregation taking
+    * `max(struct(version, side, payload…))` — struct ordering compares
+    * fields left to right, so the max IS the deterministic argmax with
+    * the tie-break baked in, and remaining payload fields break any
+    * version+side tie (exact duplicates collapse to one row). No
+    * window (a per-key sort would rank every historical version; the
+    * hash agg keeps one running max per key), no join, map-side
+    * partials absorb hot keys. A NULL version sorts below every
+    * non-null one (it only wins when all versions are null), and rows
+    * whose version ties are resolved by side carry no hidden
+    * nondeterminism — unlike `max_by`, which documents ties as
+    * arbitrary.
+    *
+    * Scale shape (100 TB base, small-to-large updates): one shuffle of
+    * base∪updates on the key; at 1000 executors this is the same cost
+    * as the exact-dedup pass. When updates are partition-sparse, prune
+    * first ([[upsertPartitioned]]) so the untouched partitions never
+    * enter the shuffle at all.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      versionCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    require(base.columns.sameElements(updates.columns),
+      s"base/updates schemas differ: ${base.columns.toSeq} vs " +
+        s"${updates.columns.toSeq}")
+    val payload = base.columns.filterNot(
+      c => keyCols.contains(c) || c == versionCol).toSeq
+    def sided(df: DataFrame, side: Int): DataFrame =
+      df.select(keyCols.map(col) ++
+        Seq(struct((col(versionCol).as("_v") +: lit(side).as("_side") +:
+          payload.map(col)): _*).as("_m")): _*)
+    sided(base, 0).unionByName(sided(updates, 1))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("_m")).as("_m"))
+      .select(keyCols.map(col) ++ Seq(col("_m._v").as(versionCol)) ++
+        payload.map(c => col(s"_m.$c").as(c)): _*)
+      .select(base.columns.map(col).toSeq: _*)
+  }
+
+  /** Partition-pruned upsert-in-place on a Hive-partitioned pool: only
+    * the partitions PRESENT IN `updates` are read, merged via
+    * [[upsert]], and swapped back with dynamic partition overwrite —
+    * a 100 TB pool taking a 10 GB CDC batch rewrites gigabytes, not
+    * terabytes. The partition values are collected from the (small)
+    * updates side; `spark.sql.sources.partitionOverwriteMode=dynamic`
+    * confines the overwrite to exactly those leaves.
+    */
+  def upsertPartitioned(spark: SparkSession, poolRoot: String,
+      updates: DataFrame, keyCols: Seq[String], versionCol: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "upsertPartitioned needs partitions")
+    val parts = updates.select(partitionCols.map(col): _*)
+      .distinct().collect()
+    require(parts.nonEmpty, "updates carry no partition values")
+    val touched = parts.map { r =>
+      partitionCols.zipWithIndex
+        .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val base = spark.read.parquet(poolRoot).filter(touched)
+    // the write overwrites partitions it is also reading from —
+    // materialize the merge first so no task reads a leaf the committer
+    // is replacing (same staged-swap discipline as compactPool)
+    val merged = upsert(
+      base.select(updates.columns.map(col).toSeq: _*), updates,
+      keyCols, versionCol).localCheckpoint()
+    merged.write
+      .partitionBy(partitionCols: _*)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(poolRoot)
+  }
+
   /** JSON-Lines source (one object per line — the format `Export.jsonl`
     * writes and LLM corpora ship in). PERMISSIVE like the CSV path:
     * malformed lines land in a corrupt-record column instead of failing

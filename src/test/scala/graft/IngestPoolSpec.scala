@@ -307,4 +307,61 @@ class IngestPoolSpec extends SparkSpec {
       Seq(col("event") === "pass_forward"), 42L)
     assert(filtered.select("frameId").distinct().count() == 1L)
   }
+
+  test("upsert: newest version wins, updates win ties, null versions " +
+    "lose, exact duplicates collapse") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, 10L, "old"),   // newer update → replaced
+      (2L, 10L, "keep"),  // older update → survives
+      (3L, 10L, "tie_b"), // same version → updates side wins
+      (4L, 10L, "only_base"),
+      (6L, 10L, "dup"))   // exact duplicate in updates → one row
+      .toDF("k", "v", "payload")
+    val updates = Seq(
+      (1L, 20L, "new"),
+      (2L, 5L, "stale"),
+      (3L, 10L, "tie_u"),
+      (5L, 10L, "only_update"),
+      (6L, 10L, "dup"))
+      .toDF("k", "v", "payload")
+    val got = Ingest.upsert(base, updates, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2))).toMap
+    assert(got === Map(
+      1L -> (20L, "new"), 2L -> (10L, "keep"), 3L -> (10L, "tie_u"),
+      4L -> (10L, "only_base"), 5L -> (10L, "only_update"),
+      6L -> (10L, "dup")))
+
+    // null version only wins against another null (then side decides)
+    val nb = Seq((1L, Option(5L), "base"), (2L, Option.empty[Long], "base"))
+      .toDF("k", "v", "payload")
+    val nu = Seq((1L, Option.empty[Long], "upd"), (2L, Option.empty[Long], "upd"))
+      .toDF("k", "v", "payload")
+    val gotN = Ingest.upsert(nb, nu, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(gotN === Map(1L -> "base", 2L -> "upd"))
+  }
+
+  test("upsertPartitioned rewrites only the touched partitions") {
+    import spark.implicits._
+    val root = tmpDir("upsert_pool")
+    Seq((1L, 1L, "a", "p1"), (2L, 1L, "b", "p1"), (3L, 1L, "c", "p2"))
+      .toDF("k", "v", "payload", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(root)
+    val p2File = java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "part=p2")).toArray.toSeq
+    val updates = Seq((2L, 2L, "B2", "p1"), (9L, 1L, "new", "p1"))
+      .toDF("k", "v", "payload", "part")
+    Ingest.upsertPartitioned(spark, root, updates, Seq("k"), "v",
+      Seq("part"))
+    val after = spark.read.parquet(root)
+      .collect().map(r => r.getAs[Long]("k") ->
+        r.getAs[String]("payload")).toMap
+    assert(after === Map(1L -> "a", 2L -> "B2", 3L -> "c", 9L -> "new"))
+    // untouched partition keeps its physical files (no rewrite)
+    val p2After = java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "part=p2")).toArray.toSeq
+    assert(p2After === p2File)
+  }
 }
