@@ -1019,6 +1019,17 @@ object OracleSql {
         |  props
         |FROM events""".stripMargin,
 
+    // global shuffle: the oracle's single global row_number() replays
+    // the engine's two-level prefix sum exactly (same order key)
+    "q86_global_shuffle" ->
+      """WITH r AS (SELECT doc_id,
+        |  (row_number() OVER (
+        |     ORDER BY md5(doc_id::VARCHAR || ':' || '41'), doc_id)
+        |   - 1)::BIGINT AS global_pos FROM documents)
+        |SELECT doc_id, global_pos, (global_pos % 8)::BIGINT AS shard,
+        |  (global_pos // 8)::BIGINT AS shard_pos
+        |FROM r""".stripMargin,
+
     "q29_dedup_clusters" -> q29,
     "q74_dedup_report" -> q74,
     "q33_exact_jaccard" -> q33,

@@ -1136,6 +1136,15 @@ object SparkEntry {
     Ingest.upsert(base, updates, Seq("event_id"), "ts")
   }
 
+  /** Deterministic global shuffle: every doc's seeded shuffle position,
+    * round-robin shard, and within-shard position — the reproducible
+    * training-order layout (two-level prefix sum, no global window; the
+    * oracle replays it with one row_number()).
+    */
+  def q86_global_shuffle(s: SparkSession, dir: String): DataFrame =
+    Relational.globalShuffle(docs(s, dir), "doc_id", seed = 41L,
+      shards = 8)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1223,7 +1232,8 @@ object SparkEntry {
     "q82_fim_split" -> (q82_fim_split(_, _)),
     "q83_jsonl_roundtrip" -> (q83_jsonl_roundtrip(_, _)),
     "q84_source_divergence" -> (q84_source_divergence(_, _)),
-    "q85_upsert_merge" -> (q85_upsert_merge(_, _)))
+    "q85_upsert_merge" -> (q85_upsert_merge(_, _)),
+    "q86_global_shuffle" -> (q86_global_shuffle(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -306,6 +306,37 @@ object Relational {
       .drop("_h", "_hb")
   }
 
+  /** Deterministic global shuffle — the reproducible-training-order
+    * primitive: every row gets its position in seeded-md5-hash order
+    * (`global_pos`), its round-robin shard (`shard = pos % shards`),
+    * and its position within that shard (`shard_pos = pos div
+    * shards`). Re-running with the same seed on the same ids yields
+    * the identical layout on any cluster size — the property a
+    * training job needs to resume mid-epoch or re-materialize a shard;
+    * round-robin makes every shard an independent uniform sample of
+    * the corpus in shuffled order (no curriculum accidents from
+    * ingestion order).
+    *
+    * Scale shape: positions come from [[hashRankedCum]] with unit
+    * weights — the two-level hash-prefix prefix sum, NOT a global
+    * `row_number()` window (whose single ORDER BY partition funnels
+    * the full 100 TB through one reducer). `hashPrefixLen` 4 = 65,536
+    * level-1 buckets, each holding ~N/65536 rows; value-identical to
+    * the single-window formulation at any prefix length.
+    */
+  def globalShuffle(df: DataFrame, idCol: String, seed: Long,
+      shards: Int, hashPrefixLen: Int = 4): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    hashRankedCum(
+      df.select(col(idCol)).withColumn("_cls", lit(0)),
+      "_cls", idCol, lit(1L), seed, hashPrefixLen)
+      .withColumn("global_pos", col("cum_before"))
+      .withColumn("shard", pmod(col("global_pos"), lit(shards.toLong)))
+      .withColumn("shard_pos", expr(s"global_pos div ${shards}L"))
+      .select(col(idCol), col("global_pos"), col("shard"),
+        col("shard_pos"))
+  }
+
   /** Shared two-level seeded-hash prefix-sum core of the quota
     * samplers: append `cum_before` — the exact exclusive prefix sum of
     * `tokens` in per-class (seeded md5 hash, id) order — to `df`

@@ -89,4 +89,27 @@ class SamplingPropertySpec extends SparkSpec {
     val s2 = split(3000, 13L)
     assert(s1.forall { case (id, l) => s2(id) == l })
   }
+
+  test("globalShuffle: positions are a permutation, shards balanced, " +
+    "layout prefix-length- and partitioning-invariant") {
+    import spark.implicits._
+    val n = 1000
+    val df = (0 until n).map(_.toLong).toDF("doc_id")
+    def layout(d: org.apache.spark.sql.DataFrame, plen: Int) =
+      Relational.globalShuffle(d, "doc_id", seed = 9L, shards = 7,
+        hashPrefixLen = plen)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val l1 = layout(df, 4)
+    assert(l1.map(_._2) === (0 until n).map(_.toLong).toSet) // permutation
+    val shardSizes = l1.groupBy(_._3).view.mapValues(_.size).values.toSet
+    assert(shardSizes.forall(s => s == n / 7 || s == n / 7 + 1))
+    // shard_pos is a permutation of 0..size-1 within each shard
+    l1.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._4) === (0 until rows.size).map(_.toLong).toSet)
+    }
+    assert(layout(df, 1) === l1)                 // prefix-length-invariant
+    assert(layout(df.repartition(13), 4) === l1) // partitioning-invariant
+    assert(layout(df, 4) === l1)                 // deterministic re-run
+  }
 }
