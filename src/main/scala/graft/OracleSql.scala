@@ -1030,6 +1030,30 @@ object OracleSql {
         |  (global_pos // 8)::BIGINT AS shard_pos
         |FROM r""".stripMargin,
 
+    // linear classifier: micro-int weight table as VALUES, BIGINT sum,
+    // integer sign test for keep, one fixed IEEE chain for logit
+    "q87_quality_classifier" ->
+      """WITH w(tok, wm) AS (VALUES
+        |  ('the', 250000), ('a', 180000), ('data', 120000),
+        |  ('query', 100000), ('table', 80000), ('join', 60000),
+        |  ('slow', -220000), ('dup', -350000), ('batch', -80000)),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents),
+        |pd AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |        sum(coalesce(w.wm, 0))::BIGINT AS w_sum_micro
+        |       FROM tok LEFT JOIN w USING (tok) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(pd.n_tokens, 0) AS n_tokens,
+        |  coalesce(pd.w_sum_micro, 0) AS w_sum_micro,
+        |  round((-150000.0 + CASE WHEN coalesce(pd.n_tokens, 0) = 0
+        |      THEN 0.0
+        |      ELSE pd.w_sum_micro::DOUBLE / pd.n_tokens::DOUBLE END)
+        |    / 1000000.0, 6) AS logit,
+        |  CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN -150000 > 0
+        |       ELSE -150000 * pd.n_tokens + pd.w_sum_micro > 0 END
+        |    AS keep
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN pd USING (doc_id)""".stripMargin,
+
     "q29_dedup_clusters" -> q29,
     "q74_dedup_report" -> q74,
     "q33_exact_jaccard" -> q33,

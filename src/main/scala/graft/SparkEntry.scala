@@ -1145,6 +1145,25 @@ object SparkEntry {
     Relational.globalShuffle(docs(s, dir), "doc_id", seed = 41L,
       shards = 8)
 
+  /** The q87 model: a loadable linear classifier in the file format
+    * [[graft.text.Classifier.parse]] reads (here authored inline; a
+    * real pipeline ships the trained weights as a sidecar file).
+    */
+  private lazy val qualityModel = graft.text.Classifier.parse(Seq(
+    "# toy prose-vs-junk quality model over the synthetic vocabulary",
+    "__bias__ -0.15",
+    "the 0.25", "a 0.18", "data 0.12", "query 0.10", "table 0.08",
+    "join 0.06", "slow -0.22", "dup -0.35", "batch -0.08"))
+
+  /** Linear (fasttext-style) quality classifier apply: every doc's
+    * mean token weight + bias, keep iff logit > 0 — integer-micro
+    * weight sums so the oracle replays the decision exactly; the keep
+    * test is a pure BIGINT sign check, never a float boundary.
+    */
+  def q87_quality_classifier(s: SparkSession, dir: String): DataFrame =
+    graft.text.Classifier.score(docs(s, dir), "text", "doc_id",
+      qualityModel)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1233,7 +1252,8 @@ object SparkEntry {
     "q83_jsonl_roundtrip" -> (q83_jsonl_roundtrip(_, _)),
     "q84_source_divergence" -> (q84_source_divergence(_, _)),
     "q85_upsert_merge" -> (q85_upsert_merge(_, _)),
-    "q86_global_shuffle" -> (q86_global_shuffle(_, _)))
+    "q86_global_shuffle" -> (q86_global_shuffle(_, _)),
+    "q87_quality_classifier" -> (q87_quality_classifier(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Classifier
+
+/** Loadable linear (fasttext-style) classifier: model parsing, both
+  * apply flavors row-identical, sign-exact keep decision.
+  */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val model = Classifier.parse(Seq(
+    "# comment",
+    "__bias__ -0.1",
+    "good 0.5",
+    "bad -0.5",
+    "",
+    "good 0.4")) // last wins
+
+  test("parse: comments/blanks skipped, bias split out, last dup wins") {
+    assert(model.biasMicro === -100000L)
+    assert(model.weightsMicro === Map("good" -> 400000L, "bad" -> -500000L))
+    intercept[IllegalArgumentException] { Classifier.parse(Seq("a b c")) }
+  }
+
+  test("score: mean-pooled logit, OOV weight 0, integer-exact keep") {
+    val df = Seq(
+      (1L, "good good good"),        // mean 0.4 + bias -0.1 > 0
+      (2L, "bad bad"),               // negative
+      (3L, "oov words only"),        // bias alone: -0.1 → drop
+      (4L, "good bad"),              // mean -0.05 + bias → drop
+      (5L, "good oov")               // mean 0.2 - 0.1 → keep
+    ).toDF("doc_id", "text")
+    val got = Classifier.score(df, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("w_sum_micro"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(got(1L) === ((3L, 1200000L, true)))
+    assert(got(2L) === ((2L, -1000000L, false)))
+    assert(got(3L) === ((3L, 0L, false)))
+    assert(got(4L) === ((2L, -100000L, false)))
+    assert(got(5L) === ((2L, 400000L, true)))
+  }
+
+  test("scoreMapLiteral is row-identical to score, including the " +
+    "empty-model edge") {
+    val df = Seq((1L, "good bad oov"), (2L, "x"), (3L, "good good"))
+      .toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect().toSeq
+    assert(rows(Classifier.scoreMapLiteral(df, "text", "doc_id", model))
+      === rows(Classifier.score(df, "text", "doc_id", model)))
+    val empty = Classifier.LinearModel(50000L, Map.empty)
+    val a = rows(Classifier.score(df, "text", "doc_id", empty))
+    assert(rows(Classifier.scoreMapLiteral(df, "text", "doc_id", empty))
+      === a)
+    // positive bias + empty weights keeps everything
+    assert(a.forall(_.getAs[Boolean]("keep")))
+  }
+
+  test("scoreMapLiteral plans with no shuffle (scan-stage apply)") {
+    val df = Seq((1L, "good bad")).toDF("doc_id", "text")
+    val plan = Classifier.scoreMapLiteral(df, "text", "doc_id", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
