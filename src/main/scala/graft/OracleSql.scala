@@ -202,6 +202,39 @@ object OracleSql {
        |SELECT cluster_size, count(*) AS n_clusters
        |FROM cs GROUP BY cluster_size""".stripMargin
 
+  /** Bigram-LM NLL scoring (q77's oracle; also the score source for
+    * q88's percentile buckets): per-pair log-prob snapped to
+    * micro-nats once, per-doc totals exact BIGINT, avg one IEEE chain.
+    */
+  private val q77 =
+    s"""WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+       |             FROM documents),
+       |bg AS (SELECT doc_id, lang,
+       |        unnest(list_transform(range(1, len(w)), i ->
+       |          {'b1': ${h32("w[i]")} % 64,
+       |           'b2': ${h32("w[i+1]")} % 64})) AS p FROM tok),
+       |e AS (SELECT doc_id, lang, (p.b1) AS b1, (p.b2) AS b2 FROM bg),
+       |c12 AS (SELECT b1, b2, count(*) AS c12 FROM e WHERE lang = 'en'
+       |        GROUP BY b1, b2),
+       |c1 AS (SELECT b1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY b1),
+       |dp AS (SELECT doc_id, b1, b2, count(*) AS c FROM e
+       |       GROUP BY doc_id, b1, b2),
+       |lp AS (SELECT b1, b2,
+       |        round(ln((coalesce(c12, 0) + 1)::DOUBLE /
+       |          (coalesce(c1, 0) + 64)) * 1000000.0)::BIGINT AS lpm
+       |       FROM (SELECT DISTINCT b1, b2 FROM dp) d
+       |       LEFT JOIN c12 USING (b1, b2) LEFT JOIN c1 USING (b1)),
+       |sc AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+       |        (-sum(c * lpm))::BIGINT AS nll_micro
+       |       FROM dp JOIN lp USING (b1, b2) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(sc.nll_micro, 0) AS nll_micro,
+       |  CASE WHEN coalesce(sc.n_bigrams, 0) = 0 THEN NULL
+       |       ELSE round((sc.nll_micro::DOUBLE / sc.n_bigrams)
+       |         / 1000000.0, 6) END AS avg_nll
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN sc USING (doc_id)""".stripMargin
+
   /** Left-fold dot product over 1-based list indices — the identical
     * operation chain to SimSearch.dot (element-wise double casts, then a
     * sequential sum), so the doubles agree bit-for-bit.
@@ -829,34 +862,7 @@ object OracleSql {
 
     // bigram-LM NLL: per-pair log-prob snapped to micro-nats once,
     // per-doc totals exact BIGINT, avg as one fixed IEEE chain
-    "q77_lm_score" ->
-      s"""WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS w
-         |             FROM documents),
-         |bg AS (SELECT doc_id, lang,
-         |        unnest(list_transform(range(1, len(w)), i ->
-         |          {'b1': ${h32("w[i]")} % 64,
-         |           'b2': ${h32("w[i+1]")} % 64})) AS p FROM tok),
-         |e AS (SELECT doc_id, lang, (p.b1) AS b1, (p.b2) AS b2 FROM bg),
-         |c12 AS (SELECT b1, b2, count(*) AS c12 FROM e WHERE lang = 'en'
-         |        GROUP BY b1, b2),
-         |c1 AS (SELECT b1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY b1),
-         |dp AS (SELECT doc_id, b1, b2, count(*) AS c FROM e
-         |       GROUP BY doc_id, b1, b2),
-         |lp AS (SELECT b1, b2,
-         |        round(ln((coalesce(c12, 0) + 1)::DOUBLE /
-         |          (coalesce(c1, 0) + 64)) * 1000000.0)::BIGINT AS lpm
-         |       FROM (SELECT DISTINCT b1, b2 FROM dp) d
-         |       LEFT JOIN c12 USING (b1, b2) LEFT JOIN c1 USING (b1)),
-         |sc AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
-         |        (-sum(c * lpm))::BIGINT AS nll_micro
-         |       FROM dp JOIN lp USING (b1, b2) GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
-         |  coalesce(sc.nll_micro, 0) AS nll_micro,
-         |  CASE WHEN coalesce(sc.n_bigrams, 0) = 0 THEN NULL
-         |       ELSE round((sc.nll_micro::DOUBLE / sc.n_bigrams)
-         |         / 1000000.0, 6) END AS avg_nll
-         |FROM (SELECT DISTINCT doc_id FROM documents) d
-         |LEFT JOIN sc USING (doc_id)""".stripMargin,
+    "q77_lm_score" -> q77,
 
     // BM25: idf snapped to micro-nats per TERM, length-normalized tf
     // snapped per POSTING (one interpolated IEEE chain — the constants
@@ -1053,6 +1059,25 @@ object OracleSql {
         |    AS keep
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // CCNet buckets: q77's scores re-ranked per language; the oracle's
+    // single window replays the engine's two-level prefix sum, and the
+    // cut test is the same pure-BIGINT comparison
+    "q88_ccnet_buckets" ->
+      s"""WITH s AS (SELECT q.doc_id, d.lang, q.avg_nll
+         |           FROM ($q77) q
+         |           JOIN documents d USING (doc_id)
+         |           WHERE q.avg_nll IS NOT NULL),
+         |r AS (SELECT doc_id, lang, avg_nll,
+         |        (row_number() OVER (PARTITION BY lang
+         |           ORDER BY avg_nll, doc_id) - 1)::BIGINT AS rank,
+         |        (count(*) OVER (PARTITION BY lang))::BIGINT AS n_class
+         |      FROM s)
+         |SELECT lang, doc_id, avg_nll, rank, n_class,
+         |  CASE WHEN rank * 1000 < n_class * 300 THEN 'head'
+         |       WHEN rank * 1000 < n_class * 600 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM r""".stripMargin,
 
     "q29_dedup_clusters" -> q29,
     "q74_dedup_report" -> q74,

@@ -1164,6 +1164,21 @@ object SparkEntry {
     graft.text.Classifier.score(docs(s, dir), "text", "doc_id",
       qualityModel)
 
+  /** CCNet-style perplexity buckets: q77's bigram-LM scores ranked per
+    * language and cut into head/middle/tail thirds — the
+    * quality-stratification a CCNet pipeline keys retention on.
+    * Two-level prefix-sum ranking, integer-exact cuts.
+    */
+  def q88_ccnet_buckets(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    val scored = graft.text.NgramLm.bigramNll(
+      all, all.filter(col("lang") === "en"), "text", "doc_id",
+      buckets = 64)
+    val withLang = scored.filter(col("avg_nll").isNotNull)
+      .join(all.select("doc_id", "lang"), Seq("doc_id"))
+    Relational.percentileBuckets(withLang, "lang", "doc_id", "avg_nll")
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1253,7 +1268,8 @@ object SparkEntry {
     "q84_source_divergence" -> (q84_source_divergence(_, _)),
     "q85_upsert_merge" -> (q85_upsert_merge(_, _)),
     "q86_global_shuffle" -> (q86_global_shuffle(_, _)),
-    "q87_quality_classifier" -> (q87_quality_classifier(_, _)))
+    "q87_quality_classifier" -> (q87_quality_classifier(_, _)),
+    "q88_ccnet_buckets" -> (q88_ccnet_buckets(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -337,6 +337,74 @@ object Relational {
         col("shard_pos"))
   }
 
+  /** Per-class percentile bucketing — the CCNet move (Wenzek et al.
+    * 2019): rank each class's rows by `scoreCol` ascending and cut at
+    * per-mille boundaries, e.g. head/middle/tail thirds of each
+    * language by LM perplexity. Rows with a NULL score are EXCLUDED
+    * (an unscored doc has no rank; the two engines also disagree on
+    * null sort order, so including them could never be oracle-exact).
+    *
+    * The boundary test is pure BIGINT — row r (0-based) lands in the
+    * first bucket i with `r·1000 < n_class·boundsPermille(i)` — so no
+    * float multiply can flip a cut against an oracle replay.
+    *
+    * Scale shape: the same two-level prefix sum as [[tokenShards]],
+    * level-1-bucketed by `floor(score·bucketScale)` — monotone in the
+    * (score, id) rank order, so per-bucket window ranks + prefix-summed
+    * bucket offsets compose to the exact per-class rank with no
+    * class-sized window partition. `bucketScale` trades bucket count
+    * against bucket width: size it so score-mass spikes (many docs
+    * sharing one rounded score) stay within a window task. Class sizes
+    * fold from the same aggregation's output and broadcast back.
+    */
+  def percentileBuckets(df: DataFrame, classCol: String, idCol: String,
+      scoreCol: String, boundsPermille: Seq[Int] = Seq(300, 600),
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      bucketScale: Double = 16.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(labels.size == boundsPermille.size + 1,
+      s"need ${boundsPermille.size + 1} labels, got ${labels.size}")
+    require(boundsPermille == boundsPermille.sorted &&
+      boundsPermille.forall(p => p > 0 && p < 1000),
+      s"boundsPermille must ascend within (0, 1000): $boundsPermille")
+    require(bucketScale > 0, "bucketScale must be positive")
+    val base = df
+      .select(col(classCol), col(idCol), col(scoreCol))
+      .filter(col(scoreCol).isNotNull)
+      .withColumn("_sb", floor(col(scoreCol) * lit(bucketScale)))
+    val wLocal = Window.partitionBy(col(classCol), col("_sb"))
+      .orderBy(col(scoreCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = base.withColumn("_lcum",
+      coalesce(sum(lit(1L)).over(wLocal), lit(0L)))
+    val wOff = Window.partitionBy(col(classCol)).orderBy(col("_sb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // bucket totals off the window OUTPUT (max inclusive prefix), the
+    // tokenShards trick that keeps one scan + one exchange for both
+    // consumers; class sizes fold from the same small frame
+    val bucketTotals = local.groupBy(col(classCol), col("_sb"))
+      .agg(max(col("_lcum") + 1L).as("_stot"))
+    val offsets = bucketTotals
+      .withColumn("_off", coalesce(sum(col("_stot")).over(wOff), lit(0L)))
+      .select(col(classCol).as("_ocls"), col("_sb").as("_osb"),
+        col("_off"))
+    val sizes = bucketTotals.groupBy(col(classCol))
+      .agg(sum(col("_stot")).as("_n"))
+      .select(col(classCol).as("_scls"), col("_n"))
+    val ranked = local
+      .join(offsets,
+        col(classCol) <=> col("_ocls") && col("_sb") <=> col("_osb"))
+      .join(broadcast(sizes), col(classCol) <=> col("_scls"))
+      .withColumn("rank", col("_off") + col("_lcum"))
+    val bucket = boundsPermille.zip(labels).foldRight(
+      lit(labels.last): Column) { case ((p, lab), rest) =>
+      when(col("rank") * 1000L < col("_n") * p.toLong, lit(lab))
+        .otherwise(rest)
+    }
+    ranked.select(col(classCol), col(idCol), col(scoreCol),
+      col("rank"), col("_n").as("n_class"), bucket.as("bucket"))
+  }
+
   /** Shared two-level seeded-hash prefix-sum core of the quota
     * samplers: append `cum_before` — the exact exclusive prefix sum of
     * `tokens` in per-class (seeded md5 hash, id) order — to `df`

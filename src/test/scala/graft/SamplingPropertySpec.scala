@@ -112,4 +112,31 @@ class SamplingPropertySpec extends SparkSpec {
     assert(layout(df.repartition(13), 4) === l1) // partitioning-invariant
     assert(layout(df, 4) === l1)                 // deterministic re-run
   }
+
+  test("percentileBuckets: exact thirds per class, nulls excluded, " +
+    "bucketScale-invariant") {
+    import spark.implicits._
+    // class A: 10 scored rows -> head 0..2, middle 3..5, tail 6..9
+    // class B: 2 rows -> rank0*1000 < 2*300 false -> middle? 0<1.2k? no:
+    //   0*1000=0 < 600 -> head; 1*1000=1000 >= 1200? 1000<1200 middle
+    val rows = (0 until 10).map(i => ("A", i.toLong, Some(i / 2.0))) ++
+      Seq(("A", 99L, Option.empty[Double]),
+        ("B", 0L, Some(1.0)), ("B", 1L, Some(2.0)))
+    val df = rows.toDF("cls", "id", "score")
+    def run(scale: Double) =
+      Relational.percentileBuckets(df, "cls", "id", "score",
+        bucketScale = scale)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(3), r.getString(5))).toMap
+    val got = run(16.0)
+    assert(!got.contains(("A", 99L))) // null score excluded
+    assert((0 until 10).forall { i =>
+      got(("A", i.toLong))._1 == i.toLong })
+    assert((0 to 2).forall(i => got(("A", i.toLong))._2 == "head"))
+    assert((3 to 5).forall(i => got(("A", i.toLong))._2 == "middle"))
+    assert((6 to 9).forall(i => got(("A", i.toLong))._2 == "tail"))
+    assert(got(("B", 0L))._2 == "head" && got(("B", 1L))._2 == "middle")
+    // one bucket per score vs one bucket for everything: same output
+    assert(run(1000.0) === got && run(0.001) === got)
+  }
 }
