@@ -1079,6 +1079,15 @@ object OracleSql {
          |       ELSE 'tail' END AS bucket
          |FROM r""".stripMargin,
 
+    // hamming pairs: brute-force all-pairs popcount as an INDEPENDENT
+    // oracle — equality with the engine's banded join is the
+    // pigeonhole completeness proof executed as a test
+    "q89_simhash_pairs" ->
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.simhash16, b.simhash16))::INTEGER AS hamming
+         |FROM ($q21) a JOIN ($q21) b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 1""".stripMargin,
+
     "q29_dedup_clusters" -> q29,
     "q74_dedup_report" -> q74,
     "q33_exact_jaccard" -> q33,

@@ -1179,6 +1179,20 @@ object SparkEntry {
     Relational.percentileBuckets(withLang, "lang", "doc_id", "avg_nll")
   }
 
+  /** Banded hamming near-dup pairs over q21's SimHash fingerprints
+    * (Manku et al.): 4 bit-slices bucket the candidates, popcount
+    * verifies — pigeonhole makes the result EXACTLY all pairs within
+    * 1 bit, which is what the oracle's brute-force join states. The
+    * same operator pairs image dHashes (Multimodal.dHash).
+    */
+  def q89_simhash_pairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = docs(s, dir).select(col("doc_id"),
+      TextOps.simhash(TextOps.tokensSimple(col("text")), bits = 16)
+        .as("simhash16"))
+    Dedup.hammingNearDupPairs(fp, "doc_id", "simhash16",
+      fpBits = 16, bands = 4, maxBits = 1)
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1269,7 +1283,8 @@ object SparkEntry {
     "q85_upsert_merge" -> (q85_upsert_merge(_, _)),
     "q86_global_shuffle" -> (q86_global_shuffle(_, _)),
     "q87_quality_classifier" -> (q87_quality_classifier(_, _)),
-    "q88_ccnet_buckets" -> (q88_ccnet_buckets(_, _)))
+    "q88_ccnet_buckets" -> (q88_ccnet_buckets(_, _)),
+    "q89_simhash_pairs" -> (q89_simhash_pairs(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
@@ -562,6 +562,36 @@ object Multimodal {
         else decodeOneImageThumb(id, bytes, thumbW, thumbH, maxRasterBytes)
       }
     }(Encoders.product[PngThumb])
+  }
+
+  /** dHash perceptual fingerprint: 9×8 box-averaged grayscale, bit
+    * `y·8+x` set iff gray(x,y) < gray(x+1,y) — the difference hash
+    * every image-dedup pipeline starts with (robust to re-encoding,
+    * resizing, and mild color shifts; brittle to crops/rotations,
+    * which the thumbnail-cosine path handles). Output: (id, ok,
+    * dhash); undecodable inputs get ok=false, dhash NULL.
+    *
+    * Pairs via [[graft.text.Dedup.hammingNearDupPairs]] — the banded
+    * 64-bit hamming join — making image near-dedup a LONG-sized
+    * shuffle instead of a 48-float embedding ride. Decode is the
+    * [[decodeImageThumb]] mapPartitions contract; the bit build is 64
+    * static codegen-friendly comparison terms, no UDF.
+    */
+  def dHash(df: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media",
+      maxRasterBytes: Long = 256L * 1024 * 1024): DataFrame = {
+    val t = decodeImageThumb(df, idCol, mediaCol, thumbW = 9, thumbH = 8,
+      maxRasterBytes).toDF()
+    def gray(cell: Int): Column =
+      (element_at(col("pixels"), cell * 3 + 1) +
+        element_at(col("pixels"), cell * 3 + 2) +
+        element_at(col("pixels"), cell * 3 + 3)) / lit(3.0f)
+    val bits = (0 until 64).map { i =>
+      val left = (i / 8) * 9 + (i % 8)
+      when(gray(left) < gray(left + 1), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    t.select(col("id"), col("ok"),
+      when(col("ok"), bits).otherwise(lit(null).cast("long")).as("dhash"))
   }
 
   /** Decode + box-average one image via ImageIO; total function. */

@@ -910,4 +910,59 @@ object Dedup {
     val clusters = clusterLabels(df.select(col(idCol)), pairs, maxIter)
     keepBestInCluster(df, clusters, idCol, score)
   }
+
+  /** Hamming near-dup pairs over an integer fingerprint column — the
+    * banded-fingerprint dedup of Manku et al. 2007 ("Detecting
+    * Near-Duplicates for Web Crawling", the Google SimHash paper),
+    * and the pairing step for ANY 64-bit-or-narrower perceptual hash:
+    * [[TextOps.simhash]] for text, `Multimodal.dHash` for images.
+    * Returns (id_a, id_b, hamming) for every pair with
+    * `popcount(fp_a XOR fp_b) <= maxBits`, id_a < id_b.
+    *
+    * EXACT, not approximate: with `maxBits < bands`, pigeonhole
+    * guarantees two fingerprints within maxBits agree on at least one
+    * of the `bands` equal-width bit slices — so the band equi-join's
+    * candidate set provably contains every qualifying pair, and the
+    * popcount filter removes exactly the rest (enforced by a require;
+    * this is why the brute-force formulation can serve as the oracle).
+    *
+    * Scale shape: candidates come from `bands` equi-joins expressed as
+    * one explode + shuffle on (band, slice) — never an all-pairs
+    * product; fingerprints ride the explode so verification needs no
+    * join-back (the [[nearDupPairs]] sig-carry trade). A slice held by
+    * k rows fans out k²-ish within its bucket only — size `bands` so
+    * slices stay selective (wider slices = fewer, bigger buckets).
+    */
+  def hammingNearDupPairs(df: DataFrame, idCol: String, fpCol: String,
+      fpBits: Int = 64, bands: Int = 4, maxBits: Int = 3): DataFrame = {
+    require(fpBits > 0 && fpBits <= 64, s"fpBits in (0,64]: $fpBits")
+    require(bands > 0 && fpBits % bands == 0,
+      s"bands must divide fpBits: $bands vs $fpBits")
+    require(maxBits >= 0 && maxBits < bands,
+      s"need maxBits < bands for the pigeonhole completeness " +
+        s"guarantee, got maxBits=$maxBits bands=$bands")
+    val width = fpBits / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val banded = df
+      .select(col(idCol).as("_id"), col(fpCol).cast("long").as("_fp"))
+      .filter(col("_fp").isNotNull)
+      .select(col("_id"), col("_fp"), explode(array((0 until bands).map {
+        b => struct(lit(b).as("b"),
+          shiftrightunsigned(col("_fp"), b * width)
+            .bitwiseAND(lit(mask)).as("v"))
+      }: _*)).as("_band"))
+      .select(col("_id"), col("_fp"),
+        col("_band.b").as("_b"), col("_band.v").as("_v"))
+    val a = banded.select(col("_b"), col("_v"), col("_id").as("id_a"),
+      col("_fp").as("_fpa"))
+    val b = banded.select(col("_b"), col("_v"), col("_id").as("id_b"),
+      col("_fp").as("_fpb"))
+    a.join(b, Seq("_b", "_v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("_fpa"), col("_fpb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_fpa").bitwiseXOR(col("_fpb"))).as("hamming"))
+      .filter(col("hamming") <= maxBits)
+  }
 }

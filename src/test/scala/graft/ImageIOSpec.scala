@@ -153,6 +153,40 @@ class ImageIOSpec extends SparkSpec {
     assert(pairs.toSet == Set((1L, 2L)), s"pairs=${pairs.toSeq}")
   }
 
+  test("dHash: re-encode is hamming-near, swapped layout is far, " +
+    "garbage is null; hammingNearDupPairs finds exactly the re-encode") {
+    def grad(swap: Boolean): BufferedImage = {
+      val im = new BufferedImage(36, 24, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 36) {
+        val v = if (swap) (35 - x) * 7 else x * 7
+        im.setRGB(x, y, v << 16 | v << 8 | v)
+      }
+      im
+    }
+    val gen1 = encode(grad(swap = false), "jpeg")
+    val gen2 = encode(ImageIO.read(
+      new java.io.ByteArrayInputStream(gen1)), "jpeg")
+    val other = encode(grad(swap = true), "jpeg")
+    val media = Seq((1L, gen1), (2L, gen2), (3L, other),
+      (4L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
+    val hashes = Multimodal.dHash(media)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(hashes(4L) === ((false, None)))
+    val Seq(h1, h2, h3) = Seq(1L, 2L, 3L).map(hashes(_)._2.get)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h1, h2) <= 3, s"re-encode drifted ${ham(h1, h2)} bits")
+    // monotone gradient vs reversed gradient: all comparisons flip
+    assert(ham(h1, h3) > 16, s"swap only ${ham(h1, h3)} bits away")
+    val pairs = graft.text.Dedup.hammingNearDupPairs(
+      Multimodal.dHash(media).filter(col("ok")), "id", "dhash",
+      fpBits = 64, bands = 4, maxBits = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("sampleMjpegFrames: strided frame sampling over a concatenated " +
     "JPEG stream decodes only the kept frames") {
     // 5-frame MJPEG "video": frame i is uniform gray level 40*i

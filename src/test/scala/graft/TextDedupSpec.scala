@@ -1014,4 +1014,36 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2L) == "(docs at <URL>), or [<URL>];")
     assert(out(3L) == "mid <URL> works") // interior dots still swallowed
   }
+
+  test("hammingNearDupPairs equals brute force on random fingerprints " +
+    "whenever maxBits < bands (pigeonhole), and rejects maxBits >= bands") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // clustered fingerprints: base values plus 1-2 bit flips so some
+    // pairs land within each threshold
+    val bases = Seq.fill(6)(rnd.nextLong())
+    val fps = (0 until 60).map { i =>
+      val base = bases(i % bases.size)
+      val flips = rnd.nextInt(3)
+      val fp = (0 until flips).foldLeft(base)(
+        (v, _) => v ^ (1L << rnd.nextInt(64)))
+      (i.toLong, fp)
+    }
+    val df = fps.toDF("id", "fp")
+    for ((bands, maxBits) <- Seq((4, 3), (8, 3), (4, 1), (64, 6))) {
+      val got = graft.text.Dedup.hammingNearDupPairs(
+        df, "id", "fp", fpBits = 64, bands = bands, maxBits = maxBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      val want = (for {
+        (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= maxBits
+      } yield (ia, ib, h)).toSet
+      assert(got === want, s"bands=$bands maxBits=$maxBits")
+    }
+    intercept[IllegalArgumentException] {
+      graft.text.Dedup.hammingNearDupPairs(df, "id", "fp",
+        bands = 4, maxBits = 4)
+    }
+  }
 }
