@@ -1088,6 +1088,51 @@ object OracleSql {
          |FROM ($q21) a JOIN ($q21) b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 1""".stripMargin,
 
+    // embedding diversity: q27's bounded id-ordered centroid fold per
+    // label, member cosines micro-snapped (zero-norm guarded to 0),
+    // BIGINT sum, one IEEE chain for the mean
+    "q90_embedding_diversity" -> {
+      val dim = 64
+      val w = 128
+      val memCos =
+        s"""(${duckDot("b.embedding", "cen.centroid", dim)} /
+           |  (sqrt(${duckDot("b.embedding", "b.embedding", dim)}) *
+           |   sqrt(${duckDot("cen.centroid", "cen.centroid", dim)})))"""
+          .stripMargin
+      val memDen =
+        s"""(sqrt(${duckDot("b.embedding", "b.embedding", dim)}) *
+           |  sqrt(${duckDot("cen.centroid", "cen.centroid", dim)}))"""
+          .stripMargin
+      s"""WITH b AS (SELECT vec_id, embedding, label FROM embeddings),
+         |p1 AS (SELECT label, vec_id // $w AS bk, count(*) AS n,
+         |         list_reduce(
+         |           list_transform(list(embedding ORDER BY vec_id),
+         |             v -> list_transform(v, x -> x::DOUBLE)),
+         |           (a, c) -> list_transform(range(1, ${dim + 1}),
+         |                       i -> a[i] + c[i])) AS psum
+         |       FROM b GROUP BY label, vec_id // $w),
+         |cs AS (SELECT label, sum(n) AS n,
+         |         list_reduce(list(psum ORDER BY bk),
+         |           (a, c) -> list_transform(range(1, ${dim + 1}),
+         |                       i -> a[i] + c[i])) AS vsum
+         |       FROM p1 GROUP BY label),
+         |cen AS (SELECT label, n,
+         |          list_transform(vsum, s -> s / n) AS centroid
+         |        FROM cs),
+         |m AS (SELECT b.label,
+         |        CASE WHEN $memDen > 0.0
+         |          THEN round($memCos * 1000000.0)::BIGINT
+         |          ELSE 0 END AS cm
+         |      FROM b JOIN cen ON b.label = cen.label)
+         |SELECT m.label, count(*)::BIGINT AS n_vecs,
+         |  round(sqrt(${duckDot("cen2.centroid", "cen2.centroid", dim)}),
+         |    6) AS centroid_norm,
+         |  round((sum(m.cm)::DOUBLE / count(*)::DOUBLE) / 1000000.0, 6)
+         |    AS mean_cos
+         |FROM m JOIN cen cen2 ON m.label = cen2.label
+         |GROUP BY m.label, cen2.centroid""".stripMargin
+    },
+
     "q29_dedup_clusters" -> q29,
     "q74_dedup_report" -> q74,
     "q33_exact_jaccard" -> q33,

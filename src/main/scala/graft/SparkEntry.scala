@@ -1193,6 +1193,15 @@ object SparkEntry {
       fpBits = 16, bands = 4, maxBits = 1)
   }
 
+  /** Per-label embedding diversity: member count, centroid norm, and
+    * mean member-to-centroid cosine per label — the embedding-space
+    * collapse report (micro-snapped cosines over meanVectors
+    * centroids, so the SQL oracle replays it exactly).
+    */
+  def q90_embedding_diversity(s: SparkSession, dir: String): DataFrame =
+    SimSearch.groupDiversity(t(s, dir, "embeddings"),
+      "label", "vec_id", "embedding", dim = 64, bucketWidth = 128L)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1284,7 +1293,8 @@ object SparkEntry {
     "q86_global_shuffle" -> (q86_global_shuffle(_, _)),
     "q87_quality_classifier" -> (q87_quality_classifier(_, _)),
     "q88_ccnet_buckets" -> (q88_ccnet_buckets(_, _)),
-    "q89_simhash_pairs" -> (q89_simhash_pairs(_, _)))
+    "q89_simhash_pairs" -> (q89_simhash_pairs(_, _)),
+    "q90_embedding_diversity" -> (q90_embedding_diversity(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -322,6 +322,44 @@ object SimSearch {
         transform(col("_vsum"), s => s / col("n")).as("mean"), col("n"))
   }
 
+  /** Per-group embedding diversity report: each group's member count,
+    * centroid norm, and mean member-to-centroid cosine — the
+    * "has this source's embedding space collapsed" observability
+    * number (mean_cos near 1 = near-duplicate mass, the precondition
+    * SemDedup exploits; low mean_cos = diverse). The cluster-quality
+    * twin of [[graft.text.Dsir.groupDivergence]]'s token-side drift.
+    *
+    * Cross-engine exactness: centroids come from the bounded
+    * id-ordered [[meanVectors]] fold; each member cosine snaps to
+    * integer MICRO units once (guarded to 0 for a zero norm — both
+    * engines would otherwise produce an un-castable infinity), so the
+    * group mean is a BIGINT sum divided through one IEEE chain.
+    *
+    * Scale shape: one corpus pass for centroids (bounded two-level
+    * fold), one for the member cosines against BROADCAST centroids —
+    * both hash aggregations with map-side partials; the centroid table
+    * localCheckpoints so its corpus lineage is not replayed by the
+    * second pass's plan.
+    */
+  def groupDiversity(df: DataFrame, keyCol: String, idCol: String,
+      vecCol: String, dim: Int, bucketWidth: Long = 4096L): DataFrame = {
+    val cen = meanVectors(df, keyCol, idCol, vecCol, dim, bucketWidth)
+      .localCheckpoint()
+    val denom = norm(col(vecCol)) * norm(col("mean"))
+    val cosMicro = when(denom > 0.0,
+      round(cosine(col(vecCol), col("mean")) * 1000000.0).cast("long"))
+      .otherwise(0L)
+    df.join(broadcast(cen), Seq(keyCol))
+      .select(col(keyCol), cosMicro.as("_cm"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("_cm")).as("_sum"))
+      .join(broadcast(cen.select(col(keyCol),
+        round(norm(col("mean")), 6).as("centroid_norm"))), Seq(keyCol))
+      .select(col(keyCol), col("n_vecs"), col("centroid_norm"),
+        round(col("_sum").cast("double") / col("n_vecs").cast("double")
+          / 1000000.0, 6).as("mean_cos"))
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus into `cells` (here: the
     * per-label mean vectors — in production, k-means centroids computed
     * the same way), then search only the query's `nprobe` nearest cells.

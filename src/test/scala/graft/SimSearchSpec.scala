@@ -305,4 +305,28 @@ class SimSearchSpec extends SparkSpec {
     assert(df(1L) == ((1.0, Seq(64L, -127L, 32L))))
     assert(df(2L) == ((0.0, Seq(0L, 0L, 0L)))) // zero scale → zeros
   }
+
+  test("groupDiversity: collapsed group scores mean_cos 1, orthogonal " +
+    "group scores lower; zero vectors guard to 0") {
+    import spark.implicits._
+    val rows = Seq(
+      // group 10: three identical vectors → mean_cos = 1
+      (10L, 1L, Array(1f, 0f, 0f, 0f)), (10L, 2L, Array(1f, 0f, 0f, 0f)),
+      (10L, 3L, Array(1f, 0f, 0f, 0f)),
+      // group 20: two orthogonal vectors → cos to centroid = 1/sqrt(2)
+      (20L, 4L, Array(2f, 0f, 0f, 0f)), (20L, 5L, Array(0f, 2f, 0f, 0f)),
+      // group 30: only a zero vector → guarded cosine 0, norm 0
+      (30L, 6L, Array(0f, 0f, 0f, 0f)))
+      .toDF("label", "vec_id", "embedding")
+    val got = SimSearch.groupDiversity(rows, "label", "vec_id",
+      "embedding", dim = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("centroid_norm"),
+          r.getAs[Double]("mean_cos"))).toMap
+    assert(got(10L) === ((3L, 1.0, 1.0)))
+    assert(got(20L)._1 === 2L)
+    assert(math.abs(got(20L)._3 - 1.0 / math.sqrt(2)) < 1e-5)
+    assert(got(30L) === ((1L, 0.0, 0.0)))
+    assert(got(10L)._3 > got(20L)._3) // collapse ranks above diversity
+  }
 }
