@@ -1133,6 +1133,43 @@ object OracleSql {
          |GROUP BY m.label, cen2.centroid""".stripMargin
     },
 
+    // UniMax: ascending-capacity waterfill replayed in pure BIGINT —
+    // capped prefix by the monotone condition, floored equal share for
+    // the rest, then the shared seeded-hash token fill
+    "q91_unimax_sample" ->
+      """WITH tt AS (SELECT lang, doc_id,
+        |              len(string_split(text, ' ')) AS n_tokens
+        |            FROM documents),
+        |s AS (SELECT lang, (sum(n_tokens) * 2)::BIGINT AS c FROM tt
+        |      GROUP BY lang),
+        |r AS (SELECT lang, c,
+        |        row_number() OVER (ORDER BY c, lang)::BIGINT AS i,
+        |        (sum(c) OVER (ORDER BY c, lang
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         )::BIGINT AS cum,
+        |        (count(*) OVER ())::BIGINT AS k
+        |      FROM s),
+        |cap AS (SELECT *, (c * (k - i + 1) + (cum - c)) <= 40000
+        |          AS capped FROM r),
+        |st AS (SELECT coalesce(max(i), 0) AS istar,
+        |         coalesce(max(cum), 0) AS cumstar
+        |       FROM cap WHERE capped),
+        |q AS (SELECT lang, CASE WHEN capped THEN c
+        |        ELSE CASE WHEN k > istar
+        |          THEN (40000 - cumstar) // (k - istar) ELSE 0 END END
+        |          AS quota
+        |      FROM cap, st),
+        |h AS (SELECT lang, doc_id, n_tokens,
+        |        md5(doc_id::VARCHAR || ':' || '31') AS h FROM tt),
+        |cu AS (SELECT lang, doc_id, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |          ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cum_before FROM h)
+        |SELECT cu.lang, cu.doc_id, cu.n_tokens::INTEGER AS n_tokens,
+        |  cu.cum_before::BIGINT AS cum_before
+        |FROM cu JOIN q USING (lang) WHERE cum_before < quota""".stripMargin,
+
     "q29_dedup_clusters" -> q29,
     "q74_dedup_report" -> q74,
     "q33_exact_jaccard" -> q33,

@@ -1202,6 +1202,18 @@ object SparkEntry {
     SimSearch.groupDiversity(t(s, dir, "embeddings"),
       "label", "vec_id", "embedding", dim = 64, bucketWidth = 128L)
 
+  /** UniMax-allocated token sampling: budget 40k at a 2-epoch cap —
+    * at sf0.01 the four tail languages cap (whole class kept) and `en`
+    * waterfills the remainder, so both allocation branches execute.
+    * Pure-BIGINT waterfall, oracle-replayed.
+    */
+  def q91_unimax_sample(s: SparkSession, dir: String): DataFrame =
+    Relational.unimaxTokenSample(
+      docs(s, dir).select(col("lang"), col("doc_id"),
+        size(TextOps.tokensSimple(col("text"))).as("n_tokens")),
+      "lang", "doc_id", "n_tokens", budgetTokens = 40000L,
+      epochsCap = 2, seed = 31L)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1294,7 +1306,8 @@ object SparkEntry {
     "q87_quality_classifier" -> (q87_quality_classifier(_, _)),
     "q88_ccnet_buckets" -> (q88_ccnet_buckets(_, _)),
     "q89_simhash_pairs" -> (q89_simhash_pairs(_, _)),
-    "q90_embedding_diversity" -> (q90_embedding_diversity(_, _)))
+    "q90_embedding_diversity" -> (q90_embedding_diversity(_, _)),
+    "q91_unimax_sample" -> (q91_unimax_sample(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -543,6 +543,81 @@ object Relational {
       .select(col(classCol), col(idCol), col(tokensCol), col("cum_before"))
   }
 
+  /** UniMax per-class quota table (Chung et al. 2023, "UniMax: Fairer
+    * and More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): waterfill `budget` tokens across classes, capping
+    * each class at `epochsCap` epochs of its own corpus
+    * (`c = epochsCap·n_tokens`) and splitting what remains EQUALLY
+    * among the uncapped — the fairness rule that stops temperature
+    * sampling from either starving tail languages or looping them for
+    * dozens of epochs.
+    *
+    * Closed form, all BIGINT (oracle-exact): sort classes by capacity
+    * ascending; class i (1-based, of K) is capped iff
+    * `c_i·(K−i+1) + cum_{i−1} ≤ budget` (the condition is monotone in
+    * i — `Δ = (c_i−c_{i−1})(K−i+1) ≥ 0` — so the capped set is a
+    * prefix); uncapped classes get
+    * `floor((budget − cum_{i*}) / (K − i*))`. Up to `K − i*` leftover
+    * tokens stay unallocated (integer floor), deterministically.
+    *
+    * Scale shape: the input is the per-class token-count table (G
+    * rows); the single-partition window over it is deliberate — G is
+    * thousands at most, and the corpus-sized work (counting, then
+    * applying quotas) stays in hash aggregations.
+    */
+  private[graft] def unimaxQuotas(perClass: DataFrame, classCol: String,
+      budget: Long, epochsCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "budget must be positive")
+    require(epochsCap > 0, s"epochsCap must be positive, got $epochsCap")
+    // tiny table, but its lineage is a corpus aggregation feeding two
+    // window branches + the capped fold — cut it once
+    val base = perClass
+      .select(col(classCol), (col("_n") * epochsCap.toLong).as("_c"))
+      .localCheckpoint()
+    val ord = Window.orderBy(col("_c"), col(classCol))
+    val ranked = base
+      .withColumn("_i", row_number().over(ord).cast("long"))
+      .withColumn("_cum", sum(col("_c")).over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("_k"))))
+      .withColumn("_capped",
+        col("_c") * (col("_k") - col("_i") + 1L) +
+          (col("_cum") - col("_c")) <= budget)
+    val star = ranked.filter(col("_capped"))
+      .agg(coalesce(max(col("_i")), lit(0L)).as("_istar"),
+        coalesce(max(col("_cum")), lit(0L)).as("_cumstar"))
+    ranked.crossJoin(broadcast(star))
+      // integer `div`, not `/` (double division would round, not floor,
+      // and drift from the BIGINT oracle); guarded for the all-capped
+      // case where no uncapped share exists
+      .withColumn("_share", expr(
+        s"CASE WHEN _k > _istar THEN (${budget}L - _cumstar) div (_k - _istar) ELSE 0L END"))
+      .select(col(classCol).as("_qcls"),
+        when(col("_capped"), col("_c")).otherwise(col("_share"))
+          .as("_quota"))
+  }
+
+  /** UniMax-allocated token sampling: [[unimaxQuotas]] decides each
+    * class's token budget, the shared seeded-hash prefix sum
+    * ([[hashRankedCum]]) fills it — same apply machinery as
+    * [[temperatureTokenSample]], different (epoch-capped, waterfilled)
+    * quota rule. Output: (classCol, idCol, tokensCol, cum_before).
+    */
+  def unimaxTokenSample(
+      df: DataFrame, classCol: String, idCol: String, tokensCol: String,
+      budgetTokens: Long, epochsCap: Int, seed: Long,
+      hashPrefixLen: Int = 4): DataFrame = {
+    val quotas = unimaxQuotas(
+      df.groupBy(col(classCol)).agg(sum(col(tokensCol)).as("_n")),
+      classCol, budgetTokens, epochsCap)
+    hashRankedCum(df.select(col(classCol), col(idCol), col(tokensCol)),
+      classCol, idCol, col(tokensCol), seed, hashPrefixLen)
+      .join(quotas, col(classCol) <=> col("_qcls"))
+      .filter(col("cum_before") < col("_quota"))
+      .select(col(classCol), col(idCol), col(tokensCol), col("cum_before"))
+  }
+
   /** Materialize [[tokenShards]] output into packed training SEQUENCES:
     * each (class, shard) becomes one row with its documents' texts
     * joined in id order plus doc/token counts — the final assembly step

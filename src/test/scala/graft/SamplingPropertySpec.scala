@@ -139,4 +139,29 @@ class SamplingPropertySpec extends SparkSpec {
     // one bucket per score vs one bucket for everything: same output
     assert(run(1000.0) === got && run(0.001) === got)
   }
+
+  test("unimaxQuotas: capped prefix + equal share, all-capped and " +
+    "none-capped edges, leftover bounded by class count") {
+    import spark.implicits._
+    def quotas(counts: Seq[(String, Long)], budget: Long, epochs: Int) =
+      Relational.unimaxQuotas(counts.toDF("cls", "_n"), "cls",
+        budget, epochs)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // capacities (1 epoch): a=100, b=200, c=1000; budget 600:
+    // a capped (100*3+0=300<=600), b capped (200*2+100=500<=600),
+    // c uncapped -> share (600-300)/1 = 300
+    val q1 = quotas(Seq("a" -> 100L, "b" -> 200L, "c" -> 1000L), 600L, 1)
+    assert(q1 === Map("a" -> 100L, "b" -> 200L, "c" -> 300L))
+    // budget >= total capacity: everyone capped at epochs*n
+    val q2 = quotas(Seq("a" -> 100L, "b" -> 200L), 10000L, 2)
+    assert(q2 === Map("a" -> 200L, "b" -> 400L))
+    // budget below every even share: nobody capped, equal floor split
+    val q3 = quotas(Seq("a" -> 500L, "b" -> 600L, "c" -> 700L), 100L, 1)
+    assert(q3 === Map("a" -> 33L, "b" -> 33L, "c" -> 33L))
+    // allocation never exceeds budget; when an uncapped class exists,
+    // the floor leaves fewer leftover tokens than there are classes
+    assert(q1.values.sum <= 600L && 600L - q1.values.sum < q1.size)
+    assert(q2.values.sum <= 10000L) // all capped: leftover is fine
+    assert(q3.values.sum <= 100L && 100L - q3.values.sum < q3.size)
+  }
 }
