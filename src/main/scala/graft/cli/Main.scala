@@ -21,7 +21,7 @@ import graft.schema.Vintages
   * graft.cli.Main ann-query <idxDir> <queries> <outDir> [k] [planes] [dim]
   * graft.cli.Main ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod]
   * graft.cli.Main pack    <corpus> <outDir> [budget] [--jsonl] [--simple-tokens]
-  * graft.cli.Main mix     <corpus> <outDir> [budget] [seed] [--jsonl] [--simple-tokens] [--alpha A]
+  * graft.cli.Main mix     <corpus> <outDir> [budget] [seed] [--jsonl] [--simple-tokens] [--alpha A] [--unimax E]
   * graft.cli.Main split   <corpus> <outDir> [seed] [--jsonl]   // writes PARQUET partitioned by split= (the exception: splits are storage layout, not a doc stream)
   * graft.cli.Main chunk   <corpus> <outDir> [size] [overlap] [--jsonl]
   * graft.cli.Main gopher  <corpus> <outDir> [minWords] [--report] [--jsonl]
@@ -31,6 +31,12 @@ import graft.schema.Vintages
   * graft.cli.Main decode-audio <parquet> <outDir>   // WAV/AIFF/AU metadata + RMS
   * graft.cli.Main tfidf   <corpus> <outDir> [--jsonl]
   * graft.cli.Main sample  <corpus> <outDir> [n] [seed] [--jsonl]
+  * graft.cli.Main shuffle <corpus> <outDir> [shards] [seed] [--jsonl]  // parquet shard= layout
+  * graft.cli.Main upsert  <base> <updates> <keyCol> <versionCol> <out>
+  * graft.cli.Main classify <corpus> <model.txt> <outDir> [--report] [--jsonl]
+  * graft.cli.Main divergence <corpus> [groupCol] [buckets] [--jsonl]
+  * graft.cli.Main buckets <corpus> <target> <outDir> [--jsonl]  // ppl head/middle/tail
+  * graft.cli.Main dhash   <parquet> <outDir> [maxBits]   // image near-dup pairs
   * }}}
   *
   * vintage ∈ {canonical, bdb2018, bdb2026} (Vintages.byName). The
@@ -286,10 +292,15 @@ object Main {
       // a flat per-class token quota
       val alphaOpt = rest.dropWhile(_ != "--alpha").drop(1).headOption
         .map(_.toDouble)
-      val quota = alphaOpt match {
-        case Some(a) => graft.operators.Relational.temperatureTokenSample(
+      // --unimax E: epoch-capped waterfill of the TOTAL budget
+      val unimaxOpt = rest.dropWhile(_ != "--unimax").drop(1).headOption
+        .map(_.toInt)
+      val quota = (alphaOpt, unimaxOpt) match {
+        case (_, Some(e)) => graft.operators.Relational.unimaxTokenSample(
+          base, "lang", "doc_id", "n_tokens", budget, e, seed)
+        case (Some(a), _) => graft.operators.Relational.temperatureTokenSample(
           base, "lang", "doc_id", "n_tokens", a, budget, seed)
-        case None => graft.operators.Relational.tokenQuotaSample(
+        case _ => graft.operators.Relational.tokenQuotaSample(
           base, "lang", "doc_id", "n_tokens", budget, seed)
       }
       val kept = docs.join(quota.select("doc_id"), Seq("doc_id"),
@@ -497,6 +508,92 @@ object Main {
         s"-> ${chunks.count()} chunks -> $outDir")
       spark.stop()
 
+    case "shuffle" :: corpus :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val nums = rest.filter(!_.startsWith("--"))
+      val shards = nums.headOption.map(_.toInt).getOrElse(64)
+      val seed = nums.drop(1).headOption.map(_.toLong).getOrElse(41L)
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      val layout = graft.operators.Relational.globalShuffle(
+        docs, "doc_id", seed, shards)
+      // storage layout output (like `split`): shard= partitions,
+      // shard_pos gives the in-shard read order
+      docs.join(layout, Seq("doc_id"))
+        .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+      println(s"[shuffle] ${docs.count()} docs -> $shards shards " +
+        s"(seed $seed) -> $outDir")
+      spark.stop()
+
+    case "upsert" :: base :: updates :: keyCol :: versionCol :: out :: Nil =>
+      val spark = session()
+      val b = spark.read.parquet(base)
+      val u = spark.read.parquet(updates)
+        .select(b.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      val merged = Ingest.upsert(b, u, Seq(keyCol), versionCol)
+      merged.write.mode("overwrite").parquet(out)
+      println(s"[upsert] ${b.count()} base + ${u.count()} updates -> " +
+        s"${merged.count()} rows -> $out")
+      spark.stop()
+
+    case "classify" :: corpus :: modelPath :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      val model = graft.text.Classifier.load(modelPath)
+      val scored = graft.text.Classifier.score(docs, "text", "doc_id",
+        model)
+      if (rest.contains("--report")) Export.jsonl(scored, outDir)
+      else Export.jsonl(
+        docs.join(scored.filter(col("keep")).select("doc_id"),
+          Seq("doc_id"), "left_semi"), outDir)
+      val kept = scored.filter(col("keep")).count()
+      println(s"[classify] ${docs.count()} docs, $kept keep " +
+        s"(${model.weightsMicro.size}-token model) -> $outDir")
+      spark.stop()
+
+    case "divergence" :: corpus :: rest =>
+      val nums = rest.filter(!_.startsWith("--"))
+      val groupCol = nums.headOption.getOrElse("source")
+      val buckets = nums.drop(1).headOption.map(_.toInt).getOrElse(64)
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      graft.text.Dsir.groupDivergence(docs, "text", groupCol, buckets)
+        .orderBy(org.apache.spark.sql.functions.col("kl").desc)
+        .show(100, truncate = false)
+      spark.stop()
+
+    case "buckets" :: corpus :: targetPath :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      val target = spark.read.parquet(targetPath)
+      val scored = graft.text.NgramLm.bigramNll(docs, target, "text",
+        "doc_id", buckets = 64)
+      val cls = if (docs.columns.contains("lang"))
+        docs.select(col("doc_id"), col("lang"))
+      else docs.select(col("doc_id"), lit("all").as("lang"))
+      val b = graft.operators.Relational.percentileBuckets(
+        scored.filter(col("avg_nll").isNotNull).join(cls, Seq("doc_id")),
+        "lang", "doc_id", "avg_nll")
+      b.write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+      println(s"[buckets] ${docs.count()} docs -> head/middle/tail " +
+        s"by per-lang perplexity -> $outDir")
+      spark.stop()
+
+    case "dhash" :: corpus :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val maxBits = rest.find(!_.startsWith("--")).map(_.toInt).getOrElse(3)
+      val spark = session()
+      val media = spark.read.parquet(corpus)
+      val hashed = graft.multimodal.Multimodal.dHash(media)
+      val pairs = graft.text.Dedup.hammingNearDupPairs(
+        hashed.filter(col("ok")), "id", "dhash", maxBits = maxBits)
+      pairs.write.mode("overwrite").parquet(outDir)
+      println(s"[dhash] ${media.count()} images, " +
+        s"${pairs.count()} near-dup pairs (<=$maxBits bits) -> $outDir")
+      spark.stop()
+
     case _ =>
       System.err.println(
         "usage: ingest <in> <pool> [vintage] [--dry-run] | " +
@@ -524,6 +621,12 @@ object Main {
           "skew <parquet> <keyCol> [topK] | " +
           "overlap <corpus> <out> [groupCol] [--jsonl] | " +
           "fim <corpus> <out> [seed] [--jsonl] | " +
+          "shuffle <corpus> <out> [shards] [seed] [--jsonl] (parquet, shard= partitions) | " +
+          "upsert <base> <updates> <keyCol> <versionCol> <out> | " +
+          "classify <corpus> <model.txt> <out> [--report] [--jsonl] | " +
+          "divergence <corpus> [groupCol] [buckets] [--jsonl] | " +
+          "buckets <corpus> <target> <out> [--jsonl] (parquet, bucket= partitions) | " +
+          "dhash <parquet> <out> [maxBits] | " +
           "sample <corpus> <out> [n] [seed] [--jsonl]")
       sys.exit(2)
   }
