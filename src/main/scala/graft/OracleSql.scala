@@ -1170,6 +1170,30 @@ object OracleSql {
         |  cu.cum_before::BIGINT AS cum_before
         |FROM cu JOIN q USING (lang) WHERE cum_before < quota""".stripMargin,
 
+    // shared spans: gram anchors (hot-capped), gaps-and-islands on the
+    // alignment diagonal — pure integer logic, no hashing to replay
+    "q92_shared_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |        array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+        |      FROM t, unnest(range(1, len(w) - 3)) AS u(i)),
+        |keep AS (SELECT gram FROM g GROUP BY gram
+        |         HAVING count(DISTINCT doc_id) <= 20),
+        |gg AS (SELECT g.* FROM g JOIN keep USING (gram)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+        |      FROM gg a JOIN gg b
+        |        ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |r AS (SELECT id_a, id_b, diag, pa, pb,
+        |        pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+        |          ORDER BY pa) AS run FROM p)
+        |SELECT id_a, id_b, min(pa)::INTEGER AS start_a,
+        |  min(pb)::INTEGER AS start_b,
+        |  (count(*) + 4)::BIGINT AS span_len
+        |FROM r GROUP BY id_a, id_b, diag, run
+        |HAVING count(*) + 4 >= 7""".stripMargin,
+
     "q29_dedup_clusters" -> q29,
     "q74_dedup_report" -> q74,
     "q33_exact_jaccard" -> q33,

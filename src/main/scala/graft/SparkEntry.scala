@@ -1214,6 +1214,14 @@ object SparkEntry {
       "lang", "doc_id", "n_tokens", budgetTokens = 40000L,
       epochsCap = 2, seed = 31L)
 
+  /** Exact shared spans (Lee et al. substring dedup signal): maximal
+    * runs of matching 5-gram diagonals between doc pairs, >= 7 tokens
+    * — relational suffix-array-free formulation, hot grams capped.
+    */
+  def q92_shared_spans(s: SparkSession, dir: String): DataFrame =
+    Dedup.sharedSpans(docs(s, dir), "text", "doc_id",
+      k = 5, minLen = 7, maxDf = 20)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1307,7 +1315,8 @@ object SparkEntry {
     "q88_ccnet_buckets" -> (q88_ccnet_buckets(_, _)),
     "q89_simhash_pairs" -> (q89_simhash_pairs(_, _)),
     "q90_embedding_diversity" -> (q90_embedding_diversity(_, _)),
-    "q91_unimax_sample" -> (q91_unimax_sample(_, _)))
+    "q91_unimax_sample" -> (q91_unimax_sample(_, _)),
+    "q92_shared_spans" -> (q92_shared_spans(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -911,6 +911,66 @@ object Dedup {
     keepBestInCluster(df, clusters, idCol, score)
   }
 
+  /** Exact shared-span detection between document pairs — the
+    * substring-level dedup signal of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"), which removes
+    * repeated SPANS rather than whole near-dup documents. A shared
+    * span is a maximal run of positions where the two docs' token
+    * k-grams match on one alignment diagonal (`pos_a − pos_b`
+    * constant); a run of m consecutive matching k-grams is a shared
+    * substring of `m + k − 1` tokens. Returns
+    * (id_a, id_b, start_a, start_b, span_len) for every maximal span
+    * of at least `minLen` tokens (1-based token positions).
+    *
+    * This is the suffix-array result computed relationally: anchor
+    * k-grams via an equi-join, then gaps-and-islands
+    * (`pos − row_number`) per (pair, diagonal) to merge anchors into
+    * maximal runs — no suffix structure to build or shard.
+    *
+    * Scale shape (100 TB): grams with document frequency > `maxDf`
+    * are dropped BEFORE the self-join (the q66/q79 hot-set move), so
+    * per-gram join fan-out is ≤ maxDf² and boilerplate can never
+    * quadratic-blow the shuffle — at the price of missing spans made
+    * ENTIRELY of ultra-common grams (they are boilerplate by
+    * definition; the line-dedup family handles them). The window
+    * partitions are per (pair, diagonal) — bounded by the shorter
+    * doc's length, never corpus-sized.
+    */
+  def sharedSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, minLen: Int = 16, maxDf: Int = 100,
+      tokenizer: Column => Column = TextOps.tokensSimple): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(minLen >= k, s"minLen must be >= k, got $minLen vs $k")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val grams = df
+      .select(col(idCol).as("_id"),
+        posexplode(TextOps.shingles(tokenizer(col(textCol)), k)))
+      .select(col("_id"), (col("pos") + 1).as("_pos"), col("col").as("_gram"))
+    val keep = grams.groupBy(col("_gram"))
+      .agg(countDistinct(col("_id")).as("_df"))
+      .filter(col("_df") <= maxDf)
+      .select(col("_gram"))
+    val kept = grams.join(keep, Seq("_gram"))
+    val a = kept.select(col("_gram"), col("_id").as("id_a"),
+      col("_pos").as("_pa"))
+    val b = kept.select(col("_gram"), col("_id").as("id_b"),
+      col("_pos").as("_pb"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("_diag"))
+      .orderBy(col("_pa"))
+    a.join(b, Seq("_gram"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("_pa"), col("_pb"),
+        (col("_pa") - col("_pb")).as("_diag"))
+      .withColumn("_run", col("_pa") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("_diag"), col("_run"))
+      .agg(min(col("_pa")).as("start_a"), min(col("_pb")).as("start_b"),
+        (count(lit(1)) + (k - 1)).as("span_len"))
+      .filter(col("span_len") >= minLen)
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+        col("span_len"))
+  }
+
   /** Hamming near-dup pairs over an integer fingerprint column — the
     * banded-fingerprint dedup of Manku et al. 2007 ("Detecting
     * Near-Duplicates for Web Crawling", the Google SimHash paper),

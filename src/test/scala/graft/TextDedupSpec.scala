@@ -1046,4 +1046,32 @@ class TextDedupSpec extends SparkSpec {
         bands = 4, maxBits = 4)
     }
   }
+
+  test("sharedSpans: finds the maximal copied span with exact bounds, " +
+    "merges diagonal runs, and the hot-gram cap drops boilerplate") {
+    import spark.implicits._
+    // doc 2 copies tokens 3..9 of doc 1 (7 tokens) at its position 2;
+    // doc 3 shares nothing long enough; docs 4..9 all share one
+    // boilerplate sentence that the df cap must drop
+    val span = "c d e f g h i"
+    val boiler = "x1 x2 x3 x4 x5"
+    val rows = Seq(
+      1L -> s"a b $span j k",
+      2L -> s"z $span q r s",
+      3L -> "a b c d q w e r t y") ++
+      (4L to 9L).map(i => i -> s"u$i v$i $boiler w$i")
+    val df = rows.toDF("doc_id", "text")
+    val got = graft.text.Dedup.sharedSpans(df, "text", "doc_id",
+      k = 3, minLen = 5, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getLong(4))).toSet
+    // doc1 tokens: a b c d e f g h i j k -> span starts at 3
+    // doc2 tokens: z c d e f g h i q r s -> span starts at 2
+    assert(got === Set((1L, 2L, 3, 2, 7L)))
+    // with the cap lifted, the boilerplate pairs appear too
+    val uncapped = graft.text.Dedup.sharedSpans(df, "text", "doc_id",
+      k = 3, minLen = 5, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((4L, 5L)) && uncapped.size === 1 + 15)
+  }
 }
