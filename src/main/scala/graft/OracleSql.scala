@@ -235,6 +235,31 @@ object OracleSql {
        |FROM (SELECT DISTINCT doc_id FROM documents) d
        |LEFT JOIN sc USING (doc_id)""".stripMargin
 
+  /** Shared-span detection (q92's oracle; q93 excises from it):
+    * hot-capped 5-gram anchors, gaps-and-islands per diagonal.
+    */
+  private val q92 =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents),
+      |g AS (SELECT doc_id, i AS pos,
+      |        array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+      |      FROM t, unnest(range(1, len(w) - 3)) AS u(i)),
+      |keep AS (SELECT gram FROM g GROUP BY gram
+      |         HAVING count(DISTINCT doc_id) <= 20),
+      |gg AS (SELECT g.* FROM g JOIN keep USING (gram)),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |        a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+      |      FROM gg a JOIN gg b
+      |        ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      |r AS (SELECT id_a, id_b, diag, pa, pb,
+      |        pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+      |          ORDER BY pa) AS run FROM p)
+      |SELECT id_a, id_b, min(pa)::INTEGER AS start_a,
+      |  min(pb)::INTEGER AS start_b,
+      |  (count(*) + 4)::BIGINT AS span_len
+      |FROM r GROUP BY id_a, id_b, diag, run
+      |HAVING count(*) + 4 >= 7""".stripMargin
+
   /** Left-fold dot product over 1-based list indices — the identical
     * operation chain to SimSearch.dot (element-wise double casts, then a
     * sequential sum), so the doubles agree bit-for-bit.
@@ -1172,27 +1197,30 @@ object OracleSql {
 
     // shared spans: gram anchors (hot-capped), gaps-and-islands on the
     // alignment diagonal — pure integer logic, no hashing to replay
-    "q92_shared_spans" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
-        |           FROM documents),
-        |g AS (SELECT doc_id, i AS pos,
-        |        array_to_string(list_slice(w, i, i + 4), ' ') AS gram
-        |      FROM t, unnest(range(1, len(w) - 3)) AS u(i)),
-        |keep AS (SELECT gram FROM g GROUP BY gram
-        |         HAVING count(DISTINCT doc_id) <= 20),
-        |gg AS (SELECT g.* FROM g JOIN keep USING (gram)),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |        a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
-        |      FROM gg a JOIN gg b
-        |        ON a.gram = b.gram AND a.doc_id < b.doc_id),
-        |r AS (SELECT id_a, id_b, diag, pa, pb,
-        |        pa - row_number() OVER (PARTITION BY id_a, id_b, diag
-        |          ORDER BY pa) AS run FROM p)
-        |SELECT id_a, id_b, min(pa)::INTEGER AS start_a,
-        |  min(pb)::INTEGER AS start_b,
-        |  (count(*) + 4)::BIGINT AS span_len
-        |FROM r GROUP BY id_a, id_b, diag, run
-        |HAVING count(*) + 4 >= 7""".stripMargin,
+    "q92_shared_spans" -> q92,
+
+    // span removal: q92's spans aggregated into per-doc intervals,
+    // positions excised by a containment test (1-based lambda index
+    // matches Spark's i+1), untouched docs pass through
+    "q93_remove_spans" ->
+      s"""WITH iv AS (SELECT id_b AS doc_id,
+         |        list({'s': start_b, 'e': start_b + span_len}) AS ivs
+         |      FROM ($q92) GROUP BY id_b),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS w
+         |      FROM documents),
+         |j AS (SELECT t.doc_id, t.w, iv.ivs
+         |      FROM t LEFT JOIN iv USING (doc_id)),
+         |r AS (SELECT doc_id, w,
+         |        CASE WHEN ivs IS NULL THEN w
+         |          ELSE list_filter(w, (x, i) ->
+         |            len(list_filter(ivs, v -> i >= v.s AND i < v.e))
+         |              = 0)
+         |        END AS kept
+         |      FROM j)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(kept, ' '), '') AS text_clean,
+         |  (len(w) - len(kept))::INTEGER AS n_removed
+         |FROM r""".stripMargin,
 
     "q29_dedup_clusters" -> q29,
     "q74_dedup_report" -> q74,

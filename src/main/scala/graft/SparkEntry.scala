@@ -1222,6 +1222,13 @@ object SparkEntry {
     Dedup.sharedSpans(docs(s, dir), "text", "doc_id",
       k = 5, minLen = 7, maxDf = 20)
 
+  /** Shared-span REMOVAL (q92's apply step): every doc rebuilt with
+    * its higher-id span occurrences excised, lowest id keeps the text.
+    */
+  def q93_remove_spans(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeSharedSpans(docs(s, dir), "text", "doc_id",
+      k = 5, minLen = 7, maxDf = 20)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1316,7 +1323,8 @@ object SparkEntry {
     "q89_simhash_pairs" -> (q89_simhash_pairs(_, _)),
     "q90_embedding_diversity" -> (q90_embedding_diversity(_, _)),
     "q91_unimax_sample" -> (q91_unimax_sample(_, _)),
-    "q92_shared_spans" -> (q92_shared_spans(_, _)))
+    "q92_shared_spans" -> (q92_shared_spans(_, _)),
+    "q93_remove_spans" -> (q93_remove_spans(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -971,6 +971,42 @@ object Dedup {
         col("span_len"))
   }
 
+  /** Remove shared spans, keeping the LOWEST-id occurrence — the
+    * apply step over [[sharedSpans]] (Lee et al. remove duplicated
+    * substrings rather than documents; we pin "first occurrence" to
+    * the id order so the result is deterministic and replayable).
+    * Every doc that appears as the higher id of a span loses those
+    * token positions; spans may overlap (the containment test handles
+    * it without interval merging). Output: (idCol, text_clean,
+    * n_removed) for EVERY doc — untouched docs pass through with
+    * n_removed = 0.
+    *
+    * Scale shape: [[sharedSpans]]'s shapes, plus one per-doc interval
+    * aggregation (bounded by spans-per-doc) broadcast-joined back and
+    * a scan-stage two-arg `filter` HOF that drops covered positions —
+    * the rebuild never shuffles the corpus text.
+    */
+  def removeSharedSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, minLen: Int = 16, maxDf: Int = 100,
+      tokenizer: Column => Column = TextOps.tokensSimple): DataFrame = {
+    val ivs = sharedSpans(df, textCol, idCol, k, minLen, maxDf, tokenizer)
+      .groupBy(col("id_b").as(idCol))
+      .agg(collect_list(struct(col("start_b").as("s"),
+        (col("start_b") + col("span_len")).as("e"))).as("_ivs"))
+    val toks = tokenizer(col(textCol))
+    df.join(ivs, Seq(idCol), "left")
+      .select(col(idCol), toks.as("_w"), col("_ivs"))
+      .select(col(idCol), col("_w"),
+        when(col("_ivs").isNull, col("_w"))
+          .otherwise(filter(col("_w"), (t, i) =>
+            !exists(col("_ivs"), iv =>
+              (i + 1) >= iv.getField("s") && (i + 1) < iv.getField("e"))))
+          .as("_kept"))
+      .select(col(idCol),
+        concat_ws(" ", col("_kept")).as("text_clean"),
+        (size(col("_w")) - size(col("_kept"))).as("n_removed"))
+  }
+
   /** Hamming near-dup pairs over an integer fingerprint column — the
     * banded-fingerprint dedup of Manku et al. 2007 ("Detecting
     * Near-Duplicates for Web Crawling", the Google SimHash paper),

@@ -1074,4 +1074,21 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.contains((4L, 5L)) && uncapped.size === 1 + 15)
   }
+
+  test("removeSharedSpans: higher id loses the span, lowest id and " +
+    "untouched docs pass through verbatim") {
+    import spark.implicits._
+    val span = "c d e f g h i"
+    val df = Seq(
+      1L -> s"a b $span j k",
+      2L -> s"z $span q r s",
+      3L -> "totally unrelated words here").toDF("doc_id", "text")
+    val got = graft.text.Dedup.removeSharedSpans(df, "text", "doc_id",
+      k = 3, minLen = 5, maxDf = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2))).toMap
+    assert(got(1L) === ((s"a b $span j k", 0)))   // keeper untouched
+    assert(got(2L) === (("z q r s", 7)))          // span excised
+    assert(got(3L) === (("totally unrelated words here", 0)))
+  }
 }
