@@ -581,6 +581,24 @@ object Main {
         s"by per-lang perplexity -> $outDir")
       spark.stop()
 
+    case "despan" :: corpus :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val nums = rest.filter(!_.startsWith("--"))
+      val k = nums.headOption.map(_.toInt).getOrElse(8)
+      val minLen = nums.drop(1).headOption.map(_.toInt).getOrElse(16)
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      val cleaned = graft.text.Dedup.removeSharedSpans(
+        docs, "text", "doc_id", k, minLen)
+      if (rest.contains("--report"))
+        Export.jsonl(graft.text.Dedup.sharedSpans(
+          docs, "text", "doc_id", k, minLen), outDir)
+      else Export.jsonl(cleaned, outDir)
+      val touched = cleaned.filter(col("n_removed") > 0).count()
+      println(s"[despan] ${docs.count()} docs, $touched with spans " +
+        s"removed (k=$k minLen=$minLen) -> $outDir")
+      spark.stop()
+
     case "dhash" :: corpus :: outDir :: rest =>
       import org.apache.spark.sql.functions._
       val maxBits = rest.find(!_.startsWith("--")).map(_.toInt).getOrElse(3)
@@ -627,6 +645,7 @@ object Main {
           "divergence <corpus> [groupCol] [buckets] [--jsonl] | " +
           "buckets <corpus> <target> <out> [--jsonl] (parquet, bucket= partitions) | " +
           "dhash <parquet> <out> [maxBits] | " +
+          "despan <corpus> <out> [k] [minLen] [--report] [--jsonl] | " +
           "sample <corpus> <out> [n] [seed] [--jsonl]")
       sys.exit(2)
   }

@@ -64,4 +64,26 @@ class ClassifierSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("scoreMapLiteral filters a STREAM: stateless per-micro-batch " +
+    "apply, same decisions as batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val scored = Classifier.scoreMapLiteral(
+      in.toDF().toDF("doc_id", "text"), "text", "doc_id", model)
+      .filter(col("keep"))
+    val query = scored.writeStream.format("memory")
+      .queryName("classifier_stream").outputMode("append").start()
+    try {
+      in.addData((1L, "good good good"), (2L, "bad bad"), (3L, "oov"))
+      query.processAllAvailable()
+      in.addData((4L, "good oov"))
+      query.processAllAvailable()
+      val kept = spark.table("classifier_stream").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(kept === Set(1L, 4L))
+    } finally query.stop()
+  }
 }

@@ -52,7 +52,8 @@ class PlanGateSpec extends SparkSpec {
     // max(inclusive-prefix) formulation forces the totals to consume the
     // window output, and AQE then reuses the shuffle stage. Reuse is a
     // RUNTIME decision, so assert on the final adaptive plan.
-    for (name <- Seq("q40_token_shards", "q63_token_quota")) {
+    for (name <- Seq("q40_token_shards", "q63_token_quota",
+      "q86_global_shuffle")) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.queryExecution.toRdd.count() // drive AQE to the final plan
       val full = df.queryExecution.executedPlan.toString
