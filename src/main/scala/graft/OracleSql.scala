@@ -1222,6 +1222,24 @@ object OracleSql {
          |  (len(w) - len(kept))::INTEGER AS n_removed
          |FROM r""".stripMargin,
 
+    // leakage-safe split: q29's recursive cluster closure, split label
+    // hashed on the CLUSTER id with q62's bound chain
+    "q94_cluster_safe_split" -> {
+      val bounds = graft.operators.Relational
+        .splitBounds(graft.SparkEntry.gateSplits)
+      val chain = bounds.init
+        .map { case (name, b) => s"WHEN u <= $b THEN '$name'" }
+        .mkString(" ")
+      s"""$clusterCtes,
+         |sp AS (SELECT d.doc_id, d.lang, cl.cluster,
+         |        (${h32("cluster::VARCHAR || ':13'")} + 1) / 4294967296.0
+         |          AS u
+         |      FROM documents d JOIN cl USING (doc_id))
+         |SELECT doc_id, lang, cluster,
+         |  CASE $chain ELSE '${bounds.last._1}' END AS split
+         |FROM sp""".stripMargin
+    },
+
     "q29_dedup_clusters" -> q29,
     "q74_dedup_report" -> q74,
     "q33_exact_jaccard" -> q33,

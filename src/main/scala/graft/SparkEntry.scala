@@ -1229,6 +1229,17 @@ object SparkEntry {
     Dedup.removeSharedSpans(docs(s, dir), "text", "doc_id",
       k = 5, minLen = 7, maxDf = 20)
 
+  /** Leakage-safe split: q29's near-dup clusters split as UNITS (the
+    * hash keys on the cluster representative), so near-duplicate docs
+    * can never straddle train/test — the contamination-proof protocol.
+    */
+  def q94_cluster_safe_split(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterSafeSplit(
+      docs(s, dir).select(col("doc_id"), col("text"), col("lang")),
+      "text", "doc_id", gateSplits, seed = 13L,
+      tokenizer = TextOps.tokensSimple)
+      .select(col("doc_id"), col("lang"), col("cluster"), col("split"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1324,7 +1335,8 @@ object SparkEntry {
     "q90_embedding_diversity" -> (q90_embedding_diversity(_, _)),
     "q91_unimax_sample" -> (q91_unimax_sample(_, _)),
     "q92_shared_spans" -> (q92_shared_spans(_, _)),
-    "q93_remove_spans" -> (q93_remove_spans(_, _)))
+    "q93_remove_spans" -> (q93_remove_spans(_, _)),
+    "q94_cluster_safe_split" -> (q94_cluster_safe_split(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -971,6 +971,34 @@ object Dedup {
         col("span_len"))
   }
 
+  /** Leakage-safe train/val/test split: near-dup CLUSTERS are
+    * assigned as a unit — the split hash keys on the cluster
+    * representative, not the document — so two near-duplicate docs can
+    * never land in train and test (the contamination a plain
+    * per-document [[graft.operators.Relational.hashSplit]] silently
+    * allows, which inflates eval scores exactly like benchmark
+    * leakage). Singleton docs hash on their own id (they are their own
+    * cluster representative), so for a dup-free corpus this reduces to
+    * hashSplit on the cluster column. Output: every input row +
+    * `cluster` + `split`.
+    *
+    * Scale shape: [[nearDupPairs]] + [[clusterLabels]] shapes (bucket
+    * equi-join candidates, ids-only pointer jumping), then the split
+    * label is a pure scan-stage expression on the cluster id.
+    */
+  def clusterSafeSplit(df: DataFrame, textCol: String, idCol: String,
+      splits: Seq[(String, Double)], seed: Long, shingleK: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5,
+      tokenizer: Column => Column = TextOps.tokens,
+      maxIter: Int = 20): DataFrame = {
+    val pairs = nearDupPairs(df, textCol, idCol, shingleK, bands,
+      rowsPerBand, threshold, tokenizer).select("id_a", "id_b")
+    val clusters = clusterLabels(df.select(col(idCol)), pairs, maxIter)
+      .withColumnRenamed("id", idCol)
+    graft.operators.Relational.hashSplit(
+      df.join(clusters, Seq(idCol)), "cluster", splits, seed)
+  }
+
   /** Remove shared spans, keeping the LOWEST-id occurrence — the
     * apply step over [[sharedSpans]] (Lee et al. remove duplicated
     * substrings rather than documents; we pin "first occurrence" to

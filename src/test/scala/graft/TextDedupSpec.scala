@@ -1075,6 +1075,37 @@ class TextDedupSpec extends SparkSpec {
     assert(uncapped.contains((4L, 5L)) && uncapped.size === 1 + 15)
   }
 
+  test("clusterSafeSplit: near-dup clusters never straddle splits; " +
+    "coverage total; singletons split like hashSplit on their own id") {
+    import spark.implicits._
+    // 40 near-dup pairs (text i and its lightly-edited twin) + 20
+    // singletons; with 3 splits a plain per-doc hash WOULD straddle
+    val base = (0 until 40).map { i =>
+      val words = Seq.fill(12)(s"w$i token common text body piece")
+        .mkString(" ")
+      Seq((i * 2).toLong -> words,
+        (i * 2 + 1).toLong -> (words + " tail"))
+    }.flatten
+    val singles = (1000 until 1020).map(i =>
+      i.toLong -> s"unique$i totally distinct content $i nothing shared $i")
+    val df = (base ++ singles).toDF("doc_id", "text")
+    val got = graft.text.Dedup.clusterSafeSplit(df, "text", "doc_id",
+      Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2), seed = 5L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cluster"), r.getAs[String]("split")))
+    assert(got.length === df.count())
+    // every cluster maps to exactly one split
+    got.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).toSet.size === 1, s"cluster $c straddles")
+    }
+    // each twin pair shares a cluster (and hence a split)
+    val byId = got.map(r => r._1 -> r._2).toMap
+    (0 until 40).foreach { i =>
+      assert(byId(i * 2L) === byId(i * 2L + 1), s"pair $i split apart")
+    }
+    assert(got.map(_._3).toSet === Set("train", "val", "test"))
+  }
+
   test("removeSharedSpans: higher id loses the span, lowest id and " +
     "untouched docs pass through verbatim") {
     import spark.implicits._
