@@ -235,6 +235,23 @@ object OracleSql {
        |FROM (SELECT DISTINCT doc_id FROM documents) d
        |LEFT JOIN sc USING (doc_id)""".stripMargin
 
+  /** Replay of SparkEntry.gateBpeMerges (q54 + q95): mark every char
+    * with chr(1), apply merges in rank order as global replaces
+    * ("a␁b␁" → "ab␁" — equal to the priority loop for valid bottom-up
+    * tables), drop whitespace pieces (the explicit [ \t\n\f\r] class
+    * both engines tokenize on); markers become piece separators.
+    */
+  private val bpeMarkedSelect: String = {
+    val marked = """regexp_replace(text, '(.)', '\1' || chr(1), 'g')"""
+    val merged = graft.SparkEntry.gateBpeMerges.foldLeft(marked) {
+      case (e, (a, b)) =>
+        s"replace($e,\n    '$a' || chr(1) || '$b' || chr(1), '$a$b' || chr(1))"
+    }
+    val ws = Seq("' '", "chr(9)", "chr(10)", "chr(12)", "chr(13)")
+      .foldLeft(merged)((e, c) => s"replace($e, $c || chr(1), '')")
+    s"SELECT doc_id, lang, n_chars, $ws AS s FROM documents"
+  }
+
   /** Shared-span detection (q92's oracle; q93 excises from it):
     * hot-capped 5-gram anchors, gaps-and-islands per diagonal.
     */
@@ -1240,6 +1257,25 @@ object OracleSql {
          |FROM sp""".stripMargin
     },
 
+    // fertility: q54's BPE replay + whitespace tokens, BIGINT sums,
+    // ratios through one IEEE chain
+    "q95_tokenizer_fertility" ->
+      s"""WITH m AS ($bpeMarkedSelect),
+         |b AS (SELECT doc_id, lang, n_chars,
+         |        CASE WHEN len(s) = 0 THEN 0
+         |          ELSE len(string_split(rtrim(s, chr(1)), chr(1))) END
+         |          AS np,
+         |        len(string_split(text, ' ')) AS nt
+         |      FROM m JOIN (SELECT doc_id, text FROM documents) d
+         |        USING (doc_id))
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(nt)::BIGINT AS n_tokens, sum(np)::BIGINT AS n_pieces,
+         |  sum(n_chars)::BIGINT AS sum_chars,
+         |  round(sum(n_chars)::DOUBLE / sum(nt)::DOUBLE, 6)
+         |    AS chars_per_token,
+         |  round(sum(np)::DOUBLE / sum(nt)::DOUBLE, 6) AS fertility
+         |FROM b GROUP BY lang""".stripMargin,
+
     "q29_dedup_clusters" -> q29,
     "q74_dedup_report" -> q74,
     "q33_exact_jaccard" -> q33,
@@ -1666,27 +1702,14 @@ object OracleSql {
          |JOIN cc USING (vec_id) WHERE cc.cluster = e.vec_id""".stripMargin
     },
 
-    "q54_bpe_vocab" -> {
-      // replay SparkEntry.gateBpeMerges: mark every char with chr(1),
-      // apply merges in rank order as global replaces ("a␁b␁" → "ab␁" —
-      // equal to the priority loop for valid bottom-up tables), drop
-      // whitespace pieces (the explicit [ \t\n\f\r] class both engines
-      // tokenize on), then markers become the piece separators
-      val marked = """regexp_replace(text, '(.)', '\1' || chr(1), 'g')"""
-      val merged = graft.SparkEntry.gateBpeMerges.foldLeft(marked) {
-        case (e, (a, b)) =>
-          s"replace($e,\n    '$a' || chr(1) || '$b' || chr(1), '$a$b' || chr(1))"
-      }
-      val ws = Seq("' '", "chr(9)", "chr(10)", "chr(12)", "chr(13)")
-        .foldLeft(merged)((e, c) => s"replace($e, $c || chr(1), '')")
-      s"""WITH m AS (SELECT doc_id, $ws AS s FROM documents)
+    "q54_bpe_vocab" ->
+      s"""WITH m AS ($bpeMarkedSelect)
          |SELECT doc_id,
          |  CAST(CASE WHEN len(s) = 0 THEN 0
          |       ELSE len(string_split(rtrim(s, chr(1)), chr(1))) END
          |    AS INTEGER) AS n_tokens_vocab,
          |  replace(rtrim(s, chr(1)), chr(1), ' ') AS pieces
-         |FROM m""".stripMargin
-    },
+         |FROM m""".stripMargin,
 
     "q53_langid_profile" -> {
       // replay SparkEntry.gateLangProfiles: per-language CASE-mapped gram

@@ -1240,6 +1240,14 @@ object SparkEntry {
       tokenizer = TextOps.tokensSimple)
       .select(col("doc_id"), col("lang"), col("cluster"), col("split"))
 
+  /** Per-language tokenizer fertility: whitespace tokens vs loadable
+    * BPE pieces, chars per token — the cost-per-language table mixture
+    * owners budget with.
+    */
+  def q95_tokenizer_fertility(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenizerFertility(docs(s, dir), "text", "lang", "n_chars",
+      gateBpeMerges)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1336,7 +1344,8 @@ object SparkEntry {
     "q91_unimax_sample" -> (q91_unimax_sample(_, _)),
     "q92_shared_spans" -> (q92_shared_spans(_, _)),
     "q93_remove_spans" -> (q93_remove_spans(_, _)),
-    "q94_cluster_safe_split" -> (q94_cluster_safe_split(_, _)))
+    "q94_cluster_safe_split" -> (q94_cluster_safe_split(_, _)),
+    "q95_tokenizer_fertility" -> (q95_tokenizer_fertility(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -179,6 +179,34 @@ object TextOps {
       text: Column, merges: Seq[(String, String)]): Column =
     size(tokensVocab(text, merges))
 
+  /** Per-class tokenizer fertility report — the "how expensive is this
+    * language under this tokenizer" table that drives mixture and
+    * budget decisions (a language whose BPE fertility is 3 pieces per
+    * word costs 3× the context window of one at 1.1): doc count,
+    * whitespace-token and BPE-piece totals, character total,
+    * characters per token, and fertility = pieces / tokens.
+    *
+    * Scale shape: one scan-stage projection (both tokenizers are pure
+    * expressions) into one hash aggregation keyed by class — map-side
+    * partials absorb everything; G output rows. Ratios divide through
+    * one fixed IEEE chain over BIGINT sums, so the report is
+    * oracle-exact.
+    */
+  def tokenizerFertility(df: DataFrame, textCol: String, classCol: String,
+      charsCol: String, merges: Seq[(String, String)]): DataFrame =
+    df.select(col(classCol), col(charsCol).cast("long").as("_nc"),
+      size(tokensSimple(col(textCol))).cast("long").as("_nt"),
+      tokenEstimateVocab(col(textCol), merges).cast("long").as("_np"))
+      .groupBy(col(classCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"),
+        sum(col("_np")).as("n_pieces"), sum(col("_nc")).as("sum_chars"))
+      .select(col(classCol), col("n_docs"), col("n_tokens"),
+        col("n_pieces"), col("sum_chars"),
+        round(col("sum_chars").cast("double") /
+          col("n_tokens").cast("double"), 6).as("chars_per_token"),
+        round(col("n_pieces").cast("double") /
+          col("n_tokens").cast("double"), 6).as("fertility"))
+
   /** First 8 hex digits of md5 as a long in [0, 2^32) — a portable 32-bit
     * content hash every engine computes identically (`md5` is universal;
     * xxhash64 is Spark-only). Use xxhash64 where cross-engine equality is
