@@ -1276,6 +1276,26 @@ object OracleSql {
          |  round(sum(np)::DOUBLE / sum(nt)::DOUBLE, 6) AS fertility
          |FROM b GROUP BY lang""".stripMargin,
 
+    // packing stats: q40's shard rule aggregated twice — fills per
+    // (lang, shard), then the per-lang report; utilization over BIGINTs
+    "q96_packing_stats" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |        len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |          ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cum FROM t),
+        |f AS (SELECT lang, (cum // 1000) AS shard,
+        |        sum(n_tokens)::BIGINT AS fill, count(*) AS docs
+        |      FROM c GROUP BY lang, (cum // 1000))
+        |SELECT lang, count(*)::BIGINT AS n_shards,
+        |  sum(fill)::BIGINT AS total_tokens, sum(docs)::BIGINT AS n_docs,
+        |  min(fill)::BIGINT AS min_fill, max(fill)::BIGINT AS max_fill,
+        |  round(sum(fill)::DOUBLE / (count(*) * 1000)::DOUBLE, 6)
+        |    AS utilization
+        |FROM f GROUP BY lang""".stripMargin,
+
     "q29_dedup_clusters" -> q29,
     "q74_dedup_report" -> q74,
     "q33_exact_jaccard" -> q33,

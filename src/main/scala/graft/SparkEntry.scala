@@ -1248,6 +1248,14 @@ object SparkEntry {
     TextOps.tokenizerFertility(docs(s, dir), "text", "lang", "n_chars",
       gateBpeMerges)
 
+  /** Packing-efficiency report over q40's shards: per-language shard
+    * count, fills, and utilization — the padding-waste observability
+    * number for the sequence packer.
+    */
+  def q96_packing_stats(s: SparkSession, dir: String): DataFrame =
+    Relational.packingStats(q40_token_shards(s, dir), "lang", "shard",
+      "n_tokens", budget = 1000L)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1345,7 +1353,8 @@ object SparkEntry {
     "q92_shared_spans" -> (q92_shared_spans(_, _)),
     "q93_remove_spans" -> (q93_remove_spans(_, _)),
     "q94_cluster_safe_split" -> (q94_cluster_safe_split(_, _)),
-    "q95_tokenizer_fertility" -> (q95_tokenizer_fertility(_, _)))
+    "q95_tokenizer_fertility" -> (q95_tokenizer_fertility(_, _)),
+    "q96_packing_stats" -> (q96_packing_stats(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -543,6 +543,30 @@ object Relational {
       .select(col(classCol), col(idCol), col(tokensCol), col("cum_before"))
   }
 
+  /** Packing-efficiency report over [[tokenShards]] output: per class,
+    * shard count, doc/token totals, min/max shard fill, and
+    * utilization = total_tokens / (n_shards · budget) — the padding-
+    * waste number that tells a training job how much context window
+    * the greedy first-crossing packer is throwing away (the boundary
+    * doc overflows its shard, so max_fill can exceed budget; every
+    * other position is padded). Two nested hash aggregations, G×shards
+    * then G rows — nothing corpus-sized after the input.
+    */
+  def packingStats(shards: DataFrame, classCol: String, shardCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    shards.groupBy(col(classCol), col(shardCol))
+      .agg(sum(col(tokensCol)).as("_fill"), count(lit(1)).as("_docs"))
+      .groupBy(col(classCol))
+      .agg(count(lit(1)).as("n_shards"), sum(col("_fill")).as("total_tokens"),
+        sum(col("_docs")).as("n_docs"), min(col("_fill")).as("min_fill"),
+        max(col("_fill")).as("max_fill"))
+      .select(col(classCol), col("n_shards"), col("total_tokens"),
+        col("n_docs"), col("min_fill"), col("max_fill"),
+        round(col("total_tokens").cast("double") /
+          (col("n_shards") * budget).cast("double"), 6).as("utilization"))
+  }
+
   /** UniMax per-class quota table (Chung et al. 2023, "UniMax: Fairer
     * and More Effective Language Sampling for Large-Scale Multilingual
     * Pretraining"): waterfill `budget` tokens across classes, capping
