@@ -1296,6 +1296,24 @@ object OracleSql {
         |    AS utilization
         |FROM f GROUP BY lang""".stripMargin,
 
+    // semantic decontamination: NOT EXISTS over the same unrounded
+    // cosine fold the kernel computes — decision-identical chains
+    "q97_semantic_decontaminate" -> {
+      val dim = 64
+      val cos =
+        s"""(${duckDot("a.embedding", "b.embedding", dim)} /
+           |  (sqrt(${duckDot("a.embedding", "a.embedding", dim)}) *
+           |   sqrt(${duckDot("b.embedding", "b.embedding", dim)})))"""
+          .stripMargin
+      s"""WITH c AS (SELECT DISTINCT a.vec_id
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id % 25 != 0 AND b.vec_id % 25 = 0
+         |    AND $cos >= 0.4)
+         |SELECT a.vec_id, a.label FROM embeddings a
+         |WHERE a.vec_id % 25 != 0
+         |  AND a.vec_id NOT IN (SELECT vec_id FROM c)""".stripMargin
+    },
+
     "q29_dedup_clusters" -> q29,
     "q74_dedup_report" -> q74,
     "q33_exact_jaccard" -> q33,

@@ -1256,6 +1256,21 @@ object SparkEntry {
     Relational.packingStats(q40_token_shards(s, dir), "lang", "shard",
       "n_tokens", budget = 1000L)
 
+  /** Semantic decontamination: corpus vectors cosine-matched against
+    * the mod-25 "eval benchmark" subset, matches dropped — the
+    * embedding tier of the q42/q55 decontamination family (catches
+    * paraphrases n-grams cannot). Unrounded kernel-chain threshold,
+    * replayed exactly by the SQL fold.
+    */
+  def q97_semantic_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    SimSearch.semanticDecontaminate(
+      emb.filter(col("vec_id") % 25 =!= 0),
+      emb.filter(col("vec_id") % 25 === 0),
+      "vec_id", "embedding", threshold = 0.4)
+      .select(col("vec_id"), col("label"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1354,7 +1369,8 @@ object SparkEntry {
     "q93_remove_spans" -> (q93_remove_spans(_, _)),
     "q94_cluster_safe_split" -> (q94_cluster_safe_split(_, _)),
     "q95_tokenizer_fertility" -> (q95_tokenizer_fertility(_, _)),
-    "q96_packing_stats" -> (q96_packing_stats(_, _)))
+    "q96_packing_stats" -> (q96_packing_stats(_, _)),
+    "q97_semantic_decontaminate" -> (q97_semantic_decontaminate(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

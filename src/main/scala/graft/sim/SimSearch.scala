@@ -360,6 +360,38 @@ object SimSearch {
           / 1000000.0, 6).as("mean_cos"))
   }
 
+  /** Semantic decontamination — the embedding tier of the
+    * decontamination family (exact n-gram: `Dedup.decontaminate`;
+    * Bloom-prefiltered: `decontaminateBloom`; THIS: paraphrased
+    * contamination n-gram matching cannot see): drop every corpus row
+    * whose embedding has cosine ≥ `threshold` against ANY eval vector.
+    *
+    * Scale shape: the eval set is benchmark-sized by construction —
+    * it BROADCASTS, the corpus never shuffles, and the probe is one
+    * BroadcastNestedLoopJoin with the fused [[cosineFast]] kernel
+    * inside the scan stage, followed by an ids-only anti-join. Cost is
+    * corpus × |eval| kernel evaluations — the same shape as
+    * [[bruteForceTopK]]'s exact baseline. For an eval set too big to
+    * broadcast, pre-bucket both sides with [[hyperplaneBuckets]] and
+    * equi-join (the [[cosineNearDupPairs]] move) at the usual recall
+    * trade.
+    *
+    * Oracle-exact: the comparison is the unrounded kernel chain —
+    * bit-identical to the SQL fold — so the keep/drop decision
+    * replays without a float boundary (same precedent as q27's
+    * unrounded centroid ranking).
+    */
+  def semanticDecontaminate(df: DataFrame, evalDf: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val contaminated = df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(evalDf.select(col(vecCol).as("_ev"))))
+      .filter(cosineFast(col(vecCol), col("_ev")) >= threshold)
+      .select(col(idCol)).distinct()
+    df.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus into `cells` (here: the
     * per-label mean vectors — in production, k-means centroids computed
     * the same way), then search only the query's `nprobe` nearest cells.

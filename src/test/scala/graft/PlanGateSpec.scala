@@ -132,7 +132,8 @@ class PlanGateSpec extends SparkSpec {
       "q78_bm25",            // postings × broadcast 1-row corpus stats
       "q80_key_skew",        // key counts × broadcast 1-row total
       "q84_source_divergence", // G-row classes × broadcast B-row grid/totals
-      "q91_unimax_sample")     // G-row classes × broadcast 1-row K/istar
+      "q91_unimax_sample",     // G-row classes × broadcast 1-row K/istar
+      "q97_semantic_decontaminate") // corpus × broadcast eval probe
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — so it is audited by its own
     // gate entry instead

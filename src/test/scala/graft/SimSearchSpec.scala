@@ -329,4 +329,25 @@ class SimSearchSpec extends SparkSpec {
     assert(got(30L) === ((1L, 0.0, 0.0)))
     assert(got(10L)._3 > got(20L)._3) // collapse ranks above diversity
   }
+
+  test("semanticDecontaminate drops corpus rows near ANY eval vector, " +
+    "keeps the rest, and is a no-op on an empty eval set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f)),      // identical to eval 100 → dropped
+      (2L, Array(0.9f, 0.1f, 0f)),  // cos ~0.99 to eval 100 → dropped
+      (3L, Array(0f, 1f, 0f)),      // orthogonal → kept
+      (4L, Array(0f, 0f, 1f)))      // orthogonal → kept
+      .toDF("vec_id", "embedding")
+    val eval = Seq((100L, Array(1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val kept = SimSearch.semanticDecontaminate(
+      corpus, eval, "vec_id", "embedding", threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 4L))
+    val all = SimSearch.semanticDecontaminate(
+      corpus, eval.limit(0), "vec_id", "embedding", threshold = 0.95)
+      .count()
+    assert(all === 4L)
+  }
 }
