@@ -599,6 +599,18 @@ object Main {
         s"removed (k=$k minLen=$minLen) -> $outDir")
       spark.stop()
 
+    case "semdecon" :: corpus :: evalPath :: outDir :: rest =>
+      val th = rest.find(!_.startsWith("--")).map(_.toDouble).getOrElse(0.95)
+      val spark = session()
+      val c = spark.read.parquet(corpus)
+      val e = spark.read.parquet(evalPath)
+      val kept = graft.sim.SimSearch.semanticDecontaminate(
+        c, e, "vec_id", "embedding", th)
+      kept.write.mode("overwrite").parquet(outDir)
+      println(s"[semdecon] ${c.count()} corpus vs ${e.count()} eval " +
+        s"-> ${kept.count()} kept (cos >= $th dropped) -> $outDir")
+      spark.stop()
+
     case "dhash" :: corpus :: outDir :: rest =>
       import org.apache.spark.sql.functions._
       val maxBits = rest.find(!_.startsWith("--")).map(_.toInt).getOrElse(3)
@@ -646,6 +658,7 @@ object Main {
           "buckets <corpus> <target> <out> [--jsonl] (parquet, bucket= partitions) | " +
           "dhash <parquet> <out> [maxBits] | " +
           "despan <corpus> <out> [k] [minLen] [--report] [--jsonl] | " +
+          "semdecon <embeddings> <eval> <out> [threshold] | " +
           "sample <corpus> <out> [n] [seed] [--jsonl]")
       sys.exit(2)
   }
