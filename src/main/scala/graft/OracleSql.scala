@@ -1314,6 +1314,15 @@ object OracleSql {
          |  AND a.vec_id NOT IN (SELECT vec_id FROM c)""".stripMargin
     },
 
+    // per-source frequency cap: single-window SQL twin of the
+    // two-level Spark formulation (value-identical by construction)
+    "q98_source_cap" ->
+      """WITH r AS (SELECT source, doc_id,
+        |  (row_number() OVER (PARTITION BY source
+        |     ORDER BY md5(doc_id::VARCHAR || ':' || '29'), doc_id)
+        |   - 1)::BIGINT AS rank FROM documents)
+        |SELECT source, doc_id, rank FROM r WHERE rank < 15""".stripMargin,
+
     "q29_dedup_clusters" -> q29,
     "q74_dedup_report" -> q74,
     "q33_exact_jaccard" -> q33,

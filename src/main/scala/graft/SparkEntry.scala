@@ -1271,6 +1271,16 @@ object SparkEntry {
       .select(col("vec_id"), col("label"))
   }
 
+  /** Per-source frequency cap (the C4/RefinedWeb domain cap): at most
+    * 15 docs survive per source, chosen by seeded-hash rank — no
+    * crawl-heavy domain can dominate the mixture. Two-level prefix-sum
+    * ranking; the oracle replays the md5 order as a window.
+    */
+  def q98_source_cap(s: SparkSession, dir: String): DataFrame =
+    Relational.keyCapSample(
+      docs(s, dir).select(col("source"), col("doc_id")),
+      "source", "doc_id", cap = 15L, seed = 29L)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1370,7 +1380,8 @@ object SparkEntry {
     "q94_cluster_safe_split" -> (q94_cluster_safe_split(_, _)),
     "q95_tokenizer_fertility" -> (q95_tokenizer_fertility(_, _)),
     "q96_packing_stats" -> (q96_packing_stats(_, _)),
-    "q97_semantic_decontaminate" -> (q97_semantic_decontaminate(_, _)))
+    "q97_semantic_decontaminate" -> (q97_semantic_decontaminate(_, _)),
+    "q98_source_cap" -> (q98_source_cap(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -306,6 +306,33 @@ object Relational {
       .drop("_h", "_hb")
   }
 
+  /** Per-key frequency cap — the domain-cap move of web-corpus curation
+    * (C4/RefinedWeb keep at most N pages per registered domain so one
+    * crawl-heavy site cannot dominate the mixture): keep a row iff its
+    * seeded-random rank within its class is below `cap`. The kept set
+    * is a uniform random size-≤cap subset of each class, deterministic
+    * in (ids, seed) — re-running on any cluster layout keeps the same
+    * rows — and classes already at or under the cap pass through
+    * whole. All input columns survive; `rank` (0-based within-class
+    * hash rank) is appended for observability.
+    *
+    * This is [[tokenQuotaSample]] with unit weights: a doc-count
+    * budget rather than a token budget. Scale shape: the same
+    * two-level hash-prefix prefix sum ([[hashRankedCum]]) — no window
+    * partition ever holds a whole class, so a 100 TB mega-domain caps
+    * without a single-reducer funnel; selection is
+    * prefix-length-invariant.
+    */
+  def keyCapSample(
+      df: DataFrame, classCol: String, idCol: String, cap: Long,
+      seed: Long, hashPrefixLen: Int = 4): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    hashRankedCum(df, classCol, idCol, lit(1L), seed, hashPrefixLen)
+      .filter(col("cum_before") < cap)
+      .withColumn("rank", col("cum_before"))
+      .drop("_h", "_hb", "cum_before")
+  }
+
   /** Deterministic global shuffle — the reproducible-training-order
     * primitive: every row gets its position in seeded-md5-hash order
     * (`global_pos`), its round-robin shard (`shard = pos % shards`),

@@ -113,6 +113,34 @@ class SamplingPropertySpec extends SparkSpec {
     assert(layout(df, 4) === l1)                 // deterministic re-run
   }
 
+  test("keyCapSample: per-class cap honored on skewed classes, small " +
+    "classes pass whole, prefix-length- and partitioning-invariant") {
+    import spark.implicits._
+    // skewed: class A 500 rows, B 40, C 7 (under the cap)
+    val rows = (0 until 500).map(i => ("A", i.toLong)) ++
+      (0 until 40).map(i => ("B", 1000L + i)) ++
+      (0 until 7).map(i => ("C", 2000L + i))
+    val df = rows.toDF("cls", "id")
+    def kept(d: org.apache.spark.sql.DataFrame, plen: Int) =
+      Relational.keyCapSample(d, "cls", "id", cap = 20L, seed = 5L,
+        hashPrefixLen = plen)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val k1 = kept(df, 4)
+    val bySize = k1.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(bySize == Map("A" -> 20, "B" -> 20, "C" -> 7))
+    // ranks are exactly 0..size-1 within each class
+    k1.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3) === (0 until rs.size).map(_.toLong).toSet)
+    }
+    assert(kept(df, 1) === k1)                 // prefix-length-invariant
+    assert(kept(df.repartition(13), 4) === k1) // partitioning-invariant
+    // a different seed keeps a different subset of the capped classes
+    val k2 = Relational.keyCapSample(df, "cls", "id", 20L, seed = 6L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(k2 != k1.map(t => (t._1, t._2)))
+  }
+
   test("percentileBuckets: exact thirds per class, nulls excluded, " +
     "bucketScale-invariant") {
     import spark.implicits._
