@@ -536,13 +536,14 @@ object OracleSql {
        |      FROM cl JOIN q USING (doc_id))
        |SELECT doc_id, cluster, quality FROM j WHERE rn = 1""".stripMargin
 
-  /** Clean-corpus cascade oracle: quality + dup-ratio filters → exact
+  /** Clean-corpus cascade CTE chain, shared by q57 (survivors) and q99
+    * (per-doc removal audit): quality + dup-ratio filters → exact
     * dedup (min id per text) → the near-dup pipeline REBASED onto the
     * surviving rows (`lshCandBody("kept1")`) → recursive-CTE clusters →
     * min-id reps → 5-gram decontamination of the reps. Mirrors
     * [[graft.text.Pipeline.cleanCorpus]] stage for stage.
     */
-  private val q57 = {
+  private val cleanCascadeCtes = {
     val gram5 =
       """unnest(list_transform(range(1, len(w) - 3),
         |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
@@ -577,10 +578,28 @@ object OracleSql {
        |       WHERE doc_id % 50 = 0),
        |eg AS (SELECT DISTINCT $gram5 FROM ew),
        |cont AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gram))
+       |""".stripMargin
+  }
+
+  private val q57 =
+    s"""$cleanCascadeCtes
        |SELECT doc_id, lang, source, n_chars FROM kept1
        |WHERE doc_id IN (SELECT doc_id FROM reps)
        |  AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin
-  }
+
+  /** Per-doc removal audit (q99): first cascade tier that removed each
+    * training doc, replayed off the q57 CTE chain's stage sets.
+    */
+  private val q99 =
+    s"""$cleanCascadeCtes
+       |SELECT d.doc_id,
+       |  CASE
+       |    WHEN d.doc_id NOT IN (SELECT doc_id FROM kept0) THEN 'quality'
+       |    WHEN d.doc_id NOT IN (SELECT doc_id FROM kept1) THEN 'exact'
+       |    WHEN d.doc_id NOT IN (SELECT doc_id FROM reps) THEN 'near_dup'
+       |    WHEN d.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+       |    ELSE 'kept' END AS verdict
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d""".stripMargin
 
   /** Deterministic-Lloyd k-means CTE chain (no leading WITH): id-seeded
     * cen0 → `iters` assign/update rounds with the bounded two-level
@@ -637,6 +656,7 @@ object OracleSql {
 
   val all: Map[String, String] = Map(
     "q57_clean_corpus" -> q57,
+    "q99_removal_audit" -> q99,
     "q01_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

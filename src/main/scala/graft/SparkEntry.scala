@@ -1281,6 +1281,25 @@ object SparkEntry {
       docs(s, dir).select(col("source"), col("doc_id")),
       "source", "doc_id", cap = 15L, seed = 29L)
 
+  /** Per-document removal audit over the q57 cascade: one row per
+    * training doc with the FIRST tier that removed it — `quality`
+    * (quality/repetition gate), `exact` (content-hash dup), `near_dup`
+    * (lost its cluster to a smaller-id rep), `contaminated` (eval
+    * 5-gram overlap) — or `kept`. Same thresholds as q57, so the
+    * `kept` rows are exactly q57's survivor ids: the lineage report a
+    * curation run ships next to its output corpus.
+    */
+  def q99_removal_audit(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    val train = all.filter(col("doc_id") % 50 =!= 0)
+    val eval = all.filter(col("doc_id") % 50 === 0)
+    graft.text.Pipeline.removalAudit(train, eval, "text", "doc_id",
+      minQuality = 0.3, maxDupRatio = 0.01,
+      shingleK = 3, bands = 8, rowsPerBand = 4,
+      nearThreshold = 0.5, decontamK = 5,
+      tokenizer = TextOps.tokensSimple)
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1381,7 +1400,8 @@ object SparkEntry {
     "q95_tokenizer_fertility" -> (q95_tokenizer_fertility(_, _)),
     "q96_packing_stats" -> (q96_packing_stats(_, _)),
     "q97_semantic_decontaminate" -> (q97_semantic_decontaminate(_, _)),
-    "q98_source_cap" -> (q98_source_cap(_, _)))
+    "q98_source_cap" -> (q98_source_cap(_, _)),
+    "q99_removal_audit" -> (q99_removal_audit(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

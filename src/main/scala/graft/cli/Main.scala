@@ -15,6 +15,7 @@ import graft.schema.Vintages
   * graft.cli.Main sign-index <corpus> <outDir> [--jsonl]
   * graft.cli.Main decontaminate <corpus> <evalSet> <outDir> [k] [--bloom] [--jsonl]
   * graft.cli.Main clean   <corpus> <evalSet> <outDir> [minQuality] [maxDupRatio] [--jsonl]
+  * graft.cli.Main audit   <corpus> <evalSet> <outDir> [minQuality] [maxDupRatio] [--jsonl]
   * graft.cli.Main semdedup <embeddings> <outDir> [k] [threshold] [dim] [cellCap]
   * graft.cli.Main dedup-stream <inDir> <idxDir> <outDir> <checkpoint>   // JSONL drops
   * graft.cli.Main ann-index <embeddings> <outDir> [planes] [dim]
@@ -177,6 +178,21 @@ object Main {
       Export.jsonl(kept, outDir)
       println(s"[clean] ${docs.count()} docs -> ${kept.count()} kept " +
         s"(minQuality=$minQ maxDupRatio=$maxDup) -> $outDir")
+      spark.stop()
+
+    case "audit" :: corpus :: evalPath :: outDir :: rest =>
+      val nums = rest.filter(!_.startsWith("--"))
+      val minQ = nums.headOption.map(_.toDouble).getOrElse(0.0)
+      val maxDup = nums.drop(1).headOption.map(_.toDouble).getOrElse(1.0)
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      val eval = loadCorpus(spark, evalPath, rest)
+      val audit = graft.text.Pipeline.removalAudit(docs, eval,
+        "text", "doc_id", minQuality = minQ, maxDupRatio = maxDup)
+      Export.jsonl(audit, outDir)
+      val byTier = audit.groupBy("verdict").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(s"[audit] ${docs.count()} docs audited ($byTier) -> $outDir")
       spark.stop()
 
     case "ann-index" :: corpus :: outDir :: rest =>
@@ -633,6 +649,7 @@ object Main {
           "sign-index <corpus> <out> [--jsonl] | " +
           "decontaminate <corpus> <eval> <out> [k] [--bloom] [--jsonl] | " +
           "clean <corpus> <eval> <out> [minQuality] [maxDupRatio] [--jsonl] | " +
+          "audit <corpus> <eval> <out> [minQuality] [maxDupRatio] [--jsonl] | " +
           "semdedup <embeddings> <out> [k] [threshold] [dim] [cellCap] | " +
           "dedup-stream <in> <idx> <out> <ckpt> | " +
           "ann-index <embeddings> <out> [planes] [dim] | " +

@@ -91,4 +91,69 @@ object Pipeline {
       Dedup.decontaminate(survivors, evalSet, textCol, idCol, decontamK,
         tokenizer)
   }
+
+  /** Per-document removal audit — "why was my doc dropped": replays the
+    * [[cleanCorpus]] cascade stage-for-stage (same primitives, same
+    * thresholds) and returns one row per corpus doc with the FIRST tier
+    * that removed it — `quality` (quality/repetition gate), `exact`
+    * (content-hash dup, a smaller id kept), `near_dup` (lost its MinHash
+    * cluster to a smaller-id representative), `contaminated` (eval-set
+    * k-gram overlap) — or `kept`. The `kept` rows are exactly
+    * [[cleanCorpus]]'s survivor ids, by construction.
+    *
+    * Scale shape: every per-tier kept set is a narrow ids-only frame
+    * (checkpointed, like cleanCorpus's stage cuts); the verdict is four
+    * left joins of the id spine against subset-chained id sets — all on
+    * the same key so the shuffle exchanges line up — and the wide text
+    * column never reaches a join. This is the lineage report a curation
+    * run ships next to its output corpus.
+    */
+  def removalAudit(
+      corpus: DataFrame, evalSet: DataFrame, textCol: String, idCol: String,
+      minQuality: Double = 0.0, maxDupRatio: Double = 1.0,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      nearThreshold: Double = 0.5, decontamK: Int = 13,
+      tokenizer: Column => Column = TextOps.tokens,
+      maxIter: Int = 20, useBloom: Boolean = true,
+      fpp: Double = 0.01): DataFrame = {
+    def stage(ids: DataFrame): DataFrame =
+      corpus.join(ids, Seq(idCol), "left_semi")
+    val scored = corpus
+      .select(col(idCol), col(textCol), tokenizer(col(textCol)).as("_toks"))
+      .select(col(idCol), col(textCol),
+        TextOps.qualityScore(col("_toks")).as("_q"),
+        TextOps.repetition(TextOps.shingles(col("_toks"), shingleK))
+          .getField("dup_ratio").as("_dup"))
+      .filter(col("_q") >= minQuality && col("_dup") <= maxDupRatio)
+    val qualityIds = scored.select(col(idCol)).localCheckpoint()
+    val exactIds = scored
+      .groupBy(sha2(col(textCol), 256))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol).localCheckpoint()
+    val deduped = stage(exactIds)
+    val idx = Dedup.signIndex(deduped, textCol, idCol, shingleK, bands,
+      rowsPerBand, tokenizer).localCheckpoint()
+    val nearIds = Dedup.dedupNearFromIndex(deduped, idx, idCol,
+      nearThreshold, maxIter).select(col(idCol)).localCheckpoint()
+    val survivors = stage(nearIds)
+    val finIds = (if (useBloom)
+        Dedup.decontaminateBloom(survivors, evalSet, textCol, idCol,
+          decontamK, fpp, tokenizer)
+      else
+        Dedup.decontaminate(survivors, evalSet, textCol, idCol,
+          decontamK, tokenizer))
+      .select(col(idCol)).localCheckpoint()
+    def marked(ids: DataFrame, m: String) = ids.withColumn(m, lit(true))
+    corpus.select(col(idCol))
+      .join(marked(qualityIds, "_t1"), Seq(idCol), "left")
+      .join(marked(exactIds, "_t2"), Seq(idCol), "left")
+      .join(marked(nearIds, "_t3"), Seq(idCol), "left")
+      .join(marked(finIds, "_t4"), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_t1").isNull, lit("quality"))
+          .when(col("_t2").isNull, lit("exact"))
+          .when(col("_t3").isNull, lit("near_dup"))
+          .when(col("_t4").isNull, lit("contaminated"))
+          .otherwise(lit("kept")).as("verdict"))
+  }
 }

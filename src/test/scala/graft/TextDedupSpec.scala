@@ -137,6 +137,44 @@ class TextDedupSpec extends SparkSpec {
     assert(keptExact == kept, "bloom and exact cascade flavors diverged")
   }
 
+  test("removalAudit: one verdict per doc, first tier wins, kept set " +
+    "equals cleanCorpus survivors") {
+    import graft.text.Pipeline
+    val corpus = Seq(
+      // quality casualty: no stopwords, 3 tokens
+      (0L, "alpha beta gamma"),
+      // exact-dup pair: 2 loses to min id 1 at the exact tier
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away"),
+      // near-dup of 1 (one appended word, shingle jaccard ~0.92):
+      // survives the exact tier, loses the cluster to rep 1
+      (5L, "the quick brown fox jumps over the lazy dog and runs far " +
+        "away tonight"),
+      // clean survivor
+      (3L, "it is a truth of spark that partitions shape the cost of it all"),
+      // contaminated: shares a 3-gram with the eval doc
+      (4L, "the secret eval answer is hidden in this training document for sure"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "the secret eval answer leaked"))
+      .toDF("doc_id", "text")
+    def run(bloom: Boolean) = Pipeline.removalAudit(
+      corpus, eval, "text", "doc_id",
+      minQuality = 0.05, maxDupRatio = 0.5, decontamK = 3,
+      tokenizer = TextOps.tokensSimple, useBloom = bloom)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val audit = run(bloom = true)
+    assert(audit == Map(
+      0L -> "quality", 1L -> "kept", 2L -> "exact", 5L -> "near_dup",
+      3L -> "kept", 4L -> "contaminated"))
+    assert(run(bloom = false) == audit, "bloom flavor diverged")
+    // the audit's kept set IS cleanCorpus's survivor set
+    val kept = Pipeline.cleanCorpus(corpus, eval, "text", "doc_id",
+      minQuality = 0.05, maxDupRatio = 0.5, decontamK = 3,
+      tokenizer = TextOps.tokensSimple)
+      .select("doc_id").as[Long].collect().toSet
+    assert(audit.filter(_._2 == "kept").keySet == kept)
+  }
+
   test("packShards assembles shard texts in doc-id order with counts") {
     import graft.operators.Relational
     // budget 5: class a fills shard 0 with ids 1,2 (2+3 tokens), id 3
