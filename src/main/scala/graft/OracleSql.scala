@@ -1334,6 +1334,63 @@ object OracleSql {
          |  AND a.vec_id NOT IN (SELECT vec_id FROM c)""".stripMargin
     },
 
+    // KMV distinct-count sketch: replay of the k-min-hash set over the
+    // hash32 domain (distinct hv == the sketch's value dedup), kth +
+    // estimate derived through the same single IEEE chain
+    "q100_kmv_distinct" ->
+      """WITH tok AS (SELECT source, string_split(text, ' ') AS w
+        |             FROM documents),
+        |g AS (SELECT source, unnest(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |      FROM tok),
+        |h AS (SELECT DISTINCT source,
+        |        (('0x' || substr(md5(gram), 1, 8))::UBIGINT)::BIGINT AS hv
+        |      FROM g),
+        |r AS (SELECT source, hv,
+        |        row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        |      FROM h)
+        |SELECT source, count(*)::BIGINT AS k_actual, max(hv) AS kth,
+        |  CASE WHEN count(*) < 128 THEN count(*)::DOUBLE
+        |       ELSE round((127.0 * 4294967296.0) / max(hv), 6) END
+        |    AS est_distinct
+        |FROM r WHERE rn <= 128 GROUP BY source""".stripMargin,
+
+    // KMV sketch set-algebra: per-pair merged k-min set (a valid union
+    // sketch), Jaccard = fraction of merged values present in both
+    "q101_sketch_overlap" ->
+      """WITH tok AS (SELECT source, string_split(text, ' ') AS w
+        |             FROM documents),
+        |g AS (SELECT source, unnest(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |      FROM tok),
+        |h AS (SELECT DISTINCT source,
+        |        (('0x' || substr(md5(gram), 1, 8))::UBIGINT)::BIGINT AS hv
+        |      FROM g),
+        |r AS (SELECT source, hv,
+        |        row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        |      FROM h),
+        |sk AS (SELECT source, hv FROM r WHERE rn <= 128),
+        |p AS (SELECT a.source AS sa, b.source AS sb
+        |      FROM (SELECT DISTINCT source FROM documents) a
+        |      JOIN (SELECT DISTINCT source FROM documents) b
+        |        ON a.source < b.source),
+        |ud AS (SELECT p.sa, p.sb, s.hv,
+        |        max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ina,
+        |        max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS inb
+        |       FROM p JOIN sk s ON s.source IN (p.sa, p.sb)
+        |       GROUP BY p.sa, p.sb, s.hv),
+        |m AS (SELECT * FROM (SELECT ud.*, row_number() OVER
+        |        (PARTITION BY sa, sb ORDER BY hv) AS rn FROM ud)
+        |      WHERE rn <= 128)
+        |SELECT sa AS source_a, sb AS source_b,
+        |  count(*)::BIGINT AS m_size,
+        |  sum(ina * inb)::BIGINT AS n_both,
+        |  round(sum(ina * inb)::DOUBLE / count(*), 6) AS est_jaccard,
+        |  CASE WHEN count(*) < 128 THEN count(*)::DOUBLE
+        |       ELSE round((127.0 * 4294967296.0) / max(hv), 6) END
+        |    AS est_union
+        |FROM m GROUP BY sa, sb""".stripMargin,
+
     // per-source frequency cap: single-window SQL twin of the
     // two-level Spark formulation (value-identical by construction)
     "q98_source_cap" ->

@@ -1300,6 +1300,48 @@ object SparkEntry {
       tokenizer = TextOps.tokensSimple)
   }
 
+  /** Per-source distinct 3-gram cardinality via the KMV sketch
+    * aggregate — the distinct-count that never shuffles distinct
+    * values: bounded k-min-hash state built map-side from the raw gram
+    * stream, merged as set union. The gate hash-compares the SKETCH
+    * (k smallest md5 hash32 values) plus the derived estimate, so the
+    * oracle replays the whole mechanism, not just the number.
+    */
+  def q100_kmv_distinct(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"),
+        TextOps.shingles(TextOps.tokensSimple(col("text")), 3).as("_g"))
+      .groupBy(col("source"))
+      .agg(TextOps.kmvSketch(col("_g"), 128).as("_sk"))
+      .select(col("source"),
+        size(col("_sk")).cast("long").as("k_actual"),
+        element_at(col("_sk"), -1).as("kth"),
+        TextOps.kmvEstimate(col("_sk"), 128).as("est_distinct"))
+
+  /** Pairwise source overlap from KMV sketches (q100's artifact):
+    * merged-sketch Jaccard + union-cardinality estimates per source
+    * pair, with no gram join anywhere — the sketches are the only
+    * thing that moves. Complements q81's exact gram-join similarity:
+    * at 100 TB you run THIS, and fall back to q81 only for the pairs
+    * the sketch flags.
+    */
+  def q101_sketch_overlap(s: SparkSession, dir: String): DataFrame = {
+    val sk = docs(s, dir)
+      .select(col("source"),
+        TextOps.shingles(TextOps.tokensSimple(col("text")), 3).as("_g"))
+      .groupBy(col("source"))
+      .agg(TextOps.kmvSketch(col("_g"), 128).as("_sk"))
+    val a = sk.select(col("source").as("source_a"), col("_sk").as("_ska"))
+    val b = sk.select(col("source").as("source_b"), col("_sk").as("_skb"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        TextOps.kmvOverlap(col("_ska"), col("_skb"), 128).as("_o"))
+      .select(col("source_a"), col("source_b"),
+        col("_o.m_size").as("m_size"), col("_o.n_both").as("n_both"),
+        col("_o.est_jaccard").as("est_jaccard"),
+        col("_o.est_union").as("est_union"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1401,7 +1443,9 @@ object SparkEntry {
     "q96_packing_stats" -> (q96_packing_stats(_, _)),
     "q97_semantic_decontaminate" -> (q97_semantic_decontaminate(_, _)),
     "q98_source_cap" -> (q98_source_cap(_, _)),
-    "q99_removal_audit" -> (q99_removal_audit(_, _)))
+    "q99_removal_audit" -> (q99_removal_audit(_, _)),
+    "q100_kmv_distinct" -> (q100_kmv_distinct(_, _)),
+    "q101_sketch_overlap" -> (q101_sketch_overlap(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -391,6 +391,51 @@ object TextOps {
       graft.functions.RepStatsXX(
         org.apache.spark.sql.graft.ColumnBridge.expression(shingleCol)))
 
+  /** KMV distinct-count sketch AGGREGATE over a gram-array column: the
+    * per-group distinct-cardinality estimate without a distinct
+    * shuffle ([[graft.functions.KmvSketchXX]] — bounded k-longs state,
+    * map-side partials, set-union merge). Returns the sorted k-min
+    * hash array; feed it to [[kmvEstimate]] for the number.
+    */
+  def kmvSketch(gramCol: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.KmvSketchXX(
+        org.apache.spark.sql.graft.ColumnBridge.expression(gramCol), k)
+        .toAggregateExpression())
+
+  /** The KMV estimate off a [[kmvSketch]] array: exact size when the
+    * group had fewer than k distinct grams (the sketch IS the distinct
+    * set), else the classic (k-1)/(kth/2^32) — spelled as ONE
+    * double-division IEEE chain so an external engine replays it
+    * bit-for-bit, rounded to 6 places like every gate float.
+    */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(round(
+        lit((k - 1).toDouble * graft.functions.KmvXX.Domain) /
+          element_at(sketch, -1), 6))
+
+  /** Set-operation algebra on two [[kmvSketch]] arrays — the overlap
+    * estimate that needs NO join of actual values: merge the two k-min
+    * sets, keep the k smallest (a valid KMV sketch of the UNION), and
+    * count merged values present in both inputs (Beyer et al. 2007's
+    * KMV Jaccard). Per-pair work is O(k log k) on two tiny arrays, so
+    * pairwise source overlap across a 100 TB corpus costs one sketch
+    * pass plus driver-scale arithmetic — vs the gram equi-join q81
+    * pays for the exact answer.
+    *
+    * Returns struct {m_size, n_both, est_jaccard, est_union}.
+    */
+  def kmvOverlap(a: Column, b: Column, k: Int): Column = {
+    val m = slice(array_sort(array_union(a, b)), 1, k)
+    val nBoth = size(array_intersect(array_intersect(m, a), b))
+    struct(
+      size(m).cast("long").as("m_size"),
+      nBoth.cast("long").as("n_both"),
+      round(nBoth.cast("double") / size(m), 6).as("est_jaccard"),
+      kmvEstimate(m, k).as("est_union"))
+  }
+
   /** HOF formulation of [[repetition]] — the reference semantics the
     * fused kernel is pinned against. The max-count step is
     * O(distinct × n) per document (a nested filter per distinct

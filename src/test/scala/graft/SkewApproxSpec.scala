@@ -49,4 +49,62 @@ class SkewApproxSpec extends SparkSpec {
     val multi = neighbors(3)
     assert(multi.size >= single.size)
   }
+
+  test("kmvSketch: exact under k, accurate over k, duplicate- and " +
+    "partitioning-invariant") {
+    import graft.text.TextOps
+    // small group: 30 distinct grams < k=128 → sketch IS the set,
+    // estimate exact; big group: 5000 distinct grams → KMV estimate
+    val rows =
+      (0 until 30).map(i => ("small", s"gram a $i")) ++
+      (0 until 5000).map(i => ("big", s"gram b $i"))
+    val df = rows.toDF("src", "g")
+      .select(col("src"), array(col("g")).as("gs"))
+    def sketch(d: org.apache.spark.sql.DataFrame) = d
+      .groupBy("src").agg(TextOps.kmvSketch(col("gs"), 128).as("sk"))
+      .select(col("src"), col("sk"),
+        TextOps.kmvEstimate(col("sk"), 128).as("est"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[scala.collection.Seq[Long]](1).toVector, r.getDouble(2))))
+      .toMap
+    val s1 = sketch(df)
+    assert(s1("small")._1.size == 30 && s1("small")._2 == 30.0)
+    assert(s1("big")._1.size == 128)
+    // KMV std-err ≈ n/sqrt(k-2) ≈ 9% — 30% is > 3 sigma
+    assert(math.abs(s1("big")._2 - 5000.0) / 5000.0 < 0.3,
+      s"estimate ${s1("big")._2} implausibly far from 5000")
+    // sketch arrays are sorted ascending
+    s1.values.foreach { case (v, _) => assert(v == v.sorted) }
+    // duplicates collapse: tripling every row changes nothing
+    val dup = df.union(df).union(df)
+    assert(sketch(dup) == s1)
+    // merge path: many partitions → identical sketch
+    assert(sketch(df.repartition(13)) == s1)
+  }
+
+  test("kmvOverlap estimates pair jaccard and union without a join") {
+    import graft.text.TextOps
+    // A = g0..g999, B = g500..g1499 → true J = 500/1500, union 1500
+    val rows = (0 until 1000).map(i => ("A", s"gram x $i")) ++
+      (500 until 1500).map(i => ("B", s"gram x $i"))
+    val sk = rows.toDF("src", "g")
+      .select(col("src"), array(col("g")).as("gs"))
+      .groupBy("src").agg(TextOps.kmvSketch(col("gs"), 128).as("sk"))
+    val a = sk.filter(col("src") === "A").select(col("sk").as("ska"))
+    val b = sk.filter(col("src") === "B").select(col("sk").as("skb"))
+    val o = a.crossJoin(b)
+      .select(TextOps.kmvOverlap(col("ska"), col("skb"), 128).as("o"))
+      .select("o.m_size", "o.n_both", "o.est_jaccard", "o.est_union")
+      .head()
+    assert(o.getLong(0) == 128)
+    val j = o.getDouble(2)
+    assert(math.abs(j - 1.0 / 3.0) < 0.15, s"jaccard est $j far from 1/3")
+    val u = o.getDouble(3)
+    assert(math.abs(u - 1500.0) / 1500.0 < 0.3, s"union est $u far from 1500")
+    // self-overlap is exactly 1 with the union sketch equal to the input
+    val self = a.select(TextOps.kmvOverlap(col("ska"), col("ska"), 128)
+      .as("o")).select("o.est_jaccard").head().getDouble(0)
+    assert(self == 1.0)
+  }
 }
