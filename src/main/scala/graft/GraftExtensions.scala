@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimXX, DeflateRatioExprXX, Dist2XX, JaccardXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, PadPackXX, RepStatsXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
+import graft.functions.{CosineSimXX, DeflateRatioExprXX, Dist2XX, JaccardXX, KmvSketchXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, PadPackXX, RepStatsXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * SQL functions so plain `spark.sql` users get them too.
@@ -85,6 +85,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "usage: graft_sig_agree(sigA, sigB)")
         SigAgreeXX(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchXX].getName, "graft_kmv_sketch"),
+      (children: Seq[Expression]) => {
+        val usage = "usage: graft_kmv_sketch(grams, k) — k must be an " +
+          "integral literal"
+        require(children.size == 2, usage)
+        require(children(1).foldable, usage)
+        val k = children(1).eval() match {
+          case n: java.lang.Number => n.intValue
+          case other => throw new IllegalArgumentException(
+            s"k must be integral, got $other; $usage")
+        }
+        KmvSketchXX(children.head, k)
       }))
 
     ext.injectFunction((

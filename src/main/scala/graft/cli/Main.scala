@@ -16,6 +16,7 @@ import graft.schema.Vintages
   * graft.cli.Main decontaminate <corpus> <evalSet> <outDir> [k] [--bloom] [--jsonl]
   * graft.cli.Main clean   <corpus> <evalSet> <outDir> [minQuality] [maxDupRatio] [--jsonl]
   * graft.cli.Main audit   <corpus> <evalSet> <outDir> [minQuality] [maxDupRatio] [--jsonl]
+  * graft.cli.Main distinct <corpus> [k] [--jsonl]   // KMV per-source distinct 3-grams
   * graft.cli.Main semdedup <embeddings> <outDir> [k] [threshold] [dim] [cellCap]
   * graft.cli.Main dedup-stream <inDir> <idxDir> <outDir> <checkpoint>   // JSONL drops
   * graft.cli.Main ann-index <embeddings> <outDir> [planes] [dim]
@@ -193,6 +194,27 @@ object Main {
       val byTier = audit.groupBy("verdict").count().collect()
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
       println(s"[audit] ${docs.count()} docs audited ($byTier) -> $outDir")
+      spark.stop()
+
+    case "distinct" :: corpus :: rest =>
+      val nums = rest.filter(!_.startsWith("--"))
+      val k = nums.headOption.map(_.toInt).getOrElse(128)
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      import graft.text.TextOps
+      import org.apache.spark.sql.functions.col
+      val est = docs
+        .select(col("source"),
+          TextOps.shingles(TextOps.tokensSimple(col("text")), 3).as("_g"))
+        .groupBy(col("source"))
+        .agg(TextOps.kmvSketch(col("_g"), k).as("_sk"))
+        .select(col("source"),
+          TextOps.kmvEstimate(col("_sk"), k).as("est_distinct"))
+        .orderBy(col("source"))
+        .collect()
+      est.foreach(r =>
+        println(f"[distinct] ${r.getString(0)}%-20s ~${r.getDouble(1)}%.0f " +
+          s"distinct 3-grams (kmv k=$k)"))
       spark.stop()
 
     case "ann-index" :: corpus :: outDir :: rest =>
@@ -650,6 +672,7 @@ object Main {
           "decontaminate <corpus> <eval> <out> [k] [--bloom] [--jsonl] | " +
           "clean <corpus> <eval> <out> [minQuality] [maxDupRatio] [--jsonl] | " +
           "audit <corpus> <eval> <out> [minQuality] [maxDupRatio] [--jsonl] | " +
+          "distinct <corpus> [k] [--jsonl] | " +
           "semdedup <embeddings> <out> [k] [threshold] [dim] [cellCap] | " +
           "dedup-stream <in> <idx> <out> <ckpt> | " +
           "ann-index <embeddings> <out> [planes] [dim] | " +

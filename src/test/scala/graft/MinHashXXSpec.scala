@@ -150,6 +150,16 @@ class MinHashXXSpec extends SparkSpec {
         |  named_struct('k', 1, 'v', 'a')), 'z', 3) AS p""".stripMargin)
       .head().getAs[scala.collection.Seq[String]]("p")
     assert(packed == Seq("a", "b", "z"))
+    // the KMV sketch aggregate resolves and matches the API flavor
+    val viaSql = spark.sql(
+      """SELECT graft_kmv_sketch(g, 4) AS sk FROM (
+        |  SELECT array('a', 'b', 'c', 'd', 'e', 'a') AS g)""".stripMargin)
+      .head().getAs[scala.collection.Seq[Long]]("sk")
+    val viaApi = Seq(Tuple1(Seq("a", "b", "c", "d", "e", "a")))
+      .toDF("g").agg(TextOps.kmvSketch(col("g"), 4).as("sk"))
+      .head().getAs[scala.collection.Seq[Long]]("sk")
+    assert(viaSql == viaApi && viaSql.length == 4)
+    assert(viaSql == viaSql.sorted)
   }
 
   test("graft_minhash rejects non-literal numHashes with a usage error") {
