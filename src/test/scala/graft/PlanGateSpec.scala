@@ -37,6 +37,16 @@ class PlanGateSpec extends SparkSpec {
       s"q03 join-back no longer broadcasts:\n$p")
   }
 
+  test("q100: the KMV sketch aggregates map-side — partial sketch " +
+    "before the exchange, so the shuffle carries buffers, not grams") {
+    val p = planOf("q100_kmv_distinct")
+    assert(p.contains("partial_graft_kmv_sketch"),
+      s"q100 lost its map-side partial sketch aggregation:\n$p")
+    // and the scan reads only the two needed columns
+    assert(p.contains("ReadSchema: struct<text:string,source:string>"),
+      s"q100 scan stopped pruning columns:\n$p")
+  }
+
   test("q55: the bloom probe survives in the plan (dropping it would be " +
     "row-invisible — only the oracle-blind scale behavior regresses)") {
     val p = planOf("q55_decontaminate_bloom")
@@ -133,7 +143,8 @@ class PlanGateSpec extends SparkSpec {
       "q80_key_skew",        // key counts × broadcast 1-row total
       "q84_source_divergence", // G-row classes × broadcast B-row grid/totals
       "q91_unimax_sample",     // G-row classes × broadcast 1-row K/istar
-      "q97_semantic_decontaminate") // corpus × broadcast eval probe
+      "q97_semantic_decontaminate", // corpus × broadcast eval probe
+      "q101_sketch_overlap") // G-row sketches × broadcast G-row (a < b)
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — so it is audited by its own
     // gate entry instead

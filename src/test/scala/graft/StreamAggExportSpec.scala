@@ -363,4 +363,39 @@ class StreamAggExportSpec extends SparkSpec {
     assert(back.count() == 5L * 23)
     assert(back.columns.contains("gameId"))
   }
+
+  test("streaming KMV cardinality: exact under k, dedups across " +
+    "batches, state stays bounded past k") {
+    import graft.streaming.StreamingSketch
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Seq[String])]
+    val query = StreamingSketch.cardinalityStream(mem.toDS(), k = 128)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    def latest(): Map[String, (Long, Int, Double)] =
+      spark.table("kmv_stream").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getInt(2),
+          r.getDouble(3))))
+        .groupBy(_._1).map { case (k2, v) => k2 -> v.maxBy(_._2._1)._2 }
+    try {
+      // batch 1: 40 distinct grams for key a → exact running count
+      mem.addData((0 until 40).map(i => ("a", Seq(s"g$i"))): _*)
+      query.processAllAvailable()
+      assert(latest()("a") == ((1L, 40, 40.0)))
+      // batch 2: 20 repeats + 30 new → 70 exact (cross-batch dedup)
+      mem.addData(
+        (20 until 70).map(i => ("a", Seq(s"g$i"))): _*)
+      query.processAllAvailable()
+      assert(latest()("a") == ((2L, 70, 70.0)))
+      // batch 3: key b floods 1000 distinct → sketch capped at k=128,
+      // estimate in range; key a untouched this batch
+      mem.addData((0 until 1000).map(i => ("b", Seq(s"h$i"))): _*)
+      query.processAllAvailable()
+      val (bBatches, bK, bEst) = latest()("b")
+      assert(bBatches == 1L && bK == 128)
+      assert(math.abs(bEst - 1000.0) / 1000.0 < 0.4,
+        s"estimate $bEst implausibly far from 1000")
+      assert(latest()("a") == ((2L, 70, 70.0)))
+    } finally query.stop()
+  }
 }
