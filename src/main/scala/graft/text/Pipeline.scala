@@ -118,18 +118,24 @@ object Pipeline {
       fpp: Double = 0.01): DataFrame = {
     def stage(ids: DataFrame): DataFrame =
       corpus.join(ids, Seq(idCol), "left_semi")
-    val scored = corpus
+    // ONE scored pass: the expensive stage is the tokenize+score scan,
+    // so materialize (id, content-hash) once and derive BOTH the
+    // quality-pass set and the exact-dedup keepers from it — narrow
+    // rows (id + 64-char hash), never the text
+    val scoredIds = corpus
       .select(col(idCol), col(textCol), tokenizer(col(textCol)).as("_toks"))
       .select(col(idCol), col(textCol),
         TextOps.qualityScore(col("_toks")).as("_q"),
         TextOps.repetition(TextOps.shingles(col("_toks"), shingleK))
           .getField("dup_ratio").as("_dup"))
       .filter(col("_q") >= minQuality && col("_dup") <= maxDupRatio)
-    val qualityIds = scored.select(col(idCol)).localCheckpoint()
-    val exactIds = scored
-      .groupBy(sha2(col(textCol), 256))
+      .select(col(idCol), sha2(col(textCol), 256).as("_h"))
+      .localCheckpoint()
+    val qualityIds = scoredIds.select(col(idCol))
+    val exactIds = scoredIds
+      .groupBy(col("_h"))
       .agg(min(col(idCol)).as(idCol))
-      .select(idCol).localCheckpoint()
+      .select(idCol)
     val deduped = stage(exactIds)
     val idx = Dedup.signIndex(deduped, textCol, idCol, shingleK, bands,
       rowsPerBand, tokenizer).localCheckpoint()

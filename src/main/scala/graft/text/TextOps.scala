@@ -415,9 +415,19 @@ object TextOps {
         lit((k - 1).toDouble * graft.functions.KmvXX.Domain) /
           element_at(sketch, -1), 6))
 
+  /** Merge two [[kmvSketch]] arrays into the sketch of the UNION of
+    * their underlying data — the mergeability that makes sketches
+    * persistable artifacts: store per-partition/per-day sketches,
+    * merge on read, never rescan. Exact identity (not approximate):
+    * `kmvMerge(sketch(X), sketch(Y), k) == sketch(X ∪ Y)` value for
+    * value, because both sides keep the k smallest distinct hashes.
+    */
+  def kmvMerge(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
   /** Set-operation algebra on two [[kmvSketch]] arrays — the overlap
     * estimate that needs NO join of actual values: merge the two k-min
-    * sets, keep the k smallest (a valid KMV sketch of the UNION), and
+    * sets ([[kmvMerge]] — a valid KMV sketch of the UNION), and
     * count merged values present in both inputs (Beyer et al. 2007's
     * KMV Jaccard). Per-pair work is O(k log k) on two tiny arrays, so
     * pairwise source overlap across a 100 TB corpus costs one sketch
@@ -427,7 +437,7 @@ object TextOps {
     * Returns struct {m_size, n_both, est_jaccard, est_union}.
     */
   def kmvOverlap(a: Column, b: Column, k: Int): Column = {
-    val m = slice(array_sort(array_union(a, b)), 1, k)
+    val m = kmvMerge(a, b, k)
     val nBoth = size(array_intersect(array_intersect(m, a), b))
     struct(
       size(m).cast("long").as("m_size"),

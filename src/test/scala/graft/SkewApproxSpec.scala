@@ -106,5 +106,14 @@ class SkewApproxSpec extends SparkSpec {
     val self = a.select(TextOps.kmvOverlap(col("ska"), col("ska"), 128)
       .as("o")).select("o.est_jaccard").head().getDouble(0)
     assert(self == 1.0)
+    // mergeability is EXACT: merge of part sketches == whole sketch
+    val whole = rows.toDF("src", "g")
+      .select(array(col("g")).as("gs"))
+      .agg(TextOps.kmvSketch(col("gs"), 128).as("sk"))
+      .head().getAs[scala.collection.Seq[Long]]("sk").toVector
+    val merged = a.crossJoin(b)
+      .select(TextOps.kmvMerge(col("ska"), col("skb"), 128).as("m"))
+      .head().getAs[scala.collection.Seq[Long]]("m").toVector
+    assert(merged == whole, "kmvMerge diverged from the direct sketch")
   }
 }
