@@ -1,0 +1,73 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{KmvSketchXX, MinHashMd5XX}
+
+/** Pure-JVM scalacheck properties for the KMV aggregate's algebra —
+  * update/merge/serialize driven directly (no Spark jobs, so hundreds
+  * of generated cases run in milliseconds). The DataFrame-level
+  * behavior is pinned in SkewApproxSpec; THESE properties pin the
+  * state machine itself: the sketch is exactly the k smallest distinct
+  * hashes however the input is chunked, merged, or serialized.
+  */
+object KmvProperties extends Properties("KmvSketchXX") {
+
+  private val K = 16
+  private val agg =
+    KmvSketchXX(BoundReference(0, ArrayType(StringType), nullable = true), K)
+
+  private def row(items: Seq[String]): InternalRow =
+    InternalRow(new GenericArrayData(
+      items.map(s => UTF8String.fromString(s)).toArray[Any]))
+
+  private def sketchOf(chunks: Seq[Seq[String]]): Vector[Long] = {
+    val bufs = chunks.map { c =>
+      agg.update(agg.createAggregationBuffer(), row(c))
+    }
+    val merged = bufs.foldLeft(agg.createAggregationBuffer())(agg.merge)
+    val arr = agg.eval(merged).asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map(arr.getLong).toVector
+  }
+
+  private def reference(items: Seq[String]): Vector[Long] =
+    items.map(s => MinHashMd5XX.hash32(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      .distinct.sorted.take(K).toVector
+
+  private val genItems: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.choose(0, 40).map(i => s"dup_$i"))) // force duplicates
+
+  property("sketch == k smallest distinct hashes, sorted") =
+    forAll(genItems) { items =>
+      sketchOf(Seq(items)) == reference(items)
+    }
+
+  property("chunking + merge order never changes the sketch") =
+    forAll(genItems, Gen.choose(1, 7)) { (items, n) =>
+      val chunks = items.grouped(math.max(1, n)).toSeq
+      sketchOf(chunks) == reference(items) &&
+        sketchOf(chunks.reverse) == reference(items)
+    }
+
+  property("duplicated input collapses to the same sketch") =
+    forAll(genItems) { items =>
+      sketchOf(Seq(items ++ items, items)) == reference(items)
+    }
+
+  property("serialize/deserialize round-trips the buffer exactly") =
+    forAll(genItems) { items =>
+      val buf = agg.update(agg.createAggregationBuffer(), row(items))
+      val back = agg.deserialize(agg.serialize(buf))
+      back.equals(buf)
+    }
+}
