@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimXX, DeflateRatioExprXX, Dist2XX, JaccardXX, KmvSketchXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, PadPackXX, RepStatsXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
+import graft.functions.{CmsSketchXX, CosineSimXX, DeflateRatioExprXX, Dist2XX, JaccardXX, KmvSketchXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, PadPackXX, RepStatsXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * SQL functions so plain `spark.sql` users get them too.
@@ -101,6 +101,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"k must be integral, got $other; $usage")
         }
         KmvSketchXX(children.head, k)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cms_sketch"),
+      new ExpressionInfo(classOf[CmsSketchXX].getName, "graft_cms_sketch"),
+      (children: Seq[Expression]) => {
+        val usage = "usage: graft_cms_sketch(items, depth, width) — " +
+          "depth and width must be integral literals"
+        require(children.size == 3, usage)
+        def intArg(e: Expression): Int = {
+          require(e.foldable, usage)
+          e.eval() match {
+            case n: java.lang.Number => n.intValue
+            case other => throw new IllegalArgumentException(
+              s"expected integral literal, got $other; $usage")
+          }
+        }
+        CmsSketchXX(children.head, intArg(children(1)), intArg(children(2)))
       }))
 
     ext.injectFunction((

@@ -1334,6 +1334,38 @@ object OracleSql {
          |  AND a.vec_id NOT IN (SELECT vec_id FROM c)""".stripMargin
     },
 
+    // Count-Min frequency sketch: per-row bucket counts rebuilt with
+    // the same md5 % P universal-hash family, probe = min over rows;
+    // exact counts alongside prove the overcount-only guarantee
+    "q102_cms_freq" -> {
+      val W = 1024
+      val probes =
+        graft.SparkEntry.cmsProbeTerms.map(t => s"'$t'").mkString(", ")
+      def hv(e: String) =
+        s"(('0x' || substr(md5($e), 1, 8))::UBIGINT)::BIGINT % $P"
+      val rows = (0 until 4).map(TextOps.minhashParams)
+      val cCtes = rows.zipWithIndex.map { case ((a, b), r) =>
+        s"""c$r AS (SELECT (($a * hv + $b) % $P) % $W AS bk,
+           |  count(*)::BIGINT AS c FROM h GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val joins = rows.zipWithIndex.map { case ((a, b), r) =>
+        s"LEFT JOIN c$r ON c$r.bk = (($a * ph.hv + $b) % $P) % $W"
+      }.mkString("\n")
+      val leasts = (0 until 4).map(r => s"coalesce(c$r.c, 0)").mkString(", ")
+      s"""WITH tok AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |t AS (SELECT unnest(w) AS term FROM tok),
+         |h AS (SELECT ${hv("term")} AS hv FROM t),
+         |$cCtes,
+         |probes AS (SELECT unnest([$probes]) AS term),
+         |ph AS (SELECT term, ${hv("term")} AS hv FROM probes),
+         |ex AS (SELECT term, count(*)::BIGINT AS c FROM t GROUP BY term)
+         |SELECT ph.term, least($leasts) AS est_count,
+         |  coalesce(ex.c, 0) AS exact_count
+         |FROM ph
+         |$joins
+         |LEFT JOIN ex ON ex.term = ph.term""".stripMargin
+    },
+
     // KMV distinct-count sketch: replay of the k-min-hash set over the
     // hash32 domain (distinct hv == the sketch's value dedup), kth +
     // estimate derived through the same single IEEE chain

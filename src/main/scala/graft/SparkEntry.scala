@@ -1342,6 +1342,40 @@ object SparkEntry {
         col("_o.est_union").as("est_union"))
   }
 
+  /** Probe terms for the q102 CMS gate: frequent corpus words plus one
+    * absent term (its estimate exposes pure collision noise).
+    */
+  val cmsProbeTerms: Seq[String] =
+    Seq("join", "hash", "scan", "customer", "window", "zzz_absent")
+
+  /** Corpus-wide token-frequency estimation via the Count-Min sketch
+    * aggregate (additive counters, map-side partials, fixed 4×1024
+    * state) probed for a fixed term list, with exact counts alongside:
+    * the overcount-only guarantee is visible in the result
+    * (est_count ≥ exact_count, row for row). The heavy-hitter answer
+    * q43's full vocab groupBy pays a corpus-wide shuffle for, at
+    * sketch cost.
+    */
+  def q102_cms_freq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val sk = d
+      .select(TextOps.tokensSimple(col("text")).as("_t"))
+      .agg(TextOps.cmsSketch(col("_t"), 4, 1024).as("_sk"))
+    val probes = cmsProbeTerms.toDF("term")
+    val exact = d
+      .select(explode(TextOps.tokensSimple(col("text"))).as("term"))
+      .filter(col("term").isin(cmsProbeTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("_c"))
+    probes
+      .crossJoin(broadcast(sk))
+      .join(exact, Seq("term"), "left")
+      .select(col("term"),
+        TextOps.cmsEstimate(col("_sk"), col("term"), 4, 1024)
+          .as("est_count"),
+        coalesce(col("_c"), lit(0L)).as("exact_count"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1445,7 +1479,8 @@ object SparkEntry {
     "q98_source_cap" -> (q98_source_cap(_, _)),
     "q99_removal_audit" -> (q99_removal_audit(_, _)),
     "q100_kmv_distinct" -> (q100_kmv_distinct(_, _)),
-    "q101_sketch_overlap" -> (q101_sketch_overlap(_, _)))
+    "q101_sketch_overlap" -> (q101_sketch_overlap(_, _)),
+    "q102_cms_freq" -> (q102_cms_freq(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -415,6 +415,37 @@ object TextOps {
         lit((k - 1).toDouble * graft.functions.KmvXX.Domain) /
           element_at(sketch, -1), 6))
 
+  /** Count-Min Sketch AGGREGATE over an item-array column: per-item
+    * frequency estimation with a fixed `depth × width` counter grid —
+    * no groupBy-count of every distinct item, counters merge by
+    * elementwise ADDITION ([[graft.functions.CmsSketchXX]]). Probe
+    * with [[cmsEstimate]]; estimates overcount, never undercount.
+    */
+  def cmsSketch(itemCol: Column, depth: Int, width: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.CmsSketchXX(
+        org.apache.spark.sql.graft.ColumnBridge.expression(itemCol),
+        depth, width).toAggregateExpression())
+
+  /** Bucket of `term` in CMS hash-row `r` — md5-hash32 % P through the
+    * [[minhashParams]] universal-hash family, % width. Declarative so
+    * an external engine replays probes identically.
+    */
+  private[graft] def cmsBucket(term: Column, r: Int, width: Int): Column = {
+    val (a, b) = minhashParams(r)
+    ((lit(a) * (hash32(term) % P) + lit(b)) % P) % width
+  }
+
+  /** Point-frequency estimate off a [[cmsSketch]] array: MIN of the
+    * term's bucket counters across the depth hash rows.
+    */
+  def cmsEstimate(
+      sketch: Column, term: Column, depth: Int, width: Int): Column =
+    (0 until depth)
+      .map(r => element_at(sketch,
+        (cmsBucket(term, r, width) + lit(r * width) + 1).cast("int")))
+      .reduce(least(_, _))
+
   /** Merge two [[kmvSketch]] arrays into the sketch of the UNION of
     * their underlying data — the mergeability that makes sketches
     * persistable artifacts: store per-partition/per-day sketches,

@@ -71,3 +71,70 @@ object KmvProperties extends Properties("KmvSketchXX") {
       back.equals(buf)
     }
 }
+
+/** Same treatment for the Count-Min frequency sketch: additive-merge
+  * counters mean ANY chunking sums to the whole-input grid, and the
+  * min-over-rows probe never undercounts.
+  */
+object CmsProperties extends Properties("CmsSketchXX") {
+
+  private val Depth = 4
+  private val Width = 64
+  private val agg = graft.functions.CmsSketchXX(
+    BoundReference(0, ArrayType(StringType), nullable = true),
+    Depth, Width)
+
+  private def row(items: Seq[String]): InternalRow =
+    InternalRow(new GenericArrayData(
+      items.map(s => UTF8String.fromString(s)).toArray[Any]))
+
+  private def grid(chunks: Seq[Seq[String]]): Vector[Long] = {
+    val bufs = chunks.map { c =>
+      agg.update(agg.createAggregationBuffer(), row(c))
+    }
+    val merged = bufs.foldLeft(agg.createAggregationBuffer())(agg.merge)
+    merged.toVector
+  }
+
+  private def estimate(g: Vector[Long], term: String): Long = {
+    val h = MinHashMd5XX.hash32(
+      term.getBytes(java.nio.charset.StandardCharsets.UTF_8)) %
+      graft.functions.CmsXX.P
+    (0 until Depth).map { r =>
+      val (a, b) = graft.text.TextOps.minhashParams(r)
+      g(r * Width + (((a * h + b) % graft.functions.CmsXX.P) % Width).toInt)
+    }.min
+  }
+
+  private val genItems: Gen[List[String]] =
+    Gen.listOf(Gen.choose(0, 30).map(i => s"item_$i"))
+
+  property("chunking + merge order sums to the whole-input grid") =
+    forAll(genItems, Gen.choose(1, 7)) { (items, n) =>
+      val chunks = items.grouped(math.max(1, n)).toSeq
+      grid(chunks) == grid(Seq(items)) &&
+        grid(chunks.reverse) == grid(Seq(items))
+    }
+
+  property("probe estimate never undercounts the true frequency") =
+    forAll(genItems) { items =>
+      val g = grid(Seq(items))
+      items.distinct.forall { t =>
+        estimate(g, t) >= items.count(_ == t)
+      }
+    }
+
+  property("total mass per hash row equals the item count") =
+    forAll(genItems) { items =>
+      val g = grid(Seq(items))
+      (0 until Depth).forall { r =>
+        g.slice(r * Width, (r + 1) * Width).sum == items.size
+      }
+    }
+
+  property("serialize/deserialize round-trips the grid exactly") =
+    forAll(genItems) { items =>
+      val buf = agg.update(agg.createAggregationBuffer(), row(items))
+      agg.deserialize(agg.serialize(buf)).toVector == buf.toVector
+    }
+}

@@ -160,6 +160,12 @@ class MinHashXXSpec extends SparkSpec {
       .head().getAs[scala.collection.Seq[Long]]("sk")
     assert(viaSql == viaApi && viaSql.length == 4)
     assert(viaSql == viaSql.sorted)
+    // the CMS aggregate resolves too; row mass == item count
+    val cms = spark.sql(
+      """SELECT graft_cms_sketch(g, 2, 8) AS sk FROM (
+        |  SELECT array('a', 'b', 'a') AS g)""".stripMargin)
+      .head().getAs[scala.collection.Seq[Long]]("sk")
+    assert(cms.length == 16 && cms.take(8).sum == 3 && cms.drop(8).sum == 3)
   }
 
   test("graft_minhash rejects non-literal numHashes with a usage error") {
