@@ -217,6 +217,32 @@ object Main {
           s"distinct 3-grams (kmv k=$k)"))
       spark.stop()
 
+    case "freq" :: corpus :: rest =>
+      val terms = rest.filter(!_.startsWith("--"))
+      require(terms.nonEmpty, "usage: freq <corpus> <term> [term...]")
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      import graft.text.TextOps
+      import org.apache.spark.sql.functions.{col, lit}
+      val sk = docs
+        .select(TextOps.tokensSimple(col("text")).as("_t"))
+        .agg(TextOps.cmsSketch(col("_t"), 4, 8192).as("_sk"))
+        .head().getAs[scala.collection.Seq[Long]]("_sk")
+      val skDf = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(sk)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_sk",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType, false)))))
+      val est = terms.toDF("term").crossJoin(skDf)
+        .select(col("term"),
+          TextOps.cmsEstimate(col("_sk"), col("term"), 4, 8192)
+            .as("est")).collect()
+      est.foreach(r => println(
+        f"[freq] ${r.getString(0)}%-24s ~${r.getLong(1)} occurrences " +
+          "(cms 4x8192, overcount-only)"))
+      spark.stop()
+
     case "ann-index" :: corpus :: outDir :: rest =>
       val nums = rest.filter(!_.startsWith("--"))
       val planes = nums.headOption.map(_.toInt).getOrElse(12)
