@@ -1125,10 +1125,10 @@ object SparkEntry {
     * checks the semantics.
     */
   def q85_upsert_merge(s: SparkSession, dir: String): DataFrame = {
-    // TIMESTAMP(NANOS) parquet reads as a nanos long (see EventOps);
-    // surface it as a real timestamp so the version is time-typed
-    val base = t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // normalize ts to a real timestamp whatever the parquet flavor
+    // (nanos-long vintage or native TIMESTAMP) so the version is
+    // time-typed either way
+    val base = graft.streaming.EventOps.normalizeTs(t(s, dir, "events"))
     val updates = base.filter(col("event_id") % 5 === 0)
       .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
       .withColumn("event_type", lit("corrected"))

@@ -60,6 +60,7 @@ object Main {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -234,7 +235,7 @@ object Main {
           org.apache.spark.sql.types.StructField("_sk",
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.LongType, false)))))
-      val est = terms.toDF("term").crossJoin(skDf)
+      val est = { import spark.implicits._; terms.toDF("term") }.crossJoin(skDf)
         .select(col("term"),
           TextOps.cmsEstimate(col("_sk"), col("term"), 4, 8192)
             .as("est")).collect()
