@@ -1921,5 +1921,21 @@ object OracleSql {
         |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
         |  CAST(list_min(qv) AS BIGINT) AS q_min,
         |  CAST(list_max(qv) AS BIGINT) AS q_max
-        |FROM q""".stripMargin)
+        |FROM q""".stripMargin,
+
+    // phrase search: the positional-postings self-join replayed over
+    // zipped (term, pos) unnests; overlap semantics are postings-exact
+    // (every starting position counts)
+    "q103_phrase_search" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+        |             FROM documents),
+        |p AS (SELECT doc_id, unnest(w) AS term,
+        |        (unnest(range(1, len(w) + 1)))::INTEGER AS pos
+        |      FROM tok)
+        |SELECT a.doc_id, count(*)::BIGINT AS n_matches,
+        |  min(a.pos)::INTEGER AS first_pos
+        |FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  AND b.term = 'scan'
+        |WHERE a.term = 'table'
+        |GROUP BY a.doc_id""".stripMargin)
 }

@@ -1376,6 +1376,16 @@ object SparkEntry {
         coalesce(col("_c"), lit(0L)).as("exact_count"))
   }
 
+  /** Exact phrase retrieval over the positional inverted index: docs
+    * containing the two-word phrase "table scan" with match counts and
+    * first positions — the chain-of-equi-joins shape that replaces a
+    * corpus regex rescan at scale (a persisted term-partitioned index
+    * prunes to the phrase's terms).
+    */
+  def q103_phrase_search(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bm25.phraseSearchDocs(docs(s, dir), "text", "doc_id",
+      Seq("table", "scan"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1480,7 +1490,8 @@ object SparkEntry {
     "q99_removal_audit" -> (q99_removal_audit(_, _)),
     "q100_kmv_distinct" -> (q100_kmv_distinct(_, _)),
     "q101_sketch_overlap" -> (q101_sketch_overlap(_, _)),
-    "q102_cms_freq" -> (q102_cms_freq(_, _)))
+    "q102_cms_freq" -> (q102_cms_freq(_, _)),
+    "q103_phrase_search" -> (q103_phrase_search(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -127,4 +127,27 @@ class RetrievalSpec extends SparkSpec {
     assert(global.filter(col("doc_id") === 3L)
       .head().getAs[String]("clean_text") == "body three")
   }
+
+  test("phraseSearch: consecutive-only matches, overlap counting, and " +
+    "n-term chains") {
+    val df = Seq(
+      (1L, "a b c a b c"),       // "a b c" twice, "b c" twice
+      (2L, "a c b"),             // has a,b,c but never the phrase
+      (3L, "x a b y"),           // "a b" once at pos 2
+      (4L, "a a a a")).toDF("doc_id", "text") // "a a" overlaps 3x
+    val idx = Bm25.positionalIndex(df, "text", "doc_id")
+    def got(phrase: Seq[String]) =
+      Bm25.phraseSearch(idx, phrase, "doc_id").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_matches"), r.getAs[Int]("first_pos"))).toMap
+    assert(got(Seq("a", "b")) ==
+      Map(1L -> (2L, 1), 3L -> (1L, 2)))
+    assert(got(Seq("a", "b", "c")) == Map(1L -> (2L, 1)))
+    // postings semantics: every starting position counts, overlaps too
+    assert(got(Seq("a", "a")) == Map(4L -> (3L, 1)))
+    // single-term phrase degenerates to the postings themselves
+    assert(got(Seq("c")) == Map(1L -> (2L, 3), 2L -> (1L, 2)))
+    // absent phrase: empty result, not an error
+    assert(got(Seq("b", "x")).isEmpty)
+  }
 }
