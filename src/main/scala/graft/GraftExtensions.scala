@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CmsSketchXX, CosineSimXX, DeflateRatioExprXX, Dist2XX, JaccardXX, KmvSketchXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, PadPackXX, RepStatsXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
+import graft.functions.{BottomKXX, CmsSketchXX, CosineSimXX, DeflateRatioExprXX, Dist2XX, JaccardXX, KmvSketchXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, PadPackXX, RepStatsXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * SQL functions so plain `spark.sql` users get them too.
@@ -101,6 +101,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"k must be integral, got $other; $usage")
         }
         KmvSketchXX(children.head, k)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bottomk"),
+      new ExpressionInfo(classOf[BottomKXX].getName, "graft_bottomk"),
+      (children: Seq[Expression]) => {
+        val usage = "usage: graft_bottomk(hash, value, k) — k must be " +
+          "an integral literal"
+        require(children.size == 3, usage)
+        require(children(2).foldable, usage)
+        val k = children(2).eval() match {
+          case n: java.lang.Number => n.intValue
+          case other => throw new IllegalArgumentException(
+            s"k must be integral, got $other; $usage")
+        }
+        BottomKXX(children.head, children(1), k)
       }))
 
     ext.injectFunction((

@@ -1937,5 +1937,28 @@ object OracleSql {
         |FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
         |  AND b.term = 'scan'
         |WHERE a.term = 'table'
-        |GROUP BY a.doc_id""".stripMargin)
+        |GROUP BY a.doc_id""".stripMargin,
+
+    // bottom-k-by-hash sample quantiles: the deterministic sample is
+    // replayed with one row_number over (hash, value); estimates are
+    // sampled values verbatim (rank = floor(q·(m−1))+1, no
+    // interpolation), so the compare is bit-exact
+    "q104_sample_quantiles" ->
+      """WITH h AS (SELECT l_returnflag,
+        |    (('0x' || substr(md5(l_orderkey::VARCHAR || ':' ||
+        |        l_linenumber::VARCHAR), 1, 8))::UBIGINT)::BIGINT AS hv,
+        |    l_extendedprice AS v FROM lineitem),
+        |r AS (SELECT l_returnflag, hv, v, row_number() OVER
+        |        (PARTITION BY l_returnflag ORDER BY hv, v) AS rn
+        |      FROM h),
+        |s AS (SELECT l_returnflag, v FROM r WHERE rn <= 256),
+        |g AS (SELECT l_returnflag, count(*)::BIGINT AS m0,
+        |        list_sort(list(v)) AS vs FROM s GROUP BY 1),
+        |n AS (SELECT l_returnflag, count(*)::BIGINT AS n_rows
+        |      FROM lineitem GROUP BY 1)
+        |SELECT g.l_returnflag, n.n_rows, m0::INTEGER AS m,
+        |  vs[(floor(0.5 * (m0 - 1)) + 1)::INTEGER] AS p50_est,
+        |  vs[(floor(0.9 * (m0 - 1)) + 1)::INTEGER] AS p90_est,
+        |  vs[(floor(0.99 * (m0 - 1)) + 1)::INTEGER] AS p99_est
+        |FROM g JOIN n USING (l_returnflag)""".stripMargin)
 }

@@ -1386,6 +1386,29 @@ object SparkEntry {
     graft.text.Bm25.phraseSearchDocs(docs(s, dir), "text", "doc_id",
       Seq("table", "scan"))
 
+  /** Sketch-tier distribution summary: per-flag price quantiles from a
+    * bottom-k-by-hash uniform row sample (256 pairs of bounded state
+    * per group, map-side partials, mergeable) instead of q36's exact
+    * percentile buffers — the distributional-observability shape that
+    * survives 100 TB groups. The estimates are sampled values carried
+    * verbatim, so the oracle replays them exactly.
+    */
+  def q104_sample_quantiles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val rowHash = TextOps.hash32(
+      concat_ws(":", col("l_orderkey"), col("l_linenumber")))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        Relational.bottomKSample(rowHash, col("l_extendedprice"), 256)
+          .as("_sk"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("n_rows"),
+        size(col("_sk")).as("m"),
+        Relational.sampleQuantile(col("_sk"), 0.5).as("p50_est"),
+        Relational.sampleQuantile(col("_sk"), 0.9).as("p90_est"),
+        Relational.sampleQuantile(col("_sk"), 0.99).as("p99_est"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1491,7 +1514,8 @@ object SparkEntry {
     "q100_kmv_distinct" -> (q100_kmv_distinct(_, _)),
     "q101_sketch_overlap" -> (q101_sketch_overlap(_, _)),
     "q102_cms_freq" -> (q102_cms_freq(_, _)),
-    "q103_phrase_search" -> (q103_phrase_search(_, _)))
+    "q103_phrase_search" -> (q103_phrase_search(_, _)),
+    "q104_sample_quantiles" -> (q104_sample_quantiles(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -861,6 +861,40 @@ object Relational {
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Bottom-k-by-hash uniform row sample aggregate (the
+    * [[graft.functions.BottomKXX]] kernel): keep the k `(hash, value)`
+    * pairs with the smallest hash per group — a deterministic,
+    * MERGEABLE, bounded-state sample from which any distributional
+    * summary derives. Unlike [[groupPercentilesApprox]]'s t-digest,
+    * the sample is a pure function of group contents (partition- and
+    * merge-order-independent), so it persists as a reusable artifact
+    * (the KMV discipline) and replays exactly in an external engine —
+    * sketch-tier quantiles that still hash-gate.
+    *
+    * `hash` must be deterministic per ROW (e.g.
+    * [[graft.text.TextOps.hash32]] of the row key), not per value —
+    * equal values with different keys are distinct sample candidates.
+    */
+  def bottomKSample(hash: Column, value: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.BottomKXX(
+      ColumnBridge.expression(hash),
+      ColumnBridge.expression(value.cast("double")), k))
+  }
+
+  /** Order-statistic estimate from a [[bottomKSample]] sketch: the
+    * sample value at 1-based rank `floor(q·(m−1)) + 1` of the
+    * value-sorted sample (nearest-lower-rank, no interpolation — the
+    * sampled value is carried VERBATIM, which is what lets an external
+    * engine replay the estimate bit-for-bit).
+    */
+  def sampleQuantile(sketch: Column, q: Double): Column = {
+    require(q >= 0 && q <= 1, s"quantile must be in [0,1], got $q")
+    val vs = array_sort(transform(sketch, x => x.getField("v")))
+    element_at(vs,
+      (floor(lit(q) * (size(vs) - 1).cast("double")) + 1).cast("int"))
+  }
+
   /** Range join: left point rows to right interval rows sharing `keys` —
     * the time-window join Spark lacks as a primitive. A naive theta-join
     * (`ts BETWEEN lo AND hi`) plans as a per-key nested loop; instead

@@ -116,4 +116,50 @@ class SkewApproxSpec extends SparkSpec {
       .head().getAs[scala.collection.Seq[Long]]("m").toVector
     assert(merged == whole, "kmvMerge diverged from the direct sketch")
   }
+
+  test("bottomKSample: deterministic under repartitioning, exact when " +
+    "the group fits in k, and quantile ranks hit the sorted sample") {
+    import graft.text.TextOps
+    val df = (1L to 2000L).map(i => (i, (i % 7).toString, i * 1.5))
+      .toDF("id", "grp", "v")
+    def sketch(d: org.apache.spark.sql.DataFrame) = d
+      .groupBy(col("grp"))
+      .agg(Relational.bottomKSample(
+        TextOps.hash32(col("id").cast("string")), col("v"), 64).as("sk"))
+    val base = sketch(df).collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getDouble(1))).toVector).toMap
+    // partition-layout independence: the sample is a pure function of
+    // group contents (the property that makes it mergeable + gateable)
+    val shuffled = sketch(df.repartition(13, col("v"))).collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getDouble(1))).toVector).toMap
+    assert(base == shuffled, "sample depends on partitioning")
+    // every sample is sorted by (hash, value) and capped at k
+    base.values.foreach { s =>
+      assert(s.size == 64)
+      assert(s == s.sorted)
+    }
+    // a group smaller than k IS its own sample → quantiles are exact
+    val tiny = Seq((1L, 10.0), (2L, 30.0), (3L, 20.0), (4L, 40.0),
+      (5L, 50.0)).toDF("id", "v")
+    val q = tiny.agg(Relational.bottomKSample(
+        TextOps.hash32(col("id").cast("string")), col("v"), 64).as("sk"))
+      .select(
+        Relational.sampleQuantile(col("sk"), 0.0).as("q0"),
+        Relational.sampleQuantile(col("sk"), 0.5).as("q50"),
+        Relational.sampleQuantile(col("sk"), 1.0).as("q100"))
+      .head()
+    assert(q.getDouble(0) == 10.0 && q.getDouble(1) == 30.0 &&
+      q.getDouble(2) == 50.0)
+    // SQL registration serves the same kernel
+    tiny.createOrReplaceTempView("bk_tiny")
+    val viaSql = spark.sql(
+      """SELECT graft_bottomk(
+        |  CAST(conv(substr(md5(CAST(id AS STRING)), 1, 8), 16, 10)
+        |    AS BIGINT), CAST(v AS DOUBLE), 64) AS sk
+        |FROM bk_tiny""".stripMargin)
+      .select(size(col("sk"))).head().getInt(0)
+    assert(viaSql == 5)
+  }
 }
