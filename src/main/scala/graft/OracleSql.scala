@@ -1960,5 +1960,59 @@ object OracleSql {
         |  vs[(floor(0.5 * (m0 - 1)) + 1)::INTEGER] AS p50_est,
         |  vs[(floor(0.9 * (m0 - 1)) + 1)::INTEGER] AS p90_est,
         |  vs[(floor(0.99 * (m0 - 1)) + 1)::INTEGER] AS p99_est
-        |FROM g JOIN n USING (l_returnflag)""".stripMargin)
+        |FROM g JOIN n USING (l_returnflag)""".stripMargin,
+
+    // BPE merge learning: two unrolled count→argmax→greedy-merge
+    // rounds. The greedy leftmost-first overlap rule is replayed by
+    // grouping consecutive matched positions into runs (pos − rn) and
+    // keeping odd ranks — for distinct-symbol pairs runs have length 1
+    // and the rule is the identity
+    "q105_bpe_learn" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word
+        |             FROM documents),
+        |wt AS (SELECT word, count(*)::BIGINT AS wc FROM tok GROUP BY 1),
+        |c1 AS (SELECT word, wc,
+        |         unnest(list_transform(range(1, len(word) + 1),
+        |           i -> word[i])) AS sym,
+        |         (unnest(range(1, len(word) + 1)))::BIGINT AS pos
+        |       FROM wt),
+        |pc1 AS (SELECT a.sym AS l, b.sym AS r, sum(a.wc)::BIGINT AS cnt
+        |        FROM c1 a JOIN c1 b
+        |          ON b.word = a.word AND b.pos = a.pos + 1
+        |        GROUP BY 1, 2),
+        |m1 AS (SELECT l, r, cnt FROM pc1
+        |       ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |mk1 AS (SELECT c1.word, c1.wc, c1.pos, c1.sym,
+        |          CASE WHEN c1.sym = m1.l AND lead(c1.sym) OVER
+        |            (PARTITION BY c1.word ORDER BY c1.pos) = m1.r
+        |          THEN 1 ELSE 0 END AS mt
+        |        FROM c1, m1),
+        |r1 AS (SELECT word, pos,
+        |         row_number() OVER (PARTITION BY word ORDER BY pos) AS rn
+        |       FROM mk1 WHERE mt = 1),
+        |sel1 AS (SELECT word, pos FROM (
+        |           SELECT word, pos,
+        |             row_number() OVER (PARTITION BY word, pos - rn
+        |               ORDER BY pos) AS k
+        |           FROM r1) WHERE k % 2 = 1),
+        |c2 AS (SELECT m.word, m.wc,
+        |         row_number() OVER (PARTITION BY m.word
+        |           ORDER BY m.pos) AS pos,
+        |         CASE WHEN s.pos IS NOT NULL
+        |              THEN (SELECT l || r FROM m1)
+        |              ELSE m.sym END AS sym
+        |       FROM mk1 m
+        |       LEFT JOIN sel1 s ON s.word = m.word AND s.pos = m.pos
+        |       LEFT JOIN sel1 t ON t.word = m.word AND t.pos = m.pos - 1
+        |       WHERE t.pos IS NULL),
+        |pc2 AS (SELECT a.sym AS l, b.sym AS r, sum(a.wc)::BIGINT AS cnt
+        |        FROM c2 a JOIN c2 b
+        |          ON b.word = a.word AND b.pos = a.pos + 1
+        |        GROUP BY 1, 2),
+        |m2 AS (SELECT l, r, cnt FROM pc2
+        |       ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)
+        |SELECT 1 AS round, l AS lsym, r AS rsym, cnt AS pair_count
+        |FROM m1
+        |UNION ALL
+        |SELECT 2, l, r, cnt FROM m2""".stripMargin)
 }

@@ -1409,6 +1409,16 @@ object SparkEntry {
         Relational.sampleQuantile(col("_sk"), 0.99).as("p99_est"))
   }
 
+  /** BPE merge LEARNING over the corpus (the training side of q54's
+    * loadable merge-table tokenizer): two rounds of
+    * most-frequent-adjacent-pair selection with deterministic
+    * tie-breaks, each applied greedily before the next round counts.
+    * Iterations run on the distinct-word table, so corpus size buys
+    * one scan, not one per round.
+    */
+  def q105_bpe_learn(s: SparkSession, dir: String): DataFrame =
+    TextOps.learnBpeMerges(docs(s, dir), "text", rounds = 2)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1515,7 +1525,8 @@ object SparkEntry {
     "q101_sketch_overlap" -> (q101_sketch_overlap(_, _)),
     "q102_cms_freq" -> (q102_cms_freq(_, _)),
     "q103_phrase_search" -> (q103_phrase_search(_, _)),
-    "q104_sample_quantiles" -> (q104_sample_quantiles(_, _)))
+    "q104_sample_quantiles" -> (q104_sample_quantiles(_, _)),
+    "q105_bpe_learn" -> (q105_bpe_learn(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

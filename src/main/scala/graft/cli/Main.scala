@@ -39,6 +39,9 @@ import graft.schema.Vintages
   * graft.cli.Main divergence <corpus> [groupCol] [buckets] [--jsonl]
   * graft.cli.Main buckets <corpus> <target> <outDir> [--jsonl]  // ppl head/middle/tail
   * graft.cli.Main dhash   <parquet> <outDir> [maxBits]   // image near-dup pairs
+  * graft.cli.Main phrase  <corpus> <outDir> "<exact phrase>" [--jsonl]
+  * graft.cli.Main bpe-learn <corpus> <outDir> [rounds] [--jsonl]
+  * graft.cli.Main quantiles <parquet> <keyCol> <valCol> [k]   // sketch-tier p50/p90/p99
   * }}}
   *
   * vintage ∈ {canonical, bdb2018, bdb2026} (Vintages.byName). The
@@ -518,6 +521,54 @@ object Main {
       println(s"[bm25] '$query' top-$k -> ${hits.count()} hits -> $outDir")
       spark.stop()
 
+    // exact phrase retrieval via the positional inverted index
+    case "phrase" :: corpus :: outDir :: phrase :: rest =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      val terms = phrase.trim.split("\\s+").toSeq
+      val hits = graft.text.Bm25.phraseSearchDocs(
+        docs, "text", "doc_id", terms)
+        .orderBy(col("n_matches").desc, col("doc_id"))
+      Export.jsonl(hits, outDir)
+      println(s"[phrase] '$phrase' -> ${hits.count()} docs -> $outDir")
+      spark.stop()
+
+    // learn a BPE merge table from the corpus (prints + writes parquet)
+    case "bpe-learn" :: corpus :: outDir :: rest =>
+      val rounds = rest.find(!_.startsWith("--")).map(_.toInt).getOrElse(16)
+      val spark = session()
+      val merges = graft.text.TextOps.learnBpeMerges(
+        loadCorpus(spark, corpus, rest), "text", rounds)
+      merges.coalesce(1).write.mode("overwrite").parquet(outDir)
+      merges.collect().foreach { r =>
+        println(s"[bpe-learn] ${r.getInt(0)}: '${r.getString(1)}' + " +
+          s"'${r.getString(2)}' (${r.getLong(3)})")
+      }
+      spark.stop()
+
+    // sketch-tier per-group quantiles of a numeric column
+    case "quantiles" :: path :: keyCol :: valCol :: rest =>
+      import org.apache.spark.sql.functions._
+      val k = rest.headOption.map(_.toInt).getOrElse(256)
+      val spark = session()
+      val df = spark.read.parquet(path)
+      val sk = df.groupBy(col(keyCol))
+        .agg(graft.operators.Relational.bottomKSample(
+          graft.text.TextOps.hash32(
+            concat_ws(":", df.columns.map(col).toSeq: _*)),
+          col(valCol), k).as("_sk"), count(lit(1)).as("n_rows"))
+        .select(col(keyCol), col("n_rows"), size(col("_sk")).as("m"),
+          graft.operators.Relational.sampleQuantile(col("_sk"), 0.5).as("p50"),
+          graft.operators.Relational.sampleQuantile(col("_sk"), 0.9).as("p90"),
+          graft.operators.Relational.sampleQuantile(col("_sk"), 0.99).as("p99"))
+      sk.orderBy(col(keyCol)).collect().foreach { r =>
+        println(s"[quantiles] ${r.get(0)}: n=${r.getLong(1)} " +
+          s"m=${r.getInt(2)} p50=${r.getDouble(3)} " +
+          s"p90=${r.getDouble(4)} p99=${r.getDouble(5)}")
+      }
+      spark.stop()
+
     // key-skew report: heavy hitters of any parquet column (the
     // pre-join salting/broadcast diagnostic); prints to stdout
     case "skew" :: path :: keyCol :: rest =>
@@ -715,6 +766,9 @@ object Main {
           "decode-image <parquet> <out> | decode-audio <parquet> <out> | " +
           "tfidf <corpus> <out> [--jsonl] | " +
           "bm25 <corpus> <out> \"<terms>\" [k] [--jsonl] | " +
+          "phrase <corpus> <out> \"<exact phrase>\" [--jsonl] | " +
+          "bpe-learn <corpus> <out> [rounds] [--jsonl] | " +
+          "quantiles <parquet> <keyCol> <valCol> [k] | " +
           "skew <parquet> <keyCol> [topK] | " +
           "overlap <corpus> <out> [groupCol] [--jsonl] | " +
           "fim <corpus> <out> [seed] [--jsonl] | " +

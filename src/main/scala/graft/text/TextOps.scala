@@ -126,6 +126,73 @@ object TextOps {
   def loadVocab(df: DataFrame, tokenCol: String = "token"): Seq[String] =
     df.select(col(tokenCol)).na.drop().collect().map(_.getString(0)).toSeq
 
+  /** LEARN a BPE merge table from the corpus (Sennrich et al. 2016 —
+    * the training side of the merge tables the loadable tokenizer
+    * applies): `rounds` iterations of count-adjacent-symbol-pairs →
+    * merge the most frequent pair (ties: lexicographically smallest
+    * `(left, right)`) greedily left-to-right in every word. Returns the
+    * learned table `(round, lsym, rsym, pair_count)`.
+    *
+    * Scale shape — the property that makes BPE trainable at 100 TB:
+    * the corpus is scanned ONCE, into a distinct-word frequency table;
+    * every iteration then runs on that VOCAB-sized table (pair counts =
+    * one small hash aggregation weighted by word count; the argmax is
+    * one collected row of model metadata; the merge applies as a pure
+    * per-row fold). Lineage is cut per round (`localCheckpoint`) so
+    * `rounds` iterations never re-derive round 0.
+    *
+    * The greedy merge is an `aggregate` fold appending symbols and
+    * fusing when the running last symbol equals `left` and the incoming
+    * equals `right` — leftmost-first over overlaps by construction
+    * (after "aa" fuses in "aaa", the fused symbol no longer equals
+    * "a", so the trailing "a" survives — the Sennrich semantics).
+    */
+  def learnBpeMerges(df: DataFrame, textCol: String, rounds: Int,
+      tokenizer: Column => Column = tokensSimple): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df
+      .select(explode(tokenizer(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"), transform(
+        sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))).as("syms"))
+      .localCheckpoint()
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val pairArr = when(size(col("syms")) < 2,
+          array().cast("array<struct<l:string,r:string>>"))
+        .otherwise(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r"))))
+      val best = words
+        .select(col("wc"), explode(pairArr).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((round, l, r, cnt))
+        words = words.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, c) => when(
+              get(acc, size(acc) - 1) === lit(l) && c === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(c)))))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    learned.toSeq.toDF("round", "lsym", "rsym", "pair_count")
+  }
+
   /** Per-class corpus composition report — the sanity check before
     * fixing a mixture: doc count, token and char totals, distinct
     * sources per class. One hash aggregation with map-side partials;

@@ -1160,4 +1160,35 @@ class TextDedupSpec extends SparkSpec {
     assert(got(2L) === (("z q r s", 7)))          // span excised
     assert(got(3L) === (("totally unrelated words here", 0)))
   }
+
+  test("learnBpeMerges: frequency argmax with lexicographic ties, " +
+    "greedy leftmost overlap merging, and multi-round composition") {
+    import spark.implicits._
+    // "lo" appears in every word (low lower lowest): (l,o) count 5;
+    // round 2 then fuses (lo, w)
+    val df = Seq("low low lower lowest low").toDF("text")
+    val m = TextOps.learnBpeMerges(df, "text", rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(m(0) == ((1, "l", "o", 5L)))
+    assert(m(1) == ((2, "lo", "w", 5L)))
+    // round 3: "low" composed; remaining pairs are (low,e)x2,(e,r),(e,s),(s,t)
+    assert(m(2) == ((3, "low", "e", 2L)))
+
+    // a == b overlap: "aaaa aaa" — (a,a) counted per occurrence
+    // (3 + 2 = 5); greedy leftmost merges "aaaa"→[aa,aa], "aaa"→[aa,a],
+    // so round 2 sees (aa,aa) once and (aa,a) once — tie broken
+    // lexicographically to (aa, a)
+    val m2 = TextOps.learnBpeMerges(
+      Seq("aaaa aaa").toDF("text"), "text", rounds = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(m2(0) == ((1, "a", "a", 5L)))
+    assert(m2(1) == ((2, "aa", "a", 1L)))
+
+    // exhaustion: single-char words stop early instead of erroring
+    val m3 = TextOps.learnBpeMerges(
+      Seq("a b a").toDF("text"), "text", rounds = 4).collect()
+    assert(m3.isEmpty)
+  }
 }
