@@ -609,7 +609,8 @@ object OracleSql {
     * (vid, cid, d2) assignment. Shared by q48 (assignments) and q58
     * (SemDedup blocking cells).
     */
-  private def kmeansBody(k: Int, iters: Int, w: Long, dim: Int): String = {
+  private def kmeansBody(k: Int, iters: Int, w: Long, dim: Int,
+      table: String = "embeddings", prefix: String = ""): String = {
     // squared distance between a raw float vector column and a double
     // centroid list — the same (dx)*(dx) left-fold chain as Spark
     def d2(v: String, c: String) =
@@ -622,7 +623,7 @@ object OracleSql {
          |    (PARTITION BY vid ORDER BY d2, cid) AS rn
          |  FROM (SELECT e.vec_id AS vid, c.cid AS cid,
          |          ${d2("e.embedding", "c.cv")} AS d2
-         |        FROM embeddings e CROSS JOIN $cen c))
+         |        FROM $table e CROSS JOIN $cen c))
          |  WHERE rn = 1)""".stripMargin
     def updateCte(s: String, u: String, cenNew: String,
         a: String, cenOld: String) =
@@ -632,7 +633,7 @@ object OracleSql {
          |            v -> list_transform(v, x -> x::DOUBLE)),
          |          (acc, c) -> list_transform(range(1, ${dim + 1}),
          |                        i -> acc[i] + c[i])) AS psum
-         |      FROM $a a JOIN embeddings e ON e.vec_id = a.vid
+         |      FROM $a a JOIN $table e ON e.vec_id = a.vid
          |      GROUP BY a.cid, e.vec_id // $w),
          |${s}t AS (SELECT cid, sum(n) AS n,
          |        list_reduce(list(psum ORDER BY bk),
@@ -643,15 +644,17 @@ object OracleSql {
          |       FROM ${s}t),
          |$cenNew AS (SELECT c.cid, coalesce(u.cv, c.cv) AS cv
          |        FROM $cenOld c LEFT JOIN $u u USING (cid))""".stripMargin
+    val p = prefix
     val rounds = (0 until iters).map { r =>
-      assignCte(s"a$r", s"cen$r") + ",\n" +
-        updateCte(s"s$r", s"u$r", s"cen${r + 1}", s"a$r", s"cen$r")
+      assignCte(s"${p}a$r", s"${p}cen$r") + ",\n" +
+        updateCte(s"${p}s$r", s"${p}u$r", s"${p}cen${r + 1}",
+          s"${p}a$r", s"${p}cen$r")
     }.mkString(",\n")
-    s"""cen0 AS (SELECT vec_id AS cid,
+    s"""${p}cen0 AS (SELECT vec_id AS cid,
        |        list_transform(embedding, x -> x::DOUBLE) AS cv
-       |      FROM embeddings ORDER BY vec_id LIMIT $k),
+       |      FROM $table ORDER BY vec_id LIMIT $k),
        |$rounds,
-       |${assignCte("afinal", s"cen$iters")}""".stripMargin
+       |${assignCte(s"${p}afinal", s"${p}cen$iters")}""".stripMargin
   }
 
   val all: Map[String, String] = Map(
@@ -2014,5 +2017,20 @@ object OracleSql {
         |SELECT 1 AS round, l AS lsym, r AS rsym, cnt AS pair_count
         |FROM m1
         |UNION ALL
-        |SELECT 2, l, r, cnt FROM m2""".stripMargin)
+        |SELECT 2, l, r, cnt FROM m2""".stripMargin,
+
+    // product quantization: the q48 Lloyd replay instantiated once per
+    // 32-dim subspace over sliced vectors; encode = the final
+    // assignment of each instance
+    "q106_pq_encode" ->
+      s"""WITH sub0 AS (SELECT vec_id, embedding[1:32] AS embedding
+         |             FROM embeddings),
+         |sub1 AS (SELECT vec_id, embedding[33:64] AS embedding
+         |         FROM embeddings),
+         |${kmeansBody(4, 2, 128, 32, table = "sub0", prefix = "p0")},
+         |${kmeansBody(4, 2, 128, 32, table = "sub1", prefix = "p1")}
+         |SELECT vid AS vec_id, 0 AS sub, cid AS code,
+         |  round(d2, 6) AS d2 FROM p0afinal
+         |UNION ALL
+         |SELECT vid, 1, cid, round(d2, 6) FROM p1afinal""".stripMargin)
 }

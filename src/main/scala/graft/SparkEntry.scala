@@ -1419,6 +1419,20 @@ object SparkEntry {
   def q105_bpe_learn(s: SparkSession, dir: String): DataFrame =
     TextOps.learnBpeMerges(docs(s, dir), "text", rounds = 2)
 
+  /** Product-quantization fit + encode (the IVF-PQ memory tier): two
+    * 32-dim subspaces each get a deterministic-Lloyd codebook (k=4,
+    * 2 iterations — the q48 discipline per subspace), then every
+    * vector is replaced by its per-subspace nearest-centroid codes
+    * with reconstruction error. Codes are what a 100 TB index stores —
+    * raw vectors never load at serve time.
+    */
+  def q106_pq_encode(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = SimSearch.pqFit(emb, "vec_id", "embedding",
+      m = 2, k = 4, iters = 2, dim = 64, bucketWidth = 128L)
+    SimSearch.pqEncode(emb, cb, "vec_id", "embedding", m = 2, dim = 64)
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1526,7 +1540,8 @@ object SparkEntry {
     "q102_cms_freq" -> (q102_cms_freq(_, _)),
     "q103_phrase_search" -> (q103_phrase_search(_, _)),
     "q104_sample_quantiles" -> (q104_sample_quantiles(_, _)),
-    "q105_bpe_learn" -> (q105_bpe_learn(_, _)))
+    "q105_bpe_learn" -> (q105_bpe_learn(_, _)),
+    "q106_pq_encode" -> (q106_pq_encode(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

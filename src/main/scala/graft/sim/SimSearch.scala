@@ -569,6 +569,99 @@ object SimSearch {
       .select(col("vid").as(idCol), col("cid").as("cluster"),
         round(col("d2"), 6).as("d2"))
 
+  /** Product-quantization codebooks (Jégou, Douze & Schmid 2011 — the
+    * memory tier that makes billion-vector ANN serveable): the vector
+    * space splits into `m` contiguous subspaces of `dim/m` components,
+    * and each subspace gets its own deterministic-Lloyd codebook of
+    * `k` centroids ([[kmeansFit]] on the sliced vectors — same
+    * id-seeded init, same bounded id-ordered folds, so the training
+    * replays in an external engine). Returns `(sub, cid, cv)` —
+    * `m · k` rows of MODEL METADATA to persist beside the IVF
+    * centroids ([[writeIvfCentroids]]).
+    *
+    * Scale shape: fitting is `m` independent vocab-of-k jobs over
+    * sliced copies of the corpus scan; encoding ([[pqEncode]]) replaces
+    * each `dim`-float vector with `m` small codes (64 floats → 2 bytes
+    * at m=2, k≤256) — the 128× memory cut that lets the whole index
+    * live in executor RAM at 100 TB; serving ([[pqAdcTopK]]) scores
+    * candidates from the codes alone via per-query lookup tables
+    * (asymmetric distance), never touching raw corpus vectors.
+    */
+  def pqFit(
+      emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int, dim: Int = 64,
+      bucketWidth: Long = 4096L): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m")
+    val sw = dim / m
+    (0 until m).map { s =>
+      val sliced = emb.select(col(idCol),
+        slice(col(vecCol), s * sw + 1, sw).as("_sv"))
+      kmeansFit(sliced, idCol, "_sv", k, iters, sw, bucketWidth)
+        .select(lit(s).as("sub"), col("cid"), col("cv"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** PQ encoding: each vector's nearest codebook centroid per subspace.
+    * Returns `(idCol, sub, code, d2)` — `code` is the winning
+    * codebook id, `d2` the subspace reconstruction error (rounded,
+    * replayable). The corpus never shuffles: `m·k` codebook rows
+    * broadcast and each subspace argmin is the windowless two-phase
+    * top-1.
+    */
+  def pqEncode(
+      emb: DataFrame, codebooks: DataFrame, idCol: String,
+      vecCol: String, m: Int, dim: Int = 64): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m")
+    val sw = dim / m
+    (0 until m).map { s =>
+      val sliced = emb.select(col(idCol).as("vid"),
+        slice(col(vecCol), s * sw + 1, sw).as("_sv"))
+      val cb = codebooks.filter(col("sub") === s)
+        .select(col("cid"), col("cv"))
+      topKPerKey(
+        sliced.crossJoin(broadcast(cb))
+          .withColumn("_d2", dist2Fast(col("_sv"), col("cv"))),
+        "vid", col("_d2"), col("cid"), 1)
+        .select(col("vid").as(idCol), lit(s).as("sub"),
+          col("neighbor").as("code"), round(col("rankval"), 6).as("d2"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Asymmetric-distance top-k over a PQ-coded index: per query, a
+    * lookup table of squared distances from its subvectors to every
+    * codebook centroid (`m·k` rows per query — computed against the
+    * BROADCAST codebooks, then itself broadcast), joined to the code
+    * index on `(sub, code)` and summed per (query, vector). The
+    * corpus-sized side carries only codes — raw vectors are never read
+    * at serve time, which is the entire point of PQ. Approximation
+    * error vs exact distance is the quantization error; measure it
+    * with [[recallAtK]] against [[bruteForceTopK]] before trusting an
+    * index build.
+    */
+  def pqAdcTopK(
+      codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      queryIdCol: String, vecCol: String, idCol: String,
+      m: Int, k: Int, dim: Int = 64): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m")
+    val sw = dim / m
+    val lut = (0 until m).map { s =>
+      queries.select(col(queryIdCol).as("qid"),
+          slice(col(vecCol), s * sw + 1, sw).as("_qs"))
+        .crossJoin(broadcast(
+          codebooks.filter(col("sub") === s).select(col("cid"), col("cv"))))
+        .select(col("qid"), lit(s).as("sub"), col("cid").as("code"),
+          dist2Fast(col("_qs"), col("cv")).as("_d2"))
+    }.reduce(_.unionByName(_))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("qid"), col(idCol).as("_vid"))
+      .agg(sum(col("_d2")).as("adc_d2"))
+    // output mirrors bruteForceTopK: (qid, rank, neighbor, adc_d2),
+    // rank 0-based by (distance asc, neighbor asc)
+    topKPerKey(scored, "qid", col("adc_d2"), col("_vid"), k)
+      .select(col("qid"), col("rank"), col("neighbor"),
+        round(col("rankval"), 6).as("adc_d2"))
+  }
+
   /** Random-projection dimensionality reduction: `outDim` fixed
     * md5-derived hyperplanes ([[planeWeight]] — no RNG state), each
     * output component one left-fold dot product. The 64→8 compression

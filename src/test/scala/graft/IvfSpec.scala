@@ -196,6 +196,62 @@ class IvfSpec extends SparkSpec {
     assert(nullElem.isNullAt(0))
   }
 
+  test("pq: subspace codebooks quantize independently and ADC retrieves " +
+    "from codes alone") {
+    // four planted groups on the corners of (dim0, dim32): the two
+    // subspaces [0,32) and [32,64) each see exactly two value levels,
+    // so k=2 codebooks per subspace reconstruct the corpus perfectly
+    // and ADC distances equal exact distances
+    def vec(d0: Float, d32: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(0) = d0
+      a(32) = d32
+      a
+    }
+    val emb = (0L until 16L).map { i =>
+      (i, vec(if (i % 2 == 0) 10f else -10f,
+        if ((i / 2) % 2 == 0) 10f else -10f))
+    }.toDF("vec_id", "embedding")
+    val cb = SimSearch.pqFit(emb, "vec_id", "embedding",
+      m = 2, k = 2, iters = 2, dim = 64, bucketWidth = 4L)
+    assert(cb.count() == 4) // m*k codebook rows
+    val codes = SimSearch.pqEncode(emb, cb, "vec_id", "embedding",
+      m = 2, dim = 64)
+    val byId = codes.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(byId.size == 32) // one code per (vector, subspace)
+    // perfect planted structure → zero reconstruction error everywhere
+    assert(byId.values.forall(_._2 == 0.0))
+    // same planted level → same code; different level → different code
+    assert(byId((0L, 0))._1 == byId((2L, 0))._1)
+    assert(byId((0L, 0))._1 != byId((1L, 0))._1)
+    assert(byId((0L, 1))._1 == byId((1L, 1))._1)
+    assert(byId((0L, 1))._1 != byId((2L, 1))._1)
+    // ADC from codes alone: each query's top hit group-matches it, at
+    // distance 0, and every same-group member precedes any cross-group
+    val queries = emb.filter(col("vec_id") < 4)
+    val top = SimSearch.pqAdcTopK(codes, cb, queries,
+      "vec_id", "embedding", "vec_id", m = 2, k = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    (0L until 4L).foreach { q =>
+      (0 until 4).foreach { rk =>
+        val (hit, d) = top((q, rk))
+        assert(d == 0.0, s"query $q rank $rk: adc_d2 $d")
+        assert(hit % 4 == q % 4, s"query $q rank $rk hit $hit")
+      }
+    }
+    // determinism under re-run (fit + encode are pure functions)
+    val again = SimSearch.pqEncode(emb,
+      SimSearch.pqFit(emb, "vec_id", "embedding", m = 2, k = 2,
+        iters = 2, dim = 64, bucketWidth = 4L),
+      "vec_id", "embedding", m = 2, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(again == byId)
+  }
+
   test("randomProject: fold dot against the md5-derived planes") {
     val v = Array.fill(64)(0.0f)
     v(0) = 2.0f
