@@ -643,8 +643,26 @@ object SimSearch {
       queryIdCol: String, vecCol: String, idCol: String,
       m: Int, k: Int, dim: Int = 64): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m")
+    val lut = adcLut(queries, codebooks, queryIdCol, vecCol, m, dim)
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("qid"), col(idCol).as("_vid"))
+      .agg(sum(col("_d2")).as("adc_d2"))
+    // output mirrors bruteForceTopK: (qid, rank, neighbor, adc_d2),
+    // rank 0-based by (distance asc, neighbor asc)
+    topKPerKey(scored, "qid", col("adc_d2"), col("_vid"), k)
+      .select(col("qid"), col("rank"), col("neighbor"),
+        round(col("rankval"), 6).as("adc_d2"))
+  }
+
+  /** Per-query ADC lookup table: `(qid, sub, code, _d2)` — squared
+    * distance from each query subvector to every codebook centroid.
+    * `m·k` rows per query.
+    */
+  private def adcLut(
+      queries: DataFrame, codebooks: DataFrame, queryIdCol: String,
+      vecCol: String, m: Int, dim: Int): DataFrame = {
     val sw = dim / m
-    val lut = (0 until m).map { s =>
+    (0 until m).map { s =>
       queries.select(col(queryIdCol).as("qid"),
           slice(col(vecCol), s * sw + 1, sw).as("_qs"))
         .crossJoin(broadcast(
@@ -652,11 +670,34 @@ object SimSearch {
         .select(col("qid"), lit(s).as("sub"), col("cid").as("code"),
           dist2Fast(col("_qs"), col("cv")).as("_d2"))
     }.reduce(_.unionByName(_))
-    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+  }
+
+  /** IVF × PQ composed serving — the full billion-vector recipe: the
+    * query probes its `nprobe` nearest IVF cells against the broadcast
+    * `(cell, centroid)` table, candidates come from the cell equi-join
+    * against the PQ code index (`codesWithCell`: the [[pqEncode]]
+    * output carrying its IVF `cell` column, the layout written at
+    * index-build time — on a cell-partitioned lake the probe prunes
+    * files), and candidates are scored by ADC from codes alone. Raw
+    * vectors appear nowhere at serve time: cost per query is
+    * `corpus/cells × nprobe` CODE rows, each scored by `m` lookups.
+    */
+  def ivfPqTopK(
+      codesWithCell: DataFrame, codebooks: DataFrame,
+      centroids: DataFrame, queries: DataFrame, queryIdCol: String,
+      vecCol: String, idCol: String, m: Int, k: Int, nprobe: Int = 2,
+      dim: Int = 64): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m")
+    val q = queries.select(col(queryIdCol).as("qid"), col(vecCol).as("qv"))
+    val probed = topKPerKey(
+      q.crossJoin(broadcast(centroids)),
+      "qid", -cosine(col("qv"), col("centroid")), col("cell"), nprobe)
+      .select(col("qid"), col("neighbor").as("cell"))
+    val lut = adcLut(queries, codebooks, queryIdCol, vecCol, m, dim)
+    val scored = codesWithCell.join(probed, Seq("cell"))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
       .groupBy(col("qid"), col(idCol).as("_vid"))
       .agg(sum(col("_d2")).as("adc_d2"))
-    // output mirrors bruteForceTopK: (qid, rank, neighbor, adc_d2),
-    // rank 0-based by (distance asc, neighbor asc)
     topKPerKey(scored, "qid", col("adc_d2"), col("_vid"), k)
       .select(col("qid"), col("rank"), col("neighbor"),
         round(col("rankval"), 6).as("adc_d2"))

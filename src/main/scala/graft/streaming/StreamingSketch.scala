@@ -73,4 +73,84 @@ object StreamingSketch {
       .mapGroupsWithState[SketchState, SketchUpdate](
         GroupStateTimeout.NoTimeout)(fn)(stateEnc, outEnc)
   }
+
+  /** One emitted quantile refresh: running batch count, sample fill,
+    * and the p50/p90/p99 order-statistic estimates.
+    */
+  case class QuantileUpdate(
+      key: String, batches: Long, m: Int,
+      p50: Double, p90: Double, p99: Double)
+
+  /** Internal running sample (parallel (hash, value) arrays sorted by
+    * (hash, value) — the [[graft.functions.BottomKXX]] multiset).
+    */
+  case class SampleState(
+      hs: Array[Long], vs: Array[Double], batches: Long)
+
+  /** Streaming quantiles — the running per-key value distribution as a
+    * stateful twin of the batch bottom-k sample aggregate
+    * ([[graft.functions.BottomKXX]], q104): state per key is the
+    * bounded k-smallest-hash row sample, each micro-batch folds its
+    * `(key, rowId, value)` rows in (hash = the portable md5-hash32 of
+    * the row id, so replays and batch re-runs agree), and every update
+    * emits refreshed p50/p90/p99. Exact streaming quantiles need every
+    * value ever seen; the sample state is k pairs forever, and a batch
+    * [[graft.operators.Relational.bottomKSample]] over the accumulated
+    * rows reproduces the stream's sample — and therefore its estimates
+    * — exactly (same hash domain, same (hash, value) multiset rule,
+    * same `floor(q·(m−1))+1` rank).
+    */
+  def quantileStream(
+      rows: Dataset[(String, Long, Double)],
+      k: Int = 256): Dataset[QuantileUpdate] = {
+    require(k > 1, s"k must be > 1, got $k")
+    val stateEnc = org.apache.spark.sql.Encoders.product[SampleState]
+    val outEnc = org.apache.spark.sql.Encoders.product[QuantileUpdate]
+    implicit val keyEnc = org.apache.spark.sql.Encoders.STRING
+
+    def fn(key: String, batch: Iterator[(String, Long, Double)],
+        state: org.apache.spark.sql.streaming.GroupState[SampleState])
+        : QuantileUpdate = {
+      val ord = new java.util.Comparator[(Long, Double)] {
+        override def compare(a: (Long, Double), b: (Long, Double)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1)
+          if (c != 0) c else java.lang.Double.compare(b._2, a._2)
+        }
+      }
+      val heap = new java.util.PriorityQueue[(Long, Double)](
+        math.min(k + 1, 1024), ord) // max-heap: root is the evictee
+      def add(h: Long, v: Double): Unit = {
+        if (heap.size < k) { heap.add((h, v)); () }
+        else {
+          val top = heap.peek()
+          if (h < top._1 || (h == top._1 && v < top._2)) {
+            heap.poll(); heap.add((h, v)); ()
+          }
+        }
+      }
+      state.getOption.foreach { s =>
+        var i = 0
+        while (i < s.hs.length) { add(s.hs(i), s.vs(i)); i += 1 }
+      }
+      batch.foreach { case (_, id, v) =>
+        add(MinHashMd5XX.hash32(
+          id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+          v)
+      }
+      val pairs = heap.toArray(new Array[(Long, Double)](heap.size))
+        .sortBy(p => (p._1, p._2))
+      val batches = state.getOption.map(_.batches).getOrElse(0L) + 1
+      state.update(SampleState(
+        pairs.map(_._1), pairs.map(_._2), batches))
+      val vs = pairs.map(_._2).sorted
+      def q(p: Double): Double =
+        if (vs.isEmpty) Double.NaN
+        else vs(math.floor(p * (vs.length - 1)).toInt)
+      QuantileUpdate(key, batches, vs.length, q(0.5), q(0.9), q(0.99))
+    }
+
+    rows.groupByKey(_._1)
+      .mapGroupsWithState[SampleState, QuantileUpdate](
+        GroupStateTimeout.NoTimeout)(fn)(stateEnc, outEnc)
+  }
 }

@@ -252,6 +252,44 @@ class IvfSpec extends SparkSpec {
     assert(again == byId)
   }
 
+  test("ivfPqTopK: cell probe prunes candidates, ADC ranks them from " +
+    "codes alone") {
+    def vec(d0: Float, d32: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(0) = d0
+      a(32) = d32
+      a
+    }
+    // same four planted corners; cell = the planted group id
+    val emb = (0L until 16L).map { i =>
+      (i, i % 4, vec(if (i % 2 == 0) 10f else -10f,
+        if ((i / 2) % 2 == 0) 10f else -10f))
+    }.toDF("vec_id", "cell", "embedding")
+    val cb = SimSearch.pqFit(emb, "vec_id", "embedding",
+      m = 2, k = 2, iters = 2, dim = 64, bucketWidth = 4L)
+    val codes = SimSearch.pqEncode(emb, cb, "vec_id", "embedding",
+      m = 2, dim = 64)
+      .join(emb.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val centroids = SimSearch.ivfCentroids(emb, "vec_id", "embedding",
+      "cell", dim = 64, bucketWidth = 4L)
+    val queries = emb.filter(col("vec_id") < 4)
+    val top = SimSearch.ivfPqTopK(codes, cb, centroids, queries,
+      "vec_id", "embedding", "vec_id", m = 2, k = 16, nprobe = 1,
+      dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // nprobe=1 → ONLY the query's own cell is searched: each query
+    // returns exactly its 4 group members (candidate pruning), every
+    // hit at ADC distance 0 (perfect planted reconstruction)
+    assert(top.size == 16, s"expected 4 queries x 4 candidates: $top")
+    (0L until 4L).foreach { q =>
+      val hits = (0 until 4).map(rk => top((q, rk)))
+      assert(hits.forall(_._2 == 0.0))
+      assert(hits.map(_._1).toSet == (0L until 16L)
+        .filter(_ % 4 == q % 4).toSet)
+    }
+  }
+
   test("randomProject: fold dot against the md5-derived planes") {
     val v = Array.fill(64)(0.0f)
     v(0) = 2.0f

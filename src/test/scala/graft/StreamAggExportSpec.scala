@@ -398,4 +398,47 @@ class StreamAggExportSpec extends SparkSpec {
       assert(latest()("a") == ((2L, 70, 70.0)))
     } finally query.stop()
   }
+
+  test("streaming quantiles: exact under k, bounded past k, and the " +
+    "batch bottom-k sample reproduces the stream's estimates") {
+    import graft.streaming.StreamingSketch
+    import graft.operators.Relational
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val query = StreamingSketch.quantileStream(mem.toDS(), k = 32)
+      .writeStream.format("memory").queryName("q_stream")
+      .outputMode("update").start()
+    def latest(): Map[String, (Long, Int, Double, Double, Double)] =
+      spark.table("q_stream").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getInt(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+        .groupBy(_._1).map { case (k2, v) => k2 -> v.maxBy(_._2._1)._2 }
+    try {
+      // batch 1: 9 values for key a — under k, so the sample IS the
+      // data and p50 is the true median
+      mem.addData((1L to 9L).map(i => ("a", i, i * 10.0)): _*)
+      query.processAllAvailable()
+      val a1 = latest()("a")
+      assert(a1._1 == 1L && a1._2 == 9 && a1._3 == 50.0)
+      // batch 2: key b floods 500 rows — state capped at k=32
+      mem.addData((1L to 500L).map(i => ("b", 1000L + i, i * 1.0)): _*)
+      query.processAllAvailable()
+      val b1 = latest()("b")
+      assert(b1._1 == 1L && b1._2 == 32)
+      // the batch aggregate over the SAME accumulated rows reproduces
+      // the stream's estimates exactly (shared hash domain + rank rule)
+      val batchRows = (1L to 500L).map(i => (1000L + i, i * 1.0))
+        .toDF("id", "v")
+      val replay = batchRows.agg(Relational.bottomKSample(
+          graft.text.TextOps.hash32(col("id").cast("string")),
+          col("v"), 32).as("sk"))
+        .select(
+          Relational.sampleQuantile(col("sk"), 0.5).as("p50"),
+          Relational.sampleQuantile(col("sk"), 0.9).as("p90"),
+          Relational.sampleQuantile(col("sk"), 0.99).as("p99"))
+        .head()
+      assert((replay.getDouble(0), replay.getDouble(1),
+        replay.getDouble(2)) == ((b1._3, b1._4, b1._5)))
+    } finally query.stop()
+  }
 }
