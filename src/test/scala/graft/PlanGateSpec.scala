@@ -145,7 +145,8 @@ class PlanGateSpec extends SparkSpec {
       "q91_unimax_sample",     // G-row classes × broadcast 1-row K/istar
       "q97_semantic_decontaminate", // corpus × broadcast eval probe
       "q101_sketch_overlap", // G-row sketches × broadcast G-row (a < b)
-      "q102_cms_freq") // probe terms × broadcast 1-row sketch
+      "q102_cms_freq",       // probe terms × broadcast 1-row sketch
+      "q106_pq_encode")      // corpus × broadcast m·k-row codebooks
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — so it is audited by its own
     // gate entry instead
