@@ -21,6 +21,8 @@ import graft.schema.Vintages
   * graft.cli.Main dedup-stream <inDir> <idxDir> <outDir> <checkpoint>   // JSONL drops
   * graft.cli.Main ann-index <embeddings> <outDir> [planes] [dim]
   * graft.cli.Main ann-query <idxDir> <queries> <outDir> [k] [planes] [dim]
+  * graft.cli.Main pq-index <embeddings> <outDir> [m] [k] [iters] [dim] [cellCol]
+  * graft.cli.Main pq-query <idxDir> <queries> <outDir> [k] [m] [nprobe] [dim]
   * graft.cli.Main ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod]
   * graft.cli.Main pack    <corpus> <outDir> [budget] [--jsonl] [--simple-tokens]
   * graft.cli.Main mix     <corpus> <outDir> [budget] [seed] [--jsonl] [--simple-tokens] [--alpha A] [--unimax E]
@@ -275,6 +277,43 @@ object Main {
       val n = spark.read.parquet(outDir).count()
       println(s"[ann-query] ${q.count()} queries x top-$k " +
         s"-> $n hits -> $outDir")
+      spark.stop()
+
+    // persist the IVF-PQ index: codebooks + cell-partitioned codes +
+    // centroids (cells default to label; pass a cell column name)
+    case "pq-index" :: corpus :: outDir :: rest =>
+      val nums = rest.filter(!_.startsWith("--"))
+      val m = nums.headOption.map(_.toInt).getOrElse(4)
+      val k = nums.drop(1).headOption.map(_.toInt).getOrElse(16)
+      val iters = nums.drop(2).headOption.map(_.toInt).getOrElse(2)
+      val dim = nums.drop(3).headOption.map(_.toInt).getOrElse(64)
+      val cellCol = nums.drop(4).headOption.getOrElse("label")
+      val spark = session()
+      val emb = spark.read.parquet(corpus)
+      graft.sim.SimSearch.writePqIndex(emb, outDir, "vec_id",
+        "embedding", cellCol, m, k, iters, dim)
+      println(s"[pq-index] ${emb.count()} vectors -> m=$m k=$k " +
+        s"codes + codebooks + centroids -> $outDir")
+      spark.stop()
+
+    // serve top-k from a persisted IVF-PQ index (codes only — raw
+    // vectors are never read)
+    case "pq-query" :: idxPath :: queries :: outDir :: rest =>
+      val nums = rest.filter(!_.startsWith("--"))
+      val k = nums.headOption.map(_.toInt).getOrElse(10)
+      val m = nums.drop(1).headOption.map(_.toInt).getOrElse(4)
+      val nprobe = nums.drop(2).headOption.map(_.toInt).getOrElse(2)
+      val dim = nums.drop(3).headOption.map(_.toInt).getOrElse(64)
+      val spark = session()
+      val (cb, codes, centroids) =
+        graft.sim.SimSearch.readPqIndex(spark, idxPath)
+      val q = spark.read.parquet(queries)
+      val hits = graft.sim.SimSearch.ivfPqTopK(codes, cb, centroids,
+        q, "vec_id", "embedding", "vec_id", m, k, nprobe, dim)
+      hits.write.mode("overwrite").parquet(outDir)
+      val n = spark.read.parquet(outDir).count()
+      println(s"[pq-query] ${q.count()} queries x top-$k " +
+        s"(nprobe=$nprobe) -> $n hits -> $outDir")
       spark.stop()
 
     case "ann-eval" :: corpus :: rest =>
@@ -755,6 +794,8 @@ object Main {
           "dedup-stream <in> <idx> <out> <ckpt> | " +
           "ann-index <embeddings> <out> [planes] [dim] | " +
           "ann-query <idx> <queries> <out> [k] [planes] [dim] | " +
+          "pq-index <embeddings> <out> [m] [k] [iters] [dim] [cellCol] | " +
+          "pq-query <idx> <queries> <out> [k] [m] [nprobe] [dim] | " +
           "ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod] | " +
           "pack <corpus> <out> [budget] [--jsonl] [--simple-tokens] | " +
            "mix <corpus> <out> [budget] [seed] [--jsonl] [--simple-tokens] [--alpha A] | " +

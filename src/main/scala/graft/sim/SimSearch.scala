@@ -654,6 +654,35 @@ object SimSearch {
         round(col("rankval"), 6).as("adc_d2"))
   }
 
+  /** Persist PQ codebooks (model metadata: `m·k` rows) and the coded
+    * corpus (`(id, cell, sub, code)` — partitioned by cell so
+    * [[ivfPqTopK]]'s probe prunes files). The write-once-query-many
+    * treatment the signed text index and IVF centroids get: fitting
+    * and encoding scan the corpus; serving reads codes and metadata
+    * only.
+    */
+  def writePqIndex(
+      emb: DataFrame, path: String, idCol: String, vecCol: String,
+      cellCol: String, m: Int, k: Int, iters: Int, dim: Int = 64,
+      bucketWidth: Long = 4096L): Unit = {
+    val cb = pqFit(emb, idCol, vecCol, m, k, iters, dim, bucketWidth)
+      .localCheckpoint() // codebooks reused by the encode pass
+    cb.write.mode("overwrite").parquet(s"$path/codebooks")
+    pqEncode(emb, cb, idCol, vecCol, m, dim)
+      .join(emb.select(col(idCol), col(cellCol).as("cell")), Seq(idCol))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes")
+    writeIvfCentroids(emb, s"$path/centroids", idCol, vecCol, cellCol,
+      dim, bucketWidth)
+  }
+
+  /** Load a persisted PQ index: (codebooks, codes, centroids). */
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/centroids"))
+
   /** Per-query ADC lookup table: `(qid, sub, code, _d2)` — squared
     * distance from each query subvector to every codebook centroid.
     * `m·k` rows per query.

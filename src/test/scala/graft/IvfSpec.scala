@@ -290,6 +290,48 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("persisted PQ index serves identically to the inline pipeline") {
+    def vec(d0: Float, d32: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(0) = d0
+      a(32) = d32
+      a
+    }
+    val emb = (0L until 16L).map { i =>
+      (i, i % 4, vec(if (i % 2 == 0) 10f else -10f,
+        if ((i / 2) % 2 == 0) 10f else -10f))
+    }.toDF("vec_id", "cell", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("pqidx").toString
+    SimSearch.writePqIndex(emb, dir, "vec_id", "embedding", "cell",
+      m = 2, k = 2, iters = 2, dim = 64, bucketWidth = 4L)
+    val (cb, codes, centroids) = SimSearch.readPqIndex(spark, dir)
+    assert(cb.count() == 4 && codes.count() == 32 &&
+      centroids.count() == 4)
+    // the cell partition column survives the parquet round-trip and
+    // serving from the loaded artifacts reproduces the inline answers
+    val queries = emb.filter(col("vec_id") < 4)
+    val fromIndex = SimSearch.ivfPqTopK(codes, cb, centroids, queries,
+      "vec_id", "embedding", "vec_id", m = 2, k = 4, nprobe = 1,
+      dim = 64).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val inlineCb = SimSearch.pqFit(emb, "vec_id", "embedding",
+      m = 2, k = 2, iters = 2, dim = 64, bucketWidth = 4L)
+    val inline = SimSearch.ivfPqTopK(
+      SimSearch.pqEncode(emb, inlineCb, "vec_id", "embedding",
+        m = 2, dim = 64)
+        .join(emb.select(col("vec_id"), col("cell")), Seq("vec_id")),
+      inlineCb,
+      SimSearch.ivfCentroids(emb, "vec_id", "embedding", "cell",
+        dim = 64, bucketWidth = 4L),
+      queries, "vec_id", "embedding", "vec_id", m = 2, k = 4,
+      nprobe = 1, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(fromIndex == inline)
+  }
+
   test("randomProject: fold dot against the md5-derived planes") {
     val v = Array.fill(64)(0.0f)
     v(0) = 2.0f

@@ -138,3 +138,72 @@ object CmsProperties extends Properties("CmsSketchXX") {
       agg.deserialize(agg.serialize(buf)).toVector == buf.toVector
     }
 }
+
+/** Same treatment for the bottom-k sample aggregate: the sample is the
+  * k lexicographically-smallest (hash, value) pairs AS A MULTISET —
+  * equal pairs kept — however the input is chunked, merged, or
+  * serialized.
+  */
+object BottomKProperties extends Properties("BottomKXX") {
+
+  private val K = 8
+  private val agg = graft.functions.BottomKXX(
+    BoundReference(0, org.apache.spark.sql.types.LongType,
+      nullable = true),
+    BoundReference(1, org.apache.spark.sql.types.DoubleType,
+      nullable = true), K)
+
+  private def sampleOf(
+      chunks: Seq[Seq[(Long, Double)]]): Vector[(Long, Double)] = {
+    val bufs = chunks.map { c =>
+      c.foldLeft(agg.createAggregationBuffer()) { (b, p) =>
+        agg.update(b, InternalRow(p._1, p._2))
+      }
+    }
+    val merged = bufs.foldLeft(agg.createAggregationBuffer())(agg.merge)
+    val arr = agg.eval(merged).asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 2)
+      (r.getLong(0), r.getDouble(1))
+    }.toVector
+  }
+
+  private def reference(
+      pairs: Seq[(Long, Double)]): Vector[(Long, Double)] =
+    pairs.sorted.take(K).toVector
+
+  private val genPairs: Gen[List[(Long, Double)]] =
+    Gen.listOf(for {
+      h <- Gen.choose(0L, 20L) // small domain → hash ties are common
+      v <- Gen.oneOf(Gen.choose(0, 5).map(_.toDouble),
+        Gen.choose(-1000.0, 1000.0))
+    } yield (h, v))
+
+  property("sample == k smallest (hash, value) pairs as a multiset") =
+    forAll(genPairs) { pairs =>
+      sampleOf(Seq(pairs)) == reference(pairs)
+    }
+
+  property("chunking + merge order never changes the sample") =
+    forAll(genPairs, Gen.choose(1, 7)) { (pairs, n) =>
+      val chunks = pairs.grouped(math.max(1, n)).toSeq
+      sampleOf(chunks) == reference(pairs) &&
+        sampleOf(chunks.reverse) == reference(pairs)
+    }
+
+  property("duplicate (hash, value) pairs survive as duplicates") =
+    forAll(genPairs) { pairs =>
+      sampleOf(Seq(pairs ++ pairs)) == reference(pairs ++ pairs)
+    }
+
+  property("serialize/deserialize round-trips the heap exactly") =
+    forAll(genPairs) { pairs =>
+      val buf = pairs.foldLeft(agg.createAggregationBuffer()) {
+        (b, p) => agg.update(b, InternalRow(p._1, p._2))
+      }
+      val back = agg.deserialize(agg.serialize(buf))
+      back.toArray(new Array[(Long, Double)](back.size)).sorted
+        .sameElements(
+          buf.toArray(new Array[(Long, Double)](buf.size)).sorted)
+    }
+}
