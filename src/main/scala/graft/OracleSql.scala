@@ -2032,5 +2032,37 @@ object OracleSql {
          |SELECT vid AS vec_id, 0 AS sub, cid AS code,
          |  round(d2, 6) AS d2 FROM p0afinal
          |UNION ALL
-         |SELECT vid, 1, cid, round(d2, 6) FROM p1afinal""".stripMargin)
+         |SELECT vid, 1, cid, round(d2, 6) FROM p1afinal""".stripMargin,
+
+    // novelty: first-occurrence (min doc_id) per distinct 3-gram, then
+    // per-doc counts; one integer division for the ratio
+    "q107_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+        |             FROM documents),
+        |g AS (SELECT DISTINCT doc_id, gram FROM (
+        |        SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |        FROM tok)),
+        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+        |SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_novel,
+        |  round(sum(CASE WHEN f.first_doc = g.doc_id
+        |          THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS novelty
+        |FROM g JOIN f USING (gram) GROUP BY g.doc_id""".stripMargin,
+
+    // unigram entropy: per-term -p*ln(p) snapped to micro-nats (one
+    // IEEE chain) then BIGINT-summed per source — order-free
+    "q108_source_entropy" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |c AS (SELECT source, tok, count(*)::BIGINT AS c
+        |      FROM t GROUP BY 1, 2),
+        |n AS (SELECT source, sum(c)::BIGINT AS n,
+        |        count(*)::BIGINT AS vocab FROM c GROUP BY 1)
+        |SELECT c.source, any_value(n.n) AS n_tokens,
+        |  any_value(n.vocab) AS vocab,
+        |  (sum((round(-(c.c::DOUBLE / n.n) * ln(c.c::DOUBLE / n.n)
+        |    * 1000000))::BIGINT))::BIGINT AS h_micro
+        |FROM c JOIN n USING (source) GROUP BY c.source""".stripMargin)
 }

@@ -1433,6 +1433,20 @@ object SparkEntry {
     SimSearch.pqEncode(emb, cb, "vec_id", "embedding", m = 2, dim = 64)
   }
 
+  /** Per-doc novelty in id order: the fraction of each doc's distinct
+    * 3-grams it introduces to the corpus — the diminishing-returns
+    * signal for crawl snapshots and the curriculum-ordering input.
+    */
+  def q107_novelty(s: SparkSession, dir: String): DataFrame =
+    TextOps.noveltyScore(docs(s, dir), "text", "doc_id", k = 3)
+
+  /** Per-source unigram entropy in integer micro-nats: the
+    * templatedness/diversity observability report (an entropy-collapsed
+    * source is boilerplate or spam).
+    */
+  def q108_source_entropy(s: SparkSession, dir: String): DataFrame =
+    TextOps.unigramEntropy(docs(s, dir), "text", "source")
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1541,7 +1555,9 @@ object SparkEntry {
     "q103_phrase_search" -> (q103_phrase_search(_, _)),
     "q104_sample_quantiles" -> (q104_sample_quantiles(_, _)),
     "q105_bpe_learn" -> (q105_bpe_learn(_, _)),
-    "q106_pq_encode" -> (q106_pq_encode(_, _)))
+    "q106_pq_encode" -> (q106_pq_encode(_, _)),
+    "q107_novelty" -> (q107_novelty(_, _)),
+    "q108_source_entropy" -> (q108_source_entropy(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -126,6 +126,72 @@ object TextOps {
   def loadVocab(df: DataFrame, tokenCol: String = "token"): Seq[String] =
     df.select(col(tokenCol)).na.drop().collect().map(_.getString(0)).toSeq
 
+  /** Per-document novelty: of a doc's DISTINCT word n-grams, what
+    * fraction appear for the first time in id order (min doc_id over
+    * the corpus) — the "how much new content does this doc introduce"
+    * signal behind dedup lineage, curriculum ordering, and
+    * diminishing-returns curves for crawl snapshots (a snapshot whose
+    * docs average near-zero novelty adds nothing to training). Returns
+    * `(idCol, n_grams, n_novel, novelty)`; docs shorter than one
+    * n-gram carry no row.
+    *
+    * Scale shape: one gram-keyed aggregation for the first-occurrence
+    * table (map-side combine — duplicates collapse before the
+    * shuffle), one equi-join back on gram, one per-doc aggregation.
+    * The gram join is the corpus-sized shuffle; the integer counts and
+    * the single-division ratio replay exactly in an external engine.
+    */
+  def noveltyScore(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3,
+      tokenizer: Column => Column = tokensSimple): DataFrame = {
+    val grams = df
+      .select(col(idCol), explode(shingles(tokenizer(col(textCol)), k))
+        .as("_g"))
+      .distinct()
+    val first = grams.groupBy(col("_g"))
+      .agg(min(col(idCol)).as("_first"))
+    grams.join(first, Seq("_g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_first") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") /
+          col("n_grams").cast("double"), 6).as("novelty"))
+  }
+
+  /** Per-group token-distribution entropy in integer micro-nats — the
+    * diversity/templatedness observability signal (a crawl source
+    * whose entropy collapses is boilerplate or spam; CCNet and C4 both
+    * gate on distributional signals of this family). Each vocabulary
+    * term contributes `round(−p·ln(p)·10⁶)` with `p = count/total`
+    * computed through one fixed IEEE chain, then the per-group sum is
+    * pure BIGINT — order-free, engine-replayable (the [[Dsir]]
+    * micro-nat discipline). Returns
+    * `(groupCol, n_tokens, vocab, h_micro)`.
+    *
+    * Scale shape: one (group, token) hash aggregation with map-side
+    * combine, one vocabulary-sized fold to group totals, one
+    * broadcast-back join — the corpus never shuffles twice.
+    */
+  def unigramEntropy(df: DataFrame, textCol: String, groupCol: String,
+      tokenizer: Column => Column = tokensSimple): DataFrame = {
+    val counts = df
+      .select(col(groupCol), explode(tokenizer(col(textCol))).as("_t"))
+      .groupBy(col(groupCol), col("_t"))
+      .agg(count(lit(1)).as("_c"))
+    val totals = counts.groupBy(col(groupCol))
+      .agg(sum(col("_c")).as("_n"), count(lit(1)).as("vocab"))
+    val p = col("_c").cast("double") / col("_n").cast("double")
+    counts.join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol), col("_n"), col("vocab"),
+        round((-p) * log(p) * lit(1000000.0)).cast("long").as("_hm"))
+      .groupBy(col(groupCol))
+      .agg(first(col("_n")).as("n_tokens"),
+        first(col("vocab")).as("vocab"),
+        sum(col("_hm")).as("h_micro"))
+  }
+
   /** LEARN a BPE merge table from the corpus (Sennrich et al. 2016 —
     * the training side of the merge tables the loadable tokenizer
     * applies): `rounds` iterations of count-adjacent-symbol-pairs →

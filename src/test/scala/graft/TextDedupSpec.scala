@@ -1191,4 +1191,35 @@ class TextDedupSpec extends SparkSpec {
       Seq("a b a").toDF("text"), "text", rounds = 4).collect()
     assert(m3.isEmpty)
   }
+
+  test("noveltyScore: first introduction wins in id order; repeats " +
+    "score fractional; sub-gram docs drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"),     // grams {a b c, b c d} — all first
+      (2L, "a b c e"),     // {a b c (seen), b c e (new)} → 0.5
+      (3L, "a b c d"),     // both grams seen → 0.0
+      (4L, "x y")).toDF("doc_id", "text") // no 3-gram → no row
+    val got = TextOps.noveltyScore(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((2L, 0L, 0.0))))
+  }
+
+  test("unigramEntropy: uniform two-token group hits ln(2) in " +
+    "micro-nats, constant group reads zero") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", "a a b b"), // p = (.5, .5) → H = ln 2
+      ("g2", "a a a a")).toDF("source", "text")
+    val got = TextOps.unigramEntropy(df, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // per-term micro contribution: round(0.5 * ln 2 * 1e6) = 346574
+    assert(got("g1") == ((4L, 2L, 693148L)))
+    assert(got("g2") == ((4L, 1L, 0L)))
+  }
 }
