@@ -2064,5 +2064,46 @@ object OracleSql {
         |  any_value(n.vocab) AS vocab,
         |  (sum((round(-(c.c::DOUBLE / n.n) * ln(c.c::DOUBLE / n.n)
         |    * 1000000))::BIGINT))::BIGINT AS h_micro
-        |FROM c JOIN n USING (source) GROUP BY c.source""".stripMargin)
+        |FROM c JOIN n USING (source) GROUP BY c.source""".stripMargin,
+
+    // robust outliers: median and MAD via quantile_cont (the q36
+    // pairing), both snapped to 6 decimals BEFORE the threshold test
+    // so the per-row decision replays exactly
+    "q109_robust_outliers" ->
+      """WITH m AS (SELECT l_returnflag,
+        |        round(quantile_cont(l_extendedprice, 0.5), 6) AS med
+        |      FROM lineitem GROUP BY 1),
+        |j AS (SELECT l.l_returnflag, l.l_extendedprice AS v, m.med
+        |      FROM lineitem l JOIN m USING (l_returnflag)),
+        |d AS (SELECT l_returnflag,
+        |        round(quantile_cont(abs(v - med), 0.5), 6) AS mad
+        |      FROM j GROUP BY 1)
+        |SELECT j.l_returnflag, count(*)::BIGINT AS n_rows,
+        |  any_value(j.med) AS median, any_value(d.mad) AS mad,
+        |  sum(CASE WHEN abs(j.v - j.med) > 3.0 * d.mad
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM j JOIN d USING (l_returnflag)
+        |GROUP BY j.l_returnflag""".stripMargin,
+
+    // funnel: greedy-earliest stage chain per user (strictly-after
+    // epoch seconds), stage counts + conversion from stage 0
+    "q110_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS ty,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |s0 AS (SELECT u, min(t) AS t0 FROM e WHERE ty = 'view'
+        |       GROUP BY 1),
+        |s1 AS (SELECT e.u, min(e.t) AS t1 FROM e JOIN s0 USING (u)
+        |       WHERE e.ty = 'click' AND e.t > s0.t0 GROUP BY 1),
+        |s2 AS (SELECT e.u, min(e.t) AS t2 FROM e JOIN s1 USING (u)
+        |       WHERE e.ty = 'purchase' AND e.t > s1.t1 GROUP BY 1),
+        |c AS (SELECT 0 AS stage_idx, 'view' AS stage,
+        |        (SELECT count(*) FROM s0)::BIGINT AS n_users
+        |      UNION ALL SELECT 1, 'click',
+        |        (SELECT count(*) FROM s1)::BIGINT
+        |      UNION ALL SELECT 2, 'purchase',
+        |        (SELECT count(*) FROM s2)::BIGINT)
+        |SELECT stage_idx, stage, n_users,
+        |  round(n_users::DOUBLE /
+        |    (SELECT count(*) FROM s0)::DOUBLE, 6) AS conversion
+        |FROM c""".stripMargin)
 }

@@ -1447,6 +1447,22 @@ object SparkEntry {
   def q108_source_entropy(s: SparkSession, dir: String): DataFrame =
     TextOps.unigramEntropy(docs(s, dir), "text", "source")
 
+  /** Robust per-flag price outlier report: median/MAD screening (the
+    * heavy-tail-proof data-quality check) with the decision chain
+    * snapped to 6 decimals so it replays exactly.
+    */
+  def q109_robust_outliers(s: SparkSession, dir: String): DataFrame =
+    Relational.robustOutliers(t(s, dir, "lineitem"),
+      Seq("l_returnflag"), "l_extendedprice", c = 3.0)
+
+  /** Ordered view→click→purchase funnel over the events stream:
+    * greedy-earliest stage times per user, one filtered min-aggregation
+    * per stage — no windows, no per-user sorts.
+    */
+  def q110_funnel(s: SparkSession, dir: String): DataFrame =
+    EventOps.funnel(t(s, dir, "events"),
+      Seq("view", "click", "purchase"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1557,7 +1573,9 @@ object SparkEntry {
     "q105_bpe_learn" -> (q105_bpe_learn(_, _)),
     "q106_pq_encode" -> (q106_pq_encode(_, _)),
     "q107_novelty" -> (q107_novelty(_, _)),
-    "q108_source_entropy" -> (q108_source_entropy(_, _)))
+    "q108_source_entropy" -> (q108_source_entropy(_, _)),
+    "q109_robust_outliers" -> (q109_robust_outliers(_, _)),
+    "q110_funnel" -> (q110_funnel(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -861,6 +861,41 @@ object Relational {
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Robust per-group outlier report — median/MAD instead of mean/σ,
+    * so a heavy tail cannot mask itself (the estimator breaks down at
+    * 50% contamination, not one point): rows farther than
+    * `c · MAD` from the group median are outliers. The telemetry/
+    * data-quality screen before training on a numeric column.
+    *
+    * Two aggregation passes over the data (median, then MAD of the
+    * residuals) plus a counting pass — each a hash aggregation with
+    * the G-row intermediate BROADCAST back, so the data itself never
+    * shuffles. Exact interpolated percentiles replay in an external
+    * engine (`quantile_cont` — the q36 pairing), and both the median
+    * and the MAD are SNAPPED to 6 decimals before the outlier test, so
+    * the decision is one comparison over values both engines agree on
+    * exactly (interpolation last-ulp drift cannot flip a row).
+    */
+  def robustOutliers(
+      df: DataFrame, keys: Seq[String], valueCol: String,
+      c: Double = 3.0): DataFrame = {
+    require(c > 0, s"c must be positive, got $c")
+    val kcols = keys.map(col)
+    val med = df.groupBy(kcols: _*)
+      .agg(round(percentile(col(valueCol), lit(0.5)), 6).as("_med"))
+    val withMed = df.join(broadcast(med), keys)
+    val mad = withMed.groupBy(kcols: _*)
+      .agg(round(percentile(abs(col(valueCol) - col("_med")), lit(0.5)),
+        6).as("_mad"))
+    withMed.join(broadcast(mad), keys)
+      .groupBy(kcols: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        first(col("_med")).as("median"),
+        first(col("_mad")).as("mad"),
+        sum(when(abs(col(valueCol) - col("_med")) >
+          lit(c) * col("_mad"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Bottom-k-by-hash uniform row sample aggregate (the
     * [[graft.functions.BottomKXX]] kernel): keep the k `(hash, value)`
     * pairs with the smallest hash per group — a deterministic,

@@ -265,4 +265,52 @@ object EventOps {
     normalizeTs(events)
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+
+  /** Ordered funnel analysis: how many users complete each prefix of
+    * `stages` IN ORDER (greedy-earliest semantics: stage i's timestamp
+    * is the user's earliest `stages(i)` event STRICTLY AFTER their
+    * stage i−1 timestamp — the standard product-analytics funnel).
+    * Returns one row per stage:
+    * `(stage_idx, stage, n_users, conversion)` with conversion the
+    * fraction of stage-0 completers still present.
+    *
+    * Scale shape: one filtered aggregation per stage over the events
+    * scan — stage i filters to its event type, joins the (user,
+    * t_{i−1}) table (user-count-sized, hash equi-join), and takes
+    * `min(ts)` per user with map-side partials. No windows, no
+    * per-user event sorting; a whale user costs its event count in a
+    * hash aggregate, not a sort buffer. Stage count bounds the number
+    * of passes (funnels are 3-6 stages).
+    */
+  def funnel(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ev = normalizeTs(events)
+      .select(col(userCol).as("_u"), col(typeCol).as("_ty"),
+        col(tsCol).cast("long").as("_ts"))
+    // stage tables: (user, t_i) — each a filtered min-aggregation
+    var reached = ev.filter(col("_ty") === stages.head)
+      .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
+      .localCheckpoint() // user-count-sized; cuts the iterative lineage
+    val counts = scala.collection.mutable.ArrayBuffer(
+      (0, stages.head, reached.count()))
+    stages.zipWithIndex.drop(1).foreach { case (stage, i) =>
+      reached = ev.filter(col("_ty") === stage)
+        .join(reached, Seq("_u"))
+        .filter(col("_ts") > col("_t"))
+        .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
+        .localCheckpoint()
+      counts += ((i, stage, reached.count()))
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = counts.head._3
+    counts.toSeq.map { case (i, stage, n) =>
+      (i, stage, n,
+        if (base == 0L) 0.0
+        else BigDecimal(n.toDouble / base.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("stage_idx", "stage", "n_users", "conversion")
+  }
 }

@@ -282,6 +282,44 @@ class EventFeatureSpec extends SparkSpec {
     }
   }
 
+  test("robustOutliers: median/MAD flag the planted spike, not the " +
+    "tail-free group") {
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("a", _)) ++
+      Seq(10.0, 11.0, 12.0).map(("b", _))).toDF("g", "v")
+    val got = graft.operators.Relational
+      .robustOutliers(df, Seq("g"), "v", c = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    // a: median 3, residuals (2,1,0,1,97) → MAD 1 → only 100 exceeds 3·1
+    assert(got("a") == ((5L, 3.0, 1.0, 1L)))
+    // b: median 11, MAD 1, no residual exceeds 3
+    assert(got("b") == ((3L, 11.0, 1.0, 0L)))
+  }
+
+  test("funnel: greedy-earliest ordered stages; out-of-order events " +
+    "do not convert") {
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, t(1), 1L, "view", 0.0, "{}"),     // u1 full funnel
+      (2L, t(2), 1L, "click", 0.0, "{}"),
+      (3L, t(3), 1L, "purchase", 0.0, "{}"),
+      (4L, t(1), 2L, "click", 0.0, "{}"),    // u2: click BEFORE view —
+      (5L, t(2), 2L, "view", 0.0, "{}"),     //   only the later click counts
+      (6L, t(5), 2L, "click", 0.0, "{}"),
+      (7L, t(2), 3L, "purchase", 0.0, "{}"), // u3: purchase before view
+      (8L, t(4), 3L, "view", 0.0, "{}"),
+      (9L, t(1), 4L, "click", 0.0, "{}"))    // u4 never views
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.streaming.EventOps
+      .funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(0) == (("view", 3L, 1.0)))       // u1, u2, u3
+    assert(got(1) == (("click", 2L, 0.666667))) // u1, u2 (click after view)
+    assert(got(2) == (("purchase", 1L, 0.333333))) // u1 only
+  }
+
   test("zorderValue interleaves bits (x even, y odd) and orders locality") {
     val z = Seq((3, 5), (0, 0), (1023, 1023))
       .toDF("x", "y")
