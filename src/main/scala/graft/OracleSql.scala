@@ -2105,5 +2105,41 @@ object OracleSql {
         |SELECT stage_idx, stage, n_users,
         |  round(n_users::DOUBLE /
         |    (SELECT count(*) FROM s0)::DOUBLE, 6) AS conversion
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+
+    // per-doc keywords: the q44 tf-idf chain + QUALIFY top-3 by
+    // (rounded score desc, term asc) — the same deterministic cut the
+    // two-phase top-k makes
+    "q111_keywords" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |        round((tf.tf * (n.n_docs + 1.0)) / (dfreq.df + 1.0), 6)
+        |          AS tfidf
+        |      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id,
+        |  (row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY tfidf DESC, term ASC) - 1)::INTEGER AS rank,
+        |  term, tfidf
+        |FROM scored
+        |QUALIFY rank < 3""".stripMargin,
+
+    // retention: distinct (user, epoch-day) activity, first-seen
+    // cohorts, per-offset active fractions — integer day arithmetic
+    "q112_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+        |        (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day
+        |      FROM events),
+        |c AS (SELECT u, min(day) AS cohort_day FROM a GROUP BY 1),
+        |s AS (SELECT cohort_day, count(*)::BIGINT AS sz FROM c
+        |      GROUP BY 1),
+        |g AS (SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+        |        count(*)::BIGINT AS n_active
+        |      FROM a JOIN c USING (u) GROUP BY 1, 2)
+        |SELECT g.cohort_day, g.day_offset, g.n_active,
+        |  round(g.n_active::DOUBLE / s.sz::DOUBLE, 6) AS retention
+        |FROM g JOIN s USING (cohort_day)""".stripMargin)
 }

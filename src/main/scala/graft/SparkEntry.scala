@@ -1463,6 +1463,21 @@ object SparkEntry {
     EventOps.funnel(t(s, dir, "events"),
       Seq("view", "click", "purchase"))
 
+  /** Per-doc top-3 keywords by tf-idf (windowless two-phase top-k over
+    * the q44 scores): the doc-level topical summary for faceting and
+    * weak topic labels.
+    */
+  def q111_keywords(s: SparkSession, dir: String): DataFrame =
+    TextOps.topTerms(docs(s, dir), "text", "doc_id", k = 3,
+      TextOps.tokensSimple)
+
+  /** Day-N cohort retention over the events table: users bucketed by
+    * first-seen UTC day, per-offset active fractions — the engagement
+    * decay curve, computed without windows.
+    */
+  def q112_retention(s: SparkSession, dir: String): DataFrame =
+    EventOps.retention(t(s, dir, "events"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1575,7 +1590,9 @@ object SparkEntry {
     "q107_novelty" -> (q107_novelty(_, _)),
     "q108_source_entropy" -> (q108_source_entropy(_, _)),
     "q109_robust_outliers" -> (q109_robust_outliers(_, _)),
-    "q110_funnel" -> (q110_funnel(_, _)))
+    "q110_funnel" -> (q110_funnel(_, _)),
+    "q111_keywords" -> (q111_keywords(_, _)),
+    "q112_retention" -> (q112_retention(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -266,6 +266,40 @@ object EventOps {
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
 
+  /** Cohort retention: users grouped by first-seen UTC day (their
+    * cohort), then for every later day the fraction of the cohort
+    * still active — the engagement decay curve behind every "day-N
+    * retention" dashboard. Returns
+    * `(cohort_day, day_offset, n_active, retention)` with days as
+    * epoch-day numbers and retention rounded to 6 decimals.
+    *
+    * Scale shape: distinct (user, day) activity collapses first
+    * (map-side combine takes the event volume out), the user-count-
+    * sized first-seen table joins back by user (hash equi-join), and
+    * the final (cohort, offset) aggregation is report-sized. No
+    * windows; integer day arithmetic and one rounded division replay
+    * exactly.
+    */
+  def retention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val ev = normalizeTs(events)
+      .select(col(userCol).as("_u"),
+        floor(col(tsCol).cast("long") / 86400L).cast("long").as("_day"))
+      .distinct()
+    val cohort = ev.groupBy(col("_u"))
+      .agg(min(col("_day")).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("_size"))
+    ev.join(cohort, Seq("_u"))
+      .groupBy(col("cohort_day"),
+        (col("_day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        round(col("n_active").cast("double") /
+          col("_size").cast("double"), 6).as("retention"))
+  }
+
   /** Ordered funnel analysis: how many users complete each prefix of
     * `stages` IN ORDER (greedy-earliest semantics: stage i's timestamp
     * is the user's earliest `stages(i)` event STRICTLY AFTER their

@@ -808,6 +808,24 @@ object TextOps {
           6).as("tfidf"))
   }
 
+  /** Per-document keywords: the top-k terms by [[tfidf]] score — the
+    * doc-level topical summary (faceting, index previews, weak topic
+    * labels). Ranking runs on the windowless two-phase top-k
+    * ([[graft.sim.SimSearch.topKPerKey]]) over the already-rounded
+    * tf-idf scores, ties broken by term, so no reducer sorts a whole
+    * document's vocabulary and the cut replays exactly. Returns
+    * `(idCol, rank, term, tfidf)`, rank 0-based.
+    */
+  def topTerms(df: DataFrame, textCol: String, idCol: String, k: Int,
+      tokenizer: Column => Column = tokens): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val scored = tfidf(df, textCol, idCol, tokenizer)
+    graft.sim.SimSearch.topKPerKey(
+      scored, idCol, -col("tfidf"), col("term"), k)
+      .select(col(idCol), col("rank"), col("neighbor").as("term"),
+        (-col("rankval")).as("tfidf"))
+  }
+
   /** PII scrubbing patterns, written RE2-compatible (no `\s`, no
     * lookaround, explicit classes) so the DuckDB oracle replays them
     * byte-for-byte.

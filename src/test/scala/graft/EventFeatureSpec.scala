@@ -320,6 +320,28 @@ class EventFeatureSpec extends SparkSpec {
     assert(got(2) == (("purchase", 1L, 0.333333))) // u1 only
   }
 
+  test("retention: first-seen day defines the cohort; repeat activity " +
+    "within a day collapses") {
+    def t(day: Long, h: Int) =
+      new Timestamp((day * 86400L + h * 3600L) * 1000L)
+    val ev = Seq(
+      (1L, t(0, 1), 1L, "view", 0.0, "{}"),  // u1: days 0, 1
+      (2L, t(0, 5), 1L, "view", 0.0, "{}"),  //   (same-day repeat)
+      (3L, t(1, 2), 1L, "view", 0.0, "{}"),
+      (4L, t(0, 3), 2L, "view", 0.0, "{}"),  // u2: day 0 only
+      (5L, t(1, 4), 3L, "view", 0.0, "{}"))  // u3: cohort day 1
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.streaming.EventOps.retention(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // day-0 cohort = {u1, u2}: both on offset 0, only u1 on offset 1
+    assert(got((0L, 0L)) == ((2L, 1.0)))
+    assert(got((0L, 1L)) == ((1L, 0.5)))
+    // day-1 cohort = {u3}
+    assert(got((1L, 0L)) == ((1L, 1.0)))
+    assert(got.size == 3)
+  }
+
   test("zorderValue interleaves bits (x even, y odd) and orders locality") {
     val z = Seq((3, 5), (0, 0), (1023, 1023))
       .toDF("x", "y")

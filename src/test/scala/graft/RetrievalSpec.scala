@@ -128,6 +128,27 @@ class RetrievalSpec extends SparkSpec {
       .head().getAs[String]("clean_text") == "body three")
   }
 
+  test("topTerms: rare terms outrank stopwords, ties break by term, " +
+    "k caps per doc") {
+    val df = Seq(
+      (1L, "the the the rust borrow"),
+      (2L, "the spark"),
+      (3L, "the spark")).toDF("doc_id", "text")
+    val got = TextOps.topTerms(df, "text", "doc_id", k = 2,
+      TextOps.tokensSimple)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2))
+      .toMap
+    // doc 1: 'rust'/'borrow' are df=1 → tfidf 2.0 each; 'the' is df=3
+    // at tf=3 → 3·4/4 = 3.0 — the raw-tf flavor keeps 'the' first,
+    // then the df=1 pair ties and breaks alphabetically
+    assert(got((1L, 0)) == "the")
+    assert(got((1L, 1)) == "borrow")
+    // docs 2/3: spark (df=2 → 4/3) outranks the (df=3 → 1.0)
+    assert(got((2L, 0)) == "spark" && got((2L, 1)) == "the")
+    // k caps: exactly 2 rows per doc
+    assert(got.size == 6)
+  }
+
   test("phraseSearch: consecutive-only matches, overlap counting, and " +
     "n-term chains") {
     val df = Seq(
