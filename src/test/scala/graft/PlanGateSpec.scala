@@ -47,6 +47,13 @@ class PlanGateSpec extends SparkSpec {
       s"q100 scan stopped pruning columns:\n$p")
   }
 
+  test("q104: the bottom-k sample aggregates map-side — the shuffle " +
+    "carries ≤ k-pair buffers per group, not rows") {
+    val p = planOf("q104_sample_quantiles")
+    assert(p.contains("partial_graft_bottomk"),
+      s"q104 lost its map-side partial sample aggregation:\n$p")
+  }
+
   test("q55: the bloom probe survives in the plan (dropping it would be " +
     "row-invisible — only the oracle-blind scale behavior regresses)") {
     val p = planOf("q55_decontaminate_bloom")
