@@ -2141,5 +2141,24 @@ object OracleSql {
         |      FROM a JOIN c USING (u) GROUP BY 1, 2)
         |SELECT g.cohort_day, g.day_offset, g.n_active,
         |  round(g.n_active::DOUBLE / s.sz::DOUBLE, 6) AS retention
-        |FROM g JOIN s USING (cohort_day)""".stripMargin)
+        |FROM g JOIN s USING (cohort_day)""".stripMargin,
+
+    // rate anomalies: daily type counts through the q109 median/MAD
+    // chain (both statistics snapped to 6 decimals pre-threshold)
+    "q113_rate_anomalies" ->
+      """WITH dc AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |        count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, round(quantile_cont(n, 0.5), 6) AS med
+        |      FROM dc GROUP BY 1),
+        |j AS (SELECT dc.event_type, dc.n::DOUBLE AS v, m.med
+        |      FROM dc JOIN m USING (event_type)),
+        |d AS (SELECT event_type,
+        |        round(quantile_cont(abs(v - med), 0.5), 6) AS mad
+        |      FROM j GROUP BY 1)
+        |SELECT j.event_type, count(*)::BIGINT AS n_rows,
+        |  any_value(j.med) AS median, any_value(d.mad) AS mad,
+        |  sum(CASE WHEN abs(j.v - j.med) > 3.0 * d.mad
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM j JOIN d USING (event_type)
+        |GROUP BY j.event_type""".stripMargin)
 }

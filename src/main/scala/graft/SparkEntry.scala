@@ -1478,6 +1478,17 @@ object SparkEntry {
   def q112_retention(s: SparkSession, dir: String): DataFrame =
     EventOps.retention(t(s, dir, "events"))
 
+  /** Event-rate anomaly screen: daily per-type event counts pushed
+    * through the median/MAD outlier report — which days' traffic is
+    * abnormal for each event type. Pure composition of two gated
+    * operators (dailyTypeCounts ∘ robustOutliers).
+    */
+  def q113_rate_anomalies(s: SparkSession, dir: String): DataFrame =
+    Relational.robustOutliers(
+      EventOps.dailyTypeCounts(t(s, dir, "events"))
+        .select(col("event_type"), col("n")),
+      Seq("event_type"), "n", c = 3.0)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1592,7 +1603,8 @@ object SparkEntry {
     "q109_robust_outliers" -> (q109_robust_outliers(_, _)),
     "q110_funnel" -> (q110_funnel(_, _)),
     "q111_keywords" -> (q111_keywords(_, _)),
-    "q112_retention" -> (q112_retention(_, _)))
+    "q112_retention" -> (q112_retention(_, _)),
+    "q113_rate_anomalies" -> (q113_rate_anomalies(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
