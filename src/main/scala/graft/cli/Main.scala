@@ -608,6 +608,27 @@ object Main {
       }
       spark.stop()
 
+    // WebDataset tar shard export: reproducible shuffle order →
+    // shard-NNNNN.tar files with {pos}-{id}.txt entries
+    case "tar-export" :: corpus :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val nums = rest.filter(!_.startsWith("--"))
+      val shards = nums.headOption.map(_.toInt).getOrElse(8)
+      val seed = nums.drop(1).headOption.map(_.toLong).getOrElse(42L)
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      val laid = graft.operators.Relational
+        .globalShuffle(docs.select("doc_id"), "doc_id", seed, shards)
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("shard"),
+          concat(format_string("%08d", col("shard_pos")), lit("-"),
+            col("doc_id")).as("name"),
+          col("text"))
+      Export.tarShards(laid, outDir, "shard", "name", "text")
+      println(s"[tar-export] ${docs.count()} docs -> $shards tar " +
+        s"shards (seed $seed) -> $outDir")
+      spark.stop()
+
     // key-skew report: heavy hitters of any parquet column (the
     // pre-join salting/broadcast diagnostic); prints to stdout
     case "skew" :: path :: keyCol :: rest =>
@@ -810,6 +831,7 @@ object Main {
           "phrase <corpus> <out> \"<exact phrase>\" [--jsonl] | " +
           "bpe-learn <corpus> <out> [rounds] [--jsonl] | " +
           "quantiles <parquet> <keyCol> <valCol> [k] | " +
+          "tar-export <corpus> <out> [shards] [seed] [--jsonl] | " +
           "skew <parquet> <keyCol> [topK] | " +
           "overlap <corpus> <out> [groupCol] [--jsonl] | " +
           "fim <corpus> <out> [seed] [--jsonl] | " +

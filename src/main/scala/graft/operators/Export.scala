@@ -36,4 +36,125 @@ object Export {
     val out = if (shards > 0) df.repartition(shards) else df
     out.write.mode("overwrite").json(path)
   }
+
+  /** WebDataset-style tar shard export — the sequential-read training
+    * layout (Aizman et al.; one `.tar` per shard, one `{name}.{ext}`
+    * entry per example, consumed by streaming loaders without random
+    * I/O). `df` must carry a shard id column (compose with
+    * `Relational.globalShuffle` / `tokenShards`, whose shard
+    * assignment IS the reproducible training order); rows repartition
+    * by shard and sort by (shard, name) within partitions, so each
+    * executor streams its shards' tars sequentially and entry order is
+    * deterministic. Headers are POSIX ustar with mtime pinned to 0 —
+    * byte-identical re-runs, so shards are content-addressable.
+    *
+    * Writes `shard-NNNNN.tar` under `dir` via `java.nio` — the
+    * local-filesystem flavor (tests, single-node dumps). On a real
+    * cluster, point `dir` at a fuse/NFS mount or swap the sink for a
+    * Hadoop `FileSystem` stream; the sharding/ordering logic is the
+    * part that matters and is identical.
+    */
+  def tarShards(df: DataFrame, dir: String, shardCol: String,
+      nameCol: String, payloadCol: String, ext: String = "txt"): Unit = {
+    import org.apache.spark.sql.functions.col
+    new java.io.File(dir).mkdirs()
+    df.select(col(shardCol).cast("long").as("_s"),
+        col(nameCol).cast("string").as("_n"),
+        col(payloadCol).cast("string").as("_p"))
+      .repartition(col("_s"))
+      .sortWithinPartitions(col("_s"), col("_n"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        var cur: Long = Long.MinValue
+        var out: java.io.OutputStream = null
+        def close(): Unit = if (out != null) {
+          out.write(new Array[Byte](1024)) // two zero end blocks
+          out.close(); out = null
+        }
+        rows.foreach { r =>
+          val s = r.getLong(0)
+          if (s != cur || out == null) {
+            close(); cur = s
+            out = new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(
+                f"$dir%s/shard-$s%05d.tar"))
+          }
+          val bytes = r.getString(2)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          out.write(TarFormat.header(s"${r.getString(1)}.$ext",
+            bytes.length))
+          out.write(bytes)
+          val pad = (512 - bytes.length % 512) % 512
+          if (pad > 0) out.write(new Array[Byte](pad))
+        }
+        close()
+      }
+  }
+}
+
+/** Minimal POSIX ustar writer/reader — enough for WebDataset text
+  * shards, pure JVM (the JDK ships zip but not tar). Public format:
+  * 512-byte header (name, octal size/mode/mtime, checksum over the
+  * header with the checksum field spaced out, magic "ustar"), payload
+  * padded to 512, two zero blocks at end.
+  */
+object TarFormat {
+
+  def header(name: String, size: Int): Array[Byte] = {
+    require(name.getBytes("UTF-8").length <= 100, s"tar name too long: $name")
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    put(0, name)
+    put(100, "0000644\u0000")            // mode
+    put(108, "0000000\u0000")            // uid
+    put(116, "0000000\u0000")            // gid
+    put(124, f"$size%011o" + "\u0000")   // size, octal
+    put(136, "00000000000\u0000")        // mtime pinned to epoch
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum spaces
+    h(156) = '0'                         // typeflag: regular file
+    put(257, "ustar\u0000")              // magic
+    put(263, "00")                       // version
+    val sum = h.map(b => b & 0xff).sum
+    put(148, f"$sum%06o" + "\u0000 ")
+    h
+  }
+
+  /** Parse a tar stream into (name, payload) entries (for round-trip
+    * tests and small reads — not a distributed source).
+    */
+  def read(in: java.io.InputStream): Seq[(String, Array[Byte])] = {
+    val entries = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Array[Byte])]
+    val h = new Array[Byte](512)
+    def readFully(buf: Array[Byte]): Boolean = {
+      var off = 0
+      while (off < buf.length) {
+        val n = in.read(buf, off, buf.length - off)
+        if (n < 0) return false
+        off += n
+      }
+      true
+    }
+    while (readFully(h) && h.exists(_ != 0)) {
+      val name = new String(h.take(100).takeWhile(_ != 0), "UTF-8")
+      val size = java.lang.Long.parseLong(
+        new String(h.slice(124, 135), "US-ASCII").trim, 8).toInt
+      val expect = {
+        val c = h.clone()
+        java.util.Arrays.fill(c, 148, 156, ' '.toByte)
+        c.map(b => b & 0xff).sum
+      }
+      val stated = java.lang.Integer.parseInt(
+        new String(h.slice(148, 154), "US-ASCII").trim, 8)
+      require(stated == expect, s"tar checksum mismatch for $name")
+      val payload = new Array[Byte](size)
+      require(readFully(payload), s"truncated tar payload for $name")
+      entries += ((name, payload))
+      val pad = (512 - size % 512) % 512
+      if (pad > 0) { val skip = new Array[Byte](pad); readFully(skip) }
+    }
+    entries.toSeq
+  }
 }

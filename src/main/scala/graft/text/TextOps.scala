@@ -160,6 +160,43 @@ object TextOps {
           col("n_grams").cast("double"), 6).as("novelty"))
   }
 
+  /** Persist the (gram, first_doc) first-occurrence table
+    * [[noveltyScore]] derives — the write-once artifact for repeated
+    * novelty runs (each re-run otherwise re-explodes the corpus to
+    * rebuild it). Update incrementally on append by unioning the new
+    * batch's table and re-minimizing.
+    */
+  def writeNoveltyIndex(df: DataFrame, path: String, textCol: String,
+      idCol: String, k: Int = 3,
+      tokenizer: Column => Column = tokensSimple): Unit =
+    df.select(col(idCol),
+        explode(shingles(tokenizer(col(textCol)), k)).as("gram"))
+      .groupBy(col("gram")).agg(min(col(idCol)).as("first_doc"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Novelty against a persisted first-occurrence index: same output
+    * as [[noveltyScore]] when the index was built from the same
+    * corpus; against an OLDER index, new docs score novelty relative
+    * to the indexed snapshot (the incremental-crawl question: "what
+    * does this batch add?"). Grams absent from the index are novel.
+    */
+  def noveltyFromIndex(df: DataFrame, firstDocs: DataFrame,
+      textCol: String, idCol: String, k: Int = 3,
+      tokenizer: Column => Column = tokensSimple): DataFrame = {
+    val grams = df.select(col(idCol),
+        explode(shingles(tokenizer(col(textCol)), k)).as("gram"))
+      .distinct()
+    grams.join(firstDocs, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc").isNull ||
+          col("first_doc") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") /
+          col("n_grams").cast("double"), 6).as("novelty"))
+  }
+
   /** Per-group token-distribution entropy in integer micro-nats — the
     * diversity/templatedness observability signal (a crawl source
     * whose entropy collapses is boilerplate or spam; CCNet and C4 both

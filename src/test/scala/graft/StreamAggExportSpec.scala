@@ -399,6 +399,49 @@ class StreamAggExportSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("tarShards: WebDataset layout round-trips, entries are name-" +
+    "ordered per shard, and GNU tar can list the archives") {
+    import graft.operators.{Export, TarFormat}
+    val dir = java.nio.file.Files.createTempDirectory("tarsh").toString
+    val df = Seq(
+      (0L, "doc_b", "beta text"),
+      (0L, "doc_a", "alpha text"),
+      (1L, "doc_c", "gamma " * 200)) // > 512 bytes → multi-block
+      .toDF("shard", "name", "text")
+    Export.tarShards(df, dir, "shard", "name", "text")
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+    assert(files.map(_.getName).toSeq ==
+      Seq("shard-00000.tar", "shard-00001.tar"))
+    // every tar size is a multiple of 512 (header+payload+end blocks)
+    files.foreach(f => assert(f.length % 512 == 0, f.getName))
+    val s0 = TarFormat.read(new java.io.FileInputStream(files(0)))
+    assert(s0.map(_._1) == Seq("doc_a.txt", "doc_b.txt")) // name order
+    assert(new String(s0.head._2, "UTF-8") == "alpha text")
+    val s1 = TarFormat.read(new java.io.FileInputStream(files(1)))
+    assert(s1.map(_._1) == Seq("doc_c.txt"))
+    assert(s1.head._2.length == "gamma ".length * 200)
+    // interop: system tar lists the same entries (skip if absent)
+    if (new java.io.File("/usr/bin/tar").exists ||
+      new java.io.File("/bin/tar").exists) {
+      import scala.sys.process._
+      val listed = Seq("tar", "-tf", files(0).getPath).!!.trim
+        .split("\n").toSeq
+      assert(listed == Seq("doc_a.txt", "doc_b.txt"),
+        s"system tar disagrees: $listed")
+      // !! appends a trailing newline to the captured stdout
+      val body = Seq("tar", "-xOf", files(0).getPath, "doc_a.txt").!!
+      assert(body.stripLineEnd == "alpha text")
+    }
+    // determinism: a re-run produces byte-identical archives
+    val dir2 = java.nio.file.Files.createTempDirectory("tarsh2").toString
+    Export.tarShards(df, dir2, "shard", "name", "text")
+    val a = java.nio.file.Files.readAllBytes(files(0).toPath)
+    val b = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir2, "shard-00000.tar").toPath)
+    assert(java.util.Arrays.equals(a, b))
+  }
+
   test("streaming quantiles: exact under k, bounded past k, and the " +
     "batch bottom-k sample reproduces the stream's estimates") {
     import graft.streaming.StreamingSketch

@@ -1209,6 +1209,29 @@ class TextDedupSpec extends SparkSpec {
       3L -> ((2L, 0L, 0.0))))
   }
 
+  test("noveltyFromIndex: same-corpus index reproduces noveltyScore; " +
+    "an older index answers what a new batch adds") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("novidx").toString
+    TextOps.writeNoveltyIndex(base, dir, "text", "doc_id")
+    val idx = spark.read.parquet(dir)
+    val inline = TextOps.noveltyScore(base, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val fromIdx = TextOps.noveltyFromIndex(base, idx, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(inline == fromIdx)
+    // a later batch against the OLD index: repeated grams are stale,
+    // unseen grams are novel
+    val batch = Seq((9L, "a b c z")).toDF("doc_id", "text")
+    val got = TextOps.noveltyFromIndex(batch, idx, "text", "doc_id")
+      .head()
+    // grams {a b c (indexed), b c z (absent → novel)}
+    assert(got.getLong(1) == 2L && got.getLong(2) == 1L)
+  }
+
   test("unigramEntropy: uniform two-token group hits ln(2) in " +
     "micro-nats, constant group reads zero") {
     import spark.implicits._
