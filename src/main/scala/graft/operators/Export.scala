@@ -60,8 +60,8 @@ object Export {
     new java.io.File(dir).mkdirs()
     df.select(col(shardCol).cast("long").as("_s"),
         col(nameCol).cast("string").as("_n"),
-        col(payloadCol).cast("string").as("_p"))
-      .repartition(col("_s"))
+        col(payloadCol).cast("binary").as("_p")) // string → UTF-8 bytes;
+      .repartition(col("_s"))                    // binary passes through
       .sortWithinPartitions(col("_s"), col("_n"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         var cur: Long = Long.MinValue
@@ -78,8 +78,7 @@ object Export {
               new java.io.FileOutputStream(
                 f"$dir%s/shard-$s%05d.tar"))
           }
-          val bytes = r.getString(2)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val bytes = r.getAs[Array[Byte]](2)
           out.write(TarFormat.header(s"${r.getString(1)}.$ext",
             bytes.length))
           out.write(bytes)
@@ -88,6 +87,27 @@ object Export {
         }
         close()
       }
+  }
+
+  /** Read WebDataset-style tar shards back into a DataFrame —
+    * `(shard_file, name, payload: binary)`, one row per entry. Rides
+    * Spark's `binaryFile` source, so shards split across executors by
+    * FILE (the WebDataset contract: a shard is the unit of sequential
+    * I/O) and the glob/pushdown machinery comes free. Parsing is
+    * [[TarFormat.read]] per file inside the scan stage.
+    */
+  def readTarShards(spark: org.apache.spark.sql.SparkSession,
+      glob: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, udf}
+    val parse = udf { (bytes: Array[Byte]) =>
+      TarFormat.read(new java.io.ByteArrayInputStream(bytes))
+        .map { case (n, p) => (n, p) }
+    }
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path").as("shard_file"),
+        explode(parse(col("content"))).as("_e"))
+      .select(col("shard_file"), col("_e._1").as("name"),
+        col("_e._2").as("payload"))
   }
 }
 

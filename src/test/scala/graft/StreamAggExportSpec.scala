@@ -440,6 +440,14 @@ class StreamAggExportSpec extends SparkSpec {
     val b = java.nio.file.Files.readAllBytes(
       new java.io.File(dir2, "shard-00000.tar").toPath)
     assert(java.util.Arrays.equals(a, b))
+    // and the distributed reader ingests the shards back losslessly
+    val back = Export.readTarShards(spark, s"$dir/*.tar")
+      .collect()
+      .map(r => r.getString(1) ->
+        new String(r.getAs[Array[Byte]]("payload"), "UTF-8")).toMap
+    assert(back.keySet == Set("doc_a.txt", "doc_b.txt", "doc_c.txt"))
+    assert(back("doc_a.txt") == "alpha text")
+    assert(back("doc_c.txt") == "gamma " * 200)
   }
 
   test("streaming quantiles: exact under k, bounded past k, and the " +
