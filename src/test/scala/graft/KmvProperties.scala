@@ -207,3 +207,67 @@ object BottomKProperties extends Properties("BottomKXX") {
           buf.toArray(new Array[(Long, Double)](buf.size)).sorted)
     }
 }
+
+/** Fuzz the hand-written POSIX ustar writer/reader: arbitrary entry
+  * lists round-trip losslessly, archives are always 512-aligned, and
+  * single-byte corruption in a header is caught by the checksum.
+  */
+object TarProperties extends org.scalacheck.Properties("TarFormat") {
+  import org.scalacheck.{Gen, Prop}
+  import org.scalacheck.Prop.forAll
+  import graft.operators.TarFormat
+
+  private val genName: Gen[String] = for {
+    n <- Gen.choose(1, 60)
+    cs <- Gen.listOfN(n, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('-', '_', '.')))
+  } yield cs.mkString
+
+  private val genEntry: Gen[(String, Array[Byte])] = for {
+    name <- genName
+    size <- Gen.oneOf(Gen.choose(0, 64), Gen.choose(500, 1500))
+    bytes <- Gen.listOfN(size, Gen.choose(
+      Byte.MinValue, Byte.MaxValue))
+  } yield (name, bytes.toArray)
+
+  private def archive(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (n, p) =>
+      bos.write(TarFormat.header(n, p.length))
+      bos.write(p)
+      val pad = (512 - p.length % 512) % 512
+      if (pad > 0) bos.write(new Array[Byte](pad))
+    }
+    bos.write(new Array[Byte](1024))
+    bos.toByteArray
+  }
+
+  property("write → read round-trips names and payloads exactly") =
+    forAll(Gen.listOf(genEntry)) { entries =>
+      val back = TarFormat.read(
+        new java.io.ByteArrayInputStream(archive(entries)))
+      back.map(_._1) == entries.map(_._1) &&
+        back.zip(entries).forall { case ((_, a), (_, b)) =>
+          java.util.Arrays.equals(a, b)
+        }
+    }
+
+  property("archives are 512-aligned") =
+    forAll(Gen.listOf(genEntry)) { entries =>
+      archive(entries).length % 512 == 0
+    }
+
+  property("flipping a header byte breaks the checksum") =
+    forAll(genEntry, Gen.choose(0, 99)) { case ((name, payload), off) =>
+      val bytes = archive(Seq((name, payload)))
+      val orig = bytes(off)
+      // flip within the name field; skip positions that do not change
+      // the byte (already equal) to keep the property meaningful
+      bytes(off) = (orig ^ 0x55).toByte
+      val caught =
+        try { TarFormat.read(new java.io.ByteArrayInputStream(bytes)); false }
+        catch { case _: Exception => true }
+      bytes(off) = orig
+      Prop.collect(caught)(caught || (orig == (orig ^ 0x55).toByte))
+    }
+}
