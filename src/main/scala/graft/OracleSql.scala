@@ -2160,5 +2160,31 @@ object OracleSql {
         |  sum(CASE WHEN abs(j.v - j.med) > 3.0 * d.mad
         |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers
         |FROM j JOIN d USING (event_type)
-        |GROUP BY j.event_type""".stripMargin)
+        |GROUP BY j.event_type""".stripMargin,
+
+    // corpus diff: digest-only full outer join between the table and
+    // the same deterministic v2 derivation
+    "q114_corpus_diff" ->
+      """WITH old AS (SELECT doc_id, sha256(text) AS h FROM documents),
+        |v2 AS (SELECT doc_id,
+        |         sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |                ELSE text END) AS h
+        |       FROM documents WHERE doc_id % 10 != 0
+        |       UNION ALL
+        |       SELECT doc_id + 100000, sha256(text) FROM documents
+        |       WHERE doc_id % 13 = 0)
+        |SELECT coalesce(old.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN old.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN old.h = v2.h THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM old FULL OUTER JOIN v2 ON old.doc_id = v2.doc_id""".stripMargin,
+
+    // rollup: GROUP BY ROLLUP emits the same subtotal/grand-total rows
+    // with NULL group keys
+    "q115_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty, count(*)::BIGINT AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
 }

@@ -1489,6 +1489,32 @@ object SparkEntry {
         .select(col("event_type"), col("n")),
       Seq("event_type"), "n", c = 3.0)
 
+  /** Snapshot diff audit: the documents table against a deterministic
+    * "next crawl" derived from it (every 10th doc dropped, every 7th
+    * mutated, every 13th re-added under a new id) — per-doc
+    * added/removed/changed/unchanged status via digest-only full outer
+    * join.
+    */
+  def q114_corpus_diff(s: SparkSession, dir: String): DataFrame = {
+    val old = t(s, dir, "documents")
+    val v2 = old.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(old.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(100000L)))
+    Relational.corpusDiff(old, v2, "doc_id", "text")
+  }
+
+  /** Multi-granularity totals via ROLLUP: per (flag, status) sums plus
+    * per-flag subtotals plus the grand total in one pass — the Expand-
+    * based plan Spark generates for grouping sets.
+    */
+  def q115_rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1604,7 +1630,9 @@ object SparkEntry {
     "q110_funnel" -> (q110_funnel(_, _)),
     "q111_keywords" -> (q111_keywords(_, _)),
     "q112_retention" -> (q112_retention(_, _)),
-    "q113_rate_anomalies" -> (q113_rate_anomalies(_, _)))
+    "q113_rate_anomalies" -> (q113_rate_anomalies(_, _)),
+    "q114_corpus_diff" -> (q114_corpus_diff(_, _)),
+    "q115_rollup" -> (q115_rollup(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -861,6 +861,30 @@ object Relational {
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Snapshot diff: per-id status between two corpus versions —
+    * `added` (only in the new), `removed` (only in the old),
+    * `changed` (content hash differs), `unchanged`. The audit a lake
+    * runs between crawl drops before committing a new training
+    * snapshot (paired with [[graft.text.TextOps.noveltyScore]] for
+    * "is the change worth training on").
+    *
+    * One full outer hash-join on the id; content compares via sha2 so
+    * only 32-byte digests ride the join, not text. Both sides scan
+    * once.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def keyed(df: DataFrame, h: String) = df.select(col(idCol),
+      sha2(col(textCol).cast("binary"), 256).as(h))
+    keyed(oldDf, "_ho")
+      .join(keyed(newDf, "_hn"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_ho").isNull, "added")
+          .when(col("_hn").isNull, "removed")
+          .when(col("_ho") === col("_hn"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Robust per-group outlier report — median/MAD instead of mean/σ,
     * so a heavy tail cannot mask itself (the estimator breaks down at
     * 50% contamination, not one point): rows farther than

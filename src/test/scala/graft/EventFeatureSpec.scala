@@ -342,6 +342,18 @@ class EventFeatureSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("corpusDiff: all four statuses from one digest-only outer join") {
+    val old = Seq((1L, "same"), (2L, "before"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, "same"), (2L, "after"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Relational
+      .corpusDiff(old, nw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("zorderValue interleaves bits (x even, y odd) and orders locality") {
     val z = Seq((3, 5), (0, 0), (1023, 1023))
       .toDF("x", "y")
