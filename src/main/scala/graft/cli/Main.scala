@@ -629,6 +629,36 @@ object Main {
         s"shards (seed $seed) -> $outDir")
       spark.stop()
 
+    // snapshot diff: per-id status counts between two corpus versions
+    case "diff" :: oldPath :: newPath :: rest =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val spark = session()
+      val statuses = graft.operators.Relational.corpusDiff(
+        loadCorpus(spark, oldPath, rest),
+        loadCorpus(spark, newPath, rest), "doc_id", "text")
+      statuses.groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status")).collect()
+        .foreach(r => println(s"[diff] ${r.getString(0)}: ${r.getLong(1)}"))
+      rest.dropWhile(_ != "--out").drop(1).headOption.foreach { out =>
+        Export.jsonl(statuses.filter(col("status") =!= "unchanged"), out)
+        println(s"[diff] non-unchanged rows -> $out")
+      }
+      spark.stop()
+
+    // dataset manifest: per-file row counts + null counts + schema hash
+    case "manifest" :: path :: rest =>
+      val spark = session()
+      val m = graft.operators.Diagnose.manifest(spark, path)
+      rest.headOption match {
+        case Some(out) =>
+          m.coalesce(1).write.mode("overwrite").parquet(out)
+          println(s"[manifest] ${m.count()} files -> $out")
+        case None =>
+          m.orderBy("file").collect()
+            .foreach(r => println(s"[manifest] ${r.mkString(" ")}"))
+      }
+      spark.stop()
+
     // key-skew report: heavy hitters of any parquet column (the
     // pre-join salting/broadcast diagnostic); prints to stdout
     case "skew" :: path :: keyCol :: rest =>
@@ -832,6 +862,8 @@ object Main {
           "bpe-learn <corpus> <out> [rounds] [--jsonl] | " +
           "quantiles <parquet> <keyCol> <valCol> [k] | " +
           "tar-export <corpus> <out> [shards] [seed] [--jsonl] | " +
+          "diff <oldCorpus> <newCorpus> [--out <dir>] [--jsonl] | " +
+          "manifest <parquet> [outDir] | " +
           "skew <parquet> <keyCol> [topK] | " +
           "overlap <corpus> <out> [groupCol] [--jsonl] | " +
           "fim <corpus> <out> [seed] [--jsonl] | " +

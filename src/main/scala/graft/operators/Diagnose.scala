@@ -63,4 +63,27 @@ object Diagnose {
       .orderBy(col("n_rows").desc, col(keyCol).asc)
       .limit(topK)
   }
+
+  /** Dataset manifest: one row per physical file — row count and a
+    * per-column null count — plus the schema fingerprint carried on
+    * every row. The validation artifact a lake writes beside a
+    * snapshot (and diffs between snapshots: a file whose row count
+    * moved, a column whose null rate jumped — both are drop blockers).
+    * One distributed scan grouped by `input_file_name` — no driver
+    * listing, no second pass per column.
+    */
+  def manifest(spark: SparkSession, root: String): DataFrame = {
+    val df = spark.read.parquet(root)
+    val schemaHash = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(df.schema.catalogString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+    val nullCounts = df.schema.fieldNames.map { f =>
+      sum(when(col(f).isNull, 1L).otherwise(0L)).as(s"nulls_$f")
+    }
+    df.withColumn("_file", input_file_name())
+      .groupBy(col("_file").as("file"))
+      .agg(count(lit(1)).as("n_rows"), nullCounts.toSeq: _*)
+      .withColumn("schema_hash", lit(schemaHash))
+  }
 }

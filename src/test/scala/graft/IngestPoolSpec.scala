@@ -364,4 +364,24 @@ class IngestPoolSpec extends SparkSpec {
       java.nio.file.Paths.get(root, "part=p2")).toArray.toSeq
     assert(p2After === p2File)
   }
+
+  test("manifest: per-file row and null counts, stable schema hash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files
+      .createTempDirectory("manifest").toString
+    Seq((1L, Some("a")), (2L, None), (3L, Some("c")), (4L, None))
+      .toDF("id", "v")
+      .repartition(2, col("id")).write.mode("overwrite").parquet(root)
+    val m = graft.operators.Diagnose.manifest(spark, root).collect()
+    assert(m.length == 2) // one row per physical file
+    assert(m.map(_.getAs[Long]("n_rows")).sum == 4L)
+    assert(m.map(_.getAs[Long]("nulls_v")).sum == 2L)
+    assert(m.forall(_.getAs[Long]("nulls_id") == 0L))
+    // schema hash is identical across files and runs
+    assert(m.map(_.getAs[String]("schema_hash")).distinct.length == 1)
+    val again = graft.operators.Diagnose.manifest(spark, root)
+      .head().getAs[String]("schema_hash")
+    assert(again == m.head.getAs[String]("schema_hash"))
+  }
 }
