@@ -645,6 +645,14 @@ object Main {
       }
       spark.stop()
 
+    // per-column dataset profile (nulls, distinct est, min/max, pXX)
+    case "profile" :: path :: Nil =>
+      val spark = session()
+      graft.operators.Diagnose.profile(spark.read.parquet(path))
+        .orderBy("column").collect()
+        .foreach(r => println(s"[profile] ${r.mkString(" ")}"))
+      spark.stop()
+
     // dataset manifest: per-file row counts + null counts + schema hash
     case "manifest" :: path :: rest =>
       val spark = session()
@@ -863,7 +871,7 @@ object Main {
           "quantiles <parquet> <keyCol> <valCol> [k] | " +
           "tar-export <corpus> <out> [shards] [seed] [--jsonl] | " +
           "diff <oldCorpus> <newCorpus> [--out <dir>] [--jsonl] | " +
-          "manifest <parquet> [outDir] | " +
+          "manifest <parquet> [outDir] | profile <parquet> | " +
           "skew <parquet> <keyCol> [topK] | " +
           "overlap <corpus> <out> [groupCol] [--jsonl] | " +
           "fim <corpus> <out> [seed] [--jsonl] | " +

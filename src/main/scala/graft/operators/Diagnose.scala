@@ -86,4 +86,52 @@ object Diagnose {
       .agg(count(lit(1)).as("n_rows"), nullCounts.toSeq: _*)
       .withColumn("schema_hash", lit(schemaHash))
   }
+
+  /** Per-column dataset profile — the statistics page for a snapshot:
+    * null count, estimated distinct count (HLL++), and min/max (as
+    * strings, so one schema fits every dtype) for every column, plus
+    * approximate p50/p90/p99 for numeric columns. ONE aggregation
+    * pass computes every statistic (constant sketch state per column
+    * — the q12 hierarchical-rollup discipline); the wide 1-row result
+    * melts to a row per column at the driver, which is schema-sized,
+    * not data-sized.
+    */
+  def profile(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fields = df.schema.fields.toSeq
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"_n_${f.name}"),
+        approx_count_distinct(c).as(s"_d_${f.name}"),
+        min(c).cast("string").as(s"_mn_${f.name}"),
+        max(c).cast("string").as(s"_mx_${f.name}")) ++
+        (f.dataType match {
+          case _: NumericType => Seq(
+            approx_percentile(c.cast("double"),
+              array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
+              .as(s"_p_${f.name}"))
+          case _ => Nil
+        })
+    }
+    val row = df.agg(count(lit(1)).as("_total"), aggs: _*).head()
+    val total = row.getAs[Long]("_total")
+    fields.map { f =>
+      val ps = f.dataType match {
+        case _: NumericType =>
+          Option(row.getAs[scala.collection.Seq[Double]](s"_p_${f.name}"))
+            .map(_.toSeq).getOrElse(Nil)
+        case _ => Nil
+      }
+      (f.name, f.dataType.simpleString, total,
+        row.getAs[Long](s"_n_${f.name}"),
+        row.getAs[Long](s"_d_${f.name}"),
+        Option(row.getAs[String](s"_mn_${f.name}")),
+        Option(row.getAs[String](s"_mx_${f.name}")),
+        ps.lift(0), ps.lift(1), ps.lift(2))
+    }.toDF("column", "dtype", "n_rows", "n_nulls", "distinct_est",
+      "min", "max", "p50", "p90", "p99")
+  }
 }

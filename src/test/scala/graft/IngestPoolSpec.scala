@@ -384,4 +384,25 @@ class IngestPoolSpec extends SparkSpec {
       .head().getAs[String]("schema_hash")
     assert(again == m.head.getAs[String]("schema_hash"))
   }
+
+  test("profile: one pass yields per-column nulls/distinct/minmax and " +
+    "numeric percentiles") {
+    import spark.implicits._
+    val df = Seq((1L, Some(10.0), "a"), (2L, None, "b"),
+      (3L, Some(30.0), "b"), (4L, Some(20.0), "a"))
+      .toDF("id", "v", "s")
+    val p = graft.operators.Diagnose.profile(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("id", "v", "s"))
+    assert(p("v").getAs[Long]("n_nulls") == 1L)
+    assert(p("s").getAs[Long]("n_nulls") == 0L)
+    assert(p("id").getAs[Long]("distinct_est") == 4L)
+    assert(p("s").getAs[Long]("distinct_est") == 2L)
+    assert(p("id").getAs[String]("min") == "1" &&
+      p("id").getAs[String]("max") == "4")
+    // numeric columns carry percentiles; strings do not
+    assert(p("v").getAs[Double]("p50") == 20.0)
+    assert(p("s").isNullAt(p("s").fieldIndex("p50")))
+    assert(p.values.forall(_.getAs[Long]("n_rows") == 4L))
+  }
 }
