@@ -2186,5 +2186,35 @@ object OracleSql {
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty, count(*)::BIGINT AS n_rows
         |FROM lineitem
-        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    // vocab coverage: frequency-ranked tokens with an integer prefix
+    // sum and one division per row
+    "q116_vocab_coverage" ->
+      """WITH c AS (SELECT term AS token, count(*)::BIGINT AS n
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS term
+        |            FROM documents) GROUP BY 1),
+        |r AS (SELECT token, n,
+        |        row_number() OVER (ORDER BY n DESC, token ASC)::INTEGER
+        |          AS rank,
+        |        sum(n) OVER (ORDER BY n DESC, token ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          ::BIGINT AS cum
+        |      FROM c),
+        |t AS (SELECT sum(n)::BIGINT AS total FROM c)
+        |SELECT r.rank, r.token, r.n AS n_occurrences,
+        |  r.cum AS cum_occurrences,
+        |  round(r.cum::DOUBLE / t.total::DOUBLE, 6) AS coverage
+        |FROM r, t""".stripMargin,
+
+    // modality coverage: docs left-joined to their embedding ids,
+    // per-source counts and fraction
+    "q117_modality_coverage" ->
+      """SELECT d.source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_with_embedding,
+        |  round(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0
+        |    END)::DOUBLE / count(*)::DOUBLE, 6) AS coverage
+        |FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY d.source""".stripMargin)
 }

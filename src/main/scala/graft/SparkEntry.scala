@@ -1515,6 +1515,30 @@ object SparkEntry {
       .agg(sum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n_rows"))
 
+  /** Vocabulary coverage curve over the corpus: every token's rank and
+    * the cumulative occurrence fraction a rank-truncated vocab covers.
+    */
+  def q116_vocab_coverage(s: SparkSession, dir: String): DataFrame =
+    TextOps.vocabCoverage(docs(s, dir), "text")
+
+  /** Modality coverage audit: per source, how many docs have an
+    * aligned embedding row — the missing-modality report a multimodal
+    * pipeline runs before training (left anti-join semantics via one
+    * left join + null count).
+    */
+  def q117_modality_coverage(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val e = t(s, dir, "embeddings").select(col("vec_id"))
+    d.join(e, d("doc_id") === e("vec_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("vec_id").isNotNull, 1L).otherwise(0L))
+          .as("n_with_embedding"))
+      .select(col("source"), col("n_docs"), col("n_with_embedding"),
+        round(col("n_with_embedding").cast("double") /
+          col("n_docs").cast("double"), 6).as("coverage"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1632,7 +1656,9 @@ object SparkEntry {
     "q112_retention" -> (q112_retention(_, _)),
     "q113_rate_anomalies" -> (q113_rate_anomalies(_, _)),
     "q114_corpus_diff" -> (q114_corpus_diff(_, _)),
-    "q115_rollup" -> (q115_rollup(_, _)))
+    "q115_rollup" -> (q115_rollup(_, _)),
+    "q116_vocab_coverage" -> (q116_vocab_coverage(_, _)),
+    "q117_modality_coverage" -> (q117_modality_coverage(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -197,6 +197,40 @@ object TextOps {
           col("n_grams").cast("double"), 6).as("novelty"))
   }
 
+  /** Vocabulary coverage curve: tokens ranked by corpus frequency
+    * (ties: lexicographic), each row carrying the CUMULATIVE fraction
+    * of all token occurrences a vocabulary truncated at that rank
+    * would cover — the "how big must the vocab be for 99%" input to
+    * tokenizer design (the long tail this curve exposes is exactly
+    * what BPE exists to compress). Returns
+    * `(rank, token, n_occurrences, cum_occurrences, coverage)`.
+    *
+    * Scale shape: one (token) hash aggregation with map-side combine
+    * collapses the corpus to vocabulary size; the ranking window and
+    * prefix sum then run over VOCAB rows (≤ a few million for any real
+    * corpus — window-safe), never the corpus. Integer cumulative
+    * counts; one division per row for the fraction.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      tokenizer: Column => Column = tokensSimple): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(tokenizer(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
+    val w = Window.orderBy(col("n_occurrences").desc, col("token").asc)
+    counts
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_occurrences",
+        sum(col("n_occurrences")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(
+        counts.agg(sum(col("n_occurrences")).as("_total"))))
+      .select(col("rank"), col("token"), col("n_occurrences"),
+        col("cum_occurrences"),
+        round(col("cum_occurrences").cast("double") /
+          col("_total").cast("double"), 6).as("coverage"))
+  }
+
   /** Per-group token-distribution entropy in integer micro-nats — the
     * diversity/templatedness observability signal (a crawl source
     * whose entropy collapses is boilerplate or spam; CCNet and C4 both
