@@ -2216,5 +2216,19 @@ object OracleSql {
         |  round(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0
         |    END)::DOUBLE / count(*)::DOUBLE, 6) AS coverage
         |FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
-        |GROUP BY d.source""".stripMargin)
+        |GROUP BY d.source""".stripMargin,
+
+    // sliding windows: every event replicated to its width/slide
+    // epoch-aligned windows (w_start = floor(t/slide)*slide − k·slide,
+    // k < width/slide — each start always covers t, so no filter)
+    "q118_sliding_window" ->
+      """WITH e AS (SELECT user_id,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+        |      FROM events),
+        |w AS (SELECT user_id, value,
+        |        ((t // 1800) * 1800 - 1800 * k) AS window_start
+        |      FROM e, unnest(range(0, 4)) AS u(k))
+        |SELECT user_id, window_start, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin)
 }

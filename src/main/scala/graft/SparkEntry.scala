@@ -1539,6 +1539,12 @@ object SparkEntry {
           col("n_docs").cast("double"), 6).as("coverage"))
   }
 
+  /** Sliding 2h windows advancing every 30min over the events stream:
+    * each event lands in 4 overlapping windows — the moving-rate view.
+    */
+  def q118_sliding_window(s: SparkSession, dir: String): DataFrame =
+    EventOps.slidingAgg(t(s, dir, "events"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1658,7 +1664,8 @@ object SparkEntry {
     "q114_corpus_diff" -> (q114_corpus_diff(_, _)),
     "q115_rollup" -> (q115_rollup(_, _)),
     "q116_vocab_coverage" -> (q116_vocab_coverage(_, _)),
-    "q117_modality_coverage" -> (q117_modality_coverage(_, _)))
+    "q117_modality_coverage" -> (q117_modality_coverage(_, _)),
+    "q118_sliding_window" -> (q118_sliding_window(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -300,6 +300,25 @@ object EventOps {
           col("_size").cast("double"), 6).as("retention"))
   }
 
+  /** Sliding-window aggregation: events per (user, window) where
+    * windows of `width` advance every `slide` — each event lands in
+    * `width/slide` overlapping epoch-aligned windows (the
+    * moving-average / rate-limit view q23's tumbling windows cannot
+    * express). Same shape as [[tumblingAgg]]: one shuffle on
+    * (user, window) with map-side partials; the `width/slide`-way
+    * row replication happens in the scan stage (Spark's `window()`
+    * Expand), bounded by the overlap factor.
+    */
+  def slidingAgg(events: DataFrame, width: String = "2 hours",
+      slide: String = "30 minutes"): DataFrame =
+    normalizeTs(events)
+      .groupBy(col("user_id"), window(col("ts"), width, slide).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("n_events"), col("sum_value"))
+
   /** Ordered funnel analysis: how many users complete each prefix of
     * `stages` IN ORDER (greedy-earliest semantics: stage i's timestamp
     * is the user's earliest `stages(i)` event STRICTLY AFTER their
