@@ -2230,5 +2230,30 @@ object OracleSql {
         |      FROM e, unnest(range(0, 4)) AS u(k))
         |SELECT user_id, window_start, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value
-        |FROM w GROUP BY 1, 2""".stripMargin)
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // Fightin' Words: the same prior/log-odds IEEE chains, snapped to
+    // micro-nats (a = 0.01·(c1+c2) term prior, A = 0.01·total)
+    "q119_fightin_words" ->
+      """WITH t AS (SELECT (doc_id % 2)::INTEGER AS s2,
+        |        unnest(string_split(text, ' ')) AS term
+        |      FROM documents),
+        |c AS (SELECT term,
+        |        sum(CASE WHEN s2 = 0 THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |        sum(CASE WHEN s2 = 1 THEN 1 ELSE 0 END)::BIGINT AS c2
+        |      FROM t GROUP BY 1),
+        |n AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+        |        sum(c1 + c2)::BIGINT AS nt FROM c)
+        |SELECT c.term, c.c1, c.c2,
+        |  (round((ln((c.c2::DOUBLE + 0.01 * (c.c1 + c.c2)) /
+        |      (n.n2::DOUBLE + 0.01 * n.nt - c.c2
+        |        - 0.01 * (c.c1 + c.c2)))
+        |    - ln((c.c1::DOUBLE + 0.01 * (c.c1 + c.c2)) /
+        |      (n.n1::DOUBLE + 0.01 * n.nt - c.c1
+        |        - 0.01 * (c.c1 + c.c2))))
+        |   * 1000000))::BIGINT AS delta_micro,
+        |  (round((1.0 / (c.c2::DOUBLE + 0.01 * (c.c1 + c.c2))
+        |    + 1.0 / (c.c1::DOUBLE + 0.01 * (c.c1 + c.c2)))
+        |   * 1000000))::BIGINT AS var_micro
+        |FROM c, n""".stripMargin)
 }

@@ -1545,6 +1545,14 @@ object SparkEntry {
   def q118_sliding_window(s: SparkSession, dir: String): DataFrame =
     EventOps.slidingAgg(t(s, dir, "events"))
 
+  /** Term-level drift: Fightin'-Words log-odds (informative Dirichlet
+    * prior) between the even- and odd-id halves of the corpus — WHICH
+    * WORDS are over-represented where, in micro-nats.
+    */
+  def q119_fightin_words(s: SparkSession, dir: String): DataFrame =
+    TextOps.fightinWords(docs(s, dir), "text",
+      sliceTwo = col("doc_id") % 2 === 1)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1665,7 +1673,8 @@ object SparkEntry {
     "q115_rollup" -> (q115_rollup(_, _)),
     "q116_vocab_coverage" -> (q116_vocab_coverage(_, _)),
     "q117_modality_coverage" -> (q117_modality_coverage(_, _)),
-    "q118_sliding_window" -> (q118_sliding_window(_, _)))
+    "q118_sliding_window" -> (q118_sliding_window(_, _)),
+    "q119_fightin_words" -> (q119_fightin_words(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

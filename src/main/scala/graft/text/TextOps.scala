@@ -197,6 +197,49 @@ object TextOps {
           col("n_grams").cast("double"), 6).as("novelty"))
   }
 
+  /** Term-level drift attribution between two corpus slices — the
+    * informative-Dirichlet-prior log-odds of Monroe, Colaresi &
+    * Quinn 2008 ("Fightin' Words"): for each term,
+    * `δ = ln((c₂+a)/(n₂+A−c₂−a)) − ln((c₁+a)/(n₁+A−c₁−a))` with the
+    * corpus-wide counts as the prior (a = prior·c, A = prior·n), and
+    * its approximate variance `1/(c₂+a) + 1/(c₁+a)`. Positive δ =
+    * over-represented in slice 2. This is the TERM-LEVEL answer to
+    * [[Dsir.groupDivergence]]'s bucket-level "which source drifted":
+    * WHICH WORDS moved. Values snap to integer micro-nats (the
+    * engine-replay discipline). Returns
+    * `(term, c1, c2, delta_micro, var_micro)`.
+    *
+    * Scale shape: two (slice, term) hash aggregations collapse the
+    * corpus to vocabulary size (map-side combine), a full outer join
+    * aligns the two vocab tables, and the 1-row totals broadcast.
+    */
+  def fightinWords(df: DataFrame, textCol: String, sliceTwo: Column,
+      priorScale: Double = 0.01,
+      tokenizer: Column => Column = tokensSimple): DataFrame = {
+    val terms = df.select(sliceTwo.cast("int").as("_s2"),
+      explode(tokenizer(col(textCol))).as("term"))
+    val counts = terms.groupBy(col("term"))
+      .agg(sum(when(col("_s2") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("_s2") === 1, 1L).otherwise(0L)).as("c2"))
+    val totals = counts.agg(sum(col("c1")).as("_n1"),
+      sum(col("c2")).as("_n2"),
+      sum(col("c1") + col("c2")).as("_n"))
+    val joined = counts.crossJoin(broadcast(totals))
+    val a = lit(priorScale) * (col("c1") + col("c2")).cast("double")
+    val bigA = lit(priorScale) * col("_n").cast("double")
+    def logOdds(c: Column, n: Column): Column =
+      log((c.cast("double") + a) /
+        (n.cast("double") + bigA - c.cast("double") - a))
+    val delta = logOdds(col("c2"), col("_n2")) -
+      logOdds(col("c1"), col("_n1"))
+    val variance =
+      lit(1.0) / (col("c2").cast("double") + a) +
+        lit(1.0) / (col("c1").cast("double") + a)
+    joined.select(col("term"), col("c1"), col("c2"),
+      round(delta * lit(1000000.0)).cast("long").as("delta_micro"),
+      round(variance * lit(1000000.0)).cast("long").as("var_micro"))
+  }
+
   /** Vocabulary coverage curve: tokens ranked by corpus frequency
     * (ties: lexicographic), each row carrying the CUMULATIVE fraction
     * of all token occurrences a vocabulary truncated at that rank

@@ -1232,6 +1232,27 @@ class TextDedupSpec extends SparkSpec {
     assert(got.getLong(1) == 2L && got.getLong(2) == 1L)
   }
 
+  test("fightinWords: planted over-representation signs delta; " +
+    "balanced terms sit near zero with tighter variance when common") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "base base hot"), (2L, "base base hot"),   // slice 1 (even)
+      (1L, "base base new new"), (3L, "base base new new")) // slice 2
+      .toDF("doc_id", "text")
+    val got = TextOps.fightinWords(df, "text",
+      col("doc_id") % 2 === 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 'new' only in slice 2 → strongly positive; 'hot' only in slice 1
+    // → strongly negative; 'base' balanced → small |delta|
+    assert(got("new")._3 > 0 && got("hot")._3 < 0)
+    assert(math.abs(got("base")._3) < got("new")._3)
+    // variance shrinks with evidence: 'base' (8 occurrences) tighter
+    // than 'hot' (2)
+    assert(got("base")._4 < got("hot")._4)
+    assert(got("new") == ((0L, 4L, got("new")._3, got("new")._4)))
+  }
+
   test("unigramEntropy: uniform two-token group hits ln(2) in " +
     "micro-nats, constant group reads zero") {
     import spark.implicits._
