@@ -155,7 +155,8 @@ class PlanGateSpec extends SparkSpec {
       "q102_cms_freq",       // probe terms × broadcast 1-row sketch
       "q106_pq_encode",      // corpus × broadcast m·k-row codebooks
       "q111_keywords",       // tf rows × broadcast 1-row corpus size (q44's shape)
-      "q116_vocab_coverage") // vocab rows × broadcast 1-row total
+      "q116_vocab_coverage", // vocab rows × broadcast 1-row total
+      "q119_fightin_words")  // vocab rows × broadcast 1-row totals
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — so it is audited by its own
     // gate entry instead
