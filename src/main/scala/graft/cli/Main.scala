@@ -629,6 +629,31 @@ object Main {
         s"shards (seed $seed) -> $outDir")
       spark.stop()
 
+    // ordered funnel over an events parquet: stages are the args
+    case "funnel" :: path :: stagesCsv :: rest =>
+      val maxGap = rest.headOption.map(_.toLong)
+      val spark = session()
+      graft.streaming.EventOps.funnel(spark.read.parquet(path),
+        stagesCsv.split(",").toSeq, maxGapMinutes = maxGap)
+        .collect().foreach { r =>
+          println(s"[funnel] ${r.getInt(0)} ${r.getString(1)}: " +
+            s"${r.getLong(2)} users (${r.getDouble(3)})")
+        }
+      spark.stop()
+
+    // cohort retention over an events parquet
+    case "retention" :: path :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      graft.streaming.EventOps.retention(spark.read.parquet(path))
+        .orderBy(col("cohort_day"), col("day_offset"))
+        .collect().take(40).foreach { r =>
+          println(s"[retention] cohort=${r.getLong(0)} " +
+            s"offset=${r.getLong(1)} active=${r.getLong(2)} " +
+            s"(${r.getDouble(3)})")
+        }
+      spark.stop()
+
     // snapshot diff: per-id status counts between two corpus versions
     case "diff" :: oldPath :: newPath :: rest =>
       import org.apache.spark.sql.functions.{col, count, lit}
@@ -871,6 +896,8 @@ object Main {
           "quantiles <parquet> <keyCol> <valCol> [k] | " +
           "tar-export <corpus> <out> [shards] [seed] [--jsonl] | " +
           "diff <oldCorpus> <newCorpus> [--out <dir>] [--jsonl] | " +
+          "funnel <events> <stage,stage,...> [maxGapMin] | " +
+          "retention <events> | " +
           "manifest <parquet> [outDir] | profile <parquet> | " +
           "skew <parquet> <keyCol> [topK] | " +
           "overlap <corpus> <out> [groupCol] [--jsonl] | " +

@@ -337,11 +337,19 @@ object EventOps {
     */
   def funnel(events: DataFrame, stages: Seq[String],
       userCol: String = "user_id", typeCol: String = "event_type",
-      tsCol: String = "ts"): DataFrame = {
+      tsCol: String = "ts", maxGapMinutes: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(maxGapMinutes.forall(_ > 0), "maxGapMinutes must be positive")
     val ev = normalizeTs(events)
       .select(col(userCol).as("_u"), col(typeCol).as("_ty"),
         col(tsCol).cast("long").as("_ts"))
+    // conversion window: stage i must land within maxGap of stage i−1
+    // (the standard product-analytics attribution bound; None = ever)
+    def inWindow: Column = maxGapMinutes match {
+      case Some(m) => col("_ts") > col("_t") &&
+        col("_ts") <= col("_t") + lit(m * 60L)
+      case None => col("_ts") > col("_t")
+    }
     // stage tables: (user, t_i) — each a filtered min-aggregation
     var reached = ev.filter(col("_ty") === stages.head)
       .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
@@ -351,7 +359,7 @@ object EventOps {
     stages.zipWithIndex.drop(1).foreach { case (stage, i) =>
       reached = ev.filter(col("_ty") === stage)
         .join(reached, Seq("_u"))
-        .filter(col("_ts") > col("_t"))
+        .filter(inWindow)
         .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
         .localCheckpoint()
       counts += ((i, stage, reached.count()))

@@ -318,6 +318,25 @@ class EventFeatureSpec extends SparkSpec {
     assert(got(0) == (("view", 3L, 1.0)))       // u1, u2, u3
     assert(got(1) == (("click", 2L, 0.666667))) // u1, u2 (click after view)
     assert(got(2) == (("purchase", 1L, 0.333333))) // u1 only
+    // conversion window: u2's click is 3s after the view — a 1-minute
+    // window keeps it, but a window shorter than the gap drops it while
+    // u1's 1s gaps survive
+    val bounded = graft.streaming.EventOps
+      .funnel(ev, Seq("view", "click", "purchase"),
+        maxGapMinutes = Some(1L))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(bounded == Map(0 -> 3L, 1 -> 2L, 2 -> 1L))
+    // (u2: view@2 → click@5 is 3s; shrink the unit by moving the
+    // events apart instead — view@2, click@5 both fit 60s, so craft a
+    // tighter case: gap > window via a 61s-later click)
+    val ev2 = Seq(
+      (1L, t(1), 1L, "view", 0.0, "{}"),
+      (2L, t(70), 1L, "click", 0.0, "{}")) // 69s after the view
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tight = graft.streaming.EventOps
+      .funnel(ev2, Seq("view", "click"), maxGapMinutes = Some(1L))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(tight == Map(0 -> 1L, 1 -> 0L)) // conversion outside window
   }
 
   test("retention: first-seen day defines the cohort; repeat activity " +
