@@ -2255,5 +2255,38 @@ object OracleSql {
         |  (round((1.0 / (c.c2::DOUBLE + 0.01 * (c.c1 + c.c2))
         |    + 1.0 / (c.c1::DOUBLE + 0.01 * (c.c1 + c.c2)))
         |   * 1000000))::BIGINT AS var_micro
-        |FROM c, n""".stripMargin)
+        |FROM c, n""".stripMargin,
+
+    // sketch-tier robust outliers: the q104 bottom-k sample replayed
+    // (row_number over (hash, value)), median and MAD as rank
+    // statistics of the sorted sample (both snapped to 6 decimals —
+    // the q109 discipline), outlier count scaled by integer division
+    "q120_outliers_approx" ->
+      """WITH h AS (SELECT l_returnflag,
+        |    (('0x' || substr(md5(l_orderkey::VARCHAR || ':' ||
+        |        l_linenumber::VARCHAR), 1, 8))::UBIGINT)::BIGINT AS hv,
+        |    l_extendedprice AS v FROM lineitem),
+        |r AS (SELECT l_returnflag, hv, v, row_number() OVER
+        |        (PARTITION BY l_returnflag ORDER BY hv, v) AS rn
+        |      FROM h),
+        |s AS (SELECT l_returnflag, v FROM r WHERE rn <= 256),
+        |g AS (SELECT l_returnflag, count(*)::INTEGER AS m,
+        |        list_sort(list(v)) AS vs FROM s GROUP BY 1),
+        |n AS (SELECT l_returnflag, count(*)::BIGINT AS n_rows
+        |      FROM lineitem GROUP BY 1),
+        |q AS (SELECT l_returnflag, m, vs,
+        |        round(vs[(floor(0.5 * (m - 1)) + 1)::INTEGER], 6) AS med
+        |      FROM g),
+        |d AS (SELECT l_returnflag, m, vs, med,
+        |        list_sort(list_transform(vs, x -> abs(x - med))) AS rs
+        |      FROM q),
+        |e AS (SELECT l_returnflag, m, vs, med,
+        |        round(rs[(floor(0.5 * (m - 1)) + 1)::INTEGER], 6) AS mad
+        |      FROM d)
+        |SELECT e.l_returnflag, n.n_rows, e.m,
+        |  e.med AS median_est, e.mad AS mad_est,
+        |  ((n.n_rows * len(list_filter(e.vs,
+        |      x -> abs(x - e.med) > 3.0 * e.mad))::BIGINT)
+        |    // e.m::BIGINT)::BIGINT AS n_outliers_est
+        |FROM e JOIN n USING (l_returnflag)""".stripMargin)
 }

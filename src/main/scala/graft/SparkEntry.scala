@@ -1553,6 +1553,19 @@ object SparkEntry {
     TextOps.fightinWords(docs(s, dir), "text",
       sliceTwo = col("doc_id") % 2 === 1)
 
+  /** Sketch-tier robust outlier screen: q109's median/MAD report from
+    * ONE bottom-k-sample aggregation pass (bounded per-group state)
+    * instead of three exact-percentile scans — the flavor that
+    * survives 100 TB groups. Sampled values replay verbatim (q104
+    * discipline) and the outlier-count estimate is pure integer
+    * arithmetic, so the whole row hash-gates.
+    */
+  def q120_outliers_approx(s: SparkSession, dir: String): DataFrame =
+    Relational.robustOutliersApprox(t(s, dir, "lineitem"),
+      Seq("l_returnflag"), "l_extendedprice",
+      TextOps.hash32(concat_ws(":", col("l_orderkey"),
+        col("l_linenumber"))), k = 256, c = 3.0)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1674,7 +1687,8 @@ object SparkEntry {
     "q116_vocab_coverage" -> (q116_vocab_coverage(_, _)),
     "q117_modality_coverage" -> (q117_modality_coverage(_, _)),
     "q118_sliding_window" -> (q118_sliding_window(_, _)),
-    "q119_fightin_words" -> (q119_fightin_words(_, _)))
+    "q119_fightin_words" -> (q119_fightin_words(_, _)),
+    "q120_outliers_approx" -> (q120_outliers_approx(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -945,13 +945,68 @@ object Relational {
     * sample value at 1-based rank `floor(q·(m−1)) + 1` of the
     * value-sorted sample (nearest-lower-rank, no interpolation — the
     * sampled value is carried VERBATIM, which is what lets an external
-    * engine replay the estimate bit-for-bit).
+    * engine replay the estimate bit-for-bit). An EMPTY sample (a group
+    * whose hash or value inputs were all null) yields NULL, not an
+    * element_at(, 0) error.
     */
   def sampleQuantile(sketch: Column, q: Double): Column = {
     require(q >= 0 && q <= 1, s"quantile must be in [0,1], got $q")
-    val vs = array_sort(transform(sketch, x => x.getField("v")))
-    element_at(vs,
-      (floor(lit(q) * (size(vs) - 1).cast("double")) + 1).cast("int"))
+    sortedSampleQuantile(
+      array_sort(transform(sketch, x => x.getField("v"))), q)
+  }
+
+  /** [[sampleQuantile]] over an already-sorted sample array (so one
+    * sort serves several quantiles/derived statistics).
+    */
+  private def sortedSampleQuantile(vs: Column, q: Double): Column =
+    when(size(vs) === 0, lit(null).cast("double"))
+      .otherwise(element_at(vs,
+        (floor(lit(q) * (size(vs) - 1).cast("double")) + 1).cast("int")))
+
+  /** Sketch-tier flavor of [[robustOutliers]]: ONE aggregation pass
+    * with bounded per-group state, where the exact flavor scans the
+    * data three times with distinct-value-bounded percentile buffers.
+    * A [[bottomKSample]] sketch (k smallest-hash (hash, value) pairs)
+    * stands in for the group's distribution: median and MAD are rank
+    * statistics OF THE SAMPLE (sampled values carried verbatim, both
+    * snapped to 6 decimals exactly like the exact flavor), and the
+    * outlier count estimate scales the sample's outlier share to the
+    * group size with pure integer arithmetic —
+    * `(n_rows · n_sample_outliers) div m` — so every output cell
+    * replays bit-exact in an external engine. Error is the usual
+    * O(1/√k) sample-quantile band; k = 256 gives ~±6 percentile
+    * points, plenty for a traffic screen (the exact flavor stays the
+    * oracle-tier report).
+    *
+    * `hash` must be a deterministic per-ROW hash (the q104 discipline:
+    * [[graft.text.TextOps.hash32]] of the row key, NOT of the value),
+    * so the kept sample is a partition-order-free pure function of
+    * group contents.
+    */
+  def robustOutliersApprox(
+      df: DataFrame, keys: Seq[String], valueCol: String, hash: Column,
+      k: Int = 256, c: Double = 3.0): DataFrame = {
+    require(c > 0, s"c must be positive, got $c")
+    val kcols = keys.map(col)
+    df.groupBy(kcols: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        bottomKSample(hash, col(valueCol), k).as("_sk"))
+      .withColumn("_vs", array_sort(transform(col("_sk"),
+        p => p.getField("v"))))
+      .withColumn("m", size(col("_vs")))
+      .withColumn("_med", round(sortedSampleQuantile(col("_vs"), 0.5), 6))
+      .withColumn("_mad", round(sortedSampleQuantile(
+        array_sort(transform(col("_vs"),
+          x => abs(x - col("_med")))), 0.5), 6))
+      .withColumn("_so", size(filter(col("_vs"),
+        x => abs(x - col("_med")) > lit(c) * col("_mad"))))
+      .withColumn("n_outliers_est",
+        when(col("m") === 0, lit(null).cast("bigint")) // ANSI div-by-0
+          .otherwise(
+            expr("(n_rows * cast(_so AS BIGINT)) div cast(m AS BIGINT)")))
+      .select(kcols ++ Seq(col("n_rows"), col("m"),
+        col("_med").as("median_est"), col("_mad").as("mad_est"),
+        col("n_outliers_est")): _*)
   }
 
   /** Range join: left point rows to right interval rows sharing `keys` —

@@ -320,58 +320,79 @@ object EventOps {
         col("n_events"), col("sum_value"))
 
   /** Ordered funnel analysis: how many users complete each prefix of
-    * `stages` IN ORDER (greedy-earliest semantics: stage i's timestamp
-    * is the user's earliest `stages(i)` event STRICTLY AFTER their
-    * stage i−1 timestamp — the standard product-analytics funnel).
-    * Returns one row per stage:
+    * `stages` IN ORDER. With no conversion window (`maxGapMinutes =
+    * None`) the chain is greedy-earliest — stage i's timestamp is the
+    * user's earliest `stages(i)` event STRICTLY AFTER their stage i−1
+    * timestamp — which is EXACT for unbounded funnels (an exchange
+    * argument: the earliest chain dominates any other). With a window
+    * set, greedy-earliest undercounts (a user whose earliest stage-i−1
+    * hit falls outside the gap may still convert off a later one), so
+    * the gap flavor keeps ALL qualifying stage timestamps per user —
+    * any-chain semantics, matching standard funnel tools. Returns one
+    * row per stage (zero-user stages included):
     * `(stage_idx, stage, n_users, conversion)` with conversion the
     * fraction of stage-0 completers still present.
     *
     * Scale shape: one filtered aggregation per stage over the events
-    * scan — stage i filters to its event type, joins the (user,
-    * t_{i−1}) table (user-count-sized, hash equi-join), and takes
-    * `min(ts)` per user with map-side partials. No windows, no
-    * per-user event sorting; a whale user costs its event count in a
-    * hash aggregate, not a sort buffer. Stage count bounds the number
-    * of passes (funnels are 3-6 stages).
+    * scan — stage i filters to its event type, joins the stage-i−1
+    * user table (user-count-sized, hash equi-join), and collapses per
+    * user with map-side partials. No windows, no per-user event
+    * sorting; a whale user costs its event count in a hash aggregate,
+    * not a sort buffer. Stage count bounds plan depth (funnels are 3-6
+    * stages). The whole funnel is ONE LAZY PLAN — per-stage counts
+    * come from a tagged union through a single `groupBy(stage)`
+    * aggregation, not a driver `count()` per stage, so executing the
+    * result is one action (AQE reuses the shared stage subtrees).
     */
   def funnel(events: DataFrame, stages: Seq[String],
       userCol: String = "user_id", typeCol: String = "event_type",
       tsCol: String = "ts", maxGapMinutes: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(maxGapMinutes.forall(_ > 0), "maxGapMinutes must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
     val ev = normalizeTs(events)
       .select(col(userCol).as("_u"), col(typeCol).as("_ty"),
         col(tsCol).cast("long").as("_ts"))
     // conversion window: stage i must land within maxGap of stage i−1
     // (the standard product-analytics attribution bound; None = ever)
     def inWindow: Column = maxGapMinutes match {
-      case Some(m) => col("_ts") > col("_t") &&
-        col("_ts") <= col("_t") + lit(m * 60L)
-      case None => col("_ts") > col("_t")
+      case Some(m) => col("_ts") > col("_tp") &&
+        col("_ts") <= col("_tp") + lit(m * 60L)
+      case None => col("_ts") > col("_tp")
     }
-    // stage tables: (user, t_i) — each a filtered min-aggregation
-    var reached = ev.filter(col("_ty") === stages.head)
-      .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
-      .localCheckpoint() // user-count-sized; cuts the iterative lineage
-    val counts = scala.collection.mutable.ArrayBuffer(
-      (0, stages.head, reached.count()))
-    stages.zipWithIndex.drop(1).foreach { case (stage, i) =>
-      reached = ev.filter(col("_ty") === stage)
-        .join(reached, Seq("_u"))
-        .filter(inWindow)
-        .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
-        .localCheckpoint()
-      counts += ((i, stage, reached.count()))
+    // min-only per user is exact without a gap and keeps stage tables
+    // one-row-per-user; the gap flavor needs every qualifying timestamp
+    val keepAll = maxGapMinutes.isDefined
+    def collapse(df: DataFrame): DataFrame =
+      if (keepAll) df.select(col("_u"), col("_ts").as("_t")).distinct()
+      else df.groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
+    val stage0 = collapse(ev.filter(col("_ty") === stages.head))
+    val reached = stages.drop(1).scanLeft(stage0) { (prev, stage) =>
+      collapse(ev.filter(col("_ty") === stage)
+        .join(prev.select(col("_u"), col("_t").as("_tp")), Seq("_u"))
+        .filter(inWindow))
     }
-    val spark = events.sparkSession
-    import spark.implicits._
-    val base = counts.head._3
-    counts.toSeq.map { case (i, stage, n) =>
-      (i, stage, n,
-        if (base == 0L) 0.0
-        else BigDecimal(n.toDouble / base.toDouble)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }.toDF("stage_idx", "stage", "n_users", "conversion")
+    val tagged = reached.zip(stages.zipWithIndex).map {
+      case (frame, (stage, i)) => frame.select(
+        lit(i).as("stage_idx"), lit(stage).as("stage"), col("_u"))
+    }
+    val counts = tagged.reduce(_.unionByName(_))
+      .groupBy(col("stage_idx"), col("stage"))
+      .agg(countDistinct(col("_u")).as("_n"))
+    // always-1-row stage-0 base (a filter would yield ZERO rows on an
+    // empty funnel and erase the output through the cross join)
+    val base = counts.agg(coalesce(
+      sum(when(col("stage_idx") === 0, col("_n"))), lit(0L)).as("_base"))
+    // left join onto the stage dimension so empty stages report n=0
+    val dim = stages.zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("stage_idx", "stage")
+    val n = coalesce(col("_n"), lit(0L))
+    dim.join(counts, Seq("stage_idx", "stage"), "left")
+      .crossJoin(broadcast(base))
+      .select(col("stage_idx"), col("stage"), n.as("n_users"),
+        when(col("_base") === 0L, lit(0.0)).otherwise(
+          round(n.cast("double") / col("_base").cast("double"), 6))
+          .as("conversion"))
   }
 }

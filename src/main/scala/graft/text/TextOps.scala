@@ -248,30 +248,94 @@ object TextOps {
     * what BPE exists to compress). Returns
     * `(rank, token, n_occurrences, cum_occurrences, coverage)`.
     *
-    * Scale shape: one (token) hash aggregation with map-side combine
-    * collapses the corpus to vocabulary size; the ranking window and
-    * prefix sum then run over VOCAB rows (≤ a few million for any real
-    * corpus — window-safe), never the corpus. Integer cumulative
-    * counts; one division per row for the fraction.
+    * Scale shape — NO global window anywhere (a 100 TB web corpus's
+    * whitespace vocabulary runs to hundreds of millions of rows; one
+    * `Window.orderBy` would sort all of them on a single reducer). The
+    * global rank/prefix-sum decomposes exactly:
+    *
+    *   rank(t)  = |{t': n(t') > n(t)}| + |{t'': n(t'') = n(t), t'' < t}| + 1
+    *   cum(t)   = Σ_{n' > n(t)} n'·|vocab(n')| + intra_rank(t) · n(t)
+    *
+    * The first summand needs only the DISTINCT-COUNT table (one row
+    * per distinct frequency, ≤ 2√N rows for N total occurrences),
+    * prefix-summed per log2-octave bucket (`length(bin(n)) - 1` —
+    * integer-exact, monotone) with ≤ 64 octave offsets folded from a
+    * broadcast array. The second is a per-(n, token-prefix) window —
+    * a frequency tie group (the n = 1 singleton spike IS most of the
+    * vocabulary) splits across `16^prefixLen`-ish lexicographic
+    * sub-buckets, offsets rejoining per n, so no window task ever
+    * holds a whole tie group. Both levels read their totals off the
+    * window OUTPUT (the [[graft.operators.Relational.tokenShards]]
+    * max-of-inclusive-prefix trick) so each level's shuffle is shared,
+    * and the token aggregation feeding both levels is one reusable
+    * exchange. `prefixLen` is the tie-spike knob (2 chars default).
     */
   def vocabCoverage(df: DataFrame, textCol: String,
-      tokenizer: Column => Column = tokensSimple): DataFrame = {
+      tokenizer: Column => Column = tokensSimple,
+      prefixLen: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(prefixLen > 0, s"prefixLen must be positive, got $prefixLen")
     val counts = df
       .select(explode(tokenizer(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
-    val w = Window.orderBy(col("n_occurrences").desc, col("token").asc)
-    counts
-      .withColumn("rank", row_number().over(w))
-      .withColumn("cum_occurrences",
-        sum(col("n_occurrences")).over(
-          w.rowsBetween(Window.unboundedPreceding, 0)))
-      .crossJoin(broadcast(
-        counts.agg(sum(col("n_occurrences")).as("_total"))))
-      .select(col("rank"), col("token"), col("n_occurrences"),
-        col("cum_occurrences"),
-        round(col("cum_occurrences").cast("double") /
-          col("_total").cast("double"), 6).as("coverage"))
+    // ---- level A: exclusive prefix (token count, occurrence mass) over
+    // the distinct-frequency table in n-DESC order, octave-bucketed
+    val perN = counts
+      .groupBy(col("n_occurrences").as("_n"))
+      .agg(count(lit(1)).as("_tc"))
+      .withColumn("_mass", col("_n") * col("_tc"))
+      .withColumn("_oct", (length(bin(col("_n"))) - 1).cast("long"))
+    val wA = Window.partitionBy(col("_oct")).orderBy(col("_n").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val localA = perN
+      .withColumn("_ltc", coalesce(sum(col("_tc")).over(wA), lit(0L)))
+      .withColumn("_lms", coalesce(sum(col("_mass")).over(wA), lit(0L)))
+    // octave totals off the window OUTPUT (shares wA's shuffle); ≤ 64
+    // rows, so the cross-octave offsets are a broadcast array fold —
+    // higher octave = larger n = earlier in rank order
+    val octTotals = localA.groupBy(col("_oct"))
+      .agg(max(col("_ltc") + col("_tc")).as("_otc"),
+        max(col("_lms") + col("_mass")).as("_oms"))
+    val octArr = octTotals.agg(
+      collect_list(struct(col("_oct"), col("_otc"), col("_oms"))).as("_oa"),
+      sum(col("_oms")).as("_total"))
+    def higherOctSum(field: String): Column = aggregate(
+      filter(col("_oa"), e => e.getField("_oct") > col("_oct")),
+      lit(0L), (a, e) => a + e.getField(field))
+    val baseByN = localA.crossJoin(broadcast(octArr))
+      .select(col("_n").as("_jn"),
+        (higherOctSum("_otc") + col("_ltc")).as("_rankbase"),
+        (higherOctSum("_oms") + col("_lms")).as("_massbase"),
+        col("_total"))
+    // ---- level B: intra-tie lexicographic rank, prefix-sub-bucketed
+    val base = counts
+      .withColumn("_pfx", substring(col("token"), 1, prefixLen))
+    val wB = Window.partitionBy(col("n_occurrences"), col("_pfx"))
+      .orderBy(col("token"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val localB = base.withColumn("_lrank",
+      coalesce(sum(lit(1L)).over(wB), lit(0L)))
+    val wP = Window.partitionBy(col("n_occurrences")).orderBy(col("_pfx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pfxOff = localB.groupBy(col("n_occurrences"), col("_pfx"))
+      .agg(max(col("_lrank") + 1L).as("_ptot"))
+      .withColumn("_poff", coalesce(sum(col("_ptot")).over(wP), lit(0L)))
+      .select(col("n_occurrences").as("_pn"), col("_pfx").as("_ppfx"),
+        col("_poff"))
+    val tieRank = col("_poff") + col("_lrank") // 0-based within tie group
+    localB
+      .join(pfxOff,
+        col("n_occurrences") <=> col("_pn") && col("_pfx") <=> col("_ppfx"))
+      .join(baseByN, col("n_occurrences") <=> col("_jn"))
+      .select(
+        (col("_rankbase") + tieRank + 1L).cast("int").as("rank"),
+        col("token"), col("n_occurrences"),
+        (col("_massbase") + (tieRank + 1L) * col("n_occurrences"))
+          .as("cum_occurrences"),
+        round(
+          (col("_massbase") + (tieRank + 1L) * col("n_occurrences"))
+            .cast("double") / col("_total").cast("double"), 6)
+          .as("coverage"))
   }
 
   /** Per-group token-distribution entropy in integer micro-nats — the

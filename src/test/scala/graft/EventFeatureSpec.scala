@@ -339,6 +339,50 @@ class EventFeatureSpec extends SparkSpec {
     assert(tight == Map(0 -> 1L, 1 -> 0L)) // conversion outside window
   }
 
+  test("funnel with a gap is any-chain, not greedy-earliest: a later " +
+    "prior-stage hit can carry the conversion the earliest one misses") {
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // u1: earliest view@1 → click@70 is 69s (outside a 60s window), but
+    // view@65 → click@70 is 5s — the user DOES convert via the later
+    // view; min-only stage tables would drop them
+    val ev = Seq(
+      (1L, t(1), 1L, "view", 0.0, "{}"),
+      (2L, t(65), 1L, "view", 0.0, "{}"),
+      (3L, t(70), 1L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.streaming.EventOps
+      .funnel(ev, Seq("view", "click"), maxGapMinutes = Some(1L))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(0 -> 1L, 1 -> 1L))
+  }
+
+  test("funnel is one lazy plan: construction launches no jobs, and a " +
+    "zero-user stage still reports a row") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq((1L, t(1), 1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = graft.streaming.EventOps
+        .funnel(ev, Seq("view", "click", "purchase"))
+      Thread.sleep(500) // let any stray job-start events reach the bus
+      assert(jobs.get() == 0,
+        s"funnel construction ran ${jobs.get()} jobs — must be lazy")
+      val rows = df.collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSet == Set(
+        (0, "view", 1L, 1.0),
+        (1, "click", 0L, 0.0),
+        (2, "purchase", 0L, 0.0)))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("retention: first-seen day defines the cohort; repeat activity " +
     "within a day collapses") {
     def t(day: Long, h: Int) =

@@ -129,6 +129,42 @@ class PlanGateSpec extends SparkSpec {
       s"q80 lost its heap-based top-k:\n$p80")
   }
 
+  test("no gate query plans a partition-less WindowExec — a global " +
+    "window funnels its whole input through one reducer") {
+    // sanctioned exceptions, both windows over BOUNDED inputs:
+    // - q91: unimaxQuotas' waterfill runs a global window over the
+    //   PER-CLASS token-count table — G rows (languages/sources:
+    //   thousands at most), never the corpus, and its closed form
+    //   needs the total order (Relational.scala unimaxQuotas
+    //   docstring).
+    // - q86: globalShuffle is hashRankedCum with a CONSTANT class, so
+    //   Catalyst folds the level-2 offsets window's partition spec to
+    //   empty — but that window runs over the bucket-totals table,
+    //   16^hashPrefixLen rows (65,536 at the default) regardless of
+    //   corpus size, by construction.
+    // Everything else must bucket (the two-level prefix-sum
+    // discipline: hashRankedCum, percentileBuckets, vocabCoverage).
+    val globalWindowWhitelist = Set("q91_unimax_sample",
+      "q86_global_shuffle")
+    val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn")
+    val offenders = SparkEntry.queries.keys
+      .filterNot(eager.contains)
+      .filterNot(globalWindowWhitelist.contains)
+      .flatMap { name =>
+        val plan = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.sparkPlan
+        val bad = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(s"$name: ${bad.size} global window(s)")
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("no gate query plans a CartesianProduct; BroadcastNestedLoopJoin " +
     "only where the operator is a deliberate tiny-side broadcast") {
     // queries whose SEMANTICS are a non-equi match against a broadcast
@@ -155,12 +191,18 @@ class PlanGateSpec extends SparkSpec {
       "q102_cms_freq",       // probe terms × broadcast 1-row sketch
       "q106_pq_encode",      // corpus × broadcast m·k-row codebooks
       "q111_keywords",       // tf rows × broadcast 1-row corpus size (q44's shape)
-      "q116_vocab_coverage", // vocab rows × broadcast 1-row total
+      "q110_funnel",         // stage counts × broadcast 1-row stage-0 base
+      "q116_vocab_coverage", // distinct-count rows × broadcast 1-row octave table
       "q119_fightin_words")  // vocab rows × broadcast 1-row totals
     // q26 performs its ingest roundtrip at DataFrame-construction time —
-    // a real write job, not a plan build — so it is audited by its own
-    // gate entry instead
-    val names = SparkEntry.queries.keys.filterNot(_ == "q26_ingest_roundtrip")
+    // a real write job, not a plan build — and q105's BPE trainer runs
+    // its per-round argmax collect()s eagerly while the DataFrame is
+    // BUILT (the returned frame is driver-local metadata), so for both
+    // the final plan is just a LocalRelation and auditing it would
+    // execute the whole query while gating nothing; their distributed
+    // stages are pinned by their oracle rows + their own specs instead
+    val eagerExempt = Set("q26_ingest_roundtrip", "q105_bpe_learn")
+    val names = SparkEntry.queries.keys.filterNot(eagerExempt.contains)
     val offenders = names.flatMap { name =>
       // analysis failures are named per query rather than aborting the
       // loop (a testdata dtype drift once hid behind the first throw)

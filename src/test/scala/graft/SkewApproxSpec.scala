@@ -162,4 +162,49 @@ class SkewApproxSpec extends SparkSpec {
       .select(size(col("sk"))).head().getInt(0)
     assert(viaSql == 5)
   }
+
+  test("robustOutliersApprox agrees with the exact flavor within sample " +
+    "error on a skewed group; an empty-sample group yields NULL " +
+    "estimates instead of crashing") {
+    import graft.text.TextOps
+    // heavy-tailed group: 5000 lognormal-ish values + 25 far outliers
+    // (deterministic: value is a pure function of i)
+    val rows = (1L to 5000L).map { i =>
+      val base = math.exp((i % 97).toDouble / 20.0) // ~1..122
+      val v = if (i % 200 == 0) base + 10000.0 else base
+      (i, "g", v)
+    }
+    val df = rows.toDF("id", "grp", "v")
+    val exact = Relational.robustOutliers(df, Seq("grp"), "v", c = 3.0)
+      .head()
+    val approx = Relational.robustOutliersApprox(df, Seq("grp"), "v",
+      TextOps.hash32(col("id").cast("string")), k = 512, c = 3.0)
+      .head()
+    val medEx = exact.getAs[Double]("median")
+    val medAp = approx.getAs[Double]("median_est")
+    // k=512 → rank error ~ O(n/√k): the sampled median must land well
+    // inside the bulk of the distribution (±30% of the exact median)
+    assert(math.abs(medAp - medEx) <= 0.3 * medEx,
+      s"median: exact $medEx vs approx $medAp")
+    val outEx = exact.getAs[Long]("n_outliers")
+    val outAp = approx.getAs[Long]("n_outliers_est")
+    // binomial share error at k=512 is ~√(p(1−p)/512)·n ≈ 2% of n;
+    // give 3σ headroom relative to the exact count
+    assert(math.abs(outAp - outEx) <= math.max(0.25 * outEx, 50.0),
+      s"outlier estimate $outAp vs exact $outEx")
+    // all-null value column → empty sketch → NULL estimates, 0 est
+    val nulls = Seq((1L, "g"), (2L, "g"))
+      .toDF("id", "grp").withColumn("v", lit(null).cast("double"))
+    val r = Relational.robustOutliersApprox(nulls, Seq("grp"), "v",
+      TextOps.hash32(col("id").cast("string")), k = 8, c = 3.0).head()
+    assert(r.getAs[Long]("n_rows") == 2L && r.getAs[Int]("m") == 0)
+    assert(r.isNullAt(r.fieldIndex("median_est")) &&
+      r.isNullAt(r.fieldIndex("mad_est")) &&
+      r.isNullAt(r.fieldIndex("n_outliers_est")))
+    // sampleQuantile on an empty sketch is NULL (not element_at(,0))
+    val sq = nulls.agg(Relational.bottomKSample(
+        TextOps.hash32(col("id").cast("string")), col("v"), 8).as("sk"))
+      .select(Relational.sampleQuantile(col("sk"), 0.5).as("q")).head()
+    assert(sq.isNullAt(0))
+  }
 }
