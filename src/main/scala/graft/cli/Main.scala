@@ -42,7 +42,7 @@ import graft.schema.Vintages
   * graft.cli.Main buckets <corpus> <target> <outDir> [--jsonl]  // ppl head/middle/tail
   * graft.cli.Main dhash   <parquet> <outDir> [maxBits]   // image near-dup pairs
   * graft.cli.Main phrase  <corpus> <outDir> "<exact phrase>" [--jsonl]
-  * graft.cli.Main bpe-learn <corpus> <outDir> [rounds] [--jsonl]
+  * graft.cli.Main bpe-learn <corpus> <outDir> [rounds] [--jsonl] [--distributed]
   * graft.cli.Main quantiles <parquet> <keyCol> <valCol> [k]   // sketch-tier p50/p90/p99
   * }}}
   *
@@ -573,12 +573,19 @@ object Main {
       println(s"[phrase] '$phrase' -> ${hits.count()} docs -> $outDir")
       spark.stop()
 
-    // learn a BPE merge table from the corpus (prints + writes parquet)
+    // learn a BPE merge table from the corpus (prints + writes parquet).
+    // Default: the driver fast path (one corpus scan, all rounds in
+    // memory — the realistic shape for 16+ merges); --distributed runs
+    // one Spark job per round (for vocabularies beyond driver memory)
     case "bpe-learn" :: corpus :: outDir :: rest =>
       val rounds = rest.find(!_.startsWith("--")).map(_.toInt).getOrElse(16)
       val spark = session()
-      val merges = graft.text.TextOps.learnBpeMerges(
-        loadCorpus(spark, corpus, rest), "text", rounds)
+      val corpusDf = loadCorpus(spark, corpus, rest)
+      val merges =
+        if (rest.contains("--distributed"))
+          graft.text.TextOps.learnBpeMerges(corpusDf, "text", rounds)
+        else
+          graft.text.TextOps.learnBpeMergesLocal(corpusDf, "text", rounds)
       merges.coalesce(1).write.mode("overwrite").parquet(outDir)
       merges.collect().foreach { r =>
         println(s"[bpe-learn] ${r.getInt(0)}: '${r.getString(1)}' + " +
@@ -892,7 +899,7 @@ object Main {
           "tfidf <corpus> <out> [--jsonl] | " +
           "bm25 <corpus> <out> \"<terms>\" [k] [--jsonl] | " +
           "phrase <corpus> <out> \"<exact phrase>\" [--jsonl] | " +
-          "bpe-learn <corpus> <out> [rounds] [--jsonl] | " +
+           "bpe-learn <corpus> <out> [rounds] [--jsonl] [--distributed] | " +
           "quantiles <parquet> <keyCol> <valCol> [k] | " +
           "tar-export <corpus> <out> [shards] [seed] [--jsonl] | " +
           "diff <oldCorpus> <newCorpus> [--out <dir>] [--jsonl] | " +

@@ -437,6 +437,109 @@ object TextOps {
     learned.toSeq.toDF("round", "lsym", "rsym", "pair_count")
   }
 
+  /** Driver fast path for [[learnBpeMerges]] — the flavor a production
+    * 32k-merge vocabulary needs: the distributed trainer is correct
+    * but pays one Spark job (pair count + argmax collect) PER ROUND,
+    * i.e. 32k jobs for a real tokenizer. The distinct-word count table
+    * it iterates on is already model-metadata-sized (a few million
+    * rows for any real corpus), so collect it ONCE — guarded by
+    * `maxWords` with a loud error, never silently truncated — and
+    * learn every round in memory. One corpus scan total; merge
+    * selection (max count, ties smallest `(left, right)` in UTF-8 byte
+    * order — Spark's string comparison) and the greedy leftmost-first
+    * application replicate the distributed fold exactly, pinned by a
+    * parity property test. Returns the same
+    * `(round, lsym, rsym, pair_count)` frame.
+    */
+  def learnBpeMergesLocal(df: DataFrame, textCol: String, rounds: Int,
+      tokenizer: Column => Column = tokensSimple,
+      maxWords: Int = 10000000): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val collected = df
+      .select(explode(tokenizer(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .limit(maxWords + 1)
+      .collect()
+    require(collected.length <= maxWords,
+      s"learnBpeMergesLocal: distinct-word table exceeds maxWords=" +
+        s"$maxWords — this corpus's vocabulary does not fit the driver " +
+        "fast path; use learnBpeMerges (distributed) or raise maxWords")
+    // UTF-8 byte order — the tie-break Spark's UTF8String comparison
+    // applies in the distributed argmax (Java String compareTo differs
+    // for supplementary characters)
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    // split by CODE POINT, not UTF-16 unit — Spark's substr(i, 1) in
+    // the distributed flavor yields whole code points
+    def codePoints(s: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toArray
+    }
+    var words: Array[(Array[String], Long)] = collected.map { r =>
+      (codePoints(r.getString(0)), r.getLong(1))
+    }
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val pairCounts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, wc) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + wc)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val ((l, r), cnt) = pairCounts.reduceLeft { (a, b) =>
+          val ((al, ar), ac) = a; val ((bl, br), bc) = b
+          if (bc > ac) b
+          else if (bc < ac) a
+          else if (utf8Lt(bl, al)) b
+          else if (utf8Lt(al, bl)) a
+          else if (utf8Lt(br, ar)) b
+          else a
+        }
+        learned += ((round, l, r, cnt))
+        // greedy leftmost-first: after a fuse the running last symbol
+        // is the MERGED symbol, so an overlapping match cannot re-fire
+        // (the Sennrich semantics — identical to the distributed fold)
+        words = words.map { case (syms, wc) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { c =>
+            if (acc.nonEmpty && acc.last == l && c == r)
+              acc(acc.length - 1) = l + r
+            else acc += c
+          }
+          (acc.toArray, wc)
+        }
+        round += 1
+      }
+    }
+    learned.toSeq.toDF("round", "lsym", "rsym", "pair_count")
+  }
+
   /** Per-class corpus composition report — the sanity check before
     * fixing a mixture: doc count, token and char totals, distinct
     * sources per class. One hash aggregation with map-side partials;

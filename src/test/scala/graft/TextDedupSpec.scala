@@ -1192,6 +1192,33 @@ class TextDedupSpec extends SparkSpec {
     assert(m3.isEmpty)
   }
 
+  test("learnBpeMergesLocal: merge-for-merge identical to the " +
+    "distributed trainer on the gate corpus at rounds >= 5; the " +
+    "maxWords guard fails loudly instead of truncating") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def asTuples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    val dist = asTuples(TextOps.learnBpeMerges(docs, "text", rounds = 6))
+    val local =
+      asTuples(TextOps.learnBpeMergesLocal(docs, "text", rounds = 6))
+    assert(local == dist,
+      s"local/distributed BPE diverge:\nlocal=$local\ndist=$dist")
+    // tie-break parity on the crafted overlap corpus too
+    import spark.implicits._
+    val tricky = Seq("aaaa aaa", "low low lower lowest low")
+      .toDF("text")
+    assert(
+      asTuples(TextOps.learnBpeMergesLocal(tricky, "text", rounds = 4)) ==
+        asTuples(TextOps.learnBpeMerges(tricky, "text", rounds = 4)))
+    // vocabulary larger than maxWords → loud error, not a silent cut
+    val err = intercept[IllegalArgumentException] {
+      TextOps.learnBpeMergesLocal(docs, "text", rounds = 1, maxWords = 3)
+    }
+    assert(err.getMessage.contains("maxWords"))
+  }
+
   test("noveltyScore: first introduction wins in id order; repeats " +
     "score fractional; sub-gram docs drop") {
     import spark.implicits._
