@@ -22,7 +22,7 @@ import graft.schema.Vintages
   * graft.cli.Main ann-index <embeddings> <outDir> [planes] [dim]
   * graft.cli.Main ann-query <idxDir> <queries> <outDir> [k] [planes] [dim]
   * graft.cli.Main pq-index <embeddings> <outDir> [m] [k] [iters] [dim] [cellCol]
-  * graft.cli.Main pq-query <idxDir> <queries> <outDir> [k] [m] [nprobe] [dim]
+  * graft.cli.Main pq-query <idxDir> <queries> <outDir> [k] [m] [nprobe] [dim] [--refine <rawEmb> [c]]
   * graft.cli.Main ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod]
   * graft.cli.Main pack    <corpus> <outDir> [budget] [--jsonl] [--simple-tokens]
   * graft.cli.Main mix     <corpus> <outDir> [budget] [seed] [--jsonl] [--simple-tokens] [--alpha A] [--unimax E]
@@ -308,12 +308,25 @@ object Main {
       val (cb, codes, centroids) =
         graft.sim.SimSearch.readPqIndex(spark, idxPath)
       val q = spark.read.parquet(queries)
-      val hits = graft.sim.SimSearch.ivfPqTopK(codes, cb, centroids,
-        q, "vec_id", "embedding", "vec_id", m, k, nprobe, dim)
+      // --refine <rawEmbeddings> [candidates]: exact re-rank of the
+      // ADC top-candidates against the raw vectors (IVFADC-R)
+      val refineArgs = rest.dropWhile(_ != "--refine").drop(1)
+      val hits = refineArgs.headOption match {
+        case Some(rawPath) =>
+          val c = refineArgs.drop(1).headOption.map(_.toInt)
+            .getOrElse(4 * k)
+          graft.sim.SimSearch.ivfPqTopKRefined(codes, cb, centroids,
+            q, spark.read.parquet(rawPath), "vec_id", "embedding",
+            "vec_id", m, k, c, nprobe, dim)
+        case None =>
+          graft.sim.SimSearch.ivfPqTopK(codes, cb, centroids,
+            q, "vec_id", "embedding", "vec_id", m, k, nprobe, dim)
+      }
       hits.write.mode("overwrite").parquet(outDir)
       val n = spark.read.parquet(outDir).count()
       println(s"[pq-query] ${q.count()} queries x top-$k " +
-        s"(nprobe=$nprobe) -> $n hits -> $outDir")
+        s"(nprobe=$nprobe, refine=${refineArgs.nonEmpty}) " +
+        s"-> $n hits -> $outDir")
       spark.stop()
 
     case "ann-eval" :: corpus :: rest =>
@@ -886,7 +899,7 @@ object Main {
           "ann-index <embeddings> <out> [planes] [dim] | " +
           "ann-query <idx> <queries> <out> [k] [planes] [dim] | " +
           "pq-index <embeddings> <out> [m] [k] [iters] [dim] [cellCol] | " +
-          "pq-query <idx> <queries> <out> [k] [m] [nprobe] [dim] | " +
+           "pq-query <idx> <queries> <out> [k] [m] [nprobe] [dim] [--refine <rawEmb> [c]] | " +
           "ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod] | " +
           "pack <corpus> <out> [budget] [--jsonl] [--simple-tokens] | " +
            "mix <corpus> <out> [budget] [seed] [--jsonl] [--simple-tokens] [--alpha A] | " +

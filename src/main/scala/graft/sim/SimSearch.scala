@@ -732,6 +732,39 @@ object SimSearch {
         round(col("rankval"), 6).as("adc_d2"))
   }
 
+  /** [[ivfPqTopK]] with exact re-rank refinement — the production PQ
+    * serving recipe (the "R" stage of IVFADC-R, Jégou et al. 2011):
+    * ADC picks `candidates` (c ≫ k) provisional neighbors per query
+    * from codes alone, then ONLY those c ids join back to the raw
+    * vectors (`emb` — on a cell-partitioned lake the candidates' cells
+    * prune files) for exact cosine final ranking. Approximate
+    * distances decide which c survive; EXACT distances decide the
+    * final k — recovering most of the recall quantization loses
+    * (typically +10-20 points at c ≈ 4k; measure with [[recallAtK]],
+    * the q65 harness). Serving cost grows by c raw-vector reads + c
+    * exact dot products per query — still never a corpus scan.
+    *
+    * Output mirrors [[bruteForceTopK]]:
+    * `(qid, rank, neighbor, cos_sim)`, rank 0-based by
+    * (cos desc, neighbor asc), cosine rounded to 6 decimals.
+    */
+  def ivfPqTopKRefined(
+      codesWithCell: DataFrame, codebooks: DataFrame,
+      centroids: DataFrame, queries: DataFrame, emb: DataFrame,
+      queryIdCol: String, vecCol: String, idCol: String, m: Int, k: Int,
+      candidates: Int, nprobe: Int = 2, dim: Int = 64): DataFrame = {
+    require(candidates >= k,
+      s"candidates=$candidates must be >= k=$k")
+    val adc = ivfPqTopK(codesWithCell, codebooks, centroids, queries,
+      queryIdCol, vecCol, idCol, m, candidates, nprobe, dim)
+    val q = queries.select(col(queryIdCol).as("qid"), col(vecCol).as("qv"))
+    val cand = adc.select(col("qid"), col("neighbor").as("cid"))
+      .join(emb.select(col(idCol).as("cid"), col(vecCol).as("cv")),
+        Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+    rankScored(scorePairs(cand), k)
+  }
+
   /** Random-projection dimensionality reduction: `outDim` fixed
     * md5-derived hyperplanes ([[planeWeight]] — no RNG state), each
     * output component one left-fold dot product. The 64→8 compression

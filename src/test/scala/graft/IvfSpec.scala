@@ -290,6 +290,54 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopKRefined: exact re-rank recovers the recall pure ADC " +
+    "loses to quantization") {
+    // 24 vectors fanning across the first-subspace unit circle: a
+    // 2-centroid codebook collapses each arc to ONE code, so every
+    // same-code candidate shares the same ADC distance and ADC can
+    // only order them by id — the true (angle-adjacent) neighbors are
+    // unrecoverable from codes alone. Exact re-rank over the ADC
+    // candidate pool restores them.
+    def vec(theta: Double): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(0) = math.cos(theta).toFloat
+      a(1) = math.sin(theta).toFloat
+      a(32) = 1.0f
+      a
+    }
+    val emb = (0L until 24L).map(i => (i, 0L, vec(i * 0.12)))
+      .toDF("vec_id", "cell", "embedding")
+    val cb = SimSearch.pqFit(emb, "vec_id", "embedding",
+      m = 2, k = 2, iters = 2, dim = 64, bucketWidth = 4L)
+    val codes = SimSearch.pqEncode(emb, cb, "vec_id", "embedding",
+      m = 2, dim = 64)
+      .join(emb.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val centroids = SimSearch.ivfCentroids(emb, "vec_id", "embedding",
+      "cell", dim = 64, bucketWidth = 4L)
+    val queries = emb.filter(col("vec_id") % 7 === 0)
+    val exact = SimSearch.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 7 === 0, k = 5)
+    // k = 6 and a self-drop on the approx sides: ADC/refined include
+    // the query itself (rank 0, distance 0) while brute force excludes
+    // it, so both approx flavors give up the same slot symmetrically
+    val adc = SimSearch.ivfPqTopK(codes, cb, centroids, queries,
+      "vec_id", "embedding", "vec_id", m = 2, k = 6, nprobe = 1,
+      dim = 64).filter(col("qid") =!= col("neighbor"))
+    val refined = SimSearch.ivfPqTopKRefined(codes, cb, centroids,
+      queries, emb, "vec_id", "embedding", "vec_id", m = 2, k = 6,
+      candidates = 24, nprobe = 1, dim = 64)
+      .filter(col("qid") =!= col("neighbor"))
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      SimSearch.recallSummary(df, exact, 6).head()
+        .getAs[Double]("mean_recall")
+    val (mAdc, mRef) = (mean(adc), mean(refined))
+    assert(mRef > mAdc,
+      s"re-rank did not lift recall: adc=$mAdc refined=$mRef")
+    // with the candidate pool covering the whole cell, exact re-rank
+    // IS brute force over the cell — recall must be perfect
+    assert(mRef == 1.0, s"refined recall $mRef != 1.0")
+  }
+
   test("persisted PQ index serves identically to the inline pipeline") {
     def vec(d0: Float, d32: Float): Array[Float] = {
       val a = Array.fill(64)(0.0f)
