@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.util.Try
 
@@ -101,36 +101,48 @@ object Diagnose {
     val spark = df.sparkSession
     import spark.implicits._
     val fields = df.schema.fields.toSeq
-    val aggs = fields.flatMap { f =>
-      val c = col(f.name)
+    // backtick-quote the attribute name — a column called "a.b" must
+    // not resolve as a struct-field path
+    def c(name: String): Column =
+      df.col("`" + name.replace("`", "``") + "`")
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
       Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"_n_${f.name}"),
-        approx_count_distinct(c).as(s"_d_${f.name}"),
-        min(c).cast("string").as(s"_mn_${f.name}"),
-        max(c).cast("string").as(s"_mx_${f.name}")) ++
+        sum(when(c(f.name).isNull, 1L).otherwise(0L)).as(s"_n_$i"),
+        approx_count_distinct(c(f.name)).as(s"_d_$i"),
+        min(c(f.name)).cast("string").as(s"_mn_$i"),
+        max(c(f.name)).cast("string").as(s"_mx_$i")) ++
         (f.dataType match {
           case _: NumericType => Seq(
-            approx_percentile(c.cast("double"),
+            approx_percentile(c(f.name).cast("double"),
               array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
-              .as(s"_p_${f.name}"))
+              .as(s"_p_$i"))
           case _ => Nil
         })
     }
     val row = df.agg(count(lit(1)).as("_total"), aggs: _*).head()
     val total = row.getAs[Long]("_total")
-    fields.map { f =>
-      val ps = f.dataType match {
-        case _: NumericType =>
-          Option(row.getAs[scala.collection.Seq[Double]](s"_p_${f.name}"))
-            .map(_.toSeq).getOrElse(Nil)
-        case _ => Nil
+    fields.zipWithIndex.map { case (f, i) =>
+      // over zero rows every sum/count aggregate is NULL — emit an
+      // explicit all-empty profile instead of unboxing NPEs
+      if (total == 0L)
+        (f.name, f.dataType.simpleString, 0L, 0L, 0L,
+          None: Option[String], None: Option[String],
+          None: Option[Double], None: Option[Double],
+          None: Option[Double])
+      else {
+        val ps = f.dataType match {
+          case _: NumericType =>
+            Option(row.getAs[scala.collection.Seq[Double]](s"_p_$i"))
+              .map(_.toSeq).getOrElse(Nil)
+          case _ => Nil
+        }
+        (f.name, f.dataType.simpleString, total,
+          row.getAs[Long](s"_n_$i"),
+          row.getAs[Long](s"_d_$i"),
+          Option(row.getAs[String](s"_mn_$i")),
+          Option(row.getAs[String](s"_mx_$i")),
+          ps.lift(0), ps.lift(1), ps.lift(2))
       }
-      (f.name, f.dataType.simpleString, total,
-        row.getAs[Long](s"_n_${f.name}"),
-        row.getAs[Long](s"_d_${f.name}"),
-        Option(row.getAs[String](s"_mn_${f.name}")),
-        Option(row.getAs[String](s"_mx_${f.name}")),
-        ps.lift(0), ps.lift(1), ps.lift(2))
     }.toDF("column", "dtype", "n_rows", "n_nulls", "distinct_est",
       "min", "max", "p50", "p90", "p99")
   }

@@ -48,22 +48,41 @@ object Export {
     * deterministic. Headers are POSIX ustar with mtime pinned to 0 —
     * byte-identical re-runs, so shards are content-addressable.
     *
-    * Writes `shard-NNNNN.tar` under `dir` via `java.nio` — the
-    * local-filesystem flavor (tests, single-node dumps). On a real
-    * cluster, point `dir` at a fuse/NFS mount or swap the sink for a
-    * Hadoop `FileSystem` stream; the sharding/ordering logic is the
-    * part that matters and is identical.
+    * Writes `shard-NNNNN.tar` under `dir` through the Hadoop
+    * `FileSystem` API, so `dir` may be a local path, a `file:` URI, or
+    * any object-store scheme the cluster's Hadoop conf knows
+    * (s3a/gs/abfs…) — the session's `hadoopConfiguration` entries ride
+    * to the executors, so credentials configured via `spark.hadoop.*`
+    * apply. Local checksum sidecars (`.shard-NNNNN.tar.crc`) are
+    * disabled so the output directory holds exactly the tars. Output
+    * bytes are identical to any previous local-file writer (pinned by
+    * the determinism/GNU-tar interop tests).
     */
   def tarShards(df: DataFrame, dir: String, shardCol: String,
       nameCol: String, payloadCol: String, ext: String = "txt"): Unit = {
     import org.apache.spark.sql.functions.col
-    new java.io.File(dir).mkdirs()
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    // Configuration is not serializable — ship its entries
+    val confEntries: Seq[(String, String)] =
+      hconf.iterator().asScala.map(e => (e.getKey, e.getValue)).toVector
+    val driverFs = new Path(dir).getFileSystem(hconf)
+    driverFs.mkdirs(new Path(dir))
     df.select(col(shardCol).cast("long").as("_s"),
         col(nameCol).cast("string").as("_n"),
         col(payloadCol).cast("binary").as("_p")) // string → UTF-8 bytes;
       .repartition(col("_s"))                    // binary passes through
       .sortWithinPartitions(col("_s"), col("_n"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val conf = new Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val base = new Path(dir)
+        val fs = base.getFileSystem(conf)
+        // LocalFileSystem would otherwise write .crc sidecars
+        try fs.setWriteChecksum(false)
+        catch { case _: UnsupportedOperationException => () }
         var cur: Long = Long.MinValue
         var out: java.io.OutputStream = null
         def close(): Unit = if (out != null) {
@@ -75,8 +94,7 @@ object Export {
           if (s != cur || out == null) {
             close(); cur = s
             out = new java.io.BufferedOutputStream(
-              new java.io.FileOutputStream(
-                f"$dir%s/shard-$s%05d.tar"))
+              fs.create(new Path(base, f"shard-$s%05d.tar"), true))
           }
           val bytes = r.getAs[Array[Byte]](2)
           out.write(TarFormat.header(s"${r.getString(1)}.$ext",

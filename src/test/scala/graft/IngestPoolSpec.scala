@@ -405,4 +405,23 @@ class IngestPoolSpec extends SparkSpec {
     assert(p("s").isNullAt(p("s").fieldIndex("p50")))
     assert(p.values.forall(_.getAs[Long]("n_rows") == 4L))
   }
+
+  test("profile survives an empty frame (null aggregates -> zero rows " +
+    "profile) and dotted column names (no struct-path resolution)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val pe = graft.operators.Diagnose.profile(empty)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(pe.keySet == Set("id", "s"))
+    assert(pe.values.forall(r => r.getAs[Long]("n_rows") == 0L &&
+      r.getAs[Long]("n_nulls") == 0L &&
+      r.isNullAt(r.fieldIndex("min"))))
+    // a column literally named "a.b" must profile as itself
+    val dotted = Seq((1L, 2.0), (3L, 4.0)).toDF("a.b", "v")
+    val pd = graft.operators.Diagnose.profile(dotted)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(pd.keySet == Set("a.b", "v"))
+    assert(pd("a.b").getAs[Long]("distinct_est") == 2L)
+    assert(pd("a.b").getAs[String]("min") == "1")
+  }
 }

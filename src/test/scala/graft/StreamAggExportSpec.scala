@@ -450,6 +450,27 @@ class StreamAggExportSpec extends SparkSpec {
     assert(back("doc_c.txt") == "gamma " * 200)
   }
 
+  test("tarShards writes through the Hadoop FS API: a qualified file: " +
+    "URI lands byte-identical archives and no checksum sidecars") {
+    import graft.operators.Export
+    val df = Seq((0L, "doc_a", "alpha text"), (0L, "doc_b", "beta"))
+      .toDF("shard", "name", "text")
+    val plain = java.nio.file.Files.createTempDirectory("taru1").toString
+    Export.tarShards(df, plain, "shard", "name", "text")
+    val qualified = java.nio.file.Files.createTempDirectory("taru2")
+    Export.tarShards(df, s"file:$qualified", "shard", "name", "text")
+    val a = java.nio.file.Files.readAllBytes(
+      new java.io.File(plain, "shard-00000.tar").toPath)
+    val b = java.nio.file.Files.readAllBytes(
+      new java.io.File(qualified.toFile, "shard-00000.tar").toPath)
+    assert(java.util.Arrays.equals(a, b),
+      "file: URI output differs from plain-path output")
+    // ChecksumFileSystem must not leave .shard-*.tar.crc companions
+    val extras = qualified.toFile.listFiles()
+      .filterNot(_.getName.endsWith(".tar"))
+    assert(extras.isEmpty, s"unexpected sidecars: ${extras.mkString(",")}")
+  }
+
   test("streaming quantiles: exact under k, bounded past k, and the " +
     "batch bottom-k sample reproduces the stream's estimates") {
     import graft.streaming.StreamingSketch
