@@ -35,6 +35,33 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def loadNow(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+    // load gate: every round-6/7 recording was taken at load ≥ 7 and
+    // overstated 2.5-7x vs the judge's quiet re-run. Wait (bounded) for
+    // the 1-minute load to drop below the gate before TIMING anything;
+    // both the entry load and the at-measurement load are recorded so
+    // a contaminated file is readable as such. Gate/wait overridable
+    // via SPARK_GRAFT_LOAD_GATE / SPARK_GRAFT_LOAD_WAIT_SEC.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "3.0").toDouble
+    val maxWaitSec =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "240").toInt
+    val loadAtEntry = loadNow()
+    var waited = 0
+    while (loadNow() >= loadGate && waited < maxWaitSec) {
+      System.err.println(
+        f"[bench] load ${loadNow()}%.2f >= gate $loadGate%.1f — waiting " +
+          s"(${waited}s/${maxWaitSec}s)")
+      Thread.sleep(10000)
+      waited += 10
+    }
+
+    // external load just before any bench work — once the bench runs,
+    // its own local[32] saturation dominates the 1-minute average, so
+    // THIS is the number that says whether the box was quiet
+    val loadAvg = loadNow()
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(once) // warmup: session init, codegen, file listing
     // min of THREE timed runs: the container shares cores with other
@@ -47,18 +74,12 @@ object Bench {
       n -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }
 
-    // 1-minute system load average, recorded so a contaminated run is
-    // readable from the file itself instead of needing a judge re-run
-    // (-1.0 when the platform does not expose it)
-    val loadAvg = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$loadAvg%.2f,"cpus":$cpus}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$loadAvg%.2f,"load_entry":$loadAtEntry%.2f,"waited_sec":$waited,"cpus":$cpus}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()

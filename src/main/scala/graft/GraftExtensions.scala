@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BottomKXX, CmsSketchXX, CosineSimXX, DeflateRatioExprXX, Dist2XX, JaccardXX, KmvSketchXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, PadPackXX, RepStatsXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import graft.functions.{BloomMightContainXX, BottomKXX, BpeTokensXX, CmsSketchXX, CosineSimXX, DeflateRatioExprXX, Dist2XX, JaccardXX, KmvSketchXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, PadPackXX, RepStatsXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * SQL functions so plain `spark.sql` users get them too.
@@ -195,6 +197,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         TensorPackXX(children.head, children(1),
           intArg(children(2)), intArg(children(3)))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContainXX].getName,
+        "graft_bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        val usage = "usage: graft_bloom_might_contain(str, filterBytes)" +
+          " — filterBytes must be a foldable BINARY value (e.g. " +
+          "unbase64('…') of a filter serialized by BloomXX.build)"
+        require(children.size == 2, usage)
+        require(children(1).foldable, usage)
+        children(1).eval() match {
+          case b: Array[Byte] =>
+            BloomMightContainXX(children.head, b.toIndexedSeq)
+          case other => throw new IllegalArgumentException(
+            s"filterBytes must be binary, got $other; $usage")
+        }
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_tokens"),
+      new ExpressionInfo(classOf[BpeTokensXX].getName, "graft_bpe_tokens"),
+      (children: Seq[Expression]) => {
+        val usage = "usage: graft_bpe_tokens(text, merges) — merges " +
+          "must be a foldable array(array(left, right), …) in rank order"
+        require(children.size == 2, usage)
+        require(children(1).foldable, usage)
+        children(1).dataType match {
+          case ArrayType(ArrayType(StringType, _), _) => ()
+          case other => throw new IllegalArgumentException(
+            s"merges must be array<array<string>>, got ${other.sql}; " +
+              usage)
+        }
+        val arr = children(1).eval().asInstanceOf[ArrayData]
+        val merges = (0 until arr.numElements()).map { i =>
+          val p = arr.getArray(i)
+          require(p != null && p.numElements() == 2,
+            s"merge $i must be a [left, right] pair; $usage")
+          (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+        }
+        BpeTokensXX(children.head, merges)
       }))
 
     ext.injectFunction((
