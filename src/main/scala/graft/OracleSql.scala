@@ -436,6 +436,91 @@ object OracleSql {
        |FROM r WHERE rn <= 5""".stripMargin
   }
 
+  /** IVFADC-R oracle (q121): kmeansBody per 32-dim subspace gives the
+    * codebooks (`p0cen2`/`p1cen2`) and code assignments
+    * (`p0afinal`/`p1afinal`); the q27 CTE shapes give cell centroids
+    * and the 2-probe; ADC = per-query lookup distances to the final
+    * codebooks summed across the two subspaces (two IEEE additions —
+    * commutative, so partition-order-free on the Spark side too);
+    * top-40 by (adc, vid) then exact cosine top-5 over the candidates.
+    */
+  private lazy val q121 = {
+    val dim = 64
+    val sw = 32
+    val w = 128L
+    def d2(v: String, c: String, d: Int) =
+      s"""list_reduce(list_transform(range(1, ${d + 1}),
+         |  i -> ($v[i]::DOUBLE - $c[i]) * ($v[i]::DOUBLE - $c[i])),
+         |  (x, y) -> x + y)""".stripMargin
+    val centroidCos =
+      s"""(${duckDot("qv", "centroid", dim)} /
+         |  (sqrt(${duckDot("qv", "qv", dim)}) *
+         |   sqrt(${duckDot("centroid", "centroid", dim)})))""".stripMargin
+    s"""WITH base AS (SELECT vec_id, embedding, label AS cell
+       |              FROM embeddings),
+       |sub0 AS (SELECT vec_id, embedding[1:$sw] AS embedding
+       |         FROM embeddings),
+       |sub1 AS (SELECT vec_id, embedding[${sw + 1}:$dim] AS embedding
+       |         FROM embeddings),
+       |${kmeansBody(4, 2, w, sw, table = "sub0", prefix = "p0")},
+       |${kmeansBody(4, 2, w, sw, table = "sub1", prefix = "p1")},
+       |ivp AS (SELECT cell, vec_id // $w AS bk, count(*) AS n,
+       |         list_reduce(
+       |           list_transform(list(embedding ORDER BY vec_id),
+       |             v -> list_transform(v, x -> x::DOUBLE)),
+       |           (a, c) -> list_transform(range(1, ${dim + 1}),
+       |                       i -> a[i] + c[i])) AS psum
+       |       FROM base GROUP BY cell, vec_id // $w),
+       |ivc AS (SELECT cell, sum(n) AS n,
+       |         list_reduce(list(psum ORDER BY bk),
+       |           (a, c) -> list_transform(range(1, ${dim + 1}),
+       |                       i -> a[i] + c[i])) AS vsum
+       |       FROM ivp GROUP BY cell),
+       |cen AS (SELECT cell,
+       |          list_transform(vsum, s -> s / n) AS centroid
+       |        FROM ivc),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM base
+       |      WHERE vec_id < 20),
+       |pc AS (SELECT qid, cell,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY $centroidCos DESC, cell) AS rn
+       |       FROM q CROSS JOIN cen),
+       |pr AS (SELECT qid, cell FROM pc WHERE rn <= 2),
+       |q0 AS (SELECT s.vec_id AS qid, s.embedding AS qs FROM sub0 s
+       |       WHERE s.vec_id < 20),
+       |q1 AS (SELECT s.vec_id AS qid, s.embedding AS qs FROM sub1 s
+       |       WHERE s.vec_id < 20),
+       |l0 AS (SELECT q0.qid, cb.cid AS code,
+       |         ${d2("q0.qs", "cb.cv", sw)} AS d2
+       |       FROM q0 CROSS JOIN p0cen2 cb),
+       |l1 AS (SELECT q1.qid, cb.cid AS code,
+       |         ${d2("q1.qs", "cb.cv", sw)} AS d2
+       |       FROM q1 CROSS JOIN p1cen2 cb),
+       |cds AS (SELECT a0.vid, a0.cid AS c0, a1.cid AS c1, b.cell
+       |        FROM p0afinal a0 JOIN p1afinal a1 ON a1.vid = a0.vid
+       |        JOIN base b ON b.vec_id = a0.vid),
+       |adc AS (SELECT pr.qid, c.vid, l0.d2 + l1.d2 AS adc_d2
+       |        FROM pr JOIN cds c ON c.cell = pr.cell
+       |        JOIN l0 ON l0.qid = pr.qid AND l0.code = c.c0
+       |        JOIN l1 ON l1.qid = pr.qid AND l1.code = c.c1),
+       |ct AS (SELECT qid, vid FROM (
+       |         SELECT qid, vid, row_number() OVER (PARTITION BY qid
+       |           ORDER BY adc_d2, vid) AS rn FROM adc)
+       |       WHERE rn <= 40),
+       |rr AS (SELECT t.qid, t.vid AS cid,
+       |         round(${duckDot("q.qv", "b.embedding", dim)} /
+       |           (sqrt(${duckDot("q.qv", "q.qv", dim)}) *
+       |            sqrt(${duckDot("b.embedding", "b.embedding", dim)})),
+       |           6) AS cos_sim
+       |       FROM ct t JOIN q ON q.qid = t.qid
+       |       JOIN base b ON b.vec_id = t.vid),
+       |rk AS (SELECT qid, cid, cos_sim,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos_sim DESC, cid) AS rn FROM rr)
+       |SELECT qid, (rn - 1)::INTEGER AS rank, cid AS neighbor, cos_sim
+       |FROM rk WHERE rn <= 5""".stripMargin
+  }
+
   /** Exact-Jaccard oracle: the shared candidate CTEs, then distinct-set
     * intersection / union sizes over the shingle arrays (the same
     * distinct semantics as Spark's array_intersect/array_union, with the
@@ -2288,5 +2373,14 @@ object OracleSql {
         |  ((n.n_rows * len(list_filter(e.vs,
         |      x -> abs(x - e.med) > 3.0 * e.mad))::BIGINT)
         |    // e.m::BIGINT)::BIGINT AS n_outliers_est
-        |FROM e JOIN n USING (l_returnflag)""".stripMargin)
+        |FROM e JOIN n USING (l_returnflag)""".stripMargin,
+
+    // full IVFADC-R replay: the q106 per-subspace Lloyd (codebooks +
+    // final code assignments), the q27 bucketed-mean cell centroids and
+    // cosine cell probe, per-query ADC lookup tables against the final
+    // codebooks (the assignment d2 chain), sum of the two subspace
+    // distances (two terms — IEEE-commutative, so order-free), top-40
+    // candidate cut by (adc, vid), then exact cosine re-rank of the
+    // candidates with the q17 dot/(|a||b|) chain
+    "q121_ivfpq_refined" -> q121)
 }

@@ -1566,6 +1566,28 @@ object SparkEntry {
       TextOps.hash32(concat_ws(":", col("l_orderkey"),
         col("l_linenumber"))), k = 256, c = 3.0)
 
+  /** Full IVFADC-R serving chain (the q27 IVF probe × the q106 PQ
+    * codes × exact re-rank): ADC picks 40 candidates per query from
+    * codes alone, the candidates join back to raw vectors for exact
+    * cosine final top-5. Every stage is deterministic (id-seeded
+    * Lloyd, bucketed folds, fixed tie-breaks), so the whole recipe —
+    * codebook fit, encode, cell probe, ADC, re-rank — hash-gates
+    * against a SQL replay.
+    */
+  def q121_ivfpq_refined(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").withColumn("cell", col("label"))
+    val cb = SimSearch.pqFit(emb, "vec_id", "embedding",
+      m = 2, k = 4, iters = 2, dim = 64, bucketWidth = 128L)
+    val codes = SimSearch.pqEncode(emb, cb, "vec_id", "embedding",
+      m = 2, dim = 64)
+      .join(emb.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val centroids = SimSearch.ivfCentroids(emb, "vec_id", "embedding",
+      "cell", dim = 64, bucketWidth = 128L)
+    SimSearch.ivfPqTopKRefined(codes, cb, centroids,
+      emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+      "vec_id", m = 2, k = 5, candidates = 40, nprobe = 2, dim = 64)
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1688,7 +1710,8 @@ object SparkEntry {
     "q117_modality_coverage" -> (q117_modality_coverage(_, _)),
     "q118_sliding_window" -> (q118_sliding_window(_, _)),
     "q119_fightin_words" -> (q119_fightin_words(_, _)),
-    "q120_outliers_approx" -> (q120_outliers_approx(_, _)))
+    "q120_outliers_approx" -> (q120_outliers_approx(_, _)),
+    "q121_ivfpq_refined" -> (q121_ivfpq_refined(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
