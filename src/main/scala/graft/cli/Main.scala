@@ -655,6 +655,7 @@ object Main {
       val spark = session()
       graft.streaming.EventOps.funnel(spark.read.parquet(path),
         stagesCsv.split(",").toSeq, maxGapMinutes = maxGap)
+        .orderBy("stage_idx")
         .collect().foreach { r =>
           println(s"[funnel] ${r.getInt(0)} ${r.getString(1)}: " +
             s"${r.getLong(2)} users (${r.getDouble(3)})")

@@ -1192,6 +1192,47 @@ class TextDedupSpec extends SparkSpec {
     assert(m3.isEmpty)
   }
 
+  test("vocabCoverage: the two-level bucketed ranking is row-identical " +
+    "to a naive global sort on a skewed corpus (multi-octave head, " +
+    "singleton tie spike, shared prefixes) at several prefix lengths") {
+    import spark.implicits._
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // head across log2 octaves, including octave-boundary counts
+    for ((w, c) <- Seq("alpha" -> 1000L, "beta" -> 513L, "bb" -> 512L,
+      "gamma" -> 100L, "delta" -> 17L, "eps" -> 16L, "zeta" -> 15L,
+      "a" -> 4L))
+      counts(w) = c
+    // tie spikes: 200 singletons (the n=1 spike), 50 at count 2
+    // sharing first chars across prefix sub-buckets, 30 at count 3
+    for (i <- 0 until 200) counts(f"t$i%03d") = 1L
+    for (i <- 0 until 50) counts(s"u${i % 10}x$i") = 2L
+    for (i <- 0 until 30) counts(s"v$i") = 3L
+    val rnd = new scala.util.Random(7)
+    val tokens = rnd.shuffle(counts.toSeq.flatMap {
+      case (w, c) => Seq.fill(c.toInt)(w)
+    })
+    val docs = tokens.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    // naive driver reference: global (count desc, token asc) sort —
+    // ASCII tokens, so String order == Spark's UTF-8 byte order
+    val total = counts.values.sum
+    val sorted = counts.toSeq.sortBy { case (w, c) => (-c, w) }
+    var cum = 0L
+    val want = sorted.zipWithIndex.map { case ((w, c), i) =>
+      cum += c
+      (i + 1, w, c, cum,
+        BigDecimal(cum.toDouble / total.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    for (pfx <- Seq(1, 2, 3)) {
+      val got = TextOps.vocabCoverage(docs, "text", prefixLen = pfx)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+        .sortBy(_._1).toSeq
+      assert(got == want, s"prefixLen=$pfx diverges from the global sort")
+    }
+  }
+
   test("learnBpeMergesLocal: merge-for-merge identical to the " +
     "distributed trainer on the gate corpus at rounds >= 5; the " +
     "maxWords guard fails loudly instead of truncating") {
