@@ -335,7 +335,10 @@ object EventOps {
     *
     * Scale shape: one filtered aggregation per stage over the events
     * scan — stage i filters to its event type, joins the stage-i−1
-    * user table (user-count-sized, hash equi-join), and collapses per
+    * user table (user-count-sized, hash equi-join; the gap flavor
+    * joins through the bin-bucketed [[graft.operators.Relational.rangeJoin]]
+    * so a whale user pairs stage events only with gap-window
+    * neighbors, never with their whole history), and collapses per
     * user with map-side partials. No windows, no per-user event
     * sorting; a whale user costs its event count in a hash aggregate,
     * not a sort buffer. Stage count bounds plan depth (funnels are 3-6
@@ -354,13 +357,6 @@ object EventOps {
     val ev = normalizeTs(events)
       .select(col(userCol).as("_u"), col(typeCol).as("_ty"),
         col(tsCol).cast("long").as("_ts"))
-    // conversion window: stage i must land within maxGap of stage i−1
-    // (the standard product-analytics attribution bound; None = ever)
-    def inWindow: Column = maxGapMinutes match {
-      case Some(m) => col("_ts") > col("_tp") &&
-        col("_ts") <= col("_tp") + lit(m * 60L)
-      case None => col("_ts") > col("_tp")
-    }
     // min-only per user is exact without a gap and keeps stage tables
     // one-row-per-user; the gap flavor needs every qualifying timestamp
     val keepAll = maxGapMinutes.isDefined
@@ -369,9 +365,25 @@ object EventOps {
       else df.groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
     val stage0 = collapse(ev.filter(col("_ty") === stages.head))
     val reached = stages.drop(1).scanLeft(stage0) { (prev, stage) =>
-      collapse(ev.filter(col("_ty") === stage)
-        .join(prev.select(col("_u"), col("_t").as("_tp")), Seq("_u"))
-        .filter(inWindow))
+      val evs = ev.filter(col("_ty") === stage)
+      val matched = maxGapMinutes match {
+        case Some(m) =>
+          // conversion window (stage i within maxGap of SOME stage-i−1
+          // timestamp): a plain user equi-join would pair every stage
+          // event with every kept prior timestamp — quadratic for a
+          // whale user. The bin-bucketed range join bounds candidates
+          // to gap-window neighbors: prev becomes the interval
+          // [t+1, t+gap] (integer seconds, so inclusive bounds are the
+          // strict-after/within-gap test exactly)
+          graft.operators.Relational.rangeJoin(evs,
+            prev.select(col("_u"), (col("_t") + 1L).as("_lo"),
+              (col("_t") + m * 60L).as("_hi")),
+            Seq("_u"), "_ts", "_lo", "_hi", binWidth = m * 60L)
+        case None =>
+          evs.join(prev.select(col("_u"), col("_t").as("_tp")), Seq("_u"))
+            .filter(col("_ts") > col("_tp"))
+      }
+      collapse(matched)
     }
     val tagged = reached.zip(stages.zipWithIndex).map {
       case (frame, (stage, i)) => frame.select(
