@@ -19,6 +19,7 @@ import graft.schema.Vintages
   * graft.cli.Main distinct <corpus> [k] [--jsonl]   // KMV per-source distinct 3-grams
   * graft.cli.Main semdedup <embeddings> <outDir> [k] [threshold] [dim] [cellCap]
   * graft.cli.Main dedup-stream <inDir> <idxDir> <outDir> <checkpoint>   // JSONL drops
+  * graft.cli.Main funnel-stream <inDir> <statePath> <checkpoint> <stage,stage,...> [maxGapMin]   // JSONL event drops
   * graft.cli.Main ann-index <embeddings> <outDir> [planes] [dim]
   * graft.cli.Main ann-query <idxDir> <queries> <outDir> [k] [planes] [dim]
   * graft.cli.Main pq-index <embeddings> <outDir> [m] [k] [iters] [dim] [cellCol]
@@ -372,6 +373,27 @@ object Main {
     // streaming near-dedup of JSONL drops against a growing signed
     // index: new files under <inDir> process as micro-batches, each
     // deduped within itself and against everything already accepted
+    // incremental funnel over JSONL event drops: drains current files
+    // (AvailableNow), folds them into the per-user stage state, prints
+    // the report off the state table
+    case "funnel-stream" :: inDir :: statePath :: ckpt :: stagesCsv :: rest =>
+      val maxGap = rest.headOption.map(_.toLong)
+      val stages = stagesCsv.split(",").toSeq
+      val spark = session()
+      val stream = spark.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .json(inDir)
+      val q = graft.streaming.StreamingFunnel.start(stream, statePath,
+        ckpt, stages, maxGapMinutes = maxGap)
+      q.awaitTermination() // AvailableNow: drains current files, stops
+      graft.streaming.StreamingFunnel.report(spark, statePath, stages)
+        .orderBy("stage_idx").collect().foreach { r =>
+          println(s"[funnel-stream] ${r.getInt(0)} ${r.getString(1)}: " +
+            s"${r.getLong(2)} users (${r.getDouble(3)})")
+        }
+      spark.stop()
+
     case "dedup-stream" :: inDir :: idxPath :: outDir :: ckpt :: rest =>
       val spark = session()
       val stream = spark.readStream
@@ -918,6 +940,7 @@ object Main {
           "tar-export <corpus> <out> [shards] [seed] [--jsonl] | " +
           "diff <oldCorpus> <newCorpus> [--out <dir>] [--jsonl] | " +
           "funnel <events> <stage,stage,...> [maxGapMin] | " +
+          "funnel-stream <inDir> <state> <ckpt> <stage,...> [maxGapMin] | " +
           "retention <events> | " +
           "manifest <parquet> [outDir] | profile <parquet> | " +
           "skew <parquet> <keyCol> [topK] | " +

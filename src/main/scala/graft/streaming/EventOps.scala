@@ -386,21 +386,32 @@ object EventOps {
       collapse(matched)
     }
     val tagged = reached.zip(stages.zipWithIndex).map {
-      case (frame, (stage, i)) => frame.select(
-        lit(i).as("stage_idx"), lit(stage).as("stage"), col("_u"))
+      case (frame, (_, i)) =>
+        frame.select(lit(i).as("stage_idx"), col("_u"))
     }
     val counts = tagged.reduce(_.unionByName(_))
-      .groupBy(col("stage_idx"), col("stage"))
+      .groupBy(col("stage_idx"))
       .agg(countDistinct(col("_u")).as("_n"))
-    // always-1-row stage-0 base (a filter would yield ZERO rows on an
-    // empty funnel and erase the output through the cross join)
+    funnelReport(events.sparkSession, counts, stages)
+  }
+
+  /** Shared report tail of the batch funnel and [[StreamingFunnel]]:
+    * per-stage user counts (`(stage_idx, _n)`) → the
+    * `(stage_idx, stage, n_users, conversion)` frame, zero-user stages
+    * included via the stage dimension, conversion off an always-1-row
+    * stage-0 base (a filter would yield ZERO rows on an empty funnel
+    * and erase the output through the cross join).
+    */
+  private[streaming] def funnelReport(
+      spark: org.apache.spark.sql.SparkSession, counts: DataFrame,
+      stages: Seq[String]): DataFrame = {
+    import spark.implicits._
     val base = counts.agg(coalesce(
       sum(when(col("stage_idx") === 0, col("_n"))), lit(0L)).as("_base"))
-    // left join onto the stage dimension so empty stages report n=0
     val dim = stages.zipWithIndex.map { case (s, i) => (i, s) }
       .toDF("stage_idx", "stage")
     val n = coalesce(col("_n"), lit(0L))
-    dim.join(counts, Seq("stage_idx", "stage"), "left")
+    dim.join(counts, Seq("stage_idx"), "left")
       .crossJoin(broadcast(base))
       .select(col("stage_idx"), col("stage"), n.as("n_users"),
         when(col("_base") === 0L, lit(0.0)).otherwise(

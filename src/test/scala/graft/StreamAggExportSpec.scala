@@ -284,6 +284,73 @@ class StreamAggExportSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("StreamingFunnel: incremental state matches the batch funnel " +
+    "when events arrive in order; replays are idempotent") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val statePath = s"${tmpDir("sfunnel")}/state"
+    val stages = Seq("view", "click", "purchase")
+    // batch 1: u1 view+click (IN-batch conversion), u2 view only
+    val b1 = Seq(
+      (1L, t(1), 1L, "view", 0.0, "{}"),
+      (2L, t(2), 1L, "click", 0.0, "{}"),
+      (3L, t(5), 2L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // batch 2: u1 purchases (CROSS-batch conversion off persisted
+    // state), u2 clicks, u3 clicks without ever viewing
+    val b2 = Seq(
+      (4L, t(10), 1L, "purchase", 0.0, "{}"),
+      (5L, t(11), 2L, "click", 0.0, "{}"),
+      (6L, t(12), 3L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    graft.streaming.StreamingFunnel.processBatch(b1, statePath, stages)
+    graft.streaming.StreamingFunnel.processBatch(b2, statePath, stages)
+    def rep() = graft.streaming.StreamingFunnel
+      .report(spark, statePath, stages)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    val streaming = rep()
+    // the batch funnel over the union is the ground truth here (events
+    // arrived in event-time order across batches)
+    val batchTruth = graft.streaming.EventOps
+      .funnel(b1.unionByName(b2), stages)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    assert(streaming == batchTruth, s"$streaming != $batchTruth")
+    assert(streaming.map(x => (x._1, x._3)) ==
+      Seq((0, 2L), (1, 2L), (2, 1L)))
+    // at-least-once replay of batch 2: least-of-mins is idempotent
+    graft.streaming.StreamingFunnel.processBatch(b2, statePath, stages)
+    assert(rep() == streaming)
+  }
+
+  test("StreamingFunnel.start drives the same state through " +
+    "foreachBatch micro-batches") {
+    implicit val sq = spark.sqlContext
+    import java.sql.Timestamp
+    val base = tmpDir("sfunnel2")
+    val statePath = s"$base/state"
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val stream = mem.toDF()
+      .toDF("event_id", "secs", "user_id", "event_type")
+      .select(col("event_id"),
+        (col("secs") * 1000L).cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+    val query = graft.streaming.StreamingFunnel.start(
+      stream, statePath, s"$base/ckpt", Seq("view", "click"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      mem.addData((1L, 1L, 1L, "view"))
+      query.processAllAvailable()
+      mem.addData((2L, 2L, 1L, "click"), (3L, 3L, 2L, "view"))
+      query.processAllAvailable()
+      val got = graft.streaming.StreamingFunnel
+        .report(spark, statePath, Seq("view", "click"))
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      assert(got == Map(0 -> 2L, 1 -> 1L))
+    } finally query.stop()
+  }
+
   test("stream interval join agrees with the batch range join twin") {
     implicit val sq = spark.sqlContext
     // same data both ways: points 0..29 at 5-min spacing, windows
