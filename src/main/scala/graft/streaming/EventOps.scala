@@ -281,11 +281,26 @@ object EventOps {
     * exactly.
     */
   def retention(events: DataFrame, userCol: String = "user_id",
-      tsCol: String = "ts"): DataFrame = {
-    val ev = normalizeTs(events)
+      tsCol: String = "ts"): DataFrame =
+    retentionFromActivity(dailyActivity(events, userCol, tsCol))
+
+  /** The collapsed activity grain retention is computed from: distinct
+    * `(_u, _day)` rows (epoch days). This is also [[StreamingFunnel]]'s
+    * sibling state table — order-free and idempotent under union, so
+    * an incremental pipeline ([[StreamingRetention]]) maintains it
+    * exactly.
+    */
+  def dailyActivity(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame =
+    normalizeTs(events)
       .select(col(userCol).as("_u"),
         floor(col(tsCol).cast("long") / 86400L).cast("long").as("_day"))
       .distinct()
+
+  /** Retention report over a `(_u, _day)` activity table — the shared
+    * tail of the batch [[retention]] and [[StreamingRetention.report]].
+    */
+  def retentionFromActivity(ev: DataFrame): DataFrame = {
     val cohort = ev.groupBy(col("_u"))
       .agg(min(col("_day")).as("cohort_day"))
     val sizes = cohort.groupBy(col("cohort_day"))

@@ -351,6 +351,42 @@ class StreamAggExportSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("StreamingRetention: incremental activity state reproduces the " +
+    "batch report even for OUT-OF-ORDER drops; replays are idempotent") {
+    import java.sql.Timestamp
+    def t(day: Long, h: Int) =
+      new Timestamp((day * 86400L + h * 3600L) * 1000L)
+    val statePath = s"${tmpDir("sret")}/state"
+    // batch 1: u1 day 1, u2 day 0; batch 2 arrives LATE with u1 day 0
+    // (re-cohorts u1 from day 1 to day 0) plus a same-day repeat
+    val b1 = Seq(
+      (1L, t(1, 2), 1L, "view", 0.0, "{}"),
+      (2L, t(0, 3), 2L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val b2 = Seq(
+      (3L, t(0, 5), 1L, "view", 0.0, "{}"),
+      (4L, t(0, 7), 1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    graft.streaming.StreamingRetention.processBatch(b1, statePath)
+    graft.streaming.StreamingRetention.processBatch(b2, statePath)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(x => (x._1, x._2)).toSeq
+    val streaming = canon(graft.streaming.StreamingRetention
+      .report(spark, statePath))
+    val batchTruth = canon(graft.streaming.EventOps
+      .retention(b1.unionByName(b2)))
+    assert(streaming == batchTruth, s"$streaming != $batchTruth")
+    // both users cohort at day 0; u1 also active day 1
+    assert(streaming == Seq((0L, 0L, 2L, 1.0), (0L, 1L, 1L, 0.5)))
+    // replay batch 2: every (user, day) anti-joins away
+    graft.streaming.StreamingRetention.processBatch(b2, statePath)
+    assert(canon(graft.streaming.StreamingRetention
+      .report(spark, statePath)) == streaming)
+    // state holds the distinct activity grain only (3 user-days)
+    assert(spark.read.parquet(statePath).count() == 3)
+  }
+
   test("stream interval join agrees with the batch range join twin") {
     implicit val sq = spark.sqlContext
     // same data both ways: points 0..29 at 5-min spacing, windows
