@@ -356,6 +356,45 @@ class EventFeatureSpec extends SparkSpec {
     assert(got == Map(0 -> 1L, 1 -> 1L))
   }
 
+  test("funnel matches a brute-force driver reference on randomized " +
+    "event sets, for both the unbounded and the gap-windowed flavor") {
+    val rnd = new scala.util.Random(11)
+    val stages = Seq("view", "click", "purchase")
+    val events = (1L to 400L).map { i =>
+      val u = rnd.nextInt(30).toLong
+      val ty = stages(rnd.nextInt(3))
+      val ts = 1L + rnd.nextInt(300)
+      (i, new Timestamp(ts * 1000L), u, ty, 0.0, "{}")
+    }
+    val df = events
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val byUser = events.groupBy(_._3).view.mapValues(_.map(e =>
+      (e._4, e._2.getTime / 1000L)))
+    // reference: per user, the reachable-timestamp sets S_i (any-chain;
+    // for gap = None this equals the greedy-earliest chain's reach)
+    def refCounts(gap: Option[Long]): Map[Int, Long] =
+      stages.indices.map { i =>
+        val n = byUser.count { case (_, evs) =>
+          var s: Set[Long] =
+            evs.filter(_._1 == stages.head).map(_._2).toSet
+          for (j <- 1 to i if s.nonEmpty) {
+            val prev = s
+            s = evs.filter(_._1 == stages(j)).map(_._2).toSet
+              .filter(t => prev.exists(p => t > p &&
+                gap.forall(g => t <= p + g * 60L)))
+          }
+          s.nonEmpty
+        }
+        i -> n.toLong
+      }.toMap
+    for (gap <- Seq(None, Some(1L), Some(3L))) {
+      val got = graft.streaming.EventOps
+        .funnel(df, stages, maxGapMinutes = gap)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      assert(got == refCounts(gap), s"gap=$gap: $got vs ${refCounts(gap)}")
+    }
+  }
+
   test("funnel is one lazy plan: construction launches no jobs, and a " +
     "zero-user stage still reports a row") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
