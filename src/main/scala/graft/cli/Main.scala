@@ -73,6 +73,14 @@ object Main {
     s
   }
 
+  /** End-of-command session teardown. `getOrCreate` joins an existing
+    * session when one is live, so in-JVM harnesses (CliSmokeSpec) set
+    * `-Dgraft.cli.keepSession=true` to keep their shared session alive
+    * across commands; real CLI runs stop it.
+    */
+  private def done(s: SparkSession): Unit =
+    if (System.getProperty("graft.cli.keepSession") == null) s.stop()
+
   def main(args: Array[String]): Unit = args.toList match {
     case "ingest" :: input :: poolRoot :: rest =>
       val vintage = rest.find(!_.startsWith("--")).getOrElse("canonical")
@@ -87,7 +95,7 @@ object Main {
         s"maxFrame=${res.summary.maxFrame.getOrElse(-1)} " +
         s"badFiles=${res.badFiles.size}")
       res.badFiles.foreach(f => println(s"[ingest]   skipped: $f"))
-      spark.stop()
+      done(spark)
 
     case "dump" :: poolRoot :: outDir :: rest =>
       val n = rest.headOption.map(_.toInt).getOrElse(10)
@@ -96,7 +104,7 @@ object Main {
       Export.csvSingle(Pool(spark, poolRoot).samplePlays(n, Nil, seed),
         outDir)
       println(s"[dump] $n plays (seed $seed) → $outDir")
-      spark.stop()
+      done(spark)
 
     case "diagnose" :: poolRoot :: Nil =>
       val spark = session()
@@ -105,7 +113,7 @@ object Main {
         s"parquetFiles=${rep.parquetFiles} " +
         s"fields=${rep.schemaFields.size} oneRow=${rep.oneRowFetchable} " +
         s"healthy=${rep.healthy}")
-      spark.stop()
+      done(spark)
       if (!rep.healthy) sys.exit(1)
 
     case "stats" :: poolRoot :: Nil =>
@@ -114,7 +122,7 @@ object Main {
         .orderBy("season", "gameId").collect()
       rows.foreach(r => println(s"[stats] ${r.mkString(" ")}"))
       println(s"[stats] ${rows.length} partitions")
-      spark.stop()
+      done(spark)
 
     case "compact" :: poolRoot :: rest =>
       import org.apache.spark.sql.functions.{col, lit}
@@ -131,7 +139,7 @@ object Main {
       val spark = session()
       Ingest.compactPool(spark, poolRoot, pred)
       println(s"[compact] $poolRoot rewritten")
-      spark.stop()
+      done(spark)
 
     case "dedup" :: corpus :: outDir :: rest =>
       val spark = session()
@@ -149,14 +157,14 @@ object Main {
       Export.jsonl(kept, outDir)
       println(s"[dedup] ${docs.count()} docs -> ${kept.count()} kept " +
         s"-> $outDir")
-      spark.stop()
+      done(spark)
 
     case "sign-index" :: corpus :: outDir :: rest =>
       val spark = session()
       val docs = loadCorpus(spark, corpus, rest)
       graft.text.Dedup.writeSignedIndex(docs, outDir, "text", "doc_id")
       println(s"[sign-index] ${docs.count()} docs signed -> $outDir")
-      spark.stop()
+      done(spark)
 
     case "decontaminate" :: corpus :: evalPath :: outDir :: rest =>
       val k = rest.find(!_.startsWith("--")).map(_.toInt).getOrElse(13)
@@ -172,7 +180,7 @@ object Main {
       Export.jsonl(kept, outDir)
       println(s"[decontaminate] ${docs.count()} docs -> ${kept.count()} " +
         s"kept (k=$k, bloom=${rest.contains("--bloom")}) -> $outDir")
-      spark.stop()
+      done(spark)
 
     case "clean" :: corpus :: evalPath :: outDir :: rest =>
       val nums = rest.filter(!_.startsWith("--"))
@@ -186,7 +194,7 @@ object Main {
       Export.jsonl(kept, outDir)
       println(s"[clean] ${docs.count()} docs -> ${kept.count()} kept " +
         s"(minQuality=$minQ maxDupRatio=$maxDup) -> $outDir")
-      spark.stop()
+      done(spark)
 
     case "audit" :: corpus :: evalPath :: outDir :: rest =>
       val nums = rest.filter(!_.startsWith("--"))
@@ -201,7 +209,7 @@ object Main {
       val byTier = audit.groupBy("verdict").count().collect()
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
       println(s"[audit] ${docs.count()} docs audited ($byTier) -> $outDir")
-      spark.stop()
+      done(spark)
 
     case "distinct" :: corpus :: rest =>
       val nums = rest.filter(!_.startsWith("--"))
@@ -222,7 +230,7 @@ object Main {
       est.foreach(r =>
         println(f"[distinct] ${r.getString(0)}%-20s ~${r.getDouble(1)}%.0f " +
           s"distinct 3-grams (kmv k=$k)"))
-      spark.stop()
+      done(spark)
 
     case "freq" :: corpus :: rest =>
       val terms = rest.filter(!_.startsWith("--"))
@@ -248,7 +256,7 @@ object Main {
       est.foreach(r => println(
         f"[freq] ${r.getString(0)}%-24s ~${r.getLong(1)} occurrences " +
           "(cms 4x8192, overcount-only)"))
-      spark.stop()
+      done(spark)
 
     case "ann-index" :: corpus :: outDir :: rest =>
       val nums = rest.filter(!_.startsWith("--"))
@@ -260,7 +268,7 @@ object Main {
         planes, dim)
       println(s"[ann-index] ${emb.count()} vectors bucketed " +
         s"(planes=$planes) -> $outDir")
-      spark.stop()
+      done(spark)
 
     case "ann-query" :: idxPath :: queries :: outDir :: rest =>
       val nums = rest.filter(!_.startsWith("--"))
@@ -278,7 +286,7 @@ object Main {
       val n = spark.read.parquet(outDir).count()
       println(s"[ann-query] ${q.count()} queries x top-$k " +
         s"-> $n hits -> $outDir")
-      spark.stop()
+      done(spark)
 
     // persist the IVF-PQ index: codebooks + cell-partitioned codes +
     // centroids (cells default to label; pass a cell column name)
@@ -295,7 +303,7 @@ object Main {
         "embedding", cellCol, m, k, iters, dim)
       println(s"[pq-index] ${emb.count()} vectors -> m=$m k=$k " +
         s"codes + codebooks + centroids -> $outDir")
-      spark.stop()
+      done(spark)
 
     // serve top-k from a persisted IVF-PQ index (codes only — raw
     // vectors are never read)
@@ -328,7 +336,7 @@ object Main {
       println(s"[pq-query] ${q.count()} queries x top-$k " +
         s"(nprobe=$nprobe, refine=${refineArgs.nonEmpty}) " +
         s"-> $n hits -> $outDir")
-      spark.stop()
+      done(spark)
 
     case "ann-eval" :: corpus :: rest =>
       import org.apache.spark.sql.functions.col
@@ -368,7 +376,7 @@ object Main {
       kept.write.mode("overwrite").parquet(outDir)
       println(s"[semdedup] ${emb.count()} vectors -> ${kept.count()} " +
         s"kept (k=$k threshold=$threshold cellCap=$cellCap) -> $outDir")
-      spark.stop()
+      done(spark)
 
     // streaming near-dedup of JSONL drops against a growing signed
     // index: new files under <inDir> process as micro-batches, each
@@ -392,7 +400,7 @@ object Main {
           println(s"[funnel-stream] ${r.getInt(0)} ${r.getString(1)}: " +
             s"${r.getLong(2)} users (${r.getDouble(3)})")
         }
-      spark.stop()
+      done(spark)
 
     case "dedup-stream" :: inDir :: idxPath :: outDir :: ckpt :: rest =>
       val spark = session()
@@ -405,7 +413,7 @@ object Main {
       val n = spark.read.parquet(outDir).count()
       println(s"[dedup-stream] $inDir -> $n total survivors in $outDir " +
         s"(index: $idxPath)")
-      spark.stop()
+      done(spark)
 
     case "split" :: corpus :: outDir :: rest =>
       val seed = rest.find(!_.startsWith("--")).map(_.toLong).getOrElse(13L)
@@ -416,7 +424,7 @@ object Main {
       labeled.write.mode("overwrite").partitionBy("split").parquet(outDir)
       println(s"[split] ${docs.count()} docs -> 80/10/10 by split= " +
         s"(seed $seed) -> $outDir")
-      spark.stop()
+      done(spark)
 
     case "mix" :: corpus :: outDir :: rest =>
       import org.apache.spark.sql.functions._
@@ -453,7 +461,7 @@ object Main {
         .getOrElse(s"~$budget tokens/class")
       println(s"[mix] ${docs.count()} docs -> ${kept.count()} kept " +
         s"($budgetDesc, seed $seed) -> $outDir")
-      spark.stop()
+      done(spark)
 
     case "pack" :: corpus :: outDir :: rest =>
       import org.apache.spark.sql.functions._
@@ -474,7 +482,7 @@ object Main {
       Export.jsonl(packed, outDir)
       println(s"[pack] ${docs.count()} docs -> ${packed.count()} " +
         s"sequences (budget=$budget) -> $outDir")
-      spark.stop()
+      done(spark)
 
     case "tfidf" :: corpus :: outDir :: rest =>
       val spark = session()
@@ -482,7 +490,7 @@ object Main {
         loadCorpus(spark, corpus, rest), "text", "doc_id")
       Export.jsonl(scored, outDir)
       println(s"[tfidf] ${scored.count()} (doc, term) scores -> $outDir")
-      spark.stop()
+      done(spark)
 
     case "sample" :: corpus :: outDir :: rest =>
       import org.apache.spark.sql.functions.{col, length}
@@ -496,7 +504,7 @@ object Main {
         docs, "doc_id", length(col("text")).cast("double"), n, seed)
       Export.jsonl(kept, outDir)
       println(s"[sample] $n docs (seed $seed, length-weighted) -> $outDir")
-      spark.stop()
+      done(spark)
 
     // Gopher-rules quality filter: keep docs passing all rules, or
     // dump the full per-doc report with --report
@@ -516,7 +524,7 @@ object Main {
       println(s"[gopher] ${docs.count()} docs -> ${out.count()} " +
         s"${if (rest.contains("--report")) "reports" else "kept"} " +
         s"(minWords=$minWords) -> $outDir")
-      spark.stop()
+      done(spark)
 
     // DSIR selection: weight the corpus toward a target set, keep docs
     // with positive importance (or dump weights with --report)
@@ -536,7 +544,7 @@ object Main {
       println(s"[dsir] ${docs.count()} docs -> ${out.count()} " +
         s"${if (rest.contains("--report")) "weights" else "kept"} " +
         s"(buckets=$buckets) -> $outDir")
-      spark.stop()
+      done(spark)
 
     // CCNet-style perplexity scores: bigram NLL of every doc under a
     // hashed LM fit on the target corpus (low avg_nll = target-like)
@@ -551,7 +559,7 @@ object Main {
       Export.jsonl(scored, outDir)
       println(s"[ppl] ${docs.count()} docs scored " +
         s"(buckets=$buckets) -> $outDir")
-      spark.stop()
+      done(spark)
 
     // decode a (doc_id, media binary) parquet of WAV/AIFF/AU audio
     // with the JDK's javax.sound.sampled; emits PCM metadata + RMS
@@ -563,7 +571,7 @@ object Main {
       val all = spark.read.parquet(outDir)
       val ok = all.filter(org.apache.spark.sql.functions.col("ok")).count()
       println(s"[decode-audio] ${all.count()} items, $ok decoded -> $outDir")
-      spark.stop()
+      done(spark)
 
     // decode a (doc_id, media binary) parquet with the JDK ImageIO
     // codecs (JPEG/PNG/GIF/BMP); emits metadata + channel means
@@ -576,7 +584,7 @@ object Main {
         .filter(org.apache.spark.sql.functions.col("ok")).count()
       val total = spark.read.parquet(outDir).count()
       println(s"[decode-image] $total items, $ok decoded -> $outDir")
-      spark.stop()
+      done(spark)
 
     // BM25 retrieval: space-separated query terms against the corpus
     case "bm25" :: corpus :: outDir :: query :: rest =>
@@ -593,7 +601,7 @@ object Main {
         .orderBy(col("rank"))
       Export.jsonl(hits, outDir)
       println(s"[bm25] '$query' top-$k -> ${hits.count()} hits -> $outDir")
-      spark.stop()
+      done(spark)
 
     // exact phrase retrieval via the positional inverted index
     case "phrase" :: corpus :: outDir :: phrase :: rest =>
@@ -606,7 +614,7 @@ object Main {
         .orderBy(col("n_matches").desc, col("doc_id"))
       Export.jsonl(hits, outDir)
       println(s"[phrase] '$phrase' -> ${hits.count()} docs -> $outDir")
-      spark.stop()
+      done(spark)
 
     // learn a BPE merge table from the corpus (prints + writes parquet).
     // Default: the driver fast path (one corpus scan, all rounds in
@@ -626,7 +634,7 @@ object Main {
         println(s"[bpe-learn] ${r.getInt(0)}: '${r.getString(1)}' + " +
           s"'${r.getString(2)}' (${r.getLong(3)})")
       }
-      spark.stop()
+      done(spark)
 
     // sketch-tier per-group quantiles of a numeric column
     case "quantiles" :: path :: keyCol :: valCol :: rest =>
@@ -648,7 +656,7 @@ object Main {
           s"m=${r.getInt(2)} p50=${r.getDouble(3)} " +
           s"p90=${r.getDouble(4)} p99=${r.getDouble(5)}")
       }
-      spark.stop()
+      done(spark)
 
     // WebDataset tar shard export: reproducible shuffle order →
     // shard-NNNNN.tar files with {pos}-{id}.txt entries
@@ -669,7 +677,7 @@ object Main {
       Export.tarShards(laid, outDir, "shard", "name", "text")
       println(s"[tar-export] ${docs.count()} docs -> $shards tar " +
         s"shards (seed $seed) -> $outDir")
-      spark.stop()
+      done(spark)
 
     // ordered funnel over an events parquet: stages are the args
     case "funnel" :: path :: stagesCsv :: rest =>
@@ -682,7 +690,7 @@ object Main {
           println(s"[funnel] ${r.getInt(0)} ${r.getString(1)}: " +
             s"${r.getLong(2)} users (${r.getDouble(3)})")
         }
-      spark.stop()
+      done(spark)
 
     // cohort retention over an events parquet
     case "retention" :: path :: Nil =>
@@ -695,7 +703,7 @@ object Main {
             s"offset=${r.getLong(1)} active=${r.getLong(2)} " +
             s"(${r.getDouble(3)})")
         }
-      spark.stop()
+      done(spark)
 
     // snapshot diff: per-id status counts between two corpus versions
     case "diff" :: oldPath :: newPath :: rest =>
@@ -711,7 +719,7 @@ object Main {
         Export.jsonl(statuses.filter(col("status") =!= "unchanged"), out)
         println(s"[diff] non-unchanged rows -> $out")
       }
-      spark.stop()
+      done(spark)
 
     // per-column dataset profile (nulls, distinct est, min/max, pXX)
     case "profile" :: path :: Nil =>
@@ -719,7 +727,7 @@ object Main {
       graft.operators.Diagnose.profile(spark.read.parquet(path))
         .orderBy("column").collect()
         .foreach(r => println(s"[profile] ${r.mkString(" ")}"))
-      spark.stop()
+      done(spark)
 
     // dataset manifest: per-file row counts + null counts + schema hash
     case "manifest" :: path :: rest =>
@@ -733,7 +741,7 @@ object Main {
           m.orderBy("file").collect()
             .foreach(r => println(s"[manifest] ${r.mkString(" ")}"))
       }
-      spark.stop()
+      done(spark)
 
     // key-skew report: heavy hitters of any parquet column (the
     // pre-join salting/broadcast diagnostic); prints to stdout
@@ -748,7 +756,7 @@ object Main {
         println(f"  ${r.get(0)}%-24s ${r.getAs[Long]("n_rows")}%10d  " +
           f"${r.getAs[Double]("share") * 100}%6.2f%%")
       }
-      spark.stop()
+      done(spark)
 
     // pairwise source-overlap matrix (minhash of each group's shingle
     // union) — which crawls/sources mirror each other
@@ -759,7 +767,7 @@ object Main {
         loadCorpus(spark, corpus, rest), "text", groupCol)
       Export.jsonl(sim, outDir)
       println(s"[overlap] ${sim.count()} $groupCol pairs -> $outDir")
-      spark.stop()
+      done(spark)
 
     // fill-in-the-middle splits: deterministic seeded (prefix, middle,
     // suffix) per doc
@@ -772,7 +780,7 @@ object Main {
         tokenizerFor(rest))
       Export.jsonl(out, outDir)
       println(s"[fim] ${out.count()} splits (seed $seed) -> $outDir")
-      spark.stop()
+      done(spark)
 
     case "chunk" :: corpus :: outDir :: rest =>
       import org.apache.spark.sql.functions._
@@ -788,7 +796,7 @@ object Main {
       Export.jsonl(chunks, outDir)
       println(s"[chunk] size=$size overlap=$overlap " +
         s"-> ${chunks.count()} chunks -> $outDir")
-      spark.stop()
+      done(spark)
 
     case "shuffle" :: corpus :: outDir :: rest =>
       import org.apache.spark.sql.functions._
@@ -805,7 +813,7 @@ object Main {
         .write.mode("overwrite").partitionBy("shard").parquet(outDir)
       println(s"[shuffle] ${docs.count()} docs -> $shards shards " +
         s"(seed $seed) -> $outDir")
-      spark.stop()
+      done(spark)
 
     case "upsert" :: base :: updates :: keyCol :: versionCol :: out :: Nil =>
       val spark = session()
@@ -816,7 +824,7 @@ object Main {
       merged.write.mode("overwrite").parquet(out)
       println(s"[upsert] ${b.count()} base + ${u.count()} updates -> " +
         s"${merged.count()} rows -> $out")
-      spark.stop()
+      done(spark)
 
     case "classify" :: corpus :: modelPath :: outDir :: rest =>
       import org.apache.spark.sql.functions._
@@ -832,7 +840,7 @@ object Main {
       val kept = scored.filter(col("keep")).count()
       println(s"[classify] ${docs.count()} docs, $kept keep " +
         s"(${model.weightsMicro.size}-token model) -> $outDir")
-      spark.stop()
+      done(spark)
 
     case "divergence" :: corpus :: rest =>
       val nums = rest.filter(!_.startsWith("--"))
@@ -843,7 +851,7 @@ object Main {
       graft.text.Dsir.groupDivergence(docs, "text", groupCol, buckets)
         .orderBy(org.apache.spark.sql.functions.col("kl").desc)
         .show(100, truncate = false)
-      spark.stop()
+      done(spark)
 
     case "buckets" :: corpus :: targetPath :: outDir :: rest =>
       import org.apache.spark.sql.functions._
@@ -861,7 +869,7 @@ object Main {
       b.write.mode("overwrite").partitionBy("bucket").parquet(outDir)
       println(s"[buckets] ${docs.count()} docs -> head/middle/tail " +
         s"by per-lang perplexity -> $outDir")
-      spark.stop()
+      done(spark)
 
     case "despan" :: corpus :: outDir :: rest =>
       import org.apache.spark.sql.functions._
@@ -879,7 +887,7 @@ object Main {
       val touched = cleaned.filter(col("n_removed") > 0).count()
       println(s"[despan] ${docs.count()} docs, $touched with spans " +
         s"removed (k=$k minLen=$minLen) -> $outDir")
-      spark.stop()
+      done(spark)
 
     case "semdecon" :: corpus :: evalPath :: outDir :: rest =>
       val th = rest.find(!_.startsWith("--")).map(_.toDouble).getOrElse(0.95)
@@ -891,7 +899,7 @@ object Main {
       kept.write.mode("overwrite").parquet(outDir)
       println(s"[semdecon] ${c.count()} corpus vs ${e.count()} eval " +
         s"-> ${kept.count()} kept (cos >= $th dropped) -> $outDir")
-      spark.stop()
+      done(spark)
 
     case "dhash" :: corpus :: outDir :: rest =>
       import org.apache.spark.sql.functions._
@@ -904,7 +912,7 @@ object Main {
       pairs.write.mode("overwrite").parquet(outDir)
       println(s"[dhash] ${media.count()} images, " +
         s"${pairs.count()} near-dup pairs (<=$maxBits bits) -> $outDir")
-      spark.stop()
+      done(spark)
 
     case _ =>
       System.err.println(
