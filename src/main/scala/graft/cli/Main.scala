@@ -308,7 +308,11 @@ object Main {
     // serve top-k from a persisted IVF-PQ index (codes only — raw
     // vectors are never read)
     case "pq-query" :: idxPath :: queries :: outDir :: rest =>
-      val nums = rest.filter(!_.startsWith("--"))
+      // positional numbers end where --refine (and its operands) begin
+      val nums = {
+        val r = rest.indexOf("--refine")
+        (if (r >= 0) rest.take(r) else rest).filter(!_.startsWith("--"))
+      }
       val k = nums.headOption.map(_.toInt).getOrElse(10)
       val m = nums.drop(1).headOption.map(_.toInt).getOrElse(4)
       val nprobe = nums.drop(2).headOption.map(_.toInt).getOrElse(2)

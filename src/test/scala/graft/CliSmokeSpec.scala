@@ -99,4 +99,51 @@ class CliSmokeSpec extends SparkSpec {
       .toDF("grp", "v").write.mode("overwrite").parquet(p)
     graft.cli.Main.main(Array("quantiles", p, "grp", "v", "64"))
   }
+
+  test("ingest -> diagnose -> dump: the reference Makefile workflow " +
+    "end-to-end through the CLI") {
+    val base = tmpDir("cli-ingest")
+    val csvDir = s"$base/drops"
+    SyntheticTracking.df(spark).coalesce(1)
+      .write.option("header", "true").mode("overwrite").csv(csvDir)
+    val pool = s"$base/pool"
+    graft.cli.Main.main(Array("ingest", csvDir, pool, "canonical"))
+    // season=/gameId= layout landed
+    val seasons = new java.io.File(pool).listFiles()
+      .filter(_.getName.startsWith("season=")).map(_.getName).toSeq
+    assert(seasons == Seq("season=2023"), s"layout: $seasons")
+    graft.cli.Main.main(Array("diagnose", pool)) // healthy → no exit(1)
+    val out = s"$base/dump"
+    graft.cli.Main.main(Array("dump", pool, out, "3", "42"))
+    val dumped = spark.read.option("header", "true").csv(out)
+    assert(dumped.select("gameId", "playId").distinct().count() == 3)
+  }
+
+  test("pq-index then pq-query (plain and --refine) serve from the " +
+    "persisted artifacts") {
+    def vec(i: Long): Array[Float] = {
+      val a = Array.fill(64)(0.01f)
+      a((i % 4).toInt) = 1.0f + (i % 5) * 0.1f
+      a
+    }
+    val base = tmpDir("cli-pq")
+    val embPath = s"$base/emb"
+    (0L until 16L).map(i => (i, i % 2, vec(i)))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(embPath)
+    val idx = s"$base/idx"
+    graft.cli.Main.main(Array("pq-index", embPath, idx, "2", "2", "2"))
+    assert(spark.read.parquet(s"$idx/codes").count() == 32)
+    val outPlain = s"$base/plain"
+    graft.cli.Main.main(Array("pq-query", idx, embPath, outPlain,
+      "3", "2", "1"))
+    assert(spark.read.parquet(outPlain).count() == 16 * 3)
+    val outRefined = s"$base/refined"
+    graft.cli.Main.main(Array("pq-query", idx, embPath, outRefined,
+      "3", "2", "1", "--refine", embPath, "8"))
+    val refined = spark.read.parquet(outRefined)
+    assert(refined.count() == 16 * 3)
+    // refined output carries exact cosine, not ADC distance
+    assert(refined.columns.contains("cos_sim"))
+  }
 }
