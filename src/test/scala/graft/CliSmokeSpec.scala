@@ -100,6 +100,43 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("quantiles", p, "grp", "v", "64"))
   }
 
+  test("decontaminate / clean / pack / mix / shuffle / gopher / " +
+    "phrase / distinct parse their argument shapes") {
+    val evalPath = s"${tmpDir("clieval")}/eval"
+    Seq((1000L, "document number 3 with some shared words and token3"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(evalPath)
+    val o1 = tmpDir("cli-decon")
+    graft.cli.Main.main(
+      Array("decontaminate", corpusPath, evalPath, o1, "8", "--bloom"))
+    assert(spark.read.json(o1).count() < 20) // the contaminated doc drops
+    val o2 = tmpDir("cli-clean")
+    graft.cli.Main.main(
+      Array("clean", corpusPath, evalPath, o2, "0.0", "0.9"))
+    assert(spark.read.json(o2).count() > 0)
+    val o3 = tmpDir("cli-pack")
+    graft.cli.Main.main(
+      Array("pack", corpusPath, o3, "64", "--simple-tokens"))
+    assert(spark.read.json(o3).count() > 0)
+    val o4 = tmpDir("cli-mix")
+    graft.cli.Main.main(Array("mix", corpusPath, o4, "100", "7",
+      "--simple-tokens", "--alpha", "0.5"))
+    assert(spark.read.json(o4).count() > 0)
+    val o5 = tmpDir("cli-shuffle")
+    graft.cli.Main.main(Array("shuffle", corpusPath, o5, "4", "42"))
+    val sh = spark.read.parquet(o5)
+    assert(sh.count() == 20 &&
+      sh.select("shard").distinct().count() == 4)
+    // the tiny fixture docs fail Gopher's other rules (0 kept is fine
+    // here — the smoke asserts the arg path runs, not the rulebook)
+    graft.cli.Main.main(Array("gopher", corpusPath, tmpDir("cli-gopher"),
+      "2"))
+    val o7 = tmpDir("cli-phrase")
+    graft.cli.Main.main(
+      Array("phrase", corpusPath, o7, "shared words"))
+    assert(spark.read.json(o7).count() == 20) // phrase is in every doc
+    graft.cli.Main.main(Array("distinct", corpusPath, "64"))
+  }
+
   test("ingest -> diagnose -> dump: the reference Makefile workflow " +
     "end-to-end through the CLI") {
     val base = tmpDir("cli-ingest")
