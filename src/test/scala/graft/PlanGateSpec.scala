@@ -151,14 +151,12 @@ class PlanGateSpec extends SparkSpec {
       .filterNot(eager.contains)
       .filterNot(globalWindowWhitelist.contains)
       .flatMap { name =>
-        val plan = SparkEntry.queries(name)(spark, sfDir)
-          .queryExecution.sparkPlan
-        val bad = plan.collect {
-          case w: org.apache.spark.sql.execution.window.WindowExec
-              if w.partitionSpec.isEmpty => w
-          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-              if w.partitionSpec.isEmpty => w
-        }
+        // dogfood the public lint (PlanChecks) — the same audit users
+        // wire into their own pipelines
+        val bad = PlanChecks
+          .audit(SparkEntry.queries(name)(spark, sfDir),
+            bnljAllowed = true)
+          .filter(_.rule == "global-window")
         if (bad.nonEmpty) Some(s"$name: ${bad.size} global window(s)")
         else None
       }
