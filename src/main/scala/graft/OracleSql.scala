@@ -521,6 +521,44 @@ object OracleSql {
        |FROM rk WHERE rn <= 5""".stripMargin
   }
 
+  /** Embedding-drift oracle (q122): per-label bucketed-mean folds (the
+    * q27 centroid CTEs) over the base embeddings and the deterministic
+    * v2 snapshot, mean-vs-mean cosine via the q17 chain.
+    */
+  private lazy val q122 = {
+    val dim = 64
+    val w = 128L
+    def meanCtes(table: String, p: String, nCol: String) =
+      s"""${p}p AS (SELECT label, vec_id // $w AS bk, count(*) AS n,
+         |         list_reduce(
+         |           list_transform(list(embedding ORDER BY vec_id),
+         |             v -> list_transform(v, x -> x::DOUBLE)),
+         |           (a, c) -> list_transform(range(1, ${dim + 1}),
+         |                       i -> a[i] + c[i])) AS psum
+         |       FROM $table GROUP BY label, vec_id // $w),
+         |${p}c AS (SELECT label, sum(n) AS $nCol,
+         |         list_reduce(list(psum ORDER BY bk),
+         |           (a, c) -> list_transform(range(1, ${dim + 1}),
+         |                       i -> a[i] + c[i])) AS vsum
+         |       FROM ${p}p GROUP BY label),
+         |${p}m AS (SELECT label, $nCol,
+         |          list_transform(vsum, s -> s / $nCol) AS m
+         |        FROM ${p}c)""".stripMargin
+    s"""WITH v2 AS (SELECT vec_id, label,
+       |         CASE WHEN vec_id % 7 = 0 THEN list_reverse(embedding)
+       |              ELSE embedding END AS embedding
+       |       FROM embeddings WHERE vec_id % 5 != 0),
+       |${meanCtes("embeddings", "o", "n_old")},
+       |${meanCtes("v2", "nw", "n_new")}
+       |SELECT coalesce(om.label, nwm.label) AS label,
+       |  coalesce(om.n_old, 0)::BIGINT AS n_old,
+       |  coalesce(nwm.n_new, 0)::BIGINT AS n_new,
+       |  round(${duckDot("om.m", "nwm.m", dim)} /
+       |    (sqrt(${duckDot("om.m", "om.m", dim)}) *
+       |     sqrt(${duckDot("nwm.m", "nwm.m", dim)})), 6) AS mean_cos
+       |FROM om FULL OUTER JOIN nwm ON om.label = nwm.label""".stripMargin
+  }
+
   /** Exact-Jaccard oracle: the shared candidate CTEs, then distinct-set
     * intersection / union sizes over the shingle arrays (the same
     * distinct semantics as Spark's array_intersect/array_union, with the
@@ -2374,6 +2412,12 @@ object OracleSql {
         |      x -> abs(x - e.med) > 3.0 * e.mad))::BIGINT)
         |    // e.m::BIGINT)::BIGINT AS n_outliers_est
         |FROM e JOIN n USING (l_returnflag)""".stripMargin,
+
+    // embedding drift: the q27 bucketed-mean fold instantiated per
+    // label over the base table and the deterministic v2 derivation
+    // (drop %5, reverse %7), then mean-vs-mean cosine via the q17
+    // dot/(|a||b|) chain
+    "q122_embedding_drift" -> q122,
 
     // full IVFADC-R replay: the q106 per-subspace Lloyd (codebooks +
     // final code assignments), the q27 bucketed-mean cell centroids and

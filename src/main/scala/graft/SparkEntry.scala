@@ -1588,6 +1588,22 @@ object SparkEntry {
       "vec_id", m = 2, k = 5, candidates = 40, nprobe = 2, dim = 64)
   }
 
+  /** Embedding-space drift monitor between crawl snapshots: the
+    * current embeddings against a deterministic "next crawl" (every
+    * 5th vector dropped, every 7th component-reversed) — per-label
+    * counts and the cosine between old and new mean vectors, both
+    * from the bounded id-bucketed fold (q27's centroid discipline, so
+    * the whole report replays in SQL).
+    */
+  def q122_embedding_drift(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val v2 = emb.filter(col("vec_id") % 5 =!= 0)
+      .withColumn("embedding", when(col("vec_id") % 7 === 0,
+        reverse(col("embedding"))).otherwise(col("embedding")))
+    SimSearch.groupEmbeddingDrift(emb, v2, "vec_id", "embedding",
+      "label", dim = 64, bucketWidth = 128L)
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1711,7 +1727,8 @@ object SparkEntry {
     "q118_sliding_window" -> (q118_sliding_window(_, _)),
     "q119_fightin_words" -> (q119_fightin_words(_, _)),
     "q120_outliers_approx" -> (q120_outliers_approx(_, _)),
-    "q121_ivfpq_refined" -> (q121_ivfpq_refined(_, _)))
+    "q121_ivfpq_refined" -> (q121_ivfpq_refined(_, _)),
+    "q122_embedding_drift" -> (q122_embedding_drift(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

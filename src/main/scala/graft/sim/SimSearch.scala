@@ -322,6 +322,38 @@ object SimSearch {
         transform(col("_vsum"), s => s / col("n")).as("mean"), col("n"))
   }
 
+  /** Per-group embedding DRIFT between two corpus snapshots: member
+    * counts plus the cosine between each group's OLD and NEW mean
+    * vectors — the "did this source's embedding space move between
+    * crawls" monitor that catches upstream encoder changes, crawl
+    * distribution shift, or a poisoned source before training sees it
+    * (mean_cos ≈ 1 = stable; low = re-audit the source). The
+    * embedding-tier sibling of [[graft.operators.Relational.corpusDiff]]
+    * and [[graft.text.Dsir.groupDivergence]].
+    *
+    * Both means come from the bounded id-bucketed [[meanVectors]]
+    * fold, so the report is deterministic (oracle-replayable) and no
+    * aggregation buffer ever holds more than `bucketWidth` vectors.
+    * Output: `(groupCol, n_old, n_new, mean_cos)`, full outer on the
+    * group — a group present on one side only reports the other count
+    * 0 and a NULL cosine.
+    */
+  def groupEmbeddingDrift(
+      oldEmb: DataFrame, newEmb: DataFrame, idCol: String,
+      vecCol: String, groupCol: String, dim: Int = 64,
+      bucketWidth: Long = 4096L): DataFrame = {
+    def side(df: DataFrame, m: String, n: String) =
+      meanVectors(df.select(col(groupCol).as("_g"), col(idCol),
+        col(vecCol)), "_g", idCol, vecCol, dim, bucketWidth)
+        .select(col("_g"), col("mean").as(m), col("n").as(n))
+    side(oldEmb, "_mo", "_no")
+      .join(side(newEmb, "_mn", "_nn"), Seq("_g"), "full_outer")
+      .select(col("_g").as(groupCol),
+        coalesce(col("_no"), lit(0L)).as("n_old"),
+        coalesce(col("_nn"), lit(0L)).as("n_new"),
+        round(cosine(col("_mo"), col("_mn")), 6).as("mean_cos"))
+  }
+
   /** Per-group embedding diversity report: each group's member count,
     * centroid norm, and mean member-to-centroid cosine — the
     * "has this source's embedding space collapsed" observability

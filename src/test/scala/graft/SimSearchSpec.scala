@@ -330,6 +330,30 @@ class SimSearchSpec extends SparkSpec {
     assert(got(10L)._3 > got(20L)._3) // collapse ranks above diversity
   }
 
+  test("groupEmbeddingDrift: stable group cos 1, rotated group lower, " +
+    "one-sided groups report zero counts and NULL cosine") {
+    import spark.implicits._
+    val old = Seq(
+      (10L, 1L, Array(1f, 0f, 0f, 0f)), (10L, 2L, Array(1f, 0f, 0f, 0f)),
+      (20L, 3L, Array(0f, 2f, 0f, 0f)),
+      (30L, 4L, Array(1f, 1f, 0f, 0f))) // removed in the new snapshot
+      .toDF("label", "vec_id", "embedding")
+    val next = Seq(
+      (10L, 1L, Array(1f, 0f, 0f, 0f)),   // unchanged
+      (20L, 3L, Array(2f, 0f, 0f, 0f)),   // rotated 90° → cos 0
+      (40L, 5L, Array(0f, 0f, 1f, 0f)))   // brand-new group
+      .toDF("label", "vec_id", "embedding")
+    val got = SimSearch.groupEmbeddingDrift(old, next, "vec_id",
+      "embedding", "label", dim = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(10L) == ((2L, 1L, Some(1.0))))
+    assert(got(20L) == ((1L, 1L, Some(0.0))))
+    assert(got(30L) == ((1L, 0L, None))) // removed group
+    assert(got(40L) == ((0L, 1L, None))) // new group
+  }
+
   test("semanticDecontaminate drops corpus rows near ANY eval vector, " +
     "keeps the rest, and is a no-op on an empty eval set") {
     import spark.implicits._
