@@ -35,14 +35,15 @@ object PlanChecks {
   }
 
   def audit(df: DataFrame, bnljAllowed: Boolean = false): Seq[Finding] =
-    auditPlan(df.queryExecution.sparkPlan, bnljAllowed)
+    auditPlan(df.queryExecution.sparkPlan, bnljAllowed,
+      df.sparkSession)
 
-  private[graft] def auditPlan(
-      plan: SparkPlan, bnljAllowed: Boolean): Seq[Finding] = {
+  private[graft] def auditPlan(plan: SparkPlan, bnljAllowed: Boolean,
+      spark: org.apache.spark.sql.SparkSession): Seq[Finding] = {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
-    plan.collect {
+    val here = plan.collect {
       case c: CartesianProductExec =>
         Finding("cartesian-product", c.nodeName)
       case j: BroadcastNestedLoopJoinExec if !bnljAllowed =>
@@ -53,6 +54,22 @@ object PlanChecks {
         Finding("global-window", w.nodeName)
       case s: SortExec if s.global =>
         Finding("global-sort", s.nodeName)
+    }
+    // subquery plans (scalar/IN) hang off EXPRESSIONS, not children —
+    // a melting join inside a subquery must not escape the lint. At
+    // the pre-AQE sparkPlan stage these are still LOGICAL plans inside
+    // PlanExpression; plan each through the session and recurse.
+    val subPlans = plan.collect { case p => p.expressions }.flatten
+      .flatMap(_.collect {
+        case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+          pe.plan
+      })
+    here ++ subPlans.flatMap {
+      case sp: SparkPlan => auditPlan(sp, bnljAllowed, spark)
+      case lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+        auditPlan(spark.sessionState.executePlan(lp).sparkPlan,
+          bnljAllowed, spark)
+      case _ => Nil
     }
   }
 

@@ -324,6 +324,11 @@ object Main {
       // --refine <rawEmbeddings> [candidates]: exact re-rank of the
       // ADC top-candidates against the raw vectors (IVFADC-R)
       val refineArgs = rest.dropWhile(_ != "--refine").drop(1)
+      // a bare --refine must not silently degrade to unrefined ADC —
+      // the user asked for exact re-rank and would get lossy neighbors
+      require(!rest.contains("--refine") || refineArgs.nonEmpty,
+        "--refine requires the raw embeddings path: " +
+          "--refine <rawEmb> [candidates]")
       val hits = refineArgs.headOption match {
         case Some(rawPath) =>
           val c = refineArgs.drop(1).headOption.map(_.toInt)

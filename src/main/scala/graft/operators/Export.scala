@@ -79,31 +79,38 @@ object Export {
         val conf = new Configuration(false)
         confEntries.foreach { case (k, v) => conf.set(k, v) }
         val base = new Path(dir)
-        val fs = base.getFileSystem(conf)
-        // LocalFileSystem would otherwise write .crc sidecars
-        try fs.setWriteChecksum(false)
-        catch { case _: UnsupportedOperationException => () }
-        var cur: Long = Long.MinValue
-        var out: java.io.OutputStream = null
-        def close(): Unit = if (out != null) {
-          out.write(new Array[Byte](1024)) // two zero end blocks
-          out.close(); out = null
-        }
-        rows.foreach { r =>
-          val s = r.getLong(0)
-          if (s != cur || out == null) {
-            close(); cur = s
-            out = new java.io.BufferedOutputStream(
-              fs.create(new Path(base, f"shard-$s%05d.tar"), true))
+        // a PRIVATE FileSystem instance: getFileSystem returns the
+        // JVM-wide cached one (keyed by scheme+authority, NOT conf),
+        // and setWriteChecksum on it would silently disable .crc
+        // sidecars for every other local-FS writer in this executor
+        val fs = org.apache.hadoop.fs.FileSystem
+          .newInstance(base.toUri, conf)
+        try {
+          // LocalFileSystem would otherwise write .crc sidecars
+          try fs.setWriteChecksum(false)
+          catch { case _: UnsupportedOperationException => () }
+          var cur: Long = Long.MinValue
+          var out: java.io.OutputStream = null
+          def close(): Unit = if (out != null) {
+            out.write(new Array[Byte](1024)) // two zero end blocks
+            out.close(); out = null
           }
-          val bytes = r.getAs[Array[Byte]](2)
-          out.write(TarFormat.header(s"${r.getString(1)}.$ext",
-            bytes.length))
-          out.write(bytes)
-          val pad = (512 - bytes.length % 512) % 512
-          if (pad > 0) out.write(new Array[Byte](pad))
-        }
-        close()
+          rows.foreach { r =>
+            val s = r.getLong(0)
+            if (s != cur || out == null) {
+              close(); cur = s
+              out = new java.io.BufferedOutputStream(
+                fs.create(new Path(base, f"shard-$s%05d.tar"), true))
+            }
+            val bytes = r.getAs[Array[Byte]](2)
+            out.write(TarFormat.header(s"${r.getString(1)}.$ext",
+              bytes.length))
+            out.write(bytes)
+            val pad = (512 - bytes.length % 512) % 512
+            if (pad > 0) out.write(new Array[Byte](pad))
+          }
+          close()
+        } finally fs.close()
       }
   }
 

@@ -20,10 +20,11 @@ object EventOps {
     * Normalize back to TimestampType (microsecond truncation — all
     * downstream ops use ≥ second granularity).
     */
-  def normalizeTs(events: DataFrame): DataFrame =
-    events.schema("ts").dataType match {
+  def normalizeTs(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        events.withColumn(tsCol,
+          timestamp_micros(expr(s"`$tsCol` div 1000")))
       case _ => events
     }
 
@@ -292,7 +293,11 @@ object EventOps {
     */
   def dailyActivity(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts"): DataFrame =
-    normalizeTs(events)
+    normalizeTs(events, tsCol)
+      // null users/timestamps carry no activity; dropping them here
+      // (rather than at the cohort join) keeps incremental state
+      // (StreamingRetention) from accumulating unmatched null rows
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("_u"),
         floor(col(tsCol).cast("long") / 86400L).cast("long").as("_day"))
       .distinct()
@@ -369,7 +374,11 @@ object EventOps {
     require(maxGapMinutes.forall(_ > 0), "maxGapMinutes must be positive")
     val spark = events.sparkSession
     import spark.implicits._
-    val ev = normalizeTs(events)
+    val ev = normalizeTs(events, tsCol)
+      // countDistinct has always excluded null users; filtering them
+      // up front keeps the stage tables (and StreamingFunnel's state,
+      // which counts rows) aligned with that
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("_u"), col(typeCol).as("_ty"),
         col(tsCol).cast("long").as("_ts"))
     // min-only per user is exact without a gap and keeps stage tables

@@ -32,7 +32,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Delivery: `foreachBatch` is at-least-once; the state merge is
   * idempotent (`least` of mins), so replaying a batch cannot corrupt
-  * the chain — the state write is last, after a `localCheckpoint` cut.
+  * the chain. The state update is a write-to-temp-then-swap — the
+  * previous state stays intact until the replacement is fully
+  * committed, and an interrupted swap self-heals on the next
+  * batch/report (a plain destructive overwrite would lose ALL
+  * accumulated chains to one crash mid-write).
   */
 object StreamingFunnel {
 
@@ -61,11 +65,18 @@ object StreamingFunnel {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(maxGapMinutes.forall(_ > 0), "maxGapMinutes must be positive")
     val spark = batch.sparkSession
-    val ev = EventOps.normalizeTs(batch)
+    val ev = EventOps.normalizeTs(batch, tsCol)
+      // null users/timestamps: the batch funnel's countDistinct has
+      // always excluded them; without this filter every batch would
+      // append fresh unmatched (stage, null, t) rows to the state
+      // (full_outer on a null key never joins) and inflate report
+      // counts forever
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("_u"), col(typeCol).as("_ty"),
         col(tsCol).cast("long").as("_ts"))
     val hPath = new org.apache.hadoop.fs.Path(statePath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    healState(fs, statePath)
     val old: DataFrame =
       if (fs.exists(hPath)) spark.read.parquet(statePath)
       else ev.select(lit(0).as("stage_idx"), col("_u"),
@@ -97,10 +108,39 @@ object StreamingFunnel {
         .unionByName(merged.select(lit(i).as("stage_idx"), col("_u"),
           col("_t")))
     }
-    // materialize the FULL new state before the overwrite clears the
-    // directory the plan still reads from (the StreamingDedup cut)
-    val stateC = state.localCheckpoint()
-    stateC.write.mode("overwrite").parquet(statePath)
+    // write-to-temp then swap: a plain mode("overwrite") deletes the
+    // ONLY copy of months of accumulated state before the new write
+    // commits — a crash in that window loses everything, which
+    // at-least-once replay (one batch deep) cannot recover. The temp
+    // write keeps the old state intact until the new one is fully
+    // committed; the delete→rename window is self-healing
+    // ([[healState]]: tmp present + state missing ⇒ finish the swap).
+    val tmpPath = statePath + TmpSuffix
+    state.write.mode("overwrite").parquet(tmpPath)
+    val spark2 = batch.sparkSession
+    val fs2 = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark2.sessionState.newHadoopConf())
+    fs2.delete(new org.apache.hadoop.fs.Path(statePath), true)
+    fs2.rename(new org.apache.hadoop.fs.Path(tmpPath),
+      new org.apache.hadoop.fs.Path(statePath))
+  }
+
+  private val TmpSuffix = "__swap"
+
+  /** Finish an interrupted state swap: if a committed temp exists and
+    * the live state is gone (crash between delete and rename), the
+    * temp IS the newest state — rename it into place. A temp alongside
+    * a live state is a leftover from a crash BEFORE the delete; the
+    * live state is current, drop the temp.
+    */
+  private def healState(fs: org.apache.hadoop.fs.FileSystem,
+      statePath: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(statePath + TmpSuffix)
+    val live = new org.apache.hadoop.fs.Path(statePath)
+    if (fs.exists(tmp)) {
+      if (fs.exists(live)) fs.delete(tmp, true)
+      else fs.rename(tmp, live)
+    }
   }
 
   /** The funnel report off the current state — same schema as
@@ -112,6 +152,7 @@ object StreamingFunnel {
       stages: Seq[String]): DataFrame = {
     val hPath = new org.apache.hadoop.fs.Path(statePath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    healState(fs, statePath)
     import spark.implicits._
     val counts =
       if (fs.exists(hPath))

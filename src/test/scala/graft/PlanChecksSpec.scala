@@ -53,6 +53,22 @@ class PlanChecksSpec extends SparkSpec {
     assert(PlanChecks.audit(df.sortWithinPartitions(col("v"))).isEmpty)
   }
 
+  test("offending shapes inside subquery plans are caught") {
+    df.createOrReplaceTempView("pc_t")
+    (1L to 10L).map(i => (i, i * 3.0)).toDF("rid", "w")
+      .createOrReplaceTempView("pc_r")
+    // the scalar subquery hides an all-pairs join; the outer plan is a
+    // plain filter — only subquery traversal sees it
+    val q = spark.sql(
+      """SELECT * FROM pc_t WHERE v < (
+        |  SELECT sum(a.v * b.w) FROM pc_t a, pc_r b WHERE a.v < b.w)
+        |""".stripMargin)
+    assert(PlanChecks.audit(q, bnljAllowed = true)
+      .exists(f => f.rule == "cartesian-product" ||
+        f.rule == "global-sort") ||
+      PlanChecks.audit(q).exists(_.rule == "broadcast-nested-loop"))
+  }
+
   test("assertClean throws with the findings and honors allowRules") {
     val offender = df.withColumn("rn",
       row_number().over(Window.orderBy(col("v"))))

@@ -324,6 +324,33 @@ class StreamAggExportSpec extends SparkSpec {
     assert(rep() == streaming)
   }
 
+  test("StreamingFunnel drops null users from state and heals an " +
+    "interrupted state swap") {
+    import java.sql.Timestamp
+    val base = tmpDir("sfunnel3")
+    val statePath = s"$base/state"
+    val b = Seq(
+      (1L, new Timestamp(1000L), Some(1L), "view", 0.0, "{}"),
+      (2L, new Timestamp(2000L), None: Option[Long], "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    graft.streaming.StreamingFunnel.processBatch(b, statePath,
+      Seq("view"))
+    graft.streaming.StreamingFunnel.processBatch(b, statePath,
+      Seq("view")) // replay — null rows must not accumulate either
+    assert(spark.read.parquet(statePath).count() == 1) // u1 only
+    def users() = graft.streaming.StreamingFunnel
+      .report(spark, statePath, Seq("view"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(users() == Map(0 -> 1L))
+    // crash between delete and rename leaves only the committed temp:
+    // the next report/batch must finish the swap
+    val live = new java.io.File(statePath)
+    val tmp = new java.io.File(statePath + "__swap")
+    assert(live.renameTo(tmp))
+    assert(users() == Map(0 -> 1L)) // healed
+    assert(live.exists && !tmp.exists)
+  }
+
   test("StreamingFunnel.start drives the same state through " +
     "foreachBatch micro-batches") {
     implicit val sq = spark.sqlContext
