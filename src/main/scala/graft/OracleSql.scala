@@ -285,6 +285,15 @@ object OracleSql {
     s"""list_reduce(list_transform(range(1, ${dim + 1}),
        |  i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)""".stripMargin
 
+  /** Squared distance between a raw float vector column and a double
+    * centroid list — the same (dx)·(dx) left-fold chain as Spark's
+    * dist2 kernel (shared by the kmeans replays and the q121 ADC LUT).
+    */
+  private def duckD2(v: String, c: String, dim: Int): String =
+    s"""list_reduce(list_transform(range(1, ${dim + 1}),
+       |  i -> ($v[i]::DOUBLE - $c[i]) * ($v[i]::DOUBLE - $c[i])),
+       |  (x, y) -> x + y)""".stripMargin
+
   private val q17 = {
     val dim = 64
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -448,10 +457,7 @@ object OracleSql {
     val dim = 64
     val sw = 32
     val w = 128L
-    def d2(v: String, c: String, d: Int) =
-      s"""list_reduce(list_transform(range(1, ${d + 1}),
-         |  i -> ($v[i]::DOUBLE - $c[i]) * ($v[i]::DOUBLE - $c[i])),
-         |  (x, y) -> x + y)""".stripMargin
+    def d2(v: String, c: String, d: Int) = duckD2(v, c, d)
     val centroidCos =
       s"""(${duckDot("qv", "centroid", dim)} /
          |  (sqrt(${duckDot("qv", "qv", dim)}) *
@@ -734,12 +740,7 @@ object OracleSql {
     */
   private def kmeansBody(k: Int, iters: Int, w: Long, dim: Int,
       table: String = "embeddings", prefix: String = ""): String = {
-    // squared distance between a raw float vector column and a double
-    // centroid list — the same (dx)*(dx) left-fold chain as Spark
-    def d2(v: String, c: String) =
-      s"""list_reduce(list_transform(range(1, ${dim + 1}),
-         |  i -> ($v[i]::DOUBLE - $c[i]) * ($v[i]::DOUBLE - $c[i])),
-         |  (x, y) -> x + y)""".stripMargin
+    def d2(v: String, c: String) = duckD2(v, c, dim)
     def assignCte(name: String, cen: String) =
       s"""$name AS (SELECT vid, cid, d2 FROM (
          |  SELECT vid, cid, d2, row_number() OVER

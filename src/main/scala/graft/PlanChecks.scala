@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.PlanExpression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.SparkPlan
 
 /** Plan lint — the engine's own 100 TB plan discipline, packaged for
@@ -39,7 +41,7 @@ object PlanChecks {
       df.sparkSession)
 
   private[graft] def auditPlan(plan: SparkPlan, bnljAllowed: Boolean,
-      spark: org.apache.spark.sql.SparkSession): Seq[Finding] = {
+      spark: SparkSession): Seq[Finding] = {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
@@ -60,13 +62,10 @@ object PlanChecks {
     // the pre-AQE sparkPlan stage these are still LOGICAL plans inside
     // PlanExpression; plan each through the session and recurse.
     val subPlans = plan.collect { case p => p.expressions }.flatten
-      .flatMap(_.collect {
-        case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
-          pe.plan
-      })
+      .flatMap(_.collect { case pe: PlanExpression[_] => pe.plan })
     here ++ subPlans.flatMap {
       case sp: SparkPlan => auditPlan(sp, bnljAllowed, spark)
-      case lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+      case lp: LogicalPlan =>
         auditPlan(spark.sessionState.executePlan(lp).sparkPlan,
           bnljAllowed, spark)
       case _ => Nil

@@ -372,8 +372,6 @@ object EventOps {
       tsCol: String = "ts", maxGapMinutes: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(maxGapMinutes.forall(_ > 0), "maxGapMinutes must be positive")
-    val spark = events.sparkSession
-    import spark.implicits._
     val ev = normalizeTs(events, tsCol)
       // countDistinct has always excluded null users; filtering them
       // up front keeps the stage tables (and StreamingFunnel's state,

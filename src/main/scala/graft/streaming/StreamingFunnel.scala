@@ -117,12 +117,8 @@ object StreamingFunnel {
     // ([[healState]]: tmp present + state missing ⇒ finish the swap).
     val tmpPath = statePath + TmpSuffix
     state.write.mode("overwrite").parquet(tmpPath)
-    val spark2 = batch.sparkSession
-    val fs2 = new org.apache.hadoop.fs.Path(statePath)
-      .getFileSystem(spark2.sessionState.newHadoopConf())
-    fs2.delete(new org.apache.hadoop.fs.Path(statePath), true)
-    fs2.rename(new org.apache.hadoop.fs.Path(tmpPath),
-      new org.apache.hadoop.fs.Path(statePath))
+    fs.delete(hPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpPath), hPath)
   }
 
   private val TmpSuffix = "__swap"

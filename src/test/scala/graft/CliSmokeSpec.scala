@@ -33,9 +33,6 @@ class CliSmokeSpec extends SparkSpec {
     p
   }
 
-  private def jsonlLines(dir: String): Long =
-    spark.read.text(s"$dir/*.json*").count()
-
   test("sample / dedup / tfidf write JSONL outputs") {
     val out1 = tmpDir("cli-sample")
     graft.cli.Main.main(Array("sample", corpusPath, out1, "5", "42"))
