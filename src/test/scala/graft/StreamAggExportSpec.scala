@@ -414,6 +414,74 @@ class StreamAggExportSpec extends SparkSpec {
     assert(spark.read.parquet(statePath).count() == 3)
   }
 
+  test("StreamingFunnel gap flavor is greedy-min BY DESIGN: the " +
+    "documented undercount vs the batch any-chain semantics") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // view@1, view@65, click@70, gap 1min: min-state keeps view@1
+    // only, so click@70 (69s later) misses the window; the batch
+    // any-chain flavor converts via view@65. This pins the caveat the
+    // scaladoc documents — if the semantics silently change, so must
+    // the docs.
+    val ev = Seq(
+      (1L, t(1), 1L, "view", 0.0, "{}"),
+      (2L, t(65), 1L, "view", 0.0, "{}"),
+      (3L, t(70), 1L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val statePath = s"${tmpDir("gapfun")}/state"
+    graft.streaming.StreamingFunnel.processBatch(ev, statePath,
+      Seq("view", "click"), maxGapMinutes = Some(1L))
+    val streamed = graft.streaming.StreamingFunnel
+      .report(spark, statePath, Seq("view", "click"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(streamed == Map(0 -> 1L, 1 -> 0L)) // greedy-min misses
+    val batch = graft.streaming.EventOps
+      .funnel(ev, Seq("view", "click"), maxGapMinutes = Some(1L))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(batch == Map(0 -> 1L, 1 -> 1L)) // any-chain converts
+  }
+
+  test("randomized parity: StreamingRetention equals batch retention " +
+    "under ARBITRARY batch order; StreamingFunnel equals batch funnel " +
+    "under event-time-ordered batches") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(23)
+    val types = Seq("view", "click", "purchase")
+    val events = (1L to 300L).map { i =>
+      (i, new Timestamp((1L + rnd.nextInt(500000)) * 1000L),
+        rnd.nextInt(25).toLong, types(rnd.nextInt(3)), 0.0, "{}")
+    }
+    def toDf(rows: Seq[(Long, Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+    val all = toDf(events)
+    // retention: shuffle, split into 4 arbitrary batches — the
+    // activity state is order-free, so parity must be EXACT
+    val retPath = s"${tmpDir("randret")}/state"
+    rnd.shuffle(events).grouped(75).foreach { b =>
+      graft.streaming.StreamingRetention.processBatch(toDf(b), retPath)
+    }
+    def canonRet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(x => (x._1, x._2)).toSeq
+    assert(canonRet(graft.streaming.StreamingRetention
+      .report(spark, retPath)) ==
+      canonRet(graft.streaming.EventOps.retention(all)))
+    // funnel: event-time-ordered batches (the documented exactness
+    // precondition) — greedy-min incremental state must match batch
+    val funPath = s"${tmpDir("randfun")}/state"
+    events.sortBy(_._2.getTime).grouped(75).foreach { b =>
+      graft.streaming.StreamingFunnel.processBatch(toDf(b), funPath,
+        types)
+    }
+    val streamed = graft.streaming.StreamingFunnel
+      .report(spark, funPath, types)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val batch = graft.streaming.EventOps.funnel(all, types)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(streamed == batch, s"$streamed != $batch")
+  }
+
   test("stream interval join agrees with the batch range join twin") {
     implicit val sq = spark.sqlContext
     // same data both ways: points 0..29 at 5-min spacing, windows
