@@ -45,6 +45,8 @@ import graft.schema.Vintages
   * graft.cli.Main phrase  <corpus> <outDir> "<exact phrase>" [--jsonl]
   * graft.cli.Main bpe-learn <corpus> <outDir> [rounds] [--jsonl] [--distributed]
   * graft.cli.Main quantiles <parquet> <keyCol> <valCol> [k]   // sketch-tier p50/p90/p99
+  * graft.cli.Main outliers <parquet> <keyCol> <valCol> [k] [c]   // sketch-tier median/MAD screen
+  * graft.cli.Main emb-drift <oldEmb> <newEmb> <groupCol> [dim]   // cross-snapshot mean-vector cosine
   * }}}
   *
   * vintage ∈ {canonical, bdb2018, bdb2026} (Vintages.byName). The
@@ -665,6 +667,37 @@ object Main {
           s"m=${r.getInt(2)} p50=${r.getDouble(3)} " +
           s"p90=${r.getDouble(4)} p99=${r.getDouble(5)}")
       }
+      done(spark)
+
+    // sketch-tier robust outlier screen: one bounded-state pass
+    case "outliers" :: path :: keyCol :: valCol :: rest =>
+      import org.apache.spark.sql.functions._
+      val k = rest.headOption.map(_.toInt).getOrElse(256)
+      val c = rest.drop(1).headOption.map(_.toDouble).getOrElse(3.0)
+      val spark = session()
+      val df = spark.read.parquet(path)
+      graft.operators.Relational.robustOutliersApprox(df, Seq(keyCol),
+        valCol, graft.text.TextOps.hash32(
+          concat_ws(":", df.columns.map(col).toSeq: _*)), k, c)
+        .orderBy(col(keyCol)).collect().foreach { r =>
+          println(s"[outliers] ${r.get(0)}: n=${r.getLong(1)} " +
+            s"m=${r.getInt(2)} median=${r.get(3)} mad=${r.get(4)} " +
+            s"outliers_est=${r.get(5)}")
+        }
+      done(spark)
+
+    // per-group embedding drift between two snapshot parquets
+    case "emb-drift" :: oldPath :: newPath :: groupCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val dim = rest.headOption.map(_.toInt).getOrElse(64)
+      val spark = session()
+      graft.sim.SimSearch.groupEmbeddingDrift(
+        spark.read.parquet(oldPath), spark.read.parquet(newPath),
+        "vec_id", "embedding", groupCol, dim)
+        .orderBy(col(groupCol)).collect().foreach { r =>
+          println(s"[emb-drift] ${r.get(0)}: n_old=${r.getLong(1)} " +
+            s"n_new=${r.getLong(2)} mean_cos=${r.get(3)}")
+        }
       done(spark)
 
     // WebDataset tar shard export: reproducible shuffle order →

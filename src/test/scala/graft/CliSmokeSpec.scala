@@ -90,11 +90,22 @@ class CliSmokeSpec extends SparkSpec {
     assert(streamed == batch, s"$streamed != $batch")
   }
 
-  test("quantiles prints sketch-tier estimates without error") {
+  test("quantiles / outliers / emb-drift print their reports without " +
+    "error") {
     val p = s"${tmpDir("cli-q")}/vals"
     (1L to 500L).map(i => (s"g${i % 2}", i.toDouble))
       .toDF("grp", "v").write.mode("overwrite").parquet(p)
     graft.cli.Main.main(Array("quantiles", p, "grp", "v", "64"))
+    graft.cli.Main.main(Array("outliers", p, "grp", "v", "64", "3.0"))
+    val e1 = s"${tmpDir("cli-drift")}/old"
+    val e2 = s"${tmpDir("cli-drift")}/new"
+    val emb = (0L until 16L).map { i =>
+      val a = Array.fill(8)(0.1f); a((i % 4).toInt) = 1.0f
+      (i, i % 2, a)
+    }.toDF("vec_id", "label", "embedding")
+    emb.write.mode("overwrite").parquet(e1)
+    emb.write.mode("overwrite").parquet(e2)
+    graft.cli.Main.main(Array("emb-drift", e1, e2, "label", "8"))
   }
 
   test("decontaminate / clean / pack / mix / shuffle / gopher / " +
