@@ -655,8 +655,7 @@ object Main {
       val df = spark.read.parquet(path)
       val sk = df.groupBy(col(keyCol))
         .agg(graft.operators.Relational.bottomKSample(
-          graft.text.TextOps.hash32(
-            concat_ws(":", df.columns.map(col).toSeq: _*)),
+          rowKeyHash(df, valCol),
           col(valCol), k).as("_sk"), count(lit(1)).as("n_rows"))
         .select(col(keyCol), col("n_rows"), size(col("_sk")).as("m"),
           graft.operators.Relational.sampleQuantile(col("_sk"), 0.5).as("p50"),
@@ -677,8 +676,7 @@ object Main {
       val spark = session()
       val df = spark.read.parquet(path)
       graft.operators.Relational.robustOutliersApprox(df, Seq(keyCol),
-        valCol, graft.text.TextOps.hash32(
-          concat_ws(":", df.columns.map(col).toSeq: _*)), k, c)
+        valCol, rowKeyHash(df, valCol), k, c)
         .orderBy(col(keyCol)).collect().foreach { r =>
           println(s"[outliers] ${r.get(0)}: n=${r.getLong(1)} " +
             s"m=${r.getInt(2)} median=${r.get(3)} mad=${r.get(4)} " +
@@ -1006,6 +1004,21 @@ object Main {
           "semdecon <embeddings> <eval> <out> [threshold] | " +
           "sample <corpus> <out> [n] [seed] [--jsonl]")
       sys.exit(2)
+  }
+
+  /** Deterministic sample hash over the ROW KEY — every column EXCEPT
+    * the value column (robustOutliersApprox's documented contract:
+    * hash the key, not the value, so re-measured values keep their
+    * sample membership), each column null-sentineled because
+    * `concat_ws` SKIPS nulls and would collide rows differing only by
+    * a null-vs-absent column.
+    */
+  private def rowKeyHash(df: org.apache.spark.sql.DataFrame,
+      valCol: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    graft.text.TextOps.hash32(concat_ws(":",
+      df.columns.filterNot(_ == valCol).toSeq.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000"))): _*))
   }
 
   private def loadCorpus(spark: SparkSession, path: String,

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -12,6 +13,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * table ([[report]]), not a rescan of event history — the property
   * that matters when the history is 100 TB and the state is
   * users × stages rows.
+  *
+  * State layout: hash-bucketed — partitioned by
+  * `_b = pmod(hash(_u), buckets)` — so a micro-batch reads and
+  * rewrites ONLY the buckets containing its users: per-batch I/O is
+  * O(|touched buckets| × bucket size), not O(|accumulated users|).
+  * A users×stages state at 10⁹ users on a minutes-cadence trigger
+  * must not be a rewrite-the-world loop; with `buckets` sized so one
+  * bucket holds ~10⁷ rows, a batch touching a subset of buckets pays
+  * only for those. `buckets` must stay CONSTANT for the lifetime of a
+  * state path (the bucket id is derived from the user hash at write
+  * time — changing it orphans rows in stale buckets).
   *
   * Per micro-batch ([[processBatch]]), stages update IN ORDER against
   * the batch-updated previous stage, so a view→click arriving in one
@@ -32,11 +44,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Delivery: `foreachBatch` is at-least-once; the state merge is
   * idempotent (`least` of mins), so replaying a batch cannot corrupt
-  * the chain. The state update is a write-to-temp-then-swap — the
-  * previous state stays intact until the replacement is fully
-  * committed, and an interrupted swap self-heals on the next
-  * batch/report (a plain destructive overwrite would lose ALL
-  * accumulated chains to one crash mid-write).
+  * the chain. Touched buckets are replaced by write-to-temp-then-swap
+  * ([[StateSwap]]): each bucket's previous files stay intact until its
+  * replacement is fully committed, the delete→rename window is
+  * self-healing, and UNTOUCHED bucket files are never opened, let
+  * alone rewritten. Every swap `delete`/`rename` return value is
+  * CHECKED — Hadoop `FileSystem.rename` reports failure by returning
+  * false, and swallowing it would let the checkpoint commit a batch
+  * whose state write silently failed (the heal would then drop the
+  * newer temp). A false return throws, the batch fails, and
+  * at-least-once replay recovers.
   */
 object StreamingFunnel {
 
@@ -44,14 +61,14 @@ object StreamingFunnel {
       stream: DataFrame, statePath: String, checkpoint: String,
       stages: Seq[String], userCol: String = "user_id",
       typeCol: String = "event_type", tsCol: String = "ts",
-      maxGapMinutes: Option[Long] = None,
+      maxGapMinutes: Option[Long] = None, buckets: Int = 64,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(batch, statePath, stages, userCol, typeCol, tsCol,
-          maxGapMinutes)
+          maxGapMinutes, buckets)
       }
       .start()
 
@@ -61,9 +78,11 @@ object StreamingFunnel {
   def processBatch(
       batch: DataFrame, statePath: String, stages: Seq[String],
       userCol: String = "user_id", typeCol: String = "event_type",
-      tsCol: String = "ts", maxGapMinutes: Option[Long] = None): Unit = {
+      tsCol: String = "ts", maxGapMinutes: Option[Long] = None,
+      buckets: Int = 64): Unit = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(maxGapMinutes.forall(_ > 0), "maxGapMinutes must be positive")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = batch.sparkSession
     val ev = EventOps.normalizeTs(batch, tsCol)
       // null users/timestamps: the batch funnel's countDistinct has
@@ -74,11 +93,25 @@ object StreamingFunnel {
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("_u"), col(typeCol).as("_ty"),
         col(tsCol).cast("long").as("_ts"))
-    val hPath = new org.apache.hadoop.fs.Path(statePath)
+    val hPath = new Path(statePath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    healState(fs, statePath)
+    StateSwap.heal(fs, statePath)
+    // the touched-bucket set: ≤ `buckets` small ints — the one bounded
+    // driver materialization this path makes (it prunes both the state
+    // READ below and the swap loop at the end)
+    val touched = ev
+      .select(pmod(hash(col("_u")), lit(buckets)).as("_b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return // empty/all-null batch: state untouched
     val old: DataFrame =
-      if (fs.exists(hPath)) spark.read.parquet(statePath)
+      if (fs.exists(hPath) && fs.listStatus(hPath)
+          .exists(_.getPath.getName.startsWith("_b=")))
+        // `_b` is the partition column — this filter prunes the scan
+        // to the touched bucket directories; a user's whole chain
+        // lives in its hash bucket, so the merge below is lossless
+        spark.read.parquet(statePath)
+          .filter(col("_b").isin(touched.map(Integer.valueOf): _*))
+          .select(col("stage_idx"), col("_u"), col("_t"))
       else ev.select(lit(0).as("stage_idx"), col("_u"),
         col("_ts").as("_t")).limit(0)
     var state = old
@@ -108,35 +141,9 @@ object StreamingFunnel {
         .unionByName(merged.select(lit(i).as("stage_idx"), col("_u"),
           col("_t")))
     }
-    // write-to-temp then swap: a plain mode("overwrite") deletes the
-    // ONLY copy of months of accumulated state before the new write
-    // commits — a crash in that window loses everything, which
-    // at-least-once replay (one batch deep) cannot recover. The temp
-    // write keeps the old state intact until the new one is fully
-    // committed; the delete→rename window is self-healing
-    // ([[healState]]: tmp present + state missing ⇒ finish the swap).
-    val tmpPath = statePath + TmpSuffix
-    state.write.mode("overwrite").parquet(tmpPath)
-    fs.delete(hPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmpPath), hPath)
-  }
-
-  private val TmpSuffix = "__swap"
-
-  /** Finish an interrupted state swap: if a committed temp exists and
-    * the live state is gone (crash between delete and rename), the
-    * temp IS the newest state — rename it into place. A temp alongside
-    * a live state is a leftover from a crash BEFORE the delete; the
-    * live state is current, drop the temp.
-    */
-  private def healState(fs: org.apache.hadoop.fs.FileSystem,
-      statePath: String): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(statePath + TmpSuffix)
-    val live = new org.apache.hadoop.fs.Path(statePath)
-    if (fs.exists(tmp)) {
-      if (fs.exists(live)) fs.delete(tmp, true)
-      else fs.rename(tmp, live)
-    }
+    StateSwap.swapBuckets(fs, statePath,
+      state.withColumn("_b", pmod(hash(col("_u")), lit(buckets))),
+      touched)
   }
 
   /** The funnel report off the current state — same schema as
@@ -146,15 +153,123 @@ object StreamingFunnel {
     */
   def report(spark: org.apache.spark.sql.SparkSession, statePath: String,
       stages: Seq[String]): DataFrame = {
-    val hPath = new org.apache.hadoop.fs.Path(statePath)
+    val hPath = new Path(statePath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    healState(fs, statePath)
+    StateSwap.heal(fs, statePath)
     import spark.implicits._
     val counts =
-      if (fs.exists(hPath))
+      if (fs.exists(hPath) && fs.listStatus(hPath)
+          .exists(_.getPath.getName.startsWith("_b=")))
         spark.read.parquet(statePath)
           .groupBy(col("stage_idx")).agg(count(lit(1)).as("_n"))
       else Seq.empty[(Int, Long)].toDF("stage_idx", "_n")
     EventOps.funnelReport(spark, counts, stages)
+  }
+}
+
+/** Crash-safe replacement of hash-bucket partitions in a persisted
+  * parquet state table — the write-to-temp-then-swap discipline,
+  * scoped to the buckets a batch touched so per-batch I/O is bounded
+  * by the touched set, never the accumulated state.
+  *
+  * Protocol: the new rows for the touched buckets land in one
+  * committed parquet write under `<state>__swap` (partitioned by
+  * `_b`; files appear only at job commit), then each touched bucket
+  * directory is swapped live: delete `<state>/_b=N`, rename
+  * `<state>__swap/_b=N` into place. The previous state is intact
+  * until the temp write commits, so a crash never leaves ZERO copies.
+  *
+  * [[heal]] finishes an interrupted swap: a temp bucket whose live
+  * twin is MISSING was mid-swap (crash between delete and rename) —
+  * the temp is the newest committed copy, rename it in; a temp bucket
+  * ALONGSIDE its live twin is from a crash before that bucket's
+  * delete — the batch never committed to the streaming checkpoint, so
+  * the live copy stays and replay re-applies the (idempotent) merge.
+  *
+  * Every `delete`/`rename` return value is checked: Hadoop
+  * `FileSystem` reports most failures by returning FALSE, not
+  * throwing, and a swallowed false would let `foreachBatch` commit a
+  * batch whose state never landed — the next heal would then delete
+  * the newer temp with no replay to recover it (the round-8 ADVICE
+  * bug). A false here throws `IOException`, failing the batch so
+  * at-least-once replay recovers.
+  */
+private[streaming] object StateSwap {
+
+  private val TmpSuffix = "__swap"
+
+  private def checked(ok: Boolean, what: String): Unit =
+    if (!ok) throw new java.io.IOException(
+      s"state swap failed (returned false): $what")
+
+  def swapBuckets(fs: FileSystem, statePath: String, state: DataFrame,
+      touched: Seq[Int]): Unit = {
+    val tmpRoot = statePath + TmpSuffix
+    // leftover temp from an interrupted PREVIOUS swap was already
+    // healed by the caller; a stray one here is a concurrent writer —
+    // fail loudly rather than interleave swaps
+    state.write.partitionBy("_b").mode("errorifexists").parquet(tmpRoot)
+    val live = new Path(statePath)
+    if (!fs.exists(live)) checked(fs.mkdirs(live), s"mkdirs $live")
+    touched.foreach { b =>
+      val tmpB = new Path(s"$tmpRoot/_b=$b")
+      val liveB = new Path(s"$statePath/_b=$b")
+      // a touched bucket with no surviving rows writes no directory —
+      // nothing to swap (old rows are never dropped by the merge, so
+      // an existing live bucket implies a temp twin)
+      if (fs.exists(tmpB)) {
+        if (fs.exists(liveB))
+          checked(fs.delete(liveB, true), s"delete $liveB")
+        checked(fs.rename(tmpB, liveB), s"rename $tmpB -> $liveB")
+      }
+    }
+    checked(fs.delete(new Path(tmpRoot), true), s"delete $tmpRoot")
+  }
+
+  def heal(fs: FileSystem, statePath: String): Unit = {
+    val tmpRoot = new Path(statePath + TmpSuffix)
+    if (!fs.exists(tmpRoot)) return
+    val live = new Path(statePath)
+    fs.listStatus(tmpRoot)
+      .filter(_.getPath.getName.startsWith("_b="))
+      .foreach { st =>
+        val liveB = new Path(live, st.getPath.getName)
+        if (fs.exists(liveB))
+          checked(fs.delete(st.getPath, true), s"delete ${st.getPath}")
+        else {
+          if (!fs.exists(live)) checked(fs.mkdirs(live), s"mkdirs $live")
+          checked(fs.rename(st.getPath, liveB),
+            s"rename ${st.getPath} -> $liveB")
+        }
+      }
+    checked(fs.delete(tmpRoot, true), s"delete $tmpRoot")
+  }
+
+  /** Whole-table temp-then-swap rewrite (the compaction flavor used by
+    * [[StreamingRetention]]): same crash-safety contract as
+    * [[swapBuckets]], with the whole directory as the swap unit.
+    */
+  def swapAll(fs: FileSystem, statePath: String,
+      state: DataFrame): Unit = {
+    val tmpRoot = statePath + TmpSuffix
+    state.write.mode("errorifexists").parquet(tmpRoot)
+    val live = new Path(statePath)
+    if (fs.exists(live))
+      checked(fs.delete(live, true), s"delete $live")
+    checked(fs.rename(new Path(tmpRoot), live),
+      s"rename $tmpRoot -> $live")
+  }
+
+  /** Heal for [[swapAll]]'s whole-directory swap: a temp with the live
+    * directory MISSING is the newest committed state (crash between
+    * delete and rename) — rename it in; a temp alongside a live state
+    * is pre-delete leftover — the live state is current, drop it.
+    */
+  def healWhole(fs: FileSystem, statePath: String): Unit = {
+    val tmp = new Path(statePath + TmpSuffix)
+    if (!fs.exists(tmp)) return
+    val live = new Path(statePath)
+    if (fs.exists(live)) checked(fs.delete(tmp, true), s"delete $tmp")
+    else checked(fs.rename(tmp, live), s"rename $tmp -> $live")
   }
 }

@@ -328,7 +328,10 @@ object TextOps {
         col("n_occurrences") <=> col("_pn") && col("_pfx") <=> col("_ppfx"))
       .join(baseByN, col("n_occurrences") <=> col("_jn"))
       .select(
-        (col("_rankbase") + tieRank + 1L).cast("int").as("rank"),
+        // rank stays BIGINT: the docstring's hundreds-of-millions-row
+        // vocabularies clear 2^31 tokens, where an int cast would wrap
+        // negative silently instead of failing
+        (col("_rankbase") + tieRank + 1L).as("rank"),
         col("token"), col("n_occurrences"),
         (col("_massbase") + (tieRank + 1L) * col("n_occurrences"))
           .as("cum_occurrences"),

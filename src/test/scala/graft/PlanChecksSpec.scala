@@ -69,6 +69,27 @@ class PlanChecksSpec extends SparkSpec {
       PlanChecks.audit(q).exists(_.rule == "broadcast-nested-loop"))
   }
 
+  test("vocabCoverage's only nested-loop join is against a 1-ROW " +
+    "global aggregate (the octave-offset broadcast) — every " +
+    "cross/nested-loop join side must bottom out in a grouping-free " +
+    "Aggregate so a future edit can't grow it into a real cross join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    val docs = Seq("a b b c", "b c d", "a a e").toDF("text")
+    val plan = graft.text.TextOps.vocabCoverage(docs, "text")
+      .queryExecution.optimizedPlan
+    def globalAgg(p: LogicalPlan): Boolean = p.collectFirst {
+      case a: Aggregate if a.groupingExpressions.isEmpty => a
+    }.nonEmpty
+    val nonEqui = plan.collect {
+      case j: Join if j.condition.isEmpty => j
+    }
+    assert(nonEqui.nonEmpty, "expected the octArr broadcast cross join")
+    nonEqui.foreach { j =>
+      assert(globalAgg(j.left) || globalAgg(j.right),
+        s"condition-less join with no 1-row global-agg side:\n$j")
+    }
+  }
+
   test("assertClean throws with the findings and honors allowRules") {
     val offender = df.withColumn("rn",
       row_number().over(Window.orderBy(col("v"))))

@@ -441,6 +441,86 @@ class StreamAggExportSpec extends SparkSpec {
     assert(batch == Map(0 -> 1L, 1 -> 1L)) // any-chain converts
   }
 
+  test("StreamingFunnel bucketed state: a batch updating ONE user " +
+    "rewrites only that user's hash bucket — every untouched bucket " +
+    "file survives byte-identical (path, size, mtime, content)") {
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val statePath = s"${tmpDir("bfunnel")}/state"
+    val stages = Seq("view", "click")
+    val buckets = 8
+    val b1 = (1L to 40L).map(u => (u, t(u), u, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    graft.streaming.StreamingFunnel.processBatch(b1, statePath, stages,
+      buckets = buckets)
+    val root = new java.io.File(statePath)
+    def snapshot() = root.listFiles
+      .filter(_.getName.startsWith("_b=")).flatMap { d =>
+        d.listFiles.filter(_.getName.endsWith(".parquet")).map(f =>
+          f.getPath -> ((f.length, f.lastModified,
+            java.nio.file.Files.readAllBytes(f.toPath).toSeq)))
+      }.toMap
+    val before = snapshot()
+    assert(before.nonEmpty)
+    val target = 5L
+    val tb = spark.range(1)
+      .select(pmod(hash(lit(target)), lit(buckets)).as("b"))
+      .head.getInt(0)
+    assert(before.keys.exists(_.contains(s"_b=$tb/")))
+    val b2 = Seq((100L, t(100), target, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    graft.streaming.StreamingFunnel.processBatch(b2, statePath, stages,
+      buckets = buckets)
+    val after = snapshot()
+    def untouched(m: Map[String, (Long, Long, Seq[Byte])]) =
+      m.view.filterKeys(!_.contains(s"_b=$tb/")).toMap
+    assert(untouched(after) == untouched(before),
+      "untouched bucket files were rewritten")
+    // the touched bucket WAS replaced (fresh part files)
+    assert(after.keys.filter(_.contains(s"_b=$tb/")).toSet !=
+      before.keys.filter(_.contains(s"_b=$tb/")).toSet)
+    // and the report reflects the conversion
+    val rep = graft.streaming.StreamingFunnel
+      .report(spark, statePath, stages)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(rep == Map(0 -> 40L, 1 -> 1L))
+  }
+
+  test("StreamingRetention.compact collapses append file groups " +
+    "without changing the report; batches keep landing afterwards") {
+    def t(day: Long, h: Int) =
+      new Timestamp((day * 86400L + h * 3600L) * 1000L)
+    val statePath = s"${tmpDir("retcompact")}/state"
+    def batch(ids: Seq[Long], day: Long) =
+      ids.map(u => (u, t(day, 1), u, "view", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+    (0L to 4L).foreach { d =>
+      graft.streaming.StreamingRetention.processBatch(
+        batch(1L to 10L, d), statePath)
+    }
+    def parquetFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(statePath))
+        .filter(_.getName.endsWith(".parquet"))
+    }
+    def canon() = graft.streaming.StreamingRetention
+      .report(spark, statePath).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(x => (x._1, x._2)).toSeq
+    val nBefore = parquetFiles().size
+    val repBefore = canon()
+    graft.streaming.StreamingRetention.compact(spark, statePath,
+      targetFiles = 2)
+    assert(parquetFiles().size < nBefore)
+    assert(parquetFiles().size <= 2)
+    assert(canon() == repBefore, "compaction changed the report")
+    // appends continue against the compacted state
+    graft.streaming.StreamingRetention.processBatch(
+      batch(Seq(99L), 0L), statePath)
+    assert(canon().head == (0L, 0L, 11L, 1.0))
+  }
+
   test("randomized parity: StreamingRetention equals batch retention " +
     "under ARBITRARY batch order; StreamingFunnel equals batch funnel " +
     "under event-time-ordered batches") {

@@ -1219,14 +1219,14 @@ class TextDedupSpec extends SparkSpec {
     var cum = 0L
     val want = sorted.zipWithIndex.map { case ((w, c), i) =>
       cum += c
-      (i + 1, w, c, cum,
+      (i + 1L, w, c, cum,
         BigDecimal(cum.toDouble / total.toDouble)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
     for (pfx <- Seq(1, 2, 3)) {
       val got = TextOps.vocabCoverage(docs, "text", prefixLen = pfx)
         .collect()
-        .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
           r.getLong(3), r.getDouble(4)))
         .sortBy(_._1).toSeq
       assert(got == want, s"prefixLen=$pfx diverges from the global sort")
