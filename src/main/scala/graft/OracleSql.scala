@@ -527,6 +527,100 @@ object OracleSql {
        |FROM rk WHERE rn <= 5""".stripMargin
   }
 
+  /** Residual IVFADC-R oracle (q123): q121's chain with the PQ stages
+    * fed RESIDUALS — `res` subtracts the (bucketed-fold) cell centroid
+    * from every vector (one IEEE subtraction per component, so the
+    * doubles agree bit-for-bit with Spark's `zip_with` cast chain),
+    * kmeansBody fits per-subspace codebooks on the residual slices
+    * (`x -> x::DOUBLE` is a noop on the already-double lists, matching
+    * Spark's noop cast), and the ADC lookup `l0`/`l1` keys on
+    * (qid, CELL, code) because each probed cell re-frames the query
+    * into its residual space (`qr`). ADC sum stays two IEEE additions;
+    * top-40 by (adc, vid); exact cosine top-5 over the candidates
+    * against the RAW embeddings exactly as in q121.
+    */
+  private lazy val q123 = {
+    val dim = 64
+    val sw = 32
+    val w = 128L
+    def d2(v: String, c: String, d: Int) = duckD2(v, c, d)
+    val centroidCos =
+      s"""(${duckDot("qv", "centroid", dim)} /
+         |  (sqrt(${duckDot("qv", "qv", dim)}) *
+         |   sqrt(${duckDot("centroid", "centroid", dim)})))""".stripMargin
+    s"""WITH base AS (SELECT vec_id, embedding, label AS cell
+       |              FROM embeddings),
+       |ivp AS (SELECT cell, vec_id // $w AS bk, count(*) AS n,
+       |         list_reduce(
+       |           list_transform(list(embedding ORDER BY vec_id),
+       |             v -> list_transform(v, x -> x::DOUBLE)),
+       |           (a, c) -> list_transform(range(1, ${dim + 1}),
+       |                       i -> a[i] + c[i])) AS psum
+       |       FROM base GROUP BY cell, vec_id // $w),
+       |ivc AS (SELECT cell, sum(n) AS n,
+       |         list_reduce(list(psum ORDER BY bk),
+       |           (a, c) -> list_transform(range(1, ${dim + 1}),
+       |                       i -> a[i] + c[i])) AS vsum
+       |       FROM ivp GROUP BY cell),
+       |cen AS (SELECT cell,
+       |          list_transform(vsum, s -> s / n) AS centroid
+       |        FROM ivc),
+       |res AS (SELECT b.vec_id, b.cell,
+       |          list_transform(range(1, ${dim + 1}),
+       |            i -> b.embedding[i]::DOUBLE - c.centroid[i]) AS rv
+       |        FROM base b JOIN cen c ON c.cell = b.cell),
+       |sub0 AS (SELECT vec_id, rv[1:$sw] AS embedding FROM res),
+       |sub1 AS (SELECT vec_id, rv[${sw + 1}:$dim] AS embedding
+       |         FROM res),
+       |${kmeansBody(4, 2, w, sw, table = "sub0", prefix = "p0")},
+       |${kmeansBody(4, 2, w, sw, table = "sub1", prefix = "p1")},
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM base
+       |      WHERE vec_id < 20),
+       |pc AS (SELECT qid, cell,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY $centroidCos DESC, cell) AS rn
+       |       FROM q CROSS JOIN cen),
+       |pr AS (SELECT qid, cell FROM pc WHERE rn <= 2),
+       |qr AS (SELECT pr.qid, pr.cell,
+       |         list_transform(range(1, ${dim + 1}),
+       |           i -> q.qv[i]::DOUBLE - c.centroid[i]) AS rv
+       |       FROM pr JOIN q USING (qid)
+       |       JOIN cen c ON c.cell = pr.cell),
+       |q0 AS (SELECT qid, cell, rv[1:$sw] AS qs FROM qr),
+       |q1 AS (SELECT qid, cell, rv[${sw + 1}:$dim] AS qs FROM qr),
+       |l0 AS (SELECT q0.qid, q0.cell, cb.cid AS code,
+       |         ${d2("q0.qs", "cb.cv", sw)} AS d2
+       |       FROM q0 CROSS JOIN p0cen2 cb),
+       |l1 AS (SELECT q1.qid, q1.cell, cb.cid AS code,
+       |         ${d2("q1.qs", "cb.cv", sw)} AS d2
+       |       FROM q1 CROSS JOIN p1cen2 cb),
+       |cds AS (SELECT a0.vid, a0.cid AS c0, a1.cid AS c1, b.cell
+       |        FROM p0afinal a0 JOIN p1afinal a1 ON a1.vid = a0.vid
+       |        JOIN base b ON b.vec_id = a0.vid),
+       |adc AS (SELECT pr.qid, c.vid, l0.d2 + l1.d2 AS adc_d2
+       |        FROM pr JOIN cds c ON c.cell = pr.cell
+       |        JOIN l0 ON l0.qid = pr.qid AND l0.cell = pr.cell
+       |          AND l0.code = c.c0
+       |        JOIN l1 ON l1.qid = pr.qid AND l1.cell = pr.cell
+       |          AND l1.code = c.c1),
+       |ct AS (SELECT qid, vid FROM (
+       |         SELECT qid, vid, row_number() OVER (PARTITION BY qid
+       |           ORDER BY adc_d2, vid) AS rn FROM adc)
+       |       WHERE rn <= 40),
+       |rr AS (SELECT t.qid, t.vid AS cid,
+       |         round(${duckDot("q.qv", "b.embedding", dim)} /
+       |           (sqrt(${duckDot("q.qv", "q.qv", dim)}) *
+       |            sqrt(${duckDot("b.embedding", "b.embedding", dim)})),
+       |           6) AS cos_sim
+       |       FROM ct t JOIN q ON q.qid = t.qid
+       |       JOIN base b ON b.vec_id = t.vid),
+       |rk AS (SELECT qid, cid, cos_sim,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos_sim DESC, cid) AS rn FROM rr)
+       |SELECT qid, (rn - 1)::INTEGER AS rank, cid AS neighbor, cos_sim
+       |FROM rk WHERE rn <= 5""".stripMargin
+  }
+
   /** Embedding-drift oracle (q122): per-label bucketed-mean folds (the
     * q27 centroid CTEs) over the base embeddings and the deterministic
     * v2 snapshot, mean-vs-mean cosine via the q17 chain.
@@ -2319,7 +2413,7 @@ object OracleSql {
         |      FROM (SELECT unnest(string_split(text, ' ')) AS term
         |            FROM documents) GROUP BY 1),
         |r AS (SELECT token, n,
-        |        row_number() OVER (ORDER BY n DESC, token ASC)::INTEGER
+        |        row_number() OVER (ORDER BY n DESC, token ASC)::BIGINT
         |          AS rank,
         |        sum(n) OVER (ORDER BY n DESC, token ASC
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -2427,5 +2521,9 @@ object OracleSql {
     // distances (two terms — IEEE-commutative, so order-free), top-40
     // candidate cut by (adc, vid), then exact cosine re-rank of the
     // candidates with the q17 dot/(|a||b|) chain
-    "q121_ivfpq_refined" -> q121)
+    "q121_ivfpq_refined" -> q121,
+
+    // true IVFADC: the q121 chain with residual-encoded PQ — codebooks
+    // and codes in each cell's residual frame, per-(query,cell) ADC LUT
+    "q123_ivfpq_residual" -> q123)
 }

@@ -1604,6 +1604,32 @@ object SparkEntry {
       "label", dim = 64, bucketWidth = 128L)
   }
 
+  /** TRUE IVFADC serving chain — q121 with RESIDUAL codes (Jégou et
+    * al. 2011 §IV): codebooks are fit on `x − centroid(cell)` instead
+    * of raw vectors, concentrating the whole code budget on
+    * within-cell variance, and the ADC lookup table becomes
+    * per-(query, probed cell) because each cell re-frames the query
+    * into its own residual space. Candidate pool quality improves at
+    * identical m/k (IvfSpec pins the recall lift vs the raw flavor);
+    * exact cosine re-rank finishes the top-5 as in q121. Every stage
+    * stays deterministic — residuals are one IEEE subtraction per
+    * component off the bucketed-fold centroids — so the full chain
+    * hash-gates against the SQL replay.
+    */
+  def q123_ivfpq_residual(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").withColumn("cell", col("label"))
+    val cen = SimSearch.ivfCentroids(emb, "vec_id", "embedding", "cell",
+      dim = 64, bucketWidth = 128L)
+    val cb = SimSearch.pqFitResidual(emb, cen, "vec_id", "embedding",
+      "cell", m = 2, k = 4, iters = 2, dim = 64, bucketWidth = 128L)
+    val codes = SimSearch.pqEncodeResidual(emb, cen, cb, "vec_id",
+      "embedding", "cell", m = 2, dim = 64)
+      .join(emb.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    SimSearch.ivfPqTopKRefinedResidual(codes, cb, cen,
+      emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+      "vec_id", m = 2, k = 5, candidates = 40, nprobe = 2, dim = 64)
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1728,7 +1754,8 @@ object SparkEntry {
     "q119_fightin_words" -> (q119_fightin_words(_, _)),
     "q120_outliers_approx" -> (q120_outliers_approx(_, _)),
     "q121_ivfpq_refined" -> (q121_ivfpq_refined(_, _)),
-    "q122_embedding_drift" -> (q122_embedding_drift(_, _)))
+    "q122_embedding_drift" -> (q122_embedding_drift(_, _)),
+    "q123_ivfpq_residual" -> (q123_ivfpq_residual(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

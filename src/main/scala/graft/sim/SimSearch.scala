@@ -797,6 +797,161 @@ object SimSearch {
     rankScored(scorePairs(cand), k)
   }
 
+  /** Residual vectors for true IVFADC (Jégou, Douze & Schmid 2011 §IV):
+    * `r = x − centroid(cell(x))`. Encoding RESIDUALS instead of raw
+    * vectors concentrates the whole PQ code budget on WITHIN-cell
+    * variance — the cell id already carries the coarse position, so
+    * quantizing `x` directly wastes codewords re-describing what the
+    * cell centroid knows. Worth several recall points at equal `m`/`k`
+    * (pinned by IvfSpec's recall harness on the gate embeddings).
+    *
+    * Scale shape: one broadcast equi-join on the cell id (centroids
+    * are one row per cell) + a fused per-row `zip_with` — the corpus
+    * never shuffles. Each component is ONE IEEE subtraction
+    * (`float→double − double`), so residuals are bit-identical across
+    * engines and everything downstream (Lloyd fits, ADC LUTs)
+    * hash-gates. Output: `(idCol, cell, _rv: array<double>)`.
+    */
+  def ivfResiduals(
+      emb: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, cellCol: String = "cell"): DataFrame =
+    emb.select(col(idCol), col(cellCol).as("cell"), col(vecCol).as("_v"))
+      .join(broadcast(centroids.select(col("cell"), col("centroid"))),
+        Seq("cell"))
+      .select(col(idCol), col("cell"),
+        zip_with(col("_v"), col("centroid"),
+          (x, c) => x.cast("double") - c).as("_rv"))
+
+  /** [[pqFit]] on residuals — the codebooks of a true IVFADC index.
+    * Same deterministic per-subspace Lloyd; the input vectors are the
+    * `x − centroid(cell)` residuals, so codewords tile the within-cell
+    * error ball instead of the whole embedding space.
+    */
+  def pqFitResidual(
+      emb: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, m: Int, k: Int, iters: Int,
+      dim: Int = 64, bucketWidth: Long = 4096L): DataFrame =
+    pqFit(ivfResiduals(emb, centroids, idCol, vecCol, cellCol),
+      idCol, "_rv", m, k, iters, dim, bucketWidth)
+
+  /** [[pqEncode]] against residual codebooks: each vector's residual is
+    * coded per subspace. Output mirrors [[pqEncode]] —
+    * `(idCol, sub, code, d2)`; attach the cell column at index-build
+    * time exactly as the raw flavor does ([[writePqIndex]]).
+    */
+  def pqEncodeResidual(
+      emb: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, cellCol: String, m: Int,
+      dim: Int = 64): DataFrame =
+    pqEncode(ivfResiduals(emb, centroids, idCol, vecCol, cellCol),
+      codebooks, idCol, "_rv", m, dim)
+
+  /** Per-(query, probed cell) residual ADC lookup table:
+    * `(qid, cell, sub, code, _d2)` — the residual QUERY
+    * `q − centroid(cell)` sliced per subspace against every codebook
+    * centroid. `|queries| · nprobe · m · k` rows — still broadcast
+    * metadata. This is the one structural difference from the raw
+    * flavor: the LUT depends on WHICH cell is probed, because the
+    * query must be expressed in that cell's residual frame.
+    */
+  private def adcLutResidual(
+      probed: DataFrame, q: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val sw = dim / m
+    val qr = probed
+      .join(q, Seq("qid"))
+      .join(broadcast(centroids.select(col("cell"), col("centroid"))),
+        Seq("cell"))
+      .select(col("qid"), col("cell"),
+        zip_with(col("qv"), col("centroid"),
+          (x, c) => x.cast("double") - c).as("_qr"))
+    (0 until m).map { s =>
+      qr.select(col("qid"), col("cell"),
+          slice(col("_qr"), s * sw + 1, sw).as("_qs"))
+        .crossJoin(broadcast(
+          codebooks.filter(col("sub") === s).select(col("cid"), col("cv"))))
+        .select(col("qid"), col("cell"), lit(s).as("sub"),
+          col("cid").as("code"), dist2Fast(col("_qs"), col("cv")).as("_d2"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** IVFADC serving over RESIDUAL codes — [[ivfPqTopK]] with the
+    * per-(query, cell) residual LUT: probe `nprobe` cells, equi-join
+    * candidates on the cell, score by ADC from codes alone, where the
+    * lookup now keys on `(qid, cell, sub, code)` because each probed
+    * cell re-frames the query into its residual space. Raw vectors
+    * appear nowhere at serve time.
+    */
+  def ivfPqTopKResidual(
+      codesWithCell: DataFrame, codebooks: DataFrame,
+      centroids: DataFrame, queries: DataFrame, queryIdCol: String,
+      vecCol: String, idCol: String, m: Int, k: Int, nprobe: Int = 2,
+      dim: Int = 64): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m")
+    val q = queries.select(col(queryIdCol).as("qid"), col(vecCol).as("qv"))
+    val probed = topKPerKey(
+      q.crossJoin(broadcast(centroids)),
+      "qid", -cosine(col("qv"), col("centroid")), col("cell"), nprobe)
+      .select(col("qid"), col("neighbor").as("cell"))
+    val lut = adcLutResidual(probed, q, centroids, codebooks, m, dim)
+    val scored = codesWithCell.join(probed, Seq("cell"))
+      .join(broadcast(lut), Seq("qid", "cell", "sub", "code"))
+      .groupBy(col("qid"), col(idCol).as("_vid"))
+      .agg(sum(col("_d2")).as("adc_d2"))
+    topKPerKey(scored, "qid", col("adc_d2"), col("_vid"), k)
+      .select(col("qid"), col("rank"), col("neighbor"),
+        round(col("rankval"), 6).as("adc_d2"))
+  }
+
+  /** The full residual IVFADC-R serving chain: residual ADC picks
+    * `candidates` provisional neighbors per query, then only those ids
+    * join back to raw vectors for exact cosine final top-k — the
+    * production recipe with BOTH recall levers in place (residual
+    * codes sharpen the candidate pool; exact re-rank fixes the final
+    * order). Output mirrors [[bruteForceTopK]].
+    */
+  def ivfPqTopKRefinedResidual(
+      codesWithCell: DataFrame, codebooks: DataFrame,
+      centroids: DataFrame, queries: DataFrame, emb: DataFrame,
+      queryIdCol: String, vecCol: String, idCol: String, m: Int, k: Int,
+      candidates: Int, nprobe: Int = 2, dim: Int = 64): DataFrame = {
+    require(candidates >= k,
+      s"candidates=$candidates must be >= k=$k")
+    val adc = ivfPqTopKResidual(codesWithCell, codebooks, centroids,
+      queries, queryIdCol, vecCol, idCol, m, candidates, nprobe, dim)
+    val q = queries.select(col(queryIdCol).as("qid"), col(vecCol).as("qv"))
+    val cand = adc.select(col("qid"), col("neighbor").as("cid"))
+      .join(emb.select(col(idCol).as("cid"), col(vecCol).as("cv")),
+        Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+    rankScored(scorePairs(cand), k)
+  }
+
+  /** Persist a RESIDUAL PQ index — layout-compatible with
+    * [[writePqIndex]] (`codebooks`/`codes`/`centroids` subdirs, codes
+    * partitioned by cell) plus a `residual` marker so a reader knows
+    * which ADC flavor to serve with. The centroids are fit first
+    * (they define the residual frame), then codebooks and codes are
+    * derived from the residualized corpus.
+    */
+  def writePqIndexResidual(
+      emb: DataFrame, path: String, idCol: String, vecCol: String,
+      cellCol: String, m: Int, k: Int, iters: Int, dim: Int = 64,
+      bucketWidth: Long = 4096L): Unit = {
+    val cen = ivfCentroids(emb, idCol, vecCol, cellCol, dim, bucketWidth)
+      .localCheckpoint()
+    cen.write.mode("overwrite").parquet(s"$path/centroids")
+    val cb = pqFitResidual(emb, cen, idCol, vecCol, cellCol, m, k,
+      iters, dim, bucketWidth).localCheckpoint()
+    cb.write.mode("overwrite").parquet(s"$path/codebooks")
+    pqEncodeResidual(emb, cen, cb, idCol, vecCol, cellCol, m, dim)
+      .join(emb.select(col(idCol), col(cellCol).as("cell")), Seq(idCol))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes")
+    emb.sparkSession.range(1).select(lit(true).as("residual"))
+      .write.mode("overwrite").parquet(s"$path/residual")
+  }
+
   /** Random-projection dimensionality reduction: `outDim` fixed
     * md5-derived hyperplanes ([[planeWeight]] — no RNG state), each
     * output component one left-fold dot product. The 64→8 compression

@@ -338,6 +338,84 @@ class IvfSpec extends SparkSpec {
     assert(mRef == 1.0, s"refined recall $mRef != 1.0")
   }
 
+  test("residual PQ codes (true IVFADC) lift ADC recall over " +
+    "raw-vector codes at equal m/k on the gate embeddings") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("cell", col("label"))
+    val cen = SimSearch.ivfCentroids(emb, "vec_id", "embedding", "cell",
+      dim = 64, bucketWidth = 128L)
+    val (m, k, iters) = (2, 4, 2)
+    val cbRaw = SimSearch.pqFit(emb, "vec_id", "embedding",
+      m, k, iters, dim = 64, bucketWidth = 128L)
+    val codesRaw = SimSearch.pqEncode(emb, cbRaw, "vec_id", "embedding",
+      m, dim = 64)
+      .join(emb.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val cbRes = SimSearch.pqFitResidual(emb, cen, "vec_id", "embedding",
+      "cell", m, k, iters, dim = 64, bucketWidth = 128L)
+    val codesRes = SimSearch.pqEncodeResidual(emb, cen, cbRes, "vec_id",
+      "embedding", "cell", m, dim = 64)
+      .join(emb.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val pred = col("vec_id") < 30
+    val queries = emb.filter(pred)
+    val exact = SimSearch.bruteForceTopK(emb, "vec_id", "embedding",
+      pred, k = 10)
+    // k+1 and a self-drop on the approx sides: ADC includes the query
+    // itself (residual distance 0), brute force excludes it
+    def recall(adc: org.apache.spark.sql.DataFrame): Double =
+      SimSearch.recallSummary(
+        adc.filter(col("qid") =!= col("neighbor")), exact, 10)
+        .head().getAs[Double]("mean_recall")
+    val rRaw = recall(SimSearch.ivfPqTopK(codesRaw, cbRaw, cen,
+      queries, "vec_id", "embedding", "vec_id", m, k = 11, nprobe = 2,
+      dim = 64))
+    val rRes = recall(SimSearch.ivfPqTopKResidual(codesRes, cbRes, cen,
+      queries, "vec_id", "embedding", "vec_id", m, k = 11, nprobe = 2,
+      dim = 64))
+    assert(rRes > rRaw,
+      s"residual codes did not lift recall: raw=$rRaw residual=$rRes")
+  }
+
+  test("persisted residual PQ index reproduces the inline residual " +
+    "chain and carries the residual marker") {
+    def vec(d0: Float, d32: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(0) = d0
+      a(32) = d32
+      a
+    }
+    val emb = (0L until 16L).map { i =>
+      (i, i % 4, vec(if (i % 2 == 0) 10f else -10f,
+        (i % 8).toFloat - 3.5f))
+    }.toDF("vec_id", "cell", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("pqidxres").toString
+    SimSearch.writePqIndexResidual(emb, dir, "vec_id", "embedding",
+      "cell", m = 2, k = 2, iters = 2, dim = 64, bucketWidth = 4L)
+    val (cb, codes, centroids) = SimSearch.readPqIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/residual")
+      .head().getBoolean(0), "residual marker missing")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val queries = emb.filter(col("vec_id") < 4)
+    val fromIndex = canon(SimSearch.ivfPqTopKResidual(codes, cb,
+      centroids, queries, "vec_id", "embedding", "vec_id", m = 2,
+      k = 4, nprobe = 1, dim = 64))
+    val cen = SimSearch.ivfCentroids(emb, "vec_id", "embedding", "cell",
+      dim = 64, bucketWidth = 4L)
+    val inlineCb = SimSearch.pqFitResidual(emb, cen, "vec_id",
+      "embedding", "cell", m = 2, k = 2, iters = 2, dim = 64,
+      bucketWidth = 4L)
+    val inline = canon(SimSearch.ivfPqTopKResidual(
+      SimSearch.pqEncodeResidual(emb, cen, inlineCb, "vec_id",
+        "embedding", "cell", m = 2, dim = 64)
+        .join(emb.select(col("vec_id"), col("cell")), Seq("vec_id")),
+      inlineCb, cen, queries, "vec_id", "embedding", "vec_id", m = 2,
+      k = 4, nprobe = 1, dim = 64))
+    assert(fromIndex == inline)
+  }
+
   test("persisted PQ index serves identically to the inline pipeline") {
     def vec(d0: Float, d32: Float): Array[Float] = {
       val a = Array.fill(64)(0.0f)
