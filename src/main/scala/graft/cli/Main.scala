@@ -34,6 +34,7 @@ import graft.schema.Vintages
   * graft.cli.Main ppl     <corpus> <target> <outDir> [buckets] [--jsonl]
   * graft.cli.Main decode-image <parquet> <outDir>   // (doc_id, media) binary column
   * graft.cli.Main decode-audio <parquet> <outDir>   // WAV/AIFF/AU metadata + RMS
+  * graft.cli.Main mp3-meta <parquet> <outDir>   // MP3 frame-header metadata (codec-free)
   * graft.cli.Main tfidf   <corpus> <outDir> [--jsonl]
   * graft.cli.Main sample  <corpus> <outDir> [n] [seed] [--jsonl]
   * graft.cli.Main shuffle <corpus> <outDir> [shards] [seed] [--jsonl]  // parquet shard= layout
@@ -582,6 +583,18 @@ object Main {
       val all = spark.read.parquet(outDir)
       val ok = all.filter(org.apache.spark.sql.functions.col("ok")).count()
       println(s"[decode-audio] ${all.count()} items, $ok decoded -> $outDir")
+      done(spark)
+
+    // MP3 frame-header metadata over a (doc_id, media binary) parquet:
+    // duration/bitrate/sample-rate/CBR-VBR without a codec dependency
+    case "mp3-meta" :: corpus :: outDir :: rest =>
+      val spark = session()
+      val dec = graft.multimodal.Multimodal.mp3Meta(
+        spark.read.parquet(corpus))
+      dec.write.mode("overwrite").parquet(outDir)
+      val all = spark.read.parquet(outDir)
+      val ok = all.filter(org.apache.spark.sql.functions.col("ok")).count()
+      println(s"[mp3-meta] ${all.count()} items, $ok parsed -> $outDir")
       done(spark)
 
     // decode a (doc_id, media binary) parquet with the JDK ImageIO

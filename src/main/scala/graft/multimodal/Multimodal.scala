@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * codecs (part of `java.desktop`, headless-safe) decode JPEG, PNG,
   * GIF, BMP and WBMP with zero external dependencies, and
   * [[decodeAudio]] does the same for WAV/AIFF/AU/SND via
-  * `javax.sound.sampled` — only compressed audio (MP3/AAC) and video
-  * still need an external codec.
+  * `javax.sound.sampled`, and [[mp3Meta]] reads MP3 stream metadata
+  * straight off the frame headers — only compressed-audio SAMPLE
+  * decode (MP3/AAC) and real video codecs still need an external
+  * library.
   *
   * Scale shape: metadata ops run inside the scan stage (no shuffle);
   * decode runs as `mapPartitions` so the per-partition codec context is
@@ -676,8 +678,9 @@ object Multimodal {
     * audio corpus curation). Frame counts are bounded BEFORE reading
     * samples (`maxPcmBytes`), decoding streams in fixed chunks (never
     * a whole-file sample buffer), and malformed input isolates as
-    * ok=false — the [[decodePpm]] contract. Only compressed audio
-    * (MP3/AAC) and video now need an external codec.
+    * ok=false — the [[decodePpm]] contract. Compressed-audio METADATA
+    * is covered by [[mp3Meta]]'s frame-header scan; only compressed
+    * sample decode (MP3/AAC) and video need an external codec.
     */
   def decodeAudio(df: DataFrame, idCol: String = "doc_id",
       mediaCol: String = "media",
@@ -755,6 +758,157 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => bad }
   }
 
+  /** One MP3 stream's frame-header metadata. `ok=false` carries zeroed
+    * fields for input that is not a parseable MP3 stream.
+    */
+  final case class Mp3Meta(
+      id: Long, ok: Boolean, version: String, layer: Int,
+      sampleRate: Int, channels: Int, bitrateKbps: Double,
+      nFrames: Long, durationSec: Double, vbr: Boolean)
+
+  /** COMPRESSED-audio metadata via a pure-JDK MP3 frame-header scan —
+    * no codec dependency, because everything an audio-curation pass
+    * needs up front (duration, sample rate, channel count, average
+    * bitrate, CBR/VBR) lives in the 4-byte frame headers: sync word
+    * (11 set bits), MPEG version / layer bits, and the published
+    * bitrate/sample-rate tables give each frame's byte length, so the
+    * scan hops header-to-header without touching entropy-coded audio
+    * data. A leading ID3v2 tag is skipped via its syncsafe size (and
+    * footer flag); trailing garbage/ID3v1 ends the walk. A stream must
+    * chain at least `minFrames` CONSISTENT frames (same version/layer/
+    * sample rate) to count — a lone false sync in random bytes cannot
+    * satisfy the chained length arithmetic, which is the standard
+    * resync heuristic. Malformed input isolates as ok=false (the
+    * [[decodePpm]] contract); decoding SAMPLES (RMS etc.) still needs
+    * a real codec — this retires the metadata leaf only, which is what
+    * corpus screens actually read. Same `mapPartitions` batch shape as
+    * the rest of the decode family.
+    */
+  def mp3Meta(df: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media", minFrames: Int = 2): Dataset[Mp3Meta] = {
+    require(minFrames > 0, s"minFrames must be positive, got $minFrames")
+    val rows = df.select(col(idCol).cast("long"), col(mediaCol))
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val id = if (r.isNullAt(0)) -1L else r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (r.isNullAt(0))
+          Mp3Meta(id, ok = false, "", 0, 0, 0, 0.0, 0L, 0.0, vbr = false)
+        else parseMp3(id, bytes, minFrames)
+      }
+    }(Encoders.product[Mp3Meta])
+  }
+
+  // MPEG audio bitrate tables in kbps, indexed 1..14 (0 = "free",
+  // 15 = invalid — both rejected); ISO/IEC 11172-3 table B.2 and the
+  // 13818-3 low-sample-rate extension
+  private val BrV1 = Array(
+    Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448), // L1
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384), // L2
+    Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)) // L3
+  private val BrV2 = Array(
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256), // L1
+    Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160), // L2
+    Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)) // L3
+  private val SrV1 = Array(44100, 48000, 32000)
+
+  /** One parsed MP3 frame header: (version id, layer, bitrate bps,
+    * sample rate, channels, samples/frame, frame length in bytes).
+    */
+  private final case class Mp3Frame(
+    ver: Int, layer: Int, bitrate: Int, rate: Int, channels: Int,
+    spf: Int, len: Int)
+
+  private def mp3Header(bytes: Array[Byte], pos: Int): Option[Mp3Frame] = {
+    if (pos < 0 || pos + 4 > bytes.length) return None
+    val b1 = bytes(pos + 1) & 0xff
+    if ((bytes(pos) & 0xff) != 0xff || (b1 & 0xe0) != 0xe0) return None
+    val ver = (b1 >> 3) & 3 // 0 = MPEG2.5, 1 = reserved, 2 = MPEG2, 3 = MPEG1
+    val layerBits = (b1 >> 1) & 3 // 0 reserved; layer = 4 - bits
+    if (ver == 1 || layerBits == 0) return None
+    val layer = 4 - layerBits
+    val b2 = bytes(pos + 2) & 0xff
+    val brIdx = (b2 >> 4) & 0xf
+    val srIdx = (b2 >> 2) & 3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    val pad = (b2 >> 1) & 1
+    val channels = if (((bytes(pos + 3) & 0xff) >> 6) == 3) 1 else 2
+    val table = if (ver == 3) BrV1 else BrV2
+    val bitrate = table(layer - 1)(brIdx - 1) * 1000
+    val rate = ver match {
+      case 3 => SrV1(srIdx)
+      case 2 => SrV1(srIdx) / 2
+      case _ => SrV1(srIdx) / 4
+    }
+    val spf =
+      if (layer == 1) 384
+      else if (layer == 2) 1152
+      else if (ver == 3) 1152 else 576
+    val len =
+      if (layer == 1) (12 * bitrate / rate + pad) * 4
+      else spf / 8 * bitrate / rate + pad
+    if (len < 4) None
+    else Some(Mp3Frame(ver, layer, bitrate, rate, channels, spf, len))
+  }
+
+  /** Scan one buffer; total function (malformed → ok=false). */
+  private[graft] def parseMp3(id: Long, bytes: Array[Byte],
+      minFrames: Int = 2): Mp3Meta = {
+    val bad = Mp3Meta(id, ok = false, "", 0, 0, 0, 0.0, 0L, 0.0,
+      vbr = false)
+    if (bytes == null || bytes.length < 4) return bad
+    var start = 0
+    // ID3v2: "ID3" <maj> <min> <flags> <4-byte syncsafe size>
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+      bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      start = 10 + size + (if ((bytes(5) & 0x10) != 0) 10 else 0)
+      if (start < 0 || start >= bytes.length) return bad
+    }
+    // resync: the first header whose implied chain holds for minFrames
+    // consistent frames (a false sync in random bytes fails the hop
+    // arithmetic almost surely)
+    var p = start
+    while (p + 4 <= bytes.length) {
+      mp3Header(bytes, p) match {
+        case Some(first) =>
+          var pos = p
+          var frames = 0L
+          var brSum = 0.0
+          var vbr = false
+          var dur = 0.0
+          var chain = true
+          while (chain) {
+            mp3Header(bytes, pos) match {
+              case Some(f) if f.ver == first.ver &&
+                  f.layer == first.layer && f.rate == first.rate =>
+                frames += 1
+                brSum += f.bitrate / 1000.0
+                if (f.bitrate != first.bitrate) vbr = true
+                dur += f.spf.toDouble / f.rate
+                pos += f.len
+              case _ => chain = false
+            }
+          }
+          if (frames >= minFrames)
+            return Mp3Meta(id, ok = true,
+              version = first.ver match {
+                case 3 => "MPEG1"
+                case 2 => "MPEG2"
+                case _ => "MPEG2.5"
+              },
+              layer = first.layer, sampleRate = first.rate,
+              channels = first.channels,
+              bitrateKbps = brSum / frames, nFrames = frames,
+              durationSec = dur, vbr = vbr)
+          p += 1
+        case None => p += 1
+      }
+    }
+    bad
+  }
+
   /** One sampled + decoded video frame (MJPEG). */
   final case class VideoFrame(
       id: Long, frameIdx: Int, ok: Boolean, width: Int, height: Int,
@@ -772,7 +926,9 @@ object Multimodal {
     * a frame carrying an embedded EXIF thumbnail contains a nested
     * EOI and would split early — such frames isolate as ok=false
     * rather than failing the job. Same `mapPartitions` batch shape and
-    * per-item isolation as the rest of the decode family.
+    * per-item isolation as the rest of the decode family. For MP3
+    * streams, [[mp3Meta]] plays the analogous sample-don't-decode
+    * role on the audio side.
     */
   def sampleMjpegFrames(df: DataFrame, idCol: String = "doc_id",
       mediaCol: String = "media", stride: Int = 4, maxFrames: Int = 64,
