@@ -527,6 +527,31 @@ object OracleSql {
        |FROM rk WHERE rn <= 5""".stripMargin
   }
 
+  /** Greedy-earliest ordered-funnel report (q110) — ALSO the oracle of
+    * q125's streaming replay: the incremental twin driven over
+    * event-time-ordered batches is exact, so its report must equal the
+    * batch funnel over the full history.
+    */
+  private lazy val q110Funnel =
+    """WITH e AS (SELECT user_id AS u, event_type AS ty,
+      |        CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+      |s0 AS (SELECT u, min(t) AS t0 FROM e WHERE ty = 'view'
+      |       GROUP BY 1),
+      |s1 AS (SELECT e.u, min(e.t) AS t1 FROM e JOIN s0 USING (u)
+      |       WHERE e.ty = 'click' AND e.t > s0.t0 GROUP BY 1),
+      |s2 AS (SELECT e.u, min(e.t) AS t2 FROM e JOIN s1 USING (u)
+      |       WHERE e.ty = 'purchase' AND e.t > s1.t1 GROUP BY 1),
+      |c AS (SELECT 0 AS stage_idx, 'view' AS stage,
+      |        (SELECT count(*) FROM s0)::BIGINT AS n_users
+      |      UNION ALL SELECT 1, 'click',
+      |        (SELECT count(*) FROM s1)::BIGINT
+      |      UNION ALL SELECT 2, 'purchase',
+      |        (SELECT count(*) FROM s2)::BIGINT)
+      |SELECT stage_idx, stage, n_users,
+      |  round(n_users::DOUBLE /
+      |    (SELECT count(*) FROM s0)::DOUBLE, 6) AS conversion
+      |FROM c""".stripMargin
+
   /** Residual IVFADC-R oracle (q123): q121's chain with the PQ stages
     * fed RESIDUALS — `res` subtracts the (bucketed-fold) cell centroid
     * from every vector (one IEEE subtraction per component, so the
@@ -2305,25 +2330,7 @@ object OracleSql {
 
     // funnel: greedy-earliest stage chain per user (strictly-after
     // epoch seconds), stage counts + conversion from stage 0
-    "q110_funnel" ->
-      """WITH e AS (SELECT user_id AS u, event_type AS ty,
-        |        CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
-        |s0 AS (SELECT u, min(t) AS t0 FROM e WHERE ty = 'view'
-        |       GROUP BY 1),
-        |s1 AS (SELECT e.u, min(e.t) AS t1 FROM e JOIN s0 USING (u)
-        |       WHERE e.ty = 'click' AND e.t > s0.t0 GROUP BY 1),
-        |s2 AS (SELECT e.u, min(e.t) AS t2 FROM e JOIN s1 USING (u)
-        |       WHERE e.ty = 'purchase' AND e.t > s1.t1 GROUP BY 1),
-        |c AS (SELECT 0 AS stage_idx, 'view' AS stage,
-        |        (SELECT count(*) FROM s0)::BIGINT AS n_users
-        |      UNION ALL SELECT 1, 'click',
-        |        (SELECT count(*) FROM s1)::BIGINT
-        |      UNION ALL SELECT 2, 'purchase',
-        |        (SELECT count(*) FROM s2)::BIGINT)
-        |SELECT stage_idx, stage, n_users,
-        |  round(n_users::DOUBLE /
-        |    (SELECT count(*) FROM s0)::DOUBLE, 6) AS conversion
-        |FROM c""".stripMargin,
+    "q110_funnel" -> q110Funnel,
 
     // per-doc keywords: the q44 tf-idf chain + QUALIFY top-3 by
     // (rounded score desc, term asc) — the same deterministic cut the
@@ -2525,5 +2532,52 @@ object OracleSql {
 
     // true IVFADC: the q121 chain with residual-encoded PQ — codebooks
     // and codes in each cell's residual frame, per-(query,cell) ADC LUT
-    "q123_ivfpq_residual" -> q123)
+    "q123_ivfpq_residual" -> q123,
+
+    // funnel conversion-latency percentiles: the q110 greedy-earliest
+    // chain carrying the previous stage time, per-stage bottom-k
+    // sample (md5 row-key hash, gap carried verbatim) and the
+    // floor(q*(m-1))+1 rank statistic of q120
+    "q124_funnel_latency" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS ty,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |s0 AS (SELECT u, min(t) AS t FROM e WHERE ty = 'view'
+        |       GROUP BY 1),
+        |s1 AS (SELECT e.u, min(e.t) AS t, min(p.t) AS tp
+        |       FROM e JOIN s0 p ON p.u = e.u AND e.t > p.t
+        |       WHERE e.ty = 'click' GROUP BY e.u),
+        |s2 AS (SELECT e.u, min(e.t) AS t, min(p.t) AS tp
+        |       FROM e JOIN s1 p ON p.u = e.u AND e.t > p.t
+        |       WHERE e.ty = 'purchase' GROUP BY e.u),
+        |g AS (SELECT 1 AS stage_idx,
+        |        (('0x' || substr(md5('1:' || u::VARCHAR), 1, 8))
+        |          ::UBIGINT)::BIGINT AS hv,
+        |        (t - tp)::DOUBLE AS gap FROM s1
+        |      UNION ALL
+        |      SELECT 2,
+        |        (('0x' || substr(md5('2:' || u::VARCHAR), 1, 8))
+        |          ::UBIGINT)::BIGINT,
+        |        (t - tp)::DOUBLE FROM s2),
+        |r AS (SELECT stage_idx, gap, row_number() OVER
+        |        (PARTITION BY stage_idx ORDER BY hv, gap) AS rn
+        |      FROM g),
+        |sk AS (SELECT stage_idx, count(*)::INTEGER AS m,
+        |         list_sort(list(gap)) AS vs
+        |       FROM r WHERE rn <= 256 GROUP BY 1),
+        |n AS (SELECT stage_idx, count(*)::BIGINT AS n_converted
+        |      FROM g GROUP BY 1),
+        |d AS (SELECT 1 AS stage_idx, 'click' AS stage
+        |      UNION ALL SELECT 2, 'purchase')
+        |SELECT d.stage_idx, d.stage,
+        |  coalesce(n.n_converted, 0)::BIGINT AS n_converted,
+        |  coalesce(sk.m, 0)::INTEGER AS m,
+        |  vs[(floor(0.5 * (sk.m - 1)) + 1)::INTEGER] AS p50_gap_sec,
+        |  vs[(floor(0.9 * (sk.m - 1)) + 1)::INTEGER] AS p90_gap_sec
+        |FROM d LEFT JOIN sk USING (stage_idx)
+        |LEFT JOIN n USING (stage_idx)""".stripMargin,
+
+    // streaming-funnel replay: event-time-ordered batches through the
+    // incremental state machine are EXACT, so the oracle is the batch
+    // funnel report itself (q110's SQL verbatim)
+    "q125_streaming_funnel_replay" -> q110Funnel)
 }

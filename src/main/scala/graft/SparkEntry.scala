@@ -1630,6 +1630,55 @@ object SparkEntry {
       "vec_id", m = 2, k = 5, candidates = 40, nprobe = 2, dim = 64)
   }
 
+  /** Funnel time-to-convert percentiles: p50/p90 of the
+    * stage-(i−1)→i gap in seconds over converting users, from a
+    * bottom-k verbatim-value sketch (q104/q120 discipline — sampled
+    * gaps carried exactly, so the estimates hash-gate). The latency
+    * companion to q110's counts.
+    */
+  def q124_funnel_latency(s: SparkSession, dir: String): DataFrame =
+    EventOps.funnelLatency(t(s, dir, "events"),
+      Seq("view", "click", "purchase"))
+
+  /** Deterministic end-to-end replay of the INCREMENTAL streaming
+    * funnel ([[graft.streaming.StreamingFunnel]]): the events table
+    * splits into four event-time-ordered micro-batches (equal epoch
+    * intervals between min and max — the twins' documented exactness
+    * precondition), each batch drives `processBatch` against a fresh
+    * bucketed state directory, and the final state report must equal
+    * the batch funnel over the full history — the oracle is q110's SQL
+    * verbatim. This puts the crash-safe incremental state machinery
+    * (bucketed swap, least-merge, heal) under the hash gate, not just
+    * ScalaTest. EAGER by nature (state writes are jobs, like q26's
+    * ingest roundtrip); the report is localCheckpoint'ed and the temp
+    * state tree deleted before returning.
+    */
+  def q125_streaming_funnel_replay(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingFunnel
+    val stages = Seq("view", "click", "purchase")
+    val ev = t(s, dir, "events")
+    val Array(lo, hi) = ev
+      .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val base = java.nio.file.Files.createTempDirectory("graft_sfunnel")
+    try {
+      val statePath = base.resolve("state").toString
+      val step = math.max((hi - lo) / 4 + 1, 1L)
+      (0 until 4).foreach { i =>
+        val (bLo, bHi) = (lo + i * step, lo + (i + 1) * step)
+        StreamingFunnel.processBatch(
+          ev.filter(col("ts").cast("long") >= bLo &&
+            col("ts").cast("long") < bHi),
+          statePath, stages, buckets = 16)
+      }
+      StreamingFunnel.report(s, statePath, stages).localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1755,7 +1804,9 @@ object SparkEntry {
     "q120_outliers_approx" -> (q120_outliers_approx(_, _)),
     "q121_ivfpq_refined" -> (q121_ivfpq_refined(_, _)),
     "q122_embedding_drift" -> (q122_embedding_drift(_, _)),
-    "q123_ivfpq_residual" -> (q123_ivfpq_residual(_, _)))
+    "q123_ivfpq_residual" -> (q123_ivfpq_residual(_, _)),
+    "q124_funnel_latency" -> (q124_funnel_latency(_, _)),
+    "q125_streaming_funnel_replay" -> (q125_streaming_funnel_replay(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -22,7 +22,7 @@ import graft.schema.Vintages
   * graft.cli.Main funnel-stream <inDir> <statePath> <checkpoint> <stage,stage,...> [maxGapMin]   // JSONL event drops
   * graft.cli.Main ann-index <embeddings> <outDir> [planes] [dim]
   * graft.cli.Main ann-query <idxDir> <queries> <outDir> [k] [planes] [dim]
-  * graft.cli.Main pq-index <embeddings> <outDir> [m] [k] [iters] [dim] [cellCol]
+  * graft.cli.Main pq-index <embeddings> <outDir> [m] [k] [iters] [dim] [cellCol] [--residual]
   * graft.cli.Main pq-query <idxDir> <queries> <outDir> [k] [m] [nprobe] [dim] [--refine <rawEmb> [c]]
   * graft.cli.Main ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod]
   * graft.cli.Main pack    <corpus> <outDir> [budget] [--jsonl] [--simple-tokens]
@@ -300,12 +300,17 @@ object Main {
       val iters = nums.drop(2).headOption.map(_.toInt).getOrElse(2)
       val dim = nums.drop(3).headOption.map(_.toInt).getOrElse(64)
       val cellCol = nums.drop(4).headOption.getOrElse("label")
+      val residual = rest.contains("--residual")
       val spark = session()
       val emb = spark.read.parquet(corpus)
-      graft.sim.SimSearch.writePqIndex(emb, outDir, "vec_id",
-        "embedding", cellCol, m, k, iters, dim)
+      if (residual)
+        graft.sim.SimSearch.writePqIndexResidual(emb, outDir, "vec_id",
+          "embedding", cellCol, m, k, iters, dim)
+      else
+        graft.sim.SimSearch.writePqIndex(emb, outDir, "vec_id",
+          "embedding", cellCol, m, k, iters, dim)
       println(s"[pq-index] ${emb.count()} vectors -> m=$m k=$k " +
-        s"codes + codebooks + centroids -> $outDir")
+        s"residual=$residual codes + codebooks + centroids -> $outDir")
       done(spark)
 
     // serve top-k from a persisted IVF-PQ index (codes only — raw
@@ -324,6 +329,10 @@ object Main {
       val (cb, codes, centroids) =
         graft.sim.SimSearch.readPqIndex(spark, idxPath)
       val q = spark.read.parquet(queries)
+      // a residual-encoded index carries a marker directory; serving
+      // MUST use the residual ADC or every distance is computed in the
+      // wrong frame
+      val residual = new java.io.File(s"$idxPath/residual").exists()
       // --refine <rawEmbeddings> [candidates]: exact re-rank of the
       // ADC top-candidates against the raw vectors (IVFADC-R)
       val refineArgs = rest.dropWhile(_ != "--refine").drop(1)
@@ -336,18 +345,27 @@ object Main {
         case Some(rawPath) =>
           val c = refineArgs.drop(1).headOption.map(_.toInt)
             .getOrElse(4 * k)
-          graft.sim.SimSearch.ivfPqTopKRefined(codes, cb, centroids,
-            q, spark.read.parquet(rawPath), "vec_id", "embedding",
-            "vec_id", m, k, c, nprobe, dim)
+          if (residual)
+            graft.sim.SimSearch.ivfPqTopKRefinedResidual(codes, cb,
+              centroids, q, spark.read.parquet(rawPath), "vec_id",
+              "embedding", "vec_id", m, k, c, nprobe, dim)
+          else
+            graft.sim.SimSearch.ivfPqTopKRefined(codes, cb, centroids,
+              q, spark.read.parquet(rawPath), "vec_id", "embedding",
+              "vec_id", m, k, c, nprobe, dim)
         case None =>
-          graft.sim.SimSearch.ivfPqTopK(codes, cb, centroids,
-            q, "vec_id", "embedding", "vec_id", m, k, nprobe, dim)
+          if (residual)
+            graft.sim.SimSearch.ivfPqTopKResidual(codes, cb, centroids,
+              q, "vec_id", "embedding", "vec_id", m, k, nprobe, dim)
+          else
+            graft.sim.SimSearch.ivfPqTopK(codes, cb, centroids,
+              q, "vec_id", "embedding", "vec_id", m, k, nprobe, dim)
       }
       hits.write.mode("overwrite").parquet(outDir)
       val n = spark.read.parquet(outDir).count()
       println(s"[pq-query] ${q.count()} queries x top-$k " +
-        s"(nprobe=$nprobe, refine=${refineArgs.nonEmpty}) " +
-        s"-> $n hits -> $outDir")
+        s"(nprobe=$nprobe, refine=${refineArgs.nonEmpty}, " +
+        s"residual=$residual) -> $n hits -> $outDir")
       done(spark)
 
     case "ann-eval" :: corpus :: rest =>

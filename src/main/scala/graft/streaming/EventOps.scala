@@ -417,6 +417,94 @@ object EventOps {
     funnelReport(events.sparkSession, counts, stages)
   }
 
+  /** Per-stage time-to-convert PERCENTILES over the funnel's
+    * greedy-earliest chain — the question every funnel user asks right
+    * after the counts: for users who reached stage i, how long did
+    * stage (i−1) → i take? Reports p50/p90 of the gap in seconds per
+    * converting stage, estimated from a [[graft.operators.Relational
+    * .bottomKSample]] sketch (k smallest-hash users per stage, gap
+    * carried VERBATIM — the q104/q120 discipline, so estimates replay
+    * bit-exact in an external engine; error is the usual O(1/√k)
+    * sample-quantile band).
+    *
+    * Chain semantics: stage times are the no-gap greedy-earliest chain
+    * (min qualifying timestamp per user per stage — identical to
+    * [[funnel]] without `maxGapMinutes`, so `n_converted` equals its
+    * `n_users`); the stage-(i−1) time is carried through the stage-i
+    * aggregation, so gaps need no re-join against earlier stages.
+    *
+    * Scale shape: one filtered scan + user equi-join + min-aggregation
+    * per stage (stage count is small and fixed), then ONE bounded-state
+    * sketch aggregation per stage — no windows, no per-user sorts, no
+    * driver materialization. Output (stage 0 has no gap; zero-converter
+    * stages report 0/NULL):
+    * `(stage_idx, stage, n_converted, m, p50_gap_sec, p90_gap_sec)`.
+    */
+  def funnelLatency(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", k: Int = 256): DataFrame = {
+    require(stages.size >= 2, "funnelLatency needs at least two stages")
+    require(k > 0, s"sample size k must be positive, got $k")
+    val spark = events.sparkSession
+    val ev = normalizeTs(events, tsCol)
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("_u"), col(typeCol).as("_ty"),
+        col(tsCol).cast("long").as("_ts"))
+    val stage0 = ev.filter(col("_ty") === stages.head)
+      .groupBy(col("_u")).agg(min(col("_ts")).as("_t"))
+      .withColumn("_tp", lit(null).cast("long"))
+    val reached = stages.drop(1).scanLeft(stage0) { (prev, stage) =>
+      ev.filter(col("_ty") === stage)
+        .join(prev.select(col("_u"), col("_t").as("_pv")), Seq("_u"))
+        .filter(col("_ts") > col("_pv"))
+        .groupBy(col("_u"))
+        // _pv is one row per user (prev stage is user-grained), so min
+        // is just "the" value — but keeps the agg oracle-replayable
+        .agg(min(col("_ts")).as("_t"), min(col("_pv")).as("_tp"))
+    }
+    val gaps = reached.zipWithIndex.drop(1).map { case (frame, i) =>
+      frame.select(lit(i).as("stage_idx"), col("_u"),
+        (col("_t") - col("_tp")).cast("double").as("_gap"))
+    }.reduce(_.unionByName(_))
+    latencyFromGaps(spark, gaps, stages, k)
+  }
+
+  /** Shared report tail of [[funnelLatency]] and
+    * [[StreamingFunnel.latencyReport]]: per-stage (user, gap) rows →
+    * the sketch-quantile report. `gaps` carries
+    * `(stage_idx, _u, _gap: double)`; the sample hash is
+    * md5-deterministic over (stage_idx, user) — the q104 row-key
+    * discipline — so batch and streaming flavors (and the SQL oracle)
+    * sample IDENTICAL users and the estimates agree bit-for-bit.
+    */
+  private[streaming] def latencyFromGaps(
+      spark: org.apache.spark.sql.SparkSession, gaps: DataFrame,
+      stages: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    val dim = stages.zipWithIndex.drop(1).map { case (s, i) => (i, s) }
+      .toDF("stage_idx", "stage")
+    val agg = gaps
+      .select(col("stage_idx"),
+        graft.text.TextOps.hash32(
+          concat_ws(":", col("stage_idx"), col("_u"))).as("_h"),
+        col("_gap"))
+      .groupBy(col("stage_idx"))
+      .agg(count(lit(1)).as("n_converted"),
+        graft.operators.Relational.bottomKSample(col("_h"), col("_gap"),
+          k).as("_sk"))
+      .select(col("stage_idx"), col("n_converted"),
+        size(col("_sk")).as("m"),
+        graft.operators.Relational.sampleQuantile(col("_sk"), 0.5)
+          .as("p50_gap_sec"),
+        graft.operators.Relational.sampleQuantile(col("_sk"), 0.9)
+          .as("p90_gap_sec"))
+    dim.join(agg, Seq("stage_idx"), "left")
+      .select(col("stage_idx"), col("stage"),
+        coalesce(col("n_converted"), lit(0L)).as("n_converted"),
+        coalesce(col("m"), lit(0)).as("m"),
+        col("p50_gap_sec"), col("p90_gap_sec"))
+  }
+
   /** Shared report tail of the batch funnel and [[StreamingFunnel]]:
     * per-stage user counts (`(stage_idx, _n)`) → the
     * `(stage_idx, stage, n_users, conversion)` frame, zero-user stages

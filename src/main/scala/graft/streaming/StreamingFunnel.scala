@@ -146,6 +146,36 @@ object StreamingFunnel {
       touched)
   }
 
+  /** Time-to-convert percentiles off the current state — the streaming
+    * twin of [[EventOps.funnelLatency]], same schema
+    * `(stage_idx, stage, n_converted, m, p50_gap_sec, p90_gap_sec)`:
+    * adjacent stage rows self-join on the user (both live in the same
+    * hash bucket, so the join is bucket-local on a cell-partitioned
+    * lake), gaps feed the same md5-keyed bottom-k sketch tail, so
+    * under the twins' event-time-ordered exactness precondition the
+    * report equals the batch flavor bit-for-bit (test-pinned). One
+    * users×stages-row pass; event history is never rescanned.
+    */
+  def latencyReport(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, stages: Seq[String], k: Int = 256): DataFrame = {
+    val hPath = new Path(statePath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    StateSwap.heal(fs, statePath)
+    import spark.implicits._
+    val st =
+      if (fs.exists(hPath) && fs.listStatus(hPath)
+          .exists(_.getPath.getName.startsWith("_b=")))
+        spark.read.parquet(statePath)
+          .select(col("stage_idx"), col("_u"), col("_t"))
+      else Seq.empty[(Int, Long, Long)].toDF("stage_idx", "_u", "_t")
+    val prev = st.select((col("stage_idx") + 1).as("stage_idx"),
+      col("_u"), col("_t").as("_pt"))
+    val gaps = st.join(prev, Seq("stage_idx", "_u"))
+      .select(col("stage_idx"), col("_u"),
+        (col("_t") - col("_pt")).cast("double").as("_gap"))
+    EventOps.latencyFromGaps(spark, gaps, stages, k)
+  }
+
   /** The funnel report off the current state — same schema as
     * [[EventOps.funnel]]: `(stage_idx, stage, n_users, conversion)`,
     * zero-user stages included. One users×stages-row aggregation; the

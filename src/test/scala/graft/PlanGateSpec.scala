@@ -146,7 +146,8 @@ class PlanGateSpec extends SparkSpec {
     // discipline: hashRankedCum, percentileBuckets, vocabCoverage).
     val globalWindowWhitelist = Set("q91_unimax_sample",
       "q86_global_shuffle")
-    val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn")
+    val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
+      "q125_streaming_funnel_replay")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalWindowWhitelist.contains)
@@ -158,6 +159,33 @@ class PlanGateSpec extends SparkSpec {
             bnljAllowed = true)
           .filter(_.rule == "global-window")
         if (bad.nonEmpty) Some(s"$name: ${bad.size} global window(s)")
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  test("no gate query plans a mid-plan GLOBAL SORT — bounded ordered " +
+    "output is TakeOrdered (orderBy+limit), everything else must stay " +
+    "partition-local") {
+    // PlanChecks' global-sort rule already ignores Sort+Limit
+    // (TakeOrderedAndProject — q06's shape) and sortWithinPartitions;
+    // whitelisted here are queries whose FINAL output is a deliberate
+    // bounded total order:
+    // - q36/q115 et al. need no entry: their aggregates are unordered.
+    // (currently empty — any future entry needs a bounded-input
+    // justification like the global-window list above)
+    val globalSortWhitelist = Set.empty[String]
+    val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
+      "q125_streaming_funnel_replay")
+    val offenders = SparkEntry.queries.keys
+      .filterNot(eager.contains)
+      .filterNot(globalSortWhitelist.contains)
+      .flatMap { name =>
+        val bad = PlanChecks
+          .audit(SparkEntry.queries(name)(spark, sfDir),
+            bnljAllowed = true)
+          .filter(_.rule == "global-sort")
+        if (bad.nonEmpty) Some(s"$name: ${bad.size} global sort(s)")
         else None
       }
     assert(offenders.isEmpty, offenders.mkString("; "))
@@ -201,7 +229,12 @@ class PlanGateSpec extends SparkSpec {
     // the final plan is just a LocalRelation and auditing it would
     // execute the whole query while gating nothing; their distributed
     // stages are pinned by their oracle rows + their own specs instead
-    val eagerExempt = Set("q26_ingest_roundtrip", "q105_bpe_learn")
+    // q125 joins the eager set: its state-machine replay writes real
+    // parquet state per micro-batch at construction time and returns a
+    // localCheckpoint'ed report — the distributed stages are pinned by
+    // the streaming twins' own specs + its oracle row
+    val eagerExempt = Set("q26_ingest_roundtrip", "q105_bpe_learn",
+      "q125_streaming_funnel_replay")
     val names = SparkEntry.queries.keys.filterNot(eagerExempt.contains)
     val offenders = names.flatMap { name =>
       // analysis failures are named per query rather than aborting the

@@ -562,6 +562,60 @@ class StreamAggExportSpec extends SparkSpec {
     assert(streamed == batch, s"$streamed != $batch")
   }
 
+  test("funnelLatency: gap percentiles over the greedy-earliest " +
+    "chain; zero-converter stages report 0 with NULL estimates") {
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, t(1), 1L, "view", 0.0, "{}"),
+      (2L, t(11), 1L, "click", 0.0, "{}"),   // u1 gap view->click 10
+      (3L, t(61), 1L, "purchase", 0.0, "{}"), // u1 gap click->purchase 50
+      (4L, t(5), 2L, "view", 0.0, "{}"),
+      (5L, t(10), 2L, "click", 0.0, "{}"),   // u2 gap 5, no purchase
+      (6L, t(100), 3L, "click", 0.0, "{}"))  // u3 click w/o view: no row
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.streaming.EventOps
+      .funnelLatency(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getInt(3), r.get(4), r.get(5))).sortBy(_._1).toSeq
+    // m=2 sample [5,10]: p50 = idx floor(.5*1)+1 = 1 -> 5.0, p90 same
+    assert(got == Seq(
+      (1, "click", 2L, 2, 5.0, 5.0),
+      (2, "purchase", 1L, 1, 50.0, 50.0)), got.toString)
+    // a funnel nobody converts through: counts 0, estimates NULL
+    val none = graft.streaming.EventOps
+      .funnelLatency(ev, Seq("view", "signup"))
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getInt(3),
+        r.isNullAt(4), r.isNullAt(5))).toSeq
+    assert(none == Seq((1, 0L, 0, true, true)), none.toString)
+  }
+
+  test("funnel latency parity: StreamingFunnel.latencyReport equals " +
+    "batch funnelLatency bit-for-bit under event-time-ordered batches") {
+    val rnd = new scala.util.Random(41)
+    val types = Seq("view", "click", "purchase")
+    val events = (1L to 400L).map { i =>
+      (i, new Timestamp((1L + rnd.nextInt(500000)) * 1000L),
+        rnd.nextInt(30).toLong, types(rnd.nextInt(3)), 0.0, "{}")
+    }
+    def toDf(rows: Seq[(Long, Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props")
+    val funPath = s"${tmpDir("latfun")}/state"
+    events.sortBy(_._2.getTime).grouped(100).foreach { b =>
+      graft.streaming.StreamingFunnel.processBatch(toDf(b), funPath,
+        types)
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getInt(3),
+        r.get(4), r.get(5))).sortBy(_._1).toSeq
+    val streamed = canon(graft.streaming.StreamingFunnel
+      .latencyReport(spark, funPath, types))
+    val batch = canon(graft.streaming.EventOps
+      .funnelLatency(toDf(events), types))
+    assert(streamed == batch, s"$streamed != $batch")
+    assert(streamed.head._3 > 0, "degenerate parity: nobody converted")
+  }
+
   test("stream interval join agrees with the batch range join twin") {
     implicit val sq = spark.sqlContext
     // same data both ways: points 0..29 at 5-min spacing, windows
