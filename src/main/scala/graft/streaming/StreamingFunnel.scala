@@ -275,31 +275,4 @@ private[streaming] object StateSwap {
     checked(fs.delete(tmpRoot, true), s"delete $tmpRoot")
   }
 
-  /** Whole-table temp-then-swap rewrite (the compaction flavor used by
-    * [[StreamingRetention]]): same crash-safety contract as
-    * [[swapBuckets]], with the whole directory as the swap unit.
-    */
-  def swapAll(fs: FileSystem, statePath: String,
-      state: DataFrame): Unit = {
-    val tmpRoot = statePath + TmpSuffix
-    state.write.mode("errorifexists").parquet(tmpRoot)
-    val live = new Path(statePath)
-    if (fs.exists(live))
-      checked(fs.delete(live, true), s"delete $live")
-    checked(fs.rename(new Path(tmpRoot), live),
-      s"rename $tmpRoot -> $live")
-  }
-
-  /** Heal for [[swapAll]]'s whole-directory swap: a temp with the live
-    * directory MISSING is the newest committed state (crash between
-    * delete and rename) — rename it in; a temp alongside a live state
-    * is pre-delete leftover — the live state is current, drop it.
-    */
-  def healWhole(fs: FileSystem, statePath: String): Unit = {
-    val tmp = new Path(statePath + TmpSuffix)
-    if (!fs.exists(tmp)) return
-    val live = new Path(statePath)
-    if (fs.exists(live)) checked(fs.delete(tmp, true), s"delete $tmp")
-    else checked(fs.rename(tmp, live), s"rename $tmp -> $live")
-  }
 }

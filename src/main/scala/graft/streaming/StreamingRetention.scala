@@ -20,33 +20,40 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * correctly re-cohorts the user at report time because cohorts are
   * derived from state, not frozen).
   *
+  * State layout: hash-bucketed like [[StreamingFunnel]] — appends land
+  * under `_b = pmod(hash(_u), buckets)` partitions, and the per-batch
+  * dedup anti-join reads ONLY the buckets the batch touches (partition
+  * pruning), so per-batch I/O is O(touched buckets), not O(|state|).
+  * `buckets` must stay constant for a state path's lifetime.
+  *
   * Delivery: `foreachBatch` is at-least-once; a replayed batch's
   * user-days all anti-join away — append is idempotent.
   *
-  * Small files: each append lands one file group, so a long-running
-  * stream accumulates one per batch and the anti-join/report listing
-  * cost grows with batch COUNT, not state size. [[start]] therefore
-  * compacts every `compactEvery` batches (default 64): a single
-  * crash-safe temp-then-swap rewrite ([[StateSwap.swapAll]]) collapses
-  * the accumulated groups. Compaction is amortized-O(|state|/N) per
-  * batch and purely physical — the activity set is append-only
-  * distinct rows, so a rewrite changes layout, never content.
+  * Small files: each append lands one file group per touched bucket,
+  * so a long-running stream accumulates file groups with batch count
+  * and the report/anti-join listing cost grows with it. [[start]]
+  * therefore compacts every `compactEvery` batches (default 64): a
+  * crash-safe temp-then-swap rewrite ([[StateSwap]]) collapses the
+  * accumulated groups, preserving the bucketed layout. Compaction is
+  * amortized-O(|state|/N) per batch and purely physical — the
+  * activity set is append-only distinct rows, so a rewrite changes
+  * layout, never content.
   */
 object StreamingRetention {
 
   def start(
       stream: DataFrame, statePath: String, checkpoint: String,
       userCol: String = "user_id", tsCol: String = "ts",
-      compactEvery: Int = 64,
+      buckets: Int = 64, compactEvery: Int = 64,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, statePath, userCol, tsCol)
+        processBatch(batch, statePath, userCol, tsCol, buckets)
         if (compactEvery > 0 && batchId > 0 &&
           batchId % compactEvery == 0)
-          compact(batch.sparkSession, statePath)
+          compact(batch.sparkSession, statePath, buckets = buckets)
       }
       .start()
 
@@ -54,37 +61,54 @@ object StreamingRetention {
     * can drive the same incremental state without a stream.
     */
   def processBatch(batch: DataFrame, statePath: String,
-      userCol: String = "user_id", tsCol: String = "ts"): Unit = {
+      userCol: String = "user_id", tsCol: String = "ts",
+      buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = batch.sparkSession
     val act = EventOps.dailyActivity(batch, userCol, tsCol)
+      .withColumn("_b", pmod(hash(col("_u")), lit(buckets)))
     val hPath = new Path(statePath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    StateSwap.healWhole(fs, statePath)
+    StateSwap.heal(fs, statePath)
     val fresh =
-      if (fs.exists(hPath))
-        act.join(spark.read.parquet(statePath), Seq("_u", "_day"),
-          "left_anti")
-      else act
-    fresh.write.mode("append").parquet(statePath)
+      if (fs.exists(hPath) && fs.listStatus(hPath)
+          .exists(_.getPath.getName.startsWith("_b="))) {
+        // ≤ `buckets` small ints — bounds the dedup read to the
+        // touched partitions via pruning on the partition column
+        val touched = act.select(col("_b")).distinct()
+          .collect().map(_.getInt(0))
+        act.join(
+          spark.read.parquet(statePath)
+            .filter(col("_b").isin(touched.map(Integer.valueOf): _*))
+            .select(col("_u"), col("_day")),
+          Seq("_u", "_day"), "left_anti")
+      } else act
+    fresh.write.partitionBy("_b").mode("append").parquet(statePath)
   }
 
   /** Collapse the per-batch append file groups into one compact
     * rewrite of the activity state (content-identical — the state is
-    * a distinct set). Crash-safe: write-to-temp then swap with checked
-    * renames; an interrupted swap heals on the next batch/report.
+    * a distinct set), preserving the bucketed layout. Crash-safe:
+    * write-to-temp then per-bucket swap with checked renames; an
+    * interrupted swap heals on the next batch/report.
     */
   def compact(spark: org.apache.spark.sql.SparkSession,
-      statePath: String, targetFiles: Int = 32): Unit = {
+      statePath: String, targetFilesPerBucket: Int = 1,
+      buckets: Int = 64): Unit = {
     val hPath = new Path(statePath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    StateSwap.healWhole(fs, statePath)
+    StateSwap.heal(fs, statePath)
     if (!fs.exists(hPath)) return
-    // localCheckpoint pins the CURRENT rows: swapAll deletes the live
-    // directory mid-swap, and a lazy plan would otherwise re-list the
-    // very files the swap is deleting
+    // localCheckpoint pins the CURRENT rows: the swap deletes the live
+    // bucket directories mid-swap, and a lazy plan would otherwise
+    // re-list the very files being replaced
     val state = spark.read.parquet(statePath)
-      .repartition(targetFiles).localCheckpoint()
-    StateSwap.swapAll(fs, statePath, state)
+      .repartition(math.max(targetFilesPerBucket, 1) * buckets,
+        col("_b"))
+      .localCheckpoint()
+    StateSwap.swapBuckets(fs, statePath, state,
+      state.select(col("_b")).distinct()
+        .collect().map(_.getInt(0)).toSeq)
   }
 
   /** Retention report off the current activity state — same schema as
@@ -95,10 +119,12 @@ object StreamingRetention {
       statePath: String): DataFrame = {
     val hPath = new Path(statePath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    StateSwap.healWhole(fs, statePath)
+    StateSwap.heal(fs, statePath)
     import spark.implicits._
     val act =
-      if (fs.exists(hPath)) spark.read.parquet(statePath)
+      if (fs.exists(hPath) && fs.listStatus(hPath)
+          .exists(_.getPath.getName.startsWith("_b=")))
+        spark.read.parquet(statePath).select(col("_u"), col("_day"))
       else Seq.empty[(Long, Long)].toDF("_u", "_day")
     EventOps.retentionFromActivity(act)
   }

@@ -496,7 +496,7 @@ class StreamAggExportSpec extends SparkSpec {
           "props")
     (0L to 4L).foreach { d =>
       graft.streaming.StreamingRetention.processBatch(
-        batch(1L to 10L, d), statePath)
+        batch(1L to 10L, d), statePath, buckets = 4)
     }
     def parquetFiles() = {
       def walk(f: java.io.File): Seq[java.io.File] =
@@ -511,13 +511,20 @@ class StreamAggExportSpec extends SparkSpec {
     val nBefore = parquetFiles().size
     val repBefore = canon()
     graft.streaming.StreamingRetention.compact(spark, statePath,
-      targetFiles = 2)
+      targetFilesPerBucket = 1, buckets = 4)
     assert(parquetFiles().size < nBefore)
-    assert(parquetFiles().size <= 2)
+    assert(parquetFiles().size <= 4) // ~one file per bucket
     assert(canon() == repBefore, "compaction changed the report")
-    // appends continue against the compacted state
+    // appends continue against the compacted state, and a one-user
+    // batch adds files ONLY under that user's hash bucket
+    val beforeAppend = parquetFiles().map(_.getPath).toSet
     graft.streaming.StreamingRetention.processBatch(
-      batch(Seq(99L), 0L), statePath)
+      batch(Seq(99L), 0L), statePath, buckets = 4)
+    val tb = spark.range(1)
+      .select(pmod(hash(lit(99L)), lit(4)).as("b")).head.getInt(0)
+    val added = parquetFiles().map(_.getPath).toSet -- beforeAppend
+    assert(added.nonEmpty && added.forall(_.contains(s"_b=$tb/")),
+      s"append leaked outside bucket $tb: $added")
     assert(canon().head == (0L, 0L, 11L, 1.0))
   }
 
