@@ -2579,5 +2579,32 @@ object OracleSql {
     // streaming-funnel replay: event-time-ordered batches through the
     // incremental state machine are EXACT, so the oracle is the batch
     // funnel report itself (q110's SQL verbatim)
-    "q125_streaming_funnel_replay" -> q110Funnel)
+    "q125_streaming_funnel_replay" -> q110Funnel,
+
+    // NB classifier training: per-token class counts, add-one log-odds
+    // in micro-nats (two single-division lns + one subtraction — the
+    // q76/q77 discipline), class-prior bias as a __bias__ row
+    "q126_classifier_train" ->
+      """WITH lab AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+        |               AS y, text
+        |             FROM documents WHERE lang IS NOT NULL),
+        |t AS (SELECT y, unnest(string_split(text, ' ')) AS token
+        |      FROM lab),
+        |c AS (SELECT token,
+        |        sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS cp,
+        |        sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS cn
+        |      FROM t GROUP BY 1),
+        |tot AS (SELECT sum(cp)::BIGINT AS tp, sum(cn)::BIGINT AS tn,
+        |          count(*)::BIGINT AS v FROM c),
+        |d AS (SELECT sum(y)::BIGINT AS np,
+        |        sum(1 - y)::BIGINT AS nn FROM lab)
+        |SELECT token,
+        |  (round((ln((cp + 1)::DOUBLE / (tp + v)::DOUBLE)
+        |        - ln((cn + 1)::DOUBLE / (tn + v)::DOUBLE))
+        |      * 1000000))::BIGINT AS weight_micro
+        |FROM c CROSS JOIN tot
+        |UNION ALL
+        |SELECT '__bias__',
+        |  (round(ln(np::DOUBLE / nn::DOUBLE) * 1000000))::BIGINT
+        |FROM d""".stripMargin)
 }

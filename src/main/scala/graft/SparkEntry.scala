@@ -1666,10 +1666,13 @@ object SparkEntry {
       val step = math.max((hi - lo) / 4 + 1, 1L)
       (0 until 4).foreach { i =>
         val (bLo, bHi) = (lo + i * step, lo + (i + 1) * step)
+        // buckets = 4 at gate SF: the swap cost is per bucket DIRECTORY
+        // (task/file overhead dominates on a small state); production
+        // states size buckets to ~10⁷ rows each
         StreamingFunnel.processBatch(
           ev.filter(col("ts").cast("long") >= bLo &&
             col("ts").cast("long") < bHi),
-          statePath, stages, buckets = 16)
+          statePath, stages, buckets = 4)
       }
       StreamingFunnel.report(s, statePath, stages).localCheckpoint()
     } finally {
@@ -1678,6 +1681,16 @@ object SparkEntry {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  /** Quality-classifier TRAINING (the q87 loadable classifier's
+    * missing half): multinomial-NB log-odds token weights + class-
+    * prior bias from a weak label (`lang = 'en'`), every weight one
+    * IEEE ln-chain snapped to micro-nats — training itself hash-gates
+    * against the SQL replay.
+    */
+  def q126_classifier_train(s: SparkSession, dir: String): DataFrame =
+    graft.text.Classifier.trainNaiveBayes(docs(s, dir), "text",
+      col("lang") === "en")
 
   // ---------------------------------------------------------------- maps
 
@@ -1806,7 +1819,8 @@ object SparkEntry {
     "q122_embedding_drift" -> (q122_embedding_drift(_, _)),
     "q123_ivfpq_residual" -> (q123_ivfpq_residual(_, _)),
     "q124_funnel_latency" -> (q124_funnel_latency(_, _)),
-    "q125_streaming_funnel_replay" -> (q125_streaming_funnel_replay(_, _)))
+    "q125_streaming_funnel_replay" -> (q125_streaming_funnel_replay(_, _)),
+    "q126_classifier_train" -> (q126_classifier_train(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

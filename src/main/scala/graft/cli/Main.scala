@@ -40,6 +40,7 @@ import graft.schema.Vintages
   * graft.cli.Main shuffle <corpus> <outDir> [shards] [seed] [--jsonl]  // parquet shard= layout
   * graft.cli.Main upsert  <base> <updates> <keyCol> <versionCol> <out>
   * graft.cli.Main classify <corpus> <model.txt> <outDir> [--report] [--jsonl]
+  * graft.cli.Main train <corpus> <labelCol> <labelValue> <outDir> [minCount] [--jsonl]   // NB log-odds weights
   * graft.cli.Main divergence <corpus> [groupCol] [buckets] [--jsonl]
   * graft.cli.Main buckets <corpus> <target> <outDir> [--jsonl]  // ppl head/middle/tail
   * graft.cli.Main dhash   <parquet> <outDir> [maxBits]   // image near-dup pairs
@@ -676,6 +677,27 @@ object Main {
         println(s"[bpe-learn] ${r.getInt(0)}: '${r.getString(1)}' + " +
           s"'${r.getString(2)}' (${r.getLong(3)})")
       }
+      done(spark)
+
+    // train the NB log-odds quality classifier from a weak label
+    // column; writes the distributed (token, weight_micro) table
+    case "train" :: corpus :: labelCol :: labelValue :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val minCount = rest.filter(!_.startsWith("--")).headOption
+        .map(_.toInt).getOrElse(1)
+      val spark = session()
+      val df = loadCorpus(spark, corpus, rest)
+      val w = graft.text.Classifier.trainNaiveBayes(df, "text",
+        col(labelCol) === labelValue, minCount = minCount)
+      w.write.mode("overwrite").parquet(outDir)
+      val saved = spark.read.parquet(outDir)
+      println(s"[train] ${saved.count()} weights (minCount=$minCount) " +
+        s"-> $outDir")
+      saved.orderBy(abs(col("weight_micro")).desc, col("token"))
+        .limit(10).collect().foreach { r =>
+          println(f"[train]   ${r.getString(0)}%-20s " +
+            f"${r.getLong(1) / 1e6}%+.6f")
+        }
       done(spark)
 
     // sketch-tier per-group quantiles of a numeric column

@@ -96,6 +96,128 @@ object Classifier {
     withScore(scored, model)
   }
 
+  /** TRAIN the linear model — the missing half of the classifier
+    * family (load/score existed; this closes the loop): multinomial
+    * Naive Bayes with add-one smoothing, whose per-token LOG-ODDS
+    *
+    *   w(t) = ln((c⁺(t)+1)/(T⁺+V)) − ln((c⁻(t)+1)/(T⁻+V))
+    *
+    * are exactly a linear bag-of-words model in the served format
+    * (token weights + a class-prior bias `ln(N⁺/N⁻)`) — the standard
+    * seed classifier a CCNet-style pipeline trains from weak labels
+    * (a language column, a known-good reference corpus) before any
+    * gradient method. `c±` are token occurrences per class over the
+    * `minCount`-kept vocabulary, `T±` its class token totals, `V` its
+    * size.
+    *
+    * Cross-engine exactness: counts are BIGINT; each weight is ONE
+    * fixed IEEE chain (two single-division `ln`s, a subtraction)
+    * snapped to integer micro-nats — the [[Dsir]]/[[NgramLm]]
+    * discipline, so training itself hash-gates against a SQL replay.
+    *
+    * Scale shape: one corpus explode → one (token) hash aggregation
+    * with map-side partials; totals are a 1-row broadcast fold; the
+    * weight table stays DISTRIBUTED (fasttext vocabularies run to
+    * millions of rows — serve via [[scoreWithWeights]], or collect
+    * through [[weightsToModel]] only when the vocab is known small).
+    *
+    * Output: `(token, weight_micro)` rows plus one `__bias__` row.
+    * Rows with a NULL label are excluded from training; both classes
+    * must be non-empty (the bias is their log odds).
+    */
+  def trainNaiveBayes(df: DataFrame, textCol: String, label: Column,
+      tokenizer: Column => Column = TextOps.tokensSimple,
+      minCount: Int = 1): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val lab = df.select(label.cast("boolean").as("_y"),
+        col(textCol).as("_text"))
+      .filter(col("_y").isNotNull)
+    val counts = lab
+      .select(col("_y"), explode(tokenizer(col("_text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("_cp"),
+        sum(when(!col("_y"), 1L).otherwise(0L)).as("_cn"))
+      .filter(col("_cp") + col("_cn") >= minCount)
+    val totals = counts.agg(sum(col("_cp")).as("_tp"),
+      sum(col("_cn")).as("_tn"), count(lit(1)).as("_v"))
+    val docTotals = lab.agg(
+      sum(when(col("_y"), 1L).otherwise(0L)).as("_np"),
+      sum(when(!col("_y"), 1L).otherwise(0L)).as("_nn"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("token"),
+        round((log((col("_cp") + 1L).cast("double") /
+            (col("_tp") + col("_v")).cast("double")) -
+          log((col("_cn") + 1L).cast("double") /
+            (col("_tn") + col("_v")).cast("double"))) * 1000000.0)
+          .cast("long").as("weight_micro"))
+    val bias = docTotals.select(lit(BiasToken).as("token"),
+      round(log(col("_np").cast("double") / col("_nn").cast("double"))
+        * 1000000.0).cast("long").as("weight_micro"))
+    weights.unionByName(bias)
+  }
+
+  /** Serve from a DISTRIBUTED `(token, weight_micro)` table (the
+    * [[trainNaiveBayes]] output, or a parquet-persisted model too big
+    * to hold on the driver): same output and decision rule as
+    * [[score]] — the one driver materialization is the 1-row bias.
+    */
+  def scoreWithWeights(df: DataFrame, textCol: String, idCol: String,
+      weights: DataFrame,
+      tokenizer: Column => Column = TextOps.tokensSimple): DataFrame = {
+    val biasMicro = weights
+      .filter(col("token") === BiasToken)
+      .select(col("weight_micro")).collect()
+      .headOption.map(_.getLong(0)).getOrElse(0L)
+    val w = weights.filter(col("token") =!= BiasToken)
+      .select(col("token").as("_tok"), col("weight_micro").as("_wm"))
+    val perDoc = df
+      .select(col(idCol), explode(tokenizer(col(textCol))).as("_tok"))
+      .join(broadcast(w), Seq("_tok"), "left")
+      .na.fill(0L, Seq("_wm"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_wm")).as("w_sum_micro"))
+    val scored = df.select(col(idCol)).distinct()
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tokens", "w_sum_micro"))
+    withScore(scored, LinearModel(biasMicro, Map.empty))
+  }
+
+  /** Collect a `(token, weight_micro)` table into a driver-side
+    * [[LinearModel]] — for CURATED-SIZED vocabularies only
+    * (`maxVocab`-guarded, loud failure like the BPE fast path; the
+    * distributed serve path is [[scoreWithWeights]]).
+    */
+  def weightsToModel(weights: DataFrame,
+      maxVocab: Int = 2000000): LinearModel = {
+    val n = weights.count()
+    require(n <= maxVocab + 1,
+      s"weight table has $n rows > maxVocab=$maxVocab — serve it " +
+        "distributed via scoreWithWeights instead of collecting")
+    var bias = 0L
+    val w = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    weights.select(col("token"), col("weight_micro")).collect()
+      .foreach { r =>
+        if (r.getString(0) == BiasToken) bias = r.getLong(1)
+        else w(r.getString(0)) = r.getLong(1)
+      }
+    LinearModel(bias, w.toMap)
+  }
+
+  /** Render a [[LinearModel]] as "token weight" lines — the exact
+    * format [[parse]]/[[load]] read, with weights printed at micro
+    * precision so save→load round-trips bit-identically.
+    */
+  def modelLines(model: LinearModel): Seq[String] =
+    (s"$BiasToken ${microToText(model.biasMicro)}" +:
+      model.weightsMicro.toSeq.sortBy(_._1)
+        .map { case (t, m) => s"$t ${microToText(m)}" })
+
+  private def microToText(micro: Long): String = {
+    val sign = if (micro < 0) "-" else ""
+    val abs = math.abs(micro)
+    f"$sign${abs / 1000000L}%d.${abs % 1000000L}%06d"
+  }
+
   /** The SCAN-STAGE flavor: the weight table rides the plan as a map
     * literal and the sum folds inside a higher-order function — zero
     * shuffles beyond none at all (a pure projection), the right shape

@@ -65,6 +65,52 @@ class ClassifierSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("trainNaiveBayes: log-odds signs follow class association, " +
+    "bias is the class-prior log odds, and the trained model " +
+    "separates the training classes through the standard serve path") {
+    val docs = Seq(
+      (1L, "the cat sat", true), (2L, "the dog ran", true),
+      (3L, "the bird flew", true),
+      (4L, "le chat noir", false), (5L, "le chien brun", false))
+      .toDF("doc_id", "text", "is_en")
+    val w = Classifier.trainNaiveBayes(docs, "text", col("is_en"))
+    val wm = w.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // class-exclusive tokens get the right sign; shared-nothing here
+    assert(wm("the") > 0 && wm("cat") > 0, wm.toString)
+    assert(wm("le") < 0 && wm("chat") < 0, wm.toString)
+    // bias = ln(3/2) in micro-nats
+    assert(wm(Classifier.BiasToken) ==
+      math.round(math.log(3.0 / 2.0) * 1e6))
+    // verify one weight end-to-end: cp(the)=3, cn=0, T+=9, T-=6, V=12
+    // => w(the) = ln((3+1)/(9+12)) - ln((0+1)/(6+12))
+    assert(wm("the") == math.round(
+      (math.log(4.0 / 21.0) - math.log(1.0 / 18.0)) * 1e6))
+    // the trained table serves through BOTH paths identically and
+    // separates the classes
+    val scored = Classifier.scoreWithWeights(docs, "text", "doc_id", w)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("keep")).toMap
+    assert(scored == Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false), scored.toString)
+    val viaModel = Classifier.score(docs, "text", "doc_id",
+      Classifier.weightsToModel(w))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("w_sum_micro"), r.getAs[Boolean]("keep"))).toMap
+    val viaWeights = Classifier.scoreWithWeights(docs, "text", "doc_id",
+      w).collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("w_sum_micro"), r.getAs[Boolean]("keep"))).toMap
+    assert(viaModel == viaWeights)
+    // modelLines round-trips bit-identically through parse
+    val rt = Classifier.parse(Classifier.modelLines(
+      Classifier.weightsToModel(w)))
+    assert(rt == Classifier.weightsToModel(w))
+    // the collect guard fails loudly instead of pulling an oversized
+    // vocabulary onto the driver
+    intercept[IllegalArgumentException] {
+      Classifier.weightsToModel(w, maxVocab = 2)
+    }
+  }
+
   test("scoreMapLiteral filters a STREAM: stateless per-micro-batch " +
     "apply, same decisions as batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
