@@ -646,6 +646,53 @@ object OracleSql {
        |FROM rk WHERE rn <= 5""".stripMargin
   }
 
+  /** Bitext-mining oracle (q127): the q17 rounded-cosine chain over
+    * the even×odd pair grid, forward/backward kNN via row_number with
+    * the (cos desc, id asc) tie rule, each side's neighborhood sum as
+    * a rank-ordered list_reduce of the ROUNDED cosines (bit-equal to
+    * Spark's rank-ordered fold — the first 0.0±c step is exact), one
+    * margin division rounded once, zero denominators CASE'd to NULL,
+    * best margin per source by (margin desc, tgt asc).
+    */
+  private lazy val q127 = {
+    val dim = 64
+    val cosExpr =
+      s"""round(${duckDot("s.qv", "t.cv", dim)} /
+         |  (sqrt(${duckDot("s.qv", "s.qv", dim)}) *
+         |   sqrt(${duckDot("t.cv", "t.cv", dim)})), 6)""".stripMargin
+    s"""WITH s AS (SELECT vec_id AS qid, embedding AS qv
+       |           FROM embeddings WHERE vec_id % 2 = 0),
+       |t AS (SELECT vec_id AS cid, embedding AS cv
+       |      FROM embeddings WHERE vec_id % 2 = 1),
+       |p AS (SELECT s.qid, t.cid, $cosExpr AS cos
+       |      FROM s CROSS JOIN t),
+       |fw AS (SELECT qid, cid, cos, row_number() OVER
+       |         (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |       FROM p),
+       |fk AS (SELECT * FROM fw WHERE rn <= 4),
+       |ax AS (SELECT qid,
+       |         list_reduce(list(cos ORDER BY rn), (a, b) -> a + b)
+       |           / ((2 * count(*))::DOUBLE) AS dx
+       |       FROM fk GROUP BY qid),
+       |bw AS (SELECT qid, cid, cos, row_number() OVER
+       |         (PARTITION BY cid ORDER BY cos DESC, qid) AS rn
+       |       FROM p),
+       |bk AS (SELECT * FROM bw WHERE rn <= 4),
+       |ay AS (SELECT cid,
+       |         list_reduce(list(cos ORDER BY rn), (a, b) -> a + b)
+       |           / ((2 * count(*))::DOUBLE) AS dy
+       |       FROM bk GROUP BY cid),
+       |m AS (SELECT fk.qid, fk.cid, fk.cos,
+       |        CASE WHEN (ax.dx + ay.dy) != 0
+       |          THEN round(fk.cos / (ax.dx + ay.dy), 6) END AS margin
+       |      FROM fk JOIN ax USING (qid) JOIN ay USING (cid)),
+       |f AS (SELECT qid, cid, cos, margin, row_number() OVER
+       |        (PARTITION BY qid ORDER BY margin DESC, cid) AS rn
+       |      FROM m WHERE margin IS NOT NULL AND margin >= 0)
+       |SELECT qid AS src_id, cid AS tgt_id, cos AS cos_sim, margin
+       |FROM f WHERE rn = 1""".stripMargin
+  }
+
   /** Embedding-drift oracle (q122): per-label bucketed-mean folds (the
     * q27 centroid CTEs) over the base embeddings and the deterministic
     * v2 snapshot, mean-vs-mean cosine via the q17 chain.
@@ -2606,5 +2653,9 @@ object OracleSql {
         |UNION ALL
         |SELECT '__bias__',
         |  (round(ln(np::DOUBLE / nn::DOUBLE) * 1000000))::BIGINT
-        |FROM d""".stripMargin)
+        |FROM d""".stripMargin,
+
+    // margin-based bitext mining: rounded-cosine pair grid, two-sided
+    // kNN neighborhood averages via rank-ordered folds, margin division
+    "q127_bitext_mine" -> q127)
 }

@@ -1692,6 +1692,20 @@ object SparkEntry {
     graft.text.Classifier.trainNaiveBayes(docs(s, dir), "text",
       col("lang") === "en")
 
+  /** Margin-based bitext mining between the even- and odd-id halves
+    * of the embedding corpus (the CCMatrix/LASER parallel-pair miner):
+    * forward-kNN candidates scored by cosine over both sides' average
+    * neighborhood similarity — hubs demoted, each source aligned to
+    * its best-margin target. Rounded-cosine rank-order folds make the
+    * whole margin chain replay in SQL.
+    */
+  def q127_bitext_mine(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    SimSearch.bitextMine(emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+      k = 4, threshold = 0.0)
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1820,7 +1834,8 @@ object SparkEntry {
     "q123_ivfpq_residual" -> (q123_ivfpq_residual(_, _)),
     "q124_funnel_latency" -> (q124_funnel_latency(_, _)),
     "q125_streaming_funnel_replay" -> (q125_streaming_funnel_replay(_, _)),
-    "q126_classifier_train" -> (q126_classifier_train(_, _)))
+    "q126_classifier_train" -> (q126_classifier_train(_, _)),
+    "q127_bitext_mine" -> (q127_bitext_mine(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

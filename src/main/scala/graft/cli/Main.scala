@@ -24,6 +24,7 @@ import graft.schema.Vintages
   * graft.cli.Main ann-query <idxDir> <queries> <outDir> [k] [planes] [dim]
   * graft.cli.Main pq-index <embeddings> <outDir> [m] [k] [iters] [dim] [cellCol] [--residual]
   * graft.cli.Main pq-query <idxDir> <queries> <outDir> [k] [m] [nprobe] [dim] [--refine <rawEmb> [c]]
+  * graft.cli.Main pq-append <idxDir> <embeddings> [m] [dim]   // incremental index append (no refit)
   * graft.cli.Main ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod]
   * graft.cli.Main pack    <corpus> <outDir> [budget] [--jsonl] [--simple-tokens]
   * graft.cli.Main mix     <corpus> <outDir> [budget] [seed] [--jsonl] [--simple-tokens] [--alpha A] [--unimax E]
@@ -312,6 +313,21 @@ object Main {
           "embedding", cellCol, m, k, iters, dim)
       println(s"[pq-index] ${emb.count()} vectors -> m=$m k=$k " +
         s"residual=$residual codes + codebooks + centroids -> $outDir")
+      done(spark)
+
+    // incrementally append new vectors to a persisted PQ index: frozen
+    // codebooks/centroids, probe-metric cell assignment, idempotent
+    case "pq-append" :: idxPath :: corpus :: rest =>
+      val nums = rest.filter(!_.startsWith("--"))
+      val m = nums.headOption.map(_.toInt).getOrElse(4)
+      val dim = nums.drop(1).headOption.map(_.toInt).getOrElse(64)
+      val spark = session()
+      val emb = spark.read.parquet(corpus)
+      graft.sim.SimSearch.appendToPqIndex(emb, idxPath, "vec_id",
+        "embedding", m, dim)
+      val n = spark.read.parquet(s"$idxPath/codes")
+        .select("vec_id").distinct().count()
+      println(s"[pq-append] index now holds $n vectors -> $idxPath")
       done(spark)
 
     // serve top-k from a persisted IVF-PQ index (codes only — raw

@@ -952,6 +952,148 @@ object SimSearch {
       .write.mode("overwrite").parquet(s"$path/residual")
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    * CCMatrix/LASER recipe): align a SOURCE embedding set to a TARGET
+    * set by scoring each forward-kNN candidate pair with the MARGIN
+    *
+    *   margin(x,y) = cos(x,y) / (Σ_{z∈NNk(x)} cos(x,z)/(2k)
+    *                           + Σ_{z∈NNk(y)} cos(z,y)/(2k))
+    *
+    * — raw cosine over-pairs hubs (vectors near everything); dividing
+    * by both sides' average neighborhood similarity keeps only pairs
+    * that are close RELATIVE to their neighborhoods. Emits each
+    * source's best-margin target with `margin ≥ threshold`:
+    * `(src_id, tgt_id, cos_sim, margin)`, ties to the lowest target
+    * id. This is how parallel translation pairs (and caption↔image or
+    * doc↔summary alignments) are mined from two monolingual corpora.
+    *
+    * Cross-engine exactness: candidate cosines snap to 6 decimals
+    * first (the q17 chain); each side's neighborhood sum folds the
+    * ROUNDED cosines in rank order (deterministic — rank is
+    * (cos desc, id asc)); the margin is one division of that fixed
+    * chain, rounded once; a zero denominator yields NULL on both
+    * engines rather than an engine-specific infinity.
+    *
+    * Scale shape: the source side plays the query-set role and
+    * BROADCASTS (mine in source slices); the target side never
+    * shuffles; both kNN directions and the margins come from the same
+    * scored pair frame (windowless two-phase top-k, per-key state
+    * bounded by k). For corpus×corpus mining, pre-bucket both sides
+    * with the [[annTopK]] hyperplanes and mine per bucket — the
+    * candidate generation trade every ANN path here makes.
+    */
+  def bitextMine(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4,
+      threshold: Double = 0.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val x = src.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val y = tgt.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    // both kNN directions and the margin join read this frame; it
+    // stays a LAZY plan so the gate audits the real shapes — a
+    // production run over a big target side should persist/checkpoint
+    // it once instead of paying three broadcast-scan passes
+    val scored = scorePairs(y.join(broadcast(x)))
+      .filter(col("cos_sim").isNotNull)
+      .select(col("qid"), col("cid"), col("cos_sim"))
+    def nnAvg(key: String, other: Column): DataFrame = {
+      val top = topKPerKey(scored, key, -col("cos_sim"), other, k)
+      top.groupBy(col(key)).agg(count(lit(1)).as("_n"),
+        aggregate(
+          transform(
+            sort_array(collect_list(struct(col("rank"), col("rankval")))),
+            _.getField("rankval")),
+          lit(0.0), (a, c) => a - c).as("_s")) // rankval = -cos
+    }
+    val ax = nnAvg("qid", col("cid"))
+      .select(col("qid"), (col("_s") / (col("_n") * 2L).cast("double"))
+        .as("_dx"))
+    val ay = nnAvg("cid", col("qid"))
+      .select(col("cid"), (col("_s") / (col("_n") * 2L).cast("double"))
+        .as("_dy"))
+    val fwd = topKPerKey(scored, "qid", -col("cos_sim"), col("cid"), k)
+      .select(col("qid"), col("neighbor").as("cid"),
+        (-col("rankval")).as("cos_sim"))
+    val denom = col("_dx") + col("_dy")
+    val margins = fwd
+      .join(ax, Seq("qid")).join(ay, Seq("cid"))
+      .select(col("qid"), col("cid"), col("cos_sim"),
+        when(denom =!= 0.0, round(col("cos_sim") / denom, 6)).as("margin"))
+      .filter(col("margin").isNotNull && col("margin") >= threshold)
+    topKPerKey(margins.withColumn("_payload",
+        struct(col("cid"), col("cos_sim"), col("margin"))),
+      "qid", struct(-col("margin"), col("cid")), col("_payload"), 1)
+      .select(col("qid").as("src_id"),
+        col("neighbor").getField("cid").as("tgt_id"),
+        col("neighbor").getField("cos_sim").as("cos_sim"),
+        col("neighbor").getField("margin").as("margin"))
+  }
+
+  /** Assign vectors to the IVF cell their SERVING probe would search:
+    * top-1 cosine against the persisted `(cell, centroid)` table — the
+    * same metric [[ivfPqTopK]]'s probe ranks with, so a vector lands
+    * in the cell where queries nearest to it actually look. One
+    * broadcast + windowless argmax; the corpus never shuffles.
+    * Output: `(idCol, cell)`.
+    */
+  def assignIvfCells(emb: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    topKPerKey(
+      emb.select(col(idCol).as("vid"), col(vecCol).as("qv"))
+        .crossJoin(broadcast(centroids)),
+      "vid", -cosine(col("qv"), col("centroid")), col("cell"), 1)
+      .select(col("vid").as(idCol), col("neighbor").as("cell"))
+
+  /** INCREMENTAL index maintenance — the write path a 100 TB lake
+    * actually runs: new vectors append to a persisted PQ index
+    * ([[writePqIndex]] / [[writePqIndexResidual]] layout) WITHOUT
+    * refitting — codebooks and cell centroids load as-is (model
+    * metadata), the batch encodes against them (residual-aware via the
+    * index's marker), and the coded rows append under their cell
+    * partitions. A full refit is a scheduled rebalance, not a
+    * per-batch cost; quantization error for the appended rows is
+    * whatever the frozen codebooks give (measure with [[recallAtK]]
+    * when drift accumulates — [[groupEmbeddingDrift]] is the monitor).
+    *
+    * Cells for the new rows come from [[assignIvfCells]] against the
+    * index's own centroid table (the probe metric), unless the caller
+    * supplies a `cellCol` matching the index's original convention.
+    *
+    * Already-indexed ids are anti-joined away by default
+    * (`dedupeIds`): a duplicate (id, sub) row would make ADC's
+    * per-(query, id) SUM count a subspace twice and corrupt the
+    * distance — append must be idempotent for at-least-once writers.
+    * The anti-join reads an ids-only projection of the code table.
+    */
+  def appendToPqIndex(emb: DataFrame, path: String, idCol: String,
+      vecCol: String, m: Int, dim: Int = 64,
+      cellCol: Option[String] = None,
+      dedupeIds: Boolean = true): Unit = {
+    val spark = emb.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val residual = fs.exists(new org.apache.hadoop.fs.Path(s"$path/residual"))
+    val cb = spark.read.parquet(s"$path/codebooks").localCheckpoint()
+    val cen = spark.read.parquet(s"$path/centroids").localCheckpoint()
+    val fresh =
+      if (dedupeIds)
+        emb.join(spark.read.parquet(s"$path/codes")
+            .select(col(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+      else emb
+    val withCell = cellCol match {
+      case Some(c) => fresh.withColumn("cell", col(c))
+      case None => fresh.join(
+        assignIvfCells(fresh, cen, idCol, vecCol), Seq(idCol))
+    }
+    val codes =
+      if (residual)
+        pqEncodeResidual(withCell, cen, cb, idCol, vecCol, "cell", m, dim)
+      else pqEncode(withCell, cb, idCol, vecCol, m, dim)
+    codes
+      .join(withCell.select(col(idCol), col("cell")), Seq(idCol))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
   /** Random-projection dimensionality reduction: `outDim` fixed
     * md5-derived hyperplanes ([[planeWeight]] — no RNG state), each
     * output component one left-fold dot product. The 64→8 compression

@@ -416,6 +416,61 @@ class IvfSpec extends SparkSpec {
     assert(fromIndex == inline)
   }
 
+  test("appendToPqIndex: new vectors encode against the FROZEN " +
+    "codebooks into their probe cells, replays are idempotent, and " +
+    "serving matches a from-scratch encode under the same model") {
+    def vec(d0: Float, d32: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(0) = d0
+      a(32) = d32
+      a
+    }
+    val all = (0L until 16L).map { i =>
+      (i, i % 4, vec(if (i % 2 == 0) 10f else -10f,
+        (i % 8).toFloat - 3.5f))
+    }.toDF("vec_id", "cell", "embedding")
+    val base = all.filter(col("vec_id") < 12)
+    val extra = all.filter(col("vec_id") >= 12).drop("cell")
+    val dir = java.nio.file.Files
+      .createTempDirectory("pqappend").toString
+    SimSearch.writePqIndex(base, dir, "vec_id", "embedding", "cell",
+      m = 2, k = 2, iters = 2, dim = 64, bucketWidth = 4L)
+    SimSearch.appendToPqIndex(extra, dir, "vec_id", "embedding",
+      m = 2, dim = 64)
+    // at-least-once replay: already-indexed ids anti-join away
+    SimSearch.appendToPqIndex(extra, dir, "vec_id", "embedding",
+      m = 2, dim = 64)
+    val (cb, codes, cen) = SimSearch.readPqIndex(spark, dir)
+    assert(codes.count() == 32, "16 vectors x m=2 codes expected")
+    assert(codes.select("vec_id").distinct().count() == 16)
+    // appended rows live in the cell the serving probe would search
+    val assigned = SimSearch.assignIvfCells(extra, cen, "vec_id",
+      "embedding").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the cell partition column reads back as int32 — cast to compare
+    val inIndex = codes.filter(col("vec_id") >= 12)
+      .select(col("vec_id"), col("cell").cast("long")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inIndex == assigned, s"$inIndex != $assigned")
+    // serving parity vs a from-scratch encode under the SAME model
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val queries = all.filter(col("vec_id") < 4)
+    val fromIndex = canon(SimSearch.ivfPqTopK(codes, cb, cen, queries,
+      "vec_id", "embedding", "vec_id", m = 2, k = 4, nprobe = 4,
+      dim = 64))
+    val cells = base.select(col("vec_id"), col("cell"))
+      .unionByName(SimSearch.assignIvfCells(extra, cen, "vec_id",
+        "embedding"))
+    val inlineCodes = SimSearch.pqEncode(all.drop("cell"), cb,
+      "vec_id", "embedding", m = 2, dim = 64)
+      .join(cells, Seq("vec_id"))
+    val inline = canon(SimSearch.ivfPqTopK(inlineCodes, cb, cen,
+      queries, "vec_id", "embedding", "vec_id", m = 2, k = 4,
+      nprobe = 4, dim = 64))
+    assert(fromIndex == inline)
+  }
+
   test("persisted PQ index serves identically to the inline pipeline") {
     def vec(d0: Float, d32: Float): Array[Float] = {
       val a = Array.fill(64)(0.0f)

@@ -222,7 +222,8 @@ class PlanGateSpec extends SparkSpec {
       "q119_fightin_words",  // vocab rows × broadcast 1-row totals
       "q121_ivfpq_refined",  // q27's centroid probe + q106's codebook broadcasts
       "q123_ivfpq_residual", // q121's shapes with residual-frame LUTs
-      "q126_classifier_train") // vocab rows × broadcast 1-row totals
+      "q126_classifier_train", // vocab rows × broadcast 1-row totals
+      "q127_bitext_mine")    // target corpus × broadcast source slice
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is

@@ -286,6 +286,42 @@ class SimSearchSpec extends SparkSpec {
       s"bucket join lost dynamic partition pruning:\n$plan")
   }
 
+  test("bitextMine: margin scoring demotes the hub target that raw " +
+    "cosine would pick and recovers each source's true pair") {
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      parts.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    // 4 sources: a distinct direction e_i plus a strong shared hub
+    // component e_60; targets: the 4 true pairs (pure e_i) and a hub
+    // (pure e_60). cos(src_i, hub)=0.9/|x| BEATS cos(src_i, y_i)=0.8/|x|
+    // — raw cosine aligns everything to the hub; the margin divides by
+    // the hub's saturated neighborhood and flips the choice.
+    val src = (0 until 4).map(i =>
+      (i * 2L, vec(i -> 0.8f, 60 -> 0.9f)))
+      .toDF("vec_id", "embedding")
+    val tgt = ((0 until 4).map(i => (i * 2L + 1L, vec(i -> 1.0f))) :+
+      (9L, vec(60 -> 1.0f)))
+      .toDF("vec_id", "embedding")
+    // raw forward top-1 picks the hub for every source…
+    val rawTop = graft.sim.SimSearch.bruteForceTopK(
+      src.unionByName(tgt), "vec_id", "embedding",
+      col("vec_id") % 2 === 0, k = 1).collect()
+    assert(rawTop.length == 4 && rawTop.forall(_.getLong(2) == 9L),
+      "test setup: hub must win on raw cosine")
+    // …while the margin alignment recovers the true pairs
+    val mined = graft.sim.SimSearch.bitextMine(src, tgt, "vec_id",
+      "embedding", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mined == Map(0L -> 1L, 2L -> 3L, 4L -> 5L, 6L -> 7L),
+      mined.toString)
+    // thresholding drops weak alignments entirely
+    val none = graft.sim.SimSearch.bitextMine(src, tgt, "vec_id",
+      "embedding", k = 4, threshold = 1e9)
+    assert(none.count() == 0)
+  }
+
   test("int8 quantization: known vector and all-zero vector") {
     import spark.implicits._
     val df = Seq(
