@@ -26,6 +26,7 @@ import graft.schema.Vintages
   * graft.cli.Main pq-query <idxDir> <queries> <outDir> [k] [m] [nprobe] [dim] [--refine <rawEmb> [c]]
   * graft.cli.Main pq-append <idxDir> <embeddings> [m] [dim]   // incremental index append (no refit)
   * graft.cli.Main ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod]
+  * graft.cli.Main pq-eval <embeddings> [k] [m] [kcb] [nprobe] [dim] [sampleMod] [--cell=<col>]   // raw vs residual vs re-rank recall
   * graft.cli.Main pack    <corpus> <outDir> [budget] [--jsonl] [--simple-tokens]
   * graft.cli.Main mix     <corpus> <outDir> [budget] [seed] [--jsonl] [--simple-tokens] [--alpha A] [--unimax E]
   * graft.cli.Main split   <corpus> <outDir> [seed] [--jsonl]   // writes PARQUET partitioned by split= (the exception: splits are storage layout, not a doc stream)
@@ -407,6 +408,59 @@ object Main {
       println(s"[ann-eval] recall@$k over ${row.getLong(0)} sampled " +
         s"queries (planes=$planes probeBits=$probeBits): " +
         s"mean=${row.getDouble(1)} min=${row.getDouble(2)}")
+
+    // PQ acceptance report: recall@k of raw-code ADC, residual ADC,
+    // and residual+re-rank against the brute-force baseline — the
+    // numbers to read before trusting an index build
+    case "pq-eval" :: corpus :: rest =>
+      import org.apache.spark.sql.functions.col
+      val nums = rest.filter(!_.startsWith("--"))
+      val k = nums.headOption.map(_.toInt).getOrElse(10)
+      val m = nums.drop(1).headOption.map(_.toInt).getOrElse(4)
+      val kcb = nums.drop(2).headOption.map(_.toInt).getOrElse(16)
+      val nprobe = nums.drop(3).headOption.map(_.toInt).getOrElse(2)
+      val dim = nums.drop(4).headOption.map(_.toInt).getOrElse(64)
+      val sampleMod = nums.drop(5).headOption.map(_.toLong).getOrElse(50L)
+      val cellCol = rest.find(_.startsWith("--cell="))
+        .map(_.stripPrefix("--cell=")).getOrElse("label")
+      val spark = session()
+      val S = graft.sim.SimSearch
+      val emb = spark.read.parquet(corpus).withColumn("cell", col(cellCol))
+      val pred = col("vec_id") % sampleMod === 0
+      val queries = emb.filter(pred)
+      val exact = S.bruteForceTopK(emb, "vec_id", "embedding", pred, k)
+        .localCheckpoint()
+      val cen = S.ivfCentroids(emb, "vec_id", "embedding", "cell",
+        dim).localCheckpoint()
+      val cells = emb.select(col("vec_id"), col("cell"))
+      def summary(approx: org.apache.spark.sql.DataFrame) = {
+        // ADC/refined include the query itself; brute force excludes
+        // it — search k+1 and drop self so the comparison is fair
+        val row = S.recallSummary(
+          approx.filter(col("qid") =!= col("neighbor")), exact, k)
+          .collect()(0)
+        f"mean=${row.getDouble(1)}%.4f min=${row.getDouble(2)}%.4f " +
+          s"(n=${row.getLong(0)})"
+      }
+      val cbRaw = S.pqFit(emb, "vec_id", "embedding", m, kcb, 2, dim)
+        .localCheckpoint()
+      val codesRaw = S.pqEncode(emb, cbRaw, "vec_id", "embedding", m,
+        dim).join(cells, Seq("vec_id"))
+      println(s"[pq-eval] raw-code ADC      recall@$k: " + summary(
+        S.ivfPqTopK(codesRaw, cbRaw, cen, queries, "vec_id",
+          "embedding", "vec_id", m, k + 1, nprobe, dim)))
+      val cbRes = S.pqFitResidual(emb, cen, "vec_id", "embedding",
+        "cell", m, kcb, 2, dim).localCheckpoint()
+      val codesRes = S.pqEncodeResidual(emb, cen, cbRes, "vec_id",
+        "embedding", "cell", m, dim).join(cells, Seq("vec_id"))
+      println(s"[pq-eval] residual ADC      recall@$k: " + summary(
+        S.ivfPqTopKResidual(codesRes, cbRes, cen, queries, "vec_id",
+          "embedding", "vec_id", m, k + 1, nprobe, dim)))
+      println(s"[pq-eval] residual+re-rank  recall@$k: " + summary(
+        S.ivfPqTopKRefinedResidual(codesRes, cbRes, cen, queries, emb,
+          "vec_id", "embedding", "vec_id", m, k + 1, 4 * k, nprobe,
+          dim)))
+      done(spark)
 
     case "semdedup" :: corpus :: outDir :: rest =>
       val nums = rest.filter(!_.startsWith("--"))

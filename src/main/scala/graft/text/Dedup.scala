@@ -45,6 +45,48 @@ object Dedup {
           _.cast("string")))))
 
   /** (id, band, bucket) bucket assignments from a MinHash signature. */
+  /** Auto-tune the LSH banding for a target Jaccard threshold — the
+    * knob every MinHash deployment has to set and usually guesses: a
+    * `(bands, rows)` split of a `sigLen`-hash signature collides a
+    * pair of true similarity s with probability `P(s) = 1−(1−s^r)^b`
+    * (the S-curve), and the right split puts the curve's rise AT the
+    * threshold. Chosen by minimizing the weighted false-positive
+    * (∫₀ᵗ P) + false-negative (∫ₜ¹ 1−P) areas over all exact
+    * divisions `b·r = n` (the datasketch/LSH-forest criterion), on a
+    * fixed deterministic grid so the same inputs always plan the same
+    * index. `fnWeight > 0.5` biases toward recall (fewer missed
+    * near-dups, more candidates to verify) — usually what dedup wants,
+    * since [[nearDupPairs]] verifies candidates against the signature
+    * anyway. Driver-side pure arithmetic: use it to parameterize
+    * [[lshBuckets]] / [[signIndex]] at index-build time.
+    */
+  def lshPlan(sigLen: Int, threshold: Double,
+      fnWeight: Double = 0.5): (Int, Int) = {
+    require(sigLen > 0, s"sigLen must be positive, got $sigLen")
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0,1), got $threshold")
+    require(fnWeight >= 0 && fnWeight <= 1,
+      s"fnWeight must be in [0,1], got $fnWeight")
+    val grid = 1000
+    def err(b: Int, r: Int): Double = {
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < grid) {
+        val s = (i + 0.5) / grid
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        if (s < threshold) fp += p else fn += 1.0 - p
+        i += 1
+      }
+      ((1.0 - fnWeight) * fp + fnWeight * fn) / grid
+    }
+    val candidates = for {
+      r <- 1 to sigLen
+      if sigLen % r == 0
+    } yield (sigLen / r, r)
+    candidates.minBy { case (b, r) => (err(b, r), r) }
+  }
+
   def lshBuckets(
       df: DataFrame, idCol: String, sigCol: String,
       bands: Int, rowsPerBand: Int): DataFrame =

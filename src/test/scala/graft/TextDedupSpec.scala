@@ -1192,6 +1192,31 @@ class TextDedupSpec extends SparkSpec {
     assert(m3.isEmpty)
   }
 
+  test("lshPlan: banding auto-tune puts the S-curve rise at the " +
+    "threshold, is exact-division only, and fnWeight trades recall") {
+    import graft.text.Dedup
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9); n <- Seq(64, 128)) {
+      val (b, r) = Dedup.lshPlan(n, t)
+      assert(b * r == n, s"($b,$r) not an exact split of $n")
+      // the curve midpoint (1/b)^(1/r) must land near the threshold —
+      // closer than either degenerate split
+      def mid(b: Int, r: Int) = math.pow(1.0 / b, 1.0 / r)
+      assert(math.abs(mid(b, r) - t) <= math.abs(mid(n, 1) - t) &&
+        math.abs(mid(b, r) - t) <= math.abs(mid(1, n) - t),
+        s"t=$t n=$n chose ($b,$r) mid=${mid(b, r)}")
+    }
+    // steeper thresholds need more rows per band
+    assert(Dedup.lshPlan(128, 0.9)._2 > Dedup.lshPlan(128, 0.4)._2)
+    // recall bias: fnWeight -> 1 never increases rows per band (fewer
+    // missed near-dups, more candidates)
+    assert(Dedup.lshPlan(128, 0.7, fnWeight = 1.0)._2 <=
+      Dedup.lshPlan(128, 0.7, fnWeight = 0.0)._2)
+    // determinism
+    assert(Dedup.lshPlan(128, 0.7) == Dedup.lshPlan(128, 0.7))
+    intercept[IllegalArgumentException] { Dedup.lshPlan(0, 0.5) }
+    intercept[IllegalArgumentException] { Dedup.lshPlan(128, 1.0) }
+  }
+
   test("vocabCoverage: the two-level bucketed ranking is row-identical " +
     "to a naive global sort on a skewed corpus (multi-octave head, " +
     "singleton tie spike, shared prefixes) at several prefix lengths") {
