@@ -2657,5 +2657,55 @@ object OracleSql {
 
     // margin-based bitext mining: rounded-cosine pair grid, two-sided
     // kNN neighborhood averages via rank-ordered folds, margin division
-    "q127_bitext_mine" -> q127)
+    "q127_bitext_mine" -> q127,
+
+    // KS distribution drift: q120's bottom-k sampling per snapshot,
+    // empirical-CDF gaps as integer counts over sampled values divided
+    // once, max over the merged sample points
+    "q128_distribution_drift" ->
+      """WITH v2 AS (SELECT source, doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN n_chars * 2
+        |              ELSE n_chars END AS n_chars
+        |       FROM documents WHERE doc_id % 10 != 0),
+        |ho AS (SELECT source,
+        |         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+        |           ::UBIGINT)::BIGINT AS hv,
+        |         n_chars::DOUBLE AS v
+        |       FROM documents),
+        |ro AS (SELECT source, v, row_number() OVER
+        |         (PARTITION BY source ORDER BY hv, v) AS rn FROM ho),
+        |so AS (SELECT source, count(*)::INTEGER AS m_old,
+        |         list_sort(list(v)) AS va
+        |       FROM ro WHERE rn <= 256 GROUP BY 1),
+        |co AS (SELECT source, count(*)::BIGINT AS n_old
+        |       FROM documents GROUP BY 1),
+        |hn AS (SELECT source,
+        |         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+        |           ::UBIGINT)::BIGINT AS hv,
+        |         n_chars::DOUBLE AS v
+        |       FROM v2),
+        |rn2 AS (SELECT source, v, row_number() OVER
+        |         (PARTITION BY source ORDER BY hv, v) AS rn FROM hn),
+        |sn AS (SELECT source, count(*)::INTEGER AS m_new,
+        |         list_sort(list(v)) AS vb
+        |       FROM rn2 WHERE rn <= 256 GROUP BY 1),
+        |cn AS (SELECT source, count(*)::BIGINT AS n_new
+        |       FROM v2 GROUP BY 1),
+        |o2 AS (SELECT so.source, co.n_old, so.m_old, so.va
+        |       FROM so JOIN co USING (source)),
+        |n2 AS (SELECT sn.source, cn.n_new, sn.m_new, sn.vb
+        |       FROM sn JOIN cn USING (source))
+        |SELECT source,
+        |  coalesce(n_old, 0)::BIGINT AS n_old,
+        |  coalesce(n_new, 0)::BIGINT AS n_new,
+        |  coalesce(m_old, 0)::INTEGER AS m_old,
+        |  coalesce(m_new, 0)::INTEGER AS m_new,
+        |  CASE WHEN coalesce(m_old, 0) > 0 AND coalesce(m_new, 0) > 0
+        |    THEN round(list_aggregate(list_transform(
+        |      list_concat(va, vb), x ->
+        |        abs(len(list_filter(va, v -> v <= x))::DOUBLE
+        |              / m_old::DOUBLE
+        |          - len(list_filter(vb, v -> v <= x))::DOUBLE
+        |              / m_new::DOUBLE)), 'max'), 6) END AS ks_est
+        |FROM o2 FULL OUTER JOIN n2 USING (source)""".stripMargin)
 }

@@ -1706,6 +1706,22 @@ object SparkEntry {
       k = 4, threshold = 0.0)
   }
 
+  /** Per-source document-length distribution drift between the corpus
+    * and a deterministic "next crawl" (every 10th doc dropped, every
+    * 7th doubled in length): Kolmogorov–Smirnov estimates from two
+    * bottom-k verbatim-value sketches — the numeric-stat tier of the
+    * drift family (q114 rows, q84 tokens, q122 embeddings). Integer
+    * CDF counts over sampled values make the whole report hash-gate.
+    */
+  def q128_distribution_drift(s: SparkSession, dir: String): DataFrame = {
+    val old = t(s, dir, "documents")
+    val v2 = old.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("n_chars", when(col("doc_id") % 7 === 0,
+        col("n_chars") * 2L).otherwise(col("n_chars")))
+    Relational.distributionDrift(old, v2, Seq("source"), "n_chars",
+      TextOps.hash32(concat_ws(":", col("doc_id"))), k = 256)
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1835,7 +1851,8 @@ object SparkEntry {
     "q124_funnel_latency" -> (q124_funnel_latency(_, _)),
     "q125_streaming_funnel_replay" -> (q125_streaming_funnel_replay(_, _)),
     "q126_classifier_train" -> (q126_classifier_train(_, _)),
-    "q127_bitext_mine" -> (q127_bitext_mine(_, _)))
+    "q127_bitext_mine" -> (q127_bitext_mine(_, _)),
+    "q128_distribution_drift" -> (q128_distribution_drift(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1009,6 +1009,64 @@ object Relational {
         col("n_outliers_est")): _*)
   }
 
+  /** Per-key DISTRIBUTION drift between two corpus snapshots: the
+    * Kolmogorov–Smirnov statistic `max_x |F_old(x) − F_new(x)|`
+    * estimated from two [[bottomKSample]] sketches — the numeric-stat
+    * tier of the drift family ([[corpusDiff]] = row tier,
+    * [[graft.text.Dsir.groupDivergence]] = token tier,
+    * [[graft.sim.SimSearch.groupEmbeddingDrift]] = embedding tier).
+    * "Did this source's document-length / score / price distribution
+    * MOVE between crawls" — the screen that catches a scraper change
+    * or an upstream filter drift before training sees it. KS ≈ 0 =
+    * stable; the usual acceptance bar is `c·sqrt((m₁+m₂)/(m₁·m₂))`.
+    *
+    * Cross-engine exactness: both sketches sample by the md5 row-key
+    * `hash` (q104 discipline — values carried VERBATIM), the empirical
+    * CDFs are integer counts over the sampled values divided ONCE, and
+    * the max over the ≤2k merged sample points is order-free — so the
+    * whole report hash-gates. Estimation error is the usual O(1/√k)
+    * band on each CDF.
+    *
+    * Scale shape: one bounded-state sketch aggregation per side, a
+    * keys equi-join (full outer — a key present on one side only
+    * reports the other side 0/NULL), and a per-row O(k²) array fold —
+    * never a windowed rescan of either corpus. Output:
+    * `(keys*, n_old, n_new, m_old, m_new, ks_est)`.
+    */
+  def distributionDrift(
+      oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      valueCol: String, hash: Column, k: Int = 256): DataFrame = {
+    require(k > 0, s"sample size k must be positive, got $k")
+    val kcols = keys.map(col)
+    def side(df: DataFrame, nName: String, vsName: String): DataFrame =
+      df.groupBy(kcols: _*)
+        .agg(count(lit(1)).as(nName),
+          bottomKSample(hash, col(valueCol), k).as("_sk"))
+        .withColumn(vsName,
+          array_sort(transform(col("_sk"), _.getField("v"))))
+        .drop("_sk")
+    val o = side(oldDf, "n_old", "_va")
+    val n = side(newDf, "n_new", "_vb")
+    val mA = size(col("_va"))
+    val mB = size(col("_vb"))
+    def cdfGap(x: Column): Column = abs(
+      size(filter(col("_va"), v => v <= x)).cast("double") /
+        col("m_old").cast("double") -
+      size(filter(col("_vb"), v => v <= x)).cast("double") /
+        col("m_new").cast("double"))
+    o.join(n, keys, "full_outer")
+      .withColumn("m_old", coalesce(mA, lit(0)))
+      .withColumn("m_new", coalesce(mB, lit(0)))
+      .withColumn("ks_est",
+        when(col("m_old") > 0 && col("m_new") > 0,
+          round(array_max(transform(
+            concat(col("_va"), col("_vb")), cdfGap(_))), 6)))
+      .select(kcols ++ Seq(
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("m_old"), col("m_new"), col("ks_est")): _*)
+  }
+
   /** Range join: left point rows to right interval rows sharing `keys` —
     * the time-window join Spark lacks as a primitive. A naive theta-join
     * (`ts BETWEEN lo AND hi`) plans as a per-key nested loop; instead

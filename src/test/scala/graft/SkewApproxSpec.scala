@@ -6,6 +6,34 @@ import graft.sim.SimSearch
 
 /** Skew-join salting, sketch-based summaries, multi-probe ANN. */
 class SkewApproxSpec extends SparkSpec {
+
+  test("distributionDrift: identical snapshots score KS 0, a planted " +
+    "shift scores 1, exact under k, one-sided keys report NULL") {
+    import spark.implicits._
+    import graft.operators.Relational
+    import graft.text.TextOps
+    val old = (1L to 100L).map(i => ("s", i, (i % 17).toDouble))
+      .toDF("src", "id", "v")
+      .unionByName(Seq(("only_old", 1L, 5.0)).toDF("src", "id", "v"))
+    val same = old.filter(col("src") === "s")
+    val shifted = same.withColumn("v", col("v") + 1000.0)
+    val h = TextOps.hash32(concat_ws(":", col("id")))
+    def row(df: org.apache.spark.sql.DataFrame, key: String) =
+      df.filter(col("src") === key).collect().head
+    val stable = row(Relational.distributionDrift(old, same,
+      Seq("src"), "v", h), "s")
+    assert(stable.getDouble(5) == 0.0, stable.toString)
+    assert(stable.getLong(1) == 101 - 1 && stable.getLong(2) == 100)
+    assert(stable.getInt(3) == 100 && stable.getInt(4) == 100)
+    val moved = row(Relational.distributionDrift(same, shifted,
+      Seq("src"), "v", h), "s")
+    assert(moved.getDouble(5) == 1.0, moved.toString) // disjoint supports
+    val oneSided = row(Relational.distributionDrift(old, same,
+      Seq("src"), "v", h), "only_old")
+    assert(oneSided.getLong(1) == 1 && oneSided.getLong(2) == 0)
+    assert(oneSided.getInt(4) == 0 && oneSided.isNullAt(5))
+  }
+
   import spark.implicits._
 
   test("salted join is row-identical to the plain join under heavy skew") {
