@@ -995,22 +995,24 @@ object SimSearch {
     val scored = scorePairs(y.join(broadcast(x)))
       .filter(col("cos_sim").isNotNull)
       .select(col("qid"), col("cid"), col("cos_sim"))
-    def nnAvg(key: String, other: Column): DataFrame = {
-      val top = topKPerKey(scored, key, -col("cos_sim"), other, k)
+    // the forward top-k serves BOTH as the candidate set and as x's
+    // neighborhood (one pair-grid pass, not two); only the backward
+    // direction needs its own pass
+    def nnAvg(top: DataFrame, key: String, as: String): DataFrame =
       top.groupBy(col(key)).agg(count(lit(1)).as("_n"),
         aggregate(
           transform(
             sort_array(collect_list(struct(col("rank"), col("rankval")))),
             _.getField("rankval")),
           lit(0.0), (a, c) => a - c).as("_s")) // rankval = -cos
-    }
-    val ax = nnAvg("qid", col("cid"))
-      .select(col("qid"), (col("_s") / (col("_n") * 2L).cast("double"))
-        .as("_dx"))
-    val ay = nnAvg("cid", col("qid"))
-      .select(col("cid"), (col("_s") / (col("_n") * 2L).cast("double"))
-        .as("_dy"))
-    val fwd = topKPerKey(scored, "qid", -col("cos_sim"), col("cid"), k)
+        .select(col(key),
+          (col("_s") / (col("_n") * 2L).cast("double")).as(as))
+    val fwdTop = topKPerKey(scored, "qid", -col("cos_sim"), col("cid"), k)
+    val ax = nnAvg(fwdTop, "qid", "_dx")
+    val ay = nnAvg(
+      topKPerKey(scored, "cid", -col("cos_sim"), col("qid"), k),
+      "cid", "_dy")
+    val fwd = fwdTop
       .select(col("qid"), col("neighbor").as("cid"),
         (-col("rankval")).as("cos_sim"))
     val denom = col("_dx") + col("_dy")
