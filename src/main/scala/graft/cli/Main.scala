@@ -20,6 +20,7 @@ import graft.schema.Vintages
   * graft.cli.Main semdedup <embeddings> <outDir> [k] [threshold] [dim] [cellCap]
   * graft.cli.Main dedup-stream <inDir> <idxDir> <outDir> <checkpoint>   // JSONL drops
   * graft.cli.Main funnel-stream <inDir> <statePath> <checkpoint> <stage,stage,...> [maxGapMin]   // JSONL event drops
+  * graft.cli.Main funnel-report <statePath> <stage,stage,...> [k]   // counts + latency percentiles off state
   * graft.cli.Main ann-index <embeddings> <outDir> [planes] [dim]
   * graft.cli.Main ann-query <idxDir> <queries> <outDir> [k] [planes] [dim]
   * graft.cli.Main pq-index <embeddings> <outDir> [m] [k] [iters] [dim] [cellCol] [--residual]
@@ -500,6 +501,26 @@ object Main {
         .orderBy("stage_idx").collect().foreach { r =>
           println(s"[funnel-stream] ${r.getInt(0)} ${r.getString(1)}: " +
             s"${r.getLong(2)} users (${r.getDouble(3)})")
+        }
+      done(spark)
+
+    // read-side twin of funnel-stream: conversion counts + latency
+    // percentiles off the persisted state, no event rescan
+    case "funnel-report" :: statePath :: stagesCsv :: rest =>
+      val stages = stagesCsv.split(",").toSeq
+      val k = rest.headOption.map(_.toInt).getOrElse(256)
+      val spark = session()
+      graft.streaming.StreamingFunnel.report(spark, statePath, stages)
+        .orderBy("stage_idx").collect().foreach { r =>
+          println(s"[funnel-report] ${r.getInt(0)} ${r.getString(1)}: " +
+            s"${r.getLong(2)} users (${r.getDouble(3)})")
+        }
+      graft.streaming.StreamingFunnel
+        .latencyReport(spark, statePath, stages, k)
+        .orderBy("stage_idx").collect().foreach { r =>
+          println(s"[funnel-report] ${r.getInt(0)} ${r.getString(1)}: " +
+            s"n=${r.getLong(2)} m=${r.getInt(3)} " +
+            s"p50_gap=${r.get(4)}s p90_gap=${r.get(5)}s")
         }
       done(spark)
 

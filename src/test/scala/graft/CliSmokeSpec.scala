@@ -88,6 +88,9 @@ class CliSmokeSpec extends SparkSpec {
       .funnel(spark.read.parquet(eventsPath), Seq("view", "click"))
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(streamed == batch, s"$streamed != $batch")
+    // the read-side command prints counts + latency off the same state
+    graft.cli.Main.main(Array("funnel-report", s"$base/state",
+      "view,click"))
   }
 
   test("quantiles / outliers / emb-drift print their reports without " +
