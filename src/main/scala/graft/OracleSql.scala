@@ -527,6 +527,25 @@ object OracleSql {
        |FROM rk WHERE rn <= 5""".stripMargin
   }
 
+  /** Cohort-retention report (q112) — ALSO the oracle of q129's
+    * streaming replay: the activity-set state is order-free and
+    * idempotent under union, so the incremental twin is exact under
+    * ANY batch order and must reproduce the batch report.
+    */
+  private lazy val q112Retention =
+    """WITH a AS (SELECT DISTINCT user_id AS u,
+      |        (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day
+      |      FROM events),
+      |c AS (SELECT u, min(day) AS cohort_day FROM a GROUP BY 1),
+      |s AS (SELECT cohort_day, count(*)::BIGINT AS sz FROM c
+      |      GROUP BY 1),
+      |g AS (SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+      |        count(*)::BIGINT AS n_active
+      |      FROM a JOIN c USING (u) GROUP BY 1, 2)
+      |SELECT g.cohort_day, g.day_offset, g.n_active,
+      |  round(g.n_active::DOUBLE / s.sz::DOUBLE, 6) AS retention
+      |FROM g JOIN s USING (cohort_day)""".stripMargin
+
   /** Greedy-earliest ordered-funnel report (q110) — ALSO the oracle of
     * q125's streaming replay: the incremental twin driven over
     * event-time-ordered batches is exact, so its report must equal the
@@ -2401,19 +2420,7 @@ object OracleSql {
 
     // retention: distinct (user, epoch-day) activity, first-seen
     // cohorts, per-offset active fractions — integer day arithmetic
-    "q112_retention" ->
-      """WITH a AS (SELECT DISTINCT user_id AS u,
-        |        (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day
-        |      FROM events),
-        |c AS (SELECT u, min(day) AS cohort_day FROM a GROUP BY 1),
-        |s AS (SELECT cohort_day, count(*)::BIGINT AS sz FROM c
-        |      GROUP BY 1),
-        |g AS (SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
-        |        count(*)::BIGINT AS n_active
-        |      FROM a JOIN c USING (u) GROUP BY 1, 2)
-        |SELECT g.cohort_day, g.day_offset, g.n_active,
-        |  round(g.n_active::DOUBLE / s.sz::DOUBLE, 6) AS retention
-        |FROM g JOIN s USING (cohort_day)""".stripMargin,
+    "q112_retention" -> q112Retention,
 
     // rate anomalies: daily type counts through the q109 median/MAD
     // chain (both statistics snapped to 6 decimals pre-threshold)
@@ -2627,6 +2634,11 @@ object OracleSql {
     // incremental state machine are EXACT, so the oracle is the batch
     // funnel report itself (q110's SQL verbatim)
     "q125_streaming_funnel_replay" -> q110Funnel,
+
+    // streaming-retention replay: the activity state is ORDER-FREE, so
+    // even hash-split (non-chronological) batches must reproduce the
+    // batch retention report exactly (q112's SQL verbatim)
+    "q129_streaming_retention_replay" -> q112Retention,
 
     // NB classifier training: per-token class counts, add-one log-odds
     // in micro-nats (two single-division lns + one subtraction — the

@@ -1722,6 +1722,36 @@ object SparkEntry {
       TextOps.hash32(concat_ws(":", col("doc_id"))), k = 256)
   }
 
+  /** Deterministic replay of the INCREMENTAL streaming retention
+    * ([[graft.streaming.StreamingRetention]]) — q125's sibling with a
+    * STRONGER claim under the gate: the activity-set state is
+    * order-free and idempotent, so the four micro-batches here are
+    * deliberately split by event-id HASH (non-chronological, users
+    * smeared across batches) and the state report must still equal
+    * the batch retention exactly (oracle = q112's SQL verbatim).
+    * EAGER like q26/q105/q125; the report localCheckpoints and the
+    * temp state tree is deleted before returning.
+    */
+  def q129_streaming_retention_replay(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingRetention
+    val ev = t(s, dir, "events")
+    val base = java.nio.file.Files.createTempDirectory("graft_sret")
+    try {
+      val statePath = base.resolve("state").toString
+      (0 until 4).foreach { i =>
+        StreamingRetention.processBatch(
+          ev.filter(pmod(hash(col("event_id")), lit(4)) === i),
+          statePath, buckets = 4)
+      }
+      StreamingRetention.report(s, statePath).localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1852,7 +1882,9 @@ object SparkEntry {
     "q125_streaming_funnel_replay" -> (q125_streaming_funnel_replay(_, _)),
     "q126_classifier_train" -> (q126_classifier_train(_, _)),
     "q127_bitext_mine" -> (q127_bitext_mine(_, _)),
-    "q128_distribution_drift" -> (q128_distribution_drift(_, _)))
+    "q128_distribution_drift" -> (q128_distribution_drift(_, _)),
+    "q129_streaming_retention_replay" ->
+      (q129_streaming_retention_replay(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

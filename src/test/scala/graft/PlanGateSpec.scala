@@ -147,7 +147,7 @@ class PlanGateSpec extends SparkSpec {
     val globalWindowWhitelist = Set("q91_unimax_sample",
       "q86_global_shuffle")
     val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
-      "q125_streaming_funnel_replay")
+      "q125_streaming_funnel_replay", "q129_streaming_retention_replay")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalWindowWhitelist.contains)
@@ -176,7 +176,7 @@ class PlanGateSpec extends SparkSpec {
     // justification like the global-window list above)
     val globalSortWhitelist = Set.empty[String]
     val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
-      "q125_streaming_funnel_replay")
+      "q125_streaming_funnel_replay", "q129_streaming_retention_replay")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalSortWhitelist.contains)
@@ -236,7 +236,7 @@ class PlanGateSpec extends SparkSpec {
     // localCheckpoint'ed report — the distributed stages are pinned by
     // the streaming twins' own specs + its oracle row
     val eagerExempt = Set("q26_ingest_roundtrip", "q105_bpe_learn",
-      "q125_streaming_funnel_replay")
+      "q125_streaming_funnel_replay", "q129_streaming_retention_replay")
     val names = SparkEntry.queries.keys.filterNot(eagerExempt.contains)
     val offenders = names.flatMap { name =>
       // analysis failures are named per query rather than aborting the
