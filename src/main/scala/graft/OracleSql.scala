@@ -2640,6 +2640,40 @@ object OracleSql {
     // batch retention report exactly (q112's SQL verbatim)
     "q129_streaming_retention_replay" -> q112Retention,
 
+    // HTML extraction: the identical Java-and-RE2 regex chain —
+    // DuckDB regexp_replace needs the explicit 'g' flag (Spark is
+    // global by default); inline (?is)/(?s) flags are shared syntax
+    "q130_html_extract" ->
+      """SELECT doc_id, trim(regexp_replace(
+        |regexp_replace(
+        |regexp_replace(
+        |regexp_replace(
+        |regexp_replace(
+        |regexp_replace(
+        |regexp_replace(
+        |regexp_replace(
+        |regexp_replace(
+        |regexp_replace(
+        |regexp_replace(
+        |regexp_replace(
+        |'<html><head><style>p{color:red}</style>' ||
+        |'<script type="text/javascript">var x = 1 < 2;</script>' ||
+        |'</head><body><!-- crawl boilerplate --><p>' || text ||
+        |'</p>&nbsp;<div>footer &amp; nav</div></body></html>',
+        |'(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |'(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |'(?s)<!--.*?-->', ' ', 'g'),
+        |'<[^>]*>', ' ', 'g'),
+        |'&nbsp;', ' ', 'g'),
+        |'&amp;', '&', 'g'),
+        |'&lt;', '<', 'g'),
+        |'&gt;', '>', 'g'),
+        |'&quot;', '"', 'g'),
+        |'&#39;', '''', 'g'),
+        |'&apos;', '''', 'g'),
+        |'[ \t\n\f\r]+', ' ', 'g')) AS extracted
+        |FROM documents""".stripMargin,
+
     // NB classifier training: per-token class counts, add-one log-odds
     // in micro-nats (two single-division lns + one subtraction — the
     // q76/q77 discipline), class-prior bias as a __bias__ row

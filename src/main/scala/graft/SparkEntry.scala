@@ -1752,6 +1752,24 @@ object SparkEntry {
     }
   }
 
+  /** HTML → text extraction (the crawl front door feeding every text
+    * operator): each document wrapped in realistic page noise —
+    * script with a bare `<` in code, style block, comment, entities —
+    * must come back out as clean prose. The whole chain is scan-stage
+    * regex in the Java∩RE2 subset, so the oracle replays it
+    * byte-for-byte.
+    */
+  def q130_html_extract(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><style>p{color:red}</style>" +
+        "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+        "</head><body><!-- crawl boilerplate --><p>"),
+      col("text"),
+      lit("</p>&nbsp;<div>footer &amp; nav</div></body></html>"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.htmlToText(html).as("extracted"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1884,7 +1902,8 @@ object SparkEntry {
     "q127_bitext_mine" -> (q127_bitext_mine(_, _)),
     "q128_distribution_drift" -> (q128_distribution_drift(_, _)),
     "q129_streaming_retention_replay" ->
-      (q129_streaming_retention_replay(_, _)))
+      (q129_streaming_retention_replay(_, _)),
+    "q130_html_extract" -> (q130_html_extract(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

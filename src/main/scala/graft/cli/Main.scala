@@ -35,6 +35,7 @@ import graft.schema.Vintages
   * graft.cli.Main gopher  <corpus> <outDir> [minWords] [--report] [--jsonl]
   * graft.cli.Main dsir    <corpus> <target> <outDir> [buckets] [--report] [--jsonl]
   * graft.cli.Main ppl     <corpus> <target> <outDir> [buckets] [--jsonl]
+  * graft.cli.Main warc-ingest <warcGlob> <outDir> [maxPayloadBytes]   // crawl -> clean-text corpus
   * graft.cli.Main decode-image <parquet> <outDir>   // (doc_id, media) binary column
   * graft.cli.Main decode-audio <parquet> <outDir>   // WAV/AIFF/AU metadata + RMS
   * graft.cli.Main mp3-meta <parquet> <outDir>   // MP3 frame-header metadata (codec-free)
@@ -681,6 +682,21 @@ object Main {
       Export.jsonl(scored, outDir)
       println(s"[ppl] ${docs.count()} docs scored " +
         s"(buckets=$buckets) -> $outDir")
+      done(spark)
+
+    // crawl front door: WARC responses -> HTML -> clean text corpus
+    case "warc-ingest" :: glob :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val maxPayload = rest.filter(!_.startsWith("--")).headOption
+        .map(_.toInt).getOrElse(8 * 1024 * 1024)
+      val spark = session()
+      val docs = graft.sources.Warc.readResponses(spark, glob, maxPayload)
+        .select(xxhash64(col("file"), col("idx")).as("doc_id"),
+          col("target_uri"), col("warc_date"),
+          graft.text.TextOps.htmlToText(col("html")).as("text"))
+      docs.write.mode("overwrite").parquet(outDir)
+      println(s"[warc-ingest] ${spark.read.parquet(outDir).count()} " +
+        s"pages -> $outDir")
       done(spark)
 
     // decode a (doc_id, media binary) parquet of WAV/AIFF/AU audio

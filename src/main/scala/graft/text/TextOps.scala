@@ -76,6 +76,37 @@ object TextOps {
       regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", " "),
       "\\s+", " "))
 
+  /** HTML → text extraction as a pure scan-stage regex chain — the
+    * step between a crawl ([[graft.sources.Warc.readResponses]]) and
+    * every text operator here: drop `<script>`/`<style>` blocks and
+    * comments (their content is never prose), strip remaining tags,
+    * decode the half-dozen entities that dominate real pages, collapse
+    * whitespace. Deliberately NOT a DOM parser — at 100 TB the
+    * extraction must be codegen-able and shuffle-free, and trafilatura
+    * -grade boilerplate removal composes AFTER this ([[gopherRules]],
+    * line dedup and the quality classifier are that stage here).
+    *
+    * Every pattern is in the Java∩RE2 regex subset — no backreferences
+    * or lookaround, explicit whitespace class — so an external engine
+    * replays the extraction byte-for-byte (the q35 discipline).
+    * Case-insensitivity is spelled `(?i)`, supported by both.
+    */
+  def htmlToText(html: Column): Column = {
+    val ws = "[ \\t\\n\\f\\r]"
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val entities = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
+      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'")
+    val decoded = entities.foldLeft(noTags) { case (c, (from, to)) =>
+      regexp_replace(c, from, to)
+    }
+    trim(regexp_replace(decoded, ws + "+", " "))
+  }
+
   /** BPE-ish sub-token split: letter runs, digit runs, and individual
     * punctuation marks each count as one token — the cheap stand-in for a
     * real BPE vocabulary when estimating LLM token budgets. "don't stop,

@@ -1,0 +1,136 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+import graft.sources.Warc
+import graft.text.TextOps
+
+/** WARC crawl source: record framing, per-member gzip, HTTP response
+  * splitting, payload caps, torn-tail isolation — and the composed
+  * crawl→text path through htmlToText.
+  */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(tpe: String, uri: String,
+      payload: Array[Byte]): Array[Byte] = {
+    val head = (s"WARC/1.0\r\n" +
+      s"WARC-Type: $tpe\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      (if (tpe == "response")
+        "Content-Type: application/http; msgtype=response\r\n" else "") +
+      s"Content-Length: ${payload.length}\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    head ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  private val html =
+    "<html><body><p>Hello &amp; <b>world</b></p>" +
+      "<script>if (1 < 2) alert('x');</script></body></html>"
+
+  private def httpPayload(status: Int, body: String): Array[Byte] =
+    (s"HTTP/1.1 $status OK\r\nContent-Type: text/html\r\n\r\n" + body)
+      .getBytes("ISO-8859-1")
+
+  private def warcBytes: Array[Byte] =
+    rec("warcinfo", "", "software: graft-test\r\n".getBytes) ++
+      rec("request", "http://example.com/",
+        "GET / HTTP/1.1\r\nHost: example.com\r\n\r\n".getBytes) ++
+      rec("response", "http://example.com/", httpPayload(200, html)) ++
+      rec("response", "http://example.com/missing",
+        httpPayload(404, "<html>not found</html>"))
+
+  private def write(dir: String, name: String, bytes: Array[Byte]): String = {
+    val f = new java.io.File(dir, name)
+    val os = new FileOutputStream(f)
+    try os.write(bytes) finally os.close()
+    f.getAbsolutePath
+  }
+
+  test("plain .warc: framing, headers, HTTP status/body split") {
+    val dir = tmpDir("warc1")
+    write(dir, "a.warc", warcBytes)
+    val rows = Warc.read(spark, s"$dir/*.warc").collect()
+      .sortBy(_.idx)
+    assert(rows.length == 4)
+    assert(rows.map(_.warcType).toSeq ==
+      Seq("warcinfo", "request", "response", "response"))
+    val resp = rows(2)
+    assert(resp.targetUri == "http://example.com/")
+    assert(resp.httpStatus == 200 && !resp.truncated)
+    assert(new String(resp.httpBody, "ISO-8859-1") == html)
+    assert(rows(3).httpStatus == 404)
+    // non-HTTP records carry no split
+    assert(rows(0).httpStatus == 0 && rows(0).httpBody == null)
+    // the request record IS an HTTP message but not a response — its
+    // status line has no numeric code slot that parses
+    assert(rows(1).httpStatus == 0)
+  }
+
+  test(".warc.gz: one gzip member per record (the Common Crawl " +
+    "layout) streams through as a concatenated-member read") {
+    val dir = tmpDir("warc2")
+    val bos = new ByteArrayOutputStream()
+    for (r <- Seq(
+      rec("warcinfo", "", "software: graft-test\r\n".getBytes),
+      rec("response", "http://example.com/", httpPayload(200, html)))) {
+      val gz = new GZIPOutputStream(bos)
+      gz.write(r)
+      gz.finish()
+    }
+    write(dir, "a.warc.gz", bos.toByteArray)
+    val rows = Warc.read(spark, s"$dir/a.warc.gz").collect().sortBy(_.idx)
+    assert(rows.length == 2)
+    assert(rows(1).httpStatus == 200 &&
+      new String(rows(1).httpBody, "ISO-8859-1") == html)
+  }
+
+  test("payload cap truncates AND keeps the stream aligned; a torn " +
+    "tail isolates to records already parsed; garbage parses to zero") {
+    val dir = tmpDir("warc3")
+    write(dir, "a.warc", warcBytes)
+    val capped = Warc.read(spark, s"$dir/a.warc", maxPayloadBytes = 10)
+      .collect().sortBy(_.idx)
+    assert(capped.length == 4, "cap must not desync record framing")
+    assert(capped.forall(r => r.payload.length <= 10))
+    assert(capped(2).truncated && capped(2).contentLength > 10)
+    // torn tail: cut the file inside the LAST record's payload
+    val torn = warcBytes.dropRight(30)
+    write(dir, "b.warc", torn)
+    val tornRows = Warc.read(spark, s"$dir/b.warc").collect()
+    assert(tornRows.length == 3, s"got ${tornRows.length}")
+    // garbage
+    write(dir, "c.warc", Array.fill[Byte](100)(0x42))
+    assert(Warc.read(spark, s"$dir/c.warc").collect().isEmpty)
+  }
+
+  test("readResponses ∘ htmlToText: the crawl→clean-text path") {
+    val dir = tmpDir("warc4")
+    write(dir, "a.warc", warcBytes)
+    val text = Warc.readResponses(spark, s"$dir/a.warc")
+      .select(col("target_uri"),
+        TextOps.htmlToText(col("html")).as("text"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // 404s are filtered; scripts and tags are gone, entities decoded
+    assert(text == Map("http://example.com/" -> "Hello & world"))
+  }
+
+  test("htmlToText edges: comments, style blocks, bare < in script, " +
+    "entity forms, whitespace collapse") {
+    val rows = Seq(
+      "<p>a</p><p>b</p>" -> "a b",
+      "<style>p { x<y }</style>text" -> "text",
+      "<script>for(i=0;i<9;i++){}</script>ok" -> "ok",
+      "<!-- <p>hidden</p> -->shown" -> "shown",
+      "x &lt;tag&gt; &quot;q&quot; &#39;s&#39; &apos;a&apos;" ->
+        "x <tag> \"q\" 's' 'a'",
+      "a\n\n\t b" -> "a b",
+      "" -> "")
+    val got = rows.map(_._1).toDF("h")
+      .select(TextOps.htmlToText(col("h"))).collect().map(_.getString(0))
+    assert(got.toSeq == rows.map(_._2), got.mkString("|"))
+  }
+}
