@@ -36,6 +36,7 @@ import graft.schema.Vintages
   * graft.cli.Main dsir    <corpus> <target> <outDir> [buckets] [--report] [--jsonl]
   * graft.cli.Main ppl     <corpus> <target> <outDir> [buckets] [--jsonl]
   * graft.cli.Main warc-ingest <warcGlob> <outDir> [maxPayloadBytes]   // crawl -> clean-text corpus
+  * graft.cli.Main wet-ingest <wetGlob> <outDir> [maxPayloadBytes]   // Common Crawl WET -> text corpus
   * graft.cli.Main decode-image <parquet> <outDir>   // (doc_id, media) binary column
   * graft.cli.Main decode-audio <parquet> <outDir>   // WAV/AIFF/AU metadata + RMS
   * graft.cli.Main mp3-meta <parquet> <outDir>   // MP3 frame-header metadata (codec-free)
@@ -696,6 +697,20 @@ object Main {
           graft.text.TextOps.htmlToText(col("html")).as("text"))
       docs.write.mode("overwrite").parquet(outDir)
       println(s"[warc-ingest] ${spark.read.parquet(outDir).count()} " +
+        s"pages -> $outDir")
+      done(spark)
+
+    // WET flavor: Common Crawl pre-extracted text -> parquet corpus
+    case "wet-ingest" :: glob :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val maxPayload = rest.filter(!_.startsWith("--")).headOption
+        .map(_.toInt).getOrElse(8 * 1024 * 1024)
+      val spark = session()
+      graft.sources.Warc.readConversions(spark, glob, maxPayload)
+        .select(xxhash64(col("file"), col("idx")).as("doc_id"),
+          col("target_uri"), col("warc_date"), col("text"))
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[wet-ingest] ${spark.read.parquet(outDir).count()} " +
         s"pages -> $outDir")
       done(spark)
 

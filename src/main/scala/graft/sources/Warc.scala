@@ -99,6 +99,21 @@ object Warc {
         decode(col("httpBody"), "UTF-8").as("html"))
   }
 
+  /** The WET flavor (Common Crawl's pre-extracted text dumps): WET
+    * files are WARC files whose `conversion` records carry plain
+    * UTF-8 text payloads — one row per page,
+    * `(file, idx, target_uri, warc_date, text)`. Same per-file
+    * streaming parse; no HTML step needed.
+    */
+  def readConversions(spark: SparkSession, path: String,
+      maxPayloadBytes: Int = 8 * 1024 * 1024) = {
+    read(spark, path, maxPayloadBytes)
+      .filter(col("warcType") === "conversion")
+      .select(col("file"), col("idx"), col("targetUri").as("target_uri"),
+        col("warcDate").as("warc_date"),
+        decode(col("payload"), "UTF-8").as("text"))
+  }
+
   private def listFiles(spark: SparkSession, path: String): Seq[String] = {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())

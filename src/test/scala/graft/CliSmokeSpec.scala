@@ -93,6 +93,40 @@ class CliSmokeSpec extends SparkSpec {
       "view,click"))
   }
 
+  test("warc-ingest / wet-ingest turn crawl files into text corpora") {
+    def rec(tpe: String, uri: String, extra: String,
+        payload: Array[Byte]): Array[Byte] = {
+      val head = (s"WARC/1.0\r\nWARC-Type: $tpe\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2024-01-01T00:00:00Z\r\n" + extra +
+        s"Content-Length: ${payload.length}\r\n\r\n")
+        .getBytes("ISO-8859-1")
+      head ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val dir = tmpDir("cli-warc")
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html><body><p>Hello &amp; crawl</p></body></html>")
+      .getBytes("ISO-8859-1")
+    val warc = rec("response", "http://example.com/",
+      "Content-Type: application/http; msgtype=response\r\n", http)
+    val wet = rec("conversion", "http://example.com/",
+      "", "Pre-extracted text.".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "a.warc"), warc)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "a.warc.wet"), wet)
+    val out1 = tmpDir("cli-warc-out")
+    graft.cli.Main.main(Array("warc-ingest", s"$dir/a.warc", out1))
+    val d1 = spark.read.parquet(out1).collect()
+    assert(d1.length == 1 &&
+      d1.head.getAs[String]("text") == "Hello & crawl")
+    val out2 = tmpDir("cli-wet-out")
+    graft.cli.Main.main(Array("wet-ingest", s"$dir/a.warc.wet", out2))
+    val d2 = spark.read.parquet(out2).collect()
+    assert(d2.length == 1 &&
+      d2.head.getAs[String]("text") == "Pre-extracted text.")
+  }
+
   test("quantiles / outliers / emb-drift print their reports without " +
     "error") {
     val p = s"${tmpDir("cli-q")}/vals"

@@ -118,6 +118,22 @@ class WarcSpec extends SparkSpec {
     assert(text == Map("http://example.com/" -> "Hello & world"))
   }
 
+  test("readConversions: WET conversion records come out as plain " +
+    "text rows") {
+    val dir = tmpDir("warc5")
+    val wet =
+      rec("warcinfo", "", "software: graft-test\r\n".getBytes) ++
+        rec("conversion", "http://example.com/a",
+          "Hello plain text.".getBytes("UTF-8")) ++
+        rec("conversion", "http://example.com/b",
+          "Second page.".getBytes("UTF-8"))
+    write(dir, "a.warc.wet", wet)
+    val rows = Warc.readConversions(spark, s"$dir/a.warc.wet")
+      .collect().map(r => r.getString(2) -> r.getString(4)).toMap
+    assert(rows == Map("http://example.com/a" -> "Hello plain text.",
+      "http://example.com/b" -> "Second page."))
+  }
+
   test("htmlToText edges: comments, style blocks, bare < in script, " +
     "entity forms, whitespace collapse") {
     val rows = Seq(
