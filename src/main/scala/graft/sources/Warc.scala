@@ -129,7 +129,7 @@ object Warc {
     }.sorted
   }
 
-  private[sources] def parseFile(file: String, conf: Configuration,
+  private[graft] def parseFile(file: String, conf: Configuration,
       maxPayloadBytes: Int): Iterator[WarcRecord] = {
     val p = new Path(file)
     val raw =

@@ -118,6 +118,30 @@ class WarcSpec extends SparkSpec {
     assert(text == Map("http://example.com/" -> "Hello & world"))
   }
 
+  test("parseFile is total under byte mutation (scalacheck-style " +
+    "fuzz): never throws, never over-reads") {
+    val dir = tmpDir("warcfuzz")
+    val base = warcBytes
+    var s = 13
+    val conf = new org.apache.hadoop.conf.Configuration()
+    for (trial <- 0 until 120) {
+      s = s * 1103515245 + 12345
+      val at = math.abs(s) % base.length
+      val mut = base.clone()
+      s = s * 1103515245 + 12345
+      mut(at) = (s >> 16).toByte
+      val f = write(dir, s"m$trial.warc", mut)
+      // must not throw; any prefix of records is acceptable
+      val n = Warc.parseFile(f, conf, 1 << 20).size
+      assert(n >= 0 && n <= 5)
+    }
+    // truncation at every boundary region is also total
+    for (cut <- Seq(0, 1, 8, 40, base.length / 2, base.length - 1)) {
+      val f = write(dir, s"t$cut.warc", base.take(cut))
+      Warc.parseFile(f, conf, 1 << 20).size
+    }
+  }
+
   test("readConversions: WET conversion records come out as plain " +
     "text rows") {
     val dir = tmpDir("warc5")
