@@ -2674,6 +2674,21 @@ object OracleSql {
         |'[ \t\n\f\r]+', ' ', 'g')) AS extracted
         |FROM documents""".stripMargin,
 
+    // per-domain cap: urlHost's RE2-safe extraction feeding the q98
+    // seeded md5-rank cap, keyed by host
+    "q131_domain_cap" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://www.' || source || '.example.com:8443/p/' || doc_id
+        |    AS url FROM documents),
+        |h AS (SELECT doc_id, url, lower(regexp_extract(url,
+        |  '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1))
+        |    AS host FROM u),
+        |r AS (SELECT doc_id, url, host,
+        |  (row_number() OVER (PARTITION BY host
+        |     ORDER BY md5(doc_id::VARCHAR || ':' || '29'), doc_id)
+        |   - 1)::BIGINT AS rank FROM h)
+        |SELECT doc_id, url, host, rank FROM r WHERE rank < 15""".stripMargin,
+
     // NB classifier training: per-token class counts, add-one log-odds
     // in micro-nats (two single-division lns + one subtraction — the
     // q76/q77 discipline), class-prior bias as a __bias__ row

@@ -1770,6 +1770,21 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.htmlToText(html).as("extracted"))
   }
 
+  /** Per-DOMAIN frequency cap over crawl URLs — the RefinedWeb
+    * anti-domination rule, composed from two gated parts: hosts come
+    * off synthetic per-source URLs via the RE2-safe [[TextOps.urlHost]]
+    * (scheme/userinfo/port/path all stripped), and the seeded md5-rank
+    * cap is q98's keyCapSample keyed by host.
+    */
+  def q131_domain_cap(s: SparkSession, dir: String): DataFrame = {
+    val urls = docs(s, dir).select(col("doc_id"),
+      concat(lit("https://www."), col("source"),
+        lit(".example.com:8443/p/"), col("doc_id")).as("url"))
+    Relational.keyCapSample(
+      urls.withColumn("host", TextOps.urlHost(col("url"))),
+      "host", "doc_id", cap = 15L, seed = 29L)
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1903,7 +1918,8 @@ object SparkEntry {
     "q128_distribution_drift" -> (q128_distribution_drift(_, _)),
     "q129_streaming_retention_replay" ->
       (q129_streaming_retention_replay(_, _)),
-    "q130_html_extract" -> (q130_html_extract(_, _)))
+    "q130_html_extract" -> (q130_html_extract(_, _)),
+    "q131_domain_cap" -> (q131_domain_cap(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -107,6 +107,19 @@ object TextOps {
     trim(regexp_replace(decoded, ws + "+", " "))
   }
 
+  /** URL host extraction — the glue between a crawl source
+    * ([[graft.sources.Warc]] target URIs) and per-domain policies
+    * (frequency caps via [[graft.operators.Relational.keyCapSample]],
+    * per-domain dedup/quality rollups): scheme and userinfo dropped,
+    * port and path/query/fragment stripped, lowercased. One
+    * `regexp_extract` in the Java∩RE2 subset (non-capturing groups
+    * only — no lookaround), scan-stage and oracle-replayable. Rows
+    * that are not absolute URLs extract as the empty string.
+    */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1))
+
   /** BPE-ish sub-token split: letter runs, digit runs, and individual
     * punctuation marks each count as one token — the cheap stand-in for a
     * real BPE vocabulary when estimating LLM token budgets. "don't stop,

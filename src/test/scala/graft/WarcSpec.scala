@@ -158,6 +158,21 @@ class WarcSpec extends SparkSpec {
       "http://example.com/b" -> "Second page."))
   }
 
+  test("urlHost: scheme/userinfo/port/path/query/fragment all " +
+    "stripped; non-URLs extract empty") {
+    val cases = Seq(
+      "https://www.Example.COM/path?q=1" -> "www.example.com",
+      "http://user:pw@host.org:8080/x#f" -> "host.org",
+      "ftp://files.example.net" -> "files.example.net",
+      "https://example.com:443" -> "example.com",
+      "notaurl" -> "",
+      "/relative/path" -> "",
+      "" -> "")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextOps.urlHost(col("u"))).collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2), got.mkString("|"))
+  }
+
   test("htmlToText edges: comments, style blocks, bare < in script, " +
     "entity forms, whitespace collapse") {
     val rows = Seq(
