@@ -2689,6 +2689,30 @@ object OracleSql {
         |   - 1)::BIGINT AS rank FROM h)
         |SELECT doc_id, url, host, rank FROM r WHERE rank < 15""".stripMargin,
 
+    // URL canonicalization + URL-level dedup: the identical
+    // fragment/tracking/debris/lower-host chain (DuckDB backrefs
+    // are \1 and need the explicit 'g' flag)
+    "q132_url_canonical_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |'HTTPS://WWW.' || source || '.Example.com/Page/' || (doc_id % 7) ||
+        |CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&id=' || (doc_id % 5)
+        |     WHEN doc_id % 3 = 1
+        |       THEN '?id=' || (doc_id % 5) || '&utm_campaign=y#frag'
+        |     ELSE '/' END AS url
+        |FROM documents),
+        |n AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
+        |'#.*$', '', 'g'),
+        |'([?&])(utm_[a-zA-Z]+|gclid|fbclid|msclkid|ref)=[^&#]*', '\1', 'g'),
+        |'\?&+', '?', 'g'),
+        |'&&+', '&', 'g'),
+        |'[?&]+$', '', 'g'),
+        |'/$', '', 'g') AS ns FROM u),
+        |c AS (SELECT doc_id, lower(regexp_extract(ns, '^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]*)', 1)) ||
+        |regexp_replace(ns, '^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]*)', '', 'g') AS canonical_url FROM n)
+        |SELECT canonical_url, count(*)::BIGINT AS n_docs,
+        |min(doc_id) AS keeper_doc_id
+        |FROM c GROUP BY 1""".stripMargin,
+
     // NB classifier training: per-token class counts, add-one log-odds
     // in micro-nats (two single-division lns + one subtraction — the
     // q76/q77 discipline), class-prior bias as a __bias__ row

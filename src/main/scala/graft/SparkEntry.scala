@@ -1785,6 +1785,29 @@ object SparkEntry {
       "host", "doc_id", cap = 15L, seed = 29L)
   }
 
+  /** URL-level dedup by canonical key (the C4 first-pass dedup): the
+    * same page reached via tracking params, fragments, case-mangled
+    * hosts and trailing slashes must collapse to ONE canonical URL.
+    * Synthetic per-doc URLs carry exactly that noise; the report is
+    * (canonical_url, n_docs, keeper) — tracking-only variants of the
+    * same page merge, and the whole regex chain replays in SQL.
+    */
+  def q132_url_canonical_dedup(s: SparkSession, dir: String): DataFrame = {
+    val noise = when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=x&id="), col("doc_id") % 5))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("?id="), col("doc_id") % 5, lit("&utm_campaign=y#frag")))
+      .otherwise(lit("/"))
+    docs(s, dir)
+      .select(col("doc_id"),
+        TextOps.canonicalUrl(concat(lit("HTTPS://WWW."), col("source"),
+          lit(".Example.com/Page/"), col("doc_id") % 7, noise))
+          .as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("keeper_doc_id"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1919,7 +1942,8 @@ object SparkEntry {
     "q129_streaming_retention_replay" ->
       (q129_streaming_retention_replay(_, _)),
     "q130_html_extract" -> (q130_html_extract(_, _)),
-    "q131_domain_cap" -> (q131_domain_cap(_, _)))
+    "q131_domain_cap" -> (q131_domain_cap(_, _)),
+    "q132_url_canonical_dedup" -> (q132_url_canonical_dedup(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -120,6 +120,35 @@ object TextOps {
     lower(regexp_extract(url,
       "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1))
 
+  /** URL canonicalization — the URL-LEVEL dedup key every crawl
+    * pipeline computes before content dedup (C4 dedups by URL first;
+    * re-crawls and tracking links otherwise multiply the same page):
+    * fragment dropped, tracking parameters removed (`utm_*`, `gclid`,
+    * `fbclid`, `msclkid`, `ref`), separator debris cleaned (`?&`→`?`,
+    * `&&`→`&`, trailing `?`/`&` dropped), scheme+host lowercased
+    * (the PATH keeps its case — it is case-significant), and a single
+    * trailing slash stripped. A pure RE2-safe scan-stage regex chain
+    * (the q130 discipline) so the key replays across engines; dedup by
+    * it with the existing exact-dedup machinery, or group by
+    * [[urlHost]] of it for domain policies.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val hostPat = "^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]*)"
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noTrack = regexp_replace(noFrag,
+      "([?&])(utm_[a-zA-Z]+|gclid|fbclid|msclkid|ref)=[^&#]*", "$1")
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(noTrack, "\\?&+", "?"),
+        "&&+", "&"),
+      "[?&]+$", "")
+    val noSlash = regexp_replace(clean, "/$", "")
+    // lowercase scheme://[userinfo@]host, keep the rest byte-exact
+    concat(
+      lower(regexp_extract(noSlash, hostPat, 1)),
+      regexp_replace(noSlash, hostPat, ""))
+  }
+
   /** BPE-ish sub-token split: letter runs, digit runs, and individual
     * punctuation marks each count as one token — the cheap stand-in for a
     * real BPE vocabulary when estimating LLM token budgets. "don't stop,

@@ -173,6 +173,24 @@ class WarcSpec extends SparkSpec {
     assert(got.toSeq == cases.map(_._2), got.mkString("|"))
   }
 
+  test("canonicalUrl: tracking params, fragments, host case and " +
+    "trailing slashes collapse; path case and real params survive") {
+    val cases = Seq(
+      "HTTPS://WWW.Ex.COM/A/B?utm_source=x&id=3#frag" ->
+        "https://www.ex.com/A/B?id=3",
+      "https://ex.com/p?id=3&utm_campaign=y" -> "https://ex.com/p?id=3",
+      "https://ex.com/p?utm_a=1&utm_b=2" -> "https://ex.com/p",
+      "https://ex.com/p?a=1&gclid=zz&b=2" -> "https://ex.com/p?a=1&b=2",
+      "https://ex.com/dir/" -> "https://ex.com/dir",
+      "https://User@Ex.com/x" -> "https://user@ex.com/x",
+      "https://ex.com/CaseSensitive" -> "https://ex.com/CaseSensitive",
+      "notaurl?utm_x=1" -> "notaurl")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextOps.canonicalUrl(col("u"))).collect()
+      .map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2), got.mkString("|"))
+  }
+
   test("htmlToText edges: comments, style blocks, bare < in script, " +
     "entity forms, whitespace collapse") {
     val rows = Seq(
