@@ -2713,6 +2713,38 @@ object OracleSql {
         |min(doc_id) AS keeper_doc_id
         |FROM c GROUP BY 1""".stripMargin,
 
+    // PageRank over the synthetic 3-regular link graph: 5 damped power
+    // iterations unrolled as CTEs; per-dst incoming mass folds in src
+    // order (list_reduce == Spark's 0.0-seeded aggregate fold since
+    // contributions are positive), every float op one fixed IEEE chain
+    "q133_pagerank" -> {
+      val iterCtes = (1 to 5).map { i =>
+        s"""c$i AS (SELECT dst,
+           |  list_reduce(list(r.rank / outdeg ORDER BY e.src),
+           |    (a, b) -> a + b) AS s
+           |  FROM e JOIN r${i - 1} r ON e.src = r.id GROUP BY dst),
+           |r$i AS (SELECT id,
+           |  (1.0::DOUBLE - 0.85::DOUBLE) / n::DOUBLE +
+           |  0.85::DOUBLE * coalesce(s, 0.0::DOUBLE) AS rank, n
+           |  FROM nodes CROSS JOIN cnt
+           |  LEFT JOIN c$i ON nodes.id = c$i.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cnt AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |nodes AS (SELECT doc_id AS id FROM documents),
+         |ed AS (SELECT doc_id AS src, (doc_id * 7 + k) % n AS dst
+         |       FROM documents CROSS JOIN cnt
+         |       CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+         |deg AS (SELECT src, count(*)::DOUBLE AS outdeg
+         |        FROM ed GROUP BY src),
+         |e AS (SELECT ed.src, ed.dst, deg.outdeg
+         |      FROM ed JOIN deg USING (src)),
+         |r0 AS (SELECT id, 1.0::DOUBLE / n::DOUBLE AS rank, n
+         |       FROM nodes CROSS JOIN cnt),
+         |$iterCtes
+         |SELECT id AS doc_id, round(rank * 1e9)::BIGINT AS rank_nano
+         |FROM r5""".stripMargin
+    },
+
     // NB classifier training: per-token class counts, add-one log-odds
     // in micro-nats (two single-division lns + one subtraction — the
     // q76/q77 discipline), class-prior bias as a __bias__ row

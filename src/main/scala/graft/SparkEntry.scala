@@ -1808,6 +1808,28 @@ object SparkEntry {
         min(col("doc_id")).as("keeper_doc_id"))
   }
 
+  /** Link-graph PageRank over a synthetic crawl graph: every doc links
+    * to the 3 docs at `(doc_id*7 + k) % N`, k = 1..3 — regular (out-
+    * and in-degree exactly 3, no dangling nodes), so the oracle-tier
+    * [[LinkGraph.pageRankExact]] applies and 5 damped power iterations
+    * replay in SQL as unrolled CTEs with src-ordered `list_reduce`
+    * folds. Ranks snap to nano-units for the hash compare.
+    */
+  def q133_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nodes = d.select(col("doc_id").as("id"))
+    val n1 = d.agg(count(lit(1)).as("n_nodes"))
+    val edges = d.select(col("doc_id").as("src"))
+      .crossJoin(broadcast(n1))
+      .select(col("src"), explode(sequence(lit(1L), lit(3L))).as("k"),
+        col("n_nodes"))
+      .select(col("src"),
+        ((col("src") * 7 + col("k")) % col("n_nodes")).as("dst"))
+    LinkGraph.pageRankExact(nodes, edges, iters = 5, damping = 0.85)
+      .select(col("id").as("doc_id"),
+        round(col("rank") * lit(1e9)).cast("long").as("rank_nano"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1943,7 +1965,8 @@ object SparkEntry {
       (q129_streaming_retention_replay(_, _)),
     "q130_html_extract" -> (q130_html_extract(_, _)),
     "q131_domain_cap" -> (q131_domain_cap(_, _)),
-    "q132_url_canonical_dedup" -> (q132_url_canonical_dedup(_, _)))
+    "q132_url_canonical_dedup" -> (q132_url_canonical_dedup(_, _)),
+    "q133_pagerank" -> (q133_pagerank(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -54,6 +54,7 @@ import graft.schema.Vintages
   * graft.cli.Main quantiles <parquet> <keyCol> <valCol> [k]   // sketch-tier p50/p90/p99
   * graft.cli.Main outliers <parquet> <keyCol> <valCol> [k] [c]   // sketch-tier median/MAD screen
   * graft.cli.Main emb-drift <oldEmb> <newEmb> <groupCol> [dim]   // cross-snapshot mean-vector cosine
+  * graft.cli.Main pagerank <edges> <outDir> [iters] [damping]   // link-graph quality prior
   * }}}
   *
   * vintage ∈ {canonical, bdb2018, bdb2026} (Vintages.byName). The
@@ -973,6 +974,27 @@ object Main {
       }
       done(spark)
 
+    // link-graph PageRank over an edge table (src, dst) — the crawl
+    // quality prior; nodes = src ∪ dst, production tier (plain sums +
+    // dangling redistribution + lineage checkpoints)
+    case "pagerank" :: edgesPath :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val nums = rest.filter(!_.startsWith("--"))
+      val iters = nums.headOption.map(_.toInt).getOrElse(10)
+      val damping = nums.drop(1).headOption.map(_.toDouble).getOrElse(0.85)
+      val spark = session()
+      val edges = spark.read.parquet(edgesPath).select("src", "dst")
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      val ranks = graft.operators.LinkGraph.pageRank(
+        nodes, edges, iters, damping, checkpointEvery = 5)
+      ranks.write.mode("overwrite").parquet(outDir)
+      println(s"[pagerank] $iters iters, damping=$damping -> $outDir")
+      spark.read.parquet(outDir).orderBy(col("rank").desc).limit(10)
+        .collect().foreach { r =>
+          println(f"  ${r.get(0)}%-24s ${r.getDouble(1)}%.8f") }
+      done(spark)
+
     // pairwise source-overlap matrix (minhash of each group's shingle
     // union) — which crawls/sources mirror each other
     case "overlap" :: corpus :: outDir :: rest =>
@@ -1167,6 +1189,7 @@ object Main {
           "retention <events> | " +
           "manifest <parquet> [outDir] | profile <parquet> | " +
           "skew <parquet> <keyCol> [topK] | " +
+          "pagerank <edges> <out> [iters] [damping] | " +
           "overlap <corpus> <out> [groupCol] [--jsonl] | " +
           "fim <corpus> <out> [seed] [--jsonl] | " +
           "shuffle <corpus> <out> [shards] [seed] [--jsonl] (parquet, shard= partitions) | " +

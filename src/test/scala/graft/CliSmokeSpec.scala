@@ -145,6 +145,22 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("emb-drift", e1, e2, "label", "8"))
   }
 
+  test("pagerank ranks an edge table and writes parquet") {
+    val ep = s"${tmpDir("cli-pr")}/edges"
+    // 1..9 -> 0, 0 -> 1: hub 0 must come out on top
+    ((1L to 9L).map(s => (s, 0L)) :+ (0L, 1L))
+      .toDF("src", "dst").write.mode("overwrite").parquet(ep)
+    val out = s"${tmpDir("cli-pr")}/ranks"
+    graft.cli.Main.main(Array("pagerank", ep, out, "15"))
+    val ranks = spark.read.parquet(out)
+    assert(ranks.count() == 10)
+    val top = ranks.orderBy(col("rank").desc).first()
+    assert(top.getLong(0) == 0L, top)
+    // dangling redistribution keeps total mass at ~1
+    val total = ranks.agg(sum("rank")).first().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9, total)
+  }
+
   test("decontaminate / clean / pack / mix / shuffle / gopher / " +
     "phrase / distinct parse their argument shapes") {
     val evalPath = s"${tmpDir("clieval")}/eval"

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LinkGraph
+
+/** Link-graph PageRank: hand-computed references, exact-vs-production
+  * parity, dangling-mass conservation, hub ordering.
+  */
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side replica of the leaky recurrence, summed in src order
+    * like pageRankExact.
+    */
+  private def refRanks(
+      n: Int, edges: Seq[(Long, Long)], iters: Int,
+      d: Double): Map[Long, Double] = {
+    val outdeg = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.size.toDouble }
+    var r = (0L until n).map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(_._1).sorted
+          .foldLeft(0.0)((acc, s) => acc + r(s) / outdeg(s))
+      }
+      r = (0L until n).map(id =>
+        id -> ((1.0 - d) / n + d * in.getOrElse(id, 0.0))).toMap
+    }
+    r
+  }
+
+  private def rankMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+
+  test("two-node cycle holds the uniform fixed point exactly") {
+    val nodes = Seq(0L, 1L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val got = rankMap(LinkGraph.pageRankExact(nodes, edges, iters = 7))
+    assert(got.values.forall(r => math.abs(r - 0.5) < 1e-15), got)
+  }
+
+  test("exact ranks bit-match the driver-side reference recurrence") {
+    val edges = Seq((0L, 1L), (1L, 0L), (2L, 0L), (3L, 0L), (2L, 1L),
+      (3L, 2L)).map { case (a, b) => (a, b) }
+    val nodes = (0L until 4).toDF("id")
+    val got = rankMap(
+      LinkGraph.pageRankExact(nodes, edges.toDF("src", "dst"),
+        iters = 5, damping = 0.85))
+    val want = refRanks(4, edges, 5, 0.85)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, r) =>
+      assert(r == want(id), s"node $id: got $r want ${want(id)}") }
+  }
+
+  test("hub out-ranks its spokes") {
+    // 1..9 all link to 0; 0 links back to 1. The 0↔1 two-cycle makes
+    // ranks oscillate with period 2 (damped by 0.85/iter), so use
+    // enough iterations for the swing to settle under the hub's lead.
+    val edges = ((1L to 9L).map(s => (s, 0L)) :+ (0L, 1L))
+      .toDF("src", "dst")
+    val nodes = (0L until 10).toDF("id")
+    val got = rankMap(LinkGraph.pageRankExact(nodes, edges, iters = 15))
+    assert((1L to 9L).forall(s => got(0L) > got(s)), got)
+  }
+
+  test("production flavor matches exact on a dangling-free graph") {
+    val nodes = (0L until 20).toDF("id")
+    val edges = (0L until 20).flatMap(s =>
+      Seq((s, (s * 3 + 1) % 20), (s, (s * 5 + 2) % 20)))
+      .toDF("src", "dst")
+    val exact = rankMap(LinkGraph.pageRankExact(nodes, edges, iters = 5))
+    val prod = rankMap(LinkGraph.pageRank(nodes, edges, iters = 5,
+      redistributeDangling = false))
+    exact.foreach { case (id, r) =>
+      assert(math.abs(r - prod(id)) < 1e-12, s"node $id: $r vs ${prod(id)}")
+    }
+  }
+
+  test("dangling redistribution conserves total mass at ~1") {
+    // node 3 has no out-edges: leaky total < 1, redistributed total ~ 1
+    val nodes = (0L until 4).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L))
+      .toDF("src", "dst")
+    val leaky = rankMap(LinkGraph.pageRank(nodes, edges, iters = 8,
+      redistributeDangling = false)).values.sum
+    val full = rankMap(LinkGraph.pageRank(nodes, edges, iters = 8,
+      redistributeDangling = true)).values.sum
+    assert(leaky < 0.95, s"leaky total $leaky should lose dangling mass")
+    assert(math.abs(full - 1.0) < 1e-9, s"redistributed total $full")
+  }
+
+  test("checkpointEvery truncates lineage without changing ranks") {
+    val nodes = (0L until 12).toDF("id")
+    val edges = (0L until 12).map(s => (s, (s * 7 + 1) % 12))
+      .toDF("src", "dst")
+    val plain = rankMap(LinkGraph.pageRank(nodes, edges, iters = 6,
+      redistributeDangling = false))
+    val ckpt = rankMap(LinkGraph.pageRank(nodes, edges, iters = 6,
+      redistributeDangling = false, checkpointEvery = 2))
+    plain.foreach { case (id, r) =>
+      assert(math.abs(r - ckpt(id)) < 1e-12, s"node $id") }
+  }
+}

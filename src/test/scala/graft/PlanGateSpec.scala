@@ -223,7 +223,9 @@ class PlanGateSpec extends SparkSpec {
       "q121_ivfpq_refined",  // q27's centroid probe + q106's codebook broadcasts
       "q123_ivfpq_residual", // q121's shapes with residual-frame LUTs
       "q126_classifier_train", // vocab rows × broadcast 1-row totals
-      "q127_bitext_mine")    // target corpus × broadcast source slice
+      "q127_bitext_mine",    // target corpus × broadcast source slice
+      "q133_pagerank")       // node/edge synth + per-iteration teleport
+                             // term × broadcast 1-row node count
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is
