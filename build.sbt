@@ -1,5 +1,8 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// source files are UTF-8 regardless of the platform locale (unicode
+// test fixtures live in string literals)
+ThisBuild / scalacOptions ++= Seq("-encoding", "utf8")
 name := "gridironspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

@@ -2745,6 +2745,26 @@ object OracleSql {
          |FROM r5""".stripMargin
     },
 
+    // Unicode NFC canonicalization: utf8proc's nfc_normalize replays
+    // java.text.Normalizer byte-for-byte (both implement UAX #15);
+    // chr() codes keep the SQL ASCII — 769 = U+0301 combining acute,
+    // 233 = U+00E9 precomposed, 778/776 = combining ring/diaeresis,
+    // 8491 = U+212B Angstrom-sign singleton, 771 = combining tilde
+    "q134_nfc_normalize" ->
+      """WITH r AS (SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'Cafe' || chr(769) || ' menu #' || (doc_id % 10)
+        |    WHEN 1 THEN 'Caf' || chr(233) || ' menu #' || (doc_id % 10)
+        |    WHEN 2 THEN 'A' || chr(778) || 'ngstro' || chr(776) || 'm'
+        |    WHEN 3 THEN chr(8491) || ' unit'
+        |    WHEN 4 THEN 'man' || chr(771) || 'ana'
+        |    ELSE source END AS raw
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS norm,
+        |  length(raw)::INTEGER AS n_raw,
+        |  length(nfc_normalize(raw))::INTEGER AS n_nfc
+        |FROM r""".stripMargin,
+
     // NB classifier training: per-token class counts, add-one log-odds
     // in micro-nats (two single-division lns + one subtraction — the
     // q76/q77 discipline), class-prior bias as a __bias__ row

@@ -1830,6 +1830,35 @@ object SparkEntry {
         round(col("rank") * lit(1e9)).cast("long").as("rank_nano"))
   }
 
+  /** Unicode NFC canonicalization via the `graft_nfc` kernel: per-doc
+    * synthetic text mixes decomposed (`e`+U+0301), precomposed
+    * (U+00E9), combining-ring, Angstrom-sign-singleton and plain-ASCII
+    * spellings; NFC collapses the canonical-equivalent ones so the
+    * decomposed and precomposed variants emit identical bytes (the
+    * dedup-key point), with codepoint lengths before/after. DuckDB's
+    * utf8proc `nfc_normalize` replays the published UAX #15 algorithm
+    * byte-for-byte.
+    */
+  def q134_nfc_normalize(s: SparkSession, dir: String): DataFrame = {
+    val raw = when(col("doc_id") % 6 === 0,      // decomposed e+U+0301
+        concat(lit("Cafe\u0301 menu #"), col("doc_id") % 10))
+      .when(col("doc_id") % 6 === 1,             // precomposed U+00E9
+        concat(lit("Caf\u00e9 menu #"), col("doc_id") % 10))
+      .when(col("doc_id") % 6 === 2,             // combining ring+diaeresis
+        lit("A\u030Angstro\u0308m"))
+      .when(col("doc_id") % 6 === 3,             // Angstrom-sign singleton
+        lit("\u212B unit"))
+      .when(col("doc_id") % 6 === 4,             // combining tilde
+        lit("man\u0303ana"))
+      .otherwise(col("source"))                  // pure ASCII
+    docs(s, dir)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        TextOps.nfcNormalize(col("raw")).as("norm"),
+        length(col("raw")).as("n_raw"),
+        length(TextOps.nfcNormalize(col("raw"))).as("n_nfc"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1966,7 +1995,8 @@ object SparkEntry {
     "q130_html_extract" -> (q130_html_extract(_, _)),
     "q131_domain_cap" -> (q131_domain_cap(_, _)),
     "q132_url_canonical_dedup" -> (q132_url_canonical_dedup(_, _)),
-    "q133_pagerank" -> (q133_pagerank(_, _)))
+    "q133_pagerank" -> (q133_pagerank(_, _)),
+    "q134_nfc_normalize" -> (q134_nfc_normalize(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

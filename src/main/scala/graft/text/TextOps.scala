@@ -149,6 +149,18 @@ object TextOps {
       regexp_replace(noSlash, hostPat, ""))
   }
 
+  /** Unicode NFC canonical composition (SQL: `graft_nfc`) — run before
+    * exact-dedup keys, vocabulary builds, and BPE so precomposed and
+    * decomposed spellings of the same word collide. Pure-ASCII rows
+    * short-circuit with zero allocation; see
+    * [[graft.functions.NfcNormalizeXX]].
+    */
+  def nfcNormalize(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.NfcNormalizeExprXX(
+      ColumnBridge.expression(text)))
+  }
+
   /** BPE-ish sub-token split: letter runs, digit runs, and individual
     * punctuation marks each count as one token — the cheap stand-in for a
     * real BPE vocabulary when estimating LLM token budgets. "don't stop,
