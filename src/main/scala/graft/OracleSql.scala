@@ -2765,6 +2765,38 @@ object OracleSql {
         |  length(nfc_normalize(raw))::INTEGER AS n_nfc
         |FROM r""".stripMargin,
 
+    // Unicode-script profile: the RE2 spellings of
+    // TextOps.scriptClasses; counts = length minus length-of-stripped
+    // (global flag!), dominant = greatest with the class-order
+    // tie-break replayed as ordered CASE arms
+    "q135_script_profile" ->
+      """WITH r AS (SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 1 THEN 'hello ' || chr(1055) || chr(1088) || chr(1080) || chr(1074) || chr(1077) || chr(1090) || ' 123'
+        |    WHEN 2 THEN chr(20320) || chr(22909) || chr(19990) || chr(30028) || ' ' || chr(12371) || chr(12435) || ' ok'
+        |    WHEN 3 THEN 'mix ' || chr(945) || chr(946) || chr(947) || ' 42'
+        |    WHEN 4 THEN chr(1605) || chr(1585) || chr(1581) || chr(1576) || chr(1575)
+        |    ELSE source END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  (length(t) - length(regexp_replace(t, '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')))::INTEGER AS n_latin,
+        |  (length(t) - length(regexp_replace(t, '[\x{0400}-\x{04FF}]', '', 'g')))::INTEGER AS n_cyrillic,
+        |  (length(t) - length(regexp_replace(t, '[\x{0370}-\x{03FF}]', '', 'g')))::INTEGER AS n_greek,
+        |  (length(t) - length(regexp_replace(t, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]', '', 'g')))::INTEGER AS n_cjk,
+        |  (length(t) - length(regexp_replace(t, '[\x{0600}-\x{06FF}]', '', 'g')))::INTEGER AS n_arabic,
+        |  (length(t) - length(regexp_replace(t, '[0-9]', '', 'g')))::INTEGER AS n_digit
+        |  FROM r)
+        |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
+        |  n_digit,
+        |  CASE WHEN n_latin > 0 AND n_latin = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_digit) THEN 'latin'
+        |    WHEN n_cyrillic > 0 AND n_cyrillic = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_digit) THEN 'cyrillic'
+        |    WHEN n_greek > 0 AND n_greek = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_digit) THEN 'greek'
+        |    WHEN n_cjk > 0 AND n_cjk = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_digit) THEN 'cjk'
+        |    WHEN n_arabic > 0 AND n_arabic = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_digit) THEN 'arabic'
+        |    WHEN n_digit > 0 AND n_digit = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_digit) THEN 'digit'
+        |    ELSE 'none' END AS script
+        |FROM c""".stripMargin,
+
     // NB classifier training: per-token class counts, add-one log-odds
     // in micro-nats (two single-division lns + one subtraction — the
     // q76/q77 discipline), class-prior bias as a __bias__ row

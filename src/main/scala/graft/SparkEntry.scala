@@ -1859,6 +1859,30 @@ object SparkEntry {
         length(TextOps.nfcNormalize(col("raw"))).as("n_nfc"))
   }
 
+  /** Unicode-script profile: per-doc codepoint counts for the six
+    * [[TextOps.scriptClasses]] plus the fixed-tie-break dominant
+    * script — the pre-langid routing signal for a multilingual crawl
+    * (CJK/Cyrillic/Arabic pages defeat Latin marker-token langid).
+    * Synthetic per-doc text mixes script runs; every count is pure
+    * scan-stage regexp arithmetic that DuckDB replays with the RE2
+    * spellings of the same classes.
+    */
+  def q135_script_profile(s: SparkSession, dir: String): DataFrame = {
+    val t = when(col("doc_id") % 5 === 1,
+        lit("hello \u041F\u0440\u0438\u0432\u0435\u0442 123"))
+      .when(col("doc_id") % 5 === 2,
+        lit("\u4F60\u597D\u4E16\u754C \u3053\u3093 ok"))
+      .when(col("doc_id") % 5 === 3,
+        lit("mix \u03B1\u03B2\u03B3 42"))
+      .when(col("doc_id") % 5 === 4,
+        lit("\u0645\u0631\u062D\u0628\u0627"))
+      .otherwise(col("source"))
+    docs(s, dir)
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id") +: TextOps.scriptProfile(col("t")) :+
+        TextOps.dominantScript(col("t")).as("script"): _*)
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1996,7 +2020,8 @@ object SparkEntry {
     "q131_domain_cap" -> (q131_domain_cap(_, _)),
     "q132_url_canonical_dedup" -> (q132_url_canonical_dedup(_, _)),
     "q133_pagerank" -> (q133_pagerank(_, _)),
-    "q134_nfc_normalize" -> (q134_nfc_normalize(_, _)))
+    "q134_nfc_normalize" -> (q134_nfc_normalize(_, _)),
+    "q135_script_profile" -> (q135_script_profile(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1017,6 +1017,50 @@ object TextOps {
   /** Predicted language: the first profile (in [[langMarkers]] order) with
     * the maximal marker count; "und" (undetermined) when all are zero.
     */
+
+  /** Unicode-script character classes for [[scriptProfile]] — the
+    * coarse routing signal a multilingual crawl needs BEFORE n-gram
+    * language ID ([[langId]]) can work: marker-token langid assumes a
+    * Latin-script tokenization and is blind to CJK (no spaces),
+    * Cyrillic, Greek and Arabic pages. Script mix also flags mojibake
+    * and template debris (a "German" page that is 30% CJK is broken).
+    * Each entry is (name, Java regex class); [[OracleSql]] q135
+    * mirrors them as RE2 `\x{...}` classes for DuckDB.
+    */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\u00C0-\u024F]",
+    "cyrillic" -> "[\u0400-\u04FF]",
+    "greek" -> "[\u0370-\u03FF]",
+    "cjk" -> "[\u4E00-\u9FFF\u3040-\u30FF\uAC00-\uD7AF]",
+    "arabic" -> "[\u0600-\u06FF]",
+    "digit" -> "[0-9]")
+
+  /** Per-script codepoint counts, one `n_<script>` column per
+    * [[scriptClasses]] entry: `length(s) - length(strip(class, s))`
+    * counts members without materializing matches. Pure scan-stage
+    * regexp arithmetic — codegen'd, no shuffle, pushes through any
+    * downstream filter.
+    */
+  def scriptProfile(text: Column): Seq[Column] =
+    scriptClasses.map { case (name, pat) =>
+      (length(text) -
+        length(regexp_replace(text, pat, ""))).as(s"n_$name")
+    }
+
+  /** Dominant script with a fixed priority-order tie-break (the
+    * [[scriptClasses]] order), `'none'` when no class matches — so the
+    * verdict replays deterministically in SQL (q135).
+    */
+  def dominantScript(text: Column): Column = {
+    val counts = scriptClasses.map { case (name, pat) =>
+      name -> (length(text) - length(regexp_replace(text, pat, "")))
+    }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("none"): Column) { case ((name, c), els) =>
+      when(c > 0 && c === best, name).otherwise(els)
+    }
+  }
+
   def langId(toks: Column): Column = {
     val scores = langMarkers.map { case (l, m) => l -> markerScore(toks, m) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
