@@ -2797,6 +2797,16 @@ object OracleSql {
         |    ELSE 'none' END AS script
         |FROM c""".stripMargin,
 
+    // CUBE lattice over events: order-free aggregates only (counts,
+    // exact distinct, min/max) — no float-fold discipline needed
+    "q136_cube" ->
+      """WITH e AS (SELECT event_type, hour(ts)::INTEGER AS hr,
+        |  user_id, value FROM events)
+        |SELECT event_type, hr, count(*)::BIGINT AS n_events,
+        |  count(DISTINCT user_id)::BIGINT AS n_users,
+        |  max(value) AS max_value, min(value) AS min_value
+        |FROM e GROUP BY CUBE (event_type, hr)""".stripMargin,
+
     // NB classifier training: per-token class counts, add-one log-odds
     // in micro-nats (two single-division lns + one subtraction — the
     // q76/q77 discipline), class-prior bias as a __bias__ row

@@ -1883,6 +1883,20 @@ object SparkEntry {
         TextOps.dominantScript(col("t")).as("script"): _*)
   }
 
+  /** CUBE totals over the event stream: all four grouping sets of
+    * (event_type, hour-of-day) in one Expand pass — the q115 ROLLUP's
+    * full-lattice sibling. Aggregates are deliberately order-free
+    * (counts, exact distinct, min/max) so the cube replays bit-exactly
+    * without float-fold discipline.
+    */
+  def q136_cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .cube(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2021,7 +2035,8 @@ object SparkEntry {
     "q132_url_canonical_dedup" -> (q132_url_canonical_dedup(_, _)),
     "q133_pagerank" -> (q133_pagerank(_, _)),
     "q134_nfc_normalize" -> (q134_nfc_normalize(_, _)),
-    "q135_script_profile" -> (q135_script_profile(_, _)))
+    "q135_script_profile" -> (q135_script_profile(_, _)),
+    "q136_cube" -> (q136_cube(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
