@@ -2797,6 +2797,50 @@ object OracleSql {
         |    ELSE 'none' END AS script
         |FROM c""".stripMargin,
 
+    // HyperBall-style harmonic centrality: per-round CTEs move the
+    // (id, h) k-min-hash sketch rows along edges, re-truncate with an
+    // id-partitioned row_number, and estimate ball sizes with the KMV
+    // (k-1)/h_(k) single-division chain; the harmonic sum is the fixed
+    // left-assoc chain Spark builds
+    "q137_harmonic_centrality" -> {
+      val k = 64
+      val roundCtes = (1 to 4).map { r =>
+        s"""u$r AS (SELECT id, h FROM b${r - 1}
+           |  UNION
+           |  SELECT e.dst AS id, b.h FROM e JOIN b${r - 1} b
+           |    ON e.src = b.id),
+           |b$r AS (SELECT id, h FROM (
+           |    SELECT id, h, row_number() OVER (PARTITION BY id
+           |      ORDER BY h) AS rn FROM u$r) WHERE rn <= $k),
+           |est$r AS (SELECT id,
+           |  CASE WHEN cnt < $k THEN cnt::DOUBLE
+           |    ELSE ${k - 1}.0::DOUBLE / (mx::DOUBLE / 4294967296.0)
+           |  END AS est_$r
+           |  FROM (SELECT id, count(*)::BIGINT AS cnt, max(h) AS mx
+           |        FROM b$r GROUP BY id))""".stripMargin
+      }.mkString(",\n")
+      val harm = (1 to 4).map { r =>
+        val prev = if (r == 1) "1.0" else s"est_${r - 1}"
+        s"(est_$r - $prev) / $r.0"
+      }.mkString(" + ")
+      s"""WITH cnt AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |nodes AS (SELECT doc_id AS id FROM documents),
+         |e AS (SELECT doc_id AS src, (doc_id * 7 + k) % n AS dst
+         |      FROM documents CROSS JOIN cnt
+         |      CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+         |b0 AS (SELECT doc_id AS id,
+         |  ('0x' || substr(md5('hb:' || doc_id), 1, 8))::UBIGINT::BIGINT
+         |    AS h FROM documents),
+         |$roundCtes
+         |SELECT nodes.id AS doc_id,
+         |  round(($harm) * 1e6)::BIGINT AS harmonic_micro
+         |FROM nodes
+         |JOIN est1 ON nodes.id = est1.id
+         |JOIN est2 ON nodes.id = est2.id
+         |JOIN est3 ON nodes.id = est3.id
+         |JOIN est4 ON nodes.id = est4.id""".stripMargin
+    },
+
     // CUBE lattice over events: order-free aggregates only (counts,
     // exact distinct, min/max) — no float-fold discipline needed
     "q136_cube" ->

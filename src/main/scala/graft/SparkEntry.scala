@@ -1815,7 +1815,12 @@ object SparkEntry {
     * replay in SQL as unrolled CTEs with src-ordered `list_reduce`
     * folds. Ranks snap to nano-units for the hash compare.
     */
-  def q133_pagerank(s: SparkSession, dir: String): DataFrame = {
+  /** The q133/q137 synthetic crawl graph: every doc links to the 3
+    * docs at `(doc_id*7 + k) % N`, k = 1..3 — 3-regular in and out,
+    * no dangling nodes.
+    */
+  private def synthGraph(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = docs(s, dir)
     val nodes = d.select(col("doc_id").as("id"))
     val n1 = d.agg(count(lit(1)).as("n_nodes"))
@@ -1825,9 +1830,27 @@ object SparkEntry {
         col("n_nodes"))
       .select(col("src"),
         ((col("src") * 7 + col("k")) % col("n_nodes")).as("dst"))
+    (nodes, edges)
+  }
+
+  def q133_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = synthGraph(s, dir)
     LinkGraph.pageRankExact(nodes, edges, iters = 5, damping = 0.85)
       .select(col("id").as("doc_id"),
         round(col("rank") * lit(1e9)).cast("long").as("rank_nano"))
+  }
+
+  /** HyperBall-style harmonic centrality over the same graph: 4
+    * sketch-propagation rounds with k=64 KMV registers; the whole
+    * integer sketch pipeline (md5 hashes, distinct, top-k order
+    * statistics) and the single-division estimates replay in SQL.
+    */
+  def q137_harmonic_centrality(s: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = synthGraph(s, dir)
+    LinkGraph.harmonicCentrality(nodes, edges, rounds = 4, k = 64)
+      .select(col("id").as("doc_id"),
+        round(col("centrality") * lit(1e6)).cast("long")
+          .as("harmonic_micro"))
   }
 
   /** Unicode NFC canonicalization via the `graft_nfc` kernel: per-doc
@@ -2036,7 +2059,8 @@ object SparkEntry {
     "q133_pagerank" -> (q133_pagerank(_, _)),
     "q134_nfc_normalize" -> (q134_nfc_normalize(_, _)),
     "q135_script_profile" -> (q135_script_profile(_, _)),
-    "q136_cube" -> (q136_cube(_, _)))
+    "q136_cube" -> (q136_cube(_, _)),
+    "q137_harmonic_centrality" -> (q137_harmonic_centrality(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

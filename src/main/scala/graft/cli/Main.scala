@@ -55,6 +55,7 @@ import graft.schema.Vintages
   * graft.cli.Main outliers <parquet> <keyCol> <valCol> [k] [c]   // sketch-tier median/MAD screen
   * graft.cli.Main emb-drift <oldEmb> <newEmb> <groupCol> [dim]   // cross-snapshot mean-vector cosine
   * graft.cli.Main pagerank <edges> <outDir> [iters] [damping]   // link-graph quality prior
+  * graft.cli.Main harmonic <edges> <outDir> [rounds] [k]   // HyperBall harmonic centrality
   * }}}
   *
   * vintage ∈ {canonical, bdb2018, bdb2026} (Vintages.byName). The
@@ -995,6 +996,27 @@ object Main {
           println(f"  ${r.get(0)}%-24s ${r.getDouble(1)}%.8f") }
       done(spark)
 
+    // HyperBall-style harmonic centrality over an edge table — the
+    // Common-Crawl host-ranking statistic; KMV ball sketches, k
+    // registers per node
+    case "harmonic" :: edgesPath :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val nums = rest.filter(!_.startsWith("--"))
+      val rounds = nums.headOption.map(_.toInt).getOrElse(4)
+      val k = nums.drop(1).headOption.map(_.toInt).getOrElse(256)
+      val spark = session()
+      val edges = spark.read.parquet(edgesPath).select("src", "dst")
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      val cent = graft.operators.LinkGraph.harmonicCentrality(
+        nodes, edges, rounds, k)
+      cent.write.mode("overwrite").parquet(outDir)
+      println(s"[harmonic] $rounds rounds, k=$k -> $outDir")
+      spark.read.parquet(outDir).orderBy(col("centrality").desc)
+        .limit(10).collect().foreach { r =>
+          println(f"  ${r.get(0)}%-24s ${r.getDouble(1)}%.4f") }
+      done(spark)
+
     // pairwise source-overlap matrix (minhash of each group's shingle
     // union) — which crawls/sources mirror each other
     case "overlap" :: corpus :: outDir :: rest =>
@@ -1190,6 +1212,7 @@ object Main {
           "manifest <parquet> [outDir] | profile <parquet> | " +
           "skew <parquet> <keyCol> [topK] | " +
           "pagerank <edges> <out> [iters] [damping] | " +
+          "harmonic <edges> <out> [rounds] [k] | " +
           "overlap <corpus> <out> [groupCol] [--jsonl] | " +
           "fim <corpus> <out> [seed] [--jsonl] | " +
           "shuffle <corpus> <out> [shards] [seed] [--jsonl] (parquet, shard= partitions) | " +

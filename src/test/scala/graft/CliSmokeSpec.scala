@@ -159,6 +159,13 @@ class CliSmokeSpec extends SparkSpec {
     // dangling redistribution keeps total mass at ~1
     val total = ranks.agg(sum("rank")).first().getDouble(0)
     assert(math.abs(total - 1.0) < 1e-9, total)
+    // harmonic over the same edges: hub 0 is reached by all 9 spokes
+    // at distance 1
+    val hout = s"${tmpDir("cli-pr")}/harm"
+    graft.cli.Main.main(Array("harmonic", ep, hout, "3", "64"))
+    val cents = spark.read.parquet(hout)
+    assert(cents.count() == 10)
+    assert(cents.orderBy(col("centrality").desc).first().getLong(0) == 0L)
   }
 
   test("decontaminate / clean / pack / mix / shuffle / gopher / " +

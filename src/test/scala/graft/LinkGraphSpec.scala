@@ -89,6 +89,53 @@ class LinkGraphSpec extends SparkSpec {
     assert(math.abs(full - 1.0) < 1e-9, s"redistributed total $full")
   }
 
+  test("harmonic centrality: exact small-graph values when balls " +
+    "stay under k") {
+    // path 0 -> 1 -> 2: C_H(0)=0, C_H(1)=1/1, C_H(2)=1/1 + 1/2
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = LinkGraph.harmonicCentrality(nodes, edges,
+      rounds = 3, k = 64).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(0L) == 0.0, got)
+    assert(got(1L) == 1.0, got)
+    assert(got(2L) == 1.5, got)
+  }
+
+  test("harmonic centrality: the pointed-at hub dominates") {
+    // 1..9 -> 0 (distance 1 each): C_H(0) = 9; spokes get only 0's
+    // back-link contribution
+    val nodes = (0L until 10).toDF("id")
+    val edges = ((1L to 9L).map(s => (s, 0L)) :+ (0L, 1L))
+      .toDF("src", "dst")
+    val got = LinkGraph.harmonicCentrality(nodes, edges,
+      rounds = 3, k = 64).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((1L to 9L).forall(s => got(0L) > got(s)), got)
+    assert(got(0L) == 9.0, got) // all reachers at distance 1, exact
+  }
+
+  test("harmonic centrality: k-truncated sketches stay within " +
+    "estimator tolerance of the exact run") {
+    val n = 60
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n.toLong).flatMap(s =>
+      Seq((s, (s * 3 + 1) % n), (s, (s * 5 + 2) % n), (s, (s + 7) % n)))
+      .toDF("src", "dst")
+    val exact = LinkGraph.harmonicCentrality(nodes, edges,
+      rounds = 4, k = 1024).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sk = LinkGraph.harmonicCentrality(nodes, edges,
+      rounds = 4, k = 16).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // k=16 KMV: rel. error ~1/sqrt(k-2) per ball; harmonic sums a few
+    // balls, allow a generous band but require correlation
+    exact.foreach { case (id, ex) =>
+      assert(math.abs(sk(id) - ex) <= math.max(3.0, ex * 0.6),
+        s"node $id: sketch ${sk(id)} vs exact $ex")
+    }
+  }
+
   test("checkpointEvery truncates lineage without changing ranks") {
     val nodes = (0L until 12).toDF("id")
     val edges = (0L until 12).map(s => (s, (s * 7 + 1) % 12))

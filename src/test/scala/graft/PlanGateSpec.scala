@@ -224,8 +224,10 @@ class PlanGateSpec extends SparkSpec {
       "q123_ivfpq_residual", // q121's shapes with residual-frame LUTs
       "q126_classifier_train", // vocab rows × broadcast 1-row totals
       "q127_bitext_mine",    // target corpus × broadcast source slice
-      "q133_pagerank")       // node/edge synth + per-iteration teleport
+      "q133_pagerank",       // node/edge synth + per-iteration teleport
                              // term × broadcast 1-row node count
+      "q137_harmonic_centrality") // same synth-graph 1-row node-count
+                                  // broadcast (sketch rounds are equi)
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is
