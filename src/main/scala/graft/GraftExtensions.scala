@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, StringType}
-import graft.functions.{BloomMightContainXX, BottomKXX, BpeTokensXX, CmsSketchXX, CosineSimXX, DeflateRatioExprXX, Dist2XX, JaccardXX, KmvSketchXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, NfcNormalizeExprXX, PadPackXX, RepStatsXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
+import graft.functions.{BloomMightContainXX, BottomKXX, BpeTokensXX, CmsSketchXX, CosineSimXX, DeflateRatioExprXX, Dist2XX, FixMojibakeExprXX, JaccardXX, KmvSketchXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, NfcNormalizeExprXX, PadPackXX, RepStatsXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * SQL functions so plain `spark.sql` users get them too.
@@ -72,6 +72,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "usage: graft_nfc(text)")
         NfcNormalizeExprXX(children.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_fix_mojibake"),
+      new ExpressionInfo(classOf[FixMojibakeExprXX].getName,
+        "graft_fix_mojibake"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "usage: graft_fix_mojibake(text)")
+        FixMojibakeExprXX(children.head)
       }))
 
     ext.injectFunction((

@@ -2841,6 +2841,25 @@ object OracleSql {
          |JOIN est4 ON nodes.id = est4.id""".stripMargin
     },
 
+    // Mojibake markers: RE2 spelling of TextOps.mojibakeScore's three
+    // double-encoding signatures; counts via regexp_extract_all
+    "q138_mojibake" ->
+      """WITH r AS (SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'caf' || chr(195) || chr(169) || ' menu #' ||
+        |      (doc_id % 7)
+        |    WHEN 1 THEN 'caf' || chr(233) || ' menu #' || (doc_id % 7)
+        |    WHEN 2 THEN 'it' || chr(226) || chr(8364) || chr(8482) ||
+        |      's ok'
+        |    ELSE source END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t,
+        |    '(\x{00C3}[\x{0080}-\x{00BF}])|(\x{00E2}\x{20AC}.)|(\x{00C2}[\x{00A0}-\x{00BF}])'))::INTEGER AS n_marks,
+        |  len(regexp_extract_all(t,
+        |    '(\x{00C3}[\x{0080}-\x{00BF}])|(\x{00E2}\x{20AC}.)|(\x{00C2}[\x{00A0}-\x{00BF}])')) > 0 AS suspect
+        |FROM r""".stripMargin,
+
     // CUBE lattice over events: order-free aggregates only (counts,
     // exact distinct, min/max) — no float-fold discipline needed
     "q136_cube" ->

@@ -1920,6 +1920,28 @@ object SparkEntry {
         max(col("value")).as("max_value"),
         min(col("value")).as("min_value"))
 
+  /** Mojibake detection over synthetic double-encoded variants:
+    * Latin-letter mojibake (e-acute as its two cp1252-mapped bytes),
+    * punctuation mojibake (curly apostrophe as its three), and clean
+    * controls; the marker count and verdict replay as RE2 regexp
+    * arithmetic. The repair side is the `graft_fix_mojibake` kernel
+    * (MojibakeSpec — not SQL-expressible).
+    */
+  def q138_mojibake(s: SparkSession, dir: String): DataFrame = {
+    val t = when(col("doc_id") % 4 === 0,          // mojibake e-acute
+        concat(lit("caf\u00C3\u00A9 menu #"), col("doc_id") % 7))
+      .when(col("doc_id") % 4 === 1,               // clean e-acute
+        concat(lit("caf\u00E9 menu #"), col("doc_id") % 7))
+      .when(col("doc_id") % 4 === 2,               // mojibake apostrophe
+        lit("it\u00E2\u20AC\u2122s ok"))
+      .otherwise(col("source"))                    // plain ASCII
+    docs(s, dir)
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        TextOps.mojibakeScore(col("t")).as("n_marks"),
+        (TextOps.mojibakeScore(col("t")) > 0).as("suspect"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2060,7 +2082,8 @@ object SparkEntry {
     "q134_nfc_normalize" -> (q134_nfc_normalize(_, _)),
     "q135_script_profile" -> (q135_script_profile(_, _)),
     "q136_cube" -> (q136_cube(_, _)),
-    "q137_harmonic_centrality" -> (q137_harmonic_centrality(_, _)))
+    "q137_harmonic_centrality" -> (q137_harmonic_centrality(_, _)),
+    "q138_mojibake" -> (q138_mojibake(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -161,6 +161,33 @@ object TextOps {
       ColumnBridge.expression(text)))
   }
 
+
+  /** Mojibake marker count — the detection side of the double-
+    * encoding pair (see [[graft.functions.FixMojibakeXX]] for the
+    * repair kernel). Counts the three canonical UTF-8-seen-as-cp1252
+    * signatures: `A-tilde + continuation-range char` (Latin-1 letters:
+    * e-acute arrives as 0xC3 0xA9), `a-circumflex + euro + anything`
+    * (General Punctuation: curly quotes/dashes), and `A-circumflex +
+    * high-punctuation` (NBSP and friends). Pure scan-stage regexp
+    * arithmetic, replayed by RE2 in the q138 oracle. A handful of
+    * marks in natural text is conclusive: the sequences are
+    * vanishingly rare in clean prose.
+    */
+  def mojibakeScore(text: Column): Column =
+    regexp_count(text,
+      lit("(\u00C3[\u0080-\u00BF])|(\u00E2\u20AC.)|(\u00C2[\u00A0-\u00BF])")).cast("int")
+
+  /** Repair double-encoded text via the `graft_fix_mojibake` kernel
+    * (strict cp1252 encode, strict UTF-8 decode, untouched on any
+    * failure). Clean text — including genuine Latin-1 prose — passes
+    * through byte-identical.
+    */
+  def fixMojibake(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.FixMojibakeExprXX(
+      ColumnBridge.expression(text)))
+  }
+
   /** BPE-ish sub-token split: letter runs, digit runs, and individual
     * punctuation marks each count as one token — the cheap stand-in for a
     * real BPE vocabulary when estimating LLM token budgets. "don't stop,
