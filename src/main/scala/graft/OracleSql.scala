@@ -2841,6 +2841,65 @@ object OracleSql {
          |JOIN est4 ON nodes.id = est4.id""".stripMargin
     },
 
+    // PR/F1 threshold sweep: explode-per-threshold integer counts,
+    // single-division ratios, NULL on zero denominators (NaN hashing
+    // differs across engines); "precision" quoted (DuckDB type keyword)
+    "q140_pr_curve" ->
+      """WITH s AS (SELECT doc_id,
+        |  ('0x' || substr(md5('pr:' || doc_id), 1, 8))
+        |    ::UBIGINT::BIGINT::DOUBLE / 4294967296.0 AS h,
+        |  (doc_id % 10) < 3 AS label FROM documents),
+        |sc AS (SELECT doc_id, label,
+        |  CASE WHEN label THEN 0.5 + h * 0.5 ELSE h END AS score
+        |  FROM s),
+        |x AS (SELECT score, label, t.threshold FROM sc CROSS JOIN
+        |  (SELECT unnest([0.1::DOUBLE, 0.2::DOUBLE, 0.3::DOUBLE,
+        |     0.4::DOUBLE, 0.5::DOUBLE, 0.6::DOUBLE, 0.7::DOUBLE,
+        |     0.8::DOUBLE, 0.9::DOUBLE]) AS threshold) t),
+        |c AS (SELECT threshold,
+        |  sum(CASE WHEN score >= threshold AND label
+        |    THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |  sum(CASE WHEN score >= threshold AND NOT label
+        |    THEN 1 ELSE 0 END)::BIGINT AS fp,
+        |  sum(CASE WHEN score < threshold AND label
+        |    THEN 1 ELSE 0 END)::BIGINT AS fn
+        |  FROM x GROUP BY threshold),
+        |pr AS (SELECT threshold, tp, fp, fn,
+        |  CASE WHEN tp + fp = 0 THEN NULL
+        |    ELSE tp::DOUBLE / (tp + fp)::DOUBLE END AS p_raw,
+        |  CASE WHEN tp + fn = 0 THEN NULL
+        |    ELSE tp::DOUBLE / (tp + fn)::DOUBLE END AS r_raw
+        |  FROM c)
+        |SELECT threshold, tp, fp, fn,
+        |  round(p_raw, 6) AS "precision",
+        |  round(r_raw, 6) AS recall,
+        |  round(CASE WHEN p_raw + r_raw = 0 THEN NULL
+        |    ELSE 2.0 * p_raw * r_raw / (p_raw + r_raw) END, 6) AS f1
+        |FROM pr""".stripMargin,
+
+    // First-/last-touch attribution: the rangeJoin's bins change
+    // nothing about the matched set, so the oracle is the plain
+    // user-equi-join + BETWEEN; picks replay as arg_min/arg_max on
+    // the identical zero-padded (micros, event_id) key
+    "q139_attribution" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts)::BIGINT AS touch_us,
+        |    event_id AS touch_id, event_type AS touch_type
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |c AS (SELECT user_id, event_id AS conv_id,
+        |    epoch_us(ts)::BIGINT AS conv_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT c.conv_id, t.touch_type,
+        |    lpad(t.touch_us::VARCHAR, 20, '0') || ':' ||
+        |      lpad(t.touch_id::VARCHAR, 20, '0') AS k
+        |  FROM c JOIN t ON c.user_id = t.user_id
+        |  WHERE t.touch_us BETWEEN c.conv_us - 86400000000
+        |    AND c.conv_us),
+        |g AS (SELECT conv_id, arg_min(touch_type, k) AS first_touch,
+        |    arg_max(touch_type, k) AS last_touch
+        |  FROM p GROUP BY conv_id)
+        |SELECT c.conv_id, c.user_id, g.first_touch, g.last_touch
+        |FROM c LEFT JOIN g USING (conv_id)""".stripMargin,
+
     // Mojibake markers: RE2 spelling of TextOps.mojibakeScore's three
     // double-encoding signatures; counts via regexp_extract_all
     "q138_mojibake" ->

@@ -1942,6 +1942,32 @@ object SparkEntry {
         (TextOps.mojibakeScore(col("t")) > 0).as("suspect"))
   }
 
+  /** First-/last-touch attribution: every purchase credited to the
+    * first and last view/click in its 24h lookback (NULL = organic).
+    * The bin-bucketed range join and the padded `(micros, event_id)`
+    * pick keys replay verbatim in SQL.
+    */
+  def q139_attribution(s: SparkSession, dir: String): DataFrame =
+    EventOps.touchAttribution(t(s, dir, "events"),
+      touchTypes = Seq("view", "click"), convType = "purchase",
+      lookbackSec = 86400L)
+
+  /** Classifier threshold calibration: PR/F1 sweep over 9 candidate
+    * cuts on a synthetic score whose positives skew high (md5-derived
+    * uniform + one affine lift — single fixed IEEE ops). Counts are
+    * integer folds; ratios single divisions; zero-denominator cells
+    * NULL. The whole sweep replays in SQL.
+    */
+  def q140_pr_curve(s: SparkSession, dir: String): DataFrame = {
+    val h = TextOps.hash32(concat(lit("pr:"), col("doc_id")))
+      .cast("double") / lit(4294967296.0)
+    val label = (col("doc_id") % 10) < 3
+    val scored = docs(s, dir).select(col("doc_id"), label.as("label"),
+      when(label, lit(0.5) + h * lit(0.5)).otherwise(h).as("score"))
+    graft.text.Classifier.prCurve(scored, "score", "label",
+      Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2083,7 +2109,9 @@ object SparkEntry {
     "q135_script_profile" -> (q135_script_profile(_, _)),
     "q136_cube" -> (q136_cube(_, _)),
     "q137_harmonic_centrality" -> (q137_harmonic_centrality(_, _)),
-    "q138_mojibake" -> (q138_mojibake(_, _)))
+    "q138_mojibake" -> (q138_mojibake(_, _)),
+    "q139_attribution" -> (q139_attribution(_, _)),
+    "q140_pr_curve" -> (q140_pr_curve(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

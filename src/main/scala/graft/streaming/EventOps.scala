@@ -528,4 +528,63 @@ object EventOps {
           round(n.cast("double") / col("_base").cast("double"), 6))
           .as("conversion"))
   }
+
+  /** First-/last-touch attribution: for every conversion event, which
+    * touch (ad view, click, …) within the lookback window gets the
+    * credit — first-touch credits the touch that STARTED the journey,
+    * last-touch the one that closed it. The question every
+    * funnel/retention consumer asks next, and the two models that
+    * bracket all the fractional schemes (linear, time-decay) built
+    * from the same pair table.
+    *
+    * Returns one row per conversion: `(conv_id, user_id, first_touch,
+    * last_touch)` — touch types, NULL when no touch preceded the
+    * conversion inside the window (the "organic" bucket every
+    * attribution report needs).
+    *
+    * Scale shape: candidate pairs come from the bin-bucketed
+    * [[graft.operators.Relational.rangeJoin]] (bins of `binWidthSec`),
+    * NOT a per-user cross join — a whale user's fanout is bounded by
+    * touches-per-lookback-window, never their lifetime history. Picks
+    * are `min_by`/`max_by` over a zero-padded `(micros, event_id)`
+    * string key: total, unique (event ids), engine-portable — no
+    * window function, no tie ambiguity (q139 replays it in SQL with
+    * `arg_min`/`arg_max` on the identical key).
+    */
+  def touchAttribution(
+      events: DataFrame,
+      touchTypes: Seq[String],
+      convType: String,
+      lookbackSec: Long,
+      binWidthSec: Long = 86400L): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(lookbackSec > 0, "lookbackSec must be positive")
+    val touches = events
+      .filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"),
+        unix_micros(col("ts")).as("touch_us"),
+        col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"))
+    val convs = events
+      .filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        unix_micros(col("ts")).as("conv_us"))
+      .withColumn("lo_us", col("conv_us") - lit(lookbackSec * 1000000L))
+    val pairs = graft.operators.Relational
+      .rangeJoin(
+        touches.withColumn("_ts_sec", col("touch_us")),
+        convs.withColumn("_lo_sec", col("lo_us"))
+          .withColumn("_hi_sec", col("conv_us")),
+        Seq("user_id"), "_ts_sec", "_lo_sec", "_hi_sec",
+        binWidthSec * 1000000L)
+      .drop("_ts_sec", "_lo_sec", "_hi_sec")
+    val key = concat(
+      lpad(col("touch_us").cast("string"), 20, "0"), lit(":"),
+      lpad(col("touch_id").cast("string"), 20, "0"))
+    val picks = pairs.groupBy("conv_id")
+      .agg(min_by(col("touch_type"), key).as("first_touch"),
+        max_by(col("touch_type"), key).as("last_touch"))
+    convs.select(col("conv_id"), col("user_id"))
+      .join(picks, Seq("conv_id"), "left")
+  }
 }

@@ -238,4 +238,51 @@ object Classifier {
         .as("w_sum_micro"))
     withScore(perDoc, model)
   }
+
+  /** Threshold calibration: precision / recall / F1 at each candidate
+    * cut — the report that turns a quality-classifier score column
+    * into an actionable filter threshold (every corpus-cleaning paper
+    * publishes exactly this sweep before picking its keep-rate).
+    *
+    * One pass over the scored frame: each row explodes into the T
+    * candidate thresholds (T is tiny — no broadcast join, no
+    * per-threshold rescan), counts fold as integers (order-free), and
+    * the ratios are single fixed divisions — so the whole sweep
+    * hash-gates against SQL (q140). Zero-denominator cells are NULL
+    * (no NaN; engines disagree on NaN hashing).
+    *
+    * `labelCol` must be BOOLEAN (true = positive), `scoreCol` numeric;
+    * a row is predicted positive at threshold t when `score >= t`.
+    */
+  def prCurve(scored: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val t = col("threshold")
+    val pos = col(labelCol)
+    val pred = col(scoreCol) >= t
+    val counts = scored
+      .select(col(scoreCol), pos,
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy(t)
+      .agg(
+        sum(when(pred && pos, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && !pos, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pred && pos, 1L).otherwise(0L)).as("fn"))
+    val p = col("tp").cast("double") /
+      (col("tp") + col("fp")).cast("double")
+    val r = col("tp").cast("double") /
+      (col("tp") + col("fn")).cast("double")
+    counts
+      .withColumn("p_raw", when(col("tp") + col("fp") === 0L, lit(null)
+        .cast("double")).otherwise(p))
+      .withColumn("r_raw", when(col("tp") + col("fn") === 0L, lit(null)
+        .cast("double")).otherwise(r))
+      .select(t, col("tp"), col("fp"), col("fn"),
+        round(col("p_raw"), 6).as("precision"),
+        round(col("r_raw"), 6).as("recall"),
+        round(when(col("p_raw") + col("r_raw") === 0.0,
+            lit(null).cast("double"))
+          .otherwise(lit(2.0) * col("p_raw") * col("r_raw") /
+            (col("p_raw") + col("r_raw"))), 6).as("f1"))
+  }
 }

@@ -132,4 +132,37 @@ class ClassifierSpec extends SparkSpec {
       assert(kept === Set(1L, 4L))
     } finally query.stop()
   }
+
+  test("prCurve: hand-computed counts and ratios; zero-denominator " +
+    "cells are NULL, never NaN") {
+    val scored = Seq(
+      (1L, 0.9, true), (2L, 0.8, false), (3L, 0.6, true),
+      (4L, 0.4, true), (5L, 0.2, false))
+      .toDF("doc_id", "score", "label")
+    val rows = Classifier.prCurve(scored, "score", "label",
+      Seq(0.5, 0.95)).collect()
+      .map(r => r.getDouble(0) -> r).toMap
+    val at05 = rows(0.5)
+    assert((at05.getLong(1), at05.getLong(2), at05.getLong(3))
+      == ((2L, 1L, 1L)))
+    assert(at05.getDouble(4) == 0.666667) // precision, rounded
+    assert(at05.getDouble(5) == 0.666667) // recall
+    assert(at05.getDouble(6) == 0.666667) // f1 (p == r)
+    val at95 = rows(0.95)
+    assert((at95.getLong(1), at95.getLong(2), at95.getLong(3))
+      == ((0L, 0L, 3L)))
+    assert(at95.isNullAt(4)) // no predicted positives: precision NULL
+    assert(at95.getDouble(5) == 0.0)
+    assert(at95.isNullAt(6)) // f1 NULL via precision
+  }
+
+  test("prCurve: no actual positives makes recall NULL") {
+    val scored = Seq((1L, 0.9, false), (2L, 0.1, false))
+      .toDF("doc_id", "score", "label")
+    val r = Classifier.prCurve(scored, "score", "label", Seq(0.5))
+      .first()
+    assert(r.getDouble(4) == 0.0) // precision: 0 tp / 1 predicted
+    assert(r.isNullAt(5))
+    assert(r.isNullAt(6))
+  }
 }

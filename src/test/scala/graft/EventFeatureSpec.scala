@@ -466,4 +466,41 @@ class EventFeatureSpec extends SparkSpec {
     // z = 1·1 + 1·2 + 1·4 + 0·8 + 0·16 + 1·32 = 39
     assert(z == Seq(39L, 0L, (1L << 20) - 1))
   }
+
+  test("touchAttribution: first/last picks, lookback cutoff, organic " +
+    "NULLs, post-conversion touches ignored") {
+    val evs = Seq(
+      // user 1: view -> click -> purchase (both inside the 1h window)
+      (10L, ts("2024-01-02 10:15:00"), 1L, "view", 0.0, "{}"),
+      (11L, ts("2024-01-02 10:30:00"), 1L, "click", 0.0, "{}"),
+      (12L, ts("2024-01-02 11:00:00"), 1L, "purchase", 9.0, "{}"),
+      // user 2: ancient view outside 1h lookback, recent click inside
+      (20L, ts("2024-01-02 06:00:00"), 2L, "view", 0.0, "{}"),
+      (21L, ts("2024-01-02 10:50:00"), 2L, "click", 0.0, "{}"),
+      (22L, ts("2024-01-02 11:00:00"), 2L, "purchase", 9.0, "{}"),
+      // user 3: organic purchase (touch only AFTER the conversion)
+      (30L, ts("2024-01-02 11:00:00"), 3L, "purchase", 9.0, "{}"),
+      (31L, ts("2024-01-02 12:00:00"), 3L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.touchAttribution(evs, Seq("view", "click"),
+      "purchase", lookbackSec = 3600L, binWidthSec = 3600L)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(2)), Option(r.getString(3)))).toMap
+    assert(got(12L) == (Some("view"), Some("click")), got)
+    assert(got(21L + 1L) == (Some("click"), Some("click")), got)
+    assert(got(30L) == (None, None), got)
+  }
+
+  test("touchAttribution: same-timestamp touches break ties by " +
+    "event_id; touch AT the conversion instant counts") {
+    val evs = Seq(
+      (1L, ts("2024-01-03 10:00:00"), 5L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-03 10:00:00"), 5L, "view", 0.0, "{}"),
+      (3L, ts("2024-01-03 10:30:00"), 5L, "purchase", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.touchAttribution(evs, Seq("view", "click"),
+      "purchase", lookbackSec = 7200L).first()
+    assert(r.getString(2) == "click") // event_id 1 wins first-touch
+    assert(r.getString(3) == "view")  // event_id 2 wins last-touch
+  }
 }
