@@ -2841,6 +2841,80 @@ object OracleSql {
          |JOIN est4 ON nodes.id = est4.id""".stripMargin
     },
 
+    // robots.txt evaluation: the full Robots.parseRules + evaluate
+    // chain — zipped unnest for line positions, the same (?i) line
+    // regex, lag+running-sum group ids, exact-agent override,
+    // longest-prefix arg_max on the identical padded key
+    "q141_robots" ->
+      """WITH robots AS (SELECT * FROM (VALUES
+        |  ('a.example.com', 'User-agent: *' || chr(10) ||
+        |    'Disallow: /private/' || chr(10) || 'Allow: /private/ok'
+        |    || chr(10) || '# comment' || chr(10) || 'Disallow: /tmp/'),
+        |  ('b.example.com', 'User-agent: graftbot' || chr(10) ||
+        |    'Disallow: /' || chr(10) || 'User-agent: *' || chr(10) ||
+        |    'Disallow: /blocked/'),
+        |  ('c.example.com', 'User-agent: otherbot' || chr(10) ||
+        |    'Disallow: /')) AS v(host, body)),
+        |lines0 AS (SELECT host,
+        |  unnest(string_split(body, chr(10))) AS line,
+        |  unnest(generate_series(1,
+        |    len(string_split(body, chr(10))))) AS pos FROM robots),
+        |cls AS (SELECT host, pos,
+        |  lower(regexp_extract(regexp_replace(line, '#.*$', '', 'g'),
+        |    '(?i)^[ \t]*(user-agent|disallow|allow)[ \t]*:[ \t]*(.*)$',
+        |    1)) AS kind,
+        |  trim(regexp_extract(regexp_replace(line, '#.*$', '', 'g'),
+        |    '(?i)^[ \t]*(user-agent|disallow|allow)[ \t]*:[ \t]*(.*)$',
+        |    2)) AS value
+        |  FROM lines0),
+        |k AS (SELECT * FROM cls WHERE kind <> ''),
+        |g AS (SELECT host, pos, kind, value,
+        |  kind = 'user-agent' AS is_agent,
+        |  (kind = 'user-agent') AND NOT coalesce(
+        |    lag(kind = 'user-agent') OVER
+        |      (PARTITION BY host ORDER BY pos), false) AS starts_group
+        |  FROM k),
+        |g2 AS (SELECT *, sum(CASE WHEN starts_group THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY host ORDER BY pos) AS grp FROM g),
+        |agents AS (SELECT host, grp, value AS agent FROM g2
+        |  WHERE is_agent),
+        |rules AS (SELECT host, grp, kind = 'allow' AS allow,
+        |    value AS path FROM g2
+        |  WHERE kind IN ('allow', 'disallow') AND value <> ''),
+        |prules AS (SELECT host, agent, allow, path
+        |  FROM agents JOIN rules USING (host, grp)),
+        |hs AS (SELECT host, max(lower(agent) = 'graftbot')
+        |    AS has_specific FROM prules GROUP BY host),
+        |app AS (SELECT DISTINCT p.host, allow, path
+        |  FROM prules p JOIN hs USING (host)
+        |  WHERE lower(agent) = 'graftbot'
+        |    OR (NOT has_specific AND agent = '*')),
+        |urls AS (SELECT DISTINCT 'https://' ||
+        |  ['a.example.com', 'b.example.com', 'c.example.com']
+        |    [(doc_id % 3 + 1)] || '/' ||
+        |  ['private/x', 'private/ok/y', 'tmp/z', 'blocked/w', 'pub/p']
+        |    [(doc_id % 5 + 1)] AS url FROM documents),
+        |u AS (SELECT url,
+        |  lower(regexp_extract(url,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1))
+        |    AS host,
+        |  CASE WHEN p0 = '' OR starts_with(p0, '#') THEN '/'
+        |    ELSE regexp_replace(p0, '#.*$', '', 'g') END AS _path
+        |  FROM (SELECT url, regexp_replace(url,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '', 'g') AS p0
+        |    FROM urls)),
+        |m AS (SELECT url, arg_max(allow, _k) AS _verdict,
+        |    arg_max(path, _k) AS matched_path
+        |  FROM (SELECT u.url, a.allow, a.path,
+        |      lpad(length(a.path)::VARCHAR, 10, '0') ||
+        |      (CASE WHEN a.allow THEN '1' ELSE '0' END) || a.path AS _k
+        |    FROM u JOIN app a ON u.host = a.host
+        |    WHERE starts_with(u._path, a.path))
+        |  GROUP BY url)
+        |SELECT u.url, u.host, coalesce(m._verdict, true) AS allowed,
+        |  m.matched_path
+        |FROM u LEFT JOIN m USING (url)""".stripMargin,
+
     // PR/F1 threshold sweep: explode-per-threshold integer counts,
     // single-division ratios, NULL on zero denominators (NaN hashing
     // differs across engines); "precision" quoted (DuckDB type keyword)

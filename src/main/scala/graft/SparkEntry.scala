@@ -1968,6 +1968,42 @@ object SparkEntry {
       Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
   }
 
+  /** robots.txt evaluation (RFC 9309): three synthetic hosts exercise
+    * group parsing (comments, multi-group bodies), exact-agent
+    * override of `*`, longest-prefix precedence with Allow beating
+    * Disallow on ties, and the no-rules default; URLs synthesized from
+    * doc ids. The parse windows, group arithmetic and the max_by pick
+    * replay verbatim in SQL.
+    */
+  def q141_robots(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nl = "\n"
+    val robots = Seq(
+      ("a.example.com",
+        Seq("User-agent: *", "Disallow: /private/",
+          "Allow: /private/ok", "# comment", "Disallow: /tmp/")
+          .mkString(nl)),
+      ("b.example.com",
+        Seq("User-agent: graftbot", "Disallow: /", "User-agent: *",
+          "Disallow: /blocked/").mkString(nl)),
+      ("c.example.com",
+        Seq("User-agent: otherbot", "Disallow: /").mkString(nl)))
+      .toDF("host", "body")
+    val rules = graft.sources.Robots.parseRules(robots, "host", "body")
+    val hosts = array(lit("a.example.com"), lit("b.example.com"),
+      lit("c.example.com"))
+    val paths = array(lit("private/x"), lit("private/ok/y"),
+      lit("tmp/z"), lit("blocked/w"), lit("pub/p"))
+    val urls = docs(s, dir)
+      .select(concat(lit("https://"),
+        element_at(hosts, (col("doc_id") % 3 + 1).cast("int")),
+        lit("/"),
+        element_at(paths, (col("doc_id") % 5 + 1).cast("int")))
+        .as("url"))
+      .distinct()
+    graft.sources.Robots.evaluate(urls, rules, "graftbot")
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2111,7 +2147,8 @@ object SparkEntry {
     "q137_harmonic_centrality" -> (q137_harmonic_centrality(_, _)),
     "q138_mojibake" -> (q138_mojibake(_, _)),
     "q139_attribution" -> (q139_attribution(_, _)),
-    "q140_pr_curve" -> (q140_pr_curve(_, _)))
+    "q140_pr_curve" -> (q140_pr_curve(_, _)),
+    "q141_robots" -> (q141_robots(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Robots
+
+/** robots.txt parsing + evaluation: REP group semantics, precedence,
+  * agent override, defaults.
+  */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rules(body: String, host: String = "h") =
+    Robots.parseRules(Seq((host, body)).toDF("host", "body"),
+      "host", "body")
+
+  private def verdicts(body: String, agent: String,
+      urls: Seq[String]): Map[String, (Boolean, Option[String])] =
+    Robots.evaluate(urls.toDF("url"), rules(body), agent)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(2), Option(r.getString(3))))).toMap
+
+  test("parse: shared groups, comments, case-insensitivity, empty " +
+    "Disallow dropped") {
+    val body = Seq(
+      "# top comment",
+      "User-Agent: botA",
+      "user-agent: botB",
+      "DISALLOW: /x/   # trailing comment",
+      "Allow: /x/pub",
+      "Disallow:",          // empty = no rule
+      "",
+      "User-agent: *",
+      "Disallow: /y/").mkString("\n")
+    val got = rules(body).collect()
+      .map(r => (r.getString(1), r.getBoolean(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      ("botA", false, "/x/"), ("botA", true, "/x/pub"),
+      ("botB", false, "/x/"), ("botB", true, "/x/pub"),
+      ("*", false, "/y/")), got)
+  }
+
+  test("evaluate: longest prefix wins, Allow beats Disallow on tie, " +
+    "no-match defaults to allowed") {
+    val body = Seq(
+      "User-agent: *",
+      "Disallow: /a/",
+      "Allow: /a/b/",
+      "Disallow: /same/",
+      "Allow: /same/").mkString("\n") // tie: allow wins
+    val got = verdicts(body, "anybot", Seq(
+      "https://h/a/file", "https://h/a/b/file", "https://h/same/x",
+      "https://h/other"))
+    assert(got("https://h/a/file") == ((false, Some("/a/"))))
+    assert(got("https://h/a/b/file") == ((true, Some("/a/b/"))))
+    assert(got("https://h/same/x")._1 == true) // tie resolves to allow
+    assert(got("https://h/other") == ((true, None)))
+  }
+
+  test("evaluate: exact-agent group overrides * entirely") {
+    val body = Seq(
+      "User-agent: graftbot",
+      "Disallow: /only-graft/",
+      "User-agent: *",
+      "Disallow: /").mkString("\n")
+    // graftbot: only its own group applies -> /pub allowed
+    val g = verdicts(body, "GraftBot", // case-insensitive agent match
+      Seq("https://h/pub", "https://h/only-graft/x"))
+    assert(g("https://h/pub")._1 == true)
+    assert(g("https://h/only-graft/x")._1 == false)
+    // an unrelated bot falls to '*': everything blocked
+    val o = verdicts(body, "otherbot", Seq("https://h/pub"))
+    assert(o("https://h/pub")._1 == false)
+  }
+
+  test("urlPath: query kept, fragment stripped, bare host is /") {
+    val cases = Seq(
+      "https://h/a/b?q=1#frag" -> "/a/b?q=1",
+      "https://h" -> "/",
+      "https://h/" -> "/",
+      "https://h#frag" -> "/")
+    val got = cases.map(_._1).toDF("u")
+      .select(Robots.urlPath(col("u"))).collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2), got.mkString("|"))
+  }
+
+  test("evaluate with no rules at all allows everything") {
+    val got = Robots.evaluate(Seq("https://h/x").toDF("url"),
+      rules("# nothing here"), "bot").first()
+    assert(got.getBoolean(2) && got.isNullAt(3))
+  }
+}
