@@ -2841,6 +2841,53 @@ object OracleSql {
          |JOIN est4 ON nodes.id = est4.id""".stripMargin
     },
 
+    // Sitemap round-trip: string_agg ORDER BY = Spark's byte-ordered
+    // array_sort fold; identical dotall block regex on both engines
+    "q142_sitemap" ->
+      """WITH e AS (SELECT source,
+        |  '<url><loc>https://ex.com/' || source || '/' || doc_id ||
+        |  '</loc>' ||
+        |  CASE WHEN doc_id % 4 = 0 THEN ''
+        |    ELSE '<lastmod>2024-01-' ||
+        |      lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || '</lastmod>'
+        |  END || '</url>' AS e
+        |  FROM documents),
+        |x AS (SELECT source,
+        |  '<urlset>' || string_agg(e, '' ORDER BY e) || '</urlset>'
+        |    AS xml FROM e GROUP BY source),
+        |b AS (SELECT source, unnest(regexp_extract_all(xml,
+        |  '(?s)<url>(.*?)</url>', 1)) AS blk FROM x)
+        |SELECT source,
+        |  regexp_extract(blk, '<loc>\s*([^<]*?)\s*</loc>', 1) AS loc,
+        |  CASE WHEN regexp_extract(blk,
+        |      '<lastmod>\s*([^<]*?)\s*</lastmod>', 1) = '' THEN NULL
+        |    ELSE regexp_extract(blk,
+        |      '<lastmod>\s*([^<]*?)\s*</lastmod>', 1) END AS lastmod
+        |FROM b
+        |WHERE regexp_extract(blk, '<loc>\s*([^<]*?)\s*</loc>', 1)
+        |  <> ''""".stripMargin,
+
+    // Readability: regexp counts + the standard FK / Flesch fixed
+    // float chains; sentence count floored at 1; zero-word NULLs
+    "q143_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z]+'))::INTEGER AS w,
+        |  greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |    ::INTEGER AS sen,
+        |  len(regexp_extract_all(text, '(?i)[aeiouy]+'))::INTEGER
+        |    AS syl
+        |  FROM documents)
+        |SELECT doc_id, w AS n_words, sen AS n_sentences,
+        |  syl AS n_syllables,
+        |  round(CASE WHEN w = 0 THEN NULL
+        |    ELSE 0.39 * (w::DOUBLE / sen::DOUBLE) +
+        |      11.8 * (syl::DOUBLE / w::DOUBLE) - 15.59 END, 6)
+        |    AS fk_grade,
+        |  round(CASE WHEN w = 0 THEN NULL
+        |    ELSE 206.835 - 1.015 * (w::DOUBLE / sen::DOUBLE) -
+        |      84.6 * (syl::DOUBLE / w::DOUBLE) END, 6) AS flesch_ease
+        |FROM c""".stripMargin,
+
     // robots.txt evaluation: the full Robots.parseRules + evaluate
     // chain — zipped unnest for line positions, the same (?i) line
     // regex, lag+running-sum group ids, exact-agent override,

@@ -2004,6 +2004,37 @@ object SparkEntry {
     graft.sources.Robots.evaluate(urls, rules, "graftbot")
   }
 
+  /** Sitemap round-trip: per-source sitemap XML is BUILT from the doc
+    * table (entry strings sorted byte-wise so the aggregation is
+    * order-fixed), then parsed back with [[Sitemaps.parse]] — loc +
+    * optional lastmod per entry. Both the build and the dotall
+    * non-greedy block parse replay in SQL.
+    */
+  def q142_sitemap(s: SparkSession, dir: String): DataFrame = {
+    val entry = concat(
+      lit("<url><loc>https://ex.com/"), col("source"), lit("/"),
+      col("doc_id"), lit("</loc>"),
+      when(col("doc_id") % 4 === 0, lit(""))
+        .otherwise(concat(lit("<lastmod>2024-01-"),
+          lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+          lit("</lastmod>"))),
+      lit("</url>"))
+    val xml = docs(s, dir).select(col("source"), entry.as("e"))
+      .groupBy("source")
+      .agg(concat(lit("<urlset>"),
+        array_join(array_sort(collect_list(col("e"))), ""),
+        lit("</urlset>")).as("xml"))
+    graft.sources.Sitemaps.parse(xml, "xml")
+  }
+
+  /** Readability report over the real document text: FK grade +
+    * Flesch ease from scan-stage regexp counts and fixed float
+    * chains.
+    */
+  def q143_readability(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id") +: TextOps.readability(col("text")): _*)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2148,7 +2179,9 @@ object SparkEntry {
     "q138_mojibake" -> (q138_mojibake(_, _)),
     "q139_attribution" -> (q139_attribution(_, _)),
     "q140_pr_curve" -> (q140_pr_curve(_, _)),
-    "q141_robots" -> (q141_robots(_, _)))
+    "q141_robots" -> (q141_robots(_, _)),
+    "q142_sitemap" -> (q142_sitemap(_, _)),
+    "q143_readability" -> (q143_readability(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

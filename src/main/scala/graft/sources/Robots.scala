@@ -20,6 +20,47 @@ import org.apache.spark.sql.functions._
   * and `$` wildcards inside rule paths are treated as literal
   * characters; `Crawl-delay`/`Sitemap` lines parse as no-ops.
   */
+/** sitemap.xml parsing — the other half of crawl discovery (robots
+  * points at sitemaps; sitemaps enumerate the URLs worth fetching,
+  * with freshness hints). Pure regexp block extraction: `<url>` blocks
+  * via a dotall non-greedy scan, `<loc>`/`<lastmod>` fields per block
+  * — both Java regex and RE2 execute the identical pattern, so parsing
+  * hash-gates (q142). Nested `<sitemapindex>` files parse with
+  * [[Sitemaps.indexLocs]].
+  */
+object Sitemaps {
+
+  /** One row per `<url>` entry: `(loc, lastmod)`, `lastmod` NULL when
+    * absent. Extra per-URL tags (`changefreq`, `priority`) are ignored
+    * by the block regex and can be pulled the same way when needed.
+    */
+  def parse(sitemaps: DataFrame, xmlCol: String): DataFrame =
+    sitemaps
+      .withColumn("_block",
+        explode(regexp_extract_all(col(xmlCol),
+          lit("(?s)<url>(.*?)</url>"), lit(1))))
+      .withColumn("loc",
+        regexp_extract(col("_block"), "<loc>\\s*([^<]*?)\\s*</loc>", 1))
+      .withColumn("lastmod",
+        when(regexp_extract(col("_block"),
+          "<lastmod>\\s*([^<]*?)\\s*</lastmod>", 1) === "", lit(null))
+          .otherwise(regexp_extract(col("_block"),
+            "<lastmod>\\s*([^<]*?)\\s*</lastmod>", 1)))
+      .filter(col("loc") =!= "")
+      .drop("_block", xmlCol)
+
+  /** Child sitemap locations from a `<sitemapindex>` file. */
+  def indexLocs(index: DataFrame, xmlCol: String): DataFrame =
+    index
+      .withColumn("_block",
+        explode(regexp_extract_all(col(xmlCol),
+          lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1))))
+      .withColumn("child_loc",
+        regexp_extract(col("_block"), "<loc>\\s*([^<]*?)\\s*</loc>", 1))
+      .filter(col("child_loc") =!= "")
+      .drop("_block", xmlCol)
+}
+
 object Robots {
 
   private val lineRe =

@@ -188,6 +188,30 @@ object TextOps {
       ColumnBridge.expression(text)))
   }
 
+  /** Readability statistics — Flesch-Kincaid grade level and Flesch
+    * reading ease, the classic prose-difficulty filters (a corpus
+    * skewed to grade-18 legalese or grade-1 listicles is a data-mix
+    * smell). Words are letter runs, sentences are terminal-punctuation
+    * runs (floored at 1), syllables the standard vowel-group
+    * approximation — all scan-stage regexp counts, and the two scores
+    * are fixed IEEE chains over single divisions, so the whole report
+    * hash-gates (q143). Zero-word rows yield NULL scores.
+    */
+  def readability(text: Column): Seq[Column] = {
+    val w = regexp_count(text, lit("[A-Za-z]+"))
+    val sen = greatest(lit(1), regexp_count(text, lit("[.!?]+")))
+    val syl = regexp_count(text, lit("(?i)[aeiouy]+"))
+    val wps = w.cast("double") / sen.cast("double")
+    val spw = syl.cast("double") / w.cast("double")
+    Seq(w.as("n_words"), sen.as("n_sentences"), syl.as("n_syllables"),
+      round(when(w === 0, lit(null).cast("double"))
+        .otherwise(lit(0.39) * wps + lit(11.8) * spw - lit(15.59)), 6)
+        .as("fk_grade"),
+      round(when(w === 0, lit(null).cast("double"))
+        .otherwise(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw), 6)
+        .as("flesch_ease"))
+  }
+
   /** BPE-ish sub-token split: letter runs, digit runs, and individual
     * punctuation marks each count as one token — the cheap stand-in for a
     * real BPE vocabulary when estimating LLM token budgets. "don't stop,

@@ -90,4 +90,49 @@ class RobotsSpec extends SparkSpec {
       rules("# nothing here"), "bot").first()
     assert(got.getBoolean(2) && got.isNullAt(3))
   }
+
+  test("sitemap parse: loc + optional lastmod, whitespace tolerated, " +
+    "locless blocks dropped") {
+    val xml = """<?xml version="1.0"?><urlset>
+      |<url><loc> https://a/1 </loc><lastmod>2024-01-02</lastmod></url>
+      |<url>
+      |  <loc>https://a/2</loc>
+      |</url>
+      |<url><lastmod>2024-01-03</lastmod></url>
+      |</urlset>""".stripMargin
+    val got = graft.sources.Sitemaps
+      .parse(Seq(Tuple1(xml)).toDF("xml"), "xml")
+      .collect().map(r => (r.getString(0), Option(r.getString(1))))
+      .toSet
+    assert(got == Set(("https://a/1", Some("2024-01-02")),
+      ("https://a/2", None)), got)
+  }
+
+  test("sitemapindex: child locations enumerate") {
+    val xml = "<sitemapindex>" +
+      "<sitemap><loc>https://a/s1.xml</loc></sitemap>" +
+      "<sitemap><loc>https://a/s2.xml</loc></sitemap></sitemapindex>"
+    val got = graft.sources.Sitemaps
+      .indexLocs(Seq(Tuple1(xml)).toDF("xml"), "xml")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("https://a/s1.xml", "https://a/s2.xml"))
+  }
+
+  test("readability: hand-computed FK on a known sentence pair") {
+    import graft.text.TextOps
+    // "The cat sat. It ran away." -> words 6, sentences 2,
+    // vowel groups: e,a,a,i,a,a,ay = 7
+    val r = Seq(Tuple1("The cat sat. It ran away.")).toDF("t")
+      .select(TextOps.readability(col("t")): _*).first()
+    assert(r.getInt(0) == 6 && r.getInt(1) == 2 && r.getInt(2) == 7, r)
+    val wps = 6.0 / 2.0; val spw = 7.0 / 6.0
+    val fk = BigDecimal(0.39 * wps + 11.8 * spw - 15.59)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == fk, r)
+    // empty text: zero words -> NULL scores, sentence floor 1
+    val e = Seq(Tuple1("")).toDF("t")
+      .select(TextOps.readability(col("t")): _*).first()
+    assert(e.getInt(0) == 0 && e.getInt(1) == 1)
+    assert(e.isNullAt(3) && e.isNullAt(4))
+  }
 }
