@@ -2841,6 +2841,112 @@ object OracleSql {
          |JOIN est4 ON nodes.id = est4.id""".stripMargin
     },
 
+    // Hybrid RRF: q78's BM25 pico-score chain + q17's cosine chain for
+    // query vectors 1-3, fused with 1/(60+rank) terms in a fixed
+    // 2-term sum; final re-rank (rrf desc, id)
+    "q145_hybrid_rrf" -> {
+      val dim = 64
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+         |           FROM documents),
+         |ix AS (SELECT doc_id, greatest(len(w), 0) AS dl,
+         |        unnest(w) AS term FROM d),
+         |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+         |       FROM ix GROUP BY doc_id, term),
+         |st AS (SELECT count(*)::BIGINT AS n,
+         |        (sum(dl)::DOUBLE / count(*)::DOUBLE) AS avgdl
+         |       FROM (SELECT doc_id, min(dl) AS dl FROM tf
+         |             GROUP BY doc_id)),
+         |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+         |idf AS (SELECT term,
+         |        round(ln(((n - dfc)::DOUBLE + 0.5) /
+         |          (dfc::DOUBLE + 0.5) + 1.0) * 1000000.0)::BIGINT
+         |          AS idf_micro
+         |       FROM dfq, st),
+         |q AS (SELECT * FROM (VALUES
+         |        (1::BIGINT, 'spark'), (1, 'join'), (1, 'window'),
+         |        (2, 'slow'), (2, 'query'), (2, 'filter'),
+         |        (3, 'customer'), (3, 'order'), (3, 'the'))
+         |        AS v(query_id, term)),
+         |qi AS (SELECT q.query_id, q.term, idf.idf_micro
+         |       FROM q JOIN idf USING (term)),
+         |sc AS (SELECT qi.query_id, tf.doc_id,
+         |        (qi.idf_micro *
+         |         round(((tf.tf::DOUBLE * ${1.2 + 1.0}) /
+         |           (tf.tf::DOUBLE + ${1.2} * (${1.0 - 0.75} +
+         |            ${0.75} * (tf.dl::DOUBLE / st.avgdl))))
+         |           * 1000000.0)::BIGINT) AS s
+         |       FROM tf JOIN qi USING (term), st),
+         |ag AS (SELECT query_id, doc_id, sum(s)::BIGINT AS score_pico
+         |       FROM sc GROUP BY query_id, doc_id),
+         |br AS (SELECT query_id, doc_id, score_pico,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY score_pico DESC, doc_id ASC) AS rn FROM ag),
+         |bm AS (SELECT query_id AS qid, doc_id AS id, rn AS rank
+         |       FROM br WHERE rn <= 10),
+         |qv AS (SELECT vec_id AS qid2, embedding AS qv FROM embeddings
+         |       WHERE vec_id IN (1, 2, 3)),
+         |cvs AS (SELECT vec_id AS cid, embedding AS cv
+         |        FROM embeddings),
+         |cp AS (SELECT qid2, cid,
+         |        round(${duckDot("qv", "cv", dim)} /
+         |          (sqrt(${duckDot("qv", "qv", dim)}) *
+         |           sqrt(${duckDot("cv", "cv", dim)})), 6) AS cos_sim
+         |       FROM qv, cvs WHERE qid2 != cid),
+         |cr AS (SELECT qid2, cid, row_number() OVER (PARTITION BY qid2
+         |        ORDER BY cos_sim DESC, cid) AS rn FROM cp),
+         |cosl AS (SELECT qid2 AS qid, cid AS id, rn AS rank
+         |         FROM cr WHERE rn <= 10),
+         |f AS (SELECT coalesce(bm.qid, cosl.qid) AS qid,
+         |        coalesce(bm.id, cosl.id) AS id,
+         |        round(coalesce(1.0 / (60.0 + bm.rank::DOUBLE), 0.0) +
+         |          coalesce(1.0 / (60.0 + cosl.rank::DOUBLE), 0.0), 6)
+         |          AS rrf
+         |      FROM bm FULL OUTER JOIN cosl
+         |        ON bm.qid = cosl.qid AND bm.id = cosl.id),
+         |fr AS (SELECT qid, id, rrf, row_number() OVER
+         |        (PARTITION BY qid ORDER BY rrf DESC, id) AS rk FROM f)
+         |SELECT qid AS query_id, id AS doc_id, rrf,
+         |  rk::INTEGER AS rank
+         |FROM fr WHERE rk <= 10""".stripMargin
+    },
+
+    // Card/phone PII with Luhn: shared pattern constants; the checksum
+    // replays as a list comprehension over reverse(s)[i] (1-based i
+    // odd = Spark's 0-based even); redaction layers in the q46 order
+    "q144_pii_cards" -> {
+      val url = TextOps.urlPattern
+      val email = TextOps.emailPattern
+      val card = TextOps.cardCandidatePattern
+      val phone = TextOps.phonePattern
+      val strip = "regexp_replace(c, '[ -]', '', 'g')"
+      s"""WITH r AS (SELECT doc_id,
+         |  CASE doc_id % 5
+         |    WHEN 0 THEN 'pay 4539578763621486 now'
+         |    WHEN 1 THEN 'pay 4539-5787-6362-1487 now'
+         |    WHEN 2 THEN 'amex 3782 822463 10005 ok'
+         |    WHEN 3 THEN 'call (555) 123-4567 or 555-987-6543'
+         |    ELSE source END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '$card'))::INTEGER AS n_cards,
+         |  len(list_filter(regexp_extract_all(t, '$card'),
+         |    c -> regexp_matches($strip, '^[0-9]{13,19}$$')
+         |      AND list_sum([
+         |        CASE WHEN i % 2 = 1 THEN reverse($strip)[i]::INT
+         |          ELSE CASE WHEN reverse($strip)[i]::INT * 2 > 9
+         |            THEN reverse($strip)[i]::INT * 2 - 9
+         |            ELSE reverse($strip)[i]::INT * 2 END
+         |        END
+         |        for i in generate_series(1, length($strip))]) % 10 = 0
+         |    ))::INTEGER AS n_luhn_valid,
+         |  len(regexp_extract_all(t, '$phone'))::INTEGER AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    t, '$url', '<URL>', 'g'), '$email', '<EMAIL>', 'g'),
+         |    '$card', '<CARD>', 'g'), '$phone', '<PHONE>', 'g')
+         |    AS redacted
+         |FROM r""".stripMargin
+    },
+
     // Sitemap round-trip: string_agg ORDER BY = Spark's byte-ordered
     // array_sort fold; identical dotall block regex on both engines
     "q142_sitemap" ->

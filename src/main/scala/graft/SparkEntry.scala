@@ -2035,6 +2035,63 @@ object SparkEntry {
     docs(s, dir).select(
       col("doc_id") +: TextOps.readability(col("text")): _*)
 
+  /** Card/phone PII tier with Luhn validation: planted valid and
+    * checksum-broken card numbers (plain + dash-formatted) and NA
+    * phone spellings; candidate counts, Luhn-valid counts (the false-
+    * positive cut) and the conservative redaction all replay in SQL —
+    * the checksum as a DuckDB list comprehension mirroring Spark's
+    * indexed transform fold.
+    */
+  def q144_pii_cards(s: SparkSession, dir: String): DataFrame = {
+    val t = when(col("doc_id") % 5 === 0,
+        lit("pay 4539578763621486 now"))          // Luhn-valid
+      .when(col("doc_id") % 5 === 1,
+        lit("pay 4539-5787-6362-1487 now"))       // checksum broken
+      .when(col("doc_id") % 5 === 2,
+        lit("amex 3782 822463 10005 ok"))         // valid, spaced
+      .when(col("doc_id") % 5 === 3,
+        lit("call (555) 123-4567 or 555-987-6543"))
+      .otherwise(col("source"))
+    val cands = regexp_extract_all(col("t"),
+      lit(TextOps.cardCandidatePattern), lit(0))
+    docs(s, dir)
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        size(cands).as("n_cards"),
+        size(filter(cands, c =>
+          TextOps.luhnValid(regexp_replace(c, "[ -]", ""))))
+          .as("n_luhn_valid"),
+        size(regexp_extract_all(col("t"), lit(TextOps.phonePattern),
+          lit(0))).as("n_phones"),
+        TextOps.redactPiiExtended(col("t")).as("redacted"))
+  }
+
+  /** Hybrid retrieval: BM25 (q78's three term queries) fused with
+    * dense cosine (query vectors = the matching embedding ids) by
+    * reciprocal-rank fusion. Both input rankings already hash-gate on
+    * their own; RRF adds two single divisions and a fixed 2-term sum,
+    * so the fused ranking replays end-to-end.
+    */
+  def q145_hybrid_rrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      (1L, "spark"), (1L, "join"), (1L, "window"),
+      (2L, "slow"), (2L, "query"), (2L, "filter"),
+      (3L, "customer"), (3L, "order"), (3L, "the"))
+      .toDF("query_id", "term")
+    val bm = graft.text.Bm25.search(docs(s, dir), "text", "doc_id",
+      queries, "query_id", k = 10)
+      .select(col("query_id").as("qid"), col("doc_id").as("id"),
+        col("rank"))
+    val cos = SimSearch.bruteForceTopK(t(s, dir, "embeddings"),
+      "vec_id", "embedding", col("vec_id").isin(1L, 2L, 3L), k = 10)
+      .select(col("qid"), col("neighbor").as("id"),
+        (col("rank") + 1).as("rank")) // 0-based -> 1-based
+    SimSearch.rrfFuse(Seq(bm, cos), k = 10)
+      .select(col("qid").as("query_id"), col("id").as("doc_id"),
+        col("rrf"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2181,7 +2238,9 @@ object SparkEntry {
     "q140_pr_curve" -> (q140_pr_curve(_, _)),
     "q141_robots" -> (q141_robots(_, _)),
     "q142_sitemap" -> (q142_sitemap(_, _)),
-    "q143_readability" -> (q143_readability(_, _)))
+    "q143_readability" -> (q143_readability(_, _)),
+    "q144_pii_cards" -> (q144_pii_cards(_, _)),
+    "q145_hybrid_rrf" -> (q145_hybrid_rrf(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

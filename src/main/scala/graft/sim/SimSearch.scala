@@ -1290,4 +1290,39 @@ object SimSearch {
         .select(col("id").as(idCol)),
       Seq(idCol), "left_semi")
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way
+    * to merge a lexical (BM25) and a dense (cosine) retriever into one
+    * hybrid ranking without score calibration: per candidate,
+    * `Σ_lists 1/(c + rank)`, absent-from-a-list contributing 0. Ranks
+    * are integers and each term is one division, so the fused score is
+    * a FIXED expression chain (built in list order, not a data-
+    * dependent float accumulation) — any list count hash-gates (q145).
+    *
+    * Input lists each carry `(qid, id, rank)` with rank 1-based; the
+    * output is per-query top-k `(qid, id, rrf, rank)`, `rrf` rounded
+    * to 6 before the (rrf desc, id) tie-broken re-rank. Scale shape:
+    * full-outer equi-joins on (qid, id) — candidate lists are top-k
+    * slices, thousands of rows per query at most, never the corpus —
+    * then a qid-partitioned window.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(lists.size >= 2, "rrfFuse needs at least two rank lists")
+    import org.apache.spark.sql.expressions.Window
+    val contribs = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col("qid"), col("id"),
+        (lit(1.0) / (lit(c.toDouble) + col("rank").cast("double")))
+          .as(s"_c$i"))
+    }
+    val joined = contribs.reduce((a, b) =>
+      a.join(b, Seq("qid", "id"), "full_outer"))
+    val score = contribs.indices
+      .map(i => coalesce(col(s"_c$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("rrf").desc, col("id"))
+    joined.select(col("qid"), col("id"), round(score, 6).as("rrf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -1313,4 +1313,45 @@ object TextOps {
     regexp_replace(
       regexp_replace(text, urlPattern, "<URL>"),
       emailPattern, "<EMAIL>")
+
+  /** Payment-card-shaped digit runs: 13-19 digits, single space/dash
+    * separators allowed (the common formatted spellings). Candidates
+    * only — [[luhnValid]] separates real card numbers from arbitrary
+    * digit runs.
+    */
+  val cardCandidatePattern = "[0-9](?:[ -]?[0-9]){12,18}"
+
+  /** North-American phone spellings: `(555) 123-4567` / `555-123-4567`. */
+  val phonePattern = "\\(\\d{3}\\) ?\\d{3}-\\d{4}|\\d{3}-\\d{3}-\\d{4}"
+
+  /** Luhn checksum over a pure-digit string — the checksum every real
+    * payment card satisfies, which cuts the card-candidate false-
+    * positive rate (timestamps, ids) by 10×. 0-based from the RIGHT:
+    * even positions add the digit, odd positions add `2d` (minus 9
+    * past 9). Pure higher-order-function arithmetic (split → indexed
+    * transform → integer fold), replayed in SQL as a DuckDB list
+    * comprehension over `reverse(s)[i]` (q144). Non-digit or empty
+    * input yields false.
+    */
+  def luhnValid(digits: Column): Column = {
+    val ds = reverse(split(digits, ""))
+    val terms = transform(ds, (d, i) => {
+      val v = d.cast("int")
+      when(i % 2 === 0, v)
+        .otherwise(when(v * 2 > 9, v * 2 - 9).otherwise(v * 2))
+    })
+    (digits.rlike("^[0-9]{13,19}$")) &&
+      aggregate(terms, lit(0), (acc, x) => acc + x) % 10 === 0
+  }
+
+  /** [[redactPii]] plus card and phone tiers: `<CARD>` for every
+    * card-shaped run (conservative — redaction must not depend on the
+    * checksum; a mistyped card is still PII), `<PHONE>` for NA phone
+    * spellings. Detection-side reporting pairs this with [[luhnValid]]
+    * counts (q144).
+    */
+  def redactPiiExtended(text: Column): Column =
+    regexp_replace(
+      regexp_replace(redactPii(text), cardCandidatePattern, "<CARD>"),
+      phonePattern, "<PHONE>")
 }

@@ -226,8 +226,10 @@ class PlanGateSpec extends SparkSpec {
       "q127_bitext_mine",    // target corpus × broadcast source slice
       "q133_pagerank",       // node/edge synth + per-iteration teleport
                              // term × broadcast 1-row node count
-      "q137_harmonic_centrality") // same synth-graph 1-row node-count
+      "q137_harmonic_centrality", // same synth-graph 1-row node-count
                                   // broadcast (sketch rounds are equi)
+      "q145_hybrid_rrf")     // its dense side is q17's corpus ×
+                             // broadcast query rows (non-equi !=)
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is
