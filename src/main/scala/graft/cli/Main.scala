@@ -56,6 +56,9 @@ import graft.schema.Vintages
   * graft.cli.Main emb-drift <oldEmb> <newEmb> <groupCol> [dim]   // cross-snapshot mean-vector cosine
   * graft.cli.Main pagerank <edges> <outDir> [iters] [damping]   // link-graph quality prior
   * graft.cli.Main harmonic <edges> <outDir> [rounds] [k]   // HyperBall harmonic centrality
+  * graft.cli.Main fix-encoding <corpus> <outDir> [--jsonl]   // mojibake repair + NFC
+  * graft.cli.Main pii <corpus> <outDir> [--jsonl]   // url/email/card(Luhn)/phone redact
+  * graft.cli.Main robots-filter <urls> <robots> <outDir> [agent]   // politeness filter
   * }}}
   *
   * vintage ∈ {canonical, bdb2018, bdb2026} (Vintages.byName). The
@@ -1017,6 +1020,64 @@ object Main {
           println(f"  ${r.get(0)}%-24s ${r.getDouble(1)}%.4f") }
       done(spark)
 
+    // encoding cleanup: mojibake repair then NFC canonicalization —
+    // the order matters (repair first, then compose)
+    case "fix-encoding" :: corpus :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      val fixed = docs.withColumn("_moji",
+        graft.text.TextOps.mojibakeScore(col("text")))
+        .withColumn("text", graft.text.TextOps.nfcNormalize(
+          graft.text.TextOps.fixMojibake(col("text"))))
+      val nSuspect = fixed.filter(col("_moji") > 0).count()
+      val out = fixed.drop("_moji")
+      if (rest.contains("--jsonl")) Export.jsonl(out, outDir)
+      else out.write.mode("overwrite").parquet(outDir)
+      println(s"[fix-encoding] ${docs.count()} docs, " +
+        s"$nSuspect mojibake-suspect repaired+NFC -> $outDir")
+      done(spark)
+
+    // extended PII pass: urls/emails + card (Luhn-reported) + phone
+    case "pii" :: corpus :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      val cands = regexp_extract_all(col("text"),
+        lit(graft.text.TextOps.cardCandidatePattern), lit(0))
+      val out = docs
+        .withColumn("n_cards", size(cands))
+        .withColumn("n_luhn_valid", size(filter(cands, c =>
+          graft.text.TextOps.luhnValid(regexp_replace(c, "[ -]", "")))))
+        .withColumn("n_phones", size(regexp_extract_all(col("text"),
+          lit(graft.text.TextOps.phonePattern), lit(0))))
+        .withColumn("text",
+          graft.text.TextOps.redactPiiExtended(col("text")))
+      if (rest.contains("--jsonl")) Export.jsonl(out, outDir)
+      else out.write.mode("overwrite").parquet(outDir)
+      val flagged = out.filter(col("n_cards") + col("n_phones") > 0)
+        .count()
+      println(s"[pii] ${docs.count()} docs, $flagged with card/phone " +
+        s"hits -> $outDir")
+      done(spark)
+
+    // robots politeness filter: keep URLs the agent may fetch
+    case "robots-filter" :: urlsPath :: robotsPath :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val agent = rest.find(!_.startsWith("--")).getOrElse("graftbot")
+      val spark = session()
+      val urls = spark.read.parquet(urlsPath)
+      val robots = spark.read.parquet(robotsPath) // (host, body)
+      val rules = graft.sources.Robots.parseRules(robots, "host", "body")
+      val verdicts = graft.sources.Robots.evaluate(
+        urls.select("url").distinct(), rules, agent)
+      val kept = urls.join(verdicts.filter(col("allowed"))
+        .select("url"), Seq("url"), "left_semi")
+      kept.write.mode("overwrite").parquet(outDir)
+      println(s"[robots-filter] agent=$agent ${urls.count()} urls -> " +
+        s"${kept.count()} allowed -> $outDir")
+      done(spark)
+
     // pairwise source-overlap matrix (minhash of each group's shingle
     // union) — which crawls/sources mirror each other
     case "overlap" :: corpus :: outDir :: rest =>
@@ -1213,6 +1274,9 @@ object Main {
           "skew <parquet> <keyCol> [topK] | " +
           "pagerank <edges> <out> [iters] [damping] | " +
           "harmonic <edges> <out> [rounds] [k] | " +
+          "fix-encoding <corpus> <out> [--jsonl] | " +
+          "pii <corpus> <out> [--jsonl] | " +
+          "robots-filter <urls> <robots> <out> [agent] | " +
           "overlap <corpus> <out> [groupCol] [--jsonl] | " +
           "fim <corpus> <out> [seed] [--jsonl] | " +
           "shuffle <corpus> <out> [shards] [seed] [--jsonl] (parquet, shard= partitions) | " +

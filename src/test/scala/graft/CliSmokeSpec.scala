@@ -168,6 +168,39 @@ class CliSmokeSpec extends SparkSpec {
     assert(cents.orderBy(col("centrality").desc).first().getLong(0) == 0L)
   }
 
+  test("fix-encoding, pii and robots-filter run end to end") {
+    val base = tmpDir("cli-crawl")
+    // corpus with one mojibake doc and one card/phone doc
+    val garbled = new String("café".getBytes("UTF-8"),
+      "windows-1252")
+    Seq((1L, s"$garbled menu", "a"),
+      (2L, "pay 4539578763621486 or call 555-123-4567 x", "a"),
+      (3L, "clean prose here", "b"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$base/docs")
+    graft.cli.Main.main(Array("fix-encoding", s"$base/docs",
+      s"$base/fixed"))
+    val fixed = spark.read.parquet(s"$base/fixed")
+      .orderBy("doc_id").collect()
+    assert(fixed(0).getAs[String]("text") == "café menu")
+    graft.cli.Main.main(Array("pii", s"$base/docs", s"$base/pii"))
+    val pii = spark.read.parquet(s"$base/pii").orderBy("doc_id")
+      .collect()
+    assert(pii(1).getAs[Int]("n_luhn_valid") == 1)
+    assert(pii(1).getAs[String]("text").contains("<CARD>"))
+    // robots: block /private on host h
+    Seq(("h", "User-agent: *\nDisallow: /private"))
+      .toDF("host", "body")
+      .write.mode("overwrite").parquet(s"$base/robots")
+    Seq(Tuple1("https://h/private/x"), Tuple1("https://h/pub"))
+      .toDF("url").write.mode("overwrite").parquet(s"$base/urls")
+    graft.cli.Main.main(Array("robots-filter", s"$base/urls",
+      s"$base/robots", s"$base/allowed", "anybot"))
+    val kept = spark.read.parquet(s"$base/allowed")
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("https://h/pub"), kept)
+  }
+
   test("decontaminate / clean / pack / mix / shuffle / gopher / " +
     "phrase / distinct parse their argument shapes") {
     val evalPath = s"${tmpDir("clieval")}/eval"
