@@ -2841,6 +2841,57 @@ object OracleSql {
          |JOIN est4 ON nodes.id = est4.id""".stripMargin
     },
 
+    // Expectations: one-scan CASE sums, NULL rule result = violation
+    "q147_expectations" -> {
+      val rules = Seq(
+        "qty_in_range" -> "l_quantity BETWEEN 1 AND 50",
+        "discount_low" -> "l_discount <= 0.05",
+        "tax_nonneg" -> "l_tax >= 0",
+        "returnflag_enum" -> "l_returnflag IN ('A', 'N', 'R')",
+        "shipdate_not_null" -> "l_shipdate IS NOT NULL",
+        "price_positive" -> "l_extendedprice > 0")
+      val sums = rules.zipWithIndex.map { case ((_, p), i) =>
+        s"sum(CASE WHEN coalesce($p, false) THEN 0 ELSE 1 END)" +
+          s"::BIGINT AS v$i"
+      }.mkString(",\n        |  ")
+      val arms = rules.zipWithIndex.map { case ((n, _), i) =>
+        s"SELECT '$n' AS rule, v$i AS n_violations, n AS n_rows,\n" +
+          s"        |  round(v$i::DOUBLE / n::DOUBLE, 6)" +
+          s" AS violation_rate FROM t"
+      }.mkString("\n        |UNION ALL\n        |")
+      s"""WITH t AS (SELECT count(*)::BIGINT AS n,
+        |  $sums
+        |  FROM lineitem)
+        |$arms""".stripMargin
+    },
+
+    // Label propagation: 3 unrolled synchronous rounds — per-(node,
+    // label) neighbor counts, (cnt desc, label) row_number winner,
+    // no-neighbor carry-through; integer-only
+    "q146_communities" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""c$r AS (SELECT e2.dst AS id, l.label, count(*) AS cnt
+           |  FROM e2 JOIN l${r - 1} l ON e2.src = l.id
+           |  GROUP BY e2.dst, l.label),
+           |p$r AS (SELECT id, label FROM (
+           |    SELECT id, label, row_number() OVER (PARTITION BY id
+           |      ORDER BY cnt DESC, label) AS rn FROM c$r)
+           |  WHERE rn = 1),
+           |l$r AS (SELECT l.id, coalesce(p.label, l.label) AS label
+           |  FROM l${r - 1} l LEFT JOIN p$r p ON l.id = p.id)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH cnt AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |ed AS (SELECT doc_id AS src, (doc_id + k * 10) % n AS dst
+         |       FROM documents CROSS JOIN cnt
+         |       CROSS JOIN (SELECT unnest([1, 2]) AS k)),
+         |e2 AS (SELECT src, dst FROM ed
+         |       UNION ALL SELECT dst AS src, src AS dst FROM ed),
+         |l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+         |$rounds
+         |SELECT id AS doc_id, label AS community FROM l3""".stripMargin
+    },
+
     // Hybrid RRF: q78's BM25 pico-score chain + q17's cosine chain for
     // query vectors 1-3, fused with 1/(60+rank) terms in a fixed
     // 2-term sum; final re-rank (rrf desc, id)

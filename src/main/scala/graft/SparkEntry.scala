@@ -2092,6 +2092,39 @@ object SparkEntry {
         col("rrf"), col("rank"))
   }
 
+  /** Label-propagation communities over a planted-ring graph: each
+    * doc links to the +10 and +20 neighbors mod N, so the graph is 10
+    * disjoint residue-class rings — LPA's labels must stay inside
+    * their ring. 3 synchronous rounds, integer-only, replayed as
+    * unrolled CTEs.
+    */
+  def q146_communities(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nodes = d.select(col("doc_id").as("id"))
+    val n1 = d.agg(count(lit(1)).as("n_nodes"))
+    val edges = d.select(col("doc_id").as("src"))
+      .crossJoin(broadcast(n1))
+      .select(col("src"), explode(sequence(lit(1L), lit(2L))).as("k"),
+        col("n_nodes"))
+      .select(col("src"),
+        ((col("src") + col("k") * 10) % col("n_nodes")).as("dst"))
+    LinkGraph.labelPropagation(nodes, edges, iters = 3)
+      .select(col("id").as("doc_id"), col("label").as("community"))
+  }
+
+  /** Data-contract expectations over lineitem: six named rules (range,
+    * threshold, enum, non-null, positivity) checked in one aggregation
+    * pass; violation counts/rates replay as CASE sums.
+    */
+  def q147_expectations(s: SparkSession, dir: String): DataFrame =
+    Diagnose.expectations(t(s, dir, "lineitem"), Seq(
+      "qty_in_range" -> col("l_quantity").between(1, 50),
+      "discount_low" -> (col("l_discount") <= 0.05),
+      "tax_nonneg" -> (col("l_tax") >= 0),
+      "returnflag_enum" -> col("l_returnflag").isin("A", "N", "R"),
+      "shipdate_not_null" -> col("l_shipdate").isNotNull,
+      "price_positive" -> (col("l_extendedprice") > 0)))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2240,7 +2273,9 @@ object SparkEntry {
     "q142_sitemap" -> (q142_sitemap(_, _)),
     "q143_readability" -> (q143_readability(_, _)),
     "q144_pii_cards" -> (q144_pii_cards(_, _)),
-    "q145_hybrid_rrf" -> (q145_hybrid_rrf(_, _)))
+    "q145_hybrid_rrf" -> (q145_hybrid_rrf(_, _)),
+    "q146_communities" -> (q146_communities(_, _)),
+    "q147_expectations" -> (q147_expectations(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -146,4 +146,29 @@ object Diagnose {
     }.toDF("column", "dtype", "n_rows", "n_nulls", "distinct_est",
       "min", "max", "p50", "p90", "p99")
   }
+
+  /** Data-contract expectations (the dbt-test / Great-Expectations
+    * shape): named boolean rules checked in ONE aggregation pass over
+    * the frame — never a scan per rule — reported as violation counts
+    * and rates. A NULL rule result counts as a VIOLATION (a range
+    * check over a null value is a broken contract, not a pass), which
+    * also makes `is not null` rules redundant-but-harmless to stack
+    * with range rules. Integer counts + one division per rule, so the
+    * report hash-gates (q147).
+    */
+  def expectations(
+      df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one expectation")
+    val aggs = rules.zipWithIndex.map { case ((_, p), i) =>
+      sum(when(coalesce(p, lit(false)), 0L).otherwise(1L)).as(s"_v_$i")
+    } :+ count(lit(1)).as("_n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = rules.zipWithIndex.map { case ((name, _), i) =>
+      row.select(lit(name).as("rule"),
+        col(s"_v_$i").as("n_violations"), col("_n").as("n_rows"))
+    }.reduce(_ union _)
+    stacked.select(col("rule"), col("n_violations"), col("n_rows"),
+      round(col("n_violations").cast("double") /
+        col("n_rows").cast("double"), 6).as("violation_rate"))
+  }
 }

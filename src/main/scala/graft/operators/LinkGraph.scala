@@ -142,6 +142,50 @@ object LinkGraph {
     ranks.select(col("id"), col("rank"))
   }
 
+  /** Community detection by synchronous label propagation (Raghavan
+    * et al. 2007) — the cheap way to find link farms and mirror
+    * clusters in a crawl graph: spam rings are densely intra-linked,
+    * so their nodes converge to one label within a few rounds. Each
+    * round every node adopts the most frequent label among its
+    * neighbors, ties broken by SMALLEST label and no-neighbor nodes
+    * keeping their own — fully integer and deterministic (no RNG, no
+    * float), so fixed-round runs hash-gate (q146).
+    *
+    * Scale shape per round: one equi-join moving labels along edges,
+    * one (node, label) count aggregation, one node-partitioned
+    * row_number to pick the winner, one join back — all equi, state
+    * is one label per node. `undirected=true` (default) mirrors each
+    * edge so communities ignore link direction.
+    */
+  def labelPropagation(
+      nodes: DataFrame,
+      edges: DataFrame,
+      iters: Int,
+      undirected: Boolean = true): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e2 =
+      if (undirected)
+        edges.select("src", "dst").union(
+          edges.select(col("dst").as("src"), col("src").as("dst")))
+      else edges.select("src", "dst")
+    val w = Window.partitionBy("id").orderBy(col("cnt").desc, col("label"))
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      val counts = e2
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val pick = counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("label").as("new_label"))
+      labels = labels.join(pick, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("new_label"), col("label")).as("label"))
+    }
+    labels
+  }
+
   /** Harmonic centrality, approximated HyperBall-style (Boldi &
     * Vigna, "In-Core Computation of Geometric Centralities with
     * HyperBall", 2013) with k-min-hash registers in place of

@@ -424,4 +424,20 @@ class IngestPoolSpec extends SparkSpec {
     assert(pd("a.b").getAs[Long]("distinct_est") == 2L)
     assert(pd("a.b").getAs[String]("min") == "1")
   }
+
+  test("expectations: one-pass violation counts; NULL rule results " +
+    "count as violations") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(1L), "A"), (Option(60L), "N"),
+      (None: Option[Long], "R"), (Option(5L), "X"))
+      .toDF("qty", "flag")
+    val got = graft.operators.Diagnose.expectations(df, Seq(
+      "qty_in_range" -> col("qty").between(1, 50), // 60 fails, null fails
+      "flag_enum" -> col("flag").isin("A", "N", "R"))) // X fails
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("qty_in_range") == ((2L, 4L, 0.5)), got)
+    assert(got("flag_enum") == ((1L, 4L, 0.25)), got)
+  }
 }

@@ -136,6 +136,29 @@ class LinkGraphSpec extends SparkSpec {
     }
   }
 
+  test("label propagation: two disjoint triangles collapse to their " +
+    "min labels and never mix") {
+    val nodes = (0L until 6).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 4L), (4L, 5L), (5L, 3L)).toDF("src", "dst")
+    val got = LinkGraph.labelPropagation(nodes, edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(0L, 1L, 2L).map(got) == Set(0L), got)
+    assert(Set(3L, 4L, 5L).map(got) == Set(3L), got)
+  }
+
+  test("label propagation: isolated node keeps its own label; " +
+    "tie breaks to the smaller label") {
+    val nodes = (0L until 4).toDF("id")
+    // node 2 hears labels {0, 1} once each -> tie -> 0
+    val edges = Seq((0L, 2L), (1L, 2L)).toDF("src", "dst")
+    val got = LinkGraph.labelPropagation(nodes, edges, iters = 1,
+      undirected = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) == 0L, got)
+    assert(got(3L) == 3L, got) // no neighbors: self carry-through
+  }
+
   test("checkpointEvery truncates lineage without changing ranks") {
     val nodes = (0L until 12).toDF("id")
     val edges = (0L until 12).map(s => (s, (s * 7 + 1) % 12))
