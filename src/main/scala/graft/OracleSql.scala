@@ -2841,6 +2841,41 @@ object OracleSql {
          |JOIN est4 ON nodes.id = est4.id""".stripMargin
     },
 
+    // Winsorized stats: q36's quantile_cont thresholds (rounded 6),
+    // clip, micro-snap, integer sums, two fixed divisions
+    "q148_winsorized" ->
+      """WITH q AS (SELECT event_type,
+        |  round(quantile_cont(value, 0.1), 6) AS lo,
+        |  round(quantile_cont(value, 0.9), 6) AS hi
+        |  FROM events GROUP BY event_type),
+        |c AS (SELECT e.event_type, value, lo, hi,
+        |  CASE WHEN value < lo THEN lo WHEN value > hi THEN hi
+        |    ELSE value END AS cl
+        |  FROM events e JOIN q USING (event_type))
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_clipped_lo,
+        |  sum(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_clipped_hi,
+        |  sum(round(cl * 1e6)::BIGINT)::BIGINT AS win_sum_micro,
+        |  round(sum(round(cl * 1e6)::BIGINT)::DOUBLE /
+        |    count(*)::DOUBLE / 1e6, 6) AS win_mean
+        |FROM c GROUP BY event_type""".stripMargin,
+
+    // Interval overlap: the bins keep each pair exactly once, so the
+    // oracle is the plain keyed conditional join
+    "q149_interval_overlap" ->
+      """WITH l AS (SELECT doc_id % 7 AS grp, doc_id AS l_id,
+        |  doc_id * 10 AS l_lo, doc_id * 10 + 25 AS l_hi
+        |  FROM documents),
+        |r AS (SELECT doc_id % 7 AS grp, doc_id AS r_id,
+        |  doc_id * 9 AS r_lo, doc_id * 9 + 30 AS r_hi
+        |  FROM documents)
+        |SELECT l.grp, l_id, r_id,
+        |  least(l_hi, r_hi) - greatest(l_lo, r_lo) AS overlap
+        |FROM l JOIN r ON l.grp = r.grp
+        |WHERE l_lo <= r_hi AND r_lo <= l_hi""".stripMargin,
+
     // Expectations: one-scan CASE sums, NULL rule result = violation
     "q147_expectations" -> {
       val rules = Seq(

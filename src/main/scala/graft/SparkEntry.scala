@@ -2125,6 +2125,35 @@ object SparkEntry {
       "shipdate_not_null" -> col("l_shipdate").isNotNull,
       "price_positive" -> (col("l_extendedprice") > 0)))
 
+  /** Winsorized value statistics per event type: exact p10/p90 clip
+    * thresholds (q36 discipline), micro-snapped order-free sums, two
+    * fixed divisions for the mean.
+    */
+  def q148_winsorized(s: SparkSession, dir: String): DataFrame =
+    Relational.winsorizedStats(t(s, dir, "events"), Seq("event_type"),
+      "value", pLo = 0.1, pHi = 0.9)
+
+  /** Interval-overlap join over synthetic per-doc intervals (left
+    * spans of 25 on a ×10 grid, right spans of 30 on a ×9 grid, keyed
+    * mod 7): bin-bucketed equi pairing with the overlap-start dedupe,
+    * integer overlap lengths. The bins change nothing about the
+    * matched set, so the oracle is the plain conditional join.
+    */
+  def q149_interval_overlap(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val left = d.select((col("doc_id") % 7).as("grp"),
+      col("doc_id").as("l_id"), (col("doc_id") * 10).as("l_lo"),
+      (col("doc_id") * 10 + 25).as("l_hi"))
+    val right = d.select((col("doc_id") % 7).as("grp"),
+      col("doc_id").as("r_id"), (col("doc_id") * 9).as("r_lo"),
+      (col("doc_id") * 9 + 30).as("r_hi"))
+    Relational.intervalOverlapJoin(left, right, Seq("grp"),
+      "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 64L)
+      .select(col("grp"), col("l_id"), col("r_id"),
+        (least(col("l_hi"), col("r_hi")) -
+          greatest(col("l_lo"), col("r_lo"))).as("overlap"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2275,7 +2304,9 @@ object SparkEntry {
     "q144_pii_cards" -> (q144_pii_cards(_, _)),
     "q145_hybrid_rrf" -> (q145_hybrid_rrf(_, _)),
     "q146_communities" -> (q146_communities(_, _)),
-    "q147_expectations" -> (q147_expectations(_, _)))
+    "q147_expectations" -> (q147_expectations(_, _)),
+    "q148_winsorized" -> (q148_winsorized(_, _)),
+    "q149_interval_overlap" -> (q149_interval_overlap(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1095,6 +1095,62 @@ object Relational {
       .drop("_bin")
   }
 
+  /** Interval-overlap join (two interval sets, e.g. sessions ×
+    * campaign windows): both sides explode to fixed-width bins, pairs
+    * meet on an EQUI (keys, bin) join, the overlap predicate filters,
+    * and the "overlap starts in this bin" condition keeps each
+    * overlapping pair EXACTLY once — no distinct pass, no theta nested
+    * loop. Fan-out per row = interval span / binWidth; size binWidth
+    * near the typical interval length.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      loL: String, hiL: String, loR: String, hiR: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val lb = left.withColumn("_bin", explode(sequence(
+      floor(col(loL).cast("long") / binWidth),
+      floor(col(hiL).cast("long") / binWidth))))
+    val rb = right.withColumn("_bin", explode(sequence(
+      floor(col(loR).cast("long") / binWidth),
+      floor(col(hiR).cast("long") / binWidth))))
+    lb.join(rb, keys :+ "_bin")
+      .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL))
+      .filter(col("_bin") === floor(
+        greatest(col(loL), col(loR)).cast("long") / binWidth))
+      .drop("_bin")
+  }
+
+  /** Winsorized group statistics: values clipped at the exact
+    * [pLo, pHi] group percentiles (rounded to 6 like q36, so the clip
+    * thresholds replay), then micro-snapped to integers BEFORE
+    * summing — the sum is order-free exact arithmetic and the
+    * winsorized mean is two fixed divisions, so the whole robust-stats
+    * report hash-gates (q148). The percentile pass and the clip pass
+    * are two scans; the group-threshold table joining back is
+    * group-cardinality-sized (broadcastable).
+    */
+  def winsorizedStats(
+      df: DataFrame, keys: Seq[String], valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo < pHi, "pLo must be < pHi")
+    val qs = groupPercentiles(df, keys, valueCol,
+      Seq("lo" -> pLo, "hi" -> pHi))
+    val v = col(valueCol)
+    val clip = when(v < col("lo"), col("lo"))
+      .when(v > col("hi"), col("hi")).otherwise(v)
+    df.join(broadcast(qs), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(v < col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(v > col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        sum(round(clip * lit(1e6)).cast("long")).as("win_sum_micro"))
+      .select(keys.map(col) ++ Seq(col("n"), col("n_clipped_lo"),
+        col("n_clipped_hi"), col("win_sum_micro"),
+        round(col("win_sum_micro").cast("double") /
+          col("n").cast("double") / lit(1e6), 6).as("win_mean")): _*)
+  }
+
   /** Skew-safe equi-join for a big, key-skewed fact side against a small
     * dimension side: the big side gets a uniform salt (partition-id mod
     * `saltFactor` — any spread works, determinism not required for a

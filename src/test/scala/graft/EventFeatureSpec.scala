@@ -503,4 +503,39 @@ class EventFeatureSpec extends SparkSpec {
     assert(r.getString(2) == "click") // event_id 1 wins first-touch
     assert(r.getString(3) == "view")  // event_id 2 wins last-touch
   }
+  test("winsorizedStats: hand-computed clip thresholds, counts and " +
+    "micro-exact mean") {
+    import graft.operators.Relational
+    // group g: 1..10 -> p10 = 1.9, p90 = 9.1 (quantile_cont), so 1
+    // clips up and 10 clips down
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("k", "value")
+    val r = Relational.winsorizedStats(df, Seq("k"), "value",
+      0.1, 0.9).first()
+    assert(r.getLong(1) == 10L)              // n
+    assert(r.getLong(2) == 1L && r.getLong(3) == 1L) // clipped lo/hi
+    // sum = 1.9 + 2..9 + 9.1 = 55.0 -> 55_000_000 micro
+    assert(r.getLong(4) == 55000000L, r)
+    assert(r.getDouble(5) == 5.5, r)
+  }
+
+  test("intervalOverlapJoin: bin-spanning pairs appear exactly once; " +
+    "boundary touch counts; disjoint never joins") {
+    import graft.operators.Relational
+    val left = Seq(("k", 1L, 0L, 1000L), ("k", 2L, 50L, 60L))
+      .toDF("grp", "l_id", "l_lo", "l_hi")
+    val right = Seq(("k", 10L, 990L, 2000L), ("k", 11L, 60L, 70L),
+      ("k", 12L, 3000L, 4000L))
+      .toDF("grp", "r_id", "r_lo", "r_hi")
+    val got = Relational.intervalOverlapJoin(left, right, Seq("grp"),
+      "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 16L)
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // interval 1 spans ~63 bins and overlaps right 10 across many
+    // bins -> must appear exactly once
+    assert(got.count(_ == ((1L, 10L))) == 1, got.toSeq)
+    assert(got.contains((1L, 11L)))        // nested overlap
+    assert(got.contains((2L, 11L)))        // touch at 60 counts
+    assert(!got.exists(_._2 == 12L))       // disjoint
+    assert(got.length == 3, got.toSeq)
+  }
 }
