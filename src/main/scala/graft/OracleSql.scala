@@ -2841,6 +2841,41 @@ object OracleSql {
          |JOIN est4 ON nodes.id = est4.id""".stripMargin
     },
 
+    // Crawl frontier: q132's canonical chain (page grid %37) -> min-
+    // keeper dedup -> seen anti-join -> q131's seeded md5 host cap
+    "q150_crawl_frontier" ->
+      """WITH u AS (SELECT doc_id,
+        |'HTTPS://WWW.' || source || '.Example.com/Page/' ||
+        |  (doc_id % 37) ||
+        |CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&id=' || (doc_id % 5)
+        |     WHEN doc_id % 3 = 1
+        |       THEN '?id=' || (doc_id % 5) || '&utm_campaign=y#frag'
+        |     ELSE '/' END AS url
+        |FROM documents),
+        |n AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
+        |'#.*$', '', 'g'),
+        |'([?&])(utm_[a-zA-Z]+|gclid|fbclid|msclkid|ref)=[^&#]*', '\1', 'g'),
+        |'\?&+', '?', 'g'),
+        |'&&+', '&', 'g'),
+        |'[?&]+$', '', 'g'),
+        |'/$', '', 'g') AS ns FROM u),
+        |c AS (SELECT doc_id, lower(regexp_extract(ns, '^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]*)', 1)) ||
+        |regexp_replace(ns, '^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]*)', '', 'g') AS url FROM n),
+        |d AS (SELECT url, min(doc_id) AS keeper_doc_id
+        |      FROM c GROUP BY url),
+        |seen AS (SELECT DISTINCT url FROM c WHERE doc_id % 3 = 0),
+        |fresh AS (SELECT d.url, d.keeper_doc_id FROM d
+        |  LEFT JOIN seen ON d.url = seen.url WHERE seen.url IS NULL),
+        |h AS (SELECT url, keeper_doc_id, lower(regexp_extract(url,
+        |  '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1))
+        |    AS host FROM fresh),
+        |r AS (SELECT url, keeper_doc_id, host,
+        |  (row_number() OVER (PARTITION BY host
+        |     ORDER BY md5(keeper_doc_id::VARCHAR || ':' || '31'),
+        |       keeper_doc_id) - 1)::BIGINT AS rank FROM h)
+        |SELECT url, keeper_doc_id, host, rank FROM r
+        |WHERE rank < 10""".stripMargin,
+
     // Winsorized stats: q36's quantile_cont thresholds (rounded 6),
     // clip, micro-snap, integer sums, two fixed divisions
     "q148_winsorized" ->

@@ -2154,6 +2154,33 @@ object SparkEntry {
           greatest(col("l_lo"), col("r_lo"))).as("overlap"))
   }
 
+  /** Crawl-frontier planning — the composed crawl story (the q57
+    * clean-corpus analog for URLs): canonicalize candidate URLs
+    * (q132's noise), collapse duplicates to a keeper, anti-join the
+    * already-crawled seen set, then apply the per-host politeness cap
+    * (q131's seeded md5 rank). Every stage is an already-gated piece;
+    * the composition replays end-to-end.
+    */
+  def q150_crawl_frontier(s: SparkSession, dir: String): DataFrame = {
+    val noise = when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=x&id="), col("doc_id") % 5))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("?id="), col("doc_id") % 5, lit("&utm_campaign=y#frag")))
+      .otherwise(lit("/"))
+    val raw = docs(s, dir).select(col("doc_id"),
+      TextOps.canonicalUrl(concat(lit("HTTPS://WWW."), col("source"),
+        lit(".Example.com/Page/"), col("doc_id") % 37, noise))
+        .as("url"))
+    val dedup = raw.groupBy("url")
+      .agg(min(col("doc_id")).as("keeper_doc_id"))
+    val seen = raw.filter(col("doc_id") % 3 === 0)
+      .select(col("url")).distinct()
+    val fresh = dedup.join(seen, Seq("url"), "left_anti")
+    Relational.keyCapSample(
+      fresh.withColumn("host", TextOps.urlHost(col("url"))),
+      "host", "keeper_doc_id", cap = 10L, seed = 31L)
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2306,7 +2333,8 @@ object SparkEntry {
     "q146_communities" -> (q146_communities(_, _)),
     "q147_expectations" -> (q147_expectations(_, _)),
     "q148_winsorized" -> (q148_winsorized(_, _)),
-    "q149_interval_overlap" -> (q149_interval_overlap(_, _)))
+    "q149_interval_overlap" -> (q149_interval_overlap(_, _)),
+    "q150_crawl_frontier" -> (q150_crawl_frontier(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
