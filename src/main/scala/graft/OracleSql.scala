@@ -2841,6 +2841,62 @@ object OracleSql {
          |JOIN est4 ON nodes.id = est4.id""".stripMargin
     },
 
+    // Set algebra: INTERSECT/EXCEPT distinct semantics
+    "q151_set_algebra" ->
+      """WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |u AS (SELECT doc_id, 'intersect' AS op FROM
+        |        (SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b)
+        |      UNION ALL
+        |      SELECT doc_id, 'except' AS op FROM
+        |        (SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b))
+        |SELECT op, count(*)::BIGINT AS n, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id
+        |FROM u GROUP BY op""".stripMargin,
+
+    // Window analytics: total (micros, event_id) order per user
+    "q152_window_analytics" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(ts)::BIGINT - lag(epoch_us(ts)::BIGINT) OVER w
+        |    AS gap_us,
+        |  (ntile(4) OVER w)::INTEGER AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch_us(ts)::BIGINT, event_id)""".stripMargin,
+
+    // Unpivot: wide metric row-set back to (metric, value) long form
+    "q153_unpivot" ->
+      """WITH wtab AS (SELECT l_returnflag,
+        |  sum(l_quantity) AS sum_qty, sum(l_tax) AS sum_tax,
+        |  count(*)::DOUBLE AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, round(value, 6) AS value
+        |FROM (UNPIVOT wtab ON sum_qty, sum_tax, n_rows
+        |      INTO NAME metric VALUE value)""".stripMargin,
+
+    // Calendar rollup: Monday-start weeks on both engines
+    "q154_calendar" ->
+      """SELECT date_trunc('week', ts)::DATE AS week_start,
+        |  count(*)::BIGINT AS n_events,
+        |  count(DISTINCT user_id)::BIGINT AS n_users,
+        |  count(DISTINCT ts::DATE)::BIGINT AS n_active_days,
+        |  date_diff('day', min(ts::DATE), max(ts::DATE))::INTEGER
+        |    AS span_days
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // Scalar string functions over the distinct source labels
+    "q155_string_funcs" ->
+      """SELECT DISTINCT source,
+        |  translate(source, 'aeiou', 'AEIOU') AS tr,
+        |  levenshtein(source, 'web')::INTEGER AS lev,
+        |  repeat(substr(source, 1, 2), 3) AS rep,
+        |  reverse(source) AS rev,
+        |  ascii(source)::INTEGER AS asc,
+        |  lpad(source, 10, '.') AS pad
+        |FROM documents""".stripMargin,
+
     // Crawl frontier: q132's canonical chain (page grid %37) -> min-
     // keeper dedup -> seen anti-join -> q131's seeded md5 host cap
     "q150_crawl_frontier" ->

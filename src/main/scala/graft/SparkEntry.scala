@@ -2181,6 +2181,79 @@ object SparkEntry {
       "host", "keeper_doc_id", cap = 10L, seed = 31L)
   }
 
+  /** Relational set algebra: INTERSECT / EXCEPT (distinct semantics)
+    * over two id subsets, summarized per operation.
+    */
+  def q151_set_algebra(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val a = d.filter(col("doc_id") % 2 === 0).select("doc_id")
+    val b = d.filter(col("doc_id") % 3 === 0).select("doc_id")
+    a.intersect(b).withColumn("op", lit("intersect"))
+      .unionByName(a.except(b).withColumn("op", lit("except")))
+      .groupBy("op")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+  }
+
+  /** Core window-analytics surface: per-user event gaps (lag), ntile
+    * quartiles, percent_rank and cume_dist — all over the total
+    * (micros, event_id) order within each user partition (no global
+    * window, no tie ambiguity).
+    */
+  def q152_window_analytics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy("user_id").orderBy(us, col("event_id"))
+    t(s, dir, "events").select(col("event_id"), col("user_id"),
+      (us - lag(us, 1).over(w)).as("gap_us"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pr"),
+      round(cume_dist().over(w), 6).as("cd"))
+  }
+
+  /** Wide→long unpivot of a metric row-set (the reshape inverse of
+    * q31's pivot): per-returnflag sums unpivot into (metric, value)
+    * rows.
+    */
+  def q153_unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_tax")).as("sum_tax"),
+        count(lit(1)).cast("double").as("n_rows"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_tax"), col("n_rows")),
+        "metric", "value")
+      .select(col("l_returnflag"), col("metric"),
+        round(col("value"), 6).as("value"))
+
+  /** Calendar rollup: ISO-week grain (Monday-start on both engines),
+    * distinct active days, day span — the date-function surface.
+    */
+  def q154_calendar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("week", col("ts")).cast("date")
+        .as("week_start"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        count_distinct(to_date(col("ts"))).as("n_active_days"),
+        datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+          .as("span_days"))
+
+  /** Scalar string-function surface: translate, levenshtein, repeat,
+    * left/right, reverse, ascii, lpad — parity across engines on the
+    * distinct source labels.
+    */
+  def q155_string_funcs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("source")).distinct()
+      .select(col("source"),
+        translate(col("source"), "aeiou", "AEIOU").as("tr"),
+        levenshtein(col("source"), lit("web")).as("lev"),
+        repeat(substring(col("source"), 1, 2), 3).as("rep"),
+        reverse(col("source")).as("rev"),
+        ascii(col("source")).as("asc"),
+        lpad(col("source"), 10, ".").as("pad"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2334,7 +2407,12 @@ object SparkEntry {
     "q147_expectations" -> (q147_expectations(_, _)),
     "q148_winsorized" -> (q148_winsorized(_, _)),
     "q149_interval_overlap" -> (q149_interval_overlap(_, _)),
-    "q150_crawl_frontier" -> (q150_crawl_frontier(_, _)))
+    "q150_crawl_frontier" -> (q150_crawl_frontier(_, _)),
+    "q151_set_algebra" -> (q151_set_algebra(_, _)),
+    "q152_window_analytics" -> (q152_window_analytics(_, _)),
+    "q153_unpivot" -> (q153_unpivot(_, _)),
+    "q154_calendar" -> (q154_calendar(_, _)),
+    "q155_string_funcs" -> (q155_string_funcs(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
