@@ -2841,6 +2841,47 @@ object OracleSql {
          |JOIN est4 ON nodes.id = est4.id""".stripMargin
     },
 
+    // Daily resample: per-user generate_series grid, zero fill
+    "q156_resample_daily" ->
+      """WITH daily AS (SELECT user_id, ts::DATE AS day,
+        |  count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY user_id, ts::DATE),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |  unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM span)
+        |SELECT g.user_id, g.day, coalesce(d.n_events, 0)::BIGINT
+        |  AS n_events
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin,
+
+    // EWMA: list_reduce (first-element seed) over the day-ordered
+    // series; the (1-alpha)/alpha constants interpolate from the same
+    // Scala doubles the Spark fold uses
+    "q157_ewma" -> {
+      val alpha = 0.3
+      s"""WITH daily AS (SELECT user_id, ts::DATE AS day,
+         |  count(*)::BIGINT AS n_events
+         |  FROM events GROUP BY user_id, ts::DATE),
+         |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+         |  FROM daily GROUP BY user_id),
+         |grid AS (SELECT user_id,
+         |  unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+         |  FROM span),
+         |rs AS (SELECT g.user_id, g.day,
+         |  coalesce(d.n_events, 0)::DOUBLE AS x
+         |  FROM grid g LEFT JOIN daily d
+         |    ON g.user_id = d.user_id AND g.day = d.day),
+         |arr AS (SELECT user_id, list(x ORDER BY day) AS xs,
+         |  max(day) AS last_day
+         |  FROM rs GROUP BY user_id)
+         |SELECT user_id, len(xs)::INTEGER AS n_days, last_day,
+         |  round(list_reduce(xs,
+         |    (a, b) -> a * ${1.0 - alpha} + b * $alpha), 6) AS ewma
+         |FROM arr""".stripMargin
+    },
+
     // Set algebra: INTERSECT/EXCEPT distinct semantics
     "q151_set_algebra" ->
       """WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),

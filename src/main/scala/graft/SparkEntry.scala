@@ -2254,6 +2254,16 @@ object SparkEntry {
         ascii(col("source")).as("asc"),
         lpad(col("source"), 10, ".").as("pad"))
 
+  /** Gap-filled daily resample per user (zero-filled calendar grid). */
+  def q156_resample_daily(s: SparkSession, dir: String): DataFrame =
+    EventOps.resampleDaily(t(s, dir, "events"))
+
+  /** Per-user EWMA (α=0.3) over the gap-filled daily series — a fixed
+    * day-ordered IEEE fold.
+    */
+  def q157_ewma(s: SparkSession, dir: String): DataFrame =
+    EventOps.ewmaDaily(t(s, dir, "events"), alpha = 0.3)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2412,7 +2422,9 @@ object SparkEntry {
     "q152_window_analytics" -> (q152_window_analytics(_, _)),
     "q153_unpivot" -> (q153_unpivot(_, _)),
     "q154_calendar" -> (q154_calendar(_, _)),
-    "q155_string_funcs" -> (q155_string_funcs(_, _)))
+    "q155_string_funcs" -> (q155_string_funcs(_, _)),
+    "q156_resample_daily" -> (q156_resample_daily(_, _)),
+    "q157_ewma" -> (q157_ewma(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

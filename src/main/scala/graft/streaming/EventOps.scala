@@ -587,4 +587,54 @@ object EventOps {
     convs.select(col("conv_id"), col("user_id"))
       .join(picks, Seq("conv_id"), "left")
   }
+
+  /** Gap-filled daily resampling: one row per (user, day) across each
+    * user's own active span, zero-filled where no events — the
+    * regularized grid every time-series computation (EWMA, anomaly
+    * windows, retention curves) needs first; without it, silent
+    * missing days bias every moving statistic. `sequence(d0, d1)`
+    * explodes per user (fan-out = span days), so cost is
+    * user-partitioned and bounded by calendar span, not event count.
+    */
+  def resampleDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val grid = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  /** Per-user EWMA of daily event counts over the gap-filled series:
+    * `s_1 = x_1; s_t = s_{t-1}·(1−α) + x_t·α` folded in day order —
+    * a fixed IEEE chain (the q67 discipline), so the smoothed level
+    * hash-gates (q157). Returns one row per user with the final
+    * smoothed level, the span, and the last day — the screening
+    * signal for "activity trending away from its average". The
+    * per-user `collect_list` is bounded by calendar span (days, not
+    * events); per-day running output would use the same fold over
+    * prefixes when needed.
+    */
+  def ewmaDaily(events: DataFrame, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"alpha must be in (0, 1), got $alpha")
+    val rs = resampleDaily(events)
+    val xs = array_sort(collect_list(struct(col("day"),
+      col("n_events").cast("double").as("x"))))
+    rs.groupBy("user_id")
+      .agg(xs.as("xs"))
+      .select(col("user_id"),
+        size(col("xs")).as("n_days"),
+        element_at(col("xs"), -1).getField("day").as("last_day"),
+        round(aggregate(
+          slice(col("xs"), lit(2),
+            greatest(size(col("xs")) - 1, lit(0))),
+          element_at(col("xs"), 1).getField("x"),
+          (acc, e) => acc * lit(1.0 - alpha) +
+            e.getField("x") * lit(alpha)), 6).as("ewma"))
+  }
 }

@@ -538,4 +538,41 @@ class EventFeatureSpec extends SparkSpec {
     assert(!got.exists(_._2 == 12L))       // disjoint
     assert(got.length == 3, got.toSeq)
   }
+  test("resampleDaily: per-user spans gap-fill with zeros and stay " +
+    "independent") {
+    val evs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-04 10:00:00"), 1L, "view", 1.0, "{}"),
+      (4L, ts("2024-02-10 10:00:00"), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.resampleDaily(evs).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) -> r.getLong(2))
+      .toMap
+    assert(got((1L, "2024-01-01")) == 2L)
+    assert(got((1L, "2024-01-02")) == 0L) // gap filled
+    assert(got((1L, "2024-01-03")) == 0L)
+    assert(got((1L, "2024-01-04")) == 1L)
+    assert(got((2L, "2024-02-10")) == 1L)
+    assert(got.size == 5) // user 2's span is its own single day
+  }
+
+  test("ewmaDaily: hand-computed fold over a gappy series") {
+    // user 1 daily counts after gap fill: [2, 0, 0, 1]
+    val evs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-04 10:00:00"), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.ewmaDaily(evs, alpha = 0.3).first()
+    assert(r.getInt(1) == 4)
+    assert(r.getDate(2).toString == "2024-01-04")
+    val expect = {
+      var s = 2.0
+      for (x <- Seq(0.0, 0.0, 1.0)) s = s * 0.7 + x * 0.3
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    assert(r.getDouble(3) == expect, (r.getDouble(3), expect))
+  }
 }
