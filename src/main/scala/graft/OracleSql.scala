@@ -2841,6 +2841,32 @@ object OracleSql {
          |JOIN est4 ON nodes.id = est4.id""".stripMargin
     },
 
+    // Exact-replay corr/regression: integer moment sums, fixed chain,
+    // unrounded slope feeding the intercept
+    "q158_regression" ->
+      """WITH m AS (SELECT event_type,
+        |  hour(ts)::BIGINT AS x, round(value * 1000)::BIGINT AS y
+        |  FROM events),
+        |s AS (SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |  sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+        |  sum(y * y)::BIGINT AS syy
+        |  FROM m GROUP BY event_type),
+        |d AS (SELECT event_type, n,
+        |  n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+        |  n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS denx,
+        |  n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS deny,
+        |  sx::DOUBLE AS sxd, sy::DOUBLE AS syd, n::DOUBLE AS nd
+        |  FROM s)
+        |SELECT event_type, n,
+        |  round(CASE WHEN denx <= 0 OR deny <= 0 THEN NULL
+        |    ELSE num / (sqrt(denx) * sqrt(deny)) END, 6) AS corr,
+        |  round(CASE WHEN denx = 0 THEN NULL
+        |    ELSE num / denx END, 6) AS slope,
+        |  round(CASE WHEN denx = 0 THEN NULL
+        |    ELSE (syd - (num / denx) * sxd) / nd END, 6) AS intercept
+        |FROM d""".stripMargin,
+
     // Daily resample: per-user generate_series grid, zero fill
     "q156_resample_daily" ->
       """WITH daily AS (SELECT user_id, ts::DATE AS day,

@@ -2264,6 +2264,16 @@ object SparkEntry {
   def q157_ewma(s: SparkSession, dir: String): DataFrame =
     EventOps.ewmaDaily(t(s, dir, "events"), alpha = 0.3)
 
+  /** Exact-replay correlation/regression per event type: value
+    * (milli-snapped) against hour-of-day via integer moment sums and
+    * one fixed float chain — the corr/regr_* family without the
+    * built-ins' partition-order float drift.
+    */
+  def q158_regression(s: SparkSession, dir: String): DataFrame =
+    Relational.linearFit(t(s, dir, "events"), Seq("event_type"),
+      hour(col("ts")).cast("long"),
+      round(col("value") * 1000).cast("long"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2424,7 +2434,8 @@ object SparkEntry {
     "q154_calendar" -> (q154_calendar(_, _)),
     "q155_string_funcs" -> (q155_string_funcs(_, _)),
     "q156_resample_daily" -> (q156_resample_daily(_, _)),
-    "q157_ewma" -> (q157_ewma(_, _)))
+    "q157_ewma" -> (q157_ewma(_, _)),
+    "q158_regression" -> (q158_regression(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

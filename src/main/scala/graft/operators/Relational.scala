@@ -1151,6 +1151,47 @@ object Relational {
           col("n").cast("double") / lit(1e6), 6).as("win_mean")): _*)
   }
 
+  /** Per-group Pearson correlation + least-squares line (the
+    * `corr`/`regr_slope`/`regr_intercept` family) computed the
+    * REPLAYABLE way: callers pass INTEGER-valued x/y columns (snap
+    * floats with `round(v*1000).cast("long")` — the milli/micro
+    * discipline), the five moment sums fold as exact order-free
+    * integer aggregates, and the statistics are one fixed IEEE chain
+    * over those sums — so unlike the built-in `corr` (whose internal
+    * float accumulation order is partition-dependent), the report
+    * hash-gates bit-exactly (q158). Precondition: every moment sum
+    * must stay below 2^53 (exact in a double) — n·max(y)² is the
+    * binding term; pick the snap scale accordingly. Zero-variance
+    * groups yield NULLs.
+    */
+  def linearFit(
+      df: DataFrame, keys: Seq[String], x: Column, y: Column)
+      : DataFrame = {
+    val sums = df
+      .select(keys.map(col) :+ x.as("_x") :+ y.as("_y"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x")).as("sx"), sum(col("_y")).as("sy"),
+        sum(col("_x") * col("_y")).as("sxy"),
+        sum(col("_x") * col("_x")).as("sxx"),
+        sum(col("_y") * col("_y")).as("syy"))
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double")
+    val syd = col("sy").cast("double")
+    val num = nd * col("sxy").cast("double") - sxd * syd
+    val denx = nd * col("sxx").cast("double") - sxd * sxd
+    val deny = nd * col("syy").cast("double") - syd * syd
+    val nul = lit(null).cast("double")
+    sums.select(keys.map(col) ++ Seq(col("n"),
+      round(when(denx <= 0.0 || deny <= 0.0, nul)
+        .otherwise(num / (sqrt(denx) * sqrt(deny))), 6).as("corr"),
+      round(when(denx === 0.0, nul).otherwise(num / denx), 6)
+        .as("slope"),
+      round(when(denx === 0.0, nul)
+        .otherwise((syd - (num / denx) * sxd) / nd), 6)
+        .as("intercept")): _*)
+  }
+
   /** Skew-safe equi-join for a big, key-skewed fact side against a small
     * dimension side: the big side gets a uniform salt (partition-id mod
     * `saltFactor` — any spread works, determinism not required for a

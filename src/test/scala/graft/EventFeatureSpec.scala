@@ -575,4 +575,27 @@ class EventFeatureSpec extends SparkSpec {
     }
     assert(r.getDouble(3) == expect, (r.getDouble(3), expect))
   }
+  test("linearFit: perfect line recovers slope/intercept/corr " +
+    "exactly; zero variance yields NULLs; built-in corr agrees") {
+    import graft.operators.Relational
+    val line = (1L to 20L).map(x => ("g", x, 2 * x + 3))
+      .toDF("k", "x", "y")
+    val r = Relational.linearFit(line, Seq("k"), col("x"), col("y"))
+      .first()
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 2.0 &&
+      r.getDouble(4) == 3.0, r)
+    val flat = Seq(("g", 1L, 5L), ("g", 1L, 7L)).toDF("k", "x", "y")
+    val f = Relational.linearFit(flat, Seq("k"), col("x"), col("y"))
+      .first()
+    assert(f.isNullAt(2) && f.isNullAt(3) && f.isNullAt(4), f)
+    // noisy data: match Spark's float-accumulated corr to 1e-6
+    val rnd = new scala.util.Random(7)
+    val noisy = (1L to 500L).map(x =>
+      ("g", x, 3 * x + rnd.nextInt(100).toLong)).toDF("k", "x", "y")
+    val mine = Relational.linearFit(noisy, Seq("k"), col("x"),
+      col("y")).first().getDouble(2)
+    val builtin = noisy.agg(corr(col("x").cast("double"),
+      col("y").cast("double"))).first().getDouble(0)
+    assert(math.abs(mine - builtin) < 1e-6, (mine, builtin))
+  }
 }
