@@ -100,7 +100,9 @@ object LinkGraph {
     val n1 = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     val outdeg = edges.groupBy("src")
       .agg(count(lit(1)).cast("double").as("outdeg"))
-    val e = edges.join(outdeg, "src")
+    // the degree-annotated edge frame feeds EVERY iteration — persist
+    // (lazily) or each round re-reads and re-aggregates the edges
+    val e = edges.join(outdeg, "src").persist()
 
     // rank frame carries n_nodes so the teleport term needs no per-
     // iteration re-broadcast
@@ -109,10 +111,15 @@ object LinkGraph {
         col("n_nodes"))
 
     for (i <- 1 to iters) {
-      val contribs = e
+      val contribs0 = e
         .join(ranks.select(col("id").as("src"), col("rank")), "src")
         .select(col("dst"), col("src"),
           (col("rank") / col("outdeg")).as("c"))
+      // with dangling redistribution the contribution frame feeds TWO
+      // branches (per-dst sums + the global out-mass) — persist or the
+      // whole chain up to this round executes twice per iteration
+      val contribs =
+        if (redistributeDangling) contribs0.persist() else contribs0
       val sums = contribs.groupBy("dst").agg(sumCol.as("s"))
       val base = nodes.crossJoin(broadcast(n1))
         .join(sums, col("id") === col("dst"), "left")
@@ -163,11 +170,12 @@ object LinkGraph {
       iters: Int,
       undirected: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e2 =
+    val e2 = (
       if (undirected)
         edges.select("src", "dst").union(
           edges.select(col("dst").as("src"), col("src").as("dst")))
       else edges.select("src", "dst")
+    ).persist() // consumed once per round — don't re-derive
     val w = Window.partitionBy("id").orderBy(col("cnt").desc, col("label"))
     var labels = nodes.select(col("id"), col("id").as("label"))
     for (_ <- 1 to iters) {
@@ -179,9 +187,13 @@ object LinkGraph {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("id"), col("label").as("new_label"))
+      // each round's labels feed BOTH the neighbor-count join and the
+      // carry-through join — persist, or the branches replay all
+      // prior rounds (same O(R²) trap as the harmonic sketches)
       labels = labels.join(pick, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("new_label"), col("label")).as("label"))
+        .persist()
     }
     labels
   }
@@ -230,9 +242,14 @@ object LinkGraph {
       val moved = edges
         .join(ball.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("h"))
+      // persist every round: the per-round estimate branches AND the
+      // next round both consume this frame — without it Spark replays
+      // all prior rounds inside each branch (no cross-branch plan
+      // dedup), turning R rounds into O(R²) recomputation
       ball = ball.select("id", "h").union(moved).distinct()
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k).drop("rn")
+        .persist()
       ests += ball.groupBy("id")
         .agg(count(lit(1)).as("cnt"), max("h").as("mx"))
         .select(col("id"),
