@@ -2841,6 +2841,42 @@ object OracleSql {
          |JOIN est4 ON nodes.id = est4.id""".stripMargin
     },
 
+    // HTML head metadata: same dotall regexes; attribute-order
+    // fallbacks as CASE chains; charset lowercased
+    "q159_html_meta" ->
+      """WITH r AS (SELECT doc_id, '<html>' ||
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN '<head><TITLE> Doc ' || doc_id ||
+        |      ' </TITLE><meta charset="UTF-8"><meta ' ||
+        |      'name="description" content="first flavor"></head>'
+        |    WHEN 1 THEN '<head><meta content="second flavor" ' ||
+        |      'name="description"><meta http-equiv="Content-Type" ' ||
+        |      'content="text/html; charset=iso-8859-1"><title>t' ||
+        |      (doc_id % 9) || '</title></head>'
+        |    WHEN 2 THEN
+        |      '<head><meta charset=utf-8><title>bare</title></head>'
+        |    ELSE '<head></head>' END || '<body>x</body></html>'
+        |    AS html FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(html,
+        |    '(?is)<title[^>]*>\s*(.*?)\s*</title>', 1) AS title,
+        |  CASE WHEN regexp_extract(html,
+        |      '(?is)<meta\s+name="description"\s+content="([^"]*)"',
+        |      1) <> ''
+        |    THEN regexp_extract(html,
+        |      '(?is)<meta\s+name="description"\s+content="([^"]*)"', 1)
+        |    ELSE regexp_extract(html,
+        |      '(?is)<meta\s+content="([^"]*)"\s+name="description"', 1)
+        |  END AS description,
+        |  lower(CASE WHEN regexp_extract(html,
+        |      '(?is)<meta\s+charset="?([a-zA-Z0-9_-]+)"?', 1) <> ''
+        |    THEN regexp_extract(html,
+        |      '(?is)<meta\s+charset="?([a-zA-Z0-9_-]+)"?', 1)
+        |    ELSE regexp_extract(html,
+        |      '(?is)<meta\s+http-equiv="content-type"[^>]*charset=([a-zA-Z0-9_-]+)',
+        |      1) END) AS charset
+        |FROM r""".stripMargin,
+
     // Exact-replay corr/regression: integer moment sums, fixed chain,
     // unrounded slope feeding the intercept
     "q158_regression" ->

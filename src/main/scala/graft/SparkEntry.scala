@@ -2274,6 +2274,34 @@ object SparkEntry {
       hour(col("ts")).cast("long"),
       round(col("value") * 1000).cast("long"))
 
+  /** HTML head metadata extraction: synthesized pages vary title
+    * placement, meta-attribute order, charset declarations (HTML5 vs
+    * legacy http-equiv vs absent) — title/description/charset come
+    * back via the same dotall regexes in SQL.
+    */
+  def q159_html_meta(s: SparkSession, dir: String): DataFrame = {
+    val head = when(col("doc_id") % 4 === 0,
+        concat(lit("<head><TITLE> Doc "), col("doc_id"),
+          lit(" </TITLE><meta charset=\"UTF-8\"><meta " +
+            "name=\"description\" content=\"first flavor\"></head>")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("<head><meta content=\"second flavor\" " +
+          "name=\"description\"><meta http-equiv=\"Content-Type\" " +
+          "content=\"text/html; charset=iso-8859-1\"><title>t"),
+          col("doc_id") % 9, lit("</title></head>")))
+      .when(col("doc_id") % 4 === 2,
+        lit("<head><meta charset=utf-8><title>bare</title></head>"))
+      .otherwise(lit("<head></head>"))
+    docs(s, dir)
+      .select(col("doc_id"),
+        concat(lit("<html>"), head, lit("<body>x</body></html>"))
+          .as("html"))
+      .select(col("doc_id"),
+        TextOps.htmlTitle(col("html")).as("title"),
+        TextOps.htmlMetaDescription(col("html")).as("description"),
+        TextOps.htmlCharset(col("html")).as("charset"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2435,7 +2463,8 @@ object SparkEntry {
     "q155_string_funcs" -> (q155_string_funcs(_, _)),
     "q156_resample_daily" -> (q156_resample_daily(_, _)),
     "q157_ewma" -> (q157_ewma(_, _)),
-    "q158_regression" -> (q158_regression(_, _)))
+    "q158_regression" -> (q158_regression(_, _)),
+    "q159_html_meta" -> (q159_html_meta(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -212,6 +212,45 @@ object TextOps {
         .as("flesch_ease"))
   }
 
+  /** HTML head metadata — the per-page fields a crawl indexes besides
+    * the body text: `<title>`, `<meta name="description">`, the
+    * declared charset (HTML5 `<meta charset>` or the legacy
+    * `http-equiv` content-type), and the canonical `<link rel>`.
+    * All dotall non-greedy regexes in the Java∩RE2 subset (the q130
+    * htmlToText discipline), so extraction hash-gates (q159). Missing
+    * fields come back as empty strings — callers `nullif` as needed.
+    * Declared charset pairs with [[mojibakeScore]]: a page declaring
+    * `iso-8859-1` but scoring mojibake marks was double-decoded
+    * upstream.
+    */
+  def htmlTitle(html: Column): Column =
+    regexp_extract(html, "(?is)<title[^>]*>\\s*(.*?)\\s*</title>", 1)
+
+  /** `<meta name="description" content="...">` (either attribute
+    * order), see [[htmlTitle]].
+    */
+  def htmlMetaDescription(html: Column): Column =
+    when(regexp_extract(html,
+        "(?is)<meta\\s+name=\"description\"\\s+content=\"([^\"]*)\"",
+        1) =!= "",
+      regexp_extract(html,
+        "(?is)<meta\\s+name=\"description\"\\s+content=\"([^\"]*)\"", 1))
+      .otherwise(regexp_extract(html,
+        "(?is)<meta\\s+content=\"([^\"]*)\"\\s+name=\"description\"", 1))
+
+  /** Declared charset, lowercased: HTML5 `<meta charset="...">` wins,
+    * legacy `http-equiv` content-type charset= is the fallback. See
+    * [[htmlTitle]].
+    */
+  def htmlCharset(html: Column): Column = {
+    val h5 = regexp_extract(html,
+      "(?is)<meta\\s+charset=\"?([a-zA-Z0-9_-]+)\"?", 1)
+    val legacy = regexp_extract(html,
+      "(?is)<meta\\s+http-equiv=\"content-type\"[^>]*" +
+        "charset=([a-zA-Z0-9_-]+)", 1)
+    lower(when(h5 =!= "", h5).otherwise(legacy))
+  }
+
   /** BPE-ish sub-token split: letter runs, digit runs, and individual
     * punctuation marks each count as one token — the cheap stand-in for a
     * real BPE vocabulary when estimating LLM token budgets. "don't stop,

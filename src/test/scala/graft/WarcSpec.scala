@@ -191,6 +191,29 @@ class WarcSpec extends SparkSpec {
     assert(got.toSeq == cases.map(_._2), got.mkString("|"))
   }
 
+  test("html head metadata: multiline title, attribute-order " +
+    "fallback, charset precedence, missing fields empty") {
+    val html = "<html><head><title>\n  Two\n  Lines\n</title>" +
+      "<meta content=\"desc here\" name=\"description\">" +
+      "<meta charset=utf-8>" +
+      "<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+      "charset=iso-8859-1\"></head><body></body></html>"
+    val r = Seq(Tuple1(html)).toDF("h")
+      .select(TextOps.htmlTitle(col("h")),
+        TextOps.htmlMetaDescription(col("h")),
+        TextOps.htmlCharset(col("h"))).first()
+    assert(r.getString(0) == "Two\n  Lines") // outer whitespace trimmed
+    assert(r.getString(1) == "desc here")
+    assert(r.getString(2) == "utf-8") // HTML5 wins over http-equiv
+    val none = Seq(Tuple1("<html><body>no head</body></html>"))
+      .toDF("h")
+      .select(TextOps.htmlTitle(col("h")),
+        TextOps.htmlMetaDescription(col("h")),
+        TextOps.htmlCharset(col("h"))).first()
+    assert(none.getString(0) == "" && none.getString(1) == "" &&
+      none.getString(2) == "")
+  }
+
   test("htmlToText edges: comments, style blocks, bare < in script, " +
     "entity forms, whitespace collapse") {
     val rows = Seq(
