@@ -59,6 +59,7 @@ import graft.schema.Vintages
   * graft.cli.Main fix-encoding <corpus> <outDir> [--jsonl]   // mojibake repair + NFC
   * graft.cli.Main pii <corpus> <outDir> [--jsonl]   // url/email/card(Luhn)/phone redact
   * graft.cli.Main robots-filter <urls> <robots> <outDir> [agent]   // politeness filter
+  * graft.cli.Main report <corpus> [--jsonl]   // dataset-card overview
   * }}}
   *
   * vintage ∈ {canonical, bdb2018, bdb2026} (Vintages.byName). The
@@ -1078,6 +1079,39 @@ object Main {
         s"${kept.count()} allowed -> $outDir")
       done(spark)
 
+    // one-stop corpus overview: the dataset-card numbers (size, token
+    // budget, hygiene rates) in two aggregation passes
+    case "report" :: corpus :: rest =>
+      import org.apache.spark.sql.functions._
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      val toks = graft.text.TextOps.tokensSimple(col("text"))
+      val scored = docs.select(
+        length(col("text")).cast("long").as("chars"),
+        coalesce(size(toks), lit(0)).cast("long").as("toks"),
+        sha2(col("text"), 256).as("digest"),
+        graft.text.TextOps.mojibakeScore(col("text")).as("moji"),
+        graft.text.TextOps.dominantScript(col("text")).as("script"))
+      val agg = scored.agg(
+        count(lit(1)).as("n"),
+        sum(col("chars")).as("chars"),
+        sum(col("toks")).as("toks"),
+        count_distinct(col("digest")).as("uniq"),
+        sum(when(col("moji") > 0, 1L).otherwise(0L)).as("moji")).first()
+      val n = agg.getLong(0)
+      println(s"[report] $corpus")
+      println(f"  docs            ${n}%,d")
+      println(f"  chars           ${agg.getLong(1)}%,d")
+      println(f"  tokens (simple) ${agg.getLong(2)}%,d")
+      println(f"  exact-dup rate  ${if (n == 0) 0.0
+        else 100.0 * (n - agg.getLong(3)) / n}%.2f%%")
+      println(f"  mojibake docs   ${agg.getLong(4)}%,d")
+      scored.groupBy("script").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc).limit(5).collect().foreach { r =>
+          println(f"  script ${r.getString(0)}%-10s ${r.getLong(1)}%,d")
+        }
+      done(spark)
+
     // pairwise source-overlap matrix (minhash of each group's shingle
     // union) — which crawls/sources mirror each other
     case "overlap" :: corpus :: outDir :: rest =>
@@ -1277,6 +1311,7 @@ object Main {
           "fix-encoding <corpus> <out> [--jsonl] | " +
           "pii <corpus> <out> [--jsonl] | " +
           "robots-filter <urls> <robots> <out> [agent] | " +
+          "report <corpus> [--jsonl] | " +
           "overlap <corpus> <out> [groupCol] [--jsonl] | " +
           "fim <corpus> <out> [seed] [--jsonl] | " +
           "shuffle <corpus> <out> [shards] [seed] [--jsonl] (parquet, shard= partitions) | " +

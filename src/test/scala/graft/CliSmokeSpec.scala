@@ -199,6 +199,8 @@ class CliSmokeSpec extends SparkSpec {
     val kept = spark.read.parquet(s"$base/allowed")
       .collect().map(_.getString(0)).toSet
     assert(kept == Set("https://h/pub"), kept)
+    // report: dataset-card overview prints without error
+    graft.cli.Main.main(Array("report", s"$base/docs"))
   }
 
   test("decontaminate / clean / pack / mix / shuffle / gopher / " +
