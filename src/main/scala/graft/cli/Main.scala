@@ -60,6 +60,8 @@ import graft.schema.Vintages
   * graft.cli.Main pii <corpus> <outDir> [--jsonl]   // url/email/card(Luhn)/phone redact
   * graft.cli.Main robots-filter <urls> <robots> <outDir> [agent]   // politeness filter
   * graft.cli.Main report <corpus> [--jsonl]   // dataset-card overview
+  * graft.cli.Main exif <parquet> <outDir>   // JPEG EXIF orientation/make/model
+  * graft.cli.Main mp4-meta <parquet> <outDir>   // ISO-BMFF container metadata
   * }}}
   *
   * vintage ∈ {canonical, bdb2018, bdb2026} (Vintages.byName). The
@@ -744,6 +746,26 @@ object Main {
       println(s"[mp3-meta] ${all.count()} items, $ok parsed -> $outDir")
       done(spark)
 
+    case "exif" :: corpus :: outDir :: rest =>
+      val spark = session()
+      val dec = graft.multimodal.Multimodal.exifMeta(
+        spark.read.parquet(corpus))
+      dec.write.mode("overwrite").parquet(outDir)
+      val all = spark.read.parquet(outDir)
+      val ok = all.filter(org.apache.spark.sql.functions.col("ok")).count()
+      println(s"[exif] ${all.count()} items, $ok with EXIF -> $outDir")
+      done(spark)
+
+    case "mp4-meta" :: corpus :: outDir :: rest =>
+      val spark = session()
+      val dec = graft.multimodal.Multimodal.mp4Meta(
+        spark.read.parquet(corpus))
+      dec.write.mode("overwrite").parquet(outDir)
+      val all = spark.read.parquet(outDir)
+      val ok = all.filter(org.apache.spark.sql.functions.col("ok")).count()
+      println(s"[mp4-meta] ${all.count()} items, $ok parsed -> $outDir")
+      done(spark)
+
     // decode a (doc_id, media binary) parquet with the JDK ImageIO
     // codecs (JPEG/PNG/GIF/BMP); emits metadata + channel means
     case "decode-image" :: corpus :: outDir :: rest =>
@@ -1312,6 +1334,7 @@ object Main {
           "pii <corpus> <out> [--jsonl] | " +
           "robots-filter <urls> <robots> <out> [agent] | " +
           "report <corpus> [--jsonl] | " +
+          "exif <parquet> <out> | mp4-meta <parquet> <out> | " +
           "overlap <corpus> <out> [groupCol] [--jsonl] | " +
           "fim <corpus> <out> [seed] [--jsonl] | " +
           "shuffle <corpus> <out> [shards] [seed] [--jsonl] (parquet, shard= partitions) | " +

@@ -1001,4 +1001,206 @@ object Multimodal {
         i => col(mediaCol).substr(
           (i * chunkBytes + 1).cast("int"), lit(chunkBytes))))
   }
+
+  final case class ExifMeta(
+      id: Long, ok: Boolean, orientation: Int, make: String,
+      model: String)
+
+  /** EXIF metadata via a pure-JDK JPEG segment + TIFF IFD walk — the
+    * orientation tag decides whether a training image needs rotating
+    * BEFORE any pixel work, and Make/Model power device-distribution
+    * audits. The walk: JPEG marker segments to APP1 `Exif\0\0`, TIFF
+    * byte-order header (II/MM both supported), IFD0 entries for tags
+    * 0x0112 (orientation SHORT), 0x010F/0x0110 (Make/Model ASCII,
+    * inline or offset value). Everything is bounds-checked; any
+    * malformation isolates as ok=false ([[decodePpm]] contract). A
+    * JPEG without APP1 is ok=false (no EXIF), orientation 0 means
+    * "EXIF present but tag absent".
+    */
+  def exifMeta(df: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media"): Dataset[ExifMeta] = {
+    val rows = df.select(col(idCol).cast("long"), col(mediaCol))
+    rows.mapPartitions { it =>
+      it.map { r =>
+        if (r.isNullAt(0)) ExifMeta(-1L, ok = false, 0, "", "")
+        else if (r.isNullAt(1))
+          ExifMeta(r.getLong(0), ok = false, 0, "", "")
+        else parseExif(r.getLong(0), r.getAs[Array[Byte]](1))
+      }
+    }(Encoders.product[ExifMeta])
+  }
+
+  private[graft] def parseExif(id: Long, bytes: Array[Byte]): ExifMeta = {
+    val fail = ExifMeta(id, ok = false, 0, "", "")
+    try {
+      val n = bytes.length
+      def u8(p: Int) = bytes(p) & 0xff
+      if (n < 4 || u8(0) != 0xff || u8(1) != 0xd8) return fail
+      var p = 2
+      while (p + 4 <= n) {
+        if (u8(p) != 0xff) return fail
+        val marker = u8(p + 1)
+        if (marker == 0xd9 || marker == 0xda) return fail
+        val segLen = (u8(p + 2) << 8) | u8(p + 3)
+        if (segLen < 2 || p + 2 + segLen > n) return fail
+        if (marker == 0xe1 && segLen >= 8 &&
+          bytes.slice(p + 4, p + 10).sameElements(
+            Array[Byte]('E', 'x', 'i', 'f', 0, 0)))
+          return parseTiffIfd0(id, bytes, p + 10, p + 2 + segLen)
+        p += 2 + segLen
+      }
+      fail
+    } catch { case _: Exception => fail }
+  }
+
+  private def parseTiffIfd0(
+      id: Long, bytes: Array[Byte], base: Int, end: Int): ExifMeta = {
+    val fail = ExifMeta(id, ok = false, 0, "", "")
+    def u8(p: Int) = bytes(p) & 0xff
+    if (base + 8 > end) return fail
+    val little =
+      if (u8(base) == 'I' && u8(base + 1) == 'I') true
+      else if (u8(base) == 'M' && u8(base + 1) == 'M') false
+      else return fail
+    def r16(p: Int): Int =
+      if (little) u8(p) | (u8(p + 1) << 8)
+      else (u8(p) << 8) | u8(p + 1)
+    def r32(p: Int): Long =
+      if (little) u8(p).toLong | (u8(p + 1).toLong << 8) |
+        (u8(p + 2).toLong << 16) | (u8(p + 3).toLong << 24)
+      else (u8(p).toLong << 24) | (u8(p + 1).toLong << 16) |
+        (u8(p + 2).toLong << 8) | u8(p + 3).toLong
+    if (r16(base + 2) != 42) return fail
+    val ifd = base + r32(base + 4).toInt
+    if (ifd + 2 > end) return fail
+    val count = r16(ifd)
+    var orientation = 0
+    var make = ""
+    var model = ""
+    def ascii(countN: Long, valueP: Int): String = {
+      val vp =
+        if (countN <= 4) valueP else base + r32(valueP).toInt
+      if (vp < base || vp + countN.toInt > end) ""
+      else new String(bytes, vp, countN.toInt, "ISO-8859-1")
+        .takeWhile(_ != 0.toChar).trim
+    }
+    var i = 0
+    while (i < count) {
+      val e = ifd + 2 + i * 12
+      if (e + 12 > end) return fail
+      val tag = r16(e)
+      val typ = r16(e + 2)
+      val cnt = r32(e + 4)
+      tag match {
+        case 0x0112 if typ == 3 && cnt == 1 => orientation = r16(e + 8)
+        case 0x010f if typ == 2 => make = ascii(cnt, e + 8)
+        case 0x0110 if typ == 2 => model = ascii(cnt, e + 8)
+        case _ => ()
+      }
+      i += 1
+    }
+    ExifMeta(id, ok = true, orientation, make, model)
+  }
+
+  final case class Mp4Meta(
+      id: Long, ok: Boolean, majorBrand: String, timescale: Long,
+      durationSec: Double, nTracks: Int, width: Int, height: Int)
+
+  /** MP4/ISO-BMFF container metadata via a pure-JDK box walk — the
+    * codec-free slice of "video support" a corpus screen needs:
+    * brand, duration (mvhd, version 0 and 1), track count, and the
+    * first visual track's pixel dimensions (tkhd 16.16 fixed-point).
+    * Boxes are length-prefixed so the walk never touches sample data;
+    * 64-bit `size==1` largesize boxes are handled, `size==0`
+    * (to-end-of-file) terminates the level. Malformed input isolates
+    * as ok=false. Decoding actual FRAMES still needs a real codec —
+    * [[sampleMjpegFrames]] remains the decodable-video path.
+    */
+  def mp4Meta(df: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media"): Dataset[Mp4Meta] = {
+    val rows = df.select(col(idCol).cast("long"), col(mediaCol))
+    rows.mapPartitions { it =>
+      it.map { r =>
+        if (r.isNullAt(0)) Mp4Meta(-1L, ok = false, "", 0L, 0.0, 0, 0, 0)
+        else if (r.isNullAt(1))
+          Mp4Meta(r.getLong(0), ok = false, "", 0L, 0.0, 0, 0, 0)
+        else parseMp4(r.getLong(0), r.getAs[Array[Byte]](1))
+      }
+    }(Encoders.product[Mp4Meta])
+  }
+
+  private[graft] def parseMp4(id: Long, bytes: Array[Byte]): Mp4Meta = {
+    val fail = Mp4Meta(id, ok = false, "", 0L, 0.0, 0, 0, 0)
+    try {
+      val n = bytes.length
+      def u8(p: Int) = bytes(p) & 0xff
+      def b32(p: Int): Long =
+        (u8(p).toLong << 24) | (u8(p + 1).toLong << 16) |
+          (u8(p + 2).toLong << 8) | u8(p + 3).toLong
+      def b64(p: Int): Long = (b32(p) << 32) | b32(p + 4)
+      def typ(p: Int): String = new String(bytes, p, 4, "ISO-8859-1")
+      // walk one box level [from, to); f(bodyStart, bodyEnd, type)
+      def walk(from: Int, to: Int)(f: (Int, Int, String) => Unit): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val size0 = b32(p)
+          val t = typ(p + 4)
+          val (body, boxEnd) =
+            if (size0 == 1L && p + 16 <= to) (p + 16, p + b64(p + 8))
+            else if (size0 == 0L) (p + 8, to.toLong)
+            else (p + 8, p + size0)
+          if (boxEnd < body || boxEnd > to) return
+          f(body, boxEnd.toInt, t)
+          p = boxEnd.toInt
+        }
+      }
+      var brand = ""
+      var timescale = 0L
+      var duration = 0L
+      var nTracks = 0
+      var w = 0
+      var h = 0
+      var sawMoov = false
+      walk(0, n) { (body, bend, t) =>
+        t match {
+          case "ftyp" if bend - body >= 4 => brand = typ(body)
+          case "moov" =>
+            sawMoov = true
+            walk(body, bend) { (b2, e2, t2) =>
+              t2 match {
+                case "mvhd" if e2 - b2 >= 4 =>
+                  val v = u8(b2)
+                  if (v == 0 && e2 - b2 >= 20) {
+                    timescale = b32(b2 + 12); duration = b32(b2 + 16)
+                  } else if (v == 1 && e2 - b2 >= 32) {
+                    timescale = b32(b2 + 20); duration = b64(b2 + 24)
+                  }
+                case "trak" =>
+                  nTracks += 1
+                  walk(b2, e2) { (b3, e3, t3) =>
+                    if (t3 == "tkhd" && e3 - b3 >= 4) {
+                      val v = u8(b3)
+                      // tkhd layout: ver/flags 4 + times/id/reserved/
+                      // duration (20 v0 / 32 v1) + reserved 8 + layer/
+                      // alt/volume/reserved 8 + matrix 36 -> 76 / 88
+                      val dimOff = if (v == 1) 88 else 76
+                      if (e3 - b3 >= dimOff + 8 && w == 0) {
+                        val tw = (b32(b3 + dimOff) >> 16).toInt
+                        val th = (b32(b3 + dimOff + 4) >> 16).toInt
+                        if (tw > 0 && th > 0) { w = tw; h = th }
+                      }
+                    }
+                  }
+                case _ => ()
+              }
+            }
+          case _ => ()
+        }
+      }
+      if (!sawMoov && brand.isEmpty) fail
+      else Mp4Meta(id, ok = sawMoov, brand, timescale,
+        if (timescale > 0) duration.toDouble / timescale else 0.0,
+        nTracks, w, h)
+    } catch { case _: Exception => fail }
+  }
 }
