@@ -2841,6 +2841,41 @@ object OracleSql {
          |JOIN est4 ON nodes.id = est4.id""".stripMargin
     },
 
+    // Declared-vs-actual encoding audit: q159's charset chain +
+    // q138's marker count + the verdict CASE; mojibake body via
+    // chr(195)||chr(169)
+    "q160_encoding_audit" -> {
+      val csPat = "(?is)<meta\\s+charset=\"?([a-zA-Z0-9_-]+)\"?"
+      val legPat =
+        "(?is)<meta\\s+http-equiv=\"content-type\"[^>]*charset=([a-zA-Z0-9_-]+)"
+      val mojiPat = "(\\x{00C3}[\\x{0080}-\\x{00BF}])|" +
+        "(\\x{00E2}\\x{20AC}.)|(\\x{00C2}[\\x{00A0}-\\x{00BF}])"
+      s"""WITH r AS (SELECT doc_id, '<html>' ||
+         |  CASE doc_id % 3
+         |    WHEN 0 THEN '<head><meta charset="utf-8"></head>'
+         |    WHEN 1 THEN '<head><meta http-equiv="Content-Type" ' ||
+         |      'content="text/html; charset=iso-8859-1"></head>'
+         |    ELSE '<head></head>' END ||
+         |  CASE WHEN doc_id % 2 = 0
+         |    THEN '<body>caf' || chr(195) || chr(169) || ' menu #' ||
+         |      (doc_id % 7) || '</body>'
+         |    ELSE '<body>plain #' || (doc_id % 7) || '</body>' END ||
+         |  '</html>' AS html FROM documents),
+         |c AS (SELECT doc_id,
+         |  lower(CASE WHEN regexp_extract(html, '$csPat', 1) <> ''
+         |    THEN regexp_extract(html, '$csPat', 1)
+         |    ELSE regexp_extract(html, '$legPat', 1) END) AS declared,
+         |  len(regexp_extract_all(html, '$mojiPat'))::INTEGER
+         |    AS n_marks
+         |  FROM r)
+         |SELECT doc_id, declared, n_marks,
+         |  CASE WHEN n_marks = 0 THEN 'clean'
+         |    WHEN declared = 'utf-8' THEN 'double-encoded'
+         |    WHEN declared <> '' THEN 'mis-served'
+         |    ELSE 'undeclared-suspect' END AS verdict
+         |FROM c""".stripMargin
+    },
+
     // HTML head metadata: same dotall regexes; attribute-order
     // fallbacks as CASE chains; charset lowercased
     "q159_html_meta" ->

@@ -2302,6 +2302,37 @@ object SparkEntry {
         TextOps.htmlCharset(col("html")).as("charset"))
   }
 
+  /** Declared-vs-actual encoding audit — the composition the charset
+    * extractor and the mojibake detector exist for: pages DECLARING
+    * utf-8 but carrying double-encoding marks were corrupted upstream
+    * ("double-encoded"); pages declaring legacy charsets with marks
+    * were transcoded badly ("mis-served"); marks without a declaration
+    * are "undeclared-suspect". Synthetic pages pair q159's heads with
+    * q138's bodies; verdict logic is a CASE chain.
+    */
+  def q160_encoding_audit(s: SparkSession, dir: String): DataFrame = {
+    val head = when(col("doc_id") % 3 === 0,
+        lit("<head><meta charset=\"utf-8\"></head>"))
+      .when(col("doc_id") % 3 === 1,
+        lit("<head><meta http-equiv=\"Content-Type\" content=\"" +
+          "text/html; charset=iso-8859-1\"></head>"))
+      .otherwise(lit("<head></head>"))
+    val body = when(col("doc_id") % 2 === 0,
+        concat(lit("<body>cafÃ© menu #"), col("doc_id") % 7,
+          lit("</body>")))
+      .otherwise(concat(lit("<body>plain #"), col("doc_id") % 7,
+        lit("</body>")))
+    val html = concat(lit("<html>"), head, body, lit("</html>"))
+    val charset = TextOps.htmlCharset(html)
+    val marks = TextOps.mojibakeScore(html)
+    docs(s, dir).select(col("doc_id"), charset.as("declared"),
+      marks.as("n_marks"),
+      when(marks === 0, lit("clean"))
+        .when(charset === "utf-8", lit("double-encoded"))
+        .when(charset =!= "", lit("mis-served"))
+        .otherwise(lit("undeclared-suspect")).as("verdict"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2464,7 +2495,8 @@ object SparkEntry {
     "q156_resample_daily" -> (q156_resample_daily(_, _)),
     "q157_ewma" -> (q157_ewma(_, _)),
     "q158_regression" -> (q158_regression(_, _)),
-    "q159_html_meta" -> (q159_html_meta(_, _)))
+    "q159_html_meta" -> (q159_html_meta(_, _)),
+    "q160_encoding_audit" -> (q160_encoding_audit(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
