@@ -2841,6 +2841,52 @@ object OracleSql {
          |JOIN est4 ON nodes.id = est4.id""".stripMargin
     },
 
+    // Crawl-delay schedule: the q141 parse mechanics with the 4-alt
+    // line regex; numeric filter, zero drop, max-of-duplicates,
+    // single-division max_rps
+    "q161_crawl_delay" ->
+      """WITH robots AS (SELECT * FROM (VALUES
+        |  ('a.example.com', 'User-agent: *' || chr(10) ||
+        |    'Crawl-delay: 10' || chr(10) || 'Disallow: /x' || chr(10)
+        |    || 'User-agent: fastbot' || chr(10) || 'Crawl-delay: 0.5'),
+        |  ('b.example.com', 'User-agent: graftbot' || chr(10) ||
+        |    'Crawl-delay: 2' || chr(10) || 'Crawl-delay: 7' || chr(10)
+        |    || '# dup keeps max'),
+        |  ('c.example.com', 'User-agent: *' || chr(10) ||
+        |    'Crawl-delay: 0' || chr(10) || 'User-agent: junkbot' ||
+        |    chr(10) || 'Crawl-delay: soon')) AS v(host, body)),
+        |lines0 AS (SELECT host,
+        |  unnest(string_split(body, chr(10))) AS line,
+        |  unnest(generate_series(1,
+        |    len(string_split(body, chr(10))))) AS pos FROM robots),
+        |cls AS (SELECT host, pos,
+        |  lower(regexp_extract(regexp_replace(line, '#.*$', '', 'g'),
+        |    '(?i)^[ \t]*(user-agent|disallow|allow|crawl-delay)[ \t]*:[ \t]*(.*)$',
+        |    1)) AS kind,
+        |  trim(regexp_extract(regexp_replace(line, '#.*$', '', 'g'),
+        |    '(?i)^[ \t]*(user-agent|disallow|allow|crawl-delay)[ \t]*:[ \t]*(.*)$',
+        |    2)) AS value
+        |  FROM lines0),
+        |k AS (SELECT * FROM cls WHERE kind <> ''),
+        |g AS (SELECT host, pos, kind, value,
+        |  kind = 'user-agent' AS is_agent,
+        |  (kind = 'user-agent') AND NOT coalesce(
+        |    lag(kind = 'user-agent') OVER
+        |      (PARTITION BY host ORDER BY pos), false) AS starts_group
+        |  FROM k),
+        |g2 AS (SELECT *, sum(CASE WHEN starts_group THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY host ORDER BY pos) AS grp FROM g),
+        |agents AS (SELECT host, grp, value AS agent FROM g2
+        |  WHERE is_agent),
+        |delays AS (SELECT host, grp, value::DOUBLE AS delay_sec
+        |  FROM g2 WHERE kind = 'crawl-delay'
+        |    AND regexp_matches(value, '^[0-9]+(\.[0-9]+)?$')
+        |    AND value::DOUBLE > 0)
+        |SELECT host, agent, max(delay_sec) AS delay_sec,
+        |  round(1.0 / max(delay_sec), 6) AS max_rps
+        |FROM agents JOIN delays USING (host, grp)
+        |GROUP BY host, agent""".stripMargin,
+
     // Declared-vs-actual encoding audit: q159's charset chain +
     // q138's marker count + the verdict CASE; mojibake body via
     // chr(195)||chr(169)
@@ -3329,10 +3375,10 @@ object OracleSql {
         |    len(string_split(body, chr(10))))) AS pos FROM robots),
         |cls AS (SELECT host, pos,
         |  lower(regexp_extract(regexp_replace(line, '#.*$', '', 'g'),
-        |    '(?i)^[ \t]*(user-agent|disallow|allow)[ \t]*:[ \t]*(.*)$',
+        |    '(?i)^[ \t]*(user-agent|disallow|allow|crawl-delay)[ \t]*:[ \t]*(.*)$',
         |    1)) AS kind,
         |  trim(regexp_extract(regexp_replace(line, '#.*$', '', 'g'),
-        |    '(?i)^[ \t]*(user-agent|disallow|allow)[ \t]*:[ \t]*(.*)$',
+        |    '(?i)^[ \t]*(user-agent|disallow|allow|crawl-delay)[ \t]*:[ \t]*(.*)$',
         |    2)) AS value
         |  FROM lines0),
         |k AS (SELECT * FROM cls WHERE kind <> ''),

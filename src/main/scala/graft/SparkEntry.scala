@@ -2333,6 +2333,25 @@ object SparkEntry {
         .otherwise(lit("undeclared-suspect")).as("verdict"))
   }
 
+  /** Crawl-delay politeness schedule: synthetic robots bodies with
+    * numeric, fractional, duplicate (max wins), zero (dropped) and
+    * junk (dropped) delays across agent groups — per-(host, agent)
+    * seconds and the derived max fetch rate replay in SQL.
+    */
+  def q161_crawl_delay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val robots = Seq(
+      ("a.example.com", Seq("User-agent: *", "Crawl-delay: 10",
+        "Disallow: /x", "User-agent: fastbot", "Crawl-delay: 0.5")
+        .mkString("\n")),
+      ("b.example.com", Seq("User-agent: graftbot", "Crawl-delay: 2",
+        "Crawl-delay: 7", "# dup keeps max").mkString("\n")),
+      ("c.example.com", Seq("User-agent: *", "Crawl-delay: 0",
+        "User-agent: junkbot", "Crawl-delay: soon").mkString("\n")))
+      .toDF("host", "body")
+    graft.sources.Robots.crawlDelays(robots, "host", "body")
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2496,7 +2515,8 @@ object SparkEntry {
     "q157_ewma" -> (q157_ewma(_, _)),
     "q158_regression" -> (q158_regression(_, _)),
     "q159_html_meta" -> (q159_html_meta(_, _)),
-    "q160_encoding_audit" -> (q160_encoding_audit(_, _)))
+    "q160_encoding_audit" -> (q160_encoding_audit(_, _)),
+    "q161_crawl_delay" -> (q161_crawl_delay(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -64,7 +64,8 @@ object Sitemaps {
 object Robots {
 
   private val lineRe =
-    "(?i)^[ \\t]*(user-agent|disallow|allow)[ \\t]*:[ \\t]*(.*)$"
+    "(?i)^[ \\t]*(user-agent|disallow|allow|crawl-delay)" +
+      "[ \\t]*:[ \\t]*(.*)$"
 
   /** Parse robots.txt bodies into prefix rules.
     *
@@ -105,6 +106,48 @@ object Robots {
         col("value").as("path"))
     agents.join(rules, Seq("host", "grp"))
       .select(col("host"), col("agent"), col("allow"), col("path"))
+  }
+
+  /** Crawl-delay directives per (host, agent) — the REP extension
+    * every polite fetcher honors: seconds between requests to the
+    * host, hence the host's max fetch rate. Same group mechanics as
+    * [[parseRules]] (a delay belongs to the agent run above it);
+    * non-numeric values drop; duplicate declarations keep the MOST
+    * conservative (max) delay. Output: `(host, agent, delay_sec,
+    * max_rps)` with `max_rps = round(1/delay, 6)`.
+    */
+  def crawlDelays(
+      robots: DataFrame, hostCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(hostCol).orderBy("pos")
+    val lines = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("line", regexp_replace(col("line"), "#.*$", ""))
+      .withColumn("kind",
+        lower(regexp_extract(col("line"), lineRe, 1)))
+      .withColumn("value", trim(regexp_extract(col("line"), lineRe, 2)))
+      .filter(col("kind") =!= "")
+    val grouped = lines
+      .withColumn("is_agent", col("kind") === "user-agent")
+      .withColumn("starts_group",
+        col("is_agent") &&
+          !coalesce(lag(col("is_agent"), 1).over(w), lit(false)))
+      .withColumn("grp",
+        sum(col("starts_group").cast("long")).over(w))
+    val agents = grouped.filter(col("is_agent"))
+      .select(col("host"), col("grp"), col("value").as("agent"))
+    val delays = grouped
+      .filter(col("kind") === "crawl-delay" &&
+        col("value").rlike("^[0-9]+(\\.[0-9]+)?$"))
+      .select(col("host"), col("grp"),
+        col("value").cast("double").as("delay_sec"))
+      .filter(col("delay_sec") > 0) // "0" = unconstrained = absent
+    agents.join(delays, Seq("host", "grp"))
+      .groupBy("host", "agent")
+      .agg(max(col("delay_sec")).as("delay_sec"))
+      .select(col("host"), col("agent"), col("delay_sec"),
+        round(lit(1.0) / col("delay_sec"), 6).as("max_rps"))
   }
 
   /** Path component of a URL (query string included — REP rules match

@@ -91,6 +91,26 @@ class RobotsSpec extends SparkSpec {
     assert(got.getBoolean(2) && got.isNullAt(3))
   }
 
+  test("crawlDelays: per-group attachment, max of duplicates, zero " +
+    "and junk values dropped, agent runs closed by directives") {
+    val body = Seq(
+      "User-agent: a",
+      "User-agent: b",          // shared group
+      "Crawl-delay: 3",
+      "Crawl-delay: 1.5",       // dup: max (3.0) wins
+      "User-agent: c",
+      "Crawl-delay: 0",         // unconstrained -> dropped
+      "User-agent: d",
+      "Crawl-delay: nope").mkString("\n")
+    val got = graft.sources.Robots.crawlDelays(
+      Seq(("h", body)).toDF("host", "body"), "host", "body")
+      .collect()
+      .map(r => r.getString(1) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set("a", "b"), got)
+    assert(got("a") == ((3.0, 0.333333)) && got("b") == ((3.0, 0.333333)))
+  }
+
   test("sitemap parse: loc + optional lastmod, whitespace tolerated, " +
     "locless blocks dropped") {
     val xml = """<?xml version="1.0"?><urlset>
