@@ -2352,6 +2352,25 @@ object SparkEntry {
     graft.sources.Robots.crawlDelays(robots, "host", "body")
   }
 
+  /** Triangle counts over a double-ring graph (every doc links +1 and
+    * +2 mod N, so each consecutive triple closes a triangle and every
+    * node sits in exactly 3): degree-ordered wedge enumeration,
+    * integer-only, replayed with the identical join chain.
+    */
+  def q162_triangles(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nodes = d.select(col("doc_id").as("id"))
+    val n1 = d.agg(count(lit(1)).as("n_nodes"))
+    val edges = d.select(col("doc_id").as("src"))
+      .crossJoin(broadcast(n1))
+      .select(col("src"), explode(sequence(lit(1L), lit(2L))).as("k"),
+        col("n_nodes"))
+      .select(col("src"),
+        ((col("src") + col("k")) % col("n_nodes")).as("dst"))
+    LinkGraph.triangleCounts(nodes, edges)
+      .select(col("id").as("doc_id"), col("n_triangles"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2516,7 +2535,8 @@ object SparkEntry {
     "q158_regression" -> (q158_regression(_, _)),
     "q159_html_meta" -> (q159_html_meta(_, _)),
     "q160_encoding_audit" -> (q160_encoding_audit(_, _)),
-    "q161_crawl_delay" -> (q161_crawl_delay(_, _)))
+    "q161_crawl_delay" -> (q161_crawl_delay(_, _)),
+    "q162_triangles" -> (q162_triangles(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

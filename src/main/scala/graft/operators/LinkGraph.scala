@@ -198,6 +198,60 @@ object LinkGraph {
     labels
   }
 
+  /** Per-node triangle counts over the undirected link graph — the
+    * local-clustering signal: spam rings and mirror farms are
+    * triangle-dense, organic link neighborhoods are sparse (Schank &
+    * Wagner's degree-ordered enumeration, 2005). Each undirected edge
+    * orients from the lower-ranked endpoint under the total order
+    * `(degree, id)`; every triangle `x<y<z` in rank is then counted
+    * EXACTLY once as the wedge `x→y, x→z` closed by `y→z`, and the
+    * wedge fan-out per node is bounded by the oriented out-degree —
+    * O(√m) under degree ordering, which is what makes the classic
+    * hub-explosion (a celebrity node's |N|² wedges) impossible.
+    *
+    * Pure integer plan: canonical-edge distinct, degree aggregation,
+    * two equi-joins (wedge build + closure probe) — no windows, no
+    * floats, so counts hash-gate (q162). Nodes outside any triangle
+    * report 0.
+    */
+  def triangleCounts(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient each edge low-rank -> high-rank under (deg, id)
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    val aLower = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val out = withDeg.select(
+      when(aLower, col("a")).otherwise(col("b")).as("u"),
+      when(aLower, col("b")).otherwise(col("a")).as("v"),
+      when(aLower, col("db")).otherwise(col("da")).as("dv"))
+      .persist() // wedge build + closure probe both consume it
+    val e1 = out.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+    val e2 = out.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter((col("d1") < col("d2")) ||
+        (col("d1") === col("d2") && col("v1") < col("v2")))
+    val tris = wedges.join(
+      out.select(col("u").as("v1"), col("v").as("v2")),
+      Seq("v1", "v2"))
+      .select(col("u").as("x"), col("v1").as("y"), col("v2").as("z"))
+    val perNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    nodes.select(col("id"))
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** Harmonic centrality, approximated HyperBall-style (Boldi &
     * Vigna, "In-Core Computation of Geometric Centralities with
     * HyperBall", 2013) with k-min-hash registers in place of

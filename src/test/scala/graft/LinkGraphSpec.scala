@@ -159,6 +159,29 @@ class LinkGraphSpec extends SparkSpec {
     assert(got(3L) == 3L, got) // no neighbors: self carry-through
   }
 
+  test("triangleCounts: known shapes — triangle, square, star, " +
+    "isolated node; direction/duplicates ignored") {
+    val nodes = (0L until 8).toDF("id")
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 0L),   // triangle 0-1-2
+      (1L, 0L),                        // reverse dup: no double count
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 3L), // square: no triangles
+      (0L, 7L)).toDF("src", "dst")     // pendant on 0
+    val got = LinkGraph.triangleCounts(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 0L,
+      4L -> 0L, 5L -> 0L, 6L -> 0L, 7L -> 0L), got)
+  }
+
+  test("triangleCounts: K4 gives each node 3 of the 4 triangles") {
+    val nodes = (0L until 4).toDF("id")
+    val edges = (for (a <- 0L until 4; b <- 0L until 4 if a < b)
+      yield (a, b)).toDF("src", "dst")
+    val got = LinkGraph.triangleCounts(nodes, edges).collect()
+      .map(r => r.getLong(1))
+    assert(got.forall(_ == 3L), got.toSeq)
+  }
+
   test("checkpointEvery truncates lineage without changing ranks") {
     val nodes = (0L until 12).toDF("id")
     val edges = (0L until 12).map(s => (s, (s * 7 + 1) % 12))

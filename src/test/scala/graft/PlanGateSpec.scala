@@ -230,8 +230,10 @@ class PlanGateSpec extends SparkSpec {
                                   // broadcast (sketch rounds are equi)
       "q145_hybrid_rrf",     // its dense side is q17's corpus ×
                              // broadcast query rows (non-equi !=)
-      "q146_communities")    // q133's synth-graph 1-row node-count
+      "q146_communities",    // q133's synth-graph 1-row node-count
                              // broadcast (LPA rounds are equi)
+      "q162_triangles")      // same synth-graph 1-row node-count
+                             // broadcast (wedge/closure joins are equi)
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is
