@@ -2841,6 +2841,36 @@ object OracleSql {
          |JOIN est4 ON nodes.id = est4.id""".stripMargin
     },
 
+    // k-core peeling: 3 unrolled rounds of degree/filter/trim over
+    // canonical undirected edges; integer-only
+    "q163_kcore" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""d$r AS (SELECT id, count(*)::BIGINT AS deg FROM (
+           |    SELECT a AS id FROM e${r - 1}
+           |    UNION ALL SELECT b AS id FROM e${r - 1}) GROUP BY id),
+           |k$r AS (SELECT id FROM d$r WHERE deg >= 4),
+           |e$r AS (SELECT a, b FROM e${r - 1}
+           |  WHERE a IN (SELECT id FROM k$r)
+           |    AND b IN (SELECT id FROM k$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cnt AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |nodes AS (SELECT doc_id AS id FROM documents),
+         |ring AS (SELECT doc_id AS src, (doc_id + 1) % n AS dst
+         |  FROM documents CROSS JOIN cnt),
+         |dense AS (SELECT doc_id AS src, (doc_id + k * 10) % n AS dst
+         |  FROM documents CROSS JOIN cnt
+         |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)
+         |  WHERE doc_id % 10 = 0),
+         |e0 AS (SELECT DISTINCT least(src, dst) AS a,
+         |    greatest(src, dst) AS b
+         |  FROM (SELECT * FROM ring UNION ALL SELECT * FROM dense)
+         |  WHERE src <> dst),
+         |$rounds
+         |SELECT nodes.id AS doc_id,
+         |  coalesce(k3.id IS NOT NULL, false) AS in_core
+         |FROM nodes LEFT JOIN k3 ON nodes.id = k3.id""".stripMargin
+    },
+
     // Triangle counts: canonical undirected edges, (deg, id)-ordered
     // orientation, wedge join + closure probe, per-node explode —
     // integer-only

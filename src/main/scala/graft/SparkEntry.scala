@@ -2371,6 +2371,28 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("n_triangles"))
   }
 
+  /** k-core screen over a shell-structured graph: a degree-2 base
+    * ring (peels immediately at k=4) plus a dense +10/+20/+30 inner
+    * ring over the multiples of 10 (internal degree 6 — survives).
+    * Three peel rounds, integer-only, unrolled in SQL.
+    */
+  def q163_kcore(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nodes = d.select(col("doc_id").as("id"))
+    val n1 = d.agg(count(lit(1)).as("n_nodes"))
+    val base = d.select(col("doc_id").as("src"))
+      .crossJoin(broadcast(n1))
+    val ring = base.select(col("src"),
+      ((col("src") + 1) % col("n_nodes")).as("dst"))
+    val dense = base.filter(col("src") % 10 === 0)
+      .select(col("src"),
+        explode(sequence(lit(1L), lit(3L))).as("k"), col("n_nodes"))
+      .select(col("src"),
+        ((col("src") + col("k") * 10) % col("n_nodes")).as("dst"))
+    LinkGraph.kCore(nodes, ring.union(dense), k = 4, rounds = 3)
+      .select(col("id").as("doc_id"), col("in_core"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2536,7 +2558,8 @@ object SparkEntry {
     "q159_html_meta" -> (q159_html_meta(_, _)),
     "q160_encoding_audit" -> (q160_encoding_audit(_, _)),
     "q161_crawl_delay" -> (q161_crawl_delay(_, _)),
-    "q162_triangles" -> (q162_triangles(_, _)))
+    "q162_triangles" -> (q162_triangles(_, _)),
+    "q163_kcore" -> (q163_kcore(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

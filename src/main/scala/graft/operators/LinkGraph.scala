@@ -252,6 +252,51 @@ object LinkGraph {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** k-core membership by fixed-round peeling: repeatedly delete
+    * nodes of degree < k (with their edges) — what survives R rounds
+    * is the R-step approximation of the k-core, the densely-knit
+    * subgraph where every member keeps ≥ k neighbors INSIDE the core
+    * (Seidman 1983). On crawl graphs the high-k cores are exactly the
+    * link-exchange rings that PageRank alone over-rewards; peeling is
+    * the standard cheap screen. Fixed `rounds` keeps the operator a
+    * deterministic lazy plan (full convergence needs a driver loop —
+    * peeling converges in a few rounds on power-law graphs, and the
+    * round count is explicit in the report, q163's discipline).
+    *
+    * Per round: one degree aggregation, one survivor filter, two
+    * semi-joins trimming the edge set — all integer equi-plans; each
+    * round's edge frame persists (two consumers: next round's degrees
+    * and the trim — the iterative-op cache rule). Returns
+    * `(id, in_core)` for every input node.
+    */
+  def kCore(
+      nodes: DataFrame, edges: DataFrame, k: Int,
+      rounds: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    var keep: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("id"))
+        .union(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      keep = deg.filter(col("deg") >= k).select("id").persist()
+      e = e
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .persist()
+    }
+    nodes.select(col("id"))
+      .join(keep.withColumn("in_core", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("in_core"), lit(false))
+        .as("in_core"))
+  }
+
   /** Harmonic centrality, approximated HyperBall-style (Boldi &
     * Vigna, "In-Core Computation of Geometric Centralities with
     * HyperBall", 2013) with k-min-hash registers in place of

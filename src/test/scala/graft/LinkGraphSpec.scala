@@ -182,6 +182,32 @@ class LinkGraphSpec extends SparkSpec {
     assert(got.forall(_ == 3L), got.toSeq)
   }
 
+  test("kCore: cascading peel — a pendant chain hanging off a " +
+    "clique peels over successive rounds") {
+    // K4 clique 0-3 (internal degree 3) + chain 3-4-5
+    val nodes = (0L until 6).toDF("id")
+    val clique = for (a <- 0L until 4; b <- 0L until 4 if a < b)
+      yield (a, b)
+    val edges = (clique ++ Seq((3L, 4L), (4L, 5L))).toDF("src", "dst")
+    val got = LinkGraph.kCore(nodes, edges, k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // 5 peels (deg 1), then 4 (deg 1 after), clique survives at k=3
+    assert((0L until 4).forall(got(_)), got)
+    assert(!got(4L) && !got(5L), got)
+  }
+
+  test("kCore: k above max degree empties the core; duplicates and " +
+    "direction do not inflate degree") {
+    val nodes = (0L until 3).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L)).toDF("src", "dst")
+    val none = LinkGraph.kCore(nodes, edges, k = 3, rounds = 2)
+      .filter(col("in_core")).count()
+    assert(none == 0L)
+    val all2 = LinkGraph.kCore(nodes, edges, k = 1, rounds = 2)
+      .filter(col("in_core")).count()
+    assert(all2 == 3L)
+  }
+
   test("checkpointEvery truncates lineage without changing ranks") {
     val nodes = (0L until 12).toDF("id")
     val edges = (0L until 12).map(s => (s, (s * 7 + 1) % 12))

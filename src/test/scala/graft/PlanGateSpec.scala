@@ -232,8 +232,10 @@ class PlanGateSpec extends SparkSpec {
                              // broadcast query rows (non-equi !=)
       "q146_communities",    // q133's synth-graph 1-row node-count
                              // broadcast (LPA rounds are equi)
-      "q162_triangles")      // same synth-graph 1-row node-count
+      "q162_triangles",      // same synth-graph 1-row node-count
                              // broadcast (wedge/closure joins are equi)
+      "q163_kcore")          // same 1-row node-count broadcast (peel
+                             // rounds are degree aggs + semi-joins)
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is
