@@ -56,6 +56,8 @@ import graft.schema.Vintages
   * graft.cli.Main emb-drift <oldEmb> <newEmb> <groupCol> [dim]   // cross-snapshot mean-vector cosine
   * graft.cli.Main pagerank <edges> <outDir> [iters] [damping]   // link-graph quality prior
   * graft.cli.Main harmonic <edges> <outDir> [rounds] [k]   // HyperBall harmonic centrality
+  * graft.cli.Main triangles <edges> <outDir>   // degree-ordered triangle counts
+  * graft.cli.Main kcore <edges> <outDir> [k] [rounds]   // link-ring screen
   * graft.cli.Main fix-encoding <corpus> <outDir> [--jsonl]   // mojibake repair + NFC
   * graft.cli.Main pii <corpus> <outDir> [--jsonl]   // url/email/card(Luhn)/phone redact
   * graft.cli.Main robots-filter <urls> <robots> <outDir> [agent]   // politeness filter
@@ -1134,6 +1136,38 @@ object Main {
         }
       done(spark)
 
+    // triangle counts / k-core over an edge table — the clustering
+    // and link-ring screens beside pagerank/harmonic
+    case "triangles" :: edgesPath :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val spark = session()
+      val edges = spark.read.parquet(edgesPath).select("src", "dst")
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      val t = graft.operators.LinkGraph.triangleCounts(nodes, edges)
+      t.write.mode("overwrite").parquet(outDir)
+      val total = spark.read.parquet(outDir)
+        .agg(sum("n_triangles")).first().getLong(0) / 3
+      println(s"[triangles] ${nodes.count()} nodes, " +
+        s"$total triangles -> $outDir")
+      done(spark)
+
+    case "kcore" :: edgesPath :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val nums = rest.filter(!_.startsWith("--"))
+      val k = nums.headOption.map(_.toInt).getOrElse(4)
+      val rounds = nums.drop(1).headOption.map(_.toInt).getOrElse(6)
+      val spark = session()
+      val edges = spark.read.parquet(edgesPath).select("src", "dst")
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      val core = graft.operators.LinkGraph.kCore(nodes, edges, k, rounds)
+      core.write.mode("overwrite").parquet(outDir)
+      val in = spark.read.parquet(outDir).filter(col("in_core")).count()
+      println(s"[kcore] k=$k, $rounds rounds: $in of " +
+        s"${nodes.count()} nodes in core -> $outDir")
+      done(spark)
+
     // pairwise source-overlap matrix (minhash of each group's shingle
     // union) — which crawls/sources mirror each other
     case "overlap" :: corpus :: outDir :: rest =>
@@ -1330,6 +1364,7 @@ object Main {
           "skew <parquet> <keyCol> [topK] | " +
           "pagerank <edges> <out> [iters] [damping] | " +
           "harmonic <edges> <out> [rounds] [k] | " +
+          "triangles <edges> <out> | kcore <edges> <out> [k] [rounds] | " +
           "fix-encoding <corpus> <out> [--jsonl] | " +
           "pii <corpus> <out> [--jsonl] | " +
           "robots-filter <urls> <robots> <out> [agent] | " +

@@ -203,6 +203,22 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("report", s"$base/docs"))
   }
 
+  test("triangles and kcore run over an edge table") {
+    val base = tmpDir("cli-graph")
+    // triangle 0-1-2 plus a pendant 3
+    Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L))
+      .toDF("src", "dst").write.mode("overwrite").parquet(s"$base/e")
+    graft.cli.Main.main(Array("triangles", s"$base/e", s"$base/t"))
+    val tri = spark.read.parquet(s"$base/t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 0L), tri)
+    graft.cli.Main.main(Array("kcore", s"$base/e", s"$base/c", "2", "3"))
+    val core = spark.read.parquet(s"$base/c").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(core == Map(0L -> true, 1L -> true, 2L -> true,
+      3L -> false), core)
+  }
+
   test("decontaminate / clean / pack / mix / shuffle / gopher / " +
     "phrase / distinct parse their argument shapes") {
     val evalPath = s"${tmpDir("clieval")}/eval"
