@@ -2841,6 +2841,49 @@ object OracleSql {
          |JOIN est4 ON nodes.id = est4.id""".stripMargin
     },
 
+    // Clustering coefficient: q162's triangle chain + degree +
+    // one fixed division, NULL below degree 2
+    "q164_clustering" ->
+      """WITH cnt AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |nodes AS (SELECT doc_id AS id FROM documents),
+        |ed AS (SELECT doc_id AS src, (doc_id + k) % n AS dst
+        |       FROM documents CROSS JOIN cnt
+        |       CROSS JOIN (SELECT unnest([1, 2]) AS k)),
+        |und AS (SELECT DISTINCT least(src, dst) AS a,
+        |    greatest(src, dst) AS b FROM ed WHERE src <> dst),
+        |deg AS (SELECT id, count(*)::BIGINT AS deg FROM (
+        |    SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+        |  GROUP BY id),
+        |wd AS (SELECT a, b, da.deg AS da, db.deg AS db
+        |  FROM und JOIN deg da ON und.a = da.id
+        |  JOIN deg db ON und.b = db.id),
+        |outed AS (SELECT
+        |  CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END
+        |    AS u,
+        |  CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END
+        |    AS v,
+        |  CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END
+        |    AS dv
+        |  FROM wd),
+        |wedges AS (SELECT e1.u, e1.v AS v1, e2.v AS v2
+        |  FROM outed e1 JOIN outed e2 ON e1.u = e2.u
+        |  WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+        |tris AS (SELECT w.u AS x, w.v1 AS y, w.v2 AS z
+        |  FROM wedges w JOIN outed o ON w.v1 = o.u AND w.v2 = o.v),
+        |pern AS (SELECT id, count(*)::BIGINT AS n_triangles FROM (
+        |    SELECT x AS id FROM tris UNION ALL SELECT y FROM tris
+        |    UNION ALL SELECT z FROM tris) GROUP BY id),
+        |t AS (SELECT nodes.id,
+        |    coalesce(pern.n_triangles, 0)::BIGINT AS n_triangles,
+        |    coalesce(deg.deg, 0)::BIGINT AS deg
+        |  FROM nodes LEFT JOIN pern ON nodes.id = pern.id
+        |  LEFT JOIN deg ON nodes.id = deg.id)
+        |SELECT id AS doc_id, n_triangles, deg,
+        |  round(CASE WHEN deg < 2 THEN NULL
+        |    ELSE (2 * n_triangles)::DOUBLE /
+        |      (deg * (deg - 1))::DOUBLE END, 6) AS clustering
+        |FROM t""".stripMargin,
+
     // k-core peeling: 3 unrolled rounds of degree/filter/trim over
     // canonical undirected edges; integer-only
     "q163_kcore" -> {

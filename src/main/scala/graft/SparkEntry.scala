@@ -2393,6 +2393,25 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("in_core"))
   }
 
+  /** Local clustering coefficients over the q162 double-ring graph
+    * (every node: 3 triangles, degree 4 → 0.5): integer counts + one
+    * fixed division, NULL below degree 2.
+    */
+  def q164_clustering(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nodes = d.select(col("doc_id").as("id"))
+    val n1 = d.agg(count(lit(1)).as("n_nodes"))
+    val edges = d.select(col("doc_id").as("src"))
+      .crossJoin(broadcast(n1))
+      .select(col("src"), explode(sequence(lit(1L), lit(2L))).as("k"),
+        col("n_nodes"))
+      .select(col("src"),
+        ((col("src") + col("k")) % col("n_nodes")).as("dst"))
+    LinkGraph.clusteringCoefficient(nodes, edges)
+      .select(col("id").as("doc_id"), col("n_triangles"), col("deg"),
+        col("clustering"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2559,7 +2578,8 @@ object SparkEntry {
     "q160_encoding_audit" -> (q160_encoding_audit(_, _)),
     "q161_crawl_delay" -> (q161_crawl_delay(_, _)),
     "q162_triangles" -> (q162_triangles(_, _)),
-    "q163_kcore" -> (q163_kcore(_, _)))
+    "q163_kcore" -> (q163_kcore(_, _)),
+    "q164_clustering" -> (q164_clustering(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -297,6 +297,34 @@ object LinkGraph {
         .as("in_core"))
   }
 
+  /** Local clustering coefficient per node: `2T / (d(d−1))` — how
+    * close each node's neighborhood is to a clique. The per-node
+    * spam-density score that [[triangleCounts]] exists to feed:
+    * organic pages cluster near 0, link-ring members near 1. Counts
+    * and degrees are integers; the coefficient is ONE fixed division
+    * (NULL below degree 2), so the report hash-gates (q164).
+    */
+  def clusteringCoefficient(
+      nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    triangleCounts(nodes, edges)
+      .join(deg, Seq("id"), "left")
+      .select(col("id"), col("n_triangles"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        round(when(coalesce(col("deg"), lit(0L)) < 2,
+            lit(null).cast("double"))
+          .otherwise((lit(2L) * col("n_triangles")).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double")), 6)
+          .as("clustering"))
+  }
+
   /** Harmonic centrality, approximated HyperBall-style (Boldi &
     * Vigna, "In-Core Computation of Geometric Centralities with
     * HyperBall", 2013) with k-min-hash registers in place of

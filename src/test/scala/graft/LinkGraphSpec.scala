@@ -208,6 +208,25 @@ class LinkGraphSpec extends SparkSpec {
     assert(all2 == 3L)
   }
 
+
+  test("clusteringCoefficient: K4 nodes at 1.0, ring nodes at 0, " +
+    "low-degree NULL") {
+    val nodes = (0L until 8).toDF("id")
+    val k4 = for (a <- 0L until 4; b <- 0L until 4 if a < b)
+      yield (a, b)
+    // ring 4-5-6, pendant 7 (degree 1 -> NULL)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L), (6L, 4L), (0L, 7L)))
+      .toDF("src", "dst")
+    val got = LinkGraph.clusteringCoefficient(nodes, edges).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(1L) == Some(1.0) && got(2L) == Some(1.0), got)
+    // node 0: deg 4 (K4 + pendant), 3 triangles -> 6/12 = 0.5
+    assert(got(0L) == Some(0.5), got)
+    assert(got(4L) == Some(1.0)) // triangle 4-5-6
+    assert(got(7L) == None, got) // degree 1
+  }
+
   test("checkpointEvery truncates lineage without changing ranks") {
     val nodes = (0L until 12).toDF("id")
     val edges = (0L until 12).map(s => (s, (s * 7 + 1) % 12))

@@ -234,8 +234,9 @@ class PlanGateSpec extends SparkSpec {
                              // broadcast (LPA rounds are equi)
       "q162_triangles",      // same synth-graph 1-row node-count
                              // broadcast (wedge/closure joins are equi)
-      "q163_kcore")          // same 1-row node-count broadcast (peel
+      "q163_kcore",          // same 1-row node-count broadcast (peel
                              // rounds are degree aggs + semi-joins)
+      "q164_clustering")     // q162's shape (1-row node-count)
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is
