@@ -2841,6 +2841,35 @@ object OracleSql {
          |JOIN est4 ON nodes.id = est4.id""".stripMargin
     },
 
+    // Reciprocity: dedup'd edges self-joined on the reverse pair
+    // (unique match = semi), integer counts, one division
+    "q165_reciprocity" ->
+      """WITH cnt AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |nodes AS (SELECT doc_id AS id FROM documents),
+        |ring AS (SELECT doc_id AS src, (doc_id + 1) % n AS dst
+        |  FROM documents CROSS JOIN cnt),
+        |fwd AS (SELECT doc_id AS src, (doc_id + 5) % n AS dst
+        |  FROM documents CROSS JOIN cnt WHERE doc_id % 2 = 0),
+        |back AS (SELECT (doc_id + 5) % n AS src, doc_id AS dst
+        |  FROM documents CROSS JOIN cnt WHERE doc_id % 2 = 0),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT * FROM ring UNION ALL SELECT * FROM fwd
+        |    UNION ALL SELECT * FROM back) WHERE src <> dst),
+        |m AS (SELECT e.src, e.dst FROM e
+        |  JOIN e r ON e.src = r.dst AND e.dst = r.src),
+        |od AS (SELECT src, count(*)::BIGINT AS outdeg
+        |  FROM e GROUP BY src),
+        |nm AS (SELECT src, count(*)::BIGINT AS n_mutual
+        |  FROM m GROUP BY src)
+        |SELECT nodes.id AS doc_id,
+        |  coalesce(od.outdeg, 0)::BIGINT AS outdeg,
+        |  coalesce(nm.n_mutual, 0)::BIGINT AS n_mutual,
+        |  round(CASE WHEN od.outdeg IS NULL THEN NULL
+        |    ELSE coalesce(nm.n_mutual, 0)::DOUBLE /
+        |      od.outdeg::DOUBLE END, 6) AS reciprocity
+        |FROM nodes LEFT JOIN od ON nodes.id = od.src
+        |LEFT JOIN nm ON nodes.id = nm.src""".stripMargin,
+
     // Clustering coefficient: q162's triangle chain + degree +
     // one fixed division, NULL below degree 2
     "q164_clustering" ->

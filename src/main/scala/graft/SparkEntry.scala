@@ -2412,6 +2412,29 @@ object SparkEntry {
         col("clustering"))
   }
 
+  /** Reciprocity screen over a mixed graph: a one-way +1 ring plus
+    * explicit mutual pairs planted from even nodes (+5 both ways) —
+    * integer counts, one division, NULL for outlink-less nodes
+    * (none here).
+    */
+  def q165_reciprocity(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nodes = d.select(col("doc_id").as("id"))
+    val n1 = d.agg(count(lit(1)).as("n_nodes"))
+    val base = d.select(col("doc_id").as("src"))
+      .crossJoin(broadcast(n1))
+    val ring = base.select(col("src"),
+      ((col("src") + 1) % col("n_nodes")).as("dst"))
+    val fwd = base.filter(col("src") % 2 === 0)
+      .select(col("src"), ((col("src") + 5) % col("n_nodes")).as("dst"))
+    val back = base.filter(col("src") % 2 === 0)
+      .select(((col("src") + 5) % col("n_nodes")).as("src"),
+        col("src").as("dst"))
+    LinkGraph.reciprocityRatio(nodes, ring.union(fwd).union(back))
+      .select(col("id").as("doc_id"), col("outdeg"), col("n_mutual"),
+        col("reciprocity"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2579,7 +2602,8 @@ object SparkEntry {
     "q161_crawl_delay" -> (q161_crawl_delay(_, _)),
     "q162_triangles" -> (q162_triangles(_, _)),
     "q163_kcore" -> (q163_kcore(_, _)),
-    "q164_clustering" -> (q164_clustering(_, _)))
+    "q164_clustering" -> (q164_clustering(_, _)),
+    "q165_reciprocity" -> (q165_reciprocity(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -325,6 +325,37 @@ object LinkGraph {
           .as("clustering"))
   }
 
+  /** Link reciprocity per node: what fraction of a node's outlinks
+    * are linked BACK — organic citation graphs are largely one-way,
+    * link-exchange schemes are mutual by construction, so a high
+    * reciprocity ratio is the cheapest pairwise-collusion screen
+    * (complements the triangle/k-core DENSITY screens, which miss
+    * plain A↔B swaps). One dedup pass + one self-semi-join on the
+    * reversed edge + integer counts + a single division (q165).
+    * Nodes without outlinks report NULL.
+    */
+  def reciprocityRatio(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst")
+      .filter(col("src") =!= col("dst")).distinct().persist()
+    val mutual = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nMutual = mutual.groupBy("src")
+      .agg(count(lit(1)).as("n_mutual"))
+    nodes.select(col("id"))
+      .join(outdeg.select(col("src").as("id"), col("outdeg")),
+        Seq("id"), "left")
+      .join(nMutual.select(col("src").as("id"), col("n_mutual")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"),
+        round(when(col("outdeg").isNull, lit(null).cast("double"))
+          .otherwise(coalesce(col("n_mutual"), lit(0L)).cast("double") /
+            col("outdeg").cast("double")), 6).as("reciprocity"))
+  }
+
   /** Harmonic centrality, approximated HyperBall-style (Boldi &
     * Vigna, "In-Core Computation of Geometric Centralities with
     * HyperBall", 2013) with k-min-hash registers in place of

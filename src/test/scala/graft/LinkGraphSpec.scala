@@ -227,6 +227,25 @@ class LinkGraphSpec extends SparkSpec {
     assert(got(7L) == None, got) // degree 1
   }
 
+
+  test("reciprocityRatio: mutual pair at 1.0, one-way chain at 0, " +
+    "mixed node at 0.5, no-outlink node NULL") {
+    val nodes = (0L until 5).toDF("id")
+    val edges = Seq(
+      (0L, 1L), (1L, 0L),  // mutual pair
+      (0L, 2L),            // one-way: node 0 is mixed (1 of 2 mutual)
+      (2L, 3L)).toDF("src", "dst") // 3 has no outlinks -> NULL
+    val got = LinkGraph.reciprocityRatio(nodes, edges).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got(0L) == ((2L, 1L, Some(0.5))), got)
+    assert(got(1L) == ((1L, 1L, Some(1.0))), got)
+    assert(got(2L) == ((1L, 0L, Some(0.0))), got)
+    assert(got(3L) == ((0L, 0L, None)), got)
+    assert(got(4L) == ((0L, 0L, None)), got) // isolated
+  }
+
   test("checkpointEvery truncates lineage without changing ranks") {
     val nodes = (0L until 12).toDF("id")
     val edges = (0L until 12).map(s => (s, (s * 7 + 1) % 12))
