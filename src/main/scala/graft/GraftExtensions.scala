@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, StringType}
-import graft.functions.{BloomMightContainXX, BottomKXX, BpeTokensXX, CmsSketchXX, CosineSimXX, DeflateRatioExprXX, Dist2XX, FixMojibakeExprXX, JaccardXX, KmvSketchXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, NfcNormalizeExprXX, PadPackXX, RepStatsXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
+import graft.functions.{BloomMightContainXX, BottomKXX, BpeTokensXX, CmsSketchXX, CosineSimXX, DeflateRatioExprXX, Dist2XX, FixMojibakeExprXX, HllSketchXX, JaccardXX, KmvSketchXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, NfcNormalizeExprXX, PadPackXX, RepStatsXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * SQL functions so plain `spark.sql` users get them too.
@@ -121,6 +121,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"k must be integral, got $other; $usage")
         }
         KmvSketchXX(children.head, k)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hll_sketch"),
+      new ExpressionInfo(classOf[HllSketchXX].getName, "graft_hll_sketch"),
+      (children: Seq[Expression]) => {
+        val usage = "usage: graft_hll_sketch(grams, p) — p must be an " +
+          "integral literal in [4, 12]"
+        require(children.size == 2, usage)
+        require(children(1).foldable, usage)
+        val p = children(1).eval() match {
+          case n: java.lang.Number => n.intValue
+          case other => throw new IllegalArgumentException(
+            s"p must be integral, got $other; $usage")
+        }
+        HllSketchXX(children.head, p)
       }))
 
     ext.injectFunction((

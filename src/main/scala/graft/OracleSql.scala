@@ -2843,6 +2843,43 @@ object OracleSql {
 
     // Reciprocity: dedup'd edges self-joined on the reverse pair
     // (unique match = semi), integer counts, one division
+    // HLL registers replay as integer arithmetic: bucket = hv mod 64,
+    // w = hv div 64, rho = 27 - bitlen(w) (ltrim-of-bin gives bitlen 0
+    // for w = 0), reg = max rho per bucket with missing buckets as 0;
+    // the harmonic-sum numerator Σ 2^(27-reg) is an exact BIGINT
+    "q166_hll_distinct" ->
+      """WITH tok AS (SELECT source, string_split(text, ' ') AS w
+        |             FROM documents),
+        |g AS (SELECT source, unnest(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |      FROM tok),
+        |h AS (SELECT source,
+        |        (('0x' || substr(md5(gram), 1, 8))::UBIGINT)::BIGINT AS hv
+        |      FROM g),
+        |rr AS (SELECT source, hv % 64 AS bucket,
+        |        27 - length(ltrim(bin(hv // 64), '0')) AS rho FROM h),
+        |regs AS (SELECT source, bucket, max(rho) AS reg
+        |         FROM rr GROUP BY source, bucket),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |grid AS (SELECT srcs.source, b.bucket,
+        |           coalesce(regs.reg, 0) AS reg
+        |         FROM srcs
+        |         CROSS JOIN (SELECT range AS bucket FROM range(0, 64)) b
+        |         LEFT JOIN regs ON regs.source = srcs.source
+        |           AND regs.bucket = b.bucket)
+        |SELECT source,
+        |  (count(*) FILTER (WHERE reg = 0))::BIGINT AS n_zero_regs,
+        |  sum(reg)::BIGINT AS reg_sum,
+        |  sum(reg * (bucket + 1))::BIGINT AS reg_checksum,
+        |  sum(pow(2, 27 - reg)::BIGINT)::BIGINT AS z_num,
+        |  round((0.709 * 4096.0 * 134217728.0) /
+        |    sum(pow(2, 27 - reg)::BIGINT), 6) AS est_raw,
+        |  CASE WHEN count(*) FILTER (WHERE reg = 0) > 0
+        |    THEN (round(ln(64.0 /
+        |      (count(*) FILTER (WHERE reg = 0))) * 1000000))::BIGINT
+        |  END AS est_lc_unat
+        |FROM grid GROUP BY source""".stripMargin,
+
     "q165_reciprocity" ->
       """WITH cnt AS (SELECT count(*)::BIGINT AS n FROM documents),
         |nodes AS (SELECT doc_id AS id FROM documents),

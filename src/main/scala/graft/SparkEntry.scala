@@ -2435,6 +2435,41 @@ object SparkEntry {
         col("reciprocity"))
   }
 
+  /** Per-source distinct 3-gram cardinality via the HyperLogLog
+    * register sketch — KMV's (q100) industry-standard sibling with
+    * FIXED 64-byte state per group: registers build map-side from the
+    * raw gram stream and merge by elementwise max. The gate
+    * hash-compares the register vector (as an order-weighted integer
+    * checksum), the exact-BIGINT harmonic-sum numerator, and both
+    * estimate tiers (raw HLL + linear counting), so the oracle
+    * replays the whole register mechanism, not just the number.
+    */
+  def q166_hll_distinct(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"),
+        TextOps.shingles(TextOps.tokensSimple(col("text")), 3).as("_g"))
+      .groupBy(col("source"))
+      .agg(TextOps.hllSketch(col("_g"), 6).as("_regs"))
+      .select(col("source"),
+        expr("CAST(size(filter(_regs, r -> r = 0)) AS BIGINT)")
+          .as("n_zero_regs"),
+        expr("aggregate(_regs, CAST(0 AS BIGINT), " +
+          "(a, r) -> a + CAST(r AS BIGINT))").as("reg_sum"),
+        expr("aggregate(zip_with(_regs, sequence(1, 64), " +
+          "(r, i) -> CAST(r AS BIGINT) * i), CAST(0 AS BIGINT), " +
+          "(a, x) -> a + x)").as("reg_checksum"),
+        expr("aggregate(_regs, CAST(0 AS BIGINT), " +
+          "(a, r) -> a + CAST(pow(2, 27 - r) AS BIGINT))").as("z_num"))
+      .select(col("source"), col("n_zero_regs"), col("reg_sum"),
+        col("reg_checksum"), col("z_num"),
+        // alpha_64 · m² / Z with Z = z_num / 2^27: one double division
+        round(lit(0.709) * lit(4096.0) * lit(134217728.0) /
+          col("z_num"), 6).as("est_raw"),
+        // linear-counting tier for the small range, in micro-nats
+        when(col("n_zero_regs") > 0,
+          round(log(lit(64.0) / col("n_zero_regs")) * lit(1e6))
+            .cast("long")).as("est_lc_unat"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2603,7 +2638,8 @@ object SparkEntry {
     "q162_triangles" -> (q162_triangles(_, _)),
     "q163_kcore" -> (q163_kcore(_, _)),
     "q164_clustering" -> (q164_clustering(_, _)),
-    "q165_reciprocity" -> (q165_reciprocity(_, _)))
+    "q165_reciprocity" -> (q165_reciprocity(_, _)),
+    "q166_hll_distinct" -> (q166_hll_distinct(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1007,6 +1007,19 @@ object TextOps {
         lit((k - 1).toDouble * graft.functions.KmvXX.Domain) /
           element_at(sketch, -1), 6))
 
+  /** HyperLogLog register sketch AGGREGATE over a gram-array column:
+    * fixed 2^p-byte state per group regardless of cardinality,
+    * registers merge by elementwise max
+    * ([[graft.functions.HllSketchXX]]). Returns the array<int> of
+    * register values; the estimate derives declaratively (see q166)
+    * so the whole mechanism — not just the number — hash-gates.
+    */
+  def hllSketch(gramCol: Column, p: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.HllSketchXX(
+        org.apache.spark.sql.graft.ColumnBridge.expression(gramCol), p)
+        .toAggregateExpression())
+
   /** Count-Min Sketch AGGREGATE over an item-array column: per-item
     * frequency estimation with a fixed `depth × width` counter grid —
     * no groupBy-count of every distinct item, counters merge by
