@@ -2843,6 +2843,27 @@ object OracleSql {
 
     // Reciprocity: dedup'd edges self-joined on the reverse pair
     // (unique match = semi), integer counts, one division
+    // PMI per-ln micro-nat snap: each ln takes ONE exact integer
+    // product, so the difference is BIGINT subtraction on both sides
+    "q167_pmi_collocations" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS w
+        |             FROM documents),
+        |uni AS (SELECT t, count(*)::BIGINT AS c FROM (
+        |          SELECT unnest(w) AS t FROM tok) GROUP BY t),
+        |tot AS (SELECT sum(c)::BIGINT AS n_tokens FROM uni),
+        |bi AS (SELECT bg, count(*)::BIGINT AS c_ab FROM (
+        |         SELECT unnest(list_transform(range(1, len(w)),
+        |           i -> w[i] || ' ' || w[i+1])) AS bg FROM tok)
+        |       GROUP BY bg HAVING count(*) >= 5),
+        |sp AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |         string_split(bg, ' ')[2] AS w2, c_ab FROM bi)
+        |SELECT w1, w2, c_ab, ua.c AS c_a, ub.c AS c_b,
+        |  (round(ln(c_ab * n_tokens) * 1000000))::BIGINT -
+        |    (round(ln(ua.c * ub.c) * 1000000))::BIGINT AS pmi_unat
+        |FROM sp JOIN uni ua ON sp.w1 = ua.t
+        |JOIN uni ub ON sp.w2 = ub.t CROSS JOIN tot
+        |ORDER BY pmi_unat DESC, w1, w2 LIMIT 100""".stripMargin,
+
     // HLL registers replay as integer arithmetic: bucket = hv mod 64,
     // w = hv div 64, rho = 27 - bitlen(w) (ltrim-of-bin gives bitlen 0
     // for w = 0), reg = max rho per bucket with missing buckets as 0;

@@ -2470,6 +2470,16 @@ object SparkEntry {
           round(log(lit(64.0) / col("n_zero_regs")) * lit(1e6))
             .cast("long")).as("est_lc_unat"))
 
+  /** Top PMI collocations over the corpus — the multi-word units a
+    * tokenizer vocabulary should keep whole: adjacent-bigram pointwise
+    * mutual information with count flooring, micro-nat-snapped per ln
+    * term so the difference replays as BIGINT arithmetic, top-k via
+    * per-partition heaps.
+    */
+  def q167_pmi_collocations(s: SparkSession, dir: String): DataFrame =
+    TextOps.pmiCollocations(docs(s, dir), "text",
+      minCount = 5L, topK = 100)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2639,7 +2649,8 @@ object SparkEntry {
     "q163_kcore" -> (q163_kcore(_, _)),
     "q164_clustering" -> (q164_clustering(_, _)),
     "q165_reciprocity" -> (q165_reciprocity(_, _)),
-    "q166_hll_distinct" -> (q166_hll_distinct(_, _)))
+    "q166_hll_distinct" -> (q166_hll_distinct(_, _)),
+    "q167_pmi_collocations" -> (q167_pmi_collocations(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -415,6 +415,52 @@ object TextOps {
       round(variance * lit(1000000.0)).cast("long").as("var_micro"))
   }
 
+  /** Collocation extraction by pointwise mutual information (Church &
+    * Hanks 1990): for each adjacent token bigram,
+    * `pmi = ln(c_ab · N) − ln(c_a · c_b)` with N the corpus token
+    * count — how much more often the pair co-occurs than its parts
+    * predict. High-PMI pairs are the multi-word units a tokenizer
+    * vocabulary should keep whole ("new york", "machine learning");
+    * low counts are noise, so `minCount` floors the support. Each ln
+    * snaps to integer micro-nats INDEPENDENTLY (one ln of one exact
+    * integer product per term), so the difference is pure BIGINT
+    * arithmetic an external engine replays exactly.
+    *
+    * Scale shape: two corpus passes collapse to vocab-sized count
+    * tables (map-side combine), the bigram table equi-joins the
+    * unigram table twice on its word keys, the 1-row total
+    * broadcasts, and the top-k is per-partition heaps
+    * (TakeOrdered) — never a global sort.
+    *
+    * Returns `(w1, w2, c_ab, c_a, c_b, pmi_unat)`, the `topK`
+    * strongest collocations (ties: lexicographic).
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Long = 5L, topK: Int = 100,
+      tokenizer: Column => Column = tokensSimple): DataFrame = {
+    val toks = df.select(tokenizer(col(textCol)).as("_w"))
+    val uni = toks.select(explode(col("_w")).as("_t"))
+      .groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+    val total = uni.agg(sum(col("_c")).as("_n_tokens"))
+    val bi = toks.select(explode(shingles(col("_w"), 2)).as("_bg"))
+      .groupBy(col("_bg")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .select(element_at(split(col("_bg"), " "), 1).as("w1"),
+        element_at(split(col("_bg"), " "), 2).as("w2"), col("c_ab"))
+    bi.join(uni.select(col("_t").as("w1"), col("_c").as("c_a")),
+        Seq("w1"))
+      .join(uni.select(col("_t").as("w2"), col("_c").as("c_b")),
+        Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        (round(log(col("c_ab") * col("_n_tokens")) * lit(1e6))
+          .cast("long") -
+          round(log(col("c_a") * col("c_b")) * lit(1e6)).cast("long"))
+          .as("pmi_unat"))
+      .orderBy(col("pmi_unat").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Vocabulary coverage curve: tokens ranked by corpus frequency
     * (ties: lexicographic), each row carrying the CUMULATIVE fraction
     * of all token occurrences a vocabulary truncated at that rank

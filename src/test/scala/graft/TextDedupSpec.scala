@@ -1346,6 +1346,33 @@ class TextDedupSpec extends SparkSpec {
     assert(got("new") == ((0L, 4L, got("new")._3, got("new")._4)))
   }
 
+  test("pmiCollocations: a glued pair outranks a chance pair; " +
+    "support floor drops rare pairs; micro-nat value is exact") {
+    import spark.implicits._
+    // 'alpha beta' always adjacent (glued); 'x y' co-occur only by
+    // chance among independent fillers; 'rare pair' appears once
+    val glue = (0 until 8).map(i => (i.toLong, "alpha beta x y"))
+    val noise = (8 until 16).map(i => (i.toLong, "x q y p x r"))
+    val df = (glue ++ noise :+ (16L, "rare pair")).toDF("doc_id", "text")
+    val got = TextOps.pmiCollocations(df, "text", minCount = 2L,
+      topK = 10).collect()
+    val byPair = got.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // rare pair (count 1) floored out
+    assert(!byPair.contains(("rare", "pair")))
+    // glued pair present with exact counts and outranking 'x y'
+    val (cab, ca, cb, pmi) = byPair(("alpha", "beta"))
+    assert(cab == 8L && ca == 8L && cb == 8L)
+    val n = df.select(explode(TextOps.tokensSimple(col("text")))).count()
+    val expect = math.round(math.log(8.0 * n) * 1e6) -
+      math.round(math.log(8.0 * 8.0) * 1e6)
+    assert(pmi == expect)
+    assert(pmi > byPair(("x", "y"))._4)
+    // output honors the (pmi desc, w1, w2) order
+    val pmis = got.map(_.getLong(5)).toSeq
+    assert(pmis == pmis.sorted.reverse)
+  }
+
   test("unigramEntropy: uniform two-token group hits ln(2) in " +
     "micro-nats, constant group reads zero") {
     import spark.implicits._
