@@ -2843,6 +2843,34 @@ object OracleSql {
 
     // Reciprocity: dedup'd edges self-joined on the reverse pair
     // (unique match = semi), integer counts, one division
+    // HITS as exact path counts: the two rounds unroll to four
+    // join+aggregate CTEs, every score a BIGINT
+    "q168_hits" ->
+      """WITH cnt AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |nodes AS (SELECT doc_id AS id FROM documents),
+        |ring AS (SELECT doc_id AS src, (doc_id + 1) % n AS dst
+        |  FROM documents CROSS JOIN cnt),
+        |dense AS (SELECT doc_id AS src, (doc_id + k * 10) % n AS dst
+        |  FROM documents CROSS JOIN cnt
+        |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)
+        |  WHERE doc_id % 10 = 0),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT * FROM ring UNION ALL SELECT * FROM dense)
+        |  WHERE src <> dst),
+        |h1 AS (SELECT src AS id, count(*)::BIGINT AS s
+        |       FROM e GROUP BY src),
+        |a1 AS (SELECT e.dst AS id, sum(h1.s)::BIGINT AS s
+        |       FROM e JOIN h1 ON e.src = h1.id GROUP BY e.dst),
+        |h2 AS (SELECT e.src AS id, sum(a1.s)::BIGINT AS s
+        |       FROM e JOIN a1 ON e.dst = a1.id GROUP BY e.src),
+        |a2 AS (SELECT e.dst AS id, sum(h2.s)::BIGINT AS s
+        |       FROM e JOIN h2 ON e.src = h2.id GROUP BY e.dst)
+        |SELECT nodes.id AS doc_id,
+        |  coalesce(h2.s, 0)::BIGINT AS hub,
+        |  coalesce(a2.s, 0)::BIGINT AS auth
+        |FROM nodes LEFT JOIN h2 ON nodes.id = h2.id
+        |LEFT JOIN a2 ON nodes.id = a2.id""".stripMargin,
+
     // PMI per-ln micro-nat snap: each ln takes ONE exact integer
     // product, so the difference is BIGINT subtraction on both sides
     "q167_pmi_collocations" ->

@@ -2480,6 +2480,28 @@ object SparkEntry {
     TextOps.pmiCollocations(docs(s, dir), "text",
       minCount = 5L, topK = 100)
 
+  /** HITS hub/authority path counts over a ring + dense-subgraph
+    * mix (q163's shell shape): the dense multiples-of-10 rows separate
+    * from the ring on both scores, exact BIGINTs, unrolled join
+    * chains in SQL.
+    */
+  def q168_hits(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nodes = d.select(col("doc_id").as("id"))
+    val n1 = d.agg(count(lit(1)).as("n_nodes"))
+    val base = d.select(col("doc_id").as("src"))
+      .crossJoin(broadcast(n1))
+    val ring = base.select(col("src"),
+      ((col("src") + 1) % col("n_nodes")).as("dst"))
+    val dense = base.filter(col("src") % 10 === 0)
+      .select(col("src"),
+        explode(sequence(lit(1L), lit(3L))).as("k"), col("n_nodes"))
+      .select(col("src"),
+        ((col("src") + col("k") * 10) % col("n_nodes")).as("dst"))
+    LinkGraph.hitsPathCounts(nodes, ring.union(dense), rounds = 2)
+      .select(col("id").as("doc_id"), col("hub"), col("auth"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2650,7 +2672,8 @@ object SparkEntry {
     "q164_clustering" -> (q164_clustering(_, _)),
     "q165_reciprocity" -> (q165_reciprocity(_, _)),
     "q166_hll_distinct" -> (q166_hll_distinct(_, _)),
-    "q167_pmi_collocations" -> (q167_pmi_collocations(_, _)))
+    "q167_pmi_collocations" -> (q167_pmi_collocations(_, _)),
+    "q168_hits" -> (q168_hits(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

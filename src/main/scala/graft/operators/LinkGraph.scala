@@ -356,6 +356,58 @@ object LinkGraph {
             col("outdeg").cast("double")), 6).as("reciprocity"))
   }
 
+  /** HITS hub/authority scores (Kleinberg 1999), kept as EXACT
+    * integer path counts: with `a₀(v) = 1`, round r computes
+    * `h_r(u) = Σ_{u→v} a_{r−1}(v)` and `a_r(v) = Σ_{u→v} h_r(u)` —
+    * without the usual L2 normalization, `h_r(u)` is exactly the
+    * number of alternating forward paths of length 2r−1 leaving u
+    * (and `a_r` the paths arriving), the same ranking Kleinberg's
+    * power iteration converges to. Dropping the normalizer is what
+    * makes the operator hash-gateable: every value is a BIGINT, no
+    * corpus-wide float sum anywhere (the norm is a monotone rescale,
+    * so top-k hubs/authorities are unchanged — q168 pins the ranking,
+    * not the scale).
+    *
+    * Per round: two equi-join + aggregate passes over the edge list,
+    * each round's score table persists (next round + the final report
+    * both consume it — the iterative-op cache rule). Scores grow like
+    * degree^(2·rounds); `rounds` ≤ 4 keeps 64-bit exact on any graph
+    * with max degree below ~10⁴ (assert left to the caller, who knows
+    * the graph).
+    *
+    * Returns `(id, hub, auth)` — 0 for nodes with no out/in links.
+    */
+  def hitsPathCounts(
+      nodes: DataFrame, edges: DataFrame,
+      rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 4,
+      s"rounds must be in [1, 4], got $rounds")
+    val e = edges.select("src", "dst")
+      .filter(col("src") =!= col("dst")).distinct().persist()
+    // a_0 = 1 for every node
+    var auth = nodes.select(col("id"), lit(1L).as("score"))
+    var hub: DataFrame = null
+    for (_ <- 1 to rounds) {
+      hub = e.join(auth.select(col("id").as("dst"), col("score")),
+          Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(sum(col("score")).as("score"))
+        .persist()
+      auth = e.join(hub.select(col("id").as("src"), col("score")),
+          Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("score")).as("score"))
+        .persist()
+    }
+    nodes.select(col("id"))
+      .join(hub.select(col("id"), col("score").as("hub")),
+        Seq("id"), "left")
+      .join(auth.select(col("id"), col("score").as("auth")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
+  }
+
   /** Harmonic centrality, approximated HyperBall-style (Boldi &
     * Vigna, "In-Core Computation of Geometric Centralities with
     * HyperBall", 2013) with k-min-hash registers in place of

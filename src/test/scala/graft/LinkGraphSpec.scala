@@ -246,6 +246,24 @@ class LinkGraphSpec extends SparkSpec {
     assert(got(4L) == ((0L, 0L, None)), got) // isolated
   }
 
+  test("hitsPathCounts: hand-computed two-round path counts on a " +
+    "co-citation wedge; self-loops and duplicate edges collapse") {
+    val nodes = (0L until 5).toDF("id")
+    // 1→2, 3→2, 2→4, plus a self-loop and a duplicate to be dropped
+    val edges = Seq((1L, 2L), (1L, 2L), (3L, 2L), (2L, 4L), (4L, 4L))
+      .toDF("src", "dst")
+    val got = LinkGraph.hitsPathCounts(nodes, edges, rounds = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // round 1: h=(1:1, 3:1, 2:1); a=(2:2, 4:1)
+    // round 2: h=(1:2, 3:2, 2:1); a=(2:4, 4:1)
+    assert(got(1L) == ((2L, 0L)), got)
+    assert(got(3L) == ((2L, 0L)), got)
+    assert(got(2L) == ((1L, 4L)), got)
+    assert(got(4L) == ((0L, 1L)), got)
+    assert(got(0L) == ((0L, 0L)), got) // isolated
+  }
+
   test("checkpointEvery truncates lineage without changing ranks") {
     val nodes = (0L until 12).toDF("id")
     val edges = (0L until 12).map(s => (s, (s * 7 + 1) % 12))
