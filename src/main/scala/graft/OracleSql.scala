@@ -2843,6 +2843,27 @@ object OracleSql {
 
     // Reciprocity: dedup'd edges self-joined on the reverse pair
     // (unique match = semi), integer counts, one division
+    // Hill estimator: micro-nat ln per top value, BIGINT fold, one
+    // closing division — the top-(k+1) set is pinned by the (c desc,
+    // t) total order on both sides
+    "q169_hill_tail" ->
+      """WITH uni AS (SELECT t, count(*)::BIGINT AS c FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS t
+        |        FROM documents) GROUP BY t),
+        |top AS (SELECT c FROM uni ORDER BY c DESC, t LIMIT 101),
+        |ag AS (SELECT count(*)::BIGINT AS m, min(c)::BIGINT AS x_kp1,
+        |         sum((round(ln(c) * 1000000))::BIGINT)::BIGINT AS s
+        |       FROM top)
+        |SELECT (m - 1)::BIGINT AS k, x_kp1,
+        |  (s - m * (round(ln(x_kp1) * 1000000))::BIGINT)::BIGINT
+        |    AS sum_ln_unat,
+        |  CASE WHEN s - m * (round(ln(x_kp1) * 1000000))::BIGINT <= 0
+        |    THEN NULL
+        |    ELSE round((m - 1) * 1000000.0 /
+        |      (s - m * (round(ln(x_kp1) * 1000000))::BIGINT), 6)
+        |  END AS alpha_hill
+        |FROM ag""".stripMargin,
+
     // HITS as exact path counts: the two rounds unroll to four
     // join+aggregate CTEs, every score a BIGINT
     "q168_hits" ->

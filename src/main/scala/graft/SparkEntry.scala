@@ -2502,6 +2502,17 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("hub"), col("auth"))
   }
 
+  /** Hill tail-index estimate over the token-frequency distribution —
+    * the "how Zipf is this corpus" diagnostic: top-101 counts via
+    * per-partition heaps, micro-nat ln sum, one closing division.
+    */
+  def q169_hill_tail(s: SparkSession, dir: String): DataFrame = {
+    val uni = docs(s, dir)
+      .select(explode(TextOps.tokensSimple(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    Relational.hillTailIndex(uni, col("c"), col("t"), k = 100)
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2673,7 +2684,8 @@ object SparkEntry {
     "q165_reciprocity" -> (q165_reciprocity(_, _)),
     "q166_hll_distinct" -> (q166_hll_distinct(_, _)),
     "q167_pmi_collocations" -> (q167_pmi_collocations(_, _)),
-    "q168_hits" -> (q168_hits(_, _)))
+    "q168_hits" -> (q168_hits(_, _)),
+    "q169_hill_tail" -> (q169_hill_tail(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1192,6 +1192,42 @@ object Relational {
         .as("intercept")): _*)
   }
 
+  /** Hill power-law tail-index estimate (Hill 1975) over a value
+    * column — the standard "is this distribution Zipf, and how heavy"
+    * diagnostic for token frequencies, document lengths, or link
+    * degrees: `α̂ = k / Σ_{i=1..k} ln(x_(i) / x_(k+1))` over the k
+    * largest values. A corpus whose token α̂ drifts far from ~1 is
+    * mis-tokenized or spam-heavy; a degree α̂ near 1 means whale hubs
+    * that need salting.
+    *
+    * Shape: the top-(k+1) set is per-partition heaps (TakeOrdered
+    * with a total tie-break ordering — never a global sort), then one
+    * fold over those k+1 rows. Each ln snaps to integer micro-nats
+    * independently, so the sum is order-free BIGINT arithmetic and
+    * the only float is the final `k·10⁶ / Σ` division — the whole
+    * estimate replays in SQL (q169).
+    *
+    * Returns one row `(k, x_kp1, sum_ln_unat, alpha_hill)`; NULL α̂
+    * when the tail is degenerate (all k+1 values equal).
+    */
+  def hillTailIndex(
+      df: DataFrame, value: Column, tieBreak: Column,
+      k: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val top = df.select(value.as("_v"), tieBreak.as("_t"))
+      .orderBy(col("_v").desc, col("_t")).limit(k + 1)
+    top.agg(count(lit(1)).as("_m"), min(col("_v")).as("x_kp1"),
+        sum(round(log(col("_v")) * lit(1e6)).cast("long")).as("_s"))
+      .select((col("_m") - 1).as("k"), col("x_kp1"),
+        (col("_s") - col("_m") *
+          round(log(col("x_kp1")) * lit(1e6)).cast("long"))
+          .as("sum_ln_unat"))
+      .select(col("k"), col("x_kp1"), col("sum_ln_unat"),
+        round(when(col("sum_ln_unat") <= 0, lit(null).cast("double"))
+          .otherwise(col("k") * lit(1000000.0) / col("sum_ln_unat")),
+          6).as("alpha_hill"))
+  }
+
   /** Skew-safe equi-join for a big, key-skewed fact side against a small
     * dimension side: the big side gets a uniform salt (partition-id mod
     * `saltFactor` — any spread works, determinism not required for a

