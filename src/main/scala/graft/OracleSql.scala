@@ -2843,6 +2843,21 @@ object OracleSql {
 
     // Reciprocity: dedup'd edges self-joined on the reverse pair
     // (unique match = semi), integer counts, one division
+    // Markov transitions: one user-partitioned lead window, integer
+    // pair counts, one division
+    "q170_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type AS kind,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_kind
+        |  FROM events),
+        |p AS (SELECT kind, next_kind, count(*)::BIGINT AS n_pairs
+        |      FROM seq WHERE next_kind IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT kind, sum(n_pairs)::BIGINT AS n_from
+        |      FROM p GROUP BY 1)
+        |SELECT p.kind, p.next_kind, p.n_pairs, t.n_from,
+        |  round(p.n_pairs::DOUBLE / t.n_from::DOUBLE, 6) AS p_next
+        |FROM p JOIN t USING (kind)""".stripMargin,
+
     // Hill estimator: micro-nat ln per top value, BIGINT fold, one
     // closing division — the top-(k+1) set is pinned by the (c desc,
     // t) total order on both sides

@@ -2513,6 +2513,14 @@ object SparkEntry {
     Relational.hillTailIndex(uni, col("c"), col("t"), k = 100)
   }
 
+  /** First-order Markov transition matrix over user event sequences —
+    * consecutive (type → next type) counts and row-normalized
+    * probabilities, one user-partitioned lead window, kind-pair-sized
+    * aggregates, one division.
+    */
+  def q170_transitions(s: SparkSession, dir: String): DataFrame =
+    EventOps.transitionMatrix(t(s, dir, "events"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2685,7 +2693,8 @@ object SparkEntry {
     "q166_hll_distinct" -> (q166_hll_distinct(_, _)),
     "q167_pmi_collocations" -> (q167_pmi_collocations(_, _)),
     "q168_hits" -> (q168_hits(_, _)),
-    "q169_hill_tail" -> (q169_hill_tail(_, _)))
+    "q169_hill_tail" -> (q169_hill_tail(_, _)),
+    "q170_transitions" -> (q170_transitions(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

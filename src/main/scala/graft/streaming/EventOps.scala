@@ -267,6 +267,44 @@ object EventOps {
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
 
+  /** First-order Markov transition matrix over each user's event
+    * sequence: counts of consecutive `(kind → next kind)` steps and
+    * the row-normalized transition probability — the session-path
+    * fingerprint behind "what do users do after X" product questions
+    * and the base model for next-event anomaly scoring (a session
+    * whose steps are all low-probability transitions is bot-shaped).
+    *
+    * Scale shape: ONE user-partitioned window (lead over `(ts, id)` —
+    * never partition-less), then two kind-pair-sized aggregations and
+    * an equi-join; event volume leaves the plan at the first groupBy.
+    * Counts are BIGINTs and the probability ONE division, so the
+    * matrix replays exactly (q170). Ordering ties break on the id
+    * column for cross-engine determinism.
+    *
+    * Returns `(kind, next_kind, n_pairs, n_from, p_next)`.
+    */
+  def transitionMatrix(events: DataFrame,
+      userCol: String = "user_id", kindCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(kindCol).as("kind"),
+        col(tsCol), col(idCol))
+      .withColumn("next_kind", lead(col("kind"), 1).over(w))
+      .filter(col("next_kind").isNotNull)
+      .groupBy(col("kind"), col("next_kind"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val totals = pairs.groupBy(col("kind"))
+      .agg(sum(col("n_pairs")).as("n_from"))
+    pairs.join(totals, Seq("kind"))
+      .select(col("kind"), col("next_kind"), col("n_pairs"),
+        col("n_from"),
+        round(col("n_pairs").cast("double") /
+          col("n_from").cast("double"), 6).as("p_next"))
+  }
+
   /** Cohort retention: users grouped by first-seen UTC day (their
     * cohort), then for every later day the fraction of the cohort
     * still active — the engagement decay curve behind every "day-N

@@ -599,6 +599,29 @@ class EventFeatureSpec extends SparkSpec {
     assert(math.abs(mine - builtin) < 1e-6, (mine, builtin))
   }
 
+  test("transitionMatrix: per-user consecutive pairs only, ties " +
+    "broken on event_id, probabilities row-normalize") {
+    import graft.streaming.EventOps
+    val base = 1700000000000L
+    val ev = Seq(
+      // u1: a b a — same ts for the first two, id breaks the tie
+      (1L, base, 1L, "a"), (2L, base, 1L, "b"),
+      (3L, base + 1000, 1L, "a"),
+      // u2: a b ; u3: a c
+      (4L, base, 2L, "a"), (5L, base + 500, 2L, "b"),
+      (6L, base, 3L, "a"), (7L, base + 500, 3L, "c"))
+      .map { case (id, ts, u, k) =>
+        (id, new java.sql.Timestamp(ts), u, k, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.size == 3, got)
+    assert(got(("a", "b")) == ((2L, 3L, 0.666667)), got)
+    assert(got(("a", "c")) == ((1L, 3L, 0.333333)), got)
+    assert(got(("b", "a")) == ((1L, 1L, 1.0)), got)
+  }
+
   test("hillTailIndex: hand-computed micro-nat fold on {100,10,1}; " +
     "degenerate flat tail yields NULL; exact Pareto recovers alpha") {
     import graft.operators.Relational
