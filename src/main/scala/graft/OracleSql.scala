@@ -395,6 +395,52 @@ object OracleSql {
        |FROM nx LEFT JOIN hits h USING (qid)""".stripMargin
   }
 
+  /** Matryoshka oracle: one full-dim exact ranking (the q17 cosine
+    * chain), then per truncation tier the SAME chain folded only over
+    * the first d elements — `duckDot` with dim = d never reads past
+    * the prefix, which is exactly what the Spark side's array slice
+    * does — and the per-query top-5 intersection.
+    */
+  private val q171 = {
+    val dim = 64
+    val dimsList = Seq(8, 16, 32, 64)
+    val tiers = dimsList.map { d =>
+      s"""p$d AS (SELECT qid, cid,
+         |  round(${duckDot("qv", "cv", d)} /
+         |    (sqrt(${duckDot("qv", "qv", d)}) *
+         |     sqrt(${duckDot("cv", "cv", d)})), 6) AS cos_sim
+         |  FROM q, c WHERE qid != cid),
+         |r$d AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos_sim DESC, cid) AS rn FROM p$d),
+         |t$d AS (SELECT qid, cid FROM r$d WHERE rn <= 5),
+         |h$d AS (SELECT qid, count(*) AS n_hit
+         |        FROM ex JOIN t$d USING (qid, cid) GROUP BY qid)"""
+        .stripMargin
+    }.mkString(",\n")
+    val sel = dimsList.map { d =>
+      s"""SELECT $d AS dims, nx.qid, nx.n_exact,
+         |  coalesce(h$d.n_hit, 0)::BIGINT AS n_hit,
+         |  round(coalesce(h$d.n_hit, 0)::DOUBLE / nx.n_exact, 6)
+         |    AS recall
+         |FROM nx LEFT JOIN h$d USING (qid)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+       |           FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+       |pb AS (SELECT qid, cid,
+       |         round(${duckDot("qv", "cv", dim)} /
+       |           (sqrt(${duckDot("qv", "qv", dim)}) *
+       |            sqrt(${duckDot("cv", "cv", dim)})), 6) AS cos_sim
+       |       FROM q, c WHERE qid != cid),
+       |rb AS (SELECT qid, cid,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY cos_sim DESC, cid) AS rn FROM pb),
+       |ex AS (SELECT qid, cid FROM rb WHERE rn <= 5),
+       |nx AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid),
+       |$tiers
+       |$sel""".stripMargin
+  }
+
   /** IVF oracle: bounded two-level id-ordered centroid fold (bit-identical
     * to the Spark side's [[graft.sim.SimSearch.meanVectors]] — level 1
     * folds each `vec_id // W` bucket in id order, level 2 folds bucket
@@ -1074,6 +1120,7 @@ object OracleSql {
     "q17_cosine_topk" -> q17,
     "q18_ann_topk" -> q18,
     "q65_ann_recall" -> q65,
+    "q171_matryoshka_recall" -> q171,
     "q27_ivf_topk" -> q27,
 
     // temperature mixing at alpha = 0.5: quota_c = floor(200·√n_c/Σ√n),

@@ -2521,6 +2521,16 @@ object SparkEntry {
   def q170_transitions(s: SparkSession, dir: String): DataFrame =
     EventOps.transitionMatrix(t(s, dir, "events"))
 
+  /** Matryoshka truncation sweep: recall@5 of prefix-truncated
+    * embedding search (8/16/32/64 dims) against the full-dim exact
+    * ranking, per (dims, query) — the full-dim tier pins recall 1.0
+    * as the harness sanity row.
+    */
+  def q171_matryoshka_recall(s: SparkSession, dir: String): DataFrame =
+    SimSearch.matryoshkaRecall(t(s, dir, "embeddings"), "vec_id",
+      "embedding", col("vec_id") < 20, k = 5,
+      dims = Seq(8, 16, 32, 64))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2694,7 +2704,8 @@ object SparkEntry {
     "q167_pmi_collocations" -> (q167_pmi_collocations(_, _)),
     "q168_hits" -> (q168_hits(_, _)),
     "q169_hill_tail" -> (q169_hill_tail(_, _)),
-    "q170_transitions" -> (q170_transitions(_, _)))
+    "q170_transitions" -> (q170_transitions(_, _)),
+    "q171_matryoshka_recall" -> (q171_matryoshka_recall(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -267,6 +267,39 @@ object SimSearch {
       round(avg(col("recall")), 6).as("mean_recall"),
       min(col("recall")).as("min_recall"))
 
+  /** Matryoshka truncation sweep (Kusupati et al. 2022): recall@k of
+    * brute-force search over PREFIX-truncated embeddings against the
+    * full-dimension exact ranking — the number that decides how many
+    * dimensions a serving index can drop. MRL-trained embedding
+    * families front-load information, so recall vs `dims` is the
+    * curve that picks the cheapest usable truncation (a 4× dim cut is
+    * a 4× ANN-memory and dot-product-FLOPs cut at 100 TB serving
+    * scale).
+    *
+    * The full-dim baseline computes ONCE (localCheckpoint — one
+    * brute-force pass feeds every truncation tier); each tier is then
+    * an independent sliced-vector search scored by [[recallAtK]].
+    * Per-(dims, query) rows — deliberately NOT averaged into one
+    * float: the mean would be an order-dependent sum, the per-query
+    * rows replay exactly (q171).
+    *
+    * Returns `(dims, qid, n_exact, n_hit, recall)`.
+    */
+  def matryoshkaRecall(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty, "dims must be non-empty")
+    val exact = bruteForceTopK(emb, idCol, vecCol, queryPred, k)
+      .localCheckpoint()
+    dims.map { d =>
+      val sliced = emb.select(col(idCol),
+        slice(col(vecCol), 1, d).as("_v"))
+      val trunc = bruteForceTopK(sliced, idCol, "_v", queryPred, k)
+      recallAtK(trunc, exact, k).select(lit(d).as("dims"),
+        col("qid"), col("n_exact"), col("n_hit"), col("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Deterministic per-key mean of vectors with BOUNDED aggregation
     * state: a two-level id-bucketed fold. Level 1 groups by
     * `(key, id >>> log2(bucketWidth))` and folds that bucket's vectors

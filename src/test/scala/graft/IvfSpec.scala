@@ -376,6 +376,23 @@ class IvfSpec extends SparkSpec {
       s"residual codes did not lift recall: raw=$rRaw residual=$rRes")
   }
 
+  test("matryoshkaRecall: the full-dim tier is exactly 1.0 per query; " +
+    "mean recall does not increase as dimensions drop") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = SimSearch.matryoshkaRecall(emb, "vec_id", "embedding",
+      col("vec_id") < 10, k = 5, dims = Seq(8, 32, 64)).collect()
+    val full = got.filter(_.getInt(0) == 64)
+    assert(full.nonEmpty && full.forall(_.getDouble(4) == 1.0),
+      full.mkString(";"))
+    def mean(d: Int): Double = {
+      val rows = got.filter(_.getInt(0) == d)
+      rows.map(_.getDouble(4)).sum / rows.length
+    }
+    assert(mean(8) <= mean(32) && mean(32) <= mean(64),
+      (mean(8), mean(32), mean(64)))
+  }
+
   test("persisted residual PQ index reproduces the inline residual " +
     "chain and carries the residual marker") {
     def vec(d0: Float, d32: Float): Array[Float] = {

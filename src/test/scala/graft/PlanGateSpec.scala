@@ -240,8 +240,10 @@ class PlanGateSpec extends SparkSpec {
       "q165_reciprocity",    // same 1-row node-count broadcast
       "q167_pmi_collocations", // bigram rows × broadcast 1-row token
                                // total (q44's shape)
-      "q168_hits")           // q163's synth-graph 1-row node-count
+      "q168_hits",           // q163's synth-graph 1-row node-count
                              // broadcast (HITS rounds are equi)
+      "q171_matryoshka_recall") // per-tier corpus × broadcast query
+                                // rows (q17's non-equi != shape)
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is
