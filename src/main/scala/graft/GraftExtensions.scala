@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, StringType}
-import graft.functions.{BloomMightContainXX, BottomKXX, BpeTokensXX, CmsSketchXX, CosineSimXX, DeflateRatioExprXX, Dist2XX, FixMojibakeExprXX, HllSketchXX, JaccardXX, KmvSketchXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, NfcNormalizeExprXX, PadPackXX, RepStatsXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
+import graft.functions.{BloomMightContainXX, BottomKXX, BpeTokensXX, CdcChunksExprXX, CmsSketchXX, CosineSimXX, DeflateRatioExprXX, Dist2XX, FixMojibakeExprXX, HllSketchXX, JaccardXX, KmvSketchXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, NfcNormalizeExprXX, PadPackXX, RepStatsXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * SQL functions so plain `spark.sql` users get them too.
@@ -137,6 +137,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"p must be integral, got $other; $usage")
         }
         HllSketchXX(children.head, p)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunksExprXX].getName,
+        "graft_cdc_chunks"),
+      (children: Seq[Expression]) => {
+        val usage = "usage: graft_cdc_chunks(text, window, mask) — " +
+          "window and mask must be integral literals"
+        require(children.size == 3, usage)
+        require(children(1).foldable && children(2).foldable, usage)
+        def intOf(e: Expression): Int = e.eval() match {
+          case n: java.lang.Number => n.intValue
+          case other => throw new IllegalArgumentException(
+            s"expected integral literal, got $other; $usage")
+        }
+        CdcChunksExprXX(children.head, intOf(children(1)),
+          intOf(children(2)))
       }))
 
     ext.injectFunction((

@@ -2890,6 +2890,36 @@ object OracleSql {
 
     // Reciprocity: dedup'd edges self-joined on the reverse pair
     // (unique match = semi), integer counts, one division
+    // CDC chunks: boundary ends = 1-based window-end positions whose
+    // 8-char md5 window hits 0 mod 16 (i < n), plus the doc end; the
+    // chunk at index j spans (prev end + 1 .. ends[j]); empty filter
+    // lists degrade to the single whole-doc chunk via list_append
+    "q172_cdc_chunks" ->
+      """WITH base AS (SELECT doc_id, text, length(text) AS n
+        |              FROM documents),
+        |b AS (SELECT doc_id, text,
+        |        list_append(list_filter(range(8, n + 1), i ->
+        |          i < n AND
+        |          ((('0x' || substr(md5(substr(text, (i - 7)::INTEGER,
+        |              8)), 1, 8))::UBIGINT)::BIGINT % 16 = 0)), n)
+        |          AS ends
+        |      FROM base),
+        |c AS (SELECT doc_id, unnest(list_transform(
+        |        range(1, len(ends) + 1), j ->
+        |          substr(text,
+        |            (CASE WHEN j = 1 THEN 1
+        |              ELSE ends[j::INTEGER - 1] + 1 END)::INTEGER,
+        |            (ends[j::INTEGER] -
+        |              CASE WHEN j = 1 THEN 1
+        |                ELSE ends[j::INTEGER - 1] + 1 END
+        |              + 1)::INTEGER))) AS chunk
+        |      FROM b)
+        |SELECT md5(chunk) AS chunk_hash, count(*)::BIGINT AS n_occ,
+        |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  max(length(chunk))::INTEGER AS chunk_len
+        |FROM c GROUP BY 1
+        |ORDER BY n_occ DESC, chunk_hash LIMIT 50""".stripMargin,
+
     // Markov transitions: one user-partitioned lead window, integer
     // pair counts, one division
     "q170_transitions" ->

@@ -2531,6 +2531,17 @@ object SparkEntry {
       "embedding", col("vec_id") < 20, k = 5,
       dims = Seq(8, 16, 32, 64))
 
+  /** Content-defined chunk redundancy: the corpus's most duplicated
+    * CDC chunks (window-8 md5 boundaries mod 16) with occurrence and
+    * doc-spread counts — the chunk-store dedup view document-level
+    * hashing misses. The kernel chunks in one pass; the oracle
+    * replays boundaries, chunk reassembly and the ranking with list
+    * functions.
+    */
+  def q172_cdc_chunks(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcDedupReport(docs(s, dir), "text", "doc_id",
+      window = 8, mask = 16, topK = 50)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2705,7 +2716,8 @@ object SparkEntry {
     "q168_hits" -> (q168_hits(_, _)),
     "q169_hill_tail" -> (q169_hill_tail(_, _)),
     "q170_transitions" -> (q170_transitions(_, _)),
-    "q171_matryoshka_recall" -> (q171_matryoshka_recall(_, _)))
+    "q171_matryoshka_recall" -> (q171_matryoshka_recall(_, _)),
+    "q172_cdc_chunks" -> (q172_cdc_chunks(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

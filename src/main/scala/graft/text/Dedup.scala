@@ -1131,4 +1131,42 @@ object Dedup {
         bit_count(col("_fpa").bitwiseXOR(col("_fpb"))).as("hamming"))
       .filter(col("hamming") <= maxBits)
   }
+
+  /** Content-defined chunks of a text column
+    * ([[graft.functions.CdcChunksXX]]): boundaries where the
+    * `window`-character rolling md5 window hits `0 mod mask`, so an
+    * edit shifts at most the chunk it lands in — the storage-dedup
+    * primitive that catches shared boilerplate document-level hashing
+    * misses. `concat(chunks) == text` always holds.
+    */
+  def cdcChunks(text: Column, window: Int = 8, mask: Int = 16): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.CdcChunksExprXX(
+      ColumnBridge.expression(text), window, mask))
+  }
+
+  /** Corpus chunk-redundancy report from [[cdcChunks]]: the most
+    * duplicated content-defined chunks with occurrence and
+    * document-spread counts — what a boilerplate-excision pass would
+    * remove first, and the measurement behind a "chunk-store" dedup
+    * ratio estimate.
+    *
+    * Scale shape: one kernel pass chunks the corpus in place, then a
+    * single hash aggregation on the 32-hex chunk key (map-side
+    * partials; text itself is dropped before the shuffle — only
+    * hashes and lengths move), and the top-k is per-partition heaps.
+    * Returns `(chunk_hash, n_occ, n_docs, chunk_len)`.
+    */
+  def cdcDedupReport(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 8, mask: Int = 16, topK: Int = 50): DataFrame =
+    df.select(col(idCol).as("_doc"),
+        explode(cdcChunks(col(textCol), window, mask)).as("_chunk"))
+      .select(col("_doc"), md5(col("_chunk")).as("chunk_hash"),
+        length(col("_chunk")).as("_len"))
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("_doc")).as("n_docs"),
+        max(col("_len")).as("chunk_len"))
+      .orderBy(col("n_occ").desc, col("chunk_hash"))
+      .limit(topK)
 }

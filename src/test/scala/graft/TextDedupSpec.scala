@@ -1346,6 +1346,38 @@ class TextDedupSpec extends SparkSpec {
     assert(got("new") == ((0L, 4L, got("new")._3, got("new")._4)))
   }
 
+  test("cdcChunks: chunks reassemble to the text (incl. multi-byte " +
+    "and astral chars); an early edit leaves later chunks identical") {
+    import graft.text.Dedup
+    val rnd = new scala.util.Random(41)
+    val alpha = "abcdef é世😀" // é, 世, 😀
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (0 until rnd.nextInt(200)).map(_ =>
+        alpha.charAt(rnd.nextInt(7))).mkString + // ASCII-biased body
+        (if (i % 3 == 0) "é世😀" else ""))
+    } :+ (30L, "") :+ (31L, "short")
+    val df = docs.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), col("text"),
+      concat_ws("", Dedup.cdcChunks(col("text"), 8, 4)).as("re"),
+      Dedup.cdcChunks(col("text"), 8, 4).as("ch")).collect()
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(2), s"doc ${r.getLong(0)}")
+      assert(r.getSeq[String](3).nonEmpty)
+    }
+    // locality: prepend one char to a long doc — chunk multiset tails
+    // agree (the first boundary after the edit realigns)
+    val base = (0 until 400).map(_ =>
+      alpha.charAt(rnd.nextInt(7))).mkString
+    val two = Seq((0L, base), (1L, "X" + base)).toDF("doc_id", "text")
+    val ch = two.select(col("doc_id"),
+        Dedup.cdcChunks(col("text"), 8, 16).as("ch")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val shared = ch(0L).toSet.intersect(ch(1L).toSet)
+    assert(shared.size >= ch(0L).size - 2,
+      s"edit broke chunk sharing: ${ch(0L).size} vs shared " +
+        s"${shared.size}")
+  }
+
   test("pmiCollocations: a glued pair outranks a chance pair; " +
     "support floor drops rare pairs; micro-nat value is exact") {
     import spark.implicits._
