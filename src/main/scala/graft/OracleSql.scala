@@ -2890,6 +2890,31 @@ object OracleSql {
 
     // Reciprocity: dedup'd edges self-joined on the reverse pair
     // (unique match = semi), integer counts, one division
+    // Burstiness: integer-second gaps (floor-cast timestamps), exact
+    // BIGINT folds, one sqrt-of-integer + one division
+    "q173_burstiness" ->
+      """WITH s AS (SELECT user_id AS user,
+        |    epoch_us(ts) // 1000000 AS sec,
+        |    lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |g AS (SELECT user, sec - prev AS gap FROM s
+        |      WHERE prev IS NOT NULL),
+        |a AS (SELECT user, count(*)::BIGINT AS n_gaps,
+        |        sum(gap)::BIGINT AS sum_gap_s,
+        |        sum(gap * gap)::BIGINT AS sum_gap2
+        |      FROM g GROUP BY user)
+        |SELECT user, n_gaps, sum_gap_s, sum_gap2,
+        |  CASE WHEN n_gaps < 2 OR (sum_gap_s = 0 AND sum_gap2 = 0)
+        |    THEN NULL
+        |    ELSE round(
+        |      (sqrt((n_gaps * sum_gap2 - sum_gap_s * sum_gap_s)
+        |          ::DOUBLE) - sum_gap_s::DOUBLE) /
+        |      (sqrt((n_gaps * sum_gap2 - sum_gap_s * sum_gap_s)
+        |          ::DOUBLE) + sum_gap_s::DOUBLE), 6)
+        |  END AS burstiness
+        |FROM a""".stripMargin,
+
     // CDC chunks: boundary ends = 1-based window-end positions whose
     // 8-char md5 window hits 0 mod 16 (i < n), plus the doc end; the
     // chunk at index j spans (prev end + 1 .. ends[j]); empty filter

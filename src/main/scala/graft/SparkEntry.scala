@@ -2542,6 +2542,14 @@ object SparkEntry {
     Dedup.cdcDedupReport(docs(s, dir), "text", "doc_id",
       window = 8, mask = 16, topK = 50)
 
+  /** Per-user inter-arrival burstiness — the bot/scripted-traffic
+    * screen from timestamps alone: integer-second gaps, exact BIGINT
+    * Σg/Σg², and the (σ−μ)/(σ+μ) score as one sqrt of an integer and
+    * one division.
+    */
+  def q173_burstiness(s: SparkSession, dir: String): DataFrame =
+    EventOps.burstiness(t(s, dir, "events"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2717,7 +2725,8 @@ object SparkEntry {
     "q169_hill_tail" -> (q169_hill_tail(_, _)),
     "q170_transitions" -> (q170_transitions(_, _)),
     "q171_matryoshka_recall" -> (q171_matryoshka_recall(_, _)),
-    "q172_cdc_chunks" -> (q172_cdc_chunks(_, _)))
+    "q172_cdc_chunks" -> (q172_cdc_chunks(_, _)),
+    "q173_burstiness" -> (q173_burstiness(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

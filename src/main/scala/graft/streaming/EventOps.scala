@@ -305,6 +305,52 @@ object EventOps {
           col("n_from").cast("double"), 6).as("p_next"))
   }
 
+  /** Per-user inter-arrival burstiness (Goh & Barabási 2008):
+    * `B = (σ − μ) / (σ + μ)` over the gaps between a user's
+    * consecutive events — periodic schedules → −1, Poisson arrivals
+    * → 0, bursty humans → +1, making the tails a scripted-traffic /
+    * bot screen from timestamps alone.
+    *
+    * Gateable by construction: gaps are integer SECONDS (timestamp
+    * floor-cast), their sum and sum-of-squares are exact BIGINTs, and
+    * with `n·σ = sqrt(n·Σg² − (Σg)²)` and `n·μ = Σg` the score
+    * collapses to ONE sqrt of an exact integer and ONE division:
+    * `B = (sqrt(n·Σg² − (Σg)²) − Σg) / (sqrt(n·Σg² − (Σg)²) + Σg)`
+    * — the linearFit discipline. NULL below 2 gaps or for all-zero
+    * gaps (σ + μ = 0).
+    *
+    * Scale shape: one user-partitioned lag window, then a per-user
+    * aggregation — event volume leaves at the groupBy; no
+    * partition-less anything. Returns
+    * `(user, n_gaps, sum_gap_s, sum_gap2, burstiness)`.
+    */
+  def burstiness(events: DataFrame,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user"))
+      .orderBy(col(tsCol), col(idCol))
+    val gaps = events
+      .select(col(userCol).as("user"), col(tsCol),
+        col(tsCol).cast("long").as("_s"), col(idCol))
+      .withColumn("_gap", col("_s") - lag(col("_s"), 1).over(w))
+      .filter(col("_gap").isNotNull)
+    val ag = gaps.groupBy(col("user"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("_gap")).as("sum_gap_s"),
+        sum(col("_gap") * col("_gap")).as("sum_gap2"))
+    val nSig = sqrt((col("n_gaps") * col("sum_gap2") -
+      col("sum_gap_s") * col("sum_gap_s")).cast("double"))
+    ag.select(col("user"), col("n_gaps"), col("sum_gap_s"),
+      col("sum_gap2"),
+      round(when(col("n_gaps") < 2 ||
+          (col("sum_gap_s") === 0 && col("sum_gap2") === 0),
+          lit(null).cast("double"))
+        .otherwise((nSig - col("sum_gap_s").cast("double")) /
+          (nSig + col("sum_gap_s").cast("double"))), 6)
+        .as("burstiness"))
+  }
+
   /** Cohort retention: users grouped by first-seen UTC day (their
     * cohort), then for every later day the fraction of the cohort
     * still active — the engagement decay curve behind every "day-N

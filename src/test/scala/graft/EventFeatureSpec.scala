@@ -599,6 +599,35 @@ class EventFeatureSpec extends SparkSpec {
     assert(math.abs(mine - builtin) < 1e-6, (mine, builtin))
   }
 
+  test("burstiness: periodic user pins -1, bursty user positive, " +
+    "degenerate users NULL") {
+    import graft.streaming.EventOps
+    val base = 1700000000L
+    def ev(id: Long, u: Long, sec: Long) =
+      (id, new java.sql.Timestamp(sec * 1000L), u, "e", 1.0, "{}")
+    val df = (
+      // u1 periodic: gaps 60,60,60 → sigma 0 → exactly -1
+      Seq(ev(1, 1, base), ev(2, 1, base + 60), ev(3, 1, base + 120),
+        ev(4, 1, base + 180)) ++
+      // u2 bursty: gaps 0,0,0,100
+      Seq(ev(5, 2, base), ev(6, 2, base), ev(7, 2, base),
+        ev(8, 2, base), ev(9, 2, base + 100)) ++
+      // u3 one gap → NULL; u4 all-same-ts pair → NULL (0/0)
+      Seq(ev(10, 3, base), ev(11, 3, base + 5)) ++
+      Seq(ev(12, 4, base), ev(13, 4, base))
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.burstiness(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getDouble(4) == -1.0, got(1L))
+    val nSig = math.sqrt(4.0 * 10000 - 100.0 * 100)
+    val expB = BigDecimal((nSig - 100.0) / (nSig + 100.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(2L).getLong(1) == 4L && got(2L).getLong(2) == 100L &&
+      got(2L).getLong(3) == 10000L, got(2L))
+    assert(got(2L).getDouble(4) == expB, (got(2L).getDouble(4), expB))
+    assert(got(3L).isNullAt(4) && got(4L).isNullAt(4))
+  }
+
   test("transitionMatrix: per-user consecutive pairs only, ties " +
     "broken on event_id, probabilities row-normalize") {
     import graft.streaming.EventOps
