@@ -2890,6 +2890,50 @@ object OracleSql {
 
     // Reciprocity: dedup'd edges self-joined on the reverse pair
     // (unique match = semi), integer counts, one division
+    // PSI: smoothed (a+1)/(A+B) vs (b+1)/(N+B) over the union bin
+    // grid; per-bin term = integer weight × micro-nat ln, BIGINT sum,
+    // one closing division chain
+    "q174_psi_drift" ->
+      """WITH old AS (SELECT source, floor(n_chars / 100) AS bin
+        |             FROM documents),
+        |nu AS (SELECT source, floor(
+        |         (CASE WHEN doc_id % 7 = 0 THEN n_chars * 2
+        |           ELSE n_chars END) / 100) AS bin
+        |       FROM documents WHERE doc_id % 10 <> 0),
+        |oa AS (SELECT source, bin, count(*)::BIGINT AS a
+        |       FROM old GROUP BY 1, 2),
+        |nb AS (SELECT source, bin, count(*)::BIGINT AS b
+        |       FROM nu GROUP BY 1, 2),
+        |bins AS (SELECT DISTINCT source, bin FROM (
+        |    SELECT source, bin FROM oa
+        |    UNION ALL SELECT source, bin FROM nb)),
+        |tot AS (SELECT source, count(*)::BIGINT AS n_bins
+        |        FROM bins GROUP BY 1),
+        |no AS (SELECT source, sum(a)::BIGINT AS n_old
+        |       FROM oa GROUP BY 1),
+        |nn AS (SELECT source, sum(b)::BIGINT AS n_new
+        |       FROM nb GROUP BY 1),
+        |g AS (SELECT bins.source, bins.bin,
+        |        coalesce(oa.a, 0) AS a, coalesce(nb.b, 0) AS b,
+        |        n_bins, n_old, n_new
+        |      FROM bins LEFT JOIN oa USING (source, bin)
+        |      LEFT JOIN nb USING (source, bin)
+        |      JOIN tot USING (source) JOIN no USING (source)
+        |      JOIN nn USING (source)),
+        |te AS (SELECT source, n_old, n_new, n_bins,
+        |        ((a + 1) * (n_new + n_bins) -
+        |         (b + 1) * (n_old + n_bins)) *
+        |        (round((ln(((a + 1) * (n_new + n_bins))::DOUBLE) -
+        |                ln(((b + 1) * (n_old + n_bins))::DOUBLE)) *
+        |          1000000))::BIGINT AS t
+        |       FROM g)
+        |SELECT source, n_old, n_new, n_bins,
+        |  sum(t)::BIGINT AS psi_num_micro,
+        |  round(sum(t)::DOUBLE /
+        |    ((n_old + n_bins) * (n_new + n_bins))::DOUBLE /
+        |    1000000.0, 6) AS psi
+        |FROM te GROUP BY 1, 2, 3, 4""".stripMargin,
+
     // Burstiness: integer-second gaps (floor-cast timestamps), exact
     // BIGINT folds, one sqrt-of-integer + one division
     "q173_burstiness" ->

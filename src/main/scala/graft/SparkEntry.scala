@@ -2550,6 +2550,20 @@ object SparkEntry {
   def q173_burstiness(s: SparkSession, dir: String): DataFrame =
     EventOps.burstiness(t(s, dir, "events"))
 
+  /** Per-source PSI drift between the corpus and q128's synthetic v2
+    * snapshot — the binned drift score beside q128's KS statistic:
+    * width-100 n_chars bins, Laplace-smoothed, integer-weighted
+    * micro-nat terms, one closing division chain.
+    */
+  def q174_psi_drift(s: SparkSession, dir: String): DataFrame = {
+    val old = t(s, dir, "documents")
+    val v2 = old.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("n_chars", when(col("doc_id") % 7 === 0,
+        col("n_chars") * 2L).otherwise(col("n_chars")))
+    Relational.psiDrift(old, v2, Seq("source"), col("n_chars"),
+      binWidth = 100L)
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2726,7 +2740,8 @@ object SparkEntry {
     "q170_transitions" -> (q170_transitions(_, _)),
     "q171_matryoshka_recall" -> (q171_matryoshka_recall(_, _)),
     "q172_cdc_chunks" -> (q172_cdc_chunks(_, _)),
-    "q173_burstiness" -> (q173_burstiness(_, _)))
+    "q173_burstiness" -> (q173_burstiness(_, _)),
+    "q174_psi_drift" -> (q174_psi_drift(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

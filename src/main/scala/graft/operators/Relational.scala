@@ -1228,6 +1228,63 @@ object Relational {
           6).as("alpha_hill"))
   }
 
+  /** Population stability index between two snapshots of a value
+    * column, per key group — the credit-risk-world drift score
+    * (`PSI = Σ_i (p_i − q_i)·ln(p_i/q_i)` over value bins; < 0.1
+    * stable, > 0.25 investigate) that complements
+    * [[distributionDrift]]'s KS statistic with a BINNED, contribution-
+    * per-bin view. Bins are `floor(value / binWidth)`; both sides get
+    * +1 Laplace smoothing over the UNION of observed bins so empty
+    * bins still contribute.
+    *
+    * Integer-exact by the KL discipline ([[graft.text.Dsir]]): with
+    * `p = (a+1)/(A+B)`, `q = (b+1)/(N+B)`, each bin's term scales to
+    * `[(a+1)(N+B) − (b+1)(A+B)] · round(ln(num/den)·10⁶)` — BIGINTs
+    * whose sum is order-free — and the final PSI is one fixed
+    * division chain. (Products sit near `count² · bins`; past ~10⁹
+    * rows per group pre-aggregate or scale counts first.)
+    *
+    * Scale shape: two snapshot scans collapse to (key, bin) count
+    * tables; everything after is bin-grid-sized equi-joins. Returns
+    * `(keys…, n_old, n_new, n_bins, psi_num_micro, psi)`.
+    */
+  def psiDrift(
+      old: DataFrame, nu: DataFrame, keys: Seq[String], value: Column,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val kc = keys.map(col)
+    def binned(df: DataFrame, as: String): DataFrame = df
+      .select(kc :+ floor(value / lit(binWidth)).as("_bin"): _*)
+      .groupBy(kc :+ col("_bin"): _*)
+      .agg(count(lit(1)).as(as))
+    val ob = binned(old, "_a").localCheckpoint()
+    val nb = binned(nu, "_b").localCheckpoint()
+    val bins = ob.select(kc :+ col("_bin"): _*)
+      .union(nb.select(kc :+ col("_bin"): _*)).distinct()
+    val tot = bins.groupBy(kc: _*).agg(count(lit(1)).as("n_bins"))
+      .join(ob.groupBy(kc: _*).agg(sum(col("_a")).as("n_old")), keys)
+      .join(nb.groupBy(kc: _*).agg(sum(col("_b")).as("n_new")), keys)
+    val grid = bins
+      .join(ob, keys :+ "_bin", "left").na.fill(0L, Seq("_a"))
+      .join(nb, keys :+ "_bin", "left").na.fill(0L, Seq("_b"))
+      .join(tot, keys)
+    val num = (col("_a") + 1L) * (col("n_new") + col("n_bins"))
+    val den = (col("_b") + 1L) * (col("n_old") + col("n_bins"))
+    grid
+      .select(kc ++ Seq(col("n_old"), col("n_new"), col("n_bins"),
+        ((num - den) *
+          round((log(num.cast("double")) - log(den.cast("double"))) *
+            lit(1000000.0)).cast("long")).as("_t")): _*)
+      .groupBy(kc ++ Seq(col("n_old"), col("n_new"), col("n_bins")): _*)
+      .agg(sum(col("_t")).as("psi_num_micro"))
+      .select(kc ++ Seq(col("n_old"), col("n_new"), col("n_bins"),
+        col("psi_num_micro"),
+        round(col("psi_num_micro").cast("double") /
+          ((col("n_old") + col("n_bins")) *
+            (col("n_new") + col("n_bins"))).cast("double") /
+          lit(1000000.0), 6).as("psi")): _*)
+  }
+
   /** Skew-safe equi-join for a big, key-skewed fact side against a small
     * dimension side: the big side gets a uniform salt (partition-id mod
     * `saltFactor` — any spread works, determinism not required for a

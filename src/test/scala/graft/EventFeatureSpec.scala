@@ -599,6 +599,26 @@ class EventFeatureSpec extends SparkSpec {
     assert(math.abs(mine - builtin) < 1e-6, (mine, builtin))
   }
 
+  test("psiDrift: identical snapshots score exactly 0; a mass shift " +
+    "scores positive and symmetrically; n_bins spans the union") {
+    import graft.operators.Relational
+    val a = (0 until 40).map(i => ("g", (i % 4) * 100L))
+      .toDF("k", "v")
+    val same = Relational.psiDrift(a, a, Seq("k"), col("v"), 100L)
+      .first()
+    assert(same.getLong(4) == 0L && same.getDouble(5) == 0.0, same)
+    // shift: all mass moves to two new bins
+    val b = (0 until 40).map(i => ("g", 400L + (i % 2) * 100L))
+      .toDF("k", "v")
+    val ab = Relational.psiDrift(a, b, Seq("k"), col("v"), 100L)
+      .first()
+    val ba = Relational.psiDrift(b, a, Seq("k"), col("v"), 100L)
+      .first()
+    assert(ab.getDouble(5) > 0.25, ab) // disjoint supports: way past 0.25
+    assert(ab.getDouble(5) == ba.getDouble(5), (ab, ba))
+    assert(ab.getLong(3) == 6L, ab) // 4 old bins + 2 new bins
+  }
+
   test("burstiness: periodic user pins -1, bursty user positive, " +
     "degenerate users NULL") {
     import graft.streaming.EventOps
