@@ -1324,6 +1324,143 @@ object Main {
         s"${pairs.count()} near-dup pairs (<=$maxBits bits) -> $outDir")
       done(spark)
 
+    // HLL distinct 3-gram cardinality per group (fixed 64-byte state)
+    case "hll" :: corpus :: rest =>
+      import org.apache.spark.sql.functions._
+      val groupCol = rest.find(!_.startsWith("--")).getOrElse("source")
+      val spark = session()
+      val t = graft.text.TextOps
+      loadCorpus(spark, corpus, rest)
+        .select(col(groupCol).as("g"),
+          t.shingles(t.tokensSimple(col("text")), 3).as("_g"))
+        .groupBy(col("g"))
+        .agg(t.hllSketch(col("_g"), 6).as("_regs"))
+        .select(col("g"),
+          expr("aggregate(_regs, CAST(0 AS BIGINT), " +
+            "(a, r) -> a + CAST(pow(2, 27 - r) AS BIGINT))").as("z"),
+          expr("CAST(size(filter(_regs, r -> r = 0)) AS BIGINT)")
+            .as("nz"))
+        .select(col("g"),
+          round(lit(0.709) * lit(4096.0) * lit(134217728.0) /
+            col("z"), 1).as("est"))
+        .orderBy(col("g")).collect().foreach { r =>
+          println(s"[hll] ${r.get(0)}: ~${r.getDouble(1)} " +
+            "distinct 3-grams")
+        }
+      done(spark)
+
+    // top PMI collocations over a corpus
+    case "pmi" :: corpus :: rest =>
+      val nums = rest.filter(!_.startsWith("--"))
+      val minCount = nums.headOption.map(_.toLong).getOrElse(5L)
+      val topK = nums.drop(1).headOption.map(_.toInt).getOrElse(30)
+      val spark = session()
+      graft.text.TextOps.pmiCollocations(
+        loadCorpus(spark, corpus, rest), "text",
+        minCount, topK)
+        .collect().foreach { r =>
+          println(s"[pmi] '${r.getString(0)} ${r.getString(1)}' " +
+            s"pmi=${r.getLong(5) / 1e6} n=${r.getLong(2)}")
+        }
+      done(spark)
+
+    // HITS hub/authority path counts over an edge parquet
+    case "hits" :: edgesPath :: outDir :: rest =>
+      import org.apache.spark.sql.functions._
+      val rounds = rest.find(!_.startsWith("--")).map(_.toInt)
+        .getOrElse(2)
+      val spark = session()
+      val edges = spark.read.parquet(edgesPath).select("src", "dst")
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      val h = graft.operators.LinkGraph.hitsPathCounts(nodes, edges,
+        rounds)
+      h.write.mode("overwrite").parquet(outDir)
+      val top = spark.read.parquet(outDir)
+        .orderBy(col("auth").desc, col("id")).limit(5).collect()
+      println(s"[hits] $rounds rounds, top authorities: " +
+        top.map(r => s"${r.getLong(0)}(${r.getLong(2)})")
+          .mkString(", ") + s" -> $outDir")
+      done(spark)
+
+    // Hill tail index of the token-frequency distribution
+    case "hill" :: corpus :: rest =>
+      import org.apache.spark.sql.functions._
+      val k = rest.find(!_.startsWith("--")).map(_.toInt).getOrElse(100)
+      val spark = session()
+      val t = graft.text.TextOps
+      val uni = loadCorpus(spark, corpus, rest)
+        .select(explode(t.tokensSimple(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val r = graft.operators.Relational
+        .hillTailIndex(uni, col("c"), col("t"), k).first()
+      println(s"[hill] token-frequency tail: alpha=${r.get(3)} " +
+        s"(k=${r.getLong(0)}, x_k+1=${r.getLong(1)})")
+      done(spark)
+
+    // Markov transition matrix over an events parquet
+    case "transitions" :: path :: rest =>
+      import org.apache.spark.sql.functions._
+      val spark = session()
+      graft.streaming.EventOps.transitionMatrix(
+        spark.read.parquet(path))
+        .orderBy(col("kind"), col("p_next").desc).collect().foreach {
+          r => println(s"[transitions] ${r.getString(0)} -> " +
+            s"${r.getString(1)}: p=${r.getDouble(4)} " +
+            s"(${r.getLong(2)}/${r.getLong(3)})")
+        }
+      done(spark)
+
+    // per-user burstiness screen; prints the most bursty users
+    case "burstiness" :: path :: rest =>
+      import org.apache.spark.sql.functions._
+      val topK = rest.find(!_.startsWith("--")).map(_.toInt)
+        .getOrElse(10)
+      val spark = session()
+      graft.streaming.EventOps.burstiness(spark.read.parquet(path))
+        .filter(col("burstiness").isNotNull)
+        .orderBy(col("burstiness").desc, col("user")).limit(topK)
+        .collect().foreach { r =>
+          println(s"[burstiness] user=${r.get(0)} " +
+            s"B=${r.getDouble(4)} n_gaps=${r.getLong(1)}")
+        }
+      done(spark)
+
+    // PSI drift of a value column between two snapshots
+    case "psi" :: oldPath :: newPath :: valCol :: rest =>
+      import org.apache.spark.sql.functions._
+      val nums = rest.filter(!_.startsWith("--"))
+      val keyCol = nums.headOption.getOrElse("source")
+      val binWidth = nums.drop(1).headOption.map(_.toLong)
+        .getOrElse(100L)
+      val spark = session()
+      graft.operators.Relational.psiDrift(
+        spark.read.parquet(oldPath), spark.read.parquet(newPath),
+        Seq(keyCol), col(valCol), binWidth)
+        .orderBy(col(keyCol)).collect().foreach { r =>
+          val flag = if (r.getDouble(5) > 0.25) " DRIFT"
+            else if (r.getDouble(5) > 0.1) " watch" else ""
+          println(s"[psi] ${r.get(0)}: psi=${r.getDouble(5)}$flag " +
+            s"(n=${r.getLong(1)}->${r.getLong(2)})")
+        }
+      done(spark)
+
+    // content-defined chunk redundancy report
+    case "cdc" :: corpus :: rest =>
+      val nums = rest.filter(!_.startsWith("--"))
+      val mask = nums.headOption.map(_.toInt).getOrElse(16)
+      val topK = nums.drop(1).headOption.map(_.toInt).getOrElse(20)
+      val spark = session()
+      graft.text.Dedup.cdcDedupReport(
+        loadCorpus(spark, corpus, rest),
+        "text", "doc_id", window = 8, mask = mask, topK = topK)
+        .collect().foreach { r =>
+          println(s"[cdc] ${r.getString(0).take(12)}… " +
+            s"x${r.getLong(1)} in ${r.getLong(2)} docs " +
+            s"(${r.getInt(3)} chars)")
+        }
+      done(spark)
+
     case _ =>
       System.err.println(
         "usage: ingest <in> <pool> [vintage] [--dry-run] | " +
@@ -1380,7 +1517,14 @@ object Main {
           "dhash <parquet> <out> [maxBits] | " +
           "despan <corpus> <out> [k] [minLen] [--report] [--jsonl] | " +
           "semdecon <embeddings> <eval> <out> [threshold] | " +
-          "sample <corpus> <out> [n] [seed] [--jsonl]")
+          "sample <corpus> <out> [n] [seed] [--jsonl] | " +
+          "hll <corpus> [groupCol] [--jsonl] | " +
+          "pmi <corpus> [minCount] [topK] [--jsonl] | " +
+          "hits <edges> <out> [rounds] | " +
+          "hill <corpus> [k] [--jsonl] | " +
+          "transitions <events> | burstiness <events> [topK] | " +
+          "psi <oldParquet> <newParquet> <valCol> [keyCol] [binWidth] | " +
+          "cdc <corpus> [mask] [topK] [--jsonl]")
       sys.exit(2)
   }
 
