@@ -2890,6 +2890,25 @@ object OracleSql {
 
     // Reciprocity: dedup'd edges self-joined on the reverse pair
     // (unique match = semi), integer counts, one division
+    // Seasonal anomalies: integer calendar slots from floor-cast
+    // seconds, micro-unit values, BIGINT residual numerators, one
+    // division chain, ordered limit
+    "q175_seasonal_anomalies" ->
+      """WITH b AS (SELECT event_id AS id,
+        |    (round(value * 1000000.0))::BIGINT AS vm,
+        |    ((epoch_us(ts) // 1000000) // 86400 + 4) % 7 AS dow,
+        |    ((epoch_us(ts) // 1000000) % 86400) // 3600 AS hour
+        |  FROM events),
+        |p AS (SELECT dow, hour, count(*)::BIGINT AS n_slot,
+        |        sum(vm)::BIGINT AS s FROM b GROUP BY 1, 2),
+        |r AS (SELECT id, b.dow, b.hour, n_slot,
+        |        (vm * n_slot - s)::BIGINT AS rn
+        |      FROM b JOIN p USING (dow, hour))
+        |SELECT id, dow, hour, n_slot,
+        |  round(rn::DOUBLE / n_slot / 1000000.0, 6) AS resid,
+        |  round(abs(rn)::DOUBLE / n_slot / 1000000.0, 6) AS abs_resid
+        |FROM r ORDER BY abs_resid DESC, id LIMIT 20""".stripMargin,
+
     // PSI: smoothed (a+1)/(A+B) vs (b+1)/(N+B) over the union bin
     // grid; per-bin term = integer weight × micro-nat ln, BIGINT sum,
     // one closing division chain

@@ -2564,6 +2564,14 @@ object SparkEntry {
       binWidth = 100L)
   }
 
+  /** Seasonality-adjusted anomalies: (dow × hour) mean-value profile
+    * from integer calendar slots, BIGINT residual numerators, top-20
+    * by |residual| — the slot-aware screen beside the global outlier
+    * cuts.
+    */
+  def q175_seasonal_anomalies(s: SparkSession, dir: String): DataFrame =
+    EventOps.seasonalAnomalies(t(s, dir, "events"), topK = 20)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2741,7 +2749,8 @@ object SparkEntry {
     "q171_matryoshka_recall" -> (q171_matryoshka_recall(_, _)),
     "q172_cdc_chunks" -> (q172_cdc_chunks(_, _)),
     "q173_burstiness" -> (q173_burstiness(_, _)),
-    "q174_psi_drift" -> (q174_psi_drift(_, _)))
+    "q174_psi_drift" -> (q174_psi_drift(_, _)),
+    "q175_seasonal_anomalies" -> (q175_seasonal_anomalies(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -305,6 +305,44 @@ object EventOps {
           col("n_from").cast("double"), 6).as("p_next"))
   }
 
+  /** Seasonality-adjusted value anomalies: build the (day-of-week ×
+    * hour) mean-value profile, then surface the events farthest from
+    * their slot's mean — the screen that catches "normal for 3am
+    * Sunday, wild for 2pm Tuesday" where a global outlier cut
+    * ([[graft.operators.Relational.robustOutliers]]) sees nothing.
+    *
+    * Calendar slots derive from floor-cast epoch seconds with pure
+    * integer arithmetic (`dow = (day + 4) mod 7`, Sunday = 0; no
+    * engine/timezone `dayofweek` semantics anywhere), values snap to
+    * exact micro-units, and each residual is
+    * `(v·n − Σv) / n` — one BIGINT numerator and one division — so
+    * the report replays exactly (q175). Top-k is per-partition heaps
+    * on `(|resid| desc, id)`.
+    *
+    * Returns `(id, dow, hour, n_slot, resid, abs_resid)`.
+    */
+  def seasonalAnomalies(events: DataFrame,
+      valueCol: String = "value", tsCol: String = "ts",
+      idCol: String = "event_id", topK: Int = 20): DataFrame = {
+    val sec = col(tsCol).cast("long")
+    val base = events.select(col(idCol).as("id"),
+      round(col(valueCol) * lit(1000000.0)).cast("long").as("_vm"),
+      pmod(floor(sec / lit(86400)) + 4, lit(7)).as("dow"),
+      floor(pmod(sec, lit(86400)) / lit(3600)).as("hour"))
+    val prof = base.groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_slot"), sum(col("_vm")).as("_sum"))
+    base.join(prof, Seq("dow", "hour"))
+      .select(col("id"), col("dow"), col("hour"), col("n_slot"),
+        (col("_vm") * col("n_slot") - col("_sum")).as("_rn"))
+      .select(col("id"), col("dow"), col("hour"), col("n_slot"),
+        round(col("_rn").cast("double") / col("n_slot") /
+          lit(1000000.0), 6).as("resid"),
+        round(abs(col("_rn")).cast("double") / col("n_slot") /
+          lit(1000000.0), 6).as("abs_resid"))
+      .orderBy(col("abs_resid").desc, col("id"))
+      .limit(topK)
+  }
+
   /** Per-user inter-arrival burstiness (Goh & Barabási 2008):
     * `B = (σ − μ) / (σ + μ)` over the gaps between a user's
     * consecutive events — periodic schedules → −1, Poisson arrivals

@@ -599,6 +599,30 @@ class EventFeatureSpec extends SparkSpec {
     assert(math.abs(mine - builtin) < 1e-6, (mine, builtin))
   }
 
+  test("seasonalAnomalies: planted slot outlier ranks first with the " +
+    "exact residual; on-profile slots read zero") {
+    import graft.streaming.EventOps
+    val base = 1700000000L // fixed slot anchor
+    def ev(id: Long, sec: Long, v: Double) =
+      (id, new java.sql.Timestamp(sec * 1000L), 1L, "e", v, "{}")
+    val df = (
+      // slot A (same hour): 1, 1, 10 → mean 4, outlier resid 6
+      Seq(ev(1, base, 1.0), ev(2, base + 60, 1.0),
+        ev(3, base + 120, 10.0)) ++
+      // slot B (next hour): 2, 2 → resid 0
+      Seq(ev(4, base + 3600, 2.0), ev(5, base + 3660, 2.0))
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.seasonalAnomalies(df, topK = 5).collect()
+    assert(got.length == 5)
+    assert(got.head.getLong(0) == 3L && got.head.getLong(3) == 3L &&
+      got.head.getDouble(4) == 6.0, got.head)
+    // the two on-profile slot-B rows read exactly zero
+    val zero = got.filter(r => r.getLong(0) >= 4L)
+    assert(zero.forall(_.getDouble(4) == 0.0), zero.mkString(";"))
+    // slot-A non-outliers: (1·3 − 12)/3 = −3
+    assert(got.filter(_.getLong(0) == 1L).head.getDouble(4) == -3.0)
+  }
+
   test("psiDrift: identical snapshots score exactly 0; a mass shift " +
     "scores positive and symmetrically; n_bins spans the union") {
     import graft.operators.Relational
