@@ -2890,6 +2890,16 @@ object OracleSql {
 
     // Reciprocity: dedup'd edges self-joined on the reverse pair
     // (unique match = semi), integer counts, one division
+    // GROUPING SETS lattice with the grouping_id bitmask (source is
+    // the high bit in both engines)
+    "q176_grouping_sets" ->
+      """SELECT source, lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  GROUPING(source, lang)::BIGINT AS gid
+        |FROM documents
+        |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+        |""".stripMargin,
+
     // Seasonal anomalies: integer calendar slots from floor-cast
     // seconds, micro-unit values, BIGINT residual numerators, one
     // division chain, ordered limit

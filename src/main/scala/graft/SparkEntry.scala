@@ -2572,6 +2572,21 @@ object SparkEntry {
   def q175_seasonal_anomalies(s: SparkSession, dir: String): DataFrame =
     EventOps.seasonalAnomalies(t(s, dir, "events"), topK = 20)
 
+  /** Explicit GROUPING SETS lattice (the ad-hoc sibling of q115's
+    * ROLLUP and q136's CUBE): the four-set (source, lang) lattice
+    * with `grouping_id` disambiguating real NULLs from subtotal
+    * rows — integer aggregates only.
+    */
+  def q176_grouping_sets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupingSets(
+        Seq(Seq(col("source"), col("lang")), Seq(col("source")),
+          Seq(col("lang")), Seq.empty),
+        col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        grouping_id().as("gid"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2750,7 +2765,8 @@ object SparkEntry {
     "q172_cdc_chunks" -> (q172_cdc_chunks(_, _)),
     "q173_burstiness" -> (q173_burstiness(_, _)),
     "q174_psi_drift" -> (q174_psi_drift(_, _)),
-    "q175_seasonal_anomalies" -> (q175_seasonal_anomalies(_, _)))
+    "q175_seasonal_anomalies" -> (q175_seasonal_anomalies(_, _)),
+    "q176_grouping_sets" -> (q176_grouping_sets(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
