@@ -74,6 +74,75 @@ object StreamingSketch {
         GroupStateTimeout.NoTimeout)(fn)(stateEnc, outEnc)
   }
 
+  /** One emitted HLL update: running batch count, zero-register count
+    * and the raw harmonic-mean estimate.
+    */
+  case class HllUpdate(
+      key: String, batches: Long, n_zero_regs: Int, est: Double)
+
+  /** Internal HLL state: the m = 2^p register bytes. */
+  case class HllState(regs: Array[Byte], batches: Long)
+
+  /** Streaming twin of the batch HLL aggregate
+    * ([[graft.functions.HllSketchXX]], q166): per-key state is the
+    * FIXED 2^p register bytes — even tighter than the KMV twin's
+    * k longs — merged across micro-batches by elementwise max, which
+    * is idempotent and order-free, so replays and duplicated batches
+    * can never inflate the count. Same register arithmetic as the
+    * batch kernel: a batch re-run over the accumulated stream
+    * reproduces every register, and the estimate is the q166 chain
+    * (`α₆₄·m²·2^w / Σ 2^(w−reg)` at p-dependent scale).
+    */
+  def hllStream(
+      grams: Dataset[(String, Seq[String])],
+      p: Int = 6): Dataset[HllUpdate] = {
+    require(p >= graft.functions.HllXX.MinP &&
+      p <= graft.functions.HllXX.MaxP, s"p out of range: $p")
+    val m = 1 << p
+    val wBits = 32 - p
+    val stateEnc = org.apache.spark.sql.Encoders.product[HllState]
+    val outEnc = org.apache.spark.sql.Encoders.product[HllUpdate]
+    implicit val keyEnc = org.apache.spark.sql.Encoders.STRING
+
+    def fn(key: String, rows: Iterator[(String, Seq[String])],
+        state: org.apache.spark.sql.streaming.GroupState[HllState])
+        : HllUpdate = {
+      val regs = state.getOption.map(_.regs.clone())
+        .getOrElse(new Array[Byte](m))
+      rows.foreach(_._2.foreach { g =>
+        if (g != null) {
+          val h = MinHashMd5XX.hash32(
+            g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val b = (h % m).toInt
+          val w = h / m
+          val rho = (wBits + 1 -
+            (64 - java.lang.Long.numberOfLeadingZeros(w))).toByte
+          if (rho > regs(b)) regs(b) = rho
+        }
+      })
+      val batches = state.getOption.map(_.batches).getOrElse(0L) + 1
+      state.update(HllState(regs, batches))
+      val zNum = regs.foldLeft(0L)((a, r) =>
+        a + (1L << (wBits + 1 - r))) // Σ 2^(w+1−reg), exact
+      // the standard Flajolet bias constants by register count
+      val alphaM = m match {
+        case 16 => 0.673
+        case 32 => 0.697
+        case 64 => 0.709
+        case _ => 0.7213 / (1.0 + 1.079 / m)
+      }
+      val alpha = alphaM * m * m
+      val est = BigDecimal(
+        alpha * math.pow(2.0, wBits + 1) / zNum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      HllUpdate(key, batches, regs.count(_ == 0), est)
+    }
+
+    grams.groupByKey(_._1)
+      .mapGroupsWithState[HllState, HllUpdate](
+        GroupStateTimeout.NoTimeout)(fn)(stateEnc, outEnc)
+  }
+
   /** One emitted quantile refresh: running batch count, sample fill,
     * and the p50/p90/p99 order-statistic estimates.
     */

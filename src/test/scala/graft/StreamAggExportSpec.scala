@@ -738,6 +738,47 @@ class StreamAggExportSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming HLL: registers idempotent under replayed batches, " +
+    "stream estimate equals the batch kernel's on the union") {
+    import graft.streaming.StreamingSketch
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Seq[String])]
+    val query = StreamingSketch.hllStream(mem.toDS(), p = 6)
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("update").start()
+    def latest(): Map[String, (Long, Int, Double)] =
+      spark.table("hll_stream").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getInt(2),
+          r.getDouble(3))))
+        .groupBy(_._1).map { case (k2, v) => k2 -> v.maxBy(_._2._1)._2 }
+    try {
+      mem.addData((0 until 500).map(i => ("a", Seq(s"g$i"))): _*)
+      query.processAllAvailable()
+      val first = latest()("a")
+      // replay the identical batch: max-merge is idempotent — nothing
+      // but the batch counter may move
+      mem.addData((0 until 500).map(i => ("a", Seq(s"g$i"))): _*)
+      query.processAllAvailable()
+      val second = latest()("a")
+      assert(second == ((2L, first._2, first._3)), (first, second))
+      // batch flavor over the same accumulated grams agrees exactly
+      val batch = Seq(("a", (0 until 500).map(i => s"g$i")))
+        .toDF("k", "g")
+        .groupBy(col("k"))
+        .agg(graft.text.TextOps.hllSketch(col("g"), 6).as("_regs"))
+        .selectExpr(
+          "CAST(size(filter(_regs, r -> r = 0)) AS INT) AS nz",
+          "aggregate(_regs, CAST(0 AS BIGINT), " +
+            "(a, r) -> a + CAST(pow(2, 27 - r) AS BIGINT)) AS z")
+        .first()
+      assert(batch.getInt(0) == second._2, (batch, second))
+      val est = BigDecimal(0.709 * 64 * 64 * 134217728.0 /
+        batch.getLong(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(est == second._3, (est, second._3))
+    } finally query.stop()
+  }
+
   test("tarShards: WebDataset layout round-trips, entries are name-" +
     "ordered per shard, and GNU tar can list the archives") {
     import graft.operators.{Export, TarFormat}
