@@ -2890,6 +2890,34 @@ object OracleSql {
 
     // Reciprocity: dedup'd edges self-joined on the reverse pair
     // (unique match = semi), integer counts, one division
+    // Freshness decay: one exp per row micro-snapped, BIGINT sums,
+    // one division against the 1-row total
+    "q177_decay_mix" ->
+      """WITH w AS (SELECT source,
+        |    (round(exp((doc_id % 365)::DOUBLE / -90.0) * 1000000.0))
+        |      ::BIGINT AS w
+        |  FROM documents),
+        |per AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |          sum(w)::BIGINT AS w_micro FROM w GROUP BY 1),
+        |tot AS (SELECT sum(w_micro)::BIGINT AS t FROM per)
+        |SELECT source, n_docs, w_micro,
+        |  round(w_micro::DOUBLE / t::DOUBLE, 6) AS eff_frac
+        |FROM per CROSS JOIN tot""".stripMargin,
+
+    // Gini via the pairwise closed form — integer numerator, one
+    // division, no sort anywhere
+    "q178_gini_concentration" ->
+      """WITH x AS (SELECT source, count(*)::BIGINT AS x
+        |           FROM documents GROUP BY 1),
+        |p AS (SELECT sum(abs(a.x - b.x))::BIGINT AS num
+        |      FROM x a CROSS JOIN x b),
+        |t AS (SELECT count(*)::BIGINT AS n_classes,
+        |        sum(x)::BIGINT AS n_total FROM x)
+        |SELECT n_classes, n_total, num AS gini_num,
+        |  round(num::DOUBLE / (2 * n_classes * n_total)::DOUBLE, 6)
+        |    AS gini
+        |FROM p CROSS JOIN t""".stripMargin,
+
     // GROUPING SETS lattice with the grouping_id bitmask (source is
     // the high bit in both engines)
     "q176_grouping_sets" ->

@@ -2587,6 +2587,50 @@ object SparkEntry {
         sum(col("n_chars")).as("sum_chars"),
         grouping_id().as("gid"))
 
+  /** Freshness-decayed corpus mix: per-source document weights
+    * `exp(−age/90)` (ages synthesized as `doc_id mod 365` days) —
+    * the recency weighting a training-mix scheduler applies before
+    * quota sampling. Each weight snaps to exact micro-units
+    * independently (ONE exp per row), sums are BIGINT, and the
+    * effective fraction is one division against the broadcast 1-row
+    * total.
+    */
+  def q177_decay_mix(s: SparkSession, dir: String): DataFrame = {
+    val w = t(s, dir, "documents")
+      .select(col("source"),
+        round(exp((col("doc_id") % 365).cast("double") /
+          lit(-90.0)) * lit(1000000.0)).cast("long").as("_w"))
+    val per = w.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_w")).as("w_micro"))
+    val tot = per.agg(sum(col("w_micro")).as("_t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("w_micro"),
+        round(col("w_micro").cast("double") / col("_t").cast("double"),
+          6).as("eff_frac"))
+  }
+
+  /** Duplication-concentration Gini over docs-per-source counts via
+    * the pairwise closed form `Σᵢⱼ|xᵢ−xⱼ| / (2nΣx)` — no sort, no
+    * window, one broadcast self-join over the G-row class table;
+    * numerators exact BIGINTs, one closing division.
+    */
+  def q178_gini_concentration(s: SparkSession, dir: String): DataFrame = {
+    val x = t(s, dir, "documents").groupBy(col("source"))
+      .agg(count(lit(1)).as("x"))
+    val a = x.select(col("source").as("_sa"), col("x").as("_xa"))
+    val b = x.select(col("source").as("_sb"), col("x").as("_xb"))
+    val pairs = a.crossJoin(broadcast(b))
+      .agg(sum(abs(col("_xa") - col("_xb"))).as("_num"),
+        count(lit(1)).as("_n2"))
+    val tot = x.agg(count(lit(1)).as("n_classes"),
+      sum(col("x")).as("n_total"))
+    pairs.crossJoin(broadcast(tot))
+      .select(col("n_classes"), col("n_total"), col("_num").as("gini_num"),
+        round(col("_num").cast("double") /
+          (lit(2L) * col("n_classes") * col("n_total")).cast("double"),
+          6).as("gini"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2766,7 +2810,9 @@ object SparkEntry {
     "q173_burstiness" -> (q173_burstiness(_, _)),
     "q174_psi_drift" -> (q174_psi_drift(_, _)),
     "q175_seasonal_anomalies" -> (q175_seasonal_anomalies(_, _)),
-    "q176_grouping_sets" -> (q176_grouping_sets(_, _)))
+    "q176_grouping_sets" -> (q176_grouping_sets(_, _)),
+    "q177_decay_mix" -> (q177_decay_mix(_, _)),
+    "q178_gini_concentration" -> (q178_gini_concentration(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

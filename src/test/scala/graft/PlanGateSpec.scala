@@ -242,8 +242,12 @@ class PlanGateSpec extends SparkSpec {
                                // total (q44's shape)
       "q168_hits",           // q163's synth-graph 1-row node-count
                              // broadcast (HITS rounds are equi)
-      "q171_matryoshka_recall") // per-tier corpus × broadcast query
+      "q171_matryoshka_recall", // per-tier corpus × broadcast query
                                 // rows (q17's non-equi != shape)
+      "q177_decay_mix",      // G-row classes × broadcast 1-row Σw
+      "q178_gini_concentration") // G-row class table × broadcast
+                                 // G-row twin (pairwise |xi−xj|) and
+                                 // the 1-row totals
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is
