@@ -2890,6 +2890,52 @@ object OracleSql {
 
     // Reciprocity: dedup'd edges self-joined on the reverse pair
     // (unique match = semi), integer counts, one division
+    // Calibration: q126's training CTEs → the broadcast-weight serve
+    // chain → per-row sigmoid micro-snap → 10-bucket reliability rows
+    "q179_calibration" ->
+      """WITH lab AS (SELECT CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END
+        |               AS y, doc_id, text
+        |             FROM documents WHERE lang IS NOT NULL),
+        |t AS (SELECT y, unnest(string_split(text, ' ')) AS token
+        |      FROM lab),
+        |c AS (SELECT token,
+        |        sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS cp,
+        |        sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS cn
+        |      FROM t GROUP BY 1),
+        |tot AS (SELECT sum(cp)::BIGINT AS tp, sum(cn)::BIGINT AS tn,
+        |          count(*)::BIGINT AS v FROM c),
+        |d AS (SELECT sum(y)::BIGINT AS np,
+        |        sum(1 - y)::BIGINT AS nn FROM lab),
+        |w AS (SELECT token,
+        |        (round((ln((cp + 1)::DOUBLE / (tp + v)::DOUBLE)
+        |              - ln((cn + 1)::DOUBLE / (tn + v)::DOUBLE))
+        |            * 1000000))::BIGINT AS wm
+        |      FROM c CROSS JOIN tot),
+        |bias AS (SELECT (round(ln(np::DOUBLE / nn::DOUBLE) * 1000000))
+        |           ::BIGINT AS b FROM d),
+        |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |       FROM documents),
+        |pd AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |         sum(coalesce(wm, 0))::BIGINT AS ws
+        |       FROM dt LEFT JOIN w USING (token) GROUP BY 1),
+        |sc AS (SELECT pd.doc_id,
+        |         round((b::DOUBLE + (CASE WHEN n_tokens = 0 THEN 0.0
+        |           ELSE ws::DOUBLE / n_tokens::DOUBLE END))
+        |           / 1000000.0, 6) AS logit
+        |       FROM pd CROSS JOIN bias),
+        |cf AS (SELECT doc_id, 1.0 / (1.0 + exp(-logit)) AS conf
+        |       FROM sc),
+        |bk AS (SELECT least(floor(conf * 10.0), 9.0)::BIGINT AS bucket,
+        |         (round(conf * 1000000.0))::BIGINT AS cm,
+        |         CASE WHEN documents.text LIKE '%data%' THEN 1 ELSE 0 END AS y
+        |       FROM cf JOIN documents USING (doc_id))
+        |SELECT bucket, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+        |  sum(cm)::BIGINT AS conf_micro,
+        |  round(sum(y)::DOUBLE / count(*)::DOUBLE, 6) AS acc,
+        |  round(sum(cm)::DOUBLE / count(*)::DOUBLE / 1000000.0, 6)
+        |    AS mean_conf
+        |FROM bk GROUP BY 1""".stripMargin,
+
     // Freshness decay: one exp per row micro-snapped, BIGINT sums,
     // one division against the 1-row total
     "q177_decay_mix" ->

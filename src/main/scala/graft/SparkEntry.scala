@@ -2631,6 +2631,24 @@ object SparkEntry {
           6).as("gini"))
   }
 
+  /** Classifier calibration (reliability diagram): the q126 NB model
+    * served back over the corpus, confidence-bucketed, observed
+    * accuracy vs mean claimed confidence per bucket — the ECE
+    * integrand, gated through the whole train → serve → sigmoid →
+    * bucket chain.
+    */
+  def q179_calibration(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    // a TEXT-derived label ("mentions data"): the lang label is
+    // independent of the synthetic text, which collapses every doc
+    // into one confidence bucket; this one the bag-of-words model can
+    // partially learn, and the length-normalized serving mean spreads
+    // confidence across buckets
+    val y = col("text").contains("data")
+    val w = graft.text.Classifier.trainNaiveBayes(d, "text", y)
+    graft.text.Classifier.calibrationReport(d, "text", "doc_id", y, w)
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2812,7 +2830,8 @@ object SparkEntry {
     "q175_seasonal_anomalies" -> (q175_seasonal_anomalies(_, _)),
     "q176_grouping_sets" -> (q176_grouping_sets(_, _)),
     "q177_decay_mix" -> (q177_decay_mix(_, _)),
-    "q178_gini_concentration" -> (q178_gini_concentration(_, _)))
+    "q178_gini_concentration" -> (q178_gini_concentration(_, _)),
+    "q179_calibration" -> (q179_calibration(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

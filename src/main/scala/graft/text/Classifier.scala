@@ -285,4 +285,45 @@ object Classifier {
           .otherwise(lit(2.0) * col("p_raw") * col("r_raw") /
             (col("p_raw") + col("r_raw"))), 6).as("f1"))
   }
+
+  /** Reliability diagram for a served classifier — the calibration
+    * check every quality-filter threshold decision needs: documents
+    * bucketed by predicted confidence `σ(logit)`, each bucket
+    * reporting observed accuracy vs mean claimed confidence. A
+    * well-calibrated bucket has `acc ≈ mean_conf`; the gap profile is
+    * the Expected-Calibration-Error integrand, and a filter cutoff
+    * read off an UNcalibrated score keeps the wrong documents.
+    *
+    * Gateable end-to-end: logits are the micro-nat serving chain
+    * ([[scoreWithWeights]]), the sigmoid is one fixed IEEE chain per
+    * row, per-row confidences snap to exact micro-units before the
+    * bucket sums (order-free BIGINTs), and accuracy/mean-confidence
+    * are one division each (q179).
+    *
+    * Scale shape: scoring is the broadcast-weight join; everything
+    * after is a 10-row bucket aggregation. Returns
+    * `(bucket, n, n_pos, conf_micro, acc, mean_conf)`.
+    */
+  def calibrationReport(df: DataFrame, textCol: String, idCol: String,
+      label: Column, weights: DataFrame,
+      tokenizer: Column => Column = TextOps.tokensSimple): DataFrame = {
+    val scored = scoreWithWeights(df, textCol, idCol, weights, tokenizer)
+    val lab = df.select(col(idCol),
+      when(label, 1L).otherwise(0L).as("_y"))
+    scored.join(lab, Seq(idCol))
+      .select(col("_y"),
+        (lit(1.0) / (lit(1.0) + exp(-col("logit")))).as("_conf"))
+      .select(col("_y"),
+        least(floor(col("_conf") * lit(10.0)), lit(9.0)).cast("long")
+          .as("bucket"),
+        round(col("_conf") * lit(1000000.0)).cast("long").as("_cm"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
+        sum(col("_cm")).as("conf_micro"))
+      .select(col("bucket"), col("n"), col("n_pos"), col("conf_micro"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("acc"),
+        round(col("conf_micro").cast("double") /
+          col("n").cast("double") / lit(1000000.0), 6).as("mean_conf"))
+  }
 }

@@ -156,6 +156,31 @@ class ClassifierSpec extends SparkSpec {
     assert(at95.isNullAt(6)) // f1 NULL via precision
   }
 
+  test("calibrationReport: buckets partition the corpus, a separable " +
+    "label splits into a perfect top and bottom bucket") {
+    val docs = ((0 until 20).map(i => (i.toLong, "good stuff here")) ++
+      (20 until 50).map(i => (i.toLong, "bad junk there")))
+      .toDF("doc_id", "text")
+    val y = col("text").contains("good")
+    val w = Classifier.trainNaiveBayes(docs, "text", y)
+    val rep = Classifier.calibrationReport(docs, "text", "doc_id", y, w)
+      .collect().sortBy(_.getLong(0))
+    assert(rep.map(_.getLong(1)).sum == 50L)
+    assert(rep.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 9))
+    // the separable label lands positives in the top occupied bucket
+    // at acc 1.0 and negatives in the bottom at acc 0.0
+    assert(rep.last.getDouble(4) == 1.0 &&
+      rep.last.getLong(2) == 20L, rep.mkString(";"))
+    assert(rep.head.getDouble(4) == 0.0 &&
+      rep.head.getLong(2) == 0L, rep.mkString(";"))
+    // claimed confidence tracks the bucket boundaries
+    rep.foreach { r =>
+      val mc = r.getDouble(5)
+      assert(mc >= r.getLong(0) / 10.0 - 1e-9 &&
+        mc <= (r.getLong(0) + 1) / 10.0 + 1e-9, r)
+    }
+  }
+
   test("prCurve: no actual positives makes recall NULL") {
     val scored = Seq((1L, 0.9, false), (2L, 0.1, false))
       .toDF("doc_id", "score", "label")
