@@ -2890,6 +2890,56 @@ object OracleSql {
 
     // Reciprocity: dedup'd edges self-joined on the reverse pair
     // (unique match = semi), integer counts, one division
+    // Corpus card: q166's HLL register chain + exact-dup semi-join +
+    // per-source lang-entropy micro terms, joined on source
+    "q180_corpus_card" ->
+      """WITH tok AS (SELECT source, string_split(text, ' ') AS w
+        |             FROM documents),
+        |base AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |           sum(len(w))::BIGINT AS n_tokens
+        |         FROM tok GROUP BY 1),
+        |g AS (SELECT source, unnest(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |      FROM tok),
+        |h AS (SELECT source,
+        |        (('0x' || substr(md5(gram), 1, 8))::UBIGINT)::BIGINT AS hv
+        |      FROM g),
+        |rr AS (SELECT source, hv % 64 AS bucket,
+        |        27 - length(ltrim(bin(hv // 64), '0')) AS rho FROM h),
+        |regs AS (SELECT source, bucket, max(rho) AS reg
+        |         FROM rr GROUP BY source, bucket),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |grid AS (SELECT srcs.source, b.bucket,
+        |           coalesce(regs.reg, 0) AS reg
+        |         FROM srcs
+        |         CROSS JOIN (SELECT range AS bucket FROM range(0, 64)) b
+        |         LEFT JOIN regs ON regs.source = srcs.source
+        |           AND regs.bucket = b.bucket),
+        |hl AS (SELECT source,
+        |         round((0.709 * 4096.0 * 134217728.0) /
+        |           sum(pow(2, 27 - reg)::BIGINT), 6)
+        |           AS est_distinct_3grams
+        |       FROM grid GROUP BY source),
+        |hh AS (SELECT source, md5(text) AS dh FROM documents),
+        |dhs AS (SELECT dh FROM hh GROUP BY dh HAVING count(*) > 1),
+        |dup AS (SELECT source, count(*)::BIGINT AS n_dup_docs
+        |        FROM hh WHERE dh IN (SELECT dh FROM dhs) GROUP BY 1),
+        |lc AS (SELECT source, lang, count(*)::BIGINT AS c
+        |       FROM documents GROUP BY 1, 2),
+        |ent AS (SELECT lc.source,
+        |          sum((round((c::DOUBLE / n_docs::DOUBLE) *
+        |            (ln(n_docs::DOUBLE) - ln(c::DOUBLE)) * 1000000.0))
+        |            ::BIGINT)::BIGINT AS lang_entropy_micro
+        |        FROM lc JOIN base USING (source) GROUP BY 1)
+        |SELECT base.source, n_docs, n_tokens, est_distinct_3grams,
+        |  coalesce(n_dup_docs, 0)::BIGINT AS n_dup_docs,
+        |  round(coalesce(n_dup_docs, 0)::DOUBLE / n_docs::DOUBLE, 6)
+        |    AS dup_ratio,
+        |  lang_entropy_micro
+        |FROM base JOIN hl USING (source)
+        |LEFT JOIN dup USING (source)
+        |JOIN ent USING (source)""".stripMargin,
+
     // Calibration: q126's training CTEs → the broadcast-weight serve
     // chain → per-row sigmoid micro-snap → 10-bucket reliability rows
     "q179_calibration" ->

@@ -2649,6 +2649,57 @@ object SparkEntry {
     graft.text.Classifier.calibrationReport(d, "text", "doc_id", y, w)
   }
 
+  /** Corpus card (composed flagship, q150's discipline): one
+    * per-source dataset-card row — volume (docs, tokens), diversity
+    * (HLL distinct-3-gram estimate, q166's chain), redundancy
+    * (corpus-level exact-dup ratio) and language mix entropy
+    * (micro-nat integer terms). Four bounded aggregation passes over
+    * the corpus joined on the source key; every chain is a gate
+    * alumnus.
+    */
+  def q180_corpus_card(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = d
+      .select(col("source"),
+        size(TextOps.tokensSimple(col("text"))).cast("long").as("_nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+    val hll = d.select(col("source"),
+        TextOps.shingles(TextOps.tokensSimple(col("text")), 3).as("_g"))
+      .groupBy(col("source"))
+      .agg(TextOps.hllSketch(col("_g"), 6).as("_regs"))
+      .select(col("source"),
+        expr("aggregate(_regs, CAST(0 AS BIGINT), " +
+          "(a, r) -> a + CAST(pow(2, 27 - r) AS BIGINT))").as("_z"))
+      .select(col("source"),
+        round(lit(0.709) * lit(4096.0) * lit(134217728.0) / col("_z"),
+          6).as("est_distinct_3grams"))
+    val h = d.select(col("source"), md5(col("text")).as("_h"))
+    val dupHash = h.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1).select(col("_h"))
+    val dup = h.join(dupHash, Seq("_h"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup_docs"))
+    val ent = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("_c"))
+      .join(base.select(col("source"), col("n_docs").as("_n")),
+        Seq("source"))
+      .select(col("source"),
+        round((col("_c").cast("double") / col("_n").cast("double")) *
+          (log(col("_n").cast("double")) -
+            log(col("_c").cast("double"))) * lit(1000000.0))
+          .cast("long").as("_t"))
+      .groupBy(col("source"))
+      .agg(sum(col("_t")).as("lang_entropy_micro"))
+    base.join(hll, Seq("source"))
+      .join(dup, Seq("source"), "left").na.fill(0L, Seq("n_dup_docs"))
+      .join(ent, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("est_distinct_3grams"), col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_ratio"),
+        col("lang_entropy_micro"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2831,7 +2882,8 @@ object SparkEntry {
     "q176_grouping_sets" -> (q176_grouping_sets(_, _)),
     "q177_decay_mix" -> (q177_decay_mix(_, _)),
     "q178_gini_concentration" -> (q178_gini_concentration(_, _)),
-    "q179_calibration" -> (q179_calibration(_, _)))
+    "q179_calibration" -> (q179_calibration(_, _)),
+    "q180_corpus_card" -> (q180_corpus_card(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
