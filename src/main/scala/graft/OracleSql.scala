@@ -2890,6 +2890,26 @@ object OracleSql {
 
     // Reciprocity: dedup'd edges self-joined on the reverse pair
     // (unique match = semi), integer counts, one division
+    // Association rules: distinct baskets, per-user pair self-join,
+    // integer counts, single divisions
+    "q181_association_rules" ->
+      """WITH b AS (SELECT DISTINCT user_id AS u, event_type AS k
+        |           FROM events),
+        |nu AS (SELECT count(DISTINCT u)::BIGINT AS n_users FROM b),
+        |s AS (SELECT k, count(*)::BIGINT AS c FROM b GROUP BY 1),
+        |p AS (SELECT a.k AS kind_a, b2.k AS kind_b,
+        |        count(*)::BIGINT AS n_ab
+        |      FROM b a JOIN b b2 ON a.u = b2.u AND a.k < b2.k
+        |      GROUP BY 1, 2)
+        |SELECT kind_a, kind_b, sa.c AS n_a, sb.c AS n_b, n_ab, n_users,
+        |  round(n_ab::DOUBLE / n_users::DOUBLE, 6) AS support,
+        |  round(n_ab::DOUBLE / sa.c::DOUBLE, 6) AS conf_a_b,
+        |  round(n_ab::DOUBLE / sb.c::DOUBLE, 6) AS conf_b_a,
+        |  round((n_ab * n_users)::DOUBLE / (sa.c * sb.c)::DOUBLE, 6)
+        |    AS lift
+        |FROM p JOIN s sa ON p.kind_a = sa.k
+        |JOIN s sb ON p.kind_b = sb.k CROSS JOIN nu""".stripMargin,
+
     // Corpus card: q166's HLL register chain + exact-dup semi-join +
     // per-source lang-entropy micro terms, joined on source
     "q180_corpus_card" ->

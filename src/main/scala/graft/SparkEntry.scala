@@ -2700,6 +2700,13 @@ object SparkEntry {
         col("lang_entropy_micro"))
   }
 
+  /** Market-basket association rules over per-user event-type sets:
+    * support / both confidences / lift per unordered pair, integer
+    * counts and single divisions throughout.
+    */
+  def q181_association_rules(s: SparkSession, dir: String): DataFrame =
+    EventOps.associationRules(t(s, dir, "events"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2883,7 +2890,8 @@ object SparkEntry {
     "q177_decay_mix" -> (q177_decay_mix(_, _)),
     "q178_gini_concentration" -> (q178_gini_concentration(_, _)),
     "q179_calibration" -> (q179_calibration(_, _)),
-    "q180_corpus_card" -> (q180_corpus_card(_, _)))
+    "q180_corpus_card" -> (q180_corpus_card(_, _)),
+    "q181_association_rules" -> (q181_association_rules(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

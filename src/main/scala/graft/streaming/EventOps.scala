@@ -305,6 +305,54 @@ object EventOps {
           col("n_from").cast("double"), 6).as("p_next"))
   }
 
+  /** Pairwise association rules over per-user event-type baskets —
+    * the market-basket support/confidence/lift report ("users who do
+    * A also do B") driving feature cross-sell and funnel-design
+    * questions. Baskets are DISTINCT (user, kind) rows, pairs form by
+    * a per-user self-join (fan-out bounded by the kind cardinality
+    * squared — event vocabularies are small by construction; cap or
+    * bucket baskets first for high-cardinality item domains), and
+    * every metric is integer counts + ONE division
+    * (`lift = n_ab·N / (n_a·n_b)`), so the full rule table replays
+    * exactly (q181).
+    *
+    * Returns one row per unordered kind pair:
+    * `(kind_a, kind_b, n_a, n_b, n_ab, n_users, support, conf_a_b,
+    * conf_b_a, lift)`.
+    */
+  def associationRules(events: DataFrame,
+      userCol: String = "user_id",
+      kindCol: String = "event_type"): DataFrame = {
+    val basket = events
+      .select(col(userCol).as("_u"), col(kindCol).as("_k"))
+      .distinct().persist()
+    val nUsers = basket.select(col("_u")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val single = basket.groupBy(col("_k"))
+      .agg(count(lit(1)).as("_c"))
+    val pairs = basket
+      .join(basket.select(col("_u"), col("_k").as("_k2")), Seq("_u"))
+      .filter(col("_k") < col("_k2"))
+      .groupBy(col("_k").as("kind_a"), col("_k2").as("kind_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(single.select(col("_k").as("kind_a"), col("_c").as("n_a")),
+        Seq("kind_a"))
+      .join(single.select(col("_k").as("kind_b"), col("_c").as("n_b")),
+        Seq("kind_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("kind_a"), col("kind_b"), col("n_a"), col("n_b"),
+        col("n_ab"), col("n_users"),
+        round(col("n_ab").cast("double") /
+          col("n_users").cast("double"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"),
+          6).as("conf_a_b"),
+        round(col("n_ab").cast("double") / col("n_b").cast("double"),
+          6).as("conf_b_a"),
+        round((col("n_ab") * col("n_users")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+  }
+
   /** Seasonality-adjusted value anomalies: build the (day-of-week ×
     * hour) mean-value profile, then surface the events farthest from
     * their slot's mean — the screen that catches "normal for 3am

@@ -599,6 +599,31 @@ class EventFeatureSpec extends SparkSpec {
     assert(math.abs(mine - builtin) < 1e-6, (mine, builtin))
   }
 
+  test("associationRules: hand-computed support/confidence/lift; " +
+    "repeat events collapse into the basket") {
+    import graft.streaming.EventOps
+    val ts = new java.sql.Timestamp(1700000000000L)
+    val ev = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"), // repeats collapse
+      (2L, "a"), (2L, "b"),
+      (3L, "a"),
+      (4L, "b"), (4L, "c"))
+      .zipWithIndex.map { case ((u, k), i) =>
+        (i.toLong, ts, u, k, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.associationRules(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.size == 2, got.keys)
+    val ab = got(("a", "b"))
+    assert(ab.getLong(2) == 3L && ab.getLong(3) == 3L &&
+      ab.getLong(4) == 2L && ab.getLong(5) == 4L, ab)
+    assert(ab.getDouble(6) == 0.5 && ab.getDouble(7) == 0.666667 &&
+      ab.getDouble(8) == 0.666667 && ab.getDouble(9) == 0.888889, ab)
+    val bc = got(("b", "c"))
+    assert(bc.getDouble(7) == 0.333333 && bc.getDouble(8) == 1.0 &&
+      bc.getDouble(9) == 1.333333, bc)
+  }
+
   test("seasonalAnomalies: planted slot outlier ranks first with the " +
     "exact residual; on-profile slots read zero") {
     import graft.streaming.EventOps

@@ -245,9 +245,11 @@ class PlanGateSpec extends SparkSpec {
       "q171_matryoshka_recall", // per-tier corpus × broadcast query
                                 // rows (q17's non-equi != shape)
       "q177_decay_mix",      // G-row classes × broadcast 1-row Σw
-      "q178_gini_concentration") // G-row class table × broadcast
+      "q178_gini_concentration", // G-row class table × broadcast
                                  // G-row twin (pairwise |xi−xj|) and
                                  // the 1-row totals
+      "q181_association_rules")  // pair counts × broadcast 1-row
+                                 // distinct-user total
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is
