@@ -2890,6 +2890,22 @@ object OracleSql {
 
     // Reciprocity: dedup'd edges self-joined on the reverse pair
     // (unique match = semi), integer counts, one division
+    // Journeys: two leads over the same user order, path counts,
+    // ordered limit
+    "q182_journeys" ->
+      """WITH s AS (SELECT user_id,
+        |    event_type AS step_1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS step_2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS step_3
+        |  FROM events)
+        |SELECT step_1, step_2, step_3, count(*)::BIGINT AS n
+        |FROM s WHERE step_3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step_1, step_2, step_3
+        |LIMIT 20""".stripMargin,
+
     // Association rules: distinct baskets, per-user pair self-join,
     // integer counts, single divisions
     "q181_association_rules" ->

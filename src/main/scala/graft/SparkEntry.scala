@@ -2707,6 +2707,12 @@ object SparkEntry {
   def q181_association_rules(s: SparkSession, dir: String): DataFrame =
     EventOps.associationRules(t(s, dir, "events"))
 
+  /** Commonest 3-step user journeys: one lead window over per-user
+    * event order, path-sized counts, heap top-20.
+    */
+  def q182_journeys(s: SparkSession, dir: String): DataFrame =
+    EventOps.topJourneys(t(s, dir, "events"), steps = 3, topK = 20)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2891,7 +2897,8 @@ object SparkEntry {
     "q178_gini_concentration" -> (q178_gini_concentration(_, _)),
     "q179_calibration" -> (q179_calibration(_, _)),
     "q180_corpus_card" -> (q180_corpus_card(_, _)),
-    "q181_association_rules" -> (q181_association_rules(_, _)))
+    "q181_association_rules" -> (q181_association_rules(_, _)),
+    "q182_journeys" -> (q182_journeys(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -305,6 +305,35 @@ object EventOps {
           col("n_from").cast("double"), 6).as("p_next"))
   }
 
+  /** Most-travelled k-step journeys: sliding windows of `steps`
+    * consecutive event types per user (the order-(k−1) extension of
+    * [[transitionMatrix]]'s bigrams) ranked by frequency — "what do
+    * the common paths through the product look like". One
+    * user-partitioned lead window builds the step tuple, a
+    * path-sized aggregation counts it, top-k is per-partition heaps.
+    * Returns `(step_1 … step_k, n)` for the `topK` commonest paths
+    * (ties: path order).
+    */
+  def topJourneys(events: DataFrame, steps: Int = 3, topK: Int = 20,
+      userCol: String = "user_id", kindCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(steps >= 2 && steps <= 6, s"steps in [2,6], got $steps")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_u"))
+      .orderBy(col(tsCol), col(idCol))
+    val stepCols = (1 until steps).map(i =>
+      lead(col("step_1"), i).over(w).as(s"step_${i + 1}"))
+    val paths = events
+      .select(col(userCol).as("_u"), col(kindCol).as("step_1"),
+        col(tsCol), col(idCol))
+      .select(col("_u") +: col("step_1") +: stepCols: _*)
+      .filter(col(s"step_$steps").isNotNull)
+    val names = (1 to steps).map(i => col(s"step_$i"))
+    paths.groupBy(names: _*).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc +: names: _*)
+      .limit(topK)
+  }
+
   /** Pairwise association rules over per-user event-type baskets —
     * the market-basket support/confidence/lift report ("users who do
     * A also do B") driving feature cross-sell and funnel-design

@@ -599,6 +599,23 @@ class EventFeatureSpec extends SparkSpec {
     assert(math.abs(mine - builtin) < 1e-6, (mine, builtin))
   }
 
+  test("topJourneys: sliding 3-windows stay within a user, ties " +
+    "break on path order") {
+    import graft.streaming.EventOps
+    val base = 1700000000000L
+    def ev(id: Long, u: Long, k: String) =
+      (id, new java.sql.Timestamp(base + id * 1000), u, k, 1.0, "{}")
+    // u1: a b c d → (a,b,c), (b,c,d); u2: a b c → (a,b,c)
+    val df = Seq(ev(1, 1, "a"), ev(2, 1, "b"), ev(3, 1, "c"),
+      ev(4, 1, "d"), ev(5, 2, "a"), ev(6, 2, "b"), ev(7, 2, "c"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.topJourneys(df, steps = 3, topK = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "b", "c", 2L), ("b", "c", "d", 1L)),
+      got.toSeq)
+  }
+
   test("associationRules: hand-computed support/confidence/lift; " +
     "repeat events collapse into the basket") {
     import graft.streaming.EventOps
