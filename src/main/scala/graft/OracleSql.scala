@@ -2257,6 +2257,44 @@ object OracleSql {
          |FROM s""".stripMargin
     },
 
+    "q183_lang_confusion" -> {
+      // q53's generated scoring chain wrapped in the confusion
+      // aggregation — same profiles, argmax rule and tie order
+      val profs = graft.SparkEntry.gateLangProfiles.toSeq.sortBy(_._1)
+      def scoreExpr(p: Map[String, Double]): String = {
+        val cases = p.toSeq.sorted
+          .map { case (g, w) => s"WHEN '$g' THEN $w" }.mkString(" ")
+        s"""coalesce(list_sum(list_transform(grams,
+           |  g -> CAST(CASE g $cases ELSE 0.0 END AS DOUBLE))), 0.0)"""
+          .stripMargin
+      }
+      val scoreCols = profs
+        .map { case (l, p) => s"${scoreExpr(p)} AS s_$l" }
+        .mkString(",\n  ")
+      val best = profs.map { case (l, _) => s"s_$l" }
+        .mkString("greatest(", ", ", ")")
+      val chain = profs
+        .map { case (l, _) => s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'" }
+        .mkString(" ")
+      s"""WITH g AS (SELECT doc_id, lang,
+         |        list_transform(range(1, len(lower(text)) - 1),
+         |          i -> substr(lower(text), i, 3)) AS grams
+         |      FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  $scoreCols
+         |FROM g),
+         |p AS (SELECT lang,
+         |        CASE $chain ELSE 'und' END AS lang_pred
+         |      FROM s),
+         |cm AS (SELECT lang, lang_pred, count(*)::BIGINT AS n
+         |       FROM p GROUP BY 1, 2),
+         |tot AS (SELECT lang, sum(n)::BIGINT AS n_lang
+         |        FROM cm GROUP BY 1)
+         |SELECT cm.lang, lang_pred, n, n_lang,
+         |  round(n::DOUBLE / n_lang::DOUBLE, 6) AS rate
+         |FROM cm JOIN tot USING (lang)""".stripMargin
+    },
+
     "q49_random_projection" -> {
       val dim = 64
       val cols = (0 until 8).map { p =>

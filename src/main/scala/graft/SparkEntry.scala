@@ -2713,6 +2713,25 @@ object SparkEntry {
   def q182_journeys(s: SparkSession, dir: String): DataFrame =
     EventOps.topJourneys(t(s, dir, "events"), steps = 3, topK = 20)
 
+  /** Language-ID confusion matrix: q53's profile classifier scored
+    * against the lang label, per-(label, prediction) counts and
+    * per-label rates — the eval row a langId gate reads before
+    * trusting the filter.
+    */
+  def q183_lang_confusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = docs(s, dir).select(col("lang"),
+      TextOps.langIdProfile(
+        TextOps.charGrams(lower(col("text")), 3), gateLangProfiles)
+        .as("lang_pred"))
+    val cm = pred.groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cm.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    cm.join(tot, Seq("lang"))
+      .select(col("lang"), col("lang_pred"), col("n"), col("n_lang"),
+        round(col("n").cast("double") / col("n_lang").cast("double"),
+          6).as("rate"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2898,7 +2917,8 @@ object SparkEntry {
     "q179_calibration" -> (q179_calibration(_, _)),
     "q180_corpus_card" -> (q180_corpus_card(_, _)),
     "q181_association_rules" -> (q181_association_rules(_, _)),
-    "q182_journeys" -> (q182_journeys(_, _)))
+    "q182_journeys" -> (q182_journeys(_, _)),
+    "q183_lang_confusion" -> (q183_lang_confusion(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
