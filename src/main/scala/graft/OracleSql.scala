@@ -2257,6 +2257,20 @@ object OracleSql {
          |FROM s""".stripMargin
     },
 
+    // Memorization audit: 8-gram shingles, gram counts + doc spread,
+    // ordered limit
+    "q184_memorization_audit" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+        |             FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(w) < 8 THEN []
+        |        ELSE list_transform(range(1, len(w) - 6),
+        |          i -> array_to_string(w[i:i+7], ' ')) END) AS gram
+        |      FROM tok)
+        |SELECT gram, count(*)::BIGINT AS n_occ,
+        |  count(DISTINCT doc_id)::BIGINT AS n_docs
+        |FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+        |ORDER BY n_occ DESC, gram LIMIT 50""".stripMargin,
+
     "q183_lang_confusion" -> {
       // q53's generated scoring chain wrapped in the confusion
       // aggregation — same profiles, argmax rule and tie order

@@ -2732,6 +2732,25 @@ object SparkEntry {
           6).as("rate"))
   }
 
+  /** Memorization-risk audit: the corpus's most-repeated 8-grams with
+    * occurrence and doc-spread counts — the spans a model is likeliest
+    * to regurgitate verbatim (Lee et al. 2022 dedup motivation), and
+    * the candidate list a span-excision pass (q92/q93) would feed on.
+    * One shingle pass collapses to gram counts (text never moves
+    * after the explode), heap top-k.
+    */
+  def q184_memorization_audit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(TextOps.shingles(
+          TextOps.tokensSimple(col("text")), 8)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("n_occ").desc, col("gram"))
+      .limit(50)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2918,7 +2937,8 @@ object SparkEntry {
     "q180_corpus_card" -> (q180_corpus_card(_, _)),
     "q181_association_rules" -> (q181_association_rules(_, _)),
     "q182_journeys" -> (q182_journeys(_, _)),
-    "q183_lang_confusion" -> (q183_lang_confusion(_, _)))
+    "q183_lang_confusion" -> (q183_lang_confusion(_, _)),
+    "q184_memorization_audit" -> (q184_memorization_audit(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
