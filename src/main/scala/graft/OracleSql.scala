@@ -2257,6 +2257,36 @@ object OracleSql {
          |FROM s""".stripMargin
     },
 
+    // Entry/exit arcs: q24's session gap rule with event types kept;
+    // first/last via rn against the session size, kind²-sized report
+    "q185_entry_exit" ->
+      """WITH f AS (SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN epoch_us(ts) // 1000000 -
+        |        lag(epoch_us(ts) // 1000000) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+        |      THEN 1 ELSE 0 END AS flag
+        |  FROM events),
+        |s AS (SELECT *, sum(flag) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |        AS session_seq FROM f),
+        |m AS (SELECT user_id, session_seq, event_type,
+        |        row_number() OVER (PARTITION BY user_id, session_seq
+        |          ORDER BY ts, event_id) AS rn,
+        |        count(*) OVER (PARTITION BY user_id, session_seq)
+        |          AS sz
+        |      FROM s),
+        |e AS (SELECT user_id, session_seq,
+        |        max(CASE WHEN rn = 1 THEN event_type END)
+        |          AS entry_kind,
+        |        max(CASE WHEN rn = sz THEN event_type END)
+        |          AS exit_kind,
+        |        max(sz)::BIGINT AS n_events
+        |      FROM m GROUP BY 1, 2)
+        |SELECT entry_kind, exit_kind, count(*)::BIGINT AS n_sessions,
+        |  sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_bounce
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
     // Memorization audit: 8-gram shingles, gram counts + doc spread,
     // ordered limit
     "q184_memorization_audit" ->

@@ -2751,6 +2751,12 @@ object SparkEntry {
       .orderBy(col("n_occ").desc, col("gram"))
       .limit(50)
 
+  /** Session entry/exit arcs with bounce counts — q24's gap rule with
+    * the event types kept; user/session-partitioned windows only.
+    */
+  def q185_entry_exit(s: SparkSession, dir: String): DataFrame =
+    EventOps.entryExitReport(t(s, dir, "events"), gapMinutes = 30)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2938,7 +2944,8 @@ object SparkEntry {
     "q181_association_rules" -> (q181_association_rules(_, _)),
     "q182_journeys" -> (q182_journeys(_, _)),
     "q183_lang_confusion" -> (q183_lang_confusion(_, _)),
-    "q184_memorization_audit" -> (q184_memorization_audit(_, _)))
+    "q184_memorization_audit" -> (q184_memorization_audit(_, _)),
+    "q185_entry_exit" -> (q185_entry_exit(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

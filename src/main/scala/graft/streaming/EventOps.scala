@@ -305,6 +305,49 @@ object EventOps {
           col("n_from").cast("double"), 6).as("p_next"))
   }
 
+  /** Session entry/exit analysis: [[sessionize]]'s gap rule rebuilt
+    * with the event types kept, reporting per (first event, last
+    * event) pair how many sessions travelled that arc and how many
+    * bounced (single-event sessions) — the landing/abandonment view
+    * product funnels start from.
+    *
+    * All windows are user- or session-partitioned (never global);
+    * the report is kind²-sized. Returns
+    * `(entry_kind, exit_kind, n_sessions, n_bounce)`.
+    */
+  def entryExitReport(eventsRaw: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val events = normalizeTs(eventsRaw)
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val gapSec = gapMinutes * 60L
+    val newSession = when(
+      col("ts").cast("long") - lag(col("ts").cast("long"), 1)
+        .over(byUser) > gapSec, 1).otherwise(0)
+    val s = events.withColumn("session_seq",
+      sum(newSession).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val w2 = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val m = s.select(col("user_id"), col("session_seq"),
+      col("event_type"),
+      row_number().over(w2).as("_rn"),
+      count(lit(1)).over(
+        Window.partitionBy(col("user_id"), col("session_seq")))
+        .as("_sz"))
+    val e = m.groupBy(col("user_id"), col("session_seq"))
+      .agg(max(when(col("_rn") === 1, col("event_type")))
+          .as("entry_kind"),
+        max(when(col("_rn") === col("_sz"), col("event_type")))
+          .as("exit_kind"),
+        max(col("_sz")).as("n_events"))
+    e.groupBy(col("entry_kind"), col("exit_kind"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+          .as("n_bounce"))
+  }
+
   /** Most-travelled k-step journeys: sliding windows of `steps`
     * consecutive event types per user (the order-(k−1) extension of
     * [[transitionMatrix]]'s bigrams) ranked by frequency — "what do

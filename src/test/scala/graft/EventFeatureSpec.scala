@@ -599,6 +599,27 @@ class EventFeatureSpec extends SparkSpec {
     assert(math.abs(mine - builtin) < 1e-6, (mine, builtin))
   }
 
+  test("entryExitReport: gap splits sessions, bounce counts " +
+    "single-event sessions, entry/exit pick the ordered endpoints") {
+    import graft.streaming.EventOps
+    val base = 1700000000000L
+    def ev(id: Long, u: Long, sec: Long, k: String) =
+      (id, new java.sql.Timestamp(base + sec * 1000), u, k, 1.0, "{}")
+    val df = Seq(
+      // u1 session 1: a…b (10 min apart); session 2 (2h later): c only
+      ev(1, 1, 0, "a"), ev(2, 1, 600, "b"), ev(3, 1, 8000, "c"),
+      // u2: one session a→a
+      ev(4, 2, 0, "a"), ev(5, 2, 60, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.entryExitReport(df, gapMinutes = 30).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((1L, 0L)),
+      ("c", "c") -> ((1L, 1L)),
+      ("a", "a") -> ((1L, 0L))), got)
+  }
+
   test("topJourneys: sliding 3-windows stay within a user, ties " +
     "break on path order") {
     import graft.streaming.EventOps
