@@ -2257,6 +2257,22 @@ object OracleSql {
          |FROM s""".stripMargin
     },
 
+    // Group z-scores: exact moment sums, one sqrt-of-integer + one
+    // division per row, ordered limit on the rounded |z|
+    "q186_zscores" ->
+      """WITH b AS (SELECT doc_id, source, n_chars::BIGINT AS v
+        |           FROM documents),
+        |s AS (SELECT source, count(*)::BIGINT AS n,
+        |        sum(v)::BIGINT AS s1, sum(v * v)::BIGINT AS s2
+        |      FROM b GROUP BY 1),
+        |z AS (SELECT doc_id, b.source, v, n,
+        |        round((v * n - s1)::DOUBLE /
+        |          sqrt((n * s2 - s1 * s1)::DOUBLE), 6) AS z
+        |      FROM b JOIN s USING (source)
+        |      WHERE n * s2 <> s1 * s1)
+        |SELECT doc_id, source, v, n, z
+        |FROM z ORDER BY abs(z) DESC, doc_id LIMIT 50""".stripMargin,
+
     // Entry/exit arcs: q24's session gap rule with event types kept;
     // first/last via rn against the session size, kind²-sized report
     "q185_entry_exit" ->

@@ -2757,6 +2757,13 @@ object SparkEntry {
   def q185_entry_exit(s: SparkSession, dir: String): DataFrame =
     EventOps.entryExitReport(t(s, dir, "events"), gapMinutes = 30)
 
+  /** Per-source z-score screen over document lengths: exact-BIGINT
+    * moment sums, one sqrt + one division per row, top-50 by |z|.
+    */
+  def q186_zscores(s: SparkSession, dir: String): DataFrame =
+    Relational.groupZScores(t(s, dir, "documents"), Seq("source"),
+      col("n_chars"), "doc_id", topK = 50)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2945,7 +2952,8 @@ object SparkEntry {
     "q182_journeys" -> (q182_journeys(_, _)),
     "q183_lang_confusion" -> (q183_lang_confusion(_, _)),
     "q184_memorization_audit" -> (q184_memorization_audit(_, _)),
-    "q185_entry_exit" -> (q185_entry_exit(_, _)))
+    "q185_entry_exit" -> (q185_entry_exit(_, _)),
+    "q186_zscores" -> (q186_zscores(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

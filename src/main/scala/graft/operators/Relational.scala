@@ -1285,6 +1285,43 @@ object Relational {
           lit(1000000.0), 6).as("psi")): _*)
   }
 
+  /** Per-group z-score standardization of an integer value column —
+    * the feature-engineering primitive behind every "how unusual is
+    * this row for its group" screen. The [[linearFit]]/burstiness
+    * discipline makes it hash-gateable: with exact BIGINT `Σv`/`Σv²`,
+    * `z = (v·n − Σv) / sqrt(n·Σv² − (Σv)²)` (the 1/√n factors
+    * cancel), so each row is one integer numerator, one
+    * sqrt-of-integer and one division. Degenerate groups (zero
+    * variance) yield NULL. Top-k by |z| via per-partition heaps.
+    *
+    * Operand bound: `n·Σv²` must stay under 2⁶³ — pre-scale the value
+    * for groups past ~10⁹ rows of large magnitudes.
+    *
+    * Returns the `topK` most anomalous rows
+    * `(id, keys…, v, n, z)` (ties: id).
+    */
+  def groupZScores(
+      df: DataFrame, keys: Seq[String], value: Column, idCol: String,
+      topK: Int = 50): DataFrame = {
+    val kc = keys.map(col)
+    val base = df.select(
+      (col(idCol) +: kc :+ value.cast("long").as("_v")): _*)
+    val sums = base.groupBy(kc: _*)
+      .agg(count(lit(1)).as("n"), sum(col("_v")).as("_s1"),
+        sum(col("_v") * col("_v")).as("_s2"))
+    val den = sqrt((col("n") * col("_s2") - col("_s1") * col("_s1"))
+      .cast("double"))
+    base.join(sums, keys)
+      .select((col(idCol) +: kc) ++ Seq(col("_v").as("v"), col("n"),
+        round(when(col("n") * col("_s2") === col("_s1") * col("_s1"),
+            lit(null).cast("double"))
+          .otherwise((col("_v") * col("n") - col("_s1")).cast("double")
+            / den), 6).as("z")): _*)
+      .filter(col("z").isNotNull)
+      .orderBy(abs(col("z")).desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Skew-safe equi-join for a big, key-skewed fact side against a small
     * dimension side: the big side gets a uniform salt (partition-id mod
     * `saltFactor` — any spread works, determinism not required for a

@@ -599,6 +599,22 @@ class EventFeatureSpec extends SparkSpec {
     assert(math.abs(mine - builtin) < 1e-6, (mine, builtin))
   }
 
+  test("groupZScores: symmetric two-point group pins z = ±1·√…, " +
+    "constant group drops, ranking is |z| then id") {
+    import graft.operators.Relational
+    // group g: {0, 10} → mean 5, n·σ-chain: num = ±10, den = sqrt(2·100−100)=10 → z = ±1
+    // group h constant → zero variance → filtered
+    val df = Seq((1L, "g", 0L), (2L, "g", 10L),
+      (3L, "h", 5L), (4L, "h", 5L)).toDF("id", "k", "v")
+    val got = Relational.groupZScores(df, Seq("k"), col("v"), "id",
+      topK = 10).collect()
+    assert(got.length == 2, got.mkString(";"))
+    val byId = got.map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(byId(1L) == -1.0 && byId(2L) == 1.0, byId)
+    // ties on |z| break on id: id 1 first
+    assert(got.head.getLong(0) == 1L)
+  }
+
   test("entryExitReport: gap splits sessions, bounce counts " +
     "single-event sessions, entry/exit pick the ordered endpoints") {
     import graft.streaming.EventOps
