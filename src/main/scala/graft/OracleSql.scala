@@ -491,6 +491,41 @@ object OracleSql {
        |FROM r WHERE rn <= 5""".stripMargin
   }
 
+  /** Centroid-similarity oracle (q187): q27's two-level id-ordered
+    * mean fold per label, then pairwise centroid cosine (a < b) with
+    * the same duckDot chain.
+    */
+  private lazy val q187 = {
+    val dim = 64
+    val w = 128
+    s"""WITH b AS (SELECT vec_id, embedding, label AS cell
+       |           FROM embeddings),
+       |p1 AS (SELECT cell, vec_id // $w AS bk, count(*) AS n,
+       |         list_reduce(
+       |           list_transform(list(embedding ORDER BY vec_id),
+       |             v -> list_transform(v, x -> x::DOUBLE)),
+       |           (a, c) -> list_transform(range(1, ${dim + 1}),
+       |                       i -> a[i] + c[i])) AS psum
+       |       FROM b GROUP BY cell, vec_id // $w),
+       |cs AS (SELECT cell, sum(n) AS n,
+       |         list_reduce(list(psum ORDER BY bk),
+       |           (a, c) -> list_transform(range(1, ${dim + 1}),
+       |                       i -> a[i] + c[i])) AS vsum
+       |       FROM p1 GROUP BY cell),
+       |cen AS (SELECT cell, n,
+       |          list_transform(vsum, s -> s / n) AS centroid
+       |        FROM cs),
+       |aa AS (SELECT cell AS label_a, n::BIGINT AS n_a,
+       |         centroid AS ca FROM cen),
+       |bb AS (SELECT cell AS label_b, n::BIGINT AS n_b,
+       |         centroid AS cb FROM cen)
+       |SELECT label_a, label_b, n_a, n_b,
+       |  round(${duckDot("ca", "cb", dim)} /
+       |    (sqrt(${duckDot("ca", "ca", dim)}) *
+       |     sqrt(${duckDot("cb", "cb", dim)})), 6) AS cos_sim
+       |FROM aa JOIN bb ON label_a < label_b""".stripMargin
+  }
+
   /** IVFADC-R oracle (q121): kmeansBody per 32-dim subspace gives the
     * codebooks (`p0cen2`/`p1cen2`) and code assignments
     * (`p0afinal`/`p1afinal`); the q27 CTE shapes give cell centroids
@@ -1122,6 +1157,7 @@ object OracleSql {
     "q65_ann_recall" -> q65,
     "q171_matryoshka_recall" -> q171,
     "q27_ivf_topk" -> q27,
+    "q187_centroid_similarity" -> q187,
 
     // temperature mixing at alpha = 0.5: quota_c = floor(200·√n_c/Σ√n),
     // Σ as the class-ordered fold (0.0 + w1 + w2 + ... — adding 0.0 to

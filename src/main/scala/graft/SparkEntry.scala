@@ -2764,6 +2764,26 @@ object SparkEntry {
     Relational.groupZScores(t(s, dir, "documents"), Seq("source"),
       col("n_chars"), "doc_id", topK = 50)
 
+  /** Label-centroid similarity matrix: q27's bounded two-level mean
+    * fold per label, then pairwise centroid cosine over the G-row
+    * table — "which classes live close together in embedding space",
+    * the confusion-risk map before training a classifier head.
+    */
+  def q187_centroid_similarity(s: SparkSession, dir: String): DataFrame = {
+    val cen = SimSearch.meanVectors(t(s, dir, "embeddings"), "label",
+      "vec_id", "embedding", dim = 64, bucketWidth = 128L)
+    val a = cen.select(col("label").as("label_a"), col("n").as("n_a"),
+      col("mean").as("_ca"))
+    val b = cen.select(col("label").as("label_b"), col("n").as("n_b"),
+      col("mean").as("_cb"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(SimSearch.dot(col("_ca"), col("_cb")) /
+          (sqrt(SimSearch.dot(col("_ca"), col("_ca"))) *
+            sqrt(SimSearch.dot(col("_cb"), col("_cb")))), 6)
+          .as("cos_sim"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2953,7 +2973,8 @@ object SparkEntry {
     "q183_lang_confusion" -> (q183_lang_confusion(_, _)),
     "q184_memorization_audit" -> (q184_memorization_audit(_, _)),
     "q185_entry_exit" -> (q185_entry_exit(_, _)),
-    "q186_zscores" -> (q186_zscores(_, _)))
+    "q186_zscores" -> (q186_zscores(_, _)),
+    "q187_centroid_similarity" -> (q187_centroid_similarity(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -248,8 +248,10 @@ class PlanGateSpec extends SparkSpec {
       "q178_gini_concentration", // G-row class table × broadcast
                                  // G-row twin (pairwise |xi−xj|) and
                                  // the 1-row totals
-      "q181_association_rules")  // pair counts × broadcast 1-row
+      "q181_association_rules",  // pair counts × broadcast 1-row
                                  // distinct-user total
+      "q187_centroid_similarity") // G-row centroid table × broadcast
+                                  // G-row twin (a < b pairs)
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is
