@@ -2293,6 +2293,54 @@ object OracleSql {
          |FROM s""".stripMargin
     },
 
+    // RFM: per-user aggregates + 1-row corpus anchor, integer days
+    "q188_rfm" ->
+      """WITH per AS (SELECT user_id AS user,
+        |    max(epoch_us(ts) // 1000000) AS lastv,
+        |    min(epoch_us(ts) // 1000000) AS firstv,
+        |    count(*)::BIGINT AS frequency,
+        |    sum((round(value * 1000000.0))::BIGINT)::BIGINT
+        |      AS monetary_micro
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT max(epoch_us(ts) // 1000000) AS amax FROM events)
+        |SELECT user,
+        |  (amax // 86400 - lastv // 86400)::BIGINT AS recency_days,
+        |  frequency, monetary_micro,
+        |  (lastv // 86400 - firstv // 86400)::BIGINT AS tenure_days
+        |FROM per CROSS JOIN a""".stripMargin,
+
+    // A/B z-test: per-user conversion flags, integer counts, one
+    // fixed sqrt/division chain micro-snapped
+    "q189_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS v,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT
+        |    sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN v = 0 THEN conv ELSE 0 END)::BIGINT
+        |      AS conv_a,
+        |    sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN v = 1 THEN conv ELSE 0 END)::BIGINT
+        |      AS conv_b
+        |  FROM u)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  round(conv_a::DOUBLE / n_a::DOUBLE, 6) AS rate_a,
+        |  round(conv_b::DOUBLE / n_b::DOUBLE, 6) AS rate_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+        |      OR conv_a + conv_b = n_a + n_b THEN NULL
+        |    ELSE (round((conv_b::DOUBLE / n_b::DOUBLE -
+        |        conv_a::DOUBLE / n_a::DOUBLE) /
+        |      sqrt(((conv_a + conv_b)::DOUBLE /
+        |          (n_a + n_b)::DOUBLE) *
+        |        (1.0 - (conv_a + conv_b)::DOUBLE /
+        |          (n_a + n_b)::DOUBLE) *
+        |        (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) *
+        |      1000000.0))::BIGINT
+        |  END AS z_micro
+        |FROM a""".stripMargin,
+
     // Group z-scores: exact moment sums, one sqrt-of-integer + one
     // division per row, ordered limit on the rounded |z|
     "q186_zscores" ->

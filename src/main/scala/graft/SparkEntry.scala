@@ -2784,6 +2784,22 @@ object SparkEntry {
           .as("cos_sim"))
   }
 
+  /** RFM engagement features per user, anchored to the corpus max
+    * timestamp — deterministic recency/frequency/monetary/tenure
+    * integers.
+    */
+  def q188_rfm(s: SparkSession, dir: String): DataFrame =
+    EventOps.rfm(t(s, dir, "events"))
+
+  /** Two-proportion A/B conversion report (variant = user-id parity,
+    * conversion = purchase): per-variant integer counts + rates and
+    * the pooled z statistic as one micro-snapped sqrt/division chain.
+    */
+  def q189_ab_test(s: SparkSession, dir: String): DataFrame =
+    EventOps.abTest(t(s, dir, "events"),
+      variant = col("user_id") % 2 === 1,
+      converted = col("event_type") === "purchase")
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2974,7 +2990,9 @@ object SparkEntry {
     "q184_memorization_audit" -> (q184_memorization_audit(_, _)),
     "q185_entry_exit" -> (q185_entry_exit(_, _)),
     "q186_zscores" -> (q186_zscores(_, _)),
-    "q187_centroid_similarity" -> (q187_centroid_similarity(_, _)))
+    "q187_centroid_similarity" -> (q187_centroid_similarity(_, _)),
+    "q188_rfm" -> (q188_rfm(_, _)),
+    "q189_ab_test" -> (q189_ab_test(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -305,6 +305,73 @@ object EventOps {
           col("n_from").cast("double"), 6).as("p_next"))
   }
 
+  /** RFM (recency / frequency / monetary) feature table — the
+    * classic engagement segmentation base: per user, days since last
+    * activity (anchored to the CORPUS max timestamp, so the table is
+    * deterministic and replayable — no wall clock), event count,
+    * micro-snapped value total, and tenure span. One event-volume
+    * aggregation + a 1-row broadcast anchor.
+    *
+    * Returns `(user, recency_days, frequency, monetary_micro,
+    * tenure_days)` — all integers.
+    */
+  def rfm(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val sec = col(tsCol).cast("long")
+    val per = events.groupBy(col(userCol).as("user"))
+      .agg(max(sec).as("_last"), min(sec).as("_first"),
+        count(lit(1)).as("frequency"),
+        sum(round(col(valueCol) * lit(1000000.0)).cast("long"))
+          .as("monetary_micro"))
+    val anchor = events.agg(max(sec).as("_amax"))
+    per.crossJoin(broadcast(anchor))
+      .select(col("user"),
+        (floor(col("_amax") / lit(86400)) -
+          floor(col("_last") / lit(86400))).as("recency_days"),
+        col("frequency"), col("monetary_micro"),
+        (floor(col("_last") / lit(86400)) -
+          floor(col("_first") / lit(86400))).as("tenure_days"))
+  }
+
+  /** Two-variant conversion A/B report with the pooled two-proportion
+    * z statistic: per variant the exposed-user and converting-user
+    * counts and rate, plus one row-pair-derived z — integer counts,
+    * the z as one fixed sqrt/division chain (micro-snapped), NULL
+    * when a variant has no users or the pooled rate is degenerate.
+    *
+    * Returns one row `(n_a, conv_a, n_b, conv_b, rate_a, rate_b,
+    * z_micro)`.
+    */
+  def abTest(events: DataFrame, variant: Column, converted: Column,
+      userCol: String = "user_id"): DataFrame = {
+    val users = events
+      .select(col(userCol).as("_u"), variant.cast("int").as("_v"),
+        converted.cast("int").as("_c"))
+      .groupBy(col("_u"), col("_v"))
+      .agg(max(col("_c")).as("_conv"))
+    val agg = users.agg(
+      sum(when(col("_v") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("_v") === 0, col("_conv").cast("long"))
+        .otherwise(0L)).as("conv_a"),
+      sum(when(col("_v") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("_v") === 1, col("_conv").cast("long"))
+        .otherwise(0L)).as("conv_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("conv_a").cast("double") / na
+    val pb = col("conv_b").cast("double") / nb
+    val pool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / na + lit(1.0) / nb))
+    agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      when(col("n_a") === 0 || col("n_b") === 0 ||
+          pool === 0.0 || pool === 1.0, lit(null).cast("long"))
+        .otherwise(round((pb - pa) / se * lit(1000000.0))
+          .cast("long")).as("z_micro"))
+  }
+
   /** Session entry/exit analysis: [[sessionize]]'s gap rule rebuilt
     * with the event types kept, reporting per (first event, last
     * event) pair how many sessions travelled that arc and how many

@@ -599,6 +599,40 @@ class EventFeatureSpec extends SparkSpec {
     assert(math.abs(mine - builtin) < 1e-6, (mine, builtin))
   }
 
+  test("rfm + abTest: hand-computed integers; z sign follows the " +
+    "winning variant; degenerate pools are NULL") {
+    import graft.streaming.EventOps
+    val day = 86400L
+    def ev(id: Long, u: Long, sec: Long, k: String, v: Double) =
+      (id, new java.sql.Timestamp(sec * 1000L), u, k, v, "{}")
+    // u0 (variant a): active days 0..2, no purchase
+    // u1 (variant b): day 2 only, purchases
+    // u2 (variant a): day 1, purchases; u3 (variant b): no purchase
+    val df = Seq(
+      ev(1, 0, 0, "view", 1.5), ev(2, 0, 2 * day, "view", 1.0),
+      ev(3, 1, 2 * day, "purchase", 2.0),
+      ev(4, 2, 1 * day, "purchase", 0.5),
+      ev(5, 3, 2 * day, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rfm = EventOps.rfm(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(rfm(0L) == ((0L, 2L, 2500000L, 2L)), rfm(0L))
+    assert(rfm(1L) == ((0L, 1L, 2000000L, 0L)), rfm(1L))
+    assert(rfm(2L) == ((1L, 1L, 500000L, 0L)), rfm(2L))
+    val ab = EventOps.abTest(df, col("user_id") % 2 === 1,
+      col("event_type") === "purchase").first()
+    // variant a (even users 0,2): 1/2 convert; b (1,3): 1/2 convert
+    assert(ab.getLong(0) == 2L && ab.getLong(1) == 1L &&
+      ab.getLong(2) == 2L && ab.getLong(3) == 1L, ab)
+    assert(ab.getDouble(4) == 0.5 && ab.getDouble(5) == 0.5)
+    assert(ab.getLong(6) == 0L, ab) // equal rates → z exactly 0
+    // all-convert pool → NULL z
+    val allConv = EventOps.abTest(df, col("user_id") % 2 === 1,
+      lit(true)).first()
+    assert(allConv.isNullAt(6), allConv)
+  }
+
   test("groupZScores: symmetric two-point group pins z = ±1·√…, " +
     "constant group drops, ranking is |z| then id") {
     import graft.operators.Relational

@@ -250,8 +250,10 @@ class PlanGateSpec extends SparkSpec {
                                  // the 1-row totals
       "q181_association_rules",  // pair counts × broadcast 1-row
                                  // distinct-user total
-      "q187_centroid_similarity") // G-row centroid table × broadcast
+      "q187_centroid_similarity", // G-row centroid table × broadcast
                                   // G-row twin (a < b pairs)
+      "q188_rfm")              // per-user rows × broadcast 1-row
+                               // corpus-max anchor
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is
