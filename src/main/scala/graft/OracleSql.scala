@@ -2293,6 +2293,44 @@ object OracleSql {
          |FROM s""".stripMargin
     },
 
+    // Lead-lag: shared zero-filled day grid, shifted joins per lag,
+    // q158's exact-moment correlation chain
+    "q190_lead_lag" ->
+      """WITH d AS (SELECT (epoch_us(ts) // 1000000) // 86400 AS d,
+        |    event_type FROM events),
+        |sp AS (SELECT min(d) AS d0, max(d) AS d1 FROM d),
+        |grid AS (SELECT unnest(range(d0, d1 + 1)) AS d FROM sp),
+        |ca AS (SELECT d, count(*)::BIGINT AS c FROM d
+        |       WHERE event_type = 'click' GROUP BY 1),
+        |cb AS (SELECT d, count(*)::BIGINT AS c FROM d
+        |       WHERE event_type = 'purchase' GROUP BY 1),
+        |sa AS (SELECT grid.d, coalesce(ca.c, 0)::BIGINT AS x
+        |       FROM grid LEFT JOIN ca USING (d)),
+        |sb AS (SELECT grid.d, coalesce(cb.c, 0)::BIGINT AS y
+        |       FROM grid LEFT JOIN cb USING (d)),
+        |p AS (SELECT l.lag, sa.x, sb.y
+        |      FROM (SELECT unnest(range(-3, 4)) AS lag) l
+        |      CROSS JOIN sa JOIN sb ON sb.d = sa.d + l.lag),
+        |s AS (SELECT lag, count(*)::BIGINT AS n,
+        |        sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |        sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+        |        sum(y * y)::BIGINT AS syy
+        |      FROM p GROUP BY lag),
+        |dd AS (SELECT lag, n,
+        |  n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+        |  n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS denx,
+        |  n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS deny,
+        |  sx::DOUBLE AS sxd, sy::DOUBLE AS syd, n::DOUBLE AS nd
+        |  FROM s)
+        |SELECT lag::INTEGER AS lag, n,
+        |  round(CASE WHEN denx <= 0 OR deny <= 0 THEN NULL
+        |    ELSE num / (sqrt(denx) * sqrt(deny)) END, 6) AS corr,
+        |  round(CASE WHEN denx = 0 THEN NULL
+        |    ELSE num / denx END, 6) AS slope,
+        |  round(CASE WHEN denx = 0 THEN NULL
+        |    ELSE (syd - (num / denx) * sxd) / nd END, 6) AS intercept
+        |FROM dd""".stripMargin,
+
     // RFM: per-user aggregates + 1-row corpus anchor, integer days
     "q188_rfm" ->
       """WITH per AS (SELECT user_id AS user,

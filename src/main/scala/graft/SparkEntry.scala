@@ -2800,6 +2800,14 @@ object SparkEntry {
       variant = col("user_id") % 2 === 1,
       converted = col("event_type") === "purchase")
 
+  /** Lead-lag sweep: corr(click_t, purchase_{t+lag}) for lags −3..3
+    * over shared gap-filled daily series — q158's exact-moment
+    * correlation chain per shifted join.
+    */
+  def q190_lead_lag(s: SparkSession, dir: String): DataFrame =
+    EventOps.leadLagCorrelation(t(s, dir, "events"),
+      kindA = "click", kindB = "purchase", maxLag = 3)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2992,7 +3000,8 @@ object SparkEntry {
     "q186_zscores" -> (q186_zscores(_, _)),
     "q187_centroid_similarity" -> (q187_centroid_similarity(_, _)),
     "q188_rfm" -> (q188_rfm(_, _)),
-    "q189_ab_test" -> (q189_ab_test(_, _)))
+    "q189_ab_test" -> (q189_ab_test(_, _)),
+    "q190_lead_lag" -> (q190_lead_lag(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -305,6 +305,43 @@ object EventOps {
           col("n_from").cast("double"), 6).as("p_next"))
   }
 
+  /** Lead-lag cross-correlation between two event types' gap-filled
+    * daily count series: `corr(A_t, B_{t+lag})` for every lag in
+    * `[-maxLag, maxLag]` — the "does A move before B" diagnostic
+    * behind leading-indicator and cannibalization questions. Series
+    * share one corpus-span integer-day grid (zero-filled, the
+    * [[resampleDaily]] discipline on epoch-day arithmetic), each lag
+    * is a shifted equi-join over the grid, and the correlation is
+    * [[graft.operators.Relational.linearFit]]'s exact-integer-moment
+    * chain — so the whole sweep replays in SQL (q190). The two tiny
+    * series localCheckpoint once and feed all 2·maxLag+1 branches.
+    *
+    * Returns `(lag, n, corr, slope, intercept)`.
+    */
+  def leadLagCorrelation(events: DataFrame,
+      kindA: String, kindB: String, maxLag: Int = 3,
+      kindCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val sec = col(tsCol).cast("long")
+    val days = events.select(floor(sec / lit(86400)).as("_d"),
+      col(kindCol).as("_k"))
+    val grid = days.agg(min(col("_d")).as("_d0"),
+        max(col("_d")).as("_d1"))
+      .select(explode(sequence(col("_d0"), col("_d1"))).as("_d"))
+    def series(kind: String, as: String): DataFrame = grid
+      .join(days.filter(col("_k") === kind).groupBy(col("_d"))
+        .agg(count(lit(1)).as(as)), Seq("_d"), "left")
+      .na.fill(0L, Seq(as)).localCheckpoint()
+    val a = series(kindA, "_x")
+    val b = series(kindB, "_y")
+    val pairs = (-maxLag to maxLag).map { l =>
+      a.join(b.select((col("_d") - l).as("_d"), col("_y")), Seq("_d"))
+        .select(lit(l).as("lag"), col("_x"), col("_y"))
+    }.reduce(_.unionByName(_))
+    graft.operators.Relational.linearFit(pairs, Seq("lag"),
+      col("_x"), col("_y"))
+  }
+
   /** RFM (recency / frequency / monetary) feature table — the
     * classic engagement segmentation base: per user, days since last
     * activity (anchored to the CORPUS max timestamp, so the table is

@@ -599,6 +599,37 @@ class EventFeatureSpec extends SparkSpec {
     assert(math.abs(mine - builtin) < 1e-6, (mine, builtin))
   }
 
+  test("leadLagCorrelation: a planted 1-day shift pins corr 1.0 at " +
+    "lag +1 and below 1 elsewhere") {
+    import graft.streaming.EventOps
+    val day = 86400L
+    // clicks on days 0..5 with counts 1,2,3,1,2,3; purchases shifted
+    // +1 day with the same profile → perfect corr at lag +1
+    val counts = Seq(1, 2, 3, 1, 2, 3)
+    var id = 0L
+    val rows = scala.collection.mutable.Buffer[
+      (Long, java.sql.Timestamp, Long, String, Double, String)]()
+    counts.zipWithIndex.foreach { case (c, d2) =>
+      (0 until c).foreach { _ =>
+        id += 1
+        rows += ((id, new java.sql.Timestamp(d2 * day * 1000), 1L,
+          "click", 1.0, "{}"))
+        id += 1
+        rows += ((id, new java.sql.Timestamp((d2 + 1) * day * 1000),
+          1L, "purchase", 1.0, "{}"))
+      }
+    }
+    val df = rows.toSeq
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.leadLagCorrelation(df, "click", "purchase",
+      maxLag = 2).collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(2)) Double.NaN
+        else r.getDouble(2))).toMap
+    assert(got(1) == 1.0, got)
+    assert(got.filter(_._1 != 1).values.forall(v =>
+      v.isNaN || v < 1.0), got)
+  }
+
   test("rfm + abTest: hand-computed integers; z sign follows the " +
     "winning variant; degenerate pools are NULL") {
     import graft.streaming.EventOps
