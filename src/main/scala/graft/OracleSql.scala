@@ -2293,6 +2293,51 @@ object OracleSql {
          |FROM s""".stripMargin
     },
 
+    // Cohort LTV: integer cohorts/ages/micro revenue, partitioned
+    // cumulative sum
+    "q191_cohort_ltv" ->
+      """WITH b AS (SELECT user_id AS u,
+        |    (epoch_us(ts) // 1000000) // 86400 AS d,
+        |    (round(value * 1000000.0))::BIGINT AS vm
+        |  FROM events),
+        |f AS (SELECT u, min(d) AS c FROM b GROUP BY 1),
+        |sz AS (SELECT c AS cohort_day, count(*)::BIGINT
+        |         AS n_cohort_users FROM f GROUP BY 1),
+        |rev AS (SELECT f.c AS cohort_day, b.d - f.c AS age_days,
+        |          sum(vm)::BIGINT AS rev_micro
+        |        FROM b JOIN f USING (u) GROUP BY 1, 2)
+        |SELECT cohort_day, age_days, n_cohort_users, rev_micro,
+        |  sum(rev_micro) OVER (PARTITION BY cohort_day
+        |    ORDER BY age_days ROWS UNBOUNDED PRECEDING)::BIGINT
+        |    AS cum_rev_micro
+        |FROM rev JOIN sz USING (cohort_day)""".stripMargin,
+
+    // Soft dedup: md5 cluster sizes, one rounded reciprocal
+    "q192_soft_dedup_weights" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS dh FROM documents),
+        |s AS (SELECT dh, count(*)::BIGINT AS cluster_size
+        |      FROM h GROUP BY 1)
+        |SELECT doc_id, cluster_size,
+        |  (round(1000000.0 / cluster_size))::BIGINT AS weight_micro
+        |FROM h JOIN s USING (dh)""".stripMargin,
+
+    // Peaks: zero-filled day series, shifted self-joins, integer
+    // prominence
+    "q193_peaks" ->
+      """WITH d AS (SELECT (epoch_us(ts) // 1000000) // 86400 AS d
+        |           FROM events),
+        |sp AS (SELECT min(d) AS d0, max(d) AS d1 FROM d),
+        |grid AS (SELECT unnest(range(d0, d1 + 1)) AS d FROM sp),
+        |c AS (SELECT d, count(*)::BIGINT AS n FROM d GROUP BY 1),
+        |s AS (SELECT grid.d, coalesce(c.n, 0)::BIGINT AS n
+        |      FROM grid LEFT JOIN c USING (d))
+        |SELECT s.d AS day, s.n,
+        |  (s.n - greatest(coalesce(p.n, 0), coalesce(x.n, 0)))::BIGINT
+        |    AS prominence
+        |FROM s LEFT JOIN s p ON p.d = s.d - 1
+        |LEFT JOIN s x ON x.d = s.d + 1
+        |WHERE s.n > coalesce(p.n, 0) AND s.n > coalesce(x.n, 0)""".stripMargin,
+
     // Lead-lag: shared zero-filled day grid, shifted joins per lag,
     // q158's exact-moment correlation chain
     "q190_lead_lag" ->

@@ -2808,6 +2808,58 @@ object SparkEntry {
     EventOps.leadLagCorrelation(t(s, dir, "events"),
       kindA = "click", kindB = "purchase", maxLag = 3)
 
+  /** Cohort LTV: first-seen-day cohorts, micro-snapped revenue by
+    * cohort age with the partitioned cumulative sum.
+    */
+  def q191_cohort_ltv(s: SparkSession, dir: String): DataFrame =
+    EventOps.cohortLtv(t(s, dir, "events"))
+
+  /** Soft-dedup training weights: every doc keeps weight
+    * 10⁶ / |exact-dup cluster| (micro), so duplicate families
+    * contribute one document's worth of gradient in total — the
+    * downweight-instead-of-drop flavor of q13.
+    */
+  def q192_soft_dedup_weights(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sizes = d.select(md5(col("text")).as("_h"))
+      .groupBy(col("_h")).agg(count(lit(1)).as("cluster_size"))
+    d.select(col("doc_id"), md5(col("text")).as("_h"))
+      .join(sizes, Seq("_h"))
+      .select(col("doc_id"), col("cluster_size"),
+        round(lit(1000000.0) / col("cluster_size"))
+          .cast("long").as("weight_micro"))
+  }
+
+  /** Daily-series peak detection: strict local maxima of the
+    * zero-filled corpus event-count series with integer prominence
+    * over the ±1 neighborhood.
+    */
+  def q193_peaks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sec = col("ts").cast("long")
+    val days = t(s, dir, "events")
+      .select(floor(sec / lit(86400)).as("_d"))
+    val grid = days.agg(min(col("_d")).as("_d0"),
+        max(col("_d")).as("_d1"))
+      .select(explode(sequence(col("_d0"), col("_d1"))).as("_d"))
+    val series = grid.join(
+        days.groupBy(col("_d")).agg(count(lit(1)).as("n")),
+        Seq("_d"), "left")
+      .na.fill(0L, Seq("n"))
+    // neighbors via shifted self-joins — no global window anywhere
+    val nb = series.select(col("_d"), col("n"))
+    series.select(col("_d"), col("n"))
+      .join(nb.select((col("_d") + 1).as("_d"), col("n").as("_prev")),
+        Seq("_d"), "left")
+      .join(nb.select((col("_d") - 1).as("_d"), col("n").as("_next")),
+        Seq("_d"), "left")
+      .na.fill(0L, Seq("_prev", "_next"))
+      .filter(col("n") > col("_prev") && col("n") > col("_next"))
+      .select(col("_d").as("day"), col("n"),
+        (col("n") - greatest(col("_prev"), col("_next")))
+          .as("prominence"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3001,7 +3053,10 @@ object SparkEntry {
     "q187_centroid_similarity" -> (q187_centroid_similarity(_, _)),
     "q188_rfm" -> (q188_rfm(_, _)),
     "q189_ab_test" -> (q189_ab_test(_, _)),
-    "q190_lead_lag" -> (q190_lead_lag(_, _)))
+    "q190_lead_lag" -> (q190_lead_lag(_, _)),
+    "q191_cohort_ltv" -> (q191_cohort_ltv(_, _)),
+    "q192_soft_dedup_weights" -> (q192_soft_dedup_weights(_, _)),
+    "q193_peaks" -> (q193_peaks(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -305,6 +305,38 @@ object EventOps {
           col("n_from").cast("double"), 6).as("p_next"))
   }
 
+  /** Cohort LTV curve: users grouped by first-seen epoch day, revenue
+    * (micro-snapped value) accumulated by cohort AGE — the
+    * "cumulative value per user-cohort over time" view behind
+    * payback-period decisions, the monetary sibling of [[retention]].
+    * Integer day/micro arithmetic; the cumulative sum is a window
+    * PARTITIONED by cohort over its bounded age axis.
+    *
+    * Returns `(cohort_day, age_days, n_cohort_users, rev_micro,
+    * cum_rev_micro)`.
+    */
+  def cohortLtv(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sec = col(tsCol).cast("long")
+    val base = events.select(col(userCol).as("_u"),
+      floor(sec / lit(86400)).as("_d"),
+      round(col(valueCol) * lit(1000000.0)).cast("long").as("_vm"))
+    val first = base.groupBy(col("_u")).agg(min(col("_d")).as("_c"))
+    val sized = first.groupBy(col("_c").as("cohort_day"))
+      .agg(count(lit(1)).as("n_cohort_users"))
+    val rev = base.join(first, Seq("_u"))
+      .groupBy(col("_c").as("cohort_day"),
+        (col("_d") - col("_c")).as("age_days"))
+      .agg(sum(col("_vm")).as("rev_micro"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("age_days"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev.join(sized, Seq("cohort_day"))
+      .select(col("cohort_day"), col("age_days"),
+        col("n_cohort_users"), col("rev_micro"),
+        sum(col("rev_micro")).over(w).as("cum_rev_micro"))
+  }
+
   /** Lead-lag cross-correlation between two event types' gap-filled
     * daily count series: `corr(A_t, B_{t+lag})` for every lag in
     * `[-maxLag, maxLag]` — the "does A move before B" diagnostic

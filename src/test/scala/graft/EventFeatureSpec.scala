@@ -599,6 +599,26 @@ class EventFeatureSpec extends SparkSpec {
     assert(math.abs(mine - builtin) < 1e-6, (mine, builtin))
   }
 
+  test("cohortLtv: cumulative revenue accrues within a cohort and " +
+    "never leaks across cohorts") {
+    import graft.streaming.EventOps
+    val day = 86400L
+    def ev(id: Long, u: Long, sec: Long, v: Double) =
+      (id, new java.sql.Timestamp(sec * 1000L), u, "buy", v, "{}")
+    // cohort day 0: u1 spends 1.0 on day 0 and 2.0 on day 1
+    // cohort day 1: u2 spends 10.0 on day 1
+    val df = Seq(ev(1, 1, 0, 1.0), ev(2, 1, day, 2.0),
+      ev(3, 2, day, 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.cohortLtv(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got((0L, 0L)) == ((1L, 1000000L, 1000000L)), got)
+    assert(got((0L, 1L)) == ((1L, 2000000L, 3000000L)), got)
+    assert(got((1L, 0L)) == ((1L, 10000000L, 10000000L)), got)
+    assert(got.size == 3)
+  }
+
   test("leadLagCorrelation: a planted 1-day shift pins corr 1.0 at " +
     "lag +1 and below 1 elsewhere") {
     import graft.streaming.EventOps
