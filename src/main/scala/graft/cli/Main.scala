@@ -1461,6 +1461,89 @@ object Main {
         }
       done(spark)
 
+    // RFM engagement table over an events parquet
+    case "rfm" :: path :: rest =>
+      import org.apache.spark.sql.functions._
+      val topK = rest.find(!_.startsWith("--")).map(_.toInt)
+        .getOrElse(10)
+      val spark = session()
+      graft.streaming.EventOps.rfm(spark.read.parquet(path))
+        .orderBy(col("monetary_micro").desc, col("user")).limit(topK)
+        .collect().foreach { r =>
+          println(s"[rfm] user=${r.get(0)} r=${r.getLong(1)}d " +
+            s"f=${r.getLong(2)} m=${r.getLong(3) / 1e6} " +
+            s"tenure=${r.getLong(4)}d")
+        }
+      done(spark)
+
+    // two-proportion A/B test: variant = user parity by default
+    case "ab" :: path :: convKind :: Nil =>
+      import org.apache.spark.sql.functions._
+      val spark = session()
+      val r = graft.streaming.EventOps.abTest(
+        spark.read.parquet(path), col("user_id") % 2 === 1,
+        col("event_type") === convKind).first()
+      val z = if (r.isNullAt(6)) "n/a" else (r.getLong(6) / 1e6).toString
+      println(s"[ab] a: ${r.getLong(1)}/${r.getLong(0)} " +
+        s"(${r.getDouble(4)}) b: ${r.getLong(3)}/${r.getLong(2)} " +
+        s"(${r.getDouble(5)}) z=$z")
+      done(spark)
+
+    // lead-lag daily cross-correlation sweep between two event types
+    case "leadlag" :: path :: kindA :: kindB :: rest =>
+      import org.apache.spark.sql.functions._
+      val maxLag = rest.headOption.map(_.toInt).getOrElse(3)
+      val spark = session()
+      graft.streaming.EventOps.leadLagCorrelation(
+        spark.read.parquet(path), kindA, kindB, maxLag)
+        .orderBy(col("lag")).collect().foreach { r =>
+          val c = if (r.isNullAt(2)) "n/a" else r.getDouble(2).toString
+          println(s"[leadlag] lag=${r.getInt(0)} corr=$c " +
+            s"(n=${r.getLong(1)})")
+        }
+      done(spark)
+
+    // per-group z-score outliers of a value column
+    case "zscore" :: path :: keyCol :: valCol :: rest =>
+      import org.apache.spark.sql.functions._
+      val topK = rest.headOption.map(_.toInt).getOrElse(10)
+      val spark = session()
+      val df = spark.read.parquet(path)
+      graft.operators.Relational.groupZScores(df, Seq(keyCol),
+        col(valCol), df.columns.head, topK)
+        .collect().foreach { r =>
+          println(s"[zscore] ${r.get(0)} (${r.get(1)}): " +
+            s"v=${r.getLong(2)} z=${r.getDouble(4)}")
+        }
+      done(spark)
+
+    // commonest k-step journeys over an events parquet
+    case "journeys" :: path :: rest =>
+      val nums = rest.filter(!_.startsWith("--"))
+      val steps = nums.headOption.map(_.toInt).getOrElse(3)
+      val topK = nums.drop(1).headOption.map(_.toInt).getOrElse(10)
+      val spark = session()
+      graft.streaming.EventOps.topJourneys(
+        spark.read.parquet(path), steps, topK)
+        .collect().foreach { r =>
+          val path2 = (0 until steps).map(r.getString).mkString(" > ")
+          println(s"[journeys] $path2 x${r.getLong(steps)}")
+        }
+      done(spark)
+
+    // association rules over per-user event-type baskets
+    case "assoc" :: path :: Nil =>
+      import org.apache.spark.sql.functions._
+      val spark = session()
+      graft.streaming.EventOps.associationRules(
+        spark.read.parquet(path))
+        .orderBy(col("lift").desc, col("kind_a"), col("kind_b"))
+        .collect().foreach { r =>
+          println(s"[assoc] ${r.getString(0)} + ${r.getString(1)}: " +
+            s"lift=${r.getDouble(9)} support=${r.getDouble(6)}")
+        }
+      done(spark)
+
     case _ =>
       System.err.println(
         "usage: ingest <in> <pool> [vintage] [--dry-run] | " +
@@ -1524,7 +1607,11 @@ object Main {
           "hill <corpus> [k] [--jsonl] | " +
           "transitions <events> | burstiness <events> [topK] | " +
           "psi <oldParquet> <newParquet> <valCol> [keyCol] [binWidth] | " +
-          "cdc <corpus> [mask] [topK] [--jsonl]")
+          "cdc <corpus> [mask] [topK] [--jsonl] | " +
+          "rfm <events> [topK] | ab <events> <convKind> | " +
+          "leadlag <events> <kindA> <kindB> [maxLag] | " +
+          "zscore <parquet> <keyCol> <valCol> [topK] | " +
+          "journeys <events> [steps] [topK] | assoc <events>")
       sys.exit(2)
   }
 
