@@ -152,6 +152,44 @@ object OracleSql {
        |JOIN g gb ON gb.doc_id = ib
        |WHERE $agreeExpr / 32.0 >= 0.2""".stripMargin
 
+  /** Dedup-recall harness oracle (q194): the corpus augmented with
+    * drop-every-k mutated twins (DuckDB's 1-based indexed list_filter
+    * = Spark's 0-based `(i+1) % k` filter), the q16 LSH machinery
+    * signed over the augmented relation, per-level planted-pair
+    * detection counts.
+    */
+  private lazy val q194 = {
+    def mut(k: Int, off: Long) =
+      s"""SELECT doc_id + $off AS doc_id,
+         |  array_to_string(list_filter(string_split(text, ' '),
+         |    (x, i) -> i % $k != 0), ' ') AS text
+         |FROM documents""".stripMargin
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL ${mut(4, 100000L)}
+       |  UNION ALL ${mut(6, 200000L)}
+       |  UNION ALL ${mut(10, 300000L)}),
+       |${lshCandBody("aug")},
+       |p AS (SELECT ia, ib FROM cand
+       |      JOIN g ga ON ga.doc_id = ia
+       |      JOIN g gb ON gb.doc_id = ib
+       |      WHERE $agreeExpr / 32.0 >= 0.2),
+       |det AS (SELECT ib // 100000 AS level,
+       |          count(DISTINCT ia)::BIGINT AS n_detected
+       |        FROM p WHERE ia < 100000 AND ib >= 100000
+       |          AND ib % 100000 = ia
+       |        GROUP BY 1),
+       |meta AS (SELECT unnest([1, 2, 3]) AS level,
+       |           unnest([4, 6, 10]) AS drop_every),
+       |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+       |SELECT meta.level::BIGINT AS level,
+       |  drop_every::INTEGER AS drop_every, n_docs,
+       |  coalesce(n_detected, 0)::BIGINT AS n_detected,
+       |  round(coalesce(n_detected, 0)::DOUBLE / n_docs::DOUBLE, 6)
+       |    AS recall
+       |FROM meta LEFT JOIN det USING (level) CROSS JOIN n""".stripMargin
+  }
+
   /** Cross-corpus fuzzy-join oracle: the q16 machinery with the
     * candidate condition flipped from within-corpus ordering to the
     * parity split (left = even ids, right = odd) — signatures are
@@ -1151,6 +1189,7 @@ object OracleSql {
     "q14_minhash" -> q14,
     "q15_lsh_buckets" -> q15,
     "q16_near_dup_pairs" -> q16,
+    "q194_dedup_recall" -> q194,
     "q71_fuzzy_join" -> q71,
     "q17_cosine_topk" -> q17,
     "q18_ann_topk" -> q18,

@@ -2860,6 +2860,47 @@ object SparkEntry {
           .as("prominence"))
   }
 
+  /** Dedup-recall acceptance harness — q65's discipline pointed at
+    * the DEDUP family: plant mutated twins at three known mutation
+    * levels (drop every 4th/6th/10th token — a detection-rate
+    * gradient by construction: heavier drops destroy more shared
+    * 3-gram shingles), run the production MinHash-LSH pairer over the
+    * augmented corpus, and score per-level recall. The number a user
+    * reads before trusting the near-dup threshold.
+    */
+  def q194_dedup_recall(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    def mutate(k: Int, off: Long): DataFrame = d.select(
+      (col("doc_id") + off).as("doc_id"),
+      array_join(filter(TextOps.tokensSimple(col("text")),
+        (_, i) => (i + 1) % k =!= 0), " ").as("text"))
+    val levels = Seq((1L, 4), (2L, 6), (3L, 10))
+    val aug = levels.foldLeft(d) { case (acc, (lvl, k)) =>
+      acc.unionByName(mutate(k, lvl * 100000L)) }
+    val pairs = Dedup.nearDupPairs(aug, "text", "doc_id",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.2,
+      tokenizer = TextOps.tokensSimple)
+    val det = pairs
+      .filter(col("id_a") < 100000L && col("id_b") >= 100000L &&
+        col("id_b") % 100000L === col("id_a"))
+      .groupBy(floor(col("id_b") / 100000L).as("level"))
+      .agg(countDistinct(col("id_a")).as("n_detected"))
+    val meta = levels.map { case (lvl, k) => (lvl, k) }
+      .foldLeft(Option.empty[DataFrame]) { case (acc, (lvl, k)) =>
+        val row = d.sparkSession.range(1)
+          .select(lit(lvl).as("level"), lit(k).as("drop_every"))
+        Some(acc.map(_.unionByName(row)).getOrElse(row))
+      }.get
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    meta.join(det, Seq("level"), "left")
+      .na.fill(0L, Seq("n_detected"))
+      .crossJoin(broadcast(n))
+      .select(col("level"), col("drop_every"), col("n_docs"),
+        col("n_detected"),
+        round(col("n_detected").cast("double") /
+          col("n_docs").cast("double"), 6).as("recall"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3056,7 +3097,8 @@ object SparkEntry {
     "q190_lead_lag" -> (q190_lead_lag(_, _)),
     "q191_cohort_ltv" -> (q191_cohort_ltv(_, _)),
     "q192_soft_dedup_weights" -> (q192_soft_dedup_weights(_, _)),
-    "q193_peaks" -> (q193_peaks(_, _)))
+    "q193_peaks" -> (q193_peaks(_, _)),
+    "q194_dedup_recall" -> (q194_dedup_recall(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
