@@ -2332,6 +2332,25 @@ object OracleSql {
          |FROM s""".stripMargin
     },
 
+    // Correlated subqueries: same four flavors, counts only
+    "q195_subquery_parity" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders o WHERE EXISTS (
+        |     SELECT 1 FROM lineitem l
+        |     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45))
+        |    ::BIGINT AS n_heavy_orders,
+        |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (
+        |     SELECT 1 FROM lineitem l
+        |     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45))
+        |    ::BIGINT AS n_light_orders,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_orderkey IN (
+        |     SELECT l_orderkey FROM lineitem WHERE l_discount > 0.09))
+        |    ::BIGINT AS n_discounted,
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE l_quantity = (SELECT MAX(l_quantity) FROM lineitem))
+        |    ::BIGINT AS n_at_max_qty""".stripMargin,
+
     // Cohort LTV: integer cohorts/ages/micro revenue, partitioned
     // cumulative sum
     "q191_cohort_ltv" ->

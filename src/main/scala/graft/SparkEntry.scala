@@ -2901,6 +2901,33 @@ object SparkEntry {
           col("n_docs").cast("double"), 6).as("recall"))
   }
 
+  /** Correlated-subquery surface parity: EXISTS / NOT EXISTS / IN /
+    * scalar-subquery flavors over orders×lineitem, each reduced to an
+    * integer count — Catalyst rewrites these to semi/anti/broadcast
+    * joins; the row pins that the rewrite matches DuckDB's semantics.
+    */
+  def q195_subquery_parity(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql("""
+      SELECT
+        (SELECT COUNT(*) FROM orders_v o WHERE EXISTS (
+           SELECT 1 FROM lineitem_v l
+           WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45))
+          AS n_heavy_orders,
+        (SELECT COUNT(*) FROM orders_v o WHERE NOT EXISTS (
+           SELECT 1 FROM lineitem_v l
+           WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45))
+          AS n_light_orders,
+        (SELECT COUNT(*) FROM orders_v
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem_v WHERE l_discount > 0.09))
+          AS n_discounted,
+        (SELECT COUNT(*) FROM lineitem_v
+         WHERE l_quantity = (SELECT MAX(l_quantity) FROM lineitem_v))
+          AS n_at_max_qty""")
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3098,7 +3125,8 @@ object SparkEntry {
     "q191_cohort_ltv" -> (q191_cohort_ltv(_, _)),
     "q192_soft_dedup_weights" -> (q192_soft_dedup_weights(_, _)),
     "q193_peaks" -> (q193_peaks(_, _)),
-    "q194_dedup_recall" -> (q194_dedup_recall(_, _)))
+    "q194_dedup_recall" -> (q194_dedup_recall(_, _)),
+    "q195_subquery_parity" -> (q195_subquery_parity(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
