@@ -2332,6 +2332,44 @@ object OracleSql {
          |FROM s""".stripMargin
     },
 
+    // TPC-H Q3 shape: micro-cent revenue snap per row, BIGINT sums,
+    // ordered limit
+    "q196_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  sum(rev)::BIGINT AS revenue_cents
+        |FROM (
+        |  SELECT l.l_orderkey, o.o_orderdate,
+        |    (round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0))
+        |      ::BIGINT AS rev
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment = 'BUILDING'
+        |    AND o.o_orderdate < '1995-03-15'
+        |    AND l.l_shipdate > '1995-03-15')
+        |GROUP BY 1, 2
+        |ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    // TPC-H Q5 shape: the six-way join with the nation colocation
+    // predicate, micro-cent BIGINT revenue
+    "q197_local_supplier_volume" ->
+      """SELECT n.n_name,
+        |  sum((round(l.l_extendedprice * (1.0 - l.l_discount)
+        |    * 100.0))::BIGINT)::BIGINT AS revenue_cents,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= '1996-01-01'
+        |  AND o.o_orderdate < '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+
     // Correlated subqueries: same four flavors, counts only
     "q195_subquery_parity" ->
       """SELECT

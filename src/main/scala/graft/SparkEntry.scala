@@ -2928,6 +2928,68 @@ object SparkEntry {
           AS n_at_max_qty""")
   }
 
+  /** TPC-H Q3-shaped shipping priority: segment-filtered customer ⨝
+    * orders ⨝ lineitem, revenue per order micro-snapped per row so
+    * the sum is an order-free BIGINT, top-10 by (revenue desc,
+    * orderdate, orderkey) via per-partition heaps. The dims broadcast;
+    * the fact side shuffles once on its join key.
+    */
+  def q196_shipping_priority(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-03-15"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1995-03-15"))
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long").as("_rev_c"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("_rev_c")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("o_orderdate"),
+        col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped local-supplier volume: the six-way
+    * region→nation→{customer, supplier}→orders→lineitem join with the
+    * customer-nation = supplier-nation colocation predicate, revenue
+    * per nation as order-free micro-cent BIGINTs. Dims broadcast; the
+    * two fact joins are the only shuffles.
+    */
+  def q197_local_supplier_volume(
+      s: SparkSession, dir: String): DataFrame = {
+    val nat = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long").as("_rev_c"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("_rev_c")).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3126,7 +3188,9 @@ object SparkEntry {
     "q192_soft_dedup_weights" -> (q192_soft_dedup_weights(_, _)),
     "q193_peaks" -> (q193_peaks(_, _)),
     "q194_dedup_recall" -> (q194_dedup_recall(_, _)),
-    "q195_subquery_parity" -> (q195_subquery_parity(_, _)))
+    "q195_subquery_parity" -> (q195_subquery_parity(_, _)),
+    "q196_shipping_priority" -> (q196_shipping_priority(_, _)),
+    "q197_local_supplier_volume" -> (q197_local_supplier_volume(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
