@@ -129,6 +129,23 @@ class PlanGateSpec extends SparkSpec {
       s"q80 lost its heap-based top-k:\n$p80")
   }
 
+  test("q196/q197: dim filters push to the scans, dims broadcast, " +
+    "the ordered top-10 is TakeOrdered") {
+    val p196 = planOf("q196_shipping_priority")
+    assert(p196.contains("BroadcastHashJoin"),
+      s"q196 lost its dim broadcast:\n$p196")
+    assert(p196.contains("PushedFilters") &&
+      p196.contains("IsNotNull(c_mktsegment)"),
+      s"q196 lost the segment pushdown:\n$p196")
+    assert(p196.contains("TakeOrderedAndProject"),
+      s"q196 lost heap top-k:\n$p196")
+    val p197 = planOf("q197_local_supplier_volume")
+    assert(p197.contains("BroadcastHashJoin"),
+      s"q197 lost its dim broadcasts:\n$p197")
+    assert("BroadcastHashJoin".r.findAllIn(p197).size >= 3,
+      s"q197 should broadcast at least three dim joins:\n$p197")
+  }
+
   test("no gate query plans a partition-less WindowExec — a global " +
     "window funnels its whole input through one reducer") {
     // sanctioned exceptions, both windows over BOUNDED inputs:
