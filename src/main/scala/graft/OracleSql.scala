@@ -1088,6 +1088,9 @@ object OracleSql {
   val all: Map[String, String] = Map(
     "q57_clean_corpus" -> q57,
     "q99_removal_audit" -> q99,
+    "q200_pipeline_preflight" ->
+      s"""SELECT verdict, count(*)::BIGINT AS n_docs
+         |FROM ($q99) GROUP BY 1""".stripMargin,
     "q01_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
@@ -2331,6 +2334,36 @@ object OracleSql {
          |  round(s_en, 6) AS score_en
          |FROM s""".stripMargin
     },
+
+    // TPC-H Q10 shape: returns revenue per customer, ordered limit
+    "q198_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |  sum((round(l.l_extendedprice * (1.0 - l.l_discount)
+        |    * 100.0))::BIGINT)::BIGINT AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= '1995-07-01'
+        |  AND o.o_orderdate < '1995-10-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // Nation revenue share: per-nation micro-cent sums + one division
+    // against the 1-row total
+    "q199_revenue_share" ->
+      """WITH per AS (SELECT n.n_name,
+        |    sum((round(l.l_extendedprice * (1.0 - l.l_discount)
+        |      * 100.0))::BIGINT)::BIGINT AS revenue_cents
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  GROUP BY 1),
+        |t AS (SELECT sum(revenue_cents)::BIGINT AS tot FROM per)
+        |SELECT n_name, revenue_cents,
+        |  round(revenue_cents::DOUBLE / tot::DOUBLE, 6) AS share
+        |FROM per CROSS JOIN t""".stripMargin,
 
     // TPC-H Q3 shape: micro-cent revenue snap per row, BIGINT sums,
     // ordered limit

@@ -2990,6 +2990,64 @@ object SparkEntry {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q10-shaped returned-item reporting: customers ranked by
+    * revenue lost to returns in a quarter — micro-cent BIGINT
+    * revenue, dims broadcast, heap top-20.
+    */
+  def q198_returned_items(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-07-01") &&
+        col("o_orderdate") < lit("1995-10-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long").as("_rev_c"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("_rev_c")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Nation revenue share: the q197 join chain without the region
+    * filter, each nation's share of total revenue against the
+    * broadcast 1-row sum.
+    */
+  def q199_revenue_share(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val per = t(s, dir, "lineitem")
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long").as("_rev_c"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("_rev_c")).as("revenue_cents"))
+    val tot = per.agg(sum(col("revenue_cents")).as("_t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("n_name"), col("revenue_cents"),
+        round(col("revenue_cents").cast("double") /
+          col("_t").cast("double"), 6).as("share"))
+  }
+
+  /** Pipeline preflight: q99's per-document removal audit rolled up
+    * to one row per removal reason — the stage-loss summary a
+    * training-data run prints before committing compute.
+    */
+  def q200_pipeline_preflight(s: SparkSession, dir: String): DataFrame =
+    q99_removal_audit(s, dir)
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_docs"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3190,7 +3248,10 @@ object SparkEntry {
     "q194_dedup_recall" -> (q194_dedup_recall(_, _)),
     "q195_subquery_parity" -> (q195_subquery_parity(_, _)),
     "q196_shipping_priority" -> (q196_shipping_priority(_, _)),
-    "q197_local_supplier_volume" -> (q197_local_supplier_volume(_, _)))
+    "q197_local_supplier_volume" -> (q197_local_supplier_volume(_, _)),
+    "q198_returned_items" -> (q198_returned_items(_, _)),
+    "q199_revenue_share" -> (q199_revenue_share(_, _)),
+    "q200_pipeline_preflight" -> (q200_pipeline_preflight(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

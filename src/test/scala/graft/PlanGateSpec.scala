@@ -273,8 +273,10 @@ class PlanGateSpec extends SparkSpec {
                                // corpus-max anchor
       "q179_calibration",      // q126's NB-training 1-row totals
                                // broadcast inside the served model
-      "q194_dedup_recall")     // level meta × broadcast 1-row doc
+      "q194_dedup_recall",     // level meta × broadcast 1-row doc
                                // count (the LSH pairer is equi)
+      "q199_revenue_share")    // G-row nation revenue × broadcast
+                               // 1-row total
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is
