@@ -2365,6 +2365,143 @@ object OracleSql {
         |  round(revenue_cents::DOUBLE / tot::DOUBLE, 6) AS share
         |FROM per CROSS JOIN t""".stripMargin,
 
+    // CMS join-cardinality estimate: both sides' depth×width counter
+    // grids rebuilt with the md5 % P universal-hash family, estimate =
+    // min over rows of the bucket-wise inner product; exact Σ nv·np
+    // alongside proves the overcount-only guarantee
+    "q201_join_cardinality" -> {
+      val W = 1024
+      def hvOf(e: String) =
+        s"(('0x' || substr(md5($e), 1, 8))::UBIGINT)::BIGINT % $P"
+      val rows = (0 until 4).map(TextOps.minhashParams)
+      val sideCtes = rows.zipWithIndex.flatMap { case ((a, b), r) =>
+        Seq(
+          s"""v$r AS (SELECT (($a * hv + $b) % $P) % $W AS bk,
+             |  count(*)::BIGINT AS c FROM hv WHERE et = 'view'
+             |  GROUP BY 1)""".stripMargin,
+          s"""p$r AS (SELECT (($a * hv + $b) % $P) % $W AS bk,
+             |  count(*)::BIGINT AS c FROM hv WHERE et = 'purchase'
+             |  GROUP BY 1)""".stripMargin,
+          s"""e$r AS (SELECT coalesce(sum(v$r.c * p$r.c), 0)::BIGINT
+             |  AS est FROM v$r JOIN p$r USING (bk))""".stripMargin)
+      }.mkString(",\n")
+      s"""WITH hv AS (SELECT event_type AS et,
+         |    ${hvOf("user_id::VARCHAR")} AS hv
+         |  FROM events WHERE event_type IN ('view', 'purchase')),
+         |$sideCtes,
+         |uv AS (SELECT user_id, count(*)::BIGINT AS nv FROM events
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |up AS (SELECT user_id, count(*)::BIGINT AS np FROM events
+         |       WHERE event_type = 'purchase' GROUP BY 1),
+         |ex AS (SELECT coalesce(sum(nv * np), 0)::BIGINT AS exact_pairs,
+         |         count(*)::BIGINT AS n_users_both
+         |       FROM uv JOIN up USING (user_id)),
+         |ns AS (SELECT
+         |    (SELECT count(*) FROM events
+         |     WHERE event_type = 'view')::BIGINT AS n_view,
+         |    (SELECT count(*) FROM events
+         |     WHERE event_type = 'purchase')::BIGINT AS n_purchase)
+         |SELECT ns.n_view, ns.n_purchase, ex.n_users_both,
+         |  ex.exact_pairs,
+         |  least(e0.est, e1.est, e2.est, e3.est) AS est_pairs
+         |FROM ns, ex, e0, e1, e2, e3""".stripMargin
+    },
+
+    // preference pairs: type-token-ratio micros (one exact-integer
+    // division), per-lang best/worst via doc_id-tie-broken windows
+    "q202_preference_pairs" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |    len(string_split(text, ' '))::BIGINT AS nt,
+        |    len(list_distinct(string_split(text, ' ')))::BIGINT AS nd
+        |  FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |    (round(nd * 1000000.0 / nt))::BIGINT AS score FROM s),
+        |r AS (SELECT lang, doc_id, score,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY score DESC, doc_id) AS rb,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY score ASC, doc_id) AS rw
+        |  FROM sc),
+        |c AS (SELECT lang, doc_id AS chosen_doc,
+        |        score AS chosen_score_micro FROM r WHERE rb = 1),
+        |j AS (SELECT lang, doc_id AS rejected_doc,
+        |        score AS rejected_score_micro FROM r WHERE rw = 1),
+        |n AS (SELECT lang, count(*)::BIGINT AS n_candidates
+        |      FROM sc GROUP BY 1)
+        |SELECT c.lang, chosen_doc, rejected_doc, chosen_score_micro,
+        |  rejected_score_micro,
+        |  (chosen_score_micro - rejected_score_micro)::BIGINT
+        |    AS margin_micro,
+        |  n_candidates
+        |FROM c JOIN j USING (lang) JOIN n USING (lang)""".stripMargin,
+
+    // token-F1 eval: multiset overlap via nested list lambdas — the
+    // same least(count-in-pred, count-in-ref) fold per distinct ref
+    // token; micros from single exact-integer divisions
+    "q203_eval_f1" ->
+      """WITH b AS (SELECT doc_id,
+        |    (string_split(text, ' '))[1:8] AS ref FROM documents),
+        |d AS (SELECT doc_id, ref,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN array_slice(ref, 1, len(ref) - 1) ELSE ref END AS dp
+        |  FROM b),
+        |pr AS (SELECT doc_id, ref,
+        |    CASE WHEN doc_id % 5 = 0 AND len(dp) >= 1
+        |      THEN list_concat(['the'], array_slice(dp, 2, len(dp)))
+        |      ELSE dp END AS pred
+        |  FROM d),
+        |ov AS (SELECT doc_id,
+        |    len(pred)::BIGINT AS n_pred, len(ref)::BIGINT AS n_ref,
+        |    coalesce(list_sum(list_transform(list_distinct(ref), t ->
+        |      least(len(list_filter(pred, x -> x = t)),
+        |            len(list_filter(ref, x -> x = t))))), 0)::BIGINT
+        |      AS overlap
+        |  FROM pr)
+        |SELECT doc_id, n_pred, n_ref, overlap,
+        |  CASE WHEN n_pred = 0 THEN 0
+        |    ELSE (round(overlap * 1000000.0 / n_pred))::BIGINT END
+        |    AS p_micro,
+        |  CASE WHEN n_ref = 0 THEN 0
+        |    ELSE (round(overlap * 1000000.0 / n_ref))::BIGINT END
+        |    AS r_micro,
+        |  CASE WHEN n_pred + n_ref = 0 THEN 0
+        |    ELSE (round(overlap * 2000000.0 /
+        |      (n_pred + n_ref)))::BIGINT END AS f1_micro
+        |FROM ov""".stripMargin,
+
+    // entity resolution: md5-derived registry + one-char-corrupted
+    // dups, two half-name blocking passes, levenshtein verify,
+    // recursive-CTE transitive closure → min reachable id
+    "q204_entity_resolution" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT c_custkey * 2 AS rec_id,
+        |    substr(md5(c_custkey::VARCHAR), 1, 12) AS name FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey * 2 + 1,
+        |    substr(nm, 1, p - 1) || 'z' || substr(nm, p + 1, 12)
+        |  FROM (SELECT c_custkey,
+        |          substr(md5(c_custkey::VARCHAR), 1, 12) AS nm,
+        |          (c_custkey % 12 + 1)::INTEGER AS p
+        |        FROM customer WHERE c_custkey % 7 = 0)),
+        |cand AS (
+        |  SELECT a.rec_id AS ia, b.rec_id AS ib,
+        |    a.name AS na, b.name AS nb
+        |  FROM recs a JOIN recs b
+        |    ON substr(a.name, 1, 6) = substr(b.name, 1, 6)
+        |   AND a.rec_id < b.rec_id
+        |  UNION
+        |  SELECT a.rec_id, b.rec_id, a.name, b.name
+        |  FROM recs a JOIN recs b
+        |    ON substr(a.name, 7, 6) = substr(b.name, 7, 6)
+        |   AND a.rec_id < b.rec_id),
+        |pp AS (SELECT ia, ib FROM cand WHERE levenshtein(na, nb) <= 2),
+        |e AS (SELECT ia AS s, ib AS t FROM pp
+        |      UNION SELECT ib, ia FROM pp),
+        |r AS (SELECT rec_id AS s, rec_id AS t FROM recs
+        |      UNION SELECT r.s, e.t FROM r JOIN e ON r.t = e.s),
+        |cl AS (SELECT s AS rec_id, min(t) AS cluster FROM r GROUP BY s)
+        |SELECT rec_id, cluster FROM cl""".stripMargin,
+
     // TPC-H Q3 shape: micro-cent revenue snap per row, BIGINT sums,
     // ordered limit
     "q196_shipping_priority" ->

@@ -3048,6 +3048,174 @@ object SparkEntry {
       .groupBy(col("verdict"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Join-cardinality estimation from Count-Min sketches — the
+    * optimizer-statistics question an engine must answer BEFORE
+    * attempting a join at 100 TB: |view ⋈ purchase on user_id| =
+    * Σ_u f_v(u)·f_p(u), estimated as the minimum over hash rows of the
+    * sketch inner product Σ_b V[r][b]·P[r][b] (Cormode & Muthukrishnan
+    * 2005, §4.2). Each side folds to ONE depth×width counter grid
+    * (map-side partials, additive merge), the estimate is a driver-free
+    * scalar from two broadcast 1-row sketches — the exact answer,
+    * computed alongside for the gate, needs a per-key shuffle the
+    * estimate exists to avoid. Overcount-only: est_pairs ≥ exact_pairs
+    * row for row.
+    */
+  def q201_join_cardinality(s: SparkSession, dir: String): DataFrame = {
+    val depth = 4; val width = 1024
+    val ev = t(s, dir, "events")
+    def sk(kind: String, suffix: String) =
+      ev.filter(col("event_type") === kind)
+        .agg(
+          TextOps.cmsSketch(array(col("user_id").cast("string")),
+            depth, width).as("_sk" + suffix),
+          count(lit(1)).as("n_" + suffix))
+    def perUser(kind: String, nm: String) =
+      ev.filter(col("event_type") === kind)
+        .groupBy(col("user_id")).agg(count(lit(1)).as(nm))
+    val exact = perUser("view", "_nv")
+      .join(perUser("purchase", "_np"), "user_id")
+      .agg(
+        coalesce(sum(col("_nv") * col("_np")), lit(0L)).as("exact_pairs"),
+        count(lit(1)).as("n_users_both"))
+    val rowEst = (0 until depth).map { r =>
+      aggregate(
+        zip_with(
+          slice(col("_skv"), r * width + 1, width),
+          slice(col("_skp"), r * width + 1, width),
+          (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+    }
+    sk("view", "v")
+      .crossJoin(broadcast(sk("purchase", "p")))
+      .crossJoin(broadcast(exact))
+      .select(col("n_v").as("n_view"), col("n_p").as("n_purchase"),
+        col("n_users_both"), col("exact_pairs"),
+        least(rowEst: _*).as("est_pairs"))
+  }
+
+  /** DPO/RLHF preference-pair mining: per language, the
+    * highest-lexical-diversity document (chosen) against the lowest
+    * (rejected) with the score margin — the contrastive-pair shape
+    * preference-tuning datasets are built from. Score = type-token
+    * ratio in micros (one exact-integer division, so the oracle
+    * replays it bit-for-bit); ranking windows are PARTITIONED by the
+    * group key, so no global funnel at any corpus size.
+    */
+  def q202_preference_pairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("_nt"),
+        size(array_distinct(split(col("text"), " "))).cast("long")
+          .as("_nd"))
+      .select(col("doc_id"), col("lang"),
+        round(col("_nd") * lit(1000000.0) / col("_nt")).cast("long")
+          .as("_score"))
+    val up = Window.partitionBy(col("lang"))
+      .orderBy(col("_score").desc, col("doc_id"))
+    val dn = Window.partitionBy(col("lang"))
+      .orderBy(col("_score").asc, col("doc_id"))
+    val ranked = scored.select(col("lang"), col("doc_id"), col("_score"),
+      row_number().over(up).as("_rb"), row_number().over(dn).as("_rw"))
+    val chosen = ranked.filter(col("_rb") === 1)
+      .select(col("lang"), col("doc_id").as("chosen_doc"),
+        col("_score").as("chosen_score_micro"))
+    val rejected = ranked.filter(col("_rw") === 1)
+      .select(col("lang"), col("doc_id").as("rejected_doc"),
+        col("_score").as("rejected_score_micro"))
+    val n = scored.groupBy("lang").agg(count(lit(1)).as("n_candidates"))
+    chosen.join(rejected, "lang").join(n, "lang")
+      .select(col("lang"), col("chosen_doc"), col("rejected_doc"),
+        col("chosen_score_micro"), col("rejected_score_micro"),
+        (col("chosen_score_micro") - col("rejected_score_micro"))
+          .as("margin_micro"),
+        col("n_candidates"))
+  }
+
+  /** SQuAD-style token-F1 eval scoring: per-document multiset overlap
+    * between a reference answer (first 8 tokens) and a prediction
+    * derived from it by two deterministic doc_id-keyed corruptions
+    * (drop-last when %3=0, first-token swap when %5=0) — the scoring
+    * kernel of an LLM eval harness. Entirely per-row higher-order
+    * array functions: zero shuffles, zero UDFs, the whole query is one
+    * codegen'd scan at any corpus size. P/R/F1 are micros from single
+    * exact-integer divisions.
+    */
+  def q203_eval_f1(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val ref = slice(toks, 1, 8)
+    val base = docs(s, dir).select(col("doc_id"), ref.as("_ref"))
+    val dropped = when(col("doc_id") % 3 === 0,
+      slice(col("_ref"), lit(1), greatest(size(col("_ref")) - 1, lit(0))))
+      .otherwise(col("_ref"))
+    val withPred = base.select(col("doc_id"), col("_ref"),
+      dropped.as("_dp"))
+      .select(col("doc_id"), col("_ref"),
+        when(col("doc_id") % 5 === 0 && size(col("_dp")) >= 1,
+          concat(array(lit("the")),
+            slice(col("_dp"), lit(2), greatest(size(col("_dp")) - 1, lit(0)))))
+          .otherwise(col("_dp")).as("_pred"))
+    val overlap = aggregate(array_distinct(col("_ref")), lit(0L),
+      (acc, tk) => acc +
+        least(
+          size(filter(col("_pred"), x => x === tk)),
+          size(filter(col("_ref"), x => x === tk))).cast("long"))
+    withPred
+      .select(col("doc_id"),
+        size(col("_pred")).cast("long").as("n_pred"),
+        size(col("_ref")).cast("long").as("n_ref"),
+        overlap.as("overlap"))
+      .select(col("doc_id"), col("n_pred"), col("n_ref"), col("overlap"),
+        when(col("n_pred") === 0, lit(0L)).otherwise(
+          round(col("overlap") * lit(1000000.0) / col("n_pred"))
+            .cast("long")).as("p_micro"),
+        when(col("n_ref") === 0, lit(0L)).otherwise(
+          round(col("overlap") * lit(1000000.0) / col("n_ref"))
+            .cast("long")).as("r_micro"),
+        when(col("n_pred") + col("n_ref") === 0, lit(0L)).otherwise(
+          round(col("overlap") * lit(2000000.0) /
+            (col("n_pred") + col("n_ref"))).cast("long")).as("f1_micro"))
+  }
+
+  /** Entity resolution: multi-pass blocking + edit-distance verify +
+    * connected-component merge over a deterministically-dirtied
+    * customer registry (every 7th record gets a one-char-corrupted
+    * duplicate). Two complementary blocking passes (name halves) make
+    * candidate generation an equi-join on SHORT keys — a corruption
+    * can hit only one half, so the other pass recovers the pair, and
+    * block sizes stay O(1) as the registry grows. Verification
+    * (levenshtein ≤ 2) touches candidates only; the merge reuses the
+    * dedup family's pointer-jumping CC ([[graft.text.Dedup.clusterLabels]]).
+    */
+  def q204_entity_resolution(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val baseName = md5(col("c_custkey").cast("string")).substr(1, 12)
+    val base = cust.select((col("c_custkey") * 2).as("rec_id"),
+      baseName.as("name"))
+    val p = (col("c_custkey") % 12 + 1).cast("int")
+    val dirty = cust.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") * 2 + 1).as("rec_id"),
+        concat(baseName.substr(lit(1), p - 1), lit("z"),
+          baseName.substr(p + 1, lit(12))).as("name"))
+    val records = base.union(dirty)
+    def blockPass(key: Column => Column) = {
+      val l = records.select(key(col("name")).as("_k"),
+        col("rec_id").as("id_a"), col("name").as("_na"))
+      val r = records.select(key(col("name")).as("_k"),
+        col("rec_id").as("id_b"), col("name").as("_nb"))
+      l.join(r, "_k").filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("_na"), col("_nb"))
+    }
+    val cand = blockPass(_.substr(1, 6))
+      .union(blockPass(_.substr(7, 6)))
+      .distinct()
+    val pairs = cand
+      .filter(levenshtein(col("_na"), col("_nb")) <= 2)
+      .select(col("id_a"), col("id_b"))
+    Dedup.clusterLabels(records.select("rec_id"), pairs)
+      .select(col("id").as("rec_id"), col("cluster"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3251,7 +3419,11 @@ object SparkEntry {
     "q197_local_supplier_volume" -> (q197_local_supplier_volume(_, _)),
     "q198_returned_items" -> (q198_returned_items(_, _)),
     "q199_revenue_share" -> (q199_revenue_share(_, _)),
-    "q200_pipeline_preflight" -> (q200_pipeline_preflight(_, _)))
+    "q200_pipeline_preflight" -> (q200_pipeline_preflight(_, _)),
+    "q201_join_cardinality" -> (q201_join_cardinality(_, _)),
+    "q202_preference_pairs" -> (q202_preference_pairs(_, _)),
+    "q203_eval_f1" -> (q203_eval_f1(_, _)),
+    "q204_entity_resolution" -> (q204_entity_resolution(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -275,8 +275,11 @@ class PlanGateSpec extends SparkSpec {
                                // broadcast inside the served model
       "q194_dedup_recall",     // level meta × broadcast 1-row doc
                                // count (the LSH pairer is equi)
-      "q199_revenue_share")    // G-row nation revenue × broadcast
+      "q199_revenue_share",    // G-row nation revenue × broadcast
                                // 1-row total
+      "q201_join_cardinality") // three broadcast 1-row scalars (two
+                               // CMS grids + the exact check) folded
+                               // into the single output row
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is
