@@ -2469,6 +2469,44 @@ object OracleSql {
         |      (n_pred + n_ref)))::BIGINT END AS f1_micro
         |FROM ov""".stripMargin,
 
+    // sampled-Gram power-iteration PCA: milli-int quantized outer
+    // products summed exactly (order-free), then six unrolled
+    // integer mat-vec + micro-renormalize steps — each a pure-integer
+    // fold plus one mirrored IEEE divide
+    "q205_pca_power" -> {
+      val iterCtes = (1 to 6).map { k =>
+        val prev = if (k == 1) "s0" else s"v${k - 1}"
+        s"""w$k AS (SELECT g, list_transform(range(0, 64), i ->
+           |    list_sum(list_transform(range(0, 64), j ->
+           |      g[i * 64 + j + 1] * v[j + 1]))::BIGINT) AS w
+           |  FROM $prev),
+           |n$k AS (SELECT g, w,
+           |    list_max(list_transform(w, x -> abs(x))) AS wm FROM w$k),
+           |v$k AS (SELECT g, wm,
+           |    list_transform(w, x -> CASE WHEN wm = 0 THEN 0
+           |      ELSE (round((x::DOUBLE / wm::DOUBLE) *
+           |        1000000.0))::BIGINT END) AS v
+           |  FROM n$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT list_transform(embedding,
+         |    x -> (round(x::DOUBLE * 1000.0))::BIGINT) AS xq
+         |  FROM embeddings
+         |  WHERE (('0x' || substr(md5(vec_id::VARCHAR),
+         |    1, 8))::UBIGINT)::BIGINT % 4 = 0),
+         |g AS (SELECT (ia.i * 64 + ib.i) AS pos,
+         |    sum(q.xq[ia.i + 1] * q.xq[ib.i + 1])::BIGINT AS v
+         |  FROM q, range(0, 64) ia(i), range(0, 64) ib(i)
+         |  GROUP BY 1),
+         |ga AS (SELECT list(v ORDER BY pos) AS g FROM g),
+         |s0 AS (SELECT g,
+         |    list_transform(range(0, 64), x -> 1000000::BIGINT) AS v
+         |  FROM ga),
+         |$iterCtes
+         |SELECT t.i::INTEGER AS pos, v6.v[t.i + 1] AS v_micro,
+         |  v6.wm AS lambda_raw
+         |FROM v6, range(0, 64) t(i)""".stripMargin
+    },
+
     // entity resolution: md5-derived registry + one-char-corrupted
     // dups, two half-name blocking passes, levenshtein verify,
     // recursive-CTE transitive closure → min reachable id

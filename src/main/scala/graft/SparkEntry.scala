@@ -3216,6 +3216,65 @@ object SparkEntry {
       .select(col("id").as("rec_id"), col("cluster"))
   }
 
+  /** Distributed PCA, sketch tier: top principal direction of the
+    * embedding cloud via (a) a deterministic hash-sampled, milli-int
+    * quantized Gram matrix — d×d integer sums, order-free, one
+    * aggregation pass over O(sample·d²) exploded products — and (b)
+    * SIX unrolled power-iteration steps computed INSIDE the plan on
+    * the single Gram row (integer mat-vec, max-abs renormalization to
+    * micro scale each step). The textbook 100 TB shape: the corpus
+    * contributes only the d² Gram (distributed, additive), the
+    * eigensolve is O(T·d²) on one row — no driver loop, no collect.
+    * Gram is PSD, so power iteration is sign-stable; every step is
+    * exact-integer or a single mirrored IEEE divide, so the oracle
+    * replays all six steps bit-for-bit.
+    */
+  def q205_pca_power(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64; val iters = 6
+    val emb = t(s, dir, "embeddings")
+      .filter(TextOps.hash32(col("vec_id").cast("string")) % 4 === 0)
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * lit(1000.0)).cast("long")).as("_x"))
+    val outer = flatten(transform(col("_x"),
+      a => transform(col("_x"), b => a * b)))
+    val gram = emb
+      .select(posexplode(outer).as(Seq("_pos", "_prod")))
+      .groupBy(col("_pos")).agg(sum(col("_prod")).as("_g"))
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("_pos").as("p"),
+            col("_g").as("g")))),
+          _.getField("g")).as("_gram"))
+    val idx = sequence(lit(0), lit(dim - 1))
+    var cur = gram.select(col("_gram"),
+      array_repeat(lit(1000000L), dim).as("_v"), lit(0L).as("_wm"))
+    for (_ <- 1 to iters) {
+      val w = transform(idx, i =>
+        aggregate(idx, lit(0L), (acc, j) =>
+          acc + element_at(col("_gram"), i * dim + j + 1) *
+            element_at(col("_v"), j + 1)))
+      cur = cur.select(col("_gram"), w.as("_w"))
+        .select(col("_gram"), col("_w"),
+          array_max(transform(col("_w"), x => abs(x))).as("_wm"))
+        .select(col("_gram"),
+          transform(col("_w"), x =>
+            when(col("_wm") === 0, lit(0L)).otherwise(
+              round((x.cast("double") / col("_wm").cast("double")) *
+                lit(1000000.0)).cast("long"))).as("_v"),
+          col("_wm"))
+        // LAZY persist between steps: without the InMemoryRelation
+        // boundary CollapseProject inlines step k's whole expression
+        // tree into every reference step k+1 makes — ~65 of them —
+        // and the plan grows 65^T nodes. With it, each step is its
+        // own (1-row) cached stage.
+        .persist()
+    }
+    cur.select(posexplode(col("_v")).as(Seq("_p", "v_micro")),
+      col("_wm").as("lambda_raw"))
+      .select(col("_p").cast("int").as("pos"), col("v_micro"),
+        col("lambda_raw"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3423,7 +3482,8 @@ object SparkEntry {
     "q201_join_cardinality" -> (q201_join_cardinality(_, _)),
     "q202_preference_pairs" -> (q202_preference_pairs(_, _)),
     "q203_eval_f1" -> (q203_eval_f1(_, _)),
-    "q204_entity_resolution" -> (q204_entity_resolution(_, _)))
+    "q204_entity_resolution" -> (q204_entity_resolution(_, _)),
+    "q205_pca_power" -> (q205_pca_power(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
