@@ -2469,6 +2469,91 @@ object OracleSql {
         |      (n_pred + n_ref)))::BIGINT END AS f1_micro
         |FROM ov""".stripMargin,
 
+    // nDCG@10: window-ranked replay of the heap top-10, micro-snapped
+    // DCG terms (exact-int gains, micro-nat ln discount, one mirrored
+    // division per term), integer sums
+    "q208_ndcg" ->
+      """WITH s AS (SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x = 'data'))::BIGINT AS tf
+        |  FROM documents),
+        |t AS (SELECT doc_id, tf, doc_id % 4 AS rel FROM s
+        |      ORDER BY tf DESC, doc_id LIMIT 10),
+        |r AS (SELECT doc_id, tf, rel,
+        |      row_number() OVER (ORDER BY tf DESC, doc_id) - 1 AS pos
+        |      FROM t),
+        |lt AS (SELECT pos, doc_id, tf, rel,
+        |      ([0, 1, 3, 7])[rel + 1]::BIGINT AS g,
+        |      (round(ln((pos + 2)::DOUBLE) * 1000000.0))::BIGINT AS lnm
+        |      FROM r),
+        |tm AS (SELECT pos, doc_id, tf, rel,
+        |      (round(g::DOUBLE * 1000000000000.0 /
+        |        lnm::DOUBLE))::BIGINT AS gain_term_micro FROM lt),
+        |agg AS (SELECT sum(gain_term_micro)::BIGINT AS dcg_micro
+        |        FROM tm),
+        |ideal AS (SELECT row_number() OVER (ORDER BY rel DESC) - 1
+        |            AS ipos, rel FROM t),
+        |it AS (SELECT ([0, 1, 3, 7])[rel + 1]::BIGINT AS g,
+        |      (round(ln((ipos + 2)::DOUBLE) * 1000000.0))::BIGINT AS lnm
+        |      FROM ideal),
+        |iagg AS (SELECT sum((round(g::DOUBLE * 1000000000000.0 /
+        |        lnm::DOUBLE))::BIGINT)::BIGINT AS idcg_micro FROM it)
+        |SELECT pos::INTEGER AS pos, doc_id, tf, rel::BIGINT AS rel,
+        |  gain_term_micro, dcg_micro, idcg_micro,
+        |  CASE WHEN idcg_micro = 0 THEN 0
+        |    ELSE (round(dcg_micro::DOUBLE * 1000000.0 /
+        |      idcg_micro::DOUBLE))::BIGINT END AS ndcg_micro
+        |FROM tm, agg, iagg""".stripMargin,
+
+    // Bloom prefilter is row-invisible (no false negatives + exact
+    // join): the oracle is the plain join
+    "q206_bloom_join_prune" ->
+      """SELECT o.o_orderdate,
+        |  sum((round(l.l_extendedprice * (1.0 - l.l_discount)
+        |    * 100.0))::BIGINT)::BIGINT AS revenue_cents,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |  AND o.o_orderdate >= '1995-03-01'
+        |  AND o.o_orderdate < '1995-04-01'
+        |GROUP BY 1""".stripMargin,
+
+    // CUPED: milli-int per-user sums, HUGEINT moments (== Spark's
+    // decimal(38,0)), θ and adjusted means via mirrored single
+    // divisions
+    "q207_cuped" -> {
+      val theta =
+        """CASE WHEN (n * sxx - sx * sx)::DOUBLE = 0 THEN 0
+          |    ELSE (n * sxy - sx * sy)::DOUBLE /
+          |         (n * sxx - sx * sx)::DOUBLE END""".stripMargin
+      s"""WITH ev AS (SELECT user_id, floor(epoch(ts))::BIGINT AS tse,
+         |    event_type, (round(value * 1000.0))::BIGINT AS vm
+         |  FROM events),
+         |u AS (SELECT user_id,
+         |    coalesce(sum(CASE WHEN tse < 1705363200 THEN vm
+         |      ELSE 0 END), 0)::BIGINT AS x,
+         |    coalesce(sum(CASE WHEN tse >= 1705363200
+         |      AND event_type = 'purchase' THEN vm ELSE 0 END),
+         |      0)::BIGINT AS y
+         |  FROM ev GROUP BY 1),
+         |g AS (SELECT count(*)::HUGEINT AS n,
+         |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         |    sum(x::HUGEINT * y::HUGEINT) AS sxy,
+         |    sum(x::HUGEINT * x::HUGEINT) AS sxx FROM u),
+         |v AS (SELECT user_id % 2 AS variant, count(*)::BIGINT AS n_users,
+         |    sum(x)::BIGINT AS sum_x_milli,
+         |    sum(y)::BIGINT AS sum_y_milli FROM u GROUP BY 1)
+         |SELECT variant, n_users, sum_x_milli, sum_y_milli,
+         |  round($theta, 6) AS theta,
+         |  round(sum_y_milli::DOUBLE / n_users::DOUBLE, 6)
+         |    AS mean_y_milli,
+         |  round(sum_y_milli::DOUBLE / n_users::DOUBLE -
+         |    ($theta) *
+         |    (sum_x_milli::DOUBLE / n_users::DOUBLE -
+         |     sx::DOUBLE / n::DOUBLE), 6) AS mean_adj_milli
+         |FROM v, g""".stripMargin
+    },
+
     // sampled-Gram power-iteration PCA: milli-int quantized outer
     // products summed exactly (order-free), then six unrolled
     // integer mat-vec + micro-renormalize steps — each a pure-integer

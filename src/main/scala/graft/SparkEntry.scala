@@ -3275,6 +3275,145 @@ object SparkEntry {
         col("lambda_raw"))
   }
 
+  /** Bloom-prefiltered fact-dim join — the RUNTIME-FILTER pattern: the
+    * tiny filtered dim side builds a broadcast Bloom filter
+    * ([[graft.functions.BloomXX]]), the 100 TB fact side probes it IN
+    * THE SCAN STAGE so non-matching rows never reach the shuffle, and
+    * the exact join afterwards removes the (fpp-bounded) false
+    * positives — row-identical to the unfiltered join, which is
+    * therefore the oracle. At scale this is the difference between
+    * shuffling 100 TB of lineitem and shuffling the ~0.1% that can
+    * match an urgent-March-1995 order.
+    */
+  def q206_bloom_join_prune(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1995-03-01") &&
+        col("o_orderdate") < lit("1995-04-01"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val bloom = graft.functions.BloomXX.build(
+      ord.select(col("o_orderkey").cast("string").as("k")), "k", 0.01)
+    t(s, dir, "lineitem")
+      .filter(graft.functions.BloomXX.mightContain(
+        col("l_orderkey").cast("string"), bloom))
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long").as("_rev_c"))
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderdate"))
+      .agg(sum(col("_rev_c")).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** CUPED variance-reduced A/B readout (Deng et al. 2013): per-variant
+    * purchase revenue in the experiment window, adjusted by each
+    * user's PRE-period activity covariate — mean_adj = mean_y −
+    * θ·(mean_x − mean_x_all) with θ = cov(x,y)/var(x). Per-user sums
+    * are milli-int (exact, order-free); the moment aggregates run in
+    * decimal(38,0) (mirrors DuckDB's HUGEINT), so θ and the adjusted
+    * means come from identical integer values through single mirrored
+    * IEEE chains. One pass over events, one G-row variant table, one
+    * broadcast 1-row moment join — nothing scales with user count but
+    * the per-user groupBy.
+    */
+  def q207_cuped(s: SparkSession, dir: String): DataFrame = {
+    val splitSec = 1705363200L // 2024-01-16 UTC
+    val ev = t(s, dir, "events")
+      .select(col("user_id"),
+        unix_timestamp(col("ts")).as("_tse"),
+        col("event_type"),
+        round(col("value") * lit(1000.0)).cast("long").as("_vm"))
+    val users = ev.groupBy(col("user_id")).agg(
+      coalesce(sum(when(col("_tse") < splitSec, col("_vm"))
+        .otherwise(lit(0L))), lit(0L)).as("_x"),
+      coalesce(sum(when(col("_tse") >= splitSec &&
+        col("event_type") === "purchase", col("_vm"))
+        .otherwise(lit(0L))), lit(0L)).as("_y"))
+    val dec = "decimal(38,0)"
+    val g = users.agg(
+      count(lit(1)).cast(dec).as("_n"),
+      sum(col("_x").cast(dec)).as("_sx"),
+      sum(col("_y").cast(dec)).as("_sy"),
+      sum(col("_x").cast(dec) * col("_y").cast(dec)).as("_sxy"),
+      sum(col("_x").cast(dec) * col("_x").cast(dec)).as("_sxx"))
+    val byVar = users
+      .groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("_x")).as("sum_x_milli"),
+        sum(col("_y")).as("sum_y_milli"))
+    val num = (col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+      .cast("double")
+    val den = (col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+      .cast("double")
+    val theta = when(den === 0.0, lit(0.0)).otherwise(num / den)
+    val meanXAll = col("_sx").cast("double") / col("_n").cast("double")
+    val meanY = col("sum_y_milli").cast("double") /
+      col("n_users").cast("double")
+    val meanX = col("sum_x_milli").cast("double") /
+      col("n_users").cast("double")
+    byVar.crossJoin(broadcast(g))
+      .select(col("variant"), col("n_users"),
+        col("sum_x_milli"), col("sum_y_milli"),
+        round(theta, 6).as("theta"),
+        round(meanY, 6).as("mean_y_milli"),
+        round(meanY - theta * (meanX - meanXAll), 6)
+          .as("mean_adj_milli"))
+  }
+
+  /** Graded-relevance retrieval eval: nDCG@10 of a term-frequency
+    * ranking against doc_id-derived relevance grades — the
+    * ranking-quality scorer an eval harness runs beside q203's token
+    * F1 and q140's PR curve. The top-10 comes from a heap
+    * (TakeOrdered, never a global sort); positions come from ONE
+    * bounded 10-struct fold (sorted collect + posexplode), not a
+    * global window. Every DCG term is micro-snapped — gains are exact
+    * ints, the log discount uses the engine's micro-nat ln idiom, one
+    * mirrored IEEE division per term — so DCG/IDCG/nDCG integer-sum
+    * and replay exactly.
+    */
+  def q208_ndcg(s: SparkSession, dir: String): DataFrame = {
+    val gains = array(lit(0L), lit(1L), lit(3L), lit(7L))
+    def gain(r: Column) = element_at(gains, r.cast("int") + 1)
+    def lnMicro(x: Column) =
+      round(log(x.cast("double")) * lit(1000000.0)).cast("long")
+    def term(r: Column, pos: Column) =
+      round(gain(r) * lit(1.0e12) / lnMicro(pos + 2)).cast("long")
+    val top = docs(s, dir)
+      .select(col("doc_id"),
+        size(filter(TextOps.tokensSimple(col("text")),
+          x => x === lit("data"))).cast("long").as("_tf"))
+      .orderBy(col("_tf").desc, col("doc_id"))
+      .limit(10)
+    val idxN = sequence(lit(0), size(col("_arr")) - 1)
+    val packed = top
+      .agg(sort_array(collect_list(struct((-col("_tf")).as("a"),
+        col("doc_id").as("d"), (col("doc_id") % 4).as("r")))).as("_arr"))
+      .select(col("_arr"),
+        aggregate(
+          transform(idxN, i =>
+            term(element_at(col("_arr"), i + 1).getField("r"), i)),
+          lit(0L), (acc, x) => acc + x).as("dcg_micro"),
+        sort_array(transform(col("_arr"), _.getField("r")),
+          asc = false).as("_ideal"))
+      .select(col("_arr"), col("dcg_micro"),
+        aggregate(
+          transform(idxN, i => term(element_at(col("_ideal"), i + 1), i)),
+          lit(0L), (acc, x) => acc + x).as("idcg_micro"))
+    packed
+      .select(posexplode(col("_arr")).as(Seq("_pos", "_st")),
+        col("dcg_micro"), col("idcg_micro"))
+      .select(col("_pos").cast("int").as("pos"),
+        col("_st").getField("d").as("doc_id"),
+        (-col("_st").getField("a")).as("tf"),
+        col("_st").getField("r").as("rel"),
+        term(col("_st").getField("r"), col("_pos")).as("gain_term_micro"),
+        col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") === 0, lit(0L)).otherwise(
+          round(col("dcg_micro").cast("double") * lit(1000000.0) /
+            col("idcg_micro").cast("double")).cast("long"))
+          .as("ndcg_micro"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3483,7 +3622,10 @@ object SparkEntry {
     "q202_preference_pairs" -> (q202_preference_pairs(_, _)),
     "q203_eval_f1" -> (q203_eval_f1(_, _)),
     "q204_entity_resolution" -> (q204_entity_resolution(_, _)),
-    "q205_pca_power" -> (q205_pca_power(_, _)))
+    "q205_pca_power" -> (q205_pca_power(_, _)),
+    "q206_bloom_join_prune" -> (q206_bloom_join_prune(_, _)),
+    "q207_cuped" -> (q207_cuped(_, _)),
+    "q208_ndcg" -> (q208_ndcg(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -277,9 +277,11 @@ class PlanGateSpec extends SparkSpec {
                                // count (the LSH pairer is equi)
       "q199_revenue_share",    // G-row nation revenue × broadcast
                                // 1-row total
-      "q201_join_cardinality") // three broadcast 1-row scalars (two
+      "q201_join_cardinality", // three broadcast 1-row scalars (two
                                // CMS grids + the exact check) folded
                                // into the single output row
+      "q207_cuped")            // 2-row variant table × broadcast
+                               // 1-row moment vector
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is
