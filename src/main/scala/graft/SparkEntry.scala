@@ -3061,36 +3061,15 @@ object SparkEntry {
     * row for row.
     */
   def q201_join_cardinality(s: SparkSession, dir: String): DataFrame = {
-    val depth = 4; val width = 1024
     val ev = t(s, dir, "events")
-    def sk(kind: String, suffix: String) =
-      ev.filter(col("event_type") === kind)
-        .agg(
-          TextOps.cmsSketch(array(col("user_id").cast("string")),
-            depth, width).as("_sk" + suffix),
-          count(lit(1)).as("n_" + suffix))
-    def perUser(kind: String, nm: String) =
-      ev.filter(col("event_type") === kind)
-        .groupBy(col("user_id")).agg(count(lit(1)).as(nm))
-    val exact = perUser("view", "_nv")
-      .join(perUser("purchase", "_np"), "user_id")
-      .agg(
-        coalesce(sum(col("_nv") * col("_np")), lit(0L)).as("exact_pairs"),
-        count(lit(1)).as("n_users_both"))
-    val rowEst = (0 until depth).map { r =>
-      aggregate(
-        zip_with(
-          slice(col("_skv"), r * width + 1, width),
-          slice(col("_skp"), r * width + 1, width),
-          (x, y) => x * y),
-        lit(0L), (acc, x) => acc + x)
-    }
-    sk("view", "v")
-      .crossJoin(broadcast(sk("purchase", "p")))
-      .crossJoin(broadcast(exact))
-      .select(col("n_v").as("n_view"), col("n_p").as("n_purchase"),
-        col("n_users_both"), col("exact_pairs"),
-        least(rowEst: _*).as("est_pairs"))
+    Relational.cmsJoinCardinality(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"),
+      col("user_id"), col("user_id"),
+      depth = 4, width = 1024, withExact = true)
+      .select(col("n_left").as("n_view"), col("n_right").as("n_purchase"),
+        col("n_keys_both").as("n_users_both"), col("exact_pairs"),
+        col("est_pairs"))
   }
 
   /** DPO/RLHF preference-pair mining: per language, the
@@ -3155,11 +3134,7 @@ object SparkEntry {
           concat(array(lit("the")),
             slice(col("_dp"), lit(2), greatest(size(col("_dp")) - 1, lit(0)))))
           .otherwise(col("_dp")).as("_pred"))
-    val overlap = aggregate(array_distinct(col("_ref")), lit(0L),
-      (acc, tk) => acc +
-        least(
-          size(filter(col("_pred"), x => x === tk)),
-          size(filter(col("_ref"), x => x === tk))).cast("long"))
+    val overlap = TextOps.multisetOverlap(col("_pred"), col("_ref"))
     withPred
       .select(col("doc_id"),
         size(col("_pred")).cast("long").as("n_pred"),
@@ -3198,22 +3173,8 @@ object SparkEntry {
         concat(baseName.substr(lit(1), p - 1), lit("z"),
           baseName.substr(p + 1, lit(12))).as("name"))
     val records = base.union(dirty)
-    def blockPass(key: Column => Column) = {
-      val l = records.select(key(col("name")).as("_k"),
-        col("rec_id").as("id_a"), col("name").as("_na"))
-      val r = records.select(key(col("name")).as("_k"),
-        col("rec_id").as("id_b"), col("name").as("_nb"))
-      l.join(r, "_k").filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("_na"), col("_nb"))
-    }
-    val cand = blockPass(_.substr(1, 6))
-      .union(blockPass(_.substr(7, 6)))
-      .distinct()
-    val pairs = cand
-      .filter(levenshtein(col("_na"), col("_nb")) <= 2)
-      .select(col("id_a"), col("id_b"))
-    Dedup.clusterLabels(records.select("rec_id"), pairs)
-      .select(col("id").as("rec_id"), col("cluster"))
+    Dedup.resolveEntities(records, "rec_id", "name",
+      maxEdit = 2, halfLen = 6)
   }
 
   /** Distributed PCA, sketch tier: top principal direction of the
@@ -3229,51 +3190,11 @@ object SparkEntry {
     * exact-integer or a single mirrored IEEE divide, so the oracle
     * replays all six steps bit-for-bit.
     */
-  def q205_pca_power(s: SparkSession, dir: String): DataFrame = {
-    val dim = 64; val iters = 6
-    val emb = t(s, dir, "embeddings")
-      .filter(TextOps.hash32(col("vec_id").cast("string")) % 4 === 0)
-      .select(transform(col("embedding"),
-        x => round(x.cast("double") * lit(1000.0)).cast("long")).as("_x"))
-    val outer = flatten(transform(col("_x"),
-      a => transform(col("_x"), b => a * b)))
-    val gram = emb
-      .select(posexplode(outer).as(Seq("_pos", "_prod")))
-      .groupBy(col("_pos")).agg(sum(col("_prod")).as("_g"))
-      .agg(
-        transform(
-          sort_array(collect_list(struct(col("_pos").as("p"),
-            col("_g").as("g")))),
-          _.getField("g")).as("_gram"))
-    val idx = sequence(lit(0), lit(dim - 1))
-    var cur = gram.select(col("_gram"),
-      array_repeat(lit(1000000L), dim).as("_v"), lit(0L).as("_wm"))
-    for (_ <- 1 to iters) {
-      val w = transform(idx, i =>
-        aggregate(idx, lit(0L), (acc, j) =>
-          acc + element_at(col("_gram"), i * dim + j + 1) *
-            element_at(col("_v"), j + 1)))
-      cur = cur.select(col("_gram"), w.as("_w"))
-        .select(col("_gram"), col("_w"),
-          array_max(transform(col("_w"), x => abs(x))).as("_wm"))
-        .select(col("_gram"),
-          transform(col("_w"), x =>
-            when(col("_wm") === 0, lit(0L)).otherwise(
-              round((x.cast("double") / col("_wm").cast("double")) *
-                lit(1000000.0)).cast("long"))).as("_v"),
-          col("_wm"))
-        // LAZY persist between steps: without the InMemoryRelation
-        // boundary CollapseProject inlines step k's whole expression
-        // tree into every reference step k+1 makes — ~65 of them —
-        // and the plan grows 65^T nodes. With it, each step is its
-        // own (1-row) cached stage.
-        .persist()
-    }
-    cur.select(posexplode(col("_v")).as(Seq("_p", "v_micro")),
-      col("_wm").as("lambda_raw"))
-      .select(col("_p").cast("int").as("pos"), col("v_micro"),
-        col("lambda_raw"))
-  }
+  def q205_pca_power(s: SparkSession, dir: String): DataFrame =
+    SimSearch.pcaPowerTop(
+      t(s, dir, "embeddings")
+        .filter(TextOps.hash32(col("vec_id").cast("string")) % 4 === 0),
+      "embedding", dim = 64, iters = 6)
 
   /** Bloom-prefiltered fact-dim join — the RUNTIME-FILTER pattern: the
     * tiny filtered dim side builds a broadcast Bloom filter
@@ -3291,15 +3212,12 @@ object SparkEntry {
         col("o_orderdate") >= lit("1995-03-01") &&
         col("o_orderdate") < lit("1995-04-01"))
       .select(col("o_orderkey"), col("o_orderdate"))
-    val bloom = graft.functions.BloomXX.build(
-      ord.select(col("o_orderkey").cast("string").as("k")), "k", 0.01)
-    t(s, dir, "lineitem")
-      .filter(graft.functions.BloomXX.mightContain(
-        col("l_orderkey").cast("string"), bloom))
+    val li = t(s, dir, "lineitem")
       .select(col("l_orderkey"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
           lit(100.0)).cast("long").as("_rev_c"))
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+    Relational.bloomPrefilteredJoin(li, ord,
+      col("l_orderkey"), col("o_orderkey"), fpp = 0.01)
       .groupBy(col("o_orderdate"))
       .agg(sum(col("_rev_c")).as("revenue_cents"),
         count(lit(1)).as("n_items"))
@@ -3316,49 +3234,10 @@ object SparkEntry {
     * broadcast 1-row moment join — nothing scales with user count but
     * the per-user groupBy.
     */
-  def q207_cuped(s: SparkSession, dir: String): DataFrame = {
-    val splitSec = 1705363200L // 2024-01-16 UTC
-    val ev = t(s, dir, "events")
-      .select(col("user_id"),
-        unix_timestamp(col("ts")).as("_tse"),
-        col("event_type"),
-        round(col("value") * lit(1000.0)).cast("long").as("_vm"))
-    val users = ev.groupBy(col("user_id")).agg(
-      coalesce(sum(when(col("_tse") < splitSec, col("_vm"))
-        .otherwise(lit(0L))), lit(0L)).as("_x"),
-      coalesce(sum(when(col("_tse") >= splitSec &&
-        col("event_type") === "purchase", col("_vm"))
-        .otherwise(lit(0L))), lit(0L)).as("_y"))
-    val dec = "decimal(38,0)"
-    val g = users.agg(
-      count(lit(1)).cast(dec).as("_n"),
-      sum(col("_x").cast(dec)).as("_sx"),
-      sum(col("_y").cast(dec)).as("_sy"),
-      sum(col("_x").cast(dec) * col("_y").cast(dec)).as("_sxy"),
-      sum(col("_x").cast(dec) * col("_x").cast(dec)).as("_sxx"))
-    val byVar = users
-      .groupBy((col("user_id") % 2).as("variant"))
-      .agg(count(lit(1)).as("n_users"),
-        sum(col("_x")).as("sum_x_milli"),
-        sum(col("_y")).as("sum_y_milli"))
-    val num = (col("_n") * col("_sxy") - col("_sx") * col("_sy"))
-      .cast("double")
-    val den = (col("_n") * col("_sxx") - col("_sx") * col("_sx"))
-      .cast("double")
-    val theta = when(den === 0.0, lit(0.0)).otherwise(num / den)
-    val meanXAll = col("_sx").cast("double") / col("_n").cast("double")
-    val meanY = col("sum_y_milli").cast("double") /
-      col("n_users").cast("double")
-    val meanX = col("sum_x_milli").cast("double") /
-      col("n_users").cast("double")
-    byVar.crossJoin(broadcast(g))
-      .select(col("variant"), col("n_users"),
-        col("sum_x_milli"), col("sum_y_milli"),
-        round(theta, 6).as("theta"),
-        round(meanY, 6).as("mean_y_milli"),
-        round(meanY - theta * (meanX - meanXAll), 6)
-          .as("mean_adj_milli"))
-  }
+  def q207_cuped(s: SparkSession, dir: String): DataFrame =
+    EventOps.cuped(t(s, dir, "events"),
+      splitSec = 1705363200L, // 2024-01-16 UTC
+      convKind = "purchase")
 
   /** Graded-relevance retrieval eval: nDCG@10 of a term-frequency
     * ranking against doc_id-derived relevance grades — the
@@ -3372,46 +3251,15 @@ object SparkEntry {
     * and replay exactly.
     */
   def q208_ndcg(s: SparkSession, dir: String): DataFrame = {
-    val gains = array(lit(0L), lit(1L), lit(3L), lit(7L))
-    def gain(r: Column) = element_at(gains, r.cast("int") + 1)
-    def lnMicro(x: Column) =
-      round(log(x.cast("double")) * lit(1000000.0)).cast("long")
-    def term(r: Column, pos: Column) =
-      round(gain(r) * lit(1.0e12) / lnMicro(pos + 2)).cast("long")
-    val top = docs(s, dir)
+    val scored = docs(s, dir)
       .select(col("doc_id"),
         size(filter(TextOps.tokensSimple(col("text")),
-          x => x === lit("data"))).cast("long").as("_tf"))
-      .orderBy(col("_tf").desc, col("doc_id"))
-      .limit(10)
-    val idxN = sequence(lit(0), size(col("_arr")) - 1)
-    val packed = top
-      .agg(sort_array(collect_list(struct((-col("_tf")).as("a"),
-        col("doc_id").as("d"), (col("doc_id") % 4).as("r")))).as("_arr"))
-      .select(col("_arr"),
-        aggregate(
-          transform(idxN, i =>
-            term(element_at(col("_arr"), i + 1).getField("r"), i)),
-          lit(0L), (acc, x) => acc + x).as("dcg_micro"),
-        sort_array(transform(col("_arr"), _.getField("r")),
-          asc = false).as("_ideal"))
-      .select(col("_arr"), col("dcg_micro"),
-        aggregate(
-          transform(idxN, i => term(element_at(col("_ideal"), i + 1), i)),
-          lit(0L), (acc, x) => acc + x).as("idcg_micro"))
-    packed
-      .select(posexplode(col("_arr")).as(Seq("_pos", "_st")),
-        col("dcg_micro"), col("idcg_micro"))
-      .select(col("_pos").cast("int").as("pos"),
-        col("_st").getField("d").as("doc_id"),
-        (-col("_st").getField("a")).as("tf"),
-        col("_st").getField("r").as("rel"),
-        term(col("_st").getField("r"), col("_pos")).as("gain_term_micro"),
-        col("dcg_micro"), col("idcg_micro"),
-        when(col("idcg_micro") === 0, lit(0L)).otherwise(
-          round(col("dcg_micro").cast("double") * lit(1000000.0) /
-            col("idcg_micro").cast("double")).cast("long"))
-          .as("ndcg_micro"))
+          x => x === lit("data"))).cast("long").as("_tf"),
+        (col("doc_id") % 4).as("_rel"))
+    Relational.ndcgAtK(scored, col("doc_id"), col("_tf"), col("_rel"),
+      k = 10, maxRel = 3)
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("score", "tf")
   }
 
   // ---------------------------------------------------------------- maps

@@ -1544,6 +1544,81 @@ object Main {
         }
       done(spark)
 
+    // CMS join-size estimate between two event types on user_id
+    case "joincard" :: path :: kindA :: kindB :: Nil =>
+      import org.apache.spark.sql.functions._
+      val spark = session()
+      val ev = spark.read.parquet(path)
+      val r = graft.operators.Relational.cmsJoinCardinality(
+        ev.filter(col("event_type") === kindA),
+        ev.filter(col("event_type") === kindB),
+        col("user_id"), col("user_id")).first()
+      println(s"[joincard] $kindA(${r.getLong(0)}) x " +
+        s"$kindB(${r.getLong(1)}) -> est ${r.getLong(2)} pairs")
+      done(spark)
+
+    // CUPED variance-reduced A/B readout
+    case "cuped" :: path :: splitSec :: rest =>
+      val convKind = rest.headOption.getOrElse("purchase")
+      val spark = session()
+      graft.streaming.EventOps.cuped(
+        spark.read.parquet(path), splitSec.toLong, convKind)
+        .collect().foreach { r =>
+          println(s"[cuped] variant=${r.getLong(0)} n=${r.getLong(1)} " +
+            s"theta=${r.getDouble(4)} mean_y=${r.getDouble(5)} " +
+            s"mean_adj=${r.getDouble(6)}")
+        }
+      done(spark)
+
+    // nDCG@k of a scored, graded parquet
+    case "ndcg" :: path :: idCol :: scoreCol :: relCol :: rest =>
+      import org.apache.spark.sql.functions._
+      val k = rest.headOption.map(_.toInt).getOrElse(10)
+      val spark = session()
+      val out = graft.operators.Relational.ndcgAtK(
+        spark.read.parquet(path), col(idCol), col(scoreCol),
+        col(relCol), k).collect()
+      out.foreach { r =>
+        println(s"[ndcg] pos=${r.getInt(0)} id=${r.get(1)} " +
+          s"rel=${r.get(3)} term=${r.getLong(4)}")
+      }
+      out.headOption.foreach(r =>
+        println(s"[ndcg] ndcg@$k = ${r.getLong(7) / 1e6}"))
+      done(spark)
+
+    // entity resolution over an (id, name) parquet
+    case "er" :: path :: idCol :: nameCol :: rest =>
+      import org.apache.spark.sql.functions._
+      val maxEdit = rest.headOption.map(_.toInt).getOrElse(2)
+      val spark = session()
+      val clusters = graft.text.Dedup.resolveEntities(
+        spark.read.parquet(path), idCol, nameCol, maxEdit)
+      val sizes = clusters.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"))
+      val merged = sizes.filter(col("n") > 1)
+        .agg(coalesce(sum(col("n")), lit(0L)),
+          count(lit(1))).first()
+      println(s"[er] ${clusters.count()} records -> " +
+        s"${sizes.count()} entities " +
+        s"(${merged.getLong(1)} multi-record groups covering " +
+        s"${merged.getLong(0)} records)")
+      done(spark)
+
+    // top principal direction of an embeddings parquet
+    case "pca" :: path :: rest =>
+      val nums = rest.filter(!_.startsWith("--"))
+      val dim = nums.headOption.map(_.toInt).getOrElse(64)
+      val iters = nums.drop(1).headOption.map(_.toInt).getOrElse(6)
+      val spark = session()
+      val out = graft.sim.SimSearch.pcaPowerTop(
+        spark.read.parquet(path), "embedding", dim, iters)
+        .collect().sortBy(_.getInt(0))
+      val top = out.sortBy(r => -math.abs(r.getLong(1))).take(8)
+        .map(r => s"${r.getInt(0)}:${r.getLong(1) / 1e6}")
+      println(s"[pca] lambda_raw=${out.head.getLong(2)} " +
+        s"top components: ${top.mkString(" ")}")
+      done(spark)
+
     case _ =>
       System.err.println(
         "usage: ingest <in> <pool> [vintage] [--dry-run] | " +
@@ -1611,7 +1686,12 @@ object Main {
           "rfm <events> [topK] | ab <events> <convKind> | " +
           "leadlag <events> <kindA> <kindB> [maxLag] | " +
           "zscore <parquet> <keyCol> <valCol> [topK] | " +
-          "journeys <events> [steps] [topK] | assoc <events>")
+          "journeys <events> [steps] [topK] | assoc <events> | " +
+          "joincard <events> <kindA> <kindB> | " +
+          "cuped <events> <splitEpochSec> [convKind] | " +
+          "ndcg <parquet> <idCol> <scoreCol> <relCol> [k] | " +
+          "er <parquet> <idCol> <nameCol> [maxEdit] | " +
+          "pca <embeddings> [dim] [iters]")
       sys.exit(2)
   }
 

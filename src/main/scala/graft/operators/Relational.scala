@@ -1358,4 +1358,130 @@ object Relational {
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
       .saveAsTable(table)
+
+  /** Join-size estimation from Count-Min sketches — the
+    * optimizer-statistics primitive: |L ⋈ R on k| = Σ_v f_L(v)·f_R(v),
+    * estimated as min over hash rows of the bucket-wise sketch inner
+    * product (Cormode & Muthukrishnan 2005 §4.2). Each side folds to
+    * ONE depth×width additive counter grid (map-side partials), the
+    * estimate is a scalar from two broadcast 1-row sketches — the
+    * answer costs two corpus scans and NO shuffle of keys, vs the
+    * per-key shuffle the exact count needs. Overcount-only.
+    *
+    * Output (1 row): `n_left`, `n_right`, `est_pairs`, plus
+    * `exact_pairs`/`n_keys_both` when `withExact` (gate/debug tier).
+    */
+  def cmsJoinCardinality(
+      left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      depth: Int = 4, width: Int = 1024,
+      withExact: Boolean = false): DataFrame = {
+    def sk(df: DataFrame, key: Column, suffix: String) =
+      df.agg(
+        graft.text.TextOps.cmsSketch(array(key.cast("string")),
+          depth, width).as("_sk" + suffix),
+        count(lit(1)).as("n_" + suffix))
+    val rowEst = (0 until depth).map { r =>
+      aggregate(
+        zip_with(
+          slice(col("_skl"), r * width + 1, width),
+          slice(col("_skr"), r * width + 1, width),
+          (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val base = sk(left, leftKey, "l")
+      .crossJoin(broadcast(sk(right, rightKey, "r")))
+      .select(col("n_l").as("n_left"), col("n_r").as("n_right"),
+        least(rowEst: _*).as("est_pairs"))
+    if (!withExact) base
+    else {
+      val lc = left.groupBy(leftKey.as("_k"))
+        .agg(count(lit(1)).as("_nl"))
+      val rc = right.groupBy(rightKey.as("_k"))
+        .agg(count(lit(1)).as("_nr"))
+      val ex = lc.join(rc, "_k")
+        .agg(
+          coalesce(sum(col("_nl") * col("_nr")), lit(0L))
+            .as("exact_pairs"),
+          count(lit(1)).as("n_keys_both"))
+      base.crossJoin(broadcast(ex))
+    }
+  }
+
+  /** Bloom-prefiltered fact-dim equi-join — the runtime-filter pattern:
+    * the (small, already-filtered) dim side builds a broadcast Bloom
+    * filter, the fact side probes it IN THE SCAN STAGE so non-matching
+    * rows never reach the join, and the exact equi-join afterwards
+    * removes the fpp-bounded false positives. Row-identical to the
+    * plain join (Bloom filters have no false negatives); at 100 TB the
+    * filter is the difference between shuffling the whole fact table
+    * and shuffling the matchable slice.
+    */
+  def bloomPrefilteredJoin(
+      fact: DataFrame, dim: DataFrame,
+      factKey: Column, dimKey: Column,
+      fpp: Double = 0.01): DataFrame = {
+    val bloom = graft.functions.BloomXX.build(
+      dim.select(dimKey.cast("string").as("_k")), "_k", fpp)
+    fact
+      .filter(graft.functions.BloomXX.mightContain(
+        factKey.cast("string"), bloom))
+      .join(broadcast(dim), factKey === dimKey)
+  }
+
+  /** nDCG@k ranking-quality eval over a scored, graded table. The
+    * top-k comes from a HEAP (orderBy+limit = TakeOrdered, never a
+    * global sort); positions come from one bounded k-struct sorted
+    * fold + posexplode, not a global window. Gains are exact ints
+    * (2^rel − 1), the position discount is the micro-nat ln idiom,
+    * each DCG term one mirrored IEEE division then micro-int sums —
+    * fully oracle-replayable.
+    *
+    * Output (k rows): `pos`, `id`, `score`, `rel`, `gain_term_micro`,
+    * `dcg_micro`, `idcg_micro`, `ndcg_micro`.
+    */
+  def ndcgAtK(
+      df: DataFrame, idCol: Column, scoreCol: Column, relCol: Column,
+      k: Int, maxRel: Int = 3): DataFrame = {
+    val gains = array((0 to maxRel).map(g => lit((1L << g) - 1)): _*)
+    def gain(r: Column) = element_at(gains, r.cast("int") + 1)
+    def lnMicro(x: Column) =
+      round(log(x.cast("double")) * lit(1000000.0)).cast("long")
+    def term(r: Column, pos: Column) =
+      round(gain(r) * lit(1.0e12) / lnMicro(pos + 2)).cast("long")
+    val top = df
+      .select(idCol.as("_id"), scoreCol.as("_sc"), relCol.as("_rel"))
+      .orderBy(col("_sc").desc, col("_id"))
+      .limit(k)
+    val idxN = sequence(lit(0), size(col("_arr")) - 1)
+    val packed = top
+      .agg(sort_array(collect_list(struct((-col("_sc")).as("a"),
+        col("_id").as("d"), col("_rel").as("r")))).as("_arr"))
+      .select(col("_arr"),
+        aggregate(
+          transform(idxN, i =>
+            term(element_at(col("_arr"), i + 1).getField("r"), i)),
+          lit(0L), (acc, x) => acc + x).as("dcg_micro"),
+        sort_array(transform(col("_arr"), _.getField("r")),
+          asc = false).as("_ideal"))
+      .select(col("_arr"), col("dcg_micro"),
+        aggregate(
+          transform(idxN, i =>
+            term(element_at(col("_ideal"), i + 1), i)),
+          lit(0L), (acc, x) => acc + x).as("idcg_micro"))
+    packed
+      .select(posexplode(col("_arr")).as(Seq("_pos", "_st")),
+        col("dcg_micro"), col("idcg_micro"))
+      .select(col("_pos").cast("int").as("pos"),
+        col("_st").getField("d").as("id"),
+        (-col("_st").getField("a")).as("score"),
+        col("_st").getField("r").as("rel"),
+        term(col("_st").getField("r"), col("_pos"))
+          .as("gain_term_micro"),
+        col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") === 0, lit(0L)).otherwise(
+          round(col("dcg_micro").cast("double") * lit(1000000.0) /
+            col("idcg_micro").cast("double")).cast("long"))
+          .as("ndcg_micro"))
+  }
 }

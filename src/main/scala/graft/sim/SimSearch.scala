@@ -1358,4 +1358,64 @@ object SimSearch {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Distributed PCA, sketch tier: top principal direction via (a) a
+    * milli-int quantized Gram matrix over the caller's (pre-filtered /
+    * sampled) vectors — d² integer sums, order-free, one aggregation
+    * pass — and (b) `iters` power-iteration steps computed INSIDE the
+    * plan on the single Gram row: integer mat-vec, max-abs
+    * renormalization to micro scale each step. The corpus contributes
+    * only the d² Gram (distributed, additive); the eigensolve is
+    * O(iters·d²) on one row — no driver loop, no collect. Gram is PSD
+    * so the iteration is sign-stable; every step is exact-integer or a
+    * single mirrored IEEE divide, hence oracle-replayable.
+    *
+    * Output (d rows): (`pos`, `v_micro`, `lambda_raw`) — the direction
+    * in micro units (max-abs component = ±1e6) plus the last
+    * renormalization scale (≈ top eigenvalue in milli² units).
+    */
+  def pcaPowerTop(
+      df: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 6): DataFrame = {
+    val emb = df.select(transform(col(vecCol),
+      x => round(x.cast("double") * lit(1000.0)).cast("long")).as("_x"))
+    val outer = flatten(transform(col("_x"),
+      a => transform(col("_x"), b => a * b)))
+    val gram = emb
+      .select(posexplode(outer).as(Seq("_pos", "_prod")))
+      .groupBy(col("_pos")).agg(sum(col("_prod")).as("_g"))
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("_pos").as("p"),
+            col("_g").as("g")))),
+          _.getField("g")).as("_gram"))
+    val idx = sequence(lit(0), lit(dim - 1))
+    var cur = gram.select(col("_gram"),
+      array_repeat(lit(1000000L), dim).as("_v"), lit(0L).as("_wm"))
+    for (_ <- 1 to iters) {
+      val w = transform(idx, i =>
+        aggregate(idx, lit(0L), (acc, j) =>
+          acc + element_at(col("_gram"), i * dim + j + 1) *
+            element_at(col("_v"), j + 1)))
+      cur = cur.select(col("_gram"), w.as("_w"))
+        .select(col("_gram"), col("_w"),
+          array_max(transform(col("_w"), x => abs(x))).as("_wm"))
+        .select(col("_gram"),
+          transform(col("_w"), x =>
+            when(col("_wm") === 0, lit(0L)).otherwise(
+              round((x.cast("double") / col("_wm").cast("double")) *
+                lit(1000000.0)).cast("long"))).as("_v"),
+          col("_wm"))
+        // LAZY persist between steps: without the InMemoryRelation
+        // boundary CollapseProject inlines step k's whole expression
+        // tree into every reference step k+1 makes — ~65 of them —
+        // and the plan grows 65^T nodes. With it, each step is its
+        // own (1-row) cached stage.
+        .persist()
+    }
+    cur.select(posexplode(col("_v")).as(Seq("_p", "v_micro")),
+      col("_wm").as("lambda_raw"))
+      .select(col("_p").cast("int").as("pos"), col("v_micro"),
+        col("lambda_raw"))
+  }
 }

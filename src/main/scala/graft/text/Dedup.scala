@@ -1169,4 +1169,39 @@ object Dedup {
         max(col("_len")).as("chunk_len"))
       .orderBy(col("n_occ").desc, col("chunk_hash"))
       .limit(topK)
+
+  /** Entity resolution: multi-pass blocking + edit-distance verify +
+    * connected-component merge. Candidate pairs come from TWO
+    * complementary equi-join blocking passes — the first and second
+    * halves of the name — so a corruption can defeat at most one pass
+    * and block sizes stay O(1) as the registry grows (random-ish names
+    * spread across the key space; no all-pairs anywhere). Verification
+    * (`levenshtein ≤ maxEdit`) touches candidates only; the merge is
+    * the dedup family's pointer-jumping CC ([[clusterLabels]]).
+    *
+    * Output: (`idCol`, `cluster`) for every record — the cluster label
+    * is the minimal member id, singletons keep their own id.
+    */
+  def resolveEntities(
+      records: DataFrame, idCol: String, nameCol: String,
+      maxEdit: Int = 2, halfLen: Int = 6): DataFrame = {
+    val recs = records.select(col(idCol).as("_rid"),
+      col(nameCol).as("_nm"))
+    def blockPass(key: Column => Column) = {
+      val l = recs.select(key(col("_nm")).as("_k"),
+        col("_rid").as("id_a"), col("_nm").as("_na"))
+      val r = recs.select(key(col("_nm")).as("_k"),
+        col("_rid").as("id_b"), col("_nm").as("_nb"))
+      l.join(r, "_k").filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("_na"), col("_nb"))
+    }
+    val cand = blockPass(_.substr(1, halfLen))
+      .union(blockPass(_.substr(halfLen + 1, halfLen)))
+      .distinct()
+    val pairs = cand
+      .filter(levenshtein(col("_na"), col("_nb")) <= maxEdit)
+      .select(col("id_a"), col("id_b"))
+    clusterLabels(recs.select("_rid"), pairs)
+      .select(col("id").as(idCol), col("cluster"))
+  }
 }

@@ -1452,4 +1452,17 @@ object TextOps {
     regexp_replace(
       regexp_replace(redactPii(text), cardCandidatePattern, "<CARD>"),
       phonePattern, "<PHONE>")
+
+  /** Multiset (bag) token overlap — the numerator of SQuAD-style token
+    * F1: Σ over distinct tokens of min(count-in-a, count-in-b). Pure
+    * per-row higher-order array functions: no explode, no shuffle, one
+    * codegen'd scan at any corpus size. The caller derives
+    * P/R/F1 micros from it with single exact-integer divisions.
+    */
+  def multisetOverlap(a: Column, b: Column): Column =
+    aggregate(array_distinct(b), lit(0L),
+      (acc, tk) => acc +
+        least(
+          size(filter(a, x => x === tk)),
+          size(filter(b, x => x === tk))).cast("long"))
 }

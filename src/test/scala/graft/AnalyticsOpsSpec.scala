@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.sim.SimSearch
+import graft.streaming.EventOps
+import graft.text.{Dedup, TextOps}
+
+/** Unit coverage for the round-9 analytics family: CMS join-size
+  * estimation, Bloom join pruning, nDCG, entity resolution, CUPED,
+  * token-F1 overlap, and power-iteration PCA — invariants the oracle
+  * gate can't express (inequalities, algebraic identities, recall).
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cmsJoinCardinality over-counts, never under-counts, and is " +
+    "exact when buckets don't collide") {
+    val l = Seq.tabulate(60)(i => i.toLong % 10).toDF("k")
+    val r = Seq.tabulate(30)(i => i.toLong % 10).toDF("k")
+    val row = Relational.cmsJoinCardinality(l, r, col("k"), col("k"),
+      depth = 4, width = 1024, withExact = true).head()
+    val exact = row.getAs[Long]("exact_pairs")
+    val est = row.getAs[Long]("est_pairs")
+    assert(row.getAs[Long]("n_left") == 60)
+    assert(row.getAs[Long]("n_right") == 30)
+    // 6 views × 3 purchases per key × 10 keys
+    assert(exact == 180, s"exact_pairs=$exact")
+    assert(est >= exact, s"CMS under-counted: est=$est < exact=$exact")
+    // 10 distinct keys in 1024 buckets: P(any collision) is tiny and
+    // the md5 hash family is fixed, so this is deterministic
+    assert(est == exact, s"unexpected collision inflation: $est")
+  }
+
+  test("bloomPrefilteredJoin is row-identical to the plain join") {
+    val fact = Seq.tabulate(500)(i => (i.toLong, s"f$i")).toDF("k", "a")
+    val dim = Seq.tabulate(20)(i => (i.toLong * 7, s"d$i")).toDF("dk", "b")
+    val got = Relational.bloomPrefilteredJoin(fact, dim,
+      col("k"), col("dk")).select("k", "a", "dk", "b")
+      .collect().toSet
+    val want = fact.join(dim, col("k") === col("dk"))
+      .select("k", "a", "dk", "b").collect().toSet
+    assert(got == want)
+  }
+
+  test("ndcgAtK: a perfectly graded ranking scores 1e6 micros; " +
+    "an inverted one scores less") {
+    // score aligned with relevance → DCG == IDCG
+    val perfect = Seq((1L, 40L, 3L), (2L, 30L, 2L), (3L, 20L, 1L),
+      (4L, 10L, 0L)).toDF("id", "score", "rel")
+    val p = Relational.ndcgAtK(perfect, col("id"), col("score"),
+      col("rel"), k = 4).head()
+    assert(p.getAs[Long]("ndcg_micro") == 1000000L)
+    val inverted = Seq((1L, 40L, 0L), (2L, 30L, 1L), (3L, 20L, 2L),
+      (4L, 10L, 3L)).toDF("id", "score", "rel")
+    val i = Relational.ndcgAtK(inverted, col("id"), col("score"),
+      col("rel"), k = 4).head()
+    assert(i.getAs[Long]("ndcg_micro") < 1000000L)
+    assert(i.getAs[Long]("idcg_micro") == p.getAs[Long]("idcg_micro"))
+  }
+
+  test("resolveEntities merges every planted corruption with its " +
+    "original and nothing else") {
+    val base = Seq.tabulate(40)(i =>
+      (i.toLong * 2, f"aaaa$i%02dbbbb$i%02d")).toDF("rid", "nm")
+    // corrupt ONE char in the first half: second pass must recover it
+    val dirty = base.filter(col("rid") % 8 === 0)
+      .select((col("rid") + 1).as("rid"),
+        concat(lit("z"), col("nm").substr(2, 11)).as("nm"))
+    val clusters = Dedup.resolveEntities(base.union(dirty), "rid", "nm",
+      maxEdit = 2, halfLen = 6)
+    val m = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    base.union(dirty).collect().map(_.getLong(0)).foreach { id =>
+      val expected = if (id % 2 == 1) id - 1 else id
+      assert(m(id) == expected, s"rec $id -> ${m(id)}, want $expected")
+    }
+  }
+
+  test("cuped: when the metric IS the covariate the adjusted means " +
+    "collapse to the global mean for both variants") {
+    val ts0 = 1700000000L
+    val split = ts0 + 1000L
+    // one pre event (covariate) and one identical post purchase per
+    // user: y == x, θ = 1, mean_adj = mean_x_all for every variant
+    val rows = (0 until 40).flatMap { u =>
+      val v = (u % 7 + 1) * 10.0
+      Seq((u.toLong, new java.sql.Timestamp(ts0 * 1000L), "view", v),
+        (u.toLong, new java.sql.Timestamp((split + 10) * 1000L),
+          "purchase", v))
+    }
+    val ev = rows.toDF("user_id", "ts", "event_type", "value")
+    val out = EventOps.cuped(ev, split, "purchase").collect()
+    assert(out.length == 2)
+    val adj = out.map(_.getAs[Double]("mean_adj_milli")).distinct
+    assert(adj.length == 1,
+      s"CUPED should equalize pure-covariate variants: ${adj.toSeq}")
+    out.foreach(r => assert(math.abs(r.getAs[Double]("theta") - 1.0)
+      < 1e-6))
+  }
+
+  test("multisetOverlap counts bag intersection, not set intersection") {
+    val df = Seq((Seq("a", "a", "b"), Seq("a", "a", "a", "c")))
+      .toDF("p", "r")
+    val got = df.select(TextOps.multisetOverlap(col("p"), col("r"))
+      .as("o")).head().getLong(0)
+    // 'a' appears twice in p, three times in r → min 2; b/c disjoint
+    assert(got == 2L)
+  }
+
+  test("pcaPowerTop recovers a planted dominant axis") {
+    // axis e1 carries 20× the variance of the rest
+    val rows = (0 until 200).map { i =>
+      val s = if (i % 2 == 0) 1.0f else -1.0f
+      Tuple1(Array(0.01f * (i % 5), s * 20.0f, 0.02f * (i % 3),
+        0.01f * (i % 7)))
+    }
+    val df = rows.toDF("embedding")
+    val out = SimSearch.pcaPowerTop(df, "embedding", dim = 4, iters = 6)
+      .collect().sortBy(_.getAs[Int]("pos"))
+    val v = out.map(_.getAs[Long]("v_micro"))
+    assert(math.abs(v(1)) == 1000000L,
+      s"dominant axis should carry the max-abs component: ${v.toSeq}")
+    assert(v.zipWithIndex.filter(_._2 != 1).forall(c =>
+      math.abs(c._1) < 100000L),
+      s"off-axis components should be small: ${v.toSeq}")
+  }
+}

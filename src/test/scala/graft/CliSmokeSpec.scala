@@ -45,6 +45,26 @@ class CliSmokeSpec extends SparkSpec {
     assert(spark.read.json(out3).count() > 0)
   }
 
+  test("joincard / cuped / ndcg / er / pca analytics commands run " +
+    "end to end") {
+    graft.cli.Main.main(Array("joincard", eventsPath, "view", "click"))
+    graft.cli.Main.main(Array("cuped", eventsPath, "1200", "click"))
+    val scored = s"${tmpDir("cliscored")}/scored"
+    (1L to 20L).map(i => (i, (i % 9).toDouble, i % 4))
+      .toDF("id", "score", "rel")
+      .write.mode("overwrite").parquet(scored)
+    graft.cli.Main.main(Array("ndcg", scored, "id", "score", "rel", "5"))
+    val recs = s"${tmpDir("clirecs")}/recs"
+    (1L to 30L).map(i => (i, f"name$i%03dtail$i%03d")).toDF("rid", "nm")
+      .write.mode("overwrite").parquet(recs)
+    graft.cli.Main.main(Array("er", recs, "rid", "nm", "1"))
+    val embp = s"${tmpDir("cliemb")}/emb"
+    (1 to 50).map(i => Tuple1(Array.tabulate(8)(d =>
+      if (d == 2) 5.0f else 0.1f * ((i + d) % 3))))
+      .toDF("embedding").write.mode("overwrite").parquet(embp)
+    graft.cli.Main.main(Array("pca", embp, "8", "4"))
+  }
+
   test("bpe-learn default path is the driver trainer; --distributed " +
     "matches it") {
     val out = tmpDir("cli-bpe")
