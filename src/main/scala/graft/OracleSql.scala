@@ -4846,5 +4846,234 @@ object OracleSql {
         |              / m_old::DOUBLE
         |          - len(list_filter(vb, v -> v <= x))::DOUBLE
         |              / m_new::DOUBLE)), 'max'), 6) END AS ks_est
-        |FROM o2 FULL OUTER JOIN n2 USING (source)""".stripMargin)
+        |FROM o2 FULL OUTER JOIN n2 USING (source)""".stripMargin,
+
+    // TPC-H Q14 shape: promo revenue share, micro-cent BIGINTs, one
+    // division for the percentage
+    "q209_promo_revenue" ->
+      """WITH j AS (
+        |  SELECT p.p_type,
+        |    (round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0))
+        |      ::BIGINT AS rev
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= '1996-03-01'
+        |    AND l.l_shipdate <  '1996-04-01')
+        |SELECT
+        |  sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)::BIGINT
+        |    AS promo_cents,
+        |  sum(rev)::BIGINT AS total_cents,
+        |  CASE WHEN sum(rev) = 0 THEN NULL
+        |    ELSE round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0
+        |      END)::DOUBLE * 100.0 / sum(rev)::DOUBLE, 6)
+        |  END AS promo_share_pct
+        |FROM j""".stripMargin,
+
+    // TPC-H Q17 shape: the 20%-of-avg filter as the exact integer
+    // predicate 5*q*cnt < sum — no division anywhere
+    "q210_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l.l_partkey, l.l_quantity::BIGINT AS q,
+        |    (round(l.l_extendedprice * 100.0))::BIGINT AS price_c
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand = 'Brand#23'),
+        |st AS (SELECT l_partkey, sum(q)::BIGINT AS sum_q,
+        |    count(*)::BIGINT AS cnt_q
+        |  FROM li GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_items,
+        |  coalesce(sum(li.price_c), 0)::BIGINT AS small_qty_cents
+        |FROM li JOIN st ON li.l_partkey = st.l_partkey
+        |WHERE li.q * 5 * st.cnt_q < st.sum_q""".stripMargin,
+
+    // TPC-H Q18 shape: large-volume orders joined back to customer
+    "q211_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity)::BIGINT AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+        |  (round(o.o_totalprice * 100.0))::BIGINT AS total_cents,
+        |  big.sum_qty
+        |FROM big
+        |JOIN orders o ON big.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY total_cents DESC, o.o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    // TPC-H Q13 shape: order-count histogram incl. the 0 bucket
+    "q212_order_count_distribution" ->
+      """WITH per AS (
+        |  SELECT c.c_custkey, count(o.o_custkey)::BIGINT AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*)::BIGINT AS custdist
+        |FROM per GROUP BY 1""".stripMargin,
+
+    // TPC-H Q15 shape: quarterly max-revenue supplier(s), the max
+    // re-joined as an equi condition
+    "q213_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum((round(l_extendedprice * (1.0 - l_discount) * 100.0))
+        |      ::BIGINT)::BIGINT AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, rev.total_cents
+        |FROM rev
+        |JOIN (SELECT max(total_cents) AS m FROM rev) mx
+        |  ON rev.total_cents = mx.m
+        |JOIN supplier s ON rev.l_suppkey = s.s_suppkey""".stripMargin,
+
+    // TPC-H Q19 shape: three OR'd brand/size/quantity conjuncts
+    "q214_disjunctive_filter" ->
+      """SELECT count(*)::BIGINT AS n_items,
+        |  coalesce(sum((round(l.l_extendedprice * (1.0 - l.l_discount)
+        |    * 100.0))::BIGINT), 0)::BIGINT AS revenue_cents
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE
+        |  (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+        |    AND l.l_quantity BETWEEN 1 AND 11)
+        |  OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+        |    AND l.l_quantity BETWEEN 10 AND 20)
+        |  OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+        |    AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // TPC-H Q22 shape: above-average positive balance (exact integer
+    // predicate bal_c*n > sum_c), anti-joined against recent orders
+    "q215_dormant_customers" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    (round(c_acctbal * 100.0))::BIGINT AS bal_c
+        |  FROM customer),
+        |tot AS (SELECT sum(bal_c)::BIGINT AS sum_c,
+        |    count(*)::BIGINT AS n_pos
+        |  FROM cust WHERE bal_c > 0)
+        |SELECT c.c_nationkey, count(*)::BIGINT AS n_custs,
+        |  sum(c.bal_c)::BIGINT AS total_bal_cents
+        |FROM cust c, tot
+        |WHERE c.bal_c * tot.n_pos > tot.sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= '1999-01-01')
+        |GROUP BY 1""".stripMargin,
+
+    // TPC-H Q4 shape: EXISTS a lineitem shipped 90+ days after order
+    "q216_late_order_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= '1997-01-01'
+        |  AND o.o_orderdate <  '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1""".stripMargin,
+
+    // TPC-H Q7 shape: bilateral nation trade volume per ship year
+    "q217_trade_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l.l_shipdate)::INTEGER AS l_year,
+        |  sum((round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0))
+        |    ::BIGINT)::BIGINT AS revenue_cents
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // TPC-H Q8 shape: one nation's share of a region's revenue per
+    // order year — numerator and denominator from the same pass, one
+    // division at the end
+    "q218_market_share" ->
+      """WITH eu AS (
+        |  SELECT c.c_custkey
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE'),
+        |j AS (
+        |  SELECT year(o.o_orderdate)::INTEGER AS o_year,
+        |    sn.n_name AS supp_nation,
+        |    (round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0))
+        |      ::BIGINT AS rev_c
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN eu ON o.o_custkey = eu.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  WHERE o.o_orderdate >= '1996-01-01'
+        |    AND o.o_orderdate < '1998-01-01')
+        |SELECT o_year,
+        |  sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_c ELSE 0 END)
+        |    ::BIGINT AS nation_cents,
+        |  sum(rev_c)::BIGINT AS total_cents,
+        |  CASE WHEN sum(rev_c) = 0 THEN NULL
+        |    ELSE round(
+        |      sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_c ELSE 0
+        |        END)::DOUBLE / sum(rev_c)::DOUBLE, 6)
+        |  END AS mkt_share
+        |FROM j GROUP BY 1""".stripMargin,
+
+    // TPC-H Q9 shape: keyword-part revenue by supplier nation and year
+    "q219_product_profit" ->
+      """SELECT n.n_name AS nation,
+        |  year(l.l_shipdate)::INTEGER AS l_year,
+        |  sum((round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0))
+        |    ::BIGINT)::BIGINT AS profit_cents
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_name LIKE '%gear%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    // TPC-H Q12 shape: urgent/high vs lower priority lines per flag
+    "q220_priority_lines" ->
+      """SELECT l.l_returnflag,
+        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= '1997-01-01'
+        |  AND l.l_shipdate < '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    // TPC-H Q16 shape: distinct shipping suppliers per (brand, size),
+    // suppressed suppliers removed NOT-IN-style
+    "q221_supplier_diversity" ->
+      """SELECT p.p_brand, p.p_size,
+        |  count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#23' AND p.p_size <= 25
+        |  AND l.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // TPC-H Q21 shape: sole late supplier on multi-supplier finished
+    // orders
+    "q222_lone_late_supplier" ->
+      """WITH late AS (
+        |  SELECT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |SELECT s.s_name, count(*)::BIGINT AS numwait
+        |FROM late l1
+        |JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 20""".stripMargin)
 }

@@ -3262,6 +3262,365 @@ object SparkEntry {
       .withColumnRenamed("score", "tf")
   }
 
+  /** TPC-H Q14-shaped promo revenue share: one month of lineitem
+    * against the broadcast part dim, promo vs total revenue as
+    * order-free micro-cent BIGINTs, share via a single division.
+    */
+  def q209_promo_revenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long").as("_rev_c"))
+    li.join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("_rev_c"))
+          .otherwise(lit(0L))).as("promo_cents"),
+        sum(col("_rev_c")).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        when(col("total_cents") === 0, lit(null).cast("double"))
+          .otherwise(round(col("promo_cents").cast("double") * 100.0 /
+            col("total_cents").cast("double"), 6)).as("promo_share_pct"))
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: lineitems below 20% of
+    * their part's average quantity, restricted to one brand. The
+    * per-part average never divides — `q < 0.2*avg` is rewritten as
+    * the exact integer predicate `5*q*cnt < sum` — so the filter is
+    * replay-exact. The per-part stats table is small (|part| rows)
+    * and broadcasts back onto the fact side.
+    */
+  def q210_small_qty_revenue(s: SparkSession, dir: String): DataFrame = {
+    val brandParts = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#23").select("p_partkey")
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("_q"),
+        round(col("l_extendedprice") * lit(100.0)).cast("long")
+          .as("_price_c"))
+    val stats = li.groupBy(col("l_partkey").as("_pk"))
+      .agg(sum(col("_q")).as("_sum_q"), count(lit(1)).as("_cnt_q"))
+    li.join(broadcast(stats), col("l_partkey") === col("_pk"))
+      .filter(col("_q") * lit(5L) * col("_cnt_q") < col("_sum_q"))
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(col("_price_c")), lit(0L)).as("small_qty_cents"))
+  }
+
+  /** TPC-H Q18-shaped large-volume orders: orders whose total line
+    * quantity exceeds 300, joined back to customer. The having-filter
+    * aggregate is tiny after the threshold, so AQE turns the
+    * join-back into a broadcast at runtime; quantities are exact
+    * BIGINTs and the price snaps through one round(x*100).
+    */
+  def q211_big_orders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice") * lit(100.0)).cast("long")
+          .as("total_cents"))
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("total_cents"), col("sum_qty"))
+      .orderBy(col("total_cents").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q13-shaped customer order-count distribution: left join
+    * customers to orders, count per customer (NULL-skipping, so
+    * order-less customers land in the 0 bucket), then histogram the
+    * counts. Two shuffles, both on bounded key spaces.
+    */
+  def q212_order_count_distribution(
+      s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "customer").select("c_custkey")
+      .join(t(s, dir, "orders").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q15-shaped top supplier: quarterly revenue per supplier in
+    * micro-cent BIGINTs, the max read off a 1-row aggregate and
+    * re-joined as an EQUI condition (BroadcastHashJoin, not a nested
+    * loop), ties all kept.
+    */
+  def q213_top_supplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long").as("_rev_c"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("_rev_c")).as("total_cents"))
+    val mx = rev.agg(max(col("total_cents")).as("_m"))
+    rev.join(broadcast(mx), col("total_cents") === col("_m"))
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+  }
+
+  /** TPC-H Q19-shaped disjunctive filter: three brand/size/quantity
+    * conjuncts OR'd over the lineitem × broadcast part join — the
+    * shape that exercises OR-predicate pushdown and join-condition
+    * hygiene (the OR must not degrade the equi-join).
+    */
+  def q214_disjunctive_filter(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long").as("_rev_c"))
+    val p = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(col("_rev_c")), lit(0L)).as("revenue_cents"))
+  }
+
+  /** TPC-H Q22-shaped dormant high-value customers: customers with an
+    * above-average positive balance and NO orders since 1999 (left
+    * anti join), rolled up per nation. The average never divides:
+    * `bal > avg` is the exact centi-unit integer predicate
+    * `bal_c * n > sum_c` against the broadcast 1-row positive-balance
+    * totals.
+    */
+  def q215_dormant_customers(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * lit(100.0)).cast("long").as("_bal_c"))
+    val tot = cust.filter(col("_bal_c") > 0)
+      .agg(sum(col("_bal_c")).as("_sum_c"), count(lit(1)).as("_n_pos"))
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1999-01-01"))
+      .select("o_custkey")
+    cust
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(tot))
+      .filter(col("_bal_c") * col("_n_pos") > col("_sum_c"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("_bal_c")).as("total_bal_cents"))
+  }
+
+  /** TPC-H Q4-shaped late-order priority census: one quarter of
+    * orders kept only if ANY of their lineitems shipped more than 90
+    * days after the order date (left-semi join — the EXISTS shape),
+    * counted per priority bucket. The semi join hashes on the order
+    * key; the date predicate rides along as a residual condition, so
+    * no second pass over lineitem.
+    */
+  def q216_late_order_priority(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+      .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '90' DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** TPC-H Q7-shaped bilateral trade volume: revenue shipped between
+    * two named nations (both directions), bucketed by ship year. The
+    * supplier and customer nation lookups broadcast; lineitem→orders
+    * and orders→customer shuffle once each on their join keys. The
+    * nation-pair filter lands right after the broadcasts so the fact
+    * stream thins before the wide shuffle.
+    */
+  def q217_trade_volume(s: SparkSession, dir: String): DataFrame = {
+    val sup = broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation"))
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "cust_nation")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long").as("_rev_c"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(
+        (col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" &&
+          col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("_rev_c")).as("revenue_cents"))
+  }
+
+  /** TPC-H Q8-shaped market share: of all revenue flowing to
+    * customers in one region, the share supplied by one nation, per
+    * order year. Both numerator and denominator are order-free
+    * micro-cent BIGINTs from the SAME aggregation pass; the share is
+    * the single division at the end.
+    */
+  def q218_market_share(s: SparkSession, dir: String): DataFrame = {
+    val euCust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_regionkey")
+          .join(t(s, dir, "region")
+              .filter(col("r_name") === "EUROPE").select("r_regionkey"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supNat = broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("_supp_nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "_supp_nation"))
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+      .join(euCust, col("o_custkey") === col("c_custkey"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long").as("_rev_c"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supNat, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("_supp_nation") === "NATION_7", col("_rev_c"))
+          .otherwise(lit(0L))).as("nation_cents"),
+        sum(col("_rev_c")).as("total_cents"))
+      .select(col("o_year"), col("nation_cents"), col("total_cents"),
+        when(col("total_cents") === 0, lit(null).cast("double"))
+          .otherwise(round(col("nation_cents").cast("double") /
+            col("total_cents").cast("double"), 6)).as("mkt_share"))
+  }
+
+  /** TPC-H Q9-shaped product-line profit: revenue on parts whose name
+    * matches a keyword, attributed to the SUPPLIER's nation per ship
+    * year. The name-filtered part set and the supplier→nation map
+    * both broadcast, so lineitem is filtered and annotated without a
+    * fact-side shuffle until the final bounded group-by.
+    */
+  def q219_product_profit(s: SparkSession, dir: String): DataFrame = {
+    val gearParts = broadcast(t(s, dir, "part")
+      .filter(col("p_name").contains("gear")).select("p_partkey"))
+    val supNat = broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "nation"))
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          lit(100.0)).cast("long").as("_rev_c"))
+      .join(gearParts, col("l_partkey") === col("p_partkey"))
+      .join(supNat, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), col("l_year"))
+      .agg(sum(col("_rev_c")).as("profit_cents"))
+  }
+
+  /** TPC-H Q12-shaped priority-by-returnflag census: one ship year of
+    * lineitem joined to its orders, counting urgent/high vs lower
+    * priority lines per return flag. One shuffle on the order key;
+    * the CASE counts are exact BIGINTs.
+    */
+  def q220_priority_lines(s: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select("l_orderkey", "l_returnflag")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(hi, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+        sum(when(hi, lit(0L)).otherwise(lit(1L))).as("low_line_count"))
+  }
+
+  /** TPC-H Q16-shaped supplier diversity: distinct suppliers that
+    * shipped each (brand, size) slice of the catalog, using lineitem
+    * as the part↔supplier bridge and anti-joining away a suppressed
+    * supplier list (the NOT IN shape; here: negative balances). The
+    * distinct-pair projection collapses the bridge before the count,
+    * and both dim lookups broadcast.
+    */
+  def q221_supplier_diversity(s: SparkSession, dir: String): DataFrame = {
+    val parts = broadcast(t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#23" && col("p_size") <= 25)
+      .select("p_partkey", "p_brand", "p_size"))
+    val banned = broadcast(t(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey"))
+    t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(banned, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .select("p_brand", "p_size", "l_suppkey").distinct()
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(count(lit(1)).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q21-shaped lone-late-supplier audit: finished orders where
+    * a supplier shipped 60+ days after the order date, another
+    * supplier shared the order (EXISTS → left-semi), and NO other
+    * supplier was also late (NOT EXISTS → left-anti). All three
+    * probes are equi-joins on the order key with supplier-inequality
+    * residuals; the final name join broadcasts.
+    */
+  def q222_lone_late_supplier(s: SparkSession, dir: String): DataFrame = {
+    val ordF = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val late = li
+      .join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '60' DAY"))
+      .select("l_orderkey", "l_suppkey")
+    val others = li
+      .select(col("l_orderkey").as("_ok2"), col("l_suppkey").as("_sk2"))
+    val lateOthers = late
+      .select(col("l_orderkey").as("_ok3"), col("l_suppkey").as("_sk3"))
+    late
+      .join(others,
+        col("l_orderkey") === col("_ok2") && col("l_suppkey") =!= col("_sk2"),
+        "left_semi")
+      .join(lateOthers,
+        col("l_orderkey") === col("_ok3") && col("l_suppkey") =!= col("_sk3"),
+        "left_anti")
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3473,7 +3832,22 @@ object SparkEntry {
     "q205_pca_power" -> (q205_pca_power(_, _)),
     "q206_bloom_join_prune" -> (q206_bloom_join_prune(_, _)),
     "q207_cuped" -> (q207_cuped(_, _)),
-    "q208_ndcg" -> (q208_ndcg(_, _)))
+    "q208_ndcg" -> (q208_ndcg(_, _)),
+    "q209_promo_revenue" -> (q209_promo_revenue(_, _)),
+    "q210_small_qty_revenue" -> (q210_small_qty_revenue(_, _)),
+    "q211_big_orders" -> (q211_big_orders(_, _)),
+    "q212_order_count_distribution" ->
+      (q212_order_count_distribution(_, _)),
+    "q213_top_supplier" -> (q213_top_supplier(_, _)),
+    "q214_disjunctive_filter" -> (q214_disjunctive_filter(_, _)),
+    "q215_dormant_customers" -> (q215_dormant_customers(_, _)),
+    "q216_late_order_priority" -> (q216_late_order_priority(_, _)),
+    "q217_trade_volume" -> (q217_trade_volume(_, _)),
+    "q218_market_share" -> (q218_market_share(_, _)),
+    "q219_product_profit" -> (q219_product_profit(_, _)),
+    "q220_priority_lines" -> (q220_priority_lines(_, _)),
+    "q221_supplier_diversity" -> (q221_supplier_diversity(_, _)),
+    "q222_lone_late_supplier" -> (q222_lone_late_supplier(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -280,8 +280,10 @@ class PlanGateSpec extends SparkSpec {
       "q201_join_cardinality", // three broadcast 1-row scalars (two
                                // CMS grids + the exact check) folded
                                // into the single output row
-      "q207_cuped")            // 2-row variant table × broadcast
+      "q207_cuped",            // 2-row variant table × broadcast
                                // 1-row moment vector
+      "q215_dormant_customers") // anti-joined customers × broadcast
+                               // 1-row positive-balance totals
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is
