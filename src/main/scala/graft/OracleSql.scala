@@ -5075,5 +5075,78 @@ object OracleSql {
         |      AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY 1
         |ORDER BY numwait DESC, s.s_name
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin,
+
+    // TPC-H Q2 shape: min observed unit price per part slice, the
+    // minimum re-joined as an equi condition, ties kept
+    "q223_min_cost_supplier" ->
+      """WITH unit AS (
+        |  SELECT l.l_partkey, p.p_brand, l.l_suppkey,
+        |    (round(l.l_extendedprice / l.l_quantity * 100.0))::BIGINT
+        |      AS unit_c
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+        |    AND l.l_quantity > 0),
+        |per_supp AS (
+        |  SELECT l_partkey, p_brand, l_suppkey,
+        |    min(unit_c)::BIGINT AS min_cents
+        |  FROM unit GROUP BY 1, 2, 3),
+        |per_part AS (
+        |  SELECT l_partkey, min(min_cents) AS best FROM per_supp
+        |  GROUP BY 1)
+        |SELECT ps.l_partkey AS p_partkey, ps.p_brand, s.s_suppkey,
+        |  s.s_name, ps.min_cents
+        |FROM per_supp ps
+        |JOIN per_part pp
+        |  ON ps.l_partkey = pp.l_partkey AND ps.min_cents = pp.best
+        |JOIN supplier s ON ps.l_suppkey = s.s_suppkey""".stripMargin,
+
+    // TPC-H Q11 shape: parts above 1/1500 of total shipped value —
+    // the share test as the exact integer predicate v*1500 > total
+    "q224_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    sum((round(l_extendedprice * 100.0))::BIGINT)::BIGINT
+        |      AS value_cents
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(value_cents)::BIGINT AS total_c FROM v)
+        |SELECT v.l_partkey, v.value_cents
+        |FROM v, tot
+        |WHERE v.value_cents * 1500 > tot.total_c""".stripMargin,
+
+    // TPC-H Q20 shape: suppliers moving >100 units of keyword parts
+    // in one year, nation attached
+    "q225_keyword_shippers" ->
+      """WITH vol AS (
+        |  SELECT l.l_suppkey, sum(l.l_quantity)::BIGINT AS total_qty
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_name LIKE 'red%'
+        |    AND l.l_shipdate >= '1997-01-01'
+        |    AND l.l_shipdate < '1998-01-01'
+        |  GROUP BY 1 HAVING sum(l.l_quantity) > 100)
+        |SELECT s.s_suppkey, s.s_name, n.n_name AS nation, vol.total_qty
+        |FROM vol
+        |JOIN supplier s ON vol.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey""".stripMargin,
+
+    // Mean reciprocal rank over the md5-derived ranking fixture:
+    // first relevant rank per query via min, reciprocal in micros,
+    // corpus MRR as one division of exact integer sums
+    "q226_mrr" ->
+      """WITH d AS (
+        |  SELECT doc_id % 50 AS qid, doc_id // 50 AS rank0,
+        |    CASE WHEN ('0x' || substr(md5('mrr|' || doc_id::VARCHAR),
+        |        1, 8))::UBIGINT::BIGINT % 8 = 0
+        |      THEN 1 ELSE 0 END AS rel
+        |  FROM documents WHERE doc_id < 1000),
+        |fh AS (
+        |  SELECT qid, min(rank0 + 1) AS first_rank FROM d
+        |  WHERE rel = 1 GROUP BY 1),
+        |n AS (SELECT count(DISTINCT qid)::BIGINT AS n_queries FROM d)
+        |SELECT count(*)::BIGINT AS n_answered, n.n_queries,
+        |  round(sum((round(1000000.0 / first_rank::DOUBLE))::BIGINT)
+        |      ::DOUBLE / n.n_queries::DOUBLE / 1000000.0, 6) AS mrr
+        |FROM fh, n
+        |GROUP BY n.n_queries""".stripMargin)
 }

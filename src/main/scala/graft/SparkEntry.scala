@@ -3621,6 +3621,116 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** TPC-H Q2-shaped min-cost supplier: within one catalog slice, the
+    * supplier(s) selling each part at its minimum observed unit price.
+    * Unit price snaps through ONE double division then round — replay-
+    * exact — and the per-part minimum re-joins as an equi condition
+    * (the correlated-subquery shape, q213's pattern), keeping ties.
+    */
+  def q223_min_cost_supplier(s: SparkSession, dir: String): DataFrame = {
+    val parts = broadcast(t(s, dir, "part")
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
+      .select("p_partkey", "p_brand"))
+    val unit = t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 0)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") / col("l_quantity") * lit(100.0))
+          .cast("long").as("_unit_c"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+    val perSupp = unit.groupBy(col("l_partkey"), col("p_brand"),
+        col("l_suppkey"))
+      .agg(min(col("_unit_c")).as("min_cents"))
+    val perPart = perSupp.groupBy(col("l_partkey").as("_pk"))
+      .agg(min(col("min_cents")).as("_best"))
+    perSupp
+      .join(perPart,
+        col("l_partkey") === col("_pk") && col("min_cents") === col("_best"))
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("p_brand"),
+        col("s_suppkey"), col("s_name"), col("min_cents"))
+  }
+
+  /** TPC-H Q11-shaped important inventory: parts whose shipped value
+    * exceeds 1/1500 of the corpus total (≈ the top decile at the gate
+    * SF). The share test never divides — `value > total/1500` is the
+    * exact integer predicate `value_c * 1500 > total_c` against the
+    * broadcast 1-row total.
+    */
+  def q224_important_parts(s: SparkSession, dir: String): DataFrame = {
+    val value = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * lit(100.0)).cast("long")
+          .as("_val_c"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("_val_c")).as("value_cents"))
+    val tot = value.agg(sum(col("value_cents")).as("_total_c"))
+    value.crossJoin(broadcast(tot))
+      .filter(col("value_cents") * lit(1500L) > col("_total_c"))
+      .select(col("l_partkey"), col("value_cents"))
+  }
+
+  /** TPC-H Q20-shaped high-volume keyword shippers: suppliers that
+    * moved more than 100 units of name-matched parts in one year,
+    * with their nation attached. The keyword part set broadcasts, the
+    * having-filtered supplier aggregate is tiny, and the name/nation
+    * joins broadcast onto it.
+    */
+  def q225_keyword_shippers(s: SparkSession, dir: String): DataFrame = {
+    val redParts = broadcast(t(s, dir, "part")
+      .filter(col("p_name").startsWith("red")).select("p_partkey"))
+    val vol = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 100)
+    vol
+      .join(broadcast(t(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("nation"),
+        col("total_qty"))
+  }
+
+  /** Mean reciprocal rank over the q208-style ranking fixture: per
+    * query the rank of the first relevant hit (min over an exact
+    * integer rank — no window), reciprocal snapped to micros, corpus
+    * MRR as ONE division of exact integer sums. The eval twin of
+    * nDCG@k for first-hit retrieval quality.
+    */
+  def q226_mrr(s: SparkSession, dir: String): DataFrame = {
+    // deterministic fixture from the documents table: 50 queries, 20
+    // ranked candidates each; relevance = md5-derived bit (q208's
+    // discipline: everything replays from doc_id arithmetic)
+    val d = t(s, dir, "documents")
+      .filter(col("doc_id") < 1000)
+      .select(
+        (col("doc_id") % 50).as("qid"),
+        floor(col("doc_id") / 50).cast("long").as("rank0"),
+        (TextOps.hash32(concat_ws("|",
+          lit("mrr"), col("doc_id"))) % 8 === 0).cast("int").as("rel"))
+    val firstHit = d.filter(col("rel") === 1)
+      .groupBy(col("qid"))
+      .agg(min(col("rank0") + 1).as("first_rank"))
+    val n = d.select(col("qid")).distinct()
+      .agg(count(lit(1)).as("_n_queries"))
+    firstHit
+      .select(round(lit(1000000.0) / col("first_rank").cast("double"))
+        .cast("long").as("_rr_micro"))
+      .agg(sum(col("_rr_micro")).as("_sum_rr"),
+        count(lit(1)).as("n_answered"))
+      .crossJoin(broadcast(n))
+      .select(col("n_answered"), col("_n_queries").as("n_queries"),
+        round(col("_sum_rr").cast("double") /
+          col("_n_queries").cast("double") / lit(1000000.0), 6)
+          .as("mrr"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3847,7 +3957,11 @@ object SparkEntry {
     "q219_product_profit" -> (q219_product_profit(_, _)),
     "q220_priority_lines" -> (q220_priority_lines(_, _)),
     "q221_supplier_diversity" -> (q221_supplier_diversity(_, _)),
-    "q222_lone_late_supplier" -> (q222_lone_late_supplier(_, _)))
+    "q222_lone_late_supplier" -> (q222_lone_late_supplier(_, _)),
+    "q223_min_cost_supplier" -> (q223_min_cost_supplier(_, _)),
+    "q224_important_parts" -> (q224_important_parts(_, _)),
+    "q225_keyword_shippers" -> (q225_keyword_shippers(_, _)),
+    "q226_mrr" -> (q226_mrr(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -282,8 +282,12 @@ class PlanGateSpec extends SparkSpec {
                                // into the single output row
       "q207_cuped",            // 2-row variant table × broadcast
                                // 1-row moment vector
-      "q215_dormant_customers") // anti-joined customers × broadcast
+      "q215_dormant_customers", // anti-joined customers × broadcast
                                // 1-row positive-balance totals
+      "q224_important_parts",  // per-part values × broadcast 1-row
+                               // corpus total (share as v*10⁴ > Σ)
+      "q226_mrr")              // 1-row reciprocal-rank sums ×
+                               // broadcast 1-row query count
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is
