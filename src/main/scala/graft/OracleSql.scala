@@ -5148,5 +5148,84 @@ object OracleSql {
         |  round(sum((round(1000000.0 / first_rank::DOUBLE))::BIGINT)
         |      ::DOUBLE / n.n_queries::DOUBLE / 1000000.0, 6) AS mrr
         |FROM fh, n
-        |GROUP BY n.n_queries""".stripMargin)
+        |GROUP BY n.n_queries""".stripMargin,
+
+    // ROUGE-2 recall + BLEU-2 over deterministically perturbed pairs:
+    // bigram multiset overlap, micro ratios, bp × sqrt(p1·p2)
+    "q227_rouge_bleu" ->
+      """WITH b AS (SELECT doc_id,
+        |    (string_split(text, ' '))[1:12] AS ref FROM documents),
+        |d AS (SELECT doc_id, ref,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN array_slice(ref, 2, len(ref)) ELSE ref END AS dp
+        |  FROM b),
+        |pr AS (SELECT doc_id, ref,
+        |    CASE WHEN doc_id % 5 = 0 AND len(dp) >= 3
+        |      THEN list_concat(list_concat(array_slice(dp, 1, 2),
+        |        ['the']), array_slice(dp, 4, len(dp)))
+        |      ELSE dp END AS cand
+        |  FROM d),
+        |g AS (SELECT doc_id, ref, cand,
+        |    list_transform(range(1, len(ref)),
+        |      i -> ref[i] || ' ' || ref[i+1]) AS ref2,
+        |    list_transform(range(1, len(cand)),
+        |      i -> cand[i] || ' ' || cand[i+1]) AS cand2
+        |  FROM pr),
+        |ov AS (SELECT doc_id,
+        |    len(cand)::BIGINT AS n_c1, len(ref)::BIGINT AS n_r1,
+        |    len(ref2)::BIGINT AS n_r2, len(cand2)::BIGINT AS n_c2,
+        |    coalesce(list_sum(list_transform(list_distinct(ref), t ->
+        |      least(len(list_filter(cand, x -> x = t)),
+        |            len(list_filter(ref, x -> x = t))))), 0)::BIGINT
+        |      AS ov1,
+        |    coalesce(list_sum(list_transform(list_distinct(ref2), t ->
+        |      least(len(list_filter(cand2, x -> x = t)),
+        |            len(list_filter(ref2, x -> x = t))))), 0)::BIGINT
+        |      AS ov2
+        |  FROM g)
+        |SELECT doc_id, n_c1, n_r1, ov1, ov2,
+        |  CASE WHEN n_r1 = 0 THEN 0
+        |    ELSE (round(ov1 * 1000000.0 / n_r1))::BIGINT END
+        |    AS rouge1_r_micro,
+        |  CASE WHEN n_r2 = 0 THEN 0
+        |    ELSE (round(ov2 * 1000000.0 / n_r2))::BIGINT END
+        |    AS rouge2_r_micro,
+        |  CASE WHEN n_c1 = 0 OR n_c2 = 0 THEN NULL
+        |    ELSE (round(
+        |      (CASE WHEN n_c1 >= n_r1 THEN 1.0
+        |        ELSE exp(1.0 - n_r1::DOUBLE / n_c1::DOUBLE) END)
+        |      * sqrt((ov1::DOUBLE / n_c1::DOUBLE)
+        |           * (ov2::DOUBLE / n_c2::DOUBLE))
+        |      * 1000000.0))::BIGINT END AS bleu2_micro
+        |FROM ov""".stripMargin,
+
+    // Chi-square independence (variant × converted): exact BIGINT
+    // margin products, one division per expected count, micro-snapped
+    // (O−E)²/E terms
+    "q228_chi_square" ->
+      """WITH per AS (
+        |  SELECT (user_id % 2)::INTEGER AS variant,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |        THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END
+        |      AS converted
+        |  FROM events GROUP BY user_id),
+        |cells AS (SELECT variant, converted,
+        |    count(*)::BIGINT AS observed
+        |  FROM per GROUP BY 1, 2),
+        |r AS (SELECT variant, sum(observed)::BIGINT AS rt
+        |  FROM cells GROUP BY 1),
+        |c AS (SELECT converted, sum(observed)::BIGINT AS ct
+        |  FROM cells GROUP BY 1),
+        |n AS (SELECT sum(observed)::BIGINT AS n FROM cells)
+        |SELECT cells.variant, cells.converted, cells.observed,
+        |  (round((r.rt * c.ct)::DOUBLE / n.n::DOUBLE * 1000000.0))
+        |    ::BIGINT AS expected_micro,
+        |  (round((cells.observed::DOUBLE
+        |      - (r.rt * c.ct)::DOUBLE / n.n::DOUBLE)
+        |    * (cells.observed::DOUBLE
+        |      - (r.rt * c.ct)::DOUBLE / n.n::DOUBLE)
+        |    / ((r.rt * c.ct)::DOUBLE / n.n::DOUBLE)
+        |    * 1000000.0))::BIGINT AS term_micro
+        |FROM cells
+        |JOIN r USING (variant) JOIN c USING (converted), n""".stripMargin)
 }

@@ -3731,6 +3731,88 @@ object SparkEntry {
           .as("mrr"))
   }
 
+  /** ROUGE-2 recall + BLEU-2 generation-eval scores over q203-style
+    * deterministically perturbed candidate/reference pairs: bigram
+    * multiset overlap via [[graft.text.TextOps.shingles]] +
+    * [[graft.text.TextOps.multisetOverlap]] — zero shuffles, all
+    * array lambdas in the scan stage. Ratios snap to micros; BLEU-2 =
+    * brevity penalty × √(p1·p2) with ONE fixed IEEE chain (the exp /
+    * sqrt discipline q177 pinned).
+    */
+  def q227_rouge_bleu(s: SparkSession, dir: String): DataFrame = {
+    val toks = slice(split(col("text"), " "), 1, 12)
+    val base = docs(s, dir).select(col("doc_id"), toks.as("_ref"))
+    // candidate = reference with a deterministic dropped-head (every
+    // 2nd doc) and a substituted 3rd token (every 5th doc)
+    val withDp = base.select(col("doc_id"), col("_ref"),
+      when(col("doc_id") % 2 === 0,
+        slice(col("_ref"), lit(2), greatest(size(col("_ref")) - 1, lit(0))))
+        .otherwise(col("_ref")).as("_dp"))
+    val withCand = withDp.select(col("doc_id"), col("_ref"),
+      when(col("doc_id") % 5 === 0 && size(col("_dp")) >= 3,
+        concat(slice(col("_dp"), 1, 2), array(lit("the")),
+          slice(col("_dp"), lit(4), greatest(size(col("_dp")) - 3, lit(0)))))
+        .otherwise(col("_dp")).as("_cand"))
+    val grams = withCand.select(col("doc_id"),
+      size(col("_cand")).cast("long").as("n_c1"),
+      size(col("_ref")).cast("long").as("n_r1"),
+      size(TextOps.shingles(col("_ref"), 2)).cast("long").as("n_r2"),
+      size(TextOps.shingles(col("_cand"), 2)).cast("long").as("n_c2"),
+      TextOps.multisetOverlap(col("_cand"), col("_ref")).as("ov1"),
+      TextOps.multisetOverlap(TextOps.shingles(col("_cand"), 2),
+        TextOps.shingles(col("_ref"), 2)).as("ov2"))
+    val e = col("ov1").cast("double") / col("n_c1").cast("double") *
+      (col("ov2").cast("double") / col("n_c2").cast("double"))
+    val bp = when(col("n_c1") >= col("n_r1"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("n_r1").cast("double") / col("n_c1").cast("double")))
+    grams.select(col("doc_id"), col("n_c1"), col("n_r1"), col("ov1"),
+      col("ov2"),
+      when(col("n_r1") === 0, lit(0L)).otherwise(
+        round(col("ov1") * lit(1000000.0) / col("n_r1")).cast("long"))
+        .as("rouge1_r_micro"),
+      when(col("n_r2") === 0, lit(0L)).otherwise(
+        round(col("ov2") * lit(1000000.0) / col("n_r2")).cast("long"))
+        .as("rouge2_r_micro"),
+      when(col("n_c1") === 0 || col("n_c2") === 0,
+        lit(null).cast("long")).otherwise(
+        round(bp * sqrt(e) * lit(1000000.0)).cast("long"))
+        .as("bleu2_micro"))
+  }
+
+  /** Chi-square independence test (variant × converted) — the
+    * categorical sibling of the q189 two-proportion z-test. Per-user
+    * heavy-purchaser flags fold to a 2×2 contingency table; expected
+    * counts come from exact BIGINT margin products with ONE division,
+    * and each (O−E)²/E term snaps to micros so the statistic is an
+    * order-free integer sum. Margins and N are tiny broadcast sides.
+    */
+  def q228_chi_square(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", lit(1L))
+        .otherwise(lit(0L))).as("_np"))
+      .select((col("user_id") % 2).cast("int").as("variant"),
+        when(col("_np") >= 14, lit(1)).otherwise(lit(0)).as("converted"))
+    val cells = per.groupBy(col("variant"), col("converted"))
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = cells.groupBy(col("variant").as("_v"))
+      .agg(sum(col("observed")).as("_rt"))
+    val colTot = cells.groupBy(col("converted").as("_c"))
+      .agg(sum(col("observed")).as("_ct"))
+    val n = cells.agg(sum(col("observed")).as("_n"))
+    val e = (col("_rt") * col("_ct")).cast("double") /
+      col("_n").cast("double")
+    val d = col("observed").cast("double") - e
+    cells
+      .join(broadcast(rowTot), col("variant") === col("_v"))
+      .join(broadcast(colTot), col("converted") === col("_c"))
+      .crossJoin(broadcast(n))
+      .select(col("variant"), col("converted"), col("observed"),
+        round(e * lit(1000000.0)).cast("long").as("expected_micro"),
+        round(d * d / e * lit(1000000.0)).cast("long").as("term_micro"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3961,7 +4043,9 @@ object SparkEntry {
     "q223_min_cost_supplier" -> (q223_min_cost_supplier(_, _)),
     "q224_important_parts" -> (q224_important_parts(_, _)),
     "q225_keyword_shippers" -> (q225_keyword_shippers(_, _)),
-    "q226_mrr" -> (q226_mrr(_, _)))
+    "q226_mrr" -> (q226_mrr(_, _)),
+    "q227_rouge_bleu" -> (q227_rouge_bleu(_, _)),
+    "q228_chi_square" -> (q228_chi_square(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

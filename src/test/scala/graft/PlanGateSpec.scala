@@ -286,8 +286,10 @@ class PlanGateSpec extends SparkSpec {
                                // 1-row positive-balance totals
       "q224_important_parts",  // per-part values × broadcast 1-row
                                // corpus total (share as v*10⁴ > Σ)
-      "q226_mrr")              // 1-row reciprocal-rank sums ×
+      "q226_mrr",              // 1-row reciprocal-rank sums ×
                                // broadcast 1-row query count
+      "q228_chi_square")       // 4-cell contingency table ×
+                               // broadcast 1-row N
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is
