@@ -5227,5 +5227,63 @@ object OracleSql {
         |    / ((r.rt * c.ct)::DOUBLE / n.n::DOUBLE)
         |    * 1000000.0))::BIGINT AS term_micro
         |FROM cells
-        |JOIN r USING (variant) JOIN c USING (converted), n""".stripMargin)
+        |JOIN r USING (variant) JOIN c USING (converted), n""".stripMargin,
+
+    // Per-source Spearman: doubled average-tie ranks from prefix sums
+    // over the distinct-value table, Pearson on the integer ranks via
+    // HUGEINT moments
+    "q229_spearman" ->
+      """WITH b AS (SELECT source, n_chars AS a,
+        |    len(string_split(text, ' '))::BIGINT AS bb
+        |  FROM documents),
+        |da AS (SELECT source, a, count(*)::BIGINT AS cnt FROM b
+        |  GROUP BY 1, 2),
+        |ra AS (SELECT source, a,
+        |    2 * (sum(cnt) OVER (PARTITION BY source ORDER BY a) - cnt)
+        |      + cnt + 1 AS r2a
+        |  FROM da),
+        |db AS (SELECT source, bb, count(*)::BIGINT AS cnt FROM b
+        |  GROUP BY 1, 2),
+        |rb AS (SELECT source, bb,
+        |    2 * (sum(cnt) OVER (PARTITION BY source ORDER BY bb) - cnt)
+        |      + cnt + 1 AS r2b
+        |  FROM db),
+        |j AS (SELECT b.source, ra.r2a, rb.r2b FROM b
+        |  JOIN ra ON b.source = ra.source AND b.a = ra.a
+        |  JOIN rb ON b.source = rb.source AND b.bb = rb.bb),
+        |g AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    count(*)::HUGEINT AS n,
+        |    sum(r2a::HUGEINT) AS sx, sum(r2b::HUGEINT) AS sy,
+        |    sum(r2a::HUGEINT * r2b::HUGEINT) AS sxy,
+        |    sum(r2a::HUGEINT * r2a::HUGEINT) AS sxx,
+        |    sum(r2b::HUGEINT * r2b::HUGEINT) AS syy
+        |  FROM j GROUP BY 1)
+        |SELECT source, n_docs,
+        |  CASE WHEN (n * sxx - sx * sx)::DOUBLE = 0
+        |      OR (n * syy - sy * sy)::DOUBLE = 0 THEN NULL
+        |    ELSE round((n * sxy - sx * sy)::DOUBLE /
+        |      (sqrt((n * sxx - sx * sx)::DOUBLE)
+        |       * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
+        |  END AS rho
+        |FROM g""".stripMargin,
+
+    // Benford first-digit screen: leading digit of the exact
+    // milli-unit BIGINT rendered as a string, micro-snapped
+    // log10(1+1/d) expectations
+    "q230_benford" ->
+      """WITH v AS (SELECT (round(value * 1000.0))::BIGINT AS vm
+        |  FROM events WHERE event_type = 'purchase'),
+        |o AS (SELECT (substr(vm::VARCHAR, 1, 1))::INTEGER AS digit,
+        |    count(*)::BIGINT AS n_obs
+        |  FROM v WHERE vm > 0 GROUP BY 1),
+        |n AS (SELECT sum(n_obs)::BIGINT AS n FROM o)
+        |SELECT digit, n_obs,
+        |  (round(n_obs::DOUBLE * 1000000.0 / n.n::DOUBLE))::BIGINT
+        |    AS obs_share_micro,
+        |  (round(log10(1.0 + 1.0 / digit::DOUBLE) * 1000000.0))
+        |    ::BIGINT AS exp_share_micro,
+        |  (round(n_obs::DOUBLE * 1000000.0 / n.n::DOUBLE))::BIGINT
+        |    - (round(log10(1.0 + 1.0 / digit::DOUBLE) * 1000000.0))
+        |      ::BIGINT AS dev_micro
+        |FROM o, n""".stripMargin)
 }

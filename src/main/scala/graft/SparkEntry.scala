@@ -3813,6 +3813,80 @@ object SparkEntry {
         round(d * d / e * lit(1000000.0)).cast("long").as("term_micro"))
   }
 
+  /** Per-source Spearman rank correlation (length vs token count)
+    * WITHOUT a global window: average-tie ranks come from per-source
+    * prefix sums over the DISTINCT-VALUE table (doubled to stay
+    * integer — r2 = 2·cumLess + cnt + 1), so the corpus itself never
+    * enters a window and the window that does run partitions by
+    * source over ≤|distinct values| rows. The correlation is Pearson
+    * on the integer ranks: decimal(38,0) moment sums (q207's
+    * discipline), one numerator, two sqrts, one division.
+    */
+  def q229_spearman(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, dir).select(col("source"),
+      col("n_chars").as("_a"),
+      size(split(col("text"), " ")).cast("long").as("_b"))
+    def ranks(v: String): DataFrame = {
+      val w = Window.partitionBy("source").orderBy(v)
+      base.groupBy(col("source"), col(v))
+        .agg(count(lit(1)).as("_cnt"))
+        .select(col("source"), col(v),
+          (lit(2L) * (sum(col("_cnt")).over(w) - col("_cnt")) +
+            col("_cnt") + lit(1L)).as(s"_r$v"))
+    }
+    val dec = "decimal(38,0)"
+    val ranked = base
+      .join(ranks("_a"), Seq("source", "_a"))
+      .join(ranks("_b"), Seq("source", "_b"))
+    val g = ranked.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      count(lit(1)).cast(dec).as("_n"),
+      sum(col("_r_a").cast(dec)).as("_sx"),
+      sum(col("_r_b").cast(dec)).as("_sy"),
+      sum(col("_r_a").cast(dec) * col("_r_b").cast(dec)).as("_sxy"),
+      sum(col("_r_a").cast(dec) * col("_r_a").cast(dec)).as("_sxx"),
+      sum(col("_r_b").cast(dec) * col("_r_b").cast(dec)).as("_syy"))
+    val num = (col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+      .cast("double")
+    val dx = (col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+      .cast("double")
+    val dy = (col("_n") * col("_syy") - col("_sy") * col("_sy"))
+      .cast("double")
+    g.select(col("source"), col("n_docs"),
+      when(dx === 0.0 || dy === 0.0, lit(null).cast("double"))
+        .otherwise(round(num / (sqrt(dx) * sqrt(dy)), 6)).as("rho"))
+  }
+
+  /** Benford first-digit screen over purchase values: the leading
+    * digit comes from the EXACT milli-unit BIGINT rendered as a
+    * string (no float formatting, no log-floor edge cases), expected
+    * shares are micro-snapped log10(1+1/d), and the deviation is one
+    * subtraction of micros. The fraud/entry-error smell test for any
+    * financial value column.
+    */
+  def q230_benford(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(round(col("value") * lit(1000.0)).cast("long").as("_vm"))
+      .filter(col("_vm") > 0)
+      .select(substring(col("_vm").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).as("_n"))
+    obs.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") * lit(1000000.0) /
+          col("_n").cast("double")).cast("long").as("obs_share_micro"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")) *
+          lit(1000000.0)).cast("long").as("exp_share_micro"))
+      .select(col("digit"), col("n_obs"), col("obs_share_micro"),
+        col("exp_share_micro"),
+        (col("obs_share_micro") - col("exp_share_micro"))
+          .as("dev_micro"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4045,7 +4119,9 @@ object SparkEntry {
     "q225_keyword_shippers" -> (q225_keyword_shippers(_, _)),
     "q226_mrr" -> (q226_mrr(_, _)),
     "q227_rouge_bleu" -> (q227_rouge_bleu(_, _)),
-    "q228_chi_square" -> (q228_chi_square(_, _)))
+    "q228_chi_square" -> (q228_chi_square(_, _)),
+    "q229_spearman" -> (q229_spearman(_, _)),
+    "q230_benford" -> (q230_benford(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

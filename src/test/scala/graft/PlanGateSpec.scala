@@ -288,8 +288,10 @@ class PlanGateSpec extends SparkSpec {
                                // corpus total (share as v*10⁴ > Σ)
       "q226_mrr",              // 1-row reciprocal-rank sums ×
                                // broadcast 1-row query count
-      "q228_chi_square")       // 4-cell contingency table ×
+      "q228_chi_square",       // 4-cell contingency table ×
                                // broadcast 1-row N
+      "q230_benford")          // 9-digit histogram × broadcast
+                               // 1-row total
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is
