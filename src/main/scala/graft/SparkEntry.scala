@@ -3300,6 +3300,7 @@ object SparkEntry {
       .select(col("l_partkey"), col("l_quantity").cast("long").as("_q"),
         round(col("l_extendedprice") * lit(100.0)).cast("long")
           .as("_price_c"))
+      .persist() // feeds the stats agg AND the join-back — one scan
     val stats = li.groupBy(col("l_partkey").as("_pk"))
       .agg(sum(col("_q")).as("_sum_q"), count(lit(1)).as("_cnt_q"))
     li.join(broadcast(stats), col("l_partkey") === col("_pk"))
@@ -3362,6 +3363,7 @@ object SparkEntry {
           lit(100.0)).cast("long").as("_rev_c"))
       .groupBy(col("l_suppkey"))
       .agg(sum(col("_rev_c")).as("total_cents"))
+      .persist() // tiny per-supplier agg feeds the max AND the join
     val mx = rev.agg(max(col("total_cents")).as("_m"))
     rev.join(broadcast(mx), col("total_cents") === col("_m"))
       .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
@@ -3403,6 +3405,7 @@ object SparkEntry {
     val cust = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"),
         round(col("c_acctbal") * lit(100.0)).cast("long").as("_bal_c"))
+      .persist() // feeds the totals agg AND the anti-join chain
     val tot = cust.filter(col("_bal_c") > 0)
       .agg(sum(col("_bal_c")).as("_sum_c"), count(lit(1)).as("_n_pos"))
     val recent = t(s, dir, "orders")
@@ -3602,6 +3605,7 @@ object SparkEntry {
       .join(ordF, col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '60' DAY"))
       .select("l_orderkey", "l_suppkey")
+      .persist() // the late set probes itself (NOT EXISTS) — one build
     val others = li
       .select(col("l_orderkey").as("_ok2"), col("l_suppkey").as("_sk2"))
     val lateOthers = late
@@ -3640,6 +3644,7 @@ object SparkEntry {
     val perSupp = unit.groupBy(col("l_partkey"), col("p_brand"),
         col("l_suppkey"))
       .agg(min(col("_unit_c")).as("min_cents"))
+      .persist() // bounded (part×supplier) agg feeds min AND join
     val perPart = perSupp.groupBy(col("l_partkey").as("_pk"))
       .agg(min(col("min_cents")).as("_best"))
     perSupp
@@ -3664,6 +3669,7 @@ object SparkEntry {
           .as("_val_c"))
       .groupBy(col("l_partkey"))
       .agg(sum(col("_val_c")).as("value_cents"))
+      .persist() // |part|-row agg feeds the total AND the filter
     val tot = value.agg(sum(col("value_cents")).as("_total_c"))
     value.crossJoin(broadcast(tot))
       .filter(col("value_cents") * lit(1500L) > col("_total_c"))
@@ -3714,6 +3720,7 @@ object SparkEntry {
         floor(col("doc_id") / 50).cast("long").as("rank0"),
         (TextOps.hash32(concat_ws("|",
           lit("mrr"), col("doc_id"))) % 8 === 0).cast("int").as("rel"))
+      .persist() // bounded fixture feeds first-hit AND query count
     val firstHit = d.filter(col("rel") === 1)
       .groupBy(col("qid"))
       .agg(min(col("rank0") + 1).as("first_rank"))
@@ -3796,6 +3803,7 @@ object SparkEntry {
         when(col("_np") >= 14, lit(1)).otherwise(lit(0)).as("converted"))
     val cells = per.groupBy(col("variant"), col("converted"))
       .agg(count(lit(1)).as("observed"))
+      .persist() // 4-row table feeds both margins, N and the output
     val rowTot = cells.groupBy(col("variant").as("_v"))
       .agg(sum(col("observed")).as("_rt"))
     val colTot = cells.groupBy(col("converted").as("_c"))
@@ -3827,6 +3835,8 @@ object SparkEntry {
     val base = docs(s, dir).select(col("source"),
       col("n_chars").as("_a"),
       size(split(col("text"), " ")).cast("long").as("_b"))
+      .persist() // 3 consumers (two rank tables + the join) — the
+                 // text split runs once, not three times
     def ranks(v: String): DataFrame = {
       val w = Window.partitionBy("source").orderBy(v)
       base.groupBy(col("source"), col(v))
@@ -3874,6 +3884,7 @@ object SparkEntry {
         .as("digit"))
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n_obs"))
+      .persist() // 9-row histogram feeds the total AND the output
     val tot = obs.agg(sum(col("n_obs")).as("_n"))
     obs.crossJoin(broadcast(tot))
       .select(col("digit"), col("n_obs"),
