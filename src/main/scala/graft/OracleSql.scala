@@ -5216,18 +5216,22 @@ object OracleSql {
         |  FROM cells GROUP BY 1),
         |c AS (SELECT converted, sum(observed)::BIGINT AS ct
         |  FROM cells GROUP BY 1),
-        |n AS (SELECT sum(observed)::BIGINT AS n FROM cells)
-        |SELECT cells.variant, cells.converted, cells.observed,
-        |  (round((r.rt * c.ct)::DOUBLE / n.n::DOUBLE * 1000000.0))
+        |n AS (SELECT sum(observed)::BIGINT AS n FROM cells),
+        |grid AS (SELECT r.variant, c.converted, r.rt, c.ct,
+        |    coalesce(cells.observed, 0)::BIGINT AS observed
+        |  FROM r CROSS JOIN c
+        |  LEFT JOIN cells ON cells.variant = r.variant
+        |    AND cells.converted = c.converted)
+        |SELECT grid.variant, grid.converted, grid.observed,
+        |  (round((grid.rt * grid.ct)::DOUBLE / n.n::DOUBLE * 1000000.0))
         |    ::BIGINT AS expected_micro,
-        |  (round((cells.observed::DOUBLE
-        |      - (r.rt * c.ct)::DOUBLE / n.n::DOUBLE)
-        |    * (cells.observed::DOUBLE
-        |      - (r.rt * c.ct)::DOUBLE / n.n::DOUBLE)
-        |    / ((r.rt * c.ct)::DOUBLE / n.n::DOUBLE)
+        |  (round((grid.observed::DOUBLE
+        |      - (grid.rt * grid.ct)::DOUBLE / n.n::DOUBLE)
+        |    * (grid.observed::DOUBLE
+        |      - (grid.rt * grid.ct)::DOUBLE / n.n::DOUBLE)
+        |    / ((grid.rt * grid.ct)::DOUBLE / n.n::DOUBLE)
         |    * 1000000.0))::BIGINT AS term_micro
-        |FROM cells
-        |JOIN r USING (variant) JOIN c USING (converted), n""".stripMargin,
+        |FROM grid, n""".stripMargin,
 
     // Per-source Spearman: doubled average-tie ranks from prefix sums
     // over the distinct-value table, Pearson on the integer ranks via

@@ -3720,22 +3720,7 @@ object SparkEntry {
         floor(col("doc_id") / 50).cast("long").as("rank0"),
         (TextOps.hash32(concat_ws("|",
           lit("mrr"), col("doc_id"))) % 8 === 0).cast("int").as("rel"))
-      .persist() // bounded fixture feeds first-hit AND query count
-    val firstHit = d.filter(col("rel") === 1)
-      .groupBy(col("qid"))
-      .agg(min(col("rank0") + 1).as("first_rank"))
-    val n = d.select(col("qid")).distinct()
-      .agg(count(lit(1)).as("_n_queries"))
-    firstHit
-      .select(round(lit(1000000.0) / col("first_rank").cast("double"))
-        .cast("long").as("_rr_micro"))
-      .agg(sum(col("_rr_micro")).as("_sum_rr"),
-        count(lit(1)).as("n_answered"))
-      .crossJoin(broadcast(n))
-      .select(col("n_answered"), col("_n_queries").as("n_queries"),
-        round(col("_sum_rr").cast("double") /
-          col("_n_queries").cast("double") / lit(1000000.0), 6)
-          .as("mrr"))
+    Relational.mrrAtRank(d, col("qid"), col("rank0"), col("rel"))
   }
 
   /** ROUGE-2 recall + BLEU-2 generation-eval scores over q203-style
@@ -3760,31 +3745,8 @@ object SparkEntry {
         concat(slice(col("_dp"), 1, 2), array(lit("the")),
           slice(col("_dp"), lit(4), greatest(size(col("_dp")) - 3, lit(0)))))
         .otherwise(col("_dp")).as("_cand"))
-    val grams = withCand.select(col("doc_id"),
-      size(col("_cand")).cast("long").as("n_c1"),
-      size(col("_ref")).cast("long").as("n_r1"),
-      size(TextOps.shingles(col("_ref"), 2)).cast("long").as("n_r2"),
-      size(TextOps.shingles(col("_cand"), 2)).cast("long").as("n_c2"),
-      TextOps.multisetOverlap(col("_cand"), col("_ref")).as("ov1"),
-      TextOps.multisetOverlap(TextOps.shingles(col("_cand"), 2),
-        TextOps.shingles(col("_ref"), 2)).as("ov2"))
-    val e = col("ov1").cast("double") / col("n_c1").cast("double") *
-      (col("ov2").cast("double") / col("n_c2").cast("double"))
-    val bp = when(col("n_c1") >= col("n_r1"), lit(1.0))
-      .otherwise(exp(lit(1.0) -
-        col("n_r1").cast("double") / col("n_c1").cast("double")))
-    grams.select(col("doc_id"), col("n_c1"), col("n_r1"), col("ov1"),
-      col("ov2"),
-      when(col("n_r1") === 0, lit(0L)).otherwise(
-        round(col("ov1") * lit(1000000.0) / col("n_r1")).cast("long"))
-        .as("rouge1_r_micro"),
-      when(col("n_r2") === 0, lit(0L)).otherwise(
-        round(col("ov2") * lit(1000000.0) / col("n_r2")).cast("long"))
-        .as("rouge2_r_micro"),
-      when(col("n_c1") === 0 || col("n_c2") === 0,
-        lit(null).cast("long")).otherwise(
-        round(bp * sqrt(e) * lit(1000000.0)).cast("long"))
-        .as("bleu2_micro"))
+    TextOps.generationScores(withCand, "doc_id",
+      col("_cand"), col("_ref"))
   }
 
   /** Chi-square independence test (variant × converted) — the
@@ -3801,24 +3763,7 @@ object SparkEntry {
         .otherwise(lit(0L))).as("_np"))
       .select((col("user_id") % 2).cast("int").as("variant"),
         when(col("_np") >= 14, lit(1)).otherwise(lit(0)).as("converted"))
-    val cells = per.groupBy(col("variant"), col("converted"))
-      .agg(count(lit(1)).as("observed"))
-      .persist() // 4-row table feeds both margins, N and the output
-    val rowTot = cells.groupBy(col("variant").as("_v"))
-      .agg(sum(col("observed")).as("_rt"))
-    val colTot = cells.groupBy(col("converted").as("_c"))
-      .agg(sum(col("observed")).as("_ct"))
-    val n = cells.agg(sum(col("observed")).as("_n"))
-    val e = (col("_rt") * col("_ct")).cast("double") /
-      col("_n").cast("double")
-    val d = col("observed").cast("double") - e
-    cells
-      .join(broadcast(rowTot), col("variant") === col("_v"))
-      .join(broadcast(colTot), col("converted") === col("_c"))
-      .crossJoin(broadcast(n))
-      .select(col("variant"), col("converted"), col("observed"),
-        round(e * lit(1000000.0)).cast("long").as("expected_micro"),
-        round(d * d / e * lit(1000000.0)).cast("long").as("term_micro"))
+    Relational.chiSquareIndependence(per, "variant", "converted")
   }
 
   /** Per-source Spearman rank correlation (length vs token count)
@@ -3831,41 +3776,9 @@ object SparkEntry {
     * discipline), one numerator, two sqrts, one division.
     */
   def q229_spearman(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = docs(s, dir).select(col("source"),
-      col("n_chars").as("_a"),
-      size(split(col("text"), " ")).cast("long").as("_b"))
-      .persist() // 3 consumers (two rank tables + the join) — the
-                 // text split runs once, not three times
-    def ranks(v: String): DataFrame = {
-      val w = Window.partitionBy("source").orderBy(v)
-      base.groupBy(col("source"), col(v))
-        .agg(count(lit(1)).as("_cnt"))
-        .select(col("source"), col(v),
-          (lit(2L) * (sum(col("_cnt")).over(w) - col("_cnt")) +
-            col("_cnt") + lit(1L)).as(s"_r$v"))
-    }
-    val dec = "decimal(38,0)"
-    val ranked = base
-      .join(ranks("_a"), Seq("source", "_a"))
-      .join(ranks("_b"), Seq("source", "_b"))
-    val g = ranked.groupBy(col("source")).agg(
-      count(lit(1)).as("n_docs"),
-      count(lit(1)).cast(dec).as("_n"),
-      sum(col("_r_a").cast(dec)).as("_sx"),
-      sum(col("_r_b").cast(dec)).as("_sy"),
-      sum(col("_r_a").cast(dec) * col("_r_b").cast(dec)).as("_sxy"),
-      sum(col("_r_a").cast(dec) * col("_r_a").cast(dec)).as("_sxx"),
-      sum(col("_r_b").cast(dec) * col("_r_b").cast(dec)).as("_syy"))
-    val num = (col("_n") * col("_sxy") - col("_sx") * col("_sy"))
-      .cast("double")
-    val dx = (col("_n") * col("_sxx") - col("_sx") * col("_sx"))
-      .cast("double")
-    val dy = (col("_n") * col("_syy") - col("_sy") * col("_sy"))
-      .cast("double")
-    g.select(col("source"), col("n_docs"),
-      when(dx === 0.0 || dy === 0.0, lit(null).cast("double"))
-        .otherwise(round(num / (sqrt(dx) * sqrt(dy)), 6)).as("rho"))
+    Relational.spearmanByGroup(docs(s, dir), "source",
+      col("n_chars"), size(split(col("text"), " ")).cast("long"))
+      .withColumnRenamed("n_rows", "n_docs")
   }
 
   /** Benford first-digit screen over purchase values: the leading
@@ -3876,26 +3789,9 @@ object SparkEntry {
     * financial value column.
     */
   def q230_benford(s: SparkSession, dir: String): DataFrame = {
-    val obs = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .select(round(col("value") * lit(1000.0)).cast("long").as("_vm"))
-      .filter(col("_vm") > 0)
-      .select(substring(col("_vm").cast("string"), 1, 1).cast("int")
-        .as("digit"))
-      .groupBy(col("digit"))
-      .agg(count(lit(1)).as("n_obs"))
-      .persist() // 9-row histogram feeds the total AND the output
-    val tot = obs.agg(sum(col("n_obs")).as("_n"))
-    obs.crossJoin(broadcast(tot))
-      .select(col("digit"), col("n_obs"),
-        round(col("n_obs").cast("double") * lit(1000000.0) /
-          col("_n").cast("double")).cast("long").as("obs_share_micro"),
-        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")) *
-          lit(1000000.0)).cast("long").as("exp_share_micro"))
-      .select(col("digit"), col("n_obs"), col("obs_share_micro"),
-        col("exp_share_micro"),
-        (col("obs_share_micro") - col("exp_share_micro"))
-          .as("dev_micro"))
+    Relational.benfordScreen(
+      t(s, dir, "events").filter(col("event_type") === "purchase"),
+      round(col("value") * lit(1000.0)).cast("long"))
   }
 
   // ---------------------------------------------------------------- maps

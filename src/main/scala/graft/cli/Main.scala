@@ -1619,6 +1619,80 @@ object Main {
         s"top components: ${top.mkString(" ")}")
       done(spark)
 
+    // per-group Spearman rank correlation of two numeric columns
+    case "spearman" :: path :: groupCol :: aCol :: bCol :: Nil =>
+      import org.apache.spark.sql.functions._
+      val spark = session()
+      graft.operators.Relational.spearmanByGroup(
+        spark.read.parquet(path), groupCol, col(aCol), col(bCol))
+        .collect().sortBy(_.get(0).toString).foreach { r =>
+          val rho = if (r.isNullAt(2)) "n/a" else r.getDouble(2).toString
+          println(s"[spearman] ${r.get(0)}: rho=$rho (n=${r.getLong(1)})")
+        }
+      done(spark)
+
+    // Benford first-digit screen over a numeric column (milli-snap)
+    case "benford" :: path :: valCol :: Nil =>
+      import org.apache.spark.sql.functions._
+      val spark = session()
+      graft.operators.Relational.benfordScreen(
+        spark.read.parquet(path),
+        round(col(valCol).cast("double") * lit(1000.0)).cast("long"))
+        .collect().sortBy(_.getInt(0)).foreach { r =>
+          println(s"[benford] d=${r.getInt(0)} n=${r.getLong(1)} " +
+            s"obs=${r.getLong(2) / 1e4}% exp=${r.getLong(3) / 1e4}% " +
+            s"dev=${r.getLong(4) / 1e4}pp")
+        }
+      done(spark)
+
+    // chi-square independence of two categorical columns
+    case "chisq" :: path :: rowCol :: colCol :: Nil =>
+      val spark = session()
+      val cells = graft.operators.Relational.chiSquareIndependence(
+        spark.read.parquet(path), rowCol, colCol).collect()
+      cells.sortBy(r => (r.get(0).toString, r.get(1).toString))
+        .foreach { r =>
+          println(s"[chisq] (${r.get(0)}, ${r.get(1)}): " +
+            s"obs=${r.getLong(2)} exp=${r.getLong(3) / 1e6} " +
+            s"term=${r.getLong(4) / 1e6}")
+        }
+      val chi2 = cells.map(_.getLong(4)).sum / 1e6
+      val df0 = (cells.map(_.get(0)).distinct.length - 1) *
+        (cells.map(_.get(1)).distinct.length - 1)
+      println(s"[chisq] chi2=$chi2 df=$df0")
+      done(spark)
+
+    // mean reciprocal rank over a (qid, rank, rel) parquet
+    case "mrr" :: path :: qidCol :: rankCol :: relCol :: Nil =>
+      import org.apache.spark.sql.functions._
+      val spark = session()
+      val r = graft.operators.Relational.mrrAtRank(
+        spark.read.parquet(path), col(qidCol), col(rankCol),
+        col(relCol)).head()
+      println(s"[mrr] mrr=${r.getDouble(2)} " +
+        s"(${r.getLong(0)}/${r.getLong(1)} queries answered)")
+      done(spark)
+
+    // ROUGE/BLEU generation scores over (id, cand, ref) string columns
+    case "rouge" :: path :: idCol :: candCol :: refCol :: rest =>
+      import org.apache.spark.sql.functions._
+      val spark = session()
+      val scored = graft.text.TextOps.generationScores(
+        spark.read.parquet(path), idCol,
+        split(col(candCol), " "), split(col(refCol), " "))
+      rest match {
+        case out :: _ => scored.write.mode("overwrite").parquet(out)
+        case Nil =>
+          val agg = scored.agg(
+            avg(col("rouge1_r_micro")), avg(col("rouge2_r_micro")),
+            avg(col("bleu2_micro")), count(lit(1))).head()
+          println(f"[rouge] rouge1_r=${agg.getDouble(0) / 1e6}%.4f " +
+            f"rouge2_r=${agg.getDouble(1) / 1e6}%.4f " +
+            f"bleu2=${agg.getDouble(2) / 1e6}%.4f " +
+            s"(n=${agg.getLong(3)})")
+      }
+      done(spark)
+
     case _ =>
       System.err.println(
         "usage: ingest <in> <pool> [vintage] [--dry-run] | " +
@@ -1691,7 +1765,12 @@ object Main {
           "cuped <events> <splitEpochSec> [convKind] | " +
           "ndcg <parquet> <idCol> <scoreCol> <relCol> [k] | " +
           "er <parquet> <idCol> <nameCol> [maxEdit] | " +
-          "pca <embeddings> [dim] [iters]")
+          "pca <embeddings> [dim] [iters] | " +
+          "spearman <parquet> <groupCol> <aCol> <bCol> | " +
+          "benford <parquet> <valCol> | " +
+          "chisq <parquet> <rowCol> <colCol> | " +
+          "mrr <parquet> <qidCol> <rankCol> <relCol> | " +
+          "rouge <parquet> <idCol> <candCol> <refCol> [out]")
       sys.exit(2)
   }
 

@@ -1484,4 +1484,146 @@ object Relational {
             col("idcg_micro").cast("double")).cast("long"))
           .as("ndcg_micro"))
   }
+
+  /** Per-group Spearman rank correlation WITHOUT a global window.
+    * Average-tie ranks are DOUBLED to stay integer (r2 = 2·cumLess +
+    * cnt + 1) and come from per-group prefix sums over the
+    * DISTINCT-VALUE table, so the corpus itself never enters a window
+    * and the window that does run partitions by group over
+    * ≤|distinct values| rows. Spearman is affine-invariant, so
+    * Pearson on the doubled ranks equals Pearson on the ranks:
+    * decimal(38,0) moment sums (overflow-safe to ~10⁹ rows/group),
+    * one numerator, two sqrts, one division. Degenerate (constant)
+    * variables yield NULL.
+    */
+  def spearmanByGroup(
+      df: DataFrame, groupCol: String, a: Column, b: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol),
+      a.cast("long").as("_sa"), b.cast("long").as("_sb"))
+      .persist() // 3 consumers: two rank tables + the rank join
+    def ranks(v: String): DataFrame = {
+      val w = Window.partitionBy(groupCol).orderBy(v)
+      base.groupBy(col(groupCol), col(v))
+        .agg(count(lit(1)).as("_cnt"))
+        .select(col(groupCol), col(v),
+          (lit(2L) * (sum(col("_cnt")).over(w) - col("_cnt")) +
+            col("_cnt") + lit(1L)).as(s"_r$v"))
+    }
+    val dec = "decimal(38,0)"
+    val ranked = base
+      .join(ranks("_sa"), Seq(groupCol, "_sa"))
+      .join(ranks("_sb"), Seq(groupCol, "_sb"))
+    val g = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_rows"),
+      count(lit(1)).cast(dec).as("_n"),
+      sum(col("_r_sa").cast(dec)).as("_sx"),
+      sum(col("_r_sb").cast(dec)).as("_sy"),
+      sum(col("_r_sa").cast(dec) * col("_r_sb").cast(dec)).as("_sxy"),
+      sum(col("_r_sa").cast(dec) * col("_r_sa").cast(dec)).as("_sxx"),
+      sum(col("_r_sb").cast(dec) * col("_r_sb").cast(dec)).as("_syy"))
+    val num = (col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+      .cast("double")
+    val dx = (col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+      .cast("double")
+    val dy = (col("_n") * col("_syy") - col("_sy") * col("_sy"))
+      .cast("double")
+    g.select(col(groupCol), col("n_rows"),
+      when(dx === 0.0 || dy === 0.0, lit(null).cast("double"))
+        .otherwise(round(num / (sqrt(dx) * sqrt(dy)), 6)).as("rho"))
+  }
+
+  /** Benford first-digit screen over an exact integer value column
+    * (milli/centi units — the caller snaps floats ONCE): the leading
+    * digit comes from the BIGINT rendered as a string, so there is no
+    * float formatting and no log-floor edge case at powers of ten.
+    * Expected shares are micro-snapped log10(1+1/d); non-positive
+    * values are dropped (Benford is defined on magnitudes).
+    */
+  def benfordScreen(df: DataFrame, valueInt: Column): DataFrame = {
+    val obs = df
+      .select(valueInt.cast("long").as("_vm"))
+      .filter(col("_vm") > 0)
+      .select(substring(col("_vm").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+      .persist() // 9-row histogram feeds the total AND the output
+    val tot = obs.agg(sum(col("n_obs")).as("_n"))
+    obs.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") * lit(1000000.0) /
+          col("_n").cast("double")).cast("long").as("obs_share_micro"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")) *
+          lit(1000000.0)).cast("long").as("exp_share_micro"))
+      .select(col("digit"), col("n_obs"), col("obs_share_micro"),
+        col("exp_share_micro"),
+        (col("obs_share_micro") - col("exp_share_micro"))
+          .as("dev_micro"))
+  }
+
+  /** Chi-square independence test over two categorical columns: one
+    * observed-count pass to the contingency cells, margins and N read
+    * off the (tiny, persisted) cell table, expected counts from exact
+    * BIGINT margin products with ONE division, and each (O−E)²/E term
+    * micro-snapped so the statistic is an order-free integer sum the
+    * caller can take over the returned cells.
+    */
+  def chiSquareIndependence(
+      df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val obsCells = df.groupBy(col(rowCol), col(colCol))
+      .agg(count(lit(1)).as("observed"))
+      .persist() // r×c rows feed both margins, N and the output
+    val rowTot = obsCells.groupBy(col(rowCol).as("_rv"))
+      .agg(sum(col("observed")).as("_rt"))
+    val colTot = obsCells.groupBy(col(colCol).as("_cv"))
+      .agg(sum(col("observed")).as("_ct"))
+    val n = obsCells.agg(sum(col("observed")).as("_n"))
+    // zero-fill the full margin grid: groupBy only emits OBSERVED
+    // combinations, but chi-square's structural zeros contribute
+    // E, not 0, to the statistic (a perfect 2×2 association would
+    // otherwise score half its real chi2)
+    val cells = rowTot.crossJoin(broadcast(colTot))
+      .join(obsCells,
+        col("_rv") === col(rowCol) && col("_cv") === col(colCol), "left")
+      .select(col("_rv"), col("_cv"), col("_rt"), col("_ct"),
+        coalesce(col("observed"), lit(0L)).as("observed"))
+    val e = (col("_rt") * col("_ct")).cast("double") /
+      col("_n").cast("double")
+    val d = col("observed").cast("double") - e
+    cells
+      .crossJoin(broadcast(n))
+      .select(col("_rv").as(rowCol), col("_cv").as(colCol),
+        col("observed"),
+        round(e * lit(1000000.0)).cast("long").as("expected_micro"),
+        round(d * d / e * lit(1000000.0)).cast("long").as("term_micro"))
+  }
+
+  /** Mean reciprocal rank over a (query, rank, relevance) frame: the
+    * first relevant rank per query via min — no window — reciprocals
+    * snapped to exact micros, and the corpus MRR as ONE division by
+    * the total query count (unanswered queries count in the
+    * denominator, the standard convention).
+    */
+  def mrrAtRank(
+      df: DataFrame, qid: Column, rank0: Column, rel: Column): DataFrame = {
+    val d = df.select(qid.as("_qid"), rank0.cast("long").as("_rank0"),
+      rel.cast("int").as("_rel"))
+      .persist() // feeds the first-hit table AND the query count
+    val firstHit = d.filter(col("_rel") === 1)
+      .groupBy(col("_qid"))
+      .agg(min(col("_rank0") + 1).as("first_rank"))
+    val n = d.select(col("_qid")).distinct()
+      .agg(count(lit(1)).as("_n_queries"))
+    firstHit
+      .select(round(lit(1000000.0) / col("first_rank").cast("double"))
+        .cast("long").as("_rr_micro"))
+      .agg(sum(col("_rr_micro")).as("_sum_rr"),
+        count(lit(1)).as("n_answered"))
+      .crossJoin(broadcast(n))
+      .select(col("n_answered"), col("_n_queries").as("n_queries"),
+        round(col("_sum_rr").cast("double") /
+          col("_n_queries").cast("double") / lit(1000000.0), 6)
+          .as("mrr"))
+  }
 }

@@ -1465,4 +1465,40 @@ object TextOps {
         least(
           size(filter(a, x => x === tk)),
           size(filter(b, x => x === tk))).cast("long"))
+
+  /** ROUGE-1/ROUGE-2 recall + BLEU-2 per candidate/reference token
+    * pair — the generation-eval siblings of the token-F1 scorer. All
+    * n-gram work is [[shingles]] + [[multisetOverlap]] array lambdas
+    * in the scan stage (zero shuffles); ratios snap to micros, and
+    * BLEU-2 = brevity penalty × √(p1·p2) as ONE fixed IEEE chain so
+    * an oracle can replay it. Empty candidates yield NULL BLEU.
+    */
+  def generationScores(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      cand: Column, ref: Column): org.apache.spark.sql.DataFrame = {
+    val grams = df.select(col(idCol),
+      size(cand).cast("long").as("n_c1"),
+      size(ref).cast("long").as("n_r1"),
+      size(shingles(ref, 2)).cast("long").as("n_r2"),
+      size(shingles(cand, 2)).cast("long").as("n_c2"),
+      multisetOverlap(cand, ref).as("ov1"),
+      multisetOverlap(shingles(cand, 2), shingles(ref, 2)).as("ov2"))
+    val e = col("ov1").cast("double") / col("n_c1").cast("double") *
+      (col("ov2").cast("double") / col("n_c2").cast("double"))
+    val bp = when(col("n_c1") >= col("n_r1"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("n_r1").cast("double") / col("n_c1").cast("double")))
+    grams.select(col(idCol), col("n_c1"), col("n_r1"), col("ov1"),
+      col("ov2"),
+      when(col("n_r1") === 0, lit(0L)).otherwise(
+        round(col("ov1") * lit(1000000.0) / col("n_r1")).cast("long"))
+        .as("rouge1_r_micro"),
+      when(col("n_r2") === 0, lit(0L)).otherwise(
+        round(col("ov2") * lit(1000000.0) / col("n_r2")).cast("long"))
+        .as("rouge2_r_micro"),
+      when(col("n_c1") === 0 || col("n_c2") === 0,
+        lit(null).cast("long")).otherwise(
+        round(bp * sqrt(e) * lit(1000000.0)).cast("long"))
+        .as("bleu2_micro"))
+  }
 }

@@ -125,4 +125,104 @@ class AnalyticsOpsSpec extends SparkSpec {
       math.abs(c._1) < 100000L),
       s"off-axis components should be small: ${v.toSeq}")
   }
+
+  test("spearmanByGroup: monotone +1, anti-monotone -1, constant NULL") {
+    val rows =
+      (1 to 20).map(i => ("up", i.toLong, (i * i).toLong)) ++     // ↑↑
+      (1 to 20).map(i => ("down", i.toLong, (100 - i).toLong)) ++ // ↑↓
+      (1 to 20).map(i => ("flat", i.toLong, 7L))                  // b const
+    val out = Relational.spearmanByGroup(rows.toDF("g", "a", "b"),
+      "g", col("a"), col("b"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out("up").contains(1.0), s"monotone: ${out("up")}")
+    assert(out("down").contains(-1.0), s"anti-monotone: ${out("down")}")
+    assert(out("flat").isEmpty, s"constant b must be NULL: ${out("flat")}")
+  }
+
+  test("spearmanByGroup average-tie ranks: ties don't break ±1 " +
+    "when the tie is consistent in both variables") {
+    // a has a tie at 5; b preserves the same ordering incl. the tie
+    val rows = Seq(("t", 1L, 10L), ("t", 5L, 20L), ("t", 5L, 20L),
+      ("t", 9L, 30L))
+    val out = Relational.spearmanByGroup(rows.toDF("g", "a", "b"),
+      "g", col("a"), col("b")).head()
+    assert(out.getDouble(2) == 1.0)
+  }
+
+  test("benfordScreen: digits from exact integers, shares + " +
+    "expectations in micros") {
+    // 6 values: leading digits 1,1,1,2,2,9
+    val df = Seq(1000L, 1500L, 19L, 2L, 250L, 9999L).toDF("v")
+    val out = Relational.benfordScreen(df, col("v"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1)._1 == 3L && out(2)._1 == 2L && out(9)._1 == 1L)
+    assert(out(1)._2 == 500000L) // 3/6
+    assert(out(9)._2 == 166667L) // 1/6
+    assert(out(1)._3 == 301030L) // log10(2) micros
+    assert(out(9)._3 == 45757L)  // log10(10/9) micros
+  }
+
+  test("benfordScreen drops non-positive values") {
+    val df = Seq(-5L, 0L, 30L).toDF("v")
+    val out = Relational.benfordScreen(df, col("v")).collect()
+    assert(out.length == 1 && out.head.getInt(0) == 3 &&
+      out.head.getLong(1) == 1L)
+  }
+
+  test("chiSquareIndependence: independent table has zero terms, " +
+    "dependent table doesn't") {
+    // perfectly independent 2×2: every cell = rowShare × colShare × N
+    val ind = (Seq.fill(40)(("a", "x")) ++ Seq.fill(40)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y")))
+      .toDF("r", "c")
+    val indCells = Relational.chiSquareIndependence(ind, "r", "c")
+      .collect()
+    assert(indCells.length == 4)
+    assert(indCells.forall(_.getLong(4) == 0L),
+      s"independent table must have zero (O-E)^2/E terms")
+    // fully dependent: r determines c
+    val dep = (Seq.fill(50)(("a", "x")) ++ Seq.fill(50)(("b", "y")))
+      .toDF("r", "c")
+    val depChi = Relational.chiSquareIndependence(dep, "r", "c")
+      .collect().map(_.getLong(4)).sum
+    // chi2 for a perfect 2×2 association = N → 100 (in micros: 100e6)
+    assert(depChi == 100000000L, s"chi2_micro=$depChi")
+  }
+
+  test("mrrAtRank: hits at ranks 1 and 2 with one unanswered query " +
+    "average over ALL queries") {
+    val df = Seq(
+      (1L, 0L, 1), (1L, 1L, 0),  // q1: hit at rank 1 → rr 1.0
+      (2L, 0L, 0), (2L, 1L, 1),  // q2: hit at rank 2 → rr 0.5
+      (3L, 0L, 0), (3L, 1L, 0)   // q3: no hit
+    ).toDF("qid", "rank0", "rel")
+    val r = Relational.mrrAtRank(df, col("qid"), col("rank0"),
+      col("rel")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 0.5) // (1.0 + 0.5 + 0) / 3
+  }
+
+  test("generationScores: identical pair scores 1e6 across the " +
+    "board; disjoint pair scores 0; longer candidate has bp = 1") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d"), Seq("a", "b", "c", "d")),
+      (2L, Seq("x", "y", "z", "w"), Seq("a", "b", "c", "d")),
+      (3L, Seq("a", "b", "c", "d", "e"), Seq("a", "b", "c", "d"))
+    ).toDF("id", "cand", "ref")
+    val out = TextOps.generationScores(df, "id", col("cand"), col("ref"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("rouge1_r_micro") == 1000000L)
+    assert(out(1L).getAs[Long]("rouge2_r_micro") == 1000000L)
+    assert(out(1L).getAs[Long]("bleu2_micro") == 1000000L)
+    assert(out(2L).getAs[Long]("rouge1_r_micro") == 0L)
+    assert(out(2L).getAs[Long]("bleu2_micro") == 0L)
+    // candidate ⊃ reference: perfect recall, precision 4/5 and 3/4,
+    // no brevity penalty (c > r)
+    assert(out(3L).getAs[Long]("rouge1_r_micro") == 1000000L)
+    val b3 = out(3L).getAs[Long]("bleu2_micro")
+    val want = math.round(math.sqrt((4.0 / 5.0) * (3.0 / 4.0)) * 1e6)
+    assert(b3 == want, s"bleu2=$b3 want=$want")
+  }
 }

@@ -65,6 +65,34 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("pca", embp, "8", "4"))
   }
 
+  test("spearman / benford / chisq / mrr / rouge stats commands run " +
+    "end to end") {
+    val stats = s"${tmpDir("clistats")}/stats"
+    (1L to 30L).map(i => (s"g${i % 2}", i, i * 3 + i % 2, i % 9 + 1))
+      .toDF("g", "a", "b", "v")
+      .write.mode("overwrite").parquet(stats)
+    graft.cli.Main.main(Array("spearman", stats, "g", "a", "b"))
+    graft.cli.Main.main(Array("benford", stats, "v"))
+    val cat = s"${tmpDir("clicat")}/cat"
+    (1L to 40L).map(i => (s"r${i % 2}", s"c${(i / 2) % 2}"))
+      .toDF("r", "c").write.mode("overwrite").parquet(cat)
+    graft.cli.Main.main(Array("chisq", cat, "r", "c"))
+    val ranked = s"${tmpDir("cliranked")}/ranked"
+    (1L to 20L).map(i => (i % 4, i / 4, if (i % 5 == 0) 1 else 0))
+      .toDF("qid", "rank0", "rel")
+      .write.mode("overwrite").parquet(ranked)
+    graft.cli.Main.main(Array("mrr", ranked, "qid", "rank0", "rel"))
+    val pairs = s"${tmpDir("clipairs")}/pairs"
+    (1L to 10L).map(i => (i, s"the quick fox $i", s"the quick fox ${i + 1}"))
+      .toDF("id", "cand", "ref")
+      .write.mode("overwrite").parquet(pairs)
+    graft.cli.Main.main(Array("rouge", pairs, "id", "cand", "ref"))
+    val rougeOut = tmpDir("cli-rouge-out")
+    graft.cli.Main.main(
+      Array("rouge", pairs, "id", "cand", "ref", rougeOut))
+    assert(spark.read.parquet(rougeOut).count() == 10)
+  }
+
   test("bpe-learn default path is the driver trainer; --distributed " +
     "matches it") {
     val out = tmpDir("cli-bpe")
