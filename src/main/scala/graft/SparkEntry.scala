@@ -1575,14 +1575,21 @@ object SparkEntry {
     * against a SQL replay.
     */
   def q121_ivfpq_refined(s: SparkSession, dir: String): DataFrame = {
+    // in-query index build (the gate artifact; production persists via
+    // pqFitSave) — every model stage feeds 2+ downstream consumers, so
+    // each caches lazily: emb would otherwise re-scan per stage and the
+    // Lloyd-derived codebooks/centroids would re-run their whole
+    // iteration chain per consumer
     val emb = t(s, dir, "embeddings").withColumn("cell", col("label"))
+      .persist()
     val cb = SimSearch.pqFit(emb, "vec_id", "embedding",
-      m = 2, k = 4, iters = 2, dim = 64, bucketWidth = 128L)
+      m = 2, k = 4, iters = 2, dim = 64, bucketWidth = 128L).persist()
     val codes = SimSearch.pqEncode(emb, cb, "vec_id", "embedding",
       m = 2, dim = 64)
       .join(emb.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .persist()
     val centroids = SimSearch.ivfCentroids(emb, "vec_id", "embedding",
-      "cell", dim = 64, bucketWidth = 128L)
+      "cell", dim = 64, bucketWidth = 128L).persist()
     SimSearch.ivfPqTopKRefined(codes, cb, centroids,
       emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
       "vec_id", m = 2, k = 5, candidates = 40, nprobe = 2, dim = 64)
@@ -1617,14 +1624,21 @@ object SparkEntry {
     * hash-gates against the SQL replay.
     */
   def q123_ivfpq_residual(s: SparkSession, dir: String): DataFrame = {
+    // same lazy-cache discipline as q121: the residual chain threads
+    // centroids through fit AND encode AND serving, so un-cached model
+    // stages would replay the Lloyd folds once per consumer (the plan
+    // audit showed 18 parquet scans before caching)
     val emb = t(s, dir, "embeddings").withColumn("cell", col("label"))
+      .persist()
     val cen = SimSearch.ivfCentroids(emb, "vec_id", "embedding", "cell",
-      dim = 64, bucketWidth = 128L)
+      dim = 64, bucketWidth = 128L).persist()
     val cb = SimSearch.pqFitResidual(emb, cen, "vec_id", "embedding",
       "cell", m = 2, k = 4, iters = 2, dim = 64, bucketWidth = 128L)
+      .persist()
     val codes = SimSearch.pqEncodeResidual(emb, cen, cb, "vec_id",
       "embedding", "cell", m = 2, dim = 64)
       .join(emb.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .persist()
     SimSearch.ivfPqTopKRefinedResidual(codes, cb, cen,
       emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
       "vec_id", m = 2, k = 5, candidates = 40, nprobe = 2, dim = 64)
