@@ -1714,10 +1714,14 @@ object SparkEntry {
     * whole margin chain replay in SQL.
     */
   def q127_bitext_mine(s: SparkSession, dir: String): DataFrame = {
+    // each side feeds the forward top-k, the backward top-k AND its
+    // neighborhood-mean normalizer — cache the halves so the margin
+    // chain reads each side once
     val emb = t(s, dir, "embeddings")
-    SimSearch.bitextMine(emb.filter(col("vec_id") % 2 === 0),
-      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
-      k = 4, threshold = 0.0)
+    SimSearch.bitextMine(
+      emb.filter(col("vec_id") % 2 === 0).persist(),
+      emb.filter(col("vec_id") % 2 === 1).persist(),
+      "vec_id", "embedding", k = 4, threshold = 0.0)
   }
 
   /** Per-source document-length distribution drift between the corpus
@@ -2884,6 +2888,7 @@ object SparkEntry {
     */
   def q194_dedup_recall(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
+      .persist() // feeds the base union, three mutate levels and N
     def mutate(k: Int, off: Long): DataFrame = d.select(
       (col("doc_id") + off).as("doc_id"),
       array_join(filter(TextOps.tokensSimple(col("text")),
