@@ -5289,5 +5289,199 @@ object OracleSql {
         |  (round(n_obs::DOUBLE * 1000000.0 / n.n::DOUBLE))::BIGINT
         |    - (round(log10(1.0 + 1.0 / digit::DOUBLE) * 1000000.0))
         |      ::BIGINT AS dev_micro
-        |FROM o, n""".stripMargin)
+        |FROM o, n""".stripMargin,
+
+    // FK orphan audit: per edge, a key-only left join against the
+    // distinct parent keys, folded to one counter row
+    "q231_fk_audit" -> {
+      def edge(name: String, childTable: String, childKey: String,
+          parentSel: String): String =
+        s"""SELECT '$name' AS edge, n_child, n_null_key, n_orphan,
+           |  CASE WHEN n_child - n_null_key = 0 THEN NULL
+           |    ELSE round(n_orphan::DOUBLE /
+           |      (n_child - n_null_key)::DOUBLE, 6) END AS orphan_rate
+           |FROM (SELECT count(*)::BIGINT AS n_child,
+           |    sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END)::BIGINT
+           |      AS n_null_key,
+           |    sum(CASE WHEN c.k IS NOT NULL AND p.p IS NULL
+           |      THEN 1 ELSE 0 END)::BIGINT AS n_orphan
+           |  FROM (SELECT $childKey AS k FROM $childTable) c
+           |  LEFT JOIN (SELECT DISTINCT p FROM ($parentSel)
+           |             WHERE p IS NOT NULL) p
+           |    ON c.k = p.p)""".stripMargin
+      Seq(
+        edge("lineitem->orders", "lineitem", "l_orderkey",
+          "SELECT o_orderkey AS p FROM orders"),
+        edge("lineitem->part", "lineitem", "l_partkey",
+          "SELECT p_partkey AS p FROM part"),
+        edge("orders->customer", "orders", "o_custkey",
+          "SELECT c_custkey AS p FROM customer"),
+        edge("orders->customer_active", "orders", "o_custkey",
+          "SELECT c_custkey AS p FROM customer WHERE c_acctbal > 0"))
+        .mkString("\nUNION ALL\n")
+    },
+
+    // SCD2 history: change flags via lag over (ts, event_id) within
+    // the user, prefix-sum version ids, valid_to from version N+1
+    "q232_scd2_history" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+        |    event_id AS tie, event_type AS attr FROM events),
+        |f AS (SELECT *, CASE WHEN lag(attr) OVER
+        |      (PARTITION BY user_id ORDER BY tse, tie)
+        |      IS NOT DISTINCT FROM attr THEN 0 ELSE 1 END AS chg
+        |  FROM e),
+        |v AS (SELECT *, (sum(chg) OVER (PARTITION BY user_id
+        |      ORDER BY tse, tie ROWS UNBOUNDED PRECEDING))::BIGINT - 1
+        |      AS version
+        |  FROM f),
+        |g AS (SELECT user_id, version,
+        |    min(tse)::BIGINT AS valid_from, min(attr) AS attr,
+        |    count(*)::BIGINT AS n_events
+        |  FROM v GROUP BY 1, 2)
+        |SELECT g.user_id, g.attr, g.valid_from,
+        |  nx.valid_from AS valid_to,
+        |  nx.valid_from IS NULL AS is_current,
+        |  g.version, g.n_events
+        |FROM g LEFT JOIN g nx
+        |  ON g.user_id = nx.user_id AND nx.version = g.version + 1"""
+        .stripMargin,
+
+    // Snapshot diff vs the deterministic synthetic v2: one full outer
+    // join, counters unpivoted from a single aggregated row
+    "q233_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_orderpriority FROM orders),
+        |v2 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN 'X-RUSH'
+        |      ELSE o_orderpriority END AS o_orderpriority
+        |  FROM o WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_custkey, o_orderstatus,
+        |    o_orderpriority FROM o WHERE o_orderkey % 101 = 0),
+        |j AS (SELECT o.o_orderkey AS ok, v2.o_orderkey AS nk,
+        |    o.o_custkey AS oc, v2.o_custkey AS nc,
+        |    o.o_orderstatus AS os, v2.o_orderstatus AS ns,
+        |    o.o_orderpriority AS op, v2.o_orderpriority AS np
+        |  FROM o FULL OUTER JOIN v2 ON o.o_orderkey = v2.o_orderkey),
+        |c AS (SELECT
+        |    sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS added,
+        |    sum(CASE WHEN nk IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS removed,
+        |    sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+        |      AND (oc IS DISTINCT FROM nc OR os IS DISTINCT FROM ns
+        |        OR op IS DISTINCT FROM np) THEN 1 ELSE 0 END)::BIGINT
+        |      AS changed,
+        |    sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+        |      AND oc IS NOT DISTINCT FROM nc
+        |      AND os IS NOT DISTINCT FROM ns
+        |      AND op IS NOT DISTINCT FROM np THEN 1 ELSE 0 END)::BIGINT
+        |      AS unchanged,
+        |    sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+        |      AND oc IS DISTINCT FROM nc THEN 1 ELSE 0 END)::BIGINT
+        |      AS c_custkey,
+        |    sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+        |      AND os IS DISTINCT FROM ns THEN 1 ELSE 0 END)::BIGINT
+        |      AS c_status,
+        |    sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+        |      AND op IS DISTINCT FROM np THEN 1 ELSE 0 END)::BIGINT
+        |      AS c_priority
+        |  FROM j)
+        |SELECT 'added' AS metric, added AS n FROM c
+        |UNION ALL SELECT 'removed', removed FROM c
+        |UNION ALL SELECT 'changed', changed FROM c
+        |UNION ALL SELECT 'unchanged', unchanged FROM c
+        |UNION ALL SELECT 'changed:o_custkey', c_custkey FROM c
+        |UNION ALL SELECT 'changed:o_orderstatus', c_status FROM c
+        |UNION ALL SELECT 'changed:o_orderpriority', c_priority FROM c"""
+        .stripMargin,
+
+    // Per-source ROC-AUC via Mann-Whitney rank sums: doubled
+    // average-tie ranks from prefix sums over the distinct-score
+    // table (no join back to rows)
+    "q234_roc_auc" ->
+      """WITH b AS (SELECT source, n_chars::BIGINT AS s,
+        |    (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM documents),
+        |ps AS (SELECT source, s, count(*)::BIGINT AS cnt,
+        |    sum(y)::BIGINT AS np
+        |  FROM b GROUP BY 1, 2),
+        |r AS (SELECT source, s, cnt, np,
+        |    (2 * (sum(cnt) OVER (PARTITION BY source ORDER BY s) - cnt)
+        |      + cnt + 1)::BIGINT AS r2
+        |  FROM ps),
+        |g AS (SELECT source, sum(cnt)::BIGINT AS n_rows,
+        |    sum(np)::BIGINT AS n_pos, sum(np * r2)::BIGINT AS sr
+        |  FROM r GROUP BY 1)
+        |SELECT source, n_rows, n_pos, (n_rows - n_pos)::BIGINT AS n_neg,
+        |  CASE WHEN n_pos = 0 OR n_rows - n_pos = 0 THEN NULL
+        |    ELSE round((sr - n_pos * (n_pos + 1))::DOUBLE /
+        |      (2 * n_pos * (n_rows - n_pos))::DOUBLE, 6) END AS auc
+        |FROM g""".stripMargin,
+
+    // Cohen's kappa between the q53 language-ID prediction and the
+    // labeled language: contingency cells feed diagonal, margins, N
+    "q235_cohen_kappa" -> {
+      val profs = graft.SparkEntry.gateLangProfiles.toSeq.sortBy(_._1)
+      def scoreExpr(p: Map[String, Double]): String = {
+        val cases = p.toSeq.sorted
+          .map { case (g, w) => s"WHEN '$g' THEN $w" }.mkString(" ")
+        s"""coalesce(list_sum(list_transform(grams,
+           |  g -> CAST(CASE g $cases ELSE 0.0 END AS DOUBLE))), 0.0)"""
+          .stripMargin
+      }
+      val scoreCols = profs
+        .map { case (l, p) => s"${scoreExpr(p)} AS s_$l" }.mkString(",\n  ")
+      val best = profs.map { case (l, _) => s"s_$l" }
+        .mkString("greatest(", ", ", ")")
+      val chain = profs
+        .map { case (l, _) => s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'" }
+        .mkString(" ")
+      s"""WITH g AS (SELECT lang,
+         |        list_transform(range(1, len(lower(text)) - 1),
+         |          i -> substr(lower(text), i, 3)) AS grams
+         |      FROM documents),
+         |s AS (SELECT lang,
+         |  $scoreCols
+         |FROM g),
+         |p AS (SELECT CASE $chain ELSE 'und' END AS a, lang AS b FROM s),
+         |cells AS (SELECT a, b, count(*)::BIGINT AS n FROM p
+         |  GROUP BY 1, 2),
+         |nn AS (SELECT sum(n)::BIGINT AS n_items,
+         |    sum(CASE WHEN a IS NOT DISTINCT FROM b THEN n ELSE 0 END)
+         |      ::BIGINT AS n_agree
+         |  FROM cells),
+         |ma AS (SELECT a, sum(n)::BIGINT AS na FROM cells GROUP BY 1),
+         |mb AS (SELECT b, sum(n)::BIGINT AS nb FROM cells GROUP BY 1),
+         |pe AS (SELECT sum(na * nb)::BIGINT AS pen
+         |  FROM ma JOIN mb ON ma.a IS NOT DISTINCT FROM mb.b),
+         |m AS (SELECT n_items, n_agree,
+         |    (round(n_agree::DOUBLE * 1000000.0 / n_items::DOUBLE))
+         |      ::BIGINT AS po_micro,
+         |    (round(pen::DOUBLE * 1000000.0 /
+         |      (n_items * n_items)::DOUBLE))::BIGINT AS pe_micro
+         |  FROM nn, pe)
+         |SELECT n_items, n_agree, po_micro, pe_micro,
+         |  CASE WHEN pe_micro = 1000000 THEN NULL
+         |    ELSE round((po_micro - pe_micro)::DOUBLE /
+         |      (1000000 - pe_micro)::DOUBLE, 6) END AS kappa
+         |FROM m""".stripMargin
+    },
+
+    // Daily OHLC purchase bars: open/close via struct min/max on
+    // (epoch, event_id), values in exact cents, VWAP micro-snapped
+    "q236_ohlc_bars" ->
+      """WITH v AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+        |    event_id AS tie, (round(value * 100.0))::BIGINT AS vm
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT tse // 86400 AS bucket, tse, tie, vm FROM v)
+        |SELECT bucket,
+        |  (min(struct_pack(t := tse, e := tie, v := vm))).v AS open,
+        |  max(vm) AS high, min(vm) AS low,
+        |  (max(struct_pack(t := tse, e := tie, v := vm))).v AS close,
+        |  count(*)::BIGINT AS volume, sum(vm)::BIGINT AS turnover,
+        |  (round(sum(vm)::DOUBLE * 1000000.0 / count(*)::DOUBLE))
+        |    ::BIGINT AS vwap_micro
+        |FROM b GROUP BY 1""".stripMargin)
 }

@@ -3813,6 +3813,91 @@ object SparkEntry {
       round(col("value") * lit(1000.0)).cast("long"))
   }
 
+  /** Referential-integrity audit over the star schema's FK edges —
+    * three real edges (expected clean) plus one against the
+    * active-customer subset, which manufactures deterministic orphans
+    * so the audit's counting arm is exercised, not just its
+    * all-zeros happy path. Each edge is one key-only left join
+    * aggregated to a single row.
+    */
+  def q231_fk_audit(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val prt = t(s, dir, "part")
+    Diagnose.fkOrphanAudit(Seq(
+      Diagnose.FkEdge("lineitem->orders", li, col("l_orderkey"),
+        ord, col("o_orderkey")),
+      Diagnose.FkEdge("lineitem->part", li, col("l_partkey"),
+        prt, col("p_partkey")),
+      Diagnose.FkEdge("orders->customer", ord, col("o_custkey"),
+        cust, col("c_custkey")),
+      Diagnose.FkEdge("orders->customer_active", ord, col("o_custkey"),
+        cust.filter(col("c_acctbal") > 0), col("c_custkey"))))
+  }
+
+  /** SCD2 dimension history from the event changelog: per user, runs
+    * of consecutive equal event types collapse to versions with
+    * validity intervals — every window partitions by user, the
+    * valid-to lookup is an ids-only self equi-join.
+    */
+  def q232_scd2_history(s: SparkSession, dir: String): DataFrame =
+    Relational.scd2History(t(s, dir, "events"), "user_id",
+      col("ts"), col("event_id"), col("event_type"))
+
+  /** Snapshot diff between orders and a deterministic synthetic v2
+    * (the q128 synthetic-snapshot convention): keys ≡ 0 (mod 97)
+    * removed, priorities rewritten at keys ≡ 0 (mod 13), negated-key
+    * copies added at keys ≡ 0 (mod 101). One full outer join on the
+    * key is the only corpus-scale op; the counters unpivot from a
+    * single aggregated row.
+    */
+  def q233_snapshot_diff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"))
+    val v2 = o.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 13 === 0, lit("X-RUSH"))
+          .otherwise(col("o_orderpriority")))
+      .unionByName(o.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", -col("o_orderkey")))
+    Relational.snapshotDiff(o, v2, Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+  }
+
+  /** Per-source ROC-AUC of doc length as an is-English classifier —
+    * the Mann-Whitney rank-sum identity with doubled average-tie
+    * ranks from prefix sums over the distinct-score table (q229's
+    * rank discipline); no global window, no join back to rows.
+    */
+  def q234_roc_auc(s: SparkSession, dir: String): DataFrame =
+    Relational.rocAucByGroup(t(s, dir, "documents"), "source",
+      col("n_chars"), (col("lang") === lit("en")).cast("long"))
+
+  /** Cohen's kappa between the n-gram language-ID prediction (q53's
+    * classifier) and the labeled language — chance-corrected
+    * agreement beside q183's confusion matrix. One contingency pass;
+    * the cell table feeds diagonal, margins and N.
+    */
+  def q235_cohen_kappa(s: SparkSession, dir: String): DataFrame = {
+    val pred = docs(s, dir).select(col("lang"),
+      TextOps.langIdProfile(
+        TextOps.charGrams(lower(col("text")), 3), gateLangProfiles)
+        .as("lang_pred"))
+    Relational.cohenKappa(pred, col("lang_pred"), col("lang"))
+  }
+
+  /** Daily OHLC bars over purchase values in exact cents: open/close
+    * via struct min/max on (epoch, event_id) — one aggregation pass,
+    * no window, no sort; VWAP micro-snapped.
+    */
+  def q236_ohlc_bars(s: SparkSession, dir: String): DataFrame =
+    Relational.ohlcBars(
+      t(s, dir, "events").filter(col("event_type") === "purchase"),
+      col("ts"), col("event_id"),
+      round(col("value") * lit(100.0)).cast("long"), 86400L)
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4047,7 +4132,13 @@ object SparkEntry {
     "q227_rouge_bleu" -> (q227_rouge_bleu(_, _)),
     "q228_chi_square" -> (q228_chi_square(_, _)),
     "q229_spearman" -> (q229_spearman(_, _)),
-    "q230_benford" -> (q230_benford(_, _)))
+    "q230_benford" -> (q230_benford(_, _)),
+    "q231_fk_audit" -> (q231_fk_audit(_, _)),
+    "q232_scd2_history" -> (q232_scd2_history(_, _)),
+    "q233_snapshot_diff" -> (q233_snapshot_diff(_, _)),
+    "q234_roc_auc" -> (q234_roc_auc(_, _)),
+    "q235_cohen_kappa" -> (q235_cohen_kappa(_, _)),
+    "q236_ohlc_bars" -> (q236_ohlc_bars(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -54,6 +54,12 @@ import graft.schema.Vintages
   * graft.cli.Main quantiles <parquet> <keyCol> <valCol> [k]   // sketch-tier p50/p90/p99
   * graft.cli.Main outliers <parquet> <keyCol> <valCol> [k] [c]   // sketch-tier median/MAD screen
   * graft.cli.Main emb-drift <oldEmb> <newEmb> <groupCol> [dim]   // cross-snapshot mean-vector cosine
+  * graft.cli.Main fk-audit <child> <childKey> <parent> <parentKey>   // referential-integrity orphan screen
+  * graft.cli.Main scd2 <parquet> <keyCol> <tsCol> <tieCol> <attrCol> <outDir>   // SCD2 version history
+  * graft.cli.Main snapshot-diff <old> <new> <keyCols,csv> <cmpCols,csv>   // per-commit change audit
+  * graft.cli.Main roc-auc <parquet> <groupCol> <scoreCol> <labelCol>   // rank-sum AUC per group
+  * graft.cli.Main kappa <parquet> <colA> <colB>   // inter-annotator agreement
+  * graft.cli.Main ohlc <parquet> <tsCol> <tieCol> <valCol> <outDir> [bucketSec]   // candlestick bars
   * graft.cli.Main pagerank <edges> <outDir> [iters] [damping]   // link-graph quality prior
   * graft.cli.Main harmonic <edges> <outDir> [rounds] [k]   // HyperBall harmonic centrality
   * graft.cli.Main triangles <edges> <outDir>   // degree-ordered triangle counts
@@ -901,6 +907,83 @@ object Main {
           println(s"[emb-drift] ${r.get(0)}: n_old=${r.getLong(1)} " +
             s"n_new=${r.getLong(2)} mean_cos=${r.get(3)}")
         }
+      done(spark)
+
+    // referential-integrity orphan screen over one FK edge
+    case "fk-audit" :: childPath :: childKey :: parentPath ::
+        parentKey :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Diagnose.fkOrphanAudit(Seq(
+        graft.operators.Diagnose.FkEdge(s"$childKey->$parentKey",
+          spark.read.parquet(childPath), col(childKey),
+          spark.read.parquet(parentPath), col(parentKey)))).head()
+      println(s"[fk-audit] ${r.getString(0)}: n_child=${r.getLong(1)} " +
+        s"n_null_key=${r.getLong(2)} n_orphan=${r.getLong(3)} " +
+        s"orphan_rate=${r.get(4)}")
+      done(spark)
+
+    // SCD2 version history from a keyed changelog
+    case "scd2" :: path :: keyCol :: tsCol :: tieCol :: attrCol ::
+        outDir :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val hist = graft.operators.Relational.scd2History(
+        spark.read.parquet(path), keyCol, col(tsCol), col(tieCol),
+        col(attrCol))
+      hist.write.mode("overwrite").parquet(outDir)
+      val n = spark.read.parquet(outDir)
+      println(s"[scd2] ${n.count()} versions " +
+        s"(${n.filter(col("is_current")).count()} current) -> $outDir")
+      done(spark)
+
+    // keyed snapshot diff: added/removed/changed/unchanged + per-col
+    case "snapshot-diff" :: oldPath :: newPath :: keysCsv ::
+        cmpCsv :: Nil =>
+      val spark = session()
+      graft.operators.Relational.snapshotDiff(
+        spark.read.parquet(oldPath), spark.read.parquet(newPath),
+        keysCsv.split(',').toSeq, cmpCsv.split(',').toSeq)
+        .collect().foreach { r =>
+          println(s"[snapshot-diff] ${r.getString(0)}=${r.getLong(1)}")
+        }
+      done(spark)
+
+    // per-group rank-sum ROC-AUC of a score against a 0/1 label
+    case "roc-auc" :: path :: groupCol :: scoreCol :: labelCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      graft.operators.Relational.rocAucByGroup(
+        spark.read.parquet(path), groupCol, col(scoreCol),
+        col(labelCol))
+        .orderBy(col(groupCol)).collect().foreach { r =>
+          println(s"[roc-auc] ${r.get(0)}: n=${r.getLong(1)} " +
+            s"pos=${r.getLong(2)} neg=${r.getLong(3)} auc=${r.get(4)}")
+        }
+      done(spark)
+
+    // Cohen's kappa between two categorical columns
+    case "kappa" :: path :: colA :: colB :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.cohenKappa(
+        spark.read.parquet(path), col(colA), col(colB)).head()
+      println(s"[kappa] n=${r.getLong(0)} agree=${r.getLong(1)} " +
+        s"po_micro=${r.getLong(2)} pe_micro=${r.getLong(3)} " +
+        s"kappa=${r.get(4)}")
+      done(spark)
+
+    // OHLC bars over an exact-integer value column
+    case "ohlc" :: path :: tsCol :: tieCol :: valCol :: outDir :: rest =>
+      import org.apache.spark.sql.functions.col
+      val bucketSec = rest.headOption.map(_.toLong).getOrElse(86400L)
+      val spark = session()
+      val bars = graft.operators.Relational.ohlcBars(
+        spark.read.parquet(path), col(tsCol), col(tieCol),
+        col(valCol), bucketSec)
+      bars.write.mode("overwrite").parquet(outDir)
+      println(s"[ohlc] ${spark.read.parquet(outDir).count()} bars " +
+        s"(bucket ${bucketSec}s) -> $outDir")
       done(spark)
 
     // WebDataset tar shard export: reproducible shuffle order →

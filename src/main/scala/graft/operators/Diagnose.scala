@@ -171,4 +171,47 @@ object Diagnose {
       round(col("n_violations").cast("double") /
         col("n_rows").cast("double"), 6).as("violation_rate"))
   }
+
+  /** One referential-integrity edge for [[fkOrphanAudit]]: child rows
+    * whose `childKey` has no match in `parent`'s `parentKey`.
+    */
+  final case class FkEdge(
+      name: String, child: DataFrame, childKey: Column,
+      parent: DataFrame, parentKey: Column)
+
+  /** Referential-integrity audit across foreign-key edges — the
+    * orphan screen a lake runs before trusting joins: per edge, how
+    * many child rows reference a parent key that does not exist
+    * (NULL child keys are counted separately — a null FK is a
+    * different contract question than a dangling one). Per edge the
+    * parent contributes only its DISTINCT key column and the child
+    * only its key column; the left join aggregates straight to one
+    * row, so nothing wider than a key ever shuffles and the whole
+    * audit is |edges| key-joins that run independently. Integer
+    * counts + one division per edge, so the report hash-gates.
+    *
+    * Output (one row per edge): `edge`, `n_child`, `n_null_key`,
+    * `n_orphan`, `orphan_rate` (orphans over non-null child keys;
+    * NULL when the child has no non-null keys).
+    */
+  def fkOrphanAudit(edges: Seq[FkEdge]): DataFrame = {
+    require(edges.nonEmpty, "need at least one FK edge")
+    edges.map { e =>
+      val ck = e.child.select(e.childKey.as("_k"))
+      val pk = e.parent.select(e.parentKey.as("_p"))
+        .filter(col("_p").isNotNull).distinct()
+      ck.join(pk, col("_k") === col("_p"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("_k").isNull, 1L).otherwise(0L)).as("n_null_key"),
+          sum(when(col("_k").isNotNull && col("_p").isNull, 1L)
+            .otherwise(0L)).as("n_orphan"))
+        .select(lit(e.name).as("edge"), col("n_child"),
+          col("n_null_key"), col("n_orphan"),
+          when(col("n_child") - col("n_null_key") === 0,
+            lit(null).cast("double"))
+            .otherwise(round(col("n_orphan").cast("double") /
+              (col("n_child") - col("n_null_key")).cast("double"), 6))
+            .as("orphan_rate"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -1626,4 +1626,217 @@ object Relational {
           col("_n_queries").cast("double") / lit(1000000.0), 6)
           .as("mrr"))
   }
+
+  /** SCD-type-2 history from an append-only changelog (Kimball's
+    * slowly-changing-dimension build, the lakehouse MERGE-history
+    * shape): consecutive rows per key collapse into versions wherever
+    * the tracked attribute CHANGES, each version carrying its validity
+    * interval. Order within a key is `(tsCol, tieCol)` — the tie
+    * column makes equal-timestamp logs deterministic. Every window
+    * here partitions by the key, so state per task is one key's
+    * changelog, never the corpus; version rows then aggregate
+    * one-per-(key, version) and the valid-to lookup joins version N to
+    * N+1 — ids-only, bounded by the version count.
+    *
+    * Output: key, `attr` (the version's value), `valid_from` /
+    * `valid_to` (epoch seconds; `valid_to` NULL for the current
+    * version), `is_current`, `version` (0-based per key), `n_events`
+    * (changelog rows in the version).
+    */
+  def scd2History(
+      df: DataFrame, keyCol: String, tsCol: Column, tieCol: Column,
+      attrCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_tse"), col("_tie"))
+    val flagged = df
+      .select(col(keyCol), unix_timestamp(tsCol).as("_tse"),
+        tieCol.as("_tie"), attrCol.as("attr"))
+      .withColumn("_chg",
+        when(lag(col("attr"), 1).over(w) <=> col("attr"), 0L)
+          .otherwise(1L))
+    // version id = prefix sum of change flags (first row flags 1 —
+    // lag is NULL, never null-safe-equal to a real value)
+    val versioned = flagged
+      .withColumn("version",
+        sum(col("_chg")).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)) - 1L)
+      .groupBy(col(keyCol), col("version"))
+      .agg(min(col("_tse")).as("valid_from"),
+        // attr is constant within a version by construction; min is
+        // the deterministic way to read it off the group
+        min(col("attr")).as("attr"),
+        count(lit(1)).as("n_events"))
+    val nxt = versioned.select(col(keyCol),
+      (col("version") - 1L).as("version"),
+      col("valid_from").as("valid_to"))
+    versioned.join(nxt, Seq(keyCol, "version"), "left")
+      .select(col(keyCol), col("attr"), col("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"),
+        col("version"), col("n_events"))
+  }
+
+  /** Snapshot diff between two keyed table versions — the audit a
+    * lake emits per commit: row-level added/removed/changed/unchanged
+    * counts plus per-column change counts among surviving rows. ONE
+    * full outer join on the key is the only corpus-scale operation;
+    * everything else folds that join to a single row of counters and
+    * unpivots the (tiny) counter row into `(metric, n)` rows. Change
+    * tests are null-safe (`<=>`), so NULL→value and value→NULL both
+    * count as changes.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty,
+      "need key and compare columns")
+    val o = oldDf.select(
+      (keyCols.map(col) :+
+        struct(compareCols.map(col): _*).as("_ov")): _*)
+    val n = newDf.select(
+      (keyCols.map(col) :+
+        struct(compareCols.map(col): _*).as("_nv")): _*)
+    val j = o.join(n, keyCols, "full_outer")
+    val added = sum(when(col("_ov").isNull, 1L).otherwise(0L))
+    val removed = sum(when(col("_nv").isNull, 1L).otherwise(0L))
+    val both = col("_ov").isNotNull && col("_nv").isNotNull
+    val changed = sum(when(both && !(col("_ov") <=> col("_nv")), 1L)
+      .otherwise(0L))
+    val unchanged = sum(when(both && (col("_ov") <=> col("_nv")), 1L)
+      .otherwise(0L))
+    val perCol = compareCols.map { c =>
+      sum(when(both &&
+        !(col("_ov").getField(c) <=> col("_nv").getField(c)), 1L)
+        .otherwise(0L)).as(s"_c_$c")
+    }
+    val row = j.agg(added.as("_added"),
+      (Seq(removed.as("_removed"), changed.as("_changed"),
+        unchanged.as("_unchanged")) ++ perCol): _*)
+    val metrics =
+      Seq("added" -> "_added", "removed" -> "_removed",
+        "changed" -> "_changed", "unchanged" -> "_unchanged") ++
+        compareCols.map(c => s"changed:$c" -> s"_c_$c")
+    row.select(explode(array(metrics.map { case (name, c) =>
+      struct(lit(name).as("metric"), col(c).as("n"))
+    }: _*)).as("_m")).select(col("_m.metric").as("metric"),
+      col("_m.n").as("n"))
+  }
+
+  /** Per-group ROC-AUC WITHOUT a global window, via the Mann-Whitney
+    * rank-sum identity AUC = (Σ rank⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with
+    * average-tie ranks. Ranks are DOUBLED to stay integer (the
+    * [[spearmanByGroup]] trick) and come from per-group prefix sums
+    * over the DISTINCT-SCORE table — the corpus contributes one
+    * `(group, score)` groupBy carrying the positive count per score,
+    * so Σ rank⁺ needs NO join back to rows:
+    * 2·Σ rank⁺ = Σ_s n⁺(s)·r2(s). The only window partitions by group
+    * over ≤|distinct scores| rows; moments are BIGINT (overflow-safe
+    * to ~3·10⁹ rows/group) and the statistic is one division, so it
+    * hash-gates. Degenerate groups (no positives or no negatives)
+    * yield NULL.
+    */
+  def rocAucByGroup(
+      df: DataFrame, groupCol: String, scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = df
+      .select(col(groupCol), scoreCol.cast("long").as("_s"),
+        labelCol.cast("long").as("_y"))
+      .groupBy(col(groupCol), col("_s"))
+      .agg(count(lit(1)).as("_cnt"), sum(col("_y")).as("_np"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_s"))
+    val ranked = perScore.withColumn("_r2",
+      lit(2L) * (sum(col("_cnt")).over(w) - col("_cnt")) +
+        col("_cnt") + lit(1L))
+    val g = ranked.groupBy(col(groupCol)).agg(
+      sum(col("_cnt")).as("n_rows"),
+      sum(col("_np")).as("n_pos"),
+      sum(col("_np") * col("_r2")).as("_sum_r2_pos"))
+    val nPos = col("n_pos")
+    val nNeg = col("n_rows") - col("n_pos")
+    g.select(col(groupCol), col("n_rows"), nPos.as("n_pos"),
+      nNeg.as("n_neg"),
+      when(nPos === 0L || nNeg === 0L, lit(null).cast("double"))
+        .otherwise(round(
+          (col("_sum_r2_pos") - nPos * (nPos + 1L)).cast("double") /
+            (lit(2L) * nPos * nNeg).cast("double"), 6)).as("auc"))
+  }
+
+  /** Cohen's kappa between two categorical raters — the
+    * inter-annotator-agreement number a labeling pipeline reports
+    * beside its confusion matrix: κ = (p_o − p_e)/(1 − p_e) with
+    * p_o the diagonal share and p_e the chance agreement from the
+    * marginal products. ONE contingency pass over the frame; the
+    * persisted cell table (≤ |A|·|B| rows) feeds diagonal, margins
+    * and N, and the joint-marginal product folds over the broadcast
+    * margin tables. Shares are micro-snapped so κ is one division of
+    * two exact integers, rounded once (NULL when p_e = 1 — a
+    * single-category degenerate table has no chance-corrected
+    * agreement).
+    *
+    * Output (1 row): `n_items`, `n_agree`, `po_micro`, `pe_micro`,
+    * `kappa`.
+    */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column)
+      : DataFrame = {
+    val cells = df.select(raterA.as("_a"), raterB.as("_b"))
+      .groupBy(col("_a"), col("_b"))
+      .agg(count(lit(1)).as("_n"))
+      .persist() // feeds diagonal, both margins and N
+    val n = cells.agg(sum(col("_n")).as("n_items"),
+      sum(when(col("_a") <=> col("_b"), col("_n")).otherwise(0L))
+        .as("n_agree"))
+    val ma = cells.groupBy(col("_a").as("_ca"))
+      .agg(sum(col("_n")).as("_na"))
+    val mb = cells.groupBy(col("_b").as("_cb"))
+      .agg(sum(col("_n")).as("_nb"))
+    val pe = ma.join(mb, col("_ca") <=> col("_cb"))
+      .agg(sum(col("_na") * col("_nb")).as("_pe_num"))
+    n.crossJoin(broadcast(pe))
+      .select(col("n_items"), col("n_agree"),
+        round(col("n_agree").cast("double") * lit(1000000.0) /
+          col("n_items").cast("double")).cast("long").as("po_micro"),
+        round(col("_pe_num").cast("double") * lit(1000000.0) /
+          (col("n_items") * col("n_items")).cast("double")).cast("long")
+          .as("pe_micro"))
+      .select(col("n_items"), col("n_agree"), col("po_micro"),
+        col("pe_micro"),
+        when(col("pe_micro") === 1000000L, lit(null).cast("double"))
+          .otherwise(round(
+            (col("po_micro") - col("pe_micro")).cast("double") /
+              (lit(1000000L) - col("pe_micro")).cast("double"), 6))
+          .as("kappa"))
+  }
+
+  /** OHLC bars (candlesticks) over an exact-integer value column:
+    * per time bucket, open/close are the values at the FIRST/LAST
+    * `(epoch, tie)` position via struct min/max — no window, no
+    * sort, one aggregation pass over the frame — plus high, low,
+    * volume, turnover and the volume-weighted average (one exact
+    * integer division, micro-snapped). The tie column makes
+    * equal-timestamp rows deterministic, so the bars hash-gate.
+    */
+  def ohlcBars(
+      df: DataFrame, tsCol: Column, tieCol: Column, valueInt: Column,
+      bucketSec: Long = 86400L): DataFrame = {
+    val tse = unix_timestamp(tsCol)
+    df.select(
+      floor(tse / lit(bucketSec)).cast("long").as("bucket"),
+      tse.as("_tse"), tieCol.as("_tie"),
+      valueInt.cast("long").as("_v"))
+      .groupBy(col("bucket"))
+      .agg(
+        min(struct(col("_tse"), col("_tie"), col("_v")))
+          .getField("_v").as("open"),
+        max(col("_v")).as("high"),
+        min(col("_v")).as("low"),
+        max(struct(col("_tse"), col("_tie"), col("_v")))
+          .getField("_v").as("close"),
+        count(lit(1)).as("volume"),
+        sum(col("_v")).as("turnover"))
+      .select(col("bucket"), col("open"), col("high"), col("low"),
+        col("close"), col("volume"), col("turnover"),
+        round(col("turnover").cast("double") * lit(1000000.0) /
+          col("volume").cast("double")).cast("long").as("vwap_micro"))
+  }
 }

@@ -350,4 +350,30 @@ class CliSmokeSpec extends SparkSpec {
     // refined output carries exact cosine, not ADC distance
     assert(refined.columns.contains("cos_sim"))
   }
+
+  test("fk-audit / scd2 / snapshot-diff / roc-auc / kappa / ohlc " +
+    "table-audit commands run end to end") {
+    graft.cli.Main.main(Array("fk-audit", eventsPath, "user_id",
+      eventsPath, "user_id"))
+    val scdOut = tmpDir("cli-scd2")
+    graft.cli.Main.main(Array("scd2", eventsPath, "user_id", "ts",
+      "event_id", "event_type", scdOut))
+    val hist = spark.read.parquet(scdOut)
+    assert(hist.count() > 0)
+    // exactly one current version per user
+    assert(hist.filter(col("is_current")).count() ==
+      hist.select("user_id").distinct().count())
+    graft.cli.Main.main(Array("snapshot-diff", corpusPath, corpusPath,
+      "doc_id", "text,source"))
+    val labeled = s"${tmpDir("clilab")}/lab"
+    (1L to 30L).map(i => ("g", i, if (i > 15) 1L else 0L))
+      .toDF("g", "s", "y").write.mode("overwrite").parquet(labeled)
+    graft.cli.Main.main(Array("roc-auc", labeled, "g", "s", "y"))
+    graft.cli.Main.main(Array("kappa", eventsPath, "event_type",
+      "event_type"))
+    val ohlcOut = tmpDir("cli-ohlc")
+    graft.cli.Main.main(Array("ohlc", eventsPath, "ts", "event_id",
+      "value", ohlcOut))
+    assert(spark.read.parquet(ohlcOut).count() > 0)
+  }
 }

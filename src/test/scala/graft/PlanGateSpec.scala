@@ -290,8 +290,11 @@ class PlanGateSpec extends SparkSpec {
                                // broadcast 1-row query count
       "q228_chi_square",       // 4-cell contingency table ×
                                // broadcast 1-row N
-      "q230_benford")          // 9-digit histogram × broadcast
+      "q230_benford",          // 9-digit histogram × broadcast
                                // 1-row total
+      "q235_cohen_kappa")      // 1-row (n, agree) × broadcast 1-row
+                               // chance-agreement sum (q228's shape;
+                               // margin joins are null-safe equi)
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Diagnose, Relational}
+
+/** Unit coverage for the table-audit / eval family added with
+  * q231-q236: FK orphan counting, SCD2 interval building, snapshot
+  * diff counters, rank-sum ROC-AUC, Cohen's kappa, and OHLC bars —
+  * hand-computed fixtures pinning the algebra the oracle gate then
+  * replays at corpus scale.
+  */
+class TableAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fkOrphanAudit counts nulls and orphans separately; a " +
+    "no-valid-keys child yields a NULL rate") {
+    val child = Seq(Some(1L), Some(2L), Some(3L), None, Some(99L))
+      .toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("p")
+    val r = Diagnose.fkOrphanAudit(Seq(
+      Diagnose.FkEdge("c->p", child, col("k"), parent, col("p"))))
+      .head()
+    assert(r.getAs[Long]("n_child") == 5L)
+    assert(r.getAs[Long]("n_null_key") == 1L)
+    assert(r.getAs[Long]("n_orphan") == 1L)
+    assert(r.getAs[Double]("orphan_rate") == 0.25)
+    val allNull = Seq[Option[Long]](None, None).toDF("k")
+    val r2 = Diagnose.fkOrphanAudit(Seq(
+      Diagnose.FkEdge("n->p", allNull, col("k"), parent, col("p"))))
+      .head()
+    assert(r2.getAs[Long]("n_orphan") == 0L)
+    assert(r2.isNullAt(r2.fieldIndex("orphan_rate")))
+  }
+
+  test("scd2History collapses equal-attr runs into versions with " +
+    "correct intervals; re-entering a value opens a NEW version") {
+    val log = Seq(
+      (7L, 1L, 1L, "A"), (7L, 2L, 2L, "A"),
+      (7L, 3L, 3L, "B"), (7L, 4L, 4L, "A"))
+      .toDF("u", "tse", "eid", "attr")
+      .select(col("u"), timestamp_seconds(col("tse")).as("ts"),
+        col("eid"), col("attr"))
+    val got = Relational.scd2History(log, "u", col("ts"), col("eid"),
+      col("attr"))
+      .orderBy("version")
+      .select("attr", "valid_from", "valid_to", "is_current",
+        "version", "n_events")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == Seq(
+      ("A", 1L, 3L, false, 0L, 2L),
+      ("B", 3L, 4L, false, 1L, 1L),
+      ("A", 4L, -1L, true, 2L, 1L)))
+  }
+
+  test("scd2History breaks equal-timestamp ties on the tie column") {
+    val log = Seq((1L, 10L, 2L, "B"), (1L, 10L, 1L, "A"))
+      .toDF("u", "tse", "eid", "attr")
+      .select(col("u"), timestamp_seconds(col("tse")).as("ts"),
+        col("eid"), col("attr"))
+    val versions = Relational.scd2History(log, "u", col("ts"),
+      col("eid"), col("attr"))
+      .orderBy("version").select("attr").as[String].collect().toSeq
+    assert(versions == Seq("A", "B"))
+  }
+
+  test("snapshotDiff counts added/removed/changed/unchanged and " +
+    "per-column changes; null-to-value counts as a change") {
+    val oldDf = Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
+      .toDF("k", "v")
+    val newDf = Seq((2L, Some("b")), (3L, Some("x")), (4L, Some("d")))
+      .toDF("k", "v")
+    val m = Relational.snapshotDiff(oldDf, newDf, Seq("k"), Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("added" -> 1L, "removed" -> 1L, "changed" -> 1L,
+      "unchanged" -> 1L, "changed:v" -> 1L))
+  }
+
+  test("rocAucByGroup: perfect separation scores 1, inverted 0, " +
+    "all-tied 0.5, single-class NULL") {
+    val df = Seq(
+      // g1: positives strictly above negatives
+      ("g1", 4L, 1L), ("g1", 3L, 1L), ("g1", 2L, 0L), ("g1", 1L, 0L),
+      // g2: inverted
+      ("g2", 1L, 1L), ("g2", 2L, 0L),
+      // g3: one tied score for both classes
+      ("g3", 5L, 1L), ("g3", 5L, 0L),
+      // g4: positives only
+      ("g4", 1L, 1L), ("g4", 2L, 1L))
+      .toDF("g", "s", "y")
+    val m = Relational.rocAucByGroup(df, "g", col("s"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(r.fieldIndex("auc"))) Double.NaN
+         else r.getAs[Double]("auc"))).toMap
+    assert(m("g1") == 1.0)
+    assert(m("g2") == 0.0)
+    assert(m("g3") == 0.5)
+    assert(m("g4").isNaN)
+  }
+
+  test("cohenKappa: perfect agreement is 1, perfect disagreement on " +
+    "a symmetric 2x2 is -1") {
+    val agree = Seq(("x", "x"), ("y", "y")).toDF("a", "b")
+    val k1 = Relational.cohenKappa(agree, col("a"), col("b")).head()
+    assert(k1.getAs[Long]("n_agree") == 2L)
+    assert(k1.getAs[Double]("kappa") == 1.0)
+    val disagree = Seq(("x", "y"), ("y", "x")).toDF("a", "b")
+    val k2 = Relational.cohenKappa(disagree, col("a"), col("b")).head()
+    assert(k2.getAs[Long]("n_agree") == 0L)
+    assert(k2.getAs[Double]("kappa") == -1.0)
+  }
+
+  test("cohenKappa: a single-category degenerate table yields NULL") {
+    val same = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val r = Relational.cohenKappa(same, col("a"), col("b")).head()
+    assert(r.getAs[Long]("po_micro") == 1000000L)
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+  }
+
+  test("ohlcBars: open/close follow (epoch, tie) order, equal-ts " +
+    "rows break on the tie column") {
+    val rows = Seq(
+      (100L, 1L, 10L), (200L, 2L, 30L), (300L, 3L, 20L), // day 0
+      (86400L + 10L, 5L, 7L), (86400L + 10L, 4L, 9L)) // day 1: ts tie
+      .toDF("tse", "eid", "v")
+      .select(timestamp_seconds(col("tse")).as("ts"), col("eid"),
+        col("v"))
+    val got = Relational.ohlcBars(rows, col("ts"), col("eid"),
+      col("v"), 86400L)
+      .orderBy("bucket").collect()
+    val d0 = got(0)
+    assert(d0.getAs[Long]("open") == 10L)
+    assert(d0.getAs[Long]("high") == 30L)
+    assert(d0.getAs[Long]("low") == 10L)
+    assert(d0.getAs[Long]("close") == 20L)
+    assert(d0.getAs[Long]("volume") == 3L)
+    assert(d0.getAs[Long]("turnover") == 60L)
+    assert(d0.getAs[Long]("vwap_micro") == 20000000L)
+    val d1 = got(1)
+    // equal timestamps: eid=4 is the earlier (open), eid=5 the close
+    assert(d1.getAs[Long]("open") == 9L)
+    assert(d1.getAs[Long]("close") == 7L)
+  }
+}
