@@ -5483,5 +5483,136 @@ object OracleSql {
         |  count(*)::BIGINT AS volume, sum(vm)::BIGINT AS turnover,
         |  (round(sum(vm)::DOUBLE * 1000000.0 / count(*)::DOUBLE))
         |    ::BIGINT AS vwap_micro
-        |FROM b GROUP BY 1""".stripMargin)
+        |FROM b GROUP BY 1""".stripMargin,
+
+    // Order-free content fingerprint: XOR fold of 60-bit md5 row
+    // hashes over the canonical \x01-joined row string
+    "q237_dataset_fingerprint" ->
+      """SELECT source, count(*)::BIGINT AS n_rows,
+        |  bit_xor(('0x' || substr(md5(
+        |    doc_id::VARCHAR || chr(1) || text || chr(1) || lang
+        |      || chr(1) || n_chars::VARCHAR), 1, 15))::BIGINT)
+        |    ::BIGINT AS fingerprint
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // Mann-Kendall trend: sign pairs from the bounded series
+    // self-join, tie-corrected variance, continuity-corrected z
+    "q238_trend_screen" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    count(*)::BIGINT AS v
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (SELECT a.g,
+        |    sum(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1
+        |      ELSE 0 END)::BIGINT AS s_stat
+        |  FROM s a JOIN s b ON a.g = b.g AND a.day < b.day
+        |  GROUP BY 1),
+        |ties AS (SELECT g, sum(t)::BIGINT AS n,
+        |    sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tieterm
+        |  FROM (SELECT g, v, count(*)::BIGINT AS t FROM s
+        |        GROUP BY 1, 2) GROUP BY 1)
+        |SELECT t.g AS event_type, t.n AS n_days,
+        |  coalesce(p.s_stat, 0)::BIGINT AS s_stat,
+        |  (t.n * (t.n - 1) * (2 * t.n + 5) - t.tieterm)::BIGINT
+        |    AS var18,
+        |  CASE WHEN t.n < 2
+        |      OR t.n * (t.n - 1) * (2 * t.n + 5) - t.tieterm <= 0
+        |    THEN NULL
+        |    ELSE (round((CASE
+        |        WHEN coalesce(p.s_stat, 0) > 0
+        |          THEN (coalesce(p.s_stat, 0) - 1)::DOUBLE
+        |        WHEN coalesce(p.s_stat, 0) < 0
+        |          THEN (coalesce(p.s_stat, 0) + 1)::DOUBLE
+        |        ELSE 0.0 END /
+        |      sqrt((t.n * (t.n - 1) * (2 * t.n + 5) - t.tieterm)
+        |        ::DOUBLE / 18.0)) * 1000000.0))::BIGINT END AS z_micro
+        |FROM ties t LEFT JOIN pairs p ON t.g = p.g""".stripMargin,
+
+    // CUSUM changepoint: exact integer cumulative deviations against
+    // the micro-snapped mean; argmax |C| with earliest-day ties via
+    // struct max
+    "q239_changepoint" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    count(*)::BIGINT AS v
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT g, count(*)::BIGINT AS n_days,
+        |    (round(sum(v)::DOUBLE * 1000000.0 / count(*)::DOUBLE))
+        |      ::BIGINT AS mean_micro
+        |  FROM s GROUP BY 1),
+        |dev AS (SELECT s.g, s.day, tot.n_days, tot.mean_micro,
+        |    (sum(s.v * 1000000 - tot.mean_micro) OVER
+        |      (PARTITION BY s.g ORDER BY s.day
+        |       ROWS UNBOUNDED PRECEDING))::BIGINT AS c
+        |  FROM s JOIN tot ON s.g = tot.g)
+        |SELECT g AS event_type, min(n_days)::BIGINT AS n_days,
+        |  min(mean_micro)::BIGINT AS mean_micro,
+        |  (-(max(struct_pack(a := abs(c), nd := -day)).nd))::BIGINT
+        |    AS cp_day,
+        |  (max(struct_pack(a := abs(c), nd := -day)).a)::BIGINT
+        |    AS max_dev_micro
+        |FROM dev GROUP BY 1""".stripMargin,
+
+    // Lag-1..3 autocorrelation: centered exact-micro series, lagged
+    // equi self-joins, one division per lag
+    "q240_autocorr" -> {
+      def lagSel(k: Int): String =
+        s"""SELECT c1.g, $k AS lag, count(*)::BIGINT AS n_pairs,
+           |    sum(c1.x * c2.x)::BIGINT AS num
+           |  FROM c c1 JOIN c c2
+           |    ON c1.g = c2.g AND c2.day = c1.day + $k
+           |  GROUP BY 1""".stripMargin
+      s"""WITH s AS (SELECT event_type AS g,
+         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |    count(*)::BIGINT AS v
+         |  FROM events GROUP BY 1, 2),
+         |m AS (SELECT g, (round(sum(v)::DOUBLE * 1000000.0 /
+         |    count(*)::DOUBLE))::BIGINT AS mm
+         |  FROM s GROUP BY 1),
+         |c AS (SELECT s.g, s.day, (s.v * 1000000 - m.mm)::BIGINT AS x
+         |  FROM s JOIN m ON s.g = m.g),
+         |d AS (SELECT g, sum(x * x)::BIGINT AS den FROM c GROUP BY 1),
+         |l AS (${(1 to 3).map(lagSel).mkString("\nUNION ALL\n")})
+         |SELECT l.g AS event_type, l.lag, l.n_pairs,
+         |  CASE WHEN d.den = 0 THEN NULL
+         |    ELSE round(l.num::DOUBLE / d.den::DOUBLE, 6) END AS acf
+         |FROM l JOIN d ON l.g = d.g""".stripMargin
+    },
+
+    // Kaplan-Meier: per-user lifetimes censored at the horizon,
+    // at-risk suffix counts, micro-snapped log-survival prefix sums,
+    // one exp at the end
+    "q241_kaplan_meier" ->
+      """WITH d AS (SELECT user_id AS u,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS dd
+        |  FROM events),
+        |us AS (SELECT u, min(dd) AS f, max(dd) AS l FROM d GROUP BY 1),
+        |h AS (SELECT max(l) AS h FROM us),
+        |lt AS (SELECT (us.l - us.f + 1)::BIGINT AS t_day,
+        |    (CASE WHEN us.l = h.h THEN 1 ELSE 0 END)::BIGINT AS cens
+        |  FROM us, h),
+        |pt AS (SELECT t_day, count(*)::BIGINT AS ends,
+        |    sum(cens)::BIGINT AS n_censored,
+        |    (count(*) - sum(cens))::BIGINT AS n_churned
+        |  FROM lt GROUP BY 1),
+        |tot AS (SELECT sum(ends)::BIGINT AS n FROM pt),
+        |ar AS (SELECT pt.*, (tot.n - coalesce(sum(ends) OVER
+        |      (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING
+        |       AND 1 PRECEDING), 0))::BIGINT AS n_at_risk
+        |  FROM pt, tot),
+        |st AS (SELECT *, CASE WHEN n_churned = n_at_risk THEN NULL
+        |    ELSE (round(ln(1.0 - n_churned::DOUBLE /
+        |      n_at_risk::DOUBLE) * 1000000.0))::BIGINT END AS lnstep
+        |  FROM ar),
+        |fin AS (SELECT *,
+        |    (sum(lnstep) OVER (ORDER BY t_day
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS lnsum,
+        |    max(CASE WHEN lnstep IS NULL THEN 1 ELSE 0 END) OVER
+        |      (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS dead
+        |  FROM st)
+        |SELECT t_day, n_at_risk, n_churned, n_censored,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |    ELSE round(exp(lnsum::DOUBLE / 1000000.0), 6)
+        |  END AS survival
+        |FROM fin""".stripMargin)
 }

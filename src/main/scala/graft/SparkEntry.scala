@@ -3898,6 +3898,49 @@ object SparkEntry {
       col("ts"), col("event_id"),
       round(col("value") * lit(100.0)).cast("long"), 86400L)
 
+  /** Order-free per-source content fingerprint of the documents
+    * table: XOR fold of 60-bit md5 row hashes — the snapshot-equality
+    * check that needs no sort and no row shipping.
+    */
+  def q237_dataset_fingerprint(s: SparkSession, dir: String): DataFrame =
+    Relational.datasetFingerprint(t(s, dir, "documents"), "source",
+      Seq("doc_id", "text", "lang", "n_chars"))
+
+  /** The shared per-(event_type, day) count series the time-series
+    * screens consume — one corpus groupBy, bounded output.
+    */
+  private def dailySeries(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.dailyCounts(t(s, dir, "events"), "event_type", col("ts"))
+
+  /** Mann-Kendall monotone-trend screen over the daily event-type
+    * series: sign pairs from a bounded series self-join, tie-corrected
+    * variance, continuity-corrected z in micros.
+    */
+  def q238_trend_screen(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.mannKendallTrend(dailySeries(s, dir), "event_type")
+
+  /** CUSUM changepoint screen: exact-integer cumulative deviations
+    * against the micro-snapped mean, argmax |C| with earliest-day
+    * ties, per event type.
+    */
+  def q239_changepoint(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.cusumChangepoint(dailySeries(s, dir), "event_type")
+
+  /** Lag-1..3 autocorrelation of the daily series per event type —
+    * lagged pairs via equi self-joins on (type, day + k), exact
+    * integer moments, one division per lag.
+    */
+  def q240_autocorr(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.autocorrByGroup(dailySeries(s, dir), "event_type", 3)
+
+  /** Kaplan-Meier user-lifetime survival curve with right-censoring
+    * at the last observed day: one per-user groupBy over events, then
+    * exact-integer log-survival folds over the bounded
+    * distinct-lifetime table.
+    */
+  def q241_kaplan_meier(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.kaplanMeier(t(s, dir, "events"), "user_id", col("ts"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4138,7 +4181,12 @@ object SparkEntry {
     "q233_snapshot_diff" -> (q233_snapshot_diff(_, _)),
     "q234_roc_auc" -> (q234_roc_auc(_, _)),
     "q235_cohen_kappa" -> (q235_cohen_kappa(_, _)),
-    "q236_ohlc_bars" -> (q236_ohlc_bars(_, _)))
+    "q236_ohlc_bars" -> (q236_ohlc_bars(_, _)),
+    "q237_dataset_fingerprint" -> (q237_dataset_fingerprint(_, _)),
+    "q238_trend_screen" -> (q238_trend_screen(_, _)),
+    "q239_changepoint" -> (q239_changepoint(_, _)),
+    "q240_autocorr" -> (q240_autocorr(_, _)),
+    "q241_kaplan_meier" -> (q241_kaplan_meier(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

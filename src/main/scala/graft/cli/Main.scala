@@ -60,6 +60,11 @@ import graft.schema.Vintages
   * graft.cli.Main roc-auc <parquet> <groupCol> <scoreCol> <labelCol>   // rank-sum AUC per group
   * graft.cli.Main kappa <parquet> <colA> <colB>   // inter-annotator agreement
   * graft.cli.Main ohlc <parquet> <tsCol> <tieCol> <valCol> <outDir> [bucketSec]   // candlestick bars
+  * graft.cli.Main trend <events> <groupCol> [tsCol]   // Mann-Kendall daily-count trend screen
+  * graft.cli.Main changepoint <events> <groupCol> [tsCol]   // CUSUM step locator
+  * graft.cli.Main acf <events> <groupCol> [maxLag] [tsCol]   // daily-series autocorrelation
+  * graft.cli.Main survival <events> <userCol> [tsCol]   // Kaplan-Meier lifetime curve
+  * graft.cli.Main fingerprint <parquet> <groupCol> <cols,csv>   // order-free content hash
   * graft.cli.Main pagerank <edges> <outDir> [iters] [damping]   // link-graph quality prior
   * graft.cli.Main harmonic <edges> <outDir> [rounds] [k]   // HyperBall harmonic centrality
   * graft.cli.Main triangles <edges> <outDir>   // degree-ordered triangle counts
@@ -984,6 +989,79 @@ object Main {
       bars.write.mode("overwrite").parquet(outDir)
       println(s"[ohlc] ${spark.read.parquet(outDir).count()} bars " +
         s"(bucket ${bucketSec}s) -> $outDir")
+      done(spark)
+
+    // Mann-Kendall monotone-trend screen over daily counts
+    case "trend" :: path :: groupCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val tsCol = rest.headOption.getOrElse("ts")
+      val spark = session()
+      graft.operators.TimeSeries.mannKendallTrend(
+        graft.operators.TimeSeries.dailyCounts(
+          spark.read.parquet(path), groupCol, col(tsCol)), groupCol)
+        .orderBy(col(groupCol)).collect().foreach { r =>
+          println(s"[trend] ${r.get(0)}: n_days=${r.getLong(1)} " +
+            s"s=${r.getLong(2)} var18=${r.getLong(3)} " +
+            s"z_micro=${r.get(4)}")
+        }
+      done(spark)
+
+    // CUSUM changepoint screen over daily counts
+    case "changepoint" :: path :: groupCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val tsCol = rest.headOption.getOrElse("ts")
+      val spark = session()
+      graft.operators.TimeSeries.cusumChangepoint(
+        graft.operators.TimeSeries.dailyCounts(
+          spark.read.parquet(path), groupCol, col(tsCol)), groupCol)
+        .orderBy(col(groupCol)).collect().foreach { r =>
+          println(s"[changepoint] ${r.get(0)}: " +
+            s"n_days=${r.getLong(1)} mean_micro=${r.getLong(2)} " +
+            s"cp_day=${r.getLong(3)} max_dev=${r.getLong(4)}")
+        }
+      done(spark)
+
+    // lag-k autocorrelation of the daily series
+    case "acf" :: path :: groupCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val nums = rest.filter(!_.startsWith("--"))
+      val maxLag = nums.headOption.map(_.toInt).getOrElse(3)
+      val tsCol = nums.drop(1).headOption.getOrElse("ts")
+      val spark = session()
+      graft.operators.TimeSeries.autocorrByGroup(
+        graft.operators.TimeSeries.dailyCounts(
+          spark.read.parquet(path), groupCol, col(tsCol)),
+        groupCol, maxLag)
+        .orderBy(col(groupCol), col("lag")).collect().foreach { r =>
+          println(s"[acf] ${r.get(0)} lag=${r.getInt(1)}: " +
+            s"n_pairs=${r.getLong(2)} acf=${r.get(3)}")
+        }
+      done(spark)
+
+    // Kaplan-Meier lifetime survival curve
+    case "survival" :: path :: userCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val tsCol = rest.headOption.getOrElse("ts")
+      val spark = session()
+      graft.operators.TimeSeries.kaplanMeier(
+        spark.read.parquet(path), userCol, col(tsCol))
+        .orderBy(col("t_day")).collect().foreach { r =>
+          println(s"[survival] t=${r.getLong(0)}: " +
+            s"at_risk=${r.getLong(1)} churned=${r.getLong(2)} " +
+            s"censored=${r.getLong(3)} S=${r.getDouble(4)}")
+        }
+      done(spark)
+
+    // order-free dataset content fingerprint per group
+    case "fingerprint" :: path :: groupCol :: colsCsv :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      graft.operators.Relational.datasetFingerprint(
+        spark.read.parquet(path), groupCol, colsCsv.split(',').toSeq)
+        .orderBy(col(groupCol)).collect().foreach { r =>
+          println(s"[fingerprint] ${r.get(0)}: n=${r.getLong(1)} " +
+            s"fp=${r.getLong(2)}")
+        }
       done(spark)
 
     // WebDataset tar shard export: reproducible shuffle order →

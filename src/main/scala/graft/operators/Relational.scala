@@ -1808,6 +1808,30 @@ object Relational {
           .as("kappa"))
   }
 
+  /** Order-free dataset content fingerprint per group — the integrity
+    * check two 100 TB snapshots can exchange WITHOUT sorting or
+    * shipping rows: each row renders to a canonical string
+    * (\u0001-separated columns, \u0000 null sentinel — `concat_ws`
+    * alone SKIPS nulls and would collide null-vs-absent rows), hashes
+    * to a 60-bit integer (md5 prefix, portable across engines), and
+    * the group fingerprint is the XOR fold of the row hashes. XOR is
+    * commutative/associative, so the fold is partition- and
+    * order-independent — map-side partials merge exactly, and equal
+    * fingerprints mean equal multisets-up-to-hash (duplicate PAIRS
+    * cancel under XOR; pair with `n_rows` which any dup shifts).
+    */
+  def datasetFingerprint(df: DataFrame, groupCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to fingerprint")
+    val rowStr = concat_ws("\u0001", cols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    df.select(col(groupCol),
+      conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long").as("_h"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(_h)").as("fingerprint"))
+  }
+
   /** OHLC bars (candlesticks) over an exact-integer value column:
     * per time bucket, open/close are the values at the FIRST/LAST
     * `(epoch, tie)` position via struct min/max — no window, no

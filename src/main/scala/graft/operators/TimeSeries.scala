@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-series screens over per-group daily metric series — the
+  * monitoring family a data pipeline runs on its own telemetry
+  * (ingest volumes, error rates, conversion counts): monotone-trend
+  * detection (Mann-Kendall), changepoint location (CUSUM), and
+  * autocorrelation, plus Kaplan-Meier survival over user lifetimes.
+  *
+  * Scale shape shared by the whole family: the corpus contributes ONE
+  * groupBy to the `(group, period)` grain; every statistic then
+  * operates on that bounded series table (|groups| × |periods| rows —
+  * thousands, regardless of corpus size). Pairwise constructions
+  * (Mann-Kendall's sign pairs, ACF's lagged products) are self-joins
+  * of the SERIES table, never of the corpus; windows partition by
+  * group over ≤|periods| rows. Everything folds to exact integers
+  * (micro-snapped once) so results hash-gate across engines.
+  */
+object TimeSeries {
+
+  /** Collapse an event frame to the per-(group, day) count series the
+    * screens consume: `(group, day, v)` with `day` the UTC epoch day.
+    */
+  def dailyCounts(df: DataFrame, groupCol: String, tsCol: Column)
+      : DataFrame =
+    df.select(col(groupCol),
+      floor(unix_timestamp(tsCol) / lit(86400L)).cast("long").as("day"))
+      .groupBy(col(groupCol), col("day"))
+      .agg(count(lit(1)).as("v"))
+
+  /** Mann-Kendall trend test per group (Mann 1945, Kendall 1975; the
+    * standard nonparametric monotone-trend screen — no linearity or
+    * normality assumption): S = Σ_{i<j} sign(v_j − v_i) over the
+    * day-ordered series, with the tie-corrected variance
+    * 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5). The pair grid is a
+    * SERIES self-join on the group key (day_i < day_j rides the equi
+    * key) — |periods|²/2 rows per group, bounded by construction, the
+    * corpus itself never joins. Z uses the standard continuity
+    * correction ((S−1)/σ for S>0, (S+1)/σ for S<0, 0 at S=0),
+    * micro-snapped. Groups with n < 2 or zero variance yield NULL z.
+    *
+    * Input: `(group, day, v)` (e.g. [[dailyCounts]]).
+    * Output: group, `n_days`, `s_stat`, `var18` (18·Var, exact
+    * integer), `z_micro`.
+    */
+  def mannKendallTrend(series: DataFrame, groupCol: String): DataFrame = {
+    val s = series.select(col(groupCol), col("day"),
+      col("v").cast("long").as("v")).persist() // pairs + ties + n
+    val a = s.select(col(groupCol), col("day").as("_d1"),
+      col("v").as("_v1"))
+    val b = s.select(col(groupCol), col("day").as("_d2"),
+      col("v").as("_v2"))
+    val pairs = a.join(b, Seq(groupCol))
+      .filter(col("_d1") < col("_d2"))
+      .groupBy(col(groupCol))
+      .agg(sum(signum(col("_v2") - col("_v1")).cast("long"))
+        .as("s_stat"))
+    val ties = s.groupBy(col(groupCol), col("v"))
+      .agg(count(lit(1)).as("_t"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_nvals"), sum(col("_t")).as("_n"),
+        sum(col("_t") * (col("_t") - 1L) * (lit(2L) * col("_t") + 5L))
+          .as("_tieterm"))
+    val joined = ties.join(pairs, Seq(groupCol), "left")
+    val n = col("_n")
+    val var18 = n * (n - 1L) * (lit(2L) * n + 5L) - col("_tieterm")
+    val sStat = coalesce(col("s_stat"), lit(0L))
+    val sigma = sqrt(var18.cast("double") / lit(18.0))
+    joined.select(col(groupCol), n.as("n_days"), sStat.as("s_stat"),
+      var18.as("var18"),
+      when(n < 2L || var18 <= 0L, lit(null).cast("long"))
+        .otherwise(round(
+          when(sStat > 0L, (sStat - 1L).cast("double") / sigma)
+            .when(sStat < 0L, (sStat + 1L).cast("double") / sigma)
+            .otherwise(lit(0.0)) * lit(1000000.0)).cast("long"))
+        .as("z_micro"))
+  }
+
+  /** CUSUM changepoint screen per group (Page 1954's cumulative-sum
+    * chart, the offline max-deviation form): with the group mean
+    * micro-snapped ONCE (exact integer), the cumulative deviation
+    * C_d = Σ_{day≤d} (v·10⁶ − mean_micro) is an EXACT integer prefix
+    * sum — the changepoint is the day with the largest |C_d|, ties to
+    * the earliest day. The only window partitions by group over the
+    * bounded series; the argmax is a struct max, no sort.
+    *
+    * Output: group, `n_days`, `mean_micro`, `cp_day` (epoch day of
+    * max |C|), `max_dev_micro`.
+    */
+  def cusumChangepoint(series: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = series.select(col(groupCol), col("day"),
+      col("v").cast("long").as("v")).persist() // totals + prefix pass
+    val tot = s.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_days"), sum(col("v")).as("_sum"))
+      .select(col(groupCol), col("n_days"),
+        round(col("_sum").cast("double") * lit(1000000.0) /
+          col("n_days").cast("double")).cast("long").as("mean_micro"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = s.join(tot, Seq(groupCol))
+      .withColumn("_c",
+        sum(col("v") * lit(1000000L) - col("mean_micro")).over(w))
+    dev.groupBy(col(groupCol))
+      .agg(min(col("n_days")).as("n_days"),
+        min(col("mean_micro")).as("mean_micro"),
+        max(struct(abs(col("_c")).as("a"), (-col("day")).as("nd")))
+          .as("_best"))
+      .select(col(groupCol), col("n_days"), col("mean_micro"),
+        (-col("_best").getField("nd")).as("cp_day"),
+        col("_best").getField("a").as("max_dev_micro"))
+  }
+
+  /** Lag-k autocorrelation per group over the day series, lags
+    * 1..maxLag: r_k = Σ (x_d − m)(x_{d+k} − m) / Σ (x_d − m)² with the
+    * mean micro-snapped once, so numerator and denominator are exact
+    * integer sums (micro² units) and r_k is ONE division. Lagged
+    * pairs come from a series self-join on `(group, day + k)` — an
+    * EQUI join on the bounded table, gaps in the series simply drop
+    * pairs (the standard irregular-series convention). Zero-variance
+    * groups yield NULL.
+    *
+    * Output: group, `lag`, `n_pairs`, `acf`.
+    */
+  def autocorrByGroup(series: DataFrame, groupCol: String,
+      maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val s = series.select(col(groupCol), col("day"),
+      col("v").cast("long").as("v")).persist() // mean + 1+maxLag joins
+    val mean = s.groupBy(col(groupCol))
+      .agg(round(sum(col("v")).cast("double") * lit(1000000.0) /
+        count(lit(1)).cast("double")).cast("long").as("_m"))
+    val centered = s.join(mean, Seq(groupCol))
+      .select(col(groupCol), col("day"),
+        (col("v") * lit(1000000L) - col("_m")).as("_x"))
+      .persist() // denominator + one join per lag
+    val denom = centered.groupBy(col(groupCol))
+      .agg(sum(col("_x") * col("_x")).as("_den"))
+    (1 to maxLag).map { k =>
+      val lagged = centered.select(col(groupCol),
+        (col("day") - k.toLong).as("day"), col("_x").as("_y"))
+      centered.join(lagged, Seq(groupCol, "day"))
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("_x") * col("_y")).as("_num"))
+        .join(denom, Seq(groupCol))
+        .select(col(groupCol), lit(k).as("lag"), col("n_pairs"),
+          when(col("_den") === 0L, lit(null).cast("double"))
+            .otherwise(round(col("_num").cast("double") /
+              col("_den").cast("double"), 6)).as("acf"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Kaplan-Meier survival over user lifetimes (Kaplan & Meier 1958),
+    * the retention curve a product pipeline reports: lifetime =
+    * last-activity day − first-activity day + 1 per user, with users
+    * still active on the LAST observed day right-censored (their
+    * lifetime is a lower bound, so they leave the at-risk set without
+    * counting as churn — dropping them instead biases survival down).
+    * S(t) = Π_{i≤t} (1 − d_i/n_i) folds as an exact-integer chain:
+    * each factor's ln is micro-snapped, the prefix sum is integer
+    * addition, and ONE exp at the end produces the estimate — no
+    * engine-varying float accumulation anywhere.
+    *
+    * The corpus contributes one per-user groupBy; everything after
+    * runs on the ≤|distinct lifetimes| event table. Output (one row
+    * per distinct event time t): `t_day`, `n_at_risk`, `n_churned`,
+    * `n_censored`, `survival`.
+    */
+  def kaplanMeier(df: DataFrame, userCol: String, tsCol: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = df.select(col(userCol).as("_u"),
+      floor(unix_timestamp(tsCol) / lit(86400L)).cast("long").as("_d"))
+    val users = days.groupBy(col("_u"))
+      .agg(min(col("_d")).as("_first"), max(col("_d")).as("_last"))
+      .persist() // lifetime table + the 1-row horizon
+    val horizon = users.agg(max(col("_last")).as("_h"))
+    val lifetimes = users.crossJoin(broadcast(horizon))
+      .select((col("_last") - col("_first") + 1L).as("t_day"),
+        (col("_last") === col("_h")).cast("long").as("_cens"))
+    val perT = lifetimes.groupBy(col("t_day"))
+      .agg(count(lit(1)).as("_ends"),
+        sum(col("_cens")).as("n_censored"),
+        (count(lit(1)) - sum(col("_cens"))).as("n_churned"))
+      .persist() // at-risk suffix + the output
+    val total = perT.agg(sum(col("_ends")).as("_n"))
+    val w = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    // at-risk = everyone whose lifetime has not ended strictly before
+    // t; the window runs over the bounded distinct-lifetime table
+    val atRisk = perT.crossJoin(broadcast(total))
+      .withColumn("n_at_risk",
+        col("_n") - coalesce(sum(col("_ends")).over(w), lit(0L)))
+    // ln(1 − d/n) micro-snapped per step, exact integer prefix sum,
+    // one exp at the end (survival hits exactly 0 when d = n)
+    val step = when(col("n_churned") === col("n_at_risk"),
+      lit(null).cast("long"))
+      .otherwise(round(log(lit(1.0) -
+        col("n_churned").cast("double") /
+          col("n_at_risk").cast("double")) * lit(1000000.0))
+        .cast("long"))
+    val wc = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    atRisk.withColumn("_lnstep", step)
+      .withColumn("_lnsum", sum(col("_lnstep")).over(wc))
+      .withColumn("_dead",
+        max(when(col("_lnstep").isNull, 1L).otherwise(0L)).over(wc))
+      .select(col("t_day"), col("n_at_risk"), col("n_churned"),
+        col("n_censored"),
+        when(col("_dead") === 1L, lit(0.0))
+          .otherwise(round(
+            exp(col("_lnsum").cast("double") / lit(1000000.0)), 6))
+          .as("survival"))
+  }
+}

@@ -376,4 +376,14 @@ class CliSmokeSpec extends SparkSpec {
       "value", ohlcOut))
     assert(spark.read.parquet(ohlcOut).count() > 0)
   }
+
+  test("trend / changepoint / acf / survival / fingerprint " +
+    "time-series commands run end to end") {
+    graft.cli.Main.main(Array("trend", eventsPath, "event_type"))
+    graft.cli.Main.main(Array("changepoint", eventsPath, "event_type"))
+    graft.cli.Main.main(Array("acf", eventsPath, "event_type", "2"))
+    graft.cli.Main.main(Array("survival", eventsPath, "user_id"))
+    graft.cli.Main.main(Array("fingerprint", corpusPath, "source",
+      "doc_id,text"))
+  }
 }

@@ -161,8 +161,12 @@ class PlanGateSpec extends SparkSpec {
     //   corpus size, by construction.
     // Everything else must bucket (the two-level prefix-sum
     // discipline: hashRankedCum, percentileBuckets, vocabCoverage).
+    // - q241: Kaplan-Meier's at-risk suffix and log-survival prefix
+    //   windows run over the DISTINCT-LIFETIME table — ≤ max observed
+    //   lifetime rows (days, not users), bounded by construction; the
+    //   product-limit estimator needs the total time order.
     val globalWindowWhitelist = Set("q91_unimax_sample",
-      "q86_global_shuffle")
+      "q86_global_shuffle", "q241_kaplan_meier")
     val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
       "q125_streaming_funnel_replay", "q129_streaming_retention_replay")
     val offenders = SparkEntry.queries.keys
@@ -292,9 +296,12 @@ class PlanGateSpec extends SparkSpec {
                                // broadcast 1-row N
       "q230_benford",          // 9-digit histogram × broadcast
                                // 1-row total
-      "q235_cohen_kappa")      // 1-row (n, agree) × broadcast 1-row
+      "q235_cohen_kappa",      // 1-row (n, agree) × broadcast 1-row
                                // chance-agreement sum (q228's shape;
                                // margin joins are null-safe equi)
+      "q241_kaplan_meier")     // per-user lifetimes × broadcast 1-row
+                               // horizon; lifetime table × broadcast
+                               // 1-row user total
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is

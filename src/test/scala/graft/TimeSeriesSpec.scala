@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relational, TimeSeries}
+
+/** Unit coverage for the time-series screen family (q237-q241):
+  * Mann-Kendall trend, CUSUM changepoint, lag-k autocorrelation,
+  * Kaplan-Meier survival, and the order-free dataset fingerprint —
+  * hand-computed fixtures for the algebra, plus the invariances
+  * (ordering, partitioning) the operators promise.
+  */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(rows: (String, Long, Long)*) =
+    rows.toDF("g", "day", "v")
+
+  test("mannKendallTrend: monotone series hit S = ±n(n-1)/2, a " +
+    "constant series has zero variance and NULL z") {
+    val s = series(
+      (1L to 5L).map(d => ("up", d, d)) ++
+        (1L to 5L).map(d => ("down", d, 10L - d)) ++
+        (1L to 5L).map(d => ("flat", d, 7L)): _*)
+    val m = TimeSeries.mannKendallTrend(s, "g")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("up").getAs[Long]("s_stat") == 10L)
+    assert(m("up").getAs[Long]("var18") == 300L) // 5·4·15, no ties
+    // z = (10-1)/sqrt(300/18) = 9/4.0825 = 2.204541
+    assert(m("up").getAs[Long]("z_micro") == 2204541L)
+    assert(m("down").getAs[Long]("s_stat") == -10L)
+    assert(m("down").getAs[Long]("z_micro") == -2204541L)
+    assert(m("flat").getAs[Long]("s_stat") == 0L)
+    assert(m("flat").getAs[Long]("var18") == 0L) // one 5-wide tie
+    assert(m("flat").isNullAt(m("flat").fieldIndex("z_micro")))
+  }
+
+  test("cusumChangepoint finds the step day with the exact integer " +
+    "deviation; ties resolve to the earliest day") {
+    val s = series(
+      ((0L to 3L).map(d => ("step", d, 0L)) ++
+        (4L to 7L).map(d => ("step", d, 10L))): _*)
+    val r = TimeSeries.cusumChangepoint(s, "g").head()
+    assert(r.getAs[Long]("n_days") == 8L)
+    assert(r.getAs[Long]("mean_micro") == 5000000L)
+    assert(r.getAs[Long]("cp_day") == 3L)
+    assert(r.getAs[Long]("max_dev_micro") == 20000000L)
+  }
+
+  test("autocorrByGroup: an alternating series reads acf(1) = -(n-1)/n " +
+    "and acf(2) = +(n-2)/n; a constant series yields NULL") {
+    val s = series(
+      ((1L to 6L).map(d => ("alt", d, if (d % 2 == 0) 3L else 1L)) ++
+        (1L to 6L).map(d => ("flat", d, 5L))): _*)
+    val m = TimeSeries.autocorrByGroup(s, "g", maxLag = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    assert(m(("alt", 1)).getAs[Long]("n_pairs") == 5L)
+    assert(m(("alt", 1)).getAs[Double]("acf") == -0.833333)
+    assert(m(("alt", 2)).getAs[Double]("acf") == 0.666667)
+    assert(m(("flat", 1)).isNullAt(m(("flat", 1)).fieldIndex("acf")))
+  }
+
+  test("kaplanMeier: censored users leave the at-risk set without " +
+    "counting as churn; survival follows the product limit") {
+    // u1 lifetime 1 (churn), u2 lifetime 2 (churn), u3 lifetime 3
+    // ending on the horizon day -> censored
+    val ev = Seq((1L, 0L), (2L, 0L), (2L, 1L), (3L, 0L), (3L, 2L))
+      .toDF("u", "d")
+      .select(col("u"), timestamp_seconds(col("d") * 86400L).as("ts"))
+    val rows = TimeSeries.kaplanMeier(ev, "u", col("ts"))
+      .orderBy("t_day").collect()
+    assert(rows.map(_.getAs[Long]("t_day")).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getAs[Long]("n_at_risk")).toSeq == Seq(3L, 2L, 1L))
+    assert(rows.map(_.getAs[Long]("n_churned")).toSeq == Seq(1L, 1L, 0L))
+    assert(rows.map(_.getAs[Long]("n_censored")).toSeq == Seq(0L, 0L, 1L))
+    val s = rows.map(_.getAs[Double]("survival")).toSeq
+    assert(s(0) == 0.666667) // 1 - 1/3
+    assert(s(1) == 0.333333) // 2/3 · 1/2
+    assert(s(2) == 0.333333) // censoring does not move the curve
+  }
+
+  test("datasetFingerprint is order- and partitioning-invariant, and " +
+    "any changed row moves it") {
+    val base = Seq((1L, "a", "g"), (2L, "b", "g"), (3L, "c", "g"))
+      .toDF("id", "txt", "g")
+    val fp = Relational.datasetFingerprint(base, "g", Seq("id", "txt"))
+      .head()
+    val shuffled = Relational.datasetFingerprint(
+      base.orderBy(col("txt").desc).repartition(5), "g",
+      Seq("id", "txt")).head()
+    assert(fp.getAs[Long]("fingerprint") ==
+      shuffled.getAs[Long]("fingerprint"))
+    assert(fp.getAs[Long]("n_rows") == 3L)
+    val changed = Relational.datasetFingerprint(
+      Seq((1L, "a", "g"), (2L, "X", "g"), (3L, "c", "g"))
+        .toDF("id", "txt", "g"), "g", Seq("id", "txt")).head()
+    assert(fp.getAs[Long]("fingerprint") !=
+      changed.getAs[Long]("fingerprint"))
+  }
+
+  test("datasetFingerprint: duplicate PAIRS cancel under XOR — the " +
+    "documented caveat n_rows exists to catch") {
+    val dup = Seq((1L, "a", "g"), (1L, "a", "g"), (2L, "b", "g"))
+      .toDF("id", "txt", "g")
+    val single = Seq((2L, "b", "g")).toDF("id", "txt", "g")
+    val a = Relational.datasetFingerprint(dup, "g", Seq("id", "txt"))
+      .head()
+    val b = Relational.datasetFingerprint(single, "g", Seq("id", "txt"))
+      .head()
+    assert(a.getAs[Long]("fingerprint") == b.getAs[Long]("fingerprint"))
+    assert(a.getAs[Long]("n_rows") != b.getAs[Long]("n_rows"))
+  }
+}
