@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, StringType}
-import graft.functions.{BloomMightContainXX, BottomKXX, BpeTokensXX, CdcChunksExprXX, CmsSketchXX, CosineSimXX, DeflateRatioExprXX, Dist2XX, FixMojibakeExprXX, HllSketchXX, JaccardXX, KmvSketchXX, MinHashSigMd5XX, MinHashSigXX, NearestPairsXX, NfcNormalizeExprXX, PadPackXX, RepStatsXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
+import graft.functions.{BloomMightContainXX, BottomKXX, BpeTokensXX, CdcChunksExprXX, CmsSketchXX, CosineSimXX, DeflateRatioExprXX, Dist2XX, FixMojibakeExprXX, HllSketchXX, JaccardXX, KmvSketchXX, MinHashSigMd5XX, MinHashSigXX, MultiMatchExprXX, NearestPairsXX, NfcNormalizeExprXX, PadPackXX, RepStatsXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * SQL functions so plain `spark.sql` users get them too.
@@ -291,6 +291,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
         }
         BpeTokensXX(children.head, merges)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_multimatch"),
+      new ExpressionInfo(classOf[MultiMatchExprXX].getName,
+        "graft_multimatch"),
+      (children: Seq[Expression]) => {
+        val usage = "usage: graft_multimatch(text, terms) — terms " +
+          "must be a foldable array('t1', 't2', …) of distinct " +
+          "non-empty strings"
+        require(children.size == 2, usage)
+        require(children(1).foldable, usage)
+        children(1).dataType match {
+          case ArrayType(StringType, _) => ()
+          case other => throw new IllegalArgumentException(
+            s"terms must be array<string>, got ${other.sql}; $usage")
+        }
+        val arr = children(1).eval().asInstanceOf[ArrayData]
+        val terms = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        MultiMatchExprXX(children.head, terms)
       }))
 
     ext.injectFunction((

@@ -5614,5 +5614,61 @@ object OracleSql {
         |  CASE WHEN dead = 1 THEN 0.0
         |    ELSE round(exp(lnsum::DOUBLE / 1000000.0), 6)
         |  END AS survival
-        |FROM fin""".stripMargin)
+        |FROM fin""".stripMargin,
+
+    // Incremental agg maintenance: the oracle is the FULL recompute —
+    // identical output proves the history+delta state merge loses
+    // nothing (counts/sums add, min/max fold, union KMV = distinct
+    // k-smallest of all hashes)
+    "q242_incremental_agg" ->
+      """WITH e AS (SELECT event_type AS g,
+        |    (round(value * 100.0))::BIGINT AS v, user_id
+        |  FROM events),
+        |agg AS (SELECT g, count(*)::BIGINT AS n_rows,
+        |    sum(v)::BIGINT AS sum_v, min(v)::BIGINT AS min_v,
+        |    max(v)::BIGINT AS max_v
+        |  FROM e GROUP BY 1),
+        |h AS (SELECT DISTINCT g,
+        |    (('0x' || substr(md5(user_id::VARCHAR), 1, 8))
+        |      ::UBIGINT)::BIGINT AS hv
+        |  FROM e),
+        |r AS (SELECT g, hv,
+        |    row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+        |  FROM h),
+        |kk AS (SELECT g, count(*)::BIGINT AS k_actual, max(hv) AS kth,
+        |    CASE WHEN count(*) < 128 THEN count(*)::DOUBLE
+        |      ELSE round((127.0 * 4294967296.0) / max(hv), 6) END
+        |      AS est_distinct
+        |  FROM r WHERE rn <= 128 GROUP BY 1)
+        |SELECT agg.g AS event_type, n_rows, sum_v, min_v, max_v,
+        |  (round(sum_v::DOUBLE * 1000000.0 / n_rows::DOUBLE))::BIGINT
+        |    AS mean_micro,
+        |  kk.k_actual, kk.kth, kk.est_distinct
+        |FROM agg JOIN kk ON agg.g = kk.g""".stripMargin,
+
+    // Blocklist screen: per-term strpos presence sums + the
+    // first-by-(position, term index) rule — position ORDER is
+    // engine-independent even where absolute offsets differ
+    "q243_blocklist" -> {
+      val terms = graft.SparkEntry.gateBlocklist
+      def q(t: String) = t.replace("'", "''")
+      val presence = terms
+        .map(t => s"CASE WHEN strpos(text, '${q(t)}') > 0 " +
+          "THEN 1 ELSE 0 END")
+        .mkString("(", " +\n    ", ")::INTEGER")
+      val structs = terms.zipWithIndex
+        .map { case (t, i) =>
+          s"struct_pack(p := strpos(text, '${q(t)}'), i := $i)" }
+        .mkString("[", ",\n      ", "]")
+      val caseArms = terms.zipWithIndex
+        .map { case (t, i) => s"WHEN $i THEN '${q(t)}'" }
+        .mkString(" ")
+      s"""SELECT doc_id,
+         |  $presence AS n_matched,
+         |  CASE (list_sort(list_filter(
+         |      $structs,
+         |      x -> x.p > 0)))[1].i
+         |    $caseArms ELSE NULL END AS first_term
+         |FROM documents""".stripMargin
+    })
 }

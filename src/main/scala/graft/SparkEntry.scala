@@ -3941,6 +3941,50 @@ object SparkEntry {
   def q241_kaplan_meier(s: SparkSession, dir: String): DataFrame =
     TimeSeries.kaplanMeier(t(s, dir, "events"), "user_id", col("ts"))
 
+  /** Incremental materialized-aggregate maintenance, hash-pinned to
+    * a full recompute: events split at mid-month into a "history"
+    * state and a "delta" state, both folded to mergeable per-type
+    * aggregates (count/sum/min/max + KMV distinct-user sketch), then
+    * combined with one |groups|-sized merge. The ORACLE computes the
+    * same report straight from the full table — merge == recompute is
+    * the row the gate compares.
+    */
+  def q242_incremental_agg(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cents = round(col("value") * lit(100.0)).cast("long")
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val history = Incremental.aggState(ev.filter(col("ts") < cut),
+      "event_type", cents, col("user_id"))
+    val delta = Incremental.aggState(ev.filter(col("ts") >= cut),
+      "event_type", cents, col("user_id"))
+    Incremental.stateReport(
+      Incremental.mergeAggState(Seq(history, delta), "event_type"),
+      "event_type")
+  }
+
+  /** The q243 blocklist — shared verbatim with the oracle generator so
+    * both engines scan for the same terms.
+    */
+  val gateBlocklist: Seq[String] = Seq(
+    "the ", "and ", "data", "tion", "ing ", "qual", "of the",
+    "pre", "zzzzqq", "xylophone")
+
+  /** Aho-Corasick blocklist screen: distinct-term hits and the
+    * earliest-starting term per document in ONE text pass
+    * ([[graft.functions.MultiMatchXX]]) — vs the |terms| `contains`
+    * scans the naive plan pays. The oracle replays presence via
+    * per-term strpos and the first-term rule via the (position, index)
+    * sort, which is order-identical however an engine counts
+    * characters.
+    */
+  def q243_blocklist(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        TextOps.multiMatch(col("text"), gateBlocklist).as("_m"))
+      .select(col("doc_id"),
+        col("_m").getField("n_matched").as("n_matched"),
+        col("_m").getField("first_term").as("first_term"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4186,7 +4230,9 @@ object SparkEntry {
     "q238_trend_screen" -> (q238_trend_screen(_, _)),
     "q239_changepoint" -> (q239_changepoint(_, _)),
     "q240_autocorr" -> (q240_autocorr(_, _)),
-    "q241_kaplan_meier" -> (q241_kaplan_meier(_, _)))
+    "q241_kaplan_meier" -> (q241_kaplan_meier(_, _)),
+    "q242_incremental_agg" -> (q242_incremental_agg(_, _)),
+    "q243_blocklist" -> (q243_blocklist(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

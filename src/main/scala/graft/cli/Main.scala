@@ -65,6 +65,8 @@ import graft.schema.Vintages
   * graft.cli.Main acf <events> <groupCol> [maxLag] [tsCol]   // daily-series autocorrelation
   * graft.cli.Main survival <events> <userCol> [tsCol]   // Kaplan-Meier lifetime curve
   * graft.cli.Main fingerprint <parquet> <groupCol> <cols,csv>   // order-free content hash
+  * graft.cli.Main agg-state <batch> <groupCol> <valCol> <distinctCol> <stateDir>   // init/merge mergeable agg state
+  * graft.cli.Main blocklist <corpus> "<terms,csv>" [--jsonl]   // Aho-Corasick one-pass screen
   * graft.cli.Main pagerank <edges> <outDir> [iters] [damping]   // link-graph quality prior
   * graft.cli.Main harmonic <edges> <outDir> [rounds] [k]   // HyperBall harmonic centrality
   * graft.cli.Main triangles <edges> <outDir>   // degree-ordered triangle counts
@@ -1049,6 +1051,51 @@ object Main {
           println(s"[survival] t=${r.getLong(0)}: " +
             s"at_risk=${r.getLong(1)} churned=${r.getLong(2)} " +
             s"censored=${r.getLong(3)} S=${r.getDouble(4)}")
+        }
+      done(spark)
+
+    // incremental mergeable agg state: fold the batch, merge into the
+    // persisted state if one exists, write the state back
+    case "agg-state" :: path :: groupCol :: valCol :: distinctCol ::
+        stateDir :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val batch = graft.operators.Incremental.aggState(
+        spark.read.parquet(path), groupCol, col(valCol),
+        col(distinctCol))
+      val fs = new org.apache.hadoop.fs.Path(stateDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val exists = fs.exists(new org.apache.hadoop.fs.Path(stateDir))
+      val state =
+        if (exists)
+          graft.operators.Incremental.mergeAggState(
+            Seq(spark.read.parquet(stateDir), batch), groupCol)
+            .localCheckpoint() // materialize BEFORE overwriting input
+        else batch
+      state.write.mode("overwrite").parquet(stateDir)
+      graft.operators.Incremental.stateReport(
+        spark.read.parquet(stateDir), groupCol)
+        .orderBy(col(groupCol)).collect().foreach { r =>
+          println(s"[agg-state] ${r.get(0)}: n=${r.getLong(1)} " +
+            s"sum=${r.getLong(2)} min=${r.getLong(3)} " +
+            s"max=${r.getLong(4)} est_distinct=${r.get(8)}")
+        }
+      done(spark)
+
+    // Aho-Corasick blocklist screen: per-first-term document counts
+    case "blocklist" :: path :: termsCsv :: rest =>
+      import org.apache.spark.sql.functions._
+      val terms = termsCsv.split(',').toSeq.filter(_.nonEmpty)
+      val spark = session()
+      loadCorpus(spark, path, rest)
+        .select(graft.text.TextOps.multiMatch(col("text"), terms)
+          .as("_m"))
+        .groupBy(col("_m").getField("first_term").as("first_term"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_m").getField("n_matched")).as("sum_matched"))
+        .orderBy(col("first_term")).collect().foreach { r =>
+          println(s"[blocklist] ${Option(r.get(0)).getOrElse("<none>")}" +
+            s": docs=${r.getLong(1)} sum_matched=${r.getLong(2)}")
         }
       done(spark)
 

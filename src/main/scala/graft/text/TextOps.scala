@@ -161,6 +161,18 @@ object TextOps {
       ColumnBridge.expression(text)))
   }
 
+  /** Aho-Corasick multi-pattern blocklist match: ONE text pass for
+    * the whole term list vs |terms| `contains` scans — the only
+    * workable shape when blocklists run to tens of thousands of
+    * phrases. Returns struct `{n_matched, first_term}`; see
+    * [[graft.functions.MultiMatchXX]] for the replay contract.
+    */
+  def multiMatch(text: Column, terms: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.MultiMatchExprXX(
+      ColumnBridge.expression(text), terms))
+  }
+
 
   /** Mojibake marker count — the detection side of the double-
     * encoding pair (see [[graft.functions.FixMojibakeXX]] for the

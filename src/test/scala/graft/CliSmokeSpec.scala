@@ -386,4 +386,20 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("fingerprint", corpusPath, "source",
       "doc_id,text"))
   }
+
+  test("agg-state init + merge and blocklist run end to end") {
+    val stateDir = s"${tmpDir("cli-aggstate")}/state"
+    graft.cli.Main.main(Array("agg-state", eventsPath, "event_type",
+      "value", "user_id", stateDir))
+    val first = spark.read.parquet(stateDir)
+      .agg(sum(col("n_rows"))).head().getLong(0)
+    // second run merges the same batch: counts double, state readable
+    graft.cli.Main.main(Array("agg-state", eventsPath, "event_type",
+      "value", "user_id", stateDir))
+    val second = spark.read.parquet(stateDir)
+      .agg(sum(col("n_rows"))).head().getLong(0)
+    assert(second == 2 * first)
+    graft.cli.Main.main(Array("blocklist", corpusPath,
+      "shared,token1,absent-term"))
+  }
 }
