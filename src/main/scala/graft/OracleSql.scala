@@ -5670,5 +5670,34 @@ object OracleSql {
          |      x -> x.p > 0)))[1].i
          |    $caseArms ELSE NULL END AS first_term
          |FROM documents""".stripMargin
-    })
+    },
+
+    // Streaming agg-state replay: the oracle is q242's full
+    // recompute — identical output proves the bucketed incremental
+    // state (including the replayed batch's no-op) loses nothing
+    "q244_streaming_agg_replay" ->
+      """WITH e AS (SELECT event_type AS g,
+        |    (round(value * 100.0))::BIGINT AS v, user_id
+        |  FROM events),
+        |agg AS (SELECT g, count(*)::BIGINT AS n_rows,
+        |    sum(v)::BIGINT AS sum_v, min(v)::BIGINT AS min_v,
+        |    max(v)::BIGINT AS max_v
+        |  FROM e GROUP BY 1),
+        |h AS (SELECT DISTINCT g,
+        |    (('0x' || substr(md5(user_id::VARCHAR), 1, 8))
+        |      ::UBIGINT)::BIGINT AS hv
+        |  FROM e),
+        |r AS (SELECT g, hv,
+        |    row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+        |  FROM h),
+        |kk AS (SELECT g, count(*)::BIGINT AS k_actual, max(hv) AS kth,
+        |    CASE WHEN count(*) < 128 THEN count(*)::DOUBLE
+        |      ELSE round((127.0 * 4294967296.0) / max(hv), 6) END
+        |      AS est_distinct
+        |  FROM r WHERE rn <= 128 GROUP BY 1)
+        |SELECT agg.g AS event_type, n_rows, sum_v, min_v, max_v,
+        |  (round(sum_v::DOUBLE * 1000000.0 / n_rows::DOUBLE))::BIGINT
+        |    AS mean_micro,
+        |  kk.k_actual, kk.kth, kk.est_distinct
+        |FROM agg JOIN kk ON agg.g = kk.g""".stripMargin)
 }

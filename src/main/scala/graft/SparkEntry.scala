@@ -3985,6 +3985,39 @@ object SparkEntry {
         col("_m").getField("n_matched").as("n_matched"),
         col("_m").getField("first_term").as("first_term"))
 
+  /** Deterministic replay of the STREAMING materialized-aggregate
+    * twin ([[graft.streaming.StreamingAggState]]) — q242's sibling
+    * with the incremental state machinery in the loop: two event
+    * drops fold through `processBatch` into bucketed crash-safe
+    * state, batch 1 is REPLAYED to prove the per-bucket watermark
+    * makes count/sum merging exactly-once, and the report off the
+    * state is hash-compared to the oracle's full recompute. EAGER
+    * like q125: construction writes real state; the returned frame is
+    * the localCheckpoint'ed report.
+    */
+  def q244_streaming_agg_replay(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingAggState
+    val ev = t(s, dir, "events")
+    val cents = round(col("value") * lit(100.0)).cast("long")
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val base = java.nio.file.Files.createTempDirectory("graft_saggstate")
+    try {
+      val statePath = base.resolve("state").toString
+      def run(pred: Column, id: Long): Unit =
+        StreamingAggState.processBatch(ev.filter(pred), id, statePath,
+          "event_type", cents, col("user_id"), buckets = 4)
+      run(col("ts") < cut, 0L)
+      run(col("ts") >= cut, 1L)
+      run(col("ts") >= cut, 1L) // at-least-once replay: must be a no-op
+      StreamingAggState.report(s, statePath, "event_type")
+        .localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4232,7 +4265,8 @@ object SparkEntry {
     "q240_autocorr" -> (q240_autocorr(_, _)),
     "q241_kaplan_meier" -> (q241_kaplan_meier(_, _)),
     "q242_incremental_agg" -> (q242_incremental_agg(_, _)),
-    "q243_blocklist" -> (q243_blocklist(_, _)))
+    "q243_blocklist" -> (q243_blocklist(_, _)),
+    "q244_streaming_agg_replay" -> (q244_streaming_agg_replay(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

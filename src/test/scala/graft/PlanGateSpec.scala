@@ -168,7 +168,8 @@ class PlanGateSpec extends SparkSpec {
     val globalWindowWhitelist = Set("q91_unimax_sample",
       "q86_global_shuffle", "q241_kaplan_meier")
     val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
-      "q125_streaming_funnel_replay", "q129_streaming_retention_replay")
+      "q125_streaming_funnel_replay", "q129_streaming_retention_replay",
+      "q244_streaming_agg_replay")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalWindowWhitelist.contains)
@@ -197,7 +198,8 @@ class PlanGateSpec extends SparkSpec {
     // justification like the global-window list above)
     val globalSortWhitelist = Set.empty[String]
     val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
-      "q125_streaming_funnel_replay", "q129_streaming_retention_replay")
+      "q125_streaming_funnel_replay", "q129_streaming_retention_replay",
+      "q244_streaming_agg_replay")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalSortWhitelist.contains)
@@ -314,7 +316,8 @@ class PlanGateSpec extends SparkSpec {
     // localCheckpoint'ed report — the distributed stages are pinned by
     // the streaming twins' own specs + its oracle row
     val eagerExempt = Set("q26_ingest_roundtrip", "q105_bpe_learn",
-      "q125_streaming_funnel_replay", "q129_streaming_retention_replay")
+      "q125_streaming_funnel_replay", "q129_streaming_retention_replay",
+      "q244_streaming_agg_replay")
     val names = SparkEntry.queries.keys.filterNot(eagerExempt.contains)
     val offenders = names.flatMap { name =>
       // analysis failures are named per query rather than aborting the
