@@ -5699,5 +5699,62 @@ object OracleSql {
         |  (round(sum_v::DOUBLE * 1000000.0 / n_rows::DOUBLE))::BIGINT
         |    AS mean_micro,
         |  kk.k_actual, kk.kth, kk.est_distinct
-        |FROM agg JOIN kk ON agg.g = kk.g""".stripMargin)
+        |FROM agg JOIN kk ON agg.g = kk.g""".stripMargin,
+
+    // Welch t-test: six exact integer moments, then the identical
+    // IEEE chain for means, variances, t and the Satterthwaite df
+    "q245_welch_ttest" ->
+      """WITH d AS (SELECT (user_id % 2 = 1) AS a,
+        |    (round(value * 100.0))::BIGINT AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN a THEN v ELSE 0 END)::BIGINT AS s_a,
+        |    sum(CASE WHEN a THEN v * v ELSE 0 END)::BIGINT AS q_a,
+        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN NOT a THEN v ELSE 0 END)::BIGINT AS s_b,
+        |    sum(CASE WHEN NOT a THEN v * v ELSE 0 END)::BIGINT AS q_b
+        |  FROM d),
+        |x AS (SELECT *,
+        |    (n_a::DOUBLE * q_a::DOUBLE - s_a::DOUBLE * s_a::DOUBLE)
+        |      / (n_a::DOUBLE * (n_a - 1)::DOUBLE) / n_a::DOUBLE AS sa,
+        |    (n_b::DOUBLE * q_b::DOUBLE - s_b::DOUBLE * s_b::DOUBLE)
+        |      / (n_b::DOUBLE * (n_b - 1)::DOUBLE) / n_b::DOUBLE AS sb
+        |  FROM m)
+        |SELECT n_a, n_b,
+        |  (round(s_a::DOUBLE / n_a::DOUBLE * 1000000.0))::BIGINT
+        |    AS mean_a_micro,
+        |  (round(s_b::DOUBLE / n_b::DOUBLE * 1000000.0))::BIGINT
+        |    AS mean_b_micro,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR sa + sb <= 0 THEN NULL
+        |    ELSE (round((s_a::DOUBLE / n_a::DOUBLE
+        |        - s_b::DOUBLE / n_b::DOUBLE)
+        |      / sqrt(sa + sb) * 1000000.0))::BIGINT END AS t_micro,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR sa + sb <= 0 THEN NULL
+        |    ELSE (round((sa + sb) * (sa + sb)
+        |      / (sa * sa / (n_a - 1)::DOUBLE
+        |        + sb * sb / (n_b - 1)::DOUBLE) * 1000000.0))::BIGINT
+        |  END AS df_micro
+        |FROM x""".stripMargin,
+
+    // Theil-Sen: median of micro-snapped pairwise slopes off the
+    // bounded series self-join (q238's pair grid)
+    "q246_theil_sen" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    count(*)::BIGINT AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.g,
+        |    (round((b.v - a.v)::DOUBLE * 1000000.0 /
+        |      (b.day - a.day)::DOUBLE))::BIGINT AS sl
+        |  FROM s a JOIN s b ON a.g = b.g AND a.day < b.day),
+        |g AS (SELECT g, count(*)::BIGINT AS n_pairs,
+        |    list_sort(list(sl)) AS arr
+        |  FROM p GROUP BY 1)
+        |SELECT g AS event_type, n_pairs,
+        |  CASE WHEN n_pairs = 0 THEN NULL
+        |    ELSE (round((arr[((n_pairs + 1) // 2)::INTEGER]
+        |      + arr[(n_pairs // 2 + 1)::INTEGER])::DOUBLE / 2.0))
+        |      ::BIGINT END AS slope_micro
+        |FROM g""".stripMargin)
 }

@@ -4018,6 +4018,25 @@ object SparkEntry {
     }
   }
 
+  /** Welch's unequal-variance t-test on purchase values between the
+    * user-parity variants — the continuous-measure companion of
+    * q189's conversion z-test. One moment pass; t and the
+    * Welch-Satterthwaite df derive from six exact integers.
+    */
+  def q245_welch_ttest(s: SparkSession, dir: String): DataFrame =
+    Relational.welchTTest(
+      t(s, dir, "events").filter(col("event_type") === "purchase"),
+      col("user_id") % 2 === 1,
+      round(col("value") * lit(100.0)).cast("long"))
+
+  /** Theil-Sen robust slope of the daily event-type series — the
+    * magnitude companion of q238's Mann-Kendall direction test, from
+    * the same bounded series self-join; median of micro-snapped
+    * pairwise slopes.
+    */
+  def q246_theil_sen(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.theilSenSlope(dailySeries(s, dir), "event_type")
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4266,7 +4285,9 @@ object SparkEntry {
     "q241_kaplan_meier" -> (q241_kaplan_meier(_, _)),
     "q242_incremental_agg" -> (q242_incremental_agg(_, _)),
     "q243_blocklist" -> (q243_blocklist(_, _)),
-    "q244_streaming_agg_replay" -> (q244_streaming_agg_replay(_, _)))
+    "q244_streaming_agg_replay" -> (q244_streaming_agg_replay(_, _)),
+    "q245_welch_ttest" -> (q245_welch_ttest(_, _)),
+    "q246_theil_sen" -> (q246_theil_sen(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -66,6 +66,8 @@ import graft.schema.Vintages
   * graft.cli.Main survival <events> <userCol> [tsCol]   // Kaplan-Meier lifetime curve
   * graft.cli.Main fingerprint <parquet> <groupCol> <cols,csv>   // order-free content hash
   * graft.cli.Main agg-state <batch> <groupCol> <valCol> <distinctCol> <stateDir>   // init/merge mergeable agg state
+  * graft.cli.Main welch <parquet> <valCol> <boolVariantCol>   // unequal-variance t-test
+  * graft.cli.Main theil <events> <groupCol> [tsCol]   // robust daily-trend slope
   * graft.cli.Main blocklist <corpus> "<terms,csv>" [--jsonl]   // Aho-Corasick one-pass screen
   * graft.cli.Main pagerank <edges> <outDir> [iters] [damping]   // link-graph quality prior
   * graft.cli.Main harmonic <edges> <outDir> [rounds] [k]   // HyperBall harmonic centrality
@@ -1079,6 +1081,32 @@ object Main {
           println(s"[agg-state] ${r.get(0)}: n=${r.getLong(1)} " +
             s"sum=${r.getLong(2)} min=${r.getLong(3)} " +
             s"max=${r.getLong(4)} est_distinct=${r.get(8)}")
+        }
+      done(spark)
+
+    // Welch's unequal-variance t-test between two variants
+    case "welch" :: path :: valCol :: variantCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.welchTTest(
+        spark.read.parquet(path), col(variantCol).cast("boolean"),
+        col(valCol)).head()
+      println(s"[welch] n_a=${r.getLong(0)} n_b=${r.getLong(1)} " +
+        s"mean_a_micro=${r.getLong(2)} mean_b_micro=${r.getLong(3)} " +
+        s"t_micro=${r.get(4)} df_micro=${r.get(5)}")
+      done(spark)
+
+    // Theil-Sen robust slope of the daily count series
+    case "theil" :: path :: groupCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val tsCol = rest.headOption.getOrElse("ts")
+      val spark = session()
+      graft.operators.TimeSeries.theilSenSlope(
+        graft.operators.TimeSeries.dailyCounts(
+          spark.read.parquet(path), groupCol, col(tsCol)), groupCol)
+        .orderBy(col(groupCol)).collect().foreach { r =>
+          println(s"[theil] ${r.get(0)}: n_pairs=${r.getLong(1)} " +
+            s"slope_micro=${r.get(2)}")
         }
       done(spark)
 

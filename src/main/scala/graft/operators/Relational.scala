@@ -1832,6 +1832,56 @@ object Relational {
         expr("bit_xor(_h)").as("fingerprint"))
   }
 
+  /** Welch's unequal-variance t-test between two variants of an
+    * exact-integer measure (Welch 1947 — the default two-sample test
+    * when group variances differ, which at A/B scale they always do):
+    * ONE aggregation pass collects each variant's exact integer
+    * moments (n, Σv, Σv²); means, sample variances, the t statistic
+    * and the Welch-Satterthwaite degrees of freedom all derive from
+    * those six integers in a fixed IEEE chain, micro-snapped — so the
+    * report hash-gates. Degenerate inputs (a variant with n < 2, or
+    * both variances zero) yield NULL t/df.
+    *
+    * Output (1 row): `n_a`, `n_b`, `mean_a_micro`, `mean_b_micro`,
+    * `t_micro`, `df_micro`.
+    */
+  def welchTTest(df: DataFrame, variantA: Column, valueInt: Column)
+      : DataFrame = {
+    val d = df.select(variantA.as("_a"), valueInt.cast("long").as("_v"))
+    def side(p: Column, name: String) = Seq(
+      sum(when(p, 1L).otherwise(0L)).as(s"n_$name"),
+      sum(when(p, col("_v")).otherwise(0L)).as(s"_s_$name"),
+      sum(when(p, col("_v") * col("_v")).otherwise(0L)).as(s"_q_$name"))
+    val aggs = side(col("_a"), "a") ++ side(!col("_a"), "b")
+    val m = d.agg(aggs.head, aggs.tail: _*)
+    def mean(n: Column, s: Column) = s.cast("double") / n.cast("double")
+    def variance(n: Column, s: Column, q: Column) =
+      (n.cast("double") * q.cast("double") -
+        s.cast("double") * s.cast("double")) /
+        (n.cast("double") * (n - 1L).cast("double"))
+    val (na, nb) = (col("n_a"), col("n_b"))
+    val va = variance(na, col("_s_a"), col("_q_a"))
+    val vb = variance(nb, col("_s_b"), col("_q_b"))
+    val sa = va / na.cast("double")
+    val sb = vb / nb.cast("double")
+    val se2 = sa + sb
+    val t = (mean(na, col("_s_a")) - mean(nb, col("_s_b"))) / sqrt(se2)
+    val dfW = se2 * se2 /
+      (sa * sa / (na - 1L).cast("double") +
+        sb * sb / (nb - 1L).cast("double"))
+    val degenerate = na < 2L || nb < 2L || se2 <= 0.0
+    m.select(na.as("n_a"), nb.as("n_b"),
+      round(mean(na, col("_s_a")) * lit(1000000.0)).cast("long")
+        .as("mean_a_micro"),
+      round(mean(nb, col("_s_b")) * lit(1000000.0)).cast("long")
+        .as("mean_b_micro"),
+      when(degenerate, lit(null).cast("long"))
+        .otherwise(round(t * lit(1000000.0)).cast("long")).as("t_micro"),
+      when(degenerate, lit(null).cast("long"))
+        .otherwise(round(dfW * lit(1000000.0)).cast("long"))
+        .as("df_micro"))
+  }
+
   /** OHLC bars (candlesticks) over an exact-integer value column:
     * per time bucket, open/close are the values at the FIRST/LAST
     * `(epoch, tie)` position via struct min/max — no window, no

@@ -153,6 +153,44 @@ object TimeSeries {
     }.reduce(_ unionByName _)
   }
 
+  /** Theil-Sen robust slope per group (Theil 1950, Sen 1968 — the
+    * median of all pairwise slopes; up to ~29% contamination does not
+    * move it, so one bad day never fakes a trend the way it drags an
+    * OLS fit): pairwise slopes come from the SAME bounded series
+    * self-join Mann-Kendall uses, each slope micro-snapped ONCE to an
+    * integer, and the median reads off the sorted slope array
+    * (|periods|²/2 elements per group, bounded by construction —
+    * collect_list here never sees the corpus). Even pair counts take
+    * the rounded midpoint of the two middle slopes.
+    *
+    * Output: group, `n_pairs`, `slope_micro` (units of v per day,
+    * micro-snapped; NULL when the series has < 2 points).
+    */
+  def theilSenSlope(series: DataFrame, groupCol: String): DataFrame = {
+    val s = series.select(col(groupCol), col("day"),
+      col("v").cast("long").as("v"))
+    val a = s.select(col(groupCol), col("day").as("_d1"),
+      col("v").as("_v1"))
+    val b = s.select(col(groupCol), col("day").as("_d2"),
+      col("v").as("_v2"))
+    val slopes = a.join(b, Seq(groupCol))
+      .filter(col("_d1") < col("_d2"))
+      .select(col(groupCol),
+        round((col("_v2") - col("_v1")).cast("double") * lit(1000000.0) /
+          (col("_d2") - col("_d1")).cast("double")).cast("long")
+          .as("_sl"))
+    val packed = slopes.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sort_array(collect_list(col("_sl"))).as("_arr"))
+    val n = col("n_pairs")
+    val lo = element_at(col("_arr"), ((n + 1L) / 2L).cast("int"))
+    val hi = element_at(col("_arr"), (n / 2L + 1L).cast("int"))
+    packed.select(col(groupCol), col("n_pairs"),
+      when(n === 0L, lit(null).cast("long"))
+        .otherwise(round((lo + hi).cast("double") / lit(2.0))
+          .cast("long")).as("slope_micro"))
+  }
+
   /** Kaplan-Meier survival over user lifetimes (Kaplan & Meier 1958),
     * the retention curve a product pipeline reports: lifetime =
     * last-activity day − first-activity day + 1 per user, with users

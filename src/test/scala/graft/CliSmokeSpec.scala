@@ -402,4 +402,12 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("blocklist", corpusPath,
       "shared,token1,absent-term"))
   }
+
+  test("welch and theil stats commands run end to end") {
+    val lab = s"${tmpDir("cliwelch")}/lab"
+    (1L to 40L).map(i => (i % 2 == 0, i % 7))
+      .toDF("variant", "v").write.mode("overwrite").parquet(lab)
+    graft.cli.Main.main(Array("welch", lab, "v", "variant"))
+    graft.cli.Main.main(Array("theil", eventsPath, "event_type"))
+  }
 }

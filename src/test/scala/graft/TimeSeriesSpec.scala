@@ -79,6 +79,38 @@ class TimeSeriesSpec extends SparkSpec {
     assert(s(2) == 0.333333) // censoring does not move the curve
   }
 
+  test("theilSenSlope: a clean linear series reads the exact slope; " +
+    "one planted outlier in a flat series does not move the median") {
+    val s = series(
+      ((1L to 4L).map(d => ("lin", d, 2L * d)) ++
+        Seq(("flat", 1L, 5L), ("flat", 2L, 5L), ("flat", 3L, 5L),
+          ("flat", 4L, 5L), ("flat", 5L, 100L))): _*)
+    val m = TimeSeries.theilSenSlope(s, "g")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m(("lin")).getAs[Long]("n_pairs") == 6L)
+    assert(m(("lin")).getAs[Long]("slope_micro") == 2000000L)
+    // 10 pairs, 6 of them flat: both middle slopes are 0
+    assert(m(("flat")).getAs[Long]("slope_micro") == 0L)
+  }
+
+  test("welchTTest: hand moments give the exact t and " +
+    "Welch-Satterthwaite df; a variant with n < 2 yields NULL") {
+    import graft.operators.Relational
+    // A = {0, 2} (mean 1, var 2), B = {10, 14} (mean 12, var 8):
+    // se2 = 1 + 4 = 5, t = -11/sqrt(5) = -4.919350, df = 25/17
+    val df = Seq((true, 0L), (true, 2L), (false, 10L), (false, 14L))
+      .toDF("a", "v")
+    val r = Relational.welchTTest(df, col("a"), col("v")).head()
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("mean_a_micro") == 1000000L)
+    assert(r.getAs[Long]("mean_b_micro") == 12000000L)
+    assert(r.getAs[Long]("t_micro") == -4919350L)
+    assert(r.getAs[Long]("df_micro") == 1470588L)
+    val degen = Seq((true, 1L), (false, 2L), (false, 3L)).toDF("a", "v")
+    val d = Relational.welchTTest(degen, col("a"), col("v")).head()
+    assert(d.isNullAt(d.fieldIndex("t_micro")))
+  }
+
   test("datasetFingerprint is order- and partitioning-invariant, and " +
     "any changed row moves it") {
     val base = Seq((1L, "a", "g"), (2L, "b", "g"), (3L, "c", "g"))
