@@ -5756,5 +5756,20 @@ object OracleSql {
         |    ELSE (round((arr[((n_pairs + 1) // 2)::INTEGER]
         |      + arr[(n_pairs // 2 + 1)::INTEGER])::DOUBLE / 2.0))
         |      ::BIGINT END AS slope_micro
-        |FROM g""".stripMargin)
+        |FROM g""".stripMargin,
+
+    // CDC apply: the oracle builds the TARGET snapshot directly —
+    // apply(base, changes) must reproduce it row for row
+    "q247_cdc_apply" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_orderpriority, o_orderdate FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN 'X-RUSH'
+        |    ELSE o_orderpriority END AS o_orderpriority,
+        |  o_orderdate
+        |FROM o WHERE o_orderkey % 97 <> 0
+        |UNION ALL
+        |SELECT -o_orderkey, o_custkey, o_orderstatus,
+        |  o_orderpriority, o_orderdate
+        |FROM o WHERE o_orderkey % 101 = 0""".stripMargin)
 }

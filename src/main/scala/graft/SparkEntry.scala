@@ -4037,6 +4037,31 @@ object SparkEntry {
   def q246_theil_sen(s: SparkSession, dir: String): DataFrame =
     TimeSeries.theilSenSlope(dailySeries(s, dir), "event_type")
 
+  /** CDC apply (MERGE with deletes): a deterministic change batch —
+    * tombstones at keys ≡ 0 (mod 97), priority updates at keys ≡ 0
+    * (mod 13) not tombstoned, negated-key inserts at keys ≡ 0
+    * (mod 101) — applied to orders through the one-hash-agg
+    * [[Ingest.cdcApply]]. The change sets are disjoint per key, so the
+    * oracle is q233's synthetic v2 built DIRECTLY: apply(base, cdc)
+    * must equal the target snapshot row for row.
+    */
+  def q247_cdc_apply(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_orderdate"))
+    val del = o.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("_op", lit("D"))
+    val upd = o.filter(col("o_orderkey") % 13 === 0 &&
+        col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_orderpriority", lit("X-RUSH"))
+      .withColumn("_op", lit("U"))
+    val ins = o.filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+      .withColumn("_op", lit("I"))
+    Ingest.cdcApply(o, del.unionByName(upd).unionByName(ins),
+      Seq("o_orderkey"), "_op", "o_orderdate")
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4287,7 +4312,8 @@ object SparkEntry {
     "q243_blocklist" -> (q243_blocklist(_, _)),
     "q244_streaming_agg_replay" -> (q244_streaming_agg_replay(_, _)),
     "q245_welch_ttest" -> (q245_welch_ttest(_, _)),
-    "q246_theil_sen" -> (q246_theil_sen(_, _)))
+    "q246_theil_sen" -> (q246_theil_sen(_, _)),
+    "q247_cdc_apply" -> (q247_cdc_apply(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

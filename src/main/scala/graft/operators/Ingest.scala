@@ -246,6 +246,42 @@ object Ingest {
       .select(base.columns.map(col).toSeq: _*)
   }
 
+  /** CDC apply — [[upsert]] extended with DELETE semantics (the full
+    * MERGE INTO / change-data-capture contract a lakehouse table
+    * needs): `changes` carries the base schema plus an op column
+    * ('I'/'U'/'D'); per key the LATEST row wins by
+    * `(version, side, op, payload…)` struct max (changes outrank the
+    * base at equal version; op and payload break residual ties
+    * deterministically — unlike `max_by`, which documents ties as
+    * arbitrary), and a winning tombstone drops the key entirely.
+    * Same scale shape as [[upsert]]: ONE hash aggregation over
+    * base∪changes keyed on the merge key — no window, no join,
+    * map-side partials absorb hot keys; tombstoned rows vanish in the
+    * final filter without a separate anti-join pass.
+    */
+  def cdcApply(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      opCol: String, versionCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "cdcApply needs at least one key column")
+    val baseCols = base.columns.toSeq
+    require(changes.columns.toSet == (baseCols :+ opCol).toSet,
+      s"changes must be base schema + $opCol: got " +
+        s"${changes.columns.toSeq} vs $baseCols")
+    val payload = baseCols.filterNot(
+      c => keyCols.contains(c) || c == versionCol)
+    def sided(df: DataFrame, side: Int, op: Column): DataFrame =
+      df.select(keyCols.map(col) ++
+        Seq(struct((col(versionCol).as("_v") +: lit(side).as("_side") +:
+          op.as("_op") +: payload.map(col)): _*).as("_m")): _*)
+    sided(base, 0, lit("K"))
+      .unionByName(sided(changes, 1, col(opCol)))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("_m")).as("_m"))
+      .filter(col("_m._op") =!= "D")
+      .select(keyCols.map(col) ++ Seq(col("_m._v").as(versionCol)) ++
+        payload.map(c => col(s"_m.$c").as(c)): _*)
+      .select(baseCols.map(col): _*)
+  }
+
   /** Partition-pruned upsert-in-place on a Hive-partitioned pool: only
     * the partitions PRESENT IN `updates` are read, merged via
     * [[upsert]], and swapped back with dynamic partition overwrite —
