@@ -308,9 +308,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"terms must be array<string>, got ${other.sql}; $usage")
         }
-        val arr = children(1).eval().asInstanceOf[ArrayData]
-        val terms = (0 until arr.numElements())
-          .map(i => arr.getUTF8String(i).toString)
+        // validate the term list HERE, at analysis: a NULL literal /
+        // null element / empty / duplicate list would otherwise only
+        // blow up lazily at eval or codegen time on an executor, with
+        // an NPE instead of the usage string
+        val evaled = children(1).eval()
+        if (evaled == null)
+          throw new IllegalArgumentException(s"terms is NULL; $usage")
+        val arr = evaled.asInstanceOf[ArrayData]
+        val terms = (0 until arr.numElements()).map { i =>
+          val t = arr.getUTF8String(i)
+          if (t == null) throw new IllegalArgumentException(
+            s"terms[$i] is NULL; $usage")
+          t.toString
+        }
+        if (terms.isEmpty)
+          throw new IllegalArgumentException(s"terms is empty; $usage")
+        if (terms.exists(_.isEmpty))
+          throw new IllegalArgumentException(
+            s"terms contains an empty string; $usage")
+        if (terms.distinct.length != terms.length)
+          throw new IllegalArgumentException(
+            s"terms contains duplicates; $usage")
         MultiMatchExprXX(children.head, terms)
       }))
 

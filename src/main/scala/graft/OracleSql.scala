@@ -5555,10 +5555,13 @@ object OracleSql {
 
     // Lag-1..3 autocorrelation: centered exact-micro series, lagged
     // equi self-joins, one division per lag
+    // moment products in HUGEINT — mirrors the Spark side's
+    // decimal(38,0) x·x sums (a BIGINT product overflows once a day
+    // deviates ~3e9 micro-units from the group mean)
     "q240_autocorr" -> {
       def lagSel(k: Int): String =
         s"""SELECT c1.g, $k AS lag, count(*)::BIGINT AS n_pairs,
-           |    sum(c1.x * c2.x)::BIGINT AS num
+           |    sum(c1.x::HUGEINT * c2.x) AS num
            |  FROM c c1 JOIN c c2
            |    ON c1.g = c2.g AND c2.day = c1.day + $k
            |  GROUP BY 1""".stripMargin
@@ -5571,7 +5574,7 @@ object OracleSql {
          |  FROM s GROUP BY 1),
          |c AS (SELECT s.g, s.day, (s.v * 1000000 - m.mm)::BIGINT AS x
          |  FROM s JOIN m ON s.g = m.g),
-         |d AS (SELECT g, sum(x * x)::BIGINT AS den FROM c GROUP BY 1),
+         |d AS (SELECT g, sum(x::HUGEINT * x) AS den FROM c GROUP BY 1),
          |l AS (${(1 to 3).map(lagSel).mkString("\nUNION ALL\n")})
          |SELECT l.g AS event_type, l.lag, l.n_pairs,
          |  CASE WHEN d.den = 0 THEN NULL
@@ -5710,10 +5713,10 @@ object OracleSql {
         |m AS (SELECT
         |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
         |    sum(CASE WHEN a THEN v ELSE 0 END)::BIGINT AS s_a,
-        |    sum(CASE WHEN a THEN v * v ELSE 0 END)::BIGINT AS q_a,
+        |    sum(CASE WHEN a THEN v::HUGEINT * v ELSE 0 END) AS q_a,
         |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n_b,
         |    sum(CASE WHEN NOT a THEN v ELSE 0 END)::BIGINT AS s_b,
-        |    sum(CASE WHEN NOT a THEN v * v ELSE 0 END)::BIGINT AS q_b
+        |    sum(CASE WHEN NOT a THEN v::HUGEINT * v ELSE 0 END) AS q_b
         |  FROM d),
         |x AS (SELECT *,
         |    (n_a::DOUBLE * q_a::DOUBLE - s_a::DOUBLE * s_a::DOUBLE)
@@ -5759,7 +5762,11 @@ object OracleSql {
         |FROM g""".stripMargin,
 
     // CDC apply: the oracle builds the TARGET snapshot directly —
-    // apply(base, changes) must reproduce it row for row
+    // apply(base, changes) must reproduce it row for row. An insert
+    // whose key is ALSO tombstoned at an equal-or-newer version is
+    // dropped (tombstone-wins MERGE convention — key 0 hits this: its
+    // delete (0%97=0) and insert (-0=0, 0%101=0) carry the same
+    // version, and the delete must win)
     "q247_cdc_apply" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
         |    o_orderpriority, o_orderdate FROM orders)
@@ -5771,5 +5778,8 @@ object OracleSql {
         |UNION ALL
         |SELECT -o_orderkey, o_custkey, o_orderstatus,
         |  o_orderpriority, o_orderdate
-        |FROM o WHERE o_orderkey % 101 = 0""".stripMargin)
+        |FROM o WHERE o_orderkey % 101 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM o d
+        |    WHERE d.o_orderkey % 97 = 0 AND d.o_orderkey = -o.o_orderkey
+        |      AND d.o_orderdate >= o.o_orderdate)""".stripMargin)
 }

@@ -250,8 +250,11 @@ object Ingest {
     * MERGE INTO / change-data-capture contract a lakehouse table
     * needs): `changes` carries the base schema plus an op column
     * ('I'/'U'/'D'); per key the LATEST row wins by
-    * `(version, side, op, payload…)` struct max (changes outrank the
-    * base at equal version; op and payload break residual ties
+    * `(version, side, tombstone-rank, op, payload…)` struct max
+    * (changes outrank the base at equal version; at equal version a
+    * DELETE outranks an insert/update — the MERGE convention, a
+    * tombstone wins its version rather than losing to 'U' > 'D'
+    * lexicographics; op and payload break residual ties
     * deterministically — unlike `max_by`, which documents ties as
     * arbitrary), and a winning tombstone drops the key entirely.
     * Same scale shape as [[upsert]]: ONE hash aggregation over
@@ -271,6 +274,7 @@ object Ingest {
     def sided(df: DataFrame, side: Int, op: Column): DataFrame =
       df.select(keyCols.map(col) ++
         Seq(struct((col(versionCol).as("_v") +: lit(side).as("_side") +:
+          when(op === "D", 1).otherwise(0).as("_del") +:
           op.as("_op") +: payload.map(col)): _*).as("_m")): _*)
     sided(base, 0, lit("K"))
       .unionByName(sided(changes, 1, col(opCol)))

@@ -1848,10 +1848,16 @@ object Relational {
   def welchTTest(df: DataFrame, variantA: Column, valueInt: Column)
       : DataFrame = {
     val d = df.select(variantA.as("_a"), valueInt.cast("long").as("_v"))
+    // the v² moment runs in decimal(38,0): a cent-scaled value past
+    // ~3e9 squares beyond 2⁶³ and a Long sum would wrap silently
+    // (decimal overflows to NULL instead — wrong loudly, never wrong
+    // quietly); the same guard as autocorrByGroup's x·x sums
+    val vd = col("_v").cast("decimal(19,0)")
     def side(p: Column, name: String) = Seq(
       sum(when(p, 1L).otherwise(0L)).as(s"n_$name"),
       sum(when(p, col("_v")).otherwise(0L)).as(s"_s_$name"),
-      sum(when(p, col("_v") * col("_v")).otherwise(0L)).as(s"_q_$name"))
+      sum(when(p, vd * vd).otherwise(lit(0).cast("decimal(38,0)")))
+        .as(s"_q_$name"))
     val aggs = side(col("_a"), "a") ++ side(!col("_a"), "b")
     val m = d.agg(aggs.head, aggs.tail: _*)
     def mean(n: Column, s: Column) = s.cast("double") / n.cast("double")

@@ -116,7 +116,13 @@ object TimeSeries {
   /** Lag-k autocorrelation per group over the day series, lags
     * 1..maxLag: r_k = Σ (x_d − m)(x_{d+k} − m) / Σ (x_d − m)² with the
     * mean micro-snapped once, so numerator and denominator are exact
-    * integer sums (micro² units) and r_k is ONE division. Lagged
+    * integer sums (micro² units) and r_k is ONE division. The moment
+    * sums run in DECIMAL(38,0): x is micro-scaled, so x·x tops 2⁶³ as
+    * soon as a day deviates ~3×10⁹ micro-units from the group mean —
+    * a Long would wrap silently there (while a SQL oracle's 128-bit
+    * sum keeps going) and the acf would be silently wrong; decimal
+    * keeps the product exact to 10³⁸ and overflows to NULL, never to
+    * garbage. Lagged
     * pairs come from a series self-join on `(group, day + k)` — an
     * EQUI join on the bounded table, gaps in the series simply drop
     * pairs (the standard irregular-series convention). Zero-variance
@@ -136,15 +142,19 @@ object TimeSeries {
       .select(col(groupCol), col("day"),
         (col("v") * lit(1000000L) - col("_m")).as("_x"))
       .persist() // denominator + one join per lag
+    // decimal(19,0) holds any long exactly; the product promotes to
+    // decimal(38,0), so a 3e9-micro deviation squared (9.2e18 > 2⁶³)
+    // stays exact instead of wrapping
+    val xd = col("_x").cast("decimal(19,0)")
     val denom = centered.groupBy(col(groupCol))
-      .agg(sum(col("_x") * col("_x")).as("_den"))
+      .agg(sum(xd * xd).as("_den"))
     (1 to maxLag).map { k =>
       val lagged = centered.select(col(groupCol),
         (col("day") - k.toLong).as("day"), col("_x").as("_y"))
       centered.join(lagged, Seq(groupCol, "day"))
         .groupBy(col(groupCol))
         .agg(count(lit(1)).as("n_pairs"),
-          sum(col("_x") * col("_y")).as("_num"))
+          sum(xd * col("_y").cast("decimal(19,0)")).as("_num"))
         .join(denom, Seq(groupCol))
         .select(col(groupCol), lit(k).as("lag"), col("n_pairs"),
           when(col("_den") === 0L, lit(null).cast("double"))

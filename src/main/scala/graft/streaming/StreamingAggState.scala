@@ -103,13 +103,30 @@ object StreamingAggState {
   }
 
   /** The report off the persisted state: [[Incremental.stateReport]]
-    * over every bucket — event history is never read.
+    * over every bucket — event history is never read. Before any batch
+    * has written state (path missing, or every batch so far was empty /
+    * all-null groups, where [[processBatch]] returns without writing)
+    * the report is EMPTY with the report schema (group typed string —
+    * with no state on disk there is no group type to recover), not an
+    * `AnalysisException` from a bare read of a missing path.
     */
   def report(spark: SparkSession, statePath: String, groupCol: String,
-      k: Int = 128): DataFrame =
-    Incremental.stateReport(
-      spark.read.parquet(statePath)
-        .select(col(groupCol), col("n_rows"), col("sum_v"),
-          col("min_v"), col("max_v"), col("kmv")),
-      groupCol, k)
+      k: Int = 128): DataFrame = {
+    val hPath = new Path(statePath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    StateSwap.heal(fs, statePath)
+    val hasState = fs.exists(hPath) &&
+      fs.listStatus(hPath).exists(_.getPath.getName.startsWith("_b="))
+    val state =
+      if (hasState)
+        spark.read.parquet(statePath)
+          .select(col(groupCol), col("n_rows"), col("sum_v"),
+            col("min_v"), col("max_v"), col("kmv"))
+      else {
+        import spark.implicits._
+        Seq.empty[(String, Long, Long, Long, Long, Seq[Long])]
+          .toDF(groupCol, "n_rows", "sum_v", "min_v", "max_v", "kmv")
+      }
+    Incremental.stateReport(state, groupCol, k)
+  }
 }

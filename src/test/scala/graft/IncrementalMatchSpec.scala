@@ -125,4 +125,21 @@ class IncrementalMatchSpec extends SparkSpec {
     assert(err.getMessage.contains("foldable") ||
       err.getMessage.toLowerCase.contains("usage"))
   }
+
+  test("graft_multimatch builder validates the term list at ANALYSIS: " +
+    "null array, null element, empty and duplicate lists all fail " +
+    "with the usage string, not an executor NPE") {
+    Seq((1L, "x")).toDF("id", "text").createOrReplaceTempView("mm_val")
+    def failing(terms: String): String =
+      intercept[Exception] {
+        spark.sql(s"SELECT graft_multimatch(text, $terms) FROM mm_val")
+          .collect()
+      }.getMessage
+    assert(failing("CAST(NULL AS array<string>)").contains("usage"))
+    assert(failing("array('a', CAST(NULL AS string))").contains("usage"))
+    assert(failing("array()").contains("usage") ||
+      failing("array()").contains("array<string>"))
+    assert(failing("array('a', '')").contains("usage"))
+    assert(failing("array('a', 'a')").contains("usage"))
+  }
 }

@@ -343,6 +343,29 @@ class IngestPoolSpec extends SparkSpec {
     assert(gotN === Map(1L -> "base", 2L -> "upd"))
   }
 
+  test("cdcApply: a tombstone WINS an equal-version insert/update in " +
+    "the same change batch (MERGE convention), loses to a newer one") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, 10L, "b1"), (2L, 10L, "b2"), (3L, 10L, "b3"))
+      .toDF("k", "v", "payload")
+    val changes = Seq(
+      // key 1: D and U at the SAME version in one batch → the delete
+      // must win (previously 'U' > 'D' lexicographics kept the row)
+      (1L, 20L, "u1", "U"), (1L, 20L, "ignored", "D"),
+      // key 2: delete at v15, then an I at HIGHER v20 → insert wins
+      (2L, 15L, "ignored", "D"), (2L, 20L, "i2", "I"),
+      // key 3: plain delete
+      (3L, 20L, "ignored", "D"),
+      // key 4: insert and delete at same version, never in base → gone
+      (4L, 20L, "i4", "I"), (4L, 20L, "ignored", "D"))
+      .toDF("k", "v", "payload", "op")
+    val got = Ingest.cdcApply(base, changes, Seq("k"), "op", "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2))).toMap
+    assert(got === Map(2L -> (20L, "i2")))
+  }
+
   test("upsertPartitioned rewrites only the touched partitions") {
     import spark.implicits._
     val root = tmpDir("upsert_pool")

@@ -40,6 +40,21 @@ class StreamingAggStateSpec extends SparkSpec {
     assert(streamed == whole)
   }
 
+  test("report before any batch wrote state is EMPTY with the report " +
+    "schema — missing path and empty/all-null batches alike, no " +
+    "AnalysisException") {
+    val state = s"${tmpDir("aggstate-empty")}/state"
+    val r0 = StreamingAggState.report(spark, state, "g", 16)
+    assert(r0.count() == 0L)
+    assert(r0.columns.toSeq == Seq("g", "n_rows", "sum_v", "min_v",
+      "max_v", "mean_micro", "k_actual", "kth", "est_distinct"))
+    // an all-null-group batch writes nothing either
+    StreamingAggState.processBatch(
+      Seq((Option.empty[String], 1L, 1L)).toDF("g", "v", "d"), 0L,
+      state, "g", col("v"), col("d"), k = 16, buckets = 4)
+    assert(StreamingAggState.report(spark, state, "g", 16).count() == 0L)
+  }
+
   test("replaying a batch id is a no-op — the per-bucket applied " +
     "watermark makes count/sum merging exactly-once") {
     val state = s"${tmpDir("aggstate-replay")}/state"
