@@ -1171,37 +1171,116 @@ object Dedup {
       .limit(topK)
 
   /** Entity resolution: multi-pass blocking + edit-distance verify +
-    * connected-component merge. Candidate pairs come from TWO
-    * complementary equi-join blocking passes — the first and second
-    * halves of the name — so a corruption can defeat at most one pass
-    * and block sizes stay O(1) as the registry grows (random-ish names
-    * spread across the key space; no all-pairs anywhere). Verification
-    * (`levenshtein ≤ maxEdit`) touches candidates only; the merge is
-    * the dedup family's pointer-jumping CC ([[clusterLabels]]).
+    * connected-component merge, with BOTH quadratic escapes a skewed
+    * real-world registry needs engineered away:
+    *
+    *  1. **Exact-duplicate collapse.** Records sharing a name are one
+    *     entity by definition (edit distance 0), so each connects to
+    *     its name's min-id representative with a LINEAR star edge —
+    *     a registry with 10⁶ copies of "John Smith" contributes 10⁶
+    *     edges, never the 10¹² pairs the clique would cost through
+    *     the pairwise path. Blocking then runs over DISTINCT names
+    *     only (one representative each).
+    *  2. **Hot-block cap.** Candidate pairs come from TWO
+    *     complementary equi-join blocking passes — the first and
+    *     second halves of the name, so a corruption can defeat at
+    *     most one pass. Real name prefixes are Zipfian ("Mohammed…",
+    *     "John S…"): a blocking key whose DISTINCT-name block exceeds
+    *     `blockCap` would still go quadratic inside the block, so hot
+    *     blocks switch to the sorted-neighborhood method (Hernández &
+    *     Stolfo 1995): members sort by full name within the block and
+    *     each pairs with only its next `hotWindow` neighbors —
+    *     O(|block|·hotWindow) candidates, bounded fan-out per record.
+    *     Within a hot block recall becomes the SNM approximation
+    *     (near-duplicate tails usually sort adjacent; an edit early
+    *     in the tail can escape the window) — the documented price of
+    *     boundedness; cold blocks keep exact all-pairs semantics.
+    *
+    * Verification (`levenshtein ≤ maxEdit`) touches candidates only;
+    * the merge is the dedup family's pointer-jumping CC
+    * ([[clusterLabels]]). All joins are equi (block key, or block key
+    * + neighbor rank); the only window is partitioned by block key.
     *
     * Output: (`idCol`, `cluster`) for every record — the cluster label
     * is the minimal member id, singletons keep their own id.
     */
   def resolveEntities(
       records: DataFrame, idCol: String, nameCol: String,
-      maxEdit: Int = 2, halfLen: Int = 6): DataFrame = {
+      maxEdit: Int = 2, halfLen: Int = 6,
+      blockCap: Int = 64, hotWindow: Int = 8): DataFrame = {
+    val cand = entityCandidates(records, idCol, nameCol, halfLen,
+      blockCap, hotWindow)
     val recs = records.select(col(idCol).as("_rid"),
       col(nameCol).as("_nm"))
-    def blockPass(key: Column => Column) = {
-      val l = recs.select(key(col("_nm")).as("_k"),
-        col("_rid").as("id_a"), col("_nm").as("_na"))
-      val r = recs.select(key(col("_nm")).as("_k"),
-        col("_rid").as("id_b"), col("_nm").as("_nb"))
-      l.join(r, "_k").filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("_na"), col("_nb"))
-    }
-    val cand = blockPass(_.substr(1, halfLen))
-      .union(blockPass(_.substr(halfLen + 1, halfLen)))
-      .distinct()
+    val names = recs.groupBy(col("_nm")).agg(min(col("_rid")).as("_rep"))
+    val starEdges = recs.join(names, Seq("_nm"))
+      .filter(col("_rid") =!= col("_rep"))
+      .select(col("_rid").as("id_a"), col("_rep").as("id_b"))
     val pairs = cand
       .filter(levenshtein(col("_na"), col("_nb")) <= maxEdit)
       .select(col("id_a"), col("id_b"))
+      .union(starEdges)
     clusterLabels(recs.select("_rid"), pairs)
       .select(col("id").as(idCol), col("cluster"))
+  }
+
+  /** [[resolveEntities]]' candidate-pair generator, exposed so the
+    * boundedness claim is testable: output pair count is
+    * O(Σ_cold |block|²) + O(Σ_hot |block|·hotWindow), never quadratic
+    * in a hot block. Returns `(id_a, id_b, _na, _nb)` over distinct-
+    * name representatives with `id_a < id_b`.
+    */
+  private[graft] def entityCandidates(
+      records: DataFrame, idCol: String, nameCol: String,
+      halfLen: Int, blockCap: Int, hotWindow: Int): DataFrame = {
+    require(blockCap >= 2, s"blockCap must be >= 2, got $blockCap")
+    require(hotWindow >= 1, s"hotWindow must be >= 1, got $hotWindow")
+    import org.apache.spark.sql.expressions.Window
+    val names = records
+      .select(col(idCol).as("_rid"), col(nameCol).as("_nm"))
+      .groupBy(col("_nm")).agg(min(col("_rid")).as("_rep"))
+      // two blocking passes × (size count + pair join) consume this —
+      // materialize the narrow (name, rep) frame once
+      .localCheckpoint()
+    def blockPass(key: Column => Column): DataFrame = {
+      val keyed = names.select(key(col("_nm")).as("_k"), col("_rep"),
+        col("_nm"))
+      val sizes = keyed.groupBy(col("_k")).agg(count(lit(1)).as("_bn"))
+      val kk = keyed.join(sizes, Seq("_k"))
+      // cold blocks: exact all-pairs (≤ blockCap members — bounded)
+      val cold = kk.filter(col("_bn") <= blockCap)
+      val coldPairs = cold
+        .select(col("_k"), col("_rep").as("id_a"), col("_nm").as("_na"))
+        .join(cold.select(col("_k"), col("_rep").as("id_b"),
+          col("_nm").as("_nb")), Seq("_k"))
+        .filter(col("id_a") < col("id_b"))
+      // hot blocks: sorted-neighborhood — rank by name inside the
+      // block, each member pairs with its next `hotWindow` ranks via
+      // an EQUI join on (block, rank); fan-out per member ≤ hotWindow
+      val w = Window.partitionBy(col("_k")).orderBy(col("_nm"))
+      val ranked = kk.filter(col("_bn") > blockCap)
+        .withColumn("_rn", row_number().over(w))
+      val lhs = ranked
+        .withColumn("_j",
+          explode(sequence(lit(1), lit(hotWindow))))
+        .select(col("_k"), (col("_rn") + col("_j")).as("_rn2"),
+          col("_rep").as("_ra"), col("_nm").as("_qa"))
+      val hotPairs = lhs.join(
+        ranked.select(col("_k"), col("_rn").as("_rn2"),
+          col("_rep").as("_rb"), col("_nm").as("_qb")),
+        Seq("_k", "_rn2"))
+        .select(col("_k"),
+          least(col("_ra"), col("_rb")).as("id_a"),
+          greatest(col("_ra"), col("_rb")).as("id_b"),
+          when(col("_ra") < col("_rb"), col("_qa")).otherwise(col("_qb"))
+            .as("_na"),
+          when(col("_ra") < col("_rb"), col("_qb")).otherwise(col("_qa"))
+            .as("_nb"))
+      coldPairs.unionByName(hotPairs)
+    }
+    blockPass(_.substr(1, halfLen))
+      .union(blockPass(_.substr(halfLen + 1, halfLen)))
+      .select(col("id_a"), col("id_b"), col("_na"), col("_nb"))
+      .distinct()
   }
 }

@@ -77,6 +77,47 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("resolveEntities: a Zipfian-prefix registry stays O(n·window) " +
+    "in candidate pairs — one hot blocking key cannot go quadratic") {
+    val n = 500
+    val (cap, win) = (64, 8)
+    // every record shares the hot first-half prefix "mohamm" (the
+    // Zipfian real-registry shape the md5 gate fixture can't produce);
+    // tails are distinct, so the second-half pass contributes nothing
+    val recs = Seq.tabulate(n)(i => (i.toLong, f"mohamm$i%06d"))
+      .toDF("rid", "nm")
+    val cand = Dedup.entityCandidates(recs, "rid", "nm",
+      halfLen = 6, blockCap = cap, hotWindow = win)
+    val got = cand.count()
+    assert(got <= n.toLong * win,
+      s"hot block leaked $got candidate pairs (> n*window = ${n * win})")
+    assert(got >= (n - win).toLong, s"window produced too few: $got")
+    // adjacent-tail corruptions still resolve through the SNM window
+    // (numeric tails chain under maxEdit=2, so assert MEMBERSHIP in
+    // the original records' component, not a specific label)
+    val dirty = Seq((9000L, "mohamm000007"), // exact dup of rid 7
+      (9001L, "mohamm00000z")) // 1 edit from the 00000x tails
+      .toDF("rid", "nm")
+    val clusters = Dedup.resolveEntities(recs.union(dirty), "rid", "nm",
+      maxEdit = 2, halfLen = 6, blockCap = cap, hotWindow = win)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(9000L) == clusters(7L), // exact-name collapse
+      s"exact dup: ${clusters(9000L)} vs ${clusters(7L)}")
+    assert(clusters(9001L) == clusters(2L), // SNM: sorts next to 00000*
+      s"snm near-dup: ${clusters(9001L)} vs ${clusters(2L)}")
+    // a registry that is ONE name repeated collapses linearly with
+    // zero candidate pairs (the exact-duplicate clique never reaches
+    // the pairwise path)
+    val dup = Seq.tabulate(300)(i => (i.toLong, "john smith"))
+      .toDF("rid", "nm")
+    assert(Dedup.entityCandidates(dup, "rid", "nm", 6, cap, win)
+      .count() == 0L)
+    val dupClusters = Dedup.resolveEntities(dup, "rid", "nm",
+      maxEdit = 2, halfLen = 6, blockCap = cap, hotWindow = win)
+    assert(dupClusters.select("cluster").distinct().count() == 1L)
+    assert(dupClusters.count() == 300L)
+  }
+
   test("cuped: when the metric IS the covariate the adjusted means " +
     "collapse to the global mean for both variants") {
     val ts0 = 1700000000L
