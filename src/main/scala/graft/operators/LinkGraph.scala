@@ -49,10 +49,51 @@ import org.apache.spark.sql.functions._
   */
 object LinkGraph {
 
+  /** Cache rotation for iterative ops: EAGERLY localCheckpoint `next`
+    * (materializes the round AND cuts its lineage to a plain RDD scan)
+    * and only then release the superseded frames — the discipline that
+    * keeps a long run at O(1) cached frames instead of accumulating R
+    * of them. The lineage cut is load-bearing twice over: (a) plans
+    * stop referencing prior rounds, so analyzed trees stay O(1) per
+    * round instead of compounding (the dangling-redistribution branch
+    * references its contribution frame twice, which is EXPONENTIAL
+    * tree growth under plain chaining); (b) released rounds leave no
+    * cache-manager entry for later rounds to depend on — a persist+
+    * unpersist rotation instead triggers CacheManager's dependent-
+    * cache invalidation, which silently drops the LIVE round's buffers
+    * and recomputes it from full lineage. Fault-tolerance note: a
+    * localCheckpointed round cannot be recomputed if an executor dies
+    * (lineage is gone) — the standard iterative-algorithm trade; use
+    * external checkpointing on a lossy cluster.
+    */
+  private def rotate(next: DataFrame, prev: DataFrame*): DataFrame = {
+    val out = next.localCheckpoint(true)
+    prev.filter(_ ne null).foreach(release)
+    out
+  }
+
+  /** Free a [[rotate]]d frame (RDD-backed after the lineage cut —
+    * cache-manager unpersist cannot see it) or a plain persisted one.
+    */
+  private def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => df.unpersist()
+    }
+
   /** Production PageRank. `nodes` must have column `id`; `edges`
     * columns `src`, `dst` (both referencing `id`). Returns
     * `(id, rank)` with `rank` a DOUBLE summing to ~1 (exactly 1 up to
     * float noise when `redistributeDangling`).
+    *
+    * `tol > 0` adds delta-based early stop: after each round ONE
+    * bounded scalar — `max |rank_i − rank_{i−1}|` over nodes — is
+    * compared to `tol` and the loop exits once ranks have converged,
+    * so `iters` becomes a ceiling rather than a fixed cost (the
+    * production shape for web-scale graphs, where most mass converges
+    * in a handful of rounds). `tol = 0` (default) keeps the exact
+    * fixed-round semantics the hash gates pin.
     */
   def pageRank(
       nodes: DataFrame,
@@ -60,11 +101,13 @@ object LinkGraph {
       iters: Int,
       damping: Double = 0.85,
       redistributeDangling: Boolean = true,
-      checkpointEvery: Int = 0): DataFrame =
+      checkpointEvery: Int = 0,
+      tol: Double = 0.0): DataFrame =
     run(nodes, edges, iters, damping,
       sumCol = sum(col("c")),
       redistributeDangling = redistributeDangling,
-      checkpointEvery = checkpointEvery)
+      checkpointEvery = checkpointEvery,
+      tol = tol)
 
   /** Oracle-tier PageRank: bit-deterministic ranks via src-ordered
     * contribution folds. Leaky formulation only (no dangling
@@ -82,7 +125,7 @@ object LinkGraph {
       lit(0.0),
       (acc: Column, x: Column) => acc + x.getField("c"))
     run(nodes, edges, iters, damping, sumCol = fold,
-      redistributeDangling = false, checkpointEvery = 0)
+      redistributeDangling = false, checkpointEvery = 0, tol = 0.0)
   }
 
   private def run(
@@ -92,10 +135,12 @@ object LinkGraph {
       damping: Double,
       sumCol: Column,
       redistributeDangling: Boolean,
-      checkpointEvery: Int): DataFrame = {
+      checkpointEvery: Int,
+      tol: Double): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
+    require(tol >= 0.0, s"tol must be >= 0, got $tol")
 
     val n1 = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     val outdeg = edges.groupBy("src")
@@ -109,8 +154,11 @@ object LinkGraph {
     var ranks = nodes.crossJoin(broadcast(n1))
       .select(col("id"), (lit(1.0) / col("n_nodes")).as("rank"),
         col("n_nodes"))
+    var prevRanks: DataFrame = null
+    var converged = false
 
-    for (i <- 1 to iters) {
+    var i = 1
+    while (i <= iters && !converged) {
       val contribs0 = e
         .join(ranks.select(col("id").as("src"), col("rank")), "src")
         .select(col("dst"), col("src"),
@@ -142,11 +190,30 @@ object LinkGraph {
               lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"),
             col("n_nodes"))
         }
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-        next = next.localCheckpoint(true)
-      ranks = next
+      // materialize this round with a lineage cut, read the
+      // convergence delta while the PREVIOUS round is still live, THEN
+      // release the superseded frames — O(1) cached frames and O(1)
+      // plans across any round count (`checkpointEvery` is subsumed:
+      // every round now truncates; the parameter stays for API
+      // compatibility). Values are unchanged — only storage/lineage.
+      val mat = next.localCheckpoint(true)
+      if (tol > 0.0 && i < iters) {
+        // one bounded scalar per round: max |Δrank| over nodes
+        val delta = mat
+          .join(ranks.select(col("id"), col("rank").as("_pr")), "id")
+          .agg(max(abs(col("rank") - col("_pr"))).as("d"))
+          .head().getDouble(0)
+        converged = delta < tol
+      }
+      if (prevRanks != null) release(prevRanks)
+      if (redistributeDangling) contribs.unpersist()
+      prevRanks = mat
+      ranks = mat
+      i += 1
     }
-    ranks.select(col("id"), col("rank"))
+    val out = ranks.select(col("id"), col("rank"))
+    e.unpersist() // final ranks are materialized; the edge frame is done
+    out
   }
 
   /** Community detection by synchronous label propagation (Raghavan
@@ -189,12 +256,17 @@ object LinkGraph {
         .select(col("id"), col("label").as("new_label"))
       // each round's labels feed BOTH the neighbor-count join and the
       // carry-through join — persist, or the branches replay all
-      // prior rounds (same O(R²) trap as the harmonic sketches)
-      labels = labels.join(pick, Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("new_label"), col("label")).as("label"))
-        .persist()
+      // prior rounds (same O(R²) trap as the harmonic sketches);
+      // rotate releases the superseded round once this one
+      // materializes, so a long run caches O(1) frames
+      val prev = labels
+      labels = rotate(
+        labels.join(pick, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("new_label"), col("label")).as("label")),
+        prev)
     }
+    e2.unpersist() // final labels are materialized
     labels
   }
 
@@ -285,16 +357,23 @@ object LinkGraph {
       val deg = e.select(col("a").as("id"))
         .union(e.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
-      keep = deg.filter(col("deg") >= k).select("id").persist()
-      e = e
-        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
-        .persist()
+      val (prevE, prevKeep) = (e, keep)
+      // both per-round frames rotate (materialize + lineage cut, then
+      // release the superseded round) — O(1) cached frames and O(1)
+      // plans across any round count, no cross-round lineage left to
+      // strand
+      keep = rotate(deg.filter(col("deg") >= k).select("id"), prevKeep)
+      e = rotate(
+        e.join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("id").as("b")), Seq("b"), "left_semi"),
+        prevE)
     }
-    nodes.select(col("id"))
+    val out = nodes.select(col("id"))
       .join(keep.withColumn("in_core", lit(true)), Seq("id"), "left")
       .select(col("id"), coalesce(col("in_core"), lit(false))
         .as("in_core"))
+    release(e) // the final report reads only the survivor set
+    out
   }
 
   /** Local clustering coefficient per node: `2T / (d(d−1))` — how
@@ -370,10 +449,13 @@ object LinkGraph {
     *
     * Per round: two equi-join + aggregate passes over the edge list,
     * each round's score table persists (next round + the final report
-    * both consume it — the iterative-op cache rule). Scores grow like
-    * degree^(2·rounds); `rounds` ≤ 4 keeps 64-bit exact on any graph
-    * with max degree below ~10⁴ (assert left to the caller, who knows
-    * the graph).
+    * both consume it — the iterative-op cache rule; superseded rounds
+    * release once the next materializes). Scores grow like
+    * degree^(2·rounds), so the operator GUARDS the 64-bit bound
+    * itself: one cheap max-degree aggregate over the (persisted,
+    * deduped) edge list up front, and `maxDeg^(2·rounds) ≥ 2⁶³` fails
+    * loudly with the measured degree instead of silently wrapping on
+    * a hub-heavy graph.
     *
     * Returns `(id, hub, auth)` — 0 for nodes with no out/in links.
     */
@@ -384,20 +466,44 @@ object LinkGraph {
       s"rounds must be in [1, 4], got $rounds")
     val e = edges.select("src", "dst")
       .filter(col("src") =!= col("dst")).distinct().persist()
+    // overflow guard: path counts are bounded by maxDeg^(2·rounds)
+    // (each round multiplies fan-in/fan-out once per direction); one
+    // bounded 1-row aggregate over the cached edge list, checked on
+    // the driver before any scoring job runs
+    val maxDeg = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+      .agg(max(col("d")).as("m"))
+      .head().getAs[Any]("m") match {
+        case null => 0L
+        case d: Long => d
+      }
+    if (maxDeg > 1L)
+      require(2.0 * rounds * math.log(maxDeg.toDouble) <
+        63.0 * math.log(2.0),
+        s"hitsPathCounts would overflow 64-bit path counts: max " +
+          s"degree $maxDeg at rounds=$rounds gives ~deg^${2 * rounds} " +
+          "paths >= 2^63 — lower rounds or pre-trim hub nodes")
     // a_0 = 1 for every node
     var auth = nodes.select(col("id"), lit(1L).as("score"))
     var hub: DataFrame = null
     for (_ <- 1 to rounds) {
-      hub = e.join(auth.select(col("id").as("dst"), col("score")),
-          Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(sum(col("score")).as("score"))
-        .persist()
-      auth = e.join(hub.select(col("id").as("src"), col("score")),
-          Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("score")).as("score"))
-        .persist()
+      val (prevHub, prevAuth) = (hub, auth)
+      // both score tables rotate (materialize + lineage cut, then
+      // release the superseded round) — O(1) cached frames across any
+      // round count
+      hub = rotate(
+        e.join(auth.select(col("id").as("dst"), col("score")),
+            Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(sum(col("score")).as("score")),
+        prevHub)
+      auth = rotate(
+        e.join(hub.select(col("id").as("src"), col("score")),
+            Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("score")).as("score")),
+        prevAuth)
     }
     nodes.select(col("id"))
       .join(hub.select(col("id"), col("score").as("hub")),
@@ -452,14 +558,20 @@ object LinkGraph {
       val moved = edges
         .join(ball.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("h"))
-      // persist every round: the per-round estimate branches AND the
-      // next round both consume this frame — without it Spark replays
-      // all prior rounds inside each branch (no cross-branch plan
-      // dedup), turning R rounds into O(R²) recomputation
-      ball = ball.select("id", "h").union(moved).distinct()
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k).drop("rn")
-        .persist()
+      // rotate every round: the per-round estimate branch AND the next
+      // round both consume this frame — the eager checkpoint
+      // materializes it once (without a boundary Spark replays all
+      // prior rounds inside each branch, turning R rounds into O(R²)
+      // recomputation) and the superseded ball releases, so the big
+      // k·|V| sketch state stays O(1) frames across any round count.
+      // The per-round ESTIMATE (|V| rows, consumed only by the closing
+      // join) checkpoints too, so it never re-derives from a released
+      // ball.
+      ball = rotate(
+        ball.select("id", "h").union(moved).distinct()
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k).drop("rn"),
+        ball)
       ests += ball.groupBy("id")
         .agg(count(lit(1)).as("cnt"), max("h").as("mx"))
         .select(col("id"),
@@ -467,6 +579,7 @@ object LinkGraph {
             .otherwise(lit((k - 1).toDouble) /
               (col("mx").cast("double") / lit(4294967296.0)))
             .as(s"est_$r"))
+        .localCheckpoint(true)
     }
     var joined = nodes.select(col("id"))
     ests.result().foreach(e => joined = joined.join(e, "id"))
@@ -474,6 +587,12 @@ object LinkGraph {
       val prev: Column = if (r == 1) lit(1.0) else col(s"est_${r - 1}")
       (col(s"est_$r") - prev) / lit(r.toDouble)
     }.reduceLeft(_ + _)
-    joined.select(col("id"), harm.as("centrality"))
+    // the report is one bounded |V|-row frame: materialize it, then
+    // free the last ball and the per-round estimates it absorbed
+    val out = joined.select(col("id"), harm.as("centrality"))
+      .localCheckpoint(true)
+    release(ball)
+    ests.result().foreach(release)
+    out
   }
 }

@@ -275,4 +275,62 @@ class LinkGraphSpec extends SparkSpec {
     plain.foreach { case (id, r) =>
       assert(math.abs(r - ckpt(id)) < 1e-12, s"node $id") }
   }
+
+  test("hitsPathCounts: a hub whose degree would overflow 64-bit " +
+    "path counts trips the guard loudly instead of wrapping") {
+    val n = 260
+    val nodes = (0L until n.toLong).toDF("id")
+    // star: 1..259 -> 0, so max degree 259 and 259^8 > 2^63 at rounds=4
+    val edges = (1L until n.toLong).map(s => (s, 0L)).toDF("src", "dst")
+    val err = intercept[IllegalArgumentException] {
+      LinkGraph.hitsPathCounts(nodes, edges, rounds = 4)
+    }
+    assert(err.getMessage.contains("overflow"), err.getMessage)
+    // the same graph at rounds=2 (259^4 << 2^63) runs fine
+    val ok = LinkGraph.hitsPathCounts(nodes, edges, rounds = 2)
+      .filter(col("id") === 0L).head()
+    assert(ok.getLong(2) > 0L)
+  }
+
+  test("iterative ops keep O(1) persisted frames across a 10-round " +
+    "run — superseded rounds unpersist once the next materializes") {
+    val sc = spark.sparkContext
+    val nodes = (0L until 40).toDF("id")
+    val edges = (0L until 40L).flatMap(s =>
+      Seq((s, (s * 7 + 1) % 40), (s, (s + 13) % 40))).toDF("src", "dst")
+    def leaked(body: => org.apache.spark.sql.DataFrame): Int = {
+      val before = sc.getPersistentRDDs.size
+      body.count()
+      sc.getPersistentRDDs.size - before
+    }
+    // each op may leave its FINAL round (and a static edge frame)
+    // cached for the returned frame — but never one frame per round
+    assert(leaked(LinkGraph.pageRank(nodes, edges, iters = 10)) <= 2)
+    assert(leaked(LinkGraph.labelPropagation(nodes, edges,
+      iters = 10)) <= 2)
+    assert(leaked(LinkGraph.kCore(nodes, edges, k = 2,
+      rounds = 10)) <= 3)
+    assert(leaked(LinkGraph.hitsPathCounts(nodes, edges,
+      rounds = 3)) <= 3)
+    assert(leaked(LinkGraph.harmonicCentrality(nodes, edges,
+      rounds = 10, k = 8)) <= 1)
+  }
+
+  test("pageRank tol-based early stop matches the fixed-round result " +
+    "once converged, and never changes tol=0 semantics") {
+    val nodes = (0L until 12).toDF("id")
+    val edges = (0L until 12).map(s => (s, (s * 7 + 1) % 12))
+      .toDF("src", "dst")
+    // 50 fixed rounds ≈ the fixed point; tol run must land there too
+    val fixed = rankMap(LinkGraph.pageRank(nodes, edges, iters = 50))
+    val early = rankMap(LinkGraph.pageRank(nodes, edges, iters = 50,
+      tol = 1e-12))
+    fixed.foreach { case (id, r) =>
+      assert(math.abs(r - early(id)) < 1e-9, s"node $id") }
+    // a loose tol stops well before the ceiling — ranks differ from
+    // the fixed point but are still a valid distribution (~1 mass)
+    val loose = rankMap(LinkGraph.pageRank(nodes, edges, iters = 50,
+      tol = 0.2))
+    assert(math.abs(loose.values.sum - 1.0) < 1e-9)
+  }
 }
