@@ -34,43 +34,44 @@ object StreamingAggState {
       stream: DataFrame, statePath: String, checkpoint: String,
       groupCol: String, valueInt: Column, distinctCol: Column,
       k: Int = 128, buckets: Int = 64,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      store: StateStore = RenameStateStore): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, statePath, groupCol, valueInt,
-          distinctCol, k, buckets)
+          distinctCol, k, buckets, store)
       }
       .start()
 
   /** One micro-batch of [[start]] — public so batch jobs (and tests)
-    * can drive the same incremental state without a stream.
+    * can drive the same incremental state without a stream. `store`
+    * selects the storage protocol ([[RenameStateStore]] /
+    * [[MarkerStateStore]]); the per-bucket applied-batch watermark
+    * rides on top of either, because both replace buckets atomically
+    * at their commit point (rename, or the marker PUT).
     */
   def processBatch(
       batch: DataFrame, batchId: Long, statePath: String,
       groupCol: String, valueInt: Column, distinctCol: Column,
-      k: Int = 128, buckets: Int = 64): Unit = {
+      k: Int = 128, buckets: Int = 64,
+      store: StateStore = RenameStateStore): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = batch.sparkSession
     val fs = new Path(statePath)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    StateSwap.heal(fs, statePath)
+    store.heal(fs, statePath)
     val rows = batch.filter(col(groupCol).isNotNull)
     // bounded driver materialization: ≤ `buckets` ints
     val touched = rows
       .select(pmod(hash(col(groupCol)), lit(buckets)).as("_b"))
       .distinct().collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return
-    val hPath = new Path(statePath)
-    val hasState = fs.exists(hPath) &&
-      fs.listStatus(hPath).exists(_.getPath.getName.startsWith("_b="))
-    // `_b` is the partition column — the isin prunes the state scan
-    // to the touched bucket directories
+    // pruned to the touched bucket directories
     val old: Option[DataFrame] =
-      if (hasState)
-        Some(spark.read.parquet(statePath)
-          .filter(col("_b").isin(touched.map(Integer.valueOf): _*)))
+      if (store.hasState(fs, statePath))
+        Some(store.read(spark, statePath, Some(touched.toSeq)))
       else None
     // replay guard: per-bucket applied-batch watermark (≤ |touched|
     // rows collected)
@@ -99,7 +100,7 @@ object StreamingAggState {
     val merged = Incremental.mergeAggState(states, groupCol, k)
       .withColumn("_applied", lit(batchId))
       .withColumn("_b", pmod(hash(col(groupCol)), lit(buckets)))
-    StateSwap.swapBuckets(fs, statePath, merged, mergeBuckets)
+    store.swapBuckets(fs, statePath, merged, mergeBuckets)
   }
 
   /** The report off the persisted state: [[Incremental.stateReport]]
@@ -111,15 +112,14 @@ object StreamingAggState {
     * `AnalysisException` from a bare read of a missing path.
     */
   def report(spark: SparkSession, statePath: String, groupCol: String,
-      k: Int = 128): DataFrame = {
+      k: Int = 128,
+      store: StateStore = RenameStateStore): DataFrame = {
     val hPath = new Path(statePath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    StateSwap.heal(fs, statePath)
-    val hasState = fs.exists(hPath) &&
-      fs.listStatus(hPath).exists(_.getPath.getName.startsWith("_b="))
+    store.heal(fs, statePath)
     val state =
-      if (hasState)
-        spark.read.parquet(statePath)
+      if (store.hasState(fs, statePath))
+        store.read(spark, statePath)
           .select(col(groupCol), col("n_rows"), col("sum_v"),
             col("min_v"), col("max_v"), col("kmv"))
       else {

@@ -62,24 +62,28 @@ object StreamingFunnel {
       stages: Seq[String], userCol: String = "user_id",
       typeCol: String = "event_type", tsCol: String = "ts",
       maxGapMinutes: Option[Long] = None, buckets: Int = 64,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      store: StateStore = RenameStateStore): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(batch, statePath, stages, userCol, typeCol, tsCol,
-          maxGapMinutes, buckets)
+          maxGapMinutes, buckets, store)
       }
       .start()
 
   /** One micro-batch of [[start]] — public so batch jobs (and tests)
-    * can drive the same incremental state without a stream.
+    * can drive the same incremental state without a stream. `store`
+    * selects the swap protocol: [[RenameStateStore]] (default —
+    * atomic-rename filesystems) or [[MarkerStateStore]] (S3-style
+    * object stores).
     */
   def processBatch(
       batch: DataFrame, statePath: String, stages: Seq[String],
       userCol: String = "user_id", typeCol: String = "event_type",
       tsCol: String = "ts", maxGapMinutes: Option[Long] = None,
-      buckets: Int = 64): Unit = {
+      buckets: Int = 64, store: StateStore = RenameStateStore): Unit = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(maxGapMinutes.forall(_ > 0), "maxGapMinutes must be positive")
     require(buckets > 0, s"buckets must be positive, got $buckets")
@@ -95,7 +99,7 @@ object StreamingFunnel {
         col(tsCol).cast("long").as("_ts"))
     val hPath = new Path(statePath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    StateSwap.heal(fs, statePath)
+    store.heal(fs, statePath)
     // the touched-bucket set: ≤ `buckets` small ints — the one bounded
     // driver materialization this path makes (it prunes both the state
     // READ below and the swap loop at the end)
@@ -104,13 +108,11 @@ object StreamingFunnel {
       .distinct().collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return // empty/all-null batch: state untouched
     val old: DataFrame =
-      if (fs.exists(hPath) && fs.listStatus(hPath)
-          .exists(_.getPath.getName.startsWith("_b=")))
-        // `_b` is the partition column — this filter prunes the scan
-        // to the touched bucket directories; a user's whole chain
-        // lives in its hash bucket, so the merge below is lossless
-        spark.read.parquet(statePath)
-          .filter(col("_b").isin(touched.map(Integer.valueOf): _*))
+      if (store.hasState(fs, statePath))
+        // pruned to the touched bucket directories; a user's whole
+        // chain lives in its hash bucket, so the merge below is
+        // lossless
+        store.read(spark, statePath, Some(touched.toSeq))
           .select(col("stage_idx"), col("_u"), col("_t"))
       else ev.select(lit(0).as("stage_idx"), col("_u"),
         col("_ts").as("_t")).limit(0)
@@ -141,9 +143,9 @@ object StreamingFunnel {
         .unionByName(merged.select(lit(i).as("stage_idx"), col("_u"),
           col("_t")))
     }
-    StateSwap.swapBuckets(fs, statePath,
+    store.swapBuckets(fs, statePath,
       state.withColumn("_b", pmod(hash(col("_u")), lit(buckets))),
-      touched)
+      touched.toSeq)
   }
 
   /** Time-to-convert percentiles off the current state — the streaming
@@ -157,15 +159,15 @@ object StreamingFunnel {
     * users×stages-row pass; event history is never rescanned.
     */
   def latencyReport(spark: org.apache.spark.sql.SparkSession,
-      statePath: String, stages: Seq[String], k: Int = 256): DataFrame = {
+      statePath: String, stages: Seq[String], k: Int = 256,
+      store: StateStore = RenameStateStore): DataFrame = {
     val hPath = new Path(statePath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    StateSwap.heal(fs, statePath)
+    store.heal(fs, statePath)
     import spark.implicits._
     val st =
-      if (fs.exists(hPath) && fs.listStatus(hPath)
-          .exists(_.getPath.getName.startsWith("_b=")))
-        spark.read.parquet(statePath)
+      if (store.hasState(fs, statePath))
+        store.read(spark, statePath)
           .select(col("stage_idx"), col("_u"), col("_t"))
       else Seq.empty[(Int, Long, Long)].toDF("stage_idx", "_u", "_t")
     val prev = st.select((col("stage_idx") + 1).as("stage_idx"),
@@ -182,15 +184,15 @@ object StreamingFunnel {
     * event history is never rescanned.
     */
   def report(spark: org.apache.spark.sql.SparkSession, statePath: String,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String],
+      store: StateStore = RenameStateStore): DataFrame = {
     val hPath = new Path(statePath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    StateSwap.heal(fs, statePath)
+    store.heal(fs, statePath)
     import spark.implicits._
     val counts =
-      if (fs.exists(hPath) && fs.listStatus(hPath)
-          .exists(_.getPath.getName.startsWith("_b=")))
-        spark.read.parquet(statePath)
+      if (store.hasState(fs, statePath))
+        store.read(spark, statePath)
           .groupBy(col("stage_idx")).agg(count(lit(1)).as("_n"))
       else Seq.empty[(Int, Long)].toDF("stage_idx", "_n")
     EventOps.funnelReport(spark, counts, stages)

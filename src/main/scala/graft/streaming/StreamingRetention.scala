@@ -45,68 +45,71 @@ object StreamingRetention {
       stream: DataFrame, statePath: String, checkpoint: String,
       userCol: String = "user_id", tsCol: String = "ts",
       buckets: Int = 64, compactEvery: Int = 64,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      store: StateStore = RenameStateStore): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, statePath, userCol, tsCol, buckets)
+        processBatch(batch, statePath, userCol, tsCol, buckets, store)
         if (compactEvery > 0 && batchId > 0 &&
           batchId % compactEvery == 0)
-          compact(batch.sparkSession, statePath, buckets = buckets)
+          compact(batch.sparkSession, statePath, buckets = buckets,
+            store = store)
       }
       .start()
 
   /** One micro-batch of [[start]] — public so batch jobs (and tests)
-    * can drive the same incremental state without a stream.
+    * can drive the same incremental state without a stream. `store`
+    * selects the storage protocol ([[RenameStateStore]] /
+    * [[MarkerStateStore]]).
     */
   def processBatch(batch: DataFrame, statePath: String,
       userCol: String = "user_id", tsCol: String = "ts",
-      buckets: Int = 64): Unit = {
+      buckets: Int = 64, store: StateStore = RenameStateStore): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = batch.sparkSession
     val act = EventOps.dailyActivity(batch, userCol, tsCol)
       .withColumn("_b", pmod(hash(col("_u")), lit(buckets)))
     val hPath = new Path(statePath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    StateSwap.heal(fs, statePath)
+    store.heal(fs, statePath)
     val fresh =
-      if (fs.exists(hPath) && fs.listStatus(hPath)
-          .exists(_.getPath.getName.startsWith("_b="))) {
+      if (store.hasState(fs, statePath)) {
         // ≤ `buckets` small ints — bounds the dedup read to the
         // touched partitions via pruning on the partition column
         val touched = act.select(col("_b")).distinct()
           .collect().map(_.getInt(0))
         act.join(
-          spark.read.parquet(statePath)
-            .filter(col("_b").isin(touched.map(Integer.valueOf): _*))
+          store.read(spark, statePath, Some(touched.toSeq))
             .select(col("_u"), col("_day")),
           Seq("_u", "_day"), "left_anti")
       } else act
-    fresh.write.partitionBy("_b").mode("append").parquet(statePath)
+    store.appendBuckets(fs, statePath, fresh, Seq.empty)
   }
 
   /** Collapse the per-batch append file groups into one compact
     * rewrite of the activity state (content-identical — the state is
-    * a distinct set), preserving the bucketed layout. Crash-safe:
-    * write-to-temp then per-bucket swap with checked renames; an
-    * interrupted swap heals on the next batch/report.
+    * a distinct set), preserving the bucketed layout. Crash-safe
+    * under either protocol: temp-then-checked-rename, or a fresh
+    * marker-committed generation; an interrupted compaction heals on
+    * the next batch/report.
     */
   def compact(spark: org.apache.spark.sql.SparkSession,
       statePath: String, targetFilesPerBucket: Int = 1,
-      buckets: Int = 64): Unit = {
+      buckets: Int = 64, store: StateStore = RenameStateStore): Unit = {
     val hPath = new Path(statePath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    StateSwap.heal(fs, statePath)
-    if (!fs.exists(hPath)) return
+    store.heal(fs, statePath)
+    if (!store.hasState(fs, statePath)) return
     // localCheckpoint pins the CURRENT rows: the swap deletes the live
     // bucket directories mid-swap, and a lazy plan would otherwise
     // re-list the very files being replaced
-    val state = spark.read.parquet(statePath)
+    val state = store.read(spark, statePath)
       .repartition(math.max(targetFilesPerBucket, 1) * buckets,
         col("_b"))
       .localCheckpoint()
-    StateSwap.swapBuckets(fs, statePath, state,
+    store.swapBuckets(fs, statePath, state,
       state.select(col("_b")).distinct()
         .collect().map(_.getInt(0)).toSeq)
   }
@@ -116,15 +119,15 @@ object StreamingRetention {
     * `(cohort_day, day_offset, n_active, retention)`.
     */
   def report(spark: org.apache.spark.sql.SparkSession,
-      statePath: String): DataFrame = {
+      statePath: String,
+      store: StateStore = RenameStateStore): DataFrame = {
     val hPath = new Path(statePath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    StateSwap.heal(fs, statePath)
+    store.heal(fs, statePath)
     import spark.implicits._
     val act =
-      if (fs.exists(hPath) && fs.listStatus(hPath)
-          .exists(_.getPath.getName.startsWith("_b=")))
-        spark.read.parquet(statePath).select(col("_u"), col("_day"))
+      if (store.hasState(fs, statePath))
+        store.read(spark, statePath).select(col("_u"), col("_day"))
       else Seq.empty[(Long, Long)].toDF("_u", "_day")
     EventOps.retentionFromActivity(act)
   }
