@@ -690,6 +690,49 @@ object OracleSql {
       |    (SELECT count(*) FROM s0)::DOUBLE, 6) AS conversion
       |FROM c""".stripMargin
 
+  /** Funnel conversion-latency percentiles (q124) — ALSO the oracle of
+    * q249's streaming replay: the state-derived latency report under
+    * event-time-ordered batches is exact, so it must equal the batch
+    * flavor's md5-keyed bottom-k gap sketch verbatim.
+    */
+  private lazy val q124Latency =
+    """WITH e AS (SELECT user_id AS u, event_type AS ty,
+      |        CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+      |s0 AS (SELECT u, min(t) AS t FROM e WHERE ty = 'view'
+      |       GROUP BY 1),
+      |s1 AS (SELECT e.u, min(e.t) AS t, min(p.t) AS tp
+      |       FROM e JOIN s0 p ON p.u = e.u AND e.t > p.t
+      |       WHERE e.ty = 'click' GROUP BY e.u),
+      |s2 AS (SELECT e.u, min(e.t) AS t, min(p.t) AS tp
+      |       FROM e JOIN s1 p ON p.u = e.u AND e.t > p.t
+      |       WHERE e.ty = 'purchase' GROUP BY e.u),
+      |g AS (SELECT 1 AS stage_idx,
+      |        (('0x' || substr(md5('1:' || u::VARCHAR), 1, 8))
+      |          ::UBIGINT)::BIGINT AS hv,
+      |        (t - tp)::DOUBLE AS gap FROM s1
+      |      UNION ALL
+      |      SELECT 2,
+      |        (('0x' || substr(md5('2:' || u::VARCHAR), 1, 8))
+      |          ::UBIGINT)::BIGINT,
+      |        (t - tp)::DOUBLE FROM s2),
+      |r AS (SELECT stage_idx, gap, row_number() OVER
+      |        (PARTITION BY stage_idx ORDER BY hv, gap) AS rn
+      |      FROM g),
+      |sk AS (SELECT stage_idx, count(*)::INTEGER AS m,
+      |         list_sort(list(gap)) AS vs
+      |       FROM r WHERE rn <= 256 GROUP BY 1),
+      |n AS (SELECT stage_idx, count(*)::BIGINT AS n_converted
+      |      FROM g GROUP BY 1),
+      |d AS (SELECT 1 AS stage_idx, 'click' AS stage
+      |      UNION ALL SELECT 2, 'purchase')
+      |SELECT d.stage_idx, d.stage,
+      |  coalesce(n.n_converted, 0)::BIGINT AS n_converted,
+      |  coalesce(sk.m, 0)::INTEGER AS m,
+      |  vs[(floor(0.5 * (sk.m - 1)) + 1)::INTEGER] AS p50_gap_sec,
+      |  vs[(floor(0.9 * (sk.m - 1)) + 1)::INTEGER] AS p90_gap_sec
+      |FROM d LEFT JOIN sk USING (stage_idx)
+      |LEFT JOIN n USING (stage_idx)""".stripMargin
+
   /** Residual IVFADC-R oracle (q123): q121's chain with the PQ stages
     * fed RESIDUALS — `res` subtracts the (bucketed-fold) cell centroid
     * from every vector (one IEEE subtraction per component, so the
@@ -3293,43 +3336,19 @@ object OracleSql {
     // chain carrying the previous stage time, per-stage bottom-k
     // sample (md5 row-key hash, gap carried verbatim) and the
     // floor(q*(m-1))+1 rank statistic of q120
-    "q124_funnel_latency" ->
-      """WITH e AS (SELECT user_id AS u, event_type AS ty,
-        |        CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
-        |s0 AS (SELECT u, min(t) AS t FROM e WHERE ty = 'view'
-        |       GROUP BY 1),
-        |s1 AS (SELECT e.u, min(e.t) AS t, min(p.t) AS tp
-        |       FROM e JOIN s0 p ON p.u = e.u AND e.t > p.t
-        |       WHERE e.ty = 'click' GROUP BY e.u),
-        |s2 AS (SELECT e.u, min(e.t) AS t, min(p.t) AS tp
-        |       FROM e JOIN s1 p ON p.u = e.u AND e.t > p.t
-        |       WHERE e.ty = 'purchase' GROUP BY e.u),
-        |g AS (SELECT 1 AS stage_idx,
-        |        (('0x' || substr(md5('1:' || u::VARCHAR), 1, 8))
-        |          ::UBIGINT)::BIGINT AS hv,
-        |        (t - tp)::DOUBLE AS gap FROM s1
-        |      UNION ALL
-        |      SELECT 2,
-        |        (('0x' || substr(md5('2:' || u::VARCHAR), 1, 8))
-        |          ::UBIGINT)::BIGINT,
-        |        (t - tp)::DOUBLE FROM s2),
-        |r AS (SELECT stage_idx, gap, row_number() OVER
-        |        (PARTITION BY stage_idx ORDER BY hv, gap) AS rn
-        |      FROM g),
-        |sk AS (SELECT stage_idx, count(*)::INTEGER AS m,
-        |         list_sort(list(gap)) AS vs
-        |       FROM r WHERE rn <= 256 GROUP BY 1),
-        |n AS (SELECT stage_idx, count(*)::BIGINT AS n_converted
-        |      FROM g GROUP BY 1),
-        |d AS (SELECT 1 AS stage_idx, 'click' AS stage
-        |      UNION ALL SELECT 2, 'purchase')
-        |SELECT d.stage_idx, d.stage,
-        |  coalesce(n.n_converted, 0)::BIGINT AS n_converted,
-        |  coalesce(sk.m, 0)::INTEGER AS m,
-        |  vs[(floor(0.5 * (sk.m - 1)) + 1)::INTEGER] AS p50_gap_sec,
-        |  vs[(floor(0.9 * (sk.m - 1)) + 1)::INTEGER] AS p90_gap_sec
-        |FROM d LEFT JOIN sk USING (stage_idx)
-        |LEFT JOIN n USING (stage_idx)""".stripMargin,
+    "q124_funnel_latency" -> q124Latency,
+
+    // streaming funnel-latency replay: event-time-ordered batches are
+    // EXACT, so the state-derived latency report must equal the batch
+    // flavor (q124's SQL verbatim)
+    "q249_streaming_latency_replay" -> q124Latency,
+
+    // production preflight off the persisted audit artifact: the
+    // artifact write/read round-trip must not change a single verdict,
+    // so the oracle is q200's rollup verbatim
+    "q248_preflight_artifact" ->
+      s"""SELECT verdict, count(*)::BIGINT AS n_docs
+         |FROM ($q99) GROUP BY 1""".stripMargin,
 
     // streaming-funnel replay: event-time-ordered batches through the
     // incremental state machine are EXACT, so the oracle is the batch

@@ -1667,34 +1667,11 @@ object SparkEntry {
     * ingest roundtrip); the report is localCheckpoint'ed and the temp
     * state tree deleted before returning.
     */
-  def q125_streaming_funnel_replay(s: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.StreamingFunnel
-    val stages = Seq("view", "click", "purchase")
-    val ev = t(s, dir, "events")
-    val Array(lo, hi) = ev
-      .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    val base = java.nio.file.Files.createTempDirectory("graft_sfunnel")
-    try {
-      val statePath = base.resolve("state").toString
-      val step = math.max((hi - lo) / 4 + 1, 1L)
-      (0 until 4).foreach { i =>
-        val (bLo, bHi) = (lo + i * step, lo + (i + 1) * step)
-        // buckets = 4 at gate SF: the swap cost is per bucket DIRECTORY
-        // (task/file overhead dominates on a small state); production
-        // states size buckets to ~10⁷ rows each
-        StreamingFunnel.processBatch(
-          ev.filter(col("ts").cast("long") >= bLo &&
-            col("ts").cast("long") < bHi),
-          statePath, stages, buckets = 4)
-      }
-      StreamingFunnel.report(s, statePath, stages).localCheckpoint()
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+  def q125_streaming_funnel_replay(s: SparkSession, dir: String): DataFrame =
+    replayFunnelState(s, dir, Seq("view", "click", "purchase")) { p =>
+      graft.streaming.StreamingFunnel.report(
+        s, p, Seq("view", "click", "purchase"))
     }
-  }
 
   /** Quality-classifier TRAINING (the q87 loadable classifier's
     * missing half): multinomial-NB log-odds token weights + class-
@@ -4062,6 +4039,81 @@ object SparkEntry {
       Seq("o_orderkey"), "_op", "o_orderdate")
   }
 
+  /** Drive the events table through the incremental funnel state in
+    * four event-time-ordered micro-batches (the twins' documented
+    * exactness precondition — the q125 replay shape), then hand the
+    * state path to `f` for the report under test. EAGER by nature;
+    * the temp state tree is deleted before returning.
+    */
+  private def replayFunnelState(
+      s: SparkSession, dir: String, stages: Seq[String])(
+      f: String => DataFrame): DataFrame = {
+    import graft.streaming.StreamingFunnel
+    val ev = t(s, dir, "events")
+    val Array(lo, hi) = ev
+      .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val base = java.nio.file.Files.createTempDirectory("graft_sfunnel")
+    try {
+      val statePath = base.resolve("state").toString
+      val step = math.max((hi - lo) / 4 + 1, 1L)
+      (0 until 4).foreach { i =>
+        val (bLo, bHi) = (lo + i * step, lo + (i + 1) * step)
+        // buckets = 4 at gate SF: the swap cost is per bucket DIRECTORY
+        // (task/file overhead dominates on a small state); production
+        // states size buckets to ~10⁷ rows each
+        StreamingFunnel.processBatch(
+          ev.filter(col("ts").cast("long") >= bLo &&
+            col("ts").cast("long") < bHi),
+          statePath, stages, buckets = 4)
+      }
+      f(statePath).localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  /** The production preflight run the way production runs it: the
+    * removal audit computes ONCE and persists as the ids-only lineage
+    * artifact ([[graft.text.Pipeline.writeRemovalAudit]]), then the
+    * per-verdict rollup reads the ARTIFACT — the corpus is never
+    * re-scored (q200 pays the q99 cascade twice by gate construction;
+    * this query pins the artifact path a real deployment uses). EAGER
+    * like q26 (the artifact write is a job); the rollup is
+    * localCheckpoint'ed and the temp artifact tree deleted before
+    * returning.
+    */
+  def q248_preflight_artifact(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_audit")
+    try {
+      val p = base.resolve("audit").toString
+      graft.text.Pipeline.writeRemovalAudit(q99_removal_audit(s, dir), p)
+      graft.text.Pipeline.preflightFromAudit(
+        graft.text.Pipeline.readRemovalAudit(s, p)).localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  /** Deterministic replay of the STREAMING funnel-latency twin
+    * ([[graft.streaming.StreamingFunnel.latencyReport]]): the q125
+    * event-time-ordered replay drives the bucketed state, and the
+    * conversion-gap percentiles read off the STATE — under the twins'
+    * exactness precondition the report equals the batch
+    * [[graft.streaming.EventOps.funnelLatency]] (q124) bit for bit,
+    * so q124's oracle gates the incremental machinery end to end.
+    */
+  def q249_streaming_latency_replay(
+      s: SparkSession, dir: String): DataFrame =
+    replayFunnelState(s, dir, Seq("view", "click", "purchase")) { p =>
+      graft.streaming.StreamingFunnel.latencyReport(
+        s, p, Seq("view", "click", "purchase"))
+    }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4313,7 +4365,10 @@ object SparkEntry {
     "q244_streaming_agg_replay" -> (q244_streaming_agg_replay(_, _)),
     "q245_welch_ttest" -> (q245_welch_ttest(_, _)),
     "q246_theil_sen" -> (q246_theil_sen(_, _)),
-    "q247_cdc_apply" -> (q247_cdc_apply(_, _)))
+    "q247_cdc_apply" -> (q247_cdc_apply(_, _)),
+    "q248_preflight_artifact" -> (q248_preflight_artifact(_, _)),
+    "q249_streaming_latency_replay" ->
+      (q249_streaming_latency_replay(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -16,6 +16,8 @@ import graft.schema.Vintages
   * graft.cli.Main decontaminate <corpus> <evalSet> <outDir> [k] [--bloom] [--jsonl]
   * graft.cli.Main clean   <corpus> <evalSet> <outDir> [minQuality] [maxDupRatio] [--jsonl]
   * graft.cli.Main audit   <corpus> <evalSet> <outDir> [minQuality] [maxDupRatio] [--jsonl]
+  * graft.cli.Main audit-store <corpus> <evalSet> <auditDir> [minQuality] [maxDupRatio]   // parquet lineage artifact
+  * graft.cli.Main preflight <auditDir>   // per-verdict counts off the artifact, zero corpus scans
   * graft.cli.Main distinct <corpus> [k] [--jsonl]   // KMV per-source distinct 3-grams
   * graft.cli.Main semdedup <embeddings> <outDir> [k] [threshold] [dim] [cellCap]
   * graft.cli.Main dedup-stream <inDir> <idxDir> <outDir> <checkpoint>   // JSONL drops
@@ -243,6 +245,33 @@ object Main {
       val byTier = audit.groupBy("verdict").count().collect()
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
       println(s"[audit] ${docs.count()} docs audited ($byTier) -> $outDir")
+      done(spark)
+
+    // persist the audit as the run's lineage ARTIFACT (narrow
+    // id/verdict parquet) — downstream consumers read it instead of
+    // re-scoring the corpus
+    case "audit-store" :: corpus :: evalPath :: auditDir :: rest =>
+      val nums = rest.filter(!_.startsWith("--"))
+      val minQ = nums.headOption.map(_.toDouble).getOrElse(0.0)
+      val maxDup = nums.drop(1).headOption.map(_.toDouble).getOrElse(1.0)
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      val eval = loadCorpus(spark, evalPath, rest)
+      graft.text.Pipeline.writeRemovalAudit(
+        graft.text.Pipeline.removalAudit(docs, eval, "text", "doc_id",
+          minQuality = minQ, maxDupRatio = maxDup), auditDir)
+      println(s"[audit-store] audit artifact -> $auditDir")
+      done(spark)
+
+    // the production preflight: per-verdict counts off the persisted
+    // artifact — zero corpus scans
+    case "preflight" :: auditDir :: Nil =>
+      val spark = session()
+      val counts = graft.text.Pipeline.preflightFromAudit(
+        graft.text.Pipeline.readRemovalAudit(spark, auditDir))
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+        .sorted.mkString(" ")
+      println(s"[preflight] $counts")
       done(spark)
 
     case "distinct" :: corpus :: rest =>

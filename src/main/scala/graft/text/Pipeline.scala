@@ -162,4 +162,28 @@ object Pipeline {
           .when(col("_t4").isNull, lit("contaminated"))
           .otherwise(lit("kept")).as("verdict"))
   }
+
+  /** Persist a [[removalAudit]] as the curation run's lineage
+    * artifact — a narrow (id, verdict) parquet table written ONCE next
+    * to the output corpus, so every downstream consumer (the
+    * preflight, compliance reports, per-tier sampling) reads the
+    * artifact instead of re-scoring the corpus. Re-running the scan
+    * per consumer is the q200 anti-pattern: the audit is the two most
+    * expensive stages of the whole pipeline (tokenize+score +
+    * LSH dedup), and its output is ids-only.
+    */
+  def writeRemovalAudit(audit: DataFrame, path: String): Unit =
+    audit.write.mode("overwrite").parquet(path)
+
+  /** Load a persisted removal-audit artifact ([[writeRemovalAudit]]). */
+  def readRemovalAudit(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** The production preflight: per-verdict document counts off a
+    * PERSISTED audit artifact — one |corpus|-row ids-only aggregation,
+    * zero corpus scans.
+    */
+  def preflightFromAudit(audit: DataFrame): DataFrame =
+    audit.groupBy(col("verdict")).agg(count(lit(1)).as("n_docs"))
 }

@@ -304,6 +304,27 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("distinct", corpusPath, "64"))
   }
 
+  test("audit-store writes the parquet lineage artifact and preflight " +
+    "rolls it up without re-scoring the corpus") {
+    val evalPath = s"${tmpDir("cliaudev")}/eval"
+    Seq((1000L, "document number 3 with some shared words and token3"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(evalPath)
+    val auditDir = s"${tmpDir("cliaudit")}/audit"
+    graft.cli.Main.main(
+      Array("audit-store", corpusPath, evalPath, auditDir, "0.0", "1.0"))
+    val audit = spark.read.parquet(auditDir)
+    assert(audit.count() == 20)
+    assert(audit.columns.toSeq == Seq("doc_id", "verdict"))
+    graft.cli.Main.main(Array("preflight", auditDir))
+    // the artifact rollup equals a direct rollup of the artifact rows
+    val direct = audit.groupBy("verdict").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaApi = graft.text.Pipeline.preflightFromAudit(
+      graft.text.Pipeline.readRemovalAudit(spark, auditDir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(direct == viaApi && direct.values.sum == 20L)
+  }
+
   test("ingest -> diagnose -> dump: the reference Makefile workflow " +
     "end-to-end through the CLI") {
     val base = tmpDir("cli-ingest")
