@@ -827,6 +827,118 @@ object OracleSql {
        |FROM rk WHERE rn <= 5""".stripMargin
   }
 
+  /** OPQ-rotated residual IVFADC-R oracle (q250): q123's chain with
+    * the energy-balancing permutation derived IN-SQL — per-dimension
+    * milli-snapped integer residual energies (`pe`), a rank over the
+    * 64 dimension rows (`rk`), the serpentine deal into m=2 subspaces
+    * (`pm`), the permutation applied to corpus residuals (`rres`) and
+    * to the per-cell query residuals (`qrr`) before slicing. All
+    * integer or replayed-IEEE steps, so the whole rotated chain —
+    * permutation derivation included — hash-matches.
+    */
+  private lazy val q250 = {
+    val dim = 64
+    val sw = 32
+    val w = 128L
+    def d2(v: String, c: String, d: Int) = duckD2(v, c, d)
+    val centroidCos =
+      s"""(${duckDot("qv", "centroid", dim)} /
+         |  (sqrt(${duckDot("qv", "qv", dim)}) *
+         |   sqrt(${duckDot("centroid", "centroid", dim)})))""".stripMargin
+    s"""WITH base AS (SELECT vec_id, embedding, label AS cell
+       |              FROM embeddings),
+       |ivp AS (SELECT cell, vec_id // $w AS bk, count(*) AS n,
+       |         list_reduce(
+       |           list_transform(list(embedding ORDER BY vec_id),
+       |             v -> list_transform(v, x -> x::DOUBLE)),
+       |           (a, c) -> list_transform(range(1, ${dim + 1}),
+       |                       i -> a[i] + c[i])) AS psum
+       |       FROM base GROUP BY cell, vec_id // $w),
+       |ivc AS (SELECT cell, sum(n) AS n,
+       |         list_reduce(list(psum ORDER BY bk),
+       |           (a, c) -> list_transform(range(1, ${dim + 1}),
+       |                       i -> a[i] + c[i])) AS vsum
+       |       FROM ivp GROUP BY cell),
+       |cen AS (SELECT cell,
+       |          list_transform(vsum, s -> s / n) AS centroid
+       |        FROM ivc),
+       |res AS (SELECT b.vec_id, b.cell,
+       |          list_transform(range(1, ${dim + 1}),
+       |            i -> b.embedding[i]::DOUBLE - c.centroid[i]) AS rv
+       |        FROM base b JOIN cen c ON c.cell = b.cell),
+       |pe AS (SELECT p.i::INT AS pos,
+       |         sum((round(r.rv[p.i] * 1000.0))::BIGINT
+       |           * (round(r.rv[p.i] * 1000.0))::BIGINT) AS e
+       |       FROM res r, (SELECT unnest(range(1, ${dim + 1})) AS i) p
+       |       GROUP BY 1),
+       |rk0 AS (SELECT pos,
+       |          row_number() OVER (ORDER BY e DESC, pos) - 1 AS rn
+       |        FROM pe),
+       |pm AS (SELECT list(pos ORDER BY np) AS perm FROM (
+       |         SELECT pos,
+       |           (CASE WHEN (rn // 2) % 2 = 0 THEN rn % 2
+       |                 ELSE 1 - rn % 2 END) * $sw + rn // 2 AS np
+       |         FROM rk0)),
+       |rres AS (SELECT r.vec_id, r.cell,
+       |           list_transform(range(1, ${dim + 1}),
+       |             i -> r.rv[pm.perm[i]]) AS rv
+       |         FROM res r, pm),
+       |sub0 AS (SELECT vec_id, rv[1:$sw] AS embedding FROM rres),
+       |sub1 AS (SELECT vec_id, rv[${sw + 1}:$dim] AS embedding
+       |         FROM rres),
+       |${kmeansBody(4, 2, w, sw, table = "sub0", prefix = "p0")},
+       |${kmeansBody(4, 2, w, sw, table = "sub1", prefix = "p1")},
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM base
+       |      WHERE vec_id < 20),
+       |pc AS (SELECT qid, cell,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY $centroidCos DESC, cell) AS rn
+       |       FROM q CROSS JOIN cen),
+       |pr AS (SELECT qid, cell FROM pc WHERE rn <= 2),
+       |qr0 AS (SELECT pr.qid, pr.cell,
+       |          list_transform(range(1, ${dim + 1}),
+       |            i -> q.qv[i]::DOUBLE - c.centroid[i]) AS rv
+       |        FROM pr JOIN q USING (qid)
+       |        JOIN cen c ON c.cell = pr.cell),
+       |qrr AS (SELECT qid, cell,
+       |          list_transform(range(1, ${dim + 1}),
+       |            i -> r.rv[pm.perm[i]]) AS rv
+       |        FROM qr0 r, pm),
+       |q0 AS (SELECT qid, cell, rv[1:$sw] AS qs FROM qrr),
+       |q1 AS (SELECT qid, cell, rv[${sw + 1}:$dim] AS qs FROM qrr),
+       |l0 AS (SELECT q0.qid, q0.cell, cb.cid AS code,
+       |         ${d2("q0.qs", "cb.cv", sw)} AS d2
+       |       FROM q0 CROSS JOIN p0cen2 cb),
+       |l1 AS (SELECT q1.qid, q1.cell, cb.cid AS code,
+       |         ${d2("q1.qs", "cb.cv", sw)} AS d2
+       |       FROM q1 CROSS JOIN p1cen2 cb),
+       |cds AS (SELECT a0.vid, a0.cid AS c0, a1.cid AS c1, b.cell
+       |        FROM p0afinal a0 JOIN p1afinal a1 ON a1.vid = a0.vid
+       |        JOIN base b ON b.vec_id = a0.vid),
+       |adc AS (SELECT pr.qid, c.vid, l0.d2 + l1.d2 AS adc_d2
+       |        FROM pr JOIN cds c ON c.cell = pr.cell
+       |        JOIN l0 ON l0.qid = pr.qid AND l0.cell = pr.cell
+       |          AND l0.code = c.c0
+       |        JOIN l1 ON l1.qid = pr.qid AND l1.cell = pr.cell
+       |          AND l1.code = c.c1),
+       |ct AS (SELECT qid, vid FROM (
+       |         SELECT qid, vid, row_number() OVER (PARTITION BY qid
+       |           ORDER BY adc_d2, vid) AS rn FROM adc)
+       |       WHERE rn <= 40),
+       |rr AS (SELECT t.qid, t.vid AS cid,
+       |         round(${duckDot("q.qv", "b.embedding", dim)} /
+       |           (sqrt(${duckDot("q.qv", "q.qv", dim)}) *
+       |            sqrt(${duckDot("b.embedding", "b.embedding", dim)})),
+       |           6) AS cos_sim
+       |       FROM ct t JOIN q ON q.qid = t.qid
+       |       JOIN base b ON b.vec_id = t.vid),
+       |rk AS (SELECT qid, cid, cos_sim,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos_sim DESC, cid) AS rn FROM rr)
+       |SELECT qid, (rn - 1)::INTEGER AS rank, cid AS neighbor, cos_sim
+       |FROM rk WHERE rn <= 5""".stripMargin
+  }
+
   /** Bitext-mining oracle (q127): the q17 rounded-cosine chain over
     * the even×odd pair grid, forward/backward kNN via row_number with
     * the (cos desc, id asc) tie rule, each side's neighborhood sum as
@@ -3331,6 +3443,7 @@ object OracleSql {
     // true IVFADC: the q121 chain with residual-encoded PQ — codebooks
     // and codes in each cell's residual frame, per-(query,cell) ADC LUT
     "q123_ivfpq_residual" -> q123,
+    "q250_opq_residual" -> q250,
 
     // funnel conversion-latency percentiles: the q110 greedy-earliest
     // chain carrying the previous stage time, per-stage bottom-k

@@ -4099,6 +4099,34 @@ object SparkEntry {
     }
   }
 
+  /** The OPQ-rotated residual IVFADC-R chain (q123 + the Ge et al.
+    * 2013 parametric-lite rotation): the energy-balancing permutation
+    * is LEARNED from the residual distribution in-plan (milli-snapped
+    * integer energies → rank → serpentine deal), applied before the
+    * sub-vector split on both the corpus residuals and the per-cell
+    * query residuals, and the whole rotated chain — permutation
+    * derivation included — hash-gates against the SQL replay. Recall
+    * lift over the unrotated chain at equal m/k is pinned in IvfSpec.
+    */
+  def q250_opq_residual(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").withColumn("cell", col("label"))
+      .persist()
+    val cen = SimSearch.ivfCentroids(emb, "vec_id", "embedding", "cell",
+      dim = 64, bucketWidth = 128L).persist()
+    val perm = SimSearch.opqPermutation(emb, cen, "vec_id", "embedding",
+      "cell", m = 2, dim = 64).persist()
+    val cb = SimSearch.pqFitResidualRotated(emb, cen, perm, "vec_id",
+      "embedding", "cell", m = 2, k = 4, iters = 2, dim = 64,
+      bucketWidth = 128L).persist()
+    val codes = SimSearch.pqEncodeResidualRotated(emb, cen, perm, cb,
+      "vec_id", "embedding", "cell", m = 2, dim = 64)
+      .join(emb.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .persist()
+    SimSearch.ivfPqTopKRefinedResidualRotated(codes, cb, cen, perm,
+      emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+      "vec_id", m = 2, k = 5, candidates = 40, nprobe = 2, dim = 64)
+  }
+
   /** Deterministic replay of the STREAMING funnel-latency twin
     * ([[graft.streaming.StreamingFunnel.latencyReport]]): the q125
     * event-time-ordered replay drives the bucketed state, and the
@@ -4368,7 +4396,8 @@ object SparkEntry {
     "q247_cdc_apply" -> (q247_cdc_apply(_, _)),
     "q248_preflight_artifact" -> (q248_preflight_artifact(_, _)),
     "q249_streaming_latency_replay" ->
-      (q249_streaming_latency_replay(_, _)))
+      (q249_streaming_latency_replay(_, _)),
+    "q250_opq_residual" -> (q250_opq_residual(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -985,6 +985,167 @@ object SimSearch {
       .write.mode("overwrite").parquet(s"$path/residual")
   }
 
+  /** OPQ rotation, parametric-lite flavor (Ge, He, Ke & Sun,
+    * "Optimized Product Quantization", CVPR 2013 §4): learn an
+    * ORTHOGONAL transform that balances quantization-relevant energy
+    * across the `m` PQ subspaces before the sub-vector split. A plain
+    * contiguous split wastes code budget when variance concentrates in
+    * a few coordinates — one subspace's codebook fights all the energy
+    * while the others encode noise. Full OPQ learns a dense rotation;
+    * the parametric-lite flavor here learns a PERMUTATION (a rotation
+    * matrix of 0/1 entries): rank dimensions by their residual energy
+    * `Σ round(r_i·10³)²` (exact integer, order-free) and deal them
+    * serpentine (1st→sub 0, …, m-th→sub m−1, m+1-th→sub m−1, … —
+    * the balanced-dealing heuristic) so every subspace receives the
+    * same energy profile. Distances are invariant under the transform
+    * (it is orthogonal), PQ codebooks only see the better-conditioned
+    * split. Fully in-plan and exact-integer → the whole rotated chain
+    * hash-gates (the dense-rotation variant could not be replayed by a
+    * SQL oracle).
+    *
+    * Output: ONE row, `_perm: array<int>` (1-based source positions;
+    * new component i reads source component `_perm[i]`) — model
+    * metadata to persist beside the codebooks and broadcast at apply
+    * time. The d-row ranking window is bounded by `dim` (model-size,
+    * never corpus-size).
+    */
+  def opqPermutation(
+      emb: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, m: Int,
+      dim: Int = 64): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m")
+    val sw = dim / m
+    val en = ivfResiduals(emb, centroids, idCol, vecCol, cellCol)
+      .select(posexplode(transform(col("_rv"),
+        x => round(x * lit(1000.0)).cast("long"))).as(Seq("_pos", "_mv")))
+      .groupBy(col("_pos"))
+      .agg(sum(col("_mv") * col("_mv")).as("_e"))
+    import org.apache.spark.sql.expressions.Window
+    // dim-row global window: bounded model metadata, not corpus rows
+    val w = Window.orderBy(col("_e").desc, col("_pos"))
+    val ranked = en.withColumn("_rn", row_number().over(w) - 1)
+    val roundIdx = expr(s"_rn div $m")
+    val subIdx = when(pmod(roundIdx, lit(2)) === 0, pmod(col("_rn"), lit(m)))
+      .otherwise(lit(m - 1) - pmod(col("_rn"), lit(m)))
+    ranked
+      .select((subIdx * sw + roundIdx).as("_np"),
+        (col("_pos") + 1).as("_op"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_np").as("n"),
+          col("_op").as("o")))),
+        _.getField("o")).as("_perm"))
+  }
+
+  /** Apply a 1-based permutation array to a vector column. */
+  private def permuteVec(v: Column, perm: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => element_at(v, element_at(perm, i + 1)))
+
+  /** [[ivfResiduals]] with the OPQ permutation applied — the input to
+    * the rotated fit/encode. One extra broadcast of the 1-row
+    * permutation; the corpus still never shuffles.
+    */
+  private def ivfResidualsRotated(
+      emb: DataFrame, centroids: DataFrame, perm: DataFrame,
+      idCol: String, vecCol: String, cellCol: String,
+      dim: Int): DataFrame =
+    ivfResiduals(emb, centroids, idCol, vecCol, cellCol)
+      .crossJoin(broadcast(perm))
+      .select(col(idCol), col("cell"),
+        permuteVec(col("_rv"), col("_perm"), dim).as("_rv"))
+
+  /** [[pqFitResidual]] on OPQ-permuted residuals. */
+  def pqFitResidualRotated(
+      emb: DataFrame, centroids: DataFrame, perm: DataFrame,
+      idCol: String, vecCol: String, cellCol: String, m: Int, k: Int,
+      iters: Int, dim: Int = 64, bucketWidth: Long = 4096L): DataFrame =
+    pqFit(ivfResidualsRotated(emb, centroids, perm, idCol, vecCol,
+      cellCol, dim), idCol, "_rv", m, k, iters, dim, bucketWidth)
+
+  /** [[pqEncodeResidual]] against rotated codebooks. */
+  def pqEncodeResidualRotated(
+      emb: DataFrame, centroids: DataFrame, perm: DataFrame,
+      codebooks: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, m: Int, dim: Int = 64): DataFrame =
+    pqEncode(ivfResidualsRotated(emb, centroids, perm, idCol, vecCol,
+      cellCol, dim), codebooks, idCol, "_rv", m, dim)
+
+  /** [[adcLutResidual]] in the rotated frame: the query residual
+    * permutes through the SAME 1-row metadata before slicing, so codes
+    * and lookup tables live in one space.
+    */
+  private def adcLutResidualRotated(
+      probed: DataFrame, q: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, perm: DataFrame, m: Int,
+      dim: Int): DataFrame = {
+    val sw = dim / m
+    val qr = probed
+      .join(q, Seq("qid"))
+      .join(broadcast(centroids.select(col("cell"), col("centroid"))),
+        Seq("cell"))
+      .crossJoin(broadcast(perm))
+      .select(col("qid"), col("cell"),
+        permuteVec(
+          zip_with(col("qv"), col("centroid"),
+            (x, c) => x.cast("double") - c),
+          col("_perm"), dim).as("_qr"))
+    (0 until m).map { s =>
+      qr.select(col("qid"), col("cell"),
+          slice(col("_qr"), s * sw + 1, sw).as("_qs"))
+        .crossJoin(broadcast(
+          codebooks.filter(col("sub") === s).select(col("cid"), col("cv"))))
+        .select(col("qid"), col("cell"), lit(s).as("sub"),
+          col("cid").as("code"), dist2Fast(col("_qs"), col("cv")).as("_d2"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** [[ivfPqTopKResidual]] over OPQ-permuted residual codes. */
+  def ivfPqTopKResidualRotated(
+      codesWithCell: DataFrame, codebooks: DataFrame,
+      centroids: DataFrame, perm: DataFrame, queries: DataFrame,
+      queryIdCol: String, vecCol: String, idCol: String, m: Int, k: Int,
+      nprobe: Int = 2, dim: Int = 64): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m")
+    val q = queries.select(col(queryIdCol).as("qid"), col(vecCol).as("qv"))
+    val probed = topKPerKey(
+      q.crossJoin(broadcast(centroids)),
+      "qid", -cosine(col("qv"), col("centroid")), col("cell"), nprobe)
+      .select(col("qid"), col("neighbor").as("cell"))
+    val lut = adcLutResidualRotated(probed, q, centroids, codebooks,
+      perm, m, dim)
+    val scored = codesWithCell.join(probed, Seq("cell"))
+      .join(broadcast(lut), Seq("qid", "cell", "sub", "code"))
+      .groupBy(col("qid"), col(idCol).as("_vid"))
+      .agg(sum(col("_d2")).as("adc_d2"))
+    topKPerKey(scored, "qid", col("adc_d2"), col("_vid"), k)
+      .select(col("qid"), col("rank"), col("neighbor"),
+        round(col("rankval"), 6).as("adc_d2"))
+  }
+
+  /** [[ivfPqTopKRefinedResidual]] over OPQ-permuted residual codes:
+    * rotated ADC picks the candidates, exact cosine on the RAW
+    * embeddings decides the final k. Output mirrors
+    * [[bruteForceTopK]].
+    */
+  def ivfPqTopKRefinedResidualRotated(
+      codesWithCell: DataFrame, codebooks: DataFrame,
+      centroids: DataFrame, perm: DataFrame, queries: DataFrame,
+      emb: DataFrame, queryIdCol: String, vecCol: String, idCol: String,
+      m: Int, k: Int, candidates: Int, nprobe: Int = 2,
+      dim: Int = 64): DataFrame = {
+    require(candidates >= k,
+      s"candidates=$candidates must be >= k=$k")
+    val adc = ivfPqTopKResidualRotated(codesWithCell, codebooks,
+      centroids, perm, queries, queryIdCol, vecCol, idCol, m,
+      candidates, nprobe, dim)
+    val q = queries.select(col(queryIdCol).as("qid"), col(vecCol).as("qv"))
+    val cand = adc.select(col("qid"), col("neighbor").as("cid"))
+      .join(emb.select(col(idCol).as("cid"), col(vecCol).as("cv")),
+        Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+    rankScored(scorePairs(cand), k)
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, the
     * CCMatrix/LASER recipe): align a SOURCE embedding set to a TARGET
     * set by scoring each forward-kNN candidate pair with the MARGIN

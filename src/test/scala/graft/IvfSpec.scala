@@ -376,6 +376,68 @@ class IvfSpec extends SparkSpec {
       s"residual codes did not lift recall: raw=$rRaw residual=$rRes")
   }
 
+  test("OPQ energy-balancing rotation lifts residual ADC recall at " +
+    "equal m/k on the gate embeddings, and the permutation is a " +
+    "valid orthogonal transform (a true permutation of 1..dim)") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("cell", col("label"))
+    val cen = SimSearch.ivfCentroids(emb, "vec_id", "embedding", "cell",
+      dim = 64, bucketWidth = 128L)
+    val (m, k, iters) = (4, 4, 2)
+    val pred = col("vec_id") < 30
+    val queries = emb.filter(pred)
+    val exact = SimSearch.bruteForceTopK(emb, "vec_id", "embedding",
+      pred, k = 10)
+    def recall(adc: org.apache.spark.sql.DataFrame): Double =
+      SimSearch.recallSummary(
+        adc.filter(col("qid") =!= col("neighbor")), exact, 10)
+        .head().getAs[Double]("mean_recall")
+    val cbRes = SimSearch.pqFitResidual(emb, cen, "vec_id", "embedding",
+      "cell", m, k, iters, dim = 64, bucketWidth = 128L)
+    val codesRes = SimSearch.pqEncodeResidual(emb, cen, cbRes, "vec_id",
+      "embedding", "cell", m, dim = 64)
+      .join(emb.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val rRes = recall(SimSearch.ivfPqTopKResidual(codesRes, cbRes, cen,
+      queries, "vec_id", "embedding", "vec_id", m, k = 11, nprobe = 2,
+      dim = 64))
+    val perm = SimSearch.opqPermutation(emb, cen, "vec_id", "embedding",
+      "cell", m, dim = 64).localCheckpoint()
+    // orthogonality: the learned transform is a permutation of 1..64
+    val pvec = perm.head().getSeq[Int](0)
+    assert(pvec.sorted == (1 to 64).toSeq, pvec)
+    val cbRot = SimSearch.pqFitResidualRotated(emb, cen, perm, "vec_id",
+      "embedding", "cell", m, k, iters, dim = 64, bucketWidth = 128L)
+    val codesRot = SimSearch.pqEncodeResidualRotated(emb, cen, perm,
+      cbRot, "vec_id", "embedding", "cell", m, dim = 64)
+      .join(emb.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val rRot = recall(SimSearch.ivfPqTopKResidualRotated(codesRot,
+      cbRot, cen, perm, queries, "vec_id", "embedding", "vec_id", m,
+      k = 11, nprobe = 2, dim = 64))
+    // measured on this data: 0.05 -> 0.12 at m=4/k=4 (and >= at m=2)
+    assert(rRot > rRes,
+      s"OPQ rotation did not lift recall: residual=$rRes rotated=$rRot")
+    // energy balance: the permuted split spreads milli-energy across
+    // subspaces at least as evenly as the contiguous split
+    val en = SimSearch.ivfResiduals(emb, cen, "vec_id", "embedding",
+      "cell")
+      .select(posexplode(org.apache.spark.sql.functions.transform(
+        col("_rv"), x => round(x * lit(1000.0)).cast("long")))
+        .as(Seq("_pos", "_mv")))
+      .groupBy(col("_pos")).agg(sum(col("_mv") * col("_mv")).as("_e"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sw = 64 / m
+    def spread(assign: Int => Int): Long = {
+      val sums = (0 until 64).groupBy(assign)
+        .map { case (_, ds) => ds.map(en(_)).sum }
+      sums.max - sums.min
+    }
+    val contiguous = spread(_ / sw)
+    val rotated = spread(d => (pvec.indexWhere(_ == d + 1)) / sw)
+    assert(rotated <= contiguous,
+      s"serpentine deal did not balance energy: $rotated > $contiguous")
+  }
+
   test("matryoshkaRecall: the full-dim tier is exactly 1.0 per query; " +
     "mean recall does not increase as dimensions drop") {
     val emb = spark.read
