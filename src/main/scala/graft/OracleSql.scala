@@ -1024,6 +1024,30 @@ object OracleSql {
        |FROM om FULL OUTER JOIN nwm ON om.label = nwm.label""".stripMargin
   }
 
+  /** Containment oracle (q251): the q33 candidate CTEs with BOTH
+    * asymmetric containments (`|A∩B|/|A|`, `|A∩B|/|B|`) beside the
+    * symmetric Jaccard — same distinct-set arithmetic, same
+    * greatest(…,1) empty guard.
+    */
+  private lazy val q251 =
+    s"""$lshCandCtes
+       |SELECT ia AS id_a, ib AS id_b,
+       |  round(
+       |    len(list_filter(list_distinct(sa.sh),
+       |      x -> list_contains(sb.sh, x)))::DOUBLE /
+       |    greatest(len(list_distinct(sa.sh)), 1), 6) AS cont_a_in_b,
+       |  round(
+       |    len(list_filter(list_distinct(sb.sh),
+       |      x -> list_contains(sa.sh, x)))::DOUBLE /
+       |    greatest(len(list_distinct(sb.sh)), 1), 6) AS cont_b_in_a,
+       |  round(
+       |    len(list_filter(list_distinct(sa.sh),
+       |      x -> list_contains(sb.sh, x)))::DOUBLE /
+       |    greatest(len(list_distinct(sa.sh || sb.sh)), 1), 6) AS jaccard
+       |FROM cand
+       |JOIN s sa ON sa.doc_id = ia
+       |JOIN s sb ON sb.doc_id = ib""".stripMargin
+
   /** Exact-Jaccard oracle: the shared candidate CTEs, then distinct-set
     * intersection / union sizes over the shingle arrays (the same
     * distinct semantics as Spark's array_intersect/array_union, with the
@@ -5913,5 +5937,247 @@ object OracleSql {
         |FROM o WHERE o_orderkey % 101 = 0
         |  AND NOT EXISTS (SELECT 1 FROM o d
         |    WHERE d.o_orderkey % 97 = 0 AND d.o_orderkey = -o.o_orderkey
-        |      AND d.o_orderdate >= o.o_orderdate)""".stripMargin)
+        |      AND d.o_orderdate >= o.o_orderdate)""".stripMargin,
+
+    "q251_containment" -> q251,
+
+    // STL-lite decomposition: 7-day centered RANGE-window trend
+    // (incomplete windows NULL), day-of-week means of the detrended
+    // series, integer residuals — all micro-exact
+    "q252_stl_decompose" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    count(*)::BIGINT AS v
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT g, day, v,
+        |    count(*) OVER w AS wn, sum(v) OVER w AS ws
+        |  FROM s WINDOW w AS (PARTITION BY g ORDER BY day
+        |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (SELECT g, day, v,
+        |    CASE WHEN wn = 7
+        |      THEN (round(ws::DOUBLE * 1000000.0 / 7.0))::BIGINT
+        |    END AS trend_micro,
+        |    day % 7 AS dow
+        |  FROM t),
+        |dd AS (SELECT *, v * 1000000 - trend_micro AS det FROM d),
+        |se AS (SELECT g, dow,
+        |    (round(sum(det)::DOUBLE / count(*)::DOUBLE))::BIGINT
+        |      AS seasonal_micro
+        |  FROM dd WHERE det IS NOT NULL GROUP BY 1, 2)
+        |SELECT dd.g AS event_type, dd.day, dd.v, dd.trend_micro,
+        |  CASE WHEN dd.trend_micro IS NOT NULL
+        |    THEN se.seasonal_micro END AS seasonal_micro,
+        |  (dd.det - se.seasonal_micro)::BIGINT AS resid_micro
+        |FROM dd LEFT JOIN se ON se.g = dd.g AND se.dow = dd.dow""".stripMargin,
+
+    // Neyman allocation: exact-integer moments (HUGEINT v²), one
+    // micro-snapped integer weight per stratum (exact total), floor +
+    // largest-remainder over the |strata| rows, capped at N_h, then
+    // the q39 seeded md5-rank take inside each stratum
+    "q253_neyman_sample" ->
+      """WITH m AS (SELECT lang, doc_id, n_chars::BIGINT AS v
+        |  FROM documents),
+        |mom AS (SELECT lang, count(*)::BIGINT AS nh, sum(v)::BIGINT AS s,
+        |    sum(v::HUGEINT * v) AS q
+        |  FROM m GROUP BY 1),
+        |wts AS (SELECT lang, nh,
+        |    (round(nh::DOUBLE * sqrt(CASE WHEN nh < 2 THEN 0.0 ELSE
+        |      (nh::DOUBLE * q::DOUBLE - s::DOUBLE * s::DOUBLE) /
+        |      (nh::DOUBLE * (nh - 1)::DOUBLE) END) * 1000000.0))::BIGINT
+        |      AS wm
+        |  FROM mom),
+        |tot AS (SELECT sum(wm)::BIGINT AS tw, sum(nh)::BIGINT AS tn
+        |  FROM wts),
+        |a0 AS (SELECT lang, nh,
+        |    60.0 * (CASE WHEN tot.tw > 0
+        |      THEN wm::DOUBLE / tot.tw::DOUBLE
+        |      ELSE nh::DOUBLE / tot.tn::DOUBLE END) AS raw
+        |  FROM wts, tot),
+        |a1 AS (SELECT lang, nh, floor(raw)::BIGINT AS base,
+        |    round(raw - floor(raw), 6) AS frac FROM a0),
+        |ba AS (SELECT sum(base)::BIGINT AS ba FROM a1),
+        |al AS (SELECT lang, least(base + (CASE WHEN
+        |      row_number() OVER (ORDER BY frac DESC, lang) <= 60 - ba.ba
+        |      THEN 1 ELSE 0 END), nh)::BIGINT AS n_h
+        |  FROM a1, ba),
+        |r AS (SELECT lang, doc_id,
+        |    md5(doc_id::VARCHAR || ':' || '42') AS h FROM m),
+        |w AS (SELECT lang, doc_id, row_number() OVER
+        |    (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM r)
+        |SELECT w.lang, w.doc_id, al.n_h
+        |FROM w JOIN al USING (lang) WHERE w.rn <= al.n_h""".stripMargin,
+
+    // Fellegi-Sunter linkage weights: the q204 registry + blocking
+    // join with truth labels; per-field add-one-smoothed m/u and the
+    // micro-nat ln evidence weights (identical rational + ln chains)
+    "q255_fellegi_sunter" -> {
+      val fields = Seq(
+        ("name_exact", "a.name = b.name"),
+        ("name_tail", "substr(a.name, 7, 6) = substr(b.name, 7, 6)"),
+        ("nation", "a.nation = b.nation"))
+      val agrees = fields.zipWithIndex.map { case (_, i) =>
+        s"""sum(CASE WHEN mt AND f$i THEN 1 ELSE 0 END)::BIGINT AS am$i,
+           |    sum(CASE WHEN NOT mt AND f$i THEN 1 ELSE 0 END)::BIGINT
+           |      AS au$i""".stripMargin
+      }.mkString(",\n    ")
+      val flags = fields.zipWithIndex.map { case ((_, fieldExpr), i) =>
+        s"($fieldExpr) AS f$i" }.mkString(",\n         ")
+      val sels = fields.zipWithIndex.map { case ((nm, _), i) =>
+        s"""SELECT '$nm' AS field, n_m AS n_match, n_u AS n_unmatch,
+           |  (round((am$i + 1)::DOUBLE / (n_m + 2)::DOUBLE * 1000000.0))
+           |    ::BIGINT AS m_micro,
+           |  (round((au$i + 1)::DOUBLE / (n_u + 2)::DOUBLE * 1000000.0))
+           |    ::BIGINT AS u_micro,
+           |  (round((ln((am$i + 1)::DOUBLE / (n_m + 2)::DOUBLE) -
+           |    ln((au$i + 1)::DOUBLE / (n_u + 2)::DOUBLE)) * 1000000.0))
+           |    ::BIGINT AS w_agree_micro,
+           |  (round((ln(1.0 - (am$i + 1)::DOUBLE / (n_m + 2)::DOUBLE) -
+           |    ln(1.0 - (au$i + 1)::DOUBLE / (n_u + 2)::DOUBLE))
+           |    * 1000000.0))::BIGINT AS w_disagree_micro
+           |FROM mom""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH recs AS (
+         |  SELECT c_custkey * 2 AS rec_id,
+         |    substr(md5(c_custkey::VARCHAR), 1, 12) AS name,
+         |    c_nationkey::BIGINT AS nation, c_custkey AS ck
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey * 2 + 1,
+         |    substr(nm, 1, p - 1) || 'z' || substr(nm, p + 1, 12),
+         |    (CASE WHEN c_custkey % 3 = 0 THEN (c_nationkey + 1) % 25
+         |          ELSE c_nationkey END)::BIGINT,
+         |    c_custkey
+         |  FROM (SELECT c_custkey, c_nationkey,
+         |          substr(md5(c_custkey::VARCHAR), 1, 12) AS nm,
+         |          (c_custkey % 12 + 1)::INTEGER AS p
+         |        FROM customer WHERE c_custkey % 7 = 0)),
+         |pr AS (SELECT (a.ck = b.ck) AS mt,
+         |         $flags
+         |       FROM recs a JOIN recs b
+         |         ON substr(a.name, 1, 6) = substr(b.name, 1, 6)
+         |        AND a.rec_id < b.rec_id),
+         |mom AS (SELECT
+         |    sum(CASE WHEN mt THEN 1 ELSE 0 END)::BIGINT AS n_m,
+         |    sum(CASE WHEN NOT mt THEN 1 ELSE 0 END)::BIGINT AS n_u,
+         |    $agrees
+         |  FROM pr)
+         |$sels""".stripMargin
+    },
+
+    // Krippendorff's alpha: per-item micro-snapped disagreement
+    // contributions, integer coincidence marginals, one fixed double
+    // chain for De and the final alpha division
+    "q256_krippendorff_alpha" ->
+      """WITH iv AS (SELECT user_id AS i, event_type AS v,
+        |    count(*)::BIGINT AS c
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL GROUP BY 1, 2),
+        |pi AS (SELECT i, sum(c)::BIGINT AS m,
+        |    sum(c * c)::BIGINT AS s2
+        |  FROM iv GROUP BY 1 HAVING sum(c) >= 2),
+        |ds AS (SELECT count(*)::BIGINT AS n_items,
+        |    sum(m)::BIGINT AS n_ratings,
+        |    sum((round((m * m - s2)::DOUBLE * 1000000.0 /
+        |      (m - 1)::DOUBLE))::BIGINT)::BIGINT AS dsum
+        |  FROM pi),
+        |mg AS (SELECT sum(nc * nc)::BIGINT AS sc2 FROM (
+        |    SELECT iv.v, sum(iv.c)::BIGINT AS nc
+        |    FROM iv JOIN pi USING (i) GROUP BY 1)),
+        |fin AS (SELECT n_items, n_ratings,
+        |    (round(dsum::DOUBLE / n_ratings::DOUBLE))::BIGINT
+        |      AS do_micro,
+        |    (round((n_ratings::DOUBLE * n_ratings::DOUBLE
+        |        - sc2::DOUBLE) /
+        |      (n_ratings::DOUBLE * (n_ratings - 1)::DOUBLE)
+        |      * 1000000.0))::BIGINT AS de_micro
+        |  FROM ds, mg)
+        |SELECT n_items, n_ratings, do_micro, de_micro,
+        |  CASE WHEN de_micro = 0 THEN NULL
+        |    ELSE (round((1.0 - do_micro::DOUBLE / de_micro::DOUBLE)
+        |      * 1000000.0))::BIGINT END AS alpha_micro
+        |FROM fin""".stripMargin,
+
+    // Nelson-Aalen: q241's lifetime/at-risk CTEs with the hazard fold
+    // (per-step d/n micro-snap, integer cumulative sum)
+    "q257_nelson_aalen" ->
+      """WITH d AS (SELECT user_id AS u,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS dd
+        |  FROM events),
+        |us AS (SELECT u, min(dd) AS f, max(dd) AS l FROM d GROUP BY 1),
+        |h AS (SELECT max(l) AS h FROM us),
+        |lt AS (SELECT (us.l - us.f + 1)::BIGINT AS t_day,
+        |    (CASE WHEN us.l = h.h THEN 1 ELSE 0 END)::BIGINT AS cens
+        |  FROM us, h),
+        |pt AS (SELECT t_day, count(*)::BIGINT AS ends,
+        |    sum(cens)::BIGINT AS n_censored,
+        |    (count(*) - sum(cens))::BIGINT AS n_churned
+        |  FROM lt GROUP BY 1),
+        |tot AS (SELECT sum(ends)::BIGINT AS n FROM pt),
+        |ar AS (SELECT pt.*, (tot.n - coalesce(sum(ends) OVER
+        |      (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING
+        |       AND 1 PRECEDING), 0))::BIGINT AS n_at_risk
+        |  FROM pt, tot)
+        |SELECT t_day, n_at_risk, n_churned, n_censored,
+        |  (sum((round(n_churned::DOUBLE * 1000000.0 /
+        |    n_at_risk::DOUBLE))::BIGINT) OVER
+        |    (ORDER BY t_day ROWS UNBOUNDED PRECEDING))::BIGINT
+        |    AS cumhaz_micro
+        |FROM ar""".stripMargin,
+
+    // seasonal-naive backtest: equi self-join on (group, day+7),
+    // per-day micro-snapped AE/sMAPE terms, exact-integer means
+    "q258_seasonal_naive" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    count(*)::BIGINT AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.g, abs(a.v - b.v)::BIGINT AS ae,
+        |    CASE WHEN abs(a.v) + abs(b.v) = 0 THEN 0
+        |      ELSE (round(abs(a.v - b.v)::DOUBLE * 2000000.0 /
+        |        (abs(a.v) + abs(b.v))::DOUBLE))::BIGINT
+        |    END AS sm
+        |  FROM s a JOIN s b ON a.g = b.g AND a.day = b.day + 7)
+        |SELECT g AS event_type, count(*)::BIGINT AS n_pairs,
+        |  (round(sum(ae)::DOUBLE * 1000000.0 / count(*)::DOUBLE))
+        |    ::BIGINT AS mae_micro,
+        |  (round(sum(sm)::DOUBLE / count(*)::DOUBLE))::BIGINT
+        |    AS smape_micro
+        |FROM p GROUP BY 1""".stripMargin,
+
+    // Personalized PageRank: q133's unrolled src-ordered folds with
+    // the teleport mass restarted uniformly over the doc_id % 17 = 0
+    // seed set (r0 = s)
+    "q254_personalized_pagerank" -> {
+      val iterCtes = (1 to 5).map { i =>
+        s"""c$i AS (SELECT dst,
+           |  list_reduce(list(r.rank / outdeg ORDER BY e.src),
+           |    (a, b) -> a + b) AS s2
+           |  FROM e JOIN r${i - 1} r ON e.src = r.id GROUP BY dst),
+           |r$i AS (SELECT sv.id,
+           |  (1.0::DOUBLE - 0.85::DOUBLE) * sv.s +
+           |  0.85::DOUBLE * coalesce(s2, 0.0::DOUBLE) AS rank
+           |  FROM sv LEFT JOIN c$i ON sv.id = c$i.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cnt AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |nodes AS (SELECT doc_id AS id FROM documents),
+         |ed AS (SELECT doc_id AS src, (doc_id * 7 + k) % n AS dst
+         |       FROM documents CROSS JOIN cnt
+         |       CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+         |deg AS (SELECT src, count(*)::DOUBLE AS outdeg
+         |        FROM ed GROUP BY src),
+         |e AS (SELECT ed.src, ed.dst, deg.outdeg
+         |      FROM ed JOIN deg USING (src)),
+         |sd AS (SELECT id FROM nodes WHERE id % 17 = 0),
+         |ns AS (SELECT count(*)::DOUBLE AS ns FROM sd),
+         |sv AS (SELECT nodes.id,
+         |         CASE WHEN sd.id IS NOT NULL
+         |           THEN 1.0::DOUBLE / ns.ns
+         |           ELSE 0.0::DOUBLE END AS s
+         |       FROM nodes CROSS JOIN ns
+         |       LEFT JOIN sd ON sd.id = nodes.id),
+         |r0 AS (SELECT id, s AS rank FROM sv),
+         |$iterCtes
+         |SELECT id AS doc_id, round(rank * 1e9)::BIGINT AS rank_nano
+         |FROM r5""".stripMargin
+    })
 }

@@ -4127,6 +4127,138 @@ object SparkEntry {
       "vec_id", m = 2, k = 5, candidates = 40, nprobe = 2, dim = 64)
   }
 
+  /** Asymmetric shingle containment over the LSH candidate pairs
+    * (Broder 1997's companion statistic to resemblance): per candidate
+    * pair, `|A∩B|/|A|` and `|A∩B|/|B|` beside the symmetric Jaccard —
+    * the quote-inclusion detector: a short doc embedded wholesale in a
+    * long one scores near-zero Jaccard but containment ≈ 1 from the
+    * short side. Candidate generation is the shared band-bucket
+    * equi-join; set arithmetic runs on distinct shingle arrays.
+    */
+  def q251_containment(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val signed = sh.select(col("doc_id"),
+      TextOps.minhashSig(col("sh"), 32).as("sig"))
+    val pairs = Dedup.candidatePairs(
+      Dedup.lshBuckets(signed, "doc_id", "sig", bands = 8, rowsPerBand = 4),
+      "doc_id")
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.containment(col("sh_a"), col("sh_b")), 6)
+          .as("cont_a_in_b"),
+        round(Dedup.containment(col("sh_b"), col("sh_a")), 6)
+          .as("cont_b_in_a"),
+        round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+  }
+
+  /** STL-lite seasonal-trend decomposition of the daily event-type
+    * series: 7-day centered moving-average trend (RANGE window on the
+    * day number — gaps and edges without the full span report NULL),
+    * day-of-week seasonal means of the detrended series, integer
+    * residuals. Exact micro units with one fixed division per
+    * component, so all three components hash-gate.
+    */
+  def q252_stl_decompose(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.decomposeDaily(dailySeries(s, dir), "event_type",
+      halfWindow = 3)
+
+  /** Neyman-allocation stratified sample over the documents table:
+    * budget 60 docs across languages, n_h ∝ N_h·σ_h on the n_chars
+    * measure — noisy-length languages earn more of the budget than
+    * proportional allocation gives them. Exact-integer moments,
+    * micro-snapped stratum weights (one integer per stratum, so the
+    * total is exact), floor + largest-remainder allocation over the
+    * |languages|-row table, seeded md5-rank draws inside strata.
+    */
+  def q253_neyman_sample(s: SparkSession, dir: String): DataFrame =
+    Relational.neymanSample(docs(s, dir), "lang", "doc_id",
+      col("n_chars"), n = 60, seed = 42)
+
+  /** Personalized PageRank from a trusted seed set (Haveliwala 2002 /
+    * TrustRank's propagation shape) over the synthetic doc graph:
+    * teleport mass restarts uniformly over the `doc_id % 17 = 0`
+    * seeds, 5 rounds of the src-ordered exact-fold recurrence —
+    * the crawl-frontier prioritizer, hash-gated like q133.
+    */
+  def q254_personalized_pagerank(
+      s: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = synthGraph(s, dir)
+    val seeds = nodes.filter(col("id") % 17 === 0).select(col("id"))
+    LinkGraph.personalizedPageRankExact(nodes, edges, seeds,
+      iters = 5, damping = 0.85)
+      .select(col("id").as("doc_id"),
+        round(col("rank") * lit(1e9)).cast("long").as("rank_nano"))
+  }
+
+  /** Fellegi-Sunter record-linkage weights over the q204 registry:
+    * candidate pairs from the first-half blocking join carry a truth
+    * label (same source custkey), and three comparison fields —
+    * exact name, name tail, nation (corrupted on every third dirty
+    * record) — get their m/u probabilities and micro-nat ln evidence
+    * weights. The statistical layer classic record linkage puts on
+    * top of blocking; discriminating fields (name) earn large
+    * agreement weights, the weakly-informative nation a small one.
+    */
+  def q255_fellegi_sunter(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val baseName = md5(col("c_custkey").cast("string")).substr(1, 12)
+    val base = cust.select((col("c_custkey") * 2).as("rec_id"),
+      baseName.as("name"), col("c_nationkey").cast("long").as("nation"),
+      col("c_custkey").as("ck"))
+    val p = (col("c_custkey") % 12 + 1).cast("int")
+    val dirty = cust.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") * 2 + 1).as("rec_id"),
+        concat(baseName.substr(lit(1), p - 1), lit("z"),
+          baseName.substr(p + 1, lit(12))).as("name"),
+        when(col("c_custkey") % 3 === 0,
+          pmod(col("c_nationkey") + 1, lit(25)).cast("long"))
+          .otherwise(col("c_nationkey").cast("long")).as("nation"),
+        col("c_custkey").as("ck"))
+    val records = base.union(dirty)
+    val l = records.select(substring(col("name"), 1, 6).as("_k"),
+      col("rec_id").as("id_a"), col("name").as("na"),
+      col("nation").as("xa"), col("ck").as("cka"))
+    val r = records.select(substring(col("name"), 1, 6).as("_k"),
+      col("rec_id").as("id_b"), col("name").as("nb"),
+      col("nation").as("xb"), col("ck").as("ckb"))
+    val pairs = l.join(r, "_k").filter(col("id_a") < col("id_b"))
+    Dedup.fellegiSunterWeights(pairs, col("cka") === col("ckb"), Seq(
+      "name_exact" -> (col("na") === col("nb")),
+      "name_tail" -> (substring(col("na"), 7, 6) ===
+        substring(col("nb"), 7, 6)),
+      "nation" -> (col("xa") === col("xb"))))
+  }
+
+  /** Krippendorff's alpha over the events table (item = user, rating
+    * multiset = the user's event types): the many-rater
+    * missing-tolerant generalization of q235's two-rater kappa.
+    * Per-item disagreement contributions micro-snap once; marginals
+    * and totals are exact integers; alpha is one division of two
+    * snapped disagreements.
+    */
+  def q256_krippendorff_alpha(s: SparkSession, dir: String): DataFrame =
+    Relational.krippendorffAlpha(t(s, dir, "events"),
+      col("user_id"), col("event_type"))
+
+  /** Nelson-Aalen cumulative hazard over user lifetimes — the hazard
+    * companion of q241's Kaplan-Meier survival, off the same censored
+    * lifetime machinery: per-step d/n micro-snapped, exact integer
+    * cumulative sums.
+    */
+  def q257_nelson_aalen(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.nelsonAalen(t(s, dir, "events"), "user_id", col("ts"))
+
+  /** Seasonal-naive backtest of the daily event-type series: forecast
+    * = same weekday last week, scored by MAE and sMAPE with per-day
+    * micro-snapped terms — the no-skill baseline a forecasting
+    * pipeline publishes next to every model's numbers.
+    */
+  def q258_seasonal_naive(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.seasonalNaiveBacktest(dailySeries(s, dir), "event_type",
+      period = 7)
+
   /** Deterministic replay of the STREAMING funnel-latency twin
     * ([[graft.streaming.StreamingFunnel.latencyReport]]): the q125
     * event-time-ordered replay drives the bucketed state, and the
@@ -4397,7 +4529,16 @@ object SparkEntry {
     "q248_preflight_artifact" -> (q248_preflight_artifact(_, _)),
     "q249_streaming_latency_replay" ->
       (q249_streaming_latency_replay(_, _)),
-    "q250_opq_residual" -> (q250_opq_residual(_, _)))
+    "q250_opq_residual" -> (q250_opq_residual(_, _)),
+    "q251_containment" -> (q251_containment(_, _)),
+    "q252_stl_decompose" -> (q252_stl_decompose(_, _)),
+    "q253_neyman_sample" -> (q253_neyman_sample(_, _)),
+    "q254_personalized_pagerank" ->
+      (q254_personalized_pagerank(_, _)),
+    "q255_fellegi_sunter" -> (q255_fellegi_sunter(_, _)),
+    "q256_krippendorff_alpha" -> (q256_krippendorff_alpha(_, _)),
+    "q257_nelson_aalen" -> (q257_nelson_aalen(_, _)),
+    "q258_seasonal_naive" -> (q258_seasonal_naive(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

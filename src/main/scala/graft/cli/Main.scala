@@ -361,16 +361,21 @@ object Main {
       val dim = nums.drop(3).headOption.map(_.toInt).getOrElse(64)
       val cellCol = nums.drop(4).headOption.getOrElse("label")
       val residual = rest.contains("--residual")
+      val opq = rest.contains("--opq") // implies residual encoding
       val spark = session()
       val emb = spark.read.parquet(corpus)
-      if (residual)
+      if (opq)
+        graft.sim.SimSearch.writePqIndexResidualRotated(emb, outDir,
+          "vec_id", "embedding", cellCol, m, k, iters, dim)
+      else if (residual)
         graft.sim.SimSearch.writePqIndexResidual(emb, outDir, "vec_id",
           "embedding", cellCol, m, k, iters, dim)
       else
         graft.sim.SimSearch.writePqIndex(emb, outDir, "vec_id",
           "embedding", cellCol, m, k, iters, dim)
       println(s"[pq-index] ${emb.count()} vectors -> m=$m k=$k " +
-        s"residual=$residual codes + codebooks + centroids -> $outDir")
+        s"residual=${residual || opq} opq=$opq codes + codebooks + " +
+        s"centroids -> $outDir")
       done(spark)
 
     // incrementally append new vectors to a persisted PQ index: frozen
@@ -406,8 +411,10 @@ object Main {
       val q = spark.read.parquet(queries)
       // a residual-encoded index carries a marker directory; serving
       // MUST use the residual ADC or every distance is computed in the
-      // wrong frame
+      // wrong frame — and an OPQ-rotated index (perm dir present) must
+      // re-frame queries through the same permutation
       val residual = new java.io.File(s"$idxPath/residual").exists()
+      val permOpt = graft.sim.SimSearch.readPqIndexPerm(spark, idxPath)
       // --refine <rawEmbeddings> [candidates]: exact re-rank of the
       // ADC top-candidates against the raw vectors (IVFADC-R)
       val refineArgs = rest.dropWhile(_ != "--refine").drop(1)
@@ -420,27 +427,41 @@ object Main {
         case Some(rawPath) =>
           val c = refineArgs.drop(1).headOption.map(_.toInt)
             .getOrElse(4 * k)
-          if (residual)
-            graft.sim.SimSearch.ivfPqTopKRefinedResidual(codes, cb,
-              centroids, q, spark.read.parquet(rawPath), "vec_id",
-              "embedding", "vec_id", m, k, c, nprobe, dim)
-          else
-            graft.sim.SimSearch.ivfPqTopKRefined(codes, cb, centroids,
-              q, spark.read.parquet(rawPath), "vec_id", "embedding",
-              "vec_id", m, k, c, nprobe, dim)
+          permOpt match {
+            case Some(perm) =>
+              graft.sim.SimSearch.ivfPqTopKRefinedResidualRotated(codes,
+                cb, centroids, perm, q, spark.read.parquet(rawPath),
+                "vec_id", "embedding", "vec_id", m, k, c, nprobe, dim)
+            case None if residual =>
+              graft.sim.SimSearch.ivfPqTopKRefinedResidual(codes, cb,
+                centroids, q, spark.read.parquet(rawPath), "vec_id",
+                "embedding", "vec_id", m, k, c, nprobe, dim)
+            case None =>
+              graft.sim.SimSearch.ivfPqTopKRefined(codes, cb, centroids,
+                q, spark.read.parquet(rawPath), "vec_id", "embedding",
+                "vec_id", m, k, c, nprobe, dim)
+          }
         case None =>
-          if (residual)
-            graft.sim.SimSearch.ivfPqTopKResidual(codes, cb, centroids,
-              q, "vec_id", "embedding", "vec_id", m, k, nprobe, dim)
-          else
-            graft.sim.SimSearch.ivfPqTopK(codes, cb, centroids,
-              q, "vec_id", "embedding", "vec_id", m, k, nprobe, dim)
+          permOpt match {
+            case Some(perm) =>
+              graft.sim.SimSearch.ivfPqTopKResidualRotated(codes, cb,
+                centroids, perm, q, "vec_id", "embedding", "vec_id",
+                m, k, nprobe, dim)
+            case None if residual =>
+              graft.sim.SimSearch.ivfPqTopKResidual(codes, cb,
+                centroids, q, "vec_id", "embedding", "vec_id", m, k,
+                nprobe, dim)
+            case None =>
+              graft.sim.SimSearch.ivfPqTopK(codes, cb, centroids,
+                q, "vec_id", "embedding", "vec_id", m, k, nprobe, dim)
+          }
       }
       hits.write.mode("overwrite").parquet(outDir)
       val n = spark.read.parquet(outDir).count()
       println(s"[pq-query] ${q.count()} queries x top-$k " +
         s"(nprobe=$nprobe, refine=${refineArgs.nonEmpty}, " +
-        s"residual=$residual) -> $n hits -> $outDir")
+        s"residual=$residual, opq=${permOpt.nonEmpty}) -> $n hits " +
+        s"-> $outDir")
       done(spark)
 
     case "ann-eval" :: corpus :: rest =>

@@ -216,6 +216,67 @@ object LinkGraph {
     out
   }
 
+  /** Personalized PageRank, oracle tier (Page et al. 1999 §6 — the
+    * topic-sensitive flavor of Haveliwala 2002): the [[pageRankExact]]
+    * recurrence with the teleport mass restarted onto a SEED set
+    * instead of uniformly — `r(v) = (1−d)·s(v) + d·Σ r(u)/deg(u)`
+    * with `s` uniform over `seeds`, `r₀ = s`. The crawl-frontier
+    * prioritizer: rank the web graph FROM a trusted seed list and
+    * high-PPR unfetched hosts are the next fetch targets (the
+    * trust-propagation shape of Gyöngyi et al.'s TrustRank, 2004).
+    * Same src-ordered IEEE contribution folds as the exact tier, so
+    * ranks hash-gate; same per-round checkpoint rotation, so plans
+    * and cached frames stay O(1). Leaky formulation (gate graphs are
+    * dangling-free); seeds outside `nodes` are ignored by the join.
+    *
+    * Returns `(id, rank)`; non-seed nodes unreachable from any seed
+    * rank exactly 0.
+    */
+  def personalizedPageRankExact(
+      nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    val ns = seeds.agg(count(lit(1)).cast("double").as("n_seeds"))
+    val outdeg = edges.groupBy("src")
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+    val e = edges.join(outdeg, "src").persist()
+    val fold = aggregate(
+      array_sort(collect_list(struct(col("src").as("src"),
+        col("c").as("c")))),
+      lit(0.0),
+      (acc: Column, x: Column) => acc + x.getField("c"))
+    // the restart distribution feeds every round AND the teleport term
+    val sv = nodes.crossJoin(broadcast(ns))
+      .join(seeds.select(col(seeds.columns.head).as("id"),
+        lit(true).as("_seed")), Seq("id"), "left")
+      .select(col("id"),
+        when(col("_seed"), lit(1.0) / col("n_seeds"))
+          .otherwise(lit(0.0)).as("s"))
+      .localCheckpoint(true)
+    var ranks = sv.select(col("id"), col("s").as("rank"))
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+        .select(col("dst"), col("src"),
+          (col("rank") / col("outdeg")).as("c"))
+      val sums = contribs.groupBy("dst").agg(fold.as("s2"))
+      val next = sv.join(sums, col("id") === col("dst"), "left")
+        .select(col("id"),
+          ((lit(1.0) - lit(damping)) * col("s") +
+            lit(damping) * coalesce(col("s2"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+      if (prev != null) release(prev)
+      prev = next
+      ranks = next
+    }
+    e.unpersist()
+    release(sv)
+    ranks
+  }
+
   /** Community detection by synchronous label propagation (Raghavan
     * et al. 2007) — the cheap way to find link farms and mirror
     * clusters in a crawl graph: spam rings are densely intra-linked,

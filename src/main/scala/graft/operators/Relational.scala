@@ -155,6 +155,77 @@ object Relational {
       classCol, col("_r"), col(idCol), n)
       .select(col(classCol), col("rank").as("pos"), col("neighbor").as(idCol))
 
+  /** Neyman-allocation stratified sample (Neyman 1934): under a total
+    * budget `n`, draw `n_h ∝ N_h·σ_h` rows from each stratum — the
+    * allocation that minimizes the variance of the stratified MEAN
+    * estimator: big and internally-noisy strata get more budget than
+    * proportional allocation gives them, near-constant strata almost
+    * none. The survey-sampling step of corpus curation when the
+    * estimand is a mean (quality score, toxicity rate, label cost per
+    * annotated doc) rather than balanced class counts
+    * ([[stratifiedSample]]'s job).
+    *
+    * Determinism: per-stratum moments are exact integers (count, Σv,
+    * Σv² in decimal — the welch discipline); the stratum weight
+    * `N_h·σ_h` micro-snaps to ONE integer per stratum so the total is
+    * an exact integer sum (a float total would be partition-order
+    * noise); allocation is `floor(n·share)` plus largest-remainder
+    * distribution of the leftover, ranked by (fraction desc, stratum)
+    * over the |strata|-row table (bounded — model metadata, never the
+    * corpus); an all-constant population (Σ weight = 0) falls back to
+    * proportional shares; `n_h` caps at `N_h` (the freed budget is NOT
+    * redistributed — one-pass arithmetic, documented). The in-stratum
+    * draw is the seeded md5-rank take on the windowless two-phase
+    * top-k, so no reducer sorts a stratum.
+    *
+    * Output: (stratumCol, idCol, n_h) — chosen ids with their
+    * stratum's allocation.
+    */
+  def neymanSample(
+      df: DataFrame, stratumCol: String, idCol: String,
+      valueInt: Column, n: Int, seed: Long): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val m = df.select(col(stratumCol), col(idCol),
+      valueInt.cast("long").as("_v"))
+    val vd = col("_v").cast("decimal(19,0)")
+    val mom = m.groupBy(col(stratumCol)).agg(
+      count(lit(1)).as("_nh"), sum(col("_v")).as("_s"),
+      sum(vd * vd).as("_q"))
+    val variance = when(col("_nh") < 2L, lit(0.0)).otherwise(
+      (col("_nh").cast("double") * col("_q").cast("double") -
+        col("_s").cast("double") * col("_s").cast("double")) /
+        (col("_nh").cast("double") * (col("_nh") - 1L).cast("double")))
+    val wts = mom.select(col(stratumCol), col("_nh"),
+      round(col("_nh").cast("double") * sqrt(variance) * lit(1000000.0))
+        .cast("long").as("_wm"))
+    val tot = wts.agg(sum(col("_wm")).as("_tw"), sum(col("_nh")).as("_tn"))
+    val share = when(col("_tw") > 0L,
+      col("_wm").cast("double") / col("_tw").cast("double"))
+      .otherwise(col("_nh").cast("double") / col("_tn").cast("double"))
+    val raw = lit(n.toDouble) * share
+    val alloc0 = wts.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("_nh"),
+        floor(raw).as("_base"),
+        round(raw - floor(raw), 6).as("_frac"))
+    val wRank = Window.orderBy(col("_frac").desc, col(stratumCol))
+    val alloc = alloc0
+      .crossJoin(broadcast(alloc0.agg(sum(col("_base")).as("_ba"))))
+      .withColumn("_rk", row_number().over(wRank))
+      .select(col(stratumCol),
+        least(col("_base") +
+          when(col("_rk") <= lit(n.toLong) - col("_ba"), 1L)
+            .otherwise(0L),
+          col("_nh")).as("n_h"))
+    graft.sim.SimSearch.topKPerKey(
+      m.select(col(stratumCol), col(idCol),
+        md5Rank(Seq(col(idCol)), seed).as("_r")),
+      stratumCol, col("_r"), col(idCol), n)
+      .join(alloc, Seq(stratumCol))
+      .filter(col("rank") < col("n_h"))
+      .select(col(stratumCol), col("neighbor").as(idCol), col("n_h"))
+  }
+
   /** Weighted exact-n sample without replacement — priority sampling
     * (Duffield, Lund & Thorup): each row gets priority `w / u` with `u`
     * uniform in (0, 1], the sample is the top-n priorities. Inclusion
@@ -1806,6 +1877,65 @@ object Relational {
             (col("po_micro") - col("pe_micro")).cast("double") /
               (lit(1000000L) - col("pe_micro")).cast("double"), 6))
           .as("kappa"))
+  }
+
+  /** Krippendorff's alpha, nominal data (Krippendorff 1970; the 2004
+    * "Content Analysis" formulation) — chance-corrected agreement over
+    * ANY number of raters with missing ratings: the generalization
+    * [[cohenKappa]]'s fixed two-rater contingency table cannot cover,
+    * and the reliability statistic annotation pipelines with rotating
+    * labeler pools actually need. Rater identity is irrelevant for
+    * alpha — only each ITEM's rating multiset matters — so the input
+    * is the long (item, value) table; items with fewer than 2 ratings
+    * drop (they carry no agreement evidence).
+    *
+    * Exactness: per item the expected-disagreement contribution
+    * `(m_u² − Σ_c m_uc²)/(m_u − 1)` micro-snaps ONCE (integer counts,
+    * one division), so the corpus-wide sum is exact integer addition;
+    * the coincidence marginals `n_c` and `n` are plain counts, and
+    * `De = (n² − Σ n_c²)/(n(n−1))` is one fixed double chain. α
+    * derives from the two snapped disagreements — hash-gateable end
+    * to end. Single-value degenerate data (De = 0) yields NULL.
+    *
+    * Output (1 row): `n_items`, `n_ratings`, `do_micro`, `de_micro`,
+    * `alpha_micro`.
+    */
+  def krippendorffAlpha(df: DataFrame, itemCol: Column,
+      valueCol: Column): DataFrame = {
+    val iv = df.select(itemCol.as("_i"), valueCol.as("_v"))
+      .filter(col("_i").isNotNull && col("_v").isNotNull)
+      .groupBy(col("_i"), col("_v")).agg(count(lit(1)).as("_c"))
+      .persist() // feeds per-item stats AND the value marginals
+    val perItem = iv.groupBy(col("_i"))
+      .agg(sum(col("_c")).as("_m"),
+        sum(col("_c") * col("_c")).as("_s2"))
+      .filter(col("_m") >= 2L)
+      .persist() // Do sum + the marginal semi-join
+    val doSum = perItem.agg(
+      count(lit(1)).as("n_items"),
+      sum(col("_m")).as("n_ratings"),
+      sum(round((col("_m") * col("_m") - col("_s2")).cast("double") *
+        lit(1000000.0) / (col("_m") - 1L).cast("double")).cast("long"))
+        .as("_dsum"))
+    val marg = iv.join(perItem.select(col("_i")), Seq("_i"), "left_semi")
+      .groupBy(col("_v")).agg(sum(col("_c")).as("_nc"))
+      .agg(sum(col("_nc") * col("_nc")).as("_sc2"))
+    doSum.crossJoin(broadcast(marg))
+      .select(col("n_items"), col("n_ratings"),
+        round(col("_dsum").cast("double") /
+          col("n_ratings").cast("double")).cast("long").as("do_micro"),
+        round((col("n_ratings").cast("double") *
+          col("n_ratings").cast("double") - col("_sc2").cast("double")) /
+          (col("n_ratings").cast("double") *
+            (col("n_ratings") - 1L).cast("double")) * lit(1000000.0))
+          .cast("long").as("de_micro"))
+      .select(col("n_items"), col("n_ratings"), col("do_micro"),
+        col("de_micro"),
+        when(col("de_micro") === 0L, lit(null).cast("long"))
+          .otherwise(round((lit(1.0) -
+            col("do_micro").cast("double") /
+              col("de_micro").cast("double")) * lit(1000000.0))
+            .cast("long")).as("alpha_micro"))
   }
 
   /** Order-free dataset content fingerprint per group — the integrity

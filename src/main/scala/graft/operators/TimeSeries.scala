@@ -163,6 +163,52 @@ object TimeSeries {
     }.reduce(_ unionByName _)
   }
 
+  /** STL-lite additive seasonal-trend decomposition of the per-group
+    * day series (the moving-average skeleton of Cleveland et al.'s
+    * STL, 1990 — without the loess robustness loop, which would cost
+    * float iteration for little at daily grain): `trend` is the
+    * centered (2·halfWindow+1)-day moving average over a RANGE window
+    * on the day number (gaps shrink the window; edges and gappy spans
+    * without the full span report NULL — the honest convention),
+    * `seasonal` is the per-(group, day-of-week) mean of the detrended
+    * series, `resid` is what remains. Everything is exact-integer
+    * micro units with one fixed division per component, so the
+    * decomposition hash-gates.
+    *
+    * Input: (group, day, v) as produced by the daily resample; output
+    * adds `trend_micro`, `seasonal_micro`, `resid_micro` (NULL where
+    * the trend window is incomplete). Windows are group-partitioned —
+    * never global.
+    */
+  def decomposeDaily(series: DataFrame, groupCol: String,
+      halfWindow: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(halfWindow >= 1, s"halfWindow must be >= 1, got $halfWindow")
+    val span = 2 * halfWindow + 1
+    val s = series.select(col(groupCol),
+      col("day").cast("long").as("day"), col("v").cast("long").as("v"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("day"))
+      .rangeBetween(-halfWindow.toLong, halfWindow.toLong)
+    val trended = s
+      .withColumn("_wn", count(lit(1)).over(w))
+      .withColumn("_ws", sum(col("v")).over(w))
+      .withColumn("trend_micro",
+        when(col("_wn") === span,
+          round(col("_ws").cast("double") * lit(1000000.0) /
+            lit(span.toDouble)).cast("long")))
+      .withColumn("_det", col("v") * lit(1000000L) - col("trend_micro"))
+      .withColumn("_dow", pmod(col("day"), lit(7L)))
+    val seasonal = trended.filter(col("_det").isNotNull)
+      .groupBy(col(groupCol), col("_dow"))
+      .agg(round(sum(col("_det")).cast("double") /
+        count(lit(1)).cast("double")).cast("long").as("seasonal_micro"))
+    trended.join(seasonal, Seq(groupCol, "_dow"), "left")
+      .select(col(groupCol), col("day"), col("v"), col("trend_micro"),
+        when(col("trend_micro").isNotNull, col("seasonal_micro"))
+          .as("seasonal_micro"),
+        (col("_det") - col("seasonal_micro")).as("resid_micro"))
+  }
+
   /** Theil-Sen robust slope per group (Theil 1950, Sen 1968 — the
     * median of all pairwise slopes; up to ~29% contamination does not
     * move it, so one bad day never fakes a trend the way it drags an
@@ -220,28 +266,7 @@ object TimeSeries {
   def kaplanMeier(df: DataFrame, userCol: String, tsCol: Column)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val days = df.select(col(userCol).as("_u"),
-      floor(unix_timestamp(tsCol) / lit(86400L)).cast("long").as("_d"))
-    val users = days.groupBy(col("_u"))
-      .agg(min(col("_d")).as("_first"), max(col("_d")).as("_last"))
-      .persist() // lifetime table + the 1-row horizon
-    val horizon = users.agg(max(col("_last")).as("_h"))
-    val lifetimes = users.crossJoin(broadcast(horizon))
-      .select((col("_last") - col("_first") + 1L).as("t_day"),
-        (col("_last") === col("_h")).cast("long").as("_cens"))
-    val perT = lifetimes.groupBy(col("t_day"))
-      .agg(count(lit(1)).as("_ends"),
-        sum(col("_cens")).as("n_censored"),
-        (count(lit(1)) - sum(col("_cens"))).as("n_churned"))
-      .persist() // at-risk suffix + the output
-    val total = perT.agg(sum(col("_ends")).as("_n"))
-    val w = Window.orderBy(col("t_day"))
-      .rowsBetween(Window.unboundedPreceding, -1L)
-    // at-risk = everyone whose lifetime has not ended strictly before
-    // t; the window runs over the bounded distinct-lifetime table
-    val atRisk = perT.crossJoin(broadcast(total))
-      .withColumn("n_at_risk",
-        col("_n") - coalesce(sum(col("_ends")).over(w), lit(0L)))
+    val atRisk = lifetimeAtRisk(df, userCol, tsCol)
     // ln(1 − d/n) micro-snapped per step, exact integer prefix sum,
     // one exp at the end (survival hits exactly 0 when d = n)
     val step = when(col("n_churned") === col("n_at_risk"),
@@ -262,5 +287,97 @@ object TimeSeries {
           .otherwise(round(
             exp(col("_lnsum").cast("double") / lit(1000000.0)), 6))
           .as("survival"))
+  }
+
+  /** The censored-lifetime → at-risk machinery [[kaplanMeier]] and
+    * [[nelsonAalen]] share: per-user lifetimes (right-censored at the
+    * last observed day), per-t ends / censored / churned counts, and
+    * the suffix at-risk counts — the windows run over the bounded
+    * distinct-lifetime table, never the corpus.
+    */
+  private def lifetimeAtRisk(df: DataFrame, userCol: String,
+      tsCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = df.select(col(userCol).as("_u"),
+      floor(unix_timestamp(tsCol) / lit(86400L)).cast("long").as("_d"))
+    val users = days.groupBy(col("_u"))
+      .agg(min(col("_d")).as("_first"), max(col("_d")).as("_last"))
+      .persist() // lifetime table + the 1-row horizon
+    val horizon = users.agg(max(col("_last")).as("_h"))
+    val lifetimes = users.crossJoin(broadcast(horizon))
+      .select((col("_last") - col("_first") + 1L).as("t_day"),
+        (col("_last") === col("_h")).cast("long").as("_cens"))
+    val perT = lifetimes.groupBy(col("t_day"))
+      .agg(count(lit(1)).as("_ends"),
+        sum(col("_cens")).as("n_censored"),
+        (count(lit(1)) - sum(col("_cens"))).as("n_churned"))
+      .persist() // at-risk suffix + the output
+    val total = perT.agg(sum(col("_ends")).as("_n"))
+    val w = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    // at-risk = everyone whose lifetime has not ended strictly before
+    // t; the window runs over the bounded distinct-lifetime table
+    perT.crossJoin(broadcast(total))
+      .withColumn("n_at_risk",
+        col("_n") - coalesce(sum(col("_ends")).over(w), lit(0L)))
+  }
+
+  /** Nelson-Aalen cumulative hazard (Nelson 1972, Aalen 1978):
+    * `H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ` over the same censored lifetime table as
+    * [[kaplanMeier]] — the estimator of choice when hazard RATES
+    * drive the decision (churn intensity, failure-rate monitoring)
+    * rather than survival fractions, and the numerically gentler one
+    * near small at-risk sets (no log of a near-zero survivor
+    * fraction). Each step `dᵢ/nᵢ` micro-snaps once; the cumulative
+    * sum is exact integer addition, so the curve hash-gates.
+    *
+    * Output per distinct event time: `t_day`, `n_at_risk`,
+    * `n_churned`, `n_censored`, `cumhaz_micro`.
+    */
+  def nelsonAalen(df: DataFrame, userCol: String, tsCol: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lifetimeAtRisk(df, userCol, tsCol)
+      .withColumn("_hstep",
+        round(col("n_churned").cast("double") * lit(1000000.0) /
+          col("n_at_risk").cast("double")).cast("long"))
+      .select(col("t_day"), col("n_at_risk"), col("n_churned"),
+        col("n_censored"),
+        sum(col("_hstep")).over(wc).as("cumhaz_micro"))
+  }
+
+  /** Seasonal-naive forecast backtest (the no-skill baseline every
+    * real forecaster must beat — Hyndman & Athanasopoulos,
+    * "Forecasting: Principles and Practice" §5.2): `v̂(d) = v(d −
+    * period)`, scored per group over every day with a lagged twin
+    * (an EQUI self-join on (group, day+period); series gaps just
+    * drop pairs). MAE and sMAPE with per-day micro-snapped terms so
+    * both means are exact-integer folds; the sMAPE convention is
+    * `2|v−v̂| / (|v|+|v̂|)` with 0 when both sides are 0.
+    *
+    * Output: group, `n_pairs`, `mae_micro`, `smape_micro`.
+    */
+  def seasonalNaiveBacktest(series: DataFrame, groupCol: String,
+      period: Int = 7): DataFrame = {
+    require(period >= 1, s"period must be >= 1, got $period")
+    val s = series.select(col(groupCol), col("day").cast("long").as("day"),
+      col("v").cast("long").as("v"))
+    val lag = s.select(col(groupCol), (col("day") + period).as("day"),
+      col("v").as("_f"))
+    val ae = abs(col("v") - col("_f"))
+    val denom = abs(col("v")) + abs(col("_f"))
+    s.join(lag, Seq(groupCol, "day"))
+      .select(col(groupCol), ae.as("_ae"),
+        when(denom === 0L, lit(0L))
+          .otherwise(round(ae.cast("double") * lit(2000000.0) /
+            denom.cast("double")).cast("long")).as("_sm"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("_ae")).cast("double") * lit(1000000.0) /
+          count(lit(1)).cast("double")).cast("long").as("mae_micro"),
+        round(sum(col("_sm")).cast("double") /
+          count(lit(1)).cast("double")).cast("long").as("smape_micro"))
   }
 }

@@ -1146,6 +1146,43 @@ object SimSearch {
     rankScored(scorePairs(cand), k)
   }
 
+  /** Persist an OPQ-ROTATED residual PQ index —
+    * [[writePqIndexResidual]]'s layout plus a `perm` subdir holding
+    * the 1-row learned permutation. A reader detects the rotation by
+    * the `perm` directory's presence and MUST serve with the rotated
+    * ADC ([[ivfPqTopKResidualRotated]]) — codes live in the permuted
+    * residual frame.
+    */
+  def writePqIndexResidualRotated(
+      emb: DataFrame, path: String, idCol: String, vecCol: String,
+      cellCol: String, m: Int, k: Int, iters: Int, dim: Int = 64,
+      bucketWidth: Long = 4096L): Unit = {
+    val cen = ivfCentroids(emb, idCol, vecCol, cellCol, dim, bucketWidth)
+      .localCheckpoint()
+    cen.write.mode("overwrite").parquet(s"$path/centroids")
+    val perm = opqPermutation(emb, cen, idCol, vecCol, cellCol, m, dim)
+      .localCheckpoint()
+    perm.write.mode("overwrite").parquet(s"$path/perm")
+    val cb = pqFitResidualRotated(emb, cen, perm, idCol, vecCol,
+      cellCol, m, k, iters, dim, bucketWidth).localCheckpoint()
+    cb.write.mode("overwrite").parquet(s"$path/codebooks")
+    pqEncodeResidualRotated(emb, cen, perm, cb, idCol, vecCol, cellCol,
+      m, dim)
+      .join(emb.select(col(idCol), col(cellCol).as("cell")), Seq(idCol))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes")
+    emb.sparkSession.range(1).select(lit(true).as("residual"))
+      .write.mode("overwrite").parquet(s"$path/residual")
+  }
+
+  /** Load a persisted index's OPQ permutation, when present. */
+  def readPqIndexPerm(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/perm")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(s"$path/perm")) else None
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, the
     * CCMatrix/LASER recipe): align a SOURCE embedding set to a TARGET
     * set by scoring each forward-kNN candidate pair with the MARGIN

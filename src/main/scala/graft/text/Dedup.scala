@@ -210,6 +210,22 @@ object Dedup {
       greatest(size(array_union(da, db)), lit(1))
   }
 
+  /** Asymmetric shingle containment `C(A⊂B) = |A∩B| / |A|` over
+    * DISTINCT shingle sets (Broder, "On the resemblance and
+    * containment of documents", 1997 — the companion statistic to
+    * resemblance/Jaccard): a short document quoted wholesale inside a
+    * long one scores near-zero Jaccard (the union is dominated by the
+    * long side) but containment ≈ 1 from the short side — the
+    * quote-inclusion / boilerplate-embedding detector a symmetric
+    * near-dup pass misses. Empty-set guard mirrors [[jaccardHof]].
+    */
+  def containment(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    size(array_intersect(da, db)).cast("double") /
+      greatest(size(da), lit(1)).cast("double")
+  }
+
   /** Exact dedup on the NORMALIZED text — [[exact]] keyed by
     * [[TextOps.normalizeText]] (lowercase, punctuation → space,
     * whitespace collapse) so trivially-mutated copies of the same
@@ -1222,6 +1238,52 @@ object Dedup {
       .union(starEdges)
     clusterLabels(recs.select("_rid"), pairs)
       .select(col("id").as(idCol), col("cluster"))
+  }
+
+  /** Fellegi-Sunter record-linkage weights (Fellegi & Sunter, "A
+    * Theory for Record Linkage", JASA 1969) — the statistical scoring
+    * layer on top of [[resolveEntities]]' candidate generation: from a
+    * LABELED pair sample (`isMatch` true for same-entity pairs), each
+    * comparison field gets `m = P(agree | match)` and
+    * `u = P(agree | non-match)`, and the field's evidence weights are
+    * `ln(m/u)` on agreement and `ln((1−m)/(1−u))` on disagreement —
+    * summing a pair's field weights gives its match log-likelihood
+    * ratio, the quantity the classic upper/lower linkage thresholds
+    * cut. Probabilities are add-one smoothed (exact rationals — no
+    * field ever yields ±∞), weights micro-nat snapped (the NB-training
+    * ln discipline), so the whole estimation hash-gates.
+    *
+    * ONE aggregation pass over the pairs regardless of field count
+    * (per-field agree×label sums fold map-side); output one row per
+    * field: `(field, n_match, n_unmatch, m_micro, u_micro,
+    * w_agree_micro, w_disagree_micro)`.
+    */
+  def fellegiSunterWeights(pairs: DataFrame, isMatch: Column,
+      fields: Seq[(String, Column)]): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    val aggs = fields.flatMap { case (nm, c) => Seq(
+      sum(when(isMatch && c, 1L).otherwise(0L)).as(s"_am_$nm"),
+      sum(when(!isMatch && c, 1L).otherwise(0L)).as(s"_au_$nm"))
+    } ++ Seq(
+      sum(when(isMatch, 1L).otherwise(0L)).as("_n_m"),
+      sum(when(!isMatch, 1L).otherwise(0L)).as("_n_u"))
+    // 1-row moment frame, consumed once per field — checkpoint or the
+    // pair scan replays |fields| times
+    val mom = pairs.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    fields.map { case (nm, _) =>
+      val m = (col(s"_am_$nm") + 1L).cast("double") /
+        (col("_n_m") + 2L).cast("double")
+      val u = (col(s"_au_$nm") + 1L).cast("double") /
+        (col("_n_u") + 2L).cast("double")
+      mom.select(lit(nm).as("field"),
+        col("_n_m").as("n_match"), col("_n_u").as("n_unmatch"),
+        round(m * lit(1000000.0)).cast("long").as("m_micro"),
+        round(u * lit(1000000.0)).cast("long").as("u_micro"),
+        round((log(m) - log(u)) * lit(1000000.0)).cast("long")
+          .as("w_agree_micro"),
+        round((log(lit(1.0) - m) - log(lit(1.0) - u)) * lit(1000000.0))
+          .cast("long").as("w_disagree_micro"))
+    }.reduce(_ unionByName _)
   }
 
   /** [[resolveEntities]]' candidate-pair generator, exposed so the

@@ -118,6 +118,119 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(dupClusters.count() == 300L)
   }
 
+  test("containment: a short doc fully quoted inside a long one " +
+    "scores 1.0 from the short side while Jaccard stays low") {
+    val short = Seq.tabulate(5)(i => s"s$i")
+    val long = Seq.tabulate(50)(i => s"t$i") ++ short
+    val df = Seq((short, long)).toDF("a", "b")
+    val r = df.select(
+      round(Dedup.containment(col("a"), col("b")), 6).as("ab"),
+      round(Dedup.containment(col("b"), col("a")), 6).as("ba"),
+      round(Dedup.jaccardHof(col("a"), col("b")), 6).as("j")).head()
+    assert(r.getDouble(0) == 1.0, r)            // A ⊂ B
+    assert(r.getDouble(1) == 0.090909, r)       // 5 / 55
+    assert(r.getDouble(2) == 0.090909, r)       // Jaccard misses it
+    // empty-set guard mirrors jaccardHof: 0, never NaN
+    val e = Seq((Seq.empty[String], Seq("x")))
+      .toDF("a", "b")
+      .select(Dedup.containment(col("a"), col("b"))).head()
+    assert(e.getDouble(0) == 0.0)
+  }
+
+  test("krippendorffAlpha: perfect agreement reads 1.0; the classic " +
+    "two-item hand example reads exactly 0; single-rating items " +
+    "drop; degenerate one-value data yields NULL") {
+    def alpha(rows: Seq[(Long, String)]) =
+      Relational.krippendorffAlpha(rows.toDF("i", "v"),
+        col("i"), col("v")).head()
+    // 10 items, 2 identical ratings each → Do = 0, alpha = 1
+    val perfect = alpha((0L until 10L).flatMap(i =>
+      Seq(i -> s"c${i % 3}", i -> s"c${i % 3}")))
+    assert(perfect.getAs[Long]("do_micro") == 0L)
+    assert(perfect.getAs[Long]("alpha_micro") == 1000000L)
+    // item1 (a,a), item2 (a,b): Do = 0.5, De = (16-10)/12 = 0.5 → 0
+    val zero = alpha(Seq(1L -> "a", 1L -> "a", 2L -> "a", 2L -> "b"))
+    assert(zero.getAs[Long]("n_items") == 2L &&
+      zero.getAs[Long]("n_ratings") == 4L)
+    assert(zero.getAs[Long]("do_micro") == 500000L)
+    assert(zero.getAs[Long]("de_micro") == 500000L)
+    assert(zero.getAs[Long]("alpha_micro") == 0L)
+    // a single-rating item contributes nothing
+    val withSingleton = alpha(Seq(1L -> "a", 1L -> "a", 2L -> "a",
+      2L -> "b", 3L -> "zz"))
+    assert(withSingleton.getAs[Long]("n_items") == 2L)
+    assert(withSingleton.getAs[Long]("alpha_micro") == 0L)
+    // every rating identical: De = 0 → NULL (no chance-corrected info)
+    val degen = alpha(Seq(1L -> "a", 1L -> "a", 2L -> "a", 2L -> "a"))
+    assert(degen.isNullAt(4))
+  }
+
+  test("fellegiSunterWeights: a perfectly discriminating field earns " +
+    "ln(51) micro-nats of agreement evidence; a label-independent " +
+    "field weighs exactly 0") {
+    // 50 matched pairs (field A agrees on all; B agrees on half) and
+    // 50 unmatched (A never agrees; B agrees on half)
+    val pairs = ((0 until 50).map(i => (true, true, i % 2 == 0)) ++
+      (0 until 50).map(i => (false, false, i % 2 == 0)))
+      .toDF("mt", "fa", "fb")
+    val w = Dedup.fellegiSunterWeights(pairs, col("mt"),
+      Seq("a" -> col("fa"), "b" -> col("fb")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // add-one smoothing: m_A = 51/52, u_A = 1/52 → w_agree = ln(51)
+    assert(w("a").getAs[Long]("n_match") == 50L)
+    assert(w("a").getAs[Long]("m_micro") ==
+      math.round(51.0 / 52.0 * 1e6))
+    assert(w("a").getAs[Long]("u_micro") ==
+      math.round(1.0 / 52.0 * 1e6))
+    assert(w("a").getAs[Long]("w_agree_micro") ==
+      math.round(math.log(51.0) * 1e6))
+    assert(w("a").getAs[Long]("w_disagree_micro") ==
+      math.round(math.log((1.0 / 52.0) / (51.0 / 52.0)) * 1e6))
+    // independent field: m = u = 26/52 → both weights exactly 0
+    assert(w("b").getAs[Long]("w_agree_micro") == 0L)
+    assert(w("b").getAs[Long]("w_disagree_micro") == 0L)
+  }
+
+  test("neymanSample: the noisy stratum takes (almost) the whole " +
+    "budget, allocations cap at stratum size, constant-only strata " +
+    "fall back to proportional") {
+    // two strata, equal size 100: 'flat' constant, 'noisy' high-spread
+    val flat = Seq.tabulate(100)(i => ("flat", i.toLong, 50L))
+    val noisy = Seq.tabulate(100)(i =>
+      ("noisy", 1000L + i, if (i % 2 == 0) 0L else 1000L))
+    val df = (flat ++ noisy).toDF("g", "id", "v")
+    val got = Relational.neymanSample(df, "g", "id", col("v"),
+      n = 40, seed = 7)
+    val byStratum = got.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // σ_flat = 0 → weight 0 → the noisy stratum owns the budget
+    assert(byStratum.getOrElse("noisy", 0L) == 40L, byStratum)
+    assert(byStratum.getOrElse("flat", 0L) == 0L, byStratum)
+    // n_h caps at N_h when the budget exceeds a stratum
+    val tiny = (Seq.tabulate(5)(i => ("small", i.toLong,
+      if (i % 2 == 0) 0L else 1000L)) ++
+      Seq.tabulate(100)(i => ("flat2", 100L + i, 7L)))
+      .toDF("g", "id", "v")
+    val capped = Relational.neymanSample(tiny, "g", "id", col("v"),
+      n = 40, seed = 7)
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped.getOrElse("small", 0L) == 5L, capped) // capped at N_h
+    // all-constant population → proportional fallback
+    val const = (Seq.tabulate(30)(i => ("a", i.toLong, 5L)) ++
+      Seq.tabulate(10)(i => ("b", 100L + i, 9L))).toDF("g", "id", "v")
+    val prop = Relational.neymanSample(const, "g", "id", col("v"),
+      n = 20, seed = 7)
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prop == Map("a" -> 15L, "b" -> 5L), prop)
+    // determinism: same seed, same ids
+    val again = Relational.neymanSample(df, "g", "id", col("v"),
+      n = 40, seed = 7)
+    assert(got.collect().map(_.toSeq).toSet ==
+      again.collect().map(_.toSeq).toSet)
+  }
+
   test("cuped: when the metric IS the covariate the adjusted means " +
     "collapse to the global mean for both variants") {
     val ts0 = 1700000000L

@@ -495,6 +495,55 @@ class IvfSpec extends SparkSpec {
     assert(fromIndex == inline)
   }
 
+  test("persisted OPQ-rotated index reproduces the inline rotated " +
+    "chain; the perm directory is the rotation marker") {
+    def vec(d0: Float, d32: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(0) = d0
+      a(32) = d32
+      a
+    }
+    val emb = (0L until 16L).map { i =>
+      (i, i % 4, vec(if (i % 2 == 0) 10f else -10f,
+        (i % 8).toFloat - 3.5f))
+    }.toDF("vec_id", "cell", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("pqidxopq").toString
+    SimSearch.writePqIndexResidualRotated(emb, dir, "vec_id",
+      "embedding", "cell", m = 2, k = 2, iters = 2, dim = 64,
+      bucketWidth = 4L)
+    val (cb, codes, centroids) = SimSearch.readPqIndex(spark, dir)
+    val perm = SimSearch.readPqIndexPerm(spark, dir)
+    assert(perm.nonEmpty, "perm marker directory missing")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val queries = emb.filter(col("vec_id") < 4)
+    val fromIndex = canon(SimSearch.ivfPqTopKResidualRotated(codes, cb,
+      centroids, perm.get, queries, "vec_id", "embedding", "vec_id",
+      m = 2, k = 4, nprobe = 1, dim = 64))
+    val cen = SimSearch.ivfCentroids(emb, "vec_id", "embedding", "cell",
+      dim = 64, bucketWidth = 4L)
+    val inlinePerm = SimSearch.opqPermutation(emb, cen, "vec_id",
+      "embedding", "cell", m = 2, dim = 64).localCheckpoint()
+    val inlineCb = SimSearch.pqFitResidualRotated(emb, cen, inlinePerm,
+      "vec_id", "embedding", "cell", m = 2, k = 2, iters = 2, dim = 64,
+      bucketWidth = 4L)
+    val inline = canon(SimSearch.ivfPqTopKResidualRotated(
+      SimSearch.pqEncodeResidualRotated(emb, cen, inlinePerm, inlineCb,
+        "vec_id", "embedding", "cell", m = 2, dim = 64)
+        .join(emb.select(col("vec_id"), col("cell")), Seq("vec_id")),
+      inlineCb, cen, inlinePerm, queries, "vec_id", "embedding",
+      "vec_id", m = 2, k = 4, nprobe = 1, dim = 64))
+    assert(fromIndex == inline)
+    // an unrotated index has no perm marker
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("pqidxnoperm").toString
+    SimSearch.writePqIndexResidual(emb, dir2, "vec_id", "embedding",
+      "cell", m = 2, k = 2, iters = 2, dim = 64, bucketWidth = 4L)
+    assert(SimSearch.readPqIndexPerm(spark, dir2).isEmpty)
+  }
+
   test("appendToPqIndex: new vectors encode against the FROZEN " +
     "codebooks into their probe cells, replays are idempotent, and " +
     "serving matches a from-scratch encode under the same model") {

@@ -316,6 +316,27 @@ class LinkGraphSpec extends SparkSpec {
       rounds = 10, k = 8)) <= 1)
   }
 
+  test("personalized PageRank: mass restarts onto the seeds — nodes " +
+    "unreachable from any seed rank exactly 0, and seeding EVERY node " +
+    "reproduces the uniform-teleport exact ranks") {
+    // two disjoint 2-cycles: {0,1} and {2,3}; seed only node 0
+    val nodes = (0L until 4).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val got = rankMap(LinkGraph.personalizedPageRankExact(
+      nodes, edges, seeds, iters = 6))
+    assert(got(2L) == 0.0 && got(3L) == 0.0, got)
+    assert(got(0L) > got(1L), got) // the seed holds the teleport mass
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, got) // no dangling
+    // seeding every node = uniform restart = plain exact PageRank
+    val all = rankMap(LinkGraph.personalizedPageRankExact(
+      nodes, edges, nodes, iters = 6))
+    val plain = rankMap(LinkGraph.pageRankExact(nodes, edges, iters = 6))
+    plain.foreach { case (id, r) =>
+      assert(r == all(id), s"node $id: $r vs ${all(id)}") }
+  }
+
   test("pageRank tol-based early stop matches the fixed-round result " +
     "once converged, and never changes tol=0 semantics") {
     val nodes = (0L until 12).toDF("id")

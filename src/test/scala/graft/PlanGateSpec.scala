@@ -165,11 +165,22 @@ class PlanGateSpec extends SparkSpec {
     //   windows run over the DISTINCT-LIFETIME table — ≤ max observed
     //   lifetime rows (days, not users), bounded by construction; the
     //   product-limit estimator needs the total time order.
+    // - q250: opqPermutation ranks the PER-DIMENSION residual-energy
+    //   table — exactly `dim` (64) rows of model metadata, never the
+    //   corpus; the serpentine deal needs the total energy order.
+    // - q253: Neyman's largest-remainder rank runs over the
+    //   |strata|-row allocation table — bounded model metadata
+    //   (languages/sources), never the corpus; the remainder
+    //   distribution needs the total fraction order.
+    // - q257: Nelson-Aalen shares q241's machinery — suffix/prefix
+    //   windows over the bounded distinct-lifetime table.
     val globalWindowWhitelist = Set("q91_unimax_sample",
-      "q86_global_shuffle", "q241_kaplan_meier")
+      "q86_global_shuffle", "q241_kaplan_meier", "q250_opq_residual",
+      "q253_neyman_sample", "q257_nelson_aalen")
     val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
       "q125_streaming_funnel_replay", "q129_streaming_retention_replay",
-      "q244_streaming_agg_replay")
+      "q244_streaming_agg_replay", "q248_preflight_artifact",
+      "q249_streaming_latency_replay")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalWindowWhitelist.contains)
@@ -199,7 +210,8 @@ class PlanGateSpec extends SparkSpec {
     val globalSortWhitelist = Set.empty[String]
     val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
       "q125_streaming_funnel_replay", "q129_streaming_retention_replay",
-      "q244_streaming_agg_replay")
+      "q244_streaming_agg_replay", "q248_preflight_artifact",
+      "q249_streaming_latency_replay")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalSortWhitelist.contains)
@@ -245,6 +257,14 @@ class PlanGateSpec extends SparkSpec {
       "q119_fightin_words",  // vocab rows × broadcast 1-row totals
       "q121_ivfpq_refined",  // q27's centroid probe + q106's codebook broadcasts
       "q123_ivfpq_residual", // q121's shapes with residual-frame LUTs
+      "q250_opq_residual",   // q123's shapes + the 1-row permutation
+                             // broadcast (rotation is model metadata)
+      "q253_neyman_sample",  // |strata|-row allocation table ×
+                             // broadcast 1-row weight/base totals
+      "q256_krippendorff_alpha", // 1-row disagreement moments ×
+                                 // broadcast 1-row marginal total
+      "q257_nelson_aalen",   // q241's lifetime x broadcast 1-row
+                             // horizon/total shapes
       "q126_classifier_train", // vocab rows × broadcast 1-row totals
       "q127_bitext_mine",    // target corpus × broadcast source slice
       "q133_pagerank",       // node/edge synth + per-iteration teleport
@@ -315,9 +335,12 @@ class PlanGateSpec extends SparkSpec {
     // parquet state per micro-batch at construction time and returns a
     // localCheckpoint'ed report — the distributed stages are pinned by
     // the streaming twins' own specs + its oracle row
+    // q248/q249 join it for the same reason: artifact/state writes at
+    // construction time, localCheckpoint'ed reports
     val eagerExempt = Set("q26_ingest_roundtrip", "q105_bpe_learn",
       "q125_streaming_funnel_replay", "q129_streaming_retention_replay",
-      "q244_streaming_agg_replay")
+      "q244_streaming_agg_replay", "q248_preflight_artifact",
+      "q249_streaming_latency_replay")
     val names = SparkEntry.queries.keys.filterNot(eagerExempt.contains)
     val offenders = names.flatMap { name =>
       // analysis failures are named per query rather than aborting the

@@ -93,6 +93,70 @@ class TimeSeriesSpec extends SparkSpec {
     assert(m(("flat")).getAs[Long]("slope_micro") == 0L)
   }
 
+  test("decomposeDaily: a pure weekly sawtooth decomposes into a flat " +
+    "trend, the exact dow pattern, and zero residuals; incomplete " +
+    "windows report NULL components") {
+    // 28 days of v = 10 + (day % 7): every 7-day window sums to the
+    // same total, so the centered MA is flat at 13 and the seasonal
+    // means recover (day%7 − 3) exactly
+    val s = series((0L until 28L).map(d => ("saw", d, 10L + d % 7)): _*)
+    val got = TimeSeries.decomposeDaily(s, "g", halfWindow = 3)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    // edges (< 3 days of context) are NULL
+    (0L to 2L) ++ (25L to 27L) foreach { d =>
+      assert(got(d).isNullAt(3) && got(d).isNullAt(4) && got(d).isNullAt(5),
+        s"day $d should have NULL components")
+    }
+    (3L to 24L).foreach { d =>
+      assert(got(d).getAs[Long]("trend_micro") == 13000000L, s"day $d")
+      assert(got(d).getAs[Long]("seasonal_micro") ==
+        (d % 7 - 3L) * 1000000L, s"day $d")
+      assert(got(d).getAs[Long]("resid_micro") == 0L, s"day $d")
+    }
+    // a gap wider than the window kills the trend around it
+    val gappy = series((0L to 6L).map(d => ("g1", d, 5L)) ++
+      Seq(("g1", 20L, 5L)): _*)
+    val g = TimeSeries.decomposeDaily(gappy, "g", halfWindow = 3)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(g(3L).getAs[Long]("trend_micro") == 5000000L)
+    assert(g(20L).isNullAt(3)) // isolated day: window of 1
+  }
+
+  test("nelsonAalen: hand cumulative hazard on a 3-user cohort; the " +
+    "censored user adds risk mass but no hazard") {
+    def t(day: Long) = new java.sql.Timestamp(day * 86400L * 1000L)
+    // u1 lifetime 1, u2 lifetime 2, u3 lifetime 3 ending at the
+    // horizon (censored)
+    val ev = Seq((1L, t(0)), (2L, t(0)), (2L, t(1)), (3L, t(0)),
+      (3L, t(2))).toDF("user_id", "ts")
+    val got = graft.operators.TimeSeries.nelsonAalen(ev, "user_id",
+      col("ts")).collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // t=1: 3 at risk, 1 churn -> H = 333333; t=2: 2 at risk, 1 churn
+    // -> +500000; t=3: 1 at risk, 0 churn (censored) -> unchanged
+    assert(got(1L) == ((3L, 1L, 0L, 333333L)), got)
+    assert(got(2L) == ((2L, 1L, 0L, 833333L)), got)
+    assert(got(3L) == ((1L, 0L, 1L, 833333L)), got)
+  }
+
+  test("seasonalNaiveBacktest: an exactly-periodic series scores " +
+    "zero error; a spike contributes its exact micro terms; " +
+    "both-zero days score sMAPE 0") {
+    val s = series(
+      ((0L to 5L).map(d => ("per", d, 10L + 10L * (d % 2))) ++
+        Seq(("sp", 0L, 4L), ("sp", 1L, 0L), ("sp", 2L, 4L),
+          ("sp", 3L, 0L), ("sp", 4L, 12L), ("sp", 5L, 0L))): _*)
+    val got = graft.operators.TimeSeries
+      .seasonalNaiveBacktest(s, "g", period = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("per") == ((4L, 0L, 0L)), got)
+    // sp pairs: d2 (4 vs 4: ae 0, sm 0), d3 (0 vs 0: BOTH zero -> 0),
+    // d4 (12 vs 4: ae 8, sm 2*8/16 = 1e6), d5 (0 vs 0 -> 0)
+    // mae = round(8e6/4) = 2000000; smape = round(1e6/4) = 250000
+    assert(got("sp") == ((4L, 2000000L, 250000L)), got)
+  }
+
   test("welchTTest: hand moments give the exact t and " +
     "Welch-Satterthwaite df; a variant with n < 2 yields NULL") {
     import graft.operators.Relational
