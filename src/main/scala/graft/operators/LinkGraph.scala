@@ -72,6 +72,20 @@ object LinkGraph {
     out
   }
 
+  /** [[rotate]]'s deferred flavor: cut `next`'s lineage LAZILY (the
+    * checkpoint materializes as a side effect of the next consumer's
+    * job, saving one scheduler round-trip per round — measurable at
+    * gate SF where fixed job overhead dominates) and return a release
+    * thunk the caller MUST run only after that consumer has actually
+    * materialized `next`. Releasing earlier would free frames the
+    * pending job still reads.
+    */
+  private def rotateLazy(next: DataFrame,
+      prev: DataFrame*): (DataFrame, () => Unit) = {
+    val out = next.localCheckpoint(false)
+    (out, () => prev.filter(_ ne null).foreach(release))
+  }
+
   /** Free a [[rotate]]d frame (RDD-backed after the lineage cut —
     * cache-manager unpersist cannot see it) or a plain persisted one.
     */
@@ -419,15 +433,19 @@ object LinkGraph {
         .union(e.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
       val (prevE, prevKeep) = (e, keep)
-      // both per-round frames rotate (materialize + lineage cut, then
-      // release the superseded round) — O(1) cached frames and O(1)
-      // plans across any round count, no cross-round lineage left to
-      // strand
-      keep = rotate(deg.filter(col("deg") >= k).select("id"), prevKeep)
+      // both per-round frames rotate (lineage cut + release of the
+      // superseded round) — O(1) cached frames and O(1) plans across
+      // any round count. keep's cut is LAZY: e's eager checkpoint is
+      // the consumer that materializes it, saving a job per round;
+      // its release thunk runs only after that job.
+      val (keepCut, releaseKeep) =
+        rotateLazy(deg.filter(col("deg") >= k).select("id"), prevKeep)
+      keep = keepCut
       e = rotate(
         e.join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
           .join(keep.select(col("id").as("b")), Seq("b"), "left_semi"),
         prevE)
+      releaseKeep()
     }
     val out = nodes.select(col("id"))
       .join(keep.withColumn("in_core", lit(true)), Seq("id"), "left")
@@ -550,21 +568,26 @@ object LinkGraph {
     var hub: DataFrame = null
     for (_ <- 1 to rounds) {
       val (prevHub, prevAuth) = (hub, auth)
-      // both score tables rotate (materialize + lineage cut, then
-      // release the superseded round) — O(1) cached frames across any
-      // round count
-      hub = rotate(
+      // both score tables rotate (lineage cut + release of the
+      // superseded round) — O(1) cached frames across any round
+      // count. hub's cut is LAZY: auth's eager checkpoint consumes
+      // hub every round and materializes it as a side effect, saving
+      // one scheduler round-trip per round; the superseded hub
+      // releases only after that job.
+      val (hubCut, releaseHub) = rotateLazy(
         e.join(auth.select(col("id").as("dst"), col("score")),
             Seq("dst"))
           .groupBy(col("src").as("id"))
           .agg(sum(col("score")).as("score")),
         prevHub)
+      hub = hubCut
       auth = rotate(
         e.join(hub.select(col("id").as("src"), col("score")),
             Seq("src"))
           .groupBy(col("dst").as("id"))
           .agg(sum(col("score")).as("score")),
         prevAuth)
+      releaseHub()
     }
     nodes.select(col("id"))
       .join(hub.select(col("id"), col("score").as("hub")),
@@ -620,19 +643,20 @@ object LinkGraph {
         .join(ball.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("h"))
       // rotate every round: the per-round estimate branch AND the next
-      // round both consume this frame — the eager checkpoint
-      // materializes it once (without a boundary Spark replays all
-      // prior rounds inside each branch, turning R rounds into O(R²)
-      // recomputation) and the superseded ball releases, so the big
-      // k·|V| sketch state stays O(1) frames across any round count.
-      // The per-round ESTIMATE (|V| rows, consumed only by the closing
-      // join) checkpoints too, so it never re-derives from a released
-      // ball.
-      ball = rotate(
+      // round both consume this frame — the lineage cut materializes
+      // it once (without a boundary Spark replays all prior rounds
+      // inside each branch, turning R rounds into O(R²) recomputation)
+      // and the superseded ball releases, so the big k·|V| sketch
+      // state stays O(1) frames across any round count. The cut is
+      // LAZY: the per-round ESTIMATE's eager checkpoint (|V| rows,
+      // consumed only by the closing join) is the consumer that
+      // materializes the ball — one job per round, not two.
+      val (ballCut, releaseBall) = rotateLazy(
         ball.select("id", "h").union(moved).distinct()
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= k).drop("rn"),
         ball)
+      ball = ballCut
       ests += ball.groupBy("id")
         .agg(count(lit(1)).as("cnt"), max("h").as("mx"))
         .select(col("id"),
@@ -641,6 +665,7 @@ object LinkGraph {
               (col("mx").cast("double") / lit(4294967296.0)))
             .as(s"est_$r"))
         .localCheckpoint(true)
+      releaseBall()
     }
     var joined = nodes.select(col("id"))
     ests.result().foreach(e => joined = joined.join(e, "id"))
