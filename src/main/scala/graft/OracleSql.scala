@@ -6144,6 +6144,89 @@ object OracleSql {
         |    AS smape_micro
         |FROM p GROUP BY 1""".stripMargin,
 
+    // BH-FDR over per-cohort chi-square drift: per-cell micro-snapped
+    // χ² terms (order-free integer sums), the df=4 closed-form
+    // survival p = exp(−h)(1+h) — the gate's 5 event types; a
+    // different category count would fail loudly here — and exact
+    // integer cross-multiplied BH comparisons
+    "q259_bh_fdr" ->
+      """WITH e AS (SELECT user_id % 20 AS cohort, event_type AS c
+        |  FROM events WHERE event_type IS NOT NULL),
+        |cells AS (SELECT cohort, c, count(*)::BIGINT AS o
+        |  FROM e GROUP BY 1, 2),
+        |g AS (SELECT cohort, sum(o)::BIGINT AS ng FROM cells
+        |  GROUP BY 1),
+        |cat AS (SELECT c, sum(o)::BIGINT AS nc FROM cells GROUP BY 1),
+        |kk AS (SELECT count(*)::BIGINT AS k, sum(nc)::BIGINT AS n
+        |  FROM cat),
+        |grid AS (SELECT g.cohort, g.ng,
+        |    coalesce(cells.o, 0)::BIGINT AS o,
+        |    g.ng::DOUBLE * cat.nc::DOUBLE / kk.n::DOUBLE AS ex, kk.k
+        |  FROM g CROSS JOIN cat CROSS JOIN kk
+        |  LEFT JOIN cells ON cells.cohort = g.cohort
+        |    AND cells.c = cat.c),
+        |chi AS (SELECT cohort, min(ng)::BIGINT AS n,
+        |    min(k)::BIGINT AS k,
+        |    sum((round((o::DOUBLE - ex) * (o::DOUBLE - ex) / ex
+        |      * 1000000.0))::BIGINT)::BIGINT AS chi2_micro
+        |  FROM grid GROUP BY 1),
+        |p AS (SELECT cohort, n, chi2_micro, (k - 1)::INTEGER AS df,
+        |    (round(exp(-(chi2_micro::DOUBLE / 2000000.0)) *
+        |      (1.0 + chi2_micro::DOUBLE / 2000000.0) * 1000000.0))
+        |      ::BIGINT AS p_micro
+        |  FROM chi),
+        |r AS (SELECT *, row_number() OVER (ORDER BY p_micro, cohort)
+        |    AS rk, count(*) OVER () AS m FROM p),
+        |ks AS (SELECT coalesce(max(rk), 0) AS kstar FROM r
+        |  WHERE p_micro * m <= rk * 100000)
+        |SELECT cohort, n, chi2_micro, df, p_micro,
+        |  rk::INTEGER AS rank, (rk <= ks.kstar) AS discovered
+        |FROM r, ks""".stripMargin,
+
+    // blocking-quality: the q204 registry + truth labels; per-key
+    // candidate counts, Σ c(c−1)/2 truth pairs, fixed-ratio divisions
+    "q260_blocking_quality" -> {
+      def pass(label: String, keyExpr: String) =
+        s"""SELECT '$label' AS strategy,
+           |  (SELECT count(*) FROM recs a JOIN recs b
+           |    ON $keyExpr AND a.rec_id < b.rec_id)::BIGINT
+           |    AS n_candidates,
+           |  tot.truth AS n_true_pairs,
+           |  (SELECT count(*) FROM recs a JOIN recs b
+           |    ON $keyExpr AND a.rec_id < b.rec_id
+           |    WHERE a.ck = b.ck)::BIGINT AS n_covered,
+           |  round(1.0 - (SELECT count(*) FROM recs a JOIN recs b
+           |      ON $keyExpr AND a.rec_id < b.rec_id)::DOUBLE /
+           |    (tot.n::DOUBLE * (tot.n - 1)::DOUBLE / 2.0), 6)
+           |    AS reduction_ratio,
+           |  round((SELECT count(*) FROM recs a JOIN recs b
+           |      ON $keyExpr AND a.rec_id < b.rec_id
+           |      WHERE a.ck = b.ck)::DOUBLE / tot.truth::DOUBLE, 6)
+           |    AS completeness
+           |FROM tot""".stripMargin
+      s"""WITH recs AS (
+         |  SELECT c_custkey * 2 AS rec_id,
+         |    substr(md5(c_custkey::VARCHAR), 1, 12) AS name,
+         |    c_custkey AS ck FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey * 2 + 1,
+         |    substr(nm, 1, p - 1) || 'z' || substr(nm, p + 1, 12),
+         |    c_custkey
+         |  FROM (SELECT c_custkey,
+         |          substr(md5(c_custkey::VARCHAR), 1, 12) AS nm,
+         |          (c_custkey % 12 + 1)::INTEGER AS p
+         |        FROM customer WHERE c_custkey % 7 = 0)),
+         |tot AS (SELECT sum(cnt)::BIGINT AS n,
+         |    sum(cnt * (cnt - 1) // 2)::BIGINT AS truth
+         |  FROM (SELECT ck, count(*)::BIGINT AS cnt FROM recs
+         |        GROUP BY 1))
+         |${pass("first_half",
+          "substr(a.name, 1, 6) = substr(b.name, 1, 6)")}
+         |UNION ALL
+         |${pass("second_half",
+          "substr(a.name, 7, 6) = substr(b.name, 7, 6)")}""".stripMargin
+    },
+
     // Personalized PageRank: q133's unrolled src-ordered folds with
     // the teleport mass restarted uniformly over the doc_id % 17 = 0
     // seed set (r0 = s)

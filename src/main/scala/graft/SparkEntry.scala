@@ -4259,6 +4259,44 @@ object SparkEntry {
     TimeSeries.seasonalNaiveBacktest(dailySeries(s, dir), "event_type",
       period = 7)
 
+  /** Benjamini-Hochberg FDR control over per-cohort chi-square
+    * drift tests: 20 user cohorts each test their event-type mix
+    * against the pooled distribution (per-cell micro-snapped χ²
+    * terms; exact even-df closed-form p = exp(−h)·Σ hⁱ/i!), then BH
+    * at α = 0.1 flags the discovery set with exact integer
+    * cross-multiplied comparisons — the multiple-testing correction
+    * a drift-screening pipeline runs before paging anyone.
+    */
+  def q259_bh_fdr(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      pmod(col("user_id"), lit(20L)).as("cohort"), col("event_type"))
+    Relational.bhFdr(
+      Relational.chiSquareGofByGroup(ev, "cohort", col("event_type")),
+      "cohort", col("p_micro"), alphaMicro = 100000L)
+  }
+
+  /** Blocking-quality report over the q204 registry: the first-half
+    * and second-half name keys each report candidate volume,
+    * reduction ratio vs all-pairs, and pairs completeness against
+    * the custkey truth — the evaluation that picks a blocking design
+    * before a full linkage run pays for it.
+    */
+  def q260_blocking_quality(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val baseName = md5(col("c_custkey").cast("string")).substr(1, 12)
+    val base = cust.select((col("c_custkey") * 2).as("rec_id"),
+      baseName.as("name"), col("c_custkey").as("ck"))
+    val p = (col("c_custkey") % 12 + 1).cast("int")
+    val dirty = cust.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") * 2 + 1).as("rec_id"),
+        concat(baseName.substr(lit(1), p - 1), lit("z"),
+          baseName.substr(p + 1, lit(12))).as("name"),
+        col("c_custkey").as("ck"))
+    Dedup.blockingQuality(base.union(dirty), "rec_id", "ck", Seq(
+      "first_half" -> substring(col("name"), 1, 6),
+      "second_half" -> substring(col("name"), 7, 6)))
+  }
+
   /** Deterministic replay of the STREAMING funnel-latency twin
     * ([[graft.streaming.StreamingFunnel.latencyReport]]): the q125
     * event-time-ordered replay drives the bucketed state, and the
@@ -4538,7 +4576,9 @@ object SparkEntry {
     "q255_fellegi_sunter" -> (q255_fellegi_sunter(_, _)),
     "q256_krippendorff_alpha" -> (q256_krippendorff_alpha(_, _)),
     "q257_nelson_aalen" -> (q257_nelson_aalen(_, _)),
-    "q258_seasonal_naive" -> (q258_seasonal_naive(_, _)))
+    "q258_seasonal_naive" -> (q258_seasonal_naive(_, _)),
+    "q259_bh_fdr" -> (q259_bh_fdr(_, _)),
+    "q260_blocking_quality" -> (q260_blocking_quality(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

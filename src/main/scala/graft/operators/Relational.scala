@@ -1938,6 +1938,103 @@ object Relational {
             .cast("long")).as("alpha_micro"))
   }
 
+  /** Per-group chi-square goodness-of-fit against the pooled category
+    * distribution, WITH exact p-values: observed category counts per
+    * group vs `n_g · (global_c / N)` expected, χ² = Σ (o−e)²/e as one
+    * fixed double chain over exact integer counts, and — for EVEN
+    * degrees of freedom (#categories odd) — the closed-form survival
+    * function `p = exp(−h)·Σ_{i<df/2} hⁱ/i!` with `h = χ²/2`, an
+    * elementary chain both engines compute bit-identically (odd df
+    * needs the error function, which is not engine-portable: p is
+    * NULL there, the statistic still reports). The multiple-testing
+    * feeder for [[bhFdr]].
+    *
+    * Output per group: `n`, `chi2_micro`, `df`, `p_micro`.
+    */
+  def chiSquareGofByGroup(df: DataFrame, groupCol: String,
+      catCol: Column): DataFrame = {
+    val cells = df.select(col(groupCol), catCol.as("_c"))
+      .filter(col("_c").isNotNull)
+      .groupBy(col(groupCol), col("_c"))
+      .agg(count(lit(1)).as("_o"))
+      .persist() // per-group totals + category marginals + the join
+    val groups = cells.groupBy(col(groupCol)).agg(sum(col("_o")).as("_ng"))
+    val cats = cells.groupBy(col("_c")).agg(sum(col("_o")).as("_nc"))
+    val k = cats.agg(count(lit(1)).as("_k"), sum(col("_nc")).as("_n"))
+    // every group scores against EVERY category (a zero observed cell
+    // still contributes e to χ²)
+    val grid = groups.crossJoin(broadcast(cats))
+      .join(cells, Seq(groupCol, "_c"), "left")
+      .crossJoin(broadcast(k))
+      .select(col(groupCol), col("_ng"),
+        coalesce(col("_o"), lit(0L)).as("_o"),
+        (col("_ng").cast("double") * col("_nc").cast("double") /
+          col("_n").cast("double")).as("_e"),
+        col("_k"))
+    // each cell's contribution micro-snaps BEFORE the sum — the
+    // per-group total is exact integer addition, order-free (a raw
+    // double sum would be partition-order noise in the last ulp)
+    val chi = grid.groupBy(col(groupCol))
+      .agg(min(col("_ng")).as("n"), min(col("_k")).as("_k"),
+        sum(round((col("_o").cast("double") - col("_e")) *
+          (col("_o").cast("double") - col("_e")) / col("_e") *
+          lit(1000000.0)).cast("long")).as("chi2_micro"))
+    // p from the snapped χ² (so the survival chain starts from the
+    // gate-stable value); df/2 − 1 extra series terms, unrolled —
+    // bounded by the category count, model metadata
+    chi.select(col(groupCol), col("n"), col("chi2_micro"),
+      (col("_k") - 1L).cast("int").as("df"),
+      when(pmod(col("_k") - 1L, lit(2L)) =!= 0L,
+        lit(null).cast("long"))
+        .otherwise {
+          val h = col("chi2_micro").cast("double") / lit(2000000.0)
+          // Σ_{i<df/2} hⁱ/i!, 16 unrolled INDEPENDENT terms (covers
+          // 33 categories): each term is pow(h, i)/i! with a literal
+          // factorial — a recurrence (term·h/i) would embed the
+          // accumulator twice per step and grow a 3ⁿ-node expression
+          // tree that stalls Catalyst (observed: the analyzer spun
+          // for minutes). Suppressed terms add an exact +0.0.
+          val series = (lit(1.0) +: (1 until 16).map { i =>
+            when(lit(i) < (col("_k") - 1L) / 2L,
+              pow(h, i) / lit((1 to i).map(_.toDouble).product))
+              .otherwise(lit(0.0))
+          }).reduceLeft(_ + _)
+          round(exp(-h) * series * lit(1000000.0)).cast("long")
+        }.as("p_micro"))
+  }
+
+  /** Benjamini-Hochberg FDR control (Benjamini & Hochberg 1995): rank
+    * the m hypotheses by p, find the LARGEST k with
+    * `p_(k) ≤ k·α/m`, and declare ranks 1..k discoveries — the
+    * multiple-testing correction an A/B or drift-screening pipeline
+    * must run before acting on "significant" groups. The comparison
+    * is exact integer cross-multiplication (`p_micro·m ≤ k·α_micro`),
+    * so the discovery set hash-gates; the rank runs over the m-row
+    * hypothesis table — bounded model metadata, never the corpus.
+    *
+    * Output: every input row + `rank` (1-based by (p, id)),
+    * `discovered`.
+    */
+  def bhFdr(df: DataFrame, idCol: String, pMicro: Column,
+      alphaMicro: Long): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro <= 1000000L,
+      s"alphaMicro must be in (0, 1e6], got $alphaMicro")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("_p"), col(idCol))
+    val ranked = df.withColumn("_p", pMicro)
+      .filter(col("_p").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(
+        df.filter(pMicro.isNotNull).agg(count(lit(1)).as("_m"))))
+      .persist() // the k* scalar + the output both consume it
+    val kStar = ranked
+      .filter(col("_p") * col("_m") <= col("rank") * lit(alphaMicro))
+      .agg(coalesce(max(col("rank")), lit(0)).as("_kstar"))
+    ranked.crossJoin(broadcast(kStar))
+      .select(df.columns.map(col) ++ Seq(col("rank"),
+        (col("rank") <= col("_kstar")).as("discovered")): _*)
+  }
+
   /** Order-free dataset content fingerprint per group — the integrity
     * check two 100 TB snapshots can exchange WITHOUT sorting or
     * shipping rows: each row renders to a canonical string

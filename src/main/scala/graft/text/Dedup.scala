@@ -1240,6 +1240,60 @@ object Dedup {
       .select(col("id").as(idCol), col("cluster"))
   }
 
+  /** Blocking-quality report (Christen, "Data Matching", 2012 §7.5 —
+    * the two numbers every blocking design is judged by): for each
+    * candidate blocking key, the candidate-pair count, the REDUCTION
+    * RATIO `1 − |candidates| / (n(n−1)/2)` (how much of the all-pairs
+    * quadratic the key avoids) and the PAIRS COMPLETENESS
+    * `|candidates ∩ truth| / |truth|` (how many true matches survive
+    * blocking at all — the recall ceiling of everything downstream).
+    * Evaluated against a labeled sample (`truthCol` = entity id), the
+    * report is how a pipeline picks blocking keys BEFORE paying for a
+    * full linkage run. Integer pair counts (truth pairs via
+    * Σ c·(c−1)/2 over entity groups — never materialized as pairs),
+    * one rounded division per ratio.
+    *
+    * Output, one row per key: `strategy`, `n_candidates`,
+    * `n_true_pairs`, `n_covered`, `reduction_ratio`, `completeness`.
+    */
+  def blockingQuality(records: DataFrame, idCol: String,
+      truthCol: String, keys: Seq[(String, Column)]): DataFrame = {
+    require(keys.nonEmpty, "need at least one blocking key")
+    val keyed = records.select(
+      (col(idCol).as("_rid") +: col(truthCol).as("_t") +:
+        keys.map { case (n, c) => c.as(s"_k_$n") }): _*)
+      .persist() // every strategy's self-join + the totals
+    val totals = keyed.groupBy(col("_t"))
+      .agg(count(lit(1)).as("_c"))
+      .agg(sum(col("_c")).as("_n"),
+        // c(c−1) is even, so the /2 is exact; cast back to the integer
+        // domain the ratios divide from
+        sum((col("_c") * (col("_c") - 1L) / 2L).cast("long"))
+          .as("_truth"))
+      .localCheckpoint() // 1 row, consumed once per strategy
+    keys.map { case (n, _) =>
+      val kc = col(s"_k_$n")
+      val l = keyed.select(kc.as("_k"), col("_rid").as("_a"),
+        col("_t").as("_ta"))
+      val r = keyed.select(kc.as("_k"), col("_rid").as("_b"),
+        col("_t").as("_tb"))
+      l.join(r, "_k").filter(col("_a") < col("_b"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("_ta") === col("_tb"), 1L).otherwise(0L))
+            .as("n_covered"))
+        .crossJoin(broadcast(totals))
+        .select(lit(n).as("strategy"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("_truth").as("n_true_pairs"),
+          coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+          round(lit(1.0) - col("n_candidates").cast("double") /
+            (col("_n").cast("double") * (col("_n") - 1L).cast("double")
+              / lit(2.0)), 6).as("reduction_ratio"),
+          round(col("n_covered").cast("double") /
+            col("_truth").cast("double"), 6).as("completeness"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Fellegi-Sunter record-linkage weights (Fellegi & Sunter, "A
     * Theory for Record Linkage", JASA 1969) — the statistical scoring
     * layer on top of [[resolveEntities]]' candidate generation: from a

@@ -165,6 +165,76 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(degen.isNullAt(4))
   }
 
+  test("bhFdr: the textbook step-up — a later rank can rescue earlier " +
+    "ones; nothing qualifies at tiny alpha; null p-values drop") {
+    def run(ps: Seq[Long], alpha: Long) =
+      Relational.bhFdr(
+        ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+          .toDF("id", "p_micro"),
+        "id", col("p_micro"), alpha)
+        .collect().map(r => r.getAs[Long]("p_micro") ->
+          r.getAs[Boolean]("discovered")).toMap
+    // thresholds k*0.02: ranks 1-3 pass, 4-5 fail -> k*=3
+    val basic = run(Seq(10000L, 30000L, 40000L, 300000L, 900000L),
+      100000L)
+    assert(basic == Map(10000L -> true, 30000L -> true, 40000L -> true,
+      300000L -> false, 900000L -> false), basic)
+    // step-up: p=(0.01,0.04,0.041,0.042,0.9) at alpha=0.1 — rank 4
+    // still qualifies (0.042 <= 0.08), so ranks 1-4 ALL discover even
+    // though rank 3 alone sits above k*alpha/m pre-step
+    val stepUp = run(Seq(10000L, 40000L, 41000L, 42000L, 900000L),
+      100000L)
+    assert(stepUp.count(_._2) == 4 && !stepUp(900000L), stepUp)
+    // nothing qualifies
+    assert(run(Seq(500000L, 600000L), 10000L).values.forall(!_))
+    // null p rows drop from the ranking entirely
+    val withNull = Relational.bhFdr(
+      Seq((1L, Some(10000L)), (2L, None)).toDF("id", "p_micro"),
+      "id", col("p_micro"), 100000L).collect()
+    assert(withNull.length == 1 && withNull.head.getLong(0) == 1L)
+  }
+
+  test("chiSquareGofByGroup: a group matching the pooled mix scores " +
+    "~0 with p ~ 1; even df gets the closed-form p, odd df NULL") {
+    // 3 categories (df = 2, even): group 'same' mirrors the pool,
+    // group 'skew' concentrates everything in one category
+    val rows = Seq.fill(30)(("same", "a")) ++ Seq.fill(30)(("same", "b")) ++
+      Seq.fill(30)(("same", "c")) ++ Seq.fill(30)(("skew", "a"))
+    val got = Relational.chiSquareGofByGroup(rows.toDF("g", "cat"), "g",
+      col("cat")).collect().map(r => r.getString(0) -> r).toMap
+    assert(got("same").getAs[Int]("df") == 2)
+    // pooled: a=60,b=30,c=30 of 120; 'same' (n=90) expects 45/22.5/22.5
+    // chi2 = 15^2/45 + 7.5^2/22.5 * 2 = 5 + 5 = 10
+    assert(got("same").getAs[Long]("chi2_micro") == 10000000L)
+    // p = exp(-5) for df=2
+    assert(got("same").getAs[Long]("p_micro") ==
+      math.round(math.exp(-5.0) * 1e6))
+    assert(got("skew").getAs[Long]("chi2_micro") > 0L)
+    // 2 categories -> df = 1 (odd): statistic reports, p is NULL
+    val odd = Relational.chiSquareGofByGroup(
+      (Seq.fill(10)(("g1", "x")) ++ Seq.fill(10)(("g1", "y")))
+        .toDF("g", "cat"), "g", col("cat")).head()
+    assert(odd.getAs[Int]("df") == 1 && odd.isNullAt(4))
+  }
+
+  test("blockingQuality: hand counts — prefix key covers both truth " +
+    "pairs, suffix key covers one with more candidates") {
+    val recs = Seq(
+      (1L, "aaa-x", 100L), (2L, "aaa-y", 100L),
+      (3L, "bbb-x", 200L), (4L, "bbb-x", 200L),
+      (5L, "ccc-z", 300L)).toDF("rid", "nm", "truth")
+    val got = Dedup.blockingQuality(recs, "rid", "truth", Seq(
+      "prefix" -> substring(col("nm"), 1, 3),
+      "suffix" -> substring(col("nm"), 5, 1)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    // truth pairs: (1,2) and (3,4) = 2; all-pairs = 10
+    assert(got("prefix") == ((2L, 2L, 2L, 0.8, 1.0)), got)
+    // suffix 'x' blocks {1,3,4} -> 3 candidates, 1 covered
+    assert(got("suffix") == ((3L, 2L, 1L, 0.7, 0.5)), got)
+  }
+
   test("fellegiSunterWeights: a perfectly discriminating field earns " +
     "ln(51) micro-nats of agreement evidence; a label-independent " +
     "field weighs exactly 0") {

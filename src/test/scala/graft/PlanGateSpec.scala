@@ -174,9 +174,12 @@ class PlanGateSpec extends SparkSpec {
     //   distribution needs the total fraction order.
     // - q257: Nelson-Aalen shares q241's machinery — suffix/prefix
     //   windows over the bounded distinct-lifetime table.
+    // - q259: BH's rank runs over the m-row hypothesis table —
+    //   bounded (one row per test), never the corpus; the step-up
+    //   rule needs the total p order.
     val globalWindowWhitelist = Set("q91_unimax_sample",
       "q86_global_shuffle", "q241_kaplan_meier", "q250_opq_residual",
-      "q253_neyman_sample", "q257_nelson_aalen")
+      "q253_neyman_sample", "q257_nelson_aalen", "q259_bh_fdr")
     val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
       "q125_streaming_funnel_replay", "q129_streaming_retention_replay",
       "q244_streaming_agg_replay", "q248_preflight_artifact",
@@ -265,6 +268,11 @@ class PlanGateSpec extends SparkSpec {
                                  // broadcast 1-row marginal total
       "q257_nelson_aalen",   // q241's lifetime x broadcast 1-row
                              // horizon/total shapes
+      "q259_bh_fdr",         // hypothesis table × broadcast 1-row
+                             // m / k* scalars (+ the chi-square
+                             // grid's bounded cats × 1-row total)
+      "q260_blocking_quality", // per-key counts × broadcast 1-row
+                               // n/truth totals
       "q126_classifier_train", // vocab rows × broadcast 1-row totals
       "q127_bitext_mine",    // target corpus × broadcast source slice
       "q133_pagerank",       // node/edge synth + per-iteration teleport
