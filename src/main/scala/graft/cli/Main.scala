@@ -18,6 +18,13 @@ import graft.schema.Vintages
   * graft.cli.Main audit   <corpus> <evalSet> <outDir> [minQuality] [maxDupRatio] [--jsonl]
   * graft.cli.Main audit-store <corpus> <evalSet> <auditDir> [minQuality] [maxDupRatio]   // parquet lineage artifact
   * graft.cli.Main preflight <auditDir>   // per-verdict counts off the artifact, zero corpus scans
+  * graft.cli.Main stl <events> <groupCol> <outDir> [tsCol] [halfWindow]   // STL-lite decomposition
+  * graft.cli.Main hazard <events> [userCol] [tsCol]   // Nelson-Aalen cumulative hazard
+  * graft.cli.Main snaive <events> <groupCol> [period] [tsCol]   // seasonal-naive backtest
+  * graft.cli.Main alpha <ratings> <itemCol> <valueCol>   // Krippendorff's alpha
+  * graft.cli.Main bh <tests> <idCol> <pMicroCol> [alphaMicro]   // Benjamini-Hochberg FDR
+  * graft.cli.Main blocking-eval <records> <idCol> <truthCol> <nameCol> [halfLen]
+  * graft.cli.Main ppr <edges> <seeds> <outDir> [iters] [damping]   // personalized PageRank
   * graft.cli.Main distinct <corpus> [k] [--jsonl]   // KMV per-source distinct 3-grams
   * graft.cli.Main semdedup <embeddings> <outDir> [k] [threshold] [dim] [cellCap]
   * graft.cli.Main dedup-stream <inDir> <idxDir> <outDir> <checkpoint>   // JSONL drops
@@ -1977,6 +1984,120 @@ object Main {
             f"bleu2=${agg.getDouble(2) / 1e6}%.4f " +
             s"(n=${agg.getLong(3)})")
       }
+      done(spark)
+
+    // STL-lite decomposition of the daily count series
+    case "stl" :: path :: groupCol :: outDir :: rest =>
+      import org.apache.spark.sql.functions.col
+      val tsCol = rest.filter(!_.startsWith("--")).headOption
+        .getOrElse("ts")
+      val hw = rest.filter(!_.startsWith("--")).drop(1).headOption
+        .map(_.toInt).getOrElse(3)
+      val spark = session()
+      val out = graft.operators.TimeSeries.decomposeDaily(
+        graft.operators.TimeSeries.dailyCounts(
+          spark.read.parquet(path), groupCol, col(tsCol)),
+        groupCol, hw)
+      out.write.mode("overwrite").parquet(outDir)
+      println(s"[stl] ${out.count()} day rows (halfWindow=$hw) -> " +
+        outDir)
+      done(spark)
+
+    // Nelson-Aalen cumulative hazard over user lifetimes
+    case "hazard" :: path :: rest =>
+      import org.apache.spark.sql.functions.col
+      val userCol = rest.headOption.getOrElse("user_id")
+      val tsCol = rest.drop(1).headOption.getOrElse("ts")
+      val spark = session()
+      graft.operators.TimeSeries.nelsonAalen(
+        spark.read.parquet(path), userCol, col(tsCol))
+        .orderBy(col("t_day")).collect().foreach { r =>
+          println(s"[hazard] t=${r.getLong(0)} at_risk=${r.getLong(1)} " +
+            s"churned=${r.getLong(2)} censored=${r.getLong(3)} " +
+            s"cumhaz_micro=${r.getLong(4)}")
+        }
+      done(spark)
+
+    // seasonal-naive forecast backtest of the daily count series
+    case "snaive" :: path :: groupCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val period = rest.headOption.map(_.toInt).getOrElse(7)
+      val tsCol = rest.drop(1).headOption.getOrElse("ts")
+      val spark = session()
+      graft.operators.TimeSeries.seasonalNaiveBacktest(
+        graft.operators.TimeSeries.dailyCounts(
+          spark.read.parquet(path), groupCol, col(tsCol)),
+        groupCol, period)
+        .orderBy(col(groupCol)).collect().foreach { r =>
+          println(s"[snaive] ${r.get(0)}: n=${r.getLong(1)} " +
+            s"mae_micro=${r.getLong(2)} smape_micro=${r.getLong(3)}")
+        }
+      done(spark)
+
+    // Krippendorff's alpha over a long (item, value) rating table
+    case "alpha" :: path :: itemCol :: valueCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.krippendorffAlpha(
+        spark.read.parquet(path), col(itemCol), col(valueCol)).head()
+      println(s"[alpha] n_items=${r.getLong(0)} " +
+        s"n_ratings=${r.getLong(1)} do_micro=${r.getLong(2)} " +
+        s"de_micro=${r.getLong(3)} alpha_micro=${r.get(4)}")
+      done(spark)
+
+    // Benjamini-Hochberg FDR over a (id, p_micro) hypothesis table
+    case "bh" :: path :: idCol :: pCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val alpha = rest.headOption.map(_.toLong).getOrElse(50000L)
+      val spark = session()
+      val out = graft.operators.Relational.bhFdr(
+        spark.read.parquet(path), idCol, col(pCol), alpha)
+      val n = out.filter(col("discovered")).count()
+      println(s"[bh] $n discoveries at alpha_micro=$alpha")
+      out.orderBy(col("rank")).collect().take(20).foreach { r =>
+        println(s"  rank=${r.getAs[Int]("rank")} " +
+          s"${r.get(0)} p_micro=${r.getAs[Long](pCol)} " +
+          s"discovered=${r.getAs[Boolean]("discovered")}")
+      }
+      done(spark)
+
+    // blocking-quality report: prefix/suffix name-half keys vs truth
+    case "blocking-eval" :: path :: idCol :: truthCol :: nameCol ::
+        rest =>
+      import org.apache.spark.sql.functions.{col, substring}
+      val halfLen = rest.headOption.map(_.toInt).getOrElse(6)
+      val spark = session()
+      graft.text.Dedup.blockingQuality(
+        spark.read.parquet(path), idCol, truthCol, Seq(
+          "first_half" -> substring(col(nameCol), 1, halfLen),
+          "second_half" -> substring(col(nameCol), halfLen + 1, halfLen)))
+        .collect().foreach { r =>
+          println(s"[blocking-eval] ${r.getString(0)}: " +
+            s"candidates=${r.getLong(1)} truth=${r.getLong(2)} " +
+            s"covered=${r.getLong(3)} reduction=${r.getDouble(4)} " +
+            s"completeness=${r.getDouble(5)}")
+        }
+      done(spark)
+
+    // personalized PageRank from a seed list
+    case "ppr" :: edgesPath :: seedsPath :: outDir :: rest =>
+      import org.apache.spark.sql.functions.col
+      val iters = rest.headOption.map(_.toInt).getOrElse(5)
+      val damping = rest.drop(1).headOption.map(_.toDouble)
+        .getOrElse(0.85)
+      val spark = session()
+      val edges = spark.read.parquet(edgesPath).select("src", "dst")
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      val seeds = spark.read.parquet(seedsPath)
+      val ranks = graft.operators.LinkGraph.personalizedPageRankExact(
+        nodes, edges, seeds, iters, damping)
+      ranks.write.mode("overwrite").parquet(outDir)
+      println(s"[ppr] $iters iters from ${seeds.count()} seeds -> " +
+        outDir)
+      spark.read.parquet(outDir).orderBy(col("rank").desc).limit(5)
+        .collect().foreach { r =>
+          println(f"  ${r.get(0)}%-24s ${r.getDouble(1)}%.8f") }
       done(spark)
 
     case _ =>

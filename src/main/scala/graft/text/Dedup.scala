@@ -1278,18 +1278,20 @@ object Dedup {
       val r = keyed.select(kc.as("_k"), col("_rid").as("_b"),
         col("_t").as("_tb"))
       l.join(r, "_k").filter(col("_a") < col("_b"))
-        .agg(count(lit(1)).as("n_candidates"),
-          sum(when(col("_ta") === col("_tb"), 1L).otherwise(0L))
-            .as("n_covered"))
+        .agg(count(lit(1)).as("_nc"),
+          // an empty candidate set sums to NULL — a key that blocks
+          // nothing legitimately reports 0 candidates, 0 coverage
+          coalesce(sum(when(col("_ta") === col("_tb"), 1L)
+            .otherwise(0L)), lit(0L)).as("_ncov"))
         .crossJoin(broadcast(totals))
         .select(lit(n).as("strategy"),
-          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("_nc").as("n_candidates"),
           col("_truth").as("n_true_pairs"),
-          coalesce(col("n_covered"), lit(0L)).as("n_covered"),
-          round(lit(1.0) - col("n_candidates").cast("double") /
+          col("_ncov").as("n_covered"),
+          round(lit(1.0) - col("_nc").cast("double") /
             (col("_n").cast("double") * (col("_n") - 1L).cast("double")
               / lit(2.0)), 6).as("reduction_ratio"),
-          round(col("n_covered").cast("double") /
+          round(col("_ncov").cast("double") /
             col("_truth").cast("double"), 6).as("completeness"))
     }.reduce(_ unionByName _)
   }

@@ -325,6 +325,38 @@ class CliSmokeSpec extends SparkSpec {
     assert(direct == viaApi && direct.values.sum == 20L)
   }
 
+  test("stl / hazard / snaive / alpha / bh / blocking-eval / ppr " +
+    "round-10 commands run end to end") {
+    graft.cli.Main.main(Array("stl", eventsPath, "event_type",
+      tmpDir("cli-stl"), "ts", "2"))
+    graft.cli.Main.main(Array("hazard", eventsPath))
+    graft.cli.Main.main(Array("snaive", eventsPath, "event_type", "2"))
+    graft.cli.Main.main(Array("alpha", eventsPath, "user_id",
+      "event_type"))
+    val tests = s"${tmpDir("cli-bh")}/tests"
+    Seq((1L, 1000L), (2L, 20000L), (3L, 900000L))
+      .toDF("id", "p_micro").write.mode("overwrite").parquet(tests)
+    graft.cli.Main.main(Array("bh", tests, "id", "p_micro", "100000"))
+    val recsPath = s"${tmpDir("cli-blk")}/recs"
+    Seq((1L, "aaaaaa111111", 10L), (2L, "aaaaaa111112", 10L),
+      (3L, "bbbbbb222222", 20L))
+      .toDF("rid", "nm", "truth").write.mode("overwrite")
+      .parquet(recsPath)
+    graft.cli.Main.main(Array("blocking-eval", recsPath, "rid",
+      "truth", "nm"))
+    val edgesPath2 = s"${tmpDir("cli-ppr")}/edges"
+    Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+      .write.mode("overwrite").parquet(edgesPath2)
+    val seedsPath = s"${tmpDir("cli-ppr")}/seeds"
+    Seq(Tuple1(1L)).toDF("id").write.mode("overwrite").parquet(seedsPath)
+    val pprOut = tmpDir("cli-ppr-out")
+    graft.cli.Main.main(Array("ppr", edgesPath2, seedsPath, pprOut,
+      "4"))
+    val ranks = spark.read.parquet(pprOut).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(1L) > ranks(3L) && ranks(3L) == 0.0)
+  }
+
   test("ingest -> diagnose -> dump: the reference Makefile workflow " +
     "end-to-end through the CLI") {
     val base = tmpDir("cli-ingest")
