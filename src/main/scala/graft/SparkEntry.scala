@@ -4297,6 +4297,33 @@ object SparkEntry {
       "second_half" -> substring(col("name"), 7, 6)))
   }
 
+  /** Jaro-Winkler scoring over the q204 blocking candidates — the
+    * name-similarity verification layer: per first-half-block pair,
+    * the native kernel's score (rounded 6), which the DuckDB oracle
+    * replays via its own jaro_winkler_similarity (same published
+    * algorithm and conventions — boost 0.7, prefix cap 4, weight 0.1,
+    * both-empty 0).
+    */
+  def q261_jaro_winkler(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val baseName = md5(col("c_custkey").cast("string")).substr(1, 12)
+    val base = cust.select((col("c_custkey") * 2).as("rec_id"),
+      baseName.as("name"))
+    val p = (col("c_custkey") % 12 + 1).cast("int")
+    val dirty = cust.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") * 2 + 1).as("rec_id"),
+        concat(baseName.substr(lit(1), p - 1), lit("z"),
+          baseName.substr(p + 1, lit(12))).as("name"))
+    val records = base.union(dirty)
+    val l = records.select(substring(col("name"), 1, 6).as("_k"),
+      col("rec_id").as("id_a"), col("name").as("na"))
+    val r = records.select(substring(col("name"), 1, 6).as("_k"),
+      col("rec_id").as("id_b"), col("name").as("nb"))
+    l.join(r, "_k").filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.jaroWinkler(col("na"), col("nb")), 6).as("jw"))
+  }
+
   /** Deterministic replay of the STREAMING funnel-latency twin
     * ([[graft.streaming.StreamingFunnel.latencyReport]]): the q125
     * event-time-ordered replay drives the bucketed state, and the
@@ -4578,7 +4605,8 @@ object SparkEntry {
     "q257_nelson_aalen" -> (q257_nelson_aalen(_, _)),
     "q258_seasonal_naive" -> (q258_seasonal_naive(_, _)),
     "q259_bh_fdr" -> (q259_bh_fdr(_, _)),
-    "q260_blocking_quality" -> (q260_blocking_quality(_, _)))
+    "q260_blocking_quality" -> (q260_blocking_quality(_, _)),
+    "q261_jaro_winkler" -> (q261_jaro_winkler(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1240,6 +1240,21 @@ object Dedup {
       .select(col("id").as(idCol), col("cluster"))
   }
 
+  /** Jaro-Winkler string similarity
+    * ([[graft.functions.JaroWinklerXX]], SQL `graft_jaro_winkler`) —
+    * the record-linkage name scorer: match-window counting +
+    * transposition discount (Jaro 1989) with the shared-prefix boost
+    * above 0.7 (Winkler 1990). Forgives tail noise and rewards prefix
+    * stability where levenshtein charges every typo the same — the
+    * verification scorer to plug into [[resolveEntities]]-style
+    * candidate stages and [[fellegiSunterWeights]] field comparisons.
+    */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.JaroWinklerExprXX(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Blocking-quality report (Christen, "Data Matching", 2012 §7.5 —
     * the two numbers every blocking design is judged by): for each
     * candidate blocking key, the candidate-pair count, the REDUCTION

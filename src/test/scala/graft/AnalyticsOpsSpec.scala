@@ -217,6 +217,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(odd.getAs[Int]("df") == 1 && odd.isNullAt(4))
   }
 
+  test("jaroWinkler: textbook values (MARTHA/MARHTA, DIXON/DICKSONX), " +
+    "edge conventions, and the SQL registration") {
+    def jw(a: String, b: String): Double =
+      Seq((a, b)).toDF("a", "b")
+        .select(Dedup.jaroWinkler(col("a"), col("b"))).head().getDouble(0)
+    // jaro 17/18, prefix 3 -> 0.961111...
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    // jaro 0.7666..., prefix 2 -> 0.81333...
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-9)
+    assert(jw("same", "same") == 1.0)
+    assert(jw("", "") == 0.0)     // DuckDB/both-empty convention
+    assert(jw("a", "") == 0.0)
+    assert(jw("abc", "xyz") == 0.0)
+    // below the 0.7 boost threshold the prefix earns nothing: these
+    // share prefix 'ab' but jaro <= 0.7, so jw == jaro exactly
+    val lo = jw("abqqqqqq", "abzzz")
+    assert(lo <= 0.7 && lo > 0.0, lo)
+    val sql = spark.sql(
+      "SELECT graft_jaro_winkler('martha', 'marhta')").head().getDouble(0)
+    assert(math.abs(sql - 0.9611111111111111) < 1e-12)
+  }
+
   test("blockingQuality: hand counts — prefix key covers both truth " +
     "pairs, suffix key covers one with more candidates") {
     val recs = Seq(
