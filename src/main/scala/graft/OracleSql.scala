@@ -6249,6 +6249,70 @@ object OracleSql {
         |  ON substr(a.name, 1, 6) = substr(b.name, 1, 6)
         | AND a.rec_id < b.rec_id""".stripMargin,
 
+    // Fellegi-Sunter decisions: q255's weight chains folded into
+    // per-pair exact micro-nat evidence sums and threshold cuts
+    "q262_linkage_decisions" -> {
+      val fields = Seq(
+        ("name_exact", "a.name = b.name"),
+        ("name_tail", "substr(a.name, 7, 6) = substr(b.name, 7, 6)"),
+        ("nation", "a.nation = b.nation"))
+      val agrees = fields.zipWithIndex.map { case (_, i) =>
+        s"""sum(CASE WHEN mt AND f$i THEN 1 ELSE 0 END)::BIGINT AS am$i,
+           |    sum(CASE WHEN NOT mt AND f$i THEN 1 ELSE 0 END)::BIGINT
+           |      AS au$i""".stripMargin
+      }.mkString(",\n    ")
+      val flags = fields.zipWithIndex.map { case ((_, fieldExpr), i) =>
+        s"($fieldExpr) AS f$i" }.mkString(",\n         ")
+      val ws = fields.indices.map { i =>
+        s"""(round((ln((am$i + 1)::DOUBLE / (n_m + 2)::DOUBLE) -
+           |    ln((au$i + 1)::DOUBLE / (n_u + 2)::DOUBLE))
+           |    * 1000000.0))::BIGINT AS wa$i,
+           |  (round((ln(1.0 - (am$i + 1)::DOUBLE / (n_m + 2)::DOUBLE) -
+           |    ln(1.0 - (au$i + 1)::DOUBLE / (n_u + 2)::DOUBLE))
+           |    * 1000000.0))::BIGINT AS wd$i""".stripMargin
+      }.mkString(",\n  ")
+      val scoreSum = fields.indices
+        .map(i => s"(CASE WHEN f$i THEN wa$i ELSE wd$i END)")
+        .mkString(" +\n    ")
+      s"""WITH recs AS (
+         |  SELECT c_custkey * 2 AS rec_id,
+         |    substr(md5(c_custkey::VARCHAR), 1, 12) AS name,
+         |    c_nationkey::BIGINT AS nation, c_custkey AS ck
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey * 2 + 1,
+         |    substr(nm, 1, p - 1) || 'z' || substr(nm, p + 1, 12),
+         |    (CASE WHEN c_custkey % 3 = 0 THEN (c_nationkey + 1) % 25
+         |          ELSE c_nationkey END)::BIGINT,
+         |    c_custkey
+         |  FROM (SELECT c_custkey, c_nationkey,
+         |          substr(md5(c_custkey::VARCHAR), 1, 12) AS nm,
+         |          (c_custkey % 12 + 1)::INTEGER AS p
+         |        FROM customer WHERE c_custkey % 7 = 0)),
+         |pr AS (SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+         |         (a.ck = b.ck) AS mt,
+         |         $flags
+         |       FROM recs a JOIN recs b
+         |         ON substr(a.name, 1, 6) = substr(b.name, 1, 6)
+         |        AND a.rec_id < b.rec_id),
+         |mom AS (SELECT
+         |    sum(CASE WHEN mt THEN 1 ELSE 0 END)::BIGINT AS n_m,
+         |    sum(CASE WHEN NOT mt THEN 1 ELSE 0 END)::BIGINT AS n_u,
+         |    $agrees
+         |  FROM pr),
+         |w AS (SELECT
+         |  $ws
+         |  FROM mom),
+         |sc AS (SELECT id_a, id_b,
+         |    ($scoreSum)::BIGINT AS score_micro
+         |  FROM pr, w)
+         |SELECT id_a, id_b, score_micro,
+         |  CASE WHEN score_micro >= 5000000 THEN 'match'
+         |       WHEN score_micro <= -5000000 THEN 'non_match'
+         |       ELSE 'possible' END AS decision
+         |FROM sc""".stripMargin
+    },
+
     // Personalized PageRank: q133's unrolled src-ordered folds with
     // the teleport mass restarted uniformly over the doc_id % 17 = 0
     // seed set (r0 = s)

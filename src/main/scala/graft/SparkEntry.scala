@@ -4324,6 +4324,52 @@ object SparkEntry {
         round(Dedup.jaroWinkler(col("na"), col("nb")), 6).as("jw"))
   }
 
+  /** The full Fellegi-Sunter pipeline end to end: q255's weights
+    * learned from the labeled blocking pairs, then every pair scored
+    * by exact micro-nat evidence sums and classified against the
+    * ±5-nat thresholds — match / clerical-review band / non-match.
+    * The decision layer a linkage run ships; integer addition all the
+    * way, so the verdict table hash-gates.
+    */
+  def q262_linkage_decisions(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val baseName = md5(col("c_custkey").cast("string")).substr(1, 12)
+    val base = cust.select((col("c_custkey") * 2).as("rec_id"),
+      baseName.as("name"), col("c_nationkey").cast("long").as("nation"),
+      col("c_custkey").as("ck"))
+    val p = (col("c_custkey") % 12 + 1).cast("int")
+    val dirty = cust.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") * 2 + 1).as("rec_id"),
+        concat(baseName.substr(lit(1), p - 1), lit("z"),
+          baseName.substr(p + 1, lit(12))).as("name"),
+        when(col("c_custkey") % 3 === 0,
+          pmod(col("c_nationkey") + 1, lit(25)).cast("long"))
+          .otherwise(col("c_nationkey").cast("long")).as("nation"),
+        col("c_custkey").as("ck"))
+    val records = base.union(dirty)
+    val l = records.select(substring(col("name"), 1, 6).as("_k"),
+      col("rec_id").as("id_a"), col("name").as("na"),
+      col("nation").as("xa"), col("ck").as("cka"))
+    val r = records.select(substring(col("name"), 1, 6).as("_k"),
+      col("rec_id").as("id_b"), col("name").as("nb"),
+      col("nation").as("xb"), col("ck").as("ckb"))
+    val pairs = l.join(r, "_k").filter(col("id_a") < col("id_b"))
+      .persist() // feeds the weight LEARNING and the scoring pass
+    val fields = Seq(
+      "name_exact" -> (col("na") === col("nb")),
+      "name_tail" -> (substring(col("na"), 7, 6) ===
+        substring(col("nb"), 7, 6)),
+      "nation" -> (col("xa") === col("xb")))
+    val weights = Dedup.fellegiSunterWeights(pairs,
+      col("cka") === col("ckb"), fields)
+    Dedup.linkageDecisions(
+      pairs.select(col("id_a"), col("id_b"), col("na"), col("nb"),
+        col("xa"), col("xb")),
+      weights, fields, upperMicro = 5000000L, lowerMicro = -5000000L)
+      .select(col("id_a"), col("id_b"), col("score_micro"),
+        col("decision"))
+  }
+
   /** Deterministic replay of the STREAMING funnel-latency twin
     * ([[graft.streaming.StreamingFunnel.latencyReport]]): the q125
     * event-time-ordered replay drives the bucketed state, and the
@@ -4606,7 +4652,8 @@ object SparkEntry {
     "q258_seasonal_naive" -> (q258_seasonal_naive(_, _)),
     "q259_bh_fdr" -> (q259_bh_fdr(_, _)),
     "q260_blocking_quality" -> (q260_blocking_quality(_, _)),
-    "q261_jaro_winkler" -> (q261_jaro_winkler(_, _)))
+    "q261_jaro_winkler" -> (q261_jaro_winkler(_, _)),
+    "q262_linkage_decisions" -> (q262_linkage_decisions(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1318,10 +1318,19 @@ object SimSearch {
       case None => fresh.join(
         assignIvfCells(fresh, cen, idCol, vecCol), Seq(idCol))
     }
-    val codes =
-      if (residual)
+    // an OPQ-rotated index (perm marker present) must encode appends
+    // through the SAME frozen permutation — raw-residual codes against
+    // rotated codebooks would be silently wrong in every distance
+    val perm = readPqIndexPerm(spark, path).map(_.localCheckpoint())
+    val codes = (perm, residual) match {
+      case (Some(pm), _) =>
+        pqEncodeResidualRotated(withCell, cen, pm, cb, idCol, vecCol,
+          "cell", m, dim)
+      case (None, true) =>
         pqEncodeResidual(withCell, cen, cb, idCol, vecCol, "cell", m, dim)
-      else pqEncode(withCell, cb, idCol, vecCol, m, dim)
+      case (None, false) =>
+        pqEncode(withCell, cb, idCol, vecCol, m, dim)
+    }
     codes
       .join(withCell.select(col(idCol), col("cell")), Seq(idCol))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")

@@ -1357,6 +1357,41 @@ object Dedup {
     }.reduce(_ unionByName _)
   }
 
+  /** Apply [[fellegiSunterWeights]] to score and classify candidate
+    * pairs — the decision layer of the 1969 framework: a pair's match
+    * log-likelihood is the SUM of its fields' evidence weights
+    * (`w_agree` when the field agrees, `w_disagree` when it doesn't —
+    * exact integer micro-nat addition, so decisions hash-gate), cut
+    * against the upper/lower thresholds into `match` / `possible`
+    * (the clerical-review band) / `non_match`. The weights table is
+    * model metadata — pivoted to one broadcast row; the pair side
+    * never shuffles.
+    *
+    * Output: the input pair columns + `score_micro` + `decision`.
+    */
+  def linkageDecisions(pairs: DataFrame, weights: DataFrame,
+      fields: Seq[(String, Column)], upperMicro: Long,
+      lowerMicro: Long): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    require(lowerMicro <= upperMicro,
+      s"lower ($lowerMicro) must be <= upper ($upperMicro)")
+    val aggs = fields.flatMap { case (nm, _) => Seq(
+      max(when(col("field") === nm, col("w_agree_micro")))
+        .as(s"_wa_$nm"),
+      max(when(col("field") === nm, col("w_disagree_micro")))
+        .as(s"_wd_$nm")) }
+    val w1 = weights.agg(aggs.head, aggs.tail: _*)
+    val score = fields.map { case (nm, c) =>
+      when(c, col(s"_wa_$nm")).otherwise(col(s"_wd_$nm"))
+    }.reduceLeft(_ + _)
+    pairs.crossJoin(broadcast(w1))
+      .select(pairs.columns.map(col) :+ score.as("score_micro"): _*)
+      .select(pairs.columns.map(col) :+ col("score_micro") :+
+        when(col("score_micro") >= upperMicro, lit("match"))
+          .when(col("score_micro") <= lowerMicro, lit("non_match"))
+          .otherwise(lit("possible")).as("decision"): _*)
+  }
+
   /** [[resolveEntities]]' candidate-pair generator, exposed so the
     * boundedness claim is testable: output pair count is
     * O(Σ_cold |block|²) + O(Σ_hot |block|·hotWindow), never quadratic

@@ -239,6 +239,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(math.abs(sql - 0.9611111111111111) < 1e-12)
   }
 
+  test("linkageDecisions: exact micro-nat evidence sums and the " +
+    "three-way threshold cut") {
+    val weights = Seq(
+      ("fa", 2000000L, -1000000L),
+      ("fb", 1000000L, -3000000L))
+      .toDF("field", "w_agree_micro", "w_disagree_micro")
+    val pairs = Seq(
+      (1L, 2L, true, true),   // 3e6  -> match (>= 2.5e6)
+      (3L, 4L, true, false),  // -1e6 -> possible
+      (5L, 6L, false, false)) // -4e6 -> non_match (<= -2.5e6)
+      .toDF("id_a", "id_b", "fa", "fb")
+    val got = Dedup.linkageDecisions(pairs, weights,
+      Seq("fa" -> col("fa"), "fb" -> col("fb")),
+      upperMicro = 2500000L, lowerMicro = -2500000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("score_micro"), r.getAs[String]("decision")))
+      .toMap
+    assert(got(1L) == ((3000000L, "match")), got)
+    assert(got(3L) == ((-1000000L, "possible")), got)
+    assert(got(5L) == ((-4000000L, "non_match")), got)
+  }
+
   test("blockingQuality: hand counts — prefix key covers both truth " +
     "pairs, suffix key covers one with more candidates") {
     val recs = Seq(

@@ -542,6 +542,34 @@ class IvfSpec extends SparkSpec {
     SimSearch.writePqIndexResidual(emb, dir2, "vec_id", "embedding",
       "cell", m = 2, k = 2, iters = 2, dim = 64, bucketWidth = 4L)
     assert(SimSearch.readPqIndexPerm(spark, dir2).isEmpty)
+    // appends to a rotated index encode through the frozen
+    // permutation: appended vectors must score identically to the
+    // same vectors encoded at build time
+    val dir3 = java.nio.file.Files
+      .createTempDirectory("pqidxopqapp").toString
+    SimSearch.writePqIndexResidualRotated(
+      emb.filter(col("vec_id") < 12), dir3, "vec_id", "embedding",
+      "cell", m = 2, k = 2, iters = 2, dim = 64, bucketWidth = 4L)
+    SimSearch.appendToPqIndex(emb.filter(col("vec_id") >= 12)
+      .drop("cell"), dir3, "vec_id", "embedding", m = 2, dim = 64)
+    val (cb3, codes3, cen3) = SimSearch.readPqIndex(spark, dir3)
+    val perm3 = SimSearch.readPqIndexPerm(spark, dir3).get
+    val appended = codes3.filter(col("vec_id") >= 12)
+      .select("vec_id", "sub", "code")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    // re-encode the same vectors inline against the frozen model:
+    // cells come from the probe metric, exactly as append assigns them
+    val reassigned = emb.filter(col("vec_id") >= 12).drop("cell")
+      .join(SimSearch.assignIvfCells(
+        emb.filter(col("vec_id") >= 12), cen3, "vec_id", "embedding"),
+        Seq("vec_id"))
+    val inline3 = SimSearch.pqEncodeResidualRotated(reassigned, cen3,
+      perm3, cb3, "vec_id", "embedding", "cell", m = 2, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(appended == inline3,
+      s"append bypassed the rotation: $appended vs $inline3")
   }
 
   test("appendToPqIndex: new vectors encode against the FROZEN " +

@@ -273,6 +273,8 @@ class PlanGateSpec extends SparkSpec {
                              // grid's bounded cats × 1-row total)
       "q260_blocking_quality", // per-key counts × broadcast 1-row
                                // n/truth totals
+      "q262_linkage_decisions", // pair rows × broadcast 1-row pivoted
+                                // weight vector (model metadata)
       "q126_classifier_train", // vocab rows × broadcast 1-row totals
       "q127_bitext_mine",    // target corpus × broadcast source slice
       "q133_pagerank",       // node/edge synth + per-iteration teleport
