@@ -2177,7 +2177,16 @@ object Main {
           "benford <parquet> <valCol> | " +
           "chisq <parquet> <rowCol> <colCol> | " +
           "mrr <parquet> <qidCol> <rankCol> <relCol> | " +
-          "rouge <parquet> <idCol> <candCol> <refCol> [out]")
+          "rouge <parquet> <idCol> <candCol> <refCol> [out] | " +
+          "audit-store <corpus> <eval> <auditDir> [minQ] [maxDup] | " +
+          "preflight <auditDir> | " +
+          "stl <events> <groupCol> <out> [tsCol] [halfWindow] | " +
+          "hazard <events> [userCol] [tsCol] | " +
+          "snaive <events> <groupCol> [period] [tsCol] | " +
+          "alpha <ratings> <itemCol> <valueCol> | " +
+          "bh <tests> <idCol> <pMicroCol> [alphaMicro] | " +
+          "blocking-eval <records> <idCol> <truthCol> <nameCol> [halfLen] | " +
+          "ppr <edges> <seeds> <out> [iters] [damping]")
       sys.exit(2)
   }
 
