@@ -6313,6 +6313,28 @@ object OracleSql {
          |FROM sc""".stripMargin
     },
 
+    // hashing-trick features: per-token md5 hash32 → dim index + sign
+    // bit, signed integer counts assembled per dimension
+    "q263_hash_features" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |e AS (SELECT doc_id, u.tok FROM t, unnest(w) AS u(tok)),
+        |h AS (SELECT doc_id,
+        |    (('0x' || substr(md5('hf:' || tok), 1, 8))
+        |      ::UBIGINT)::BIGINT AS hv
+        |  FROM e),
+        |g AS (SELECT doc_id, hv % 16 AS idx,
+        |    sum(CASE WHEN (hv // 65536) % 2 = 0 THEN 1 ELSE -1 END)
+        |      ::BIGINT AS c
+        |  FROM h GROUP BY 1, 2),
+        |dims AS (SELECT unnest(range(0, 16)) AS idx),
+        |grid AS (SELECT t.doc_id, d.idx, coalesce(g.c, 0)::BIGINT AS c
+        |  FROM t CROSS JOIN dims d
+        |  LEFT JOIN g ON g.doc_id = t.doc_id AND g.idx = d.idx)
+        |SELECT doc_id,
+        |  array_to_string(list(c ORDER BY idx), ',') AS features
+        |FROM grid GROUP BY 1""".stripMargin,
+
     // Personalized PageRank: q133's unrolled src-ordered folds with
     // the teleport mass restarted uniformly over the doc_id % 17 = 0
     // seed set (r0 = s)

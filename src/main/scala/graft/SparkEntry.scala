@@ -4370,6 +4370,19 @@ object SparkEntry {
         col("decision"))
   }
 
+  /** Hashing-trick featurization of the documents table: 16-dim
+    * signed token-count vectors from md5-derived hashes — the
+    * vocabulary-free text representation (no vocab table to build or
+    * broadcast); exact integer folds, so the vectors hash-gate.
+    */
+  def q263_hash_features(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      // the gate compares the vector as its canonical CSV rendering
+      // (the hash checker is cell-scalar); integer counts render
+      // identically in any engine
+      concat_ws(",", TextOps.hashFeatures(
+        TextOps.tokensSimple(col("text")), 16)).as("features"))
+
   /** Deterministic replay of the STREAMING funnel-latency twin
     * ([[graft.streaming.StreamingFunnel.latencyReport]]): the q125
     * event-time-ordered replay drives the bucketed state, and the
@@ -4653,7 +4666,8 @@ object SparkEntry {
     "q259_bh_fdr" -> (q259_bh_fdr(_, _)),
     "q260_blocking_quality" -> (q260_blocking_quality(_, _)),
     "q261_jaro_winkler" -> (q261_jaro_winkler(_, _)),
-    "q262_linkage_decisions" -> (q262_linkage_decisions(_, _)))
+    "q262_linkage_decisions" -> (q262_linkage_decisions(_, _)),
+    "q263_hash_features" -> (q263_hash_features(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

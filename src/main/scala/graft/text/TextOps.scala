@@ -865,6 +865,36 @@ object TextOps {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Hashing-trick featurizer (Weinberger et al., "Feature Hashing
+    * for Large Scale Multitask Learning", ICML 2009): each token maps
+    * to dimension `hash32(t) mod dim` with sign `±1` from a second
+    * hash bit, and the document's feature vector is the signed count
+    * fold — the fixed-width, vocabulary-free text representation a
+    * linear classifier or MinHash-free similarity pass consumes at
+    * 100 TB (no vocabulary table to build, broadcast, or keep in sync
+    * across snapshots; collisions are the accepted noise the signed
+    * variant partially cancels). Pure scan-stage expression: one
+    * md5-derived hash per token, an O(dim) in-row fold, integer
+    * counts — no shuffle, exact and oracle-replayable.
+    *
+    * Output: `array<long>` of length `dim` (signed token counts).
+    */
+  def hashFeatures(toks: Column, dim: Int,
+      signed: Boolean = true): Column = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val zeros = array_repeat(lit(0L), dim)
+    aggregate(toks, zeros, (acc, t) => {
+      val h = hash32(concat(lit("hf:"), t))
+      val idx = pmod(h, lit(dim.toLong))
+      val sgn = if (signed)
+        when(pmod(shiftrightunsigned(h, 16), lit(2L)) === 0L, lit(1L))
+          .otherwise(lit(-1L))
+      else lit(1L)
+      transform(acc, (v, i) =>
+        when(i.cast("long") === idx, v + sgn).otherwise(v))
+    })
+  }
+
   /** Word k-shingles: overlapping k-grams joined by a single space.
     * Shorter-than-k docs yield an empty array.
     */

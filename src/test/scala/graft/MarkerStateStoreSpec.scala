@@ -171,6 +171,51 @@ class MarkerStateStoreSpec extends SparkSpec {
       markers.toSeq.toString)
   }
 
+  test("randomized crash sweep: any interleaving of committed batches " +
+    "with orphan generations and torn markers reads back exactly the " +
+    "committed state and keeps accepting batches") {
+    import graft.streaming.MarkerStateStore
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val statePath = s"${tmpDir(s"mfuzz$seed")}/state"
+      val fs = fsOf(statePath)
+      var expected: List[List[Any]] = Nil
+      def report() = StreamingAggState
+        .report(spark, statePath, "g", 16, store = MarkerStateStore)
+        .orderBy("g").collect().map(_.toSeq.toList).toList
+      (0 until 6).foreach { batchId =>
+        val rows = (0 until 1 + rnd.nextInt(5)).map(_ =>
+          (s"g${rnd.nextInt(3)}", rnd.nextInt(100).toLong,
+            rnd.nextInt(50).toLong))
+        StreamingAggState.processBatch(rows.toDF("g", "v", "d"),
+          batchId.toLong, statePath, "g", col("v"), col("d"), k = 16,
+          buckets = 4, store = MarkerStateStore)
+        expected = report() // committed truth after this batch
+        // inject a crash artifact the next heal must neutralize
+        rnd.nextInt(3) match {
+          case 0 => // orphan generation (crash before its marker PUT)
+            val gen = MarkerStateStore.readMarker(fs, statePath).gen +
+              1 + rnd.nextInt(3)
+            Seq(("zz", 1L, 999L, 0L, 0L, Seq(1L), 99L))
+              .toDF("g", "n_rows", "sum_v", "min_v", "max_v", "kmv",
+                "_applied")
+              .withColumn("_b", lit(rnd.nextInt(4)))
+              .write.partitionBy("_b").parquet(s"$statePath/gen=$gen")
+          case 1 => // torn marker (no footer)
+            val gen = MarkerStateStore.readMarker(fs, statePath).gen +
+              1 + rnd.nextInt(3)
+            val out = fs.create(
+              new Path(statePath, f"_marker.$gen%019d"), false)
+            out.write(s"0:$gen\n".getBytes("UTF-8"))
+            out.close()
+          case _ => () // clean handoff
+        }
+        assert(report() == expected,
+          s"seed=$seed batch=$batchId: crash artifact leaked")
+      }
+    }
+  }
+
   test("swap GC: superseded generations and markers delete; buckets " +
     "not touched by the newest swap keep their older generation") {
     val statePath = s"${tmpDir("mgc")}/state"

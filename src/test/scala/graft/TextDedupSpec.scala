@@ -355,6 +355,25 @@ class TextDedupSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("hashFeatures: unsigned vectors sum to the token count, empty " +
+    "docs are the zero vector, duplicates add, runs are deterministic") {
+    val df = Seq(
+      (1L, Seq("x", "x", "y", "z")),
+      (2L, Seq.empty[String])).toDF("id", "toks")
+    def vecs(signed: Boolean) = df.select(col("id"),
+      TextOps.hashFeatures(col("toks"), 16, signed).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val u = vecs(signed = false)
+    assert(u(1L).length == 16 && u(1L).sum == 4L, u(1L))
+    assert(u(1L).max == 2L || u(1L).max == 3L || u(1L).max == 4L)
+    assert(u(2L).forall(_ == 0L))
+    val s = vecs(signed = true)
+    // the signed vector never exceeds the unsigned magnitude per dim
+    u(1L).zip(s(1L)).foreach { case (uu, ss) =>
+      assert(math.abs(ss) <= uu, s"$ss vs $uu") }
+    assert(vecs(signed = true) == vecs(signed = true)) // deterministic
+  }
+
   test("tokenQuotaSample: ~budget tokens per class in seeded-random " +
     "order; two-level prefix sum matches a single-window reference " +
     "on a 90%-skew class") {
