@@ -345,6 +345,36 @@ class AnalyticsOpsSpec extends SparkSpec {
       again.collect().map(_.toSeq).toSet)
   }
 
+  test("round-10 determinism properties: neymanSample and bhFdr are " +
+    "partitioning-invariant; shrinking every p-value never shrinks " +
+    "the BH discovery set") {
+    val df = (Seq.tabulate(120)(i =>
+      (s"s${i % 4}", i.toLong, (i * 37 % 90).toLong))).toDF("g", "id", "v")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    val base = canon(Relational.neymanSample(df, "g", "id", col("v"),
+      n = 30, seed = 3))
+    val shuffled = canon(Relational.neymanSample(
+      df.repartition(17, col("v")), "g", "id", col("v"),
+      n = 30, seed = 3))
+    assert(base == shuffled, "neymanSample depends on partitioning")
+    val ps = Seq.tabulate(12)(i => (i.toLong, (i * 83000 + 7000).toLong))
+      .toDF("id", "p_micro")
+    def discovered(d: org.apache.spark.sql.DataFrame) =
+      d.filter(col("discovered")).select("id").collect()
+        .map(_.getLong(0)).toSet
+    val d1 = discovered(Relational.bhFdr(ps, "id", col("p_micro"),
+      100000L))
+    val d1b = discovered(Relational.bhFdr(ps.repartition(7), "id",
+      col("p_micro"), 100000L))
+    assert(d1 == d1b, "bhFdr depends on partitioning")
+    // monotonicity: halving every p-value can only ADD discoveries
+    val d2 = discovered(Relational.bhFdr(
+      ps.select(col("id"), (col("p_micro") / 2L).cast("long")
+        .as("p_micro")), "id", col("p_micro"), 100000L))
+    assert(d1.subsetOf(d2), s"$d1 not within $d2")
+  }
+
   test("cuped: when the metric IS the covariate the adjusted means " +
     "collapse to the global mean for both variants") {
     val ts0 = 1700000000L
