@@ -6335,6 +6335,42 @@ object OracleSql {
         |  array_to_string(list(c ORDER BY idx), ',') AS features
         |FROM grid GROUP BY 1""".stripMargin,
 
+    // split conformal: per-source mean predictor from the calibration
+    // half, micro residuals, exact-integer k, cumulative-count
+    // quantile over distinct residuals, test coverage
+    "q264_conformal" ->
+      """WITH d AS (SELECT doc_id, source, n_chars::BIGINT AS v,
+        |    doc_id % 2 = 0 AS c
+        |  FROM documents),
+        |pm AS (SELECT source,
+        |    (round(sum(v)::DOUBLE * 1000000.0 / count(*)::DOUBLE))
+        |      ::BIGINT AS p
+        |  FROM d WHERE c GROUP BY 1),
+        |r AS (SELECT d.c, abs(d.v * 1000000 - pm.p)::BIGINT AS r
+        |  FROM d JOIN pm USING (source)),
+        |nn AS (SELECT
+        |    sum(CASE WHEN c THEN 1 ELSE 0 END)::BIGINT AS n_cal,
+        |    sum(CASE WHEN NOT c THEN 1 ELSE 0 END)::BIGINT AS n_test
+        |  FROM r),
+        |kk AS (SELECT n_cal, n_test,
+        |    (((n_cal + 1) * 900000 + 999999) // 1000000)::BIGINT AS k
+        |  FROM nn),
+        |counts AS (SELECT r AS rv, count(*)::BIGINT AS n FROM r
+        |  WHERE c GROUP BY 1),
+        |cc AS (SELECT rv, sum(n) OVER (ORDER BY rv
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM counts),
+        |q AS (SELECT min(rv)::BIGINT AS qhat_micro FROM cc, kk
+        |  WHERE cum >= kk.k),
+        |cov AS (SELECT sum(CASE WHEN q.qhat_micro IS NULL
+        |      OR r.r <= q.qhat_micro THEN 1 ELSE 0 END)::BIGINT
+        |      AS covered
+        |  FROM r, q WHERE NOT c)
+        |SELECT kk.n_cal, kk.n_test, kk.k, q.qhat_micro,
+        |  CASE WHEN kk.n_test = 0 THEN NULL
+        |    ELSE round(coalesce(cov.covered, 0)::DOUBLE /
+        |      kk.n_test::DOUBLE, 6) END AS coverage
+        |FROM kk, q, cov""".stripMargin,
+
     // Personalized PageRank: q133's unrolled src-ordered folds with
     // the teleport mass restarted uniformly over the doc_id % 17 = 0
     // seed set (r0 = s)

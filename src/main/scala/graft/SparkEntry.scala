@@ -4383,6 +4383,28 @@ object SparkEntry {
       concat_ws(",", TextOps.hashFeatures(
         TextOps.tokensSimple(col("text")), 16)).as("features"))
 
+  /** Split-conformal calibration of a per-source length predictor:
+    * the even-doc calibration half fits per-source mean n_chars, the
+    * conformal quantile of calibration residuals at α = 0.1 gives the
+    * distribution-free interval, and the odd-doc test half reports
+    * observed coverage — exact integer k, micro residuals, bounded
+    * distinct-value quantile search.
+    */
+  def q264_conformal(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      col("n_chars").cast("long").as("v"),
+      (col("doc_id") % 2 === 0).as("_cal"))
+    val pred = d.filter(col("_cal"))
+      .groupBy(col("source"))
+      .agg(round(sum(col("v")).cast("double") * lit(1000000.0) /
+        count(lit(1)).cast("double")).cast("long").as("_p"))
+    val resid = d.join(pred, Seq("source"))
+      .select(abs(col("v") * lit(1000000L) - col("_p")).as("r_micro"),
+        col("_cal"))
+    Relational.conformalInterval(resid, col("r_micro"), col("_cal"),
+      alphaMicro = 100000L)
+  }
+
   /** Deterministic replay of the STREAMING funnel-latency twin
     * ([[graft.streaming.StreamingFunnel.latencyReport]]): the q125
     * event-time-ordered replay drives the bucketed state, and the
@@ -4667,7 +4689,8 @@ object SparkEntry {
     "q260_blocking_quality" -> (q260_blocking_quality(_, _)),
     "q261_jaro_winkler" -> (q261_jaro_winkler(_, _)),
     "q262_linkage_decisions" -> (q262_linkage_decisions(_, _)),
-    "q263_hash_features" -> (q263_hash_features(_, _)))
+    "q263_hash_features" -> (q263_hash_features(_, _)),
+    "q264_conformal" -> (q264_conformal(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

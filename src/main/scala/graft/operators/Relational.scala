@@ -2035,6 +2035,64 @@ object Relational {
         (col("rank") <= col("_kstar")).as("discovered")): _*)
   }
 
+  /** Split-conformal interval calibration (Vovk's conformal
+    * prediction; the split/inductive recipe of Papadopoulos et al.
+    * 2002 as popularized by Lei et al. 2018): from a CALIBRATION
+    * sample's nonconformity residuals, the conformal quantile
+    * `q̂ = k-th smallest residual, k = ⌈(n+1)(1−α)⌉` guarantees
+    * `P(residual ≤ q̂) ≥ 1−α` on exchangeable test points — the
+    * distribution-free error bar a score/prediction pipeline ships
+    * without trusting any model's own uncertainty. Reported with the
+    * observed coverage on the held-out test rows.
+    *
+    * Exactness/scale: residuals arrive micro-snapped; `k` is exact
+    * integer arithmetic (`⌈a·b/10⁶⌉` via integer division); `q̂` is
+    * found by cumulative counts over the DISTINCT residual values
+    * (the q36 discipline — state bounds by value-space, not rows;
+    * the order window runs over that bounded table). When
+    * `k > n_cal` the conformal interval is infinite (q̂ NULL,
+    * coverage 1 by convention — the honest small-sample answer).
+    *
+    * Output (1 row): `n_cal`, `n_test`, `k`, `qhat_micro`,
+    * `coverage`.
+    */
+  def conformalInterval(df: DataFrame, residMicro: Column,
+      isCalib: Column, alphaMicro: Long): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro < 1000000L,
+      s"alphaMicro must be in (0, 1e6), got $alphaMicro")
+    import org.apache.spark.sql.expressions.Window
+    val d = df.select(residMicro.as("_r"), isCalib.as("_c"))
+      .filter(col("_r").isNotNull)
+      .persist() // totals + calibration counts + test coverage
+    val nn = d.agg(
+      sum(when(col("_c"), 1L).otherwise(0L)).as("n_cal"),
+      sum(when(!col("_c"), 1L).otherwise(0L)).as("n_test"))
+      .select(col("n_cal"), col("n_test"),
+        expr(s"((n_cal + 1) * ${1000000L - alphaMicro} + 999999) " +
+          "div 1000000").as("k"))
+      .localCheckpoint() // 1 row, three consumers
+    val w = Window.orderBy(col("_r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = d.filter(col("_c"))
+      .groupBy(col("_r")).agg(count(lit(1)).as("_n"))
+      .withColumn("_cum", sum(col("_n")).over(w))
+      .crossJoin(broadcast(nn.select(col("k"))))
+      .filter(col("_cum") >= col("k"))
+      .agg(min(col("_r")).as("qhat_micro"))
+      .localCheckpoint() // 1 row: the model
+    val covered = d.filter(!col("_c"))
+      .crossJoin(broadcast(qhat))
+      .agg(sum(when(col("qhat_micro").isNull ||
+        col("_r") <= col("qhat_micro"), 1L).otherwise(0L))
+        .as("_cov"))
+    nn.crossJoin(broadcast(qhat)).crossJoin(broadcast(covered))
+      .select(col("n_cal"), col("n_test"), col("k"),
+        col("qhat_micro"),
+        when(col("n_test") === 0L, lit(null).cast("double"))
+          .otherwise(round(coalesce(col("_cov"), lit(0L)).cast("double") /
+            col("n_test").cast("double"), 6)).as("coverage"))
+  }
+
   /** Order-free dataset content fingerprint per group — the integrity
     * check two 100 TB snapshots can exchange WITHOUT sorting or
     * shipping rows: each row renders to a canonical string

@@ -375,6 +375,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(d1.subsetOf(d2), s"$d1 not within $d2")
   }
 
+  test("conformalInterval: hand k-th order statistic, observed " +
+    "coverage, and the infinite small-sample interval") {
+    // 10 calibration residuals 1..10 at alpha=0.1: k = ceil(11*0.9)
+    // = 10 -> q-hat = 10; test {5, 10, 11}: 2 of 3 covered
+    val d = ((1L to 10L).map(r => (r, true)) ++
+      Seq((5L, false), (10L, false), (11L, false)))
+      .toDF("r", "c")
+    val got = Relational.conformalInterval(d, col("r"), col("c"),
+      alphaMicro = 100000L).head()
+    assert(got.getLong(0) == 10L && got.getLong(1) == 3L)
+    assert(got.getLong(2) == 10L)   // k
+    assert(got.getLong(3) == 10L)   // q-hat
+    assert(got.getDouble(4) == 0.666667)
+    // n_cal = 2: k = ceil(3*0.9) = 3 > 2 -> infinite interval,
+    // everything covered
+    val tiny = Seq((1L, true), (2L, true), (999L, false))
+      .toDF("r", "c")
+    val inf = Relational.conformalInterval(tiny, col("r"), col("c"),
+      alphaMicro = 100000L).head()
+    assert(inf.isNullAt(3) && inf.getDouble(4) == 1.0)
+  }
+
   test("cuped: when the metric IS the covariate the adjusted means " +
     "collapse to the global mean for both variants") {
     val ts0 = 1700000000L

@@ -179,7 +179,9 @@ class PlanGateSpec extends SparkSpec {
     //   rule needs the total p order.
     val globalWindowWhitelist = Set("q91_unimax_sample",
       "q86_global_shuffle", "q241_kaplan_meier", "q250_opq_residual",
-      "q253_neyman_sample", "q257_nelson_aalen", "q259_bh_fdr")
+      "q253_neyman_sample", "q257_nelson_aalen", "q259_bh_fdr",
+      "q264_conformal") // cumulative counts over DISTINCT residual
+                        // values — value-space-bounded, q36 discipline
     val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
       "q125_streaming_funnel_replay", "q129_streaming_retention_replay",
       "q244_streaming_agg_replay", "q248_preflight_artifact",
@@ -275,6 +277,8 @@ class PlanGateSpec extends SparkSpec {
                                // n/truth totals
       "q262_linkage_decisions", // pair rows × broadcast 1-row pivoted
                                 // weight vector (model metadata)
+      "q264_conformal",      // residual rows × broadcast 1-row k /
+                             // q-hat / coverage scalars
       "q126_classifier_train", // vocab rows × broadcast 1-row totals
       "q127_bitext_mine",    // target corpus × broadcast source slice
       "q133_pagerank",       // node/edge synth + per-iteration teleport
