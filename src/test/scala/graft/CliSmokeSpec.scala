@@ -402,6 +402,20 @@ class CliSmokeSpec extends SparkSpec {
     assert(refined.count() == 16 * 3)
     // refined output carries exact cosine, not ADC distance
     assert(refined.columns.contains("cos_sim"))
+    // OPQ flavor: --opq writes the perm marker; pq-query auto-detects
+    // and serves through the rotation (plain + refined paths)
+    val idxOpq = s"$base/idx-opq"
+    graft.cli.Main.main(Array("pq-index", embPath, idxOpq, "2", "2",
+      "2", "--opq"))
+    assert(graft.sim.SimSearch.readPqIndexPerm(spark, idxOpq).nonEmpty)
+    val outOpq = s"$base/opq"
+    graft.cli.Main.main(Array("pq-query", idxOpq, embPath, outOpq,
+      "3", "2", "1"))
+    assert(spark.read.parquet(outOpq).count() == 16 * 3)
+    val outOpqRef = s"$base/opq-ref"
+    graft.cli.Main.main(Array("pq-query", idxOpq, embPath, outOpqRef,
+      "3", "2", "1", "--refine", embPath, "8"))
+    assert(spark.read.parquet(outOpqRef).columns.contains("cos_sim"))
   }
 
   test("fk-audit / scd2 / snapshot-diff / roc-auc / kappa / ohlc " +
