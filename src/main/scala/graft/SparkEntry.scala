@@ -3170,7 +3170,7 @@ object SparkEntry {
           baseName.substr(p + 1, lit(12))).as("name"))
     val records = base.union(dirty)
     Dedup.resolveEntities(records, "rec_id", "name",
-      maxEdit = 2, halfLen = 6)
+      maxEdit = 2, halfLen = 6, blockCap = 64, hotWindow = 8)
   }
 
   /** Distributed PCA, sketch tier: top principal direction of the

@@ -1884,8 +1884,11 @@ object Main {
       import org.apache.spark.sql.functions._
       val maxEdit = rest.headOption.map(_.toInt).getOrElse(2)
       val spark = session()
+      // arbitrary registries get the bounded (SNM hot-block) mode —
+      // a Zipfian name distribution must not go quadratic here
       val clusters = graft.text.Dedup.resolveEntities(
-        spark.read.parquet(path), idCol, nameCol, maxEdit)
+        spark.read.parquet(path), idCol, nameCol, maxEdit,
+        blockCap = 64, hotWindow = 8)
       val sizes = clusters.groupBy(col("cluster"))
         .agg(count(lit(1)).as("n"))
       val merged = sizes.filter(col("n") > 1)

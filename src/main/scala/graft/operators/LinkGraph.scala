@@ -241,7 +241,10 @@ object LinkGraph {
     * Same src-ordered IEEE contribution folds as the exact tier, so
     * ranks hash-gate; same per-round checkpoint rotation, so plans
     * and cached frames stay O(1). Leaky formulation (gate graphs are
-    * dangling-free); seeds outside `nodes` are ignored by the join.
+    * dangling-free). Seeds are deduplicated and restricted to `nodes`
+    * before n_seeds is counted, so duplicate or unknown seed ids in an
+    * arbitrary seeds parquet (the `ppr` CLI path) neither double-count
+    * rank nor leak teleport mass; an all-unknown seed set fails loudly.
     *
     * Returns `(id, rank)`; non-seed nodes unreachable from any seed
     * rank exactly 0.
@@ -252,7 +255,21 @@ object LinkGraph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
-    val ns = seeds.agg(count(lit(1)).cast("double").as("n_seeds"))
+    // Dedupe seeds and restrict them to the node set BEFORE counting:
+    // a duplicate seed id would otherwise duplicate node rows through
+    // the left join below (double-counting its rank), and a seed
+    // absent from `nodes` would contribute to n_seeds while its
+    // teleport mass silently vanished in the join — ranks would no
+    // longer sum to ~1. Both are reachable from the `ppr` CLI, which
+    // accepts an arbitrary seeds parquet.
+    val seedIds = seeds.select(col(seeds.columns.head).as("id"))
+      .distinct()
+      .join(nodes.select(col("id")), Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    // bounded driver materialization: one scalar off the cached seeds
+    val nSeeds = seedIds.count()
+    require(nSeeds > 0,
+      "personalizedPageRankExact: no seed id appears in the node set")
     val outdeg = edges.groupBy("src")
       .agg(count(lit(1)).cast("double").as("outdeg"))
     val e = edges.join(outdeg, "src").persist()
@@ -262,11 +279,11 @@ object LinkGraph {
       lit(0.0),
       (acc: Column, x: Column) => acc + x.getField("c"))
     // the restart distribution feeds every round AND the teleport term
-    val sv = nodes.crossJoin(broadcast(ns))
-      .join(seeds.select(col(seeds.columns.head).as("id"),
-        lit(true).as("_seed")), Seq("id"), "left")
+    val sv = nodes
+      .join(seedIds.select(col("id"), lit(true).as("_seed")),
+        Seq("id"), "left")
       .select(col("id"),
-        when(col("_seed"), lit(1.0) / col("n_seeds"))
+        when(col("_seed"), lit(1.0) / lit(nSeeds.toDouble))
           .otherwise(lit(0.0)).as("s"))
       .localCheckpoint(true)
     var ranks = sv.select(col("id"), col("s").as("rank"))
@@ -288,6 +305,7 @@ object LinkGraph {
     }
     e.unpersist()
     release(sv)
+    release(seedIds)
     ranks
   }
 

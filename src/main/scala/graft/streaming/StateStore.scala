@@ -34,10 +34,27 @@ import org.apache.spark.sql.functions._
   */
 private[graft] sealed trait StateStore {
 
-  /** Finish interrupted work and garbage-collect unreferenced files.
-    * Idempotent; called before every read and write.
+  /** WRITER-side heal: finish interrupted work and garbage-collect
+    * unreferenced files. Idempotent. Must be called only from the
+    * single writer (before a batch / at the end of a commit) — a
+    * reader running this concurrently with an in-flight commit could
+    * GC the writer's not-yet-referenced data. Readers use
+    * [[healForRead]] instead.
     */
   def heal(fs: FileSystem, statePath: String): Unit
+
+  /** READER-side heal: make committed state readable without deleting
+    * ANYTHING a concurrent writer may be mid-commit on. For the marker
+    * store this is a no-op (readers resolve through the newest
+    * complete marker, so torn markers and unreferenced generation
+    * directories are invisible without GC); for the rename store it
+    * must still finish an interrupted swap (a half-swapped live dir is
+    * unreadable) — there a concurrent writer fails loudly on the
+    * checked rename and the batch replays, so no committed row is
+    * lost.
+    */
+  def healForRead(fs: FileSystem, statePath: String): Unit =
+    heal(fs, statePath)
 
   /** True when at least one committed bucket exists. */
   def hasState(fs: FileSystem, statePath: String): Boolean
@@ -185,9 +202,14 @@ private[graft] object MarkerStateStore extends StateStore {
     } finally out.close()
   }
 
-  /** GC everything the ruling marker does not reference: newer torn
-    * markers, older markers, generation directories (or bucket dirs
-    * inside them) outside the live set. Never touches referenced data.
+  /** WRITER-ONLY GC of everything the ruling marker does not
+    * reference: newer torn markers, older markers, generation
+    * directories (or bucket dirs inside them) outside the live set.
+    * Never touches referenced data. Must never run beside an
+    * in-flight commit on the same path (it would GC the writer's
+    * not-yet-referenced gen dir); the single writer calls it before
+    * each batch and at the end of each commit, and readers use
+    * [[healForRead]] (a no-op) instead.
     */
   def heal(fs: FileSystem, statePath: String): Unit = {
     val root = new Path(statePath)
@@ -220,6 +242,16 @@ private[graft] object MarkerStateStore extends StateStore {
             }
       }
   }
+
+  /** Readers need no GC at all under the marker protocol: [[parse]]
+    * skips torn markers and [[read]] lists only marker-referenced
+    * directories. Deleting here instead would race an in-flight
+    * writer between its `gen=N+1` parquet write and its marker PUT —
+    * the marker would then commit pointing at GC'd directories while
+    * the streaming checkpoint advances, permanently corrupting
+    * committed state. So: strictly a no-op.
+    */
+  override def healForRead(fs: FileSystem, statePath: String): Unit = ()
 
   def hasState(fs: FileSystem, statePath: String): Boolean =
     readMarker(fs, statePath).buckets.nonEmpty
@@ -257,8 +289,15 @@ private[graft] object MarkerStateStore extends StateStore {
     val gen = prev.gen + 1L
     state.write.partitionBy("_b").mode("errorifexists")
       .parquet(s"$statePath/gen=$gen")
-    // a touched bucket with no surviving rows writes no directory —
-    // it keeps its previous content (merges never drop rows)
+    // CONTRACT (merges never drop rows): a touched bucket whose new
+    // state has no surviving rows writes no `_b=` directory under
+    // gen=N+1, and this commit keeps its PREVIOUS content live. That
+    // is correct for every current twin — their merges only ever add
+    // or replace rows, never empty a bucket — but it means a future
+    // state family that legitimately empties a bucket would silently
+    // resurrect old rows. Such a family must write an explicit
+    // emptiness row (or extend the marker format with a "bucket K is
+    // now empty" entry) rather than rely on writing nothing.
     val written = fs.listStatus(new Path(s"$statePath/gen=$gen"))
       .map(_.getPath.getName).filter(_.startsWith("_b="))
       .map(_.stripPrefix("_b=").toInt).toSet

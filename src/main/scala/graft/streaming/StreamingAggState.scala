@@ -1,8 +1,10 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType,
+  StringType, StructField, StructType}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.Incremental
@@ -107,26 +109,36 @@ object StreamingAggState {
     * over every bucket — event history is never read. Before any batch
     * has written state (path missing, or every batch so far was empty /
     * all-null groups, where [[processBatch]] returns without writing)
-    * the report is EMPTY with the report schema (group typed string —
-    * with no state on disk there is no group type to recover), not an
-    * `AnalysisException` from a bare read of a missing path.
+    * the report is EMPTY with the report schema, not an
+    * `AnalysisException` from a bare read of a missing path. With no
+    * state on disk there is no group type to recover, so callers with
+    * a non-string group column pass `groupType` — then the first-run
+    * (empty) report is schema-identical to every later one and
+    * downstream unions / schema-sensitive consumers see one schema
+    * before and after the first batch.
     */
   def report(spark: SparkSession, statePath: String, groupCol: String,
       k: Int = 128,
-      store: StateStore = RenameStateStore): DataFrame = {
+      store: StateStore = RenameStateStore,
+      groupType: DataType = StringType): DataFrame = {
     val hPath = new Path(statePath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    store.heal(fs, statePath)
+    store.healForRead(fs, statePath)
     val state =
       if (store.hasState(fs, statePath))
         store.read(spark, statePath)
           .select(col(groupCol), col("n_rows"), col("sum_v"),
             col("min_v"), col("max_v"), col("kmv"))
-      else {
-        import spark.implicits._
-        Seq.empty[(String, Long, Long, Long, Long, Seq[Long])]
-          .toDF(groupCol, "n_rows", "sum_v", "min_v", "max_v", "kmv")
-      }
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(
+            StructField(groupCol, groupType),
+            StructField("n_rows", LongType),
+            StructField("sum_v", LongType),
+            StructField("min_v", LongType),
+            StructField("max_v", LongType),
+            StructField("kmv", ArrayType(LongType)))))
     Incremental.stateReport(state, groupCol, k)
   }
 }

@@ -163,7 +163,7 @@ object StreamingFunnel {
       store: StateStore = RenameStateStore): DataFrame = {
     val hPath = new Path(statePath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    store.heal(fs, statePath)
+    store.healForRead(fs, statePath)
     import spark.implicits._
     val st =
       if (store.hasState(fs, statePath))
@@ -188,7 +188,7 @@ object StreamingFunnel {
       store: StateStore = RenameStateStore): DataFrame = {
     val hPath = new Path(statePath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    store.heal(fs, statePath)
+    store.healForRead(fs, statePath)
     import spark.implicits._
     val counts =
       if (store.hasState(fs, statePath))

@@ -123,7 +123,7 @@ object StreamingRetention {
       store: StateStore = RenameStateStore): DataFrame = {
     val hPath = new Path(statePath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    store.heal(fs, statePath)
+    store.healForRead(fs, statePath)
     import spark.implicits._
     val act =
       if (store.hasState(fs, statePath))

@@ -1211,6 +1211,11 @@ object Dedup {
     *     (near-duplicate tails usually sort adjacent; an edit early
     *     in the tail can escape the window) — the documented price of
     *     boundedness; cold blocks keep exact all-pairs semantics.
+    *     The bounded mode is OPT-IN: `blockCap` defaults to
+    *     `Int.MaxValue` (exact all-pairs in every block, the
+    *     pre-round-10 semantics), so no caller's matches change
+    *     silently. Scale-facing callers over unvetted registries
+    *     (the `er` CLI, the q204 gate) pass an explicit cap.
     *
     * Verification (`levenshtein ≤ maxEdit`) touches candidates only;
     * the merge is the dedup family's pointer-jumping CC
@@ -1223,7 +1228,7 @@ object Dedup {
   def resolveEntities(
       records: DataFrame, idCol: String, nameCol: String,
       maxEdit: Int = 2, halfLen: Int = 6,
-      blockCap: Int = 64, hotWindow: Int = 8): DataFrame = {
+      blockCap: Int = Int.MaxValue, hotWindow: Int = 8): DataFrame = {
     val cand = entityCandidates(records, idCol, nameCol, halfLen,
       blockCap, hotWindow)
     val recs = records.select(col(idCol).as("_rid"),

@@ -118,6 +118,27 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(dupClusters.count() == 300L)
   }
 
+  test("resolveEntities defaults to EXACT all-pairs blocks: an " +
+    "early-tail edit in a hot block matches by default and bounded " +
+    "(SNM) mode is opt-in") {
+    val recs = Seq.tabulate(100)(i => (i.toLong * 2, f"mohamm$i%06d"))
+      .toDF("rid", "nm")
+    // corrupt the FIRST tail char of record 50: 'z' sorts ~50 ranks
+    // away, far outside any SNM window, but levenshtein = 1
+    val dirty = Seq((101L, "mohammz00050")).toDF("rid", "nm")
+    val all = recs.union(dirty)
+    val exact = Dedup.resolveEntities(all, "rid", "nm", maxEdit = 2,
+      halfLen = 6).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact(101L) == exact(100L),
+      s"default (exact) mode missed the early-tail edit: $exact")
+    val bounded = Dedup.resolveEntities(all, "rid", "nm", maxEdit = 2,
+      halfLen = 6, blockCap = 64, hotWindow = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bounded(101L) != bounded(100L),
+      "opt-in bounded mode unexpectedly found the far-sorting edit " +
+        "(the SNM recall price this test documents)")
+  }
+
   test("containment: a short doc fully quoted inside a long one " +
     "scores 1.0 from the short side while Jaccard stays low") {
     val short = Seq.tabulate(5)(i => s"s$i")

@@ -337,6 +337,28 @@ class LinkGraphSpec extends SparkSpec {
       assert(r == all(id), s"node $id: $r vs ${all(id)}") }
   }
 
+  test("personalized PageRank: duplicate seed ids and seeds outside " +
+    "the node set neither double-count rank nor leak teleport mass; " +
+    "an all-unknown seed set fails loudly") {
+    val nodes = (0L until 4).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val clean = rankMap(LinkGraph.personalizedPageRankExact(
+      nodes, edges, Seq(0L).toDF("id"), iters = 6))
+    // the ppr-CLI shape: an arbitrary seeds parquet with duplicates
+    // and ids not present in the edge-derived node set
+    val messy = Seq(0L, 0L, 0L, 99L, 77L).toDF("id")
+    val got = rankMap(LinkGraph.personalizedPageRankExact(
+      nodes, edges, messy, iters = 6))
+    assert(got == clean, s"$got != $clean")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, got)
+    assert(got.size == 4, got) // no duplicated node rows
+    intercept[IllegalArgumentException] {
+      LinkGraph.personalizedPageRankExact(
+        nodes, edges, Seq(99L).toDF("id"), iters = 6)
+    }
+  }
+
   test("pageRank tol-based early stop matches the fixed-round result " +
     "once converged, and never changes tol=0 semantics") {
     val nodes = (0L until 12).toDF("id")

@@ -216,6 +216,66 @@ class MarkerStateStoreSpec extends SparkSpec {
     }
   }
 
+  test("reader-side healForRead NEVER deletes an in-flight generation: " +
+    "a report running between a writer's parquet write and its marker " +
+    "PUT must not GC the data the marker is about to commit") {
+    val statePath = s"${tmpDir("mrace")}/state"
+    val fs = fsOf(statePath)
+    // batch 0 commits normally (gen=1)
+    StreamingAggState.processBatch(
+      Seq(("a", 5L, 1L)).toDF("g", "v", "d"), 0L, statePath, "g",
+      col("v"), col("d"), k = 16, buckets = 4,
+      store = MarkerStateStore)
+    // writer mid-commit: gen=2 parquet landed, marker PUT not yet
+    Seq(("b", 1L, 7L, 7L, 7L, Seq(1L), 1L))
+      .toDF("g", "n_rows", "sum_v", "min_v", "max_v", "kmv", "_applied")
+      .withColumn("_b", lit(0))
+      .write.partitionBy("_b").parquet(s"$statePath/gen=2")
+    // a concurrent reader: sees only committed state AND leaves the
+    // in-flight generation alone (this is the advice-item race — the
+    // old reader-side heal GC'd gen=2 here, then the writer's marker
+    // committed pointing at deleted directories)
+    val rep = StreamingAggState.report(spark, statePath, "g", 16,
+      store = MarkerStateStore).collect()
+    assert(rep.map(_.getString(0)).toSeq == Seq("a"))
+    assert(fs.exists(new Path(s"$statePath/gen=2")),
+      "reader-side heal deleted the writer's in-flight generation")
+    // the writer finishes: marker PUT commits gen=2 for bucket 0 —
+    // the data it references must still be there
+    val out = fs.create(new Path(statePath, f"_marker.${2L}%019d"), false)
+    out.write("0:2\nend\n".getBytes("UTF-8"))
+    out.close()
+    val got = MarkerStateStore.read(spark, statePath)
+      .select("g", "sum_v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("b" -> 7L),
+      s"committed-after-race state corrupted: $got")
+  }
+
+  test("merge contract: a touched bucket whose new state writes no " +
+    "rows keeps its PREVIOUS content (merges never drop rows)") {
+    val statePath = s"${tmpDir("mempty")}/state"
+    val fs = fsOf(statePath)
+    def row(g: String, b: Int, v: Long) =
+      Seq((g, 1L, v, v, v, Seq(1L), 0L))
+        .toDF("g", "n_rows", "sum_v", "min_v", "max_v", "kmv",
+          "_applied")
+        .withColumn("_b", lit(b))
+    MarkerStateStore.swapBuckets(fs, statePath,
+      row("a", 0, 1L).unionByName(row("b", 1, 2L)), Seq(0, 1))
+    // swap claims to touch BOTH buckets but writes rows only for 0:
+    // bucket 1 keeps its gen=1 content — it is NOT emptied
+    MarkerStateStore.swapBuckets(fs, statePath, row("a", 0, 10L),
+      Seq(0, 1))
+    val got = MarkerStateStore.read(spark, statePath)
+      .select("g", "sum_v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 10L, "b" -> 2L), got.toString)
+    val m = MarkerStateStore.readMarker(fs, statePath)
+    assert(m.buckets(1) == Seq(1L),
+      s"empty-write bucket lost its previous generation: $m")
+  }
+
   test("swap GC: superseded generations and markers delete; buckets " +
     "not touched by the newest swap keep their older generation") {
     val statePath = s"${tmpDir("mgc")}/state"

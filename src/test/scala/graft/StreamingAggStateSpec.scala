@@ -55,6 +55,23 @@ class StreamingAggStateSpec extends SparkSpec {
     assert(StreamingAggState.report(spark, state, "g", 16).count() == 0L)
   }
 
+  test("non-string group column: the empty (first-run) report is " +
+    "schema-identical to the populated one via groupType") {
+    import org.apache.spark.sql.types.LongType
+    val state = s"${tmpDir("aggstate-gtype")}/state"
+    val empty = StreamingAggState.report(spark, state, "g", 16,
+      groupType = LongType)
+    StreamingAggState.processBatch(
+      Seq((42L, 3L, 1L), (7L, 1L, 2L)).toDF("g", "v", "d"), 0L,
+      state, "g", col("v"), col("d"), k = 16, buckets = 4)
+    val full = StreamingAggState.report(spark, state, "g", 16,
+      groupType = LongType)
+    assert(empty.schema == full.schema,
+      s"${empty.schema} != ${full.schema}")
+    // downstream unions work across the first batch boundary
+    assert(empty.unionByName(full).count() == 2L)
+  }
+
   test("replaying a batch id is a no-op — the per-bucket applied " +
     "watermark makes count/sum merging exactly-once") {
     val state = s"${tmpDir("aggstate-replay")}/state"
