@@ -572,7 +572,15 @@ object OracleSql {
     * commutative, so partition-order-free on the Spark side too);
     * top-40 by (adc, vid) then exact cosine top-5 over the candidates.
     */
-  private lazy val q121 = {
+  private lazy val q121 = q121Sql("")
+
+  /** The q121 chain with an optional filter on the CODE table (the
+    * `cds` CTE) — `codesFilter` is a `WHERE …` clause over `a0.vid`.
+    * q265 replays the persisted-index deletion lifecycle with it:
+    * codebooks/centroids fit on the FULL corpus (deletes never refit
+    * models), but tombstoned ids vanish from the served codes.
+    */
+  private def q121Sql(codesFilter: String) = {
     val dim = 64
     val sw = 32
     val w = 128L
@@ -623,7 +631,7 @@ object OracleSql {
        |       FROM q1 CROSS JOIN p1cen2 cb),
        |cds AS (SELECT a0.vid, a0.cid AS c0, a1.cid AS c1, b.cell
        |        FROM p0afinal a0 JOIN p1afinal a1 ON a1.vid = a0.vid
-       |        JOIN base b ON b.vec_id = a0.vid),
+       |        JOIN base b ON b.vec_id = a0.vid $codesFilter),
        |adc AS (SELECT pr.qid, c.vid, l0.d2 + l1.d2 AS adc_d2
        |        FROM pr JOIN cds c ON c.cell = pr.cell
        |        JOIN l0 ON l0.qid = pr.qid AND l0.code = c.c0
@@ -6406,5 +6414,13 @@ object OracleSql {
          |$iterCtes
          |SELECT id AS doc_id, round(rank * 1e9)::BIGINT AS rank_nano
          |FROM r5""".stripMargin
-    })
+    },
+
+    // Persisted-index deletion lifecycle: q121's IVFADC-R chain with
+    // the tombstoned ids (vec_id % 9 = 0) removed from the CODE table
+    // only — codebooks and centroids stay fit on the full corpus
+    // (deletes never refit models), and the gate query serves the
+    // same rows through BOTH the tombstone anti-join and the
+    // compacted generation.
+    "q265_pq_index_delete" -> q121Sql("WHERE a0.vid % 9 <> 0"))
 }

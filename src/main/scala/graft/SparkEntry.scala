@@ -4405,6 +4405,58 @@ object SparkEntry {
       alphaMicro = 100000L)
   }
 
+  /** The persisted PQ index's DELETION lifecycle under the hash gate
+    * — the missing half of the append-only index family, the path the
+    * removal-audit pipeline's verdicts take: [[SimSearch.writePqIndex]]
+    * persists q121's index to a temp dir, every `vec_id % 9 = 0` is
+    * tombstoned ([[SimSearch.deleteFromPqIndex]] — one write-once
+    * ids batch + one marker PUT, the object-store-safe
+    * MarkerStateStore discipline), and serving through
+    * [[SimSearch.readPqIndex]] anti-joins the broadcast tombstones so
+    * deleted ids can never surface. The query then runs
+    * [[SimSearch.compactPqIndex]] (tombstones fold into a fresh
+    * write-once codes generation, committed by one marker PUT) and
+    * `require`s the compacted serving equals the tombstoned serving
+    * row-for-row (bounded: 20 queries × top-5) before returning it.
+    * Oracle = q121's SQL with the deleted ids filtered from the code
+    * table only — codebooks/centroids stay fit on the full corpus,
+    * exactly as a delete that never refits models must behave. EAGER
+    * like q26 (index writes are jobs); the temp tree is deleted
+    * before returning.
+    */
+  def q265_pq_index_delete(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_pqdel")
+    try {
+      val p = base.resolve("idx").toString
+      val emb = t(s, dir, "embeddings").withColumn("cell", col("label"))
+        .persist()
+      SimSearch.writePqIndex(emb, p, "vec_id", "embedding", "cell",
+        m = 2, k = 4, iters = 2, dim = 64, bucketWidth = 128L)
+      SimSearch.deleteFromPqIndex(
+        emb.filter(col("vec_id") % 9 === 0).select(col("vec_id")), p)
+      def serve(): DataFrame = {
+        val (cb, codes, cen) = SimSearch.readPqIndex(s, p)
+        SimSearch.ivfPqTopKRefined(codes, cb, cen,
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+          "vec_id", m = 2, k = 5, candidates = 40, nprobe = 2, dim = 64)
+      }
+      val tombstoned = serve().localCheckpoint()
+      SimSearch.compactPqIndex(s, p)
+      val compacted = serve().localCheckpoint()
+      // bounded compare (≤ 100 rows/side): the compacted generation
+      // must serve row-identically to the tombstone anti-join
+      require(tombstoned.exceptAll(compacted).isEmpty &&
+        compacted.exceptAll(tombstoned).isEmpty,
+        "compacted index serving diverged from tombstoned serving")
+      emb.unpersist()
+      compacted
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Deterministic replay of the STREAMING funnel-latency twin
     * ([[graft.streaming.StreamingFunnel.latencyReport]]): the q125
     * event-time-ordered replay drives the bucketed state, and the
@@ -4690,7 +4742,8 @@ object SparkEntry {
     "q261_jaro_winkler" -> (q261_jaro_winkler(_, _)),
     "q262_linkage_decisions" -> (q262_linkage_decisions(_, _)),
     "q263_hash_features" -> (q263_hash_features(_, _)),
-    "q264_conformal" -> (q264_conformal(_, _)))
+    "q264_conformal" -> (q264_conformal(_, _)),
+    "q265_pq_index_delete" -> (q265_pq_index_delete(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

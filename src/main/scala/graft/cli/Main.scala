@@ -35,6 +35,8 @@ import graft.schema.Vintages
   * graft.cli.Main pq-index <embeddings> <outDir> [m] [k] [iters] [dim] [cellCol] [--residual]
   * graft.cli.Main pq-query <idxDir> <queries> <outDir> [k] [m] [nprobe] [dim] [--refine <rawEmb> [c]]
   * graft.cli.Main pq-append <idxDir> <embeddings> [m] [dim]   // incremental index append (no refit)
+  * graft.cli.Main pq-delete <idxDir> <idsParquet>              // tombstone-delete ids (vec_id column)
+  * graft.cli.Main pq-compact <idxDir>                          // fold tombstones into a fresh codes generation
   * graft.cli.Main ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod]
   * graft.cli.Main pq-eval <embeddings> [k] [m] [kcb] [nprobe] [dim] [sampleMod] [--cell=<col>]   // raw vs residual vs re-rank recall
   * graft.cli.Main pack    <corpus> <outDir> [budget] [--jsonl] [--simple-tokens]
@@ -395,9 +397,32 @@ object Main {
       val emb = spark.read.parquet(corpus)
       graft.sim.SimSearch.appendToPqIndex(emb, idxPath, "vec_id",
         "embedding", m, dim)
-      val n = spark.read.parquet(s"$idxPath/codes")
+      val n = graft.sim.SimSearch.readPqIndex(spark, idxPath)._2
         .select("vec_id").distinct().count()
       println(s"[pq-append] index now holds $n vectors -> $idxPath")
+      done(spark)
+
+    // tombstone-delete ids from a persisted PQ index (an ids-only
+    // parquet with a vec_id column — e.g. the removal-audit artifact)
+    case "pq-delete" :: idxPath :: idsPath :: Nil =>
+      val spark = session()
+      val ids = spark.read.parquet(idsPath).select("vec_id")
+      graft.sim.SimSearch.deleteFromPqIndex(ids, idxPath)
+      val n = graft.sim.SimSearch.readPqIndex(spark, idxPath)._2
+        .select("vec_id").distinct().count()
+      println(s"[pq-delete] tombstoned ${ids.distinct().count()} ids; " +
+        s"index now serves $n vectors -> $idxPath")
+      done(spark)
+
+    // fold accumulated tombstones (and append small-files) into a
+    // fresh compacted codes generation
+    case "pq-compact" :: idxPath :: Nil =>
+      val spark = session()
+      graft.sim.SimSearch.compactPqIndex(spark, idxPath)
+      val n = graft.sim.SimSearch.readPqIndex(spark, idxPath)._2
+        .select("vec_id").distinct().count()
+      println(s"[pq-compact] compacted codes generation holds $n " +
+        s"vectors -> $idxPath")
       done(spark)
 
     // serve top-k from a persisted IVF-PQ index (codes only — raw

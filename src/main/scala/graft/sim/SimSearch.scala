@@ -730,6 +730,8 @@ object SimSearch {
       emb: DataFrame, path: String, idCol: String, vecCol: String,
       cellCol: String, m: Int, k: Int, iters: Int, dim: Int = 64,
       bucketWidth: Long = 4096L): Unit = {
+    resetPqIndexLifecycle(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(emb.sparkSession.sessionState.newHadoopConf()), path)
     val cb = pqFit(emb, idCol, vecCol, m, k, iters, dim, bucketWidth)
       .localCheckpoint() // codebooks reused by the encode pass
     cb.write.mode("overwrite").parquet(s"$path/codebooks")
@@ -741,12 +743,34 @@ object SimSearch {
       dim, bucketWidth)
   }
 
-  /** Load a persisted PQ index: (codebooks, codes, centroids). */
+  /** Load a persisted PQ index: (codebooks, LIVE codes, centroids).
+    *
+    * "Live" resolves the index's deletion lifecycle: codes come from
+    * the generation directory the newest complete `_live` marker
+    * names (the original `codes` dir until the first
+    * [[compactPqIndex]]), and ids tombstoned by [[deleteFromPqIndex]]
+    * but not yet compacted away are anti-joined out against the
+    * BROADCAST tombstone set — tombstoned ids can never surface from
+    * any `ivfPqTopK*` / [[pqAdcTopK]] serving path fed from here.
+    * Readers never GC (the [[graft.streaming.MarkerStateStore]]
+    * reader discipline): a torn marker is skipped, an unreferenced
+    * generation is invisible, and an in-flight writer's directories
+    * are left alone.
+    */
   def readPqIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): (DataFrame, DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/codebooks"),
-      spark.read.parquet(s"$path/codes"),
+      path: String): (DataFrame, DataFrame, DataFrame) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val meta = readPqLiveMeta(fs, path)
+    val codes = spark.read.parquet(s"$path/${meta.codesDir}")
+    val live = pqTombstones(spark, path, meta) match {
+      case Some(tomb) =>
+        codes.join(broadcast(tomb), tomb.columns.toSeq, "left_anti")
+      case None => codes
+    }
+    (spark.read.parquet(s"$path/codebooks"), live,
       spark.read.parquet(s"$path/centroids"))
+  }
 
   /** Per-query ADC lookup table: `(qid, sub, code, _d2)` — squared
     * distance from each query subvector to every codebook centroid.
@@ -971,6 +995,8 @@ object SimSearch {
       emb: DataFrame, path: String, idCol: String, vecCol: String,
       cellCol: String, m: Int, k: Int, iters: Int, dim: Int = 64,
       bucketWidth: Long = 4096L): Unit = {
+    resetPqIndexLifecycle(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(emb.sparkSession.sessionState.newHadoopConf()), path)
     val cen = ivfCentroids(emb, idCol, vecCol, cellCol, dim, bucketWidth)
       .localCheckpoint()
     cen.write.mode("overwrite").parquet(s"$path/centroids")
@@ -1157,6 +1183,8 @@ object SimSearch {
       emb: DataFrame, path: String, idCol: String, vecCol: String,
       cellCol: String, m: Int, k: Int, iters: Int, dim: Int = 64,
       bucketWidth: Long = 4096L): Unit = {
+    resetPqIndexLifecycle(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(emb.sparkSession.sessionState.newHadoopConf()), path)
     val cen = ivfCentroids(emb, idCol, vecCol, cellCol, dim, bucketWidth)
       .localCheckpoint()
     cen.write.mode("overwrite").parquet(s"$path/centroids")
@@ -1305,11 +1333,19 @@ object SimSearch {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val residual = fs.exists(new org.apache.hadoop.fs.Path(s"$path/residual"))
+    // appends land in the LIVE generation directory (post-compaction
+    // that is `codes_gen=N`, not the original `codes`); the dedupe
+    // anti-join runs against the PHYSICAL live codes — tombstoned ids
+    // still hold rows there, so re-appending a deleted id is a no-op
+    // until a [[compactPqIndex]] physically drops it (otherwise the
+    // duplicate (id, sub) rows would double-count subspaces in ADC)
+    val meta = readPqLiveMeta(fs, path)
+    val liveCodesDir = s"$path/${meta.codesDir}"
     val cb = spark.read.parquet(s"$path/codebooks").localCheckpoint()
     val cen = spark.read.parquet(s"$path/centroids").localCheckpoint()
     val fresh =
       if (dedupeIds)
-        emb.join(spark.read.parquet(s"$path/codes")
+        emb.join(spark.read.parquet(liveCodesDir)
             .select(col(idCol)).distinct(),
           Seq(idCol), "left_anti")
       else emb
@@ -1333,7 +1369,239 @@ object SimSearch {
     }
     codes
       .join(withCell.select(col(idCol), col("cell")), Seq(idCol))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      .write.mode("append").partitionBy("cell").parquet(liveCodesDir)
+  }
+
+  // --------------------------------------------------------------------
+  // Persisted-index deletion lifecycle: tombstones + marker-committed
+  // generation compaction.
+  //
+  // The append-only index family above absorbs corpus GROWTH; a corpus
+  // refresh that REMOVES documents (a dedup pass, a takedown, the
+  // removal-audit pipeline's verdicts) needs the other half of the
+  // lifecycle. The protocol is the [[graft.streaming.MarkerStateStore]]
+  // commit discipline lifted to the index directory — object-store
+  // safe, nothing renamed or rewritten, commit is ONE write-once
+  // marker PUT:
+  //
+  //   <path>/_live.<gen, zero-padded>   write-once commit markers:
+  //       codes:<dir>                   the live codes directory
+  //       tomb:<b1,b2,…>                unfolded tombstone batch dirs
+  //       end                           footer (absent = torn = ignored)
+  //   <path>/tombstones/batch=<B>/      write-once ids-only parquet
+  //   <path>/codes_gen=<G>/             write-once compacted codes
+  //
+  // No marker = the pristine [[writePqIndex]] layout (codes at
+  // `codes`, no tombstones). [[deleteFromPqIndex]] writes a tombstone
+  // batch then PUTs the next marker; readers ([[readPqIndex]])
+  // anti-join the broadcast tombstone set so deleted ids never
+  // surface; [[compactPqIndex]] rewrites the live codes minus
+  // tombstones into a fresh generation and PUTs a marker with an
+  // empty tombstone list. A crash before any marker PUT leaves the
+  // new batch/generation unreferenced and invisible; writer-side heal
+  // GCs it on the next lifecycle operation. Readers NEVER GC (the
+  // reader/writer race the streaming store documents).
+  //
+  // Single-writer discipline: delete/compact/append must not run
+  // concurrently with each other on one index (the `errorifexists`
+  // writes fail loudly if they do); readers are always safe.
+  // --------------------------------------------------------------------
+
+  private val LiveMarkerPrefix = "_live."
+  private val LiveMarkerFooter = "end"
+
+  /** Resolved lifecycle state: the ruling generation, the live codes
+    * directory (relative to the index root), and the not-yet-compacted
+    * tombstone batch numbers.
+    */
+  private[graft] final case class PqLiveMeta(
+      gen: Long, codesDir: String, tombBatches: Seq[Long])
+
+  private def liveMarkerPath(path: String, gen: Long) =
+    new org.apache.hadoop.fs.Path(path, f"$LiveMarkerPrefix$gen%019d")
+
+  private def parseLiveMarker(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[PqLiveMeta] = {
+    val gen =
+      try p.getName.stripPrefix(LiveMarkerPrefix).toLong
+      catch { case _: NumberFormatException => return None }
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+    if (!lines.lastOption.contains(LiveMarkerFooter)) return None
+    val fields = lines.init.flatMap { l =>
+      l.split(":", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+    try fields.get("codes").map { cd =>
+      PqLiveMeta(gen, cd,
+        fields.getOrElse("tomb", "").split(",").filter(_.nonEmpty)
+          .map(_.toLong).toSeq)
+    } catch { case _: NumberFormatException => None }
+  }
+
+  /** The ruling lifecycle state: newest complete `_live` marker, or
+    * the pristine layout (gen 0, codes at `codes`, no tombstones).
+    * Reader-safe — parses only, never deletes.
+    */
+  private[graft] def readPqLiveMeta(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): PqLiveMeta = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val markers =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.startsWith(LiveMarkerPrefix))
+        .sortBy(_.getName).reverse.toSeq
+    markers.iterator.flatMap(parseLiveMarker(fs, _)).nextOption()
+      .getOrElse(PqLiveMeta(0L, "codes", Seq.empty))
+  }
+
+  /** The un-compacted tombstone ids as one ids-only frame (column name
+    * = the index's id column, as written by [[deleteFromPqIndex]]);
+    * None when the live state has no tombstones.
+    */
+  private def pqTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String, meta: PqLiveMeta): Option[DataFrame] =
+    if (meta.tombBatches.isEmpty) None
+    else Some(spark.read.parquet(
+      meta.tombBatches.map(b => s"$path/tombstones/batch=$b"): _*)
+      .distinct())
+
+  private def writeLiveMarker(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, meta: PqLiveMeta): Unit = {
+    val out = fs.create(liveMarkerPath(path, meta.gen), false)
+    try out.write((s"codes:${meta.codesDir}\n" +
+      s"tomb:${meta.tombBatches.mkString(",")}\n" +
+      s"$LiveMarkerFooter\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** WRITER-ONLY GC of everything the ruling marker does not
+    * reference: superseded/torn markers, non-live codes directories,
+    * unreferenced tombstone batches (both compacted-away ones and the
+    * orphans of a crash before a marker PUT — which would otherwise
+    * collide with the next `errorifexists` write). Called from the
+    * lifecycle writers only; readers resolve through the marker and
+    * need no GC.
+    */
+  private def healPqIndex(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return
+    val meta = readPqLiveMeta(fs, path)
+    def checkedDelete(p: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.delete(p, true)) throw new java.io.IOException(
+        s"pq index lifecycle GC failed to delete $p")
+    fs.listStatus(root).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith(LiveMarkerPrefix) &&
+          !parseLiveMarker(fs, p).exists(_.gen == meta.gen))
+        checkedDelete(p)
+      else if ((n == "codes" || n.startsWith("codes_gen=")) &&
+          n != meta.codesDir)
+        checkedDelete(p)
+    }
+    val tombRoot = new org.apache.hadoop.fs.Path(path, "tombstones")
+    if (fs.exists(tombRoot)) {
+      val live = meta.tombBatches.map(b => s"batch=$b").toSet
+      fs.listStatus(tombRoot).map(_.getPath)
+        .filter(p => p.getName.startsWith("batch=") &&
+          !live.contains(p.getName))
+        .foreach(checkedDelete)
+      if (meta.tombBatches.isEmpty &&
+          fs.listStatus(tombRoot).isEmpty)
+        checkedDelete(tombRoot)
+    }
+  }
+
+  /** Reset the deletion lifecycle — called by every full
+    * [[writePqIndex]]-family rebuild so a stale marker from a previous
+    * life of the path cannot point the fresh `codes` directory at a
+    * dead generation.
+    */
+  private[graft] def resetPqIndexLifecycle(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith(LiveMarkerPrefix) ||
+        p.getName == "tombstones" || p.getName.startsWith("codes_gen="))
+      .foreach { p =>
+        if (!fs.delete(p, true)) throw new java.io.IOException(
+          s"pq index rebuild failed to clear lifecycle state at $p")
+      }
+  }
+
+  /** Tombstone-delete ids from a persisted PQ index — the index-side
+    * absorber of the removal-audit pipeline's verdicts (takedowns,
+    * dedup losers, redactions) WITHOUT a full rebuild: `ids` (ONE
+    * column, named exactly as the index's id column) land as a
+    * write-once ids-only parquet batch under `tombstones/`, and the
+    * commit is the next `_live` marker PUT. Every reader resolves
+    * through [[readPqIndex]], which anti-joins the broadcast tombstone
+    * set — a deleted id can never surface again, from the ADC path or
+    * the refined path, at O(batch) write cost.
+    *
+    * Deletes accumulate as bounded model-side state until a
+    * [[compactPqIndex]] folds them into a fresh codes generation; a
+    * crash before the marker PUT leaves the batch unreferenced (the
+    * delete simply did not happen — retry), never a half-applied
+    * delete. Ids absent from the index are harmless no-ops in the
+    * anti-join.
+    */
+  def deleteFromPqIndex(ids: DataFrame, path: String): Unit = {
+    require(ids.columns.length == 1,
+      s"ids must be a single-column (index id) frame, " +
+        s"got ${ids.columns.mkString(",")}")
+    val spark = ids.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    healPqIndex(fs, path) // clear any orphan of a crashed writer
+    val meta = readPqLiveMeta(fs, path)
+    val b = meta.gen + 1L
+    ids.distinct().write.mode("errorifexists")
+      .parquet(s"$path/tombstones/batch=$b")
+    writeLiveMarker(fs, path,
+      PqLiveMeta(b, meta.codesDir, meta.tombBatches :+ b))
+    healPqIndex(fs, path) // GC the superseded marker
+  }
+
+  /** Generation compaction: rewrite the live codes MINUS the
+    * accumulated tombstones into a fresh write-once `codes_gen=<G>`
+    * directory and commit it (with an empty tombstone list) via one
+    * marker PUT; superseded directories GC afterwards. Readers see
+    * either the old generation + tombstone anti-join or the new
+    * compacted generation — never an intermediate. Also collapses the
+    * small files of accumulated [[appendToPqIndex]] batches (one
+    * output file per cell partition per shuffle partition), so it
+    * doubles as the index's periodic file-compaction pass.
+    *
+    * Cost: one scan + partitioned write of the code table (codes only
+    * — raw vectors, codebooks and centroids are untouched). Run it on
+    * the removal pipeline's cadence, not per delete.
+    */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    healPqIndex(fs, path)
+    val meta = readPqLiveMeta(fs, path)
+    val codes = spark.read.parquet(s"$path/${meta.codesDir}")
+    val live = pqTombstones(spark, path, meta) match {
+      case Some(tomb) =>
+        codes.join(broadcast(tomb), tomb.columns.toSeq, "left_anti")
+      case None => codes
+    }
+    val gen = meta.gen + 1L
+    live.write.mode("errorifexists").partitionBy("cell")
+      .parquet(s"$path/codes_gen=$gen")
+    writeLiveMarker(fs, path,
+      PqLiveMeta(gen, s"codes_gen=$gen", Seq.empty))
+    healPqIndex(fs, path) // GC old generation + folded batches
   }
 
   /** Random-projection dimensionality reduction: `outDim` fixed

@@ -416,6 +416,24 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("pq-query", idxOpq, embPath, outOpqRef,
       "3", "2", "1", "--refine", embPath, "8"))
     assert(spark.read.parquet(outOpqRef).columns.contains("cos_sim"))
+    // deletion lifecycle: pq-delete tombstones, serving skips them;
+    // pq-compact folds them into a fresh generation
+    val idsPath = s"$base/del-ids"
+    Seq(3L, 7L).toDF("vec_id").write.parquet(idsPath)
+    graft.cli.Main.main(Array("pq-delete", idx, idsPath))
+    val outDel = s"$base/after-del"
+    graft.cli.Main.main(Array("pq-query", idx, embPath, outDel,
+      "3", "2", "1"))
+    val afterDel = spark.read.parquet(outDel)
+    assert(afterDel
+      .filter(col("neighbor").isin(3L, 7L)).count() == 0L,
+      "tombstoned id served from the CLI path")
+    graft.cli.Main.main(Array("pq-compact", idx))
+    val outCmp = s"$base/after-compact"
+    graft.cli.Main.main(Array("pq-query", idx, embPath, outCmp,
+      "3", "2", "1"))
+    assert(spark.read.parquet(outCmp)
+      .filter(col("neighbor").isin(3L, 7L)).count() == 0L)
   }
 
   test("fk-audit / scd2 / snapshot-diff / roc-auc / kappa / ohlc " +

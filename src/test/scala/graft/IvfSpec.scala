@@ -669,6 +669,148 @@ class IvfSpec extends SparkSpec {
     assert(fromIndex == inline)
   }
 
+  private def lifecycleFixture() = {
+    def vec(d0: Float, d32: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(0) = d0
+      a(32) = d32
+      a
+    }
+    (0L until 16L).map { i =>
+      (i, i % 4, vec(if (i % 2 == 0) 10f else -10f,
+        if ((i / 2) % 2 == 0) 10f else -10f))
+    }.toDF("vec_id", "cell", "embedding")
+  }
+
+  private def serveRefined(dir: String,
+      emb: org.apache.spark.sql.DataFrame) = {
+    val (cb, codes, cen) = SimSearch.readPqIndex(spark, dir)
+    SimSearch.ivfPqTopKRefined(codes, cb, cen,
+      emb.filter(col("vec_id") < 4), emb, "vec_id", "embedding",
+      "vec_id", m = 2, k = 4, candidates = 8, nprobe = 2, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+  }
+
+  test("pq index deletion lifecycle: tombstoned ids never surface " +
+    "from serving, compaction physically drops them and serves " +
+    "identically, and survivor results match an index that never " +
+    "held the deleted rows in its code table") {
+    val emb = lifecycleFixture()
+    val dir = java.nio.file.Files
+      .createTempDirectory("pqdel").toString
+    SimSearch.writePqIndex(emb, dir, "vec_id", "embedding", "cell",
+      m = 2, k = 2, iters = 2, dim = 64, bucketWidth = 4L)
+    val deleted = Set(5L, 10L, 15L)
+    SimSearch.deleteFromPqIndex(
+      deleted.toSeq.toDF("vec_id"), dir)
+    val tombstoned = serveRefined(dir, emb)
+    assert(tombstoned.nonEmpty)
+    assert(!tombstoned.values.exists(v => deleted.contains(v._1)),
+      s"tombstoned id surfaced: $tombstoned")
+    // survivors: identical to serving codes that never held the rows
+    // (codebooks/centroids still fit on the FULL corpus — deletes
+    // never refit models)
+    val inlineCb = SimSearch.pqFit(emb, "vec_id", "embedding",
+      m = 2, k = 2, iters = 2, dim = 64, bucketWidth = 4L)
+    val inline = SimSearch.ivfPqTopKRefined(
+      SimSearch.pqEncode(emb, inlineCb, "vec_id", "embedding",
+        m = 2, dim = 64)
+        .join(emb.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .filter(!col("vec_id").isin(deleted.toSeq: _*)),
+      inlineCb,
+      SimSearch.ivfCentroids(emb, "vec_id", "embedding", "cell",
+        dim = 64, bucketWidth = 4L),
+      emb.filter(col("vec_id") < 4), emb, "vec_id", "embedding",
+      "vec_id", m = 2, k = 4, candidates = 8, nprobe = 2, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(tombstoned == inline)
+    // compaction: same serving, rows physically gone, tombstones GC'd
+    SimSearch.compactPqIndex(spark, dir)
+    assert(serveRefined(dir, emb) == tombstoned)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val meta = SimSearch.readPqLiveMeta(fs, dir)
+    assert(meta.codesDir.startsWith("codes_gen=") &&
+      meta.tombBatches.isEmpty, meta.toString)
+    val physical = spark.read.parquet(s"$dir/${meta.codesDir}")
+    assert(physical.count() == (16 - deleted.size) * 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes")),
+      "old generation not GC'd")
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/tombstones")),
+      "folded tombstones not GC'd")
+  }
+
+  test("pq index lifecycle crash windows: an orphan tombstone batch " +
+    "(no marker) is invisible and healed by the next writer; a torn " +
+    "marker is ignored; a full rebuild resets the lifecycle") {
+    val emb = lifecycleFixture()
+    val dir = java.nio.file.Files
+      .createTempDirectory("pqcrash").toString
+    SimSearch.writePqIndex(emb, dir, "vec_id", "embedding", "cell",
+      m = 2, k = 2, iters = 2, dim = 64, bucketWidth = 4L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val before = serveRefined(dir, emb)
+    // crash between the tombstone batch write and the marker PUT:
+    // the batch is unreferenced — the delete simply did not happen
+    Seq(1L).toDF("vec_id").write.parquet(s"$dir/tombstones/batch=1")
+    assert(serveRefined(dir, emb) == before,
+      "orphan tombstone batch leaked into serving")
+    // a torn marker (no footer) is skipped by readers
+    val torn = fs.create(
+      new org.apache.hadoop.fs.Path(dir, f"_live.${9L}%019d"), false)
+    torn.write("codes:codes_gen=9\ntomb:".getBytes("UTF-8"))
+    torn.close()
+    assert(serveRefined(dir, emb) == before, "torn marker ruled")
+    // the next writer heals both artifacts and its delete commits
+    SimSearch.deleteFromPqIndex(Seq(5L).toDF("vec_id"), dir)
+    val got = serveRefined(dir, emb)
+    assert(!got.values.exists(_._1 == 5L), got.toString)
+    // a rebuild resets the lifecycle: pristine meta, everything serves
+    SimSearch.writePqIndex(emb, dir, "vec_id", "embedding", "cell",
+      m = 2, k = 2, iters = 2, dim = 64, bucketWidth = 4L)
+    val meta = SimSearch.readPqLiveMeta(fs, dir)
+    assert(meta.gen == 0L && meta.codesDir == "codes" &&
+      meta.tombBatches.isEmpty, meta.toString)
+    assert(serveRefined(dir, emb) == before)
+  }
+
+  test("appendToPqIndex lands in the LIVE generation after a " +
+    "compaction and the appended ids serve; re-appending a " +
+    "tombstoned id stays hidden until compacted") {
+    val emb = lifecycleFixture()
+    val dir = java.nio.file.Files
+      .createTempDirectory("pqappend2").toString
+    val half = emb.filter(col("vec_id") < 12)
+    SimSearch.writePqIndex(half, dir, "vec_id", "embedding", "cell",
+      m = 2, k = 2, iters = 2, dim = 64, bucketWidth = 4L)
+    SimSearch.deleteFromPqIndex(Seq(11L).toDF("vec_id"), dir)
+    SimSearch.compactPqIndex(spark, dir)
+    // append the remaining vectors into the compacted generation
+    SimSearch.appendToPqIndex(emb.filter(col("vec_id") >= 12), dir,
+      "vec_id", "embedding", m = 2, dim = 64,
+      cellCol = Some("cell"))
+    val served = serveRefined(dir, emb)
+    assert(served.values.exists(v => v._1 >= 12L),
+      s"appended ids unreachable: $served")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes")))
+    // 11 was compacted away, so re-appending it re-indexes it
+    // physically — but only a compacted index forgets a tombstone;
+    // here the tombstone list is empty, so 11 serves again
+    SimSearch.appendToPqIndex(
+      emb.filter(col("vec_id") === 11L), dir, "vec_id", "embedding",
+      m = 2, dim = 64, cellCol = Some("cell"))
+    val meta = SimSearch.readPqLiveMeta(fs, dir)
+    val ids = spark.read.parquet(s"$dir/${meta.codesDir}")
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 16L).toSet, ids.toString)
+  }
+
   test("randomProject: fold dot against the md5-derived planes") {
     val v = Array.fill(64)(0.0f)
     v(0) = 2.0f
