@@ -698,6 +698,25 @@ object OracleSql {
       |    (SELECT count(*) FROM s0)::DOUBLE, 6) AS conversion
       |FROM c""".stripMargin
 
+  /** Gap-based sessionization (q24) — ALSO the oracle of q272's
+    * streaming replay: under event-time-ordered batches the
+    * incremental per-user session state equals the batch flavor row
+    * for row, so one SQL gates both.
+    */
+  private lazy val q24Sessionize =
+    """WITH e AS (SELECT user_id, event_id, value, ts,
+      |             CAST(floor(epoch(ts)) AS BIGINT) AS tse FROM events),
+      |l AS (SELECT *, CASE WHEN tse - lag(tse) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+      |        THEN 1 ELSE 0 END AS ns FROM e),
+      |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+      |        AS session_seq FROM l)
+      |SELECT user_id, session_seq::BIGINT AS session_seq,
+      |  min(tse) AS session_start, max(tse) AS session_end,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM s GROUP BY 1, 2""".stripMargin
+
   /** Funnel conversion-latency percentiles (q124) — ALSO the oracle of
     * q249's streaming replay: the state-derived latency report under
     * event-time-ordered batches is exact, so it must equal the batch
@@ -2325,19 +2344,7 @@ object OracleSql {
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
-    "q24_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, value, ts,
-        |             CAST(floor(epoch(ts)) AS BIGINT) AS tse FROM events),
-        |l AS (SELECT *, CASE WHEN tse - lag(tse) OVER
-        |        (PARTITION BY user_id ORDER BY ts, event_id) > 1800
-        |        THEN 1 ELSE 0 END AS ns FROM e),
-        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
-        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
-        |        AS session_seq FROM l)
-        |SELECT user_id, session_seq::BIGINT AS session_seq,
-        |  min(tse) AS session_start, max(tse) AS session_end,
-        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q24_sessionize" -> q24Sessionize,
 
     "q30_asof_join" ->
       """WITH c AS (SELECT event_id, user_id, ts, value FROM events
@@ -6422,5 +6429,259 @@ object OracleSql {
     // (deletes never refit models), and the gate query serves the
     // same rows through BOTH the tombstone anti-join and the
     // compacted generation.
-    "q265_pq_index_delete" -> q121Sql("WHERE a0.vid % 9 <> 0"))
+    "q265_pq_index_delete" -> q121Sql("WHERE a0.vid % 9 <> 0"),
+
+    // Unsupervised Fellegi-Sunter (Winkler EM): the 5 fixed EM
+    // iterations unroll as CTE pairs (e<i> responsibilities over the
+    // ≤ 2^3-row pattern table, s<i> re-estimated micro params) with
+    // the EXACT arithmetic shape of Dedup.fellegiSunterEM — micro-
+    // snapped responsibilities make every M-step sum exact integer,
+    // each estimate is one double division of two exact longs, the
+    // E-step product chain is left-associated in both engines.
+    "q266_fs_em" -> {
+      val fields = Seq(
+        ("name_mid", "substr(a.name, 4, 3) = substr(b.name, 4, 3)"),
+        ("name_tail", "substr(a.name, 7, 3) = substr(b.name, 7, 3)"),
+        ("nation", "a.nation = b.nation"))
+      val idx = fields.indices
+      val flags = fields.zipWithIndex.map { case ((_, e), i) =>
+        s"($e) AS f$i" }.mkString(",\n         ")
+      val patCols = idx.map(i => s"coalesce(f$i, false) AS f$i")
+        .mkString(", ")
+      def emIter(i: Int, prev: String): String = {
+        val pm = idx.foldLeft(s"(p::DOUBLE / 1000000.0)") { (acc, j) =>
+          s"$acc * (CASE WHEN f$j THEN m$j::DOUBLE / 1000000.0 " +
+            s"ELSE (1000000 - m$j)::DOUBLE / 1000000.0 END)"
+        }
+        val pu = idx.foldLeft(
+          s"((1000000 - p)::DOUBLE / 1000000.0)") { (acc, j) =>
+          s"$acc * (CASE WHEN f$j THEN u$j::DOUBLE / 1000000.0 " +
+            s"ELSE (1000000 - u$j)::DOUBLE / 1000000.0 END)"
+        }
+        val moments = idx.flatMap(j => Seq(
+          s"""least(999999, greatest(1,
+             |    round(sum(CASE WHEN f$j THEN w * n ELSE 0 END)::DOUBLE
+             |      / sum(w * n)::DOUBLE * 1000000.0)::BIGINT)) AS m$j""",
+          s"""least(999999, greatest(1,
+             |    round(sum(CASE WHEN f$j THEN (1000000 - w) * n
+             |        ELSE 0 END)::DOUBLE
+             |      / (1000000 * sum(n) - sum(w * n))::DOUBLE
+             |      * 1000000.0)::BIGINT)) AS u$j"""))
+          .map(_.stripMargin).mkString(",\n  ")
+        s"""e$i AS (SELECT pat.*,
+           |  round(($pm) / (($pm) + ($pu)) * 1000000.0)::BIGINT AS w
+           |  FROM pat CROSS JOIN $prev),
+           |s$i AS (SELECT
+           |  least(999999, greatest(1,
+           |    round(sum(w * n)::DOUBLE / sum(n)::DOUBLE)::BIGINT))
+           |    AS p,
+           |  $moments
+           |  FROM e$i)""".stripMargin
+      }
+      val iters = (1 to 5).map(i =>
+        emIter(i, if (i == 1) "p0" else s"s${i - 1}")).mkString(",\n")
+      val init = ("100000::BIGINT AS p" +: idx.flatMap(j => Seq(
+        s"900000::BIGINT AS m$j", s"100000::BIGINT AS u$j")))
+        .mkString(", ")
+      val sels = fields.zipWithIndex.map { case ((nm, _), i) =>
+        s"""SELECT '$nm' AS field, p AS p_micro,
+           |  m$i AS m_micro, u$i AS u_micro,
+           |  round((ln(m$i::DOUBLE / 1000000.0) -
+           |    ln(u$i::DOUBLE / 1000000.0)) * 1000000.0)::BIGINT
+           |    AS w_agree_micro,
+           |  round((ln((1000000 - m$i)::DOUBLE / 1000000.0) -
+           |    ln((1000000 - u$i)::DOUBLE / 1000000.0)) * 1000000.0)
+           |    ::BIGINT AS w_disagree_micro
+           |FROM s5""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH recs AS (
+         |  SELECT c_custkey * 2 AS rec_id,
+         |    substr(md5(c_custkey::VARCHAR), 1, 12) AS name,
+         |    c_nationkey::BIGINT AS nation
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey * 2 + 1,
+         |    substr(nm, 1, p - 1) || 'z' || substr(nm, p + 1, 12),
+         |    (CASE WHEN c_custkey % 3 = 0 THEN (c_nationkey + 1) % 25
+         |          ELSE c_nationkey END)::BIGINT
+         |  FROM (SELECT c_custkey, c_nationkey,
+         |          substr(md5(c_custkey::VARCHAR), 1, 12) AS nm,
+         |          (c_custkey % 12 + 1)::INTEGER AS p
+         |        FROM customer WHERE c_custkey % 7 = 0)),
+         |pr AS (SELECT $flags
+         |       FROM recs a JOIN recs b
+         |         ON substr(a.name, 1, 3) = substr(b.name, 1, 3)
+         |        AND a.rec_id < b.rec_id),
+         |pat AS (SELECT $patCols, count(*)::BIGINT AS n
+         |        FROM pr GROUP BY ALL),
+         |p0 AS (SELECT $init),
+         |$iters
+         |$sels""".stripMargin
+    },
+
+    // Mann-Whitney U: doubled tie-averaged ranks from the distinct-
+    // cent-value cumulative table; exact HUGEINT U and tie sums; the
+    // z / rank-biserial double chains mirror mannWhitneyU exactly
+    "q267_mann_whitney" ->
+      """WITH d AS (SELECT (event_type = 'view') AS ga,
+        |    round(value * 100)::BIGINT AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |bv AS (SELECT v,
+        |    sum(CASE WHEN ga THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN NOT ga THEN 1 ELSE 0 END)::BIGINT AS nb,
+        |    count(*)::BIGINT AS cnt
+        |  FROM d GROUP BY v),
+        |rk AS (SELECT na, nb, cnt,
+        |    2 * (sum(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS r2
+        |  FROM bv),
+        |m AS (SELECT sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b,
+        |    sum(na::HUGEINT * r2) AS ra2,
+        |    sum(cnt::HUGEINT * cnt * cnt - cnt) AS ties
+        |  FROM rk),
+        |u AS (SELECT n_a, n_b, ties,
+        |    (n_a + n_b)::HUGEINT AS n,
+        |    ra2 - n_a::HUGEINT * (n_a + 1) AS ua2,
+        |    2 * n_a::HUGEINT * n_b - (ra2 - n_a::HUGEINT * (n_a + 1))
+        |      AS ub2
+        |  FROM m),
+        |vr AS (SELECT u.*,
+        |    (n_a::HUGEINT * n_b)::DOUBLE / 12.0 *
+        |      ((n + 1)::DOUBLE - ties::DOUBLE / (n * (n - 1))::DOUBLE)
+        |      AS varu
+        |  FROM u)
+        |SELECT n_a, n_b, ua2::BIGINT AS u_a_x2, ub2::BIGINT AS u_b_x2,
+        |  (round((1.0 - ub2::DOUBLE / (n_a::HUGEINT * n_b)::DOUBLE)
+        |    * 1000000.0))::BIGINT AS r_rb_micro,
+        |  CASE WHEN varu = 0 THEN NULL ELSE
+        |    (round((ua2::DOUBLE / 2.0
+        |      - (n_a::HUGEINT * n_b)::DOUBLE / 2.0) / sqrt(varu)
+        |      * 1000000.0))::BIGINT END AS z_micro
+        |FROM vr""".stripMargin,
+
+    // Adamic-Adar over the k in 1..3 citation ring: wedge join through
+    // the common neighbor, per-neighbor 1/ln(deg) micro terms snapped
+    // before the sum, existing edges anti-joined, deterministic top-20
+    "q268_adamic_adar" ->
+      """WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |e0 AS (SELECT doc_id AS src, (doc_id + k.k) % nn.n AS dst
+        |  FROM documents CROSS JOIN nn
+        |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) k),
+        |und AS (SELECT DISTINCT least(src, dst) AS a,
+        |    greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |nbrs AS (SELECT a AS w, b AS x FROM und
+        |  UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT w, count(*)::BIGINT AS dg FROM nbrs GROUP BY w),
+        |wt AS (SELECT nbrs.w, nbrs.x,
+        |    (round(1000000.0 / ln(dg::DOUBLE)))::BIGINT AS t
+        |  FROM nbrs JOIN deg ON deg.w = nbrs.w
+        |  WHERE dg > 1 AND dg <= 10000),
+        |pairs AS (SELECT l.x AS id_a, r.x AS id_b,
+        |    count(*)::BIGINT AS n_common, sum(l.t)::BIGINT AS aa_micro
+        |  FROM wt l JOIN wt r ON l.w = r.w AND l.x < r.x
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_common, aa_micro
+        |FROM pairs
+        |WHERE NOT EXISTS (SELECT 1 FROM und
+        |  WHERE und.a = pairs.id_a AND und.b = pairs.id_b)
+        |ORDER BY aa_micro DESC, id_a, id_b
+        |LIMIT 20""".stripMargin,
+
+    // Exact Gini from the distinct-count cumulative table: doubled
+    // rank-weighted sum (ties share consecutive ranks), HUGEINT
+    // moments, one micro-snapped double chain
+    "q269_gini" ->
+      """WITH uc AS (SELECT user_id, count(*)::BIGINT AS c
+        |  FROM events GROUP BY user_id),
+        |bv AS (SELECT c, count(*)::BIGINT AS cnt FROM uc GROUP BY c),
+        |cl AS (SELECT c, cnt,
+        |    sum(cnt) OVER (ORDER BY c) - cnt AS less
+        |  FROM bv),
+        |m AS (SELECT sum(cnt)::BIGINT AS n,
+        |    sum(c::HUGEINT * cnt) AS tot,
+        |    sum(c::HUGEINT * cnt * (2 * less + cnt + 1)) AS rw2
+        |  FROM cl)
+        |SELECT n, tot::BIGINT AS total,
+        |  CASE WHEN tot = 0 THEN NULL ELSE
+        |    (round((rw2::DOUBLE / (n::DOUBLE * tot::DOUBLE)
+        |      - (n + 1)::DOUBLE / n::DOUBLE) * 1000000.0))::BIGINT
+        |  END AS gini_micro
+        |FROM m""".stripMargin,
+
+    // Jensen-Shannon terms: per-category micro-snapped (p ln(p/m) +
+    // q ln(q/m))/2 against exact count ratios; one-sided categories
+    // contribute finitely
+    "q270_js_divergence" ->
+      """WITH counts AS (SELECT event_type AS cat,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_a,
+        |    sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_b
+        |  FROM events GROUP BY event_type),
+        |tot AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb
+        |  FROM counts)
+        |SELECT cat, n_a, n_b,
+        |  (round(
+        |    (CASE WHEN n_a > 0 THEN (n_a::DOUBLE / ta::DOUBLE) *
+        |      ln((n_a::DOUBLE / ta::DOUBLE) /
+        |        ((n_a::DOUBLE / ta::DOUBLE + n_b::DOUBLE / tb::DOUBLE)
+        |          / 2.0)) ELSE 0.0 END +
+        |     CASE WHEN n_b > 0 THEN (n_b::DOUBLE / tb::DOUBLE) *
+        |      ln((n_b::DOUBLE / tb::DOUBLE) /
+        |        ((n_a::DOUBLE / ta::DOUBLE + n_b::DOUBLE / tb::DOUBLE)
+        |          / 2.0)) ELSE 0.0 END)
+        |    / 2.0 * 1000000.0))::BIGINT AS term_micro
+        |FROM counts, tot""".stripMargin,
+
+    // Cramér's V: q228's zero-filled contingency grid with snapped
+    // micro terms, then V = sqrt(chi2 / (N·(min(r,c)−1)))
+    "q271_cramers_v" ->
+      """WITH base AS (SELECT event_type, (user_id % 5)::BIGINT
+        |    AS cohort FROM events),
+        |cells AS (SELECT event_type, cohort, count(*)::BIGINT
+        |    AS observed
+        |  FROM base GROUP BY 1, 2),
+        |r AS (SELECT event_type, sum(observed)::BIGINT AS rt
+        |  FROM cells GROUP BY 1),
+        |c AS (SELECT cohort, sum(observed)::BIGINT AS ct
+        |  FROM cells GROUP BY 1),
+        |n AS (SELECT sum(observed)::BIGINT AS n FROM cells),
+        |grid AS (SELECT r.event_type, c.cohort, r.rt, c.ct,
+        |    coalesce(cells.observed, 0)::BIGINT AS observed
+        |  FROM r CROSS JOIN c
+        |  LEFT JOIN cells ON cells.event_type = r.event_type
+        |    AND cells.cohort = c.cohort),
+        |terms AS (SELECT grid.observed,
+        |    (round((grid.observed::DOUBLE
+        |        - (grid.rt * grid.ct)::DOUBLE / n.n::DOUBLE)
+        |      * (grid.observed::DOUBLE
+        |        - (grid.rt * grid.ct)::DOUBLE / n.n::DOUBLE)
+        |      / ((grid.rt * grid.ct)::DOUBLE / n.n::DOUBLE)
+        |      * 1000000.0))::BIGINT AS term_micro,
+        |    grid.event_type, grid.cohort
+        |  FROM grid, n),
+        |agg AS (SELECT sum(observed)::BIGINT AS n,
+        |    count(DISTINCT event_type)::BIGINT AS n_rows_dim,
+        |    count(DISTINCT cohort)::BIGINT AS n_cols_dim,
+        |    sum(term_micro)::BIGINT AS chi2_micro
+        |  FROM terms)
+        |SELECT n, n_rows_dim, n_cols_dim, chi2_micro,
+        |  (round(sqrt(chi2_micro::DOUBLE / 1000000.0 /
+        |    (n::DOUBLE * (least(n_rows_dim, n_cols_dim) - 1)::DOUBLE))
+        |    * 1000000.0))::BIGINT AS v_micro
+        |FROM agg""".stripMargin,
+
+    // Streaming sessionization replay: the state-derived report under
+    // event-time-ordered batches equals the batch flavor exactly —
+    // q24's SQL verbatim
+    "q272_streaming_sessions_replay" -> q24Sessionize,
+
+    // Incremental join maintenance: the oracle is the FULL re-join —
+    // identical output proves the delta rule (ΔA⋈B_new ∪ A_old⋈ΔB)
+    // loses nothing and duplicates nothing
+    "q273_incremental_join" ->
+      """SELECT o_orderkey AS okey, o_custkey, o_totalprice,
+        |  l_linenumber, l_quantity
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
+        .stripMargin)
 }

@@ -346,6 +346,23 @@ object SparkEntry {
       Seq("gameId", "season", "nflId", "team").foreach { n =>
         require(fields.contains(n), s"pool lost column $n")
       }
+      // object-store-safe flavor (S5's upsert without atomic rename —
+      // the 100 TB object-store path): the same pool rows through the
+      // marker-committed writer must read back row-identical, and the
+      // commit must be exactly one marker object
+      val mroot = base.resolve("mpool").toString
+      graft.operators.PoolCommit.write(pool, mroot)
+      val mpool = graft.operators.PoolCommit.read(s, mroot)
+      val ordered = pool.columns.sorted.map(col)
+      require(
+        mpool.select(ordered: _*).exceptAll(pool.select(ordered: _*))
+          .isEmpty &&
+        pool.select(ordered: _*).exceptAll(mpool.select(ordered: _*))
+          .isEmpty,
+        "marker-committed pool diverged from the rename pool")
+      require(java.nio.file.Files.exists(base.resolve("mpool")
+        .resolve("_pool_marker.0000000000000000001")),
+        "marker flavor missing its commit marker")
       // materialize the 1-row summary BEFORE the finally deletes the
       // files it reads from; return a driver-local frame
       val summary = Ingest.summaryDf(pool)
@@ -4457,6 +4474,178 @@ object SparkEntry {
     }
   }
 
+  /** UNSUPERVISED Fellegi-Sunter: Winkler-EM weight estimation over
+    * an UNLABELED dirty registry — the estimator a real linkage
+    * deployment runs (labels rarely exist). The blocking is
+    * deliberately coarse (first 3 md5 chars, 4096 blocks) so the
+    * candidate pairs are a genuine mixture of true duplicates
+    * (single-char corruptions — name slices mostly agree, nation
+    * agrees 2/3) and random co-blocked pairs (slices agree at hex
+    * chance ≈ 2·10⁻⁴, nation at 1/25). The pairs reduce once to the
+    * ≤ 2^3-row comparison-pattern count table; 5 EM iterations run
+    * in-plan over that bounded frame with micro-snapped
+    * responsibilities (exact integer M-step sums), so the whole
+    * estimation hash-gates against a DuckDB oracle that unrolls the
+    * identical iterations as CTEs. EM recovers strongly positive
+    * agreement weights for the name slices and a weaker one for
+    * nation — from structure alone, no `isMatch` anywhere.
+    */
+  def q266_fs_em(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val baseName = md5(col("c_custkey").cast("string")).substr(1, 12)
+    val base = cust.select((col("c_custkey") * 2).as("rec_id"),
+      baseName.as("name"), col("c_nationkey").cast("long").as("nation"))
+    val p = (col("c_custkey") % 12 + 1).cast("int")
+    val dirty = cust.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") * 2 + 1).as("rec_id"),
+        concat(baseName.substr(lit(1), p - 1), lit("z"),
+          baseName.substr(p + 1, lit(12))).as("name"),
+        when(col("c_custkey") % 3 === 0,
+          pmod(col("c_nationkey") + 1, lit(25)).cast("long"))
+          .otherwise(col("c_nationkey").cast("long")).as("nation"))
+    val records = base.union(dirty)
+    val l = records.select(substring(col("name"), 1, 3).as("_k"),
+      col("rec_id").as("id_a"), col("name").as("na"),
+      col("nation").as("xa"))
+    val r = records.select(substring(col("name"), 1, 3).as("_k"),
+      col("rec_id").as("id_b"), col("name").as("nb"),
+      col("nation").as("xb"))
+    val pairs = l.join(r, "_k").filter(col("id_a") < col("id_b"))
+    Dedup.fellegiSunterEM(pairs, Seq(
+      "name_mid" -> (substring(col("na"), 4, 3) ===
+        substring(col("nb"), 4, 3)),
+      "name_tail" -> (substring(col("na"), 7, 3) ===
+        substring(col("nb"), 7, 3)),
+      "nation" -> (col("xa") === col("xb"))))
+  }
+
+  /** Mann-Whitney U over event values, 'view' vs the rest — the
+    * nonparametric sibling of q237's Welch test: doubled tie-averaged
+    * ranks off the distinct-cent-value table, exact integer U and tie
+    * sums, micro-snapped z (tie-corrected) and rank-biserial effect
+    * size.
+    */
+  def q267_mann_whitney(s: SparkSession, dir: String): DataFrame =
+    Relational.mannWhitneyU(
+      t(s, dir, "events").filter(col("value").isNotNull),
+      col("event_type") === "view",
+      round(col("value") * 100).cast("long"))
+
+  /** Adamic-Adar link prediction over the q162 synthetic citation
+    * ring (k ∈ 1..3 forward edges): top-20 non-adjacent pairs by
+    * Σ 1/ln(deg) over common neighbors — shared rare neighbors
+    * outweigh shared hubs. Wedge-join candidates (never all-pairs),
+    * per-neighbor terms micro-snapped before the exact integer sum.
+    */
+  def q268_adamic_adar(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val n1 = d.agg(count(lit(1)).as("n_nodes"))
+    val edges = d.select(col("doc_id").as("src"))
+      .crossJoin(broadcast(n1))
+      .select(col("src"), explode(sequence(lit(1L), lit(3L))).as("k"),
+        col("n_nodes"))
+      .select(col("src"),
+        ((col("src") + col("k")) % col("n_nodes")).as("dst"))
+    LinkGraph.adamicAdar(edges, topK = 20)
+  }
+
+  /** Exact Gini index of per-user event-count concentration — the
+    * skew number a corpus report quotes: rank-weighted sum off the
+    * DISTINCT-COUNT cumulative table (ties share consecutive ranks,
+    * doubled to stay integer), decimal moments, one micro-snapped
+    * division.
+    */
+  def q269_gini(s: SparkSession, dir: String): DataFrame =
+    Relational.giniIndex(
+      t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("_c")),
+      col("_c"))
+
+  /** Jensen-Shannon divergence between even- and odd-user event-type
+    * mixes — the symmetric bounded drift number next to q84's KL and
+    * q238's PSI: per-category terms micro-snap then sum exactly;
+    * one-sided categories contribute finitely (KL would blow up).
+    */
+  def q270_js_divergence(s: SparkSession, dir: String): DataFrame =
+    Relational.jsDivergenceTerms(t(s, dir, "events"),
+      col("event_type"), pmod(col("user_id"), lit(2L)) === 0)
+
+  /** Cramér's V for event-type × user-cohort association — the [0,1]
+    * effect size on q228's chi-square machinery, comparable across
+    * table sizes; exact margins/N, snapped micro terms, one sqrt.
+    */
+  def q271_cramers_v(s: SparkSession, dir: String): DataFrame =
+    Relational.cramersV(
+      t(s, dir, "events").select(col("event_type"),
+        pmod(col("user_id"), lit(5L)).as("cohort")),
+      "event_type", "cohort")
+
+  /** Incremental join-view maintenance (q242's merge discipline for
+    * JOINS): orders ⋈ lineitem splits into a persisted base view plus
+    * append deltas on BOTH sides, [[Incremental.joinDelta]] computes
+    * `ΔA ⋈ B_new ∪ A_old ⋈ ΔB`, and base ∪ delta must equal the full
+    * re-join row for row — the oracle IS the full recompute, so an
+    * identical result proves the delta rule loses nothing and
+    * duplicates nothing (multiset semantics throughout).
+    */
+  def q273_incremental_join(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+      col("o_custkey"), col("o_totalprice"))
+    val b = t(s, dir, "lineitem").select(col("l_orderkey").as("okey"),
+      col("l_linenumber"), col("l_quantity"))
+    val (aOld, dA) = (a.filter(col("okey") % 5 =!= 0),
+      a.filter(col("okey") % 5 === 0))
+    val (bOld, dB) = (b.filter(col("l_linenumber") % 2 === 1),
+      b.filter(col("l_linenumber") % 2 === 0))
+    val vOld = aOld.join(bOld, Seq("okey"))
+    vOld.unionByName(
+      Incremental.joinDelta(aOld, dA, bOld, dB, Seq("okey")))
+  }
+
+  /** Deterministic replay of the STREAMING sessionization twin
+    * ([[graft.streaming.StreamingSessions]]): four event-time-ordered
+    * micro-batches drive the bucketed per-user session state (the
+    * q125 replay shape, WITH real batch ids so the per-bucket
+    * applied-batch watermark is exercised — batch 2 replays once and
+    * must be a no-op), and the report off the STATE equals the batch
+    * [[graft.streaming.EventOps.sessionize]] (q24) row for row, so
+    * q24's DuckDB oracle gates the incremental merge — open-session
+    * extension, fresh-ordinal renumbering, unrounded state sums —
+    * end to end. EAGER like q125 (state swaps are jobs); temp tree
+    * deleted before returning.
+    */
+  def q272_streaming_sessions_replay(
+      s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingSessions
+    val ev = t(s, dir, "events")
+    val Array(lo, hi) = ev
+      .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val base = java.nio.file.Files.createTempDirectory("graft_ssess")
+    try {
+      val statePath = base.resolve("state").toString
+      val step = math.max((hi - lo) / 4 + 1, 1L)
+      (0 until 4).foreach { i =>
+        val (bLo, bHi) = (lo + i * step, lo + (i + 1) * step)
+        val b = ev.filter(col("ts").cast("long") >= bLo &&
+          col("ts").cast("long") < bHi)
+        StreamingSessions.processBatch(b, i.toLong, statePath,
+          gapMinutes = 30, buckets = 4)
+        // at-least-once: replay one mid-stream batch verbatim — the
+        // watermark must make it a no-op or the oracle catches the
+        // double-merged counts
+        if (i == 2)
+          StreamingSessions.processBatch(b, i.toLong, statePath,
+            gapMinutes = 30, buckets = 4)
+      }
+      StreamingSessions.report(s, statePath).localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Deterministic replay of the STREAMING funnel-latency twin
     * ([[graft.streaming.StreamingFunnel.latencyReport]]): the q125
     * event-time-ordered replay drives the bucketed state, and the
@@ -4743,7 +4932,16 @@ object SparkEntry {
     "q262_linkage_decisions" -> (q262_linkage_decisions(_, _)),
     "q263_hash_features" -> (q263_hash_features(_, _)),
     "q264_conformal" -> (q264_conformal(_, _)),
-    "q265_pq_index_delete" -> (q265_pq_index_delete(_, _)))
+    "q265_pq_index_delete" -> (q265_pq_index_delete(_, _)),
+    "q266_fs_em" -> (q266_fs_em(_, _)),
+    "q267_mann_whitney" -> (q267_mann_whitney(_, _)),
+    "q268_adamic_adar" -> (q268_adamic_adar(_, _)),
+    "q269_gini" -> (q269_gini(_, _)),
+    "q270_js_divergence" -> (q270_js_divergence(_, _)),
+    "q271_cramers_v" -> (q271_cramers_v(_, _)),
+    "q272_streaming_sessions_replay" ->
+      (q272_streaming_sessions_replay(_, _)),
+    "q273_incremental_join" -> (q273_incremental_join(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

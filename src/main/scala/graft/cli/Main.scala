@@ -633,6 +633,35 @@ object Main {
         }
       done(spark)
 
+    // streaming sessionization twin: drain events into the bucketed
+    // per-user session state, then print the largest sessions
+    case "sessions-stream" :: inDir :: statePath :: ckpt :: rest =>
+      val gap = rest.headOption.map(_.toInt).getOrElse(30)
+      val spark = session()
+      val stream = spark.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .json(inDir)
+      val q = graft.streaming.StreamingSessions.start(stream, statePath,
+        ckpt, gapMinutes = gap)
+      q.awaitTermination() // AvailableNow: drains current files, stops
+      graft.streaming.StreamingSessions.report(spark, statePath)
+        .orderBy(org.apache.spark.sql.functions.col("n_events").desc)
+        .limit(5).collect().foreach { r =>
+          println(s"[sessions-stream] user=${r.get(0)} " +
+            s"seq=${r.getLong(1)} n=${r.getLong(4)} " +
+            s"span=${r.getLong(3) - r.getLong(2)}s")
+        }
+      done(spark)
+
+    // read-side twin: all sessions off the persisted state
+    case "sessions-report" :: statePath :: outDir :: Nil =>
+      val spark = session()
+      graft.streaming.StreamingSessions.report(spark, statePath)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[sessions-report] -> $outDir")
+      done(spark)
+
     case "dedup-stream" :: inDir :: idxPath :: outDir :: ckpt :: rest =>
       val spark = session()
       val stream = spark.readStream
@@ -2128,6 +2157,101 @@ object Main {
           println(f"  ${r.get(0)}%-24s ${r.getDouble(1)}%.8f") }
       done(spark)
 
+    // Mann-Whitney U rank-sum test: groupCol (boolean) splits sides
+    case "mwu" :: path :: valCol :: groupCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.mannWhitneyU(
+        spark.read.parquet(path).filter(col(valCol).isNotNull),
+        col(groupCol).cast("boolean"), col(valCol)).head()
+      println(s"[mwu] n_a=${r.getLong(0)} n_b=${r.getLong(1)} " +
+        s"u_a_x2=${r.getLong(2)} u_b_x2=${r.getLong(3)} " +
+        s"r_rb_micro=${r.getLong(4)} z_micro=${r.get(5)}")
+      done(spark)
+
+    // exact Gini concentration of an integer value column
+    case "gini" :: path :: valCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.giniIndex(
+        spark.read.parquet(path), col(valCol)).head()
+      println(s"[gini] n=${r.getLong(0)} total=${r.getLong(1)} " +
+        s"gini_micro=${r.get(2)}")
+      done(spark)
+
+    // Jensen-Shannon divergence between two sides of a flag column
+    case "jsd" :: path :: catCol :: flagCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.jsDivergenceTotal(
+        spark.read.parquet(path), col(catCol),
+        col(flagCol).cast("boolean")).head()
+      println(s"[jsd] n_categories=${r.getLong(0)} " +
+        s"js_micro=${r.get(1)}")
+      done(spark)
+
+    // Cramér's V association strength of two categorical columns
+    case "cramers" :: path :: rowCol :: colCol :: Nil =>
+      val spark = session()
+      val r = graft.operators.Relational.cramersV(
+        spark.read.parquet(path), rowCol, colCol).head()
+      println(s"[cramers] n=${r.getLong(0)} " +
+        s"dims=${r.getLong(1)}x${r.getLong(2)} " +
+        s"chi2_micro=${r.getLong(3)} v_micro=${r.getLong(4)}")
+      done(spark)
+
+    // Adamic-Adar link prediction: top-k likely missing edges
+    case "adamic" :: edgesPath :: rest =>
+      import org.apache.spark.sql.functions.col
+      val topK = rest.headOption.map(_.toInt).getOrElse(20)
+      val spark = session()
+      graft.operators.LinkGraph.adamicAdar(
+        spark.read.parquet(edgesPath).select("src", "dst"), topK)
+        .collect().foreach { r =>
+          println(s"[adamic] ${r.get(0)} -- ${r.get(1)}: " +
+            s"common=${r.getAs[Long]("n_common")} " +
+            s"aa_micro=${r.getAs[Long]("aa_micro")}")
+        }
+      done(spark)
+
+    // unsupervised Fellegi-Sunter: Winkler-EM weights from UNLABELED
+    // candidate pairs (boolean comparison-field columns)
+    case "fs-em" :: pairsPath :: fieldsCsv :: rest =>
+      import org.apache.spark.sql.functions.col
+      val iters = rest.headOption.map(_.toInt).getOrElse(5)
+      val fields = fieldsCsv.split(',').toSeq.filter(_.nonEmpty)
+      require(fields.nonEmpty, "usage: fs-em <pairs> <f1,f2,...> [iters]")
+      val spark = session()
+      graft.text.Dedup.fellegiSunterEM(
+        spark.read.parquet(pairsPath),
+        fields.map(f => f -> col(f).cast("boolean")), iters)
+        .collect().foreach { r =>
+          println(s"[fs-em] ${r.getString(0)}: " +
+            s"p_micro=${r.getLong(1)} m_micro=${r.getLong(2)} " +
+            s"u_micro=${r.getLong(3)} w_agree=${r.getLong(4)} " +
+            s"w_disagree=${r.getLong(5)}")
+        }
+      done(spark)
+
+    // object-store-safe pool upsert: stage + ONE marker PUT commits
+    case "pool-commit" :: input :: poolRoot :: rest =>
+      val spark = session()
+      val df = if (rest.contains("--csv"))
+        graft.operators.Ingest.loadAndNormalize(spark, input,
+          graft.schema.Vintages.canonical)
+      else spark.read.parquet(input)
+      graft.operators.PoolCommit.write(df, poolRoot)
+      val rows = graft.operators.PoolCommit.read(spark, poolRoot).count()
+      println(s"[pool-commit] committed; pool now $rows rows")
+      done(spark)
+
+    case "pool-read" :: poolRoot :: outDir :: Nil =>
+      val spark = session()
+      graft.operators.PoolCommit.read(spark, poolRoot)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[pool-read] -> $outDir")
+      done(spark)
+
     case _ =>
       System.err.println(
         "usage: ingest <in> <pool> [vintage] [--dry-run] | " +
@@ -2214,7 +2338,17 @@ object Main {
           "alpha <ratings> <itemCol> <valueCol> | " +
           "bh <tests> <idCol> <pMicroCol> [alphaMicro] | " +
           "blocking-eval <records> <idCol> <truthCol> <nameCol> [halfLen] | " +
-          "ppr <edges> <seeds> <out> [iters] [damping]")
+          "ppr <edges> <seeds> <out> [iters] [damping] | " +
+          "mwu <parquet> <valCol> <boolGroupCol> | " +
+          "gini <parquet> <valCol> | " +
+          "jsd <parquet> <catCol> <boolFlagCol> | " +
+          "cramers <parquet> <rowCol> <colCol> | " +
+          "adamic <edges> [topK] | " +
+          "fs-em <pairs> <boolField1,boolField2,...> [iters] | " +
+          "pool-commit <input> <poolRoot> [--csv] | " +
+          "pool-read <poolRoot> <out> | " +
+          "sessions-stream <inDir> <state> <ckpt> [gapMin] | " +
+          "sessions-report <state> <out>")
       sys.exit(2)
   }
 

@@ -70,4 +70,37 @@ object Incremental {
       size(col("kmv")).cast("long").as("k_actual"),
       element_at(col("kmv"), -1).as("kth"),
       TextOps.kmvEstimate(col("kmv"), k).as("est_distinct"))
+
+  /** Incremental INNER-JOIN view maintenance, insert-only deltas —
+    * the delta rule that keeps a materialized join fresh without
+    * re-joining history (the join sibling of [[aggState]]'s merge):
+    * with `V_old = A_old ⋈ B_old` already persisted and append
+    * batches ΔA / ΔB arriving,
+    *
+    *   `V_new = V_old ∪ ΔA ⋈ (B_old ∪ ΔB) ∪ A_old ⋈ ΔB`
+    *
+    * — multiset-exact (UNION ALL semantics throughout), because
+    * `(A∪ΔA) ⋈ (B∪ΔB)` expands to exactly those four terms and
+    * `ΔA ⋈ ΔB` folds into the first. This method returns THE DELTA
+    * (the last two terms); the caller appends it to the stored view.
+    *
+    * Scale shape: the expensive side is `A_old ⋈ ΔB` — history joined
+    * against a (normally tiny) batch, which Spark broadcasts when ΔB
+    * fits, turning maintenance into a scan of A_old with no shuffle;
+    * at 100 TB that is the entire point versus re-running
+    * `A_new ⋈ B_new`. Insert-only is the contract (the LLM-pipeline
+    * reality: event logs and document corpora append); deletions need
+    * multiset counting — route those through [[graft.operators
+    * .Ingest.cdcApply]]'s tombstone semantics and a view rebuild of
+    * the affected partitions instead.
+    *
+    * `keys` are the equi-join columns; all other column names must be
+    * disjoint between the two sides.
+    */
+  def joinDelta(aOld: DataFrame, dA: DataFrame, bOld: DataFrame,
+      dB: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one join key")
+    dA.join(bOld.unionByName(dB), keys)
+      .unionByName(aOld.join(dB, keys))
+  }
 }

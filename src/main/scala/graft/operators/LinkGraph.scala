@@ -532,6 +532,58 @@ object LinkGraph {
             col("outdeg").cast("double")), 6).as("reciprocity"))
   }
 
+  /** Adamic-Adar link prediction (Adamic & Adar, "Friends and
+    * Neighbors on the Web", 2003) — the classic common-neighbor score
+    * for "which missing edges are most likely real": for a candidate
+    * pair (u,v), `AA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w)` — shared
+    * RARE neighbors count more than shared hubs. Emits the top-k
+    * non-adjacent pairs by score.
+    *
+    * Scale shape: the undirected edge list dedups once; candidate
+    * pairs come from the WEDGE join (two equi-joins through the
+    * common neighbor — the q162 triangle shape, never all-pairs),
+    * hub wedges are capped by `maxDeg` (a w with a million neighbors
+    * contributes deg² wedges and ~zero score — the standard AA skew
+    * guard, documented in the output when it truncates); existing
+    * edges drop by one anti-join. Per-neighbor 1/ln(deg) terms
+    * micro-snap BEFORE the sum (exact integer aggregation — the JS/χ²
+    * term discipline), so the scores hash-gate. Returns
+    * `(id_a, id_b, n_common, aa_micro)` top-k by
+    * (score desc, id_a, id_b).
+    */
+  def adamicAdar(edges: DataFrame, topK: Int = 20,
+      maxDeg: Long = 10000L): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist() // degree pass + two wedge legs + the adjacency anti-join
+    val nbrs = und.select(col("a").as("w"), col("b").as("x"))
+      .union(und.select(col("b").as("w"), col("a").as("x")))
+    val deg = nbrs.groupBy(col("w")).agg(count(lit(1)).as("_deg"))
+    // per-neighbor evidence, micro-snapped once; deg 1 contributes
+    // nothing (ln 1 = 0 would blow up — a leaf is never a COMMON
+    // neighbor of a non-adjacent pair anyway); hubs past maxDeg are
+    // dropped (deg² wedge guard, negligible score by construction)
+    val wterm = nbrs.join(deg, Seq("w"))
+      .filter(col("_deg") > 1 && col("_deg") <= maxDeg)
+      .select(col("w"), col("x"),
+        round(lit(1000000.0) / log(col("_deg").cast("double")))
+          .cast("long").as("_t"))
+      .persist() // both wedge legs
+    val pairs = wterm.select(col("w"), col("x").as("_u"), col("_t"))
+      .join(wterm.select(col("w"), col("x").as("_v")), Seq("w"))
+      .filter(col("_u") < col("_v"))
+      .groupBy(col("_u").as("id_a"), col("_v").as("id_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("_t")).as("aa_micro"))
+    pairs.join(und,
+      pairs("id_a") === und("a") && pairs("id_b") === und("b"),
+      "left_anti")
+      .orderBy(col("aa_micro").desc, col("id_a"), col("id_b"))
+      .limit(topK)
+  }
+
   /** HITS hub/authority scores (Kleinberg 1999), kept as EXACT
     * integer path counts: with `a₀(v) = 1`, round r computes
     * `h_r(u) = Σ_{u→v} a_{r−1}(v)` and `a_r(v) = Σ_{u→v} h_r(u)` —

@@ -1,0 +1,206 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Object-store-safe commit protocol for the tracking-data pool — the
+  * [[graft.streaming.MarkerStateStore]] discipline lifted from
+  * streaming state to the pool's per-game upsert
+  * ([[Ingest.writePool]]'s dynamic partition overwrite assumes an
+  * atomic rename committer, which S3-style stores don't have: a crash
+  * mid-overwrite can leave a game partition half-deleted,
+  * half-rewritten, and concurrently visible in both states).
+  *
+  * Here NOTHING is ever renamed or overwritten:
+  *
+  * {{{
+  *   poolRoot/gen=<N>/season=<S>/gameId=<G>/part-*.parquet   write-once
+  *   poolRoot/_pool_marker.<N zero-padded>                   write-once
+  * }}}
+  *
+  * One write-once marker object names, per game partition, the
+  * generation directory that is live (`season=S/gameId=G:gen` lines +
+  * an `end` footer — a footer-less marker is torn and ignored). A
+  * write stages the batch's partitions under the fresh `gen=N+1`
+  * directory, then commits with ONE marker PUT: every game the batch
+  * touched now points at N+1, every other game keeps its previous
+  * generation — the same per-game upsert semantics as the rename
+  * flavor, but the only commit point is the marker PUT, which object
+  * stores make atomic. A crash before the PUT leaves the new
+  * generation unreferenced (readers never see it; the writer's next
+  * heal deletes it); a crash after the PUT is a completed commit (heal
+  * just re-GCs the superseded partitions). Readers resolve through the
+  * newest complete marker and never delete anything — GC is
+  * writer-only, exactly the reader/writer split that closed the
+  * marker-store race (`streaming/StateStore.scala`).
+  *
+  * Single-writer protocol (like every object-store table format's
+  * base layer): concurrent writers collide loudly on the
+  * `errorifexists` generation write or the write-once marker create.
+  */
+object PoolCommit {
+
+  private val MarkerPrefix = "_pool_marker."
+  private val Footer = "end"
+
+  /** Live mapping: game-partition relative path (`season=S/gameId=G`)
+    * → the generation directory holding its rows.
+    */
+  private[graft] final case class Marker(
+      gen: Long, parts: Map[String, Long])
+
+  private def markerPath(root: String, gen: Long) =
+    new Path(root, f"$MarkerPrefix$gen%019d")
+
+  private def checked(ok: Boolean, what: String): Unit =
+    if (!ok) throw new java.io.IOException(
+      s"pool commit operation failed (returned false): $what")
+
+  private def markerFiles(fs: FileSystem, root: Path): Seq[Path] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(MarkerPrefix))
+      .sortBy(_.getName).reverse.toSeq
+
+  /** Parse a marker; None when torn (no footer) or malformed. */
+  private def parse(fs: FileSystem, p: Path): Option[Marker] = {
+    val gen =
+      try p.getName.stripPrefix(MarkerPrefix).toLong
+      catch { case _: NumberFormatException => return None }
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+    if (lines.lastOption.contains(Footer)) {
+      try Some(Marker(gen, lines.init.map { l =>
+        val cut = l.lastIndexOf(':')
+        require(cut > 0, s"bad marker line: $l")
+        l.substring(0, cut) -> l.substring(cut + 1).toLong
+      }.toMap))
+      catch { case _: RuntimeException => None }
+    } else None
+  }
+
+  private[graft] def readMarker(fs: FileSystem, root: String): Marker =
+    markerFiles(fs, new Path(root)).iterator
+      .flatMap(parse(fs, _))
+      .nextOption()
+      .getOrElse(Marker(0L, Map.empty))
+
+  private def writeMarker(fs: FileSystem, root: String,
+      m: Marker): Unit = {
+    val out = fs.create(markerPath(root, m.gen), false)
+    try {
+      val body = m.parts.toSeq.sortBy(_._1).map { case (p, g) =>
+        s"$p:$g"
+      } :+ Footer
+      out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
+    } finally out.close()
+  }
+
+  /** The game partitions (`season=S/gameId=G` relative paths) a
+    * generation directory holds.
+    */
+  private def partsUnder(fs: FileSystem, genDir: Path): Seq[String] =
+    if (!fs.exists(genDir)) Seq.empty
+    else fs.listStatus(genDir).map(_.getPath).toSeq
+      .filter(_.getName.startsWith("season="))
+      .flatMap { s =>
+        fs.listStatus(s).map(_.getPath).toSeq
+          .filter(_.getName.startsWith("gameId="))
+          .map(g => s"${s.getName}/${g.getName}")
+      }
+
+  /** WRITER-ONLY GC: torn/superseded markers and every game-partition
+    * directory the ruling marker does not reference. Idempotent; must
+    * never run beside an in-flight commit (single-writer protocol) —
+    * readers never GC at all.
+    */
+  def heal(fs: FileSystem, poolRoot: String): Unit = {
+    val root = new Path(poolRoot)
+    if (!fs.exists(root)) return
+    val m = readMarker(fs, poolRoot)
+    markerFiles(fs, root).foreach { p =>
+      val keep = parse(fs, p).exists(_.gen == m.gen)
+      if (!keep) checked(fs.delete(p, false), s"delete marker $p")
+    }
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("gen="))
+      .foreach { genDir =>
+        val g =
+          try genDir.getName.stripPrefix("gen=").toLong
+          catch { case _: NumberFormatException => -1L }
+        val liveHere = m.parts.collect {
+          case (p, pg) if pg == g => p }.toSet
+        if (liveHere.isEmpty)
+          checked(fs.delete(genDir, true), s"delete gen dir $genDir")
+        else partsUnder(fs, genDir).foreach { p =>
+          if (!liveHere.contains(p))
+            checked(fs.delete(new Path(genDir, p), true),
+              s"delete partition $genDir/$p")
+        }
+      }
+  }
+
+  /** True when at least one committed game partition exists. */
+  def hasPool(fs: FileSystem, poolRoot: String): Boolean =
+    readMarker(fs, poolRoot).parts.nonEmpty
+
+  /** Stage `df`'s game partitions under a fresh write-once generation
+    * and commit them with one marker PUT — per-game upsert with the
+    * same semantics as [[Ingest.writePool]] (touched games replaced,
+    * untouched games untouched), safe on stores without atomic rename.
+    * `df` must carry `gameId` (null group keys are skipped, the
+    * reference rule); `season` derives from the gameId prefix.
+    */
+  def write(df: DataFrame, poolRoot: String): Unit = {
+    val spark = df.sparkSession
+    val fs = new Path(poolRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    heal(fs, poolRoot) // finish/GC any interrupted previous write
+    val prev = readMarker(fs, poolRoot)
+    val gen = prev.gen + 1L
+    Ingest.withSeason(df)
+      .filter(col("gameId").isNotNull)
+      .write
+      .partitionBy("season", "gameId")
+      .mode("errorifexists") // collision = concurrent writer, fail loud
+      .parquet(s"$poolRoot/gen=$gen")
+    val written = partsUnder(fs, new Path(s"$poolRoot/gen=$gen"))
+    val next = mutable.Map.empty[String, Long] ++ prev.parts
+    written.foreach(p => next(p) = gen)
+    // THE commit point: one write-once marker PUT
+    writeMarker(fs, poolRoot, Marker(gen, next.toMap))
+    heal(fs, poolRoot) // GC superseded markers/partitions
+  }
+
+  /** All committed pool rows — resolves through the newest complete
+    * marker, so an in-flight or crashed write is invisible. `season`
+    * and `gameId` stay partition columns (the per-game pruning
+    * contract); the protocol's `gen` column is dropped.
+    *
+    * SNAPSHOT semantics: the returned frame is bound to the partition
+    * directories live at CALL time — a later commit's GC deletes
+    * superseded directories, so materialize (or finish scanning)
+    * before the next write rather than caching the lazy frame across
+    * commits. Deployments with long scans concurrent to writes should
+    * age-gate GC (skip [[heal]]'s delete for directories younger than
+    * the longest expected scan), the standard object-store-table
+    * retention knob.
+    */
+  def read(spark: SparkSession, poolRoot: String): DataFrame = {
+    val fs = new Path(poolRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val m = readMarker(fs, poolRoot)
+    require(m.parts.nonEmpty,
+      s"no committed pool under $poolRoot (guard with hasPool)")
+    val dirs = m.parts.toSeq.sortBy(_._1).map { case (p, g) =>
+      s"$poolRoot/gen=$g/$p" }
+    spark.read.option("basePath", poolRoot).parquet(dirs: _*)
+      .drop("gen")
+  }
+}

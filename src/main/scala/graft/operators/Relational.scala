@@ -1019,6 +1019,17 @@ object Relational {
     * engine replay the estimate bit-for-bit). An EMPTY sample (a group
     * whose hash or value inputs were all null) yields NULL, not an
     * element_at(, 0) error.
+    *
+    * ERROR BOUND (the sample-quantile CLT): with group size n ≫ k the
+    * estimate is the true (q ± ε)-quantile where ε has standard error
+    * `sqrt(q(1−q)/k)` in RANK units — k = 256 gives ±0.031 rank error
+    * (one σ) at the median, so the reported p50 is really somewhere in
+    * p47–p53, tighter at the tails (±0.019 at q = 0.9). Pick
+    * `k ≥ q(1−q)/ε²` for a target one-σ rank error ε: 1 rank point at
+    * the median needs k = 2500, 0.5 points k = 10000. The error is in
+    * rank space, not value space — a heavy-tailed gap distribution can
+    * translate a small rank error into a large value error at extreme
+    * quantiles. Pinned by the two-k property in SamplingPropertySpec.
     */
   def sampleQuantile(sketch: Column, q: Double): Column = {
     require(q >= 0 && q <= 1, s"quantile must be in [0,1], got $q")
@@ -2203,5 +2214,164 @@ object Relational {
         col("close"), col("volume"), col("turnover"),
         round(col("turnover").cast("double") * lit(1000000.0) /
           col("volume").cast("double")).cast("long").as("vwap_micro"))
+  }
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
+    * test [[welchTTest]] pairs with when normality is off the table:
+    * group A vs group B on an exact-integer value column, tie-averaged
+    * ranks, tie-corrected normal approximation.
+    *
+    * Exactness discipline: ranks come from the DISTINCT-VALUE
+    * cumulative table (the [[spearmanByGroup]] shape — the window runs
+    * over distinct values, not rows), kept integer by DOUBLING
+    * (2·rank = 2·cntLess + cnt + 1); rank sums, U, and the tie term
+    * Σ(t³−t) are exact integers/decimals, so `u_a`/`u_b` hash-gate
+    * outright; the z statistic and rank-biserial effect size are each
+    * one fixed double chain, micro-snapped. Output (one row):
+    * `(n_a, n_b, u_a_x2, u_b_x2, r_rb_micro, z_micro)` — U values in
+    * DOUBLED units (exact even with tie-averaged half ranks).
+    */
+  def mannWhitneyU(df: DataFrame, isA: Column, valueInt: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df.select(isA.as("_ga"), valueInt.cast("long").as("_v"))
+    val dec = "decimal(38,0)"
+    // distinct-value table with per-group counts + doubled avg rank
+    val byVal = d.groupBy(col("_v"))
+      .agg(sum(when(col("_ga"), 1L).otherwise(0L)).as("_na"),
+        sum(when(!col("_ga"), 1L).otherwise(0L)).as("_nb"),
+        count(lit(1)).as("_cnt"))
+    val w = Window.orderBy(col("_v")) // distinct values, not rows
+    val ranked = byVal.select(col("_na"), col("_nb"), col("_cnt"),
+      (lit(2L) * (sum(col("_cnt")).over(w) - col("_cnt")) +
+        col("_cnt") + lit(1L)).as("_r2"))
+    val m = ranked.agg(
+      sum(col("_na")).as("n_a"), sum(col("_nb")).as("n_b"),
+      sum(col("_na").cast(dec) * col("_r2").cast(dec)).as("_ra2"),
+      sum((col("_cnt").cast(dec) * col("_cnt") * col("_cnt") -
+        col("_cnt")).cast(dec)).as("_ties"))
+    val na = col("n_a").cast(dec)
+    val nb = col("n_b").cast(dec)
+    val n = na + nb
+    // doubled U: U_a·2 = 2·R_a − n_a(n_a+1) — exact decimal
+    val ua2 = col("_ra2") - na * (na + lit(1))
+    val ub2 = lit(2) * na * nb - ua2
+    // tie-corrected variance of U: n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1)))
+    val varU = (na * nb).cast("double") / lit(12.0) *
+      ((n + lit(1)).cast("double") -
+        col("_ties").cast("double") / (n * (n - lit(1))).cast("double"))
+    val z = (ua2.cast("double") / lit(2.0) -
+      (na * nb).cast("double") / lit(2.0)) / sqrt(varU)
+    val rrb = lit(1.0) - ub2.cast("double") / (na * nb).cast("double")
+    m.select(col("n_a"), col("n_b"),
+      ua2.cast("long").as("u_a_x2"), ub2.cast("long").as("u_b_x2"),
+      round(rrb * lit(1000000.0)).cast("long").as("r_rb_micro"),
+      when(varU === 0.0, lit(null).cast("long"))
+        .otherwise(round(z * lit(1000000.0)).cast("long")).as("z_micro"))
+  }
+
+  /** Exact Gini index of a nonnegative integer value distribution —
+    * the concentration number a corpus report quotes for "how skewed
+    * are tokens/documents/events across sources or users":
+    * `G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n` over the ascending sort.
+    *
+    * Scale + exactness: the rank-weighted sum folds over the
+    * DISTINCT-VALUE cumulative table, not per-row ranks — members of
+    * a tied value share consecutive ranks whose SUM is
+    * cnt·(2·cntLess + cnt + 1)/2, so Σᵢ i·x₍ᵢ₎ = Σ_v v·cnt·(2·cumLess
+    * + cnt + 1)/2 exactly (doubled to stay integer, decimal(38,0)
+    * against overflow). The only window runs over distinct values;
+    * one division at the end, micro-snapped. Output:
+    * `(n, total, gini_micro)`.
+    */
+  def giniIndex(df: DataFrame, valueInt: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val byVal = df.select(valueInt.cast("long").as("_v"))
+      .groupBy(col("_v")).agg(count(lit(1)).as("_cnt"))
+    val w = Window.orderBy(col("_v"))
+    val m = byVal
+      .select(col("_v"), col("_cnt"),
+        (sum(col("_cnt")).over(w) - col("_cnt")).as("_less"))
+      .agg(sum(col("_cnt")).as("n"),
+        sum(col("_v").cast(dec) * col("_cnt")).as("_tot"),
+        // doubled rank-weighted sum: Σ v·cnt·(2·cumLess + cnt + 1)
+        sum(col("_v").cast(dec) * col("_cnt") *
+          (lit(2) * col("_less").cast(dec) + col("_cnt") + lit(1)))
+          .as("_rw2"))
+    val nD = col("n").cast(dec)
+    val g = col("_rw2").cast("double") /
+      (nD.cast("double") * col("_tot").cast("double")) -
+      (nD + lit(1)).cast("double") / nD.cast("double")
+    m.select(col("n"), col("_tot").cast("long").as("total"),
+      when(col("_tot") === 0, lit(null).cast("long"))
+        .otherwise(round(g * lit(1000000.0)).cast("long"))
+        .as("gini_micro"))
+  }
+
+  /** Jensen-Shannon divergence between two categorical distributions
+    * (side A vs side B over `cat`): `JS = (KL(P‖M) + KL(Q‖M))/2`,
+    * `M = (P+Q)/2` — the symmetric, bounded (≤ ln 2) drift number to
+    * publish when KL's asymmetry and infinities are unacceptable
+    * (categories private to one side contribute finitely here).
+    *
+    * Exactness: category counts are exact integers; each category's
+    * two KL terms are fixed double chains over exact ratios,
+    * micro-snapped PER CATEGORY then summed exactly, one final halving
+    * — the q84/chi-square micro-term discipline. Output: one row per
+    * category (`cat, n_a, n_b, term_micro`); use
+    * [[jsDivergenceTotal]] for the single number.
+    */
+  def jsDivergenceTerms(df: DataFrame, cat: Column, isA: Column)
+      : DataFrame = {
+    val counts = df.select(cat.as("cat"), isA.as("_ga"))
+      .groupBy(col("cat"))
+      .agg(sum(when(col("_ga"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("_ga"), 1L).otherwise(0L)).as("n_b"))
+      .persist() // feeds the totals AND the per-category terms
+    val tot = counts.agg(sum(col("n_a")).as("_ta"),
+      sum(col("n_b")).as("_tb")).localCheckpoint()
+    val p = col("n_a").cast("double") / col("_ta").cast("double")
+    val q = col("n_b").cast("double") / col("_tb").cast("double")
+    val mm = (p + q) / lit(2.0)
+    val term = when(col("n_a") > 0, p * log(p / mm)).otherwise(lit(0.0)) +
+      when(col("n_b") > 0, q * log(q / mm)).otherwise(lit(0.0))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cat"), col("n_a"), col("n_b"),
+        round(term / lit(2.0) * lit(1000000.0)).cast("long")
+          .as("term_micro"))
+  }
+
+  /** Σ of [[jsDivergenceTerms]] — `(n_categories, js_micro)`. */
+  def jsDivergenceTotal(df: DataFrame, cat: Column, isA: Column)
+      : DataFrame =
+    jsDivergenceTerms(df, cat, isA)
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("term_micro")).as("js_micro"))
+
+  /** Cramér's V — the [0,1] effect size on top of
+    * [[chiSquareIndependence]]'s contingency terms:
+    * `V = sqrt(χ² / (N·(min(r,c) − 1)))`, the number that makes
+    * chi-squares comparable across table sizes. Exact integer N and
+    * dimension counts off the same cell frame; χ² is the sum of the
+    * already-snapped micro terms (the q231 discipline), one sqrt at
+    * the end. Output: `(n, n_rows_dim, n_cols_dim, chi2_micro,
+    * v_micro)`.
+    */
+  def cramersV(df: DataFrame, rowCol: String, colCol: String)
+      : DataFrame = {
+    val cells = chiSquareIndependence(df, rowCol, colCol)
+    cells.agg(
+      sum(col("observed")).as("n"),
+      countDistinct(col(rowCol)).as("n_rows_dim"),
+      countDistinct(col(colCol)).as("n_cols_dim"),
+      sum(col("term_micro")).as("chi2_micro"))
+      .select(col("n"), col("n_rows_dim"), col("n_cols_dim"),
+        col("chi2_micro"),
+        round(sqrt(col("chi2_micro").cast("double") / lit(1000000.0) /
+          (col("n").cast("double") *
+            (least(col("n_rows_dim"), col("n_cols_dim")) - lit(1))
+              .cast("double"))) * lit(1000000.0)).cast("long")
+          .as("v_micro"))
   }
 }

@@ -1067,18 +1067,36 @@ object SimSearch {
     transform(sequence(lit(0), lit(dim - 1)),
       i => element_at(v, element_at(perm, i + 1)))
 
-  /** [[ivfResiduals]] with the OPQ permutation applied — the input to
-    * the rotated fit/encode. One extra broadcast of the 1-row
-    * permutation; the corpus still never shuffles.
+  /** Apply a dense row-major d×d rotation to a vector column:
+    * `y_i = Σ_j R[i·d + j]·x_j` — an in-plan matvec against the 1-row
+    * broadcast rotation (d² doubles of model metadata).
     */
+  private def rotateVec(v: Column, rot: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0d),
+        (acc, j) => acc + element_at(rot, i * dim + j + 1) *
+          element_at(v, j + 1).cast("double")))
+
+  /** [[ivfResiduals]] with an orthogonal transform applied — the input
+    * to the rotated fit/encode. One extra broadcast of the 1-row
+    * transform metadata; the corpus still never shuffles. `apply`
+    * closes over the metadata column ([[permuteVec]] for the
+    * permutation tier, [[rotateVec]] for the dense tier).
+    */
+  private def ivfResidualsXf(
+      emb: DataFrame, centroids: DataFrame, meta: DataFrame,
+      apply: Column => Column, idCol: String, vecCol: String,
+      cellCol: String): DataFrame =
+    ivfResiduals(emb, centroids, idCol, vecCol, cellCol)
+      .crossJoin(broadcast(meta))
+      .select(col(idCol), col("cell"), apply(col("_rv")).as("_rv"))
+
   private def ivfResidualsRotated(
       emb: DataFrame, centroids: DataFrame, perm: DataFrame,
       idCol: String, vecCol: String, cellCol: String,
       dim: Int): DataFrame =
-    ivfResiduals(emb, centroids, idCol, vecCol, cellCol)
-      .crossJoin(broadcast(perm))
-      .select(col(idCol), col("cell"),
-        permuteVec(col("_rv"), col("_perm"), dim).as("_rv"))
+    ivfResidualsXf(emb, centroids, perm,
+      permuteVec(_, col("_perm"), dim), idCol, vecCol, cellCol)
 
   /** [[pqFitResidual]] on OPQ-permuted residuals. */
   def pqFitResidualRotated(
@@ -1100,21 +1118,19 @@ object SimSearch {
     * permutes through the SAME 1-row metadata before slicing, so codes
     * and lookup tables live in one space.
     */
-  private def adcLutResidualRotated(
+  private def adcLutResidualXf(
       probed: DataFrame, q: DataFrame, centroids: DataFrame,
-      codebooks: DataFrame, perm: DataFrame, m: Int,
-      dim: Int): DataFrame = {
+      codebooks: DataFrame, meta: DataFrame, apply: Column => Column,
+      m: Int, dim: Int): DataFrame = {
     val sw = dim / m
     val qr = probed
       .join(q, Seq("qid"))
       .join(broadcast(centroids.select(col("cell"), col("centroid"))),
         Seq("cell"))
-      .crossJoin(broadcast(perm))
+      .crossJoin(broadcast(meta))
       .select(col("qid"), col("cell"),
-        permuteVec(
-          zip_with(col("qv"), col("centroid"),
-            (x, c) => x.cast("double") - c),
-          col("_perm"), dim).as("_qr"))
+        apply(zip_with(col("qv"), col("centroid"),
+          (x, c) => x.cast("double") - c)).as("_qr"))
     (0 until m).map { s =>
       qr.select(col("qid"), col("cell"),
           slice(col("_qr"), s * sw + 1, sw).as("_qs"))
@@ -1125,20 +1141,27 @@ object SimSearch {
     }.reduce(_.unionByName(_))
   }
 
-  /** [[ivfPqTopKResidual]] over OPQ-permuted residual codes. */
-  def ivfPqTopKResidualRotated(
+  private def adcLutResidualRotated(
+      probed: DataFrame, q: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, perm: DataFrame, m: Int,
+      dim: Int): DataFrame =
+    adcLutResidualXf(probed, q, centroids, codebooks, perm,
+      permuteVec(_, col("_perm"), dim), m, dim)
+
+  private def ivfPqTopKResidualXf(
       codesWithCell: DataFrame, codebooks: DataFrame,
-      centroids: DataFrame, perm: DataFrame, queries: DataFrame,
-      queryIdCol: String, vecCol: String, idCol: String, m: Int, k: Int,
-      nprobe: Int = 2, dim: Int = 64): DataFrame = {
+      centroids: DataFrame, meta: DataFrame, apply: Column => Column,
+      queries: DataFrame, queryIdCol: String, vecCol: String,
+      idCol: String, m: Int, k: Int, nprobe: Int,
+      dim: Int): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m")
     val q = queries.select(col(queryIdCol).as("qid"), col(vecCol).as("qv"))
     val probed = topKPerKey(
       q.crossJoin(broadcast(centroids)),
       "qid", -cosine(col("qv"), col("centroid")), col("cell"), nprobe)
       .select(col("qid"), col("neighbor").as("cell"))
-    val lut = adcLutResidualRotated(probed, q, centroids, codebooks,
-      perm, m, dim)
+    val lut = adcLutResidualXf(probed, q, centroids, codebooks,
+      meta, apply, m, dim)
     val scored = codesWithCell.join(probed, Seq("cell"))
       .join(broadcast(lut), Seq("qid", "cell", "sub", "code"))
       .groupBy(col("qid"), col(idCol).as("_vid"))
@@ -1147,6 +1170,16 @@ object SimSearch {
       .select(col("qid"), col("rank"), col("neighbor"),
         round(col("rankval"), 6).as("adc_d2"))
   }
+
+  /** [[ivfPqTopKResidual]] over OPQ-permuted residual codes. */
+  def ivfPqTopKResidualRotated(
+      codesWithCell: DataFrame, codebooks: DataFrame,
+      centroids: DataFrame, perm: DataFrame, queries: DataFrame,
+      queryIdCol: String, vecCol: String, idCol: String, m: Int, k: Int,
+      nprobe: Int = 2, dim: Int = 64): DataFrame =
+    ivfPqTopKResidualXf(codesWithCell, codebooks, centroids, perm,
+      permuteVec(_, col("_perm"), dim), queries, queryIdCol, vecCol,
+      idCol, m, k, nprobe, dim)
 
   /** [[ivfPqTopKRefinedResidual]] over OPQ-permuted residual codes:
     * rotated ADC picks the candidates, exact cosine on the RAW
@@ -1209,6 +1242,357 @@ object SimSearch {
     val p = new org.apache.hadoop.fs.Path(s"$path/perm")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) Some(spark.read.parquet(s"$path/perm")) else None
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric d×d matrix —
+    * driver-side, O(sweeps·d³) on ≤ 64×64 model metadata. Returns
+    * (eigenvalues, eigenvectors-as-columns) sorted by eigenvalue desc.
+    */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      for (i <- 0 until d; j <- i + 1 until d) s += a(i)(j) * a(i)(j)
+      s
+    }
+    val eps = 1e-22 * (0 until d).map(i => a(i)(i) * a(i)(i)).sum.max(1e-300)
+    var sweep = 0
+    while (sweep < 50 && off() > eps) {
+      for (p <- 0 until d; q <- p + 1 until d if a(p)(q) != 0.0) {
+        // numerically stable rotation (Golub & Van Loan §8.5)
+        val tau = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(tau).max(-1.0).min(1.0) match {
+          case 0.0 => 1.0 / (tau + math.sqrt(1.0 + tau * tau))
+          case s0 => s0 / (math.abs(tau) + math.sqrt(1.0 + tau * tau))
+        }
+        val c = 1.0 / math.sqrt(1.0 + t * t)
+        val s = t * c
+        for (i <- 0 until d) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+        }
+        for (i <- 0 until d) {
+          val api = a(p)(i); val aqi = a(q)(i)
+          a(p)(i) = c * api - s * aqi
+          a(q)(i) = s * api + c * aqi
+        }
+        for (i <- 0 until d) {
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)).toArray,
+      Array.tabulate(d, d)((r, c0) => v(r)(order(c0))))
+  }
+
+  /** Modified Gram-Schmidt re-orthonormalization of a matrix's ROWS —
+    * snaps the polar-decomposition output back to exact orthogonality
+    * (float error or a near-degenerate singular value would otherwise
+    * drift R off the orthogonal manifold across alternations).
+    */
+  private def orthonormalizeRows(r: Array[Array[Double]])
+      : Array[Array[Double]] = {
+    val d = r.length
+    val out = r.map(_.clone())
+    def dotRows(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var t = 0
+      while (t < d) { s += a(t) * b(t); t += 1 }
+      s
+    }
+    def projectOut(row: Array[Double], upto: Int): Unit =
+      for (j <- 0 until upto) {
+        val p = dotRows(row, out(j))
+        var t = 0
+        while (t < d) { row(t) -= p * out(j)(t); t += 1 }
+      }
+    def projectAgainst(row: Array[Double], basis: Seq[Int]): Unit =
+      basis.foreach { j =>
+        val p = dotRows(row, out(j))
+        var t = 0
+        while (t < d) { row(t) -= p * out(j)(t); t += 1 }
+      }
+    // phase 1: MGS the WELL-DEFINED rows in order; DEFER degenerate
+    // ones (a rank-deficient Procrustes M leaves null rows whose
+    // direction is arbitrary) — completing them inline would tilt
+    // every later good row away from the optimum when the good row
+    // projects against the arbitrary filler
+    var accepted = Vector.empty[Int]
+    var deferred = Vector.empty[Int]
+    for (i <- 0 until d) {
+      projectAgainst(out(i), accepted)
+      var nrm = math.sqrt(dotRows(out(i), out(i)))
+      if (nrm < 1e-6) deferred :+= i
+      else {
+        // second projection pass (Kahan: "twice is enough") keeps
+        // orthogonality at machine precision
+        projectAgainst(out(i), accepted)
+        nrm = math.sqrt(dotRows(out(i), out(i)))
+        require(nrm > 1e-12, s"degenerate rotation row $i")
+        var t = 0
+        while (t < d) { out(i)(t) /= nrm; t += 1 }
+        accepted :+= i
+      }
+    }
+    // phase 2: fill deferred rows by basis completion against the
+    // FULL accepted set (their direction is flat in the objective)
+    deferred.foreach { i =>
+      var t = 0
+      var done = false
+      while (!done) {
+        require(t < d, s"could not complete basis at row $i")
+        val cand = Array.tabulate(d)(x => if (x == t) 1.0 else 0.0)
+        projectAgainst(cand, accepted)
+        val cn = math.sqrt(dotRows(cand, cand))
+        if (cn > 0.5) {
+          var x = 0
+          while (x < d) { out(i)(x) = cand(x) / cn; x += 1 }
+          projectAgainst(out(i), accepted) // Kahan second pass
+          val n2 = math.sqrt(dotRows(out(i), out(i)))
+          var x2 = 0
+          while (x2 < d) { out(i)(x2) /= n2; x2 += 1 }
+          accepted :+= i
+          done = true
+        } else t += 1
+      }
+    }
+    out
+  }
+
+  /** DENSE OPQ rotation — Ge/He/Ke/Sun, "Optimized Product
+    * Quantization" (CVPR 2013): the full orthogonal-rotation tier
+    * above [[opqPermutation]]'s axis-reordering deal. Two stages:
+    *
+    *  1. **Parametric seed (OPQ-P, §4)**: rotate the IVF residuals
+    *     into their PCA eigenbasis and allocate eigen-directions to
+    *     the m subspaces balancing the PRODUCT of per-subspace
+    *     variances (the Gaussian-optimal split).
+    *  2. **Non-parametric alternations (OPQ-NP, §3)**: fix R, fit PQ
+    *     codebooks on the rotated residuals; fix the codebooks, solve
+    *     the orthogonal Procrustes problem `min ‖R·x − y‖²` over the
+    *     corpus (R = U·Vᵀ of the cross-moment M = Σ y·xᵀ) — each
+    *     alternation can only lower distortion.
+    *
+    * Scale shape: each driver-visible object is d×d model metadata —
+    * the residual Gram (exact milli² integers, the [[pcaPowerTop]]
+    * discipline), and per alternation one cross-moment matrix; the
+    * corpus contributes one distributed pass for the Gram plus
+    * (Lloyd iters + encode + moment) passes per alternation and never
+    * reaches the driver. The Jacobi eigensolve / polar decomposition
+    * are O(d³) ≈ 3·10⁵ flops on the driver; rows re-orthonormalize by
+    * modified Gram-Schmidt so R stays exactly orthogonal.
+    *
+    * TEST-PINNED TIER (IvfSpec pins recall(dense) ≥
+    * recall(permutation) at equal m/k): the float eigensolve is not
+    * SQL-replayable, so the hash-gated/persisted paths keep the
+    * exact-integer permutation flavor — the same honest split as
+    * pageRank's prod vs oracle tiers.
+    *
+    * Returns the MATCHED pair the alternations trained jointly:
+    * (1-row `_rot` = row-major d×d DOUBLE array, codebooks
+    * `(sub, cid, cv)` in the rotated frame). Serve with BOTH —
+    * re-fitting codebooks from scratch discards the joint descent.
+    */
+  def opqDenseFit(
+      emb: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, m: Int, dim: Int = 64,
+      alternations: Int = 2, k: Int = 4, iters: Int = 2,
+      bucketWidth: Long = 4096L): (DataFrame, DataFrame) = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m")
+    require(alternations >= 0, s"alternations must be >= 0")
+    val sw = dim / m
+    val spark = emb.sparkSession
+    // the residual frame feeds the Gram + every alternation's fit/
+    // encode/moment — materialize once
+    val res = ivfResiduals(emb, centroids, idCol, vecCol, cellCol)
+      .select(col(idCol).as("_rid"), col("_rv")).persist()
+    val milli = res.select(transform(col("_rv"),
+      x => round(x * lit(1000.0)).cast("long")).as("_x"))
+    val outer = flatten(transform(col("_x"),
+      a => transform(col("_x"), b => a * b)))
+    // ONE distributed pass; the collect is the d²-long Gram — bounded
+    // model metadata, not corpus rows
+    val gramRow = milli
+      .select(posexplode(outer).as(Seq("_pos", "_prod")))
+      .groupBy(col("_pos")).agg(sum(col("_prod")).as("_g"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val g = Array.tabulate(dim, dim)((i, j) =>
+      gramRow.getOrElse(i * dim + j, 0L).toDouble / 1e6)
+    val (lambda, vec) = jacobiEigen(g)
+    // eigenvalue allocation: assign eigen-directions (desc λ) to the
+    // subspace with the smallest log-product so far (free capacity sw)
+    val logProd = Array.fill(m)(0.0)
+    val used = Array.fill(m)(0)
+    val slots = Array.fill(m)(Vector.empty[Int])
+    (0 until dim).foreach { e =>
+      val s = (0 until m).filter(used(_) < sw)
+        .minBy(s0 => (logProd(s0), s0))
+      slots(s) :+= e
+      used(s) += 1
+      logProd(s) += math.log(lambda(e).max(1e-12))
+    }
+    // row i of R = the eigenvector (as a row) allocated to output dim
+    // i; subspace s owns output rows s·sw … s·sw+sw−1
+    val rowsOrder = slots.flatten
+    var rot = orthonormalizeRows(
+      Array.tabulate(dim, dim)((i, j) => vec(j)(rowsOrder(i))))
+    def rotDf(r: Array[Array[Double]]): DataFrame =
+      spark.range(1).select(typedLit(r.flatten.toSeq).as("_rot"))
+    def rotate(r: Array[Array[Double]]): DataFrame =
+      res.crossJoin(broadcast(rotDf(r)))
+        .select(col("_rid"), rotateVec(col("_rv"), col("_rot"), dim)
+          .as("_rv"))
+    // one Lloyd assign+update round continuing from `cur` — the OPQ-NP
+    // warm start (Ge et al. Algorithm 2: codebooks PERSIST across
+    // alternations; fresh re-fits would break the descent)
+    def lloydRound(rotated: DataFrame, cur: DataFrame): DataFrame = {
+      val enc = pqEncode(rotated, cur, "_rid", "_rv", m, dim)
+      val slices = (0 until m).map(s => rotated.select(col("_rid"),
+        lit(s).as("sub"), slice(col("_rv"), s * sw + 1, sw).as("_sv")))
+        .reduce(_.unionByName(_))
+      val upd = enc.join(slices, Seq("_rid", "sub"))
+        .select(col("sub"), col("code"),
+          posexplode(col("_sv")).as(Seq("_p", "_x")))
+        .groupBy(col("sub"), col("code"), col("_p"))
+        .agg(avg(col("_x")).as("_mu"))
+        .groupBy(col("sub"), col("code").as("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("_p"), col("_mu")))),
+          _.getField("_mu")).as("_new"))
+      // empty clusters keep their previous centroid
+      cur.select(col("sub"), col("cid"), col("cv").as("_old"))
+        .join(upd, Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"),
+          coalesce(col("_new"), col("_old")).as("cv"))
+        .localCheckpoint()
+    }
+    var cb = pqFit(rotate(rot), "_rid", "_rv", m, k, iters, dim,
+      bucketWidth).localCheckpoint()
+    for (_ <- 1 to alternations) {
+      val rotated = rotate(rot)
+      // reconstruction y = concat of winning codebook centroids —
+      // fixed points in CODE space, independent of R
+      val y = pqEncode(rotated, cb, "_rid", "_rv", m, dim)
+        .join(broadcast(cb.select(col("sub"), col("cid").as("code"),
+          col("cv"))), Seq("sub", "code"))
+        .groupBy(col("_rid"))
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("sub"), col("cv")))),
+          _.getField("cv"))).as("_y"))
+      // cross-moment M[i][j] = Σ y_i·x_j — the only driver-visible
+      // object of the alternation (d² doubles of model metadata)
+      val mom = res.join(y, Seq("_rid"))
+        .select(posexplode(flatten(transform(col("_y"),
+          a => transform(col("_rv"), b => a * b))))
+          .as(Seq("_pos", "_prod")))
+        .groupBy(col("_pos")).agg(sum(col("_prod")).as("_s"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val mm = Array.tabulate(dim, dim)((i, j) =>
+        mom.getOrElse(i * dim + j, 0.0))
+      // orthogonal Procrustes: R = U·Vᵀ of M = U·S·Vᵀ. V and S² come
+      // from the Jacobi eigensolve of MᵀM; U's columns are M·v_t/σ_t
+      // for live singular values and a basis COMPLETION for collapsed
+      // ones (M is typically rank ≤ m·k here, far below d — the
+      // completion must happen in the U-FRAME, paired with V's null
+      // columns, where the objective is genuinely flat; re-
+      // orthonormalizing R's ROWS instead would tilt live directions
+      // off the optimum).
+      val mtm = Array.tabulate(dim, dim)((i, j) =>
+        (0 until dim).map(t => mm(t)(i) * mm(t)(j)).sum)
+      val (sl, v) = jacobiEigen(mtm)
+      val smax = sl.map(_.max(0.0)).max.max(1e-300)
+      val live = (0 until dim).filter(t => sl(t) > 1e-10 * smax)
+      val placed = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      def mgsNorm(w0: Array[Double]): Option[Array[Double]] = {
+        val w = w0.clone()
+        for (_ <- 0 to 1; p <- placed) { // Kahan twice-is-enough
+          val pr = (0 until dim).map(t => w(t) * p(t)).sum
+          for (t <- 0 until dim) w(t) -= pr * p(t)
+        }
+        val n = math.sqrt(w.map(x => x * x).sum)
+        if (n < 1e-8) None else Some(w.map(_ / n))
+      }
+      val uCols = Array.ofDim[Array[Double]](dim)
+      live.foreach { t =>
+        val raw = Array.tabulate(dim)(i =>
+          (0 until dim).map(j => mm(i)(j) * v(j)(t)).sum)
+        uCols(t) = mgsNorm(raw).getOrElse(
+          sys.error(s"live singular direction $t collapsed"))
+        placed += uCols(t)
+      }
+      (0 until dim).filterNot(live.contains).foreach { t =>
+        var ax = 0
+        while (uCols(t) == null) {
+          require(ax < dim, s"could not complete U basis at $t")
+          mgsNorm(Array.tabulate(dim)(x => if (x == ax) 1.0 else 0.0))
+            .foreach { w => uCols(t) = w; placed += w }
+          ax += 1
+        }
+      }
+      rot = Array.tabulate(dim, dim)((i, j) =>
+        (0 until dim).map(t => uCols(t)(i) * v(j)(t)).sum)
+      // codebook step: warm-started Lloyd in the NEW frame
+      cb = lloydRound(rotate(rot), cb)
+    }
+    res.unpersist()
+    (rotDf(rot), cb)
+  }
+
+  /** [[pqFitResidual]] on DENSE-OPQ-rotated residuals. */
+  def pqFitResidualRotatedDense(
+      emb: DataFrame, centroids: DataFrame, rot: DataFrame,
+      idCol: String, vecCol: String, cellCol: String, m: Int, k: Int,
+      iters: Int, dim: Int = 64, bucketWidth: Long = 4096L): DataFrame =
+    pqFit(ivfResidualsXf(emb, centroids, rot,
+      rotateVec(_, col("_rot"), dim), idCol, vecCol, cellCol),
+      idCol, "_rv", m, k, iters, dim, bucketWidth)
+
+  /** [[pqEncodeResidual]] against dense-rotated codebooks. */
+  def pqEncodeResidualRotatedDense(
+      emb: DataFrame, centroids: DataFrame, rot: DataFrame,
+      codebooks: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, m: Int, dim: Int = 64): DataFrame =
+    pqEncode(ivfResidualsXf(emb, centroids, rot,
+      rotateVec(_, col("_rot"), dim), idCol, vecCol, cellCol),
+      codebooks, idCol, "_rv", m, dim)
+
+  /** [[ivfPqTopKResidual]] over dense-rotated residual codes. */
+  def ivfPqTopKResidualRotatedDense(
+      codesWithCell: DataFrame, codebooks: DataFrame,
+      centroids: DataFrame, rot: DataFrame, queries: DataFrame,
+      queryIdCol: String, vecCol: String, idCol: String, m: Int, k: Int,
+      nprobe: Int = 2, dim: Int = 64): DataFrame =
+    ivfPqTopKResidualXf(codesWithCell, codebooks, centroids, rot,
+      rotateVec(_, col("_rot"), dim), queries, queryIdCol, vecCol,
+      idCol, m, k, nprobe, dim)
+
+  /** [[ivfPqTopKRefinedResidual]] over dense-rotated codes: rotated
+    * ADC picks candidates, exact cosine on raw embeddings decides.
+    */
+  def ivfPqTopKRefinedResidualRotatedDense(
+      codesWithCell: DataFrame, codebooks: DataFrame,
+      centroids: DataFrame, rot: DataFrame, queries: DataFrame,
+      emb: DataFrame, queryIdCol: String, vecCol: String, idCol: String,
+      m: Int, k: Int, candidates: Int, nprobe: Int = 2,
+      dim: Int = 64): DataFrame = {
+    require(candidates >= k,
+      s"candidates=$candidates must be >= k=$k")
+    val adc = ivfPqTopKResidualRotatedDense(codesWithCell, codebooks,
+      centroids, rot, queries, queryIdCol, vecCol, idCol, m,
+      candidates, nprobe, dim)
+    val q = queries.select(col(queryIdCol).as("qid"), col(vecCol).as("qv"))
+    val cand = adc.select(col("qid"), col("neighbor").as("cid"))
+      .join(emb.select(col(idCol).as("cid"), col(vecCol).as("cv")),
+        Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+    rankScored(scorePairs(cand), k)
   }
 
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, the

@@ -1211,6 +1211,14 @@ object Dedup {
     *     (near-duplicate tails usually sort adjacent; an edit early
     *     in the tail can escape the window) — the documented price of
     *     boundedness; cold blocks keep exact all-pairs semantics.
+    *     MEASURED (AnalyticsOpsSpec "SNM recall MEASURED": planted
+    *     last-char mutations in a 400-member Zipfian hot block, where
+    *     twins sort 4–10 ranks from their base): hot-block pairs
+    *     completeness is 0.20 at `hotWindow` = 4, 0.80 at 8, 1.00 at
+    *     12, with cold blocks exact (1.00) throughout — under
+    *     adversarially early tail edits it can reach 0 (the opt-in
+    *     test below). Size `hotWindow` to the expected sorted-rank
+    *     spread of your corruption model, not to a constant.
     *     The bounded mode is OPT-IN: `blockCap` defaults to
     *     `Int.MaxValue` (exact all-pairs in every block, the
     *     pre-round-10 semantics), so no caller's matches change
@@ -1395,6 +1403,112 @@ object Dedup {
         when(col("score_micro") >= upperMicro, lit("match"))
           .when(col("score_micro") <= lowerMicro, lit("non_match"))
           .otherwise(lit("possible")).as("decision"): _*)
+  }
+
+  /** UNSUPERVISED Fellegi-Sunter weight estimation via Winkler's EM
+    * (Winkler, "Using the EM Algorithm for Weight Computation in the
+    * Fellegi-Sunter Model of Record Linkage", 1988/2000) — the
+    * estimator real linkage deployments use when no labeled pairs
+    * exist: the candidate pairs' binary comparison vectors are modeled
+    * as a two-component mixture (match / non-match), and EM alternates
+    * a per-pattern responsibility (E) with re-estimated `p` (match
+    * prevalence), `m_j`, `u_j` (M).
+    *
+    * Scale + determinism discipline: the pairs are reduced ONCE to the
+    * comparison-PATTERN count table — at most `2^|fields|` rows of
+    * bounded model metadata — and EM iterates over that tiny frame
+    * in-plan (1-row parameter frame, localCheckpointed per iteration:
+    * the q126/q48 fixed-iteration discipline). Responsibilities are
+    * micro-snapped to integers BEFORE the M-step sums, so every
+    * aggregate is exact integer arithmetic and the whole estimation
+    * hash-gates; the only floating point per iteration is a fixed
+    * left-associated product chain and one division per moment, both
+    * bit-reproducible across engines. Estimates clamp to
+    * `[1e-6, 1 − 1e-6]` so the final `ln` evidence weights are always
+    * finite.
+    *
+    * Output: one row per field, same schema as
+    * [[fellegiSunterWeights]] minus the label counts —
+    * `(field, p_micro, m_micro, u_micro, w_agree_micro,
+    * w_disagree_micro)` — drop-in for [[linkageDecisions]].
+    */
+  def fellegiSunterEM(pairs: DataFrame, fields: Seq[(String, Column)],
+      iters: Int = 5, initPMicro: Long = 100000L,
+      initMMicro: Long = 900000L, initUMicro: Long = 100000L)
+      : DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val k = fields.size
+    val fcols = fields.indices.map(i => s"_f$i")
+    // pattern table: one row per observed agreement vector, ≤ 2^k rows
+    // of bounded model metadata — the ONLY pass over the pairs
+    val pat = pairs
+      .groupBy(fields.zipWithIndex.map { case ((_, c), i) =>
+        coalesce(c, lit(false)).as(s"_f$i") }: _*)
+      .agg(count(lit(1)).as("_n"))
+      .localCheckpoint()
+    // 1-row parameter frame in exact micro units
+    val init = pat.sparkSession.range(1).select(
+      (lit(initPMicro).as("_p") +:
+        fields.indices.flatMap(i => Seq(
+          lit(initMMicro).as(s"_m$i"), lit(initUMicro).as(s"_u$i")))): _*)
+    val micro = lit(1000000.0)
+    val params = (1 to iters).foldLeft(init) { (prev, _) =>
+      // E-step: responsibility of the match class per pattern, from
+      // the snapped micro params — a fixed left-associated double
+      // product chain, then one division, then a micro snap
+      val pm = fields.indices.foldLeft(
+        col("_p").cast("double") / micro) { (acc, i) =>
+        acc * (when(col(s"_f$i"), col(s"_m$i").cast("double") / micro)
+          .otherwise((lit(1000000L) - col(s"_m$i")).cast("double") /
+            micro))
+      }
+      val pu = fields.indices.foldLeft(
+        (lit(1000000L) - col("_p")).cast("double") / micro) { (acc, i) =>
+        acc * (when(col(s"_f$i"), col(s"_u$i").cast("double") / micro)
+          .otherwise((lit(1000000L) - col(s"_u$i")).cast("double") /
+            micro))
+      }
+      val e = pat.crossJoin(broadcast(prev))
+        .withColumn("_w", round(pm / (pm + pu) * micro).cast("long"))
+      // M-step: all sums are exact integers (w is micro-snapped), each
+      // new estimate is ONE double division of two exact longs, then a
+      // micro snap clamped away from {0, 1}
+      def clamp(c: Column): Column =
+        least(lit(999999L), greatest(lit(1L), c))
+      val aggs =
+        sum(col("_w") * col("_n")).as("_sw") +:
+        sum(col("_n")).as("_sn") +:
+        fields.indices.flatMap(i => Seq(
+          sum(when(col(s"_f$i"), col("_w") * col("_n")).otherwise(0L))
+            .as(s"_swf$i"),
+          sum(when(col(s"_f$i"),
+            (lit(1000000L) - col("_w")) * col("_n")).otherwise(0L))
+            .as(s"_svf$i")))
+      e.agg(aggs.head, aggs.tail: _*)
+        .select((clamp(round(col("_sw").cast("double") /
+            col("_sn").cast("double")).cast("long")).as("_p") +:
+          fields.indices.flatMap(i => Seq(
+            clamp(round(col(s"_swf$i").cast("double") /
+              col("_sw").cast("double") * micro).cast("long"))
+              .as(s"_m$i"),
+            clamp(round(col(s"_svf$i").cast("double") /
+              (lit(1000000L) * col("_sn") - col("_sw")).cast("double") *
+              micro).cast("long")).as(s"_u$i")))): _*)
+        .localCheckpoint() // 1 row per iteration — O(1) plan depth
+    }
+    fields.zipWithIndex.map { case ((nm, _), i) =>
+      val m = col(s"_m$i").cast("double") / micro
+      val u = col(s"_u$i").cast("double") / micro
+      val m1 = (lit(1000000L) - col(s"_m$i")).cast("double") / micro
+      val u1 = (lit(1000000L) - col(s"_u$i")).cast("double") / micro
+      params.select(lit(nm).as("field"), col("_p").as("p_micro"),
+        col(s"_m$i").as("m_micro"), col(s"_u$i").as("u_micro"),
+        round((log(m) - log(u)) * micro).cast("long")
+          .as("w_agree_micro"),
+        round((log(m1) - log(u1)) * micro).cast("long")
+          .as("w_disagree_micro"))
+    }.reduce(_ unionByName _)
   }
 
   /** [[resolveEntities]]' candidate-pair generator, exposed so the

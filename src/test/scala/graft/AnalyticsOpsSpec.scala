@@ -118,6 +118,61 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(dupClusters.count() == 300L)
   }
 
+  test("SNM recall MEASURED: pairs completeness inside hot blocks vs " +
+    "cold, per window — the documented hotWindow trade as a number") {
+    // Zipfian registry: 300 hot entities share the first-half prefix
+    // (one 600-member block → SNM), 100 cold entities have unique
+    // prefixes (block of 2 → exact pairs). Every 3rd entity gets a
+    // twin with its LAST tail char mutated digit→letter, so a hot
+    // twin sorts 4–10 ranks from its base depending on its decade
+    // residue — completeness rises stepwise with the window.
+    def twinTail(i: Int): String = {
+      val t = f"$i%06d"
+      t.take(5) + ('a' + (t.last - '0')).toChar
+    }
+    val hot = (0 until 300).flatMap { i =>
+      val base = Seq((i.toLong * 2, f"mohamm$i%06d", true))
+      if (i % 3 == 0)
+        base :+ ((i.toLong * 2 + 1, "mohamm" + twinTail(i), true))
+      else base
+    }
+    val cold = (0 until 100).flatMap { i =>
+      val base = Seq((10000L + i * 2, f"c$i%05dt$i%05d", false))
+      if (i % 3 == 0)
+        base :+ ((10001L + i * 2,
+          f"c$i%05d" + "t" + twinTail(i).drop(1), false))
+      else base
+    }
+    val recs = (hot ++ cold).map { case (id, nm, _) => (id, nm) }
+      .toDF("rid", "nm")
+    // truth: (base, twin) per twinned entity, tagged hot/cold
+    val truth = (hot ++ cold).groupBy(_._1 / 2).values
+      .collect { case Seq((a, _, h), (b, _, _)) => (a.min(b), a.max(b), h) }
+      .toSeq
+    def completeness(window: Int): (Double, Double) = {
+      val cand = Dedup.entityCandidates(recs, "rid", "nm",
+        halfLen = 6, blockCap = 64, hotWindow = window)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def pc(isHot: Boolean): Double = {
+        val t = truth.filter(_._3 == isHot)
+        t.count(p => cand.contains((p._1, p._2))).toDouble / t.size
+      }
+      (pc(true), pc(false))
+    }
+    // cold blocks are exact all-pairs at every window: completeness 1
+    // hot blocks pay the SNM price — MEASURED, not just documented:
+    //   window 4 → 0.20, window 8 → 0.80, window 12 → 1.00
+    val (h4, c4) = completeness(4)
+    val (h8, c8) = completeness(8)
+    val (h12, c12) = completeness(12)
+    assert(c4 == 1.0 && c8 == 1.0 && c12 == 1.0,
+      s"cold completeness must be exact: $c4 $c8 $c12")
+    assert(h4 == 0.2, s"hot completeness at window 4: $h4")
+    assert(h8 == 0.8, s"hot completeness at window 8: $h8")
+    assert(h12 == 1.0, s"hot completeness at window 12: $h12")
+  }
+
   test("resolveEntities defaults to EXACT all-pairs blocks: an " +
     "early-tail edit in a hot block matches by default and bounded " +
     "(SNM) mode is opt-in") {
@@ -324,6 +379,141 @@ class AnalyticsOpsSpec extends SparkSpec {
     // independent field: m = u = 26/52 → both weights exactly 0
     assert(w("b").getAs[Long]("w_agree_micro") == 0L)
     assert(w("b").getAs[Long]("w_disagree_micro") == 0L)
+  }
+
+  test("fellegiSunterEM recovers the supervised weights' decisions " +
+    "without seeing a single label") {
+    // well-separated mixture: 200 matches agree on each field ~90%,
+    // 800 non-matches ~5% — the structure EM is supposed to find
+    val rows =
+      (0 until 200).map(i => (true,
+        i % 10 != 0, i % 10 != 1, i % 10 != 2)) ++
+      (0 until 800).map(i => (false,
+        i % 20 == 0, i % 20 == 1, i % 20 == 2))
+    val pairs = rows.zipWithIndex.map { case ((mt, a, b, c), i) =>
+      (i.toLong, mt, a, b, c) }.toDF("pid", "mt", "fa", "fb", "fc")
+    val fields = Seq("a" -> col("fa"), "b" -> col("fb"),
+      "c" -> col("fc"))
+    val em = Dedup.fellegiSunterEM(pairs, fields)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // parameter recovery: m near 0.9, u near 0.05, prevalence near 0.2
+    fields.foreach { case (nm, _) =>
+      val m = em(nm).getAs[Long]("m_micro")
+      val u = em(nm).getAs[Long]("u_micro")
+      assert(m > 800000L && m < 990000L, s"$nm m=$m")
+      assert(u < 200000L, s"$nm u=$u")
+      assert(em(nm).getAs[Long]("w_agree_micro") > 0L, s"$nm")
+      assert(em(nm).getAs[Long]("w_disagree_micro") < 0L, s"$nm")
+    }
+    val p = em("a").getAs[Long]("p_micro")
+    assert(p > 100000L && p < 300000L, s"p=$p")
+    // decision agreement: EM-scored decisions equal the supervised
+    // ones pair for pair (upper = lower = 0 → no clerical band)
+    val sup = Dedup.fellegiSunterWeights(pairs, col("mt"), fields)
+    def decide(w: org.apache.spark.sql.DataFrame) =
+      Dedup.linkageDecisions(pairs.select("pid", "fa", "fb", "fc"),
+        w, fields, upperMicro = 0L, lowerMicro = 0L)
+        .collect().map(r => r.getAs[Long]("pid") ->
+          r.getAs[String]("decision")).toMap
+    val supD = decide(sup.select("field", "w_agree_micro",
+      "w_disagree_micro"))
+    val emD = decide(em.map { case (nm, r) =>
+      (nm, r.getAs[Long]("w_agree_micro"),
+        r.getAs[Long]("w_disagree_micro")) }.toSeq
+      .toDF("field", "w_agree_micro", "w_disagree_micro"))
+    assert(supD == emD,
+      s"EM decisions diverged on ${supD.count(kv => emD(kv._1) != kv._2)} pairs")
+  }
+
+  test("mannWhitneyU: hand-computed U, ties averaged, perfect " +
+    "separation gives |r_rb| = 1") {
+    // A = {1,2,3}, B = {2,4}: ranks 1,(2.5,2.5),4,5 → R_A = 1+2.5+4
+    //  = 7.5 → U_A = 7.5 − 6 = 1.5 (doubled: 3); U_B = 6 − 1.5 = 4.5
+    val df = Seq((true, 1L), (true, 2L), (true, 3L), (false, 2L),
+      (false, 4L)).toDF("ga", "v")
+    val r = Relational.mannWhitneyU(df, col("ga"), col("v")).head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("u_a_x2") == 3L, r)
+    assert(r.getAs[Long]("u_b_x2") == 9L, r)
+    // r_rb = 1 − 2·U_b/(n_a·n_b) = 1 − 4.5/3 = −0.5
+    assert(r.getAs[Long]("r_rb_micro") == -500000L, r)
+    // perfect separation: every A below every B → U_a = 0 (no (a,b)
+    // pair has a above b), r_rb = −1, z strongly negative
+    val sep = (Seq.tabulate(10)(i => (true, i.toLong)) ++
+      Seq.tabulate(10)(i => (false, 100L + i))).toDF("ga", "v")
+    val s = Relational.mannWhitneyU(sep, col("ga"), col("v")).head()
+    assert(s.getAs[Long]("u_a_x2") == 0L)
+    assert(s.getAs[Long]("u_b_x2") == 200L)
+    assert(s.getAs[Long]("r_rb_micro") == -1000000L)
+    assert(s.getAs[Long]("z_micro") < -3000000L) // strongly significant
+  }
+
+  test("giniIndex: uniform = 0, single-owner approaches 1, known " +
+    "hand value") {
+    val uniform = Seq.fill(50)(7L).toDF("v")
+    assert(Relational.giniIndex(uniform, col("v")).head()
+      .getAs[Long]("gini_micro") == 0L)
+    // one owner holds everything: G = (n−1)/n = 0.9 at n = 10
+    val single = (Seq.fill(9)(0L) :+ 100L).toDF("v")
+    assert(Relational.giniIndex(single, col("v")).head()
+      .getAs[Long]("gini_micro") == 900000L)
+    // hand: values 1,2,3,4 → G = 2·(1+4+9+16)/(4·10) − 5/4 = 0.25
+    val hand = Seq(1L, 2L, 3L, 4L).toDF("v")
+    assert(Relational.giniIndex(hand, col("v")).head()
+      .getAs[Long]("gini_micro") == 250000L)
+  }
+
+  test("jsDivergence: identical sides = 0, disjoint sides = ln 2, " +
+    "symmetric in the side flag") {
+    val same = (1 to 100).flatMap(i =>
+      Seq((i % 2 == 0, s"c${i % 5}"), (i % 2 != 0, s"c${i % 5}")))
+      .toDF("ga", "cat")
+    assert(Relational.jsDivergenceTotal(same, col("cat"), col("ga"))
+      .head().getAs[Long]("js_micro") == 0L)
+    // fully disjoint supports: JS = ln 2
+    val disj = ((1 to 50).map(i => (true, s"a${i % 3}")) ++
+      (1 to 50).map(i => (false, s"b${i % 3}"))).toDF("ga", "cat")
+    val js = Relational.jsDivergenceTotal(disj, col("cat"), col("ga"))
+      .head().getAs[Long]("js_micro")
+    assert(math.abs(js - math.round(math.log(2.0) * 1e6)) <= 3, js)
+    // symmetry: flipping the side flag leaves the total unchanged
+    val skew = ((1 to 60).map(i => (true, s"c${i % 4}")) ++
+      (1 to 30).map(i => (false, s"c${i % 2}"))).toDF("ga", "cat")
+    val a = Relational.jsDivergenceTotal(skew, col("cat"), col("ga"))
+      .head().getAs[Long]("js_micro")
+    val b = Relational.jsDivergenceTotal(skew, col("cat"), !col("ga"))
+      .head().getAs[Long]("js_micro")
+    assert(a == b, s"$a != $b")
+  }
+
+  test("cramersV: perfect association = 1, independence ~ 0") {
+    val perfect = (1 to 100).map(i =>
+      (s"r${i % 4}", s"c${i % 4}")).toDF("r", "c")
+    assert(Relational.cramersV(perfect, "r", "c").head()
+      .getAs[Long]("v_micro") == 1000000L)
+    val indep = (for (i <- 0 until 10; j <- 0 until 10; _ <- 0 until 3)
+      yield (s"r$i", s"c$j")).toDF("r", "c")
+    assert(Relational.cramersV(indep, "r", "c").head()
+      .getAs[Long]("v_micro") == 0L)
+  }
+
+  test("adamicAdar: hand graph — the pair sharing the rarer neighbor " +
+    "outranks the pair sharing the hub; adjacent pairs never appear") {
+    // star hub h(1) linked to 2,3,4,5; plus a private bridge 6 linked
+    // to 2 and 3: AA(2,3) = 1/ln(4) + 1/ln(2) beats AA(4,5) = 1/ln(4)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (6L, 2L), (6L, 3L)).toDF("src", "dst")
+    val got = graft.operators.LinkGraph.adamicAdar(edges, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_common"), r.getAs[Long]("aa_micro"))).toMap
+    val lnInv = (d: Int) => math.round(1e6 / math.log(d.toDouble))
+    assert(got((2L, 3L)) == ((2L, lnInv(4) + lnInv(2))), got)
+    assert(got((4L, 5L)) == ((1L, lnInv(4))), got)
+    assert(got((2L, 3L))._2 > got((4L, 5L))._2)
+    // adjacent pairs excluded (1-2 is an edge); the non-adjacent
+    // hub-bridge pair (1,6) appears through its two common neighbors
+    assert(!got.contains((1L, 2L)), got)
+    assert(got((1L, 6L)) == ((2L, 2 * lnInv(2))), got)
   }
 
   test("neymanSample: the noisy stratum takes (almost) the whole " +

@@ -488,6 +488,43 @@ class CliSmokeSpec extends SparkSpec {
       "shared,token1,absent-term"))
   }
 
+  test("mwu / gini / jsd / cramers / adamic / fs-em round-11 " +
+    "commands run end to end") {
+    // mwu: boolean group from parity of user_id needs a bool column —
+    // synthesize a small frame
+    val statsPath = s"${tmpDir("cli-r11stats")}/rows"
+    (1L to 40L).map(i => (i, i % 2 == 0, i * 3 % 17, s"c${i % 4}"))
+      .toDF("id", "ga", "v", "cat")
+      .write.mode("overwrite").parquet(statsPath)
+    graft.cli.Main.main(Array("mwu", statsPath, "v", "ga"))
+    graft.cli.Main.main(Array("gini", statsPath, "v"))
+    graft.cli.Main.main(Array("jsd", statsPath, "cat", "ga"))
+    graft.cli.Main.main(Array("cramers", statsPath, "cat", "ga"))
+    val edgesPath = s"${tmpDir("cli-r11edges")}/edges"
+    (1L to 30L).map(i => (i % 10, (i * 3) % 10))
+      .filter(e => e._1 != e._2)
+      .toDF("src", "dst")
+      .write.mode("overwrite").parquet(edgesPath)
+    graft.cli.Main.main(Array("adamic", edgesPath, "5"))
+    val pairsPath = s"${tmpDir("cli-r11pairs")}/pairs"
+    (1L to 100L).map(i => (i, i % 4 != 0, i % 4 != 1))
+      .toDF("pid", "f1", "f2")
+      .write.mode("overwrite").parquet(pairsPath)
+    graft.cli.Main.main(Array("fs-em", pairsPath, "f1,f2", "3"))
+  }
+
+  test("pool-commit and pool-read run the marker pool end to end") {
+    val in = s"${tmpDir("cli-poolin")}/rows"
+    SyntheticTracking.df(spark, games = 1, plays = 2, frames = 5)
+      .write.mode("overwrite").parquet(in)
+    val pool = tmpDir("cli-poolroot")
+    graft.cli.Main.main(Array("pool-commit", in, pool))
+    val out = tmpDir("cli-poolout")
+    graft.cli.Main.main(Array("pool-read", pool, out))
+    assert(spark.read.parquet(out).count() ==
+      spark.read.parquet(in).count())
+  }
+
   test("welch and theil stats commands run end to end") {
     val lab = s"${tmpDir("cliwelch")}/lab"
     (1L to 40L).map(i => (i % 2 == 0, i % 7))

@@ -13,6 +13,25 @@ import graft.text.TextOps
 class IncrementalMatchSpec extends SparkSpec {
   import spark.implicits._
 
+  test("joinDelta: base view ∪ delta == the full re-join, multiset " +
+    "duplicates included; both-sides-new pairs appear exactly once") {
+    val a = Seq((1L, "a1"), (1L, "a2"), (2L, "a3"), (3L, "a4"))
+      .toDF("k", "av")
+    val dA = Seq((2L, "a5"), (4L, "a6")).toDF("k", "av")
+    val b = Seq((1L, "b1"), (2L, "b2"), (2L, "b3")).toDF("k", "bv")
+    val dB = Seq((1L, "b4"), (4L, "b5")).toDF("k", "bv")
+    val full = a.unionByName(dA).join(b.unionByName(dB), Seq("k"))
+    val inc = a.join(b, Seq("k"))
+      .unionByName(Incremental.joinDelta(a, dA, b, dB, Seq("k")))
+    assert(inc.count() == full.count())
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "delta-maintained view diverged from the full re-join")
+    // the ΔA⋈ΔB pair (4,a6,b5) must appear exactly once (it lives in
+    // the ΔA ⋈ B_new term only — double-counting it is the classic
+    // delta-rule bug)
+    assert(inc.filter(col("k") === 4L).count() == 1L)
+  }
+
   private def canon(df: org.apache.spark.sql.DataFrame) =
     df.orderBy("g").collect().map { r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

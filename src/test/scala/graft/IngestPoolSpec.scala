@@ -278,6 +278,65 @@ class IngestPoolSpec extends SparkSpec {
     assert(Pool(spark, poolRoot).df.count() == before) // replaced, not doubled
   }
 
+  test("PoolCommit: marker-committed per-game upsert — the commit is " +
+    "one marker PUT; a crash between stage and marker loses nothing") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    import graft.operators.PoolCommit
+    val root = tmpDir("poolmarker")
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val df = SyntheticTracking.df(spark, games = 2, plays = 2,
+      frames = 5)
+    val games = df.select("gameId").distinct().collect()
+      .map(_.getLong(0)).sorted
+    PoolCommit.write(df, root)
+    val total = df.count()
+    assert(PoolCommit.read(spark, root).count() == total)
+    def markers() = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("_pool_marker.")).sorted
+    assert(markers().length == 1) // superseded markers GC'd
+
+    // per-game upsert: game A shrinks to half its frames, B untouched
+    val gA = games.head
+    val updA = df.filter(col("gameId") === gA && col("frameId") <= 2)
+    PoolCommit.write(updA, root)
+    val r2 = PoolCommit.read(spark, root)
+    // counts materialize NOW: a read is a snapshot of the generations
+    // live at call time — a later commit GCs them (documented)
+    val r2Count = r2.count()
+    assert(r2.filter(col("gameId") === gA).count() == updA.count())
+    assert(r2.filter(col("gameId") === games.last).count() ==
+      df.filter(col("gameId") === games.last).count())
+    assert(markers().length == 1)
+
+    // crash sim 1: a write died between its generation stage and its
+    // marker PUT — the orphan generation is invisible to readers and
+    // the next writer's heal removes it; no committed row is touched
+    graft.operators.Ingest.withSeason(df).write
+      .partitionBy("season", "gameId").parquet(s"$root/gen=77")
+    assert(PoolCommit.read(spark, root).count() == r2Count)
+    PoolCommit.heal(fs, root)
+    assert(!fs.exists(new Path(s"$root/gen=77")))
+    assert(PoolCommit.read(spark, root).count() == r2Count)
+
+    // crash sim 2: a torn marker (no footer — non-atomic PUT died
+    // mid-write) is ignored; the previous marker keeps ruling
+    val torn = fs.create(
+      new Path(root, "_pool_marker.0000000000000000078"), false)
+    torn.write("season=2023/gameId=999:77\n".getBytes("UTF-8"))
+    torn.close()
+    assert(PoolCommit.read(spark, root).count() == r2Count)
+    // the writer path heals the torn marker away and commits cleanly
+    PoolCommit.write(updA, root)
+    assert(PoolCommit.read(spark, root).count() == r2Count)
+    assert(markers().length == 1)
+
+    // partition-column contract: season/gameId survive as partition
+    // columns (per-game pruning), the protocol's gen column is dropped
+    val cols = PoolCommit.read(spark, root).columns.toSet
+    assert(cols.contains("season") && cols.contains("gameId"))
+    assert(!cols.contains("gen"))
+  }
+
   test("samplePlays: exact n, deterministic under seed, all frames join back") {
     val in = tmpDir("insamp")
     val poolRoot = tmpDir("poolsamp")

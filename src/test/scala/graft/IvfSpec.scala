@@ -438,6 +438,76 @@ class IvfSpec extends SparkSpec {
       s"serpentine deal did not balance energy: $rotated > $contiguous")
   }
 
+  test("DENSE OPQ (PCA seed + Procrustes alternations) is orthogonal " +
+    "and beats the permutation tier on BOTH distortion and recall at " +
+    "equal m/k on the gate embeddings") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("cell", col("label")).persist()
+    val cen = SimSearch.ivfCentroids(emb, "vec_id", "embedding", "cell",
+      dim = 64, bucketWidth = 128L).localCheckpoint()
+    val (m, k, iters) = (4, 4, 2)
+    // 100 queries: recall at this SF is a noisy statistic — measured
+    // (OpqProbe5): res 0.061 / perm 0.088 / dense(alt=2) 0.099
+    val pred = col("vec_id") < 100
+    val queries = emb.filter(pred)
+    val exact = SimSearch.bruteForceTopK(emb, "vec_id", "embedding",
+      pred, k = 10).localCheckpoint()
+    def recall(adc: org.apache.spark.sql.DataFrame): Double =
+      SimSearch.recallSummary(
+        adc.filter(col("qid") =!= col("neighbor")), exact, 10)
+        .head().getAs[Double]("mean_recall")
+    // permutation tier at the same m/k (the hash-gated flavor)
+    val perm = SimSearch.opqPermutation(emb, cen, "vec_id", "embedding",
+      "cell", m, dim = 64).localCheckpoint()
+    val cbP = SimSearch.pqFitResidualRotated(emb, cen, perm, "vec_id",
+      "embedding", "cell", m, k, iters, dim = 64, bucketWidth = 128L)
+      .localCheckpoint()
+    val encP = SimSearch.pqEncodeResidualRotated(emb, cen, perm,
+      cbP, "vec_id", "embedding", "cell", m, dim = 64)
+    val dPerm = encP.agg(sum(col("d2"))).head().getDouble(0)
+    val codesP = encP
+      .join(emb.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val rPerm = recall(SimSearch.ivfPqTopKResidualRotated(codesP,
+      cbP, cen, perm, queries, "vec_id", "embedding", "vec_id", m,
+      k = 11, nprobe = 2, dim = 64))
+    // dense tier: the MATCHED (rotation, codebooks) pair the
+    // alternations trained jointly
+    val (rot0, cbD0) = SimSearch.opqDenseFit(emb, cen, "vec_id",
+      "embedding", "cell", m, dim = 64, alternations = 2, k = k,
+      iters = iters, bucketWidth = 128L)
+    val rot = rot0.localCheckpoint()
+    val cbD = cbD0.localCheckpoint()
+    // orthogonality: R·Rᵀ = I to float tolerance (rows orthonormal)
+    val rflat = rot.head().getSeq[Double](0)
+    val R = Array.tabulate(64, 64)((i, j) => rflat(i * 64 + j))
+    for (i <- 0 until 64; j <- i until 64) {
+      val dotv = (0 until 64).map(t => R(i)(t) * R(j)(t)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dotv - want) < 1e-6, s"RRt[$i][$j]=$dotv")
+    }
+    val encD = SimSearch.pqEncodeResidualRotatedDense(emb, cen, rot,
+      cbD, "vec_id", "embedding", "cell", m, dim = 64)
+    val dDense = encD.agg(sum(col("d2"))).head().getDouble(0)
+    val codesD = encD
+      .join(emb.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val rDense = recall(SimSearch.ivfPqTopKResidualRotatedDense(codesD,
+      cbD, cen, rot, queries, "vec_id", "embedding", "vec_id", m,
+      k = 11, nprobe = 2, dim = 64))
+    // the direct OPQ objective: quantization distortion strictly lower
+    assert(dDense < dPerm,
+      s"dense rotation did not lower distortion: $dDense >= $dPerm")
+    assert(rDense >= rPerm,
+      s"dense rotation lost to the permutation: dense=$rDense perm=$rPerm")
+    // and the refined serve path returns k rows per query
+    val refined = SimSearch.ivfPqTopKRefinedResidualRotatedDense(codesD,
+      cbD, cen, rot, queries.limit(5), emb, "vec_id", "embedding",
+      "vec_id", m, k = 5, candidates = 20, nprobe = 2, dim = 64)
+    assert(refined.groupBy("qid").count().collect()
+      .forall(_.getLong(1) == 5L))
+    emb.unpersist()
+  }
+
   test("matryoshkaRecall: the full-dim tier is exactly 1.0 per query; " +
     "mean recall does not increase as dimensions drop") {
     val emb = spark.read

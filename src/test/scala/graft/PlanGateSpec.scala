@@ -177,15 +177,23 @@ class PlanGateSpec extends SparkSpec {
     // - q259: BH's rank runs over the m-row hypothesis table —
     //   bounded (one row per test), never the corpus; the step-up
     //   rule needs the total p order.
+    // - q267: Mann-Whitney's rank window runs over the DISTINCT
+    //   cent-value table (value-space-bounded, q264's discipline) —
+    //   the rank-sum needs the total value order.
+    // - q269: Gini's cumulative window runs over the DISTINCT
+    //   per-user-count table — ≤ max user activity rows, bounded by
+    //   construction; the Lorenz order is the statistic.
     val globalWindowWhitelist = Set("q91_unimax_sample",
       "q86_global_shuffle", "q241_kaplan_meier", "q250_opq_residual",
       "q253_neyman_sample", "q257_nelson_aalen", "q259_bh_fdr",
-      "q264_conformal") // cumulative counts over DISTINCT residual
+      "q264_conformal", // cumulative counts over DISTINCT residual
                         // values — value-space-bounded, q36 discipline
+      "q267_mann_whitney", "q269_gini")
     val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
       "q125_streaming_funnel_replay", "q129_streaming_retention_replay",
       "q244_streaming_agg_replay", "q248_preflight_artifact",
-      "q249_streaming_latency_replay")
+      "q249_streaming_latency_replay", "q265_pq_index_delete",
+      "q272_streaming_sessions_replay")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalWindowWhitelist.contains)
@@ -216,7 +224,8 @@ class PlanGateSpec extends SparkSpec {
     val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
       "q125_streaming_funnel_replay", "q129_streaming_retention_replay",
       "q244_streaming_agg_replay", "q248_preflight_artifact",
-      "q249_streaming_latency_replay")
+      "q249_streaming_latency_replay", "q265_pq_index_delete",
+      "q272_streaming_sessions_replay")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalSortWhitelist.contains)
@@ -279,6 +288,15 @@ class PlanGateSpec extends SparkSpec {
                                 // weight vector (model metadata)
       "q264_conformal",      // residual rows × broadcast 1-row k /
                              // q-hat / coverage scalars
+      "q266_fs_em",          // ≤ 2^3-row pattern table × broadcast
+                             // 1-row EM params per iteration (both
+                             // sides bounded model metadata)
+      "q268_adamic_adar",    // q162's synth-graph 1-row node-count
+                             // broadcast (wedge joins are equi)
+      "q270_js_divergence",  // category counts × broadcast 1-row
+                             // side totals
+      "q271_cramers_v",      // q228's margin-grid crossJoin (r-row ×
+                             // broadcast c-row margins + 1-row N)
       "q126_classifier_train", // vocab rows × broadcast 1-row totals
       "q127_bitext_mine",    // target corpus × broadcast source slice
       "q133_pagerank",       // node/edge synth + per-iteration teleport

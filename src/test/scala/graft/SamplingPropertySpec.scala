@@ -37,6 +37,32 @@ class SamplingPropertySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("sampleQuantile rank error obeys the sqrt(q(1-q)/k) bound at " +
+    "two k values (the documented latency-twin contract)") {
+    // value = rank: n ranks 0..n-1, so |est/(n-1) - q| IS the rank
+    // error of the estimate; the md5-derived hash makes the draw
+    // deterministic, so the 4-sigma bounds are fixed facts here
+    val n = 20000
+    val base = spark.range(0, n).select(
+      graft.text.TextOps.hash32(concat(lit("qk:"),
+        col("id").cast("string"))).as("_h"),
+      col("id").cast("double").as("_v"))
+    def rankErr(k: Int, q: Double): Double = {
+      val est = base.agg(Relational.sampleQuantile(
+        Relational.bottomKSample(col("_h"), col("_v"), k), q))
+        .head().getDouble(0)
+      math.abs(est / (n - 1).toDouble - q)
+    }
+    for (q <- Seq(0.5, 0.9)) {
+      val sigma64 = math.sqrt(q * (1 - q) / 64)
+      val sigma1024 = math.sqrt(q * (1 - q) / 1024)
+      assert(rankErr(64, q) < 4 * sigma64,
+        s"k=64 q=$q err=${rankErr(64, q)} bound=${4 * sigma64}")
+      assert(rankErr(1024, q) < 4 * sigma1024,
+        s"k=1024 q=$q err=${rankErr(1024, q)} bound=${4 * sigma1024}")
+    }
+  }
+
   test("sample is invariant under physical partitioning") {
     for (seed <- Seq(7L, 42L)) {
       val p1 = sample(500, 1, 11, seed)
