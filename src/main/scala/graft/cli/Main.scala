@@ -371,9 +371,13 @@ object Main {
       val cellCol = nums.drop(4).headOption.getOrElse("label")
       val residual = rest.contains("--residual")
       val opq = rest.contains("--opq") // implies residual encoding
+      val opqDense = rest.contains("--opq-dense") // dense rotation tier
       val spark = session()
       val emb = spark.read.parquet(corpus)
-      if (opq)
+      if (opqDense)
+        graft.sim.SimSearch.writePqIndexResidualRotatedDense(emb,
+          outDir, "vec_id", "embedding", cellCol, m, k, iters, dim)
+      else if (opq)
         graft.sim.SimSearch.writePqIndexResidualRotated(emb, outDir,
           "vec_id", "embedding", cellCol, m, k, iters, dim)
       else if (residual)
@@ -383,8 +387,8 @@ object Main {
         graft.sim.SimSearch.writePqIndex(emb, outDir, "vec_id",
           "embedding", cellCol, m, k, iters, dim)
       println(s"[pq-index] ${emb.count()} vectors -> m=$m k=$k " +
-        s"residual=${residual || opq} opq=$opq codes + codebooks + " +
-        s"centroids -> $outDir")
+        s"residual=${residual || opq || opqDense} opq=$opq " +
+        s"opqDense=$opqDense codes + codebooks + centroids -> $outDir")
       done(spark)
 
     // incrementally append new vectors to a persisted PQ index: frozen
@@ -447,6 +451,7 @@ object Main {
       // re-frame queries through the same permutation
       val residual = new java.io.File(s"$idxPath/residual").exists()
       val permOpt = graft.sim.SimSearch.readPqIndexPerm(spark, idxPath)
+      val rotOpt = graft.sim.SimSearch.readPqIndexRot(spark, idxPath)
       // --refine <rawEmbeddings> [candidates]: exact re-rank of the
       // ADC top-candidates against the raw vectors (IVFADC-R)
       val refineArgs = rest.dropWhile(_ != "--refine").drop(1)
@@ -459,31 +464,40 @@ object Main {
         case Some(rawPath) =>
           val c = refineArgs.drop(1).headOption.map(_.toInt)
             .getOrElse(4 * k)
-          permOpt match {
-            case Some(perm) =>
+          (rotOpt, permOpt) match {
+            case (Some(rot), _) =>
+              graft.sim.SimSearch.ivfPqTopKRefinedResidualRotatedDense(
+                codes, cb, centroids, rot, q,
+                spark.read.parquet(rawPath), "vec_id", "embedding",
+                "vec_id", m, k, c, nprobe, dim)
+            case (None, Some(perm)) =>
               graft.sim.SimSearch.ivfPqTopKRefinedResidualRotated(codes,
                 cb, centroids, perm, q, spark.read.parquet(rawPath),
                 "vec_id", "embedding", "vec_id", m, k, c, nprobe, dim)
-            case None if residual =>
+            case (None, None) if residual =>
               graft.sim.SimSearch.ivfPqTopKRefinedResidual(codes, cb,
                 centroids, q, spark.read.parquet(rawPath), "vec_id",
                 "embedding", "vec_id", m, k, c, nprobe, dim)
-            case None =>
+            case _ =>
               graft.sim.SimSearch.ivfPqTopKRefined(codes, cb, centroids,
                 q, spark.read.parquet(rawPath), "vec_id", "embedding",
                 "vec_id", m, k, c, nprobe, dim)
           }
         case None =>
-          permOpt match {
-            case Some(perm) =>
+          (rotOpt, permOpt) match {
+            case (Some(rot), _) =>
+              graft.sim.SimSearch.ivfPqTopKResidualRotatedDense(codes,
+                cb, centroids, rot, q, "vec_id", "embedding", "vec_id",
+                m, k, nprobe, dim)
+            case (None, Some(perm)) =>
               graft.sim.SimSearch.ivfPqTopKResidualRotated(codes, cb,
                 centroids, perm, q, "vec_id", "embedding", "vec_id",
                 m, k, nprobe, dim)
-            case None if residual =>
+            case (None, None) if residual =>
               graft.sim.SimSearch.ivfPqTopKResidual(codes, cb,
                 centroids, q, "vec_id", "embedding", "vec_id", m, k,
                 nprobe, dim)
-            case None =>
+            case _ =>
               graft.sim.SimSearch.ivfPqTopK(codes, cb, centroids,
                 q, "vec_id", "embedding", "vec_id", m, k, nprobe, dim)
           }
@@ -2267,7 +2281,7 @@ object Main {
           "dedup-stream <in> <idx> <out> <ckpt> | " +
           "ann-index <embeddings> <out> [planes] [dim] | " +
           "ann-query <idx> <queries> <out> [k] [planes] [dim] | " +
-          "pq-index <embeddings> <out> [m] [k] [iters] [dim] [cellCol] | " +
+          "pq-index <embeddings> <out> [m] [k] [iters] [dim] [cellCol] [--residual|--opq|--opq-dense] | " +
            "pq-query <idx> <queries> <out> [k] [m] [nprobe] [dim] [--refine <rawEmb> [c]] | " +
           "ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod] | " +
           "pack <corpus> <out> [budget] [--jsonl] [--simple-tokens] | " +

@@ -1244,6 +1244,48 @@ object SimSearch {
     if (fs.exists(p)) Some(spark.read.parquet(s"$path/perm")) else None
   }
 
+  /** Persist a DENSE-OPQ residual PQ index —
+    * [[writePqIndexResidualRotated]]'s layout with a `rot` subdir
+    * holding the 1-row learned d×d rotation instead of `perm`; the
+    * MATCHED codebooks from [[opqDenseFit]]'s joint alternations are
+    * what lands on disk (re-fitting from scratch would discard the
+    * descent). A reader detects the dense tier by the `rot`
+    * directory's presence and MUST serve with
+    * [[ivfPqTopKResidualRotatedDense]] — codes live in the rotated
+    * residual frame.
+    */
+  def writePqIndexResidualRotatedDense(
+      emb: DataFrame, path: String, idCol: String, vecCol: String,
+      cellCol: String, m: Int, k: Int, iters: Int, dim: Int = 64,
+      bucketWidth: Long = 4096L, alternations: Int = 2): Unit = {
+    resetPqIndexLifecycle(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(emb.sparkSession.sessionState.newHadoopConf()), path)
+    val cen = ivfCentroids(emb, idCol, vecCol, cellCol, dim, bucketWidth)
+      .localCheckpoint()
+    cen.write.mode("overwrite").parquet(s"$path/centroids")
+    val (rot0, cb0) = opqDenseFit(emb, cen, idCol, vecCol, cellCol,
+      m, dim, alternations, k, iters, bucketWidth)
+    val rot = rot0.localCheckpoint()
+    val cb = cb0.localCheckpoint()
+    rot.write.mode("overwrite").parquet(s"$path/rot")
+    cb.write.mode("overwrite").parquet(s"$path/codebooks")
+    pqEncodeResidualRotatedDense(emb, cen, rot, cb, idCol, vecCol,
+      cellCol, m, dim)
+      .join(emb.select(col(idCol), col(cellCol).as("cell")), Seq(idCol))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes")
+    emb.sparkSession.range(1).select(lit(true).as("residual"))
+      .write.mode("overwrite").parquet(s"$path/residual")
+  }
+
+  /** Load a persisted index's dense OPQ rotation, when present. */
+  def readPqIndexRot(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/rot")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(s"$path/rot")) else None
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric d×d matrix —
     * driver-side, O(sweeps·d³) on ≤ 64×64 model metadata. Returns
     * (eigenvalues, eigenvectors-as-columns) sorted by eigenvalue desc.
@@ -1738,17 +1780,22 @@ object SimSearch {
       case None => fresh.join(
         assignIvfCells(fresh, cen, idCol, vecCol), Seq(idCol))
     }
-    // an OPQ-rotated index (perm marker present) must encode appends
-    // through the SAME frozen permutation — raw-residual codes against
-    // rotated codebooks would be silently wrong in every distance
+    // an OPQ-rotated index (perm or rot marker present) must encode
+    // appends through the SAME frozen transform — raw-residual codes
+    // against rotated codebooks would be silently wrong in every
+    // distance
     val perm = readPqIndexPerm(spark, path).map(_.localCheckpoint())
-    val codes = (perm, residual) match {
-      case (Some(pm), _) =>
+    val rot = readPqIndexRot(spark, path).map(_.localCheckpoint())
+    val codes = (rot, perm, residual) match {
+      case (Some(rt), _, _) =>
+        pqEncodeResidualRotatedDense(withCell, cen, rt, cb, idCol,
+          vecCol, "cell", m, dim)
+      case (None, Some(pm), _) =>
         pqEncodeResidualRotated(withCell, cen, pm, cb, idCol, vecCol,
           "cell", m, dim)
-      case (None, true) =>
+      case (None, None, true) =>
         pqEncodeResidual(withCell, cen, cb, idCol, vecCol, "cell", m, dim)
-      case (None, false) =>
+      case (None, None, false) =>
         pqEncode(withCell, cb, idCol, vecCol, m, dim)
     }
     codes
@@ -1913,7 +1960,10 @@ object SimSearch {
     if (!fs.exists(root)) return
     fs.listStatus(root).map(_.getPath)
       .filter(p => p.getName.startsWith(LiveMarkerPrefix) ||
-        p.getName == "tombstones" || p.getName.startsWith("codes_gen="))
+        p.getName == "tombstones" || p.getName.startsWith("codes_gen=") ||
+        // rotation-flavor markers: a rebuild as a DIFFERENT flavor must
+        // not leave a stale perm/rot dir misdirecting the auto-detect
+        p.getName == "perm" || p.getName == "rot")
       .foreach { p =>
         if (!fs.delete(p, true)) throw new java.io.IOException(
           s"pq index rebuild failed to clear lifecycle state at $p")

@@ -416,6 +416,20 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("pq-query", idxOpq, embPath, outOpqRef,
       "3", "2", "1", "--refine", embPath, "8"))
     assert(spark.read.parquet(outOpqRef).columns.contains("cos_sim"))
+    // DENSE OPQ flavor: --opq-dense writes the rot marker; pq-query
+    // auto-detects and serves through the dense rotation
+    val idxDense = s"$base/idx-dense"
+    graft.cli.Main.main(Array("pq-index", embPath, idxDense, "2", "2",
+      "2", "--opq-dense"))
+    assert(graft.sim.SimSearch.readPqIndexRot(spark, idxDense).nonEmpty)
+    val outDense = s"$base/dense"
+    graft.cli.Main.main(Array("pq-query", idxDense, embPath, outDense,
+      "3", "2", "1"))
+    assert(spark.read.parquet(outDense).count() == 16 * 3)
+    val outDenseRef = s"$base/dense-ref"
+    graft.cli.Main.main(Array("pq-query", idxDense, embPath,
+      outDenseRef, "3", "2", "1", "--refine", embPath, "8"))
+    assert(spark.read.parquet(outDenseRef).columns.contains("cos_sim"))
     // deletion lifecycle: pq-delete tombstones, serving skips them;
     // pq-compact folds them into a fresh generation
     val idsPath = s"$base/del-ids"

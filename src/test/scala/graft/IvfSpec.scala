@@ -642,6 +642,83 @@ class IvfSpec extends SparkSpec {
       s"append bypassed the rotation: $appended vs $inline3")
   }
 
+  test("persisted DENSE-OPQ index: rot marker detected, serving " +
+    "matches the matched-pair inline chain, appends encode through " +
+    "the frozen rotation, rebuilds clear stale flavor markers") {
+    def vec(d0: Float, d32: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(0) = d0
+      a(32) = d32
+      a
+    }
+    val emb = (0L until 16L).map { i =>
+      (i, i % 4, vec(if (i % 2 == 0) 10f else -10f,
+        (i % 8).toFloat - 3.5f))
+    }.toDF("vec_id", "cell", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("pqidxdense").toString
+    SimSearch.writePqIndexResidualRotatedDense(emb, dir, "vec_id",
+      "embedding", "cell", m = 2, k = 2, iters = 2, dim = 64,
+      bucketWidth = 4L, alternations = 1)
+    val (cb, codes, centroids) = SimSearch.readPqIndex(spark, dir)
+    val rot = SimSearch.readPqIndexRot(spark, dir)
+    assert(rot.nonEmpty, "rot marker directory missing")
+    assert(SimSearch.readPqIndexPerm(spark, dir).isEmpty)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val queries = emb.filter(col("vec_id") < 4)
+    val fromIndex = canon(SimSearch.ivfPqTopKResidualRotatedDense(
+      codes, cb, centroids, rot.get, queries, "vec_id", "embedding",
+      "vec_id", m = 2, k = 4, nprobe = 1, dim = 64))
+    // inline: the same matched (rot, cb) pair — opqDenseFit is
+    // deterministic, so re-fitting reproduces the persisted model
+    val cen = SimSearch.ivfCentroids(emb, "vec_id", "embedding",
+      "cell", dim = 64, bucketWidth = 4L).localCheckpoint()
+    val (rotI0, cbI0) = SimSearch.opqDenseFit(emb, cen, "vec_id",
+      "embedding", "cell", m = 2, dim = 64, alternations = 1, k = 2,
+      iters = 2, bucketWidth = 4L)
+    val rotI = rotI0.localCheckpoint()
+    val cbI = cbI0.localCheckpoint()
+    val inline = canon(SimSearch.ivfPqTopKResidualRotatedDense(
+      SimSearch.pqEncodeResidualRotatedDense(emb, cen, rotI, cbI,
+        "vec_id", "embedding", "cell", m = 2, dim = 64)
+        .join(emb.select(col("vec_id"), col("cell")), Seq("vec_id")),
+      cbI, cen, rotI, queries, "vec_id", "embedding", "vec_id",
+      m = 2, k = 4, nprobe = 1, dim = 64))
+    assert(fromIndex == inline)
+    // appends on a dense index encode through the frozen rotation
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("pqidxdenseapp").toString
+    SimSearch.writePqIndexResidualRotatedDense(
+      emb.filter(col("vec_id") < 12), dir2, "vec_id", "embedding",
+      "cell", m = 2, k = 2, iters = 2, dim = 64, bucketWidth = 4L,
+      alternations = 1)
+    SimSearch.appendToPqIndex(emb.filter(col("vec_id") >= 12)
+      .drop("cell"), dir2, "vec_id", "embedding", m = 2, dim = 64)
+    val (cb2, codes2, cen2) = SimSearch.readPqIndex(spark, dir2)
+    val rot2 = SimSearch.readPqIndexRot(spark, dir2).get
+    val appended = codes2.filter(col("vec_id") >= 12)
+      .select("vec_id", "sub", "code")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val reassigned = emb.filter(col("vec_id") >= 12).drop("cell")
+      .join(SimSearch.assignIvfCells(
+        emb.filter(col("vec_id") >= 12), cen2, "vec_id", "embedding"),
+        Seq("vec_id"))
+    val inline2 = SimSearch.pqEncodeResidualRotatedDense(reassigned,
+      cen2, rot2, cb2, "vec_id", "embedding", "cell", m = 2, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(appended == inline2,
+      s"append bypassed the dense rotation: $appended vs $inline2")
+    // a rebuild as a PLAIN index clears the stale rot marker
+    SimSearch.writePqIndex(emb, dir, "vec_id", "embedding", "cell",
+      m = 2, k = 2, iters = 2, dim = 64, bucketWidth = 4L)
+    assert(SimSearch.readPqIndexRot(spark, dir).isEmpty,
+      "stale rot marker survived a plain rebuild")
+  }
+
   test("appendToPqIndex: new vectors encode against the FROZEN " +
     "codebooks into their probe cells, replays are idempotent, and " +
     "serving matches a from-scratch encode under the same model") {
