@@ -6683,5 +6683,81 @@ object OracleSql {
       """SELECT o_orderkey AS okey, o_custkey, o_totalprice,
         |  l_linenumber, l_quantity
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
-        .stripMargin)
+        .stripMargin,
+
+    // Kendall tau-b: distinct-cell grid self-join for C/D (HUGEINT
+    // cross products), tie pairs per margin, one micro-snapped chain
+    "q274_kendall_tau" ->
+      """WITH per AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS nv,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS nc
+        |  FROM events GROUP BY user_id),
+        |cells AS (SELECT nv AS va, nc AS vb, count(*)::BIGINT AS n
+        |  FROM per GROUP BY 1, 2),
+        |cd AS (SELECT
+        |    coalesce(sum(CASE WHEN l.vb < r.vb
+        |      THEN l.n::HUGEINT * r.n END), 0) AS c,
+        |    coalesce(sum(CASE WHEN l.vb > r.vb
+        |      THEN l.n::HUGEINT * r.n END), 0) AS d
+        |  FROM cells l JOIN cells r ON l.va < r.va),
+        |t1 AS (SELECT coalesce(sum(t::HUGEINT * (t - 1) / 2), 0)
+        |    AS n1
+        |  FROM (SELECT sum(n)::BIGINT AS t FROM cells GROUP BY va)),
+        |t2 AS (SELECT coalesce(sum(t::HUGEINT * (t - 1) / 2), 0)
+        |    AS n2
+        |  FROM (SELECT sum(n)::BIGINT AS t FROM cells GROUP BY vb)),
+        |tot AS (SELECT sum(n)::BIGINT AS n,
+        |    count(*)::BIGINT AS n_cells FROM cells)
+        |SELECT tot.n, tot.n_cells, c::BIGINT AS c_pairs,
+        |  d::BIGINT AS d_pairs,
+        |  CASE WHEN sqrt((tot.n::HUGEINT * (tot.n - 1) / 2 - n1)
+        |      ::DOUBLE * (tot.n::HUGEINT * (tot.n - 1) / 2 - n2)
+        |      ::DOUBLE) = 0 THEN NULL ELSE
+        |    (round((c - d)::DOUBLE /
+        |      sqrt((tot.n::HUGEINT * (tot.n - 1) / 2 - n1)::DOUBLE *
+        |        (tot.n::HUGEINT * (tot.n - 1) / 2 - n2)::DOUBLE)
+        |      * 1000000.0))::BIGINT END AS tau_b_micro
+        |FROM tot, cd, t1, t2""".stripMargin,
+
+    // Cohen's d / Hedges' g: one moment pass to exact integers, the
+    // identical pooled-SD double chain, micro-snapped
+    "q275_cohens_d" ->
+      """WITH d AS (SELECT (event_type = 'view') AS ga,
+        |    round(value * 100)::BIGINT AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT
+        |    sum(CASE WHEN ga THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN ga THEN v ELSE 0 END)::BIGINT AS s_a,
+        |    sum(CASE WHEN ga THEN v::HUGEINT * v ELSE 0 END) AS q_a,
+        |    sum(CASE WHEN NOT ga THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN NOT ga THEN v ELSE 0 END)::BIGINT AS s_b,
+        |    sum(CASE WHEN NOT ga THEN v::HUGEINT * v ELSE 0 END) AS q_b
+        |  FROM d),
+        |x AS (SELECT n_a, n_b,
+        |    s_a::DOUBLE / n_a::DOUBLE AS ma,
+        |    s_b::DOUBLE / n_b::DOUBLE AS mb,
+        |    (n_a::DOUBLE * q_a::DOUBLE - s_a::DOUBLE * s_a::DOUBLE)
+        |      / (n_a::DOUBLE * (n_a::DOUBLE - 1.0)) AS va,
+        |    (n_b::DOUBLE * q_b::DOUBLE - s_b::DOUBLE * s_b::DOUBLE)
+        |      / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)) AS vb
+        |  FROM m),
+        |y AS (SELECT x.*,
+        |    sqrt(((n_a::DOUBLE - 1.0) * va + (n_b::DOUBLE - 1.0) * vb)
+        |      / (n_a::DOUBLE + n_b::DOUBLE - 2.0)) AS sp
+        |  FROM x)
+        |SELECT n_a, n_b,
+        |  (round(ma * 1000000.0))::BIGINT AS mean_a_micro,
+        |  (round(mb * 1000000.0))::BIGINT AS mean_b_micro,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR sp = 0 OR isnan(sp)
+        |    THEN NULL ELSE
+        |    (round((ma - mb) / sp * 1000000.0))::BIGINT END
+        |    AS d_micro,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR sp = 0 OR isnan(sp)
+        |    THEN NULL ELSE
+        |    (round((ma - mb) / sp *
+        |      (1.0 - 3.0 / (4.0 * (n_a::DOUBLE + n_b::DOUBLE) - 9.0))
+        |      * 1000000.0))::BIGINT END AS g_micro
+        |FROM y""".stripMargin)
 }

@@ -4602,6 +4602,32 @@ object SparkEntry {
       Incremental.joinDelta(aOld, dA, bOld, dB, Seq("okey")))
   }
 
+  /** Kendall's τ-b between per-user view and click activity — the
+    * concordance companion of q229's Spearman with proper tie
+    * handling: rows reduce to the distinct (n_views, n_clicks) cell
+    * grid, C/D are cross-cell products over the bounded grid's
+    * self-join, tie pairs discount both margins, τ is one
+    * micro-snapped double chain.
+    */
+  def q274_kendall_tau(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("_nv"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("_nc"))
+    Relational.kendallTauB(per, col("_nv"), col("_nc"))
+  }
+
+  /** Cohen's d (+ Hedges' g) for event values, 'view' vs the rest —
+    * the standardized effect size beside q245's Welch t: one moment
+    * pass to exact integers, pooled SD, micro-snapped d and g.
+    */
+  def q275_cohens_d(s: SparkSession, dir: String): DataFrame =
+    Relational.cohensD(
+      t(s, dir, "events").filter(col("value").isNotNull),
+      col("event_type") === "view",
+      round(col("value") * 100).cast("long"))
+
   /** Deterministic replay of the STREAMING sessionization twin
     * ([[graft.streaming.StreamingSessions]]): four event-time-ordered
     * micro-batches drive the bucketed per-user session state (the
@@ -4941,7 +4967,9 @@ object SparkEntry {
     "q271_cramers_v" -> (q271_cramers_v(_, _)),
     "q272_streaming_sessions_replay" ->
       (q272_streaming_sessions_replay(_, _)),
-    "q273_incremental_join" -> (q273_incremental_join(_, _)))
+    "q273_incremental_join" -> (q273_incremental_join(_, _)),
+    "q274_kendall_tau" -> (q274_kendall_tau(_, _)),
+    "q275_cohens_d" -> (q275_cohens_d(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -2247,6 +2247,28 @@ object Main {
         }
       done(spark)
 
+    // Kendall tau-b rank correlation of two integer columns
+    case "kendall" :: path :: aCol :: bCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.kendallTauB(
+        spark.read.parquet(path), col(aCol), col(bCol)).head()
+      println(s"[kendall] n=${r.getLong(0)} cells=${r.getLong(1)} " +
+        s"c=${r.getLong(2)} d=${r.getLong(3)} tau_b_micro=${r.get(4)}")
+      done(spark)
+
+    // Cohen's d / Hedges' g effect size between two sides of a flag
+    case "cohend" :: path :: valCol :: groupCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.cohensD(
+        spark.read.parquet(path).filter(col(valCol).isNotNull),
+        col(groupCol).cast("boolean"), col(valCol)).head()
+      println(s"[cohend] n_a=${r.getLong(0)} n_b=${r.getLong(1)} " +
+        s"mean_a_micro=${r.getLong(2)} mean_b_micro=${r.getLong(3)} " +
+        s"d_micro=${r.get(4)} g_micro=${r.get(5)}")
+      done(spark)
+
     // object-store-safe pool upsert: stage + ONE marker PUT commits
     case "pool-commit" :: input :: poolRoot :: rest =>
       val spark = session()
@@ -2362,7 +2384,9 @@ object Main {
           "pool-commit <input> <poolRoot> [--csv] | " +
           "pool-read <poolRoot> <out> | " +
           "sessions-stream <inDir> <state> <ckpt> [gapMin] | " +
-          "sessions-report <state> <out>")
+          "sessions-report <state> <out> | " +
+          "kendall <parquet> <aCol> <bCol> | " +
+          "cohend <parquet> <valCol> <boolGroupCol>")
       sys.exit(2)
   }
 

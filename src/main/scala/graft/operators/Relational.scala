@@ -2216,6 +2216,124 @@ object Relational {
           col("volume").cast("double")).cast("long").as("vwap_micro"))
   }
 
+  /** Kendall's τ-b rank correlation — the concordance-based
+    * alternative to [[spearmanByGroup]] with a proper tie treatment
+    * (the b variant's denominator discounts ties on either margin):
+    *
+    *   τ-b = (C − D) / sqrt((n₀ − n₁)(n₀ − n₂))
+    *
+    * with C/D the concordant/discordant pair counts, n₀ = n(n−1)/2,
+    * n₁/n₂ the within-tie pair counts of the two margins.
+    *
+    * Scale + exactness discipline: rows reduce ONCE to the
+    * DISTINCT-VALUE-PAIR cell grid `(va, vb, n)` — C and D are
+    * cross-cell products over that grid's self-join (O(|cells|²) on
+    * the bounded grid, never corpus rows — the chi-square
+    * contingency assumption: both value spaces are bounded, e.g.
+    * snapped measures or counts; for unbounded doubles, bucket
+    * first). Every count is an exact decimal; τ is one double chain,
+    * micro-snapped. Output (one row): `(n, n_cells, c_pairs, d_pairs,
+    * tau_b_micro)`.
+    */
+  def kendallTauB(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(a.cast("long").as("_va"),
+      b.cast("long").as("_vb"))
+      .groupBy(col("_va"), col("_vb")).agg(count(lit(1)).as("_n"))
+      .persist() // self-join legs + three marginal/total passes
+    val l = cells.select(col("_va").as("_xa"), col("_vb").as("_xb"),
+      col("_n").cast(dec).as("_nx"))
+    val r = cells.select(col("_va").as("_ya"), col("_vb").as("_yb"),
+      col("_n").cast(dec).as("_ny"))
+    // each unordered cell pair once: strict order on the a margin
+    // covers every non-a-tied pair exactly once
+    val cd = l.join(broadcast(r), col("_xa") < col("_ya"))
+      .agg(
+        coalesce(sum(when(col("_xb") < col("_yb"),
+          col("_nx") * col("_ny"))), lit(0).cast(dec)).as("_c"),
+        coalesce(sum(when(col("_xb") > col("_yb"),
+          col("_nx") * col("_ny"))), lit(0).cast(dec)).as("_d"))
+    // Σ t(t−1)/2 over each margin's tie groups — derived from the
+    // cell grid, exact decimals (t(t−1) is even, so /2 is exact)
+    val aTies = cells.groupBy(col("_va"))
+      .agg(sum(col("_n")).as("_t"))
+      .agg(coalesce(sum(col("_t").cast(dec) * (col("_t") - 1) / 2),
+        lit(0).cast(dec)).cast(dec).as("_n1"))
+    val bTies = cells.groupBy(col("_vb"))
+      .agg(sum(col("_n")).as("_t"))
+      .agg(coalesce(sum(col("_t").cast(dec) * (col("_t") - 1) / 2),
+        lit(0).cast(dec)).cast(dec).as("_n2"))
+    val tot = cells.agg(sum(col("_n")).as("n"),
+      count(lit(1)).as("n_cells"))
+    val m = tot.crossJoin(broadcast(cd))
+      .crossJoin(broadcast(aTies)).crossJoin(broadcast(bTies))
+    val nD = col("n").cast(dec)
+    val n0 = nD * (nD - 1) / 2
+    val denom = sqrt((n0 - col("_n1")).cast("double") *
+      (n0 - col("_n2")).cast("double"))
+    m.select(col("n"), col("n_cells"),
+      col("_c").cast("long").as("c_pairs"),
+      col("_d").cast("long").as("d_pairs"),
+      when(denom === 0.0, lit(null).cast("long"))
+        .otherwise(round((col("_c") - col("_d")).cast("double") /
+          denom * lit(1000000.0)).cast("long")).as("tau_b_micro"))
+  }
+
+  /** Cohen's d standardized mean difference (+ Hedges' g small-sample
+    * correction) — the effect size [[welchTTest]]'s t statistic does
+    * not give you (t grows with n; d does not): pooled-SD
+    * `d = (x̄_a − x̄_b)/s_p`,
+    * `s_p² = ((n_a−1)s_a² + (n_b−1)s_b²)/(n_a+n_b−2)`,
+    * `g = d·(1 − 3/(4(n_a+n_b) − 9))`. ONE moment pass to six exact
+    * integers (the Welch discipline: decimal(38,0) v² sums), then a
+    * fixed double chain, micro-snapped; degenerate inputs
+    * (either side n < 2, zero pooled variance) yield NULL.
+    */
+  def cohensD(df: DataFrame, isA: Column, valueInt: Column)
+      : DataFrame = {
+    val d = df.select(isA.as("_a"), valueInt.cast("long").as("_v"))
+    val vd = col("_v").cast("decimal(19,0)")
+    def side(p: Column, name: String) = Seq(
+      sum(when(p, 1L).otherwise(0L)).as(s"n_$name"),
+      sum(when(p, col("_v")).otherwise(0L)).as(s"_s_$name"),
+      sum(when(p, vd * vd).otherwise(lit(0).cast("decimal(38,0)")))
+        .as(s"_q_$name"))
+    val aggs = side(col("_a"), "a") ++ side(!col("_a"), "b")
+    val m = d.agg(aggs.head, aggs.tail: _*)
+    def mean(n: Column, s: Column) = s.cast("double") / n.cast("double")
+    // unbiased sample variance from exact moments; a NULL (not zero)
+    // denominator below n = 2 keeps ANSI division happy and flows the
+    // degeneracy to the outputs
+    def variance(n: Column, s: Column, q: Column) =
+      (n.cast("double") * q.cast("double") -
+        s.cast("double") * s.cast("double")) /
+        when(n > 1L, n.cast("double") * (n.cast("double") - 1.0))
+    val na = col("n_a"); val nb = col("n_b")
+    val va = variance(na, col("_s_a"), col("_q_a"))
+    val vb = variance(nb, col("_s_b"), col("_q_b"))
+    val sp = sqrt(((na.cast("double") - 1.0) * va +
+      (nb.cast("double") - 1.0) * vb) /
+      when(na + nb > 2L,
+        na.cast("double") + nb.cast("double") - 2.0))
+    val dEff = (mean(na, col("_s_a")) - mean(nb, col("_s_b"))) /
+      when(sp > 0.0, sp)
+    val g = dEff * (lit(1.0) - lit(3.0) /
+      (lit(4.0) * (na.cast("double") + nb.cast("double")) - lit(9.0)))
+    val degenerate = na < 2 || nb < 2 || sp.isNull || sp === 0.0 ||
+      sp.isNaN
+    m.select(na, nb,
+      round(mean(na, col("_s_a")) * lit(1000000.0)).cast("long")
+        .as("mean_a_micro"),
+      round(mean(nb, col("_s_b")) * lit(1000000.0)).cast("long")
+        .as("mean_b_micro"),
+      when(degenerate, lit(null).cast("long"))
+        .otherwise(round(dEff * lit(1000000.0)).cast("long"))
+        .as("d_micro"),
+      when(degenerate, lit(null).cast("long"))
+        .otherwise(round(g * lit(1000000.0)).cast("long"))
+        .as("g_micro"))
+  }
+
   /** Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
     * test [[welchTTest]] pairs with when normality is off the table:
     * group A vs group B on an exact-integer value column, tie-averaged

@@ -516,6 +516,46 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got((1L, 6L)) == ((2L, 2 * lnInv(2))), got)
   }
 
+  test("kendallTauB: perfect concordance = 1, hand value with a " +
+    "discordant pair, symmetric ties cancel to 0") {
+    val perfect = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("a", "b")
+    val p = Relational.kendallTauB(perfect, col("a"), col("b")).head()
+    assert(p.getAs[Long]("c_pairs") == 3L &&
+      p.getAs[Long]("d_pairs") == 0L)
+    assert(p.getAs[Long]("tau_b_micro") == 1000000L)
+    // one discordant among three pairs: tau = (2-1)/3
+    val mixed = Seq((1L, 2L), (2L, 1L), (3L, 3L)).toDF("a", "b")
+    assert(Relational.kendallTauB(mixed, col("a"), col("b")).head()
+      .getAs[Long]("tau_b_micro") == 333333L)
+    // 2x2 balanced ties: C = D = 1, n1 = n2 = 2 -> tau = 0
+    val tied = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("a", "b")
+    val t = Relational.kendallTauB(tied, col("a"), col("b")).head()
+    assert(t.getAs[Long]("c_pairs") == 1L &&
+      t.getAs[Long]("d_pairs") == 1L)
+    assert(t.getAs[Long]("tau_b_micro") == 0L)
+    // constant margin: denominator 0 -> NULL, not a crash
+    val const = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("a", "b")
+    assert(Relational.kendallTauB(const, col("a"), col("b")).head()
+      .isNullAt(4))
+  }
+
+  test("cohensD: hand pooled-SD effect size and the Hedges " +
+    "small-sample shrink; degenerate sides NULL") {
+    // A = {2,4}, B = {6,8}: s_p = sqrt(2), d = -4/sqrt(2) = -2.828427
+    val df = Seq((true, 2L), (true, 4L), (false, 6L), (false, 8L))
+      .toDF("ga", "v")
+    val r = Relational.cohensD(df, col("ga"), col("v")).head()
+    assert(r.getAs[Long]("mean_a_micro") == 3000000L)
+    assert(r.getAs[Long]("mean_b_micro") == 7000000L)
+    assert(r.getAs[Long]("d_micro") == -2828427L, r)
+    // g = d * (1 - 3/(4*4-9)) = d * 4/7
+    assert(r.getAs[Long]("g_micro") == -1616244L, r)
+    // one-element side: NULL effect, means still reported
+    val deg = Seq((true, 5L), (false, 1L), (false, 3L)).toDF("ga", "v")
+    val rd = Relational.cohensD(deg, col("ga"), col("v")).head()
+    assert(rd.isNullAt(4) && rd.isNullAt(5))
+  }
+
   test("neymanSample: the noisy stratum takes (almost) the whole " +
     "budget, allocations cap at stratum size, constant-only strata " +
     "fall back to proportional") {

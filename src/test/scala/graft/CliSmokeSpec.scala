@@ -525,6 +525,8 @@ class CliSmokeSpec extends SparkSpec {
       .toDF("pid", "f1", "f2")
       .write.mode("overwrite").parquet(pairsPath)
     graft.cli.Main.main(Array("fs-em", pairsPath, "f1,f2", "3"))
+    graft.cli.Main.main(Array("kendall", statsPath, "id", "v"))
+    graft.cli.Main.main(Array("cohend", statsPath, "v", "ga"))
   }
 
   test("pool-commit and pool-read run the marker pool end to end") {

@@ -295,6 +295,9 @@ class PlanGateSpec extends SparkSpec {
                              // broadcast (wedge joins are equi)
       "q270_js_divergence",  // category counts × broadcast 1-row
                              // side totals
+      "q274_kendall_tau",    // bounded distinct-cell grid × its own
+                             // broadcast (non-equi C/D cross products)
+                             // + 1-row tie/total scalars
       "q271_cramers_v",      // q228's margin-grid crossJoin (r-row ×
                              // broadcast c-row margins + 1-row N)
       "q126_classifier_train", // vocab rows × broadcast 1-row totals
