@@ -6759,5 +6759,45 @@ object OracleSql {
         |    (round((ma - mb) / sp *
         |      (1.0 - 3.0 / (4.0 * (n_a::DOUBLE + n_b::DOUBLE) - 9.0))
         |      * 1000000.0))::BIGINT END AS g_micro
-        |FROM y""".stripMargin)
+        |FROM y""".stripMargin,
+
+    // Poisson bootstrap: B=32 md5-deterministic Poisson(1) weights per
+    // row (exact CDF ladder at a discrete micro uniform), replicate
+    // means micro-snapped, CI = order statistics at the
+    // floor(q*(B-1))+1 rank convention with per-tail mass alpha/2
+    "q276_bootstrap_ci" -> {
+      val ladder = Seq(367879L, 735759L, 919699L, 981012L, 996340L,
+        999406L, 999917L, 999990L, 999999L)
+      val cases = ladder.zipWithIndex.map { case (thr, k) =>
+        s"WHEN u < $thr THEN $k" }.mkString(" ")
+      s"""WITH d AS (SELECT event_id::VARCHAR AS k,
+         |    round(value * 100)::BIGINT AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |ex AS (SELECT v,
+         |    (('0x' || substr(md5(k || ':' || b.b::VARCHAR), 1, 8))
+         |      ::UBIGINT)::BIGINT % 1000000 AS u, b.b AS b
+         |  FROM d CROSS JOIN
+         |    (SELECT unnest(generate_series(0, 31)) AS b) b),
+         |reps AS (SELECT b, v,
+         |    (CASE $cases ELSE ${ladder.size} END)::BIGINT AS w
+         |  FROM ex),
+         |ms AS (SELECT b,
+         |    (round(sum(w * v)::DOUBLE / sum(w)::DOUBLE * 1000000.0))
+         |      ::BIGINT AS m
+         |  FROM reps GROUP BY b),
+         |arr AS (SELECT list_sort(list(m)) AS ms FROM ms),
+         |ci AS (SELECT
+         |    ms[(floor(0.05 * (len(ms) - 1))::INTEGER + 1)]
+         |      AS lo_micro,
+         |    ms[(floor(0.95 * (len(ms) - 1))::INTEGER + 1)]
+         |      AS hi_micro,
+         |    len(ms)::BIGINT AS b_replicates
+         |  FROM arr),
+         |tot AS (SELECT count(*)::BIGINT AS n,
+         |    (round(sum(v)::DOUBLE / count(*)::DOUBLE * 1000000.0))
+         |      ::BIGINT AS mean_micro
+         |  FROM d)
+         |SELECT n, b_replicates, mean_micro, lo_micro, hi_micro
+         |FROM tot, ci""".stripMargin
+    })
 }

@@ -4628,6 +4628,19 @@ object SparkEntry {
       col("event_type") === "view",
       round(col("value") * 100).cast("long"))
 
+  /** Poisson-bootstrap CI for the mean event value (Chamandy et al.
+    * 2012 — the distributed bootstrap): every row derives its B = 32
+    * replicate multiplicities from the exact Poisson(1) CDF ladder at
+    * a discrete md5 uniform, replicate means fold in one pass, the
+    * interval is order statistics of the 32 bounded means. No RNG
+    * state, no resampled dataset — and the whole CI hash-gates.
+    */
+  def q276_bootstrap_ci(s: SparkSession, dir: String): DataFrame =
+    Relational.poissonBootstrapCI(
+      t(s, dir, "events").filter(col("value").isNotNull),
+      col("event_id"), round(col("value") * 100).cast("long"),
+      b = 32, alphaMicro = 100000L)
+
   /** Deterministic replay of the STREAMING sessionization twin
     * ([[graft.streaming.StreamingSessions]]): four event-time-ordered
     * micro-batches drive the bucketed per-user session state (the
@@ -4969,7 +4982,8 @@ object SparkEntry {
       (q272_streaming_sessions_replay(_, _)),
     "q273_incremental_join" -> (q273_incremental_join(_, _)),
     "q274_kendall_tau" -> (q274_kendall_tau(_, _)),
-    "q275_cohens_d" -> (q275_cohens_d(_, _)))
+    "q275_cohens_d" -> (q275_cohens_d(_, _)),
+    "q276_bootstrap_ci" -> (q276_bootstrap_ci(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -2269,6 +2269,21 @@ object Main {
         s"d_micro=${r.get(4)} g_micro=${r.get(5)}")
       done(spark)
 
+    // Poisson-bootstrap CI for a mean (the distributed bootstrap)
+    case "bootstrap-ci" :: path :: keyCol :: valCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val b = rest.headOption.map(_.toInt).getOrElse(32)
+      val alpha = rest.drop(1).headOption.map(_.toLong)
+        .getOrElse(100000L)
+      val spark = session()
+      val r = graft.operators.Relational.poissonBootstrapCI(
+        spark.read.parquet(path).filter(col(valCol).isNotNull),
+        col(keyCol), col(valCol), b, alpha).head()
+      println(s"[bootstrap-ci] n=${r.getLong(0)} B=${r.getLong(1)} " +
+        s"mean_micro=${r.getLong(2)} " +
+        s"ci_micro=[${r.get(3)}, ${r.get(4)}]")
+      done(spark)
+
     // object-store-safe pool upsert: stage + ONE marker PUT commits
     case "pool-commit" :: input :: poolRoot :: rest =>
       val spark = session()
@@ -2386,7 +2401,8 @@ object Main {
           "sessions-stream <inDir> <state> <ckpt> [gapMin] | " +
           "sessions-report <state> <out> | " +
           "kendall <parquet> <aCol> <bCol> | " +
-          "cohend <parquet> <valCol> <boolGroupCol>")
+          "cohend <parquet> <valCol> <boolGroupCol> | " +
+          "bootstrap-ci <parquet> <keyCol> <valCol> [B] [alphaMicro]")
       sys.exit(2)
   }
 

@@ -2216,6 +2216,78 @@ object Relational {
           col("volume").cast("double")).cast("long").as("vwap_micro"))
   }
 
+  /** Poisson-bootstrap confidence interval for a mean (Chamandy,
+    * Muralidharan, Najmi & Naidu, "Estimating Uncertainty for Massive
+    * Data Streams", Google 2012) — THE bootstrap that works
+    * distributed: classic resampling needs n draws with replacement
+    * (a global operation), but each row's multiplicity in replicate b
+    * is ≈ independent Poisson(1), so every row computes its own B
+    * weights locally and the replicate means fold in ONE aggregation
+    * pass with map-side partials. No resampled dataset ever
+    * materializes; state per partition is B accumulators.
+    *
+    * Determinism discipline: the Poisson draw inverts the exact
+    * cumulative ladder at a DISCRETE md5-uniform (`hash32(key:b)
+    * mod 1e6`) — no RNG state, partition-order-free, so the whole CI
+    * hash-gates and replays in DuckDB. Replicate means micro-snap;
+    * the interval picks order statistics of the B means by the
+    * [[sampleQuantile]] rank convention (floor(q·(B−1)) + 1). `keyCol`
+    * must be a row identity (the robustOutliersApprox contract: hash
+    * the key, not the value).
+    *
+    * Output (one row): `(n, b_replicates, mean_micro, lo_micro,
+    * hi_micro)` — lo/hi at per-tail mass α/2 (a 1−α two-sided CI).
+    */
+  def poissonBootstrapCI(df: DataFrame, keyCol: Column,
+      valueInt: Column, b: Int = 32,
+      alphaMicro: Long = 100000L): DataFrame = {
+    require(b >= 4, s"need at least 4 replicates, got $b")
+    require(alphaMicro > 0 && alphaMicro < 500000L,
+      s"alphaMicro must be in (0, 500000), got $alphaMicro")
+    val base = df.select(keyCol.cast("string").as("_k"),
+      valueInt.cast("long").as("_v"))
+    // exact Poisson(1) CDF ladder in micro units: P(X <= k)·1e6
+    val ladder = Seq(367879L, 735759L, 919699L, 981012L, 996340L,
+      999406L, 999917L, 999990L, 999999L)
+    val u = pmod(graft.text.TextOps.hash32(
+      concat_ws(":", col("_k"), col("_b"))), lit(1000000L))
+    val w = ladder.zipWithIndex.foldRight(lit(ladder.size): Column) {
+      case ((thr, k), rest) => when(u < thr, lit(k)).otherwise(rest)
+    }
+    val reps = base
+      .select(col("_k"), col("_v"),
+        explode(sequence(lit(0), lit(b - 1))).as("_b"))
+      .select(col("_v"), col("_b"), w.cast("long").as("_w"))
+      .groupBy(col("_b"))
+      .agg(sum(col("_w") * col("_v")).as("_swx"),
+        sum(col("_w")).as("_sw"))
+      // an all-zero-weight replicate (vanishing probability past a few
+      // dozen rows) reports NULL and drops from the order statistics
+      .select(col("_b"),
+        round(col("_swx").cast("double") /
+          when(col("_sw") > 0L, col("_sw").cast("double")) *
+          lit(1000000.0)).cast("long").as("_m"))
+      .filter(col("_m").isNotNull)
+    // B bounded replicate means -> order statistics (sorted array);
+    // per-tail mass alpha/2 at the sampleQuantile rank convention
+    val ci = reps.agg(sort_array(collect_list(col("_m"))).as("_ms"))
+      .select(
+        element_at(col("_ms"), (floor(
+          lit(alphaMicro.toDouble / 2e6) * (size(col("_ms")) - 1)
+            .cast("double")) + 1).cast("int")).as("lo_micro"),
+        element_at(col("_ms"), (floor(
+          lit(1.0 - alphaMicro.toDouble / 2e6) * (size(col("_ms")) - 1)
+            .cast("double")) + 1).cast("int")).as("hi_micro"),
+        size(col("_ms")).cast("long").as("b_replicates"))
+    val m = base.agg(count(lit(1)).as("n"),
+      round(sum(col("_v")).cast("double") /
+        when(count(lit(1)) > 0L, count(lit(1)).cast("double")) *
+        lit(1000000.0)).cast("long").as("mean_micro"))
+    m.crossJoin(broadcast(ci))
+      .select(col("n"), col("b_replicates"), col("mean_micro"),
+        col("lo_micro"), col("hi_micro"))
+  }
+
   /** Kendall's τ-b rank correlation — the concordance-based
     * alternative to [[spearmanByGroup]] with a proper tie treatment
     * (the b variant's denominator discounts ties on either margin):

@@ -556,6 +556,31 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rd.isNullAt(4) && rd.isNullAt(5))
   }
 
+  test("poissonBootstrapCI: the interval brackets the sample mean, " +
+    "narrows ~1/sqrt(n), and replicate weights are key-deterministic") {
+    def ci(n: Int): (Long, Long, Long) = {
+      val df = spark.range(n).select(col("id"),
+        (col("id") % 1000).as("v"))
+      val r = Relational.poissonBootstrapCI(df, col("id"), col("v"),
+        b = 32, alphaMicro = 100000L).head()
+      (r.getAs[Long]("mean_micro"), r.getAs[Long]("lo_micro"),
+        r.getAs[Long]("hi_micro"))
+    }
+    val (m1, lo1, hi1) = ci(2000)
+    assert(lo1 < m1 && m1 < hi1, s"CI [$lo1,$hi1] misses mean $m1")
+    // se = 288.7/sqrt(2000) ~ 6.5 units: the 90% width should be a
+    // few se, far under 60 units either side
+    assert(hi1 - lo1 < 60000000L && hi1 - lo1 > 1000000L,
+      s"width ${hi1 - lo1}")
+    val (m2, lo2, hi2) = ci(8000)
+    assert(lo2 < m2 && m2 < hi2)
+    // 4x the rows: width shrinks (noisy factor, but strictly smaller)
+    assert(hi2 - lo2 < hi1 - lo1,
+      s"CI failed to narrow: ${hi2 - lo2} vs ${hi1 - lo1}")
+    // determinism: same inputs, same interval
+    assert(ci(2000) == ((m1, lo1, hi1)))
+  }
+
   test("neymanSample: the noisy stratum takes (almost) the whole " +
     "budget, allocations cap at stratum size, constant-only strata " +
     "fall back to proportional") {

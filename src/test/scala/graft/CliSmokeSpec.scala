@@ -527,6 +527,7 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("fs-em", pairsPath, "f1,f2", "3"))
     graft.cli.Main.main(Array("kendall", statsPath, "id", "v"))
     graft.cli.Main.main(Array("cohend", statsPath, "v", "ga"))
+    graft.cli.Main.main(Array("bootstrap-ci", statsPath, "id", "v"))
   }
 
   test("pool-commit and pool-read run the marker pool end to end") {

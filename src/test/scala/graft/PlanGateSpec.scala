@@ -298,6 +298,8 @@ class PlanGateSpec extends SparkSpec {
       "q274_kendall_tau",    // bounded distinct-cell grid × its own
                              // broadcast (non-equi C/D cross products)
                              // + 1-row tie/total scalars
+      "q276_bootstrap_ci",   // 1-row moment frame × broadcast 1-row
+                             // CI order statistics
       "q271_cramers_v",      // q228's margin-grid crossJoin (r-row ×
                              // broadcast c-row margins + 1-row N)
       "q126_classifier_train", // vocab rows × broadcast 1-row totals
