@@ -6799,5 +6799,40 @@ object OracleSql {
          |  FROM d)
          |SELECT n, b_replicates, mean_micro, lo_micro, hi_micro
          |FROM tot, ci""".stripMargin
-    })
+    },
+
+    // Trimmed/winsorized means: distinct-cent cumulative table, exact
+    // interval clips, exact HUGEINT k and tail terms, one micro-
+    // snapped division per mean
+    "q277_trimmed_means" ->
+      """WITH d AS (SELECT round(value * 100)::BIGINT AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT v, count(*)::BIGINT AS cnt FROM d GROUP BY v),
+        |cum AS (SELECT v, cnt,
+        |    sum(cnt) OVER (ORDER BY v) - cnt AS before
+        |  FROM cells),
+        |tot AS (SELECT sum(cnt)::HUGEINT AS n,
+        |    (sum(cnt)::HUGEINT * 100000) // 1000000 AS k
+        |  FROM cum),
+        |m AS (SELECT max(n) AS n, max(k) AS k,
+        |    sum(v::HUGEINT * cnt) AS s,
+        |    sum(v::HUGEINT * greatest(0::HUGEINT,
+        |      least((before + cnt)::HUGEINT, n - k) -
+        |        greatest(before::HUGEINT, k))) AS ts,
+        |    min(CASE WHEN (before + cnt)::HUGEINT >= k + 1 THEN v END)
+        |      AS vlo,
+        |    min(CASE WHEN (before + cnt)::HUGEINT >= n - k THEN v END)
+        |      AS vhi
+        |  FROM cum, tot)
+        |SELECT n::BIGINT AS n, k::BIGINT AS k_trimmed,
+        |  (round(s::DOUBLE / n::DOUBLE * 1000000.0))::BIGINT
+        |    AS mean_micro,
+        |  CASE WHEN n - 2 * k <= 0 THEN NULL ELSE
+        |    (round(ts::DOUBLE / (n - 2 * k)::DOUBLE * 1000000.0))
+        |      ::BIGINT END AS trimmed_mean_micro,
+        |  CASE WHEN n - 2 * k <= 0 THEN NULL ELSE
+        |    (round((ts + k * (vlo::HUGEINT + vhi))::DOUBLE
+        |      / n::DOUBLE * 1000000.0))::BIGINT END
+        |    AS winsorized_mean_micro
+        |FROM m""".stripMargin)
 }

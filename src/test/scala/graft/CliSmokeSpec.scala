@@ -528,6 +528,7 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("kendall", statsPath, "id", "v"))
     graft.cli.Main.main(Array("cohend", statsPath, "v", "ga"))
     graft.cli.Main.main(Array("bootstrap-ci", statsPath, "id", "v"))
+    graft.cli.Main.main(Array("trimmed", statsPath, "v"))
   }
 
   test("pool-commit and pool-read run the marker pool end to end") {

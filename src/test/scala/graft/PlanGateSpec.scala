@@ -188,7 +188,8 @@ class PlanGateSpec extends SparkSpec {
       "q253_neyman_sample", "q257_nelson_aalen", "q259_bh_fdr",
       "q264_conformal", // cumulative counts over DISTINCT residual
                         // values — value-space-bounded, q36 discipline
-      "q267_mann_whitney", "q269_gini")
+      "q267_mann_whitney", "q269_gini",
+      "q277_trimmed_means") // same distinct-cent cumulative table
     val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
       "q125_streaming_funnel_replay", "q129_streaming_retention_replay",
       "q244_streaming_agg_replay", "q248_preflight_artifact",
@@ -300,6 +301,8 @@ class PlanGateSpec extends SparkSpec {
                              // + 1-row tie/total scalars
       "q276_bootstrap_ci",   // 1-row moment frame × broadcast 1-row
                              // CI order statistics
+      "q277_trimmed_means",  // distinct-cent cells × broadcast 1-row
+                             // (n, k) scalars
       "q271_cramers_v",      // q228's margin-grid crossJoin (r-row ×
                              // broadcast c-row margins + 1-row N)
       "q126_classifier_train", // vocab rows × broadcast 1-row totals
