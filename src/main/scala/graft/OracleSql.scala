@@ -6834,5 +6834,65 @@ object OracleSql {
         |    (round((ts + k * (vlo::HUGEINT + vhi))::DOUBLE
         |      / n::DOUBLE * 1000000.0))::BIGINT END
         |    AS winsorized_mean_micro
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+
+    // Log-rank: q241's censored-lifetime CTEs split by group, per-time
+    // hypergeometric e/v micro terms summed exactly, one z/chi2 chain
+    "q278_log_rank" ->
+      """WITH d AS (SELECT user_id AS u,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS dd,
+        |    (user_id % 2 = 0) AS ga
+        |  FROM events),
+        |us AS (SELECT u, min(dd) AS f, max(dd) AS l,
+        |    bool_or(ga) AS a
+        |  FROM d GROUP BY 1),
+        |h AS (SELECT max(l) AS h FROM us),
+        |lt AS (SELECT (us.l - us.f + 1)::BIGINT AS t_day,
+        |    (CASE WHEN us.l = h.h THEN 1 ELSE 0 END)::BIGINT AS cens,
+        |    us.a
+        |  FROM us, h),
+        |pt AS (SELECT t_day, count(*)::BIGINT AS ends,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS ends_a,
+        |    (count(*) - sum(cens))::BIGINT AS dt,
+        |    sum(CASE WHEN a AND cens = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS da
+        |  FROM lt GROUP BY 1),
+        |tot AS (SELECT sum(ends)::BIGINT AS n,
+        |    sum(ends_a)::BIGINT AS na FROM pt),
+        |ar AS (SELECT pt.*,
+        |    (tot.n - coalesce(sum(ends) OVER (ORDER BY t_day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      ::BIGINT AS rn,
+        |    (tot.na - coalesce(sum(ends_a) OVER (ORDER BY t_day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      ::BIGINT AS rna
+        |  FROM pt, tot),
+        |terms AS (SELECT da,
+        |    (round(dt::DOUBLE * (rna::DOUBLE / rn::DOUBLE)
+        |      * 1000000.0))::BIGINT AS e,
+        |    CASE WHEN rn <= 1 THEN 0 ELSE
+        |      (round(dt::DOUBLE * (rna::DOUBLE / rn::DOUBLE) *
+        |        (1.0 - rna::DOUBLE / rn::DOUBLE) *
+        |        (rn - dt)::DOUBLE / (rn - 1)::DOUBLE * 1000000.0))
+        |        ::BIGINT END AS v
+        |  FROM ar WHERE dt > 0),
+        |m AS (SELECT coalesce(sum(da), 0)::BIGINT AS o_a,
+        |    coalesce(sum(e), 0)::BIGINT AS e_a_micro,
+        |    coalesce(sum(v), 0)::BIGINT AS v_micro
+        |  FROM terms),
+        |c AS (SELECT count(*)::BIGINT AS n_users,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a
+        |  FROM us)
+        |SELECT n_users, n_a, o_a, e_a_micro, v_micro,
+        |  CASE WHEN v_micro <= 0 THEN NULL ELSE
+        |    (round(((o_a * 1000000 - e_a_micro)::DOUBLE / 1000000.0)
+        |      / sqrt(v_micro::DOUBLE / 1000000.0) * 1000000.0))
+        |      ::BIGINT END AS z_micro,
+        |  CASE WHEN v_micro <= 0 THEN NULL ELSE
+        |    (round((((o_a * 1000000 - e_a_micro)::DOUBLE / 1000000.0)
+        |      / sqrt(v_micro::DOUBLE / 1000000.0)) *
+        |      (((o_a * 1000000 - e_a_micro)::DOUBLE / 1000000.0)
+        |      / sqrt(v_micro::DOUBLE / 1000000.0)) * 1000000.0))
+        |      ::BIGINT END AS chi2_micro
+        |FROM c, m""".stripMargin)
 }

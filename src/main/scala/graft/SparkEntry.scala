@@ -4651,6 +4651,16 @@ object SparkEntry {
       t(s, dir, "events").filter(col("value").isNotNull),
       round(col("value") * 100).cast("long"), trimMicro = 100000L)
 
+  /** Log-rank test between even- and odd-user survival — the A/B
+    * verdict on top of q241/q257's censored-lifetime machinery: per
+    * distinct event time, the A-group's observed churn vs its
+    * at-risk-proportional expectation, hypergeometric variance terms
+    * micro-snapped and summed exactly, one z/χ² chain at the end.
+    */
+  def q278_log_rank(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.logRankTest(t(s, dir, "events"), "user_id", col("ts"),
+      pmod(col("user_id"), lit(2L)) === 0)
+
   /** Deterministic replay of the STREAMING sessionization twin
     * ([[graft.streaming.StreamingSessions]]): four event-time-ordered
     * micro-batches drive the bucketed per-user session state (the
@@ -4994,7 +5004,8 @@ object SparkEntry {
     "q274_kendall_tau" -> (q274_kendall_tau(_, _)),
     "q275_cohens_d" -> (q275_cohens_d(_, _)),
     "q276_bootstrap_ci" -> (q276_bootstrap_ci(_, _)),
-    "q277_trimmed_means" -> (q277_trimmed_means(_, _)))
+    "q277_trimmed_means" -> (q277_trimmed_means(_, _)),
+    "q278_log_rank" -> (q278_log_rank(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

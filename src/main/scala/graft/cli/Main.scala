@@ -2269,6 +2269,20 @@ object Main {
         s"d_micro=${r.get(4)} g_micro=${r.get(5)}")
       done(spark)
 
+    // log-rank two-group survival test over user lifetimes
+    case "logrank" :: path :: userCol :: flagCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val tsCol = rest.headOption.getOrElse("ts")
+      val spark = session()
+      val r = graft.operators.TimeSeries.logRankTest(
+        spark.read.parquet(path), userCol, col(tsCol),
+        col(flagCol).cast("boolean")).head()
+      println(s"[logrank] n_users=${r.getLong(0)} n_a=${r.getLong(1)} " +
+        s"o_a=${r.getLong(2)} e_a_micro=${r.getLong(3)} " +
+        s"v_micro=${r.getLong(4)} z_micro=${r.get(5)} " +
+        s"chi2_micro=${r.get(6)}")
+      done(spark)
+
     // trimmed + winsorized means of an integer value column
     case "trimmed" :: path :: valCol :: rest =>
       import org.apache.spark.sql.functions.col
@@ -2416,7 +2430,8 @@ object Main {
           "kendall <parquet> <aCol> <bCol> | " +
           "cohend <parquet> <valCol> <boolGroupCol> | " +
           "bootstrap-ci <parquet> <keyCol> <valCol> [B] [alphaMicro] | " +
-          "trimmed <parquet> <valCol> [trimMicro]")
+          "trimmed <parquet> <valCol> [trimMicro] | " +
+          "logrank <events> <userCol> <boolFlagCol> [tsCol]")
       sys.exit(2)
   }
 

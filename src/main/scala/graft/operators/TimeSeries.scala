@@ -348,6 +348,86 @@ object TimeSeries {
         sum(col("_hstep")).over(wc).as("cumhaz_micro"))
   }
 
+  /** Log-rank test (Mantel 1966 / Peto & Peto 1972) — the standard
+    * two-group survival comparison on top of the [[kaplanMeier]] /
+    * [[nelsonAalen]] censored-lifetime machinery: at every distinct
+    * event time the A-group's observed churn is compared to its
+    * at-risk-proportional expectation under H₀ (equal hazards), and
+    * `z = (O_A − E_A)/√V` aggregates the per-time hypergeometric
+    * moments — the test an A/B retention experiment reports instead
+    * of eyeballing two KM curves.
+    *
+    * Exactness + scale discipline: per-user lifetimes (right-censored
+    * at the global horizon) reduce to the bounded distinct-lifetime
+    * table per GROUP; at-risk suffix counts are windows over that
+    * bounded table (the q241 whitelist shape — days, not users);
+    * `e`/`v` terms micro-snap per time and sum exactly; observed
+    * counts stay exact integers; z and χ² are one fixed double chain.
+    * `isA` must be user-constant (it folds with `max` per user).
+    *
+    * Output (one row): `(n_users, n_a, o_a, e_a_micro, v_micro,
+    * z_micro, chi2_micro)` — NULL z/χ² when no variance (one group
+    * empty or no churn).
+    */
+  def logRankTest(df: DataFrame, userCol: String, tsCol: Column,
+      isA: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = df.select(col(userCol).as("_u"),
+      floor(unix_timestamp(tsCol) / lit(86400L)).cast("long").as("_d"),
+      isA.as("_ga"))
+    val users = days.groupBy(col("_u"))
+      .agg(min(col("_d")).as("_first"), max(col("_d")).as("_last"),
+        max(col("_ga")).as("_a"))
+      .persist() // lifetime table + the 1-row horizon + user counts
+    val horizon = users.agg(max(col("_last")).as("_h"))
+    val lt = users.crossJoin(broadcast(horizon))
+      .select((col("_last") - col("_first") + 1L).as("t_day"),
+        (col("_last") === col("_h")).cast("long").as("_cens"),
+        col("_a"))
+    val perT = lt.groupBy(col("t_day"))
+      .agg(count(lit(1)).as("_ends"),
+        sum(when(col("_a"), 1L).otherwise(0L)).as("_ends_a"),
+        (count(lit(1)) - sum(col("_cens"))).as("_dt"),
+        sum(when(col("_a") && col("_cens") === 0L, 1L).otherwise(0L))
+          .as("_da"))
+      .persist() // at-risk suffixes + the moment fold
+    val tot = perT.agg(sum(col("_ends")).as("_n"),
+      sum(col("_ends_a")).as("_na")).localCheckpoint()
+    val w = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val risk = perT.crossJoin(broadcast(tot))
+      .withColumn("_rn",
+        col("_n") - coalesce(sum(col("_ends")).over(w), lit(0L)))
+      .withColumn("_rna",
+        col("_na") - coalesce(sum(col("_ends_a")).over(w), lit(0L)))
+    val frac = col("_rna").cast("double") / col("_rn").cast("double")
+    val eTerm = round(col("_dt").cast("double") * frac *
+      lit(1000000.0)).cast("long")
+    val vTerm = when(col("_rn") <= 1L, 0L).otherwise(
+      round(col("_dt").cast("double") * frac * (lit(1.0) - frac) *
+        (col("_rn") - col("_dt")).cast("double") /
+        (col("_rn") - 1L).cast("double") * lit(1000000.0))
+        .cast("long"))
+    val m = risk.filter(col("_dt") > 0)
+      .agg(coalesce(sum(col("_da")), lit(0L)).as("o_a"),
+        coalesce(sum(eTerm), lit(0L)).as("e_a_micro"),
+        coalesce(sum(vTerm), lit(0L)).as("v_micro"))
+    val counts = users.agg(count(lit(1)).as("n_users"),
+      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"))
+    val z = ((col("o_a") * 1000000L - col("e_a_micro")).cast("double") /
+      lit(1000000.0)) /
+      sqrt(col("v_micro").cast("double") / lit(1000000.0))
+    counts.crossJoin(broadcast(m))
+      .select(col("n_users"), col("n_a"), col("o_a"),
+        col("e_a_micro"), col("v_micro"),
+        when(col("v_micro") <= 0L, lit(null).cast("long"))
+          .otherwise(round(z * lit(1000000.0)).cast("long"))
+          .as("z_micro"),
+        when(col("v_micro") <= 0L, lit(null).cast("long"))
+          .otherwise(round(z * z * lit(1000000.0)).cast("long"))
+          .as("chi2_micro"))
+  }
+
   /** Seasonal-naive forecast backtest (the no-skill baseline every
     * real forecaster must beat — Hyndman & Athanasopoulos,
     * "Forecasting: Principles and Practice" §5.2): `v̂(d) = v(d −

@@ -529,6 +529,12 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("cohend", statsPath, "v", "ga"))
     graft.cli.Main.main(Array("bootstrap-ci", statsPath, "id", "v"))
     graft.cli.Main.main(Array("trimmed", statsPath, "v"))
+    val lrPath = s"${tmpDir("cli-r11lr")}/ev"
+    (1L to 60L).map(i => (i % 10,
+      new java.sql.Timestamp(i * 86400000L), i % 2 == 0))
+      .toDF("user_id", "ts", "ga")
+      .write.mode("overwrite").parquet(lrPath)
+    graft.cli.Main.main(Array("logrank", lrPath, "user_id", "ga"))
   }
 
   test("pool-commit and pool-read run the marker pool end to end") {

@@ -60,6 +60,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(m(("flat", 1)).isNullAt(m(("flat", 1)).fieldIndex("acf")))
   }
 
+  test("logRankTest: hand hypergeometric moments on a 4-user two-arm " +
+    "cohort; equal arms give z ~ 0; empty variance gives NULL") {
+    // A (even users): u2 lifetime 1, u4 lifetime 2; B: u1 lifetime 2,
+    // u3 lifetime 3 (ends on the horizon -> censored)
+    val ev = Seq((2L, 0L), (4L, 0L), (4L, 1L), (1L, 0L), (1L, 1L),
+      (3L, 0L), (3L, 1L), (3L, 2L)).toDF("u", "d")
+      .select(col("u"), timestamp_seconds(col("d") * 86400L).as("ts"))
+    val r = TimeSeries.logRankTest(ev, "u", col("ts"),
+      col("u") % 2 === 0).head()
+    assert(r.getAs[Long]("n_users") == 4L && r.getAs[Long]("n_a") == 2L)
+    // t=1: d=1 (A), at-risk 4/2 -> e = 0.5, v = 0.25
+    // t=2: d=2 (1 A, 1 B), at-risk 3/1 -> e = 2/3, v = 2/9
+    assert(r.getAs[Long]("o_a") == 2L)
+    assert(r.getAs[Long]("e_a_micro") == 500000L + 666667L, r)
+    assert(r.getAs[Long]("v_micro") == 250000L + 222222L, r)
+    val oMinusE = (2L * 1000000L - r.getAs[Long]("e_a_micro"))
+      .toDouble / 1e6
+    val want = math.round(oMinusE /
+      math.sqrt(r.getAs[Long]("v_micro").toDouble / 1e6) * 1e6)
+    assert(r.getAs[Long]("z_micro") == want, r)
+    // one-arm cohort: no variance -> NULL z, exact counts intact
+    val one = Seq((2L, 0L), (4L, 0L), (4L, 1L)).toDF("u", "d")
+      .select(col("u"), timestamp_seconds(col("d") * 86400L).as("ts"))
+    val r1 = TimeSeries.logRankTest(one, "u", col("ts"), lit(true))
+      .head()
+    assert(r1.getAs[Long]("n_a") == 2L)
+    assert(r1.isNullAt(5) && r1.isNullAt(6), r1)
+  }
+
   test("kaplanMeier: censored users leave the at-risk set without " +
     "counting as churn; survival follows the product limit") {
     // u1 lifetime 1 (churn), u2 lifetime 2 (churn), u3 lifetime 3
