@@ -6894,5 +6894,75 @@ object OracleSql {
         |      (((o_a * 1000000 - e_a_micro)::DOUBLE / 1000000.0)
         |      / sqrt(v_micro::DOUBLE / 1000000.0)) * 1000000.0))
         |      ::BIGINT END AS chi2_micro
-        |FROM c, m""".stripMargin)
+        |FROM c, m""".stripMargin,
+
+    // One-way ANOVA: per-group moments, milli-snapped s²/n terms
+    // summed exactly, one F/η² double chain
+    "q279_anova_f" ->
+      """WITH d AS (SELECT event_type AS g,
+        |    round(value * 100)::BIGINT AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |gm AS (SELECT g, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+        |    sum(v::HUGEINT * v::HUGEINT) AS q
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT n, s, q,
+        |    (round(s::DOUBLE * s::DOUBLE / n::DOUBLE * 1000.0))
+        |      ::BIGINT AS tm
+        |  FROM gm),
+        |m AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+        |    sum(s)::BIGINT AS ss, sum(q) AS qq,
+        |    sum(tm)::BIGINT AS bm
+        |  FROM t),
+        |b AS (SELECT k, n,
+        |    (bm - (round(ss::DOUBLE * ss::DOUBLE / n::DOUBLE
+        |      * 1000.0))::BIGINT) AS ssb_milli,
+        |    ((qq * 1000)::BIGINT - bm) AS ssw_milli,
+        |    ((qq * 1000)::BIGINT - (round(ss::DOUBLE * ss::DOUBLE
+        |      / n::DOUBLE * 1000.0))::BIGINT) AS sst_milli
+        |  FROM m)
+        |SELECT k, n, ssb_milli, ssw_milli, sst_milli,
+        |  CASE WHEN k < 2 OR n <= k OR ssw_milli <= 0 THEN NULL ELSE
+        |    (round((ssb_milli::DOUBLE / (k - 1)::DOUBLE)
+        |      / (ssw_milli::DOUBLE / (n - k)::DOUBLE) * 1000000.0))
+        |      ::BIGINT END AS f_micro,
+        |  CASE WHEN sst_milli <= 0 THEN NULL ELSE
+        |    (round(ssb_milli::DOUBLE / sst_milli::DOUBLE
+        |      * 1000000.0))::BIGINT END AS eta2_micro
+        |FROM b""".stripMargin,
+
+    // Levene W (mean-centered): micro-snapped group means, exact
+    // integer |x−m| re-snap to whole cents, then the ANOVA chain
+    "q280_levene" ->
+      """WITH d AS (SELECT event_type AS g,
+        |    round(value * 100)::BIGINT AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |gmean AS (SELECT g,
+        |    (round(sum(v)::DOUBLE / count(*)::DOUBLE * 1000000.0))
+        |      ::BIGINT AS mm
+        |  FROM d GROUP BY 1),
+        |z AS (SELECT d.g, (abs(d.v * 1000000 - gmean.mm) // 1000000)
+        |      ::BIGINT AS v
+        |  FROM d JOIN gmean USING (g)),
+        |gm AS (SELECT g, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+        |    sum(v::HUGEINT * v::HUGEINT) AS q
+        |  FROM z GROUP BY 1),
+        |t AS (SELECT n, s, q,
+        |    (round(s::DOUBLE * s::DOUBLE / n::DOUBLE * 1000.0))
+        |      ::BIGINT AS tm
+        |  FROM gm),
+        |m AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+        |    sum(s)::BIGINT AS ss, sum(q) AS qq,
+        |    sum(tm)::BIGINT AS bm
+        |  FROM t),
+        |b AS (SELECT k, n,
+        |    (bm - (round(ss::DOUBLE * ss::DOUBLE / n::DOUBLE
+        |      * 1000.0))::BIGINT) AS ssb_milli,
+        |    ((qq * 1000)::BIGINT - bm) AS ssw_milli
+        |  FROM m)
+        |SELECT k, n, ssb_milli, ssw_milli,
+        |  CASE WHEN k < 2 OR n <= k OR ssw_milli <= 0 THEN NULL ELSE
+        |    (round((ssb_milli::DOUBLE / (k - 1)::DOUBLE)
+        |      / (ssw_milli::DOUBLE / (n - k)::DOUBLE) * 1000000.0))
+        |      ::BIGINT END AS w_micro
+        |FROM b""".stripMargin)
 }

@@ -4661,6 +4661,26 @@ object SparkEntry {
     TimeSeries.logRankTest(t(s, dir, "events"), "user_id", col("ts"),
       pmod(col("user_id"), lit(2L)) === 0)
 
+  /** One-way ANOVA F + η² across event types — the k-group
+    * generalization of q245's Welch test: does mean purchase value
+    * differ across event types at all? One per-group moment pass
+    * (decimal squares), milli-snapped s²/n terms summed exactly, one
+    * F/η² double chain.
+    */
+  def q279_anova_f(s: SparkSession, dir: String): DataFrame =
+    Relational.anovaF(
+      t(s, dir, "events").filter(col("value").isNotNull),
+      col("event_type"), round(col("value") * 100).cast("long"))
+
+  /** Levene homogeneity-of-variance W across event types — the
+    * pre-check for q279's equal-variance assumption: ANOVA's F on the
+    * absolute deviations from each group's own (micro-snapped) mean.
+    */
+  def q280_levene(s: SparkSession, dir: String): DataFrame =
+    Relational.leveneW(
+      t(s, dir, "events").filter(col("value").isNotNull),
+      col("event_type"), round(col("value") * 100).cast("long"))
+
   /** Deterministic replay of the STREAMING sessionization twin
     * ([[graft.streaming.StreamingSessions]]): four event-time-ordered
     * micro-batches drive the bucketed per-user session state (the
@@ -5005,7 +5025,9 @@ object SparkEntry {
     "q275_cohens_d" -> (q275_cohens_d(_, _)),
     "q276_bootstrap_ci" -> (q276_bootstrap_ci(_, _)),
     "q277_trimmed_means" -> (q277_trimmed_means(_, _)),
-    "q278_log_rank" -> (q278_log_rank(_, _)))
+    "q278_log_rank" -> (q278_log_rank(_, _)),
+    "q279_anova_f" -> (q279_anova_f(_, _)),
+    "q280_levene" -> (q280_levene(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -2296,6 +2296,31 @@ object Main {
         s"winsorized_micro=${r.get(4)}")
       done(spark)
 
+    // one-way ANOVA F + eta² across the groups of a category column
+    case "anova" :: path :: valCol :: groupCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.anovaF(
+        spark.read.parquet(path).filter(col(valCol).isNotNull),
+        col(groupCol), col(valCol)).head()
+      println(s"[anova] k=${r.getLong(0)} n=${r.getLong(1)} " +
+        s"ssb_milli=${r.getLong(2)} ssw_milli=${r.getLong(3)} " +
+        s"sst_milli=${r.getLong(4)} f_micro=${r.get(5)} " +
+        s"eta2_micro=${r.get(6)}")
+      done(spark)
+
+    // Levene homogeneity-of-variance W across a category column
+    case "levene" :: path :: valCol :: groupCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.leveneW(
+        spark.read.parquet(path).filter(col(valCol).isNotNull),
+        col(groupCol), col(valCol)).head()
+      println(s"[levene] k=${r.getLong(0)} n=${r.getLong(1)} " +
+        s"ssb_milli=${r.getLong(2)} ssw_milli=${r.getLong(3)} " +
+        s"w_micro=${r.get(4)}")
+      done(spark)
+
     // Poisson-bootstrap CI for a mean (the distributed bootstrap)
     case "bootstrap-ci" :: path :: keyCol :: valCol :: rest =>
       import org.apache.spark.sql.functions.col
@@ -2431,7 +2456,9 @@ object Main {
           "cohend <parquet> <valCol> <boolGroupCol> | " +
           "bootstrap-ci <parquet> <keyCol> <valCol> [B] [alphaMicro] | " +
           "trimmed <parquet> <valCol> [trimMicro] | " +
-          "logrank <events> <userCol> <boolFlagCol> [tsCol]")
+          "logrank <events> <userCol> <boolFlagCol> [tsCol] | " +
+          "anova <parquet> <valCol> <groupCol> | " +
+          "levene <parquet> <valCol> <groupCol>")
       sys.exit(2)
   }
 

@@ -2629,4 +2629,92 @@ object Relational {
               .cast("double"))) * lit(1000000.0)).cast("long")
           .as("v_micro"))
   }
+
+  /** One-way ANOVA F test + η² effect size (Fisher 1925) — the k-group
+    * generalization of [[welchTTest]]'s two-sample comparison (equal
+    * variances assumed; for the robust two-group path use Welch).
+    *
+    * Decomposition off ONE aggregation pass: rows reduce to the
+    * bounded per-group moment table `(n_g, s_g, q_g)` (q in
+    * decimal(38,0) — the welchTTest overflow guard); then
+    *
+    *   SSB = Σ_g s_g²/n_g − S²/N,   SSW = Q − Σ_g s_g²/n_g
+    *
+    * with each `s²/n` term ONE double division milli-snapped to a
+    * BIGINT before the exact integer sums (order-free, so the group
+    * sum hash-gates under any partitioning); Q·1000 stays an exact
+    * decimal. F and η² = SSB/SST are one fixed double chain at the
+    * end. Output (one row): `(k, n, ssb_milli, ssw_milli, sst_milli,
+    * f_micro, eta2_micro)` — NULL F when degenerate (k < 2, N ≤ k,
+    * or SSW ≤ 0).
+    */
+  def anovaF(df: DataFrame, groupCol: Column, valueInt: Column)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val vd = col("_v").cast("decimal(19,0)")
+    val g = df.select(groupCol.as("_g"), valueInt.cast("long").as("_v"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"), sum(col("_v")).as("_s"),
+        sum(vd * vd).as("_q"))
+    // per-group s²/n: one double division, milli-snapped BEFORE the sum
+    val termMilli = round(col("_s").cast("double") *
+      col("_s").cast("double") / col("_n").cast("double") *
+      lit(1000.0)).cast("long")
+    val m = g.agg(count(lit(1)).as("k"), sum(col("_n")).as("n"),
+      sum(col("_s")).as("_ss"), sum(col("_q").cast(dec)).as("_qq"),
+      sum(termMilli).as("_between_milli"))
+    val grandMilli = round(col("_ss").cast("double") *
+      col("_ss").cast("double") / col("n").cast("double") *
+      lit(1000.0)).cast("long")
+    val base = m.select(col("k"), col("n"),
+      (col("_between_milli") - grandMilli).as("ssb_milli"),
+      ((col("_qq") * 1000L).cast("long") -
+        col("_between_milli")).as("ssw_milli"),
+      ((col("_qq") * 1000L).cast("long") - grandMilli)
+        .as("sst_milli"))
+    val f = (col("ssb_milli").cast("double") /
+      (col("k") - 1L).cast("double")) /
+      (col("ssw_milli").cast("double") / (col("n") - col("k"))
+        .cast("double"))
+    val degenerate = col("k") < 2L || col("n") <= col("k") ||
+      col("ssw_milli") <= 0L
+    base.select(col("k"), col("n"), col("ssb_milli"), col("ssw_milli"),
+      col("sst_milli"),
+      when(degenerate, lit(null).cast("long"))
+        .otherwise(round(f * lit(1000000.0)).cast("long"))
+        .as("f_micro"),
+      when(col("sst_milli") <= 0L, lit(null).cast("long"))
+        .otherwise(round(col("ssb_milli").cast("double") /
+          col("sst_milli").cast("double") * lit(1000000.0))
+          .cast("long")).as("eta2_micro"))
+  }
+
+  /** Levene homogeneity-of-variance test (Levene 1960, mean-centered
+    * flavor) — the pre-check ANOVA's equal-variance assumption needs:
+    * W is [[anovaF]]'s F statistic computed on the absolute
+    * deviations `z = |x − x̄_g|` from each group's own mean.
+    *
+    * Exactness discipline: group means micro-snap off the bounded
+    * per-group moment table (ONE division each), broadcast back to
+    * rows, and z re-snaps to whole value units via exact integer ops
+    * (`|x·1e6 − m_micro| // 1e6` — floor = trunc since z ≥ 0), so the
+    * second ANOVA pass sees exact integers and the W chain replays
+    * bit-identically in the oracle. Output (one row): `(k, n,
+    * w_micro)` plus the z-scale SS decomposition.
+    */
+  def leveneW(df: DataFrame, groupCol: Column, valueInt: Column)
+      : DataFrame = {
+    val d = df.select(groupCol.as("_lg"), valueInt.cast("long").as("_lv"))
+    val means = d.groupBy(col("_lg"))
+      .agg(round(sum(col("_lv")).cast("double") /
+        count(lit(1)).cast("double") * lit(1000000.0)).cast("long")
+        .as("_m_micro"))
+    val z = d.join(broadcast(means), "_lg")
+      .select(col("_lg"),
+        ((abs(col("_lv") * 1000000L - col("_m_micro"))) / 1000000L)
+          .cast("long").as("_z"))
+    anovaF(z, col("_lg"), col("_z"))
+      .select(col("k"), col("n"), col("ssb_milli"), col("ssw_milli"),
+        col("f_micro").as("w_micro"))
+  }
 }

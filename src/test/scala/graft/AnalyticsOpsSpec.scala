@@ -556,6 +556,38 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rd.isNullAt(4) && rd.isNullAt(5))
   }
 
+  test("anovaF: hand three-group decomposition; degenerate NULL") {
+    // {1,2,3} {5,6,7} {9,10,11}: SSB=96, SSW=6, SST=102, F=48
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 5L), ("b", 6L),
+      ("b", 7L), ("c", 9L), ("c", 10L), ("c", 11L)).toDF("g", "v")
+    val r = Relational.anovaF(df, col("g"), col("v")).head()
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n") == 9L)
+    assert(r.getAs[Long]("ssb_milli") == 96000L, r)
+    assert(r.getAs[Long]("ssw_milli") == 6000L, r)
+    assert(r.getAs[Long]("sst_milli") == 102000L, r)
+    assert(r.getAs[Long]("f_micro") == 48000000L, r)
+    assert(r.getAs[Long]("eta2_micro") == 941176L, r)
+    // one group: between-variance undefined, F NULL
+    val deg = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    assert(Relational.anovaF(deg, col("g"), col("v")).head().isNullAt(5))
+  }
+
+  test("leveneW: hand mean-deviation ANOVA on two uneven groups") {
+    // a={0,4} → z={2,2}; b={0,0,6} → z={2,2,4}: W = 533/889 scaled
+    val df = Seq(("a", 0L), ("a", 4L), ("b", 0L), ("b", 0L), ("b", 6L))
+      .toDF("g", "v")
+    val r = Relational.leveneW(df, col("g"), col("v")).head()
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Long]("ssb_milli") == 533L, r)
+    assert(r.getAs[Long]("ssw_milli") == 2667L, r)
+    assert(r.getAs[Long]("w_micro") == 599550L, r)
+    // equal spreads: z identical in both groups → W = 0
+    val eq = Seq(("a", 0L), ("a", 2L), ("b", 10L), ("b", 12L))
+      .toDF("g", "v")
+    assert(Relational.leveneW(eq, col("g"), col("v")).head()
+      .getAs[Long]("w_micro") == 0L)
+  }
+
   test("poissonBootstrapCI: the interval brackets the sample mean, " +
     "narrows ~1/sqrt(n), and replicate weights are key-deterministic") {
     def ci(n: Int): (Long, Long, Long) = {

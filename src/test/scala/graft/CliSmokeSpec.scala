@@ -535,6 +535,8 @@ class CliSmokeSpec extends SparkSpec {
       .toDF("user_id", "ts", "ga")
       .write.mode("overwrite").parquet(lrPath)
     graft.cli.Main.main(Array("logrank", lrPath, "user_id", "ga"))
+    graft.cli.Main.main(Array("anova", statsPath, "v", "cat"))
+    graft.cli.Main.main(Array("levene", statsPath, "v", "cat"))
   }
 
   test("pool-commit and pool-read run the marker pool end to end") {
