@@ -6964,5 +6964,61 @@ object OracleSql {
         |    (round((ssb_milli::DOUBLE / (k - 1)::DOUBLE)
         |      / (ssw_milli::DOUBLE / (n - k)::DOUBLE) * 1000000.0))
         |      ::BIGINT END AS w_micro
-        |FROM b""".stripMargin)
+        |FROM b""".stripMargin,
+
+    // Kruskal-Wallis: distinct-value doubled ranks, exact decimal
+    // rank sums, unit-snapped R²/(4n) terms, tie-corrected H'
+    "q281_kruskal_wallis" ->
+      """WITH d AS (SELECT event_type AS g,
+        |    round(value * 100)::BIGINT AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT g, v, count(*)::BIGINT AS cgv
+        |  FROM d GROUP BY 1, 2),
+        |bv AS (SELECT v, sum(cgv)::BIGINT AS cnt FROM cells
+        |  GROUP BY 1),
+        |rk AS (SELECT v,
+        |    (2 * (sum(cnt) OVER (ORDER BY v) - cnt) + cnt + 1)
+        |      ::BIGINT AS r2,
+        |    (cnt::HUGEINT * cnt * cnt - cnt) AS t3t
+        |  FROM bv),
+        |bg AS (SELECT g, sum(cgv)::BIGINT AS ng,
+        |    sum(cgv::HUGEINT * r2::HUGEINT) AS rg2
+        |  FROM cells JOIN rk USING (v) GROUP BY 1),
+        |gm AS (SELECT count(*)::BIGINT AS k, sum(ng)::BIGINT AS n,
+        |    sum((round(rg2::DOUBLE * rg2::DOUBLE
+        |      / (4.0 * ng::DOUBLE)))::BIGINT)::BIGINT AS rsum
+        |  FROM bg),
+        |tt AS (SELECT coalesce(sum(t3t), 0) AS ties,
+        |    count(*)::BIGINT AS nvals
+        |  FROM rk)
+        |SELECT k, n,
+        |  CASE WHEN k < 2 OR nvals <= 1 OR n < 2 THEN NULL ELSE
+        |    (round((12.0 / (n::DOUBLE * (n::DOUBLE + 1.0))
+        |      * rsum::DOUBLE - 3.0 * (n::DOUBLE + 1.0))
+        |      * 1000000.0))::BIGINT END AS h_micro,
+        |  CASE WHEN k < 2 OR nvals <= 1 OR n < 2 THEN NULL ELSE
+        |    (round((12.0 / (n::DOUBLE * (n::DOUBLE + 1.0))
+        |      * rsum::DOUBLE - 3.0 * (n::DOUBLE + 1.0))
+        |      / (1.0 - ties::DOUBLE
+        |        / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE))
+        |      * 1000000.0))::BIGINT END AS h_tie_micro
+        |FROM gm, tt""".stripMargin,
+
+    // Chao1 + Good-Turing coverage off the freq-of-freqs reduction
+    "q282_vocab_richness" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*)::BIGINT AS c FROM t GROUP BY 1),
+        |m AS (SELECT sum(c)::BIGINT AS n_tokens,
+        |    count(*)::BIGINT AS n_types,
+        |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+        |    sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+        |  FROM c)
+        |SELECT n_tokens, n_types, f1, f2,
+        |  (round((n_types::DOUBLE + f1::DOUBLE * (f1 - 1)::DOUBLE
+        |    / (2.0 * (f2 + 1)::DOUBLE)) * 1000000.0))::BIGINT
+        |    AS chao1_micro,
+        |  (round((1.0 - f1::DOUBLE / n_tokens::DOUBLE) * 1000000.0))
+        |    ::BIGINT AS coverage_micro
+        |FROM m""".stripMargin)
 }

@@ -4681,6 +4681,24 @@ object SparkEntry {
       t(s, dir, "events").filter(col("value").isNotNull),
       col("event_type"), round(col("value") * 100).cast("long"))
 
+  /** Kruskal-Wallis H across event types — the k-group rank test
+    * (nonparametric q279): doubled average ranks off the
+    * distinct-value cumulative table, exact decimal rank sums,
+    * unit-snapped R²/(4n) terms, tie-corrected H' beside plain H.
+    */
+  def q281_kruskal_wallis(s: SparkSession, dir: String): DataFrame =
+    Relational.kruskalWallisH(
+      t(s, dir, "events").filter(col("value").isNotNull),
+      col("event_type"), round(col("value") * 100).cast("long"))
+
+  /** Vocabulary richness of the documents corpus — Chao1 unseen-type
+    * lower bound + Good-Turing sample coverage off the
+    * frequency-of-frequencies reduction of ONE token-count pass: the
+    * "does more data buy more diversity" preflight.
+    */
+  def q282_vocab_richness(s: SparkSession, dir: String): DataFrame =
+    TextOps.vocabRichness(docs(s, dir), "text")
+
   /** Deterministic replay of the STREAMING sessionization twin
     * ([[graft.streaming.StreamingSessions]]): four event-time-ordered
     * micro-batches drive the bucketed per-user session state (the
@@ -5027,7 +5045,9 @@ object SparkEntry {
     "q277_trimmed_means" -> (q277_trimmed_means(_, _)),
     "q278_log_rank" -> (q278_log_rank(_, _)),
     "q279_anova_f" -> (q279_anova_f(_, _)),
-    "q280_levene" -> (q280_levene(_, _)))
+    "q280_levene" -> (q280_levene(_, _)),
+    "q281_kruskal_wallis" -> (q281_kruskal_wallis(_, _)),
+    "q282_vocab_richness" -> (q282_vocab_richness(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -2321,6 +2321,28 @@ object Main {
         s"w_micro=${r.get(4)}")
       done(spark)
 
+    // Kruskal-Wallis H rank test across the groups of a category column
+    case "kruskal" :: path :: valCol :: groupCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.kruskalWallisH(
+        spark.read.parquet(path).filter(col(valCol).isNotNull),
+        col(groupCol), col(valCol)).head()
+      println(s"[kruskal] k=${r.getLong(0)} n=${r.getLong(1)} " +
+        s"h_micro=${r.get(2)} h_tie_micro=${r.get(3)}")
+      done(spark)
+
+    // Chao1 + Good-Turing vocabulary-richness report over a corpus
+    case "vocab-richness" :: path :: rest =>
+      val spark = session()
+      val r = graft.text.TextOps.vocabRichness(
+        loadCorpus(spark, path, rest), "text").head()
+      println(s"[vocab-richness] n_tokens=${r.getLong(0)} " +
+        s"n_types=${r.getLong(1)} f1=${r.getLong(2)} " +
+        s"f2=${r.getLong(3)} chao1_micro=${r.getLong(4)} " +
+        s"coverage_micro=${r.getLong(5)}")
+      done(spark)
+
     // Poisson-bootstrap CI for a mean (the distributed bootstrap)
     case "bootstrap-ci" :: path :: keyCol :: valCol :: rest =>
       import org.apache.spark.sql.functions.col
@@ -2458,7 +2480,9 @@ object Main {
           "trimmed <parquet> <valCol> [trimMicro] | " +
           "logrank <events> <userCol> <boolFlagCol> [tsCol] | " +
           "anova <parquet> <valCol> <groupCol> | " +
-          "levene <parquet> <valCol> <groupCol>")
+          "levene <parquet> <valCol> <groupCol> | " +
+          "kruskal <parquet> <valCol> <groupCol> | " +
+          "vocab-richness <corpus> [--jsonl]")
       sys.exit(2)
   }
 

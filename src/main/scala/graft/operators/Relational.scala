@@ -2689,6 +2689,68 @@ object Relational {
           .cast("long")).as("eta2_micro"))
   }
 
+  /** Kruskal-Wallis H test (1952) — the k-group rank analogue of
+    * [[mannWhitneyU]] and the nonparametric fallback for [[anovaF]]
+    * when normality is off the table:
+    *
+    *   H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+    *
+    * with the standard tie correction `H' = H / (1 − Σ(t³−t)/(N³−N))`.
+    *
+    * Scale + exactness discipline (the MWU shape): rows reduce ONCE to
+    * the `(group, value)` cell grid; doubled average ranks come from
+    * the DISTINCT-VALUE cumulative table (the only window — value
+    * space, not rows); doubled rank sums R·2 stay exact decimals, the
+    * per-group R²/(4n) term is ONE double division unit-snapped to a
+    * BIGINT before the exact group sum; H and H' are one double chain.
+    * Output (one row): `(k, n, h_micro, h_tie_micro)` — NULL when
+    * degenerate (k < 2 or all values tied).
+    */
+  def kruskalWallisH(df: DataFrame, groupCol: Column, valueInt: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val d = df.select(groupCol.as("_g"), valueInt.cast("long").as("_v"))
+    val cells = d.groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).as("_cgv"))
+      .persist() // value ranks + group folds both consume it
+    val byVal = cells.groupBy(col("_v"))
+      .agg(sum(col("_cgv")).as("_cnt"))
+    val w = Window.orderBy(col("_v")) // distinct values, not rows
+    val ranked = byVal.select(col("_v"),
+      (lit(2L) * (sum(col("_cnt")).over(w) - col("_cnt")) +
+        col("_cnt") + lit(1L)).as("_r2"),
+      (col("_cnt").cast(dec) * col("_cnt") * col("_cnt") -
+        col("_cnt")).as("_t3t"))
+    val byGroup = cells.join(ranked, "_v")
+      .groupBy(col("_g"))
+      .agg(sum(col("_cgv")).as("_ng"),
+        sum(col("_cgv").cast(dec) * col("_r2").cast(dec)).as("_rg2"))
+    // R_g²/n_g = R2_g²/(4·n_g): one double division, unit-snapped
+    val termUnit = round(col("_rg2").cast("double") *
+      col("_rg2").cast("double") /
+      (lit(4.0) * col("_ng").cast("double"))).cast("long")
+    val gm = byGroup.agg(count(lit(1)).as("k"), sum(col("_ng")).as("n"),
+      sum(termUnit).as("_rsum"))
+    val ties = ranked.agg(coalesce(sum(col("_t3t")),
+      lit(0).cast(dec)).as("_ties"), count(lit(1)).as("_nvals"))
+    val m = gm.crossJoin(broadcast(ties))
+    val nD = col("n").cast("double")
+    val h = lit(12.0) / (nD * (nD + 1.0)) *
+      col("_rsum").cast("double") - lit(3.0) * (nD + 1.0)
+    val corr = lit(1.0) - col("_ties").cast("double") /
+      (nD * nD * nD - nD)
+    val degenerate = col("k") < 2L || col("_nvals") <= 1L ||
+      col("n") < 2L
+    m.select(col("k"), col("n"),
+      when(degenerate, lit(null).cast("long"))
+        .otherwise(round(h * lit(1000000.0)).cast("long"))
+        .as("h_micro"),
+      when(degenerate, lit(null).cast("long"))
+        .otherwise(round(h / corr * lit(1000000.0)).cast("long"))
+        .as("h_tie_micro"))
+  }
+
   /** Levene homogeneity-of-variance test (Levene 1960, mean-centered
     * flavor) — the pre-check ANOVA's equal-variance assumption needs:
     * W is [[anovaF]]'s F statistic computed on the absolute

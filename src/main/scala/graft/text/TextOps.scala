@@ -606,6 +606,45 @@ object TextOps {
         sum(col("_hm")).as("h_micro"))
   }
 
+  /** Vocabulary-richness estimators off the frequency-of-frequencies
+    * table — the "how much vocabulary have we NOT crawled yet" report
+    * a corpus pipeline runs before deciding whether more data buys
+    * more diversity:
+    *
+    *  - Chao1 species-richness lower bound (Chao 1984, bias-corrected
+    *    flavor so f₂ = 0 stays defined):
+    *    `Ŝ = D + f₁(f₁−1)/(2(f₂+1))`
+    *  - Good-Turing sample coverage (Good 1953): `Ĉ = 1 − f₁/N` —
+    *    the probability the NEXT token is an already-seen type; the
+    *    complement `f₁/N` is the unseen-type mass.
+    *
+    * Scale shape: one token-count aggregation (the [[unigramEntropy]]
+    * scan), then the frequency-of-frequencies reduction is over the
+    * VOCAB-sized table and the estimators fold to ONE row of exact
+    * integers (`f₁(f₁−1)` and the divisions are the only double
+    * steps, each micro-snapped once). Output (one row):
+    * `(n_tokens, n_types, f1, f2, chao1_micro, coverage_micro)`.
+    */
+  def vocabRichness(df: DataFrame, textCol: String,
+      tokenizer: Column => Column = tokensSimple): DataFrame = {
+    val counts = df
+      .select(explode(tokenizer(col(textCol))).as("_t"))
+      .groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+    val m = counts.agg(
+      sum(col("_c")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("_c") === 1L, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("_c") === 2L, 1L).otherwise(0L)).as("f2"))
+    m.select(col("n_tokens"), col("n_types"), col("f1"), col("f2"),
+      round((col("n_types").cast("double") +
+        col("f1").cast("double") * (col("f1") - 1L).cast("double") /
+          (lit(2.0) * (col("f2") + 1L).cast("double"))) *
+        lit(1000000.0)).cast("long").as("chao1_micro"),
+      round((lit(1.0) - col("f1").cast("double") /
+        col("n_tokens").cast("double")) * lit(1000000.0)).cast("long")
+        .as("coverage_micro"))
+  }
+
   /** LEARN a BPE merge table from the corpus (Sennrich et al. 2016 —
     * the training side of the merge tables the loadable tokenizer
     * applies): `rounds` iterations of count-adjacent-symbol-pairs →

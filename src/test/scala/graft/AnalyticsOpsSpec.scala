@@ -588,6 +588,27 @@ class AnalyticsOpsSpec extends SparkSpec {
       .getAs[Long]("w_micro") == 0L)
   }
 
+  test("kruskalWallisH: hand three-group ranks; tie correction; " +
+    "degenerate NULL") {
+    // {1,2,3} {4,5,6} {7,8,9}: R = 6,15,24 → H = 7.2, no ties
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L),
+      ("b", 6L), ("c", 7L), ("c", 8L), ("c", 9L)).toDF("g", "v")
+    val r = Relational.kruskalWallisH(df, col("g"), col("v")).head()
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n") == 9L)
+    assert(r.getAs[Long]("h_micro") == 7200000L, r)
+    assert(r.getAs[Long]("h_tie_micro") == 7200000L, r)
+    // full ties within groups: snapped terms give H = 3, H' = 3.75
+    val tied = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L))
+      .toDF("g", "v")
+    val rt = Relational.kruskalWallisH(tied, col("g"), col("v")).head()
+    assert(rt.getAs[Long]("h_micro") == 3000000L, rt)
+    assert(rt.getAs[Long]("h_tie_micro") == 3750000L, rt)
+    // all values identical: no rank information, NULL
+    val deg = Seq(("a", 5L), ("b", 5L)).toDF("g", "v")
+    assert(Relational.kruskalWallisH(deg, col("g"), col("v")).head()
+      .isNullAt(2))
+  }
+
   test("poissonBootstrapCI: the interval brackets the sample mean, " +
     "narrows ~1/sqrt(n), and replicate weights are key-deterministic") {
     def ci(n: Int): (Long, Long, Long) = {

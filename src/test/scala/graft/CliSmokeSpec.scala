@@ -537,6 +537,8 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("logrank", lrPath, "user_id", "ga"))
     graft.cli.Main.main(Array("anova", statsPath, "v", "cat"))
     graft.cli.Main.main(Array("levene", statsPath, "v", "cat"))
+    graft.cli.Main.main(Array("kruskal", statsPath, "v", "cat"))
+    graft.cli.Main.main(Array("vocab-richness", corpusPath))
   }
 
   test("pool-commit and pool-read run the marker pool end to end") {

@@ -190,7 +190,8 @@ class PlanGateSpec extends SparkSpec {
                         // values — value-space-bounded, q36 discipline
       "q267_mann_whitney", "q269_gini",
       "q277_trimmed_means", // same distinct-cent cumulative table
-      "q278_log_rank") // q241's bounded distinct-lifetime suffix windows
+      "q278_log_rank", // q241's bounded distinct-lifetime suffix windows
+      "q281_kruskal_wallis") // MWU's distinct-cent rank window
     val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
       "q125_streaming_funnel_replay", "q129_streaming_retention_replay",
       "q244_streaming_agg_replay", "q248_preflight_artifact",
@@ -305,6 +306,7 @@ class PlanGateSpec extends SparkSpec {
       "q277_trimmed_means",  // distinct-cent cells × broadcast 1-row
                              // (n, k) scalars
       "q278_log_rank",       // q241's lifetime × broadcast 1-row
+      "q281_kruskal_wallis", // group moments × broadcast 1-row ties
                              // horizon/totals/moment shapes
       "q271_cramers_v",      // q228's margin-grid crossJoin (r-row ×
                              // broadcast c-row margins + 1-row N)

@@ -1236,6 +1236,23 @@ class TextDedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.lshPlan(128, 1.0) }
   }
 
+  test("vocabRichness: hand Chao1 and Good-Turing coverage; " +
+    "no-singleton corpus saturates") {
+    import spark.implicits._
+    // tokens: a×2, b, c, d → N=5, D=4, f1=3, f2=1
+    val docs = Seq("a b a", "c d").toDF("text")
+    val r = graft.text.TextOps.vocabRichness(docs, "text").head()
+    assert(r.getAs[Long]("n_tokens") == 5L && r.getAs[Long]("n_types") == 4L)
+    assert(r.getAs[Long]("f1") == 3L && r.getAs[Long]("f2") == 1L)
+    assert(r.getAs[Long]("chao1_micro") == 5500000L, r) // 4 + 3·2/4
+    assert(r.getAs[Long]("coverage_micro") == 400000L, r) // 1 − 3/5
+    // every type seen twice: no singletons → chao1 = D, coverage = 1
+    val sat = Seq("x y", "x y").toDF("text")
+    val rs = graft.text.TextOps.vocabRichness(sat, "text").head()
+    assert(rs.getAs[Long]("chao1_micro") == 2000000L)
+    assert(rs.getAs[Long]("coverage_micro") == 1000000L)
+  }
+
   test("vocabCoverage: the two-level bucketed ranking is row-identical " +
     "to a naive global sort on a skewed corpus (multi-octave head, " +
     "singleton tie spike, shared prefixes) at several prefix lengths") {
