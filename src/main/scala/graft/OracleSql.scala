@@ -7020,5 +7020,78 @@ object OracleSql {
         |    AS chao1_micro,
         |  (round((1.0 - f1::DOUBLE / n_tokens::DOUBLE) * 1000000.0))
         |    ::BIGINT AS coverage_micro
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+
+    // Degree assortativity: ring + hub fan-out, canonical undirected
+    // dedup, exact decimal moments over both orientations, one r chain
+    "q283_assortativity" ->
+      """WITH cnt AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |ring AS (SELECT doc_id AS src, (doc_id + 1) % n AS dst
+        |  FROM documents CROSS JOIN cnt),
+        |hubs AS (SELECT doc_id AS src, (doc_id + k) % n AS dst
+        |  FROM documents CROSS JOIN cnt
+        |    CROSS JOIN (SELECT unnest([2, 3, 4]) AS k)
+        |  WHERE doc_id % 5 = 0),
+        |und AS (SELECT DISTINCT least(src, dst) AS a,
+        |    greatest(src, dst) AS b
+        |  FROM (SELECT * FROM ring UNION ALL SELECT * FROM hubs)
+        |  WHERE src <> dst),
+        |deg AS (SELECT id, count(*)::BIGINT AS deg FROM (
+        |    SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+        |  GROUP BY 1),
+        |p AS (SELECT da.deg AS dda, db.deg AS ddb FROM und
+        |  JOIN deg da ON und.a = da.id
+        |  JOIN deg db ON und.b = db.id),
+        |m AS (SELECT count(*)::BIGINT AS n_edges,
+        |    sum((dda + ddb)::HUGEINT) AS sx,
+        |    sum(dda::HUGEINT * dda + ddb::HUGEINT * ddb) AS sxx,
+        |    sum(2::HUGEINT * dda * ddb) AS sxy
+        |  FROM p),
+        |nn AS (SELECT count(*)::BIGINT AS n_nodes FROM deg)
+        |SELECT n_nodes, n_edges,
+        |  CASE WHEN n_edges = 0 OR
+        |    (sxx::DOUBLE / (n_edges * 2)::DOUBLE -
+        |      (sx::DOUBLE / (n_edges * 2)::DOUBLE) *
+        |      (sx::DOUBLE / (n_edges * 2)::DOUBLE)) <= 0.0 THEN NULL
+        |  ELSE (round((sxy::DOUBLE / (n_edges * 2)::DOUBLE -
+        |      (sx::DOUBLE / (n_edges * 2)::DOUBLE) *
+        |      (sx::DOUBLE / (n_edges * 2)::DOUBLE)) /
+        |    (sxx::DOUBLE / (n_edges * 2)::DOUBLE -
+        |      (sx::DOUBLE / (n_edges * 2)::DOUBLE) *
+        |      (sx::DOUBLE / (n_edges * 2)::DOUBLE)) * 1000000.0))
+        |    ::BIGINT END AS r_micro
+        |FROM m, nn""".stripMargin,
+
+    // Modularity: block assignment, within-edge share minus the
+    // degree-null square, micro-snapped per community
+    "q284_modularity" ->
+      """WITH cnt AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |edges AS (SELECT doc_id AS src, (doc_id + k) % n AS dst
+        |  FROM documents CROSS JOIN cnt
+        |    CROSS JOIN (SELECT unnest([1, 2]) AS k)),
+        |assign AS (SELECT doc_id AS id,
+        |    ((doc_id // 16) % 4)::BIGINT AS community
+        |  FROM documents),
+        |und AS (SELECT DISTINCT least(src, dst) AS a,
+        |    greatest(src, dst) AS b
+        |  FROM edges WHERE src <> dst),
+        |deg AS (SELECT id, count(*)::BIGINT AS deg FROM (
+        |    SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+        |  GROUP BY 1),
+        |dt AS (SELECT community, count(*)::BIGINT AS n_nodes,
+        |    sum(deg)::BIGINT AS d_tot
+        |  FROM deg JOIN assign USING (id) GROUP BY 1),
+        |ei AS (SELECT ca.community, count(*)::BIGINT AS e_in
+        |  FROM und
+        |  JOIN assign ca ON und.a = ca.id
+        |  JOIN assign cb ON und.b = cb.id
+        |  WHERE ca.community = cb.community GROUP BY 1),
+        |mt AS (SELECT count(*)::BIGINT AS m FROM und)
+        |SELECT dt.community, dt.n_nodes,
+        |  coalesce(ei.e_in, 0)::BIGINT AS e_in, dt.d_tot,
+        |  (round((coalesce(ei.e_in, 0)::DOUBLE / mt.m::DOUBLE -
+        |    (dt.d_tot::DOUBLE / (2.0 * mt.m::DOUBLE)) *
+        |    (dt.d_tot::DOUBLE / (2.0 * mt.m::DOUBLE)))
+        |    * 1000000.0))::BIGINT AS q_term_micro
+        |FROM dt LEFT JOIN ei USING (community) CROSS JOIN mt""".stripMargin)
 }

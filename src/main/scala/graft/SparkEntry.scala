@@ -4699,6 +4699,46 @@ object SparkEntry {
   def q282_vocab_richness(s: SparkSession, dir: String): DataFrame =
     TextOps.vocabRichness(docs(s, dir), "text")
 
+  /** Degree assortativity over a mixed synthetic graph (ring + sparse
+    * hub fan-out from every 5th node, so degrees actually vary) —
+    * Newman's "do hubs link to hubs" Pearson r off exact decimal
+    * moment sums over both edge orientations.
+    */
+  def q283_assortativity(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val n1 = d.agg(count(lit(1)).as("n_nodes"))
+    val base = d.select(col("doc_id").as("src"))
+      .crossJoin(broadcast(n1))
+    val ring = base.select(col("src"),
+      ((col("src") + 1) % col("n_nodes")).as("dst"))
+    val hubs = base.filter(col("src") % 5 === 0)
+      .select(col("src"), explode(sequence(lit(2L), lit(4L))).as("k"),
+        col("n_nodes"))
+      .select(col("src"),
+        ((col("src") + col("k")) % col("n_nodes")).as("dst"))
+    LinkGraph.degreeAssortativity(ring.union(hubs))
+  }
+
+  /** Modularity of a contiguous-block community assignment over the
+    * ring+shift graph: per-community within-edge share minus the
+    * degree-null expectation, micro-snapped — the quality score every
+    * community detection (q163's LPA) should be judged by.
+    */
+  def q284_modularity(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val n1 = d.agg(count(lit(1)).as("n_nodes"))
+    val base = d.select(col("doc_id").as("src"))
+      .crossJoin(broadcast(n1))
+    val edges = base.select(col("src"),
+      explode(sequence(lit(1L), lit(2L))).as("k"), col("n_nodes"))
+      .select(col("src"),
+        ((col("src") + col("k")) % col("n_nodes")).as("dst"))
+    val assign = d.select(col("doc_id").as("id"),
+      pmod(floor(col("doc_id") / 16), lit(4)).cast("long")
+        .as("community"))
+    LinkGraph.modularity(edges, assign)
+  }
+
   /** Deterministic replay of the STREAMING sessionization twin
     * ([[graft.streaming.StreamingSessions]]): four event-time-ordered
     * micro-batches drive the bucketed per-user session state (the
@@ -5047,7 +5087,9 @@ object SparkEntry {
     "q279_anova_f" -> (q279_anova_f(_, _)),
     "q280_levene" -> (q280_levene(_, _)),
     "q281_kruskal_wallis" -> (q281_kruskal_wallis(_, _)),
-    "q282_vocab_richness" -> (q282_vocab_richness(_, _)))
+    "q282_vocab_richness" -> (q282_vocab_richness(_, _)),
+    "q283_assortativity" -> (q283_assortativity(_, _)),
+    "q284_modularity" -> (q284_modularity(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -2228,6 +2228,34 @@ object Main {
         }
       done(spark)
 
+    // degree assortativity: do hubs link to hubs?
+    case "assortativity" :: edgesPath :: Nil =>
+      val spark = session()
+      val r = graft.operators.LinkGraph.degreeAssortativity(
+        spark.read.parquet(edgesPath).select("src", "dst")).head()
+      println(s"[assortativity] n_nodes=${r.getLong(0)} " +
+        s"n_edges=${r.getLong(1)} r_micro=${r.get(2)}")
+      done(spark)
+
+    // Newman modularity of a community assignment over an edge list
+    case "modularity" :: edgesPath :: assignPath :: Nil =>
+      val spark = session()
+      val rows = graft.operators.LinkGraph.modularity(
+        spark.read.parquet(edgesPath).select("src", "dst"),
+        spark.read.parquet(assignPath).select("id", "community"))
+        .collect()
+      var total = 0L
+      rows.sortBy(_.get(0).toString).foreach { r =>
+        total += r.getAs[Long]("q_term_micro")
+        println(s"[modularity] community=${r.get(0)} " +
+          s"n_nodes=${r.getAs[Long]("n_nodes")} " +
+          s"e_in=${r.getAs[Long]("e_in")} " +
+          s"d_tot=${r.getAs[Long]("d_tot")} " +
+          s"q_term_micro=${r.getAs[Long]("q_term_micro")}")
+      }
+      println(s"[modularity] total_q_micro=$total")
+      done(spark)
+
     // unsupervised Fellegi-Sunter: Winkler-EM weights from UNLABELED
     // candidate pairs (boolean comparison-field columns)
     case "fs-em" :: pairsPath :: fieldsCsv :: rest =>
@@ -2482,7 +2510,9 @@ object Main {
           "anova <parquet> <valCol> <groupCol> | " +
           "levene <parquet> <valCol> <groupCol> | " +
           "kruskal <parquet> <valCol> <groupCol> | " +
-          "vocab-richness <corpus> [--jsonl]")
+          "vocab-richness <corpus> [--jsonl] | " +
+          "assortativity <edges> | " +
+          "modularity <edges> <assign>")
       sys.exit(2)
   }
 

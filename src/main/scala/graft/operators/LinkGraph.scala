@@ -532,6 +532,103 @@ object LinkGraph {
             col("outdeg").cast("double")), 6).as("reciprocity"))
   }
 
+  /** Degree assortativity coefficient (Newman, "Assortative mixing in
+    * networks", 2002) — the one-number answer to "do hubs link to
+    * hubs?": the Pearson correlation of the degrees at either end of
+    * every undirected edge (negative on the web's hub-and-spoke
+    * crawl graphs, positive on social/collusion graphs — so the sign
+    * alone is a link-farm screen beside [[reciprocityRatio]]).
+    *
+    * Scale + exactness: edges dedup once to the canonical undirected
+    * list; degrees come from ONE count aggregation and join back onto
+    * the two endpoints (each edge contributes BOTH orientations, so
+    * the symmetric moment sums need one pass); all moments are exact
+    * decimals, r is one double chain micro-snapped at the end.
+    * Output (one row): `(n_nodes, n_edges, r_micro)` — NULL r when
+    * degree variance is zero (e.g. a pure ring).
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().persist() // degrees + both joins consume it
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val paired = und
+      .join(deg.select(col("id").as("a"), col("deg").as("_da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("_db")), "b")
+    // both orientations at once: Σx = Σ(da+db), Σx² = Σ(da²+db²),
+    // Σxy = 2·Σ(da·db), M = 2·|edges| — all exact decimals
+    val m = paired.agg(
+      count(lit(1)).as("n_edges"),
+      sum((col("_da") + col("_db")).cast(dec)).as("_sx"),
+      sum(col("_da").cast(dec) * col("_da") +
+        col("_db").cast(dec) * col("_db")).as("_sxx"),
+      sum(lit(2).cast(dec) * col("_da") * col("_db")).as("_sxy"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+    val mm = (col("n_edges") * 2L).cast("double")
+    val mean = col("_sx").cast("double") / mm
+    val num = col("_sxy").cast("double") / mm - mean * mean
+    val den = col("_sxx").cast("double") / mm - mean * mean
+    m.select(col("n_nodes"), col("n_edges"),
+      when(col("n_edges") === 0L || den <= 0.0,
+          lit(null).cast("long"))
+        .otherwise(round(num / den * lit(1000000.0)).cast("long"))
+        .as("r_micro"))
+  }
+
+  /** Newman modularity of a community assignment (Newman & Girvan
+    * 2004): per community `Q_c = e_c/m − (d_c/2m)²` — within-edge
+    * share minus the share expected under the degree-preserving null
+    * model; Σ_c Q_c is the partition's modularity. The quality score
+    * for [[labelPropagation]]'s communities (or any assignment —
+    * shard maps, domain groupings): Q ≈ 0 means the "communities"
+    * are no better than random wiring.
+    *
+    * Scale + exactness: edges dedup once; the assignment joins onto
+    * endpoints (shuffle equi-joins — assignment tables are node-sized,
+    * never broadcast blindly); e_c/d_c fold to the COMMUNITY-sized
+    * table; each Q_c is one fixed double chain micro-snapped. Output
+    * (one row per community): `(community, n_nodes, e_in, d_tot,
+    * q_term_micro)`.
+    */
+  def modularity(edges: DataFrame, assign: DataFrame): DataFrame = {
+    val a = assign.select(col("id"), col("community"))
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().persist() // degrees + the within-edge join
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val dTot = deg.join(a, "id").groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_tot"))
+    val eIn = und
+      .join(a.select(col("id").as("a"), col("community").as("_ca")),
+        "a")
+      .join(a.select(col("id").as("b"), col("community").as("_cb")),
+        "b")
+      .filter(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    val mTot = und.agg(count(lit(1)).as("_m"))
+    dTot.join(eIn, Seq("community"), "left")
+      .crossJoin(broadcast(mTot))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"),
+        round((coalesce(col("e_in"), lit(0L)).cast("double") /
+          col("_m").cast("double") -
+          (col("d_tot").cast("double") /
+            (lit(2.0) * col("_m").cast("double"))) *
+          (col("d_tot").cast("double") /
+            (lit(2.0) * col("_m").cast("double")))) *
+          lit(1000000.0)).cast("long").as("q_term_micro"))
+  }
+
   /** Adamic-Adar link prediction (Adamic & Adar, "Friends and
     * Neighbors on the Web", 2003) — the classic common-neighbor score
     * for "which missing edges are most likely real": for a candidate

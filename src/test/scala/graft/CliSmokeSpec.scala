@@ -520,6 +520,11 @@ class CliSmokeSpec extends SparkSpec {
       .toDF("src", "dst")
       .write.mode("overwrite").parquet(edgesPath)
     graft.cli.Main.main(Array("adamic", edgesPath, "5"))
+    graft.cli.Main.main(Array("assortativity", edgesPath))
+    val assignPath = s"${tmpDir("cli-r11assign")}/assign"
+    (0L until 10L).map(i => (i, i % 2)).toDF("id", "community")
+      .write.mode("overwrite").parquet(assignPath)
+    graft.cli.Main.main(Array("modularity", edgesPath, assignPath))
     val pairsPath = s"${tmpDir("cli-r11pairs")}/pairs"
     (1L to 100L).map(i => (i, i % 4 != 0, i % 4 != 1))
       .toDF("pid", "f1", "f2")

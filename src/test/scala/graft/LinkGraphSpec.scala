@@ -246,6 +246,36 @@ class LinkGraphSpec extends SparkSpec {
     assert(got(4L) == ((0L, 0L, None)), got) // isolated
   }
 
+  test("degreeAssortativity: star is perfectly disassortative (-1), " +
+    "constant-degree ring is NULL") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val r = LinkGraph.degreeAssortativity(star).head()
+    assert(r.getAs[Long]("n_nodes") == 4L)
+    assert(r.getAs[Long]("n_edges") == 3L)
+    assert(r.getAs[Long]("r_micro") == -1000000L, r)
+    // ring of 4: every degree is 2 → zero variance → NULL
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+      .toDF("src", "dst")
+    assert(LinkGraph.degreeAssortativity(ring).head().isNullAt(2))
+  }
+
+  test("modularity: two triangles bridged by one edge score the " +
+    "hand Q terms; a random-cut assignment scores lower") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (2L, 3L)).toDF("src", "dst")
+    // natural split: each community has e_in=3, d_tot=7, m=7 →
+    // Q_c = 3/7 − (7/14)² = 0.178571...
+    val good = (0L to 5L).map(i => (i, i / 3)).toDF("id", "community")
+    val gm = LinkGraph.modularity(edges, good).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(gm == Map(0L -> 178571L, 1L -> 178571L), gm)
+    // parity split cuts both triangles: strictly worse total Q
+    val bad = (0L to 5L).map(i => (i, i % 2)).toDF("id", "community")
+    val bq = LinkGraph.modularity(edges, bad).collect()
+      .map(_.getLong(4)).sum
+    assert(bq < 2 * 178571L, bq)
+  }
+
   test("hitsPathCounts: hand-computed two-round path counts on a " +
     "co-citation wedge; self-loops and duplicate edges collapse") {
     val nodes = (0L until 5).toDF("id")

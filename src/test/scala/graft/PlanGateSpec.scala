@@ -326,6 +326,10 @@ class PlanGateSpec extends SparkSpec {
                              // rounds are degree aggs + semi-joins)
       "q164_clustering",     // q162's shape (1-row node-count)
       "q165_reciprocity",    // same 1-row node-count broadcast
+      "q283_assortativity",  // same synth 1-row node-count broadcast
+                             // + 1-row moment × node-count frames
+      "q284_modularity",     // same synth 1-row node-count + 1-row
+                             // total-edge-count broadcast
       "q167_pmi_collocations", // bigram rows × broadcast 1-row token
                                // total (q44's shape)
       "q168_hits",           // q163's synth-graph 1-row node-count
