@@ -7093,5 +7093,113 @@ object OracleSql {
         |    (dt.d_tot::DOUBLE / (2.0 * mt.m::DOUBLE)) *
         |    (dt.d_tot::DOUBLE / (2.0 * mt.m::DOUBLE)))
         |    * 1000000.0))::BIGINT AS q_term_micro
-        |FROM dt LEFT JOIN ei USING (community) CROSS JOIN mt""".stripMargin)
+        |FROM dt LEFT JOIN ei USING (community) CROSS JOIN mt""".stripMargin,
+
+    // Mutual information + NMI: bounded cell grid, micro-nat ln terms
+    // weighted by exact counts, margin entropies, one NMI chain
+    "q285_mutual_information" ->
+      """WITH d AS (SELECT event_type AS x,
+        |    (user_id % 4)::BIGINT AS y
+        |  FROM events),
+        |cells AS (SELECT x, y, count(*)::BIGINT AS cxy
+        |  FROM d GROUP BY 1, 2),
+        |rx AS (SELECT x, sum(cxy)::BIGINT AS cx FROM cells
+        |  GROUP BY 1),
+        |cy AS (SELECT y, sum(cxy)::BIGINT AS cy FROM cells
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(cxy)::BIGINT AS n FROM cells),
+        |j AS (SELECT cxy,
+        |    (round(ln((cxy::HUGEINT * n)::DOUBLE
+        |      / (cx::HUGEINT * cy)::DOUBLE) * 1000000.0))::BIGINT
+        |      AS lt
+        |  FROM cells JOIN rx USING (x) JOIN cy USING (y)
+        |    CROSS JOIN tot),
+        |mi AS (SELECT sum(cxy::HUGEINT * lt) AS misum FROM j),
+        |hx AS (SELECT -sum(cx::HUGEINT *
+        |    (round(ln(cx::DOUBLE / n::DOUBLE) * 1000000.0))::BIGINT)
+        |    AS hsum, count(*)::BIGINT AS n_x
+        |  FROM rx CROSS JOIN tot),
+        |hy AS (SELECT -sum(cy::HUGEINT *
+        |    (round(ln(cy::DOUBLE / n::DOUBLE) * 1000000.0))::BIGINT)
+        |    AS hsum, count(*)::BIGINT AS n_y
+        |  FROM cy CROSS JOIN tot),
+        |f AS (SELECT n, n_x, n_y,
+        |    (round(misum::DOUBLE / n::DOUBLE))::BIGINT AS mi_micro,
+        |    (round(hx.hsum::DOUBLE / n::DOUBLE))::BIGINT AS hx_micro,
+        |    (round(hy.hsum::DOUBLE / n::DOUBLE))::BIGINT AS hy_micro
+        |  FROM mi, hx, hy, tot)
+        |SELECT n, n_x, n_y, mi_micro, hx_micro, hy_micro,
+        |  CASE WHEN hx_micro <= 0 OR hy_micro <= 0 THEN NULL ELSE
+        |    (round(mi_micro::DOUBLE /
+        |      sqrt(hx_micro::DOUBLE * hy_micro::DOUBLE)
+        |      * 1000000.0))::BIGINT END AS nmi_micro
+        |FROM f""".stripMargin,
+
+    // McNemar: discordant-pair counts, χ² + continuity-corrected
+    "q286_mcnemar" ->
+      """WITH d AS (SELECT (n_chars > 300) AS pa,
+        |    (len(string_split(text, ' ')) > 50) AS pb,
+        |    (lang = 'en') AS y
+        |  FROM documents),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+        |      ::BIGINT AS b_only,
+        |    sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+        |      ::BIGINT AS c_only
+        |  FROM d)
+        |SELECT n, b_only, c_only,
+        |  CASE WHEN b_only + c_only = 0 THEN NULL ELSE
+        |    (round((b_only - c_only)::DOUBLE * (b_only - c_only)
+        |      ::DOUBLE / (b_only + c_only)::DOUBLE * 1000000.0))
+        |      ::BIGINT END AS chi2_micro,
+        |  CASE WHEN b_only + c_only = 0 THEN NULL ELSE
+        |    (round(greatest(abs(b_only - c_only) - 1, 0)::DOUBLE *
+        |      greatest(abs(b_only - c_only) - 1, 0)::DOUBLE /
+        |      (b_only + c_only)::DOUBLE * 1000000.0))::BIGINT END
+        |    AS chi2_cc_micro
+        |FROM m""".stripMargin,
+
+    // RMST at τ=20: q241's KM chain + exact integer step areas off
+    // the snapped micro survival
+    "q287_rmst" ->
+      """WITH d AS (SELECT user_id AS u,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS dd
+        |  FROM events),
+        |us AS (SELECT u, min(dd) AS f, max(dd) AS l FROM d GROUP BY 1),
+        |h AS (SELECT max(l) AS h FROM us),
+        |lt AS (SELECT (us.l - us.f + 1)::BIGINT AS t_day,
+        |    (CASE WHEN us.l = h.h THEN 1 ELSE 0 END)::BIGINT AS cens
+        |  FROM us, h),
+        |pt AS (SELECT t_day, count(*)::BIGINT AS ends,
+        |    (count(*) - sum(cens))::BIGINT AS n_churned
+        |  FROM lt GROUP BY 1),
+        |tot AS (SELECT sum(ends)::BIGINT AS n FROM pt),
+        |ar AS (SELECT pt.*, (tot.n - coalesce(sum(ends) OVER
+        |      (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING
+        |       AND 1 PRECEDING), 0))::BIGINT AS n_at_risk
+        |  FROM pt, tot),
+        |st AS (SELECT *, CASE WHEN n_churned = n_at_risk THEN NULL
+        |    ELSE (round(ln(1.0 - n_churned::DOUBLE /
+        |      n_at_risk::DOUBLE) * 1000000.0))::BIGINT END AS lnstep
+        |  FROM ar),
+        |fin AS (SELECT *,
+        |    (sum(lnstep) OVER (ORDER BY t_day
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS lnsum,
+        |    max(CASE WHEN lnstep IS NULL THEN 1 ELSE 0 END) OVER
+        |      (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS dead
+        |  FROM st),
+        |sv AS (SELECT t_day, n_at_risk,
+        |    (round((CASE WHEN dead = 1 THEN 0.0
+        |      ELSE round(exp(lnsum::DOUBLE / 1000000.0), 6) END)
+        |      * 1000000.0))::BIGINT AS sm,
+        |    lead(t_day) OVER (ORDER BY t_day) AS nxt
+        |  FROM fin),
+        |ag AS (SELECT max(n_at_risk)::BIGINT AS n_users,
+        |    min(t_day)::BIGINT AS t1,
+        |    sum(sm * greatest(least(coalesce(nxt, 20), 20)
+        |      - least(t_day, 20), 0))::BIGINT AS area
+        |  FROM sv)
+        |SELECT 20::BIGINT AS tau_day, n_users,
+        |  (least(t1, 20) * 1000000 + area)::BIGINT AS rmst_micro
+        |FROM ag""".stripMargin)
 }

@@ -4739,6 +4739,34 @@ object SparkEntry {
     LinkGraph.modularity(edges, assign)
   }
 
+  /** Mutual information + NMI between event type and a user cohort —
+    * "how much does the event mix leak the cohort": micro-nat-snapped
+    * per-cell ln terms weighted by exact counts, entropies off the
+    * margins, one NMI chain.
+    */
+  def q285_mutual_information(s: SparkSession, dir: String): DataFrame =
+    Relational.mutualInformation(t(s, dir, "events"),
+      col("event_type"), pmod(col("user_id"), lit(4L)))
+
+  /** McNemar's paired test between two document classifiers (char
+    * length vs token count, truth = lang=='en') — discordant-pair
+    * counts + the χ² and continuity-corrected chains.
+    */
+  def q286_mcnemar(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Relational.mcNemar(d,
+      col("n_chars") > 300,
+      size(split(col("text"), " ")) > 50,
+      col("lang") === lit("en"))
+  }
+
+  /** Restricted mean survival time at τ = 20 days — the area under
+    * q241's KM curve: average days retained in the first 20, exact
+    * integer step areas off the already-snapped micro survival.
+    */
+  def q287_rmst(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.rmst(t(s, dir, "events"), "user_id", col("ts"), 20L)
+
   /** Deterministic replay of the STREAMING sessionization twin
     * ([[graft.streaming.StreamingSessions]]): four event-time-ordered
     * micro-batches drive the bucketed per-user session state (the
@@ -5089,7 +5117,10 @@ object SparkEntry {
     "q281_kruskal_wallis" -> (q281_kruskal_wallis(_, _)),
     "q282_vocab_richness" -> (q282_vocab_richness(_, _)),
     "q283_assortativity" -> (q283_assortativity(_, _)),
-    "q284_modularity" -> (q284_modularity(_, _)))
+    "q284_modularity" -> (q284_modularity(_, _)),
+    "q285_mutual_information" -> (q285_mutual_information(_, _)),
+    "q286_mcnemar" -> (q286_mcnemar(_, _)),
+    "q287_rmst" -> (q287_rmst(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -2228,6 +2228,43 @@ object Main {
         }
       done(spark)
 
+    // mutual information + NMI between two categorical columns
+    case "mi" :: path :: xCol :: yCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.mutualInformation(
+        spark.read.parquet(path), col(xCol), col(yCol)).head()
+      println(s"[mi] n=${r.getLong(0)} n_x=${r.getLong(1)} " +
+        s"n_y=${r.getLong(2)} mi_micro=${r.getLong(3)} " +
+        s"hx_micro=${r.getLong(4)} hy_micro=${r.getLong(5)} " +
+        s"nmi_micro=${r.get(6)}")
+      done(spark)
+
+    // McNemar paired-classifier test over boolean pred/label columns
+    case "mcnemar" :: path :: predACol :: predBCol :: labelCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.mcNemar(
+        spark.read.parquet(path), col(predACol).cast("boolean"),
+        col(predBCol).cast("boolean"), col(labelCol).cast("boolean"))
+        .head()
+      println(s"[mcnemar] n=${r.getLong(0)} b_only=${r.getLong(1)} " +
+        s"c_only=${r.getLong(2)} chi2_micro=${r.get(3)} " +
+        s"chi2_cc_micro=${r.get(4)}")
+      done(spark)
+
+    // restricted mean survival time at a day horizon
+    case "rmst" :: path :: userCol :: tau :: rest =>
+      import org.apache.spark.sql.functions.col
+      val tsCol = rest.headOption.getOrElse("ts")
+      val spark = session()
+      val r = graft.operators.TimeSeries.rmst(
+        spark.read.parquet(path), userCol, col(tsCol), tau.toLong)
+        .head()
+      println(s"[rmst] tau_day=${r.getLong(0)} " +
+        s"n_users=${r.getLong(1)} rmst_micro=${r.getLong(2)}")
+      done(spark)
+
     // degree assortativity: do hubs link to hubs?
     case "assortativity" :: edgesPath :: Nil =>
       val spark = session()
@@ -2512,7 +2549,10 @@ object Main {
           "kruskal <parquet> <valCol> <groupCol> | " +
           "vocab-richness <corpus> [--jsonl] | " +
           "assortativity <edges> | " +
-          "modularity <edges> <assign>")
+          "modularity <edges> <assign> | " +
+          "mi <parquet> <xCol> <yCol> | " +
+          "mcnemar <parquet> <predA> <predB> <label> | " +
+          "rmst <events> <userCol> <tauDays> [tsCol]")
       sys.exit(2)
   }
 

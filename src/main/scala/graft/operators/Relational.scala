@@ -2689,6 +2689,96 @@ object Relational {
           .cast("long")).as("eta2_micro"))
   }
 
+  /** Mutual information + normalized MI between two categorical
+    * columns (Shannon; NMI per Strehl & Ghosh 2002's √(H_x·H_y)
+    * normalization) — the feature-selection / leakage-screen number
+    * beside [[cramersV]]'s effect size: how many nats does knowing X
+    * tell you about Y?
+    *
+    * Scale + exactness (the chi-square contingency discipline): rows
+    * reduce ONCE to the bounded cell grid; margins are grid folds,
+    * broadcast back; each cell's `ln(c_xy·N/(c_x·c_y))` is ONE double
+    * chain micro-nat-snapped BEFORE the exact `c_xy`-weighted integer
+    * sum (order-free); the entropies fold the same way off the
+    * margins. MI/H divisions and the NMI chain happen once at the
+    * end. Output (one row): `(n, n_x, n_y, mi_micro, hx_micro,
+    * hy_micro, nmi_micro)` — NULL NMI when either entropy is 0.
+    */
+  def mutualInformation(df: DataFrame, xCol: Column, yCol: Column)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(xCol.as("_x"), yCol.as("_y"))
+      .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_cxy"))
+      .persist() // margins + the MI fold
+    val rx = cells.groupBy(col("_x")).agg(sum(col("_cxy")).as("_cx"))
+    val cy = cells.groupBy(col("_y")).agg(sum(col("_cxy")).as("_cy"))
+    val tot = cells.agg(sum(col("_cxy")).as("_n")).localCheckpoint()
+    val joined = cells.join(broadcast(rx), "_x")
+      .join(broadcast(cy), "_y").crossJoin(broadcast(tot))
+    val lnTerm = round(log(
+      (col("_cxy").cast(dec) * col("_n")).cast("double") /
+        (col("_cx").cast(dec) * col("_cy")).cast("double")) *
+      lit(1000000.0)).cast("long")
+    val mi = joined.agg(
+      sum(col("_cxy").cast(dec) * lnTerm).as("_misum"),
+      countDistinct(col("_x")).as("n_x"),
+      countDistinct(col("_y")).as("n_y"))
+    def entropy(margin: DataFrame, c: Column): DataFrame = {
+      val t = round(log(c.cast("double") /
+        col("_n").cast("double")) * lit(1000000.0)).cast("long")
+      margin.crossJoin(broadcast(tot))
+        .agg((-sum(c.cast(dec) * t)).as("_hsum"))
+    }
+    val m = mi.crossJoin(broadcast(entropy(rx, col("_cx"))
+        .select(col("_hsum").as("_hx"))))
+      .crossJoin(broadcast(entropy(cy, col("_cy"))
+        .select(col("_hsum").as("_hy"))))
+      .crossJoin(broadcast(tot))
+    val nD = col("_n").cast("double")
+    val miM = round(col("_misum").cast("double") / nD).cast("long")
+    val hxM = round(col("_hx").cast("double") / nD).cast("long")
+    val hyM = round(col("_hy").cast("double") / nD).cast("long")
+    m.select(col("_n").as("n"), col("n_x"), col("n_y"),
+      miM.as("mi_micro"), hxM.as("hx_micro"), hyM.as("hy_micro"),
+      when(hxM <= 0L || hyM <= 0L, lit(null).cast("long"))
+        .otherwise(round(miM.cast("double") /
+          sqrt(hxM.cast("double") * hyM.cast("double")) *
+          lit(1000000.0)).cast("long")).as("nmi_micro"))
+  }
+
+  /** McNemar's test (1947) — the paired-classifier comparison: when
+    * two models score the SAME items, accuracy deltas must be judged
+    * on the DISCORDANT pairs only (`b` = A right & B wrong, `c` = the
+    * reverse); χ² = (b−c)²/(b+c), plus Edwards' continuity-corrected
+    * flavor (max(0,|b−c|−1))²/(b+c). The A/B gate for "is the new
+    * quality filter actually better on the same eval set".
+    *
+    * One aggregation pass, exact integer counts, two fixed double
+    * chains micro-snapped. Output (one row): `(n, b_only, c_only,
+    * chi2_micro, chi2_cc_micro)` — NULL when b + c = 0 (no
+    * discordant pairs).
+    */
+  def mcNemar(df: DataFrame, predA: Column, predB: Column,
+      label: Column): DataFrame = {
+    val okA = predA === label
+    val okB = predB === label
+    val m = df.agg(count(lit(1)).as("n"),
+      sum(when(okA && !okB, 1L).otherwise(0L)).as("b_only"),
+      sum(when(!okA && okB, 1L).otherwise(0L)).as("c_only"))
+    val b = col("b_only")
+    val c = col("c_only")
+    val diff = (b - c).cast("double")
+    val diffCc = greatest(abs(b - c) - 1L, lit(0L)).cast("double")
+    val denom = (b + c).cast("double")
+    m.select(col("n"), b, c,
+      when(b + c === 0L, lit(null).cast("long"))
+        .otherwise(round(diff * diff / denom * lit(1000000.0))
+          .cast("long")).as("chi2_micro"),
+      when(b + c === 0L, lit(null).cast("long"))
+        .otherwise(round(diffCc * diffCc / denom * lit(1000000.0))
+          .cast("long")).as("chi2_cc_micro"))
+  }
+
   /** Kruskal-Wallis H test (1952) — the k-group rank analogue of
     * [[mannWhitneyU]] and the nonparametric fallback for [[anovaF]]
     * when normality is off the table:

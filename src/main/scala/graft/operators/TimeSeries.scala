@@ -289,6 +289,41 @@ object TimeSeries {
           .as("survival"))
   }
 
+  /** Restricted mean survival time (RMST; Royston & Parmar 2013 made
+    * it the standard reporting companion of [[kaplanMeier]]): the area
+    * under the KM curve up to a horizon τ — "average days retained in
+    * the first τ days", the single number an A/B retention readout
+    * quotes when median survival is undefined (fewer than half churn).
+    *
+    * Computed off the KM table itself (bounded distinct-lifetime
+    * rows): the pre-first-event segment `[0, t₁)` contributes at
+    * S = 1, each step interval `[tᵢ, tᵢ₊₁)` (clamped to τ, the last
+    * extending to τ) contributes `S(tᵢ)·Δt` with the already-snapped
+    * micro survival times the EXACT integer day width — no new float
+    * folds, so the area hash-gates. Output (one row):
+    * `(tau_day, n_users, rmst_micro)` — RMST in micro-days.
+    */
+  def rmst(df: DataFrame, userCol: String, tsCol: Column,
+      tauDays: Long): DataFrame = {
+    require(tauDays > 0, s"tauDays must be positive, got $tauDays")
+    import org.apache.spark.sql.expressions.Window
+    val km = kaplanMeier(df, userCol, tsCol)
+    val w = Window.orderBy(col("t_day"))
+    val stepped = km.select(col("t_day"), col("n_at_risk"),
+      round(col("survival") * lit(1000000.0)).cast("long").as("_sm"))
+      .withColumn("_next", lead(col("t_day"), 1).over(w))
+    val from = least(col("t_day"), lit(tauDays))
+    val to = least(coalesce(col("_next"), lit(tauDays)), lit(tauDays))
+    val iv = greatest(to - from, lit(0L))
+    stepped.agg(
+      max(col("n_at_risk")).as("n_users"), // at-risk at t₁ = everyone
+      min(col("t_day")).as("_t1"),
+      sum(col("_sm") * iv).as("_area"))
+      .select(lit(tauDays).as("tau_day"), col("n_users"),
+        (least(col("_t1"), lit(tauDays)) * 1000000L + col("_area"))
+          .as("rmst_micro"))
+  }
+
   /** The censored-lifetime → at-risk machinery [[kaplanMeier]] and
     * [[nelsonAalen]] share: per-user lifetimes (right-censored at the
     * last observed day), per-t ends / censored / churned counts, and

@@ -588,6 +588,54 @@ class AnalyticsOpsSpec extends SparkSpec {
       .getAs[Long]("w_micro") == 0L)
   }
 
+  test("mutualInformation: identity hits NMI = 1, independence hits " +
+    "0") {
+    // y = x over a uniform binary column: MI = H = ln 2
+    val dep = Seq(("a", "a"), ("b", "b"), ("a", "a"), ("b", "b"))
+      .toDF("x", "y")
+    val r = Relational.mutualInformation(dep, col("x"), col("y")).head()
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_x") == 2L)
+    assert(r.getAs[Long]("mi_micro") == 693147L, r) // ln 2
+    assert(r.getAs[Long]("hx_micro") == 693147L, r)
+    assert(r.getAs[Long]("nmi_micro") == 1000000L, r)
+    // all four combos equally likely: zero information
+    val ind = Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L))
+      .toDF("x", "y")
+    val ri = Relational.mutualInformation(ind, col("x"), col("y"))
+      .head()
+    assert(ri.getAs[Long]("mi_micro") == 0L, ri)
+    assert(ri.getAs[Long]("nmi_micro") == 0L, ri)
+    // constant y: H_y = 0 → NMI NULL
+    val const = Seq(("a", 1L), ("b", 1L)).toDF("x", "y")
+    assert(Relational.mutualInformation(const, col("x"), col("y"))
+      .head().isNullAt(6))
+  }
+
+  test("mcNemar: hand discordant counts; no-discordance NULL") {
+    // label always true; A right on 1-6, B right on 2-7 of 1-8:
+    // b = A&!B = {1}, c = !A&B = {7} → wait, craft explicitly below
+    val df = Seq(
+      (true, true, true),   // concordant right
+      (true, false, true),  // b
+      (true, false, true),  // b
+      (true, false, true),  // b
+      (true, false, true),  // b
+      (true, false, true),  // b
+      (false, true, true),  // c
+      (false, false, true)) // concordant wrong
+      .toDF("pa", "pb", "y")
+    val r = Relational.mcNemar(df, col("pa"), col("pb"), col("y"))
+      .head()
+    assert(r.getAs[Long]("n") == 8L)
+    assert(r.getAs[Long]("b_only") == 5L && r.getAs[Long]("c_only") == 1L)
+    assert(r.getAs[Long]("chi2_micro") == 2666667L, r) // 16/6
+    assert(r.getAs[Long]("chi2_cc_micro") == 1500000L, r) // 9/6
+    val agree = Seq((true, true, true), (false, false, true))
+      .toDF("pa", "pb", "y")
+    assert(Relational.mcNemar(agree, col("pa"), col("pb"), col("y"))
+      .head().isNullAt(3))
+  }
+
   test("kruskalWallisH: hand three-group ranks; tie correction; " +
     "degenerate NULL") {
     // {1,2,3} {4,5,6} {7,8,9}: R = 6,15,24 → H = 7.2, no ties

@@ -540,6 +540,13 @@ class CliSmokeSpec extends SparkSpec {
       .toDF("user_id", "ts", "ga")
       .write.mode("overwrite").parquet(lrPath)
     graft.cli.Main.main(Array("logrank", lrPath, "user_id", "ga"))
+    graft.cli.Main.main(Array("rmst", lrPath, "user_id", "3"))
+    graft.cli.Main.main(Array("mi", statsPath, "cat", "ga"))
+    val mcPath = s"${tmpDir("cli-r11mc")}/preds"
+    (1L to 30L).map(i => (i % 3 != 0, i % 4 != 0, i % 2 == 0))
+      .toDF("pa", "pb", "y")
+      .write.mode("overwrite").parquet(mcPath)
+    graft.cli.Main.main(Array("mcnemar", mcPath, "pa", "pb", "y"))
     graft.cli.Main.main(Array("anova", statsPath, "v", "cat"))
     graft.cli.Main.main(Array("levene", statsPath, "v", "cat"))
     graft.cli.Main.main(Array("kruskal", statsPath, "v", "cat"))

@@ -191,7 +191,8 @@ class PlanGateSpec extends SparkSpec {
       "q267_mann_whitney", "q269_gini",
       "q277_trimmed_means", // same distinct-cent cumulative table
       "q278_log_rank", // q241's bounded distinct-lifetime suffix windows
-      "q281_kruskal_wallis") // MWU's distinct-cent rank window
+      "q281_kruskal_wallis", // MWU's distinct-cent rank window
+      "q287_rmst") // q241's bounded distinct-lifetime KM windows
     val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
       "q125_streaming_funnel_replay", "q129_streaming_retention_replay",
       "q244_streaming_agg_replay", "q248_preflight_artifact",
@@ -307,6 +308,9 @@ class PlanGateSpec extends SparkSpec {
                              // (n, k) scalars
       "q278_log_rank",       // q241's lifetime × broadcast 1-row
       "q281_kruskal_wallis", // group moments × broadcast 1-row ties
+      "q285_mutual_information", // bounded cell grid × broadcast
+                                 // margins + 1-row total/entropies
+      "q287_rmst",           // q241's lifetime × broadcast 1-row
                              // horizon/totals/moment shapes
       "q271_cramers_v",      // q228's margin-grid crossJoin (r-row ×
                              // broadcast c-row margins + 1-row N)

@@ -108,6 +108,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(s(2) == 0.333333) // censoring does not move the curve
   }
 
+  test("rmst: area under the KM curve with the pre-event segment, " +
+    "step clamping at tau, and the tail extension") {
+    // u1 lifetime 5 (censored at horizon day 4), u2 lifetime 1 (churn)
+    // KM: S = 1 on [0,1), S = 0.5 from t = 1 on
+    val ev = Seq((1L, 0L), (1L, 4L), (2L, 0L)).toDF("u", "d")
+      .select(col("u"), timestamp_seconds(col("d") * 86400L).as("ts"))
+    // τ = 3: 1·1 + 0.5·2 = 2.0 days
+    val r3 = TimeSeries.rmst(ev, "u", col("ts"), 3L).head()
+    assert(r3.getAs[Long]("tau_day") == 3L)
+    assert(r3.getAs[Long]("n_users") == 2L)
+    assert(r3.getAs[Long]("rmst_micro") == 2000000L, r3)
+    // τ = 10: 1·1 + 0.5·9 = 5.5 days (the last step extends to τ)
+    val r10 = TimeSeries.rmst(ev, "u", col("ts"), 10L).head()
+    assert(r10.getAs[Long]("rmst_micro") == 5500000L, r10)
+    // τ below the first event time: the whole area is the S=1 head
+    val r1 = TimeSeries.rmst(ev, "u", col("ts"), 1L).head()
+    assert(r1.getAs[Long]("rmst_micro") == 1000000L, r1)
+  }
+
   test("theilSenSlope: a clean linear series reads the exact slope; " +
     "one planted outlier in a flat series does not move the median") {
     val s = series(
