@@ -7201,5 +7201,78 @@ object OracleSql {
         |  FROM sv)
         |SELECT 20::BIGINT AS tau_day, n_users,
         |  (least(t1, 20) * 1000000 + area)::BIGINT AS rmst_micro
-        |FROM ag""".stripMargin)
+        |FROM ag""".stripMargin,
+
+    // A-ES weighted sample: md5-uniform key ln(u)/w micro-snapped,
+    // top-50 by (key desc, id)
+    "q288_weighted_sample" ->
+      """WITH d AS (SELECT event_id AS id,
+        |    round(value * 100)::BIGINT AS w
+        |  FROM events WHERE value IS NOT NULL
+        |    AND round(value * 100) > 0),
+        |k AS (SELECT id, w,
+        |    (round(ln(((('0x' || substr(md5(id::VARCHAR || ':7'),
+        |      1, 8))::UBIGINT)::BIGINT + 1)::DOUBLE / 4294967296.0)
+        |      / w::DOUBLE * 1000000.0))::BIGINT AS key_micro
+        |  FROM d)
+        |SELECT id, w, key_micro FROM k
+        |ORDER BY key_micro DESC, id LIMIT 50""".stripMargin,
+
+    // ECE/MCE/Brier summary off q179's scoring chain: exact integer
+    // bucket gaps, HUGEINT Brier moment, three closing divisions
+    "q289_calibration_summary" ->
+      """WITH lab AS (SELECT CASE WHEN text LIKE '%data%' THEN 1 ELSE 0
+        |               END AS y, doc_id, text
+        |             FROM documents WHERE lang IS NOT NULL),
+        |t AS (SELECT y, unnest(string_split(text, ' ')) AS token
+        |      FROM lab),
+        |c AS (SELECT token,
+        |        sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS cp,
+        |        sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS cn
+        |      FROM t GROUP BY 1),
+        |tot AS (SELECT sum(cp)::BIGINT AS tp, sum(cn)::BIGINT AS tn,
+        |          count(*)::BIGINT AS v FROM c),
+        |d AS (SELECT sum(y)::BIGINT AS np,
+        |        sum(1 - y)::BIGINT AS nn FROM lab),
+        |w AS (SELECT token,
+        |        (round((ln((cp + 1)::DOUBLE / (tp + v)::DOUBLE)
+        |              - ln((cn + 1)::DOUBLE / (tn + v)::DOUBLE))
+        |            * 1000000))::BIGINT AS wm
+        |      FROM c CROSS JOIN tot),
+        |bias AS (SELECT (round(ln(np::DOUBLE / nn::DOUBLE) * 1000000))
+        |           ::BIGINT AS b FROM d),
+        |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |       FROM documents),
+        |pd AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |         sum(coalesce(wm, 0))::BIGINT AS ws
+        |       FROM dt LEFT JOIN w USING (token) GROUP BY 1),
+        |sc AS (SELECT pd.doc_id,
+        |         round((b::DOUBLE + (CASE WHEN n_tokens = 0 THEN 0.0
+        |           ELSE ws::DOUBLE / n_tokens::DOUBLE END))
+        |           / 1000000.0, 6) AS logit
+        |       FROM pd CROSS JOIN bias),
+        |cf AS (SELECT doc_id, 1.0 / (1.0 + exp(-logit)) AS conf
+        |       FROM sc),
+        |bk AS (SELECT least(floor(conf * 10.0), 9.0)::BIGINT AS bucket,
+        |         (round(conf * 1000000.0))::BIGINT AS cm,
+        |         CASE WHEN documents.text LIKE '%data%' THEN 1 ELSE 0
+        |           END AS y
+        |       FROM cf JOIN documents USING (doc_id)),
+        |br AS (SELECT count(*)::BIGINT AS n,
+        |    sum((cm - y * 1000000)::HUGEINT *
+        |        (cm - y * 1000000)::HUGEINT) AS bsum
+        |  FROM bk),
+        |bks AS (SELECT bucket, count(*)::BIGINT AS bn,
+        |    sum(y)::BIGINT AS np, sum(cm)::BIGINT AS cs
+        |  FROM bk GROUP BY 1),
+        |e AS (SELECT sum(abs(np * 1000000 - cs))::BIGINT AS gapsum,
+        |    max((round(abs(np * 1000000 - cs)::DOUBLE / bn::DOUBLE))
+        |      ::BIGINT) AS mce_micro
+        |  FROM bks)
+        |SELECT n,
+        |  (round(gapsum::DOUBLE / n::DOUBLE))::BIGINT AS ece_micro,
+        |  mce_micro,
+        |  (round(bsum::DOUBLE / n::DOUBLE / 1000000.0))::BIGINT
+        |    AS brier_micro
+        |FROM br, e""".stripMargin)
 }

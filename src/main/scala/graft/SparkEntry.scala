@@ -4767,6 +4767,28 @@ object SparkEntry {
   def q287_rmst(s: SparkSession, dir: String): DataFrame =
     TimeSeries.rmst(t(s, dir, "events"), "user_id", col("ts"), 20L)
 
+  /** Weighted exact-50 sample of purchase events by cent value
+    * (Efraimidis-Spirakis A-ES with the md5-uniform key) — heavy
+    * events proportionally more likely, fully deterministic,
+    * TakeOrdered selection.
+    */
+  def q288_weighted_sample(s: SparkSession, dir: String): DataFrame =
+    Relational.weightedSample(
+      t(s, dir, "events").filter(col("value").isNotNull),
+      "event_id", round(col("value") * 100).cast("long"), 50, 7L)
+
+  /** One-row ECE / MCE / Brier calibration summary of q179's served
+    * naive-Bayes classifier — exact integer bucket gaps, decimal
+    * Brier moment, three closing divisions.
+    */
+  def q289_calibration_summary(s: SparkSession, dir: String)
+      : DataFrame = {
+    val d = docs(s, dir)
+    val y = col("text").contains("data")
+    val w = graft.text.Classifier.trainNaiveBayes(d, "text", y)
+    graft.text.Classifier.calibrationSummary(d, "text", "doc_id", y, w)
+  }
+
   /** Deterministic replay of the STREAMING sessionization twin
     * ([[graft.streaming.StreamingSessions]]): four event-time-ordered
     * micro-batches drive the bucketed per-user session state (the
@@ -5120,7 +5142,9 @@ object SparkEntry {
     "q284_modularity" -> (q284_modularity(_, _)),
     "q285_mutual_information" -> (q285_mutual_information(_, _)),
     "q286_mcnemar" -> (q286_mcnemar(_, _)),
-    "q287_rmst" -> (q287_rmst(_, _)))
+    "q287_rmst" -> (q287_rmst(_, _)),
+    "q288_weighted_sample" -> (q288_weighted_sample(_, _)),
+    "q289_calibration_summary" -> (q289_calibration_summary(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

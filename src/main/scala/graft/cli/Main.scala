@@ -992,6 +992,36 @@ object Main {
         }
       done(spark)
 
+    // A-ES weighted exact-n sample by an integer weight column
+    case "wsample" :: path :: idCol :: wCol :: n :: rest =>
+      import org.apache.spark.sql.functions.col
+      val seed = rest.headOption.map(_.toLong).getOrElse(42L)
+      val spark = session()
+      val rows = graft.operators.Relational.weightedSample(
+        spark.read.parquet(path), idCol, col(wCol), n.toInt, seed)
+        .collect()
+      rows.take(10).foreach { r =>
+        println(s"[wsample] id=${r.get(0)} w=${r.getLong(1)} " +
+          s"key_micro=${r.getLong(2)}")
+      }
+      println(s"[wsample] selected ${rows.length} of requested $n " +
+        s"(seed=$seed)")
+      done(spark)
+
+    // one-row ECE/MCE/Brier calibration summary for a trained model
+    case "calibration" :: corpus :: labelCol :: labelValue ::
+        weightsDir :: rest =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val df = loadCorpus(spark, corpus, rest)
+      val w = spark.read.parquet(weightsDir)
+      val r = graft.text.Classifier.calibrationSummary(df, "text",
+        "doc_id", col(labelCol) === labelValue, w).head()
+      println(s"[calibration] n=${r.getLong(0)} " +
+        s"ece_micro=${r.getLong(1)} mce_micro=${r.getLong(2)} " +
+        s"brier_micro=${r.getLong(3)}")
+      done(spark)
+
     // sketch-tier per-group quantiles of a numeric column
     case "quantiles" :: path :: keyCol :: valCol :: rest =>
       import org.apache.spark.sql.functions._
@@ -2552,7 +2582,9 @@ object Main {
           "modularity <edges> <assign> | " +
           "mi <parquet> <xCol> <yCol> | " +
           "mcnemar <parquet> <predA> <predB> <label> | " +
-          "rmst <events> <userCol> <tauDays> [tsCol]")
+          "rmst <events> <userCol> <tauDays> [tsCol] | " +
+          "wsample <parquet> <idCol> <wCol> <n> [seed] | " +
+          "calibration <corpus> <labelCol> <labelValue> <weightsDir>")
       sys.exit(2)
   }
 

@@ -2689,6 +2689,41 @@ object Relational {
           .cast("long")).as("eta2_micro"))
   }
 
+  /** Weighted exact-n sample without replacement (Efraimidis &
+    * Spirakis 2006, algorithm A-ES) — the SUCCESSIVE-sampling sibling
+    * of [[prioritySample]] (Duffield-Lund-Thorup): A-ES's key
+    * `u_i^(1/w_i)` (equivalently `ln(u_i)/w_i`, larger is better)
+    * reproduces drawing rows one at a time with probability
+    * proportional to remaining weight — the distribution bootstrap /
+    * reservoir literature standardizes on, vs DLT's
+    * Horvitz-Thompson-estimable priorities `w/u`; keep both because
+    * their inclusion semantics differ. `u_i` is a DETERMINISTIC
+    * md5-derived uniform — no RNG state, identical under any
+    * partitioning, replayable by any engine with md5.
+    *
+    * Scale + exactness: the key is one fixed double chain per row
+    * micro-snapped to a BIGINT (snapped BEFORE the top-n compare, so
+    * the selected set hash-gates; id breaks snapped-key ties
+    * totally); selection is `orderBy(desc).limit(n)` = TakeOrdered —
+    * per-partition heaps, no global sort. Rows with non-positive
+    * weight are excluded (they have zero mass). Output:
+    * `(id, w, key_micro)`, the n winners.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightInt: Column,
+      n: Int, seed: Long): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val d = df.select(col(idCol).as("id"),
+      weightInt.cast("long").as("w"))
+      .filter(col("w") > 0L)
+    val h = conv(substring(md5Rank(Seq(col("id")), seed), 1, 8),
+      16, 10).cast("long")
+    val u = (h + 1L).cast("double") / lit(4294967296.0)
+    val key = round(log(u) / col("w").cast("double") *
+      lit(1000000.0)).cast("long")
+    d.select(col("id"), col("w"), key.as("key_micro"))
+      .orderBy(col("key_micro").desc, col("id")).limit(n)
+  }
+
   /** Mutual information + normalized MI between two categorical
     * columns (Shannon; NMI per Strehl & Ghosh 2002's √(H_x·H_y)
     * normalization) — the feature-selection / leakage-screen number

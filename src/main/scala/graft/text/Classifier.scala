@@ -326,4 +326,56 @@ object Classifier {
         round(col("conf_micro").cast("double") /
           col("n").cast("double") / lit(1000000.0), 6).as("mean_conf"))
   }
+
+  /** One-row calibration summary — the numbers the
+    * [[calibrationReport]] diagram integrates to:
+    *
+    *  - ECE (expected calibration error; Naeini et al. 2015):
+    *    `Σ_b (n_b/N)·|acc_b − conf_b|` — because the per-bucket gap
+    *    is weighted by n_b/N, the whole sum collapses to
+    *    `Σ_b |n_pos_b·1e6 − Σconf_micro_b| / (N·1e6)` over EXACT
+    *    integers, one division at the end.
+    *  - MCE (max calibration error): the worst bucket's gap, each
+    *    bucket's gap ONE double division micro-snapped before the max.
+    *  - Brier score (Brier 1950): mean squared `(conf − y)²` — exact
+    *    decimal sum of squared micro differences, one division.
+    *
+    * Same scoring chain as the report (broadcast-weight join, sigmoid
+    * per row, micro-snapped confidences); the scored rows persist once
+    * and feed both the 10-row bucket fold and the Brier moment.
+    * Output (one row): `(n, ece_micro, mce_micro, brier_micro)`.
+    */
+  def calibrationSummary(df: DataFrame, textCol: String, idCol: String,
+      label: Column, weights: DataFrame,
+      tokenizer: Column => Column = TextOps.tokensSimple): DataFrame = {
+    val dec = "decimal(38,0)"
+    val scored = scoreWithWeights(df, textCol, idCol, weights, tokenizer)
+    val lab = df.select(col(idCol),
+      when(label, 1L).otherwise(0L).as("_y"))
+    val rows = scored.join(lab, Seq(idCol))
+      .select(col("_y"),
+        (lit(1.0) / (lit(1.0) + exp(-col("logit")))).as("_conf"))
+      .select(col("_y"),
+        least(floor(col("_conf") * lit(10.0)), lit(9.0)).cast("long")
+          .as("_b"),
+        round(col("_conf") * lit(1000000.0)).cast("long").as("_cm"))
+      .persist() // bucket fold + Brier moment
+    val sqDiff = (col("_cm") - col("_y") * 1000000L).cast(dec) *
+      (col("_cm") - col("_y") * 1000000L).cast(dec)
+    val brier = rows.agg(count(lit(1)).as("n"),
+      sum(sqDiff).as("_bsum"))
+    val buckets = rows.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np"),
+        sum(col("_cm")).as("_cs"))
+    val gapNum = abs(col("_np") * 1000000L - col("_cs"))
+    val ece = buckets.agg(sum(gapNum).as("_gapsum"),
+      max(round(gapNum.cast("double") / col("_n").cast("double"))
+        .cast("long")).as("mce_micro"))
+    brier.crossJoin(broadcast(ece)).select(col("n"),
+      round(col("_gapsum").cast("double") / col("n").cast("double"))
+        .cast("long").as("ece_micro"),
+      col("mce_micro"),
+      round(col("_bsum").cast("double") / col("n").cast("double") /
+        lit(1000000.0)).cast("long").as("brier_micro"))
+  }
 }

@@ -181,6 +181,32 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("calibrationSummary: ECE/MCE integrate the report's bucket " +
+    "gaps exactly; Brier bounded; separable corpus scores near 0") {
+    val docs = ((0 until 20).map(i => (i.toLong, "good stuff here")) ++
+      (20 until 50).map(i => (i.toLong, "bad junk there")))
+      .toDF("doc_id", "text")
+    val y = col("text").contains("good")
+    val w = Classifier.trainNaiveBayes(docs, "text", y)
+    val s = Classifier.calibrationSummary(docs, "text", "doc_id", y, w)
+      .head()
+    assert(s.getAs[Long]("n") == 50L)
+    // recompute ECE/MCE from the report's exact integers — the
+    // summary must integrate the same bucket table
+    val rep = Classifier.calibrationReport(docs, "text", "doc_id", y, w)
+      .collect()
+    val gaps = rep.map(r => (math.abs(r.getLong(2) * 1000000L -
+      r.getLong(3)), r.getLong(1)))
+    val ece = math.round(gaps.map(_._1).sum.toDouble / 50.0)
+    val mce = gaps.map(g => math.round(g._1.toDouble / g._2)).max
+    assert(s.getAs[Long]("ece_micro") == ece, s)
+    assert(s.getAs[Long]("mce_micro") == mce, s)
+    val brier = s.getAs[Long]("brier_micro")
+    assert(brier >= 0L && brier <= 1000000L, s)
+    // a perfectly separable corpus should be nearly calibrated
+    assert(s.getAs[Long]("ece_micro") < 300000L, s)
+  }
+
   test("prCurve: no actual positives makes recall NULL") {
     val scored = Seq((1L, 0.9, false), (2L, 0.1, false))
       .toDF("doc_id", "score", "label")

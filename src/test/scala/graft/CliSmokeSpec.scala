@@ -547,6 +547,13 @@ class CliSmokeSpec extends SparkSpec {
       .toDF("pa", "pb", "y")
       .write.mode("overwrite").parquet(mcPath)
     graft.cli.Main.main(Array("mcnemar", mcPath, "pa", "pb", "y"))
+    graft.cli.Main.main(Array("wsample", statsPath, "id", "v", "5"))
+    // train a tiny model, then the one-row calibration summary on it
+    val wDir = tmpDir("cli-r11weights")
+    graft.cli.Main.main(Array("train", corpusPath, "source", "src1",
+      wDir))
+    graft.cli.Main.main(Array("calibration", corpusPath, "source",
+      "src1", wDir))
     graft.cli.Main.main(Array("anova", statsPath, "v", "cat"))
     graft.cli.Main.main(Array("levene", statsPath, "v", "cat"))
     graft.cli.Main.main(Array("kruskal", statsPath, "v", "cat"))

@@ -310,6 +310,8 @@ class PlanGateSpec extends SparkSpec {
       "q281_kruskal_wallis", // group moments × broadcast 1-row ties
       "q285_mutual_information", // bounded cell grid × broadcast
                                  // margins + 1-row total/entropies
+      "q289_calibration_summary", // 1-row Brier moment × broadcast
+                                  // 1-row bucket-gap integrals
       "q287_rmst",           // q241's lifetime × broadcast 1-row
                              // horizon/totals/moment shapes
       "q271_cramers_v",      // q228's margin-grid crossJoin (r-row ×

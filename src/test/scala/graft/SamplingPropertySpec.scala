@@ -93,6 +93,28 @@ class SamplingPropertySpec extends SparkSpec {
     assert(heavy >= 25, s"expected heavy-weight majority, got $heavy/40")
   }
 
+  test("weightedSample (A-ES): partitioning-invariant, weight-biased, " +
+    "excludes non-positive weights, degenerates to all rows") {
+    def docs(parts: Int) = spark.range(0, 400).repartition(parts)
+      .select(col("id"),
+        when(col("id") % 2 === 0, 1000L).otherwise(1L).as("w"))
+    def run(parts: Int, seed: Long) = Relational
+      .weightedSample(docs(parts), "id", col("w"), n = 40, seed = seed)
+      .collect().map(_.getLong(0)).toSet
+    assert(run(1, 7L) == run(8, 7L) && run(8, 7L) == run(32, 7L))
+    // 1000:1 weights → the even class should own nearly every slot
+    val even = run(4, 7L).count(_ % 2 == 0)
+    assert(even >= 36, s"expected heavy-weight dominance, got $even/40")
+    // zero/negative weights carry no mass and never surface
+    val withZero = spark.range(0, 20)
+      .select(col("id"), when(col("id") < 10, -1L)
+        .otherwise(lit(0L)).as("w"))
+      .union(spark.range(20, 30).select(col("id"), lit(5L).as("w")))
+    val got = Relational.weightedSample(withZero, "id", col("w"), 50, 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (20L until 30L).toSet, got)
+  }
+
   test("hashSplit: total cover, ~proportional, deterministic, and " +
     "stable under row addition") {
     def split(n: Int, seed: Long): Map[Long, String] =
