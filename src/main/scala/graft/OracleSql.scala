@@ -1291,6 +1291,47 @@ object OracleSql {
        |${assignCte(s"${p}afinal", s"${p}cen$iters")}""".stripMargin
   }
 
+  /** q78's BM25 SQL — also the oracle of q290 (persisted-index
+    * serving must equal in-memory BM25 over the same corpus). */
+  private val q78Bm25Sql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+         |           FROM documents),
+         |ix AS (SELECT doc_id, greatest(len(w), 0) AS dl,
+         |        unnest(w) AS term FROM d),
+         |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+         |       FROM ix GROUP BY doc_id, term),
+         |st AS (SELECT count(*)::BIGINT AS n,
+         |        (sum(dl)::DOUBLE / count(*)::DOUBLE) AS avgdl
+         |       FROM (SELECT doc_id, min(dl) AS dl FROM tf
+         |             GROUP BY doc_id)),
+         |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+         |idf AS (SELECT term,
+         |        round(ln(((n - dfc)::DOUBLE + 0.5) /
+         |          (dfc::DOUBLE + 0.5) + 1.0) * 1000000.0)::BIGINT
+         |          AS idf_micro
+         |       FROM dfq, st),
+         |q AS (SELECT * FROM (VALUES
+         |        (1::BIGINT, 'spark'), (1, 'join'), (1, 'window'),
+         |        (2, 'slow'), (2, 'query'), (2, 'filter'),
+         |        (3, 'customer'), (3, 'order'), (3, 'the'))
+         |        AS v(query_id, term)),
+         |qi AS (SELECT q.query_id, q.term, idf.idf_micro
+         |       FROM q JOIN idf USING (term)),
+         |sc AS (SELECT qi.query_id, tf.doc_id,
+         |        (qi.idf_micro *
+         |         round(((tf.tf::DOUBLE * ${1.2 + 1.0}) /
+         |           (tf.tf::DOUBLE + ${1.2} * (${1.0 - 0.75} +
+         |            ${0.75} * (tf.dl::DOUBLE / st.avgdl))))
+         |           * 1000000.0)::BIGINT) AS s
+         |       FROM tf JOIN qi USING (term), st),
+         |ag AS (SELECT query_id, doc_id, sum(s)::BIGINT AS score_pico
+         |       FROM sc GROUP BY query_id, doc_id),
+         |r AS (SELECT query_id, doc_id, score_pico,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY score_pico DESC, doc_id ASC) AS rn FROM ag)
+         |SELECT query_id, doc_id, rn::INTEGER AS rank, score_pico
+         |FROM r WHERE rn <= 10""".stripMargin
+
   val all: Map[String, String] = Map(
     "q57_clean_corpus" -> q57,
     "q99_removal_audit" -> q99,
@@ -1573,46 +1614,8 @@ object OracleSql {
     // snapped per POSTING (one interpolated IEEE chain — the constants
     // are Scala-computed doubles round-tripped through toString), then
     // pure-BIGINT scoring; rank window replays exactly on BIGINT ties
-    "q78_bm25" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
-         |           FROM documents),
-         |ix AS (SELECT doc_id, greatest(len(w), 0) AS dl,
-         |        unnest(w) AS term FROM d),
-         |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
-         |       FROM ix GROUP BY doc_id, term),
-         |st AS (SELECT count(*)::BIGINT AS n,
-         |        (sum(dl)::DOUBLE / count(*)::DOUBLE) AS avgdl
-         |       FROM (SELECT doc_id, min(dl) AS dl FROM tf
-         |             GROUP BY doc_id)),
-         |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
-         |idf AS (SELECT term,
-         |        round(ln(((n - dfc)::DOUBLE + 0.5) /
-         |          (dfc::DOUBLE + 0.5) + 1.0) * 1000000.0)::BIGINT
-         |          AS idf_micro
-         |       FROM dfq, st),
-         |q AS (SELECT * FROM (VALUES
-         |        (1::BIGINT, 'spark'), (1, 'join'), (1, 'window'),
-         |        (2, 'slow'), (2, 'query'), (2, 'filter'),
-         |        (3, 'customer'), (3, 'order'), (3, 'the'))
-         |        AS v(query_id, term)),
-         |qi AS (SELECT q.query_id, q.term, idf.idf_micro
-         |       FROM q JOIN idf USING (term)),
-         |sc AS (SELECT qi.query_id, tf.doc_id,
-         |        (qi.idf_micro *
-         |         round(((tf.tf::DOUBLE * ${1.2 + 1.0}) /
-         |           (tf.tf::DOUBLE + ${1.2} * (${1.0 - 0.75} +
-         |            ${0.75} * (tf.dl::DOUBLE / st.avgdl))))
-         |           * 1000000.0)::BIGINT) AS s
-         |       FROM tf JOIN qi USING (term), st),
-         |ag AS (SELECT query_id, doc_id, sum(s)::BIGINT AS score_pico
-         |       FROM sc GROUP BY query_id, doc_id),
-         |r AS (SELECT query_id, doc_id, score_pico,
-         |        row_number() OVER (PARTITION BY query_id
-         |          ORDER BY score_pico DESC, doc_id ASC) AS rn FROM ag)
-         |SELECT query_id, doc_id, rn::INTEGER AS rank, score_pico
-         |FROM r WHERE rn <= 10""".stripMargin,
-
-    // per-source boilerplate: q66's chain with the hot set keyed
+    "q78_bm25" -> q78Bm25Sql,
+        // per-source boilerplate: q66's chain with the hot set keyed
     // (source, line) and membership resolved by LEFT JOIN on the pair
     "q79_line_dedup_by_source" ->
       """WITH t AS (SELECT doc_id, source,
@@ -7274,5 +7277,10 @@ object OracleSql {
         |  mce_micro,
         |  (round(bsum::DOUBLE / n::DOUBLE / 1000000.0))::BIGINT
         |    AS brier_micro
-        |FROM br, e""".stripMargin)
+        |FROM br, e""".stripMargin,
+
+    // Persisted BM25 index (write half + append half + bucket-pruned
+    // serve) must equal in-memory BM25 over the full corpus — q78's
+    // oracle IS the oracle
+    "q290_bm25_index" -> q78Bm25Sql)
 }

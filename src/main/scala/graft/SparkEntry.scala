@@ -4777,6 +4777,39 @@ object SparkEntry {
       t(s, dir, "events").filter(col("value").isNotNull),
       "event_id", round(col("value") * 100).cast("long"), 50, 7L)
 
+  /** Persisted BM25 inverted-index lifecycle under the oracle: write
+    * the index for HALF the corpus, APPEND the other half (postings
+    * land in the frozen bucket layout, stats add a delta row), then
+    * serve q78's query set from the index with bucket-pruned reads —
+    * the result must be row-identical to in-memory BM25 over the full
+    * corpus, which q78's DuckDB twin computes. EAGER (index writes
+    * are jobs); temp tree deleted before returning.
+    */
+  def q290_bm25_index(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25idx")
+    try {
+      import s.implicits._
+      val p = base.resolve("idx").toString
+      val d = docs(s, dir)
+      graft.text.Bm25.writeBm25Index(
+        d.filter(col("doc_id") % 2 === 0), "text", "doc_id", p,
+        buckets = 16)
+      graft.text.Bm25.appendToBm25Index(
+        d.filter(col("doc_id") % 2 =!= 0), "text", "doc_id", p)
+      val queries = Seq(
+        (1L, "spark"), (1L, "join"), (1L, "window"),
+        (2L, "slow"), (2L, "query"), (2L, "filter"),
+        (3L, "customer"), (3L, "order"), (3L, "the"))
+        .toDF("query_id", "term")
+      graft.text.Bm25.topKFromIndex(s, p, queries, "query_id",
+        "doc_id", k = 10).localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** One-row ECE / MCE / Brier calibration summary of q179's served
     * naive-Bayes classifier — exact integer bucket gaps, decimal
     * Brier moment, three closing divisions.
@@ -5144,7 +5177,8 @@ object SparkEntry {
     "q286_mcnemar" -> (q286_mcnemar(_, _)),
     "q287_rmst" -> (q287_rmst(_, _)),
     "q288_weighted_sample" -> (q288_weighted_sample(_, _)),
-    "q289_calibration_summary" -> (q289_calibration_summary(_, _)))
+    "q289_calibration_summary" -> (q289_calibration_summary(_, _)),
+    "q290_bm25_index" -> (q290_bm25_index(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

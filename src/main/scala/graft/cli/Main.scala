@@ -992,6 +992,47 @@ object Main {
         }
       done(spark)
 
+    // persisted BM25 inverted index: build (bucket-partitioned
+    // postings + stats delta + frozen meta)
+    case "bm25-index" :: corpus :: outDir :: rest =>
+      val buckets = rest.filter(!_.startsWith("--")).headOption
+        .map(_.toInt).getOrElse(64)
+      val spark = session()
+      val df = loadCorpus(spark, corpus, rest)
+      graft.text.Bm25.writeBm25Index(df, "text", "doc_id", outDir,
+        buckets)
+      val n = spark.read.parquet(s"$outDir/stats")
+        .agg(org.apache.spark.sql.functions.sum("n_docs")).head().get(0)
+      println(s"[bm25-index] $n docs indexed into $buckets buckets " +
+        s"-> $outDir")
+      done(spark)
+
+    // append NEW documents to a persisted BM25 index
+    case "bm25-append" :: corpus :: indexDir :: rest =>
+      val spark = session()
+      val df = loadCorpus(spark, corpus, rest)
+      graft.text.Bm25.appendToBm25Index(df, "text", "doc_id", indexDir)
+      val n = spark.read.parquet(s"$indexDir/stats")
+        .agg(org.apache.spark.sql.functions.sum("n_docs")).head().get(0)
+      println(s"[bm25-append] index now covers $n docs")
+      done(spark)
+
+    // serve top-k from a persisted BM25 index (bucket-pruned read)
+    case "bm25-query" :: indexDir :: terms :: rest =>
+      import org.apache.spark.sql.functions.col
+      val k = rest.headOption.map(_.toInt).getOrElse(10)
+      val spark = session()
+      import spark.implicits._
+      val queries = terms.split(',').toSeq.map(t => (1L, t))
+        .toDF("query_id", "term")
+      graft.text.Bm25.topKFromIndex(spark, indexDir, queries,
+        "query_id", "doc_id", k).orderBy(col("rank")).collect()
+        .foreach { r =>
+          println(s"[bm25-query] rank=${r.getAs[Int]("rank")} " +
+            s"doc=${r.get(1)} score_pico=${r.getAs[Long]("score_pico")}")
+        }
+      done(spark)
+
     // A-ES weighted exact-n sample by an integer weight column
     case "wsample" :: path :: idCol :: wCol :: n :: rest =>
       import org.apache.spark.sql.functions.col
@@ -2584,7 +2625,10 @@ object Main {
           "mcnemar <parquet> <predA> <predB> <label> | " +
           "rmst <events> <userCol> <tauDays> [tsCol] | " +
           "wsample <parquet> <idCol> <wCol> <n> [seed] | " +
-          "calibration <corpus> <labelCol> <labelValue> <weightsDir>")
+          "calibration <corpus> <labelCol> <labelValue> <weightsDir> | " +
+          "bm25-index <corpus> <outDir> [buckets] | " +
+          "bm25-append <corpus> <indexDir> | " +
+          "bm25-query <indexDir> <term1,term2,...> [k]")
       sys.exit(2)
   }
 

@@ -70,10 +70,15 @@ object Bm25 {
   private def idfFrom(index: DataFrame, stats: DataFrame): DataFrame =
     index.groupBy(col("term")).agg(count(lit(1)).as("_df"))
       .crossJoin(broadcast(stats))
-      .select(col("term"),
-        round(log(((col("_n") - col("_df")).cast("double") + 0.5) /
-          (col("_df").cast("double") + 0.5) + 1.0) * 1000000.0)
-          .cast("long").as("idf_micro"))
+      .select(col("term"), idfMicroExpr.as("idf_micro"))
+
+  /** The Lucene-flavor idf chain, shared by the in-memory and
+    * persisted-index paths so both serve bit-identical scores.
+    */
+  private def idfMicroExpr: Column =
+    round(log(((col("_n") - col("_df")).cast("double") + 0.5) /
+      (col("_df").cast("double") + 0.5) + 1.0) * 1000000.0)
+      .cast("long")
 
   /** Top-k BM25 retrieval of `queries` (exploded `(queryIdCol, term)`
     * rows — term multiplicity is ignored, the standard bag-of-terms
@@ -92,9 +97,19 @@ object Bm25 {
     val stats = corpusStats(index, idCol).localCheckpoint()
     val qterms = queries.select(col(queryIdCol), col("term")).distinct()
       .join(idfFrom(index, stats), Seq("term"))
-    // query-term slice is tiny by construction — probe the index
-    // map-side; one fixed IEEE chain for the length-normalized tf,
-    // snapped to micro-units per posting
+    scoreTopK(index, qterms, stats, queryIdCol, idCol, k, k1, b)
+  }
+
+  /** The scoring tail [[topK]] and [[topKFromIndex]] share — one code
+    * path, so persisted-index serving is row-identical to in-memory
+    * search by construction: broadcast query-term idf slice, map-side
+    * posting probe, one fixed IEEE chain for the length-normalized tf
+    * snapped to micro-units per posting, exact BIGINT score fold,
+    * per-query top-k window over candidates only.
+    */
+  private def scoreTopK(index: DataFrame, qterms: DataFrame,
+      stats: DataFrame, queryIdCol: String, idCol: String, k: Int,
+      k1: Double, b: Double): DataFrame = {
     val tfD = col("tf").cast("double")
     val tfn = (tfD * lit(k1 + 1.0)) /
       (tfD + lit(k1) * (lit(1.0 - b) +
@@ -181,4 +196,114 @@ object Bm25 {
       tokenizer: Column => Column = TextOps.tokensSimple): DataFrame =
     phraseSearch(positionalIndex(docs, textCol, idCol, tokenizer),
       phrase, idCol)
+
+  // ── persisted inverted-index lifecycle ────────────────────────────
+  // The sparse-retrieval sibling of the persisted ANN/PQ index family
+  // (sim/SimSearch.scala): build the corpus-sized index ONCE, lay the
+  // postings out so a query touches only its terms' partitions, and
+  // let incremental drops append without touching history.
+  //
+  // Layout under <path>/:
+  //   meta/      one row (buckets) — the term-hash fan-out, frozen at
+  //              creation (appends must agree or probes miss)
+  //   postings/  (idCol, term, tf, dl) partitioned by bucket =
+  //              pmod(xxhash64(term), buckets) — a query's terms map
+  //              to a FIXED bucket set, so serving reads only those
+  //              partitions (partition pruning, the scale feature)
+  //   stats/     append-only DELTA rows (n_docs, sum_dl) — each
+  //              write/append adds one row; readers SUM the deltas, so
+  //              no file is ever overwritten (object-store safe, the
+  //              accumulating-generation discipline)
+  //
+  // idf is NOT persisted: df(term) lives entirely inside the term's
+  // bucket (hash-complete), so serving derives it from the pruned
+  // read — which keeps appends cheap AND keeps idf automatically
+  // current as N grows (a frozen idf table would go stale per append).
+
+  /** Create the persisted index (overwrites `path`). */
+  def writeBm25Index(docs: DataFrame, textCol: String, idCol: String,
+      path: String, buckets: Int = 64,
+      tokenizer: Column => Column = TextOps.tokensSimple): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(buckets).toDF("buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val idx = buildIndex(docs, textCol, idCol, tokenizer)
+      .withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .persist() // postings write + the stats delta
+    idx.write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/postings")
+    statsDelta(idx, idCol).write.mode("overwrite")
+      .parquet(s"$path/stats")
+    idx.unpersist()
+  }
+
+  /** Append NEW documents (caller contract: ids must not already be
+    * in the index — a re-ingested id would double its postings and
+    * overcount df; dedupe upstream, the q13 family). Postings land in
+    * the frozen bucket layout; stats add one delta row; nothing is
+    * rewritten.
+    */
+  def appendToBm25Index(docs: DataFrame, textCol: String, idCol: String,
+      path: String,
+      tokenizer: Column => Column = TextOps.tokensSimple): Unit = {
+    val spark = docs.sparkSession
+    val buckets = spark.read.parquet(s"$path/meta")
+      .head().getAs[Int]("buckets")
+    val idx = buildIndex(docs, textCol, idCol, tokenizer)
+      .withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .persist()
+    idx.write.partitionBy("bucket").mode("append")
+      .parquet(s"$path/postings")
+    statsDelta(idx, idCol).write.mode("append").parquet(s"$path/stats")
+    idx.unpersist()
+  }
+
+  /** One (n_docs, sum_dl) delta row off the index's per-doc lengths —
+    * the summands [[corpusStats]] folds, so summed deltas reproduce
+    * its `(_n, _avgdl)` exactly.
+    */
+  private def statsDelta(idx: DataFrame, idCol: String): DataFrame =
+    idx.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  /** Serve top-k from the persisted index — row-identical to [[topK]]
+    * over the same logical corpus (shared [[scoreTopK]] tail), but the
+    * postings READ is pruned to the query terms' buckets: the
+    * distinct query terms (a query set, not a corpus — bounded by
+    * contract) resolve to bucket ids on the driver and become a
+    * partition filter, so a 3-term query over a billion-doc index
+    * reads 3 buckets, not the lake.
+    */
+  def topKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, queryIdCol: String,
+      idCol: String, k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val buckets = spark.read.parquet(s"$path/meta")
+      .head().getAs[Int]("buckets")
+    val qterms = queries.select(col(queryIdCol), col("term")).distinct()
+    val bucketIds = qterms.select(
+      pmod(xxhash64(col("term")), lit(buckets.toLong)).as("_b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(bucketIds: _*))
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("_n"), sum(col("sum_dl")).as("_sumdl"))
+      .select(col("_n"),
+        (col("_sumdl").cast("double") / col("_n").cast("double"))
+          .as("_avgdl"))
+      .localCheckpoint()
+    // df(term) off the pruned read — hash-complete per term
+    val idf = postings
+      .join(broadcast(qterms.select(col("term")).distinct()),
+        Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("_df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), idfMicroExpr.as("idf_micro"))
+    val qi = qterms.join(broadcast(idf), Seq("term"))
+    scoreTopK(postings, qi, stats, queryIdCol, idCol, k, k1, b)
+  }
 }

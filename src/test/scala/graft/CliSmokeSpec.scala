@@ -554,6 +554,9 @@ class CliSmokeSpec extends SparkSpec {
       wDir))
     graft.cli.Main.main(Array("calibration", corpusPath, "source",
       "src1", wDir))
+    val bmDir = s"${tmpDir("cli-r11bm25")}/idx"
+    graft.cli.Main.main(Array("bm25-index", corpusPath, bmDir, "8"))
+    graft.cli.Main.main(Array("bm25-query", bmDir, "shared,token3", "5"))
     graft.cli.Main.main(Array("anova", statsPath, "v", "cat"))
     graft.cli.Main.main(Array("levene", statsPath, "v", "cat"))
     graft.cli.Main.main(Array("kruskal", statsPath, "v", "cat"))

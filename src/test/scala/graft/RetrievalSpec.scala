@@ -59,6 +59,33 @@ class RetrievalSpec extends SparkSpec {
     assert(fromIndex == oneShot && fromIndex.nonEmpty)
   }
 
+  test("bm25 index lifecycle: write+append serves identically to " +
+    "one-shot over the union; reads prune to the query buckets") {
+    val dir = s"${tmpDir("bm25-life")}/idx"
+    Bm25.writeBm25Index(corpus.filter(col("doc_id") <= 2), "text",
+      "doc_id", dir, buckets = 8)
+    Bm25.appendToBm25Index(corpus.filter(col("doc_id") > 2), "text",
+      "doc_id", dir)
+    val queries = Seq((1L, "spark"), (1L, "pasta"), (2L, "borrow"))
+      .toDF("query_id", "term")
+    val served = Bm25.topKFromIndex(spark, dir, queries, "query_id",
+      "doc_id")
+    val oneShot = Bm25.search(corpus, "text", "doc_id", queries,
+      "query_id").collect().toSet
+    assert(served.collect().toSet == oneShot && oneShot.nonEmpty)
+    // the postings scan carries the bucket partition filter — a
+    // 3-term query reads its buckets, not the index
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      plan.take(2000))
+    // appends froze the fan-out: meta still says 8
+    assert(spark.read.parquet(s"$dir/meta").head().getInt(0) == 8)
+    // stats deltas accumulate (one per write) and sum to the corpus
+    val st = spark.read.parquet(s"$dir/stats")
+    assert(st.count() == 2L)
+    assert(st.agg(sum("n_docs")).head().getLong(0) == 5L)
+  }
+
   test("fimSplit: prefix+middle+suffix reassemble every doc; cuts are " +
     "deterministic per seed and move with it") {
     val out = TextOps.fimSplit(corpus, "text", "doc_id", seed = 17L)
