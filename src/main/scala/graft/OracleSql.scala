@@ -1291,11 +1291,13 @@ object OracleSql {
        |${assignCte(s"${p}afinal", s"${p}cen$iters")}""".stripMargin
   }
 
-  /** q78's BM25 SQL — also the oracle of q290 (persisted-index
-    * serving must equal in-memory BM25 over the same corpus). */
-  private val q78Bm25Sql: String =
+  /** q78's BM25 SQL over a parameterizable corpus relation — also the
+    * oracle of q290 (persisted-index serving must equal in-memory BM25
+    * over the same corpus) and q291 (tombstoned serving must equal
+    * in-memory BM25 over the SURVIVING corpus). */
+  private def bm25Sql(rel: String): String =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
-         |           FROM documents),
+         |           FROM $rel),
          |ix AS (SELECT doc_id, greatest(len(w), 0) AS dl,
          |        unnest(w) AS term FROM d),
          |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
@@ -1614,7 +1616,7 @@ object OracleSql {
     // snapped per POSTING (one interpolated IEEE chain — the constants
     // are Scala-computed doubles round-tripped through toString), then
     // pure-BIGINT scoring; rank window replays exactly on BIGINT ties
-    "q78_bm25" -> q78Bm25Sql,
+    "q78_bm25" -> bm25Sql("documents"),
         // per-source boilerplate: q66's chain with the hot set keyed
     // (source, line) and membership resolved by LEFT JOIN on the pair
     "q79_line_dedup_by_source" ->
@@ -7282,5 +7284,10 @@ object OracleSql {
     // Persisted BM25 index (write half + append half + bucket-pruned
     // serve) must equal in-memory BM25 over the full corpus — q78's
     // oracle IS the oracle
-    "q290_bm25_index" -> q78Bm25Sql)
+    "q290_bm25_index" -> bm25Sql("documents"),
+
+    // BM25 tombstone/compaction lifecycle: serving after deletes must
+    // equal in-memory BM25 over the survivors only
+    "q291_bm25_index_delete" -> bm25Sql(
+      "(SELECT * FROM documents WHERE doc_id % 7 <> 0)"))
 }

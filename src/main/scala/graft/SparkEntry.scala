@@ -4810,6 +4810,47 @@ object SparkEntry {
     }
   }
 
+  /** BM25 index DELETION lifecycle under the oracle (q265's PQ
+    * discipline for sparse retrieval): index the full corpus, delete
+    * every 7th doc (ids-only tombstones + one NEGATIVE stats delta,
+    * nothing rewritten), serve — tombstoned docs must never surface
+    * and idf/avgdl must reflect the survivors, which the oracle pins
+    * by computing in-memory BM25 over the surviving corpus only. Then
+    * compact and `require` the served rows are identical. EAGER;
+    * temp tree deleted before returning.
+    */
+  def q291_bm25_index_delete(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25del")
+    try {
+      import s.implicits._
+      val p = base.resolve("idx").toString
+      val d = docs(s, dir)
+      graft.text.Bm25.writeBm25Index(d, "text", "doc_id", p,
+        buckets = 16)
+      graft.text.Bm25.deleteFromBm25Index(
+        d.filter(col("doc_id") % 7 === 0).select(col("doc_id")), p,
+        "doc_id")
+      val queries = Seq(
+        (1L, "spark"), (1L, "join"), (1L, "window"),
+        (2L, "slow"), (2L, "query"), (2L, "filter"),
+        (3L, "customer"), (3L, "order"), (3L, "the"))
+        .toDF("query_id", "term")
+      def serve(): DataFrame = graft.text.Bm25.topKFromIndex(
+        s, p, queries, "query_id", "doc_id", k = 10)
+      val tombstoned = serve().localCheckpoint()
+      graft.text.Bm25.compactBm25Index(s, p, "doc_id")
+      val compacted = serve().localCheckpoint()
+      require(tombstoned.exceptAll(compacted).isEmpty &&
+        compacted.exceptAll(tombstoned).isEmpty,
+        "compacted BM25 serving diverged from tombstoned serving")
+      compacted
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** One-row ECE / MCE / Brier calibration summary of q179's served
     * naive-Bayes classifier — exact integer bucket gaps, decimal
     * Brier moment, three closing divisions.
@@ -5178,7 +5219,8 @@ object SparkEntry {
     "q287_rmst" -> (q287_rmst(_, _)),
     "q288_weighted_sample" -> (q288_weighted_sample(_, _)),
     "q289_calibration_summary" -> (q289_calibration_summary(_, _)),
-    "q290_bm25_index" -> (q290_bm25_index(_, _)))
+    "q290_bm25_index" -> (q290_bm25_index(_, _)),
+    "q291_bm25_index_delete" -> (q291_bm25_index_delete(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1033,6 +1033,28 @@ object Main {
         }
       done(spark)
 
+    // delete documents from a persisted BM25 index (tombstones +
+    // one negative stats delta; nothing rewritten)
+    case "bm25-delete" :: idsPath :: indexDir :: rest =>
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val spark = session()
+      graft.text.Bm25.deleteFromBm25Index(
+        spark.read.parquet(idsPath), indexDir, idCol)
+      val n = spark.read.parquet(s"$indexDir/stats")
+        .agg(org.apache.spark.sql.functions.sum("n_docs")).head().get(0)
+      println(s"[bm25-delete] index now covers $n live docs")
+      done(spark)
+
+    // compact a persisted BM25 index (rewrite minus tombstones)
+    case "bm25-compact" :: indexDir :: rest =>
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val spark = session()
+      graft.text.Bm25.compactBm25Index(spark, indexDir, idCol)
+      val n = spark.read.parquet(s"$indexDir/stats")
+        .agg(org.apache.spark.sql.functions.sum("n_docs")).head().get(0)
+      println(s"[bm25-compact] compacted to $n docs")
+      done(spark)
+
     // A-ES weighted exact-n sample by an integer weight column
     case "wsample" :: path :: idCol :: wCol :: n :: rest =>
       import org.apache.spark.sql.functions.col
@@ -2628,7 +2650,9 @@ object Main {
           "calibration <corpus> <labelCol> <labelValue> <weightsDir> | " +
           "bm25-index <corpus> <outDir> [buckets] | " +
           "bm25-append <corpus> <indexDir> | " +
-          "bm25-query <indexDir> <term1,term2,...> [k]")
+          "bm25-query <indexDir> <term1,term2,...> [k] | " +
+          "bm25-delete <idsParquet> <indexDir> [idCol] | " +
+          "bm25-compact <indexDir> [idCol]")
       sys.exit(2)
   }
 

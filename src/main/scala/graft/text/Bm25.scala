@@ -288,15 +288,17 @@ object Bm25 {
     val bucketIds = qterms.select(
       pmod(xxhash64(col("term")), lit(buckets.toLong)).as("_b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val postings = spark.read.parquet(s"$path/postings")
-      .filter(col("bucket").isin(bucketIds: _*))
+    val postings = livePostings(spark, path,
+      spark.read.parquet(s"$path/postings")
+        .filter(col("bucket").isin(bucketIds: _*)), idCol)
     val stats = spark.read.parquet(s"$path/stats")
       .agg(sum(col("n_docs")).as("_n"), sum(col("sum_dl")).as("_sumdl"))
       .select(col("_n"),
         (col("_sumdl").cast("double") / col("_n").cast("double"))
           .as("_avgdl"))
       .localCheckpoint()
-    // df(term) off the pruned read — hash-complete per term
+    // df(term) off the pruned LIVE read — hash-complete per term,
+    // tombstoned docs already excluded so idf shifts with deletes
     val idf = postings
       .join(broadcast(qterms.select(col("term")).distinct()),
         Seq("term"))
@@ -305,5 +307,92 @@ object Bm25 {
       .select(col("term"), idfMicroExpr.as("idf_micro"))
     val qi = qterms.join(broadcast(idf), Seq("term"))
     scoreTopK(postings, qi, stats, queryIdCol, idCol, k, k1, b)
+  }
+
+  /** Anti-join the accumulated tombstones out of a postings read (the
+    * q265 PQ-index discipline: ids-only tombstone set, broadcast
+    * anti-join, absent dir = nothing deleted).
+    */
+  private def livePostings(spark: org.apache.spark.sql.SparkSession,
+      path: String, postings: DataFrame, idCol: String): DataFrame = {
+    val tPath = new org.apache.hadoop.fs.Path(path, "tombstones")
+    val fs = tPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(tPath)) postings
+    else postings.join(
+      broadcast(spark.read.parquet(s"$path/tombstones")
+        .select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Delete documents from the persisted index: append their ids to
+    * the tombstone set and append the matching NEGATIVE stats delta
+    * (computed from ONE postings scan over the deleted ids — per
+    * delete batch, not per query), so `(_n, _avgdl)` and serve-time
+    * idf immediately reflect the removal. Nothing is rewritten;
+    * [[compactBm25Index]] reclaims the space later.
+    */
+  def deleteFromBm25Index(ids: DataFrame, path: String,
+      idCol: String): Unit = {
+    val spark = ids.sparkSession
+    val idSet = ids.select(col(idCol)).distinct().persist()
+    // negative delta off the CURRENT live postings (ids deleted twice
+    // or never present contribute nothing)
+    val gone = livePostings(spark, path,
+      spark.read.parquet(s"$path/postings"), idCol)
+      .join(broadcast(idSet), Seq(idCol), "left_semi")
+    statsDelta(gone, idCol)
+      .select((-col("n_docs")).as("n_docs"), (-col("sum_dl")).as("sum_dl"))
+      .write.mode("append").parquet(s"$path/stats")
+    idSet.write.mode("append").parquet(s"$path/tombstones")
+    idSet.unpersist()
+  }
+
+  /** Compaction: rewrite the postings minus the tombstones into a
+    * fresh directory, re-base the accumulated stats deltas to ONE
+    * row, swap the live tree, and clear the tombstones. Serving
+    * before and after compaction is row-identical (the lifecycle
+    * gate q291 `require`s it).
+    *
+    * Store contract: the swap is two checked Hadoop-FS RENAMES per
+    * dir, so compaction needs a rename-atomic store (HDFS, local,
+    * ABFS) and single-writer discipline — the same caveat as
+    * dynamic-partition overwrite. Everything ELSE in this lifecycle
+    * (write, append, delete, serve) is append-only and object-store
+    * safe; on S3-style stores either rebuild via [[writeBm25Index]]
+    * or port the PQ index's marker-generation commit
+    * (`sim/SimSearch.scala` `_live` markers) — deletes there stay
+    * correct indefinitely without compaction, it only reclaims space.
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String): Unit = {
+    val live = livePostings(spark, path,
+      spark.read.parquet(s"$path/postings"), idCol)
+      .persist() // rewrite + re-based stats
+    live.write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/postings_compact")
+    statsDelta(live, idCol).coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/stats_compact")
+    live.unpersist()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def mv(from: org.apache.hadoop.fs.Path,
+        to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(from, to)) throw new java.io.IOException(
+        s"bm25 index compaction failed to rename $from -> $to")
+    def swap(name: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path, name)
+      val c = new org.apache.hadoop.fs.Path(path, s"${name}_compact")
+      val old = new org.apache.hadoop.fs.Path(path, s"${name}_old")
+      mv(p, old)
+      mv(c, p)
+      if (!fs.delete(old, true)) throw new java.io.IOException(
+        s"bm25 index compaction failed to drop $old")
+    }
+    swap("postings")
+    swap("stats")
+    val t = new org.apache.hadoop.fs.Path(path, "tombstones")
+    if (fs.exists(t) && !fs.delete(t, true))
+      throw new java.io.IOException(
+        s"bm25 index compaction failed to clear $t")
   }
 }

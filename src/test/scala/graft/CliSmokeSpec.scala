@@ -557,6 +557,11 @@ class CliSmokeSpec extends SparkSpec {
     val bmDir = s"${tmpDir("cli-r11bm25")}/idx"
     graft.cli.Main.main(Array("bm25-index", corpusPath, bmDir, "8"))
     graft.cli.Main.main(Array("bm25-query", bmDir, "shared,token3", "5"))
+    val delIds = s"${tmpDir("cli-r11bmdel")}/ids"
+    Seq(3L, 4L).toDF("doc_id").write.mode("overwrite").parquet(delIds)
+    graft.cli.Main.main(Array("bm25-delete", delIds, bmDir))
+    graft.cli.Main.main(Array("bm25-compact", bmDir))
+    graft.cli.Main.main(Array("bm25-query", bmDir, "shared", "3"))
     graft.cli.Main.main(Array("anova", statsPath, "v", "cat"))
     graft.cli.Main.main(Array("levene", statsPath, "v", "cat"))
     graft.cli.Main.main(Array("kruskal", statsPath, "v", "cat"))

@@ -197,7 +197,8 @@ class PlanGateSpec extends SparkSpec {
       "q125_streaming_funnel_replay", "q129_streaming_retention_replay",
       "q244_streaming_agg_replay", "q248_preflight_artifact",
       "q249_streaming_latency_replay", "q265_pq_index_delete",
-      "q272_streaming_sessions_replay", "q290_bm25_index")
+      "q272_streaming_sessions_replay", "q290_bm25_index",
+      "q291_bm25_index_delete")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalWindowWhitelist.contains)
@@ -229,7 +230,8 @@ class PlanGateSpec extends SparkSpec {
       "q125_streaming_funnel_replay", "q129_streaming_retention_replay",
       "q244_streaming_agg_replay", "q248_preflight_artifact",
       "q249_streaming_latency_replay", "q265_pq_index_delete",
-      "q272_streaming_sessions_replay", "q290_bm25_index")
+      "q272_streaming_sessions_replay", "q290_bm25_index",
+      "q291_bm25_index_delete")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalSortWhitelist.contains)

@@ -86,6 +86,39 @@ class RetrievalSpec extends SparkSpec {
     assert(st.agg(sum("n_docs")).head().getLong(0) == 5L)
   }
 
+  test("bm25 index deletes: tombstoned docs never surface, idf/avgdl " +
+    "track survivors, double-delete is a stats no-op, compaction " +
+    "serves identically and reclaims the tree") {
+    val dir = s"${tmpDir("bm25-del")}/idx"
+    Bm25.writeBm25Index(corpus, "text", "doc_id", dir, buckets = 8)
+    val queries = Seq((1L, "spark"), (2L, "the")).toDF("query_id", "term")
+    val dead = Seq(2L, 4L).toDF("doc_id")
+    Bm25.deleteFromBm25Index(dead, dir, "doc_id")
+    val served = Bm25.topKFromIndex(spark, dir, queries, "query_id",
+      "doc_id").collect()
+    assert(!served.exists(r => Set(2L, 4L)(r.getAs[Long]("doc_id"))))
+    // scores equal in-memory BM25 over the SURVIVING corpus (idf and
+    // avgdl must shift with the deletes, not just the candidate set)
+    val survivors = corpus.filter(!col("doc_id").isin(2L, 4L))
+    val oneShot = Bm25.search(survivors, "text", "doc_id", queries,
+      "query_id").collect().toSet
+    assert(served.toSet == oneShot && oneShot.nonEmpty)
+    // deleting the same ids again adds a ZERO delta (live postings
+    // already exclude them) — stats stay correct
+    Bm25.deleteFromBm25Index(dead, dir, "doc_id")
+    val st = spark.read.parquet(s"$dir/stats")
+    assert(st.agg(sum("n_docs")).head().getLong(0) == 3L, // 5 − 2
+      st.collect().mkString(";"))
+    // compaction: identical serving, single re-based stats row, no
+    // tombstones left behind
+    Bm25.compactBm25Index(spark, dir, "doc_id")
+    val after = Bm25.topKFromIndex(spark, dir, queries, "query_id",
+      "doc_id").collect().toSet
+    assert(after == oneShot)
+    assert(spark.read.parquet(s"$dir/stats").count() == 1L)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+  }
+
   test("fimSplit: prefix+middle+suffix reassemble every doc; cuts are " +
     "deterministic per seed and move with it") {
     val out = TextOps.fimSplit(corpus, "text", "doc_id", seed = 17L)
