@@ -7289,5 +7289,33 @@ object OracleSql {
     // BM25 tombstone/compaction lifecycle: serving after deletes must
     // equal in-memory BM25 over the survivors only
     "q291_bm25_index_delete" -> bm25Sql(
-      "(SELECT * FROM documents WHERE doc_id % 7 <> 0)"))
+      "(SELECT * FROM documents WHERE doc_id % 7 <> 0)"),
+
+    // Quantile normalization: group midrank fractions contained in
+    // pooled cumulative intervals, cross-multiplied exact integers
+    "q292_quantile_normalize" ->
+      """WITH d AS (SELECT event_type AS g,
+        |    round(value * 100)::BIGINT AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT g, v, count(*)::BIGINT AS cnt
+        |  FROM d GROUP BY 1, 2),
+        |rk AS (SELECT g, v, cnt,
+        |    (sum(cnt) OVER (PARTITION BY g ORDER BY v) - cnt)
+        |      ::BIGINT AS cb,
+        |    (sum(cnt) OVER (PARTITION BY g))::BIGINT AS ng
+        |  FROM cells),
+        |tot AS (SELECT sum(cnt)::BIGINT AS n FROM cells),
+        |pl AS (SELECT v AS pv, sum(cnt)::BIGINT AS pcnt
+        |  FROM cells GROUP BY 1),
+        |plc AS (SELECT pv, pcnt,
+        |    (sum(pcnt) OVER (ORDER BY pv) - pcnt)::BIGINT AS pcb
+        |  FROM pl)
+        |SELECT rk.g AS grp, rk.v, rk.cnt,
+        |  (round((2 * cb + cnt)::DOUBLE / (2.0 * ng::DOUBLE)
+        |    * 1000000.0))::BIGINT AS frac_micro,
+        |  plc.pv AS norm_v
+        |FROM rk, plc, tot
+        |WHERE plc.pcb * 2 * rk.ng <= (2 * rk.cb + rk.cnt) * tot.n
+        |  AND (2 * rk.cb + rk.cnt) * tot.n
+        |    < (plc.pcb + plc.pcnt) * 2 * rk.ng""".stripMargin)
 }

@@ -4851,6 +4851,16 @@ object SparkEntry {
     }
   }
 
+  /** Quantile normalization of event cent values across event types —
+    * each type's distribution maps onto the pooled one by exact
+    * integer midrank containment: the step that makes ONE global
+    * threshold meaningful across drifting per-source scorers.
+    */
+  def q292_quantile_normalize(s: SparkSession, dir: String): DataFrame =
+    Relational.quantileNormalize(
+      t(s, dir, "events").filter(col("value").isNotNull),
+      col("event_type"), round(col("value") * 100).cast("long"))
+
   /** One-row ECE / MCE / Brier calibration summary of q179's served
     * naive-Bayes classifier — exact integer bucket gaps, decimal
     * Brier moment, three closing divisions.
@@ -5220,7 +5230,8 @@ object SparkEntry {
     "q288_weighted_sample" -> (q288_weighted_sample(_, _)),
     "q289_calibration_summary" -> (q289_calibration_summary(_, _)),
     "q290_bm25_index" -> (q290_bm25_index(_, _)),
-    "q291_bm25_index_delete" -> (q291_bm25_index_delete(_, _)))
+    "q291_bm25_index_delete" -> (q291_bm25_index_delete(_, _)),
+    "q292_quantile_normalize" -> (q292_quantile_normalize(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

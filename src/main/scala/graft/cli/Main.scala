@@ -2479,6 +2479,33 @@ object Main {
         s"w_micro=${r.get(4)}")
       done(spark)
 
+    // isotonic (PAV) calibration fit over a micro-score column
+    case "isotonic" :: path :: scoreCol :: labelCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val bins = rest.headOption.map(_.toInt).getOrElse(100)
+      val spark = session()
+      val fit = graft.text.Classifier.isotonicFit(
+        spark.read.parquet(path), col(scoreCol),
+        col(labelCol).cast("boolean"), bins)
+      fit.orderBy(col("bin")).collect().foreach { r =>
+        println(s"[isotonic] bin=${r.getLong(0)} n=${r.getLong(1)} " +
+          s"pos=${r.getLong(2)} cal_micro=${r.getLong(3)}")
+      }
+      done(spark)
+
+    // quantile normalization: map each group's values onto the pooled
+    // distribution by rank; writes the (grp, v) -> norm_v map
+    case "qnorm" :: path :: valCol :: groupCol :: outDir :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val m = graft.operators.Relational.quantileNormalize(
+        spark.read.parquet(path).filter(col(valCol).isNotNull),
+        col(groupCol), col(valCol))
+      m.write.mode("overwrite").parquet(outDir)
+      println(s"[qnorm] ${spark.read.parquet(outDir).count()} " +
+        s"(group, value) cells mapped -> $outDir")
+      done(spark)
+
     // Kruskal-Wallis H rank test across the groups of a category column
     case "kruskal" :: path :: valCol :: groupCol :: Nil =>
       import org.apache.spark.sql.functions.col
@@ -2652,7 +2679,9 @@ object Main {
           "bm25-append <corpus> <indexDir> | " +
           "bm25-query <indexDir> <term1,term2,...> [k] | " +
           "bm25-delete <idsParquet> <indexDir> [idCol] | " +
-          "bm25-compact <indexDir> [idCol]")
+          "bm25-compact <indexDir> [idCol] | " +
+          "qnorm <parquet> <valCol> <groupCol> <outDir> | " +
+          "isotonic <parquet> <scoreMicroCol> <labelCol> [bins]")
       sys.exit(2)
   }
 

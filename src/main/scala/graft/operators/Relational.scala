@@ -2781,6 +2781,61 @@ object Relational {
           lit(1000000.0)).cast("long")).as("nmi_micro"))
   }
 
+  /** Quantile normalization across groups (the expression-array
+    * classic, Bolstad et al. 2003, in its reference-distribution
+    * form): every group's value distribution maps onto the POOLED
+    * distribution by rank — the preprocessing step that makes one
+    * global quality threshold meaningful when each source's scorer
+    * drifts (source A's 0.8 and source B's 0.3 may both be "top
+    * decile"; after normalization they land on the same pooled
+    * value).
+    *
+    * Method: each distinct `(group, value)` cell gets its group
+    * MIDRANK fraction `f = (2·cumBefore + cnt) / (2·n_g)` (always in
+    * (0,1)); the normalized value is the pooled distinct value whose
+    * cumulative interval `[cb/N, (cb+cnt)/N)` contains f. Containment
+    * is checked CROSS-MULTIPLIED, so the whole mapping is exact
+    * integer arithmetic — no float ranks, hash-gates.
+    *
+    * Scale shape: rows reduce ONCE to the two distinct-value tables
+    * (the chi-square bounded-value-space contract — snap/bucket
+    * unbounded doubles first); the interval match is a range join
+    * between those bounded tables (pooled side broadcast), never a
+    * row-level window. Output: one row per (group, value) cell —
+    * `(group, v, cnt, frac_micro, norm_v)`.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: Column,
+      valueInt: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df.select(groupCol.as("_g"), valueInt.cast("long").as("_v"))
+    val cells = d.groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).as("_cnt"))
+      .persist() // group ranks + the pooled fold
+    val wg = Window.partitionBy(col("_g")).orderBy(col("_v"))
+    val ranked = cells.select(col("_g"), col("_v"), col("_cnt"),
+      (sum(col("_cnt")).over(wg) - col("_cnt")).as("_cb"))
+      .withColumn("_ng",
+        sum(col("_cnt")).over(Window.partitionBy(col("_g"))))
+    val pooledW = Window.orderBy(col("_v"))
+    val pooled = cells.groupBy(col("_v"))
+      .agg(sum(col("_cnt")).as("_pcnt"))
+      .select(col("_v").as("_pv"), col("_pcnt"),
+        (sum(col("_pcnt")).over(pooledW) - col("_pcnt")).as("_pcb"))
+      .crossJoin(broadcast(cells.agg(sum(col("_cnt")).as("_n"))))
+    // f ∈ [pcb/N, (pcb+pcnt)/N) ⇔ cross-multiplied BIGINT bounds
+    val fNum = lit(2L) * col("_cb") + col("_cnt") // f = fNum/(2·n_g)
+    val joined = ranked.join(broadcast(pooled),
+      col("_pcb") * 2L * col("_ng") <= fNum * col("_n") &&
+        fNum * col("_n") < (col("_pcb") + col("_pcnt")) * 2L *
+          col("_ng"))
+    joined.select(col("_g").as("grp"), col("_v").as("v"),
+      col("_cnt").as("cnt"),
+      round(fNum.cast("double") / (lit(2.0) *
+        col("_ng").cast("double")) * lit(1000000.0)).cast("long")
+        .as("frac_micro"),
+      col("_pv").as("norm_v"))
+  }
+
   /** McNemar's test (1947) — the paired-classifier comparison: when
     * two models score the SAME items, accuracy deltas must be judged
     * on the DISCORDANT pairs only (`b` = A right & B wrong, `c` = the

@@ -378,4 +378,84 @@ object Classifier {
       round(col("_bsum").cast("double") / col("n").cast("double") /
         lit(1000000.0)).cast("long").as("brier_micro"))
   }
+
+  /** Isotonic calibration via pool-adjacent-violators (PAV; Ayer et
+    * al. 1955, the Zadrozny & Elkan 2002 classifier recipe) — the FIX
+    * for what [[calibrationSummary]] measures: learn the monotone map
+    * score → P(y=1) and serve through it, so a 0.9 means 0.9.
+    *
+    * Scale shape: scores bin to ≤ `bins` equal-width micro buckets in
+    * ONE aggregation pass; PAV then runs driver-side over that
+    * BOUNDED bin table (model metadata, the k-means-centroid
+    * discipline — never row data), pooling with EXACT Long fractions
+    * (violator compare is cross-multiplied, the pooled rate divides
+    * once at the end). Returns the calibration map, one row per
+    * occupied bin: `(bin, n, pos, cal_micro)` with `cal_micro`
+    * monotone non-decreasing in bin. Serve by broadcast-joining the
+    * map on `least(floor(score·bins/1e6), bins−1)`
+    * ([[applyCalibration]]).
+    */
+  def isotonicFit(df: DataFrame, scoreMicro: Column, label: Column,
+      bins: Int = 100): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val binned = df.select(
+      least(floor(scoreMicro.cast("long") * bins / 1000000L),
+        lit(bins - 1L)).cast("long").as("bin"),
+      when(label, 1L).otherwise(0L).as("_y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // PAV over the bounded bin table: pool while rate decreases;
+    // rates compare exactly via cross-multiplication
+    final case class Pool(bins: List[(Long, Long, Long)], n: Long,
+      pos: Long)
+    val pools = binned.foldLeft(List.empty[Pool]) { (acc, b) =>
+      var stack = Pool(List(b), b._2, b._3) :: acc
+      while (stack.lengthCompare(2) >= 0 && {
+        val top :: prev :: _ = stack: @unchecked
+        // violation: rate(prev) > rate(top) ⇔ pos_p·n_t > pos_t·n_p
+        prev.pos * top.n > top.pos * prev.n
+      }) {
+        val top :: prev :: rest = stack: @unchecked
+        stack = Pool(prev.bins ++ top.bins, prev.n + top.n,
+          prev.pos + top.pos) :: rest
+      }
+      stack
+    }.reverse
+    pools.flatMap { p =>
+      val cal = math.round(p.pos.toDouble / p.n.toDouble * 1000000.0)
+      p.bins.map { case (bin, n, pos) => (bin, n, pos, cal) }
+    }.toDF("bin", "n", "pos", "cal_micro")
+  }
+
+  /** Serve scores through a fitted isotonic map: the bounded map
+    * forward-fills to a COMPLETE per-bin step function driver-side
+    * (model metadata, ≤ `bins` rows), then ONE broadcast equi-join on
+    * the bin — row multiplicity untouched, no window, no non-equi
+    * join. Scores below the lowest occupied bin report NULL (the map
+    * has no evidence there).
+    */
+  def applyCalibration(df: DataFrame, scoreMicro: Column,
+      calMap: DataFrame, bins: Int = 100): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = calMap.select(col("bin"), col("cal_micro")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var cur: Option[Long] = None
+    val filled = (0L until bins.toLong).map { b =>
+      cur = m.get(b).orElse(cur)
+      (b, cur)
+    }
+    val step = filled.map { case (b, c) =>
+      (b, c.map(Long.box).orNull) }.toDF("_bin", "cal_micro")
+    val bin = least(floor(scoreMicro.cast("long") * bins / 1000000L),
+      lit(bins - 1L)).cast("long")
+    df.withColumn("_bin", bin)
+      .join(broadcast(step), Seq("_bin"), "left")
+      .drop("_bin")
+  }
 }

@@ -611,6 +611,26 @@ class AnalyticsOpsSpec extends SparkSpec {
       .head().isNullAt(6))
   }
 
+  test("quantileNormalize: equal ranks land on the same pooled value " +
+    "across groups; fractions are exact midranks") {
+    // A {1,2} and B {10,20}: both lows → pooled 2, both highs → 20
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 10L), ("B", 20L))
+      .toDF("g", "v")
+    val got = Relational.quantileNormalize(df, col("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got(("A", 1L)) == ((250000L, 2L)), got)
+    assert(got(("A", 2L)) == ((750000L, 20L)), got)
+    assert(got(("B", 10L)) == ((250000L, 2L)), got)
+    assert(got(("B", 20L)) == ((750000L, 20L)), got)
+    // a single group maps onto itself rank for rank... with ties the
+    // midrank still lands inside the tied value's pooled interval
+    val tied = Seq(("A", 5L), ("A", 5L), ("A", 9L)).toDF("g", "v")
+    val gt = Relational.quantileNormalize(tied, col("g"), col("v"))
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(gt == Map(5L -> 5L, 9L -> 9L), gt)
+  }
+
   test("mcNemar: hand discordant counts; no-discordance NULL") {
     // label always true; A right on 1-6, B right on 2-7 of 1-8:
     // b = A&!B = {1}, c = !A&B = {7} → wait, craft explicitly below

@@ -207,6 +207,38 @@ class ClassifierSpec extends SparkSpec {
     assert(s.getAs[Long]("ece_micro") < 300000L, s)
   }
 
+  test("isotonicFit: PAV pools the violator run to the exact merged " +
+    "rate, leaves monotone input alone; applyCalibration forward-" +
+    "fills and preserves row multiplicity") {
+    // bins=4; rates per bin: .1, .6, .4, .9 → PAV pools bins 1+2 to .5
+    def rows(bin: Long, pos: Int, neg: Int) = {
+      val score = bin * 250000L + 100000L // inside the bin
+      List.fill(pos)((score, true)) ++ List.fill(neg)((score, false))
+    }
+    val df = (rows(0, 1, 9) ++ rows(1, 6, 4) ++ rows(2, 4, 6) ++
+      rows(3, 9, 1)).toDF("s", "y")
+    val fit = Classifier.isotonicFit(df, col("s"), col("y"), bins = 4)
+    val byBin = fit.collect().map(r => r.getLong(0) -> r.getLong(3))
+      .toMap
+    assert(byBin == Map(0L -> 100000L, 1L -> 500000L, 2L -> 500000L,
+      3L -> 900000L), byBin)
+    // already-monotone input: rates unchanged
+    val mono = (rows(0, 1, 9) ++ rows(2, 5, 5) ++ rows(3, 9, 1))
+      .toDF("s", "y")
+    val mFit = Classifier.isotonicFit(mono, col("s"), col("y"), bins = 4)
+    assert(mFit.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      == Map(0L -> 100000L, 2L -> 500000L, 3L -> 900000L))
+    // serving: bin-1 scores (unoccupied in mono's fit) fall back to
+    // bin 0's rate; duplicates stay duplicated
+    val serve = Seq(300000L, 300000L, 600000L, 10000L)
+      .toDF("s")
+    val out = Classifier.applyCalibration(serve, col("s"), mFit,
+      bins = 4).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.count(_ == (300000L, 100000L)) == 2, out.toSeq)
+    assert(out.contains((600000L, 500000L)) &&
+      out.contains((10000L, 100000L)), out.toSeq)
+  }
+
   test("prCurve: no actual positives makes recall NULL") {
     val scored = Seq((1L, 0.9, false), (2L, 0.1, false))
       .toDF("doc_id", "score", "label")

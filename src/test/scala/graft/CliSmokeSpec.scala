@@ -547,6 +547,10 @@ class CliSmokeSpec extends SparkSpec {
       .toDF("pa", "pb", "y")
       .write.mode("overwrite").parquet(mcPath)
     graft.cli.Main.main(Array("mcnemar", mcPath, "pa", "pb", "y"))
+    val isoPath = s"${tmpDir("cli-r11iso")}/scored"
+    (1L to 60L).map(i => (i * 16000L, i % 3 == 0))
+      .toDF("s", "y").write.mode("overwrite").parquet(isoPath)
+    graft.cli.Main.main(Array("isotonic", isoPath, "s", "y", "10"))
     graft.cli.Main.main(Array("wsample", statsPath, "id", "v", "5"))
     // train a tiny model, then the one-row calibration summary on it
     val wDir = tmpDir("cli-r11weights")
@@ -565,6 +569,8 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("anova", statsPath, "v", "cat"))
     graft.cli.Main.main(Array("levene", statsPath, "v", "cat"))
     graft.cli.Main.main(Array("kruskal", statsPath, "v", "cat"))
+    val qnOut = tmpDir("cli-r11qnorm")
+    graft.cli.Main.main(Array("qnorm", statsPath, "v", "cat", qnOut))
     graft.cli.Main.main(Array("vocab-richness", corpusPath))
   }
 

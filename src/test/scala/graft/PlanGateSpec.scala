@@ -192,7 +192,9 @@ class PlanGateSpec extends SparkSpec {
       "q277_trimmed_means", // same distinct-cent cumulative table
       "q278_log_rank", // q241's bounded distinct-lifetime suffix windows
       "q281_kruskal_wallis", // MWU's distinct-cent rank window
-      "q287_rmst") // q241's bounded distinct-lifetime KM windows
+      "q287_rmst", // q241's bounded distinct-lifetime KM windows
+      "q292_quantile_normalize") // pooled distinct-cent cumulative
+                                 // window (value-space-bounded, q36)
     val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
       "q125_streaming_funnel_replay", "q129_streaming_retention_replay",
       "q244_streaming_agg_replay", "q248_preflight_artifact",
@@ -314,6 +316,9 @@ class PlanGateSpec extends SparkSpec {
                                  // margins + 1-row total/entropies
       "q289_calibration_summary", // 1-row Brier moment × broadcast
                                   // 1-row bucket-gap integrals
+      "q292_quantile_normalize", // bounded group cells × broadcast
+                                 // bounded pooled cells (interval
+                                 // containment is non-equi)
       "q287_rmst",           // q241's lifetime × broadcast 1-row
                              // horizon/totals/moment shapes
       "q271_cramers_v",      // q228's margin-grid crossJoin (r-row ×
