@@ -152,6 +152,19 @@ object OracleSql {
        |JOIN g gb ON gb.doc_id = ib
        |WHERE $agreeExpr / 32.0 >= 0.2""".stripMargin
 
+  /** q293: q16's LSH pair machinery over the SURVIVING corpus only —
+    * the signed-index write/append/delete lifecycle must converge to
+    * exactly these pairs.
+    */
+  private val q293 =
+    s"""WITH ${lshCandBody("(SELECT * FROM documents WHERE doc_id % 11 <> 0)")}
+       |SELECT ia AS id_a, ib AS id_b,
+       |  round($agreeExpr / 32.0, 6) AS est_jaccard
+       |FROM cand
+       |JOIN g ga ON ga.doc_id = ia
+       |JOIN g gb ON gb.doc_id = ib
+       |WHERE $agreeExpr / 32.0 >= 0.2""".stripMargin
+
   /** Dedup-recall harness oracle (q194): the corpus augmented with
     * drop-every-k mutated twins (DuckDB's 1-based indexed list_filter
     * = Spark's 0-based `(i+1) % k` filter), the q16 LSH machinery
@@ -7293,6 +7306,8 @@ object OracleSql {
 
     // Quantile normalization: group midrank fractions contained in
     // pooled cumulative intervals, cross-multiplied exact integers
+    "q293_signed_index_lifecycle" -> q293,
+
     "q292_quantile_normalize" ->
       """WITH d AS (SELECT event_type AS g,
         |    round(value * 100)::BIGINT AS v

@@ -4861,6 +4861,44 @@ object SparkEntry {
       t(s, dir, "events").filter(col("value").isNotNull),
       col("event_type"), round(col("value") * 100).cast("long"))
 
+  /** Signed near-dup index lifecycle under the oracle: write HALF the
+    * corpus's signatures, APPEND the other half (parameters validated
+    * against the persisted meta), tombstone every 11th doc, and emit
+    * near-dup pairs from the index — which must equal the q16 LSH
+    * machinery over the SURVIVING corpus. Then compact and `require`
+    * pair-identity. EAGER; temp tree deleted before returning.
+    */
+  def q293_signed_index_lifecycle(s: SparkSession, dir: String)
+      : DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_signidx")
+    try {
+      val p = base.resolve("idx").toString
+      val d = docs(s, dir)
+      Dedup.writeSignedIndex(d.filter(col("doc_id") % 2 === 0), p,
+        "text", "doc_id", shingleK = 3, bands = 8, rowsPerBand = 4,
+        tokenizer = TextOps.tokensSimple)
+      Dedup.appendToSignedIndex(d.filter(col("doc_id") % 2 =!= 0), p,
+        "text", "doc_id", shingleK = 3, bands = 8, rowsPerBand = 4,
+        tokenizer = TextOps.tokensSimple)
+      Dedup.deleteFromSignedIndex(
+        d.filter(col("doc_id") % 11 === 0).select(col("doc_id")), p,
+        "doc_id")
+      def pairs(): DataFrame = Dedup.nearDupPairsFromIndex(
+        Dedup.readSignedIndex(s, p), "doc_id", threshold = 0.2)
+      val tombstoned = pairs().localCheckpoint()
+      Dedup.compactSignedIndex(s, p)
+      val compacted = pairs().localCheckpoint()
+      require(tombstoned.exceptAll(compacted).isEmpty &&
+        compacted.exceptAll(tombstoned).isEmpty,
+        "compacted signed-index pairs diverged from tombstoned pairs")
+      compacted
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** One-row ECE / MCE / Brier calibration summary of q179's served
     * naive-Bayes classifier — exact integer bucket gaps, decimal
     * Brier moment, three closing divisions.
@@ -5231,7 +5269,8 @@ object SparkEntry {
     "q289_calibration_summary" -> (q289_calibration_summary(_, _)),
     "q290_bm25_index" -> (q290_bm25_index(_, _)),
     "q291_bm25_index_delete" -> (q291_bm25_index_delete(_, _)),
-    "q292_quantile_normalize" -> (q292_quantile_normalize(_, _)))
+    "q292_quantile_normalize" -> (q292_quantile_normalize(_, _)),
+    "q293_signed_index_lifecycle" -> (q293_signed_index_lifecycle(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -211,6 +211,35 @@ object Main {
       println(s"[sign-index] ${docs.count()} docs signed -> $outDir")
       done(spark)
 
+    // sign and append a NEW batch to a persisted signature index
+    // (parameters validated against the index's meta)
+    case "sign-append" :: corpus :: indexDir :: rest =>
+      val spark = session()
+      val docs = loadCorpus(spark, corpus, rest)
+      graft.text.Dedup.appendToSignedIndex(docs, indexDir, "text",
+        "doc_id")
+      println(s"[sign-append] ${docs.count()} docs appended " +
+        s"-> $indexDir")
+      done(spark)
+
+    // tombstone documents out of a persisted signature index
+    case "sign-delete" :: idsPath :: indexDir :: rest =>
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val spark = session()
+      graft.text.Dedup.deleteFromSignedIndex(
+        spark.read.parquet(idsPath), indexDir, idCol)
+      println(s"[sign-delete] tombstones appended to $indexDir")
+      done(spark)
+
+    // compact a persisted signature index (rewrite minus tombstones)
+    case "sign-compact" :: indexDir :: Nil =>
+      val spark = session()
+      graft.text.Dedup.compactSignedIndex(spark, indexDir)
+      println(s"[sign-compact] $indexDir rewritten; " +
+        s"${graft.text.Dedup.readSignedIndex(spark, indexDir).count()} " +
+        "live signatures")
+      done(spark)
+
     case "decontaminate" :: corpus :: evalPath :: outDir :: rest =>
       val k = rest.find(!_.startsWith("--")).map(_.toInt).getOrElse(13)
       val spark = session()
@@ -2681,7 +2710,10 @@ object Main {
           "bm25-delete <idsParquet> <indexDir> [idCol] | " +
           "bm25-compact <indexDir> [idCol] | " +
           "qnorm <parquet> <valCol> <groupCol> <outDir> | " +
-          "isotonic <parquet> <scoreMicroCol> <labelCol> [bins]")
+          "isotonic <parquet> <scoreMicroCol> <labelCol> [bins] | " +
+          "sign-append <corpus> <indexDir> | " +
+          "sign-delete <idsParquet> <indexDir> [idCol] | " +
+          "sign-compact <indexDir>")
       sys.exit(2)
   }
 

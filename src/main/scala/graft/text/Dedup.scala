@@ -172,21 +172,119 @@ object Dedup {
       shingleK, bands, rowsPerBand, tokenizer)
       .select(col(idCol), col("_sig").as("sig"), col("_buckets").as("buckets"))
 
-  /** Persist the signed index as parquet (the write-once step). */
+  /** Persist the signed index as parquet (the write-once step), plus
+    * the LSH parameters under `_graft_meta/` — an underscore dir is
+    * invisible to plain parquet readers of `path`, but lets
+    * [[appendToSignedIndex]] VALIDATE parameter agreement instead of
+    * trusting the "must match" doc contract (a silent (k, b, r)
+    * mismatch poisons every band bucket it touches).
+    */
   def writeSignedIndex(
       df: DataFrame, path: String, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      tokenizer: Column => Column = TextOps.tokens): Unit =
+      tokenizer: Column => Column = TextOps.tokens): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
     signIndex(df, textCol, idCol, shingleK, bands, rowsPerBand, tokenizer)
       .write.mode("overwrite").parquet(path)
+    Seq((shingleK, bands, rowsPerBand, idCol))
+      .toDF("shingle_k", "bands", "rows_per_band", "id_col")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/_graft_meta")
+  }
+
+  /** Append NEWLY-SIGNED documents to a persisted index (the
+    * incremental-crawl step: sign the new batch only, never re-sign
+    * the corpus). Parameters are validated against the persisted
+    * meta — a mismatch throws before any write. Caller contract: ids
+    * must be new (dedupe the batch against the index FIRST —
+    * [[dedupNearAgainstIndexBatch]] is that step).
+    */
+  def appendToSignedIndex(
+      df: DataFrame, path: String, textCol: String, idCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      tokenizer: Column => Column = TextOps.tokens): Unit = {
+    val spark = df.sparkSession
+    val m = spark.read.parquet(s"$path/_graft_meta").head()
+    require(m.getAs[Int]("shingle_k") == shingleK &&
+      m.getAs[Int]("bands") == bands &&
+      m.getAs[Int]("rows_per_band") == rowsPerBand &&
+      m.getAs[String]("id_col") == idCol,
+      s"signed-index parameter mismatch: index has (k=${m.get(0)}, " +
+        s"b=${m.get(1)}, r=${m.get(2)}, id=${m.get(3)}), append got " +
+        s"(k=$shingleK, b=$bands, r=$rowsPerBand, id=$idCol)")
+    signIndex(df, textCol, idCol, shingleK, bands, rowsPerBand, tokenizer)
+      .write.mode("append").parquet(path)
+  }
+
+  /** Delete documents from a persisted signed index: ids-only
+    * tombstone append under `_graft_tombstones/` (invisible to plain
+    * readers; honored by [[readSignedIndex]], so every index consumer
+    * stops pairing against the removed docs — the takedown path).
+    * Nothing is rewritten; [[compactSignedIndex]] reclaims space.
+    */
+  def deleteFromSignedIndex(ids: DataFrame, path: String,
+      idCol: String): Unit =
+    ids.select(col(idCol)).distinct()
+      .write.mode("append").parquet(s"$path/_graft_tombstones")
 
   /** Read a persisted signed index — (id, sig, buckets) rows ready for
     * [[nearDupPairsFromIndex]], [[dedupNearFromIndex]],
     * [[dedupNearAgainstIndex]] and [[dedupNearAgainstIndexBatch]].
+    * Tombstoned ids (if any) are anti-joined out, so deletions reach
+    * every consumer through this one read path.
     */
   def readSignedIndex(
-      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val rows = spark.read.parquet(path)
+    val tPath = new org.apache.hadoop.fs.Path(path, "_graft_tombstones")
+    val fs = tPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(tPath)) rows
+    else {
+      val idCol = spark.read.parquet(s"$path/_graft_meta")
+        .head().getAs[String]("id_col")
+      rows.join(
+        broadcast(spark.read.parquet(s"$path/_graft_tombstones")
+          .select(col(idCol)).distinct()),
+        Seq(idCol), "left_anti")
+    }
+  }
+
+  /** Compaction: rewrite the live (non-tombstoned) index rows, swap
+    * via checked Hadoop-FS renames, clear the tombstones, and carry
+    * the meta over. Same store contract as the BM25 index compaction
+    * ([[graft.text.Bm25.compactBm25Index]]): renames need a
+    * rename-atomic store and single-writer discipline; everything
+    * else in this lifecycle is append-only.
+    */
+  def compactSignedIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val live = readSignedIndex(spark, path).persist()
+    val meta = spark.read.parquet(s"$path/_graft_meta")
+      .collect().toSeq
+    val metaSchema = spark.read.parquet(s"$path/_graft_meta").schema
+    val compact = s"${path}_compact"
+    live.write.mode("errorifexists").parquet(compact)
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(meta).asJava), metaSchema)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$compact/_graft_meta")
+    live.unpersist()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def mv(from: String, to: String): Unit =
+      if (!fs.rename(new org.apache.hadoop.fs.Path(from),
+          new org.apache.hadoop.fs.Path(to)))
+        throw new java.io.IOException(
+          s"signed-index compaction failed to rename $from -> $to")
+    val old = s"${path}_old"
+    mv(path, old)
+    mv(compact, path)
+    if (!fs.delete(new org.apache.hadoop.fs.Path(old), true))
+      throw new java.io.IOException(
+        s"signed-index compaction failed to drop $old")
+  }
 
   /** Exact Jaccard over two token/shingle arrays (for verifying LSH
     * candidates — run only on the candidate pairs, never all-pairs).

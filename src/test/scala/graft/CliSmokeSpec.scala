@@ -566,6 +566,10 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("bm25-delete", delIds, bmDir))
     graft.cli.Main.main(Array("bm25-compact", bmDir))
     graft.cli.Main.main(Array("bm25-query", bmDir, "shared", "3"))
+    val signDir = s"${tmpDir("cli-r11sign")}/idx"
+    graft.cli.Main.main(Array("sign-index", corpusPath, signDir))
+    graft.cli.Main.main(Array("sign-delete", delIds, signDir))
+    graft.cli.Main.main(Array("sign-compact", signDir))
     graft.cli.Main.main(Array("anova", statsPath, "v", "cat"))
     graft.cli.Main.main(Array("levene", statsPath, "v", "cat"))
     graft.cli.Main.main(Array("kruskal", statsPath, "v", "cat"))

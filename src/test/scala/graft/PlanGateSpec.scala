@@ -200,7 +200,7 @@ class PlanGateSpec extends SparkSpec {
       "q244_streaming_agg_replay", "q248_preflight_artifact",
       "q249_streaming_latency_replay", "q265_pq_index_delete",
       "q272_streaming_sessions_replay", "q290_bm25_index",
-      "q291_bm25_index_delete")
+      "q291_bm25_index_delete", "q293_signed_index_lifecycle")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalWindowWhitelist.contains)
@@ -233,7 +233,7 @@ class PlanGateSpec extends SparkSpec {
       "q244_streaming_agg_replay", "q248_preflight_artifact",
       "q249_streaming_latency_replay", "q265_pq_index_delete",
       "q272_streaming_sessions_replay", "q290_bm25_index",
-      "q291_bm25_index_delete")
+      "q291_bm25_index_delete", "q293_signed_index_lifecycle")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalSortWhitelist.contains)

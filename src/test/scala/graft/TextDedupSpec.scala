@@ -1236,6 +1236,49 @@ class TextDedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.lshPlan(128, 1.0) }
   }
 
+  test("signed-index lifecycle: write+append equals one-shot signing, " +
+    "param mismatch throws, tombstones reach every consumer, " +
+    "compaction preserves pairs and clears the tree") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i,
+      if (i % 2 == 0) "the quick brown fox jumps over the lazy dog"
+      else s"totally unique document body number $i with words"))
+      .toDF("doc_id", "text")
+    val dir = s"${tmpDir("signed-life")}/idx"
+    Dedup.writeSignedIndex(docs.filter(col("doc_id") <= 10), dir,
+      "text", "doc_id", tokenizer = graft.text.TextOps.tokensSimple)
+    Dedup.appendToSignedIndex(docs.filter(col("doc_id") > 10), dir,
+      "text", "doc_id", tokenizer = graft.text.TextOps.tokensSimple)
+    // write+append == signing everything at once
+    val oneShot = Dedup.signIndex(docs, "text", "doc_id",
+      tokenizer = graft.text.TextOps.tokensSimple)
+      .collect().map(_.getLong(0)).toSet
+    assert(Dedup.readSignedIndex(spark, dir).collect()
+      .map(_.getLong(0)).toSet == oneShot)
+    // parameter mismatch is loud, not silent poison
+    intercept[IllegalArgumentException] {
+      Dedup.appendToSignedIndex(docs.limit(1), dir, "text", "doc_id",
+        bands = 16, tokenizer = graft.text.TextOps.tokensSimple)
+    }
+    // tombstones: deleted ids vanish from reads and from pairs
+    Dedup.deleteFromSignedIndex(Seq(4L, 6L).toDF("doc_id"), dir,
+      "doc_id")
+    val idx = Dedup.readSignedIndex(spark, dir)
+    assert(!idx.collect().map(_.getLong(0)).toSet.exists(Set(4L, 6L)))
+    val pairs = Dedup.nearDupPairsFromIndex(idx, "doc_id", 0.2)
+      .collect().toSet
+    assert(pairs.nonEmpty) // the even near-dup clones still pair up
+    assert(!pairs.exists(r => Set(r.getLong(0), r.getLong(1))
+      .exists(Set(4L, 6L))))
+    // compaction: identical pairs, tombstone dir gone, 18 live rows
+    Dedup.compactSignedIndex(spark, dir)
+    assert(Dedup.nearDupPairsFromIndex(
+      Dedup.readSignedIndex(spark, dir), "doc_id", 0.2)
+      .collect().toSet == pairs)
+    assert(!new java.io.File(s"$dir/_graft_tombstones").exists())
+    assert(Dedup.readSignedIndex(spark, dir).count() == 18L)
+  }
+
   test("vocabRichness: hand Chao1 and Good-Turing coverage; " +
     "no-singleton corpus saturates") {
     import spark.implicits._
