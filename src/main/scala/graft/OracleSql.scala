@@ -7308,6 +7308,94 @@ object OracleSql {
     // pooled cumulative intervals, cross-multiplied exact integers
     "q293_signed_index_lifecycle" -> q293,
 
+    // MAD: two distinct-value cumulative medians, exact even-n
+    // middles, one 1.4826 chain
+    "q294_mad" ->
+      """WITH d AS (SELECT round(value * 100)::BIGINT AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |c1 AS (SELECT v, count(*)::BIGINT AS cnt FROM d GROUP BY 1),
+        |cu1 AS (SELECT v, sum(cnt) OVER (ORDER BY v)::BIGINT AS cend
+        |  FROM c1),
+        |n1 AS (SELECT sum(cnt)::BIGINT AS n FROM c1),
+        |m1 AS (SELECT max(n)::BIGINT AS n,
+        |    ((min(CASE WHEN cend * 2 >= n THEN v END) +
+        |      min(CASE WHEN cend * 2 >= n + 1 THEN v END)) * 500000)
+        |      ::BIGINT AS med
+        |  FROM cu1, n1),
+        |dev AS (SELECT abs(d.v * 1000000 - m1.med)::BIGINT AS v
+        |  FROM d, m1),
+        |c2 AS (SELECT v, count(*)::BIGINT AS cnt FROM dev GROUP BY 1),
+        |cu2 AS (SELECT v, sum(cnt) OVER (ORDER BY v)::BIGINT AS cend
+        |  FROM c2),
+        |n2 AS (SELECT sum(cnt)::BIGINT AS n FROM c2),
+        |m2 AS (SELECT
+        |    ((min(CASE WHEN cend * 2 >= n THEN v END) +
+        |      min(CASE WHEN cend * 2 >= n + 1 THEN v END)) * 500000)
+        |      ::BIGINT AS mad
+        |  FROM cu2, n2)
+        |SELECT m1.n, m1.med AS median_micro,
+        |  (m2.mad // 1000000)::BIGINT AS mad_micro,
+        |  (round((m2.mad // 1000000)::DOUBLE * 1.4826))::BIGINT
+        |    AS sigma_micro
+        |FROM m1, m2""".stripMargin,
+
+    // Two-proportion z: pooled-variance z, unpooled Wald 95% CI
+    "q295_two_proportion" ->
+      """WITH pu AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS converted
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_a,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)::BIGINT
+        |      AS n_b,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END)
+        |      ::BIGINT AS x_a,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE converted END)
+        |      ::BIGINT AS x_b
+        |  FROM pu)
+        |SELECT n_a, n_b, x_a, x_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+        |    (round((x_a::DOUBLE / n_a::DOUBLE -
+        |      x_b::DOUBLE / n_b::DOUBLE) * 1000000.0))::BIGINT END
+        |    AS diff_micro,
+        |  CASE WHEN n_a = 0 OR n_b = 0
+        |      OR (x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE <= 0.0
+        |      OR (x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE >= 1.0
+        |    THEN NULL ELSE
+        |    (round((x_a::DOUBLE / n_a::DOUBLE -
+        |        x_b::DOUBLE / n_b::DOUBLE) /
+        |      sqrt(((x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE) *
+        |        (1.0 - (x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE) *
+        |        (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE))
+        |      * 1000000.0))::BIGINT END AS z_micro,
+        |  CASE WHEN n_a = 0 OR n_b = 0
+        |      OR (x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE <= 0.0
+        |      OR (x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE >= 1.0
+        |    THEN NULL ELSE
+        |    (round((x_a::DOUBLE / n_a::DOUBLE -
+        |        x_b::DOUBLE / n_b::DOUBLE
+        |      - 1.959964 * sqrt(
+        |        (x_a::DOUBLE / n_a::DOUBLE) *
+        |          (1.0 - x_a::DOUBLE / n_a::DOUBLE) / n_a::DOUBLE +
+        |        (x_b::DOUBLE / n_b::DOUBLE) *
+        |          (1.0 - x_b::DOUBLE / n_b::DOUBLE) / n_b::DOUBLE))
+        |      * 1000000.0))::BIGINT END AS lo_micro,
+        |  CASE WHEN n_a = 0 OR n_b = 0
+        |      OR (x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE <= 0.0
+        |      OR (x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE >= 1.0
+        |    THEN NULL ELSE
+        |    (round((x_a::DOUBLE / n_a::DOUBLE -
+        |        x_b::DOUBLE / n_b::DOUBLE
+        |      + 1.959964 * sqrt(
+        |        (x_a::DOUBLE / n_a::DOUBLE) *
+        |          (1.0 - x_a::DOUBLE / n_a::DOUBLE) / n_a::DOUBLE +
+        |        (x_b::DOUBLE / n_b::DOUBLE) *
+        |          (1.0 - x_b::DOUBLE / n_b::DOUBLE) / n_b::DOUBLE))
+        |      * 1000000.0))::BIGINT END AS hi_micro
+        |FROM m""".stripMargin,
+
     "q292_quantile_normalize" ->
       """WITH d AS (SELECT event_type AS g,
         |    round(value * 100)::BIGINT AS v

@@ -4899,6 +4899,26 @@ object SparkEntry {
     }
   }
 
+  /** Median + MAD + robust σ̂ of event cent values — the outlier
+    * fence no whale can move: both medians off distinct-value
+    * cumulative tables, exact even-n middles, one 1.4826 chain.
+    */
+  def q294_mad(s: SparkSession, dir: String): DataFrame =
+    Relational.medianAbsDeviation(
+      t(s, dir, "events").filter(col("value").isNotNull),
+      round(col("value") * 100).cast("long"))
+
+  /** Two-proportion z-test: purchase conversion, even- vs odd-id
+    * users — pooled z, unpooled Wald 95% CI on the difference.
+    */
+  def q295_two_proportion(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("converted"))
+    Relational.twoProportionZ(perUser,
+      pmod(col("user_id"), lit(2L)) === 0, col("converted"))
+  }
+
   /** One-row ECE / MCE / Brier calibration summary of q179's served
     * naive-Bayes classifier — exact integer bucket gaps, decimal
     * Brier moment, three closing divisions.
@@ -5270,7 +5290,9 @@ object SparkEntry {
     "q290_bm25_index" -> (q290_bm25_index(_, _)),
     "q291_bm25_index_delete" -> (q291_bm25_index_delete(_, _)),
     "q292_quantile_normalize" -> (q292_quantile_normalize(_, _)),
-    "q293_signed_index_lifecycle" -> (q293_signed_index_lifecycle(_, _)))
+    "q293_signed_index_lifecycle" -> (q293_signed_index_lifecycle(_, _)),
+    "q294_mad" -> (q294_mad(_, _)),
+    "q295_two_proportion" -> (q295_two_proportion(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

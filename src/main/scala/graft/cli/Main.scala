@@ -126,7 +126,508 @@ object Main {
   private def done(s: SparkSession): Unit =
     if (System.getProperty("graft.cli.keepSession") == null) s.stop()
 
-  def main(args: Array[String]): Unit = args.toList match {
+  def main(args: Array[String]): Unit = {
+    val a = args.toList
+    if (statsCli.isDefinedAt(a)) statsCli(a) else mainImpl(a)
+  }
+
+  /** The analytics/stats command block, split out of [[mainImpl]] —
+    * the single match had outgrown the JVM's 64 KB method limit.
+    */
+  private val statsCli: PartialFunction[List[String], Unit] = {
+    case "spearman" :: path :: groupCol :: aCol :: bCol :: Nil =>
+      import org.apache.spark.sql.functions._
+      val spark = session()
+      graft.operators.Relational.spearmanByGroup(
+        spark.read.parquet(path), groupCol, col(aCol), col(bCol))
+        .collect().sortBy(_.get(0).toString).foreach { r =>
+          val rho = if (r.isNullAt(2)) "n/a" else r.getDouble(2).toString
+          println(s"[spearman] ${r.get(0)}: rho=$rho (n=${r.getLong(1)})")
+        }
+      done(spark)
+
+    // Benford first-digit screen over a numeric column (milli-snap)
+    case "benford" :: path :: valCol :: Nil =>
+      import org.apache.spark.sql.functions._
+      val spark = session()
+      graft.operators.Relational.benfordScreen(
+        spark.read.parquet(path),
+        round(col(valCol).cast("double") * lit(1000.0)).cast("long"))
+        .collect().sortBy(_.getInt(0)).foreach { r =>
+          println(s"[benford] d=${r.getInt(0)} n=${r.getLong(1)} " +
+            s"obs=${r.getLong(2) / 1e4}% exp=${r.getLong(3) / 1e4}% " +
+            s"dev=${r.getLong(4) / 1e4}pp")
+        }
+      done(spark)
+
+    // chi-square independence of two categorical columns
+    case "chisq" :: path :: rowCol :: colCol :: Nil =>
+      val spark = session()
+      val cells = graft.operators.Relational.chiSquareIndependence(
+        spark.read.parquet(path), rowCol, colCol).collect()
+      cells.sortBy(r => (r.get(0).toString, r.get(1).toString))
+        .foreach { r =>
+          println(s"[chisq] (${r.get(0)}, ${r.get(1)}): " +
+            s"obs=${r.getLong(2)} exp=${r.getLong(3) / 1e6} " +
+            s"term=${r.getLong(4) / 1e6}")
+        }
+      val chi2 = cells.map(_.getLong(4)).sum / 1e6
+      val df0 = (cells.map(_.get(0)).distinct.length - 1) *
+        (cells.map(_.get(1)).distinct.length - 1)
+      println(s"[chisq] chi2=$chi2 df=$df0")
+      done(spark)
+
+    // mean reciprocal rank over a (qid, rank, rel) parquet
+    case "mrr" :: path :: qidCol :: rankCol :: relCol :: Nil =>
+      import org.apache.spark.sql.functions._
+      val spark = session()
+      val r = graft.operators.Relational.mrrAtRank(
+        spark.read.parquet(path), col(qidCol), col(rankCol),
+        col(relCol)).head()
+      println(s"[mrr] mrr=${r.getDouble(2)} " +
+        s"(${r.getLong(0)}/${r.getLong(1)} queries answered)")
+      done(spark)
+
+    // ROUGE/BLEU generation scores over (id, cand, ref) string columns
+    case "rouge" :: path :: idCol :: candCol :: refCol :: rest =>
+      import org.apache.spark.sql.functions._
+      val spark = session()
+      val scored = graft.text.TextOps.generationScores(
+        spark.read.parquet(path), idCol,
+        split(col(candCol), " "), split(col(refCol), " "))
+      rest match {
+        case out :: _ => scored.write.mode("overwrite").parquet(out)
+        case Nil =>
+          val agg = scored.agg(
+            avg(col("rouge1_r_micro")), avg(col("rouge2_r_micro")),
+            avg(col("bleu2_micro")), count(lit(1))).head()
+          println(f"[rouge] rouge1_r=${agg.getDouble(0) / 1e6}%.4f " +
+            f"rouge2_r=${agg.getDouble(1) / 1e6}%.4f " +
+            f"bleu2=${agg.getDouble(2) / 1e6}%.4f " +
+            s"(n=${agg.getLong(3)})")
+      }
+      done(spark)
+
+    // STL-lite decomposition of the daily count series
+    case "stl" :: path :: groupCol :: outDir :: rest =>
+      import org.apache.spark.sql.functions.col
+      val tsCol = rest.filter(!_.startsWith("--")).headOption
+        .getOrElse("ts")
+      val hw = rest.filter(!_.startsWith("--")).drop(1).headOption
+        .map(_.toInt).getOrElse(3)
+      val spark = session()
+      val out = graft.operators.TimeSeries.decomposeDaily(
+        graft.operators.TimeSeries.dailyCounts(
+          spark.read.parquet(path), groupCol, col(tsCol)),
+        groupCol, hw)
+      out.write.mode("overwrite").parquet(outDir)
+      println(s"[stl] ${out.count()} day rows (halfWindow=$hw) -> " +
+        outDir)
+      done(spark)
+
+    // Nelson-Aalen cumulative hazard over user lifetimes
+    case "hazard" :: path :: rest =>
+      import org.apache.spark.sql.functions.col
+      val userCol = rest.headOption.getOrElse("user_id")
+      val tsCol = rest.drop(1).headOption.getOrElse("ts")
+      val spark = session()
+      graft.operators.TimeSeries.nelsonAalen(
+        spark.read.parquet(path), userCol, col(tsCol))
+        .orderBy(col("t_day")).collect().foreach { r =>
+          println(s"[hazard] t=${r.getLong(0)} at_risk=${r.getLong(1)} " +
+            s"churned=${r.getLong(2)} censored=${r.getLong(3)} " +
+            s"cumhaz_micro=${r.getLong(4)}")
+        }
+      done(spark)
+
+    // seasonal-naive forecast backtest of the daily count series
+    case "snaive" :: path :: groupCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val period = rest.headOption.map(_.toInt).getOrElse(7)
+      val tsCol = rest.drop(1).headOption.getOrElse("ts")
+      val spark = session()
+      graft.operators.TimeSeries.seasonalNaiveBacktest(
+        graft.operators.TimeSeries.dailyCounts(
+          spark.read.parquet(path), groupCol, col(tsCol)),
+        groupCol, period)
+        .orderBy(col(groupCol)).collect().foreach { r =>
+          println(s"[snaive] ${r.get(0)}: n=${r.getLong(1)} " +
+            s"mae_micro=${r.getLong(2)} smape_micro=${r.getLong(3)}")
+        }
+      done(spark)
+
+    // Krippendorff's alpha over a long (item, value) rating table
+    case "alpha" :: path :: itemCol :: valueCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.krippendorffAlpha(
+        spark.read.parquet(path), col(itemCol), col(valueCol)).head()
+      println(s"[alpha] n_items=${r.getLong(0)} " +
+        s"n_ratings=${r.getLong(1)} do_micro=${r.getLong(2)} " +
+        s"de_micro=${r.getLong(3)} alpha_micro=${r.get(4)}")
+      done(spark)
+
+    // Benjamini-Hochberg FDR over a (id, p_micro) hypothesis table
+    case "bh" :: path :: idCol :: pCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val alpha = rest.headOption.map(_.toLong).getOrElse(50000L)
+      val spark = session()
+      val out = graft.operators.Relational.bhFdr(
+        spark.read.parquet(path), idCol, col(pCol), alpha)
+      val n = out.filter(col("discovered")).count()
+      println(s"[bh] $n discoveries at alpha_micro=$alpha")
+      out.orderBy(col("rank")).collect().take(20).foreach { r =>
+        println(s"  rank=${r.getAs[Int]("rank")} " +
+          s"${r.get(0)} p_micro=${r.getAs[Long](pCol)} " +
+          s"discovered=${r.getAs[Boolean]("discovered")}")
+      }
+      done(spark)
+
+    // blocking-quality report: prefix/suffix name-half keys vs truth
+    case "blocking-eval" :: path :: idCol :: truthCol :: nameCol ::
+        rest =>
+      import org.apache.spark.sql.functions.{col, substring}
+      val halfLen = rest.headOption.map(_.toInt).getOrElse(6)
+      val spark = session()
+      graft.text.Dedup.blockingQuality(
+        spark.read.parquet(path), idCol, truthCol, Seq(
+          "first_half" -> substring(col(nameCol), 1, halfLen),
+          "second_half" -> substring(col(nameCol), halfLen + 1, halfLen)))
+        .collect().foreach { r =>
+          println(s"[blocking-eval] ${r.getString(0)}: " +
+            s"candidates=${r.getLong(1)} truth=${r.getLong(2)} " +
+            s"covered=${r.getLong(3)} reduction=${r.getDouble(4)} " +
+            s"completeness=${r.getDouble(5)}")
+        }
+      done(spark)
+
+    // personalized PageRank from a seed list
+    case "ppr" :: edgesPath :: seedsPath :: outDir :: rest =>
+      import org.apache.spark.sql.functions.col
+      val iters = rest.headOption.map(_.toInt).getOrElse(5)
+      val damping = rest.drop(1).headOption.map(_.toDouble)
+        .getOrElse(0.85)
+      val spark = session()
+      val edges = spark.read.parquet(edgesPath).select("src", "dst")
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      val seeds = spark.read.parquet(seedsPath)
+      val ranks = graft.operators.LinkGraph.personalizedPageRankExact(
+        nodes, edges, seeds, iters, damping)
+      ranks.write.mode("overwrite").parquet(outDir)
+      println(s"[ppr] $iters iters from ${seeds.count()} seeds -> " +
+        outDir)
+      spark.read.parquet(outDir).orderBy(col("rank").desc).limit(5)
+        .collect().foreach { r =>
+          println(f"  ${r.get(0)}%-24s ${r.getDouble(1)}%.8f") }
+      done(spark)
+
+    // Mann-Whitney U rank-sum test: groupCol (boolean) splits sides
+    case "mwu" :: path :: valCol :: groupCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.mannWhitneyU(
+        spark.read.parquet(path).filter(col(valCol).isNotNull),
+        col(groupCol).cast("boolean"), col(valCol)).head()
+      println(s"[mwu] n_a=${r.getLong(0)} n_b=${r.getLong(1)} " +
+        s"u_a_x2=${r.getLong(2)} u_b_x2=${r.getLong(3)} " +
+        s"r_rb_micro=${r.getLong(4)} z_micro=${r.get(5)}")
+      done(spark)
+
+    // exact Gini concentration of an integer value column
+    case "gini" :: path :: valCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.giniIndex(
+        spark.read.parquet(path), col(valCol)).head()
+      println(s"[gini] n=${r.getLong(0)} total=${r.getLong(1)} " +
+        s"gini_micro=${r.get(2)}")
+      done(spark)
+
+    // Jensen-Shannon divergence between two sides of a flag column
+    case "jsd" :: path :: catCol :: flagCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.jsDivergenceTotal(
+        spark.read.parquet(path), col(catCol),
+        col(flagCol).cast("boolean")).head()
+      println(s"[jsd] n_categories=${r.getLong(0)} " +
+        s"js_micro=${r.get(1)}")
+      done(spark)
+
+    // Cramér's V association strength of two categorical columns
+    case "cramers" :: path :: rowCol :: colCol :: Nil =>
+      val spark = session()
+      val r = graft.operators.Relational.cramersV(
+        spark.read.parquet(path), rowCol, colCol).head()
+      println(s"[cramers] n=${r.getLong(0)} " +
+        s"dims=${r.getLong(1)}x${r.getLong(2)} " +
+        s"chi2_micro=${r.getLong(3)} v_micro=${r.getLong(4)}")
+      done(spark)
+
+    // Adamic-Adar link prediction: top-k likely missing edges
+    case "adamic" :: edgesPath :: rest =>
+      import org.apache.spark.sql.functions.col
+      val topK = rest.headOption.map(_.toInt).getOrElse(20)
+      val spark = session()
+      graft.operators.LinkGraph.adamicAdar(
+        spark.read.parquet(edgesPath).select("src", "dst"), topK)
+        .collect().foreach { r =>
+          println(s"[adamic] ${r.get(0)} -- ${r.get(1)}: " +
+            s"common=${r.getAs[Long]("n_common")} " +
+            s"aa_micro=${r.getAs[Long]("aa_micro")}")
+        }
+      done(spark)
+
+    // mutual information + NMI between two categorical columns
+    case "mi" :: path :: xCol :: yCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.mutualInformation(
+        spark.read.parquet(path), col(xCol), col(yCol)).head()
+      println(s"[mi] n=${r.getLong(0)} n_x=${r.getLong(1)} " +
+        s"n_y=${r.getLong(2)} mi_micro=${r.getLong(3)} " +
+        s"hx_micro=${r.getLong(4)} hy_micro=${r.getLong(5)} " +
+        s"nmi_micro=${r.get(6)}")
+      done(spark)
+
+    // McNemar paired-classifier test over boolean pred/label columns
+    case "mcnemar" :: path :: predACol :: predBCol :: labelCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.mcNemar(
+        spark.read.parquet(path), col(predACol).cast("boolean"),
+        col(predBCol).cast("boolean"), col(labelCol).cast("boolean"))
+        .head()
+      println(s"[mcnemar] n=${r.getLong(0)} b_only=${r.getLong(1)} " +
+        s"c_only=${r.getLong(2)} chi2_micro=${r.get(3)} " +
+        s"chi2_cc_micro=${r.get(4)}")
+      done(spark)
+
+    // restricted mean survival time at a day horizon
+    case "rmst" :: path :: userCol :: tau :: rest =>
+      import org.apache.spark.sql.functions.col
+      val tsCol = rest.headOption.getOrElse("ts")
+      val spark = session()
+      val r = graft.operators.TimeSeries.rmst(
+        spark.read.parquet(path), userCol, col(tsCol), tau.toLong)
+        .head()
+      println(s"[rmst] tau_day=${r.getLong(0)} " +
+        s"n_users=${r.getLong(1)} rmst_micro=${r.getLong(2)}")
+      done(spark)
+
+    // degree assortativity: do hubs link to hubs?
+    case "assortativity" :: edgesPath :: Nil =>
+      val spark = session()
+      val r = graft.operators.LinkGraph.degreeAssortativity(
+        spark.read.parquet(edgesPath).select("src", "dst")).head()
+      println(s"[assortativity] n_nodes=${r.getLong(0)} " +
+        s"n_edges=${r.getLong(1)} r_micro=${r.get(2)}")
+      done(spark)
+
+    // Newman modularity of a community assignment over an edge list
+    case "modularity" :: edgesPath :: assignPath :: Nil =>
+      val spark = session()
+      val rows = graft.operators.LinkGraph.modularity(
+        spark.read.parquet(edgesPath).select("src", "dst"),
+        spark.read.parquet(assignPath).select("id", "community"))
+        .collect()
+      var total = 0L
+      rows.sortBy(_.get(0).toString).foreach { r =>
+        total += r.getAs[Long]("q_term_micro")
+        println(s"[modularity] community=${r.get(0)} " +
+          s"n_nodes=${r.getAs[Long]("n_nodes")} " +
+          s"e_in=${r.getAs[Long]("e_in")} " +
+          s"d_tot=${r.getAs[Long]("d_tot")} " +
+          s"q_term_micro=${r.getAs[Long]("q_term_micro")}")
+      }
+      println(s"[modularity] total_q_micro=$total")
+      done(spark)
+
+    // unsupervised Fellegi-Sunter: Winkler-EM weights from UNLABELED
+    // candidate pairs (boolean comparison-field columns)
+    case "fs-em" :: pairsPath :: fieldsCsv :: rest =>
+      import org.apache.spark.sql.functions.col
+      val iters = rest.headOption.map(_.toInt).getOrElse(5)
+      val fields = fieldsCsv.split(',').toSeq.filter(_.nonEmpty)
+      require(fields.nonEmpty, "usage: fs-em <pairs> <f1,f2,...> [iters]")
+      val spark = session()
+      graft.text.Dedup.fellegiSunterEM(
+        spark.read.parquet(pairsPath),
+        fields.map(f => f -> col(f).cast("boolean")), iters)
+        .collect().foreach { r =>
+          println(s"[fs-em] ${r.getString(0)}: " +
+            s"p_micro=${r.getLong(1)} m_micro=${r.getLong(2)} " +
+            s"u_micro=${r.getLong(3)} w_agree=${r.getLong(4)} " +
+            s"w_disagree=${r.getLong(5)}")
+        }
+      done(spark)
+
+    // Kendall tau-b rank correlation of two integer columns
+    case "kendall" :: path :: aCol :: bCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.kendallTauB(
+        spark.read.parquet(path), col(aCol), col(bCol)).head()
+      println(s"[kendall] n=${r.getLong(0)} cells=${r.getLong(1)} " +
+        s"c=${r.getLong(2)} d=${r.getLong(3)} tau_b_micro=${r.get(4)}")
+      done(spark)
+
+    // Cohen's d / Hedges' g effect size between two sides of a flag
+    case "cohend" :: path :: valCol :: groupCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.cohensD(
+        spark.read.parquet(path).filter(col(valCol).isNotNull),
+        col(groupCol).cast("boolean"), col(valCol)).head()
+      println(s"[cohend] n_a=${r.getLong(0)} n_b=${r.getLong(1)} " +
+        s"mean_a_micro=${r.getLong(2)} mean_b_micro=${r.getLong(3)} " +
+        s"d_micro=${r.get(4)} g_micro=${r.get(5)}")
+      done(spark)
+
+    // log-rank two-group survival test over user lifetimes
+    case "logrank" :: path :: userCol :: flagCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val tsCol = rest.headOption.getOrElse("ts")
+      val spark = session()
+      val r = graft.operators.TimeSeries.logRankTest(
+        spark.read.parquet(path), userCol, col(tsCol),
+        col(flagCol).cast("boolean")).head()
+      println(s"[logrank] n_users=${r.getLong(0)} n_a=${r.getLong(1)} " +
+        s"o_a=${r.getLong(2)} e_a_micro=${r.getLong(3)} " +
+        s"v_micro=${r.getLong(4)} z_micro=${r.get(5)} " +
+        s"chi2_micro=${r.get(6)}")
+      done(spark)
+
+    // trimmed + winsorized means of an integer value column
+    case "trimmed" :: path :: valCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val trim = rest.headOption.map(_.toLong).getOrElse(100000L)
+      val spark = session()
+      val r = graft.operators.Relational.trimmedMeans(
+        spark.read.parquet(path).filter(col(valCol).isNotNull),
+        col(valCol), trim).head()
+      println(s"[trimmed] n=${r.getLong(0)} k=${r.getLong(1)} " +
+        s"mean_micro=${r.getLong(2)} trimmed_micro=${r.get(3)} " +
+        s"winsorized_micro=${r.get(4)}")
+      done(spark)
+
+    // one-way ANOVA F + eta² across the groups of a category column
+    case "anova" :: path :: valCol :: groupCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.anovaF(
+        spark.read.parquet(path).filter(col(valCol).isNotNull),
+        col(groupCol), col(valCol)).head()
+      println(s"[anova] k=${r.getLong(0)} n=${r.getLong(1)} " +
+        s"ssb_milli=${r.getLong(2)} ssw_milli=${r.getLong(3)} " +
+        s"sst_milli=${r.getLong(4)} f_micro=${r.get(5)} " +
+        s"eta2_micro=${r.get(6)}")
+      done(spark)
+
+    // Levene homogeneity-of-variance W across a category column
+    case "levene" :: path :: valCol :: groupCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.leveneW(
+        spark.read.parquet(path).filter(col(valCol).isNotNull),
+        col(groupCol), col(valCol)).head()
+      println(s"[levene] k=${r.getLong(0)} n=${r.getLong(1)} " +
+        s"ssb_milli=${r.getLong(2)} ssw_milli=${r.getLong(3)} " +
+        s"w_micro=${r.get(4)}")
+      done(spark)
+
+    // isotonic (PAV) calibration fit over a micro-score column
+    case "isotonic" :: path :: scoreCol :: labelCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val bins = rest.headOption.map(_.toInt).getOrElse(100)
+      val spark = session()
+      val fit = graft.text.Classifier.isotonicFit(
+        spark.read.parquet(path), col(scoreCol),
+        col(labelCol).cast("boolean"), bins)
+      fit.orderBy(col("bin")).collect().foreach { r =>
+        println(s"[isotonic] bin=${r.getLong(0)} n=${r.getLong(1)} " +
+          s"pos=${r.getLong(2)} cal_micro=${r.getLong(3)}")
+      }
+      done(spark)
+
+    // quantile normalization: map each group's values onto the pooled
+    // distribution by rank; writes the (grp, v) -> norm_v map
+    case "qnorm" :: path :: valCol :: groupCol :: outDir :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val m = graft.operators.Relational.quantileNormalize(
+        spark.read.parquet(path).filter(col(valCol).isNotNull),
+        col(groupCol), col(valCol))
+      m.write.mode("overwrite").parquet(outDir)
+      println(s"[qnorm] ${spark.read.parquet(outDir).count()} " +
+        s"(group, value) cells mapped -> $outDir")
+      done(spark)
+
+    // median + MAD + robust sigma of an integer value column
+    case "mad" :: path :: valCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.medianAbsDeviation(
+        spark.read.parquet(path).filter(col(valCol).isNotNull),
+        col(valCol)).head()
+      println(s"[mad] n=${r.getLong(0)} median_micro=${r.getLong(1)} " +
+        s"mad_micro=${r.getLong(2)} sigma_micro=${r.getLong(3)}")
+      done(spark)
+
+    // two-proportion z-test over boolean group/success columns
+    case "propz" :: path :: groupCol :: successCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.twoProportionZ(
+        spark.read.parquet(path), col(groupCol).cast("boolean"),
+        col(successCol)).head()
+      println(s"[propz] n_a=${r.getLong(0)} n_b=${r.getLong(1)} " +
+        s"x_a=${r.getLong(2)} x_b=${r.getLong(3)} " +
+        s"diff_micro=${r.get(4)} z_micro=${r.get(5)} " +
+        s"ci=[${r.get(6)}, ${r.get(7)}]")
+      done(spark)
+
+    // Kruskal-Wallis H rank test across the groups of a category column
+    case "kruskal" :: path :: valCol :: groupCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.kruskalWallisH(
+        spark.read.parquet(path).filter(col(valCol).isNotNull),
+        col(groupCol), col(valCol)).head()
+      println(s"[kruskal] k=${r.getLong(0)} n=${r.getLong(1)} " +
+        s"h_micro=${r.get(2)} h_tie_micro=${r.get(3)}")
+      done(spark)
+
+    // Chao1 + Good-Turing vocabulary-richness report over a corpus
+    case "vocab-richness" :: path :: rest =>
+      val spark = session()
+      val r = graft.text.TextOps.vocabRichness(
+        loadCorpus(spark, path, rest), "text").head()
+      println(s"[vocab-richness] n_tokens=${r.getLong(0)} " +
+        s"n_types=${r.getLong(1)} f1=${r.getLong(2)} " +
+        s"f2=${r.getLong(3)} chao1_micro=${r.getLong(4)} " +
+        s"coverage_micro=${r.getLong(5)}")
+      done(spark)
+
+    // Poisson-bootstrap CI for a mean (the distributed bootstrap)
+    case "bootstrap-ci" :: path :: keyCol :: valCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val b = rest.headOption.map(_.toInt).getOrElse(32)
+      val alpha = rest.drop(1).headOption.map(_.toLong)
+        .getOrElse(100000L)
+      val spark = session()
+      val r = graft.operators.Relational.poissonBootstrapCI(
+        spark.read.parquet(path).filter(col(valCol).isNotNull),
+        col(keyCol), col(valCol), b, alpha).head()
+      println(s"[bootstrap-ci] n=${r.getLong(0)} B=${r.getLong(1)} " +
+        s"mean_micro=${r.getLong(2)} " +
+        s"ci_micro=[${r.get(3)}, ${r.get(4)}]")
+      done(spark)
+
+  }
+
+  private def mainImpl(a: List[String]): Unit = a match {
     case "ingest" :: input :: poolRoot :: rest =>
       val vintage = rest.find(!_.startsWith("--")).getOrElse("canonical")
       val config = Vintages.byName.getOrElse(vintage,
@@ -2106,472 +2607,6 @@ object Main {
       done(spark)
 
     // per-group Spearman rank correlation of two numeric columns
-    case "spearman" :: path :: groupCol :: aCol :: bCol :: Nil =>
-      import org.apache.spark.sql.functions._
-      val spark = session()
-      graft.operators.Relational.spearmanByGroup(
-        spark.read.parquet(path), groupCol, col(aCol), col(bCol))
-        .collect().sortBy(_.get(0).toString).foreach { r =>
-          val rho = if (r.isNullAt(2)) "n/a" else r.getDouble(2).toString
-          println(s"[spearman] ${r.get(0)}: rho=$rho (n=${r.getLong(1)})")
-        }
-      done(spark)
-
-    // Benford first-digit screen over a numeric column (milli-snap)
-    case "benford" :: path :: valCol :: Nil =>
-      import org.apache.spark.sql.functions._
-      val spark = session()
-      graft.operators.Relational.benfordScreen(
-        spark.read.parquet(path),
-        round(col(valCol).cast("double") * lit(1000.0)).cast("long"))
-        .collect().sortBy(_.getInt(0)).foreach { r =>
-          println(s"[benford] d=${r.getInt(0)} n=${r.getLong(1)} " +
-            s"obs=${r.getLong(2) / 1e4}% exp=${r.getLong(3) / 1e4}% " +
-            s"dev=${r.getLong(4) / 1e4}pp")
-        }
-      done(spark)
-
-    // chi-square independence of two categorical columns
-    case "chisq" :: path :: rowCol :: colCol :: Nil =>
-      val spark = session()
-      val cells = graft.operators.Relational.chiSquareIndependence(
-        spark.read.parquet(path), rowCol, colCol).collect()
-      cells.sortBy(r => (r.get(0).toString, r.get(1).toString))
-        .foreach { r =>
-          println(s"[chisq] (${r.get(0)}, ${r.get(1)}): " +
-            s"obs=${r.getLong(2)} exp=${r.getLong(3) / 1e6} " +
-            s"term=${r.getLong(4) / 1e6}")
-        }
-      val chi2 = cells.map(_.getLong(4)).sum / 1e6
-      val df0 = (cells.map(_.get(0)).distinct.length - 1) *
-        (cells.map(_.get(1)).distinct.length - 1)
-      println(s"[chisq] chi2=$chi2 df=$df0")
-      done(spark)
-
-    // mean reciprocal rank over a (qid, rank, rel) parquet
-    case "mrr" :: path :: qidCol :: rankCol :: relCol :: Nil =>
-      import org.apache.spark.sql.functions._
-      val spark = session()
-      val r = graft.operators.Relational.mrrAtRank(
-        spark.read.parquet(path), col(qidCol), col(rankCol),
-        col(relCol)).head()
-      println(s"[mrr] mrr=${r.getDouble(2)} " +
-        s"(${r.getLong(0)}/${r.getLong(1)} queries answered)")
-      done(spark)
-
-    // ROUGE/BLEU generation scores over (id, cand, ref) string columns
-    case "rouge" :: path :: idCol :: candCol :: refCol :: rest =>
-      import org.apache.spark.sql.functions._
-      val spark = session()
-      val scored = graft.text.TextOps.generationScores(
-        spark.read.parquet(path), idCol,
-        split(col(candCol), " "), split(col(refCol), " "))
-      rest match {
-        case out :: _ => scored.write.mode("overwrite").parquet(out)
-        case Nil =>
-          val agg = scored.agg(
-            avg(col("rouge1_r_micro")), avg(col("rouge2_r_micro")),
-            avg(col("bleu2_micro")), count(lit(1))).head()
-          println(f"[rouge] rouge1_r=${agg.getDouble(0) / 1e6}%.4f " +
-            f"rouge2_r=${agg.getDouble(1) / 1e6}%.4f " +
-            f"bleu2=${agg.getDouble(2) / 1e6}%.4f " +
-            s"(n=${agg.getLong(3)})")
-      }
-      done(spark)
-
-    // STL-lite decomposition of the daily count series
-    case "stl" :: path :: groupCol :: outDir :: rest =>
-      import org.apache.spark.sql.functions.col
-      val tsCol = rest.filter(!_.startsWith("--")).headOption
-        .getOrElse("ts")
-      val hw = rest.filter(!_.startsWith("--")).drop(1).headOption
-        .map(_.toInt).getOrElse(3)
-      val spark = session()
-      val out = graft.operators.TimeSeries.decomposeDaily(
-        graft.operators.TimeSeries.dailyCounts(
-          spark.read.parquet(path), groupCol, col(tsCol)),
-        groupCol, hw)
-      out.write.mode("overwrite").parquet(outDir)
-      println(s"[stl] ${out.count()} day rows (halfWindow=$hw) -> " +
-        outDir)
-      done(spark)
-
-    // Nelson-Aalen cumulative hazard over user lifetimes
-    case "hazard" :: path :: rest =>
-      import org.apache.spark.sql.functions.col
-      val userCol = rest.headOption.getOrElse("user_id")
-      val tsCol = rest.drop(1).headOption.getOrElse("ts")
-      val spark = session()
-      graft.operators.TimeSeries.nelsonAalen(
-        spark.read.parquet(path), userCol, col(tsCol))
-        .orderBy(col("t_day")).collect().foreach { r =>
-          println(s"[hazard] t=${r.getLong(0)} at_risk=${r.getLong(1)} " +
-            s"churned=${r.getLong(2)} censored=${r.getLong(3)} " +
-            s"cumhaz_micro=${r.getLong(4)}")
-        }
-      done(spark)
-
-    // seasonal-naive forecast backtest of the daily count series
-    case "snaive" :: path :: groupCol :: rest =>
-      import org.apache.spark.sql.functions.col
-      val period = rest.headOption.map(_.toInt).getOrElse(7)
-      val tsCol = rest.drop(1).headOption.getOrElse("ts")
-      val spark = session()
-      graft.operators.TimeSeries.seasonalNaiveBacktest(
-        graft.operators.TimeSeries.dailyCounts(
-          spark.read.parquet(path), groupCol, col(tsCol)),
-        groupCol, period)
-        .orderBy(col(groupCol)).collect().foreach { r =>
-          println(s"[snaive] ${r.get(0)}: n=${r.getLong(1)} " +
-            s"mae_micro=${r.getLong(2)} smape_micro=${r.getLong(3)}")
-        }
-      done(spark)
-
-    // Krippendorff's alpha over a long (item, value) rating table
-    case "alpha" :: path :: itemCol :: valueCol :: Nil =>
-      import org.apache.spark.sql.functions.col
-      val spark = session()
-      val r = graft.operators.Relational.krippendorffAlpha(
-        spark.read.parquet(path), col(itemCol), col(valueCol)).head()
-      println(s"[alpha] n_items=${r.getLong(0)} " +
-        s"n_ratings=${r.getLong(1)} do_micro=${r.getLong(2)} " +
-        s"de_micro=${r.getLong(3)} alpha_micro=${r.get(4)}")
-      done(spark)
-
-    // Benjamini-Hochberg FDR over a (id, p_micro) hypothesis table
-    case "bh" :: path :: idCol :: pCol :: rest =>
-      import org.apache.spark.sql.functions.col
-      val alpha = rest.headOption.map(_.toLong).getOrElse(50000L)
-      val spark = session()
-      val out = graft.operators.Relational.bhFdr(
-        spark.read.parquet(path), idCol, col(pCol), alpha)
-      val n = out.filter(col("discovered")).count()
-      println(s"[bh] $n discoveries at alpha_micro=$alpha")
-      out.orderBy(col("rank")).collect().take(20).foreach { r =>
-        println(s"  rank=${r.getAs[Int]("rank")} " +
-          s"${r.get(0)} p_micro=${r.getAs[Long](pCol)} " +
-          s"discovered=${r.getAs[Boolean]("discovered")}")
-      }
-      done(spark)
-
-    // blocking-quality report: prefix/suffix name-half keys vs truth
-    case "blocking-eval" :: path :: idCol :: truthCol :: nameCol ::
-        rest =>
-      import org.apache.spark.sql.functions.{col, substring}
-      val halfLen = rest.headOption.map(_.toInt).getOrElse(6)
-      val spark = session()
-      graft.text.Dedup.blockingQuality(
-        spark.read.parquet(path), idCol, truthCol, Seq(
-          "first_half" -> substring(col(nameCol), 1, halfLen),
-          "second_half" -> substring(col(nameCol), halfLen + 1, halfLen)))
-        .collect().foreach { r =>
-          println(s"[blocking-eval] ${r.getString(0)}: " +
-            s"candidates=${r.getLong(1)} truth=${r.getLong(2)} " +
-            s"covered=${r.getLong(3)} reduction=${r.getDouble(4)} " +
-            s"completeness=${r.getDouble(5)}")
-        }
-      done(spark)
-
-    // personalized PageRank from a seed list
-    case "ppr" :: edgesPath :: seedsPath :: outDir :: rest =>
-      import org.apache.spark.sql.functions.col
-      val iters = rest.headOption.map(_.toInt).getOrElse(5)
-      val damping = rest.drop(1).headOption.map(_.toDouble)
-        .getOrElse(0.85)
-      val spark = session()
-      val edges = spark.read.parquet(edgesPath).select("src", "dst")
-      val nodes = edges.select(col("src").as("id"))
-        .union(edges.select(col("dst").as("id"))).distinct()
-      val seeds = spark.read.parquet(seedsPath)
-      val ranks = graft.operators.LinkGraph.personalizedPageRankExact(
-        nodes, edges, seeds, iters, damping)
-      ranks.write.mode("overwrite").parquet(outDir)
-      println(s"[ppr] $iters iters from ${seeds.count()} seeds -> " +
-        outDir)
-      spark.read.parquet(outDir).orderBy(col("rank").desc).limit(5)
-        .collect().foreach { r =>
-          println(f"  ${r.get(0)}%-24s ${r.getDouble(1)}%.8f") }
-      done(spark)
-
-    // Mann-Whitney U rank-sum test: groupCol (boolean) splits sides
-    case "mwu" :: path :: valCol :: groupCol :: Nil =>
-      import org.apache.spark.sql.functions.col
-      val spark = session()
-      val r = graft.operators.Relational.mannWhitneyU(
-        spark.read.parquet(path).filter(col(valCol).isNotNull),
-        col(groupCol).cast("boolean"), col(valCol)).head()
-      println(s"[mwu] n_a=${r.getLong(0)} n_b=${r.getLong(1)} " +
-        s"u_a_x2=${r.getLong(2)} u_b_x2=${r.getLong(3)} " +
-        s"r_rb_micro=${r.getLong(4)} z_micro=${r.get(5)}")
-      done(spark)
-
-    // exact Gini concentration of an integer value column
-    case "gini" :: path :: valCol :: Nil =>
-      import org.apache.spark.sql.functions.col
-      val spark = session()
-      val r = graft.operators.Relational.giniIndex(
-        spark.read.parquet(path), col(valCol)).head()
-      println(s"[gini] n=${r.getLong(0)} total=${r.getLong(1)} " +
-        s"gini_micro=${r.get(2)}")
-      done(spark)
-
-    // Jensen-Shannon divergence between two sides of a flag column
-    case "jsd" :: path :: catCol :: flagCol :: Nil =>
-      import org.apache.spark.sql.functions.col
-      val spark = session()
-      val r = graft.operators.Relational.jsDivergenceTotal(
-        spark.read.parquet(path), col(catCol),
-        col(flagCol).cast("boolean")).head()
-      println(s"[jsd] n_categories=${r.getLong(0)} " +
-        s"js_micro=${r.get(1)}")
-      done(spark)
-
-    // Cramér's V association strength of two categorical columns
-    case "cramers" :: path :: rowCol :: colCol :: Nil =>
-      val spark = session()
-      val r = graft.operators.Relational.cramersV(
-        spark.read.parquet(path), rowCol, colCol).head()
-      println(s"[cramers] n=${r.getLong(0)} " +
-        s"dims=${r.getLong(1)}x${r.getLong(2)} " +
-        s"chi2_micro=${r.getLong(3)} v_micro=${r.getLong(4)}")
-      done(spark)
-
-    // Adamic-Adar link prediction: top-k likely missing edges
-    case "adamic" :: edgesPath :: rest =>
-      import org.apache.spark.sql.functions.col
-      val topK = rest.headOption.map(_.toInt).getOrElse(20)
-      val spark = session()
-      graft.operators.LinkGraph.adamicAdar(
-        spark.read.parquet(edgesPath).select("src", "dst"), topK)
-        .collect().foreach { r =>
-          println(s"[adamic] ${r.get(0)} -- ${r.get(1)}: " +
-            s"common=${r.getAs[Long]("n_common")} " +
-            s"aa_micro=${r.getAs[Long]("aa_micro")}")
-        }
-      done(spark)
-
-    // mutual information + NMI between two categorical columns
-    case "mi" :: path :: xCol :: yCol :: Nil =>
-      import org.apache.spark.sql.functions.col
-      val spark = session()
-      val r = graft.operators.Relational.mutualInformation(
-        spark.read.parquet(path), col(xCol), col(yCol)).head()
-      println(s"[mi] n=${r.getLong(0)} n_x=${r.getLong(1)} " +
-        s"n_y=${r.getLong(2)} mi_micro=${r.getLong(3)} " +
-        s"hx_micro=${r.getLong(4)} hy_micro=${r.getLong(5)} " +
-        s"nmi_micro=${r.get(6)}")
-      done(spark)
-
-    // McNemar paired-classifier test over boolean pred/label columns
-    case "mcnemar" :: path :: predACol :: predBCol :: labelCol :: Nil =>
-      import org.apache.spark.sql.functions.col
-      val spark = session()
-      val r = graft.operators.Relational.mcNemar(
-        spark.read.parquet(path), col(predACol).cast("boolean"),
-        col(predBCol).cast("boolean"), col(labelCol).cast("boolean"))
-        .head()
-      println(s"[mcnemar] n=${r.getLong(0)} b_only=${r.getLong(1)} " +
-        s"c_only=${r.getLong(2)} chi2_micro=${r.get(3)} " +
-        s"chi2_cc_micro=${r.get(4)}")
-      done(spark)
-
-    // restricted mean survival time at a day horizon
-    case "rmst" :: path :: userCol :: tau :: rest =>
-      import org.apache.spark.sql.functions.col
-      val tsCol = rest.headOption.getOrElse("ts")
-      val spark = session()
-      val r = graft.operators.TimeSeries.rmst(
-        spark.read.parquet(path), userCol, col(tsCol), tau.toLong)
-        .head()
-      println(s"[rmst] tau_day=${r.getLong(0)} " +
-        s"n_users=${r.getLong(1)} rmst_micro=${r.getLong(2)}")
-      done(spark)
-
-    // degree assortativity: do hubs link to hubs?
-    case "assortativity" :: edgesPath :: Nil =>
-      val spark = session()
-      val r = graft.operators.LinkGraph.degreeAssortativity(
-        spark.read.parquet(edgesPath).select("src", "dst")).head()
-      println(s"[assortativity] n_nodes=${r.getLong(0)} " +
-        s"n_edges=${r.getLong(1)} r_micro=${r.get(2)}")
-      done(spark)
-
-    // Newman modularity of a community assignment over an edge list
-    case "modularity" :: edgesPath :: assignPath :: Nil =>
-      val spark = session()
-      val rows = graft.operators.LinkGraph.modularity(
-        spark.read.parquet(edgesPath).select("src", "dst"),
-        spark.read.parquet(assignPath).select("id", "community"))
-        .collect()
-      var total = 0L
-      rows.sortBy(_.get(0).toString).foreach { r =>
-        total += r.getAs[Long]("q_term_micro")
-        println(s"[modularity] community=${r.get(0)} " +
-          s"n_nodes=${r.getAs[Long]("n_nodes")} " +
-          s"e_in=${r.getAs[Long]("e_in")} " +
-          s"d_tot=${r.getAs[Long]("d_tot")} " +
-          s"q_term_micro=${r.getAs[Long]("q_term_micro")}")
-      }
-      println(s"[modularity] total_q_micro=$total")
-      done(spark)
-
-    // unsupervised Fellegi-Sunter: Winkler-EM weights from UNLABELED
-    // candidate pairs (boolean comparison-field columns)
-    case "fs-em" :: pairsPath :: fieldsCsv :: rest =>
-      import org.apache.spark.sql.functions.col
-      val iters = rest.headOption.map(_.toInt).getOrElse(5)
-      val fields = fieldsCsv.split(',').toSeq.filter(_.nonEmpty)
-      require(fields.nonEmpty, "usage: fs-em <pairs> <f1,f2,...> [iters]")
-      val spark = session()
-      graft.text.Dedup.fellegiSunterEM(
-        spark.read.parquet(pairsPath),
-        fields.map(f => f -> col(f).cast("boolean")), iters)
-        .collect().foreach { r =>
-          println(s"[fs-em] ${r.getString(0)}: " +
-            s"p_micro=${r.getLong(1)} m_micro=${r.getLong(2)} " +
-            s"u_micro=${r.getLong(3)} w_agree=${r.getLong(4)} " +
-            s"w_disagree=${r.getLong(5)}")
-        }
-      done(spark)
-
-    // Kendall tau-b rank correlation of two integer columns
-    case "kendall" :: path :: aCol :: bCol :: Nil =>
-      import org.apache.spark.sql.functions.col
-      val spark = session()
-      val r = graft.operators.Relational.kendallTauB(
-        spark.read.parquet(path), col(aCol), col(bCol)).head()
-      println(s"[kendall] n=${r.getLong(0)} cells=${r.getLong(1)} " +
-        s"c=${r.getLong(2)} d=${r.getLong(3)} tau_b_micro=${r.get(4)}")
-      done(spark)
-
-    // Cohen's d / Hedges' g effect size between two sides of a flag
-    case "cohend" :: path :: valCol :: groupCol :: Nil =>
-      import org.apache.spark.sql.functions.col
-      val spark = session()
-      val r = graft.operators.Relational.cohensD(
-        spark.read.parquet(path).filter(col(valCol).isNotNull),
-        col(groupCol).cast("boolean"), col(valCol)).head()
-      println(s"[cohend] n_a=${r.getLong(0)} n_b=${r.getLong(1)} " +
-        s"mean_a_micro=${r.getLong(2)} mean_b_micro=${r.getLong(3)} " +
-        s"d_micro=${r.get(4)} g_micro=${r.get(5)}")
-      done(spark)
-
-    // log-rank two-group survival test over user lifetimes
-    case "logrank" :: path :: userCol :: flagCol :: rest =>
-      import org.apache.spark.sql.functions.col
-      val tsCol = rest.headOption.getOrElse("ts")
-      val spark = session()
-      val r = graft.operators.TimeSeries.logRankTest(
-        spark.read.parquet(path), userCol, col(tsCol),
-        col(flagCol).cast("boolean")).head()
-      println(s"[logrank] n_users=${r.getLong(0)} n_a=${r.getLong(1)} " +
-        s"o_a=${r.getLong(2)} e_a_micro=${r.getLong(3)} " +
-        s"v_micro=${r.getLong(4)} z_micro=${r.get(5)} " +
-        s"chi2_micro=${r.get(6)}")
-      done(spark)
-
-    // trimmed + winsorized means of an integer value column
-    case "trimmed" :: path :: valCol :: rest =>
-      import org.apache.spark.sql.functions.col
-      val trim = rest.headOption.map(_.toLong).getOrElse(100000L)
-      val spark = session()
-      val r = graft.operators.Relational.trimmedMeans(
-        spark.read.parquet(path).filter(col(valCol).isNotNull),
-        col(valCol), trim).head()
-      println(s"[trimmed] n=${r.getLong(0)} k=${r.getLong(1)} " +
-        s"mean_micro=${r.getLong(2)} trimmed_micro=${r.get(3)} " +
-        s"winsorized_micro=${r.get(4)}")
-      done(spark)
-
-    // one-way ANOVA F + eta² across the groups of a category column
-    case "anova" :: path :: valCol :: groupCol :: Nil =>
-      import org.apache.spark.sql.functions.col
-      val spark = session()
-      val r = graft.operators.Relational.anovaF(
-        spark.read.parquet(path).filter(col(valCol).isNotNull),
-        col(groupCol), col(valCol)).head()
-      println(s"[anova] k=${r.getLong(0)} n=${r.getLong(1)} " +
-        s"ssb_milli=${r.getLong(2)} ssw_milli=${r.getLong(3)} " +
-        s"sst_milli=${r.getLong(4)} f_micro=${r.get(5)} " +
-        s"eta2_micro=${r.get(6)}")
-      done(spark)
-
-    // Levene homogeneity-of-variance W across a category column
-    case "levene" :: path :: valCol :: groupCol :: Nil =>
-      import org.apache.spark.sql.functions.col
-      val spark = session()
-      val r = graft.operators.Relational.leveneW(
-        spark.read.parquet(path).filter(col(valCol).isNotNull),
-        col(groupCol), col(valCol)).head()
-      println(s"[levene] k=${r.getLong(0)} n=${r.getLong(1)} " +
-        s"ssb_milli=${r.getLong(2)} ssw_milli=${r.getLong(3)} " +
-        s"w_micro=${r.get(4)}")
-      done(spark)
-
-    // isotonic (PAV) calibration fit over a micro-score column
-    case "isotonic" :: path :: scoreCol :: labelCol :: rest =>
-      import org.apache.spark.sql.functions.col
-      val bins = rest.headOption.map(_.toInt).getOrElse(100)
-      val spark = session()
-      val fit = graft.text.Classifier.isotonicFit(
-        spark.read.parquet(path), col(scoreCol),
-        col(labelCol).cast("boolean"), bins)
-      fit.orderBy(col("bin")).collect().foreach { r =>
-        println(s"[isotonic] bin=${r.getLong(0)} n=${r.getLong(1)} " +
-          s"pos=${r.getLong(2)} cal_micro=${r.getLong(3)}")
-      }
-      done(spark)
-
-    // quantile normalization: map each group's values onto the pooled
-    // distribution by rank; writes the (grp, v) -> norm_v map
-    case "qnorm" :: path :: valCol :: groupCol :: outDir :: Nil =>
-      import org.apache.spark.sql.functions.col
-      val spark = session()
-      val m = graft.operators.Relational.quantileNormalize(
-        spark.read.parquet(path).filter(col(valCol).isNotNull),
-        col(groupCol), col(valCol))
-      m.write.mode("overwrite").parquet(outDir)
-      println(s"[qnorm] ${spark.read.parquet(outDir).count()} " +
-        s"(group, value) cells mapped -> $outDir")
-      done(spark)
-
-    // Kruskal-Wallis H rank test across the groups of a category column
-    case "kruskal" :: path :: valCol :: groupCol :: Nil =>
-      import org.apache.spark.sql.functions.col
-      val spark = session()
-      val r = graft.operators.Relational.kruskalWallisH(
-        spark.read.parquet(path).filter(col(valCol).isNotNull),
-        col(groupCol), col(valCol)).head()
-      println(s"[kruskal] k=${r.getLong(0)} n=${r.getLong(1)} " +
-        s"h_micro=${r.get(2)} h_tie_micro=${r.get(3)}")
-      done(spark)
-
-    // Chao1 + Good-Turing vocabulary-richness report over a corpus
-    case "vocab-richness" :: path :: rest =>
-      val spark = session()
-      val r = graft.text.TextOps.vocabRichness(
-        loadCorpus(spark, path, rest), "text").head()
-      println(s"[vocab-richness] n_tokens=${r.getLong(0)} " +
-        s"n_types=${r.getLong(1)} f1=${r.getLong(2)} " +
-        s"f2=${r.getLong(3)} chao1_micro=${r.getLong(4)} " +
-        s"coverage_micro=${r.getLong(5)}")
-      done(spark)
-
-    // Poisson-bootstrap CI for a mean (the distributed bootstrap)
-    case "bootstrap-ci" :: path :: keyCol :: valCol :: rest =>
-      import org.apache.spark.sql.functions.col
-      val b = rest.headOption.map(_.toInt).getOrElse(32)
-      val alpha = rest.drop(1).headOption.map(_.toLong)
-        .getOrElse(100000L)
-      val spark = session()
-      val r = graft.operators.Relational.poissonBootstrapCI(
-        spark.read.parquet(path).filter(col(valCol).isNotNull),
-        col(keyCol), col(valCol), b, alpha).head()
-      println(s"[bootstrap-ci] n=${r.getLong(0)} B=${r.getLong(1)} " +
-        s"mean_micro=${r.getLong(2)} " +
-        s"ci_micro=[${r.get(3)}, ${r.get(4)}]")
-      done(spark)
-
     // object-store-safe pool upsert: stage + ONE marker PUT commits
     case "pool-commit" :: input :: poolRoot :: rest =>
       val spark = session()
@@ -2713,7 +2748,9 @@ object Main {
           "isotonic <parquet> <scoreMicroCol> <labelCol> [bins] | " +
           "sign-append <corpus> <indexDir> | " +
           "sign-delete <idsParquet> <indexDir> [idCol] | " +
-          "sign-compact <indexDir>")
+          "sign-compact <indexDir> | " +
+          "mad <parquet> <valCol> | " +
+          "propz <parquet> <boolGroupCol> <successCol>")
       sys.exit(2)
   }
 

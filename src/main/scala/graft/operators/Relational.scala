@@ -2781,6 +2781,100 @@ object Relational {
           lit(1000000.0)).cast("long")).as("nmi_micro"))
   }
 
+  /** Median absolute deviation (Hampel 1974's robust scale — the
+    * [[trimmedMeans]] family's spread sibling): MAD = median(|x −
+    * median(x)|), with the consistency-scaled σ̂ = 1.4826·MAD that
+    * replaces a whale-sensitive standard deviation in outlier fences.
+    *
+    * Exactness: both medians come off DISTINCT-VALUE cumulative
+    * tables (the q36 bounded-value-space discipline — the only
+    * windows); even-n medians average the two middle values EXACTLY
+    * in micro units ((va+vb)·5e5); deviations are exact integer
+    * |x·1e6 − med_micro|; σ̂ is the single double chain. Output (one
+    * row): `(n, median_micro, mad_micro, sigma_micro)`.
+    */
+  def medianAbsDeviation(df: DataFrame, valueInt: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def medianMicro(d: DataFrame, v: Column): DataFrame = {
+      val cells = d.groupBy(v.as("_mv")).agg(count(lit(1)).as("_cnt"))
+      val w = Window.orderBy(col("_mv"))
+      val cum = cells.select(col("_mv"),
+        sum(col("_cnt")).over(w).as("_cend"))
+        .crossJoin(broadcast(cells.agg(sum(col("_cnt")).as("_n"))))
+      // 1-based middle ranks k1 = ⌈n/2⌉ (2·cend ≥ n) and
+      // k2 = ⌊n/2⌋+1 (2·cend ≥ n+1) — equal when n is odd
+      cum.agg(max(col("_n")).as("_n"),
+        min(when(col("_cend") * 2L >= col("_n"), col("_mv")))
+          .as("_va"),
+        min(when(col("_cend") * 2L >= col("_n") + 1L, col("_mv")))
+          .as("_vb"))
+        .select(col("_n"),
+          ((col("_va") + col("_vb")) * 500000L).as("_med_micro"))
+    }
+    val d = df.select(valueInt.cast("long").as("_v"))
+    val m1 = medianMicro(d, col("_v")).localCheckpoint()
+    val dev = d.crossJoin(broadcast(m1))
+      .select(abs(col("_v") * 1000000L - col("_med_micro")).as("_dev"))
+    val m2 = medianMicro(dev, col("_dev"))
+    m1.crossJoin(broadcast(m2.select(col("_med_micro").as("_mad"))))
+      .select(col("_n").as("n"), col("_med_micro").as("median_micro"),
+        // the deviation median is already in micro of micro-units:
+        // _dev values are micro, so its median_micro carries an extra
+        // 1e6 — divide back down EXACTLY (subtract the remainder
+        // first so the double division is an exact integer quotient,
+        // the trimmedMeans pmod discipline)
+        ((col("_mad") - pmod(col("_mad"), lit(1000000L))) / 1000000L)
+          .cast("long").as("mad_micro"),
+        round(((col("_mad") - pmod(col("_mad"), lit(1000000L))) /
+          1000000L).cast("double") * lit(1.4826))
+          .cast("long").as("sigma_micro"))
+  }
+
+  /** Two-proportion z-test + Wald interval — the conversion-rate A/B
+    * readout ([[welchTTest]] is the means flavor): pooled-variance z
+    * for the hypothesis test, UNpooled standard error for the 95%
+    * CI on the difference (the standard pairing). One aggregation
+    * pass, exact integer counts, two fixed double chains. Output
+    * (one row): `(n_a, n_b, x_a, x_b, diff_micro, z_micro, lo_micro,
+    * hi_micro)` — NULL z/CI when degenerate (an empty side or a
+    * pooled rate of 0 or 1).
+    */
+  def twoProportionZ(df: DataFrame, isA: Column, success: Column)
+      : DataFrame = {
+    val d = df.select(isA.as("_a"), success.cast("long").as("_x"))
+    val m = d.agg(
+      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("_a"), col("_x")).otherwise(0L)).as("x_a"),
+      sum(when(!col("_a"), col("_x")).otherwise(0L)).as("x_b"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val pa = col("x_a").cast("double") / na
+    val pb = col("x_b").cast("double") / nb
+    val pool = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val z = (pa - pb) /
+      sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / na + lit(1.0) / nb))
+    val se = sqrt(pa * (lit(1.0) - pa) / na +
+      pb * (lit(1.0) - pb) / nb)
+    val zCrit = lit(1.959964) // two-sided 95%
+    val degenerate = col("n_a") === 0L || col("n_b") === 0L ||
+      pool <= 0.0 || pool >= 1.0
+    m.select(col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+      when(col("n_a") === 0L || col("n_b") === 0L,
+          lit(null).cast("long"))
+        .otherwise(round((pa - pb) * lit(1000000.0)).cast("long"))
+        .as("diff_micro"),
+      when(degenerate, lit(null).cast("long"))
+        .otherwise(round(z * lit(1000000.0)).cast("long"))
+        .as("z_micro"),
+      when(degenerate, lit(null).cast("long"))
+        .otherwise(round((pa - pb - zCrit * se) * lit(1000000.0))
+          .cast("long")).as("lo_micro"),
+      when(degenerate, lit(null).cast("long"))
+        .otherwise(round((pa - pb + zCrit * se) * lit(1000000.0))
+          .cast("long")).as("hi_micro"))
+  }
+
   /** Quantile normalization across groups (the expression-array
     * classic, Bolstad et al. 2003, in its reference-distribution
     * form): every group's value distribution maps onto the POOLED

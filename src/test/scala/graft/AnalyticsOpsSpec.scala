@@ -631,6 +631,47 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(gt == Map(5L -> 5L, 9L -> 9L), gt)
   }
 
+  test("medianAbsDeviation: hand odd/even medians, whale immunity") {
+    val odd = Seq(1L, 2L, 3L, 4L, 100L).toDF("v")
+    val r = Relational.medianAbsDeviation(odd, col("v")).head()
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Long]("median_micro") == 3000000L, r)
+    assert(r.getAs[Long]("mad_micro") == 1000000L, r)
+    assert(r.getAs[Long]("sigma_micro") == 1482600L, r)
+    // the whale can grow 1000×: nothing moves
+    val whale = Seq(1L, 2L, 3L, 4L, 100000L).toDF("v")
+    val rw = Relational.medianAbsDeviation(whale, col("v")).head()
+    assert(rw.getAs[Long]("median_micro") == 3000000L &&
+      rw.getAs[Long]("mad_micro") == 1000000L, rw)
+    // even n: median and MAD average the two middles exactly
+    val even = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val re = Relational.medianAbsDeviation(even, col("v")).head()
+    assert(re.getAs[Long]("median_micro") == 2500000L, re)
+    assert(re.getAs[Long]("mad_micro") == 1000000L, re)
+  }
+
+  test("twoProportionZ: hand pooled z and unpooled Wald CI; " +
+    "degenerate pooled rate NULL") {
+    val df = ((1 to 6).map(_ => (true, 1L)) ++
+      (1 to 4).map(_ => (true, 0L)) ++
+      (1 to 4).map(_ => (false, 1L)) ++
+      (1 to 6).map(_ => (false, 0L))).toDF("ga", "x")
+    val r = Relational.twoProportionZ(df, col("ga"), col("x")).head()
+    assert(r.getAs[Long]("n_a") == 10L && r.getAs[Long]("x_a") == 6L)
+    assert(r.getAs[Long]("diff_micro") == 200000L, r)
+    val z = 0.2 / math.sqrt(0.5 * 0.5 * 0.2)
+    assert(r.getAs[Long]("z_micro") == math.round(z * 1e6), r)
+    val se = math.sqrt(0.6 * 0.4 / 10.0 + 0.4 * 0.6 / 10.0)
+    assert(r.getAs[Long]("lo_micro") ==
+      math.round((0.2 - 1.959964 * se) * 1e6), r)
+    assert(r.getAs[Long]("hi_micro") ==
+      math.round((0.2 + 1.959964 * se) * 1e6), r)
+    // everyone converts: pooled rate 1 → no variance, NULL
+    val allWin = Seq((true, 1L), (false, 1L)).toDF("ga", "x")
+    assert(Relational.twoProportionZ(allWin, col("ga"), col("x"))
+      .head().isNullAt(5))
+  }
+
   test("mcNemar: hand discordant counts; no-discordance NULL") {
     // label always true; A right on 1-6, B right on 2-7 of 1-8:
     // b = A&!B = {1}, c = !A&B = {7} → wait, craft explicitly below

@@ -552,6 +552,8 @@ class CliSmokeSpec extends SparkSpec {
       .toDF("s", "y").write.mode("overwrite").parquet(isoPath)
     graft.cli.Main.main(Array("isotonic", isoPath, "s", "y", "10"))
     graft.cli.Main.main(Array("wsample", statsPath, "id", "v", "5"))
+    graft.cli.Main.main(Array("mad", statsPath, "v"))
+    graft.cli.Main.main(Array("propz", mcPath, "pa", "y"))
     // train a tiny model, then the one-row calibration summary on it
     val wDir = tmpDir("cli-r11weights")
     graft.cli.Main.main(Array("train", corpusPath, "source", "src1",

@@ -193,8 +193,9 @@ class PlanGateSpec extends SparkSpec {
       "q278_log_rank", // q241's bounded distinct-lifetime suffix windows
       "q281_kruskal_wallis", // MWU's distinct-cent rank window
       "q287_rmst", // q241's bounded distinct-lifetime KM windows
-      "q292_quantile_normalize") // pooled distinct-cent cumulative
+      "q292_quantile_normalize", // pooled distinct-cent cumulative
                                  // window (value-space-bounded, q36)
+      "q294_mad") // two distinct-value cumulative medians (q36)
     val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
       "q125_streaming_funnel_replay", "q129_streaming_retention_replay",
       "q244_streaming_agg_replay", "q248_preflight_artifact",
@@ -319,6 +320,7 @@ class PlanGateSpec extends SparkSpec {
       "q292_quantile_normalize", // bounded group cells × broadcast
                                  // bounded pooled cells (interval
                                  // containment is non-equi)
+      "q294_mad",            // rows × broadcast 1-row median scalars
       "q287_rmst",           // q241's lifetime × broadcast 1-row
                              // horizon/totals/moment shapes
       "q271_cramers_v",      // q228's margin-grid crossJoin (r-row ×
