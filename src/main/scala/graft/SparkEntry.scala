@@ -4919,6 +4919,17 @@ object SparkEntry {
       pmod(col("user_id"), lit(2L)) === 0, col("converted"))
   }
 
+  /** DISTRIBUTED logistic-regression training under the hash gate:
+    * two full-batch GD iterations over 8-dim hashing-trick features
+    * (one corpus pass per iteration, (dim+1)-row broadcast weights,
+    * micro-snapped residuals, exact integer gradients) — the oracle
+    * unrolls the identical iterations as CTEs, so the learned weights
+    * hash-gate bit-exactly.
+    */
+  def q296_logistic_fit(s: SparkSession, dir: String): DataFrame =
+    graft.text.Classifier.logisticFit(docs(s, dir), "text", "doc_id",
+      col("text").contains("data"), dim = 8, iters = 2)
+
   /** One-row ECE / MCE / Brier calibration summary of q179's served
     * naive-Bayes classifier — exact integer bucket gaps, decimal
     * Brier moment, three closing divisions.
@@ -5292,7 +5303,8 @@ object SparkEntry {
     "q292_quantile_normalize" -> (q292_quantile_normalize(_, _)),
     "q293_signed_index_lifecycle" -> (q293_signed_index_lifecycle(_, _)),
     "q294_mad" -> (q294_mad(_, _)),
-    "q295_two_proportion" -> (q295_two_proportion(_, _)))
+    "q295_two_proportion" -> (q295_two_proportion(_, _)),
+    "q296_logistic_fit" -> (q296_logistic_fit(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -564,6 +564,25 @@ object Main {
         s"(group, value) cells mapped -> $outDir")
       done(spark)
 
+    // distributed logistic-regression training over hashed features
+    case "logistic" :: corpus :: labelCol :: labelValue :: outDir ::
+        rest =>
+      import org.apache.spark.sql.functions.col
+      val dim = rest.headOption.map(_.toInt).getOrElse(16)
+      val iters = rest.drop(1).headOption.map(_.toInt).getOrElse(3)
+      val spark = session()
+      val df = loadCorpus(spark, corpus, rest.drop(2))
+      val w = graft.text.Classifier.logisticFit(df, "text", "doc_id",
+        col(labelCol) === labelValue, dim, iters)
+      w.write.mode("overwrite").parquet(outDir)
+      println(s"[logistic] dim=$dim iters=$iters -> $outDir")
+      spark.read.parquet(outDir).orderBy(col("idx")).collect()
+        .foreach { r =>
+          println(f"[logistic]   idx=${r.getLong(0)}%3d " +
+            f"w=${r.getLong(1) / 1e6}%+.6f")
+        }
+      done(spark)
+
     // median + MAD + robust sigma of an integer value column
     case "mad" :: path :: valCol :: Nil =>
       import org.apache.spark.sql.functions.col
@@ -2750,7 +2769,9 @@ object Main {
           "sign-delete <idsParquet> <indexDir> [idCol] | " +
           "sign-compact <indexDir> | " +
           "mad <parquet> <valCol> | " +
-          "propz <parquet> <boolGroupCol> <successCol>")
+          "propz <parquet> <boolGroupCol> <successCol> | " +
+          "logistic <corpus> <labelCol> <labelValue> <outDir> " +
+          "[dim] [iters]")
       sys.exit(2)
   }
 

@@ -379,6 +379,86 @@ object Classifier {
         lit(1000000.0)).cast("long").as("brier_micro"))
   }
 
+  /** Logistic-regression quality filter, trained DISTRIBUTED with
+    * fixed-iteration full-batch gradient descent over hashing-trick
+    * features (Weinberger et al. 2009 features + the classic GD — the
+    * trainable counterpart of [[trainNaiveBayes]], for labels NB's
+    * conditional-independence assumption fits badly).
+    *
+    * Exactness + scale (the q126/q266 in-plan-iteration discipline):
+    * the SPARSE feature table `(doc, idx, x)` is built once (signed
+    * md5 hash counts — the q263 chain) and persisted; each iteration
+    * is ONE corpus pass — margins via a broadcast join against the
+    * (dim+1)-row weight table (exact integer `Σ x·w_micro`), the
+    * sigmoid ONE fixed IEEE chain per doc, residuals micro-snapped
+    * BEFORE the exact per-dim gradient sums, and the weight update
+    * `Δw_micro = round(η · Σ(x·r_micro) / N)` one double chain per
+    * dim. Weights localCheckpoint per iteration (bounded model
+    * metadata), so `iters` never re-derives iteration 0 — the whole
+    * fit replays bit-identically in a SQL oracle that unrolls the
+    * iterations as CTEs. Returns `(idx, w_micro)` with the intercept
+    * at idx = −1.
+    */
+  def logisticFit(df: DataFrame, textCol: String, idCol: String,
+      label: Column, dim: Int = 16, iters: Int = 3, lr: Double = 1.0,
+      tokenizer: Column => Column = TextOps.tokensSimple): DataFrame = {
+    require(dim >= 1 && iters >= 1, s"bad dim=$dim iters=$iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("_id"),
+      when(label, 1L).otherwise(0L).as("_y"),
+      tokenizer(col(textCol)).as("_toks"))
+    val docsY = base.select(col("_id"), col("_y")).persist()
+    val h = TextOps.hash32(concat(lit("hf:"), col("_tok")))
+    val feats = base.select(col("_id"),
+      explode(col("_toks")).as("_tok"))
+      .select(col("_id"), pmod(h, lit(dim.toLong)).as("_idx"),
+        when(pmod(shiftrightunsigned(h, 16), lit(2L)) === 0L, lit(1L))
+          .otherwise(lit(-1L)).as("_sgn"))
+      .groupBy(col("_id"), col("_idx"))
+      .agg(sum(col("_sgn")).as("_x"))
+      .filter(col("_x") =!= 0L)
+      .persist() // one corpus pass per iteration probes it
+    val n = docsY.count()
+    var w = ((-1L until dim.toLong).map(i => (i, 0L)))
+      .toDF("idx", "w_micro").localCheckpoint()
+    for (_ <- 1 to iters) {
+      val dot = feats
+        .join(broadcast(w.filter(col("idx") >= 0L)
+          .select(col("idx").as("_idx"), col("w_micro"))), Seq("_idx"))
+        .groupBy(col("_id"))
+        .agg(sum(col("_x") * col("w_micro")).as("_dot"))
+      val bias = w.filter(col("idx") === -1L)
+        .select(col("w_micro").as("_b"))
+      val resid = docsY
+        .join(dot, Seq("_id"), "left")
+        .crossJoin(broadcast(bias))
+        .select(col("_id"),
+          round((col("_y").cast("double") -
+            lit(1.0) / (lit(1.0) + exp(
+              -(coalesce(col("_dot"), lit(0L)) + col("_b"))
+                .cast("double") / lit(1000000.0)))) *
+            lit(1000000.0)).cast("long").as("_r"))
+        .persist() // dim gradients + the bias gradient
+      val gDims = feats.join(resid, Seq("_id"))
+        .groupBy(col("_idx").as("idx"))
+        .agg(sum(col("_x") * col("_r")).as("_g"))
+      val gBias = resid.agg(sum(col("_r")).as("_g"))
+        .select(lit(-1L).as("idx"), col("_g"))
+      val next = w.join(gBias.unionByName(gDims), Seq("idx"), "left")
+        .select(col("idx"),
+          (col("w_micro") + coalesce(
+            round(lit(lr) * col("_g").cast("double") /
+              lit(n.toDouble)).cast("long"), lit(0L))).as("w_micro"))
+        .localCheckpoint()
+      resid.unpersist()
+      w = next
+    }
+    docsY.unpersist()
+    feats.unpersist()
+    w
+  }
+
   /** Isotonic calibration via pool-adjacent-violators (PAV; Ayer et
     * al. 1955, the Zadrozny & Elkan 2002 classifier recipe) — the FIX
     * for what [[calibrationSummary]] measures: learn the monotone map

@@ -207,6 +207,39 @@ class ClassifierSpec extends SparkSpec {
     assert(s.getAs[Long]("ece_micro") < 300000L, s)
   }
 
+  test("logisticFit: learned weights separate a separable corpus, " +
+    "sharpen with iterations, and are partitioning-invariant") {
+    val docs = ((0 until 25).map(i => (i.toLong, "good stuff here")) ++
+      (25 until 50).map(i => (i.toLong, "bad junk there")))
+      .toDF("doc_id", "text")
+    val y = col("text").contains("good")
+    def margin(w: Map[Long, Long], text: String): Long = {
+      val toks = text.split(" ")
+      val feats = toks.groupBy(t => {
+        val h = java.lang.Long.parseLong(org.apache.commons.codec
+          .digest.DigestUtils.md5Hex("hf:" + t).take(8), 16)
+        (h % 8, if ((h >> 16) % 2 == 0) 1L else -1L)
+      }).map { case ((idx, sgn), ts) => idx -> sgn * ts.length }
+      feats.map { case (i, x) => x * w.getOrElse(i, 0L) }.sum + w(-1L)
+    }
+    def fit(iters: Int, parts: Int = 4) = Classifier.logisticFit(
+      docs.repartition(parts), "text", "doc_id", y, dim = 8,
+      iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w2 = fit(2)
+    assert(w2.size == 9 && w2.contains(-1L))
+    // the positive doc must out-margin the negative one
+    val mPos = margin(w2, "good stuff here")
+    val mNeg = margin(w2, "bad junk there")
+    assert(mPos > mNeg, s"$mPos !> $mNeg")
+    // more iterations push the margins further apart
+    val w5 = fit(5)
+    assert(margin(w5, "good stuff here") -
+      margin(w5, "bad junk there") > mPos - mNeg)
+    // physical layout cannot move the fit
+    assert(fit(2, parts = 1) == w2 && fit(2, parts = 16) == w2)
+  }
+
   test("isotonicFit: PAV pools the violator run to the exact merged " +
     "rate, leaves monotone input alone; applyCalibration forward-" +
     "fills and preserves row multiplicity") {

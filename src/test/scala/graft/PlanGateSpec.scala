@@ -201,7 +201,8 @@ class PlanGateSpec extends SparkSpec {
       "q244_streaming_agg_replay", "q248_preflight_artifact",
       "q249_streaming_latency_replay", "q265_pq_index_delete",
       "q272_streaming_sessions_replay", "q290_bm25_index",
-      "q291_bm25_index_delete", "q293_signed_index_lifecycle")
+      "q291_bm25_index_delete", "q293_signed_index_lifecycle",
+      "q296_logistic_fit")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalWindowWhitelist.contains)
@@ -234,7 +235,8 @@ class PlanGateSpec extends SparkSpec {
       "q244_streaming_agg_replay", "q248_preflight_artifact",
       "q249_streaming_latency_replay", "q265_pq_index_delete",
       "q272_streaming_sessions_replay", "q290_bm25_index",
-      "q291_bm25_index_delete", "q293_signed_index_lifecycle")
+      "q291_bm25_index_delete", "q293_signed_index_lifecycle",
+      "q296_logistic_fit")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalSortWhitelist.contains)
