@@ -1347,6 +1347,58 @@ object OracleSql {
          |SELECT query_id, doc_id, rn::INTEGER AS rank, score_pico
          |FROM r WHERE rn <= 10""".stripMargin
 
+  /** q296's logistic-fit SQL — nested as a CTE by q297's serving
+    * oracle. */
+  private val q296LogisticSql: String =
+    """WITH t AS (SELECT doc_id,
+        |    CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END AS y,
+        |    string_split(text, ' ') AS w
+        |  FROM documents),
+        |n AS (SELECT count(*)::BIGINT AS n FROM t),
+        |e AS (SELECT doc_id, u.tok FROM t, unnest(w) AS u(tok)),
+        |hh AS (SELECT doc_id,
+        |    (('0x' || substr(md5('hf:' || tok), 1, 8))
+        |      ::UBIGINT)::BIGINT AS hv
+        |  FROM e),
+        |f AS (SELECT * FROM (
+        |    SELECT doc_id, hv % 8 AS idx,
+        |      sum(CASE WHEN (hv // 65536) % 2 = 0 THEN 1 ELSE -1 END)
+        |        ::BIGINT AS x
+        |    FROM hh GROUP BY 1, 2) WHERE x <> 0),
+        |dims AS (SELECT unnest(range(0, 8)) AS idx),
+        |r1 AS (SELECT doc_id,
+        |    (round((y::DOUBLE - 1.0 / (1.0 + exp(-(0)::DOUBLE
+        |      / 1000000.0))) * 1000000.0))::BIGINT AS r
+        |  FROM t),
+        |g1 AS (SELECT idx, sum(x * r)::BIGINT AS g
+        |  FROM f JOIN r1 USING (doc_id) GROUP BY 1),
+        |b1 AS (SELECT sum(r)::BIGINT AS g FROM r1),
+        |w1d AS (SELECT d.idx,
+        |    coalesce((round(1.0 * g1.g::DOUBLE / n.n::DOUBLE))
+        |      ::BIGINT, 0) AS wm
+        |  FROM dims d CROSS JOIN n LEFT JOIN g1 ON g1.idx = d.idx),
+        |w1b AS (SELECT (round(1.0 * b1.g::DOUBLE / n.n::DOUBLE))
+        |    ::BIGINT AS wm FROM b1, n),
+        |dot2 AS (SELECT f.doc_id, sum(f.x * w1d.wm)::BIGINT AS dot
+        |  FROM f JOIN w1d ON w1d.idx = f.idx GROUP BY 1),
+        |r2 AS (SELECT t.doc_id,
+        |    (round((t.y::DOUBLE - 1.0 / (1.0 +
+        |      exp(-(coalesce(dot2.dot, 0) + w1b.wm)::DOUBLE
+        |        / 1000000.0))) * 1000000.0))::BIGINT AS r
+        |  FROM t LEFT JOIN dot2 USING (doc_id) CROSS JOIN w1b),
+        |g2 AS (SELECT idx, sum(x * r)::BIGINT AS g
+        |  FROM f JOIN r2 USING (doc_id) GROUP BY 1),
+        |b2 AS (SELECT sum(r)::BIGINT AS g FROM r2)
+        |SELECT w1d.idx::BIGINT AS idx,
+        |  (w1d.wm + coalesce((round(1.0 * g2.g::DOUBLE
+        |    / n.n::DOUBLE))::BIGINT, 0))::BIGINT AS w_micro
+        |FROM w1d CROSS JOIN n LEFT JOIN g2 ON g2.idx = w1d.idx
+        |UNION ALL
+        |SELECT (-1)::BIGINT AS idx,
+        |  (w1b.wm + (round(1.0 * b2.g::DOUBLE / n.n::DOUBLE))
+        |    ::BIGINT)::BIGINT AS w_micro
+        |FROM w1b, b2, n""".stripMargin
+
   val all: Map[String, String] = Map(
     "q57_clean_corpus" -> q57,
     "q99_removal_audit" -> q99,
@@ -7310,12 +7362,14 @@ object OracleSql {
 
     // Logistic fit: two GD iterations unrolled as CTEs — the q263
     // feature chain, micro residuals, exact gradients, 1/N updates
-    "q296_logistic_fit" ->
-      """WITH t AS (SELECT doc_id,
-        |    CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END AS y,
-        |    string_split(text, ' ') AS w
+    "q296_logistic_fit" -> q296LogisticSql,
+
+    // q296's model SERVED: the training SQL nested as a CTE, scoring
+    // through the identical sigmoid chain, per-source keep report
+    "q297_logistic_filter" ->
+      s"""WITH wts AS ($q296LogisticSql),
+        |t AS (SELECT doc_id, source, string_split(text, ' ') AS w
         |  FROM documents),
-        |n AS (SELECT count(*)::BIGINT AS n FROM t),
         |e AS (SELECT doc_id, u.tok FROM t, unnest(w) AS u(tok)),
         |hh AS (SELECT doc_id,
         |    (('0x' || substr(md5('hf:' || tok), 1, 8))
@@ -7326,41 +7380,23 @@ object OracleSql {
         |      sum(CASE WHEN (hv // 65536) % 2 = 0 THEN 1 ELSE -1 END)
         |        ::BIGINT AS x
         |    FROM hh GROUP BY 1, 2) WHERE x <> 0),
-        |dims AS (SELECT unnest(range(0, 8)) AS idx),
-        |r1 AS (SELECT doc_id,
-        |    (round((y::DOUBLE - 1.0 / (1.0 + exp(-(0)::DOUBLE
-        |      / 1000000.0))) * 1000000.0))::BIGINT AS r
-        |  FROM t),
-        |g1 AS (SELECT idx, sum(x * r)::BIGINT AS g
-        |  FROM f JOIN r1 USING (doc_id) GROUP BY 1),
-        |b1 AS (SELECT sum(r)::BIGINT AS g FROM r1),
-        |w1d AS (SELECT d.idx,
-        |    coalesce((round(1.0 * g1.g::DOUBLE / n.n::DOUBLE))
-        |      ::BIGINT, 0) AS wm
-        |  FROM dims d CROSS JOIN n LEFT JOIN g1 ON g1.idx = d.idx),
-        |w1b AS (SELECT (round(1.0 * b1.g::DOUBLE / n.n::DOUBLE))
-        |    ::BIGINT AS wm FROM b1, n),
-        |dot2 AS (SELECT f.doc_id, sum(f.x * w1d.wm)::BIGINT AS dot
-        |  FROM f JOIN w1d ON w1d.idx = f.idx GROUP BY 1),
-        |r2 AS (SELECT t.doc_id,
-        |    (round((t.y::DOUBLE - 1.0 / (1.0 +
-        |      exp(-(coalesce(dot2.dot, 0) + w1b.wm)::DOUBLE
-        |        / 1000000.0))) * 1000000.0))::BIGINT AS r
-        |  FROM t LEFT JOIN dot2 USING (doc_id) CROSS JOIN w1b),
-        |g2 AS (SELECT idx, sum(x * r)::BIGINT AS g
-        |  FROM f JOIN r2 USING (doc_id) GROUP BY 1),
-        |b2 AS (SELECT sum(r)::BIGINT AS g FROM r2)
-        |SELECT w1d.idx::BIGINT AS idx,
-        |  (w1d.wm + coalesce((round(1.0 * g2.g::DOUBLE
-        |    / n.n::DOUBLE))::BIGINT, 0))::BIGINT AS w_micro
-        |FROM w1d CROSS JOIN n LEFT JOIN g2 ON g2.idx = w1d.idx
-        |UNION ALL
-        |SELECT (-1)::BIGINT AS idx,
-        |  (w1b.wm + (round(1.0 * b2.g::DOUBLE / n.n::DOUBLE))
-        |    ::BIGINT)::BIGINT AS w_micro
-        |FROM w1b, b2, n""".stripMargin,
+        |dot AS (SELECT f.doc_id, sum(f.x * wts.w_micro)::BIGINT
+        |      AS dot
+        |  FROM f JOIN wts ON wts.idx = f.idx AND wts.idx >= 0
+        |  GROUP BY 1),
+        |b AS (SELECT w_micro AS b FROM wts WHERE idx = -1),
+        |sc AS (SELECT t.doc_id, t.source,
+        |    (round(1000000.0 / (1.0 +
+        |      exp(-(coalesce(dot.dot, 0) + b.b)::DOUBLE
+        |        / 1000000.0))))::BIGINT AS s
+        |  FROM t LEFT JOIN dot USING (doc_id) CROSS JOIN b)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN s >= 500000 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_kept,
+        |  sum(s)::BIGINT AS score_sum_micro
+        |FROM sc GROUP BY 1""".stripMargin,
 
-    // MAD: two distinct-value cumulative medians, exact even-n
+        // MAD: two distinct-value cumulative medians, exact even-n
     // middles, one 1.4826 chain
     "q294_mad" ->
       """WITH d AS (SELECT round(value * 100)::BIGINT AS v

@@ -4930,6 +4930,25 @@ object SparkEntry {
     graft.text.Classifier.logisticFit(docs(s, dir), "text", "doc_id",
       col("text").contains("data"), dim = 8, iters = 2)
 
+  /** q296's model SERVED as a quality filter: train, score every
+    * document, report per-source volume / kept-at-0.5 / mean score —
+    * the keep-rate table a filter rollout reviews. The oracle nests
+    * the full training SQL as a CTE and scores through the identical
+    * sigmoid chain.
+    */
+  def q297_logistic_filter(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val w = graft.text.Classifier.logisticFit(d, "text", "doc_id",
+      col("text").contains("data"), dim = 8, iters = 2)
+    graft.text.Classifier.logisticScore(d, "text", "doc_id", w)
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score_micro") >= 500000L, 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(col("score_micro")).as("score_sum_micro"))
+  }
+
   /** One-row ECE / MCE / Brier calibration summary of q179's served
     * naive-Bayes classifier — exact integer bucket gaps, decimal
     * Brier moment, three closing divisions.
@@ -5304,7 +5323,8 @@ object SparkEntry {
     "q293_signed_index_lifecycle" -> (q293_signed_index_lifecycle(_, _)),
     "q294_mad" -> (q294_mad(_, _)),
     "q295_two_proportion" -> (q295_two_proportion(_, _)),
-    "q296_logistic_fit" -> (q296_logistic_fit(_, _)))
+    "q296_logistic_fit" -> (q296_logistic_fit(_, _)),
+    "q297_logistic_filter" -> (q297_logistic_filter(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

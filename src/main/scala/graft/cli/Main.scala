@@ -583,6 +583,17 @@ object Main {
         }
       done(spark)
 
+    // score a corpus through persisted logistic weights
+    case "logistic-score" :: corpus :: weightsDir :: outDir :: rest =>
+      val spark = session()
+      val df = loadCorpus(spark, corpus, rest)
+      val w = spark.read.parquet(weightsDir)
+      graft.text.Classifier.logisticScore(df, "text", "doc_id", w)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[logistic-score] " +
+        s"${spark.read.parquet(outDir).count()} docs scored -> $outDir")
+      done(spark)
+
     // median + MAD + robust sigma of an integer value column
     case "mad" :: path :: valCol :: Nil =>
       import org.apache.spark.sql.functions.col
@@ -2771,7 +2782,8 @@ object Main {
           "mad <parquet> <valCol> | " +
           "propz <parquet> <boolGroupCol> <successCol> | " +
           "logistic <corpus> <labelCol> <labelValue> <outDir> " +
-          "[dim] [iters]")
+          "[dim] [iters] | " +
+          "logistic-score <corpus> <weightsDir> <outDir>")
       sys.exit(2)
   }
 

@@ -459,6 +459,43 @@ object Classifier {
     w
   }
 
+  /** Serve a [[logisticFit]] model: per-document
+    * `score = σ(Σ x·w_micro + b_micro)` — the margin an exact integer
+    * dot product against the broadcast weight table (dim inferred
+    * from the weights), the sigmoid ONE fixed IEEE chain
+    * micro-snapped, so scored output hash-gates with the training
+    * oracle's scoring CTE. Returns `(idCol, score_micro)`.
+    */
+  def logisticScore(df: DataFrame, textCol: String, idCol: String,
+      weights: DataFrame,
+      tokenizer: Column => Column = TextOps.tokensSimple): DataFrame = {
+    val dims = weights.filter(col("idx") >= 0L)
+    val dim = dims.agg(max(col("idx"))).head().getLong(0) + 1L
+    val h = TextOps.hash32(concat(lit("hf:"), col("_tok")))
+    val feats = df.select(col(idCol), explode(tokenizer(col(textCol)))
+        .as("_tok"))
+      .select(col(idCol), pmod(h, lit(dim)).as("_idx"),
+        when(pmod(shiftrightunsigned(h, 16), lit(2L)) === 0L, lit(1L))
+          .otherwise(lit(-1L)).as("_sgn"))
+      .groupBy(col(idCol), col("_idx"))
+      .agg(sum(col("_sgn")).as("_x"))
+      .filter(col("_x") =!= 0L)
+    val dot = feats
+      .join(broadcast(dims.select(col("idx").as("_idx"),
+        col("w_micro"))), Seq("_idx"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_x") * col("w_micro")).as("_dot"))
+    val bias = weights.filter(col("idx") === -1L)
+      .select(col("w_micro").as("_b"))
+    df.select(col(idCol)).join(dot, Seq(idCol), "left")
+      .crossJoin(broadcast(bias))
+      .select(col(idCol),
+        round(lit(1000000.0) / (lit(1.0) + exp(
+          -(coalesce(col("_dot"), lit(0L)) + col("_b"))
+            .cast("double") / lit(1000000.0)))).cast("long")
+          .as("score_micro"))
+  }
+
   /** Isotonic calibration via pool-adjacent-violators (PAV; Ayer et
     * al. 1955, the Zadrozny & Elkan 2002 classifier recipe) — the FIX
     * for what [[calibrationSummary]] measures: learn the monotone map

@@ -238,6 +238,16 @@ class ClassifierSpec extends SparkSpec {
       margin(w5, "bad junk there") > mPos - mNeg)
     // physical layout cannot move the fit
     assert(fit(2, parts = 1) == w2 && fit(2, parts = 16) == w2)
+    // serving: scores match the hand margin through the same sigmoid,
+    // and the separable corpus splits around 0.5
+    val wDf = Classifier.logisticFit(docs, "text", "doc_id", y,
+      dim = 8, iters = 2)
+    val scores = Classifier.logisticScore(docs, "text", "doc_id", wDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expPos = math.round(1e6 /
+      (1.0 + math.exp(-margin(w2, "good stuff here") / 1e6)))
+    assert(scores(0L) == expPos, s"${scores(0L)} != $expPos")
+    assert(scores(0L) > 500000L && scores(49L) < 500000L, scores)
   }
 
   test("isotonicFit: PAV pools the violator run to the exact merged " +

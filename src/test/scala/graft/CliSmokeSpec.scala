@@ -563,6 +563,9 @@ class CliSmokeSpec extends SparkSpec {
     val lrDir = tmpDir("cli-r11lr-w")
     graft.cli.Main.main(Array("logistic", corpusPath, "source", "src1",
       lrDir, "8", "2"))
+    val lrScores = tmpDir("cli-r11lr-s")
+    graft.cli.Main.main(Array("logistic-score", corpusPath, lrDir,
+      lrScores))
     val bmDir = s"${tmpDir("cli-r11bm25")}/idx"
     graft.cli.Main.main(Array("bm25-index", corpusPath, bmDir, "8"))
     graft.cli.Main.main(Array("bm25-query", bmDir, "shared,token3", "5"))

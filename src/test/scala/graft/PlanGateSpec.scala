@@ -202,7 +202,7 @@ class PlanGateSpec extends SparkSpec {
       "q249_streaming_latency_replay", "q265_pq_index_delete",
       "q272_streaming_sessions_replay", "q290_bm25_index",
       "q291_bm25_index_delete", "q293_signed_index_lifecycle",
-      "q296_logistic_fit")
+      "q296_logistic_fit", "q297_logistic_filter")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalWindowWhitelist.contains)
@@ -236,7 +236,7 @@ class PlanGateSpec extends SparkSpec {
       "q249_streaming_latency_replay", "q265_pq_index_delete",
       "q272_streaming_sessions_replay", "q290_bm25_index",
       "q291_bm25_index_delete", "q293_signed_index_lifecycle",
-      "q296_logistic_fit")
+      "q296_logistic_fit", "q297_logistic_filter")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalSortWhitelist.contains)
@@ -323,6 +323,9 @@ class PlanGateSpec extends SparkSpec {
                                  // bounded pooled cells (interval
                                  // containment is non-equi)
       "q294_mad",            // rows × broadcast 1-row median scalars
+      "q297_logistic_filter", // scored rows × broadcast 1-row
+                              // intercept (training is eager; serving
+                              // is the plan)
       "q287_rmst",           // q241's lifetime × broadcast 1-row
                              // horizon/totals/moment shapes
       "q271_cramers_v",      // q228's margin-grid crossJoin (r-row ×
