@@ -7360,6 +7360,28 @@ object OracleSql {
     // pooled cumulative intervals, cross-multiplied exact integers
     "q293_signed_index_lifecycle" -> q293,
 
+    // Cochran's Q: exact integer row/column success moments, one ratio
+    "q298_cochran_q" ->
+      """WITH d AS (SELECT
+        |    CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS p0,
+        |    CASE WHEN len(string_split(text, ' ')) > 50 THEN 1
+        |      ELSE 0 END AS p1,
+        |    CASE WHEN text LIKE '%the%' THEN 1 ELSE 0 END AS p2
+        |  FROM documents),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    sum(p0)::HUGEINT AS c0, sum(p1)::HUGEINT AS c1,
+        |    sum(p2)::HUGEINT AS c2,
+        |    sum(p0 + p1 + p2)::HUGEINT AS nn,
+        |    sum((p0 + p1 + p2)::HUGEINT * (p0 + p1 + p2)) AS r2
+        |  FROM d)
+        |SELECT n, 3::BIGINT AS k,
+        |  CASE WHEN 3 * nn - r2 <= 0 THEN NULL ELSE
+        |    (round((2 * (3 * (c0 * c0 + c1 * c1 + c2 * c2)
+        |        - nn * nn))::DOUBLE
+        |      / (3 * nn - r2)::DOUBLE * 1000000.0))::BIGINT END
+        |    AS q_micro
+        |FROM m""".stripMargin,
+
     // Logistic fit: two GD iterations unrolled as CTEs — the q263
     // feature chain, micro residuals, exact gradients, 1/N updates
     "q296_logistic_fit" -> q296LogisticSql,

@@ -4949,6 +4949,19 @@ object SparkEntry {
         sum(col("score_micro")).as("score_sum_micro"))
   }
 
+  /** Cochran's Q over three document classifiers scored on the SAME
+    * corpus (char-length, token-count, keyword) — the k-way "do the
+    * filters differ at all" gate before pairwise McNemar drill-downs.
+    * All counts exact integers; one closing ratio.
+    */
+  def q298_cochran_q(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Relational.cochranQ(d, Seq(
+      col("n_chars") > 300,
+      size(split(col("text"), " ")) > 50,
+      col("text").contains("the")))
+  }
+
   /** One-row ECE / MCE / Brier calibration summary of q179's served
     * naive-Bayes classifier — exact integer bucket gaps, decimal
     * Brier moment, three closing divisions.
@@ -5324,7 +5337,8 @@ object SparkEntry {
     "q294_mad" -> (q294_mad(_, _)),
     "q295_two_proportion" -> (q295_two_proportion(_, _)),
     "q296_logistic_fit" -> (q296_logistic_fit(_, _)),
-    "q297_logistic_filter" -> (q297_logistic_filter(_, _)))
+    "q297_logistic_filter" -> (q297_logistic_filter(_, _)),
+    "q298_cochran_q" -> (q298_cochran_q(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -594,6 +594,18 @@ object Main {
         s"${spark.read.parquet(outDir).count()} docs scored -> $outDir")
       done(spark)
 
+    // Cochran's Q across k boolean prediction columns
+    case "cochran" :: path :: predsCsv :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val preds = predsCsv.split(',').toSeq
+        .map(c => col(c).cast("boolean"))
+      val r = graft.operators.Relational.cochranQ(
+        spark.read.parquet(path), preds).head()
+      println(s"[cochran] n=${r.getLong(0)} k=${r.getLong(1)} " +
+        s"q_micro=${r.get(2)}")
+      done(spark)
+
     // median + MAD + robust sigma of an integer value column
     case "mad" :: path :: valCol :: Nil =>
       import org.apache.spark.sql.functions.col
@@ -2783,7 +2795,8 @@ object Main {
           "propz <parquet> <boolGroupCol> <successCol> | " +
           "logistic <corpus> <labelCol> <labelValue> <outDir> " +
           "[dim] [iters] | " +
-          "logistic-score <corpus> <weightsDir> <outDir>")
+          "logistic-score <corpus> <weightsDir> <outDir> | " +
+          "cochran <parquet> <predCol1,predCol2,...>")
       sys.exit(2)
   }
 

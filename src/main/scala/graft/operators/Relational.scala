@@ -2875,6 +2875,41 @@ object Relational {
           .cast("long")).as("hi_micro"))
   }
 
+  /** Cochran's Q test (1950) — [[mcNemar]]'s k-treatment
+    * generalization: do k paired binary classifiers (or k filter
+    * variants scored on the SAME items) differ at all?
+    *
+    *   Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)
+    *
+    * with C_j the per-treatment success counts, R_i the per-item
+    * success counts, N the grand total — ALL exact integers off ONE
+    * aggregation pass (R_i and R_i² fold per row in the scan stage),
+    * so only the final ratio is a double. Output (one row):
+    * `(n, k, q_micro)` — NULL when the denominator is 0 (every item
+    * all-success or all-failure). Reduces to McNemar's χ² at k = 2.
+    */
+  def cochranQ(df: DataFrame, preds: Seq[Column]): DataFrame = {
+    require(preds.size >= 2, s"need >= 2 treatments, got ${preds.size}")
+    val k = preds.size
+    val bits = preds.map(p => when(p, 1L).otherwise(0L))
+    val r = bits.reduce(_ + _)
+    val dec = "decimal(38,0)"
+    val aggs = bits.zipWithIndex.map { case (b, j) =>
+      sum(b).as(s"_c$j") } ++ Seq(
+      count(lit(1)).as("n"), sum(r).as("_nn"),
+      sum((r * r).cast(dec)).as("_r2"))
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val sumC2 = (0 until k).map(j =>
+      col(s"_c$j").cast(dec) * col(s"_c$j")).reduce(_ + _)
+    val num = lit(k - 1).cast(dec) *
+      (lit(k) * sumC2 - col("_nn").cast(dec) * col("_nn"))
+    val den = lit(k).cast(dec) * col("_nn") - col("_r2")
+    m.select(col("n"), lit(k.toLong).as("k"),
+      when(den <= 0, lit(null).cast("long"))
+        .otherwise(round(num.cast("double") / den.cast("double") *
+          lit(1000000.0)).cast("long")).as("q_micro"))
+  }
+
   /** Quantile normalization across groups (the expression-array
     * classic, Bolstad et al. 2003, in its reference-distribution
     * form): every group's value distribution maps onto the POOLED

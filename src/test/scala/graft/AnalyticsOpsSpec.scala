@@ -672,6 +672,27 @@ class AnalyticsOpsSpec extends SparkSpec {
       .head().isNullAt(5))
   }
 
+  test("cochranQ: hand three-treatment value, exact McNemar " +
+    "reduction at k = 2, uninformative rows NULL") {
+    // C = (4,2,1), N = 7, ΣR² = 15 → Q = 28/6
+    val df = Seq((1L, 1L, 0L), (1L, 0L, 0L), (1L, 1L, 1L),
+      (1L, 0L, 0L)).toDF("a", "b", "c")
+    val r = Relational.cochranQ(df,
+      Seq(col("a") === 1L, col("b") === 1L, col("c") === 1L)).head()
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("q_micro") == 4666667L, r)
+    // k = 2 on the McNemar fixture (b=5, c=1): Q = χ² = 16/6
+    val two = (Seq((1L, 1L)) ++ Seq.fill(5)((1L, 0L)) ++
+      Seq((0L, 1L)) ++ Seq((0L, 0L))).toDF("a", "b")
+    val r2 = Relational.cochranQ(two,
+      Seq(col("a") === 1L, col("b") === 1L)).head()
+    assert(r2.getAs[Long]("q_micro") == 2666667L, r2)
+    // every row all-success or all-failure: zero denominator → NULL
+    val flat = Seq((1L, 1L), (0L, 0L)).toDF("a", "b")
+    assert(Relational.cochranQ(flat,
+      Seq(col("a") === 1L, col("b") === 1L)).head().isNullAt(2))
+  }
+
   test("mcNemar: hand discordant counts; no-discordance NULL") {
     // label always true; A right on 1-6, B right on 2-7 of 1-8:
     // b = A&!B = {1}, c = !A&B = {7} → wait, craft explicitly below

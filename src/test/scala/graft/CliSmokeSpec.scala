@@ -554,6 +554,7 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("wsample", statsPath, "id", "v", "5"))
     graft.cli.Main.main(Array("mad", statsPath, "v"))
     graft.cli.Main.main(Array("propz", mcPath, "pa", "y"))
+    graft.cli.Main.main(Array("cochran", mcPath, "pa,pb,y"))
     // train a tiny model, then the one-row calibration summary on it
     val wDir = tmpDir("cli-r11weights")
     graft.cli.Main.main(Array("train", corpusPath, "source", "src1",
