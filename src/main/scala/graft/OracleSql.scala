@@ -7360,6 +7360,43 @@ object OracleSql {
     // pooled cumulative intervals, cross-multiplied exact integers
     "q293_signed_index_lifecycle" -> q293,
 
+    // Friedman: doubled tie-averaged ranks via pairwise compares,
+    // exact integer moments, one closing ratio
+    "q299_friedman" ->
+      """WITH d AS (SELECT
+        |    (n_chars % 100)::BIGINT AS v0,
+        |    ((len(string_split(text, ' ')) * 3) % 100)::BIGINT AS v1,
+        |    (doc_id % 100)::BIGINT AS v2
+        |  FROM documents),
+        |rk AS (SELECT
+        |    (2 * (1 + (CASE WHEN v1 < v0 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN v2 < v0 THEN 1 ELSE 0 END))
+        |      + (CASE WHEN v1 = v0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v2 = v0 THEN 1 ELSE 0 END))::BIGINT AS r0,
+        |    (2 * (1 + (CASE WHEN v0 < v1 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN v2 < v1 THEN 1 ELSE 0 END))
+        |      + (CASE WHEN v0 = v1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v2 = v1 THEN 1 ELSE 0 END))::BIGINT AS r1,
+        |    (2 * (1 + (CASE WHEN v0 < v2 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN v1 < v2 THEN 1 ELSE 0 END))
+        |      + (CASE WHEN v0 = v2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v1 = v2 THEN 1 ELSE 0 END))::BIGINT AS r2
+        |  FROM d),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    sum(r0)::HUGEINT AS s0, sum(r1)::HUGEINT AS s1,
+        |    sum(r2)::HUGEINT AS s2,
+        |    sum(r0::HUGEINT * r0 + r1::HUGEINT * r1
+        |      + r2::HUGEINT * r2) AS a4
+        |  FROM rk)
+        |SELECT n, 3::BIGINT AS k,
+        |  CASE WHEN a4 - n::HUGEINT * 3 * 16 <= 0 THEN NULL ELSE
+        |    (round(2.0 * ((s0 - n::HUGEINT * 4) * (s0 - n::HUGEINT * 4)
+        |        + (s1 - n::HUGEINT * 4) * (s1 - n::HUGEINT * 4)
+        |        + (s2 - n::HUGEINT * 4) * (s2 - n::HUGEINT * 4))::DOUBLE
+        |      / (a4 - n::HUGEINT * 3 * 16)::DOUBLE * 1000000.0))
+        |      ::BIGINT END AS chi2_micro
+        |FROM m""".stripMargin,
+
     // Cochran's Q: exact integer row/column success moments, one ratio
     "q298_cochran_q" ->
       """WITH d AS (SELECT

@@ -4962,6 +4962,20 @@ object SparkEntry {
       col("text").contains("the")))
   }
 
+  /** Friedman test across three per-document score scales (char,
+    * token, id residues on a shared 0-99 scale) — the blocked-rank
+    * "do the scorers systematically order docs differently" gate;
+    * doubled tie-averaged ranks via scan-stage pairwise compares,
+    * exact integer moments, one closing ratio.
+    */
+  def q299_friedman(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Relational.friedmanChi2(d, Seq(
+      pmod(col("n_chars"), lit(100L)),
+      pmod(size(split(col("text"), " ")) * 3, lit(100)).cast("long"),
+      pmod(col("doc_id"), lit(100L))))
+  }
+
   /** One-row ECE / MCE / Brier calibration summary of q179's served
     * naive-Bayes classifier — exact integer bucket gaps, decimal
     * Brier moment, three closing divisions.
@@ -5338,7 +5352,8 @@ object SparkEntry {
     "q295_two_proportion" -> (q295_two_proportion(_, _)),
     "q296_logistic_fit" -> (q296_logistic_fit(_, _)),
     "q297_logistic_filter" -> (q297_logistic_filter(_, _)),
-    "q298_cochran_q" -> (q298_cochran_q(_, _)))
+    "q298_cochran_q" -> (q298_cochran_q(_, _)),
+    "q299_friedman" -> (q299_friedman(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

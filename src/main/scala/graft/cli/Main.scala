@@ -606,6 +606,17 @@ object Main {
         s"q_micro=${r.get(2)}")
       done(spark)
 
+    // Friedman blocked-rank test across k value columns
+    case "friedman" :: path :: valsCsv :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.friedmanChi2(
+        spark.read.parquet(path),
+        valsCsv.split(',').toSeq.map(col(_))).head()
+      println(s"[friedman] n=${r.getLong(0)} k=${r.getLong(1)} " +
+        s"chi2_micro=${r.get(2)}")
+      done(spark)
+
     // median + MAD + robust sigma of an integer value column
     case "mad" :: path :: valCol :: Nil =>
       import org.apache.spark.sql.functions.col
@@ -2796,7 +2807,8 @@ object Main {
           "logistic <corpus> <labelCol> <labelValue> <outDir> " +
           "[dim] [iters] | " +
           "logistic-score <corpus> <weightsDir> <outDir> | " +
-          "cochran <parquet> <predCol1,predCol2,...>")
+          "cochran <parquet> <predCol1,predCol2,...> | " +
+          "friedman <parquet> <valCol1,valCol2,...>")
       sys.exit(2)
   }
 

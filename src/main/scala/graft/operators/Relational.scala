@@ -2910,6 +2910,59 @@ object Relational {
           lit(1000000.0)).cast("long")).as("q_micro"))
   }
 
+  /** Friedman test (1937, tie-corrected general form) — the
+    * rank-based k-treatment test on BLOCKED data ([[cochranQ]] for
+    * graded scores instead of booleans, [[kruskalWallisH]] when the
+    * samples aren't paired): each block ranks its k treatment values,
+    * and
+    *
+    *   χ²_F = (k−1) · Σ_j (R2_j − n(k+1))² / (Σ r2² − n·k·(k+1)²)
+    *
+    * in DOUBLED ranks (tie-averaged ranks ×2 stay integers:
+    * `r2 = 2·(1 + #less) + #equal-others`), so every moment is an
+    * exact integer computed IN THE SCAN STAGE via k² pairwise column
+    * compares — no window, no shuffle beyond the one fold; the
+    * closing ratio is the only double. Output (one row):
+    * `(n, k, chi2_micro)` — NULL when every block is fully tied.
+    */
+  def friedmanChi2(df: DataFrame, treatments: Seq[Column]): DataFrame = {
+    val k = treatments.size
+    require(k >= 2, s"need >= 2 treatments, got $k")
+    val dec = "decimal(38,0)"
+    val vs = treatments.zipWithIndex.map { case (t, j) =>
+      t.cast("long").as(s"_v$j") }
+    val d = df.select(vs: _*)
+    val r2s = (0 until k).map { j =>
+      val less = (0 until k).filter(_ != j).map(l =>
+        when(col(s"_v$l") < col(s"_v$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val eq = (0 until k).filter(_ != j).map(l =>
+        when(col(s"_v$l") === col(s"_v$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      (lit(2L) * (lit(1L) + less) + eq).as(s"_r2$j")
+    }
+    val ranked = d.select(r2s: _*)
+    val aggs = (0 until k).map(j =>
+      sum(col(s"_r2$j")).as(s"_rs$j")) ++ Seq(
+      count(lit(1)).as("n"),
+      sum((0 until k).map(j =>
+        (col(s"_r2$j") * col(s"_r2$j")).cast(dec)).reduce(_ + _))
+        .as("_a4"))
+    val m = ranked.agg(aggs.head, aggs.tail: _*)
+    val sNum = (0 until k).map { j =>
+      val dev = col(s"_rs$j").cast(dec) -
+        col("n").cast(dec) * lit(k + 1)
+      dev * dev
+    }.reduce(_ + _)
+    val den = col("_a4") -
+      col("n").cast(dec) * lit(k) * lit((k + 1) * (k + 1))
+    m.select(col("n"), lit(k.toLong).as("k"),
+      when(den <= 0, lit(null).cast("long"))
+        .otherwise(round(lit((k - 1).toDouble) *
+          sNum.cast("double") / den.cast("double") *
+          lit(1000000.0)).cast("long")).as("chi2_micro"))
+  }
+
   /** Quantile normalization across groups (the expression-array
     * classic, Bolstad et al. 2003, in its reference-distribution
     * form): every group's value distribution maps onto the POOLED

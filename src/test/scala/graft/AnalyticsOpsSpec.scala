@@ -672,6 +672,26 @@ class AnalyticsOpsSpec extends SparkSpec {
       .head().isNullAt(5))
   }
 
+  test("friedmanChi2: perfect agreement hits the closed form, " +
+    "ties average exactly, fully-tied blocks NULL") {
+    // every block orders t0 < t1 < t2: chi2 = 6 at n = 3, k = 3
+    val agree = Seq((1L, 2L, 3L), (10L, 20L, 30L), (5L, 6L, 7L))
+      .toDF("a", "b", "c")
+    val r = Relational.friedmanChi2(agree,
+      Seq(col("a"), col("b"), col("c"))).head()
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("chi2_micro") == 6000000L, r)
+    // one block with a tie: (1,1,2) → doubled ranks (3,3,6), chi2 = 2
+    val tied = Seq((1L, 1L, 2L)).toDF("a", "b", "c")
+    assert(Relational.friedmanChi2(tied,
+      Seq(col("a"), col("b"), col("c"))).head()
+      .getAs[Long]("chi2_micro") == 2000000L)
+    // every block fully tied: zero rank variance → NULL
+    val flat = Seq((5L, 5L, 5L), (7L, 7L, 7L)).toDF("a", "b", "c")
+    assert(Relational.friedmanChi2(flat,
+      Seq(col("a"), col("b"), col("c"))).head().isNullAt(2))
+  }
+
   test("cochranQ: hand three-treatment value, exact McNemar " +
     "reduction at k = 2, uninformative rows NULL") {
     // C = (4,2,1), N = 7, ΣR² = 15 → Q = 28/6

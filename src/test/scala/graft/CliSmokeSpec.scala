@@ -555,6 +555,10 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("mad", statsPath, "v"))
     graft.cli.Main.main(Array("propz", mcPath, "pa", "y"))
     graft.cli.Main.main(Array("cochran", mcPath, "pa,pb,y"))
+    val frPath = s"${tmpDir("cli-r11fr")}/scores"
+    (1L to 30L).map(i => (i % 9, (i * 3) % 7, (i * 5) % 11))
+      .toDF("s1", "s2", "s3").write.mode("overwrite").parquet(frPath)
+    graft.cli.Main.main(Array("friedman", frPath, "s1,s2,s3"))
     // train a tiny model, then the one-row calibration summary on it
     val wDir = tmpDir("cli-r11weights")
     graft.cli.Main.main(Array("train", corpusPath, "source", "src1",
