@@ -7360,6 +7360,77 @@ object OracleSql {
     // pooled cumulative intervals, cross-multiplied exact integers
     "q293_signed_index_lifecycle" -> q293,
 
+    // q300 flagship: q145's RRF with the dense leg through q18's
+    // BUCKETED ANN arithmetic — both legs replay the persisted-index
+    // serving exactly
+    "q300_persisted_hybrid" -> {
+      val dim = 64
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+         |           FROM documents),
+         |ix AS (SELECT doc_id, greatest(len(w), 0) AS dl,
+         |        unnest(w) AS term FROM d),
+         |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+         |       FROM ix GROUP BY doc_id, term),
+         |st AS (SELECT count(*)::BIGINT AS n,
+         |        (sum(dl)::DOUBLE / count(*)::DOUBLE) AS avgdl
+         |       FROM (SELECT doc_id, min(dl) AS dl FROM tf
+         |             GROUP BY doc_id)),
+         |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+         |idf AS (SELECT term,
+         |        round(ln(((n - dfc)::DOUBLE + 0.5) /
+         |          (dfc::DOUBLE + 0.5) + 1.0) * 1000000.0)::BIGINT
+         |          AS idf_micro
+         |       FROM dfq, st),
+         |q AS (SELECT * FROM (VALUES
+         |        (1::BIGINT, 'spark'), (1, 'join'), (1, 'window'),
+         |        (2, 'slow'), (2, 'query'), (2, 'filter'),
+         |        (3, 'customer'), (3, 'order'), (3, 'the'))
+         |        AS v(query_id, term)),
+         |qi AS (SELECT q.query_id, q.term, idf.idf_micro
+         |       FROM q JOIN idf USING (term)),
+         |sc AS (SELECT qi.query_id, tf.doc_id,
+         |        (qi.idf_micro *
+         |         round(((tf.tf::DOUBLE * ${1.2 + 1.0}) /
+         |           (tf.tf::DOUBLE + ${1.2} * (${1.0 - 0.75} +
+         |            ${0.75} * (tf.dl::DOUBLE / st.avgdl))))
+         |           * 1000000.0)::BIGINT) AS s
+         |       FROM tf JOIN qi USING (term), st),
+         |ag AS (SELECT query_id, doc_id, sum(s)::BIGINT AS score_pico
+         |       FROM sc GROUP BY query_id, doc_id),
+         |br AS (SELECT query_id, doc_id, score_pico,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY score_pico DESC, doc_id ASC) AS rn FROM ag),
+         |bm AS (SELECT query_id AS qid, doc_id AS id, rn AS rank
+         |       FROM br WHERE rn <= 10),
+         |e AS (SELECT vec_id, embedding,
+         |        ${bucketExpr("embedding", 6, dim)} AS bucket
+         |      FROM embeddings),
+         |qv AS (SELECT vec_id AS qid2, embedding AS qv, bucket FROM e
+         |       WHERE vec_id IN (1, 2, 3)),
+         |cvs AS (SELECT vec_id AS cid, embedding AS cv, bucket FROM e),
+         |cp AS (SELECT qid2, cid,
+         |        round(${duckDot("qv", "cv", dim)} /
+         |          (sqrt(${duckDot("qv", "qv", dim)}) *
+         |           sqrt(${duckDot("cv", "cv", dim)})), 6) AS cos_sim
+         |       FROM qv JOIN cvs USING (bucket) WHERE qid2 != cid),
+         |cr AS (SELECT qid2, cid, row_number() OVER (PARTITION BY qid2
+         |        ORDER BY cos_sim DESC, cid) AS rn FROM cp),
+         |cosl AS (SELECT qid2 AS qid, cid AS id, rn AS rank
+         |         FROM cr WHERE rn <= 10),
+         |f AS (SELECT coalesce(bm.qid, cosl.qid) AS qid,
+         |        coalesce(bm.id, cosl.id) AS id,
+         |        round(coalesce(1.0 / (60.0 + bm.rank::DOUBLE), 0.0) +
+         |          coalesce(1.0 / (60.0 + cosl.rank::DOUBLE), 0.0), 6)
+         |          AS rrf
+         |      FROM bm FULL OUTER JOIN cosl
+         |        ON bm.qid = cosl.qid AND bm.id = cosl.id),
+         |fr AS (SELECT qid, id, rrf, row_number() OVER
+         |        (PARTITION BY qid ORDER BY rrf DESC, id) AS rk FROM f)
+         |SELECT qid AS query_id, id AS doc_id, rrf,
+         |  rk::INTEGER AS rank
+         |FROM fr WHERE rk <= 10""".stripMargin
+    },
+
     // Friedman: doubled tie-averaged ranks via pairwise compares,
     // exact integer moments, one closing ratio
     "q299_friedman" ->

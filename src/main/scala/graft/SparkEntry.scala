@@ -4976,6 +4976,57 @@ object SparkEntry {
       pmod(col("doc_id"), lit(100L))))
   }
 
+  /** FLAGSHIP q300 — hybrid retrieval served ENTIRELY from persisted
+    * indexes: the sparse leg from the bucket-partitioned BM25 index
+    * (q290's artifact, written in two generations to exercise the
+    * append path), the dense leg from the persisted SimHash-bucketed
+    * ANN index (partition-pruned probe), fused with reciprocal-rank
+    * fusion. The oracle replays BOTH legs' exact arithmetic (q78's
+    * BM25 chain, q18's md5-hyperplane bucketing + IEEE cosine) and
+    * the RRF chain — the production serving topology (no raw corpus
+    * anywhere at query time) under the hash gate. EAGER (index
+    * writes); temp tree deleted before returning.
+    */
+  def q300_persisted_hybrid(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_hybrid")
+    try {
+      import s.implicits._
+      val pBm = base.resolve("bm25").toString
+      val pAnn = base.resolve("ann").toString
+      val d = docs(s, dir)
+      graft.text.Bm25.writeBm25Index(
+        d.filter(col("doc_id") % 2 === 0), "text", "doc_id", pBm,
+        buckets = 16)
+      graft.text.Bm25.appendToBm25Index(
+        d.filter(col("doc_id") % 2 =!= 0), "text", "doc_id", pBm)
+      val emb = t(s, dir, "embeddings")
+      SimSearch.writeAnnIndex(emb, pAnn, "vec_id", "embedding",
+        planes = 6, dim = 64)
+      val queries = Seq(
+        (1L, "spark"), (1L, "join"), (1L, "window"),
+        (2L, "slow"), (2L, "query"), (2L, "filter"),
+        (3L, "customer"), (3L, "order"), (3L, "the"))
+        .toDF("query_id", "term")
+      val bm = graft.text.Bm25.topKFromIndex(s, pBm, queries,
+        "query_id", "doc_id", k = 10)
+        .select(col("query_id").as("qid"), col("doc_id").as("id"),
+          col("rank"))
+      val cos = SimSearch.annTopKFromIndex(
+        SimSearch.readAnnIndex(s, pAnn),
+        emb.filter(col("vec_id").isin(1L, 2L, 3L)),
+        "vec_id", "embedding", k = 10, planes = 6, dim = 64)
+        .select(col("qid"), col("neighbor").as("id"),
+          (col("rank") + 1).as("rank")) // 0-based -> 1-based
+      SimSearch.rrfFuse(Seq(bm, cos), k = 10)
+        .select(col("qid").as("query_id"), col("id").as("doc_id"),
+          col("rrf"), col("rank")).localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** One-row ECE / MCE / Brier calibration summary of q179's served
     * naive-Bayes classifier — exact integer bucket gaps, decimal
     * Brier moment, three closing divisions.
@@ -5353,7 +5404,8 @@ object SparkEntry {
     "q296_logistic_fit" -> (q296_logistic_fit(_, _)),
     "q297_logistic_filter" -> (q297_logistic_filter(_, _)),
     "q298_cochran_q" -> (q298_cochran_q(_, _)),
-    "q299_friedman" -> (q299_friedman(_, _)))
+    "q299_friedman" -> (q299_friedman(_, _)),
+    "q300_persisted_hybrid" -> (q300_persisted_hybrid(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -202,7 +202,8 @@ class PlanGateSpec extends SparkSpec {
       "q249_streaming_latency_replay", "q265_pq_index_delete",
       "q272_streaming_sessions_replay", "q290_bm25_index",
       "q291_bm25_index_delete", "q293_signed_index_lifecycle",
-      "q296_logistic_fit", "q297_logistic_filter")
+      "q296_logistic_fit", "q297_logistic_filter",
+      "q300_persisted_hybrid")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalWindowWhitelist.contains)
@@ -236,7 +237,8 @@ class PlanGateSpec extends SparkSpec {
       "q249_streaming_latency_replay", "q265_pq_index_delete",
       "q272_streaming_sessions_replay", "q290_bm25_index",
       "q291_bm25_index_delete", "q293_signed_index_lifecycle",
-      "q296_logistic_fit", "q297_logistic_filter")
+      "q296_logistic_fit", "q297_logistic_filter",
+      "q300_persisted_hybrid")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalSortWhitelist.contains)

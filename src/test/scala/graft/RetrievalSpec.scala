@@ -119,6 +119,39 @@ class RetrievalSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/tombstones").exists())
   }
 
+  test("persisted hybrid: RRF over the BM25 + ANN index artifacts is " +
+    "row-identical to the same legs computed in memory") {
+    import graft.sim.SimSearch
+    val bmDir = s"${tmpDir("hyb-bm")}/idx"
+    val annDir = s"${tmpDir("hyb-ann")}/idx"
+    Bm25.writeBm25Index(corpus, "text", "doc_id", bmDir, buckets = 8)
+    val emb = (0L until 12L).map(i => (i, Array.tabulate(8)(d =>
+      (((i * 7 + d * 3) % 11).toFloat - 5.0f) / 3.0f)))
+      .toDF("vec_id", "embedding")
+    SimSearch.writeAnnIndex(emb, annDir, "vec_id", "embedding",
+      planes = 4, dim = 8)
+    val queries = Seq((1L, "spark"), (2L, "pasta"))
+      .toDF("query_id", "term")
+    def legs(bm: org.apache.spark.sql.DataFrame,
+        cos: org.apache.spark.sql.DataFrame) =
+      SimSearch.rrfFuse(Seq(
+        bm.select(col("query_id").as("qid"), col("doc_id").as("id"),
+          col("rank")),
+        cos.select(col("qid"), col("neighbor").as("id"),
+          (col("rank") + 1).as("rank"))), k = 10)
+        .collect().toSet
+    val qEmb = emb.filter(col("vec_id").isin(1L, 2L))
+    val persisted = legs(
+      Bm25.topKFromIndex(spark, bmDir, queries, "query_id", "doc_id"),
+      SimSearch.annTopKFromIndex(SimSearch.readAnnIndex(spark, annDir),
+        qEmb, "vec_id", "embedding", k = 10, planes = 4, dim = 8))
+    val inMemory = legs(
+      Bm25.search(corpus, "text", "doc_id", queries, "query_id"),
+      SimSearch.annTopK(emb, "vec_id", "embedding",
+        col("vec_id").isin(1L, 2L), k = 10, planes = 4, dim = 8))
+    assert(persisted == inMemory && persisted.nonEmpty)
+  }
+
   test("fimSplit: prefix+middle+suffix reassemble every doc; cuts are " +
     "deterministic per seed and move with it") {
     val out = TextOps.fimSplit(corpus, "text", "doc_id", seed = 17L)
