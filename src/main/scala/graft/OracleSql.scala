@@ -1399,6 +1399,65 @@ object OracleSql {
         |    ::BIGINT)::BIGINT AS w_micro
         |FROM w1b, b2, n""".stripMargin
 
+  /** q278's log-rank SQL — wrapped by q302's hazard-ratio oracle. */
+  private val q278LogRankSql: String =
+    """WITH d AS (SELECT user_id AS u,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS dd,
+        |    (user_id % 2 = 0) AS ga
+        |  FROM events),
+        |us AS (SELECT u, min(dd) AS f, max(dd) AS l,
+        |    bool_or(ga) AS a
+        |  FROM d GROUP BY 1),
+        |h AS (SELECT max(l) AS h FROM us),
+        |lt AS (SELECT (us.l - us.f + 1)::BIGINT AS t_day,
+        |    (CASE WHEN us.l = h.h THEN 1 ELSE 0 END)::BIGINT AS cens,
+        |    us.a
+        |  FROM us, h),
+        |pt AS (SELECT t_day, count(*)::BIGINT AS ends,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS ends_a,
+        |    (count(*) - sum(cens))::BIGINT AS dt,
+        |    sum(CASE WHEN a AND cens = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS da
+        |  FROM lt GROUP BY 1),
+        |tot AS (SELECT sum(ends)::BIGINT AS n,
+        |    sum(ends_a)::BIGINT AS na FROM pt),
+        |ar AS (SELECT pt.*,
+        |    (tot.n - coalesce(sum(ends) OVER (ORDER BY t_day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      ::BIGINT AS rn,
+        |    (tot.na - coalesce(sum(ends_a) OVER (ORDER BY t_day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      ::BIGINT AS rna
+        |  FROM pt, tot),
+        |terms AS (SELECT da,
+        |    (round(dt::DOUBLE * (rna::DOUBLE / rn::DOUBLE)
+        |      * 1000000.0))::BIGINT AS e,
+        |    CASE WHEN rn <= 1 THEN 0 ELSE
+        |      (round(dt::DOUBLE * (rna::DOUBLE / rn::DOUBLE) *
+        |        (1.0 - rna::DOUBLE / rn::DOUBLE) *
+        |        (rn - dt)::DOUBLE / (rn - 1)::DOUBLE * 1000000.0))
+        |        ::BIGINT END AS v
+        |  FROM ar WHERE dt > 0),
+        |m AS (SELECT coalesce(sum(da), 0)::BIGINT AS o_a,
+        |    coalesce(sum(e), 0)::BIGINT AS e_a_micro,
+        |    coalesce(sum(v), 0)::BIGINT AS v_micro
+        |  FROM terms),
+        |c AS (SELECT count(*)::BIGINT AS n_users,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a
+        |  FROM us)
+        |SELECT n_users, n_a, o_a, e_a_micro, v_micro,
+        |  CASE WHEN v_micro <= 0 THEN NULL ELSE
+        |    (round(((o_a * 1000000 - e_a_micro)::DOUBLE / 1000000.0)
+        |      / sqrt(v_micro::DOUBLE / 1000000.0) * 1000000.0))
+        |      ::BIGINT END AS z_micro,
+        |  CASE WHEN v_micro <= 0 THEN NULL ELSE
+        |    (round((((o_a * 1000000 - e_a_micro)::DOUBLE / 1000000.0)
+        |      / sqrt(v_micro::DOUBLE / 1000000.0)) *
+        |      (((o_a * 1000000 - e_a_micro)::DOUBLE / 1000000.0)
+        |      / sqrt(v_micro::DOUBLE / 1000000.0)) * 1000000.0))
+        |      ::BIGINT END AS chi2_micro
+        |FROM c, m""".stripMargin
+
   val all: Map[String, String] = Map(
     "q57_clean_corpus" -> q57,
     "q99_removal_audit" -> q99,
@@ -6908,65 +6967,8 @@ object OracleSql {
 
     // Log-rank: q241's censored-lifetime CTEs split by group, per-time
     // hypergeometric e/v micro terms summed exactly, one z/chi2 chain
-    "q278_log_rank" ->
-      """WITH d AS (SELECT user_id AS u,
-        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS dd,
-        |    (user_id % 2 = 0) AS ga
-        |  FROM events),
-        |us AS (SELECT u, min(dd) AS f, max(dd) AS l,
-        |    bool_or(ga) AS a
-        |  FROM d GROUP BY 1),
-        |h AS (SELECT max(l) AS h FROM us),
-        |lt AS (SELECT (us.l - us.f + 1)::BIGINT AS t_day,
-        |    (CASE WHEN us.l = h.h THEN 1 ELSE 0 END)::BIGINT AS cens,
-        |    us.a
-        |  FROM us, h),
-        |pt AS (SELECT t_day, count(*)::BIGINT AS ends,
-        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS ends_a,
-        |    (count(*) - sum(cens))::BIGINT AS dt,
-        |    sum(CASE WHEN a AND cens = 0 THEN 1 ELSE 0 END)::BIGINT
-        |      AS da
-        |  FROM lt GROUP BY 1),
-        |tot AS (SELECT sum(ends)::BIGINT AS n,
-        |    sum(ends_a)::BIGINT AS na FROM pt),
-        |ar AS (SELECT pt.*,
-        |    (tot.n - coalesce(sum(ends) OVER (ORDER BY t_day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
-        |      ::BIGINT AS rn,
-        |    (tot.na - coalesce(sum(ends_a) OVER (ORDER BY t_day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
-        |      ::BIGINT AS rna
-        |  FROM pt, tot),
-        |terms AS (SELECT da,
-        |    (round(dt::DOUBLE * (rna::DOUBLE / rn::DOUBLE)
-        |      * 1000000.0))::BIGINT AS e,
-        |    CASE WHEN rn <= 1 THEN 0 ELSE
-        |      (round(dt::DOUBLE * (rna::DOUBLE / rn::DOUBLE) *
-        |        (1.0 - rna::DOUBLE / rn::DOUBLE) *
-        |        (rn - dt)::DOUBLE / (rn - 1)::DOUBLE * 1000000.0))
-        |        ::BIGINT END AS v
-        |  FROM ar WHERE dt > 0),
-        |m AS (SELECT coalesce(sum(da), 0)::BIGINT AS o_a,
-        |    coalesce(sum(e), 0)::BIGINT AS e_a_micro,
-        |    coalesce(sum(v), 0)::BIGINT AS v_micro
-        |  FROM terms),
-        |c AS (SELECT count(*)::BIGINT AS n_users,
-        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a
-        |  FROM us)
-        |SELECT n_users, n_a, o_a, e_a_micro, v_micro,
-        |  CASE WHEN v_micro <= 0 THEN NULL ELSE
-        |    (round(((o_a * 1000000 - e_a_micro)::DOUBLE / 1000000.0)
-        |      / sqrt(v_micro::DOUBLE / 1000000.0) * 1000000.0))
-        |      ::BIGINT END AS z_micro,
-        |  CASE WHEN v_micro <= 0 THEN NULL ELSE
-        |    (round((((o_a * 1000000 - e_a_micro)::DOUBLE / 1000000.0)
-        |      / sqrt(v_micro::DOUBLE / 1000000.0)) *
-        |      (((o_a * 1000000 - e_a_micro)::DOUBLE / 1000000.0)
-        |      / sqrt(v_micro::DOUBLE / 1000000.0)) * 1000000.0))
-        |      ::BIGINT END AS chi2_micro
-        |FROM c, m""".stripMargin,
-
-    // One-way ANOVA: per-group moments, milli-snapped s²/n terms
+    "q278_log_rank" -> q278LogRankSql,
+        // One-way ANOVA: per-group moments, milli-snapped s²/n terms
     // summed exactly, one F/η² double chain
     "q279_anova_f" ->
       """WITH d AS (SELECT event_type AS g,
@@ -7359,6 +7361,124 @@ object OracleSql {
     // Quantile normalization: group midrank fractions contained in
     // pooled cumulative intervals, cross-multiplied exact integers
     "q293_signed_index_lifecycle" -> q293,
+
+    // BY-FDR: q259's chain with the harmonic factor, cross-multiplied
+    "q301_by_fdr" ->
+      """WITH e AS (SELECT user_id % 20 AS cohort, event_type AS c
+        |  FROM events WHERE event_type IS NOT NULL),
+        |cells AS (SELECT cohort, c, count(*)::BIGINT AS o
+        |  FROM e GROUP BY 1, 2),
+        |g AS (SELECT cohort, sum(o)::BIGINT AS ng FROM cells
+        |  GROUP BY 1),
+        |cat AS (SELECT c, sum(o)::BIGINT AS nc FROM cells GROUP BY 1),
+        |kk AS (SELECT count(*)::BIGINT AS k, sum(nc)::BIGINT AS n
+        |  FROM cat),
+        |grid AS (SELECT g.cohort, g.ng,
+        |    coalesce(cells.o, 0)::BIGINT AS o,
+        |    g.ng::DOUBLE * cat.nc::DOUBLE / kk.n::DOUBLE AS ex, kk.k
+        |  FROM g CROSS JOIN cat CROSS JOIN kk
+        |  LEFT JOIN cells ON cells.cohort = g.cohort
+        |    AND cells.c = cat.c),
+        |chi AS (SELECT cohort, min(ng)::BIGINT AS n,
+        |    min(k)::BIGINT AS k,
+        |    sum((round((o::DOUBLE - ex) * (o::DOUBLE - ex) / ex
+        |      * 1000000.0))::BIGINT)::BIGINT AS chi2_micro
+        |  FROM grid GROUP BY 1),
+        |p AS (SELECT cohort, n, chi2_micro, (k - 1)::INTEGER AS df,
+        |    (round(exp(-(chi2_micro::DOUBLE / 2000000.0)) *
+        |      (1.0 + chi2_micro::DOUBLE / 2000000.0) * 1000000.0))
+        |      ::BIGINT AS p_micro
+        |  FROM chi),
+        |r AS (SELECT *, row_number() OVER (ORDER BY p_micro, cohort)
+        |    AS rk, count(*) OVER () AS m FROM p),
+        |hm AS (SELECT sum((round(1000000.0 / rk::DOUBLE))::BIGINT)
+        |    ::BIGINT AS hm FROM r),
+        |ks AS (SELECT coalesce(max(rk), 0) AS kstar FROM r, hm
+        |  WHERE p_micro::HUGEINT * m * hm.hm
+        |    <= rk::HUGEINT * 100000 * 1000000)
+        |SELECT cohort, n, chi2_micro, df, p_micro,
+        |  rk::INTEGER AS rank, (rk <= ks.kstar) AS discovered
+        |FROM r, ks""".stripMargin,
+
+    // hazard ratio: q278's moments through the one-step Pike chain
+    "q302_hazard_ratio" ->
+      s"""WITH lr AS ($q278LogRankSql)
+        |SELECT n_users, n_a,
+        |  CASE WHEN v_micro <= 0 THEN NULL ELSE
+        |    (round(exp((o_a * 1000000 - e_a_micro)::DOUBLE
+        |      / v_micro::DOUBLE) * 1000000.0))::BIGINT END
+        |    AS hr_micro,
+        |  CASE WHEN v_micro <= 0 THEN NULL ELSE
+        |    (round(exp((o_a * 1000000 - e_a_micro)::DOUBLE
+        |        / v_micro::DOUBLE
+        |      - 1.959964 * sqrt(1000000.0 / v_micro::DOUBLE))
+        |      * 1000000.0))::BIGINT END AS lo_micro,
+        |  CASE WHEN v_micro <= 0 THEN NULL ELSE
+        |    (round(exp((o_a * 1000000 - e_a_micro)::DOUBLE
+        |        / v_micro::DOUBLE
+        |      + 1.959964 * sqrt(1000000.0 / v_micro::DOUBLE))
+        |      * 1000000.0))::BIGINT END AS hi_micro
+        |FROM lr""".stripMargin,
+
+    // odds ratio: exact 2×2 cells, Woolf logit CI
+    "q303_odds_ratio" ->
+      """WITH m AS (SELECT
+        |    sum(CASE WHEN n_chars > 300 AND lang = 'en' THEN 1
+        |      ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN n_chars > 300 AND NOT lang = 'en' THEN 1
+        |      ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN NOT n_chars > 300 AND lang = 'en' THEN 1
+        |      ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN NOT n_chars > 300 AND NOT lang = 'en'
+        |      THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM documents)
+        |SELECT a, b, c, d,
+        |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL ELSE
+        |    (round((a::DOUBLE * d::DOUBLE) / (b::DOUBLE * c::DOUBLE)
+        |      * 1000000.0))::BIGINT END AS or_micro,
+        |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL ELSE
+        |    (round(exp(ln((a::DOUBLE * d::DOUBLE)
+        |        / (b::DOUBLE * c::DOUBLE))
+        |      - 1.959964 * sqrt(1.0 / a::DOUBLE + 1.0 / b::DOUBLE
+        |        + 1.0 / c::DOUBLE + 1.0 / d::DOUBLE)) * 1000000.0))
+        |      ::BIGINT END AS lo_micro,
+        |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL ELSE
+        |    (round(exp(ln((a::DOUBLE * d::DOUBLE)
+        |        / (b::DOUBLE * c::DOUBLE))
+        |      + 1.959964 * sqrt(1.0 / a::DOUBLE + 1.0 / b::DOUBLE
+        |        + 1.0 / c::DOUBLE + 1.0 / d::DOUBLE)) * 1000000.0))
+        |      ::BIGINT END AS hi_micro
+        |FROM m""".stripMargin,
+
+    // Poisson rate ratio: per-user counts/active-days, log-linear z
+    "q304_poisson_rate" ->
+      """WITH pu AS (SELECT user_id, count(*)::BIGINT AS c,
+        |    count(DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+        |      ::BIGINT AS e
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT
+        |    sum(CASE WHEN user_id % 2 = 0 THEN c ELSE 0 END)::BIGINT
+        |      AS c_a,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN e ELSE 0 END)::BIGINT
+        |      AS e_a,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE c END)::BIGINT
+        |      AS c_b,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE e END)::BIGINT
+        |      AS e_b
+        |  FROM pu)
+        |SELECT c_a, e_a, c_b, e_b,
+        |  CASE WHEN c_a = 0 OR c_b = 0 OR e_a = 0 OR e_b = 0
+        |    THEN NULL ELSE
+        |    (round((c_a::DOUBLE / e_a::DOUBLE)
+        |      / (c_b::DOUBLE / e_b::DOUBLE) * 1000000.0))::BIGINT END
+        |    AS rr_micro,
+        |  CASE WHEN c_a = 0 OR c_b = 0 OR e_a = 0 OR e_b = 0
+        |    THEN NULL ELSE
+        |    (round(ln((c_a::DOUBLE / e_a::DOUBLE)
+        |        / (c_b::DOUBLE / e_b::DOUBLE))
+        |      / sqrt(1.0 / c_a::DOUBLE + 1.0 / c_b::DOUBLE)
+        |      * 1000000.0))::BIGINT END AS z_micro
+        |FROM m""".stripMargin,
 
     // q300 flagship: q145's RRF with the dense leg through q18's
     // BUCKETED ANN arithmetic — both legs replay the persisted-index

@@ -5027,6 +5027,46 @@ object SparkEntry {
     }
   }
 
+  /** Benjamini-Yekutieli FDR on q259's hypothesis table — the
+    * arbitrary-dependence flavor: the harmonic factor folds off the
+    * ranked table itself, the step-up compare is fully
+    * cross-multiplied; discoveries ⊆ BH's at the same α.
+    */
+  def q301_by_fdr(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      pmod(col("user_id"), lit(20L)).as("cohort"), col("event_type"))
+    Relational.byFdr(
+      Relational.chiSquareGofByGroup(ev, "cohort", col("event_type")),
+      "cohort", col("p_micro"), alphaMicro = 100000L)
+  }
+
+  /** Hazard ratio + CI from q278's log-rank moments — the one-step
+    * Pike estimator: "A churns X× faster", with the Woolf-style CI,
+    * one fixed chain on the exact O/E/V micros.
+    */
+  def q302_hazard_ratio(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.hazardRatio(t(s, dir, "events"), "user_id", col("ts"),
+      pmod(col("user_id"), lit(2L)) === 0)
+
+  /** 2×2 odds ratio with the Woolf CI: long documents (exposure) vs
+    * English (outcome) — exact integer cells, two fixed chains.
+    */
+  def q303_odds_ratio(s: SparkSession, dir: String): DataFrame =
+    Relational.oddsRatio(docs(s, dir),
+      col("n_chars") > 300, col("lang") === lit("en"))
+
+  /** Two-sample Poisson rate-ratio: events per active user-day, even
+    * vs odd users — exact per-user counts/exposures, log-linear z.
+    */
+  def q304_poisson_rate(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        countDistinct(floor(unix_timestamp(col("ts")) / lit(86400L)))
+          .as("n_days"))
+    Relational.poissonRateTest(perUser,
+      pmod(col("user_id"), lit(2L)) === 0, col("n_ev"), col("n_days"))
+  }
+
   /** One-row ECE / MCE / Brier calibration summary of q179's served
     * naive-Bayes classifier — exact integer bucket gaps, decimal
     * Brier moment, three closing divisions.
@@ -5405,7 +5445,11 @@ object SparkEntry {
     "q297_logistic_filter" -> (q297_logistic_filter(_, _)),
     "q298_cochran_q" -> (q298_cochran_q(_, _)),
     "q299_friedman" -> (q299_friedman(_, _)),
-    "q300_persisted_hybrid" -> (q300_persisted_hybrid(_, _)))
+    "q300_persisted_hybrid" -> (q300_persisted_hybrid(_, _)),
+    "q301_by_fdr" -> (q301_by_fdr(_, _)),
+    "q302_hazard_ratio" -> (q302_hazard_ratio(_, _)),
+    "q303_odds_ratio" -> (q303_odds_ratio(_, _)),
+    "q304_poisson_rate" -> (q304_poisson_rate(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

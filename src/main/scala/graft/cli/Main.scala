@@ -283,6 +283,53 @@ object Main {
       }
       done(spark)
 
+    // Benjamini-Yekutieli flavor (arbitrary dependence)
+    case "by" :: path :: idCol :: pCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val alpha = rest.headOption.map(_.toLong).getOrElse(50000L)
+      val spark = session()
+      val out = graft.operators.Relational.byFdr(
+        spark.read.parquet(path), idCol, col(pCol), alpha)
+      val n = out.filter(col("discovered")).count()
+      println(s"[by] $n discoveries at alpha_micro=$alpha")
+      done(spark)
+
+    // hazard ratio + CI from the log-rank moments
+    case "hr" :: path :: userCol :: flagCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val tsCol = rest.headOption.getOrElse("ts")
+      val spark = session()
+      val r = graft.operators.TimeSeries.hazardRatio(
+        spark.read.parquet(path), userCol, col(tsCol),
+        col(flagCol).cast("boolean")).head()
+      println(s"[hr] n_users=${r.getLong(0)} n_a=${r.getLong(1)} " +
+        s"hr_micro=${r.get(2)} ci=[${r.get(3)}, ${r.get(4)}]")
+      done(spark)
+
+    // 2x2 odds ratio with the Woolf CI
+    case "oddsratio" :: path :: exposedCol :: outcomeCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.oddsRatio(
+        spark.read.parquet(path), col(exposedCol).cast("boolean"),
+        col(outcomeCol).cast("boolean")).head()
+      println(s"[oddsratio] a=${r.getLong(0)} b=${r.getLong(1)} " +
+        s"c=${r.getLong(2)} d=${r.getLong(3)} or_micro=${r.get(4)} " +
+        s"ci=[${r.get(5)}, ${r.get(6)}]")
+      done(spark)
+
+    // two-sample Poisson rate-ratio test
+    case "ratetest" :: path :: groupCol :: countCol :: expCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.poissonRateTest(
+        spark.read.parquet(path), col(groupCol).cast("boolean"),
+        col(countCol), col(expCol)).head()
+      println(s"[ratetest] c_a=${r.getLong(0)} e_a=${r.getLong(1)} " +
+        s"c_b=${r.getLong(2)} e_b=${r.getLong(3)} " +
+        s"rr_micro=${r.get(4)} z_micro=${r.get(5)}")
+      done(spark)
+
     // blocking-quality report: prefix/suffix name-half keys vs truth
     case "blocking-eval" :: path :: idCol :: truthCol :: nameCol ::
         rest =>
@@ -2808,7 +2855,11 @@ object Main {
           "[dim] [iters] | " +
           "logistic-score <corpus> <weightsDir> <outDir> | " +
           "cochran <parquet> <predCol1,predCol2,...> | " +
-          "friedman <parquet> <valCol1,valCol2,...>")
+          "friedman <parquet> <valCol1,valCol2,...> | " +
+          "by <parquet> <idCol> <pMicroCol> [alphaMicro] | " +
+          "hr <events> <userCol> <boolFlagCol> [tsCol] | " +
+          "oddsratio <parquet> <exposedCol> <outcomeCol> | " +
+          "ratetest <parquet> <boolGroupCol> <countCol> <expCol>")
       sys.exit(2)
   }
 

@@ -2046,6 +2046,110 @@ object Relational {
         (col("rank") <= col("_kstar")).as("discovered")): _*)
   }
 
+  /** Benjamini-Yekutieli FDR control (2001) — [[bhFdr]] under
+    * ARBITRARY dependence: the step-up threshold divides by the
+    * harmonic factor `c(m) = Σ 1/i`, the price of not assuming the
+    * p-values are independent/PRDS. Discoveries are always a subset
+    * of BH's at the same α.
+    *
+    * Exactness: the harmonic factor folds from the ranked table
+    * itself (each rank appears once, so `hm = Σ round(1e6/rank)` is
+    * an order-free exact integer — no driver loop); the step-up
+    * compare is fully cross-multiplied in decimals:
+    * `p·m·hm ≤ rank·α·1e6`. Output: bhFdr's shape (`rank`,
+    * `discovered`).
+    */
+  def byFdr(df: DataFrame, idCol: String, pMicro: Column,
+      alphaMicro: Long): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro <= 1000000L,
+      s"alphaMicro must be in (0, 1e6], got $alphaMicro")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy(col("_p"), col(idCol))
+    val ranked = df.withColumn("_p", pMicro)
+      .filter(col("_p").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(
+        df.filter(pMicro.isNotNull).agg(count(lit(1)).as("_m"))))
+      .persist() // harmonic fold + k* + the output
+    val hm = ranked.agg(sum(round(lit(1000000.0) /
+      col("rank").cast("double")).cast("long")).as("_hm"))
+    val kStar = ranked.crossJoin(broadcast(hm))
+      .filter(col("_p").cast(dec) * col("_m") * col("_hm") <=
+        col("rank").cast(dec) * lit(alphaMicro) * lit(1000000L))
+      .agg(coalesce(max(col("rank")), lit(0)).as("_kstar"))
+    ranked.crossJoin(broadcast(kStar))
+      .select(df.columns.map(col) ++ Seq(col("rank"),
+        (col("rank") <= col("_kstar")).as("discovered")): _*)
+  }
+
+  /** 2×2 odds ratio + Woolf logit 95% CI (the case-control effect
+    * size chi-square/Cramér's V don't give you: HOW MUCH more likely
+    * is the outcome under exposure): `OR = (a·d)/(b·c)`,
+    * `CI = exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d))`. One aggregation
+    * pass, exact integer cells, two fixed chains; NULL OR/CI when any
+    * cell is zero (report the cells, let the caller pick a
+    * correction). Output (one row): `(a, b, c, d, or_micro, lo_micro,
+    * hi_micro)` — a = exposed∧outcome, b = exposed∧¬outcome,
+    * c = ¬exposed∧outcome, d = neither.
+    */
+  def oddsRatio(df: DataFrame, exposed: Column, outcome: Column)
+      : DataFrame = {
+    val m = df.agg(
+      sum(when(exposed && outcome, 1L).otherwise(0L)).as("a"),
+      sum(when(exposed && !outcome, 1L).otherwise(0L)).as("b"),
+      sum(when(!exposed && outcome, 1L).otherwise(0L)).as("c"),
+      sum(when(!exposed && !outcome, 1L).otherwise(0L)).as("d"))
+    val anyZero = col("a") === 0L || col("b") === 0L ||
+      col("c") === 0L || col("d") === 0L
+    val orD = (col("a").cast("double") * col("d").cast("double")) /
+      (col("b").cast("double") * col("c").cast("double"))
+    val se = sqrt(lit(1.0) / col("a").cast("double") +
+      lit(1.0) / col("b").cast("double") +
+      lit(1.0) / col("c").cast("double") +
+      lit(1.0) / col("d").cast("double"))
+    def snap(c: Column) = round(c * lit(1000000.0)).cast("long")
+    m.select(col("a"), col("b"), col("c"), col("d"),
+      when(anyZero, lit(null).cast("long")).otherwise(snap(orD))
+        .as("or_micro"),
+      when(anyZero, lit(null).cast("long"))
+        .otherwise(snap(exp(log(orD) - lit(1.959964) * se)))
+        .as("lo_micro"),
+      when(anyZero, lit(null).cast("long"))
+        .otherwise(snap(exp(log(orD) + lit(1.959964) * se)))
+        .as("hi_micro"))
+  }
+
+  /** Two-sample Poisson rate-ratio test (the event-RATE A/B readout —
+    * [[twoProportionZ]] is per-user conversion, this is events per
+    * unit exposure): with counts c₁/c₂ over exposures e₁/e₂,
+    * `RR = (c₁/e₁)/(c₂/e₂)` and the standard log-linear z
+    * `z = ln RR / √(1/c₁ + 1/c₂)`. Exact integer counts/exposures,
+    * two fixed chains; NULL when a count or exposure is zero. Output
+    * (one row): `(c_a, e_a, c_b, e_b, rr_micro, z_micro)`.
+    */
+  def poissonRateTest(df: DataFrame, isA: Column, countCol: Column,
+      exposureCol: Column): DataFrame = {
+    val m = df.agg(
+      sum(when(isA, countCol).otherwise(0L)).as("c_a"),
+      sum(when(isA, exposureCol).otherwise(0L)).as("e_a"),
+      sum(when(!isA, countCol).otherwise(0L)).as("c_b"),
+      sum(when(!isA, exposureCol).otherwise(0L)).as("e_b"))
+    val degenerate = col("c_a") === 0L || col("c_b") === 0L ||
+      col("e_a") === 0L || col("e_b") === 0L
+    val rr = (col("c_a").cast("double") / col("e_a").cast("double")) /
+      (col("c_b").cast("double") / col("e_b").cast("double"))
+    val z = log(rr) / sqrt(lit(1.0) / col("c_a").cast("double") +
+      lit(1.0) / col("c_b").cast("double"))
+    m.select(col("c_a"), col("e_a"), col("c_b"), col("e_b"),
+      when(degenerate, lit(null).cast("long"))
+        .otherwise(round(rr * lit(1000000.0)).cast("long"))
+        .as("rr_micro"),
+      when(degenerate, lit(null).cast("long"))
+        .otherwise(round(z * lit(1000000.0)).cast("long"))
+        .as("z_micro"))
+  }
+
   /** Split-conformal interval calibration (Vovk's conformal
     * prediction; the split/inductive recipe of Papadopoulos et al.
     * 2002 as popularized by Lei et al. 2018): from a CALIBRATION

@@ -289,6 +289,32 @@ object TimeSeries {
           .as("survival"))
   }
 
+  /** Hazard ratio + 95% CI from the log-rank moments (the Pike /
+    * one-step estimator `ln HR = (O−E)/V`, `SE = 1/√V` — the effect
+    * size [[logRankTest]]'s verdict needs beside its p-value: "group
+    * A churns 1.3× faster", not just "differently"). One fixed double
+    * chain on the already-exact O/E/V micro moments. Output (one
+    * row): `(n_users, n_a, hr_micro, lo_micro, hi_micro)` — NULL when
+    * the log-rank variance is 0.
+    */
+  def hazardRatio(df: DataFrame, userCol: String, tsCol: Column,
+      isA: Column): DataFrame = {
+    val lr = logRankTest(df, userCol, tsCol, isA)
+    val lnhr = (col("o_a") * 1000000L - col("e_a_micro"))
+      .cast("double") / col("v_micro").cast("double")
+    val se = sqrt(lit(1000000.0) / col("v_micro").cast("double"))
+    def snap(c: Column) = round(c * lit(1000000.0)).cast("long")
+    lr.select(col("n_users"), col("n_a"),
+      when(col("v_micro") <= 0L, lit(null).cast("long"))
+        .otherwise(snap(exp(lnhr))).as("hr_micro"),
+      when(col("v_micro") <= 0L, lit(null).cast("long"))
+        .otherwise(snap(exp(lnhr - lit(1.959964) * se)))
+        .as("lo_micro"),
+      when(col("v_micro") <= 0L, lit(null).cast("long"))
+        .otherwise(snap(exp(lnhr + lit(1.959964) * se)))
+        .as("hi_micro"))
+  }
+
   /** Restricted mean survival time (RMST; Royston & Parmar 2013 made
     * it the standard reporting companion of [[kaplanMeier]]): the area
     * under the KM curve up to a horizon τ — "average days retained in

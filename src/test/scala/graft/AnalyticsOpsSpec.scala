@@ -692,6 +692,72 @@ class AnalyticsOpsSpec extends SparkSpec {
       Seq(col("a"), col("b"), col("c"))).head().isNullAt(2))
   }
 
+  test("byFdr: hand harmonic cutoff is stricter than BH on the same " +
+    "table; discoveries are a subset") {
+    // p = (0.001, 0.02, 0.04, 0.9), α = 0.1: BH keeps 3, BY keeps 2
+    val df = Seq(("h1", 1000L), ("h2", 20000L), ("h3", 40000L),
+      ("h4", 900000L)).toDF("hid", "p_micro")
+    def disc(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .filter(_.getAs[Boolean]("discovered"))
+      .map(_.getString(0)).toSet
+    val bh = disc(Relational.bhFdr(df, "hid", col("p_micro"), 100000L))
+    val by = disc(Relational.byFdr(df, "hid", col("p_micro"), 100000L))
+    assert(bh == Set("h1", "h2", "h3"), bh)
+    assert(by == Set("h1", "h2"), by)
+    assert(by.subsetOf(bh))
+  }
+
+  test("hazardRatio: faster-churning arm reads HR > 1 with a " +
+    "bracketing CI; the inverse arm reads the reciprocal direction") {
+    // odd users churn on day 1; even users survive to the horizon
+    val ev = ((1L to 10L).map(u => (u, 0L)) ++
+      (1L to 10L).filter(_ % 2 == 0).map(u => (u, 5L)))
+      .toDF("u", "d")
+      .select(col("u"), timestamp_seconds(col("d") * 86400L).as("ts"))
+    val rOdd = graft.operators.TimeSeries.hazardRatio(ev, "u", col("ts"),
+      pmod(col("u"), lit(2L)) === 1).head()
+    assert(rOdd.getAs[Long]("hr_micro") > 1000000L, rOdd)
+    assert(rOdd.getAs[Long]("lo_micro") < rOdd.getAs[Long]("hr_micro"))
+    assert(rOdd.getAs[Long]("hi_micro") > rOdd.getAs[Long]("hr_micro"))
+    val rEven = graft.operators.TimeSeries.hazardRatio(ev, "u", col("ts"),
+      pmod(col("u"), lit(2L)) === 0).head()
+    assert(rEven.getAs[Long]("hr_micro") < 1000000L, rEven)
+  }
+
+  test("oddsRatio: hand 2×2 with the Woolf CI; zero cell NULL") {
+    val df = (Seq.fill(20)((true, true)) ++ Seq.fill(10)((true, false))
+      ++ Seq.fill(5)((false, true)) ++ Seq.fill(40)((false, false)))
+      .toDF("x", "y")
+    val r = Relational.oddsRatio(df, col("x"), col("y")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((20L, 10L, 5L, 40L)))
+    assert(r.getAs[Long]("or_micro") == 16000000L, r)
+    val se = math.sqrt(1.0 / 20 + 1.0 / 10 + 1.0 / 5 + 1.0 / 40)
+    assert(r.getAs[Long]("lo_micro") ==
+      math.round(math.exp(math.log(16.0) - 1.959964 * se) * 1e6), r)
+    assert(r.getAs[Long]("hi_micro") ==
+      math.round(math.exp(math.log(16.0) + 1.959964 * se) * 1e6), r)
+    val zero = Seq((true, true), (false, false)).toDF("x", "y")
+    assert(Relational.oddsRatio(zero, col("x"), col("y")).head()
+      .isNullAt(4))
+  }
+
+  test("poissonRateTest: hand rate ratio and log-linear z; zero " +
+    "exposure NULL") {
+    val df = Seq((true, 20L, 10L), (false, 10L, 10L))
+      .toDF("ga", "c", "e")
+    val r = Relational.poissonRateTest(df, col("ga"), col("c"),
+      col("e")).head()
+    assert(r.getAs[Long]("rr_micro") == 2000000L, r)
+    assert(r.getAs[Long]("z_micro") ==
+      math.round(math.log(2.0) / math.sqrt(1.0 / 20 + 1.0 / 10) * 1e6),
+      r)
+    val degenerate = Seq((true, 5L, 0L), (false, 3L, 4L))
+      .toDF("ga", "c", "e")
+    assert(Relational.poissonRateTest(degenerate, col("ga"), col("c"),
+      col("e")).head().isNullAt(4))
+  }
+
   test("cochranQ: hand three-treatment value, exact McNemar " +
     "reduction at k = 2, uninformative rows NULL") {
     // C = (4,2,1), N = 7, ΣR² = 15 → Q = 28/6

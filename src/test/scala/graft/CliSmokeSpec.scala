@@ -540,6 +540,8 @@ class CliSmokeSpec extends SparkSpec {
       .toDF("user_id", "ts", "ga")
       .write.mode("overwrite").parquet(lrPath)
     graft.cli.Main.main(Array("logrank", lrPath, "user_id", "ga"))
+    graft.cli.Main.main(Array("hr", lrPath, "user_id", "ga"))
+    graft.cli.Main.main(Array("ratetest", statsPath, "ga", "v", "id"))
     graft.cli.Main.main(Array("rmst", lrPath, "user_id", "3"))
     graft.cli.Main.main(Array("mi", statsPath, "cat", "ga"))
     val mcPath = s"${tmpDir("cli-r11mc")}/preds"
@@ -547,6 +549,7 @@ class CliSmokeSpec extends SparkSpec {
       .toDF("pa", "pb", "y")
       .write.mode("overwrite").parquet(mcPath)
     graft.cli.Main.main(Array("mcnemar", mcPath, "pa", "pb", "y"))
+    graft.cli.Main.main(Array("oddsratio", mcPath, "pa", "y"))
     val isoPath = s"${tmpDir("cli-r11iso")}/scored"
     (1L to 60L).map(i => (i * 16000L, i % 3 == 0))
       .toDF("s", "y").write.mode("overwrite").parquet(isoPath)

@@ -195,7 +195,9 @@ class PlanGateSpec extends SparkSpec {
       "q287_rmst", // q241's bounded distinct-lifetime KM windows
       "q292_quantile_normalize", // pooled distinct-cent cumulative
                                  // window (value-space-bounded, q36)
-      "q294_mad") // two distinct-value cumulative medians (q36)
+      "q294_mad", // two distinct-value cumulative medians (q36)
+      "q301_by_fdr", // q259's bounded hypothesis-table rank window
+      "q302_hazard_ratio") // q278's bounded distinct-lifetime windows
     val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
       "q125_streaming_funnel_replay", "q129_streaming_retention_replay",
       "q244_streaming_agg_replay", "q248_preflight_artifact",
@@ -325,6 +327,9 @@ class PlanGateSpec extends SparkSpec {
                                  // bounded pooled cells (interval
                                  // containment is non-equi)
       "q294_mad",            // rows × broadcast 1-row median scalars
+      "q301_by_fdr",         // q259's hypothesis table × broadcast
+                             // 1-row m/harmonic/k* scalars
+      "q302_hazard_ratio",   // q278's lifetime × 1-row moment shapes
       "q297_logistic_filter", // scored rows × broadcast 1-row
                               // intercept (training is eager; serving
                               // is the plan)
