@@ -7362,6 +7362,28 @@ object OracleSql {
     // pooled cumulative intervals, cross-multiplied exact integers
     "q293_signed_index_lifecycle" -> q293,
 
+    // Morton z-order: the exact unrolled bit interleave
+    "q305_zorder" ->
+      """WITH d AS (SELECT event_id,
+        |    (user_id % 1024)::BIGINT AS x,
+        |    (event_id % 1024)::BIGINT AS y
+        |  FROM events),
+        |z AS (SELECT event_id, x, y,
+        |    (
+        |    (((x >> 0) & 1) << 0) | (((y >> 0) & 1) << 1) | (((x >>
+        |      1) & 1) << 2) | (((y >> 1) & 1) << 3) | (((x >> 2) & 1)
+        |      << 4) | (((y >> 2) & 1) << 5) | (((x >> 3) & 1) << 6) |
+        |      (((y >> 3) & 1) << 7) | (((x >> 4) & 1) << 8) | (((y >>
+        |      4) & 1) << 9) | (((x >> 5) & 1) << 10) | (((y >> 5) & 1)
+        |      << 11) | (((x >> 6) & 1) << 12) | (((y >> 6) & 1) << 13)
+        |      | (((x >> 7) & 1) << 14) | (((y >> 7) & 1) << 15) | (((x
+        |      >> 8) & 1) << 16) | (((y >> 8) & 1) << 17) | (((x >> 9)
+        |      & 1) << 18) | (((y >> 9) & 1) << 19)
+        |    )::BIGINT AS z
+        |  FROM d)
+        |SELECT event_id, x, y, z FROM z
+        |ORDER BY z, event_id LIMIT 50""".stripMargin,
+
     // BY-FDR: q259's chain with the harmonic factor, cross-multiplied
     "q301_by_fdr" ->
       """WITH e AS (SELECT user_id % 20 AS cohort, event_type AS c

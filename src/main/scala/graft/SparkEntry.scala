@@ -5067,6 +5067,20 @@ object SparkEntry {
       pmod(col("user_id"), lit(2L)) === 0, col("n_ev"), col("n_days"))
   }
 
+  /** Morton z-order values over bucketed event coordinates — the
+    * clustering key behind two-dimensional file skipping; the 50
+    * lowest z cells (TakeOrdered) under the exact bit-interleave
+    * oracle.
+    */
+  def q305_zorder(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"),
+      pmod(col("user_id"), lit(1024L)).as("x"),
+      pmod(col("event_id"), lit(1024L)).as("y"))
+    ev.select(col("event_id"), col("x"), col("y"),
+      Relational.zOrderValue(col("x"), col("y"), bits = 10).as("z"))
+      .orderBy(col("z"), col("event_id")).limit(50)
+  }
+
   /** One-row ECE / MCE / Brier calibration summary of q179's served
     * naive-Bayes classifier — exact integer bucket gaps, decimal
     * Brier moment, three closing divisions.
@@ -5449,7 +5463,8 @@ object SparkEntry {
     "q301_by_fdr" -> (q301_by_fdr(_, _)),
     "q302_hazard_ratio" -> (q302_hazard_ratio(_, _)),
     "q303_odds_ratio" -> (q303_odds_ratio(_, _)),
-    "q304_poisson_rate" -> (q304_poisson_rate(_, _)))
+    "q304_poisson_rate" -> (q304_poisson_rate(_, _)),
+    "q305_zorder" -> (q305_zorder(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -283,6 +283,19 @@ object Main {
       }
       done(spark)
 
+    // z-order (Morton) clustering rewrite of a parquet table
+    case "zorder" :: path :: xCol :: yCol :: outDir :: rest =>
+      import org.apache.spark.sql.functions.col
+      val bits = rest.headOption.map(_.toInt).getOrElse(16)
+      val spark = session()
+      val df = spark.read.parquet(path)
+      graft.operators.Relational.zOrderLayout(df,
+        col(xCol), col(yCol), bits)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[zorder] ${spark.read.parquet(outDir).count()} rows " +
+        s"clustered on ($xCol, $yCol) -> $outDir")
+      done(spark)
+
     // Benjamini-Yekutieli flavor (arbitrary dependence)
     case "by" :: path :: idCol :: pCol :: rest =>
       import org.apache.spark.sql.functions.col
@@ -2859,7 +2872,8 @@ object Main {
           "by <parquet> <idCol> <pMicroCol> [alphaMicro] | " +
           "hr <events> <userCol> <boolFlagCol> [tsCol] | " +
           "oddsratio <parquet> <exposedCol> <outcomeCol> | " +
-          "ratetest <parquet> <boolGroupCol> <countCol> <expCol>")
+          "ratetest <parquet> <boolGroupCol> <countCol> <expCol> | " +
+          "zorder <parquet> <xCol> <yCol> <outDir> [bits]")
       sys.exit(2)
   }
 

@@ -2150,6 +2150,48 @@ object Relational {
         .as("z_micro"))
   }
 
+  /** Morton / Z-order curve value (Morton 1966; the interleave behind
+    * Delta's OPTIMIZE ZORDER and HBase/Accumulo shard keys): bit i of
+    * x lands at position 2i, bit i of y at 2i+1, so points close in
+    * (x, y) stay close in z — ONE clustering key that serves range
+    * predicates on EITHER dimension with bounded read amplification,
+    * where a lexicographic (x, y) sort serves only x.
+    *
+    * Pure integer bit arithmetic (shift/mask/or, unrolled per bit) —
+    * codegen-friendly, deterministic, and replayable by any engine
+    * with shifts. Inputs must be non-negative and fit in `bits` bits
+    * (callers snap/bucket first — the q36 discipline).
+    */
+  def zOrderValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(x.cast("long"), i)
+        .bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftrightunsigned(y.cast("long"), i)
+          .bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order layout: repartition by RANGE of the Morton value and
+    * sort within partitions — the write-side clustering pass that
+    * makes min/max file skipping work on BOTH dimensions at once
+    * (each output file covers a compact z-range ⇒ a compact (x, y)
+    * tile). The shuffle is the price paid ONCE at write; every
+    * later selective scan on either column prunes files instead of
+    * reading the lake.
+    */
+  def zOrderLayout(df: DataFrame, x: Column, y: Column,
+      bits: Int = 16, partitions: Int = 0): DataFrame = {
+    val z = zOrderValue(x, y, bits).as("_z")
+    val withZ = df.withColumn("_z", z)
+    val parts = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        .toInt
+    withZ.repartitionByRange(parts, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+  }
+
   /** Split-conformal interval calibration (Vovk's conformal
     * prediction; the split/inductive recipe of Papadopoulos et al.
     * 2002 as popularized by Lei et al. 2018): from a CALIBRATION

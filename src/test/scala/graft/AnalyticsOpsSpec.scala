@@ -692,6 +692,41 @@ class AnalyticsOpsSpec extends SparkSpec {
       Seq(col("a"), col("b"), col("c"))).head().isNullAt(2))
   }
 
+  test("zOrderValue: hand interleaves, tile containment; " +
+    "zOrderLayout sorts within range partitions") {
+    val pts = for (x <- 0L to 7L; y <- 0L to 7L) yield (x, y)
+    val df = pts.toDF("x", "y")
+    val z = df.select(col("x"), col("y"),
+      Relational.zOrderValue(col("x"), col("y"), 3).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(z((0L, 0L)) == 0L && z((1L, 0L)) == 1L &&
+      z((0L, 1L)) == 2L && z((1L, 1L)) == 3L && z((2L, 0L)) == 4L &&
+      z((3L, 3L)) == 15L && z((7L, 7L)) == 63L, z)
+    // every 4×4 tile occupies one contiguous 16-value z block
+    for (tx <- 0 to 1; ty <- 0 to 1) {
+      val tile = z.filter { case ((x, y), _) =>
+        x / 4 == tx && y / 4 == ty }.values
+      assert(tile.max - tile.min == 15L, s"tile $tx,$ty: $tile")
+    }
+    // layout: z non-decreasing within each partition, ranges disjoint
+    val big = (0L until 4096L).map(i => (i % 64, i / 64)).toDF("x", "y")
+    val laid = Relational.zOrderLayout(big, col("x"), col("y"),
+      bits = 6, partitions = 8)
+    val perPart = laid.select(
+      org.apache.spark.sql.functions.spark_partition_id().as("p"),
+      Relational.zOrderValue(col("x"), col("y"), 6).as("z"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(1)).toSeq }
+    perPart.values.foreach(zs => assert(zs == zs.sorted, "unsorted"))
+    val ranges = perPart.toSeq.sortBy(_._1)
+      .map { case (_, zs) => (zs.min, zs.max) }
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo, ranges)
+      case _ =>
+    }
+  }
+
   test("byFdr: hand harmonic cutoff is stricter than BH on the same " +
     "table; discoveries are a subset") {
     // p = (0.001, 0.02, 0.04, 0.9), α = 0.1: BH keeps 3, BY keeps 2

@@ -542,6 +542,9 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("logrank", lrPath, "user_id", "ga"))
     graft.cli.Main.main(Array("hr", lrPath, "user_id", "ga"))
     graft.cli.Main.main(Array("ratetest", statsPath, "ga", "v", "id"))
+    val zOut = tmpDir("cli-r11z")
+    graft.cli.Main.main(Array("zorder", statsPath, "id", "v", zOut,
+      "10"))
     graft.cli.Main.main(Array("rmst", lrPath, "user_id", "3"))
     graft.cli.Main.main(Array("mi", statsPath, "cat", "ga"))
     val mcPath = s"${tmpDir("cli-r11mc")}/preds"
