@@ -7362,6 +7362,29 @@ object OracleSql {
     // pooled cumulative intervals, cross-multiplied exact integers
     "q293_signed_index_lifecycle" -> q293,
 
+    // k-anonymity/l-diversity: equivalence-class fold + summary row
+    "q306_k_anonymity" ->
+      """WITH d AS (SELECT event_type AS q0,
+        |    ((round(value * 100)::BIGINT % 10 + 10) % 10)
+        |      ::BIGINT AS q1,
+        |    ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7)
+        |      ::BIGINT AS q2,
+        |    (user_id % 50)::BIGINT AS s
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT q0, q1, q2, count(*)::BIGINT AS n,
+        |    count(DISTINCT s)::BIGINT AS ls
+        |  FROM d GROUP BY 1, 2, 3)
+        |SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
+        |  5::BIGINT AS k, 3::BIGINT AS l,
+        |  sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_groups_under_k,
+        |  sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT
+        |    AS n_rows_under_k,
+        |  min(n)::BIGINT AS min_group,
+        |  sum(CASE WHEN ls < 3 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_groups_under_l
+        |FROM g""".stripMargin,
+
     // Morton z-order: the exact unrolled bit interleave
     "q305_zorder" ->
       """WITH d AS (SELECT event_id,

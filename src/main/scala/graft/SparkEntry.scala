@@ -5081,6 +5081,20 @@ object SparkEntry {
       .orderBy(col("z"), col("event_id")).limit(50)
   }
 
+  /** k-anonymity / l-diversity release audit over events: quasi-IDs
+    * = (event type, value decile, weekday), sensitive = user cohort —
+    * the re-identification screen before sharing; one equivalence-
+    * class pass, one summary row.
+    */
+  def q306_k_anonymity(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("value").isNotNull)
+    Relational.kAnonymityAudit(ev,
+      Seq(col("event_type"),
+        pmod(round(col("value") * 100).cast("long"), lit(10L)),
+        pmod(floor(unix_timestamp(col("ts")) / lit(86400L)), lit(7L))),
+      pmod(col("user_id"), lit(50L)), k = 5L, l = 3L)
+  }
+
   /** One-row ECE / MCE / Brier calibration summary of q179's served
     * naive-Bayes classifier — exact integer bucket gaps, decimal
     * Brier moment, three closing divisions.
@@ -5464,7 +5478,8 @@ object SparkEntry {
     "q302_hazard_ratio" -> (q302_hazard_ratio(_, _)),
     "q303_odds_ratio" -> (q303_odds_ratio(_, _)),
     "q304_poisson_rate" -> (q304_poisson_rate(_, _)),
-    "q305_zorder" -> (q305_zorder(_, _)))
+    "q305_zorder" -> (q305_zorder(_, _)),
+    "q306_k_anonymity" -> (q306_k_anonymity(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

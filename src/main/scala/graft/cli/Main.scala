@@ -283,6 +283,22 @@ object Main {
       }
       done(spark)
 
+    // k-anonymity / l-diversity release audit
+    case "kanon" :: path :: quasiCsv :: sensCol :: kArg :: lArg ::
+        Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.kAnonymityAudit(
+        spark.read.parquet(path),
+        quasiCsv.split(',').toSeq.map(col(_)), col(sensCol),
+        kArg.toLong, lArg.toLong).head()
+      println(s"[kanon] n_rows=${r.getLong(0)} " +
+        s"n_groups=${r.getLong(1)} k=${r.getLong(2)} " +
+        s"l=${r.getLong(3)} groups_under_k=${r.getLong(4)} " +
+        s"rows_under_k=${r.getLong(5)} min_group=${r.getLong(6)} " +
+        s"groups_under_l=${r.getLong(7)}")
+      done(spark)
+
     // z-order (Morton) clustering rewrite of a parquet table
     case "zorder" :: path :: xCol :: yCol :: outDir :: rest =>
       import org.apache.spark.sql.functions.col
@@ -2873,7 +2889,8 @@ object Main {
           "hr <events> <userCol> <boolFlagCol> [tsCol] | " +
           "oddsratio <parquet> <exposedCol> <outcomeCol> | " +
           "ratetest <parquet> <boolGroupCol> <countCol> <expCol> | " +
-          "zorder <parquet> <xCol> <yCol> <outDir> [bits]")
+          "zorder <parquet> <xCol> <yCol> <outDir> [bits] | " +
+          "kanon <parquet> <quasiCol1,...> <sensCol> <k> <l>")
       sys.exit(2)
   }
 

@@ -2150,6 +2150,42 @@ object Relational {
         .as("z_micro"))
   }
 
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * et al. 2007) — the re-identification screen a dataset release
+    * runs: group rows by their QUASI-IDENTIFIER combination; any
+    * group smaller than k is linkable, and any group with fewer than
+    * l distinct SENSITIVE values leaks the sensitive attribute even
+    * at size ≥ k (the homogeneity attack).
+    *
+    * Scale shape: one groupBy to the equivalence-class table
+    * (bounded by the quasi-identifier value space — snap/bucket
+    * continuous columns first), one summary fold. Output (one row):
+    * `(n_rows, n_groups, k, l, n_groups_under_k, n_rows_under_k,
+    * min_group, n_groups_under_l)` — zeros everywhere mean the
+    * release passes both screens at (k, l).
+    */
+  def kAnonymityAudit(df: DataFrame, quasiIds: Seq[Column],
+      sensitive: Column, k: Long, l: Long): DataFrame = {
+    require(k >= 1 && l >= 1, s"bad k=$k l=$l")
+    val groups = df
+      .select(quasiIds.zipWithIndex.map { case (q, i) =>
+        q.as(s"_q$i") } :+ sensitive.as("_s"): _*)
+      .groupBy((0 until quasiIds.size).map(i => col(s"_q$i")): _*)
+      .agg(count(lit(1)).as("_n"),
+        countDistinct(col("_s")).as("_ls"))
+    groups.agg(
+      sum(col("_n")).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      lit(k).as("k"), lit(l).as("l"),
+      sum(when(col("_n") < k, 1L).otherwise(0L))
+        .as("n_groups_under_k"),
+      sum(when(col("_n") < k, col("_n")).otherwise(0L))
+        .as("n_rows_under_k"),
+      min(col("_n")).as("min_group"),
+      sum(when(col("_ls") < l, 1L).otherwise(0L))
+        .as("n_groups_under_l"))
+  }
+
   /** Morton / Z-order curve value (Morton 1966; the interleave behind
     * Delta's OPTIMIZE ZORDER and HBase/Accumulo shard keys): bit i of
     * x lands at position 2i, bit i of y at 2i+1, so points close in

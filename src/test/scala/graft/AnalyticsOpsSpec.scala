@@ -692,6 +692,27 @@ class AnalyticsOpsSpec extends SparkSpec {
       Seq(col("a"), col("b"), col("c"))).head().isNullAt(2))
   }
 
+  test("kAnonymityAudit: small groups flagged by k, homogeneous " +
+    "groups flagged by l, clean release all zeros") {
+    val df = (Seq(("A", 1L), ("A", 2L), ("A", 3L)) ++
+      (1 to 6).map(_ => ("B", 9L))).toDF("q", "s")
+    val r = Relational.kAnonymityAudit(df, Seq(col("q")), col("s"),
+      k = 5L, l = 3L).head()
+    assert(r.getAs[Long]("n_rows") == 9L &&
+      r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Long]("n_groups_under_k") == 1L, r) // A: n=3 < 5
+    assert(r.getAs[Long]("n_rows_under_k") == 3L, r)
+    assert(r.getAs[Long]("min_group") == 3L, r)
+    assert(r.getAs[Long]("n_groups_under_l") == 1L, r) // B: 1 distinct
+    // a clean release: every group ≥ k with ≥ l distinct sensitives
+    val clean = (1 to 5).flatMap(i => Seq(("A", i.toLong),
+      ("B", i.toLong))).toDF("q", "s")
+    val rc = Relational.kAnonymityAudit(clean, Seq(col("q")),
+      col("s"), k = 5L, l = 3L).head()
+    assert(rc.getAs[Long]("n_groups_under_k") == 0L &&
+      rc.getAs[Long]("n_groups_under_l") == 0L, rc)
+  }
+
   test("zOrderValue: hand interleaves, tile containment; " +
     "zOrderLayout sorts within range partitions") {
     val pts = for (x <- 0L to 7L; y <- 0L to 7L) yield (x, y)

@@ -545,6 +545,8 @@ class CliSmokeSpec extends SparkSpec {
     val zOut = tmpDir("cli-r11z")
     graft.cli.Main.main(Array("zorder", statsPath, "id", "v", zOut,
       "10"))
+    graft.cli.Main.main(Array("kanon", statsPath, "cat", "v", "3",
+      "2"))
     graft.cli.Main.main(Array("rmst", lrPath, "user_id", "3"))
     graft.cli.Main.main(Array("mi", statsPath, "cat", "ga"))
     val mcPath = s"${tmpDir("cli-r11mc")}/preds"
