@@ -3186,12 +3186,29 @@ object Relational {
       .select(col("_v").as("_pv"), col("_pcnt"),
         (sum(col("_pcnt")).over(pooledW) - col("_pcnt")).as("_pcb"))
       .crossJoin(broadcast(cells.agg(sum(col("_cnt")).as("_n"))))
-    // f ∈ [pcb/N, (pcb+pcnt)/N) ⇔ cross-multiplied BIGINT bounds
+    // f ∈ [pcb/N, (pcb+pcnt)/N) ⇔ cross-multiplied BIGINT bounds.
+    // The match is BANDED before it is exact: both sides carry a
+    // coarse rank bucket (⌊f·B⌋ resp. the buckets an interval spans),
+    // so the join is an EQUI join on the band and the containment
+    // predicate only refines within it — without the band this is an
+    // all-pairs nested loop over the two distinct-value tables, which
+    // at cent-granular value spaces (100k² candidate pairs at sf0.1,
+    // worse at scale) is the quadratic trap the banding removes.
+    // Pooled intervals explode into ⌈width·B⌉+1 bands; Σ spans =
+    // B + |pooled| — linear, never quadratic.
+    val bands = 1024L
     val fNum = lit(2L) * col("_cb") + col("_cnt") // f = fNum/(2·n_g)
-    val joined = ranked.join(broadcast(pooled),
-      col("_pcb") * 2L * col("_ng") <= fNum * col("_n") &&
-        fNum * col("_n") < (col("_pcb") + col("_pcnt")) * 2L *
-          col("_ng"))
+    val rankedB = ranked.withColumn("_band",
+      expr(s"((2 * _cb + _cnt) * $bands) div (2 * _ng)"))
+    val pooledB = pooled.withColumn("_band",
+      explode(sequence(
+        expr(s"(_pcb * $bands) div _n"),
+        expr(s"((_pcb + _pcnt) * $bands) div _n"))))
+    val joined = rankedB.join(broadcast(pooledB), Seq("_band"))
+      .filter(
+        col("_pcb") * 2L * col("_ng") <= fNum * col("_n") &&
+          fNum * col("_n") < (col("_pcb") + col("_pcnt")) * 2L *
+            col("_ng"))
     joined.select(col("_g").as("grp"), col("_v").as("v"),
       col("_cnt").as("cnt"),
       round(fNum.cast("double") / (lit(2.0) *
