@@ -644,10 +644,11 @@ object Main {
     case "logistic" :: corpus :: labelCol :: labelValue :: outDir ::
         rest =>
       import org.apache.spark.sql.functions.col
-      val dim = rest.headOption.map(_.toInt).getOrElse(16)
-      val iters = rest.drop(1).headOption.map(_.toInt).getOrElse(3)
+      val pos = rest.filter(!_.startsWith("--"))
+      val dim = pos.headOption.map(_.toInt).getOrElse(16)
+      val iters = pos.drop(1).headOption.map(_.toInt).getOrElse(3)
       val spark = session()
-      val df = loadCorpus(spark, corpus, rest.drop(2))
+      val df = loadCorpus(spark, corpus, rest)
       val w = graft.text.Classifier.logisticFit(df, "text", "doc_id",
         col(labelCol) === labelValue, dim, iters)
       w.write.mode("overwrite").parquet(outDir)
@@ -1699,8 +1700,7 @@ object Main {
       val spark = session()
       graft.text.Bm25.deleteFromBm25Index(
         spark.read.parquet(idsPath), indexDir, idCol)
-      val n = spark.read.parquet(s"$indexDir/stats")
-        .agg(org.apache.spark.sql.functions.sum("n_docs")).head().get(0)
+      val n = graft.text.Bm25.indexStats(spark, indexDir).head().get(0)
       println(s"[bm25-delete] index now covers $n live docs")
       done(spark)
 
@@ -1709,8 +1709,7 @@ object Main {
       val idCol = rest.headOption.getOrElse("doc_id")
       val spark = session()
       graft.text.Bm25.compactBm25Index(spark, indexDir, idCol)
-      val n = spark.read.parquet(s"$indexDir/stats")
-        .agg(org.apache.spark.sql.functions.sum("n_docs")).head().get(0)
+      val n = graft.text.Bm25.indexStats(spark, indexDir).head().get(0)
       println(s"[bm25-compact] compacted to $n docs")
       done(spark)
 

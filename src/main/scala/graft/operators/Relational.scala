@@ -2220,9 +2220,10 @@ object Relational {
       bits: Int = 16, partitions: Int = 0): DataFrame = {
     val z = zOrderValue(x, y, bits).as("_z")
     val withZ = df.withColumn("_z", z)
+    // resolved session conf, not the raw string — "auto" (AQE
+    // coalesce setups) would make a raw .toInt throw
     val parts = if (partitions > 0) partitions
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        .toInt
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     withZ.repartitionByRange(parts, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
@@ -2991,15 +2992,23 @@ object Relational {
         min(when(col("_cend") * 2L >= col("_n") + 1L, col("_mv")))
           .as("_vb"))
         .select(col("_n"),
-          ((col("_va") + col("_vb")) * 500000L).as("_med_micro"))
+          // decimal(38,0) midpoint: the second median runs over
+          // deviations already in micro units (≈|v|·1e6), where a
+          // Long (va+vb)·5e5 product would silently wrap past
+          // |v|≈9.2e6 input units (non-ANSI Spark) while the DuckDB
+          // oracle's BIGINT errors loudly — keep the product exact
+          ((col("_va").cast("decimal(38,0)") + col("_vb")) * 500000L)
+            .as("_med_micro"))
     }
     val d = df.select(valueInt.cast("long").as("_v"))
     val m1 = medianMicro(d, col("_v")).localCheckpoint()
     val dev = d.crossJoin(broadcast(m1))
-      .select(abs(col("_v") * 1000000L - col("_med_micro")).as("_dev"))
+      .select(abs(col("_v").cast("decimal(38,0)") * 1000000L -
+        col("_med_micro")).as("_dev"))
     val m2 = medianMicro(dev, col("_dev"))
     m1.crossJoin(broadcast(m2.select(col("_med_micro").as("_mad"))))
-      .select(col("_n").as("n"), col("_med_micro").as("median_micro"),
+      .select(col("_n").as("n"),
+        col("_med_micro").cast("long").as("median_micro"),
         // the deviation median is already in micro of micro-units:
         // _dev values are micro, so its median_micro carries an extra
         // 1e6 — divide back down EXACTLY (subtract the remainder

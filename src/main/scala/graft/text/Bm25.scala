@@ -203,30 +203,174 @@ object Bm25 {
   // postings out so a query touches only its terms' partitions, and
   // let incremental drops append without touching history.
   //
-  // Layout under <path>/:
-  //   meta/      one row (buckets) — the term-hash fan-out, frozen at
-  //              creation (appends must agree or probes miss)
-  //   postings/  (idCol, term, tf, dl) partitioned by bucket =
-  //              pmod(xxhash64(term), buckets) — a query's terms map
-  //              to a FIXED bucket set, so serving reads only those
-  //              partitions (partition pruning, the scale feature)
-  //   stats/     append-only DELTA rows (n_docs, sum_dl) — each
-  //              write/append adds one row; readers SUM the deltas, so
-  //              no file is ever overwritten (object-store safe, the
-  //              accumulating-generation discipline)
+  // Layout under <path>/ (the PQ index's `_live` marker-generation
+  // commit protocol, sim/SimSearch.scala — every mutation is
+  // write-once dirs + ONE marker PUT, object-store safe):
+  //   meta/           one row (buckets) — the term-hash fan-out,
+  //                   frozen at creation (appends must agree or
+  //                   probes miss)
+  //   postings/ or postings_gen=<G>/
+  //                   the LIVE postings generation: (idCol, term, tf,
+  //                   dl) partitioned by bucket = pmod(xxhash64(term),
+  //                   buckets) — a query's terms map to a FIXED
+  //                   bucket set, so serving reads only those
+  //                   partitions (partition pruning, the scale
+  //                   feature)
+  //   stats/ or stats_gen=<G>/
+  //                   append-only (n_docs, sum_dl) DELTA rows — one
+  //                   per write/append; readers SUM them, so appends
+  //                   never overwrite anything
+  //   tombstones/batch=<B>/     write-once deleted-id batches
+  //   stats_deltas/batch=<B>/   the matching NEGATIVE stats delta —
+  //                   committed TOGETHER with its tombstone batch by
+  //                   the batch's one marker PUT, so a torn delete
+  //                   can never leave stats and tombstones
+  //                   disagreeing
+  //   _live.<gen>     the ruling-state marker: the newest COMPLETE
+  //                   marker names the live postings/stats dirs and
+  //                   the un-compacted batch numbers; no marker =
+  //                   the pristine layout (gen 0: postings/, stats/,
+  //                   no batches)
+  // Readers resolve through the ruling marker and never delete
+  // anything; lifecycle writers GC superseded state AFTER their
+  // marker PUT ([[healBm25Index]]). Single-writer discipline per
+  // index (concurrent writers trip the `errorifexists` batch
+  // writes); readers are always safe, INCLUDING concurrently with
+  // compaction — they see the old generation + tombstone anti-join
+  // or the new compacted generation, never a mix.
   //
   // idf is NOT persisted: df(term) lives entirely inside the term's
   // bucket (hash-complete), so serving derives it from the pruned
   // read — which keeps appends cheap AND keeps idf automatically
   // current as N grows (a frozen idf table would go stale per append).
 
-  /** Create the persisted index (overwrites `path`). */
+  private val Bm25MarkerPrefix = "_live."
+  private val Bm25MarkerFooter = "end"
+
+  /** Resolved lifecycle state: ruling generation, live postings and
+    * stats directories (relative to the index root), and the
+    * not-yet-compacted delete-batch numbers.
+    */
+  private[graft] final case class Bm25Live(
+      gen: Long, postingsDir: String, statsDir: String,
+      batches: Seq[Long])
+
+  private def bm25Fs(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def bm25MarkerPath(path: String, gen: Long) =
+    new org.apache.hadoop.fs.Path(path, f"$Bm25MarkerPrefix$gen%019d")
+
+  private def parseBm25Marker(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Bm25Live] = {
+    val gen =
+      try p.getName.stripPrefix(Bm25MarkerPrefix).toLong
+      catch { case _: NumberFormatException => return None }
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+    if (!lines.lastOption.contains(Bm25MarkerFooter)) return None
+    val fields = lines.init.flatMap { l =>
+      l.split(":", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+    try for (po <- fields.get("postings"); st <- fields.get("stats"))
+      yield Bm25Live(gen, po, st,
+        fields.getOrElse("tomb", "").split(",").filter(_.nonEmpty)
+          .map(_.toLong).toSeq)
+    catch { case _: NumberFormatException => None }
+  }
+
+  /** The ruling lifecycle state: newest complete `_live` marker, or
+    * the pristine layout. Reader-safe — parses only, never deletes.
+    */
+  private[graft] def readBm25Live(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Bm25Live = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val markers =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.startsWith(Bm25MarkerPrefix))
+        .sortBy(_.getName).reverse.toSeq
+    markers.iterator.flatMap(parseBm25Marker(fs, _)).nextOption()
+      .getOrElse(Bm25Live(0L, "postings", "stats", Seq.empty))
+  }
+
+  private def writeBm25Marker(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, live: Bm25Live): Unit = {
+    val out = fs.create(bm25MarkerPath(path, live.gen), false)
+    try out.write((s"postings:${live.postingsDir}\n" +
+      s"stats:${live.statsDir}\n" +
+      s"tomb:${live.batches.mkString(",")}\n" +
+      s"$Bm25MarkerFooter\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** WRITER-ONLY GC of everything the ruling marker does not
+    * reference: superseded/torn markers, non-live postings/stats
+    * generations, and unreferenced tombstone/stats-delta batches
+    * (both compacted-away ones and the orphans of a crash before a
+    * marker PUT, which would otherwise collide with the next
+    * `errorifexists` write). Called from the lifecycle writers only.
+    */
+  private def healBm25Index(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return
+    val live = readBm25Live(fs, path)
+    def checkedDelete(p: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.delete(p, true)) throw new java.io.IOException(
+        s"bm25 index lifecycle GC failed to delete $p")
+    fs.listStatus(root).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith(Bm25MarkerPrefix) &&
+          !parseBm25Marker(fs, p).exists(_.gen == live.gen))
+        checkedDelete(p)
+      else if ((n == "postings" || n.startsWith("postings_gen=")) &&
+          n != live.postingsDir)
+        checkedDelete(p)
+      else if ((n == "stats" || n.startsWith("stats_gen=")) &&
+          n != live.statsDir)
+        checkedDelete(p)
+    }
+    Seq("tombstones", "stats_deltas").foreach { sub =>
+      val subRoot = new org.apache.hadoop.fs.Path(path, sub)
+      if (fs.exists(subRoot)) {
+        val keep = live.batches.map(b => s"batch=$b").toSet
+        fs.listStatus(subRoot).map(_.getPath)
+          .filter(p => p.getName.startsWith("batch=") &&
+            !keep.contains(p.getName))
+          .foreach(checkedDelete)
+        if (live.batches.isEmpty && fs.listStatus(subRoot).isEmpty)
+          checkedDelete(subRoot)
+      }
+    }
+  }
+
+  /** Create the persisted index. Overwrites the ENTIRE `path` tree
+    * first — including any tombstones, stats-delta batches, gen
+    * directories, and `_live` markers from a previous index at the
+    * same path — so a rebuild can never inherit a stale lifecycle
+    * state (a surviving tombstone set would silently anti-join
+    * fresh ids out of the new index).
+    */
   def writeBm25Index(docs: DataFrame, textCol: String, idCol: String,
       path: String, buckets: Int = 64,
       tokenizer: Column => Column = TextOps.tokensSimple): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = docs.sparkSession
     import spark.implicits._
+    val fs = bm25Fs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(root) && !fs.delete(root, true))
+      throw new java.io.IOException(
+        s"bm25 index rebuild failed to clear $path")
     Seq(buckets).toDF("buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val idx = buildIndex(docs, textCol, idCol, tokenizer)
@@ -243,8 +387,8 @@ object Bm25 {
   /** Append NEW documents (caller contract: ids must not already be
     * in the index — a re-ingested id would double its postings and
     * overcount df; dedupe upstream, the q13 family). Postings land in
-    * the frozen bucket layout; stats add one delta row; nothing is
-    * rewritten.
+    * the frozen bucket layout inside the LIVE generation; stats add
+    * one delta row; nothing is rewritten.
     */
   def appendToBm25Index(docs: DataFrame, textCol: String, idCol: String,
       path: String,
@@ -252,13 +396,15 @@ object Bm25 {
     val spark = docs.sparkSession
     val buckets = spark.read.parquet(s"$path/meta")
       .head().getAs[Int]("buckets")
+    val live = readBm25Live(bm25Fs(spark, path), path)
     val idx = buildIndex(docs, textCol, idCol, tokenizer)
       .withColumn("bucket",
         pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .persist()
     idx.write.partitionBy("bucket").mode("append")
-      .parquet(s"$path/postings")
-    statsDelta(idx, idCol).write.mode("append").parquet(s"$path/stats")
+      .parquet(s"$path/${live.postingsDir}")
+    statsDelta(idx, idCol).write.mode("append")
+      .parquet(s"$path/${live.statsDir}")
     idx.unpersist()
   }
 
@@ -269,6 +415,26 @@ object Bm25 {
   private def statsDelta(idx: DataFrame, idCol: String): DataFrame =
     idx.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  /** All live stats delta rows: the live stats dir's write/append
+    * rows plus the marker-referenced delete batches' negative rows.
+    */
+  private def statsDeltas(spark: org.apache.spark.sql.SparkSession,
+      path: String, live: Bm25Live): DataFrame = {
+    val base = spark.read.parquet(s"$path/${live.statsDir}")
+    if (live.batches.isEmpty) base
+    else base.unionByName(spark.read.parquet(
+      live.batches.map(b => s"$path/stats_deltas/batch=$b"): _*))
+  }
+
+  /** The index's summed corpus stats `(n_docs, sum_dl)` — one row,
+    * reflecting every committed append and delete.
+    */
+  def indexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    statsDeltas(spark, path, readBm25Live(bm25Fs(spark, path), path))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_dl")).as("sum_dl"))
 
   /** Serve top-k from the persisted index — row-identical to [[topK]]
     * over the same logical corpus (shared [[scoreTopK]] tail), but the
@@ -284,14 +450,15 @@ object Bm25 {
       b: Double = 0.75): DataFrame = {
     val buckets = spark.read.parquet(s"$path/meta")
       .head().getAs[Int]("buckets")
+    val live = readBm25Live(bm25Fs(spark, path), path)
     val qterms = queries.select(col(queryIdCol), col("term")).distinct()
     val bucketIds = qterms.select(
       pmod(xxhash64(col("term")), lit(buckets.toLong)).as("_b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val postings = livePostings(spark, path,
-      spark.read.parquet(s"$path/postings")
+    val postings = livePostings(spark, path, live,
+      spark.read.parquet(s"$path/${live.postingsDir}")
         .filter(col("bucket").isin(bucketIds: _*)), idCol)
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = statsDeltas(spark, path, live)
       .agg(sum(col("n_docs")).as("_n"), sum(col("sum_dl")).as("_sumdl"))
       .select(col("_n"),
         (col("_sumdl").cast("double") / col("_n").cast("double"))
@@ -309,90 +476,86 @@ object Bm25 {
     scoreTopK(postings, qi, stats, queryIdCol, idCol, k, k1, b)
   }
 
-  /** Anti-join the accumulated tombstones out of a postings read (the
-    * q265 PQ-index discipline: ids-only tombstone set, broadcast
-    * anti-join, absent dir = nothing deleted).
+  /** Anti-join the marker-referenced tombstone batches out of a
+    * postings read (the q265 PQ-index discipline: ids-only tombstone
+    * set, broadcast anti-join, no batches = nothing deleted).
     */
   private def livePostings(spark: org.apache.spark.sql.SparkSession,
-      path: String, postings: DataFrame, idCol: String): DataFrame = {
-    val tPath = new org.apache.hadoop.fs.Path(path, "tombstones")
-    val fs = tPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(tPath)) postings
+      path: String, live: Bm25Live, postings: DataFrame,
+      idCol: String): DataFrame =
+    if (live.batches.isEmpty) postings
     else postings.join(
-      broadcast(spark.read.parquet(s"$path/tombstones")
+      broadcast(spark.read.parquet(
+        live.batches.map(b => s"$path/tombstones/batch=$b"): _*)
         .select(col(idCol)).distinct()),
       Seq(idCol), "left_anti")
-  }
 
-  /** Delete documents from the persisted index: append their ids to
-    * the tombstone set and append the matching NEGATIVE stats delta
-    * (computed from ONE postings scan over the deleted ids — per
-    * delete batch, not per query), so `(_n, _avgdl)` and serve-time
-    * idf immediately reflect the removal. Nothing is rewritten;
-    * [[compactBm25Index]] reclaims the space later.
+  /** Delete documents from the persisted index: the batch's ids land
+    * as a write-once `tombstones/batch=<B>` dir, the matching
+    * NEGATIVE stats delta (computed from ONE postings scan over the
+    * deleted ids — per delete batch, not per query) as
+    * `stats_deltas/batch=<B>`, and the commit is the next `_live`
+    * marker PUT referencing both — so `(_n, _avgdl)` and serve-time
+    * idf reflect the removal exactly when the tombstones do, and a
+    * crash before the PUT leaves both halves unreferenced (the
+    * delete simply did not happen — retry). Nothing is rewritten;
+    * [[compactBm25Index]] reclaims the space later. Ids deleted
+    * twice or never present contribute nothing.
     */
   def deleteFromBm25Index(ids: DataFrame, path: String,
       idCol: String): Unit = {
     val spark = ids.sparkSession
+    val fs = bm25Fs(spark, path)
+    healBm25Index(fs, path) // clear any orphan of a crashed writer
+    val live = readBm25Live(fs, path)
+    val b = live.gen + 1L
     val idSet = ids.select(col(idCol)).distinct().persist()
-    // negative delta off the CURRENT live postings (ids deleted twice
-    // or never present contribute nothing)
-    val gone = livePostings(spark, path,
-      spark.read.parquet(s"$path/postings"), idCol)
+    // negative delta off the CURRENT live postings
+    val gone = livePostings(spark, path, live,
+      spark.read.parquet(s"$path/${live.postingsDir}"), idCol)
       .join(broadcast(idSet), Seq(idCol), "left_semi")
     statsDelta(gone, idCol)
-      .select((-col("n_docs")).as("n_docs"), (-col("sum_dl")).as("sum_dl"))
-      .write.mode("append").parquet(s"$path/stats")
-    idSet.write.mode("append").parquet(s"$path/tombstones")
+      .select((-col("n_docs")).as("n_docs"),
+        (-col("sum_dl")).as("sum_dl"))
+      .write.mode("errorifexists")
+      .parquet(s"$path/stats_deltas/batch=$b")
+    idSet.write.mode("errorifexists")
+      .parquet(s"$path/tombstones/batch=$b")
     idSet.unpersist()
+    writeBm25Marker(fs, path, Bm25Live(b, live.postingsDir,
+      live.statsDir, live.batches :+ b))
+    healBm25Index(fs, path) // GC the superseded marker
   }
 
-  /** Compaction: rewrite the postings minus the tombstones into a
-    * fresh directory, re-base the accumulated stats deltas to ONE
-    * row, swap the live tree, and clear the tombstones. Serving
-    * before and after compaction is row-identical (the lifecycle
-    * gate q291 `require`s it).
-    *
-    * Store contract: the swap is two checked Hadoop-FS RENAMES per
-    * dir, so compaction needs a rename-atomic store (HDFS, local,
-    * ABFS) and single-writer discipline — the same caveat as
-    * dynamic-partition overwrite. Everything ELSE in this lifecycle
-    * (write, append, delete, serve) is append-only and object-store
-    * safe; on S3-style stores either rebuild via [[writeBm25Index]]
-    * or port the PQ index's marker-generation commit
-    * (`sim/SimSearch.scala` `_live` markers) — deletes there stay
-    * correct indefinitely without compaction, it only reclaims space.
+  /** Generation compaction: rewrite the live postings MINUS the
+    * accumulated tombstones into a fresh write-once
+    * `postings_gen=<G>` dir, re-base the summed stats deltas to ONE
+    * row in `stats_gen=<G>`, and commit both (with an empty batch
+    * list) via one marker PUT; superseded directories GC afterwards.
+    * Readers see either the old generation + tombstone anti-join or
+    * the new compacted generation — never an intermediate — so
+    * compaction is safe under concurrent readers on any
+    * PUT-consistent store. Serving before and after is row-identical
+    * (the lifecycle gate q291 `require`s it). Also collapses the
+    * small files of accumulated appends, so it doubles as the
+    * index's periodic file-compaction pass.
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String): Unit = {
-    val live = livePostings(spark, path,
-      spark.read.parquet(s"$path/postings"), idCol)
+    val fs = bm25Fs(spark, path)
+    healBm25Index(fs, path)
+    val live = readBm25Live(fs, path)
+    val gen = live.gen + 1L
+    val kept = livePostings(spark, path, live,
+      spark.read.parquet(s"$path/${live.postingsDir}"), idCol)
       .persist() // rewrite + re-based stats
-    live.write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$path/postings_compact")
-    statsDelta(live, idCol).coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/stats_compact")
-    live.unpersist()
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    def mv(from: org.apache.hadoop.fs.Path,
-        to: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.rename(from, to)) throw new java.io.IOException(
-        s"bm25 index compaction failed to rename $from -> $to")
-    def swap(name: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(path, name)
-      val c = new org.apache.hadoop.fs.Path(path, s"${name}_compact")
-      val old = new org.apache.hadoop.fs.Path(path, s"${name}_old")
-      mv(p, old)
-      mv(c, p)
-      if (!fs.delete(old, true)) throw new java.io.IOException(
-        s"bm25 index compaction failed to drop $old")
-    }
-    swap("postings")
-    swap("stats")
-    val t = new org.apache.hadoop.fs.Path(path, "tombstones")
-    if (fs.exists(t) && !fs.delete(t, true))
-      throw new java.io.IOException(
-        s"bm25 index compaction failed to clear $t")
+    kept.write.partitionBy("bucket").mode("errorifexists")
+      .parquet(s"$path/postings_gen=$gen")
+    statsDelta(kept, idCol).coalesce(1).write.mode("errorifexists")
+      .parquet(s"$path/stats_gen=$gen")
+    kept.unpersist()
+    writeBm25Marker(fs, path, Bm25Live(gen, s"postings_gen=$gen",
+      s"stats_gen=$gen", Seq.empty))
+    healBm25Index(fs, path) // GC old generation + folded batches
   }
 }

@@ -252,10 +252,13 @@ object Dedup {
 
   /** Compaction: rewrite the live (non-tombstoned) index rows, swap
     * via checked Hadoop-FS renames, clear the tombstones, and carry
-    * the meta over. Same store contract as the BM25 index compaction
-    * ([[graft.text.Bm25.compactBm25Index]]): renames need a
-    * rename-atomic store and single-writer discipline; everything
-    * else in this lifecycle is append-only.
+    * the meta over. Store contract: renames need a rename-atomic
+    * store (HDFS, local, ABFS) and single-writer discipline;
+    * everything else in this lifecycle is append-only. (The BM25 and
+    * PQ indexes use marker-generation commits instead —
+    * [[graft.text.Bm25.compactBm25Index]] — which are also safe
+    * under concurrent readers; port that here if this index ever
+    * needs reader-concurrent compaction on an object store.)
     */
   def compactSignedIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {

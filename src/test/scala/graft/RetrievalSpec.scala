@@ -106,17 +106,39 @@ class RetrievalSpec extends SparkSpec {
     // deleting the same ids again adds a ZERO delta (live postings
     // already exclude them) — stats stay correct
     Bm25.deleteFromBm25Index(dead, dir, "doc_id")
-    val st = spark.read.parquet(s"$dir/stats")
-    assert(st.agg(sum("n_docs")).head().getLong(0) == 3L, // 5 − 2
+    val st = Bm25.indexStats(spark, dir)
+    assert(st.head().getLong(0) == 3L, // 5 − 2
       st.collect().mkString(";"))
-    // compaction: identical serving, single re-based stats row, no
-    // tombstones left behind
+    // compaction: identical serving, single re-based stats row in a
+    // fresh marker-committed generation, no batch state left behind
     Bm25.compactBm25Index(spark, dir, "doc_id")
     val after = Bm25.topKFromIndex(spark, dir, queries, "query_id",
       "doc_id").collect().toSet
     assert(after == oneShot)
-    assert(spark.read.parquet(s"$dir/stats").count() == 1L)
+    assert(Bm25.indexStats(spark, dir).head().getLong(0) == 3L)
+    assert(spark.read.parquet(s"$dir/postings_gen=3").count() > 0L)
+    assert(spark.read.parquet(s"$dir/stats_gen=3").count() == 1L)
+    assert(!new java.io.File(s"$dir/postings").exists())
     assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(!new java.io.File(s"$dir/stats_deltas").exists())
+  }
+
+  test("bm25 index rebuild at a tombstoned path starts clean: no " +
+    "stale lifecycle state survives writeBm25Index") {
+    val dir = s"${tmpDir("bm25-rebuild")}/idx"
+    Bm25.writeBm25Index(corpus, "text", "doc_id", dir, buckets = 8)
+    Bm25.deleteFromBm25Index(Seq(1L).toDF("doc_id"), dir, "doc_id")
+    // the rebuild overwrites the WHOLE tree — a surviving tombstone
+    // batch or _live marker would silently anti-join doc 1 out of
+    // the fresh index (the round-12 ADVICE regression)
+    Bm25.writeBm25Index(corpus, "text", "doc_id", dir, buckets = 8)
+    val queries = Seq((1L, "spark")).toDF("query_id", "term")
+    val served = Bm25.topKFromIndex(spark, dir, queries, "query_id",
+      "doc_id")
+    val oneShot = Bm25.search(corpus, "text", "doc_id", queries,
+      "query_id").collect().toSet
+    assert(served.collect().toSet == oneShot && oneShot.nonEmpty)
+    assert(Bm25.indexStats(spark, dir).head().getLong(0) == 5L)
   }
 
   test("persisted hybrid: RRF over the BM25 + ANN index artifacts is " +
