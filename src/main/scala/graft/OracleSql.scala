@@ -406,6 +406,33 @@ object OracleSql {
        |FROM r WHERE rn <= 5""".stripMargin
   }
 
+  /** q307: the q18 bucket/cosine chains with the CANDIDATE set
+    * restricted to the persisted ANN index's survivors (vec_id % 9
+    * <> 0) — deleted ids may still query (q keeps every vec_id < 20)
+    * but must never surface from any probe, before or after
+    * compaction.
+    */
+  private val q307 = {
+    val dim = 64
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |             ${bucketExpr("embedding", 6, dim)} AS bucket
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM e
+       |      WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS cid, embedding AS cv, bucket FROM e
+       |      WHERE vec_id % 9 <> 0),
+       |p AS (SELECT qid, cid,
+       |        round(${duckDot("qv", "cv", dim)} /
+       |          (sqrt(${duckDot("qv", "qv", dim)}) *
+       |           sqrt(${duckDot("cv", "cv", dim)})), 6) AS cos_sim
+       |      FROM q JOIN c USING (bucket) WHERE qid != cid),
+       |r AS (SELECT qid, cid, cos_sim,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos_sim DESC, cid) AS rn FROM p)
+       |SELECT qid, (rn - 1)::INTEGER AS rank, cid AS neighbor, cos_sim
+       |FROM r WHERE rn <= 5""".stripMargin
+  }
+
   /** Recall@k oracle: replay the q18 ANN ranking AND the brute-force
     * baseline on the same query set (vec_id < 50, k = 5), then score
     * each query by the intersection of its two top-5 neighbor sets.
@@ -7361,6 +7388,10 @@ object OracleSql {
     // Quantile normalization: group midrank fractions contained in
     // pooled cumulative intervals, cross-multiplied exact integers
     "q293_signed_index_lifecycle" -> q293,
+
+    // ANN index lifecycle: q18's bucket/cosine chains over the
+    // survivors only
+    "q307_ann_index_lifecycle" -> q307,
 
     // k-anonymity/l-diversity: equivalence-class fold + summary row
     "q306_k_anonymity" ->

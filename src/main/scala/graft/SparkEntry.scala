@@ -5095,6 +5095,50 @@ object SparkEntry {
       pmod(col("user_id"), lit(50L)), k = 5L, l = 3L)
   }
 
+  /** Hyperplane-ANN index FULL lifecycle under the oracle (the q265/
+    * q291/q293 discipline for the dense-retrieval index — the last
+    * persisted index family to absorb removals without rebuild):
+    * write half the embeddings, append the other half (validated
+    * against the persisted LSH meta), tombstone-delete every 9th id
+    * (write-once ids batch + one `_live` marker PUT), serve the
+    * partition-pruned probes, compact into a fresh marker-committed
+    * `vectors_gen`, and `require` compacted serving ≡ tombstoned
+    * serving. The DuckDB oracle replays the q18 bucket/cosine chains
+    * over the SURVIVORS only, so deleted ids surfacing from any
+    * probe — before or after compaction — hash-fails the gate.
+    * EAGER (index writes are jobs); temp tree deleted on return.
+    */
+  def q307_ann_index_lifecycle(s: SparkSession, dir: String)
+      : DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_annlife")
+    try {
+      val p = base.resolve("idx").toString
+      val emb = t(s, dir, "embeddings").persist()
+      SimSearch.writeAnnIndex(emb.filter(col("vec_id") % 2 === 0), p,
+        "vec_id", "embedding", planes = 6, dim = 64)
+      SimSearch.appendToAnnIndex(emb.filter(col("vec_id") % 2 =!= 0),
+        p, "vec_id", "embedding")
+      SimSearch.deleteFromAnnIndex(
+        emb.filter(col("vec_id") % 9 === 0).select(col("vec_id")), p)
+      val queries = emb.filter(col("vec_id") < 20)
+      def serve(): DataFrame = SimSearch.annTopKFromIndex(
+        SimSearch.readAnnIndex(s, p), queries, "vec_id", "embedding",
+        k = 5, planes = 6, dim = 64)
+      val tombstoned = serve().localCheckpoint()
+      SimSearch.compactAnnIndex(s, p)
+      val compacted = serve().localCheckpoint()
+      require(tombstoned.exceptAll(compacted).isEmpty &&
+        compacted.exceptAll(tombstoned).isEmpty,
+        "compacted ANN serving diverged from tombstoned serving")
+      emb.unpersist()
+      compacted
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** One-row ECE / MCE / Brier calibration summary of q179's served
     * naive-Bayes classifier — exact integer bucket gaps, decimal
     * Brier moment, three closing divisions.
@@ -5479,7 +5523,8 @@ object SparkEntry {
     "q303_odds_ratio" -> (q303_odds_ratio(_, _)),
     "q304_poisson_rate" -> (q304_poisson_rate(_, _)),
     "q305_zorder" -> (q305_zorder(_, _)),
-    "q306_k_anonymity" -> (q306_k_anonymity(_, _)))
+    "q306_k_anonymity" -> (q306_k_anonymity(_, _)),
+    "q307_ann_index_lifecycle" -> (q307_ann_index_lifecycle(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

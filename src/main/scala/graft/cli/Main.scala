@@ -1002,6 +1002,39 @@ object Main {
         s"(planes=$planes) -> $outDir")
       done(spark)
 
+    // append new vectors to a persisted ANN index (validated against
+    // the persisted LSH meta; caller deduped the ids upstream)
+    case "ann-append" :: corpus :: indexDir :: Nil =>
+      val spark = session()
+      val emb = spark.read.parquet(corpus)
+      graft.sim.SimSearch.appendToAnnIndex(emb, indexDir,
+        "vec_id", "embedding")
+      println(s"[ann-append] +${emb.count()} vectors -> $indexDir " +
+        s"(${graft.sim.SimSearch.readAnnIndex(spark, indexDir).count()}" +
+        " live)")
+      done(spark)
+
+    // tombstone-delete ids from a persisted ANN index (ids-only
+    // batch + one _live marker PUT; nothing rewritten)
+    case "ann-delete" :: idsPath :: indexDir :: Nil =>
+      val spark = session()
+      graft.sim.SimSearch.deleteFromAnnIndex(
+        spark.read.parquet(idsPath), indexDir)
+      println("[ann-delete] index now serves " +
+        s"${graft.sim.SimSearch.readAnnIndex(spark, indexDir).count()}" +
+        " live vectors")
+      done(spark)
+
+    // compact a persisted ANN index (fold tombstones into a fresh
+    // marker-committed vectors generation)
+    case "ann-compact" :: indexDir :: Nil =>
+      val spark = session()
+      graft.sim.SimSearch.compactAnnIndex(spark, indexDir)
+      println("[ann-compact] compacted to " +
+        s"${graft.sim.SimSearch.readAnnIndex(spark, indexDir).count()}" +
+        " vectors")
+      done(spark)
+
     case "ann-query" :: idxPath :: queries :: outDir :: rest =>
       val nums = rest.filter(!_.startsWith("--"))
       val k = nums.headOption.map(_.toInt).getOrElse(10)

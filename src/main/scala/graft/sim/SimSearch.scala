@@ -168,23 +168,146 @@ object SimSearch {
     rankScored(uniq, k)
   }
 
-  /** Persist the ANN corpus as a BUCKET-PARTITIONED parquet index:
-    * one `bucket=<id>/` Hive partition per sign bucket, vectors stored
-    * with their ids. The write-once artifact that turns ANN serving
-    * into a partition-pruned scan: a query batch touching B buckets
-    * reads only those B directories (`PruneFileSourcePartitions`),
-    * ~B/2^planes of the corpus, instead of re-bucketing everything per
-    * lookup. LSH parameters must match between writer and reader.
+  // ── persisted hyperplane-ANN index lifecycle ─────────────────────
+  // Layout under <path>/ (the `_live` marker-generation commit
+  // protocol, [[graft.operators.LiveMarker]] — the PQ/BM25/signed
+  // index discipline):
+  //   meta/          one row (planes, dim, id_col, vec_col) — the LSH
+  //                  parameters, frozen at creation (appends validate
+  //                  against them: a mismatched fan-out would bucket
+  //                  new vectors where probes never look)
+  //   vectors/ or vectors_gen=<G>/
+  //                  the LIVE vector generation: (id, vec) stored
+  //                  under one `bucket=<id>/` Hive partition per sign
+  //                  bucket — a query batch touching B buckets reads
+  //                  only those B directories
+  //                  (`PruneFileSourcePartitions`), ~B/2^planes of
+  //                  the corpus, instead of re-bucketing everything
+  //                  per lookup
+  //   tombstones/batch=<B>/  write-once deleted-id batches, honored
+  //                  by every read through [[readAnnIndex]]
+  //   _live.<gen>    the ruling-state marker (see [[LiveMarker]])
+
+  private val annMarker = new graft.operators.LiveMarker(
+    Seq(("vectors", "vectors", "vectors_gen=")), Seq("tombstones"))
+
+  private def annFs(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def annMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, String, String) = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    (m.getAs[Int]("planes"), m.getAs[Int]("dim"),
+      m.getAs[String]("id_col"), m.getAs[String]("vec_col"))
+  }
+
+  /** Persist the ANN corpus as a bucket-partitioned parquet index
+    * (see the layout block above). Overwrites the ENTIRE `path` tree
+    * — including tombstones, gen directories, and `_live` markers
+    * from a previous index at the same path — so a rebuild can never
+    * inherit stale lifecycle state. The write-once artifact that
+    * turns ANN serving into a partition-pruned scan; LSH parameters
+    * are persisted in `meta/` and validated on append.
     */
   def writeAnnIndex(
       emb: DataFrame, path: String, idCol: String, vecCol: String,
-      planes: Int = 12, dim: Int = 64): Unit =
+      planes: Int = 12, dim: Int = 64): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val fs = annFs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(root) && !fs.delete(root, true))
+      throw new java.io.IOException(
+        s"ann index rebuild failed to clear $path")
+    Seq((planes, dim, idCol, vecCol))
+      .toDF("planes", "dim", "id_col", "vec_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     emb.select(col(idCol), col(vecCol),
       simhashBucket(col(vecCol), planes, dim).as("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/vectors")
+  }
 
+  /** Append NEW vectors to a persisted ANN index (caller contract:
+    * ids must not already be live in the index — dedupe upstream).
+    * The batch buckets under the index's PERSISTED LSH parameters
+    * (validated against the caller's column names — a silently
+    * different fan-out would strand the new vectors where probes
+    * never look) and lands inside the live generation; nothing is
+    * rewritten.
+    */
+  def appendToAnnIndex(
+      emb: DataFrame, path: String, idCol: String, vecCol: String): Unit = {
+    val spark = emb.sparkSession
+    val (planes, dim, metaId, metaVec) = annMeta(spark, path)
+    require(idCol == metaId && vecCol == metaVec,
+      s"ann index at $path stores ($metaId, $metaVec); " +
+        s"append offered ($idCol, $vecCol)")
+    val live = annMarker.read(annFs(spark, path), path)
+    emb.select(col(idCol), col(vecCol),
+      simhashBucket(col(vecCol), planes, dim).as("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/${live.dir("vectors")}")
+  }
+
+  /** Tombstone-delete ids from a persisted ANN index — the
+    * dense-retrieval absorber of the removal-audit pipeline's
+    * verdicts WITHOUT a rebuild (the q265 PQ discipline): `ids` (ONE
+    * column, named exactly as the index's id column) land as a
+    * write-once `tombstones/batch=<B>` dir and the commit is the
+    * next `_live` marker PUT. Every read through [[readAnnIndex]]
+    * anti-joins the batches, so a deleted id can never surface from
+    * any probe. Ids absent from the index are harmless no-ops; a
+    * crash before the PUT leaves the batch unreferenced (the delete
+    * did not happen — retry).
+    */
+  def deleteFromAnnIndex(ids: DataFrame, path: String): Unit = {
+    val spark = ids.sparkSession
+    val (_, _, metaId, _) = annMeta(spark, path)
+    require(ids.columns.toSeq == Seq(metaId),
+      s"ids must be a single '$metaId' column frame, " +
+        s"got ${ids.columns.mkString(",")}")
+    val fs = annFs(spark, path)
+    annMarker.heal(fs, path) // clear any orphan of a crashed writer
+    val live = annMarker.read(fs, path)
+    val b = live.gen + 1L
+    ids.distinct().write.mode("errorifexists")
+      .parquet(s"$path/tombstones/batch=$b")
+    annMarker.put(fs, path,
+      live.copy(gen = b, batches = live.batches :+ b))
+    annMarker.heal(fs, path) // GC the superseded marker
+  }
+
+  /** Generation compaction: rewrite the live vectors MINUS the
+    * accumulated tombstones into a fresh write-once
+    * `vectors_gen=<G>` dir and commit it (with an empty batch list)
+    * via one marker PUT; superseded state GCs afterwards. Readers
+    * see the old generation + anti-join or the new compacted one,
+    * never a mix. Also collapses accumulated append small files.
+    */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = annFs(spark, path)
+    annMarker.heal(fs, path)
+    val live = annMarker.read(fs, path)
+    val gen = live.gen + 1L
+    readAnnIndex(spark, path)
+      .write.mode("errorifexists").partitionBy("bucket")
+      .parquet(s"$path/vectors_gen=$gen")
+    annMarker.put(fs, path, graft.operators.LiveState(gen,
+      Map("vectors" -> s"vectors_gen=$gen"), Seq.empty))
+    annMarker.heal(fs, path) // GC old generation + folded batches
+  }
+
+  /** The LIVE rows of a persisted ANN index: the marker-resolved
+    * vector generation minus the tombstone batches.
+    */
   def readAnnIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val live = annMarker.read(annFs(spark, path), path)
+    val dataPath = s"$path/${live.dir("vectors")}"
     // partition-type inference reads the directory names back as INT
     // (or STRING when inference is off) — restore the written LongType
     // via schema-on-read. A post-read cast would also fix the dtype but
@@ -193,12 +316,21 @@ object SimSearch {
     // catches exactly that); with the declared schema the column stays
     // a bare prunable attribute.
     import org.apache.spark.sql.types.LongType
-    val inferred = spark.read.parquet(path).schema
+    val inferred = spark.read.parquet(dataPath).schema
     val fixed = org.apache.spark.sql.types.StructType(inferred.map {
       case f if f.name == "bucket" => f.copy(dataType = LongType)
       case f => f
     })
-    spark.read.schema(fixed).parquet(path)
+    val vectors = spark.read.schema(fixed).parquet(dataPath)
+    if (live.batches.isEmpty) vectors
+    else {
+      val (_, _, metaId, _) = annMeta(spark, path)
+      vectors.join(
+        broadcast(spark.read.parquet(
+          live.batches.map(b => s"$path/tombstones/batch=$b"): _*)
+          .select(col(metaId)).distinct()),
+        Seq(metaId), "left_anti")
+    }
   }
 
   /** [[annTopK]] against a persisted [[writeAnnIndex]] artifact: the

@@ -203,8 +203,8 @@ object Bm25 {
   // postings out so a query touches only its terms' partitions, and
   // let incremental drops append without touching history.
   //
-  // Layout under <path>/ (the PQ index's `_live` marker-generation
-  // commit protocol, sim/SimSearch.scala — every mutation is
+  // Layout under <path>/ (the `_live` marker-generation commit
+  // protocol, [[graft.operators.LiveMarker]] — every mutation is
   // write-once dirs + ONE marker PUT, object-store safe):
   //   meta/           one row (buckets) — the term-hash fan-out,
   //                   frozen at creation (appends must agree or
@@ -226,132 +226,22 @@ object Bm25 {
   //                   the batch's one marker PUT, so a torn delete
   //                   can never leave stats and tombstones
   //                   disagreeing
-  //   _live.<gen>     the ruling-state marker: the newest COMPLETE
-  //                   marker names the live postings/stats dirs and
-  //                   the un-compacted batch numbers; no marker =
-  //                   the pristine layout (gen 0: postings/, stats/,
-  //                   no batches)
-  // Readers resolve through the ruling marker and never delete
-  // anything; lifecycle writers GC superseded state AFTER their
-  // marker PUT ([[healBm25Index]]). Single-writer discipline per
-  // index (concurrent writers trip the `errorifexists` batch
-  // writes); readers are always safe, INCLUDING concurrently with
-  // compaction — they see the old generation + tombstone anti-join
-  // or the new compacted generation, never a mix.
+  //   _live.<gen>     the ruling-state marker (see [[LiveMarker]])
   //
   // idf is NOT persisted: df(term) lives entirely inside the term's
   // bucket (hash-complete), so serving derives it from the pruned
   // read — which keeps appends cheap AND keeps idf automatically
   // current as N grows (a frozen idf table would go stale per append).
 
-  private val Bm25MarkerPrefix = "_live."
-  private val Bm25MarkerFooter = "end"
-
-  /** Resolved lifecycle state: ruling generation, live postings and
-    * stats directories (relative to the index root), and the
-    * not-yet-compacted delete-batch numbers.
-    */
-  private[graft] final case class Bm25Live(
-      gen: Long, postingsDir: String, statsDir: String,
-      batches: Seq[Long])
+  private val bm25Marker = new graft.operators.LiveMarker(
+    Seq(("postings", "postings", "postings_gen="),
+      ("stats", "stats", "stats_gen=")),
+    Seq("tombstones", "stats_deltas"))
 
   private def bm25Fs(spark: org.apache.spark.sql.SparkSession,
       path: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-
-  private def bm25MarkerPath(path: String, gen: Long) =
-    new org.apache.hadoop.fs.Path(path, f"$Bm25MarkerPrefix$gen%019d")
-
-  private def parseBm25Marker(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Option[Bm25Live] = {
-    val gen =
-      try p.getName.stripPrefix(Bm25MarkerPrefix).toLong
-      catch { case _: NumberFormatException => return None }
-    val in = fs.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
-    if (!lines.lastOption.contains(Bm25MarkerFooter)) return None
-    val fields = lines.init.flatMap { l =>
-      l.split(":", 2) match {
-        case Array(k, v) => Some(k -> v)
-        case _ => None
-      }
-    }.toMap
-    try for (po <- fields.get("postings"); st <- fields.get("stats"))
-      yield Bm25Live(gen, po, st,
-        fields.getOrElse("tomb", "").split(",").filter(_.nonEmpty)
-          .map(_.toLong).toSeq)
-    catch { case _: NumberFormatException => None }
-  }
-
-  /** The ruling lifecycle state: newest complete `_live` marker, or
-    * the pristine layout. Reader-safe — parses only, never deletes.
-    */
-  private[graft] def readBm25Live(
-      fs: org.apache.hadoop.fs.FileSystem, path: String): Bm25Live = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val markers =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).map(_.getPath)
-        .filter(_.getName.startsWith(Bm25MarkerPrefix))
-        .sortBy(_.getName).reverse.toSeq
-    markers.iterator.flatMap(parseBm25Marker(fs, _)).nextOption()
-      .getOrElse(Bm25Live(0L, "postings", "stats", Seq.empty))
-  }
-
-  private def writeBm25Marker(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, live: Bm25Live): Unit = {
-    val out = fs.create(bm25MarkerPath(path, live.gen), false)
-    try out.write((s"postings:${live.postingsDir}\n" +
-      s"stats:${live.statsDir}\n" +
-      s"tomb:${live.batches.mkString(",")}\n" +
-      s"$Bm25MarkerFooter\n").getBytes("UTF-8"))
-    finally out.close()
-  }
-
-  /** WRITER-ONLY GC of everything the ruling marker does not
-    * reference: superseded/torn markers, non-live postings/stats
-    * generations, and unreferenced tombstone/stats-delta batches
-    * (both compacted-away ones and the orphans of a crash before a
-    * marker PUT, which would otherwise collide with the next
-    * `errorifexists` write). Called from the lifecycle writers only.
-    */
-  private def healBm25Index(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(root)) return
-    val live = readBm25Live(fs, path)
-    def checkedDelete(p: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.delete(p, true)) throw new java.io.IOException(
-        s"bm25 index lifecycle GC failed to delete $p")
-    fs.listStatus(root).map(_.getPath).foreach { p =>
-      val n = p.getName
-      if (n.startsWith(Bm25MarkerPrefix) &&
-          !parseBm25Marker(fs, p).exists(_.gen == live.gen))
-        checkedDelete(p)
-      else if ((n == "postings" || n.startsWith("postings_gen=")) &&
-          n != live.postingsDir)
-        checkedDelete(p)
-      else if ((n == "stats" || n.startsWith("stats_gen=")) &&
-          n != live.statsDir)
-        checkedDelete(p)
-    }
-    Seq("tombstones", "stats_deltas").foreach { sub =>
-      val subRoot = new org.apache.hadoop.fs.Path(path, sub)
-      if (fs.exists(subRoot)) {
-        val keep = live.batches.map(b => s"batch=$b").toSet
-        fs.listStatus(subRoot).map(_.getPath)
-          .filter(p => p.getName.startsWith("batch=") &&
-            !keep.contains(p.getName))
-          .foreach(checkedDelete)
-        if (live.batches.isEmpty && fs.listStatus(subRoot).isEmpty)
-          checkedDelete(subRoot)
-      }
-    }
-  }
 
   /** Create the persisted index. Overwrites the ENTIRE `path` tree
     * first — including any tombstones, stats-delta batches, gen
@@ -396,15 +286,15 @@ object Bm25 {
     val spark = docs.sparkSession
     val buckets = spark.read.parquet(s"$path/meta")
       .head().getAs[Int]("buckets")
-    val live = readBm25Live(bm25Fs(spark, path), path)
+    val live = bm25Marker.read(bm25Fs(spark, path), path)
     val idx = buildIndex(docs, textCol, idCol, tokenizer)
       .withColumn("bucket",
         pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .persist()
     idx.write.partitionBy("bucket").mode("append")
-      .parquet(s"$path/${live.postingsDir}")
+      .parquet(s"$path/${live.dir("postings")}")
     statsDelta(idx, idCol).write.mode("append")
-      .parquet(s"$path/${live.statsDir}")
+      .parquet(s"$path/${live.dir("stats")}")
     idx.unpersist()
   }
 
@@ -420,8 +310,8 @@ object Bm25 {
     * rows plus the marker-referenced delete batches' negative rows.
     */
   private def statsDeltas(spark: org.apache.spark.sql.SparkSession,
-      path: String, live: Bm25Live): DataFrame = {
-    val base = spark.read.parquet(s"$path/${live.statsDir}")
+      path: String, live: graft.operators.LiveState): DataFrame = {
+    val base = spark.read.parquet(s"$path/${live.dir("stats")}")
     if (live.batches.isEmpty) base
     else base.unionByName(spark.read.parquet(
       live.batches.map(b => s"$path/stats_deltas/batch=$b"): _*))
@@ -432,7 +322,7 @@ object Bm25 {
     */
   def indexStats(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    statsDeltas(spark, path, readBm25Live(bm25Fs(spark, path), path))
+    statsDeltas(spark, path, bm25Marker.read(bm25Fs(spark, path), path))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("sum_dl")).as("sum_dl"))
 
@@ -450,13 +340,13 @@ object Bm25 {
       b: Double = 0.75): DataFrame = {
     val buckets = spark.read.parquet(s"$path/meta")
       .head().getAs[Int]("buckets")
-    val live = readBm25Live(bm25Fs(spark, path), path)
+    val live = bm25Marker.read(bm25Fs(spark, path), path)
     val qterms = queries.select(col(queryIdCol), col("term")).distinct()
     val bucketIds = qterms.select(
       pmod(xxhash64(col("term")), lit(buckets.toLong)).as("_b"))
       .distinct().collect().map(_.getLong(0)).toSeq
     val postings = livePostings(spark, path, live,
-      spark.read.parquet(s"$path/${live.postingsDir}")
+      spark.read.parquet(s"$path/${live.dir("postings")}")
         .filter(col("bucket").isin(bucketIds: _*)), idCol)
     val stats = statsDeltas(spark, path, live)
       .agg(sum(col("n_docs")).as("_n"), sum(col("sum_dl")).as("_sumdl"))
@@ -481,7 +371,7 @@ object Bm25 {
     * set, broadcast anti-join, no batches = nothing deleted).
     */
   private def livePostings(spark: org.apache.spark.sql.SparkSession,
-      path: String, live: Bm25Live, postings: DataFrame,
+      path: String, live: graft.operators.LiveState, postings: DataFrame,
       idCol: String): DataFrame =
     if (live.batches.isEmpty) postings
     else postings.join(
@@ -506,13 +396,13 @@ object Bm25 {
       idCol: String): Unit = {
     val spark = ids.sparkSession
     val fs = bm25Fs(spark, path)
-    healBm25Index(fs, path) // clear any orphan of a crashed writer
-    val live = readBm25Live(fs, path)
+    bm25Marker.heal(fs, path) // clear any orphan of a crashed writer
+    val live = bm25Marker.read(fs, path)
     val b = live.gen + 1L
     val idSet = ids.select(col(idCol)).distinct().persist()
     // negative delta off the CURRENT live postings
     val gone = livePostings(spark, path, live,
-      spark.read.parquet(s"$path/${live.postingsDir}"), idCol)
+      spark.read.parquet(s"$path/${live.dir("postings")}"), idCol)
       .join(broadcast(idSet), Seq(idCol), "left_semi")
     statsDelta(gone, idCol)
       .select((-col("n_docs")).as("n_docs"),
@@ -522,9 +412,9 @@ object Bm25 {
     idSet.write.mode("errorifexists")
       .parquet(s"$path/tombstones/batch=$b")
     idSet.unpersist()
-    writeBm25Marker(fs, path, Bm25Live(b, live.postingsDir,
-      live.statsDir, live.batches :+ b))
-    healBm25Index(fs, path) // GC the superseded marker
+    bm25Marker.put(fs, path,
+      live.copy(gen = b, batches = live.batches :+ b))
+    bm25Marker.heal(fs, path) // GC the superseded marker
   }
 
   /** Generation compaction: rewrite the live postings MINUS the
@@ -543,19 +433,20 @@ object Bm25 {
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String): Unit = {
     val fs = bm25Fs(spark, path)
-    healBm25Index(fs, path)
-    val live = readBm25Live(fs, path)
+    bm25Marker.heal(fs, path)
+    val live = bm25Marker.read(fs, path)
     val gen = live.gen + 1L
     val kept = livePostings(spark, path, live,
-      spark.read.parquet(s"$path/${live.postingsDir}"), idCol)
+      spark.read.parquet(s"$path/${live.dir("postings")}"), idCol)
       .persist() // rewrite + re-based stats
     kept.write.partitionBy("bucket").mode("errorifexists")
       .parquet(s"$path/postings_gen=$gen")
     statsDelta(kept, idCol).coalesce(1).write.mode("errorifexists")
       .parquet(s"$path/stats_gen=$gen")
     kept.unpersist()
-    writeBm25Marker(fs, path, Bm25Live(gen, s"postings_gen=$gen",
-      s"stats_gen=$gen", Seq.empty))
-    healBm25Index(fs, path) // GC old generation + folded batches
+    bm25Marker.put(fs, path, graft.operators.LiveState(gen,
+      Map("postings" -> s"postings_gen=$gen",
+        "stats" -> s"stats_gen=$gen"), Seq.empty))
+    bm25Marker.heal(fs, path) // GC old generation + folded batches
   }
 }

@@ -599,6 +599,32 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("vocab-richness", corpusPath))
   }
 
+  test("ann index lifecycle commands run end to end") {
+    val rnd = new scala.util.Random(5)
+    val all = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val basePath = s"${tmpDir("cli-r12emb")}/base"
+    val morePath = s"${tmpDir("cli-r12emb")}/more"
+    all.filter(col("vec_id") < 30).write.mode("overwrite")
+      .parquet(basePath)
+    all.filter(col("vec_id") >= 30).write.mode("overwrite")
+      .parquet(morePath)
+    val idxDir = s"${tmpDir("cli-r12ann")}/idx"
+    graft.cli.Main.main(Array("ann-index", basePath, idxDir, "4", "8"))
+    graft.cli.Main.main(Array("ann-append", morePath, idxDir))
+    val delIds = s"${tmpDir("cli-r12anndel")}/ids"
+    Seq(7L, 31L).toDF("vec_id").write.mode("overwrite").parquet(delIds)
+    graft.cli.Main.main(Array("ann-delete", delIds, idxDir))
+    graft.cli.Main.main(Array("ann-compact", idxDir))
+    val qOut = tmpDir("cli-r12annq")
+    graft.cli.Main.main(Array("ann-query", idxDir, basePath, qOut,
+      "3", "4", "8"))
+    val hits = spark.read.parquet(qOut)
+    assert(hits.count() > 0)
+    assert(hits.filter(col("neighbor").isin(7L, 31L)).count() == 0)
+  }
+
   test("pool-commit and pool-read run the marker pool end to end") {
     val in = s"${tmpDir("cli-poolin")}/rows"
     SyntheticTracking.df(spark, games = 1, plays = 2, frames = 5)

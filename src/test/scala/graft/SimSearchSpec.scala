@@ -257,7 +257,8 @@ class SimSearchSpec extends SparkSpec {
     SimSearch.writeAnnIndex(emb, path, "vec_id", "embedding",
       planes = 4, dim = 8)
     // Hive layout: one bucket=<id> partition directory per sign bucket
-    val dirs = new java.io.File(path).listFiles()
+    // inside the live vectors generation
+    val dirs = new java.io.File(s"$path/vectors").listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("bucket=")))
     val idx = SimSearch.readAnnIndex(spark, path)
@@ -284,6 +285,70 @@ class SimSearchSpec extends SparkSpec {
     // this assertion vacuous
     assert(plan.contains("dynamicpruning"),
       s"bucket join lost dynamic partition pruning:\n$plan")
+  }
+
+  test("ann index lifecycle: append extends serving under the frozen " +
+    "LSH params, tombstoned ids never surface from any probe, " +
+    "compaction serves identically and reclaims batch state") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val emb = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val path = tmpDir("annlife") + "/idx"
+    SimSearch.writeAnnIndex(emb.filter(col("vec_id") < 120), path,
+      "vec_id", "embedding", planes = 4, dim = 8)
+    SimSearch.appendToAnnIndex(emb.filter(col("vec_id") >= 120), path,
+      "vec_id", "embedding")
+    // append validates against the persisted meta
+    intercept[IllegalArgumentException] {
+      SimSearch.appendToAnnIndex(emb, path, "vec_id", "vectors")
+    }
+    val queries = emb.filter(col("vec_id") < 5)
+    def serve(): Set[(Long, Int, Long)] =
+      SimSearch.annTopKFromIndex(SimSearch.readAnnIndex(spark, path),
+        queries, "vec_id", "embedding", k = 3, planes = 4, dim = 8,
+        probeBits = 1)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+    // write+append serves exactly like one-shot over the union
+    val inline = SimSearch.annTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 5, k = 3, planes = 4, dim = 8, probeBits = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(serve() == inline)
+    // tombstone-delete: ids vanish from every probe, serving equals
+    // one-shot over the survivors (ranks re-close over the gap)
+    // keep the deleted set disjoint from the query ids (< 5): annTopK
+    // over survivors draws its queries from the survivor frame
+    val dead = (0L until 200L).filter(_ % 9 == 5)
+    intercept[IllegalArgumentException] { // column name must match meta
+      SimSearch.deleteFromAnnIndex(dead.toDF("id"), path)
+    }
+    SimSearch.deleteFromAnnIndex(dead.toDF("vec_id"), path)
+    val tombstoned = serve()
+    assert(!tombstoned.exists(t => dead.contains(t._3)))
+    val survivors = emb.filter(!col("vec_id").isin(dead: _*))
+    val overSurvivors = SimSearch.annTopK(survivors, "vec_id",
+      "embedding", col("vec_id") < 5, k = 3, planes = 4, dim = 8,
+      probeBits = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(tombstoned == overSurvivors)
+    // double-delete is a no-op; compaction serves identically and
+    // folds the batches into a fresh marker-committed generation
+    SimSearch.deleteFromAnnIndex(dead.toDF("vec_id"), path)
+    assert(serve() == tombstoned)
+    SimSearch.compactAnnIndex(spark, path)
+    assert(serve() == tombstoned)
+    assert(SimSearch.readAnnIndex(spark, path).count() ==
+      200L - dead.length)
+    assert(new java.io.File(s"$path/vectors_gen=3").isDirectory)
+    assert(!new java.io.File(s"$path/vectors").exists())
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    // a rebuild at the same path starts clean — no stale lifecycle
+    SimSearch.writeAnnIndex(emb, path, "vec_id", "embedding",
+      planes = 4, dim = 8)
+    assert(SimSearch.readAnnIndex(spark, path).count() == 200L)
+    assert(serve() == inline)
   }
 
   test("bitextMine: margin scoring demotes the hub target that raw " +
