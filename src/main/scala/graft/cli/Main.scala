@@ -2775,16 +2775,33 @@ object Main {
         graft.operators.Ingest.loadAndNormalize(spark, input,
           graft.schema.Vintages.canonical)
       else spark.read.parquet(input)
-      graft.operators.PoolCommit.write(df, poolRoot)
+      val retain = rest.filter(!_.startsWith("--")).headOption
+        .map(_.toInt).getOrElse(1)
+      graft.operators.PoolCommit.write(df, poolRoot, retain)
       val rows = graft.operators.PoolCommit.read(spark, poolRoot).count()
-      println(s"[pool-commit] committed; pool now $rows rows")
+      println(s"[pool-commit] committed; pool now $rows rows " +
+        s"(retaining $retain snapshots)")
       done(spark)
 
-    case "pool-read" :: poolRoot :: outDir :: Nil =>
+    // optional trailing gen = snapshot (time-travel) read
+    case "pool-read" :: poolRoot :: outDir :: rest =>
       val spark = session()
-      graft.operators.PoolCommit.read(spark, poolRoot)
-        .write.mode("overwrite").parquet(outDir)
+      val df = rest.headOption match {
+        case Some(gen) =>
+          graft.operators.PoolCommit.read(spark, poolRoot, gen.toLong)
+        case None => graft.operators.PoolCommit.read(spark, poolRoot)
+      }
+      df.write.mode("overwrite").parquet(outDir)
       println(s"[pool-read] -> $outDir")
+      done(spark)
+
+    // the committed snapshots still readable (oldest first)
+    case "pool-generations" :: poolRoot :: Nil =>
+      val spark = session()
+      val fs = new org.apache.hadoop.fs.Path(poolRoot)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val gens = graft.operators.PoolCommit.listGenerations(fs, poolRoot)
+      println(s"[pool-generations] ${gens.mkString(",")}")
       done(spark)
 
     case _ =>

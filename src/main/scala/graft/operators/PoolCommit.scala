@@ -115,18 +115,29 @@ object PoolCommit {
           .map(g => s"${s.getName}/${g.getName}")
       }
 
-  /** WRITER-ONLY GC: torn/superseded markers and every game-partition
-    * directory the ruling marker does not reference. Idempotent; must
-    * never run beside an in-flight commit (single-writer protocol) —
-    * readers never GC at all.
+  /** WRITER-ONLY GC: torn markers, markers older than the retention
+    * window, and every game-partition directory no RETAINED marker
+    * references. `retain` = how many committed snapshots stay
+    * readable (1 = only the ruling one — the minimum); retained
+    * superseded snapshots serve [[listGenerations]] + the
+    * snapshot-read overload of [[read]] (audit/rollback: "what did
+    * the pool look like before this takedown batch?"). Idempotent;
+    * must never run beside an in-flight commit (single-writer
+    * protocol) — readers never GC at all.
     */
-  def heal(fs: FileSystem, poolRoot: String): Unit = {
+  def heal(fs: FileSystem, poolRoot: String, retain: Int = 1): Unit = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
     val root = new Path(poolRoot)
     if (!fs.exists(root)) return
-    val m = readMarker(fs, poolRoot)
+    // markerFiles sorts newest-first; keep the newest `retain`
+    // COMPLETE markers (torn ones never count toward the window)
+    val kept = markerFiles(fs, root)
+      .flatMap(p => parse(fs, p).map(m => p -> m)).take(retain)
+    val keptPaths = kept.map(_._1.getName).toSet
+    val liveParts = kept.flatMap(_._2.parts).toSet // (part, gen) pairs
     markerFiles(fs, root).foreach { p =>
-      val keep = parse(fs, p).exists(_.gen == m.gen)
-      if (!keep) checked(fs.delete(p, false), s"delete marker $p")
+      if (!keptPaths.contains(p.getName))
+        checked(fs.delete(p, false), s"delete marker $p")
     }
     fs.listStatus(root).map(_.getPath)
       .filter(_.getName.startsWith("gen="))
@@ -134,8 +145,8 @@ object PoolCommit {
         val g =
           try genDir.getName.stripPrefix("gen=").toLong
           catch { case _: NumberFormatException => -1L }
-        val liveHere = m.parts.collect {
-          case (p, pg) if pg == g => p }.toSet
+        val liveHere = liveParts.collect {
+          case (p, pg) if pg == g => p }
         if (liveHere.isEmpty)
           checked(fs.delete(genDir, true), s"delete gen dir $genDir")
         else partsUnder(fs, genDir).foreach { p =>
@@ -145,6 +156,14 @@ object PoolCommit {
         }
       }
   }
+
+  /** The committed snapshot generations still on disk, oldest first —
+    * every entry is readable via the snapshot overload of [[read]]
+    * until a writer's GC ages it out of the retention window.
+    */
+  def listGenerations(fs: FileSystem, poolRoot: String): Seq[Long] =
+    markerFiles(fs, new Path(poolRoot))
+      .flatMap(parse(fs, _)).map(_.gen).sorted
 
   /** True when at least one committed game partition exists. */
   def hasPool(fs: FileSystem, poolRoot: String): Boolean =
@@ -157,11 +176,11 @@ object PoolCommit {
     * `df` must carry `gameId` (null group keys are skipped, the
     * reference rule); `season` derives from the gameId prefix.
     */
-  def write(df: DataFrame, poolRoot: String): Unit = {
+  def write(df: DataFrame, poolRoot: String, retain: Int = 1): Unit = {
     val spark = df.sparkSession
     val fs = new Path(poolRoot)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    heal(fs, poolRoot) // finish/GC any interrupted previous write
+    heal(fs, poolRoot, retain) // finish/GC any interrupted write
     val prev = readMarker(fs, poolRoot)
     val gen = prev.gen + 1L
     Ingest.withSeason(df)
@@ -175,7 +194,7 @@ object PoolCommit {
     written.foreach(p => next(p) = gen)
     // THE commit point: one write-once marker PUT
     writeMarker(fs, poolRoot, Marker(gen, next.toMap))
-    heal(fs, poolRoot) // GC superseded markers/partitions
+    heal(fs, poolRoot, retain) // GC outside the retention window
   }
 
   /** All committed pool rows — resolves through the newest complete
@@ -185,17 +204,39 @@ object PoolCommit {
     *
     * SNAPSHOT semantics: the returned frame is bound to the partition
     * directories live at CALL time — a later commit's GC deletes
-    * superseded directories, so materialize (or finish scanning)
-    * before the next write rather than caching the lazy frame across
-    * commits. Deployments with long scans concurrent to writes should
-    * age-gate GC (skip [[heal]]'s delete for directories younger than
-    * the longest expected scan), the standard object-store-table
-    * retention knob.
+    * directories outside the retention window, so either materialize
+    * before `retain` more writes land, or raise `retain` to cover the
+    * longest expected scan (the standard object-store-table retention
+    * knob).
     */
-  def read(spark: SparkSession, poolRoot: String): DataFrame = {
-    val fs = new Path(poolRoot)
+  def read(spark: SparkSession, poolRoot: String): DataFrame =
+    readMarkerSnapshot(spark, poolRoot,
+      readMarker(fsFor(spark, poolRoot), poolRoot))
+
+  /** TIME-TRAVEL read: the pool exactly as committed by snapshot
+    * `gen` — audit/rollback for the removal pipeline ("what did the
+    * corpus look like before this takedown batch?"). The snapshot
+    * must still be inside the retention window ([[listGenerations]]
+    * lists what is); reads never extend or shrink that window.
+    */
+  def read(spark: SparkSession, poolRoot: String, gen: Long)
+      : DataFrame = {
+    val fs = fsFor(spark, poolRoot)
+    val m = markerFiles(fs, new Path(poolRoot))
+      .flatMap(parse(fs, _)).find(_.gen == gen)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot gen=$gen under $poolRoot; on disk: " +
+          s"${listGenerations(fs, poolRoot).mkString(",")} " +
+          "(aged out? raise write(..., retain))"))
+    readMarkerSnapshot(spark, poolRoot, m)
+  }
+
+  private def fsFor(spark: SparkSession, poolRoot: String): FileSystem =
+    new Path(poolRoot)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val m = readMarker(fs, poolRoot)
+
+  private def readMarkerSnapshot(spark: SparkSession, poolRoot: String,
+      m: Marker): DataFrame = {
     require(m.parts.nonEmpty,
       s"no committed pool under $poolRoot (guard with hasPool)")
     val dirs = m.parts.toSeq.sortBy(_._1).map { case (p, g) =>

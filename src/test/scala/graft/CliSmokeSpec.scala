@@ -630,10 +630,17 @@ class CliSmokeSpec extends SparkSpec {
     SyntheticTracking.df(spark, games = 1, plays = 2, frames = 5)
       .write.mode("overwrite").parquet(in)
     val pool = tmpDir("cli-poolroot")
-    graft.cli.Main.main(Array("pool-commit", in, pool))
+    graft.cli.Main.main(Array("pool-commit", in, pool, "2"))
+    graft.cli.Main.main(Array("pool-commit", in, pool, "2"))
     val out = tmpDir("cli-poolout")
     graft.cli.Main.main(Array("pool-read", pool, out))
     assert(spark.read.parquet(out).count() ==
+      spark.read.parquet(in).count())
+    // snapshot read-at-gen + the generation listing
+    graft.cli.Main.main(Array("pool-generations", pool))
+    val snap = tmpDir("cli-poolsnap")
+    graft.cli.Main.main(Array("pool-read", pool, snap, "1"))
+    assert(spark.read.parquet(snap).count() ==
       spark.read.parquet(in).count())
   }
 

@@ -337,6 +337,50 @@ class IngestPoolSpec extends SparkSpec {
     assert(!cols.contains("gen"))
   }
 
+  test("PoolCommit snapshots: read-at-gen time travel, retention " +
+    "window honored by writer GC, aged-out snapshot fails loudly") {
+    import org.apache.hadoop.fs.FileSystem
+    import graft.operators.PoolCommit
+    val root = tmpDir("poolsnap")
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val df = SyntheticTracking.df(spark, games = 2, plays = 2,
+      frames = 5)
+    val games = df.select("gameId").distinct().collect()
+      .map(_.getLong(0)).sorted
+    val gA = games.head
+
+    // gen 1: full pool; gen 2: game A shrinks — both retained
+    PoolCommit.write(df, root, retain = 3)
+    val fullCount = df.count()
+    val updA = df.filter(col("gameId") === gA && col("frameId") <= 2)
+    PoolCommit.write(updA, root, retain = 3)
+    assert(PoolCommit.listGenerations(fs, root) == Seq(1L, 2L))
+    // read-at-1 returns the PRE-upsert rows; read-at-2 == current
+    assert(PoolCommit.read(spark, root, 1L).count() == fullCount)
+    assert(PoolCommit.read(spark, root, 1L)
+      .filter(col("gameId") === gA).count() ==
+      df.filter(col("gameId") === gA).count())
+    val cur = PoolCommit.read(spark, root).count()
+    assert(PoolCommit.read(spark, root, 2L).count() == cur)
+
+    // gen 3 under retain=2: gen 1 ages out, 2 and 3 stay readable
+    PoolCommit.write(updA, root, retain = 2)
+    assert(PoolCommit.listGenerations(fs, root) == Seq(2L, 3L))
+    assert(PoolCommit.read(spark, root, 2L).count() == cur)
+    assert(PoolCommit.read(spark, root, 3L).count() == cur)
+    val err = intercept[IllegalArgumentException] {
+      PoolCommit.read(spark, root, 1L)
+    }
+    assert(err.getMessage.contains("gen=1") &&
+      err.getMessage.contains("retain"))
+
+    // retention never resurrects: dropping back to retain=1 GCs the
+    // superseded snapshot on the next write
+    PoolCommit.write(updA, root)
+    assert(PoolCommit.listGenerations(fs, root) == Seq(4L))
+    assert(PoolCommit.read(spark, root).count() == cur)
+  }
+
   test("samplePlays: exact n, deterministic under seed, all frames join back") {
     val in = tmpDir("insamp")
     val poolRoot = tmpDir("poolsamp")
