@@ -284,6 +284,72 @@ class StreamAggExportSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("StreamingBm25: micro-batches build an index that serves " +
+    "row-identically to the batch-built index; replays are no-ops; " +
+    "a streamed delete drops its doc from serving") {
+    implicit val sq = spark.sqlContext
+    val base = tmpDir("sbm25")
+    val idxPath = s"$base/idx"
+    val docs = Seq(
+      (1L, "spark shuffles data between executors during wide joins"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "window functions rank rows within partitions in spark"),
+      (4L, "pasta recipes with garlic and fresh basil leaves"),
+      (5L, "broadcast joins avoid the shuffle for small dimensions"))
+    val mem = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingBm25.start(
+      mem.toDF().toDF("doc_id", "text"), idxPath, s"$base/ckpt",
+      "text", "doc_id", buckets = 8,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      // three micro-batches: bootstrap, then two appends
+      mem.addData(docs(0), docs(1))
+      query.processAllAvailable()
+      mem.addData(docs(2), docs(3))
+      query.processAllAvailable()
+      mem.addData(docs(4))
+      query.processAllAvailable()
+    } finally query.stop()
+    val queries = Seq((1L, "spark"), (1L, "joins"), (2L, "the"))
+      .toDF("query_id", "term")
+    val served = graft.text.Bm25.topKFromIndex(spark, idxPath,
+      queries, "query_id", "doc_id")
+    // row-identical to the index built in ONE batch over the union
+    val batchIdx = s"$base/batchidx"
+    graft.text.Bm25.writeBm25Index(docs.toDF("doc_id", "text"),
+      "text", "doc_id", batchIdx, buckets = 8)
+    val oneShot = graft.text.Bm25.topKFromIndex(spark, batchIdx,
+      queries, "query_id", "doc_id").collect().toSet
+    assert(served.collect().toSet == oneShot && oneShot.nonEmpty)
+    // a replayed micro-batch is a no-op (the _applied marker), so
+    // postings/df/stats stay exact
+    graft.streaming.StreamingBm25.processBatch(
+      Seq(docs(4)).toDF("doc_id", "text"), 2L, idxPath,
+      "text", "doc_id", buckets = 8)
+    assert(graft.text.Bm25.topKFromIndex(spark, idxPath, queries,
+      "query_id", "doc_id").collect().toSet == oneShot)
+    assert(graft.text.Bm25.indexStats(spark, idxPath)
+      .head().getLong(0) == 5L)
+    // a streamed delete tombstones doc 1 out of serving
+    val delMem = MemoryStream[Long]
+    val delQuery = graft.streaming.StreamingBm25.startDeletes(
+      delMem.toDF().toDF("doc_id"), idxPath, s"$base/delckpt",
+      "doc_id",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      delMem.addData(1L)
+      delQuery.processAllAvailable()
+    } finally delQuery.stop()
+    val after = graft.text.Bm25.topKFromIndex(spark, idxPath,
+      queries, "query_id", "doc_id").collect()
+    assert(!after.exists(_.getAs[Long]("doc_id") == 1L))
+    val survivors = docs.toDF("doc_id", "text")
+      .filter(col("doc_id") =!= 1L)
+    val overSurvivors = graft.text.Bm25.search(survivors, "text",
+      "doc_id", queries, "query_id").collect().toSet
+    assert(after.toSet == overSurvivors)
+  }
+
   test("StreamingFunnel: incremental state matches the batch funnel " +
     "when events arrive in order; replays are idempotent") {
     import java.sql.Timestamp
