@@ -2400,6 +2400,43 @@ object SimSearch {
       .filter(col("rank") <= k)
   }
 
+  /** Fused-ranking recall harness: score the [[rrfFuse]] fusion AND
+    * each input leg against ONE ground-truth ranking with
+    * [[recallAtK]], one summary row per retriever — the acceptance
+    * readout hybrid retrieval exists to produce. Against a ground
+    * truth that spans BOTH relevance aspects (lexically relevant AND
+    * semantically relevant documents), each single leg can only reach
+    * its own aspect while the fusion's top-k mixes both, so the
+    * `fused` row's recall should meet or beat every single leg's
+    * (SimSearchSpec pins the ordering on an engineered corpus); a
+    * ground truth only one leg can see measures that leg, not the
+    * fusion.
+    *
+    * `legs` are (name, ranking) in [[rrfFuse]] shape — (qid, id,
+    * rank) with rank 1-based; `exact` is the ground truth in
+    * [[recallAtK]] shape — (qid, rank, neighbor) with rank 0-based
+    * (as every exact searcher here emits). Output: (retriever,
+    * n_queries, mean_recall, min_recall), legs first, `fused` last.
+    *
+    * Scale shape: everything is rank-list algebra over (queries × k)
+    * rows — the corpus-sized work already happened inside the legs.
+    */
+  def fusedRecallSummary(legs: Seq[(String, DataFrame)],
+      exact: DataFrame, k: Int, c: Int = 60): DataFrame = {
+    require(legs.map(_._1).distinct.size == legs.size,
+      "leg names must be distinct")
+    require(!legs.exists(_._1 == "fused"),
+      "'fused' names the fusion row")
+    val all = legs :+ ("fused" -> rrfFuse(legs.map(_._2), k, c))
+    all.map { case (name, l) =>
+      val approx = l.select(col("qid"),
+        (col("rank") - 1).as("rank"), col("id").as("neighbor"))
+      recallSummary(approx, exact, k)
+        .select(lit(name).as("retriever"), col("n_queries"),
+          col("mean_recall"), col("min_recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Distributed PCA, sketch tier: top principal direction via (a) a
     * milli-int quantized Gram matrix over the caller's (pre-filtered /
     * sampled) vectors — d² integer sums, order-free, one aggregation

@@ -58,4 +58,44 @@ class PiiRrfSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 10L, 2L -> 30L), got)
   }
+
+  test("fusedRecallSummary: against a ground truth spanning lexical " +
+    "AND semantic relevance, fused recall strictly beats every " +
+    "single leg (each leg only reaches its own aspect)") {
+    // doc 0 is the query. Docs 1-3 are LEXICALLY relevant (share its
+    // rare tokens, embeddings point the opposite way); docs 4-6 are
+    // SEMANTICALLY relevant (disjoint vocabulary, embeddings nearly
+    // parallel); 7-16 are fillers (disjoint vocab, orthogonal).
+    def vec(x: Double, y: Double) = Seq(x.toFloat, y.toFloat, 0f, 0f)
+    val rows =
+      Seq((0L, "alpha bravo charlie", vec(1, 0))) ++
+      (1L to 3L).map(i =>
+        (i, s"alpha bravo charlie report$i", vec(-1, 0.01 * i))) ++
+      (4L to 6L).map(i =>
+        (i, s"unrelated prose item$i entirely", vec(1, 0.01 * i))) ++
+      (7L to 16L).map(i => (i, s"filler text piece$i", vec(0, 1)))
+    val corpus = rows.toDF("doc_id", "text", "vec").localCheckpoint()
+    val queries = Seq((0L, "alpha"), (0L, "bravo"), (0L, "charlie"))
+      .toDF("query_id", "term")
+    val sparse = graft.text.Bm25.search(corpus, "text", "doc_id",
+      queries, "query_id", k = 6)
+      .filter(col("doc_id") =!= 0L) // more-like-this: drop self-match
+      .select(col("query_id").as("qid"), col("doc_id").as("id"),
+        col("rank"))
+    val dense = SimSearch.bruteForceTopK(
+      corpus.select(col("doc_id"), col("vec")), "doc_id", "vec",
+      col("doc_id") === 0L, k = 6)
+      .select(col("qid"), col("neighbor").as("id"),
+        (col("rank") + 1).as("rank"))
+    // ground truth: all six relevant docs, both aspects
+    val gt = (1L to 6L).map(n => (0L, (n - 1).toInt, n))
+      .toDF("qid", "rank", "neighbor")
+    val got = SimSearch.fusedRecallSummary(
+      Seq("sparse" -> sparse, "dense" -> dense), gt, k = 6)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Double]("mean_recall")).toMap
+    assert(got("sparse") == 0.5, got)  // lexical aspect only
+    assert(got("dense") == 0.5, got)   // semantic aspect only
+    assert(got("fused") == 1.0, got)   // the fusion reaches both
+  }
 }
