@@ -1485,6 +1485,86 @@ object OracleSql {
         |      ::BIGINT END AS chi2_micro
         |FROM c, m""".stripMargin
 
+  /** q308: the q278 log-rank SQL with one more GROUP BY / PARTITION
+    * BY key (the stratum) — moments summed across strata, then the
+    * pooled z/χ² and one-step Pike HR chains.
+    */
+  private val q308StratifiedSql: String =
+    """WITH d AS (SELECT user_id AS u,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS dd,
+        |    (user_id % 2 = 0) AS ga,
+        |    (user_id % 5)::BIGINT AS st
+        |  FROM events),
+        |us AS (SELECT u, min(dd) AS f, max(dd) AS l,
+        |    bool_or(ga) AS a, max(st) AS st
+        |  FROM d GROUP BY 1),
+        |h AS (SELECT max(l) AS h FROM us),
+        |lt AS (SELECT us.st, (us.l - us.f + 1)::BIGINT AS t_day,
+        |    (CASE WHEN us.l = h.h THEN 1 ELSE 0 END)::BIGINT AS cens,
+        |    us.a
+        |  FROM us, h),
+        |pt AS (SELECT st, t_day, count(*)::BIGINT AS ends,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS ends_a,
+        |    (count(*) - sum(cens))::BIGINT AS dt,
+        |    sum(CASE WHEN a AND cens = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS da
+        |  FROM lt GROUP BY 1, 2),
+        |tot AS (SELECT st, sum(ends)::BIGINT AS n,
+        |    sum(ends_a)::BIGINT AS na FROM pt GROUP BY 1),
+        |ar AS (SELECT pt.*,
+        |    (tot.n - coalesce(sum(ends) OVER (PARTITION BY pt.st
+        |      ORDER BY t_day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      ::BIGINT AS rn,
+        |    (tot.na - coalesce(sum(ends_a) OVER (PARTITION BY pt.st
+        |      ORDER BY t_day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |      ::BIGINT AS rna
+        |  FROM pt JOIN tot USING (st)),
+        |terms AS (SELECT da,
+        |    (round(dt::DOUBLE * (rna::DOUBLE / rn::DOUBLE)
+        |      * 1000000.0))::BIGINT AS e,
+        |    CASE WHEN rn <= 1 THEN 0 ELSE
+        |      (round(dt::DOUBLE * (rna::DOUBLE / rn::DOUBLE) *
+        |        (1.0 - rna::DOUBLE / rn::DOUBLE) *
+        |        (rn - dt)::DOUBLE / (rn - 1)::DOUBLE * 1000000.0))
+        |        ::BIGINT END AS v
+        |  FROM ar WHERE dt > 0),
+        |m AS (SELECT coalesce(sum(da), 0)::BIGINT AS o_a,
+        |    coalesce(sum(e), 0)::BIGINT AS e_a_micro,
+        |    coalesce(sum(v), 0)::BIGINT AS v_micro
+        |  FROM terms),
+        |c AS (SELECT count(*)::BIGINT AS n_users,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    count(DISTINCT st)::BIGINT AS n_strata
+        |  FROM us)
+        |SELECT n_users, n_a, n_strata, o_a, e_a_micro, v_micro,
+        |  CASE WHEN v_micro <= 0 THEN NULL ELSE
+        |    (round(((o_a * 1000000 - e_a_micro)::DOUBLE / 1000000.0)
+        |      / sqrt(v_micro::DOUBLE / 1000000.0) * 1000000.0))
+        |      ::BIGINT END AS z_micro,
+        |  CASE WHEN v_micro <= 0 THEN NULL ELSE
+        |    (round((((o_a * 1000000 - e_a_micro)::DOUBLE / 1000000.0)
+        |      / sqrt(v_micro::DOUBLE / 1000000.0)) *
+        |      (((o_a * 1000000 - e_a_micro)::DOUBLE / 1000000.0)
+        |      / sqrt(v_micro::DOUBLE / 1000000.0)) * 1000000.0))
+        |      ::BIGINT END AS chi2_micro,
+        |  CASE WHEN v_micro <= 0 THEN NULL ELSE
+        |    (round(exp((o_a * 1000000 - e_a_micro)::DOUBLE
+        |      / v_micro::DOUBLE) * 1000000.0))::BIGINT
+        |    END AS hr_micro,
+        |  CASE WHEN v_micro <= 0 THEN NULL ELSE
+        |    (round(exp((o_a * 1000000 - e_a_micro)::DOUBLE
+        |      / v_micro::DOUBLE - 1.959964 *
+        |      sqrt(1000000.0 / v_micro::DOUBLE)) * 1000000.0))::BIGINT
+        |    END AS lo_micro,
+        |  CASE WHEN v_micro <= 0 THEN NULL ELSE
+        |    (round(exp((o_a * 1000000 - e_a_micro)::DOUBLE
+        |      / v_micro::DOUBLE + 1.959964 *
+        |      sqrt(1000000.0 / v_micro::DOUBLE)) * 1000000.0))::BIGINT
+        |    END AS hi_micro
+        |FROM c, m""".stripMargin
+
   val all: Map[String, String] = Map(
     "q57_clean_corpus" -> q57,
     "q99_removal_audit" -> q99,
@@ -7392,6 +7472,9 @@ object OracleSql {
     // ANN index lifecycle: q18's bucket/cosine chains over the
     // survivors only
     "q307_ann_index_lifecycle" -> q307,
+
+    // stratified log-rank + pooled HR: q278 with one more grouping key
+    "q308_stratified_logrank" -> q308StratifiedSql,
 
     // k-anonymity/l-diversity: equivalence-class fold + summary row
     "q306_k_anonymity" ->

@@ -5095,6 +5095,17 @@ object SparkEntry {
       pmod(col("user_id"), lit(50L)), k = 5L, l = 3L)
   }
 
+  /** Stratified log-rank + pooled one-step hazard ratio — q278/q302's
+    * covariate-adjusted sibling: per-time O/E/V moments within each
+    * user-cohort stratum (user_id % 5), summed before the z/χ²/HR
+    * fold. The oracle replays the q278 SQL with one more GROUP BY /
+    * PARTITION BY key.
+    */
+  def q308_stratified_logrank(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.stratifiedLogRank(t(s, dir, "events"), "user_id",
+      col("ts"), pmod(col("user_id"), lit(2L)) === 0,
+      pmod(col("user_id"), lit(5L)))
+
   /** Hyperplane-ANN index FULL lifecycle under the oracle (the q265/
     * q291/q293 discipline for the dense-retrieval index — the last
     * persisted index family to absorb removals without rebuild):
@@ -5524,7 +5535,8 @@ object SparkEntry {
     "q304_poisson_rate" -> (q304_poisson_rate(_, _)),
     "q305_zorder" -> (q305_zorder(_, _)),
     "q306_k_anonymity" -> (q306_k_anonymity(_, _)),
-    "q307_ann_index_lifecycle" -> (q307_ann_index_lifecycle(_, _)))
+    "q307_ann_index_lifecycle" -> (q307_ann_index_lifecycle(_, _)),
+    "q308_stratified_logrank" -> (q308_stratified_logrank(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

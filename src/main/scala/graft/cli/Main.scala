@@ -575,6 +575,23 @@ object Main {
         s"chi2_micro=${r.get(6)}")
       done(spark)
 
+    // covariate-adjusted two-group survival comparison: per-stratum
+    // O/E/V moments summed before the z / chi2 / pooled-HR fold
+    case "logrank-strat" :: path :: userCol :: flagCol :: stratCol ::
+        rest =>
+      import org.apache.spark.sql.functions.col
+      val tsCol = rest.headOption.getOrElse("ts")
+      val spark = session()
+      val r = graft.operators.TimeSeries.stratifiedLogRank(
+        spark.read.parquet(path), userCol, col(tsCol),
+        col(flagCol).cast("boolean"), col(stratCol)).head()
+      println(s"[logrank-strat] n_users=${r.getLong(0)} " +
+        s"n_a=${r.getLong(1)} n_strata=${r.getLong(2)} " +
+        s"o_a=${r.getLong(3)} e_a_micro=${r.getLong(4)} " +
+        s"v_micro=${r.getLong(5)} z_micro=${r.get(6)} " +
+        s"hr_micro=${r.get(8)} ci=[${r.get(9)}, ${r.get(10)}]")
+      done(spark)
+
     // trimmed + winsorized means of an integer value column
     case "trimmed" :: path :: valCol :: rest =>
       import org.apache.spark.sql.functions.col

@@ -489,6 +489,101 @@ object TimeSeries {
           .as("chi2_micro"))
   }
 
+  /** Stratified log-rank test + hazard ratio (Mantel 1966 extended
+    * the obvious way; Collett, "Modelling Survival Data" §2.8): the
+    * covariate-adjusted two-group survival comparison for cohorts
+    * that differ in composition — per-time hypergeometric O/E/V
+    * moments are computed WITHIN each stratum (each stratum gets its
+    * own at-risk suffixes and its own censoring against the global
+    * horizon) and then SUMMED across strata before the z / χ² / HR
+    * fold, so a stratum that merely has a different baseline hazard
+    * contributes nothing to the verdict ([[TimeSeriesSpec]] pins a
+    * confounded example where the unstratified [[logRankTest]] reads
+    * a strong effect and stratification reads none). The HR is the
+    * same one-step Pike estimator as [[hazardRatio]], now on the
+    * pooled moments — the standard covariate-adjusted effect size.
+    *
+    * Exactness + scale discipline: identical to [[logRankTest]] —
+    * bounded distinct-(stratum, lifetime) tables, micro-snapped e/v
+    * terms, exact integer observed counts, one fixed double chain
+    * each for z and HR — with every window now PARTITIONED by
+    * stratum (strictly more parallel than the unstratified global
+    * window). `isA` and `stratum` must be user-constant (both fold
+    * with `max` per user).
+    *
+    * Output (one row): `(n_users, n_a, n_strata, o_a, e_a_micro,
+    * v_micro, z_micro, chi2_micro, hr_micro, lo_micro, hi_micro)` —
+    * NULL z/χ²/HR/CI when no variance.
+    */
+  def stratifiedLogRank(df: DataFrame, userCol: String, tsCol: Column,
+      isA: Column, stratum: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = df.select(col(userCol).as("_u"),
+      floor(unix_timestamp(tsCol) / lit(86400L)).cast("long").as("_d"),
+      isA.as("_ga"), stratum.as("_s"))
+    val users = days.groupBy(col("_u"))
+      .agg(min(col("_d")).as("_first"), max(col("_d")).as("_last"),
+        max(col("_ga")).as("_a"), max(col("_s")).as("_st"))
+      .persist() // lifetime table + the 1-row horizon + user counts
+    val horizon = users.agg(max(col("_last")).as("_h"))
+    val lt = users.crossJoin(broadcast(horizon))
+      .select(col("_st"),
+        (col("_last") - col("_first") + 1L).as("t_day"),
+        (col("_last") === col("_h")).cast("long").as("_cens"),
+        col("_a"))
+    val perT = lt.groupBy(col("_st"), col("t_day"))
+      .agg(count(lit(1)).as("_ends"),
+        sum(when(col("_a"), 1L).otherwise(0L)).as("_ends_a"),
+        (count(lit(1)) - sum(col("_cens"))).as("_dt"),
+        sum(when(col("_a") && col("_cens") === 0L, 1L).otherwise(0L))
+          .as("_da"))
+      .persist() // at-risk suffixes + the moment fold
+    val tot = perT.groupBy(col("_st"))
+      .agg(sum(col("_ends")).as("_n"), sum(col("_ends_a")).as("_na"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("_st")).orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val risk = perT.join(broadcast(tot), Seq("_st"))
+      .withColumn("_rn",
+        col("_n") - coalesce(sum(col("_ends")).over(w), lit(0L)))
+      .withColumn("_rna",
+        col("_na") - coalesce(sum(col("_ends_a")).over(w), lit(0L)))
+    val frac = col("_rna").cast("double") / col("_rn").cast("double")
+    val eTerm = round(col("_dt").cast("double") * frac *
+      lit(1000000.0)).cast("long")
+    val vTerm = when(col("_rn") <= 1L, 0L).otherwise(
+      round(col("_dt").cast("double") * frac * (lit(1.0) - frac) *
+        (col("_rn") - col("_dt")).cast("double") /
+        (col("_rn") - 1L).cast("double") * lit(1000000.0))
+        .cast("long"))
+    // the stratified moments: summed across (stratum, time) — the one
+    // line that differs statistically from logRankTest
+    val m = risk.filter(col("_dt") > 0)
+      .agg(coalesce(sum(col("_da")), lit(0L)).as("o_a"),
+        coalesce(sum(eTerm), lit(0L)).as("e_a_micro"),
+        coalesce(sum(vTerm), lit(0L)).as("v_micro"))
+    val counts = users.agg(count(lit(1)).as("n_users"),
+      sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+      countDistinct(col("_st")).as("n_strata"))
+    val z = ((col("o_a") * 1000000L - col("e_a_micro")).cast("double") /
+      lit(1000000.0)) /
+      sqrt(col("v_micro").cast("double") / lit(1000000.0))
+    val lnhr = (col("o_a") * 1000000L - col("e_a_micro"))
+      .cast("double") / col("v_micro").cast("double")
+    val se = sqrt(lit(1000000.0) / col("v_micro").cast("double"))
+    def snap(c: Column) = round(c * lit(1000000.0)).cast("long")
+    def guarded(c: Column) =
+      when(col("v_micro") <= 0L, lit(null).cast("long")).otherwise(c)
+    counts.crossJoin(broadcast(m))
+      .select(col("n_users"), col("n_a"), col("n_strata"), col("o_a"),
+        col("e_a_micro"), col("v_micro"),
+        guarded(snap(z)).as("z_micro"),
+        guarded(snap(z * z)).as("chi2_micro"),
+        guarded(snap(exp(lnhr))).as("hr_micro"),
+        guarded(snap(exp(lnhr - lit(1.959964) * se))).as("lo_micro"),
+        guarded(snap(exp(lnhr + lit(1.959964) * se))).as("hi_micro"))
+  }
+
   /** Seasonal-naive forecast backtest (the no-skill baseline every
     * real forecaster must beat — Hyndman & Athanasopoulos,
     * "Forecasting: Principles and Practice" §5.2): `v̂(d) = v(d −

@@ -536,10 +536,12 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("trimmed", statsPath, "v"))
     val lrPath = s"${tmpDir("cli-r11lr")}/ev"
     (1L to 60L).map(i => (i % 10,
-      new java.sql.Timestamp(i * 86400000L), i % 2 == 0))
-      .toDF("user_id", "ts", "ga")
+      new java.sql.Timestamp(i * 86400000L), i % 2 == 0, i % 10 % 3))
+      .toDF("user_id", "ts", "ga", "strat")
       .write.mode("overwrite").parquet(lrPath)
     graft.cli.Main.main(Array("logrank", lrPath, "user_id", "ga"))
+    graft.cli.Main.main(Array("logrank-strat", lrPath, "user_id", "ga",
+      "strat"))
     graft.cli.Main.main(Array("hr", lrPath, "user_id", "ga"))
     graft.cli.Main.main(Array("ratetest", statsPath, "ga", "v", "id"))
     val zOut = tmpDir("cli-r11z")

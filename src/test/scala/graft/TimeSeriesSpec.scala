@@ -89,6 +89,47 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r1.isNullAt(5) && r1.isNullAt(6), r1)
   }
 
+  test("stratifiedLogRank: a confounded cohort reads a strong effect " +
+    "unstratified and none once platform-stratified; pooled HR " +
+    "tracks the same flip") {
+    // Platform 0 churns fast (lifetimes 3/4 days), platform 1 slowly
+    // (11/12 days). Group A is 8/10 on platform 0, group B 8/10 on
+    // platform 1 — but WITHIN each platform the two arms draw the
+    // same lifetime distribution, so the only "effect" is the mix.
+    // uids: A-p0 0..7, A-p1 8..9, B-p0 10..11, B-p1 12..19.
+    val rows = ((0L to 7L) ++ Seq(10L, 11L)).map(u =>
+        (u, 0L, if (u % 2 == 0) 2L else 3L)) ++ // platform 0
+      (Seq(8L, 9L) ++ (12L to 19L)).map(u =>
+        (u, 0L, if (u % 2 == 0) 10L else 11L))  // platform 1
+    val ev = rows.toDF("u", "f", "l")
+      .select(col("u"), explode(array(col("f"), col("l"))).as("d"))
+      .select(col("u"), timestamp_seconds(col("d") * 86400L).as("ts"))
+      .localCheckpoint()
+    val isA = col("u") < 10L
+    val platform = when(col("u") < 8L || col("u") === 10L ||
+      col("u") === 11L, 0L).otherwise(1L)
+    val flat = TimeSeries.logRankTest(ev, "u", col("ts"), isA).head()
+    val strat = TimeSeries.stratifiedLogRank(ev, "u", col("ts"), isA,
+      platform).head()
+    assert(strat.getAs[Long]("n_users") == 20L &&
+      strat.getAs[Long]("n_a") == 10L &&
+      strat.getAs[Long]("n_strata") == 2L)
+    // unstratified: A "churns faster" far past the 1.96 line
+    assert(math.abs(flat.getAs[Long]("z_micro")) > 1960000L, flat)
+    // stratified: the mix explains it away — verdict flips
+    assert(math.abs(strat.getAs[Long]("z_micro")) < 1960000L, strat)
+    // pooled HR agrees: strongly > 1 unstratified, near 1 stratified
+    val hrFlat = TimeSeries.hazardRatio(ev, "u", col("ts"), isA)
+      .head().getAs[Long]("hr_micro")
+    val hrStrat = strat.getAs[Long]("hr_micro")
+    assert(hrFlat > 2000000L, s"unstratified HR $hrFlat")
+    assert(hrStrat < 2000000L && hrStrat > 500000L,
+      s"stratified HR $hrStrat")
+    // the stratified CI brackets its point estimate
+    assert(strat.getAs[Long]("lo_micro") <= hrStrat &&
+      hrStrat <= strat.getAs[Long]("hi_micro"))
+  }
+
   test("kaplanMeier: censored users leave the at-risk set without " +
     "counting as churn; survival follows the product limit") {
     // u1 lifetime 1 (churn), u2 lifetime 2 (churn), u3 lifetime 3
