@@ -1618,6 +1618,17 @@ object Main {
       println(s"[mp4-meta] ${all.count()} items, $ok parsed -> $outDir")
       done(spark)
 
+    // Matroska/WebM container metadata (EBML walk, no codec)
+    case "mkv-meta" :: corpus :: outDir :: rest =>
+      val spark = session()
+      val dec = graft.multimodal.Multimodal.mkvMeta(
+        spark.read.parquet(corpus))
+      dec.write.mode("overwrite").parquet(outDir)
+      val all = spark.read.parquet(outDir)
+      val ok = all.filter(org.apache.spark.sql.functions.col("ok")).count()
+      println(s"[mkv-meta] ${all.count()} items, $ok parsed -> $outDir")
+      done(spark)
+
     // decode a (doc_id, media binary) parquet with the JDK ImageIO
     // codecs (JPEG/PNG/GIF/BMP); emits metadata + channel means
     case "decode-image" :: corpus :: outDir :: rest =>

@@ -1104,12 +1104,16 @@ object Multimodal {
 
   final case class Mp4Meta(
       id: Long, ok: Boolean, majorBrand: String, timescale: Long,
-      durationSec: Double, nTracks: Int, width: Int, height: Int)
+      durationSec: Double, nTracks: Int, width: Int, height: Int,
+      codecs: String)
 
   /** MP4/ISO-BMFF container metadata via a pure-JDK box walk — the
     * codec-free slice of "video support" a corpus screen needs:
-    * brand, duration (mvhd, version 0 and 1), track count, and the
-    * first visual track's pixel dimensions (tkhd 16.16 fixed-point).
+    * brand, duration (mvhd, version 0 and 1), track count, the
+    * first visual track's pixel dimensions (tkhd 16.16 fixed-point),
+    * and each track's sample-description fourcc (stsd — `avc1`,
+    * `hvc1`, `mp4a`, ..., comma-joined in track order), so an audit
+    * pass can inventory codecs without decoding a frame.
     * Boxes are length-prefixed so the walk never touches sample data;
     * 64-bit `size==1` largesize boxes are handled, `size==0`
     * (to-end-of-file) terminates the level. Malformed input isolates
@@ -1121,16 +1125,17 @@ object Multimodal {
     val rows = df.select(col(idCol).cast("long"), col(mediaCol))
     rows.mapPartitions { it =>
       it.map { r =>
-        if (r.isNullAt(0)) Mp4Meta(-1L, ok = false, "", 0L, 0.0, 0, 0, 0)
+        if (r.isNullAt(0))
+          Mp4Meta(-1L, ok = false, "", 0L, 0.0, 0, 0, 0, "")
         else if (r.isNullAt(1))
-          Mp4Meta(r.getLong(0), ok = false, "", 0L, 0.0, 0, 0, 0)
+          Mp4Meta(r.getLong(0), ok = false, "", 0L, 0.0, 0, 0, 0, "")
         else parseMp4(r.getLong(0), r.getAs[Array[Byte]](1))
       }
     }(Encoders.product[Mp4Meta])
   }
 
   private[graft] def parseMp4(id: Long, bytes: Array[Byte]): Mp4Meta = {
-    val fail = Mp4Meta(id, ok = false, "", 0L, 0.0, 0, 0, 0)
+    val fail = Mp4Meta(id, ok = false, "", 0L, 0.0, 0, 0, 0, "")
     try {
       val n = bytes.length
       def u8(p: Int) = bytes(p) & 0xff
@@ -1161,6 +1166,7 @@ object Multimodal {
       var w = 0
       var h = 0
       var sawMoov = false
+      val codecs = scala.collection.mutable.ListBuffer.empty[String]
       walk(0, n) { (body, bend, t) =>
         t match {
           case "ftyp" if bend - body >= 4 => brand = typ(body)
@@ -1189,6 +1195,21 @@ object Multimodal {
                         val th = (b32(b3 + dimOff + 4) >> 16).toInt
                         if (tw > 0 && th > 0) { w = tw; h = th }
                       }
+                    } else if (t3 == "mdia") {
+                      // the sample-description fourcc: trak > mdia >
+                      // minf > stbl > stsd, first sample entry
+                      walk(b3, e3) { (b4, e4, t4) =>
+                        if (t4 == "minf") walk(b4, e4) { (b5, e5, t5) =>
+                          if (t5 == "stbl") walk(b5, e5) {
+                            (b6, e6, t6) =>
+                              // stsd body: ver/flags 4 + count 4, then
+                              // entries (size 4 + fourcc 4 + ...)
+                              if (t6 == "stsd" && e6 - b6 >= 16 &&
+                                  b32(b6 + 4) > 0L)
+                                codecs += typ(b6 + 12)
+                          }
+                        }
+                      }
                     }
                   }
                 case _ => ()
@@ -1200,7 +1221,141 @@ object Multimodal {
       if (!sawMoov && brand.isEmpty) fail
       else Mp4Meta(id, ok = sawMoov, brand, timescale,
         if (timescale > 0) duration.toDouble / timescale else 0.0,
-        nTracks, w, h)
+        nTracks, w, h, codecs.mkString(","))
+    } catch { case _: Exception => fail }
+  }
+
+  final case class MkvMeta(
+      id: Long, ok: Boolean, docType: String, durationSec: Double,
+      nTracks: Int, width: Int, height: Int, codecs: String)
+
+  /** Matroska/WebM container metadata via a pure-JDK EBML walk — the
+    * [[mp4Meta]] discipline for the other half of a video lake:
+    * DocType (`matroska` / `webm`), duration (Segment > Info >
+    * Duration scaled by TimestampScale, ns by default), track count,
+    * the first video track's pixel dimensions, and each track's
+    * CodecID (`V_VP9`, `A_OPUS`, ..., comma-joined in track order).
+    * EBML elements are length-prefixed varints so the walk skips
+    * cluster/sample data wholesale; an unknown-size element (all-ones
+    * varint — streamed Segments use it) extends to its parent's end.
+    * Malformed input isolates as ok=false; no codec is ever invoked.
+    */
+  def mkvMeta(df: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media"): Dataset[MkvMeta] = {
+    val rows = df.select(col(idCol).cast("long"), col(mediaCol))
+    rows.mapPartitions { it =>
+      it.map { r =>
+        if (r.isNullAt(0)) MkvMeta(-1L, ok = false, "", 0.0, 0, 0, 0, "")
+        else if (r.isNullAt(1))
+          MkvMeta(r.getLong(0), ok = false, "", 0.0, 0, 0, 0, "")
+        else parseMkv(r.getLong(0), r.getAs[Array[Byte]](1))
+      }
+    }(Encoders.product[MkvMeta])
+  }
+
+  private[graft] def parseMkv(id: Long, bytes: Array[Byte]): MkvMeta = {
+    val fail = MkvMeta(id, ok = false, "", 0.0, 0, 0, 0, "")
+    try {
+      val n = bytes.length
+      def u8(p: Int) = bytes(p) & 0xff
+      // EBML varint: leading-zero count of the first byte gives the
+      // width; `keepMarker` keeps the marker bit (element IDs compare
+      // with it), sizes strip it. Returns (value, nextPos); the
+      // all-ones size value means "unknown size".
+      def varint(p: Int, keepMarker: Boolean): (Long, Int) = {
+        if (p >= n) throw new IndexOutOfBoundsException
+        val first = u8(p)
+        if (first == 0) throw new NumberFormatException("bad varint")
+        val len = Integer.numberOfLeadingZeros(first) - 23
+        if (p + len > n) throw new IndexOutOfBoundsException
+        var v = if (keepMarker) first.toLong
+          else (first & (0xff >> len)).toLong
+        var i = 1
+        while (i < len) { v = (v << 8) | u8(p + i); i += 1 }
+        (v, p + len)
+      }
+      def unknownSize(size: Long, widthBits: Int): Boolean =
+        size == (1L << widthBits) - 1L
+      def uintAt(p: Int, len: Int): Long = {
+        var v = 0L; var i = 0
+        while (i < len) { v = (v << 8) | u8(p + i); i += 1 }
+        v
+      }
+      def floatAt(p: Int, len: Int): Double =
+        if (len == 4) java.lang.Float.intBitsToFloat(uintAt(p, 4).toInt)
+          .toDouble
+        else if (len == 8) java.lang.Double.longBitsToDouble(uintAt(p, 8))
+        else 0.0
+      // walk one element level [from, to); f(elementId, bodyStart,
+      // bodyEnd) — unknown-size bodies extend to `to`
+      def walk(from: Int, to: Int)(f: (Long, Int, Int) => Unit): Unit = {
+        var p = from
+        while (p < to) {
+          val (eid, afterId) = varint(p, keepMarker = true)
+          val sizeWidth0 = Integer.numberOfLeadingZeros(u8(afterId)) - 23
+          val (sz, body) = varint(afterId, keepMarker = false)
+          val bend =
+            if (unknownSize(sz, 7 * sizeWidth0)) to.toLong
+            else body.toLong + sz
+          if (bend < body || bend > to) return
+          f(eid, body, bend.toInt)
+          p = bend.toInt
+        }
+      }
+      var docType = ""
+      var tsScale = 1000000L // EBML default: 1e6 ns per tick
+      var durTicks = 0.0
+      var nTracks = 0
+      var w = 0
+      var h = 0
+      var sawSegment = false
+      val codecs = scala.collection.mutable.ListBuffer.empty[String]
+      walk(0, n) { (eid, body, bend) =>
+        eid match {
+          case 0x1A45DFA3L => // EBML header
+            walk(body, bend) { (id2, b2, e2) =>
+              if (id2 == 0x4282L) // DocType
+                docType = new String(bytes, b2, e2 - b2, "ISO-8859-1")
+                  .takeWhile(_ != ' ')
+            }
+          case 0x18538067L => // Segment
+            sawSegment = true
+            walk(body, bend) { (id2, b2, e2) =>
+              id2 match {
+                case 0x1549A966L => // Info
+                  walk(b2, e2) { (id3, b3, e3) =>
+                    if (id3 == 0x2AD7B1L) tsScale = uintAt(b3, e3 - b3)
+                    else if (id3 == 0x4489L)
+                      durTicks = floatAt(b3, e3 - b3)
+                  }
+                case 0x1654AE6BL => // Tracks
+                  walk(b2, e2) { (id3, b3, e3) =>
+                    if (id3 == 0xAEL) { // TrackEntry
+                      nTracks += 1
+                      walk(b3, e3) { (id4, b4, e4) =>
+                        if (id4 == 0x86L) // CodecID
+                          codecs += new String(bytes, b4, e4 - b4,
+                            "ISO-8859-1").takeWhile(_ != ' ')
+                        else if (id4 == 0xE0L) // Video
+                          walk(b4, e4) { (id5, b5, e5) =>
+                            if (id5 == 0xB0L && w == 0)
+                              w = uintAt(b5, e5 - b5).toInt
+                            else if (id5 == 0xBAL && h == 0)
+                              h = uintAt(b5, e5 - b5).toInt
+                          }
+                      }
+                    }
+                  }
+                case _ => ()
+              }
+            }
+          case _ => ()
+        }
+      }
+      if (!sawSegment && docType.isEmpty) fail
+      else MkvMeta(id, ok = sawSegment, docType,
+        durTicks * tsScale.toDouble / 1e9, nTracks, w, h,
+        codecs.mkString(","))
     } catch { case _: Exception => fail }
   }
 }

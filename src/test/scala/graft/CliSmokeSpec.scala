@@ -627,6 +627,19 @@ class CliSmokeSpec extends SparkSpec {
     assert(hits.filter(col("neighbor").isin(7L, 31L)).count() == 0)
   }
 
+  test("mp4-meta and mkv-meta probe a media parquet end to end") {
+    val media = s"${tmpDir("cli-r12media")}/rows"
+    Seq((1L, "not a container".getBytes),
+      (2L, Array[Byte](0x1A, 0x45.toByte, 0xDF.toByte, 0xA3.toByte)))
+      .toDF("doc_id", "media").write.mode("overwrite").parquet(media)
+    val mp4Out = tmpDir("cli-r12mp4")
+    graft.cli.Main.main(Array("mp4-meta", media, mp4Out))
+    assert(spark.read.parquet(mp4Out).count() == 2L)
+    val mkvOut = tmpDir("cli-r12mkv")
+    graft.cli.Main.main(Array("mkv-meta", media, mkvOut))
+    assert(spark.read.parquet(mkvOut).count() == 2L)
+  }
+
   test("pool-commit and pool-read run the marker pool end to end") {
     val in = s"${tmpDir("cli-poolin")}/rows"
     SyntheticTracking.df(spark, games = 1, plays = 2, frames = 5)
