@@ -1565,6 +1565,60 @@ object OracleSql {
         |    END AS hi_micro
         |FROM c, m""".stripMargin
 
+  /** q309: the Mondrian rounds unrolled as CTEs — each round builds
+    * the per-(region, dim) distinct-value cumulative table, picks the
+    * widest-range dim (ties low), cuts at the lower median when both
+    * halves hold >= k, and recodes the rows; three rounds = the
+    * gate's maxDepth.
+    */
+  private val q309MondrianSql: String = {
+    val k = 50L
+    def round(r: Int): String =
+      s"""long$r AS (SELECT region, 0 AS dim, q0 AS v FROM t$r
+         |  UNION ALL SELECT region, 1, q1 FROM t$r),
+         |cells$r AS (SELECT region, dim, v, count(*)::BIGINT AS c
+         |  FROM long$r GROUP BY 1, 2, 3),
+         |cum$r AS (SELECT region, dim, v, c,
+         |    sum(c) OVER (PARTITION BY region, dim ORDER BY v)
+         |      ::BIGINT AS cend,
+         |    sum(c) OVER (PARTITION BY region, dim)::BIGINT AS n
+         |  FROM cells$r),
+         |stats$r AS (SELECT region, dim, min(v) AS lo, max(v) AS hi,
+         |    max(n) AS n,
+         |    min(CASE WHEN cend * 2 >= n THEN v END) AS cut
+         |  FROM cum$r GROUP BY 1, 2),
+         |wl$r AS (SELECT s.region, s.dim, s.lo, s.hi, s.n, s.cut,
+         |    m.cend AS nleft
+         |  FROM stats$r s JOIN cum$r m ON m.region = s.region
+         |    AND m.dim = s.dim AND m.v = s.cut),
+         |cuts$r AS (SELECT region, dim AS cutdim, cut FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY region
+         |      ORDER BY (hi - lo) DESC, dim) AS rk FROM wl$r)
+         |  WHERE rk = 1 AND hi > lo AND nleft >= $k
+         |    AND n - nleft >= $k),
+         |t${r + 1} AS (SELECT
+         |    CASE WHEN c.cutdim IS NULL THEN t.region
+         |      ELSE t.region ||
+         |        (CASE WHEN (CASE WHEN c.cutdim = 0 THEN t.q0
+         |                    ELSE t.q1 END) <= c.cut
+         |         THEN '0' ELSE '1' END) END AS region,
+         |    t.q0, t.q1
+         |  FROM t$r t LEFT JOIN cuts$r c USING (region))""".stripMargin
+    s"""WITH t1 AS (SELECT 'r' AS region,
+       |    ((round(value * 100)::BIGINT % 100 + 100) % 100)
+       |      ::BIGINT AS q0,
+       |    (user_id % 50)::BIGINT AS q1
+       |  FROM events WHERE value IS NOT NULL),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT region, count(*)::BIGINT AS n,
+       |  min(q0)::BIGINT AS q0_lo, max(q0)::BIGINT AS q0_hi,
+       |  min(q1)::BIGINT AS q1_lo, max(q1)::BIGINT AS q1_hi,
+       |  (length(region) - 1)::BIGINT AS depth
+       |FROM t4 GROUP BY 1""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q57_clean_corpus" -> q57,
     "q99_removal_audit" -> q99,
@@ -7475,6 +7529,10 @@ object OracleSql {
 
     // stratified log-rank + pooled HR: q278 with one more grouping key
     "q308_stratified_logrank" -> q308StratifiedSql,
+
+    // Mondrian k-anonymity generalizer: three unrolled median-cut
+    // rounds over the (value-cent, user-cohort) quasi-id space
+    "q309_mondrian" -> q309MondrianSql,
 
     // k-anonymity/l-diversity: equivalence-class fold + summary row
     "q306_k_anonymity" ->

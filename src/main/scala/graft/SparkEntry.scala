@@ -5106,6 +5106,26 @@ object SparkEntry {
       col("ts"), pmod(col("user_id"), lit(2L)) === 0,
       pmod(col("user_id"), lit(5L)))
 
+  /** Mondrian k-anonymity generalizer over q306's release axes — the
+    * FIXER for the audit's verdict: greedy lower-median cuts over the
+    * (value-cent, user-cohort) quasi-id space, depth ≤ 3, every cut
+    * kept only if both halves hold ≥ k = 50; the generalized release
+    * re-audits clean (`require`d in-query). EAGER (per-round cut
+    * probes are jobs); the oracle unrolls the identical three rounds
+    * as CTEs.
+    */
+  def q309_mondrian(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("value").isNotNull)
+    val out = Relational.mondrianAnonymize(ev, Seq(
+      pmod(round(col("value") * 100).cast("long"), lit(100L)),
+      pmod(col("user_id"), lit(50L))), k = 50L, maxDepth = 3)
+      .localCheckpoint()
+    val minN = out.agg(min(col("n"))).head().getLong(0)
+    require(minN >= 50L,
+      s"mondrian release re-audit failed: min class $minN < k=50")
+    out
+  }
+
   /** Hyperplane-ANN index FULL lifecycle under the oracle (the q265/
     * q291/q293 discipline for the dense-retrieval index — the last
     * persisted index family to absorb removals without rebuild):
@@ -5536,7 +5556,8 @@ object SparkEntry {
     "q305_zorder" -> (q305_zorder(_, _)),
     "q306_k_anonymity" -> (q306_k_anonymity(_, _)),
     "q307_ann_index_lifecycle" -> (q307_ann_index_lifecycle(_, _)),
-    "q308_stratified_logrank" -> (q308_stratified_logrank(_, _)))
+    "q308_stratified_logrank" -> (q308_stratified_logrank(_, _)),
+    "q309_mondrian" -> (q309_mondrian(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

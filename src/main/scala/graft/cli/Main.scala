@@ -575,6 +575,24 @@ object Main {
         s"chi2_micro=${r.get(6)}")
       done(spark)
 
+    // Mondrian k-anonymity generalizer: median-cut global recoding of
+    // integer quasi-id columns until classes can't split above k
+    case "mondrian" :: path :: qidCols :: kArg :: outDir :: rest =>
+      import org.apache.spark.sql.functions.col
+      val depth = rest.headOption.map(_.toInt).getOrElse(8)
+      val spark = session()
+      val out = graft.operators.Relational.mondrianAnonymize(
+        spark.read.parquet(path),
+        qidCols.split(",").toSeq.map(col), kArg.toLong, depth)
+      out.write.mode("overwrite").parquet(outDir)
+      val back = spark.read.parquet(outDir)
+      val n = back.count()
+      val minN = back.agg(org.apache.spark.sql.functions.min("n"))
+        .head().getLong(0)
+      println(s"[mondrian] $n classes, min class $minN " +
+        s"(k=$kArg, maxDepth=$depth) -> $outDir")
+      done(spark)
+
     // covariate-adjusted two-group survival comparison: per-stratum
     // O/E/V moments summed before the z / chi2 / pooled-HR fold
     case "logrank-strat" :: path :: userCol :: flagCol :: stratCol ::

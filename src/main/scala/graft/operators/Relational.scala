@@ -2186,6 +2186,113 @@ object Relational {
         .as("n_groups_under_l"))
   }
 
+  /** Mondrian k-anonymity generalizer (LeFevre, DeWitt & Ramakrishnan
+    * 2006, "Mondrian Multidimensional K-Anonymity") — the FIXER for
+    * [[kAnonymityAudit]]'s verdict: greedy top-down median-cut global
+    * recoding over an integer quasi-identifier space until every
+    * equivalence class would fall under k if cut again. Each round,
+    * every open region attempts ONE cut — its widest-range dimension
+    * (ties to the lowest dimension index), split at the LOWER MEDIAN
+    * of that dimension's multiset within the region — and the cut is
+    * kept only if both halves hold ≥ k rows; a region whose attempt
+    * fails is final. Rounds are bounded by `maxDepth` (tree depth =
+    * generalization depth), so the region count is ≤ 2^maxDepth and
+    * ≤ n/k by the invariant.
+    *
+    * Determinism/exactness: dimensions are integer-snapped by the
+    * caller (the q36 bounded-value-space discipline); medians come
+    * off per-(region, dim) DISTINCT-VALUE cumulative tables (the
+    * q294 construction, windows partitioned by bounded keys); region
+    * ids are the cut-path strings ("r01..."), so the whole recoding
+    * replays in a SQL oracle round for round.
+    *
+    * Scale shape per round: one slim (region, dim, value) aggregation
+    * (bounded by regions × dims × value space), one broadcast of the
+    * ≤ 2^round cut table back onto the rows — the corpus never
+    * reshuffles; `maxDepth` rounds total, each localCheckpointed so
+    * plans stay bounded (the logistic-GD loop discipline).
+    *
+    * Output: one row per final region — `region` (cut path), `n`
+    * (class size, ≥ k whenever the INPUT has ≥ k rows), `depth`
+    * (cuts applied), and per dimension the generalized interval
+    * `q<i>_lo`, `q<i>_hi` — the release table a consumer publishes in
+    * place of raw quasi-ids, re-auditable by construction.
+    */
+  def mondrianAnonymize(df: DataFrame, quasiIds: Seq[Column], k: Long,
+      maxDepth: Int = 8): DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-id dimension")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDepth >= 0 && maxDepth <= 24,
+      s"maxDepth must be in [0,24], got $maxDepth")
+    import org.apache.spark.sql.expressions.Window
+    val nd = quasiIds.size
+    val qCols = (0 until nd).map(i => col(s"_q$i"))
+    var cur = df.select(lit("r").as("_region") +:
+      quasiIds.zipWithIndex.map { case (q, i) =>
+        q.cast("long").as(s"_q$i") }: _*)
+      .localCheckpoint()
+    var round = 0
+    while (round < maxDepth) {
+      // (region, dim, value) distinct-value cumulative tables
+      val long = cur.select(col("_region"),
+        posexplode(array(qCols: _*)).as(Seq("_dim", "_v")))
+      val cells = long.groupBy(col("_region"), col("_dim"), col("_v"))
+        .agg(count(lit(1)).as("_c"))
+      val wCum = Window.partitionBy(col("_region"), col("_dim"))
+        .orderBy(col("_v"))
+      val wAll = Window.partitionBy(col("_region"), col("_dim"))
+      val cum = cells
+        .withColumn("_cend", sum(col("_c")).over(wCum))
+        .withColumn("_n", sum(col("_c")).over(wAll))
+      // per (region, dim): bounds + lower-median cut + its left count
+      val stats = cum.groupBy(col("_region"), col("_dim"))
+        .agg(min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
+          max(col("_n")).as("_n"),
+          min(when(col("_cend") * 2L >= col("_n"), col("_v")))
+            .as("_cut"))
+      val withLeft = stats.as("s").join(
+        cum.select(col("_region"), col("_dim"), col("_v"),
+          col("_cend")).as("m"),
+        col("s._region") === col("m._region") &&
+          col("s._dim") === col("m._dim") &&
+          col("s._cut") === col("m._v"))
+        .select(col("s._region").as("_region"),
+          col("s._dim").as("_dim"), col("s._lo").as("_lo"),
+          col("s._hi").as("_hi"), col("s._n").as("_n"),
+          col("s._cut").as("_cut"), col("m._cend").as("_nleft"))
+      // the round's attempted cut per region: widest range, lowest dim
+      val wPick = Window.partitionBy(col("_region"))
+        .orderBy((col("_hi") - col("_lo")).desc, col("_dim"))
+      val cuts = withLeft
+        .withColumn("_rk", row_number().over(wPick))
+        .filter(col("_rk") === 1)
+        .filter(col("_hi") > col("_lo") &&
+          col("_nleft") >= k && (col("_n") - col("_nleft")) >= k)
+        .select(col("_region"), col("_dim").as("_cutdim"),
+          col("_cut"))
+      if (cuts.isEmpty) round = maxDepth // every region is final
+      else {
+        val side = (0 until nd).map(i =>
+          when(col("_cutdim") === i,
+            when(col(s"_q$i") <= col("_cut"), lit("0"))
+              .otherwise(lit("1"))))
+          .reduce((a, b) => coalesce(a, b))
+        cur = cur.join(broadcast(cuts), Seq("_region"), "left")
+          .select((when(col("_cutdim").isNull, col("_region"))
+            .otherwise(concat(col("_region"), side)).as("_region")) +:
+            qCols: _*)
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    cur.groupBy(col("_region").as("region"))
+      .agg(count(lit(1)).as("n"),
+        (0 until nd).flatMap(i => Seq(
+          min(col(s"_q$i")).as(s"q${i}_lo"),
+          max(col(s"_q$i")).as(s"q${i}_hi"))): _*)
+      .withColumn("depth", (length(col("region")) - 1).cast("long"))
+  }
+
   /** Morton / Z-order curve value (Morton 1966; the interleave behind
     * Delta's OPTIMIZE ZORDER and HBase/Accumulo shard keys): bit i of
     * x lands at position 2i, bit i of y at 2i+1, so points close in

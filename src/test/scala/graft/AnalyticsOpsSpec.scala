@@ -713,6 +713,38 @@ class AnalyticsOpsSpec extends SparkSpec {
       rc.getAs[Long]("n_groups_under_l") == 0L, rc)
   }
 
+  test("mondrianAnonymize: median cuts recurse while both halves " +
+    "hold k, every final class >= k, intervals tile the space; an " +
+    "uncuttable cohort stays one region") {
+    val pts = (for (x <- 0L to 3L; y <- 0L to 3L) yield (x, y))
+      .toDF("x", "y")
+    val got = Relational.mondrianAnonymize(pts,
+      Seq(col("x"), col("y")), k = 4L, maxDepth = 8)
+      .collect().map(r => r.getAs[String]("region") -> r).toMap
+    // 4x4 grid at k=4: cut x at its lower median (1), then y in each
+    // half; the third cut would leave 2 < k per side -> final
+    assert(got.size == 4, got.keys)
+    assert(got.keys.toSet == Set("r00", "r01", "r10", "r11"))
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("depth") == 2L, r)
+    }
+    assert(got("r00").getAs[Long]("q0_lo") == 0L &&
+      got("r00").getAs[Long]("q0_hi") == 1L &&
+      got("r00").getAs[Long]("q1_lo") == 0L &&
+      got("r00").getAs[Long]("q1_hi") == 1L, got("r00"))
+    assert(got("r11").getAs[Long]("q0_lo") == 2L &&
+      got("r11").getAs[Long]("q0_hi") == 3L &&
+      got("r11").getAs[Long]("q1_lo") == 2L &&
+      got("r11").getAs[Long]("q1_hi") == 3L, got("r11"))
+    // the generalized release re-audits clean at k
+    assert(got.values.map(_.getAs[Long]("n")).min >= 4L)
+    // k > n/2: the very first median cut is disallowed -> one region
+    val one = Relational.mondrianAnonymize(pts,
+      Seq(col("x"), col("y")), k = 9L, maxDepth = 8).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("n") == 16L &&
+      one.head.getAs[Long]("depth") == 0L, one.toSeq)
+  }
+
   test("zOrderValue: hand interleaves, tile containment; " +
     "zOrderLayout sorts within range partitions") {
     val pts = for (x <- 0L to 7L; y <- 0L to 7L) yield (x, y)

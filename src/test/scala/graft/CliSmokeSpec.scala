@@ -542,6 +542,12 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("logrank", lrPath, "user_id", "ga"))
     graft.cli.Main.main(Array("logrank-strat", lrPath, "user_id", "ga",
       "strat"))
+    val mondOut = tmpDir("cli-r12mond")
+    graft.cli.Main.main(Array("mondrian", lrPath, "user_id,strat", "3",
+      mondOut, "4"))
+    assert(spark.read.parquet(mondOut)
+      .agg(org.apache.spark.sql.functions.min("n"))
+      .head().getLong(0) >= 3L)
     graft.cli.Main.main(Array("hr", lrPath, "user_id", "ga"))
     graft.cli.Main.main(Array("ratetest", statsPath, "ga", "v", "id"))
     val zOut = tmpDir("cli-r11z")

@@ -205,7 +205,8 @@ class PlanGateSpec extends SparkSpec {
       "q272_streaming_sessions_replay", "q290_bm25_index",
       "q291_bm25_index_delete", "q293_signed_index_lifecycle",
       "q296_logistic_fit", "q297_logistic_filter",
-      "q300_persisted_hybrid", "q307_ann_index_lifecycle")
+      "q300_persisted_hybrid", "q307_ann_index_lifecycle",
+      "q309_mondrian")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalWindowWhitelist.contains)
@@ -240,7 +241,8 @@ class PlanGateSpec extends SparkSpec {
       "q272_streaming_sessions_replay", "q290_bm25_index",
       "q291_bm25_index_delete", "q293_signed_index_lifecycle",
       "q296_logistic_fit", "q297_logistic_filter",
-      "q300_persisted_hybrid", "q307_ann_index_lifecycle")
+      "q300_persisted_hybrid", "q307_ann_index_lifecycle",
+      "q309_mondrian")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalSortWhitelist.contains)
