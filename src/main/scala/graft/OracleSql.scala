@@ -1619,6 +1619,117 @@ object OracleSql {
        |FROM t4 GROUP BY 1""".stripMargin
   }
 
+  /** q310: CMH stratified 2×2 — exact per-stratum cells, the same
+    * micro-snapped E/V/R/S/RBG summands, identical closing chains.
+    */
+  private val q310CmhSql: String =
+    """WITH d AS (SELECT (user_id % 5)::BIGINT AS s,
+        |    (event_id % 2 = 0) AS e,
+        |    (((round(value * 100)::BIGINT % 3 + 3) % 3) = 0) AS o
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT s,
+        |    sum(CASE WHEN e AND o THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::BIGINT
+        |      AS d
+        |  FROM d GROUP BY 1),
+        |k AS (SELECT a, b, c, d, (a + b + c + d)::BIGINT AS n
+        |  FROM cells WHERE a + b + c + d >= 2),
+        |m AS (SELECT count(*)::BIGINT AS n_strata,
+        |    sum(n)::BIGINT AS n_rows, sum(a)::BIGINT AS sum_a,
+        |    sum((round((a::DOUBLE + b::DOUBLE) * (a::DOUBLE +
+        |      c::DOUBLE) / n::DOUBLE * 1000000.0))::BIGINT)::BIGINT
+        |      AS e_micro,
+        |    sum((round((a::DOUBLE + b::DOUBLE) * (c::DOUBLE +
+        |      d::DOUBLE) * (a::DOUBLE + c::DOUBLE) * (b::DOUBLE +
+        |      d::DOUBLE) / (n::DOUBLE * n::DOUBLE * (n::DOUBLE - 1.0))
+        |      * 1000000.0))::BIGINT)::BIGINT AS v_micro,
+        |    sum((round(a::DOUBLE * d::DOUBLE / n::DOUBLE *
+        |      1000000.0))::BIGINT)::BIGINT AS r_micro,
+        |    sum((round(b::DOUBLE * c::DOUBLE / n::DOUBLE *
+        |      1000000.0))::BIGINT)::BIGINT AS s_micro,
+        |    sum((round((a::DOUBLE + d::DOUBLE) * a::DOUBLE *
+        |      d::DOUBLE / (n::DOUBLE * n::DOUBLE) * 1000000.0))
+        |      ::BIGINT)::BIGINT AS pr_micro,
+        |    sum((round(((a::DOUBLE + d::DOUBLE) * b::DOUBLE *
+        |      c::DOUBLE + (b::DOUBLE + c::DOUBLE) * a::DOUBLE *
+        |      d::DOUBLE) / (n::DOUBLE * n::DOUBLE) * 1000000.0))
+        |      ::BIGINT)::BIGINT AS psqr_micro,
+        |    sum((round((b::DOUBLE + c::DOUBLE) * b::DOUBLE *
+        |      c::DOUBLE / (n::DOUBLE * n::DOUBLE) * 1000000.0))
+        |      ::BIGINT)::BIGINT AS qs_micro
+        |  FROM k)
+        |SELECT n_strata, n_rows, sum_a, e_micro, v_micro,
+        |  CASE WHEN v_micro <= 0 THEN NULL ELSE
+        |    (round((((sum_a * 1000000 - e_micro)::DOUBLE / 1000000.0)
+        |      * ((sum_a * 1000000 - e_micro)::DOUBLE / 1000000.0)
+        |      / (v_micro::DOUBLE / 1000000.0)) * 1000000.0))::BIGINT
+        |    END AS chi2_micro,
+        |  CASE WHEN r_micro <= 0 OR s_micro <= 0 THEN NULL ELSE
+        |    (round(((r_micro::DOUBLE / 1000000.0) /
+        |      (s_micro::DOUBLE / 1000000.0)) * 1000000.0))::BIGINT
+        |    END AS or_micro,
+        |  CASE WHEN r_micro <= 0 OR s_micro <= 0 THEN NULL ELSE
+        |    (round(exp(ln((r_micro::DOUBLE / 1000000.0) /
+        |        (s_micro::DOUBLE / 1000000.0)) - 1.959964 * sqrt(
+        |      (pr_micro::DOUBLE / 1000000.0) /
+        |        (2.0 * (r_micro::DOUBLE / 1000000.0) *
+        |          (r_micro::DOUBLE / 1000000.0)) +
+        |      (psqr_micro::DOUBLE / 1000000.0) /
+        |        (2.0 * (r_micro::DOUBLE / 1000000.0) *
+        |          (s_micro::DOUBLE / 1000000.0)) +
+        |      (qs_micro::DOUBLE / 1000000.0) /
+        |        (2.0 * (s_micro::DOUBLE / 1000000.0) *
+        |          (s_micro::DOUBLE / 1000000.0)))) * 1000000.0))
+        |      ::BIGINT END AS lo_micro,
+        |  CASE WHEN r_micro <= 0 OR s_micro <= 0 THEN NULL ELSE
+        |    (round(exp(ln((r_micro::DOUBLE / 1000000.0) /
+        |        (s_micro::DOUBLE / 1000000.0)) + 1.959964 * sqrt(
+        |      (pr_micro::DOUBLE / 1000000.0) /
+        |        (2.0 * (r_micro::DOUBLE / 1000000.0) *
+        |          (r_micro::DOUBLE / 1000000.0)) +
+        |      (psqr_micro::DOUBLE / 1000000.0) /
+        |        (2.0 * (r_micro::DOUBLE / 1000000.0) *
+        |          (s_micro::DOUBLE / 1000000.0)) +
+        |      (qs_micro::DOUBLE / 1000000.0) /
+        |        (2.0 * (s_micro::DOUBLE / 1000000.0) *
+        |          (s_micro::DOUBLE / 1000000.0)))) * 1000000.0))
+        |      ::BIGINT END AS hi_micro
+        |FROM m""".stripMargin
+
+  /** q311: Adjusted Rand Index — exact integer pair counts (HUGEINT
+    * mirrors Spark's decimal(38,0)), one closing double chain.
+    */
+  private val q311AriSql: String =
+    """WITH d AS (SELECT lang AS a, source AS b FROM documents),
+        |cells AS (SELECT a, b, count(*)::BIGINT AS c
+        |  FROM d GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(c)::BIGINT AS ca FROM cells GROUP BY 1),
+        |rb AS (SELECT b, sum(c)::BIGINT AS cb FROM cells GROUP BY 1),
+        |m AS (SELECT sum(c)::BIGINT AS n,
+        |    count(DISTINCT a)::BIGINT AS n_a,
+        |    count(DISTINCT b)::BIGINT AS n_b,
+        |    sum((c::HUGEINT * (c - 1)) // 2)::HUGEINT AS s_cells
+        |  FROM cells),
+        |sa AS (SELECT sum((ca::HUGEINT * (ca - 1)) // 2)::HUGEINT
+        |    AS s_a FROM ra),
+        |sb AS (SELECT sum((cb::HUGEINT * (cb - 1)) // 2)::HUGEINT
+        |    AS s_b FROM rb)
+        |SELECT n, n_a, n_b, s_cells::BIGINT AS s_cells,
+        |  s_a::BIGINT AS s_a, s_b::BIGINT AS s_b,
+        |  CASE WHEN (s_a::DOUBLE + s_b::DOUBLE) / 2.0 -
+        |      s_a::DOUBLE * s_b::DOUBLE /
+        |        ((n::HUGEINT * (n - 1)) // 2)::DOUBLE = 0.0 THEN NULL
+        |  ELSE (round((s_cells::DOUBLE -
+        |      s_a::DOUBLE * s_b::DOUBLE /
+        |        ((n::HUGEINT * (n - 1)) // 2)::DOUBLE) /
+        |    ((s_a::DOUBLE + s_b::DOUBLE) / 2.0 -
+        |      s_a::DOUBLE * s_b::DOUBLE /
+        |        ((n::HUGEINT * (n - 1)) // 2)::DOUBLE) * 1000000.0))
+        |    ::BIGINT END AS ari_micro
+        |FROM m, sa, sb""".stripMargin
+
   val all: Map[String, String] = Map(
     "q57_clean_corpus" -> q57,
     "q99_removal_audit" -> q99,
@@ -7533,6 +7644,12 @@ object OracleSql {
     // Mondrian k-anonymity generalizer: three unrolled median-cut
     // rounds over the (value-cent, user-cohort) quasi-id space
     "q309_mondrian" -> q309MondrianSql,
+
+    // CMH stratified 2x2 + MH common OR + RBG CI
+    "q310_cmh" -> q310CmhSql,
+
+    // Adjusted Rand Index: pair-counting cluster-vs-truth agreement
+    "q311_ari" -> q311AriSql,
 
     // k-anonymity/l-diversity: equivalence-class fold + summary row
     "q306_k_anonymity" ->

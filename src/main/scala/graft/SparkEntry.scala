@@ -5106,6 +5106,29 @@ object SparkEntry {
       col("ts"), pmod(col("user_id"), lit(2L)) === 0,
       pmod(col("user_id"), lit(5L)))
 
+  /** Adjusted Rand Index: does a source-based bucketing of the corpus
+    * recover the language partition? The pair-counting
+    * chance-corrected companion of the NMI gate — exact decimal pair
+    * sums, one closing double chain.
+    */
+  def q311_ari(s: SparkSession, dir: String): DataFrame =
+    Relational.adjustedRandIndex(docs(s, dir),
+      col("lang"), col("source"))
+
+  /** Cochran–Mantel–Haenszel stratified 2×2 association — q308's
+    * categorical sibling: exposure (even event id) vs outcome (value
+    * cents ≡ 0 mod 3) adjusted for the user-cohort stratum, with the
+    * MH common odds ratio + RBG CI. Exact per-stratum cells,
+    * micro-snapped moment summands, fixed closing chains.
+    */
+  def q310_cmh(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("value").isNotNull)
+    Relational.cmhTest(ev,
+      pmod(col("user_id"), lit(5L)),
+      pmod(col("event_id"), lit(2L)) === 0,
+      pmod(round(col("value") * 100).cast("long"), lit(3L)) === 0)
+  }
+
   /** Mondrian k-anonymity generalizer over q306's release axes — the
     * FIXER for the audit's verdict: greedy lower-median cuts over the
     * (value-cent, user-cohort) quasi-id space, depth ≤ 3, every cut
@@ -5557,7 +5580,9 @@ object SparkEntry {
     "q306_k_anonymity" -> (q306_k_anonymity(_, _)),
     "q307_ann_index_lifecycle" -> (q307_ann_index_lifecycle(_, _)),
     "q308_stratified_logrank" -> (q308_stratified_logrank(_, _)),
-    "q309_mondrian" -> (q309_mondrian(_, _)))
+    "q309_mondrian" -> (q309_mondrian(_, _)),
+    "q310_cmh" -> (q310_cmh(_, _)),
+    "q311_ari" -> (q311_ari(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

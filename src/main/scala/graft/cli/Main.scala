@@ -575,6 +575,29 @@ object Main {
         s"chi2_micro=${r.get(6)}")
       done(spark)
 
+    // Adjusted Rand Index: clustering-vs-truth pair agreement
+    case "ari" :: path :: aCol :: bCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.adjustedRandIndex(
+        spark.read.parquet(path), col(aCol), col(bCol)).head()
+      println(s"[ari] n=${r.getLong(0)} n_a=${r.getLong(1)} " +
+        s"n_b=${r.getLong(2)} ari_micro=${r.get(6)}")
+      done(spark)
+
+    // CMH stratified 2x2 association + MH common odds ratio
+    case "cmh" :: path :: stratCol :: expCol :: outCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.cmhTest(
+        spark.read.parquet(path), col(stratCol),
+        col(expCol).cast("boolean"), col(outCol).cast("boolean"))
+        .head()
+      println(s"[cmh] n_strata=${r.getLong(0)} n_rows=${r.getLong(1)} " +
+        s"chi2_micro=${r.get(5)} or_micro=${r.get(6)} " +
+        s"ci=[${r.get(7)}, ${r.get(8)}]")
+      done(spark)
+
     // Mondrian k-anonymity generalizer: median-cut global recoding of
     // integer quasi-id columns until classes can't split above k
     case "mondrian" :: path :: qidCols :: kArg :: outDir :: rest =>

@@ -2186,6 +2186,87 @@ object Relational {
         .as("n_groups_under_l"))
   }
 
+  /** Cochran–Mantel–Haenszel stratified 2×2 association (Mantel &
+    * Haenszel 1959; Cochran 1954) — the categorical sibling of the
+    * stratified log-rank: exposure-vs-outcome association adjusted
+    * for a confounding stratum, with the MH common odds ratio and
+    * its Robins–Breslow–Greenland 95% CI. Per stratum `(a, b, c, d)`
+    * cells fold to exact integers; the hypergeometric moments
+    * `E = (a+b)(a+c)/n`, `V = (a+b)(c+d)(a+c)(b+d)/(n²(n−1))` and
+    * the RBG summands (`R = ad/n`, `S = bc/n`, `PR`, `PS+QR`, `QS`)
+    * each micro-snap per stratum and SUM exactly, so
+    * `χ² = (Σa − ΣE)²/ΣV`, `OR_MH = ΣR/ΣS`, and the CI are fixed
+    * double chains on exact integers — oracle-replayable. Strata
+    * with n < 2 carry no information (V undefined) and are skipped,
+    * the standard convention.
+    *
+    * Scale shape: one groupBy to the bounded per-stratum cell table,
+    * one summary fold — rows never reshuffle twice. Output (one
+    * row): `(n_strata, n_rows, sum_a, e_micro, v_micro, chi2_micro,
+    * or_micro, lo_micro, hi_micro)` — NULL χ² when ΣV = 0, NULL
+    * OR/CI when ΣR or ΣS is 0.
+    */
+  def cmhTest(df: DataFrame, stratum: Column, exposed: Column,
+      outcome: Column): DataFrame = {
+    val cells = df.select(stratum.as("_s"), exposed.as("_e"),
+      outcome.as("_o"))
+      .groupBy(col("_s"))
+      .agg(
+        sum(when(col("_e") && col("_o"), 1L).otherwise(0L)).as("_a"),
+        sum(when(col("_e") && !col("_o"), 1L).otherwise(0L)).as("_b"),
+        sum(when(!col("_e") && col("_o"), 1L).otherwise(0L)).as("_c"),
+        sum(when(!col("_e") && !col("_o"), 1L).otherwise(0L)).as("_d"))
+      .withColumn("_n", col("_a") + col("_b") + col("_c") + col("_d"))
+      .filter(col("_n") >= 2L)
+    val (a, b, c, d) = (col("_a").cast("double"),
+      col("_b").cast("double"), col("_c").cast("double"),
+      col("_d").cast("double"))
+    val n = col("_n").cast("double")
+    def snap(x: Column) = round(x * lit(1000000.0)).cast("long")
+    val m = cells.agg(
+      count(lit(1)).as("n_strata"),
+      sum(col("_n")).as("n_rows"),
+      sum(col("_a")).as("sum_a"),
+      sum(snap((a + b) * (a + c) / n)).as("e_micro"),
+      sum(snap((a + b) * (c + d) * (a + c) * (b + d) /
+        (n * n * (n - lit(1.0))))).as("v_micro"),
+      sum(snap(a * d / n)).as("r_micro"),
+      sum(snap(b * c / n)).as("s_micro"),
+      sum(snap((a + d) * a * d / (n * n))).as("pr_micro"),
+      sum(snap(((a + d) * b * c + (b + c) * a * d) / (n * n)))
+        .as("psqr_micro"),
+      sum(snap((b + c) * b * c / (n * n))).as("qs_micro"))
+    val sumR = col("r_micro").cast("double") / lit(1000000.0)
+    val sumS = col("s_micro").cast("double") / lit(1000000.0)
+    val orMh = sumR / sumS
+    // RBG variance of ln OR_MH off the exactly-summed micro terms
+    val varLn =
+      (col("pr_micro").cast("double") / lit(1000000.0)) /
+        (lit(2.0) * sumR * sumR) +
+      (col("psqr_micro").cast("double") / lit(1000000.0)) /
+        (lit(2.0) * sumR * sumS) +
+      (col("qs_micro").cast("double") / lit(1000000.0)) /
+        (lit(2.0) * sumS * sumS)
+    val chi2 = {
+      val diff = (col("sum_a") * 1000000L - col("e_micro"))
+        .cast("double") / lit(1000000.0)
+      diff * diff / (col("v_micro").cast("double") / lit(1000000.0))
+    }
+    val orNull = col("r_micro") <= 0L || col("s_micro") <= 0L
+    m.select(col("n_strata"), col("n_rows"), col("sum_a"),
+      col("e_micro"), col("v_micro"),
+      when(col("v_micro") <= 0L, lit(null).cast("long"))
+        .otherwise(snap(chi2)).as("chi2_micro"),
+      when(orNull, lit(null).cast("long"))
+        .otherwise(snap(orMh)).as("or_micro"),
+      when(orNull, lit(null).cast("long"))
+        .otherwise(snap(exp(log(orMh) - lit(1.959964) * sqrt(varLn))))
+        .as("lo_micro"),
+      when(orNull, lit(null).cast("long"))
+        .otherwise(snap(exp(log(orMh) + lit(1.959964) * sqrt(varLn))))
+        .as("hi_micro"))
+  }
+
   /** Mondrian k-anonymity generalizer (LeFevre, DeWitt & Ramakrishnan
     * 2006, "Mondrian Multidimensional K-Anonymity") — the FIXER for
     * [[kAnonymityAudit]]'s verdict: greedy top-down median-cut global
@@ -3069,6 +3150,62 @@ object Relational {
         .otherwise(round(miM.cast("double") /
           sqrt(hxM.cast("double") * hyM.cast("double")) *
           lit(1000000.0)).cast("long")).as("nmi_micro"))
+  }
+
+  /** Adjusted Rand Index (Hubert & Arabie 1985) — the PAIR-counting
+    * clustering-vs-truth score beside [[mutualInformation]]'s
+    * information-theoretic one: of all row pairs, how many does the
+    * candidate clustering group/separate the same way as the truth,
+    * corrected for chance (0 ≈ random labels, 1 = identical
+    * partitions, negative = worse than chance). The number a dedup
+    * clustering (q16's CC labels) or a semantic bucketing is accepted
+    * on against labeled truth.
+    *
+    * Exactness: rows reduce ONCE to the bounded contingency grid;
+    * every pair count `C(x,2) = x(x−1)/2` is an exact integer
+    * (decimal(38,0) — Σindex·Σa·Σb products would overflow BIGINT at
+    * corpus scale); expected/max indexes stay decimal through the
+    * cross-multiplied fold, and only the final ARI ratio is one
+    * double chain, micro-snapped. Output (one row): `(n, n_a, n_b,
+    * s_cells, s_a, s_b, ari_micro)` — the raw pair sums are exposed
+    * (reported as BIGINT; they stay decimal inside the fold) so the
+    * chance-correction replays; NULL ARI when the denominator is 0
+    * (both partitions trivial).
+    */
+  def adjustedRandIndex(df: DataFrame, aCol: Column, bCol: Column)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    def comb2(c: Column) = ((c.cast(dec) * (c.cast(dec) - 1)) / 2)
+      .cast(dec)
+    val cells = df.select(aCol.as("_a"), bCol.as("_b"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_c"))
+      .persist() // margins + the cell fold
+    val ra = cells.groupBy(col("_a")).agg(sum(col("_c")).as("_ca"))
+    val rb = cells.groupBy(col("_b")).agg(sum(col("_c")).as("_cb"))
+    val m = cells.agg(sum(col("_c")).as("n"),
+      countDistinct(col("_a")).as("n_a"),
+      countDistinct(col("_b")).as("n_b"),
+      sum(comb2(col("_c"))).cast(dec).as("s_cells"))
+      .crossJoin(broadcast(
+        ra.agg(sum(comb2(col("_ca"))).cast(dec).as("s_a"))))
+      .crossJoin(broadcast(
+        rb.agg(sum(comb2(col("_cb"))).cast(dec).as("s_b"))))
+    // ARI = (S − SaSb/C(n,2)) / ((Sa+Sb)/2 − SaSb/C(n,2)); the
+    // expected term divides ONCE as a double — the only float
+    val cn2 = (col("n").cast(dec) * (col("n").cast(dec) - 1) / 2)
+      .cast(dec).cast("double")
+    val expd = col("s_a").cast("double") * col("s_b").cast("double") /
+      cn2
+    val num = col("s_cells").cast("double") - expd
+    val den = (col("s_a").cast("double") + col("s_b").cast("double")) /
+      lit(2.0) - expd
+    m.select(col("n"), col("n_a"), col("n_b"),
+      col("s_cells").cast("long").as("s_cells"),
+      col("s_a").cast("long").as("s_a"),
+      col("s_b").cast("long").as("s_b"),
+      when(den === 0.0, lit(null).cast("long"))
+        .otherwise(round(num / den * lit(1000000.0)).cast("long"))
+        .as("ari_micro"))
   }
 
   /** Median absolute deviation (Hampel 1974's robust scale — the

@@ -713,6 +713,64 @@ class AnalyticsOpsSpec extends SparkSpec {
       rc.getAs[Long]("n_groups_under_l") == 0L, rc)
   }
 
+  test("adjustedRandIndex: textbook pair counts, identical " +
+    "partitions read 1, singletons-vs-anything reads 0, " +
+    "double-trivial is NULL") {
+    // A = {1,1,1,2,2,2}, B = {1,1,2,2,3,3}: S=2, Sa=6, Sb=3,
+    // C(6,2)=15 -> ARI = (2 - 1.2)/(4.5 - 1.2) = 0.242424
+    val df = Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L),
+      (2L, 3L)).toDF("a", "b")
+    val r = Relational.adjustedRandIndex(df, col("a"), col("b")).head()
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("n_a") == 2L &&
+      r.getAs[Long]("n_b") == 3L, r)
+    assert(r.getAs[Long]("s_cells") == 2L &&
+      r.getAs[Long]("s_a") == 6L && r.getAs[Long]("s_b") == 3L, r)
+    assert(r.getAs[Long]("ari_micro") == 242424L, r)
+    // identical partitions -> exactly 1
+    val same = Seq((1L, 9L), (1L, 9L), (2L, 8L), (2L, 8L), (3L, 7L))
+      .toDF("a", "b")
+    assert(Relational.adjustedRandIndex(same, col("a"), col("b"))
+      .head().getAs[Long]("ari_micro") == 1000000L)
+    // all-singleton candidate vs one-cluster truth -> 0 (chance)
+    val zero = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    assert(Relational.adjustedRandIndex(zero, col("a"), col("b"))
+      .head().getAs[Long]("ari_micro") == 0L)
+    // both partitions all-singletons -> denominator 0 -> NULL
+    val triv = (1L to 4L).map(i => (i, i)).toDF("a", "b")
+    val rt = Relational.adjustedRandIndex(triv, col("a"), col("b"))
+      .head()
+    assert(rt.isNullAt(rt.fieldIndex("ari_micro")), rt)
+  }
+
+  test("cmhTest: hand 2x2x2 moments, MH common OR exactly 4, RBG CI " +
+    "brackets it; a single-cell stratum is skipped") {
+    // stratum 1: (a,b,c,d) = (10,5,5,10); stratum 2: (20,10,10,20) —
+    // both have OR 4, so OR_MH = (100/30 + 400/60)/(25/30 + 100/60)
+    // = 10/2.5 = 4 exactly in micro units
+    def rows(s: Long, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+        Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    val df = (rows(1L, 10, 5, 5, 10) ++ rows(2L, 20, 10, 10, 20) ++
+      Seq((3L, true, true))) // n=1 stratum: V undefined -> skipped
+      .toDF("s", "e", "o")
+    val r = Relational.cmhTest(df, col("s"), col("e"), col("o")).head()
+    assert(r.getAs[Long]("n_strata") == 2L &&
+      r.getAs[Long]("n_rows") == 90L, r)
+    assert(r.getAs[Long]("sum_a") == 30L, r)
+    assert(r.getAs[Long]("e_micro") == 22500000L, r)
+    assert(r.getAs[Long]("v_micro") == 5753214L, r)
+    assert(r.getAs[Long]("chi2_micro") == 9777144L, r)
+    assert(r.getAs[Long]("or_micro") == 4000000L, r)
+    assert(r.getAs[Long]("lo_micro") == 1664911L &&
+      r.getAs[Long]("hi_micro") == 9610123L, r)
+    // degenerate: one arm empty in every stratum -> NULL OR, cells kept
+    val deg = (Seq.fill(4)((1L, true, true)) ++
+      Seq.fill(4)((1L, false, true))).toDF("s", "e", "o")
+    val rd = Relational.cmhTest(deg, col("s"), col("e"), col("o"))
+      .head()
+    assert(rd.isNullAt(rd.fieldIndex("or_micro")), rd)
+  }
+
   test("mondrianAnonymize: median cuts recurse while both halves " +
     "hold k, every final class >= k, intervals tile the space; an " +
     "uncuttable cohort stays one region") {

@@ -563,6 +563,8 @@ class CliSmokeSpec extends SparkSpec {
       .write.mode("overwrite").parquet(mcPath)
     graft.cli.Main.main(Array("mcnemar", mcPath, "pa", "pb", "y"))
     graft.cli.Main.main(Array("oddsratio", mcPath, "pa", "y"))
+    graft.cli.Main.main(Array("cmh", mcPath, "pa", "pb", "y"))
+    graft.cli.Main.main(Array("ari", mcPath, "pa", "y"))
     val isoPath = s"${tmpDir("cli-r11iso")}/scored"
     (1L to 60L).map(i => (i * 16000L, i % 3 == 0))
       .toDF("s", "y").write.mode("overwrite").parquet(isoPath)

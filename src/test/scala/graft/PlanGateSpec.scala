@@ -399,9 +399,14 @@ class PlanGateSpec extends SparkSpec {
       "q235_cohen_kappa",      // 1-row (n, agree) × broadcast 1-row
                                // chance-agreement sum (q228's shape;
                                // margin joins are null-safe equi)
-      "q241_kaplan_meier")     // per-user lifetimes × broadcast 1-row
+      "q241_kaplan_meier",     // per-user lifetimes × broadcast 1-row
                                // horizon; lifetime table × broadcast
                                // 1-row user total
+      "q308_stratified_logrank", // q278's lifetime × broadcast 1-row
+                               // horizon + 1-row pooled-moment shapes
+                               // (the per-stratum risk join is equi)
+      "q311_ari")              // 1-row cell-pair sums × broadcast
+                               // 1-row margin-pair sums
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is

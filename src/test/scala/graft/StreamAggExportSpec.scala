@@ -350,6 +350,56 @@ class StreamAggExportSpec extends SparkSpec {
     assert(after.toSet == overSurvivors)
   }
 
+  test("StreamingAnn: micro-batches build an index that serves " +
+    "identically to the one-shot build; replays are no-ops; a " +
+    "streamed delete tombstones its vector") {
+    import graft.sim.SimSearch
+    implicit val sq = spark.sqlContext
+    val base = tmpDir("sann")
+    val idxPath = s"$base/idx"
+    val rnd = new scala.util.Random(41)
+    val emb = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val query = graft.streaming.StreamingAnn.start(
+      mem.toDF().toDF("vec_id", "embedding"), idxPath, s"$base/ckpt",
+      "vec_id", "embedding", planes = 4, dim = 8,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      mem.addData(emb.take(30): _*)
+      query.processAllAvailable()
+      mem.addData(emb.drop(30): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val all = emb.toDF("vec_id", "embedding").localCheckpoint()
+    val queries = all.filter(col("vec_id") < 3)
+    def serve(): Set[(Long, Int, Long)] =
+      SimSearch.annTopKFromIndex(SimSearch.readAnnIndex(spark, idxPath),
+        queries, "vec_id", "embedding", k = 3, planes = 4, dim = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+    val inline = SimSearch.annTopK(all, "vec_id", "embedding",
+      col("vec_id") < 3, k = 3, planes = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(serve() == inline && inline.nonEmpty)
+    // a replayed micro-batch is a no-op (the _applied marker)
+    graft.streaming.StreamingAnn.processBatch(
+      emb.drop(30).toDF("vec_id", "embedding"), 1L, idxPath,
+      "vec_id", "embedding", planes = 4, dim = 8)
+    assert(SimSearch.readAnnIndex(spark, idxPath).count() == 60L)
+    // a streamed delete tombstones its vector out of serving
+    val delMem = MemoryStream[Long]
+    val delQuery = graft.streaming.StreamingAnn.startDeletes(
+      delMem.toDF().toDF("vec_id"), idxPath, s"$base/delckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      delMem.addData(7L)
+      delQuery.processAllAvailable()
+    } finally delQuery.stop()
+    assert(SimSearch.readAnnIndex(spark, idxPath).count() == 59L)
+    assert(!serve().exists(_._3 == 7L))
+  }
+
   test("StreamingFunnel: incremental state matches the batch funnel " +
     "when events arrive in order; replays are idempotent") {
     import java.sql.Timestamp
