@@ -1730,6 +1730,40 @@ object OracleSql {
         |    ::BIGINT END AS ari_micro
         |FROM m, sa, sb""".stripMargin
 
+  /** q312: the Hilbert xy2d walk unrolled level for level — quadrant
+    * digit `(3·rx) XOR ry` scaled by s², then the swap/reflect
+    * rotation, exactly the Spark column stages.
+    */
+  private val q312HilbertSql: String = {
+    def level(i: Int, prev: String, name: String): String = {
+      val s = 1L << i
+      s"""$name AS (SELECT event_id, x, y,
+         |    CASE WHEN hry = 0 THEN
+         |      CASE WHEN hrx = 1 THEN ${s - 1} - hy ELSE hy END
+         |    ELSE hx END AS hx,
+         |    CASE WHEN hry = 0 THEN
+         |      CASE WHEN hrx = 1 THEN ${s - 1} - hx ELSE hx END
+         |    ELSE hy END AS hy,
+         |    (hd + $s * $s * xor(hrx * 3, hry))::BIGINT AS hd
+         |  FROM (SELECT *,
+         |      CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS hrx,
+         |      CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS hry
+         |    FROM $prev))""".stripMargin
+    }
+    s"""WITH l0 AS (SELECT event_id,
+       |    (user_id % 32)::BIGINT AS x, (event_id % 32)::BIGINT AS y,
+       |    (user_id % 32)::BIGINT AS hx, (event_id % 32)::BIGINT AS hy,
+       |    0::BIGINT AS hd
+       |  FROM events),
+       |${level(4, "l0", "l1")},
+       |${level(3, "l1", "l2")},
+       |${level(2, "l2", "l3")},
+       |${level(1, "l3", "l4")},
+       |${level(0, "l4", "l5")}
+       |SELECT event_id, x, y, hd AS h FROM l5
+       |ORDER BY h, event_id LIMIT 50""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q57_clean_corpus" -> q57,
     "q99_removal_audit" -> q99,
@@ -7650,6 +7684,9 @@ object OracleSql {
 
     // Adjusted Rand Index: pair-counting cluster-vs-truth agreement
     "q311_ari" -> q311AriSql,
+
+    // Hilbert curve: the xy2d walk unrolled level for level
+    "q312_hilbert" -> q312HilbertSql,
 
     // k-anonymity/l-diversity: equivalence-class fold + summary row
     "q306_k_anonymity" ->

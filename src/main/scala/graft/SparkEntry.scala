@@ -5106,6 +5106,20 @@ object SparkEntry {
       col("ts"), pmod(col("user_id"), lit(2L)) === 0,
       pmod(col("user_id"), lit(5L)))
 
+  /** Hilbert curve values over bucketed event coordinates — q305's
+    * better-locality sibling (every consecutive curve step is
+    * grid-adjacent, so min/max file skipping prunes tighter); the 50
+    * lowest curve cells under the exact level-unrolled oracle.
+    */
+  def q312_hilbert(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"),
+      pmod(col("user_id"), lit(32L)).as("x"),
+      pmod(col("event_id"), lit(32L)).as("y"))
+    ev.select(col("event_id"), col("x"), col("y"),
+      Relational.hilbertValue(col("x"), col("y"), bits = 5).as("h"))
+      .orderBy(col("h"), col("event_id")).limit(50)
+  }
+
   /** Adjusted Rand Index: does a source-based bucketing of the corpus
     * recover the language partition? The pair-counting
     * chance-corrected companion of the NMI gate — exact decimal pair
@@ -5582,7 +5596,8 @@ object SparkEntry {
     "q308_stratified_logrank" -> (q308_stratified_logrank(_, _)),
     "q309_mondrian" -> (q309_mondrian(_, _)),
     "q310_cmh" -> (q310_cmh(_, _)),
-    "q311_ari" -> (q311_ari(_, _)))
+    "q311_ari" -> (q311_ari(_, _)),
+    "q312_hilbert" -> (q312_hilbert(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

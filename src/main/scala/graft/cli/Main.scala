@@ -312,6 +312,19 @@ object Main {
         s"clustered on ($xCol, $yCol) -> $outDir")
       done(spark)
 
+    // Hilbert-curve clustering (tighter locality than zorder)
+    case "hilbert" :: path :: xCol :: yCol :: outDir :: rest =>
+      import org.apache.spark.sql.functions.col
+      val bits = rest.headOption.map(_.toInt).getOrElse(16)
+      val spark = session()
+      val df = spark.read.parquet(path)
+      graft.operators.Relational.hilbertLayout(df,
+        col(xCol), col(yCol), bits)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[hilbert] ${spark.read.parquet(outDir).count()} rows " +
+        s"clustered on ($xCol, $yCol) -> $outDir")
+      done(spark)
+
     // Benjamini-Yekutieli flavor (arbitrary dependence)
     case "by" :: path :: idCol :: pCol :: rest =>
       import org.apache.spark.sql.functions.col

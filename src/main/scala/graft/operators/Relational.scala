@@ -2396,6 +2396,104 @@ object Relational {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Hilbert curve value (Hilbert 1891; the bit algorithm is the
+    * classic xy2d walk popularized by Warren's "Hacker's Delight" —
+    * the clustering key Delta/Iceberg offer beside Z-order): like
+    * [[zOrderValue]] it serves range predicates on BOTH dimensions
+    * from ONE sort key, but with strictly better locality — every
+    * consecutive pair of curve positions is grid-adjacent (no Z-shape
+    * jumps), so a contiguous file of curve values covers a more
+    * compact (x, y) tile and min/max skipping prunes tighter.
+    *
+    * Per bit level (high to low): quadrant digit `(3·rx) XOR ry`
+    * scales by s², then the frame rotates/reflects (`ry = 0` swaps
+    * axes, `rx = 1` also reflects within the level) — unrolled as
+    * `bits` chained column stages, each a fixed integer CASE chain,
+    * so the whole transform replays in a SQL oracle level for level.
+    * Inputs must be non-negative and fit in `bits` bits (callers
+    * snap/bucket first — the q36 discipline).
+    */
+  def hilbertValue(x: Column, y: Column, bits: Int = 8): Column = {
+    // each level's rotated (x, y) references the previous level's
+    // pair ~5×, so the inline expression tree grows 5^bits — capped
+    // at 8 (≈ 400k nodes is already generous); wider spaces use the
+    // staged [[withHilbertValue]], whose per-level projections keep
+    // growth linear
+    require(bits >= 1 && bits <= 8,
+      s"inline hilbertValue caps bits at 8 (tree grows 5^bits), " +
+        s"got $bits — use withHilbertValue for wider spaces")
+    var xc = x.cast("long")
+    var yc = y.cast("long")
+    var d: Column = lit(0L)
+    var i = bits - 1
+    while (i >= 0) {
+      val s = 1L << i
+      val rx = when(xc.bitwiseAND(lit(s)) > 0L, 1L).otherwise(0L)
+      val ry = when(yc.bitwiseAND(lit(s)) > 0L, 1L).otherwise(0L)
+      d = d + lit(s) * lit(s) * (rx * 3L).bitwiseXOR(ry)
+      val nx = when(ry === 0L,
+        when(rx === 1L, lit(s - 1L) - yc).otherwise(yc)).otherwise(xc)
+      val ny = when(ry === 0L,
+        when(rx === 1L, lit(s - 1L) - xc).otherwise(xc)).otherwise(yc)
+      xc = nx
+      yc = ny
+      i -= 1
+    }
+    d
+  }
+
+  /** [[hilbertValue]] as staged per-level projections — `outCol` is
+    * appended to `df`. The rotation state (x, y, rx, ry) materializes
+    * as named columns each level, so plan size grows LINEARLY in
+    * `bits` (CollapseProject keeps multi-referenced non-cheap
+    * aliases staged); use this flavor for production bit widths.
+    */
+  def withHilbertValue(df: DataFrame, x: Column, y: Column,
+      outCol: String, bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    var cur = df.withColumn("_hx", x.cast("long"))
+      .withColumn("_hy", y.cast("long"))
+      .withColumn("_hd", lit(0L))
+    var i = bits - 1
+    while (i >= 0) {
+      val s = 1L << i
+      cur = cur
+        .withColumn("_hrx",
+          when(col("_hx").bitwiseAND(lit(s)) > 0L, 1L).otherwise(0L))
+        .withColumn("_hry",
+          when(col("_hy").bitwiseAND(lit(s)) > 0L, 1L).otherwise(0L))
+      cur = cur
+        .withColumn("_hd", col("_hd") +
+          lit(s) * lit(s) * (col("_hrx") * 3L).bitwiseXOR(col("_hry")))
+        .withColumn("_hx2", when(col("_hry") === 0L,
+          when(col("_hrx") === 1L, lit(s - 1L) - col("_hy"))
+            .otherwise(col("_hy"))).otherwise(col("_hx")))
+        .withColumn("_hy2", when(col("_hry") === 0L,
+          when(col("_hrx") === 1L, lit(s - 1L) - col("_hx"))
+            .otherwise(col("_hx"))).otherwise(col("_hy")))
+        .withColumn("_hx", col("_hx2"))
+        .withColumn("_hy", col("_hy2"))
+      i -= 1
+    }
+    cur.withColumn(outCol, col("_hd"))
+      .drop("_hx", "_hy", "_hd", "_hrx", "_hry", "_hx2", "_hy2")
+  }
+
+  /** Hilbert layout: [[zOrderLayout]] with the Hilbert key — range
+    * partition + sort within partitions on the curve value, so every
+    * output file covers one compact curve segment (= one compact
+    * (x, y) tile, tighter than the Z flavor's).
+    */
+  def hilbertLayout(df: DataFrame, x: Column, y: Column,
+      bits: Int = 16, partitions: Int = 0): DataFrame = {
+    val withH = withHilbertValue(df, x, y, "_h", bits)
+    val parts = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    withH.repartitionByRange(parts, col("_h"))
+      .sortWithinPartitions(col("_h"))
+      .drop("_h")
+  }
+
   /** Z-order layout: repartition by RANGE of the Morton value and
     * sort within partitions — the write-side clustering pass that
     * makes min/max file skipping work on BOTH dimensions at once

@@ -803,6 +803,52 @@ class AnalyticsOpsSpec extends SparkSpec {
       one.head.getAs[Long]("depth") == 0L, one.toSeq)
   }
 
+  test("hilbertValue: hand positions, every consecutive curve step " +
+    "is grid-adjacent, staged flavor matches inline, layout sorts") {
+    val pts = (for (x <- 0L to 7L; y <- 0L to 7L) yield (x, y))
+      .toDF("x", "y")
+    val h = pts.select(col("x"), col("y"),
+      Relational.hilbertValue(col("x"), col("y"), 3).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // xy2d hand walk (bits = 3, n = 8)
+    assert(h((0L, 0L)) == 0L && h((0L, 1L)) == 1L &&
+      h((1L, 1L)) == 2L && h((1L, 0L)) == 3L, h)
+    assert(h((7L, 0L)) == 63L && h((0L, 7L)) == 21L &&
+      h((7L, 7L)) == 42L && h((3L, 4L)) == 31L, h)
+    // THE Hilbert property Z-order lacks: consecutive positions are
+    // always grid neighbors (|dx| + |dy| = 1), all 63 steps
+    val pos = h.map(_.swap)
+    (0L until 63L).foreach { d =>
+      val (x1, y1) = pos(d); val (x2, y2) = pos(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // the staged (linear-plan) flavor is value-identical
+    val staged = Relational.withHilbertValue(pts, col("x"), col("y"),
+      "h", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(staged == h)
+    // wide-space staged flavor builds + runs (bits=16 plan stays sane)
+    assert(Relational.withHilbertValue(pts, col("x"), col("y"),
+      "h", 16).filter(col("h") >= 0).count() == 64L)
+    // layout: partition-local sort on the curve key, ranges disjoint
+    val laid = Relational.hilbertLayout(pts, col("x"), col("y"),
+      bits = 3, partitions = 4)
+    val perPart = laid
+      .select(Relational.hilbertValue(col("x"), col("y"), 3).as("h"),
+        spark_partition_id().as("p"))
+      .groupBy(col("p"))
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .orderBy(col("lo")).collect()
+    perPart.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+          perPart.mkString(";"))
+      case _ => ()
+    }
+  }
+
   test("zOrderValue: hand interleaves, tile containment; " +
     "zOrderLayout sorts within range partitions") {
     val pts = for (x <- 0L to 7L; y <- 0L to 7L) yield (x, y)

@@ -553,6 +553,9 @@ class CliSmokeSpec extends SparkSpec {
     val zOut = tmpDir("cli-r11z")
     graft.cli.Main.main(Array("zorder", statsPath, "id", "v", zOut,
       "10"))
+    val hOut = tmpDir("cli-r12h")
+    graft.cli.Main.main(Array("hilbert", statsPath, "id", "v", hOut,
+      "10"))
     graft.cli.Main.main(Array("kanon", statsPath, "cat", "v", "3",
       "2"))
     graft.cli.Main.main(Array("rmst", lrPath, "user_id", "3"))
