@@ -1764,6 +1764,51 @@ object OracleSql {
        |ORDER BY h, event_id LIMIT 50""".stripMargin
   }
 
+  /** q313: two-sample KS — exact cross-multiplied supremum off the
+    * distinct-value cumulative table, identical λ / 8-term p chain.
+    */
+  private val q313KsSql: String =
+    """WITH d AS (SELECT (user_id % 2 = 0) AS ga,
+        |    round(value * 100)::BIGINT AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |bv AS (SELECT v,
+        |    sum(CASE WHEN ga THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN NOT ga THEN 1 ELSE 0 END)::BIGINT AS nb
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b
+        |  FROM bv),
+        |c AS (SELECT sum(na) OVER (ORDER BY v)::HUGEINT AS ca,
+        |    sum(nb) OVER (ORDER BY v)::HUGEINT AS cb FROM bv),
+        |m AS (SELECT t.n_a, t.n_b,
+        |    max(abs(ca * t.n_b - cb * t.n_a))::HUGEINT AS dnum
+        |  FROM c, t GROUP BY 1, 2),
+        |f AS (SELECT n_a, n_b,
+        |    dnum::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE) AS dstat,
+        |    n_a::DOUBLE * n_b::DOUBLE /
+        |      (n_a::DOUBLE + n_b::DOUBLE) AS ne
+        |  FROM m),
+        |g AS (SELECT n_a, n_b, dstat,
+        |    (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * dstat AS lam
+        |  FROM f),
+        |h AS (SELECT n_a, n_b, dstat, lam,
+        |    2.0 * (1.0 * exp(-2.0 * lam * lam) +
+        |      -1.0 * exp(-8.0 * lam * lam) +
+        |      1.0 * exp(-18.0 * lam * lam) +
+        |      -1.0 * exp(-32.0 * lam * lam) +
+        |      1.0 * exp(-50.0 * lam * lam) +
+        |      -1.0 * exp(-72.0 * lam * lam) +
+        |      1.0 * exp(-98.0 * lam * lam) +
+        |      -1.0 * exp(-128.0 * lam * lam)) AS p
+        |  FROM g)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+        |    (round(dstat * 1000000.0))::BIGINT END AS d_micro,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+        |    (round((CASE WHEN lam <= 0.2 THEN 1.0 ELSE
+        |      least(greatest(p, 0.0), 1.0) END) * 1000000.0))::BIGINT
+        |    END AS p_micro
+        |FROM h""".stripMargin
+
   val all: Map[String, String] = Map(
     "q57_clean_corpus" -> q57,
     "q99_removal_audit" -> q99,
@@ -7687,6 +7732,9 @@ object OracleSql {
 
     // Hilbert curve: the xy2d walk unrolled level for level
     "q312_hilbert" -> q312HilbertSql,
+
+    // two-sample KS: exact supremum + asymptotic p
+    "q313_ks" -> q313KsSql,
 
     // k-anonymity/l-diversity: equivalence-class fold + summary row
     "q306_k_anonymity" ->

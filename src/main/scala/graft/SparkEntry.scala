@@ -5106,6 +5106,17 @@ object SparkEntry {
       col("ts"), pmod(col("user_id"), lit(2L)) === 0,
       pmod(col("user_id"), lit(5L)))
 
+  /** Two-sample Kolmogorov–Smirnov: did the value distribution of
+    * even vs odd users diverge anywhere (not just in location)?
+    * Cross-multiplied exact supremum off the distinct-cent cumulative
+    * table, one fixed λ/8-term-p chain.
+    */
+  def q313_ks(s: SparkSession, dir: String): DataFrame =
+    Relational.ksTest(
+      t(s, dir, "events").filter(col("value").isNotNull),
+      pmod(col("user_id"), lit(2L)) === 0,
+      round(col("value") * 100).cast("long"))
+
   /** Hilbert curve values over bucketed event coordinates — q305's
     * better-locality sibling (every consecutive curve step is
     * grid-adjacent, so min/max file skipping prunes tighter); the 50
@@ -5597,7 +5608,8 @@ object SparkEntry {
     "q309_mondrian" -> (q309_mondrian(_, _)),
     "q310_cmh" -> (q310_cmh(_, _)),
     "q311_ari" -> (q311_ari(_, _)),
-    "q312_hilbert" -> (q312_hilbert(_, _)))
+    "q312_hilbert" -> (q312_hilbert(_, _)),
+    "q313_ks" -> (q313_ks(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -588,6 +588,17 @@ object Main {
         s"chi2_micro=${r.get(6)}")
       done(spark)
 
+    // two-sample Kolmogorov-Smirnov over an integer value column
+    case "ks" :: path :: flagCol :: valCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.ksTest(
+        spark.read.parquet(path).filter(col(valCol).isNotNull),
+        col(flagCol).cast("boolean"), col(valCol)).head()
+      println(s"[ks] n_a=${r.getLong(0)} n_b=${r.getLong(1)} " +
+        s"d_micro=${r.get(2)} p_micro=${r.get(3)}")
+      done(spark)
+
     // Adjusted Rand Index: clustering-vs-truth pair agreement
     case "ari" :: path :: aCol :: bCol :: Nil =>
       import org.apache.spark.sql.functions.col

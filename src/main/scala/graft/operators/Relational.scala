@@ -2994,6 +2994,69 @@ object Relational {
         .otherwise(round(z * lit(1000000.0)).cast("long")).as("z_micro"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test (Kolmogorov 1933; Smirnov
+    * 1939) — the distribution-equality screen beside
+    * [[mannWhitneyU]]'s location shift: `D = sup|F_A − F_B|` over the
+    * pooled empirical CDFs, with the asymptotic p-value
+    * `2·Σ (−1)^{k−1} e^{−2k²λ²}` (8 terms — the tail beyond is below
+    * micro resolution) at the effective-size-corrected
+    * `λ = (√n_e + 0.12 + 0.11/√n_e)·D` (Stephens 1970, the
+    * Numerical-Recipes form). The drift detector for "did this
+    * source's quality-score distribution move between snapshots".
+    *
+    * Scale + exactness (the q36/[[mannWhitneyU]] discipline): rows
+    * reduce ONCE to the distinct-value cumulative table; the supremum
+    * compares CROSS-MULTIPLIED exact integers (`|cumA·n_b −
+    * cumB·n_a|` — no per-value division), so D is an exact rational
+    * snapped once; λ and the 8-term p fold are one fixed double
+    * chain. The only window runs over distinct VALUES (bounded value
+    * space), not rows. Output (one row): `(n_a, n_b, d_micro,
+    * p_micro)` — NULL p when either side is empty.
+    */
+  def ksTest(df: DataFrame, isA: Column, valueInt: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val d = df.select(isA.as("_ga"), valueInt.cast("long").as("_v"))
+    val byVal = d.groupBy(col("_v"))
+      .agg(sum(when(col("_ga"), 1L).otherwise(0L)).as("_na"),
+        sum(when(!col("_ga"), 1L).otherwise(0L)).as("_nb"))
+    val w = Window.orderBy(col("_v")) // distinct values, not rows
+    val cum = byVal.select(
+      sum(col("_na")).over(w).as("_ca"),
+      sum(col("_nb")).over(w).as("_cb"))
+    val m = cum
+      .crossJoin(broadcast(byVal.agg(sum(col("_na")).as("n_a"),
+        sum(col("_nb")).as("n_b"))))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("_ca").cast(dec) * col("n_b") -
+          col("_cb").cast(dec) * col("n_a"))).as("_dnum"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val dStat = col("_dnum").cast("double") / (na * nb)
+    val ne = na * nb / (na + nb)
+    val lam = (sqrt(ne) + lit(0.12) + lit(0.11) / sqrt(ne)) * dStat
+    // 8 terms suffice for λ > 0.2 (the k=9 term is < 4e-5 there and
+    // shrinks super-exponentially); BELOW that the truncated
+    // alternating series collapses toward 0 while the true tail
+    // probability is ~1, so the conventional guard returns 1 outright
+    // (Q_KS(0.2) = 1 to within 3e-3) — the oracle replays the same
+    // truncation + guard, so the gate is exact either way
+    val p = lit(2.0) * (1 to 8).map(k =>
+      lit(if (k % 2 == 1) 1.0 else -1.0) *
+        exp(lit(-2.0 * k * k) * lam * lam)).reduce(_ + _)
+    val pClamped = when(lam <= 0.2, lit(1.0))
+      .otherwise(least(greatest(p, lit(0.0)), lit(1.0)))
+    val empty = col("n_a") === 0L || col("n_b") === 0L
+    m.select(col("n_a"), col("n_b"),
+      when(empty, lit(null).cast("long"))
+        .otherwise(round(dStat * lit(1000000.0)).cast("long"))
+        .as("d_micro"),
+      when(empty, lit(null).cast("long"))
+        .otherwise(round(pClamped * lit(1000000.0)).cast("long"))
+        .as("p_micro"))
+  }
+
   /** Exact Gini index of a nonnegative integer value distribution —
     * the concentration number a corpus report quotes for "how skewed
     * are tokens/documents/events across sources or users":

@@ -713,6 +713,36 @@ class AnalyticsOpsSpec extends SparkSpec {
       rc.getAs[Long]("n_groups_under_l") == 0L, rc)
   }
 
+  test("ksTest: hand supremum off the pooled CDFs, asymptotic p " +
+    "chain, identical samples read p = 1, empty side is NULL") {
+    // A = {1,2,3,4}, B = {3,4,5,6}: sup|F_A - F_B| = 0.5 at v = 2..4
+    val df = Seq((true, 1L), (true, 2L), (true, 3L), (true, 4L),
+      (false, 3L), (false, 4L), (false, 5L), (false, 6L))
+      .toDF("ga", "v")
+    val r = Relational.ksTest(df, col("ga"), col("v")).head()
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L, r)
+    assert(r.getAs[Long]("d_micro") == 500000L, r)
+    assert(r.getAs[Long]("p_micro") == 534416L, r) // the 8-term chain
+    // disjoint supports: D = 1, tiny p
+    val disj = Seq((true, 1L), (true, 2L), (false, 9L), (false, 10L))
+      .toDF("ga", "v")
+    val rd = Relational.ksTest(disj, col("ga"), col("v")).head()
+    assert(rd.getAs[Long]("d_micro") == 1000000L &&
+      rd.getAs[Long]("p_micro") == 97027L, rd)
+    // identical samples: D = 0 -> the small-lambda guard returns 1
+    val same = Seq((true, 5L), (true, 7L), (false, 5L), (false, 7L))
+      .toDF("ga", "v")
+    val rs = Relational.ksTest(same, col("ga"), col("v")).head()
+    assert(rs.getAs[Long]("d_micro") == 0L &&
+      rs.getAs[Long]("p_micro") == 1000000L, rs)
+    // one side empty -> NULLs, counts intact
+    val one = Seq((true, 1L), (true, 2L)).toDF("ga", "v")
+    val ro = Relational.ksTest(one, col("ga"), col("v")).head()
+    assert(ro.getAs[Long]("n_b") == 0L &&
+      ro.isNullAt(ro.fieldIndex("d_micro")) &&
+      ro.isNullAt(ro.fieldIndex("p_micro")), ro)
+  }
+
   test("adjustedRandIndex: textbook pair counts, identical " +
     "partitions read 1, singletons-vs-anything reads 0, " +
     "double-trivial is NULL") {

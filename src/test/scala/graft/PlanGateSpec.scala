@@ -197,7 +197,8 @@ class PlanGateSpec extends SparkSpec {
                                  // window (value-space-bounded, q36)
       "q294_mad", // two distinct-value cumulative medians (q36)
       "q301_by_fdr", // q259's bounded hypothesis-table rank window
-      "q302_hazard_ratio") // q278's bounded distinct-lifetime windows
+      "q302_hazard_ratio", // q278's bounded distinct-lifetime windows
+      "q313_ks") // distinct-cent cumulative CDF window (q36)
     val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
       "q125_streaming_funnel_replay", "q129_streaming_retention_replay",
       "q244_streaming_agg_replay", "q248_preflight_artifact",
@@ -405,8 +406,10 @@ class PlanGateSpec extends SparkSpec {
       "q308_stratified_logrank", // q278's lifetime × broadcast 1-row
                                // horizon + 1-row pooled-moment shapes
                                // (the per-stratum risk join is equi)
-      "q311_ari")              // 1-row cell-pair sums × broadcast
+      "q311_ari",              // 1-row cell-pair sums × broadcast
                                // 1-row margin-pair sums
+      "q313_ks")               // distinct-cent CDF rows × broadcast
+                               // 1-row side totals
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is
