@@ -1809,6 +1809,57 @@ object OracleSql {
         |    END AS p_micro
         |FROM h""".stripMargin
 
+  /** q314: mSPRT anytime-valid p path — identical cumulative counts,
+    * per-day ln Λ / p chains, and running min.
+    */
+  private val q314MsprtSql: String =
+    """WITH d AS (SELECT
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    (user_id % 2 = 0) AS a,
+        |    (CASE WHEN ((round(value * 100)::BIGINT % 2 + 2) % 2) = 0
+        |      THEN 1 ELSE 0 END)::BIGINT AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |daily AS (SELECT day,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS dna,
+        |    sum(CASE WHEN a THEN x ELSE 0 END)::BIGINT AS dxa,
+        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS dnb,
+        |    sum(CASE WHEN NOT a THEN x ELSE 0 END)::BIGINT AS dxb
+        |  FROM d GROUP BY 1),
+        |cum AS (SELECT day,
+        |    (sum(dna) OVER w)::BIGINT AS n_a,
+        |    (sum(dxa) OVER w)::BIGINT AS x_a,
+        |    (sum(dnb) OVER w)::BIGINT AS n_b,
+        |    (sum(dxb) OVER w)::BIGINT AS x_b
+        |  FROM daily WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |ch AS (SELECT day, n_a, x_a, n_b, x_b,
+        |    (x_a + x_b)::DOUBLE / (n_a::DOUBLE + n_b::DOUBLE) AS pool,
+        |    x_a::DOUBLE / n_a::DOUBLE - x_b::DOUBLE / n_b::DOUBLE
+        |      AS theta
+        |  FROM cum),
+        |vv AS (SELECT *, pool * (1.0 - pool) *
+        |    (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE) AS v FROM ch),
+        |ll AS (SELECT day, n_a, x_a, n_b, x_b,
+        |    0.5 * ln(v / (v + 0.0001)) +
+        |      theta * theta * 0.0001 /
+        |        (2.0 * v * (v + 0.0001)) AS lnlam,
+        |    (n_a = 0 OR n_b = 0 OR x_a + x_b = 0 OR
+        |      x_a + x_b = n_a + n_b) AS degen
+        |  FROM vv),
+        |pt AS (SELECT day, n_a, x_a, n_b, x_b,
+        |    CASE WHEN degen THEN NULL
+        |      ELSE (round(lnlam * 1000000.0))::BIGINT
+        |      END AS ln_lambda_micro,
+        |    CASE WHEN degen THEN 1000000
+        |      ELSE (round(least(1.0, exp(-lnlam)) * 1000000.0))::BIGINT
+        |      END AS pt
+        |  FROM ll)
+        |SELECT day, n_a, x_a, n_b, x_b, ln_lambda_micro,
+        |  (min(pt) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS p_always_micro
+        |FROM pt""".stripMargin
+
   val all: Map[String, String] = Map(
     "q57_clean_corpus" -> q57,
     "q99_removal_audit" -> q99,
@@ -7735,6 +7786,9 @@ object OracleSql {
 
     // two-sample KS: exact supremum + asymptotic p
     "q313_ks" -> q313KsSql,
+
+    // mSPRT anytime-valid A/B monitor: running-min p path
+    "q314_msprt" -> q314MsprtSql,
 
     // k-anonymity/l-diversity: equivalence-class fold + summary row
     "q306_k_anonymity" ->

@@ -5106,6 +5106,19 @@ object SparkEntry {
       col("ts"), pmod(col("user_id"), lit(2L)) === 0,
       pmod(col("user_id"), lit(5L)))
 
+  /** Anytime-valid A/B monitor (mSPRT): the daily always-valid
+    * p-value path for even-vs-odd users converting on even value
+    * cents — the peek-proof companion of the fixed-n z gate.
+    * Bounded-day cumulative windows, fixed per-day chains snapped
+    * before the running min.
+    */
+  def q314_msprt(s: SparkSession, dir: String): DataFrame =
+    Relational.msprtMonitor(
+      t(s, dir, "events").filter(col("value").isNotNull),
+      pmod(col("user_id"), lit(2L)) === 0,
+      pmod(round(col("value") * 100).cast("long"), lit(2L)) === 0,
+      col("ts"))
+
   /** Two-sample Kolmogorov–Smirnov: did the value distribution of
     * even vs odd users diverge anywhere (not just in location)?
     * Cross-multiplied exact supremum off the distinct-cent cumulative
@@ -5609,7 +5622,8 @@ object SparkEntry {
     "q310_cmh" -> (q310_cmh(_, _)),
     "q311_ari" -> (q311_ari(_, _)),
     "q312_hilbert" -> (q312_hilbert(_, _)),
-    "q313_ks" -> (q313_ks(_, _)))
+    "q313_ks" -> (q313_ks(_, _)),
+    "q314_msprt" -> (q314_msprt(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

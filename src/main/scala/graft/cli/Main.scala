@@ -588,6 +588,23 @@ object Main {
         s"chi2_micro=${r.get(6)}")
       done(spark)
 
+    // anytime-valid A/B monitor (mSPRT): daily always-valid p path
+    case "msprt" :: path :: flagCol :: successCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val tsCol = rest.headOption.getOrElse("ts")
+      val spark = session()
+      val rows = graft.operators.Relational.msprtMonitor(
+        spark.read.parquet(path), col(flagCol).cast("boolean"),
+        col(successCol).cast("boolean"), col(tsCol))
+        .orderBy(col("day")).collect()
+      rows.takeRight(5).foreach { r =>
+        println(s"[msprt] day=${r.getLong(0)} " +
+          s"n=(${r.getLong(1)},${r.getLong(3)}) " +
+          s"x=(${r.getLong(2)},${r.getLong(4)}) " +
+          s"p_always_micro=${r.get(6)}")
+      }
+      done(spark)
+
     // two-sample Kolmogorov-Smirnov over an integer value column
     case "ks" :: path :: flagCol :: valCol :: Nil =>
       import org.apache.spark.sql.functions.col

@@ -3435,6 +3435,71 @@ object Relational {
     * hi_micro)` — NULL z/CI when degenerate (an empty side or a
     * pooled rate of 0 or 1).
     */
+  /** Anytime-valid two-proportion A/B monitor — the mixture
+    * sequential probability ratio test (mSPRT) of Johari, Koomen,
+    * Pekelis & Walsh 2017 ("Peeking at A/B Tests"), normal
+    * approximation with a normal mixing density of variance `tau`:
+    * per day t, on the CUMULATIVE counts,
+    * `ln Λ_t = ½·ln(V_t/(V_t+τ)) + θ̂_t²·τ/(2·V_t·(V_t+τ))` with
+    * `θ̂ = x_a/n_a − x_b/n_b` and the pooled-variance
+    * `V = p̂(1−p̂)(1/n_a+1/n_b)`, and the ALWAYS-VALID p-value is the
+    * running minimum of `min(1, 1/Λ_s), s ≤ t` — the number a
+    * dashboard may poll every day without inflating false positives
+    * (a fixed-n z-test peeked at daily does).
+    *
+    * Scale + exactness: rows fold ONCE to per-day increment counts
+    * (bounded by distinct days); cumulative counts are exact integer
+    * windows over that bounded table; each day's ln Λ and p are one
+    * fixed double chain micro-snapped BEFORE the running min, so the
+    * monotone p-path replays exactly in SQL. Days where either arm is
+    * still empty (or V = 0) report NULL ln Λ and p = 1. Output per
+    * day: `(day, n_a, x_a, n_b, x_b, ln_lambda_micro,
+    * p_always_micro)`.
+    */
+  def msprtMonitor(df: DataFrame, isA: Column, success: Column,
+      tsCol: Column, tau: Double = 0.0001): DataFrame = {
+    require(tau > 0.0, s"tau must be positive, got $tau")
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.select(
+      floor(unix_timestamp(tsCol) / lit(86400L)).cast("long")
+        .as("day"),
+      isA.as("_a"), success.cast("long").as("_x"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_dna"),
+        sum(when(col("_a"), col("_x")).otherwise(0L)).as("_dxa"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("_dnb"),
+        sum(when(!col("_a"), col("_x")).otherwise(0L)).as("_dxb"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.select(col("day"),
+      sum(col("_dna")).over(w).as("n_a"),
+      sum(col("_dxa")).over(w).as("x_a"),
+      sum(col("_dnb")).over(w).as("n_b"),
+      sum(col("_dxb")).over(w).as("x_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pool = (col("x_a") + col("x_b")).cast("double") / (na + nb)
+    val v = pool * (lit(1.0) - pool) * (lit(1.0) / na + lit(1.0) / nb)
+    val theta = col("x_a").cast("double") / na -
+      col("x_b").cast("double") / nb
+    val lnLam = lit(0.5) * log(v / (v + lit(tau))) +
+      theta * theta * lit(tau) / (lit(2.0) * v * (v + lit(tau)))
+    val degenerate = col("n_a") === 0L || col("n_b") === 0L ||
+      col("x_a") + col("x_b") === 0L ||
+      col("x_a") + col("x_b") === col("n_a") + col("n_b")
+    val perDay = cum.select(col("day"), col("n_a"), col("x_a"),
+      col("n_b"), col("x_b"),
+      when(degenerate, lit(null).cast("long"))
+        .otherwise(round(lnLam * lit(1000000.0)).cast("long"))
+        .as("ln_lambda_micro"),
+      when(degenerate, lit(1000000L))
+        .otherwise(round(least(lit(1.0), exp(-lnLam)) *
+          lit(1000000.0)).cast("long")).as("_pt"))
+    perDay.select(col("day"), col("n_a"), col("x_a"), col("n_b"),
+      col("x_b"), col("ln_lambda_micro"),
+      min(col("_pt")).over(w).as("p_always_micro"))
+  }
+
   def twoProportionZ(df: DataFrame, isA: Column, success: Column)
       : DataFrame = {
     val d = df.select(isA.as("_a"), success.cast("long").as("_x"))

@@ -713,6 +713,38 @@ class AnalyticsOpsSpec extends SparkSpec {
       rc.getAs[Long]("n_groups_under_l") == 0L, rc)
   }
 
+  test("msprtMonitor: hand lnLambda/p chain per day, the always-valid " +
+    "p is the running min and never rises, empty-arm days read p=1") {
+    def t(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // day 0: A 10 trials/9 hits, B 10/1; day 1 repeats the pattern;
+    // day 2 adds a NULL-effect increment (5/10 each) — p must hold
+    def arm(day: Long, a: Boolean, n: Int, x: Int) =
+      (0 until n).map(i => (t(day), a, i < x))
+    val ev = (arm(0, a = true, 10, 9) ++ arm(0, a = false, 10, 1) ++
+      arm(1, a = true, 10, 9) ++ arm(1, a = false, 10, 1) ++
+      arm(2, a = true, 10, 5) ++ arm(2, a = false, 10, 5))
+      .toDF("ts", "a", "s")
+    val got = Relational.msprtMonitor(ev, col("a"), col("s"),
+      col("ts")).orderBy(col("day")).collect()
+    assert(got.length == 3)
+    assert(got.map(_.getAs[Long]("n_a")).toSeq == Seq(10L, 20L, 30L))
+    assert(got.map(_.getAs[Long]("x_a")).toSeq == Seq(9L, 18L, 23L))
+    // per-day chains (python-mirrored constants)
+    assert(got(0).getAs[Long]("ln_lambda_micro") == 11775L, got(0))
+    assert(got(1).getAs[Long]("ln_lambda_micro") == 49000L, got(1))
+    // the always-valid p path: running min, holds on the null day
+    assert(got.map(_.getAs[Long]("p_always_micro")).toSeq ==
+      Seq(988294L, 952181L, 952181L), got.toSeq)
+    // a first day with only one arm is degenerate: p = 1, ln NULL
+    val oneArm = (arm(0, a = true, 5, 3) ++ arm(1, a = false, 5, 2))
+      .toDF("ts", "a", "s")
+    val g1 = Relational.msprtMonitor(oneArm, col("a"), col("s"),
+      col("ts")).orderBy(col("day")).collect()
+    assert(g1(0).isNullAt(g1(0).fieldIndex("ln_lambda_micro")) &&
+      g1(0).getAs[Long]("p_always_micro") == 1000000L, g1(0))
+    assert(!g1(1).isNullAt(g1(1).fieldIndex("ln_lambda_micro")), g1(1))
+  }
+
   test("ksTest: hand supremum off the pooled CDFs, asymptotic p " +
     "chain, identical samples read p = 1, empty side is NULL") {
     // A = {1,2,3,4}, B = {3,4,5,6}: sup|F_A - F_B| = 0.5 at v = 2..4

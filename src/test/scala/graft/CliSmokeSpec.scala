@@ -569,6 +569,7 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("cmh", mcPath, "pa", "pb", "y"))
     graft.cli.Main.main(Array("ari", mcPath, "pa", "y"))
     graft.cli.Main.main(Array("ks", statsPath, "ga", "v"))
+    graft.cli.Main.main(Array("msprt", lrPath, "ga", "ga"))
     val isoPath = s"${tmpDir("cli-r11iso")}/scored"
     (1L to 60L).map(i => (i * 16000L, i % 3 == 0))
       .toDF("s", "y").write.mode("overwrite").parquet(isoPath)

@@ -198,7 +198,8 @@ class PlanGateSpec extends SparkSpec {
       "q294_mad", // two distinct-value cumulative medians (q36)
       "q301_by_fdr", // q259's bounded hypothesis-table rank window
       "q302_hazard_ratio", // q278's bounded distinct-lifetime windows
-      "q313_ks") // distinct-cent cumulative CDF window (q36)
+      "q313_ks", // distinct-cent cumulative CDF window (q36)
+      "q314_msprt") // bounded distinct-day cumulative/min windows
     val eager = Set("q26_ingest_roundtrip", "q105_bpe_learn",
       "q125_streaming_funnel_replay", "q129_streaming_retention_replay",
       "q244_streaming_agg_replay", "q248_preflight_artifact",
