@@ -7790,6 +7790,24 @@ object OracleSql {
     // mSPRT anytime-valid A/B monitor: running-min p path
     "q314_msprt" -> q314MsprtSql,
 
+    // DP count release: md5-keyed inverse-CDF Laplace noise
+    "q315_dp_counts" ->
+      """WITH g AS (SELECT event_type, count(*)::BIGINT AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |h AS (SELECT event_type, n,
+        |    (('0x' || substr(md5('graft-dp:' || event_type), 1, 13))
+        |      ::UBIGINT)::BIGINT AS hv
+        |  FROM g),
+        |u AS (SELECT event_type, n,
+        |    least(greatest(hv::DOUBLE / 4503599627370496.0,
+        |      1.0 / 4503599627370496.0),
+        |      1.0 - 1.0 / 4503599627370496.0) - 0.5 AS t
+        |  FROM h)
+        |SELECT event_type, n,
+        |  (n + (round(-1.0 * sign(t) *
+        |    ln(1.0 - 2.0 * abs(t))))::BIGINT)::BIGINT AS noisy_n
+        |FROM u""".stripMargin,
+
     // k-anonymity/l-diversity: equivalence-class fold + summary row
     "q306_k_anonymity" ->
       """WITH d AS (SELECT event_type AS q0,

@@ -5106,6 +5106,17 @@ object SparkEntry {
       col("ts"), pmod(col("user_id"), lit(2L)) === 0,
       pmod(col("user_id"), lit(5L)))
 
+  /** DP count release over event types: Laplace noise from the keyed
+    * PRF (md5-derived inverse-CDF draws — reproducible given the
+    * seed), ε = 1. The noisy column is the releasable one; `n` rides
+    * along for the audit.
+    */
+  def q315_dp_counts(s: SparkSession, dir: String): DataFrame =
+    Relational.dpNoisyCounts(
+      t(s, dir, "events").filter(col("event_type").isNotNull),
+      Seq(col("event_type")), epsilon = 1.0, seed = "graft-dp")
+      .withColumnRenamed("g0", "event_type")
+
   /** Anytime-valid A/B monitor (mSPRT): the daily always-valid
     * p-value path for even-vs-odd users converting on even value
     * cents — the peek-proof companion of the fixed-n z gate.
@@ -5623,7 +5634,8 @@ object SparkEntry {
     "q311_ari" -> (q311_ari(_, _)),
     "q312_hilbert" -> (q312_hilbert(_, _)),
     "q313_ks" -> (q313_ks(_, _)),
-    "q314_msprt" -> (q314_msprt(_, _)))
+    "q314_msprt" -> (q314_msprt(_, _)),
+    "q315_dp_counts" -> (q315_dp_counts(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -588,6 +588,21 @@ object Main {
         s"chi2_micro=${r.get(6)}")
       done(spark)
 
+    // DP count release (keyed-PRF Laplace noise; publish noisy only)
+    case "dp-counts" :: path :: groupCol :: epsArg :: seed :: outDir ::
+        Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      graft.operators.Relational.dpNoisyCounts(
+        spark.read.parquet(path).filter(col(groupCol).isNotNull),
+        Seq(col(groupCol)), epsArg.toDouble, seed)
+        .withColumnRenamed("g0", groupCol)
+        .drop("n") // the releasable artifact carries noisy_n only
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[dp-counts] eps=$epsArg " +
+        s"${spark.read.parquet(outDir).count()} noisy groups -> $outDir")
+      done(spark)
+
     // anytime-valid A/B monitor (mSPRT): daily always-valid p path
     case "msprt" :: path :: flagCol :: successCol :: rest =>
       import org.apache.spark.sql.functions.col

@@ -2186,6 +2186,51 @@ object Relational {
         .as("n_groups_under_l"))
   }
 
+  /** Differentially-private count release with keyed-PRF noise
+    * (Dwork, McSherry, Nissim & Smith 2006's Laplace mechanism; the
+    * draws come from a keyed PRF over the group key — the standard
+    * reproducible-DP deployment shape: the same release replays
+    * bit-identically given the secret seed, and the ε-DP guarantee
+    * holds against anyone who does not hold the seed). Per group:
+    * `noisy_n = n + round(Lap(Δ/ε))` with sensitivity Δ = 1 (one row
+    * changes one count by one — callers bounding per-user
+    * contribution k should pass `epsilon/k`), the Laplace draw via
+    * inverse-CDF of the md5-derived uniform
+    * `u = int(md5(seed:group)[0:13]) / 2^52` (clamped one ulp off
+    * {0,1} so ln never sees 0):
+    * `x = −(1/ε)·sign(u−½)·ln(1−2|u−½|)`.
+    *
+    * A REAL release publishes ONLY the noisy column — the exact `n`
+    * is carried here so audits/tests can read the injected noise;
+    * drop it before sharing.
+    *
+    * Scale shape: one groupBy to the bounded group table, then pure
+    * scan-stage md5/ln chains — no second shuffle. Output: group
+    * columns + `(n, noisy_n)`.
+    */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[Column],
+      epsilon: Double, seed: String): DataFrame = {
+    require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val named = groupCols.zipWithIndex.map { case (c, i) =>
+      c.as(s"g$i") }
+    val grouped = df.select(named: _*)
+      .groupBy((0 until groupCols.size).map(i => col(s"g$i")): _*)
+      .agg(count(lit(1)).as("n"))
+    val keyStr = concat_ws(":", lit(seed) +:
+      (0 until groupCols.size).map(i => col(s"g$i").cast("string")): _*)
+    val hv = conv(substring(md5(keyStr), 1, 13), 16, 10).cast("long")
+    val u0 = hv.cast("double") / lit(4503599627370496.0) // 2^52
+    val ulp = 1.0 / 4503599627370496.0
+    val u = least(greatest(u0, lit(ulp)), lit(1.0 - ulp))
+    val t = u - lit(0.5)
+    val noise = round(lit(-1.0 / epsilon) * signum(t) *
+      log(lit(1.0) - lit(2.0) * abs(t))).cast("long")
+    grouped.select(
+      (0 until groupCols.size).map(i => col(s"g$i")) ++
+        Seq(col("n"), (col("n") + noise).as("noisy_n")): _*)
+  }
+
   /** Cochran–Mantel–Haenszel stratified 2×2 association (Mantel &
     * Haenszel 1959; Cochran 1954) — the categorical sibling of the
     * stratified log-rank: exposure-vs-outcome association adjusted

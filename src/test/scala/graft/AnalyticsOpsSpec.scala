@@ -713,6 +713,32 @@ class AnalyticsOpsSpec extends SparkSpec {
       rc.getAs[Long]("n_groups_under_l") == 0L, rc)
   }
 
+  test("dpNoisyCounts: keyed-PRF noise is reproducible under the " +
+    "seed, moves with it, scales with 1/epsilon, and stays bounded") {
+    val df = (1L to 400L).map(i => (s"g${i % 40}", i)).toDF("g", "i")
+    def release(eps: Double, seed: String) =
+      Relational.dpNoisyCounts(df, Seq(col("g")), eps, seed)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n"), r.getAs[Long]("noisy_n"))).toMap
+    val a = release(1.0, "s1")
+    assert(a.size == 40 && a.values.forall(_._1 == 10L))
+    // reproducible: the same seed replays bit-identically
+    assert(release(1.0, "s1") == a)
+    // a different seed redraws the noise somewhere
+    assert(release(1.0, "s2") != a)
+    // Laplace(1/eps) at eps=1: |noise| <= -ln(2^-52) ~ 36, and the
+    // mean absolute noise over 40 draws sits near the scale 1
+    val noise = a.values.map(v => v._2 - v._1)
+    assert(noise.forall(n => math.abs(n) <= 37L), noise)
+    val meanAbs = noise.map(math.abs).sum.toDouble / noise.size
+    assert(meanAbs > 0.2 && meanAbs < 3.0, s"meanAbs=$meanAbs")
+    // smaller epsilon -> proportionally larger noise (same draws)
+    val wide = release(0.1, "s1")
+    val pairs = a.keys.map(k => (a(k)._2 - 10L, wide(k)._2 - 10L))
+    assert(pairs.forall { case (n1, n10) =>
+      math.abs(n10 - 10L * n1) <= 5L }, pairs) // rounding slack
+  }
+
   test("msprtMonitor: hand lnLambda/p chain per day, the always-valid " +
     "p is the running min and never rises, empty-arm days read p=1") {
     def t(day: Long) = new java.sql.Timestamp(day * 86400000L)

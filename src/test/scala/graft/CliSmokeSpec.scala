@@ -570,6 +570,11 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("ari", mcPath, "pa", "y"))
     graft.cli.Main.main(Array("ks", statsPath, "ga", "v"))
     graft.cli.Main.main(Array("msprt", lrPath, "ga", "ga"))
+    val dpOut = tmpDir("cli-r12dp")
+    graft.cli.Main.main(Array("dp-counts", statsPath, "cat", "1.0",
+      "seed1", dpOut))
+    assert(spark.read.parquet(dpOut).columns.toSet ==
+      Set("cat", "noisy_n"))
     val isoPath = s"${tmpDir("cli-r11iso")}/scored"
     (1L to 60L).map(i => (i * 16000L, i % 3 == 0))
       .toDF("s", "y").write.mode("overwrite").parquet(isoPath)
