@@ -7790,6 +7790,30 @@ object OracleSql {
     // mSPRT anytime-valid A/B monitor: running-min p path
     "q314_msprt" -> q314MsprtSql,
 
+    // Poisson dispersion: exact integer chi2 + Wilson-Hilferty z
+    "q316_poisson_dispersion" ->
+      """WITH p AS (SELECT user_id, count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sum_x,
+        |    sum(x::HUGEINT * x::HUGEINT)::HUGEINT AS sx2
+        |  FROM p),
+        |c AS (SELECT n, sum_x,
+        |    (n::HUGEINT * sx2 - sum_x::HUGEINT * sum_x::HUGEINT)
+        |      ::DOUBLE / sum_x::DOUBLE AS chi2,
+        |    n::DOUBLE - 1.0 AS nu
+        |  FROM m)
+        |SELECT n, sum_x,
+        |  CASE WHEN n < 2 OR sum_x <= 0 THEN NULL ELSE
+        |    (round(chi2 / nu * 1000000.0))::BIGINT
+        |    END AS dispersion_micro,
+        |  CASE WHEN n < 2 OR sum_x <= 0 THEN NULL ELSE
+        |    (round(chi2 * 1000000.0))::BIGINT END AS chi2_micro,
+        |  CASE WHEN n < 2 OR sum_x <= 0 THEN NULL ELSE
+        |    (round((pow(chi2 / nu, 1.0 / 3.0) -
+        |      (1.0 - 2.0 / (9.0 * nu))) / sqrt(2.0 / (9.0 * nu))
+        |      * 1000000.0))::BIGINT END AS z_micro
+        |FROM c""".stripMargin,
+
     // DP count release: md5-keyed inverse-CDF Laplace noise
     "q315_dp_counts" ->
       """WITH g AS (SELECT event_type, count(*)::BIGINT AS n

@@ -5106,6 +5106,17 @@ object SparkEntry {
       col("ts"), pmod(col("user_id"), lit(2L)) === 0,
       pmod(col("user_id"), lit(5L)))
 
+  /** Poisson dispersion screen over per-user event counts — is the
+    * event stream burstier than a Poisson process (bots, scraping
+    * runs)? Exact integer χ² ratio + the Wilson–Hilferty z chain.
+    */
+  def q316_poisson_dispersion(s: SparkSession, dir: String)
+      : DataFrame = {
+    val perUser = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+    Relational.poissonDispersion(perUser, col("n_ev"))
+  }
+
   /** DP count release over event types: Laplace noise from the keyed
     * PRF (md5-derived inverse-CDF draws — reproducible given the
     * seed), ε = 1. The noisy column is the releasable one; `n` rides
@@ -5635,7 +5646,8 @@ object SparkEntry {
     "q312_hilbert" -> (q312_hilbert(_, _)),
     "q313_ks" -> (q313_ks(_, _)),
     "q314_msprt" -> (q314_msprt(_, _)),
-    "q315_dp_counts" -> (q315_dp_counts(_, _)))
+    "q315_dp_counts" -> (q315_dp_counts(_, _)),
+    "q316_poisson_dispersion" -> (q316_poisson_dispersion(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -588,6 +588,17 @@ object Main {
         s"chi2_micro=${r.get(6)}")
       done(spark)
 
+    // Poisson dispersion screen over a per-unit count column
+    case "dispersion" :: path :: countCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.poissonDispersion(
+        spark.read.parquet(path).filter(col(countCol).isNotNull),
+        col(countCol)).head()
+      println(s"[dispersion] n=${r.getLong(0)} sum_x=${r.getLong(1)} " +
+        s"dispersion_micro=${r.get(2)} z_micro=${r.get(4)}")
+      done(spark)
+
     // DP count release (keyed-PRF Laplace noise; publish noisy only)
     case "dp-counts" :: path :: groupCol :: epsArg :: seed :: outDir ::
         Nil =>

@@ -2128,6 +2128,49 @@ object Relational {
     * two fixed chains; NULL when a count or exposure is zero. Output
     * (one row): `(c_a, e_a, c_b, e_b, rr_micro, z_micro)`.
     */
+  /** Poisson dispersion (index-of-dispersion) test (Fisher 1950 §57;
+    * Cameron & Trivedi's overdispersion screen) — the count-data QC
+    * beside [[poissonRateTest]]'s rate comparison: under a Poisson
+    * process, per-unit counts have variance ≈ mean, so
+    * `D = s²/x̄ ≫ 1` says the counts are bursty/clumped (bot traffic,
+    * scraping runs, duplicated feeds) and a Poisson model of them
+    * will understate every error bar. `χ² = (n−1)·s²/x̄ =
+    * (n·Σx² − (Σx)²)/Σx` is an exact integer ratio (decimal products,
+    * one closing division); the normal verdict comes through the
+    * Wilson–Hilferty cube-root transform
+    * `z = ((χ²/ν)^⅓ − (1 − 2/9ν)) / √(2/9ν)`, one fixed chain.
+    *
+    * Scale shape: one aggregation pass over the per-unit counts
+    * (exact Σx/Σx² integer moments). Output (one row):
+    * `(n, sum_x, dispersion_micro, chi2_micro, z_micro)` — NULL
+    * verdicts when n < 2 or Σx = 0.
+    */
+  def poissonDispersion(df: DataFrame, countCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val m = df.agg(count(lit(1)).as("n"),
+      sum(countCol.cast("long")).as("sum_x"),
+      sum(countCol.cast(dec) * countCol.cast(dec)).cast(dec)
+        .as("_sx2"))
+    val n = col("n").cast("double")
+    val chi2 = (col("n").cast(dec) * col("_sx2") -
+      col("sum_x").cast(dec) * col("sum_x").cast(dec)).cast("double") /
+      col("sum_x").cast("double")
+    val nu = n - lit(1.0)
+    val disp = chi2 / nu
+    val z = (pow(chi2 / nu, lit(1.0 / 3.0)) -
+      (lit(1.0) - lit(2.0) / (lit(9.0) * nu))) /
+      sqrt(lit(2.0) / (lit(9.0) * nu))
+    val degenerate = col("n") < 2L || col("sum_x") <= 0L
+    def snap(c: Column) = round(c * lit(1000000.0)).cast("long")
+    m.select(col("n"), col("sum_x"),
+      when(degenerate, lit(null).cast("long")).otherwise(snap(disp))
+        .as("dispersion_micro"),
+      when(degenerate, lit(null).cast("long")).otherwise(snap(chi2))
+        .as("chi2_micro"),
+      when(degenerate, lit(null).cast("long")).otherwise(snap(z))
+        .as("z_micro"))
+  }
+
   def poissonRateTest(df: DataFrame, isA: Column, countCol: Column,
       exposureCol: Column): DataFrame = {
     val m = df.agg(

@@ -713,6 +713,27 @@ class AnalyticsOpsSpec extends SparkSpec {
       rc.getAs[Long]("n_groups_under_l") == 0L, rc)
   }
 
+  test("poissonDispersion: exact chi2 ratio, Wilson-Hilferty z, " +
+    "uniform counts read 0, a whale reads heavily overdispersed") {
+    // perfectly uniform counts: s2 = 0 -> D = 0
+    val flat = Seq(2L, 2L, 2L, 2L).toDF("x")
+    val rf = Relational.poissonDispersion(flat, col("x")).head()
+    assert(rf.getAs[Long]("n") == 4L && rf.getAs[Long]("sum_x") == 8L)
+    assert(rf.getAs[Long]("chi2_micro") == 0L &&
+      rf.getAs[Long]("dispersion_micro") == 0L, rf)
+    // one whale holds all events: chi2 = (4*144 - 144)/12 = 36
+    val burst = Seq(0L, 0L, 0L, 12L).toDF("x")
+    val rb = Relational.poissonDispersion(burst, col("x")).head()
+    assert(rb.getAs[Long]("chi2_micro") == 36000000L &&
+      rb.getAs[Long]("dispersion_micro") == 12000000L, rb)
+    assert(rb.getAs[Long]("z_micro") == 5009828L, rb)
+    // degenerate: a single unit -> NULL verdicts, counts intact
+    val one = Seq(5L).toDF("x")
+    val ro = Relational.poissonDispersion(one, col("x")).head()
+    assert(ro.getAs[Long]("n") == 1L &&
+      ro.isNullAt(ro.fieldIndex("z_micro")), ro)
+  }
+
   test("dpNoisyCounts: keyed-PRF noise is reproducible under the " +
     "seed, moves with it, scales with 1/epsilon, and stays bounded") {
     val df = (1L to 400L).map(i => (s"g${i % 40}", i)).toDF("g", "i")
