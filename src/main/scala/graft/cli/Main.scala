@@ -588,6 +588,17 @@ object Main {
         s"chi2_micro=${r.get(6)}")
       done(spark)
 
+    // file-skipping audit: how well does the layout prune a range?
+    case "skip-report" :: path :: valCol :: lo :: hi :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Diagnose.fileSkippingReport(spark, path,
+        col(valCol), lo.toLong, hi.toLong).head()
+      println(s"[skip-report] files=${r.getLong(2)}/${r.getLong(0)} " +
+        s"rows_scanned=${r.getLong(3)}/${r.getLong(1)} " +
+        s"matched=${r.getLong(4)} read_amp_micro=${r.get(5)}")
+      done(spark)
+
     // Poisson dispersion screen over a per-unit count column
     case "dispersion" :: path :: countCol :: Nil =>
       import org.apache.spark.sql.functions.col

@@ -87,6 +87,45 @@ object Diagnose {
       .withColumn("schema_hash", lit(schemaHash))
   }
 
+  /** File-skipping audit for a clustered layout — the measurement
+    * behind [[Relational.zOrderLayout]]/[[Relational.hilbertLayout]]'s
+    * promise: given a written dataset and a range predicate
+    * `lo ≤ valueCol ≤ hi`, how many FILES does a min/max-pruning
+    * reader (parquet row-group stats, Delta/Iceberg file stats) have
+    * to open, and how many scanned rows per matching row does that
+    * cost (read amplification)? Per-file min/max fold off one scan
+    * grouped by `input_file_name()`; a file is hit when its
+    * [min, max] overlaps [lo, hi] — exactly the skipping decision a
+    * stats-pruned scan makes. Output (one row): `(n_files, n_rows,
+    * n_files_hit, n_rows_scanned, n_rows_matched, read_amp_micro)` —
+    * read_amp = scanned/matched (NULL when nothing matches). Run it
+    * before and after a re-layout to justify the write cost.
+    */
+  def fileSkippingReport(spark: SparkSession, root: String,
+      valueCol: Column, lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"empty probe range [$lo, $hi]")
+    val perFile = spark.read.parquet(root)
+      .withColumn("_file", input_file_name())
+      .withColumn("_v", valueCol.cast("long"))
+      .groupBy(col("_file"))
+      .agg(count(lit(1)).as("_rows"), min(col("_v")).as("_lo"),
+        max(col("_v")).as("_hi"),
+        sum(when(col("_v").between(lo, hi), 1L).otherwise(0L))
+          .as("_matched"))
+    val hit = col("_lo") <= hi && col("_hi") >= lo
+    perFile.agg(
+      count(lit(1)).as("n_files"),
+      sum(col("_rows")).as("n_rows"),
+      sum(when(hit, 1L).otherwise(0L)).as("n_files_hit"),
+      sum(when(hit, col("_rows")).otherwise(0L)).as("n_rows_scanned"),
+      sum(col("_matched")).as("n_rows_matched"))
+      .withColumn("read_amp_micro",
+        when(col("n_rows_matched") <= 0L, lit(null).cast("long"))
+          .otherwise(round(col("n_rows_scanned").cast("double") /
+            col("n_rows_matched").cast("double") * lit(1000000.0))
+            .cast("long")))
+  }
+
   /** Per-column dataset profile — the statistics page for a snapshot:
     * null count, estimated distinct count (HLL++), and min/max (as
     * strings, so one schema fits every dtype) for every column, plus

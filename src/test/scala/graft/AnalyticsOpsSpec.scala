@@ -912,6 +912,33 @@ class AnalyticsOpsSpec extends SparkSpec {
       one.head.getAs[Long]("depth") == 0L, one.toSeq)
   }
 
+  test("fileSkippingReport: a Hilbert layout prunes more files than " +
+    "a leading-column sort for a probe on the OTHER dimension") {
+    import graft.operators.{Diagnose, Relational}
+    val pts = (for (x <- 0L to 31L; y <- 0L to 31L) yield (x, y))
+      .toDF("x", "y")
+    val hilbertDir = tmpDir("skip-hilbert")
+    Relational.hilbertLayout(pts, col("x"), col("y"), bits = 5,
+      partitions = 8).write.mode("overwrite").parquet(hilbertDir)
+    val xSortDir = tmpDir("skip-xsort")
+    pts.repartitionByRange(8, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(xSortDir)
+    // probe the NON-leading dimension: y in [0, 7]
+    val h = Diagnose.fileSkippingReport(spark, hilbertDir, col("y"),
+      0L, 7L).head()
+    val xs = Diagnose.fileSkippingReport(spark, xSortDir, col("y"),
+      0L, 7L).head()
+    assert(h.getAs[Long]("n_files") == 8L &&
+      xs.getAs[Long]("n_files") == 8L)
+    assert(h.getAs[Long]("n_rows_matched") == 256L &&
+      xs.getAs[Long]("n_rows_matched") == 256L)
+    // the x-sorted layout cannot skip anything on y; Hilbert can
+    assert(xs.getAs[Long]("n_files_hit") == 8L, xs)
+    assert(h.getAs[Long]("n_files_hit") < 8L, h)
+    assert(h.getAs[Long]("read_amp_micro") <
+      xs.getAs[Long]("read_amp_micro"), s"$h vs $xs")
+  }
+
   test("hilbertValue: hand positions, every consecutive curve step " +
     "is grid-adjacent, staged flavor matches inline, layout sorts") {
     val pts = (for (x <- 0L to 7L; y <- 0L to 7L) yield (x, y))
