@@ -7790,6 +7790,22 @@ object OracleSql {
     // mSPRT anytime-valid A/B monitor: running-min p path
     "q314_msprt" -> q314MsprtSql,
 
+    // Kish effective sample size of the length-weighted corpus
+    "q317_kish_neff" ->
+      """WITH m AS (SELECT count(*)::BIGINT AS n,
+        |    sum(n_chars)::BIGINT AS sum_w,
+        |    sum(n_chars::HUGEINT * n_chars::HUGEINT)::HUGEINT AS sw2
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT n, sum_w,
+        |  CASE WHEN sum_w <= 0 THEN NULL ELSE
+        |    (round((sum_w::HUGEINT * sum_w::HUGEINT)::DOUBLE /
+        |      sw2::DOUBLE * 1000000.0))::BIGINT END AS n_eff_micro,
+        |  CASE WHEN sum_w <= 0 THEN NULL ELSE
+        |    (round(n::DOUBLE / ((sum_w::HUGEINT * sum_w::HUGEINT)
+        |      ::DOUBLE / sw2::DOUBLE) * 1000000.0))::BIGINT
+        |    END AS deff_micro
+        |FROM m""".stripMargin,
+
     // Poisson dispersion: exact integer chi2 + Wilson-Hilferty z
     "q316_poisson_dispersion" ->
       """WITH p AS (SELECT user_id, count(*)::BIGINT AS x

@@ -5106,6 +5106,15 @@ object SparkEntry {
       col("ts"), pmod(col("user_id"), lit(2L)) === 0,
       pmod(col("user_id"), lit(5L)))
 
+  /** Kish effective sample size of the length-weighted corpus — how
+    * many unweighted documents is a token-budgeted (char-weighted)
+    * eval statistically worth? Exact decimal moments, one closing
+    * chain.
+    */
+  def q317_kish_neff(s: SparkSession, dir: String): DataFrame =
+    Relational.kishNeff(
+      docs(s, dir).filter(col("n_chars").isNotNull), col("n_chars"))
+
   /** Poisson dispersion screen over per-user event counts — is the
     * event stream burstier than a Poisson process (bots, scraping
     * runs)? Exact integer χ² ratio + the Wilson–Hilferty z chain.
@@ -5647,7 +5656,8 @@ object SparkEntry {
     "q313_ks" -> (q313_ks(_, _)),
     "q314_msprt" -> (q314_msprt(_, _)),
     "q315_dp_counts" -> (q315_dp_counts(_, _)),
-    "q316_poisson_dispersion" -> (q316_poisson_dispersion(_, _)))
+    "q316_poisson_dispersion" -> (q316_poisson_dispersion(_, _)),
+    "q317_kish_neff" -> (q317_kish_neff(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

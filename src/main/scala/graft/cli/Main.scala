@@ -588,6 +588,17 @@ object Main {
         s"chi2_micro=${r.get(6)}")
       done(spark)
 
+    // Kish effective sample size of a weighted corpus
+    case "kish" :: path :: wCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.kishNeff(
+        spark.read.parquet(path).filter(col(wCol).isNotNull),
+        col(wCol)).head()
+      println(s"[kish] n=${r.getLong(0)} sum_w=${r.getLong(1)} " +
+        s"n_eff_micro=${r.get(2)} deff_micro=${r.get(3)}")
+      done(spark)
+
     // file-skipping audit: how well does the layout prune a range?
     case "skip-report" :: path :: valCol :: lo :: hi :: Nil =>
       import org.apache.spark.sql.functions.col

@@ -2128,6 +2128,37 @@ object Relational {
     * two fixed chains; NULL when a count or exposure is zero. Output
     * (one row): `(c_a, e_a, c_b, e_b, rr_micro, z_micro)`.
     */
+  /** Kish effective sample size (Kish 1965 §8.2) — the health metric
+    * of any WEIGHTED corpus (importance weights, temperature mixes,
+    * DSIR, IPW): `n_eff = (Σw)²/Σw²`, the unweighted-sample size the
+    * weighted one is statistically worth, with the design effect
+    * `deff = n/n_eff` reading how much the weighting inflated
+    * variance. A re-weighting that leaves n_eff ≪ n means a few
+    * whale weights dominate every downstream estimate — the number
+    * to check BEFORE trusting a weighted eval.
+    *
+    * Exactness: integer weights fold as exact decimal Σw/Σw² moments;
+    * the two closing divisions are one fixed double chain. Output
+    * (one row): `(n, sum_w, n_eff_micro, deff_micro)` — NULL when
+    * Σw = 0.
+    */
+  def kishNeff(df: DataFrame, weightInt: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val m = df.agg(count(lit(1)).as("n"),
+      sum(weightInt.cast("long")).as("sum_w"),
+      sum(weightInt.cast(dec) * weightInt.cast(dec)).cast(dec)
+        .as("_sw2"))
+    val neff = (col("sum_w").cast(dec) * col("sum_w").cast(dec))
+      .cast("double") / col("_sw2").cast("double")
+    val deff = col("n").cast("double") / neff
+    def snap(c: Column) = round(c * lit(1000000.0)).cast("long")
+    m.select(col("n"), col("sum_w"),
+      when(col("sum_w") <= 0L, lit(null).cast("long"))
+        .otherwise(snap(neff)).as("n_eff_micro"),
+      when(col("sum_w") <= 0L, lit(null).cast("long"))
+        .otherwise(snap(deff)).as("deff_micro"))
+  }
+
   /** Poisson dispersion (index-of-dispersion) test (Fisher 1950 §57;
     * Cameron & Trivedi's overdispersion screen) — the count-data QC
     * beside [[poissonRateTest]]'s rate comparison: under a Poisson

@@ -713,6 +713,24 @@ class AnalyticsOpsSpec extends SparkSpec {
       rc.getAs[Long]("n_groups_under_l") == 0L, rc)
   }
 
+  test("kishNeff: equal weights read n_eff = n, one whale weight " +
+    "collapses it toward 1, deff is the inverse") {
+    val eq = Seq(3L, 3L, 3L, 3L).toDF("w")
+    val re = Relational.kishNeff(eq, col("w")).head()
+    assert(re.getAs[Long]("n") == 4L && re.getAs[Long]("sum_w") == 12L)
+    assert(re.getAs[Long]("n_eff_micro") == 4000000L &&
+      re.getAs[Long]("deff_micro") == 1000000L, re)
+    // (Σw)²/Σw² = 103²/10009 ≈ 1.06: the whale owns the sample
+    val whale = Seq(100L, 1L, 1L, 1L).toDF("w")
+    val rw = Relational.kishNeff(whale, col("w")).head()
+    assert(rw.getAs[Long]("n_eff_micro") == 1060582L, rw)
+    assert(rw.getAs[Long]("deff_micro") == 3771515L, rw)
+    // zero total weight -> NULL verdicts
+    val z = Seq(0L, 0L).toDF("w")
+    val rz = Relational.kishNeff(z, col("w")).head()
+    assert(rz.isNullAt(rz.fieldIndex("n_eff_micro")), rz)
+  }
+
   test("poissonDispersion: exact chi2 ratio, Wilson-Hilferty z, " +
     "uniform counts read 0, a whale reads heavily overdispersed") {
     // perfectly uniform counts: s2 = 0 -> D = 0

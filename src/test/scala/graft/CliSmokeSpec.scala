@@ -572,6 +572,7 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("msprt", lrPath, "ga", "ga"))
     graft.cli.Main.main(Array("dispersion", statsPath, "v"))
     graft.cli.Main.main(Array("skip-report", statsPath, "v", "1", "3"))
+    graft.cli.Main.main(Array("kish", statsPath, "v"))
     val dpOut = tmpDir("cli-r12dp")
     graft.cli.Main.main(Array("dp-counts", statsPath, "cat", "1.0",
       "seed1", dpOut))
