@@ -7790,6 +7790,54 @@ object OracleSql {
     // mSPRT anytime-valid A/B monitor: running-min p path
     "q314_msprt" -> q314MsprtSql,
 
+    // IPW treatment effect: q296's propensity weights nested, q297's
+    // scoring chain, clipped inverse-propensity arm sums
+    "q318_ipw" ->
+      s"""WITH wts AS ($q296LogisticSql),
+        |t AS (SELECT doc_id,
+        |    CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END AS tt,
+        |    CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS y,
+        |    string_split(text, ' ') AS w
+        |  FROM documents),
+        |e AS (SELECT doc_id, u.tok FROM t, unnest(w) AS u(tok)),
+        |hh AS (SELECT doc_id,
+        |    (('0x' || substr(md5('hf:' || tok), 1, 8))
+        |      ::UBIGINT)::BIGINT AS hv
+        |  FROM e),
+        |f AS (SELECT * FROM (
+        |    SELECT doc_id, hv % 8 AS idx,
+        |      sum(CASE WHEN (hv // 65536) % 2 = 0 THEN 1 ELSE -1 END)
+        |        ::BIGINT AS x
+        |    FROM hh GROUP BY 1, 2) WHERE x <> 0),
+        |dot AS (SELECT f.doc_id, sum(f.x * wts.w_micro)::BIGINT
+        |      AS dot
+        |  FROM f JOIN wts ON wts.idx = f.idx AND wts.idx >= 0
+        |  GROUP BY 1),
+        |b AS (SELECT w_micro AS b FROM wts WHERE idx = -1),
+        |sc AS (SELECT t.doc_id, t.tt, t.y,
+        |    (round(1000000.0 / (1.0 +
+        |      exp(-(coalesce(dot.dot, 0) + b.b)::DOUBLE
+        |        / 1000000.0))))::BIGINT AS s
+        |  FROM t LEFT JOIN dot USING (doc_id) CROSS JOIN b),
+        |cl AS (SELECT tt, y,
+        |    least(greatest(s, 10000), 990000)::BIGINT AS ee
+        |  FROM sc),
+        |terms AS (SELECT tt,
+        |    CASE WHEN tt = 1 THEN (round(y::DOUBLE *
+        |      1000000000000.0 / ee::DOUBLE))::BIGINT ELSE 0 END AS t1,
+        |    CASE WHEN tt = 0 THEN (round(y::DOUBLE *
+        |      1000000000000.0 / (1000000 - ee)::DOUBLE))::BIGINT
+        |      ELSE 0 END AS t0
+        |  FROM cl),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(tt)::BIGINT
+        |      AS n_treated,
+        |    sum(t1)::BIGINT AS s1, sum(t0)::BIGINT AS s0 FROM terms)
+        |SELECT n, n_treated,
+        |  (round(s1::DOUBLE / n::DOUBLE))::BIGINT AS mu1_micro,
+        |  (round(s0::DOUBLE / n::DOUBLE))::BIGINT AS mu0_micro,
+        |  (round((s1 - s0)::DOUBLE / n::DOUBLE))::BIGINT AS ate_micro
+        |FROM m""".stripMargin,
+
     // Kish effective sample size of the length-weighted corpus
     "q317_kish_neff" ->
       """WITH m AS (SELECT count(*)::BIGINT AS n,

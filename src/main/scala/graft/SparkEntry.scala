@@ -5106,6 +5106,17 @@ object SparkEntry {
       col("ts"), pmod(col("user_id"), lit(2L)) === 0,
       pmod(col("user_id"), lit(5L)))
 
+  /** IPW treatment effect: does mentioning "data" cause documents to
+    * be long, after adjusting for everything else the hashed bag of
+    * words sees? q296's propensity model + Horvitz–Thompson arm
+    * weighting, every per-row term an exact snapped ratio. EAGER
+    * (training runs at construction, the q296/q297 shape).
+    */
+  def q318_ipw(s: SparkSession, dir: String): DataFrame =
+    graft.text.Classifier.ipwEffect(docs(s, dir), "text", "doc_id",
+      col("text").contains("data"), col("n_chars") > 300,
+      dim = 8, iters = 2)
+
   /** Kish effective sample size of the length-weighted corpus — how
     * many unweighted documents is a token-budgeted (char-weighted)
     * eval statistically worth? Exact decimal moments, one closing
@@ -5657,7 +5668,8 @@ object SparkEntry {
     "q314_msprt" -> (q314_msprt(_, _)),
     "q315_dp_counts" -> (q315_dp_counts(_, _)),
     "q316_poisson_dispersion" -> (q316_poisson_dispersion(_, _)),
-    "q317_kish_neff" -> (q317_kish_neff(_, _)))
+    "q317_kish_neff" -> (q317_kish_neff(_, _)),
+    "q318_ipw" -> (q318_ipw(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

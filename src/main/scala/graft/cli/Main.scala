@@ -588,6 +588,21 @@ object Main {
         s"chi2_micro=${r.get(6)}")
       done(spark)
 
+    // IPW treatment effect with a text-trained propensity model
+    case "ipw" :: corpus :: tCol :: tVal :: yCol :: yVal :: rest =>
+      import org.apache.spark.sql.functions.col
+      val pos = rest.filter(!_.startsWith("--"))
+      val dim = pos.headOption.map(_.toInt).getOrElse(16)
+      val iters = pos.drop(1).headOption.map(_.toInt).getOrElse(3)
+      val spark = session()
+      val df = loadCorpus(spark, corpus, rest)
+      val r = graft.text.Classifier.ipwEffect(df, "text", "doc_id",
+        col(tCol) === tVal, col(yCol) === yVal, dim, iters).head()
+      println(s"[ipw] n=${r.getLong(0)} treated=${r.getLong(1)} " +
+        s"mu1_micro=${r.getLong(2)} mu0_micro=${r.getLong(3)} " +
+        s"ate_micro=${r.getLong(4)}")
+      done(spark)
+
     // Kish effective sample size of a weighted corpus
     case "kish" :: path :: wCol :: Nil =>
       import org.apache.spark.sql.functions.col

@@ -496,6 +496,61 @@ object Classifier {
           .as("score_micro"))
   }
 
+  /** Inverse-propensity-weighted treatment-effect estimate (Horvitz &
+    * Thompson 1952 weighting; Rosenbaum & Rubin 1983 propensity
+    * scores) — the causal readout for observational corpus questions
+    * ("did docs WITH property T end up with outcome Y because of T,
+    * or because of what else they contain?"): fit the propensity
+    * e(x) = P(T | text) with [[logisticFit]] on the hashed bag of
+    * words, clip it away from {0, 1} (the standard overlap guard),
+    * and weight each arm by its inverse propensity:
+    * `ATE = (1/n)·Σ[T·y/e − (1−T)·y/(1−e)]`.
+    *
+    * Exactness: the propensity is [[logisticScore]]'s micro-snapped
+    * sigmoid; each row's IPW term is ONE exact ratio of integers
+    * (`±round(1e12·y / e_micro)` / the 1−e twin) so the arm sums fold
+    * exactly; the three closing /n divisions are fixed chains — the
+    * whole estimate replays in the training oracle's SQL. Output (one
+    * row): `(n, n_treated, mu1_micro, mu0_micro, ate_micro)`.
+    *
+    * Scale shape: one training pass ([[logisticFit]]'s bounded GD),
+    * one scoring pass, one aggregation — the corpus never joins
+    * itself. IPW inherits the usual caveats: positivity (hence the
+    * clip, default 1%) and no unmeasured confounding beyond the text.
+    */
+  def ipwEffect(df: DataFrame, textCol: String, idCol: String,
+      treatment: Column, outcome: Column, dim: Int = 16,
+      iters: Int = 3, clipMicro: Long = 10000L,
+      tokenizer: Column => Column = TextOps.tokensSimple): DataFrame = {
+    require(clipMicro >= 1L && clipMicro < 500000L,
+      s"clipMicro must be in [1, 5e5), got $clipMicro")
+    val w = logisticFit(df, textCol, idCol, treatment, dim, iters,
+      tokenizer = tokenizer)
+    val scored = logisticScore(df, textCol, idCol, w, tokenizer)
+    val joined = df.select(col(idCol),
+      when(treatment, 1L).otherwise(0L).as("_t"),
+      when(outcome, 1L).otherwise(0L).as("_y"))
+      .join(scored, Seq(idCol))
+    val e = least(greatest(col("score_micro"), lit(clipMicro)),
+      lit(1000000L - clipMicro))
+    val t1 = when(col("_t") === 1L,
+      round(col("_y").cast("double") * lit(1.0e12) / e.cast("double"))
+        .cast("long")).otherwise(0L)
+    val t0 = when(col("_t") === 0L,
+      round(col("_y").cast("double") * lit(1.0e12) /
+        (lit(1000000L) - e).cast("double")).cast("long")).otherwise(0L)
+    val m = joined.agg(count(lit(1)).as("n"),
+      sum(col("_t")).as("n_treated"),
+      sum(t1).as("_s1"), sum(t0).as("_s0"))
+    val n = col("n").cast("double")
+    def snap(c: Column) = round(c).cast("long")
+    m.select(col("n"), col("n_treated"),
+      snap(col("_s1").cast("double") / n).as("mu1_micro"),
+      snap(col("_s0").cast("double") / n).as("mu0_micro"),
+      snap((col("_s1") - col("_s0")).cast("double") / n)
+        .as("ate_micro"))
+  }
+
   /** Isotonic calibration via pool-adjacent-violators (PAV; Ayer et
     * al. 1955, the Zadrozny & Elkan 2002 classifier recipe) — the FIX
     * for what [[calibrationSummary]] measures: learn the monotone map

@@ -291,4 +291,44 @@ class ClassifierSpec extends SparkSpec {
     assert(r.isNullAt(5))
     assert(r.isNullAt(6))
   }
+
+  test("ipwEffect: uninformative text leaves e = 1/2 exactly (perfect " +
+    "effect reads ATE = 1, balanced null reads 0); a text confounder " +
+    "shrinks the naive bias toward the true zero") {
+    // constant text + balanced arms: the GD gradient is 0 at w = 0,
+    // so e = 0.5 EXACTLY and the IPW arithmetic is exact
+    val flat = (0L until 40L).map(i =>
+      (i, "alpha beta gamma", i % 2 == 0, i % 2 == 0))
+      .toDF("doc_id", "text", "t", "y")
+    val r1 = Classifier.ipwEffect(flat, "text", "doc_id", col("t"),
+      col("y"), dim = 8, iters = 2).head()
+    assert(r1.getAs[Long]("n") == 40L &&
+      r1.getAs[Long]("n_treated") == 20L)
+    assert(r1.getAs[Long]("mu1_micro") == 1000000L &&
+      r1.getAs[Long]("mu0_micro") == 0L &&
+      r1.getAs[Long]("ate_micro") == 1000000L, r1)
+    // balanced null outcome: exact 0
+    val nullEff = (0L until 40L).map(i =>
+      (i, "alpha beta gamma", i % 2 == 0, i % 4 <= 1))
+      .toDF("doc_id", "text", "t", "y")
+    val r0 = Classifier.ipwEffect(nullEff, "text", "doc_id", col("t"),
+      col("y"), dim = 8, iters = 2).head()
+    assert(r0.getAs[Long]("ate_micro") == 0L, r0)
+    // confounding: Z (visible in text) drives BOTH treatment and
+    // outcome; the true effect is 0 but the naive diff reads +1/3.
+    // The propensity model sees Z through the token and the IPW
+    // estimate collapses most of the bias.
+    val conf = (0L until 60L).map { i =>
+      val z = i < 30L
+      val t = if (z) i % 3 != 2 else i % 3 == 0
+      (i, if (z) "zmark common filler" else "plain common filler",
+        t, z)
+    }.toDF("doc_id", "text", "t", "y")
+    val naiveMicro = 333333L // (20/30 - 10/30) in micro
+    val rc = Classifier.ipwEffect(conf, "text", "doc_id", col("t"),
+      col("y"), dim = 8, iters = 8).head()
+    val ate = rc.getAs[Long]("ate_micro")
+    assert(math.abs(ate) < naiveMicro / 2,
+      s"IPW left most of the confounding bias: $ate vs $naiveMicro")
+  }
 }

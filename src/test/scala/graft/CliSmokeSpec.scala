@@ -573,6 +573,8 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("dispersion", statsPath, "v"))
     graft.cli.Main.main(Array("skip-report", statsPath, "v", "1", "3"))
     graft.cli.Main.main(Array("kish", statsPath, "v"))
+    graft.cli.Main.main(Array("ipw", corpusPath, "source", "src1",
+      "source", "src2", "8", "2"))
     val dpOut = tmpDir("cli-r12dp")
     graft.cli.Main.main(Array("dp-counts", statsPath, "cat", "1.0",
       "seed1", dpOut))

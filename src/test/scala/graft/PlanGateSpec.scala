@@ -208,7 +208,7 @@ class PlanGateSpec extends SparkSpec {
       "q291_bm25_index_delete", "q293_signed_index_lifecycle",
       "q296_logistic_fit", "q297_logistic_filter",
       "q300_persisted_hybrid", "q307_ann_index_lifecycle",
-      "q309_mondrian")
+      "q309_mondrian", "q318_ipw")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalWindowWhitelist.contains)
@@ -244,7 +244,7 @@ class PlanGateSpec extends SparkSpec {
       "q291_bm25_index_delete", "q293_signed_index_lifecycle",
       "q296_logistic_fit", "q297_logistic_filter",
       "q300_persisted_hybrid", "q307_ann_index_lifecycle",
-      "q309_mondrian")
+      "q309_mondrian", "q318_ipw")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalSortWhitelist.contains)
@@ -409,8 +409,10 @@ class PlanGateSpec extends SparkSpec {
                                // (the per-stratum risk join is equi)
       "q311_ari",              // 1-row cell-pair sums × broadcast
                                // 1-row margin-pair sums
-      "q313_ks")               // distinct-cent CDF rows × broadcast
+      "q313_ks",               // distinct-cent CDF rows × broadcast
                                // 1-row side totals
+      "q318_ipw")              // q297's serving shape (scored rows ×
+                               // broadcast 1-row intercept)
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is

@@ -400,6 +400,67 @@ class StreamAggExportSpec extends SparkSpec {
     assert(!serve().exists(_._3 == 7L))
   }
 
+  test("StreamingPq: first batch trains, later batches append under " +
+    "the frozen model identically to batch appends; replays are " +
+    "no-ops via the id dedupe; a streamed delete tombstones") {
+    import graft.sim.SimSearch
+    implicit val sq = spark.sqlContext
+    val base = tmpDir("spq")
+    val idxPath = s"$base/idx"
+    val rnd = new scala.util.Random(53)
+    val emb = Seq.tabulate(60)(i => (i.toLong,
+      Seq.fill(8)(rnd.nextFloat() * 2 - 1), (i % 3).toLong))
+    val mem = MemoryStream[(Long, Seq[Float], Long)]
+    val query = graft.streaming.StreamingPq.start(
+      mem.toDF().toDF("vec_id", "embedding", "cell"), idxPath,
+      s"$base/ckpt", "vec_id", "embedding", "cell", m = 2, k = 4,
+      iters = 2, dim = 8, bucketWidth = 128L,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      mem.addData(emb.take(30): _*)
+      query.processAllAvailable()
+      mem.addData(emb.drop(30): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    // the twin built with the SAME batch split through the batch API
+    val all = emb.toDF("vec_id", "embedding", "cell").localCheckpoint()
+    val twinPath = s"$base/twin"
+    SimSearch.writePqIndex(all.filter(col("vec_id") < 30), twinPath,
+      "vec_id", "embedding", "cell", m = 2, k = 4, iters = 2, dim = 8,
+      bucketWidth = 128L)
+    SimSearch.appendToPqIndex(all.filter(col("vec_id") >= 30),
+      twinPath, "vec_id", "embedding", m = 2, dim = 8,
+      cellCol = Some("cell"))
+    val queries = all.filter(col("vec_id") < 3)
+    def serve(path: String): Set[(Long, Long)] = {
+      val (cb, codes, cen) = SimSearch.readPqIndex(spark, path)
+      SimSearch.ivfPqTopKRefined(codes, cb, cen, queries, all,
+        "vec_id", "embedding", "vec_id", m = 2, k = 5,
+        candidates = 20, nprobe = 2, dim = 8)
+        .select("qid", "neighbor").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val streamed = serve(idxPath)
+    assert(streamed == serve(twinPath) && streamed.nonEmpty)
+    // replaying a batch is a no-op: the id dedupe rejects it
+    graft.streaming.StreamingPq.processBatch(
+      emb.drop(30).toDF("vec_id", "embedding", "cell"), idxPath,
+      "vec_id", "embedding", "cell", m = 2, k = 4, iters = 2, dim = 8,
+      bucketWidth = 128L)
+    assert(serve(idxPath) == streamed)
+    // a streamed delete tombstones its vector out of serving
+    val delMem = MemoryStream[Long]
+    val delQuery = graft.streaming.StreamingPq.startDeletes(
+      delMem.toDF().toDF("vec_id"), idxPath, s"$base/delckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      val victim = streamed.find(_._2 >= 3L).get._2
+      delMem.addData(victim)
+      delQuery.processAllAvailable()
+      assert(!serve(idxPath).exists(_._2 == victim))
+    } finally delQuery.stop()
+  }
+
   test("StreamingFunnel: incremental state matches the batch funnel " +
     "when events arrive in order; replays are idempotent") {
     import java.sql.Timestamp
