@@ -7790,6 +7790,43 @@ object OracleSql {
     // mSPRT anytime-valid A/B monitor: running-min p path
     "q314_msprt" -> q314MsprtSql,
 
+    // Holm step-down: q301's hypothesis chain with the family-wise cut
+    "q319_holm" ->
+      """WITH e AS (SELECT user_id % 20 AS cohort, event_type AS c
+        |  FROM events WHERE event_type IS NOT NULL),
+        |cells AS (SELECT cohort, c, count(*)::BIGINT AS o
+        |  FROM e GROUP BY 1, 2),
+        |g AS (SELECT cohort, sum(o)::BIGINT AS ng FROM cells
+        |  GROUP BY 1),
+        |cat AS (SELECT c, sum(o)::BIGINT AS nc FROM cells GROUP BY 1),
+        |kk AS (SELECT count(*)::BIGINT AS k, sum(nc)::BIGINT AS n
+        |  FROM cat),
+        |grid AS (SELECT g.cohort, g.ng,
+        |    coalesce(cells.o, 0)::BIGINT AS o,
+        |    g.ng::DOUBLE * cat.nc::DOUBLE / kk.n::DOUBLE AS ex, kk.k
+        |  FROM g CROSS JOIN cat CROSS JOIN kk
+        |  LEFT JOIN cells ON cells.cohort = g.cohort
+        |    AND cells.c = cat.c),
+        |chi AS (SELECT cohort, min(ng)::BIGINT AS n,
+        |    min(k)::BIGINT AS k,
+        |    sum((round((o::DOUBLE - ex) * (o::DOUBLE - ex) / ex
+        |      * 1000000.0))::BIGINT)::BIGINT AS chi2_micro
+        |  FROM grid GROUP BY 1),
+        |p AS (SELECT cohort, n, chi2_micro, (k - 1)::INTEGER AS df,
+        |    (round(exp(-(chi2_micro::DOUBLE / 2000000.0)) *
+        |      (1.0 + chi2_micro::DOUBLE / 2000000.0) * 1000000.0))
+        |      ::BIGINT AS p_micro
+        |  FROM chi),
+        |r AS (SELECT *, row_number() OVER (ORDER BY p_micro, cohort)
+        |    AS rk, count(*) OVER () AS m FROM p),
+        |kf AS (SELECT min(CASE WHEN
+        |      p_micro::HUGEINT * (m - rk + 1) > 100000
+        |    THEN rk END) AS kfail FROM r)
+        |SELECT cohort, n, chi2_micro, df, p_micro,
+        |  rk::INTEGER AS rank,
+        |  (kf.kfail IS NULL OR rk < kf.kfail) AS discovered
+        |FROM r, kf""".stripMargin,
+
     // IPW treatment effect: q296's propensity weights nested, q297's
     // scoring chain, clipped inverse-propensity arm sums
     "q318_ipw" ->

@@ -5106,6 +5106,19 @@ object SparkEntry {
       col("ts"), pmod(col("user_id"), lit(2L)) === 0,
       pmod(col("user_id"), lit(5L)))
 
+  /** Holm step-down over q301's hypothesis table — the family-wise
+    * gate beside BH/BY's FDR: cross-multiplied exact compares, the
+    * first failure stops everything after it. Discoveries ⊆ BH's at
+    * the same α by construction.
+    */
+  def q319_holm(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      pmod(col("user_id"), lit(20L)).as("cohort"), col("event_type"))
+    Relational.holmAdjust(
+      Relational.chiSquareGofByGroup(ev, "cohort", col("event_type")),
+      "cohort", col("p_micro"), alphaMicro = 100000L)
+  }
+
   /** IPW treatment effect: does mentioning "data" cause documents to
     * be long, after adjusting for everything else the hashed bag of
     * words sees? q296's propensity model + Horvitz–Thompson arm
@@ -5669,7 +5682,8 @@ object SparkEntry {
     "q315_dp_counts" -> (q315_dp_counts(_, _)),
     "q316_poisson_dispersion" -> (q316_poisson_dispersion(_, _)),
     "q317_kish_neff" -> (q317_kish_neff(_, _)),
-    "q318_ipw" -> (q318_ipw(_, _)))
+    "q318_ipw" -> (q318_ipw(_, _)),
+    "q319_holm" -> (q319_holm(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -588,6 +588,18 @@ object Main {
         s"chi2_micro=${r.get(6)}")
       done(spark)
 
+    // Holm-Bonferroni step-down (family-wise error control)
+    case "holm" :: path :: idCol :: pCol :: rest =>
+      import org.apache.spark.sql.functions.col
+      val alpha = rest.headOption.map(_.toLong).getOrElse(100000L)
+      val spark = session()
+      val out = graft.operators.Relational.holmAdjust(
+        spark.read.parquet(path), idCol, col(pCol), alpha)
+      val n = out.count()
+      val disc = out.filter(col("discovered")).count()
+      println(s"[holm] $disc/$n discovered at alpha_micro=$alpha")
+      done(spark)
+
     // IPW treatment effect with a text-trained propensity model
     case "ipw" :: corpus :: tCol :: tVal :: yCol :: yVal :: rest =>
       import org.apache.spark.sql.functions.col

@@ -2083,6 +2083,45 @@ object Relational {
         (col("rank") <= col("_kstar")).as("discovered")): _*)
   }
 
+  /** Holm–Bonferroni step-down adjustment (Holm 1979) — the
+    * FAMILY-WISE error control beside [[byFdr]]/BH's
+    * false-discovery-rate control: uniformly more powerful than plain
+    * Bonferroni, valid under ARBITRARY dependence, and the right
+    * gate when even one false discovery is unacceptable (release
+    * blockers, safety screens) rather than a tolerable rate. Ranked
+    * ascending, reject while `p_(i) ≤ α/(m−i+1)`; the first failure
+    * stops everything after it (step-down).
+    *
+    * Exactness + scale (the [[byFdr]] discipline): the rank window
+    * runs over the BOUNDED hypothesis table, never row data; the
+    * compare is cross-multiplied exact integers
+    * (`p_micro·(m−rank+1) ≤ α_micro·1e?` — both sides decimal, no
+    * division). Output: the input columns + `rank` + `discovered`.
+    */
+  def holmAdjust(df: DataFrame, idCol: String, pMicro: Column,
+      alphaMicro: Long): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro <= 1000000L,
+      s"alphaMicro must be in (0, 1e6], got $alphaMicro")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy(col("_p"), col(idCol))
+    val ranked = df.withColumn("_p", pMicro)
+      .filter(col("_p").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(
+        df.filter(pMicro.isNotNull).agg(count(lit(1)).as("_m"))))
+      .persist() // the failure probe + the output
+    // the step-down cut: the SMALLEST rank whose Holm compare fails;
+    // everything from there on is undiscovered regardless of p
+    val kFail = ranked.agg(min(when(
+      col("_p").cast(dec) * (col("_m") - col("rank") + 1L) >
+        lit(alphaMicro).cast(dec), col("rank"))).as("_kfail"))
+    ranked.crossJoin(broadcast(kFail))
+      .select(df.columns.map(col) ++ Seq(col("rank"),
+        (col("_kfail").isNull || col("rank") < col("_kfail"))
+          .as("discovered")): _*)
+  }
+
   /** 2×2 odds ratio + Woolf logit 95% CI (the case-control effect
     * size chi-square/Cramér's V don't give you: HOW MUCH more likely
     * is the outcome under exposure): `OR = (a·d)/(b·c)`,

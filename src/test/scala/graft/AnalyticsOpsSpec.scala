@@ -270,6 +270,41 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(withNull.length == 1 && withNull.head.getLong(0) == 1L)
   }
 
+  test("holmAdjust: the textbook step-down — the first failure blocks " +
+    "every later rank even when its own bar would pass; Holm " +
+    "discoveries are a subset of BH's") {
+    def run(ps: Seq[Long], alpha: Long) =
+      Relational.holmAdjust(
+        ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+          .toDF("id", "p_micro"),
+        "id", col("p_micro"), alpha)
+        .collect().map(r => r.getAs[Long]("p_micro") ->
+          r.getAs[Boolean]("discovered")).toMap
+    // bars alpha/(m-i+1) = .0125/.0167/.025/.05: ranks 1-2 pass,
+    // rank 3 (.04 > .025) fails and stops the walk
+    val basic = run(Seq(10000L, 15000L, 40000L, 500000L), 50000L)
+    assert(basic == Map(10000L -> true, 15000L -> true,
+      40000L -> false, 500000L -> false), basic)
+    // STEP-DOWN: rank 2 (.02 > .0167) fails, so rank 4 (.04 <= .05)
+    // is blocked despite clearing its own bar — the FWER discipline
+    val blocked = run(Seq(10000L, 20000L, 30000L, 40000L), 50000L)
+    assert(blocked == Map(10000L -> true, 20000L -> false,
+      30000L -> false, 40000L -> false), blocked)
+    // all pass when every bar clears
+    assert(run(Seq(1000L, 2000L, 3000L), 50000L).values.forall(x => x))
+    // Holm ⊆ BH at the same alpha, on both tables
+    for (ps <- Seq(Seq(10000L, 15000L, 40000L, 500000L),
+      Seq(10000L, 20000L, 30000L, 40000L))) {
+      val holm = run(ps, 50000L)
+      val bh = Relational.bhFdr(
+        ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+          .toDF("id", "p_micro"), "id", col("p_micro"), 50000L)
+        .collect().map(r => r.getAs[Long]("p_micro") ->
+          r.getAs[Boolean]("discovered")).toMap
+      ps.foreach(p => assert(!holm(p) || bh(p), s"$p: holm>${bh(p)}"))
+    }
+  }
+
   test("chiSquareGofByGroup: a group matching the pooled mix scores " +
     "~0 with p ~ 1; even df gets the closed-form p, odd df NULL") {
     // 3 categories (df = 2, even): group 'same' mirrors the pool,

@@ -573,6 +573,11 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("dispersion", statsPath, "v"))
     graft.cli.Main.main(Array("skip-report", statsPath, "v", "1", "3"))
     graft.cli.Main.main(Array("kish", statsPath, "v"))
+    val holmPath = s"${tmpDir("cli-r12holm")}/hyps"
+    Seq((1L, 10000L), (2L, 40000L), (3L, 700000L))
+      .toDF("id", "p_micro").write.mode("overwrite").parquet(holmPath)
+    graft.cli.Main.main(Array("holm", holmPath, "id", "p_micro",
+      "50000"))
     graft.cli.Main.main(Array("ipw", corpusPath, "source", "src1",
       "source", "src2", "8", "2"))
     val dpOut = tmpDir("cli-r12dp")

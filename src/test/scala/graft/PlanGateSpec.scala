@@ -197,6 +197,7 @@ class PlanGateSpec extends SparkSpec {
                                  // window (value-space-bounded, q36)
       "q294_mad", // two distinct-value cumulative medians (q36)
       "q301_by_fdr", // q259's bounded hypothesis-table rank window
+      "q319_holm", // the same bounded hypothesis-table rank window
       "q302_hazard_ratio", // q278's bounded distinct-lifetime windows
       "q313_ks", // distinct-cent cumulative CDF window (q36)
       "q314_msprt") // bounded distinct-day cumulative/min windows
@@ -411,8 +412,10 @@ class PlanGateSpec extends SparkSpec {
                                // 1-row margin-pair sums
       "q313_ks",               // distinct-cent CDF rows × broadcast
                                // 1-row side totals
-      "q318_ipw")              // q297's serving shape (scored rows ×
+      "q318_ipw",              // q297's serving shape (scored rows ×
                                // broadcast 1-row intercept)
+      "q319_holm")             // hypothesis table × broadcast 1-row
+                               // m / k-fail scalars (q301's shape)
     // q26 performs its ingest roundtrip at DataFrame-construction time —
     // a real write job, not a plan build — and q105's BPE trainer runs
     // its per-round argmax collect()s eagerly while the DataFrame is
