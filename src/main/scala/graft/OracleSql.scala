@@ -7790,6 +7790,57 @@ object OracleSql {
     // mSPRT anytime-valid A/B monitor: running-min p path
     "q314_msprt" -> q314MsprtSql,
 
+    // Cohen's h + Wilson intervals on q295's conversion cells
+    "q320_proportion_effect" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS converted
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_a,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END)
+        |      ::BIGINT AS x_a,
+        |    sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_b,
+        |    sum(CASE WHEN user_id % 2 <> 0 THEN converted ELSE 0 END)
+        |      ::BIGINT AS x_b
+        |  FROM u),
+        |c AS (SELECT n_a, x_a, n_b, x_b,
+        |    x_a::DOUBLE / n_a::DOUBLE AS pa,
+        |    x_b::DOUBLE / n_b::DOUBLE AS pb,
+        |    1.959964 * 1.959964 AS z2
+        |  FROM m)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+        |    (round((2.0 * asin(sqrt(pa)) - 2.0 * asin(sqrt(pb)))
+        |      * 1000000.0))::BIGINT END AS h_micro,
+        |  CASE WHEN n_a = 0 THEN NULL ELSE
+        |    (round((pa + z2 / (2.0 * n_a::DOUBLE) - 1.959964 *
+        |      sqrt(pa * (1.0 - pa) / n_a::DOUBLE +
+        |        z2 / (4.0 * n_a::DOUBLE * n_a::DOUBLE))) /
+        |      (1.0 + z2 / n_a::DOUBLE) * 1000000.0))::BIGINT
+        |    END AS lo_a_micro,
+        |  CASE WHEN n_a = 0 THEN NULL ELSE
+        |    (round((pa + z2 / (2.0 * n_a::DOUBLE) + 1.959964 *
+        |      sqrt(pa * (1.0 - pa) / n_a::DOUBLE +
+        |        z2 / (4.0 * n_a::DOUBLE * n_a::DOUBLE))) /
+        |      (1.0 + z2 / n_a::DOUBLE) * 1000000.0))::BIGINT
+        |    END AS hi_a_micro,
+        |  CASE WHEN n_b = 0 THEN NULL ELSE
+        |    (round((pb + z2 / (2.0 * n_b::DOUBLE) - 1.959964 *
+        |      sqrt(pb * (1.0 - pb) / n_b::DOUBLE +
+        |        z2 / (4.0 * n_b::DOUBLE * n_b::DOUBLE))) /
+        |      (1.0 + z2 / n_b::DOUBLE) * 1000000.0))::BIGINT
+        |    END AS lo_b_micro,
+        |  CASE WHEN n_b = 0 THEN NULL ELSE
+        |    (round((pb + z2 / (2.0 * n_b::DOUBLE) + 1.959964 *
+        |      sqrt(pb * (1.0 - pb) / n_b::DOUBLE +
+        |        z2 / (4.0 * n_b::DOUBLE * n_b::DOUBLE))) /
+        |      (1.0 + z2 / n_b::DOUBLE) * 1000000.0))::BIGINT
+        |    END AS hi_b_micro
+        |FROM c""".stripMargin,
+
     // Holm step-down: q301's hypothesis chain with the family-wise cut
     "q319_holm" ->
       """WITH e AS (SELECT user_id % 20 AS cohort, event_type AS c

@@ -5106,6 +5106,18 @@ object SparkEntry {
       col("ts"), pmod(col("user_id"), lit(2L)) === 0,
       pmod(col("user_id"), lit(5L)))
 
+  /** Cohen's h + per-arm Wilson intervals over q295's conversion
+    * cells — the magnitude/CI readout beside its z verdict. Exact
+    * cells, fixed asin/Wilson chains.
+    */
+  def q320_proportion_effect(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("converted"))
+    Relational.proportionEffect(perUser,
+      pmod(col("user_id"), lit(2L)) === 0, col("converted"))
+  }
+
   /** Holm step-down over q301's hypothesis table — the family-wise
     * gate beside BH/BY's FDR: cross-multiplied exact compares, the
     * first failure stops everything after it. Discoveries ⊆ BH's at
@@ -5683,7 +5695,8 @@ object SparkEntry {
     "q316_poisson_dispersion" -> (q316_poisson_dispersion(_, _)),
     "q317_kish_neff" -> (q317_kish_neff(_, _)),
     "q318_ipw" -> (q318_ipw(_, _)),
-    "q319_holm" -> (q319_holm(_, _)))
+    "q319_holm" -> (q319_holm(_, _)),
+    "q320_proportion_effect" -> (q320_proportion_effect(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

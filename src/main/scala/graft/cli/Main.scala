@@ -588,6 +588,19 @@ object Main {
         s"chi2_micro=${r.get(6)}")
       done(spark)
 
+    // Cohen's h + Wilson intervals for a two-arm proportion
+    case "cohensh" :: path :: flagCol :: successCol :: Nil =>
+      import org.apache.spark.sql.functions.col
+      val spark = session()
+      val r = graft.operators.Relational.proportionEffect(
+        spark.read.parquet(path), col(flagCol).cast("boolean"),
+        col(successCol).cast("boolean")).head()
+      println(s"[cohensh] a=${r.getLong(1)}/${r.getLong(0)} " +
+        s"b=${r.getLong(3)}/${r.getLong(2)} h_micro=${r.get(4)} " +
+        s"wilson_a=[${r.get(5)}, ${r.get(6)}] " +
+        s"wilson_b=[${r.get(7)}, ${r.get(8)}]")
+      done(spark)
+
     // Holm-Bonferroni step-down (family-wise error control)
     case "holm" :: path :: idCol :: pCol :: rest =>
       import org.apache.spark.sql.functions.col

@@ -3658,6 +3658,54 @@ object Relational {
       min(col("_pt")).over(w).as("p_always_micro"))
   }
 
+  /** Proportion effect size + per-arm Wilson intervals — the
+    * magnitude readout beside [[twoProportionZ]]'s significance:
+    * Cohen's h = 2·asin√p₁ − 2·asin√p₂ (Cohen 1988's
+    * variance-stabilized difference; ±0.2/0.5/0.8 are the
+    * conventional small/medium/large bands) and each arm's Wilson
+    * score interval (Wilson 1927 — honest near 0/1 and at small n
+    * where the Wald interval collapses). One aggregation pass, exact
+    * integer cells, fixed asin/sqrt chains. Output (one row):
+    * `(n_a, x_a, n_b, x_b, h_micro, lo_a_micro, hi_a_micro,
+    * lo_b_micro, hi_b_micro)` — NULLs when an arm is empty.
+    */
+  def proportionEffect(df: DataFrame, isA: Column, success: Column)
+      : DataFrame = {
+    val m = df.select(isA.as("_a"), success.cast("long").as("_x"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("_a"), col("_x")).otherwise(0L)).as("x_a"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("_a"), col("_x")).otherwise(0L)).as("x_b"))
+    val z = 1.959964
+    def p(x: Column, n: Column) = x.cast("double") / n.cast("double")
+    def wilson(x: Column, n: Column, upper: Boolean): Column = {
+      val nd = n.cast("double")
+      val ph = p(x, n)
+      val z2 = lit(z * z)
+      val centre = ph + z2 / (lit(2.0) * nd)
+      val spread = lit(z) * sqrt(ph * (lit(1.0) - ph) / nd +
+        z2 / (lit(4.0) * nd * nd))
+      val den = lit(1.0) + z2 / nd
+      if (upper) (centre + spread) / den else (centre - spread) / den
+    }
+    val h = lit(2.0) * asin(sqrt(p(col("x_a"), col("n_a")))) -
+      lit(2.0) * asin(sqrt(p(col("x_b"), col("n_b"))))
+    def snap(c: Column) = round(c * lit(1000000.0)).cast("long")
+    def ga(c: Column) = when(col("n_a") === 0L,
+      lit(null).cast("long")).otherwise(snap(c))
+    def gb(c: Column) = when(col("n_b") === 0L,
+      lit(null).cast("long")).otherwise(snap(c))
+    m.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      when(col("n_a") === 0L || col("n_b") === 0L,
+        lit(null).cast("long")).otherwise(snap(h)).as("h_micro"),
+      ga(wilson(col("x_a"), col("n_a"), upper = false))
+        .as("lo_a_micro"),
+      ga(wilson(col("x_a"), col("n_a"), upper = true)).as("hi_a_micro"),
+      gb(wilson(col("x_b"), col("n_b"), upper = false))
+        .as("lo_b_micro"),
+      gb(wilson(col("x_b"), col("n_b"), upper = true)).as("hi_b_micro"))
+  }
+
   def twoProportionZ(df: DataFrame, isA: Column, success: Column)
       : DataFrame = {
     val d = df.select(isA.as("_a"), success.cast("long").as("_x"))

@@ -270,6 +270,35 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(withNull.length == 1 && withNull.head.getLong(0) == 1L)
   }
 
+  test("proportionEffect: hand Cohen's h and Wilson intervals, " +
+    "symmetric arms read h = 0, empty arm is NULL") {
+    // A: 6/10, B: 2/10 — python-mirrored constants
+    val df = ((1 to 10).map(i => (true, i <= 6)) ++
+      (1 to 10).map(i => (false, i <= 2))).toDF("a", "s")
+    val r = Relational.proportionEffect(df, col("a"), col("s")).head()
+    assert(r.getAs[Long]("n_a") == 10L && r.getAs[Long]("x_a") == 6L &&
+      r.getAs[Long]("x_b") == 2L)
+    assert(r.getAs[Long]("h_micro") == 844859L, r)
+    assert(r.getAs[Long]("lo_a_micro") == 312674L &&
+      r.getAs[Long]("hi_a_micro") == 831820L, r)
+    assert(r.getAs[Long]("lo_b_micro") == 56682L &&
+      r.getAs[Long]("hi_b_micro") == 509838L, r)
+    // equal rates: h exactly 0; Wilson intervals identical per arm
+    val eq = ((1 to 8).map(i => (true, i <= 4)) ++
+      (1 to 8).map(i => (false, i <= 4))).toDF("a", "s")
+    val re = Relational.proportionEffect(eq, col("a"), col("s")).head()
+    assert(re.getAs[Long]("h_micro") == 0L, re)
+    assert(re.getAs[Long]("lo_a_micro") ==
+      re.getAs[Long]("lo_b_micro"), re)
+    // empty B arm: NULL h and B interval, A interval intact
+    val one = (1 to 5).map(i => (true, i <= 3)).toDF("a", "s")
+    val ro = Relational.proportionEffect(one, col("a"), col("s"))
+      .head()
+    assert(ro.isNullAt(ro.fieldIndex("h_micro")) &&
+      ro.isNullAt(ro.fieldIndex("lo_b_micro")) &&
+      !ro.isNullAt(ro.fieldIndex("lo_a_micro")), ro)
+  }
+
   test("holmAdjust: the textbook step-down — the first failure blocks " +
     "every later rank even when its own bar would pass; Holm " +
     "discoveries are a subset of BH's") {

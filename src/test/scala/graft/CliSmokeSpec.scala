@@ -573,6 +573,7 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("dispersion", statsPath, "v"))
     graft.cli.Main.main(Array("skip-report", statsPath, "v", "1", "3"))
     graft.cli.Main.main(Array("kish", statsPath, "v"))
+    graft.cli.Main.main(Array("cohensh", statsPath, "ga", "ga"))
     val holmPath = s"${tmpDir("cli-r12holm")}/hyps"
     Seq((1L, 10000L), (2L, 40000L), (3L, 700000L))
       .toDF("id", "p_micro").write.mode("overwrite").parquet(holmPath)
