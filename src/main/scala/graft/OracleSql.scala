@@ -1764,6 +1764,78 @@ object OracleSql {
        |ORDER BY h, event_id LIMIT 50""".stripMargin
   }
 
+  /** q322: Skilling's n-D AxesToTranspose unrolled step for step —
+    * per level an invert-or-exchange of each coordinate against
+    * column 0, then the prefix Gray pass, the X[n−1]-driven
+    * correction fold, and the transpose bit interleave — exactly the
+    * Spark column stages of `Relational.withHilbertValueN`.
+    */
+  private val q322Hilbert3dSql: String = {
+    val n = 3
+    val b = 3
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    buf += s"""l0 AS (SELECT event_id,
+      |    (user_id % 8)::BIGINT AS x, (event_id % 8)::BIGINT AS y,
+      |    (((round(value * 100)::BIGINT % 8) + 8) % 8) AS z,
+      |    (user_id % 8)::BIGINT AS t0, (event_id % 8)::BIGINT AS t1,
+      |    (((round(value * 100)::BIGINT % 8) + 8) % 8) AS t2
+      |  FROM events WHERE value IS NOT NULL)""".stripMargin
+    var prev = "l0"
+    var k = 0
+    def emit(exprs: Map[Int, String], from: String): Unit = {
+      k += 1
+      val nm = s"s$k"
+      val ts = (0 until n)
+        .map(i => s"${exprs.getOrElse(i, s"t$i")} AS t$i")
+        .mkString(", ")
+      buf += s"$nm AS (SELECT event_id, x, y, z, $ts FROM $from)"
+      prev = nm
+    }
+    for (q <- b - 1 to 1 by -1) {
+      val bigQ = 1L << q
+      val p = bigQ - 1L
+      emit(Map(0 ->
+        s"CASE WHEN (t0 & $bigQ) > 0 THEN xor(t0, $p) ELSE t0 END"),
+        prev)
+      for (i <- 1 until n) {
+        k += 1
+        val nm = s"s$k"
+        val others = (1 until n).filter(_ != i)
+          .map(j => s"t$j AS t$j")
+        buf +=
+          s"""$nm AS (SELECT event_id, x, y, z,
+             |    CASE WHEN (t$i & $bigQ) > 0 THEN xor(t0, $p)
+             |      ELSE xor(t0, hx) END AS t0,
+             |    ${(others :+ s"xor(t$i, hx) AS t$i").mkString(", ")}
+             |  FROM (SELECT *,
+             |      CASE WHEN (t$i & $bigQ) > 0 THEN 0
+             |        ELSE xor(t0, t$i) & $p END AS hx
+             |    FROM $prev))""".stripMargin
+        prev = nm
+      }
+    }
+    for (i <- 1 until n)
+      emit(Map(i -> s"xor(t$i, t${i - 1})"), prev)
+    val tf = (b - 1 to 1 by -1).map { q =>
+      val bigQ = 1L << q
+      s"CASE WHEN (t${n - 1} & $bigQ) > 0 THEN ${bigQ - 1} ELSE 0 END"
+    }.reduce((a, c) => s"xor($a, $c)")
+    k += 1
+    val foldNm = s"s$k"
+    buf +=
+      s"""$foldNm AS (SELECT event_id, x, y, z,
+         |    ${(0 until n).map(i => s"xor(t$i, hx) AS t$i")
+           .mkString(", ")}
+         |  FROM (SELECT *, $tf AS hx FROM $prev))""".stripMargin
+    prev = foldNm
+    val h = (for { q <- 0 until b; i <- 0 until n }
+      yield s"(((t$i >> $q) & 1) << ${q * n + (n - 1 - i)})")
+      .mkString(" | ")
+    s"""WITH ${buf.mkString(",\n")}
+       |SELECT event_id, x, y, z, ($h)::BIGINT AS h FROM $prev
+       |ORDER BY h, event_id LIMIT 50""".stripMargin
+  }
+
   /** q313: two-sample KS — exact cross-multiplied supremum off the
     * distinct-value cumulative table, identical λ / 8-term p chain.
     */
@@ -7840,6 +7912,19 @@ object OracleSql {
         |      (1.0 + z2 / n_b::DOUBLE) * 1000000.0))::BIGINT
         |    END AS hi_b_micro
         |FROM c""".stripMargin,
+
+    // BM25 index time travel: the retained pre-delete snapshot serves
+    // full-corpus BM25, the ruling snapshot survivors-only — both
+    // replayed by q78's parameterized SQL and tagged
+    "q321_bm25_time_travel" ->
+      s"""SELECT 'pre_delete' AS snapshot, query_id, doc_id, rank,
+         |  score_pico
+         |FROM (${bm25Sql("documents")})
+         |UNION ALL
+         |SELECT 'post_delete' AS snapshot, query_id, doc_id, rank,
+         |  score_pico
+         |FROM (${bm25Sql(
+        "(SELECT * FROM documents WHERE doc_id % 5 <> 0)")})""".stripMargin,
 
     // Holm step-down: q301's hypothesis chain with the family-wise cut
     "q319_holm" ->

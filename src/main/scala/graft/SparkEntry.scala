@@ -5118,6 +5118,51 @@ object SparkEntry {
       pmod(col("user_id"), lit(2L)) === 0, col("converted"))
   }
 
+  /** BM25 index TIME TRAVEL under the oracle (the round-12
+    * PoolCommit retention contract ported to the index families):
+    * index the full corpus (snapshot gen 1), tombstone-delete every
+    * 5th doc with `retain = 2` — so the PRE-DELETE snapshot's marker
+    * and files stay on disk — then serve q78's query set from BOTH
+    * snapshots: `atGen = 1` must replay in-memory BM25 over the FULL
+    * corpus (the audit/rollback read: "what did this query serve
+    * before the takedown batch?"), the ruling snapshot over the
+    * survivors only. The oracle computes both corpora's BM25 and
+    * tags the rows, so a snapshot read leaking tombstones in either
+    * direction hash-fails. EAGER (index writes are jobs); temp tree
+    * deleted before returning.
+    */
+  def q321_bm25_time_travel(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25tt")
+    try {
+      import s.implicits._
+      val p = base.resolve("idx").toString
+      val d = docs(s, dir)
+      graft.text.Bm25.writeBm25Index(d, "text", "doc_id", p,
+        buckets = 16)
+      graft.text.Bm25.deleteFromBm25Index(
+        d.filter(col("doc_id") % 5 === 0).select(col("doc_id")), p,
+        "doc_id", retain = 2)
+      require(graft.text.Bm25.bm25Generations(s, p) == Seq(1L, 2L),
+        "retain=2 must keep the pre-delete snapshot readable")
+      val queries = Seq(
+        (1L, "spark"), (1L, "join"), (1L, "window"),
+        (2L, "slow"), (2L, "query"), (2L, "filter"),
+        (3L, "customer"), (3L, "order"), (3L, "the"))
+        .toDF("query_id", "term")
+      def serve(at: Option[Long]): DataFrame =
+        graft.text.Bm25.topKFromIndex(s, p, queries, "query_id",
+          "doc_id", k = 10, atGen = at)
+      serve(Some(1L)).withColumn("snapshot", lit("pre_delete"))
+        .unionByName(
+          serve(None).withColumn("snapshot", lit("post_delete")))
+        .localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Holm step-down over q301's hypothesis table — the family-wise
     * gate beside BH/BY's FDR: cross-multiplied exact compares, the
     * first failure stops everything after it. Discoveries ⊆ BH's at
@@ -5209,6 +5254,81 @@ object SparkEntry {
     ev.select(col("event_id"), col("x"), col("y"),
       Relational.hilbertValue(col("x"), col("y"), bits = 5).as("h"))
       .orderBy(col("h"), col("event_id")).limit(50)
+  }
+
+  /** 3-D Hilbert curve values (Skilling's n-D transpose algorithm)
+    * over bucketed event coordinates — q312's multi-column
+    * generalization: a real lakehouse clusters 3-4 quasi-key columns,
+    * and the n-D curve is what makes ONE sort key serve range
+    * predicates on any of them. The 50 lowest curve cells under the
+    * exact step-unrolled oracle.
+    */
+  def q322_hilbert3d(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(8L)).as("x"),
+        pmod(col("event_id"), lit(8L)).as("y"),
+        pmod(round(col("value") * 100).cast("long"), lit(8L)).as("z"))
+    Relational.withHilbertValueN(ev,
+      Seq(col("x"), col("y"), col("z")), "h", bits = 3)
+      .select(col("event_id"), col("x"), col("y"), col("z"), col("h"))
+      .orderBy(col("h"), col("event_id")).limit(50)
+  }
+
+  /** The layout decision CLOSED END TO END (the round-12
+    * file-skipping audit finally driving a choice): write the
+    * bucketed event cube TWICE — lexicographically sorted on x (the
+    * single-key layout that serves only x) and Hilbert-clustered on
+    * (x, y, z) — then probe a selective range on z, the NON-LEADING
+    * column, through [[Diagnose.fileSkippingReport]] on both. The
+    * in-query `require` pins the claim that justifies the re-layout
+    * write cost: the clustered layout's min/max-pruned scan reads
+    * strictly fewer rows (the x-sorted layout is blind to z — every
+    * file spans the full z range). The RESULT row is the
+    * layout-invariant ground truth (total rows + matched rows per
+    * dimension probe), which DuckDB replays directly — so the gate
+    * hash-fails if bucketing/probe semantics drift, and fails loudly
+    * if clustering ever stops paying. EAGER (two layout writes + two
+    * audits); temp tree deleted before returning.
+    */
+  def q323_layout_skipping(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_layout")
+    try {
+      val cube = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(64L)).as("x"),
+          pmod(col("event_id"), lit(64L)).as("y"),
+          pmod(round(col("value") * 100).cast("long"), lit(64L))
+            .as("z"))
+      val cols = Seq(col("x"), col("y"), col("z"))
+      val xSorted = base.resolve("xsorted").toString
+      val clustered = base.resolve("hilbert").toString
+      cube.repartitionByRange(8, col("x"))
+        .sortWithinPartitions(col("x"))
+        .write.parquet(xSorted)
+      Relational.hilbertLayoutN(cube, cols, bits = 6, partitions = 8)
+        .write.parquet(clustered)
+      val (zLo, zHi) = (24L, 31L)
+      def scanned(root: String): Long =
+        Diagnose.fileSkippingReport(s, root, col("z"), zLo, zHi)
+          .head().getAs[Long]("n_rows_scanned")
+      val (sBase, sClus) = (scanned(xSorted), scanned(clustered))
+      require(sClus < sBase,
+        s"3-col Hilbert clustering must beat the x-sorted layout on " +
+          s"a z probe: scanned $sClus vs $sBase")
+      cube.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("x").between(24L, 31L), 1L).otherwise(0L))
+          .as("matched_x"),
+        sum(when(col("y").between(24L, 31L), 1L).otherwise(0L))
+          .as("matched_y"),
+        sum(when(col("z").between(zLo, zHi), 1L).otherwise(0L))
+          .as("matched_z")).localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   /** Adjusted Rand Index: does a source-based bucketing of the corpus
@@ -5696,7 +5816,10 @@ object SparkEntry {
     "q317_kish_neff" -> (q317_kish_neff(_, _)),
     "q318_ipw" -> (q318_ipw(_, _)),
     "q319_holm" -> (q319_holm(_, _)),
-    "q320_proportion_effect" -> (q320_proportion_effect(_, _)))
+    "q320_proportion_effect" -> (q320_proportion_effect(_, _)),
+    "q321_bm25_time_travel" -> (q321_bm25_time_travel(_, _)),
+    "q322_hilbert3d" -> (q322_hilbert3d(_, _)),
+    "q323_layout_skipping" -> (q323_layout_skipping(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

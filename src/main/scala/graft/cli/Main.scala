@@ -1203,10 +1203,11 @@ object Main {
 
     // tombstone-delete ids from a persisted ANN index (ids-only
     // batch + one _live marker PUT; nothing rewritten)
-    case "ann-delete" :: idsPath :: indexDir :: Nil =>
+    case "ann-delete" :: idsPath :: indexDir :: rest =>
+      val retain = rest.headOption.map(_.toInt).getOrElse(1)
       val spark = session()
       graft.sim.SimSearch.deleteFromAnnIndex(
-        spark.read.parquet(idsPath), indexDir)
+        spark.read.parquet(idsPath), indexDir, retain)
       println("[ann-delete] index now serves " +
         s"${graft.sim.SimSearch.readAnnIndex(spark, indexDir).count()}" +
         " live vectors")
@@ -1214,12 +1215,20 @@ object Main {
 
     // compact a persisted ANN index (fold tombstones into a fresh
     // marker-committed vectors generation)
-    case "ann-compact" :: indexDir :: Nil =>
+    case "ann-compact" :: indexDir :: rest =>
+      val retain = rest.headOption.map(_.toInt).getOrElse(1)
       val spark = session()
-      graft.sim.SimSearch.compactAnnIndex(spark, indexDir)
+      graft.sim.SimSearch.compactAnnIndex(spark, indexDir, retain)
       println("[ann-compact] compacted to " +
         s"${graft.sim.SimSearch.readAnnIndex(spark, indexDir).count()}" +
         " vectors")
+      done(spark)
+
+    // list the ANN index snapshots still inside the retention window
+    case "ann-generations" :: indexDir :: Nil =>
+      val spark = session()
+      val gens = graft.sim.SimSearch.annGenerations(spark, indexDir)
+      println(s"[ann-generations] ${gens.mkString(",")}")
       done(spark)
 
     case "ann-query" :: idxPath :: queries :: outDir :: rest =>
@@ -1227,8 +1236,12 @@ object Main {
       val k = nums.headOption.map(_.toInt).getOrElse(10)
       val planes = nums.drop(1).headOption.map(_.toInt).getOrElse(12)
       val dim = nums.drop(2).headOption.map(_.toInt).getOrElse(64)
+      val gen = rest.find(_.startsWith("--gen="))
+        .map(_.stripPrefix("--gen=").toLong)
       val spark = session()
-      val idx = graft.sim.SimSearch.readAnnIndex(spark, idxPath)
+      val idx = gen
+        .map(graft.sim.SimSearch.readAnnIndex(spark, idxPath, _))
+        .getOrElse(graft.sim.SimSearch.readAnnIndex(spark, idxPath))
       val q = spark.read.parquet(queries)
       val hits = graft.sim.SimSearch.annTopKFromIndex(idx, q,
         "vec_id", "embedding", k, planes, dim, probeBits = 1)
@@ -1911,26 +1924,38 @@ object Main {
     // serve top-k from a persisted BM25 index (bucket-pruned read)
     case "bm25-query" :: indexDir :: terms :: rest =>
       import org.apache.spark.sql.functions.col
-      val k = rest.headOption.map(_.toInt).getOrElse(10)
+      val k = rest.filter(!_.startsWith("--")).headOption
+        .map(_.toInt).getOrElse(10)
+      val gen = rest.find(_.startsWith("--gen="))
+        .map(_.stripPrefix("--gen=").toLong)
       val spark = session()
       import spark.implicits._
       val queries = terms.split(',').toSeq.map(t => (1L, t))
         .toDF("query_id", "term")
       graft.text.Bm25.topKFromIndex(spark, indexDir, queries,
-        "query_id", "doc_id", k).orderBy(col("rank")).collect()
+        "query_id", "doc_id", k, atGen = gen)
+        .orderBy(col("rank")).collect()
         .foreach { r =>
           println(s"[bm25-query] rank=${r.getAs[Int]("rank")} " +
             s"doc=${r.get(1)} score_pico=${r.getAs[Long]("score_pico")}")
         }
       done(spark)
 
+    // list the BM25 index snapshots still inside the retention window
+    case "bm25-generations" :: indexDir :: Nil =>
+      val spark = session()
+      val gens = graft.text.Bm25.bm25Generations(spark, indexDir)
+      println(s"[bm25-generations] ${gens.mkString(",")}")
+      done(spark)
+
     // delete documents from a persisted BM25 index (tombstones +
     // one negative stats delta; nothing rewritten)
     case "bm25-delete" :: idsPath :: indexDir :: rest =>
       val idCol = rest.headOption.getOrElse("doc_id")
+      val retain = rest.drop(1).headOption.map(_.toInt).getOrElse(1)
       val spark = session()
       graft.text.Bm25.deleteFromBm25Index(
-        spark.read.parquet(idsPath), indexDir, idCol)
+        spark.read.parquet(idsPath), indexDir, idCol, retain)
       val n = graft.text.Bm25.indexStats(spark, indexDir).head().get(0)
       println(s"[bm25-delete] index now covers $n live docs")
       done(spark)
@@ -1938,8 +1963,9 @@ object Main {
     // compact a persisted BM25 index (rewrite minus tombstones)
     case "bm25-compact" :: indexDir :: rest =>
       val idCol = rest.headOption.getOrElse("doc_id")
+      val retain = rest.drop(1).headOption.map(_.toInt).getOrElse(1)
       val spark = session()
-      graft.text.Bm25.compactBm25Index(spark, indexDir, idCol)
+      graft.text.Bm25.compactBm25Index(spark, indexDir, idCol, retain)
       val n = graft.text.Bm25.indexStats(spark, indexDir).head().get(0)
       println(s"[bm25-compact] compacted to $n docs")
       done(spark)
@@ -3016,9 +3042,17 @@ object Main {
           "semdedup <embeddings> <out> [k] [threshold] [dim] [cellCap] | " +
           "dedup-stream <in> <idx> <out> <ckpt> | " +
           "ann-index <embeddings> <out> [planes] [dim] | " +
-          "ann-query <idx> <queries> <out> [k] [planes] [dim] | " +
+          "ann-query <idx> <queries> <out> [k] [planes] [dim] [--gen=N] | " +
+          "ann-append <embeddings> <indexDir> | " +
+          "ann-delete <idsParquet> <indexDir> [retain] | " +
+          "ann-compact <indexDir> [retain] | " +
+          "ann-generations <indexDir> | " +
           "pq-index <embeddings> <out> [m] [k] [iters] [dim] [cellCol] [--residual|--opq|--opq-dense] | " +
            "pq-query <idx> <queries> <out> [k] [m] [nprobe] [dim] [--refine <rawEmb> [c]] | " +
+          "pq-append <idx> <embeddings> [cellCol] | " +
+          "pq-delete <idx> <idsParquet> | " +
+          "pq-compact <idx> | " +
+          "pq-eval <embeddings> [k] [m] [kcb] [nprobe] [dim] [sampleMod] | " +
           "ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod] | " +
           "pack <corpus> <out> [budget] [--jsonl] [--simple-tokens] | " +
            "mix <corpus> <out> [budget] [seed] [--jsonl] [--simple-tokens] [--alpha A] | " +
@@ -3095,8 +3129,9 @@ object Main {
           "cramers <parquet> <rowCol> <colCol> | " +
           "adamic <edges> [topK] | " +
           "fs-em <pairs> <boolField1,boolField2,...> [iters] | " +
-          "pool-commit <input> <poolRoot> [--csv] | " +
-          "pool-read <poolRoot> <out> | " +
+          "pool-commit <input> <poolRoot> [retain] [--csv] | " +
+          "pool-read <poolRoot> <out> [gen] | " +
+          "pool-generations <poolRoot> | " +
           "sessions-stream <inDir> <state> <ckpt> [gapMin] | " +
           "sessions-report <state> <out> | " +
           "kendall <parquet> <aCol> <bCol> | " +
@@ -3117,9 +3152,10 @@ object Main {
           "calibration <corpus> <labelCol> <labelValue> <weightsDir> | " +
           "bm25-index <corpus> <outDir> [buckets] | " +
           "bm25-append <corpus> <indexDir> | " +
-          "bm25-query <indexDir> <term1,term2,...> [k] | " +
-          "bm25-delete <idsParquet> <indexDir> [idCol] | " +
-          "bm25-compact <indexDir> [idCol] | " +
+          "bm25-query <indexDir> <term1,term2,...> [k] [--gen=N] | " +
+          "bm25-delete <idsParquet> <indexDir> [idCol] [retain] | " +
+          "bm25-compact <indexDir> [idCol] [retain] | " +
+          "bm25-generations <indexDir> | " +
           "qnorm <parquet> <valCol> <groupCol> <outDir> | " +
           "isotonic <parquet> <scoreMicroCol> <labelCol> [bins] | " +
           "sign-append <corpus> <indexDir> | " +
@@ -3137,7 +3173,43 @@ object Main {
           "oddsratio <parquet> <exposedCol> <outcomeCol> | " +
           "ratetest <parquet> <boolGroupCol> <countCol> <expCol> | " +
           "zorder <parquet> <xCol> <yCol> <outDir> [bits] | " +
-          "kanon <parquet> <quasiCol1,...> <sensCol> <k> <l>")
+          "hilbert <parquet> <xCol> <yCol> <outDir> [bits] | " +
+          "skip-report <parquet> <valCol> <lo> <hi> | " +
+          "kanon <parquet> <quasiCol1,...> <sensCol> <k> <l> | " +
+          "mondrian <parquet> <quasiCol1,...> <k> <outDir> [depth] | " +
+          "dp-counts <parquet> <groupCol> <epsMicro> <seed> <outDir> | " +
+          "cmh <parquet> <stratCol> <exposedCol> <outcomeCol> | " +
+          "ks <parquet> <boolGroupCol> <valCol> | " +
+          "msprt <parquet> <boolGroupCol> <successCol> [tauMicro] [alphaMicro] | " +
+          "dispersion <parquet> <countCol> | " +
+          "kish <parquet> <weightCol> | " +
+          "holm <parquet> <idCol> <pMicroCol> [alphaMicro] | " +
+          "cohensh <parquet> <boolGroupCol> <successCol> | " +
+          "ipw <corpus> <tCol> <tVal> <yCol> <yVal> [dim] [iters] | " +
+          "logrank-strat <events> <userCol> <boolFlagCol> <stratCol> [tsCol] | " +
+          "mkv-meta <parquet> <out> | mp3-meta <parquet> <out> | " +
+          "warc-ingest <glob> <out> [--wet] | wet-ingest <glob> <out> | " +
+          "train <corpus> <labelCol> <labelValue> <outDir> [rounds] | " +
+          "freq <corpus> <term> [term...] | " +
+          "funnel-report <state> <stage,stage,...> [--latency] | " +
+          "agg-state <parquet> <groupCol> <valCol> <distinctCol> <stateDir> | " +
+          "acf <parquet> <groupCol> [maxLag] [tsCol] | " +
+          "trend <parquet> <groupCol> [tsCol] | " +
+          "changepoint <parquet> <groupCol> [tsCol] | " +
+          "survival <events> <userCol> [tsCol] | " +
+          "theil <parquet> <groupCol> [valCol] | " +
+          "welch <parquet> <valCol> <variantCol> | " +
+          "ohlc <parquet> <tsCol> <tieCol> <valCol> <outDir> [bucketSec] | " +
+          "outliers <parquet> <keyCol> <valCol> [k] | " +
+          "kappa <parquet> <colA> <colB> | " +
+          "roc-auc <parquet> <groupCol> <scoreCol> <labelCol> | " +
+          "emb-drift <oldParquet> <newParquet> <groupCol> [dim] | " +
+          "fk-audit <childParquet> <childKey> <parentParquet> <parentKey> | " +
+          "scd2 <parquet> <keyCol> <tsCol> <tieCol> <attrCol> <outDir> | " +
+          "snapshot-diff <oldParquet> <newParquet> <key1,...> <cmp1,...> | " +
+          "fingerprint <parquet> <groupCol> <col1,...> | " +
+          "blocklist <corpus> <term1,term2,...> [--report] | " +
+          "ari <parquet> <aCol> <bCol>")
       sys.exit(2)
   }
 

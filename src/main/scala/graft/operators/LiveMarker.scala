@@ -4,10 +4,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Resolved lifecycle state of a marker-committed index: the ruling
   * generation, the live data directory per family (relative to the
-  * index root), and the not-yet-compacted delete-batch numbers.
+  * index root), the not-yet-compacted delete-batch numbers, the
+  * not-yet-compacted APPEND-batch numbers, and the highest stream
+  * batch id applied through this marker chain (-1 = none — batch
+  * lifecycles that never stream simply never set it).
   */
 private[graft] final case class LiveState(
-    gen: Long, dirs: Map[String, String], batches: Seq[Long]) {
+    gen: Long, dirs: Map[String, String], batches: Seq[Long],
+    appends: Seq[Long] = Seq.empty, applied: Long = -1L) {
   def dir(family: String): String = dirs(family)
 }
 
@@ -19,26 +23,41 @@ private[graft] final case class LiveState(
   * PUT-consistent store (object stores included, no renames).
   *
   *   - the marker file `_live.<gen %019d>` names the live directory
-  *     of each data family (`<field>:<dir>`) and the outstanding
-  *     delete-batch numbers (`tomb:b1,b2`), closed by an `end`
-  *     footer — a torn PUT parses as absent;
+  *     of each data family (`<field>:<dir>`), the outstanding
+  *     delete-batch numbers (`tomb:b1,b2`), the outstanding
+  *     append-batch numbers (`appd:b1,b2`), and the highest applied
+  *     stream batch id (`sid:n`), closed by an `end` footer — a torn
+  *     PUT parses as absent;
   *   - READERS resolve through the newest complete marker (absent =
   *     the pristine layout: each family at its plain directory, no
   *     batches) and never delete anything;
   *   - WRITERS call [[heal]] before (clear a crashed predecessor's
   *     orphans, which would collide with `errorifexists` writes) and
-  *     after (GC superseded state) their marker PUT;
+  *     after (GC superseded state outside the retention window)
+  *     their marker PUT;
+  *   - RETENTION ([[PoolCommit.heal]]'s contract, ported): `retain`
+  *     = how many committed snapshots stay readable (1 = only the
+  *     ruling one — the minimum). Retained superseded markers keep
+  *     every directory and batch they reference on disk, so (a) a
+  *     reader that resolved an older marker and is still mid-scan
+  *     survives a concurrent compaction as long as `retain` covers
+  *     the longest expected scan, and (b) [[listGenerations]] +
+  *     [[readAt]] give the index the same audit/rollback snapshot
+  *     reads the pool has;
   *   - single-writer discipline per index: concurrent writers trip
   *     the `errorifexists` batch/generation writes loudly; readers
-  *     are always safe, including concurrently with compaction —
-  *     they see the old generation + tombstone anti-join or the new
-  *     compacted generation, never a mix.
+  *     that resolve inside the retention window are safe, including
+  *     concurrently with compaction — they see the old generation +
+  *     batch overlay or the new compacted generation, never a mix.
   *
   * @param families one (field, plainDir, genPrefix) triple per data
   *                 family — e.g. `("postings", "postings",
   *                 "postings_gen=")`
-  * @param batchRoots the per-delete-batch roots, each holding
-  *                   `batch=<B>` children — e.g. `tombstones`
+  * @param batchRoots the per-batch roots, each holding `batch=<B>`
+  *                   children — delete batches (e.g. `tombstones`)
+  *                   and append batches (e.g. `postings_batches`)
+  *                   alike; batch numbers are globally unique (the
+  *                   gen counter), so one keep-set serves all roots
   */
 private[graft] final class LiveMarker(
     families: Seq[(String, String, String)],
@@ -52,6 +71,11 @@ private[graft] final class LiveMarker(
 
   private def markerPath(path: String, gen: Long) =
     new Path(path, f"$Prefix$gen%019d")
+
+  private def longList(fields: Map[String, String],
+      key: String): Seq[Long] =
+    fields.getOrElse(key, "").split(",").filter(_.nonEmpty)
+      .map(_.toLong).toSeq
 
   private def parse(fs: FileSystem, p: Path): Option[LiveState] = {
     val gen =
@@ -72,24 +96,47 @@ private[graft] final class LiveMarker(
     if (!families.forall(f => fields.contains(f._1))) return None
     try Some(LiveState(gen,
       families.map(f => f._1 -> fields(f._1)).toMap,
-      fields.getOrElse("tomb", "").split(",").filter(_.nonEmpty)
-        .map(_.toLong).toSeq))
+      longList(fields, "tomb"),
+      longList(fields, "appd"),
+      fields.getOrElse("sid", "-1").toLong))
     catch { case _: NumberFormatException => None }
+  }
+
+  /** Newest-first complete markers with their states. */
+  private def complete(fs: FileSystem,
+      path: String): Seq[(Path, LiveState)] = {
+    val root = new Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(Prefix))
+      .sortBy(_.getName).reverse.toSeq
+      .flatMap(p => parse(fs, p).map(p -> _))
   }
 
   /** The ruling lifecycle state: newest complete marker, or the
     * pristine layout. Reader-safe — parses only, never deletes.
     */
-  def read(fs: FileSystem, path: String): LiveState = {
-    val root = new Path(path)
-    val markers =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).map(_.getPath)
-        .filter(_.getName.startsWith(Prefix))
-        .sortBy(_.getName).reverse.toSeq
-    markers.iterator.flatMap(parse(fs, _)).nextOption()
-      .getOrElse(pristine)
-  }
+  def read(fs: FileSystem, path: String): LiveState =
+    complete(fs, path).headOption.map(_._2).getOrElse(pristine)
+
+  /** The committed snapshot generations still on disk, oldest first —
+    * every entry is readable via [[readAt]] until a writer's GC ages
+    * it out of the retention window.
+    */
+  def listGenerations(fs: FileSystem, path: String): Seq[Long] =
+    complete(fs, path).map(_._2.gen).sorted
+
+  /** TIME-TRAVEL resolve: the state exactly as committed by marker
+    * `gen` — audit/rollback ("what did the index serve before this
+    * takedown batch?"). The snapshot must still be inside the
+    * retention window; reads never extend or shrink that window.
+    */
+  def readAt(fs: FileSystem, path: String, gen: Long): LiveState =
+    complete(fs, path).find(_._2.gen == gen).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot gen=$gen under $path; on disk: " +
+          s"${listGenerations(fs, path).mkString(",")} " +
+          "(aged out? raise the lifecycle calls' retain)"))
 
   /** Commit `state` with one marker PUT (create-exclusive: a gen
     * collision — two writers racing — fails loudly).
@@ -99,44 +146,56 @@ private[graft] final class LiveMarker(
     try out.write((
       families.map(f => s"${f._1}:${state.dirs(f._1)}\n").mkString +
       s"tomb:${state.batches.mkString(",")}\n" +
+      s"appd:${state.appends.mkString(",")}\n" +
+      s"sid:${state.applied}\n" +
       s"$Footer\n").getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** WRITER-ONLY GC of everything the ruling marker does not
-    * reference: superseded/torn markers, non-live data generations,
-    * and unreferenced delete batches (both compacted-away ones and
-    * the orphans of a crash before a marker PUT). Called from the
-    * lifecycle writers only; readers resolve through the marker and
-    * never GC.
+  /** WRITER-ONLY GC of everything no RETAINED marker references:
+    * torn markers, markers older than the retention window, data
+    * generations and delete/append batches referenced by none of the
+    * newest-`retain` complete markers — including the orphans of a
+    * crash before a marker PUT (which would collide with the next
+    * `errorifexists` write). Called from the lifecycle writers only;
+    * readers resolve through a marker and never GC. Idempotent; must
+    * never run beside an in-flight commit (single-writer protocol).
     */
-  def heal(fs: FileSystem, path: String): Unit = {
+  def heal(fs: FileSystem, path: String, retain: Int = 1): Unit = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
     val root = new Path(path)
     if (!fs.exists(root)) return
-    val live = read(fs, path)
+    val kept = complete(fs, path).take(retain)
+    val keptNames = kept.map(_._1.getName).toSet
+    // no complete marker yet = the pristine layout is the snapshot
+    val states = if (kept.isEmpty) Seq(pristine) else kept.map(_._2)
+    val liveDirs = families.map { f =>
+      f._1 -> states.map(_.dirs(f._1)).toSet
+    }.toMap
+    val liveBatches =
+      states.flatMap(s => s.batches ++ s.appends).map(b => s"batch=$b")
+        .toSet
     def checkedDelete(p: Path): Unit =
       if (!fs.delete(p, true)) throw new java.io.IOException(
         s"index lifecycle GC failed to delete $p")
     fs.listStatus(root).map(_.getPath).foreach { p =>
       val n = p.getName
-      if (n.startsWith(Prefix) && !parse(fs, p).exists(_.gen == live.gen))
+      if (n.startsWith(Prefix) && !keptNames.contains(n))
         checkedDelete(p)
       else families.foreach { case (field, plain, genPrefix) =>
         if ((n == plain || n.startsWith(genPrefix)) &&
-            n != live.dirs(field))
+            !liveDirs(field).contains(n))
           checkedDelete(p)
       }
     }
     batchRoots.foreach { sub =>
       val subRoot = new Path(path, sub)
       if (fs.exists(subRoot)) {
-        val keep = live.batches.map(b => s"batch=$b").toSet
         fs.listStatus(subRoot).map(_.getPath)
           .filter(p => p.getName.startsWith("batch=") &&
-            !keep.contains(p.getName))
+            !liveBatches.contains(p.getName))
           .foreach(checkedDelete)
-        if (live.batches.isEmpty && fs.listStatus(subRoot).isEmpty)
-          checkedDelete(subRoot)
+        if (fs.listStatus(subRoot).isEmpty) checkedDelete(subRoot)
       }
     }
   }

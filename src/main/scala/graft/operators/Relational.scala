@@ -2637,6 +2637,133 @@ object Relational {
       .drop("_hx", "_hy", "_hd", "_hrx", "_hry", "_hx2", "_hy2")
   }
 
+  /** N-dimensional Morton / Z-order value — [[zOrderValue]]
+    * generalized to 3-4 quasi-key columns (a real lakehouse clusters
+    * more than two): bit i of column j lands at output position
+    * `i·n + j`, so points close in EVERY dimension stay close in z
+    * and one clustering key serves range predicates on ANY of the
+    * columns with bounded read amplification. Pure unrolled integer
+    * shift/mask/or — codegen-friendly, oracle-replayable. Inputs
+    * must be non-negative and fit in `bits` bits; `n·bits ≤ 63`.
+    */
+  def zOrderValueN(cols: Seq[Column], bits: Int = 16): Column = {
+    val n = cols.size
+    require(n >= 2, s"need at least 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"n*bits must fit a signed long: $n*$bits")
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftrightunsigned(c.cast("long"), i)
+          .bitwiseAND(lit(1L)), i * n + j)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** N-dimensional Hilbert curve value as staged per-step projections
+    * — Skilling's transpose algorithm ("Programming the Hilbert
+    * curve", AIP Conf. Proc. 707, 2004: `AxestoTranspose` followed by
+    * bit interleave), the n-D generalization of [[withHilbertValue]]
+    * and the tighter-locality sibling of [[zOrderValueN]] (every
+    * consecutive pair of curve positions is grid-adjacent in n-space,
+    * so a contiguous file of curve values covers a more compact
+    * n-D tile and min/max skipping prunes tighter).
+    *
+    * Per level `Q = 2^(b-1) .. 2` the n coordinates pass through a
+    * SEQUENTIAL invert-or-exchange against column 0, then a prefix
+    * Gray pass and one fold — every step a fixed integer CASE/XOR
+    * chain materialized as named columns, so plan size grows linearly
+    * in `n·bits` and the whole transform replays in a SQL oracle step
+    * for step. Inputs must be non-negative and fit in `bits` bits
+    * (callers snap/bucket first — the q36 discipline); `n·bits ≤ 63`.
+    */
+  def withHilbertValueN(df: DataFrame, cols: Seq[Column],
+      outCol: String, bits: Int = 16): DataFrame = {
+    val n = cols.size
+    require(n >= 2, s"need at least 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"n*bits must fit a signed long: $n*$bits")
+    def t(i: Int) = s"_ht$i"
+    var cur = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(t(i), c.cast("long"))
+    }
+    // inverse undo: Q = 2^(b-1) .. 2, coordinates in order, each an
+    // invert (X0 ^= Q-1 when Xi has bit Q) or exchange of the low
+    // bits of (X0, Xi)
+    var q = bits - 1
+    while (q >= 1) {
+      val Q = 1L << q
+      val P = Q - 1L
+      for (i <- 0 until n) {
+        val hasQ = col(t(i)).bitwiseAND(lit(Q)) > 0L
+        if (i == 0)
+          cur = cur.withColumn(t(0),
+            when(hasQ, col(t(0)).bitwiseXOR(lit(P)))
+              .otherwise(col(t(0))))
+        else {
+          cur = cur.withColumn("_hx",
+            when(hasQ, lit(0L)).otherwise(
+              col(t(0)).bitwiseXOR(col(t(i))).bitwiseAND(lit(P))))
+          cur = cur
+            .withColumn(t(0),
+              when(hasQ, col(t(0)).bitwiseXOR(lit(P)))
+                .otherwise(col(t(0)).bitwiseXOR(col("_hx"))))
+            .withColumn(t(i), col(t(i)).bitwiseXOR(col("_hx")))
+        }
+      }
+      q -= 1
+    }
+    // Gray encode: prefix XOR (updated predecessor), then the
+    // X[n-1]-driven correction folded over the levels
+    for (i <- 1 until n)
+      cur = cur.withColumn(t(i), col(t(i)).bitwiseXOR(col(t(i - 1))))
+    val tFold = (bits - 1 to 1 by -1).map { qq =>
+      val Q = 1L << qq
+      when(col(t(n - 1)).bitwiseAND(lit(Q)) > 0L, lit(Q - 1L))
+        .otherwise(lit(0L))
+    }.reduceOption((a, b) => a.bitwiseXOR(b)).getOrElse(lit(0L))
+    cur = cur.withColumn("_hx", tFold)
+    for (i <- 0 until n)
+      cur = cur.withColumn(t(i), col(t(i)).bitwiseXOR(col("_hx")))
+    // interleave the transpose: bit q of X[i] → position q·n+(n-1-i)
+    val h = (0 until bits).flatMap { qq =>
+      (0 until n).map { i =>
+        shiftleft(shiftrightunsigned(col(t(i)), qq)
+          .bitwiseAND(lit(1L)), qq * n + (n - 1 - i))
+      }
+    }.reduce(_ bitwiseOR _)
+    cur.withColumn(outCol, h)
+      .drop("_hx" +: (0 until n).map(t): _*)
+  }
+
+  /** N-column Z-order layout: [[zOrderLayout]] over 3-4 quasi-key
+    * columns — range partition + sort within partitions on
+    * [[zOrderValueN]], paid once at write so every later selective
+    * scan on ANY of the clustered columns prunes files.
+    */
+  def zOrderLayoutN(df: DataFrame, cols: Seq[Column],
+      bits: Int = 16, partitions: Int = 0): DataFrame = {
+    val withZ = df.withColumn("_z", zOrderValueN(cols, bits))
+    val parts = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    withZ.repartitionByRange(parts, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+  }
+
+  /** N-column Hilbert layout: [[hilbertLayout]] with the Skilling
+    * n-D key — each output file covers one compact curve segment
+    * (= one compact n-D tile, tighter than the Z flavor's).
+    */
+  def hilbertLayoutN(df: DataFrame, cols: Seq[Column],
+      bits: Int = 16, partitions: Int = 0): DataFrame = {
+    val withH = withHilbertValueN(df, cols, "_h", bits)
+    val parts = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    withH.repartitionByRange(parts, col("_h"))
+      .sortWithinPartitions(col("_h"))
+      .drop("_h")
+  }
+
   /** Hilbert layout: [[zOrderLayout]] with the Hilbert key — range
     * partition + sort within partitions on the curve value, so every
     * output file covers one compact curve segment (= one compact

@@ -184,12 +184,17 @@ object SimSearch {
   //                  (`PruneFileSourcePartitions`), ~B/2^planes of
   //                  the corpus, instead of re-bucketing everything
   //                  per lookup
+  //   vectors_batches/batch=<B>/  write-once APPEND segments in the
+  //                  same bucket layout — an append never touches
+  //                  existing directories; its commit is the batch's
+  //                  one marker PUT
   //   tombstones/batch=<B>/  write-once deleted-id batches, honored
   //                  by every read through [[readAnnIndex]]
   //   _live.<gen>    the ruling-state marker (see [[LiveMarker]])
 
   private val annMarker = new graft.operators.LiveMarker(
-    Seq(("vectors", "vectors", "vectors_gen=")), Seq("tombstones"))
+    Seq(("vectors", "vectors", "vectors_gen=")),
+    Seq("tombstones", "vectors_batches"))
 
   private def annFs(spark: org.apache.spark.sql.SparkSession,
       path: String): org.apache.hadoop.fs.FileSystem =
@@ -213,7 +218,7 @@ object SimSearch {
     */
   def writeAnnIndex(
       emb: DataFrame, path: String, idCol: String, vecCol: String,
-      planes: Int = 12, dim: Int = 64): Unit = {
+      planes: Int = 12, dim: Int = 64, appliedId: Long = -1L): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val fs = annFs(spark, path)
@@ -228,6 +233,11 @@ object SimSearch {
       simhashBucket(col(vecCol), planes, dim).as("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/vectors")
+    // commit creation as snapshot gen 1: keeps the pristine state
+    // readAt-addressable and lets a stream bootstrap record its
+    // applied batch id atomically with the data
+    annMarker.put(fs, path, graft.operators.LiveState(1L,
+      Map("vectors" -> "vectors"), Seq.empty, Seq.empty, appliedId))
   }
 
   /** Append NEW vectors to a persisted ANN index (caller contract:
@@ -235,21 +245,38 @@ object SimSearch {
     * The batch buckets under the index's PERSISTED LSH parameters
     * (validated against the caller's column names — a silently
     * different fan-out would strand the new vectors where probes
-    * never look) and lands inside the live generation; nothing is
-    * rewritten.
+    * never look). MARKER-COMMITTED (the delete-batch discipline
+    * applied to appends): the batch lands as a write-once
+    * `vectors_batches/batch=<B>` segment and the commit is ONE
+    * `_live` marker PUT — a crash before the PUT leaves the segment
+    * unreferenced (the next writer's heal clears it; a retry or
+    * streaming replay lands once), so a replayed batch can never
+    * double-insert vectors. Nothing existing is rewritten.
+    *
+    * `retain` = committed snapshots kept readable; `appliedId` =
+    * stream batch id recorded atomically with the commit (-1 = not
+    * a stream batch).
     */
   def appendToAnnIndex(
-      emb: DataFrame, path: String, idCol: String, vecCol: String): Unit = {
+      emb: DataFrame, path: String, idCol: String, vecCol: String,
+      retain: Int = 1, appliedId: Long = -1L): Unit = {
     val spark = emb.sparkSession
     val (planes, dim, metaId, metaVec) = annMeta(spark, path)
     require(idCol == metaId && vecCol == metaVec,
       s"ann index at $path stores ($metaId, $metaVec); " +
         s"append offered ($idCol, $vecCol)")
-    val live = annMarker.read(annFs(spark, path), path)
+    val fs = annFs(spark, path)
+    annMarker.heal(fs, path, retain) // clear crashed-writer orphans
+    val live = annMarker.read(fs, path)
+    val b = live.gen + 1L
     emb.select(col(idCol), col(vecCol),
       simhashBucket(col(vecCol), planes, dim).as("bucket"))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$path/${live.dir("vectors")}")
+      .write.mode("errorifexists").partitionBy("bucket")
+      .parquet(s"$path/vectors_batches/batch=$b")
+    annMarker.put(fs, path, live.copy(gen = b,
+      appends = live.appends :+ b,
+      applied = math.max(live.applied, appliedId)))
+    annMarker.heal(fs, path, retain)
   }
 
   /** Tombstone-delete ids from a persisted ANN index — the
@@ -263,51 +290,88 @@ object SimSearch {
     * crash before the PUT leaves the batch unreferenced (the delete
     * did not happen — retry).
     */
-  def deleteFromAnnIndex(ids: DataFrame, path: String): Unit = {
+  def deleteFromAnnIndex(ids: DataFrame, path: String,
+      retain: Int = 1): Unit = {
     val spark = ids.sparkSession
     val (_, _, metaId, _) = annMeta(spark, path)
     require(ids.columns.toSeq == Seq(metaId),
       s"ids must be a single '$metaId' column frame, " +
         s"got ${ids.columns.mkString(",")}")
     val fs = annFs(spark, path)
-    annMarker.heal(fs, path) // clear any orphan of a crashed writer
+    // clear any orphan of a crashed writer
+    annMarker.heal(fs, path, retain)
     val live = annMarker.read(fs, path)
     val b = live.gen + 1L
     ids.distinct().write.mode("errorifexists")
       .parquet(s"$path/tombstones/batch=$b")
     annMarker.put(fs, path,
       live.copy(gen = b, batches = live.batches :+ b))
-    annMarker.heal(fs, path) // GC the superseded marker
+    annMarker.heal(fs, path, retain) // GC outside the window
   }
 
-  /** Generation compaction: rewrite the live vectors MINUS the
-    * accumulated tombstones into a fresh write-once
-    * `vectors_gen=<G>` dir and commit it (with an empty batch list)
-    * via one marker PUT; superseded state GCs afterwards. Readers
-    * see the old generation + anti-join or the new compacted one,
-    * never a mix. Also collapses accumulated append small files.
+  /** Generation compaction: rewrite the live vectors (generation plus
+    * append segments) MINUS the accumulated tombstones into a fresh
+    * write-once `vectors_gen=<G>` dir and commit it (with empty batch
+    * lists) via one marker PUT; state outside the retention window
+    * GCs afterwards. Readers see the old generation + batch overlay
+    * or the new compacted one, never a mix, and a reader STILL
+    * MID-SCAN on a superseded snapshot survives as long as `retain`
+    * covers the longest expected scan (the
+    * [[graft.operators.PoolCommit]] retention contract — with the
+    * default `retain = 1` only the ruling snapshot's files stay on
+    * disk). Also collapses accumulated append small files.
     */
   def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String, retain: Int = 1): Unit = {
     val fs = annFs(spark, path)
-    annMarker.heal(fs, path)
+    annMarker.heal(fs, path, retain)
     val live = annMarker.read(fs, path)
     val gen = live.gen + 1L
     readAnnIndex(spark, path)
       .write.mode("errorifexists").partitionBy("bucket")
       .parquet(s"$path/vectors_gen=$gen")
     annMarker.put(fs, path, graft.operators.LiveState(gen,
-      Map("vectors" -> s"vectors_gen=$gen"), Seq.empty))
-    annMarker.heal(fs, path) // GC old generation + folded batches
+      Map("vectors" -> s"vectors_gen=$gen"),
+      Seq.empty, Seq.empty, live.applied))
+    annMarker.heal(fs, path, retain) // GC outside the window
   }
 
   /** The LIVE rows of a persisted ANN index: the marker-resolved
-    * vector generation minus the tombstone batches.
+    * vector generation plus its append segments, minus the tombstone
+    * batches.
     */
   def readAnnIndex(
-      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val live = annMarker.read(annFs(spark, path), path)
-    val dataPath = s"$path/${live.dir("vectors")}"
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    readAnnState(spark, path,
+      annMarker.read(annFs(spark, path), path))
+
+  /** SNAPSHOT read: the index exactly as committed by marker `gen` —
+    * audit/rollback for the removal pipeline ("what did this probe
+    * serve before the takedown batch?"). The snapshot must still be
+    * inside the retention window ([[annGenerations]] lists what is).
+    */
+  def readAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, gen: Long): DataFrame =
+    readAnnState(spark, path,
+      annMarker.readAt(annFs(spark, path), path, gen))
+
+  /** The committed snapshot generations still readable, oldest
+    * first.
+    */
+  def annGenerations(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] =
+    annMarker.listGenerations(annFs(spark, path), path)
+
+  /** The highest stream batch id committed into this index's marker
+    * chain (-1 = none) — [[graft.streaming.StreamingAnn]]'s
+    * exactly-once replay guard.
+    */
+  def lastAppliedStreamBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long =
+    annMarker.read(annFs(spark, path), path).applied
+
+  private def readAnnState(spark: org.apache.spark.sql.SparkSession,
+      path: String, live: graft.operators.LiveState): DataFrame = {
     // partition-type inference reads the directory names back as INT
     // (or STRING when inference is off) — restore the written LongType
     // via schema-on-read. A post-read cast would also fix the dtype but
@@ -316,12 +380,18 @@ object SimSearch {
     // catches exactly that); with the declared schema the column stays
     // a bare prunable attribute.
     import org.apache.spark.sql.types.LongType
-    val inferred = spark.read.parquet(dataPath).schema
-    val fixed = org.apache.spark.sql.types.StructType(inferred.map {
-      case f if f.name == "bucket" => f.copy(dataType = LongType)
-      case f => f
-    })
-    val vectors = spark.read.schema(fixed).parquet(dataPath)
+    def rd(dataPath: String): DataFrame = {
+      val inferred = spark.read.parquet(dataPath).schema
+      val fixed = org.apache.spark.sql.types.StructType(inferred.map {
+        case f if f.name == "bucket" => f.copy(dataType = LongType)
+        case f => f
+      })
+      spark.read.schema(fixed).parquet(dataPath)
+    }
+    val vectors = live.appends
+      .foldLeft(rd(s"$path/${live.dir("vectors")}")) { (acc, b) =>
+        acc.unionByName(rd(s"$path/vectors_batches/batch=$b"))
+      }
     if (live.batches.isEmpty) vectors
     else {
       val (_, _, metaId, _) = annMeta(spark, path)

@@ -14,22 +14,31 @@ import graft.sim.SimSearch
   * `annTopKFromIndex(readAnnIndex(...))` serves partition-pruned
   * probes between batches.
   *
-  * PER-BATCH COMMIT: appends are plain parquet appends into the live
-  * vectors generation, so each applied batch leaves a write-once
-  * `_applied.<batchId>` marker at the index root, checked before
-  * processing — an at-least-once foreachBatch replay after restart
-  * skips instead of double-inserting vectors (a duplicated id would
-  * surface twice in every probe of its bucket). Same one-stream-per-
-  * index-lifetime contract as [[StreamingBm25]]: markers are keyed by
-  * the checkpoint's batch ids.
+  * EXACTLY-ONCE per batch, with no caveat (including the bootstrap):
+  * an append is marker-committed — a write-once
+  * `vectors_batches/batch=<B>` segment referenced by ONE `_live`
+  * marker PUT that also records the stream batch id — so data and the
+  * applied fact commit atomically. On an at-least-once foreachBatch
+  * replay: a committed batch id skips; a crash between the segment
+  * write and the PUT leaves the segment unreferenced (the replayed
+  * append's heal clears the orphan and the batch lands once); a crash
+  * during bootstrap leaves no marker, and the replayed bootstrap
+  * clears the whole tree — idempotent by construction. A duplicated
+  * id can therefore never surface twice in a probe.
   *
-  * Stream DELETES need no marker: [[SimSearch.deleteFromAnnIndex]] is
-  * committed by one `_live` marker PUT and a replayed delete batch is
-  * a no-op (tombstones are a distinct anti-join set).
+  * Stream DELETES need no extra state: [[SimSearch.deleteFromAnnIndex]]
+  * is committed by one `_live` marker PUT and a replayed delete batch
+  * is a no-op (tombstones are a distinct anti-join set).
+  *
+  * One stream per index lifetime: the applied id is keyed by the
+  * checkpoint's batch ids — rebuild the index when retiring a
+  * checkpoint (same contract as [[StreamingBm25]]).
   *
   * Scale shape: each batch pays one batch-sized bucketing pass —
   * never a corpus re-index; [[SimSearch.compactAnnIndex]] collapses
-  * accumulated small files offline on the removal pipeline's cadence.
+  * accumulated segments offline on the removal pipeline's cadence
+  * (it carries the applied id forward, so compaction mid-stream is
+  * safe).
   */
 object StreamingAnn {
 
@@ -62,9 +71,6 @@ object StreamingAnn {
       }
       .start()
 
-  private def appliedMarker(indexPath: String, batchId: Long) =
-    new org.apache.hadoop.fs.Path(indexPath, f"_applied.$batchId%019d")
-
   /** One micro-batch of [[start]] — public so batch jobs (and tests)
     * can drive the same incremental pipeline without a stream.
     */
@@ -73,16 +79,15 @@ object StreamingAnn {
       idCol: String, vecCol: String, planes: Int = 12,
       dim: Int = 64): Unit = {
     val spark = batch.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(appliedMarker(indexPath, batchId))) return // replay
     if (batch.isEmpty) return
-    val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
-    if (!fs.exists(metaPath))
+    // no committed marker = nothing ever landed (a crashed bootstrap
+    // left no commit) → (re-)bootstrap, which clears the tree
+    if (SimSearch.annGenerations(spark, indexPath).isEmpty)
       SimSearch.writeAnnIndex(batch, indexPath, idCol, vecCol, planes,
-        dim)
-    else
-      SimSearch.appendToAnnIndex(batch, indexPath, idCol, vecCol)
-    fs.create(appliedMarker(indexPath, batchId), false).close()
+        dim, appliedId = batchId)
+    else if (SimSearch.lastAppliedStreamBatch(spark, indexPath) < batchId)
+      SimSearch.appendToAnnIndex(batch, indexPath, idCol, vecCol,
+        appliedId = batchId)
+    // else: replay of a committed batch — exactly-once skip
   }
 }

@@ -14,38 +14,40 @@ import graft.text.{Bm25, TextOps}
   * avgdl track the growing corpus automatically because serving derives
   * them from the live postings and summed stats deltas.
   *
-  * PER-BATCH COMMIT: an append is a plain postings/stats append, so a
-  * replayed micro-batch (foreachBatch is at-least-once) would DOUBLE
-  * its documents' postings and overcount df. Each applied batch
-  * therefore leaves a write-once `_applied.<batchId>` marker file at
-  * the index root, checked before processing — a restart replaying the
-  * last un-checkpointed batch skips it instead of double-appending.
-  * The remaining window (a crash BETWEEN the append and its marker PUT
-  * replays the append) is the standard non-transactional-sink caveat,
-  * same as [[StreamingDedup]]'s; the upstream dedup stage makes the
-  * corpus-side contract ("ids never re-arrive") hold, this marker
-  * makes the RESTART path hold too. Marker files are `_`-prefixed so
-  * parquet readers ignore them, and [[Bm25.writeBm25Index]]'s
-  * full-tree overwrite clears them with the rest of a stale index.
+  * EXACTLY-ONCE per batch, with no caveat: an append is itself
+  * marker-committed (a write-once `postings_batches/batch=<B>` segment
+  * plus its stats delta, referenced by ONE `_live` marker PUT), and
+  * that same PUT records the stream batch id (`sid`) — so the data and
+  * the "this batch was applied" fact commit ATOMICALLY. On an
+  * at-least-once foreachBatch replay:
+  *   - marker records `sid >= batchId` → the batch committed; skip;
+  *   - crash BETWEEN the segment write and the marker PUT → the
+  *     segment is unreferenced (invisible to every reader); the
+  *     replayed append's heal clears the orphan and the batch lands
+  *     exactly once;
+  *   - crash during bootstrap → no marker exists yet; the replay
+  *     re-runs [[Bm25.writeBm25Index]], which clears the whole tree —
+  *     idempotent by construction.
   *
-  * Stream DELETES need no marker: [[Bm25.deleteFromBm25Index]] is
-  * already committed by one `_live` marker PUT and a replayed delete
-  * is a no-op by construction (tombstones are a distinct union; the
+  * Stream DELETES need no extra state: [[Bm25.deleteFromBm25Index]] is
+  * committed by one `_live` marker PUT and a replayed delete is a
+  * no-op by construction (tombstones are a distinct union; the
   * negative stats delta is computed off live postings that already
   * exclude the ids).
   *
-  * One stream per index lifetime: `_applied` markers are keyed by the
+  * One stream per index lifetime: the applied id is keyed by the
   * CHECKPOINT's batch ids, so re-pointing a brand-new stream (fresh
   * checkpoint, batch ids restarting at 0) at an existing index would
-  * skip its first batches against the old stream's markers — rebuild
-  * the index (the bootstrap clears the tree) or clear `_applied.*`
-  * when retiring a checkpoint.
+  * skip its first batches against the old stream's applied id —
+  * rebuild the index (the bootstrap clears the tree) when retiring a
+  * checkpoint.
   *
   * Scale shape: each batch pays one batch-sized tokenize + one
   * (doc, term) aggregation — never a corpus rescan; the index grows
-  * append-only inside the marker-resolved live generation, and
-  * [[Bm25.compactBm25Index]] collapses accumulated small files
-  * offline on the removal pipeline's cadence.
+  * as write-once append segments resolved through the marker, and
+  * [[Bm25.compactBm25Index]] collapses accumulated segments offline
+  * on the removal pipeline's cadence (it carries the applied id
+  * forward, so compaction mid-stream is safe).
   */
 object StreamingBm25 {
 
@@ -81,9 +83,6 @@ object StreamingBm25 {
       }
       .start()
 
-  private def appliedMarker(indexPath: String, batchId: Long) =
-    new org.apache.hadoop.fs.Path(indexPath, f"_applied.$batchId%019d")
-
   /** One micro-batch of [[start]] — public so batch jobs (and tests)
     * can drive the same incremental pipeline without a stream.
     */
@@ -92,17 +91,15 @@ object StreamingBm25 {
       textCol: String, idCol: String, buckets: Int = 64,
       tokenizer: Column => Column = TextOps.tokensSimple): Unit = {
     val spark = batch.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(appliedMarker(indexPath, batchId))) return // replay
     if (batch.isEmpty) return
-    val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
-    if (!fs.exists(metaPath))
+    // no committed marker = nothing ever landed (a crashed bootstrap
+    // left no commit) → (re-)bootstrap, which clears the tree
+    if (Bm25.bm25Generations(spark, indexPath).isEmpty)
       Bm25.writeBm25Index(batch, textCol, idCol, indexPath, buckets,
-        tokenizer)
-    else
+        tokenizer, appliedId = batchId)
+    else if (Bm25.lastAppliedStreamBatch(spark, indexPath) < batchId)
       Bm25.appendToBm25Index(batch, textCol, idCol, indexPath,
-        tokenizer)
-    fs.create(appliedMarker(indexPath, batchId), false).close()
+        tokenizer, appliedId = batchId)
+    // else: replay of a committed batch — exactly-once skip
   }
 }

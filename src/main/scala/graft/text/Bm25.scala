@@ -217,14 +217,17 @@ object Bm25 {
   //                   partitions (partition pruning, the scale
   //                   feature)
   //   stats/ or stats_gen=<G>/
-  //                   append-only (n_docs, sum_dl) DELTA rows — one
-  //                   per write/append; readers SUM them, so appends
-  //                   never overwrite anything
+  //                   the LIVE generation's (n_docs, sum_dl) stats
+  //                   rows; readers SUM them with the batch deltas
+  //   postings_batches/batch=<B>/  write-once APPEND segments, same
+  //                   bucket layout as the live generation — an
+  //                   append never touches existing directories
   //   tombstones/batch=<B>/     write-once deleted-id batches
-  //   stats_deltas/batch=<B>/   the matching NEGATIVE stats delta —
-  //                   committed TOGETHER with its tombstone batch by
-  //                   the batch's one marker PUT, so a torn delete
-  //                   can never leave stats and tombstones
+  //   stats_deltas/batch=<B>/   the matching stats delta (positive
+  //                   for an append batch, NEGATIVE for a delete
+  //                   batch) — committed TOGETHER with its batch by
+  //                   the batch's one marker PUT, so a torn append
+  //                   or delete can never leave stats and postings
   //                   disagreeing
   //   _live.<gen>     the ruling-state marker (see [[LiveMarker]])
   //
@@ -236,7 +239,7 @@ object Bm25 {
   private val bm25Marker = new graft.operators.LiveMarker(
     Seq(("postings", "postings", "postings_gen="),
       ("stats", "stats", "stats_gen=")),
-    Seq("tombstones", "stats_deltas"))
+    Seq("tombstones", "stats_deltas", "postings_batches"))
 
   private def bm25Fs(spark: org.apache.spark.sql.SparkSession,
       path: String): org.apache.hadoop.fs.FileSystem =
@@ -244,15 +247,20 @@ object Bm25 {
       .getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Create the persisted index. Overwrites the ENTIRE `path` tree
-    * first — including any tombstones, stats-delta batches, gen
-    * directories, and `_live` markers from a previous index at the
-    * same path — so a rebuild can never inherit a stale lifecycle
-    * state (a surviving tombstone set would silently anti-join
-    * fresh ids out of the new index).
+    * first — including any tombstones, stats-delta batches, append
+    * segments, gen directories, and `_live` markers from a previous
+    * index at the same path — so a rebuild can never inherit a stale
+    * lifecycle state (a surviving tombstone set would silently
+    * anti-join fresh ids out of the new index). Commits the pristine
+    * layout as snapshot gen 1 (one marker PUT), so the creation
+    * state stays [[readAtGen]]-addressable and a stream bootstrap can
+    * record its applied batch id atomically with the data
+    * (`appliedId`; -1 = not a stream batch).
     */
   def writeBm25Index(docs: DataFrame, textCol: String, idCol: String,
       path: String, buckets: Int = 64,
-      tokenizer: Column => Column = TextOps.tokensSimple): Unit = {
+      tokenizer: Column => Column = TextOps.tokensSimple,
+      appliedId: Long = -1L): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -272,30 +280,53 @@ object Bm25 {
     statsDelta(idx, idCol).write.mode("overwrite")
       .parquet(s"$path/stats")
     idx.unpersist()
+    bm25Marker.put(fs, path, graft.operators.LiveState(1L,
+      Map("postings" -> "postings", "stats" -> "stats"),
+      Seq.empty, Seq.empty, appliedId))
   }
 
   /** Append NEW documents (caller contract: ids must not already be
     * in the index — a re-ingested id would double its postings and
-    * overcount df; dedupe upstream, the q13 family). Postings land in
-    * the frozen bucket layout inside the LIVE generation; stats add
-    * one delta row; nothing is rewritten.
+    * overcount df; dedupe upstream, the q13 family). MARKER-COMMITTED
+    * (the delete-batch discipline applied to appends): the batch's
+    * postings land as a write-once `postings_batches/batch=<B>`
+    * segment in the frozen bucket layout, its stats delta as
+    * `stats_deltas/batch=<B>`, and the commit is ONE `_live` marker
+    * PUT referencing both — a crash before the PUT leaves both
+    * halves unreferenced (the append did not happen; the next
+    * writer's heal clears the orphans and a retry lands once), so
+    * postings and stats can never disagree and a replayed streaming
+    * batch can never double-append. Nothing existing is rewritten;
+    * [[compactBm25Index]] folds accumulated segments later.
+    *
+    * `retain` = committed snapshots kept readable (see
+    * [[compactBm25Index]]); `appliedId` = stream batch id recorded
+    * atomically with the commit (-1 = not a stream batch).
     */
   def appendToBm25Index(docs: DataFrame, textCol: String, idCol: String,
       path: String,
-      tokenizer: Column => Column = TextOps.tokensSimple): Unit = {
+      tokenizer: Column => Column = TextOps.tokensSimple,
+      retain: Int = 1, appliedId: Long = -1L): Unit = {
     val spark = docs.sparkSession
     val buckets = spark.read.parquet(s"$path/meta")
       .head().getAs[Int]("buckets")
-    val live = bm25Marker.read(bm25Fs(spark, path), path)
+    val fs = bm25Fs(spark, path)
+    bm25Marker.heal(fs, path, retain) // clear crashed-writer orphans
+    val live = bm25Marker.read(fs, path)
+    val b = live.gen + 1L
     val idx = buildIndex(docs, textCol, idCol, tokenizer)
       .withColumn("bucket",
         pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .persist()
-    idx.write.partitionBy("bucket").mode("append")
-      .parquet(s"$path/${live.dir("postings")}")
-    statsDelta(idx, idCol).write.mode("append")
-      .parquet(s"$path/${live.dir("stats")}")
+    idx.write.partitionBy("bucket").mode("errorifexists")
+      .parquet(s"$path/postings_batches/batch=$b")
+    statsDelta(idx, idCol).write.mode("errorifexists")
+      .parquet(s"$path/stats_deltas/batch=$b")
     idx.unpersist()
+    bm25Marker.put(fs, path, live.copy(gen = b,
+      appends = live.appends :+ b,
+      applied = math.max(live.applied, appliedId)))
+    bm25Marker.heal(fs, path, retain)
   }
 
   /** One (n_docs, sum_dl) delta row off the index's per-doc lengths —
@@ -306,15 +337,17 @@ object Bm25 {
     idx.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
-  /** All live stats delta rows: the live stats dir's write/append
-    * rows plus the marker-referenced delete batches' negative rows.
+  /** All live stats delta rows: the live stats dir's rows plus the
+    * marker-referenced batches' deltas (positive for appends,
+    * negative for deletes).
     */
   private def statsDeltas(spark: org.apache.spark.sql.SparkSession,
       path: String, live: graft.operators.LiveState): DataFrame = {
     val base = spark.read.parquet(s"$path/${live.dir("stats")}")
-    if (live.batches.isEmpty) base
+    val bs = live.batches ++ live.appends
+    if (bs.isEmpty) base
     else base.unionByName(spark.read.parquet(
-      live.batches.map(b => s"$path/stats_deltas/batch=$b"): _*))
+      bs.map(b => s"$path/stats_deltas/batch=$b"): _*))
   }
 
   /** The index's summed corpus stats `(n_docs, sum_dl)` — one row,
@@ -337,17 +370,18 @@ object Bm25 {
   def topKFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, queryIdCol: String,
       idCol: String, k: Int = 10, k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75, atGen: Option[Long] = None): DataFrame = {
     val buckets = spark.read.parquet(s"$path/meta")
       .head().getAs[Int]("buckets")
-    val live = bm25Marker.read(bm25Fs(spark, path), path)
+    val fs = bm25Fs(spark, path)
+    val live = atGen.map(bm25Marker.readAt(fs, path, _))
+      .getOrElse(bm25Marker.read(fs, path))
     val qterms = queries.select(col(queryIdCol), col("term")).distinct()
     val bucketIds = qterms.select(
       pmod(xxhash64(col("term")), lit(buckets.toLong)).as("_b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val postings = livePostings(spark, path, live,
-      spark.read.parquet(s"$path/${live.dir("postings")}")
-        .filter(col("bucket").isin(bucketIds: _*)), idCol)
+    val postings = livePostings(spark, path, live, idCol,
+      Some(col("bucket").isin(bucketIds: _*)))
     val stats = statsDeltas(spark, path, live)
       .agg(sum(col("n_docs")).as("_n"), sum(col("sum_dl")).as("_sumdl"))
       .select(col("_n"),
@@ -366,19 +400,30 @@ object Bm25 {
     scoreTopK(postings, qi, stats, queryIdCol, idCol, k, k1, b)
   }
 
-  /** Anti-join the marker-referenced tombstone batches out of a
-    * postings read (the q265 PQ-index discipline: ids-only tombstone
-    * set, broadcast anti-join, no batches = nothing deleted).
+  /** The snapshot's live postings: the marker-resolved generation
+    * plus its append segments, minus the tombstone batches (the q265
+    * PQ-index discipline: ids-only tombstone set, broadcast
+    * anti-join, no batches = nothing deleted). `bucketFilter` is
+    * applied to EACH directory read so partition pruning holds on
+    * the generation and every append segment alike.
     */
   private def livePostings(spark: org.apache.spark.sql.SparkSession,
-      path: String, live: graft.operators.LiveState, postings: DataFrame,
-      idCol: String): DataFrame =
-    if (live.batches.isEmpty) postings
-    else postings.join(
+      path: String, live: graft.operators.LiveState, idCol: String,
+      bucketFilter: Option[Column]): DataFrame = {
+    def rd(dir: String): DataFrame = {
+      val d = spark.read.parquet(dir)
+      bucketFilter.map(d.filter).getOrElse(d)
+    }
+    val all = live.appends.foldLeft(rd(s"$path/${live.dir("postings")}")) {
+      (acc, b) => acc.unionByName(rd(s"$path/postings_batches/batch=$b"))
+    }
+    if (live.batches.isEmpty) all
+    else all.join(
       broadcast(spark.read.parquet(
         live.batches.map(b => s"$path/tombstones/batch=$b"): _*)
         .select(col(idCol)).distinct()),
       Seq(idCol), "left_anti")
+  }
 
   /** Delete documents from the persisted index: the batch's ids land
     * as a write-once `tombstones/batch=<B>` dir, the matching
@@ -393,16 +438,16 @@ object Bm25 {
     * twice or never present contribute nothing.
     */
   def deleteFromBm25Index(ids: DataFrame, path: String,
-      idCol: String): Unit = {
+      idCol: String, retain: Int = 1): Unit = {
     val spark = ids.sparkSession
     val fs = bm25Fs(spark, path)
-    bm25Marker.heal(fs, path) // clear any orphan of a crashed writer
+    // clear any orphan of a crashed writer
+    bm25Marker.heal(fs, path, retain)
     val live = bm25Marker.read(fs, path)
     val b = live.gen + 1L
     val idSet = ids.select(col(idCol)).distinct().persist()
     // negative delta off the CURRENT live postings
-    val gone = livePostings(spark, path, live,
-      spark.read.parquet(s"$path/${live.dir("postings")}"), idCol)
+    val gone = livePostings(spark, path, live, idCol, None)
       .join(broadcast(idSet), Seq(idCol), "left_semi")
     statsDelta(gone, idCol)
       .select((-col("n_docs")).as("n_docs"),
@@ -414,30 +459,34 @@ object Bm25 {
     idSet.unpersist()
     bm25Marker.put(fs, path,
       live.copy(gen = b, batches = live.batches :+ b))
-    bm25Marker.heal(fs, path) // GC the superseded marker
+    bm25Marker.heal(fs, path, retain) // GC outside the window
   }
 
-  /** Generation compaction: rewrite the live postings MINUS the
-    * accumulated tombstones into a fresh write-once
-    * `postings_gen=<G>` dir, re-base the summed stats deltas to ONE
-    * row in `stats_gen=<G>`, and commit both (with an empty batch
-    * list) via one marker PUT; superseded directories GC afterwards.
-    * Readers see either the old generation + tombstone anti-join or
-    * the new compacted generation — never an intermediate — so
-    * compaction is safe under concurrent readers on any
-    * PUT-consistent store. Serving before and after is row-identical
-    * (the lifecycle gate q291 `require`s it). Also collapses the
-    * small files of accumulated appends, so it doubles as the
-    * index's periodic file-compaction pass.
+  /** Generation compaction: rewrite the live postings (generation
+    * plus append segments) MINUS the accumulated tombstones into a
+    * fresh write-once `postings_gen=<G>` dir, re-base the summed
+    * stats deltas to ONE row in `stats_gen=<G>`, and commit both
+    * (with empty batch lists) via one marker PUT; state outside the
+    * retention window GCs afterwards. Readers see either the old
+    * generation + batch overlay or the new compacted generation —
+    * never an intermediate — so compaction is atomic under
+    * concurrent readers on any PUT-consistent store, and a reader
+    * STILL MID-SCAN on a superseded snapshot survives as long as
+    * `retain` covers the longest expected scan (the
+    * [[graft.operators.PoolCommit]] retention contract — with the
+    * default `retain = 1` only the ruling snapshot's files stay on
+    * disk). Serving before and after is row-identical (the lifecycle
+    * gate q291 `require`s it). Also collapses the small files of
+    * accumulated appends, so it doubles as the index's periodic
+    * file-compaction pass.
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
-      path: String, idCol: String): Unit = {
+      path: String, idCol: String, retain: Int = 1): Unit = {
     val fs = bm25Fs(spark, path)
-    bm25Marker.heal(fs, path)
+    bm25Marker.heal(fs, path, retain)
     val live = bm25Marker.read(fs, path)
     val gen = live.gen + 1L
-    val kept = livePostings(spark, path, live,
-      spark.read.parquet(s"$path/${live.dir("postings")}"), idCol)
+    val kept = livePostings(spark, path, live, idCol, None)
       .persist() // rewrite + re-based stats
     kept.write.partitionBy("bucket").mode("errorifexists")
       .parquet(s"$path/postings_gen=$gen")
@@ -446,7 +495,24 @@ object Bm25 {
     kept.unpersist()
     bm25Marker.put(fs, path, graft.operators.LiveState(gen,
       Map("postings" -> s"postings_gen=$gen",
-        "stats" -> s"stats_gen=$gen"), Seq.empty))
-    bm25Marker.heal(fs, path) // GC old generation + folded batches
+        "stats" -> s"stats_gen=$gen"),
+      Seq.empty, Seq.empty, live.applied))
+    bm25Marker.heal(fs, path, retain) // GC outside the window
   }
+
+  /** The committed snapshot generations still readable (oldest
+    * first) — [[topKFromIndex]]'s `atGen` accepts any of them until
+    * a lifecycle writer's GC ages it out of its `retain` window.
+    */
+  def bm25Generations(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] =
+    bm25Marker.listGenerations(bm25Fs(spark, path), path)
+
+  /** The highest stream batch id committed into this index's marker
+    * chain (-1 = none) — [[graft.streaming.StreamingBm25]]'s
+    * exactly-once replay guard.
+    */
+  def lastAppliedStreamBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long =
+    bm25Marker.read(bm25Fs(spark, path), path).applied
 }

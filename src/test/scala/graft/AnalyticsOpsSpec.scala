@@ -1067,6 +1067,83 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("withHilbertValueN: 3-D/4-D bijection over the full grid and " +
+    "every consecutive curve step is grid-adjacent (Skilling); " +
+    "zOrderValueN hand bits; N-layouts sort disjoint ranges") {
+    // 3-D, bits=3: all 512 cells — the curve must VISIT each exactly
+    // once (bijection) and every step must move one unit along one
+    // axis (the Hilbert property; a transpose/interleave slip breaks
+    // one of the two immediately)
+    val pts3 = (for (x <- 0L to 7L; y <- 0L to 7L; z <- 0L to 7L)
+      yield (x, y, z)).toDF("x", "y", "z")
+    val cols3 = Seq(col("x"), col("y"), col("z"))
+    val h3 = Relational.withHilbertValueN(pts3, cols3, "h", 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(h3.values.toSeq.sorted == (0L until 512L), "not a bijection")
+    val pos3 = h3.map(_.swap)
+    (0L until 511L).foreach { d =>
+      val (x1, y1, z1) = pos3(d); val (x2, y2, z2) = pos3(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) +
+        math.abs(z1 - z2) == 1,
+        s"jump at d=$d: ($x1,$y1,$z1) -> ($x2,$y2,$z2)")
+    }
+    // 4-D, bits=2: 256 cells, same two pins
+    val pts4 = (for (a <- 0L to 3L; b <- 0L to 3L; c <- 0L to 3L;
+      d <- 0L to 3L) yield (a, b, c, d)).toDF("a", "b", "c", "d")
+    val h4 = Relational.withHilbertValueN(pts4,
+      Seq(col("a"), col("b"), col("c"), col("d")), "h", 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)) -> r.getLong(4)).toMap
+    assert(h4.values.toSeq.sorted == (0L until 256L))
+    val pos4 = h4.map(_.swap)
+    (0L until 255L).foreach { d =>
+      val (a1, b1, c1, d1) = pos4(d); val (a2, b2, c2, d2) = pos4(d + 1)
+      assert(math.abs(a1 - a2) + math.abs(b1 - b2) +
+        math.abs(c1 - c2) + math.abs(d1 - d2) == 1, s"4-D jump at $d")
+    }
+    // zOrderValueN hand bits: column j owns output bit positions
+    // i*n + j
+    val z3 = pts3.select(col("x"), col("y"), col("z"),
+      Relational.zOrderValueN(cols3, 3).as("zv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(z3((1L, 0L, 0L)) == 1L && z3((0L, 1L, 0L)) == 2L &&
+      z3((0L, 0L, 1L)) == 4L && z3((1L, 1L, 1L)) == 7L &&
+      z3((2L, 0L, 0L)) == 8L && z3((7L, 7L, 7L)) == 511L, z3)
+    // every 4x4x4 octant occupies one contiguous 64-value z block
+    for (tx <- 0 to 1; ty <- 0 to 1; tz <- 0 to 1) {
+      val tile = z3.filter { case ((x, y, z), _) =>
+        x / 4 == tx && y / 4 == ty && z / 4 == tz }.values
+      assert(tile.max - tile.min == 63L, s"octant $tx,$ty,$tz")
+    }
+    // N-layouts: partition-local sort on the curve key, disjoint
+    // ranges (re-derive the key each layout used and compare)
+    def disjointRanges(keyed: org.apache.spark.sql.DataFrame): Unit = {
+      val perPart = keyed
+        .groupBy(col("p"))
+        .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+        .orderBy(col("lo")).collect()
+      assert(perPart.length > 1)
+      perPart.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+            perPart.mkString(";"))
+        case _ => ()
+      }
+    }
+    disjointRanges(Relational.withHilbertValueN(
+      Relational.hilbertLayoutN(pts3, cols3, bits = 3, partitions = 4),
+      cols3, "k", 3).select(spark_partition_id().as("p"), col("k")))
+    disjointRanges(
+      Relational.zOrderLayoutN(pts3, cols3, bits = 3, partitions = 4)
+        .select(spark_partition_id().as("p"),
+          Relational.zOrderValueN(cols3, 3).as("k")))
+  }
+
   test("zOrderValue: hand interleaves, tile containment; " +
     "zOrderLayout sorts within range partitions") {
     val pts = for (x <- 0L to 7L; y <- 0L to 7L) yield (x, y)

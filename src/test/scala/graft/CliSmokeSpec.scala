@@ -615,7 +615,13 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("bm25-query", bmDir, "shared,token3", "5"))
     val delIds = s"${tmpDir("cli-r11bmdel")}/ids"
     Seq(3L, 4L).toDF("doc_id").write.mode("overwrite").parquet(delIds)
-    graft.cli.Main.main(Array("bm25-delete", delIds, bmDir))
+    graft.cli.Main.main(Array("bm25-delete", delIds, bmDir, "doc_id",
+      "2")) // retain=2: pre-delete snapshot stays readable
+    graft.cli.Main.main(Array("bm25-generations", bmDir))
+    val bmGens = graft.text.Bm25.bm25Generations(spark, bmDir)
+    assert(bmGens.length == 2)
+    graft.cli.Main.main(Array("bm25-query", bmDir, "shared", "3",
+      s"--gen=${bmGens.head}")) // time-travel serve
     graft.cli.Main.main(Array("bm25-compact", bmDir))
     graft.cli.Main.main(Array("bm25-query", bmDir, "shared", "3"))
     val signDir = s"${tmpDir("cli-r11sign")}/idx"
@@ -646,7 +652,20 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("ann-append", morePath, idxDir))
     val delIds = s"${tmpDir("cli-r12anndel")}/ids"
     Seq(7L, 31L).toDF("vec_id").write.mode("overwrite").parquet(delIds)
-    graft.cli.Main.main(Array("ann-delete", delIds, idxDir))
+    // retain=2 keeps the pre-delete snapshot readable for --gen reads
+    graft.cli.Main.main(Array("ann-delete", delIds, idxDir, "2"))
+    graft.cli.Main.main(Array("ann-generations", idxDir))
+    assert(graft.sim.SimSearch.annGenerations(spark, idxDir)
+      == Seq(2L, 3L)) // create=1 aged out by the append; del=3
+    val qOld = tmpDir("cli-r13annq-old")
+    graft.cli.Main.main(Array("ann-query", idxDir, basePath, qOld,
+      "3", "4", "8", "--gen=2")) // the pre-delete snapshot
+    assert(spark.read.parquet(qOld).count() > 0)
+    // the snapshot read sees all 40 vectors, the ruling one 38
+    assert(graft.sim.SimSearch.readAnnIndex(spark, idxDir, 2L)
+      .count() == 40L)
+    assert(graft.sim.SimSearch.readAnnIndex(spark, idxDir)
+      .count() == 38L)
     graft.cli.Main.main(Array("ann-compact", idxDir))
     val qOut = tmpDir("cli-r12annq")
     graft.cli.Main.main(Array("ann-query", idxDir, basePath, qOut,

@@ -80,10 +80,31 @@ class RetrievalSpec extends SparkSpec {
       plan.take(2000))
     // appends froze the fan-out: meta still says 8
     assert(spark.read.parquet(s"$dir/meta").head().getInt(0) == 8)
-    // stats deltas accumulate (one per write) and sum to the corpus
-    val st = spark.read.parquet(s"$dir/stats")
-    assert(st.count() == 2L)
-    assert(st.agg(sum("n_docs")).head().getLong(0) == 5L)
+    // the append landed as a marker-committed segment: the live stats
+    // dir keeps the creation row, the append's delta is its own
+    // write-once batch, and they sum to the corpus
+    assert(spark.read.parquet(s"$dir/stats").count() == 1L)
+    assert(spark.read.parquet(s"$dir/stats_deltas/batch=2")
+      .head().getLong(0) == 3L)
+    assert(new java.io.File(s"$dir/postings_batches/batch=2")
+      .isDirectory)
+    assert(Bm25.indexStats(spark, dir).head().getLong(0) == 5L)
+    // creation committed snapshot gen 1, the append gen 2; with the
+    // default retain=1 only the ruling snapshot stays readable
+    assert(Bm25.bm25Generations(spark, dir) == Seq(2L))
+    // time travel: append with retain=2 keeps the pre-append snapshot
+    // addressable — serving atGen replays the OLD corpus exactly
+    val dir2 = s"${tmpDir("bm25-tt")}/idx"
+    Bm25.writeBm25Index(corpus.filter(col("doc_id") <= 2), "text",
+      "doc_id", dir2, buckets = 8)
+    Bm25.appendToBm25Index(corpus.filter(col("doc_id") > 2), "text",
+      "doc_id", dir2, retain = 2)
+    assert(Bm25.bm25Generations(spark, dir2) == Seq(1L, 2L))
+    val atOld = Bm25.topKFromIndex(spark, dir2, queries, "query_id",
+      "doc_id", atGen = Some(1L)).collect().toSet
+    val overOld = Bm25.search(corpus.filter(col("doc_id") <= 2),
+      "text", "doc_id", queries, "query_id").collect().toSet
+    assert(atOld == overOld && atOld != oneShot)
   }
 
   test("bm25 index deletes: tombstoned docs never surface, idf/avgdl " +
@@ -116,8 +137,9 @@ class RetrievalSpec extends SparkSpec {
       "doc_id").collect().toSet
     assert(after == oneShot)
     assert(Bm25.indexStats(spark, dir).head().getLong(0) == 3L)
-    assert(spark.read.parquet(s"$dir/postings_gen=3").count() > 0L)
-    assert(spark.read.parquet(s"$dir/stats_gen=3").count() == 1L)
+    // gens: create=1, delete=2, no-op delete=3, compact=4
+    assert(spark.read.parquet(s"$dir/postings_gen=4").count() > 0L)
+    assert(spark.read.parquet(s"$dir/stats_gen=4").count() == 1L)
     assert(!new java.io.File(s"$dir/postings").exists())
     assert(!new java.io.File(s"$dir/tombstones").exists())
     assert(!new java.io.File(s"$dir/stats_deltas").exists())

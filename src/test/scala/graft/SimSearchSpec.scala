@@ -341,14 +341,56 @@ class SimSearchSpec extends SparkSpec {
     assert(serve() == tombstoned)
     assert(SimSearch.readAnnIndex(spark, path).count() ==
       200L - dead.length)
-    assert(new java.io.File(s"$path/vectors_gen=3").isDirectory)
+    // gens: create=1, append=2, delete=3, no-op delete=4, compact=5
+    assert(new java.io.File(s"$path/vectors_gen=5").isDirectory)
     assert(!new java.io.File(s"$path/vectors").exists())
     assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(!new java.io.File(s"$path/vectors_batches").exists())
     // a rebuild at the same path starts clean — no stale lifecycle
     SimSearch.writeAnnIndex(emb, path, "vec_id", "embedding",
       planes = 4, dim = 8)
     assert(SimSearch.readAnnIndex(spark, path).count() == 200L)
     assert(serve() == inline)
+  }
+
+  test("ann index retention window: superseded snapshots stay " +
+    "readable (mid-scan readers survive compaction), listGenerations " +
+    "tracks the window, GC honors retain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val emb = Seq.tabulate(100)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val path = tmpDir("annretain") + "/idx"
+    SimSearch.writeAnnIndex(emb, path, "vec_id", "embedding",
+      planes = 4, dim = 8) // snapshot gen 1
+    // delete with retain=2: the pre-delete snapshot stays readable
+    SimSearch.deleteFromAnnIndex(
+      (0L until 100L).filter(_ % 4 == 0).toDF("vec_id"), path,
+      retain = 2) // snapshot gen 2
+    assert(SimSearch.annGenerations(spark, path) == Seq(1L, 2L))
+    assert(SimSearch.readAnnIndex(spark, path, 1L).count() == 100L,
+      "time-travel read of the pre-delete snapshot")
+    assert(SimSearch.readAnnIndex(spark, path).count() == 75L)
+    // THE LIVENESS CASE (round-12 finding): resolve a frame on the
+    // CURRENT snapshot, compact with retain=2, the in-flight frame
+    // must still complete (its files are inside the window)
+    val midScan = SimSearch.readAnnIndex(spark, path) // resolves gen 2
+    SimSearch.compactAnnIndex(spark, path, retain = 2) // gen 3
+    assert(midScan.count() == 75L,
+      "reader mid-scan on the superseded snapshot must survive " +
+        "a retain=2 compaction")
+    assert(SimSearch.annGenerations(spark, path) == Seq(2L, 3L))
+    assert(SimSearch.readAnnIndex(spark, path, 2L).count() == 75L)
+    // aged out of the window: gen 1 is gone, fail-loud with the hint
+    val err = intercept[IllegalArgumentException] {
+      SimSearch.readAnnIndex(spark, path, 1L)
+    }
+    assert(err.getMessage.contains("retain"))
+    // a retain=1 lifecycle op collapses the window to the ruling gen
+    SimSearch.deleteFromAnnIndex(Seq(1L).toDF("vec_id"), path) // gen 4
+    assert(SimSearch.annGenerations(spark, path) == Seq(4L))
+    assert(SimSearch.readAnnIndex(spark, path).count() == 74L)
   }
 
   test("bitextMine: margin scoring demotes the hub target that raw " +

@@ -321,8 +321,8 @@ class StreamAggExportSpec extends SparkSpec {
     val oneShot = graft.text.Bm25.topKFromIndex(spark, batchIdx,
       queries, "query_id", "doc_id").collect().toSet
     assert(served.collect().toSet == oneShot && oneShot.nonEmpty)
-    // a replayed micro-batch is a no-op (the _applied marker), so
-    // postings/df/stats stay exact
+    // a replayed micro-batch is a no-op (its id is recorded in the
+    // committed marker), so postings/df/stats stay exact
     graft.streaming.StreamingBm25.processBatch(
       Seq(docs(4)).toDF("doc_id", "text"), 2L, idxPath,
       "text", "doc_id", buckets = 8)
@@ -348,6 +348,49 @@ class StreamAggExportSpec extends SparkSpec {
     val overSurvivors = graft.text.Bm25.search(survivors, "text",
       "doc_id", queries, "query_id").collect().toSet
     assert(after.toSet == overSurvivors)
+    // CRASH-REPLAY, the exactly-once case: simulate a crash BETWEEN
+    // the append's segment write and its marker PUT by deleting the
+    // newest marker (the segment dirs stay as unreferenced orphans),
+    // then replay the batch — serving must equal the batch-built
+    // index over the same logical corpus, not double the batch's
+    // postings (pre-round-13, a replayed plain append did exactly
+    // that)
+    val extraDoc = Seq((6L, "spark joins the extra shuffled table"))
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def newestMarker() = fs.listStatus(
+      new org.apache.hadoop.fs.Path(idxPath)).map(_.getPath)
+      .filter(_.getName.startsWith("_live.")).maxBy(_.getName)
+    // snapshot the ruling marker, run the append, then delete the new
+    // marker and restore the old one — EXACTLY the on-disk state of a
+    // crash between the segment write and the marker PUT (the old
+    // marker still rules, the segment dirs are unreferenced orphans)
+    val rulingBefore = newestMarker()
+    val rulingBytes = {
+      val in = fs.open(rulingBefore)
+      try { val b = new Array[Byte](4096)
+        val n = in.read(b); b.take(n) } finally in.close()
+    }
+    graft.streaming.StreamingBm25.processBatch(
+      extraDoc.toDF("doc_id", "text"), 3L, idxPath,
+      "text", "doc_id", buckets = 8)
+    assert(fs.delete(newestMarker(), false)) // "the PUT never landed"
+    val out = fs.create(rulingBefore, false)
+    out.write(rulingBytes); out.close()
+    graft.streaming.StreamingBm25.processBatch(
+      extraDoc.toDF("doc_id", "text"), 3L, idxPath,
+      "text", "doc_id", buckets = 8) // replay lands exactly once
+    val batchIdx6 = s"$base/batchidx6"
+    graft.text.Bm25.writeBm25Index(
+      (survivors.collect().map(r => (r.getLong(0), r.getString(1)))
+        .toSeq ++ extraDoc).toDF("doc_id", "text"),
+      "text", "doc_id", batchIdx6, buckets = 8)
+    assert(graft.text.Bm25.topKFromIndex(spark, idxPath, queries,
+      "query_id", "doc_id").collect().toSet ==
+      graft.text.Bm25.topKFromIndex(spark, batchIdx6, queries,
+        "query_id", "doc_id").collect().toSet)
+    assert(graft.text.Bm25.indexStats(spark, idxPath)
+      .head().getLong(0) == 5L) // 5 survivors + 1 new - 0 doubles
   }
 
   test("StreamingAnn: micro-batches build an index that serves " +
@@ -382,7 +425,8 @@ class StreamAggExportSpec extends SparkSpec {
       col("vec_id") < 3, k = 3, planes = 4, dim = 8)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(serve() == inline && inline.nonEmpty)
-    // a replayed micro-batch is a no-op (the _applied marker)
+    // a replayed micro-batch is a no-op (its id is recorded in the
+    // committed marker)
     graft.streaming.StreamingAnn.processBatch(
       emb.drop(30).toDF("vec_id", "embedding"), 1L, idxPath,
       "vec_id", "embedding", planes = 4, dim = 8)
@@ -398,6 +442,38 @@ class StreamAggExportSpec extends SparkSpec {
     } finally delQuery.stop()
     assert(SimSearch.readAnnIndex(spark, idxPath).count() == 59L)
     assert(!serve().exists(_._3 == 7L))
+    // CRASH-REPLAY, the exactly-once case: append a batch, delete its
+    // marker ("the PUT never landed" — the segment dir stays as an
+    // unreferenced orphan), replay — the batch must land exactly once
+    val extra = Seq.tabulate(3)(i =>
+      (100L + i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def newestMarker() = fs.listStatus(
+      new org.apache.hadoop.fs.Path(idxPath)).map(_.getPath)
+      .filter(_.getName.startsWith("_live.")).maxBy(_.getName)
+    // reconstruct the exact crash window: old marker still ruling,
+    // the appended segment dirs unreferenced orphans (see the
+    // StreamingBm25 case above)
+    val rulingBefore = newestMarker()
+    val rulingBytes = {
+      val in = fs.open(rulingBefore)
+      try { val b = new Array[Byte](4096)
+        val n = in.read(b); b.take(n) } finally in.close()
+    }
+    graft.streaming.StreamingAnn.processBatch(
+      extra.toDF("vec_id", "embedding"), 2L, idxPath,
+      "vec_id", "embedding", planes = 4, dim = 8)
+    assert(fs.delete(newestMarker(), false)) // "the PUT never landed"
+    val out = fs.create(rulingBefore, false)
+    out.write(rulingBytes); out.close()
+    assert(SimSearch.readAnnIndex(spark, idxPath).count() == 59L,
+      "unreferenced orphan segment must be invisible to readers")
+    graft.streaming.StreamingAnn.processBatch(
+      extra.toDF("vec_id", "embedding"), 2L, idxPath,
+      "vec_id", "embedding", planes = 4, dim = 8)
+    assert(SimSearch.readAnnIndex(spark, idxPath).count() == 62L,
+      "crash-replayed batch must land exactly once, not twice")
   }
 
   test("StreamingPq: first batch trains, later batches append under " +
