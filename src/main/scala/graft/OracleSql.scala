@@ -7856,6 +7856,33 @@ object OracleSql {
     // Hilbert curve: the xy2d walk unrolled level for level
     "q312_hilbert" -> q312HilbertSql,
 
+    // 3-D Hilbert (Skilling transpose), step-unrolled
+    "q322_hilbert3d" -> q322Hilbert3dSql,
+
+    // bloom skipping gate: layout-invariant ground truth (pruning
+    // numbers are require'd in-query — file boundaries are not
+    // SQL-expressible)
+    "q324_bloom_skipping" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN event_id IN (7, 1013, 4099)
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_rows_matched,
+        |  count(DISTINCT CASE WHEN event_id IN (7, 1013, 4099)
+        |    THEN event_id END)::BIGINT AS n_probes_found
+        |FROM events""".stripMargin,
+
+    // layout gate: the RESULT row is layout-invariant ground truth
+    // (the read-amp improvement is require'd in-query — file
+    // boundaries are not SQL-expressible)
+    "q323_layout_skipping" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN (user_id % 64) BETWEEN 24 AND 31
+        |    THEN 1 ELSE 0 END)::BIGINT AS matched_x,
+        |  sum(CASE WHEN (event_id % 64) BETWEEN 24 AND 31
+        |    THEN 1 ELSE 0 END)::BIGINT AS matched_y,
+        |  sum(CASE WHEN (((round(value * 100)::BIGINT % 64) + 64) % 64)
+        |    BETWEEN 24 AND 31 THEN 1 ELSE 0 END)::BIGINT AS matched_z
+        |FROM events WHERE value IS NOT NULL""".stripMargin,
+
     // two-sample KS: exact supremum + asymptotic p
     "q313_ks" -> q313KsSql,
 

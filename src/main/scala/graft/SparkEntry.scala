@@ -5331,6 +5331,57 @@ object SparkEntry {
     }
   }
 
+  /** Per-file Bloom side-car skipping under the oracle — the pruning
+    * tier min/max CANNOT provide: write the events cube range-
+    * partitioned on user_id (so event_id, the probe column, is
+    * UNCORRELATED with file boundaries and every file's
+    * [min, max] spans the probes — min/max skipping is blind), build
+    * the side-car, probe three ids, and `require` in-query that (a)
+    * the Bloom tier scans strictly fewer rows than the min/max tier,
+    * and (b) the Bloom-pruned read returns EXACTLY the rows of the
+    * exact filter (no false negatives, the Bloom contract). The
+    * RESULT row is the layout-invariant ground truth the oracle
+    * replays (total rows, matched rows, found probes). EAGER (layout
+    * write + side-car build + audits); temp tree deleted on return.
+    */
+  def q324_bloom_skipping(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_bloom")
+    try {
+      val laid = base.resolve("byuser").toString
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"))
+      ev.repartitionByRange(8, col("user_id"))
+        .sortWithinPartitions(col("user_id"))
+        .write.parquet(laid)
+      Diagnose.writeBloomSidecar(s, laid, "event_id")
+      val probes = Seq(7L, 1013L, 4099L)
+      val rep = Diagnose.bloomSkippingReport(s, laid, "event_id",
+        probes).localCheckpoint()
+      val r = rep.head()
+      require(r.getAs[Long]("n_rows_scanned_bloom") <
+        r.getAs[Long]("n_rows_scanned_minmax"),
+        s"bloom tier must beat min/max on uncorrelated point " +
+          s"lookups: $r")
+      val viaBloom = Diagnose.readWithBloom(s, laid, "event_id",
+        probes)
+      val exact = s.read.parquet(laid)
+        .filter(col("event_id").isin(probes: _*))
+      require(viaBloom.exceptAll(exact).isEmpty &&
+        exact.exceptAll(viaBloom).isEmpty,
+        "bloom-pruned read diverged from the exact filter")
+      ev.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("event_id").isin(probes: _*), 1L).otherwise(0L))
+          .as("n_rows_matched"),
+        countDistinct(when(col("event_id").isin(probes: _*),
+          col("event_id"))).as("n_probes_found"))
+        .localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Adjusted Rand Index: does a source-based bucketing of the corpus
     * recover the language partition? The pair-counting
     * chance-corrected companion of the NMI gate — exact decimal pair
@@ -5819,6 +5870,7 @@ object SparkEntry {
     "q320_proportion_effect" -> (q320_proportion_effect(_, _)),
     "q321_bm25_time_travel" -> (q321_bm25_time_travel(_, _)),
     "q322_hilbert3d" -> (q322_hilbert3d(_, _)),
+    "q324_bloom_skipping" -> (q324_bloom_skipping(_, _)),
     "q323_layout_skipping" -> (q323_layout_skipping(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -325,6 +325,68 @@ object Main {
         s"clustered on ($xCol, $yCol) -> $outDir")
       done(spark)
 
+    // N-column clustering (3-4 quasi-key columns): Skilling n-D
+    // Hilbert or n-D Morton interleave
+    case "hilbert-n" :: path :: colsCsv :: outDir :: rest =>
+      import org.apache.spark.sql.functions.col
+      val bits = rest.headOption.map(_.toInt).getOrElse(16)
+      val spark = session()
+      val cols = colsCsv.split(',').toSeq.map(col)
+      graft.operators.Relational.hilbertLayoutN(
+        spark.read.parquet(path), cols, bits)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[hilbert-n] ${spark.read.parquet(outDir).count()} " +
+        s"rows clustered on ($colsCsv) -> $outDir")
+      done(spark)
+
+    // per-file Bloom side-car: build, then point-probe (report both
+    // pruning tiers) or read through it
+    case "bloom-index" :: path :: colName :: rest =>
+      val m = rest.headOption.map(_.toInt).getOrElse(1 << 16)
+      val k = rest.drop(1).headOption.map(_.toInt).getOrElse(2)
+      val spark = session()
+      graft.operators.Diagnose.writeBloomSidecar(spark, path, colName,
+        m, k)
+      val nPos = spark.read.parquet(s"$path/_bloom/$colName/pos")
+        .count()
+      println(s"[bloom-index] side-car on $colName: $nPos " +
+        s"(file, pos) rows (m=$m, k=$k) -> $path/_bloom/$colName")
+      done(spark)
+
+    case "bloom-probe" :: path :: colName :: idsCsv :: rest =>
+      val spark = session()
+      val probes = idsCsv.split(',').toSeq.map(_.toLong)
+      val r = graft.operators.Diagnose.bloomSkippingReport(spark,
+        path, colName, probes).head()
+      println(s"[bloom-probe] files=${r.getAs[Long]("n_files")} " +
+        s"hit_minmax=${r.getAs[Long]("n_files_hit_minmax")} " +
+        s"hit_bloom=${r.getAs[Long]("n_files_hit_bloom")} " +
+        s"scanned_minmax=${r.getAs[Long]("n_rows_scanned_minmax")} " +
+        s"scanned_bloom=${r.getAs[Long]("n_rows_scanned_bloom")} " +
+        s"matched=${r.getAs[Long]("n_rows_matched")}")
+      done(spark)
+
+    case "bloom-read" :: path :: colName :: idsCsv :: outDir :: Nil =>
+      val spark = session()
+      val probes = idsCsv.split(',').toSeq.map(_.toLong)
+      graft.operators.Diagnose.readWithBloom(spark, path, colName,
+        probes).write.mode("overwrite").parquet(outDir)
+      println(s"[bloom-read] " +
+        s"${spark.read.parquet(outDir).count()} rows -> $outDir")
+      done(spark)
+
+    case "zorder-n" :: path :: colsCsv :: outDir :: rest =>
+      import org.apache.spark.sql.functions.col
+      val bits = rest.headOption.map(_.toInt).getOrElse(16)
+      val spark = session()
+      val cols = colsCsv.split(',').toSeq.map(col)
+      graft.operators.Relational.zOrderLayoutN(
+        spark.read.parquet(path), cols, bits)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[zorder-n] ${spark.read.parquet(outDir).count()} " +
+        s"rows clustered on ($colsCsv) -> $outDir")
+      done(spark)
+
     // Benjamini-Yekutieli flavor (arbitrary dependence)
     case "by" :: path :: idCol :: pCol :: rest =>
       import org.apache.spark.sql.functions.col
@@ -3174,6 +3236,11 @@ object Main {
           "ratetest <parquet> <boolGroupCol> <countCol> <expCol> | " +
           "zorder <parquet> <xCol> <yCol> <outDir> [bits] | " +
           "hilbert <parquet> <xCol> <yCol> <outDir> [bits] | " +
+          "hilbert-n <parquet> <col1,col2,...> <outDir> [bits] | " +
+          "zorder-n <parquet> <col1,col2,...> <outDir> [bits] | " +
+          "bloom-index <parquet> <col> [m] [k] | " +
+          "bloom-probe <parquet> <col> <id1,id2,...> | " +
+          "bloom-read <parquet> <col> <id1,id2,...> <out> | " +
           "skip-report <parquet> <valCol> <lo> <hi> | " +
           "kanon <parquet> <quasiCol1,...> <sensCol> <k> <l> | " +
           "mondrian <parquet> <quasiCol1,...> <k> <outDir> [depth] | " +

@@ -126,6 +126,141 @@ object Diagnose {
             .cast("long")))
   }
 
+  // ── per-file Bloom side-car skipping ──────────────────────────────
+  // min/max pruning ([[fileSkippingReport]]) is blind to
+  // high-cardinality POINT lookups on unclustered columns: every
+  // file's [min, max] spans the probe, so nothing skips. The standard
+  // next tier (Bloom 1970; the per-file bloom filters of ORC,
+  // Parquet's column-index blooms, Delta's file stats) is a tiny
+  // write-once side-car per file: k hash-bit positions per value,
+  // consulted at read time into a FILE-LIST filter. No false
+  // negatives by construction (a present value's positions are all
+  // set); false positives cost only extra files scanned, bounded by
+  // the classic (1 − e^(−k·n/m))^k.
+  //
+  // Layout: `<root>/_bloom/<col>/pos`  (file, pos) distinct rows —
+  // the sparse bitset; `<root>/_bloom/<col>/meta` one (m, k) row.
+  // The `_`-prefixed dir is invisible to plain parquet readers of
+  // `<root>`. Positions use xxhash64(value, seed) pmod m — the
+  // engine-native 64-bit hash per (value, seed), no RNG state.
+
+  /** Build the per-file Bloom side-car for `valueCol` (cast to long)
+    * over an already-written parquet dataset. One distributed scan
+    * grouped by `input_file_name`; side-car size is
+    * O(files · min(m, k·distinct-per-file)) — metadata-scale. Rebuild
+    * after rewriting the data (file names change).
+    */
+  def writeBloomSidecar(spark: SparkSession, root: String,
+      valueCol: String, m: Int = 1 << 16, k: Int = 2): Unit = {
+    require(m > 1 && k >= 1 && k <= 8, s"bad bloom params m=$m k=$k")
+    import spark.implicits._
+    val posCols = (0 until k).map { s =>
+      pmod(xxhash64(col(valueCol).cast("long"), lit(s)),
+        lit(m.toLong)).cast("int")
+    }
+    spark.read.parquet(root)
+      .select(input_file_name().as("file"),
+        explode(array(posCols: _*)).as("pos"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$root/_bloom/$valueCol/pos")
+    Seq((m, k)).toDF("m", "k").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/_bloom/$valueCol/meta")
+  }
+
+  /** The files that MAY contain any of `probes` per the side-car —
+    * a file passes for probe v iff ALL of v's hash positions are in
+    * the file's position set (collisions among v's own positions
+    * handled by requiring its DISTINCT position count). Probe sets
+    * are query-sized by contract, so the passing list is collected;
+    * the side-car join itself is distributed.
+    */
+  def bloomPassingFiles(spark: SparkSession, root: String,
+      valueCol: String, probes: Seq[Long]): Seq[String] = {
+    require(probes.nonEmpty, "empty probe set")
+    val meta = spark.read.parquet(s"$root/_bloom/$valueCol/meta").head()
+    val (m, k) = (meta.getAs[Int]("m"), meta.getAs[Int]("k"))
+    import spark.implicits._
+    val posCols = (0 until k).map { s =>
+      pmod(xxhash64(col("_v"), lit(s)), lit(m.toLong)).cast("int")
+    }
+    val probePos = probes.toDF("_v")
+      .select(col("_v"), explode(array(posCols: _*)).as("pos"))
+      .distinct().localCheckpoint()
+    val need = probePos.groupBy(col("_v")).agg(count(lit(1)).as("_need"))
+    spark.read.parquet(s"$root/_bloom/$valueCol/pos")
+      .join(broadcast(probePos), Seq("pos"))
+      .groupBy(col("file"), col("_v")).agg(count(lit(1)).as("_got"))
+      .join(broadcast(need), Seq("_v"))
+      .filter(col("_got") === col("_need"))
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Point-lookup read through the side-car: scan ONLY the bloom-
+    * passing files, then apply the exact membership filter — the
+    * takedown/audit pipeline's id-probe shape ("find these 20 doc
+    * ids in a million-file corpus") without opening the lake. No
+    * false negatives: every file actually containing a probe passes.
+    */
+  def readWithBloom(spark: SparkSession, root: String,
+      valueCol: String, probes: Seq[Long]): DataFrame = {
+    val files = bloomPassingFiles(spark, root, valueCol, probes)
+    val exact = col(valueCol).cast("long").isin(probes: _*)
+    if (files.isEmpty)
+      spark.read.parquet(root).filter(lit(false))
+    else
+      // basePath keeps Hive partition columns when addressing files
+      spark.read.option("basePath", root).parquet(files: _*)
+        .filter(exact)
+  }
+
+  /** [[fileSkippingReport]]'s point-lookup twin, with BOTH pruning
+    * tiers measured side by side: how many files (and rows) would a
+    * min/max-stats reader scan for these probes, versus the Bloom
+    * side-car? One row: `(n_files, n_rows, n_files_hit_minmax,
+    * n_rows_scanned_minmax, n_files_hit_bloom, n_rows_scanned_bloom,
+    * n_rows_matched, read_amp_minmax_micro, read_amp_bloom_micro)`.
+    * Run it before shipping a re-layout or a side-car build — the
+    * decision should be justified by these numbers.
+    */
+  def bloomSkippingReport(spark: SparkSession, root: String,
+      valueCol: String, probes: Seq[Long]): DataFrame = {
+    require(probes.nonEmpty, "empty probe set")
+    val passing = bloomPassingFiles(spark, root, valueCol, probes)
+    val inProbe = col("_v").isin(probes: _*)
+    val perFile = spark.read.parquet(root)
+      .withColumn("_file", input_file_name())
+      .withColumn("_v", col(valueCol).cast("long"))
+      .groupBy(col("_file"))
+      .agg(count(lit(1)).as("_rows"), min(col("_v")).as("_lo"),
+        max(col("_v")).as("_hi"),
+        sum(when(inProbe, 1L).otherwise(0L)).as("_matched"))
+    val hitMinmax = probes.map(p => col("_lo") <= p && col("_hi") >= p)
+      .reduce(_ || _)
+    val hitBloom =
+      if (passing.isEmpty) lit(false)
+      else col("_file").isin(passing: _*)
+    def amp(scanned: Column): Column =
+      when(col("n_rows_matched") <= 0L, lit(null).cast("long"))
+        .otherwise(round(scanned.cast("double") /
+          col("n_rows_matched").cast("double") * lit(1000000.0))
+          .cast("long"))
+    perFile.agg(
+      count(lit(1)).as("n_files"),
+      sum(col("_rows")).as("n_rows"),
+      sum(when(hitMinmax, 1L).otherwise(0L)).as("n_files_hit_minmax"),
+      sum(when(hitMinmax, col("_rows")).otherwise(0L))
+        .as("n_rows_scanned_minmax"),
+      sum(when(hitBloom, 1L).otherwise(0L)).as("n_files_hit_bloom"),
+      sum(when(hitBloom, col("_rows")).otherwise(0L))
+        .as("n_rows_scanned_bloom"),
+      sum(col("_matched")).as("n_rows_matched"))
+      .withColumn("read_amp_minmax_micro",
+        amp(col("n_rows_scanned_minmax")))
+      .withColumn("read_amp_bloom_micro",
+        amp(col("n_rows_scanned_bloom")))
+  }
+
   /** Per-column dataset profile — the statistics page for a snapshot:
     * null count, estimated distinct count (HLL++), and min/max (as
     * strings, so one schema fits every dtype) for every column, plus

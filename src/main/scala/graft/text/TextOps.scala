@@ -712,6 +712,191 @@ object TextOps {
     learned.toSeq.toDF("round", "lsym", "rsym", "pair_count")
   }
 
+  // ── unigram-LM (SentencePiece) tokenizer ──────────────────────────
+  // The OTHER tokenizer family every LLM pipeline compares against
+  // (Kudo 2018, "Subword Regularization"; the SentencePiece unigram
+  // model): pieces carry unigram costs, a word segments into the
+  // minimum-cost piece sequence (Viterbi), and training alternates
+  // segment-under-current-model with re-estimate-from-counts — the
+  // hard-count (Viterbi-EM) flavor, which keeps every statistic an
+  // exact integer so learn AND apply replay bit-identically in a SQL
+  // oracle. Costs are integer micro-nats (round(−ln(p)·10⁶), the
+  // [[graft.text.Dsir]] discipline), so Viterbi argmins and the
+  // backtrace's exact-identity checks never touch float comparison.
+
+  private val UnigramInf = 1000000000000000L // 10^15 µnats ≫ any path
+
+  /** Forward Viterbi costs of `word` under `model` (piece →
+    * cost_micro): array of length |word|+1, entry j = cheapest cost
+    * of segmenting the first j characters. Unknown single chars cost
+    * `unkMicro`; unknown longer substrings are impossible.
+    */
+  private def unigramForward(word: Column, model: Column,
+      maxPieceLen: Int, unkMicro: Long): Column =
+    aggregate(
+      sequence(lit(1), length(word)),
+      array(lit(0L)),
+      (acc, j) => concat(acc, array(
+        (1 to maxPieceLen).map { k =>
+          val pc = coalesce(
+            element_at(model, word.substr(j - (k - 1), lit(k))),
+            lit(if (k == 1) unkMicro else UnigramInf))
+          when(j >= k,
+            element_at(acc, greatest(j - k + 1, lit(1))) + pc)
+            .otherwise(lit(UnigramInf))
+        }.reduce(least(_, _)))))
+
+  /** Backtrace the minimum-cost segmentation from the forward costs:
+    * walk from the end, at each position taking the LONGEST piece
+    * whose exact integer identity `cost[pos−k] + cost(piece) =
+    * cost[pos]` holds (ties between equal-cost splits therefore
+    * break toward longer pieces — deterministic, SQL-replayable).
+    */
+  private def unigramBacktrace(word: Column, costs: Column,
+      model: Column, maxPieceLen: Int, unkMicro: Long): Column = {
+    val n = length(word)
+    val walked = aggregate(
+      sequence(lit(1), greatest(n, lit(1))),
+      struct(n.cast("int").as("pos"),
+        array().cast("array<string>").as("ps")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        def pieceCost(k: Int): Column = coalesce(
+          element_at(model,
+            word.substr(pos - (k - 1), lit(k))),
+          lit(if (k == 1) unkMicro else UnigramInf))
+        def hits(k: Int): Column = pos >= k &&
+          (element_at(costs, greatest(pos - k + 1, lit(1))) +
+            pieceCost(k)) === element_at(costs, pos + 1)
+        val kStar = (maxPieceLen to 2 by -1)
+          .foldLeft(null.asInstanceOf[Column]) { (acc2, k) =>
+            if (acc2 == null) when(hits(k), lit(k))
+            else acc2.when(hits(k), lit(k))
+          } match {
+            case null => lit(1)
+            case w => w.otherwise(lit(1))
+          }
+        when(pos <= 0, acc).otherwise(struct(
+          (pos - kStar).cast("int").as("pos"),
+          concat(acc.getField("ps"),
+            array(word.substr(pos - kStar + 1, kStar))).as("ps")))
+      })
+    reverse(walked.getField("ps"))
+  }
+
+  /** APPLY a unigram-LM model: append `outCol` — the minimum-cost
+    * piece sequence of every word, in document order — to `df`.
+    * `model` maps piece → cost in micro-nats (what [[learnUnigramLm]]
+    * emits); unseen single characters segment as themselves at
+    * `unkMicro`. Pure staged column transforms (forward costs
+    * materialize once per word, then the backtrace reads them), so
+    * the whole tokenizer runs in the scan stage — no shuffle, no UDF.
+    */
+  def tokensUnigram(df: DataFrame, textCol: String, outCol: String,
+      model: Map[String, Long], maxPieceLen: Int = 3,
+      unkMicro: Long = 25000000L,
+      tokenizer: Column => Column = tokensSimple): DataFrame = {
+    require(model.nonEmpty, "empty unigram model")
+    require(maxPieceLen >= 1, s"bad maxPieceLen $maxPieceLen")
+    val m = typedLit(model)
+    df
+      .withColumn("_uw",
+        filter(tokenizer(col(textCol)), w => length(w) > 0))
+      .withColumn("_uc", transform(col("_uw"), w =>
+        struct(w.as("w"),
+          unigramForward(w, m, maxPieceLen, unkMicro).as("c"))))
+      .withColumn(outCol, flatten(transform(col("_uc"), s =>
+        unigramBacktrace(s.getField("w"), s.getField("c"), m,
+          maxPieceLen, unkMicro))))
+      .drop("_uw", "_uc")
+  }
+
+  /** LEARN a unigram-LM vocabulary (Kudo 2018, hard-EM flavor):
+    * seed = every substring of length ≤ `maxPieceLen` of the
+    * distinct-word table (all single characters, plus the
+    * `vocabSize` most frequent longer candidates — count desc, piece
+    * asc); then `iters` rounds of Viterbi-segment-under-current-
+    * costs → re-count pieces from the best segmentations. Returns
+    * the final `(piece, cnt, cost_micro)` model — `cnt` the
+    * Viterbi-EM count, `cost_micro = round(−ln(cnt/total)·10⁶)`.
+    * Pieces unused by any best segmentation drop (apply covers
+    * unseen characters via `unkMicro`).
+    *
+    * Scale shape (the [[learnBpeMerges]] discipline): ONE corpus
+    * scan into the distinct-word frequency table; seeding and every
+    * EM round run on that vocab-sized table, and the model itself
+    * (vocab-sized by construction) is collected per round to drive
+    * the next segmentation. Words longer than `maxWordLen` are
+    * excluded from TRAINING by contract (they are tail noise for a
+    * subword model and would unboundedly widen the oracle's unrolled
+    * replay); apply handles any length.
+    */
+  def learnUnigramLm(df: DataFrame, textCol: String,
+      vocabSize: Int = 60, maxPieceLen: Int = 3, iters: Int = 1,
+      maxWordLen: Int = 20, unkMicro: Long = 25000000L,
+      tokenizer: Column => Column = tokensSimple): DataFrame = {
+    require(vocabSize >= 1 && maxPieceLen >= 1 && iters >= 0 &&
+      maxWordLen >= maxPieceLen,
+      s"bad params vocab=$vocabSize L=$maxPieceLen iters=$iters " +
+        s"maxWordLen=$maxWordLen")
+    val spark = df.sparkSession
+    val words = df
+      .select(explode(tokenizer(col(textCol))).as("word"))
+      .filter(length(col("word")).between(1, maxWordLen))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .localCheckpoint()
+    // seed candidates: all substrings up to maxPieceLen, weighted by
+    // word frequency
+    val allSubs = flatten(transform(
+      sequence(lit(1), length(col("word"))),
+      i => transform(
+        sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - i + 1)),
+        l => col("word").substr(i, l))))
+    val subCounts = words
+      .select(col("wc"), explode(allSubs).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("cnt"))
+      .localCheckpoint()
+    val seed = subCounts.filter(length(col("piece")) === 1)
+      .unionByName(subCounts.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece").asc)
+        .limit(vocabSize))
+    var modelDf = seed.localCheckpoint()
+    for (_ <- 1 to iters) {
+      val model = collectCosts(modelDf)
+      val m = typedLit(model)
+      modelDf = words
+        .withColumn("_c",
+          unigramForward(col("word"), m, maxPieceLen, unkMicro))
+        .select(col("wc"), explode(unigramBacktrace(col("word"),
+          col("_c"), m, maxPieceLen, unkMicro)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("wc")).as("cnt"))
+        .localCheckpoint()
+    }
+    val total = modelDf.agg(sum(col("cnt")).as("_t"))
+    modelDf.crossJoin(broadcast(total))
+      .select(col("piece"), col("cnt"),
+        costMicro(col("cnt"), col("_t")).as("cost_micro"))
+  }
+
+  /** The one shared cost chain (Spark = collect-side = oracle):
+    * `round(−ln(cnt/total)·10⁶)`.
+    */
+  private def costMicro(cnt: Column, total: Column): Column =
+    round(-log(cnt.cast("double") / total.cast("double")) *
+      lit(1000000.0)).cast("long")
+
+  /** Collect a (piece, cnt) frame into the piece → cost_micro map
+    * that drives the next EM round — costs computed IN Spark with
+    * [[costMicro]] so every engine sees one IEEE chain.
+    */
+  private def collectCosts(counts: DataFrame): Map[String, Long] = {
+    val total = counts.agg(sum(col("cnt")).as("_t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("piece"), costMicro(col("cnt"), col("_t")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   /** Driver fast path for [[learnBpeMerges]] — the flavor a production
     * 32k-merge vocabulary needs: the distributed trainer is correct
     * but pays one Spark job (pair count + argmax collect) PER ROUND,

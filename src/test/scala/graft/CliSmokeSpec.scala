@@ -556,6 +556,22 @@ class CliSmokeSpec extends SparkSpec {
     val hOut = tmpDir("cli-r12h")
     graft.cli.Main.main(Array("hilbert", statsPath, "id", "v", hOut,
       "10"))
+    val hnOut = tmpDir("cli-r13hn")
+    graft.cli.Main.main(Array("hilbert-n", statsPath, "id,v,ga",
+      hnOut, "8"))
+    assert(spark.read.parquet(hnOut).count() ==
+      spark.read.parquet(statsPath).count())
+    val znOut = tmpDir("cli-r13zn")
+    graft.cli.Main.main(Array("zorder-n", statsPath, "id,v,ga",
+      znOut, "8"))
+    assert(spark.read.parquet(znOut).count() ==
+      spark.read.parquet(statsPath).count())
+    graft.cli.Main.main(Array("bloom-index", statsPath, "id"))
+    graft.cli.Main.main(Array("bloom-probe", statsPath, "id", "3,17"))
+    val brOut = tmpDir("cli-r13bloomread")
+    graft.cli.Main.main(Array("bloom-read", statsPath, "id", "3,17",
+      brOut))
+    assert(spark.read.parquet(brOut).count() == 2L)
     graft.cli.Main.main(Array("kanon", statsPath, "cat", "v", "3",
       "2"))
     graft.cli.Main.main(Array("rmst", lrPath, "user_id", "3"))

@@ -209,7 +209,8 @@ class PlanGateSpec extends SparkSpec {
       "q291_bm25_index_delete", "q293_signed_index_lifecycle",
       "q296_logistic_fit", "q297_logistic_filter",
       "q300_persisted_hybrid", "q307_ann_index_lifecycle",
-      "q309_mondrian", "q318_ipw", "q321_bm25_time_travel")
+      "q309_mondrian", "q318_ipw", "q321_bm25_time_travel",
+      "q323_layout_skipping", "q324_bloom_skipping")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalWindowWhitelist.contains)
@@ -245,7 +246,8 @@ class PlanGateSpec extends SparkSpec {
       "q291_bm25_index_delete", "q293_signed_index_lifecycle",
       "q296_logistic_fit", "q297_logistic_filter",
       "q300_persisted_hybrid", "q307_ann_index_lifecycle",
-      "q309_mondrian", "q318_ipw", "q321_bm25_time_travel")
+      "q309_mondrian", "q318_ipw", "q321_bm25_time_travel",
+      "q323_layout_skipping", "q324_bloom_skipping")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalSortWhitelist.contains)

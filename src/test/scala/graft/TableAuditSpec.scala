@@ -145,4 +145,47 @@ class TableAuditSpec extends SparkSpec {
     assert(d1.getAs[Long]("open") == 9L)
     assert(d1.getAs[Long]("close") == 7L)
   }
+
+  test("bloom side-car: no false negatives ever, point lookups prune " +
+    "files min/max cannot, absent probes read nothing, FP rate tiny") {
+    val root = tmpDir("bloom-sidecar") + "/t"
+    // ids assigned to files round-robin: every file's [min, max]
+    // spans nearly the whole id range, so min/max pruning is blind
+    // to ANY point probe — exactly the shape blooms exist for
+    val n = 2000L
+    (0L until n).map(i => (i, i % 8))
+      .toDF("id", "shard")
+      .repartitionByRange(8, col("shard"))
+      .write.parquet(root)
+    graft.operators.Diagnose.writeBloomSidecar(spark, root, "id")
+    // NO FALSE NEGATIVES: a 25-probe sample through the bloom read
+    // returns exactly the exact-filter rows
+    val probes = (0L until n by 83L).toSeq
+    val viaBloom = graft.operators.Diagnose
+      .readWithBloom(spark, root, "id", probes)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(viaBloom == probes.toSet)
+    // PRUNING: one present probe lives in one file; min/max scans all
+    val rep = graft.operators.Diagnose
+      .bloomSkippingReport(spark, root, "id", Seq(997L)).head()
+    assert(rep.getAs[Long]("n_files") == 8L)
+    assert(rep.getAs[Long]("n_files_hit_minmax") == 8L,
+      "round-robin ids must blind min/max pruning")
+    assert(rep.getAs[Long]("n_files_hit_bloom") <= 2L,
+      s"bloom should prune to ~1 file: $rep")
+    assert(rep.getAs[Long]("n_rows_matched") == 1L)
+    assert(rep.getAs[Long]("read_amp_bloom_micro") <
+      rep.getAs[Long]("read_amp_minmax_micro"))
+    // ABSENT probe: nothing read, nothing returned
+    assert(graft.operators.Diagnose
+      .readWithBloom(spark, root, "id", Seq(999983L)).count() == 0L)
+    // FALSE-POSITIVE RATE pinned: 500 absent ids against 8 files;
+    // theory (1 - e^(-k*n_file/m))^k ~ 6e-5 at m=65536, k=2,
+    // n_file=250 -- allow two decades of slack
+    val absent = (1000000L until 1000500L).toSeq
+    val passes = graft.operators.Diagnose
+      .bloomPassingFiles(spark, root, "id", absent).size
+    assert(passes <= (8 * 500 * 0.01).toInt,
+      s"bloom FP rate blew its bound: $passes file passes")
+  }
 }
