@@ -1426,6 +1426,136 @@ object OracleSql {
         |    ::BIGINT)::BIGINT AS w_micro
         |FROM w1b, b2, n""".stripMargin
 
+  /** The q296 hashed-feature logistic chain parameterized by CTE
+    * prefix, source relation, and label expression — q327's AIPW
+    * oracle fits THREE of these (propensity on the corpus, outcome
+    * on each arm). Identical arithmetic to [[q296LogisticSql]]
+    * (dim 8, two GD rounds, micro-snapped residuals); emits CTEs
+    * ending in `<p>wts(idx, w_micro)`.
+    */
+  private def hashedLogisticCtes(p: String, rel: String,
+      label: String): String =
+    s"""${p}t AS (SELECT doc_id, $label AS y,
+       |    string_split(text, ' ') AS w
+       |  FROM $rel),
+       |${p}n AS (SELECT count(*)::BIGINT AS n FROM ${p}t),
+       |${p}e AS (SELECT doc_id, u.tok FROM ${p}t, unnest(w)
+       |  AS u(tok)),
+       |${p}hh AS (SELECT doc_id,
+       |    (('0x' || substr(md5('hf:' || tok), 1, 8))
+       |      ::UBIGINT)::BIGINT AS hv
+       |  FROM ${p}e),
+       |${p}f AS (SELECT * FROM (
+       |    SELECT doc_id, hv % 8 AS idx,
+       |      sum(CASE WHEN (hv // 65536) % 2 = 0 THEN 1 ELSE -1 END)
+       |        ::BIGINT AS x
+       |    FROM ${p}hh GROUP BY 1, 2) WHERE x <> 0),
+       |${p}dims AS (SELECT unnest(range(0, 8)) AS idx),
+       |${p}r1 AS (SELECT doc_id,
+       |    (round((y::DOUBLE - 1.0 / (1.0 + exp(-(0)::DOUBLE
+       |      / 1000000.0))) * 1000000.0))::BIGINT AS r
+       |  FROM ${p}t),
+       |${p}g1 AS (SELECT idx, sum(x * r)::BIGINT AS g
+       |  FROM ${p}f JOIN ${p}r1 USING (doc_id) GROUP BY 1),
+       |${p}b1 AS (SELECT sum(r)::BIGINT AS g FROM ${p}r1),
+       |${p}w1d AS (SELECT d.idx,
+       |    coalesce((round(1.0 * g1.g::DOUBLE / n.n::DOUBLE))
+       |      ::BIGINT, 0) AS wm
+       |  FROM ${p}dims d CROSS JOIN ${p}n n
+       |  LEFT JOIN ${p}g1 g1 ON g1.idx = d.idx),
+       |${p}w1b AS (SELECT (round(1.0 * b1.g::DOUBLE / n.n::DOUBLE))
+       |    ::BIGINT AS wm FROM ${p}b1 b1, ${p}n n),
+       |${p}dot2 AS (SELECT f.doc_id, sum(f.x * w1d.wm)::BIGINT
+       |      AS dot
+       |  FROM ${p}f f JOIN ${p}w1d w1d ON w1d.idx = f.idx
+       |  GROUP BY 1),
+       |${p}r2 AS (SELECT t.doc_id,
+       |    (round((t.y::DOUBLE - 1.0 / (1.0 +
+       |      exp(-(coalesce(dot2.dot, 0) + w1b.wm)::DOUBLE
+       |        / 1000000.0))) * 1000000.0))::BIGINT AS r
+       |  FROM ${p}t t LEFT JOIN ${p}dot2 dot2 USING (doc_id)
+       |  CROSS JOIN ${p}w1b w1b),
+       |${p}g2 AS (SELECT idx, sum(x * r)::BIGINT AS g
+       |  FROM ${p}f f JOIN ${p}r2 USING (doc_id) GROUP BY 1),
+       |${p}b2 AS (SELECT sum(r)::BIGINT AS g FROM ${p}r2),
+       |${p}wts AS (SELECT w1d.idx::BIGINT AS idx,
+       |    (w1d.wm + coalesce((round(1.0 * g2.g::DOUBLE
+       |      / n.n::DOUBLE))::BIGINT, 0))::BIGINT AS w_micro
+       |  FROM ${p}w1d w1d CROSS JOIN ${p}n n
+       |  LEFT JOIN ${p}g2 g2 ON g2.idx = w1d.idx
+       |  UNION ALL
+       |  SELECT (-1)::BIGINT AS idx,
+       |    (w1b.wm + (round(1.0 * b2.g::DOUBLE / n.n::DOUBLE))
+       |      ::BIGINT)::BIGINT AS w_micro
+       |  FROM ${p}w1b w1b, ${p}b2 b2, ${p}n n)""".stripMargin
+
+  /** Score the full corpus's shared features (`af`) against a
+    * `<p>wts` weight table — the q297 scoring CTE parameterized.
+    * Emits CTEs ending in `<p>sc(doc_id, s)`.
+    */
+  private def hashedScoreCtes(p: String): String =
+    s"""${p}dot AS (SELECT af.doc_id, sum(af.x * w.w_micro)::BIGINT
+       |      AS dot
+       |  FROM af JOIN ${p}wts w ON w.idx = af.idx AND w.idx >= 0
+       |  GROUP BY 1),
+       |${p}b AS (SELECT w_micro AS b FROM ${p}wts WHERE idx = -1),
+       |${p}sc AS (SELECT at.doc_id,
+       |    (round(1000000.0 / (1.0 +
+       |      exp(-(coalesce(d.dot, 0) + b.b)::DOUBLE
+       |        / 1000000.0))))::BIGINT AS s
+       |  FROM at LEFT JOIN ${p}dot d USING (doc_id)
+       |  CROSS JOIN ${p}b b)""".stripMargin
+
+  /** q327: AIPW — three logistic fits, three scorings, the
+    * augmented-IPW fold with the clipped propensity.
+    */
+  private val q327AipwSql: String = {
+    val tExpr = "CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END"
+    val yExpr = "CASE WHEN n_chars > 300 THEN 1 ELSE 0 END"
+    s"""WITH ${hashedLogisticCtes("pe", "documents", tExpr)},
+       |${hashedLogisticCtes("p1",
+         "documents WHERE text LIKE '%data%'", yExpr)},
+       |${hashedLogisticCtes("p0",
+         "documents WHERE NOT (text LIKE '%data%')", yExpr)},
+       |at AS (SELECT doc_id, $tExpr AS tt, $yExpr AS y,
+       |    string_split(text, ' ') AS w
+       |  FROM documents),
+       |ae AS (SELECT doc_id, u.tok FROM at, unnest(w) AS u(tok)),
+       |ahh AS (SELECT doc_id,
+       |    (('0x' || substr(md5('hf:' || tok), 1, 8))
+       |      ::UBIGINT)::BIGINT AS hv
+       |  FROM ae),
+       |af AS (SELECT * FROM (
+       |    SELECT doc_id, hv % 8 AS idx,
+       |      sum(CASE WHEN (hv // 65536) % 2 = 0 THEN 1 ELSE -1 END)
+       |        ::BIGINT AS x
+       |    FROM ahh GROUP BY 1, 2) WHERE x <> 0),
+       |${hashedScoreCtes("pe")},
+       |${hashedScoreCtes("p1")},
+       |${hashedScoreCtes("p0")},
+       |aall AS (SELECT at.doc_id, at.tt, at.y,
+       |    least(greatest(se.s, 10000), 990000)::BIGINT AS ee,
+       |    s1.s AS m1, s0.s AS m0
+       |  FROM at JOIN pesc se USING (doc_id)
+       |  JOIN p1sc s1 USING (doc_id) JOIN p0sc s0 USING (doc_id)),
+       |aterms AS (SELECT tt, m1, m0,
+       |    CASE WHEN tt = 1 THEN (round((y * 1000000 - m1)::DOUBLE
+       |      / ee::DOUBLE * 1000000.0))::BIGINT ELSE 0 END AS c1,
+       |    CASE WHEN tt = 0 THEN (round((y * 1000000 - m0)::DOUBLE
+       |      / (1000000 - ee)::DOUBLE * 1000000.0))::BIGINT
+       |      ELSE 0 END AS c0
+       |  FROM aall),
+       |am AS (SELECT count(*)::BIGINT AS n, sum(tt)::BIGINT
+       |      AS n_treated,
+       |    sum(m1 + c1)::BIGINT AS s1, sum(m0 + c0)::BIGINT AS s0
+       |  FROM aterms)
+       |SELECT n, n_treated,
+       |  (round(s1::DOUBLE / n::DOUBLE))::BIGINT AS mu1_micro,
+       |  (round(s0::DOUBLE / n::DOUBLE))::BIGINT AS mu0_micro,
+       |  (round((s1 - s0)::DOUBLE / n::DOUBLE))::BIGINT AS ate_micro
+       |FROM am""".stripMargin
+  }
+
   /** q278's log-rank SQL — wrapped by q302's hazard-ratio oracle. */
   private val q278LogRankSql: String =
     """WITH d AS (SELECT user_id AS u,
@@ -1834,6 +1964,126 @@ object OracleSql {
     s"""WITH ${buf.mkString(",\n")}
        |SELECT event_id, x, y, z, ($h)::BIGINT AS h FROM $prev
        |ORDER BY h, event_id LIMIT 50""".stripMargin
+  }
+
+  /** Unigram-LM Viterbi segmentation unrolled position for position —
+    * shared by q325 (learn: the E-step segments every distinct word)
+    * and q326 (apply under the gate fixture). Emits CTE text: forward
+    * costs `c1..c<maxLen>` (min over piece lengths 1..L of
+    * `c[j−k] + cost(substr)`, unknown singles at `unk`, unknown
+    * longer substrings impossible), the packed cost list, then
+    * `maxLen` backtrace steps that each take the LONGEST k whose
+    * exact integer identity `cl[pos−k+1] + cost = cl[pos+1]` holds —
+    * exactly the Spark fold in `TextOps.tokensUnigram`. Ends with
+    * `<p>vit(word, ..., ps)`; `carry` columns pass through.
+    */
+  private def unigramViterbiCtes(p: String, wordsRel: String,
+      modelRel: String, maxLen: Int, l: Int, unk: Long,
+      carry: Seq[String]): String = {
+    val inf = 1000000000000000L
+    val cy = carry.map(c => s"$c, ").mkString
+    def pc(startExpr: String, k: Int): String =
+      s"coalesce((SELECT cost_micro FROM $modelRel mm WHERE " +
+        s"mm.piece = substr(word, $startExpr, $k)), " +
+        s"${if (k == 1) unk else inf})"
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    buf += s"${p}f0 AS (SELECT ${cy}word, 0::BIGINT AS c0 " +
+      s"FROM $wordsRel)"
+    for (j <- 1 to maxLen) {
+      val terms = (1 to math.min(l, j)).map { k =>
+        s"c${j - k} + ${pc((j - k + 1).toString, k)}"
+      }.mkString(", ")
+      buf += s"${p}f$j AS (SELECT *, CASE WHEN len(word) >= $j " +
+        s"THEN least($terms) ELSE NULL END AS c$j FROM ${p}f${j - 1})"
+    }
+    buf += s"${p}fl AS (SELECT ${cy}word, " +
+      s"[${(0 to maxLen).map(j => s"c$j").mkString(", ")}] AS cl " +
+      s"FROM ${p}f$maxLen)"
+    buf += s"${p}b0 AS (SELECT ${cy}word, cl, len(word)::INT AS pos, " +
+      s"''::VARCHAR AS ps FROM ${p}fl)"
+    for (s <- 1 to maxLen) {
+      val kstar = ((l to 2 by -1).map { k =>
+        s"WHEN pos >= $k AND cl[pos - ${k - 1}] + " +
+          s"${pc(s"pos - ${k - 1}", k)} = cl[pos + 1] THEN $k"
+      } :+ "ELSE 1").mkString(" ")
+      buf += s"""${p}b$s AS (SELECT ${cy}word, cl,
+         |    CASE WHEN pos <= 0 THEN pos ELSE pos - kstar END AS pos,
+         |    CASE WHEN pos <= 0 THEN ps ELSE
+         |      substr(word, pos - kstar + 1, kstar) ||
+         |      CASE WHEN ps = '' THEN '' ELSE ' ' END || ps END AS ps
+         |  FROM (SELECT *, CASE $kstar END AS kstar
+         |    FROM ${p}b${s - 1}))""".stripMargin
+    }
+    buf += s"${p}vit AS (SELECT ${cy}word, ps FROM ${p}b$maxLen)"
+    buf.mkString(",\n")
+  }
+
+  /** q325: the unigram-LM learn replay — substring seeding with the
+    * vocab cap, seed costs, one unrolled-Viterbi hard-EM round,
+    * re-estimated costs.
+    */
+  private val q325UnigramLearnSql: String = {
+    val vit = unigramViterbiCtes("u", "uw", "umodel0",
+      maxLen = 20, l = 3, unk = 25000000L, carry = Seq("wc"))
+    s"""WITH uw AS (SELECT word, count(*)::BIGINT AS wc FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word
+       |    FROM documents)
+       |  WHERE word <> '' AND len(word) <= 20 GROUP BY 1),
+       |usi AS (SELECT word, wc,
+       |    unnest(range(1, len(word) + 1)) AS i FROM uw),
+       |usil AS (SELECT word, wc, i,
+       |    unnest(range(1, least(3, len(word) - i + 1) + 1)) AS l
+       |  FROM usi),
+       |usub AS (SELECT substr(word, i::INT, l::INT) AS piece,
+       |    sum(wc)::BIGINT AS cnt FROM usil GROUP BY 1),
+       |useed AS (SELECT piece, cnt FROM usub WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (SELECT *, row_number() OVER
+       |      (ORDER BY cnt DESC, piece ASC) AS rn
+       |    FROM usub WHERE len(piece) > 1) WHERE rn <= 40),
+       |utot0 AS (SELECT sum(cnt)::BIGINT AS t FROM useed),
+       |umodel0 AS (SELECT piece,
+       |    round(-ln(cnt::DOUBLE / t::DOUBLE) * 1000000.0)::BIGINT
+       |      AS cost_micro
+       |  FROM useed, utot0),
+       |$vit,
+       |ucnt AS (SELECT piece, sum(wc)::BIGINT AS cnt FROM (
+       |    SELECT wc, unnest(string_split(ps, ' ')) AS piece
+       |    FROM uvit) GROUP BY 1),
+       |utot1 AS (SELECT sum(cnt)::BIGINT AS t FROM ucnt)
+       |SELECT piece, cnt,
+       |  round(-ln(cnt::DOUBLE / t::DOUBLE) * 1000000.0)::BIGINT
+       |    AS cost_micro
+       |FROM ucnt, utot1""".stripMargin
+  }
+
+  /** q326: unigram apply under the gate fixture — fixture VALUES,
+    * unrolled Viterbi per distinct word, joined back to word
+    * occurrences in document order.
+    */
+  private val q326UnigramApplySql: String = {
+    val fixture = graft.SparkEntry.gateUnigramVocab.toSeq.sorted
+      .map { case (piece, cost) => s"('$piece', ${cost}::BIGINT)" }
+      .mkString(", ")
+    val vit = unigramViterbiCtes("a", "aw", "amodel",
+      maxLen = 12, l = 3, unk = 25000000L, carry = Seq.empty)
+    s"""WITH amodel AS (SELECT * FROM (VALUES $fixture)
+       |  AS v(piece, cost_micro)),
+       |adw0 AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |adwi AS (SELECT doc_id, ws,
+       |    unnest(range(1, len(ws) + 1)) AS i FROM adw0),
+       |adw AS (SELECT doc_id, i, ws[i::INT] AS word FROM adwi
+       |  WHERE ws[i::INT] <> ''),
+       |aw AS (SELECT DISTINCT word FROM adw),
+       |$vit,
+       |aagg AS (SELECT doc_id,
+       |    sum(len(string_split(v.ps, ' ')))::BIGINT AS n_pieces,
+       |    string_agg(v.ps, ' ' ORDER BY i) AS pieces
+       |  FROM adw JOIN avit v USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_pieces, 0)::BIGINT AS n_pieces,
+       |  coalesce(a.pieces, '') AS pieces
+       |FROM documents d LEFT JOIN aagg a USING (doc_id)""".stripMargin
   }
 
   /** q313: two-sample KS — exact cross-multiplied supremum off the
@@ -7858,6 +8108,16 @@ object OracleSql {
 
     // 3-D Hilbert (Skilling transpose), step-unrolled
     "q322_hilbert3d" -> q322Hilbert3dSql,
+
+    // unigram-LM learn: seeding + one unrolled-Viterbi hard-EM round
+    "q325_unigram_learn" -> q325UnigramLearnSql,
+
+    // AIPW doubly-robust effect: three logistic fits + the
+    // augmented fold
+    "q327_aipw" -> q327AipwSql,
+
+    // unigram-LM apply under the gate fixture
+    "q326_unigram_apply" -> q326UnigramApplySql,
 
     // bloom skipping gate: layout-invariant ground truth (pruning
     // numbers are require'd in-query — file boundaries are not

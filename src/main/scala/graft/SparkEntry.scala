@@ -703,6 +703,37 @@ object SparkEntry {
   val gateBpeMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "e" -> "r")
 
+  /** Gate fixture for the loadable unigram-LM tokenizer (q326): a
+    * hand vocabulary with integer micro-nat costs — every lowercase
+    * letter (so the unk path stays exercised only by digits/rare
+    * chars) plus multi-char pieces tuned to the corpus vocabulary.
+    * Like [[gateBpeMerges]], a FIXTURE model: learning is gated
+    * separately (q325); apply must replay bit-identically under any
+    * valid model.
+    */
+  val gateUnigramVocab: Map[String, Long] = Map(
+    "a" -> 3000000L, "b" -> 3700000L, "c" -> 3500000L,
+    "d" -> 3600000L, "e" -> 3000000L, "f" -> 3700000L,
+    "g" -> 3700000L, "h" -> 3500000L, "i" -> 3500000L,
+    "j" -> 3800000L, "k" -> 3700000L, "l" -> 3400000L,
+    "m" -> 3600000L, "n" -> 3300000L, "o" -> 3300000L,
+    "p" -> 3700000L, "q" -> 3900000L, "r" -> 3200000L,
+    "s" -> 3100000L, "t" -> 3100000L, "u" -> 3600000L,
+    "v" -> 3800000L, "w" -> 3600000L, "x" -> 3900000L,
+    "y" -> 3700000L, "z" -> 3900000L,
+    "jo" -> 2500000L, "in" -> 2200000L, "ha" -> 2600000L,
+    "sh" -> 2600000L, "row" -> 2000000L, "sca" -> 2400000L,
+    "an" -> 2300000L, "er" -> 2300000L, "ta" -> 2700000L,
+    "ble" -> 2400000L, "col" -> 2500000L, "dat" -> 2400000L,
+    "val" -> 2500000L, "ue" -> 2600000L, "key" -> 2000000L,
+    "gro" -> 2500000L, "par" -> 2400000L, "fil" -> 2500000L,
+    "ter" -> 2300000L, "mer" -> 2600000L, "ge" -> 2700000L,
+    "tch" -> 2400000L, "agg" -> 2000000L, "str" -> 2400000L,
+    "eam" -> 2500000L, "win" -> 2500000L, "dow" -> 2500000L,
+    "spa" -> 2500000L, "rk" -> 2800000L, "qu" -> 2700000L,
+    "ba" -> 2700000L, "slo" -> 2600000L, "sma" -> 2600000L,
+    "ll" -> 2800000L)
+
   /** Merge-table BPE over the corpus (the loadable upgrade of q35's
     * regex stand-in): token count + the space-joined piece sequence, so
     * the oracle pins the exact segmentation, not just the count.
@@ -1435,6 +1466,31 @@ object SparkEntry {
     */
   def q105_bpe_learn(s: SparkSession, dir: String): DataFrame =
     TextOps.learnBpeMerges(docs(s, dir), "text", rounds = 2)
+
+  /** Unigram-LM (SentencePiece, Kudo 2018) vocabulary LEARNING over
+    * the corpus — the alternative tokenizer family beside q105's BPE:
+    * substring seeding (all chars + the 40 most frequent multi-char
+    * candidates), one hard-EM round (Viterbi-segment every distinct
+    * word under seed costs, re-count), exact integer counts and one
+    * micro-nat cost chain. The oracle replays seeding, the unrolled
+    * Viterbi lattice, and the re-estimation step for step.
+    */
+  def q325_unigram_learn(s: SparkSession, dir: String): DataFrame =
+    TextOps.learnUnigramLm(docs(s, dir), "text",
+      vocabSize = 40, maxPieceLen = 3, iters = 1)
+
+  /** Unigram-LM APPLY under the oracle (q54's loadable-model twin for
+    * the unigram family): segment every document into minimum-cost
+    * pieces under the [[gateUnigramVocab]] fixture — piece count plus
+    * the space-joined sequence, so the oracle pins the exact
+    * segmentation (Viterbi argmin, longest-piece-from-the-end ties,
+    * unk fallback), not just the count.
+    */
+  def q326_unigram_apply(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokensUnigram(docs(s, dir), "text", "_p",
+      gateUnigramVocab)
+      .select(col("doc_id"), size(col("_p")).cast("long").as("n_pieces"),
+        array_join(col("_p"), " ").as("pieces"))
 
   /** Product-quantization fit + encode (the IVF-PQ memory tier): two
     * 32-dim subspaces each get a deterministic-Lloyd codebook (k=4,
@@ -5187,6 +5243,18 @@ object SparkEntry {
       col("text").contains("data"), col("n_chars") > 300,
       dim = 8, iters = 2)
 
+  /** Doubly-robust AIPW treatment effect — q318's IPW augmented with
+    * per-arm outcome models (hashed-feature logistic on the treated
+    * and control subsets, scored on everyone): consistent if EITHER
+    * the propensity or the outcome models are right. Same
+    * treatment/outcome as q318 so the two estimators read side by
+    * side. EAGER (three trainings at construction).
+    */
+  def q327_aipw(s: SparkSession, dir: String): DataFrame =
+    graft.text.Classifier.aipwEffect(docs(s, dir), "text", "doc_id",
+      col("text").contains("data"), col("n_chars") > 300,
+      propDim = 8, propIters = 2, outDim = 8, outIters = 2)
+
   /** Kish effective sample size of the length-weighted corpus — how
     * many unweighted documents is a token-budgeted (char-weighted)
     * eval statistically worth? Exact decimal moments, one closing
@@ -5871,6 +5939,9 @@ object SparkEntry {
     "q321_bm25_time_travel" -> (q321_bm25_time_travel(_, _)),
     "q322_hilbert3d" -> (q322_hilbert3d(_, _)),
     "q324_bloom_skipping" -> (q324_bloom_skipping(_, _)),
+    "q325_unigram_learn" -> (q325_unigram_learn(_, _)),
+    "q327_aipw" -> (q327_aipw(_, _)),
+    "q326_unigram_apply" -> (q326_unigram_apply(_, _)),
     "q323_layout_skipping" -> (q323_layout_skipping(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all

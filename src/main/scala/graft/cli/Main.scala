@@ -339,6 +339,36 @@ object Main {
         s"rows clustered on ($colsCsv) -> $outDir")
       done(spark)
 
+    // unigram-LM (SentencePiece) tokenizer: learn a model, apply one
+    case "unigram-learn" :: corpus :: outDir :: rest =>
+      val nums = rest.filter(!_.startsWith("--"))
+      val vocab = nums.headOption.map(_.toInt).getOrElse(60)
+      val iters = nums.drop(1).headOption.map(_.toInt).getOrElse(1)
+      val spark = session()
+      val df = loadCorpus(spark, corpus, rest)
+      val model = graft.text.TextOps.learnUnigramLm(df, "text",
+        vocabSize = vocab, iters = iters)
+      model.coalesce(1).write.mode("overwrite").parquet(outDir)
+      println(s"[unigram-learn] " +
+        s"${spark.read.parquet(outDir).count()} pieces -> $outDir")
+      done(spark)
+
+    case "unigram-apply" :: corpus :: modelDir :: outDir :: rest =>
+      import org.apache.spark.sql.functions.{array_join, col, size}
+      val spark = session()
+      val df = loadCorpus(spark, corpus, rest)
+      val model = spark.read.parquet(modelDir)
+        .select(col("piece"), col("cost_micro")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.text.TextOps.tokensUnigram(df, "text", "_p", model)
+        .withColumn("n_pieces", size(col("_p")))
+        .withColumn("pieces", array_join(col("_p"), " "))
+        .drop("_p")
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[unigram-apply] " +
+        s"${spark.read.parquet(outDir).count()} docs -> $outDir")
+      done(spark)
+
     // per-file Bloom side-car: build, then point-probe (report both
     // pruning tiers) or read through it
     case "bloom-index" :: path :: colName :: rest =>
@@ -686,6 +716,25 @@ object Main {
       val r = graft.text.Classifier.ipwEffect(df, "text", "doc_id",
         col(tCol) === tVal, col(yCol) === yVal, dim, iters).head()
       println(s"[ipw] n=${r.getLong(0)} treated=${r.getLong(1)} " +
+        s"mu1_micro=${r.getLong(2)} mu0_micro=${r.getLong(3)} " +
+        s"ate_micro=${r.getLong(4)}")
+      done(spark)
+
+    // doubly-robust AIPW: q318's IPW + per-arm outcome models
+    case "aipw" :: corpus :: tCol :: tVal :: yCol :: yVal :: rest =>
+      import org.apache.spark.sql.functions.col
+      val pos = rest.filter(!_.startsWith("--"))
+      val pDim = pos.headOption.map(_.toInt).getOrElse(16)
+      val pIters = pos.drop(1).headOption.map(_.toInt).getOrElse(3)
+      val oDim = pos.drop(2).headOption.map(_.toInt).getOrElse(pDim)
+      val oIters = pos.drop(3).headOption.map(_.toInt)
+        .getOrElse(pIters)
+      val spark = session()
+      val df = loadCorpus(spark, corpus, rest)
+      val r = graft.text.Classifier.aipwEffect(df, "text", "doc_id",
+        col(tCol) === tVal, col(yCol) === yVal, pDim, pIters, oDim,
+        oIters).head()
+      println(s"[aipw] n=${r.getLong(0)} treated=${r.getLong(1)} " +
         s"mu1_micro=${r.getLong(2)} mu0_micro=${r.getLong(3)} " +
         s"ate_micro=${r.getLong(4)}")
       done(spark)
@@ -1105,16 +1154,25 @@ object Main {
     // tombstone documents out of a persisted signature index
     case "sign-delete" :: idsPath :: indexDir :: rest =>
       val idCol = rest.headOption.getOrElse("doc_id")
+      val retain = rest.drop(1).headOption.map(_.toInt).getOrElse(1)
       val spark = session()
       graft.text.Dedup.deleteFromSignedIndex(
-        spark.read.parquet(idsPath), indexDir, idCol)
-      println(s"[sign-delete] tombstones appended to $indexDir")
+        spark.read.parquet(idsPath), indexDir, idCol, retain)
+      println(s"[sign-delete] tombstone batch committed to $indexDir")
+      done(spark)
+
+    // the committed signed-index snapshots still inside the window
+    case "sign-generations" :: indexDir :: Nil =>
+      val spark = session()
+      val gens = graft.text.Dedup.signedGenerations(spark, indexDir)
+      println(s"[sign-generations] ${gens.mkString(",")}")
       done(spark)
 
     // compact a persisted signature index (rewrite minus tombstones)
-    case "sign-compact" :: indexDir :: Nil =>
+    case "sign-compact" :: indexDir :: rest =>
+      val retain = rest.headOption.map(_.toInt).getOrElse(1)
       val spark = session()
-      graft.text.Dedup.compactSignedIndex(spark, indexDir)
+      graft.text.Dedup.compactSignedIndex(spark, indexDir, retain)
       println(s"[sign-compact] $indexDir rewritten; " +
         s"${graft.text.Dedup.readSignedIndex(spark, indexDir).count()} " +
         "live signatures")
@@ -1363,10 +1421,11 @@ object Main {
 
     // tombstone-delete ids from a persisted PQ index (an ids-only
     // parquet with a vec_id column — e.g. the removal-audit artifact)
-    case "pq-delete" :: idxPath :: idsPath :: Nil =>
+    case "pq-delete" :: idxPath :: idsPath :: rest =>
+      val retain = rest.headOption.map(_.toInt).getOrElse(1)
       val spark = session()
       val ids = spark.read.parquet(idsPath).select("vec_id")
-      graft.sim.SimSearch.deleteFromPqIndex(ids, idxPath)
+      graft.sim.SimSearch.deleteFromPqIndex(ids, idxPath, retain)
       val n = graft.sim.SimSearch.readPqIndex(spark, idxPath)._2
         .select("vec_id").distinct().count()
       println(s"[pq-delete] tombstoned ${ids.distinct().count()} ids; " +
@@ -1375,13 +1434,21 @@ object Main {
 
     // fold accumulated tombstones (and append small-files) into a
     // fresh compacted codes generation
-    case "pq-compact" :: idxPath :: Nil =>
+    case "pq-compact" :: idxPath :: rest =>
+      val retain = rest.headOption.map(_.toInt).getOrElse(1)
       val spark = session()
-      graft.sim.SimSearch.compactPqIndex(spark, idxPath)
+      graft.sim.SimSearch.compactPqIndex(spark, idxPath, retain)
       val n = graft.sim.SimSearch.readPqIndex(spark, idxPath)._2
         .select("vec_id").distinct().count()
       println(s"[pq-compact] compacted codes generation holds $n " +
         s"vectors -> $idxPath")
+      done(spark)
+
+    // the committed PQ snapshots still inside the retention window
+    case "pq-generations" :: idxPath :: Nil =>
+      val spark = session()
+      val gens = graft.sim.SimSearch.pqGenerations(spark, idxPath)
+      println(s"[pq-generations] ${gens.mkString(",")}")
       done(spark)
 
     // serve top-k from a persisted IVF-PQ index (codes only — raw
@@ -3112,8 +3179,9 @@ object Main {
           "pq-index <embeddings> <out> [m] [k] [iters] [dim] [cellCol] [--residual|--opq|--opq-dense] | " +
            "pq-query <idx> <queries> <out> [k] [m] [nprobe] [dim] [--refine <rawEmb> [c]] | " +
           "pq-append <idx> <embeddings> [cellCol] | " +
-          "pq-delete <idx> <idsParquet> | " +
-          "pq-compact <idx> | " +
+          "pq-delete <idx> <idsParquet> [retain] | " +
+          "pq-compact <idx> [retain] | " +
+          "pq-generations <idx> | " +
           "pq-eval <embeddings> [k] [m] [kcb] [nprobe] [dim] [sampleMod] | " +
           "ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod] | " +
           "pack <corpus> <out> [budget] [--jsonl] [--simple-tokens] | " +
@@ -3221,8 +3289,9 @@ object Main {
           "qnorm <parquet> <valCol> <groupCol> <outDir> | " +
           "isotonic <parquet> <scoreMicroCol> <labelCol> [bins] | " +
           "sign-append <corpus> <indexDir> | " +
-          "sign-delete <idsParquet> <indexDir> [idCol] | " +
-          "sign-compact <indexDir> | " +
+          "sign-delete <idsParquet> <indexDir> [idCol] [retain] | " +
+          "sign-compact <indexDir> [retain] | " +
+          "sign-generations <indexDir> | " +
           "mad <parquet> <valCol> | " +
           "propz <parquet> <boolGroupCol> <successCol> | " +
           "logistic <corpus> <labelCol> <labelValue> <outDir> " +
@@ -3241,6 +3310,8 @@ object Main {
           "bloom-index <parquet> <col> [m] [k] | " +
           "bloom-probe <parquet> <col> <id1,id2,...> | " +
           "bloom-read <parquet> <col> <id1,id2,...> <out> | " +
+          "unigram-learn <corpus> <out> [vocab] [iters] [--jsonl] | " +
+          "unigram-apply <corpus> <modelDir> <out> [--jsonl] | " +
           "skip-report <parquet> <valCol> <lo> <hi> | " +
           "kanon <parquet> <quasiCol1,...> <sensCol> <k> <l> | " +
           "mondrian <parquet> <quasiCol1,...> <k> <outDir> [depth] | " +
@@ -3253,6 +3324,7 @@ object Main {
           "holm <parquet> <idCol> <pMicroCol> [alphaMicro] | " +
           "cohensh <parquet> <boolGroupCol> <successCol> | " +
           "ipw <corpus> <tCol> <tVal> <yCol> <yVal> [dim] [iters] | " +
+          "aipw <corpus> <tCol> <tVal> <yCol> <yVal> [propDim] [propIters] [outDim] [outIters] | " +
           "logrank-strat <events> <userCol> <boolFlagCol> <stratCol> [tsCol] | " +
           "mkv-meta <parquet> <out> | mp3-meta <parquet> <out> | " +
           "warc-ingest <glob> <out> [--wet] | wet-ingest <glob> <out> | " +

@@ -1316,7 +1316,7 @@ object Multimodal {
             walk(body, bend) { (id2, b2, e2) =>
               if (id2 == 0x4282L) // DocType
                 docType = new String(bytes, b2, e2 - b2, "ISO-8859-1")
-                  .takeWhile(_ != ' ')
+                  .takeWhile(c => c != ' ' && c != '\u0000')
             }
           case 0x18538067L => // Segment
             sawSegment = true
@@ -1335,7 +1335,7 @@ object Multimodal {
                       walk(b3, e3) { (id4, b4, e4) =>
                         if (id4 == 0x86L) // CodecID
                           codecs += new String(bytes, b4, e4 - b4,
-                            "ISO-8859-1").takeWhile(_ != ' ')
+                            "ISO-8859-1").takeWhile(c => c != ' ' && c != '\u0000')
                         else if (id4 == 0xE0L) // Video
                           walk(b4, e4) { (id5, b5, e5) =>
                             if (id5 == 0xB0L && w == 0)

@@ -963,7 +963,26 @@ object SimSearch {
       path: String): (DataFrame, DataFrame, DataFrame) = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val meta = readPqLiveMeta(fs, path)
+    readPqMeta(spark, path, readPqLiveMeta(fs, path))
+  }
+
+  /** SNAPSHOT read: the index exactly as committed by marker `gen` —
+    * audit/rollback for the removal pipeline, same contract as the
+    * BM25/ANN snapshot reads ([[pqGenerations]] lists what is still
+    * inside the retention window; lifecycle ops take `retain`).
+    */
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, gen: Long): (DataFrame, DataFrame, DataFrame) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val s = pqMarker.readAt(fs, path, gen)
+    readPqMeta(spark, path,
+      PqLiveMeta(s.gen, s.dir("codes"), s.batches))
+  }
+
+  private def readPqMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, meta: PqLiveMeta)
+      : (DataFrame, DataFrame, DataFrame) = {
     val codes = spark.read.parquet(s"$path/${meta.codesDir}")
     val live = pqTombstones(spark, path, meta) match {
       case Some(tomb) =>
@@ -2041,41 +2060,24 @@ object SimSearch {
   // --------------------------------------------------------------------
 
   private val LiveMarkerPrefix = "_live."
-  private val LiveMarkerFooter = "end"
+
+  /** The shared `_live` commit protocol instance for the PQ family —
+    * the discipline PQ pioneered, now the one
+    * [[graft.operators.LiveMarker]] implementation all three
+    * marker-committed index families (PQ, BM25, ANN) run on: same
+    * retention window, same snapshot reads, same torn-marker and
+    * orphan-GC semantics.
+    */
+  private val pqMarker = new graft.operators.LiveMarker(
+    Seq(("codes", "codes", "codes_gen=")), Seq("tombstones"))
 
   /** Resolved lifecycle state: the ruling generation, the live codes
     * directory (relative to the index root), and the not-yet-compacted
-    * tombstone batch numbers.
+    * tombstone batch numbers. (Adapter view over the shared
+    * [[graft.operators.LiveMarker]] state.)
     */
   private[graft] final case class PqLiveMeta(
       gen: Long, codesDir: String, tombBatches: Seq[Long])
-
-  private def liveMarkerPath(path: String, gen: Long) =
-    new org.apache.hadoop.fs.Path(path, f"$LiveMarkerPrefix$gen%019d")
-
-  private def parseLiveMarker(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Option[PqLiveMeta] = {
-    val gen =
-      try p.getName.stripPrefix(LiveMarkerPrefix).toLong
-      catch { case _: NumberFormatException => return None }
-    val in = fs.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
-    if (!lines.lastOption.contains(LiveMarkerFooter)) return None
-    val fields = lines.init.flatMap { l =>
-      l.split(":", 2) match {
-        case Array(k, v) => Some(k -> v)
-        case _ => None
-      }
-    }.toMap
-    try fields.get("codes").map { cd =>
-      PqLiveMeta(gen, cd,
-        fields.getOrElse("tomb", "").split(",").filter(_.nonEmpty)
-          .map(_.toLong).toSeq)
-    } catch { case _: NumberFormatException => None }
-  }
 
   /** The ruling lifecycle state: newest complete `_live` marker, or
     * the pristine layout (gen 0, codes at `codes`, no tombstones).
@@ -2083,14 +2085,8 @@ object SimSearch {
     */
   private[graft] def readPqLiveMeta(
       fs: org.apache.hadoop.fs.FileSystem, path: String): PqLiveMeta = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val markers =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).map(_.getPath)
-        .filter(_.getName.startsWith(LiveMarkerPrefix))
-        .sortBy(_.getName).reverse.toSeq
-    markers.iterator.flatMap(parseLiveMarker(fs, _)).nextOption()
-      .getOrElse(PqLiveMeta(0L, "codes", Seq.empty))
+    val s = pqMarker.read(fs, path)
+    PqLiveMeta(s.gen, s.dir("codes"), s.batches)
   }
 
   /** The un-compacted tombstone ids as one ids-only frame (column name
@@ -2104,52 +2100,16 @@ object SimSearch {
       meta.tombBatches.map(b => s"$path/tombstones/batch=$b"): _*)
       .distinct())
 
-  private def writeLiveMarker(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, meta: PqLiveMeta): Unit = {
-    val out = fs.create(liveMarkerPath(path, meta.gen), false)
-    try out.write((s"codes:${meta.codesDir}\n" +
-      s"tomb:${meta.tombBatches.mkString(",")}\n" +
-      s"$LiveMarkerFooter\n").getBytes("UTF-8"))
-    finally out.close()
-  }
-
-  /** WRITER-ONLY GC of everything the ruling marker does not
-    * reference: superseded/torn markers, non-live codes directories,
-    * unreferenced tombstone batches (both compacted-away ones and the
-    * orphans of a crash before a marker PUT — which would otherwise
-    * collide with the next `errorifexists` write). Called from the
-    * lifecycle writers only; readers resolve through the marker and
-    * need no GC.
+  /** The committed PQ snapshot generations still readable (oldest
+    * first) — each addressable via the snapshot overload of
+    * [[readPqIndex]] until a lifecycle writer's GC ages it out of its
+    * `retain` window. Empty until the first delete/compact commit
+    * (creation is the pristine marker-less layout).
     */
-  private def healPqIndex(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(root)) return
-    val meta = readPqLiveMeta(fs, path)
-    def checkedDelete(p: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.delete(p, true)) throw new java.io.IOException(
-        s"pq index lifecycle GC failed to delete $p")
-    fs.listStatus(root).map(_.getPath).foreach { p =>
-      val n = p.getName
-      if (n.startsWith(LiveMarkerPrefix) &&
-          !parseLiveMarker(fs, p).exists(_.gen == meta.gen))
-        checkedDelete(p)
-      else if ((n == "codes" || n.startsWith("codes_gen=")) &&
-          n != meta.codesDir)
-        checkedDelete(p)
-    }
-    val tombRoot = new org.apache.hadoop.fs.Path(path, "tombstones")
-    if (fs.exists(tombRoot)) {
-      val live = meta.tombBatches.map(b => s"batch=$b").toSet
-      fs.listStatus(tombRoot).map(_.getPath)
-        .filter(p => p.getName.startsWith("batch=") &&
-          !live.contains(p.getName))
-        .foreach(checkedDelete)
-      if (meta.tombBatches.isEmpty &&
-          fs.listStatus(tombRoot).isEmpty)
-        checkedDelete(tombRoot)
-    }
-  }
+  def pqGenerations(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] =
+    pqMarker.listGenerations(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf()), path)
 
   /** Reset the deletion lifecycle — called by every full
     * [[writePqIndex]]-family rebuild so a stale marker from a previous
@@ -2189,21 +2149,23 @@ object SimSearch {
     * delete. Ids absent from the index are harmless no-ops in the
     * anti-join.
     */
-  def deleteFromPqIndex(ids: DataFrame, path: String): Unit = {
+  def deleteFromPqIndex(ids: DataFrame, path: String,
+      retain: Int = 1): Unit = {
     require(ids.columns.length == 1,
       s"ids must be a single-column (index id) frame, " +
         s"got ${ids.columns.mkString(",")}")
     val spark = ids.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    healPqIndex(fs, path) // clear any orphan of a crashed writer
-    val meta = readPqLiveMeta(fs, path)
-    val b = meta.gen + 1L
+    // clear any orphan of a crashed writer
+    pqMarker.heal(fs, path, retain)
+    val live = pqMarker.read(fs, path)
+    val b = live.gen + 1L
     ids.distinct().write.mode("errorifexists")
       .parquet(s"$path/tombstones/batch=$b")
-    writeLiveMarker(fs, path,
-      PqLiveMeta(b, meta.codesDir, meta.tombBatches :+ b))
-    healPqIndex(fs, path) // GC the superseded marker
+    pqMarker.put(fs, path,
+      live.copy(gen = b, batches = live.batches :+ b))
+    pqMarker.heal(fs, path, retain) // GC outside the window
   }
 
   /** Generation compaction: rewrite the live codes MINUS the
@@ -2221,11 +2183,12 @@ object SimSearch {
     * the removal pipeline's cadence, not per delete.
     */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String, retain: Int = 1): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    healPqIndex(fs, path)
-    val meta = readPqLiveMeta(fs, path)
+    pqMarker.heal(fs, path, retain)
+    val state = pqMarker.read(fs, path)
+    val meta = PqLiveMeta(state.gen, state.dir("codes"), state.batches)
     val codes = spark.read.parquet(s"$path/${meta.codesDir}")
     val live = pqTombstones(spark, path, meta) match {
       case Some(tomb) =>
@@ -2235,9 +2198,10 @@ object SimSearch {
     val gen = meta.gen + 1L
     live.write.mode("errorifexists").partitionBy("cell")
       .parquet(s"$path/codes_gen=$gen")
-    writeLiveMarker(fs, path,
-      PqLiveMeta(gen, s"codes_gen=$gen", Seq.empty))
-    healPqIndex(fs, path) // GC old generation + folded batches
+    pqMarker.put(fs, path, graft.operators.LiveState(gen,
+      Map("codes" -> s"codes_gen=$gen"),
+      Seq.empty, Seq.empty, state.applied))
+    pqMarker.heal(fs, path, retain) // GC outside the window
   }
 
   /** Random-projection dimensionality reduction: `outDim` fixed

@@ -28,13 +28,17 @@ import graft.text.{Dedup, TextOps}
   * the index's writer for every reader — they are baked into both the
   * signatures and the bucket keys.
   *
-  * Delivery semantics: `foreachBatch` is at-least-once; survivors are
-  * written to `outPath` BEFORE their signatures reach the index, so a
-  * crash between the two writes can duplicate rows in `outPath` on
-  * replay (the replayed batch anti-joins an index that does not yet
-  * know it) — never silently LOSE documents, which the reverse order
-  * would (signatures land, crash, replay drops every survivor as a
-  * "duplicate" of itself). Exactly-once needs a transactional sink.
+  * Delivery semantics: `foreachBatch` is at-least-once. The INDEX side
+  * is exactly-once: every append is marker-committed
+  * ([[Dedup.appendToSignedIndex]] — a write-once segment plus ONE
+  * `_live` marker PUT that also records the stream batch id), so a
+  * replayed batch whose commit landed skips entirely, and one whose
+  * commit never landed re-runs into a fresh healed segment. The
+  * `outPath` corpus write stays the standard non-transactional-sink
+  * caveat: survivors land there BEFORE the index commit, so a crash in
+  * between can duplicate rows in `outPath` on replay — never silently
+  * LOSE documents, which the reverse order would (signatures land,
+  * crash, replay drops every survivor as a "duplicate" of itself).
   *
   * Scale shape: everything per batch is the audited batch machinery —
   * the index side shuffles only (sig, bucket) pairs, the stream side
@@ -55,10 +59,10 @@ object StreamingDedup {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, indexPath, outPath, textCol, idCol, shingleK,
-          bands, rowsPerBand, threshold, tokenizer, dedupWithinBatch,
-          maxIter)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, indexPath, outPath, textCol,
+          idCol, shingleK, bands, rowsPerBand, threshold, tokenizer,
+          dedupWithinBatch, maxIter)
       }
       .start()
 
@@ -66,23 +70,28 @@ object StreamingDedup {
     * can drive the same incremental pipeline without a stream.
     */
   def processBatch(
-      batch: DataFrame, indexPath: String, outPath: String,
-      textCol: String, idCol: String,
+      batch: DataFrame, batchId: Long, indexPath: String,
+      outPath: String, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5,
       tokenizer: Column => Column = TextOps.tokens,
       dedupWithinBatch: Boolean = true,
       maxIter: Int = 20): Unit = {
     val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    // no committed marker = nothing ever landed (a crashed bootstrap
+    // left no commit) -> (re-)bootstrap, which clears the tree
+    val bootstrap = Dedup.signedGenerations(spark, indexPath).isEmpty
+    if (!bootstrap &&
+        Dedup.lastAppliedStreamBatch(spark, indexPath) >= batchId)
+      return // replay of a committed batch - exactly-once skip
     val withinDeduped =
       if (dedupWithinBatch)
         Dedup.dedupNear(batch, textCol, idCol, shingleK, bands,
           rowsPerBand, threshold, tokenizer, maxIter)
       else batch
-    val hPath = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val kept =
-      if (fs.exists(hPath))
+      if (!bootstrap)
         Dedup.dedupNearAgainstIndexBatch(withinDeduped,
           Dedup.readSignedIndex(spark, indexPath),
           textCol, idCol, shingleK, bands, rowsPerBand, threshold,
@@ -92,8 +101,11 @@ object StreamingDedup {
     // the cut the index append would replay the whole anti-join
     val keptC = kept.localCheckpoint()
     keptC.write.mode("append").parquet(outPath)
-    Dedup.signIndex(keptC, textCol, idCol, shingleK, bands, rowsPerBand,
-      tokenizer)
-      .write.mode("append").parquet(indexPath)
+    if (bootstrap)
+      Dedup.writeSignedIndex(keptC, indexPath, textCol, idCol,
+        shingleK, bands, rowsPerBand, tokenizer, appliedId = batchId)
+    else
+      Dedup.appendToSignedIndex(keptC, indexPath, textCol, idCol,
+        shingleK, bands, rowsPerBand, tokenizer, appliedId = batchId)
   }
 }

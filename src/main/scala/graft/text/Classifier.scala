@@ -551,6 +551,75 @@ object Classifier {
         .as("ate_micro"))
   }
 
+  /** Doubly-robust (AIPW / augmented-IPW) treatment effect — the
+    * estimator a real analysis reaches for over [[ipwEffect]] alone
+    * (Robins, Rotnitzky & Zhao 1994; Bang & Robins 2005): combine
+    * the clipped propensity e(x) with OUTCOME models m₁(x), m₀(x)
+    * (hashed-feature logistic fit separately on the treated and
+    * control arms, scored on everyone), per row
+    *
+    *   m₁ − m₀ + T·(Y − m₁)/e − (1−T)·(Y − m₀)/(1−e)
+    *
+    * — consistent if EITHER the propensity model OR the outcome
+    * models are right, where IPW needs the propensity to be right
+    * (the spec pins exactly that: a deliberately crippled propensity
+    * flips IPW to the confounded estimate while AIPW stays near the
+    * truth). Propensity and outcome models get separate capacity
+    * knobs so misspecification is expressible.
+    *
+    * Exactness: scores arrive micro-snapped from the shared scoring
+    * chain; each residual correction is ONE fixed IEEE division
+    * snapped to micro; arm sums and the closing divisions replay in
+    * the oracle. Scale shape: three [[logisticFit]] trainings (one
+    * corpus pass per iteration each) + three scoring passes + one
+    * aggregation — the corpus never joins itself.
+    */
+  def aipwEffect(df: DataFrame, textCol: String, idCol: String,
+      treatment: Column, outcome: Column, propDim: Int = 16,
+      propIters: Int = 3, outDim: Int = 16, outIters: Int = 3,
+      clipMicro: Long = 10000L,
+      tokenizer: Column => Column = TextOps.tokensSimple): DataFrame = {
+    require(clipMicro >= 1L && clipMicro < 500000L,
+      s"clipMicro must be in [1, 5e5), got $clipMicro")
+    val eW = logisticFit(df, textCol, idCol, treatment, propDim,
+      propIters, tokenizer = tokenizer)
+    val w1 = logisticFit(df.filter(treatment), textCol, idCol,
+      outcome, outDim, outIters, tokenizer = tokenizer)
+    val w0 = logisticFit(df.filter(!treatment), textCol, idCol,
+      outcome, outDim, outIters, tokenizer = tokenizer)
+    def scored(w: DataFrame, as: String): DataFrame =
+      logisticScore(df, textCol, idCol, w, tokenizer)
+        .select(col(idCol), col("score_micro").as(as))
+    val joined = df.select(col(idCol),
+      when(treatment, 1L).otherwise(0L).as("_t"),
+      when(outcome, 1L).otherwise(0L).as("_y"))
+      .join(scored(eW, "_e"), Seq(idCol))
+      .join(scored(w1, "_m1"), Seq(idCol))
+      .join(scored(w0, "_m0"), Seq(idCol))
+    val e = least(greatest(col("_e"), lit(clipMicro)),
+      lit(1000000L - clipMicro))
+    // per-row micro terms: the 10⁶ factors of (y − m) and e cancel,
+    // so each correction is one double division snapped once
+    val c1 = when(col("_t") === 1L,
+      round((col("_y") * 1000000L - col("_m1")).cast("double") /
+        e.cast("double") * lit(1000000.0)).cast("long")).otherwise(0L)
+    val c0 = when(col("_t") === 0L,
+      round((col("_y") * 1000000L - col("_m0")).cast("double") /
+        (lit(1000000L) - e).cast("double") * lit(1000000.0))
+        .cast("long")).otherwise(0L)
+    val m = joined.agg(count(lit(1)).as("n"),
+      sum(col("_t")).as("n_treated"),
+      sum(col("_m1") + c1).as("_s1"),
+      sum(col("_m0") + c0).as("_s0"))
+    val n = col("n").cast("double")
+    def snap(c: Column) = round(c).cast("long")
+    m.select(col("n"), col("n_treated"),
+      snap(col("_s1").cast("double") / n).as("mu1_micro"),
+      snap(col("_s0").cast("double") / n).as("mu0_micro"),
+      snap((col("_s1") - col("_s0")).cast("double") / n)
+        .as("ate_micro"))
+  }
+
   /** Isotonic calibration via pool-adjacent-violators (PAV; Ayer et
     * al. 1955, the Zadrozny & Elkan 2002 classifier recipe) — the FIX
     * for what [[calibrationSummary]] measures: learn the monotone map

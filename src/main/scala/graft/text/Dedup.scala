@@ -172,38 +172,79 @@ object Dedup {
       shingleK, bands, rowsPerBand, tokenizer)
       .select(col(idCol), col("_sig").as("sig"), col("_buckets").as("buckets"))
 
-  /** Persist the signed index as parquet (the write-once step), plus
-    * the LSH parameters under `_graft_meta/` — an underscore dir is
-    * invisible to plain parquet readers of `path`, but lets
-    * [[appendToSignedIndex]] VALIDATE parameter agreement instead of
-    * trusting the "must match" doc contract (a silent (k, b, r)
-    * mismatch poisons every band bucket it touches).
+  // Layout under <path>/ (the shared `_live` marker-generation commit
+  // protocol, [[graft.operators.LiveMarker]] — the same discipline the
+  // PQ/BM25/ANN index families run on):
+  //   _graft_meta/            LSH params, frozen at creation
+  //   rows/ or rows_gen=<G>/  the LIVE signed rows (id, sig, buckets)
+  //   rows_batches/batch=<B>/ write-once APPEND segments
+  //   tombstones/batch=<B>/   write-once deleted-id batches
+  //   _live.<gen>             the ruling-state marker
+  private val signedMarker = new graft.operators.LiveMarker(
+    Seq(("rows", "rows", "rows_gen=")),
+    Seq("tombstones", "rows_batches"))
+
+  private def signedFs(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** True when a signed index exists at `path` (its frozen meta is
+    * present) — [[graft.streaming.StreamingDedup]]'s bootstrap probe.
+    */
+  def hasSignedIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean =
+    signedFs(spark, path).exists(
+      new org.apache.hadoop.fs.Path(s"$path/_graft_meta"))
+
+  /** Persist the signed index (the write-once step): the signed rows
+    * under `rows/`, the LSH parameters under `_graft_meta/` (so
+    * [[appendToSignedIndex]] VALIDATES parameter agreement instead of
+    * trusting the "must match" doc contract — a silent (k, b, r)
+    * mismatch poisons every band bucket it touches). Clears the
+    * ENTIRE `path` tree first, so a rebuild can never inherit stale
+    * lifecycle state, and commits creation as snapshot gen 1 (one
+    * marker PUT; `appliedId` records a stream bootstrap's batch id
+    * atomically with the data).
     */
   def writeSignedIndex(
       df: DataFrame, path: String, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      tokenizer: Column => Column = TextOps.tokens): Unit = {
+      tokenizer: Column => Column = TextOps.tokens,
+      appliedId: Long = -1L): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    val fs = signedFs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(root) && !fs.delete(root, true))
+      throw new java.io.IOException(
+        s"signed index rebuild failed to clear $path")
     signIndex(df, textCol, idCol, shingleK, bands, rowsPerBand, tokenizer)
-      .write.mode("overwrite").parquet(path)
+      .write.parquet(s"$path/rows")
     Seq((shingleK, bands, rowsPerBand, idCol))
       .toDF("shingle_k", "bands", "rows_per_band", "id_col")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$path/_graft_meta")
+    signedMarker.put(fs, path, graft.operators.LiveState(1L,
+      Map("rows" -> "rows"), Seq.empty, Seq.empty, appliedId))
   }
 
   /** Append NEWLY-SIGNED documents to a persisted index (the
     * incremental-crawl step: sign the new batch only, never re-sign
     * the corpus). Parameters are validated against the persisted
-    * meta — a mismatch throws before any write. Caller contract: ids
-    * must be new (dedupe the batch against the index FIRST —
-    * [[dedupNearAgainstIndexBatch]] is that step).
+    * meta — a mismatch throws before any write. MARKER-COMMITTED:
+    * the batch lands as a write-once `rows_batches/batch=<B>` segment
+    * referenced by ONE `_live` marker PUT (which also records
+    * `appliedId` for exactly-once streaming replay) — a crash before
+    * the PUT leaves the segment unreferenced and a retry lands once.
+    * Caller contract: ids must be new (dedupe the batch against the
+    * index FIRST — [[dedupNearAgainstIndexBatch]] is that step).
     */
   def appendToSignedIndex(
       df: DataFrame, path: String, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      tokenizer: Column => Column = TextOps.tokens): Unit = {
+      tokenizer: Column => Column = TextOps.tokens,
+      retain: Int = 1, appliedId: Long = -1L): Unit = {
     val spark = df.sparkSession
     val m = spark.read.parquet(s"$path/_graft_meta").head()
     require(m.getAs[Int]("shingle_k") == shingleK &&
@@ -213,80 +254,120 @@ object Dedup {
       s"signed-index parameter mismatch: index has (k=${m.get(0)}, " +
         s"b=${m.get(1)}, r=${m.get(2)}, id=${m.get(3)}), append got " +
         s"(k=$shingleK, b=$bands, r=$rowsPerBand, id=$idCol)")
+    val fs = signedFs(spark, path)
+    signedMarker.heal(fs, path, retain) // clear crashed-writer orphans
+    val live = signedMarker.read(fs, path)
+    val b = live.gen + 1L
     signIndex(df, textCol, idCol, shingleK, bands, rowsPerBand, tokenizer)
-      .write.mode("append").parquet(path)
+      .write.mode("errorifexists")
+      .parquet(s"$path/rows_batches/batch=$b")
+    signedMarker.put(fs, path, live.copy(gen = b,
+      appends = live.appends :+ b,
+      applied = math.max(live.applied, appliedId)))
+    signedMarker.heal(fs, path, retain)
   }
 
-  /** Delete documents from a persisted signed index: ids-only
-    * tombstone append under `_graft_tombstones/` (invisible to plain
-    * readers; honored by [[readSignedIndex]], so every index consumer
-    * stops pairing against the removed docs — the takedown path).
-    * Nothing is rewritten; [[compactSignedIndex]] reclaims space.
+  /** Delete documents from a persisted signed index: the ids land as
+    * a write-once `tombstones/batch=<B>` dir committed by the next
+    * `_live` marker PUT and honored by [[readSignedIndex]], so every
+    * index consumer stops pairing against the removed docs — the
+    * takedown path. Nothing is rewritten; [[compactSignedIndex]]
+    * reclaims space.
     */
   def deleteFromSignedIndex(ids: DataFrame, path: String,
-      idCol: String): Unit =
-    ids.select(col(idCol)).distinct()
-      .write.mode("append").parquet(s"$path/_graft_tombstones")
+      idCol: String, retain: Int = 1): Unit = {
+    val spark = ids.sparkSession
+    val fs = signedFs(spark, path)
+    signedMarker.heal(fs, path, retain)
+    val live = signedMarker.read(fs, path)
+    val b = live.gen + 1L
+    ids.select(col(idCol)).distinct().write.mode("errorifexists")
+      .parquet(s"$path/tombstones/batch=$b")
+    signedMarker.put(fs, path,
+      live.copy(gen = b, batches = live.batches :+ b))
+    signedMarker.heal(fs, path, retain) // GC outside the window
+  }
 
   /** Read a persisted signed index — (id, sig, buckets) rows ready for
     * [[nearDupPairsFromIndex]], [[dedupNearFromIndex]],
-    * [[dedupNearAgainstIndex]] and [[dedupNearAgainstIndexBatch]].
-    * Tombstoned ids (if any) are anti-joined out, so deletions reach
-    * every consumer through this one read path.
+    * [[dedupNearAgainstIndex]] and [[dedupNearAgainstIndexBatch]]:
+    * the marker-resolved live generation plus its append segments,
+    * minus the tombstone batches — deletions reach every consumer
+    * through this one read path.
     */
   def readSignedIndex(
-      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val rows = spark.read.parquet(path)
-    val tPath = new org.apache.hadoop.fs.Path(path, "_graft_tombstones")
-    val fs = tPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(tPath)) rows
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    readSignedState(spark, path,
+      signedMarker.read(signedFs(spark, path), path))
+
+  /** SNAPSHOT read: the index exactly as committed by marker `gen`
+    * ([[signedGenerations]] lists what is still inside the retention
+    * window; lifecycle ops take `retain`).
+    */
+  def readSignedIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, gen: Long): DataFrame =
+    readSignedState(spark, path,
+      signedMarker.readAt(signedFs(spark, path), path, gen))
+
+  /** The committed snapshot generations still readable, oldest
+    * first.
+    */
+  def signedGenerations(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] =
+    signedMarker.listGenerations(signedFs(spark, path), path)
+
+  /** The highest stream batch id committed into this index's marker
+    * chain (-1 = none) — [[graft.streaming.StreamingDedup]]'s
+    * exactly-once replay guard for the index side.
+    */
+  def lastAppliedStreamBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long =
+    signedMarker.read(signedFs(spark, path), path).applied
+
+  private def readSignedState(spark: org.apache.spark.sql.SparkSession,
+      path: String, live: graft.operators.LiveState): DataFrame = {
+    val rows = live.appends
+      .foldLeft(spark.read.parquet(s"$path/${live.dir("rows")}")) {
+        (acc, b) =>
+          acc.unionByName(
+            spark.read.parquet(s"$path/rows_batches/batch=$b"))
+      }
+    if (live.batches.isEmpty) rows
     else {
       val idCol = spark.read.parquet(s"$path/_graft_meta")
         .head().getAs[String]("id_col")
       rows.join(
-        broadcast(spark.read.parquet(s"$path/_graft_tombstones")
+        broadcast(spark.read.parquet(
+          live.batches.map(b => s"$path/tombstones/batch=$b"): _*)
           .select(col(idCol)).distinct()),
         Seq(idCol), "left_anti")
     }
   }
 
-  /** Compaction: rewrite the live (non-tombstoned) index rows, swap
-    * via checked Hadoop-FS renames, clear the tombstones, and carry
-    * the meta over. Store contract: renames need a rename-atomic
-    * store (HDFS, local, ABFS) and single-writer discipline;
-    * everything else in this lifecycle is append-only. (The BM25 and
-    * PQ indexes use marker-generation commits instead —
-    * [[graft.text.Bm25.compactBm25Index]] — which are also safe
-    * under concurrent readers; port that here if this index ever
-    * needs reader-concurrent compaction on an object store.)
+  /** Generation compaction: rewrite the live rows (generation plus
+    * append segments) MINUS the accumulated tombstones into a fresh
+    * write-once `rows_gen=<G>` dir and commit it (with empty batch
+    * lists) via one marker PUT — NO renames, so it is safe on any
+    * PUT-consistent object store, and readers inside the retention
+    * window survive concurrent compaction (the shared
+    * [[graft.operators.LiveMarker]] contract the PQ/BM25/ANN
+    * families run on; this replaced the original rename-swap flavor,
+    * closing its rename-atomic store requirement). Also collapses
+    * accumulated append small files.
     */
   def compactSignedIndex(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val live = readSignedIndex(spark, path).persist()
-    val meta = spark.read.parquet(s"$path/_graft_meta")
-      .collect().toSeq
-    val metaSchema = spark.read.parquet(s"$path/_graft_meta").schema
-    val compact = s"${path}_compact"
-    live.write.mode("errorifexists").parquet(compact)
-    spark.createDataFrame(
-      new java.util.ArrayList(scala.jdk.CollectionConverters
-        .SeqHasAsJava(meta).asJava), metaSchema)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$compact/_graft_meta")
-    live.unpersist()
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    def mv(from: String, to: String): Unit =
-      if (!fs.rename(new org.apache.hadoop.fs.Path(from),
-          new org.apache.hadoop.fs.Path(to)))
-        throw new java.io.IOException(
-          s"signed-index compaction failed to rename $from -> $to")
-    val old = s"${path}_old"
-    mv(path, old)
-    mv(compact, path)
-    if (!fs.delete(new org.apache.hadoop.fs.Path(old), true))
-      throw new java.io.IOException(
-        s"signed-index compaction failed to drop $old")
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      retain: Int = 1): Unit = {
+    val fs = signedFs(spark, path)
+    signedMarker.heal(fs, path, retain)
+    val live = signedMarker.read(fs, path)
+    val gen = live.gen + 1L
+    readSignedState(spark, path, live)
+      .write.mode("errorifexists").parquet(s"$path/rows_gen=$gen")
+    signedMarker.put(fs, path, graft.operators.LiveState(gen,
+      Map("rows" -> s"rows_gen=$gen"),
+      Seq.empty, Seq.empty, live.applied))
+    signedMarker.heal(fs, path, retain) // GC outside the window
   }
 
   /** Exact Jaccard over two token/shingle arrays (for verifying LSH

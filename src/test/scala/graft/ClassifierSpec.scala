@@ -331,4 +331,48 @@ class ClassifierSpec extends SparkSpec {
     assert(math.abs(ate) < naiveMicro / 2,
       s"IPW left most of the confounding bias: $ate vs $naiveMicro")
   }
+
+  test("aipwEffect: double robustness — a deliberately crippled " +
+    "propensity flips IPW to the confounded estimate while AIPW's " +
+    "outcome models hold the estimate near the true zero") {
+    // outcome is a pure function of a text token ("pos" => y = 1),
+    // independent of treatment given text => TRUE ATE = 0; treatment
+    // is confounded with the token, so the naive diff reads +0.5
+    val df = (0L until 40L).map { i =>
+      val (pos, t) =
+        if (i < 15L) (true, true)        // data pos
+        else if (i < 20L) (false, true)  // data neg
+        else if (i < 25L) (true, false)  // other pos
+        else (false, false)              // other neg
+      (i,
+        (if (t) "data " else "other ") +
+          (if (pos) "pos mark" else "neg mark"),
+        t, pos)
+    }.toDF("doc_id", "text", "t", "y")
+    // CRIPPLED propensity: clip forces e(x) to ~1/2 everywhere — the
+    // estimator behaves as if the propensity model were uninformative
+    // (maximal misspecification), whatever the fit learned
+    val ipw = Classifier.ipwEffect(df, "text", "doc_id", col("t"),
+      col("y"), dim = 8, iters = 2, clipMicro = 499999L)
+      .head().getAs[Long]("ate_micro")
+    // same crippled propensity, but outcome models with real capacity
+    val aipw = Classifier.aipwEffect(df, "text", "doc_id", col("t"),
+      col("y"), propDim = 8, propIters = 2, outDim = 8, outIters = 8,
+      clipMicro = 499999L).head().getAs[Long]("ate_micro")
+    // IPW inherits most of the 0.5 confounded diff; AIPW's outcome
+    // models (trained per arm on the predictive token) absorb it
+    assert(math.abs(ipw) > 300000L,
+      s"crippled-propensity IPW should stay confounded: $ipw")
+    assert(math.abs(aipw) < math.abs(ipw) / 3,
+      s"AIPW should beat IPW under a wrong propensity: " +
+        s"aipw=$aipw ipw=$ipw")
+    // and with an UNCONFOUNDED balanced design both agree at 0
+    val flat = (0L until 40L).map(i =>
+      (i, "alpha beta gamma", i % 2 == 0, i % 4 <= 1))
+      .toDF("doc_id", "text", "t", "y")
+    val a0 = Classifier.aipwEffect(flat, "text", "doc_id", col("t"),
+      col("y"), propDim = 8, propIters = 2, outDim = 8, outIters = 2)
+      .head()
+    assert(a0.getAs[Long]("ate_micro") == 0L, a0)
+  }
 }

@@ -442,6 +442,7 @@ class CliSmokeSpec extends SparkSpec {
     assert(afterDel
       .filter(col("neighbor").isin(3L, 7L)).count() == 0L,
       "tombstoned id served from the CLI path")
+    graft.cli.Main.main(Array("pq-generations", idx))
     graft.cli.Main.main(Array("pq-compact", idx))
     val outCmp = s"$base/after-compact"
     graft.cli.Main.main(Array("pq-query", idx, embPath, outCmp,
@@ -566,6 +567,14 @@ class CliSmokeSpec extends SparkSpec {
       znOut, "8"))
     assert(spark.read.parquet(znOut).count() ==
       spark.read.parquet(statsPath).count())
+    val ugModel = tmpDir("cli-r13ug") + "/model"
+    graft.cli.Main.main(Array("unigram-learn", corpusPath, ugModel,
+      "20", "1"))
+    val ugOut = tmpDir("cli-r13ug-apply")
+    graft.cli.Main.main(Array("unigram-apply", corpusPath, ugModel,
+      ugOut))
+    assert(spark.read.parquet(ugOut)
+      .filter(col("n_pieces") <= 0).count() == 0L)
     graft.cli.Main.main(Array("bloom-index", statsPath, "id"))
     graft.cli.Main.main(Array("bloom-probe", statsPath, "id", "3,17"))
     val brOut = tmpDir("cli-r13bloomread")
@@ -597,6 +606,8 @@ class CliSmokeSpec extends SparkSpec {
       "50000"))
     graft.cli.Main.main(Array("ipw", corpusPath, "source", "src1",
       "source", "src2", "8", "2"))
+    graft.cli.Main.main(Array("aipw", corpusPath, "source", "src1",
+      "source", "src2", "8", "2", "8", "2"))
     val dpOut = tmpDir("cli-r12dp")
     graft.cli.Main.main(Array("dp-counts", statsPath, "cat", "1.0",
       "seed1", dpOut))
@@ -643,6 +654,7 @@ class CliSmokeSpec extends SparkSpec {
     val signDir = s"${tmpDir("cli-r11sign")}/idx"
     graft.cli.Main.main(Array("sign-index", corpusPath, signDir))
     graft.cli.Main.main(Array("sign-delete", delIds, signDir))
+    graft.cli.Main.main(Array("sign-generations", signDir))
     graft.cli.Main.main(Array("sign-compact", signDir))
     graft.cli.Main.main(Array("anova", statsPath, "v", "cat"))
     graft.cli.Main.main(Array("levene", statsPath, "v", "cat"))

@@ -890,6 +890,44 @@ class IvfSpec extends SparkSpec {
       "folded tombstones not GC'd")
   }
 
+  test("pq index retention window: superseded snapshots stay " +
+    "readable (mid-scan readers survive compaction), pqGenerations " +
+    "tracks the window, GC honors retain") {
+    val emb = lifecycleFixture()
+    val dir = java.nio.file.Files
+      .createTempDirectory("pqretain").toString
+    SimSearch.writePqIndex(emb, dir, "vec_id", "embedding", "cell",
+      m = 2, k = 2, iters = 2, dim = 64, bucketWidth = 4L)
+    // creation is the pristine marker-less layout: no snapshots yet
+    assert(SimSearch.pqGenerations(spark, dir).isEmpty)
+    SimSearch.deleteFromPqIndex(Seq(1L, 5L).toDF("vec_id"), dir,
+      retain = 2) // snapshot gen 1: codes + tombstone batch 1
+    SimSearch.compactPqIndex(spark, dir, retain = 2) // snapshot gen 2
+    assert(SimSearch.pqGenerations(spark, dir) == Seq(1L, 2L))
+    // snapshot gen 1 still resolves: the pristine codes dir AND its
+    // tombstone batch are inside the window; both reads agree on the
+    // survivors (the snapshot anti-joins its own tombstones)
+    val (_, snap1, _) = SimSearch.readPqIndex(spark, dir, 1L)
+    assert(snap1.count() == (16L - 2L) * 2L)
+    assert(new java.io.File(s"$dir/codes").isDirectory,
+      "retained snapshot's codes generation must survive GC")
+    // THE LIVENESS CASE: a frame resolved on the current snapshot
+    // survives a retain=2 compaction mid-scan
+    val (_, midScan, _) = SimSearch.readPqIndex(spark, dir)
+    SimSearch.compactPqIndex(spark, dir, retain = 2) // gen 3
+    assert(midScan.count() == (16L - 2L) * 2L)
+    assert(SimSearch.pqGenerations(spark, dir) == Seq(2L, 3L))
+    // aged out: gen 1 gone, fail-loud with the retain hint
+    val err = intercept[IllegalArgumentException] {
+      SimSearch.readPqIndex(spark, dir, 1L)
+    }
+    assert(err.getMessage.contains("retain"))
+    // a retain=1 lifecycle op collapses the window to the ruling gen
+    SimSearch.deleteFromPqIndex(Seq(2L).toDF("vec_id"), dir)
+    assert(SimSearch.pqGenerations(spark, dir) == Seq(4L))
+    assert(!new java.io.File(s"$dir/codes").exists())
+  }
+
   test("pq index lifecycle crash windows: an orphan tombstone batch " +
     "(no marker) is invisible and healed by the next writer; a torn " +
     "marker is ignored; a full rebuild resets the lifecycle") {

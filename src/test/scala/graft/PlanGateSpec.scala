@@ -210,7 +210,8 @@ class PlanGateSpec extends SparkSpec {
       "q296_logistic_fit", "q297_logistic_filter",
       "q300_persisted_hybrid", "q307_ann_index_lifecycle",
       "q309_mondrian", "q318_ipw", "q321_bm25_time_travel",
-      "q323_layout_skipping", "q324_bloom_skipping")
+      "q323_layout_skipping", "q324_bloom_skipping",
+      "q325_unigram_learn", "q327_aipw")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalWindowWhitelist.contains)
@@ -247,7 +248,8 @@ class PlanGateSpec extends SparkSpec {
       "q296_logistic_fit", "q297_logistic_filter",
       "q300_persisted_hybrid", "q307_ann_index_lifecycle",
       "q309_mondrian", "q318_ipw", "q321_bm25_time_travel",
-      "q323_layout_skipping", "q324_bloom_skipping")
+      "q323_layout_skipping", "q324_bloom_skipping",
+      "q325_unigram_learn", "q327_aipw")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalSortWhitelist.contains)
@@ -270,6 +272,8 @@ class PlanGateSpec extends SparkSpec {
     // loop is a regression; CartesianProduct (non-broadcast all-pairs)
     // is never acceptable.
     val bnljWhitelist = Set(
+      "q325_unigram_learn",  // model counts × broadcast 1-row Σcnt
+      "q327_aipw",           // q296's bias-row broadcast, three fits
       "q17_cosine_topk",     // corpus × broadcast query rows (non-equi !=)
       "q27_ivf_topk",        // query rows × broadcast k-row centroids
       "q44_tfidf",           // tf rows × broadcast 1-row corpus size

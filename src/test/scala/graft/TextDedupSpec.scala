@@ -1211,6 +1211,95 @@ class TextDedupSpec extends SparkSpec {
     assert(m3.isEmpty)
   }
 
+  test("tokensUnigram: Viterbi picks the min-cost segmentation, ties " +
+    "break toward the longer piece from the end, unknown chars fall " +
+    "back to unk cost") {
+    import spark.implicits._
+    // "ab" at 1.0 nats beats a+b (3.0) and aba+b (4.3)
+    // a/ab/c/bc all at 1.0 nats, b dearer -- "abc" then TIES
+    // a+bc = ab+c = 2.0 nats exactly
+    val model = Map("ab" -> 1000000L, "a" -> 1000000L,
+      "b" -> 1500000L, "aba" -> 2800000L, "c" -> 1000000L,
+      "bc" -> 1000000L, "x" -> 1000000L)
+    def pieces(text: String): Seq[String] =
+      TextOps.tokensUnigram(Seq(text).toDF("text"), "text", "p", model)
+        .head().getSeq[String](1).toSeq
+    assert(pieces("abab") == Seq("ab", "ab"))
+    // exact tie a+bc = ab+c = 2.0 nats: the backtrace walks from the
+    // END preferring the longest piece there, so bc wins the tail
+    assert(pieces("abc") == Seq("a", "bc"))
+    // unknown single char segments as itself at unk cost; unknown
+    // longer substrings can never be chosen
+    assert(pieces("xy") == Seq("x", "y"))
+    // multiple words flatten in document order
+    assert(pieces("ab xy abc") ==
+      Seq("ab", "x", "y", "a", "bc"))
+  }
+
+  test("learnUnigramLm: substring seeding with the vocab cap, hard-EM " +
+    "reassigns counts to the cheaper segmentation, unused pieces " +
+    "drop, costs are the exact micro-nat chain") {
+    import spark.implicits._
+    // "aa"x3 + "b": seed costs make a+a (2x -ln .6) cheaper than aa
+    // (-ln .3), so EM drops "aa" and re-counts a=6, b=1
+    val m1 = TextOps.learnUnigramLm(
+      Seq("aa aa aa b").toDF("text"), "text",
+      vocabSize = 5, maxPieceLen = 3, iters = 1)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(m1.toSeq == Seq(
+      ("a", 6L, math.round(-math.log(6.0 / 7.0) * 1e6)),
+      ("b", 1L, math.round(-math.log(1.0 / 7.0) * 1e6))), m1.toSeq)
+    // "ab"x4: one piece beats two equal-cost halves -> singles drop
+    val m2 = TextOps.learnUnigramLm(
+      Seq("ab ab ab ab").toDF("text"), "text",
+      vocabSize = 5, maxPieceLen = 3, iters = 1)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(m2.toSeq == Seq(("ab", 4L, 0L)), m2.toSeq)
+    // iters=0 returns the seed model itself (all singles + top-cap
+    // multis with substring counts)
+    val seed = TextOps.learnUnigramLm(
+      Seq("ab ab").toDF("text"), "text",
+      vocabSize = 1, maxPieceLen = 2, iters = 0)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(seed.toSeq == Seq(("a", 2L), ("ab", 2L), ("b", 2L)))
+  }
+
+  test("tokenizer fertility: the q95 harness finally has TWO " +
+    "subjects — a learned unigram model vs the BPE merge table on " +
+    "one corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      ("the thermal theory", 18L), ("the theme there", 15L))
+      .toDF("text", "n_chars")
+    // unigram learned on the corpus itself: frequent substrings (th,
+    // he, ...) become pieces, so fertility lands well under the
+    // char-level ceiling
+    val model = TextOps.learnUnigramLm(docs, "text",
+      vocabSize = 8, maxPieceLen = 3, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val uni = TextOps.tokensUnigram(docs, "text", "p", model)
+      .select(sum(size(col("p"))).cast("long")).head().getLong(0)
+    val bpe = docs.select(
+      sum(TextOps.tokenEstimateVocab(col("text"),
+        graft.SparkEntry.gateBpeMerges)).cast("long"))
+      .head().getLong(0)
+    val chars = docs.select(
+      sum(length(regexp_replace(col("text"), " ", "")))
+        .cast("long")).head().getLong(0)
+    val words = docs.select(
+      sum(size(TextOps.tokensSimple(col("text")))).cast("long"))
+      .head().getLong(0)
+    // both subword tokenizers compress below characters and stay at
+    // or above whitespace words; the learned unigram model (trained
+    // ON this corpus) beats the fixed 5-merge BPE table here
+    assert(uni < chars && bpe < chars)
+    assert(uni >= words && bpe >= words)
+    assert(uni <= bpe,
+      s"unigram=$uni bpe=$bpe chars=$chars words=$words")
+  }
+
   test("lshPlan: banding auto-tune puts the S-curve rise at the " +
     "threshold, is exact-division only, and fnWeight trades recall") {
     import graft.text.Dedup
@@ -1270,13 +1359,25 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.nonEmpty) // the even near-dup clones still pair up
     assert(!pairs.exists(r => Set(r.getLong(0), r.getLong(1))
       .exists(Set(4L, 6L))))
-    // compaction: identical pairs, tombstone dir gone, 18 live rows
+    // compaction: identical pairs, batch state gone, 18 live rows in
+    // a fresh marker-committed generation (gens: create=1, append=2,
+    // delete=3, compact=4)
     Dedup.compactSignedIndex(spark, dir)
     assert(Dedup.nearDupPairsFromIndex(
       Dedup.readSignedIndex(spark, dir), "doc_id", 0.2)
       .collect().toSet == pairs)
-    assert(!new java.io.File(s"$dir/_graft_tombstones").exists())
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(!new java.io.File(s"$dir/rows_batches").exists())
+    assert(!new java.io.File(s"$dir/rows").exists())
+    assert(new java.io.File(s"$dir/rows_gen=4").isDirectory)
     assert(Dedup.readSignedIndex(spark, dir).count() == 18L)
+    // retention: a retain=2 delete keeps the compacted snapshot
+    // readable; time travel sees the pre-delete rows
+    Dedup.deleteFromSignedIndex(Seq(8L).toDF("doc_id"), dir,
+      "doc_id", retain = 2)
+    assert(Dedup.signedGenerations(spark, dir) == Seq(4L, 5L))
+    assert(Dedup.readSignedIndex(spark, dir, 4L).count() == 18L)
+    assert(Dedup.readSignedIndex(spark, dir).count() == 17L)
   }
 
   test("vocabRichness: hand Chao1 and Good-Turing coverage; " +
