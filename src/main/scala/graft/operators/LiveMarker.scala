@@ -43,7 +43,11 @@ private[graft] final case class LiveState(
   *     survives a concurrent compaction as long as `retain` covers
   *     the longest expected scan, and (b) [[listGenerations]] +
   *     [[readAt]] give the index the same audit/rollback snapshot
-  *     reads the pool has;
+  *     reads the pool has. `retain` is per-CALL: the effective
+  *     window is the MINIMUM retain any subsequent writer passes
+  *     (one retain=1 op collapses it to the ruling snapshot), so a
+  *     deployment picks one value and uses it on every lifecycle
+  *     call;
   *   - single-writer discipline per index: concurrent writers trip
   *     the `errorifexists` batch/generation writes loudly; readers
   *     that resolve inside the retention window are safe, including

@@ -2171,12 +2171,17 @@ object SimSearch {
   /** Generation compaction: rewrite the live codes MINUS the
     * accumulated tombstones into a fresh write-once `codes_gen=<G>`
     * directory and commit it (with an empty tombstone list) via one
-    * marker PUT; superseded directories GC afterwards. Readers see
-    * either the old generation + tombstone anti-join or the new
-    * compacted generation — never an intermediate. Also collapses the
-    * small files of accumulated [[appendToPqIndex]] batches (one
-    * output file per cell partition per shuffle partition), so it
-    * doubles as the index's periodic file-compaction pass.
+    * marker PUT; state outside the `retain` window GCs afterwards
+    * (the shared [[graft.operators.LiveMarker]] retention contract:
+    * readers mid-scan on a superseded snapshot survive whenever
+    * `retain` covers the longest expected scan — with the default
+    * `retain = 1` only the ruling snapshot's files stay on disk).
+    * Readers see either the old generation + tombstone anti-join or
+    * the new compacted generation — never an intermediate. Also
+    * collapses the small files of accumulated [[appendToPqIndex]]
+    * batches (one output file per cell partition per shuffle
+    * partition), so it doubles as the index's periodic
+    * file-compaction pass.
     *
     * Cost: one scan + partitioned write of the code table (codes only
     * — raw vectors, codebooks and centroids are untouched). Run it on
