@@ -1941,6 +1941,26 @@ object Main {
       println(s"[mkv-meta] ${all.count()} items, $ok parsed -> $outDir")
       done(spark)
 
+    case "flac-meta" :: corpus :: outDir :: rest =>
+      val spark = session()
+      val dec = graft.multimodal.Multimodal.flacMeta(
+        spark.read.parquet(corpus))
+      dec.write.mode("overwrite").parquet(outDir)
+      val all = spark.read.parquet(outDir)
+      val ok = all.filter(org.apache.spark.sql.functions.col("ok")).count()
+      println(s"[flac-meta] ${all.count()} items, $ok parsed -> $outDir")
+      done(spark)
+
+    case "ogg-meta" :: corpus :: outDir :: rest =>
+      val spark = session()
+      val dec = graft.multimodal.Multimodal.oggMeta(
+        spark.read.parquet(corpus))
+      dec.write.mode("overwrite").parquet(outDir)
+      val all = spark.read.parquet(outDir)
+      val ok = all.filter(org.apache.spark.sql.functions.col("ok")).count()
+      println(s"[ogg-meta] ${all.count()} items, $ok parsed -> $outDir")
+      done(spark)
+
     // decode a (doc_id, media binary) parquet with the JDK ImageIO
     // codecs (JPEG/PNG/GIF/BMP); emits metadata + channel means
     case "decode-image" :: corpus :: outDir :: rest =>
@@ -3327,6 +3347,7 @@ object Main {
           "aipw <corpus> <tCol> <tVal> <yCol> <yVal> [propDim] [propIters] [outDim] [outIters] | " +
           "logrank-strat <events> <userCol> <boolFlagCol> <stratCol> [tsCol] | " +
           "mkv-meta <parquet> <out> | mp3-meta <parquet> <out> | " +
+          "flac-meta <parquet> <out> | ogg-meta <parquet> <out> | " +
           "warc-ingest <glob> <out> [--wet] | wet-ingest <glob> <out> | " +
           "train <corpus> <labelCol> <labelValue> <outDir> [rounds] | " +
           "freq <corpus> <term> [term...] | " +

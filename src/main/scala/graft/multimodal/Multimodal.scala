@@ -1358,4 +1358,194 @@ object Multimodal {
         codecs.mkString(","))
     } catch { case _: Exception => fail }
   }
+
+  /** One FLAC stream's STREAMINFO metadata. `ok=false` carries zeroed
+    * fields for input that is not a FLAC stream.
+    */
+  final case class FlacMeta(
+      id: Long, ok: Boolean, sampleRate: Int, channels: Int,
+      bits: Int, totalSamples: Long, durationSec: Double,
+      nBlocks: Int, hasTags: Boolean, md5: String)
+
+  /** Lossless-audio container metadata via a pure-JDK FLAC
+    * STREAMINFO parse (the RFC 9639 bitfield layout) — the
+    * [[mp3Meta]] discipline for the archival half of an audio lake:
+    * `fLaC` magic, then length-prefixed metadata blocks walked
+    * without ever touching an audio frame. Reports sample rate
+    * (20 bits), channels, bits per sample, the 36-bit total sample
+    * count (0 = unknown by spec) and its duration, the metadata
+    * block count, whether a VORBIS_COMMENT tag block is present, and
+    * the decoded-audio MD5 (hex) — the integrity handle a corpus
+    * dedup can key on without decoding. Malformed input isolates as
+    * ok=false.
+    */
+  def flacMeta(df: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media"): Dataset[FlacMeta] = {
+    val rows = df.select(col(idCol).cast("long"), col(mediaCol))
+    rows.mapPartitions { it =>
+      it.map { r =>
+        if (r.isNullAt(0))
+          FlacMeta(-1L, ok = false, 0, 0, 0, 0L, 0.0, 0, false, "")
+        else if (r.isNullAt(1))
+          FlacMeta(r.getLong(0), ok = false, 0, 0, 0, 0L, 0.0, 0,
+            false, "")
+        else parseFlac(r.getLong(0), r.getAs[Array[Byte]](1))
+      }
+    }(Encoders.product[FlacMeta])
+  }
+
+  private[graft] def parseFlac(id: Long,
+      bytes: Array[Byte]): FlacMeta = {
+    val fail = FlacMeta(id, ok = false, 0, 0, 0, 0L, 0.0, 0, false, "")
+    try {
+      val n = bytes.length
+      if (n < 4 + 4 + 34) return fail
+      def u8(p: Int) = bytes(p) & 0xff
+      if (!(u8(0) == 'f' && u8(1) == 'L' && u8(2) == 'a' &&
+        u8(3) == 'C')) return fail
+      var p = 4
+      var last = false
+      var nBlocks = 0
+      var hasTags = false
+      var rate = 0; var ch = 0; var bits = 0
+      var total = 0L; var md5 = ""
+      var sawStreamInfo = false
+      while (!last && p + 4 <= n) {
+        val h = u8(p)
+        last = (h & 0x80) != 0
+        val tpe = h & 0x7f
+        val len = (u8(p + 1) << 16) | (u8(p + 2) << 8) | u8(p + 3)
+        val body = p + 4
+        if (body + len > n) return fail
+        nBlocks += 1
+        if (tpe == 4) hasTags = true
+        if (tpe == 0) { // STREAMINFO, fixed 34 bytes
+          if (len != 34) return fail
+          sawStreamInfo = true
+          val b = body
+          rate = (u8(b + 10) << 12) | (u8(b + 11) << 4) |
+            (u8(b + 12) >> 4)
+          ch = ((u8(b + 12) >> 1) & 0x7) + 1
+          bits = (((u8(b + 12) & 1) << 4) | (u8(b + 13) >> 4)) + 1
+          total = ((u8(b + 13) & 0xf).toLong << 32) |
+            (u8(b + 14).toLong << 24) | (u8(b + 15).toLong << 16) |
+            (u8(b + 16).toLong << 8) | u8(b + 17).toLong
+          md5 = (b + 18 until b + 34)
+            .map(i => f"${u8(i)}%02x").mkString
+        }
+        p = body + len
+      }
+      // STREAMINFO is mandatory and first per spec; a stream without
+      // it (or with rate 0, which the spec forbids) is malformed
+      if (!sawStreamInfo || rate <= 0) fail
+      else FlacMeta(id, ok = true, rate, ch, bits, total,
+        if (total > 0) total.toDouble / rate else 0.0,
+        nBlocks, hasTags, md5)
+    } catch { case _: Exception => fail }
+  }
+
+  /** One Ogg stream's identification metadata. `ok=false` carries
+    * zeroed fields for input that is not an Ogg stream.
+    */
+  final case class OggMeta(
+      id: Long, ok: Boolean, codec: String, channels: Int,
+      sampleRate: Int, nPages: Int, lastGranule: Long,
+      durationSec: Double)
+
+  /** Streaming-audio container metadata via a pure-JDK Ogg page walk
+    * (RFC 3533) + the Vorbis/Opus identification headers — the
+    * compressed half of the audio-lake probe beside [[flacMeta]]:
+    * pages are length-prefixed (27-byte header + lacing table), so
+    * the walk hops page to page without touching codec data. The
+    * FIRST beginning-of-stream page names the codec (`\\x01vorbis`
+    * ident: channels + rate; `OpusHead`: channels + pre-skip, output
+    * clock fixed at 48 kHz by RFC 7845) and the LAST page's granule
+    * position gives the duration (PCM samples for Vorbis; 48 kHz
+    * samples minus pre-skip for Opus). Multiplexed secondary streams
+    * are ignored (first BOS wins). Malformed input isolates as
+    * ok=false.
+    */
+  def oggMeta(df: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media"): Dataset[OggMeta] = {
+    val rows = df.select(col(idCol).cast("long"), col(mediaCol))
+    rows.mapPartitions { it =>
+      it.map { r =>
+        if (r.isNullAt(0))
+          OggMeta(-1L, ok = false, "", 0, 0, 0, 0L, 0.0)
+        else if (r.isNullAt(1))
+          OggMeta(r.getLong(0), ok = false, "", 0, 0, 0, 0L, 0.0)
+        else parseOgg(r.getLong(0), r.getAs[Array[Byte]](1))
+      }
+    }(Encoders.product[OggMeta])
+  }
+
+  private[graft] def parseOgg(id: Long, bytes: Array[Byte]): OggMeta = {
+    val fail = OggMeta(id, ok = false, "", 0, 0, 0, 0L, 0.0)
+    try {
+      val n = bytes.length
+      def u8(p: Int) = bytes(p) & 0xff
+      def u16le(p: Int) = u8(p) | (u8(p + 1) << 8)
+      def u32le(p: Int) = u8(p).toLong | (u8(p + 1).toLong << 8) |
+        (u8(p + 2).toLong << 16) | (u8(p + 3).toLong << 24)
+      def u64le(p: Int) = u32le(p) | (u32le(p + 4) << 32)
+      var p = 0
+      var nPages = 0
+      var codec = ""
+      var ch = 0; var rate = 0; var preSkip = 0
+      var serial = -1L // the first BOS stream's serial
+      var lastGranule = 0L
+      while (p + 27 <= n) {
+        if (!(u8(p) == 'O' && u8(p + 1) == 'g' && u8(p + 2) == 'g' &&
+          u8(p + 3) == 'S' && u8(p + 4) == 0)) {
+          // sync lost: trailing garbage ends the walk (the mp3Meta
+          // discipline); nothing parsed at all is malformed
+          return if (nPages == 0) fail
+            else finishOgg(id, codec, ch, rate, preSkip, nPages,
+              lastGranule)
+        }
+        val flags = u8(p + 5)
+        val granule = u64le(p + 6)
+        val pageSerial = u32le(p + 14)
+        val nSegs = u8(p + 26)
+        if (p + 27 + nSegs > n) return fail
+        var bodyLen = 0
+        var i = 0
+        while (i < nSegs) { bodyLen += u8(p + 27 + i); i += 1 }
+        val body = p + 27 + nSegs
+        if (body + bodyLen > n) return fail
+        nPages += 1
+        if ((flags & 0x02) != 0 && serial == -1L) { // first BOS page
+          serial = pageSerial
+          // codec identification packet starts the page body
+          if (bodyLen >= 19 && u8(body) == 0x01 &&
+            new String(bytes, body + 1, 6, "ISO-8859-1") == "vorbis") {
+            codec = "vorbis"
+            ch = u8(body + 11)
+            rate = u32le(body + 12).toInt
+          } else if (bodyLen >= 19 &&
+            new String(bytes, body, 8, "ISO-8859-1") == "OpusHead") {
+            codec = "opus"
+            ch = u8(body + 9)
+            preSkip = u16le(body + 10)
+            rate = 48000 // RFC 7845: granule clock is always 48 kHz
+          } else codec = "unknown"
+        }
+        if (pageSerial == serial && granule >= 0L)
+          lastGranule = math.max(lastGranule, granule)
+        p = body + bodyLen
+      }
+      if (nPages == 0) fail
+      else finishOgg(id, codec, ch, rate, preSkip, nPages, lastGranule)
+    } catch { case _: Exception => fail }
+  }
+
+  private def finishOgg(id: Long, codec: String, ch: Int, rate: Int,
+      preSkip: Int, nPages: Int, lastGranule: Long): OggMeta = {
+    val dur =
+      if (rate <= 0) 0.0
+      else if (codec == "opus")
+        math.max(lastGranule - preSkip, 0L).toDouble / 48000.0
+      else lastGranule.toDouble / rate
+    OggMeta(id, ok = true, codec, ch, rate, nPages, lastGranule, dur)
+  }
 }

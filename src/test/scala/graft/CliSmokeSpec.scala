@@ -714,6 +714,12 @@ class CliSmokeSpec extends SparkSpec {
     val mkvOut = tmpDir("cli-r12mkv")
     graft.cli.Main.main(Array("mkv-meta", media, mkvOut))
     assert(spark.read.parquet(mkvOut).count() == 2L)
+    val flacOut = tmpDir("cli-r13flac")
+    graft.cli.Main.main(Array("flac-meta", media, flacOut))
+    assert(spark.read.parquet(flacOut).count() == 2L)
+    val oggOut = tmpDir("cli-r13ogg")
+    graft.cli.Main.main(Array("ogg-meta", media, oggOut))
+    assert(spark.read.parquet(oggOut).count() == 2L)
   }
 
   test("pool-commit and pool-read run the marker pool end to end") {

@@ -121,6 +121,163 @@ class MediaMetaSpec extends SparkSpec {
     header ++ segment
   }
 
+  // ── FLAC / Ogg fixture helpers ────────────────────────────────────
+  private def flac(rate: Int, ch: Int, bits: Int,
+      total: Long, withTags: Boolean): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("fLaC".getBytes("ISO-8859-1"))
+    val si = new ByteArrayOutputStream()
+    si.write(Array[Byte](0x10, 0x00, 0x10, 0x00)) // min/max block 4096
+    si.write(Array.fill[Byte](6)(0))              // min/max frame size
+    // rate(20) | ch-1(3) | bits-1(5) | total(36) packed big-endian
+    si.write((rate >> 12) & 0xff)
+    si.write((rate >> 4) & 0xff)
+    si.write(((rate & 0xf) << 4) | ((ch - 1) << 1) |
+      ((bits - 1) >> 4))
+    si.write((((bits - 1) & 0xf) << 4) | ((total >> 32) & 0xf).toInt)
+    si.write(((total >> 24) & 0xff).toInt)
+    si.write(((total >> 16) & 0xff).toInt)
+    si.write(((total >> 8) & 0xff).toInt)
+    si.write((total & 0xff).toInt)
+    si.write(Array.tabulate[Byte](16)(i => (i * 17).toByte)) // md5
+    val body = si.toByteArray
+    assert(body.length == 34)
+    val lastFlag = if (withTags) 0x00 else 0x80
+    out.write(lastFlag | 0x00) // STREAMINFO
+    out.write(0); out.write(0); out.write(34)
+    out.write(body)
+    if (withTags) {
+      val tag = "graft".getBytes("ISO-8859-1")
+      out.write(0x80 | 0x04) // last VORBIS_COMMENT
+      out.write(0); out.write(0); out.write(tag.length)
+      out.write(tag)
+    }
+    out.toByteArray
+  }
+
+  private def oggPage(flags: Int, granule: Long, serial: Long,
+      seq: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("OggS".getBytes("ISO-8859-1"))
+    out.write(0)            // version
+    out.write(flags)
+    (0 until 8).foreach(i => out.write(((granule >> (8 * i)) & 0xff).toInt))
+    (0 until 4).foreach(i => out.write(((serial >> (8 * i)) & 0xff).toInt))
+    (0 until 4).foreach(i => out.write((seq >> (8 * i)) & 0xff))
+    out.write(Array.fill[Byte](4)(0)) // checksum (unchecked)
+    // lacing: 255-chunks + terminator
+    val full = payload.length / 255
+    out.write(full + 1)
+    (0 until full).foreach(_ => out.write(255))
+    out.write(payload.length % 255)
+    out.write(payload)
+    out.toByteArray
+  }
+
+  private def opusHead(ch: Int, preSkip: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("OpusHead".getBytes("ISO-8859-1"))
+    out.write(1)                 // version
+    out.write(ch)
+    out.write(preSkip & 0xff); out.write((preSkip >> 8) & 0xff)
+    (0 until 4).foreach(i => out.write((48000 >> (8 * i)) & 0xff))
+    out.write(0); out.write(0)   // output gain
+    out.write(0)                 // mapping family
+    out.toByteArray
+  }
+
+  private def vorbisIdent(ch: Int, rate: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(1)
+    out.write("vorbis".getBytes("ISO-8859-1"))
+    (0 until 4).foreach(_ => out.write(0)) // version
+    out.write(ch)
+    (0 until 4).foreach(i => out.write((rate >> (8 * i)) & 0xff))
+    out.write(Array.fill[Byte](4 * 3 + 1 + 1)(0))
+    out.toByteArray
+  }
+
+  test("flacMeta: STREAMINFO bitfields, duration, tag detection, " +
+    "audio md5; junk and truncation isolate") {
+    val rows = Seq(
+      (1L, flac(44100, 2, 16, 441000L, withTags = true)),
+      (2L, flac(48000, 1, 24, 0L, withTags = false)),
+      (3L, "fLaX not flac".getBytes),
+      (4L, flac(44100, 2, 16, 441000L, withTags = true).take(20)))
+      .toDF("doc_id", "media")
+    val got = Multimodal.flacMeta(rows).collect().map(m => m.id -> m)
+      .toMap
+    val m = got(1L)
+    assert(m.ok && m.sampleRate == 44100 && m.channels == 2 &&
+      m.bits == 16, m)
+    assert(m.totalSamples == 441000L && m.durationSec == 10.0, m)
+    assert(m.nBlocks == 2 && m.hasTags, m)
+    assert(m.md5 == (0 until 16).map(i => f"${(i * 17) & 0xff}%02x")
+      .mkString, m)
+    val m2 = got(2L)
+    assert(m2.ok && m2.sampleRate == 48000 && m2.channels == 1 &&
+      m2.bits == 24, m2)
+    assert(m2.totalSamples == 0L && m2.durationSec == 0.0, m2)
+    assert(m2.nBlocks == 1 && !m2.hasTags, m2)
+    assert(!got(3L).ok && !got(4L).ok)
+  }
+
+  test("flacMeta fuzz: byte mutation and truncation never throw") {
+    val base = flac(44100, 2, 16, 441000L, withTags = true)
+    val rnd = new scala.util.Random(31)
+    val rows = ((1 to 80).map { i =>
+      val b = base.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      (i.toLong, b)
+    } ++ (81 to 110).map { i =>
+      (i.toLong, base.take(rnd.nextInt(base.length)))
+    }).toDF("doc_id", "media")
+    assert(Multimodal.flacMeta(rows).collect().length == 110)
+  }
+
+  test("oggMeta: Opus ident + 48kHz granule clock minus pre-skip, " +
+    "Vorbis ident + own-rate granule, junk isolates, trailing " +
+    "garbage ends the walk") {
+    // opus: BOS ident page, then a final page at granule 96312 with
+    // pre-skip 312 -> exactly 2.0 s of output audio
+    val opus = oggPage(0x02, 0L, 7L, 0, opusHead(2, 312)) ++
+      oggPage(0x04, 96312L, 7L, 1, Array[Byte](1, 2, 3))
+    val vorb = oggPage(0x02, 0L, 9L, 0, vorbisIdent(1, 22050)) ++
+      oggPage(0x04, 44100L, 9L, 1, Array[Byte](9))
+    val rows = Seq(
+      (1L, opus), (2L, vorb), (3L, "not ogg at all".getBytes),
+      (4L, opus ++ "trailing garbage".getBytes))
+      .toDF("doc_id", "media")
+    val got = Multimodal.oggMeta(rows).collect().map(m => m.id -> m)
+      .toMap
+    val m = got(1L)
+    assert(m.ok && m.codec == "opus" && m.channels == 2 &&
+      m.sampleRate == 48000, m)
+    assert(m.nPages == 2 && m.lastGranule == 96312L &&
+      m.durationSec == 2.0, m)
+    val v = got(2L)
+    assert(v.ok && v.codec == "vorbis" && v.channels == 1 &&
+      v.sampleRate == 22050, v)
+    assert(v.durationSec == 2.0, v)
+    assert(!got(3L).ok)
+    val t = got(4L)
+    assert(t.ok && t.nPages == 2 && t.durationSec == 2.0, t)
+  }
+
+  test("oggMeta fuzz: byte mutation and truncation never throw") {
+    val base = oggPage(0x02, 0L, 7L, 0, opusHead(2, 312)) ++
+      oggPage(0x04, 96312L, 7L, 1, Array.fill[Byte](300)(5))
+    val rnd = new scala.util.Random(37)
+    val rows = ((1 to 80).map { i =>
+      val b = base.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      (i.toLong, b)
+    } ++ (81 to 110).map { i =>
+      (i.toLong, base.take(rnd.nextInt(base.length)))
+    }).toDF("doc_id", "media")
+    assert(Multimodal.oggMeta(rows).collect().length == 110)
+  }
+
   test("exifMeta: orientation, inline model, out-of-line make") {
     val rows = Seq((1L, exifJpeg(6, "Acme Corp")),
       (2L, exifJpeg(1, "Zeta")),
