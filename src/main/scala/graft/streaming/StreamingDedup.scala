@@ -28,17 +28,22 @@ import graft.text.{Dedup, TextOps}
   * the index's writer for every reader — they are baked into both the
   * signatures and the bucket keys.
   *
-  * Delivery semantics: `foreachBatch` is at-least-once. The INDEX side
-  * is exactly-once: every append is marker-committed
-  * ([[Dedup.appendToSignedIndex]] — a write-once segment plus ONE
-  * `_live` marker PUT that also records the stream batch id), so a
-  * replayed batch whose commit landed skips entirely, and one whose
-  * commit never landed re-runs into a fresh healed segment. The
-  * `outPath` corpus write stays the standard non-transactional-sink
-  * caveat: survivors land there BEFORE the index commit, so a crash in
-  * between can duplicate rows in `outPath` on replay — never silently
-  * LOSE documents, which the reverse order would (signatures land,
-  * crash, replay drops every survivor as a "duplicate" of itself).
+  * Delivery semantics: `foreachBatch` is at-least-once; the pipeline
+  * is EXACTLY-ONCE end to end. The INDEX side: every append is
+  * marker-committed ([[Dedup.appendToSignedIndex]] — a write-once
+  * segment plus ONE `_live` marker PUT that also records the stream
+  * batch id), so a replayed batch whose commit landed skips entirely,
+  * and one whose commit never landed re-runs into a fresh healed
+  * segment. The `outPath` corpus side: survivors land in a
+  * PER-BATCH directory (`outPath/batch=<id>/`, mode overwrite — the
+  * standard idempotent foreachBatch sink), so the one remaining
+  * replay window (crash BETWEEN the corpus write and the index
+  * commit) re-runs against the unchanged index, computes the same
+  * survivor set, and overwrites its own directory — no duplicates,
+  * and never a silent LOSS (the reverse order would drop every
+  * survivor as a "duplicate" of itself on replay). Read the corpus
+  * with `spark.read.parquet(outPath)`; `batch` surfaces as a
+  * partition column.
   *
   * Scale shape: everything per batch is the audited batch machinery —
   * the index side shuffles only (sig, bucket) pairs, the stream side
@@ -100,7 +105,8 @@ object StreamingDedup {
     // materialize once: the survivor set feeds BOTH writes, and without
     // the cut the index append would replay the whole anti-join
     val keptC = kept.localCheckpoint()
-    keptC.write.mode("append").parquet(outPath)
+    // idempotent per-batch sink: a replay overwrites ITS OWN dir
+    keptC.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
     if (bootstrap)
       Dedup.writeSignedIndex(keptC, indexPath, textCol, idCol,
         shingleK, bands, rowsPerBand, tokenizer, appliedId = batchId)

@@ -282,6 +282,42 @@ class StreamAggExportSpec extends SparkSpec {
         Set(10L, 12L, 21L))
       assert(idx.columns.toSet == Set("doc_id", "sig", "buckets"))
     } finally query.stop()
+    // CRASH-REPLAY, exactly-once END TO END: run batch 2 standalone,
+    // reconstruct the crash window between the corpus write and the
+    // index commit (old marker restored, new one deleted — the
+    // per-batch outPath dir and the orphan index segment remain),
+    // then replay — the corpus must hold each survivor ONCE and the
+    // index must match it
+    val batch2 = Seq(
+      (30L, "a third wave document with brand new vocabulary"))
+      .toDF("doc_id", "text")
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def newestMarker() = fs.listStatus(
+      new org.apache.hadoop.fs.Path(idxPath)).map(_.getPath)
+      .filter(_.getName.startsWith("_live.")).maxBy(_.getName)
+    val rulingBefore = newestMarker()
+    val rulingBytes = {
+      val in = fs.open(rulingBefore)
+      try { val b = new Array[Byte](4096)
+        val k = in.read(b); b.take(k) } finally in.close()
+    }
+    graft.streaming.StreamingDedup.processBatch(batch2, 2L, idxPath,
+      outPath, "text", "doc_id",
+      tokenizer = graft.text.TextOps.tokensSimple)
+    assert(fs.delete(newestMarker(), false)) // "the PUT never landed"
+    val out2 = fs.create(rulingBefore, false)
+    out2.write(rulingBytes); out2.close()
+    graft.streaming.StreamingDedup.processBatch(batch2, 2L, idxPath,
+      outPath, "text", "doc_id",
+      tokenizer = graft.text.TextOps.tokensSimple) // replay
+    val corpus = spark.read.parquet(outPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(corpus.sorted == Seq(10L, 12L, 21L, 30L),
+      s"corpus must hold each survivor exactly once: $corpus")
+    assert(graft.text.Dedup.readSignedIndex(spark, idxPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(10L, 12L, 21L, 30L))
   }
 
   test("StreamingBm25: micro-batches build an index that serves " +
