@@ -8116,6 +8116,19 @@ object OracleSql {
     // augmented fold
     "q327_aipw" -> q327AipwSql,
 
+    // takedown audit: membership flags replay from the subset
+    // constructions; the gone certificate is require'd in-query and
+    // pinned constant here
+    "q328_takedown" ->
+      """SELECT d.doc_id,
+        |  (d.doc_id % 2 = 0) AS in_bm25, true AS gone_bm25,
+        |  (d.doc_id IN (SELECT vec_id FROM embeddings
+        |     WHERE vec_id % 2 = 0)) AS in_ann, true AS gone_ann,
+        |  (d.doc_id IN (SELECT vec_id FROM embeddings
+        |     WHERE vec_id % 5 <> 0)) AS in_pq, true AS gone_pq,
+        |  (d.doc_id % 3 = 0) AS in_signed, true AS gone_signed
+        |FROM documents d WHERE d.doc_id % 13 = 0""".stripMargin,
+
     // unigram-LM apply under the gate fixture
     "q326_unigram_apply" -> q326UnigramApplySql,
 

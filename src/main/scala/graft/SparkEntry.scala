@@ -5255,6 +5255,56 @@ object SparkEntry {
       col("text").contains("data"), col("n_chars") > 300,
       propDim = 8, propIters = 2, outDim = 8, outIters = 2)
 
+  /** The takedown pipeline END TO END under the oracle: build all
+    * FOUR persisted index families over deliberately DIFFERENT
+    * corpus subsets (so the before-membership flags carry signal),
+    * then [[graft.operators.Takedown]] every 13th doc id in ONE call
+    * — each family's marker-committed tombstone delete plus the
+    * per-id audit certificate. The oracle replays the membership
+    * flags from the subset constructions; the in-query `require`
+    * pins the certificate itself (every target provably gone from
+    * every serving read — a tombstone that failed to commit anywhere
+    * fails the gate loudly). EAGER (four index builds + four
+    * lifecycle commits); temp tree deleted before returning.
+    */
+  def q328_takedown(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_takedown")
+    try {
+      val d = docs(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val (bm, ann, pq, sg) = (base.resolve("bm").toString,
+        base.resolve("ann").toString, base.resolve("pq").toString,
+        base.resolve("sg").toString)
+      graft.text.Bm25.writeBm25Index(
+        d.filter(col("doc_id") % 2 === 0), "text", "doc_id", bm,
+        buckets = 16)
+      SimSearch.writeAnnIndex(emb.filter(col("vec_id") % 2 === 0),
+        ann, "vec_id", "embedding", planes = 6, dim = 64)
+      SimSearch.writePqIndex(
+        emb.filter(col("vec_id") % 5 =!= 0)
+          .withColumn("cell", col("label")),
+        pq, "vec_id", "embedding", "cell", m = 2, k = 4, iters = 2,
+        dim = 64, bucketWidth = 128L)
+      Dedup.writeSignedIndex(d.filter(col("doc_id") % 3 === 0), sg,
+        "text", "doc_id", shingleK = 3, bands = 8, rowsPerBand = 4,
+        tokenizer = TextOps.tokensSimple)
+      val targets = d.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"))
+      val audit = graft.operators.Takedown(s, targets, "doc_id",
+        bm25Path = Some(bm), annPath = Some(ann), pqPath = Some(pq),
+        pqIdCol = Some("vec_id"), signedPath = Some(sg), retain = 2)
+        .localCheckpoint()
+      require(audit.filter(!col("gone_bm25") || !col("gone_ann") ||
+        !col("gone_pq") || !col("gone_signed")).isEmpty,
+        "takedown certificate failed: a target still serves somewhere")
+      audit
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Kish effective sample size of the length-weighted corpus — how
     * many unweighted documents is a token-budgeted (char-weighted)
     * eval statistically worth? Exact decimal moments, one closing
@@ -5941,6 +5991,7 @@ object SparkEntry {
     "q324_bloom_skipping" -> (q324_bloom_skipping(_, _)),
     "q325_unigram_learn" -> (q325_unigram_learn(_, _)),
     "q327_aipw" -> (q327_aipw(_, _)),
+    "q328_takedown" -> (q328_takedown(_, _)),
     "q326_unigram_apply" -> (q326_unigram_apply(_, _)),
     "q323_layout_skipping" -> (q323_layout_skipping(_, _)))
 

@@ -1444,6 +1444,31 @@ object Main {
         s"vectors -> $idxPath")
       done(spark)
 
+    // takedown: tombstone ids out of every given index family in one
+    // call and print the per-id audit certificate
+    case "takedown" :: idsPath :: rest =>
+      def flagArg(name: String): Option[String] = {
+        val i = rest.indexOf(name)
+        if (i >= 0 && i + 1 < rest.length) Some(rest(i + 1)) else None
+      }
+      val retain = flagArg("--retain").map(_.toInt).getOrElse(1)
+      val idCol = flagArg("--id").getOrElse("doc_id")
+      val spark = session()
+      val audit = graft.operators.Takedown(spark,
+        spark.read.parquet(idsPath), idCol,
+        bm25Path = flagArg("--bm25"), annPath = flagArg("--ann"),
+        pqPath = flagArg("--pq"), pqIdCol = flagArg("--pq-id"),
+        signedPath = flagArg("--signed"), retain = retain)
+      val rows = audit.collect()
+      val gone = rows.forall(r => audit.columns.zipWithIndex.collect {
+        case (c, i) if c.startsWith("gone_") => r.getBoolean(i)
+      }.forall(identity))
+      rows.take(10).foreach(r => println(s"[takedown] $r"))
+      println(s"[takedown] ${rows.length} targets, certificate " +
+        (if (gone) "CLEAN (all gone)" else "FAILED (still serving!)"))
+      if (!gone) sys.exit(3)
+      done(spark)
+
     // the committed PQ snapshots still inside the retention window
     case "pq-generations" :: idxPath :: Nil =>
       val spark = session()
@@ -3202,6 +3227,7 @@ object Main {
           "pq-delete <idx> <idsParquet> [retain] | " +
           "pq-compact <idx> [retain] | " +
           "pq-generations <idx> | " +
+          "takedown <idsParquet> [--id col] [--bm25 dir] [--ann dir] [--pq dir] [--pq-id col] [--signed dir] [--retain n] | " +
           "pq-eval <embeddings> [k] [m] [kcb] [nprobe] [dim] [sampleMod] | " +
           "ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod] | " +
           "pack <corpus> <out> [budget] [--jsonl] [--simple-tokens] | " +

@@ -201,7 +201,7 @@ object SimSearch {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def annMeta(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def annMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int, String, String) = {
     val m = spark.read.parquet(s"$path/meta").head()
     (m.getAs[Int]("planes"), m.getAs[Int]("dim"),

@@ -500,6 +500,19 @@ object Bm25 {
     bm25Marker.heal(fs, path, retain) // GC outside the window
   }
 
+  /** The distinct LIVE document ids of a persisted index — the
+    * membership probe the takedown/audit pipeline reads before and
+    * after a removal ([[graft.operators.Takedown]]). One pruned-read
+    * aggregation over the live postings; tombstoned ids never
+    * surface.
+    */
+  def bm25IndexIds(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String): DataFrame = {
+    val live = bm25Marker.read(bm25Fs(spark, path), path)
+    livePostings(spark, path, live, idCol, None)
+      .select(col(idCol)).distinct()
+  }
+
   /** The committed snapshot generations still readable (oldest
     * first) — [[topKFromIndex]]'s `atGen` accepts any of them until
     * a lifecycle writer's GC ages it out of its `retain` window.

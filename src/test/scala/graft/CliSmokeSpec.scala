@@ -722,6 +722,21 @@ class CliSmokeSpec extends SparkSpec {
     assert(spark.read.parquet(oggOut).count() == 2L)
   }
 
+  test("takedown tombstones ids across index families from the CLI") {
+    val base = tmpDir("cli-r13takedown")
+    val docsPath = s"$base/docs"
+    (1L to 12L).map(i => (i, s"takedown corpus doc $i shared words"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(docsPath)
+    val bm = s"$base/bm"
+    graft.cli.Main.main(Array("bm25-index", docsPath, bm, "8"))
+    val ids = s"$base/ids"
+    Seq(3L, 7L).toDF("doc_id").write.mode("overwrite").parquet(ids)
+    graft.cli.Main.main(Array("takedown", ids, "--bm25", bm,
+      "--retain", "2"))
+    assert(graft.text.Bm25.bm25IndexIds(spark, bm, "doc_id")
+      .count() == 10L)
+  }
+
   test("pool-commit and pool-read run the marker pool end to end") {
     val in = s"${tmpDir("cli-poolin")}/rows"
     SyntheticTracking.df(spark, games = 1, plays = 2, frames = 5)

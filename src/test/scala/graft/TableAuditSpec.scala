@@ -146,6 +146,42 @@ class TableAuditSpec extends SparkSpec {
     assert(d1.getAs[Long]("close") == 7L)
   }
 
+  test("Takedown: partial families, never-present targets, and the " +
+    "gone certificate across bm25 + signed in one call") {
+    import graft.text.{Bm25, Dedup, TextOps}
+    val base = tmpDir("takedown") + "/t"
+    val docs = (1L to 20L).map(i =>
+      (i, s"document body number $i with shared words and tok$i"))
+      .toDF("doc_id", "text")
+    val bm = s"$base/bm"
+    val sg = s"$base/sg"
+    Bm25.writeBm25Index(docs.filter(col("doc_id") <= 10), "text",
+      "doc_id", bm, buckets = 8)
+    Dedup.writeSignedIndex(docs.filter(col("doc_id") % 2 === 0), sg,
+      "text", "doc_id", tokenizer = TextOps.tokensSimple)
+    // targets: 4 (both), 15 (neither), 8 (both), 999 (nowhere at all)
+    val targets = Seq(4L, 15L, 8L, 999L).toDF("doc_id")
+    val audit = graft.operators.Takedown(spark, targets, "doc_id",
+      bm25Path = Some(bm), signedPath = Some(sg))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Boolean]("in_bm25"), r.getAs[Boolean]("gone_bm25"),
+          r.getAs[Boolean]("in_signed"),
+          r.getAs[Boolean]("gone_signed"))).toMap
+    assert(audit(4L) == ((true, true, true, true)))
+    assert(audit(8L) == ((true, true, true, true)))
+    assert(audit(15L) == ((false, true, false, true)))
+    assert(audit(999L) == ((false, true, false, true)))
+    // survivors intact, targets gone from both serving reads
+    assert(Bm25.bm25IndexIds(spark, bm, "doc_id").count() == 8L)
+    assert(Dedup.readSignedIndex(spark, sg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 6L, 10L, 12L, 14L, 16L, 18L, 20L))
+    // no family given is a loud error, not a silent no-op audit
+    intercept[IllegalArgumentException] {
+      graft.operators.Takedown(spark, targets, "doc_id")
+    }
+  }
+
   test("bloom side-car: no false negatives ever, point lookups prune " +
     "files min/max cannot, absent probes read nothing, FP rate tiny") {
     val root = tmpDir("bloom-sidecar") + "/t"
