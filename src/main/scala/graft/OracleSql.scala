@@ -8129,6 +8129,19 @@ object OracleSql {
         |  (d.doc_id % 3 = 0) AS in_signed, true AS gone_signed
         |FROM documents d WHERE d.doc_id % 13 = 0""".stripMargin,
 
+    // index drift: set algebra over the gate's constructions —
+    // index ids = evens minus every 10th; corpus = all minus every 7th
+    "q329_index_drift" ->
+      """WITH idx AS (SELECT doc_id FROM documents
+        |    WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0),
+        |corp AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT (SELECT count(*) FROM corp)::BIGINT AS n_corpus,
+        |  (SELECT count(*) FROM idx)::BIGINT AS n_index,
+        |  (SELECT count(*) FROM corp WHERE doc_id NOT IN
+        |    (SELECT doc_id FROM idx))::BIGINT AS n_missing,
+        |  (SELECT count(*) FROM idx WHERE doc_id NOT IN
+        |    (SELECT doc_id FROM corp))::BIGINT AS n_extra""".stripMargin,
+
     // unigram-LM apply under the gate fixture
     "q326_unigram_apply" -> q326UnigramApplySql,
 

@@ -5305,6 +5305,38 @@ object SparkEntry {
     }
   }
 
+  /** Index-freshness drift under the oracle: a BM25 index built over
+    * the even half of the corpus, every 10th doc then tombstoned out,
+    * audited against a corpus that itself dropped every 7th doc —
+    * so the report must count BOTH directions of drift: corpus docs
+    * the index never absorbed or deleted (missing) and index docs the
+    * corpus no longer has (extra — the un-propagated-takedown
+    * signal). One tag-union aggregation; the oracle replays the set
+    * algebra from the constructions. EAGER (index build + delete).
+    */
+  def q329_index_drift(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_drift")
+    try {
+      val d = docs(s, dir)
+      val p = base.resolve("idx").toString
+      graft.text.Bm25.writeBm25Index(
+        d.filter(col("doc_id") % 2 === 0), "text", "doc_id", p,
+        buckets = 16)
+      graft.text.Bm25.deleteFromBm25Index(
+        d.filter(col("doc_id") % 10 === 0).select(col("doc_id")), p,
+        "doc_id")
+      val corpusNow = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"))
+      Diagnose.indexDriftReport(corpusNow,
+        graft.text.Bm25.bm25IndexIds(s, p, "doc_id"), "doc_id")
+        .localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Kish effective sample size of the length-weighted corpus — how
     * many unweighted documents is a token-budgeted (char-weighted)
     * eval statistically worth? Exact decimal moments, one closing
@@ -5992,6 +6024,7 @@ object SparkEntry {
     "q325_unigram_learn" -> (q325_unigram_learn(_, _)),
     "q327_aipw" -> (q327_aipw(_, _)),
     "q328_takedown" -> (q328_takedown(_, _)),
+    "q329_index_drift" -> (q329_index_drift(_, _)),
     "q326_unigram_apply" -> (q326_unigram_apply(_, _)),
     "q323_layout_skipping" -> (q323_layout_skipping(_, _)))
 

@@ -1469,6 +1469,21 @@ object Main {
       if (!gone) sys.exit(3)
       done(spark)
 
+    // index-freshness drift: corpus ids vs a persisted BM25 index's
+    // live ids (use the library API for the other families)
+    case "index-drift" :: corpusPath :: bm25Dir :: rest =>
+      import org.apache.spark.sql.functions.col
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val spark = session()
+      val r = graft.operators.Diagnose.indexDriftReport(
+        spark.read.parquet(corpusPath).select(col(idCol)),
+        graft.text.Bm25.bm25IndexIds(spark, bm25Dir, idCol),
+        idCol).head()
+      println(s"[index-drift] corpus=${r.getLong(0)} " +
+        s"index=${r.getLong(1)} missing=${r.getLong(2)} " +
+        s"extra=${r.getLong(3)}")
+      done(spark)
+
     // the committed PQ snapshots still inside the retention window
     case "pq-generations" :: idxPath :: Nil =>
       val spark = session()
@@ -3228,6 +3243,7 @@ object Main {
           "pq-compact <idx> [retain] | " +
           "pq-generations <idx> | " +
           "takedown <idsParquet> [--id col] [--bm25 dir] [--ann dir] [--pq dir] [--pq-id col] [--signed dir] [--retain n] | " +
+          "index-drift <corpusParquet> <bm25Dir> [idCol] | " +
           "pq-eval <embeddings> [k] [m] [kcb] [nprobe] [dim] [sampleMod] | " +
           "ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod] | " +
           "pack <corpus> <out> [budget] [--jsonl] [--simple-tokens] | " +

@@ -261,6 +261,37 @@ object Diagnose {
         amp(col("n_rows_scanned_bloom")))
   }
 
+  /** Index-freshness drift audit: how far has a persisted index
+    * drifted from the corpus it serves? Feed the corpus's id column
+    * and the index's LIVE id read ([[graft.text.Bm25.bm25IndexIds]],
+    * `readAnnIndex(...).select(id)`, `readPqIndex(...)._2`,
+    * `readSignedIndex`) — one row:
+    * `(n_corpus, n_index, n_missing, n_extra)` with `n_missing` =
+    * corpus ids the index does not serve (an append fell behind) and
+    * `n_extra` = index ids the corpus no longer has (a takedown or
+    * dedup pass never reached the index — [[Takedown]] is the fix).
+    * The number a serving deployment alerts on BEFORE retrieval
+    * quality decays silently.
+    *
+    * Scale shape: ONE shuffle — both id sets tag-union and aggregate
+    * by id (map-side partials absorb duplicates), then fold to one
+    * row; no join, no broadcast assumption on either side.
+    */
+  def indexDriftReport(corpus: DataFrame, index: DataFrame,
+      idCol: String): DataFrame = {
+    val tagged = corpus
+      .select(col(idCol), lit(1L).as("_c"), lit(0L).as("_i"))
+      .unionByName(index
+        .select(col(idCol), lit(0L).as("_c"), lit(1L).as("_i")))
+    tagged.groupBy(col(idCol))
+      .agg(max(col("_c")).as("_c"), max(col("_i")).as("_i"))
+      .agg(sum(col("_c")).as("n_corpus"), sum(col("_i")).as("n_index"),
+        sum(when(col("_c") === 1L && col("_i") === 0L, 1L)
+          .otherwise(0L)).as("n_missing"),
+        sum(when(col("_c") === 0L && col("_i") === 1L, 1L)
+          .otherwise(0L)).as("n_extra"))
+  }
+
   /** Per-column dataset profile — the statistics page for a snapshot:
     * null count, estimated distinct count (HLL++), and min/max (as
     * strings, so one schema fits every dtype) for every column, plus

@@ -735,6 +735,7 @@ class CliSmokeSpec extends SparkSpec {
       "--retain", "2"))
     assert(graft.text.Bm25.bm25IndexIds(spark, bm, "doc_id")
       .count() == 10L)
+    graft.cli.Main.main(Array("index-drift", docsPath, bm))
   }
 
   test("pool-commit and pool-read run the marker pool end to end") {

@@ -211,7 +211,8 @@ class PlanGateSpec extends SparkSpec {
       "q300_persisted_hybrid", "q307_ann_index_lifecycle",
       "q309_mondrian", "q318_ipw", "q321_bm25_time_travel",
       "q323_layout_skipping", "q324_bloom_skipping",
-      "q325_unigram_learn", "q327_aipw", "q328_takedown")
+      "q325_unigram_learn", "q327_aipw", "q328_takedown",
+      "q329_index_drift")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalWindowWhitelist.contains)
@@ -249,7 +250,8 @@ class PlanGateSpec extends SparkSpec {
       "q300_persisted_hybrid", "q307_ann_index_lifecycle",
       "q309_mondrian", "q318_ipw", "q321_bm25_time_travel",
       "q323_layout_skipping", "q324_bloom_skipping",
-      "q325_unigram_learn", "q327_aipw", "q328_takedown")
+      "q325_unigram_learn", "q327_aipw", "q328_takedown",
+      "q329_index_drift")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalSortWhitelist.contains)

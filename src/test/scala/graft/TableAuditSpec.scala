@@ -182,6 +182,19 @@ class TableAuditSpec extends SparkSpec {
     }
   }
 
+  test("indexDriftReport: both drift directions, clean index reads " +
+    "zero, duplicate ids count once") {
+    val corpus = Seq(1L, 2L, 3L, 4L, 4L).toDF("doc_id") // dup id 4
+    val index = Seq(2L, 3L, 9L).toDF("doc_id")
+    val r = graft.operators.Diagnose
+      .indexDriftReport(corpus, index, "doc_id").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 3L, 2L, 1L))) // corpus {1,2,3,4}; missing {1,4}; extra {9}
+    val clean = graft.operators.Diagnose
+      .indexDriftReport(corpus, corpus, "doc_id").head()
+    assert(clean.getLong(2) == 0L && clean.getLong(3) == 0L)
+  }
+
   test("bloom side-car: no false negatives ever, point lookups prune " +
     "files min/max cannot, absent probes read nothing, FP rate tiny") {
     val root = tmpDir("bloom-sidecar") + "/t"
