@@ -58,55 +58,61 @@ object Takedown {
         .withColumn(as, coalesce(col(as), lit(false)))
     }
 
-    var out = base
-    // per family: read membership BEFORE (materialized — the delete
-    // below mutates what a lazy read would scan), commit the delete,
-    // read back the serving membership and certify `gone`
+    // phase 1 — ONE consistent pre-takedown snapshot: every family's
+    // before-membership joins into one plan, materialized ONCE before
+    // any delete mutates what a lazy read would scan
+    var pre = base
     bm25Path.foreach { p =>
-      out = flagged(out, graft.text.Bm25.bm25IndexIds(spark, p, idCol),
-        idCol, "in_bm25").localCheckpoint()
-      graft.text.Bm25.deleteFromBm25Index(base, p, idCol, retain)
-      out = flagged(out, graft.text.Bm25.bm25IndexIds(spark, p, idCol),
-        idCol, "_still_bm25")
-        .withColumn("gone_bm25", !col("_still_bm25"))
-        .drop("_still_bm25").localCheckpoint()
+      pre = flagged(pre, graft.text.Bm25.bm25IndexIds(spark, p, idCol),
+        idCol, "in_bm25")
     }
     annPath.foreach { p =>
       val (_, _, metaId, _) = graft.sim.SimSearch.annMeta(spark, p)
-      out = flagged(out,
+      pre = flagged(pre,
         graft.sim.SimSearch.readAnnIndex(spark, p), metaId, "in_ann")
-        .localCheckpoint()
-      graft.sim.SimSearch.deleteFromAnnIndex(
-        base.select(col(idCol).as(metaId)), p, retain)
-      out = flagged(out,
-        graft.sim.SimSearch.readAnnIndex(spark, p), metaId,
-        "_still_ann")
-        .withColumn("gone_ann", !col("_still_ann"))
-        .drop("_still_ann").localCheckpoint()
     }
     pqPath.foreach { p =>
-      val pid = pqIdCol.getOrElse(idCol)
-      out = flagged(out,
-        graft.sim.SimSearch.readPqIndex(spark, p)._2, pid, "in_pq")
-        .localCheckpoint()
-      graft.sim.SimSearch.deleteFromPqIndex(
-        base.select(col(idCol).as(pid)), p, retain)
-      out = flagged(out,
-        graft.sim.SimSearch.readPqIndex(spark, p)._2, pid, "_still_pq")
-        .withColumn("gone_pq", !col("_still_pq"))
-        .drop("_still_pq").localCheckpoint()
+      pre = flagged(pre, graft.sim.SimSearch.readPqIndex(spark, p)._2,
+        pqIdCol.getOrElse(idCol), "in_pq")
     }
     signedPath.foreach { p =>
-      out = flagged(out,
+      pre = flagged(pre,
         graft.text.Dedup.readSignedIndex(spark, p), idCol, "in_signed")
-        .localCheckpoint()
-      graft.text.Dedup.deleteFromSignedIndex(base, p, idCol, retain)
-      out = flagged(out,
-        graft.text.Dedup.readSignedIndex(spark, p), idCol,
-        "_still_signed")
-        .withColumn("gone_signed", !col("_still_signed"))
-        .drop("_still_signed").localCheckpoint()
     }
-    out
+    val before = pre.localCheckpoint()
+    // phase 2 — the four marker-committed deletes
+    bm25Path.foreach(p =>
+      graft.text.Bm25.deleteFromBm25Index(base, p, idCol, retain))
+    annPath.foreach { p =>
+      val (_, _, metaId, _) = graft.sim.SimSearch.annMeta(spark, p)
+      graft.sim.SimSearch.deleteFromAnnIndex(
+        base.select(col(idCol).as(metaId)), p, retain)
+    }
+    pqPath.foreach(p => graft.sim.SimSearch.deleteFromPqIndex(
+      base.select(col(idCol).as(pqIdCol.getOrElse(idCol))), p, retain))
+    signedPath.foreach(p =>
+      graft.text.Dedup.deleteFromSignedIndex(base, p, idCol, retain))
+    // phase 3 — certify `gone` from the SAME serving reads, again as
+    // one plan materialized once (the audit artifact must be a stable
+    // snapshot, not a lazy view over files a later GC may age out)
+    var post = before
+    def certify(members: DataFrame, memberCol: String,
+        fam: String): Unit = {
+      post = flagged(post, members, memberCol, s"_still_$fam")
+        .withColumn(s"gone_$fam", !col(s"_still_$fam"))
+        .drop(s"_still_$fam")
+    }
+    bm25Path.foreach(p => certify(
+      graft.text.Bm25.bm25IndexIds(spark, p, idCol), idCol, "bm25"))
+    annPath.foreach { p =>
+      val (_, _, metaId, _) = graft.sim.SimSearch.annMeta(spark, p)
+      certify(graft.sim.SimSearch.readAnnIndex(spark, p), metaId, "ann")
+    }
+    pqPath.foreach(p => certify(
+      graft.sim.SimSearch.readPqIndex(spark, p)._2,
+      pqIdCol.getOrElse(idCol), "pq"))
+    signedPath.foreach(p => certify(
+      graft.text.Dedup.readSignedIndex(spark, p), idCol, "signed"))
+    post.localCheckpoint()
   }
 }
