@@ -2025,7 +2025,7 @@ object OracleSql {
   private val q325UnigramLearnSql: String = {
     val vit = unigramViterbiCtes("u", "uw", "umodel0",
       maxLen = 20, l = 3, unk = 25000000L, carry = Seq("wc"))
-    s"""WITH uw AS (SELECT word, count(*)::BIGINT AS wc FROM (
+    s"""WITH uw AS MATERIALIZED (SELECT word, count(*)::BIGINT AS wc FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word
        |    FROM documents)
        |  WHERE word <> '' AND len(word) <= 20 GROUP BY 1),
@@ -2042,7 +2042,7 @@ object OracleSql {
        |      (ORDER BY cnt DESC, piece ASC) AS rn
        |    FROM usub WHERE len(piece) > 1) WHERE rn <= 40),
        |utot0 AS (SELECT sum(cnt)::BIGINT AS t FROM useed),
-       |umodel0 AS (SELECT piece,
+       |umodel0 AS MATERIALIZED (SELECT piece,
        |    round(-ln(cnt::DOUBLE / t::DOUBLE) * 1000000.0)::BIGINT
        |      AS cost_micro
        |  FROM useed, utot0),
@@ -2075,7 +2075,7 @@ object OracleSql {
        |    unnest(range(1, len(ws) + 1)) AS i FROM adw0),
        |adw AS (SELECT doc_id, i, ws[i::INT] AS word FROM adwi
        |  WHERE ws[i::INT] <> ''),
-       |aw AS (SELECT DISTINCT word FROM adw),
+       |aw AS MATERIALIZED (SELECT DISTINCT word FROM adw),
        |$vit,
        |aagg AS (SELECT doc_id,
        |    sum(len(string_split(v.ps, ' ')))::BIGINT AS n_pieces,
@@ -2084,6 +2084,57 @@ object OracleSql {
        |SELECT d.doc_id, coalesce(a.n_pieces, 0)::BIGINT AS n_pieces,
        |  coalesce(a.pieces, '') AS pieces
        |FROM documents d LEFT JOIN aagg a USING (doc_id)""".stripMargin
+  }
+
+  /** q330: the q325 learn replay with a SECOND hard-EM round — the
+    * round-1 counts become costs (umodel1), the lattice unrolls again
+    * under them, and the final model re-estimates from the second
+    * segmentation.
+    */
+  private val q330UnigramEm2Sql: String = {
+    val vit1 = unigramViterbiCtes("u", "uw", "umodel0",
+      maxLen = 20, l = 3, unk = 25000000L, carry = Seq("wc"))
+    val vit2 = unigramViterbiCtes("w", "uw", "umodel1",
+      maxLen = 20, l = 3, unk = 25000000L, carry = Seq("wc"))
+    s"""WITH uw AS MATERIALIZED (SELECT word, count(*)::BIGINT AS wc FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word
+       |    FROM documents)
+       |  WHERE word <> '' AND len(word) <= 20 GROUP BY 1),
+       |usi AS (SELECT word, wc,
+       |    unnest(range(1, len(word) + 1)) AS i FROM uw),
+       |usil AS (SELECT word, wc, i,
+       |    unnest(range(1, least(3, len(word) - i + 1) + 1)) AS l
+       |  FROM usi),
+       |usub AS (SELECT substr(word, i::INT, l::INT) AS piece,
+       |    sum(wc)::BIGINT AS cnt FROM usil GROUP BY 1),
+       |useed AS (SELECT piece, cnt FROM usub WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (SELECT *, row_number() OVER
+       |      (ORDER BY cnt DESC, piece ASC) AS rn
+       |    FROM usub WHERE len(piece) > 1) WHERE rn <= 40),
+       |utot0 AS (SELECT sum(cnt)::BIGINT AS t FROM useed),
+       |umodel0 AS MATERIALIZED (SELECT piece,
+       |    round(-ln(cnt::DOUBLE / t::DOUBLE) * 1000000.0)::BIGINT
+       |      AS cost_micro
+       |  FROM useed, utot0),
+       |$vit1,
+       |ucnt AS (SELECT piece, sum(wc)::BIGINT AS cnt FROM (
+       |    SELECT wc, unnest(string_split(ps, ' ')) AS piece
+       |    FROM uvit) GROUP BY 1),
+       |utot1 AS (SELECT sum(cnt)::BIGINT AS t FROM ucnt),
+       |umodel1 AS MATERIALIZED (SELECT piece,
+       |    round(-ln(cnt::DOUBLE / t::DOUBLE) * 1000000.0)::BIGINT
+       |      AS cost_micro
+       |  FROM ucnt, utot1),
+       |$vit2,
+       |wcnt AS (SELECT piece, sum(wc)::BIGINT AS cnt FROM (
+       |    SELECT wc, unnest(string_split(ps, ' ')) AS piece
+       |    FROM wvit) GROUP BY 1),
+       |wtot AS (SELECT sum(cnt)::BIGINT AS t FROM wcnt)
+       |SELECT piece, cnt,
+       |  round(-ln(cnt::DOUBLE / t::DOUBLE) * 1000000.0)::BIGINT
+       |    AS cost_micro
+       |FROM wcnt, wtot""".stripMargin
   }
 
   /** q313: two-sample KS — exact cross-multiplied supremum off the
@@ -8144,6 +8195,9 @@ object OracleSql {
 
     // unigram-LM apply under the gate fixture
     "q326_unigram_apply" -> q326UnigramApplySql,
+
+    // unigram-LM: the EM loop iterating (two unrolled rounds)
+    "q330_unigram_em2" -> q330UnigramEm2Sql,
 
     // bloom skipping gate: layout-invariant ground truth (pruning
     // numbers are require'd in-query — file boundaries are not

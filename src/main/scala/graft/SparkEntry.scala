@@ -1479,6 +1479,17 @@ object SparkEntry {
     TextOps.learnUnigramLm(docs(s, dir), "text",
       vocabSize = 40, maxPieceLen = 3, iters = 1)
 
+  /** The unigram-LM EM loop ITERATING under the oracle: two hard-EM
+    * rounds (q325 gates one) — the second round re-segments every
+    * word under the costs the first round produced, so the gate pins
+    * the loop's coupling (costs feed segmentation feeds counts), not
+    * just one step. Same seeding and chains; the oracle unrolls the
+    * Viterbi lattice TWICE against the successive models.
+    */
+  def q330_unigram_em2(s: SparkSession, dir: String): DataFrame =
+    TextOps.learnUnigramLm(docs(s, dir), "text",
+      vocabSize = 40, maxPieceLen = 3, iters = 2)
+
   /** Unigram-LM APPLY under the oracle (q54's loadable-model twin for
     * the unigram family): segment every document into minimum-cost
     * pieces under the [[gateUnigramVocab]] fixture — piece count plus
@@ -6025,6 +6036,7 @@ object SparkEntry {
     "q327_aipw" -> (q327_aipw(_, _)),
     "q328_takedown" -> (q328_takedown(_, _)),
     "q329_index_drift" -> (q329_index_drift(_, _)),
+    "q330_unigram_em2" -> (q330_unigram_em2(_, _)),
     "q326_unigram_apply" -> (q326_unigram_apply(_, _)),
     "q323_layout_skipping" -> (q323_layout_skipping(_, _)))
 

@@ -212,7 +212,7 @@ class PlanGateSpec extends SparkSpec {
       "q309_mondrian", "q318_ipw", "q321_bm25_time_travel",
       "q323_layout_skipping", "q324_bloom_skipping",
       "q325_unigram_learn", "q327_aipw", "q328_takedown",
-      "q329_index_drift")
+      "q329_index_drift", "q330_unigram_em2")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalWindowWhitelist.contains)
@@ -251,7 +251,7 @@ class PlanGateSpec extends SparkSpec {
       "q309_mondrian", "q318_ipw", "q321_bm25_time_travel",
       "q323_layout_skipping", "q324_bloom_skipping",
       "q325_unigram_learn", "q327_aipw", "q328_takedown",
-      "q329_index_drift")
+      "q329_index_drift", "q330_unigram_em2")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalSortWhitelist.contains)
@@ -275,6 +275,7 @@ class PlanGateSpec extends SparkSpec {
     // is never acceptable.
     val bnljWhitelist = Set(
       "q325_unigram_learn",  // model counts × broadcast 1-row Σcnt
+      "q330_unigram_em2",    // same final-cost broadcast shape
       "q327_aipw",           // q296's bias-row broadcast, three fits
       "q17_cosine_topk",     // corpus × broadcast query rows (non-equi !=)
       "q27_ivf_topk",        // query rows × broadcast k-row centroids
