@@ -139,16 +139,61 @@ object Diagnose {
   // the classic (1 − e^(−k·n/m))^k.
   //
   // Layout: `<root>/_bloom/<col>/pos`  (file, pos) distinct rows —
-  // the sparse bitset; `<root>/_bloom/<col>/meta` one (m, k) row.
-  // The `_`-prefixed dir is invisible to plain parquet readers of
-  // `<root>`. Positions use xxhash64(value, seed) pmod m — the
-  // engine-native 64-bit hash per (value, seed), no RNG state.
+  // the sparse bitset; `<root>/_bloom/<col>/meta` one
+  // (m, k, n_files_covered) row. The `_`-prefixed dir is invisible to
+  // plain parquet readers of `<root>`. Positions use
+  // xxhash64(value, seed) pmod m — the engine-native 64-bit hash per
+  // (value, seed), no RNG state.
+  //
+  // UNKNOWN-FILE GUARD: the side-car only ever covers the files that
+  // existed at build time; a file APPENDED later has no positions, so
+  // it can never bloom-pass. "No false negatives" therefore requires
+  // that every data file ABSENT from the side-car is treated as
+  // must-scan — the read plan unions uncovered files in, never skips
+  // them. Rewrites (file names change) invalidate the side-car the
+  // same way: every new-named file simply reads as uncovered and is
+  // scanned; skipping degrades, correctness never does.
+
+  /** One parquet file path decoded to a canonical scheme-less path —
+    * `input_file_name()` yields percent-encoded URI strings (and FS
+    * listings yield `file:/...` variants); both normalize here before
+    * they are compared or handed back to `spark.read.parquet`.
+    */
+  private[graft] def canonPath(s: String): String =
+    Try(new java.net.URI(s)).toOption.flatMap(u => Option(u.getPath))
+      .filter(_.nonEmpty).getOrElse(s)
+
+  /** The data files a plain `spark.read.parquet(root)` would scan, as
+    * canonical paths: recursive listing, `_`/`.`-prefixed path
+    * components skipped (the side-car itself, markers, checkpoints).
+    * Driver-side but metadata-scale — the same listing Spark's own
+    * file index performs for every read.
+    */
+  private def listDataFiles(
+      spark: SparkSession, root: String): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val rootCanon = canonPath(fs.makeQualified(rootPath).toUri.toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(rootPath, true)
+    while (it.hasNext) {
+      val p = it.next().getPath
+      val full = canonPath(p.toUri.toString)
+      val rel = full.stripPrefix(rootCanon).stripPrefix("/")
+      val hidden = rel.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden && p.getName.endsWith(".parquet")) out += full
+    }
+    out.toSeq
+  }
 
   /** Build the per-file Bloom side-car for `valueCol` (cast to long)
     * over an already-written parquet dataset. One distributed scan
     * grouped by `input_file_name`; side-car size is
-    * O(files · min(m, k·distinct-per-file)) — metadata-scale. Rebuild
-    * after rewriting the data (file names change).
+    * O(files · min(m, k·distinct-per-file)) — metadata-scale. Files
+    * appended after the build are handled by the unknown-file guard
+    * (they read as must-scan); rebuild to regain skipping on them.
     */
   def writeBloomSidecar(spark: SparkSession, root: String,
       valueCol: String, m: Int = 1 << 16, k: Int = 2): Unit = {
@@ -163,20 +208,36 @@ object Diagnose {
         explode(array(posCols: _*)).as("pos"))
       .distinct()
       .write.mode("overwrite").parquet(s"$root/_bloom/$valueCol/pos")
-    Seq((m, k)).toDF("m", "k").coalesce(1)
+    val nCovered = spark.read.parquet(s"$root/_bloom/$valueCol/pos")
+      .select(col("file")).distinct().count()
+    Seq((m, k, nCovered)).toDF("m", "k", "n_files_covered").coalesce(1)
       .write.mode("overwrite").parquet(s"$root/_bloom/$valueCol/meta")
   }
 
-  /** The files that MAY contain any of `probes` per the side-car —
-    * a file passes for probe v iff ALL of v's hash positions are in
-    * the file's position set (collisions among v's own positions
-    * handled by requiring its DISTINCT position count). Probe sets
-    * are query-sized by contract, so the passing list is collected;
-    * the side-car join itself is distributed.
+  /** The side-car's verdict on a probe set, resolved to a concrete
+    * scan plan: `files` = canonical paths to scan (bloom-passing
+    * covered files plus every file the side-car does not cover — the
+    * no-false-negatives guard), `nCovered`/`nUnknown` = side-car
+    * coverage of the current listing, `fallbackFullScan` = the
+    * passing list blew past `maxFiles` (a hot probe present in most
+    * files would otherwise become an O(all-files) relation constant),
+    * so the caller should scan the root directly.
     */
-  def bloomPassingFiles(spark: SparkSession, root: String,
-      valueCol: String, probes: Seq[Long]): Seq[String] = {
-    require(probes.nonEmpty, "empty probe set")
+  final case class BloomPlan(
+      files: Seq[String], nCovered: Long, nUnknown: Long,
+      fallbackFullScan: Boolean)
+
+  /** RAW side-car file strings (exactly as `input_file_name` recorded
+    * them): (all covered files, bloom-passing covered files). A file
+    * passes for probe v iff ALL of v's hash positions are in the
+    * file's position set (collisions among v's own positions handled
+    * by requiring its DISTINCT position count). Probe sets are
+    * query-sized by contract, so both lists collect; the side-car
+    * join itself is distributed.
+    */
+  private def bloomSidecarQuery(spark: SparkSession, root: String,
+      valueCol: String, probes: Seq[Long])
+      : (Seq[String], Seq[String]) = {
     val meta = spark.read.parquet(s"$root/_bloom/$valueCol/meta").head()
     val (m, k) = (meta.getAs[Int]("m"), meta.getAs[Int]("k"))
     import spark.implicits._
@@ -187,30 +248,74 @@ object Diagnose {
       .select(col("_v"), explode(array(posCols: _*)).as("pos"))
       .distinct().localCheckpoint()
     val need = probePos.groupBy(col("_v")).agg(count(lit(1)).as("_need"))
-    spark.read.parquet(s"$root/_bloom/$valueCol/pos")
+    val pos = spark.read.parquet(s"$root/_bloom/$valueCol/pos")
+    val covered = pos.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val passing = pos
       .join(broadcast(probePos), Seq("pos"))
       .groupBy(col("file"), col("_v")).agg(count(lit(1)).as("_got"))
       .join(broadcast(need), Seq("_v"))
       .filter(col("_got") === col("_need"))
       .select(col("file")).distinct()
       .collect().map(_.getString(0)).toSeq
+    (covered, passing)
   }
 
+  /** Resolve probes against the side-car AND the current file listing
+    * into a [[BloomPlan]] — the one place the unknown-file guard and
+    * the hot-probe cap live.
+    */
+  def bloomFilePlan(spark: SparkSession, root: String,
+      valueCol: String, probes: Seq[Long],
+      maxFiles: Int = 4096): BloomPlan = {
+    require(probes.nonEmpty, "empty probe set")
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    val (covered, passing) =
+      bloomSidecarQuery(spark, root, valueCol, probes)
+    val coveredCanon = covered.map(canonPath).toSet
+    val listing = listDataFiles(spark, root)
+    val unknown = listing.filterNot(coveredCanon.contains)
+    val files = (passing.map(canonPath) ++ unknown).distinct
+    if (files.size > maxFiles)
+      BloomPlan(listing, coveredCanon.size.toLong,
+        unknown.size.toLong, fallbackFullScan = true)
+    else
+      BloomPlan(files, coveredCanon.size.toLong, unknown.size.toLong,
+        fallbackFullScan = false)
+  }
+
+  /** The files a probe read MUST scan per the side-car: bloom-passing
+    * covered files PLUS every file the side-car does not cover (no
+    * false negatives even across appends). Canonical decoded paths.
+    */
+  def bloomPassingFiles(spark: SparkSession, root: String,
+      valueCol: String, probes: Seq[Long]): Seq[String] =
+    bloomFilePlan(spark, root, valueCol, probes).files
+
   /** Point-lookup read through the side-car: scan ONLY the bloom-
-    * passing files, then apply the exact membership filter — the
-    * takedown/audit pipeline's id-probe shape ("find these 20 doc
-    * ids in a million-file corpus") without opening the lake. No
-    * false negatives: every file actually containing a probe passes.
+    * passing (or side-car-unknown) files, then apply the exact
+    * membership filter — the takedown/audit pipeline's id-probe shape
+    * ("find these 20 doc ids in a million-file corpus") without
+    * opening the lake. No false negatives: every file actually
+    * containing a probe passes, and files appended after the side-car
+    * build are always scanned. Past `maxFiles` passing files the read
+    * falls back to one full root scan (cheaper than a giant file-list
+    * relation; the report surfaces the fallback).
     */
   def readWithBloom(spark: SparkSession, root: String,
-      valueCol: String, probes: Seq[Long]): DataFrame = {
-    val files = bloomPassingFiles(spark, root, valueCol, probes)
+      valueCol: String, probes: Seq[Long],
+      maxFiles: Int = 4096): DataFrame = {
+    val plan = bloomFilePlan(spark, root, valueCol, probes, maxFiles)
     val exact = col(valueCol).cast("long").isin(probes: _*)
-    if (files.isEmpty)
+    if (plan.fallbackFullScan)
+      spark.read.parquet(root).filter(exact)
+    else if (plan.files.isEmpty)
       spark.read.parquet(root).filter(lit(false))
     else
-      // basePath keeps Hive partition columns when addressing files
-      spark.read.option("basePath", root).parquet(files: _*)
+      // basePath keeps Hive partition columns when addressing files;
+      // canonical paths on both sides keep the schemes consistent
+      spark.read.option("basePath", canonPath(root))
+        .parquet(plan.files: _*)
         .filter(exact)
   }
 
@@ -219,14 +324,24 @@ object Diagnose {
     * min/max-stats reader scan for these probes, versus the Bloom
     * side-car? One row: `(n_files, n_rows, n_files_hit_minmax,
     * n_rows_scanned_minmax, n_files_hit_bloom, n_rows_scanned_bloom,
-    * n_rows_matched, read_amp_minmax_micro, read_amp_bloom_micro)`.
-    * Run it before shipping a re-layout or a side-car build — the
-    * decision should be justified by these numbers.
+    * n_rows_matched, read_amp_minmax_micro, read_amp_bloom_micro,
+    * n_files_unknown, bloom_fallback)` — `n_files_unknown` counts
+    * data files the side-car does not cover (always scanned by the
+    * bloom tier: the no-false-negatives guard), `bloom_fallback` is
+    * true when the passing list blew past `maxFiles` and a read would
+    * fall back to a full scan. Run it before shipping a re-layout or
+    * a side-car build — the decision should be justified by these
+    * numbers. File membership joins against small broadcast file
+    * lists, never a file-count-sized `isin` literal.
     */
   def bloomSkippingReport(spark: SparkSession, root: String,
-      valueCol: String, probes: Seq[Long]): DataFrame = {
+      valueCol: String, probes: Seq[Long],
+      maxFiles: Int = 4096): DataFrame = {
     require(probes.nonEmpty, "empty probe set")
-    val passing = bloomPassingFiles(spark, root, valueCol, probes)
+    import spark.implicits._
+    val plan = bloomFilePlan(spark, root, valueCol, probes, maxFiles)
+    val scanned =
+      plan.files.map(f => (f, true)).toDF("_file_canon", "_bloom_scan")
     val inProbe = col("_v").isin(probes: _*)
     val perFile = spark.read.parquet(root)
       .withColumn("_file", input_file_name())
@@ -235,11 +350,20 @@ object Diagnose {
       .agg(count(lit(1)).as("_rows"), min(col("_v")).as("_lo"),
         max(col("_v")).as("_hi"),
         sum(when(inProbe, 1L).otherwise(0L)).as("_matched"))
+      // canonicalize the scan's file URI the same way the plan did:
+      // join on the decoded path, so percent-encoding and scheme
+      // differences can't mis-bucket a file
+      .withColumn("_file_canon",
+        regexp_replace(
+          url_decode(regexp_replace(col("_file"), lit("\\+"),
+            lit("%2B"))),
+          lit("^[A-Za-z][A-Za-z0-9+.-]*:/+"), lit("/")))
+      .join(broadcast(scanned), Seq("_file_canon"), "left")
     val hitMinmax = probes.map(p => col("_lo") <= p && col("_hi") >= p)
       .reduce(_ || _)
     val hitBloom =
-      if (passing.isEmpty) lit(false)
-      else col("_file").isin(passing: _*)
+      if (plan.fallbackFullScan) lit(true)
+      else coalesce(col("_bloom_scan"), lit(false))
     def amp(scanned: Column): Column =
       when(col("n_rows_matched") <= 0L, lit(null).cast("long"))
         .otherwise(round(scanned.cast("double") /
@@ -259,6 +383,8 @@ object Diagnose {
         amp(col("n_rows_scanned_minmax")))
       .withColumn("read_amp_bloom_micro",
         amp(col("n_rows_scanned_bloom")))
+      .withColumn("n_files_unknown", lit(plan.nUnknown))
+      .withColumn("bloom_fallback", lit(plan.fallbackFullScan))
   }
 
   /** Index-freshness drift audit: how far has a persisted index

@@ -237,4 +237,71 @@ class TableAuditSpec extends SparkSpec {
     assert(passes <= (8 * 500 * 0.01).toInt,
       s"bloom FP rate blew its bound: $passes file passes")
   }
+
+  test("bloom side-car unknown-file guard: a file appended AFTER the " +
+    "build is always scanned — no silent false negatives on append") {
+    val root = tmpDir("bloom-append") + "/t"
+    (0L until 1000L).map(i => (i, i % 4)).toDF("id", "shard")
+      .repartitionByRange(4, col("shard"))
+      .write.parquet(root)
+    graft.operators.Diagnose.writeBloomSidecar(spark, root, "id")
+    // append a new file the side-car has never seen, holding an id
+    // far outside the original domain
+    Seq((777777L, 9L)).toDF("id", "shard")
+      .coalesce(1).write.mode("append").parquet(root)
+    // the probe lives ONLY in the appended file; the old read would
+    // silently return nothing
+    val got = graft.operators.Diagnose
+      .readWithBloom(spark, root, "id", Seq(777777L))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(777777L),
+      "appended file's rows must survive the bloom-pruned read")
+    // the report surfaces the coverage gap
+    val rep = graft.operators.Diagnose
+      .bloomSkippingReport(spark, root, "id", Seq(777777L)).head()
+    assert(rep.getAs[Long]("n_files_unknown") >= 1L)
+    assert(!rep.getAs[Boolean]("bloom_fallback"))
+    assert(rep.getAs[Long]("n_rows_matched") == 1L)
+    // mixed probe: one covered id + one appended id, both found
+    val both = graft.operators.Diagnose
+      .readWithBloom(spark, root, "id", Seq(42L, 777777L))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(both == Set(42L, 777777L))
+    // a rebuilt side-car regains full coverage
+    graft.operators.Diagnose.writeBloomSidecar(spark, root, "id")
+    val rep2 = graft.operators.Diagnose
+      .bloomSkippingReport(spark, root, "id", Seq(777777L)).head()
+    assert(rep2.getAs[Long]("n_files_unknown") == 0L)
+  }
+
+  test("bloom side-car hot-probe cap: past maxFiles the read falls " +
+    "back to one full scan, stays correct, and the report says so") {
+    val root = tmpDir("bloom-cap") + "/t"
+    // value 5 present in EVERY file (plus the natural i=5 row):
+    // the passing list is all 6 files
+    (0L until 600L).map(i => (if (i % 100L == 0L) 5L else i, i % 6L))
+      .toDF("id", "shard")
+      .repartitionByRange(6, col("shard"))
+      .write.parquet(root)
+    graft.operators.Diagnose.writeBloomSidecar(spark, root, "id")
+    val plan = graft.operators.Diagnose
+      .bloomFilePlan(spark, root, "id", Seq(5L), maxFiles = 2)
+    assert(plan.fallbackFullScan,
+      s"6 passing files past a cap of 2 must trip the fallback: $plan")
+    val got = graft.operators.Diagnose
+      .readWithBloom(spark, root, "id", Seq(5L), maxFiles = 2)
+    assert(got.count() == 7L, "fallback read must stay exact")
+    val rep = graft.operators.Diagnose
+      .bloomSkippingReport(spark, root, "id", Seq(5L), maxFiles = 2)
+      .head()
+    assert(rep.getAs[Boolean]("bloom_fallback"))
+    assert(rep.getAs[Long]("n_files_hit_bloom") ==
+      rep.getAs[Long]("n_files"))
+    // an uncapped plan on the same probe scans all files WITHOUT the
+    // fallback bit — the cap is about list size, not correctness
+    val rep2 = graft.operators.Diagnose
+      .bloomSkippingReport(spark, root, "id", Seq(5L)).head()
+    assert(!rep2.getAs[Boolean]("bloom_fallback"))
+    assert(rep2.getAs[Long]("n_rows_matched") == 7L)
+  }
 }
