@@ -269,13 +269,24 @@ object SimSearch {
     annMarker.heal(fs, path, retain) // clear crashed-writer orphans
     val live = annMarker.read(fs, path)
     val b = live.gen + 1L
-    emb.select(col(idCol), col(vecCol),
+    val seg = emb.select(col(idCol), col(vecCol),
       simhashBucket(col(vecCol), planes, dim).as("bucket"))
-      .write.mode("errorifexists").partitionBy("bucket")
-      .parquet(s"$path/vectors_batches/batch=$b")
-    annMarker.put(fs, path, live.copy(gen = b,
-      appends = live.appends :+ b,
-      applied = math.max(live.applied, appliedId)))
+      .persist()
+    if (seg.isEmpty) {
+      // the Bm25 empty-batch guard (same hazard: a zero-row
+      // partitionBy write leaves a part-less batch dir the marker
+      // would reference) — commit only the applied fact
+      seg.unpersist()
+      if (appliedId > live.applied)
+        annMarker.put(fs, path, live.copy(gen = b, applied = appliedId))
+    } else {
+      seg.write.mode("errorifexists").partitionBy("bucket")
+        .parquet(s"$path/vectors_batches/batch=$b")
+      seg.unpersist()
+      annMarker.put(fs, path, live.copy(gen = b,
+        appends = live.appends :+ b,
+        applied = math.max(live.applied, appliedId)))
+    }
     annMarker.heal(fs, path, retain)
   }
 

@@ -318,14 +318,27 @@ object Bm25 {
       .withColumn("bucket",
         pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .persist()
-    idx.write.partitionBy("bucket").mode("errorifexists")
-      .parquet(s"$path/postings_batches/batch=$b")
-    statsDelta(idx, idCol).write.mode("errorifexists")
-      .parquet(s"$path/stats_deltas/batch=$b")
-    idx.unpersist()
-    bm25Marker.put(fs, path, live.copy(gen = b,
-      appends = live.appends :+ b,
-      applied = math.max(live.applied, appliedId)))
+    if (idx.isEmpty) {
+      // token-empty batch (non-empty docs whose texts tokenize to
+      // zero terms): a zero-row partitionBy write creates a part-less
+      // batch directory, and a marker referencing it bricks every
+      // later read ("unable to infer schema"). Write nothing; commit
+      // ONLY the applied stream batch id so exactly-once still holds
+      // (a replay sees sid >= batchId and skips).
+      idx.unpersist()
+      if (appliedId > live.applied)
+        bm25Marker.put(fs, path,
+          live.copy(gen = b, applied = appliedId))
+    } else {
+      idx.write.partitionBy("bucket").mode("errorifexists")
+        .parquet(s"$path/postings_batches/batch=$b")
+      statsDelta(idx, idCol).write.mode("errorifexists")
+        .parquet(s"$path/stats_deltas/batch=$b")
+      idx.unpersist()
+      bm25Marker.put(fs, path, live.copy(gen = b,
+        appends = live.appends :+ b,
+        applied = math.max(live.applied, appliedId)))
+    }
     bm25Marker.heal(fs, path, retain)
   }
 

@@ -258,12 +258,25 @@ object Dedup {
     signedMarker.heal(fs, path, retain) // clear crashed-writer orphans
     val live = signedMarker.read(fs, path)
     val b = live.gen + 1L
-    signIndex(df, textCol, idCol, shingleK, bands, rowsPerBand, tokenizer)
-      .write.mode("errorifexists")
-      .parquet(s"$path/rows_batches/batch=$b")
-    signedMarker.put(fs, path, live.copy(gen = b,
-      appends = live.appends :+ b,
-      applied = math.max(live.applied, appliedId)))
+    val seg = signIndex(df, textCol, idCol, shingleK, bands,
+      rowsPerBand, tokenizer).persist()
+    if (seg.isEmpty) {
+      // the Bm25 empty-batch guard: a batch whose docs all dropped
+      // upstream (dedupe, null text) signs to zero rows — a zero-row
+      // batch dir would brick later reads. Commit only the applied
+      // fact so exactly-once still holds.
+      seg.unpersist()
+      if (appliedId > live.applied)
+        signedMarker.put(fs, path,
+          live.copy(gen = b, applied = appliedId))
+    } else {
+      seg.write.mode("errorifexists")
+        .parquet(s"$path/rows_batches/batch=$b")
+      seg.unpersist()
+      signedMarker.put(fs, path, live.copy(gen = b,
+        appends = live.appends :+ b,
+        applied = math.max(live.applied, appliedId)))
+    }
     signedMarker.heal(fs, path, retain)
   }
 

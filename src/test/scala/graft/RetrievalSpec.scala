@@ -107,6 +107,36 @@ class RetrievalSpec extends SparkSpec {
     assert(atOld == overOld && atOld != oneShot)
   }
 
+  test("bm25 append of a token-empty batch writes NO segment, still " +
+    "records the applied stream batch id, and never bricks the index") {
+    val dir = s"${tmpDir("bm25-empty")}/idx"
+    Bm25.writeBm25Index(corpus, "text", "doc_id", dir, buckets = 8)
+    // non-empty doc frame whose texts tokenize to zero terms (null
+    // text: explode drops the row) — the StreamingBm25 batch.isEmpty
+    // guard does NOT catch this shape
+    val blank = Seq((99L, Option.empty[String]),
+      (100L, Option.empty[String])).toDF("doc_id", "text")
+    Bm25.appendToBm25Index(blank, "text", "doc_id", dir,
+      appliedId = 7L)
+    // no part-less postings_batches/batch dir was committed
+    val bdir = new java.io.File(s"$dir/postings_batches")
+    assert(!bdir.exists || bdir.listFiles().isEmpty)
+    // the applied fact committed atomically (exactly-once holds)
+    assert(Bm25.lastAppliedStreamBatch(spark, dir) == 7L)
+    // every read path still works — the old zero-row segment write
+    // made all of these throw "unable to infer schema"
+    assert(Bm25.bm25IndexIds(spark, dir, "doc_id").count() == 5L)
+    val queries = Seq((1L, "spark")).toDF("query_id", "term")
+    assert(Bm25.topKFromIndex(spark, dir, queries, "query_id",
+      "doc_id").count() > 0)
+    assert(Bm25.indexStats(spark, dir).head().getLong(0) == 5L)
+    // a NON-stream empty append (appliedId = -1) is a pure no-op:
+    // no new marker generation at all
+    val gensBefore = Bm25.bm25Generations(spark, dir)
+    Bm25.appendToBm25Index(blank, "text", "doc_id", dir)
+    assert(Bm25.bm25Generations(spark, dir) == gensBefore)
+  }
+
   test("bm25 index deletes: tombstoned docs never surface, idf/avgdl " +
     "track survivors, double-delete is a stats no-op, compaction " +
     "serves identically and reclaims the tree") {

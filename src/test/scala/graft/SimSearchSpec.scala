@@ -304,6 +304,11 @@ class SimSearchSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SimSearch.appendToAnnIndex(emb, path, "vec_id", "vectors")
     }
+    // an empty batch writes NO segment (a zero-row partitionBy dir
+    // would brick later reads) and, outside a stream, is a pure no-op
+    SimSearch.appendToAnnIndex(emb.filter(col("vec_id") < 0), path,
+      "vec_id", "embedding")
+    assert(SimSearch.readAnnIndex(spark, path).count() == 200L)
     val queries = emb.filter(col("vec_id") < 5)
     def serve(): Set[(Long, Int, Long)] =
       SimSearch.annTopKFromIndex(SimSearch.readAnnIndex(spark, path),

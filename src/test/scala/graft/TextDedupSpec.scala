@@ -1349,6 +1349,14 @@ class TextDedupSpec extends SparkSpec {
       Dedup.appendToSignedIndex(docs.limit(1), dir, "text", "doc_id",
         bands = 16, tokenizer = graft.text.TextOps.tokensSimple)
     }
+    // a batch that signs to ZERO rows (everything deduped away
+    // upstream): no segment is written (a zero-row batch dir would
+    // brick reads), index intact
+    Dedup.appendToSignedIndex(docs.filter(col("doc_id") < 0),
+      dir, "text", "doc_id",
+      tokenizer = graft.text.TextOps.tokensSimple)
+    assert(Dedup.readSignedIndex(spark, dir).collect()
+      .map(_.getLong(0)).toSet == oneShot)
     // tombstones: deleted ids vanish from reads and from pairs
     Dedup.deleteFromSignedIndex(Seq(4L, 6L).toDF("doc_id"), dir,
       "doc_id")
