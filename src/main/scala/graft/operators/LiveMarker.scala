@@ -69,6 +69,7 @@ private[graft] final class LiveMarker(
 
   private val Prefix = "_live."
   private val Footer = "end"
+  private val Intent = "_bootstrap"
 
   private def pristine: LiveState =
     LiveState(0L, families.map(f => f._1 -> f._2).toMap, Seq.empty)
@@ -142,6 +143,48 @@ private[graft] final class LiveMarker(
           s"${listGenerations(fs, path).mkString(",")} " +
           "(aged out? raise the lifecycle calls' retain)"))
 
+  /** Record an in-progress CREATE (write AFTER clearing the tree,
+    * BEFORE the first data write): distinguishes "crashed bootstrap,
+    * safe to re-run idempotently" from "index tree with no marker =
+    * legacy or foreign layout, do NOT clobber". The creator removes
+    * it right after its commit PUT; [[heal]] also clears it once a
+    * complete marker exists.
+    */
+  def markBootstrap(fs: FileSystem, path: String): Unit = {
+    fs.mkdirs(new Path(path))
+    fs.create(new Path(path, Intent), true).close()
+  }
+
+  /** Remove the bootstrap-intent file (creator, after its PUT). */
+  def clearBootstrap(fs: FileSystem, path: String): Unit = {
+    val p = new Path(path, Intent)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** Loud guard for a STREAM bootstrap decision: throws when
+    * re-running the family's create would silently delete an index
+    * this protocol never committed — a tree with content but neither
+    * a complete `_live` marker nor a `_bootstrap` intent file is a
+    * legacy (pre-marker) or foreign layout, and "no marker = nothing
+    * ever landed" does not hold for it. A missing/empty tree and a
+    * crashed bootstrap (intent present) are safe to (re-)create.
+    */
+  def assertBootstrapSafe(fs: FileSystem, path: String,
+      family: String): Unit = {
+    val root = new Path(path)
+    if (!fs.exists(root)) return
+    if (complete(fs, path).nonEmpty) return
+    if (fs.exists(new Path(root, Intent))) return
+    if (fs.listStatus(root).nonEmpty)
+      throw new IllegalStateException(
+        s"$family index tree at $path has content but no _live " +
+          "marker and no _bootstrap intent: this is a legacy or " +
+          "foreign index layout the stream refuses to clobber — " +
+          "rebuild it explicitly with the family's create call " +
+          "(which overwrites by contract) or point the stream at a " +
+          "fresh path")
+  }
+
   /** Commit `state` with one marker PUT (create-exclusive: a gen
     * collision — two writers racing — fails loudly).
     */
@@ -170,6 +213,7 @@ private[graft] final class LiveMarker(
     val root = new Path(path)
     if (!fs.exists(root)) return
     val kept = complete(fs, path).take(retain)
+    if (kept.nonEmpty) clearBootstrap(fs, path)
     val keptNames = kept.map(_._1.getName).toSet
     // no complete marker yet = the pristine layout is the snapshot
     val states = if (kept.isEmpty) Seq(pristine) else kept.map(_._2)

@@ -226,6 +226,9 @@ object SimSearch {
     if (fs.exists(root) && !fs.delete(root, true))
       throw new java.io.IOException(
         s"ann index rebuild failed to clear $path")
+    // intent file: a crash mid-create reads as "bootstrap in
+    // progress" to assertAnnStreamBootstrapSafe, not a legacy layout
+    annMarker.markBootstrap(fs, path)
     Seq((planes, dim, idCol, vecCol))
       .toDF("planes", "dim", "id_col", "vec_col")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -238,7 +241,17 @@ object SimSearch {
     // applied batch id atomically with the data
     annMarker.put(fs, path, graft.operators.LiveState(1L,
       Map("vectors" -> "vectors"), Seq.empty, Seq.empty, appliedId))
+    annMarker.clearBootstrap(fs, path)
   }
+
+  /** Guard a STREAM's bootstrap decision ([[graft.streaming
+    * .StreamingAnn]]): throws instead of letting the stream
+    * re-bootstrap over an index tree this protocol never committed —
+    * see [[graft.operators.LiveMarker.assertBootstrapSafe]].
+    */
+  def assertAnnStreamBootstrapSafe(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    annMarker.assertBootstrapSafe(annFs(spark, path), path, "ann")
 
   /** Append NEW vectors to a persisted ANN index (caller contract:
     * ids must not already be live in the index — dedupe upstream).

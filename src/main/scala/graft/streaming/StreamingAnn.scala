@@ -81,10 +81,14 @@ object StreamingAnn {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     // no committed marker = nothing ever landed (a crashed bootstrap
-    // left no commit) → (re-)bootstrap, which clears the tree
-    if (SimSearch.annGenerations(spark, indexPath).isEmpty)
+    // left no commit) → (re-)bootstrap, which clears the tree. The
+    // guard throws on a marker-less tree WITHOUT a bootstrap intent
+    // (legacy/foreign layout) instead of silently deleting it.
+    if (SimSearch.annGenerations(spark, indexPath).isEmpty) {
+      SimSearch.assertAnnStreamBootstrapSafe(spark, indexPath)
       SimSearch.writeAnnIndex(batch, indexPath, idCol, vecCol, planes,
         dim, appliedId = batchId)
+    }
     else if (SimSearch.lastAppliedStreamBatch(spark, indexPath) < batchId)
       SimSearch.appendToAnnIndex(batch, indexPath, idCol, vecCol,
         appliedId = batchId)

@@ -93,10 +93,15 @@ object StreamingBm25 {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     // no committed marker = nothing ever landed (a crashed bootstrap
-    // left no commit) → (re-)bootstrap, which clears the tree
-    if (Bm25.bm25Generations(spark, indexPath).isEmpty)
+    // left no commit) → (re-)bootstrap, which clears the tree. The
+    // guard throws on a marker-less tree WITHOUT a bootstrap intent
+    // (legacy/foreign layout): re-bootstrapping would silently delete
+    // an index this protocol never committed.
+    if (Bm25.bm25Generations(spark, indexPath).isEmpty) {
+      Bm25.assertStreamBootstrapSafe(spark, indexPath)
       Bm25.writeBm25Index(batch, textCol, idCol, indexPath, buckets,
         tokenizer, appliedId = batchId)
+    }
     else if (Bm25.lastAppliedStreamBatch(spark, indexPath) < batchId)
       Bm25.appendToBm25Index(batch, textCol, idCol, indexPath,
         tokenizer, appliedId = batchId)

@@ -45,6 +45,18 @@ import graft.text.{Dedup, TextOps}
   * with `spark.read.parquet(outPath)`; `batch` surfaces as a
   * partition column.
   *
+  * TWO PRECONDITIONS the exactly-once claim rests on: (a) the SOURCE
+  * must replay a batch id with identical contents (true of the
+  * checkpointed file/Kafka sources; not of a source that re-shuffles
+  * rows across batch ids on restart) — the crash-window replay only
+  * recomputes a byte-identical survivor set from identical input, as
+  * [[Dedup.dedupNear]]/[[Dedup.dedupNearAgainstIndexBatch]] are
+  * deterministic given their input; and (b) `outPath` uses the
+  * per-batch `batch=<id>` layout introduced with this wiring — a
+  * corpus written by the older flat-append flavor mixes the two
+  * layouts and no longer parses as one table; migrate it into a
+  * `batch=<id>` subdir (one rename) before pointing the stream at it.
+  *
   * Scale shape: everything per batch is the audited batch machinery —
   * the index side shuffles only (sig, bucket) pairs, the stream side
   * signs its own docs once, and index growth is append-only parquet
@@ -85,8 +97,12 @@ object StreamingDedup {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     // no committed marker = nothing ever landed (a crashed bootstrap
-    // left no commit) -> (re-)bootstrap, which clears the tree
+    // left no commit) -> (re-)bootstrap, which clears the tree. The
+    // guard throws on a marker-less tree WITHOUT a bootstrap intent
+    // (legacy/foreign layout) instead of silently deleting it.
     val bootstrap = Dedup.signedGenerations(spark, indexPath).isEmpty
+    if (bootstrap)
+      Dedup.assertSignedStreamBootstrapSafe(spark, indexPath)
     if (!bootstrap &&
         Dedup.lastAppliedStreamBatch(spark, indexPath) >= batchId)
       return // replay of a committed batch - exactly-once skip

@@ -269,6 +269,9 @@ object Bm25 {
     if (fs.exists(root) && !fs.delete(root, true))
       throw new java.io.IOException(
         s"bm25 index rebuild failed to clear $path")
+    // intent file: a crash mid-create reads as "bootstrap in
+    // progress" to assertStreamBootstrapSafe, not as a legacy layout
+    bm25Marker.markBootstrap(fs, path)
     Seq(buckets).toDF("buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val idx = buildIndex(docs, textCol, idCol, tokenizer)
@@ -283,7 +286,18 @@ object Bm25 {
     bm25Marker.put(fs, path, graft.operators.LiveState(1L,
       Map("postings" -> "postings", "stats" -> "stats"),
       Seq.empty, Seq.empty, appliedId))
+    bm25Marker.clearBootstrap(fs, path)
   }
+
+  /** Guard a STREAM's bootstrap decision ([[graft.streaming
+    * .StreamingBm25]]): throws instead of letting the stream
+    * re-bootstrap over an index tree this protocol never committed
+    * (legacy pre-marker layout, foreign directory) — see
+    * [[graft.operators.LiveMarker.assertBootstrapSafe]].
+    */
+  def assertStreamBootstrapSafe(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    bm25Marker.assertBootstrapSafe(bm25Fs(spark, path), path, "bm25")
 
   /** Append NEW documents (caller contract: ids must not already be
     * in the index — a re-ingested id would double its postings and

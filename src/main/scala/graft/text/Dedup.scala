@@ -219,6 +219,9 @@ object Dedup {
     if (fs.exists(root) && !fs.delete(root, true))
       throw new java.io.IOException(
         s"signed index rebuild failed to clear $path")
+    // intent file: a crash mid-create reads as "bootstrap in
+    // progress" to assertSignedStreamBootstrapSafe, not legacy
+    signedMarker.markBootstrap(fs, path)
     signIndex(df, textCol, idCol, shingleK, bands, rowsPerBand, tokenizer)
       .write.parquet(s"$path/rows")
     Seq((shingleK, bands, rowsPerBand, idCol))
@@ -227,7 +230,19 @@ object Dedup {
       .parquet(s"$path/_graft_meta")
     signedMarker.put(fs, path, graft.operators.LiveState(1L,
       Map("rows" -> "rows"), Seq.empty, Seq.empty, appliedId))
+    signedMarker.clearBootstrap(fs, path)
   }
+
+  /** Guard a STREAM's bootstrap decision ([[graft.streaming
+    * .StreamingDedup]]): throws instead of letting the stream
+    * re-bootstrap over an index tree this protocol never committed
+    * (e.g. the pre-marker layout with rows at the path root) — see
+    * [[graft.operators.LiveMarker.assertBootstrapSafe]].
+    */
+  def assertSignedStreamBootstrapSafe(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    signedMarker.assertBootstrapSafe(signedFs(spark, path), path,
+      "signed")
 
   /** Append NEWLY-SIGNED documents to a persisted index (the
     * incremental-crawl step: sign the new batch only, never re-sign

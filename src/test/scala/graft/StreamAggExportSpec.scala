@@ -429,6 +429,61 @@ class StreamAggExportSpec extends SparkSpec {
       .head().getLong(0) == 5L) // 5 survivors + 1 new - 0 doubles
   }
 
+  test("stream bootstrap guard: a marker-less index tree (legacy or " +
+    "foreign layout) throws instead of being silently deleted; a " +
+    "crashed bootstrap (intent file present) re-runs idempotently") {
+    val base = tmpDir("bootguard")
+    val doc = Seq((1L, "spark shuffles data across executors"))
+      .toDF("doc_id", "text")
+    // LEGACY shape: content at the path but neither a _live marker
+    // nor a _bootstrap intent (e.g. an index created before marker
+    // commits existed). The old 'generations.isEmpty' bootstrap
+    // check read this as "nothing ever landed" and deleted it all.
+    val legacy = s"$base/legacy"
+    doc.write.parquet(s"$legacy/meta")
+    val ex = intercept[IllegalStateException] {
+      graft.streaming.StreamingBm25.processBatch(doc, 0L, legacy,
+        "text", "doc_id", buckets = 8)
+    }
+    assert(ex.getMessage.contains("legacy or foreign"))
+    // nothing was deleted
+    assert(spark.read.parquet(s"$legacy/meta").count() == 1L)
+    // same guard on the signed-index twin
+    val legacySg = s"$base/legacysg"
+    doc.write.parquet(s"$legacySg/rows")
+    intercept[IllegalStateException] {
+      graft.streaming.StreamingDedup.processBatch(doc, 0L, legacySg,
+        s"$base/sgout", "text", "doc_id")
+    }
+    // ...and the ANN twin
+    val legacyAnn = s"$base/legacyann"
+    doc.write.parquet(s"$legacyAnn/vectors")
+    intercept[IllegalStateException] {
+      graft.streaming.StreamingAnn.processBatch(
+        Seq((1L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding"), 0L,
+        legacyAnn, "vec_id", "embedding", planes = 2, dim = 2)
+    }
+    // CRASHED BOOTSTRAP: the intent file is on disk (the create
+    // writes it before any data and clears it only AFTER the marker
+    // PUT), the marker never landed — the replay re-runs the create
+    // over the partial tree and the batch lands exactly once
+    val crashed = s"$base/crashed"
+    val fs = new org.apache.hadoop.fs.Path(crashed)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(crashed))
+    fs.create(new org.apache.hadoop.fs.Path(crashed, "_bootstrap"),
+      true).close()
+    doc.write.parquet(s"$crashed/meta") // partial, no marker
+    graft.streaming.StreamingBm25.processBatch(doc, 0L, crashed,
+      "text", "doc_id", buckets = 8)
+    assert(graft.text.Bm25.bm25Generations(spark, crashed).nonEmpty)
+    assert(graft.text.Bm25.bm25IndexIds(spark, crashed, "doc_id")
+      .count() == 1L)
+    // a completed create clears the intent file
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(crashed, "_bootstrap")))
+  }
+
   test("StreamingAnn: micro-batches build an index that serves " +
     "identically to the one-shot build; replays are no-ops; a " +
     "streamed delete tombstones its vector") {
