@@ -5,13 +5,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 /** Resolved lifecycle state of a marker-committed index: the ruling
   * generation, the live data directory per family (relative to the
   * index root), the not-yet-compacted delete-batch numbers, the
-  * not-yet-compacted APPEND-batch numbers, and the highest stream
+  * not-yet-compacted APPEND-batch numbers, the highest stream
   * batch id applied through this marker chain (-1 = none — batch
-  * lifecycles that never stream simply never set it).
+  * lifecycles that never stream simply never set it), and the
+  * PERSISTED retention window (how many committed snapshots stay
+  * readable — a property of the INDEX, carried marker to marker, so
+  * one careless lifecycle call can never collapse the window a
+  * deployment chose at create time).
   */
 private[graft] final case class LiveState(
     gen: Long, dirs: Map[String, String], batches: Seq[Long],
-    appends: Seq[Long] = Seq.empty, applied: Long = -1L) {
+    appends: Seq[Long] = Seq.empty, applied: Long = -1L,
+    retain: Int = 1) {
   def dir(family: String): String = dirs(family)
 }
 
@@ -43,11 +48,15 @@ private[graft] final case class LiveState(
   *     survives a concurrent compaction as long as `retain` covers
   *     the longest expected scan, and (b) [[listGenerations]] +
   *     [[readAt]] give the index the same audit/rollback snapshot
-  *     reads the pool has. `retain` is per-CALL: the effective
-  *     window is the MINIMUM retain any subsequent writer passes
-  *     (one retain=1 op collapses it to the ruling snapshot), so a
-  *     deployment picks one value and uses it on every lifecycle
-  *     call;
+  *     reads the pool has. The retention window is PERSISTED in the
+  *     marker (`ret:`) and monotone: every commit records
+  *     `max(persisted, passed)` and every [[heal]] honors
+  *     `max(persisted, passed)`, so the window is a property of the
+  *     INDEX set at create time — a lifecycle call that defaults
+  *     `retain` to 1 keeps the persisted window, and passing a
+  *     larger value raises it for every later call. (Shrinking the
+  *     window means rebuilding the index — deliberately not a
+  *     drive-by option.);
   *   - single-writer discipline per index: concurrent writers trip
   *     the `errorifexists` batch/generation writes loudly; readers
   *     that resolve inside the retention window are safe, including
@@ -103,7 +112,8 @@ private[graft] final class LiveMarker(
       families.map(f => f._1 -> fields(f._1)).toMap,
       longList(fields, "tomb"),
       longList(fields, "appd"),
-      fields.getOrElse("sid", "-1").toLong))
+      fields.getOrElse("sid", "-1").toLong,
+      fields.getOrElse("ret", "1").toInt))
     catch { case _: NumberFormatException => None }
   }
 
@@ -186,15 +196,22 @@ private[graft] final class LiveMarker(
   }
 
   /** Commit `state` with one marker PUT (create-exclusive: a gen
-    * collision — two writers racing — fails loudly).
+    * collision — two writers racing — fails loudly). The persisted
+    * retention is monotone: the marker records
+    * `max(state.retain, retain)`, so a lifecycle call can RAISE the
+    * index's window (pass a bigger value) but never silently collapse
+    * one a previous writer persisted.
     */
-  def put(fs: FileSystem, path: String, state: LiveState): Unit = {
-    val out = fs.create(markerPath(path, state.gen), false)
+  def put(fs: FileSystem, path: String, state: LiveState,
+      retain: Int = 1): Unit = {
+    val eff = state.copy(retain = math.max(state.retain, retain))
+    val out = fs.create(markerPath(path, eff.gen), false)
     try out.write((
-      families.map(f => s"${f._1}:${state.dirs(f._1)}\n").mkString +
-      s"tomb:${state.batches.mkString(",")}\n" +
-      s"appd:${state.appends.mkString(",")}\n" +
-      s"sid:${state.applied}\n" +
+      families.map(f => s"${f._1}:${eff.dirs(f._1)}\n").mkString +
+      s"tomb:${eff.batches.mkString(",")}\n" +
+      s"appd:${eff.appends.mkString(",")}\n" +
+      s"sid:${eff.applied}\n" +
+      s"ret:${eff.retain}\n" +
       s"$Footer\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -212,7 +229,14 @@ private[graft] final class LiveMarker(
     require(retain >= 1, s"retain must be >= 1, got $retain")
     val root = new Path(path)
     if (!fs.exists(root)) return
-    val kept = complete(fs, path).take(retain)
+    val all = complete(fs, path)
+    // the EFFECTIVE window is the larger of the caller's retain and
+    // the one the ruling marker persists — a lifecycle call that
+    // defaults retain to 1 can no longer GC snapshots the index's
+    // create-time policy promised to keep
+    val eff = math.max(retain, all.headOption.map(_._2.retain)
+      .getOrElse(1))
+    val kept = all.take(eff)
     if (kept.nonEmpty) clearBootstrap(fs, path)
     val keptNames = kept.map(_._1.getName).toSet
     // no complete marker yet = the pristine layout is the snapshot

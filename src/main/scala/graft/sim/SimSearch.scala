@@ -218,7 +218,8 @@ object SimSearch {
     */
   def writeAnnIndex(
       emb: DataFrame, path: String, idCol: String, vecCol: String,
-      planes: Int = 12, dim: Int = 64, appliedId: Long = -1L): Unit = {
+      planes: Int = 12, dim: Int = 64, appliedId: Long = -1L,
+      retain: Int = 1): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val fs = annFs(spark, path)
@@ -240,7 +241,8 @@ object SimSearch {
     // readAt-addressable and lets a stream bootstrap record its
     // applied batch id atomically with the data
     annMarker.put(fs, path, graft.operators.LiveState(1L,
-      Map("vectors" -> "vectors"), Seq.empty, Seq.empty, appliedId))
+      Map("vectors" -> "vectors"), Seq.empty, Seq.empty, appliedId),
+      retain)
     annMarker.clearBootstrap(fs, path)
   }
 
@@ -291,14 +293,15 @@ object SimSearch {
       // would reference) — commit only the applied fact
       seg.unpersist()
       if (appliedId > live.applied)
-        annMarker.put(fs, path, live.copy(gen = b, applied = appliedId))
+        annMarker.put(fs, path, live.copy(gen = b,
+          applied = appliedId), retain)
     } else {
       seg.write.mode("errorifexists").partitionBy("bucket")
         .parquet(s"$path/vectors_batches/batch=$b")
       seg.unpersist()
       annMarker.put(fs, path, live.copy(gen = b,
         appends = live.appends :+ b,
-        applied = math.max(live.applied, appliedId)))
+        applied = math.max(live.applied, appliedId)), retain)
     }
     annMarker.heal(fs, path, retain)
   }
@@ -329,7 +332,7 @@ object SimSearch {
     ids.distinct().write.mode("errorifexists")
       .parquet(s"$path/tombstones/batch=$b")
     annMarker.put(fs, path,
-      live.copy(gen = b, batches = live.batches :+ b))
+      live.copy(gen = b, batches = live.batches :+ b), retain)
     annMarker.heal(fs, path, retain) // GC outside the window
   }
 
@@ -356,7 +359,7 @@ object SimSearch {
       .parquet(s"$path/vectors_gen=$gen")
     annMarker.put(fs, path, graft.operators.LiveState(gen,
       Map("vectors" -> s"vectors_gen=$gen"),
-      Seq.empty, Seq.empty, live.applied))
+      Seq.empty, Seq.empty, live.applied, live.retain), retain)
     annMarker.heal(fs, path, retain) // GC outside the window
   }
 
@@ -2188,7 +2191,7 @@ object SimSearch {
     ids.distinct().write.mode("errorifexists")
       .parquet(s"$path/tombstones/batch=$b")
     pqMarker.put(fs, path,
-      live.copy(gen = b, batches = live.batches :+ b))
+      live.copy(gen = b, batches = live.batches :+ b), retain)
     pqMarker.heal(fs, path, retain) // GC outside the window
   }
 
@@ -2229,7 +2232,7 @@ object SimSearch {
       .parquet(s"$path/codes_gen=$gen")
     pqMarker.put(fs, path, graft.operators.LiveState(gen,
       Map("codes" -> s"codes_gen=$gen"),
-      Seq.empty, Seq.empty, state.applied))
+      Seq.empty, Seq.empty, state.applied, state.retain), retain)
     pqMarker.heal(fs, path, retain) // GC outside the window
   }
 

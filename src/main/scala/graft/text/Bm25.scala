@@ -260,7 +260,7 @@ object Bm25 {
   def writeBm25Index(docs: DataFrame, textCol: String, idCol: String,
       path: String, buckets: Int = 64,
       tokenizer: Column => Column = TextOps.tokensSimple,
-      appliedId: Long = -1L): Unit = {
+      appliedId: Long = -1L, retain: Int = 1): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -285,7 +285,7 @@ object Bm25 {
     idx.unpersist()
     bm25Marker.put(fs, path, graft.operators.LiveState(1L,
       Map("postings" -> "postings", "stats" -> "stats"),
-      Seq.empty, Seq.empty, appliedId))
+      Seq.empty, Seq.empty, appliedId), retain)
     bm25Marker.clearBootstrap(fs, path)
   }
 
@@ -342,7 +342,7 @@ object Bm25 {
       idx.unpersist()
       if (appliedId > live.applied)
         bm25Marker.put(fs, path,
-          live.copy(gen = b, applied = appliedId))
+          live.copy(gen = b, applied = appliedId), retain)
     } else {
       idx.write.partitionBy("bucket").mode("errorifexists")
         .parquet(s"$path/postings_batches/batch=$b")
@@ -351,7 +351,7 @@ object Bm25 {
       idx.unpersist()
       bm25Marker.put(fs, path, live.copy(gen = b,
         appends = live.appends :+ b,
-        applied = math.max(live.applied, appliedId)))
+        applied = math.max(live.applied, appliedId)), retain)
     }
     bm25Marker.heal(fs, path, retain)
   }
@@ -485,7 +485,7 @@ object Bm25 {
       .parquet(s"$path/tombstones/batch=$b")
     idSet.unpersist()
     bm25Marker.put(fs, path,
-      live.copy(gen = b, batches = live.batches :+ b))
+      live.copy(gen = b, batches = live.batches :+ b), retain)
     bm25Marker.heal(fs, path, retain) // GC outside the window
   }
 
@@ -523,7 +523,7 @@ object Bm25 {
     bm25Marker.put(fs, path, graft.operators.LiveState(gen,
       Map("postings" -> s"postings_gen=$gen",
         "stats" -> s"stats_gen=$gen"),
-      Seq.empty, Seq.empty, live.applied))
+      Seq.empty, Seq.empty, live.applied, live.retain), retain)
     bm25Marker.heal(fs, path, retain) // GC outside the window
   }
 

@@ -211,7 +211,7 @@ object Dedup {
       df: DataFrame, path: String, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       tokenizer: Column => Column = TextOps.tokens,
-      appliedId: Long = -1L): Unit = {
+      appliedId: Long = -1L, retain: Int = 1): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     val fs = signedFs(spark, path)
@@ -229,7 +229,7 @@ object Dedup {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$path/_graft_meta")
     signedMarker.put(fs, path, graft.operators.LiveState(1L,
-      Map("rows" -> "rows"), Seq.empty, Seq.empty, appliedId))
+      Map("rows" -> "rows"), Seq.empty, Seq.empty, appliedId), retain)
     signedMarker.clearBootstrap(fs, path)
   }
 
@@ -283,14 +283,14 @@ object Dedup {
       seg.unpersist()
       if (appliedId > live.applied)
         signedMarker.put(fs, path,
-          live.copy(gen = b, applied = appliedId))
+          live.copy(gen = b, applied = appliedId), retain)
     } else {
       seg.write.mode("errorifexists")
         .parquet(s"$path/rows_batches/batch=$b")
       seg.unpersist()
       signedMarker.put(fs, path, live.copy(gen = b,
         appends = live.appends :+ b,
-        applied = math.max(live.applied, appliedId)))
+        applied = math.max(live.applied, appliedId)), retain)
     }
     signedMarker.heal(fs, path, retain)
   }
@@ -312,7 +312,7 @@ object Dedup {
     ids.select(col(idCol)).distinct().write.mode("errorifexists")
       .parquet(s"$path/tombstones/batch=$b")
     signedMarker.put(fs, path,
-      live.copy(gen = b, batches = live.batches :+ b))
+      live.copy(gen = b, batches = live.batches :+ b), retain)
     signedMarker.heal(fs, path, retain) // GC outside the window
   }
 
@@ -394,7 +394,7 @@ object Dedup {
       .write.mode("errorifexists").parquet(s"$path/rows_gen=$gen")
     signedMarker.put(fs, path, graft.operators.LiveState(gen,
       Map("rows" -> s"rows_gen=$gen"),
-      Seq.empty, Seq.empty, live.applied))
+      Seq.empty, Seq.empty, live.applied, live.retain), retain)
     signedMarker.heal(fs, path, retain) // GC outside the window
   }
 

@@ -107,6 +107,41 @@ class RetrievalSpec extends SparkSpec {
     assert(atOld == overOld && atOld != oneShot)
   }
 
+  test("retention policy persists in the marker: create with " +
+    "retain=3, later DEFAULT-retain lifecycle calls keep the window") {
+    val dir = s"${tmpDir("bm25-ret")}/idx"
+    Bm25.writeBm25Index(corpus.filter(col("doc_id") <= 2), "text",
+      "doc_id", dir, buckets = 8, retain = 3)
+    // two appends and a delete, all with the DEFAULT retain — the old
+    // per-call minimum semantics would have collapsed the window to 1
+    // at the first call
+    Bm25.appendToBm25Index(corpus.filter(col("doc_id") === 3), "text",
+      "doc_id", dir)
+    Bm25.appendToBm25Index(corpus.filter(col("doc_id") > 3), "text",
+      "doc_id", dir)
+    assert(Bm25.bm25Generations(spark, dir) == Seq(1L, 2L, 3L))
+    // the create-time snapshot still serves
+    val queries = Seq((1L, "spark"), (2L, "the"))
+      .toDF("query_id", "term")
+    val atCreate = Bm25.topKFromIndex(spark, dir, queries, "query_id",
+      "doc_id", atGen = Some(1L)).collect().toSet
+    val overFirstTwo = Bm25.search(
+      corpus.filter(col("doc_id") <= 2), "text", "doc_id", queries,
+      "query_id").collect().toSet
+    assert(atCreate == overFirstTwo && atCreate.nonEmpty)
+    Bm25.deleteFromBm25Index(Seq(3L).toDF("doc_id"), dir, "doc_id")
+    assert(Bm25.bm25Generations(spark, dir) == Seq(2L, 3L, 4L))
+    // compaction carries the persisted window forward too
+    Bm25.compactBm25Index(spark, dir, "doc_id")
+    assert(Bm25.bm25Generations(spark, dir).size == 3)
+    // and a lifecycle call may RAISE the window for later callers
+    Bm25.deleteFromBm25Index(Seq(4L).toDF("doc_id"), dir, "doc_id",
+      retain = 4)
+    Bm25.appendToBm25Index(corpus.filter(col("doc_id") === 3), "text",
+      "doc_id", dir)
+    assert(Bm25.bm25Generations(spark, dir).size == 4)
+  }
+
   test("bm25 append of a token-empty batch writes NO segment, still " +
     "records the applied stream batch id, and never bricks the index") {
     val dir = s"${tmpDir("bm25-empty")}/idx"

@@ -392,10 +392,13 @@ class SimSearchSpec extends SparkSpec {
       SimSearch.readAnnIndex(spark, path, 1L)
     }
     assert(err.getMessage.contains("retain"))
-    // a retain=1 lifecycle op collapses the window to the ruling gen
+    // the window PERSISTS in the marker: a lifecycle op with the
+    // DEFAULT retain keeps the 2-snapshot window previous callers
+    // established (the old per-call minimum would have collapsed it)
     SimSearch.deleteFromAnnIndex(Seq(1L).toDF("vec_id"), path) // gen 4
-    assert(SimSearch.annGenerations(spark, path) == Seq(4L))
+    assert(SimSearch.annGenerations(spark, path) == Seq(3L, 4L))
     assert(SimSearch.readAnnIndex(spark, path).count() == 74L)
+    assert(SimSearch.readAnnIndex(spark, path, 3L).count() == 75L)
   }
 
   test("bitextMine: margin scoring demotes the hub target that raw " +
