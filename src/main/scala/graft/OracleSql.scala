@@ -8180,6 +8180,16 @@ object OracleSql {
         |  (d.doc_id % 3 = 0) AS in_signed, true AS gone_signed
         |FROM documents d WHERE d.doc_id % 13 = 0""".stripMargin,
 
+    // corpus-side takedown: membership flags replay from the subset
+    // constructions (pool = ids not divisible by 3, bm25 = evens);
+    // the gone certificate and the survivor rows are require'd
+    // in-query and pinned constant here
+    "q331_corpus_takedown" ->
+      """SELECT d.doc_id,
+        |  (d.doc_id % 2 = 0) AS in_bm25, true AS gone_bm25,
+        |  (d.doc_id % 3 <> 0) AS in_pool, true AS gone_pool
+        |FROM documents d WHERE d.doc_id % 11 = 0""".stripMargin,
+
     // index drift: set algebra over the gate's constructions —
     // index ids = evens minus every 10th; corpus = all minus every 7th
     "q329_index_drift" ->

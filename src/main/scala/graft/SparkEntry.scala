@@ -5316,6 +5316,63 @@ object SparkEntry {
     }
   }
 
+  /** CORPUS-SIDE takedown end to end under the oracle — the
+    * round-13 gap closed: "deleted" now includes the BYTES, not just
+    * the serving paths. A [[graft.operators.DocPool]] (hash-bucketed,
+    * marker-committed) holds the corpus (every doc id not divisible
+    * by 3), a BM25 index serves the even half, and ONE
+    * [[graft.operators.Takedown]] call removes every 11th id from
+    * BOTH — the index by marker-committed tombstone, the pool by a
+    * partition-pruned bucket rewrite ([[graft.operators.DocPool
+    * .removeIds]]: only the ids' hash buckets are rewritten;
+    * untouched buckets keep their physical files) — and certifies
+    * per id. In-query `require`s pin (a) the certificate (gone from
+    * the index AND the pool), (b) the pool survivors row-for-row
+    * against the expected set, and (c) the retained pre-takedown
+    * snapshot still serving the full corpus (the audit-trail read).
+    * The oracle replays the membership flags from the subset
+    * constructions. EAGER; temp tree deleted before returning.
+    */
+  def q331_corpus_takedown(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ctd")
+    try {
+      val d = docs(s, dir)
+      val bm = base.resolve("bm").toString
+      val pool = base.resolve("pool").toString
+      graft.text.Bm25.writeBm25Index(
+        d.filter(col("doc_id") % 2 === 0), "text", "doc_id", bm,
+        buckets = 16)
+      graft.operators.DocPool.write(
+        d.filter(col("doc_id") % 3 =!= 0), pool, "doc_id",
+        buckets = 8, retain = 2)
+      val targets = d.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"))
+      val audit = graft.operators.Takedown(s, targets, "doc_id",
+        bm25Path = Some(bm), poolPath = Some(pool), retain = 2)
+        .localCheckpoint()
+      require(audit.filter(!col("gone_bm25") || !col("gone_pool"))
+        .isEmpty,
+        "takedown certificate failed: a target still present somewhere")
+      // the pool SURVIVORS are exactly the expected rows
+      val got = graft.operators.DocPool.read(s, pool)
+      val want = d.filter(col("doc_id") % 3 =!= 0 &&
+        col("doc_id") % 11 =!= 0)
+      require(got.exceptAll(want).isEmpty &&
+        want.exceptAll(got).isEmpty,
+        "pool survivors diverged from the expected set")
+      // ...and the retained pre-takedown snapshot still serves the
+      // full corpus (retain = 2 keeps the audit trail readable)
+      require(graft.operators.DocPool.read(s, pool, 1L).count() ==
+        d.filter(col("doc_id") % 3 =!= 0).count(),
+        "pre-takedown snapshot must stay readable (retain = 2)")
+      audit
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Index-freshness drift under the oracle: a BM25 index built over
     * the even half of the corpus, every 10th doc then tombstoned out,
     * audited against a corpus that itself dropped every 7th doc —
@@ -6038,6 +6095,7 @@ object SparkEntry {
     "q329_index_drift" -> (q329_index_drift(_, _)),
     "q330_unigram_em2" -> (q330_unigram_em2(_, _)),
     "q326_unigram_apply" -> (q326_unigram_apply(_, _)),
+    "q331_corpus_takedown" -> (q331_corpus_takedown(_, _)),
     "q323_layout_skipping" -> (q323_layout_skipping(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1458,7 +1458,8 @@ object Main {
         spark.read.parquet(idsPath), idCol,
         bm25Path = flagArg("--bm25"), annPath = flagArg("--ann"),
         pqPath = flagArg("--pq"), pqIdCol = flagArg("--pq-id"),
-        signedPath = flagArg("--signed"), retain = retain)
+        signedPath = flagArg("--signed"),
+        poolPath = flagArg("--pool"), retain = retain)
       val rows = audit.collect()
       val gone = rows.forall(r => audit.columns.zipWithIndex.collect {
         case (c, i) if c.startsWith("gone_") => r.getBoolean(i)
@@ -3242,7 +3243,7 @@ object Main {
           "pq-delete <idx> <idsParquet> [retain] | " +
           "pq-compact <idx> [retain] | " +
           "pq-generations <idx> | " +
-          "takedown <idsParquet> [--id col] [--bm25 dir] [--ann dir] [--pq dir] [--pq-id col] [--signed dir] [--retain n] | " +
+          "takedown <idsParquet> [--id col] [--bm25 dir] [--ann dir] [--pq dir] [--pq-id col] [--signed dir] [--pool dir] [--retain n] | " +
           "index-drift <corpusParquet> <bm25Dir> [idCol] | " +
           "pq-eval <embeddings> [k] [m] [kcb] [nprobe] [dim] [sampleMod] | " +
           "ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod] | " +

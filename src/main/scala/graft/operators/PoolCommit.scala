@@ -6,69 +6,59 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Object-store-safe commit protocol for the tracking-data pool — the
-  * [[graft.streaming.MarkerStateStore]] discipline lifted from
-  * streaming state to the pool's per-game upsert
-  * ([[Ingest.writePool]]'s dynamic partition overwrite assumes an
-  * atomic rename committer, which S3-style stores don't have: a crash
-  * mid-overwrite can leave a game partition half-deleted,
-  * half-rewritten, and concurrently visible in both states).
-  *
-  * Here NOTHING is ever renamed or overwritten:
+/** The generic partition-mapping marker protocol [[PoolCommit]] (the
+  * tracking pool, `season=S/gameId=G` partitions) and [[DocPool]] (the
+  * document corpus, `part=P` hash buckets) both commit through — one
+  * implementation, two partition layouts:
   *
   * {{{
-  *   poolRoot/gen=<N>/season=<S>/gameId=<G>/part-*.parquet   write-once
-  *   poolRoot/_pool_marker.<N zero-padded>                   write-once
+  *   root/gen=<N>/<part path>/part-*.parquet    write-once
+  *   root/<markerPrefix><N zero-padded>         write-once
   * }}}
   *
-  * One write-once marker object names, per game partition, the
-  * generation directory that is live (`season=S/gameId=G:gen` lines +
-  * an `end` footer — a footer-less marker is torn and ignored). A
-  * write stages the batch's partitions under the fresh `gen=N+1`
-  * directory, then commits with ONE marker PUT: every game the batch
-  * touched now points at N+1, every other game keeps its previous
-  * generation — the same per-game upsert semantics as the rename
-  * flavor, but the only commit point is the marker PUT, which object
-  * stores make atomic. A crash before the PUT leaves the new
-  * generation unreferenced (readers never see it; the writer's next
-  * heal deletes it); a crash after the PUT is a completed commit (heal
-  * just re-GCs the superseded partitions). Readers resolve through the
-  * newest complete marker and never delete anything — GC is
-  * writer-only, exactly the reader/writer split that closed the
-  * marker-store race (`streaming/StateStore.scala`).
+  * One write-once marker object names, per partition, the generation
+  * directory that is live (`<part path>:gen` lines + an `end` footer —
+  * a footer-less marker is torn and ignored). A write stages its
+  * partitions under the fresh `gen=N+1` directory, then commits with
+  * ONE marker PUT: every partition the write touched now points at
+  * N+1, every other keeps its previous generation. A crash before the
+  * PUT leaves the new generation unreferenced (readers never see it;
+  * the writer's next heal deletes it); a crash after the PUT is a
+  * completed commit. Readers resolve through the newest complete
+  * marker and never delete anything — GC is writer-only. Single-writer
+  * protocol: concurrent writers collide loudly on the `errorifexists`
+  * generation write or the write-once marker create.
   *
-  * Single-writer protocol (like every object-store table format's
-  * base layer): concurrent writers collide loudly on the
-  * `errorifexists` generation write or the write-once marker create.
+  * @param markerPrefix marker file prefix, e.g. `"_pool_marker."`
+  * @param levels       partition-directory name prefixes, outermost
+  *                     first, e.g. `Seq("season=", "gameId=")` or
+  *                     `Seq("part=")`
   */
-object PoolCommit {
+private[graft] final class MarkerPool(
+    markerPrefix: String, levels: Seq[String]) {
 
-  private val MarkerPrefix = "_pool_marker."
   private val Footer = "end"
 
-  /** Live mapping: game-partition relative path (`season=S/gameId=G`)
-    * → the generation directory holding its rows.
-    */
-  private[graft] final case class Marker(
-      gen: Long, parts: Map[String, Long])
+  /** Live mapping: partition relative path → its live generation. */
+  final case class Marker(gen: Long, parts: Map[String, Long])
 
   private def markerPath(root: String, gen: Long) =
-    new Path(root, f"$MarkerPrefix$gen%019d")
+    new Path(root, f"$markerPrefix$gen%019d")
 
   private def checked(ok: Boolean, what: String): Unit =
     if (!ok) throw new java.io.IOException(
       s"pool commit operation failed (returned false): $what")
 
-  private def markerFiles(fs: FileSystem, root: Path): Seq[Path] =
+  def markerFiles(fs: FileSystem, root: Path): Seq[Path] =
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith(MarkerPrefix))
+      .filter(_.getName.startsWith(markerPrefix))
       .sortBy(_.getName).reverse.toSeq
 
   /** Parse a marker; None when torn (no footer) or malformed. */
-  private def parse(fs: FileSystem, p: Path): Option[Marker] = {
+  def parse(fs: FileSystem, p: Path): Option[Marker] = {
     val gen =
-      try p.getName.stripPrefix(MarkerPrefix).toLong
+      try p.getName.stripPrefix(markerPrefix).toLong
       catch { case _: NumberFormatException => return None }
     val in = fs.open(p)
     val text =
@@ -85,14 +75,13 @@ object PoolCommit {
     } else None
   }
 
-  private[graft] def readMarker(fs: FileSystem, root: String): Marker =
+  def readMarker(fs: FileSystem, root: String): Marker =
     markerFiles(fs, new Path(root)).iterator
       .flatMap(parse(fs, _))
       .nextOption()
       .getOrElse(Marker(0L, Map.empty))
 
-  private def writeMarker(fs: FileSystem, root: String,
-      m: Marker): Unit = {
+  def writeMarker(fs: FileSystem, root: String, m: Marker): Unit = {
     val out = fs.create(markerPath(root, m.gen), false)
     try {
       val body = m.parts.toSeq.sortBy(_._1).map { case (p, g) =>
@@ -102,32 +91,30 @@ object PoolCommit {
     } finally out.close()
   }
 
-  /** The game partitions (`season=S/gameId=G` relative paths) a
-    * generation directory holds.
+  /** The partition relative paths a generation directory holds —
+    * walks `levels` (e.g. `season=* / gameId=*`, or just `part=*`).
     */
-  private def partsUnder(fs: FileSystem, genDir: Path): Seq[String] =
-    if (!fs.exists(genDir)) Seq.empty
-    else fs.listStatus(genDir).map(_.getPath).toSeq
-      .filter(_.getName.startsWith("season="))
-      .flatMap { s =>
-        fs.listStatus(s).map(_.getPath).toSeq
-          .filter(_.getName.startsWith("gameId="))
-          .map(g => s"${s.getName}/${g.getName}")
-      }
+  def partsUnder(fs: FileSystem, genDir: Path): Seq[String] = {
+    def walk(dir: Path, lvl: Int): Seq[String] =
+      fs.listStatus(dir).map(_.getPath).toSeq
+        .filter(_.getName.startsWith(levels(lvl)))
+        .flatMap { p =>
+          if (lvl == levels.size - 1) Seq(p.getName)
+          else walk(p, lvl + 1).map(c => s"${p.getName}/$c")
+        }
+    if (!fs.exists(genDir)) Seq.empty else walk(genDir, 0)
+  }
 
   /** WRITER-ONLY GC: torn markers, markers older than the retention
-    * window, and every game-partition directory no RETAINED marker
+    * window, and every partition directory no RETAINED marker
     * references. `retain` = how many committed snapshots stay
-    * readable (1 = only the ruling one — the minimum); retained
-    * superseded snapshots serve [[listGenerations]] + the
-    * snapshot-read overload of [[read]] (audit/rollback: "what did
-    * the pool look like before this takedown batch?"). Idempotent;
-    * must never run beside an in-flight commit (single-writer
-    * protocol) — readers never GC at all.
+    * readable (1 = only the ruling one). Idempotent; must never run
+    * beside an in-flight commit (single-writer protocol) — readers
+    * never GC at all.
     */
-  def heal(fs: FileSystem, poolRoot: String, retain: Int = 1): Unit = {
+  def heal(fs: FileSystem, root0: String, retain: Int = 1): Unit = {
     require(retain >= 1, s"retain must be >= 1, got $retain")
-    val root = new Path(poolRoot)
+    val root = new Path(root0)
     if (!fs.exists(root)) return
     // markerFiles sorts newest-first; keep the newest `retain`
     // COMPLETE markers (torn ones never count toward the window)
@@ -157,17 +144,73 @@ object PoolCommit {
       }
   }
 
+  def listGenerations(fs: FileSystem, root: String): Seq[Long] =
+    markerFiles(fs, new Path(root))
+      .flatMap(parse(fs, _)).map(_.gen).sorted
+
+  def markerAt(fs: FileSystem, root: String, gen: Long,
+      hint: String): Marker =
+    markerFiles(fs, new Path(root))
+      .flatMap(parse(fs, _)).find(_.gen == gen)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot gen=$gen under $root; on disk: " +
+          s"${listGenerations(fs, root).mkString(",")} " +
+          s"(aged out? $hint)"))
+
+  /** The rows a marker's live partitions hold. `drop` = partition
+    * columns hidden from the result (the protocol's `gen` always;
+    * layouts whose partition key is synthetic drop it too).
+    */
+  def readSnapshot(spark: SparkSession, root: String, m: Marker,
+      drop: Seq[String]): DataFrame = {
+    require(m.parts.nonEmpty,
+      s"no committed pool under $root (guard with hasPool)")
+    val dirs = m.parts.toSeq.sortBy(_._1).map { case (p, g) =>
+      s"$root/gen=$g/$p" }
+    spark.read.option("basePath", root).parquet(dirs: _*)
+      .drop(drop: _*)
+  }
+}
+
+/** Object-store-safe commit protocol for the tracking-data pool — the
+  * [[graft.streaming.MarkerStateStore]] discipline lifted from
+  * streaming state to the pool's per-game upsert
+  * ([[Ingest.writePool]]'s dynamic partition overwrite assumes an
+  * atomic rename committer, which S3-style stores don't have: a crash
+  * mid-overwrite can leave a game partition half-deleted,
+  * half-rewritten, and concurrently visible in both states). The
+  * protocol itself (write-once generations + ONE marker PUT, torn
+  * markers ignored, writer-only GC with a retention window) lives in
+  * [[MarkerPool]]; this object binds it to the pool's
+  * `season=S/gameId=G` layout and per-game upsert semantics.
+  */
+object PoolCommit {
+
+  private val pool =
+    new MarkerPool("_pool_marker.", Seq("season=", "gameId="))
+
+  private[graft] def readMarker(fs: FileSystem,
+      root: String): MarkerPool#Marker =
+    pool.readMarker(fs, root)
+
+  /** WRITER-ONLY GC — see [[MarkerPool.heal]]. Retained superseded
+    * snapshots serve [[listGenerations]] + the snapshot-read overload
+    * of [[read]] (audit/rollback: "what did the pool look like before
+    * this takedown batch?").
+    */
+  def heal(fs: FileSystem, poolRoot: String, retain: Int = 1): Unit =
+    pool.heal(fs, poolRoot, retain)
+
   /** The committed snapshot generations still on disk, oldest first —
     * every entry is readable via the snapshot overload of [[read]]
     * until a writer's GC ages it out of the retention window.
     */
   def listGenerations(fs: FileSystem, poolRoot: String): Seq[Long] =
-    markerFiles(fs, new Path(poolRoot))
-      .flatMap(parse(fs, _)).map(_.gen).sorted
+    pool.listGenerations(fs, poolRoot)
 
   /** True when at least one committed game partition exists. */
   def hasPool(fs: FileSystem, poolRoot: String): Boolean =
-    readMarker(fs, poolRoot).parts.nonEmpty
+    pool.readMarker(fs, poolRoot).parts.nonEmpty
 
   /** Stage `df`'s game partitions under a fresh write-once generation
     * and commit them with one marker PUT — per-game upsert with the
@@ -180,8 +223,8 @@ object PoolCommit {
     val spark = df.sparkSession
     val fs = new Path(poolRoot)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    heal(fs, poolRoot, retain) // finish/GC any interrupted write
-    val prev = readMarker(fs, poolRoot)
+    pool.heal(fs, poolRoot, retain) // finish/GC any interrupted write
+    val prev = pool.readMarker(fs, poolRoot)
     val gen = prev.gen + 1L
     Ingest.withSeason(df)
       .filter(col("gameId").isNotNull)
@@ -189,12 +232,12 @@ object PoolCommit {
       .partitionBy("season", "gameId")
       .mode("errorifexists") // collision = concurrent writer, fail loud
       .parquet(s"$poolRoot/gen=$gen")
-    val written = partsUnder(fs, new Path(s"$poolRoot/gen=$gen"))
+    val written = pool.partsUnder(fs, new Path(s"$poolRoot/gen=$gen"))
     val next = mutable.Map.empty[String, Long] ++ prev.parts
     written.foreach(p => next(p) = gen)
     // THE commit point: one write-once marker PUT
-    writeMarker(fs, poolRoot, Marker(gen, next.toMap))
-    heal(fs, poolRoot, retain) // GC outside the retention window
+    pool.writeMarker(fs, poolRoot, pool.Marker(gen, next.toMap))
+    pool.heal(fs, poolRoot, retain) // GC outside the retention window
   }
 
   /** All committed pool rows — resolves through the newest complete
@@ -210,8 +253,8 @@ object PoolCommit {
     * knob).
     */
   def read(spark: SparkSession, poolRoot: String): DataFrame =
-    readMarkerSnapshot(spark, poolRoot,
-      readMarker(fsFor(spark, poolRoot), poolRoot))
+    pool.readSnapshot(spark, poolRoot,
+      pool.readMarker(fsFor(spark, poolRoot), poolRoot), Seq("gen"))
 
   /** TIME-TRAVEL read: the pool exactly as committed by snapshot
     * `gen` — audit/rollback for the removal pipeline ("what did the
@@ -220,28 +263,12 @@ object PoolCommit {
     * lists what is); reads never extend or shrink that window.
     */
   def read(spark: SparkSession, poolRoot: String, gen: Long)
-      : DataFrame = {
-    val fs = fsFor(spark, poolRoot)
-    val m = markerFiles(fs, new Path(poolRoot))
-      .flatMap(parse(fs, _)).find(_.gen == gen)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no snapshot gen=$gen under $poolRoot; on disk: " +
-          s"${listGenerations(fs, poolRoot).mkString(",")} " +
-          "(aged out? raise write(..., retain))"))
-    readMarkerSnapshot(spark, poolRoot, m)
-  }
+      : DataFrame =
+    pool.readSnapshot(spark, poolRoot,
+      pool.markerAt(fsFor(spark, poolRoot), poolRoot, gen,
+        "raise write(..., retain)"), Seq("gen"))
 
   private def fsFor(spark: SparkSession, poolRoot: String): FileSystem =
     new Path(poolRoot)
       .getFileSystem(spark.sessionState.newHadoopConf())
-
-  private def readMarkerSnapshot(spark: SparkSession, poolRoot: String,
-      m: Marker): DataFrame = {
-    require(m.parts.nonEmpty,
-      s"no committed pool under $poolRoot (guard with hasPool)")
-    val dirs = m.parts.toSeq.sortBy(_._1).map { case (p, g) =>
-      s"$poolRoot/gen=$g/$p" }
-    spark.read.option("basePath", poolRoot).parquet(dirs: _*)
-      .drop("gen")
-  }
 }

@@ -8,8 +8,14 @@ import org.apache.spark.sql.functions._
   * BM25 postings, hyperplane-ANN vectors, IVF-PQ codes, signed
   * MinHash rows — each through its own marker-committed delete
   * (write-once tombstone batch + ONE `_live` PUT, the
-  * [[LiveMarker]] discipline), and return the PER-ID AUDIT ROW a
-  * takedown workflow files: was the id serving in each family
+  * [[LiveMarker]] discipline), PLUS the corpus itself when a
+  * [[DocPool]] path is given — the bytes, not just the serving paths:
+  * [[DocPool.removeIds]] rewrites only the hash buckets the ids live
+  * in (partition-pruned, marker-committed; survivors byte-identical —
+  * untouched buckets are not even rewritten) and the certificate
+  * gains `in_pool`/`gone_pool`, so "deleted" finally means deleted
+  * from every index AND from the lake. Returns the PER-ID AUDIT ROW
+  * a takedown workflow files: was the id present in each family
   * before, and is it provably gone after?
   *
   * The audit is what makes the pipeline defensible: "deleted" is a
@@ -24,7 +30,9 @@ import org.apache.spark.sql.functions._
   * against the BROADCAST id batch (takedown batches are query-sized
   * by contract — ids never shuffle the index), the delete is the
   * family's O(batch) tombstone commit, and the audit frame is
-  * batch-sized. `retain` forwards to every lifecycle call (keep >1
+  * batch-sized. The pool reads are partition-pruned to the ids'
+  * buckets ([[DocPool.readForIds]]) and the pool delete rewrites only
+  * those buckets. `retain` forwards to every lifecycle call (keep >1
   * to leave the pre-takedown snapshots readable for the audit's
   * "what did it serve before" reads — the q321 pattern).
   *
@@ -40,9 +48,11 @@ object Takedown {
       pqPath: Option[String] = None,
       pqIdCol: Option[String] = None,
       signedPath: Option[String] = None,
+      poolPath: Option[String] = None,
       retain: Int = 1): DataFrame = {
     require(bm25Path.orElse(annPath).orElse(pqPath).orElse(signedPath)
-      .nonEmpty, "takedown needs at least one index family path")
+      .orElse(poolPath)
+      .nonEmpty, "takedown needs at least one index/pool path")
     val base = ids.select(col(idCol)).distinct().localCheckpoint()
 
     // one boolean column: is the id in `members` (index scan semi-
@@ -79,6 +89,10 @@ object Takedown {
       pre = flagged(pre,
         graft.text.Dedup.readSignedIndex(spark, p), idCol, "in_signed")
     }
+    poolPath.foreach { p =>
+      pre = flagged(pre, DocPool.readForIds(spark, p, base, idCol),
+        idCol, "in_pool")
+    }
     val before = pre.localCheckpoint()
     // phase 2 — the four marker-committed deletes
     bm25Path.foreach(p =>
@@ -92,6 +106,8 @@ object Takedown {
       base.select(col(idCol).as(pqIdCol.getOrElse(idCol))), p, retain))
     signedPath.foreach(p =>
       graft.text.Dedup.deleteFromSignedIndex(base, p, idCol, retain))
+    poolPath.foreach(p =>
+      DocPool.removeIds(spark, base, p, idCol, retain))
     // phase 3 — certify `gone` from the SAME serving reads, again as
     // one plan materialized once (the audit artifact must be a stable
     // snapshot, not a lazy view over files a later GC may age out)
@@ -113,6 +129,8 @@ object Takedown {
       pqIdCol.getOrElse(idCol), "pq"))
     signedPath.foreach(p => certify(
       graft.text.Dedup.readSignedIndex(spark, p), idCol, "signed"))
+    poolPath.foreach(p => certify(
+      DocPool.readForIds(spark, p, base, idCol), idCol, "pool"))
     post.localCheckpoint()
   }
 }

@@ -731,10 +731,14 @@ class CliSmokeSpec extends SparkSpec {
     graft.cli.Main.main(Array("bm25-index", docsPath, bm, "8"))
     val ids = s"$base/ids"
     Seq(3L, 7L).toDF("doc_id").write.mode("overwrite").parquet(ids)
+    val pool = s"$base/pool"
+    graft.operators.DocPool.write(spark.read.parquet(docsPath), pool,
+      "doc_id", buckets = 4)
     graft.cli.Main.main(Array("takedown", ids, "--bm25", bm,
-      "--retain", "2"))
+      "--pool", pool, "--retain", "2"))
     assert(graft.text.Bm25.bm25IndexIds(spark, bm, "doc_id")
       .count() == 10L)
+    assert(graft.operators.DocPool.read(spark, pool).count() == 10L)
     graft.cli.Main.main(Array("index-drift", docsPath, bm))
   }
 

@@ -566,4 +566,83 @@ class IngestPoolSpec extends SparkSpec {
     assert(got("qty_in_range") == ((2L, 4L, 0.5)), got)
     assert(got("flag_enum") == ((1L, 4L, 0.25)), got)
   }
+
+  test("DocPool: bucketed marker-committed corpus — removeIds " +
+    "rewrites ONLY the touched buckets, survivors byte-identical, " +
+    "time travel serves the pre-takedown snapshot") {
+    import graft.operators.DocPool
+    import spark.implicits._
+    val root = tmpDir("docpool") + "/corpus"
+    val docs = (0L until 200L).map(i =>
+      (i, s"document body $i", s"src${i % 3}")).toDF("doc_id", "text",
+      "source")
+    DocPool.write(docs, root, "doc_id", buckets = 8, retain = 2)
+    assert(DocPool.read(spark, root).count() == 200L)
+    assert(DocPool.hasPool(spark, root))
+    // layout is frozen: a full rewrite with different buckets throws
+    intercept[IllegalArgumentException] {
+      DocPool.write(docs, root, "doc_id", buckets = 16)
+    }
+    // membership read is partition-pruned and exact
+    val probe = Seq(5L, 17L, 999L).toDF("doc_id")
+    assert(DocPool.readForIds(spark, root, probe, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(5L, 17L))
+    // remove a batch: survivors exact, and buckets NOT hit by the
+    // batch keep their ORIGINAL gen=1 files (bytes never rewritten)
+    val targets = Seq(5L, 17L, 42L, 999L).toDF("doc_id")
+    val targetBuckets = Seq(5L, 17L, 42L, 999L)
+      .map(i => spark.range(1).select(
+        DocPool.partOf(lit(i), 8)).head().getLong(0)).toSet
+    val untouched = (0L until 8L).toSet -- targetBuckets
+    assert(untouched.nonEmpty, "fixture must leave untouched buckets")
+    def filesIn(dir: String): Set[String] = {
+      val f = new java.io.File(dir)
+      if (!f.isDirectory) Set.empty
+      else f.listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+        .toSet
+    }
+    val beforeFiles = untouched.map(b =>
+      b -> filesIn(s"$root/gen=1/part=$b")).toMap
+    DocPool.removeIds(spark, targets, root, "doc_id", retain = 2)
+    val survivors = DocPool.read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == (0L until 200L).toSet -- Set(5L, 17L, 42L))
+    untouched.foreach { b =>
+      assert(filesIn(s"$root/gen=1/part=$b") == beforeFiles(b),
+        s"untouched bucket $b must keep its original files")
+    }
+    // the removed ids no longer read back through the pruned path
+    assert(DocPool.readForIds(spark, root, targets, "doc_id")
+      .count() == 0L)
+    // time travel: the retained pre-takedown snapshot still holds them
+    assert(DocPool.listGenerations(spark, root) == Seq(1L, 2L))
+    assert(DocPool.read(spark, root, 1L).count() == 200L)
+    // removing ids that are all absent is a harmless no-op
+    DocPool.removeIds(spark, Seq(5L).toDF("doc_id"), root, "doc_id",
+      retain = 2)
+    assert(DocPool.read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == survivors)
+  }
+
+  test("DocPool: a bucket emptied by removeIds drops from the " +
+    "marker; reads stay healthy") {
+    import graft.operators.DocPool
+    import spark.implicits._
+    val root = tmpDir("docpool-empty") + "/corpus"
+    // 16 docs over 4 buckets; remove EVERY doc in one bucket
+    val docs = (0L until 16L).map(i => (i, s"d$i")).toDF("doc_id",
+      "text")
+    DocPool.write(docs, root, "doc_id", buckets = 4)
+    val byBucket = (0L until 16L).groupBy(i =>
+      spark.range(1).select(DocPool.partOf(lit(i), 4)).head()
+        .getLong(0))
+    val (victim, victimIds) = byBucket.head
+    DocPool.removeIds(spark, victimIds.toDF("doc_id"), root, "doc_id")
+    val left = DocPool.read(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(left == (0L until 16L).toSet -- victimIds)
+    assert(DocPool.readForIds(spark, root,
+      victimIds.toDF("doc_id"), "doc_id").count() == 0L)
+  }
 }

@@ -212,7 +212,8 @@ class PlanGateSpec extends SparkSpec {
       "q309_mondrian", "q318_ipw", "q321_bm25_time_travel",
       "q323_layout_skipping", "q324_bloom_skipping",
       "q325_unigram_learn", "q327_aipw", "q328_takedown",
-      "q329_index_drift", "q330_unigram_em2")
+      "q329_index_drift", "q330_unigram_em2",
+      "q331_corpus_takedown")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalWindowWhitelist.contains)
@@ -251,7 +252,8 @@ class PlanGateSpec extends SparkSpec {
       "q309_mondrian", "q318_ipw", "q321_bm25_time_travel",
       "q323_layout_skipping", "q324_bloom_skipping",
       "q325_unigram_learn", "q327_aipw", "q328_takedown",
-      "q329_index_drift", "q330_unigram_em2")
+      "q329_index_drift", "q330_unigram_em2",
+      "q331_corpus_takedown")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalSortWhitelist.contains)

@@ -147,7 +147,8 @@ class TableAuditSpec extends SparkSpec {
   }
 
   test("Takedown: partial families, never-present targets, and the " +
-    "gone certificate across bm25 + signed in one call") {
+    "gone certificate across bm25 + signed + the CORPUS POOL in one " +
+    "call — 'deleted' includes the bytes") {
     import graft.text.{Bm25, Dedup, TextOps}
     val base = tmpDir("takedown") + "/t"
     val docs = (1L to 20L).map(i =>
@@ -155,27 +156,42 @@ class TableAuditSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val bm = s"$base/bm"
     val sg = s"$base/sg"
+    val pool = s"$base/pool"
     Bm25.writeBm25Index(docs.filter(col("doc_id") <= 10), "text",
       "doc_id", bm, buckets = 8)
     Dedup.writeSignedIndex(docs.filter(col("doc_id") % 2 === 0), sg,
       "text", "doc_id", tokenizer = TextOps.tokensSimple)
-    // targets: 4 (both), 15 (neither), 8 (both), 999 (nowhere at all)
+    // the corpus itself holds docs 1..15 (so 999 is nowhere and the
+    // indexes hold some ids the pool does not — families stay
+    // independent in the certificate)
+    graft.operators.DocPool.write(docs.filter(col("doc_id") <= 15),
+      pool, "doc_id", buckets = 4)
+    // targets: 4 (all three), 15 (pool only), 8 (all three),
+    // 999 (nowhere at all)
     val targets = Seq(4L, 15L, 8L, 999L).toDF("doc_id")
     val audit = graft.operators.Takedown(spark, targets, "doc_id",
-      bm25Path = Some(bm), signedPath = Some(sg))
+      bm25Path = Some(bm), signedPath = Some(sg),
+      poolPath = Some(pool))
       .collect().map(r => r.getLong(0) ->
-        (r.getAs[Boolean]("in_bm25"), r.getAs[Boolean]("gone_bm25"),
+        ((r.getAs[Boolean]("in_bm25"), r.getAs[Boolean]("gone_bm25"),
           r.getAs[Boolean]("in_signed"),
-          r.getAs[Boolean]("gone_signed"))).toMap
-    assert(audit(4L) == ((true, true, true, true)))
-    assert(audit(8L) == ((true, true, true, true)))
-    assert(audit(15L) == ((false, true, false, true)))
-    assert(audit(999L) == ((false, true, false, true)))
-    // survivors intact, targets gone from both serving reads
+          r.getAs[Boolean]("gone_signed")),
+          (r.getAs[Boolean]("in_pool"),
+            r.getAs[Boolean]("gone_pool")))).toMap
+    assert(audit(4L) == (((true, true, true, true), (true, true))))
+    assert(audit(8L) == (((true, true, true, true), (true, true))))
+    assert(audit(15L) == (((false, true, false, true), (true, true))))
+    assert(audit(999L) ==
+      (((false, true, false, true), (false, true))))
+    // survivors intact, targets gone from every serving read AND the
+    // pool bytes
     assert(Bm25.bm25IndexIds(spark, bm, "doc_id").count() == 8L)
     assert(Dedup.readSignedIndex(spark, sg)
       .select("doc_id").collect().map(_.getLong(0)).toSet ==
       Set(2L, 6L, 10L, 12L, 14L, 16L, 18L, 20L))
+    assert(graft.operators.DocPool.read(spark, pool)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      (1L to 15L).toSet -- Set(4L, 8L, 15L))
     // no family given is a loud error, not a silent no-op audit
     intercept[IllegalArgumentException] {
       graft.operators.Takedown(spark, targets, "doc_id")
