@@ -5373,6 +5373,62 @@ object SparkEntry {
     }
   }
 
+  /** The serve-freshness loop CLOSED under the oracle — q329 measured
+    * drift for one family; this gate runs [[graft.operators
+    * .DriftRepair]] across ALL FOUR persisted index families built
+    * from deliberately different subsets (BM25 evens, signed thirds,
+    * ANN evens, PQ non-fifths) against corpora that dropped every 7th
+    * id — so every family carries BOTH drift directions — then
+    * REMEDIATES (extras tombstone out through one takedown per id
+    * domain, missing re-append through each family's marker-committed
+    * append) and re-audits. The oracle replays the before-numbers
+    * from the set algebra of the constructions; the in-query
+    * `require` pins the after-numbers at ZERO for every family — the
+    * end-to-end freshness certificate. EAGER (four builds, two
+    * takedowns, up to four appends, eight audits); temp tree deleted
+    * before returning.
+    */
+  def q332_drift_repair(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_drep")
+    try {
+      val d = docs(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val (bm, ann, pq, sg) = (base.resolve("bm").toString,
+        base.resolve("ann").toString, base.resolve("pq").toString,
+        base.resolve("sg").toString)
+      graft.text.Bm25.writeBm25Index(
+        d.filter(col("doc_id") % 2 === 0), "text", "doc_id", bm,
+        buckets = 16)
+      Dedup.writeSignedIndex(d.filter(col("doc_id") % 3 === 0), sg,
+        "text", "doc_id", shingleK = 3, bands = 8, rowsPerBand = 4,
+        tokenizer = TextOps.tokensSimple)
+      SimSearch.writeAnnIndex(emb.filter(col("vec_id") % 2 === 0),
+        ann, "vec_id", "embedding", planes = 6, dim = 64)
+      SimSearch.writePqIndex(
+        emb.filter(col("vec_id") % 5 =!= 0)
+          .withColumn("cell", col("label")),
+        pq, "vec_id", "embedding", "cell", m = 2, k = 4, iters = 2,
+        dim = 64, bucketWidth = 128L)
+      val rep = graft.operators.DriftRepair(s,
+        docCorpus = Some(d.filter(col("doc_id") % 7 =!= 0)),
+        bm25Path = Some(bm), signedPath = Some(sg),
+        tokenizer = TextOps.tokensSimple,
+        vecCorpus = Some(emb.filter(col("vec_id") % 7 =!= 0)
+          .withColumn("cell", col("label"))),
+        annPath = Some(ann), pqPath = Some(pq), pqM = 2, pqDim = 64,
+        pqCellCol = Some("cell"))
+        .localCheckpoint()
+      require(rep.filter(col("n_missing_after") =!= 0L ||
+        col("n_extra_after") =!= 0L).isEmpty,
+        "drift repair left residual drift in some family")
+      rep
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Index-freshness drift under the oracle: a BM25 index built over
     * the even half of the corpus, every 10th doc then tombstoned out,
     * audited against a corpus that itself dropped every 7th doc —
@@ -6096,6 +6152,7 @@ object SparkEntry {
     "q330_unigram_em2" -> (q330_unigram_em2(_, _)),
     "q326_unigram_apply" -> (q326_unigram_apply(_, _)),
     "q331_corpus_takedown" -> (q331_corpus_takedown(_, _)),
+    "q332_drift_repair" -> (q332_drift_repair(_, _)),
     "q323_layout_skipping" -> (q323_layout_skipping(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1485,6 +1485,35 @@ object Main {
         s"extra=${r.getLong(3)}")
       done(spark)
 
+    // measure-and-FIX drift for the doc-corpus families: extras
+    // tombstone out, missing re-append, re-audit must read zero
+    // (vector families: the DriftRepair library API)
+    case "drift-repair" :: corpusPath :: rest =>
+      def drFlag(name: String): Option[String] = {
+        val i = rest.indexOf(name)
+        if (i >= 0 && i + 1 < rest.length) Some(rest(i + 1)) else None
+      }
+      val idCol = drFlag("--id").getOrElse("doc_id")
+      val textCol = drFlag("--text").getOrElse("text")
+      val retain = drFlag("--retain").map(_.toInt).getOrElse(1)
+      val spark = session()
+      val rep = graft.operators.DriftRepair(spark,
+        docCorpus = Some(spark.read.parquet(corpusPath)),
+        docIdCol = idCol, textCol = textCol,
+        bm25Path = drFlag("--bm25"), signedPath = drFlag("--signed"),
+        retain = retain).collect()
+      rep.foreach(r => println(s"[drift-repair] ${r.getString(0)}: " +
+        s"corpus=${r.getLong(1)} index=${r.getLong(2)} " +
+        s"missing=${r.getLong(3)} extra=${r.getLong(4)} -> " +
+        s"after missing=${r.getLong(5)} extra=${r.getLong(6)}"))
+      val clean = rep.forall(r =>
+        r.getLong(5) == 0L && r.getLong(6) == 0L)
+      println(s"[drift-repair] " +
+        (if (clean) "CLEAN (zero residual drift)"
+         else "FAILED (residual drift!)"))
+      if (!clean) sys.exit(3)
+      done(spark)
+
     // the committed PQ snapshots still inside the retention window
     case "pq-generations" :: idxPath :: Nil =>
       val spark = session()
@@ -3244,7 +3273,7 @@ object Main {
           "pq-compact <idx> [retain] | " +
           "pq-generations <idx> | " +
           "takedown <idsParquet> [--id col] [--bm25 dir] [--ann dir] [--pq dir] [--pq-id col] [--signed dir] [--pool dir] [--retain n] | " +
-          "index-drift <corpusParquet> <bm25Dir> [idCol] | " +
+          "index-drift <corpusParquet> <bm25Dir> [idCol] | drift-repair <corpusParquet> [--id col] [--text col] [--bm25 dir] [--signed dir] [--retain n] | " +
           "pq-eval <embeddings> [k] [m] [kcb] [nprobe] [dim] [sampleMod] | " +
           "ann-eval <embeddings> [k] [planes] [probeBits] [dim] [sampleMod] | " +
           "pack <corpus> <out> [budget] [--jsonl] [--simple-tokens] | " +

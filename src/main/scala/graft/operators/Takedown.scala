@@ -134,3 +134,167 @@ object Takedown {
     post.localCheckpoint()
   }
 }
+
+/** The serve-freshness loop CLOSED: [[Diagnose.indexDriftReport]]
+  * measures how far each persisted index family drifted from the
+  * corpus it serves; this operator also REMEDIATES — extra ids (a
+  * takedown or dedup pass that never reached the index) tombstone out
+  * through [[Takedown]], missing ids (an append that fell behind)
+  * re-append through the family's own marker-committed append — and
+  * re-audits. One row per family:
+  * `(family, n_corpus, n_index, n_missing, n_extra, n_missing_after,
+  * n_extra_after)` — after a successful repair the `_after` columns
+  * are zero, and a caller that `require`s them zero has an
+  * end-to-end freshness certificate across every serving path.
+  *
+  * Families are opt-in: the DOC families (BM25, signed MinHash) audit
+  * against `docCorpus` on `docIdCol`/`textCol`; the VECTOR families
+  * (hyperplane-ANN, IVF-PQ) against `vecCorpus` on
+  * `vecIdCol`/`vecCol`. Signed-index LSH parameters and the PQ
+  * (m, dim) must match the index's creation (the appends validate
+  * where the index persists them).
+  *
+  * Scale shape: each audit is ONE tag-union aggregation (no join, no
+  * broadcast assumption on either side); extras/missing are id-keyed
+  * anti-joins against the corpus; the re-appends index ONLY the
+  * missing rows (never a corpus re-scan); the tombstone batches are
+  * the per-domain unions of extras — query-sized in any healthy
+  * deployment (a fully-drifted index wants a rebuild, not a repair).
+  * Before-state materializes once (localCheckpoint) before any
+  * mutation, the [[Takedown]] snapshot discipline.
+  */
+object DriftRepair {
+
+  def apply(spark: SparkSession,
+      docCorpus: Option[DataFrame] = None,
+      docIdCol: String = "doc_id", textCol: String = "text",
+      bm25Path: Option[String] = None,
+      signedPath: Option[String] = None,
+      signedShingleK: Int = 3, signedBands: Int = 8,
+      signedRowsPerBand: Int = 4,
+      tokenizer: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column = graft.text.TextOps.tokensSimple,
+      vecCorpus: Option[DataFrame] = None,
+      vecIdCol: String = "vec_id", vecCol: String = "embedding",
+      annPath: Option[String] = None,
+      pqPath: Option[String] = None, pqM: Int = 2, pqDim: Int = 64,
+      pqCellCol: Option[String] = None,
+      retain: Int = 1): DataFrame = {
+    require((docCorpus.nonEmpty &&
+        bm25Path.orElse(signedPath).nonEmpty) ||
+      (vecCorpus.nonEmpty && annPath.orElse(pqPath).nonEmpty),
+      "drift repair needs a corpus and at least one index family")
+
+    // (family, corpus frame, its id col, live index-id read)
+    def famReads(): Seq[(String, DataFrame, String, DataFrame)] = {
+      val doc = docCorpus.toSeq.flatMap { c =>
+        bm25Path.map(p => ("bm25", c, docIdCol,
+          graft.text.Bm25.bm25IndexIds(spark, p, docIdCol))).toSeq ++
+        signedPath.map(p => ("signed", c, docIdCol,
+          graft.text.Dedup.readSignedIndex(spark, p)
+            .select(col(docIdCol)))).toSeq
+      }
+      val vec = vecCorpus.toSeq.flatMap { c =>
+        annPath.map { p =>
+          val (_, _, metaId, _) = graft.sim.SimSearch.annMeta(spark, p)
+          ("ann", c, vecIdCol,
+            graft.sim.SimSearch.readAnnIndex(spark, p)
+              .select(col(metaId).as(vecIdCol)))
+        }.toSeq ++
+        pqPath.map(p => ("pq", c, vecIdCol,
+          graft.sim.SimSearch.readPqIndex(spark, p)._2
+            .select(col(vecIdCol)).distinct())).toSeq
+      }
+      doc ++ vec
+    }
+
+    def audit(fams: Seq[(String, DataFrame, String, DataFrame)],
+        suffix: String): DataFrame =
+      fams.map { case (name, corpus, idc, index) =>
+        Diagnose.indexDriftReport(corpus.select(col(idc)), index, idc)
+          .select(lit(name).as("family"),
+            col("n_corpus"), col("n_index"),
+            col("n_missing").as(s"n_missing$suffix"),
+            col("n_extra").as(s"n_extra$suffix"))
+      }.reduce(_ unionByName _)
+
+    val famsBefore = famReads()
+    // ONE consistent pre-repair snapshot: audits, extras, and missing
+    // all materialize before any delete/append mutates a lazy read
+    val before = audit(famsBefore, "").localCheckpoint()
+    val extras = famsBefore.map { case (name, corpus, idc, index) =>
+      name -> index.join(broadcast(corpus.select(col(idc)).distinct()),
+        Seq(idc), "left_anti").localCheckpoint()
+    }.toMap
+    val missing = famsBefore.map { case (name, corpus, idc, index) =>
+      name -> corpus.join(broadcast(index), Seq(idc), "left_anti")
+        .localCheckpoint()
+    }.toMap
+
+    // extras → ONE takedown per id domain (absent-from-a-family ids
+    // are harmless no-ops, so the union batch serves every family)
+    val docExtras = Seq("bm25", "signed").flatMap(extras.get)
+      .reduceOption(_ unionByName _).map(_.distinct())
+    docExtras.filter(!_.isEmpty).foreach { ids =>
+      Takedown(spark, ids, docIdCol, bm25Path = bm25Path,
+        signedPath = signedPath, retain = retain)
+    }
+    val vecExtras = Seq("ann", "pq").flatMap(extras.get)
+      .reduceOption(_ unionByName _).map(_.distinct())
+    vecExtras.filter(!_.isEmpty).foreach { ids =>
+      Takedown(spark, ids, vecIdCol, annPath = annPath,
+        pqPath = pqPath, pqIdCol = Some(vecIdCol), retain = retain)
+    }
+
+    // missing → the family's marker-committed append, fed ONLY the
+    // missing rows
+    def appendFor(name: String, m: DataFrame): Unit = name match {
+      case "bm25" => graft.text.Bm25.appendToBm25Index(m, textCol,
+        docIdCol, bm25Path.get, tokenizer, retain)
+      case "signed" => graft.text.Dedup.appendToSignedIndex(m,
+        signedPath.get, textCol, docIdCol, signedShingleK,
+        signedBands, signedRowsPerBand, tokenizer, retain = retain)
+      case "ann" => graft.sim.SimSearch.appendToAnnIndex(m,
+        annPath.get, vecIdCol, vecCol, retain)
+      case "pq" => graft.sim.SimSearch.appendToPqIndex(m, pqPath.get,
+        vecIdCol, vecCol, pqM, pqDim, cellCol = pqCellCol)
+    }
+    def compactFor(name: String): Unit = name match {
+      case "bm25" => graft.text.Bm25.compactBm25Index(spark,
+        bm25Path.get, docIdCol, retain)
+      case "signed" => graft.text.Dedup.compactSignedIndex(spark,
+        signedPath.get, retain)
+      case "ann" => graft.sim.SimSearch.compactAnnIndex(spark,
+        annPath.get, retain)
+      case "pq" => graft.sim.SimSearch.compactPqIndex(spark,
+        pqPath.get, retain)
+    }
+    missing.foreach { case (name, m) =>
+      if (!m.isEmpty) appendFor(name, m)
+    }
+    // RESURRECT pass: a missing id that was previously TOMBSTONED (a
+    // takedown that outran the corpus refresh) is shadowed — its
+    // re-appended rows stay invisible (BM25/ANN/signed reads anti-join
+    // the tombstones; PQ's append dedupe skips ids whose dead rows
+    // still sit in the live codes) until the tombstone compacts away.
+    // Any family still missing ids after the first append pass pays
+    // ONE compaction (folds tombstones and the shadowed segment) and
+    // re-appends the residual — the only case where repair rewrites
+    // more than the drifted rows, and exactly the family compaction
+    // the removal pipeline owes anyway.
+    famReads().foreach { case (name, corpus, idc, index) =>
+      val resid = corpus.join(broadcast(index), Seq(idc), "left_anti")
+        .localCheckpoint()
+      if (!resid.isEmpty) {
+        compactFor(name)
+        appendFor(name, resid)
+      }
+    }
+
+    // re-audit through fresh serving reads
+    val after = audit(famReads(), "_after")
+      .select(col("family"), col("n_missing_after"),
+        col("n_extra_after"))
+    before.join(after, Seq("family")).localCheckpoint()
+  }
+}

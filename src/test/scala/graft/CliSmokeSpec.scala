@@ -740,6 +740,11 @@ class CliSmokeSpec extends SparkSpec {
       .count() == 10L)
     assert(graft.operators.DocPool.read(spark, pool).count() == 10L)
     graft.cli.Main.main(Array("index-drift", docsPath, bm))
+    // the takedown left the bm25 index missing {3,7} vs the full doc
+    // corpus; drift-repair re-appends them and re-audits to zero
+    graft.cli.Main.main(Array("drift-repair", docsPath, "--bm25", bm))
+    assert(graft.text.Bm25.bm25IndexIds(spark, bm, "doc_id")
+      .count() == 12L)
   }
 
   test("pool-commit and pool-read run the marker pool end to end") {

@@ -198,6 +198,62 @@ class TableAuditSpec extends SparkSpec {
     }
   }
 
+  test("DriftRepair: audits both directions, tombstones extras, " +
+    "re-appends missing, and the re-audit reads zero drift") {
+    import graft.text.{Bm25, Dedup, TextOps}
+    val base = tmpDir("driftrepair") + "/t"
+    val all = (1L to 16L).map(i =>
+      (i, s"drift corpus document $i with common words tok$i"))
+      .toDF("doc_id", "text")
+    val corpus = all.filter(col("doc_id") <= 12)
+    val bm = s"$base/bm"
+    val sg = s"$base/sg"
+    // bm25 holds evens to 16: extras {14,16}, missing = odds 1..11
+    Bm25.writeBm25Index(all.filter(col("doc_id") % 2 === 0), "text",
+      "doc_id", bm, buckets = 8)
+    // signed holds multiples of 3 to 15: extra {15}, missing = the
+    // corpus ids not divisible by 3
+    Dedup.writeSignedIndex(all.filter(col("doc_id") % 3 === 0), sg,
+      "text", "doc_id", tokenizer = TextOps.tokensSimple)
+    val rep = graft.operators.DriftRepair(spark,
+      docCorpus = Some(corpus), bm25Path = Some(bm),
+      signedPath = Some(sg), tokenizer = TextOps.tokensSimple)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // bm25: corpus 12, index 8 (evens 2..16), missing 6 odds,
+    // extras {14,16}
+    assert(rep("bm25") == ((12L, 8L, 6L, 2L, 0L, 0L)))
+    // signed: corpus 12, index 5 (3,6,9,12,15), missing 8, extra {15}
+    assert(rep("signed") == ((12L, 5L, 8L, 1L, 0L, 0L)))
+    // the serving reads now hold EXACTLY the corpus ids
+    assert(Bm25.bm25IndexIds(spark, bm, "doc_id")
+      .collect().map(_.getLong(0)).toSet == (1L to 12L).toSet)
+    assert(Dedup.readSignedIndex(spark, sg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      (1L to 12L).toSet)
+    // idempotent: a second repair measures zero drift everywhere
+    val again = graft.operators.DriftRepair(spark,
+      docCorpus = Some(corpus), bm25Path = Some(bm),
+      signedPath = Some(sg), tokenizer = TextOps.tokensSimple)
+      .collect()
+    assert(again.forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L))
+    // TOMBSTONE SHADOW: ids deleted from the index but still in the
+    // corpus — a plain re-append stays invisible behind the
+    // tombstone, so repair must detect the residual, compact, and
+    // re-append (the resurrect pass)
+    Bm25.deleteFromBm25Index(Seq(2L, 5L).toDF("doc_id"), bm, "doc_id")
+    val rep2 = graft.operators.DriftRepair(spark,
+      docCorpus = Some(corpus), bm25Path = Some(bm),
+      tokenizer = TextOps.tokensSimple)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(rep2("bm25") == ((2L, 0L, 0L, 0L)))
+    assert(Bm25.bm25IndexIds(spark, bm, "doc_id")
+      .collect().map(_.getLong(0)).toSet == (1L to 12L).toSet)
+  }
+
   test("indexDriftReport: both drift directions, clean index reads " +
     "zero, duplicate ids count once") {
     val corpus = Seq(1L, 2L, 3L, 4L, 4L).toDF("doc_id") // dup id 4
