@@ -791,6 +791,12 @@ object TextOps {
     * `unkMicro`. Pure staged column transforms (forward costs
     * materialize once per word, then the backtrace reads them), so
     * the whole tokenizer runs in the scan stage — no shuffle, no UDF.
+    *
+    * SIZE BOUND: the model bakes into the plan as a `typedLit` map —
+    * right for gate-scale vocabs (≤ a few thousand pieces). A
+    * production 32k-piece vocab belongs in [[tokensUnigramJoin]],
+    * the join-the-vocab twin that segments bit-identically at any
+    * model size.
     */
   def tokensUnigram(df: DataFrame, textCol: String, outCol: String,
       model: Map[String, Long], maxPieceLen: Int = 3,
@@ -809,6 +815,85 @@ object TextOps {
         unigramBacktrace(s.getField("w"), s.getField("c"), m,
           maxPieceLen, unkMicro))))
       .drop("_uw", "_uc")
+  }
+
+  /** Scale-safe APPLY twin of [[tokensUnigram]] for ARBITRARY-SIZE
+    * vocabularies. The literal flavor bakes the model into the plan
+    * as a `typedLit` map — right for gate-scale vocabs (hundreds of
+    * pieces; zero joins, pure scan-stage), but a production 32k-piece
+    * SentencePiece vocab becomes a multi-megabyte plan constant
+    * replicated into codegen. Here the model arrives as a DataFrame
+    * (`pieceCol`, `costCol` in micro-nats — [[learnUnigramLm]]'s
+    * output shape) and never touches the plan:
+    *
+    *   1. the corpus's DISTINCT words explode their candidate
+    *      substrings (≤ |word|·maxPieceLen each);
+    *   2. the vocab equi-joins ON THE PIECE — broadcast when small,
+    *      shuffled when not: the planner's call at any vocab size;
+    *   3. the surviving (word, piece, cost) rows fold into a per-word
+    *      MINI-model map (bounded by the word's own substring count)
+    *      that drives the IDENTICAL Viterbi forward/backtrace columns
+    *      as the literal flavor — so the two flavors segment
+    *      bit-identically by construction (spec-pinned on a 50k
+    *      vocab);
+    *   4. segmentations join back to documents by (id, word
+    *      position) and re-flatten in document order.
+    *
+    * Needs `idCol` (unique per row) to reassemble documents — the
+    * one thing the scan-stage literal flavor does not; every corpus
+    * in this suite carries ids. Two corpus scans (distinct-word pass
+    * + final join-back) instead of one — the price of unbounded
+    * vocab.
+    */
+  def tokensUnigramJoin(df: DataFrame, idCol: String, textCol: String,
+      outCol: String, model: DataFrame, pieceCol: String = "piece",
+      costCol: String = "cost_micro", maxPieceLen: Int = 3,
+      unkMicro: Long = 25000000L,
+      tokenizer: Column => Column = tokensSimple): DataFrame = {
+    require(maxPieceLen >= 1, s"bad maxPieceLen $maxPieceLen")
+    val withWords = df.withColumn("_uw",
+      filter(tokenizer(col(textCol)), w => length(w) > 0))
+    val words = withWords
+      .select(explode(col("_uw")).as("_word")).distinct()
+    // candidate substrings, deduped per word (the mini-model is a
+    // map: one cost per distinct piece)
+    val cands = words.select(col("_word"),
+      explode(array_distinct(flatten(transform(
+        sequence(lit(1), length(col("_word"))),
+        i => transform(
+          sequence(lit(1),
+            least(lit(maxPieceLen), length(col("_word")) - i + 1)),
+          l => col("_word").substr(i, l)))))).as("_piece"))
+    val wordModels = cands
+      .join(model.select(col(pieceCol).as("_piece"),
+        col(costCol).cast("long").as("_cost")), Seq("_piece"))
+      .groupBy(col("_word"))
+      .agg(map_from_entries(collect_list(
+        struct(col("_piece"), col("_cost")))).as("_m"))
+    // per-word segmentation under the mini-model — the same fold as
+    // the literal flavor, with a map COLUMN instead of a literal
+    // (a word with no known piece gets a NULL map: element_at(null)
+    // is null, so every lookup falls to unk/impossible exactly as a
+    // missing key would)
+    val segmented = words
+      .join(wordModels, Seq("_word"), "left")
+      .withColumn("_c", unigramForward(col("_word"), col("_m"),
+        maxPieceLen, unkMicro))
+      .withColumn("_ps", unigramBacktrace(col("_word"), col("_c"),
+        col("_m"), maxPieceLen, unkMicro))
+      .select(col("_word"), col("_ps"))
+    // join back by word, regroup by id in word order, re-flatten
+    val perDoc = withWords
+      .select(col(idCol), posexplode(col("_uw")).as(Seq("_p", "_word")))
+      .join(segmented, Seq("_word"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("_p"), col("_ps")))),
+        s => s.getField("_ps"))).as("_pieces"))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn(outCol,
+        coalesce(col("_pieces"), array().cast("array<string>")))
+      .drop("_pieces")
   }
 
   /** LEARN a unigram-LM vocabulary (Kudo 2018, hard-EM flavor):
@@ -1534,6 +1619,49 @@ object TextOps {
     scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
       when(s > 0.0 && s === best, l).otherwise(els)
     }
+  }
+
+  /** Scale-safe twin of [[langIdProfile]] for ARBITRARY-SIZE
+    * profiles: the literal flavor bakes every language's gram map
+    * into the plan (right at the Cavnar-Trenkle few-hundred-grams
+    * scale); here the profiles stay a DataFrame
+    * (`langCol`, `gramCol`, `weightCol`) and never touch the plan —
+    * per-doc grams explode, the profile equi-joins ON THE GRAM
+    * (broadcast when small, shuffled when not), scores aggregate per
+    * (doc, lang), and the argmax replays the literal flavor's rule
+    * exactly: the alphabetically-first language with the maximal
+    * POSITIVE score, else "und". Returns `(idCol, predCol)` — one
+    * row per input id (docs whose grams match nothing still surface,
+    * as "und"). Needs `idCol` to regroup; two scans of `df`'s gram
+    * column (score + the all-ids union), both id+gram-narrow.
+    */
+  def langIdProfileJoin(df: DataFrame, idCol: String,
+      gramsCol: Column, profiles: DataFrame, predCol: String = "lang_pred",
+      langCol: String = "lang", gramCol: String = "gram",
+      weightCol: String = "weight"): DataFrame = {
+    val grams = df.select(col(idCol), explode(gramsCol).as("_g"))
+    // window-free argmax: collect the per-lang scores and fold the
+    // literal flavor's rule over the (bounded: |languages|) array
+    val folded = grams
+      .join(profiles.select(col(langCol).as("_l"),
+        col(gramCol).as("_g"),
+        col(weightCol).cast("double").as("_w")), Seq("_g"))
+      .groupBy(col(idCol), col("_l"))
+      .agg(sum(col("_w")).as("_s"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("_l"), col("_s"))))
+        .as("_ls"))
+      .select(col(idCol),
+        aggregate(col("_ls"),
+          struct(lit("und").as("l"), lit(0.0).as("s")),
+          (acc, e) => when(e.getField("_s") > 0.0 &&
+              e.getField("_s") > acc.getField("s"),
+            struct(e.getField("_l").as("l"), e.getField("_s").as("s")))
+            .otherwise(acc))
+          .getField("l").as(predCol))
+    df.select(col(idCol)).distinct()
+      .join(folded, Seq(idCol), "left")
+      .withColumn(predCol, coalesce(col(predCol), lit("und")))
   }
 
   /** Quality heuristics: token count, mean token length, stopword ratio,

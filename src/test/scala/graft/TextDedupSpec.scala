@@ -1236,6 +1236,75 @@ class TextDedupSpec extends SparkSpec {
       Seq("ab", "x", "y", "a", "bc"))
   }
 
+  test("tokensUnigramJoin: segments bit-identically to the literal " +
+    "flavor, including under a 50k-piece vocabulary the plan-literal " +
+    "flavor should never carry") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abab abc xy"), (2L, "the thermal theory aba"),
+      (3L, ""), (4L, "zz qq abab"))
+      .toDF("doc_id", "text")
+    val small = Map("ab" -> 1000000L, "a" -> 1000000L,
+      "b" -> 1500000L, "aba" -> 2800000L, "c" -> 1000000L,
+      "bc" -> 1000000L, "x" -> 1000000L, "th" -> 900000L,
+      "he" -> 950000L, "e" -> 1200000L)
+    def run(model: Map[String, Long]): Map[Long, Seq[String]] = {
+      val lit = TextOps.tokensUnigram(docs, "text", "p", model)
+        .select(col("doc_id"), col("p")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+      val modelDf = model.toSeq.toDF("piece", "cost_micro")
+      val joined = TextOps.tokensUnigramJoin(docs, "doc_id", "text",
+        "p", modelDf)
+        .select(col("doc_id"), col("p")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+      assert(joined == lit,
+        s"join flavor diverged from the literal flavor: $joined vs $lit")
+      lit
+    }
+    val got = run(small)
+    assert(got(1L) == Seq("ab", "ab", "a", "bc", "x", "y"))
+    assert(got(3L) == Seq.empty)
+    // pad to 50,000 pieces over a disjoint uppercase/digit alphabet
+    // (never selectable on this fixture, exactly selectable-shaped):
+    // identical output, and only the join flavor keeps the model out
+    // of the plan
+    val syms = ('A' to 'Z') ++ ('0' to '9')
+    val pad = (for {
+      a <- syms; b <- syms; c <- syms
+    } yield s"$a$b$c").take(49990 - small.size - syms.size)
+    val padded = small ++
+      syms.map(ch => ch.toString -> 4000000L).toMap ++
+      pad.map(p0 => p0 -> 5000000L).toMap
+    assert(padded.size > 40000, s"pad fixture too small: ${padded.size}")
+    run(padded)
+  }
+
+  test("langIdProfileJoin matches the literal flavor on the " +
+    "profile fixture, including the und fallbacks") {
+    import spark.implicits._
+    val profDf = Seq(
+      ("en", "the", 1.0), ("en", "ing", 0.7), ("en", "er ", 0.3),
+      ("de", "der", 1.0), ("de", "sch", 0.9), ("de", "ein", 0.6),
+      ("fr", "les", 1.0), ("fr", "ait", 0.7))
+      .toDF("lang", "gram", "weight")
+    val docs = Seq(
+      (1L, "the weather is changing"),
+      (2L, "schneller der einfache wagen"),
+      (3L, "les traits quil avait"),
+      (4L, "zzzz qqqq"))
+      .toDF("doc_id", "text")
+    val grams = docs.select(col("doc_id"),
+      TextOps.charGrams(lower(col("text")), 3).as("grams"))
+    val lit = grams.select(col("doc_id"),
+      TextOps.langIdProfile(col("grams"),
+        TextOps.loadLangProfiles(profDf)).as("lang_pred"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val joined = TextOps.langIdProfileJoin(grams, "doc_id",
+      col("grams"), profDf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(joined == lit && lit(4L) == "und" && lit(1L) == "en")
+  }
+
   test("learnUnigramLm: substring seeding with the vocab cap, hard-EM " +
     "reassigns counts to the cheaper segmentation, unused pieces " +
     "drop, costs are the exact micro-nat chain") {
