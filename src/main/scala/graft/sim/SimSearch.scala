@@ -336,6 +336,20 @@ object SimSearch {
     annMarker.heal(fs, path, retain) // GC outside the window
   }
 
+  /** [[graft.text.Bm25.compactBm25IndexIfNeeded]]'s policy for the
+    * ANN index: compact when outstanding append + tombstone batches
+    * exceed `maxSegments`. Returns true when one ran.
+    */
+  def compactAnnIndexIfNeeded(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxSegments: Int, retain: Int = 1): Boolean = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
+    val live = annMarker.read(annFs(spark, path), path)
+    if (live.batches.size + live.appends.size > maxSegments) {
+      compactAnnIndex(spark, path, retain); true
+    } else false
+  }
+
   /** Generation compaction: rewrite the live vectors (generation plus
     * append segments) MINUS the accumulated tombstones into a fresh
     * write-once `vectors_gen=<G>` dir and commit it (with empty batch
@@ -2214,6 +2228,22 @@ object SimSearch {
     * — raw vectors, codebooks and centroids are untouched). Run it on
     * the removal pipeline's cadence, not per delete.
     */
+  /** [[graft.text.Bm25.compactBm25IndexIfNeeded]]'s policy for the
+    * PQ index (whose marker batches are tombstones — appends land in
+    * the live codes dir): compact when outstanding tombstone batches
+    * exceed `maxSegments`. Returns true when one ran.
+    */
+  def compactPqIndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxSegments: Int, retain: Int = 1): Boolean = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val state = pqMarker.read(fs, path)
+    if (state.batches.size + state.appends.size > maxSegments) {
+      compactPqIndex(spark, path, retain); true
+    } else false
+  }
+
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, retain: Int = 1): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)

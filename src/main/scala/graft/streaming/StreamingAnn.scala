@@ -42,17 +42,22 @@ import graft.sim.SimSearch
   */
 object StreamingAnn {
 
-  /** Ingest an embedding stream into the index at `indexPath`. */
+  /** Ingest an embedding stream into the index at `indexPath`.
+    * `maxSegments > 0` auto-compacts whenever the outstanding
+    * append/tombstone segment count exceeds it
+    * ([[SimSearch.compactAnnIndexIfNeeded]]).
+    */
   def start(
       stream: DataFrame, indexPath: String, checkpoint: String,
       idCol: String, vecCol: String, planes: Int = 12, dim: Int = 64,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxSegments: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, indexPath, idCol, vecCol, planes,
-          dim)
+          dim, maxSegments)
       }
       .start()
 
@@ -77,7 +82,7 @@ object StreamingAnn {
   def processBatch(
       batch: DataFrame, batchId: Long, indexPath: String,
       idCol: String, vecCol: String, planes: Int = 12,
-      dim: Int = 64): Unit = {
+      dim: Int = 64, maxSegments: Int = 0): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     // no committed marker = nothing ever landed (a crashed bootstrap
@@ -93,5 +98,7 @@ object StreamingAnn {
       SimSearch.appendToAnnIndex(batch, indexPath, idCol, vecCol,
         appliedId = batchId)
     // else: replay of a committed batch — exactly-once skip
+    if (maxSegments > 0)
+      SimSearch.compactAnnIndexIfNeeded(spark, indexPath, maxSegments)
   }
 }

@@ -51,18 +51,24 @@ import graft.text.{Bm25, TextOps}
   */
 object StreamingBm25 {
 
-  /** Ingest a document stream into the index at `indexPath`. */
+  /** Ingest a document stream into the index at `indexPath`.
+    * `maxSegments > 0` auto-compacts whenever the outstanding
+    * append/tombstone segment count exceeds it
+    * ([[Bm25.compactBm25IndexIfNeeded]]) — bounded per-read union
+    * width over an unbounded stream lifetime.
+    */
   def start(
       stream: DataFrame, indexPath: String, checkpoint: String,
       textCol: String, idCol: String, buckets: Int = 64,
       tokenizer: Column => Column = TextOps.tokensSimple,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxSegments: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, indexPath, textCol, idCol,
-          buckets, tokenizer)
+          buckets, tokenizer, maxSegments)
       }
       .start()
 
@@ -89,7 +95,8 @@ object StreamingBm25 {
   def processBatch(
       batch: DataFrame, batchId: Long, indexPath: String,
       textCol: String, idCol: String, buckets: Int = 64,
-      tokenizer: Column => Column = TextOps.tokensSimple): Unit = {
+      tokenizer: Column => Column = TextOps.tokensSimple,
+      maxSegments: Int = 0): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     // no committed marker = nothing ever landed (a crashed bootstrap
@@ -106,5 +113,8 @@ object StreamingBm25 {
       Bm25.appendToBm25Index(batch, textCol, idCol, indexPath,
         tokenizer, appliedId = batchId)
     // else: replay of a committed batch — exactly-once skip
+    if (maxSegments > 0)
+      Bm25.compactBm25IndexIfNeeded(spark, indexPath, idCol,
+        maxSegments)
   }
 }

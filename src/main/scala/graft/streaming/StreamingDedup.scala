@@ -72,14 +72,15 @@ object StreamingDedup {
       tokenizer: Column => Column = TextOps.tokens,
       dedupWithinBatch: Boolean = true,
       maxIter: Int = 20,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxSegments: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, indexPath, outPath, textCol,
           idCol, shingleK, bands, rowsPerBand, threshold, tokenizer,
-          dedupWithinBatch, maxIter)
+          dedupWithinBatch, maxIter, maxSegments)
       }
       .start()
 
@@ -93,7 +94,7 @@ object StreamingDedup {
       threshold: Double = 0.5,
       tokenizer: Column => Column = TextOps.tokens,
       dedupWithinBatch: Boolean = true,
-      maxIter: Int = 20): Unit = {
+      maxIter: Int = 20, maxSegments: Int = 0): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     // no committed marker = nothing ever landed (a crashed bootstrap
@@ -129,5 +130,7 @@ object StreamingDedup {
     else
       Dedup.appendToSignedIndex(keptC, indexPath, textCol, idCol,
         shingleK, bands, rowsPerBand, tokenizer, appliedId = batchId)
+    if (maxSegments > 0)
+      Dedup.compactSignedIndexIfNeeded(spark, indexPath, maxSegments)
   }
 }

@@ -527,6 +527,27 @@ object Bm25 {
     bm25Marker.heal(fs, path, retain) // GC outside the window
   }
 
+  /** Compaction POLICY: compact when the marker's outstanding
+    * append + tombstone batch count exceeds `maxSegments` — serving
+    * unions every outstanding segment per read, so an unbounded
+    * stream lifetime means unbounded per-read union width unless
+    * something schedules the compaction that already exists. The
+    * streaming twins call this per batch (their `maxSegments` knob);
+    * batch deployments can call it on the removal pipeline's cadence.
+    * Returns true when a compaction ran. Safe mid-stream: the
+    * compacted marker carries the applied batch id forward.
+    */
+  def compactBm25IndexIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, maxSegments: Int,
+      retain: Int = 1): Boolean = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
+    val live = bm25Marker.read(bm25Fs(spark, path), path)
+    val n = live.batches.size + live.appends.size
+    if (n > maxSegments) {
+      compactBm25Index(spark, path, idCol, retain); true
+    } else false
+  }
+
   /** The distinct LIVE document ids of a persisted index — the
     * membership probe the takedown/audit pipeline reads before and
     * after a removal ([[graft.operators.Takedown]]). One pruned-read

@@ -316,6 +316,20 @@ object Dedup {
     signedMarker.heal(fs, path, retain) // GC outside the window
   }
 
+  /** [[graft.text.Bm25.compactBm25IndexIfNeeded]]'s policy for the
+    * signed index: compact when outstanding append + tombstone
+    * batches exceed `maxSegments`. Returns true when one ran.
+    */
+  def compactSignedIndexIfNeeded(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxSegments: Int, retain: Int = 1): Boolean = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1: $maxSegments")
+    val live = signedMarker.read(signedFs(spark, path), path)
+    if (live.batches.size + live.appends.size > maxSegments) {
+      compactSignedIndex(spark, path, retain); true
+    } else false
+  }
+
   /** Read a persisted signed index — (id, sig, buckets) rows ready for
     * [[nearDupPairsFromIndex]], [[dedupNearFromIndex]],
     * [[dedupNearAgainstIndex]] and [[dedupNearAgainstIndexBatch]]:

@@ -429,6 +429,43 @@ class StreamAggExportSpec extends SparkSpec {
       .head().getLong(0) == 5L) // 5 survivors + 1 new - 0 doubles
   }
 
+  test("auto-compaction (maxSegments) bounds the streamed index's " +
+    "outstanding segments; serving stays identical to batch-built " +
+    "and replays stay exactly-once across a mid-stream compaction") {
+    val base = tmpDir("autocompact")
+    val idx = s"$base/idx"
+    val docsAll = (1L to 12L).map(i =>
+      (i, s"stream doc $i spark words tok$i"))
+    def segCount(): Int = {
+      val d = new java.io.File(s"$idx/postings_batches")
+      if (d.isDirectory)
+        d.listFiles().count(_.getName.startsWith("batch=")) else 0
+    }
+    docsAll.grouped(2).zipWithIndex.foreach { case (g, i) =>
+      graft.streaming.StreamingBm25.processBatch(
+        g.toDF("doc_id", "text"), i.toLong, idx, "text", "doc_id",
+        buckets = 8, maxSegments = 2)
+      assert(segCount() <= 2,
+        s"segment count ${segCount()} past the bound after batch $i")
+    }
+    // replay of the last batch AFTER a compaction: still a no-op
+    graft.streaming.StreamingBm25.processBatch(
+      docsAll.takeRight(2).toDF("doc_id", "text"), 5L, idx, "text",
+      "doc_id", buckets = 8, maxSegments = 2)
+    // serving = the one-shot index over the union, stats exact
+    val queries = Seq((1L, "spark"), (2L, "tok7"))
+      .toDF("query_id", "term")
+    val batchIdx = s"$base/batchidx"
+    graft.text.Bm25.writeBm25Index(docsAll.toDF("doc_id", "text"),
+      "text", "doc_id", batchIdx, buckets = 8)
+    assert(graft.text.Bm25.topKFromIndex(spark, idx, queries,
+      "query_id", "doc_id").collect().toSet ==
+      graft.text.Bm25.topKFromIndex(spark, batchIdx, queries,
+        "query_id", "doc_id").collect().toSet)
+    assert(graft.text.Bm25.indexStats(spark, idx)
+      .head().getLong(0) == 12L)
+  }
+
   test("stream bootstrap guard: a marker-less index tree (legacy or " +
     "foreign layout) throws instead of being silently deleted; a " +
     "crashed bootstrap (intent file present) re-runs idempotently") {
