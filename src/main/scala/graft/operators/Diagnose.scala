@@ -214,6 +214,26 @@ object Diagnose {
       .write.mode("overwrite").parquet(s"$root/_bloom/$valueCol/meta")
   }
 
+  /** Write `df` as parquet at `root` AND build the Bloom side-cars
+    * for `bloomCols` in the SAME call — the lifecycle integration
+    * that makes a side-car trustworthy by construction (it covers
+    * exactly the files just written) instead of a manual post-write
+    * step that silently ages as the dataset changes. The natural
+    * companion to the [[Relational.zOrderLayout]]/
+    * [[Relational.hilbertLayoutN]] write: lay out for range probes,
+    * side-car the high-cardinality point-probe columns, one call.
+    * (Appends after this write stay SAFE — the unknown-file guard
+    * scans them — they just stop skipping until a rebuild.)
+    */
+  def writeWithBloomSidecars(df: DataFrame, root: String,
+      bloomCols: Seq[String], mode: String = "errorifexists",
+      m: Int = 1 << 16, k: Int = 2): Unit = {
+    require(bloomCols.nonEmpty, "need at least one bloom column")
+    df.write.mode(mode).parquet(root)
+    bloomCols.foreach(c =>
+      writeBloomSidecar(df.sparkSession, root, c, m, k))
+  }
+
   /** The side-car's verdict on a probe set, resolved to a concrete
     * scan plan: `files` = canonical paths to scan (bloom-passing
     * covered files plus every file the side-car does not cover — the

@@ -922,9 +922,11 @@ class IvfSpec extends SparkSpec {
       SimSearch.readPqIndex(spark, dir, 1L)
     }
     assert(err.getMessage.contains("retain"))
-    // a retain=1 lifecycle op collapses the window to the ruling gen
+    // the window PERSISTS in the marker: a default-retain lifecycle
+    // op keeps the 2-snapshot window previous callers established
+    // (the old per-call minimum would have collapsed it)
     SimSearch.deleteFromPqIndex(Seq(2L).toDF("vec_id"), dir)
-    assert(SimSearch.pqGenerations(spark, dir) == Seq(4L))
+    assert(SimSearch.pqGenerations(spark, dir) == Seq(3L, 4L))
     assert(!new java.io.File(s"$dir/codes").exists())
   }
 

@@ -346,6 +346,26 @@ class TableAuditSpec extends SparkSpec {
     assert(rep2.getAs[Long]("n_files_unknown") == 0L)
   }
 
+  test("writeWithBloomSidecars: layout + side-car in one call — the " +
+    "side-car covers exactly the files written") {
+    val root = tmpDir("bloom-onecall") + "/t"
+    val laid = graft.operators.Relational.zOrderLayout(
+      (0L until 512L).map(i => (i, (i * 37L) % 512L)).toDF("x", "y"),
+      col("x"), col("y"), bits = 8, partitions = 4)
+    graft.operators.Diagnose.writeWithBloomSidecars(laid, root,
+      Seq("x", "y"))
+    // both side-cars exist, fully covering the write
+    Seq("x", "y").foreach { c =>
+      val rep = graft.operators.Diagnose
+        .bloomSkippingReport(spark, root, c, Seq(101L)).head()
+      assert(rep.getAs[Long]("n_files_unknown") == 0L, c)
+      assert(rep.getAs[Long]("n_rows_matched") == 1L, c)
+    }
+    assert(graft.operators.Diagnose
+      .readWithBloom(spark, root, "y", Seq((101L * 37L) % 512L))
+      .count() == 1L)
+  }
+
   test("bloom side-car hot-probe cap: past maxFiles the read falls " +
     "back to one full scan, stays correct, and the report says so") {
     val root = tmpDir("bloom-cap") + "/t"
