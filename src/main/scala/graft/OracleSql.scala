@@ -8236,6 +8236,22 @@ object OracleSql {
         |  0::BIGINT AS n_missing_after, 0::BIGINT AS n_extra_after
         |FROM fam f""".stripMargin,
 
+    // docpool upsert: final corpus = v1 evens not divisible by 3 +
+    // v2 thirds (n_chars + 1e6); row set + snapshot require'd
+    // in-query, the aggregate replayed here
+    "q333_docpool_upsert" ->
+      """WITH fin AS (
+        |  SELECT doc_id, n_chars FROM documents
+        |    WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, n_chars + 1000000 FROM documents
+        |    WHERE doc_id % 3 = 0)
+        |SELECT count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(CASE WHEN n_chars >= 1000000 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_v2
+        |FROM fin""".stripMargin,
+
     // index drift: set algebra over the gate's constructions —
     // index ids = evens minus every 10th; corpus = all minus every 7th
     "q329_index_drift" ->

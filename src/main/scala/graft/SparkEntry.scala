@@ -5373,6 +5373,47 @@ object SparkEntry {
     }
   }
 
+  /** DocPool per-bucket UPSERT under the oracle — the growth half of
+    * the corpus lifecycle (q331 proved the removal half): bootstrap
+    * the pool with the EVEN doc ids, then upsert every 3rd doc with a
+    * v2 row (`n_chars + 1000000` marks the version) — odd thirds are
+    * NEW ids, even thirds REPLACE — rewriting only the batch's hash
+    * buckets. In-query `require`s pin (a) the final rows exactly
+    * (survivor v1 evens + v2 thirds, via exceptAll both ways) and
+    * (b) the retained pre-upsert snapshot still serving the all-v1
+    * bootstrap; the oracle replays the final corpus aggregate from
+    * the construction. EAGER; temp tree deleted before returning.
+    */
+  def q333_docpool_upsert(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_dup")
+    try {
+      val d = docs(s, dir)
+      val pool = base.resolve("pool").toString
+      val v1 = d.filter(col("doc_id") % 2 === 0)
+      graft.operators.DocPool.write(v1, pool, "doc_id", buckets = 8,
+        retain = 2)
+      val v2 = d.filter(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000000L)
+      graft.operators.DocPool.upsert(v2, pool, "doc_id", retain = 2)
+      val got = graft.operators.DocPool.read(s, pool)
+      val want = v1.filter(col("doc_id") % 3 =!= 0).unionByName(v2)
+      require(got.exceptAll(want).isEmpty &&
+        want.exceptAll(got).isEmpty,
+        "upserted pool diverged from the expected row set")
+      require(graft.operators.DocPool.read(s, pool, 1L)
+        .filter(col("n_chars") >= 1000000L).isEmpty,
+        "pre-upsert snapshot must stay readable and all-v1")
+      got.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("n_chars") >= 1000000L, 1L).otherwise(0L))
+          .as("n_v2")).localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** The serve-freshness loop CLOSED under the oracle — q329 measured
     * drift for one family; this gate runs [[graft.operators
     * .DriftRepair]] across ALL FOUR persisted index families built
@@ -6153,6 +6194,7 @@ object SparkEntry {
     "q326_unigram_apply" -> (q326_unigram_apply(_, _)),
     "q331_corpus_takedown" -> (q331_corpus_takedown(_, _)),
     "q332_drift_repair" -> (q332_drift_repair(_, _)),
+    "q333_docpool_upsert" -> (q333_docpool_upsert(_, _)),
     "q323_layout_skipping" -> (q323_layout_skipping(_, _)))
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1514,6 +1514,53 @@ object Main {
       if (!clean) sys.exit(3)
       done(spark)
 
+    // marker-committed document pool: bootstrap / per-bucket upsert /
+    // id-pruned physical remove / resolved read (gen = time travel)
+    case "docpool-write" :: inPath :: poolRoot :: rest =>
+      val buckets = rest.headOption.map(_.toInt).getOrElse(64)
+      val idCol = rest.lift(1).getOrElse("doc_id")
+      val retain = rest.lift(2).map(_.toInt).getOrElse(1)
+      val spark = session()
+      graft.operators.DocPool.write(spark.read.parquet(inPath),
+        poolRoot, idCol, buckets, retain)
+      println(s"[docpool-write] committed " +
+        s"${graft.operators.DocPool.read(spark, poolRoot).count()} " +
+        s"rows into $poolRoot")
+      done(spark)
+
+    case "docpool-upsert" :: inPath :: poolRoot :: rest =>
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val retain = rest.lift(1).map(_.toInt).getOrElse(1)
+      val spark = session()
+      graft.operators.DocPool.upsert(spark.read.parquet(inPath),
+        poolRoot, idCol, retain)
+      println(s"[docpool-upsert] pool now holds " +
+        s"${graft.operators.DocPool.read(spark, poolRoot).count()} rows")
+      done(spark)
+
+    case "docpool-remove" :: idsPath :: poolRoot :: rest =>
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val retain = rest.lift(1).map(_.toInt).getOrElse(1)
+      val spark = session()
+      graft.operators.DocPool.removeIds(spark,
+        spark.read.parquet(idsPath), poolRoot, idCol, retain)
+      println(s"[docpool-remove] pool now holds " +
+        s"${graft.operators.DocPool.read(spark, poolRoot).count()} rows")
+      done(spark)
+
+    case "docpool-read" :: poolRoot :: outDir :: rest =>
+      val spark = session()
+      val df = rest.headOption match {
+        case Some(g) => graft.operators.DocPool.read(spark, poolRoot,
+          g.toLong)
+        case None => graft.operators.DocPool.read(spark, poolRoot)
+      }
+      df.write.mode("overwrite").parquet(outDir)
+      println(s"[docpool-read] ${df.count()} rows -> $outDir " +
+        s"(generations: ${graft.operators.DocPool
+          .listGenerations(spark, poolRoot).mkString(",")})")
+      done(spark)
+
     // the committed PQ snapshots still inside the retention window
     case "pq-generations" :: idxPath :: Nil =>
       val spark = session()
@@ -3354,6 +3401,10 @@ object Main {
           "pool-commit <input> <poolRoot> [retain] [--csv] | " +
           "pool-read <poolRoot> <out> [gen] | " +
           "pool-generations <poolRoot> | " +
+          "docpool-write <docsParquet> <poolRoot> [buckets] [idCol] [retain] | " +
+          "docpool-upsert <docsParquet> <poolRoot> [idCol] [retain] | " +
+          "docpool-remove <idsParquet> <poolRoot> [idCol] [retain] | " +
+          "docpool-read <poolRoot> <outDir> [gen] | " +
           "sessions-stream <inDir> <state> <ckpt> [gapMin] | " +
           "sessions-report <state> <out> | " +
           "kendall <parquet> <aCol> <bCol> | " +

@@ -56,7 +56,8 @@ object DocPool {
     * growth goes through a fresh write or the streaming ingest path).
     */
   def write(docs: DataFrame, root: String, idCol: String,
-      buckets: Int = 64, retain: Int = 1): Unit = {
+      buckets: Int = 64, retain: Int = 1,
+      appliedId: Long = -1L): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -85,7 +86,8 @@ object DocPool {
     val written = pool.partsUnder(fs, new Path(s"$root/gen=$gen"))
     // a full write REPLACES: every live bucket points at the new gen
     pool.writeMarker(fs, root,
-      pool.Marker(gen, written.map(_ -> gen).toMap))
+      pool.Marker(gen, written.map(_ -> gen).toMap, prev.retain,
+        math.max(prev.applied, appliedId)), retain)
     pool.heal(fs, root, retain)
   }
 
@@ -135,9 +137,74 @@ object DocPool {
     val written = pool.partsUnder(fs, new Path(s"$root/gen=$gen"))
     val next = (prev.parts -- touched.map(_._1)) ++
       written.map(_ -> gen).toMap
-    pool.writeMarker(fs, root, pool.Marker(gen, next))
+    pool.writeMarker(fs, root,
+      pool.Marker(gen, next, prev.retain, prev.applied), retain)
     pool.heal(fs, root, retain)
   }
+
+  /** Per-bucket UPSERT: replace rows whose id is in `docs`, add rows
+    * whose id is new — rewriting ONLY the buckets the batch's ids
+    * hash to (the [[removeIds]] pruning applied to growth): each
+    * touched bucket's survivors (old rows anti-joined against the
+    * BROADCAST batch ids) union the batch's rows for that bucket,
+    * staged under a fresh generation and committed with one marker
+    * PUT; untouched buckets keep their directories. Duplicate ids
+    * WITHIN the batch are rejected loudly (an upsert with two
+    * versions of one doc has no deterministic winner).
+    *
+    * `appliedId` records the stream batch id in the SAME marker PUT
+    * (the [[LiveMarker]] sid discipline) — the exactly-once handle
+    * [[graft.streaming.StreamingDocPool]] skips replays by.
+    */
+  def upsert(docs: DataFrame, root: String, idCol: String,
+      retain: Int = 1, appliedId: Long = -1L): Unit = {
+    val spark = docs.sparkSession
+    val fs = fsFor(spark, root)
+    pool.heal(fs, root, retain)
+    val prev = pool.readMarker(fs, root)
+    require(prev.parts.nonEmpty,
+      s"no committed doc pool under $root (bootstrap with write)")
+    val (buckets, metaId) = readMeta(spark, root)
+    require(metaId == idCol,
+      s"doc pool at $root is bucketed by '$metaId', got '$idCol'")
+    val batch = docs.filter(col(idCol).isNotNull).localCheckpoint()
+    require(batch.groupBy(col(idCol)).count()
+      .filter(col("count") > 1L).isEmpty,
+      "upsert batch carries duplicate ids — no deterministic winner")
+    val ids = batch.select(col(idCol))
+    val gen = prev.gen + 1L
+    // every bucket the batch touches needs its directory rewritten —
+    // including buckets with no current rows (pure growth)
+    val targetSet = ids
+      .select(partOf(col(idCol), buckets).as("_p"))
+      .distinct().collect().map(r => s"part=${r.getLong(0)}").toSet
+    val existing = prev.parts.toSeq
+      .filter(t => targetSet.contains(t._1)).sortBy(_._1)
+    val survivors =
+      if (existing.isEmpty) batch.filter(lit(false))
+      else spark.read.option("basePath", root)
+        .parquet(existing.map { case (p, g) => s"$root/gen=$g/$p" }: _*)
+        .drop("gen", "part")
+        .join(broadcast(ids), Seq(idCol), "left_anti")
+    survivors.unionByName(batch)
+      .withColumn("part", partOf(col(idCol), buckets))
+      .write.partitionBy("part").mode("errorifexists")
+      .parquet(s"$root/gen=$gen")
+    val written = pool.partsUnder(fs, new Path(s"$root/gen=$gen"))
+    val next = (prev.parts -- targetSet) ++ written.map(_ -> gen).toMap
+    pool.writeMarker(fs, root,
+      pool.Marker(gen, next, prev.retain,
+        math.max(prev.applied, appliedId)), retain)
+    pool.heal(fs, root, retain)
+  }
+
+  /** The highest stream batch id a marker commit recorded (-1 =
+    * never streamed) — [[graft.streaming.StreamingDocPool]]'s
+    * exactly-once skip handle.
+    */
+  def lastAppliedStreamBatch(
+      spark: SparkSession, root: String): Long =
+    pool.readMarker(fsFor(spark, root), root).applied
 
   /** The pool rows holding any of `ids` — the membership read
     * [[Takedown]] certifies against, partition-pruned to the ids'

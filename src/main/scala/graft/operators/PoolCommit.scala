@@ -39,8 +39,16 @@ private[graft] final class MarkerPool(
 
   private val Footer = "end"
 
-  /** Live mapping: partition relative path → its live generation. */
-  final case class Marker(gen: Long, parts: Map[String, Long])
+  /** Live mapping: partition relative path → its live generation,
+    * plus the PERSISTED retention window (`#ret:` line — a property
+    * of the TABLE, carried marker to marker and monotone under
+    * [[heal]], the [[LiveMarker]] contract) and the highest applied
+    * stream batch id (`#sid:` line; -1 = never streamed) — recorded
+    * in the SAME PUT as the data mapping, so a streaming writer's
+    * exactly-once skip decision commits atomically with its rows.
+    */
+  final case class Marker(gen: Long, parts: Map[String, Long],
+      retain: Int = 1, applied: Long = -1L)
 
   private def markerPath(root: String, gen: Long) =
     new Path(root, f"$markerPrefix$gen%019d")
@@ -66,11 +74,23 @@ private[graft] final class MarkerPool(
       finally in.close()
     val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
     if (lines.lastOption.contains(Footer)) {
-      try Some(Marker(gen, lines.init.map { l =>
-        val cut = l.lastIndexOf(':')
-        require(cut > 0, s"bad marker line: $l")
-        l.substring(0, cut) -> l.substring(cut + 1).toLong
-      }.toMap))
+      try {
+        // '#'-prefixed lines are protocol metadata, not partitions —
+        // absent in pre-round-14 markers (defaults apply)
+        val (meta, partLines) = lines.init.partition(_.startsWith("#"))
+        val metaMap = meta.map { l =>
+          val cut = l.indexOf(':')
+          require(cut > 0, s"bad marker meta line: $l")
+          l.substring(1, cut) -> l.substring(cut + 1)
+        }.toMap
+        Some(Marker(gen, partLines.map { l =>
+          val cut = l.lastIndexOf(':')
+          require(cut > 0, s"bad marker line: $l")
+          l.substring(0, cut) -> l.substring(cut + 1).toLong
+        }.toMap,
+          metaMap.getOrElse("ret", "1").toInt,
+          metaMap.getOrElse("sid", "-1").toLong))
+      }
       catch { case _: RuntimeException => None }
     } else None
   }
@@ -81,12 +101,20 @@ private[graft] final class MarkerPool(
       .nextOption()
       .getOrElse(Marker(0L, Map.empty))
 
-  def writeMarker(fs: FileSystem, root: String, m: Marker): Unit = {
+  /** One marker PUT. The persisted retention is monotone: the marker
+    * records `max(m.retain, retain)` — a lifecycle call can RAISE the
+    * table's window but never silently collapse one a previous writer
+    * persisted.
+    */
+  def writeMarker(fs: FileSystem, root: String, m: Marker,
+      retain: Int = 1): Unit = {
+    val eff = math.max(m.retain, retain)
     val out = fs.create(markerPath(root, m.gen), false)
     try {
-      val body = m.parts.toSeq.sortBy(_._1).map { case (p, g) =>
-        s"$p:$g"
-      } :+ Footer
+      val body = Seq(s"#ret:$eff", s"#sid:${m.applied}") ++
+        m.parts.toSeq.sortBy(_._1).map { case (p, g) =>
+          s"$p:$g"
+        } :+ Footer
       out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
     } finally out.close()
   }
@@ -116,10 +144,14 @@ private[graft] final class MarkerPool(
     require(retain >= 1, s"retain must be >= 1, got $retain")
     val root = new Path(root0)
     if (!fs.exists(root)) return
-    // markerFiles sorts newest-first; keep the newest `retain`
-    // COMPLETE markers (torn ones never count toward the window)
-    val kept = markerFiles(fs, root)
-      .flatMap(p => parse(fs, p).map(m => p -> m)).take(retain)
+    // markerFiles sorts newest-first; keep the newest `eff` COMPLETE
+    // markers (torn ones never count toward the window), where eff =
+    // max(caller's retain, the window the ruling marker persists)
+    val all = markerFiles(fs, root)
+      .flatMap(p => parse(fs, p).map(m => p -> m))
+    val eff = math.max(retain,
+      all.headOption.map(_._2.retain).getOrElse(1))
+    val kept = all.take(eff)
     val keptPaths = kept.map(_._1.getName).toSet
     val liveParts = kept.flatMap(_._2.parts).toSet // (part, gen) pairs
     markerFiles(fs, root).foreach { p =>
@@ -235,8 +267,10 @@ object PoolCommit {
     val written = pool.partsUnder(fs, new Path(s"$poolRoot/gen=$gen"))
     val next = mutable.Map.empty[String, Long] ++ prev.parts
     written.foreach(p => next(p) = gen)
-    // THE commit point: one write-once marker PUT
-    pool.writeMarker(fs, poolRoot, pool.Marker(gen, next.toMap))
+    // THE commit point: one write-once marker PUT (retention carries
+    // forward, monotone — the LiveMarker contract)
+    pool.writeMarker(fs, poolRoot,
+      pool.Marker(gen, next.toMap, prev.retain, prev.applied), retain)
     pool.heal(fs, poolRoot, retain) // GC outside the retention window
   }
 

@@ -747,6 +747,36 @@ class CliSmokeSpec extends SparkSpec {
       .count() == 12L)
   }
 
+  test("docpool commands run the corpus pool lifecycle end to end") {
+    val base = tmpDir("cli-docpool")
+    val in = s"$base/in"
+    (1L to 10L).map(i => (i, s"v1 doc $i")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    val pool = s"$base/pool"
+    graft.cli.Main.main(Array("docpool-write", in, pool, "4",
+      "doc_id", "2"))
+    val up = s"$base/up"
+    Seq((3L, "v2 doc 3"), (11L, "v1 doc 11")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(up)
+    graft.cli.Main.main(Array("docpool-upsert", up, pool))
+    val ids = s"$base/ids"
+    Seq(7L).toDF("doc_id").write.mode("overwrite").parquet(ids)
+    graft.cli.Main.main(Array("docpool-remove", ids, pool))
+    val out = s"$base/out"
+    graft.cli.Main.main(Array("docpool-read", pool, out))
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 10) // 10 + 1 new - 1 removed
+    assert(got(3L) == "v2 doc 3" && got(11L) == "v1 doc 11" &&
+      !got.contains(7L))
+    // time-travel read of the pre-remove snapshot — the retain=2
+    // persisted at write time keeps it, even though the later
+    // lifecycle calls used the default
+    val snap = s"$base/snap"
+    graft.cli.Main.main(Array("docpool-read", pool, snap, "2"))
+    assert(spark.read.parquet(snap).count() == 11L)
+  }
+
   test("pool-commit and pool-read run the marker pool end to end") {
     val in = s"${tmpDir("cli-poolin")}/rows"
     SyntheticTracking.df(spark, games = 1, plays = 2, frames = 5)

@@ -363,22 +363,24 @@ class IngestPoolSpec extends SparkSpec {
     val cur = PoolCommit.read(spark, root).count()
     assert(PoolCommit.read(spark, root, 2L).count() == cur)
 
-    // gen 3 under retain=2: gen 1 ages out, 2 and 3 stay readable
+    // gen 3 under a SMALLER per-call retain: the PERSISTED window (3)
+    // rules — retention is monotone and lives in the marker, so one
+    // careless call can no longer collapse it
     PoolCommit.write(updA, root, retain = 2)
-    assert(PoolCommit.listGenerations(fs, root) == Seq(2L, 3L))
-    assert(PoolCommit.read(spark, root, 2L).count() == cur)
+    assert(PoolCommit.listGenerations(fs, root) == Seq(1L, 2L, 3L))
+    assert(PoolCommit.read(spark, root, 1L).count() == fullCount)
     assert(PoolCommit.read(spark, root, 3L).count() == cur)
+
+    // a fourth write (default retain) ages the OLDEST generation out
+    // of the 3-snapshot window; the aged-out read fails loudly
+    PoolCommit.write(updA, root)
+    assert(PoolCommit.listGenerations(fs, root) == Seq(2L, 3L, 4L))
+    assert(PoolCommit.read(spark, root).count() == cur)
     val err = intercept[IllegalArgumentException] {
       PoolCommit.read(spark, root, 1L)
     }
     assert(err.getMessage.contains("gen=1") &&
       err.getMessage.contains("retain"))
-
-    // retention never resurrects: dropping back to retain=1 GCs the
-    // superseded snapshot on the next write
-    PoolCommit.write(updA, root)
-    assert(PoolCommit.listGenerations(fs, root) == Seq(4L))
-    assert(PoolCommit.read(spark, root).count() == cur)
   }
 
   test("samplePlays: exact n, deterministic under seed, all frames join back") {
@@ -644,5 +646,69 @@ class IngestPoolSpec extends SparkSpec {
     assert(left == (0L until 16L).toSet -- victimIds)
     assert(DocPool.readForIds(spark, root,
       victimIds.toDF("doc_id"), "doc_id").count() == 0L)
+  }
+
+  test("DocPool.upsert: replaces re-ingested ids, adds new ones, " +
+    "rewrites only the touched buckets, rejects in-batch duplicates") {
+    import graft.operators.DocPool
+    import spark.implicits._
+    val root = tmpDir("docpool-upsert") + "/corpus"
+    val v1 = (0L until 64L).map(i => (i, s"v1 doc $i"))
+      .toDF("doc_id", "text")
+    DocPool.write(v1, root, "doc_id", buckets = 8, retain = 2)
+    // upsert: 4 replacements + 2 brand-new ids
+    val batch = Seq((3L, "v2 doc 3"), (17L, "v2 doc 17"),
+      (40L, "v2 doc 40"), (41L, "v2 doc 41"),
+      (100L, "v2 doc 100"), (101L, "v2 doc 101"))
+      .toDF("doc_id", "text")
+    val touchedBuckets = Seq(3L, 17L, 40L, 41L, 100L, 101L)
+      .map(i => spark.range(1)
+        .select(DocPool.partOf(lit(i), 8)).head().getLong(0)).toSet
+    val untouched = (0L until 8L).toSet -- touchedBuckets
+    assert(untouched.nonEmpty, "fixture must leave untouched buckets")
+    def filesIn(dir: String): Set[String] = {
+      val f = new java.io.File(dir)
+      if (!f.isDirectory) Set.empty
+      else f.listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+        .toSet
+    }
+    val beforeFiles = untouched.map(b =>
+      b -> filesIn(s"$root/gen=1/part=$b")).toMap
+    DocPool.upsert(batch, root, "doc_id", retain = 2)
+    val got = DocPool.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 66)
+    assert(got(3L) == "v2 doc 3" && got(100L) == "v2 doc 100")
+    assert(got(4L) == "v1 doc 4") // un-upserted id untouched
+    untouched.foreach { b =>
+      assert(filesIn(s"$root/gen=1/part=$b") == beforeFiles(b),
+        s"untouched bucket $b must keep its original files")
+    }
+    // time travel: the retained pre-upsert snapshot is all-v1
+    assert(DocPool.read(spark, root, 1L)
+      .filter(col("text").startsWith("v2")).count() == 0L)
+    // in-batch duplicate ids have no deterministic winner: loud
+    intercept[IllegalArgumentException] {
+      DocPool.upsert(Seq((7L, "a"), (7L, "b")).toDF("doc_id", "text"),
+        root, "doc_id")
+    }
+  }
+
+  test("DocPool retention persists in the marker: write with " +
+    "retain=3, later default-retain lifecycle calls keep the window") {
+    import graft.operators.DocPool
+    import spark.implicits._
+    val root = tmpDir("docpool-ret") + "/corpus"
+    val docs = (0L until 32L).map(i => (i, s"doc $i"))
+      .toDF("doc_id", "text")
+    DocPool.write(docs, root, "doc_id", buckets = 4, retain = 3)
+    // a default-retain upsert and removeIds — the old per-call
+    // minimum would have collapsed the window to 1 immediately
+    DocPool.upsert(Seq((100L, "new")).toDF("doc_id", "text"), root,
+      "doc_id")
+    DocPool.removeIds(spark, Seq(5L).toDF("doc_id"), root, "doc_id")
+    assert(DocPool.listGenerations(spark, root) == Seq(1L, 2L, 3L))
+    assert(DocPool.read(spark, root, 1L).count() == 32L)
+    assert(DocPool.read(spark, root).count() == 32L) // +1 new -1 gone
   }
 }

@@ -213,7 +213,8 @@ class PlanGateSpec extends SparkSpec {
       "q323_layout_skipping", "q324_bloom_skipping",
       "q325_unigram_learn", "q327_aipw", "q328_takedown",
       "q329_index_drift", "q330_unigram_em2",
-      "q331_corpus_takedown", "q332_drift_repair")
+      "q331_corpus_takedown", "q332_drift_repair",
+      "q333_docpool_upsert")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalWindowWhitelist.contains)
@@ -253,7 +254,8 @@ class PlanGateSpec extends SparkSpec {
       "q323_layout_skipping", "q324_bloom_skipping",
       "q325_unigram_learn", "q327_aipw", "q328_takedown",
       "q329_index_drift", "q330_unigram_em2",
-      "q331_corpus_takedown", "q332_drift_repair")
+      "q331_corpus_takedown", "q332_drift_repair",
+      "q333_docpool_upsert")
     val offenders = SparkEntry.queries.keys
       .filterNot(eager.contains)
       .filterNot(globalSortWhitelist.contains)

@@ -466,6 +466,49 @@ class StreamAggExportSpec extends SparkSpec {
       .head().getLong(0) == 12L)
   }
 
+  test("StreamingDocPool: bootstrap + upserts are exactly-once — " +
+    "replays skip, a crash between stage and marker PUT lands once") {
+    val base = tmpDir("streamdocpool")
+    val pool = s"$base/pool"
+    // retain=2 keeps the superseded snapshot on disk, so deleting the
+    // newest marker below reconstructs the pre-PUT crash state
+    // EXACTLY (staged generation unreferenced, previous snapshot's
+    // directories intact)
+    def drive(batch: Seq[(Long, String)], id: Long): Unit =
+      graft.streaming.StreamingDocPool.processBatch(
+        batch.toDF("doc_id", "text"), id, pool, "doc_id", buckets = 4,
+        retain = 2)
+    drive((1L to 4L).map(i => (i, s"v1 $i")), 0L) // bootstrap
+    drive(Seq((3L, "v2 3"), (5L, "v1 5")), 1L)    // upsert
+    def poolMap(): Map[Long, String] =
+      graft.operators.DocPool.read(spark, pool)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(poolMap() == Map(1L -> "v1 1", 2L -> "v1 2", 3L -> "v2 3",
+      4L -> "v1 4", 5L -> "v1 5"))
+    // replay of a committed batch: the sid in the marker makes it a
+    // no-op — exactly-once skip
+    drive(Seq((3L, "v2 3"), (5L, "v1 5")), 1L)
+    assert(poolMap().size == 5)
+    assert(graft.operators.DocPool
+      .lastAppliedStreamBatch(spark, pool) == 1L)
+    // CRASH WINDOW: batch 2 stages + commits; delete its marker —
+    // the on-disk state of a crash before the PUT — then replay
+    val fs = new org.apache.hadoop.fs.Path(pool)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def markers() = fs.listStatus(
+      new org.apache.hadoop.fs.Path(pool)).map(_.getPath)
+      .filter(_.getName.startsWith("_doc_marker.")).sortBy(_.getName)
+    drive(Seq((6L, "v1 6"), (1L, "v2 1")), 2L)
+    assert(fs.delete(markers().last, false)) // "the PUT never landed"
+    assert(graft.operators.DocPool
+      .lastAppliedStreamBatch(spark, pool) == 1L) // rolled back
+    drive(Seq((6L, "v1 6"), (1L, "v2 1")), 2L) // replay lands ONCE
+    assert(poolMap() == Map(1L -> "v2 1", 2L -> "v1 2", 3L -> "v2 3",
+      4L -> "v1 4", 5L -> "v1 5", 6L -> "v1 6"))
+    assert(graft.operators.DocPool
+      .lastAppliedStreamBatch(spark, pool) == 2L)
+  }
+
   test("stream bootstrap guard: a marker-less index tree (legacy or " +
     "foreign layout) throws instead of being silently deleted; a " +
     "crashed bootstrap (intent file present) re-runs idempotently") {
