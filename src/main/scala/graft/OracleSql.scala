@@ -8190,10 +8190,11 @@ object OracleSql {
         |  (d.doc_id % 3 <> 0) AS in_pool, true AS gone_pool
         |FROM documents d WHERE d.doc_id % 11 = 0""".stripMargin,
 
-    // drift repair across all four families: the before-numbers are
-    // set algebra over the constructions (corpora drop every 7th id;
-    // indexes hold evens / thirds / evens / non-fifths); the
-    // after-numbers are require'd zero in-query and pinned here
+    // drift repair across all four index families + the DocPool
+    // corpus: before-numbers are set algebra over the constructions
+    // (corpora drop every 7th id; families hold evens / thirds /
+    // non-fifths / evens / non-fifths); the after-numbers are
+    // require'd zero in-query and pinned here
     "q332_drift_repair" ->
       """WITH corp AS (SELECT doc_id AS id FROM documents
         |    WHERE doc_id % 7 <> 0),
@@ -8203,14 +8204,18 @@ object OracleSql {
         |sg AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 0),
         |an AS (SELECT vec_id AS id FROM embeddings WHERE vec_id % 2 = 0),
         |pq AS (SELECT vec_id AS id FROM embeddings WHERE vec_id % 5 <> 0),
-        |fam(family) AS (VALUES ('bm25'), ('signed'), ('ann'), ('pq'))
+        |pl AS (SELECT doc_id AS id FROM documents WHERE doc_id % 5 <> 0),
+        |fam(family) AS (VALUES ('bm25'), ('signed'), ('ann'), ('pq'),
+        |  ('pool'))
         |SELECT f.family,
         |  (CASE f.family WHEN 'bm25' THEN (SELECT count(*) FROM corp)
         |     WHEN 'signed' THEN (SELECT count(*) FROM corp)
+        |     WHEN 'pool' THEN (SELECT count(*) FROM corp)
         |     WHEN 'ann' THEN (SELECT count(*) FROM vcorp)
         |     ELSE (SELECT count(*) FROM vcorp) END)::BIGINT AS n_corpus,
         |  (CASE f.family WHEN 'bm25' THEN (SELECT count(*) FROM bm)
         |     WHEN 'signed' THEN (SELECT count(*) FROM sg)
+        |     WHEN 'pool' THEN (SELECT count(*) FROM pl)
         |     WHEN 'ann' THEN (SELECT count(*) FROM an)
         |     ELSE (SELECT count(*) FROM pq) END)::BIGINT AS n_index,
         |  (CASE f.family
@@ -8218,6 +8223,8 @@ object OracleSql {
         |       WHERE id NOT IN (SELECT id FROM bm))
         |     WHEN 'signed' THEN (SELECT count(*) FROM corp
         |       WHERE id NOT IN (SELECT id FROM sg))
+        |     WHEN 'pool' THEN (SELECT count(*) FROM corp
+        |       WHERE id NOT IN (SELECT id FROM pl))
         |     WHEN 'ann' THEN (SELECT count(*) FROM vcorp
         |       WHERE id NOT IN (SELECT id FROM an))
         |     ELSE (SELECT count(*) FROM vcorp
@@ -8227,6 +8234,8 @@ object OracleSql {
         |     WHEN 'bm25' THEN (SELECT count(*) FROM bm
         |       WHERE id NOT IN (SELECT id FROM corp))
         |     WHEN 'signed' THEN (SELECT count(*) FROM sg
+        |       WHERE id NOT IN (SELECT id FROM corp))
+        |     WHEN 'pool' THEN (SELECT count(*) FROM pl
         |       WHERE id NOT IN (SELECT id FROM corp))
         |     WHEN 'ann' THEN (SELECT count(*) FROM an
         |       WHERE id NOT IN (SELECT id FROM vcorp))

@@ -5416,13 +5416,15 @@ object SparkEntry {
 
   /** The serve-freshness loop CLOSED under the oracle — q329 measured
     * drift for one family; this gate runs [[graft.operators
-    * .DriftRepair]] across ALL FOUR persisted index families built
+    * .DriftRepair]] across ALL FOUR persisted index families PLUS
+    * the [[graft.operators.DocPool]] corpus of record, each built
     * from deliberately different subsets (BM25 evens, signed thirds,
-    * ANN evens, PQ non-fifths) against corpora that dropped every 7th
-    * id — so every family carries BOTH drift directions — then
-    * REMEDIATES (extras tombstone out through one takedown per id
-    * domain, missing re-append through each family's marker-committed
-    * append) and re-audits. The oracle replays the before-numbers
+    * pool non-fifths, ANN evens, PQ non-fifths) against corpora that
+    * dropped every 7th id — so every family carries BOTH drift
+    * directions — then REMEDIATES (extras tombstone/remove out
+    * through one takedown per id domain, missing re-append/upsert
+    * through each family's marker-committed write path) and
+    * re-audits. The oracle replays the before-numbers
     * from the set algebra of the constructions; the in-query
     * `require` pins the after-numbers at ZERO for every family — the
     * end-to-end freshness certificate. EAGER (four builds, two
@@ -5437,12 +5439,15 @@ object SparkEntry {
       val (bm, ann, pq, sg) = (base.resolve("bm").toString,
         base.resolve("ann").toString, base.resolve("pq").toString,
         base.resolve("sg").toString)
+      val dp = base.resolve("pool").toString
       graft.text.Bm25.writeBm25Index(
         d.filter(col("doc_id") % 2 === 0), "text", "doc_id", bm,
         buckets = 16)
       Dedup.writeSignedIndex(d.filter(col("doc_id") % 3 === 0), sg,
         "text", "doc_id", shingleK = 3, bands = 8, rowsPerBand = 4,
         tokenizer = TextOps.tokensSimple)
+      graft.operators.DocPool.write(
+        d.filter(col("doc_id") % 5 =!= 0), dp, "doc_id", buckets = 8)
       SimSearch.writeAnnIndex(emb.filter(col("vec_id") % 2 === 0),
         ann, "vec_id", "embedding", planes = 6, dim = 64)
       SimSearch.writePqIndex(
@@ -5453,6 +5458,7 @@ object SparkEntry {
       val rep = graft.operators.DriftRepair(s,
         docCorpus = Some(d.filter(col("doc_id") % 7 =!= 0)),
         bm25Path = Some(bm), signedPath = Some(sg),
+        docPoolPath = Some(dp),
         tokenizer = TextOps.tokensSimple,
         vecCorpus = Some(emb.filter(col("vec_id") % 7 =!= 0)
           .withColumn("cell", col("label"))),

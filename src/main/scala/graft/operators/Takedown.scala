@@ -147,12 +147,15 @@ object Takedown {
   * are zero, and a caller that `require`s them zero has an
   * end-to-end freshness certificate across every serving path.
   *
-  * Families are opt-in: the DOC families (BM25, signed MinHash) audit
-  * against `docCorpus` on `docIdCol`/`textCol`; the VECTOR families
-  * (hyperplane-ANN, IVF-PQ) against `vecCorpus` on
-  * `vecIdCol`/`vecCol`. Signed-index LSH parameters and the PQ
-  * (m, dim) must match the index's creation (the appends validate
-  * where the index persists them).
+  * Families are opt-in: the DOC families (BM25, signed MinHash, and
+  * the [[DocPool]] corpus of record itself) audit against `docCorpus`
+  * on `docIdCol`/`textCol`; the VECTOR families (hyperplane-ANN,
+  * IVF-PQ) against `vecCorpus` on `vecIdCol`/`vecCol`. Signed-index
+  * LSH parameters and the PQ (m, dim) must match the index's creation
+  * (the appends validate where the index persists them). Pool
+  * remediation is physical — extras [[DocPool.removeIds]] out through
+  * the takedown, missing rows [[DocPool.upsert]] back in — so the
+  * pool never has a tombstone shadow.
   *
   * Scale shape: each audit is ONE tag-union aggregation (no join, no
   * broadcast assumption on either side); extras/missing are id-keyed
@@ -170,6 +173,7 @@ object DriftRepair {
       docIdCol: String = "doc_id", textCol: String = "text",
       bm25Path: Option[String] = None,
       signedPath: Option[String] = None,
+      docPoolPath: Option[String] = None,
       signedShingleK: Int = 3, signedBands: Int = 8,
       signedRowsPerBand: Int = 4,
       tokenizer: org.apache.spark.sql.Column =>
@@ -181,7 +185,7 @@ object DriftRepair {
       pqCellCol: Option[String] = None,
       retain: Int = 1): DataFrame = {
     require((docCorpus.nonEmpty &&
-        bm25Path.orElse(signedPath).nonEmpty) ||
+        bm25Path.orElse(signedPath).orElse(docPoolPath).nonEmpty) ||
       (vecCorpus.nonEmpty && annPath.orElse(pqPath).nonEmpty),
       "drift repair needs a corpus and at least one index family")
 
@@ -192,7 +196,9 @@ object DriftRepair {
           graft.text.Bm25.bm25IndexIds(spark, p, docIdCol))).toSeq ++
         signedPath.map(p => ("signed", c, docIdCol,
           graft.text.Dedup.readSignedIndex(spark, p)
-            .select(col(docIdCol)))).toSeq
+            .select(col(docIdCol)))).toSeq ++
+        docPoolPath.map(p => ("pool", c, docIdCol,
+          DocPool.read(spark, p).select(col(docIdCol)))).toSeq
       }
       val vec = vecCorpus.toSeq.flatMap { c =>
         annPath.map { p =>
@@ -233,11 +239,12 @@ object DriftRepair {
 
     // extras → ONE takedown per id domain (absent-from-a-family ids
     // are harmless no-ops, so the union batch serves every family)
-    val docExtras = Seq("bm25", "signed").flatMap(extras.get)
+    val docExtras = Seq("bm25", "signed", "pool").flatMap(extras.get)
       .reduceOption(_ unionByName _).map(_.distinct())
     docExtras.filter(!_.isEmpty).foreach { ids =>
       Takedown(spark, ids, docIdCol, bm25Path = bm25Path,
-        signedPath = signedPath, retain = retain)
+        signedPath = signedPath, poolPath = docPoolPath,
+        retain = retain)
     }
     val vecExtras = Seq("ann", "pq").flatMap(extras.get)
       .reduceOption(_ unionByName _).map(_.distinct())
@@ -254,6 +261,8 @@ object DriftRepair {
       case "signed" => graft.text.Dedup.appendToSignedIndex(m,
         signedPath.get, textCol, docIdCol, signedShingleK,
         signedBands, signedRowsPerBand, tokenizer, retain = retain)
+      case "pool" => DocPool.upsert(m, docPoolPath.get, docIdCol,
+        retain)
       case "ann" => graft.sim.SimSearch.appendToAnnIndex(m,
         annPath.get, vecIdCol, vecCol, retain)
       case "pq" => graft.sim.SimSearch.appendToPqIndex(m, pqPath.get,
@@ -268,6 +277,7 @@ object DriftRepair {
         annPath.get, retain)
       case "pq" => graft.sim.SimSearch.compactPqIndex(spark,
         pqPath.get, retain)
+      case "pool" => () // physical removal: no tombstone to fold
     }
     missing.foreach { case (name, m) =>
       if (!m.isEmpty) appendFor(name, m)
