@@ -226,32 +226,46 @@ object DriftRepair {
 
     val famsBefore = famReads()
     // ONE consistent pre-repair snapshot: audits, extras, and missing
-    // all materialize before any delete/append mutates a lazy read
+    // all materialize before any delete/append mutates a lazy read.
+    // Per id DOMAIN the per-family frames union under a family tag
+    // and materialize in ONE job each (not one per family).
     val before = audit(famsBefore, "").localCheckpoint()
-    val extras = famsBefore.map { case (name, corpus, idc, index) =>
-      name -> index.join(broadcast(corpus.select(col(idc)).distinct()),
-        Seq(idc), "left_anti").localCheckpoint()
-    }.toMap
-    val missing = famsBefore.map { case (name, corpus, idc, index) =>
-      name -> corpus.join(broadcast(index), Seq(idc), "left_anti")
-        .localCheckpoint()
-    }.toMap
+    def tagged(fams: Seq[(String, DataFrame, String, DataFrame)],
+        anti: Boolean): Option[DataFrame] =
+      fams.map { case (name, corpus, idc, index) =>
+        val d =
+          if (anti) index.join(
+            broadcast(corpus.select(col(idc)).distinct()),
+            Seq(idc), "left_anti")
+          else corpus.join(broadcast(index), Seq(idc), "left_anti")
+        d.withColumn("_fam", lit(name))
+      }.reduceOption(_ unionByName _).map(_.localCheckpoint())
+    def byFam(tag: Option[DataFrame], name: String): DataFrame =
+      tag.get.filter(col("_fam") === name).drop("_fam")
+    val docFams = famsBefore.filter(f =>
+      Set("bm25", "signed", "pool")(f._1))
+    val vecFams = famsBefore.filter(f => Set("ann", "pq")(f._1))
+    val docExtrasT = tagged(docFams, anti = true)
+    val vecExtrasT = tagged(vecFams, anti = true)
+    val docMissingT = tagged(docFams, anti = false)
+    val vecMissingT = tagged(vecFams, anti = false)
+    val missing: Map[String, DataFrame] =
+      docFams.map(f => f._1 -> byFam(docMissingT, f._1)).toMap ++
+      vecFams.map(f => f._1 -> byFam(vecMissingT, f._1)).toMap
 
     // extras → ONE takedown per id domain (absent-from-a-family ids
     // are harmless no-ops, so the union batch serves every family)
-    val docExtras = Seq("bm25", "signed", "pool").flatMap(extras.get)
-      .reduceOption(_ unionByName _).map(_.distinct())
-    docExtras.filter(!_.isEmpty).foreach { ids =>
-      Takedown(spark, ids, docIdCol, bm25Path = bm25Path,
-        signedPath = signedPath, poolPath = docPoolPath,
-        retain = retain)
-    }
-    val vecExtras = Seq("ann", "pq").flatMap(extras.get)
-      .reduceOption(_ unionByName _).map(_.distinct())
-    vecExtras.filter(!_.isEmpty).foreach { ids =>
-      Takedown(spark, ids, vecIdCol, annPath = annPath,
-        pqPath = pqPath, pqIdCol = Some(vecIdCol), retain = retain)
-    }
+    docExtrasT.map(_.select(col(docIdCol)).distinct())
+      .filter(!_.isEmpty).foreach { ids =>
+        Takedown(spark, ids, docIdCol, bm25Path = bm25Path,
+          signedPath = signedPath, poolPath = docPoolPath,
+          retain = retain)
+      }
+    vecExtrasT.map(_.select(col(vecIdCol)).distinct())
+      .filter(!_.isEmpty).foreach { ids =>
+        Takedown(spark, ids, vecIdCol, annPath = annPath,
+          pqPath = pqPath, pqIdCol = Some(vecIdCol), retain = retain)
+      }
 
     // missing → the family's marker-committed append, fed ONLY the
     // missing rows
@@ -282,29 +296,39 @@ object DriftRepair {
     missing.foreach { case (name, m) =>
       if (!m.isEmpty) appendFor(name, m)
     }
-    // RESURRECT pass: a missing id that was previously TOMBSTONED (a
+    // re-audit through fresh serving reads — this IS the resurrect
+    // detector: a missing id that was previously TOMBSTONED (a
     // takedown that outran the corpus refresh) is shadowed — its
     // re-appended rows stay invisible (BM25/ANN/signed reads anti-join
     // the tombstones; PQ's append dedupe skips ids whose dead rows
-    // still sit in the live codes) until the tombstone compacts away.
-    // Any family still missing ids after the first append pass pays
-    // ONE compaction (folds tombstones and the shadowed segment) and
-    // re-appends the residual — the only case where repair rewrites
-    // more than the drifted rows, and exactly the family compaction
-    // the removal pipeline owes anyway.
-    famReads().foreach { case (name, corpus, idc, index) =>
-      val resid = corpus.join(broadcast(index), Seq(idc), "left_anti")
-        .localCheckpoint()
-      if (!resid.isEmpty) {
-        compactFor(name)
-        appendFor(name, resid)
+    // still sit in the live codes) until the tombstone compacts away,
+    // and it surfaces here as residual n_missing_after.
+    var after = audit(famReads(), "_after").localCheckpoint()
+    val shadowed = after
+      .filter(col("n_missing_after") > 0L)
+      .select(col("family")).collect().map(_.getString(0)).toSet
+    if (shadowed.nonEmpty) {
+      // RESURRECT pass: the shadowed families pay ONE compaction
+      // (folds tombstones and the shadowed segment) and re-append the
+      // residual — the only case where repair rewrites more than the
+      // drifted rows, and exactly the family compaction the removal
+      // pipeline owes anyway. The clean path (no shadow) costs zero
+      // extra jobs: the after-audit doubles as the detector.
+      famReads().filter(f => shadowed(f._1)).foreach {
+        case (name, corpus, idc, index) =>
+          val resid = corpus
+            .join(broadcast(index), Seq(idc), "left_anti")
+            .localCheckpoint()
+          if (!resid.isEmpty) {
+            compactFor(name)
+            appendFor(name, resid)
+          }
       }
+      after = audit(famReads(), "_after").localCheckpoint()
     }
-
-    // re-audit through fresh serving reads
-    val after = audit(famReads(), "_after")
-      .select(col("family"), col("n_missing_after"),
-        col("n_extra_after"))
-    before.join(after, Seq("family")).localCheckpoint()
+    before.join(
+      after.select(col("family"), col("n_missing_after"),
+        col("n_extra_after")),
+      Seq("family")).localCheckpoint()
   }
 }
