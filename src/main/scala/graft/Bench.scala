@@ -22,6 +22,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // bucketed index trees hold up to 64 `bucket=`/`cell=` child
+      // dirs; above the default threshold (32) Spark launches a
+      // distributed listing JOB per read — pure scheduling overhead
+      // for directory counts this small at ANY deployment scale
+      // (overridable via SPARK_GRAFT_LIST_THRESHOLD)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "128"))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

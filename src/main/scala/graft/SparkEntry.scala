@@ -5061,14 +5061,19 @@ object SparkEntry {
       val pBm = base.resolve("bm25").toString
       val pAnn = base.resolve("ann").toString
       val d = docs(s, dir)
-      graft.text.Bm25.writeBm25Index(
-        d.filter(col("doc_id") % 2 === 0), "text", "doc_id", pBm,
-        buckets = 16)
-      graft.text.Bm25.appendToBm25Index(
-        d.filter(col("doc_id") % 2 =!= 0), "text", "doc_id", pBm)
       val emb = t(s, dir, "embeddings")
-      SimSearch.writeAnnIndex(emb, pAnn, "vec_id", "embedding",
-        planes = 6, dim = 64)
+      // the BM25 build+append chain and the ANN build write disjoint
+      // trees: overlap them (guide §2.6)
+      graft.operators.Par.run(Seq(
+        () => {
+          graft.text.Bm25.writeBm25Index(
+            d.filter(col("doc_id") % 2 === 0), "text", "doc_id", pBm,
+            buckets = 16)
+          graft.text.Bm25.appendToBm25Index(
+            d.filter(col("doc_id") % 2 =!= 0), "text", "doc_id", pBm)
+        },
+        () => SimSearch.writeAnnIndex(emb, pAnn, "vec_id", "embedding",
+          planes = 6, dim = 64)))
       val queries = Seq(
         (1L, "spark"), (1L, "join"), (1L, "window"),
         (2L, "slow"), (2L, "query"), (2L, "filter"),
@@ -5286,19 +5291,23 @@ object SparkEntry {
       val (bm, ann, pq, sg) = (base.resolve("bm").toString,
         base.resolve("ann").toString, base.resolve("pq").toString,
         base.resolve("sg").toString)
-      graft.text.Bm25.writeBm25Index(
-        d.filter(col("doc_id") % 2 === 0), "text", "doc_id", bm,
-        buckets = 16)
-      SimSearch.writeAnnIndex(emb.filter(col("vec_id") % 2 === 0),
-        ann, "vec_id", "embedding", planes = 6, dim = 64)
-      SimSearch.writePqIndex(
-        emb.filter(col("vec_id") % 5 =!= 0)
-          .withColumn("cell", col("label")),
-        pq, "vec_id", "embedding", "cell", m = 2, k = 4, iters = 2,
-        dim = 64, bucketWidth = 128L)
-      Dedup.writeSignedIndex(d.filter(col("doc_id") % 3 === 0), sg,
-        "text", "doc_id", shingleK = 3, bands = 8, rowsPerBand = 4,
-        tokenizer = TextOps.tokensSimple)
+      // four independent index trees: build them concurrently
+      // (guide §2.6)
+      graft.operators.Par.run(Seq(
+        () => graft.text.Bm25.writeBm25Index(
+          d.filter(col("doc_id") % 2 === 0), "text", "doc_id", bm,
+          buckets = 16),
+        () => SimSearch.writeAnnIndex(
+          emb.filter(col("vec_id") % 2 === 0),
+          ann, "vec_id", "embedding", planes = 6, dim = 64),
+        () => SimSearch.writePqIndex(
+          emb.filter(col("vec_id") % 5 =!= 0)
+            .withColumn("cell", col("label")),
+          pq, "vec_id", "embedding", "cell", m = 2, k = 4, iters = 2,
+          dim = 64, bucketWidth = 128L),
+        () => Dedup.writeSignedIndex(d.filter(col("doc_id") % 3 === 0),
+          sg, "text", "doc_id", shingleK = 3, bands = 8,
+          rowsPerBand = 4, tokenizer = TextOps.tokensSimple)))
       val targets = d.filter(col("doc_id") % 13 === 0)
         .select(col("doc_id"))
       val audit = graft.operators.Takedown(s, targets, "doc_id",
@@ -5339,12 +5348,15 @@ object SparkEntry {
       val d = docs(s, dir)
       val bm = base.resolve("bm").toString
       val pool = base.resolve("pool").toString
-      graft.text.Bm25.writeBm25Index(
-        d.filter(col("doc_id") % 2 === 0), "text", "doc_id", bm,
-        buckets = 16)
-      graft.operators.DocPool.write(
-        d.filter(col("doc_id") % 3 =!= 0), pool, "doc_id",
-        buckets = 8, retain = 2)
+      // independent trees: overlap the index build and the pool
+      // bootstrap (guide §2.6)
+      graft.operators.Par.run(Seq(
+        () => graft.text.Bm25.writeBm25Index(
+          d.filter(col("doc_id") % 2 === 0), "text", "doc_id", bm,
+          buckets = 16),
+        () => graft.operators.DocPool.write(
+          d.filter(col("doc_id") % 3 =!= 0), pool, "doc_id",
+          buckets = 8, retain = 2)))
       val targets = d.filter(col("doc_id") % 11 === 0)
         .select(col("doc_id"))
       val audit = graft.operators.Takedown(s, targets, "doc_id",
@@ -5440,21 +5452,26 @@ object SparkEntry {
         base.resolve("ann").toString, base.resolve("pq").toString,
         base.resolve("sg").toString)
       val dp = base.resolve("pool").toString
-      graft.text.Bm25.writeBm25Index(
-        d.filter(col("doc_id") % 2 === 0), "text", "doc_id", bm,
-        buckets = 16)
-      Dedup.writeSignedIndex(d.filter(col("doc_id") % 3 === 0), sg,
-        "text", "doc_id", shingleK = 3, bands = 8, rowsPerBand = 4,
-        tokenizer = TextOps.tokensSimple)
-      graft.operators.DocPool.write(
-        d.filter(col("doc_id") % 5 =!= 0), dp, "doc_id", buckets = 8)
-      SimSearch.writeAnnIndex(emb.filter(col("vec_id") % 2 === 0),
-        ann, "vec_id", "embedding", planes = 6, dim = 64)
-      SimSearch.writePqIndex(
-        emb.filter(col("vec_id") % 5 =!= 0)
-          .withColumn("cell", col("label")),
-        pq, "vec_id", "embedding", "cell", m = 2, k = 4, iters = 2,
-        dim = 64, bucketWidth = 128L)
+      // five independent family trees: build them concurrently
+      // (guide §2.6)
+      graft.operators.Par.run(Seq(
+        () => graft.text.Bm25.writeBm25Index(
+          d.filter(col("doc_id") % 2 === 0), "text", "doc_id", bm,
+          buckets = 16),
+        () => Dedup.writeSignedIndex(d.filter(col("doc_id") % 3 === 0),
+          sg, "text", "doc_id", shingleK = 3, bands = 8,
+          rowsPerBand = 4, tokenizer = TextOps.tokensSimple),
+        () => graft.operators.DocPool.write(
+          d.filter(col("doc_id") % 5 =!= 0), dp, "doc_id",
+          buckets = 8),
+        () => SimSearch.writeAnnIndex(
+          emb.filter(col("vec_id") % 2 === 0),
+          ann, "vec_id", "embedding", planes = 6, dim = 64),
+        () => SimSearch.writePqIndex(
+          emb.filter(col("vec_id") % 5 =!= 0)
+            .withColumn("cell", col("label")),
+          pq, "vec_id", "embedding", "cell", m = 2, k = 4, iters = 2,
+          dim = 64, bucketWidth = 128L)))
       val rep = graft.operators.DriftRepair(s,
         docCorpus = Some(d.filter(col("doc_id") % 7 =!= 0)),
         bm25Path = Some(bm), signedPath = Some(sg),

@@ -78,8 +78,10 @@ object DocPool {
     } else
       Seq((buckets, idCol)).toDF("buckets", "id_col").coalesce(1)
         .write.mode("errorifexists").parquet(s"$root/_doc_meta")
-    docs.filter(col(idCol).isNotNull)
-      .withColumn("part", partOf(col(idCol), buckets))
+    WriteLayout.clusterBy(
+      docs.filter(col(idCol).isNotNull)
+        .withColumn("part", partOf(col(idCol), buckets)),
+      "part")
       .write.partitionBy("part")
       .mode("errorifexists") // collision = concurrent writer, fail loud
       .parquet(s"$root/gen=$gen")
@@ -132,6 +134,7 @@ object DocPool {
     spark.read.option("basePath", root).parquet(dirs: _*)
       .drop("gen")
       .join(broadcast(base), Seq(idCol), "left_anti")
+      .transform(WriteLayout.clusterBy(_, "part"))
       .write.partitionBy("part").mode("errorifexists")
       .parquet(s"$root/gen=$gen")
     val written = pool.partsUnder(fs, new Path(s"$root/gen=$gen"))
@@ -186,8 +189,10 @@ object DocPool {
         .parquet(existing.map { case (p, g) => s"$root/gen=$g/$p" }: _*)
         .drop("gen", "part")
         .join(broadcast(ids), Seq(idCol), "left_anti")
-    survivors.unionByName(batch)
-      .withColumn("part", partOf(col(idCol), buckets))
+    WriteLayout.clusterBy(
+      survivors.unionByName(batch)
+        .withColumn("part", partOf(col(idCol), buckets)),
+      "part")
       .write.partitionBy("part").mode("errorifexists")
       .parquet(s"$root/gen=$gen")
     val written = pool.partsUnder(fs, new Path(s"$root/gen=$gen"))

@@ -94,20 +94,27 @@ object Takedown {
         idCol, "in_pool")
     }
     val before = pre.localCheckpoint()
-    // phase 2 — the four marker-committed deletes
-    bm25Path.foreach(p =>
-      graft.text.Bm25.deleteFromBm25Index(base, p, idCol, retain))
-    annPath.foreach { p =>
-      val (_, _, metaId, _) = graft.sim.SimSearch.annMeta(spark, p)
-      graft.sim.SimSearch.deleteFromAnnIndex(
-        base.select(col(idCol).as(metaId)), p, retain)
-    }
-    pqPath.foreach(p => graft.sim.SimSearch.deleteFromPqIndex(
-      base.select(col(idCol).as(pqIdCol.getOrElse(idCol))), p, retain))
-    signedPath.foreach(p =>
-      graft.text.Dedup.deleteFromSignedIndex(base, p, idCol, retain))
-    poolPath.foreach(p =>
-      DocPool.removeIds(spark, base, p, idCol, retain))
+    // phase 2 — the marker-committed deletes. Each family commits to
+    // its OWN tree, so the deletes are independent Spark actions and
+    // run CONCURRENTLY (guide §2.6) — max-of-families wall time
+    // instead of sum-of-families.
+    Par.run(
+      bm25Path.map(p => () =>
+        graft.text.Bm25.deleteFromBm25Index(base, p, idCol,
+          retain)).toSeq ++
+      annPath.map { p => () => {
+        val (_, _, metaId, _) = graft.sim.SimSearch.annMeta(spark, p)
+        graft.sim.SimSearch.deleteFromAnnIndex(
+          base.select(col(idCol).as(metaId)), p, retain)
+      }}.toSeq ++
+      pqPath.map(p => () => graft.sim.SimSearch.deleteFromPqIndex(
+        base.select(col(idCol).as(pqIdCol.getOrElse(idCol))), p,
+        retain)).toSeq ++
+      signedPath.map(p => () =>
+        graft.text.Dedup.deleteFromSignedIndex(base, p, idCol,
+          retain)).toSeq ++
+      poolPath.map(p => () =>
+        DocPool.removeIds(spark, base, p, idCol, retain)).toSeq)
     // phase 3 — certify `gone` from the SAME serving reads, again as
     // one plan materialized once (the audit artifact must be a stable
     // snapshot, not a lazy view over files a later GC may age out)
@@ -157,14 +164,20 @@ object Takedown {
   * the takedown, missing rows [[DocPool.upsert]] back in — so the
   * pool never has a tombstone shadow.
   *
-  * Scale shape: each audit is ONE tag-union aggregation (no join, no
-  * broadcast assumption on either side); extras/missing are id-keyed
-  * anti-joins against the corpus; the re-appends index ONLY the
-  * missing rows (never a corpus re-scan); the tombstone batches are
+  * Scale shape: the whole before-state is ONE tag-union aggregation
+  * per id domain (no join, no broadcast assumption on either side) —
+  * the same cached pass yields the audit counts AND the
+  * extras/missing id lists, so no family is scanned twice before
+  * mutation; remediation decisions read off the checkpointed 5-row
+  * audit (zero extra jobs); the re-appends index ONLY the missing
+  * rows, re-attached to the corpus by a broadcast semi-join (the
+  * corpus never shuffles, never re-scans); the tombstone batches are
   * the per-domain unions of extras — query-sized in any healthy
-  * deployment (a fully-drifted index wants a rebuild, not a repair).
-  * Before-state materializes once (localCheckpoint) before any
-  * mutation, the [[Takedown]] snapshot discipline.
+  * deployment (a fully-drifted index wants a rebuild, not a repair);
+  * and the per-family deletes/appends write to independent trees, so
+  * they run concurrently (guide §2.6). Before-state materializes once
+  * (localCheckpoint) before any mutation, the [[Takedown]] snapshot
+  * discipline.
   */
 object DriftRepair {
 
@@ -225,50 +238,114 @@ object DriftRepair {
       }.reduce(_ unionByName _)
 
     val famsBefore = famReads()
-    // ONE consistent pre-repair snapshot: audits, extras, and missing
-    // all materialize before any delete/append mutates a lazy read.
-    // Per id DOMAIN the per-family frames union under a family tag
-    // and materialize in ONE job each (not one per family).
-    val before = audit(famsBefore, "").localCheckpoint()
-    def tagged(fams: Seq[(String, DataFrame, String, DataFrame)],
-        anti: Boolean): Option[DataFrame] =
-      fams.map { case (name, corpus, idc, index) =>
-        val d =
-          if (anti) index.join(
-            broadcast(corpus.select(col(idc)).distinct()),
-            Seq(idc), "left_anti")
-          else corpus.join(broadcast(index), Seq(idc), "left_anti")
-        d.withColumn("_fam", lit(name))
-      }.reduceOption(_ unionByName _).map(_.localCheckpoint())
-    def byFam(tag: Option[DataFrame], name: String): DataFrame =
-      tag.get.filter(col("_fam") === name).drop("_fam")
     val docFams = famsBefore.filter(f =>
       Set("bm25", "signed", "pool")(f._1))
     val vecFams = famsBefore.filter(f => Set("ann", "pq")(f._1))
-    val docExtrasT = tagged(docFams, anti = true)
-    val vecExtrasT = tagged(vecFams, anti = true)
-    val docMissingT = tagged(docFams, anti = false)
-    val vecMissingT = tagged(vecFams, anti = false)
-    val missing: Map[String, DataFrame] =
-      docFams.map(f => f._1 -> byFam(docMissingT, f._1)).toMap ++
-      vecFams.map(f => f._1 -> byFam(vecMissingT, f._1)).toMap
 
-    // extras → ONE takedown per id domain (absent-from-a-family ids
-    // are harmless no-ops, so the union batch serves every family)
-    docExtrasT.map(_.select(col(docIdCol)).distinct())
-      .filter(!_.isEmpty).foreach { ids =>
-        Takedown(spark, ids, docIdCol, bm25Path = bm25Path,
-          signedPath = signedPath, poolPath = docPoolPath,
-          retain = retain)
-      }
-    vecExtrasT.map(_.select(col(vecIdCol)).distinct())
-      .filter(!_.isEmpty).foreach { ids =>
-        Takedown(spark, ids, vecIdCol, annPath = annPath,
-          pqPath = pqPath, pqIdCol = Some(vecIdCol), retain = retain)
-      }
+    // ONE consistent pre-repair snapshot, computed as ONE tag-union
+    // pass per id domain (the [[Diagnose.indexDriftReport]] shape,
+    // extended per family): every family's corpus/index ids union
+    // under a family tag, group once per (family, id), and that one
+    // cached frame yields BOTH the before-audit counts AND the
+    // extras/missing id lists — the audit and the four per-direction
+    // anti-join passes of the previous shape collapse into two jobs,
+    // and no family is scanned more than once before mutation.
+    def grouped(fams: Seq[(String, DataFrame, String, DataFrame)])
+        : Option[DataFrame] =
+      fams.map { case (name, corpus, idc, index) =>
+        corpus.select(col(idc).as("_id"), lit(1L).as("_c"),
+            lit(0L).as("_i"))
+          .unionByName(index.select(col(idc).as("_id"),
+            lit(0L).as("_c"), lit(1L).as("_i")))
+          .withColumn("_fam", lit(name))
+      }.reduceOption(_ unionByName _)
+        .map(_.groupBy(col("_fam"), col("_id"))
+          .agg(max(col("_c")).as("_c"), max(col("_i")).as("_i"))
+          .persist())
+    // one row per family even when a family's corpus AND index are
+    // both empty (the aggregate would drop the group; the seeded
+    // left join keeps the row with null counts, the exact output of
+    // the per-family [[Diagnose.indexDriftReport]] fold)
+    def auditFrom(g: Option[DataFrame],
+        fams: Seq[(String, DataFrame, String, DataFrame)])
+        : Option[DataFrame] = g.map { gr =>
+      import spark.implicits._
+      val counts = gr.groupBy(col("_fam").as("family"))
+        .agg(sum(col("_c")).as("n_corpus"),
+          sum(col("_i")).as("n_index"),
+          sum(when(col("_c") === 1L && col("_i") === 0L, 1L)
+            .otherwise(0L)).as("n_missing"),
+          sum(when(col("_c") === 0L && col("_i") === 1L, 1L)
+            .otherwise(0L)).as("n_extra"))
+      fams.map(_._1).toDF("family").join(counts, Seq("family"), "left")
+    }
+    val docG = grouped(docFams)
+    val vecG = grouped(vecFams)
+    val before = (auditFrom(docG, docFams).toSeq ++
+      auditFrom(vecG, vecFams).toSeq)
+      .reduce(_ unionByName _).localCheckpoint()
+    // the drifted ids only — query-sized in any healthy deployment
+    val docDiff = docG.map(_.filter(col("_c") === 0L ||
+      col("_i") === 0L).localCheckpoint())
+    val vecDiff = vecG.map(_.filter(col("_c") === 0L ||
+      col("_i") === 0L).localCheckpoint())
+    docG.foreach(_.unpersist())
+    vecG.foreach(_.unpersist())
+    // remediation decisions read off the 5-row checkpointed audit —
+    // zero extra Spark jobs
+    val beforeRows = before.collect()
+    def cnt(fam: String, c: String): Long =
+      beforeRows.find(_.getString(0) == fam).map { r =>
+        val i = r.fieldIndex(c)
+        if (r.isNullAt(i)) 0L else r.getLong(i)
+      }.getOrElse(0L)
+
+    // extras → ONE union tombstone batch per id domain (absent-from-
+    // a-family ids are harmless no-ops, so the union batch serves
+    // every family), committed by each family's own marker-committed
+    // delete; the per-family deletes write to independent trees and
+    // run CONCURRENTLY (guide §2.6)
+    def extraIds(diff: Option[DataFrame], as: String): DataFrame =
+      diff.get.filter(col("_c") === 0L)
+        .select(col("_id").as(as)).distinct()
+    if (docFams.map(f => cnt(f._1, "n_extra")).sum > 0L) {
+      val ids = extraIds(docDiff, docIdCol)
+      Par.run(
+        bm25Path.map(p => () => graft.text.Bm25.deleteFromBm25Index(
+          ids, p, docIdCol, retain)).toSeq ++
+        signedPath.map(p => () => graft.text.Dedup
+          .deleteFromSignedIndex(ids, p, docIdCol, retain)).toSeq ++
+        docPoolPath.map(p => () =>
+          DocPool.removeIds(spark, ids, p, docIdCol, retain)).toSeq)
+    }
+    if (vecFams.map(f => cnt(f._1, "n_extra")).sum > 0L) {
+      val ids = extraIds(vecDiff, vecIdCol)
+      Par.run(
+        annPath.map { p => () => {
+          val (_, _, metaId, _) = graft.sim.SimSearch.annMeta(spark, p)
+          graft.sim.SimSearch.deleteFromAnnIndex(
+            ids.select(col(vecIdCol).as(metaId)), p, retain)
+        }}.toSeq ++
+        pqPath.map(p => () => graft.sim.SimSearch.deleteFromPqIndex(
+          ids, p, retain)).toSeq)
+    }
 
     // missing → the family's marker-committed append, fed ONLY the
-    // missing rows
+    // missing rows: the decision came from the id-only pass, and the
+    // rows re-attach by a broadcast semi-join against the missing ids
+    // (null-safe, so a null-id corpus row round-trips exactly as the
+    // previous anti-join shape did) — the corpus itself never shuffles
+    def missingRows(diff: Option[DataFrame], fam: String,
+        corpus: DataFrame, idc: String): DataFrame = {
+      val m = diff.get.filter(col("_fam") === fam && col("_i") === 0L)
+        .select(col("_id"))
+      corpus.join(broadcast(m), corpus(idc) <=> m("_id"), "left_semi")
+    }
+    val missing: Map[String, DataFrame] =
+      (docFams.map(f => f._1 ->
+        missingRows(docDiff, f._1, f._2, f._3)) ++
+       vecFams.map(f => f._1 ->
+         missingRows(vecDiff, f._1, f._2, f._3))).toMap
     def appendFor(name: String, m: DataFrame): Unit = name match {
       case "bm25" => graft.text.Bm25.appendToBm25Index(m, textCol,
         docIdCol, bm25Path.get, tokenizer, retain)
@@ -293,9 +370,13 @@ object DriftRepair {
         pqPath.get, retain)
       case "pool" => () // physical removal: no tombstone to fold
     }
-    missing.foreach { case (name, m) =>
-      if (!m.isEmpty) appendFor(name, m)
-    }
+    // append decisions come from the checkpointed audit counts (no
+    // per-family isEmpty jobs); independent per-family appends
+    // overlap (guide §2.6)
+    Par.run(missing.toSeq.collect {
+      case (name, m) if cnt(name, "n_missing") > 0L =>
+        () => appendFor(name, m)
+    })
     // re-audit through fresh serving reads — this IS the resurrect
     // detector: a missing id that was previously TOMBSTONED (a
     // takedown that outran the corpus refresh) is shadowed — its

@@ -233,8 +233,10 @@ object SimSearch {
     Seq((planes, dim, idCol, vecCol))
       .toDF("planes", "dim", "id_col", "vec_col")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    emb.select(col(idCol), col(vecCol),
-      simhashBucket(col(vecCol), planes, dim).as("bucket"))
+    graft.operators.WriteLayout.clusterBy(
+      emb.select(col(idCol), col(vecCol),
+        simhashBucket(col(vecCol), planes, dim).as("bucket")),
+      "bucket")
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/vectors")
     // commit creation as snapshot gen 1: keeps the pristine state
@@ -296,7 +298,8 @@ object SimSearch {
         annMarker.put(fs, path, live.copy(gen = b,
           applied = appliedId), retain)
     } else {
-      seg.write.mode("errorifexists").partitionBy("bucket")
+      graft.operators.WriteLayout.clusterBy(seg, "bucket")
+        .write.mode("errorifexists").partitionBy("bucket")
         .parquet(s"$path/vectors_batches/batch=$b")
       seg.unpersist()
       annMarker.put(fs, path, live.copy(gen = b,
@@ -368,7 +371,8 @@ object SimSearch {
     annMarker.heal(fs, path, retain)
     val live = annMarker.read(fs, path)
     val gen = live.gen + 1L
-    readAnnIndex(spark, path)
+    graft.operators.WriteLayout.clusterBy(
+      readAnnIndex(spark, path), "bucket")
       .write.mode("errorifexists").partitionBy("bucket")
       .parquet(s"$path/vectors_gen=$gen")
     annMarker.put(fs, path, graft.operators.LiveState(gen,
@@ -978,8 +982,11 @@ object SimSearch {
     val cb = pqFit(emb, idCol, vecCol, m, k, iters, dim, bucketWidth)
       .localCheckpoint() // codebooks reused by the encode pass
     cb.write.mode("overwrite").parquet(s"$path/codebooks")
-    pqEncode(emb, cb, idCol, vecCol, m, dim)
-      .join(emb.select(col(idCol), col(cellCol).as("cell")), Seq(idCol))
+    graft.operators.WriteLayout.clusterBy(
+      pqEncode(emb, cb, idCol, vecCol, m, dim)
+        .join(emb.select(col(idCol), col(cellCol).as("cell")),
+          Seq(idCol)),
+      "cell")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes")
     writeIvfCentroids(emb, s"$path/centroids", idCol, vecCol, cellCol,
@@ -1265,8 +1272,11 @@ object SimSearch {
     val cb = pqFitResidual(emb, cen, idCol, vecCol, cellCol, m, k,
       iters, dim, bucketWidth).localCheckpoint()
     cb.write.mode("overwrite").parquet(s"$path/codebooks")
-    pqEncodeResidual(emb, cen, cb, idCol, vecCol, cellCol, m, dim)
-      .join(emb.select(col(idCol), col(cellCol).as("cell")), Seq(idCol))
+    graft.operators.WriteLayout.clusterBy(
+      pqEncodeResidual(emb, cen, cb, idCol, vecCol, cellCol, m, dim)
+        .join(emb.select(col(idCol), col(cellCol).as("cell")),
+          Seq(idCol)),
+      "cell")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes")
     emb.sparkSession.range(1).select(lit(true).as("residual"))
@@ -1489,9 +1499,12 @@ object SimSearch {
     val cb = pqFitResidualRotated(emb, cen, perm, idCol, vecCol,
       cellCol, m, k, iters, dim, bucketWidth).localCheckpoint()
     cb.write.mode("overwrite").parquet(s"$path/codebooks")
-    pqEncodeResidualRotated(emb, cen, perm, cb, idCol, vecCol, cellCol,
-      m, dim)
-      .join(emb.select(col(idCol), col(cellCol).as("cell")), Seq(idCol))
+    graft.operators.WriteLayout.clusterBy(
+      pqEncodeResidualRotated(emb, cen, perm, cb, idCol, vecCol,
+        cellCol, m, dim)
+        .join(emb.select(col(idCol), col(cellCol).as("cell")),
+          Seq(idCol)),
+      "cell")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes")
     emb.sparkSession.range(1).select(lit(true).as("residual"))
@@ -1531,9 +1544,12 @@ object SimSearch {
     val cb = cb0.localCheckpoint()
     rot.write.mode("overwrite").parquet(s"$path/rot")
     cb.write.mode("overwrite").parquet(s"$path/codebooks")
-    pqEncodeResidualRotatedDense(emb, cen, rot, cb, idCol, vecCol,
-      cellCol, m, dim)
-      .join(emb.select(col(idCol), col(cellCol).as("cell")), Seq(idCol))
+    graft.operators.WriteLayout.clusterBy(
+      pqEncodeResidualRotatedDense(emb, cen, rot, cb, idCol, vecCol,
+        cellCol, m, dim)
+        .join(emb.select(col(idCol), col(cellCol).as("cell")),
+          Seq(idCol)),
+      "cell")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes")
     emb.sparkSession.range(1).select(lit(true).as("residual"))
@@ -2060,8 +2076,10 @@ object SimSearch {
       case (None, None, false) =>
         pqEncode(withCell, cb, idCol, vecCol, m, dim)
     }
-    codes
-      .join(withCell.select(col(idCol), col("cell")), Seq(idCol))
+    graft.operators.WriteLayout.clusterBy(
+      codes
+        .join(withCell.select(col(idCol), col("cell")), Seq(idCol)),
+      "cell")
       .write.mode("append").partitionBy("cell").parquet(liveCodesDir)
   }
 
@@ -2258,7 +2276,8 @@ object SimSearch {
       case None => codes
     }
     val gen = meta.gen + 1L
-    live.write.mode("errorifexists").partitionBy("cell")
+    graft.operators.WriteLayout.clusterBy(live, "cell")
+      .write.mode("errorifexists").partitionBy("cell")
       .parquet(s"$path/codes_gen=$gen")
     pqMarker.put(fs, path, graft.operators.LiveState(gen,
       Map("codes" -> s"codes_gen=$gen"),

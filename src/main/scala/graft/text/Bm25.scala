@@ -278,7 +278,10 @@ object Bm25 {
       .withColumn("bucket",
         pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .persist() // postings write + the stats delta
-    idx.write.partitionBy("bucket").mode("overwrite")
+    // cluster by bucket before the write: one size-bounded file set
+    // per bucket instead of tasks×buckets small files (WriteLayout)
+    graft.operators.WriteLayout.clusterBy(idx, "bucket")
+      .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/postings")
     statsDelta(idx, idCol).write.mode("overwrite")
       .parquet(s"$path/stats")
@@ -344,7 +347,8 @@ object Bm25 {
         bm25Marker.put(fs, path,
           live.copy(gen = b, applied = appliedId), retain)
     } else {
-      idx.write.partitionBy("bucket").mode("errorifexists")
+      graft.operators.WriteLayout.clusterBy(idx, "bucket")
+        .write.partitionBy("bucket").mode("errorifexists")
         .parquet(s"$path/postings_batches/batch=$b")
       statsDelta(idx, idCol).write.mode("errorifexists")
         .parquet(s"$path/stats_deltas/batch=$b")
@@ -515,7 +519,8 @@ object Bm25 {
     val gen = live.gen + 1L
     val kept = livePostings(spark, path, live, idCol, None)
       .persist() // rewrite + re-based stats
-    kept.write.partitionBy("bucket").mode("errorifexists")
+    graft.operators.WriteLayout.clusterBy(kept, "bucket")
+      .write.partitionBy("bucket").mode("errorifexists")
       .parquet(s"$path/postings_gen=$gen")
     statsDelta(kept, idCol).coalesce(1).write.mode("errorifexists")
       .parquet(s"$path/stats_gen=$gen")

@@ -581,12 +581,20 @@ object Classifier {
       tokenizer: Column => Column = TextOps.tokensSimple): DataFrame = {
     require(clipMicro >= 1L && clipMicro < 500000L,
       s"clipMicro must be in [1, 5e5), got $clipMicro")
-    val eW = logisticFit(df, textCol, idCol, treatment, propDim,
-      propIters, tokenizer = tokenizer)
-    val w1 = logisticFit(df.filter(treatment), textCol, idCol,
-      outcome, outDim, outIters, tokenizer = tokenizer)
-    val w0 = logisticFit(df.filter(!treatment), textCol, idCol,
-      outcome, outDim, outIters, tokenizer = tokenizer)
+    // the three trainings read disjoint model state and only share
+    // the immutable input: run them concurrently (guide §2.6 —
+    // Par.run joins before use, so the assignments are safely
+    // published); integer-exact GD makes the weights independent of
+    // scheduling, so results are bit-identical to the sequential run
+    val fits = new Array[DataFrame](3)
+    graft.operators.Par.run(Seq(
+      () => fits(0) = logisticFit(df, textCol, idCol, treatment,
+        propDim, propIters, tokenizer = tokenizer),
+      () => fits(1) = logisticFit(df.filter(treatment), textCol,
+        idCol, outcome, outDim, outIters, tokenizer = tokenizer),
+      () => fits(2) = logisticFit(df.filter(!treatment), textCol,
+        idCol, outcome, outDim, outIters, tokenizer = tokenizer)))
+    val (eW, w1, w0) = (fits(0), fits(1), fits(2))
     def scored(w: DataFrame, as: String): DataFrame =
       logisticScore(df, textCol, idCol, w, tokenizer)
         .select(col(idCol), col("score_micro").as(as))

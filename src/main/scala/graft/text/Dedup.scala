@@ -222,7 +222,9 @@ object Dedup {
     // intent file: a crash mid-create reads as "bootstrap in
     // progress" to assertSignedStreamBootstrapSafe, not legacy
     signedMarker.markBootstrap(fs, path)
-    signIndex(df, textCol, idCol, shingleK, bands, rowsPerBand, tokenizer)
+    graft.operators.WriteLayout.sized(
+      signIndex(df, textCol, idCol, shingleK, bands, rowsPerBand,
+        tokenizer))
       .write.parquet(s"$path/rows")
     Seq((shingleK, bands, rowsPerBand, idCol))
       .toDF("shingle_k", "bands", "rows_per_band", "id_col")
@@ -285,7 +287,8 @@ object Dedup {
         signedMarker.put(fs, path,
           live.copy(gen = b, applied = appliedId), retain)
     } else {
-      seg.write.mode("errorifexists")
+      graft.operators.WriteLayout.sized(seg)
+        .write.mode("errorifexists")
         .parquet(s"$path/rows_batches/batch=$b")
       seg.unpersist()
       signedMarker.put(fs, path, live.copy(gen = b,
@@ -404,7 +407,8 @@ object Dedup {
     signedMarker.heal(fs, path, retain)
     val live = signedMarker.read(fs, path)
     val gen = live.gen + 1L
-    readSignedState(spark, path, live)
+    graft.operators.WriteLayout.sized(readSignedState(spark, path,
+      live))
       .write.mode("errorifexists").parquet(s"$path/rows_gen=$gen")
     signedMarker.put(fs, path, graft.operators.LiveState(gen,
       Map("rows" -> s"rows_gen=$gen"),
